@@ -1,13 +1,337 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.{FeatureRow, GeoJson, TileRow}
+import graft.functions.raster._
+import graft.functions.spatial._
+import graft.ops.Elevation
+import graft.synth.TileGen
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+
+/** Driver contract — each `queries` entry is one operator from SURVEY.md §2
+  * (or a training-pipeline op), and `oracleSql` carries the equivalent DuckDB
+  * SQL over the same parquet tables.
+  *
+  * Geo queries derive deterministic coordinates from the TPC-H-ish columns
+  * (pure integer/IEEE-double arithmetic, so the DuckDB oracle reproduces the
+  * exact doubles), and sample synthetic in-memory tiles whose int16 grids
+  * follow a closed form the oracle can also recompute (graft.synth.TileGen).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The 6 tiles present in the synthetic store for the gate queries; points
+    * also fall on (-118,37) and (-117,36), which are intentionally absent →
+    * NO_DATA → elevation 0 (F8).
+    */
+  private val presentCorners: Seq[(Int, Int)] =
+    for { lng <- -120 to -117; lat <- 36 to 37
+          if !((lng == -118 && lat == 37) || (lng == -117 && lat == 36)) } yield (lng, lat)
+
+  private def gateTiles(s: SparkSession, fmt: String = "hgt") =
+    s.createDataset(TileGen.tiles(presentCorners, 601, fmt))(Encoders.product[TileRow])
+
+  /** Deterministic points over the 8-tile bbox, derived from lineitem. */
+  private def gatePoints(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").selectExpr(
+      "((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id",
+      "-120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5D)/600.0D AS lng",
+      "36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5D)/600.0D AS lat")
+
+  /** Points spanning all four hemisphere quadrants, from customer. */
+  private def quadrantPoints(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").selectExpr(
+      "c_custkey AS point_id",
+      "-180 + (c_custkey % 360) + 0.5D AS lng",
+      "-90 + ((c_custkey * 7) % 180) + 0.25D AS lat")
+
+  /** Flagship: the reference's own golden fixture (JMT, 54 features / 5,998
+    * coords) sampled against the 3-arc-second synthetic tile pyramid via the
+    * broadcast tile join. Driver smoke-checks rows>0 at sf0.001.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val in = getClass.getResourceAsStream("/JMT.json")
+    val jmt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    val features = spark.createDataset(GeoJson.featureRows(GeoJson.parse(jmt)))
+    val tiles = spark.createDataset(TileGen.tiles(
+      Seq((-119, 36), (-120, 36), (-119, 37), (-120, 37)), 1201, "hgt"))
+    Elevation.lookupBroadcast(Elevation.coordRows(features).toDF(), tiles)
+      .select($"feature_id", $"coord_idx", $"lng", $"lat", $"tile_key", $"elev")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core (A1-analogs, joins, windows) ----
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1999-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc"),
+          avg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    "q3_topk" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_orderdate", "revenue")
+    }),
+    "q5_multijoin" -> ((s, dir) => {
+      t(s, dir, "region").filter(col("r_name") === "ASIA")
+        .join(t(s, dir, "nation"), col("r_regionkey") === col("n_regionkey"))
+        .join(t(s, dir, "customer"), col("n_nationkey") === col("c_nationkey"))
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+    "q_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("run_total",
+          round(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn", "run_total")
+        .orderBy("o_custkey", "rn")
+    }),
+    "events_hourly" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy("hr", "event_type")
+    }),
+
+    // ---- spatial core (F4/F9, J1/J4+F1/F2/F8, F6, z/x/y) ----
+    "geo_tile_key" -> ((s, dir) => {
+      quadrantPoints(s, dir)
+        .withColumn("tile_key", tile_key(col("lng"), col("lat")))
+        .select("point_id", "tile_key")
+        .orderBy("point_id")
+    }),
+    "geo_elev_bilinear" -> ((s, dir) => {
+      Elevation.lookupBroadcast(gatePoints(s, dir), gateTiles(s))
+        .select("point_id", "tile_key", "elev")
+        .orderBy("point_id")
+    }),
+    "geo_terrarium" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .selectExpr("((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id",
+          "(l_extendedprice % 9000.0D) - 500.0D AS e")
+        .withColumn("rgb", terrarium_rgb(col("e")))
+        .select(col("point_id"), element_at(col("rgb"), 1).as("r"),
+          element_at(col("rgb"), 2).as("g"), element_at(col("rgb"), 3).as("b"))
+        .orderBy("point_id")
+    }),
+    "geo_zxy" -> ((s, dir) => {
+      quadrantPoints(s, dir)
+        .withColumn("x", zxy_x(col("lng"), lit(14)))
+        .withColumn("y", zxy_y(col("lat"), lit(14)))
+        .select("point_id", "x", "y")
+        .orderBy("point_id")
+    }),
+
+    // ---- training-data pipeline ops ----
+    "dedup_exact" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val all = d.select(col("doc_id"), col("text"))
+        .unionAll(d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      all.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy("h")
+    }),
+    "text_stats" -> ((s, dir) => {
+      t(s, dir, "documents").selectExpr(
+        "doc_id",
+        "cast(length(text) as bigint) AS n_chars",
+        "cast(size(split(text, ' ')) as bigint) AS n_words",
+        "cast(size(filter(split(text, ' '), w -> w = 'the')) as bigint) AS n_the",
+        "round(size(filter(split(text, ' '), w -> w = 'the')) / size(split(text, ' ')), 6) AS stop_ratio",
+        "round(length(replace(text, ' ', '')) / size(split(text, ' ')), 6) AS avg_wlen")
+        .orderBy("doc_id")
+    }),
+    "text_langid" -> ((s, dir) => {
+      t(s, dir, "documents").selectExpr(
+        "doc_id",
+        "cast(size(filter(split(text, ' '), w -> w = 'the' or w = 'a')) as bigint) AS s_en",
+        "cast(size(filter(split(text, ' '), w -> w = 'le' or w = 'et')) as bigint) AS s_fr",
+        "cast(size(filter(split(text, ' '), w -> w = 'el' or w = 'la')) as bigint) AS s_es",
+        "cast(size(filter(split(text, ' '), w -> w = 'der' or w = 'und')) as bigint) AS s_de")
+        .selectExpr("doc_id", "s_en", "s_fr", "s_es", "s_de",
+          """CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+                  WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+                  WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS predicted""")
+        .orderBy("doc_id")
+    }),
+    "token_count" -> ((s, dir) => {
+      t(s, dir, "documents").selectExpr(
+        "doc_id",
+        "cast(size(split(text, ' ')) as bigint) AS n_ws_tokens",
+        "cast(aggregate(split(text, ' '), 0, (acc, w) -> acc + cast((length(w) + 3) / 4 as int)) as bigint) AS n_bpe_tokens")
+        .orderBy("doc_id")
+    }),
+    "ann_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .selectExpr("vec_id", "cast(embedding as array<double>) AS v")
+        .selectExpr("vec_id", "v",
+          "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)) AS nrm")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+      val pairs = q.crossJoin(broadcast(e)).filter(col("vec_id") =!= col("qid"))
+        .selectExpr("qid", "vec_id AS neighbor_id",
+          "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / (qnrm * nrm) AS cos")
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))
+      pairs.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("neighbor_id"), col("rank"), round(col("cos"), 4).as("cos_r"))
+        .orderBy("qid", "rank")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc,
+         avg(l_quantity) AS avg_qty, count(*) AS n
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-09-01'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q3_topk" ->
+      """SELECT o_orderkey, o_orderdate,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "q5_multijoin" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM region JOIN nation ON r_regionkey = n_regionkey
+         JOIN customer ON n_nationkey = c_nationkey
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+         WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name""",
+    "q_window" ->
+      """SELECT o_custkey, o_orderkey, rn, run_total FROM (
+           SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+             round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
+           FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n,
+         round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY hr, event_type""",
+    "geo_tile_key" ->
+      """WITH pts AS (SELECT c_custkey AS point_id,
+           -180 + (c_custkey % 360) + 0.5 AS lng,
+           -90 + ((c_custkey * 7) % 180) + 0.25 AS lat FROM customer)
+         SELECT point_id,
+           (CASE WHEN floor(lat) < 0 THEN 'S' ELSE 'N' END ||
+            lpad(CAST(CAST(abs(floor(lat)) AS BIGINT) AS VARCHAR), 2, '0') ||
+            CASE WHEN floor(lng) < 0 THEN 'W' ELSE 'E' END ||
+            lpad(CAST(CAST(abs(floor(lng)) AS BIGINT) AS VARCHAR), 3, '0')) AS tile_key
+         FROM pts ORDER BY point_id""",
+    "geo_elev_bilinear" ->
+      """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
+           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
+           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
+           FROM lineitem),
+         k AS (SELECT point_id, lng, lat,
+           CAST(floor(lng) AS BIGINT) AS swlng, CAST(floor(lat) AS BIGINT) AS swlat,
+           (lng - floor(lng)) * 600 AS colf, (lat - floor(lat)) * 600 AS rowf FROM pts),
+         g AS (SELECT *, CAST(floor(colf) AS BIGINT) AS c0, CAST(floor(rowf) AS BIGINT) AS r0,
+           colf - floor(colf) AS cf, rowf - floor(rowf) AS rf,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM k),
+         v AS (SELECT *,
+           a + 2*c0     + 3*r0     + ((c0//8)*(r0//8)) % 32         AS v00,
+           a + 2*(c0+1) + 3*r0     + (((c0+1)//8)*(r0//8)) % 32     AS v10,
+           a + 2*(c0+1) + 3*(r0+1) + (((c0+1)//8)*((r0+1)//8)) % 32 AS v11,
+           a + 2*c0     + 3*(r0+1) + ((c0//8)*((r0+1)//8)) % 32     AS v01 FROM g)
+         SELECT point_id,
+           (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END ||
+            lpad(CAST(abs(swlat) AS VARCHAR), 2, '0') ||
+            CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END ||
+            lpad(CAST(abs(swlng) AS VARCHAR), 3, '0')) AS tile_key,
+           CASE WHEN (swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36) THEN 0.0
+                ELSE (v00 + (v10 - v00) * cf) +
+                     ((v01 + (v11 - v01) * cf) - (v00 + (v10 - v00) * cf)) * rf
+           END AS elev
+         FROM v ORDER BY point_id""",
+    "geo_terrarium" ->
+      """WITH e AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
+           ((l_extendedprice % 9000.0) - 500.0) + 32768.0 AS ev FROM lineitem)
+         SELECT point_id, CAST(floor(ev / 256) AS INT) AS r,
+           CAST(trunc(ev % 256) AS INT) AS g,
+           CAST(floor((ev - floor(ev)) * 256) AS INT) AS b
+         FROM e ORDER BY point_id""",
+    "geo_zxy" ->
+      """WITH pts AS (SELECT c_custkey AS point_id,
+           -180 + (c_custkey % 360) + 0.5 AS lng,
+           -90 + ((c_custkey * 7) % 180) + 0.25 AS lat FROM customer),
+         c AS (SELECT point_id, lng,
+           least(greatest(lat, -85.05112877980659), 85.05112877980659) AS latc FROM pts)
+         SELECT point_id,
+           CAST(least(greatest(floor((lng + 180.0)/360.0 * 16384), 0), 16383) AS INT) AS x,
+           CAST(least(greatest(floor((1.0 - ln(tan(radians(latc)) + 1.0/cos(radians(latc)))/pi())/2.0 * 16384), 0), 16383) AS INT) AS y
+         FROM c ORDER BY point_id""",
+    "dedup_exact" ->
+      """WITH all_docs AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
+         SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
+         FROM all_docs GROUP BY 1 ORDER BY h""",
+    "text_stats" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(list_filter(string_split(text, ' '), w -> w = 'the')) AS BIGINT) AS n_the,
+           round(len(list_filter(string_split(text, ' '), w -> w = 'the')) / len(string_split(text, ' ')), 6) AS stop_ratio,
+           round(length(replace(text, ' ', '')) / len(string_split(text, ' ')), 6) AS avg_wlen
+         FROM documents ORDER BY doc_id""",
+    "text_langid" ->
+      """WITH s AS (SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a')) AS BIGINT) AS s_en,
+           CAST(len(list_filter(string_split(text, ' '), w -> w = 'le' OR w = 'et')) AS BIGINT) AS s_fr,
+           CAST(len(list_filter(string_split(text, ' '), w -> w = 'el' OR w = 'la')) AS BIGINT) AS s_es,
+           CAST(len(list_filter(string_split(text, ' '), w -> w = 'der' OR w = 'und')) AS BIGINT) AS s_de
+           FROM documents)
+         SELECT doc_id, s_en, s_fr, s_es, s_de,
+           CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+                WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+                WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS predicted
+         FROM s ORDER BY doc_id""",
+    "token_count" ->
+      """SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(list_sum(list_transform(string_split(text, ' '), w -> (length(w) + 3) // 4)) AS BIGINT) AS n_bpe_tokens
+         FROM documents ORDER BY doc_id""",
+    "ann_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
+         p AS (SELECT qid, n.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])) / (qnrm * nrm) AS cos
+           FROM q, n WHERE n.vec_id <> qid),
+         r AS (SELECT qid, neighbor_id, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank FROM p)
+         SELECT qid, neighbor_id, rank, round(cos, 4) AS cos_r
+         FROM r WHERE rank <= 10 ORDER BY qid, rank"""
+  )
 }

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.GraftColumns
+import org.apache.spark.sql.types._
+
+/** Static helpers invoked from generated code (keeps expressions inside
+  * whole-stage codegen while the math lives in the plain-JVM core).
+  */
+object ExprHelpers {
+  def terrariumRgb(elev: Double): ArrayData = {
+    val (r, g, b) = graft.raster.Terrarium.encode(elev)
+    new GenericArrayData(Array(r, g, b))
+  }
+}
+
+/** `terrarium_rgb(elev)` → array<int> [r, g, b] — the reference's Terrarium
+  * DEM byte encoding (F6, src/elevation/getTerrariumDemElevation.ts:10-20).
+  */
+case class TerrariumRgbExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "terrarium_rgb"
+  override def nullSafeEval(e: Any): Any =
+    ExprHelpers.terrariumRgb(e.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, e => s"graft.functions.ExprHelpers.terrariumRgb($e)")
+  override protected def withNewChildInternal(c: Expression): TerrariumRgbExpr = copy(child = c)
+}
+
+/** `zxy_x(lng, z)` — Web-Mercator slippy tile column. */
+case class TileXExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "zxy_x"
+  override def nullSafeEval(lng: Any, z: Any): Any =
+    graft.geo.WebMercator.tileX(lng.asInstanceOf[Double], z.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lng, z) => s"graft.geo.WebMercator.tileX($lng, $z)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TileXExpr =
+    copy(left = l, right = r)
+}
+
+/** `zxy_y(lat, z)` — Web-Mercator slippy tile row. */
+case class TileYExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "zxy_y"
+  override def nullSafeEval(lat: Any, z: Any): Any =
+    graft.geo.WebMercator.tileY(lat.asInstanceOf[Double], z.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lat, z) => s"graft.geo.WebMercator.tileY($lat, $z)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TileYExpr =
+    copy(left = l, right = r)
+}
+
+object raster {
+  private def col(e: Expression): Column = GraftColumns.column(e)
+  private def ex(c: Column): Expression = GraftColumns.expression(c)
+
+  def terrarium_rgb(elev: Column): Column = col(TerrariumRgbExpr(ex(elev.cast(DoubleType))))
+  def zxy_x(lng: Column, z: Column): Column =
+    col(TileXExpr(ex(lng.cast(DoubleType)), ex(z.cast(IntegerType))))
+  def zxy_y(lat: Column, z: Column): Column =
+    col(TileYExpr(ex(lat.cast(DoubleType)), ex(z.cast(IntegerType))))
+}

@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression}
+import org.apache.spark.sql.graftshim.GraftColumns
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot spatial scalar functions. Each has
+  * a `doGenCode` emitting a static call so the whole stage stays inside
+  * whole-stage codegen (no Scala-UDF serialization/boxing on the join probe
+  * path).
+  */
+
+/** `tile_key(lng, lat)` — SRTM 1°×1° tile key of the containing tile (F4+F9:
+  * reference src/elevation/getElevationTileKey.ts:3-10 with floored degrees).
+  */
+case class TileKeyExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "tile_key"
+  override def nullSafeEval(lng: Any, lat: Any): Any =
+    UTF8String.fromString(graft.geo.TileKey.of(lng.asInstanceOf[Double], lat.asInstanceOf[Double]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lng, lat) =>
+      s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.geo.TileKey.of($lng, $lat));")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TileKeyExpr =
+    copy(left = l, right = r)
+}
+
+/** `bilinear_hgt(bytes, size, lng, lat)` — bilinear elevation sample from raw
+  * HGT tile bytes, with the tile SW corner derived by flooring the coordinate
+  * (valid after an equi-join on `tile_key(lng, lat)`). Null-safe: a missing
+  * tile (null bytes from a left outer join) yields null, to be coalesced to
+  * sea level 0 (F8).
+  */
+case class BilinearHgtExpr(first: Expression, second: Expression,
+                           third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "bilinear_hgt"
+  override def nullSafeEval(bytes: Any, size: Any, lng: Any, lat: Any): Any =
+    graft.raster.Bilinear.sampleFromFloor(bytes.asInstanceOf[Array[Byte]],
+      size.asInstanceOf[Int], lng.asInstanceOf[Double], lat.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, s, lng, lat) =>
+      s"${ev.value} = graft.raster.Bilinear.sampleFromFloor($b, $s, $lng, $lat);")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression): BilinearHgtExpr =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
+/** `nearest_hgt(bytes, size, lng, lat)` — nearest-neighbour sampling mode
+  * (capability parity with the reference's `_nearestNeighbour`).
+  */
+case class NearestHgtExpr(first: Expression, second: Expression,
+                          third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "nearest_hgt"
+  override def nullSafeEval(bytes: Any, size: Any, lng: Any, lat: Any): Any = {
+    val lngd = lng.asInstanceOf[Double]; val latd = lat.asInstanceOf[Double]
+    graft.raster.Bilinear.nearestHgt(bytes.asInstanceOf[Array[Byte]],
+      size.asInstanceOf[Int], math.floor(lngd), math.floor(latd), lngd, latd)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, s, lng, lat) =>
+      s"${ev.value} = graft.raster.Bilinear.nearestHgt($b, $s, " +
+        s"java.lang.Math.floor($lng), java.lang.Math.floor($lat), $lng, $lat);")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression): NearestHgtExpr =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
+/** Column-level API + SQL registration for the spatial functions. */
+object spatial {
+  private def col(e: Expression): Column = GraftColumns.column(e)
+  private def ex(c: Column): Expression = GraftColumns.expression(c)
+
+  def tile_key(lng: Column, lat: Column): Column =
+    col(TileKeyExpr(ex(lng.cast(DoubleType)), ex(lat.cast(DoubleType))))
+  def bilinear_hgt(bytes: Column, size: Column, lng: Column, lat: Column): Column =
+    col(BilinearHgtExpr(ex(bytes), ex(size.cast(IntegerType)),
+      ex(lng.cast(DoubleType)), ex(lat.cast(DoubleType))))
+  def nearest_hgt(bytes: Column, size: Column, lng: Column, lat: Column): Column =
+    col(NearestHgtExpr(ex(bytes), ex(size.cast(IntegerType)),
+      ex(lng.cast(DoubleType)), ex(lat.cast(DoubleType))))
+
+  /** Register SQL names on a session (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("tile_key",
+      es => TileKeyExpr(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("bilinear_hgt",
+      es => BilinearHgtExpr(es.head, es(1), es(2), es(3)), "built-in")
+    reg.createOrReplaceTempFunction("nearest_hgt",
+      es => NearestHgtExpr(es.head, es(1), es(2), es(3)), "built-in")
+  }
+}

@@ -1,0 +1,130 @@
+package graft.ops
+
+import graft.core._
+import graft.functions.spatial._
+import graft.geo.TileKey
+import graft.raster.Bilinear
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** One sampled coordinate (J1/J4 output row). */
+final case class ElevRow(feature_id: String, coord_idx: Long, lng: Double,
+                         lat: Double, tile_key: String, elev: Double)
+
+/** The reference's core query as Spark plans: per-coordinate terrain lookup =
+  * point→tile **left-outer equi-join** on the floored-degree tile key, then
+  * bilinear sampling, with missing tiles coalesced to sea level 0
+  * (reference: src/elevation/getElevation.ts, fetchElevationTileData.ts).
+  *
+  * Two physical paths, chosen by tile-side size:
+  *
+  *  - [[lookupBroadcast]]: broadcast-hash-join the tile table (bounded tile
+  *    sets — the common case: a query's bbox covers few tiles). The bilinear
+  *    sample runs as a native codegen'd expression directly over the joined
+  *    `bytes` column: no decode step at all for `fmt=hgt` (4 random int16
+  *    reads per probe), zero shuffle.
+  *
+  *  - [[lookupCogroup]]: the 100 TB path. Both sides hash-partition on
+  *    (tile_key, salt); each group decodes its tile **once** and streams its
+  *    coordinates through in-memory sampling. Salting (`salt > 1`) splits the
+  *    coordinate stream of hot tiles (urban-hotspot skew, north rule) across
+  *    `salt` reducers by replicating only the tile row — never the coords.
+  */
+object Elevation {
+
+  /** P4: explode features to coordinate rows in coordEach document order. */
+  def coordRows(features: Dataset[FeatureRow]): Dataset[CoordRow] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[CoordRow]
+    features.flatMap(GeoJson.coordRows _)
+  }
+
+  /** Broadcast path. `coords` needs (lng, lat) columns; extra columns pass
+    * through. Adds `tile_key` and `elev`.
+    */
+  def lookupBroadcast(coords: DataFrame, tiles: Dataset[TileRow]): DataFrame = {
+    val t = tiles.toDF().select(col("image_id"), col("bytes"), col("w"))
+    coords
+      .withColumn("tile_key", tile_key(col("lng"), col("lat")))
+      .join(broadcast(t), col("tile_key") === col("image_id"), "left_outer")
+      .withColumn("elev",
+        coalesce(bilinear_hgt(col("bytes"), col("w"), col("lng"), col("lat")), lit(0.0)))
+      .drop("image_id", "bytes", "w")
+  }
+
+  /** Shuffle/cogroup path with optional skew salting. Handles every `fmt`
+    * (hgt/png/jpg) because each tile is decoded exactly once per group.
+    */
+  def lookupCogroup(coords: Dataset[CoordRow], tiles: Dataset[TileRow],
+                    salt: Int = 1): Dataset[ElevRow] = {
+    val spark = coords.sparkSession
+    import spark.implicits._
+    val s = math.max(1, salt)
+    val keyedCoords = coords.groupByKey { c =>
+      val k = TileKey.of(c.lng, c.lat)
+      if (s == 1) k else s"$k#${(c.coord_idx % s).toInt}"
+    }
+    val keyedTiles = tiles.flatMap { t =>
+      if (s == 1) Iterator.single((t.image_id, t))
+      else (0 until s).iterator.map(i => (s"${t.image_id}#$i", t))
+    }.groupByKey(_._1)
+    keyedCoords.cogroup(keyedTiles) { (_, cs, ts) =>
+      ts.toSeq.headOption match {
+        case Some((_, tile)) =>
+          val d = TileCodec.decode(tile)
+          cs.map { c =>
+            ElevRow(c.feature_id, c.coord_idx, c.lng, c.lat, tile.image_id,
+              Bilinear.sampleGrid(d.samples, d.size, d.swLng.toDouble,
+                d.swLat.toDouble, c.lng, c.lat))
+          }
+        case None => // missing tile ⇒ sea level (F8 no-data coalesce)
+          cs.map(c => ElevRow(c.feature_id, c.coord_idx, c.lng, c.lat,
+            TileKey.of(c.lng, c.lat), 0.0))
+      }
+    }
+  }
+
+  /** Full `/geojson` query (entry point 1): add elevations into the GeoJSON
+    * features. A4 reassembly: group sampled coords per feature and rewrite
+    * the nested coordinate arrays in document order.
+    */
+  def addElevation(features: Dataset[FeatureRow], tiles: Dataset[TileRow],
+                   broadcastTiles: Boolean = true): Dataset[FeatureRow] = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    val coords = coordRows(features)
+    val sampled: Dataset[ElevRow] =
+      if (broadcastTiles)
+        lookupBroadcast(coords.toDF(), tiles)
+          .select($"feature_id", $"coord_idx", $"lng", $"lat", $"tile_key", $"elev")
+          .as[ElevRow]
+      else lookupCogroup(coords, tiles)
+    val perFeature = sampled.groupByKey(_.feature_id)
+      .mapGroups { (fid, rows) =>
+        (fid, rows.map(r => r.coord_idx -> r.elev).toMap)
+      }
+    features.joinWith(perFeature, features("feature_id") === perFeature("_1"), "left_outer")
+      .map { case (f, kv) =>
+        if (kv == null) f else GeoJson.withElevations(f, kv._2)
+      }
+  }
+
+  /** Entry point 2 (`/polyline`): decode polyline → sample → Terrarium byte
+    * stream in coordinate order (F5 → J1 → F6).
+    */
+  def polylineToTerrarium(polylines: Dataset[(String, String)],
+                          tiles: Dataset[TileRow]): Dataset[(String, Array[Byte])] = {
+    val spark = polylines.sparkSession
+    import spark.implicits._
+    val coords = polylines.flatMap { case (id, pl) =>
+      graft.geo.Polyline.decode(pl).iterator.zipWithIndex.map {
+        case ((lng, lat), i) => CoordRow(id, i.toLong, lng, lat)
+      }
+    }
+    val sampled = lookupBroadcast(coords.toDF(), tiles)
+      .select($"feature_id", $"coord_idx", $"elev").as[(String, Long, Double)]
+    sampled.groupByKey(_._1).mapGroups { (id, rows) =>
+      val elevs = rows.toArray.sortBy(_._2).map(_._3)
+      (id, graft.raster.Terrarium.encodeStream(elevs))
+    }
+  }
+}
