@@ -41,6 +41,20 @@ object SparkEntry {
       "-120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5D)/600.0D AS lng",
       "36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5D)/600.0D AS lat")
 
+  /** Synthetic triangle polygons (packed coordinate arrays) from supplier:
+    * apex (cx, cy+h), base corners (cx∓w, cy−h). Oracle-replicable doubles.
+    */
+  private def trianglePolys(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier").selectExpr(
+      "s_suppkey AS poly_id",
+      "-120.0D + (s_suppkey % 40) * 0.1D AS cx",
+      "36.0D + ((s_suppkey * 3) % 20) * 0.1D AS cy",
+      "0.05D + (s_suppkey % 7) * 0.013D AS w",
+      "0.04D + (s_suppkey % 5) * 0.017D AS h")
+      .selectExpr("poly_id",
+        "array(cx, cx - w, cx + w) AS xs",
+        "array(cy + h, cy - h, cy - h) AS ys")
+
   /** Points spanning all four hemisphere quadrants, from customer. */
   private def quadrantPoints(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer").selectExpr(
@@ -147,6 +161,35 @@ object SparkEntry {
         .orderBy("point_id")
     }),
 
+    // ---- spatial joins over cell indexes (J2/J3, north rule) ----
+    // Triangles derived from supplier; PIP via S2 cell-cover candidate join
+    // + exact ray-cast refinement. The oracle replicates the ray-cast edge
+    // tests with identical IEEE arithmetic (edges (v1,v3),(v2,v1),(v3,v2) —
+    // same (i,j) orientation as graft.geo.RayCast's loop).
+    "geo_pip" -> ((s, dir) => {
+      ops.SpatialJoin.pointInPolygon(gatePoints(s, dir), trianglePolys(s, dir), Some(11))
+        .select(col("point_id"), col("poly_id"))
+        .orderBy("point_id", "poly_id")
+    }),
+    "geo_pip_salted" -> ((s, dir) => {
+      // same join through the skew path: threshold low enough that most
+      // cells salt at sf0.01 — exercises hot-cell detection + salt-4
+      ops.SpatialJoin.pointInPolygonSalted(gatePoints(s, dir), trianglePolys(s, dir),
+          level = 11, hotThreshold = 20L, salt = 4)
+        .select(col("point_id"), col("poly_id"))
+        .orderBy("point_id", "poly_id")
+    }),
+    "geo_knn" -> ((s, dir) => {
+      val probes = t(s, dir, "customer").filter(col("c_custkey") % 100 === 0)
+        .selectExpr("c_custkey AS probe_id",
+          "-120.0D + (c_custkey % 4) + ((c_custkey % 577) + 0.5D)/577.0D AS lng",
+          "36.0D + (c_custkey % 2) + (((c_custkey*13) % 577) + 0.5D)/577.0D AS lat")
+      val targets = gatePoints(s, dir).withColumnRenamed("point_id", "target_id")
+      ops.SpatialJoin.knn(probes, targets, k = 5, res = 5)
+        .select(col("probe_id"), col("target_id"), col("rank"), col("dist2"))
+        .orderBy("probe_id", "rank")
+    }),
+
     // ---- training-data pipeline ops ----
     "dedup_exact" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -204,6 +247,33 @@ object SparkEntry {
         .orderBy("qid", "rank")
     })
   )
+
+  /** Shared PIP oracle: bbox prefilter (a superset — every ray-cast-inside
+    * point lies in the bbox) then the exact ray-cast edge tests with the
+    * same (i,j) edge orientation and IEEE op order as graft.geo.RayCast.
+    * Divisions sit inside CASE so the horizontal base edge never divides
+    * by zero.
+    */
+  private val pipOracleSql: String =
+    """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
+         -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS px,
+         36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS py
+         FROM lineitem),
+       tri AS (SELECT s_suppkey AS poly_id,
+         -120.0 + (s_suppkey % 40) * 0.1 AS cx,
+         36.0 + ((s_suppkey * 3) % 20) * 0.1 AS cy,
+         0.05 + (s_suppkey % 7) * 0.013 AS w,
+         0.04 + (s_suppkey % 5) * 0.017 AS h
+         FROM supplier),
+       v AS (SELECT poly_id, cx AS x1, cy + h AS y1, cx - w AS x2, cy - h AS y2,
+         cx + w AS x3, cy - h AS y3 FROM tri),
+       cand AS (SELECT p.point_id, p.px, p.py, v.* FROM pts p JOIN v
+         ON p.px >= v.x2 AND p.px <= v.x3 AND p.py >= v.y2 AND p.py <= v.y1)
+       SELECT point_id, poly_id FROM cand
+       WHERE ((CASE WHEN (y1 > py) <> (y3 > py) AND px < (x3 - x1) * (py - y1) / (y3 - y1) + x1 THEN 1 ELSE 0 END)
+            + (CASE WHEN (y2 > py) <> (y1 > py) AND px < (x1 - x2) * (py - y2) / (y1 - y2) + x2 THEN 1 ELSE 0 END)
+            + (CASE WHEN (y3 > py) <> (y2 > py) AND px < (x2 - x3) * (py - y3) / (y2 - y3) + x3 THEN 1 ELSE 0 END)) % 2 = 1
+       ORDER BY point_id, poly_id"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -298,6 +368,24 @@ object SparkEntry {
            UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
          SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
          FROM all_docs GROUP BY 1 ORDER BY h""",
+    "geo_pip" -> pipOracleSql,
+    "geo_pip_salted" -> pipOracleSql,
+    "geo_knn" ->
+      """WITH probes AS (SELECT c_custkey AS probe_id,
+           -120.0 + (c_custkey % 4) + ((c_custkey % 577) + 0.5)/577.0 AS plng,
+           36.0 + (c_custkey % 2) + (((c_custkey*13) % 577) + 0.5)/577.0 AS plat
+           FROM customer WHERE c_custkey % 100 = 0),
+         targets AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS target_id,
+           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS tlng,
+           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS tlat
+           FROM lineitem),
+         pairs AS (SELECT probe_id, target_id,
+           (tlng - plng) * (tlng - plng) + (tlat - plat) * (tlat - plat) AS dist2
+           FROM probes, targets),
+         r AS (SELECT probe_id, target_id, dist2,
+           row_number() OVER (PARTITION BY probe_id ORDER BY dist2, target_id) AS rank FROM pairs)
+         SELECT probe_id, target_id, rank, dist2 FROM r WHERE rank <= 5
+         ORDER BY probe_id, rank""",
     "text_stats" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

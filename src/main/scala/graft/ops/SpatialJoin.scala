@@ -1,0 +1,225 @@
+package graft.ops
+
+import graft.geo.{Hex, RayCast, S2}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.GraftColumns
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** `ray_cast(px, py, xs, ys)` — even-odd point-in-ring test over packed
+  * coordinate arrays; the exact refinement predicate of the PIP join (J2).
+  */
+case class RayCastExpr(first: Expression, second: Expression,
+                       third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "ray_cast"
+  override def nullSafeEval(px: Any, py: Any, xs: Any, ys: Any): Any =
+    RayCast.contains(px.asInstanceOf[Double], py.asInstanceOf[Double],
+      xs.asInstanceOf[ArrayData], ys.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (px, py, xs, ys) =>
+      s"${ev.value} = graft.geo.RayCast.contains($px, $py, $xs, $ys);")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression): RayCastExpr =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
+/** Spatial joins over cell indexes (north rule J2/J3): candidate pairs via
+  * cell equi-join (Catalyst plans a hash shuffle join — or broadcast when one
+  * side is small), exact refinement predicates after.
+  *
+  * Scale design (100 TB / 10^12 rows):
+  *  - the only shuffle is the cell equi-join; both sides are keyed by the
+  *    same cell id so AQE can coalesce/skew-split at runtime;
+  *  - cover level trades replication (poly side ×|cover|) against candidate
+  *    fan-in (points per cell) — [[PipJoin.coverLevelFor]] picks it from the
+  *    polygon bbox so each polygon covers O(1..tens) of cells;
+  *  - dense-cell skew (urban hotspots) is handled by salting: hot cells
+  *    detected by a cheap count pass, point side salted, candidate side
+  *    replicated only for the hot cells ([[PipJoin.pointInPolygonSalted]]).
+  */
+object SpatialJoin {
+
+  def ray_cast(px: Column, py: Column, xs: Column, ys: Column): Column =
+    GraftColumns.column(RayCastExpr(
+      GraftColumns.expression(px.cast(DoubleType)),
+      GraftColumns.expression(py.cast(DoubleType)),
+      GraftColumns.expression(xs), GraftColumns.expression(ys)))
+
+  // ---------------- J2: point-in-polygon ----------------
+
+  /** Candidate cells of a polygon bbox at `level` (S2 superset cover). */
+  private def coverCells(xs: Seq[Double], ys: Seq[Double], level: Int): Seq[Long] =
+    S2.coverBBox(xs.min, ys.min, xs.max, ys.max, level)
+
+  /** Pick the S2 cover level so a bbox of the given size covers O(1..9)
+    * cells: smallest level whose avg cell edge is >= half the bbox diagonal
+    * extent, clamped to [6, 16].
+    */
+  def coverLevelFor(maxExtentDegrees: Double): Int = {
+    var l = 16
+    while (l > 6 && S2.avgEdgeDegrees(l) < maxExtentDegrees) l -= 1
+    l
+  }
+
+  /** Point-in-polygon join.
+    *
+    * @param points (point_id, lng, lat) — any extra columns pass through
+    * @param polys  (poly_id, xs: array<double>, ys: array<double>) one outer
+    *               ring per row, packed coordinate arrays
+    * @param level  S2 cover/probe level; None = derive per the max polygon
+    *               extent via an initial cheap aggregate
+    * @return (point columns..., poly_id) — one row per (point, containing
+    *         polygon) pair
+    */
+  def pointInPolygon(points: DataFrame, polys: DataFrame,
+                     level: Option[Int] = None,
+                     broadcastPolys: Boolean = true): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val lvl = level.getOrElse {
+      val ext = polys.select(
+        max(greatest(
+          array_max(col("xs")) - array_min(col("xs")),
+          array_max(col("ys")) - array_min(col("ys")))))
+        .as[Double].head()
+      coverLevelFor(math.max(ext, 1e-6))
+    }
+    // poly side: explode the bbox cover (flatMap — a typed generator)
+    val polyCells = polys
+      .select(col("poly_id"), col("xs"), col("ys"))
+      .as[(Long, Array[Double], Array[Double])]
+      .flatMap { case (pid, xs, ys) =>
+        coverCells(xs.toSeq, ys.toSeq, lvl).map(c => (c, pid, xs, ys))
+      }
+      .toDF("cell", "poly_id", "xs", "ys")
+    val probe = points.withColumn("cell",
+      graft.functions.cells.s2_cell(col("lng"), col("lat"), lit(lvl)))
+    val cand = if (broadcastPolys) probe.join(broadcast(polyCells), Seq("cell"))
+               else probe.join(polyCells, Seq("cell"))
+    cand.filter(ray_cast(col("lng"), col("lat"), col("xs"), col("ys")))
+      .drop("cell", "xs", "ys")
+  }
+
+  /** Skew-aware PIP: detect cells holding more than `hotThreshold` points,
+    * salt the point side on those cells, replicate candidate polygons only
+    * for hot cells (adaptive replication — the salted-repartition analog of
+    * AQE skew-join, but applied before the join so the replication factor is
+    * explicit and bounded).
+    */
+  def pointInPolygonSalted(points: DataFrame, polys: DataFrame, level: Int,
+                           hotThreshold: Long, salt: Int): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val probe0 = points.withColumn("cell",
+      graft.functions.cells.s2_cell(col("lng"), col("lat"), lit(level)))
+    val hot = probe0.groupBy("cell").count()
+      .filter(col("count") > hotThreshold).select("cell")
+      .as[Long].collect().toSet
+    val hotB = spark.sparkContext.broadcast(hot)
+    val isHot = udf((c: Long) => hotB.value.contains(c))
+    val probe = probe0.withColumn("salt",
+      when(isHot(col("cell")), pmod(col("point_id").cast(LongType), lit(salt)))
+        .otherwise(lit(0L)))
+    val polyCells = polys
+      .select(col("poly_id"), col("xs"), col("ys"))
+      .as[(Long, Array[Double], Array[Double])]
+      .flatMap { case (pid, xs, ys) =>
+        coverCells(xs.toSeq, ys.toSeq, level).flatMap { c =>
+          val copies = if (hotB.value.contains(c)) 0 until salt else 0 until 1
+          copies.map(sv => (c, sv.toLong, pid, xs, ys))
+        }
+      }
+      .toDF("cell", "salt", "poly_id", "xs", "ys")
+    probe.join(polyCells, Seq("cell", "salt"))
+      .filter(ray_cast(col("lng"), col("lat"), col("xs"), col("ys")))
+      .drop("cell", "salt", "xs", "ys")
+  }
+
+  // ---------------- J3: kNN (cell-ring expansion, distance-bounded) ----------------
+
+  /** kNN join: for each probe, the k nearest targets by planar squared
+    * degree distance (ties by target_id). Cell-ring expansion over the hex
+    * index: ring r candidates join on hex cell; a probe stops expanding when
+    * it holds >= k neighbors whose kth distance is below the lower bound of
+    * the next unexplored ring (distance-bounded pruning, north rule J3).
+    *
+    * @param probes  (probe_id, lng, lat)
+    * @param targets (target_id, lng, lat)
+    * @param res     hex resolution; pick so E[targets/cell] ≈ k
+    */
+  def knn(probes: DataFrame, targets: DataFrame, k: Int, res: Int,
+          maxRings: Int = 12): DataFrame = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val tgt = targets
+      .select(col("target_id").cast(LongType), col("lng").cast(DoubleType).as("tlng"),
+        col("lat").cast(DoubleType).as("tlat"))
+      .withColumn("tcell", graft.functions.cells.hex_cell(col("tlng"), col("tlat"), lit(res)))
+      .persist()
+    val totalTargets = tgt.count()
+
+    var pending = probes
+      .select(col("probe_id").cast(LongType), col("lng").cast(DoubleType),
+        col("lat").cast(DoubleType)).as[(Long, Double, Double)]
+    // accumulated candidate pairs for still-pending probes; localCheckpoint
+    // each round cuts the compounding union/anti-join lineage (the loop is
+    // driver-side but every step is a distributed job)
+    var acc: DataFrame = null
+    val doneParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var ring = 0
+    while (ring <= maxRings && !pending.isEmpty) {
+      // candidate cells of this ring for every pending probe
+      val r0 = ring
+      val cand = pending.flatMap { case (pid, plng, plat) =>
+        val c = Hex.latLngToCell(plng, plat, res)
+        val cells = if (r0 == 0) Seq(c) else Hex.gridRing(c, r0)
+        cells.map(cc => (pid, plng, plat, cc))
+      }.toDF("probe_id", "plng", "plat", "tcell")
+      val pairs = cand.join(tgt, Seq("tcell"))
+        .select(col("probe_id"), col("plng"), col("plat"), col("target_id"),
+          ((col("tlng") - col("plng")) * (col("tlng") - col("plng")) +
+           (col("tlat") - col("plat")) * (col("tlat") - col("plat"))).as("dist2"))
+      acc = (if (acc == null) pairs else acc.unionAll(pairs)).localCheckpoint(true)
+
+      val w = Window.partitionBy(col("probe_id")).orderBy(col("dist2"), col("target_id"))
+      val ranked = acc.withColumn("rk", row_number().over(w))
+      // a probe is settled when (a) its kth candidate beats the lower bound
+      // of everything in ring `ring`+1 and beyond, or (b) it has already
+      // seen every target
+      val bound = Hex.ringLowerBoundDegrees(res, ring + 1)
+      val b2 = bound * bound
+      val kthDone = ranked.filter(col("rk") === k && col("dist2") <= lit(b2))
+        .select("probe_id")
+      val exhausted = acc.groupBy("probe_id").count()
+        .filter(col("count") >= totalTargets).select("probe_id")
+      val doneIds = kthDone.unionAll(exhausted).distinct().localCheckpoint(true)
+      doneParts += ranked.filter(col("rk") <= k)
+        .join(doneIds, Seq("probe_id"))
+        .select(col("probe_id"), col("target_id"), col("rk").as("rank"), col("dist2"))
+        .localCheckpoint(true)
+      pending = pending.toDF("probe_id", "lng", "lat")
+        .join(doneIds, Seq("probe_id"), "left_anti").as[(Long, Double, Double)]
+        .localCheckpoint(true)
+      acc = acc.join(doneIds, Seq("probe_id"), "left_anti")
+      ring += 1
+    }
+    // any probe still pending after maxRings: emit its best-k from what it saw
+    if (!pending.isEmpty && acc != null) {
+      val w = Window.partitionBy(col("probe_id")).orderBy(col("dist2"), col("target_id"))
+      doneParts += acc.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        .select(col("probe_id"), col("target_id"), col("rank"), col("dist2"))
+        .localCheckpoint(true)
+    }
+    tgt.unpersist()
+    if (doneParts.isEmpty)
+      spark.emptyDataset[(Long, Long, Int, Double)]
+        .toDF("probe_id", "target_id", "rank", "dist2")
+    else doneParts.reduceLeft(_ unionAll _)
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.geo.RayCast
+import graft.ops.SpatialJoin
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PIP (J2) and kNN (J3) joins against in-memory brute-force oracles. */
+class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // deterministic synthetic workload
+  private val rnd = new scala.util.Random(42)
+  private val points: Seq[(Long, Double, Double)] =
+    (0L until 4000L).map(i => (i, -120.0 + rnd.nextDouble() * 4.0, 36.0 + rnd.nextDouble() * 2.0))
+  private val polys: Seq[(Long, Array[Double], Array[Double])] =
+    (0L until 60L).map { i =>
+      val cx = -120.0 + rnd.nextDouble() * 4.0
+      val cy = 36.0 + rnd.nextDouble() * 2.0
+      val w = 0.05 + rnd.nextDouble() * 0.25
+      val h = 0.05 + rnd.nextDouble() * 0.2
+      // irregular quad (tests generic ray cast, not just triangles)
+      (i, Array(cx - w, cx + w * 0.7, cx + w, cx - w * 0.4),
+          Array(cy - h, cy - h * 0.8, cy + h * 0.6, cy + h))
+    }
+
+  private def bruteForcePip: Set[(Long, Long)] =
+    (for {
+      (pid, px, py) <- points
+      (qid, xs, ys) <- polys
+      if RayCast.contains(px, py, xs, ys)
+    } yield (pid, qid)).toSet
+
+  test("pointInPolygon matches brute force (broadcast + shuffle paths, multiple levels)") {
+    import spark.implicits._
+    val ptsDf = points.toDF("point_id", "lng", "lat")
+    val polysDf = polys.toDF("poly_id", "xs", "ys")
+    val expected = bruteForcePip
+    assert(expected.nonEmpty, "workload sanity: some containment pairs")
+    for (level <- Seq(None, Some(9), Some(12)); bcast <- Seq(true, false)) {
+      val got = SpatialJoin.pointInPolygon(ptsDf, polysDf, level, bcast)
+        .select("point_id", "poly_id").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"level=$level broadcast=$bcast")
+    }
+  }
+
+  test("pointInPolygonSalted matches brute force and the unsalted path") {
+    import spark.implicits._
+    val ptsDf = points.toDF("point_id", "lng", "lat")
+    val polysDf = polys.toDF("poly_id", "xs", "ys")
+    val got = SpatialJoin.pointInPolygonSalted(ptsDf, polysDf, level = 11,
+        hotThreshold = 5L, salt = 4)
+      .select("point_id", "poly_id").as[(Long, Long)].collect().toSet
+    assert(got == bruteForcePip)
+  }
+
+  test("knn matches brute force (exact ranks and distances)") {
+    import spark.implicits._
+    val probes = (0L until 40L)
+      .map(i => (i, -120.0 + (i % 8) * 0.5 + 0.21, 36.0 + (i % 4) * 0.5 + 0.13))
+    val targets = points.map { case (i, lng, lat) => (i, lng, lat) }
+    val k = 7
+    val expected: Set[(Long, Long, Int)] = probes.flatMap { case (pid, plng, plat) =>
+      targets.map { case (tid, tlng, tlat) =>
+        val d2 = (tlng - plng) * (tlng - plng) + (tlat - plat) * (tlat - plat)
+        (tid, d2)
+      }.sortBy { case (tid, d2) => (d2, tid) }.take(k).zipWithIndex.map {
+        case ((tid, _), r) => (pid, tid, r + 1)
+      }
+    }.toSet
+    for (res <- Seq(4, 5, 6)) {
+      val got = SpatialJoin.knn(
+          probes.toDF("probe_id", "lng", "lat"),
+          targets.toDF("target_id", "lng", "lat"), k = k, res = res)
+        .select("probe_id", "target_id", "rank").as[(Long, Long, Int)]
+        .collect().toSet
+      assert(got == expected, s"res=$res")
+    }
+  }
+
+  test("knn handles fewer targets than k (emits all, ranked)") {
+    import spark.implicits._
+    val probes = Seq((1L, -119.5, 36.5))
+    val targets = Seq((10L, -119.4, 36.4), (11L, -119.6, 36.7))
+    val got = SpatialJoin.knn(probes.toDF("probe_id", "lng", "lat"),
+        targets.toDF("target_id", "lng", "lat"), k = 5, res = 6)
+      .select("probe_id", "target_id", "rank").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(got == Set((1L, 10L, 1), (1L, 11L, 2)))
+  }
+}
