@@ -55,6 +55,19 @@ object SparkEntry {
         "array(cx, cx - w, cx + w) AS xs",
         "array(cy + h, cy - h, cy - h) AS ys")
 
+  /** Dedup corpus: documents plus exact copies (doc_id%10) and near copies
+    * with six appended words (doc_id%7). Oracle-replicable.
+    */
+  private def dedupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(col("doc_id"), col("text"))
+      .unionAll(d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .unionAll(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" zz qq ww ee rr tt")).as("text")))
+  }
+
   /** Points spanning all four hemisphere quadrants, from customer. */
   private def quadrantPoints(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer").selectExpr(
@@ -190,6 +203,25 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     }),
 
+    // ---- checkpoint / lineage (north rule: partition-granular resume) ----
+    // Writes orders through the resumable bucketed writer, killing the run
+    // after 3 of 12 bucket commits, then resumes and reads the table back.
+    // The oracle sees the same aggregate as a direct query — proving the
+    // kill/resume produced exactly-once content.
+    "checkpoint_resume" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_q_${dir.hashCode}"
+      table.Checkpoint.clear(out)
+      val df = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      try table.Checkpoint.writeResumable(df, Seq("o_orderkey"), 12, out, "r1",
+        failBeforeBucket = 3)
+      catch { case _: table.Checkpoint.InjectedFailure => () }
+      table.Checkpoint.writeResumable(df, Seq("o_orderkey"), 12, out, "r2")
+      table.Checkpoint.read(s, out)
+        .groupBy((col("o_custkey") % 16).as("grp"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy("grp")
+    }),
+
     // ---- training-data pipeline ops ----
     "dedup_exact" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -199,6 +231,58 @@ object SparkEntry {
       all.groupBy(md5(col("text")).as("h"))
         .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
         .orderBy("h")
+    }),
+    // MinHash+LSH near-dup candidates over a corpus with exact and near
+    // copies injected; the oracle replicates the whole pipeline (shingles →
+    // 8 minhashes → 4 bands → bucket self-join) with identical arithmetic.
+    "dedup_minhash" -> ((s, dir) => {
+      ops.TextDedup.minhashPairs(dedupCorpus(s, dir)).orderBy("doc_a", "doc_b")
+    }),
+    "dedup_simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), ops.TextDedup.simhash(col("text"), 16).as("simhash16"))
+        .orderBy("doc_id")
+    }),
+    "dedup_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val sub = d.filter(col("doc_id") % 25 === 0).select(col("doc_id"), col("text"))
+        .unionAll(d.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" zz qq ww ee rr tt")).as("text")))
+      val a = sub.select(col("doc_id").as("doc_a"), col("text").as("ta"))
+      val b = sub.select(col("doc_id").as("doc_b"), col("text").as("tb"))
+      a.crossJoin(broadcast(b)).filter(col("doc_a") < col("doc_b"))
+        .withColumn("j", round(ops.TextDedup.jaccard(col("ta"), col("tb"), 3), 6))
+        .filter(col("j") >= 0.05)
+        .select("doc_a", "doc_b", "j")
+        .orderBy("doc_a", "doc_b")
+    }),
+    "doc_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), ops.TextDedup.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+    "quality_score" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), ops.TextDedup.qualityScore(col("text")).as("score"))
+        .withColumn("keep", col("score") >= 0.5)
+        .orderBy("doc_id")
+    }),
+    "ann_lsh_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.select(col("vec_id"), col("embedding"))
+        .unionAll(e.filter(col("vec_id") % 20 === 0)
+          .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      ops.Embeddings.nearDupPairs(corpus).orderBy("id_a", "id_b")
+    }),
+    "ann_ivf_assign" -> ((s, dir) => {
+      ops.Embeddings.ivfAssign(t(s, dir, "embeddings"), 8).orderBy("vec_id")
+    }),
+    "img_stats" -> ((s, dir) => {
+      ops.ImageOps.decodeStats(gateTiles(s, "png")).orderBy("image_id")
+    }),
+    "img_integrity" -> ((s, dir) => {
+      ops.ImageOps.integrity(gateTiles(s, "png")).orderBy("image_id")
     }),
     "text_stats" -> ((s, dir) => {
       t(s, dir, "documents").selectExpr(
@@ -275,7 +359,129 @@ object SparkEntry {
             + (CASE WHEN (y3 > py) <> (y2 > py) AND px < (x2 - x3) * (py - y3) / (y2 - y3) + x3 THEN 1 ELSE 0 END)) % 2 = 1
        ORDER BY point_id, poly_id"""
 
+  // ---- shared DuckDB fragments for the dedup/similarity oracles ----
+  /** 60-bit md5 hash — mirrors TextDedup.h60. */
+  private def sqlH60(x: String): String =
+    s"CAST(('0x' || substring(md5($x),1,15)) AS BIGINT)"
+  /** Word 3-gram shingles — mirrors TextDedup.shingles(_, 3). */
+  private val sqlShingles3: String =
+    """CASE WHEN len(string_split(text,' ')) >= 3
+       THEN list_transform(range(1, len(string_split(text,' '))-1),
+         i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
+       ELSE [text] END"""
+  private val sqlDedupCorpus: String =
+    """SELECT doc_id, text FROM documents
+       UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+       UNION ALL SELECT doc_id + 200000 AS doc_id, text || ' zz qq ww ee rr tt' AS text
+         FROM documents WHERE doc_id % 7 = 0"""
+  /** Sequential-fold dot product of v against hyperplane j — mirrors
+    * Embeddings.dot/planeWeight (left fold, same IEEE op order).
+    */
+  private def sqlPlaneDot(j: Int): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(0,64),
+        d -> v[d+1] * ((($j*97 + d*31) % 19) - 9))), (p,q) -> p + q)"""
+
+  private val minhashOracleSql: String = {
+    val sigs = (0 until 8).map { j =>
+      s"list_min(list_transform(hv, h -> (${2 * j + 3}*h + ${5 * j + 7}) % 1048573)) AS m$j"
+    }.mkString(",\n           ")
+    val bandRows = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band_id, m${2 * b}*1048573 + m${2 * b + 1} AS band_key FROM sig"
+    }.mkString("\n           UNION ALL ")
+    s"""WITH corpus AS ($sqlDedupCorpus),
+       sh AS (SELECT doc_id, $sqlShingles3 AS sh FROM corpus),
+       hv AS (SELECT doc_id, list_transform(sh, x -> ${sqlH60("x")} % 1048573) AS hv FROM sh),
+       sig AS (SELECT doc_id, $sigs FROM hv),
+       banded AS ($bandRows)
+       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+       WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b"""
+  }
+
+  private val simhashOracleSql: String = {
+    val bits = (0 until 16).map { b =>
+      s"""(CASE WHEN list_sum(list_transform(hw, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0 THEN ${1L << b} ELSE 0 END)"""
+    }.mkString(" + ")
+    s"""WITH hw AS (SELECT doc_id, list_transform(string_split(text,' '),
+         w -> ${sqlH60("w")}) AS hw FROM documents)
+       SELECT doc_id, $bits AS simhash16 FROM hw ORDER BY doc_id"""
+  }
+
+  private val annLshOracleSql: String = {
+    val bucket = (0 until 8).map { j =>
+      s"(CASE WHEN ${sqlPlaneDot(j)} >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    val pairDot = """list_reduce(list_prepend(0.0, list_transform(range(0,64),
+        d -> a.v[d+1] * b.v[d+1])), (p,q) -> p + q)"""
+    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+         UNION ALL SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+       vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM corpus),
+       f AS (SELECT vec_id, v, $bucket AS bucket,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(range(0,64),
+           d -> v[d+1] * v[d+1])), (p,q) -> p + q)) AS nrm FROM vv)
+       SELECT id_a, id_b, round(cos, 4) AS cos_r FROM (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           $pairDot / (a.nrm * b.nrm) AS cos
+         FROM f a JOIN f b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       WHERE cos >= 0.999 ORDER BY id_a, id_b"""
+  }
+
+  private val ivfOracleSql: String =
+    """WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       cents AS (SELECT range AS c FROM range(0, 8)),
+       d AS (SELECT vec_id, c,
+         list_reduce(list_prepend(0.0, list_transform(range(0,64),
+           d -> (v[d+1] - (((c*53 + d*17) % 13) - 6)) * (v[d+1] - (((c*53 + d*17) % 13) - 6)))),
+           (p,q) -> p + q) AS d2
+         FROM vv, cents)
+       SELECT vec_id, CAST(c AS INT) AS centroid, round(d2, 4) AS d2_r FROM (
+         SELECT vec_id, c, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d)
+       WHERE rn = 1 ORDER BY vec_id"""
+
   def oracleSql: Map[String, String] = Map(
+    "dedup_minhash" -> minhashOracleSql,
+    "dedup_simhash" -> simhashOracleSql,
+    "dedup_jaccard" ->
+      s"""WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0
+           UNION ALL SELECT doc_id + 200000 AS doc_id, text || ' zz qq ww ee rr tt' AS text
+             FROM documents WHERE doc_id % 25 = 0),
+         sh AS (SELECT doc_id, list_distinct($sqlShingles3) AS s FROM sub)
+         SELECT doc_a, doc_b, j FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))), 6) AS j
+           FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+         WHERE j >= 0.05 ORDER BY doc_a, doc_b""",
+    "doc_fingerprint" ->
+      s"""SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text,' '), w -> ${sqlH60("w")} % 1048573)),
+           (a,b) -> (a*31 + b) % 2147483647) AS fp
+         FROM documents ORDER BY doc_id""",
+    "quality_score" ->
+      """WITH s AS (SELECT doc_id,
+           CAST(len(string_split(text,' ')) AS DOUBLE) AS nw,
+           CAST(len(list_filter(string_split(text,' '),
+             w -> w='the' OR w='a' OR w='of' OR w='and' OR w='to')) AS DOUBLE) AS ns,
+           CAST(length(replace(text,' ','')) AS DOUBLE) AS nc FROM documents)
+         SELECT doc_id, score, score >= 0.5 AS keep FROM (
+           SELECT doc_id, round(least(nw/100.0, 1.0)*0.4 + (ns/nw)*0.3 + least((nc/nw)/10.0, 1.0)*0.3, 6) AS score
+           FROM s) ORDER BY doc_id""",
+    "ann_lsh_neardup" -> annLshOracleSql,
+    "ann_ivf_assign" -> ivfOracleSql,
+    "img_stats" ->
+      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         g AS (SELECT swlng, swlat,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS v
+           FROM corners, range(0,601) r, range(0,601) c)
+         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           count(*) AS n_px, CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(sum(v) AS BIGINT) / CAST(count(*) AS BIGINT) AS px_mean
+         FROM g GROUP BY swlng, swlat ORDER BY image_id""",
+    "img_integrity" ->
+      """SELECT image_id, true AS phash_ok, true AS caption_ok FROM (VALUES
+         ('N36W118'),('N36W119'),('N36W120'),('N37W117'),('N37W119'),('N37W120')) t(image_id)
+         ORDER BY image_id""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
          round(sum(l_extendedprice), 2) AS sum_base,
@@ -368,6 +574,10 @@ object SparkEntry {
            UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
          SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
          FROM all_docs GROUP BY 1 ORDER BY h""",
+    "checkpoint_resume" ->
+      """SELECT o_custkey % 16 AS grp, count(*) AS n,
+         round(sum(o_totalprice), 2) AS sum_price
+         FROM orders GROUP BY 1 ORDER BY grp""",
     "geo_pip" -> pipOracleSql,
     "geo_pip_salted" -> pipOracleSql,
     "geo_knn" ->

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Training-data deduplication / similarity operators over a `documents`
+  * table (doc_id, text). Everything is built from org.apache.spark.sql
+  * built-in functions (no UDFs) so the whole pipeline stays inside
+  * whole-stage codegen and scales by partitioning alone; the only shuffles
+  * are the band-bucket self-join (LSH) and final aggregations.
+  *
+  * The shared scalar hash is `md5`-based so an independent engine (the
+  * DuckDB oracle) reproduces every value bit-for-bit:
+  * `h(s) = conv(substring(md5(s), 1, 15), 16, 10)` — a 60-bit integer.
+  */
+object TextDedup {
+
+  /** Modulus for minhash permutations (prime < 2^20 keeps a*h well under
+    * Long overflow in ANSI mode: a < 2^8, h' < 2^20 ⇒ a*h'+b < 2^28).
+    */
+  val P = 1048573L
+
+  /** 60-bit md5-derived hash of a string column (oracle-replicable). */
+  def h60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Word array (whitespace tokenization — matches the reference corpus's
+    * space-separated synthetic text).
+    */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles. Documents shorter than n words get the whole
+    * text as their single shingle (guards Spark's descending `sequence`).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val w = words(text)
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - lit(n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(w, i + lit(o))): _*)))
+      .otherwise(array(text))
+  }
+
+  /** MinHash signature: element j = min over shingles x of
+    * `((2j+3)·(h60(x) mod P) + (5j+7)) mod P`.
+    */
+  def minhashSig(text: Column, shingleN: Int, nHashes: Int): Column = {
+    val sh = shingles(text, shingleN)
+    array((0 until nHashes).map { j =>
+      val a = 2L * j + 3L
+      val b = 5L * j + 7L
+      array_min(transform(sh, x => (lit(a) * (h60(x) % lit(P)) + lit(b)) % lit(P)))
+    }: _*)
+  }
+
+  /** LSH candidate pairs: docs sharing at least one band of `rowsPerBand`
+    * consecutive signature values. Returns distinct (doc_a < doc_b).
+    * The band self-join is the scale path: each doc emits `bands` rows,
+    * buckets shuffle-join on (band_id, band_key) — never a cross join.
+    */
+  def minhashPairs(docs: DataFrame, shingleN: Int = 3, nHashes: Int = 8,
+                   bands: Int = 4): DataFrame = {
+    require(nHashes % bands == 0, "nHashes must be divisible by bands")
+    val r = nHashes / bands
+    val sig = docs.withColumn("sig", minhashSig(col("text"), shingleN, nHashes))
+    // band key packs the band's rows into one long (values < P < 2^20)
+    val banded = sig.select(col("doc_id"),
+      posexplode(array((0 until bands).map { bnd =>
+        (0 until r).map(i => element_at(col("sig"), bnd * r + i + 1))
+          .reduceLeft((acc, v) => acc * lit(P) + v)
+      }: _*)).as(Seq("band_id", "band_key")))
+    val a = banded.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band_id", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** SimHash of the word multiset: bit b set iff the sum over words of
+    * ±1 (sign of bit b of h60(word)) is >= 0. `bits` <= 32.
+    */
+  def simhash(text: Column, bits: Int): Column = {
+    val hw = transform(words(text), w => h60(w))
+    (0 until bits).map { b =>
+      val vote = aggregate(hw, lit(0L),
+        (acc, x) => acc + when(shiftright(x, b) % 2 === 1, 1L).otherwise(-1L))
+      when(vote >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduceLeft(_ + _)
+  }
+
+  /** Exact Jaccard similarity of distinct word-n-gram shingle sets. */
+  def jaccard(textA: Column, textB: Column, n: Int): Column = {
+    val sa = array_distinct(shingles(textA, n))
+    val sb = array_distinct(shingles(textB, n))
+    size(array_intersect(sa, sb)) / size(array_union(sa, sb))
+  }
+
+  /** Rolling (polynomial) document fingerprint:
+    * fold over words of `acc*31 + (h60(w) mod P) mod (2^31-1)`.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(words(text), lit(0L),
+      (acc, w) => (acc * 31L + h60(w) % lit(P)) % lit(2147483647L))
+
+  /** Composite quality score in [0,1]: length saturation (0.4), stopword
+    * ratio (0.3), word-length saturation (0.3). Pure rational arithmetic —
+    * no transcendental functions — so the oracle matches bit-for-bit.
+    */
+  def qualityScore(text: Column): Column = {
+    val w = words(text)
+    val nWords = size(w).cast("double")
+    val stopRatio = size(filter(w, x => x === "the" || x === "a" || x === "of" ||
+      x === "and" || x === "to")).cast("double") / nWords
+    val avgWlen = length(regexp_replace(text, " ", "")).cast("double") / nWords
+    round(least(nWords / lit(100.0), lit(1.0)) * 0.4 +
+      stopRatio * 0.3 +
+      least(avgWlen / lit(10.0), lit(1.0)) * 0.3, 6)
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import graft.table.Checkpoint
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Kill/resume semantics of the per-bucket checkpointed write (north rule:
+  * partition-granular resume with lineage + row-count metrics).
+  */
+class CheckpointSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def freshDir(tag: String): String = {
+    val d = s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_test_$tag"
+    Checkpoint.clear(d); d
+  }
+
+  private def sampleDf = {
+    import spark.implicits._
+    (0L until 5000L).map(i => (i, s"v$i", i % 97)).toDF("k", "s", "g")
+  }
+
+  test("kill mid-run, resume, final table identical to a direct write") {
+    import spark.implicits._
+    val dir = freshDir("resume")
+    val df = sampleDf
+    intercept[Checkpoint.InjectedFailure] {
+      Checkpoint.writeResumable(df, Seq("k"), nBuckets = 8, dir, "run1",
+        failBeforeBucket = 3)
+    }
+    // crash left exactly 3 committed buckets; read() sees only those
+    val committedAfterCrash = Checkpoint.committedBuckets(spark, dir)
+    assert(committedAfterCrash.size == 3)
+    val partial = Checkpoint.read(spark, dir)
+    assert(partial.count() < 5000)
+
+    // resume under a new run id: completes the remaining 5 buckets only
+    val resumed = Checkpoint.writeResumable(df, Seq("k"), 8, dir, "run2")
+    assert(resumed.size == 5)
+    assert(resumed.map(_.bucket).toSet == (0 until 8).toSet.diff(committedAfterCrash))
+
+    val back = Checkpoint.read(spark, dir)
+    assert(back.count() == 5000)
+    assert(back.select("k", "s", "g").as[(Long, String, Long)].collect().toSet ==
+      df.as[(Long, String, Long)].collect().toSet)
+
+    // manifest: one row per bucket, counts sum to the table size, and the
+    // first-run rows survive untouched (their run_id stays run1)
+    val m = Checkpoint.manifests(spark, dir)
+    assert(m.count() == 8)
+    assert(m.agg(sum("row_count")).as[Long].head() == 5000L)
+    assert(m.filter(col("run_id") === "run1").count() == 3)
+    assert(m.filter(col("run_id") === "run2").count() == 5)
+  }
+
+  test("rerun on a complete table is a no-op") {
+    val dir = freshDir("noop")
+    val df = sampleDf
+    assert(Checkpoint.writeResumable(df, Seq("k"), 4, dir, "a").size == 4)
+    assert(Checkpoint.writeResumable(df, Seq("k"), 4, dir, "b").isEmpty)
+    assert(Checkpoint.read(spark, dir).count() == 5000)
+  }
+
+  test("grouped commits (bucketsPerJob > 1) keep per-bucket manifests") {
+    import spark.implicits._
+    val dir = freshDir("grouped")
+    val ms = Checkpoint.writeResumable(sampleDf, Seq("k"), 8, dir, "g",
+      bucketsPerJob = 3)
+    assert(ms.size == 8)
+    assert(Checkpoint.manifests(spark, dir).select("bucket").as[Int]
+      .collect().toSet == (0 until 8).toSet)
+    assert(Checkpoint.read(spark, dir).count() == 5000)
+  }
+
+  test("checksum detects content drift between manifest and recomputation") {
+    import spark.implicits._
+    val dir = freshDir("checksum")
+    Checkpoint.writeResumable(sampleDf, Seq("k"), 4, dir, "c")
+    val m = Checkpoint.manifests(spark, dir)
+      .select("bucket", "row_count", "checksum").as[(Int, Long, Long)]
+      .collect().map { case (b, n, c) => (b, (n, c)) }.toMap
+    // recompute from the stored table: must agree bucket by bucket
+    val again = spark.read.parquet(s"$dir/data")
+    val dataCols = again.columns.filterNot(_ == "__bucket").sorted
+    val re = again.groupBy("__bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(xxhash64(struct(dataCols.map(col): _*)).bitwiseAND(lit(0xFFFFFFFFL))).as("c"))
+      .as[(Int, Long, Long)].collect().map { case (b, n, c) => (b, (n, c)) }.toMap
+    assert(re == m)
+  }
+}
