@@ -1,6 +1,7 @@
 package graft
 
 import graft.core.{FeatureRow, GeoJson, TileRow}
+import graft.functions.cells
 import graft.functions.raster._
 import graft.functions.spatial._
 import graft.ops.Elevation
@@ -54,6 +55,20 @@ object SparkEntry {
       .selectExpr("poly_id",
         "array(cx, cx - w, cx + w) AS xs",
         "array(cy + h, cy - h, cy - h) AS ys")
+
+  /** Skewed points (north rule: urban-hotspot skew): one third of all points
+    * land in a 0.1°×0.1° box (≈8 level-11 S2 cells carrying ~2000× the mean
+    * density), the rest spread uniformly over the 8-tile bbox.
+    */
+  private def skewPoints(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").selectExpr(
+      "((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id",
+      """CASE WHEN l_orderkey % 3 = 0
+         THEN -119.0D + (((l_partkey*600 + l_suppkey) % 3000) + 0.5D)/3000.0D * 0.1D
+         ELSE -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5D)/600.0D END AS lng""",
+      """CASE WHEN l_orderkey % 3 = 0
+         THEN 36.5D + (((l_suppkey*131 + l_linenumber) % 3000) + 0.5D)/3000.0D * 0.1D
+         ELSE 36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5D)/600.0D END AS lat""")
 
   /** Dedup corpus: documents plus exact copies (doc_id%10) and near copies
     * with six appended words (doc_id%7). Oracle-replicable.
@@ -138,6 +153,28 @@ object SparkEntry {
         .select("o_custkey", "o_orderkey", "rn", "run_total")
         .orderBy("o_custkey", "rn")
     }),
+    // A1: Welford-equivalent single-pass stats + z>=2 outlier flagging
+    // (reference src/s3Fetcher.ts:33-52), on exact-integer moments so the
+    // oracle matches bit-for-bit.
+    "events_welford" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("iv", floor(col("value") * 100).cast("long"))
+      val stats = e.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum(col("iv")).as("sv"),
+        sum(col("iv") * col("iv")).as("svv"))
+        .withColumn("mean", col("sv").cast("double") / col("n"))
+        .withColumn("stddev", sqrt(
+          (col("svv").cast("double") - col("sv").cast("double") * col("sv") / col("n")) /
+            (col("n") - 1)))
+      val flagged = e.join(stats.select("event_type", "mean", "stddev"), Seq("event_type"))
+        .filter(abs(col("iv") - col("mean")) >= col("stddev") * 2)
+        .groupBy("event_type").agg(count(lit(1)).as("n_outliers"))
+      stats.join(flagged, Seq("event_type"), "left_outer")
+        .select(col("event_type"), col("n"), round(col("mean"), 6).as("mean_r"),
+          round(col("stddev"), 6).as("std_r"),
+          coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+        .orderBy("event_type")
+    }),
     "events_hourly" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
@@ -166,6 +203,88 @@ object SparkEntry {
           element_at(col("rgb"), 2).as("g"), element_at(col("rgb"), 3).as("b"))
         .orderBy("point_id")
     }),
+    // J1 through the shuffle path (the 100 TB route: cogroup on tile key,
+    // decode each tile once per group, salt-4) — same oracle as the
+    // broadcast-index path, proving physical-path equivalence in the gate.
+    "geo_elev_cogroup" -> ((s, dir) => {
+      import s.implicits._
+      val coords = gatePoints(s, dir)
+        .select(col("point_id").cast("string").as("feature_id"),
+          lit(0L).as("coord_idx"), col("lng"), col("lat"))
+        .as[core.CoordRow]
+      ops.Elevation.lookupCogroup(coords, gateTiles(s), salt = 4)
+        .toDF()
+        .select(col("feature_id").cast("long").as("point_id"),
+          col("tile_key"), col("elev"))
+        .orderBy("point_id")
+    }),
+    // F3: nearest-neighbour sampling mode via the broadcast tile index.
+    "geo_elev_nearest" -> ((s, dir) => {
+      val bc = ops.TileIndex.broadcastIndex(gateTiles(s))
+      gatePoints(s, dir)
+        .withColumn("elev", ops.ElevAt.elev_at_nearest(col("lng"), col("lat"), bc))
+        .select("point_id", "elev")
+        .orderBy("point_id")
+    }),
+    // F5: polyline encode/decode round trip as a distributed query — points
+    // grouped into per-group polylines, encoded (precision 5), decoded back.
+    "polyline_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val pts = gatePoints(s, dir).withColumn("grp", col("point_id") % 500)
+        .select(col("grp").cast("long"), col("point_id").cast("long"),
+          col("lng"), col("lat"))
+        .as[(Long, Long, Double, Double)]
+      val encoded = pts.groupByKey(_._1).mapGroups { (g, it) =>
+        val sorted = it.toArray.sortBy(_._2)
+        (g, graft.geo.Polyline.encode(sorted.toSeq.map(t => (t._3, t._4))))
+      }
+      encoded.flatMap { case (g, pl) =>
+        graft.geo.Polyline.decode(pl).iterator.zipWithIndex.map {
+          case ((lng, lat), i) => (g, i, lng, lat)
+        }
+      }.toDF("grp", "idx", "lng5", "lat5").orderBy("grp", "idx")
+    }),
+    // A4 + P4 end to end: synthesize LineString features from point groups,
+    // run the full GeoJSON addElevation pipeline (flatten → broadcast-index
+    // sample → nested write-back), then re-extract per-feature stats whose
+    // oracle is the closed-form bilinear field. first/last/min/max are
+    // order-independent or index-pinned — exact doubles, no float-sum order
+    // sensitivity.
+    "feature_reassembly" -> ((s, dir) => {
+      import s.implicits._
+      val pts = gatePoints(s, dir).withColumn("grp", col("point_id") % 200)
+        .select(col("grp").cast("long"), col("point_id").cast("long"),
+          col("lng"), col("lat"))
+        .as[(Long, Long, Double, Double)]
+      val features = pts.groupByKey(_._1).mapGroups { (g, it) =>
+        val sorted = it.toArray.sortBy(_._2)
+        val coords = sorted.map(t => s"[${t._3},${t._4}]").mkString(",")
+        core.FeatureRow(g.toString,
+          s"""{"type":"Feature","id":"$g","geometry":{"type":"LineString","coordinates":[$coords]},"properties":{}}""")
+      }
+      ops.Elevation.addElevation(features, gateTiles(s))
+        .map { fr =>
+          val es = core.GeoJson.elevations(fr)
+          (fr.feature_id.toLong, es.size.toLong, es.head, es.last, es.min, es.max)
+        }
+        .toDF("grp", "n", "first_elev", "last_elev", "min_elev", "max_elev")
+        .orderBy("grp")
+    }),
+    // S2 + hex cell assignment with full cross-engine oracles (the DuckDB
+    // side re-implements the Hilbert curve as a recursive CTE).
+    "geo_s2_cell" -> ((s, dir) => {
+      quadrantPoints(s, dir)
+        .withColumn("cell", cells.s2_cell(col("lng"), col("lat"), lit(12)))
+        .withColumn("leaf", cells.s2_cell(col("lng"), col("lat"), lit(30)))
+        .select("point_id", "cell", "leaf")
+        .orderBy("point_id")
+    }),
+    "geo_hex_cell" -> ((s, dir) => {
+      quadrantPoints(s, dir)
+        .withColumn("cell", cells.hex_cell(col("lng"), col("lat"), lit(9)))
+        .select("point_id", "cell")
+        .orderBy("point_id")
+    }),
     "geo_zxy" -> ((s, dir) => {
       quadrantPoints(s, dir)
         .withColumn("x", zxy_x(col("lng"), lit(14)))
@@ -184,11 +303,18 @@ object SparkEntry {
         .select(col("point_id"), col("poly_id"))
         .orderBy("point_id", "poly_id")
     }),
+    // Skew handling over genuinely skewed input (one third of points in an
+    // 8-cell hotspot): only the hotspot cells salt / split, the uniform
+    // remainder joins at the coarse level untouched.
     "geo_pip_salted" -> ((s, dir) => {
-      // same join through the skew path: threshold low enough that most
-      // cells salt at sf0.01 — exercises hot-cell detection + salt-4
-      ops.SpatialJoin.pointInPolygonSalted(gatePoints(s, dir), trianglePolys(s, dir),
-          level = 11, hotThreshold = 20L, salt = 4)
+      ops.SpatialJoin.pointInPolygonSalted(skewPoints(s, dir), trianglePolys(s, dir),
+          level = 11, hotThreshold = 500L, salt = 8)
+        .select(col("point_id"), col("poly_id"))
+        .orderBy("point_id", "poly_id")
+    }),
+    "geo_pip_adaptive" -> ((s, dir) => {
+      ops.SpatialJoin.pointInPolygonAdaptive(skewPoints(s, dir), trianglePolys(s, dir),
+          level = 11, hotThreshold = 500L, splitLevels = 2)
         .select(col("point_id"), col("poly_id"))
         .orderBy("point_id", "poly_id")
     }),
@@ -240,7 +366,9 @@ object SparkEntry {
     }),
     "dedup_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(col("doc_id"), ops.TextDedup.simhash(col("text"), 16).as("simhash16"))
+        .select(col("doc_id"), ops.TextDedup.wordHashes(col("text")).as("hw"))
+        .select(col("doc_id"),
+          ops.TextDedup.simhashFromHashes(col("hw"), 16).as("simhash16"))
         .orderBy("doc_id")
     }),
     "dedup_jaccard" -> ((s, dir) => {
@@ -249,10 +377,16 @@ object SparkEntry {
         .unionAll(d.filter(col("doc_id") % 25 === 0)
           .select((col("doc_id") + 200000).as("doc_id"),
             concat(col("text"), lit(" zz qq ww ee rr tt")).as("text")))
-      val a = sub.select(col("doc_id").as("doc_a"), col("text").as("ta"))
-      val b = sub.select(col("doc_id").as("doc_b"), col("text").as("tb"))
+        // shingle once per doc BEFORE the pair join — shingling inside the
+        // join condition would rerun split+distinct per PAIR (O(n²) texts)
+        .select(col("doc_id"),
+          array_distinct(ops.TextDedup.shingles(col("text"), 3)).as("s"))
+      val a = sub.select(col("doc_id").as("doc_a"), col("s").as("sa"))
+      val b = sub.select(col("doc_id").as("doc_b"), col("s").as("sb"))
       a.crossJoin(broadcast(b)).filter(col("doc_a") < col("doc_b"))
-        .withColumn("j", round(ops.TextDedup.jaccard(col("ta"), col("tb"), 3), 6))
+        .withColumn("j", round(
+          size(array_intersect(col("sa"), col("sb"))) /
+            size(array_union(col("sa"), col("sb"))), 6))
         .filter(col("j") >= 0.05)
         .select("doc_a", "doc_b", "j")
         .orderBy("doc_a", "doc_b")
@@ -338,11 +472,8 @@ object SparkEntry {
     * Divisions sit inside CASE so the horizontal base edge never divides
     * by zero.
     */
-  private val pipOracleSql: String =
-    """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
-         -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS px,
-         36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS py
-         FROM lineitem),
+  private def pipOracleFor(ptsCte: String): String =
+    s"""WITH pts AS ($ptsCte),
        tri AS (SELECT s_suppkey AS poly_id,
          -120.0 + (s_suppkey % 40) * 0.1 AS cx,
          36.0 + ((s_suppkey * 3) % 20) * 0.1 AS cy,
@@ -358,6 +489,22 @@ object SparkEntry {
             + (CASE WHEN (y2 > py) <> (y1 > py) AND px < (x1 - x2) * (py - y2) / (y1 - y2) + x2 THEN 1 ELSE 0 END)
             + (CASE WHEN (y3 > py) <> (y2 > py) AND px < (x2 - x3) * (py - y3) / (y2 - y3) + x3 THEN 1 ELSE 0 END)) % 2 = 1
        ORDER BY point_id, poly_id"""
+
+  private val pipOracleSql: String = pipOracleFor(
+    """SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
+       -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS px,
+       36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS py
+       FROM lineitem""")
+
+  private val pipOracleSkewSql: String = pipOracleFor(
+    """SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
+       CASE WHEN l_orderkey % 3 = 0
+         THEN -119.0 + (((l_partkey*600 + l_suppkey) % 3000) + 0.5)/3000.0 * 0.1
+         ELSE -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 END AS px,
+       CASE WHEN l_orderkey % 3 = 0
+         THEN 36.5 + (((l_suppkey*131 + l_linenumber) % 3000) + 0.5)/3000.0 * 0.1
+         ELSE 36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 END AS py
+       FROM lineitem""")
 
   // ---- shared DuckDB fragments for the dedup/similarity oracles ----
   /** 60-bit md5 hash — mirrors TextDedup.h60. */
@@ -438,7 +585,188 @@ object SparkEntry {
          SELECT vec_id, c, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d)
        WHERE rn = 1 ORDER BY vec_id"""
 
+  /** DuckDB re-implementation of the S2 cell id (graft.geo.S2): xyz → face →
+    * quadratic ST → leaf ij, then the 30-level Hilbert walk as a recursive
+    * CTE with the ijToPos/posToOrientation tables inlined as CASEs. HUGEINT
+    * carries the unsigned 64-bit id; the final CASE maps to the signed Long
+    * the engine emits. An independent second implementation of the whole
+    * algorithm — the strongest cross-check the offline sandbox allows.
+    */
+  private def s2OracleSql(ptsCte: String, level: Int): String = {
+    val ijToPos = Array(Array(0, 1, 3, 2), Array(0, 3, 1, 2), Array(2, 3, 1, 0), Array(2, 1, 3, 0))
+    val cases = (for { b <- 0 until 4; ij <- 0 until 4 }
+      yield s"WHEN ${b * 4 + ij} THEN ${ijToPos(b)(ij)}").mkString(" ")
+    val posExpr = s"(CASE (bits & 3) * 4 + (((i >> k) & 1) * 2 + ((j >> k) & 1)) $cases END)"
+    val lsb = 1L << (2 * (30 - level))
+    s"""WITH RECURSIVE pts AS ($ptsCte),
+       xyz AS (SELECT point_id,
+         cos(radians(lat))*cos(radians(lng)) AS x,
+         cos(radians(lat))*sin(radians(lng)) AS y,
+         sin(radians(lat)) AS z FROM pts),
+       f0 AS (SELECT point_id, x, y, z,
+         CASE WHEN abs(x) > abs(y) THEN (CASE WHEN abs(x) > abs(z) THEN 0 ELSE 2 END)
+              ELSE (CASE WHEN abs(y) > abs(z) THEN 1 ELSE 2 END) END AS fb FROM xyz),
+       fc AS (SELECT point_id, x, y, z,
+         fb + CASE WHEN (CASE fb WHEN 0 THEN x WHEN 1 THEN y ELSE z END) < 0 THEN 3 ELSE 0 END AS face
+         FROM f0),
+       uv AS (SELECT point_id, face,
+         CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                   WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+         CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                   WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+         FROM fc),
+       st AS (SELECT point_id, face,
+         CASE WHEN u >= 0 THEN 0.5*sqrt(1.0 + 3.0*u) ELSE 1.0 - 0.5*sqrt(1.0 - 3.0*u) END AS s,
+         CASE WHEN v >= 0 THEN 0.5*sqrt(1.0 + 3.0*v) ELSE 1.0 - 0.5*sqrt(1.0 - 3.0*v) END AS t
+         FROM uv),
+       ij AS (SELECT point_id, face,
+         GREATEST(0, LEAST(1073741823, CAST(floor(1073741824 * s) AS BIGINT))) AS i,
+         GREATEST(0, LEAST(1073741823, CAST(floor(1073741824 * t) AS BIGINT))) AS j
+         FROM st),
+       pow4(k, p) AS (SELECT 0, CAST(1 AS HUGEINT) UNION ALL SELECT k+1, p*4 FROM pow4 WHERE k < 29),
+       hil AS (
+         SELECT point_id, face, i, j, 29 AS k, (face & 1) AS bits,
+           CAST(face AS HUGEINT) * 1152921504606846976 AS n FROM ij
+         UNION ALL
+         SELECT h.point_id, h.face, h.i, h.j, h.k - 1,
+           xor(h.bits, CASE pos WHEN 0 THEN 1 WHEN 3 THEN 3 ELSE 0 END),
+           h.n + CAST(pos AS HUGEINT) * pw.p
+         FROM (SELECT *, $posExpr AS pos FROM hil WHERE k >= 0) h
+         JOIN pow4 pw ON pw.k = h.k),
+       leafid AS (SELECT point_id, n * 2 + 1 AS id FROM hil WHERE k = -1)
+       SELECT point_id,
+         CAST(CASE WHEN pid >= 9223372036854775808 THEN pid - 18446744073709551616 ELSE pid END AS BIGINT) AS cell,
+         CAST(CASE WHEN id  >= 9223372036854775808 THEN id  - 18446744073709551616 ELSE id  END AS BIGINT) AS leaf
+       FROM (SELECT point_id, id, (id // ${2 * lsb}) * ${2 * lsb} + $lsb AS pid FROM leafid)
+       ORDER BY point_id"""
+  }
+
+  private val quadrantPtsCte: String =
+    """SELECT c_custkey AS point_id,
+       -180 + (c_custkey % 360) + 0.5 AS lng,
+       -90 + ((c_custkey * 7) % 180) + 0.25 AS lat FROM customer"""
+
+  /** DuckDB re-implementation of the aperture-7 hex cell (graft.geo.Hex):
+    * axial coords at the embedded edge-length literal, JVM-round
+    * (floor(x+0.5)) cube rounding, same packed id arithmetic.
+    */
+  private def hexOracleSql(ptsCte: String, res: Int): String = {
+    val e = graft.geo.Hex.edge(res)
+    s"""WITH pts AS ($ptsCte),
+       ax AS (SELECT point_id,
+         (sqrt(3.0)/3.0 * lng - lat/3.0) / $e AS qf,
+         (2.0/3.0 * lat) / $e AS rf FROM pts),
+       r0 AS (SELECT point_id, qf, rf, -qf - rf AS sf,
+         CAST(floor(qf + 0.5) AS BIGINT) AS qi,
+         CAST(floor(rf + 0.5) AS BIGINT) AS ri,
+         CAST(floor(-qf - rf + 0.5) AS BIGINT) AS si FROM ax),
+       rr AS (SELECT point_id,
+         CASE WHEN abs(qi - qf) > abs(ri - rf) AND abs(qi - qf) > abs(si - sf)
+              THEN -ri - si ELSE qi END AS q,
+         CASE WHEN NOT (abs(qi - qf) > abs(ri - rf) AND abs(qi - qf) > abs(si - sf))
+                   AND abs(ri - rf) > abs(si - sf)
+              THEN -qi - si ELSE ri END AS r FROM r0)
+       SELECT point_id,
+         CAST($res AS BIGINT) * 288230376151711744 + (q + 268435456) * 536870912 + (r + 268435456) AS cell
+       FROM rr ORDER BY point_id"""
+  }
+
+  /** Bilinear elevation oracle over the 6-present/2-absent gate tiles —
+    * shared by the broadcast-index and cogroup physical paths. */
+  private val cogroupElevOracleSql: String =
+    """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
+         -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
+         36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
+         FROM lineitem),
+       k AS (SELECT point_id, lng, lat,
+         CAST(floor(lng) AS BIGINT) AS swlng, CAST(floor(lat) AS BIGINT) AS swlat,
+         (lng - floor(lng)) * 600 AS colf, (lat - floor(lat)) * 600 AS rowf FROM pts),
+       g AS (SELECT *, CAST(floor(colf) AS BIGINT) AS c0, CAST(floor(rowf) AS BIGINT) AS r0,
+         colf - floor(colf) AS cf, rowf - floor(rowf) AS rf,
+         ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM k),
+       v AS (SELECT *,
+         a + 2*c0     + 3*r0     + ((c0//8)*(r0//8)) % 32         AS v00,
+         a + 2*(c0+1) + 3*r0     + (((c0+1)//8)*(r0//8)) % 32     AS v10,
+         a + 2*(c0+1) + 3*(r0+1) + (((c0+1)//8)*((r0+1)//8)) % 32 AS v11,
+         a + 2*c0     + 3*(r0+1) + ((c0//8)*((r0+1)//8)) % 32     AS v01 FROM g)
+       SELECT point_id,
+         (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END ||
+          lpad(CAST(abs(swlat) AS VARCHAR), 2, '0') ||
+          CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END ||
+          lpad(CAST(abs(swlng) AS VARCHAR), 3, '0')) AS tile_key,
+         CASE WHEN (swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36) THEN 0.0
+              ELSE (v00 + (v10 - v00) * cf) +
+                   ((v01 + (v11 - v01) * cf) - (v00 + (v10 - v00) * cf)) * rf
+         END AS elev
+       FROM v ORDER BY point_id"""
+
   def oracleSql: Map[String, String] = Map(
+    "events_welford" ->
+      """WITH e AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS iv FROM events),
+         st AS (SELECT event_type, count(*) AS n, sum(iv) AS sv, sum(iv*iv) AS svv FROM e GROUP BY 1),
+         st2 AS (SELECT event_type, n, CAST(sv AS DOUBLE)/n AS mean,
+           sqrt((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE)*sv/n) / (n-1)) AS stddev FROM st),
+         fl AS (SELECT e.event_type, count(*) AS n_outliers FROM e JOIN st2 USING (event_type)
+           WHERE abs(e.iv - st2.mean) >= st2.stddev * 2 GROUP BY 1)
+         SELECT event_type, n, round(mean, 6) AS mean_r, round(stddev, 6) AS std_r,
+           coalesce(n_outliers, 0) AS n_outliers
+         FROM st2 LEFT JOIN fl USING (event_type) ORDER BY event_type""",
+    "geo_elev_cogroup" -> cogroupElevOracleSql,
+    "geo_elev_nearest" ->
+      """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
+           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
+           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
+           FROM lineitem),
+         k AS (SELECT point_id,
+           CAST(floor(lng) AS BIGINT) AS swlng, CAST(floor(lat) AS BIGINT) AS swlat,
+           CAST(floor((lng - floor(lng)) * 600 + 0.5) AS BIGINT) AS cn,
+           CAST(floor((lat - floor(lat)) * 600 + 0.5) AS BIGINT) AS rn FROM pts)
+         SELECT point_id,
+           CASE WHEN (swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36) THEN 0.0
+                ELSE CAST(((swlng+180)*7 + (swlat+90)*11) % 1000
+                     + 2*cn + 3*rn + ((cn//8)*(rn//8)) % 32 AS DOUBLE)
+           END AS elev
+         FROM k ORDER BY point_id""",
+    "polyline_roundtrip" ->
+      """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
+           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
+           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
+           FROM lineitem)
+         SELECT point_id % 500 AS grp,
+           row_number() OVER (PARTITION BY point_id % 500 ORDER BY point_id) - 1 AS idx,
+           CAST(floor(lng*100000 + 0.5) AS BIGINT)/100000.0 AS lng5,
+           CAST(floor(lat*100000 + 0.5) AS BIGINT)/100000.0 AS lat5
+         FROM pts ORDER BY grp, idx""",
+    "feature_reassembly" ->
+      """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
+           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
+           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
+           FROM lineitem),
+         k AS (SELECT point_id, lng, lat,
+           CAST(floor(lng) AS BIGINT) AS swlng, CAST(floor(lat) AS BIGINT) AS swlat,
+           (lng - floor(lng)) * 600 AS colf, (lat - floor(lat)) * 600 AS rowf FROM pts),
+         g AS (SELECT *, CAST(floor(colf) AS BIGINT) AS c0, CAST(floor(rowf) AS BIGINT) AS r0,
+           colf - floor(colf) AS cf, rowf - floor(rowf) AS rf,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM k),
+         v AS (SELECT *,
+           a + 2*c0     + 3*r0     + ((c0//8)*(r0//8)) % 32         AS v00,
+           a + 2*(c0+1) + 3*r0     + (((c0+1)//8)*(r0//8)) % 32     AS v10,
+           a + 2*(c0+1) + 3*(r0+1) + (((c0+1)//8)*((r0+1)//8)) % 32 AS v11,
+           a + 2*c0     + 3*(r0+1) + ((c0//8)*((r0+1)//8)) % 32     AS v01 FROM g),
+         e AS (SELECT point_id, point_id % 200 AS grp,
+           CASE WHEN (swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36) THEN 0.0
+                ELSE (v00 + (v10 - v00) * cf) +
+                     ((v01 + (v11 - v01) * cf) - (v00 + (v10 - v00) * cf)) * rf
+           END AS elev FROM v),
+         w AS (SELECT grp, elev,
+           row_number() OVER (PARTITION BY grp ORDER BY point_id) AS rn,
+           count(*) OVER (PARTITION BY grp) AS n FROM e)
+         SELECT grp, n, max(CASE WHEN rn = 1 THEN elev END) AS first_elev,
+           max(CASE WHEN rn = n THEN elev END) AS last_elev,
+           min(elev) AS min_elev, max(elev) AS max_elev
+         FROM w GROUP BY grp, n ORDER BY grp""",
+    "geo_s2_cell" -> s2OracleSql(quadrantPtsCte, 12),
+    "geo_hex_cell" -> hexOracleSql(quadrantPtsCte, 9),
     "dedup_minhash" -> minhashOracleSql,
     "dedup_simhash" -> simhashOracleSql,
     "dedup_jaccard" ->
@@ -526,32 +854,7 @@ object SparkEntry {
             CASE WHEN floor(lng) < 0 THEN 'W' ELSE 'E' END ||
             lpad(CAST(CAST(abs(floor(lng)) AS BIGINT) AS VARCHAR), 3, '0')) AS tile_key
          FROM pts ORDER BY point_id""",
-    "geo_elev_bilinear" ->
-      """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
-           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
-           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
-           FROM lineitem),
-         k AS (SELECT point_id, lng, lat,
-           CAST(floor(lng) AS BIGINT) AS swlng, CAST(floor(lat) AS BIGINT) AS swlat,
-           (lng - floor(lng)) * 600 AS colf, (lat - floor(lat)) * 600 AS rowf FROM pts),
-         g AS (SELECT *, CAST(floor(colf) AS BIGINT) AS c0, CAST(floor(rowf) AS BIGINT) AS r0,
-           colf - floor(colf) AS cf, rowf - floor(rowf) AS rf,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM k),
-         v AS (SELECT *,
-           a + 2*c0     + 3*r0     + ((c0//8)*(r0//8)) % 32         AS v00,
-           a + 2*(c0+1) + 3*r0     + (((c0+1)//8)*(r0//8)) % 32     AS v10,
-           a + 2*(c0+1) + 3*(r0+1) + (((c0+1)//8)*((r0+1)//8)) % 32 AS v11,
-           a + 2*c0     + 3*(r0+1) + ((c0//8)*((r0+1)//8)) % 32     AS v01 FROM g)
-         SELECT point_id,
-           (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END ||
-            lpad(CAST(abs(swlat) AS VARCHAR), 2, '0') ||
-            CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END ||
-            lpad(CAST(abs(swlng) AS VARCHAR), 3, '0')) AS tile_key,
-           CASE WHEN (swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36) THEN 0.0
-                ELSE (v00 + (v10 - v00) * cf) +
-                     ((v01 + (v11 - v01) * cf) - (v00 + (v10 - v00) * cf)) * rf
-           END AS elev
-         FROM v ORDER BY point_id""",
+    "geo_elev_bilinear" -> cogroupElevOracleSql,
     "geo_terrarium" ->
       """WITH e AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
            ((l_extendedprice % 9000.0) - 500.0) + 32768.0 AS ev FROM lineitem)
@@ -579,7 +882,8 @@ object SparkEntry {
          round(sum(o_totalprice), 2) AS sum_price
          FROM orders GROUP BY 1 ORDER BY grp""",
     "geo_pip" -> pipOracleSql,
-    "geo_pip_salted" -> pipOracleSql,
+    "geo_pip_salted" -> pipOracleSkewSql,
+    "geo_pip_adaptive" -> pipOracleSkewSql,
     "geo_knn" ->
       """WITH probes AS (SELECT c_custkey AS probe_id,
            -120.0 + (c_custkey % 4) + ((c_custkey % 577) + 0.5)/577.0 AS plng,

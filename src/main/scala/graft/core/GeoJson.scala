@@ -109,6 +109,19 @@ object GeoJson {
     FeatureRow(fr.feature_id, write(f))
   }
 
+  /** Read back the third (elevation) component of every position in
+    * coordEach order — 0.0 where absent. Inverse of [[withElevations]].
+    */
+  def elevations(fr: FeatureRow): Seq[Double] = {
+    val f = parse(fr.feature_json)
+    val geom = if (f.get("type").asText() == "Feature") f.get("geometry") else f
+    val out = new ArrayBuffer[Double]()
+    eachPosition(geom) { pos =>
+      out += (if (pos.size() >= 3) pos.get(2).asDouble() else 0.0)
+    }
+    out.toSeq
+  }
+
   /** Rebuild a FeatureCollection document from feature rows (ordered by id
     * where ids are numeric, else lexicographic).
     */

@@ -255,15 +255,50 @@ object S2 {
   def avgEdgeDegrees(lvl: Int): Double =
     math.toDegrees(1.459 / (1L << lvl).toDouble)
 
-  /** Cover a lng/lat bbox with level-`lvl` cells: grid-sample cell centers at
-    * half the min cell pitch and union with each sample's neighbors. Exact
-    * covers need the full S2RegionCoverer; this sampled cover is guaranteed
-    * superset-correct for candidate-join purposes when the refinement
-    * predicate (ray cast / exact distance) follows, as it always does in
-    * this engine.
+  /** Cover a lng/lat bbox with level-`lvl` cells — superset-correct for
+    * candidate-join purposes (the refinement predicate downstream makes
+    * over-cover harmless; exact covers would need the full S2RegionCoverer).
+    *
+    * Fast path (bbox inside one face, away from the poles): the uv extremes
+    * of a face-interior lat/lng box are attained at its corners (u, v are
+    * each monotone along every box edge), so the leaf-ij rectangle of the
+    * corners — padded one cell — covers the box; enumerate it directly at
+    * O(#cells). Fallback: half-min-edge sampling + ring-1 union at
+    * O(#cells × ~36) for boxes spanning faces or near the poles.
     */
   def coverBBox(lngMin: Double, latMin: Double, lngMax: Double, latMax: Double,
                 lvl: Int): Seq[Long] = {
+    val corners = Seq((lngMin, latMin), (lngMin, latMax), (lngMax, latMin), (lngMax, latMax))
+      .map { case (lng, lat) =>
+        val (x, y, z) = toXyz(lng, lat)
+        val f = face(x, y, z)
+        val (u, v) = faceUv(f, x, y, z)
+        (f, stToIj(uvToSt(u)), stToIj(uvToSt(v)))
+      }
+    val sameFace = corners.map(_._1).distinct.size == 1
+    if (sameFace && math.max(math.abs(latMin), math.abs(latMax)) < 80.0) {
+      val f = corners.head._1
+      val size = 1 << (MaxLevel - lvl)
+      val iMin = (corners.map(_._2).min & -size) - size
+      val iMax = (corners.map(_._2).max & -size) + size
+      val jMin = (corners.map(_._3).min & -size) - size
+      val jMax = (corners.map(_._3).max & -size) + size
+      val out = Seq.newBuilder[Long]
+      var i = iMin
+      while (i <= iMax) {
+        var j = jMin
+        while (j <= jMax) {
+          out += fromFaceIJWrap(f, i, j, lvl)
+          j += size
+        }
+        i += size
+      }
+      out.result().distinct
+    } else coverBBoxSampled(lngMin, latMin, lngMax, latMax, lvl)
+  }
+
+  private def coverBBoxSampled(lngMin: Double, latMin: Double, lngMax: Double,
+                               latMax: Double, lvl: Int): Seq[Long] = {
     val step = math.max(minEdgeDegrees(lvl) * 0.5, 1e-9)
     val out = scala.collection.mutable.LinkedHashSet[Long]()
     var lat = latMin

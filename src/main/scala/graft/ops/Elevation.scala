@@ -38,10 +38,26 @@ object Elevation {
     features.flatMap(GeoJson.coordRows _)
   }
 
-  /** Broadcast path. `coords` needs (lng, lat) columns; extra columns pass
-    * through. Adds `tile_key` and `elev`.
+  /** Broadcast path: probe a broadcast [[TileIndex]] with a codegen'd
+    * scalar expression — zero shuffle, zero join-row materialization of the
+    * raster payloads (see TileIndex scaladoc for why a broadcast hash join
+    * on the `bytes` column is a per-row multi-MB memcpy). `coords` needs
+    * (lng, lat) columns; extra columns pass through. Adds `tile_key` and
+    * `elev`.
     */
   def lookupBroadcast(coords: DataFrame, tiles: Dataset[TileRow]): DataFrame = {
+    val bc = TileIndex.broadcastIndex(tiles)
+    coords
+      .withColumn("tile_key", tile_key(col("lng"), col("lat")))
+      .withColumn("elev", ElevAt.elev_at(col("lng"), col("lat"), bc))
+  }
+
+  /** The literal join formulation (J1 as a BroadcastHashJoin on tile_key +
+    * bilinear over the joined `bytes`). Kept for plan-shape comparison and
+    * for tile tables too wide to index; NOT the fast path — each probe row
+    * materializes its tile payload.
+    */
+  def lookupBytesJoin(coords: DataFrame, tiles: Dataset[TileRow]): DataFrame = {
     val t = tiles.toDF().select(col("image_id"), col("bytes"), col("w"))
     coords
       .withColumn("tile_key", tile_key(col("lng"), col("lat")))

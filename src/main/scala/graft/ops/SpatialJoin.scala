@@ -141,6 +141,59 @@ object SpatialJoin {
       .drop("cell", "salt", "xs", "ys")
   }
 
+  /** Adaptive cell-splitting PIP (north rule: "salted repartitioning and
+    * adaptive cell-splitting"): cells whose point count exceeds
+    * `hotThreshold` are re-indexed at `level + splitLevels` on BOTH sides,
+    * so a dense cell's candidate join fans out across 4^splitLevels finer
+    * cells (more parallelism, and polygons covering only part of the dense
+    * cell stop receiving all of its points). Cold cells join at the coarse
+    * level unchanged; results are the exact union.
+    */
+  def pointInPolygonAdaptive(points: DataFrame, polys: DataFrame, level: Int,
+                             hotThreshold: Long, splitLevels: Int = 2): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val fine = level + splitLevels
+    val probe0 = points.withColumn("cell",
+      graft.functions.cells.s2_cell(col("lng"), col("lat"), lit(level)))
+    val hot = probe0.groupBy("cell").count()
+      .filter(col("count") > hotThreshold).select("cell")
+      .as[Long].collect().toSet
+    val hotB = spark.sparkContext.broadcast(hot)
+    val isHot = udf((c: Long) => hotB.value.contains(c))
+    // point side: hot cells re-key at the fine level (cheap: one more
+    // latLngToCell), cold cells keep the coarse key
+    val probe = probe0.withColumn("jcell",
+      when(isHot(col("cell")),
+        graft.functions.cells.s2_cell(col("lng"), col("lat"), lit(fine)))
+        .otherwise(col("cell")))
+      .drop("cell")
+    // polygon side: cover at the coarse level; covers landing on a hot cell
+    // expand to the fine cells inside it. The fine cover is computed ONCE
+    // per polygon and grouped by coarse parent — recomputing it per hot
+    // cover cell is quadratic in cover size and was a 50× slowdown.
+    val polyCells = polys
+      .select(col("poly_id"), col("xs"), col("ys"))
+      .as[(Long, Array[Double], Array[Double])]
+      .flatMap { case (pid, xs, ys) =>
+        val coarse = coverCells(xs.toSeq, ys.toSeq, level)
+        if (!coarse.exists(hotB.value.contains)) coarse.map(c => (c, pid, xs, ys))
+        else {
+          val fineByParent = S2.coverBBox(xs.min, ys.min, xs.max, ys.max, fine)
+            .groupBy(fc => S2.parent(fc, level))
+          coarse.flatMap { c =>
+            if (hotB.value.contains(c))
+              fineByParent.getOrElse(c, Nil).map(fc => (fc, pid, xs, ys))
+            else Seq((c, pid, xs, ys))
+          }
+        }
+      }
+      .toDF("jcell", "poly_id", "xs", "ys")
+    probe.join(polyCells, Seq("jcell"))
+      .filter(ray_cast(col("lng"), col("lat"), col("xs"), col("ys")))
+      .drop("jcell", "xs", "ys")
+  }
+
   // ---------------- J3: kNN (cell-ring expansion, distance-bounded) ----------------
 
   /** kNN join: for each probe, the k nearest targets by planar squared

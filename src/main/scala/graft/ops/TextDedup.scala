@@ -40,17 +40,26 @@ object TextDedup {
       .otherwise(array(text))
   }
 
-  /** MinHash signature: element j = min over shingles x of
-    * `((2j+3)·(h60(x) mod P) + (5j+7)) mod P`.
+  /** Reduced shingle hashes: `h60(shingle) mod P` per shingle. Materialize
+    * this ONCE per document before fanning out to the minhash lanes —
+    * Catalyst does not CSE the shingle+md5 subtree across array elements, so
+    * deriving each lane from `text` directly costs nHashes× the hashing.
     */
-  def minhashSig(text: Column, shingleN: Int, nHashes: Int): Column = {
-    val sh = shingles(text, shingleN)
+  def shingleHashes(text: Column, shingleN: Int): Column =
+    transform(shingles(text, shingleN), x => h60(x) % lit(P))
+
+  /** MinHash signature over pre-hashed shingles: element j =
+    * `min over h of ((2j+3)·h + (5j+7)) mod P`.
+    */
+  def minhashSigFromHashes(hv: Column, nHashes: Int): Column =
     array((0 until nHashes).map { j =>
       val a = 2L * j + 3L
       val b = 5L * j + 7L
-      array_min(transform(sh, x => (lit(a) * (h60(x) % lit(P)) + lit(b)) % lit(P)))
+      array_min(transform(hv, h => (lit(a) * h + lit(b)) % lit(P)))
     }: _*)
-  }
+
+  def minhashSig(text: Column, shingleN: Int, nHashes: Int): Column =
+    minhashSigFromHashes(shingleHashes(text, shingleN), nHashes)
 
   /** LSH candidate pairs: docs sharing at least one band of `rowsPerBand`
     * consecutive signature values. Returns distinct (doc_a < doc_b).
@@ -61,13 +70,22 @@ object TextDedup {
                    bands: Int = 4): DataFrame = {
     require(nHashes % bands == 0, "nHashes must be divisible by bands")
     val r = nHashes / bands
-    val sig = docs.withColumn("sig", minhashSig(col("text"), shingleN, nHashes))
+    // two projections so the hashed-shingle array is computed once per doc,
+    // then the 8 lanes derive from the materialized column
+    val sig = docs
+      .select(col("doc_id"), shingleHashes(col("text"), shingleN).as("hv"))
+      .select(col("doc_id"), minhashSigFromHashes(col("hv"), nHashes).as("sig"))
     // band key packs the band's rows into one long (values < P < 2^20)
+    // lazy localCheckpoint: the banded signatures materialize once and both
+    // sides of the self-join read the materialized partitions — without it
+    // the doc_a/doc_b renames defeat exchange reuse and the whole
+    // shingle+md5 pipeline executes twice
     val banded = sig.select(col("doc_id"),
       posexplode(array((0 until bands).map { bnd =>
         (0 until r).map(i => element_at(col("sig"), bnd * r + i + 1))
           .reduceLeft((acc, v) => acc * lit(P) + v)
       }: _*)).as(Seq("band_id", "band_key")))
+      .localCheckpoint(false)
     val a = banded.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band_id", "band_key"))
@@ -75,17 +93,25 @@ object TextDedup {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** SimHash of the word multiset: bit b set iff the sum over words of
-    * ±1 (sign of bit b of h60(word)) is >= 0. `bits` <= 32.
+  /** Word-hash array for simhash — materialize once (see shingleHashes). */
+  def wordHashes(text: Column): Column = transform(words(text), w => h60(w))
+
+  /** SimHash over pre-hashed words: bit b set iff the sum over words of
+    * ±1 (sign of bit b) is >= 0. `bits` <= 32.
     */
-  def simhash(text: Column, bits: Int): Column = {
-    val hw = transform(words(text), w => h60(w))
+  def simhashFromHashes(hw: Column, bits: Int): Column =
     (0 until bits).map { b =>
       val vote = aggregate(hw, lit(0L),
         (acc, x) => acc + when(shiftright(x, b) % 2 === 1, 1L).otherwise(-1L))
       when(vote >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduceLeft(_ + _)
-  }
+
+  /** SimHash of the word multiset (single-column convenience; prefer a
+    * two-step select through [[wordHashes]] so the hashing runs once, not
+    * `bits` times).
+    */
+  def simhash(text: Column, bits: Int): Column =
+    simhashFromHashes(wordHashes(text), bits)
 
   /** Exact Jaccard similarity of distinct word-n-gram shingle sets. */
   def jaccard(textA: Column, textB: Column, n: Int): Column = {

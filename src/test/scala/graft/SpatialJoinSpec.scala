@@ -62,6 +62,17 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == bruteForcePip)
   }
 
+  test("pointInPolygonAdaptive (hot-cell splitting) matches brute force") {
+    import spark.implicits._
+    val ptsDf = points.toDF("point_id", "lng", "lat")
+    val polysDf = polys.toDF("poly_id", "xs", "ys")
+    // threshold low enough that most level-9 cells split
+    val got = SpatialJoin.pointInPolygonAdaptive(ptsDf, polysDf, level = 9,
+        hotThreshold = 10L, splitLevels = 2)
+      .select("point_id", "poly_id").as[(Long, Long)].collect().toSet
+    assert(got == bruteForcePip)
+  }
+
   test("knn matches brute force (exact ranks and distances)") {
     import spark.implicits._
     val probes = (0L until 40L)

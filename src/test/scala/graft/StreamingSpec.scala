@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming coverage: the reference is request/response (no
+  * streaming — SURVEY.md §2.7), but the engine supports incremental ingest:
+  * file-source streams over the same events table, event-time windowed
+  * aggregation with a watermark, and custom state via mapGroupsWithState.
+  * Both are checked against their batch equivalents (exact counts).
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.streaming.checkpointLocation",
+      s"${System.getProperty("java.io.tmpdir")}/graft_stream_ckpt_${System.nanoTime()}")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // file-source streams need a DIRECTORY; stage the single-file table into one
+  private lazy val eventsPath: String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_events"
+    graft.table.Checkpoint.clear(dir)
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    dir
+  }
+
+  test("windowed event-time aggregation with watermark matches batch") {
+    import spark.implicits._
+    val schema = spark.read.parquet(eventsPath).schema
+    // events.ts is TIMESTAMP_NTZ in the source parquet; watermarks need TIMESTAMP
+    val stream = spark.readStream.schema(schema).parquet(eventsPath)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("win_counts")
+      .select(col("window.start").as("hr"), col("event_type"), col("n"))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val exp = spark.read.parquet(eventsPath)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(got == exp && got.nonEmpty)
+  }
+
+  test("custom state via mapGroupsWithState matches batch counts") {
+    import spark.implicits._
+    val schema = spark.read.parquet(eventsPath).schema
+    val counts = spark.readStream.schema(schema).parquet(eventsPath)
+      .select(col("event_type")).as[String]
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (k: String, it: Iterator[String], state: GroupState[Long]) => {
+          val n = state.getOption.getOrElse(0L) + it.size
+          state.update(n)
+          (k, n)
+        })
+    val q = counts.toDF("event_type", "n").writeStream.format("memory")
+      .queryName("state_counts").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // update mode appends one row per key per batch — final value per key
+    val got = spark.table("state_counts").groupBy("event_type")
+      .agg(max("n").as("n"))
+      .as[(String, Long)].collect().toMap
+    val exp = spark.read.parquet(eventsPath).groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(got == exp && got.nonEmpty)
+  }
+}
