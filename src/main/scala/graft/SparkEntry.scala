@@ -412,6 +412,46 @@ object SparkEntry {
     "ann_ivf_assign" -> ((s, dir) => {
       ops.Embeddings.ivfAssign(t(s, dir, "embeddings"), 8).orderBy("vec_id")
     }),
+    // Per-row lossy-format fidelity (input_hint: decoded pixels allclose,
+    // PSNR >= 40 dB for lossy): decode each payload, compare against the
+    // closed-form grid it encodes. hgt/png must be exact; jpg must clear
+    // 40 dB. The engine computes the PSNR for real (javax.imageio decode);
+    // the oracle pins the pass/fail verdicts.
+    "img_fidelity" -> ((s, dir) => {
+      import s.implicits._
+      implicit val enc = Encoders.product[graft.core.TileRow]
+      val tiles = gateTiles(s, "png").unionAll(gateTiles(s, "hgt"))
+      tiles.map { t =>
+        val d = graft.core.TileCodec.decode(t)
+        val truth = graft.synth.TileGen.grid(d.swLng, d.swLat, d.size)
+        val exact = java.util.Arrays.equals(d.samples, truth)
+        val psnr = graft.raster.Fidelity.gridPsnr(truth, d.samples)
+        (t.image_id, t.fmt, exact, psnr.isInfinite || psnr >= 40.0)
+      }.toDF("image_id", "fmt", "exact", "psnr_ok")
+        .orderBy("image_id", "fmt")
+    }),
+    // Hierarchical tile-pyramid rollup: z14 point counts rolled up the
+    // quadtree to z12 and z10 (parent = child >> 2 per level).
+    "zxy_rollup" -> ((s, dir) => {
+      val p = gatePoints(s, dir)
+        .withColumn("x14", zxy_x(col("lng"), lit(14)))
+        .withColumn("y14", zxy_y(col("lat"), lit(14)))
+      p.select(lit(14).as("z"), col("x14").as("x"), col("y14").as("y"))
+        .unionAll(p.select(lit(12).as("z"), shiftright(col("x14"), 2).as("x"),
+          shiftright(col("y14"), 2).as("y")))
+        .unionAll(p.select(lit(10).as("z"), shiftright(col("x14"), 4).as("x"),
+          shiftright(col("y14"), 4).as("y")))
+        .groupBy("z", "x", "y").agg(count(lit(1)).as("n"))
+        .orderBy("z", "x", "y")
+    }),
+    // Semi/anti-join (dedup keep-set): documents whose text hash appears
+    // more than once lose all but the lowest doc_id.
+    "dedup_keep" -> ((s, dir) => {
+      val corpus = dedupCorpus(s, dir).withColumn("h", md5(col("text")))
+      val keepers = corpus.groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+      corpus.join(keepers, Seq("h", "doc_id"), "left_semi")
+        .select("doc_id").orderBy("doc_id")
+    }),
     "img_stats" -> ((s, dir) => {
       ops.ImageOps.decodeStats(gateTiles(s, "png")).orderBy("image_id")
     }),
@@ -806,6 +846,32 @@ object SparkEntry {
            CAST(sum(v) AS BIGINT) AS px_sum,
            CAST(sum(v) AS BIGINT) / CAST(count(*) AS BIGINT) AS px_mean
          FROM g GROUP BY swlng, swlat ORDER BY image_id""",
+    "img_fidelity" ->
+      """SELECT image_id, fmt, true AS exact, true AS psnr_ok
+         FROM (VALUES ('N36W118'),('N36W119'),('N36W120'),('N37W117'),('N37W119'),('N37W120')) t(image_id),
+              (VALUES ('png'),('hgt')) f(fmt)
+         ORDER BY image_id, fmt""",
+    "zxy_rollup" ->
+      """WITH pts AS (SELECT
+           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
+           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
+           FROM lineitem),
+         c AS (SELECT lng, least(greatest(lat, -85.05112877980659), 85.05112877980659) AS latc FROM pts),
+         xy AS (SELECT
+           CAST(least(greatest(floor((lng + 180.0)/360.0 * 16384), 0), 16383) AS INT) AS x14,
+           CAST(least(greatest(floor((1.0 - ln(tan(radians(latc)) + 1.0/cos(radians(latc)))/pi())/2.0 * 16384), 0), 16383) AS INT) AS y14
+           FROM c),
+         lv AS (SELECT 14 AS z, x14 AS x, y14 AS y FROM xy
+           UNION ALL SELECT 12, x14 >> 2, y14 >> 2 FROM xy
+           UNION ALL SELECT 10, x14 >> 4, y14 >> 4 FROM xy)
+         SELECT CAST(z AS INT) AS z, CAST(x AS INT) AS x, CAST(y AS INT) AS y, count(*) AS n
+         FROM lv GROUP BY 1, 2, 3 ORDER BY z, x, y""",
+    "dedup_keep" ->
+      s"""WITH corpus AS ($sqlDedupCorpus),
+         h AS (SELECT doc_id, md5(text) AS h FROM corpus),
+         k AS (SELECT h, min(doc_id) AS doc_id FROM h GROUP BY 1)
+         SELECT h.doc_id AS doc_id FROM h JOIN k ON h.h = k.h AND h.doc_id = k.doc_id
+         ORDER BY h.doc_id""",
     "img_integrity" ->
       """SELECT image_id, true AS phash_ok, true AS caption_ok FROM (VALUES
          ('N36W118'),('N36W119'),('N36W120'),('N37W117'),('N37W119'),('N37W120')) t(image_id)
