@@ -270,6 +270,25 @@ object SparkEntry {
         .toDF("grp", "n", "first_elev", "last_elev", "min_elev", "max_elev")
         .orderBy("grp")
     }),
+    // Map algebra: central-difference slope at the nearest grid node.
+    "geo_slope" -> ((s, dir) => {
+      val bc = ops.TileIndex.broadcastIndex(gateTiles(s))
+      gatePoints(s, dir)
+        .withColumn("slope2", ops.ElevAt.elev_slope2(col("lng"), col("lat"), bc))
+        .select("point_id", "slope2")
+        .orderBy("point_id")
+    }),
+    // Zonal statistics: J2 (PIP) × J4 (elevation sampling) × aggregation —
+    // per-polygon stats of the terrain under its contained points.
+    "zonal_stats" -> ((s, dir) => {
+      val bc = ops.TileIndex.broadcastIndex(gateTiles(s))
+      ops.SpatialJoin.pointInPolygon(gatePoints(s, dir), trianglePolys(s, dir), Some(11))
+        .withColumn("elev", ops.ElevAt.elev_at(col("lng"), col("lat"), bc))
+        .groupBy("poly_id")
+        .agg(count(lit(1)).as("n_points"),
+          min(col("elev")).as("min_elev"), max(col("elev")).as("max_elev"))
+        .orderBy("poly_id")
+    }),
     // S2 + hex cell assignment with full cross-engine oracles (the DuckDB
     // side re-implements the Hilbert curve as a recursive CTE).
     "geo_s2_cell" -> ((s, dir) => {
@@ -489,15 +508,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "ann_cosine_topk" -> ((s, dir) => {
+      import graft.functions.vectors.vec_dot
       val e = t(s, dir, "embeddings")
         .selectExpr("vec_id", "cast(embedding as array<double>) AS v")
-        .selectExpr("vec_id", "v",
-          "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)) AS nrm")
+        .withColumn("nrm", sqrt(vec_dot(col("v"), col("v"))))
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
       val pairs = q.crossJoin(broadcast(e)).filter(col("vec_id") =!= col("qid"))
-        .selectExpr("qid", "vec_id AS neighbor_id",
-          "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / (qnrm * nrm) AS cos")
+        .select(col("qid"), col("vec_id").as("neighbor_id"),
+          (vec_dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))
       pairs.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)
@@ -805,6 +824,64 @@ object SparkEntry {
            max(CASE WHEN rn = n THEN elev END) AS last_elev,
            min(elev) AS min_elev, max(elev) AS max_elev
          FROM w GROUP BY grp, n ORDER BY grp""",
+    "geo_slope" ->
+      """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
+           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
+           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
+           FROM lineitem),
+         k AS (SELECT point_id,
+           CAST(floor(lng) AS BIGINT) AS swlng, CAST(floor(lat) AS BIGINT) AS swlat,
+           CAST(floor((lng - floor(lng)) * 600 + 0.5) AS BIGINT) AS cn,
+           CAST(floor((lat - floor(lat)) * 600 + 0.5) AS BIGINT) AS rn FROM pts),
+         b AS (SELECT *, GREATEST(0, cn-1) AS c0, LEAST(600, cn+1) AS c1,
+           GREATEST(0, rn-1) AS r0, LEAST(600, rn+1) AS r1,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM k),
+         d AS (SELECT point_id, swlng, swlat,
+           ((a + 2*c1 + 3*rn + ((c1//8)*(rn//8)) % 32) -
+            (a + 2*c0 + 3*rn + ((c0//8)*(rn//8)) % 32)) / (c1 - c0) AS dc,
+           ((a + 2*cn + 3*r1 + ((cn//8)*(r1//8)) % 32) -
+            (a + 2*cn + 3*r0 + ((cn//8)*(r0//8)) % 32)) / (r1 - r0) AS dr
+           FROM b)
+         SELECT point_id,
+           CASE WHEN (swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36) THEN 0.0
+                ELSE dc*dc + dr*dr END AS slope2
+         FROM d ORDER BY point_id""",
+    "zonal_stats" ->
+      """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
+           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS px,
+           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS py
+           FROM lineitem),
+         tri AS (SELECT s_suppkey AS poly_id,
+           -120.0 + (s_suppkey % 40) * 0.1 AS cx, 36.0 + ((s_suppkey * 3) % 20) * 0.1 AS cy,
+           0.05 + (s_suppkey % 7) * 0.013 AS w, 0.04 + (s_suppkey % 5) * 0.017 AS h
+           FROM supplier),
+         tv AS (SELECT poly_id, cx AS x1, cy + h AS y1, cx - w AS x2, cy - h AS y2,
+           cx + w AS x3, cy - h AS y3 FROM tri),
+         inside AS (SELECT point_id, poly_id, px, py FROM (
+             SELECT p.point_id, p.px, p.py, tv.* FROM pts p JOIN tv
+             ON p.px >= tv.x2 AND p.px <= tv.x3 AND p.py >= tv.y2 AND p.py <= tv.y1)
+           WHERE ((CASE WHEN (y1 > py) <> (y3 > py) AND px < (x3 - x1) * (py - y1) / (y3 - y1) + x1 THEN 1 ELSE 0 END)
+                + (CASE WHEN (y2 > py) <> (y1 > py) AND px < (x1 - x2) * (py - y2) / (y1 - y2) + x2 THEN 1 ELSE 0 END)
+                + (CASE WHEN (y3 > py) <> (y2 > py) AND px < (x2 - x3) * (py - y3) / (y2 - y3) + x3 THEN 1 ELSE 0 END)) % 2 = 1),
+         ek AS (SELECT point_id, px AS lng, py AS lat,
+           CAST(floor(px) AS BIGINT) AS swlng, CAST(floor(py) AS BIGINT) AS swlat,
+           (px - floor(px)) * 600 AS colf, (py - floor(py)) * 600 AS rowf FROM pts),
+         eg AS (SELECT *, CAST(floor(colf) AS BIGINT) AS c0, CAST(floor(rowf) AS BIGINT) AS r0,
+           colf - floor(colf) AS cf, rowf - floor(rowf) AS rf,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM ek),
+         ev AS (SELECT *,
+           a + 2*c0     + 3*r0     + ((c0//8)*(r0//8)) % 32         AS v00,
+           a + 2*(c0+1) + 3*r0     + (((c0+1)//8)*(r0//8)) % 32     AS v10,
+           a + 2*(c0+1) + 3*(r0+1) + (((c0+1)//8)*((r0+1)//8)) % 32 AS v11,
+           a + 2*c0     + 3*(r0+1) + ((c0//8)*((r0+1)//8)) % 32     AS v01 FROM eg),
+         e AS (SELECT point_id,
+           CASE WHEN (swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36) THEN 0.0
+                ELSE (v00 + (v10 - v00) * cf) +
+                     ((v01 + (v11 - v01) * cf) - (v00 + (v10 - v00) * cf)) * rf
+           END AS elev FROM ev)
+         SELECT poly_id, count(*) AS n_points, min(elev) AS min_elev, max(elev) AS max_elev
+         FROM inside JOIN e USING (point_id)
+         GROUP BY poly_id ORDER BY poly_id""",
     "geo_s2_cell" -> s2OracleSql(quadrantPtsCte, 12),
     "geo_hex_cell" -> hexOracleSql(quadrantPtsCte, 9),
     "dedup_minhash" -> minhashOracleSql,

@@ -50,6 +50,28 @@ final class TileIndex(rows: Array[TileRow]) extends Serializable {
     else Bilinear.sampleGrid(d.samples, d.size, swLng, swLat, lng, lat)
   }
 
+  /** Squared slope magnitude (map-algebra / terrain-analysis op, beyond the
+    * reference): central-difference gradient at the grid node nearest to
+    * (lng, lat), clamped at tile edges — `(dz/dcol)² + (dz/drow)²` in
+    * meters²-per-cell². Missing tile ⇒ 0 (F8 semantics).
+    */
+  def slope2(lng: Double, lat: Double): Double = {
+    val swLng = math.floor(lng)
+    val swLat = math.floor(lat)
+    val d = decoded.get(TileIndex.key(swLng.toInt, swLat.toInt))
+    if (d == null) 0.0
+    else {
+      val size = d.size - 1
+      val rn = math.round((lat - swLat) * size).toInt
+      val cn = math.round((lng - swLng) * size).toInt
+      val c0 = math.max(0, cn - 1); val c1 = math.min(size, cn + 1)
+      val r0 = math.max(0, rn - 1); val r1 = math.min(size, rn + 1)
+      val dc = (d.sample(rn, c1) - d.sample(rn, c0)).toDouble / (c1 - c0)
+      val dr = (d.sample(r1, cn) - d.sample(r0, cn)).toDouble / (r1 - r0)
+      dc * dc + dr * dr
+    }
+  }
+
   /** Nearest-neighbour sampling mode (reference `_nearestNeighbour`). */
   def elevationNearest(lng: Double, lat: Double): Double = {
     val swLng = math.floor(lng)
@@ -83,14 +105,18 @@ object TileIndex {
   * lookup join collapsed into one codegen'd scalar probe.
   */
 case class ElevAtExpr(left: Expression, right: Expression,
-                      bc: Broadcast[TileIndex], nearest: Boolean = false)
+                      bc: Broadcast[TileIndex], method: String = "elevation")
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "elev_at"
-  private def method: String = if (nearest) "elevationNearest" else "elevation"
-  override def nullSafeEval(lng: Any, lat: Any): Any =
-    if (nearest) bc.value.elevationNearest(lng.asInstanceOf[Double], lat.asInstanceOf[Double])
-    else bc.value.elevation(lng.asInstanceOf[Double], lat.asInstanceOf[Double])
+  override def nullSafeEval(lng: Any, lat: Any): Any = {
+    val x = lng.asInstanceOf[Double]; val y = lat.asInstanceOf[Double]
+    method match {
+      case "elevationNearest" => bc.value.elevationNearest(x, y)
+      case "slope2"           => bc.value.slope2(x, y)
+      case _                  => bc.value.elevation(x, y)
+    }
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("tileIndexBc", bc,
       "org.apache.spark.broadcast.Broadcast")
@@ -109,5 +135,9 @@ object ElevAt {
   def elev_at_nearest(lng: Column, lat: Column, bc: Broadcast[TileIndex]): Column =
     GraftColumns.column(ElevAtExpr(
       GraftColumns.expression(lng.cast(DoubleType)),
-      GraftColumns.expression(lat.cast(DoubleType)), bc, nearest = true))
+      GraftColumns.expression(lat.cast(DoubleType)), bc, "elevationNearest"))
+  def elev_slope2(lng: Column, lat: Column, bc: Broadcast[TileIndex]): Column =
+    GraftColumns.column(ElevAtExpr(
+      GraftColumns.expression(lng.cast(DoubleType)),
+      GraftColumns.expression(lat.cast(DoubleType)), bc, "slope2"))
 }
