@@ -367,6 +367,18 @@ object SparkEntry {
         .orderBy("grp")
     }),
 
+    // Pure SQL surface: the same spatial functions through the function
+    // registry + spark.sql over a temp view (what a SQL-first user writes).
+    "sql_surface" -> ((s, dir) => {
+      functions.spatial.register(s)
+      functions.cells.register(s)
+      quadrantPoints(s, dir).createOrReplaceTempView("pts")
+      s.sql("""SELECT point_id, tile_key(lng, lat) AS tile_key,
+                      s2_cell(lng, lat, 10) AS cell10,
+                      hex_cell(lng, lat, 7) AS hex7
+               FROM pts ORDER BY point_id""")
+    }),
+
     // ---- training-data pipeline ops ----
     "dedup_exact" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -884,6 +896,23 @@ object SparkEntry {
          GROUP BY poly_id ORDER BY poly_id""",
     "geo_s2_cell" -> s2OracleSql(quadrantPtsCte, 12),
     "geo_hex_cell" -> hexOracleSql(quadrantPtsCte, 9),
+    "sql_surface" -> {
+      // compose: tile key formatting + S2 level 10 + hex res 7 over the same
+      // quadrant points, each from its existing oracle building block
+      val s2part = s2OracleSql(quadrantPtsCte, 10)
+      val hexpart = hexOracleSql(quadrantPtsCte, 7)
+      s"""WITH s2q AS ($s2part), hexq AS ($hexpart),
+         pts AS ($quadrantPtsCte)
+         SELECT p.point_id,
+           (CASE WHEN floor(p.lat) < 0 THEN 'S' ELSE 'N' END ||
+            lpad(CAST(CAST(abs(floor(p.lat)) AS BIGINT) AS VARCHAR), 2, '0') ||
+            CASE WHEN floor(p.lng) < 0 THEN 'W' ELSE 'E' END ||
+            lpad(CAST(CAST(abs(floor(p.lng)) AS BIGINT) AS VARCHAR), 3, '0')) AS tile_key,
+           s2q.cell AS cell10, hexq.cell AS hex7
+         FROM pts p JOIN s2q ON p.point_id = s2q.point_id
+         JOIN hexq ON p.point_id = hexq.point_id
+         ORDER BY p.point_id"""
+    },
     "dedup_minhash" -> minhashOracleSql,
     "dedup_simhash" -> simhashOracleSql,
     "dedup_jaccard" ->
