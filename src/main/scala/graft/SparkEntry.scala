@@ -937,7 +937,7 @@ object SparkEntry {
              w -> w='the' OR w='a' OR w='of' OR w='and' OR w='to')) AS DOUBLE) AS ns,
            CAST(length(replace(text,' ','')) AS DOUBLE) AS nc FROM documents)
          SELECT doc_id, score, score >= 0.5 AS keep FROM (
-           SELECT doc_id, round(least(nw/100.0, 1.0)*0.4 + (ns/nw)*0.3 + least((nc/nw)/10.0, 1.0)*0.3, 6) AS score
+           SELECT doc_id, least(nw/100.0, 1.0)*0.4 + (ns/nw)*0.3 + least((nc/nw)/10.0, 1.0)*0.3 AS score
            FROM s) ORDER BY doc_id""",
     "ann_lsh_neardup" -> annLshOracleSql,
     "ann_ivf_assign" -> ivfOracleSql,

@@ -129,7 +129,10 @@ object TextDedup {
 
   /** Composite quality score in [0,1]: length saturation (0.4), stopword
     * ratio (0.3), word-length saturation (0.3). Pure rational arithmetic —
-    * no transcendental functions — so the oracle matches bit-for-bit.
+    * no transcendental functions and deliberately NO rounding: the raw
+    * double is oracle-identical, while round(x, 6) is not (Spark rounds the
+    * exact binary expansion via BigDecimal HALF_UP, DuckDB half-away —
+    * they disagree on ~1 in 5k values; caught at sf0.1).
     */
   def qualityScore(text: Column): Column = {
     val w = words(text)
@@ -137,8 +140,8 @@ object TextDedup {
     val stopRatio = size(filter(w, x => x === "the" || x === "a" || x === "of" ||
       x === "and" || x === "to")).cast("double") / nWords
     val avgWlen = length(regexp_replace(text, " ", "")).cast("double") / nWords
-    round(least(nWords / lit(100.0), lit(1.0)) * 0.4 +
+    least(nWords / lit(100.0), lit(1.0)) * 0.4 +
       stopRatio * 0.3 +
-      least(avgWlen / lit(10.0), lit(1.0)) * 0.3, 6)
+      least(avgWlen / lit(10.0), lit(1.0)) * 0.3
   }
 }
