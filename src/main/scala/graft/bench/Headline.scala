@@ -59,7 +59,7 @@ object Headline {
         "((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id",
         "rep",
         "-120 + (cluster % 4) + (((l_partkey + rep) % 600) + 0.5D)/600.0D AS lng",
-        "36 + ((cluster / 4) % 2) + (((l_suppkey*7 + l_linenumber*131 + (rep / 600)*3) % 600) + 0.5D)/600.0D AS lat")
+        "36 + ((cluster div 4) % 2) + (((l_suppkey*7 + l_linenumber*131 + (rep div 600)*3) % 600) + 0.5D)/600.0D AS lat")
   }
 
   /** Run once; returns (rows evaluated, wall seconds). The aggregate reads

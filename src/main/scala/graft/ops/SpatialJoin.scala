@@ -83,11 +83,12 @@ object SpatialJoin {
     val spark = points.sparkSession
     import spark.implicits._
     val lvl = level.getOrElse {
-      val ext = polys.select(
+      val extRow = polys.select(
         max(greatest(
           array_max(col("xs")) - array_min(col("xs")),
-          array_max(col("ys")) - array_min(col("ys")))))
-        .as[Double].head()
+          array_max(col("ys")) - array_min(col("ys"))))).head()
+      // empty polys aggregate to NULL — any level yields the correct empty join
+      val ext = if (extRow.isNullAt(0)) 1e-6 else extRow.getDouble(0)
       coverLevelFor(math.max(ext, 1e-6))
     }
     // poly side: explode the bbox cover (flatMap — a typed generator)
@@ -247,7 +248,9 @@ object SpatialJoin {
       // seen every target
       val bound = Hex.ringLowerBoundDegrees(res, ring + 1)
       val b2 = bound * bound
-      val kthDone = ranked.filter(col("rk") === k && col("dist2") <= lit(b2))
+      // strict <: at dist2 == b2 an unexplored equal-distance target with a
+      // smaller id could still outrank the kth under the (dist2, id) order
+      val kthDone = ranked.filter(col("rk") === k && col("dist2") < lit(b2))
         .select("probe_id")
       val exhausted = acc.groupBy("probe_id").count()
         .filter(col("count") >= totalTargets).select("probe_id")

@@ -62,8 +62,7 @@ final class TileIndex(rows: Array[TileRow]) extends Serializable {
     if (d == null) 0.0
     else {
       val size = d.size - 1
-      val rn = math.round((lat - swLat) * size).toInt
-      val cn = math.round((lng - swLng) * size).toInt
+      val (rn, cn) = Bilinear.nearestNode(d.size, swLng, swLat, lng, lat)
       val c0 = math.max(0, cn - 1); val c1 = math.min(size, cn + 1)
       val r0 = math.max(0, rn - 1); val r1 = math.min(size, rn + 1)
       val dc = (d.sample(rn, c1) - d.sample(rn, c0)).toDouble / (c1 - c0)
@@ -78,12 +77,7 @@ final class TileIndex(rows: Array[TileRow]) extends Serializable {
     val swLat = math.floor(lat)
     val d = decoded.get(TileIndex.key(swLng.toInt, swLat.toInt))
     if (d == null) 0.0
-    else {
-      val size = d.size - 1
-      val row = math.round((lat - swLat) * size).toInt
-      val col = math.round((lng - swLng) * size).toInt
-      d.sample(row, col).toDouble
-    }
+    else Bilinear.nearestGrid(d.samples, d.size, swLng, swLat, lng, lat)
   }
 }
 

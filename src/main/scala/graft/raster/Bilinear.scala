@@ -89,4 +89,23 @@ object Bilinear {
     val c = math.floor(col + 0.5).toInt
     Hgt.readSample(bytes, size, math.min(r, n), math.min(c, n)).toDouble
   }
+
+  /** Nearest grid node (row, col) for (lng, lat) — the shared snap used by
+    * nearest sampling and slope (JS Math.round parity: floor(x+0.5),
+    * clamped to the grid).
+    */
+  def nearestNode(size: Int, swLng: Double, swLat: Double,
+                  lng: Double, lat: Double): (Int, Int) = {
+    val n = size - 1
+    val r = math.floor((lat - swLat) * n + 0.5).toInt
+    val c = math.floor((lng - swLng) * n + 0.5).toInt
+    (math.min(math.max(r, 0), n), math.min(math.max(c, 0), n))
+  }
+
+  /** Nearest-neighbour over a decoded grid (shares [[nearestNode]]). */
+  def nearestGrid(samples: Array[Short], size: Int, swLng: Double, swLat: Double,
+                  lng: Double, lat: Double): Double = {
+    val (r, c) = nearestNode(size, swLng, swLat, lng, lat)
+    samples(r * size + c).toDouble
+  }
 }

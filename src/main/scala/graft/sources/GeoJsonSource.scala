@@ -20,24 +20,39 @@ object GeoJsonSource {
   private implicit val enc: org.apache.spark.sql.Encoder[FeatureRow] =
     Encoders.product[FeatureRow]
 
-  /** One GeoJSON document per FILE (wholetext). */
+  /** One GeoJSON document per FILE (wholetext). feature_id is prefixed with
+    * the source file's basename so ids stay keys across multi-file reads
+    * (downstream reassembly groups on feature_id — colliding ids would merge
+    * unrelated features' coordinates).
+    */
   def readDocuments(spark: SparkSession, path: String): Dataset[FeatureRow] = {
+    import org.apache.spark.sql.functions.input_file_name
     import spark.implicits._
-    spark.read.option("wholetext", "true").text(path).as[String]
-      .flatMap(doc => GeoJson.featureRows(GeoJson.parse(doc)))
+    spark.read.option("wholetext", "true").text(path)
+      .select(input_file_name().as("f"), org.apache.spark.sql.functions.col("value"))
+      .as[(String, String)]
+      .flatMap { case (f, doc) =>
+        val base = f.substring(f.lastIndexOf('/') + 1)
+        GeoJson.featureRows(GeoJson.parse(doc))
+          .map(r => FeatureRow(s"$base#${r.feature_id}", r.feature_json))
+      }
   }
 
-  /** One Feature per LINE (ndjson / GeoJSON-lines). Monotonic per-partition
-    * ids keep feature identity stable without a global sort.
+  /** One GeoJSON value per LINE (ndjson / GeoJSON-lines). A line that is a
+    * FeatureCollection contributes ALL its features (sub-indexed), never
+    * silently just the first. Ids are `lineIndex` or `lineIndex:sub`.
     */
   def readLines(spark: SparkSession, path: String): Dataset[FeatureRow] = {
     import spark.implicits._
     spark.read.text(path).as[String]
       .filter((l: String) => l.trim.nonEmpty)
       .rdd.zipWithIndex()
-      .map { case (line, i) =>
+      .flatMap { case (line, i) =>
         val rows = GeoJson.featureRows(GeoJson.parse(line))
-        FeatureRow(i.toString, rows.head.feature_json)
+        if (rows.size == 1) Seq(FeatureRow(i.toString, rows.head.feature_json))
+        else rows.zipWithIndex.map { case (r, j) =>
+          FeatureRow(s"$i:$j", r.feature_json)
+        }
       }
       .toDS()
   }

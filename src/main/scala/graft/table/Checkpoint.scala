@@ -126,6 +126,10 @@ object Checkpoint {
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val committed = committedBuckets(spark, dir).toSeq
+    // a run killed before ANY commit leaves no data/ at all — the snapshot
+    // contract says "empty", not AnalysisException
+    if (committed.isEmpty || !new java.io.File(s"$dir/data").exists())
+      return spark.emptyDataFrame
     spark.read.parquet(s"$dir/data")
       .where(col("__bucket").isin(committed: _*))
       .drop("__bucket")
