@@ -38,6 +38,47 @@ object TileStore {
 
   def read(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(dir)
 
+  /** Read back as the typed input-table row (drops partition duplicates). */
+  def readTiles(spark: SparkSession, dir: String): Dataset[TileRow] =
+    read(spark, dir)
+      .select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+      .as[TileRow](Encoders.product[TileRow])
+
+  /** Ingest a directory of raw SRTM `.hgt` files — the reference's own data
+    * layout (S3 objects named `{N|S}lat{E|W}lng.hgt`,
+    * src/elevation/fetchElevationTileData.ts:11-21) — into the partitioned
+    * image+caption table. Per file: parse the tile key from the name, apply
+    * the P3 size predicate (square int16 grid; the reference accepts 3601²
+    * and 1201², src/elevation/getResolutionAndSize.ts — synthetic test
+    * scales use smaller squares with resolution=0), derive the caption and
+    * the decoded-grid phash. This is the migration path for a reference
+    * deployment: point the engine at the existing HGT archive.
+    */
+  def ingestHgt(spark: SparkSession, hgtDir: String, storeDir: String): Long = {
+    import graft.core.{TileCaption, TileCodec}
+    implicit val enc = Encoders.product[TileRow]
+    val tiles = spark.read.format("binaryFile").load(s"$hgtDir/*.hgt")
+      .select("path", "content")
+      .as[(String, Array[Byte])](Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+      .map { case (path, bytes) =>
+        val key = path.substring(path.lastIndexOf('/') + 1).stripSuffix(".hgt")
+        val size = math.sqrt(bytes.length / 2.0).toInt
+        require(size.toLong * size * 2 == bytes.length,
+          s"UNSUPPORTED_SIZE: ${bytes.length} bytes in $key (not a square int16 grid)")
+        val (swLng, swLat) = TileKey.toDegrees(key)
+        val resolution = size match { case 3601 => 1; case 1201 => 3; case _ => 0 }
+        val z = 9
+        val (x, y) = graft.geo.WebMercator.tile(swLng + 0.5, swLat + 0.5, z)
+        val caption = TileCodec.captionJson(
+          TileCaption(key, z, x, y, swLng, swLat, resolution, size))
+        val grid = graft.raster.Hgt.decode(bytes, size)
+        TileRow(key, bytes, size, size, "hgt", caption,
+          graft.raster.Fidelity.phash(grid, size))
+      }
+    write(tiles, storeDir)
+    read(spark, storeDir).count()
+  }
+
   /** Scan only the tiles a bbox can touch: the IN-list over both partition
     * keys reaches the scan as PartitionFilters (verify with
     * `.explain("formatted")` — see TileStoreSpec).

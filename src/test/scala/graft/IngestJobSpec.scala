@@ -1,0 +1,82 @@
+package graft
+
+import graft.synth.TileGen
+import graft.table.TileStore
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HGT-archive ingestion (the reference's S3 layout → the engine's
+  * partitioned table) and the end-to-end elevation batch job.
+  */
+class IngestJobSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val base = s"${System.getProperty("java.io.tmpdir")}/graft_ingest_test"
+
+  test("ingestHgt: raw .hgt files become a partitioned caption table; join works") {
+    graft.table.Checkpoint.clear(base)
+    val hgtDir = new java.io.File(s"$base/hgt"); hgtDir.mkdirs()
+    val corners = Seq((-119, 36), (-120, 36), (-119, 37), (-120, 37))
+    for ((lng, lat) <- corners) {
+      val key = graft.geo.TileKey.ofDegrees(lng, lat)
+      val bytes = graft.raster.Hgt.encode(TileGen.grid(lng, lat, 121), 121)
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/hgt/$key.hgt"), bytes)
+    }
+    val n = TileStore.ingestHgt(spark, s"$base/hgt", s"$base/store")
+    assert(n == 4)
+    val tiles = TileStore.readTiles(spark, s"$base/store")
+    val rows = tiles.collect()
+    assert(rows.map(_.image_id).toSet ==
+      Set("N36W119", "N36W120", "N37W119", "N37W120"))
+    // caption + phash integrity of ingested rows (input_hint invariants)
+    val integ = graft.ops.ImageOps.integrity(tiles).collect()
+    assert(integ.forall(r => r.getBoolean(1) && r.getBoolean(2)))
+    // elevation join over the ingested store matches the synthetic grid
+    val pt = Seq((1L, -118.5, 36.5))
+    import spark.implicits._
+    val out = graft.ops.Elevation.lookupBroadcast(
+      pt.toDF("point_id", "lng", "lat"), tiles).collect()(0)
+    val expected = graft.raster.Bilinear.sampleGrid(
+      TileGen.grid(-119, 36, 121), 121, -119.0, 36.0, -118.5, 36.5)
+    assert(out.getAs[Double]("elev") == expected)
+  }
+
+  test("ingestHgt rejects non-square payloads (P3 size predicate)") {
+    graft.table.Checkpoint.clear(s"$base/bad")
+    val d = new java.io.File(s"$base/bad/hgt"); d.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/bad/hgt/N00E000.hgt"), new Array[Byte](1001))
+    val e = intercept[org.apache.spark.SparkException] {
+      TileStore.ingestHgt(spark, s"$base/bad/hgt", s"$base/bad/store")
+    }
+    assert(e.getMessage.contains("UNSUPPORTED_SIZE") ||
+      Option(e.getCause).exists(_.getMessage.contains("UNSUPPORTED_SIZE")))
+  }
+
+  test("ElevationJob end to end: JMT file in, GeoJSON-lines out, elevations > 0") {
+    graft.table.Checkpoint.clear(s"$base/job")
+    new java.io.File(s"$base/job").mkdirs()
+    val in = getClass.getResourceAsStream("/JMT.json")
+    val jmt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$base/job/jmt.geojson"), jmt)
+    // the job owns (and stops) the active session — runs last in this suite;
+    // assertions get a fresh session
+    ElevationJob.main(Array(s"$base/job/jmt.geojson", "SYNTH", s"$base/job/out"))
+    val s2 = SparkSession.builder().master("local[4]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val back = graft.sources.GeoJsonSource.readLines(s2, s"$base/job/out/features")
+    assert(back.count() == 54)
+    // every coordinate gained a positive elevation (reference addElevation
+    // post-condition for land tiles, tests/elevation/addElevation.test.js)
+    val elevs = back.collect().flatMap(graft.core.GeoJson.elevations)
+    assert(elevs.length == 5998 && elevs.forall(_ > 0.0))
+  }
+}
