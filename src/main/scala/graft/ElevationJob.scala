@@ -41,10 +41,18 @@ object ElevationJob {
 
     val t0 = System.nanoTime()
     val out = Elevation.addElevation(features, tiles)
-    GeoJsonSource.writeLines(out, s"$outDir/features")
+    // checkpointed output (north rule): enriched features commit per hash
+    // bucket with lineage manifests; a killed job rerun with the same outDir
+    // resumes at bucket granularity, then the GeoJSON-lines render reads the
+    // committed snapshot
+    table.Checkpoint.writeResumable(out.toDF(), Seq("feature_id"),
+      nBuckets = 8, s"$outDir/table", runId = s"elevjob-${t0}")
+    val committed = table.Checkpoint.read(spark, s"$outDir/table")
+      .as[graft.core.FeatureRow](Encoders.product[graft.core.FeatureRow])
+    GeoJsonSource.writeLines(committed, s"$outDir/features")
     val nFeatures = GeoJsonSource.readLines(spark, s"$outDir/features").count()
     val secs = (System.nanoTime() - t0) / 1e9
-    println(f"""{"job":"elevation","features":$nFeatures,"tiles":${tiles.count()},"sec":$secs%.3f}""")
+    println(f"""{"job":"elevation","features":$nFeatures,"tiles":${tiles.count()},"sec":$secs%.3f,"buckets":8}""")
     spark.stop()
   }
 }
