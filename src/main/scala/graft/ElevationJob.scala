@@ -39,6 +39,7 @@ object ElevationJob {
           Encoders.product[TileRow])
       else table.TileStore.readTiles(spark, tileArg)
 
+    val nTiles = tiles.count()
     val t0 = System.nanoTime()
     val out = Elevation.addElevation(features, tiles)
     // checkpointed output (north rule): enriched features commit per hash
@@ -50,9 +51,12 @@ object ElevationJob {
     val committed = table.Checkpoint.read(spark, s"$outDir/table")
       .as[graft.core.FeatureRow](Encoders.product[graft.core.FeatureRow])
     GeoJsonSource.writeLines(committed, s"$outDir/features")
-    val nFeatures = GeoJsonSource.readLines(spark, s"$outDir/features").count()
+    // counts from the manifests (free) rather than re-parsing the output
+    import org.apache.spark.sql.functions.sum
+    val nFeatures = table.Checkpoint.manifests(spark, s"$outDir/table")
+      .agg(sum("row_count")).collect()(0).getLong(0)
     val secs = (System.nanoTime() - t0) / 1e9
-    println(f"""{"job":"elevation","features":$nFeatures,"tiles":${tiles.count()},"sec":$secs%.3f,"buckets":8}""")
+    println(f"""{"job":"elevation","features":$nFeatures,"tiles":$nTiles,"sec":$secs%.3f,"buckets":8}""")
     spark.stop()
   }
 }

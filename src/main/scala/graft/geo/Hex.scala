@@ -42,12 +42,17 @@ object Hex {
   def q(cell: Long): Int = (((cell >>> 29) & Mask) - Off).toInt
   def r(cell: Long): Int = ((cell & Mask) - Off).toInt
 
-  /** Axial rounding (cube-coordinate rounding, published hex-grid algorithm). */
+  /** Axial rounding (cube-coordinate rounding, published hex-grid algorithm).
+    * floor(x+0.5), not math.round: JDK Math.round special-cases
+    * 0.49999999999999994 (returns 0 where floor(x+0.5) gives 1) and the
+    * DuckDB oracle replicates floor(x+0.5) — same parity convention as
+    * Bilinear's nearest-node snap.
+    */
   private def axialRound(qf: Double, rf: Double): (Int, Int) = {
     val sf = -qf - rf
-    var qi = math.round(qf).toInt
-    var ri = math.round(rf).toInt
-    val si = math.round(sf).toInt
+    var qi = math.floor(qf + 0.5).toInt
+    var ri = math.floor(rf + 0.5).toInt
+    val si = math.floor(sf + 0.5).toInt
     val dq = math.abs(qi - qf); val dr = math.abs(ri - rf); val ds = math.abs(si - sf)
     if (dq > dr && dq > ds) qi = -ri - si
     else if (dr > ds) ri = -qi - si

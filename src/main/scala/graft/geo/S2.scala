@@ -214,28 +214,72 @@ object S2 {
     */
   def neighbors(id: Long): Seq[Long] = gridRing(id, 1)
 
-  /** Cells at Chebyshev ij-distance exactly `k` (the ring), same level. */
+  /** Cells at Chebyshev ij-distance exactly `k` (the ring), same level.
+    * Interior fast path enumerates the ij square directly; near a face
+    * boundary the wrap clamp cannot represent offsets beyond one cell
+    * (fromFaceIJWrap collapses them onto the edge), so rings are derived
+    * from BFS disks, which cross faces one correct neighbor step at a time.
+    */
   def gridRing(id: Long, k: Int): Seq[Long] = {
     require(k >= 1, "ring k >= 1")
     val lvl = level(id)
     val (f, i, j, _) = toFaceIJOrientation(id)
     val size = 1 << (MaxLevel - lvl)
-    // snap to the cell's own leaf origin
+    val i0 = i & -size
+    val j0 = j & -size
+    if (i0 - k.toLong * size >= 0 && i0 + k.toLong * size < MaxSize &&
+        j0 - k.toLong * size >= 0 && j0 + k.toLong * size < MaxSize) {
+      val out = scala.collection.mutable.LinkedHashSet[Long]()
+      var d = -k
+      while (d <= k) {
+        out += fromFaceIJ(f, i0 + d * size, j0 - k * size, lvl)
+        out += fromFaceIJ(f, i0 + d * size, j0 + k * size, lvl)
+        out += fromFaceIJ(f, i0 - k * size, j0 + d * size, lvl)
+        out += fromFaceIJ(f, i0 + k * size, j0 + d * size, lvl)
+        d += 1
+      }
+      out.toSeq.filter(_ != id)
+    } else {
+      val inner = gridDiskSet(id, k - 1)
+      gridDiskSet(id, k).diff(inner).toSeq
+    }
+  }
+
+  private def ringOneNeighbors(id: Long): Seq[Long] = {
+    val lvl = level(id)
+    val (f, i, j, _) = toFaceIJOrientation(id)
+    val size = 1 << (MaxLevel - lvl)
     val i0 = i & -size
     val j0 = j & -size
     val out = scala.collection.mutable.LinkedHashSet[Long]()
-    var d = -k
-    while (d <= k) {
-      out += fromFaceIJWrap(f, i0 + d * size, j0 - k * size, lvl)
-      out += fromFaceIJWrap(f, i0 + d * size, j0 + k * size, lvl)
-      out += fromFaceIJWrap(f, i0 - k * size, j0 + d * size, lvl)
-      out += fromFaceIJWrap(f, i0 + k * size, j0 + d * size, lvl)
-      d += 1
+    var di = -1
+    while (di <= 1) {
+      var dj = -1
+      while (dj <= 1) {
+        if (di != 0 || dj != 0)
+          out += fromFaceIJWrap(f, i0 + di * size, j0 + dj * size, lvl)
+        dj += 1
+      }
+      di += 1
     }
     out.toSeq.filter(_ != id)
   }
 
-  /** All cells within Chebyshev ij-distance `k` (disk = cell + rings 1..k). */
+  private def gridDiskSet(id: Long, k: Int): Set[Long] = {
+    var frontier = Set(id)
+    var all = Set(id)
+    var r = 1
+    while (r <= k) {
+      frontier = frontier.flatMap(ringOneNeighbors).diff(all)
+      all = all ++ frontier
+      r += 1
+    }
+    all
+  }
+
+  /** All cells within Chebyshev ij-distance `k` (disk = cell + rings 1..k);
+    * face-boundary-correct via the same BFS the ring fallback uses.
+    */
   def gridDisk(id: Long, k: Int): Seq[Long] = {
     val out = scala.collection.mutable.LinkedHashSet[Long](id)
     var r = 1

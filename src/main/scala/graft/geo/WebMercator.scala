@@ -39,9 +39,15 @@ object WebMercator {
     math.toDegrees(math.atan(math.sinh(n)))
   }
 
-  /** All tiles at zoom z intersecting a lng/lat bbox (cell cover). */
+  /** All tiles at zoom z intersecting a lng/lat bbox (cell cover). Rejects
+    * antimeridian-crossing boxes (minLng > maxLng) explicitly — silently
+    * returning an empty cover would drop candidate tiles; callers split such
+    * boxes into two x-ranges first.
+    */
   def cover(minLng: Double, minLat: Double, maxLng: Double, maxLat: Double,
             z: Int): Seq[(Int, Int)] = {
+    require(minLng <= maxLng && minLat <= maxLat,
+      s"bbox must not cross the antimeridian / be inverted: [$minLng,$maxLng]x[$minLat,$maxLat]")
     val x0 = tileX(minLng, z); val x1 = tileX(maxLng, z)
     val y0 = tileY(maxLat, z); val y1 = tileY(minLat, z) // y grows southward
     for (x <- x0 to x1; y <- y0 to y1) yield (x, y)

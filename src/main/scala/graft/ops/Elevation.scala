@@ -77,7 +77,10 @@ object Elevation {
     val s = math.max(1, salt)
     val keyedCoords = coords.groupByKey { c =>
       val k = TileKey.of(c.lng, c.lat)
-      if (s == 1) k else s"$k#${(c.coord_idx % s).toInt}"
+      // salt lane from a per-row hash: coord_idx alone degenerates to one
+      // lane for point-style inputs where every row has coord_idx 0
+      if (s == 1) k
+      else s"$k#${math.floorMod(c.feature_id.hashCode * 31 + c.coord_idx.toInt, s)}"
     }
     val keyedTiles = tiles.flatMap { t =>
       if (s == 1) Iterator.single((t.image_id, t))

@@ -227,7 +227,7 @@ object SpatialJoin {
     var acc: DataFrame = null
     val doneParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var ring = 0
-    while (ring <= maxRings && !pending.isEmpty) {
+    while (ring <= maxRings && totalTargets > 0 && !pending.isEmpty) {
       // candidate cells of this ring for every pending probe
       val r0 = ring
       val cand = pending.flatMap { case (pid, plng, plat) =>
@@ -265,10 +265,18 @@ object SpatialJoin {
       acc = acc.join(doneIds, Seq("probe_id"), "left_anti")
       ring += 1
     }
-    // any probe still pending after maxRings: emit its best-k from what it saw
-    if (!pending.isEmpty && acc != null) {
+    // probes still unsettled after maxRings (rings exhausted without the
+    // bound closing — sparse/far targets) get an EXACT brute-force pass so
+    // the "k nearest per probe" contract holds unconditionally; ring pruning
+    // has already drained the bulk, so this set is small
+    if (totalTargets > 0 && !pending.isEmpty) {
+      val pendDf = pending.toDF("probe_id", "plng", "plat")
+      val pairs = pendDf.crossJoin(tgt)
+        .select(col("probe_id"), col("target_id"),
+          ((col("tlng") - col("plng")) * (col("tlng") - col("plng")) +
+           (col("tlat") - col("plat")) * (col("tlat") - col("plat"))).as("dist2"))
       val w = Window.partitionBy(col("probe_id")).orderBy(col("dist2"), col("target_id"))
-      doneParts += acc.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      doneParts += pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
         .select(col("probe_id"), col("target_id"), col("rank"), col("dist2"))
         .localCheckpoint(true)
     }

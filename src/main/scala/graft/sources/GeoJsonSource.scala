@@ -32,9 +32,12 @@ object GeoJsonSource {
       .select(input_file_name().as("f"), org.apache.spark.sql.functions.col("value"))
       .as[(String, String)]
       .flatMap { case (f, doc) =>
+        // basename alone collides across directories (a/x.json vs b/x.json);
+        // a short full-path hash keeps ids both unique and readable
         val base = f.substring(f.lastIndexOf('/') + 1)
+        val h = java.lang.Integer.toHexString(f.hashCode)
         GeoJson.featureRows(GeoJson.parse(doc))
-          .map(r => FeatureRow(s"$base#${r.feature_id}", r.feature_json))
+          .map(r => FeatureRow(s"$base-$h#${r.feature_id}", r.feature_json))
       }
   }
 

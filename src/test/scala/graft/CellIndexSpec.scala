@@ -94,6 +94,21 @@ class CellIndexSpec extends AnyFunSuite {
       assert(S2.gridDisk(c, k).size == (2 * k + 1) * (2 * k + 1))
   }
 
+  test("S2 rings k>=2 across a face boundary are complete (BFS fallback)") {
+    val c = S2.latLngToCell(44.9999, 10.0, 10)
+    val d1 = S2.gridDisk(c, 1).toSet
+    val r2 = S2.gridRing(c, 2)
+    assert(r2.toSet.intersect(d1).isEmpty, "ring 2 must not contain disk-1 cells")
+    assert(r2.distinct.size == r2.size)
+    // a full ring 2 has ~16 cells; the old clamp collapsed most of them
+    assert(r2.size >= 14, s"ring 2 too small near the face edge: ${r2.size}")
+    assert(r2.exists(n => (n >>> 61) == 1L), "must include face-1 cells")
+    // interior equivalence: BFS and direct enumeration agree away from edges
+    val ci = S2.latLngToCell(8.0, 8.0, 12)
+    for (k <- 1 to 3)
+      assert(S2.gridRing(ci, k).toSet.size == 8 * k)
+  }
+
   test("S2 cross-face neighbors exist and are valid") {
     // cell right at the face-0/face-1 boundary (lng=45)
     val c = S2.latLngToCell(44.9999, 10.0, 10)

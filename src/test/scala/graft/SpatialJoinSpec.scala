@@ -97,6 +97,35 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("knn emits exact results for probes whose rings never reach targets") {
+    import spark.implicits._
+    // targets ~10 degrees away: ring expansion at res 6 cannot reach them
+    // within maxRings, so the brute-force fallback must deliver exact kNN
+    val probes = Seq((1L, -119.5, 36.5), (2L, -119.2, 36.8))
+    val targets = Seq((10L, -110.0, 30.0), (11L, -110.5, 30.5), (12L, -109.5, 29.5))
+    val got = SpatialJoin.knn(probes.toDF("probe_id", "lng", "lat"),
+        targets.toDF("target_id", "lng", "lat"), k = 2, res = 6, maxRings = 3)
+      .select("probe_id", "target_id", "rank").as[(Long, Long, Int)]
+      .collect().toSet
+    val expected = probes.flatMap { case (pid, plng, plat) =>
+      targets.map { case (tid, tlng, tlat) =>
+        (tid, (tlng - plng) * (tlng - plng) + (tlat - plat) * (tlat - plat))
+      }.sortBy { case (tid, d2) => (d2, tid) }.take(2).zipWithIndex.map {
+        case ((tid, _), r) => (pid, tid, r + 1)
+      }
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("knn with zero targets returns empty without ring churn") {
+    import spark.implicits._
+    val got = SpatialJoin.knn(
+      Seq((1L, -119.5, 36.5)).toDF("probe_id", "lng", "lat"),
+      Seq.empty[(Long, Double, Double)].toDF("target_id", "lng", "lat"),
+      k = 3, res = 6)
+    assert(got.count() == 0)
+  }
+
   test("knn handles fewer targets than k (emits all, ranked)") {
     import spark.implicits._
     val probes = Seq((1L, -119.5, 36.5))
