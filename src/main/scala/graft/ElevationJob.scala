@@ -51,10 +51,11 @@ object ElevationJob {
     val committed = table.Checkpoint.read(spark, s"$outDir/table")
       .as[graft.core.FeatureRow](Encoders.product[graft.core.FeatureRow])
     GeoJsonSource.writeLines(committed, s"$outDir/features")
-    // counts from the manifests (free) rather than re-parsing the output
-    import org.apache.spark.sql.functions.sum
+    // counts from the manifests (free) rather than re-parsing the output;
+    // coalesce: an empty input commits zero manifests and sum() is NULL
+    import org.apache.spark.sql.functions.{coalesce, lit, sum}
     val nFeatures = table.Checkpoint.manifests(spark, s"$outDir/table")
-      .agg(sum("row_count")).collect()(0).getLong(0)
+      .agg(coalesce(sum("row_count"), lit(0L))).collect()(0).getLong(0)
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"""{"job":"elevation","features":$nFeatures,"tiles":$nTiles,"sec":$secs%.3f,"buckets":8}""")
     spark.stop()

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.graftshim.GraftColumns
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -17,7 +17,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * to the published S2 algorithm).
   */
 case class S2CellExpr(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression {
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType, IntegerType)
   override def dataType: DataType = LongType
   override def prettyName: String = "s2_cell"
   override def nullSafeEval(lng: Any, lat: Any, level: Any): Any =
@@ -31,7 +32,8 @@ case class S2CellExpr(first: Expression, second: Expression, third: Expression)
 }
 
 /** `s2_token(id)` — canonical compact hex token of an S2 cell id. */
-case class S2TokenExpr(child: Expression) extends UnaryExpression {
+case class S2TokenExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
   override def dataType: DataType = StringType
   override def prettyName: String = "s2_token"
   override def nullSafeEval(id: Any): Any =
@@ -46,7 +48,8 @@ case class S2TokenExpr(child: Expression) extends UnaryExpression {
   * H3 API semantics; see Hex scaladoc for the bit-compatibility caveat).
   */
 case class HexCellExpr(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression {
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType, IntegerType)
   override def dataType: DataType = LongType
   override def prettyName: String = "hex_cell"
   override def nullSafeEval(lng: Any, lat: Any, res: Any): Any =

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.GraftColumns
 import org.apache.spark.sql.types._
@@ -20,7 +20,9 @@ object ExprHelpers {
 /** `terrarium_rgb(elev)` → array<int> [r, g, b] — the reference's Terrarium
   * DEM byte encoding (F6, src/elevation/getTerrariumDemElevation.ts:10-20).
   */
-case class TerrariumRgbExpr(child: Expression) extends UnaryExpression {
+case class TerrariumRgbExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "terrarium_rgb"
   override def nullSafeEval(e: Any): Any =
@@ -31,7 +33,9 @@ case class TerrariumRgbExpr(child: Expression) extends UnaryExpression {
 }
 
 /** `zxy_x(lng, z)` — Web-Mercator slippy tile column. */
-case class TileXExpr(left: Expression, right: Expression) extends BinaryExpression {
+case class TileXExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, IntegerType)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "zxy_x"
   override def nullSafeEval(lng: Any, z: Any): Any =
@@ -43,7 +47,9 @@ case class TileXExpr(left: Expression, right: Expression) extends BinaryExpressi
 }
 
 /** `zxy_y(lat, z)` — Web-Mercator slippy tile row. */
-case class TileYExpr(left: Expression, right: Expression) extends BinaryExpression {
+case class TileYExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, IntegerType)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "zxy_y"
   override def nullSafeEval(lat: Any, z: Any): Any =

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, QuaternaryExpression}
 import org.apache.spark.sql.graftshim.GraftColumns
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -17,7 +17,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * reference src/elevation/getElevationTileKey.ts:3-10 with floored degrees).
   */
 case class TileKeyExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
   override def dataType: DataType = StringType
   override def prettyName: String = "tile_key"
   override def nullSafeEval(lng: Any, lat: Any): Any =
@@ -38,7 +39,9 @@ case class TileKeyExpr(left: Expression, right: Expression)
   */
 case class BilinearHgtExpr(first: Expression, second: Expression,
                            third: Expression, fourth: Expression)
-    extends QuaternaryExpression {
+    extends QuaternaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(BinaryType, IntegerType, DoubleType, DoubleType)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "bilinear_hgt"
   override def nullSafeEval(bytes: Any, size: Any, lng: Any, lat: Any): Any =
@@ -57,7 +60,9 @@ case class BilinearHgtExpr(first: Expression, second: Expression,
   */
 case class NearestHgtExpr(first: Expression, second: Expression,
                           third: Expression, fourth: Expression)
-    extends QuaternaryExpression {
+    extends QuaternaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(BinaryType, IntegerType, DoubleType, DoubleType)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "nearest_hgt"
   override def nullSafeEval(bytes: Any, size: Any, lng: Any, lat: Any): Any = {

@@ -303,13 +303,19 @@ object S2 {
     * candidate-join purposes (the refinement predicate downstream makes
     * over-cover harmless; exact covers would need the full S2RegionCoverer).
     *
-    * Fast path (bbox inside one face, away from the poles): the uv extremes
-    * of a face-interior lat/lng box are attained at its corners (u, v are
-    * each monotone along every box edge), so the leaf-ij rectangle of the
-    * corners — padded one cell — covers the box; enumerate it directly at
-    * O(#cells). Fallback: half-min-edge sampling + ring-1 union at
-    * O(#cells × ~36) for boxes spanning faces or near the poles.
+    * Fast path (bbox inside one EQUATORIAL face, spanning at most a few
+    * cells): the corner leaf-ij rectangle padded one cell covers the box;
+    * enumerate it directly at O(#cells). The pad is what makes this sound —
+    * u/v are NOT attained exactly at the corners (v of an equatorial face
+    * sags ∝ tan(lat)·Δlng²/8 mid-edge; on the polar faces u/v are outright
+    * non-monotone in lng), so the fast path is restricted to boxes ≤
+    * `FastPathMaxCells` cells per axis, where the mid-edge deviation is
+    * provably under one cell. Polar-face, multi-face, or wider boxes go to
+    * the sampled cover (half-min-edge sampling + ring-1 union, O(#cells ×
+    * ~36)) which is deviation-free by construction.
     */
+  private val FastPathMaxCells = 8
+
   def coverBBox(lngMin: Double, latMin: Double, lngMax: Double, latMax: Double,
                 lvl: Int): Seq[Long] = {
     val corners = Seq((lngMin, latMin), (lngMin, latMax), (lngMax, latMin), (lngMax, latMax))
@@ -320,9 +326,15 @@ object S2 {
         (f, stToIj(uvToSt(u)), stToIj(uvToSt(v)))
       }
     val sameFace = corners.map(_._1).distinct.size == 1
-    if (sameFace && math.max(math.abs(latMin), math.abs(latMax)) < 80.0) {
+    val equatorialFace = corners.head._1 != 2 && corners.head._1 != 5
+    val size = 1 << (MaxLevel - lvl)
+    val small = sameFace && {
+      val di = corners.map(_._2).max - corners.map(_._2).min
+      val dj = corners.map(_._3).max - corners.map(_._3).min
+      math.max(di, dj).toLong <= FastPathMaxCells.toLong * size
+    }
+    if (sameFace && equatorialFace && small) {
       val f = corners.head._1
-      val size = 1 << (MaxLevel - lvl)
       val iMin = (corners.map(_._2).min & -size) - size
       val iMax = (corners.map(_._2).max & -size) + size
       val jMin = (corners.map(_._3).min & -size) - size

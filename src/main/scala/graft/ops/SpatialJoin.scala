@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.geo.{Hex, RayCast, S2}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, QuaternaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.GraftColumns
 import org.apache.spark.sql.expressions.Window
@@ -15,7 +15,9 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 case class RayCastExpr(first: Expression, second: Expression,
                        third: Expression, fourth: Expression)
-    extends QuaternaryExpression {
+    extends QuaternaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType,
+    ArrayType(DoubleType, containsNull = false), ArrayType(DoubleType, containsNull = false))
   override def dataType: DataType = BooleanType
   override def prettyName: String = "ray_cast"
   override def nullSafeEval(px: Any, py: Any, xs: Any, ys: Any): Any =
@@ -123,9 +125,13 @@ object SpatialJoin {
       .filter(col("count") > hotThreshold).select("cell")
       .as[Long].collect().toSet
     val hotB = spark.sparkContext.broadcast(hot)
-    val isHot = udf((c: Long) => hotB.value.contains(c))
+    // codegen'd membership: isin over the driver-side hot set becomes
+    // Catalyst In/InSet (hash-set probe inside whole-stage codegen) — a
+    // Scala UDF here would break codegen on the probe-side projection
+    val isHotProbe =
+      if (hot.isEmpty) lit(false) else col("cell").isin(hot.toSeq: _*)
     val probe = probe0.withColumn("salt",
-      when(isHot(col("cell")), pmod(col("point_id").cast(LongType), lit(salt)))
+      when(isHotProbe, pmod(col("point_id").cast(LongType), lit(salt)))
         .otherwise(lit(0L)))
     val polyCells = polys
       .select(col("poly_id"), col("xs"), col("ys"))
@@ -161,11 +167,13 @@ object SpatialJoin {
       .filter(col("count") > hotThreshold).select("cell")
       .as[Long].collect().toSet
     val hotB = spark.sparkContext.broadcast(hot)
-    val isHot = udf((c: Long) => hotB.value.contains(c))
+    val isHotProbe =
+      if (hot.isEmpty) lit(false) else col("cell").isin(hot.toSeq: _*)
     // point side: hot cells re-key at the fine level (cheap: one more
-    // latLngToCell), cold cells keep the coarse key
+    // latLngToCell; isin keeps the projection codegen'd), cold cells keep
+    // the coarse key
     val probe = probe0.withColumn("jcell",
-      when(isHot(col("cell")),
+      when(isHotProbe,
         graft.functions.cells.s2_cell(col("lng"), col("lat"), lit(fine)))
         .otherwise(col("cell")))
       .drop("cell")
@@ -199,9 +207,20 @@ object SpatialJoin {
 
   /** kNN join: for each probe, the k nearest targets by planar squared
     * degree distance (ties by target_id). Cell-ring expansion over the hex
-    * index: ring r candidates join on hex cell; a probe stops expanding when
-    * it holds >= k neighbors whose kth distance is below the lower bound of
-    * the next unexplored ring (distance-bounded pruning, north rule J3).
+    * index in GEOMETRIC ring batches (0 | 1–2 | 3–6 | 7–maxRings): candidate
+    * cells of a whole batch join on hex cell at once, so the driver loop is
+    * ≤ 4 rounds instead of one per ring — at 10^9 probes the per-round
+    * driver barrier and job-scheduling overhead dominates single-ring
+    * expansion. A probe stops expanding when it holds >= k neighbors whose
+    * kth distance is below the lower bound of the first unexplored ring
+    * (distance-bounded pruning, north rule J3).
+    *
+    * Incremental ranking: only the running top-k per pending probe (`best`,
+    * <= k rows/probe) carries across rounds — never the full accumulated
+    * candidate set — so each round's window re-rank is O(batch candidates +
+    * k·pending), not O(all candidates ever seen). Dropping a candidate that
+    * ranked > k is exact: the candidate set only grows, so nothing outside
+    * the running top-k can re-enter it.
     *
     * @param probes  (probe_id, lng, lat)
     * @param targets (target_id, lng, lat)
@@ -221,57 +240,65 @@ object SpatialJoin {
     var pending = probes
       .select(col("probe_id").cast(LongType), col("lng").cast(DoubleType),
         col("lat").cast(DoubleType)).as[(Long, Double, Double)]
-    // accumulated candidate pairs for still-pending probes; localCheckpoint
-    // each round cuts the compounding union/anti-join lineage (the loop is
-    // driver-side but every step is a distributed job)
-    var acc: DataFrame = null
+    var best: DataFrame = null // running top-k of still-pending probes
+    var seen: DataFrame = null // (probe_id, cnt) candidates examined so far
     val doneParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    var ring = 0
-    while (ring <= maxRings && totalTargets > 0 && !pending.isEmpty) {
-      // candidate cells of this ring for every pending probe
-      val r0 = ring
+    val batches = Seq((0, 0), (1, 2), (3, 6), (7, maxRings))
+      .filter(_._1 <= maxRings)
+      .map { case (lo, hi) => (lo, math.min(hi, maxRings)) }
+    val it = batches.iterator
+    while (it.hasNext && totalTargets > 0 && !pending.isEmpty) {
+      val (lo, hi) = it.next()
+      // candidate cells of rings lo..hi for every pending probe (rings are
+      // disjoint across batches, so every (probe, target) pair appears once)
       val cand = pending.flatMap { case (pid, plng, plat) =>
         val c = Hex.latLngToCell(plng, plat, res)
-        val cells = if (r0 == 0) Seq(c) else Hex.gridRing(c, r0)
+        val cells =
+          if (lo == 0) Hex.gridDisk(c, hi)
+          else (lo to hi).flatMap(r => Hex.gridRing(c, r))
         cells.map(cc => (pid, plng, plat, cc))
       }.toDF("probe_id", "plng", "plat", "tcell")
       val pairs = cand.join(tgt, Seq("tcell"))
         .select(col("probe_id"), col("plng"), col("plat"), col("target_id"),
           ((col("tlng") - col("plng")) * (col("tlng") - col("plng")) +
            (col("tlat") - col("plat")) * (col("tlat") - col("plat"))).as("dist2"))
-      acc = (if (acc == null) pairs else acc.unionAll(pairs)).localCheckpoint(true)
-
+      // re-rank running top-k ∪ this batch's candidates; localCheckpoint cuts
+      // the compounding lineage (the loop is driver-side but every step is a
+      // distributed job)
+      val all = if (best == null) pairs else best.unionAll(pairs)
       val w = Window.partitionBy(col("probe_id")).orderBy(col("dist2"), col("target_id"))
-      val ranked = acc.withColumn("rk", row_number().over(w))
+      val ranked = all.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k).localCheckpoint(true)
+      val newCounts = pairs.groupBy("probe_id").agg(count(lit(1)).as("cnt"))
+      seen = (if (seen == null) newCounts.localCheckpoint(true)
+              else seen.unionAll(newCounts).groupBy("probe_id")
+                .agg(sum("cnt").as("cnt")).localCheckpoint(true))
       // a probe is settled when (a) its kth candidate beats the lower bound
-      // of everything in ring `ring`+1 and beyond, or (b) it has already
-      // seen every target
-      val bound = Hex.ringLowerBoundDegrees(res, ring + 1)
-      val b2 = bound * bound
+      // of every ring past `hi`, or (b) it has already seen every target.
       // strict <: at dist2 == b2 an unexplored equal-distance target with a
       // smaller id could still outrank the kth under the (dist2, id) order
+      val bound = Hex.ringLowerBoundDegrees(res, hi + 1)
+      val b2 = bound * bound
       val kthDone = ranked.filter(col("rk") === k && col("dist2") < lit(b2))
         .select("probe_id")
-      val exhausted = acc.groupBy("probe_id").count()
-        .filter(col("count") >= totalTargets).select("probe_id")
+      val exhausted = seen.filter(col("cnt") >= totalTargets).select("probe_id")
       val doneIds = kthDone.unionAll(exhausted).distinct().localCheckpoint(true)
-      doneParts += ranked.filter(col("rk") <= k)
-        .join(doneIds, Seq("probe_id"))
+      doneParts += ranked.join(doneIds, Seq("probe_id"))
         .select(col("probe_id"), col("target_id"), col("rk").as("rank"), col("dist2"))
-        .localCheckpoint(true)
       pending = pending.toDF("probe_id", "lng", "lat")
         .join(doneIds, Seq("probe_id"), "left_anti").as[(Long, Double, Double)]
         .localCheckpoint(true)
-      acc = acc.join(doneIds, Seq("probe_id"), "left_anti")
-      ring += 1
+      best = ranked.join(doneIds, Seq("probe_id"), "left_anti").drop("rk")
     }
     // probes still unsettled after maxRings (rings exhausted without the
     // bound closing — sparse/far targets) get an EXACT brute-force pass so
     // the "k nearest per probe" contract holds unconditionally; ring pruning
-    // has already drained the bulk, so this set is small
+    // has already drained the bulk, so the pending side is small —
+    // broadcast it so this is a broadcast nested-loop join over the
+    // (unbounded) target table, never a partitioned cartesian
     if (totalTargets > 0 && !pending.isEmpty) {
       val pendDf = pending.toDF("probe_id", "plng", "plat")
-      val pairs = pendDf.crossJoin(tgt)
+      val pairs = broadcast(pendDf).crossJoin(tgt)
         .select(col("probe_id"), col("target_id"),
           ((col("tlng") - col("plng")) * (col("tlng") - col("plng")) +
            (col("tlat") - col("plat")) * (col("tlat") - col("plat"))).as("dist2"))

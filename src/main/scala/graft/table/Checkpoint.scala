@@ -1,6 +1,8 @@
 package graft.table
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** One committed bucket of a resumable write: the lineage + row-count metrics
@@ -19,39 +21,63 @@ final case class BucketManifest(run_id: String, bucket: Int, row_count: Long,
   * an immutable data layout `data/bucket=N/` and a commit log `manifest/`
   * whose rows are written only after their data is durable).
   *
-  * Protocol per bucket: (1) overwrite `data/bucket=N` (idempotent), (2) append
-  * one manifest row. A crash between (1) and (2) leaves an uncommitted bucket
-  * that resume simply rewrites — exactly-once content, at-least-once effort.
-  * Resume = anti-join of all buckets against committed manifest rows
-  * (SURVEY.md §2.5's "completed-partitions anti-join").
+  * Protocol: (1) ONE dynamic-partition-overwrite job rewrites the data
+  * directories of every pending bucket (idempotent — committed buckets are
+  * filtered out and their directories untouched), (2) per-bucket stats are
+  * derived from the durably written files in one scan, (3) manifest rows are
+  * appended bucket-group by bucket-group. A crash anywhere before a bucket's
+  * manifest append leaves that bucket uncommitted; resume simply rewrites it
+  * — exactly-once content, at-least-once effort. Resume = anti-join of all
+  * buckets against committed manifest rows (SURVEY.md §2.5's
+  * "completed-partitions anti-join").
   *
   * Scale notes (100 TB): buckets are hash buckets over the key column, so
-  * bucket count — not input size — bounds the commit-log size; each bucket is
-  * one Spark job over a persisted bucketed intermediate (size buckets to
-  * ~executor-sum memory, e.g. 1024 buckets for 100 TB ⇒ ~100 GB per commit
-  * unit). `bucketsPerJob` batches several buckets into one job to trade
-  * commit granularity against job-scheduling overhead.
+  * bucket count — not input size — bounds the commit-log size. The input is
+  * traversed a CONSTANT number of times regardless of bucket count (one
+  * write pass + one written-files stats pass): at 1,024 buckets over 100 TB
+  * this stays two scans, where a per-bucket job loop would re-scan the input
+  * ~1,000 times. `bucketsPerJob` only batches manifest appends (commit
+  * granularity vs commit-log write count).
+  *
+  * All filesystem metadata access goes through Hadoop `FileSystem`, so the
+  * layout works on any Spark-supported filesystem (HDFS/S3/local), not just
+  * the local disk.
   */
 object Checkpoint {
 
   private val ManifestSchema = "run_id string, bucket int, row_count bigint, " +
     "checksum bigint, wall_ms bigint, committed_at bigint"
 
-  def manifests(spark: SparkSession, dir: String): DataFrame = {
-    val path = new java.io.File(s"$dir/manifest")
-    if (!path.exists() || path.listFiles() == null ||
-        !path.listFiles().exists(_.getName.endsWith(".parquet")))
+  private def hadoopConf(spark: Option[SparkSession]) =
+    spark.map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def fsOf(dir: String, spark: Option[SparkSession]): (org.apache.hadoop.fs.FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(hadoopConf(spark)), p)
+  }
+
+  /** True iff `dir` exists and holds at least one .parquet file (directly). */
+  private def hasParquet(dir: String, spark: SparkSession): Boolean = {
+    val (fs, p) = fsOf(dir, Some(spark))
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  def manifests(spark: SparkSession, dir: String): DataFrame =
+    if (!hasParquet(s"$dir/manifest", spark))
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType.fromDDL(ManifestSchema))
     else spark.read.schema(ManifestSchema).parquet(s"$dir/manifest")
-  }
 
   def committedBuckets(spark: SparkSession, dir: String): Set[Int] = {
     import spark.implicits._
     manifests(spark, dir).select("bucket").as[Int].collect().toSet
   }
 
-  /** Deliberate mid-run crash for resume tests. */
+  /** Deliberate mid-run crash for resume tests (fires between the data write
+    * and the given bucket ordinal's manifest commit — the real crash window
+    * of the protocol).
+    */
   final class InjectedFailure(bucket: Int)
       extends RuntimeException(s"injected failure before bucket $bucket commit")
 
@@ -59,8 +85,11 @@ object Checkpoint {
     * committing a manifest row per bucket and skipping buckets already
     * committed by a previous (possibly killed) run.
     *
-    * @param failBeforeBucket if >= 0, throw before committing the given
-    *                         ordinal (test hook for kill/resume)
+    * @param failBeforeBucket if >= 0, throw before committing the manifest of
+    *                         the given ordinal (test hook for kill/resume) —
+    *                         the data of ALL pending buckets is already
+    *                         durable at that point, exactly like a real crash
+    *                         between write and commit
     * @return manifest rows committed by THIS run
     */
   def writeResumable(df: DataFrame, keyCols: Seq[String], nBuckets: Int,
@@ -72,51 +101,65 @@ object Checkpoint {
     val pendingBuckets = (0 until nBuckets).filterNot(done)
     if (pendingBuckets.isEmpty) return Seq.empty
 
-    val bucketed = df
-      .withColumn("__bucket",
-        pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets)).cast("int"))
-      .persist()
-    try {
-      val out = Seq.newBuilder[BucketManifest]
-      var ordinal = 0
-      pendingBuckets.grouped(math.max(1, bucketsPerJob)).foreach { group =>
-        if (failBeforeBucket >= 0 && ordinal >= failBeforeBucket)
-          throw new InjectedFailure(ordinal)
-        val t0 = System.nanoTime()
-        val slice = bucketed.filter(col("__bucket").isin(group: _*))
-        // dynamic partition overwrite: only the touched bucket directories
-        // are replaced — idempotent per bucket regardless of grouping
-        slice.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__bucket")
+    val t0 = System.nanoTime()
+    val bucketed = df.withColumn("__bucket",
+      pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets)).cast("int"))
+    // ONE job for every pending bucket: dynamic partition overwrite replaces
+    // exactly the touched bucket directories. Input is scanned once however
+    // many buckets are pending (the per-bucket-loop alternative re-scans the
+    // full input once per bucket group — a scale-killer at high bucket
+    // counts).
+    bucketed.filter(col("__bucket").isin(pendingBuckets: _*))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__bucket")
+      .parquet(s"$dir/data")
+
+    // stats from the durably written files (validates what is on disk, not
+    // what the upstream plan produced): row count + an order-insensitive
+    // checksum (sum of masked xxhash64 — mask keeps the ANSI-mode sum far
+    // from Long overflow). Explicit schema: with zero rows written (empty
+    // pending buckets on tiny inputs) there are no files to infer from.
+    val (fs, dataPath) = fsOf(s"$dir/data", Some(spark))
+    val stats: Map[Int, (Long, Long)] =
+      if (!fs.exists(dataPath)) Map.empty
+      else {
+        val written = spark.read
+          .schema(org.apache.spark.sql.types.StructType(
+            df.schema.fields :+
+              org.apache.spark.sql.types.StructField("__bucket", IntegerType)))
           .parquet(s"$dir/data")
-        // stats from the durably written files (validates what is on disk,
-        // not what the upstream plan produced): row count + an
-        // order-insensitive checksum (sum of masked xxhash64 — mask keeps the
-        // ANSI-mode sum far from Long overflow)
-        val written = spark.read.parquet(s"$dir/data")
-          .where(col("__bucket").isin(group: _*))
+          .where(col("__bucket").isin(pendingBuckets: _*))
         val dataCols = written.columns.filterNot(_ == "__bucket").sorted
-        val stats = written.groupBy("__bucket")
+        written.groupBy("__bucket")
           .agg(count(lit(1)).as("n"),
             coalesce(sum(xxhash64(struct(dataCols.map(col): _*))
               .bitwiseAND(lit(0xFFFFFFFFL))), lit(0L)).as("c"))
           .as[(Int, Long, Long)].collect()
           .map { case (b, n, c) => b -> ((n, c)) }.toMap
-        val wallMs = (System.nanoTime() - t0) / 1000000
-        val rows: Seq[BucketManifest] = group.map { b =>
-          val (n, c) = stats.getOrElse(b, (0L, 0L))
-          BucketManifest(runId, b, n, c, wallMs, System.currentTimeMillis())
-        }
-        // durable commit: manifest rows appended only after the data write
-        spark.createDataset(rows)(org.apache.spark.sql.Encoders.product[BucketManifest])
-          .toDF().coalesce(1)
-          .write.mode("append").parquet(s"$dir/manifest")
-        out ++= rows
-        ordinal += group.size
       }
-      out.result()
-    } finally bucketed.unpersist()
+    // write + stats effort amortized over the buckets it covered
+    val wallMs = ((System.nanoTime() - t0) / 1000000) / pendingBuckets.size
+
+    // durable commits: manifest rows appended only after the data write,
+    // bucket-group by bucket-group (bucketsPerJob trades commit granularity
+    // against commit-log write count)
+    val out = Seq.newBuilder[BucketManifest]
+    var ordinal = 0
+    pendingBuckets.grouped(math.max(1, bucketsPerJob)).foreach { group =>
+      if (failBeforeBucket >= 0 && ordinal >= failBeforeBucket)
+        throw new InjectedFailure(ordinal)
+      val rows: Seq[BucketManifest] = group.map { b =>
+        val (n, c) = stats.getOrElse(b, (0L, 0L))
+        BucketManifest(runId, b, n, c, wallMs, System.currentTimeMillis())
+      }
+      spark.createDataset(rows)(org.apache.spark.sql.Encoders.product[BucketManifest])
+        .toDF().coalesce(1)
+        .write.mode("append").parquet(s"$dir/manifest")
+      out ++= rows
+      ordinal += group.size
+    }
+    out.result()
   }
 
   /** Read the committed table back. Snapshot-consistent: only buckets with a
@@ -128,7 +171,8 @@ object Checkpoint {
     val committed = committedBuckets(spark, dir).toSeq
     // a run killed before ANY commit leaves no data/ at all — the snapshot
     // contract says "empty", not AnalysisException
-    if (committed.isEmpty || !new java.io.File(s"$dir/data").exists())
+    val (fs, dataPath) = fsOf(s"$dir/data", Some(spark))
+    if (committed.isEmpty || !fs.exists(dataPath))
       return spark.emptyDataFrame
     spark.read.parquet(s"$dir/data")
       .where(col("__bucket").isin(committed: _*))
@@ -136,9 +180,7 @@ object Checkpoint {
   }
 
   def clear(dir: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(): Unit
-    }
-    rm(new java.io.File(dir))
+    val (fs, p) = fsOf(dir, SparkSession.getActiveSession)
+    if (fs.exists(p)) fs.delete(p, true): Unit
   }
 }

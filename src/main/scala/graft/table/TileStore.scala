@@ -53,8 +53,17 @@ object TileStore {
     * scales use smaller squares with resolution=0), derive the caption and
     * the decoded-grid phash. This is the migration path for a reference
     * deployment: point the engine at the existing HGT archive.
+    *
+    * @param strict reference-parity P3 enforcement: ONLY the two canonical
+    *               payload sizes (25,934,402 B = 3601² and 2,884,802 B =
+    *               1201², src/elevation/getResolutionAndSize.ts:17-26) are
+    *               accepted; anything else fails the job with
+    *               `UNSUPPORTED_SIZE`, exactly like the reference throws.
+    *               Default lenient mode additionally allows any square int16
+    *               grid (synthetic test scales, resolution=0).
     */
-  def ingestHgt(spark: SparkSession, hgtDir: String, storeDir: String): Long = {
+  def ingestHgt(spark: SparkSession, hgtDir: String, storeDir: String,
+                strict: Boolean = false): Long = {
     import graft.core.{TileCaption, TileCodec}
     implicit val enc = Encoders.product[TileRow]
     val tiles = spark.read.format("binaryFile").load(s"$hgtDir/*.hgt")
@@ -65,6 +74,9 @@ object TileStore {
         val size = math.sqrt(bytes.length / 2.0).toInt
         require(size.toLong * size * 2 == bytes.length,
           s"UNSUPPORTED_SIZE: ${bytes.length} bytes in $key (not a square int16 grid)")
+        require(!strict || size == 3601 || size == 1201,
+          s"UNSUPPORTED_SIZE: ${bytes.length} bytes in $key " +
+            "(strict mode accepts only 3601x3601 or 1201x1201)")
         val (swLng, swLat) = TileKey.toDegrees(key)
         val resolution = size match { case 3601 => 1; case 1201 => 3; case _ => 0 }
         val z = 9

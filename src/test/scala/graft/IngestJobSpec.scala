@@ -61,6 +61,25 @@ class IngestJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       Option(e.getCause).exists(_.getMessage.contains("UNSUPPORTED_SIZE")))
   }
 
+  test("strict mode rejects square-but-noncanonical sizes (reference P3 parity)") {
+    graft.table.Checkpoint.clear(s"$base/strict")
+    val d = new java.io.File(s"$base/strict/hgt"); d.mkdirs()
+    // a 121x121 square grid: legal in lenient mode, UNSUPPORTED_SIZE in
+    // strict mode (the reference accepts only 3601^2 / 1201^2,
+    // src/elevation/getResolutionAndSize.ts:17-26)
+    val bytes = graft.raster.Hgt.encode(TileGen.grid(-119, 36, 121), 121)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/strict/hgt/N36W119.hgt"), bytes)
+    val e = intercept[org.apache.spark.SparkException] {
+      TileStore.ingestHgt(spark, s"$base/strict/hgt", s"$base/strict/store",
+        strict = true)
+    }
+    assert(e.getMessage.contains("UNSUPPORTED_SIZE") ||
+      Option(e.getCause).exists(_.getMessage.contains("UNSUPPORTED_SIZE")))
+    // same file ingests fine in lenient mode
+    assert(TileStore.ingestHgt(spark, s"$base/strict/hgt", s"$base/strict/store2") == 1)
+  }
+
   test("ElevationJob end to end: JMT file in, GeoJSON-lines out, elevations > 0") {
     graft.table.Checkpoint.clear(s"$base/job")
     new java.io.File(s"$base/job").mkdirs()
