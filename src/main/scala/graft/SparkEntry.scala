@@ -443,11 +443,13 @@ object SparkEntry {
     "ann_ivf_assign" -> ((s, dir) => {
       ops.Embeddings.ivfAssign(t(s, dir, "embeddings"), 8).orderBy("vec_id")
     }),
-    // Per-row lossy-format fidelity (input_hint: decoded pixels allclose,
-    // PSNR >= 40 dB for lossy): decode each payload, compare against the
-    // closed-form grid it encodes. hgt/png must be exact; jpg must clear
-    // 40 dB. The engine computes the PSNR for real (javax.imageio decode);
-    // the oracle pins the pass/fail verdicts.
+    // Per-row format fidelity (input_hint: decoded pixels allclose, PSNR
+    // >= 40 dB for lossy): decode each payload (real javax.imageio for png),
+    // compare against the closed-form grid it encodes. The DECODED pixel sum
+    // is emitted alongside the verdicts so the oracle anchors the actual
+    // decode arithmetic, not just pinned booleans — a broken decoder cannot
+    // match the closed-form sum. (jpg's 40 dB PSNR gate is exercised in
+    // CoreSpec — a lossy decode is not oracle-recomputable in SQL.)
     "img_fidelity" -> ((s, dir) => {
       import s.implicits._
       implicit val enc = Encoders.product[graft.core.TileRow]
@@ -455,11 +457,22 @@ object SparkEntry {
       tiles.map { t =>
         val d = graft.core.TileCodec.decode(t)
         val truth = graft.synth.TileGen.grid(d.swLng, d.swLat, d.size)
+        var pxSum = 0L
+        var i = 0
+        while (i < d.samples.length) { pxSum += d.samples(i); i += 1 }
         val exact = java.util.Arrays.equals(d.samples, truth)
         val psnr = graft.raster.Fidelity.gridPsnr(truth, d.samples)
-        (t.image_id, t.fmt, exact, psnr.isInfinite || psnr >= 40.0)
-      }.toDF("image_id", "fmt", "exact", "psnr_ok")
+        (t.image_id, t.fmt, pxSum, exact, psnr.isInfinite || psnr >= 40.0)
+      }.toDF("image_id", "fmt", "px_sum", "exact", "psnr_ok")
         .orderBy("image_id", "fmt")
+    }),
+    // Thumbnails (area-average resize to 8x8) exploded to one row per output
+    // pixel — the block boundaries and the IEEE sum/count division are
+    // replicated exactly by the DuckDB oracle over the closed-form grid.
+    "img_thumbs" -> ((s, dir) => {
+      ops.ImageOps.thumbnails(gateTiles(s, "hgt"), 8).toDF()
+        .select(col("image_id"), posexplode(col("pixels")).as(Seq("idx", "px")))
+        .orderBy("image_id", "idx")
     }),
     // Hierarchical tile-pyramid rollup: z14 point counts rolled up the
     // quadtree to z12 and z10 (parent = child >> 2 per level).
@@ -952,11 +965,34 @@ object SparkEntry {
            CAST(sum(v) AS BIGINT) AS px_sum,
            CAST(sum(v) AS BIGINT) / CAST(count(*) AS BIGINT) AS px_mean
          FROM g GROUP BY swlng, swlat ORDER BY image_id""",
+    // fidelity: px_sum recomputed from the closed-form grid — the engine's
+    // value comes from the DECODED payload (png decode included), so the
+    // decode arithmetic is anchored, not just the pinned verdict booleans
     "img_fidelity" ->
-      """SELECT image_id, fmt, true AS exact, true AS psnr_ok
-         FROM (VALUES ('N36W118'),('N36W119'),('N36W120'),('N37W117'),('N37W119'),('N37W120')) t(image_id),
-              (VALUES ('png'),('hgt')) f(fmt)
+      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         g AS (SELECT swlng, swlat,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS v
+           FROM corners, range(0,601) r, range(0,601) c),
+         s AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           CAST(sum(v) AS BIGINT) AS px_sum FROM g GROUP BY swlng, swlat)
+         SELECT image_id, fmt, px_sum, true AS exact, true AS psnr_ok
+         FROM s, (VALUES ('png'),('hgt')) f(fmt)
          ORDER BY image_id, fmt""",
+    // thumbnails: 8x8 area-average blocks of the closed-form grid; block of
+    // row r is (8r+7)//601 (boundaries floor(b*601/8) — identical to the
+    // engine's (br*(601/8.0)).toInt since 601/8 is exactly representable),
+    // and CAST(sum)/count is the same IEEE division of exact integers
+    "img_thumbs" ->
+      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         g AS (SELECT swlng, swlat, r.range AS r, c.range AS c,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS v
+           FROM corners, range(0,601) r, range(0,601) c)
+         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           CAST(((8*r + 7)//601)*8 + (8*c + 7)//601 AS INT) AS idx,
+           CAST(sum(v) AS DOUBLE)/count(*) AS px
+         FROM g GROUP BY 1, 2 ORDER BY image_id, idx""",
     "zxy_rollup" ->
       """WITH pts AS (SELECT
            -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
@@ -978,10 +1014,30 @@ object SparkEntry {
          k AS (SELECT h, min(doc_id) AS doc_id FROM h GROUP BY 1)
          SELECT h.doc_id AS doc_id FROM h JOIN k ON h.h = k.h AND h.doc_id = k.doc_id
          ORDER BY h.doc_id""",
+    // integrity: the perceptual hash itself is recomputed in SQL from the
+    // closed-form grid (8x8 block means of exact int sums -> IEEE division
+    // -> left-fold mean -> bit per block, bit 63 handled via signed wrap),
+    // so the engine's decode+phash arithmetic is fully oracle-anchored
     "img_integrity" ->
-      """SELECT image_id, true AS phash_ok, true AS caption_ok FROM (VALUES
-         ('N36W118'),('N36W119'),('N36W120'),('N37W117'),('N37W119'),('N37W120')) t(image_id)
-         ORDER BY image_id""",
+      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         g AS (SELECT swlng, swlat, r.range AS r, c.range AS c,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS v
+           FROM corners, range(0,601) r, range(0,601) c),
+         blk AS (SELECT swlng, swlat, ((8*r + 7)//601)*8 + (8*c + 7)//601 AS idx,
+           CAST(sum(v) AS DOUBLE)/count(*) AS bm
+           FROM g GROUP BY 1, 2, 3),
+         m AS (SELECT swlng, swlat,
+           list_reduce(list(bm ORDER BY idx), (a, b) -> a + b)/64.0 AS mean
+           FROM blk GROUP BY 1, 2),
+         bits AS (SELECT blk.swlng, blk.swlat,
+           CAST(sum(CASE WHEN idx < 63 AND bm > mean THEN CAST(1 AS BIGINT) << idx ELSE 0 END) AS BIGINT)
+           + CASE WHEN max(CASE WHEN idx = 63 AND bm > mean THEN 1 ELSE 0 END) = 1
+                  THEN -9223372036854775808 ELSE 0 END AS phash
+           FROM blk JOIN m ON blk.swlng = m.swlng AND blk.swlat = m.swlat GROUP BY 1, 2)
+         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           phash, true AS phash_ok, true AS caption_ok
+         FROM bits ORDER BY image_id""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
          round(sum(l_extendedprice), 2) AS sum_base,

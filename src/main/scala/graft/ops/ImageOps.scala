@@ -74,19 +74,22 @@ object ImageOps {
 
   /** Per-row integrity check (input_hint invariants): recomputed phash of
     * the decoded grid equals the stored `phash` column, and the `caption`
-    * JSON's georeferencing matches the tile key / dimensions.
+    * JSON's georeferencing matches the tile key / dimensions. The recomputed
+    * phash itself is emitted so an external oracle can re-derive it from the
+    * closed-form grid — the booleans alone would pin nothing about the
+    * actual decode.
     */
   def integrity(tiles: Dataset[TileRow]): DataFrame = {
-    implicit val enc = Encoders.product[(String, Boolean, Boolean)]
+    implicit val enc = Encoders.product[(String, Long, Boolean, Boolean)]
     tiles.mapPartitions { it =>
       it.map { t =>
         val d = TileCodec.decode(t)
-        val phashOk = Fidelity.phash(d.samples, d.size) == t.phash
+        val ph = Fidelity.phash(d.samples, d.size)
         val c = TileCodec.parseCaption(t.caption)
         val captionOk = c.tile_key == t.image_id && c.size == t.w &&
           c.sw_lng == d.swLng && c.sw_lat == d.swLat
-        (t.image_id, phashOk, captionOk)
+        (t.image_id, ph, ph == t.phash, captionOk)
       }
-    }.toDF("image_id", "phash_ok", "caption_ok")
+    }.toDF("image_id", "phash", "phash_ok", "caption_ok")
   }
 }

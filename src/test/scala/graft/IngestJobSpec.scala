@@ -38,7 +38,8 @@ class IngestJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set("N36W119", "N36W120", "N37W119", "N37W120"))
     // caption + phash integrity of ingested rows (input_hint invariants)
     val integ = graft.ops.ImageOps.integrity(tiles).collect()
-    assert(integ.forall(r => r.getBoolean(1) && r.getBoolean(2)))
+    assert(integ.forall(r =>
+      r.getAs[Boolean]("phash_ok") && r.getAs[Boolean]("caption_ok")))
     // elevation join over the ingested store matches the synthetic grid
     val pt = Seq((1L, -118.5, 36.5))
     import spark.implicits._
