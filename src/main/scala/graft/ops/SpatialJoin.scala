@@ -207,13 +207,13 @@ object SpatialJoin {
 
   /** kNN join: for each probe, the k nearest targets by planar squared
     * degree distance (ties by target_id). Cell-ring expansion over the hex
-    * index in GEOMETRIC ring batches (0 | 1–2 | 3–6 | 7–maxRings): candidate
-    * cells of a whole batch join on hex cell at once, so the driver loop is
-    * ≤ 4 rounds instead of one per ring — at 10^9 probes the per-round
-    * driver barrier and job-scheduling overhead dominates single-ring
-    * expansion. A probe stops expanding when it holds >= k neighbors whose
-    * kth distance is below the lower bound of the first unexplored ring
-    * (distance-bounded pruning, north rule J3).
+    * index in GEOMETRIC ring batches (0–1 | 2–4 | 5–8 | 9–maxRings):
+    * candidate cells of a whole batch join on hex cell at once, so the
+    * driver loop is ≤ 4 rounds instead of one per ring — at 10^9 probes the
+    * per-round driver barrier and job-scheduling overhead dominates
+    * single-ring expansion. A probe stops expanding when it holds >= k
+    * neighbors whose kth distance is below the lower bound of the first
+    * unexplored ring (distance-bounded pruning, north rule J3).
     *
     * Incremental ranking: only the running top-k per pending probe (`best`,
     * <= k rows/probe) carries across rounds — never the full accumulated
@@ -241,9 +241,11 @@ object SpatialJoin {
       .select(col("probe_id").cast(LongType), col("lng").cast(DoubleType),
         col("lat").cast(DoubleType)).as[(Long, Double, Double)]
     var best: DataFrame = null // running top-k of still-pending probes
-    var seen: DataFrame = null // (probe_id, cnt) candidates examined so far
     val doneParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    val batches = Seq((0, 0), (1, 2), (3, 6), (7, maxRings))
+    // first batch is disk(1), NOT the center cell alone: the lower bound of
+    // ring 1 is 0 (a ring-1 cell can touch the center cell), so a (0,0)
+    // batch can never settle a probe and only adds a wasted driver round
+    val batches = Seq((0, 1), (2, 4), (5, 8), (9, maxRings))
       .filter(_._1 <= maxRings)
       .map { case (lo, hi) => (lo, math.min(hi, maxRings)) }
     val it = batches.iterator
@@ -269,20 +271,16 @@ object SpatialJoin {
       val w = Window.partitionBy(col("probe_id")).orderBy(col("dist2"), col("target_id"))
       val ranked = all.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= k).localCheckpoint(true)
-      val newCounts = pairs.groupBy("probe_id").agg(count(lit(1)).as("cnt"))
-      seen = (if (seen == null) newCounts.localCheckpoint(true)
-              else seen.unionAll(newCounts).groupBy("probe_id")
-                .agg(sum("cnt").as("cnt")).localCheckpoint(true))
-      // a probe is settled when (a) its kth candidate beats the lower bound
-      // of every ring past `hi`, or (b) it has already seen every target.
-      // strict <: at dist2 == b2 an unexplored equal-distance target with a
-      // smaller id could still outrank the kth under the (dist2, id) order
+      // a probe is settled when its kth candidate beats the lower bound of
+      // every ring past `hi`. strict <: at dist2 == b2 an unexplored
+      // equal-distance target with a smaller id could still outrank the kth
+      // under the (dist2, id) order. Probes that can never settle this way
+      // (fewer than k targets in all rings) ride through the loop cheaply
+      // and are finished exactly by the brute-force fallback below.
       val bound = Hex.ringLowerBoundDegrees(res, hi + 1)
       val b2 = bound * bound
-      val kthDone = ranked.filter(col("rk") === k && col("dist2") < lit(b2))
-        .select("probe_id")
-      val exhausted = seen.filter(col("cnt") >= totalTargets).select("probe_id")
-      val doneIds = kthDone.unionAll(exhausted).distinct().localCheckpoint(true)
+      val doneIds = ranked.filter(col("rk") === k && col("dist2") < lit(b2))
+        .select("probe_id").localCheckpoint(true)
       doneParts += ranked.join(doneIds, Seq("probe_id"))
         .select(col("probe_id"), col("target_id"), col("rk").as("rank"), col("dist2"))
       pending = pending.toDF("probe_id", "lng", "lat")
