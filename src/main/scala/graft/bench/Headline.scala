@@ -53,8 +53,11 @@ object Headline {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
       .withColumn("cluster", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(128)))
       .repartitionByRange(128, col("cluster"))
-    val reps = spark.range(0, replicate).select(col("id").cast("int").as("rep"))
-    li.crossJoin(broadcast(reps))
+    // fan-out via explode of a CONSTANT array literal: stays inside the
+    // codegen'd GenerateExec with zero per-row allocation (sequence() would
+    // allocate per row; crossJoin(broadcast) planned a BroadcastNestedLoopJoin
+    // that copies an UnsafeRow per output row — measured slower at 32 cores)
+    li.withColumn("rep", explode(typedlit((0 until replicate).toArray)))
       .selectExpr(
         "((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id",
         "rep",

@@ -23,7 +23,22 @@ object OpBench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (name <- names) {
+    for (name <- names if name == "headline") {
+      // plan audit + timing of the headline workload itself
+      val k = sys.env.getOrElse("SPARK_GRAFT_HEADLINE_K", "1024").toInt
+      val pts = Headline.points(spark, sfDir, k)
+      val joined = graft.ops.Elevation.lookupBroadcast(pts,
+        Headline.tiles(spark).as[graft.core.TileRow](
+          org.apache.spark.sql.Encoders.product[graft.core.TileRow]))
+      joined.agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("elev"))).explain("formatted")
+      Headline.run(spark, sfDir, 1)
+      val times = (1 to passes).map(_ => Headline.run(spark, sfDir, k)._2).sorted
+      println(f"headline min=${times.head}%.2fs all=${times.map(t => f"$t%.2f").mkString(",")}")
+    }
+    for (name <- names if name != "headline") {
       val fn = graft.SparkEntry.queries(name)
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()

@@ -3,8 +3,10 @@ package graft.geo
 /** In-repo hierarchical hexagonal index with the H3 API surface
   * (`latLngToCell`, `gridDisk`/`kRing`, `cellToParent`, res 0–15).
   *
-  * NOT bit-compatible with uber/h3: h3's base-cell + icosahedral-face tables
-  * are not reproducible offline (zero-egress environment, no h3 jar). This is
+  * NOT bit-compatible with uber/h3 — a FINAL scope decision, not a stopgap
+  * (SURVEY.md §8 "Hex-index scope decision"): h3's base-cell +
+  * icosahedral-face tables are not reproducible or verifiable offline
+  * (zero-egress environment, no h3 jar, no golden vectors). This is
   * an aperture-7 hexagonal lattice (cell area shrinks 7× per resolution, like
   * H3) on the equirectangular lng/lat plane, which preserves every property
   * the engine's joins rely on: hexagonal neighbor topology (6 edge

@@ -57,17 +57,37 @@ object Checkpoint {
     (p.getFileSystem(hadoopConf(spark)), p)
   }
 
-  /** True iff `dir` exists and holds at least one .parquet file (directly). */
-  private def hasParquet(dir: String, spark: SparkSession): Boolean = {
+  /** True iff `dir` exists and holds at least one commit file (directly). */
+  private def hasCommits(dir: String, spark: SparkSession): Boolean = {
     val (fs, p) = fsOf(dir, Some(spark))
-    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".json"))
   }
 
+  /** The commit log is JSON-lines written directly through Hadoop
+    * `FileSystem` (like real table formats' metadata, and unlike the data
+    * files, which ARE Spark jobs): a manifest append must not cost a Spark
+    * job — at 1,024 buckets that was ~1,000 job launches of pure overhead,
+    * dwarfing the single data write.
+    */
   def manifests(spark: SparkSession, dir: String): DataFrame =
-    if (!hasParquet(s"$dir/manifest", spark))
+    if (!hasCommits(s"$dir/manifest", spark))
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType.fromDDL(ManifestSchema))
-    else spark.read.schema(ManifestSchema).parquet(s"$dir/manifest")
+    else spark.read.schema(ManifestSchema).json(s"$dir/manifest")
+
+  private def appendManifest(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+                             rows: Seq[BucketManifest]): Unit = {
+    val p = new Path(s"$dir/manifest/commit-${java.util.UUID.randomUUID()}.json")
+    val out = fs.create(p, false)
+    try rows.foreach { r =>
+      // run_id is caller-controlled: escape the JSON string minimally
+      val rid = r.run_id.replace("\\", "\\\\").replace("\"", "\\\"")
+      out.write((s"""{"run_id":"$rid","bucket":${r.bucket},""" +
+        s""""row_count":${r.row_count},"checksum":${r.checksum},""" +
+        s""""wall_ms":${r.wall_ms},"committed_at":${r.committed_at}}""" + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+  }
 
   def committedBuckets(spark: SparkSession, dir: String): Set[Int] = {
     import spark.implicits._
@@ -108,9 +128,21 @@ object Checkpoint {
     // exactly the touched bucket directories. Input is scanned once however
     // many buckets are pending (the per-bucket-loop alternative re-scans the
     // full input once per bucket group — a scale-killer at high bucket
-    // counts).
-    bucketed.filter(col("__bucket").isin(pendingBuckets: _*))
-      .write.mode("overwrite")
+    // counts). The repartition aligns tasks with bucket directories: without
+    // it every map task writes one file per bucket it sees (tasks × buckets
+    // small files — 1M files at 1,000 executors × 1,024 buckets, and wall
+    // time grows with bucket count, not data size). When buckets < cores, a
+    // within-bucket sub-hash spreads each bucket over ~shufflePartitions /
+    // buckets tasks so write parallelism stays full; file count stays
+    // ~max(buckets, shuffle partitions) in every regime.
+    val filtered = bucketed.filter(col("__bucket").isin(pendingBuckets: _*))
+    val shufflePar = spark.sessionState.conf.numShufflePartitions
+    val spread = math.max(1, shufflePar / math.max(1, pendingBuckets.size))
+    val parted =
+      if (spread == 1) filtered.repartition(pendingBuckets.size, col("__bucket"))
+      else filtered.repartition(pendingBuckets.size * spread, col("__bucket"),
+        pmod(xxhash64(keyCols.map(col): _*), lit(spread)))
+    parted.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__bucket")
       .parquet(s"$dir/data")
@@ -143,7 +175,9 @@ object Checkpoint {
 
     // durable commits: manifest rows appended only after the data write,
     // bucket-group by bucket-group (bucketsPerJob trades commit granularity
-    // against commit-log write count)
+    // against commit-log file count). Appends are direct FileSystem writes,
+    // never Spark jobs — see [[manifests]].
+    val (mfs, _) = fsOf(s"$dir/manifest", Some(spark))
     val out = Seq.newBuilder[BucketManifest]
     var ordinal = 0
     pendingBuckets.grouped(math.max(1, bucketsPerJob)).foreach { group =>
@@ -153,9 +187,7 @@ object Checkpoint {
         val (n, c) = stats.getOrElse(b, (0L, 0L))
         BucketManifest(runId, b, n, c, wallMs, System.currentTimeMillis())
       }
-      spark.createDataset(rows)(org.apache.spark.sql.Encoders.product[BucketManifest])
-        .toDF().coalesce(1)
-        .write.mode("append").parquet(s"$dir/manifest")
+      appendManifest(mfs, dir, rows)
       out ++= rows
       ordinal += group.size
     }

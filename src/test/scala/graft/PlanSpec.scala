@@ -59,6 +59,39 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"read schema not pruned: ${scan.requiredSchema}")
   }
 
+  test("salted PIP probe-side projection stays in whole-stage codegen (no UDF)") {
+    import spark.implicits._
+    val ptsDir = s"${System.getProperty("java.io.tmpdir")}/graft_planspec_salt"
+    graft.table.Checkpoint.clear(ptsDir)
+    // skewed: most points in one level-11 cell so the hot set is non-empty
+    (1 to 4000).map(i =>
+      (i.toLong, -119.5 + (i % 10) * 1e-5, 36.5 + (i % 7) * 1e-5))
+      .toDF("point_id", "lng", "lat").write.mode("overwrite").parquet(ptsDir)
+    val pts = spark.read.parquet(ptsDir)
+    val polys = Seq((1L, Array(-119.6, -119.4, -119.5), Array(36.4, 36.4, 36.6)))
+      .toDF("poly_id", "xs", "ys")
+    val out = graft.ops.SpatialJoin.pointInPolygonSalted(pts, polys,
+      level = 11, hotThreshold = 100L, salt = 4)
+    // collect() drives THIS DataFrame's queryExecution (count() would build
+    // a separate one and leave this plan unexecuted / AQE-unfinalized)
+    assert(out.collect().length == 4000) // every point inside the triangle once
+    // inspect AFTER the action: this plan contains shuffles, so AQE wraps it
+    // and the final plan (with codegen stage markers) exists only
+    // post-execution
+    val plan = out.queryExecution.executedPlan.toString
+    // the hot-set membership is isin (Catalyst In/InSet), not a Scala UDF —
+    // a UDF would surface as ScalaUDF and break codegen on the probe
+    // projection
+    assert(!plan.contains("ScalaUDF"),
+      s"probe side fell out of codegen (ScalaUDF in plan):\n$plan")
+    // "*(n)" prefixes mark WholeStageCodegen stages in the final-plan string
+    assert(plan.contains("*("),
+      s"expected whole-stage codegen stages:\n$plan")
+    assert(plan.contains("*(2) BroadcastHashJoin") ||
+      plan.contains("*(2) Project"),
+      s"probe join stage not codegen'd:\n$plan")
+  }
+
   test("PIP candidate join broadcasts the (small) polygon-cover side") {
     import spark.implicits._
     val pts = (1 to 2000).map(i => (i.toLong, -119.5 + i * 1e-4, 36.5 + i * 1e-4))
