@@ -71,6 +71,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // session warmup: the first job of a fresh session pays ~5s of executor
+    // spin-up + codegen infra + parquet footer caching — without this the
+    // alphabetically-first query absorbs it all and reads as 8x its real cost
+    spark.range(0, 1000000).selectExpr("sum(id)").collect()
+    SparkEntry.queries.get("q1_agg").foreach(fn =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () })
     val queryResults =
       if (!doQueries) Seq.empty
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -539,7 +539,10 @@ object SparkEntry {
         .withColumn("nrm", sqrt(vec_dot(col("v"), col("v"))))
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
-      val pairs = q.crossJoin(broadcast(e)).filter(col("vec_id") =!= col("qid"))
+      // broadcast the QUERY side (k rows), stream the corpus: the scale
+      // shape (corpus partitions scan once, queries ride along), and the
+      // stream side keeps the corpus scan's parallelism
+      val pairs = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("neighbor_id"),
           (vec_dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))

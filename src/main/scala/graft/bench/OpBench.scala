@@ -23,6 +23,9 @@ object OpBench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // absorb session first-job warmup so pass 1 of the first query is
+    // comparable to later passes
+    spark.range(0, 1000000).selectExpr("sum(id)").collect()
     for (name <- names if name == "headline") {
       // plan audit + timing of the headline workload itself
       val k = sys.env.getOrElse("SPARK_GRAFT_HEADLINE_K", "1024").toInt

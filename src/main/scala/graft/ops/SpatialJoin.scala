@@ -150,22 +150,35 @@ object SpatialJoin {
 
   /** Adaptive cell-splitting PIP (north rule: "salted repartitioning and
     * adaptive cell-splitting"): cells whose point count exceeds
-    * `hotThreshold` are re-indexed at `level + splitLevels` on BOTH sides,
-    * so a dense cell's candidate join fans out across 4^splitLevels finer
-    * cells (more parallelism, and polygons covering only part of the dense
-    * cell stop receiving all of its points). Cold cells join at the coarse
-    * level unchanged; results are the exact union.
+    * `hotThreshold` are re-indexed at a finer level on BOTH sides, so a
+    * dense cell's candidate join fans out across finer cells (more
+    * parallelism, and polygons covering only part of the dense cell stop
+    * receiving all of its points). The split depth is gated on MEASURED
+    * density — ceil(log4(peakCount / hotThreshold)), capped by
+    * `splitLevels` — so mildly-hot data does not pay the full cover
+    * fan-out. Cold cells join at the coarse level unchanged; results are
+    * the exact union.
     */
   def pointInPolygonAdaptive(points: DataFrame, polys: DataFrame, level: Int,
                              hotThreshold: Long, splitLevels: Int = 2): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
-    val fine = level + splitLevels
     val probe0 = points.withColumn("cell",
       graft.functions.cells.s2_cell(col("lng"), col("lat"), lit(level)))
-    val hot = probe0.groupBy("cell").count()
-      .filter(col("count") > hotThreshold).select("cell")
-      .as[Long].collect().toSet
+    val hotCounts = probe0.groupBy("cell").count()
+      .filter(col("count") > hotThreshold)
+      .as[(Long, Long)].collect()
+    val hot = hotCounts.map(_._1).toSet
+    // gate split depth on MEASURED density, capped by the caller's
+    // splitLevels: each split level quarters a cell, so depth
+    // ceil(log4(peak / threshold)) is what's needed to bring the densest
+    // cell back under the threshold — mildly-hot data must not pay the full
+    // 4^splitLevels cover fan-out
+    val peak = if (hotCounts.isEmpty) 0L else hotCounts.map(_._2).max
+    val densityDepth = if (peak <= hotThreshold) 1
+      else math.ceil(math.log(peak.toDouble / hotThreshold) / math.log(4.0)).toInt
+    val effSplit = math.max(1, math.min(splitLevels, densityDepth))
+    val fine = level + effSplit
     val hotB = spark.sparkContext.broadcast(hot)
     val isHotProbe =
       if (hot.isEmpty) lit(false) else col("cell").isin(hot.toSeq: _*)
