@@ -443,6 +443,24 @@ object SparkEntry {
     "ann_ivf_assign" -> ((s, dir) => {
       ops.Embeddings.ivfAssign(t(s, dir, "embeddings"), 8).orderBy("vec_id")
     }),
+    // IVF top-k SEARCH (the scale path of ANN): queries probe only their
+    // nProbe nearest centroid lists, exact cosine re-ranks candidates.
+    "ann_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      ops.Embeddings.ivfSearch(e, e.filter(col("vec_id") < 5),
+        kCentroids = 8, nProbe = 2, topK = 5).orderBy("qid", "rank")
+    }),
+    // Near-dup CLUSTERING: connected components over the MinHash pair graph
+    // (min-label propagation), keep-set = component representative. The
+    // dedup endgame at 100 TB: pairs alone do not say which docs to drop
+    // when duplicates chain (a~b, b~c but not a~c).
+    "dedup_cluster_keep" -> ((s, dir) => {
+      val corpus = dedupCorpus(s, dir)
+      val edges = ops.TextDedup.minhashPairs(corpus)
+      ops.TextDedup.connectedComponents(edges, corpus.select("doc_id"))
+        .withColumn("keep", col("doc_id") === col("comp"))
+        .orderBy("doc_id")
+    }),
     // Per-row format fidelity (input_hint: decoded pixels allclose, PSNR
     // >= 40 dB for lossy): decode each payload (real javax.imageio for png),
     // compare against the closed-form grid it encodes. The DECODED pixel sum
@@ -615,22 +633,43 @@ object SparkEntry {
     s"""list_reduce(list_prepend(0.0, list_transform(range(0,64),
         d -> v[d+1] * ((($j*97 + d*31) % 19) - 9))), (p,q) -> p + q)"""
 
-  private val minhashOracleSql: String = {
+  /** Shared WITH-body for the MinHash oracles (pairs + clustering). */
+  private val minhashCtes: String = {
     val sigs = (0 until 8).map { j =>
       s"list_min(list_transform(hv, h -> (${2 * j + 3}*h + ${5 * j + 7}) % 1048573)) AS m$j"
     }.mkString(",\n           ")
     val bandRows = (0 until 4).map { b =>
       s"SELECT doc_id, $b AS band_id, m${2 * b}*1048573 + m${2 * b + 1} AS band_key FROM sig"
     }.mkString("\n           UNION ALL ")
-    s"""WITH corpus AS ($sqlDedupCorpus),
+    s"""corpus AS ($sqlDedupCorpus),
        sh AS (SELECT doc_id, $sqlShingles3 AS sh FROM corpus),
        hv AS (SELECT doc_id, list_transform(sh, x -> ${sqlH60("x")} % 1048573) AS hv FROM sh),
        sig AS (SELECT doc_id, $sigs FROM hv),
-       banded AS ($bandRows)
+       banded AS ($bandRows)"""
+  }
+
+  private val minhashOracleSql: String =
+    s"""WITH $minhashCtes
        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
        WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b"""
-  }
+
+  /** Connected components of the MinHash pair graph as a recursive CTE:
+    * enumerate every (doc, reachable doc) pair, component = min reachable.
+    * Mirrors TextDedup.connectedComponents' min-label fixpoint exactly.
+    */
+  private val clusterOracleSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       edges AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+         WHERE a.doc_id < b.doc_id),
+       reach(doc, other) AS (
+         SELECT doc_id, doc_id FROM corpus
+         UNION
+         SELECT r.doc, CASE WHEN e.doc_a = r.other THEN e.doc_b ELSE e.doc_a END
+         FROM reach r JOIN edges e ON e.doc_a = r.other OR e.doc_b = r.other)
+       SELECT doc AS doc_id, min(other) AS comp, doc = min(other) AS keep
+       FROM reach GROUP BY doc ORDER BY doc_id"""
 
   private val simhashOracleSql: String = {
     val bits = (0 until 16).map { b =>
@@ -659,6 +698,36 @@ object SparkEntry {
          FROM f a JOIN f b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
        WHERE cos >= 0.999 ORDER BY id_a, id_b"""
   }
+
+  /** IVF top-k search oracle: same centroid formula/assignment tie order
+    * ((d2, c) lexicographic), same nProbe selection, same cosine fold and
+    * (cos DESC, neighbor_id) rank order as Embeddings.ivfSearch.
+    */
+  private val ivfTopkOracleSql: String =
+    """WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       cents AS (SELECT range AS c FROM range(0, 8)),
+       d AS (SELECT vec_id, c,
+         list_reduce(list_prepend(0.0, list_transform(range(0,64),
+           d -> (v[d+1] - (((c*53 + d*17) % 13) - 6)) * (v[d+1] - (((c*53 + d*17) % 13) - 6)))),
+           (p,q) -> p + q) AS d2
+         FROM vv, cents),
+       nrm AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(range(0,64),
+           d -> v[d+1] * v[d+1])), (p,q) -> p + q)) AS nrm FROM vv),
+       assign AS (SELECT vec_id, c AS centroid FROM (
+         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d) WHERE rn = 1),
+       qprobe AS (SELECT vec_id AS qid, c AS centroid FROM (
+         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d WHERE vec_id < 5) WHERE rn <= 2),
+       cand AS (SELECT q.qid, n.vec_id AS neighbor_id, a.centroid,
+           list_reduce(list_prepend(0.0, list_transform(range(0,64),
+             d -> n.v[d+1] * qn.v[d+1])), (p,q) -> p + q) / (n.nrm * qn.nrm) AS cos
+         FROM qprobe q JOIN assign a ON a.centroid = q.centroid
+         JOIN nrm n ON n.vec_id = a.vec_id
+         JOIN nrm qn ON qn.vec_id = q.qid
+         WHERE n.vec_id <> q.qid)
+       SELECT qid, neighbor_id, CAST(centroid AS INT) AS centroid, rank, round(cos, 4) AS cos_r FROM (
+         SELECT qid, neighbor_id, centroid, cos,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank FROM cand)
+       WHERE rank <= 5 ORDER BY qid, rank"""
 
   private val ivfOracleSql: String =
     """WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -957,6 +1026,8 @@ object SparkEntry {
            FROM s) ORDER BY doc_id""",
     "ann_lsh_neardup" -> annLshOracleSql,
     "ann_ivf_assign" -> ivfOracleSql,
+    "ann_ivf_topk" -> ivfTopkOracleSql,
+    "dedup_cluster_keep" -> clusterOracleSql,
     "img_stats" ->
       """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
          g AS (SELECT swlng, swlat,

@@ -93,6 +93,44 @@ object TextDedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Connected components over an undirected near-dup pair graph by
+    * iterative min-label propagation: every node starts as its own
+    * component; each round every node takes the min label among itself and
+    * its direct neighbors; fixpoint when no label shrinks. Rounds =
+    * component diameter, which for near-duplicate graphs is small by
+    * construction (exact copies form cliques via identical signatures;
+    * near-copy chains are short) — at 10^9 nodes each round is one shuffle
+    * join + one aggregation, both on the node id, so AQE reuses the
+    * partitioning. (For adversarially long chains the alternating
+    * large-star/small-star contraction gives O(log n) rounds behind the
+    * same signature; not needed for the dedup workload.)
+    *
+    * @param edges (doc_a, doc_b) undirected pairs, e.g. [[minhashPairs]]
+    * @param nodes (doc_id) — every doc, including singletons
+    * @return (doc_id, comp) where comp = min doc_id of the component
+    */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame): DataFrame = {
+    // symmetric edge list, materialized once: the upstream pair derivation
+    // (minhash) is expensive and both directions read it
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(false)
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("comp"))
+      .localCheckpoint(false)
+    var changed = 1L
+    while (changed > 0) {
+      val viaNbr = sym
+        .join(labels.select(col("doc_id").as("dst"), col("comp")), Seq("dst"))
+        .select(col("src").as("doc_id"), col("comp"))
+      val upd = labels.unionAll(viaNbr)
+        .groupBy("doc_id").agg(min("comp").as("newcomp"))
+      val merged = labels.join(upd, Seq("doc_id")).localCheckpoint(true)
+      changed = merged.filter(col("newcomp") < col("comp")).count()
+      labels = merged.select(col("doc_id"), col("newcomp").as("comp"))
+    }
+    labels
+  }
+
   /** Word-hash array for simhash — materialize once (see shingleHashes). */
   def wordHashes(text: Column): Column = transform(words(text), w => h60(w))
 
