@@ -116,7 +116,8 @@ object Bench {
       if (!doScaling) ""
       else {
         val loCpus = math.max(2, cpus / 4)
-        val nPairs = sys.env.getOrElse("SPARK_GRAFT_SCALING_PASSES", "6").toInt
+        val nPairs =
+          math.max(1, sys.env.getOrElse("SPARK_GRAFT_SCALING_PASSES", "6").toInt)
         // interleave lo/hi passes: host CPU availability drifts over minutes,
         // so back-to-back blocks bias the ratio. Each (lo, hi) pair runs
         // back-to-back inside one drift window, so its ratio is the cleanest

@@ -31,6 +31,37 @@ case class RayCastExpr(first: Expression, second: Expression,
     copy(first = a, second = b, third = c, fourth = d)
 }
 
+/** Static helper invoked from generated code (keeps the broadcast handle —
+  * not the set — in the plan).
+  */
+object PipHelpers {
+  def setContains(bc: org.apache.spark.broadcast.Broadcast[Set[Long]], v: Long): Boolean =
+    bc.value.contains(v)
+}
+
+/** Codegen'd membership test against a broadcast `Set[Long]`: the plan
+  * carries only the broadcast HANDLE (O(1) plan size), so a hot-cell set
+  * with millions of entries doesn't get embedded as In/InSet literals in
+  * every serialized plan; executors fetch the set once via the broadcast.
+  */
+case class BroadcastSetContainsExpr(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[Set[Long]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "broadcast_set_contains"
+  override def nullSafeEval(v: Any): Any = bc.value.contains(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bcSet", bc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.ops.PipHelpers.setContains($bcRef, $v);")
+  }
+  override protected def withNewChildInternal(c: Expression): BroadcastSetContainsExpr =
+    copy(child = c)
+}
+
 /** Spatial joins over cell indexes (north rule J2/J3): candidate pairs via
   * cell equi-join (Catalyst plans a hash shuffle join — or broadcast when one
   * side is small), exact refinement predicates after.
@@ -52,6 +83,21 @@ object SpatialJoin {
       GraftColumns.expression(px.cast(DoubleType)),
       GraftColumns.expression(py.cast(DoubleType)),
       GraftColumns.expression(xs), GraftColumns.expression(ys)))
+
+  /** Small hot sets embed as In/InSet literals (fastest probe); large ones
+    * switch to the broadcast-backed expression so plan size stays O(1) —
+    * the hot-set size is bounded only by nPoints / hotThreshold, which at
+    * 10^9+ points can reach millions of cells.
+    */
+  private val InSetLiteralCap = 1024
+  private def hotPredicate(cell: Column,
+      hotB: org.apache.spark.broadcast.Broadcast[Set[Long]]): Column = {
+    val hot = hotB.value
+    if (hot.isEmpty) lit(false)
+    else if (hot.size <= InSetLiteralCap) cell.isin(hot.toSeq: _*)
+    else GraftColumns.column(BroadcastSetContainsExpr(
+      GraftColumns.expression(cell.cast(LongType)), hotB))
+  }
 
   // ---------------- J2: point-in-polygon ----------------
 
@@ -125,11 +171,10 @@ object SpatialJoin {
       .filter(col("count") > hotThreshold).select("cell")
       .as[Long].collect().toSet
     val hotB = spark.sparkContext.broadcast(hot)
-    // codegen'd membership: isin over the driver-side hot set becomes
-    // Catalyst In/InSet (hash-set probe inside whole-stage codegen) — a
-    // Scala UDF here would break codegen on the probe-side projection
-    val isHotProbe =
-      if (hot.isEmpty) lit(false) else col("cell").isin(hot.toSeq: _*)
+    // codegen'd membership (In/InSet literals or the broadcast-backed
+    // expression — never a Scala UDF, which would break codegen on the
+    // probe-side projection)
+    val isHotProbe = hotPredicate(col("cell"), hotB)
     val probe = probe0.withColumn("salt",
       when(isHotProbe, pmod(col("point_id").cast(LongType), lit(salt)))
         .otherwise(lit(0L)))
@@ -180,8 +225,7 @@ object SpatialJoin {
     val effSplit = math.max(1, math.min(splitLevels, densityDepth))
     val fine = level + effSplit
     val hotB = spark.sparkContext.broadcast(hot)
-    val isHotProbe =
-      if (hot.isEmpty) lit(false) else col("cell").isin(hot.toSeq: _*)
+    val isHotProbe = hotPredicate(col("cell"), hotB)
     // point side: hot cells re-key at the fine level (cheap: one more
     // latLngToCell; isin keeps the projection codegen'd), cold cells keep
     // the coarse key
@@ -302,14 +346,22 @@ object SpatialJoin {
       best = ranked.join(doneIds, Seq("probe_id"), "left_anti").drop("rk")
     }
     // probes still unsettled after maxRings (rings exhausted without the
-    // bound closing — sparse/far targets) get an EXACT brute-force pass so
-    // the "k nearest per probe" contract holds unconditionally; ring pruning
-    // has already drained the bulk, so the pending side is small —
-    // broadcast it so this is a broadcast nested-loop join over the
-    // (unbounded) target table, never a partitioned cartesian
+    // bound closing — sparse/far targets, or fewer than k targets in range)
+    // get an EXACT brute-force pass so the "k nearest per probe" contract
+    // holds unconditionally. Broadcast whichever side is SMALL (usually the
+    // ring-pruned pending probes; with a tiny target table — where NO probe
+    // can ever settle and pending is everything — the target side); if both
+    // sides are genuinely large the partitioned cartesian is the honest
+    // plan, never a forced driver-side broadcast of an unbounded set.
     if (totalTargets > 0 && !pending.isEmpty) {
-      val pendDf = pending.toDF("probe_id", "plng", "plat")
-      val pairs = broadcast(pendDf).crossJoin(tgt)
+      val broadcastLimit = 4000000L
+      val pendDf0 = pending.toDF("probe_id", "plng", "plat")
+      val nPending = pendDf0.count()
+      val pairs0 =
+        if (nPending <= broadcastLimit) broadcast(pendDf0).crossJoin(tgt)
+        else if (totalTargets <= broadcastLimit) pendDf0.crossJoin(broadcast(tgt))
+        else pendDf0.crossJoin(tgt)
+      val pairs = pairs0
         .select(col("probe_id"), col("target_id"),
           ((col("tlng") - col("plng")) * (col("tlng") - col("plng")) +
            (col("tlat") - col("plat")) * (col("tlat") - col("plat"))).as("dist2"))

@@ -57,28 +57,42 @@ object Checkpoint {
     (p.getFileSystem(hadoopConf(spark)), p)
   }
 
-  /** True iff `dir` exists and holds at least one commit file (directly). */
-  private def hasCommits(dir: String, spark: SparkSession): Boolean = {
+  private def commitFiles(dir: String, spark: SparkSession, suffix: String): Boolean = {
     val (fs, p) = fsOf(dir, Some(spark))
-    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".json"))
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(suffix))
   }
 
   /** The commit log is JSON-lines written directly through Hadoop
     * `FileSystem` (like real table formats' metadata, and unlike the data
     * files, which ARE Spark jobs): a manifest append must not cost a Spark
     * job — at 1,024 buckets that was ~1,000 job launches of pure overhead,
-    * dwarfing the single data write.
+    * dwarfing the single data write. Tables whose manifests were committed
+    * by the earlier parquet-append protocol stay readable: both formats are
+    * read and unioned.
     */
-  def manifests(spark: SparkSession, dir: String): DataFrame =
-    if (!hasCommits(s"$dir/manifest", spark))
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType.fromDDL(ManifestSchema))
-    else spark.read.schema(ManifestSchema).json(s"$dir/manifest")
+  def manifests(spark: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(ManifestSchema)
+    val hasJson = commitFiles(s"$dir/manifest", spark, ".json")
+    val hasParquet = commitFiles(s"$dir/manifest", spark, ".parquet")
+    val parts = Seq(
+      if (hasJson) Some(spark.read.schema(schema).json(s"$dir/manifest")) else None,
+      if (hasParquet) Some(spark.read.schema(schema).parquet(s"$dir/manifest")) else None
+    ).flatten
+    if (parts.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    else parts.reduceLeft(_ unionAll _)
+  }
 
+  /** Crash-atomic append: write to a .tmp path, fsync-close, then rename —
+    * a kill mid-write leaves only a .tmp file that no reader ever lists, so
+    * a torn JSON line can never poison the commit log.
+    */
   private def appendManifest(fs: org.apache.hadoop.fs.FileSystem, dir: String,
                              rows: Seq[BucketManifest]): Unit = {
-    val p = new Path(s"$dir/manifest/commit-${java.util.UUID.randomUUID()}.json")
-    val out = fs.create(p, false)
+    val name = s"commit-${java.util.UUID.randomUUID()}.json"
+    val tmp = new Path(s"$dir/manifest/.$name.tmp")
+    val fin = new Path(s"$dir/manifest/$name")
+    val out = fs.create(tmp, false)
     try rows.foreach { r =>
       // run_id is caller-controlled: escape the JSON string minimally
       val rid = r.run_id.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -87,11 +101,15 @@ object Checkpoint {
         s""""wall_ms":${r.wall_ms},"committed_at":${r.committed_at}}""" + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } finally out.close()
+    if (!fs.rename(tmp, fin))
+      throw new java.io.IOException(s"manifest commit rename failed: $fin")
   }
 
   def committedBuckets(spark: SparkSession, dir: String): Set[Int] = {
     import spark.implicits._
-    manifests(spark, dir).select("bucket").as[Int].collect().toSet
+    // na.drop: a malformed commit line must read as "not committed", never
+    // crash every subsequent resume
+    manifests(spark, dir).select("bucket").na.drop().as[Int].collect().toSet
   }
 
   /** Deliberate mid-run crash for resume tests (fires between the data write

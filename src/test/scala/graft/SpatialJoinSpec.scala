@@ -136,4 +136,16 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().toSet
     assert(got == Set((1L, 10L, 1), (1L, 11L, 2)))
   }
+
+  test("BroadcastSetContainsExpr matches set semantics (large hot-set path)") {
+    import org.apache.spark.sql.graftshim.GraftColumns
+    import spark.implicits._
+    val set = (0L until 3000L).filter(_ % 3 == 0).toSet
+    val bc = spark.sparkContext.broadcast(set)
+    val got = (0L until 100L).toDF("v")
+      .withColumn("m", GraftColumns.column(graft.ops.BroadcastSetContainsExpr(
+        GraftColumns.expression(org.apache.spark.sql.functions.col("v")), bc)))
+      .as[(Long, Boolean)].collect().toMap
+    assert((0L until 100L).forall(v => got(v) == (v % 3 == 0)))
+  }
 }
