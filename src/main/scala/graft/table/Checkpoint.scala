@@ -85,7 +85,9 @@ object Checkpoint {
 
   /** Crash-atomic append: write to a .tmp path, fsync-close, then rename —
     * a kill mid-write leaves only a .tmp file that no reader ever lists, so
-    * a torn JSON line can never poison the commit log.
+    * a torn JSON line can never poison the commit log. (Rename is atomic on
+    * HDFS/local; on S3 it is copy+delete — there, pair this layout with an
+    * S3-committer-style conditional put, exactly as real table formats do.)
     */
   private def appendManifest(fs: org.apache.hadoop.fs.FileSystem, dir: String,
                              rows: Seq[BucketManifest]): Unit = {

@@ -38,6 +38,19 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("minhash LSH pair join is a bucketed equi-join, never a cartesian") {
+    import spark.implicits._
+    val corpus = (0 until 300).map(i =>
+      (i.toLong, s"w${i % 40} x${i % 7} y${i % 13} z${i % 5} common words tail ${i % 3}"))
+      .toDF("doc_id", "text")
+    val pairs = ops.TextDedup.minhashPairs(corpus)
+    pairs.collect()
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
+      s"LSH candidate generation must stay an equi-join on (band_id, band_key):\n$plan")
+    assert(plan.contains("band_key"), s"band key missing from join plan:\n$plan")
+  }
+
   test("ivfSearch equals per-query brute force over the probed lists") {
     import spark.implicits._
     // deterministic synthetic embeddings, dim 64
