@@ -115,8 +115,13 @@ object TextDedup {
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(false)
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("comp"))
+    // propagate only over nodes that appear in an edge: an isolated node is
+    // trivially its own component, and at 10^9 docs with a few percent
+    // duplicates this keeps every round's joins proportional to the EDGE
+    // set, not the corpus
+    val active = sym.select(col("src").as("doc_id")).distinct()
       .localCheckpoint(false)
+    var labels = active.select(col("doc_id"), col("doc_id").as("comp"))
     var changed = 1L
     while (changed > 0) {
       val viaNbr = sym
@@ -128,7 +133,9 @@ object TextDedup {
       changed = merged.filter(col("newcomp") < col("comp")).count()
       labels = merged.select(col("doc_id"), col("newcomp").as("comp"))
     }
-    labels
+    labels.unionAll(
+      nodes.join(active, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("comp")))
   }
 
   /** Word-hash array for simhash — materialize once (see shingleHashes). */
