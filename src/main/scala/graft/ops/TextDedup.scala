@@ -118,8 +118,11 @@ object TextDedup {
     // propagate only over nodes that appear in an edge: an isolated node is
     // trivially its own component, and at 10^9 docs with a few percent
     // duplicates this keeps every round's joins proportional to the EDGE
-    // set, not the corpus
+    // set, not the corpus. left_semi against `nodes`: an edge endpoint
+    // absent from `nodes` must neither appear in the output nor donate its
+    // id as a component label (the output contract is rows for `nodes`)
     val active = sym.select(col("src").as("doc_id")).distinct()
+      .join(nodes.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .localCheckpoint(false)
     var labels = active.select(col("doc_id"), col("doc_id").as("comp"))
     var changed = 1L

@@ -74,20 +74,28 @@ object Checkpoint {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(ManifestSchema)
     val hasJson = commitFiles(s"$dir/manifest", spark, ".json")
     val hasParquet = commitFiles(s"$dir/manifest", spark, ".parquet")
+    // pathGlobFilter: a migrated table holds BOTH formats in one directory,
+    // and Spark's file listing filters only hidden files, not extensions —
+    // without the glob each branch would also read the other format's files
     val parts = Seq(
-      if (hasJson) Some(spark.read.schema(schema).json(s"$dir/manifest")) else None,
-      if (hasParquet) Some(spark.read.schema(schema).parquet(s"$dir/manifest")) else None
+      if (hasJson) Some(spark.read.schema(schema)
+        .option("pathGlobFilter", "*.json").json(s"$dir/manifest")) else None,
+      if (hasParquet) Some(spark.read.schema(schema)
+        .option("pathGlobFilter", "*.parquet").parquet(s"$dir/manifest")) else None
     ).flatten
     if (parts.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     else parts.reduceLeft(_ unionAll _)
   }
 
-  /** Crash-atomic append: write to a .tmp path, fsync-close, then rename —
-    * a kill mid-write leaves only a .tmp file that no reader ever lists, so
-    * a torn JSON line can never poison the commit log. (Rename is atomic on
-    * HDFS/local; on S3 it is copy+delete — there, pair this layout with an
-    * S3-committer-style conditional put, exactly as real table formats do.)
+  /** Crash-atomic append: write to a hidden .tmp path, sync (where the
+    * filesystem supports it), then rename — a kill mid-write leaves only a
+    * .tmp file that no reader ever lists, so a torn JSON line can never
+    * poison the commit log. Kill-atomic everywhere; power-loss durability
+    * additionally needs hsync support from the filesystem (HDFS yes; the
+    * local FS treats it as a flush). Rename is atomic on HDFS/local; on S3
+    * it is copy+delete — there, pair this layout with an S3-committer-style
+    * conditional put, exactly as real table formats do.
     */
   private def appendManifest(fs: org.apache.hadoop.fs.FileSystem, dir: String,
                              rows: Seq[BucketManifest]): Unit = {
@@ -95,16 +103,31 @@ object Checkpoint {
     val tmp = new Path(s"$dir/manifest/.$name.tmp")
     val fin = new Path(s"$dir/manifest/$name")
     val out = fs.create(tmp, false)
-    try rows.foreach { r =>
-      // run_id is caller-controlled: escape the JSON string minimally
-      val rid = r.run_id.replace("\\", "\\\\").replace("\"", "\\\"")
-      out.write((s"""{"run_id":"$rid","bucket":${r.bucket},""" +
-        s""""row_count":${r.row_count},"checksum":${r.checksum},""" +
-        s""""wall_ms":${r.wall_ms},"committed_at":${r.committed_at}}""" + "\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      rows.foreach { r =>
+        // run_id is caller-controlled: escape the JSON string minimally
+        val rid = r.run_id.replace("\\", "\\\\").replace("\"", "\\\"")
+        out.write((s"""{"run_id":"$rid","bucket":${r.bucket},""" +
+          s""""row_count":${r.row_count},"checksum":${r.checksum},""" +
+          s""""wall_ms":${r.wall_ms},"committed_at":${r.committed_at}}""" + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      try out.hsync() catch { case _: UnsupportedOperationException => () }
     } finally out.close()
     if (!fs.rename(tmp, fin))
       throw new java.io.IOException(s"manifest commit rename failed: $fin")
+  }
+
+  /** Remove .tmp leftovers of appends killed before their rename (single
+    * writer per table dir — the resume protocol's standing assumption).
+    */
+  private def cleanTmpManifests(fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+    val mdir = new Path(s"$dir/manifest")
+    if (fs.exists(mdir))
+      fs.listStatus(mdir).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(".") && n.endsWith(".tmp")) fs.delete(st.getPath, false): Unit
+      }
   }
 
   def committedBuckets(spark: SparkSession, dir: String): Set[Int] = {
@@ -198,6 +221,7 @@ object Checkpoint {
     // against commit-log file count). Appends are direct FileSystem writes,
     // never Spark jobs — see [[manifests]].
     val (mfs, _) = fsOf(s"$dir/manifest", Some(spark))
+    cleanTmpManifests(mfs, dir)
     val out = Seq.newBuilder[BucketManifest]
     var ordinal = 0
     pendingBuckets.grouped(math.max(1, bucketsPerJob)).foreach { group =>

@@ -81,6 +81,20 @@ class CheckpointSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Checkpoint.read(spark, dir).count() == 5000)
   }
 
+  test("mixed legacy-parquet + json manifests in one dir read together (migration)") {
+    import spark.implicits._
+    val dir = freshDir("mixed")
+    Checkpoint.writeResumable(sampleDf, Seq("k"), 2, dir, "newrun")
+    // forge a legacy parquet-protocol manifest row beside the json commits
+    Seq(("legacy", 99, 1L, 2L, 3L, 4L))
+      .toDF("run_id", "bucket", "row_count", "checksum", "wall_ms", "committed_at")
+      .coalesce(1).write.mode("append").parquet(s"$dir/manifest")
+    val m = Checkpoint.manifests(spark, dir)
+    assert(m.count() == 3) // 2 json + 1 legacy parquet, no cross-format junk
+    assert(m.filter(col("run_id").isNull).count() == 0)
+    assert(Checkpoint.committedBuckets(spark, dir) == Set(0, 1, 99))
+  }
+
   test("checksum detects content drift between manifest and recomputation") {
     import spark.implicits._
     val dir = freshDir("checksum")

@@ -140,12 +140,30 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("BroadcastSetContainsExpr matches set semantics (large hot-set path)") {
     import org.apache.spark.sql.graftshim.GraftColumns
     import spark.implicits._
-    val set = (0L until 3000L).filter(_ % 3 == 0).toSet
+    val set = (0L until 9000L).filter(_ % 3 == 0).toSet // 3000 > InSetLiteralCap
     val bc = spark.sparkContext.broadcast(set)
     val got = (0L until 100L).toDF("v")
       .withColumn("m", GraftColumns.column(graft.ops.BroadcastSetContainsExpr(
         GraftColumns.expression(org.apache.spark.sql.functions.col("v")), bc)))
       .as[(Long, Boolean)].collect().toMap
     assert((0L until 100L).forall(v => got(v) == (v % 3 == 0)))
+  }
+
+  test("salted PIP with >1024 hot cells takes the broadcast-set path and stays exact") {
+    import spark.implicits._
+    // hotThreshold=0 makes every occupied cell hot: ~2000 distinct cells at
+    // level 11 over a 2-degree span force the >InSetLiteralCap dispatch in
+    // hotPredicate through the production join path
+    val pts = (0 until 4000).map(i =>
+      (i.toLong, -119.9 + (i % 2000) * 1e-3, 36.05 + (i % 7) * 1e-3))
+      .toDF("point_id", "lng", "lat")
+    val polys = Seq((1L, Array(-120.0, -117.0, -118.5), Array(36.0, 36.0, 37.5)))
+      .toDF("poly_id", "xs", "ys")
+    val expect = SpatialJoin.pointInPolygon(pts, polys, Some(11))
+      .select("point_id", "poly_id").as[(Long, Long)].collect().toSet
+    val got = SpatialJoin.pointInPolygonSalted(pts, polys,
+        level = 11, hotThreshold = 0L, salt = 3)
+      .select("point_id", "poly_id").as[(Long, Long)].collect().toSet
+    assert(got == expect && got.nonEmpty)
   }
 }
