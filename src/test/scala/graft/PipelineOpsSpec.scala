@@ -51,6 +51,42 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("band_key"), s"band key missing from join plan:\n$plan")
   }
 
+  test("connectedComponents equals union-find on random graphs (3 seeds)") {
+    import spark.implicits._
+    for (seed <- Seq(7, 42, 1234)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 120
+      val edges = (0 until 90).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val nodes = (0L until n.toLong).toDF("doc_id")
+      val got = ops.TextDedup.connectedComponents(
+        edges.toDF("doc_a", "doc_b"), nodes)
+        .as[(Long, Long)].collect().toMap
+      // union-find oracle with min-id roots
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+      }
+      val want = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      assert(got == want, s"seed $seed")
+    }
+  }
+
+  test("ivfSearch plan: centroid-list join, no cartesian") {
+    import spark.implicits._
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(64)(d => (((i * 13 + d * 3) % 11) - 5).toFloat)
+    val vecs = (0 until 400).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val out = ops.Embeddings.ivfSearch(vecs, vecs.filter($"vec_id" < 2),
+      kCentroids = 8, nProbe = 2, topK = 3)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
+      s"IVF candidate generation must be an equi-join on centroid:\n$plan")
+  }
+
   test("ivfSearch equals per-query brute force over the probed lists") {
     import spark.implicits._
     // deterministic synthetic embeddings, dim 64
