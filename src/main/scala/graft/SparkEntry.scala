@@ -194,6 +194,17 @@ object SparkEntry {
         .select("point_id", "tile_key", "elev")
         .orderBy("point_id")
     }),
+    // Elevation profile (the reference's /polyline use case as analytics):
+    // per-vertex elevation + running planar distance / total ascent per
+    // line, running totals integer-quantized for engine-independent sums.
+    "geo_elev_profile" -> ((s, dir) => {
+      val verts = gatePoints(s, dir)
+        .withColumn("line_id", col("point_id") % 199)
+        .withColumn("seq", col("point_id"))
+      ops.Elevation.profile(verts, gateTiles(s))
+        .select("line_id", "seq", "elev", "cum_dist_q", "ascent_q")
+        .orderBy("line_id", "seq")
+    }),
     "geo_terrarium" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .selectExpr("((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id",
@@ -856,7 +867,47 @@ object SparkEntry {
          END AS elev
        FROM v ORDER BY point_id"""
 
+  /** Profile oracle: the bilinear closed form (same CTEs as the elevation
+    * oracle) + lag/window sums over integer-quantized segments — CAST on the
+    * sums because DuckDB widens BIGINT sums to HUGEINT.
+    */
+  private val profileOracleSql: String =
+    """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
+         -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
+         36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
+         FROM lineitem),
+       k AS (SELECT point_id, lng, lat,
+         CAST(floor(lng) AS BIGINT) AS swlng, CAST(floor(lat) AS BIGINT) AS swlat,
+         (lng - floor(lng)) * 600 AS colf, (lat - floor(lat)) * 600 AS rowf FROM pts),
+       g AS (SELECT *, CAST(floor(colf) AS BIGINT) AS c0, CAST(floor(rowf) AS BIGINT) AS r0,
+         colf - floor(colf) AS cf, rowf - floor(rowf) AS rf,
+         ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM k),
+       v AS (SELECT *,
+         a + 2*c0     + 3*r0     + ((c0//8)*(r0//8)) % 32         AS v00,
+         a + 2*(c0+1) + 3*r0     + (((c0+1)//8)*(r0//8)) % 32     AS v10,
+         a + 2*(c0+1) + 3*(r0+1) + (((c0+1)//8)*((r0+1)//8)) % 32 AS v11,
+         a + 2*c0     + 3*(r0+1) + ((c0//8)*((r0+1)//8)) % 32     AS v01 FROM g),
+       e AS (SELECT point_id % 199 AS line_id, point_id AS seq, lng, lat,
+         CASE WHEN (swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36) THEN 0.0
+              ELSE (v00 + (v10 - v00) * cf) +
+                   ((v01 + (v11 - v01) * cf) - (v00 + (v10 - v00) * cf)) * rf
+         END AS elev FROM v),
+       d AS (SELECT line_id, seq, elev,
+         lng - lag(lng) OVER w AS dx, lat - lag(lat) OVER w AS dy,
+         elev - lag(elev) OVER w AS rise
+         FROM e WINDOW w AS (PARTITION BY line_id ORDER BY seq)),
+       q AS (SELECT line_id, seq, elev,
+         coalesce(CAST(floor(sqrt(dx*dx + dy*dy) * 1000000.0) AS BIGINT), 0) AS seg_q,
+         coalesce(CAST(floor(greatest(rise, 0.0) * 64.0) AS BIGINT), 0) AS rise_q FROM d)
+       SELECT line_id, seq, elev,
+         CAST(sum(seg_q) OVER w2 AS BIGINT) AS cum_dist_q,
+         CAST(sum(rise_q) OVER w2 AS BIGINT) AS ascent_q
+       FROM q WINDOW w2 AS (PARTITION BY line_id ORDER BY seq
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       ORDER BY line_id, seq"""
+
   def oracleSql: Map[String, String] = Map(
+    "geo_elev_profile" -> profileOracleSql,
     "events_welford" ->
       """WITH e AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS iv FROM events),
          st AS (SELECT event_type, count(*) AS n, sum(iv) AS sv, sum(iv*iv) AS svv FROM e GROUP BY 1),

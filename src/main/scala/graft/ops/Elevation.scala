@@ -52,6 +52,39 @@ object Elevation {
       .withColumn("elev", ElevAt.elev_at(col("lng"), col("lat"), bc))
   }
 
+  /** Elevation profile over ordered polyline vertices — the reference's
+    * `/polyline` use case (src/server.ts:52-72) as an analytic query: per
+    * vertex, the bilinear elevation plus the running planar distance and
+    * total ascent along its line. The running totals are quantized to exact
+    * integers (micro-degrees; 1/64 m) BEFORE the window sum: a windowed SUM
+    * over doubles is association-order-dependent (Spark folds rows
+    * sequentially, other engines may use segment trees), while integer
+    * summands make the running totals engine-independent — the per-vertex
+    * `elev` itself stays the exact IEEE double. One window per line; at
+    * 10^12 vertices the only shuffle is the hash partition on line_id and
+    * lines are independent.
+    *
+    * @param vertices (line_id, seq, lng, lat) — seq orders vertices within
+    *                 a line; extra columns pass through
+    */
+  def profile(vertices: DataFrame, tiles: Dataset[TileRow]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("line_id").orderBy("seq")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lookupBroadcast(vertices, tiles)
+      .withColumn("dx", col("lng") - lag("lng", 1).over(w))
+      .withColumn("dy", col("lat") - lag("lat", 1).over(w))
+      .withColumn("seg_q", coalesce(
+        floor(sqrt(col("dx") * col("dx") + col("dy") * col("dy")) * lit(1000000.0))
+          .cast("long"), lit(0L)))
+      .withColumn("rise_q", coalesce(
+        floor(greatest(col("elev") - lag("elev", 1).over(w), lit(0.0)) * lit(64.0))
+          .cast("long"), lit(0L)))
+      .withColumn("cum_dist_q", sum("seg_q").over(cum))
+      .withColumn("ascent_q", sum("rise_q").over(cum))
+      .drop("dx", "dy", "seg_q", "rise_q")
+  }
+
   /** The literal join formulation (J1 as a BroadcastHashJoin on tile_key +
     * bilinear over the joined `bytes`). Kept for plan-shape comparison and
     * for tile tables too wide to index; NOT the fast path — each probe row
