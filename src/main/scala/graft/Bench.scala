@@ -9,6 +9,17 @@ import org.apache.spark.sql.SparkSession
   * elevation-lookup + spatial-join workload at two parallelism levels
   * (local[8] vs local[cpus]) on the same input for the north-rule scaling
   * evidence. Prints ONE JSON line.
+  *
+  * Measurement contract (round 3): the committed artifact must carry the
+  * defensible number itself, not a single contention-exposed pass. Every
+  * query is timed over `SPARK_GRAFT_QUERY_PASSES` (default 3) full
+  * INTERLEAVED sweeps of the whole query list — `queries` holds the min
+  * across sweeps (host jitter on this box is ±15–40%, so a single pass can
+  * read 2–6× the real cost), `queries_cold` holds the first-sweep value so
+  * cold-path cost stays visible. Scaling reports the MEDIAN paired
+  * efficiency as the headline (robust under symmetric jitter; the
+  * paired-best and global min-ratio ride alongside, never hidden) and
+  * derives `efficiency_vs_ceiling` from the same paired statistic.
   */
 object Bench {
 
@@ -52,6 +63,14 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n == 0) 0.0
+    else if (n % 2 == 1) s(n / 2)
+    else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -62,6 +81,12 @@ object Bench {
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
     // 0 skips the per-query loop (scaling-methodology experiments)
     val doQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") == "1"
+    // full interleaved sweeps of the query list; min per query is committed
+    val queryPasses =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_QUERY_PASSES", "3").toInt)
+    // optional comma-separated query-name filter for local iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).filter(_.nonEmpty)
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -78,16 +103,33 @@ object Bench {
     SparkEntry.queries.get("q1_agg").foreach(fn =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () })
-    val queryResults =
+    val queryNames = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    // interleaved sweeps: pass p times every query once before any query
+    // runs its pass p+1, so a host-contention window contaminates at most
+    // one sweep of each query, and the per-query min is taken across
+    // independent windows (the whole point of committing min-of-N)
+    val sweeps: Seq[Map[String, Double]] =
       if (!doQueries) Seq.empty
-      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        name -> timeQuery(fn(spark, sfDir))
+      else (1 to queryPasses).map { _ =>
+        queryNames.map { name =>
+          name -> timeQuery(SparkEntry.queries(name)(spark, sfDir))
+        }.toMap
       }
+    val queryResults: Seq[(String, Double)] =
+      if (sweeps.isEmpty) Seq.empty
+      else queryNames.map { n =>
+        val ts = sweeps.map(_(n)).filter(_ >= 0)
+        n -> (if (ts.isEmpty) -1.0 else ts.min)
+      }
+    val coldResults: Seq[(String, Double)] =
+      if (sweeps.isEmpty) Seq.empty
+      else queryNames.map(n => n -> sweeps.head(n))
     // resumable-write wall-time vs bucket count: the single-job write makes
     // wall time a function of data size, not bucket count (the per-bucket
     // job loop it replaced scaled linearly in buckets). Interleaved passes,
     // min per bucket count.
-    val ckptResults = if (!doQueries &&
+    val ckptResults = if (!(doQueries && only.isEmpty) &&
         !sys.env.get("SPARK_GRAFT_CKPT").contains("1")) Seq.empty else {
       val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
@@ -117,13 +159,11 @@ object Bench {
       else {
         val loCpus = math.max(2, cpus / 4)
         val nPairs =
-          math.max(1, sys.env.getOrElse("SPARK_GRAFT_SCALING_PASSES", "6").toInt)
+          math.max(1, sys.env.getOrElse("SPARK_GRAFT_SCALING_PASSES", "10").toInt)
         // interleave lo/hi passes: host CPU availability drifts over minutes,
         // so back-to-back blocks bias the ratio. Each (lo, hi) pair runs
-        // back-to-back inside one drift window, so its ratio is the cleanest
-        // single measurement of the ENGINE's scaling on this host — the
-        // paired-best efficiency is reported alongside the global min-based
-        // ratio and the per-pair spread.
+        // back-to-back inside one drift window, so its ratio is a clean
+        // single measurement of the ENGINE's scaling on this host.
         val passes = (1 to nPairs).map { _ =>
           (headlinePass(loCpus, sfDir, k), headlinePass(cpus, sfDir, k))
         }
@@ -132,31 +172,38 @@ object Bench {
         val tHi = passes.map(_._2._2).min
         val rpsLo = rows / tLo
         val rpsHi = rows / tHi
-        // global min-ratio mixes host windows (tLo's window != tHi's);
-        // the paired-best is the cleanest single measurement — a (lo, hi)
-        // pair runs back-to-back in one drift window, like one clean run at
-        // each cluster size on dedicated hardware. Headline `efficiency` is
-        // the paired best; the min-ratio and full per-pair spread are
-        // reported beside it, never hidden.
-        val effMinRatio = (tLo / tHi) / (cpus.toDouble / loCpus)
         val pairEffs = passes.map { case ((_, lo), (_, hi)) =>
           (lo / hi) / (cpus.toDouble / loCpus)
         }
+        // headline `efficiency` = MEDIAN of the paired ratios: robust and
+        // unbiased under symmetric host jitter (the advisor's point: a
+        // best-of-N max is biased upward). The paired BEST — the analog of
+        // one clean run at each cluster size on dedicated hardware — and the
+        // global min-ratio (mixes windows) are reported beside it, with the
+        // full per-pair spread. Nothing hidden.
+        val effMedian = median(pairEffs)
         val effBest = pairEffs.max
+        val effMinRatio = (tLo / tHi) / (cpus.toDouble / loCpus)
         // hardware ceiling: per-core slowdown from loCpus to cpus threads
         // (min-of-3 per level — the spin itself sees host jitter)
         spinWall(2) // JIT warmup
         val ceiling = (1 to 3).map(_ => spinWall(loCpus)).min /
           (1 to 3).map(_ => spinWall(cpus)).min
-        val effNorm = effMinRatio / math.min(1.0, ceiling)
+        // ceiling-normalized efficiency from the SAME paired statistic as
+        // the headline (advisor: the two fields must share a methodology)
+        val effNorm = effMedian / math.min(1.0, ceiling)
         val pairsJson = pairEffs.map(e => f"$e%.3f").mkString("[", ",", "]")
-        f""","elev_rows_per_sec":$rpsHi%.0f,"scaling":{"rows":$rows,"cpus_lo":$loCpus,"cpus_hi":$cpus,"sec_lo":$tLo%.3f,"sec_hi":$tHi%.3f,"rows_per_sec_lo":$rpsLo%.0f,"rows_per_sec_hi":$rpsHi%.0f,"efficiency":$effBest%.3f,"efficiency_method":"paired_best_of_$nPairs","pair_efficiencies":$pairsJson,"efficiency_min_ratio":$effMinRatio%.3f,"cpu_turbo_ceiling":$ceiling%.3f,"efficiency_vs_ceiling":$effNorm%.3f}"""
+        f""","elev_rows_per_sec":$rpsHi%.0f,"scaling":{"rows":$rows,"cpus_lo":$loCpus,"cpus_hi":$cpus,"sec_lo":$tLo%.3f,"sec_hi":$tHi%.3f,"rows_per_sec_lo":$rpsLo%.0f,"rows_per_sec_hi":$rpsHi%.0f,"efficiency":$effMedian%.3f,"efficiency_method":"paired_median_of_$nPairs","efficiency_paired_best":$effBest%.3f,"pair_efficiencies":$pairsJson,"efficiency_min_ratio":$effMinRatio%.3f,"cpu_turbo_ceiling":$ceiling%.3f,"efficiency_vs_ceiling":$effNorm%.3f}"""
       }
 
-    val qs = results.map { case (q, v) => "\"" + q + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    def asJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (q, v) => "\"" + q + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalStr = f"$total%.3f"
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir"$scaling}""")
+    val coldJson =
+      if (coldResults.isEmpty || queryPasses == 1) ""
+      else s""","queries_cold":${asJson(coldResults)},"query_passes":$queryPasses"""
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":${asJson(results)},"sf":"$sfDir"$coldJson$scaling}""")
   }
 }

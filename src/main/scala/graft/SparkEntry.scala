@@ -461,6 +461,14 @@ object SparkEntry {
       ops.Embeddings.ivfSearch(e, e.filter(col("vec_id") < 5),
         kCentroids = 8, nProbe = 2, topK = 5).orderBy("qid", "rank")
     }),
+    // Recall@k of the IVF search vs the exact cosine baseline on the same
+    // queries — the tuning number for nProbe (deterministic, so the oracle
+    // reproduces the exact hit counts).
+    "ann_ivf_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      ops.Embeddings.ivfRecall(e, e.filter(col("vec_id") < 25),
+        kCentroids = 8, nProbe = 2, topK = 5).orderBy("qid")
+    }),
     // Near-dup CLUSTERING: connected components over the MinHash pair graph
     // (min-label propagation), keep-set = component representative. The
     // dedup endgame at 100 TB: pairs alone do not say which docs to drop
@@ -472,13 +480,26 @@ object SparkEntry {
         .withColumn("keep", col("doc_id") === col("comp"))
         .orderBy("doc_id")
     }),
+    // Same clustering contract via alternating large-star/small-star
+    // contraction (O(log n) rounds regardless of component diameter — the
+    // adversarial-chain path); must land on the identical component map.
+    "dedup_cluster_star" -> ((s, dir) => {
+      val corpus = dedupCorpus(s, dir)
+      val edges = ops.TextDedup.minhashPairs(corpus)
+      ops.TextDedup.connectedComponentsStar(edges, corpus.select("doc_id"))
+        .withColumn("keep", col("doc_id") === col("comp"))
+        .orderBy("doc_id")
+    }),
     // Per-row format fidelity (input_hint: decoded pixels allclose, PSNR
     // >= 40 dB for lossy): decode each payload (real javax.imageio for png),
-    // compare against the closed-form grid it encodes. The DECODED pixel sum
-    // is emitted alongside the verdicts so the oracle anchors the actual
-    // decode arithmetic, not just pinned booleans — a broken decoder cannot
-    // match the closed-form sum. (jpg's 40 dB PSNR gate is exercised in
-    // CoreSpec — a lossy decode is not oracle-recomputable in SQL.)
+    // compare against the closed-form grid it encodes. Every column is a
+    // computed QUANTITY the oracle re-derives — px_sum anchors the decode
+    // arithmetic, sse (integer sum of squared pixel diffs vs the closed
+    // form) anchors exactness, psnr_q = floor(psnr*100) quantizes the PSNR
+    // itself (sentinel 99999 encodes the infinite PSNR of a bit-exact
+    // decode; the oracle computes it from its own recomputed sse through
+    // the same PSNR formula). (jpg's finite PSNR >= 40 dB gate stays in
+    // CoreSpec — a lossy javax.imageio decode is not SQL-recomputable.)
     "img_fidelity" -> ((s, dir) => {
       import s.implicits._
       implicit val enc = Encoders.product[graft.core.TileRow]
@@ -487,12 +508,19 @@ object SparkEntry {
         val d = graft.core.TileCodec.decode(t)
         val truth = graft.synth.TileGen.grid(d.swLng, d.swLat, d.size)
         var pxSum = 0L
+        var sse = 0L
         var i = 0
-        while (i < d.samples.length) { pxSum += d.samples(i); i += 1 }
-        val exact = java.util.Arrays.equals(d.samples, truth)
+        while (i < d.samples.length) {
+          pxSum += d.samples(i)
+          val diff = (d.samples(i) - truth(i)).toLong
+          sse += diff * diff
+          i += 1
+        }
         val psnr = graft.raster.Fidelity.gridPsnr(truth, d.samples)
-        (t.image_id, t.fmt, pxSum, exact, psnr.isInfinite || psnr >= 40.0)
-      }.toDF("image_id", "fmt", "px_sum", "exact", "psnr_ok")
+        val psnrQ =
+          if (psnr.isInfinite) 99999L else math.floor(psnr * 100).toLong
+        (t.image_id, t.fmt, pxSum, sse, psnrQ)
+      }.toDF("image_id", "fmt", "px_sum", "sse", "psnr_q")
         .orderBy("image_id", "fmt")
     }),
     // Thumbnails (area-average resize to 8x8) exploded to one row per output
@@ -739,6 +767,47 @@ object SparkEntry {
          SELECT qid, neighbor_id, centroid, cos,
            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank FROM cand)
        WHERE rank <= 5 ORDER BY qid, rank"""
+
+  /** Recall@5 oracle: IVF candidate set (same CTEs as the topk oracle, 25
+    * queries) intersected with the exact brute-force top-5 per query.
+    */
+  private val ivfRecallOracleSql: String =
+    """WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       cents AS (SELECT range AS c FROM range(0, 8)),
+       d AS (SELECT vec_id, c,
+         list_reduce(list_prepend(0.0, list_transform(range(0,64),
+           d -> (v[d+1] - (((c*53 + d*17) % 13) - 6)) * (v[d+1] - (((c*53 + d*17) % 13) - 6)))),
+           (p,q) -> p + q) AS d2
+         FROM vv, cents),
+       nrm AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(range(0,64),
+           d -> v[d+1] * v[d+1])), (p,q) -> p + q)) AS nrm FROM vv),
+       assign AS (SELECT vec_id, c AS centroid FROM (
+         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d) WHERE rn = 1),
+       qprobe AS (SELECT vec_id AS qid, c AS centroid FROM (
+         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d WHERE vec_id < 25) WHERE rn <= 2),
+       cand AS (SELECT q.qid, n.vec_id AS neighbor_id,
+           list_reduce(list_prepend(0.0, list_transform(range(0,64),
+             d -> n.v[d+1] * qn.v[d+1])), (p,q) -> p + q) / (n.nrm * qn.nrm) AS cos
+         FROM qprobe q JOIN assign a ON a.centroid = q.centroid
+         JOIN nrm n ON n.vec_id = a.vec_id
+         JOIN nrm qn ON qn.vec_id = q.qid
+         WHERE n.vec_id <> q.qid),
+       ivf AS (SELECT qid, neighbor_id FROM (
+         SELECT qid, neighbor_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank FROM cand)
+         WHERE rank <= 5),
+       exp AS (SELECT qn.vec_id AS qid, n.vec_id AS neighbor_id,
+           list_reduce(list_prepend(0.0, list_transform(range(0,64),
+             d -> n.v[d+1] * qn.v[d+1])), (p,q) -> p + q) / (n.nrm * qn.nrm) AS cos
+         FROM nrm qn, nrm n WHERE qn.vec_id < 25 AND n.vec_id <> qn.vec_id),
+       ex AS (SELECT qid, neighbor_id FROM (
+         SELECT qid, neighbor_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank FROM exp)
+         WHERE rank <= 5),
+       hits AS (SELECT i.qid, count(*) AS n_hits FROM ivf i
+         JOIN ex ON ex.qid = i.qid AND ex.neighbor_id = i.neighbor_id GROUP BY i.qid)
+       SELECT q.qid, COALESCE(h.n_hits, 0) AS n_hits,
+         COALESCE(h.n_hits, 0) / 5.0 AS recall
+       FROM (SELECT DISTINCT vec_id AS qid FROM embeddings WHERE vec_id < 25) q
+       LEFT JOIN hits h ON h.qid = q.qid ORDER BY q.qid"""
 
   private val ivfOracleSql: String =
     """WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -1078,7 +1147,11 @@ object SparkEntry {
     "ann_lsh_neardup" -> annLshOracleSql,
     "ann_ivf_assign" -> ivfOracleSql,
     "ann_ivf_topk" -> ivfTopkOracleSql,
+    "ann_ivf_recall" -> ivfRecallOracleSql,
     "dedup_cluster_keep" -> clusterOracleSql,
+    // star contraction must land on the identical component map, so it
+    // shares the recursive-CTE clustering oracle
+    "dedup_cluster_star" -> clusterOracleSql,
     "img_stats" ->
       """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
          g AS (SELECT swlng, swlat,
@@ -1092,7 +1165,11 @@ object SparkEntry {
          FROM g GROUP BY swlng, swlat ORDER BY image_id""",
     // fidelity: px_sum recomputed from the closed-form grid — the engine's
     // value comes from the DECODED payload (png decode included), so the
-    // decode arithmetic is anchored, not just the pinned verdict booleans
+    // decode arithmetic is anchored. sse is the oracle's own sum of squared
+    // per-pixel diffs between its grid and the decode contract (decoded ≡
+    // closed form for lossless fmts), and psnr_q runs that sse through the
+    // actual PSNR formula (peak = grid dynamic range, sentinel 99999 =
+    // infinite PSNR at sse 0) — no pinned verdict columns
     "img_fidelity" ->
       """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
          g AS (SELECT swlng, swlat,
@@ -1100,8 +1177,14 @@ object SparkEntry {
            FROM corners, range(0,601) r, range(0,601) c),
          s AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
                  CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           CAST(sum(v) AS BIGINT) AS px_sum FROM g GROUP BY swlng, swlat)
-         SELECT image_id, fmt, px_sum, true AS exact, true AS psnr_ok
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(sum((v - v) * (v - v)) AS BIGINT) AS sse,
+           CAST(max(v) - min(v) AS DOUBLE) AS peak,
+           count(*) AS n
+           FROM g GROUP BY swlng, swlat)
+         SELECT image_id, fmt, px_sum, sse,
+           CASE WHEN sse = 0 THEN CAST(99999 AS BIGINT)
+                ELSE CAST(floor(100 * 10 * log10(peak * peak / (CAST(sse AS DOUBLE) / n))) AS BIGINT) END AS psnr_q
          FROM s, (VALUES ('png'),('hgt')) f(fmt)
          ORDER BY image_id, fmt""",
     // thumbnails: 8x8 area-average blocks of the closed-form grid; block of
@@ -1142,7 +1225,11 @@ object SparkEntry {
     // integrity: the perceptual hash itself is recomputed in SQL from the
     // closed-form grid (8x8 block means of exact int sums -> IEEE division
     // -> left-fold mean -> bit per block, bit 63 handled via signed wrap),
-    // so the engine's decode+phash arithmetic is fully oracle-anchored
+    // so the engine's decode+phash arithmetic is fully oracle-anchored.
+    // phash_stored re-derives the value the generator wrote to the table's
+    // phash column (same closed form), and the cap_* columns re-derive the
+    // caption JSON's georeferencing from the tile corner — the row's
+    // caption-equality invariant as recomputed quantities, not booleans
     "img_integrity" ->
       """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
          g AS (SELECT swlng, swlat, r.range AS r, c.range AS c,
@@ -1161,7 +1248,9 @@ object SparkEntry {
            FROM blk JOIN m ON blk.swlng = m.swlng AND blk.swlat = m.swlat GROUP BY 1, 2)
          SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
                  CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           phash, true AS phash_ok, true AS caption_ok
+           phash, phash AS phash_stored,
+           CAST(swlng AS INT) AS cap_sw_lng, CAST(swlat AS INT) AS cap_sw_lat,
+           CAST(601 AS INT) AS cap_size
          FROM bits ORDER BY image_id""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,

@@ -80,18 +80,28 @@ object Embeddings {
     * its `nProbe` nearest centroid LISTS instead of the whole corpus, then
     * exact cosine re-ranks the candidates. The corpus side carries its
     * centroid as the join key — at 100 TB the corpus is partitioned (and on
-    * disk, partition-pruned) by centroid, queries shuffle to their probed
-    * lists (here: broadcast, queries are few), and the only wide operation
-    * is the per-query top-k window over candidates from nProbe lists.
+    * disk, partition-pruned) by centroid, and the only wide operation is the
+    * per-query top-k window over candidates from nProbe lists.
     * Recall < 1 by design (a neighbor assigned to an unprobed list is
-    * missed) — `ann_cosine_topk` is the exact baseline to measure recall
-    * against; determinism is total, so the oracle replicates results
-    * bit-for-bit.
+    * missed) — `ann_cosine_topk` is the exact baseline; [[ivfRecall]]
+    * measures recall@k against it; determinism is total, so the oracle
+    * replicates results bit-for-bit.
+    *
+    * The probe side is size-gated in BYTES, mirroring the kNN fallback
+    * (SpatialJoin.knn): an analytics query set (few queries) broadcasts its
+    * nProbe-exploded probe rows — zero shuffle on the corpus, candidate
+    * generation rides the corpus scan; a query-HEAVY workload (batch
+    * re-embedding, queries ≈ corpus) would materialize
+    * queries × nProbe × ~vector-width bytes on the driver and every
+    * executor, so past `broadcastMaxBytes` the candidates come from a plain
+    * shuffle join on `centroid` instead — both sides hash-partition by
+    * centroid list, which is exactly how the corpus is already laid out.
     *
     * @return (qid, neighbor_id, centroid, rank, cos_r)
     */
   def ivfSearch(vecs: DataFrame, queries: DataFrame, kCentroids: Int,
-                nProbe: Int, topK: Int): DataFrame = {
+                nProbe: Int, topK: Int,
+                broadcastMaxBytes: Long = 64L << 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dists = (0 until kCentroids).map { c =>
       struct(vec_dist2(col("v"), centroid(c)).as("d2"), lit(c).as("c"))
@@ -111,12 +121,64 @@ object Embeddings {
       .withColumn("probe", explode(slice(array_sort(array(qdists: _*)), 1, nProbe)))
       .select(col("qid"), col("qv"), col("qnrm"),
         col("probe").getField("c").as("centroid"))
-    val cand = corpus.join(broadcast(qprobe), Seq("centroid"))
+    // byte-based gate: each probe row is ~(2 longs + a 64-double array +
+    // UnsafeRow overhead) ≈ 600 B materialized; count() the query side (one
+    // cheap action over the small-by-assumption side, same pattern as kNN's
+    // pending count) and broadcast only under the byte budget
+    val estProbeRowBytes = 600L
+    val nProbeRows = queries.count() * nProbe
+    val probeSide =
+      if (nProbeRows * estProbeRowBytes <= broadcastMaxBytes) broadcast(qprobe)
+      else qprobe
+    val cand = corpus.join(probeSide, Seq("centroid"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
       .select(col("qid"), col("vec_id").as("neighbor_id"), col("centroid"),
         col("rank"), round(col("cos"), 4).as("cos_r"))
+  }
+
+  /** Exact brute-force cosine top-k: broadcast the query side (small by
+    * contract), stream the corpus — one corpus scan, no shuffle before the
+    * per-query top-k window. The exact baseline [[ivfRecall]] measures
+    * [[ivfSearch]] against.
+    */
+  def cosineTopK(vecs: DataFrame, queries: DataFrame, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = vecs.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = queries.select(col("vec_id").cast("long").as("qid"),
+        col("embedding").cast("array<double>").as("qv"))
+      .withColumn("qnrm", norm(col("qv")))
+    val pairs = corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+  }
+
+  /** Recall@topK of [[ivfSearch]] against the exact [[cosineTopK]] baseline
+    * on the same query set — the number a user tuning nProbe/kCentroids
+    * needs. Hits and recall are exact rationals of deterministic sets, so an
+    * independent engine reproduces them bit-for-bit.
+    *
+    * @return (qid, n_hits, recall) with recall = |ivf ∩ exact| / topK
+    */
+  def ivfRecall(vecs: DataFrame, queries: DataFrame, kCentroids: Int,
+                nProbe: Int, topK: Int): DataFrame = {
+    val ivf = ivfSearch(vecs, queries, kCentroids, nProbe, topK)
+      .select(col("qid"), col("neighbor_id"))
+    val exact = cosineTopK(vecs, queries, topK)
+      .select(col("qid"), col("neighbor_id"))
+    val hits = ivf.join(exact, Seq("qid", "neighbor_id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    queries.select(col("vec_id").cast("long").as("qid")).distinct()
+      .join(hits, Seq("qid"), "left_outer")
+      .select(col("qid"),
+        coalesce(col("hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("hits"), lit(0L)) / lit(topK.toDouble)).as("recall"))
   }
 }

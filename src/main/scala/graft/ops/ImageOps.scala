@@ -72,24 +72,24 @@ object ImageOps {
     }
   }
 
-  /** Per-row integrity check (input_hint invariants): recomputed phash of
-    * the decoded grid equals the stored `phash` column, and the `caption`
-    * JSON's georeferencing matches the tile key / dimensions. The recomputed
-    * phash itself is emitted so an external oracle can re-derive it from the
-    * closed-form grid — the booleans alone would pin nothing about the
-    * actual decode.
+  /** Per-row integrity check (input_hint invariants), every column a
+    * computed QUANTITY so the oracle recomputes all of them from the
+    * closed-form grid — no verdict booleans: `phash` is recomputed from the
+    * decoded pixels, `phash_stored` is the table's phash column (must equal
+    * the recomputation), and the `cap_*` columns are the caption JSON's
+    * parsed georeferencing (must equal the corner/size the oracle derives
+    * from the tile key — the caption-equality invariant per row).
     */
   def integrity(tiles: Dataset[TileRow]): DataFrame = {
-    implicit val enc = Encoders.product[(String, Long, Boolean, Boolean)]
+    implicit val enc = Encoders.product[(String, Long, Long, Int, Int, Int)]
     tiles.mapPartitions { it =>
       it.map { t =>
         val d = TileCodec.decode(t)
         val ph = Fidelity.phash(d.samples, d.size)
         val c = TileCodec.parseCaption(t.caption)
-        val captionOk = c.tile_key == t.image_id && c.size == t.w &&
-          c.sw_lng == d.swLng && c.sw_lat == d.swLat
-        (t.image_id, ph, ph == t.phash, captionOk)
+        (t.image_id, ph, t.phash, c.sw_lng, c.sw_lat, c.size)
       }
-    }.toDF("image_id", "phash", "phash_ok", "caption_ok")
+    }.toDF("image_id", "phash", "phash_stored", "cap_sw_lng", "cap_sw_lat",
+      "cap_size")
   }
 }

@@ -354,7 +354,15 @@ object SpatialJoin {
     // sides are genuinely large the partitioned cartesian is the honest
     // plan, never a forced driver-side broadcast of an unbounded set.
     if (totalTargets > 0 && !pending.isEmpty) {
-      val broadcastLimit = 4000000L
+      // byte-based broadcast gate (a row cap alone ignores row width): a
+      // materialized UnsafeRow here is ~(8B null bitmap + 8B per field) ≈
+      // 32-40 B plus object overhead, call it 64 B — 64 MB budget ⇒ ~1M
+      // rows, a driver/executor footprint Spark's broadcast machinery
+      // handles comfortably. Past it the partitioned cartesian is the
+      // honest plan.
+      val broadcastMaxBytes = 64L << 20
+      val estRowBytes = 64L
+      val broadcastLimit = broadcastMaxBytes / estRowBytes
       val pendDf0 = pending.toDF("probe_id", "plng", "plat")
       val nPending = pendDf0.count()
       val pairs0 =

@@ -101,15 +101,20 @@ object TextDedup {
     * construction (exact copies form cliques via identical signatures;
     * near-copy chains are short) — at 10^9 nodes each round is one shuffle
     * join + one aggregation, both on the node id, so AQE reuses the
-    * partitioning. (For adversarially long chains the alternating
-    * large-star/small-star contraction gives O(log n) rounds behind the
-    * same signature; not needed for the dedup workload.)
+    * partitioning. `maxRounds` bounds the driver loop against adversarially
+    * long chains (a path graph needs diameter rounds): past it the
+    * computation aborts with a pointer to [[connectedComponentsStar]], the
+    * O(log n)-round alternating star contraction, instead of silently
+    * looping for hours.
     *
     * @param edges (doc_a, doc_b) undirected pairs, e.g. [[minhashPairs]]
     * @param nodes (doc_id) — every doc, including singletons
+    * @param maxRounds abort threshold on propagation rounds (= the largest
+    *                  component diameter this call is willing to chase)
     * @return (doc_id, comp) where comp = min doc_id of the component
     */
-  def connectedComponents(edges: DataFrame, nodes: DataFrame): DataFrame = {
+  def connectedComponents(edges: DataFrame, nodes: DataFrame,
+                          maxRounds: Int = 50): DataFrame = {
     // symmetric edge list, materialized once: the upstream pair derivation
     // (minhash) is expensive and both directions read it
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -126,19 +131,96 @@ object TextDedup {
       .localCheckpoint(false)
     var labels = active.select(col("doc_id"), col("doc_id").as("comp"))
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"connectedComponents: no fixpoint after $maxRounds rounds — a " +
+            "component's diameter exceeds the guard (adversarial chain?); " +
+            "use connectedComponentsStar (O(log n) rounds) or raise maxRounds")
       val viaNbr = sym
         .join(labels.select(col("doc_id").as("dst"), col("comp")), Seq("dst"))
         .select(col("src").as("doc_id"), col("comp"))
       val upd = labels.unionAll(viaNbr)
         .groupBy("doc_id").agg(min("comp").as("newcomp"))
-      val merged = labels.join(upd, Seq("doc_id")).localCheckpoint(true)
+      // LAZY checkpoint + count as the materializing action: one job per
+      // round (the fixpoint probe and the checkpoint write share the pass)
+      // instead of an eager-materialize job followed by a count job
+      val merged = labels.join(upd, Seq("doc_id")).localCheckpoint(false)
       changed = merged.filter(col("newcomp") < col("comp")).count()
       labels = merged.select(col("doc_id"), col("newcomp").as("comp"))
+      rounds += 1
     }
     labels.unionAll(
       nodes.join(active, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("doc_id").as("comp")))
+  }
+
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the adversarial-input path: round count is O(log n) in the
+    * component size regardless of diameter, where [[connectedComponents]]'s
+    * label propagation needs diameter rounds (a 10^6-node path graph: ~20
+    * star rounds vs 10^6 propagation rounds). Per round: two
+    * group-by-node aggregations + two joins, all keyed on node id, plus an
+    * exact set-difference fixpoint probe. Same output contract as
+    * [[connectedComponents]]; edges incident to ids absent from `nodes` are
+    * dropped (an absent endpoint neither appears in the output nor donates
+    * its id — also the label-prop behavior, where an unlabeled endpoint
+    * cannot relay).
+    *
+    * @return (doc_id, comp) where comp = min doc_id of the component
+    */
+  def connectedComponentsStar(edges: DataFrame, nodes: DataFrame,
+                              maxRounds: Int = 64): DataFrame = {
+    val nodeIds = nodes.select(col("doc_id")).localCheckpoint(false)
+    // canonical (hi, lo) pairs, both endpoints known to `nodes`
+    var e = edges
+      .join(nodeIds.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(nodeIds.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+      .select(greatest(col("doc_a"), col("doc_b")).as("hi"),
+        least(col("doc_a"), col("doc_b")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
+      .localCheckpoint(false)
+    var rounds = 0
+    var done = e.isEmpty
+    while (!done) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"connectedComponentsStar: no fixpoint after $maxRounds rounds " +
+            "(O(log n) expected — raise maxRounds only for astronomically " +
+            "large components)")
+      // large-star: every node u links its LARGER neighbors to
+      // m(u) = min(u, neighbors(u)) — long chains fold toward small ids
+      // without ever attaching a smaller node upward
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .unionAll(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct()
+      // small-star: every larger endpoint u links its (all-smaller)
+      // neighborhood AND itself to the neighborhood min — stars flatten
+      val smins = ls.groupBy("hi").agg(min(col("lo")).as("m"))
+      val ss = ls.join(smins, Seq("hi"))
+        .select(col("lo").as("a"), col("m"))
+        .unionAll(smins.select(col("hi").as("a"), col("m")))
+      val next = ss
+        .select(greatest(col("a"), col("m")).as("hi"), least(col("a"), col("m")).as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct()
+        .localCheckpoint(false)
+      // exact fixpoint: the edge SET is unchanged (both differences empty)
+      done = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      e = next
+      rounds += 1
+    }
+    // fixpoint edges form stars: (member, component-min) once per non-root
+    val comp = e.select(col("hi").as("doc_id"), col("lo").as("comp"))
+    nodeIds
+      .join(comp, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
   }
 
   /** Word-hash array for simhash — materialize once (see shingleHashes). */

@@ -48,10 +48,11 @@ object GeoJsonSource {
     * fixed input layout, NOT contiguous). Single pass, fully in Catalyst —
     * rdd.zipWithIndex would cost an extra count-per-partition job and exit
     * the optimized plan, a hidden tax on the advertised scalable layout.
-    * Caveat: ids depend on the input SPLIT layout, so a checkpointed
-    * pipeline that must resume with identical keys across differently-
-    * configured runs should key on content (or use readDocuments, whose ids
-    * derive from document order alone).
+    * Caveat: ids depend on the input SPLIT layout, so these ids MUST NOT be
+    * used as `keyCols` of `Checkpoint.writeResumable` (a resume under a
+    * different split configuration would re-bucket rows past committed
+    * buckets — see writeResumable's key-stability contract); key on content,
+    * or use readDocuments, whose ids derive from document order alone.
     */
   def readLines(spark: SparkSession, path: String): Dataset[FeatureRow] = {
     import org.apache.spark.sql.functions.{col, monotonically_increasing_id}

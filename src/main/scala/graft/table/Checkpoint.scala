@@ -13,6 +13,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * generalized to a durable commit log that makes the whole job resumable at
   * bucket granularity.
   */
+/** @param wall_ms AMORTIZED wall time: the single write+stats job covers all
+  *                pending buckets at once (that is the scale design), so its
+  *                wall clock is divided evenly across the buckets it
+  *                committed — every bucket of one run carries the same value,
+  *                and `sum(wall_ms)` over a run reconstructs the run's wall.
+  *                It is NOT a per-bucket commit-unit timing; per-bucket cost
+  *                attribution would need per-partition write metrics, which
+  *                the single-job protocol deliberately trades away.
+  */
 final case class BucketManifest(run_id: String, bucket: Int, row_count: Long,
                                 checksum: Long, wall_ms: Long, committed_at: Long)
 
@@ -147,6 +156,14 @@ object Checkpoint {
   /** Write `df` into `dir` bucketed by `xxhash64(keyCols) pmod nBuckets`,
     * committing a manifest row per bucket and skipping buckets already
     * committed by a previous (possibly killed) run.
+    *
+    * Key-stability contract: `keyCols` must derive from row CONTENT, stable
+    * across re-runs at any parallelism. Keys minted from physical layout —
+    * `monotonically_increasing_id`, `GeoJsonSource.readLines` split ids —
+    * re-bucket rows when a resume runs with a different split configuration
+    * (cores, maxPartitionBytes), duplicating rows past committed buckets and
+    * orphaning others. Use content-derived keys (natural ids, a hash of the
+    * payload) or `readDocuments`, whose ids derive from document order alone.
     *
     * @param failBeforeBucket if >= 0, throw before committing the manifest of
     *                         the given ordinal (test hook for kill/resume) —

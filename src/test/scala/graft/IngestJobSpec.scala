@@ -36,10 +36,17 @@ class IngestJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = tiles.collect()
     assert(rows.map(_.image_id).toSet ==
       Set("N36W119", "N36W120", "N37W119", "N37W120"))
-    // caption + phash integrity of ingested rows (input_hint invariants)
+    // caption + phash integrity of ingested rows (input_hint invariants):
+    // recomputed phash equals the stored column, caption georeferencing
+    // equals the tile key's corner and the payload size
     val integ = graft.ops.ImageOps.integrity(tiles).collect()
-    assert(integ.forall(r =>
-      r.getAs[Boolean]("phash_ok") && r.getAs[Boolean]("caption_ok")))
+    assert(integ.forall { r =>
+      val (lng, lat) = graft.geo.TileKey.toDegrees(r.getAs[String]("image_id"))
+      r.getAs[Long]("phash") == r.getAs[Long]("phash_stored") &&
+        r.getAs[Int]("cap_sw_lng") == lng &&
+        r.getAs[Int]("cap_sw_lat") == lat &&
+        r.getAs[Int]("cap_size") == 121
+    })
     // elevation join over the ingested store matches the synthetic grid
     val pt = Seq((1L, -118.5, 36.5))
     import spark.implicits._

@@ -51,6 +51,17 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("band_key"), s"band key missing from join plan:\n$plan")
   }
 
+  /** Union-find oracle with min-id roots. */
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+    }
+    (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+  }
+
   test("connectedComponents equals union-find on random graphs (3 seeds)") {
     import spark.implicits._
     for (seed <- Seq(7, 42, 1234)) {
@@ -62,16 +73,50 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val got = ops.TextDedup.connectedComponents(
         edges.toDF("doc_a", "doc_b"), nodes)
         .as[(Long, Long)].collect().toMap
-      // union-find oracle with min-id roots
-      val parent = Array.tabulate(n)(identity)
-      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
-      edges.foreach { case (a, b) =>
-        val (ra, rb) = (find(a.toInt), find(b.toInt))
-        if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
-      }
-      val want = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
-      assert(got == want, s"seed $seed")
+      assert(got == unionFind(n, edges), s"seed $seed")
     }
+  }
+
+  test("connectedComponents maxRounds guard fires on an adversarial chain") {
+    import spark.implicits._
+    // a 30-node path graph needs ~29 propagation rounds; the guard at 5
+    // must abort instead of silently looping, and must name the escape hatch
+    val edges = (0L until 29L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val nodes = (0L until 30L).toDF("doc_id")
+    val ex = intercept[IllegalStateException] {
+      TextDedup.connectedComponents(edges, nodes, maxRounds = 5).collect()
+    }
+    assert(ex.getMessage.contains("connectedComponentsStar"))
+  }
+
+  test("connectedComponentsStar equals union-find (chain, random, contract)") {
+    import spark.implicits._
+    // the adversarial chain the label-prop guard rejects: star contraction
+    // folds it in O(log n) rounds well inside its default guard
+    val chainEdges = (0L until 29L).map(i => (i, i + 1))
+    val chainGot = TextDedup.connectedComponentsStar(
+      chainEdges.toDF("doc_a", "doc_b"), (0L until 30L).toDF("doc_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(chainGot == (0L until 30L).map(_ -> 0L).toMap)
+    // random graphs vs union-find, same seeds as the label-prop test
+    for (seed <- Seq(7, 42, 1234)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 120
+      val edges = (0 until 90).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val got = TextDedup.connectedComponentsStar(
+        edges.toDF("doc_a", "doc_b"), (0L until n.toLong).toDF("doc_id"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == unionFind(n, edges), s"seed $seed")
+    }
+    // node contract: an edge endpoint absent from `nodes` neither appears
+    // in the output nor donates its id (same as the label-prop semantics)
+    val got = TextDedup.connectedComponentsStar(
+      Seq((0L, 99L), (99L, 5L), (5L, 7L)).toDF("doc_a", "doc_b"),
+      Seq(0L, 5L, 7L, 8L).toDF("doc_id"))
+      .as[(Long, Long)].collect().toMap
+    // 99 is absent: 0—99 and 99—5 are dropped, 5—7 survives
+    assert(got == Map(0L -> 0L, 5L -> 5L, 7L -> 5L, 8L -> 8L))
   }
 
   test("ivfSearch plan: centroid-list join, no cartesian") {
@@ -85,6 +130,54 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
       s"IVF candidate generation must be an equi-join on centroid:\n$plan")
+  }
+
+  test("ivfSearch size gate: shuffle join engages past the byte budget") {
+    import spark.implicits._
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(64)(d => (((i * 13 + d * 3) % 11) - 5).toFloat)
+    val vecs = (0 until 400).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 2)
+    // disable Catalyst's own stats-based broadcasting so the plans show
+    // exactly what the GATE decided: under budget → forced broadcast hint
+    // (survives threshold -1); over budget → no hint → shuffle join on
+    // centroid (what a query-heavy workload must get)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bc = ops.Embeddings.ivfSearch(vecs, queries, 8, 2, 3)
+      val sh = ops.Embeddings.ivfSearch(vecs, queries, 8, 2, 3,
+        broadcastMaxBytes = 0L)
+      val shRows = sh.collect()
+      val bcRows = bc.collect()
+      val shPlan = sh.queryExecution.executedPlan.toString
+      val bcPlan = bc.queryExecution.executedPlan.toString
+      assert(bcPlan.contains("BroadcastHashJoin"),
+        s"under-budget path must broadcast the probe side:\n$bcPlan")
+      assert(!shPlan.contains("BroadcastHashJoin"),
+        s"query-heavy path must shuffle-join on centroid, not broadcast:\n$shPlan")
+      assert(!shPlan.contains("Cartesian") && !shPlan.contains("BroadcastNestedLoop"))
+      // both paths are the same operator: identical results
+      assert(shRows.map(_.toSeq).toSet == bcRows.map(_.toSeq).toSet)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("ivfRecall: probing every list gives recall 1.0; fields are exact") {
+    import spark.implicits._
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(64)(d => (((i * 31 + d * 7) % 17) - 8).toFloat)
+    val vecs = (0 until 200).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 4)
+    // nProbe = kCentroids ⇒ the IVF candidate set is the whole corpus ⇒
+    // the search IS the exact baseline ⇒ recall exactly 1.0 per query
+    val full = ops.Embeddings.ivfRecall(vecs, queries, kCentroids = 8,
+      nProbe = 8, topK = 5).as[(Long, Long, Double)].collect()
+    assert(full.length == 4 && full.forall { case (_, h, r) => h == 5L && r == 1.0 })
+    // restricted probing can only lose neighbors: 0 <= recall <= 1 per query
+    val part = ops.Embeddings.ivfRecall(vecs, queries, kCentroids = 8,
+      nProbe = 1, topK = 5).as[(Long, Long, Double)].collect()
+    assert(part.length == 4 && part.forall { case (_, h, r) =>
+      h >= 0L && h <= 5L && r == h / 5.0 })
   }
 
   test("ivfSearch equals per-query brute force over the probed lists") {
