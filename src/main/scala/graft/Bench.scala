@@ -63,6 +63,48 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Shared read-only buffer for the memory-bandwidth ceiling probe: 512 MB
+    * of longs, well past the 260 MB shared L3, so every pass streams from
+    * DRAM at both parallelism levels.
+    */
+  private lazy val memBuf: Array[Long] = {
+    val a = new Array[Long](64 << 20)
+    var i = 0
+    while (i < a.length) { a(i) = i * 0x9E3779B97F4A7C15L; i += 1 }
+    a
+  }
+
+  /** Per-thread fixed-work streaming sum over [[memBuf]] (same semantics as
+    * [[spinWall]]: wall(lo)/wall(hi) = 1.0 under perfect scaling) — measures
+    * the host's MEMORY-BANDWIDTH scaling from lo to hi threads, the second
+    * hardware ceiling. The ALU spin alone overstates what a memory-touching
+    * workload can scale to: DRAM bandwidth saturates below 4x going 8→32
+    * cores on this class of box, and the probe workload streams raster
+    * bytes and row data, not just arithmetic.
+    */
+  private def memWall(threads: Int): Double = {
+    val len = memBuf.length
+    val slice = 16 << 20 // 16M longs = 128 MB per thread, fixed work
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { t =>
+      val th = new Thread(() => {
+        var x = 0L
+        var i = (t * 7919) % len
+        var n = 0
+        while (n < slice) {
+          x += memBuf(i)
+          i += 1; if (i == len) i = 0
+          n += 1
+        }
+        sink.addAndGet(x): Unit
+      })
+      th.start(); th
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     val n = s.length
@@ -163,18 +205,35 @@ object Bench {
         // interleave lo/hi passes: host CPU availability drifts over minutes,
         // so back-to-back blocks bias the ratio. Each (lo, hi) pair runs
         // back-to-back inside one drift window, so its ratio is a clean
-        // single measurement of the ENGINE's scaling on this host.
+        // single measurement of the ENGINE's scaling on this host — and the
+        // pure-CPU spin ceiling is sampled INSIDE the same window, so each
+        // pair can be normalized against the hardware scaling the host
+        // offered at that moment (a single post-hoc ceiling mismatches
+        // pairs measured minutes apart under drifting contention).
+        spinWall(2); memWall(2) // JIT warmup + buffer init
+        // ceiling probes are short (0.1–2 s) and exposed to instantaneous
+        // steal — min-of-2 per level per pair keeps one bad sample from
+        // inverting a ratio (a >1.0 "ceiling" means the lo sample was the
+        // contended one)
+        def wallMin(f: Int => Double, t: Int): Double =
+          math.min(f(t), f(t))
         val passes = (1 to nPairs).map { _ =>
-          (headlinePass(loCpus, sfDir, k), headlinePass(cpus, sfDir, k))
+          val lo = headlinePass(loCpus, sfDir, k)
+          val hi = headlinePass(cpus, sfDir, k)
+          val ceil = wallMin(spinWall, loCpus) / wallMin(spinWall, cpus)
+          val ceilMem = wallMin(memWall, loCpus) / wallMin(memWall, cpus)
+          (lo, hi, ceil, ceilMem)
         }
         val rows = passes.head._1._1
         val tLo = passes.map(_._1._2).min
         val tHi = passes.map(_._2._2).min
         val rpsLo = rows / tLo
         val rpsHi = rows / tHi
-        val pairEffs = passes.map { case ((_, lo), (_, hi)) =>
+        val pairEffs = passes.map { case ((_, lo), (_, hi), _, _) =>
           (lo / hi) / (cpus.toDouble / loCpus)
         }
+        val pairCeils = passes.map(_._3)
+        val pairMemCeils = passes.map(_._4)
         // headline `efficiency` = MEDIAN of the paired ratios: robust and
         // unbiased under symmetric host jitter (the advisor's point: a
         // best-of-N max is biased upward). The paired BEST — the analog of
@@ -184,16 +243,23 @@ object Bench {
         val effMedian = median(pairEffs)
         val effBest = pairEffs.max
         val effMinRatio = (tLo / tHi) / (cpus.toDouble / loCpus)
-        // hardware ceiling: per-core slowdown from loCpus to cpus threads
-        // (min-of-3 per level — the spin itself sees host jitter)
-        spinWall(2) // JIT warmup
-        val ceiling = (1 to 3).map(_ => spinWall(loCpus)).min /
-          (1 to 3).map(_ => spinWall(cpus)).min
-        // ceiling-normalized efficiency from the SAME paired statistic as
-        // the headline (advisor: the two fields must share a methodology)
-        val effNorm = effMedian / math.min(1.0, ceiling)
-        val pairsJson = pairEffs.map(e => f"$e%.3f").mkString("[", ",", "]")
-        f""","elev_rows_per_sec":$rpsHi%.0f,"scaling":{"rows":$rows,"cpus_lo":$loCpus,"cpus_hi":$cpus,"sec_lo":$tLo%.3f,"sec_hi":$tHi%.3f,"rows_per_sec_lo":$rpsLo%.0f,"rows_per_sec_hi":$rpsHi%.0f,"efficiency":$effMedian%.3f,"efficiency_method":"paired_median_of_$nPairs","efficiency_paired_best":$effBest%.3f,"pair_efficiencies":$pairsJson,"efficiency_min_ratio":$effMinRatio%.3f,"cpu_turbo_ceiling":$ceiling%.3f,"efficiency_vs_ceiling":$effNorm%.3f}"""
+        // ceiling-normalized efficiency: median over PER-PAIR normalized
+        // ratios (same paired statistic as the headline — the advisor's
+        // consistency point — and each pair normalizes against its own
+        // window's hardware ceiling). ALU-spin-normalized is the primary
+        // (conservative: the spin is the HIGHER ceiling); the
+        // memory-bandwidth-normalized figure is reported beside it because
+        // the probe workload streams memory, and DRAM bandwidth is the
+        // binding ceiling in unthrottled windows.
+        val effNorm = median(
+          pairEffs.zip(pairCeils).map { case (e, c) => e / math.min(1.0, c) })
+        val effNormMem = median(
+          pairEffs.zip(pairMemCeils).map { case (e, c) => e / math.min(1.0, c) })
+        val ceilingMedian = median(pairCeils)
+        val memCeilingMedian = median(pairMemCeils)
+        def arr(xs: Seq[Double]): String =
+          xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+        f""","elev_rows_per_sec":$rpsHi%.0f,"scaling":{"rows":$rows,"cpus_lo":$loCpus,"cpus_hi":$cpus,"sec_lo":$tLo%.3f,"sec_hi":$tHi%.3f,"rows_per_sec_lo":$rpsLo%.0f,"rows_per_sec_hi":$rpsHi%.0f,"efficiency":$effMedian%.3f,"efficiency_method":"paired_median_of_$nPairs","efficiency_paired_best":$effBest%.3f,"pair_efficiencies":${arr(pairEffs)},"pair_ceilings":${arr(pairCeils)},"pair_mem_ceilings":${arr(pairMemCeils)},"efficiency_min_ratio":$effMinRatio%.3f,"cpu_turbo_ceiling":$ceilingMedian%.3f,"mem_bw_ceiling":$memCeilingMedian%.3f,"efficiency_vs_ceiling":$effNorm%.3f,"efficiency_vs_mem_ceiling":$effNormMem%.3f}"""
       }
 
     def asJson(rs: Seq[(String, Double)]): String =

@@ -211,8 +211,9 @@ object TextDedup {
         .select(greatest(col("a"), col("m")).as("hi"), least(col("a"), col("m")).as("lo"))
         .filter(col("hi") =!= col("lo")).distinct()
         .localCheckpoint(false)
-      // exact fixpoint: the edge SET is unchanged (both differences empty)
-      done = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      // exact fixpoint: the edge SET is unchanged — both symmetric
+      // differences empty, probed in ONE action
+      done = next.exceptAll(e).unionAll(e.exceptAll(next)).isEmpty
       e = next
       rounds += 1
     }
