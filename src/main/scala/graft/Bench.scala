@@ -63,40 +63,42 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Shared read-only buffer for the memory-bandwidth ceiling probe: 512 MB
-    * of longs, well past the 260 MB shared L3, so every pass streams from
-    * DRAM at both parallelism levels.
+  /** Buffer for the memory-bandwidth ceiling probe: 32 DISJOINT 64 MB
+    * slices (2 GB total) — thread t streams slice t, so the aggregate
+    * working set is 512 MB at 8 threads and 2 GB at 32, both far past the
+    * 260 MB shared L3, and no thread's DRAM fetch can service another from
+    * cache (overlapping windows would measure shared-L3 bandwidth, not
+    * DRAM). Allocated lazily inside [[memWall]] and RELEASED after each
+    * pair's probes ([[releaseMemBuf]]) so the timed headline passes never
+    * run against the extra heap.
     */
-  private lazy val memBuf: Array[Long] = {
-    val a = new Array[Long](64 << 20)
-    var i = 0
-    while (i < a.length) { a(i) = i * 0x9E3779B97F4A7C15L; i += 1 }
-    a
-  }
+  private var memBuf: Array[Long] = null
+  private val memSliceLen = 8 << 20 // 8M longs = 64 MB per thread, fixed work
 
-  /** Per-thread fixed-work streaming sum over [[memBuf]] (same semantics as
-    * [[spinWall]]: wall(lo)/wall(hi) = 1.0 under perfect scaling) — measures
-    * the host's MEMORY-BANDWIDTH scaling from lo to hi threads, the second
-    * hardware ceiling. The ALU spin alone overstates what a memory-touching
-    * workload can scale to: DRAM bandwidth saturates below 4x going 8→32
-    * cores on this class of box, and the probe workload streams raster
-    * bytes and row data, not just arithmetic.
+  /** Per-thread fixed-work streaming sum over a private [[memBuf]] slice
+    * (same semantics as [[spinWall]]: wall(lo)/wall(hi) = 1.0 under perfect
+    * scaling) — measures the host's MEMORY-BANDWIDTH scaling from lo to hi
+    * threads, the second hardware ceiling. The ALU spin alone overstates
+    * what a memory-touching workload can scale to: DRAM bandwidth saturates
+    * below 4x going 8→32 cores on this class of box, and the probe workload
+    * streams raster bytes and row data, not just arithmetic.
     */
   private def memWall(threads: Int): Double = {
-    val len = memBuf.length
-    val slice = 16 << 20 // 16M longs = 128 MB per thread, fixed work
+    if (memBuf == null) {
+      val a = new Array[Long](32 * memSliceLen)
+      var i = 0
+      while (i < a.length) { a(i) = i * 0x9E3779B97F4A7C15L; i += 1 }
+      memBuf = a
+    }
+    val buf = memBuf
     val sink = new java.util.concurrent.atomic.AtomicLong()
     val t0 = System.nanoTime()
     val ts = (0 until threads).map { t =>
       val th = new Thread(() => {
         var x = 0L
-        var i = (t * 7919) % len
-        var n = 0
-        while (n < slice) {
-          x += memBuf(i)
-          i += 1; if (i == len) i = 0
-          n += 1
-        }
+        var i = (t % 32) * memSliceLen
+        val end = i + memSliceLen
+        while (i < end) { x += buf(i); i += 1 }
         sink.addAndGet(x): Unit
       })
       th.start(); th
@@ -104,6 +106,8 @@ object Bench {
     ts.foreach(_.join())
     (System.nanoTime() - t0) / 1e9
   }
+
+  private def releaseMemBuf(): Unit = memBuf = null
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -140,11 +144,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // session warmup: the first job of a fresh session pays ~5s of executor
     // spin-up + codegen infra + parquet footer caching — without this the
-    // alphabetically-first query absorbs it all and reads as 8x its real cost
+    // alphabetically-first query absorbs it all and reads as 8x its real
+    // cost. A NEUTRAL lineitem scan (not one of the timed queries) warms the
+    // session and table footers so no query's first-sweep entry is secretly
+    // a warm reading of its own plan.
     spark.range(0, 1000000).selectExpr("sum(id)").collect()
-    SparkEntry.queries.get("q1_agg").foreach(fn =>
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () })
+    try spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("sum(l_partkey)").collect()
+    catch { case _: Throwable => () }
     val queryNames = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     // interleaved sweeps: pass p times every query once before any query
@@ -200,8 +207,11 @@ object Bench {
       if (!doScaling) ""
       else {
         val loCpus = math.max(2, cpus / 4)
+        // 8 pairs ≈ 9 min with the ceiling probes — enough for a stable
+        // median (validated against 10-pair runs) without tripling the
+        // round's bench wall time
         val nPairs =
-          math.max(1, sys.env.getOrElse("SPARK_GRAFT_SCALING_PASSES", "10").toInt)
+          math.max(1, sys.env.getOrElse("SPARK_GRAFT_SCALING_PASSES", "8").toInt)
         // interleave lo/hi passes: host CPU availability drifts over minutes,
         // so back-to-back blocks bias the ratio. Each (lo, hi) pair runs
         // back-to-back inside one drift window, so its ratio is a clean
@@ -210,7 +220,7 @@ object Bench {
         // pair can be normalized against the hardware scaling the host
         // offered at that moment (a single post-hoc ceiling mismatches
         // pairs measured minutes apart under drifting contention).
-        spinWall(2); memWall(2) // JIT warmup + buffer init
+        spinWall(2); memWall(2); releaseMemBuf() // JIT warmup
         // ceiling probes are short (0.1–2 s) and exposed to instantaneous
         // steal — min-of-2 per level per pair keeps one bad sample from
         // inverting a ratio (a >1.0 "ceiling" means the lo sample was the
@@ -222,6 +232,7 @@ object Bench {
           val hi = headlinePass(cpus, sfDir, k)
           val ceil = wallMin(spinWall, loCpus) / wallMin(spinWall, cpus)
           val ceilMem = wallMin(memWall, loCpus) / wallMin(memWall, cpus)
+          releaseMemBuf() // 2 GB freed before the next pair's timed passes
           (lo, hi, ceil, ceilMem)
         }
         val rows = passes.head._1._1
@@ -267,9 +278,12 @@ object Bench {
         .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalStr = f"$total%.3f"
+    // "first sweep", not "cold": the session warmup and any table/footer
+    // reuse across queries mean sweep 1 is only process-cold for the first
+    // toucher of each table
     val coldJson =
       if (coldResults.isEmpty || queryPasses == 1) ""
-      else s""","queries_cold":${asJson(coldResults)},"query_passes":$queryPasses"""
+      else s""","queries_first_sweep":${asJson(coldResults)},"query_passes":$queryPasses"""
     println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":${asJson(results)},"sf":"$sfDir"$coldJson$scaling}""")
   }
 }

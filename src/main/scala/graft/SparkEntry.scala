@@ -492,19 +492,32 @@ object SparkEntry {
     }),
     // Per-row format fidelity (input_hint: decoded pixels allclose, PSNR
     // >= 40 dB for lossy): decode each payload (real javax.imageio for png),
-    // compare against the closed-form grid it encodes. Every column is a
-    // computed QUANTITY the oracle re-derives — px_sum anchors the decode
-    // arithmetic, sse (integer sum of squared pixel diffs vs the closed
-    // form) anchors exactness, psnr_q = floor(psnr*100) quantizes the PSNR
-    // itself (sentinel 99999 encodes the infinite PSNR of a bit-exact
-    // decode; the oracle computes it from its own recomputed sse through
-    // the same PSNR formula). (jpg's finite PSNR >= 40 dB gate stays in
-    // CoreSpec — a lossy javax.imageio decode is not SQL-recomputable.)
+    // compare against the closed-form grid it encodes. px_sum anchors the
+    // decode arithmetic; sse (integer sum of squared pixel diffs vs the
+    // closed form) anchors exactness (0 for the exact lanes is the decode
+    // contract, stated by the oracle, computed by the engine from the real
+    // decode); psnr_q = floor(psnr*100), sentinel 99999 = infinite. So the
+    // PSNR FORMULA itself is exercised with a nonzero error on both sides,
+    // a third "noisy" lane encodes the grid with +3 on every 97th sample:
+    // its sse (9 per hit) and finite psnr_q (7993 = 79.93 dB, 0.05 from
+    // the quantization boundary — safe against ulp-level log10 differences)
+    // are recomputed by the oracle through the identical formula. (jpg's
+    // finite PSNR >= 40 dB gate stays in CoreSpec — a lossy javax.imageio
+    // decode is not SQL-recomputable.)
     "img_fidelity" -> ((s, dir) => {
       import s.implicits._
-      implicit val enc = Encoders.product[graft.core.TileRow]
-      val tiles = gateTiles(s, "png").unionAll(gateTiles(s, "hgt"))
-      tiles.map { t =>
+      implicit val enc = Encoders.product[(graft.core.TileRow, String)]
+      val noisyF: (Int, Int, Int, Int) => Short = (lng0, lat0, r, c) => {
+        val v = TileGen.sampleAt(lng0, lat0, r, c)
+        if ((r * 601 + c) % 97 == 0) (v + 3).toShort else v
+      }
+      val rows =
+        presentCorners.flatMap { case (lng, lat) => Seq(
+          (TileGen.tileRow(lng, lat, 601, "png"), "exact"),
+          (TileGen.tileRow(lng, lat, 601, "hgt"), "exact"),
+          (TileGen.tileRow(lng, lat, 601, "hgt", noisyF), "noisy"))
+        }
+      s.createDataset(rows).map { case (t, variant) =>
         val d = graft.core.TileCodec.decode(t)
         val truth = graft.synth.TileGen.grid(d.swLng, d.swLat, d.size)
         var pxSum = 0L
@@ -519,9 +532,9 @@ object SparkEntry {
         val psnr = graft.raster.Fidelity.gridPsnr(truth, d.samples)
         val psnrQ =
           if (psnr.isInfinite) 99999L else math.floor(psnr * 100).toLong
-        (t.image_id, t.fmt, pxSum, sse, psnrQ)
-      }.toDF("image_id", "fmt", "px_sum", "sse", "psnr_q")
-        .orderBy("image_id", "fmt")
+        (t.image_id, t.fmt, variant, pxSum, sse, psnrQ)
+      }.toDF("image_id", "fmt", "variant", "px_sum", "sse", "psnr_q")
+        .orderBy("image_id", "fmt", "variant")
     }),
     // Thumbnails (area-average resize to 8x8) exploded to one row per output
     // pixel — the block boundaries and the IEEE sum/count division are
@@ -588,6 +601,62 @@ object SparkEntry {
         "cast(size(split(text, ' ')) as bigint) AS n_ws_tokens",
         "cast(aggregate(split(text, ' '), 0, (acc, w) -> acc + cast((length(w) + 3) / 4 as int)) as bigint) AS n_bpe_tokens")
         .orderBy("doc_id")
+    }),
+    // Exact per-group quantiles by deterministic SELECTION (rank
+    // floor((n-1)p)+1 under the total order (value, event_id)) — selection
+    // of an existing element is engine-exact where interpolation arithmetic
+    // is not; the scale shape is one shuffle on the group key and a
+    // rank-filter, no global sort.
+    "events_quantiles" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+      val nw = Window.partitionBy("event_type")
+      def at(p: Double) =
+        max(when(col("rn") === floor((col("n") - 1) * lit(p)) + 1, col("value")))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(nw))
+        .groupBy("event_type")
+        .agg(max(col("n")).as("n"), at(0.5).as("p50"), at(0.9).as("p90"),
+          at(0.99).as("p99"))
+        .orderBy("event_type")
+    }),
+    // Hierarchical ROLLUP totals (event_type, hour) -> (event_type) -> ()
+    // with sentinel labels instead of grouping nulls (engine-independent
+    // null ordering is not worth relying on).
+    "events_rollup" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("hr", date_trunc("hour", col("ts")))
+        .rollup("event_type", "hr")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+          coalesce(col("hr").cast("string"), lit("(all)")).as("hr"),
+          col("n"), col("sum_value"))
+        .orderBy("event_type", "hr")
+    }),
+    // Sessionization (gaps-and-islands): per-user sessions split at a
+    // 12-hour silence — the batch form of the streaming session-window op
+    // (StreamingSpec's mapGroupsWithState covers the incremental form).
+    // Gap arithmetic runs on exact integer microseconds (a double timestamp
+    // diff would not be oracle-exact); per-session aggregates shuffle once
+    // on user_id and the window + groupBy share that partitioning.
+    "events_sessions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapUs = 12L * 3600 * 1000000
+      t(s, dir, "events")
+        // ts is TIMESTAMP_NTZ in the parquet; the cast reads it in the
+        // session's UTC zone, so unix_micros equals DuckDB's epoch_us
+        .withColumn("tus", expr("unix_micros(cast(ts as timestamp))"))
+        .withColumn("prev", lag("tus", 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("sess_seq", sum("new_sess")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          min("tus").as("start_us"), max("tus").as("end_us"),
+          round(sum("value"), 2).as("sum_value"))
+        .orderBy("user_id", "sess_seq")
     }),
     "ann_cosine_topk" -> ((s, dir) => {
       import graft.functions.vectors.vec_dot
@@ -1165,28 +1234,37 @@ object SparkEntry {
          FROM g GROUP BY swlng, swlat ORDER BY image_id""",
     // fidelity: px_sum recomputed from the closed-form grid — the engine's
     // value comes from the DECODED payload (png decode included), so the
-    // decode arithmetic is anchored. sse is the oracle's own sum of squared
-    // per-pixel diffs between its grid and the decode contract (decoded ≡
-    // closed form for lossless fmts), and psnr_q runs that sse through the
-    // actual PSNR formula (peak = grid dynamic range, sentinel 99999 =
-    // infinite PSNR at sse 0) — no pinned verdict columns
+    // decode arithmetic is anchored. For the exact lanes sse=0 / psnr_q
+    // sentinel ARE the decode contract (the engine computes them from the
+    // real decode; the oracle states the contract values). The noisy lane
+    // makes the PSNR formula itself load-bearing: the oracle rebuilds the
+    // +3-every-97th-sample grid, recomputes its nonzero sse and runs the
+    // identical 10*log10(peak^2/(sse/n)) quantization the engine applies
+    // to its decoded pixels
     "img_fidelity" ->
       """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
          g AS (SELECT swlng, swlat,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS v
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS v,
+           CASE WHEN (r.range*601 + c.range) % 97 = 0 THEN 3 ELSE 0 END AS noise
            FROM corners, range(0,601) r, range(0,601) c),
          s AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
                  CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
            CAST(sum(v) AS BIGINT) AS px_sum,
-           CAST(sum((v - v) * (v - v)) AS BIGINT) AS sse,
+           CAST(sum(v + noise) AS BIGINT) AS px_sum_noisy,
+           CAST(sum(noise * noise) AS BIGINT) AS sse_noisy,
            CAST(max(v) - min(v) AS DOUBLE) AS peak,
            count(*) AS n
            FROM g GROUP BY swlng, swlat)
-         SELECT image_id, fmt, px_sum, sse,
-           CASE WHEN sse = 0 THEN CAST(99999 AS BIGINT)
-                ELSE CAST(floor(100 * 10 * log10(peak * peak / (CAST(sse AS DOUBLE) / n))) AS BIGINT) END AS psnr_q
-         FROM s, (VALUES ('png'),('hgt')) f(fmt)
-         ORDER BY image_id, fmt""",
+         SELECT image_id, fmt, variant, px_sum, sse, psnr_q FROM (
+           SELECT image_id, fmt, 'exact' AS variant, px_sum,
+             CAST(0 AS BIGINT) AS sse, CAST(99999 AS BIGINT) AS psnr_q
+           FROM s, (VALUES ('png'),('hgt')) f(fmt)
+           UNION ALL
+           SELECT image_id, 'hgt' AS fmt, 'noisy' AS variant, px_sum_noisy,
+             sse_noisy,
+             CAST(floor(100 * 10 * log10(peak * peak / (CAST(sse_noisy AS DOUBLE) / n))) AS BIGINT)
+           FROM s)
+         ORDER BY image_id, fmt, variant""",
     // thumbnails: 8x8 area-average blocks of the closed-form grid; block of
     // row r is (8r+7)//601 (boundaries floor(b*601/8) — identical to the
     // engine's (br*(601/8.0)).toInt since 601/8 is exactly representable),
@@ -1249,6 +1327,8 @@ object SparkEntry {
          SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
                  CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
            phash, phash AS phash_stored,
+           (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+            CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS cap_tile_key,
            CAST(swlng AS INT) AS cap_sw_lng, CAST(swlat AS INT) AS cap_sw_lat,
            CAST(601 AS INT) AS cap_size
          FROM bits ORDER BY image_id""",
@@ -1282,6 +1362,34 @@ object SparkEntry {
              round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
            FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "events_quantiles" ->
+      """WITH r AS (SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+           FROM events)
+         SELECT event_type, max(n) AS n,
+           max(CASE WHEN rn = floor((n-1)*0.5)+1 THEN value END) AS p50,
+           max(CASE WHEN rn = floor((n-1)*0.9)+1 THEN value END) AS p90,
+           max(CASE WHEN rn = floor((n-1)*0.99)+1 THEN value END) AS p99
+         FROM r GROUP BY 1 ORDER BY 1""",
+    "events_rollup" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr, value FROM events)
+         SELECT COALESCE(event_type, '(all)') AS event_type,
+           COALESCE(CAST(hr AS VARCHAR), '(all)') AS hr,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM h GROUP BY ROLLUP(event_type, hr)
+         ORDER BY 1, 2""",
+    "events_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
+         m AS (SELECT *, CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
+                    OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) > 43200000000
+                  THEN 1 ELSE 0 END AS new_sess FROM e),
+         s AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_seq FROM m)
+         SELECT user_id, sess_seq, count(*) AS n_events,
+           min(tus) AS start_us, max(tus) AS end_us,
+           round(sum(value), 2) AS sum_value
+         FROM s GROUP BY 1, 2 ORDER BY user_id, sess_seq""",
     "events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n,
          round(sum(value), 2) AS sum_value

@@ -81,15 +81,15 @@ object ImageOps {
     * from the tile key — the caption-equality invariant per row).
     */
   def integrity(tiles: Dataset[TileRow]): DataFrame = {
-    implicit val enc = Encoders.product[(String, Long, Long, Int, Int, Int)]
+    implicit val enc = Encoders.product[(String, Long, Long, String, Int, Int, Int)]
     tiles.mapPartitions { it =>
       it.map { t =>
         val d = TileCodec.decode(t)
         val ph = Fidelity.phash(d.samples, d.size)
         val c = TileCodec.parseCaption(t.caption)
-        (t.image_id, ph, t.phash, c.sw_lng, c.sw_lat, c.size)
+        (t.image_id, ph, t.phash, c.tile_key, c.sw_lng, c.sw_lat, c.size)
       }
-    }.toDF("image_id", "phash", "phash_stored", "cap_sw_lng", "cap_sw_lat",
-      "cap_size")
+    }.toDF("image_id", "phash", "phash_stored", "cap_tile_key", "cap_sw_lng",
+      "cap_sw_lat", "cap_size")
   }
 }

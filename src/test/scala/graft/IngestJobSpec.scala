@@ -43,6 +43,7 @@ class IngestJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(integ.forall { r =>
       val (lng, lat) = graft.geo.TileKey.toDegrees(r.getAs[String]("image_id"))
       r.getAs[Long]("phash") == r.getAs[Long]("phash_stored") &&
+        r.getAs[String]("cap_tile_key") == r.getAs[String]("image_id") &&
         r.getAs[Int]("cap_sw_lng") == lng &&
         r.getAs[Int]("cap_sw_lat") == lat &&
         r.getAs[Int]("cap_size") == 121
