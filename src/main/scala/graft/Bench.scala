@@ -15,8 +15,8 @@ import org.apache.spark.sql.SparkSession
   * query is timed over `SPARK_GRAFT_QUERY_PASSES` (default 3) full
   * INTERLEAVED sweeps of the whole query list — `queries` holds the min
   * across sweeps (host jitter on this box is ±15–40%, so a single pass can
-  * read 2–6× the real cost), `queries_cold` holds the first-sweep value so
-  * cold-path cost stays visible. Scaling reports the MEDIAN paired
+  * read 2–6× the real cost), `queries_first_sweep` holds the first-sweep
+  * value so first-touch cost stays visible. Scaling reports the MEDIAN paired
   * efficiency as the headline (robust under symmetric jitter; the
   * paired-best and global min-ratio ride alongside, never hidden) and
   * derives `efficiency_vs_ceiling` from the same paired statistic.
@@ -63,14 +63,15 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Buffer for the memory-bandwidth ceiling probe: 32 DISJOINT 64 MB
-    * slices (2 GB total) — thread t streams slice t, so the aggregate
-    * working set is 512 MB at 8 threads and 2 GB at 32, both far past the
-    * 260 MB shared L3, and no thread's DRAM fetch can service another from
-    * cache (overlapping windows would measure shared-L3 bandwidth, not
-    * DRAM). Allocated lazily inside [[memWall]] and RELEASED after each
-    * pair's probes ([[releaseMemBuf]]) so the timed headline passes never
-    * run against the extra heap.
+  /** Buffer for the memory-bandwidth ceiling probe: one DISJOINT 64 MB
+    * slice per thread (≥ 32 slices = 2 GB; grown if a level uses more
+    * threads) — thread t streams slice t, so the aggregate working set is
+    * 512 MB at 8 threads and 2 GB at 32, both far past the 260 MB shared
+    * L3, and no thread's DRAM fetch can service another from cache
+    * (overlapping windows would measure shared-L3 bandwidth, not DRAM).
+    * Allocated lazily inside [[memWall]] and RELEASED after each pair's
+    * probes ([[releaseMemBuf]]) so the timed headline passes never run
+    * against the extra heap.
     */
   private var memBuf: Array[Long] = null
   private val memSliceLen = 8 << 20 // 8M longs = 64 MB per thread, fixed work
@@ -84,8 +85,9 @@ object Bench {
     * streams raster bytes and row data, not just arithmetic.
     */
   private def memWall(threads: Int): Double = {
-    if (memBuf == null) {
-      val a = new Array[Long](32 * memSliceLen)
+    val slices = math.max(32, threads) // every thread gets its OWN slice
+    if (memBuf == null || memBuf.length < slices * memSliceLen) {
+      val a = new Array[Long](slices * memSliceLen)
       var i = 0
       while (i < a.length) { a(i) = i * 0x9E3779B97F4A7C15L; i += 1 }
       memBuf = a
@@ -96,7 +98,7 @@ object Bench {
     val ts = (0 until threads).map { t =>
       val th = new Thread(() => {
         var x = 0L
-        var i = (t % 32) * memSliceLen
+        var i = t * memSliceLen
         val end = i + memSliceLen
         while (i < end) { x += buf(i); i += 1 }
         sink.addAndGet(x): Unit
@@ -151,6 +153,11 @@ object Bench {
     spark.range(0, 1000000).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/lineitem.parquet")
       .selectExpr("sum(l_partkey)").collect()
+    catch { case _: Throwable => () }
+    // also warm the noop sink's DataSource resolution + write path, which
+    // every timed query goes through — otherwise the alphabetically-first
+    // query's first-sweep entry absorbs that one-time cost
+    try spark.range(0, 100).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     val queryNames = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))

@@ -622,12 +622,18 @@ object SparkEntry {
     }),
     // Hierarchical ROLLUP totals (event_type, hour) -> (event_type) -> ()
     // with sentinel labels instead of grouping nulls (engine-independent
-    // null ordering is not worth relying on).
+    // null ordering is not worth relying on). The grand-total sum covers
+    // EVERY row, so it aggregates exact integer cents (values carry 2
+    // decimals; round() kills the *100 representation error) — a plain
+    // double sum over the whole table is accumulation-order dependent and
+    // would eventually disagree with the oracle at a rounding boundary.
     "events_rollup" -> ((s, dir) => {
       t(s, dir, "events")
         .withColumn("hr", date_trunc("hour", col("ts")))
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
         .rollup("event_type", "hr")
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          (sum("cents") / lit(100.0)).as("sum_value"))
         .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
           coalesce(col("hr").cast("string"), lit("(all)")).as("hr"),
           col("n"), col("sum_value"))
@@ -1373,10 +1379,11 @@ object SparkEntry {
            max(CASE WHEN rn = floor((n-1)*0.99)+1 THEN value END) AS p99
          FROM r GROUP BY 1 ORDER BY 1""",
     "events_rollup" ->
-      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr, value FROM events)
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
          SELECT COALESCE(event_type, '(all)') AS event_type,
            COALESCE(CAST(hr AS VARCHAR), '(all)') AS hr,
-           count(*) AS n, round(sum(value), 2) AS sum_value
+           count(*) AS n, CAST(sum(cents) AS BIGINT) / 100.0 AS sum_value
          FROM h GROUP BY ROLLUP(event_type, hr)
          ORDER BY 1, 2""",
     "events_sessions" ->

@@ -101,8 +101,7 @@ object Embeddings {
     */
   def ivfSearch(vecs: DataFrame, queries: DataFrame, kCentroids: Int,
                 nProbe: Int, topK: Int,
-                broadcastMaxBytes: Long = 64L << 20,
-                nQueries: Option[Long] = None): DataFrame = {
+                broadcastMaxBytes: Long = 64L << 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dists = (0 until kCentroids).map { c =>
       struct(vec_dist2(col("v"), centroid(c)).as("d2"), lit(c).as("c"))
@@ -125,11 +124,9 @@ object Embeddings {
     // byte-based gate: each probe row is ~(2 longs + a 64-double array +
     // UnsafeRow overhead) ≈ 600 B materialized; count() the query side (one
     // cheap action over the small-by-assumption side, same pattern as kNN's
-    // pending count — pass nQueries to keep construction action-free when
-    // the caller already knows the cardinality) and broadcast only under
-    // the byte budget
+    // pending count) and broadcast only under the byte budget
     val estProbeRowBytes = 600L
-    val nProbeRows = nQueries.getOrElse(queries.count()) * nProbe
+    val nProbeRows = queries.count() * nProbe
     val probeSide =
       if (nProbeRows * estProbeRowBytes <= broadcastMaxBytes) broadcast(qprobe)
       else qprobe
@@ -172,11 +169,7 @@ object Embeddings {
     */
   def ivfRecall(vecs: DataFrame, queries: DataFrame, kCentroids: Int,
                 nProbe: Int, topK: Int): DataFrame = {
-    // count the query side once here, pass it down — ivfSearch then builds
-    // its plan without re-running the (possibly expensive) query derivation
-    val nQ = queries.count()
-    val ivf = ivfSearch(vecs, queries, kCentroids, nProbe, topK,
-        nQueries = Some(nQ))
+    val ivf = ivfSearch(vecs, queries, kCentroids, nProbe, topK)
       .select(col("qid"), col("neighbor_id"))
     val exact = cosineTopK(vecs, queries, topK)
       .select(col("qid"), col("neighbor_id"))
