@@ -602,6 +602,29 @@ object SparkEntry {
         "cast(aggregate(split(text, ' '), 0, (acc, w) -> acc + cast((length(w) + 3) / 4 as int)) as bigint) AS n_bpe_tokens")
         .orderBy("doc_id")
     }),
+    // Tile-pyramid materialization: render each 1° tile into 2×2
+    // Terrarium-RGB PNG sub-tiles (64² px, bilinear at pixel centers), then
+    // DECODE the produced PNGs back and emit per-sub-tile RGB channel sums —
+    // the whole produce-side chain (bilinear sample → Terrarium encode → PNG
+    // encode → PNG decode) is pinned, because Terrarium encode∘decode is
+    // bijective on the byte triple and the oracle recomputes the same
+    // triples from the closed-form grid.
+    "tile_pyramid" -> ((s, dir) => {
+      import s.implicits._
+      val subs = ops.TilePyramid.materialize(gateTiles(s), 2, 64)
+      subs.map { st =>
+        val (elevs, sz) = graft.raster.ImageCodec.decodeToElevations(st.png)
+        var rs = 0L; var gs = 0L; var bs = 0L
+        var i = 0
+        while (i < elevs.length) {
+          val (r, g, b) = graft.raster.Terrarium.encode(elevs(i))
+          rs += r; gs += g; bs += b
+          i += 1
+        }
+        (st.image_id, st.sx, st.sy, sz.toLong * sz, rs, gs, bs)
+      }.toDF("image_id", "sx", "sy", "n_px", "r_sum", "g_sum", "b_sum")
+        .orderBy("image_id", "sx", "sy")
+    }),
     // Exact per-group quantiles by deterministic SELECTION (rank
     // floor((n-1)p)+1 under the total order (value, event_id)) — selection
     // of an existing element is engine-exact where interpolation arithmetic
@@ -1368,6 +1391,38 @@ object SparkEntry {
              round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
            FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    // pyramid: pixel centers are dyadic rationals ((k+0.5)/128 is exact in
+    // binary), the bilinear runs in the engine's exact op order, and the
+    // Terrarium triple of the sampled double is recomputed per pixel — the
+    // engine's values additionally round-trip through real PNG bytes
+    "tile_pyramid" ->
+      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         px AS (SELECT swlng, swlat, sx.range AS sx, sy.range AS sy, r.range AS r, c.range AS c
+           FROM corners, range(0,2) sx, range(0,2) sy, range(0,64) r, range(0,64) c),
+         pos AS (SELECT swlng, swlat, sx, sy,
+           (swlat + (sy*64 + r + 0.5)/128.0 - swlat) * 600 AS rowf,
+           (swlng + (sx*64 + c + 0.5)/128.0 - swlng) * 600 AS colf FROM px),
+         eg AS (SELECT *, CAST(floor(colf) AS BIGINT) AS c0, CAST(floor(rowf) AS BIGINT) AS r0,
+           colf - floor(colf) AS cf, rowf - floor(rowf) AS rf,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM pos),
+         ev AS (SELECT *,
+           a + 2*c0     + 3*r0     + ((c0//8)*(r0//8)) % 32         AS v00,
+           a + 2*(c0+1) + 3*r0     + (((c0+1)//8)*(r0//8)) % 32     AS v10,
+           a + 2*(c0+1) + 3*(r0+1) + (((c0+1)//8)*((r0+1)//8)) % 32 AS v11,
+           a + 2*c0     + 3*(r0+1) + ((c0//8)*((r0+1)//8)) % 32     AS v01 FROM eg),
+         e AS (SELECT swlng, swlat, sx, sy,
+           ((v00 + (v10 - v00) * cf) +
+            ((v01 + (v11 - v01) * cf) - (v00 + (v10 - v00) * cf)) * rf) + 32768.0 AS ee FROM ev),
+         t AS (SELECT swlng, swlat, sx, sy,
+           CAST(floor(ee / 256) AS BIGINT) AS tr,
+           CAST(trunc(ee % 256) AS BIGINT) AS tg,
+           CAST(floor((ee - floor(ee)) * 256) AS BIGINT) AS tb FROM e)
+         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           CAST(sx AS INT) AS sx, CAST(sy AS INT) AS sy,
+           count(*) AS n_px, CAST(sum(tr) AS BIGINT) AS r_sum,
+           CAST(sum(tg) AS BIGINT) AS g_sum, CAST(sum(tb) AS BIGINT) AS b_sum
+         FROM t GROUP BY swlng, swlat, sx, sy ORDER BY image_id, sx, sy""",
     "events_quantiles" ->
       """WITH r AS (SELECT event_type, value,
            row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,

@@ -16,14 +16,14 @@ import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
   */
 object ImageCodec {
 
-  private def toImage(samples: Array[Short], size: Int): BufferedImage = {
+  private def toImage(elevs: Array[Double], size: Int): BufferedImage = {
     val img = new BufferedImage(size, size, BufferedImage.TYPE_INT_RGB)
     var py = 0
     while (py < size) {
       val row = size - 1 - py
       var px = 0
       while (px < size) {
-        val (r, g, b) = Terrarium.encode(samples(row * size + px).toDouble)
+        val (r, g, b) = Terrarium.encode(elevs(row * size + px))
         img.setRGB(px, py, (r << 16) | (g << 8) | b)
         px += 1
       }
@@ -32,10 +32,22 @@ object ImageCodec {
     img
   }
 
+  private def toImage(samples: Array[Short], size: Int): BufferedImage =
+    toImage(samples.map(_.toDouble), size)
+
   /** Logical south-first grid → lossless Terrarium PNG bytes. */
   def encodePng(samples: Array[Short], size: Int): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     ImageIO.write(toImage(samples, size), "png", out)
+    out.toByteArray
+  }
+
+  /** Fractional elevations → lossless Terrarium PNG (pyramid sub-tiles
+    * carry bilinear values whose fraction lives in the B channel).
+    */
+  def encodeTerrariumPng(elevs: Array[Double], size: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(toImage(elevs, size), "png", out)
     out.toByteArray
   }
 

@@ -137,4 +137,29 @@ class ElevationSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = SparkEntry.entry(spark)
     assert(df.count() == 5998)
   }
+
+  test("tile pyramid: PNG sub-tiles round-trip to bilinear pixel-center samples") {
+    import graft.ops.TilePyramid
+    val src = spark.createDataset(tiles("hgt"))(Encoders.product[TileRow])
+    val subs = TilePyramid.materialize(src, 2, 64).collect()
+    assert(subs.length == corners.length * 4)
+    assert(subs.forall(_.size == 64))
+    val byKey = subs.map(s => (s.image_id, s.sx, s.sy) -> s).toMap
+    val grid = TileGen.grid(-119, 36, 601)
+    for ((sx, sy) <- Seq((0, 0), (1, 0), (0, 1), (1, 1))) {
+      val st = byKey(("N36W119", sx, sy))
+      val (elevs, sz) = graft.raster.ImageCodec.decodeToElevations(st.png)
+      assert(sz == 64)
+      // every decoded pixel is the Terrarium quantization (floor to 1/256)
+      // of the bilinear sample at its pixel center
+      for ((r, c) <- Seq((0, 0), (13, 41), (63, 63))) {
+        val lat = 36.0 + (sy * 64 + r + 0.5) / 128.0
+        val lng = -119.0 + (sx * 64 + c + 0.5) / 128.0
+        val want = Bilinear.sampleGrid(grid, 601, -119.0, 36.0, lng, lat)
+        val got = elevs(r * 64 + c)
+        assert(got <= want && want - got < 1.0 / 256.0,
+          s"($sx,$sy) px($r,$c): got $got want $want")
+      }
+    }
+  }
 }
