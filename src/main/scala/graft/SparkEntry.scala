@@ -358,6 +358,40 @@ object SparkEntry {
         .select(col("probe_id"), col("target_id"), col("rank"), col("dist2"))
         .orderBy("probe_id", "rank")
     }),
+    // J5: within-distance (range) join — every gate point within 0.05° of a
+    // sampled customer probe; probe-side hex-disk cover (7 cells at the
+    // derived res), one cell equi-join, exact dist2 refine.
+    "geo_range_join" -> ((s, dir) => {
+      val probes = t(s, dir, "customer").filter(col("c_custkey") % 100 === 0)
+        .selectExpr("c_custkey AS probe_id",
+          "-120.0D + (c_custkey % 4) + ((c_custkey % 577) + 0.5D)/577.0D AS lng",
+          "36.0D + (c_custkey % 2) + (((c_custkey*13) % 577) + 0.5D)/577.0D AS lat")
+      val targets = gatePoints(s, dir).withColumnRenamed("point_id", "target_id")
+      ops.SpatialJoin.withinDistance(probes, targets, radius = 0.05)
+        .orderBy("probe_id", "target_id")
+    }),
+    // Map algebra: Lambertian hillshade (sun az 315°, alt 45°) from the same
+    // central-difference gradient as geo_slope; all light-vector constants
+    // are exact double literals so the oracle reproduces the value exactly.
+    "geo_hillshade" -> ((s, dir) => {
+      val bc = ops.TileIndex.broadcastIndex(gateTiles(s))
+      gatePoints(s, dir)
+        .withColumn("hillshade", ops.ElevAt.elev_hillshade(col("lng"), col("lat"), bc))
+        .select("point_id", "hillshade")
+        .orderBy("point_id")
+    }),
+    // Vector analytics: shoelace area / perimeter / area-weighted centroid
+    // per polygon ring, composed from built-in higher-order functions (an
+    // in-order fold the oracle replicates term-for-term).
+    "geo_area" -> ((s, dir) => {
+      trianglePolys(s, dir)
+        .select(col("poly_id"),
+          polygon_area(col("xs"), col("ys")).as("area"),
+          polygon_perimeter(col("xs"), col("ys")).as("perimeter"),
+          polygon_centroid_x(col("xs"), col("ys")).as("cxc"),
+          polygon_centroid_y(col("xs"), col("ys")).as("cyc"))
+        .orderBy("poly_id")
+    }),
 
     // ---- checkpoint / lineage (north rule: partition-granular resume) ----
     // Writes orders through the resumable bucketed writer, killing the run
@@ -1161,6 +1195,28 @@ object SparkEntry {
            CASE WHEN (swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36) THEN 0.0
                 ELSE dc*dc + dr*dr END AS slope2
          FROM d ORDER BY point_id""",
+    "geo_hillshade" ->
+      """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
+           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
+           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
+           FROM lineitem),
+         k AS (SELECT point_id,
+           CAST(floor(lng) AS BIGINT) AS swlng, CAST(floor(lat) AS BIGINT) AS swlat,
+           CAST(floor((lng - floor(lng)) * 600 + 0.5) AS BIGINT) AS cn,
+           CAST(floor((lat - floor(lat)) * 600 + 0.5) AS BIGINT) AS rn FROM pts),
+         b AS (SELECT *, GREATEST(0, cn-1) AS c0, LEAST(600, cn+1) AS c1,
+           GREATEST(0, rn-1) AS r0, LEAST(600, rn+1) AS r1,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM k),
+         d AS (SELECT point_id, swlng, swlat,
+           ((a + 2*c1 + 3*rn + ((c1//8)*(rn//8)) % 32) -
+            (a + 2*c0 + 3*rn + ((c0//8)*(rn//8)) % 32)) / (c1 - c0) AS dc,
+           ((a + 2*cn + 3*r1 + ((cn//8)*(r1//8)) % 32) -
+            (a + 2*cn + 3*r0 + ((cn//8)*(r0//8)) % 32)) / (r1 - r0) AS dr
+           FROM b)
+         SELECT point_id,
+           CASE WHEN (swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36) THEN 0.0
+                ELSE (-0.5 * -dc + 0.5 * -dr + 0.7071067811865476) / sqrt(dc*dc + dr*dr + 1.0) END AS hillshade
+         FROM d ORDER BY point_id""",
     "zonal_stats" ->
       """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
            -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS px,
@@ -1512,6 +1568,41 @@ object SparkEntry {
            row_number() OVER (PARTITION BY probe_id ORDER BY dist2, target_id) AS rank FROM pairs)
          SELECT probe_id, target_id, rank, dist2 FROM r WHERE rank <= 5
          ORDER BY probe_id, rank""",
+    "geo_range_join" ->
+      """WITH probes AS (SELECT c_custkey AS probe_id,
+           -120.0 + (c_custkey % 4) + ((c_custkey % 577) + 0.5)/577.0 AS plng,
+           36.0 + (c_custkey % 2) + (((c_custkey*13) % 577) + 0.5)/577.0 AS plat
+           FROM customer WHERE c_custkey % 100 = 0),
+         targets AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS target_id,
+           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS tlng,
+           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS tlat
+           FROM lineitem)
+         SELECT probe_id, target_id,
+           (tlng - plng) * (tlng - plng) + (tlat - plat) * (tlat - plat) AS dist2
+         FROM probes, targets
+         WHERE (tlng - plng) * (tlng - plng) + (tlat - plat) * (tlat - plat)
+               <= CAST(0.05 AS DOUBLE) * CAST(0.05 AS DOUBLE)
+         ORDER BY probe_id, target_id""",
+    "geo_area" ->
+      """WITH p AS (SELECT s_suppkey AS poly_id,
+           -120.0 + (s_suppkey % 40) * CAST(0.1 AS DOUBLE) AS cx,
+           36.0 + ((s_suppkey * 3) % 20) * CAST(0.1 AS DOUBLE) AS cy,
+           CAST(0.05 AS DOUBLE) + (s_suppkey % 7) * CAST(0.013 AS DOUBLE) AS w,
+           CAST(0.04 AS DOUBLE) + (s_suppkey % 5) * CAST(0.017 AS DOUBLE) AS h
+           FROM supplier),
+         v AS (SELECT poly_id, cx AS x0, cx - w AS x1, cx + w AS x2,
+           cy + h AS y0, cy - h AS y1, cy - h AS y2 FROM p),
+         c AS (SELECT poly_id, x0, x1, x2, y0, y1, y2,
+           x0*y1 - x1*y0 AS cr0, x1*y2 - x2*y1 AS cr1, x2*y0 - x0*y2 AS cr2,
+           sqrt((x1-x0)*(x1-x0) + (y1-y0)*(y1-y0)) AS e0,
+           sqrt((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1)) AS e1,
+           sqrt((x0-x2)*(x0-x2) + (y0-y2)*(y0-y2)) AS e2 FROM v)
+         SELECT poly_id,
+           (0.0 + cr0 + cr1 + cr2) * 0.5 AS area,
+           0.0 + e0 + e1 + e2 AS perimeter,
+           (0.0 + (x0+x1)*cr0 + (x1+x2)*cr1 + (x2+x0)*cr2) / (3.0 * (0.0 + cr0 + cr1 + cr2)) AS cxc,
+           (0.0 + (y0+y1)*cr0 + (y1+y2)*cr1 + (y2+y0)*cr2) / (3.0 * (0.0 + cr0 + cr1 + cr2)) AS cyc
+         FROM c ORDER BY poly_id""",
     "text_stats" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

@@ -93,6 +93,47 @@ object spatial {
     col(NearestHgtExpr(ex(bytes), ex(size.cast(IntegerType)),
       ex(lng.cast(DoubleType)), ex(lat.cast(DoubleType))))
 
+  // ---- polygon metrics over packed coordinate arrays ----
+  // Composed from built-in higher-order functions (preference (a): no custom
+  // expression needed — `aggregate` is a sequential in-order fold, so the
+  // summation order is deterministic and the DuckDB oracle replicates it
+  // term-for-term with the same left association).
+  import org.apache.spark.sql.functions.{aggregate, element_at, lit, pmod, sequence, size => asize, sqrt}
+
+  /** Σ (xᵢ·yᵢ₊₁ − xᵢ₊₁·yᵢ) over cyclic vertex pairs (twice the signed area). */
+  private def shoelace(xs: Column, ys: Column,
+      term: (Column, Column, Column, Column) => Column): Column = {
+    val n = asize(xs)
+    aggregate(
+      sequence(lit(0), n - lit(1)), lit(0.0),
+      (acc: Column, i: Column) => {
+        val xi = element_at(xs, i + lit(1))
+        val yi = element_at(ys, i + lit(1))
+        val xj = element_at(xs, pmod(i + lit(1), n) + lit(1))
+        val yj = element_at(ys, pmod(i + lit(1), n) + lit(1))
+        acc + term(xi, yi, xj, yj)
+      })
+  }
+
+  /** Signed shoelace area of one packed-array ring (CCW positive). */
+  def polygon_area(xs: Column, ys: Column): Column =
+    shoelace(xs, ys, (xi, yi, xj, yj) => xi * yj - xj * yi) * lit(0.5)
+
+  /** Ring perimeter (planar degree units, like dist2 elsewhere). */
+  def polygon_perimeter(xs: Column, ys: Column): Column =
+    shoelace(xs, ys, (xi, yi, xj, yj) =>
+      sqrt((xj - xi) * (xj - xi) + (yj - yi) * (yj - yi)))
+
+  /** Area-weighted centroid x: Σ(xᵢ+xᵢ₊₁)·crossᵢ / (3·Σcrossᵢ). */
+  def polygon_centroid_x(xs: Column, ys: Column): Column =
+    shoelace(xs, ys, (xi, yi, xj, yj) => (xi + xj) * (xi * yj - xj * yi)) /
+      (lit(3.0) * shoelace(xs, ys, (xi, yi, xj, yj) => xi * yj - xj * yi))
+
+  /** Area-weighted centroid y. */
+  def polygon_centroid_y(xs: Column, ys: Column): Column =
+    shoelace(xs, ys, (xi, yi, xj, yj) => (yi + yj) * (xi * yj - xj * yi)) /
+      (lit(3.0) * shoelace(xs, ys, (xi, yi, xj, yj) => xi * yj - xj * yi))
+
   /** Register SQL names on a session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

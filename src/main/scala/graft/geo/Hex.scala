@@ -90,15 +90,25 @@ object Hex {
     latLngToCell(x, y, parentRes)
   }
 
-  /** Children at a finer resolution (≈7^(dr) cells whose parent is `cell`). */
+  /** Children at a finer resolution (≈7^(dr) cells). Direct children are the
+    * res+1 cells whose center-containment parent is `cell`; deeper levels
+    * recurse level-by-level, so the hierarchy is strictly NESTED (res+2
+    * descendants = children of children). A direct center-containment test
+    * at a 2+-level jump would disagree with two-step parentage on boundary
+    * cells (the lattice is only approximately aligned across resolutions),
+    * which would break [[compact]]/[[uncompact]] being exact inverses.
+    */
   def cellToChildren(cell: Long, childRes: Int): Seq[Long] = {
     require(childRes >= res(cell), "childRes must be >= cell res")
     if (childRes == res(cell)) return Seq(cell)
     val (cx, cy) = cellCenter(cell)
+    val nextRes = res(cell) + 1
     val reach = edge(res(cell)) * 1.3
-    val k = math.ceil(reach / (edge(childRes) * Sqrt3)).toInt + 1
-    gridDisk(latLngToCell(cx, cy, childRes), k)
+    val k = math.ceil(reach / (edge(nextRes) * Sqrt3)).toInt + 1
+    val direct = gridDisk(latLngToCell(cx, cy, nextRes), k)
       .filter(c => cellToParent(c, res(cell)) == cell)
+    if (childRes == nextRes) direct
+    else direct.flatMap(cellToChildren(_, childRes))
   }
 
   private val Dirs = Array((1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1))
@@ -156,6 +166,38 @@ object Hex {
     val e = edge(resolution)
     math.max(0.0, 1.5 * e * k - 2.0 * e)
   }
+
+  /** H3-style `compact`: replace every complete sibling set (all ≈7 children
+    * of one parent present) with the parent, recursively to res 0. Input may
+    * mix resolutions; cells are grouped per-res finest-first so a completed
+    * parent can itself complete its own sibling set. The center-containment
+    * parent/child relation partitions each res level exactly (every child has
+    * one parent, [[cellToChildren]] enumerates all of a parent's children),
+    * so [[uncompact]] of the result at the original resolution reproduces a
+    * uniform-res input set exactly.
+    */
+  def compact(cells: Seq[Long]): Seq[Long] = {
+    if (cells.isEmpty) return Seq.empty
+    var cur = cells.toSet
+    var level = cells.iterator.map(res).max
+    while (level > 0) {
+      val atLevel = cur.filter(c => res(c) == level)
+      atLevel.groupBy(c => cellToParent(c, level - 1)).foreach { case (p, kids) =>
+        if (kids == cellToChildren(p, level).toSet) {
+          cur --= kids
+          cur += p
+        }
+      }
+      level -= 1
+    }
+    cur.toSeq.sorted
+  }
+
+  /** H3-style `uncompact`: expand every cell to its res-`resolution`
+    * descendants (cells at or finer than `resolution` pass through require).
+    */
+  def uncompact(cells: Seq[Long], resolution: Int): Seq[Long] =
+    cells.flatMap(c => cellToChildren(c, resolution)).distinct.sorted
 
   /** Cover a lng/lat bbox with res-`resolution` cells (superset cover:
     * centers sampled at half min pitch + ring-1 union; refinement predicates

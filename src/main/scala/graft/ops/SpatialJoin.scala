@@ -260,6 +260,68 @@ object SpatialJoin {
       .drop("jcell", "xs", "ys")
   }
 
+  // ---------------- J5: within-distance (range) join ----------------
+
+  /** Hex resolution whose cell edge best matches `radius`: the finest res
+    * with edge ≥ radius, so each probe replicates to a disk of O(7) cells
+    * while per-cell candidate density stays proportional to the query area.
+    */
+  def rangeResFor(radius: Double): Int = {
+    var r = 0
+    while (r < Hex.MaxRes && Hex.edge(r + 1) >= radius) r += 1
+    r
+  }
+
+  /** Within-distance (range) join: every (probe, target) pair with planar
+    * squared degree distance ≤ radius². The classic spatial range join the
+    * reference cannot express — generalizes its single-point lookup to
+    * "all points near X" analytics (geofencing, catchment areas).
+    *
+    * Scale shape (the only shuffle is one cell equi-join, same contract as
+    * J2): the PROBE side replicates to the hex cells of `gridDisk(cell, R)` —
+    * R chosen so [[Hex.ringLowerBoundDegrees]] proves any cell outside the
+    * disk is strictly farther than `radius` from every point of the probe's
+    * cell (the same bound that makes kNN ring pruning exact) — while the
+    * (usually much larger) TARGET side is keyed by its own cell only, never
+    * replicated. Both sides shuffle on the cell id, so AQE can coalesce or
+    * skew-split the join at runtime; dense-cell salting composes exactly as
+    * in [[pointInPolygonSalted]] if a probe hotspot demands it. With the
+    * default resolution ([[rangeResFor]]) the disk is 7 cells (R = 1).
+    *
+    * @param probes  (probe_id, lng, lat)
+    * @param targets (target_id, lng, lat)
+    * @param radius  planar degree radius (> 0)
+    * @param res     hex resolution; None = [[rangeResFor]](radius)
+    * @return (probe_id, target_id, dist2), dist2 ≤ radius²
+    */
+  def withinDistance(probes: DataFrame, targets: DataFrame, radius: Double,
+                     res: Option[Int] = None): DataFrame = {
+    require(radius > 0, s"radius must be > 0, got $radius")
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val lvl = res.getOrElse(rangeResFor(radius))
+    var rings = 1
+    while (Hex.ringLowerBoundDegrees(lvl, rings + 1) <= radius) rings += 1
+    val r2 = radius * radius
+    val cand = probes
+      .select(col("probe_id").cast(LongType), col("lng").cast(DoubleType),
+        col("lat").cast(DoubleType)).as[(Long, Double, Double)]
+      .flatMap { case (pid, plng, plat) =>
+        Hex.gridDisk(Hex.latLngToCell(plng, plat, lvl), rings)
+          .map(c => (c, pid, plng, plat))
+      }
+      .toDF("cell", "probe_id", "plng", "plat")
+    val tgt = targets
+      .select(col("target_id").cast(LongType), col("lng").cast(DoubleType).as("tlng"),
+        col("lat").cast(DoubleType).as("tlat"))
+      .withColumn("cell", graft.functions.cells.hex_cell(col("tlng"), col("tlat"), lit(lvl)))
+    cand.join(tgt, Seq("cell"))
+      .select(col("probe_id"), col("target_id"),
+        ((col("tlng") - col("plng")) * (col("tlng") - col("plng")) +
+         (col("tlat") - col("plat")) * (col("tlat") - col("plat"))).as("dist2"))
+      .filter(col("dist2") <= lit(r2))
+  }
+
   // ---------------- J3: kNN (cell-ring expansion, distance-bounded) ----------------
 
   /** kNN join: for each probe, the k nearest targets by planar squared

@@ -71,6 +71,36 @@ final class TileIndex(rows: Array[TileRow]) extends Serializable {
     }
   }
 
+  /** Lambertian hillshade (map-algebra op, beyond the reference): analytic
+    * illumination of the surface normal by a fixed light from azimuth 315°
+    * (NW), altitude 45° — the GDAL/ESRI default sun. Uses the same
+    * central-difference gradient as [[slope2]]; the light vector components
+    * are EXACT double literals (−0.5, 0.5, √2/2) so the DuckDB oracle can
+    * reproduce the value bit-for-bit: every remaining op (mul/add/div/sqrt)
+    * is IEEE correctly-rounded and therefore engine-independent. Missing
+    * tile ⇒ 0 (F8 no-data semantics; flat terrain yields √2/2, so 0 is
+    * unambiguously "no data").
+    */
+  def hillshade(lng: Double, lat: Double): Double = {
+    val swLng = math.floor(lng)
+    val swLat = math.floor(lat)
+    val d = decoded.get(TileIndex.key(swLng.toInt, swLat.toInt))
+    if (d == null) 0.0
+    else {
+      val size = d.size - 1
+      val (rn, cn) = Bilinear.nearestNode(d.size, swLng, swLat, lng, lat)
+      val c0 = math.max(0, cn - 1); val c1 = math.min(size, cn + 1)
+      val r0 = math.max(0, rn - 1); val r1 = math.min(size, rn + 1)
+      val dc = (d.sample(rn, c1) - d.sample(rn, c0)).toDouble / (c1 - c0)
+      val dr = (d.sample(r1, cn) - d.sample(r0, cn)).toDouble / (r1 - r0)
+      // light L = (lx, ly, lz), unnormalized surface normal N = (−dc, −dr, 1):
+      // illum = (L·N)/|N|. lx = cos45·sin315 = −0.5, ly = cos45·cos315 = 0.5,
+      // lz = sin45 = √2/2. Same association order as the oracle SQL.
+      (-0.5 * -dc + 0.5 * -dr + 0.7071067811865476) /
+        math.sqrt(dc * dc + dr * dr + 1.0)
+    }
+  }
+
   /** Nearest-neighbour sampling mode (reference `_nearestNeighbour`). */
   def elevationNearest(lng: Double, lat: Double): Double = {
     val swLng = math.floor(lng)
@@ -108,6 +138,7 @@ case class ElevAtExpr(left: Expression, right: Expression,
     method match {
       case "elevationNearest" => bc.value.elevationNearest(x, y)
       case "slope2"           => bc.value.slope2(x, y)
+      case "hillshade"        => bc.value.hillshade(x, y)
       case _                  => bc.value.elevation(x, y)
     }
   }
@@ -134,4 +165,8 @@ object ElevAt {
     GraftColumns.column(ElevAtExpr(
       GraftColumns.expression(lng.cast(DoubleType)),
       GraftColumns.expression(lat.cast(DoubleType)), bc, "slope2"))
+  def elev_hillshade(lng: Column, lat: Column, bc: Broadcast[TileIndex]): Column =
+    GraftColumns.column(ElevAtExpr(
+      GraftColumns.expression(lng.cast(DoubleType)),
+      GraftColumns.expression(lat.cast(DoubleType)), bc, "hillshade"))
 }

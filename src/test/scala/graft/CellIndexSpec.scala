@@ -198,6 +198,28 @@ class CellIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("Hex compact/uncompact: complete sibling sets collapse, round trip exact") {
+    // all children of a parent disk, plus a stray cell elsewhere
+    val p = Hex.latLngToCell(-118.3, 36.6, 6)
+    val disk = Hex.gridDisk(p, 1)
+    val leaves = disk.flatMap(Hex.cellToChildren(_, 8)).distinct
+    val stray = Hex.latLngToCell(2.0, 2.0, 8)
+    val input = leaves :+ stray
+    val compacted = Hex.compact(input)
+    // every res-8 descendant set of the disk collapsed to its res-6 ancestor
+    assert(disk.forall(compacted.contains), "disk parents present after compact")
+    assert(compacted.contains(stray), "incomplete sibling set passes through")
+    assert(compacted.size == disk.size + 1, s"got ${compacted.size}")
+    // uncompact at the original res reproduces the input set exactly
+    assert(Hex.uncompact(compacted, 8).toSet == input.toSet)
+    // removing one leaf keeps its whole branch uncompacted
+    val holed = Hex.compact(leaves.tail)
+    assert(!holed.contains(Hex.cellToParent(leaves.head, 7)))
+    assert(Hex.uncompact(holed, 8).toSet == leaves.tail.toSet)
+    // idempotent
+    assert(Hex.compact(compacted) == compacted)
+  }
+
   test("Hex coverBBox is a superset cover") {
     val (lngMin, latMin, lngMax, latMax) = (-119.6, 36.5, -118.2, 37.9)
     for (res <- Seq(5, 7, 8)) {

@@ -73,6 +73,52 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == bruteForcePip)
   }
 
+  test("polygon area/perimeter/centroid: golden shapes and orientation sign") {
+    import graft.functions.spatial
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val shapes = Seq(
+      // (id, xs, ys): CCW unit right triangle; CCW unit square; CW square
+      (1L, Array(0.0, 1.0, 0.0), Array(0.0, 0.0, 1.0)),
+      (2L, Array(0.0, 1.0, 1.0, 0.0), Array(0.0, 0.0, 1.0, 1.0)),
+      (3L, Array(0.0, 0.0, 1.0, 1.0), Array(0.0, 1.0, 1.0, 0.0)))
+    val got = shapes.toDF("poly_id", "xs", "ys")
+      .select(col("poly_id"),
+        spatial.polygon_area(col("xs"), col("ys")).as("a"),
+        spatial.polygon_perimeter(col("xs"), col("ys")).as("p"),
+        spatial.polygon_centroid_x(col("xs"), col("ys")).as("cx"),
+        spatial.polygon_centroid_y(col("xs"), col("ys")).as("cy"))
+      .as[(Long, Double, Double, Double, Double)].collect().sortBy(_._1)
+    val (_, a1, p1, cx1, cy1) = got(0)
+    assert(a1 == 0.5 && math.abs(p1 - (2.0 + math.sqrt(2.0))) < 1e-15)
+    assert(math.abs(cx1 - 1.0 / 3.0) < 1e-15 && math.abs(cy1 - 1.0 / 3.0) < 1e-15)
+    val (_, a2, p2, cx2, cy2) = got(1)
+    assert(a2 == 1.0 && p2 == 4.0 && cx2 == 0.5 && cy2 == 0.5)
+    val (_, a3, _, cx3, cy3) = got(2)
+    assert(a3 == -1.0, "CW ring has negative signed area")
+    assert(cx3 == 0.5 && cy3 == 0.5, "centroid is orientation-invariant")
+  }
+
+  test("withinDistance matches brute force at several radii and resolutions") {
+    import spark.implicits._
+    val probes = (0L until 50L)
+      .map(i => (i, -120.0 + (i % 10) * 0.4 + 0.17, 36.0 + (i % 5) * 0.4 + 0.09))
+    val probesDf = probes.toDF("probe_id", "lng", "lat")
+    val targetsDf = points.toDF("target_id", "lng", "lat")
+    for (radius <- Seq(0.03, 0.1, 0.35); res <- Seq(None, Some(3), Some(6))) {
+      val expected = (for {
+        (pid, px, py) <- probes
+        (tid, tx, ty) <- points
+        d2 = (tx - px) * (tx - px) + (ty - py) * (ty - py)
+        if d2 <= radius * radius
+      } yield (pid, tid)).toSet
+      val got = SpatialJoin.withinDistance(probesDf, targetsDf, radius, res)
+        .select("probe_id", "target_id").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"radius=$radius res=$res")
+      assert(expected.nonEmpty, s"workload sanity at radius=$radius")
+    }
+  }
+
   test("knn matches brute force (exact ranks and distances)") {
     import spark.implicits._
     val probes = (0L until 40L)
