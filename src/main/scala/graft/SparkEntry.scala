@@ -616,6 +616,21 @@ object SparkEntry {
         "round(length(replace(text, ' ', '')) / size(split(text, ' ')), 6) AS avg_wlen")
         .orderBy("doc_id")
     }),
+    // Curation quota sampling: keep the 30 best-quality docs per source —
+    // the per-source/per-domain cap of corpus mixing (data-mixing primitive
+    // before training). Exact two-phase top-k (ops.Curation.topKPerGroup):
+    // few huge groups must not serialize the corpus into one window
+    // partition per source.
+    "curation_quota" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("src"), col("doc_id") % 5).as("source"),
+          ops.TextDedup.qualityScore(col("text")).as("score"))
+      ops.Curation.topKPerGroup(scored,
+          col("source"), Seq(col("score").desc, col("doc_id")), 30)
+        .select(col("doc_id"), col("source"), col("score"), col("rk"))
+        .orderBy("source", "rk")
+    }),
     "text_langid" -> ((s, dir) => {
       t(s, dir, "documents").selectExpr(
         "doc_id",
@@ -1610,6 +1625,19 @@ object SparkEntry {
            round(len(list_filter(string_split(text, ' '), w -> w = 'the')) / len(string_split(text, ' ')), 6) AS stop_ratio,
            round(length(replace(text, ' ', '')) / len(string_split(text, ' ')), 6) AS avg_wlen
          FROM documents ORDER BY doc_id""",
+    "curation_quota" ->
+      """WITH q AS (SELECT doc_id,
+           CAST(len(string_split(text,' ')) AS DOUBLE) AS nw,
+           CAST(len(list_filter(string_split(text,' '),
+             w -> w='the' OR w='a' OR w='of' OR w='and' OR w='to')) AS DOUBLE) AS ns,
+           CAST(length(replace(text,' ','')) AS DOUBLE) AS nc FROM documents),
+         sc AS (SELECT doc_id, 'src' || CAST(doc_id % 5 AS VARCHAR) AS source,
+           least(nw/100.0, 1.0)*0.4 + (ns/nw)*0.3 + least((nc/nw)/10.0, 1.0)*0.3 AS score FROM q),
+         r AS (SELECT doc_id, source, score,
+           row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rk
+           FROM sc)
+         SELECT doc_id, source, score, rk FROM r WHERE rk <= 30
+         ORDER BY source, rk""",
     "text_langid" ->
       """WITH s AS (SELECT doc_id,
            CAST(len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a')) AS BIGINT) AS s_en,

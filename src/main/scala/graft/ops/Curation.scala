@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Training-data curation operators (driver mandate, beyond the reference):
+  * quota sampling — "keep the best k documents per group" — is the data-mixing
+  * primitive of corpus construction (per-language / per-source / per-domain
+  * caps before training).
+  */
+object Curation {
+
+  /** Exact per-group top-k under a total order, with the shuffle bounded for
+    * few-groups inputs.
+    *
+    * The naive plan — one `row_number` window partitioned by the group key —
+    * is wrong at scale when groups are few and huge (a 4-language 100 TB
+    * corpus would serialize into 4 window partitions). This runs two phases:
+    *
+    *  1. local top-k per (group, input slice): a window over
+    *     `(group, spark_partition_id())`, so parallelism stays at
+    *     groups × input partitions and each slice emits ≤ k rows per group;
+    *  2. global top-k over the ≤ k·slices survivors per group — now small —
+    *     with the plain per-group window.
+    *
+    * Exact because the global top-k is a subset of the union of per-slice
+    * top-ks for any total order. `orderCols` MUST be a total order (break
+    * ties with a unique id) or ranks are nondeterministic.
+    *
+    * @return input columns + `rk` (1-based rank within group), rows with
+    *         rk ≤ k only
+    */
+  def topKPerGroup(df: DataFrame, groupCol: Column, orderCols: Seq[Column],
+                   k: Int): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val local = Window.partitionBy(groupCol, spark_partition_id())
+      .orderBy(orderCols: _*)
+    val survivors = df
+      .withColumn("_lrk", row_number().over(local))
+      .filter(col("_lrk") <= k)
+      .drop("_lrk")
+    val global = Window.partitionBy(groupCol).orderBy(orderCols: _*)
+    survivors
+      .withColumn("rk", row_number().over(global))
+      .filter(col("rk") <= k)
+  }
+}

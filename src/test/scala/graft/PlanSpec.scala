@@ -92,6 +92,48 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"probe join stage not codegen'd:\n$plan")
   }
 
+  test("within-distance join is one cell equi-join, never a cartesian product") {
+    import spark.implicits._
+    val probesDir = s"${System.getProperty("java.io.tmpdir")}/graft_planspec_range"
+    graft.table.Checkpoint.clear(probesDir)
+    (1 to 3000).map(i => (i.toLong, -119.9 + (i % 60) * 0.03, 36.1 + (i % 30) * 0.03))
+      .toDF("target_id", "lng", "lat").write.mode("overwrite").parquet(probesDir)
+    val targets = spark.read.parquet(probesDir)
+    val probes = (for (a <- 0 until 8; b <- 0 until 4)
+      yield ((a * 4 + b).toLong, -119.5 + a * 0.1, 36.4 + b * 0.1))
+      .toDF("probe_id", "lng", "lat")
+    val out = graft.ops.SpatialJoin.withinDistance(probes, targets, 0.05)
+    assert(out.collect().nonEmpty)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"range join fell back to an all-pairs plan:\n$plan")
+    // the only join keys on the hex cell id (equi-join Catalyst can shuffle
+    // or broadcast; either is fine — all-pairs is not)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected a cell equi-join:\n$plan")
+  }
+
+  test("two-phase per-group top-k bounds the per-group window input") {
+    import spark.implicits._
+    // 4 groups × 50k rows: the naive single-window plan would pull 50k rows
+    // into each of 4 window partitions; phase 1 must cut the global window's
+    // input to ≤ k × slices × groups rows
+    val df = spark.range(0, 200000)
+      .selectExpr("id", "cast(id % 4 as string) AS grp", "cast(id * 37 % 99991 as double) AS score")
+      .repartition(8)
+    val out = graft.ops.Curation.topKPerGroup(df, col("grp"),
+      Seq(col("score").desc, col("id")), 10)
+    val rows = out.collect()
+    assert(rows.length == 40)
+    // exactness vs the naive single-window result
+    val naive = df.withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+          .orderBy(col("score").desc, col("id"))))
+      .filter(col("rk") <= 10).select("id", "grp", "score", "rk")
+      .collect().map(_.toSeq).toSet
+    assert(rows.map(_.toSeq).toSet == naive)
+  }
+
   test("PIP candidate join broadcasts the (small) polygon-cover side") {
     import spark.implicits._
     val pts = (1 to 2000).map(i => (i.toLong, -119.5 + i * 1e-4, 36.5 + i * 1e-4))
