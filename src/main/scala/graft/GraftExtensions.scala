@@ -33,5 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("zxy_y", es => TileYExpr(es.head, es(1))))
     ext.injectFunction(fn("ray_cast",
       es => graft.ops.RayCastExpr(es.head, es(1), es(2), es(3))))
+    // cell predicate → pushable lng/lat range conjuncts (scan row-group
+    // pruning on lng/lat-clustered layouts); see plans.CellRangeDerivation
+    ext.injectOptimizerRule(_ => graft.plans.CellRangeDerivation)
   }
 }

@@ -134,6 +134,47 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.toSeq).toSet == naive)
   }
 
+  test("cell predicates derive pushable lng/lat scan ranges (optimizer rule)") {
+    import spark.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_planspec_cellrange"
+    graft.table.Checkpoint.clear(dir)
+    (1 to 20000).map { i =>
+      (i.toLong, -121.0 + (i % 40) * 0.1, 35.0 + (i % 30) * 0.1)
+    }.toDF("point_id", "lng", "lat").write.mode("overwrite").parquet(dir)
+    val pts = spark.read.parquet(dir)
+    val tkPred = graft.functions.spatial.tile_key(col("lng"), col("lat")) === "N36W119"
+    // res 4 (edge ~0.2°) so the hexagon holds points of the 0.1° lattice;
+    // keyed off an actual data point so the result is non-empty
+    val hexCell = graft.geo.Hex.latLngToCell(-118.4, 36.6, 4)
+    val hexPred = graft.functions.cells.hex_cell(col("lng"), col("lat"), lit(4)) === lit(hexCell)
+    // baselines without the rule (cell exprs are opaque to the scan)
+    val tkRows = pts.where(tkPred).collect().map(_.toSeq).toSet
+    val hexRows = pts.where(hexPred).collect().map(_.toSeq).toSet
+    assert(tkRows.nonEmpty && hexRows.nonEmpty, "workload sanity")
+    def pushed(q: org.apache.spark.sql.DataFrame): String =
+      q.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: FileSourceScanExec => f.metadata("PushedFilters")
+      }.getOrElse(fail("no file scan"))
+    assert(!pushed(pts.where(tkPred)).contains("GreaterThanOrEqual(lng"),
+      "baseline sanity: nothing pushable without the rule")
+    spark.experimental.extraOptimizations = Seq(graft.plans.CellRangeDerivation)
+    try {
+      // derived ranges reach the parquet scan's pushed filters...
+      for (pred <- Seq(tkPred, hexPred)) {
+        val p = pushed(pts.where(pred))
+        assert(p.contains("GreaterThanOrEqual(lng") && p.contains("GreaterThanOrEqual(lat"),
+          s"derived ranges not pushed: $p")
+      }
+      // ...and results are unchanged (the ranges are implied supersets)
+      assert(pts.where(tkPred).collect().map(_.toSeq).toSet == tkRows)
+      assert(pts.where(hexPred).collect().map(_.toSeq).toSet == hexRows)
+      // IN-sets derive the hull box
+      val inPred = graft.functions.spatial.tile_key(col("lng"), col("lat"))
+        .isin("N36W119", "N35W120")
+      assert(pushed(pts.where(inPred)).contains("GreaterThanOrEqual(lng"))
+    } finally spark.experimental.extraOptimizations = Seq.empty
+  }
+
   test("PIP candidate join broadcasts the (small) polygon-cover side") {
     import spark.implicits._
     val pts = (1 to 2000).map(i => (i.toLong, -119.5 + i * 1e-4, 36.5 + i * 1e-4))
