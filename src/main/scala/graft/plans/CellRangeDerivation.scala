@@ -69,6 +69,16 @@ object CellRangeDerivation extends Rule[LogicalPlan] with PredicateHelper {
     case In(HexCellExpr(lngE, latE, _), cells) if literalLongs(cells) =>
       hexBoxes(cells.map(_.asInstanceOf[Literal].value.asInstanceOf[Long]))
         .toSeq.flatMap(box => rangePreds(lngE, latE, box))
+    // OptimizeIn rewrites In → InSet past the conversion threshold (10), and
+    // this batch runs after it — match both forms
+    case InSet(TileKeyExpr(lngE, latE), hset)
+        if hset.nonEmpty && hset.forall(_.isInstanceOf[UTF8String]) =>
+      tileBoxes(hset.toSeq.map(_.asInstanceOf[UTF8String]))
+        .toSeq.flatMap(box => rangePreds(lngE, latE, box))
+    case InSet(HexCellExpr(lngE, latE, _), hset)
+        if hset.nonEmpty && hset.forall(_.isInstanceOf[Long]) =>
+      hexBoxes(hset.toSeq.map(_.asInstanceOf[Long]))
+        .toSeq.flatMap(box => rangePreds(lngE, latE, box))
     case _ => Seq.empty
   }
 

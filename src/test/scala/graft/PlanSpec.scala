@@ -168,10 +168,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       // ...and results are unchanged (the ranges are implied supersets)
       assert(pts.where(tkPred).collect().map(_.toSeq).toSet == tkRows)
       assert(pts.where(hexPred).collect().map(_.toSeq).toSet == hexRows)
-      // IN-sets derive the hull box
+      // IN-sets derive the hull box — both the In form and the InSet form
+      // OptimizeIn produces past its 10-element threshold
       val inPred = graft.functions.spatial.tile_key(col("lng"), col("lat"))
         .isin("N36W119", "N35W120")
       assert(pushed(pts.where(inPred)).contains("GreaterThanOrEqual(lng"))
+      val manyKeys = (0 until 12).map(i => graft.geo.TileKey.ofDegrees(-121 + i, 36))
+      val inSetPred = graft.functions.spatial.tile_key(col("lng"), col("lat"))
+        .isin(manyKeys: _*)
+      assert(pushed(pts.where(inSetPred)).contains("GreaterThanOrEqual(lng"))
     } finally spark.experimental.extraOptimizations = Seq.empty
   }
 
