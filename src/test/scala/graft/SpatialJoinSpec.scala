@@ -73,6 +73,52 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == bruteForcePip)
   }
 
+  test("polygon metrics and ray cast agree with JTS (independent oracle)") {
+    import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+    import graft.functions.spatial
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val gf = new GeometryFactory()
+    val r2 = new scala.util.Random(7)
+    // star-shaped polygons (sorted angles, random radii) are always simple
+    val stars = (0 until 25).map { i =>
+      val cx = -119.0 + r2.nextDouble() * 2.0
+      val cy = 36.0 + r2.nextDouble()
+      val n = 5 + r2.nextInt(8)
+      val angles = Seq.fill(n)(r2.nextDouble() * 2.0 * math.Pi).distinct.sorted
+      val pts = angles.map { a =>
+        val rad = 0.05 + r2.nextDouble() * 0.3
+        (cx + rad * math.cos(a), cy + rad * math.sin(a))
+      }
+      (i.toLong, pts.map(_._1).toArray, pts.map(_._2).toArray)
+    }
+    val metrics = stars.toDF("poly_id", "xs", "ys")
+      .select(col("poly_id"),
+        spatial.polygon_area(col("xs"), col("ys")).as("a"),
+        spatial.polygon_perimeter(col("xs"), col("ys")).as("p"),
+        spatial.polygon_centroid_x(col("xs"), col("ys")).as("cx"),
+        spatial.polygon_centroid_y(col("xs"), col("ys")).as("cy"))
+      .as[(Long, Double, Double, Double, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    stars.foreach { case (id, xs, ys) =>
+      val coords = (xs.indices :+ 0).map(j => new Coordinate(xs(j), ys(j))).toArray
+      val poly = gf.createPolygon(coords)
+      val (_, a, p, cx, cy) = metrics(id)
+      assert(math.abs(math.abs(a) - poly.getArea) < 1e-9, s"area poly $id")
+      assert(math.abs(p - poly.getExteriorRing.getLength) < 1e-9, s"perimeter poly $id")
+      assert(math.abs(cx - poly.getCentroid.getX) < 1e-9, s"centroid x poly $id")
+      assert(math.abs(cy - poly.getCentroid.getY) < 1e-9, s"centroid y poly $id")
+      // ray-cast kernel vs JTS containment on random probes (boundary hits
+      // have probability zero under continuous sampling)
+      for (_ <- 1 to 40) {
+        val px = -119.5 + r2.nextDouble() * 3.0
+        val py = 35.8 + r2.nextDouble() * 1.4
+        val jts = poly.contains(gf.createPoint(new Coordinate(px, py)))
+        assert(RayCast.contains(px, py, xs, ys) == jts, s"PIP poly $id at ($px, $py)")
+      }
+    }
+  }
+
   test("polygon area/perimeter/centroid: golden shapes and orientation sign") {
     import graft.functions.spatial
     import org.apache.spark.sql.functions.col

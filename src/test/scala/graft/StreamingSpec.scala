@@ -35,6 +35,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     dir
   }
 
+  test("streaming elevation enrichment via the broadcast index matches batch") {
+    import spark.implicits._
+    // a directory of coordinate parquet acts as the incremental ingest source
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_coords"
+    graft.table.Checkpoint.clear(dir)
+    (1 to 2000).map(i => (i.toLong, -119.9 + (i % 500) * 0.0037, 36.05 + (i % 300) * 0.0031))
+      .toDF("point_id", "lng", "lat").repartition(3).write.mode("overwrite").parquet(dir)
+    val tiles = spark.createDataset(graft.synth.TileGen.tiles(Seq((-120, 36)), 121, "hgt"))(
+      org.apache.spark.sql.Encoders.product[graft.core.TileRow])
+    val bc = graft.ops.TileIndex.broadcastIndex(tiles)
+    val schema = spark.read.parquet(dir).schema
+    // the SAME codegen'd probe expression runs inside the micro-batch plan —
+    // the broadcast tile-pyramid index is engine state shared across batches,
+    // exactly how an incremental ingest would enrich arriving coordinates
+    val q = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("elev", graft.ops.ElevAt.elev_at(col("lng"), col("lat"), bc))
+      .writeStream.format("memory").queryName("stream_elev")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("stream_elev")
+      .as[(Long, Double, Double, Double)].collect().map(r => r._1 -> r._4).toMap
+    val exp = spark.read.parquet(dir)
+      .withColumn("elev", graft.ops.ElevAt.elev_at(col("lng"), col("lat"), bc))
+      .as[(Long, Double, Double, Double)].collect().map(r => r._1 -> r._4).toMap
+    assert(got == exp && got.nonEmpty)
+    assert(got.values.exists(_ != 0.0), "some in-tile elevations are non-zero")
+  }
+
   test("windowed event-time aggregation with watermark matches batch") {
     import spark.implicits._
     val schema = spark.read.parquet(eventsPath).schema
