@@ -358,6 +358,18 @@ object SparkEntry {
         .select(col("probe_id"), col("target_id"), col("rank"), col("dist2"))
         .orderBy("probe_id", "rank")
     }),
+    // Trajectory simplification: Douglas-Peucker over the gate trails (the
+    // reference's polyline domain as analytics). Split rule is sqrt/div-free
+    // (cross² > ε²·len²) so the unrolled-CTE oracle replicates every branch;
+    // ε = 0.25 (exact binary double) keeps ~79% of the zigzag vertices.
+    "geo_simplify" -> ((s, dir) => {
+      val verts = gatePoints(s, dir).filter(col("point_id") % 10 === 0)
+        .select((col("point_id") % 199).as("line_id"), col("point_id").as("seq"),
+          col("lng"), col("lat"))
+      ops.Trajectory.simplify(verts, eps = 0.25)
+        .select("line_id", "seq", "lng", "lat")
+        .orderBy("line_id", "seq")
+    }),
     // J5: within-distance (range) join — every gate point within 0.05° of a
     // sampled customer probe; probe-side hex-disk cover (7 cells at the
     // derived res), one cell equi-join, exact dist2 refine.
@@ -756,6 +768,60 @@ object SparkEntry {
         .orderBy("qid", "rank")
     })
   )
+
+  /** Douglas-Peucker oracle: the recursion unrolled as `levels` chained CTE
+    * levels (standard SQL recursion cannot aggregate/window in the recursive
+    * term). Each level joins the still-active chords to their interior
+    * points, ranks by the sqrt/div-free split metric m = cross² (point
+    * distance² on a degenerate chord) with ties to the smallest seq —
+    * exactly [[graft.geo.Simplify]]'s strict-> scan — and splits where
+    * m > ε²·len². `levels` is sized ABOVE the measured max split depth of
+    * the deterministic gate data (13 at sf0.01, 24 at sf0.1; ε = 0.25,
+    * ε² = 0.0625 exact in binary): the DP result is depth-independent, and
+    * an undersized unroll would surface as a gate mismatch, never a silent
+    * false pass.
+    */
+  private def simplifyOracleSql(levels: Int): String = {
+    // segments CARRY their chord-endpoint coords (alng/alat/blng/blat) so
+    // each level joins the (MATERIALIZED — one parquet scan, not one per
+    // reference) points CTE exactly once; split rows carry the split point's
+    // coords into the child segments the same way.
+    val len2 = "(s.blng-s.alng)*(s.blng-s.alng)+(s.blat-s.alat)*(s.blat-s.alat)"
+    val cross = "((s.blng-s.alng)*(p.lat-s.alat)-(s.blat-s.alat)*(p.lng-s.alng))"
+    val m = s"CASE WHEN $len2 = 0 THEN (p.lng-s.alng)*(p.lng-s.alng)+(p.lat-s.alat)*(p.lat-s.alat) " +
+      s"ELSE $cross*$cross END"
+    val t = s"CASE WHEN $len2 = 0 THEN 0.0625 ELSE 0.0625 * ($len2) END"
+    val levelCtes = (1 to levels).map { k =>
+      s"""cand$k AS (SELECT s.line_id, s.lo, s.hi, s.alng, s.alat, s.blng, s.blat,
+            p.seq, p.lng AS plng, p.lat AS plat, $m AS m, $t AS t,
+            row_number() OVER (PARTITION BY s.line_id, s.lo, s.hi ORDER BY $m DESC, p.seq) AS rn
+          FROM seg${k - 1} s
+          JOIN pts p ON p.line_id = s.line_id AND p.seq > s.lo AND p.seq < s.hi),
+        split$k AS MATERIALIZED (SELECT * FROM cand$k WHERE rn = 1 AND m > t),
+        seg$k AS (SELECT line_id, lo, seq AS hi, alng, alat, plng AS blng, plat AS blat FROM split$k
+                  UNION ALL
+                  SELECT line_id, seq AS lo, hi, plng AS alng, plat AS alat, blng, blat FROM split$k)"""
+    }.mkString(",\n")
+    val keepUnions = (1 to levels)
+      .map(k => s"UNION SELECT line_id, seq, plng AS lng, plat AS lat FROM split$k").mkString(" ")
+    s"""WITH p0 AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
+         -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
+         36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
+         FROM lineitem),
+       pts AS MATERIALIZED (SELECT point_id % 199 AS line_id, point_id AS seq, lng, lat
+         FROM p0 WHERE point_id % 10 = 0),
+       ends AS (SELECT line_id, min(seq) AS lo, max(seq) AS hi FROM pts GROUP BY line_id),
+       seg0 AS (SELECT e.line_id, e.lo, e.hi, a.lng AS alng, a.lat AS alat,
+           b.lng AS blng, b.lat AS blat
+         FROM ends e
+         JOIN pts a ON a.line_id = e.line_id AND a.seq = e.lo
+         JOIN pts b ON b.line_id = e.line_id AND b.seq = e.hi),
+       $levelCtes,
+       keeps AS (SELECT line_id, lo AS seq, alng AS lng, alat AS lat FROM seg0
+         UNION SELECT line_id, hi AS seq, blng AS lng, blat AS lat FROM seg0 $keepUnions)
+       SELECT line_id, seq, lng, lat FROM keeps
+       ORDER BY line_id, seq"""
+  }
 
   /** Shared PIP oracle: bbox prefilter (a superset — every ray-cast-inside
     * point lies in the bbox) then the exact ray-cast edge tests with the
@@ -1583,6 +1649,7 @@ object SparkEntry {
            row_number() OVER (PARTITION BY probe_id ORDER BY dist2, target_id) AS rank FROM pairs)
          SELECT probe_id, target_id, rank, dist2 FROM r WHERE rank <= 5
          ORDER BY probe_id, rank""",
+    "geo_simplify" -> simplifyOracleSql(32),
     "geo_range_join" ->
       """WITH probes AS (SELECT c_custkey AS probe_id,
            -120.0 + (c_custkey % 4) + ((c_custkey % 577) + 0.5)/577.0 AS plng,

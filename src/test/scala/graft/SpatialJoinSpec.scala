@@ -73,6 +73,53 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == bruteForcePip)
   }
 
+  test("Douglas-Peucker matches an independent recursive reference; op = kernel") {
+    import graft.geo.Simplify
+    import spark.implicits._
+    // independent reference: classic perpendicular-distance recursion
+    def ref(xs: Array[Double], ys: Array[Double], eps: Double): Array[Boolean] = {
+      val keep = new Array[Boolean](xs.length)
+      def rec(lo: Int, hi: Int): Unit = {
+        keep(lo) = true; keep(hi) = true
+        if (hi - lo < 2) return
+        val ax = xs(lo); val ay = ys(lo); val bx = xs(hi); val by = ys(hi)
+        val len = math.hypot(bx - ax, by - ay)
+        var best = -1; var bestD = Double.NegativeInfinity
+        for (i <- lo + 1 until hi) {
+          val d =
+            if (len == 0.0) math.hypot(xs(i) - ax, ys(i) - ay)
+            else math.abs((bx - ax) * (ys(i) - ay) - (by - ay) * (xs(i) - ax)) / len
+          if (d > bestD) { bestD = d; best = i }
+        }
+        if (bestD > eps) { rec(lo, best); rec(best, hi) }
+      }
+      if (xs.nonEmpty) rec(0, xs.length - 1)
+      keep
+    }
+    val rnd3 = new scala.util.Random(13)
+    for (trial <- 1 to 30) {
+      val n = 2 + rnd3.nextInt(120)
+      val xs = Array.fill(n)(rnd3.nextDouble() * 2.0)
+      val ys = Array.fill(n)(rnd3.nextDouble())
+      val eps = 0.01 + rnd3.nextDouble() * 0.4
+      assert(Simplify.douglasPeucker(xs, ys, eps).toSeq == ref(xs, ys, eps).toSeq,
+        s"trial $trial n=$n eps=$eps")
+    }
+    // smooth line + big eps ⇒ real reduction; the Spark op equals the kernel
+    val smooth = (0 until 400).map { i =>
+      val x = i / 100.0
+      (7L, i.toLong, x, math.sin(x) * 0.5 + (i % 3) * 1e-4)
+    }
+    val keepMask = Simplify.douglasPeucker(
+      smooth.map(_._3).toArray, smooth.map(_._4).toArray, 0.01)
+    assert(keepMask.count(identity) < 60, s"expected strong reduction, kept ${keepMask.count(identity)}")
+    val got = graft.ops.Trajectory.simplify(
+        smooth.toDF("line_id", "seq", "lng", "lat"), 0.01)
+      .as[(Long, Long, Double, Double)].collect().map(_._2).sorted.toSeq
+    val exp = smooth.indices.filter(keepMask).map(_.toLong)
+    assert(got == exp)
+  }
+
   test("polygon metrics and ray cast agree with JTS (independent oracle)") {
     import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
     import graft.functions.spatial
