@@ -615,6 +615,14 @@ object SparkEntry {
     "img_stats" -> ((s, dir) => {
       ops.ImageOps.decodeStats(gateTiles(s, "png")).orderBy("image_id")
     }),
+    // Dual-resolution conversion (reference getResolutionAndSize.ts: 1″↔3″):
+    // 3:1 decimation resample re-encoded as HGT rows, then re-decoded for
+    // stats — encode∘decode round-trips through the new payload, and the
+    // oracle recomputes the decimated grid from the closed form.
+    "img_resample" -> ((s, dir) => {
+      ops.ImageOps.decodeStats(ops.ImageOps.resample(gateTiles(s), 3))
+        .orderBy("image_id")
+    }),
     "img_integrity" -> ((s, dir) => {
       ops.ImageOps.integrity(gateTiles(s, "png")).orderBy("image_id")
     }),
@@ -1392,6 +1400,17 @@ object SparkEntry {
          g AS (SELECT swlng, swlat,
            ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS v
            FROM corners, range(0,601) r, range(0,601) c)
+         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           count(*) AS n_px, CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(sum(v) AS BIGINT) / CAST(count(*) AS BIGINT) AS px_mean
+         FROM g GROUP BY swlng, swlat ORDER BY image_id""",
+    "img_resample" ->
+      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         g AS (SELECT swlng, swlat,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*(3*c.range) + 3*(3*r.range) + (((3*c.range)//8)*((3*r.range)//8)) % 32 AS v
+           FROM corners, range(0,201) r, range(0,201) c)
          SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
                  CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
            count(*) AS n_px, CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max,

@@ -39,6 +39,40 @@ object ImageOps {
     }.toDF()
   }
 
+  /** k:1 decimation resample — the reference's dual-resolution domain
+    * (SRTM 1″ 3601² ↔ 3″ 1201², src/elevation/getResolutionAndSize.ts:3-14)
+    * as a batch tile-table transform: every kth sample of the logical grid,
+    * re-encoded as an HGT payload with updated caption georeferencing
+    * (size, resolution × k) and a fresh phash. Decimation is the exact,
+    * oracle-replicable convention (`out(r,c) = in(k·r, k·c)` — grid nodes
+    * stay grid nodes, so downstream bilinear at shared nodes is unchanged);
+    * area-average reduction is [[thumbnails]]' job.
+    */
+  def resample(tiles: Dataset[TileRow], k: Int): Dataset[TileRow] = {
+    implicit val enc = Encoders.product[TileRow]
+    tiles.mapPartitions { it =>
+      it.map { t =>
+        val d = TileCodec.decode(t)
+        require((d.size - 1) % k == 0, s"size ${d.size} not decimatable by $k")
+        val out = (d.size - 1) / k + 1
+        val g = new Array[Short](out * out)
+        var r = 0
+        while (r < out) {
+          var c = 0
+          while (c < out) {
+            g(r * out + c) = d.sample(r * k, c * k).toShort
+            c += 1
+          }
+          r += 1
+        }
+        val cap = TileCodec.parseCaption(t.caption)
+        TileRow(t.image_id, graft.raster.Hgt.encode(g, out), out, out, "hgt",
+          TileCodec.captionJson(cap.copy(resolution = cap.resolution * k, size = out)),
+          Fidelity.phash(g, out))
+      }
+    }
+  }
+
   /** Area-average resize to n×n (the "thumbnail / feature-extract" op). */
   final case class Thumb(image_id: String, n: Int, pixels: Array[Double])
 

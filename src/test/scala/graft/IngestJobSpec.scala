@@ -58,6 +58,23 @@ class IngestJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.getAs[Double]("elev") == expected)
   }
 
+  test("resample: 3:1 decimation keeps shared grid nodes, round-trips HGT") {
+    import graft.core.TileCodec
+    val tiles = spark.createDataset(TileGen.tiles(Seq((-119, 36)), 121, "hgt"))(
+      org.apache.spark.sql.Encoders.product[graft.core.TileRow])
+    val rs = graft.ops.ImageOps.resample(tiles, 3).collect()
+    assert(rs.length == 1)
+    val t = rs(0)
+    assert(t.w == 41 && t.h == 41 && t.fmt == "hgt")
+    val d = TileCodec.decode(t)
+    for (r <- 0 until 41; c <- 0 until 41)
+      assert(d.sample(r, c) == TileGen.sampleAt(-119, 36, 3 * r, 3 * c),
+        s"node ($r,$c)")
+    val cap = TileCodec.parseCaption(t.caption)
+    assert(cap.size == 41 && cap.tile_key == "N36W119")
+    assert(t.phash == graft.raster.Fidelity.phash(d.samples, 41))
+  }
+
   test("ingestHgt rejects non-square payloads (P3 size predicate)") {
     graft.table.Checkpoint.clear(s"$base/bad")
     val d = new java.io.File(s"$base/bad/hgt"); d.mkdirs()
