@@ -85,7 +85,11 @@ object Bench {
     * streams raster bytes and row data, not just arithmetic.
     */
   private def memWall(threads: Int): Double = {
-    val slices = math.max(32, threads) // every thread gets its OWN slice
+    // every thread gets its OWN slice, capped at 64 slices (4 GB buffer);
+    // past the cap threads share slices round-robin — slices*memSliceLen
+    // stays far below Int.MaxValue (at 256 uncapped threads the Int product
+    // would overflow negative and NegativeArraySizeException the bench)
+    val slices = math.min(math.max(32, threads), 64)
     if (memBuf == null || memBuf.length < slices * memSliceLen) {
       val a = new Array[Long](slices * memSliceLen)
       var i = 0
@@ -98,7 +102,7 @@ object Bench {
     val ts = (0 until threads).map { t =>
       val th = new Thread(() => {
         var x = 0L
-        var i = t * memSliceLen
+        var i = (t % slices) * memSliceLen
         val end = i + memSliceLen
         while (i < end) { x += buf(i); i += 1 }
         sink.addAndGet(x): Unit

@@ -750,10 +750,14 @@ object SparkEntry {
             .otherwise(0L))
         .withColumn("sess_seq", sum("new_sess")
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        // exact integer cents, same as events_rollup: a raw double sum is
+        // accumulation-order dependent and would flake vs the oracle at a
+        // round(x, 2) boundary
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
         .groupBy(col("user_id"), col("sess_seq"))
         .agg(count(lit(1)).as("n_events"),
           min("tus").as("start_us"), max("tus").as("end_us"),
-          round(sum("value"), 2).as("sum_value"))
+          (sum("cents") / lit(100.0)).as("sum_value"))
         .orderBy("user_id", "sess_seq")
     }),
     "ann_cosine_topk" -> ((s, dir) => {
@@ -1598,7 +1602,8 @@ object SparkEntry {
          FROM h GROUP BY ROLLUP(event_type, hr)
          ORDER BY 1, 2""",
     "events_sessions" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+                CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
          m AS (SELECT *, CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
                     OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) > 43200000000
                   THEN 1 ELSE 0 END AS new_sess FROM e),
@@ -1606,7 +1611,7 @@ object SparkEntry {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_seq FROM m)
          SELECT user_id, sess_seq, count(*) AS n_events,
            min(tus) AS start_us, max(tus) AS end_us,
-           round(sum(value), 2) AS sum_value
+           CAST(sum(cents) AS BIGINT) / 100.0 AS sum_value
          FROM s GROUP BY 1, 2 ORDER BY user_id, sess_seq""",
     "events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n,

@@ -98,13 +98,16 @@ object spatial {
   // expression needed — `aggregate` is a sequential in-order fold, so the
   // summation order is deterministic and the DuckDB oracle replicates it
   // term-for-term with the same left association).
-  import org.apache.spark.sql.functions.{aggregate, element_at, lit, pmod, sequence, size => asize, sqrt}
+  import org.apache.spark.sql.functions.{aggregate, element_at, lit, pmod, sequence, size => asize, sqrt, when}
 
-  /** Σ (xᵢ·yᵢ₊₁ − xᵢ₊₁·yᵢ) over cyclic vertex pairs (twice the signed area). */
+  /** Σ (xᵢ·yᵢ₊₁ − xᵢ₊₁·yᵢ) over cyclic vertex pairs (twice the signed area).
+    * Empty rings fold to 0.0 — `sequence(0, -1)` would otherwise produce the
+    * DESCENDING sequence [0, -1] and crash on `element_at(xs, 0)`.
+    */
   private def shoelace(xs: Column, ys: Column,
       term: (Column, Column, Column, Column) => Column): Column = {
     val n = asize(xs)
-    aggregate(
+    val fold = aggregate(
       sequence(lit(0), n - lit(1)), lit(0.0),
       (acc: Column, i: Column) => {
         val xi = element_at(xs, i + lit(1))
@@ -113,6 +116,7 @@ object spatial {
         val yj = element_at(ys, pmod(i + lit(1), n) + lit(1))
         acc + term(xi, yi, xj, yj)
       })
+    when(n > lit(0), fold).otherwise(lit(0.0))
   }
 
   /** Signed shoelace area of one packed-array ring (CCW positive). */
@@ -124,15 +128,24 @@ object spatial {
     shoelace(xs, ys, (xi, yi, xj, yj) =>
       sqrt((xj - xi) * (xj - xi) + (yj - yi) * (yj - yi)))
 
-  /** Area-weighted centroid x: Σ(xᵢ+xᵢ₊₁)·crossᵢ / (3·Σcrossᵢ). */
+  /** Area-weighted centroid x: Σ(xᵢ+xᵢ₊₁)·crossᵢ / (3·Σcrossᵢ).
+    * Null for zero-area (degenerate) rings — ANSI mode would otherwise
+    * throw DIVIDE_BY_ZERO rather than produce NaN.
+    */
   def polygon_centroid_x(xs: Column, ys: Column): Column =
-    shoelace(xs, ys, (xi, yi, xj, yj) => (xi + xj) * (xi * yj - xj * yi)) /
-      (lit(3.0) * shoelace(xs, ys, (xi, yi, xj, yj) => xi * yj - xj * yi))
+    centroidRatio(xs, ys, (xi, xj) => xi + xj, isX = true)
 
-  /** Area-weighted centroid y. */
+  /** Area-weighted centroid y (null for zero-area rings, like x). */
   def polygon_centroid_y(xs: Column, ys: Column): Column =
-    shoelace(xs, ys, (xi, yi, xj, yj) => (yi + yj) * (xi * yj - xj * yi)) /
-      (lit(3.0) * shoelace(xs, ys, (xi, yi, xj, yj) => xi * yj - xj * yi))
+    centroidRatio(xs, ys, (yi, yj) => yi + yj, isX = false)
+
+  private def centroidRatio(xs: Column, ys: Column,
+      pair: (Column, Column) => Column, isX: Boolean): Column = {
+    val num = shoelace(xs, ys, (xi, yi, xj, yj) =>
+      (if (isX) pair(xi, xj) else pair(yi, yj)) * (xi * yj - xj * yi))
+    val den = lit(3.0) * shoelace(xs, ys, (xi, yi, xj, yj) => xi * yj - xj * yi)
+    when(den =!= lit(0.0), num / den)
+  }
 
   /** Register SQL names on a session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

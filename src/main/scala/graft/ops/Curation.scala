@@ -34,12 +34,19 @@ object Curation {
   def topKPerGroup(df: DataFrame, groupCol: Column, orderCols: Seq[Column],
                    k: Int): DataFrame = {
     require(k > 0, s"k must be > 0, got $k")
+    // `rk` is part of the output contract — fail fast rather than silently
+    // replacing a caller column of the same name via withColumn
+    require(!df.columns.contains("rk"),
+      "topKPerGroup emits an 'rk' rank column; the input already has one")
+    // the local-rank scratch column just needs a guaranteed-fresh name
+    val lrk = Iterator.iterate("_lrk")("_" + _)
+      .dropWhile(df.columns.contains).next()
     val local = Window.partitionBy(groupCol, spark_partition_id())
       .orderBy(orderCols: _*)
     val survivors = df
-      .withColumn("_lrk", row_number().over(local))
-      .filter(col("_lrk") <= k)
-      .drop("_lrk")
+      .withColumn(lrk, row_number().over(local))
+      .filter(col(lrk) <= k)
+      .drop(lrk)
     val global = Window.partitionBy(groupCol).orderBy(orderCols: _*)
     survivors
       .withColumn("rk", row_number().over(global))

@@ -121,14 +121,16 @@ object Embeddings {
       .withColumn("probe", explode(slice(array_sort(array(qdists: _*)), 1, nProbe)))
       .select(col("qid"), col("qv"), col("qnrm"),
         col("probe").getField("c").as("centroid"))
-    // byte-based gate: each probe row is ~(2 longs + a 64-double array +
-    // UnsafeRow overhead) ≈ 600 B materialized; count() the query side (one
-    // cheap action over the small-by-assumption side, same pattern as kNN's
-    // pending count) and broadcast only under the byte budget
-    val estProbeRowBytes = 600L
-    val nProbeRows = queries.count() * nProbe
+    // byte-based gate, LAZY: Catalyst's own plan statistics for the query
+    // side (exact for local relations, parquet file sizes for scans — no
+    // eager count() job re-running the query side's lineage per call).
+    // The probe side replicates each query row nProbe times, so the
+    // estimate is stats × nProbe; with CBO off a Filter passes its child's
+    // sizeInBytes through un-reduced, which over-estimates and errs toward
+    // the safe (shuffle-join) path.
+    val qBytes = queries.queryExecution.optimizedPlan.stats.sizeInBytes
     val probeSide =
-      if (nProbeRows * estProbeRowBytes <= broadcastMaxBytes) broadcast(qprobe)
+      if (qBytes * nProbe <= BigInt(broadcastMaxBytes)) broadcast(qprobe)
       else qprobe
     val cand = corpus.join(probeSide, Seq("centroid"))
       .filter(col("vec_id") =!= col("qid"))

@@ -38,24 +38,34 @@ object TilePyramid {
       it.flatMap { t =>
         val d = TileCodec.decode(t)
         val denom = (subdiv * outSize).toDouble
-        for { sy <- 0 until subdiv; sx <- 0 until subdiv } yield {
-          val elevs = new Array[Double](outSize * outSize)
-          var r = 0
-          while (r < outSize) {
-            val lat = d.swLat + (sy * outSize + r + 0.5) / denom
-            var c = 0
-            while (c < outSize) {
-              val lng = d.swLng + (sx * outSize + c + 0.5) / denom
-              elevs(r * outSize + c) = Bilinear.sampleGrid(
-                d.samples, d.size, d.swLng.toDouble, d.swLat.toDouble, lng, lat)
-              c += 1
-            }
-            r += 1
+        // Iterator, not a strict for/yield: emit one encoded sub-tile at a
+        // time so a large subdiv never holds all subdiv² PNGs of a source
+        // tile on the heap at once (the point of the mapPartitions shape)
+        Iterator.range(0, subdiv).flatMap { sy =>
+          Iterator.range(0, subdiv).map { sx =>
+            renderSubTile(t, d, sx, sy, outSize, denom)
           }
-          SubTile(t.image_id, sx, sy, outSize,
-            ImageCodec.encodeTerrariumPng(elevs, outSize))
         }
       }
     }
+  }
+
+  private def renderSubTile(t: TileRow, d: graft.core.DecodedTile, sx: Int, sy: Int,
+                            outSize: Int, denom: Double): SubTile = {
+    val elevs = new Array[Double](outSize * outSize)
+    var r = 0
+    while (r < outSize) {
+      val lat = d.swLat + (sy * outSize + r + 0.5) / denom
+      var c = 0
+      while (c < outSize) {
+        val lng = d.swLng + (sx * outSize + c + 0.5) / denom
+        elevs(r * outSize + c) = Bilinear.sampleGrid(
+          d.samples, d.size, d.swLng.toDouble, d.swLat.toDouble, lng, lat)
+        c += 1
+      }
+      r += 1
+    }
+    SubTile(t.image_id, sx, sy, outSize,
+      ImageCodec.encodeTerrariumPng(elevs, outSize))
   }
 }

@@ -132,6 +132,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("rk") <= 10).select("id", "grp", "score", "rk")
       .collect().map(_.toSeq).toSet
     assert(rows.map(_.toSeq).toSet == naive)
+    // output contract: 'rk' belongs to topKPerGroup — a caller column of
+    // that name must fail fast, not be silently replaced
+    val clash = df.withColumnRenamed("score", "rk")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Curation.topKPerGroup(clash, col("grp"), Seq(col("id")), 10)
+    }
+    assert(e.getMessage.contains("rk"))
   }
 
   test("cell predicates derive pushable lng/lat scan ranges (optimizer rule)") {

@@ -192,6 +192,23 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cx3 == 0.5 && cy3 == 0.5, "centroid is orientation-invariant")
   }
 
+  test("polygon metrics on an EMPTY ring fold to 0.0 instead of crashing") {
+    // sequence(0, size-1) on an empty array is the DESCENDING [0, -1],
+    // whose second step hits element_at(xs, 0) — the guard must short-circuit
+    import graft.functions.spatial
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val got = Seq((1L, Array.empty[Double], Array.empty[Double]))
+      .toDF("poly_id", "xs", "ys")
+      .select(spatial.polygon_area(col("xs"), col("ys")).as("a"),
+        spatial.polygon_perimeter(col("xs"), col("ys")).as("p"),
+        spatial.polygon_centroid_x(col("xs"), col("ys")).as("cx"))
+      .as[(Double, Double, Option[Double])].head()
+    assert(got._1 == 0.0 && got._2 == 0.0)
+    assert(got._3.isEmpty,
+      "zero-area centroid is null (ANSI would throw on the 0/0 divide)")
+  }
+
   test("withinDistance matches brute force at several radii and resolutions") {
     import spark.implicits._
     val probes = (0L until 50L)
