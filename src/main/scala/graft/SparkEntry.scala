@@ -760,6 +760,23 @@ object SparkEntry {
           (sum("cents") / lit(100.0)).as("sum_value"))
         .orderBy("user_id", "sess_seq")
     }),
+    // AS-OF join: each purchase annotated with the user's most recent view
+    // at-or-before it (exact integer micros). Join-free union+window fill —
+    // one shuffle on user_id, linear scan per group; see ops.AsofJoin.
+    "events_asof" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("tus", expr("unix_micros(cast(ts as timestamp))"))
+        .select("event_id", "user_id", "tus", "event_type")
+      val purchases = e.filter(col("event_type") === "purchase").drop("event_type")
+      val views = e.filter(col("event_type") === "view").drop("event_type")
+      ops.AsofJoin.asofJoin(purchases, views, Seq("user_id"),
+          tsCol = "tus", seqCol = "event_id", payload = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("tus"),
+          col("asof_event_id").as("view_event_id"),
+          col("asof_tus").as("view_tus"),
+          (col("tus") - col("asof_tus")).as("gap_us"))
+        .orderBy("event_id")
+    }),
     "ann_cosine_topk" -> ((s, dir) => {
       import graft.functions.vectors.vec_dot
       val e = t(s, dir, "embeddings")
@@ -1613,6 +1630,22 @@ object SparkEntry {
            min(tus) AS start_us, max(tus) AS end_us,
            CAST(sum(cents) AS BIGINT) / 100.0 AS sum_value
          FROM s GROUP BY 1, 2 ORDER BY user_id, sess_seq""",
+    // same union+window formulation as ops.AsofJoin: right (view) rows sort
+    // before left (purchase) rows at an equal timestamp => inclusive match
+    "events_asof" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type FROM events),
+         u AS (SELECT user_id, tus, event_id, 0 AS side, event_id AS r_id FROM e WHERE event_type = 'view'
+               UNION ALL
+               SELECT user_id, tus, event_id, 1 AS side, NULL AS r_id FROM e WHERE event_type = 'purchase'),
+         w AS (SELECT *,
+             last_value(r_id IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tus, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_event_id,
+             last_value(CASE WHEN side = 0 THEN tus END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tus, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_tus
+           FROM u)
+         SELECT event_id, user_id, tus, view_event_id, view_tus,
+           tus - view_tus AS gap_us
+         FROM w WHERE side = 1 ORDER BY event_id""",
     "events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n,
          round(sum(value), 2) AS sum_value

@@ -20,6 +20,61 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("asofJoin matches per-row brute force; tolerance nulls stale matches") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // colliding timestamps on purpose: ts drawn from a SMALL range so equal
+    // left/right and right/right timestamps occur and exercise tie order
+    val left = (0 until 300).map(i =>
+      (i.toLong, (i % 7).toLong, rnd.nextInt(40).toLong))
+    val right = (1000 until 1200).map(i =>
+      (i.toLong, (i % 7).toLong, rnd.nextInt(40).toLong, i * 10))
+    val leftDf = left.toDF("id", "k", "ts")
+    val rightDf = right.toDF("id", "k", "ts", "v")
+    def brute(tol: Option[Long]): Map[Long, Option[(Long, Long, Int)]] =
+      left.map { case (lid, lk, lts) =>
+        val m = right.filter(r => r._2 == lk && r._3 <= lts &&
+            tol.forall(t => lts - r._3 <= t))
+          .sortBy(r => (r._3, r._1)).lastOption
+        lid -> m.map(r => (r._1, r._3, r._4))
+      }.toMap
+    for (tol <- Seq(None, Some(5L))) {
+      val got = graft.ops.AsofJoin.asofJoin(leftDf, rightDf, Seq("k"),
+          tsCol = "ts", seqCol = "id", payload = Seq("id", "v"),
+          tolerance = tol)
+        .select("id", "asof_id", "asof_ts", "asof_v")
+        .as[(Long, Option[Long], Option[Long], Option[Int])].collect()
+      assert(got.length == left.length, "exactly one output row per left row")
+      got.foreach { case (lid, mid, mts, mv) =>
+        val exp = brute(tol)(lid)
+        assert(mid == exp.map(_._1) && mts == exp.map(_._2) &&
+          mv == exp.map(_._3), s"left $lid (tol=$tol)")
+      }
+    }
+  }
+
+  test("asofJoin plan is join-free: one key exchange + window, no join node") {
+    import spark.implicits._
+    // AQE wraps exchanges into query stages invisible to plan.collect —
+    // turn it off so the static plan shows the raw Exchange nodes
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val leftDf = (0L until 100L).map(i => (i, i % 5, i * 3)).toDF("id", "k", "ts")
+      val rightDf = (0L until 100L).map(i => (i, i % 5, i * 2, i)).toDF("id", "k", "ts", "v")
+      val out = graft.ops.AsofJoin.asofJoin(leftDf, rightDf, Seq("k"),
+        "ts", "id", Seq("v"))
+      val plan = out.queryExecution.executedPlan
+      val s = plan.toString
+      assert(!s.contains("Join"), s"as-of must not plan a join:\n$s")
+      assert(s.contains("Window"), s"expected the ordered fill window:\n$s")
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.length == 1,
+        s"expected exactly one key shuffle, got ${exchanges.length}:\n$s")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("connectedComponents: chains, cliques, singletons, star") {
     import spark.implicits._
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20} (singleton),
