@@ -500,6 +500,13 @@ object SparkEntry {
     "ann_ivf_assign" -> ((s, dir) => {
       ops.Embeddings.ivfAssign(t(s, dir, "embeddings"), 8).orderBy("vec_id")
     }),
+    // One Lloyd iteration of k-means — the IVF centroid TRAINING step:
+    // per-row assignment on the scan, one partial-aggregated shuffle to
+    // k·dims rows, quantized-integer sums for engine-exact means.
+    "ann_kmeans_step" -> ((s, dir) => {
+      ops.Embeddings.kmeansStep(t(s, dir, "embeddings"), 8)
+        .orderBy("centroid", "dim")
+    }),
     // IVF top-k SEARCH (the scale path of ANN): queries probe only their
     // nProbe nearest centroid lists, exact cosine re-ranks candidates.
     "ann_ivf_topk" -> ((s, dir) => {
@@ -623,6 +630,22 @@ object SparkEntry {
       ops.ImageOps.decodeStats(ops.ImageOps.resample(gateTiles(s), 3))
         .orderBy("image_id")
     }),
+    // Geometric augmentation (flip_h/flip_v/rot90) pinned by
+    // position-WEIGHTED moments (Σ v·r, Σ v·c): the engine permutes the
+    // grid, re-encodes HGT, re-decodes and sums; the oracle derives the
+    // transformed moments from the closed-form grid via the permutation
+    // identities (e.g. flip_h: c_moment' = m·Σv − c_moment). The 'none'
+    // lane anchors the base moments through the same decode path.
+    "img_augment" -> ((s, dir) => {
+      val tiles = gateTiles(s)
+      (("none", tiles) +: Seq("flip_h", "flip_v", "rot90")
+        .map(m => (m, ops.ImageOps.augment(tiles, m))))
+        .map { case (m, ds) =>
+          ops.ImageOps.positionMoments(ds).withColumn("mode", lit(m))
+        }
+        .reduce(_ unionByName _)
+        .orderBy("image_id", "mode")
+    }),
     "img_integrity" -> ((s, dir) => {
       ops.ImageOps.integrity(gateTiles(s, "png")).orderBy("image_id")
     }),
@@ -663,6 +686,13 @@ object SparkEntry {
                   WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
                   WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS predicted""")
         .orderBy("doc_id")
+    }),
+    // Top-3 TF-IDF terms per document (ops.Curation.tfidfTopTerms):
+    // wordcount-shaped tf shuffle + vocabulary-bounded df aggregate + term
+    // join; idf quantized to integers so ranking is engine-exact (no ln).
+    "text_tfidf" -> ((s, dir) => {
+      ops.Curation.tfidfTopTerms(t(s, dir, "documents"), 3)
+        .orderBy("doc_id", "rk")
     }),
     "token_count" -> ((s, dir) => {
       t(s, dir, "documents").selectExpr(
@@ -710,6 +740,18 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(max(col("n")).as("n"), at(0.5).as("p50"), at(0.9).as("p90"),
           at(0.99).as("p99"))
+        .orderBy("event_type")
+    }),
+    // One-pass HISTOGRAM quantiles (ops.Quantiles) — the scale path next to
+    // events_quantiles' exact per-group sort: bounded mergeable bin counts
+    // ($5 bins on exact cents), cumulative over the tiny bin list, same
+    // selection-rank convention. At 100 TB the exact sort dies on a huge
+    // group; the histogram's state is the bin count, period.
+    "events_histq" -> ((s, dir) => {
+      ops.Quantiles.histogramQuantiles(
+          t(s, dir, "events"), "event_type",
+          round(col("value") * 100, 0).cast("long"), 500L,
+          Seq(0.5, 0.9, 0.99))
         .orderBy("event_type")
     }),
     // Hierarchical ROLLUP totals (event_type, hour) -> (event_type) -> ()
@@ -1410,6 +1452,29 @@ object SparkEntry {
            FROM s) ORDER BY doc_id""",
     "ann_lsh_neardup" -> annLshOracleSql,
     "ann_ivf_assign" -> ivfOracleSql,
+    // same assignment as ivfOracleSql (argmin over the deterministic seed
+    // centroids, ties to the smaller c), then per-(centroid, dim) exact
+    // integer sums of the floor-quantized components — the mean is one IEEE
+    // division of exact integers
+    "ann_kmeans_step" ->
+      """WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         cents AS (SELECT range AS c FROM range(0, 8)),
+         d AS (SELECT vec_id, v, c,
+           list_reduce(list_prepend(0.0, list_transform(range(0,64),
+             d -> (v[d+1] - (((c*53 + d*17) % 13) - 6)) * (v[d+1] - (((c*53 + d*17) % 13) - 6)))),
+             (p,q) -> p + q) AS d2
+           FROM vv, cents),
+         a AS (SELECT vec_id, v, centroid FROM (
+             SELECT vec_id, v, c AS centroid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d)
+           WHERE rn = 1),
+         x AS (SELECT centroid, dm.range AS dim,
+             CAST(floor(v[dm.range + 1] * 1000000.0) AS BIGINT) AS q
+           FROM a, range(0, 64) dm)
+         SELECT CAST(centroid AS INT) AS centroid, CAST(dim AS INT) AS dim,
+           count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_q,
+           CAST(sum(q) AS BIGINT) / (count(*) * 1000000.0) AS mean
+         FROM x GROUP BY 1, 2 ORDER BY centroid, dim""",
     "ann_ivf_topk" -> ivfTopkOracleSql,
     "ann_ivf_recall" -> ivfRecallOracleSql,
     "dedup_cluster_keep" -> clusterOracleSql,
@@ -1427,6 +1492,27 @@ object SparkEntry {
            CAST(sum(v) AS BIGINT) AS px_sum,
            CAST(sum(v) AS BIGINT) / CAST(count(*) AS BIGINT) AS px_mean
          FROM g GROUP BY swlng, swlat ORDER BY image_id""",
+    // position-weighted moments of the closed-form grid; augmented lanes
+    // come from the permutation identities on a 601-grid (m = 600):
+    // flip_h keeps Σv·r and mirrors Σv·c to m·Σv − Σv·c; flip_v mirrors
+    // the row moment; rot90 (out(r,c) = in(m−c, r)) sends (rm, cm) to
+    // (cm, m·Σv − rm). The engine earns its values through the real
+    // permute → HGT encode → decode chain.
+    "img_augment" ->
+      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         g AS (SELECT swlng, swlat, r.range AS r, c.range AS c,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS v
+           FROM corners, range(0,601) r, range(0,601) c),
+         s AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+             count(*) AS n_px, CAST(sum(v) AS BIGINT) AS ssum,
+             CAST(sum(v*r) AS BIGINT) AS rm, CAST(sum(v*c) AS BIGINT) AS cm
+           FROM g GROUP BY swlng, swlat)
+         SELECT image_id, mode, n_px, ssum AS px_sum,
+           CASE mode WHEN 'flip_v' THEN 600*ssum - rm WHEN 'rot90' THEN cm ELSE rm END AS r_moment,
+           CASE mode WHEN 'flip_h' THEN 600*ssum - cm WHEN 'rot90' THEN 600*ssum - rm ELSE cm END AS c_moment
+         FROM s, (VALUES ('none'),('flip_h'),('flip_v'),('rot90')) m(mode)
+         ORDER BY image_id, mode""",
     "img_resample" ->
       """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
          g AS (SELECT swlng, swlat,
@@ -1600,6 +1686,23 @@ object SparkEntry {
            count(*) AS n_px, CAST(sum(tr) AS BIGINT) AS r_sum,
            CAST(sum(tg) AS BIGINT) AS g_sum, CAST(sum(tb) AS BIGINT) AS b_sum
          FROM t GROUP BY swlng, swlat, sx, sy ORDER BY image_id, sx, sy""",
+    // same $5 bins over exact cents, same selection rank floor((n-1)p)+1;
+    // quantile bin = first bin whose cumulative count reaches the rank
+    "events_histq" ->
+      """WITH b AS (SELECT event_type,
+             CAST(floor(CAST(round(value*100, 0) AS BIGINT) / 500.0) AS BIGINT) AS bin
+           FROM events),
+         g AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY 1, 2),
+         cum AS (SELECT event_type, bin, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS n
+           FROM g)
+         SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           min(CASE WHEN cum >= floor((n-1)*0.5)+1 THEN bin*500 END) AS p50_lo,
+           min(CASE WHEN cum >= floor((n-1)*0.9)+1 THEN bin*500 END) AS p90_lo,
+           min(CASE WHEN cum >= floor((n-1)*0.99)+1 THEN bin*500 END) AS p99_lo
+         FROM cum GROUP BY event_type ORDER BY event_type""",
     "events_quantiles" ->
       """WITH r AS (SELECT event_type, value,
            row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
@@ -1774,6 +1877,20 @@ object SparkEntry {
                 WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
                 WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS predicted
          FROM s ORDER BY doc_id""",
+    // same quantized-idf arithmetic: integer floor division on nonnegative
+    // operands (`//` here, `div` in the engine), so score/rank are exact
+    "text_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         nd AS (SELECT count(*) AS n_docs FROM documents),
+         sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             (nd.n_docs * 1000) // dfq.df AS idf_q,
+             tf.tf * ((nd.n_docs * 1000) // dfq.df) AS score
+           FROM tf JOIN dfq USING (term), nd),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM sc)
+         SELECT doc_id, term, tf, df, idf_q, score, rk
+         FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
     "token_count" ->
       """SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,

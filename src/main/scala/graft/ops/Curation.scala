@@ -52,4 +52,45 @@ object Curation {
       .withColumn("rk", row_number().over(global))
       .filter(col("rk") <= k)
   }
+
+  /** Top-k TF-IDF terms per document — the corpus keyword/salience primitive
+    * (relevance weighting for curation and mixing).
+    *
+    * Scale shape: tokenize → `groupBy(doc_id, term)` term frequencies (one
+    * shuffle with map-side combine — the wordcount pattern), document
+    * frequencies as a second bounded-by-vocabulary aggregate over the tf
+    * table (no second pass over the corpus text), then a join on `term`
+    * (Catalyst broadcasts the df side when the vocabulary is small; above
+    * the broadcast threshold it degrades to a shuffle join on term, which
+    * is the correct 100 TB plan — never a driver-side vocabulary). The
+    * per-doc top-k is a window over doc_id: groups are documents — many and
+    * small — so the single-window scale caveat of [[topKPerGroup]] does not
+    * apply.
+    *
+    * Engine-exactness: idf is QUANTIZED to an integer —
+    * `idf_q = (n_docs * 1000) div df` (floor division; both engines agree
+    * on nonnegative operands) — so `score = tf · idf_q` and the resulting
+    * ranking are exact 64-bit integer arithmetic, never a `ln` whose last
+    * ulp could reorder ties across engines. The tie-break (score desc, term
+    * asc) makes the rank total.
+    *
+    * @return (doc_id, term, tf, df, idf_q, score, rk), rk ≤ k
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf_q", expr("(n_docs * 1000) div df"))
+      .withColumn("score", col("tf") * col("idf_q"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("doc_id", "term", "tf", "df", "idf_q", "score", "rk")
+  }
 }

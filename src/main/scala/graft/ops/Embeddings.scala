@@ -183,4 +183,38 @@ object Embeddings {
         coalesce(col("hits"), lit(0L)).as("n_hits"),
         (coalesce(col("hits"), lit(0L)) / lit(topK.toDouble)).as("recall"))
   }
+
+  /** One Lloyd iteration of k-means over the embedding column — the centroid
+    * TRAINING step the IVF index needs (ivfAssign/ivfSearch use the
+    * deterministic seed centroids; iterating this step refines them).
+    *
+    * Scale shape: assignment is per-row arithmetic on the corpus scan (no
+    * shuffle); the mean recomputation is `posexplode` to (centroid, dim)
+    * followed by ONE partial-aggregated shuffle whose output is exactly
+    * k·dims rows — the classic distributed Lloyd step. Iterating collects
+    * only the k×dims new centroid components to the driver (bounded, ~512
+    * doubles), never any corpus data.
+    *
+    * Engine-exactness: per-component sums run on QUANTIZED integers
+    * (`q = floor(v_d · 10^6)` — floor of the same IEEE product on both
+    * engines), so the aggregation is order-independent exact 64-bit
+    * arithmetic; the emitted mean is one IEEE division of exact integers.
+    *
+    * @return (centroid, dim, n, sum_q, mean) — n rows per centroid·dim;
+    *         empty centroids emit no rows (standard Lloyd: empty clusters
+    *         keep their old centroid, decided by the caller)
+    */
+  def kmeansStep(vecs: DataFrame, k: Int): DataFrame = {
+    val dists = (0 until k).map { c =>
+      struct(vec_dist2(col("v"), centroid(c)).as("d2"), lit(c).as("c"))
+    }
+    vecs.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("centroid", least(dists: _*).getField("c"))
+      .select(col("centroid"), posexplode(col("v")).as(Seq("dim", "vd")))
+      .withColumn("q", floor(col("vd") * lit(1000000.0)).cast("long"))
+      .groupBy("centroid", "dim")
+      .agg(count(lit(1)).as("n"), sum("q").as("sum_q"))
+      .withColumn("mean", col("sum_q") / (col("n") * lit(1000000.0)))
+  }
 }

@@ -106,6 +106,79 @@ object ImageOps {
     }
   }
 
+  /** Deterministic geometric augmentation — the training-data image
+    * augmentation primitive (flip / rotate), as a tile-table transform: the
+    * grid is index-permuted, re-encoded as an HGT payload with a fresh
+    * phash; the `image_id` and caption ride along unchanged (the strict
+    * 7-char tile key is also the decode georeference — callers that mix
+    * augmented and original rows distinguish them by their own mode column).
+    * Pure per-row map — no shuffle, decode+encode once per row.
+    *
+    * Modes (grid of side n, m = n-1):
+    *  - `flip_h`: out(r,c) = in(r, m-c) (mirror across the vertical axis)
+    *  - `flip_v`: out(r,c) = in(m-r, c)
+    *  - `rot90`:  out(r,c) = in(m-c, r) (90° clockwise on the logical grid)
+    */
+  def augment(tiles: Dataset[TileRow], mode: String): Dataset[TileRow] = {
+    require(Set("flip_h", "flip_v", "rot90").contains(mode),
+      s"unsupported augment mode: $mode")
+    implicit val enc = Encoders.product[TileRow]
+    tiles.mapPartitions { it =>
+      it.map { t =>
+        val d = TileCodec.decode(t)
+        val n = d.size; val m = n - 1
+        val g = new Array[Short](n * n)
+        var r = 0
+        while (r < n) {
+          var c = 0
+          while (c < n) {
+            val v = mode match {
+              case "flip_h" => d.sample(r, m - c)
+              case "flip_v" => d.sample(m - r, c)
+              case "rot90"  => d.sample(m - c, r)
+            }
+            g(r * n + c) = v.toShort
+            c += 1
+          }
+          r += 1
+        }
+        TileRow(t.image_id, graft.raster.Hgt.encode(g, n), n, n,
+          "hgt", t.caption, Fidelity.phash(g, n))
+      }
+    }
+  }
+
+  /** Position-weighted checksums of the decoded grid: `r_moment = Σ v·r`,
+    * `c_moment = Σ v·c` (row-major indices). Unlike [[decodeStats]]' sums
+    * these are NOT permutation-invariant, so they pin an [[augment]]
+    * transform exactly: the oracle recomputes them from the closed-form
+    * grid with the transformed indices. Exact 64-bit integer arithmetic
+    * end-to-end (max |v|·idx·n² ≈ 2^40 at 601²).
+    */
+  final case class ImgMoments(image_id: String, n_px: Long, px_sum: Long,
+                              r_moment: Long, c_moment: Long)
+
+  def positionMoments(tiles: Dataset[TileRow]): Dataset[ImgMoments] = {
+    implicit val enc = Encoders.product[ImgMoments]
+    tiles.mapPartitions { it =>
+      it.map { t =>
+        val d = TileCodec.decode(t)
+        var sum = 0L; var rm = 0L; var cm = 0L
+        var r = 0
+        while (r < d.size) {
+          var c = 0
+          while (c < d.size) {
+            val v: Long = d.sample(r, c).toLong
+            sum += v; rm += v * r; cm += v * c
+            c += 1
+          }
+          r += 1
+        }
+        ImgMoments(t.image_id, d.size.toLong * d.size, sum, rm, cm)
+      }
+    }
+  }
+
   /** Per-row integrity check (input_hint invariants), every column a
     * computed QUANTITY so the oracle recomputes all of them from the
     * closed-form grid — no verdict booleans: `phash` is recomputed from the

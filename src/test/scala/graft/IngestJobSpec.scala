@@ -75,6 +75,42 @@ class IngestJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.phash == graft.raster.Fidelity.phash(d.samples, 41))
   }
 
+  test("augment permutes the grid exactly; moments follow the identities") {
+    import graft.core.TileCodec
+    val n = 121; val m = n - 1
+    val tiles = spark.createDataset(TileGen.tiles(Seq((-119, 36)), n, "hgt"))(
+      org.apache.spark.sql.Encoders.product[graft.core.TileRow])
+    val ref: (Int, Int) => Int = (r, c) => TileGen.sampleAt(-119, 36, r, c)
+    val expect: Map[String, (Int, Int) => Int] = Map(
+      "flip_h" -> ((r, c) => ref(r, m - c)),
+      "flip_v" -> ((r, c) => ref(m - r, c)),
+      "rot90" -> ((r, c) => ref(m - c, r)))
+    for ((mode, f) <- expect) {
+      val t = graft.ops.ImageOps.augment(tiles, mode).collect()(0)
+      assert(t.fmt == "hgt" && t.w == n && t.image_id == "N36W119")
+      val d = TileCodec.decode(t)
+      for (r <- 0 until n; c <- 0 until n)
+        assert(d.sample(r, c) == f(r, c), s"$mode ($r,$c)")
+      assert(t.phash == graft.raster.Fidelity.phash(d.samples, n))
+      // moment identities vs the unaugmented sums
+      var s0 = 0L; var rm0 = 0L; var cm0 = 0L
+      for (r <- 0 until n; c <- 0 until n) {
+        val v = ref(r, c).toLong; s0 += v; rm0 += v * r; cm0 += v * c
+      }
+      val mom = graft.ops.ImageOps.positionMoments(
+        graft.ops.ImageOps.augment(tiles, mode)).collect()(0)
+      val (er, ec) = mode match {
+        case "flip_h" => (rm0, m * s0 - cm0)
+        case "flip_v" => (m * s0 - rm0, cm0)
+        case "rot90"  => (cm0, m * s0 - rm0)
+      }
+      assert(mom.px_sum == s0 && mom.r_moment == er && mom.c_moment == ec, mode)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.ImageOps.augment(tiles, "rot45")
+    }
+  }
+
   test("ingestHgt rejects non-square payloads (P3 size predicate)") {
     graft.table.Checkpoint.clear(s"$base/bad")
     val d = new java.io.File(s"$base/bad/hgt"); d.mkdirs()

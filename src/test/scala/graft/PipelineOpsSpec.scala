@@ -75,6 +75,96 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("tfidfTopTerms matches brute force on a known corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana banana date"),
+      (3L, "apple date date date"),
+      (4L, "elderberry")).toDF("doc_id", "text")
+    val got = graft.ops.Curation.tfidfTopTerms(docs, 2)
+      .select("doc_id", "term", "tf", "df", "idf_q", "score", "rk")
+      .as[(Long, String, Long, Long, Long, Long, Int)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._7).toList }
+    // brute force: tf per doc, df over docs, idf_q = 4000/df, top-2
+    val corpus = Map(1L -> "apple banana apple cherry",
+      2L -> "banana banana date", 3L -> "apple date date date",
+      4L -> "elderberry")
+    val dfm = corpus.values.flatMap(_.split(" ").distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    corpus.foreach { case (id, text) =>
+      val tf = text.split(" ").groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+      val exp = tf.map { case (t, f) =>
+        val idf = 4000L / dfm(t); (t, f, dfm(t), idf, f * idf)
+      }.toList.sortBy { case (t, _, _, _, sc) => (-sc, t) }.take(2)
+      val g = got(id)
+      assert(g.length == exp.length, s"doc $id")
+      g.zip(exp).zipWithIndex.foreach { case ((a, e), i) =>
+        assert(a._2 == e._1 && a._3 == e._2 && a._4 == e._3 &&
+          a._5 == e._4 && a._6 == e._5 && a._7 == i + 1, s"doc $id rank ${i + 1}")
+      }
+    }
+  }
+
+  test("histogramQuantiles: width-1 degenerates to exact selection; bins match brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 2000).map(i => (s"g${i % 3}", rnd.nextInt(10000).toLong))
+    val df = rows.toDF("grp", "cents")
+    def brute(width: Long): Map[String, (Long, Seq[Long])] =
+      rows.groupBy(_._1).map { case (g, xs) =>
+        val bins = xs.map(x => math.floorDiv(x._2, width) * width).sorted
+        val n = bins.length
+        g -> (n.toLong, Seq(0.5, 0.9, 0.99).map { p =>
+          bins((math.floor((n - 1) * p).toLong + 1 - 1).toInt)
+        })
+      }
+    for (width <- Seq(1L, 500L)) {
+      val got = graft.ops.Quantiles.histogramQuantiles(
+          df, "grp", col("cents"), width, Seq(0.5, 0.9, 0.99))
+        .select("grp", "n", "p50_lo", "p90_lo", "p99_lo")
+        .as[(String, Long, Long, Long, Long)].collect()
+      got.foreach { case (g, n, p50, p90, p99) =>
+        val (en, eq) = brute(width)(g)
+        assert(n == en && p50 == eq(0) && p90 == eq(1) && p99 == eq(2),
+          s"group $g width $width")
+      }
+    }
+  }
+
+  test("kmeansStep matches brute-force Lloyd step with quantized sums") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 80).map(i =>
+      (i.toLong, Array.fill(64)((rnd.nextInt(2000) - 1000) / 97.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    def cent(c: Int, d: Int): Double = ((c * 53 + d * 17) % 13) - 6
+    val assign = vecs.map { case (id, v) =>
+      val best = (0 until 4).minBy { c =>
+        val d2 = (0 until 64).foldLeft(0.0) { (acc, d) =>
+          val diff = v(d).toDouble - cent(c, d); acc + diff * diff
+        }
+        (d2, c) // exact tuple order mirrors least(struct(d2, c))
+      }(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int))
+      id -> best
+    }.toMap
+    val exp = vecs.groupBy { case (id, _) => assign(id) }.flatMap { case (c, xs) =>
+      (0 until 64).map { d =>
+        val qs = xs.map(x => math.floor(x._2(d).toDouble * 1000000.0).toLong)
+        (c, d) -> (qs.size.toLong, qs.sum)
+      }
+    }
+    val got = graft.ops.Embeddings.kmeansStep(df, 4)
+      .select("centroid", "dim", "n", "sum_q", "mean")
+      .as[(Int, Int, Long, Long, Double)].collect()
+    assert(got.length == exp.size)
+    got.foreach { case (c, d, n, sq, mean) =>
+      val (en, esq) = exp((c, d))
+      assert(n == en && sq == esq, s"centroid $c dim $d")
+      assert(mean == esq / (en * 1000000.0), s"mean $c $d")
+    }
+  }
+
   test("connectedComponents: chains, cliques, singletons, star") {
     import spark.implicits._
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20} (singleton),
