@@ -500,6 +500,13 @@ object SparkEntry {
     "ann_ivf_assign" -> ((s, dir) => {
       ops.Embeddings.ivfAssign(t(s, dir, "embeddings"), 8).orderBy("vec_id")
     }),
+    // Product quantization (8 subspaces × 8 codes): the embedding
+    // COMPRESSION step of an IVF-PQ index — per-row on the scan, no
+    // shuffle; d2_r per subspace sums to the reconstruction error.
+    "ann_pq_code" -> ((s, dir) => {
+      ops.Embeddings.pqCode(t(s, dir, "embeddings"), 8, 8)
+        .orderBy("vec_id", "sub")
+    }),
     // One Lloyd iteration of k-means — the IVF centroid TRAINING step:
     // per-row assignment on the scan, one partial-aggregated shuffle to
     // k·dims rows, quantized-integer sums for engine-exact means.
@@ -1452,6 +1459,22 @@ object SparkEntry {
            FROM s) ORDER BY doc_id""",
     "ann_lsh_neardup" -> annLshOracleSql,
     "ann_ivf_assign" -> ivfOracleSql,
+    // per-(vec, subspace) argmin over the deterministic PQ codebook, ties
+    // to the smaller code; identical left-fold residual sums
+    "ann_pq_code" ->
+      """WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         subs AS (SELECT range AS s FROM range(0, 8)),
+         codes AS (SELECT range AS k FROM range(0, 8)),
+         d AS (SELECT vec_id, s, k,
+           list_reduce(list_prepend(0.0, list_transform(range(0,8),
+             d -> (v[s*8 + d + 1] - (((s*29 + k*53 + d*17) % 13) - 6)) * (v[s*8 + d + 1] - (((s*29 + k*53 + d*17) % 13) - 6)))),
+             (p,q) -> p + q) AS d2
+           FROM vv, subs, codes)
+         SELECT vec_id, CAST(s AS INT) AS sub, CAST(k AS INT) AS code,
+           round(d2, 4) AS d2_r
+         FROM (SELECT vec_id, s, k, d2,
+             row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, k) AS rn FROM d)
+         WHERE rn = 1 ORDER BY vec_id, sub""",
     // same assignment as ivfOracleSql (argmin over the deterministic seed
     // centroids, ties to the smaller c), then per-(centroid, dim) exact
     // integer sums of the floor-quantized components — the mean is one IEEE

@@ -204,6 +204,44 @@ object Embeddings {
     *         empty centroids emit no rows (standard Lloyd: empty clusters
     *         keep their old centroid, decided by the caller)
     */
+  /** Deterministic PQ codebook entry: subspace `s`, code `k`, local dim `d`
+    * (same modular family as [[centroid]], offset by the subspace).
+    */
+  private def pqCentroid(s: Int, k: Int, dims: Int): Column =
+    transform(sequence(lit(0), lit(dims - 1)),
+      d => ((lit(s) * 29 + lit(k) * 53 + d * 17) % 13 - 6).cast("double"))
+
+  /** Product quantization — the embedding COMPRESSION step of a scale ANN
+    * index (IVF-PQ): the 64-dim vector splits into `nSub` contiguous
+    * subspaces, each quantized independently to its nearest codebook entry,
+    * so a float vector becomes `nSub` small codes (here 64×4B → 8×1B, 32×).
+    * Per-row arithmetic on the corpus scan — no shuffle, no driver state;
+    * the codebook is a deterministic closed form (training it is
+    * [[kmeansStep]]'s job, per subspace).
+    *
+    * Emits one row per (vec_id, subspace): the assigned `code`, its
+    * `d2_r` = round(residual ‖·‖², 4) — summing d2 over a vector's
+    * subspaces is the PQ reconstruction error, the compression-fidelity
+    * number. Ties break to the smaller code (lexicographic (d2, k) struct
+    * min, matching [[ivfAssign]]).
+    */
+  def pqCode(vecs: DataFrame, nSub: Int, kCodes: Int): DataFrame = {
+    require(64 % nSub == 0, s"nSub must divide 64, got $nSub")
+    val dims = 64 / nSub
+    val v = vecs.select(col("vec_id").cast("long"),
+      col("embedding").cast("array<double>").as("v"))
+    val subRows = (0 until nSub).map { s =>
+      val sub = slice(col("v"), s * dims + 1, dims)
+      val dists = (0 until kCodes).map { k =>
+        struct(vec_dist2(sub, pqCentroid(s, k, dims)).as("d2"), lit(k).as("k"))
+      }
+      struct(lit(s).as("sub"), least(dists: _*).as("best"))
+    }
+    v.select(col("vec_id"), explode(array(subRows: _*)).as("sc"))
+      .select(col("vec_id"), col("sc.sub").as("sub"),
+        col("sc.best.k").as("code"), round(col("sc.best.d2"), 4).as("d2_r"))
+  }
+
   def kmeansStep(vecs: DataFrame, k: Int): DataFrame = {
     val dists = (0 until k).map { c =>
       struct(vec_dist2(col("v"), centroid(c)).as("d2"), lit(c).as("c"))

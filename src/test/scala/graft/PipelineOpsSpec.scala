@@ -132,6 +132,33 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pqCode matches brute-force per-subspace argmin; codes compress 8:1") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Array.fill(64)((rnd.nextInt(2000) - 1000) / 97.0f)))
+    val got = graft.ops.Embeddings.pqCode(vecs.toDF("vec_id", "embedding"), 8, 8)
+      .select("vec_id", "sub", "code", "d2_r")
+      .as[(Long, Int, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got.size == 60 * 8)
+    def cb(s: Int, k: Int, d: Int): Double = ((s * 29 + k * 53 + d * 17) % 13) - 6
+    vecs.foreach { case (id, v) =>
+      for (s <- 0 until 8) {
+        val (bd2, bk) = (0 until 8).map { k =>
+          val d2 = (0 until 8).foldLeft(0.0) { (acc, d) =>
+            val diff = v(s * 8 + d).toDouble - cb(s, k, d); acc + diff * diff
+          }
+          (d2, k)
+        }.min
+        val (code, d2r) = got((id, s))
+        assert(code == bk, s"vec $id sub $s")
+        assert(d2r == BigDecimal(bd2).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          s"vec $id sub $s d2")
+      }
+    }
+  }
+
   test("kmeansStep matches brute-force Lloyd step with quantized sums") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
