@@ -110,4 +110,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(String, Long)].collect().toMap
     assert(got == exp && got.nonEmpty)
   }
+
+  test("streaming exact dedup with watermark matches batch distinct") {
+    import spark.implicits._
+    // stage the same table TWICE: every event_id arrives duplicated, the
+    // copies possibly in different micro-batches — the streaming form of
+    // dedup_exact (state keyed by event_id, expired by the watermark)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_dup"
+    graft.table.Checkpoint.clear(dir)
+    new java.io.File(dir).mkdirs()
+    for (i <- 1 to 2)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+        java.nio.file.Paths.get(s"$dir/copy$i.parquet"))
+    val schema = spark.read.parquet(dir).schema
+    val q = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .select("event_id")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("dedup_stream").as[Long].collect().sorted
+    val exp = spark.read.parquet(dir).select("event_id").distinct()
+      .as[Long].collect().sorted
+    assert(got.length * 2 == spark.read.parquet(dir).count(),
+      "staged input is fully duplicated")
+    assert(got.sameElements(exp) && got.nonEmpty)
+  }
 }
