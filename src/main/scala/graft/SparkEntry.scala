@@ -761,6 +761,31 @@ object SparkEntry {
           Seq(0.5, 0.9, 0.99))
         .orderBy("event_type")
     }),
+    // Key-skew profile (count-of-counts): per-key cardinality histogram —
+    // the diagnostic that sizes salting / AQE-skew decisions before a big
+    // join or agg. Two mergeable aggregations; the second's input is
+    // bounded by the number of DISTINCT per-key counts, so the profile of
+    // a 100 TB table is a few hundred rows.
+    "events_key_skew" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("n_keys"))
+        .orderBy("n")
+    }),
+    // Deterministic train/val/test split — assignment must be a pure
+    // function of the row key (reproducible, join-free, engine-independent)
+    // never a random() sample. The multiplicative hash keeps the arithmetic
+    // in oracle-replicable BIGINT range; a production corpus with unbounded
+    // ids would use xxhash64 (engine-internal, same shape).
+    "curation_split" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .selectExpr("doc_id", "(doc_id * 40503 + 30013) % 65536 AS h")
+        .selectExpr("doc_id", "h",
+          """CASE WHEN h % 100 < 80 THEN 'train'
+                  WHEN h % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split""")
+        .orderBy("doc_id")
+    }),
     // Hierarchical ROLLUP totals (event_type, hour) -> (event_type) -> ()
     // with sentinel labels instead of grouping nulls (engine-independent
     // null ordering is not worth relying on). The grand-total sum covers
@@ -1709,6 +1734,15 @@ object SparkEntry {
            count(*) AS n_px, CAST(sum(tr) AS BIGINT) AS r_sum,
            CAST(sum(tg) AS BIGINT) AS g_sum, CAST(sum(tb) AS BIGINT) AS b_sum
          FROM t GROUP BY swlng, swlat, sx, sy ORDER BY image_id, sx, sy""",
+    "events_key_skew" ->
+      """WITH per AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+         SELECT n, count(*) AS n_keys FROM per GROUP BY n ORDER BY n""",
+    "curation_split" ->
+      """SELECT doc_id, (doc_id * 40503 + 30013) % 65536 AS h,
+           CASE WHEN ((doc_id * 40503 + 30013) % 65536) % 100 < 80 THEN 'train'
+                WHEN ((doc_id * 40503 + 30013) % 65536) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
     // same $5 bins over exact cents, same selection rank floor((n-1)p)+1;
     // quantile bin = first bin whose cumulative count reaches the rank
     "events_histq" ->
