@@ -77,10 +77,16 @@ object Curation {
     * @return (doc_id, term, tf, df, idf_q, score, rk), rk ≤ k
     */
   def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    // lazy localCheckpoint: tf feeds BOTH the score side and the df
+    // aggregate — without it the tokenize+explode+agg pipeline plans twice
+    // (two corpus scans; the same CSE trap as TextDedup's banded
+    // signatures, and exchange reuse does not fire across the differing
+    // parent aggregates)
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id")

@@ -141,6 +141,82 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("rk"))
   }
 
+  test("histogram quantiles: two shuffles total, both key-bounded") {
+    import spark.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_planspec_histq"
+    graft.table.Checkpoint.clear(dir)
+    spark.range(0, 50000)
+      .selectExpr("cast(id % 5 as string) AS grp", "id * 37 % 99991 AS cents")
+      .write.mode("overwrite").parquet(dir)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = graft.ops.Quantiles.histogramQuantiles(
+        spark.read.parquet(dir), "grp", col("cents"), 500L, Seq(0.5, 0.9))
+      val shuffles = out.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeExec => s
+      }
+      // 1: partial-agg'd (grp, bin) counts — traffic bounded by keys, not
+      //    rows; 2: re-key to grp for the windows; the final per-group agg
+      //    reuses the window's partitioning (no third exchange)
+      assert(shuffles.length == 2,
+        s"expected 2 key-bounded shuffles, got ${shuffles.length}:\n${out.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("pq coding is shuffle-free; kmeans step shuffles only k·dims partials") {
+    import spark.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_planspec_vecs"
+    graft.table.Checkpoint.clear(dir)
+    (0 until 500).map(i => (i.toLong, Array.fill(64)((i % 97) / 9.7f)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(dir)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val vecs = spark.read.parquet(dir)
+      val pqShuffles = graft.ops.Embeddings.pqCode(vecs, 8, 8)
+        .queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }
+      assert(pqShuffles.isEmpty, "PQ coding is per-row on the scan")
+      val kmPlan = graft.ops.Embeddings.kmeansStep(vecs, 8)
+        .queryExecution.executedPlan
+      val kmShuffles = kmPlan.collect { case s: ShuffleExchangeExec => s }
+      assert(kmShuffles.length == 1,
+        s"Lloyd step: one partial-aggregated shuffle, got ${kmShuffles.length}:\n$kmPlan")
+      // the exchange input must be the PARTIAL aggregate (k·dims rows per
+      // partition), never raw exploded components
+      val partialBelowExchange = kmShuffles.head.child.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }
+      assert(partialBelowExchange.isDefined,
+        s"expected map-side partial aggregation under the exchange:\n$kmPlan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("tfidf never plans a cartesian; term traffic is partial-aggregated") {
+    import spark.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_planspec_docs"
+    graft.table.Checkpoint.clear(dir)
+    (0 until 300).map(i => (i.toLong, s"w${i % 7} w${i % 11} w${i % 13} common"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = graft.ops.Curation.tfidfTopTerms(spark.read.parquet(dir), 3)
+      val plan = out.queryExecution.executedPlan
+      val cartesian = plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }
+      assert(cartesian.isEmpty, s"no cartesian allowed:\n$plan")
+      // tf materializes ONCE (lazy localCheckpoint — without it the
+      // tokenize+explode+agg subtree plans twice, a double corpus scan);
+      // downstream the corpus-sized data crosses at most the term join and
+      // the per-doc window, plus the vocabulary-bounded df partials
+      // the only allowed corpus re-read is n_docs' zero-column count scan
+      val scans = plan.collect { case f: FileSourceScanExec => f }
+      assert(scans.length <= 1 && scans.forall(_.schema.isEmpty),
+        s"corpus text must come from the materialized tf:\n$plan")
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.length <= 3, s"unexpected extra shuffles:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("cell predicates derive pushable lng/lat scan ranges (optimizer rule)") {
     import spark.implicits._
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_planspec_cellrange"
