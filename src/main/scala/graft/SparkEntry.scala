@@ -637,6 +637,13 @@ object SparkEntry {
       ops.ImageOps.decodeStats(ops.ImageOps.resample(gateTiles(s), 3))
         .orderBy("image_id")
     }),
+    // Marching-squares contour census at the 1800 m isoline: the exact
+    // per-cell case classification of raster→vector contour extraction,
+    // engine-computed from the real decode, oracle-recomputed from the
+    // closed-form corners. t=1800 cuts every gate tile (v spans ~806-3869).
+    "geo_contours" -> ((s, dir) => {
+      ops.ImageOps.contourCensus(gateTiles(s), 1800).orderBy("image_id")
+    }),
     // Geometric augmentation (flip_h/flip_v/rot90) pinned by
     // position-WEIGHTED moments (Σ v·r, Σ v·c): the engine permutes the
     // grid, re-encodes HGT, re-decodes and sums; the oracle derives the
@@ -1540,6 +1547,35 @@ object SparkEntry {
            CAST(sum(v) AS BIGINT) AS px_sum,
            CAST(sum(v) AS BIGINT) / CAST(count(*) AS BIGINT) AS px_mean
          FROM g GROUP BY swlng, swlat ORDER BY image_id""",
+    // marching-squares census recomputed from the closed-form corners: each
+    // 2x2 cell's 4-bit case from the same >= 1800 corner bits, saddles =
+    // {5,10}, segments 2 for saddles / 1 for any other cut case
+    "geo_contours" ->
+      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         g AS (SELECT swlng, swlat,
+             ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS v
+           FROM corners, range(0,601) r, range(0,601) c),
+         ab AS (SELECT swlng, swlat, count(*) FILTER (v >= 1800) AS n_above
+           FROM g GROUP BY 1, 2),
+         cellbase AS (SELECT swlng, swlat,
+             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS b, r.range AS r, c.range AS c
+           FROM corners, range(0,600) r, range(0,600) c),
+         cells AS (SELECT swlng, swlat,
+             (CASE WHEN b + 2*c + 3*r + ((c//8)*(r//8)) % 32 >= 1800 THEN 1 ELSE 0 END)
+           + (CASE WHEN b + 2*(c+1) + 3*r + (((c+1)//8)*(r//8)) % 32 >= 1800 THEN 2 ELSE 0 END)
+           + (CASE WHEN b + 2*(c+1) + 3*(r+1) + (((c+1)//8)*((r+1)//8)) % 32 >= 1800 THEN 4 ELSE 0 END)
+           + (CASE WHEN b + 2*c + 3*(r+1) + ((c//8)*((r+1)//8)) % 32 >= 1800 THEN 8 ELSE 0 END) AS idx
+           FROM cellbase),
+         cc AS (SELECT swlng, swlat,
+             count(*) FILTER (idx NOT IN (0, 15)) AS n_cut,
+             count(*) FILTER (idx IN (5, 10)) AS n_saddles,
+             CAST(sum(CASE WHEN idx IN (0, 15) THEN 0 WHEN idx IN (5, 10) THEN 2 ELSE 1 END) AS BIGINT) AS n_segments
+           FROM cells GROUP BY 1, 2)
+         SELECT (CASE WHEN ab.swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(ab.swlat) AS VARCHAR),2,'0') ||
+                 CASE WHEN ab.swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(ab.swlng) AS VARCHAR),3,'0')) AS image_id,
+           CAST(1800 AS INT) AS threshold, ab.n_above, cc.n_cut, cc.n_saddles, cc.n_segments
+         FROM ab JOIN cc ON ab.swlng = cc.swlng AND ab.swlat = cc.swlat
+         ORDER BY image_id""",
     // position-weighted moments of the closed-form grid; augmented lanes
     // come from the permutation identities on a 601-grid (m = 600):
     // flip_h keeps Σv·r and mirrors Σv·c to m·Σv − Σv·c; flip_v mirrors

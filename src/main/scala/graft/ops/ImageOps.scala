@@ -179,6 +179,55 @@ object ImageOps {
     }
   }
 
+  /** Marching-squares contour census at one iso-elevation threshold — the
+    * classification half of raster→vector contour extraction (the segment
+    * geometry is a local lookup on the same case index; the census pins the
+    * whole classification exactly, which is where contour bugs live).
+    *
+    * Each 2×2 sample cell gets the standard 4-bit case from its corners'
+    * `v ≥ t` bits (b0=NW(r,c), b1=NE(r,c+1), b2=SE(r+1,c+1), b3=SW(r+1,c);
+    * index = b0 + 2·b1 + 4·b2 + 8·b3). Cases 0/15 carry no contour, the
+    * two saddles 5/10 carry two segments, every other case one. Pure
+    * per-row integer arithmetic on the decoded grid — no shuffle; output
+    * is one census row per tile.
+    */
+  final case class ContourCensus(image_id: String, threshold: Int,
+                                 n_above: Long, n_cut: Long, n_saddles: Long,
+                                 n_segments: Long)
+
+  def contourCensus(tiles: Dataset[TileRow], threshold: Int): DataFrame = {
+    implicit val enc = Encoders.product[ContourCensus]
+    tiles.mapPartitions { it =>
+      it.map { t =>
+        val d = TileCodec.decode(t)
+        val n = d.size
+        var above = 0L; var cut = 0L; var saddles = 0L; var segs = 0L
+        var r = 0
+        while (r < n) {
+          var c = 0
+          while (c < n) {
+            if (d.sample(r, c) >= threshold) above += 1
+            if (r < n - 1 && c < n - 1) {
+              val idx = (if (d.sample(r, c) >= threshold) 1 else 0) +
+                (if (d.sample(r, c + 1) >= threshold) 2 else 0) +
+                (if (d.sample(r + 1, c + 1) >= threshold) 4 else 0) +
+                (if (d.sample(r + 1, c) >= threshold) 8 else 0)
+              if (idx != 0 && idx != 15) {
+                cut += 1
+                val s = if (idx == 5 || idx == 10) 2L else 1L
+                saddles += (if (s == 2L) 1L else 0L)
+                segs += s
+              }
+            }
+            c += 1
+          }
+          r += 1
+        }
+        ContourCensus(t.image_id, threshold, above, cut, saddles, segs)
+      }
+    }.toDF()
+  }
+
   /** Per-row integrity check (input_hint invariants), every column a
     * computed QUANTITY so the oracle recomputes all of them from the
     * closed-form grid — no verdict booleans: `phash` is recomputed from the

@@ -111,6 +111,25 @@ class IngestJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("contourCensus: hand-computed saddle grid; thresholds outside range") {
+    import org.apache.spark.sql.Encoders
+    // 3x3 checker at t=5: all four 2x2 cells are saddles (cases 10/5/5/10)
+    val g = Array[Short](1, 9, 1, 9, 1, 9, 1, 9, 1)
+    val row = graft.core.TileRow("N36W119", graft.raster.Hgt.encode(g, 3),
+      3, 3, "hgt", "{}", 0L)
+    val ds = spark.createDataset(Seq(row))(Encoders.product[graft.core.TileRow])
+    val got = graft.ops.ImageOps.contourCensus(ds, 5)
+      .collect().map(r => (r.getAs[Long]("n_above"), r.getAs[Long]("n_cut"),
+        r.getAs[Long]("n_saddles"), r.getAs[Long]("n_segments"))).head
+    assert(got == ((4L, 4L, 4L, 8L)))
+    val below = graft.ops.ImageOps.contourCensus(ds, 100).collect().head
+    assert(below.getAs[Long]("n_cut") == 0 &&
+      below.getAs[Long]("n_segments") == 0 && below.getAs[Long]("n_above") == 0)
+    val above = graft.ops.ImageOps.contourCensus(ds, -10).collect().head
+    assert(above.getAs[Long]("n_cut") == 0 && below.getAs[Long]("n_saddles") == 0 &&
+      above.getAs[Long]("n_above") == 9)
+  }
+
   test("ingestHgt rejects non-square payloads (P3 size predicate)") {
     graft.table.Checkpoint.clear(s"$base/bad")
     val d = new java.io.File(s"$base/bad/hgt"); d.mkdirs()
