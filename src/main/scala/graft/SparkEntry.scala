@@ -688,6 +688,24 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("score"), col("rk"))
         .orderBy("source", "rk")
     }),
+    // Same quota contract as curation_quota, computed by the typed
+    // Aggregator instead of windows: one mergeable aggregation, O(k) state
+    // per group, only k rows per group cross the shuffle. Same oracle.
+    "curation_topk_agg" -> ((s, dir) => {
+      import s.implicits._
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("src"), col("doc_id") % 5).as("source"),
+          ops.TextDedup.qualityScore(col("text")).as("score"))
+        .as[ops.Curation.ScoredDoc]
+      scored.groupByKey(_.source)
+        .agg(new ops.Curation.TopKAgg(30).toColumn.name("topk"))
+        .toDF("source", "topk")
+        .select(col("source"), posexplode(col("topk.items")).as(Seq("i", "s")))
+        .select(col("s.doc_id").as("doc_id"), col("source"),
+          col("s.score").as("score"), (col("i") + 1).cast("int").as("rk"))
+        .orderBy("source", "rk")
+    }),
     "text_langid" -> ((s, dir) => {
       t(s, dir, "documents").selectExpr(
         "doc_id",
@@ -1945,6 +1963,21 @@ object SparkEntry {
            round(len(list_filter(string_split(text, ' '), w -> w = 'the')) / len(string_split(text, ' ')), 6) AS stop_ratio,
            round(length(replace(text, ' ', '')) / len(string_split(text, ' ')), 6) AS avg_wlen
          FROM documents ORDER BY doc_id""",
+    // identical contract to curation_quota — the Aggregator must land on
+    // the same rows, ranks and scores as the window formulations
+    "curation_topk_agg" ->
+      """WITH q AS (SELECT doc_id,
+           CAST(len(string_split(text,' ')) AS DOUBLE) AS nw,
+           CAST(len(list_filter(string_split(text,' '),
+             w -> w='the' OR w='a' OR w='of' OR w='and' OR w='to')) AS DOUBLE) AS ns,
+           CAST(length(replace(text,' ','')) AS DOUBLE) AS nc FROM documents),
+         sc AS (SELECT doc_id, 'src' || CAST(doc_id % 5 AS VARCHAR) AS source,
+           least(nw/100.0, 1.0)*0.4 + (ns/nw)*0.3 + least((nc/nw)/10.0, 1.0)*0.3 AS score FROM q),
+         r AS (SELECT doc_id, source, score,
+           row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rk
+           FROM sc)
+         SELECT doc_id, source, score, rk FROM r WHERE rk <= 30
+         ORDER BY source, rk""",
     "curation_quota" ->
       """WITH q AS (SELECT doc_id,
            CAST(len(string_split(text,' ')) AS DOUBLE) AS nw,

@@ -1,8 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 
 /** Training-data curation operators (driver mandate, beyond the reference):
   * quota sampling — "keep the best k documents per group" — is the data-mixing
@@ -51,6 +51,43 @@ object Curation {
     survivors
       .withColumn("rk", row_number().over(global))
       .filter(col("rk") <= k)
+  }
+
+  /** One scored row for [[TopKAgg]]. */
+  final case class ScoredDoc(doc_id: Long, source: String, score: Double)
+
+  /** [[TopKAgg]]'s buffer: at most ~2k candidates between trims. */
+  final case class TopKBuf(items: Seq[ScoredDoc])
+
+  /** Typed `Aggregator` top-k — per-group top-k as ONE mergeable
+    * aggregation with O(k) state, the third formulation next to the naive
+    * window and [[topKPerGroup]]'s two-phase window: partial buffers build
+    * map-side, merge associatively, and only k rows per group ever cross
+    * the wire — no per-group sort of the full input anywhere, which is the
+    * strongest possible shape for few-huge-groups inputs at 100 TB.
+    *
+    * Order: score desc, doc_id asc (total). The buffer defers its
+    * sort-and-trim until it exceeds 2k entries, so reduce is amortized
+    * O(log k) per row rather than a sort per row.
+    */
+  final class TopKAgg(k: Int) extends Aggregator[ScoredDoc, TopKBuf, TopKBuf] {
+    require(k > 0, s"k must be > 0, got $k")
+    private def lt(a: ScoredDoc, b: ScoredDoc): Boolean = {
+      val c = java.lang.Double.compare(b.score, a.score)
+      c < 0 || (c == 0 && a.doc_id < b.doc_id)
+    }
+    private def trim(xs: Seq[ScoredDoc]): Seq[ScoredDoc] =
+      xs.sortWith(lt).take(k)
+    override def zero: TopKBuf = TopKBuf(Vector.empty)
+    override def reduce(b: TopKBuf, a: ScoredDoc): TopKBuf = {
+      val xs = b.items :+ a
+      TopKBuf(if (xs.length > 2 * k) trim(xs) else xs)
+    }
+    override def merge(x: TopKBuf, y: TopKBuf): TopKBuf =
+      TopKBuf(trim(x.items ++ y.items))
+    override def finish(b: TopKBuf): TopKBuf = TopKBuf(trim(b.items))
+    override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    override def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
   }
 
   /** Top-k TF-IDF terms per document — the corpus keyword/salience primitive

@@ -159,6 +159,22 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("TopKAgg equals brute-force top-k across partition merges") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // duplicate scores on purpose: the doc_id tie-break must decide
+    val rows = (0 until 5000).map(i =>
+      graft.ops.Curation.ScoredDoc(i.toLong, s"s${i % 3}", rnd.nextInt(50) / 7.0))
+    val ds = spark.createDataset(rows).repartition(7) // force real merges
+    val got = ds.groupByKey(_.source)
+      .agg(new graft.ops.Curation.TopKAgg(25).toColumn.name("topk"))
+      .collect().map { case (src, buf) => src -> buf.items }.toMap
+    rows.groupBy(_.source).foreach { case (src, xs) =>
+      val exp = xs.sortBy(s => (-s.score, s.doc_id)).take(25)
+      assert(got(src) == exp, s"group $src")
+    }
+  }
+
   test("kmeansStep matches brute-force Lloyd step with quantized sums") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
