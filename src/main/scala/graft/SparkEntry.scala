@@ -786,6 +786,17 @@ object SparkEntry {
           Seq(0.5, 0.9, 0.99))
         .orderBy("event_type")
     }),
+    // HLL-style distinct sketch (ops.Sketches) vs the exact count: the
+    // bounded-state distinct path — 32 integer registers per group cross
+    // the shuffle instead of every (group, user) pair. Deterministic
+    // hash + exact-integer register sum make the estimate oracle-exact.
+    "events_hll_distinct" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val sk = ops.Sketches.hllDistinct(e, "event_type", "user_id")
+      val exact = e.groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_exact"))
+      sk.join(exact, "event_type").orderBy("event_type")
+    }),
     // Key-skew profile (count-of-counts): per-key cardinality histogram —
     // the diagnostic that sizes salting / AQE-skew decisions before a big
     // join or agg. Two mergeable aggregations; the second's input is
@@ -1791,6 +1802,29 @@ object SparkEntry {
     "events_key_skew" ->
       """WITH per AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
          SELECT n, count(*) AS n_keys FROM per GROUP BY n ORDER BY n""",
+    // replicates ops.Sketches.hllDistinct step for step: same congruential
+    // hash, same lsb-CASE rank, same exact-integer register sum over the
+    // 2^40 denominator, same single IEEE division at the end
+    "events_hll_distinct" -> {
+      val lsbCase = (0 until 26).map(i => s"WHEN ${1L << i} THEN ${i + 1}")
+        .mkString(" ")
+      s"""WITH h AS (SELECT event_type,
+             (user_id * 1103515245 + 12345) % 2147483648 AS h FROM events),
+         b AS (SELECT event_type, h % 32 AS bucket, h // 32 AS rest FROM h),
+         r AS (SELECT event_type, bucket,
+             CASE (rest & -rest) $lsbCase ELSE 27 END AS rk FROM b),
+         m AS (SELECT event_type, bucket, max(rk) AS m FROM r GROUP BY 1, 2),
+         s AS (SELECT event_type, count(*) AS n_buckets,
+             CAST(sum(1::BIGINT << (40 - m)) AS BIGINT) AS sump
+           FROM m GROUP BY 1),
+         q AS (SELECT event_type, n_buckets,
+             CAST(floor(CAST(0.697 AS DOUBLE) * CAST(1125899906842624 AS DOUBLE)
+               / CAST(sump + (32 - n_buckets) * (1::BIGINT << 40) AS DOUBLE)) AS BIGINT) AS hll_q
+           FROM s)
+         SELECT q.event_type, n_buckets, hll_q, e.n_exact
+         FROM q JOIN (SELECT event_type, count(DISTINCT user_id) AS n_exact
+                      FROM events GROUP BY 1) e ON q.event_type = e.event_type
+         ORDER BY q.event_type""" },
     "curation_split" ->
       """SELECT doc_id, (doc_id * 40503 + 30013) % 65536 AS h,
            CASE WHEN ((doc_id * 40503 + 30013) % 65536) % 100 < 80 THEN 'train'

@@ -408,4 +408,36 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.toSet
     assert(got == want)
   }
+  test("hllDistinct matches scalar re-implementation; estimate within sketch error") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 5000).map(i => (s"g${i % 4}", rnd.nextInt(3000).toLong))
+    val df = rows.toDF("grp", "uid").repartition(7)
+    def brute(ids: Seq[Long]): (Long, Long) = {
+      val regs = Array.fill(32)(0)
+      ids.foreach { id =>
+        val h = (id * 1103515245L + 12345L) % 2147483648L
+        val b = (h % 32).toInt
+        val rest = h / 32
+        val rk =
+          if (rest == 0) 27
+          else java.lang.Long.numberOfTrailingZeros(rest) + 1
+        if (rk > regs(b)) regs(b) = rk
+      }
+      val nb = regs.count(_ > 0)
+      val sumint = regs.filter(_ > 0).map(m => 1L << (40 - m)).sum +
+        (32L - nb) * (1L << 40)
+      (nb.toLong,
+        math.floor(0.697d * 1125899906842624.0d / sumint.toDouble).toLong)
+    }
+    val got = graft.ops.Sketches.hllDistinct(df, "grp", "uid")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    rows.groupBy(_._1).foreach { case (g, xs) =>
+      val exact = xs.map(_._2).distinct.size
+      val (nb, est) = brute(xs.map(_._2))
+      assert(got(g) == ((nb, est)), s"group $g")
+      // sigma = 1.04/sqrt(32) ~ 18%; 3-sigma bound
+      assert(math.abs(est - exact) <= 0.55 * exact, s"group $g est=$est exact=$exact")
+    }
+  }
 }
