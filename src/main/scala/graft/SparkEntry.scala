@@ -35,6 +35,30 @@ object SparkEntry {
   private def gateTiles(s: SparkSession, fmt: String = "hgt") =
     s.createDataset(TileGen.tiles(presentCorners, 601, fmt))(Encoders.product[TileRow])
 
+  /** Near-dup phash corpus: 4 deterministic variants per present corner,
+    * REAL re-encoded HGT payloads (the op decodes them). Each corner gets a
+    * pseudorandom half-set of "high" 8×8 phash blocks (+4000 on every
+    * sample); variant v flips the high-status of blocks 0..v-1, so variants
+    * of one corner sit ≈|u−v| Hamming apart while distinct corners differ
+    * in ~32 bits — the structure a phash near-dup join must recover.
+    */
+  private def phashCorpusTiles(s: SparkSession) = {
+    val size = 601
+    val rows = for { v <- 0 to 3; (lng, lat) <- presentCorners } yield {
+      val g = TileGen.grid(lng, lat, size, (sw, sl, r, c) => {
+        val idx = ((8 * r + 7) / size) * 8 + (8 * c + 7) / size
+        val high = ((sw + 180) * 31 + (sl + 90) * 17 + idx * idx * 7) % 64 < 32
+        val hv = high != (idx < v)
+        (TileGen.sampleAt(sw, sl, r, c) + (if (hv) 4000 else 0)).toShort
+      })
+      TileRow(s"${graft.geo.TileKey.ofDegrees(lng, lat)}_v$v",
+        graft.raster.Hgt.encode(g, size), size, size, "hgt",
+        graft.core.TileCodec.captionJson(TileGen.caption(lng, lat, size)),
+        graft.raster.Fidelity.phash(g, size))
+    }
+    s.createDataset(rows)(Encoders.product[TileRow])
+  }
+
   /** Deterministic points over the 8-tile bbox, derived from lineitem. */
   private def gatePoints(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").selectExpr(
@@ -662,6 +686,15 @@ object SparkEntry {
     }),
     "img_integrity" -> ((s, dir) => {
       ops.ImageOps.integrity(gateTiles(s, "png")).orderBy("image_id")
+    }),
+    // Perceptual-hash near-dup pairs (ops.ImageOps.phashNearDup): decode →
+    // 64-bit average-hash → multi-index Hamming band join (4×16-bit bands,
+    // perfect recall at radius ≤ 3 by pigeonhole) — image dedup without an
+    // all-pairs comparison. The oracle replays the identical hash from the
+    // closed-form grids and the identical band join.
+    "img_phash_neardup" -> ((s, dir) => {
+      ops.ImageOps.phashNearDup(phashCorpusTiles(s), 3)
+        .orderBy("id_a", "id_b")
     }),
     "text_stats" -> ((s, dir) => {
       t(s, dir, "documents").selectExpr(
@@ -1737,6 +1770,42 @@ object SparkEntry {
            CAST(swlng AS INT) AS cap_sw_lng, CAST(swlat AS INT) AS cap_sw_lat,
            CAST(601 AS INT) AS cap_size
          FROM bits ORDER BY image_id""",
+    // replays phashNearDup end-to-end: same closed-form grids (+4000 on the
+    // variant's "high" blocks), same block-sum/one-division/fold-mean hash
+    // as the img_integrity oracle (integer block sums so the +4000 rides
+    // inside the single IEEE division), same 4×16-bit band join, same
+    // bit_count(xor) Hamming filter (arithmetic >> then & 65535 extracts
+    // identical band keys in both engines — verified on the sign bit)
+    "img_phash_neardup" ->
+      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         g AS (SELECT swlng, swlat, ((8*r.range+7)//601)*8 + (8*c.range+7)//601 AS idx,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS v
+           FROM corners, range(0,601) r, range(0,601) c),
+         blk AS (SELECT swlng, swlat, idx, CAST(sum(v) AS BIGINT) AS sv, count(*) AS n
+           FROM g GROUP BY 1, 2, 3),
+         vb AS (SELECT swlng, swlat, vr.range AS var, idx,
+           CAST(sv + CASE WHEN (((swlng+180)*31 + (swlat+90)*17 + idx*idx*7) % 64 < 32) != (idx < vr.range)
+                          THEN 4000*n ELSE 0 END AS DOUBLE)/n AS bm
+           FROM blk, range(0,4) vr),
+         m AS (SELECT swlng, swlat, var, list_reduce(list(bm ORDER BY idx), (a, b) -> a + b)/64.0 AS mean
+           FROM vb GROUP BY 1, 2, 3),
+         bits AS (SELECT vb.swlng, vb.swlat, vb.var,
+           CAST(sum(CASE WHEN idx < 63 AND bm > mean THEN CAST(1 AS BIGINT) << idx ELSE 0 END) AS BIGINT)
+           + CASE WHEN max(CASE WHEN idx = 63 AND bm > mean THEN 1 ELSE 0 END) = 1
+                  THEN -9223372036854775808 ELSE 0 END AS phash
+           FROM vb JOIN m ON vb.swlng = m.swlng AND vb.swlat = m.swlat AND vb.var = m.var
+           GROUP BY 1, 2, 3),
+         corpus AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0') ||
+             '_v' || CAST(var AS VARCHAR)) AS image_id, phash FROM bits),
+         bands AS (SELECT image_id, phash, b.range AS band_i,
+             (phash >> (16*CAST(b.range AS INT))) & 65535 AS band_key
+           FROM corpus, range(0,4) b),
+         cand AS (SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b, a.phash AS pa, b.phash AS pb
+           FROM bands a JOIN bands b ON a.band_i = b.band_i AND a.band_key = b.band_key
+             AND a.image_id < b.image_id)
+         SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+         FROM cand WHERE bit_count(xor(pa, pb)) <= 3 ORDER BY id_a, id_b""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
          round(sum(l_extendedprice), 2) AS sum_base,

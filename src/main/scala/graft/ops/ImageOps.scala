@@ -248,4 +248,49 @@ object ImageOps {
     }.toDF("image_id", "phash", "phash_stored", "cap_tile_key", "cap_sw_lng",
       "cap_sw_lat", "cap_size")
   }
+
+  /** Perceptual-hash near-duplicate pairs — the image-modality analog of
+    * MinHash+LSH ([[TextDedup.minhashCandidates]]): decode each image once,
+    * recompute its 64-bit average-hash from the pixels, and find all pairs
+    * within Hamming distance `radius` WITHOUT an all-pairs comparison.
+    *
+    * Multi-index Hamming (the published pigeonhole scheme used by
+    * image-dedup pipelines): split the hash into 4 disjoint 16-bit bands;
+    * any pair with d(a,b) ≤ 3 agrees exactly on at least one band, so a
+    * band equi-join has PERFECT recall at radius ≤ 3 (require-checked) —
+    * unlike MinHash this is a guarantee, not a probability. 100 TB shape:
+    * one shuffle keyed on (band_i, band_key); bucket population is the
+    * near-dup cluster size plus 16-bit collisions (corpus/2^16 expected per
+    * band value — at 10^12 rows raise the band width, radius budget
+    * permitting, or sub-bucket hot bands the way the LSH path salts). The
+    * post-join Hamming filter is one codegen'd `bit_count(pa ^ pb)`; the
+    * candidate self-join never materializes pairs outside shared buckets.
+    */
+  def phashNearDup(tiles: Dataset[TileRow], radius: Int): DataFrame = {
+    require(radius <= 3, s"4 bands guarantee recall only for radius <= 3, got $radius")
+    implicit val enc = Encoders.product[(String, Long)]
+    // payload-only decode: near-dup needs pixels, not georeferencing, so
+    // image_id stays an opaque key (variant corpora suffix it freely)
+    val hashes = tiles.mapPartitions { it =>
+      it.map { t =>
+        val samples = t.fmt match {
+          case "hgt" => graft.raster.Hgt.decode(t.bytes, t.w)
+          case _     => graft.raster.ImageCodec.decodeToGrid(t.bytes)._1
+        }
+        (t.image_id, Fidelity.phash(samples, t.w))
+      }
+    }.toDF("image_id", "phash")
+    val banded = hashes.select(col("image_id"), col("phash"),
+        posexplode(array((0 until 4).map(i =>
+          shiftright(col("phash"), 16 * i).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF("image_id", "phash", "band_i", "band_key")
+    val a = banded.toDF("id_a", "pa", "band_i", "band_key")
+    val b = banded.toDF("id_b", "pb", "band_i2", "band_key2")
+    a.join(b, a("band_i") === b("band_i2") && a("band_key") === b("band_key2") &&
+        a("id_a") < b("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("CAST(bit_count(pa ^ pb) AS INT)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= radius)
+  }
 }

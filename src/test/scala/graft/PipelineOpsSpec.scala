@@ -440,4 +440,34 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(est - exact) <= 0.55 * exact, s"group $g est=$est exact=$exact")
     }
   }
+
+  test("phashNearDup finds exactly the brute-force Hamming<=3 pairs via band join") {
+    val size = 201
+    val corners = Seq((10, 5), (11, 5), (12, 6))
+    val grids = for { v <- 0 to 3; (lng, lat) <- corners } yield {
+      val g = graft.synth.TileGen.grid(lng, lat, size, (sw, sl, r, c) => {
+        val idx = ((8 * r + 7) / size) * 8 + (8 * c + 7) / size
+        val high = ((sw + 180) * 31 + (sl + 90) * 17 + idx * idx * 7) % 64 < 32
+        (graft.synth.TileGen.sampleAt(sw, sl, r, c) +
+          (if (high != (idx < v)) 4000 else 0)).toShort
+      })
+      (s"t${lng}_${lat}_v$v", g)
+    }
+    val tiles = spark.createDataset(grids.map { case (id, g) =>
+      graft.core.TileRow(id, graft.raster.Hgt.encode(g, size), size, size,
+        "hgt", "{}", 0L)
+    })(org.apache.spark.sql.Encoders.product[graft.core.TileRow])
+    val hashes = grids.map { case (id, g) =>
+      id -> graft.raster.Fidelity.phash(g, size) }
+    val want = (for {
+      (ia, pa) <- hashes; (ib, pb) <- hashes
+      if ia < ib && java.lang.Long.bitCount(pa ^ pb) <= 3
+    } yield (ia, ib, java.lang.Long.bitCount(pa ^ pb))).toSet
+    assert(want.nonEmpty && want.size < hashes.size * (hashes.size - 1) / 2,
+      s"corpus degenerate: ${want.size} pairs")
+    import spark.implicits._
+    val got = graft.ops.ImageOps.phashNearDup(tiles, 3)
+      .as[(String, String, Int)].collect().toSet
+    assert(got == want)
+  }
 }
