@@ -229,6 +229,18 @@ object SparkEntry {
         .select("line_id", "seq", "elev", "cum_dist_q", "ascent_q")
         .orderBy("line_id", "seq")
     }),
+    // Line-of-sight along each profile line (ops.Elevation.viewshed): the
+    // reference's elevation profiles extended to visibility analysis —
+    // tangent-surrogate comparison against the running max angle, one
+    // line_id shuffle for the whole query.
+    "geo_viewshed" -> ((s, dir) => {
+      val verts = gatePoints(s, dir)
+        .withColumn("line_id", col("point_id") % 199)
+        .withColumn("seq", col("point_id"))
+      ops.Elevation.viewshed(verts, gateTiles(s))
+        .select("line_id", "seq", "visible")
+        .orderBy("line_id", "seq")
+    }),
     "geo_terrarium" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .selectExpr("((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id",
@@ -830,6 +842,43 @@ object SparkEntry {
         .agg(countDistinct("user_id").as("n_exact"))
       sk.join(exact, "event_type").orderBy("event_type")
     }),
+    // Count-Min heavy hitters (ops.Sketches.cmSketch/cmEstimate): bounded
+    // mergeable frequency state — 3×1024 counters cross the shuffle instead
+    // of every distinct key — then point estimates (min over rows, an
+    // overestimate by construction: cm_est ≥ n_exact on every output row)
+    // for the exact top-20 keys, both sides oracle-exact.
+    "events_cm_topk" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val sk = ops.Sketches.cmSketch(e, "user_id", 1024)
+      val top = e.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("user_id")).limit(20)
+      ops.Sketches.cmEstimate(top, "user_id", sk, 1024)
+        .orderBy(col("n_exact").desc, col("user_id"))
+    }),
+    // Bloom-filter semi-join pre-filter (ops.Sketches.bloomBuild/
+    // bloomMightContain): the 100 TB join primitive — a 16 KiB broadcast
+    // bitmap prunes the probe scan to bloom-positive rows before any
+    // shuffle. Output counts the pass set, the exact semi-join truth, and
+    // the false positives per group; determinism makes all three
+    // oracle-exact (no-false-negative invariant: n_bloom_pass ≥ n_true).
+    "bloom_semijoin" -> ((s, dir) => {
+      val m = 1 << 17
+      val build = t(s, dir, "orders").where(col("o_totalprice") > 480000.0)
+        .select("o_orderkey")
+      val bc = ops.Sketches.bloomBuild(build, "o_orderkey", m)
+      val truth = build.distinct().withColumnRenamed("o_orderkey", "bk")
+      t(s, dir, "lineitem")
+        .withColumn("bloom_pass",
+          ops.Sketches.bloomMightContain(bc, m, col("l_orderkey")))
+        .join(broadcast(truth), col("l_orderkey") === col("bk"), "left")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_bloom_pass"),
+          sum(when(col("bk").isNotNull, 1L).otherwise(0L)).as("n_true"),
+          sum(when(col("bloom_pass") && col("bk").isNull, 1L).otherwise(0L))
+            .as("n_fp"))
+        .orderBy("l_returnflag")
+    }),
     // Key-skew profile (count-of-counts): per-key cardinality histogram —
     // the diagnostic that sizes salting / AQE-skew decisions before a big
     // join or agg. Two mergeable aggregations; the second's input is
@@ -1360,8 +1409,53 @@ object SparkEntry {
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        ORDER BY line_id, seq"""
 
+  /** Viewshed oracle: the profile oracle's elevation + cumulative-distance
+    * CTEs, extended with the tangent-surrogate running-max comparison.
+    */
+  private val viewshedOracleSql: String =
+    """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
+         -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
+         36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
+         FROM lineitem),
+       k AS (SELECT point_id, lng, lat,
+         CAST(floor(lng) AS BIGINT) AS swlng, CAST(floor(lat) AS BIGINT) AS swlat,
+         (lng - floor(lng)) * 600 AS colf, (lat - floor(lat)) * 600 AS rowf FROM pts),
+       g AS (SELECT *, CAST(floor(colf) AS BIGINT) AS c0, CAST(floor(rowf) AS BIGINT) AS r0,
+         colf - floor(colf) AS cf, rowf - floor(rowf) AS rf,
+         ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM k),
+       v AS (SELECT *,
+         a + 2*c0     + 3*r0     + ((c0//8)*(r0//8)) % 32         AS v00,
+         a + 2*(c0+1) + 3*r0     + (((c0+1)//8)*(r0//8)) % 32     AS v10,
+         a + 2*(c0+1) + 3*(r0+1) + (((c0+1)//8)*((r0+1)//8)) % 32 AS v11,
+         a + 2*c0     + 3*(r0+1) + ((c0//8)*((r0+1)//8)) % 32     AS v01 FROM g),
+       e AS (SELECT point_id % 199 AS line_id, point_id AS seq, lng, lat,
+         CASE WHEN (swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36) THEN 0.0
+              ELSE (v00 + (v10 - v00) * cf) +
+                   ((v01 + (v11 - v01) * cf) - (v00 + (v10 - v00) * cf)) * rf
+         END AS elev FROM v),
+       d AS (SELECT line_id, seq, elev,
+         lng - lag(lng) OVER w AS dx, lat - lag(lat) OVER w AS dy
+         FROM e WINDOW w AS (PARTITION BY line_id ORDER BY seq)),
+       q AS (SELECT line_id, seq, elev,
+         coalesce(CAST(floor(sqrt(dx*dx + dy*dy) * 1000000.0) AS BIGINT), 0) AS seg_q FROM d),
+       c AS (SELECT line_id, seq, elev, CAST(sum(seg_q) OVER w2 AS BIGINT) AS dd
+         FROM q WINDOW w2 AS (PARTITION BY line_id ORDER BY seq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       r AS (SELECT line_id, seq, elev, dd,
+         row_number() OVER w3 AS rn, first_value(elev) OVER w3 AS obs
+         FROM c WINDOW w3 AS (PARTITION BY line_id ORDER BY seq)),
+       t AS (SELECT line_id, seq, rn,
+         CASE WHEN rn = 1 THEN NULL
+              ELSE (elev - obs) / CAST(greatest(dd, 1) AS DOUBLE) END AS ratio FROM r),
+       p AS (SELECT line_id, seq, rn, ratio,
+         max(ratio) OVER (PARTITION BY line_id ORDER BY seq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM t)
+       SELECT line_id, seq, (rn = 1 OR pm IS NULL OR ratio > pm) AS visible
+       FROM p ORDER BY line_id, seq"""
+
   def oracleSql: Map[String, String] = Map(
     "geo_elev_profile" -> profileOracleSql,
+    "geo_viewshed" -> viewshedOracleSql,
     "events_welford" ->
       """WITH e AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS iv FROM events),
          st AS (SELECT event_type, count(*) AS n, sum(iv) AS sv, sum(iv*iv) AS svv FROM e GROUP BY 1),
@@ -1871,6 +1965,47 @@ object SparkEntry {
     "events_key_skew" ->
       """WITH per AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
          SELECT n, count(*) AS n_keys FROM per GROUP BY n ORDER BY n""",
+    // same three congruential hashes as the engine's cmSketch; the sketch
+    // rebuild, the exact top-20 selection (ties broken by user_id), and the
+    // min-over-rows estimate are all replayed
+    "events_cm_topk" ->
+      """WITH sk AS (SELECT j, pos, count(*) AS cnt FROM (
+           SELECT 0 AS j, ((user_id * 1103515245 + 12345) % 2147483648) % 1024 AS pos FROM events
+           UNION ALL SELECT 1, ((user_id * 214013 + 2531011) % 2147483648) % 1024 FROM events
+           UNION ALL SELECT 2, ((user_id * 69069 + 1234567) % 2147483648) % 1024 FROM events)
+           GROUP BY 1, 2),
+         top AS (SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1
+           ORDER BY n_exact DESC, user_id LIMIT 20),
+         tp AS (SELECT user_id, n_exact, 0 AS j, ((user_id * 1103515245 + 12345) % 2147483648) % 1024 AS pos FROM top
+           UNION ALL SELECT user_id, n_exact, 1, ((user_id * 214013 + 2531011) % 2147483648) % 1024 FROM top
+           UNION ALL SELECT user_id, n_exact, 2, ((user_id * 69069 + 1234567) % 2147483648) % 1024 FROM top)
+         SELECT tp.user_id, tp.n_exact, min(cnt) AS cm_est
+         FROM tp JOIN sk ON tp.j = sk.j AND tp.pos = sk.pos
+         GROUP BY 1, 2 ORDER BY n_exact DESC, user_id""",
+    // replays the Bloom filter bit for bit: same three congruential hashes,
+    // positions deduped from the build keys, membership = all three probe
+    // positions present; truth via an exact IN
+    "bloom_semijoin" ->
+      """WITH bk AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_totalprice > 480000.0),
+         pos AS (
+           SELECT ((o_orderkey * 1103515245 + 12345) % 2147483648) % 131072 AS p FROM bk
+           UNION SELECT ((o_orderkey * 214013 + 2531011) % 2147483648) % 131072 FROM bk
+           UNION SELECT ((o_orderkey * 69069 + 1234567) % 2147483648) % 131072 FROM bk),
+         l AS (SELECT l_returnflag,
+             ((l_orderkey * 1103515245 + 12345) % 2147483648) % 131072 AS p1,
+             ((l_orderkey * 214013 + 2531011) % 2147483648) % 131072 AS p2,
+             ((l_orderkey * 69069 + 1234567) % 2147483648) % 131072 AS p3,
+             CASE WHEN l_orderkey IN (SELECT o_orderkey FROM bk) THEN 1 ELSE 0 END AS t
+           FROM lineitem),
+         f AS (SELECT l_returnflag, t,
+             CASE WHEN p1 IN (SELECT p FROM pos) AND p2 IN (SELECT p FROM pos)
+                   AND p3 IN (SELECT p FROM pos) THEN 1 ELSE 0 END AS bp
+           FROM l)
+         SELECT l_returnflag, count(*) AS n_rows,
+           CAST(sum(bp) AS BIGINT) AS n_bloom_pass,
+           CAST(sum(t) AS BIGINT) AS n_true,
+           CAST(sum(CASE WHEN bp = 1 AND t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
+         FROM f GROUP BY 1 ORDER BY 1""",
     // replicates ops.Sketches.hllDistinct step for step: same congruential
     // hash, same lsb-CASE rank, same exact-integer register sum over the
     // 2^40 denominator, same single IEEE division at the end

@@ -85,6 +85,35 @@ object Elevation {
       .drop("dx", "dy", "seg_q", "rise_q")
   }
 
+  /** Line-of-sight visibility along each profile line (viewshed-on-a-line):
+    * vertex i is visible from the line's FIRST vertex iff its elevation
+    * angle exceeds every intermediate vertex's angle. The angle surrogate is
+    * `(elev_i − elev_obs) / max(cum_dist_q_i, 1)` — exact double minus exact
+    * double over an exact integer, ONE IEEE division per vertex, so an
+    * independent engine reproduces every ratio bit-for-bit (no trig needed:
+    * atan is monotone, so comparing tangents decides visibility).
+    *
+    * All four window functions share the profile's (line_id, seq) window —
+    * still exactly ONE shuffle on line_id for the whole query; the running
+    * `max` is order-independent (unlike a double sum) so no quantization is
+    * needed.
+    */
+  def viewshed(vertices: DataFrame, tiles: Dataset[TileRow]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("line_id").orderBy("seq")
+    val cumF = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevF = w.rowsBetween(Window.unboundedPreceding, -1)
+    profile(vertices, tiles)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("obs_elev", first("elev").over(cumF))
+      .withColumn("ratio", when(col("rn") === 1, lit(null).cast("double"))
+        .otherwise((col("elev") - col("obs_elev")) /
+          greatest(col("cum_dist_q"), lit(1L)).cast("double")))
+      .withColumn("prev_max", max("ratio").over(prevF))
+      .withColumn("visible", col("rn") === 1 || col("prev_max").isNull ||
+        col("ratio") > col("prev_max"))
+  }
+
   /** The literal join formulation (J1 as a BroadcastHashJoin on tile_key +
     * bilinear over the joined `bytes`). Kept for plan-shape comparison and
     * for tile tables too wide to index; NOT the fast path — each probe row

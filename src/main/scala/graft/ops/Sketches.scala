@@ -1,6 +1,11 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.graftshim.GraftColumns
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sketch aggregations — bounded-state answers where the exact form needs a
@@ -55,4 +60,116 @@ object Sketches {
         // the whole estimate is one IEEE division of exact doubles
         "CAST(floor(0.697D * 1125899906842624.0D / CAST(sumint AS DOUBLE)) AS BIGINT) AS hll_q")
   }
+
+  /** k=3 deterministic Bloom hash constants (multiplicative congruences over
+    * 2^31, like [[hllDistinct]]'s — an independent engine replays them).
+    */
+  private[graft] val BloomA = Array(1103515245L, 214013L, 69069L)
+  private[graft] val BloomB = Array(12345L, 2531011L, 1234567L)
+
+  /** Build an m-bit Bloom filter over `key` (nonnegative bigint) and return
+    * it as a broadcast bitmap.
+    *
+    * 100 TB shape: the build side reduces to DISTINCT bit positions — a
+    * map-side-combined shuffle whose volume is bounded by m per input
+    * partition regardless of build cardinality — and the driver materializes
+    * only the ≤ m positions into an m/8-byte bitmap (16 KiB at m = 2^17).
+    * The probe side then never shuffles: membership is a codegen'd
+    * expression against the broadcast handle, and the exact verification
+    * join runs only on bloom-positive rows. Spark's own runtime bloom-join
+    * rewrite exists, but is neither deterministic nor engine-reproducible;
+    * this one is both (the correctness gate replays the bit positions).
+    */
+  def bloomBuild(df: DataFrame, key: String, m: Int): Broadcast[Array[Long]] = {
+    require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
+    val k = col(key).cast("long")
+    val posCols = BloomA.zip(BloomB).map { case (a, b) =>
+      ((k * a + b) % 2147483648L) % m
+    }
+    val pos = df.select(explode(array(posCols.toIndexedSeq: _*)).as("pos"))
+      .distinct().collect().map(_.getLong(0).toInt)
+    val bits = new Array[Long]((m + 63) / 64)
+    pos.foreach(p => bits(p >> 6) |= 1L << (p & 63))
+    df.sparkSession.sparkContext.broadcast(bits)
+  }
+
+  /** Codegen'd membership probe against [[bloomBuild]]'s broadcast bitmap:
+    * no false negatives; false positives bounded by the classic
+    * (1 - e^(-kn/m))^k.
+    */
+  def bloomMightContain(bc: Broadcast[Array[Long]], m: Int, key: Column): Column =
+    GraftColumns.column(BloomMightContainExpr(
+      GraftColumns.expression(key.cast("long")), bc, m))
+
+  /** Count-Min sketch of key frequencies: d=3 rows × w counters, the same
+    * deterministic hash family as [[bloomBuild]].
+    *
+    * 100 TB shape: the sketch is ONE map-side-combined aggregation whose
+    * state is bounded by d·w counters per partition — frequency structure
+    * over 10^12 rows crosses the shuffle as ≤ 3w rows total, where the
+    * exact per-key count shuffles every distinct key. Counters are
+    * mergeable by + (streaming/windowed variants compose for free).
+    *
+    * @return (j, pos, cnt) — the nonzero counters
+    */
+  def cmSketch(df: DataFrame, key: String, w: Int): DataFrame = {
+    val k = col(key).cast("long")
+    val rows = (0 until 3).map { j =>
+      struct(lit(j).as("j"),
+        (((k * BloomA(j) + BloomB(j)) % 2147483648L) % w).as("pos"))
+    }
+    df.select(explode(array(rows: _*)).as("jp"))
+      .groupBy(col("jp.j").as("j"), col("jp.pos").as("pos"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates from a [[cmSketch]]: est(key) = min_j sketch[j][h_j(key)]
+    * — an overestimate, never an under (est ≥ true count always). The tiny
+    * sketch is broadcast; candidate keys never shuffle.
+    */
+  def cmEstimate(keys: DataFrame, key: String, sketch: DataFrame, w: Int): DataFrame = {
+    val k = col(key).cast("long")
+    val carried = keys.columns.map(col)
+    keys.withColumn("jp", explode(array((0 until 3).map { j =>
+        struct(lit(j).as("j"),
+          (((k * BloomA(j) + BloomB(j)) % 2147483648L) % w).as("pos"))
+      }: _*)))
+      .select(carried :+ col("jp.j").as("j") :+ col("jp.pos").as("pos"): _*)
+      .join(broadcast(sketch), Seq("j", "pos"))
+      .groupBy(carried.toIndexedSeq: _*)
+      .agg(min("cnt").as("cm_est"))
+  }
+}
+
+/** Static helper invoked from generated code (the plan carries only the
+  * broadcast handle, as in [[SpatialJoin]]'s hot-set expression).
+  */
+object BloomHelpers {
+  def mightContain(bc: Broadcast[Array[Long]], m: Int, v: Long): Boolean = {
+    val bits = bc.value
+    var j = 0
+    while (j < 3) {
+      val p = (((v * Sketches.BloomA(j) + Sketches.BloomB(j)) % 2147483648L) % m).toInt
+      if ((bits(p >> 6) & (1L << (p & 63))) == 0L) return false
+      j += 1
+    }
+    true
+  }
+}
+
+case class BloomMightContainExpr(child: Expression, bc: Broadcast[Array[Long]],
+    m: Int) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+  override def nullSafeEval(v: Any): Any =
+    BloomHelpers.mightContain(bc, m, v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bcBloom", bc,
+      classOf[Broadcast[_]].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.ops.BloomHelpers.mightContain($bcRef, $m, $v);")
+  }
+  override protected def withNewChildInternal(c: Expression): BloomMightContainExpr =
+    copy(child = c)
 }

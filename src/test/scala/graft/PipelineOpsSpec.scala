@@ -470,4 +470,101 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(String, String, Int)].collect().toSet
     assert(got == want)
   }
+
+  test("bloom semi-join: zero false negatives; pass set matches scalar bitmap exactly") {
+    import spark.implicits._
+    val m = 1 << 12
+    val rnd = new scala.util.Random(5)
+    val buildKeys = (0 until 400).map(_ => rnd.nextInt(100000).toLong).distinct
+    val probeKeys = (0 until 3000).map(_ => rnd.nextInt(100000).toLong)
+    val bc = graft.ops.Sketches.bloomBuild(
+      buildKeys.toDF("k"), "k", m)
+    // scalar reference bitmap with the same hashes
+    val bits = new Array[Long]((m + 63) / 64)
+    for (k <- buildKeys; j <- 0 until 3) {
+      val p = (((k * graft.ops.Sketches.BloomA(j) + graft.ops.Sketches.BloomB(j))
+        % 2147483648L) % m).toInt
+      bits(p >> 6) |= 1L << (p & 63)
+    }
+    def ref(v: Long): Boolean = (0 until 3).forall { j =>
+      val p = (((v * graft.ops.Sketches.BloomA(j) + graft.ops.Sketches.BloomB(j))
+        % 2147483648L) % m).toInt
+      (bits(p >> 6) & (1L << (p & 63))) != 0L
+    }
+    val got = probeKeys.toDF("k")
+      .withColumn("pass", graft.ops.Sketches.bloomMightContain(bc, m, org.apache.spark.sql.functions.col("k")))
+      .as[(Long, Boolean)].collect()
+    val bset = buildKeys.toSet
+    got.foreach { case (k, pass) =>
+      assert(pass == ref(k), s"key $k")
+      if (bset(k)) assert(pass, s"false negative on $k")
+    }
+    // the corpus must actually exercise both false positives and negatives
+    assert(got.exists { case (k, p) => p && !bset(k) })
+    assert(got.exists { case (k, p) => !p })
+  }
+
+  test("cmSketch/cmEstimate: estimates match a scalar sketch and never underestimate") {
+    import spark.implicits._
+    val w = 64
+    val rnd = new scala.util.Random(3)
+    val keys = (0 until 4000).map(_ => rnd.nextInt(300).toLong)
+    val df = keys.toDF("k")
+    val sk = graft.ops.Sketches.cmSketch(df, "k", w)
+    val exact = keys.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val cand = exact.toSeq.sortBy { case (k, n) => (-n, k) }.take(30)
+    val got = graft.ops.Sketches.cmEstimate(
+        cand.toDF("k", "n_exact"), "k", sk, w)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // scalar reference sketch
+    val ref = Array.ofDim[Long](3, w)
+    for (k <- keys; j <- 0 until 3) {
+      val p = (((k * graft.ops.Sketches.BloomA(j) + graft.ops.Sketches.BloomB(j))
+        % 2147483648L) % w).toInt
+      ref(j)(p) += 1
+    }
+    cand.foreach { case (k, n) =>
+      val est = (0 until 3).map { j =>
+        ref(j)((((k * graft.ops.Sketches.BloomA(j) + graft.ops.Sketches.BloomB(j))
+          % 2147483648L) % w).toInt)
+      }.min
+      val (gn, gest) = got(k)
+      assert(gn == n && gest == est, s"key $k")
+      assert(gest >= n, s"underestimate on $k")
+    }
+    // w=64 on 300 keys must actually collide somewhere
+    assert(cand.exists { case (k, n) => got(k)._2 > n })
+  }
+
+  test("viewshed visibility matches O(n^2) brute force on the profile output") {
+    import spark.implicits._
+    val corners = Seq((0, 0))
+    val tiles = spark.createDataset(
+      graft.synth.TileGen.tiles(corners, 601, "hgt"))(
+      org.apache.spark.sql.Encoders.product[graft.core.TileRow])
+    val rnd = new scala.util.Random(9)
+    val verts = (0 until 400).map { i =>
+      (i.toLong % 5, i.toLong, 0.05 + rnd.nextInt(900) / 1000.0,
+        0.05 + rnd.nextInt(900) / 1000.0)
+    }.toDF("line_id", "seq", "lng", "lat")
+    val prof = graft.ops.Elevation.profile(verts, tiles)
+      .select("line_id", "seq", "elev", "cum_dist_q")
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val want = prof.toSeq.flatMap { case (line, vs) =>
+      val ratios = vs.zipWithIndex.map { case ((_, _, e, d), i) =>
+        if (i == 0) Double.NaN else (e - vs.head._3) / math.max(d, 1L).toDouble
+      }
+      vs.zipWithIndex.map { case ((_, seq, _, _), i) =>
+        val vis = i == 0 || (1 until i).forall(j => ratios(j) < ratios(i))
+        (line, seq) -> vis
+      }
+    }.toMap
+    val got = graft.ops.Elevation.viewshed(verts, tiles)
+      .select("line_id", "seq", "visible")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == want)
+    assert(got.values.exists(_ == true) && got.values.exists(_ == false))
+  }
 }
