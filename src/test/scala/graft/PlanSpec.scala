@@ -274,4 +274,82 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
       s"expected broadcast join:\n$plan")
   }
+
+  test("bloom probe is shuffle-free whole-stage codegen against the broadcast bitmap") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_planspec_bloom"
+    graft.table.Checkpoint.clear(dir)
+    spark.range(0, 20000).selectExpr("id AS k", "id % 7 AS g")
+      .write.mode("overwrite").parquet(dir)
+    val probe = spark.read.parquet(dir)
+    val bc = graft.ops.Sketches.bloomBuild(
+      spark.range(0, 500).selectExpr("id * 3 AS k"), "k", 1 << 12)
+    val out = probe.filter(
+      graft.ops.Sketches.bloomMightContain(bc, 1 << 12, col("k")))
+    assert(out.count() > 0)
+    val plan = out.queryExecution.executedPlan
+    assert(plan.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"bloom probe must not shuffle:\n$plan")
+    assert(plan.collect { case w: WholeStageCodegenExec => w }.nonEmpty,
+      "bloom probe fell out of whole-stage codegen")
+  }
+
+  test("hll and cm sketches shuffle only bounded register/counter state") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_planspec_sk"
+    graft.table.Checkpoint.clear(dir)
+    spark.range(0, 30000).selectExpr("id % 97 AS uid", "concat('g', id % 3) AS g")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val hll = graft.ops.Sketches.hllDistinct(df, "g", "uid")
+    val hllPlan = hll.queryExecution.executedPlan
+    // (group, bucket) agg + group agg: exactly two key-bounded exchanges,
+    // both preceded by partial aggregation (map-side combine)
+    assert(hllPlan.collect { case s: ShuffleExchangeExec => s }.size == 2,
+      s"hll expected 2 shuffles:\n$hllPlan")
+    assert(hllPlan.toString.contains("partial_"),
+      s"hll shuffle not partial-aggregated:\n$hllPlan")
+    val cm = graft.ops.Sketches.cmSketch(df, "uid", 1024)
+    val cmPlan = cm.queryExecution.executedPlan
+    assert(cmPlan.collect { case s: ShuffleExchangeExec => s }.size == 1,
+      s"cm expected 1 shuffle:\n$cmPlan")
+    assert(cmPlan.toString.contains("partial_"),
+      s"cm shuffle not partial-aggregated:\n$cmPlan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("phash band join never plans an all-pairs comparison") {
+    val corners = Seq((10, 5), (11, 5), (12, 6))
+    val grids = for { v <- 0 to 2; (lng, lat) <- corners } yield {
+      val g = graft.synth.TileGen.grid(lng, lat, 121)
+      graft.core.TileRow(s"t${lng}_${lat}_v$v",
+        graft.raster.Hgt.encode(g, 121), 121, 121, "hgt", "{}", 0L)
+    }
+    val tiles = spark.createDataset(grids)(Encoders.product[graft.core.TileRow])
+    val out = graft.ops.ImageOps.phashNearDup(tiles, 3)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"phash near-dup fell back to all-pairs:\n$plan")
+  }
+
+  test("viewshed adds no shuffle beyond the profile's single line_id exchange") {
+    import spark.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_planspec_vs"
+    graft.table.Checkpoint.clear(dir)
+    (0 until 2000).map(i => (i.toLong % 7, i.toLong, 0.05 + (i % 900) / 1000.0,
+        0.05 + ((i * 31) % 900) / 1000.0))
+      .toDF("line_id", "seq", "lng", "lat")
+      .write.mode("overwrite").parquet(dir)
+    val verts = spark.read.parquet(dir)
+    val tiles = spark.createDataset(TileGen.tiles(Seq((0, 0)), 61, "hgt"))(
+      Encoders.product[TileRow])
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = graft.ops.Elevation.viewshed(verts, tiles)
+      val plan = out.queryExecution.executedPlan
+      assert(plan.collect { case s: ShuffleExchangeExec => s }.size == 1,
+        s"viewshed expected exactly 1 shuffle (line_id):\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
