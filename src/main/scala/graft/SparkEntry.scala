@@ -708,6 +708,13 @@ object SparkEntry {
       ops.ImageOps.phashNearDup(phashCorpusTiles(s), 3)
         .orderBy("id_a", "id_b")
     }),
+    // Bigram collocations (ops.Curation.collocations): phrase mining by
+    // integer-quantized lift — PMI's ranking without PMI's log. Counts are
+    // vocabulary-bounded mergeable aggs; the pair tail is pruned by
+    // minCount before any join.
+    "text_collocations" -> ((s, dir) => {
+      ops.Curation.collocations(t(s, dir, "documents"), col("text"), 5L, 30)
+    }),
     "text_stats" -> ((s, dir) => {
       t(s, dir, "documents").selectExpr(
         "doc_id",
@@ -1965,6 +1972,22 @@ object SparkEntry {
     "events_key_skew" ->
       """WITH per AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
          SELECT n, count(*) AS n_keys FROM per GROUP BY n ORDER BY n""",
+    // same split, same bigram windows, same integer lift quantization; the
+    // oracle's // is floor division on positives exactly like Spark's div
+    "text_collocations" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         bg AS (SELECT w[CAST(i AS INT)] AS w1, w[CAST(i AS INT)+1] AS w2
+           FROM w, unnest(generate_series(1, len(w)-1)) AS g(i)),
+         big AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2
+           HAVING count(*) >= 5),
+         uni AS (SELECT word, count(*) AS c
+           FROM (SELECT unnest(w) AS word FROM w) GROUP BY 1),
+         n AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uni)
+         SELECT w1, w2, c_xy,
+           (c_xy * n_total * 100000) // (cx.c * cy.c) AS lift_q
+         FROM big JOIN uni cx ON big.w1 = cx.word
+           JOIN uni cy ON big.w2 = cy.word, n
+         ORDER BY lift_q DESC, w1, w2 LIMIT 30""",
     // same three congruential hashes as the engine's cmSketch; the sketch
     // rebuild, the exact top-20 selection (ties broken by user_id), and the
     // min-over-rows estimate are all replayed

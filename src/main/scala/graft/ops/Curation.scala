@@ -136,4 +136,42 @@ object Curation {
       .filter(col("rk") <= k)
       .select("doc_id", "term", "tf", "df", "idf_q", "score", "rk")
   }
+  /** Bigram collocations ranked by integer-quantized lift — the phrase-mining
+    * pass of corpus analysis (which word pairs co-occur far above chance).
+    *
+    * lift(x,y) = P(xy) / (P(x)·P(y)) = c_xy·N / (c_x·c_y), quantized as
+    * `floor(c_xy·N·100000 / (c_x·c_y))` in pure BIGINT arithmetic — PMI's
+    * log is monotone in lift, so the RANKING is PMI's, with zero `ln` ulp
+    * risk for the oracle (same trick as [[tfidfTopTerms]]'s quantized idf).
+    * The 100000 scale keeps `c_xy·N·100000 ≤ N²·10^5` inside int64 up to
+    * N ≈ 3·10^6 tokens per run; shard or lower the scale beyond that.
+    *
+    * 100 TB shape: bigram and unigram counts are both map-side-combined
+    * aggregations bounded by vocabulary (pairs), not corpus size; the join
+    * keys the bounded bigram table on its two words; the total-token count
+    * rides in as a broadcast scalar. minCount prunes the pair tail BEFORE
+    * the joins.
+    */
+  def collocations(docs: DataFrame, textCol: Column, minCount: Long,
+                   topN: Int): DataFrame = {
+    val words = docs.select(split(textCol, " ").as("w"))
+      .localCheckpoint(false) // feeds bigram AND unigram counts: one scan
+    val big = words.selectExpr(
+        """explode(zip_with(slice(w, 1, size(w)-1), slice(w, 2, size(w)-1),
+           (a, b) -> struct(a AS w1, b AS w2))) AS bg""")
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val uni = words.select(explode(col("w")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+    val nDf = uni.agg(sum("c").as("n_total"))
+    big
+      .join(uni.select(col("word").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("word").as("w2"), col("c").as("c_y")), "w2")
+      .crossJoin(broadcast(nDf))
+      .withColumn("lift_q", expr("(c_xy * n_total * 100000) div (c_x * c_y)"))
+      .select("w1", "w2", "c_xy", "lift_q")
+      .orderBy(col("lift_q").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
 }

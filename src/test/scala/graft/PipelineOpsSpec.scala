@@ -567,4 +567,32 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
     assert(got.values.exists(_ == true) && got.values.exists(_ == false))
   }
+
+  test("collocations match brute-force quantized lift on a controlled corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    // "new york"-style glued pair: alpha is ALWAYS followed by beta
+    val docs = (0 until 80).map { i =>
+      val ws = (0 until 30).flatMap { _ =>
+        if (rnd.nextInt(4) == 0) Seq("alpha", "beta")
+        else Seq(vocab(rnd.nextInt(vocab.size)))
+      }
+      (i.toLong, ws.mkString(" "))
+    }
+    val toks = docs.map(_._2.split(" ", -1).toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val n = toks.map(_.size).sum.toLong
+    val big = toks.flatMap(ws => ws.zip(ws.tail)).groupBy(identity)
+      .map { case (p, xs) => p -> xs.size.toLong }.filter(_._2 >= 5L)
+    val want = big.toSeq.map { case ((a, b), cxy) =>
+      (a, b, cxy, cxy * n * 100000L / (uni(a) * uni(b)))
+    }.sortBy { case (a, b, _, l) => (-l, a, b) }.take(10)
+    val got = graft.ops.Curation.collocations(
+        docs.toDF("doc_id", "text"), col("text"), 5L, 10)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == want)
+    // the glued pair must out-lift everything
+    assert(got.head._1 == "alpha" && got.head._2 == "beta")
+  }
 }

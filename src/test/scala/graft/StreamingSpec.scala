@@ -139,4 +139,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "staged input is fully duplicated")
     assert(got.sameElements(exp) && got.nonEmpty)
   }
+
+  test("streaming bloom pre-filter: the codegen'd probe runs per micro-batch") {
+    import spark.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_bloom"
+    graft.table.Checkpoint.clear(dir)
+    (0 until 5000).map(i => (i.toLong, (i * 13 % 9001).toLong))
+      .toDF("row_id", "k").repartition(3).write.mode("overwrite").parquet(dir)
+    val m = 1 << 12
+    val bc = graft.ops.Sketches.bloomBuild(
+      spark.range(0, 300).selectExpr("id * 31 AS k"), "k", m)
+    val schema = spark.read.parquet(dir).schema
+    // stateless expression => append mode, no state store: the broadcast
+    // bitmap is shared across micro-batches like the tile-pyramid index
+    val q = spark.readStream.schema(schema).parquet(dir)
+      .filter(graft.ops.Sketches.bloomMightContain(bc, m, col("k")))
+      .writeStream.format("memory").queryName("stream_bloom")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("stream_bloom").as[(Long, Long)].collect().toSet
+    val exp = spark.read.parquet(dir)
+      .filter(graft.ops.Sketches.bloomMightContain(bc, m, col("k")))
+      .as[(Long, Long)].collect().toSet
+    assert(got == exp && got.nonEmpty)
+    assert(got.size < 5000, "filter must drop something")
+  }
 }
