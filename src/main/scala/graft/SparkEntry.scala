@@ -428,6 +428,36 @@ object SparkEntry {
         .select("point_id", "hillshade")
         .orderBy("point_id")
     }),
+    // Map algebra, hydrology: D8 flow direction — steepest descent to the 8
+    // clamped neighbours of the nearest grid node, ESRI power-of-2 codes.
+    // The straight-vs-diagonal comparison is sqrt/division-free (2·drop²ₛ vs
+    // drop²d), pure integers, so the oracle replicates every branch exactly.
+    "geo_flowdir" -> ((s, dir) => {
+      val bc = ops.TileIndex.broadcastIndex(gateTiles(s))
+      gatePoints(s, dir)
+        .withColumn("d8", ops.ElevAt.elev_flowdir(col("lng"), col("lat"), bc).cast("long"))
+        .select("point_id", "d8")
+        .orderBy("point_id")
+    }),
+    // Map algebra: terrain ruggedness index — Σ|neighbour − centre| over the
+    // same 8 clamped neighbours; pure integer arithmetic.
+    "geo_tri" -> ((s, dir) => {
+      val bc = ops.TileIndex.broadcastIndex(gateTiles(s))
+      gatePoints(s, dir)
+        .withColumn("tri", ops.ElevAt.elev_tri(col("lng"), col("lat"), bc).cast("long"))
+        .select("point_id", "tri")
+        .orderBy("point_id")
+    }),
+    // Map algebra: aspect octant — dominant compass direction of the
+    // downslope vector from the central-difference gradient, quantized to
+    // 8 sectors (+0 flat) so there is no atan2 ulp risk cross-engine.
+    "geo_aspect" -> ((s, dir) => {
+      val bc = ops.TileIndex.broadcastIndex(gateTiles(s))
+      gatePoints(s, dir)
+        .withColumn("aspect", ops.ElevAt.elev_aspect(col("lng"), col("lat"), bc).cast("long"))
+        .select("point_id", "aspect")
+        .orderBy("point_id")
+    }),
     // Vector analytics: shoelace area / perimeter / area-weighted centroid
     // per polygon ring, composed from built-in higher-order functions (an
     // in-order fold the oracle replicates term-for-term).
@@ -1377,6 +1407,90 @@ object SparkEntry {
          END AS elev
        FROM v ORDER BY point_id"""
 
+  /** Shared scaffold for the nearest-node map-algebra oracles (flowdir/TRI):
+    * point → nearest grid node (cn, rn) + tile base offset `a`, exactly the
+    * geo_slope CTEs.
+    */
+  private val nodeScaffoldSql: String =
+    """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
+         -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
+         36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
+         FROM lineitem),
+       k AS (SELECT point_id,
+         CAST(floor(lng) AS BIGINT) AS swlng, CAST(floor(lat) AS BIGINT) AS swlat,
+         CAST(floor((lng - floor(lng)) * 600 + 0.5) AS BIGINT) AS cn,
+         CAST(floor((lat - floor(lat)) * 600 + 0.5) AS BIGINT) AS rn FROM pts),
+       b AS (SELECT *, ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM k)"""
+
+  /** Synthetic-grid sample value at node (c, r) — TileGen.sampleAt in SQL. */
+  private def gridV(c: String, r: String): String =
+    s"(a + 2*($c) + 3*($r) + (((($c))//8)*((($r))//8)) % 32)"
+
+  private def clamp(base: String, d: Int): String =
+    if (d == 0) base else s"LEAST(600, GREATEST(0, $base + ($d)))"
+
+  /** D8 flow-direction oracle: replicates TileIndex.flowdirD8's integer
+    * comparison (2·drop²ₛ vs drop²d, first maximal code wins) over the 8
+    * clamped neighbours of the nearest node. Missing tile ⇒ 0.
+    */
+  private val flowdirOracleSql: String = {
+    val scores = (0 until 8).map { i =>
+      val dc = Seq(1, 1, 0, -1, -1, -1, 0, 1)(i)
+      val dr = Seq(0, 1, 1, 1, 0, -1, -1, -1)(i)
+      val mult = if (dc != 0 && dr != 0) 1 else 2
+      val vn = gridV(clamp("cn", dc), clamp("rn", dr))
+      s"CASE WHEN (vc - $vn) > 0 THEN $mult*(vc - $vn)*(vc - $vn) ELSE -1 END AS s$i"
+    }.mkString(",\n           ")
+    val cascade = (0 until 8).map(i => s"WHEN s$i = best THEN ${1 << i}").mkString(" ")
+    s"""$nodeScaffoldSql,
+       c AS (SELECT *, ${gridV("cn", "rn")} AS vc FROM b),
+       n AS (SELECT point_id, swlng, swlat,
+           $scores FROM c),
+       m AS (SELECT *, GREATEST(s0, s1, s2, s3, s4, s5, s6, s7) AS best FROM n)
+       SELECT point_id,
+         CAST(CASE WHEN (swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36) THEN 0
+                   WHEN best <= 0 THEN 0 $cascade END AS BIGINT) AS d8
+       FROM m ORDER BY point_id"""
+  }
+
+  /** Terrain-ruggedness-index oracle: Σ|neighbour − centre| over the same 8
+    * clamped neighbours. Missing tile ⇒ 0.
+    */
+  private val triOracleSql: String = {
+    val terms = (0 until 8).map { i =>
+      val dc = Seq(1, 1, 0, -1, -1, -1, 0, 1)(i)
+      val dr = Seq(0, 1, 1, 1, 0, -1, -1, -1)(i)
+      s"abs(${gridV(clamp("cn", dc), clamp("rn", dr))} - vc)"
+    }.mkString(" + ")
+    s"""$nodeScaffoldSql,
+       c AS (SELECT *, ${gridV("cn", "rn")} AS vc FROM b)
+       SELECT point_id,
+         CAST(CASE WHEN (swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36) THEN 0
+                   ELSE $terms END AS BIGINT) AS tri
+       FROM c ORDER BY point_id"""
+  }
+
+  /** Aspect-octant oracle: the geo_slope gradient CTEs + the same exact
+    * sign/|·| classification as TileIndex.aspectOctant. Missing tile ⇒ 0.
+    */
+  private val aspectOracleSql: String =
+    s"""$nodeScaffoldSql,
+       e AS (SELECT *, GREATEST(0, cn-1) AS c0, LEAST(600, cn+1) AS c1,
+         GREATEST(0, rn-1) AS r0, LEAST(600, rn+1) AS r1 FROM b),
+       d AS (SELECT point_id, swlng, swlat,
+         -((${gridV("c1", "rn")} - ${gridV("c0", "rn")}) / (c1 - c0)) AS gx,
+         -((${gridV("cn", "r1")} - ${gridV("cn", "r0")}) / (r1 - r0)) AS gy
+         FROM e)
+       SELECT point_id,
+         CAST(CASE WHEN (swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36) THEN 0
+                   WHEN gx = 0 AND gy = 0 THEN 0
+                   WHEN abs(gx) > abs(gy) THEN CASE WHEN gx > 0 THEN 1 ELSE 5 END
+                   WHEN abs(gy) > abs(gx) THEN CASE WHEN gy > 0 THEN 7 ELSE 3 END
+                   WHEN gx > 0 THEN CASE WHEN gy > 0 THEN 8 ELSE 2 END
+                   ELSE CASE WHEN gy > 0 THEN 6 ELSE 4 END
+              END AS BIGINT) AS aspect
+       FROM d ORDER BY point_id"""
+
   /** Profile oracle: the bilinear closed form (same CTEs as the elevation
     * oracle) + lag/window sums over integer-quantized segments — CAST on the
     * sums because DuckDB widens BIGINT sums to HUGEINT.
@@ -1463,6 +1577,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "geo_elev_profile" -> profileOracleSql,
     "geo_viewshed" -> viewshedOracleSql,
+    "geo_flowdir" -> flowdirOracleSql,
+    "geo_tri" -> triOracleSql,
+    "geo_aspect" -> aspectOracleSql,
     "events_welford" ->
       """WITH e AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS iv FROM events),
          st AS (SELECT event_type, count(*) AS n, sum(iv) AS sv, sum(iv*iv) AS svv FROM e GROUP BY 1),

@@ -101,6 +101,104 @@ final class TileIndex(rows: Array[TileRow]) extends Serializable {
     }
   }
 
+  /** D8 flow direction (hydrology map-algebra op, beyond the reference):
+    * steepest-descent direction from the grid node nearest (lng, lat) to its
+    * 8 neighbours, ESRI power-of-2 codes — E=1, SE=2, S=4, SW=8, W=16, NW=32,
+    * N=64, NE=128 in HGT north-first row order (row 0 = north, so +row =
+    * south). Comparison is sqrt/division-free: straight and diagonal drops
+    * compare via `2·dropₛ² vs dropd²` (slope² scaled by the common 2), pure
+    * integer arithmetic the DuckDB oracle replicates exactly. Neighbours are
+    * CLAMPED at tile edges (a clamped straight neighbour equals the centre ⇒
+    * drop 0 ⇒ never selected). All drops ≤ 0 (pit/flat) ⇒ 0; ties break to
+    * the smallest code; missing tile ⇒ 0 (F8 no-data).
+    */
+  def flowdirD8(lng: Double, lat: Double): Double = {
+    val swLng = math.floor(lng)
+    val swLat = math.floor(lat)
+    val d = decoded.get(TileIndex.key(swLng.toInt, swLat.toInt))
+    if (d == null) 0.0
+    else {
+      val size = d.size - 1
+      val (rn, cn) = Bilinear.nearestNode(d.size, swLng, swLat, lng, lat)
+      val vc = d.sample(rn, cn).toLong
+      var best = -1L
+      var bestCode = 0
+      var i = 0
+      while (i < 8) {
+        val dc = TileIndex.d8dc(i); val dr = TileIndex.d8dr(i)
+        val cc = math.min(size, math.max(0, cn + dc))
+        val rc = math.min(size, math.max(0, rn + dr))
+        val drop = vc - d.sample(rc, cc)
+        if (drop > 0) {
+          // straight (|dc|+|dr|=1): slope² = drop²; diagonal: drop²/2.
+          // Compare 2·slope²: straight → 2·drop², diagonal → drop².
+          val score = if (dc != 0 && dr != 0) drop * drop else 2 * drop * drop
+          if (score > best) { best = score; bestCode = 1 << i }
+        }
+        i += 1
+      }
+      bestCode.toDouble
+    }
+  }
+
+  /** Terrain ruggedness index (Riley et al. 1999, beyond the reference):
+    * Σ|v(neighbour) − v(centre)| over the same 8 clamped neighbours as
+    * [[flowdirD8]] — pure integer arithmetic, oracle-exact. Missing tile ⇒ 0.
+    */
+  def tri(lng: Double, lat: Double): Double = {
+    val swLng = math.floor(lng)
+    val swLat = math.floor(lat)
+    val d = decoded.get(TileIndex.key(swLng.toInt, swLat.toInt))
+    if (d == null) 0.0
+    else {
+      val size = d.size - 1
+      val (rn, cn) = Bilinear.nearestNode(d.size, swLng, swLat, lng, lat)
+      val vc = d.sample(rn, cn).toLong
+      var sum = 0L
+      var i = 0
+      while (i < 8) {
+        val cc = math.min(size, math.max(0, cn + TileIndex.d8dc(i)))
+        val rc = math.min(size, math.max(0, rn + TileIndex.d8dr(i)))
+        sum += math.abs(d.sample(rc, cc) - vc)
+        i += 1
+      }
+      sum.toDouble
+    }
+  }
+
+  /** Aspect octant (map-algebra op, beyond the reference): dominant compass
+    * direction of the DOWNSLOPE vector (−dc, −dr) from the same
+    * central-difference gradient as [[slope2]], in HGT north-first row order
+    * (−dr > 0 points south). Quantized to be engine-exact — no atan2 ulp
+    * risk: cardinal when one axis strictly dominates (|gx| ≷ |gy|),
+    * intercardinal on the exact diagonal. Codes: 0 flat, 1 E, 2 NE, 3 N,
+    * 4 NW, 5 W, 6 SW, 7 S, 8 SE. Missing tile ⇒ 0.
+    */
+  def aspectOctant(lng: Double, lat: Double): Double = {
+    val swLng = math.floor(lng)
+    val swLat = math.floor(lat)
+    val d = decoded.get(TileIndex.key(swLng.toInt, swLat.toInt))
+    if (d == null) 0.0
+    else {
+      val size = d.size - 1
+      val (rn, cn) = Bilinear.nearestNode(d.size, swLng, swLat, lng, lat)
+      val c0 = math.max(0, cn - 1); val c1 = math.min(size, cn + 1)
+      val r0 = math.max(0, rn - 1); val r1 = math.min(size, rn + 1)
+      val gx = -((d.sample(rn, c1) - d.sample(rn, c0)).toDouble / (c1 - c0))
+      val gy = -((d.sample(r1, cn) - d.sample(r0, cn)).toDouble / (r1 - r0))
+      val ax = math.abs(gx); val ay = math.abs(gy)
+      val code =
+        if (gx == 0.0 && gy == 0.0) 0
+        else if (ax > ay) { if (gx > 0) 1 else 5 }
+        else if (ay > ax) { if (gy > 0) 7 else 3 }
+        else { // exact diagonal
+          if (gx > 0) { if (gy > 0) 8 else 2 }
+          else { if (gy > 0) 6 else 4 }
+        }
+      code.toDouble
+    }
+  }
+
   /** Nearest-neighbour sampling mode (reference `_nearestNeighbour`). */
   def elevationNearest(lng: Double, lat: Double): Double = {
     val swLng = math.floor(lng)
@@ -113,6 +211,12 @@ final class TileIndex(rows: Array[TileRow]) extends Serializable {
 
 object TileIndex {
   def key(swLng: Int, swLat: Int): Int = (swLat + 90) * 360 + (swLng + 180)
+
+  /** D8 neighbour offsets, index i ⇒ code 1<<i: E SE S SW W NW N NE
+    * (HGT north-first rows: +dr = south).
+    */
+  private[ops] val d8dc: Array[Int] = Array(1, 1, 0, -1, -1, -1, 0, 1)
+  private[ops] val d8dr: Array[Int] = Array(0, 1, 1, 1, 0, -1, -1, -1)
 
   /** Collect + broadcast the tile table. Sized for bounded tile sets (the
     * common case: a query bbox covers few tiles; a whole-planet 3″ store is
@@ -139,6 +243,9 @@ case class ElevAtExpr(left: Expression, right: Expression,
       case "elevationNearest" => bc.value.elevationNearest(x, y)
       case "slope2"           => bc.value.slope2(x, y)
       case "hillshade"        => bc.value.hillshade(x, y)
+      case "flowdirD8"        => bc.value.flowdirD8(x, y)
+      case "tri"              => bc.value.tri(x, y)
+      case "aspectOctant"     => bc.value.aspectOctant(x, y)
       case _                  => bc.value.elevation(x, y)
     }
   }
@@ -169,4 +276,16 @@ object ElevAt {
     GraftColumns.column(ElevAtExpr(
       GraftColumns.expression(lng.cast(DoubleType)),
       GraftColumns.expression(lat.cast(DoubleType)), bc, "hillshade"))
+  def elev_flowdir(lng: Column, lat: Column, bc: Broadcast[TileIndex]): Column =
+    GraftColumns.column(ElevAtExpr(
+      GraftColumns.expression(lng.cast(DoubleType)),
+      GraftColumns.expression(lat.cast(DoubleType)), bc, "flowdirD8"))
+  def elev_tri(lng: Column, lat: Column, bc: Broadcast[TileIndex]): Column =
+    GraftColumns.column(ElevAtExpr(
+      GraftColumns.expression(lng.cast(DoubleType)),
+      GraftColumns.expression(lat.cast(DoubleType)), bc, "tri"))
+  def elev_aspect(lng: Column, lat: Column, bc: Broadcast[TileIndex]): Column =
+    GraftColumns.column(ElevAtExpr(
+      GraftColumns.expression(lng.cast(DoubleType)),
+      GraftColumns.expression(lat.cast(DoubleType)), bc, "aspectOctant"))
 }
