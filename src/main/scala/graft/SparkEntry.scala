@@ -788,6 +788,27 @@ object SparkEntry {
           col("s.score").as("score"), (col("i") + 1).cast("int").as("rk"))
         .orderBy("source", "rk")
     }),
+    // Deterministic stratified sampling: per-source keep rates as a pure
+    // md5-bucket filter on the scan (ops.Curation.stratifiedSample) —
+    // reproducible across runs/partitionings, nested rates give nested
+    // samples. src0..src3 get explicit rates, the other sources a default.
+    "curation_stratified" -> ((s, dir) => {
+      ops.Curation.stratifiedSample(
+          t(s, dir, "documents").select("doc_id", "source"),
+          col("doc_id"), col("source"),
+          Map("src0" -> 800, "src1" -> 400, "src2" -> 200, "src3" -> 50),
+          defaultPerMille = 100)
+        .orderBy("doc_id")
+    }),
+    // Gopher-style repetition quality signals (ops.Curation.repetitionStats):
+    // duplicate-word and top-bigram concentration as exact integers +
+    // floor-quantized millionth ratios.
+    "quality_repetition" -> ((s, dir) => {
+      ops.Curation.repetitionStats(t(s, dir, "documents"), col("text"))
+        .select("doc_id", "n_words", "n_distinct", "max_word_c",
+          "n_bigrams", "max_bigram_c", "dup_word_q", "top_bigram_q")
+        .orderBy("doc_id")
+    }),
     "text_langid" -> ((s, dir) => {
       t(s, dir, "documents").selectExpr(
         "doc_id",
@@ -1580,6 +1601,28 @@ object SparkEntry {
     "geo_flowdir" -> flowdirOracleSql,
     "geo_tri" -> triOracleSql,
     "geo_aspect" -> aspectOracleSql,
+    "curation_stratified" ->
+      """SELECT doc_id, source FROM documents
+         WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+               < (CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 400
+                              WHEN 'src2' THEN 200 WHEN 'src3' THEN 50 ELSE 100 END)
+         ORDER BY doc_id""",
+    "quality_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         w AS (SELECT doc_id, unnest(l) AS word FROM d),
+         wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+         wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+           count(*) AS n_distinct, max(c) AS max_word_c FROM wc GROUP BY 1),
+         bg AS (SELECT doc_id, unnest(list_transform(
+           generate_series(1, greatest(0, len(l) - 1)),
+           i -> l[i] || chr(1) || l[i+1])) AS b FROM d),
+         bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+         ba AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+           max(c) AS max_bigram_c FROM bc GROUP BY 1)
+         SELECT doc_id, n_words, n_distinct, max_word_c, n_bigrams, max_bigram_c,
+           ((n_words - n_distinct) * 1000000) // n_words AS dup_word_q,
+           (max_bigram_c * 1000000) // n_bigrams AS top_bigram_q
+         FROM wa JOIN ba USING (doc_id) ORDER BY doc_id""",
     "events_welford" ->
       """WITH e AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS iv FROM events),
          st AS (SELECT event_type, count(*) AS n, sum(iv) AS sv, sum(iv*iv) AS svv FROM e GROUP BY 1),

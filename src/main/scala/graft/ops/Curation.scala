@@ -136,6 +136,75 @@ object Curation {
       .filter(col("rk") <= k)
       .select("doc_id", "term", "tf", "df", "idf_q", "score", "rk")
   }
+  /** Deterministic stratified sampling — "keep r‰ of each stratum" — the
+    * reproducible down-sampling primitive of corpus mixing (per-source /
+    * per-language rates chosen from a mixing recipe).
+    *
+    * Scale shape: a PURE FILTER on the scan — zero shuffle, zero state. The
+    * keep decision is `md5(id)[0:8] mod 1000 < rate(stratum)`, so it is
+    * deterministic across runs, partitionings and cluster sizes (unlike
+    * `rand()`/`TABLESAMPLE`, whose samples change under retries and AQE
+    * re-planning — a silent training-data poison), and samples at nested
+    * rates are SUPERSETS of each other (a 10‰ sample contains the 5‰ one),
+    * which makes ablation corpora comparable. Rates ride in as a broadcast
+    * join (never a driver-side map lookup per row), so the strata table can
+    * itself be large.
+    *
+    * @param ratesPerMille keep-rate per stratum value, in 1/1000 units
+    * @param defaultPerMille rate for strata absent from the map
+    */
+  def stratifiedSample(df: DataFrame, idCol: Column, strataCol: Column,
+                       ratesPerMille: Map[String, Int],
+                       defaultPerMille: Int = 0): DataFrame = {
+    require((ratesPerMille.values ++ Seq(defaultPerMille)).forall(r => r >= 0 && r <= 1000),
+      "rates are per-mille: 0..1000")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rates = broadcast(ratesPerMille.toSeq.toDF("_stratum", "_rate_pm"))
+    val bucket = pmod(
+      conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(1000L))
+    df.join(rates, strataCol === col("_stratum"), "left")
+      .filter(bucket < coalesce(col("_rate_pm"), lit(defaultPerMille)))
+      .drop("_stratum", "_rate_pm")
+  }
+
+  /** Per-document repetition statistics — the Gopher-style repetition
+    * quality signals (Rae et al. 2021 §A1.1): heavily repeated words or
+    * bigrams mark boilerplate/spam documents that dedup misses because no
+    * OTHER document shares them.
+    *
+    * Emits exact integers only (counts + floor-quantized millionth ratios),
+    * so the DuckDB oracle matches bit-for-bit: `n_words`, `n_distinct`,
+    * `max_word_c` (count of the most frequent word), `n_bigrams`,
+    * `max_bigram_c`, `dup_word_q = (n_words−n_distinct)·10⁶ div n_words`,
+    * `top_bigram_q = max_bigram_c·10⁶ div n_bigrams`. Filtering thresholds
+    * stay caller-side policy.
+    *
+    * 100 TB shape: wordcount-pattern aggregations keyed on (doc_id, token) —
+    * map-side combined, bounded by per-doc vocabulary, never a window over
+    * the corpus; the tokenized array is localCheckpointed once because it
+    * feeds both the word and bigram branches (the tfidf/minhash double-scan
+    * CSE trap). Single-word docs have no bigrams and are dropped (inner
+    * join), mirroring the oracle.
+    */
+  def repetitionStats(docs: DataFrame, textCol: Column): DataFrame = {
+    val words = docs.select(col("doc_id"), split(textCol, " ").as("w"))
+      .localCheckpoint(false)
+    val wordAgg = words.select(col("doc_id"), explode(col("w")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n_words"),
+        count(lit(1)).as("n_distinct"), max("c").as("max_word_c"))
+    val bigramAgg = words.selectExpr("doc_id",
+        """explode(zip_with(slice(w, 1, size(w)-1), slice(w, 2, size(w)-1),
+           (a, b) -> concat(a, chr(1), b))) AS bg""")
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n_bigrams"), max("c").as("max_bigram_c"))
+    wordAgg.join(bigramAgg, "doc_id")
+      .withColumn("dup_word_q", expr("((n_words - n_distinct) * 1000000) div n_words"))
+      .withColumn("top_bigram_q", expr("(max_bigram_c * 1000000) div n_bigrams"))
+  }
+
   /** Bigram collocations ranked by integer-quantized lift — the phrase-mining
     * pass of corpus analysis (which word pairs co-occur far above chance).
     *

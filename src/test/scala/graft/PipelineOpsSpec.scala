@@ -595,4 +595,51 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the glued pair must out-lift everything
     assert(got.head._1 == "alpha" && got.head._2 == "beta")
   }
+
+  /** Scalar md5 bucket: first 8 hex digits mod 1000 — the op's keep rule. */
+  private def md5Bucket(id: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % 1000
+  }
+
+  test("stratifiedSample equals scalar md5 rule; nested rates nest") {
+    import spark.implicits._
+    val rows = (0L until 600L).map(i => (i, s"s${i % 4}"))
+    val df = rows.toDF("doc_id", "stratum")
+    val rates = Map("s0" -> 700, "s1" -> 300, "s2" -> 0)
+    val got = graft.ops.Curation
+      .stratifiedSample(df, col("doc_id"), col("stratum"), rates, 50)
+      .as[(Long, String)].collect().toSet
+    val want = rows.filter { case (id, st) =>
+      md5Bucket(id) < rates.getOrElse(st, 50)
+    }.toSet
+    assert(got == want)
+    assert(want.exists(_._2 == "s3") && !want.exists(_._2 == "s2"))
+    // nested rates ⇒ nested samples (the ablation-corpus property)
+    val lo = graft.ops.Curation
+      .stratifiedSample(df, col("doc_id"), col("stratum"),
+        Map("s0" -> 350, "s1" -> 150, "s2" -> 0), 25)
+      .as[(Long, String)].collect().toSet
+    assert(lo.subsetOf(got))
+  }
+
+  test("repetitionStats matches hand counts on a controlled corpus") {
+    import spark.implicits._
+    // doc 1: 6 words, 3 distinct, 'x' 4×; bigrams: x_x 2×, x_y, y_z, z_x of 5
+    val docs = Seq(
+      (1L, "x x x y z x"),
+      (2L, "a b a b a"), // 5 words, 2 distinct, a 3×; bigrams a_b 2×, b_a 2×
+      (3L, "solo")       // single word: no bigrams ⇒ dropped
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Curation.repetitionStats(docs, col("text"))
+      .select("doc_id", "n_words", "n_distinct", "max_word_c",
+        "n_bigrams", "max_bigram_c", "dup_word_q", "top_bigram_q")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 6L, 3L, 4L, 5L, 2L, (3L * 1000000L) / 6L, (2L * 1000000L) / 5L),
+      (2L, 5L, 2L, 3L, 4L, 2L, (3L * 1000000L) / 5L, (2L * 1000000L) / 4L)))
+  }
 }
