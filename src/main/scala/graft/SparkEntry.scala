@@ -358,6 +358,15 @@ object SparkEntry {
         .select("point_id", "x", "y")
         .orderBy("point_id")
     }),
+    // Z-order (Morton) write-clustering key: sort-before-write locality so
+    // parquet row-group min/max stats prune spatial range predicates. The
+    // oracle replays the quantizer and the 4-step magic-mask bit spread.
+    "geo_zorder" -> ((s, dir) => {
+      quadrantPoints(s, dir)
+        .withColumn("zkey", cells.zorder_key(col("lng"), col("lat")))
+        .select("point_id", "zkey")
+        .orderBy("point_id")
+    }),
 
     // ---- spatial joins over cell indexes (J2/J3, north rule) ----
     // Triangles derived from supplier; PIP via S2 cell-cover candidate join
@@ -1601,6 +1610,18 @@ object SparkEntry {
     "geo_flowdir" -> flowdirOracleSql,
     "geo_tri" -> triOracleSql,
     "geo_aspect" -> aspectOracleSql,
+    "geo_zorder" ->
+      """WITH pts AS (SELECT c_custkey AS point_id,
+           -180 + (c_custkey % 360) + 0.5 AS lng,
+           -90 + ((c_custkey * 7) % 180) + 0.25 AS lat FROM customer),
+         q AS (SELECT point_id,
+           LEAST(65535, GREATEST(0, CAST(floor(((lng + 180.0) / 360.0) * 65536.0) AS BIGINT))) AS qx,
+           LEAST(65535, GREATEST(0, CAST(floor(((lat + 90.0) / 180.0) * 65536.0) AS BIGINT))) AS qy FROM pts),
+         s1 AS (SELECT point_id, ((qx | (qx << 8)) & 16711935) AS x, ((qy | (qy << 8)) & 16711935) AS y FROM q),
+         s2 AS (SELECT point_id, ((x | (x << 4)) & 252645135) AS x, ((y | (y << 4)) & 252645135) AS y FROM s1),
+         s3 AS (SELECT point_id, ((x | (x << 2)) & 858993459) AS x, ((y | (y << 2)) & 858993459) AS y FROM s2),
+         s4 AS (SELECT point_id, ((x | (x << 1)) & 1431655765) AS x, ((y | (y << 1)) & 1431655765) AS y FROM s3)
+         SELECT point_id, ((y << 1) | x) AS zkey FROM s4 ORDER BY point_id""",
     "curation_stratified" ->
       """SELECT doc_id, source FROM documents
          WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000

@@ -62,6 +62,23 @@ case class HexCellExpr(first: Expression, second: Expression, third: Expression)
       c: Expression): HexCellExpr = copy(first = a, second = b, third = c)
 }
 
+/** `zorder_key(lng, lat)` — 32-bit Morton write-clustering key
+  * (graft.geo.Morton; sort-before-write locality for row-group pruning).
+  */
+case class ZOrderKeyExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "zorder_key"
+  override def nullSafeEval(lng: Any, lat: Any): Any =
+    graft.geo.Morton.key(lng.asInstanceOf[Double], lat.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lng, lat) => s"graft.geo.Morton.key($lng, $lat)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ZOrderKeyExpr =
+    copy(left = l, right = r)
+}
+
 /** Column API + SQL registration. */
 object cells {
   private def col(e: Expression): Column = GraftColumns.column(e)
@@ -74,6 +91,8 @@ object cells {
   def hex_cell(lng: Column, lat: Column, res: Column): Column =
     col(HexCellExpr(ex(lng.cast(DoubleType)), ex(lat.cast(DoubleType)),
       ex(res.cast(IntegerType))))
+  def zorder_key(lng: Column, lat: Column): Column =
+    col(ZOrderKeyExpr(ex(lng.cast(DoubleType)), ex(lat.cast(DoubleType))))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -82,5 +101,7 @@ object cells {
     reg.createOrReplaceTempFunction("s2_token", es => S2TokenExpr(es.head), "built-in")
     reg.createOrReplaceTempFunction("hex_cell",
       es => HexCellExpr(es.head, es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("zorder_key",
+      es => ZOrderKeyExpr(es.head, es(1)), "built-in")
   }
 }

@@ -220,6 +220,45 @@ class CellIndexSpec extends AnyFunSuite {
     assert(Hex.compact(compacted) == compacted)
   }
 
+  test("Morton key: round-trip bits, aligned-block prefix property, locality") {
+    import graft.geo.Morton
+    // bit round-trip: de-interleaving the key recovers the quantized coords
+    val rnd = new scala.util.Random(7)
+    def unspread(v: Long): Long = {
+      var x = v & 0x55555555L
+      x = (x | (x >> 1)) & 0x33333333L
+      x = (x | (x >> 2)) & 0x0F0F0F0FL
+      x = (x | (x >> 4)) & 0x00FF00FFL
+      x = (x | (x >> 8)) & 0x0000FFFFL
+      x
+    }
+    for (_ <- 1 to 500) {
+      val lng = -180.0 + rnd.nextDouble() * 360.0
+      val lat = -90.0 + rnd.nextDouble() * 180.0
+      val k = Morton.key(lng, lat)
+      assert(unspread(k) == Morton.qLng(lng))
+      assert(unspread(k >> 1) == Morton.qLat(lat))
+    }
+    // aligned-block prefix property: a 2^k x 2^k cell-aligned block is ONE
+    // contiguous key range — the row-group-pruning payoff of sorting by
+    // zkey. A row-major key fragments the same block into 2^k runs.
+    for (k <- Seq(3, 5); _ <- 1 to 20) {
+      val n = 1L << k
+      val bx = (rnd.nextInt(65536 >> k).toLong) << k
+      val by = (rnd.nextInt(65536 >> k).toLong) << k
+      val keys = for (dy <- 0L until n; dx <- 0L until n)
+        yield Morton.keyOf(bx + dx, by + dy)
+      val sorted = keys.sorted
+      assert(sorted.last - sorted.head == n * n - 1, "contiguous range")
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => b == a + 1 })
+      // row-major comparison: n runs, not 1
+      val rowMajor = (for (dy <- 0L until n; dx <- 0L until n)
+        yield (by + dy) * 65536L + (bx + dx)).sorted
+      val runs = 1 + rowMajor.zip(rowMajor.tail).count { case (a, b) => b != a + 1 }
+      assert(runs == n)
+    }
+  }
+
   test("Hex coverBBox is a superset cover") {
     val (lngMin, latMin, lngMax, latMax) = (-119.6, 36.5, -118.2, 37.9)
     for (res <- Seq(5, 7, 8)) {
