@@ -801,6 +801,30 @@ object SparkEntry {
     // md5-bucket filter on the scan (ops.Curation.stratifiedSample) —
     // reproducible across runs/partitionings, nested rates give nested
     // samples. src0..src3 get explicit rates, the other sources a default.
+    // Benchmark decontamination: 13-gram overlap vs a deterministic eval
+    // slice (doc_id % 50 == 7). Eval n-grams broadcast; corpus never shuffles.
+    "curation_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      ops.Curation.decontaminate(
+          docs.filter(col("doc_id") % 50 =!= 7),
+          docs.filter(col("doc_id") % 50 === 7), n = 13)
+        .orderBy("doc_id")
+    }),
+    // Cohort retention: users bucketed by first-activity week (Monday), then
+    // distinct actives per (cohort_week, week_offset). Two shuffles by
+    // construction: min-per-user, then the count-distinct re-key; the
+    // user->cohort map rides the same shuffle as a join on user_id.
+    "events_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("wk", to_date(date_trunc("week", expr("cast(ts as timestamp)"))))
+      val cohort = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+      ev.join(cohort, "user_id")
+        .withColumn("week_offset",
+          (datediff(col("wk"), col("cohort_week")) / 7).cast("int"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
     "curation_stratified" -> ((s, dir) => {
       ops.Curation.stratifiedSample(
           t(s, dir, "documents").select("doc_id", "source"),
@@ -1622,6 +1646,23 @@ object SparkEntry {
          s3 AS (SELECT point_id, ((x | (x << 2)) & 858993459) AS x, ((y | (y << 2)) & 858993459) AS y FROM s2),
          s4 AS (SELECT point_id, ((x | (x << 1)) & 1431655765) AS x, ((y | (y << 1)) & 1431655765) AS y FROM s3)
          SELECT point_id, ((y << 1) | x) AS zkey FROM s4 ORDER BY point_id""",
+    "curation_decontam" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         grams AS (SELECT doc_id,
+             array_to_string(list_slice(w, CAST(g AS BIGINT), CAST(g AS BIGINT) + 12), ' ') AS ng
+           FROM toks, unnest(range(1, greatest(len(w) - 11, 1))) AS t(g)),
+         bm AS (SELECT DISTINCT ng FROM grams WHERE doc_id % 50 = 7)
+         SELECT doc_id, count(DISTINCT ng) AS n_hit_grams
+         FROM grams WHERE doc_id % 50 <> 7 AND ng IN (SELECT ng FROM bm)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "events_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+         cohort AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY user_id)
+         SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, wk) / 7 AS INT) AS week_offset,
+           count(DISTINCT ev.user_id) AS n_users
+         FROM ev JOIN cohort ON ev.user_id = cohort.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "curation_stratified" ->
       """SELECT doc_id, source FROM documents
          WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000

@@ -243,4 +243,47 @@ object Curation {
       .orderBy(col("lift_q").desc, col("w1"), col("w2"))
       .limit(topN)
   }
+
+  /** Whitespace word n-grams of `textCol`, joined back with single spaces.
+    * Documents shorter than n tokens yield an empty array — the guard
+    * matters because Spark's `sequence(1, 0)` is the DESCENDING [1, 0],
+    * not empty.
+    */
+  def wordNgrams(textCol: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val w = split(textCol, " ")
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        g => concat_ws(" ", slice(w, g, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark decontamination: flag corpus documents that share at least one
+    * word n-gram with an evaluation set (the GPT-3 appendix-C / Gopher-style
+    * 13-gram overlap test run before training).
+    *
+    * 100 TB shape: eval sets are tiny (at most MBs of n-grams) next to the
+    * corpus, so the eval side is DISTINCT-ed and **broadcast** — the corpus
+    * explodes its n-grams once and hash-joins against the broadcast set with
+    * ZERO shuffle of corpus bytes; only the (rare) hit rows shuffle, on
+    * doc_id, for the per-document distinct-hit count. Joining on the n-gram
+    * STRING keeps the op engine-exact (the DuckDB oracle replays it
+    * verbatim); a production variant would join on `xxhash64(ng)` to shrink
+    * the broadcast to 8 bytes/gram — identical plan shape.
+    *
+    * @param corpus  (doc_id, text) training candidates
+    * @param evalSet (doc_id, text) held-out benchmark documents
+    * @return (doc_id, n_hit_grams) — contaminated corpus docs only, with the
+    *         number of distinct eval n-grams they contain
+    */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, n: Int = 13): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(wordNgrams(col("text"), n)).as("ng"))
+      .distinct()
+    corpus
+      .select(col("doc_id"), explode(wordNgrams(col("text"), n)).as("ng"))
+      .join(broadcast(evalGrams), "ng")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("ng")).as("n_hit_grams"))
+  }
 }

@@ -642,4 +642,42 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 6L, 3L, 4L, 5L, 2L, (3L * 1000000L) / 6L, (2L * 1000000L) / 5L),
       (2L, 5L, 2L, 3L, 4L, 2L, (3L * 1000000L) / 5L, (2L * 1000000L) / 4L)))
   }
+
+  test("wordNgrams: exact windows, short docs empty (sequence(1,0) guard)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b"), (3L, "x y z")).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        graft.ops.Curation.wordNgrams(col("text"), 3).as("ngs"))
+      .as[(Long, Seq[String])].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, Seq("a b c", "b c d")),
+      (2L, Seq.empty[String]), // < n tokens: MUST be empty, not [1,0]-indexed
+      (3L, Seq("x y z"))))
+  }
+
+  test("decontaminate matches brute-force n-gram intersection; clean corpus empty") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    def sentence(n: Int): String =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    // small vocab + trigrams => real collisions between corpus and eval
+    val corpus = (0 until 120).map(i => (i.toLong, sentence(4 + rnd.nextInt(10))))
+    val eval = (1000 until 1010).map(i => (i.toLong, sentence(4 + rnd.nextInt(10))))
+    def grams(s: String, n: Int): Set[String] =
+      s.split(" ").sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+    val evalGrams = eval.flatMap(d => grams(d._2, 3)).toSet
+    val expected = corpus
+      .map { case (id, t) => id -> grams(t, 3).intersect(evalGrams).size.toLong }
+      .filter(_._2 > 0).toMap
+    val got = graft.ops.Curation.decontaminate(
+        corpus.toDF("doc_id", "text"), eval.toDF("doc_id", "text"), n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    assert(expected.nonEmpty, "degenerate test: no contamination generated")
+    // disjoint-vocab corpus is clean
+    val clean = Seq((9000L, "p q r s t u v w")).toDF("doc_id", "text")
+    assert(graft.ops.Curation.decontaminate(clean, eval.toDF("doc_id", "text"), 3)
+      .count() == 0L)
+  }
 }

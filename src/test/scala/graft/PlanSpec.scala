@@ -352,4 +352,73 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"viewshed expected exactly 1 shuffle (line_id):\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("zorder-clustered write: disjoint per-file key ranges, bbox touches ~1/4 of files") {
+    import spark.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_planspec_zorder"
+    graft.table.Checkpoint.clear(dir)
+    val rnd = new scala.util.Random(3)
+    val pts = (0 until 20000).map(i =>
+      (i.toLong, -180.0 + rnd.nextDouble() * 360.0, -90.0 + rnd.nextDouble() * 180.0))
+      .toDF("point_id", "lng", "lat")
+      .withColumn("zkey", graft.functions.cells.zorder_key(col("lng"), col("lat")))
+    // the write-clustering recipe: global range partition + in-file sort by zkey
+    pts.repartitionByRange(8, col("zkey")).sortWithinPartitions("zkey")
+      .write.mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).sorted.toSeq
+    assert(files.size >= 4, s"expected several files, got ${files.size}")
+    val stats = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("zkey"), max("zkey"),
+          sum(when(col("lng") < 0 && col("lat") < 0, 1).otherwise(0)))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // repartitionByRange ⇒ file key ranges are pairwise disjoint: this is
+    // exactly what parquet row-group/file min-max pruning needs
+    stats.map(s => (s._1, s._2)).sortBy(_._1).sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi < lo, "file key ranges overlap")
+      case _ =>
+    }
+    // the SW quadrant (lng<0, lat<0) is the z-curve's aligned first quadrant:
+    // keys [0, 2^30) — contiguous, so its rows cluster into ~25% of the files
+    val hitFiles = stats.count(_._3 > 0)
+    assert(hitFiles <= 3,
+      s"SW-quadrant rows spread over $hitFiles of ${files.size} zorder-sorted files")
+    // control: an unclustered write scatters the same quadrant over ALL files
+    val dir2 = dir + "_rowmajor"
+    graft.table.Checkpoint.clear(dir2)
+    pts.repartition(8).write.mode("overwrite").parquet(dir2)
+    val files2 = new java.io.File(dir2).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).toSeq
+    val hit2 = files2.count { f =>
+      spark.read.parquet(f).filter(col("lng") < 0 && col("lat") < 0).head(1).nonEmpty
+    }
+    assert(hit2 == files2.size, "control: hash-partitioned write should scatter")
+  }
+
+  test("decontaminate: corpus side never shuffles before the broadcast gram join") {
+    import spark.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_planspec_decontam"
+    graft.table.Checkpoint.clear(dir)
+    val rnd = new scala.util.Random(5)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    (0 until 3000).map(i =>
+        (i.toLong, Seq.fill(8 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    val eval = Seq((9000L, "a b c d e f a b")).toDF("doc_id", "text")
+    val out = graft.ops.Curation.decontaminate(corpus, eval, n = 3)
+    val plan = out.queryExecution.executedPlan
+    assert(plan.toString.contains("BroadcastHashJoin"),
+      s"eval grams must broadcast:\n$plan")
+    assert(!plan.toString.contains("CartesianProduct"))
+    // shuffles carry only hit rows keyed by doc_id (the count-distinct
+    // re-keys once more); corpus bytes themselves never shuffle
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 2, s"expected <=2 post-join shuffles:\n$plan")
+  }
 }
