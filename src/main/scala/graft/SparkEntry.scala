@@ -450,6 +450,16 @@ object SparkEntry {
     }),
     // Map algebra: terrain ruggedness index — Σ|neighbour − centre| over the
     // same 8 clamped neighbours; pure integer arithmetic.
+    // Discrete Laplacian curvature: 4-neighbour second difference, integer
+    // arithmetic on the int16 grid (sinks > 0, ridges < 0).
+    "geo_curvature" -> ((s, dir) => {
+      val bc = ops.TileIndex.broadcastIndex(gateTiles(s))
+      gatePoints(s, dir)
+        .withColumn("lap",
+          ops.ElevAt.elev_curvature(col("lng"), col("lat"), bc).cast("long"))
+        .select("point_id", "lap")
+        .orderBy("point_id")
+    }),
     "geo_tri" -> ((s, dir) => {
       val bc = ops.TileIndex.broadcastIndex(gateTiles(s))
       gatePoints(s, dir)
@@ -809,6 +819,35 @@ object SparkEntry {
           docs.filter(col("doc_id") % 50 =!= 7),
           docs.filter(col("doc_id") % 50 === 7), n = 13)
         .orderBy("doc_id")
+    }),
+    // Funnel analysis: view -> click -> purchase as a per-user state machine
+    // folded over the (ts, event_id)-ordered event sequence with the codegen'd
+    // higher-order `aggregate` — ONE shuffle (groupBy user_id), no self-joins.
+    // Per-user sequences are memory-bounded (events/user, not events/table);
+    // a pathological single-user firehose would move to repartition +
+    // sortWithinPartitions + mapPartitions streaming fold.
+    "events_funnel" -> ((s, dir) => {
+      t(s, dir, "events")
+        .selectExpr("user_id",
+          "unix_micros(cast(ts as timestamp)) AS tus", "event_id", "event_type")
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("tus"), col("event_id"),
+          col("event_type").as("etype")))).as("evs"))
+        .selectExpr("user_id",
+          """aggregate(evs,
+               named_struct('stage', 0, 't1', CAST(NULL AS BIGINT),
+                            't2', CAST(NULL AS BIGINT), 't3', CAST(NULL AS BIGINT)),
+               (acc, e) -> CASE
+                 WHEN acc.stage = 0 AND e.etype = 'view'
+                   THEN named_struct('stage', 1, 't1', e.tus, 't2', acc.t2, 't3', acc.t3)
+                 WHEN acc.stage = 1 AND e.etype = 'click'
+                   THEN named_struct('stage', 2, 't1', acc.t1, 't2', e.tus, 't3', acc.t3)
+                 WHEN acc.stage = 2 AND e.etype = 'purchase'
+                   THEN named_struct('stage', 3, 't1', acc.t1, 't2', acc.t2, 't3', e.tus)
+                 ELSE acc END) AS f""")
+        .selectExpr("user_id", "f.stage AS funnel_stage", "f.t1 AS view_us",
+          "f.t2 AS click_us", "f.t3 AS purchase_us")
+        .orderBy("user_id")
     }),
     // Cohort retention: users bucketed by first-activity week (Monday), then
     // distinct actives per (cohort_week, week_offset). Two shuffles by
@@ -1524,6 +1563,21 @@ object SparkEntry {
        FROM c ORDER BY point_id"""
   }
 
+  /** Laplacian-curvature oracle: N + S + E + W − 4·centre on the synthetic
+    * grid, neighbours clamped, the two absent tiles ⇒ 0.
+    */
+  private val curvatureOracleSql: String = {
+    val terms = Seq((1, 0), (-1, 0), (0, 1), (0, -1))
+      .map { case (dc, dr) => gridV(clamp("cn", dc), clamp("rn", dr)) }
+      .mkString(" + ")
+    s"""$nodeScaffoldSql,
+       c AS (SELECT *, ${gridV("cn", "rn")} AS vc FROM b)
+       SELECT point_id,
+         CAST(CASE WHEN (swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36) THEN 0
+                   ELSE ($terms) - 4*vc END AS BIGINT) AS lap
+       FROM c ORDER BY point_id"""
+  }
+
   /** Aspect-octant oracle: the geo_slope gradient CTEs + the same exact
     * sign/|·| classification as TileIndex.aspectOctant. Missing tile ⇒ 0.
     */
@@ -1633,6 +1687,7 @@ object SparkEntry {
     "geo_viewshed" -> viewshedOracleSql,
     "geo_flowdir" -> flowdirOracleSql,
     "geo_tri" -> triOracleSql,
+    "geo_curvature" -> curvatureOracleSql,
     "geo_aspect" -> aspectOracleSql,
     "geo_zorder" ->
       """WITH pts AS (SELECT c_custkey AS point_id,
@@ -1655,6 +1710,25 @@ object SparkEntry {
          SELECT doc_id, count(DISTINCT ng) AS n_hit_grams
          FROM grams WHERE doc_id % 50 <> 7 AND ng IN (SELECT ng FROM bm)
          GROUP BY doc_id ORDER BY doc_id""",
+    "events_funnel" ->
+      """WITH r AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events),
+         u AS (SELECT DISTINCT user_id FROM r),
+         a AS (SELECT user_id, min(rn) AS p1 FROM r WHERE event_type = 'view' GROUP BY 1),
+         b AS (SELECT r.user_id, min(rn) AS p2 FROM r JOIN a USING (user_id)
+               WHERE event_type = 'click' AND rn > p1 GROUP BY 1),
+         c AS (SELECT r.user_id, min(rn) AS p3 FROM r JOIN b USING (user_id)
+               WHERE event_type = 'purchase' AND rn > p2 GROUP BY 1)
+         SELECT u.user_id,
+           CASE WHEN p3 IS NOT NULL THEN 3 WHEN p2 IS NOT NULL THEN 2
+                WHEN p1 IS NOT NULL THEN 1 ELSE 0 END AS funnel_stage,
+           t1.tus AS view_us, t2.tus AS click_us, t3.tus AS purchase_us
+         FROM u LEFT JOIN a USING (user_id) LEFT JOIN b USING (user_id)
+           LEFT JOIN c USING (user_id)
+           LEFT JOIN r t1 ON t1.user_id = u.user_id AND t1.rn = a.p1
+           LEFT JOIN r t2 ON t2.user_id = u.user_id AND t2.rn = b.p2
+           LEFT JOIN r t3 ON t3.user_id = u.user_id AND t3.rn = c.p3
+         ORDER BY u.user_id""",
     "events_retention" ->
       """WITH ev AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
          cohort AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY user_id)

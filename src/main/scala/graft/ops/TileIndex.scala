@@ -166,6 +166,27 @@ final class TileIndex(rows: Array[TileRow]) extends Serializable {
     }
   }
 
+  /** Discrete Laplacian curvature (map-algebra op, beyond the reference):
+    * the 4-neighbour second difference N + S + E + W − 4·centre at the grid
+    * node nearest to (lng, lat), neighbours clamped at tile edges — positive
+    * in sinks/valleys, negative on ridges/peaks, 0 on planar slopes. Pure
+    * integer arithmetic on int16 samples, so oracle-exact. Missing tile ⇒ 0.
+    */
+  def laplacian(lng: Double, lat: Double): Double = {
+    val swLng = math.floor(lng)
+    val swLat = math.floor(lat)
+    val d = decoded.get(TileIndex.key(swLng.toInt, swLat.toInt))
+    if (d == null) 0.0
+    else {
+      val size = d.size - 1
+      val (rn, cn) = Bilinear.nearestNode(d.size, swLng, swLat, lng, lat)
+      val c0 = math.max(0, cn - 1); val c1 = math.min(size, cn + 1)
+      val r0 = math.max(0, rn - 1); val r1 = math.min(size, rn + 1)
+      (d.sample(rn, c0).toLong + d.sample(rn, c1) + d.sample(r0, cn) +
+        d.sample(r1, cn) - 4L * d.sample(rn, cn)).toDouble
+    }
+  }
+
   /** Aspect octant (map-algebra op, beyond the reference): dominant compass
     * direction of the DOWNSLOPE vector (−dc, −dr) from the same
     * central-difference gradient as [[slope2]], in HGT north-first row order
@@ -245,6 +266,7 @@ case class ElevAtExpr(left: Expression, right: Expression,
       case "hillshade"        => bc.value.hillshade(x, y)
       case "flowdirD8"        => bc.value.flowdirD8(x, y)
       case "tri"              => bc.value.tri(x, y)
+      case "laplacian"        => bc.value.laplacian(x, y)
       case "aspectOctant"     => bc.value.aspectOctant(x, y)
       case _                  => bc.value.elevation(x, y)
     }
@@ -284,6 +306,10 @@ object ElevAt {
     GraftColumns.column(ElevAtExpr(
       GraftColumns.expression(lng.cast(DoubleType)),
       GraftColumns.expression(lat.cast(DoubleType)), bc, "tri"))
+  def elev_curvature(lng: Column, lat: Column, bc: Broadcast[TileIndex]): Column =
+    GraftColumns.column(ElevAtExpr(
+      GraftColumns.expression(lng.cast(DoubleType)),
+      GraftColumns.expression(lat.cast(DoubleType)), bc, "laplacian"))
   def elev_aspect(lng: Column, lat: Column, bc: Broadcast[TileIndex]): Column =
     GraftColumns.column(ElevAtExpr(
       GraftColumns.expression(lng.cast(DoubleType)),

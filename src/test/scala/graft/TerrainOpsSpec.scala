@@ -108,6 +108,25 @@ class TerrainOpsSpec extends AnyFunSuite {
     assert(idx.tri(at(300, 300)._1, at(300, 300)._2) > 0)
   }
 
+  test("laplacian equals 4-neighbour second difference; signs match terrain shape") {
+    val g = grid(-119, 36)
+    def brute(rn: Int, cn: Int): Long = {
+      val c0 = math.max(0, cn - 1); val c1 = math.min(size - 1, cn + 1)
+      val r0 = math.max(0, rn - 1); val r1 = math.min(size - 1, rn + 1)
+      v(g, rn, c0).toLong + v(g, rn, c1) + v(g, r0, cn) + v(g, r1, cn) -
+        4L * v(g, rn, cn)
+    }
+    nodes.foreach { case (rn, cn) =>
+      val (lng, lat) = at(rn, cn)
+      assert(idx.laplacian(lng, lat) == brute(rn, cn).toDouble, s"($rn,$cn)")
+    }
+    // analytic check: on a plane v = a + 2c + 3r (away from the %32 bump
+    // boundaries), N+S+E+W - 4*centre is exactly 0
+    assert(brute(3, 3) == 0L)
+    // missing tile ⇒ 0 (F8)
+    assert(idx.laplacian(-10.5, 10.5) == 0.0)
+  }
+
   test("aspectOctant equals atan2 sectors; synthetic field slopes down to N") {
     val g = grid(-119, 36)
     nodes.foreach { case (rn, cn) =>
