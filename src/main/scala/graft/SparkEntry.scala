@@ -199,6 +199,31 @@ object SparkEntry {
           coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
         .orderBy("event_type")
     }),
+    // Rolling anomaly flags: hourly per-type totals vs the trailing-24h
+    // window (current hour excluded). The z>=2 test is EXACT integer
+    // arithmetic on cents: (x*n - sum)^2 >= 4*(n*sumsq - sum^2) avoids any
+    // float mean/stddev, so the oracle replays it bit-for-bit. Magnitudes
+    // hold in int64 through the gate SFs; a 100 TB deployment would move
+    // the squares to DECIMAL(38,0) (same plan, wider integers).
+    "events_rolling_z" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("hr").rowsBetween(-24, -1)
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("hour", expr("cast(ts as timestamp)")).as("hr"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+        .withColumn("rcnt", count(lit(1)).over(w))
+        .withColumn("rsum", sum("cents").over(w))
+        .withColumn("rsumsq", sum(col("cents") * col("cents")).over(w))
+        .withColumn("is_anomaly",
+          when(col("rcnt") >= 8 &&
+            (col("cents") * col("rcnt") - col("rsum")) *
+              (col("cents") * col("rcnt") - col("rsum")) >=
+              lit(4L) * (col("rcnt") * col("rsumsq") - col("rsum") * col("rsum")),
+            1).otherwise(0))
+        .select("event_type", "hr", "n", "cents", "rcnt", "is_anomaly")
+        .orderBy("event_type", "hr")
+    }),
     "events_hourly" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
@@ -1710,6 +1735,21 @@ object SparkEntry {
          SELECT doc_id, count(DISTINCT ng) AS n_hit_grams
          FROM grams WHERE doc_id % 50 <> 7 AND ng IN (SELECT ng FROM bm)
          GROUP BY doc_id ORDER BY doc_id""",
+    "events_rolling_z" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT *,
+             count(*) OVER w AS rcnt,
+             COALESCE(sum(cents) OVER w, 0) AS rsum,
+             COALESCE(sum(cents * cents) OVER w, 0) AS rsumsq
+           FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr
+             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, hr, n, cents, rcnt,
+           CASE WHEN rcnt >= 8 AND
+             (cents * rcnt - rsum) * (cents * rcnt - rsum) >=
+               4 * (rcnt * rsumsq - rsum * rsum) THEN 1 ELSE 0 END AS is_anomaly
+         FROM r ORDER BY event_type, hr""",
     "events_funnel" ->
       """WITH r AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events),
