@@ -111,6 +111,65 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == exp && got.nonEmpty)
   }
 
+  test("flatMapGroupsWithState sessionization: closed sessions match batch islands") {
+    import spark.implicits._
+    val gapUs = 12L * 3600 * 1000000
+    val schema = spark.read.parquet(eventsPath).schema
+    // per-user session fold: emit every session CLOSED by a later event past
+    // the gap; the trailing open session stays in state (it would flush on an
+    // event-time timeout in a live deployment — here the stream simply ends).
+    // Rows inside a micro-batch arrive unordered: sort within the iterator,
+    // carry (start, end, n) across batches in the GroupState.
+    val sessions = spark.readStream.schema(schema).parquet(eventsPath)
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("tus"), col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout)(
+        (user: Long, it: Iterator[(Long, Long, Long)],
+         state: GroupState[(Long, Long, Long)]) => {
+          val evs = it.map(e => (e._2, e._3)).toSeq.sorted
+          var cur = state.getOption
+          val closed = Seq.newBuilder[(Long, Long, Long, Long)]
+          evs.foreach { case (tus, _) =>
+            cur match {
+              case Some((s0, e0, n0)) if tus - e0 <= gapUs =>
+                cur = Some((s0, math.max(e0, tus), n0 + 1))
+              case Some((s0, e0, n0)) =>
+                closed += ((user, s0, e0, n0)); cur = Some((tus, tus, 1L))
+              case None => cur = Some((tus, tus, 1L))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+        })
+    val q = sessions.toDF("user_id", "start_us", "end_us", "n_events")
+      .writeStream.format("memory").queryName("stream_sessions")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("stream_sessions")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // batch truth: gaps-and-islands per user; drop each user's LAST session
+    // (still open in the stream's state when the input ends)
+    val byUser = spark.read.parquet(eventsPath)
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("tus"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+    val expected = byUser.flatMap { case (user, rows) =>
+      val ts = rows.map(_._2).sorted
+      val sessions = ts.foldLeft(Vector.empty[(Long, Long, Long)]) {
+        case (acc, t) if acc.nonEmpty && t - acc.last._2 <= gapUs =>
+          acc.init :+ ((acc.last._1, t, acc.last._3 + 1))
+        case (acc, t) => acc :+ ((t, t, 1L))
+      }
+      sessions.dropRight(1).map(s => (user, s._1, s._2, s._3))
+    }.toSet
+    assert(got == expected)
+    assert(expected.nonEmpty, "degenerate: no closed sessions in the fixture")
+  }
+
   test("streaming exact dedup with watermark matches batch distinct") {
     import spark.implicits._
     // stage the same table TWICE: every event_id arrives duplicated, the
