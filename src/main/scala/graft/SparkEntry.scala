@@ -432,6 +432,28 @@ object SparkEntry {
     // reference's polyline domain as analytics). Split rule is sqrt/div-free
     // (cross² > ε²·len²) so the unrolled-CTE oracle replicates every branch;
     // ε = 0.25 (exact binary double) keeps ~79% of the zigzag vertices.
+    // Movement bearing octant per trajectory segment: the aspect-octant
+    // sign/|.| classification on (dlng, dlat) — no atan2, engine-exact.
+    "geo_bearing" -> ((s, dir) => {
+      val w = Window.partitionBy("line_id").orderBy("seq")
+      gatePoints(s, dir).filter(col("point_id") % 10 === 0)
+        .select((col("point_id") % 199).as("line_id"), col("point_id").as("seq"),
+          col("lng"), col("lat"))
+        .withColumn("dx", col("lng") - lag("lng", 1).over(w))
+        .withColumn("dy", col("lat") - lag("lat", 1).over(w))
+        .filter(col("dx").isNotNull)
+        .withColumn("octant",
+          when(col("dx") === 0 && col("dy") === 0, 0)
+            .when(abs(col("dx")) > abs(col("dy")),
+              when(col("dx") > 0, 1).otherwise(5))
+            .when(abs(col("dy")) > abs(col("dx")),
+              when(col("dy") > 0, 3).otherwise(7))
+            .otherwise(when(col("dx") > 0,
+              when(col("dy") > 0, 2).otherwise(8))
+              .otherwise(when(col("dy") > 0, 4).otherwise(6))))
+        .select("line_id", "seq", "octant")
+        .orderBy("line_id", "seq")
+    }),
     "geo_simplify" -> ((s, dir) => {
       val verts = gatePoints(s, dir).filter(col("point_id") % 10 === 0)
         .select((col("point_id") % 199).as("line_id"), col("point_id").as("seq"),
@@ -630,6 +652,14 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       ops.Embeddings.ivfSearch(e, e.filter(col("vec_id") < 5),
         kCentroids = 8, nProbe = 2, topK = 5).orderBy("qid", "rank")
+    }),
+    // IVF-PQ: same coarse probe, candidates scored by asymmetric distance
+    // over 8x1B PQ codes — corpus vectors never cross the join.
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      ops.Embeddings.ivfPqSearch(e, e.filter(col("vec_id") < 5),
+        kCentroids = 8, nProbe = 2, nSub = 8, kCodes = 8, topK = 5)
+        .orderBy("qid", "rank")
     }),
     // Recall@k of the IVF search vs the exact cosine baseline on the same
     // queries — the tuning number for nProbe (deterministic, so the oracle
@@ -1360,6 +1390,45 @@ object SparkEntry {
   /** Recall@5 oracle: IVF candidate set (same CTEs as the topk oracle, 25
     * queries) intersected with the exact brute-force top-5 per query.
     */
+  /** IVF-PQ oracle: the [[ivfTopkOracleSql]] coarse scaffold + the PQ-code
+    * assignment of the ann_pq_code oracle, candidates scored by ADC — the
+    * outer subspace sum is a left fold seeded with 0.0, IEEE-identical to
+    * Spark's `(0 until 8).map(term).reduce(_ + _)`.
+    */
+  private val ivfPqOracleSql: String =
+    """WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       cents AS (SELECT range AS c FROM range(0, 8)),
+       d AS (SELECT vec_id, c,
+         list_reduce(list_prepend(0.0, list_transform(range(0,64),
+           d -> (v[d+1] - (((c*53 + d*17) % 13) - 6)) * (v[d+1] - (((c*53 + d*17) % 13) - 6)))),
+           (p,q) -> p + q) AS d2
+         FROM vv, cents),
+       assign AS (SELECT vec_id, c AS centroid FROM (
+         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d) WHERE rn = 1),
+       pqd AS (SELECT vec_id, s.s AS s, kk.k AS k,
+           list_reduce(list_prepend(0.0, list_transform(range(0,8),
+             dd -> (v[s.s*8 + dd + 1] - (((s.s*29 + kk.k*53 + dd*17) % 13) - 6)) * (v[s.s*8 + dd + 1] - (((s.s*29 + kk.k*53 + dd*17) % 13) - 6)))),
+             (p,q) -> p + q) AS d2
+         FROM vv, (SELECT range AS s FROM range(0,8)) s, (SELECT range AS k FROM range(0,8)) kk),
+       codes AS (SELECT vec_id, list(k ORDER BY s) AS codes FROM (
+         SELECT vec_id, s, k, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, k) AS rn FROM pqd)
+         WHERE rn = 1 GROUP BY vec_id),
+       qprobe AS (SELECT vec_id AS qid, c AS centroid FROM (
+         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d WHERE vec_id < 5) WHERE rn <= 2),
+       cand AS (SELECT q.qid, a.vec_id AS neighbor_id,
+           list_reduce(list_prepend(0.0, list_transform(range(0,8), s ->
+             list_reduce(list_prepend(0.0, list_transform(range(0,8),
+               dd -> (qv.v[s*8 + dd + 1] - (((s*29 + cd.codes[s+1]*53 + dd*17) % 13) - 6)) * (qv.v[s*8 + dd + 1] - (((s*29 + cd.codes[s+1]*53 + dd*17) % 13) - 6)))),
+               (p,q) -> p + q))), (p,q) -> p + q) AS adc
+         FROM qprobe q JOIN assign a ON a.centroid = q.centroid
+         JOIN codes cd ON cd.vec_id = a.vec_id
+         JOIN vv qv ON qv.vec_id = q.qid
+         WHERE a.vec_id <> q.qid)
+       SELECT qid, neighbor_id, rank, round(adc, 4) AS adc_r FROM (
+         SELECT qid, neighbor_id, adc,
+           row_number() OVER (PARTITION BY qid ORDER BY adc, neighbor_id) AS rank FROM cand)
+       WHERE rank <= 5 ORDER BY qid, rank"""
+
   private val ivfRecallOracleSql: String =
     """WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        cents AS (SELECT range AS c FROM range(0, 8)),
@@ -1713,6 +1782,24 @@ object SparkEntry {
     "geo_flowdir" -> flowdirOracleSql,
     "geo_tri" -> triOracleSql,
     "geo_curvature" -> curvatureOracleSql,
+    "geo_bearing" ->
+      """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
+           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
+           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
+           FROM lineitem),
+         v AS (SELECT point_id % 199 AS line_id, point_id AS seq, lng, lat
+           FROM pts WHERE point_id % 10 = 0),
+         d AS (SELECT line_id, seq,
+             lng - lag(lng) OVER w AS dx, lat - lag(lat) OVER w AS dy
+           FROM v WINDOW w AS (PARTITION BY line_id ORDER BY seq))
+         SELECT line_id, seq,
+           CASE WHEN dx = 0 AND dy = 0 THEN 0
+                WHEN abs(dx) > abs(dy) THEN CASE WHEN dx > 0 THEN 1 ELSE 5 END
+                WHEN abs(dy) > abs(dx) THEN CASE WHEN dy > 0 THEN 3 ELSE 7 END
+                ELSE CASE WHEN dx > 0 THEN (CASE WHEN dy > 0 THEN 2 ELSE 8 END)
+                          ELSE (CASE WHEN dy > 0 THEN 4 ELSE 6 END) END
+           END AS octant
+         FROM d WHERE dx IS NOT NULL ORDER BY line_id, seq""",
     "geo_aspect" -> aspectOracleSql,
     "geo_zorder" ->
       """WITH pts AS (SELECT c_custkey AS point_id,
@@ -2030,6 +2117,7 @@ object SparkEntry {
            CAST(sum(q) AS BIGINT) / (count(*) * 1000000.0) AS mean
          FROM x GROUP BY 1, 2 ORDER BY centroid, dim""",
     "ann_ivf_topk" -> ivfTopkOracleSql,
+    "ann_ivfpq_topk" -> ivfPqOracleSql,
     "ann_ivf_recall" -> ivfRecallOracleSql,
     "dedup_cluster_keep" -> clusterOracleSql,
     // star contraction must land on the identical component map, so it

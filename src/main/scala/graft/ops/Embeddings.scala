@@ -255,4 +255,67 @@ object Embeddings {
       .agg(count(lit(1)).as("n"), sum("q").as("sum_q"))
       .withColumn("mean", col("sum_q") / (col("n") * lit(1000000.0)))
   }
+
+  /** [[pqCentroid]] with the code as a COLUMN — the ADC path looks the
+    * codebook entry up by the corpus row's stored code at query time.
+    */
+  private def pqCentroidCol(s: Int, k: Column, dims: Int): Column =
+    transform(sequence(lit(0), lit(dims - 1)),
+      d => ((lit(s * 29) + k * 53 + d * 17) % 13 - 6).cast("double"))
+
+  /** IVF-PQ search — the composed 100 TB ANN read path: coarse-probe the
+    * IVF lists ([[ivfSearch]]'s join shape, including its lazy byte-gated
+    * broadcast), but score candidates by ASYMMETRIC DISTANCE (ADC): the
+    * corpus side carries only its `nSub` PQ codes — the original vectors
+    * are DROPPED before the join, so candidate traffic is ~32× narrower —
+    * and each candidate's distance is Σₛ ‖q_sub − codebook(s, codeₛ)‖²,
+    * an in-order fold the DuckDB oracle replays exactly (left-assoc sum
+    * of per-subspace [[graft.functions.vectors.vec_dist2]] terms).
+    * Recall vs [[ivfSearch]]'s exact re-rank is the PQ fidelity trade;
+    * `ann_ivf_recall` is the measurement harness for both.
+    *
+    * @return (qid, neighbor_id, rank, adc_r) — topK by (adc asc, id)
+    */
+  def ivfPqSearch(vecs: DataFrame, queries: DataFrame, kCentroids: Int,
+                  nProbe: Int, nSub: Int, kCodes: Int, topK: Int,
+                  broadcastMaxBytes: Long = 64L << 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(64 % nSub == 0, s"nSub must divide 64, got $nSub")
+    val dims = 64 / nSub
+    val dists = (0 until kCentroids).map { c =>
+      struct(vec_dist2(col("v"), centroid(c)).as("d2"), lit(c).as("c"))
+    }
+    val corpus = vecs.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("centroid", least(dists: _*).getField("c"))
+      .withColumn("codes", array((0 until nSub).map { s =>
+        val sub = slice(col("v"), s * dims + 1, dims)
+        least((0 until kCodes).map { k =>
+          struct(vec_dist2(sub, pqCentroid(s, k, dims)).as("d2"), lit(k).as("k"))
+        }: _*).getField("k")
+      }: _*))
+      .drop("v") // the point of PQ: only (centroid, codes) cross the join
+    val qdists = (0 until kCentroids).map { c =>
+      struct(vec_dist2(col("qv"), centroid(c)).as("d2"), lit(c).as("c"))
+    }
+    val qprobe = queries.select(col("vec_id").cast("long").as("qid"),
+        col("embedding").cast("array<double>").as("qv"))
+      .withColumn("probe", explode(slice(array_sort(array(qdists: _*)), 1, nProbe)))
+      .select(col("qid"), col("qv"), col("probe").getField("c").as("centroid"))
+    val qBytes = queries.queryExecution.optimizedPlan.stats.sizeInBytes
+    val probeSide =
+      if (qBytes * nProbe <= BigInt(broadcastMaxBytes)) broadcast(qprobe)
+      else qprobe
+    val adc = (0 until nSub).map { s =>
+      vec_dist2(slice(col("qv"), s * dims + 1, dims),
+        pqCentroidCol(s, element_at(col("codes"), s + 1), dims))
+    }.reduce(_ + _)
+    val cand = corpus.join(probeSide, Seq("centroid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adc", adc)
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("adc"), 4).as("adc_r"))
+  }
 }

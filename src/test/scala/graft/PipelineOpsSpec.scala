@@ -408,6 +408,51 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.toSet
     assert(got == want)
   }
+  test("ivfPqSearch equals brute-force ADC over the probed lists") {
+    import spark.implicits._
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(64)(d => (((i * 31 + d * 7) % 17) - 8).toFloat)
+    val vecs = (0 until 200).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val queries = (0 until 3).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val got = Embeddings.ivfPqSearch(vecs, queries, kCentroids = 8, nProbe = 2,
+        nSub = 8, kCodes = 8, topK = 4)
+      .select("qid", "neighbor_id", "rank").as[(Long, Long, Int)]
+      .collect().toSet
+
+    def centroid(c: Int): Array[Double] =
+      Array.tabulate(64)(d => ((c * 53 + d * 17) % 13 - 6).toDouble)
+    def pqCent(s: Int, k: Int): Array[Double] =
+      Array.tabulate(8)(d => ((s * 29 + k * 53 + d * 17) % 13 - 6).toDouble)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    val all = (0 until 200).map(i => i.toLong -> vec(i).map(_.toDouble)).toMap
+    val assign = all.map { case (id, v) =>
+      id -> (0 until 8).map(c => (d2(v, centroid(c)), c)).min._2
+    }
+    val codes = all.map { case (id, v) =>
+      id -> Array.tabulate(8) { s =>
+        val sub = v.slice(s * 8, s * 8 + 8)
+        (0 until 8).map(k => (d2(sub, pqCent(s, k)), k)).min._2
+      }
+    }
+    val want = (0 until 3).flatMap { qi =>
+      val qv = all(qi.toLong)
+      val probed = (0 until 8).map(c => (d2(qv, centroid(c)), c)).sorted.take(2)
+        .map(_._2).toSet
+      val cand = all.keys.filter(id =>
+        id != qi.toLong && probed.contains(assign(id)))
+      cand.toSeq.map { id =>
+        val adc = (0 until 8).map(s =>
+          d2(qv.slice(s * 8, s * 8 + 8), pqCent(s, codes(id)(s)))).sum
+        (id, adc)
+      }.sortBy { case (id, adc) => (adc, id) }.take(4).zipWithIndex
+        .map { case ((id, _), r) => (qi.toLong, id, r + 1) }
+    }.toSet
+    assert(got == want)
+  }
+
   test("hllDistinct matches scalar re-implementation; estimate within sketch error") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
