@@ -353,6 +353,43 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("ivfPqSearch: no cartesian; corpus vectors dropped before the probe join") {
+    import spark.implicits._
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(64)(d => (((i * 31 + d * 7) % 17) - 8).toFloat)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_planspec_ivfpq"
+    graft.table.Checkpoint.clear(dir)
+    (0 until 5000).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    val queries = corpus.filter(col("vec_id") < 3)
+    // AQE's wrapper node hides the join from collect(); the static plan is
+    // what this audit is about. executedPlan is LAZY — force it before
+    // re-enabling AQE.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val executed =
+      try {
+        val out = graft.ops.Embeddings.ivfPqSearch(corpus, queries,
+          kCentroids = 8, nProbe = 2, nSub = 8, kCodes = 8, topK = 4)
+        out.queryExecution.executedPlan
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val plan = executed.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"ivfpq fell back to all-pairs:\n$plan")
+    // the 64-double corpus vector must NOT appear on the join's stream side:
+    // only (vec_id, centroid, codes) survive the pre-join projection
+    val joinNode = executed.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(joinNode.isDefined, s"expected broadcast probe join:\n$plan")
+    val streamSide = joinNode.get.children.find(c => c.collectFirst {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }.isEmpty).get
+    val streamCols = streamSide.output.map(_.name).toSet
+    assert(!streamCols.contains("v") && !streamCols.contains("embedding"),
+      s"corpus vector crossed the join: $streamCols")
+  }
+
   test("zorder-clustered write: disjoint per-file key ranges, bbox touches ~1/4 of files") {
     import spark.implicits._
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_planspec_zorder"
