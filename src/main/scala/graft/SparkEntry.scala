@@ -769,6 +769,12 @@ object SparkEntry {
     "img_stats" -> ((s, dir) => {
       ops.ImageOps.decodeStats(gateTiles(s, "png")).orderBy("image_id")
     }),
+    // Per-image luminance histogram (width-256 bins): the exposure profile
+    // for degenerate-image filtering; decode-once, zero shuffle.
+    "img_histogram" -> ((s, dir) => {
+      ops.ImageOps.histogram(gateTiles(s, "png"), width = 256)
+        .orderBy("image_id", "bin")
+    }),
     // Dual-resolution conversion (reference getResolutionAndSize.ts: 1″↔3″):
     // 3:1 decimation resample re-encoded as HGT rows, then re-decoded for
     // stats — encode∘decode round-trips through the new payload, and the
@@ -2123,6 +2129,15 @@ object SparkEntry {
     // star contraction must land on the identical component map, so it
     // shares the recursive-CTE clustering oracle
     "dedup_cluster_star" -> clusterOracleSql,
+    "img_histogram" ->
+      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         g AS (SELECT swlng, swlat,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS v
+           FROM corners, range(0,601) r, range(0,601) c)
+         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           CAST(v // 256 AS INT) AS bin, count(*) AS n_px
+         FROM g GROUP BY 1, 2 ORDER BY 1, 2""",
     "img_stats" ->
       """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
          g AS (SELECT swlng, swlat,

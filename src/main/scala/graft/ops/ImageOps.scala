@@ -39,6 +39,40 @@ object ImageOps {
     }.toDF()
   }
 
+  /** One luminance-histogram bin of one image. */
+  final case class ImgHistRow(image_id: String, bin: Int, n_px: Long)
+
+  /** Per-image fixed-width value histogram from the decoded grid — the
+    * exposure/contrast profile used to filter degenerate images (all-flat,
+    * clipped, bimodal) from a training corpus. Decode-once mapPartitions,
+    * ≤ (value-range/width) rows out per image, ZERO shuffle: each image's
+    * bins are complete within its row, no re-aggregation needed. Bins are
+    * floor-division (`floorDiv(v, width)`), so negative no-data samples
+    * land in negative bins instead of corrupting bin 0; empty bins are
+    * omitted. Fixed-width mergeable bins are deliberately the same contract
+    * as [[Quantiles]]' histogram — at 100 TB a per-corpus histogram is one
+    * map-side-combined groupBy(bin) away.
+    */
+  def histogram(tiles: Dataset[TileRow], width: Int): DataFrame = {
+    require(width > 0, s"width must be > 0, got $width")
+    implicit val enc = Encoders.product[ImgHistRow]
+    tiles.mapPartitions { it =>
+      it.flatMap { t =>
+        val d = TileCodec.decode(t)
+        val counts = scala.collection.mutable.LongMap.empty[Long]
+        var i = 0
+        while (i < d.samples.length) {
+          val b = math.floorDiv(d.samples(i).toInt, width)
+          counts(b.toLong) = counts.getOrElse(b.toLong, 0L) + 1L
+          i += 1
+        }
+        counts.toSeq.sortBy(_._1).map { case (b, n) =>
+          ImgHistRow(t.image_id, b.toInt, n)
+        }
+      }
+    }.toDF()
+  }
+
   /** k:1 decimation resample — the reference's dual-resolution domain
     * (SRTM 1″ 3601² ↔ 3″ 1201², src/elevation/getResolutionAndSize.ts:3-14)
     * as a batch tile-table transform: every kth sample of the logical grid,
