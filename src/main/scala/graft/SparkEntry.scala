@@ -925,6 +925,39 @@ object SparkEntry {
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy("cohort_week", "week_offset")
     }),
+    // Sequence packing: concatenate each source's docs in doc_id order and
+    // chop into 512-token training sequences — every doc gets (seq_id,
+    // offset) of its start; docs straddle boundaries, as GPT-style packing
+    // does. One shuffle (window per source), exact integer cumsums.
+    "curation_pack" -> ((s, dir) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      t(s, dir, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .withColumn("start_tok",
+          coalesce(sum("n_tokens").over(w.rowsBetween(
+            Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          expr("start_tok div 512").as("seq_id"),
+          (col("start_tok") % 512).as("offset"))
+        .orderBy("doc_id")
+    }),
+    // Token-budget sampling: keep each source's docs in deterministic
+    // md5-hash order until the source's token cap — the data-mixing step
+    // that hits per-source token targets, not row counts.
+    "curation_budget" -> ((s, dir) => {
+      val caps = typedLit(Map("src0" -> 1000L, "src1" -> 700L,
+        "src2" -> 400L, "src3" -> 200L))
+      val w = Window.partitionBy("source")
+        .orderBy(col("h"), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .withColumn("h", md5(col("doc_id").cast("string")))
+        .withColumn("cum", sum("n_tokens").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("cum") <= coalesce(element_at(caps, col("source")), lit(800L)))
+        .select("doc_id", "source", "n_tokens", "cum")
+        .orderBy("doc_id")
+    }),
     "curation_stratified" -> ((s, dir) => {
       ops.Curation.stratifiedSample(
           t(s, dir, "documents").select("doc_id", "source"),
@@ -1870,6 +1903,24 @@ object SparkEntry {
            count(DISTINCT ev.user_id) AS n_users
          FROM ev JOIN cohort ON ev.user_id = cohort.user_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "curation_pack" ->
+      """WITH d AS (SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+         c AS (SELECT *, COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok FROM d)
+         SELECT doc_id, source, n_tokens,
+           start_tok // 512 AS seq_id, start_tok % 512 AS offset
+         FROM c ORDER BY doc_id""",
+    "curation_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+         SELECT doc_id, source, n_tokens, cum FROM c
+         WHERE cum <= CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 700
+           WHEN 'src2' THEN 400 WHEN 'src3' THEN 200 ELSE 800 END
+         ORDER BY doc_id""",
     "curation_stratified" ->
       """SELECT doc_id, source FROM documents
          WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
