@@ -925,6 +925,32 @@ object SparkEntry {
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy("cohort_week", "week_offset")
     }),
+    // Fuzzy decontamination: LSH band candidates corpus x eval + exact
+    // shingle-Jaccard verify. Corpus augmented with mutated eval copies
+    // (+300000, trailing junk words) so the fuzzy path has real leakage to
+    // catch — the exact 13-gram test misses edited copies by construction.
+    "curation_decontam_fuzzy" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val eval = d.filter(col("doc_id") % 50 === 7)
+      val corpus = d.filter(col("doc_id") % 50 =!= 7)
+        .unionAll(eval.select((col("doc_id") + 300000).as("doc_id"),
+          concat(col("text"), lit(" zz qq ww ee rr tt")).as("text")))
+      ops.Curation.decontaminateFuzzy(corpus, eval)
+        .orderBy("doc_id", "eval_id")
+    }),
+    // Event-type transition counts: the Markov matrix of consecutive
+    // per-user events — one window shuffle, integer counts.
+    "events_transition" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      t(s, dir, "events")
+        .selectExpr("user_id", "unix_micros(cast(ts as timestamp)) AS tus",
+          "event_id", "event_type")
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("from_type", "to_type")
+    }),
     // Sequence packing: concatenate each source's docs in doc_id order and
     // chop into 512-token training sequences — every doc gets (seq_id,
     // offset) of its start; docs straddle boundaries, as GPT-style packing
@@ -1343,6 +1369,40 @@ object SparkEntry {
        hv AS (SELECT doc_id, list_transform(sh, x -> ${sqlH60("x")} % 1048573) AS hv FROM sh),
        sig AS (SELECT doc_id, $sigs FROM hv),
        banded AS ($bandRows)"""
+  }
+
+  /** Fuzzy-decontamination oracle: the minhash band pipeline over
+    * corpus ∪ eval (corpus = non-eval docs + mutated eval copies at
+    * +300000), cross-set band candidates, exact shingle-Jaccard verify.
+    */
+  private val decontamFuzzyOracleSql: String = {
+    val sigs = (0 until 8).map { j =>
+      s"list_min(list_transform(hv, h -> (${2 * j + 3}*h + ${5 * j + 7}) % 1048573)) AS m$j"
+    }.mkString(",\n           ")
+    val bandRows = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band_id, m${2 * b}*1048573 + m${2 * b + 1} AS band_key FROM sig"
+    }.mkString("\n           UNION ALL ")
+    s"""WITH alldocs AS (
+         SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 7
+         UNION ALL SELECT doc_id + 300000 AS doc_id, text || ' zz qq ww ee rr tt' AS text
+           FROM documents WHERE doc_id % 50 = 7
+         UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 50 = 7),
+       sh AS (SELECT doc_id, $sqlShingles3 AS sh FROM alldocs),
+       hv AS (SELECT doc_id, list_transform(sh, x -> ${sqlH60("x")} % 1048573) AS hv FROM sh),
+       sig AS (SELECT doc_id, $sigs FROM hv),
+       banded AS ($bandRows),
+       cand AS (SELECT DISTINCT a.doc_id, b.doc_id AS eval_id
+         FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+         WHERE (a.doc_id >= 300000 OR a.doc_id % 50 <> 7)
+           AND b.doc_id < 300000 AND b.doc_id % 50 = 7),
+       ds AS (SELECT doc_id, list_distinct(sh) AS s FROM sh)
+       SELECT doc_id, eval_id, j FROM (
+         SELECT c.doc_id, c.eval_id,
+           round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+             len(list_distinct(list_concat(sa.s, sb.s))), 6) AS j
+         FROM cand c JOIN ds sa ON sa.doc_id = c.doc_id
+           JOIN ds sb ON sb.doc_id = c.eval_id)
+       WHERE j >= 0.5 ORDER BY doc_id, eval_id"""
   }
 
   private val minhashOracleSql: String =
@@ -1903,6 +1963,13 @@ object SparkEntry {
            count(DISTINCT ev.user_id) AS n_users
          FROM ev JOIN cohort ON ev.user_id = cohort.user_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "curation_decontam_fuzzy" -> decontamFuzzyOracleSql,
+    "events_transition" ->
+      """WITH r AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events)
+         SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+         FROM r WHERE prev IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""",
     "curation_pack" ->
       """WITH d AS (SELECT doc_id, source,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),

@@ -286,4 +286,45 @@ object Curation {
       .groupBy("doc_id")
       .agg(countDistinct(col("ng")).as("n_hit_grams"))
   }
+
+  /** FUZZY benchmark decontamination — [[decontaminate]]'s exact n-gram test
+    * misses lightly-edited eval leakage; this is the MinHash variant (Gopher
+    * ran both): corpus×eval candidate pairs from an LSH band join, then an
+    * exact shingle-Jaccard verification gate.
+    *
+    * 100 TB shape: both the banded eval signatures AND the eval shingle
+    * sets are broadcast (eval sets are tiny); the corpus computes its
+    * signature on the scan, band-joins without shuffling its bytes, and
+    * only the candidate hits re-read their shingles for the verify join.
+    *
+    * @return (doc_id, eval_id, j) — corpus docs with exact 3-gram Jaccard
+    *         ≥ `minJaccard` against an eval doc, j = round(jaccard, 6)
+    */
+  def decontaminateFuzzy(corpus: DataFrame, evalSet: DataFrame,
+                         shingleN: Int = 3, nHashes: Int = 8, bands: Int = 4,
+                         minJaccard: Double = 0.5): DataFrame = {
+    import TextDedup.{minhashSigFromHashes, shingleHashes, shingles, P}
+    require(nHashes % bands == 0, "nHashes must be divisible by bands")
+    val r = nHashes / bands
+    def banded(df: DataFrame, idAs: String): DataFrame = df
+      .select(col("doc_id").as(idAs), shingleHashes(col("text"), shingleN).as("hv"))
+      .select(col(idAs), minhashSigFromHashes(col("hv"), nHashes).as("sig"))
+      .select(col(idAs), posexplode(array((0 until bands).map { bnd =>
+        (0 until r).map(i => element_at(col("sig"), bnd * r + i + 1))
+          .reduceLeft((acc, v) => acc * lit(P) + v)
+      }: _*)).as(Seq("band_id", "band_key")))
+    val cand = banded(corpus, "doc_id")
+      .join(broadcast(banded(evalSet, "eval_id")), Seq("band_id", "band_key"))
+      .select("doc_id", "eval_id").distinct()
+    val ca = corpus.select(col("doc_id"),
+      array_distinct(shingles(col("text"), shingleN)).as("sa"))
+    val cb = evalSet.select(col("doc_id").as("eval_id"),
+      array_distinct(shingles(col("text"), shingleN)).as("sb"))
+    cand.join(ca, "doc_id").join(broadcast(cb), "eval_id")
+      .withColumn("j", round(
+        size(array_intersect(col("sa"), col("sb"))) /
+          size(array_union(col("sa"), col("sb"))), 6))
+      .filter(col("j") >= minJaccard)
+      .select("doc_id", "eval_id", "j")
+  }
 }
