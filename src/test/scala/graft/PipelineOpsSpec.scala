@@ -688,6 +688,38 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 5L, 2L, 3L, 4L, 2L, (3L * 1000000L) / 5L, (2L * 1000000L) / 4L)))
   }
 
+  test("decontaminateFuzzy: subset of brute-force J>=tau pairs; catches all mutated copies") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    def sentence(n: Int): String =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val eval = (1000 until 1010).map(i => (i.toLong, sentence(20)))
+    // corpus: unrelated docs + a lightly-edited copy of every eval doc
+    val clean = (0 until 80).map(i => (i.toLong, sentence(20)))
+    val mutated = eval.map { case (id, t) => (id + 9000, t + " xx yy") }
+    val corpus = clean ++ mutated
+    val got = graft.ops.Curation.decontaminateFuzzy(
+        corpus.toDF("doc_id", "text"), eval.toDF("doc_id", "text"),
+        minJaccard = 0.5)
+      .select("doc_id", "eval_id").as[(Long, Long)].collect().toSet
+    // brute-force exact-Jaccard truth (the LSH stage may MISS pairs — that
+    // is its contract — but must never emit a pair below the verify gate)
+    def sh(s: String): Set[String] =
+      s.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val truth = (for {
+      (cid, ct) <- corpus; (eid, et) <- eval
+      j = sh(ct).intersect(sh(et)).size.toDouble / sh(ct).union(sh(et)).size
+      if j >= 0.5
+    } yield (cid, eid)).toSet
+    assert(got.subsetOf(truth), s"emitted below-gate pairs: ${got.diff(truth)}")
+    // every mutated copy shares 7 of 8 minhash lanes with its source on
+    // average — all 10 must be flagged against their own eval doc
+    val mustCatch = eval.map { case (id, _) => (id + 9000, id) }.toSet
+    assert(mustCatch.subsetOf(got),
+      s"missed mutated copies: ${mustCatch.diff(got)}")
+  }
+
   test("wordNgrams: exact windows, short docs empty (sequence(1,0) guard)") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d"), (2L, "a b"), (3L, "x y z")).toDF("doc_id", "text")
