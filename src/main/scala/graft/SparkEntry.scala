@@ -376,6 +376,31 @@ object SparkEntry {
         .select("point_id", "cell")
         .orderBy("point_id")
     }),
+    // Hex-cell density profile: the skew report that feeds salting/adaptive
+    // PIP hot-set decisions — dense cells at res 7, one map-combined shuffle.
+    "geo_cell_density" -> ((s, dir) => {
+      quadrantPoints(s, dir)
+        .withColumn("cell", cells.hex_cell(col("lng"), col("lat"), lit(7)))
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 5)
+        .orderBy(col("n").desc, col("cell"))
+    }),
+    // Anti-join: customers with no 1997+ order (churn report), per segment.
+    "q_antijoin" -> ((s, dir) => {
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+      t(s, dir, "customer")
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
+    // Semi-join: suppliers with shipped lineitems, per nation.
+    "q_semijoin" -> ((s, dir) => {
+      t(s, dir, "supplier")
+        .join(t(s, dir, "lineitem"), col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .groupBy("s_nationkey").agg(count(lit(1)).as("n_suppliers"))
+        .orderBy("s_nationkey")
+    }),
     "geo_zxy" -> ((s, dir) => {
       quadrantPoints(s, dir)
         .withColumn("x", zxy_x(col("lng"), lit(14)))
@@ -2156,6 +2181,18 @@ object SparkEntry {
          GROUP BY poly_id ORDER BY poly_id""",
     "geo_s2_cell" -> s2OracleSql(quadrantPtsCte, 12),
     "geo_hex_cell" -> hexOracleSql(quadrantPtsCte, 9),
+    "geo_cell_density" ->
+      s"""SELECT cell, count(*) AS n FROM (${hexOracleSql(quadrantPtsCte, 7)})
+         GROUP BY cell HAVING count(*) >= 5 ORDER BY n DESC, cell""",
+    "q_antijoin" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1997-01-01')
+         GROUP BY 1 ORDER BY 1""",
+    "q_semijoin" ->
+      """SELECT s_nationkey, count(*) AS n_suppliers FROM supplier
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+         GROUP BY 1 ORDER BY 1""",
     "sql_surface" -> {
       // compose: tile key formatting + S2 level 10 + hex res 7 over the same
       // quadrant points, each from its existing oracle building block
