@@ -950,6 +950,41 @@ object SparkEntry {
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy("cohort_week", "week_offset")
     }),
+    // The composed curation pipeline — the ops are designed to CHAIN:
+    // exact dedup (md5 keeper) -> quality gate (length + Gopher word-rep)
+    // -> 13-gram decontamination (broadcast eval grams, anti-join) ->
+    // per-source token budget (md5-ordered cumsum cap). Four stages,
+    // four key-bounded shuffles, one scan of the corpus text.
+    "curation_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val s1 = dedupCorpus(s, dir)
+        .withColumn("keeper",
+          min("doc_id").over(Window.partitionBy(md5(col("text")))))
+        .filter(col("doc_id") === col("keeper")).drop("keeper")
+      val s2 = s1
+        .withColumn("wlist", split(col("text"), " "))
+        .withColumn("n_words", size(col("wlist")).cast("long"))
+        .withColumn("n_distinct", size(array_distinct(col("wlist"))).cast("long"))
+        .filter(col("n_words") >= 20 &&
+          expr("(n_words - n_distinct) * 1000000 div n_words") < 500000)
+      val evalGrams = docs.filter(col("doc_id") % 50 === 7)
+        .select(explode(ops.Curation.wordNgrams(col("text"), 13)).as("ng"))
+        .distinct()
+      val contaminated = s2
+        .select(col("doc_id"), explode(ops.Curation.wordNgrams(col("text"), 13)).as("ng"))
+        .join(broadcast(evalGrams), "ng").select("doc_id").distinct()
+      val s3 = s2.filter((col("doc_id") % 100000) % 50 =!= 7)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      val w4 = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      s3.withColumn("orig_id", col("doc_id") % 100000)
+        .join(docs.select(col("doc_id").as("orig_id"), col("source")), "orig_id")
+        .withColumn("cum", sum("n_words").over(
+          w4.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("cum") <= 800)
+        .select("doc_id", "source", "n_words", "cum")
+        .orderBy("doc_id")
+    }),
     // Fuzzy decontamination: LSH band candidates corpus x eval + exact
     // shingle-Jaccard verify. Corpus augmented with mutated eval copies
     // (+300000, trailing junk words) so the fuzzy path has real leakage to
@@ -1989,6 +2024,34 @@ object SparkEntry {
          FROM ev JOIN cohort ON ev.user_id = cohort.user_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
     "curation_decontam_fuzzy" -> decontamFuzzyOracleSql,
+    "curation_pipeline" ->
+      s"""WITH corpus AS ($sqlDedupCorpus),
+         s1 AS (SELECT doc_id, text FROM (
+             SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM corpus)
+           WHERE doc_id = keeper),
+         s2 AS (SELECT doc_id, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+           FROM s1),
+         s2f AS (SELECT * FROM s2
+           WHERE n_words >= 20 AND (n_words - n_distinct) * 1000000 // n_words < 500000),
+         toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM s2f),
+         grams AS (SELECT doc_id,
+             array_to_string(list_slice(w, CAST(g AS BIGINT), CAST(g AS BIGINT) + 12), ' ') AS ng
+           FROM toks, unnest(range(1, greatest(len(w) - 11, 1))) AS t(g)),
+         bm AS (SELECT DISTINCT
+             array_to_string(list_slice(w2, CAST(g AS BIGINT), CAST(g AS BIGINT) + 12), ' ') AS ng
+           FROM (SELECT string_split(text, ' ') AS w2 FROM documents WHERE doc_id % 50 = 7),
+             unnest(range(1, greatest(len(w2) - 11, 1))) AS t(g)),
+         bad AS (SELECT DISTINCT doc_id FROM grams WHERE ng IN (SELECT ng FROM bm)),
+         s3 AS (SELECT s2f.* FROM s2f
+           WHERE (doc_id % 100000) % 50 <> 7 AND doc_id NOT IN (SELECT doc_id FROM bad)),
+         s4 AS (SELECT s3.doc_id, d2.source, s3.n_words,
+             sum(s3.n_words) OVER (PARTITION BY d2.source
+               ORDER BY md5(CAST(s3.doc_id AS VARCHAR)), s3.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM s3 JOIN documents d2 ON s3.doc_id % 100000 = d2.doc_id)
+         SELECT doc_id, source, n_words, cum FROM s4 WHERE cum <= 800 ORDER BY doc_id""",
     "events_transition" ->
       """WITH r AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id,
              lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
