@@ -361,6 +361,18 @@ object SparkEntry {
           min(col("elev")).as("min_elev"), max(col("elev")).as("max_elev"))
         .orderBy("poly_id")
     }),
+    // Zonal histogram: per-polygon elevation distribution in width-256 bins
+    // (terrain mix per zone) — the PIP join + probe of zonal_stats, one
+    // map-combined groupBy on (poly, bin). floor(x/256.0) is exact for the
+    // power-of-two width, so the oracle replays it bit-for-bit.
+    "zonal_hist" -> ((s, dir) => {
+      val bc = ops.TileIndex.broadcastIndex(gateTiles(s))
+      ops.SpatialJoin.pointInPolygon(gatePoints(s, dir), trianglePolys(s, dir), Some(11))
+        .withColumn("elev", ops.ElevAt.elev_at(col("lng"), col("lat"), bc))
+        .withColumn("bin", floor(col("elev") / lit(256.0)).cast("long"))
+        .groupBy("poly_id", "bin").agg(count(lit(1)).as("n"))
+        .orderBy("poly_id", "bin")
+    }),
     // S2 + hex cell assignment with full cross-engine oracles (the DuckDB
     // side re-implements the Hilbert curve as a recursive CTE).
     "geo_s2_cell" -> ((s, dir) => {
@@ -2242,6 +2254,42 @@ object SparkEntry {
          SELECT poly_id, count(*) AS n_points, min(elev) AS min_elev, max(elev) AS max_elev
          FROM inside JOIN e USING (point_id)
          GROUP BY poly_id ORDER BY poly_id""",
+    "zonal_hist" ->
+      """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
+           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS px,
+           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS py
+           FROM lineitem),
+         tri AS (SELECT s_suppkey AS poly_id,
+           -120.0 + (s_suppkey % 40) * 0.1 AS cx, 36.0 + ((s_suppkey * 3) % 20) * 0.1 AS cy,
+           0.05 + (s_suppkey % 7) * 0.013 AS w, 0.04 + (s_suppkey % 5) * 0.017 AS h
+           FROM supplier),
+         tv AS (SELECT poly_id, cx AS x1, cy + h AS y1, cx - w AS x2, cy - h AS y2,
+           cx + w AS x3, cy - h AS y3 FROM tri),
+         inside AS (SELECT point_id, poly_id, px, py FROM (
+             SELECT p.point_id, p.px, p.py, tv.* FROM pts p JOIN tv
+             ON p.px >= tv.x2 AND p.px <= tv.x3 AND p.py >= tv.y2 AND p.py <= tv.y1)
+           WHERE ((CASE WHEN (y1 > py) <> (y3 > py) AND px < (x3 - x1) * (py - y1) / (y3 - y1) + x1 THEN 1 ELSE 0 END)
+                + (CASE WHEN (y2 > py) <> (y1 > py) AND px < (x1 - x2) * (py - y2) / (y1 - y2) + x2 THEN 1 ELSE 0 END)
+                + (CASE WHEN (y3 > py) <> (y2 > py) AND px < (x2 - x3) * (py - y3) / (y2 - y3) + x3 THEN 1 ELSE 0 END)) % 2 = 1),
+         ek AS (SELECT point_id, px AS lng, py AS lat,
+           CAST(floor(px) AS BIGINT) AS swlng, CAST(floor(py) AS BIGINT) AS swlat,
+           (px - floor(px)) * 600 AS colf, (py - floor(py)) * 600 AS rowf FROM pts),
+         eg AS (SELECT *, CAST(floor(colf) AS BIGINT) AS c0, CAST(floor(rowf) AS BIGINT) AS r0,
+           colf - floor(colf) AS cf, rowf - floor(rowf) AS rf,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM ek),
+         ev AS (SELECT *,
+           a + 2*c0     + 3*r0     + ((c0//8)*(r0//8)) % 32         AS v00,
+           a + 2*(c0+1) + 3*r0     + (((c0+1)//8)*(r0//8)) % 32     AS v10,
+           a + 2*(c0+1) + 3*(r0+1) + (((c0+1)//8)*((r0+1)//8)) % 32 AS v11,
+           a + 2*c0     + 3*(r0+1) + ((c0//8)*((r0+1)//8)) % 32     AS v01 FROM eg),
+         e AS (SELECT point_id,
+           CASE WHEN (swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36) THEN 0.0
+                ELSE (v00 + (v10 - v00) * cf) +
+                     ((v01 + (v11 - v01) * cf) - (v00 + (v10 - v00) * cf)) * rf
+           END AS elev FROM ev)
+         SELECT poly_id, CAST(floor(elev / 256.0) AS BIGINT) AS bin, count(*) AS n
+         FROM inside JOIN e USING (point_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "geo_s2_cell" -> s2OracleSql(quadrantPtsCte, 12),
     "geo_hex_cell" -> hexOracleSql(quadrantPtsCte, 9),
     "geo_cell_density" ->
