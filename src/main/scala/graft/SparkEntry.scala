@@ -947,6 +947,21 @@ object SparkEntry {
           "f.t2 AS click_us", "f.t3 AS purchase_us")
         .orderBy("user_id")
     }),
+    // Sliding 7-day distinct actives (WAU per day): each (user, active-day)
+    // explodes into the 7 report-days its activity covers, then one
+    // distinct-count groupBy — an equi-plan, NO range join; reported for
+    // observed activity days only (semi-join).
+    "events_wau" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), to_date(expr("cast(ts as timestamp)")).as("d"))
+        .distinct()
+      val days = ev.select(col("d").as("day")).distinct()
+      ev.select(col("user_id"),
+          explode(expr("sequence(d, date_add(d, 6))")).as("day"))
+        .join(days, Seq("day"), "left_semi")
+        .groupBy("day").agg(countDistinct(col("user_id")).as("wau"))
+        .orderBy("day")
+    }),
     // Cohort retention: users bucketed by first-activity week (Monday), then
     // distinct actives per (cohort_week, week_offset). Two shuffles by
     // construction: min-per-user, then the count-distinct re-key; the
@@ -2027,6 +2042,12 @@ object SparkEntry {
            LEFT JOIN r t2 ON t2.user_id = u.user_id AND t2.rn = b.p2
            LEFT JOIN r t3 ON t3.user_id = u.user_id AND t3.rn = c.p3
          ORDER BY u.user_id""",
+    "events_wau" ->
+      """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+         days AS (SELECT DISTINCT d AS day FROM ev),
+         exp AS (SELECT user_id, d + CAST(i AS INT) AS day FROM ev, unnest(range(0, 7)) AS t(i))
+         SELECT day, count(DISTINCT user_id) AS wau FROM exp
+         WHERE day IN (SELECT day FROM days) GROUP BY 1 ORDER BY 1""",
     "events_retention" ->
       """WITH ev AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
          cohort AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY user_id)
