@@ -491,6 +491,23 @@ object SparkEntry {
         .select("line_id", "seq", "octant")
         .orderBy("line_id", "seq")
     }),
+    // z14 tile cover of polygon bboxes: which slippy tiles does a feature
+    // touch — the serving-side fan-out count per feature; pure per-row math.
+    "geo_tile_cover" -> ((s, dir) => {
+      import graft.functions.raster.{zxy_x, zxy_y}
+      trianglePolys(s, dir)
+        .select(col("poly_id"),
+          array_min(col("xs")).as("xmin"), array_max(col("xs")).as("xmax"),
+          array_min(col("ys")).as("ymin"), array_max(col("ys")).as("ymax"))
+        .select(col("poly_id"),
+          zxy_x(col("xmin"), lit(14)).as("tx0"),
+          zxy_x(col("xmax"), lit(14)).as("tx1"),
+          zxy_y(col("ymax"), lit(14)).as("ty0"),
+          zxy_y(col("ymin"), lit(14)).as("ty1"))
+        .withColumn("n_tiles",
+          (col("tx1") - col("tx0") + 1).cast("long") * (col("ty1") - col("ty0") + 1))
+        .orderBy("poly_id")
+    }),
     "geo_simplify" -> ((s, dir) => {
       val verts = gatePoints(s, dir).filter(col("point_id") % 10 === 0)
         .select((col("point_id") % 199).as("line_id"), col("point_id").as("seq"),
@@ -1968,6 +1985,25 @@ object SparkEntry {
     "geo_flowdir" -> flowdirOracleSql,
     "geo_tri" -> triOracleSql,
     "geo_curvature" -> curvatureOracleSql,
+    "geo_tile_cover" -> {
+      def tx(e: String) =
+        s"CAST(least(greatest(floor(($e + 180.0)/360.0 * 16384), 0), 16383) AS INT)"
+      def ty(e: String) = {
+        val c = s"radians(least(greatest($e, -85.05112877980659), 85.05112877980659))"
+        s"CAST(least(greatest(floor((1.0 - ln(tan($c) + 1.0/cos($c))/pi())/2.0 * 16384), 0), 16383) AS INT)"
+      }
+      s"""WITH tri AS (SELECT s_suppkey AS poly_id,
+           -120.0 + (s_suppkey % 40) * 0.1 AS cx, 36.0 + ((s_suppkey * 3) % 20) * 0.1 AS cy,
+           0.05 + (s_suppkey % 7) * 0.013 AS w, 0.04 + (s_suppkey % 5) * 0.017 AS h FROM supplier),
+         bb AS (SELECT poly_id, cx - w AS xmin, cx + w AS xmax,
+           cy - h AS ymin, cy + h AS ymax FROM tri),
+         tc AS (SELECT poly_id,
+           ${tx("xmin")} AS tx0, ${tx("xmax")} AS tx1,
+           ${ty("ymax")} AS ty0, ${ty("ymin")} AS ty1 FROM bb)
+         SELECT poly_id, tx0, tx1, ty0, ty1,
+           CAST(tx1 - tx0 + 1 AS BIGINT) * (ty1 - ty0 + 1) AS n_tiles
+         FROM tc ORDER BY poly_id"""
+    },
     "geo_bearing" ->
       """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
            -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
