@@ -199,6 +199,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.sameElements(exp) && got.nonEmpty)
   }
 
+  test("watermarked stream-stream join: purchase after view within 1h, matches batch") {
+    import spark.implicits._
+    // both sides stream from the same events table; the interval join is the
+    // remaining stream-stream API surface (state bounded by watermark + the
+    // time-range condition)
+    val schema = spark.read.parquet(eventsPath).schema
+    def side(tpe: String) = spark.readStream.schema(schema).parquet(eventsPath)
+      .filter(col("event_type") === tpe)
+      .select(col("user_id"), col("event_id"),
+        expr("cast(ts as timestamp)").as("ts"))
+      .withWatermark("ts", "2 hours")
+    val views = side("view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+    val purchases = side("purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val joined = views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+    val q = joined.select("view_id", "purchase_id")
+      .writeStream.format("memory").queryName("stream_vp")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("stream_vp").as[(Long, Long)].collect().toSet
+    val ev = spark.read.parquet(eventsPath)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("tus"))
+      .as[(Long, Long, String, Long)].collect()
+    val vs = ev.filter(_._3 == "view"); val ps = ev.filter(_._3 == "purchase")
+    val expected = (for {
+      v <- vs; p <- ps
+      if v._1 == p._1 && p._4 >= v._4 && p._4 <= v._4 + 3600L * 1000000
+    } yield (v._2, p._2)).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty, "degenerate: no view->purchase pairs in fixture")
+  }
+
   test("streaming bloom pre-filter: the codegen'd probe runs per micro-batch") {
     import spark.implicits._
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_bloom"
