@@ -80,6 +80,18 @@ object SparkEntry {
         "array(cx, cx - w, cx + w) AS xs",
         "array(cy + h, cy - h, cy - h) AS ys")
 
+  /** A second, staggered triangle family for the polygon-polygon join. */
+  private def trianglePolysB(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier").selectExpr(
+      "s_suppkey AS poly_id",
+      "-120.0D + ((s_suppkey * 7) % 40) * 0.1D + 0.03D AS cx",
+      "36.0D + ((s_suppkey * 5) % 20) * 0.1D + 0.02D AS cy",
+      "0.06D + (s_suppkey % 5) * 0.011D AS w",
+      "0.05D + (s_suppkey % 3) * 0.019D AS h")
+      .selectExpr("poly_id",
+        "array(cx, cx - w, cx + w) AS xs",
+        "array(cy + h, cy - h, cy - h) AS ys")
+
   /** Skewed points (north rule: urban-hotspot skew): one third of all points
     * land in a 0.1°×0.1° box (≈8 level-11 S2 cells carrying ~2000× the mean
     * density), the rest spread uniformly over the 8-tile bbox.
@@ -490,6 +502,14 @@ object SparkEntry {
               .otherwise(when(col("dy") > 0, 4).otherwise(6))))
         .select("line_id", "seq", "octant")
         .orderBy("line_id", "seq")
+    }),
+    // Polygon-polygon intersection join (J6): S2-cover cell equi-join
+    // candidates, exact orientation-sign refine (vertex containment either
+    // way or proper edge crossing) as codegen'd HOF arithmetic.
+    "geo_poly_join" -> ((s, dir) => {
+      ops.SpatialJoin.polygonJoin(
+          trianglePolys(s, dir), trianglePolysB(s, dir), level = 9)
+        .orderBy("poly_a", "poly_b")
     }),
     // z14 tile cover of polygon bboxes: which slippy tiles does a feature
     // touch — the serving-side fan-out count per feature; pure per-row math.
@@ -1422,6 +1442,51 @@ object SparkEntry {
             + (CASE WHEN (y3 > py) <> (y2 > py) AND px < (x2 - x3) * (py - y3) / (y2 - y3) + x3 THEN 1 ELSE 0 END)) % 2 = 1
        ORDER BY point_id, poly_id"""
 
+  /** Polygon-join oracle: bbox-overlap candidates (a superset of the truth,
+    * like the engine's S2-cover join) + the SAME orientation-sign predicate
+    * in DuckDB list-lambda syntax.
+    */
+  private val polyJoinOracleSql: String = {
+    def orient(ax: String, ay: String, bx: String, by: String,
+               cx: String, cy: String): String =
+      s"((($bx) - ($ax)) * (($cy) - ($ay)) - ((($by) - ($ay)) * (($cx) - ($ax))))"
+    def vin(pxs: String, pys: String, qx: String, qy: String): String =
+      s"len(list_filter(range(1, len($pxs)+1), i -> ${orient(
+        s"$pxs[i]", s"$pys[i]",
+        s"$pxs[(i % len($pxs)) + 1]", s"$pys[(i % len($pxs)) + 1]",
+        qx, qy)} >= 0)) = len($pxs)"
+    val (a1x, a1y) = ("axs[i]", "ays[i]")
+    val (a2x, a2y) = ("axs[(i % len(axs)) + 1]", "ays[(i % len(axs)) + 1]")
+    val (b1x, b1y) = ("bxs[j]", "bys[j]")
+    val (b2x, b2y) = ("bxs[(j % len(bxs)) + 1]", "bys[(j % len(bxs)) + 1]")
+    val o1 = orient(a1x, a1y, a2x, a2y, b1x, b1y)
+    val o2 = orient(a1x, a1y, a2x, a2y, b2x, b2y)
+    val o3 = orient(b1x, b1y, b2x, b2y, a1x, a1y)
+    val o4 = orient(b1x, b1y, b2x, b2y, a2x, a2y)
+    val cross = s"""len(list_filter(range(1, len(axs)+1), i ->
+        len(list_filter(range(1, len(bxs)+1), j ->
+          ($o1) * ($o2) < 0 AND ($o3) * ($o4) < 0)) > 0)) > 0"""
+    val bInA = s"len(list_filter(range(1, len(bxs)+1), j -> ${vin(
+      "axs", "ays", "bxs[j]", "bys[j]")})) > 0"
+    val aInB = s"len(list_filter(range(1, len(axs)+1), k -> ${vin(
+      "bxs", "bys", "axs[k]", "ays[k]")})) > 0"
+    s"""WITH ta AS (SELECT s_suppkey AS pa,
+         -120.0 + (s_suppkey % 40) * 0.1 AS cx, 36.0 + ((s_suppkey * 3) % 20) * 0.1 AS cy,
+         0.05 + (s_suppkey % 7) * 0.013 AS w, 0.04 + (s_suppkey % 5) * 0.017 AS h FROM supplier),
+       a AS (SELECT pa, [cx, cx - w, cx + w] AS axs, [cy + h, cy - h, cy - h] AS ays,
+         cx - w AS axmin, cx + w AS axmax, cy - h AS aymin, cy + h AS aymax FROM ta),
+       tb AS (SELECT s_suppkey AS pb,
+         -120.0 + ((s_suppkey * 7) % 40) * 0.1 + 0.03 AS cx, 36.0 + ((s_suppkey * 5) % 20) * 0.1 + 0.02 AS cy,
+         0.06 + (s_suppkey % 5) * 0.011 AS w, 0.05 + (s_suppkey % 3) * 0.019 AS h FROM supplier),
+       b AS (SELECT pb, [cx, cx - w, cx + w] AS bxs, [cy + h, cy - h, cy - h] AS bys,
+         cx - w AS bxmin, cx + w AS bxmax, cy - h AS bymin, cy + h AS bymax FROM tb),
+       cand AS (SELECT pa, pb, axs, ays, bxs, bys FROM a JOIN b
+         ON axmin <= bxmax AND bxmin <= axmax AND aymin <= bymax AND bymin <= aymax)
+       SELECT pa AS poly_a, pb AS poly_b FROM cand
+       WHERE ($bInA) OR ($aInB) OR ($cross)
+       ORDER BY 1, 2"""
+  }
+
   private val pipOracleSql: String = pipOracleFor(
     """SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
        -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS px,
@@ -1985,6 +2050,7 @@ object SparkEntry {
     "geo_flowdir" -> flowdirOracleSql,
     "geo_tri" -> triOracleSql,
     "geo_curvature" -> curvatureOracleSql,
+    "geo_poly_join" -> polyJoinOracleSql,
     "geo_tile_cover" -> {
       def tx(e: String) =
         s"CAST(least(greatest(floor(($e + 180.0)/360.0 * 16384), 0), 16383) AS INT)"

@@ -446,4 +446,84 @@ object SpatialJoin {
         .toDF("probe_id", "target_id", "rank", "dist2")
     else doneParts.reduceLeft(_ unionAll _)
   }
+
+  // ---------------- J6: polygon-polygon intersection join ----------------
+
+  /** 2D orientation determinant as a SQL-expr fragment: >0 iff c is left of
+    * a→b. Operand order is part of the cross-engine contract.
+    */
+  private def orientSql(ax: String, ay: String, bx: String, by: String,
+                        cx: String, cy: String): String =
+    s"((($bx) - ($ax)) * (($cy) - ($ay)) - ((($by) - ($ay)) * (($cx) - ($ax))))"
+
+  /** q inside the CCW convex ring (pxs, pys): left-of (or on) every edge. */
+  private def vertexInSql(pxs: String, pys: String,
+                          qx: String, qy: String): String =
+    s"""forall(sequence(1, size($pxs)), i -> ${orientSql(
+      s"element_at($pxs, i)", s"element_at($pys, i)",
+      s"element_at($pxs, (i % size($pxs)) + 1)",
+      s"element_at($pys, (i % size($pxs)) + 1)", qx, qy)} >= 0D)"""
+
+  /** Convex-ring intersection predicate over packed coordinate arrays
+    * (axs, ays) × (bxs, bys), both CCW: any vertex containment either way,
+    * or any PROPER edge crossing (strict sign products — touching at a
+    * point/edge is consistently non-intersecting in both engines).
+    */
+  private[graft] def intersectsSql(axs: String, ays: String,
+                                   bxs: String, bys: String): String = {
+    def edge(xs: String, ys: String, i: String) = (
+      s"element_at($xs, $i)", s"element_at($ys, $i)",
+      s"element_at($xs, (($i) % size($xs)) + 1)",
+      s"element_at($ys, (($i) % size($xs)) + 1)")
+    val (a1x, a1y, a2x, a2y) = edge(axs, ays, "i")
+    val (b1x, b1y, b2x, b2y) = edge(bxs, bys, "j")
+    val o1 = orientSql(a1x, a1y, a2x, a2y, b1x, b1y)
+    val o2 = orientSql(a1x, a1y, a2x, a2y, b2x, b2y)
+    val o3 = orientSql(b1x, b1y, b2x, b2y, a1x, a1y)
+    val o4 = orientSql(b1x, b1y, b2x, b2y, a2x, a2y)
+    val cross =
+      s"""exists(sequence(1, size($axs)), i ->
+            exists(sequence(1, size($bxs)), j ->
+              ($o1) * ($o2) < 0D AND ($o3) * ($o4) < 0D))"""
+    val bInA = s"exists(sequence(1, size($bxs)), j -> ${vertexInSql(
+      axs, ays, s"element_at($bxs, j)", s"element_at($bys, j)")})"
+    val aInB = s"exists(sequence(1, size($axs)), k -> ${vertexInSql(
+      bxs, bys, s"element_at($axs, k)", s"element_at($ays, k)")})"
+    s"($bInA) OR ($aInB) OR ($cross)"
+  }
+
+  /** Polygon↔polygon intersection join for convex CCW rings.
+    *
+    * Candidates come from a shared S2 superset cover of each ring's bbox —
+    * ONE cell equi-join, never a cartesian (two bboxes that overlap share
+    * the cell containing any overlap point, so the cover join is a superset
+    * of the truth); the exact orientation-sign predicate refines. At scale
+    * both sides shuffle once on cell; rings travel as packed arrays and the
+    * refine is codegen'd higher-order-function arithmetic, no UDF.
+    *
+    * @param a (poly_id, xs, ys) left rings, CCW convex
+    * @param b (poly_id, xs, ys) right rings, CCW convex
+    * @return (poly_a, poly_b) intersecting pairs
+    */
+  def polygonJoin(a: DataFrame, b: DataFrame, level: Int = 9): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    def cellsOf(df: DataFrame, idAs: String): DataFrame = df
+      .select(col("poly_id").cast(LongType), col("xs").cast("array<double>"),
+        col("ys").cast("array<double>"))
+      .as[(Long, Seq[Double], Seq[Double])]
+      .flatMap { case (id, xs, ys) => coverCells(xs, ys, level).map(c => (c, id)) }
+      .toDF("cell", idAs)
+    val cand = cellsOf(a, "poly_a").join(cellsOf(b, "poly_b"), Seq("cell"))
+      .select("poly_a", "poly_b").distinct()
+    cand
+      .join(a.select(col("poly_id").as("poly_a"),
+        col("xs").cast("array<double>").as("axs"),
+        col("ys").cast("array<double>").as("ays")), Seq("poly_a"))
+      .join(b.select(col("poly_id").as("poly_b"),
+        col("xs").cast("array<double>").as("bxs"),
+        col("ys").cast("array<double>").as("bys")), Seq("poly_b"))
+      .filter(expr(intersectsSql("axs", "ays", "bxs", "bys")))
+      .select("poly_a", "poly_b")
+  }
 }

@@ -305,6 +305,54 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((0L until 100L).forall(v => got(v) == (v % 3 == 0)))
   }
 
+  test("polygonJoin matches brute-force convex intersection; never a cartesian") {
+    import spark.implicits._
+    val r2 = new scala.util.Random(77)
+    def tri(seed: Int, n: Int): Seq[(Long, Array[Double], Array[Double])] =
+      (0 until n).map { i =>
+        val cx = -120.0 + r2.nextDouble() * 3.0
+        val cy = 36.0 + r2.nextDouble() * 1.5
+        val w = 0.02 + r2.nextDouble() * 0.15
+        val h = 0.02 + r2.nextDouble() * 0.15
+        (i.toLong + seed, Array(cx, cx - w, cx + w), Array(cy + h, cy - h, cy - h))
+      }
+    val as = tri(0, 80); val bs = tri(1000, 80)
+    val aDf = as.toDF("poly_id", "xs", "ys"); val bDf = bs.toDF("poly_id", "xs", "ys")
+    val out = SpatialJoin.polygonJoin(aDf, bDf, level = 9)
+    assert(!out.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    val got = out.as[(Long, Long)].collect().toSet
+    // brute force: same predicate semantics, independent implementation
+    def orient(ax: Double, ay: Double, bx: Double, by: Double,
+               cx: Double, cy: Double): Double =
+      (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    def in(pxs: Array[Double], pys: Array[Double], qx: Double, qy: Double): Boolean =
+      pxs.indices.forall { i =>
+        val j = (i + 1) % pxs.length
+        orient(pxs(i), pys(i), pxs(j), pys(j), qx, qy) >= 0
+      }
+    def crosses(a: (Array[Double], Array[Double]), b: (Array[Double], Array[Double])): Boolean =
+      a._1.indices.exists { i =>
+        val i2 = (i + 1) % a._1.length
+        b._1.indices.exists { j =>
+          val j2 = (j + 1) % b._1.length
+          val o1 = orient(a._1(i), a._2(i), a._1(i2), a._2(i2), b._1(j), b._2(j))
+          val o2 = orient(a._1(i), a._2(i), a._1(i2), a._2(i2), b._1(j2), b._2(j2))
+          val o3 = orient(b._1(j), b._2(j), b._1(j2), b._2(j2), a._1(i), a._2(i))
+          val o4 = orient(b._1(j), b._2(j), b._1(j2), b._2(j2), a._1(i2), a._2(i2))
+          o1 * o2 < 0 && o3 * o4 < 0
+        }
+      }
+    val want = (for {
+      (ia, axs, ays) <- as; (ib, bxs, bys) <- bs
+      hit = bxs.indices.exists(j => in(axs, ays, bxs(j), bys(j))) ||
+        axs.indices.exists(k => in(bxs, bys, axs(k), ays(k))) ||
+        crosses((axs, ays), (bxs, bys))
+      if hit
+    } yield (ia, ib)).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "degenerate: no intersecting pairs generated")
+  }
+
   test("salted PIP with >1024 hot cells takes the broadcast-set path and stays exact") {
     import spark.implicits._
     // hotThreshold=0 makes every occupied cell hot: ~2000 distinct cells at
