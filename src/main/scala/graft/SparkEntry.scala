@@ -66,31 +66,34 @@ object SparkEntry {
       "-120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5D)/600.0D AS lng",
       "36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5D)/600.0D AS lat")
 
-  /** Synthetic triangle polygons (packed coordinate arrays) from supplier:
-    * apex (cx, cy+h), base corners (cx∓w, cy−h). Oracle-replicable doubles.
+  /** Synthetic triangle family (packed coordinate arrays) from supplier:
+    * apex (cx, cy+h), base corners (cx∓w, cy−h) — CCW, which
+    * [[graft.ops.SpatialJoin.polygonJoin]]'s orientation predicate relies
+    * on. Oracle-replicable doubles; the (cx, cy, w, h) exprs parameterize
+    * the two families used by the gates.
     */
-  private def trianglePolys(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "supplier").selectExpr(
-      "s_suppkey AS poly_id",
-      "-120.0D + (s_suppkey % 40) * 0.1D AS cx",
-      "36.0D + ((s_suppkey * 3) % 20) * 0.1D AS cy",
-      "0.05D + (s_suppkey % 7) * 0.013D AS w",
-      "0.04D + (s_suppkey % 5) * 0.017D AS h")
+  private def triangleFamily(s: SparkSession, dir: String, cx: String,
+                             cy: String, w: String, h: String): DataFrame =
+    t(s, dir, "supplier").selectExpr("s_suppkey AS poly_id",
+        s"$cx AS cx", s"$cy AS cy", s"$w AS w", s"$h AS h")
       .selectExpr("poly_id",
         "array(cx, cx - w, cx + w) AS xs",
         "array(cy + h, cy - h, cy - h) AS ys")
 
+  private def trianglePolys(s: SparkSession, dir: String): DataFrame =
+    triangleFamily(s, dir,
+      "-120.0D + (s_suppkey % 40) * 0.1D",
+      "36.0D + ((s_suppkey * 3) % 20) * 0.1D",
+      "0.05D + (s_suppkey % 7) * 0.013D",
+      "0.04D + (s_suppkey % 5) * 0.017D")
+
   /** A second, staggered triangle family for the polygon-polygon join. */
   private def trianglePolysB(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "supplier").selectExpr(
-      "s_suppkey AS poly_id",
-      "-120.0D + ((s_suppkey * 7) % 40) * 0.1D + 0.03D AS cx",
-      "36.0D + ((s_suppkey * 5) % 20) * 0.1D + 0.02D AS cy",
-      "0.06D + (s_suppkey % 5) * 0.011D AS w",
-      "0.05D + (s_suppkey % 3) * 0.019D AS h")
-      .selectExpr("poly_id",
-        "array(cx, cx - w, cx + w) AS xs",
-        "array(cy + h, cy - h, cy - h) AS ys")
+    triangleFamily(s, dir,
+      "-120.0D + ((s_suppkey * 7) % 40) * 0.1D + 0.03D",
+      "36.0D + ((s_suppkey * 5) % 20) * 0.1D + 0.02D",
+      "0.06D + (s_suppkey % 5) * 0.011D",
+      "0.05D + (s_suppkey % 3) * 0.019D")
 
   /** Skewed points (north rule: urban-hotspot skew): one third of all points
     * land in a 0.1°×0.1° box (≈8 level-11 S2 cells carrying ~2000× the mean
@@ -1666,13 +1669,14 @@ object SparkEntry {
   /** Recall@5 oracle: IVF candidate set (same CTEs as the topk oracle, 25
     * queries) intersected with the exact brute-force top-5 per query.
     */
-  /** IVF-PQ oracle: the [[ivfTopkOracleSql]] coarse scaffold + the PQ-code
-    * assignment of the ann_pq_code oracle, candidates scored by ADC — the
-    * outer subspace sum is a left fold seeded with 0.0, IEEE-identical to
+  /** Shared IVF-PQ candidate CTEs (coarse assign + PQ codes + qprobe +
+    * ADC-scored candidates) for the topk and recall oracles — the codebook
+    * constants and tie-break order live in exactly one place. The ADC
+    * subspace sum is a left fold seeded with 0.0, IEEE-identical to
     * Spark's `(0 until 8).map(term).reduce(_ + _)`.
     */
-  private val ivfPqOracleSql: String =
-    """WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+  private def ivfPqCandCtes(maxQid: Int): String =
+    s"""vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        cents AS (SELECT range AS c FROM range(0, 8)),
        d AS (SELECT vec_id, c,
          list_reduce(list_prepend(0.0, list_transform(range(0,64),
@@ -1690,7 +1694,7 @@ object SparkEntry {
          SELECT vec_id, s, k, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, k) AS rn FROM pqd)
          WHERE rn = 1 GROUP BY vec_id),
        qprobe AS (SELECT vec_id AS qid, c AS centroid FROM (
-         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d WHERE vec_id < 5) WHERE rn <= 2),
+         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d WHERE vec_id < $maxQid) WHERE rn <= 2),
        cand AS (SELECT q.qid, a.vec_id AS neighbor_id,
            list_reduce(list_prepend(0.0, list_transform(range(0,8), s ->
              list_reduce(list_prepend(0.0, list_transform(range(0,8),
@@ -1699,48 +1703,22 @@ object SparkEntry {
          FROM qprobe q JOIN assign a ON a.centroid = q.centroid
          JOIN codes cd ON cd.vec_id = a.vec_id
          JOIN vv qv ON qv.vec_id = q.qid
-         WHERE a.vec_id <> q.qid)
+         WHERE a.vec_id <> q.qid)"""
+
+  private val ivfPqOracleSql: String =
+    s"""WITH ${ivfPqCandCtes(5)}
        SELECT qid, neighbor_id, rank, round(adc, 4) AS adc_r FROM (
          SELECT qid, neighbor_id, adc,
            row_number() OVER (PARTITION BY qid ORDER BY adc, neighbor_id) AS rank FROM cand)
        WHERE rank <= 5 ORDER BY qid, rank"""
 
-  /** IVF-PQ recall oracle: the [[ivfPqOracleSql]] candidate/ranking CTEs
-    * (queries < 25) semi-joined against the exact EUCLIDEAN top-5 baseline
-    * (ADC is L2 — a cosine baseline would conflate quantization loss with
-    * metric mismatch; Embeddings.ivfPqRecall scaladoc has the measurement).
+  /** IVF-PQ recall oracle: the shared [[ivfPqCandCtes]] (queries < 25)
+    * semi-joined against the exact EUCLIDEAN top-5 baseline (ADC is L2 —
+    * a cosine baseline would conflate quantization loss with metric
+    * mismatch; Embeddings.ivfPqRecall scaladoc has the measurement).
     */
   private val ivfPqRecallOracleSql: String =
-    """WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       cents AS (SELECT range AS c FROM range(0, 8)),
-       d AS (SELECT vec_id, c,
-         list_reduce(list_prepend(0.0, list_transform(range(0,64),
-           d -> (v[d+1] - (((c*53 + d*17) % 13) - 6)) * (v[d+1] - (((c*53 + d*17) % 13) - 6)))),
-           (p,q) -> p + q) AS d2
-         FROM vv, cents),
-       nrm AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(range(0,64),
-           d -> v[d+1] * v[d+1])), (p,q) -> p + q)) AS nrm FROM vv),
-       assign AS (SELECT vec_id, c AS centroid FROM (
-         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d) WHERE rn = 1),
-       pqd AS (SELECT vec_id, s.s AS s, kk.k AS k,
-           list_reduce(list_prepend(0.0, list_transform(range(0,8),
-             dd -> (v[s.s*8 + dd + 1] - (((s.s*29 + kk.k*53 + dd*17) % 13) - 6)) * (v[s.s*8 + dd + 1] - (((s.s*29 + kk.k*53 + dd*17) % 13) - 6)))),
-             (p,q) -> p + q) AS d2
-         FROM vv, (SELECT range AS s FROM range(0,8)) s, (SELECT range AS k FROM range(0,8)) kk),
-       codes AS (SELECT vec_id, list(k ORDER BY s) AS codes FROM (
-         SELECT vec_id, s, k, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, k) AS rn FROM pqd)
-         WHERE rn = 1 GROUP BY vec_id),
-       qprobe AS (SELECT vec_id AS qid, c AS centroid FROM (
-         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d WHERE vec_id < 25) WHERE rn <= 2),
-       cand AS (SELECT q.qid, a.vec_id AS neighbor_id,
-           list_reduce(list_prepend(0.0, list_transform(range(0,8), s ->
-             list_reduce(list_prepend(0.0, list_transform(range(0,8),
-               dd -> (qv.v[s*8 + dd + 1] - (((s*29 + cd.codes[s+1]*53 + dd*17) % 13) - 6)) * (qv.v[s*8 + dd + 1] - (((s*29 + cd.codes[s+1]*53 + dd*17) % 13) - 6)))),
-               (p,q) -> p + q))), (p,q) -> p + q) AS adc
-         FROM qprobe q JOIN assign a ON a.centroid = q.centroid
-         JOIN codes cd ON cd.vec_id = a.vec_id
-         JOIN vv qv ON qv.vec_id = q.qid
-         WHERE a.vec_id <> q.qid),
+    s"""WITH ${ivfPqCandCtes(25)},
        pq AS (SELECT qid, neighbor_id FROM (
          SELECT qid, neighbor_id, row_number() OVER (PARTITION BY qid ORDER BY adc, neighbor_id) AS rank FROM cand)
          WHERE rank <= 5),

@@ -313,11 +313,19 @@ object Curation {
         (0 until r).map(i => element_at(col("sig"), bnd * r + i + 1))
           .reduceLeft((acc, v) => acc * lit(P) + v)
       }: _*)).as(Seq("band_id", "band_key")))
+    // lazy localCheckpoint: cand feeds BOTH the corpus semi-join and the
+    // final verify join — without it the whole band pipeline executes twice
     val cand = banded(corpus, "doc_id")
       .join(broadcast(banded(evalSet, "eval_id")), Seq("band_id", "band_key"))
       .select("doc_id", "eval_id").distinct()
-    val ca = corpus.select(col("doc_id"),
-      array_distinct(shingles(col("text"), shingleN)).as("sa"))
+      .localCheckpoint(false)
+    // semi-join the corpus down to candidate hits BEFORE re-shingling: the
+    // verify stage must tokenize only the (rare) candidates, not re-run the
+    // shingle pipeline over all corpus bytes a second time
+    val ca = corpus
+      .join(cand.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        array_distinct(shingles(col("text"), shingleN)).as("sa"))
     val cb = evalSet.select(col("doc_id").as("eval_id"),
       array_distinct(shingles(col("text"), shingleN)).as("sb"))
     cand.join(ca, "doc_id").join(broadcast(cb), "eval_id")

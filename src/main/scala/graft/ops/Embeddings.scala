@@ -99,42 +99,55 @@ object Embeddings {
     *
     * @return (qid, neighbor_id, centroid, rank, cos_r)
     */
-  def ivfSearch(vecs: DataFrame, queries: DataFrame, kCentroids: Int,
-                nProbe: Int, topK: Int,
-                broadcastMaxBytes: Long = 64L << 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Shared coarse-probe scaffold of [[ivfSearch]] and [[ivfPqSearch]]:
+    * corpus assigned to its nearest centroid, each query exploded to its
+    * nProbe nearest centroid lists (lexicographic (d2, c) sort — same tie
+    * order as the assignment's least()), and the query side byte-gated for
+    * broadcast. The gate is LAZY: Catalyst's own plan statistics for the
+    * query side (exact for local relations, parquet file sizes for scans —
+    * no eager count() job re-running the query side's lineage per call).
+    * The probe side replicates each query row nProbe times, so the estimate
+    * is stats × nProbe; with CBO off a Filter passes its child's
+    * sizeInBytes through un-reduced, which over-estimates and errs toward
+    * the safe (shuffle-join) path.
+    *
+    * @return (corpus with `centroid`, probe side (qid, qv, centroid) with
+    *         the broadcast hint applied when under the byte budget)
+    */
+  private def coarseProbe(vecs: DataFrame, queries: DataFrame,
+                          kCentroids: Int, nProbe: Int,
+                          broadcastMaxBytes: Long): (DataFrame, DataFrame) = {
     val dists = (0 until kCentroids).map { c =>
       struct(vec_dist2(col("v"), centroid(c)).as("d2"), lit(c).as("c"))
     }
     val corpus = vecs.select(col("vec_id").cast("long"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("centroid", least(dists: _*).getField("c"))
-      .withColumn("nrm", norm(col("v")))
     val qdists = (0 until kCentroids).map { c =>
       struct(vec_dist2(col("qv"), centroid(c)).as("d2"), lit(c).as("c"))
     }
-    // nProbe nearest centroids per query: lexicographic (d2, c) sort of the
-    // centroid structs — same tie order as the assignment's least()
     val qprobe = queries.select(col("vec_id").cast("long").as("qid"),
         col("embedding").cast("array<double>").as("qv"))
-      .withColumn("qnrm", norm(col("qv")))
       .withColumn("probe", explode(slice(array_sort(array(qdists: _*)), 1, nProbe)))
-      .select(col("qid"), col("qv"), col("qnrm"),
-        col("probe").getField("c").as("centroid"))
-    // byte-based gate, LAZY: Catalyst's own plan statistics for the query
-    // side (exact for local relations, parquet file sizes for scans — no
-    // eager count() job re-running the query side's lineage per call).
-    // The probe side replicates each query row nProbe times, so the
-    // estimate is stats × nProbe; with CBO off a Filter passes its child's
-    // sizeInBytes through un-reduced, which over-estimates and errs toward
-    // the safe (shuffle-join) path.
+      .select(col("qid"), col("qv"), col("probe").getField("c").as("centroid"))
     val qBytes = queries.queryExecution.optimizedPlan.stats.sizeInBytes
     val probeSide =
       if (qBytes * nProbe <= BigInt(broadcastMaxBytes)) broadcast(qprobe)
       else qprobe
+    (corpus, probeSide)
+  }
+
+  def ivfSearch(vecs: DataFrame, queries: DataFrame, kCentroids: Int,
+                nProbe: Int, topK: Int,
+                broadcastMaxBytes: Long = 64L << 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (corpus0, probeSide) =
+      coarseProbe(vecs, queries, kCentroids, nProbe, broadcastMaxBytes)
+    val corpus = corpus0.withColumn("nrm", norm(col("v")))
     val cand = corpus.join(probeSide, Seq("centroid"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+      .withColumn("cos",
+        dot(col("v"), col("qv")) / (col("nrm") * norm(col("qv"))))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
       .select(col("qid"), col("vec_id").as("neighbor_id"), col("centroid"),
@@ -169,13 +182,13 @@ object Embeddings {
     *
     * @return (qid, n_hits, recall) with recall = |ivf ∩ exact| / topK
     */
-  def ivfRecall(vecs: DataFrame, queries: DataFrame, kCentroids: Int,
-                nProbe: Int, topK: Int): DataFrame = {
-    val ivf = ivfSearch(vecs, queries, kCentroids, nProbe, topK)
-      .select(col("qid"), col("neighbor_id"))
-    val exact = cosineTopK(vecs, queries, topK)
-      .select(col("qid"), col("neighbor_id"))
-    val hits = ivf.join(exact, Seq("qid", "neighbor_id"), "left_semi")
+  /** Shared recall summary: per query, how many of `approx`'s (qid,
+    * neighbor_id) rows appear in `exact`'s — queries with zero hits kept
+    * at recall 0 via the left outer join.
+    */
+  private def recallSummary(approx: DataFrame, exact: DataFrame,
+                            queries: DataFrame, topK: Int): DataFrame = {
+    val hits = approx.join(exact, Seq("qid", "neighbor_id"), "left_semi")
       .groupBy("qid").agg(count(lit(1)).as("hits"))
     queries.select(col("vec_id").cast("long").as("qid")).distinct()
       .join(hits, Seq("qid"), "left_outer")
@@ -183,6 +196,14 @@ object Embeddings {
         coalesce(col("hits"), lit(0L)).as("n_hits"),
         (coalesce(col("hits"), lit(0L)) / lit(topK.toDouble)).as("recall"))
   }
+
+  def ivfRecall(vecs: DataFrame, queries: DataFrame, kCentroids: Int,
+                nProbe: Int, topK: Int): DataFrame =
+    recallSummary(
+      ivfSearch(vecs, queries, kCentroids, nProbe, topK)
+        .select(col("qid"), col("neighbor_id")),
+      cosineTopK(vecs, queries, topK).select(col("qid"), col("neighbor_id")),
+      queries, topK)
 
   /** One Lloyd iteration of k-means over the embedding column — the centroid
     * TRAINING step the IVF index needs (ivfAssign/ivfSearch use the
@@ -280,13 +301,7 @@ object Embeddings {
       .withColumn("dist2", vec_dist2(col("v"), col("qv")))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
       .select(col("qid"), col("vec_id").as("neighbor_id"))
-    val hits = pq.join(exact, Seq("qid", "neighbor_id"), "left_semi")
-      .groupBy("qid").agg(count(lit(1)).as("hits"))
-    queries.select(col("vec_id").cast("long").as("qid")).distinct()
-      .join(hits, Seq("qid"), "left_outer")
-      .select(col("qid"),
-        coalesce(col("hits"), lit(0L)).as("n_hits"),
-        (coalesce(col("hits"), lit(0L)) / lit(topK.toDouble)).as("recall"))
+    recallSummary(pq, exact, queries, topK)
   }
 
   /** [[pqCentroid]] with the code as a COLUMN — the ADC path looks the
@@ -305,7 +320,8 @@ object Embeddings {
     * an in-order fold the DuckDB oracle replays exactly (left-assoc sum
     * of per-subspace [[graft.functions.vectors.vec_dist2]] terms).
     * Recall vs [[ivfSearch]]'s exact re-rank is the PQ fidelity trade;
-    * `ann_ivf_recall` is the measurement harness for both.
+    * [[ivfPqRecall]] (`ann_ivfpq_recall`) is the measurement harness for
+    * this path — `ann_ivf_recall` sees only the coarse-probe loss.
     *
     * @return (qid, neighbor_id, rank, adc_r) — topK by (adc asc, id)
     */
@@ -315,12 +331,9 @@ object Embeddings {
     import org.apache.spark.sql.expressions.Window
     require(64 % nSub == 0, s"nSub must divide 64, got $nSub")
     val dims = 64 / nSub
-    val dists = (0 until kCentroids).map { c =>
-      struct(vec_dist2(col("v"), centroid(c)).as("d2"), lit(c).as("c"))
-    }
-    val corpus = vecs.select(col("vec_id").cast("long"),
-        col("embedding").cast("array<double>").as("v"))
-      .withColumn("centroid", least(dists: _*).getField("c"))
+    val (corpus0, probeSide) =
+      coarseProbe(vecs, queries, kCentroids, nProbe, broadcastMaxBytes)
+    val corpus = corpus0
       .withColumn("codes", array((0 until nSub).map { s =>
         val sub = slice(col("v"), s * dims + 1, dims)
         least((0 until kCodes).map { k =>
@@ -328,17 +341,6 @@ object Embeddings {
         }: _*).getField("k")
       }: _*))
       .drop("v") // the point of PQ: only (centroid, codes) cross the join
-    val qdists = (0 until kCentroids).map { c =>
-      struct(vec_dist2(col("qv"), centroid(c)).as("d2"), lit(c).as("c"))
-    }
-    val qprobe = queries.select(col("vec_id").cast("long").as("qid"),
-        col("embedding").cast("array<double>").as("qv"))
-      .withColumn("probe", explode(slice(array_sort(array(qdists: _*)), 1, nProbe)))
-      .select(col("qid"), col("qv"), col("probe").getField("c").as("centroid"))
-    val qBytes = queries.queryExecution.optimizedPlan.stats.sizeInBytes
-    val probeSide =
-      if (qBytes * nProbe <= BigInt(broadcastMaxBytes)) broadcast(qprobe)
-      else qprobe
     val adc = (0 until nSub).map { s =>
       vec_dist2(slice(col("qv"), s * dims + 1, dims),
         pqCentroidCol(s, element_at(col("codes"), s + 1), dims))

@@ -466,8 +466,12 @@ object SpatialJoin {
 
   /** Convex-ring intersection predicate over packed coordinate arrays
     * (axs, ays) × (bxs, bys), both CCW: any vertex containment either way,
-    * or any PROPER edge crossing (strict sign products — touching at a
-    * point/edge is consistently non-intersecting in both engines).
+    * or any PROPER edge crossing. Semantics are CLOSED-set intersection:
+    * the vertex test is boundary-inclusive (orient >= 0), so rings sharing
+    * just a vertex or touching edge-on-edge DO count as intersecting (any
+    * convex touch puts some vertex on the other ring's boundary); only the
+    * edge-crossing arm is strict (sign products < 0), which is subsumed by
+    * the vertex arm for touches. Deterministic in both engines either way.
     */
   private[graft] def intersectsSql(axs: String, ays: String,
                                    bxs: String, bys: String): String = {
