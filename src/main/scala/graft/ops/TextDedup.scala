@@ -183,7 +183,8 @@ object TextDedup {
       .filter(col("hi") =!= col("lo")).distinct()
       .localCheckpoint(false)
     var rounds = 0
-    var done = e.isEmpty
+    var eCount = e.count()
+    var done = eCount == 0L
     while (!done) {
       if (rounds >= maxRounds)
         throw new IllegalStateException(
@@ -211,10 +212,14 @@ object TextDedup {
         .select(greatest(col("a"), col("m")).as("hi"), least(col("a"), col("m")).as("lo"))
         .filter(col("hi") =!= col("lo")).distinct()
         .localCheckpoint(false)
-      // exact fixpoint: the edge SET is unchanged — both symmetric
-      // differences empty, probed in ONE action
-      done = next.exceptAll(e).unionAll(e.exceptAll(next)).isEmpty
+      // exact fixpoint: both sides are DISTINCT sets, so |next| == |e| plus
+      // next \ e == ∅ implies set equality — one count + one anti-join
+      // probe instead of the two exceptAll scans it replaces
+      val nextCount = next.count()
+      done = nextCount == eCount &&
+        next.join(e, Seq("hi", "lo"), "left_anti").isEmpty
       e = next
+      eCount = nextCount
       rounds += 1
     }
     // fixpoint edges form stars: (member, component-min) once per non-root
