@@ -509,7 +509,10 @@ object SpatialJoin {
     * @param b (poly_id, xs, ys) right rings, CCW convex
     * @return (poly_a, poly_b) intersecting pairs
     */
-  def polygonJoin(a: DataFrame, b: DataFrame, level: Int = 9): DataFrame = {
+  /** Intersecting pairs WITH both coordinate arrays — the shared core of
+    * [[polygonJoin]] and [[polygonJoinWithArea]].
+    */
+  private def polygonJoinPairs(a: DataFrame, b: DataFrame, level: Int): DataFrame = {
     val spark = a.sparkSession
     import spark.implicits._
     def cellsOf(df: DataFrame, idAs: String): DataFrame = df
@@ -536,6 +539,29 @@ object SpatialJoin {
         array_min(col("ays")) <= array_max(col("bys")) &&
         array_min(col("bys")) <= array_max(col("ays")))
       .filter(expr(intersectsSql("axs", "ays", "bxs", "bys")))
-      .select("poly_a", "poly_b")
+      .select("poly_a", "poly_b", "axs", "ays", "bxs", "bys")
+  }
+
+  def polygonJoin(a: DataFrame, b: DataFrame, level: Int = 9): DataFrame =
+    polygonJoinPairs(a, b, level).select("poly_a", "poly_b")
+
+  /** [[polygonJoin]] + the exact OVERLAP AREA of each pair via
+    * Sutherland–Hodgman convex clipping ([[graft.geo.ConvexClip]]) — the
+    * area-weighted zonal-aggregation primitive (a feature spanning zones
+    * contributes proportionally to each). Requires the `b` rings convex CCW
+    * (they are the clip side); JTS-cross-checked in SpatialJoinSpec.
+    *
+    * @return (poly_a, poly_b, area) for intersecting pairs
+    */
+  def polygonJoinWithArea(a: DataFrame, b: DataFrame, level: Int = 9): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    polygonJoinPairs(a, b, level)
+      .as[(Long, Long, Seq[Double], Seq[Double], Seq[Double], Seq[Double])]
+      .map { case (pa, pb, axs, ays, bxs, bys) =>
+        (pa, pb, graft.geo.ConvexClip.intersectionArea(
+          axs.toArray, ays.toArray, bxs.toArray, bys.toArray))
+      }
+      .toDF("poly_a", "poly_b", "area")
   }
 }

@@ -353,6 +353,41 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(want.nonEmpty, "degenerate: no intersecting pairs generated")
   }
 
+  test("polygonJoinWithArea overlap areas match JTS intersection areas") {
+    import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+    import spark.implicits._
+    val gf = new GeometryFactory()
+    val r3 = new scala.util.Random(13)
+    def tri(seed: Int, n: Int): Seq[(Long, Array[Double], Array[Double])] =
+      (0 until n).map { i =>
+        val cx = -120.0 + r3.nextDouble() * 2.0
+        val cy = 36.0 + r3.nextDouble()
+        val w = 0.03 + r3.nextDouble() * 0.2
+        val h = 0.03 + r3.nextDouble() * 0.2
+        (i.toLong + seed, Array(cx, cx - w, cx + w), Array(cy + h, cy - h, cy - h))
+      }
+    val as = tri(0, 50); val bs = tri(1000, 50)
+    val got = graft.ops.SpatialJoin.polygonJoinWithArea(
+        as.toDF("poly_id", "xs", "ys"), bs.toDF("poly_id", "xs", "ys"), level = 9)
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(got.nonEmpty, "degenerate: no intersecting pairs")
+    def jts(xs: Array[Double], ys: Array[Double]) =
+      gf.createPolygon((xs.indices :+ 0).map(j => new Coordinate(xs(j), ys(j))).toArray)
+    val aMap = as.map(t => t._1 -> jts(t._2, t._3)).toMap
+    val bMap = bs.map(t => t._1 -> jts(t._2, t._3)).toMap
+    got.foreach { case ((pa, pb), area) =>
+      val want = aMap(pa).intersection(bMap(pb)).getArea
+      assert(math.abs(area - want) < 1e-9, s"pair ($pa,$pb): $area vs $want")
+    }
+    // completeness: every JTS pair with STRICTLY positive overlap is present
+    for ((ia, ax, ay) <- as; (ib, bx, by) <- bs) {
+      val w = jts(ax, ay).intersection(jts(bx, by)).getArea
+      if (w > 1e-12)
+        assert(got.contains((ia, ib)), s"missing pair ($ia,$ib) with area $w")
+    }
+  }
+
   test("salted PIP with >1024 hot cells takes the broadcast-set path and stays exact") {
     import spark.implicits._
     // hotThreshold=0 makes every occupied cell hot: ~2000 distinct cells at
