@@ -661,6 +661,28 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) => {
       ops.TextDedup.minhashPairs(dedupCorpus(s, dir)).orderBy("doc_a", "doc_b")
     }),
+    // MinHash LSH recall: of the exact-Jaccard >= 0.5 pairs (ground truth on
+    // a deterministic doc_id % 40 == 0 subset, O(n^2/1600) bounded), what share
+    // did the band join surface? The band/row tuning number for text dedup —
+    // the counterpart of ann_ivf_recall. Counts are exact integers; the one
+    // division is IEEE on the same ints in both engines.
+    "dedup_minhash_recall" -> ((s, dir) => {
+      val sub = dedupCorpus(s, dir).filter(col("doc_id") % 40 === 0)
+      val sh = sub.select(col("doc_id"),
+        array_distinct(ops.TextDedup.shingles(col("text"), 3)).as("sh"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sa"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sb"))
+      val truth = a.crossJoin(broadcast(b)).filter(col("doc_a") < col("doc_b"))
+        .filter(size(array_intersect(col("sa"), col("sb"))) * 2 >=
+          size(array_union(col("sa"), col("sb")))) // j >= 0.5 exactly, int math
+        .select("doc_a", "doc_b")
+      val detected = ops.TextDedup.minhashPairs(sub)
+      val hit = truth.join(detected, Seq("doc_a", "doc_b"), "left_semi")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(hit.agg(count(lit(1)).as("n_detected")))
+        .withColumn("recall",
+          col("n_detected").cast("double") / col("n_truth"))
+    }),
     "dedup_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), ops.TextDedup.wordHashes(col("text")).as("hw"))
@@ -1585,6 +1607,35 @@ object SparkEntry {
        WHERE j >= 0.5 ORDER BY doc_id, eval_id"""
   }
 
+  /** MinHash-recall oracle: exact-Jaccard >= 0.5 truth (integer 2|∩| >= |∪|)
+    * on the doc_id % 40 = 0 dedup-corpus subset vs the band-join detections.
+    */
+  private val minhashRecallOracleSql: String = {
+    val sigs = (0 until 8).map { j =>
+      s"list_min(list_transform(hv, h -> (${2 * j + 3}*h + ${5 * j + 7}) % 1048573)) AS m$j"
+    }.mkString(",\n           ")
+    val bandRows = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band_id, m${2 * b}*1048573 + m${2 * b + 1} AS band_key FROM sig"
+    }.mkString("\n           UNION ALL ")
+    s"""WITH corpus AS ($sqlDedupCorpus),
+       sub AS (SELECT * FROM corpus WHERE doc_id % 40 = 0),
+       shr AS (SELECT doc_id, $sqlShingles3 AS sh FROM sub),
+       shd AS (SELECT doc_id, list_distinct(sh) AS sh FROM shr),
+       truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM shd a, shd b WHERE a.doc_id < b.doc_id
+           AND 2 * len(list_intersect(a.sh, b.sh)) >= len(list_distinct(list_concat(a.sh, b.sh)))),
+       hv AS (SELECT doc_id, list_transform(sh, x -> ${sqlH60("x")} % 1048573) AS hv FROM shr),
+       sig AS (SELECT doc_id, $sigs FROM hv),
+       banded AS ($bandRows),
+       det AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+         WHERE a.doc_id < b.doc_id),
+       hit AS (SELECT t.doc_a, t.doc_b FROM truth t JOIN det USING (doc_a, doc_b))
+       SELECT (SELECT count(*) FROM truth) AS n_truth,
+              (SELECT count(*) FROM hit) AS n_detected,
+              CAST((SELECT count(*) FROM hit) AS DOUBLE) / (SELECT count(*) FROM truth) AS recall"""
+  }
+
   private val minhashOracleSql: String =
     s"""WITH $minhashCtes
        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -2484,6 +2535,7 @@ object SparkEntry {
          ORDER BY p.point_id"""
     },
     "dedup_minhash" -> minhashOracleSql,
+    "dedup_minhash_recall" -> minhashRecallOracleSql,
     "dedup_simhash" -> simhashOracleSql,
     "dedup_jaccard" ->
       s"""WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0
