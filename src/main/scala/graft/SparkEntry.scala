@@ -1158,6 +1158,26 @@ object SparkEntry {
           "n_bigrams", "max_bigram_c", "dup_word_q", "top_bigram_q")
         .orderBy("doc_id")
     }),
+    // Language-ID confusion matrix vs the ground-truth lang column: the
+    // accuracy measurement for the stopword heuristic. On this synthetic
+    // corpus it reports the heuristic collapsing to the majority class
+    // (only English stopwords occur in the generated text, so every row
+    // lands in the 'en' column) — which is precisely what an accuracy gate
+    // exists to catch before a classifier is trusted to filter a corpus.
+    "text_langid_confusion" -> ((s, dir) => {
+      t(s, dir, "documents").selectExpr(
+        "lang",
+        "cast(size(filter(split(text, ' '), w -> w = 'the' or w = 'a')) as bigint) AS s_en",
+        "cast(size(filter(split(text, ' '), w -> w = 'le' or w = 'et')) as bigint) AS s_fr",
+        "cast(size(filter(split(text, ' '), w -> w = 'el' or w = 'la')) as bigint) AS s_es",
+        "cast(size(filter(split(text, ' '), w -> w = 'der' or w = 'und')) as bigint) AS s_de")
+        .selectExpr("lang",
+          """CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+                  WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+                  WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS predicted""")
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    }),
     "text_langid" -> ((s, dir) => {
       t(s, dir, "documents").selectExpr(
         "doc_id",
@@ -3172,6 +3192,19 @@ object SparkEntry {
            FROM sc)
          SELECT doc_id, source, score, rk FROM r WHERE rk <= 30
          ORDER BY source, rk""",
+    "text_langid_confusion" ->
+      """WITH s AS (SELECT lang,
+           CAST(len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a')) AS BIGINT) AS s_en,
+           CAST(len(list_filter(string_split(text, ' '), w -> w = 'le' OR w = 'et')) AS BIGINT) AS s_fr,
+           CAST(len(list_filter(string_split(text, ' '), w -> w = 'el' OR w = 'la')) AS BIGINT) AS s_es,
+           CAST(len(list_filter(string_split(text, ' '), w -> w = 'der' OR w = 'und')) AS BIGINT) AS s_de
+           FROM documents)
+         SELECT lang,
+           CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+                WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+                WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS predicted,
+           count(*) AS n
+         FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
     "text_langid" ->
       """WITH s AS (SELECT doc_id,
            CAST(len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a')) AS BIGINT) AS s_en,
