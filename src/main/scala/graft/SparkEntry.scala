@@ -776,6 +776,51 @@ object SparkEntry {
       ops.Embeddings.ivfRecall(e, e.filter(col("vec_id") < 25),
         kCentroids = 8, nProbe = 2, topK = 5).orderBy("qid")
     }),
+    // The coarse-quantizer TRAINING LOOP (iterated kmeansStep from the
+    // deterministic seed): per-round centroid sums, oracle-replayed by
+    // unrolled CTEs — means are exact-integer sums + one IEEE division,
+    // so every round is bit-reproducible.
+    "ann_kmeans_train" -> ((s, dir) => {
+      import s.implicits._
+      val (_, hist) = ops.Embeddings.kmeansTrain(t(s, dir, "embeddings"),
+        k = 8, rounds = 3)
+      hist.toDF("round", "centroid", "dim", "n", "sum_q", "mean")
+        .orderBy("round", "centroid", "dim")
+    }),
+    // The PQ-codebook training loop: same Lloyd fixpoint per subspace, all
+    // subspaces trained in the same jobs (one scan + one bounded
+    // aggregation per round).
+    "ann_pq_train" -> ((s, dir) => {
+      import s.implicits._
+      val (_, hist) = ops.Embeddings.pqTrain(t(s, dir, "embeddings"),
+        nSub = 8, kCodes = 16, rounds = 3)
+      hist.toDF("round", "sub", "code", "dim", "n", "sum_q", "mean")
+        .orderBy("round", "sub", "code", "dim")
+    }),
+    // The production IVF-PQ read path with TRAINED quantizers (3 Lloyd
+    // rounds each, data-Forgy seeded): trained-ADC shortlist of 50, exact
+    // re-rank to top 5 — the fidelity fix ann_ivfpq_recall's diagnosis
+    // calls for (the demo codebook's integer entries sit ~20x outside the
+    // data's scale).
+    "ann_ivfpq_topk_trained" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (cents, _) = ops.Embeddings.kmeansTrain(e, k = 8, rounds = 3)
+      val (cbs, _) = ops.Embeddings.pqTrain(e, nSub = 8, kCodes = 16, rounds = 3)
+      ops.Embeddings.ivfPqSearchRefined(e, e.filter(col("vec_id") < 5),
+        cents, cbs, nProbe = 2, shortlist = 50, topK = 5)
+        .orderBy("qid", "rank")
+    }),
+    // recall@5 of the trained+refined IVF-PQ vs the exact L2 baseline —
+    // the acceptance gate for the training loop (VERDICT r3: within ~0.1
+    // of the probe ceiling, vs the demo codebook's 0.024; measured 0.608
+    // against the trained coarse ceiling 0.624 at sf0.01).
+    "ann_ivfpq_recall_trained" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (cents, _) = ops.Embeddings.kmeansTrain(e, k = 8, rounds = 3)
+      val (cbs, _) = ops.Embeddings.pqTrain(e, nSub = 8, kCodes = 16, rounds = 3)
+      ops.Embeddings.ivfPqRecallTrained(e, e.filter(col("vec_id") < 25),
+        cents, cbs, nProbe = 2, shortlist = 50, topK = 5).orderBy("qid")
+    }),
     // Near-dup CLUSTERING: connected components over the MinHash pair graph
     // (min-label propagation), keep-set = component representative. The
     // dedup endgame at 100 TB: pairs alone do not say which docs to drop
@@ -1685,7 +1730,7 @@ object SparkEntry {
     }.mkString(" + ")
     s"""WITH hw AS (SELECT doc_id, list_transform(string_split(text,' '),
          w -> ${sqlH60("w")}) AS hw FROM documents)
-       SELECT doc_id, $bits AS simhash16 FROM hw ORDER BY doc_id"""
+       SELECT doc_id, CAST($bits AS BIGINT) AS simhash16 FROM hw ORDER BY doc_id"""
   }
 
   private val annLshOracleSql: String = {
@@ -1734,7 +1779,7 @@ object SparkEntry {
          WHERE n.vec_id <> q.qid)
        SELECT qid, neighbor_id, CAST(centroid AS INT) AS centroid, rank, round(cos, 4) AS cos_r FROM (
          SELECT qid, neighbor_id, centroid, cos,
-           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank FROM cand)
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM cand)
        WHERE rank <= 5 ORDER BY qid, rank"""
 
   /** Recall@5 oracle: IVF candidate set (same CTEs as the topk oracle, 25
@@ -1780,7 +1825,7 @@ object SparkEntry {
     s"""WITH ${ivfPqCandCtes(5)}
        SELECT qid, neighbor_id, rank, round(adc, 4) AS adc_r FROM (
          SELECT qid, neighbor_id, adc,
-           row_number() OVER (PARTITION BY qid ORDER BY adc, neighbor_id) AS rank FROM cand)
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY adc, neighbor_id) AS INTEGER) AS rank FROM cand)
        WHERE rank <= 5 ORDER BY qid, rank"""
 
   /** IVF-PQ recall oracle: the shared [[ivfPqCandCtes]] (queries < 25)
@@ -1799,6 +1844,171 @@ object SparkEntry {
          FROM vv qn, vv n WHERE qn.vec_id < 25 AND n.vec_id <> qn.vec_id),
        ex AS (SELECT qid, neighbor_id FROM (
          SELECT qid, neighbor_id, row_number() OVER (PARTITION BY qid ORDER BY dist2, neighbor_id) AS rank FROM exp)
+         WHERE rank <= 5),
+       hits AS (SELECT p.qid, count(*) AS n_hits FROM pq p
+         JOIN ex ON ex.qid = p.qid AND ex.neighbor_id = p.neighbor_id GROUP BY p.qid)
+       SELECT q.qid, COALESCE(h.n_hits, 0) AS n_hits,
+         COALESCE(h.n_hits, 0) / 5.0 AS recall
+       FROM (SELECT DISTINCT vec_id AS qid FROM embeddings WHERE vec_id < 25) q
+       LEFT JOIN hits h ON h.qid = q.qid ORDER BY q.qid"""
+
+  /** Unrolled Lloyd-training CTEs for the coarse quantizer: `cents0` is the
+    * deterministic Forgy seed (the first k vectors by id — the engine's
+    * dataSeeds), each round r derives assignment `ca_r` (lexicographic
+    * (d2, c) — same tie order as the engine's least()), the quantized sums
+    * `cs_r`, and the carried centroid lists `cents_r` (empty (c, dim) slots
+    * keep the previous value, as the engine's driver fold does). The d2 fold
+    * and the one-division mean are IEEE-identical to the engine's, so every
+    * round's centroids agree bit-for-bit.
+    */
+  private def kmeansTrainCtes(k: Int, rounds: Int): String = {
+    val fold64 = "list_reduce(list_prepend(0.0, list_transform(range(0,64), " +
+      "d -> (v[d+1]-cl[d+1])*(v[d+1]-cl[d+1]))), (p,q) -> p + q)"
+    val sb = new StringBuilder
+    sb ++= s"""vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       cents0 AS (SELECT vec_id AS c, v AS cl FROM vv WHERE vec_id < $k)"""
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+       cd$r AS (SELECT vec_id, c, $fold64 AS d2 FROM vv, cents${r - 1}),
+       ca$r AS (SELECT vec_id, c AS centroid FROM (
+           SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM cd$r)
+         WHERE rn = 1),
+       cs$r AS (SELECT centroid, dd.range AS dim, count(*) AS n,
+           CAST(sum(CAST(floor(v[dd.range+1]*1000000.0) AS BIGINT)) AS BIGINT) AS sum_q
+         FROM ca$r JOIN vv USING (vec_id) CROSS JOIN range(0,64) dd GROUP BY 1, 2),
+       cents$r AS (SELECT p.c,
+           list(COALESCE(CAST(x.sum_q AS DOUBLE)/(x.n*1000000.0), p.cl[dd.range+1]) ORDER BY dd.range) AS cl
+         FROM cents${r - 1} p CROSS JOIN range(0,64) dd
+         LEFT JOIN cs$r x ON x.centroid = p.c AND x.dim = dd.range
+         GROUP BY p.c)"""
+    }
+    sb.toString
+  }
+
+  /** Unrolled Lloyd-training CTEs for the PQ codebooks (one (s, k) entry per
+    * subspace x code, `dims = 64/nSub` local dims each; code k of subspace s
+    * seeds from vector k's s-th subvector, the engine's per-subspace Forgy)
+    * — the per-subspace twin of [[kmeansTrainCtes]]; needs `vv` in scope.
+    */
+  private def pqTrainCtes(nSub: Int, kCodes: Int, rounds: Int): String = {
+    val dims = 64 / nSub
+    val sb = new StringBuilder
+    sb ++= s"""cb0 AS (SELECT ss.range AS s, vec_id AS k, list_transform(range(0,$dims),
+           d -> v[ss.range*$dims + d + 1]) AS cl
+         FROM vv CROSS JOIN range(0,$nSub) ss WHERE vec_id < $kCodes)"""
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+       pd$r AS (SELECT vec_id, cb.s AS s, cb.k AS k,
+           list_reduce(list_prepend(0.0, list_transform(range(0,$dims),
+             dd -> (v[cb.s*$dims + dd + 1]-cb.cl[dd+1])*(v[cb.s*$dims + dd + 1]-cb.cl[dd+1]))),
+             (p,q) -> p + q) AS d2
+         FROM vv, cb${r - 1} cb),
+       pa$r AS (SELECT vec_id, s, k AS code FROM (
+           SELECT vec_id, s, k, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, k) AS rn FROM pd$r)
+         WHERE rn = 1),
+       ps$r AS (SELECT s, code, dd.range AS dim, count(*) AS n,
+           CAST(sum(CAST(floor(v[s*$dims + dd.range + 1]*1000000.0) AS BIGINT)) AS BIGINT) AS sum_q
+         FROM pa$r JOIN vv USING (vec_id) CROSS JOIN range(0,$dims) dd GROUP BY 1, 2, 3),
+       cb$r AS (SELECT p.s, p.k,
+           list(COALESCE(CAST(x.sum_q AS DOUBLE)/(x.n*1000000.0), p.cl[dd.range+1]) ORDER BY dd.range) AS cl
+         FROM cb${r - 1} p CROSS JOIN range(0,$dims) dd
+         LEFT JOIN ps$r x ON x.s = p.s AND x.code = p.k AND x.dim = dd.range
+         GROUP BY p.s, p.k)"""
+    }
+    sb.toString
+  }
+
+  private val kmeansTrainOracleSql: String = {
+    val per = (1 to 3).map { r =>
+      s"""SELECT $r AS round, CAST(centroid AS INTEGER) AS centroid,
+          CAST(dim AS INTEGER) AS dim, n, sum_q,
+          CAST(sum_q AS DOUBLE)/(n*1000000.0) AS mean FROM cs$r"""
+    }.mkString(" UNION ALL ")
+    s"""WITH ${kmeansTrainCtes(8, 3)}
+       SELECT * FROM ($per) ORDER BY round, centroid, dim"""
+  }
+
+  private val pqTrainOracleSql: String = {
+    val per = (1 to 3).map { r =>
+      s"""SELECT $r AS round, CAST(s AS INTEGER) AS sub, CAST(code AS INTEGER) AS code,
+          CAST(dim AS INTEGER) AS dim, n, sum_q,
+          CAST(sum_q AS DOUBLE)/(n*1000000.0) AS mean FROM ps$r"""
+    }.mkString(" UNION ALL ")
+    s"""WITH ${kmeansTrainCtes(8, 3)}, ${pqTrainCtes(8, 16, 3)}
+       SELECT * FROM ($per) ORDER BY round, sub, code, dim"""
+  }
+
+  /** Shared trained-IVF-PQ candidate CTEs: both training loops (coarse +
+    * PQ), final-round assignment/codes, probe lists for queries < maxQid,
+    * and ADC candidates — the per-subspace terms fold in subspace order via
+    * an ordered list aggregate, matching the engine's left-assoc sum
+    * (prepending 0.0 is exact: every term is a nonnegative sum of squares).
+    */
+  private def ivfPqTrainedCandCtes(maxQid: Int): String =
+    s"""${kmeansTrainCtes(8, 3)}, ${pqTrainCtes(8, 16, 3)},
+       fd AS (SELECT vec_id, c,
+           list_reduce(list_prepend(0.0, list_transform(range(0,64),
+             d -> (v[d+1]-cl[d+1])*(v[d+1]-cl[d+1]))), (p,q) -> p + q) AS d2
+         FROM vv, cents3),
+       fassign AS (SELECT vec_id, c AS centroid FROM (
+           SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM fd)
+         WHERE rn = 1),
+       fqprobe AS (SELECT vec_id AS qid, c AS centroid FROM (
+           SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+           FROM fd WHERE vec_id < $maxQid)
+         WHERE rn <= 2),
+       fpd AS (SELECT vec_id, cb.s AS s, cb.k AS k,
+           list_reduce(list_prepend(0.0, list_transform(range(0,8),
+             dd -> (v[cb.s*8 + dd + 1]-cb.cl[dd+1])*(v[cb.s*8 + dd + 1]-cb.cl[dd+1]))),
+             (p,q) -> p + q) AS d2
+         FROM vv, cb3 cb),
+       fcodes AS (SELECT vec_id, s, k AS code FROM (
+           SELECT vec_id, s, k, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, k) AS rn FROM fpd)
+         WHERE rn = 1),
+       adc_terms AS (SELECT q.qid, a.vec_id, cs.s,
+           list_reduce(list_prepend(0.0, list_transform(range(0,8),
+             dd -> (qv.v[cs.s*8 + dd + 1]-cb.cl[dd+1])*(qv.v[cs.s*8 + dd + 1]-cb.cl[dd+1]))),
+             (p,q) -> p + q) AS term
+         FROM fqprobe q JOIN fassign a ON a.centroid = q.centroid
+         JOIN fcodes cs ON cs.vec_id = a.vec_id
+         JOIN cb3 cb ON cb.s = cs.s AND cb.k = cs.code
+         JOIN vv qv ON qv.vec_id = q.qid
+         WHERE a.vec_id <> q.qid),
+       cand AS (SELECT qid, vec_id AS neighbor_id,
+           list_reduce(list_prepend(0.0, list(term ORDER BY s)), (p,q) -> p + q) AS adc
+         FROM adc_terms GROUP BY qid, vec_id)"""
+
+  /** ADC shortlist (size `shortlist`) + exact L2 re-rank — the engine's
+    * ivfPqSearchRefined replayed: the refine d2 is the same 64-dim fold.
+    */
+  private def ivfPqRefinedCtes(shortlist: Int): String =
+    s"""short AS (SELECT qid, neighbor_id FROM (
+           SELECT qid, neighbor_id, row_number() OVER (PARTITION BY qid ORDER BY adc, neighbor_id) AS rank FROM cand)
+         WHERE rank <= $shortlist),
+       rr AS (SELECT s.qid, s.neighbor_id,
+           list_reduce(list_prepend(0.0, list_transform(range(0,64),
+             d -> (n.v[d+1] - qv.v[d+1]) * (n.v[d+1] - qv.v[d+1]))), (p,q) -> p + q) AS dist2
+         FROM short s JOIN vv n ON n.vec_id = s.neighbor_id
+         JOIN vv qv ON qv.vec_id = s.qid)"""
+
+  private val ivfPqTrainedOracleSql: String =
+    s"""WITH ${ivfPqTrainedCandCtes(5)}, ${ivfPqRefinedCtes(50)}
+       SELECT qid, neighbor_id, rank, round(dist2, 4) AS dist2_r FROM (
+         SELECT qid, neighbor_id, dist2,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY dist2, neighbor_id) AS INTEGER) AS rank FROM rr)
+       WHERE rank <= 5 ORDER BY qid, rank"""
+
+  private val ivfPqTrainedRecallOracleSql: String =
+    s"""WITH ${ivfPqTrainedCandCtes(25)}, ${ivfPqRefinedCtes(50)},
+       pq AS (SELECT qid, neighbor_id FROM (
+           SELECT qid, neighbor_id, row_number() OVER (PARTITION BY qid ORDER BY dist2, neighbor_id) AS rank FROM rr)
+         WHERE rank <= 5),
+       exp AS (SELECT qn.vec_id AS qid, n.vec_id AS neighbor_id,
+           list_reduce(list_prepend(0.0, list_transform(range(0,64),
+             d -> (n.v[d+1] - qn.v[d+1]) * (n.v[d+1] - qn.v[d+1]))), (p,q) -> p + q) AS dist2
+         FROM vv qn, vv n WHERE qn.vec_id < 25 AND n.vec_id <> qn.vec_id),
+       ex AS (SELECT qid, neighbor_id FROM (
+           SELECT qid, neighbor_id, row_number() OVER (PARTITION BY qid ORDER BY dist2, neighbor_id) AS rank FROM exp)
          WHERE rank <= 5),
        hits AS (SELECT p.qid, count(*) AS n_hits FROM pq p
          JOIN ex ON ex.qid = p.qid AND ex.neighbor_id = p.neighbor_id GROUP BY p.qid)
@@ -2292,9 +2502,9 @@ object SparkEntry {
          s3 AS (SELECT s2f.* FROM s2f
            WHERE (doc_id % 100000) % 50 <> 7 AND doc_id NOT IN (SELECT doc_id FROM bad)),
          s4 AS (SELECT s3.doc_id, d2.source, s3.n_words,
-             sum(s3.n_words) OVER (PARTITION BY d2.source
+             CAST(sum(s3.n_words) OVER (PARTITION BY d2.source
                ORDER BY md5(CAST(s3.doc_id AS VARCHAR)), s3.doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
            FROM s3 JOIN documents d2 ON s3.doc_id % 100000 = d2.doc_id)
          SELECT doc_id, source, n_words, cum FROM s4 WHERE cum <= 800 ORDER BY doc_id""",
     "events_transition" ->
@@ -2306,8 +2516,8 @@ object SparkEntry {
     "curation_pack" ->
       """WITH d AS (SELECT doc_id, source,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
-         c AS (SELECT *, COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok FROM d)
+         c AS (SELECT *, CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok FROM d)
          SELECT doc_id, source, n_tokens,
            start_tok // 512 AS seq_id, start_tok % 512 AS offset
          FROM c ORDER BY doc_id""",
@@ -2315,8 +2525,8 @@ object SparkEntry {
       """WITH d AS (SELECT doc_id, source,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
            md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
-         c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+         c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM d)
          SELECT doc_id, source, n_tokens, cum FROM c
          WHERE cum <= CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 700
            WHEN 'src2' THEN 400 WHEN 'src3' THEN 200 ELSE 800 END
@@ -2375,7 +2585,7 @@ object SparkEntry {
            36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
            FROM lineitem)
          SELECT point_id % 500 AS grp,
-           row_number() OVER (PARTITION BY point_id % 500 ORDER BY point_id) - 1 AS idx,
+           CAST(row_number() OVER (PARTITION BY point_id % 500 ORDER BY point_id) - 1 AS INTEGER) AS idx,
            CAST(floor(lng*100000 + 0.5) AS BIGINT)/100000.0 AS lng5,
            CAST(floor(lat*100000 + 0.5) AS BIGINT)/100000.0 AS lat5
          FROM pts ORDER BY grp, idx""",
@@ -2625,6 +2835,10 @@ object SparkEntry {
     "ann_ivf_topk" -> ivfTopkOracleSql,
     "ann_ivfpq_topk" -> ivfPqOracleSql,
     "ann_ivfpq_recall" -> ivfPqRecallOracleSql,
+    "ann_kmeans_train" -> kmeansTrainOracleSql,
+    "ann_pq_train" -> pqTrainOracleSql,
+    "ann_ivfpq_topk_trained" -> ivfPqTrainedOracleSql,
+    "ann_ivfpq_recall_trained" -> ivfPqTrainedRecallOracleSql,
     "ann_ivf_recall" -> ivfRecallOracleSql,
     "dedup_cluster_keep" -> clusterOracleSql,
     // star contraction must land on the identical component map, so it
@@ -2873,7 +3087,7 @@ object SparkEntry {
     "q_window" ->
       """SELECT o_custkey, o_orderkey, rn, run_total FROM (
            SELECT o_custkey, o_orderkey,
-             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+             CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS rn,
              round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
            FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
@@ -3118,7 +3332,7 @@ object SparkEntry {
            (tlng - plng) * (tlng - plng) + (tlat - plat) * (tlat - plat) AS dist2
            FROM probes, targets),
          r AS (SELECT probe_id, target_id, dist2,
-           row_number() OVER (PARTITION BY probe_id ORDER BY dist2, target_id) AS rank FROM pairs)
+           CAST(row_number() OVER (PARTITION BY probe_id ORDER BY dist2, target_id) AS INTEGER) AS rank FROM pairs)
          SELECT probe_id, target_id, rank, dist2 FROM r WHERE rank <= 5
          ORDER BY probe_id, rank""",
     "geo_simplify" -> simplifyOracleSql(32),
@@ -3175,7 +3389,7 @@ object SparkEntry {
          sc AS (SELECT doc_id, 'src' || CAST(doc_id % 5 AS VARCHAR) AS source,
            least(nw/100.0, 1.0)*0.4 + (ns/nw)*0.3 + least((nc/nw)/10.0, 1.0)*0.3 AS score FROM q),
          r AS (SELECT doc_id, source, score,
-           row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rk
+           CAST(row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS INTEGER) AS rk
            FROM sc)
          SELECT doc_id, source, score, rk FROM r WHERE rk <= 30
          ORDER BY source, rk""",
@@ -3188,7 +3402,7 @@ object SparkEntry {
          sc AS (SELECT doc_id, 'src' || CAST(doc_id % 5 AS VARCHAR) AS source,
            least(nw/100.0, 1.0)*0.4 + (ns/nw)*0.3 + least((nc/nw)/10.0, 1.0)*0.3 AS score FROM q),
          r AS (SELECT doc_id, source, score,
-           row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rk
+           CAST(row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS INTEGER) AS rk
            FROM sc)
          SELECT doc_id, source, score, rk FROM r WHERE rk <= 30
          ORDER BY source, rk""",
@@ -3228,7 +3442,7 @@ object SparkEntry {
              (nd.n_docs * 1000) // dfq.df AS idf_q,
              tf.tf * ((nd.n_docs * 1000) // dfq.df) AS score
            FROM tf JOIN dfq USING (term), nd),
-         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM sc)
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS rk FROM sc)
          SELECT doc_id, term, tf, df, idf_q, score, rk
          FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
     "token_count" ->
@@ -3244,7 +3458,7 @@ object SparkEntry {
              list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])) / (qnrm * nrm) AS cos
            FROM q, n WHERE n.vec_id <> qid),
          r AS (SELECT qid, neighbor_id, cos,
-             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank FROM p)
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM p)
          SELECT qid, neighbor_id, rank, round(cos, 4) AS cos_r
          FROM r WHERE rank <= 10 ORDER BY qid, rank"""
   )

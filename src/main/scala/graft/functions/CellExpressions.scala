@@ -14,19 +14,28 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 
 /** `s2_cell(lng, lat, level)` — 64-bit S2 cell id (graft.geo.S2, bit-faithful
-  * to the published S2 algorithm).
+  * to the published S2 algorithm). Non-finite coordinates yield NULL, like
+  * the other cell-key expressions (see TileKeyExpr scaladoc).
   */
 case class S2CellExpr(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType, IntegerType)
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "s2_cell"
-  override def nullSafeEval(lng: Any, lat: Any, level: Any): Any =
-    graft.geo.S2.latLngToCell(lng.asInstanceOf[Double], lat.asInstanceOf[Double],
-      level.asInstanceOf[Int])
+  override def nullSafeEval(lng: Any, lat: Any, level: Any): Any = {
+    val lngd = lng.asInstanceOf[Double]; val latd = lat.asInstanceOf[Double]
+    if (java.lang.Double.isFinite(lngd) && java.lang.Double.isFinite(latd))
+      graft.geo.S2.latLngToCell(lngd, latd, level.asInstanceOf[Int])
+    else null
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (lng, lat, l) =>
-      s"${ev.value} = graft.geo.S2.latLngToCell($lng, $lat, $l);")
+      s"""if (java.lang.Double.isFinite($lng) && java.lang.Double.isFinite($lat)) {
+         |  ${ev.value} = graft.geo.S2.latLngToCell($lng, $lat, $l);
+         |} else {
+         |  ${ev.isNull} = true;
+         |}""".stripMargin)
   override protected def withNewChildrenInternal(a: Expression, b: Expression,
       c: Expression): S2CellExpr = copy(first = a, second = b, third = c)
 }
@@ -46,18 +55,31 @@ case class S2TokenExpr(child: Expression) extends UnaryExpression with ImplicitC
 
 /** `hex_cell(lng, lat, res)` — aperture-7 hexagonal cell id (graft.geo.Hex,
   * H3 API semantics; see Hex scaladoc for the bit-compatibility caveat).
+  *
+  * Non-finite coordinates yield NULL (no containing cell) — the axial
+  * rounding would otherwise silently land on the (q=0, r=0) cell, and the
+  * [[graft.plans.CellRangeDerivation]] range conjuncts would contradict the
+  * bogus cell match (TileKeyExpr scaladoc has the soundness argument).
   */
 case class HexCellExpr(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType, IntegerType)
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "hex_cell"
-  override def nullSafeEval(lng: Any, lat: Any, res: Any): Any =
-    graft.geo.Hex.latLngToCell(lng.asInstanceOf[Double], lat.asInstanceOf[Double],
-      res.asInstanceOf[Int])
+  override def nullSafeEval(lng: Any, lat: Any, res: Any): Any = {
+    val lngd = lng.asInstanceOf[Double]; val latd = lat.asInstanceOf[Double]
+    if (java.lang.Double.isFinite(lngd) && java.lang.Double.isFinite(latd))
+      graft.geo.Hex.latLngToCell(lngd, latd, res.asInstanceOf[Int])
+    else null
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (lng, lat, r) =>
-      s"${ev.value} = graft.geo.Hex.latLngToCell($lng, $lat, $r);")
+      s"""if (java.lang.Double.isFinite($lng) && java.lang.Double.isFinite($lat)) {
+         |  ${ev.value} = graft.geo.Hex.latLngToCell($lng, $lat, $r);
+         |} else {
+         |  ${ev.isNull} = true;
+         |}""".stripMargin)
   override protected def withNewChildrenInternal(a: Expression, b: Expression,
       c: Expression): HexCellExpr = copy(first = a, second = b, third = c)
 }

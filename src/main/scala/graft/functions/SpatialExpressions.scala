@@ -15,18 +15,34 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** `tile_key(lng, lat)` — SRTM 1°×1° tile key of the containing tile (F4+F9:
   * reference src/elevation/getElevationTileKey.ts:3-10 with floored degrees).
+  *
+  * Non-finite coordinates yield NULL (there is no containing tile), mirroring
+  * null-input semantics. This also keeps [[graft.plans.CellRangeDerivation]]
+  * sound: a NaN coordinate fails the derived lng/lat range conjuncts, and
+  * with a NULL key it fails the original cell predicate too — both filters
+  * agree the row drops, instead of a floored-NaN garbage key matching a
+  * literal the range filter then contradicts.
   */
 case class TileKeyExpr(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
   override def dataType: DataType = StringType
+  override def nullable: Boolean = true
   override def prettyName: String = "tile_key"
-  override def nullSafeEval(lng: Any, lat: Any): Any =
-    UTF8String.fromString(graft.geo.TileKey.of(lng.asInstanceOf[Double], lat.asInstanceOf[Double]))
+  override def nullSafeEval(lng: Any, lat: Any): Any = {
+    val lngd = lng.asInstanceOf[Double]; val latd = lat.asInstanceOf[Double]
+    if (java.lang.Double.isFinite(lngd) && java.lang.Double.isFinite(latd))
+      UTF8String.fromString(graft.geo.TileKey.of(lngd, latd))
+    else null
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (lng, lat) =>
-      s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(" +
-        s"graft.geo.TileKey.of($lng, $lat));")
+      s"""if (java.lang.Double.isFinite($lng) && java.lang.Double.isFinite($lat)) {
+         |  ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |    graft.geo.TileKey.of($lng, $lat));
+         |} else {
+         |  ${ev.isNull} = true;
+         |}""".stripMargin)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): TileKeyExpr =
     copy(left = l, right = r)
 }

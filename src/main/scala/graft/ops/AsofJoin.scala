@@ -22,8 +22,12 @@ import org.apache.spark.sql.functions._
   * inclusive; ties among right rows resolve to the largest `seqCol`.
   *
   * Row count contract: exactly one output row per left row (left-outer —
-  * unmatched left rows carry null `asof_*` columns). Rows with a null
-  * timestamp sort first in their group and therefore never match.
+  * unmatched left rows carry null `asof_*` columns). Null-timestamp LEFT
+  * rows sort first in their group and therefore never match; null-timestamp
+  * RIGHT rows are dropped before the union (they have no position on the
+  * time axis — leaving them in would let `last(_, ignoreNulls)` leak their
+  * payload into later rows while `asof_<tsCol>` stayed null, a half-matched
+  * state).
   *
   * @param keys      equality key columns (both sides)
   * @param tsCol     event-time column (both sides; exact integer micros
@@ -52,7 +56,7 @@ object AsofJoin {
     // left-only columns ride as typed nulls so unionByName lines up
     val orderCols = keys ++ Seq(tsCol, seqCol)
     val leftExtra = left.columns.filterNot(orderCols.contains)
-    val rightU = right.select(
+    val rightU = right.filter(col(tsCol).isNotNull).select(
       orderCols.map(col) ++
         payload.map(p => col(p).as(s"asof_$p")) ++
         Seq(col(tsCol).as(asofTs), lit(0).as(sideCol)) ++

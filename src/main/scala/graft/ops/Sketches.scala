@@ -82,9 +82,15 @@ object Sketches {
     */
   def bloomBuild(df: DataFrame, key: String, m: Int): Broadcast[Array[Long]] = {
     require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
-    val k = col(key).cast("long")
+    // reduce the key mod 2^31 BEFORE the multiply: keys >= ~8.4e9 overflow
+    // the Long multiply-add (an ANSI-mode error, and pre-reduction a negative
+    // remainder indexed bits() out of bounds). (2^31-1)·1103515245 < 2^63, so
+    // the reduced product is overflow-free; values are unchanged for the
+    // nonnegative in-range keys the oracle replays, and build and probe
+    // (BloomHelpers) stay identical
+    val k = pmod(col(key).cast("long"), lit(2147483648L))
     val posCols = BloomA.zip(BloomB).map { case (a, b) =>
-      ((k * a + b) % 2147483648L) % m
+      pmod(k * a + b, lit(2147483648L)) % m
     }
     val pos = df.select(explode(array(posCols.toIndexedSeq: _*)).as("pos"))
       .distinct().collect().map(_.getLong(0).toInt)
@@ -113,10 +119,10 @@ object Sketches {
     * @return (j, pos, cnt) — the nonzero counters
     */
   def cmSketch(df: DataFrame, key: String, w: Int): DataFrame = {
-    val k = col(key).cast("long")
+    val k = pmod(col(key).cast("long"), lit(2147483648L))
     val rows = (0 until 3).map { j =>
       struct(lit(j).as("j"),
-        (((k * BloomA(j) + BloomB(j)) % 2147483648L) % w).as("pos"))
+        (pmod(k * BloomA(j) + BloomB(j), lit(2147483648L)) % w).as("pos"))
     }
     df.select(explode(array(rows: _*)).as("jp"))
       .groupBy(col("jp.j").as("j"), col("jp.pos").as("pos"))
@@ -125,19 +131,22 @@ object Sketches {
 
   /** Point estimates from a [[cmSketch]]: est(key) = min_j sketch[j][h_j(key)]
     * — an overestimate, never an under (est ≥ true count always). The tiny
-    * sketch is broadcast; candidate keys never shuffle.
+    * sketch is broadcast; candidate keys never shuffle. The sketch stores
+    * only nonzero counters, so the probe LEFT-joins and coalesces a missing
+    * counter to 0 — a key absent from the build keeps its row (est 0 unless
+    * every hash collides), and a zero counter correctly wins the min.
     */
   def cmEstimate(keys: DataFrame, key: String, sketch: DataFrame, w: Int): DataFrame = {
-    val k = col(key).cast("long")
+    val k = pmod(col(key).cast("long"), lit(2147483648L))
     val carried = keys.columns.map(col)
     keys.withColumn("jp", explode(array((0 until 3).map { j =>
         struct(lit(j).as("j"),
-          (((k * BloomA(j) + BloomB(j)) % 2147483648L) % w).as("pos"))
+          (pmod(k * BloomA(j) + BloomB(j), lit(2147483648L)) % w).as("pos"))
       }: _*)))
       .select(carried :+ col("jp.j").as("j") :+ col("jp.pos").as("pos"): _*)
-      .join(broadcast(sketch), Seq("j", "pos"))
+      .join(broadcast(sketch), Seq("j", "pos"), "left_outer")
       .groupBy(carried.toIndexedSeq: _*)
-      .agg(min("cnt").as("cm_est"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
   }
 }
 
@@ -147,9 +156,11 @@ object Sketches {
 object BloomHelpers {
   def mightContain(bc: Broadcast[Array[Long]], m: Int, v: Long): Boolean = {
     val bits = bc.value
+    val vr = Math.floorMod(v, 2147483648L) // mirrors the build side's pre-reduction
     var j = 0
     while (j < 3) {
-      val p = (((v * Sketches.BloomA(j) + Sketches.BloomB(j)) % 2147483648L) % m).toInt
+      val p = (Math.floorMod(vr * Sketches.BloomA(j) + Sketches.BloomB(j),
+        2147483648L) % m).toInt
       if ((bits(p >> 6) & (1L << (p & 63))) == 0L) return false
       j += 1
     }

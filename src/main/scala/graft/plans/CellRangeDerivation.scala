@@ -29,7 +29,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Soundness: the ranges are IMPLIED supersets — every row satisfying the
   * cell predicate satisfies them — so conjoining them preserves semantics
   * (on null inputs both old and new conjuncts are null ⇒ filter drops the
-  * row either way). Idempotent: derived conjuncts already present (by
+  * row either way; on NaN/Infinite coordinates TileKeyExpr/HexCellExpr
+  * return NULL by contract, so the cell predicate drops the row just as the
+  * derived range does — no finite-range conjunct can contradict a key
+  * match, because a non-finite coordinate never produces a key).
+  * Idempotent: derived conjuncts already present (by
   * `semanticEquals`) are not re-added, so the fixpoint batch converges on
   * the second pass.
   *

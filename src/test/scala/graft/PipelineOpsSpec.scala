@@ -581,6 +581,54 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cand.exists { case (k, n) => got(k)._2 > n })
   }
 
+  test("bloom survives keys past the Long multiply-add overflow point (ADVICE r3)") {
+    import spark.implicits._
+    val m = 1 << 12
+    // 1.2e10 * 1103515245 overflows Long; the signed remainder used to go
+    // negative and index bits() out of bounds
+    val huge = Seq(12000000000L, 9999999999L, Long.MaxValue / 3, 8400000001L)
+    val bc = graft.ops.Sketches.bloomBuild(huge.toDF("k"), "k", m)
+    val got = (huge ++ Seq(1L, 17L)).toDF("k")
+      .withColumn("pass", graft.ops.Sketches.bloomMightContain(bc, m,
+        org.apache.spark.sql.functions.col("k")))
+      .as[(Long, Boolean)].collect().toMap
+    huge.foreach(k => assert(got(k), s"false negative on huge key $k"))
+  }
+
+  test("cmEstimate keeps keys absent from the build (est 0 via left join)") {
+    import spark.implicits._
+    val w = 1 << 10 // wide enough that 3 fresh positions are all-zero w.h.p.
+    val sk = graft.ops.Sketches.cmSketch((0L until 50L).toDF("k"), "k", w)
+    val got = graft.ops.Sketches.cmEstimate(
+        Seq(3L, 900000L, 900001L).toDF("k"), "k", sk, w)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(3L, 900000L, 900001L),
+      "absent keys must not vanish from the estimate output")
+    assert(got(3L) >= 1L)
+    assert(got(900000L) == 0L && got(900001L) == 0L,
+      "a key with an all-zero counter row must estimate 0, not min-over-nonzero")
+  }
+
+  test("asofJoin drops null-timestamp right rows instead of half-matching (ADVICE r3)") {
+    import spark.implicits._
+    val leftDf = Seq((1L, 0L, 10L)).toDF("id", "k", "ts")
+    val rightDf = Seq((100L, 0L, Option.empty[Long], 7), (101L, 0L, Some(5L), 9))
+      .toDF("id", "k", "ts", "v")
+    val got = graft.ops.AsofJoin.asofJoin(leftDf, rightDf, Seq("k"),
+        "ts", "id", Seq("id", "v"))
+      .select("id", "asof_id", "asof_ts", "asof_v")
+      .as[(Long, Option[Long], Option[Long], Option[Int])].collect()
+    assert(got.toSeq == Seq((1L, Some(101L), Some(5L), Some(9))),
+      "the null-ts right row's payload must not leak into matches")
+    // and when the ONLY right row has a null ts, the left row is all-null
+    val got2 = graft.ops.AsofJoin.asofJoin(leftDf,
+        rightDf.filter($"id" === 100L), Seq("k"), "ts", "id", Seq("id", "v"))
+      .select("id", "asof_id", "asof_ts", "asof_v")
+      .as[(Long, Option[Long], Option[Long], Option[Int])].collect()
+    assert(got2.toSeq == Seq((1L, None, None, None)),
+      "no-match state must be consistently all-null")
+  }
+
   test("viewshed visibility matches O(n^2) brute force on the profile output") {
     import spark.implicits._
     val corners = Seq((0, 0))

@@ -263,6 +263,36 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.experimental.extraOptimizations = Seq.empty
   }
 
+  test("cell-key expressions are NULL on non-finite coords; rule stays sound under NaN") {
+    import spark.implicits._
+    // tile_key(NaN, ...) used to floor NaN to 0 and mint a garbage key;
+    // hex_cell axial-rounded NaN onto the (q=0, r=0) cell. Both now yield
+    // NULL, so a NaN row fails the cell predicate exactly as it fails the
+    // derived range conjuncts (ADVICE r3: silent wrong results otherwise).
+    val rows = Seq(
+      (1L, -118.5, 36.5),
+      (2L, Double.NaN, 36.5),
+      (3L, -118.5, Double.NaN),
+      (4L, Double.PositiveInfinity, 36.5)
+    ).toDF("point_id", "lng", "lat")
+    val keyed = rows.select(
+      graft.functions.spatial.tile_key(col("lng"), col("lat")).as("tk"),
+      graft.functions.cells.hex_cell(col("lng"), col("lat"), lit(7)).as("hx"),
+      graft.functions.cells.s2_cell(col("lng"), col("lat"), lit(12)).as("s2"))
+      .collect()
+    assert(!keyed(0).isNullAt(0) && !keyed(0).isNullAt(1) && !keyed(0).isNullAt(2))
+    for (i <- 1 to 3; j <- 0 to 2)
+      assert(keyed(i).isNullAt(j), s"row $i col $j should be NULL on non-finite input")
+    // end-to-end: with the rule installed, a NaN-coordinate dataset returns
+    // the same rows for a cell predicate as without it
+    val nanCell = graft.geo.Hex.latLngToCell(0.0, 0.0, 7) // the cell NaN used to land on
+    val pred = graft.functions.cells.hex_cell(col("lng"), col("lat"), lit(7)) === lit(nanCell)
+    val baseline = rows.where(pred).collect().map(_.getLong(0)).toSet
+    spark.experimental.extraOptimizations = Seq(graft.plans.CellRangeDerivation)
+    try assert(rows.where(pred).collect().map(_.getLong(0)).toSet == baseline)
+    finally spark.experimental.extraOptimizations = Seq.empty
+  }
+
   test("PIP candidate join broadcasts the (small) polygon-cover side") {
     import spark.implicits._
     val pts = (1 to 2000).map(i => (i.toLong, -119.5 + i * 1e-4, 36.5 + i * 1e-4))
