@@ -83,4 +83,49 @@ object ConvexClip {
     val (ox, oy) = clip(sx, sy, cx, cy)
     area(ox, oy)
   }
+
+  /** Signed shoelace double-area (> 0 for CCW rings). */
+  def signedArea2(xs: Array[Double], ys: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < xs.length) {
+      val j = (i + 1) % xs.length
+      s += xs(i) * ys(j) - xs(j) * ys(i)
+      i += 1
+    }
+    s
+  }
+
+  /** Every corner turns left-or-straight (assumes CCW orientation). */
+  def isConvexCcw(xs: Array[Double], ys: Array[Double]): Boolean = {
+    val n = xs.length
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n; val k = (i + 2) % n
+      if ((xs(j) - xs(i)) * (ys(k) - ys(i)) - (ys(j) - ys(i)) * (xs(k) - xs(i)) < 0)
+        return false
+      i += 1
+    }
+    true
+  }
+
+  /** Intersection area for an ARBITRARY simple clip ring (either winding):
+    * normalize to CCW; convex rings take the direct Sutherland–Hodgman
+    * path, concave rings triangulate ([[EarClip]]) and sum per-triangle
+    * intersection areas (exact — triangles partition the clip interior).
+    * The subject may be any simple ring in both paths (S–H on a concave
+    * subject can emit zero-width bridge edges, which cancel in the
+    * shoelace area).
+    */
+  def intersectionAreaGeneral(sx: Array[Double], sy: Array[Double],
+                              cx: Array[Double], cy: Array[Double]): Double = {
+    if (cx.length < 3) return 0.0
+    val (ccx, ccy) =
+      if (signedArea2(cx, cy) < 0) (cx.reverse, cy.reverse) else (cx, cy)
+    if (isConvexCcw(ccx, ccy)) intersectionArea(sx, sy, ccx, ccy)
+    else EarClip.triangulate(ccx, ccy).map { case (a, b, c) =>
+      intersectionArea(sx, sy,
+        Array(ccx(a), ccx(b), ccx(c)), Array(ccy(a), ccy(b), ccy(c)))
+    }.sum
+  }
 }

@@ -50,4 +50,36 @@ object RayCast {
     }
     inside
   }
+
+  /** Multi-ring even-odd membership: XOR of the per-ring crossing parities.
+    * One call covers both GeoJSON shapes the single-ring test cannot
+    * (reference accepts them, src/types.ts:33-40): Polygon WITH HOLES
+    * (outer shell ⊕ hole rings — a point inside a hole is outside) and
+    * MultiPolygon (disjoint shells — inside any one shell is inside). Rings
+    * arrive as parallel arrays-of-arrays; each ring's edges wrap within the
+    * ring exactly as [[contains]] does, so single-ring results are
+    * bit-identical to the flat test.
+    */
+  def containsMulti(px: Double, py: Double,
+                    xss: Array[Array[Double]], yss: Array[Array[Double]]): Boolean = {
+    var inside = false
+    var r = 0
+    while (r < xss.length) {
+      if (contains(px, py, xss(r), yss(r))) inside = !inside
+      r += 1
+    }
+    inside
+  }
+
+  /** Zero-copy multi-ring variant over nested Catalyst ArrayData. */
+  def containsMulti(px: Double, py: Double, xss: ArrayData, yss: ArrayData): Boolean = {
+    var inside = false
+    val nr = xss.numElements()
+    var r = 0
+    while (r < nr) {
+      if (contains(px, py, xss.getArray(r), yss.getArray(r))) inside = !inside
+      r += 1
+    }
+    inside
+  }
 }

@@ -31,6 +31,29 @@ case class RayCastExpr(first: Expression, second: Expression,
     copy(first = a, second = b, third = c, fourth = d)
 }
 
+/** `ray_cast_multi(px, py, xss, yss)` — multi-ring even-odd membership over
+  * rings packed as arrays-of-arrays: Polygon-with-holes and MultiPolygon
+  * membership (RayCast.containsMulti scaladoc has the semantics).
+  */
+case class RayCastMultiExpr(first: Expression, second: Expression,
+                            third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ImplicitCastInputTypes {
+  private val rings = ArrayType(ArrayType(DoubleType, containsNull = false),
+    containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType, rings, rings)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "ray_cast_multi"
+  override def nullSafeEval(px: Any, py: Any, xss: Any, yss: Any): Any =
+    RayCast.containsMulti(px.asInstanceOf[Double], py.asInstanceOf[Double],
+      xss.asInstanceOf[ArrayData], yss.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (px, py, xss, yss) =>
+      s"${ev.value} = graft.geo.RayCast.containsMulti($px, $py, $xss, $yss);")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression): RayCastMultiExpr =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
 /** Static helper invoked from generated code (keeps the broadcast handle —
   * not the set — in the plan).
   */
@@ -83,6 +106,12 @@ object SpatialJoin {
       GraftColumns.expression(px.cast(DoubleType)),
       GraftColumns.expression(py.cast(DoubleType)),
       GraftColumns.expression(xs), GraftColumns.expression(ys)))
+
+  def ray_cast_multi(px: Column, py: Column, xss: Column, yss: Column): Column =
+    GraftColumns.column(RayCastMultiExpr(
+      GraftColumns.expression(px.cast(DoubleType)),
+      GraftColumns.expression(py.cast(DoubleType)),
+      GraftColumns.expression(xss), GraftColumns.expression(yss)))
 
   /** Small hot sets embed as In/InSet literals (fastest probe); large ones
     * switch to the broadcast-backed expression so plan size stays O(1) —
@@ -153,6 +182,47 @@ object SpatialJoin {
                else probe.join(polyCells, Seq("cell"))
     cand.filter(ray_cast(col("lng"), col("lat"), col("xs"), col("ys")))
       .drop("cell", "xs", "ys")
+  }
+
+  /** [[pointInPolygon]] for MULTI-RING geometries — Polygon with holes and
+    * MultiPolygon, the two reference-accepted shapes (src/types.ts:33-40)
+    * the single-ring join cannot answer (a lake-hole point would wrongly
+    * report inside). Same join shape: the S2 cover comes from the hull bbox
+    * over ALL rings (holes lie inside the shell bbox, so the cover stays a
+    * candidate superset), one cell equi-join, and the exact refine is the
+    * codegen'd multi-ring even-odd [[ray_cast_multi]].
+    *
+    * @param polys (poly_id, xss: array<array<double>>, yss) — ring r is
+    *              (xss[r], yss[r]); shells and holes in any order (even-odd)
+    */
+  def pointInPolygonMulti(points: DataFrame, polys: DataFrame,
+                          level: Option[Int] = None,
+                          broadcastPolys: Boolean = true): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val flatXs = flatten(col("xss")); val flatYs = flatten(col("yss"))
+    val lvl = level.getOrElse {
+      val extRow = polys.select(
+        max(greatest(
+          array_max(flatXs) - array_min(flatXs),
+          array_max(flatYs) - array_min(flatYs)))).head()
+      val ext = if (extRow.isNullAt(0)) 1e-6 else extRow.getDouble(0)
+      coverLevelFor(math.max(ext, 1e-6))
+    }
+    val polyCells = polys
+      .select(col("poly_id"), col("xss"), col("yss"))
+      .as[(Long, Array[Array[Double]], Array[Array[Double]])]
+      .flatMap { case (pid, xss, yss) =>
+        val xs = xss.flatten.toSeq; val ys = yss.flatten.toSeq
+        coverCells(xs, ys, lvl).map(c => (c, pid, xss, yss))
+      }
+      .toDF("cell", "poly_id", "xss", "yss")
+    val probe = points.withColumn("cell",
+      graft.functions.cells.s2_cell(col("lng"), col("lat"), lit(lvl)))
+    val cand = if (broadcastPolys) probe.join(broadcast(polyCells), Seq("cell"))
+               else probe.join(polyCells, Seq("cell"))
+    cand.filter(ray_cast_multi(col("lng"), col("lat"), col("xss"), col("yss")))
+      .drop("cell", "xss", "yss")
   }
 
   /** Skew-aware PIP: detect cells holding more than `hotThreshold` points,
@@ -322,6 +392,53 @@ object SpatialJoin {
       .filter(col("dist2") <= lit(r2))
   }
 
+  /** [[withinDistance]] with a GEODESIC (meter) radius: the hex-disk cover
+    * widens to [[graft.geo.Geodesic.coverDegreesFor]]'s safe planar superset
+    * (longitude degrees shrink by cos lat), and the exact refine keeps pairs
+    * whose polynomial-haversine term t stays under sinP(radius/2R)² — all
+    * pure arithmetic, oracle-replayable.
+    *
+    * @return (probe_id, target_id, dist_m), dist_m ≤ radiusMeters
+    */
+  def withinDistanceGeodesic(probes: DataFrame, targets: DataFrame,
+                             radiusMeters: Double,
+                             res: Option[Int] = None): DataFrame = {
+    import graft.geo.Geodesic
+    require(radiusMeters > 0, s"radius must be > 0, got $radiusMeters")
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val phiCap = {
+      val t = targets.select(max(abs(col("lat")))).head()
+      val p = probes.select(max(abs(col("lat")))).head()
+      math.max(if (t.isNullAt(0)) 0.0 else t.getDouble(0),
+        if (p.isNullAt(0)) 0.0 else p.getDouble(0))
+    }
+    val coverDeg = Geodesic.coverDegreesFor(radiusMeters, phiCap)
+    val lvl = res.getOrElse(rangeResFor(coverDeg))
+    var rings = 1
+    while (Hex.ringLowerBoundDegrees(lvl, rings + 1) <= coverDeg) rings += 1
+    val sinHalf = Geodesic.sinP(radiusMeters / (2.0 * Geodesic.EarthRadiusM))
+    val tThr = sinHalf * sinHalf
+    val cand = probes
+      .select(col("probe_id").cast(LongType), col("lng").cast(DoubleType),
+        col("lat").cast(DoubleType)).as[(Long, Double, Double)]
+      .flatMap { case (pid, plng, plat) =>
+        Hex.gridDisk(Hex.latLngToCell(plng, plat, lvl), rings)
+          .map(c => (c, pid, plng, plat))
+      }
+      .toDF("cell", "probe_id", "plng", "plat")
+    val tgt = targets
+      .select(col("target_id").cast(LongType), col("lng").cast(DoubleType).as("tlng"),
+        col("lat").cast(DoubleType).as("tlat"))
+      .withColumn("cell", graft.functions.cells.hex_cell(col("tlng"), col("tlat"), lit(lvl)))
+    cand.join(tgt, Seq("cell"))
+      .select(col("probe_id"), col("target_id"),
+        Geodesic.havT(col("plng"), col("plat"), col("tlng"), col("tlat")).as("t"))
+      .filter(col("t") <= lit(tThr))
+      .select(col("probe_id"), col("target_id"),
+        Geodesic.metersFromT(col("t")).as("dist_m"))
+  }
+
   // ---------------- J3: kNN (cell-ring expansion, distance-bounded) ----------------
 
   /** kNN join: for each probe, the k nearest targets by planar squared
@@ -346,7 +463,44 @@ object SpatialJoin {
     * @param res     hex resolution; pick so E[targets/cell] ≈ k
     */
   def knn(probes: DataFrame, targets: DataFrame, k: Int, res: Int,
-          maxRings: Int = 12): DataFrame = {
+          maxRings: Int = 12): DataFrame =
+    knnImpl(probes, targets, k, res, maxRings,
+      dist = (plng, plat, tlng, tlat) =>
+        (tlng - plng) * (tlng - plng) + (tlat - plat) * (tlat - plat),
+      settleBound = d => d * d)
+
+  /** [[knn]] ranked by GEODESIC (meter) distance — the hex cells stay the
+    * pruning structure, only the refine metric changes (VERDICT r3 #5). The
+    * ranking value is the monotone haversine term [[graft.geo.Geodesic.havT]]
+    * (polynomial kernels — bit-replayable by the oracle; Geodesic scaladoc
+    * has the accuracy envelope), the settle bound is the conservative
+    * [[graft.geo.Geodesic.tLowerBound]] at the workload's max |lat| (at
+    * extreme polar caps the bound degrades toward the exact brute-force
+    * fallback — correct, just less pruned).
+    *
+    * @return (probe_id, target_id, rank, dist_m) — rank by (t, target_id),
+    *         dist_m = polynomial-haversine meters
+    */
+  def knnGeodesic(probes: DataFrame, targets: DataFrame, k: Int, res: Int,
+                  maxRings: Int = 12): DataFrame = {
+    import graft.geo.Geodesic
+    val phiCap = {
+      val t = targets.select(max(abs(col("lat")))).head()
+      val p = probes.select(max(abs(col("lat")))).head()
+      math.max(if (t.isNullAt(0)) 0.0 else t.getDouble(0),
+        if (p.isNullAt(0)) 0.0 else p.getDouble(0))
+    }
+    knnImpl(probes, targets, k, res, maxRings,
+      dist = Geodesic.havT,
+      settleBound = d => Geodesic.tLowerBound(d, phiCap))
+      .select(col("probe_id"), col("target_id"), col("rank"),
+        Geodesic.metersFromT(col("dist2")).as("dist_m"))
+  }
+
+  private def knnImpl(probes: DataFrame, targets: DataFrame, k: Int, res: Int,
+                      maxRings: Int,
+                      dist: (Column, Column, Column, Column) => Column,
+                      settleBound: Double => Double): DataFrame = {
     val spark = probes.sparkSession
     import spark.implicits._
     val tgt = targets
@@ -381,8 +535,7 @@ object SpatialJoin {
       }.toDF("probe_id", "plng", "plat", "tcell")
       val pairs = cand.join(tgt, Seq("tcell"))
         .select(col("probe_id"), col("plng"), col("plat"), col("target_id"),
-          ((col("tlng") - col("plng")) * (col("tlng") - col("plng")) +
-           (col("tlat") - col("plat")) * (col("tlat") - col("plat"))).as("dist2"))
+          dist(col("plng"), col("plat"), col("tlng"), col("tlat")).as("dist2"))
       // re-rank running top-k ∪ this batch's candidates; localCheckpoint cuts
       // the compounding lineage (the loop is driver-side but every step is a
       // distributed job)
@@ -396,8 +549,7 @@ object SpatialJoin {
       // under the (dist2, id) order. Probes that can never settle this way
       // (fewer than k targets in all rings) ride through the loop cheaply
       // and are finished exactly by the brute-force fallback below.
-      val bound = Hex.ringLowerBoundDegrees(res, hi + 1)
-      val b2 = bound * bound
+      val b2 = settleBound(Hex.ringLowerBoundDegrees(res, hi + 1))
       val doneIds = ranked.filter(col("rk") === k && col("dist2") < lit(b2))
         .select("probe_id").localCheckpoint(true)
       doneParts += ranked.join(doneIds, Seq("probe_id"))
@@ -433,8 +585,7 @@ object SpatialJoin {
         else pendDf0.crossJoin(tgt)
       val pairs = pairs0
         .select(col("probe_id"), col("target_id"),
-          ((col("tlng") - col("plng")) * (col("tlng") - col("plng")) +
-           (col("tlat") - col("plat")) * (col("tlat") - col("plat"))).as("dist2"))
+          dist(col("plng"), col("plat"), col("tlng"), col("tlat")).as("dist2"))
       val w = Window.partitionBy(col("probe_id")).orderBy(col("dist2"), col("target_id"))
       doneParts += pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
         .select(col("probe_id"), col("target_id"), col("rank"), col("dist2"))
@@ -546,10 +697,13 @@ object SpatialJoin {
     polygonJoinPairs(a, b, level).select("poly_a", "poly_b")
 
   /** [[polygonJoin]] + the exact OVERLAP AREA of each pair via
-    * Sutherland–Hodgman convex clipping ([[graft.geo.ConvexClip]]) — the
+    * Sutherland–Hodgman clipping ([[graft.geo.ConvexClip]]) — the
     * area-weighted zonal-aggregation primitive (a feature spanning zones
-    * contributes proportionally to each). Requires the `b` rings convex CCW
-    * (they are the clip side); JTS-cross-checked in SpatialJoinSpec.
+    * contributes proportionally to each). The `b` (clip) rings may be
+    * convex OR concave, either winding: concave clip rings ear-clip
+    * triangulate and per-triangle areas sum exactly
+    * ([[graft.geo.ConvexClip.intersectionAreaGeneral]]);
+    * JTS-cross-checked in SpatialJoinSpec on convex AND concave fixtures.
     *
     * @return (poly_a, poly_b, area) for intersecting pairs
     */
@@ -559,7 +713,7 @@ object SpatialJoin {
     polygonJoinPairs(a, b, level)
       .as[(Long, Long, Seq[Double], Seq[Double], Seq[Double], Seq[Double])]
       .map { case (pa, pb, axs, ays, bxs, bys) =>
-        (pa, pb, graft.geo.ConvexClip.intersectionArea(
+        (pa, pb, graft.geo.ConvexClip.intersectionAreaGeneral(
           axs.toArray, ays.toArray, bxs.toArray, bys.toArray))
       }
       .toDF("poly_a", "poly_b", "area")

@@ -52,6 +52,50 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pointInPolygonMulti: holes excluded, MultiPolygon shells included, brute-force equality") {
+    import spark.implicits._
+    // rectangles with a centered hole + a disjoint second shell
+    val multiPolys: Seq[(Long, Array[Array[Double]], Array[Array[Double]])] =
+      (0L until 40L).map { i =>
+        val r2 = new scala.util.Random(1000 + i)
+        val cx = -120.0 + r2.nextDouble() * 3.0
+        val cy = 36.0 + r2.nextDouble() * 1.5
+        val w = 0.05 + r2.nextDouble() * 0.15
+        val h = 0.05 + r2.nextDouble() * 0.12
+        def rect(x0: Double, y0: Double, hw: Double, hh: Double) =
+          (Array(x0 - hw, x0 + hw, x0 + hw, x0 - hw),
+           Array(y0 - hh, y0 - hh, y0 + hh, y0 + hh))
+        val (ox, oy) = rect(cx, cy, w, h)
+        val (hx, hy) = rect(cx, cy, w * 0.5, h * 0.5)
+        val (sx, sy) = rect(cx + 0.6, cy, w * 0.4, h * 0.4)
+        (i, Array(ox, hx, sx), Array(oy, hy, sy))
+      }
+    val expected = (for {
+      (pid, px, py) <- points
+      (qid, xss, yss) <- multiPolys
+      if RayCast.containsMulti(px, py, xss, yss)
+    } yield (pid, qid)).toSet
+    assert(expected.nonEmpty, "workload sanity")
+    // semantic anchors: hole center excluded, second-shell center included
+    val (_, xss0, yss0) = multiPolys.head
+    val holeCx = (xss0(1)(0) + xss0(1)(1)) / 2; val holeCy = (yss0(1)(0) + yss0(1)(2)) / 2
+    val shellCx = (xss0(2)(0) + xss0(2)(1)) / 2; val shellCy = (yss0(2)(0) + yss0(2)(2)) / 2
+    assert(!RayCast.containsMulti(holeCx, holeCy, xss0, yss0),
+      "point inside the hole must be OUTSIDE")
+    assert(RayCast.containsMulti(shellCx, shellCy, xss0, yss0),
+      "point inside the disjoint second shell must be INSIDE")
+    // single-ring parity: containsMulti on one ring == contains
+    assert(RayCast.containsMulti(holeCx, holeCy, Array(xss0(0)), Array(yss0(0))) ==
+      RayCast.contains(holeCx, holeCy, xss0(0), yss0(0)))
+    val ptsDf = points.toDF("point_id", "lng", "lat")
+    val polysDf = multiPolys.toDF("poly_id", "xss", "yss")
+    for (level <- Seq(None, Some(10)); bcast <- Seq(true, false)) {
+      val got = SpatialJoin.pointInPolygonMulti(ptsDf, polysDf, level, bcast)
+        .select("point_id", "poly_id").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"level=$level broadcast=$bcast")
+    }
+  }
+
   test("pointInPolygonSalted matches brute force and the unsalted path") {
     import spark.implicits._
     val ptsDf = points.toDF("point_id", "lng", "lat")
@@ -229,6 +273,74 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("knnGeodesic: brute-force equality at high latitude; meters track true haversine") {
+    import spark.implicits._
+    import graft.geo.Geodesic
+    val r2 = new scala.util.Random(7)
+    // 66-68°N: 1° of longitude is ~43 km vs ~111 km of latitude — planar
+    // degree ranking and geodesic ranking genuinely disagree here
+    val hiProbes = (0L until 30L).map(i => (i, -20.0 + r2.nextDouble() * 4.0, 66.0 + r2.nextDouble() * 2.0))
+    val hiTargets = (100L until 1100L).map(i => (i, -20.0 + r2.nextDouble() * 4.0, 66.0 + r2.nextDouble() * 2.0))
+    val k = 5
+    val got = SpatialJoin.knnGeodesic(
+        hiProbes.toDF("probe_id", "lng", "lat"),
+        hiTargets.toDF("target_id", "lng", "lat"), k = k, res = 5)
+      .as[(Long, Long, Int, Double)].collect()
+      .map(r => (r._1, r._3) -> (r._2, r._4)).toMap
+    def brute(metric: (Double, Double, Double, Double) => Double) =
+      hiProbes.map { case (pid, plng, plat) =>
+        pid -> hiTargets.map { case (tid, tlng, tlat) =>
+          (metric(plng, plat, tlng, tlat), tid)
+        }.sorted.take(k)
+      }.toMap
+    val expected = brute(Geodesic.havT)
+    assert(got.size == hiProbes.size * k)
+    for ((pid, ranked) <- expected; (r, ((t, tid))) <- (1 to k).zip(ranked)) {
+      val (gtid, gm) = got((pid, r))
+      assert(gtid == tid, s"probe $pid rank $r")
+      assert(gm == Geodesic.metersFromT(t), s"probe $pid rank $r meters")
+      // polynomial meters track true haversine to ~1e-9 relative
+      def hav(plng: Double, plat: Double, tlng: Double, tlat: Double): Double = {
+        val dphi = math.toRadians(tlat - plat) / 2; val dl = math.toRadians(tlng - plng) / 2
+        val a = math.sin(dphi) * math.sin(dphi) +
+          math.cos(math.toRadians(plat)) * math.cos(math.toRadians(tlat)) * math.sin(dl) * math.sin(dl)
+        2 * Geodesic.EarthRadiusM * math.asin(math.sqrt(a))
+      }
+      val (plng, plat) = hiProbes.find(_._1 == pid).map(p => (p._2, p._3)).get
+      val (tlng, tlat) = hiTargets.find(_._1 == gtid).map(p => (p._2, p._3)).get
+      val truth = hav(plng, plat, tlng, tlat)
+      assert(math.abs(gm - truth) <= 1e-6 * math.max(truth, 1.0),
+        s"polynomial meters off: $gm vs $truth")
+    }
+    // the metric has to matter: at 67°N planar and geodesic top-1 disagree somewhere
+    val planarTop = brute((a, b, c, d) => (c - a) * (c - a) + (d - b) * (d - b))
+    assert(expected.exists { case (pid, ranked) =>
+      ranked.head._2 != planarTop(pid).head._2
+    }, "expected planar/geodesic rank-1 disagreement at high latitude")
+  }
+
+  test("withinDistanceGeodesic matches brute force at several meter radii") {
+    import spark.implicits._
+    import graft.geo.Geodesic
+    val r3 = new scala.util.Random(11)
+    val ps = (0L until 40L).map(i => (i, -20.0 + r3.nextDouble() * 2.0, 66.0 + r3.nextDouble() * 1.0))
+    val ts = (100L until 1600L).map(i => (i, -20.0 + r3.nextDouble() * 2.0, 66.0 + r3.nextDouble() * 1.0))
+    for (radiusM <- Seq(3000.0, 12000.0)) {
+      val sinHalf = Geodesic.sinP(radiusM / (2.0 * Geodesic.EarthRadiusM))
+      val tThr = sinHalf * sinHalf
+      val expected = (for {
+        (pid, plng, plat) <- ps
+        (tid, tlng, tlat) <- ts
+        if Geodesic.havT(plng, plat, tlng, tlat) <= tThr
+      } yield (pid, tid)).toSet
+      assert(expected.nonEmpty, s"workload sanity at $radiusM m")
+      val got = SpatialJoin.withinDistanceGeodesic(
+          ps.toDF("probe_id", "lng", "lat"), ts.toDF("target_id", "lng", "lat"), radiusM)
+        .select("probe_id", "target_id").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"radius $radiusM m")
+    }
+  }
+
   test("knn matches brute force (exact ranks and distances)") {
     import spark.implicits._
     val probes = (0L until 40L)
@@ -385,6 +497,56 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       val w = jts(ax, ay).intersection(jts(bx, by)).getArea
       if (w > 1e-12)
         assert(got.contains((ia, ib)), s"missing pair ($ia,$ib) with area $w")
+    }
+  }
+
+  test("polygonJoinWithArea handles CONCAVE clip rings (ear-clip): JTS equality") {
+    import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+    import spark.implicits._
+    val gf = new GeometryFactory()
+    val r4 = new scala.util.Random(17)
+    // subject side: random triangles (as before)
+    val as = (0 until 40).map { i =>
+      val cx = -120.0 + r4.nextDouble() * 2.0
+      val cy = 36.0 + r4.nextDouble()
+      val w = 0.05 + r4.nextDouble() * 0.25
+      val h = 0.05 + r4.nextDouble() * 0.25
+      (i.toLong, Array(cx, cx - w, cx + w), Array(cy + h, cy - h, cy - h))
+    }
+    // clip side: CONCAVE fixtures — L-shapes (CCW) and 5-point stars (CW,
+    // exercising the winding normalization)
+    val bs = (0 until 40).map { i =>
+      val cx = -120.0 + r4.nextDouble() * 2.0
+      val cy = 36.0 + r4.nextDouble()
+      val s = 0.05 + r4.nextDouble() * 0.2
+      if (i % 2 == 0) {
+        // L-shape, CCW
+        (1000L + i,
+          Array(cx, cx + s, cx + s, cx + s * 0.4, cx + s * 0.4, cx),
+          Array(cy, cy, cy + s * 0.4, cy + s * 0.4, cy + s, cy + s))
+      } else {
+        // 5-point star, CW (reversed CCW construction)
+        val pts = (0 until 10).map { k =>
+          val ang = math.Pi / 2 + k * math.Pi / 5
+          val rr = if (k % 2 == 0) s else s * 0.4
+          (cx + rr * math.cos(ang), cy + rr * math.sin(ang))
+        }.reverse
+        (1000L + i, pts.map(_._1).toArray, pts.map(_._2).toArray)
+      }
+    }
+    val got = graft.ops.SpatialJoin.polygonJoinWithArea(
+        as.toDF("poly_id", "xs", "ys"), bs.toDF("poly_id", "xs", "ys"), level = 9)
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(got.nonEmpty, "degenerate: no intersecting pairs")
+    assert(got.values.exists(_ > 0), "degenerate: all-zero areas")
+    def jts(xs: Array[Double], ys: Array[Double]) =
+      gf.createPolygon((xs.indices :+ 0).map(j => new Coordinate(xs(j), ys(j))).toArray)
+    val aMap = as.map(t => t._1 -> jts(t._2, t._3)).toMap
+    val bMap = bs.map(t => t._1 -> jts(t._2, t._3)).toMap
+    got.foreach { case ((pa, pb), area) =>
+      val want = aMap(pa).intersection(bMap(pb)).getArea
+      assert(math.abs(area - want) < 1e-9, s"pair ($pa,$pb): $area vs $want")
     }
   }
 
