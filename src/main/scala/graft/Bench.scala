@@ -33,12 +33,14 @@ object Bench {
   /** One warm measurement pass at a given parallelism: warmup run + 2 timed
     * runs, keep the min.
     */
-  private def headlinePass(cpus: Int, sfDir: String, k: Int): (Long, Double) = {
+  private def headlinePass(cpus: Int, sfDir: String, k: Int,
+      job: (org.apache.spark.sql.SparkSession, String, Int) => (Long, Double)
+        = Headline.run): (Long, Double) = {
     System.gc() // clear garbage from earlier phases before timing
     val s = Headline.session(cpus)
     try {
-      Headline.run(s, sfDir, 1) // warmup: codegen + broadcast + file listing
-      val runs = (1 to 2).map(_ => Headline.run(s, sfDir, k))
+      job(s, sfDir, 1) // warmup: codegen + broadcast/shuffle infra + listing
+      val runs = (1 to 2).map(_ => job(s, sfDir, k))
       (runs.head._1, runs.map(_._2).min)
     } finally s.stop()
   }
@@ -214,74 +216,96 @@ object Bench {
     val results = queryResults ++ ckptResults
     spark.stop()
 
+    // One scaling block: nPairs interleaved (lo, hi) passes of `job`, each
+    // pair with in-window hardware-ceiling probes. Returns the JSON object
+    // body (shared by the broadcast-path and cogroup-path headlines).
+    //
+    // interleave lo/hi passes: host CPU availability drifts over minutes,
+    // so back-to-back blocks bias the ratio. Each (lo, hi) pair runs
+    // back-to-back inside one drift window, so its ratio is a clean
+    // single measurement of the ENGINE's scaling on this host — and the
+    // pure-CPU spin ceiling is sampled INSIDE the same window, so each
+    // pair can be normalized against the hardware scaling the host
+    // offered at that moment (a single post-hoc ceiling mismatches
+    // pairs measured minutes apart under drifting contention).
+    def scalingBlock(nPairs: Int, kRep: Int,
+        job: (org.apache.spark.sql.SparkSession, String, Int) => (Long, Double))
+        : String = {
+      val loCpus = math.max(2, cpus / 4)
+      // ceiling probes are short (0.1–2 s) and exposed to instantaneous
+      // steal — min-of-2 per level per pair keeps one bad sample from
+      // inverting a ratio (a >1.0 "ceiling" means the lo sample was the
+      // contended one)
+      def wallMin(f: Int => Double, t: Int): Double =
+        math.min(f(t), f(t))
+      val passes = (1 to nPairs).map { _ =>
+        val lo = headlinePass(loCpus, sfDir, kRep, job)
+        val hi = headlinePass(cpus, sfDir, kRep, job)
+        val ceil = wallMin(spinWall, loCpus) / wallMin(spinWall, cpus)
+        val ceilMem = wallMin(memWall, loCpus) / wallMin(memWall, cpus)
+        releaseMemBuf() // 2 GB freed before the next pair's timed passes
+        (lo, hi, ceil, ceilMem)
+      }
+      val rows = passes.head._1._1
+      val tLo = passes.map(_._1._2).min
+      val tHi = passes.map(_._2._2).min
+      val rpsLo = rows / tLo
+      val rpsHi = rows / tHi
+      val pairEffs = passes.map { case ((_, lo), (_, hi), _, _) =>
+        (lo / hi) / (cpus.toDouble / loCpus)
+      }
+      val pairCeils = passes.map(_._3)
+      val pairMemCeils = passes.map(_._4)
+      // headline `efficiency` = MEDIAN of the paired ratios: robust and
+      // unbiased under symmetric host jitter (the advisor's point: a
+      // best-of-N max is biased upward). The paired BEST — the analog of
+      // one clean run at each cluster size on dedicated hardware — and the
+      // global min-ratio (mixes windows) are reported beside it, with the
+      // full per-pair spread. Nothing hidden.
+      val effMedian = median(pairEffs)
+      val effBest = pairEffs.max
+      val effMinRatio = (tLo / tHi) / (cpus.toDouble / loCpus)
+      // ceiling-normalized efficiency: median over PER-PAIR normalized
+      // ratios (same paired statistic as the headline — the advisor's
+      // consistency point — and each pair normalizes against its own
+      // window's hardware ceiling). ALU-spin-normalized is the primary
+      // (conservative: the spin is the HIGHER ceiling); the
+      // memory-bandwidth-normalized figure is reported beside it because
+      // the probe workload streams memory, and DRAM bandwidth is the
+      // binding ceiling in unthrottled windows.
+      val effNorm = median(
+        pairEffs.zip(pairCeils).map { case (e, c) => e / math.min(1.0, c) })
+      val effNormMem = median(
+        pairEffs.zip(pairMemCeils).map { case (e, c) => e / math.min(1.0, c) })
+      val ceilingMedian = median(pairCeils)
+      val memCeilingMedian = median(pairMemCeils)
+      def arr(xs: Seq[Double]): String =
+        xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+      f"""{"rows":$rows,"cpus_lo":$loCpus,"cpus_hi":$cpus,"sec_lo":$tLo%.3f,"sec_hi":$tHi%.3f,"rows_per_sec_lo":$rpsLo%.0f,"rows_per_sec_hi":$rpsHi%.0f,"efficiency":$effMedian%.3f,"efficiency_method":"paired_median_of_$nPairs","efficiency_paired_best":$effBest%.3f,"pair_efficiencies":${arr(pairEffs)},"pair_ceilings":${arr(pairCeils)},"pair_mem_ceilings":${arr(pairMemCeils)},"efficiency_min_ratio":$effMinRatio%.3f,"cpu_turbo_ceiling":$ceilingMedian%.3f,"mem_bw_ceiling":$memCeilingMedian%.3f,"efficiency_vs_ceiling":$effNorm%.3f,"efficiency_vs_mem_ceiling":$effNormMem%.3f}"""
+    }
+
     val scaling =
       if (!doScaling) ""
       else {
-        val loCpus = math.max(2, cpus / 4)
         // 8 pairs ≈ 9 min with the ceiling probes — enough for a stable
         // median (validated against 10-pair runs) without tripling the
         // round's bench wall time
         val nPairs =
           math.max(1, sys.env.getOrElse("SPARK_GRAFT_SCALING_PASSES", "8").toInt)
-        // interleave lo/hi passes: host CPU availability drifts over minutes,
-        // so back-to-back blocks bias the ratio. Each (lo, hi) pair runs
-        // back-to-back inside one drift window, so its ratio is a clean
-        // single measurement of the ENGINE's scaling on this host — and the
-        // pure-CPU spin ceiling is sampled INSIDE the same window, so each
-        // pair can be normalized against the hardware scaling the host
-        // offered at that moment (a single post-hoc ceiling mismatches
-        // pairs measured minutes apart under drifting contention).
         spinWall(2); memWall(2); releaseMemBuf() // JIT warmup
-        // ceiling probes are short (0.1–2 s) and exposed to instantaneous
-        // steal — min-of-2 per level per pair keeps one bad sample from
-        // inverting a ratio (a >1.0 "ceiling" means the lo sample was the
-        // contended one)
-        def wallMin(f: Int => Double, t: Int): Double =
-          math.min(f(t), f(t))
-        val passes = (1 to nPairs).map { _ =>
-          val lo = headlinePass(loCpus, sfDir, k)
-          val hi = headlinePass(cpus, sfDir, k)
-          val ceil = wallMin(spinWall, loCpus) / wallMin(spinWall, cpus)
-          val ceilMem = wallMin(memWall, loCpus) / wallMin(memWall, cpus)
-          releaseMemBuf() // 2 GB freed before the next pair's timed passes
-          (lo, hi, ceil, ceilMem)
-        }
-        val rows = passes.head._1._1
-        val tLo = passes.map(_._1._2).min
-        val tHi = passes.map(_._2._2).min
-        val rpsLo = rows / tLo
-        val rpsHi = rows / tHi
-        val pairEffs = passes.map { case ((_, lo), (_, hi), _, _) =>
-          (lo / hi) / (cpus.toDouble / loCpus)
-        }
-        val pairCeils = passes.map(_._3)
-        val pairMemCeils = passes.map(_._4)
-        // headline `efficiency` = MEDIAN of the paired ratios: robust and
-        // unbiased under symmetric host jitter (the advisor's point: a
-        // best-of-N max is biased upward). The paired BEST — the analog of
-        // one clean run at each cluster size on dedicated hardware — and the
-        // global min-ratio (mixes windows) are reported beside it, with the
-        // full per-pair spread. Nothing hidden.
-        val effMedian = median(pairEffs)
-        val effBest = pairEffs.max
-        val effMinRatio = (tLo / tHi) / (cpus.toDouble / loCpus)
-        // ceiling-normalized efficiency: median over PER-PAIR normalized
-        // ratios (same paired statistic as the headline — the advisor's
-        // consistency point — and each pair normalizes against its own
-        // window's hardware ceiling). ALU-spin-normalized is the primary
-        // (conservative: the spin is the HIGHER ceiling); the
-        // memory-bandwidth-normalized figure is reported beside it because
-        // the probe workload streams memory, and DRAM bandwidth is the
-        // binding ceiling in unthrottled windows.
-        val effNorm = median(
-          pairEffs.zip(pairCeils).map { case (e, c) => e / math.min(1.0, c) })
-        val effNormMem = median(
-          pairEffs.zip(pairMemCeils).map { case (e, c) => e / math.min(1.0, c) })
-        val ceilingMedian = median(pairCeils)
-        val memCeilingMedian = median(pairMemCeils)
-        def arr(xs: Seq[Double]): String =
-          xs.map(x => f"$x%.3f").mkString("[", ",", "]")
-        f""","elev_rows_per_sec":$rpsHi%.0f,"scaling":{"rows":$rows,"cpus_lo":$loCpus,"cpus_hi":$cpus,"sec_lo":$tLo%.3f,"sec_hi":$tHi%.3f,"rows_per_sec_lo":$rpsLo%.0f,"rows_per_sec_hi":$rpsHi%.0f,"efficiency":$effMedian%.3f,"efficiency_method":"paired_median_of_$nPairs","efficiency_paired_best":$effBest%.3f,"pair_efficiencies":${arr(pairEffs)},"pair_ceilings":${arr(pairCeils)},"pair_mem_ceilings":${arr(pairMemCeils)},"efficiency_min_ratio":$effMinRatio%.3f,"cpu_turbo_ceiling":$ceilingMedian%.3f,"mem_bw_ceiling":$memCeilingMedian%.3f,"efficiency_vs_ceiling":$effNorm%.3f,"efficiency_vs_mem_ceiling":$effNormMem%.3f}"""
+        val bcast = scalingBlock(nPairs, k, Headline.run)
+        // cogroup path: every probe row crosses the shuffle, so the same
+        // wall budget covers fewer rows — default 1/32 the broadcast fan-out
+        // (still ~38M rows/run at sf0.1, ≥8s of work per timed run at
+        // local[32]) and half the pairs
+        val kCg = sys.env.getOrElse("SPARK_GRAFT_HEADLINE_COGROUP_K",
+          math.max(1, k / 32).toString).toInt
+        val nPairsCg = math.max(1, sys.env.getOrElse(
+          "SPARK_GRAFT_SCALING_PASSES_COGROUP", (nPairs / 2).toString).toInt)
+        val cg = scalingBlock(nPairsCg, kCg, Headline.runCogroup(_, _, _))
+        val rpsHi = "\"rows_per_sec_hi\":([0-9]+)".r
+          .findFirstMatchIn(bcast).map(_.group(1)).getOrElse("0")
+        s""","elev_rows_per_sec":$rpsHi,"scaling":$bcast,"scaling_cogroup":$cg"""
       }
 
     def asJson(rs: Seq[(String, Double)]): String =

@@ -77,6 +77,34 @@ object Headline {
     (row.getLong(0), secs)
   }
 
+  /** The SAME workload through [[Elevation.lookupCogroup]] — the shuffle path
+    * a whole-planet tile store must take once the pyramid exceeds any
+    * broadcast budget (TileIndex.broadcastIndex scaladoc). Quoted separately
+    * so the 100 TB headline number does not rest solely on the broadcast plan:
+    * this path hash-partitions BOTH sides on (tile_key, salt) — every probe
+    * row crosses the wire once and pays typed-row serialization, which is the
+    * honest per-row cost structure of the at-scale plan.
+    *
+    * `salt` is FIXED (not a function of the parallelism level) so the lo and
+    * hi scaling passes run the identical job: 8 tiles × 8 lanes = 64 groups,
+    * ≥ 2 groups per core at local[32] and 8 at local[8].
+    */
+  def runCogroup(spark: SparkSession, sfDir: String, replicate: Int,
+                 salt: Int = 8): (Long, Double) = {
+    import spark.implicits._
+    val pts = points(spark, sfDir, replicate)
+      .selectExpr("CAST(point_id AS STRING) AS feature_id",
+        "CAST(rep AS BIGINT) AS coord_idx", "lng", "lat")
+      .as[graft.core.CoordRow]
+    val sampled = Elevation.lookupCogroup(pts,
+      tiles(spark).as[TileRow](Encoders.product[TileRow]), salt)
+    val t0 = System.nanoTime()
+    val row = sampled.toDF()
+      .agg(count(lit(1)).as("n"), sum(col("elev")).as("s")).collect()(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    (row.getLong(0), secs)
+  }
+
   /** Fresh session at the given parallelism (scaling evidence runs the same
     * job at two parallelism levels in one JVM).
     */

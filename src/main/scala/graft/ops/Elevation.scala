@@ -137,16 +137,23 @@ object Elevation {
     val spark = coords.sparkSession
     import spark.implicits._
     val s = math.max(1, salt)
+    // Packed Long shuffle key `tileIntKey * salt + lane` instead of a
+    // per-row `"$tileKey#$lane"` string: the string form allocates, hashes
+    // and compares ~16 bytes per probe row — pure overhead on the path
+    // where EVERY row crosses the shuffle. The int tile key is the same
+    // bijection the broadcast index uses (TileIndex.key).
     val keyedCoords = coords.groupByKey { c =>
-      val k = TileKey.of(c.lng, c.lat)
+      val k = TileIndex.key(math.floor(c.lng).toInt, math.floor(c.lat).toInt).toLong
       // salt lane from a per-row hash: coord_idx alone degenerates to one
       // lane for point-style inputs where every row has coord_idx 0
-      if (s == 1) k
-      else s"$k#${math.floorMod(c.feature_id.hashCode * 31 + c.coord_idx.toInt, s)}"
+      val lane = if (s == 1) 0
+        else math.floorMod(c.feature_id.hashCode * 31 + c.coord_idx.toInt, s)
+      k * s + lane
     }
     val keyedTiles = tiles.flatMap { t =>
-      if (s == 1) Iterator.single((t.image_id, t))
-      else (0 until s).iterator.map(i => (s"${t.image_id}#$i", t))
+      val (lngD, latD) = TileKey.toDegrees(t.image_id)
+      val k = TileIndex.key(lngD, latD).toLong
+      (0 until s).iterator.map(i => (k * s + i, t))
     }.groupByKey(_._1)
     keyedCoords.cogroup(keyedTiles) { (_, cs, ts) =>
       ts.toSeq.headOption match {
