@@ -145,6 +145,24 @@ object SparkEntry {
           concat(col("text"), lit(" zz qq ww ee rr tt")).as("text")))
   }
 
+  /** Embedding dedup corpus (SemDeDup input): base vectors as doubles plus
+    * exact copies (vec_id%10, +100000) and slightly perturbed copies
+    * (vec_id%7, +200000, dim d shifted by ((d%5)−2)·0.001). Oracle-
+    * replicable: the perturbation is the same IEEE add on both engines.
+    */
+  private def semCorpus(e: DataFrame): DataFrame = {
+    val base = e.select(col("vec_id").cast("long"),
+      col("embedding").cast("array<double>").as("embedding"))
+    base
+      .unionAll(base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      .unionAll(base.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 200000).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => x + ((i % 5) - lit(2)).cast("double") * lit(0.001))
+            .as("embedding")))
+  }
+
   /** Points spanning all four hemisphere quadrants, from customer. */
   private def quadrantPoints(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer").selectExpr(
@@ -1487,6 +1505,48 @@ object SparkEntry {
           (col("tus") - col("asof_tus")).as("gap_us"))
         .orderBy("event_id")
     }),
+    // Semantic dedup (SemDeDup): trained-kmeans clusters bound the candidate
+    // space, exact cosine prunes within clusters, smallest-id survivor —
+    // over the embedding dedup corpus (base + exact copies + perturbed
+    // copies). Cross-cluster dup pairs are missed by design (the published
+    // recall trade); the copies land with their originals here because a
+    // copy's assignment is bit-identical and the perturbation is tiny.
+    "ann_semdedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (cents, _) = ops.Embeddings.kmeansTrain(e, k = 8, rounds = 3)
+      ops.Embeddings.semDedup(semCorpus(e), cents, minCos = 0.95)
+        .orderBy("vec_id")
+    }),
+    // Scalar SQ8 quantization — per-vector [mn,mx] byte codes + exact
+    // reconstruction error; the cheapest vector-compression lane.
+    "ann_sq8" -> ((s, dir) => {
+      ops.Embeddings.sq8(t(s, dir, "embeddings")).orderBy("vec_id")
+    }),
+    // Corpus-internal exact duplicate-SPAN dedup (Lee et al. 2022 style):
+    // 8-gram sites hashed and counted corpus-wide over the dedup corpus;
+    // non-canonical occurrences mark their tokens redundant; cleaned text
+    // (md5) drops exactly those tokens. The exact-copy docs (+100000) make
+    // every site a duplicate of its original's, so the copy side cleans
+    // down to whatever IT holds canonically — rich, fully deterministic.
+    "dedup_spans" -> ((s, dir) => {
+      ops.TextDedup.duplicateSpanStats(dedupCorpus(s, dir), n = 8)
+        .orderBy("doc_id")
+    }),
+    // Interval-overlap join, bin-bucketed (5-min bins): view exposure
+    // windows x purchase attribution windows on exact epoch-millis — the
+    // temporal range join; pairs dedup by first-shared-bin, no distinct.
+    "events_interval_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("ms", expr("unix_millis(cast(ts as timestamp))"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("l_id"), col("ms").as("l_s"),
+          (col("ms") + (col("event_id") % 7 + 1) * 60000L).as("l_e"))
+      val buys = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("r_id"), col("ms").as("r_s"),
+          (col("ms") + (col("event_id") % 11 + 1) * 60000L).as("r_e"))
+      ops.IntervalJoin.overlapJoin(views, buys, binWidth = 300000L)
+        .orderBy("l_id", "r_id")
+    }),
     "ann_cosine_topk" -> ((s, dir) => {
       import graft.functions.vectors.vec_dot
       val e = t(s, dir, "embeddings")
@@ -1772,6 +1832,110 @@ object SparkEntry {
        sig AS (SELECT doc_id, $sigs FROM hv),
        banded AS ($bandRows)"""
   }
+
+  /** SemDeDup oracle: the trained-centroid CTEs (identical to
+    * ann_kmeans_train), the embedding dedup corpus, final assignment by
+    * (d2, c) rank, and the within-cluster cosine prune — every cosine is
+    * the same left-fold dot / (na·nb) the engine computes.
+    */
+  private val semDedupOracleSql: String = {
+    def fdot(a: String, b: String) =
+      s"""list_reduce(list_prepend(0.0, list_transform(range(0,64),
+          d -> $a.v[d+1]*$b.v[d+1])), (p,q) -> p + q)"""
+    s"""WITH ${kmeansTrainCtes(8, 3)},
+       corpus AS (
+         SELECT vec_id, v FROM vv
+         UNION ALL SELECT vec_id + 100000 AS vec_id, v FROM vv WHERE vec_id % 10 = 0
+         UNION ALL SELECT vec_id + 200000 AS vec_id,
+           list_transform(range(0,64), d -> v[d+1] + CAST((d % 5) - 2 AS DOUBLE)*0.001) AS v
+           FROM vv WHERE vec_id % 7 = 0),
+       cd AS (SELECT vec_id, c, list_reduce(list_prepend(0.0, list_transform(range(0,64),
+           d -> (v[d+1]-cl[d+1])*(v[d+1]-cl[d+1]))), (p,q) -> p + q) AS d2
+         FROM corpus, cents3),
+       ca AS (SELECT vec_id, c AS centroid FROM (
+           SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM cd)
+         WHERE rn = 1),
+       cn AS (SELECT corpus.vec_id, centroid, v,
+           sqrt(list_reduce(list_prepend(0.0, list_transform(range(0,64),
+             d -> v[d+1]*v[d+1])), (p,q) -> p + q)) AS nrm
+         FROM corpus JOIN ca ON ca.vec_id = corpus.vec_id),
+       dups AS (SELECT b.vec_id, count(*) AS n_dups
+         FROM cn a JOIN cn b ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+         WHERE ${fdot("a", "b")} / (a.nrm * b.nrm) >= 0.95
+         GROUP BY b.vec_id)
+       SELECT c.vec_id, CAST(c.centroid AS INT) AS centroid,
+         CAST(COALESCE(d.n_dups, 0) AS BIGINT) AS n_dups,
+         COALESCE(d.n_dups, 0) = 0 AS keep
+       FROM ca c LEFT JOIN dups d ON d.vec_id = c.vec_id ORDER BY c.vec_id"""
+  }
+
+  /** SQ8 oracle: per-vector [mn,mx] byte codes and the floor-quantized
+    * reconstruction error — sub/mul/div/floor and the left fold are IEEE
+    * correctly-rounded, so codes and err_q agree bit-for-bit.
+    */
+  private val sq8OracleSql: String =
+    """WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       mm AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM vv),
+       cc AS (SELECT vec_id, mn, mx, v,
+           list_transform(v, x -> CASE WHEN mx = mn THEN 0
+             ELSE least(255, CAST(floor((x - mn) * 255.0 / (mx - mn)) AS BIGINT)) END) AS codes
+         FROM mm)
+       SELECT vec_id, mn, mx,
+         md5(array_to_string(codes, ',')) AS codes_md5,
+         CAST(floor(list_reduce(list_prepend(0.0, list_transform(range(0,64),
+           d -> (v[d+1] - (mn + codes[d+1]*(mx - mn)/255.0)) * (v[d+1] - (mn + codes[d+1]*(mx - mn)/255.0)))),
+           (p,q) -> p + q) * 1000000.0) AS BIGINT) AS err_q
+       FROM cc ORDER BY vec_id"""
+
+  /** Duplicate-span oracle: 8-gram sites over the dedup corpus, corpus-wide
+    * count + canonical rank windows on the same 60-bit gram hash, ×8 token
+    * coverage of non-canonical duplicate sites, and the cleaned text
+    * rebuilt by dropping exactly those token positions.
+    */
+  private val dedupSpansOracleSql: String =
+    s"""WITH corpus AS ($sqlDedupCorpus),
+       w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+       sites AS (SELECT doc_id, unnest(range(1, len(ws)-6)) AS pos, ws
+         FROM w WHERE len(ws) >= 8),
+       sg AS (SELECT doc_id, pos,
+           ${sqlH60("array_to_string(ws[pos:pos+7], ' ')")} AS g FROM sites),
+       mk AS (SELECT doc_id, pos,
+           count(*) OVER (PARTITION BY g) AS cnt,
+           row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+         FROM sg),
+       dupsites AS (SELECT doc_id, pos, rn FROM mk WHERE cnt >= 2),
+       red AS (SELECT DISTINCT doc_id, pos + d.range AS t
+         FROM dupsites CROSS JOIN range(0, 8) d WHERE rn > 1),
+       nred AS (SELECT doc_id, count(*) AS n_red FROM red GROUP BY 1),
+       ndup AS (SELECT doc_id, count(*) AS n_dup FROM dupsites GROUP BY 1),
+       tk AS (SELECT doc_id, unnest(range(1, len(ws)+1)) AS t, ws FROM w),
+       kept AS (SELECT k.doc_id, string_agg(k.ws[k.t], ' ' ORDER BY k.t) AS cleaned
+         FROM tk k LEFT JOIN red r ON r.doc_id = k.doc_id AND r.t = k.t
+         WHERE r.t IS NULL GROUP BY k.doc_id)
+       SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(ndup.n_dup, 0) AS BIGINT) AS n_dup_sites,
+         CAST(COALESCE(nred.n_red, 0) AS BIGINT) AS n_redundant,
+         COALESCE(nred.n_red, 0) / len(w.ws) AS dup_frac,
+         md5(COALESCE(kept.cleaned, '')) AS cleaned_md5
+       FROM w LEFT JOIN ndup ON ndup.doc_id = w.doc_id
+       LEFT JOIN nred ON nred.doc_id = w.doc_id
+       LEFT JOIN kept ON kept.doc_id = w.doc_id
+       ORDER BY w.doc_id"""
+
+  /** Interval-join oracle: the same exposure/attribution windows on exact
+    * epoch millis, joined by the plain closed-interval overlap predicate —
+    * the engine's bin bucketing + first-shared-bin dedup must reproduce
+    * exactly this pair set.
+    */
+  private val intervalJoinOracleSql: String =
+    """WITH e AS (SELECT event_id, event_type, epoch_ms(ts) AS ms FROM events),
+       v AS (SELECT event_id AS l_id, ms AS l_s,
+           ms + (event_id % 7 + 1) * 60000 AS l_e FROM e WHERE event_type = 'view'),
+       b AS (SELECT event_id AS r_id, ms AS r_s,
+           ms + (event_id % 11 + 1) * 60000 AS r_e FROM e WHERE event_type = 'purchase')
+       SELECT l_id, r_id, least(l_e, r_e) - greatest(l_s, r_s) AS overlap_ms
+       FROM v JOIN b ON l_s <= r_e AND r_s <= l_e
+       ORDER BY l_id, r_id"""
 
   /** Fuzzy-decontamination oracle: the minhash band pipeline over
     * corpus ∪ eval (corpus = non-eval docs + mutated eval copies at
@@ -3015,6 +3179,10 @@ object SparkEntry {
     "ann_ivfpq_topk_trained" -> ivfPqTrainedOracleSql,
     "ann_ivfpq_recall_trained" -> ivfPqTrainedRecallOracleSql,
     "ann_ivf_recall" -> ivfRecallOracleSql,
+    "ann_semdedup" -> semDedupOracleSql,
+    "ann_sq8" -> sq8OracleSql,
+    "dedup_spans" -> dedupSpansOracleSql,
+    "events_interval_join" -> intervalJoinOracleSql,
     "dedup_cluster_keep" -> clusterOracleSql,
     // star contraction must land on the identical component map, so it
     // shares the recursive-CTE clustering oracle

@@ -516,6 +516,90 @@ object Embeddings {
     recallSummary(pq, exact, queries, topK)
   }
 
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023, public): cluster
+    * the corpus with the TRAINED coarse quantizer ([[kmeansTrain]]), then
+    * prune near-identical pairs WITHIN each cluster by exact cosine — the
+    * published scale trick: k-means shrinks the candidate space from O(n²)
+    * to Σ|cluster|², and clusters are the partition key, so candidate
+    * generation is ONE shuffle on `centroid` (the same layout the IVF index
+    * already stores). A duplicate pair spanning two clusters is missed by
+    * design — that is SemDeDup's documented recall trade (raise k more
+    * slowly than n, or re-run on cluster medoids, to bound it).
+    *
+    * Keep rule (deterministic): a vector is dropped iff some SAME-CLUSTER
+    * partner with a smaller vec_id has cosine ≥ `minCos` — the survivor of
+    * every duplicate group is its smallest id, mirroring the exact-dedup
+    * keep rule. Cosine is the same left-fold dot / (na·nb) as
+    * [[nearDupPairs]], so the oracle replays decisions bit-for-bit.
+    *
+    * @return (vec_id, centroid, n_dups, keep) — n_dups = smaller-id
+    *         same-cluster partners at ≥ minCos; keep = (n_dups == 0)
+    */
+  def semDedup(vecs: DataFrame, cents: Array[Array[Double]],
+               minCos: Double): DataFrame = {
+    val dists = cents.indices.map { c =>
+      struct(vec_dist2(col("v"), typedLit(cents(c).toSeq)).as("d2"), lit(c).as("c"))
+    }
+    val v = vecs.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("centroid", least(dists: _*).getField("c"))
+      .withColumn("nrm", norm(col("v")))
+    val a = v.select(col("centroid"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = v.select(col("centroid"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dups = a.join(b, Seq("centroid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= minCos)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(count(lit(1)).as("dup_cnt"))
+    v.select(col("vec_id"), col("centroid"))
+      .join(dups, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("centroid"),
+        coalesce(col("dup_cnt"), lit(0L)).as("n_dups"),
+        (coalesce(col("dup_cnt"), lit(0L)) === 0).as("keep"))
+  }
+
+  /** Scalar (SQ8) quantization — the cheapest embedding-compression lane of
+    * a vector store (FAISS `SQ8`, public design): each component maps to a
+    * byte code `min(255, floor((x − mn)·255/(mx − mn)))` against the
+    * vector's own [mn, mx] range, 4→1 bytes per dim. Pure per-row
+    * arithmetic on the corpus scan — no shuffle, no training state — and
+    * every op (sub/mul/div/floor, reconstruction, left-fold squared error)
+    * is IEEE correctly-rounded, so the DuckDB oracle reproduces codes and
+    * error bit-for-bit. Constant vectors (mx == mn) code to all-zeros.
+    *
+    * @return (vec_id, mn, mx, codes_md5, err_q) — codes_md5 = md5 of the
+    *         comma-joined codes (narrow, order-exact); err_q =
+    *         floor(Σ (x − recon)² · 10^6), the compression-fidelity number
+    *         per vector (floor-quantized, not rounded — floor of an IEEE
+    *         product is engine-exact where round's last-digit tie handling
+    *         is not)
+    */
+  def sq8(vecs: DataFrame): DataFrame = {
+    val v = vecs.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("mx", array_max(col("v")))
+    val withCodes = v.withColumn("codes",
+      transform(col("v"), x =>
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(lit(255L),
+            floor((x - col("mn")) * lit(255.0) / (col("mx") - col("mn")))
+              .cast("long")))))
+    withCodes
+      .withColumn("err",
+        aggregate(
+          zip_with(col("v"), col("codes"), (x, q) => {
+            val rec = col("mn") + q * (col("mx") - col("mn")) / lit(255.0)
+            (x - rec) * (x - rec)
+          }),
+          lit(0.0), (acc, e) => acc + e))
+      .select(col("vec_id"), col("mn"), col("mx"),
+        md5(concat_ws(",", col("codes"))).as("codes_md5"),
+        floor(col("err") * lit(1000000.0)).cast("long").as("err_q"))
+  }
+
   /** recall@k of [[ivfPqSearch]] against the exact EUCLIDEAN top-k — ADC is
     * an L2 quantity, so the baseline is L2 (a cosine baseline would conflate
     * quantization loss with metric choice). This gate is the DIAGNOSTIC the

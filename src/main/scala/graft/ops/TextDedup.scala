@@ -263,6 +263,62 @@ object TextDedup {
     aggregate(words(text), lit(0L),
       (acc, w) => (acc * 31L + h60(w) % lit(P)) % lit(2147483647L))
 
+  /** Exact duplicate-SPAN analysis + removal (the corpus-internal substring
+    * dedup of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better", public — the suffix-array pass re-expressed as a
+    * shuffle-bounded n-gram pipeline): a word n-gram occurring at ≥ 2 sites
+    * anywhere in the corpus (across docs OR repeated within one doc) is a
+    * duplicate span; every occurrence except the CANONICAL one (the
+    * lexicographically first (doc_id, pos) site) marks its n covered token
+    * positions redundant, and the cleaned text drops exactly those tokens.
+    *
+    * Scale shape: sites shuffle ONCE keyed on the 60-bit gram hash (the
+    * count + canonical window — key-bounded, partial-friendly); only
+    * NON-canonical duplicate sites fan out ×n into (doc, token) rows, which
+    * aggregate back into one bounded per-doc index array (≤ doc length);
+    * the rebuild joins that narrow array to the doc row and filters the
+    * token array IN PLACE — the text column itself never shuffles. Gram
+    * identity is the 60-bit [[h60]] (hash-based, as published; collisions
+    * are harmless for dedup and the oracle replays the identical hash).
+    *
+    * @param n span length in tokens (docs shorter than n emit no sites)
+    * @return (doc_id, n_tokens, n_dup_sites, n_redundant, dup_frac,
+    *         cleaned_md5) — n_dup_sites counts this doc's sites whose gram
+    *         is corpus-duplicated (canonical included); n_redundant counts
+    *         distinct token positions removed; cleaned_md5 = md5 of the
+    *         space-rejoined surviving tokens
+    */
+  def duplicateSpanStats(docs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id").cast("long"), col("text"))
+      .withColumn("ws", words(col("text")))
+      .withColumn("m", size(col("ws")))
+    val sites = base.filter(col("m") >= n)
+      .select(col("doc_id"), posexplode(shingles(col("text"), n)).as(Seq("p0", "gs")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), h60(col("gs")).as("g"))
+    val wG = Window.partitionBy("g")
+    val marked = sites
+      .withColumn("cnt", count(lit(1)).over(wG))
+      .withColumn("rn", row_number().over(wG.orderBy("doc_id", "pos")))
+      .filter(col("cnt") >= 2)
+    val red = marked.filter(col("rn") > 1)
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("t"))
+      .distinct()
+    val redPerDoc = red.groupBy("doc_id")
+      .agg(collect_list(col("t")).as("red_arr"), count(lit(1)).as("n_red"))
+    val dupPerDoc = marked.groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    base.join(dupPerDoc, Seq("doc_id"), "left_outer")
+      .join(redPerDoc, Seq("doc_id"), "left_outer")
+      .withColumn("red", coalesce(col("red_arr"), typedLit(Seq.empty[Int])))
+      .select(col("doc_id"), col("m").cast("long").as("n_tokens"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_sites"),
+        coalesce(col("n_red"), lit(0L)).as("n_redundant"),
+        (coalesce(col("n_red"), lit(0L)) / col("m")).as("dup_frac"),
+        md5(concat_ws(" ",
+          filter(col("ws"), (w, i) => !array_contains(col("red"), i + 1))))
+          .as("cleaned_md5"))
+  }
+
   /** Composite quality score in [0,1]: length saturation (0.4), stopword
     * ratio (0.3), word-length saturation (0.3). Pure rational arithmetic —
     * no transcendental functions and deliberately NO rounding: the raw

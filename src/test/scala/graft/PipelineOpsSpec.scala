@@ -805,4 +805,144 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.ops.Curation.decontaminate(clean, eval.toDF("doc_id", "text"), 3)
       .count() == 0L)
   }
+
+  test("semDedup matches brute force; copies dropped, cross-cluster dups honestly missed") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Double] = Array.fill(64)(rnd.nextDouble() - 0.5)
+    val base = (0 until 80).map(i => (i.toLong, vec()))
+    // exact copies of every 10th vector
+    val copies = base.filter(_._1 % 10 == 0).map { case (id, v) => (id + 1000, v) }
+    val all = base ++ copies
+    val df = all.toDF("vec_id", "embedding")
+    val cents = Array.tabulate(4)(c => base(c)._2) // arbitrary fixed centroids
+    val got = Embeddings.semDedup(df, cents, minCos = 0.999)
+      .as[(Long, Int, Long, Boolean)].collect().sortBy(_._1)
+    // brute force: assign to nearest centroid (ties to smaller c), pair within
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < 64) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < 64) { s += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      s / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val assign = all.map { case (id, v) =>
+      id -> cents.indices.minBy(c => (d2(v, cents(c)), c))
+    }.toMap
+    val vmap = all.toMap
+    val expected = all.map { case (id, v) =>
+      val nd = all.count { case (oid, ov) =>
+        oid < id && assign(oid) == assign(id) && cos(ov, v) >= 0.999
+      }
+      (id, assign(id), nd.toLong, nd == 0)
+    }.sortBy(_._1)
+    assert(got.toSeq == expected)
+    // every copy must be dropped (identical vector -> same cluster, cos 1)
+    val keepMap = got.map(g => g._1 -> g._4).toMap
+    copies.foreach { case (id, _) => assert(!keepMap(id), s"copy $id kept") }
+    assert(vmap.size == all.size)
+  }
+
+  test("duplicateSpanStats matches brute force on a crafted corpus") {
+    import spark.implicits._
+    // doc 1 and 2 share a 5-token run; doc 3 repeats its own run; doc 4 clean;
+    // doc 5 too short for n=3? m=2 < 3 -> zero sites
+    val docs = Seq(
+      (1L, "a b c d e x y"),
+      (2L, "p q a b c d e"),
+      (3L, "m n o m n o m n o"),
+      (4L, "u v w z k"),
+      (5L, "s t")).toDF("doc_id", "text")
+    val n = 3
+    val got = TextDedup.duplicateSpanStats(docs, n)
+      .as[(Long, Long, Long, Long, Double, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // brute force in plain Scala
+    val corpus = Seq(
+      1L -> "a b c d e x y", 2L -> "p q a b c d e",
+      3L -> "m n o m n o m n o", 4L -> "u v w z k", 5L -> "s t")
+    val sites = corpus.flatMap { case (id, text) =>
+      val ws = text.split(" ")
+      (0 to ws.length - n).map(p => (id, p + 1, ws.slice(p, p + n).mkString(" ")))
+    }
+    val byGram = sites.groupBy(_._3)
+    val dupSites = sites.filter(s => byGram(s._3).size >= 2)
+    val canon = byGram.view.mapValues(_.minBy(s => (s._1, s._2))).toMap
+    val redundant = dupSites.filterNot(s => canon(s._3) == s)
+      .flatMap(s => (s._2 until s._2 + n).map(t => (s._1, t))).toSet
+    corpus.foreach { case (id, text) =>
+      val ws = text.split(" ")
+      val m = ws.length.toLong
+      val nDup = dupSites.count(_._1 == id).toLong
+      val red = redundant.filter(_._1 == id).map(_._2)
+      val cleaned = ws.zipWithIndex.collect {
+        case (w, i) if !red.contains(i + 1) => w
+      }.mkString(" ")
+      val (gid, gm, gdup, gred, gfrac, gmd5) = got(id)
+      assert(gm == m && gdup == nDup && gred == red.size.toLong, s"doc $id")
+      assert(gfrac == red.size.toDouble / m, s"doc $id frac")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(cleaned.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(gmd5 == md, s"doc $id cleaned: '$cleaned'")
+      assert(gid == id)
+    }
+    // crafted expectations hold: doc2's copy of doc1's run is removed
+    assert(got(2L)._4 > 0 && got(1L)._4 == 0)
+    // doc3's later self-repeats removed, first occurrence kept
+    assert(got(3L)._4 > 0)
+    assert(got(4L)._4 == 0 && got(5L)._4 == 0)
+  }
+
+  test("overlapJoin matches brute force incl. touching endpoints and bin straddles") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // lengths straddle several bins (bin=100); includes zero-length intervals
+    val lefts = (0 until 200).map(i =>
+      (i.toLong, rnd.nextInt(5000).toLong)).map { case (id, s) =>
+      (id, s, s + rnd.nextInt(350).toLong)
+    }
+    val rights = (1000 until 1150).map(i =>
+      (i.toLong, rnd.nextInt(5000).toLong)).map { case (id, s) =>
+      (id, s, s + rnd.nextInt(350).toLong)
+    }
+    val got = graft.ops.IntervalJoin.overlapJoin(
+        lefts.toDF("l_id", "l_s", "l_e"), rights.toDF("r_id", "r_s", "r_e"),
+        binWidth = 100L)
+      .as[(Long, Long, Long)].collect().toSet
+    val expected = (for {
+      (lid, ls, le) <- lefts
+      (rid, rs, re) <- rights
+      if ls <= re && rs <= le
+    } yield (lid, rid, math.min(le, re) - math.max(ls, rs))).toSet
+    assert(got == expected)
+    assert(expected.exists(_._3 == 0) || expected.nonEmpty,
+      "degenerate: no pairs generated")
+    // exactly-once: no pair may be emitted twice across shared bins
+    val gotList = graft.ops.IntervalJoin.overlapJoin(
+        lefts.toDF("l_id", "l_s", "l_e"), rights.toDF("r_id", "r_s", "r_e"),
+        binWidth = 100L).collect()
+    assert(gotList.length == expected.size, "duplicate pair emissions")
+  }
+
+  test("sq8 codes round-trip within one quantization step") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(64)((rnd.nextDouble() - 0.5).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Embeddings.sq8(df)
+      .as[(Long, Double, Double, String, Long)].collect().sortBy(_._1)
+    got.zip(vecs).foreach { case ((id, mn, mx, _, errQ), (vid, v)) =>
+      assert(id == vid)
+      val vd = v.map(_.toDouble)
+      assert(mn == vd.min && mx == vd.max)
+      // one quantization step is (mx-mn)/255; total sq error over 64 dims is
+      // bounded by 64 * step^2
+      val step = (mx - mn) / 255.0
+      assert(errQ >= 0 && errQ <= math.ceil(64 * step * step * 1e6).toLong,
+        s"vec $id err out of bound: $errQ")
+    }
+  }
 }

@@ -488,4 +488,44 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
     assert(shuffles.size <= 2, s"expected <=2 post-join shuffles:\n$plan")
   }
+
+  test("intervalJoin: bin equi-join, never a cartesian/range nested loop") {
+    import spark.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_planspec_ivj"
+    graft.table.Checkpoint.clear(dir)
+    (0 until 20000).map(i => (i.toLong, i.toLong * 37 % 100000))
+      .map { case (id, s) => (id, s, s + id % 400) }
+      .toDF("l_id", "l_s", "l_e").write.mode("overwrite").parquet(dir)
+    val left = spark.read.parquet(dir)
+    val right = left.select(col("l_id").as("r_id"), (col("l_s") + 13).as("r_s"),
+      (col("l_e") + 13).as("r_e"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try graft.ops.IntervalJoin.overlapJoin(left, right, binWidth = 100L)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"interval join fell back to all-pairs:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"expected an equi-join on bin:\n$plan")
+  }
+
+  test("semDedup: candidate pairs only from the centroid equi-join, no all-pairs") {
+    import spark.implicits._
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(64)(d => (((i * 31 + d * 7) % 17) - 8).toFloat)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_planspec_semd"
+    graft.table.Checkpoint.clear(dir)
+    (0 until 5000).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    val cents = Array.tabulate(8)(c => Array.tabulate(64)(d => (c * d % 9 - 4).toDouble))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try graft.ops.Embeddings.semDedup(corpus, cents, minCos = 0.999)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"semDedup fell back to all-pairs:\n$plan")
+  }
 }
