@@ -604,6 +604,18 @@ object SparkEntry {
         .select("line_id", "seq", "lng", "lat")
         .orderBy("line_id", "seq")
     }),
+    // Split-apply DP — the scale path for continent-length lines: chunks
+    // of 16 consecutive vertices with shared boundary points, exact DP per
+    // chunk (memory bounded by chunk+1 regardless of line length); the
+    // oracle replays the chunked grouping through the same unrolled CTEs.
+    "geo_simplify_chunked" -> ((s, dir) => {
+      val verts = gatePoints(s, dir).filter(col("point_id") % 10 === 0)
+        .select((col("point_id") % 199).as("line_id"), col("point_id").as("seq"),
+          col("lng"), col("lat"))
+      ops.Trajectory.simplifyChunked(verts, eps = 0.25, chunk = 16)
+        .select("line_id", "seq", "lng", "lat")
+        .orderBy("line_id", "seq")
+    }),
     // J5: within-distance (range) join — every gate point within 0.05° of a
     // sampled customer probe; probe-side hex-disk cover (7 cells at the
     // derived res), one cell equi-join, exact dist2 refine.
@@ -753,6 +765,20 @@ object SparkEntry {
         .select(col("doc_id"), ops.TextDedup.wordHashes(col("text")).as("hw"))
         .select(col("doc_id"),
           ops.TextDedup.simhashFromHashes(col("hw"), 16).as("simhash16"))
+        .orderBy("doc_id")
+    }),
+    // SimHash near-dup pairs via multi-index Hamming bands (text twin of
+    // img_phash_neardup): 48-bit simhash, 4×12-bit band equi-joins, exact
+    // bit_count(xor) <= 3 refine — perfect recall at radius 3 by pigeonhole.
+    "dedup_simhash_neardup" -> ((s, dir) => {
+      ops.TextDedup.simhashNearDup(dedupCorpus(s, dir))
+        .orderBy("id_a", "id_b")
+    }),
+    // Vocabulary build (top-20 of the corpus's 31 distinct words, the
+    // deterministic (count desc, word) cut) + per-doc OOV profile —
+    // tokenizer coverage measurement; the 11 tail words are OOV.
+    "text_vocab_oov" -> ((s, dir) => {
+      ops.Curation.vocabOov(t(s, dir, "documents"), vocabSize = 20)
         .orderBy("doc_id")
     }),
     "dedup_jaccard" -> ((s, dir) => {
@@ -1580,7 +1606,36 @@ object SparkEntry {
     * an undersized unroll would surface as a gate mismatch, never a silent
     * false pass.
     */
-  private def simplifyOracleSql(levels: Int): String = {
+  private def simplifyOracleSql(levels: Int): String = simplifyOracleCore(
+    levels,
+    """pts AS MATERIALIZED (SELECT point_id % 199 AS line_id, point_id AS seq, lng, lat
+       FROM p0 WHERE point_id % 10 = 0)""",
+    "SELECT line_id, seq, lng, lat FROM keeps ORDER BY line_id, seq")
+
+  /** Chunked-DP oracle: the SAME unrolled-level machinery, but the point
+    * source re-keys each line into (line·100000 + chunk) groups with every
+    * chunk-boundary vertex duplicated into both neighbouring chunks — the
+    * engine's split-apply contract — and the final select maps group ids
+    * back to lines (DISTINCT dedups the shared boundary keeps). Chunks
+    * hold ≤ chunk+1 points, so split depth ≤ log-bounded ≪ `levels`.
+    */
+  private def simplifyChunkedOracleSql(levels: Int, chunk: Int): String =
+    simplifyOracleCore(
+      levels,
+      s"""base AS (SELECT point_id % 199 AS line_id, point_id AS seq, lng, lat
+         FROM p0 WHERE point_id % 10 = 0),
+       rb AS (SELECT line_id, seq, lng, lat,
+           row_number() OVER (PARTITION BY line_id ORDER BY seq) - 1 AS r FROM base),
+       pts AS MATERIALIZED (
+         SELECT line_id*100000 + (r // $chunk) AS line_id, seq, lng, lat FROM rb
+         UNION ALL
+         SELECT line_id*100000 + (r // $chunk) - 1 AS line_id, seq, lng, lat
+         FROM rb WHERE r % $chunk = 0 AND r > 0)""",
+      """SELECT DISTINCT line_id // 100000 AS line_id, seq, lng, lat FROM keeps
+       ORDER BY line_id, seq""")
+
+  private def simplifyOracleCore(levels: Int, ptsSql: String,
+                                 finalSelect: String): String = {
     // segments CARRY their chord-endpoint coords (alng/alat/blng/blat) so
     // each level joins the (MATERIALIZED — one parquet scan, not one per
     // reference) points CTE exactly once; split rows carry the split point's
@@ -1607,8 +1662,7 @@ object SparkEntry {
          -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
          36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
          FROM lineitem),
-       pts AS MATERIALIZED (SELECT point_id % 199 AS line_id, point_id AS seq, lng, lat
-         FROM p0 WHERE point_id % 10 = 0),
+       $ptsSql,
        ends AS (SELECT line_id, min(seq) AS lo, max(seq) AS hi FROM pts GROUP BY line_id),
        seg0 AS (SELECT e.line_id, e.lo, e.hi, a.lng AS alng, a.lat AS alat,
            b.lng AS blng, b.lat AS blat
@@ -1618,8 +1672,7 @@ object SparkEntry {
        $levelCtes,
        keeps AS (SELECT line_id, lo AS seq, alng AS lng, alat AS lat FROM seg0
          UNION SELECT line_id, hi AS seq, blng AS lng, blat AS lat FROM seg0 $keepUnions)
-       SELECT line_id, seq, lng, lat FROM keeps
-       ORDER BY line_id, seq"""
+       $finalSelect"""
   }
 
   /** Shared PIP oracle: bbox prefilter (a superset — every ray-cast-inside
@@ -2071,6 +2124,44 @@ object SparkEntry {
          w -> ${sqlH60("w")}) AS hw FROM documents)
        SELECT doc_id, CAST($bits AS BIGINT) AS simhash16 FROM hw ORDER BY doc_id"""
   }
+
+  /** SimHash near-dup oracle: same 48-bit simhash, the 4×12-bit band
+    * self-join candidates, exact bit_count(xor) refine — all integer ops.
+    */
+  private val simhashNearDupOracleSql: String = {
+    val bits48 = (0 until 48).map { b =>
+      s"""(CASE WHEN list_sum(list_transform(hw, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0 THEN ${1L << b} ELSE 0 END)"""
+    }.mkString(" + ")
+    s"""WITH corpus AS ($sqlDedupCorpus),
+       hw AS (SELECT doc_id, list_transform(string_split(text,' '),
+         w -> ${sqlH60("w")}) AS hw FROM corpus),
+       sh AS (SELECT doc_id, CAST($bits48 AS BIGINT) AS sh FROM hw),
+       banded AS (SELECT doc_id, sh, b.range AS band, (sh >> (b.range*12)) & 4095 AS key
+         FROM sh CROSS JOIN range(0,4) b)
+       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+       FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+         AND a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.sh, b.sh)) <= 3
+       ORDER BY id_a, id_b"""
+  }
+
+  /** Vocab/OOV oracle: same (count desc, word) total-order cut at 100,
+    * per-doc OOV counted by anti-joining tokens to the vocabulary.
+    */
+  private val vocabOovOracleSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+       tok AS (SELECT doc_id, unnest(ws) AS wd FROM w),
+       cnt AS (SELECT wd, count(*) AS c FROM tok GROUP BY 1),
+       vocab AS (SELECT wd FROM (
+           SELECT wd, row_number() OVER (ORDER BY c DESC, wd) AS rk FROM cnt)
+         WHERE rk <= 20),
+       oov AS (SELECT t.doc_id, count(*) AS n_oov FROM tok t
+         LEFT JOIN vocab v ON v.wd = t.wd WHERE v.wd IS NULL GROUP BY 1)
+       SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(o.n_oov, 0) AS BIGINT) AS n_oov,
+         COALESCE(o.n_oov, 0) / len(w.ws) AS oov_frac
+       FROM w LEFT JOIN oov o ON o.doc_id = w.doc_id ORDER BY w.doc_id"""
 
   private val annLshOracleSql: String = {
     val bucket = (0 until 8).map { j =>
@@ -3681,6 +3772,10 @@ object SparkEntry {
          SELECT probe_id, target_id, rank, dist2 FROM r WHERE rank <= 5
          ORDER BY probe_id, rank""",
     "geo_simplify" -> simplifyOracleSql(32),
+    // chunks hold <= 17 points => split depth <= 15 < 16 levels
+    "geo_simplify_chunked" -> simplifyChunkedOracleSql(16, 16),
+    "dedup_simhash_neardup" -> simhashNearDupOracleSql,
+    "text_vocab_oov" -> vocabOovOracleSql,
     "geo_range_join" ->
       """WITH probes AS (SELECT c_custkey AS probe_id,
            -120.0 + (c_custkey % 4) + ((c_custkey % 577) + 0.5)/577.0 AS plng,

@@ -335,4 +335,35 @@ object Curation {
       .filter(col("j") >= minJaccard)
       .select("doc_id", "eval_id", "j")
   }
+
+  /** Vocabulary build + out-of-vocabulary (OOV) profile — the tokenizer
+    * coverage number a corpus needs before committing to a vocab: the top
+    * `vocabSize` words by corpus frequency (ties to the lexicographically
+    * smaller word — a TOTAL order, so the cut is deterministic) become the
+    * vocabulary, and every document reports how many of its tokens fall
+    * outside it.
+    *
+    * Scale shape: the count is ONE partial-aggregated shuffle on the word;
+    * the top-V cut is a global TakeOrdered (never a single-partition
+    * window); the V surviving words — bounded, vocab-sized — broadcast as
+    * a literal array, so the per-doc OOV count is per-row codegen'd
+    * arithmetic on the corpus scan, no second shuffle of text.
+    *
+    * @return (doc_id, n_tokens, n_oov, oov_frac)
+    */
+  def vocabOov(docs: DataFrame, vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be > 0, got $vocabSize")
+    val toks = docs.select(col("doc_id").cast("long"),
+      TextDedup.words(col("text")).as("ws"))
+    val vocab = toks.select(explode(col("ws")).as("wd"))
+      .groupBy("wd").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("wd").asc)
+      .limit(vocabSize)
+      .collect().map(_.getString(0)).toSeq
+    val vlit = typedLit(vocab)
+    toks.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
+        size(filter(col("ws"), wd => !array_contains(vlit, wd)))
+          .cast("long").as("n_oov"))
+      .withColumn("oov_frac", col("n_oov") / col("n_tokens"))
+  }
 }

@@ -233,7 +233,7 @@ object TextDedup {
   def wordHashes(text: Column): Column = transform(words(text), w => h60(w))
 
   /** SimHash over pre-hashed words: bit b set iff the sum over words of
-    * ±1 (sign of bit b) is >= 0. `bits` <= 32.
+    * ±1 (sign of bit b) is >= 0. `bits` <= 60 (h60 carries 60 hash bits).
     */
   def simhashFromHashes(hw: Column, bits: Int): Column =
     (0 until bits).map { b =>
@@ -248,6 +248,43 @@ object TextDedup {
     */
   def simhash(text: Column, bits: Int): Column =
     simhashFromHashes(wordHashes(text), bits)
+
+  /** SimHash near-duplicate pairs via multi-index Hamming bands (Manku et
+    * al. 2007, public — the text twin of the image path
+    * [[ImageOps.phashNearDup]]): the `bits`-bit simhash splits into `bands`
+    * contiguous slices; two fingerprints within Hamming distance
+    * `bands − 1` must agree EXACTLY on at least one slice (pigeonhole), so
+    * candidate pairs come from `bands` bucketed equi-joins — ONE shuffle
+    * keyed by (band, slice value), never an all-pairs plan — and the exact
+    * `bit_count(xor)` distance refines. Perfect recall for
+    * radius ≤ bands − 1, enforced.
+    *
+    * @return (id_a, id_b, hamming) for distinct pairs with
+    *         hamming ≤ radius, id_a < id_b
+    */
+  def simhashNearDup(docs: DataFrame, bits: Int = 48, bands: Int = 4,
+                     radius: Int = 3): DataFrame = {
+    require(bits % bands == 0, s"bands must divide bits ($bits % $bands)")
+    require(radius <= bands - 1,
+      s"$bands bands guarantee recall only for radius <= ${bands - 1}, got $radius")
+    val w = bits / bands
+    val mask = (1L << w) - 1
+    val sh = docs
+      .select(col("doc_id").cast("long"), wordHashes(col("text")).as("hw"))
+      .select(col("doc_id"), simhashFromHashes(col("hw"), bits).as("sh"))
+    val banded = sh.select(col("doc_id"), col("sh"),
+        posexplode(array((0 until bands).map(i =>
+          shiftright(col("sh"), w * i).bitwiseAND(lit(mask))): _*)))
+      .toDF("doc_id", "sh", "band_i", "band_key")
+    val a = banded.toDF("id_a", "sa", "band_i", "band_key")
+    val b = banded.toDF("id_b", "sb", "band_i2", "band_key2")
+    a.join(b, a("band_i") === b("band_i2") && a("band_key") === b("band_key2") &&
+        a("id_a") < b("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("CAST(bit_count(sa ^ sb) AS INT)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= radius)
+  }
 
   /** Exact Jaccard similarity of distinct word-n-gram shingle sets. */
   def jaccard(textA: Column, textB: Column, n: Int): Column = {

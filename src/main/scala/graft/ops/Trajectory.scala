@@ -34,4 +34,52 @@ object Trajectory {
       }
       .toDF("line_id", "seq", "lng", "lat")
   }
+
+  /** Split-apply Douglas–Peucker — the scale path [[simplify]]'s scaladoc
+    * promises for continent-length lines: vertices chunk into runs of
+    * `chunk` consecutive points in seq order, each boundary vertex SHARED
+    * by both neighbouring chunks (so every chunk's DP anchors on its true
+    * endpoints), exact DP runs per chunk with memory bounded by `chunk+1`
+    * points regardless of line length, and the kept vertices union
+    * (boundaries — always kept as chunk endpoints — dedup by distinct).
+    *
+    * Approximation contract (documented, deterministic): the result equals
+    * exact DP applied to every chunk. Chords never span a chunk boundary,
+    * so the ε tolerance holds globally, but up to one extra vertex per
+    * boundary survives that whole-line DP might have dropped — the
+    * standard split-apply trade.
+    *
+    * Scale shape: one window shuffle on `line_id` for the per-line rank,
+    * one groupByKey shuffle on (line_id, chunk) — both key-bounded; no
+    * group ever holds more than `chunk+1` vertices.
+    */
+  def simplifyChunked(lines: DataFrame, eps: Double, chunk: Int): DataFrame = {
+    require(chunk >= 2, s"chunk must be >= 2, got $chunk")
+    val spark = lines.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val w = Window.partitionBy("line_id").orderBy("seq")
+    lines
+      .select(col("line_id").cast(LongType), col("seq").cast(LongType),
+        col("lng").cast(DoubleType), col("lat").cast(DoubleType))
+      .withColumn("r", row_number().over(w) - 1)
+      .withColumn("ck", explode(
+        when(col("r") % chunk === 0 && col("r") > 0,
+          array(expr(s"CAST(r DIV $chunk AS LONG) - 1"),
+            expr(s"CAST(r DIV $chunk AS LONG)")))
+          .otherwise(array(expr(s"CAST(r DIV $chunk AS LONG)")))))
+      .select(col("line_id"), col("seq"), col("lng"), col("lat"), col("ck"))
+      .as[(Long, Long, Double, Double, Long)]
+      .groupByKey(t => (t._1, t._5))
+      .flatMapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Double, Double, Long)]) =>
+        val lid = key._1
+        val pts = it.toArray.sortBy(_._2)
+        val keep = Simplify.douglasPeucker(pts.map(_._3), pts.map(_._4), eps)
+        pts.indices.iterator.filter(keep)
+          .map(i => (lid, pts(i)._2, pts(i)._3, pts(i)._4))
+      }
+      .toDF("line_id", "seq", "lng", "lat")
+      .distinct()
+  }
 }

@@ -926,6 +926,93 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotList.length == expected.size, "duplicate pair emissions")
   }
 
+  test("simhashNearDup equals brute-force Hamming<=radius (pigeonhole recall)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    def sentence(n: Int): String =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0 until 150).map(i => (i.toLong, sentence(6 + rnd.nextInt(20))))
+    // near copies: one appended word flips few simhash bits
+    val near = base.filter(_._1 % 5 == 0).map { case (id, t) => (id + 1000, t + " q") }
+    val docs = (base ++ near).toDF("doc_id", "text")
+    val got = graft.ops.TextDedup.simhashNearDup(docs, bits = 48, bands = 4, radius = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    // brute force: fetch each doc's simhash via the engine expression, then
+    // all-pairs Hamming (pigeonhole says band recall is perfect at radius 3,
+    // so got must be EXACTLY the <=3 set, not a subset)
+    val sh = docs
+      .select(col("doc_id"), graft.ops.TextDedup.simhash(col("text"), 48).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    val expected = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      h = java.lang.Long.bitCount(sh(a) ^ sh(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got == expected)
+    // exact copies of the text would be hamming 0; near copies mostly land
+    // within the radius — require at least some true positives
+    assert(expected.nonEmpty, "degenerate: no near pairs generated")
+  }
+
+  test("vocabOov matches brute force incl. the deterministic tie cut") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b b c d"), (2L, "b c c e"), (3L, "a d e e"), (4L, "f"))
+      .toDF("doc_id", "text")
+    // counts: a=4 b=3 c=3 e=3 d=2 f=1 -> top-3 = a, b, c (tie b/c/e broken
+    // lexicographically: b, c before e)
+    val got = graft.ops.Curation.vocabOov(docs, vocabSize = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 7L, 1L, 1.0 / 7),   // d OOV
+      (2L, 4L, 1L, 0.25),      // e OOV
+      (3L, 4L, 3L, 0.75),      // d e e OOV
+      (4L, 1L, 1L, 1.0)))      // f OOV
+  }
+
+  test("simplifyChunked equals per-chunk DP; degenerates to whole-line DP for big chunks") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val verts = for {
+      line <- 0 until 5
+      s <- 0 until 53 // deliberately not a multiple of the chunk size
+    } yield (line.toLong, s.toLong * 3, rnd.nextDouble() * 2, rnd.nextDouble() * 2)
+    val df = verts.toDF("line_id", "seq", "lng", "lat")
+    val eps = 0.2
+    val chunk = 16
+    val got = graft.ops.Trajectory.simplifyChunked(df, eps, chunk)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    // brute force: chunks of 16 ranks with shared boundaries, DP each
+    val expected = verts.groupBy(_._1).flatMap { case (lid, pts0) =>
+      val pts = pts0.sortBy(_._2).toArray
+      val nChunks = (pts.length - 1 + chunk - 1) / chunk
+      (0 until math.max(nChunks, 1)).flatMap { c =>
+        val lo = c * chunk
+        val hi = math.min(lo + chunk, pts.length - 1)
+        val slice = pts.slice(lo, hi + 1)
+        val keep = graft.geo.Simplify.douglasPeucker(
+          slice.map(_._3), slice.map(_._4), eps)
+        slice.indices.filter(keep).map(i =>
+          (lid, slice(i)._2, slice(i)._3, slice(i)._4))
+      }
+    }.toSet
+    assert(got == expected)
+    // chunk >= line length: identical to whole-line DP
+    val whole = graft.ops.Trajectory.simplify(df, eps)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    val big = graft.ops.Trajectory.simplifyChunked(df, eps, chunk = 1000)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(big == whole)
+    // all chunk-boundary vertices survive
+    verts.groupBy(_._1).foreach { case (lid, pts0) =>
+      val pts = pts0.sortBy(_._2).toArray
+      pts.indices.filter(i => i % chunk == 0 || i == pts.length - 1).foreach { i =>
+        assert(got.contains((lid, pts(i)._2, pts(i)._3, pts(i)._4)),
+          s"boundary rank $i of line $lid dropped")
+      }
+    }
+  }
+
   test("sq8 codes round-trip within one quantization step") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
