@@ -500,6 +500,49 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("cellAreaWeights: JTS per-cell equality and exact-partition invariant") {
+    import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+    import spark.implicits._
+    val gf = new GeometryFactory()
+    val r5 = new scala.util.Random(23)
+    val polys = (0 until 40).map { i =>
+      val cx = -120.0 + r5.nextDouble() * 2.0
+      val cy = 36.0 + r5.nextDouble()
+      val w = 0.03 + r5.nextDouble() * 0.3
+      val h = 0.03 + r5.nextDouble() * 0.3
+      (i.toLong, Array(cx, cx - w, cx + w), Array(cy + h, cy - h, cy - h))
+    }
+    val cells = 16
+    val got = graft.ops.Rasterize.cellAreaWeights(
+        polys.toDF("poly_id", "xs", "ys"), cells)
+      .as[(Long, Int, Int, Double)].collect()
+    assert(got.nonEmpty)
+    def jts(xs: Array[Double], ys: Array[Double]) =
+      gf.createPolygon((xs.indices :+ 0).map(j => new Coordinate(xs(j), ys(j))).toArray)
+    val polyMap = polys.map(t => t._1 -> (jts(t._2, t._3), t._2, t._3)).toMap
+    got.foreach { case (pid, cx, cy, area) =>
+      val rect = gf.createPolygon(Array(
+        new Coordinate(cx.toDouble / cells, cy.toDouble / cells),
+        new Coordinate((cx + 1).toDouble / cells, cy.toDouble / cells),
+        new Coordinate((cx + 1).toDouble / cells, (cy + 1).toDouble / cells),
+        new Coordinate(cx.toDouble / cells, (cy + 1).toDouble / cells),
+        new Coordinate(cx.toDouble / cells, cy.toDouble / cells)))
+      val want = polyMap(pid)._1.intersection(rect).getArea
+      // same tolerance as the polygonJoinWithArea JTS check — JTS computes
+      // the intersection by a different pipeline, ulp drift is expected
+      assert(math.abs(area - want) < 1e-9, s"poly $pid cell ($cx,$cy): $area vs $want")
+      assert(area <= 1.0 / (cells.toDouble * cells) + 1e-15, "cell overflow")
+    }
+    // the cells PARTITION the polygon: per-poly sum of cell areas equals
+    // the polygon's own area
+    val sums = got.groupBy(_._1).view.mapValues(_.map(_._4).sum)
+    polys.foreach { case (pid, xs, ys) =>
+      val whole = graft.geo.ConvexClip.area(xs, ys)
+      assert(math.abs(sums.getOrElse(pid, 0.0) - whole) < 1e-10,
+        s"poly $pid: cells sum ${sums.getOrElse(pid, 0.0)} vs area $whole")
+    }
+  }
+
   test("polygonJoinWithArea handles CONCAVE clip rings (ear-clip): JTS equality") {
     import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
     import spark.implicits._
