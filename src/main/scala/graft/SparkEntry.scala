@@ -637,6 +637,24 @@ object SparkEntry {
       ops.Rasterize.cellAreaWeights(trianglePolys(s, dir), cellsPerDeg = 16)
         .orderBy("poly_id", "cx", "cy")
     }),
+    // AREA-WEIGHTED zonal elevation — the composition Rasterize promises:
+    // per-cell overlap weights x bilinear elevation at cell centers
+    // (missing tile => 0), aggregated per polygon over floor-quantized
+    // integers so the sums are order-independent and oracle-exact. The
+    // weighted mean divides the two exact sums once.
+    "zonal_weighted" -> ((s, dir) => {
+      val bc = ops.TileIndex.broadcastIndex(gateTiles(s))
+      ops.Rasterize.cellAreaWeights(trianglePolys(s, dir), cellsPerDeg = 16)
+        .withColumn("clng", (col("cx").cast("double") + lit(0.5)) / lit(16.0))
+        .withColumn("clat", (col("cy").cast("double") + lit(0.5)) / lit(16.0))
+        .withColumn("elev", ops.ElevAt.elev_at(col("clng"), col("clat"), bc))
+        .withColumn("wq", floor(col("area") * col("elev") * lit(1.0e9)).cast("long"))
+        .withColumn("aq", floor(col("area") * lit(1.0e12)).cast("long"))
+        .groupBy("poly_id")
+        .agg(count(lit(1)).as("n_cells"), sum("wq").as("wsum_q"), sum("aq").as("asum_q"))
+        .withColumn("wmean", col("wsum_q") / col("asum_q") * lit(1000.0))
+        .orderBy("poly_id")
+    }),
     // Split-apply DP — the scale path for continent-length lines: chunks
     // of 16 consecutive vertices with shared boundary points, exact DP per
     // chunk (memory bounded by chunk+1 regardless of line length); the
@@ -2164,7 +2182,52 @@ object SparkEntry {
     * same IEEE op order. Cell boundaries are k/16 — exact binary doubles —
     * so every intermediate bit matches the engine.
     */
-  private val cellAreaOracleSql: String = {
+  private lazy val cellAreaOracleSql: String =
+    s"""WITH $cellAreaCtes
+       SELECT poly_id, CAST(cx AS INT) AS cx, CAST(cy AS INT) AS cy, area
+       FROM ar WHERE area > 0.0 ORDER BY poly_id, cx, cy"""
+
+  /** Area-weighted zonal elevation oracle: the clip CTEs feed cell centers
+    * into the same closed-form bilinear probe as the elevation oracles
+    * (missing tile ⇒ 0), and per-poly sums run on floor-quantized integers
+    * so the aggregation is order-independent and HUGEINT-cast-safe.
+    */
+  private lazy val zonalWeightedOracleSql: String =
+    s"""WITH $cellAreaCtes,
+       cc AS (SELECT poly_id, cx, cy, area,
+           (cx + CAST(0.5 AS DOUBLE)) / CAST(16.0 AS DOUBLE) AS clng,
+           (cy + CAST(0.5 AS DOUBLE)) / CAST(16.0 AS DOUBLE) AS clat
+         FROM ar WHERE area > 0.0),
+       k AS (SELECT poly_id, cx, cy, area,
+           CAST(floor(clng) AS BIGINT) AS swlng, CAST(floor(clat) AS BIGINT) AS swlat,
+           (clng - floor(clng)) * 600 AS colf, (clat - floor(clat)) * 600 AS rowf
+         FROM cc),
+       g AS (SELECT *, CAST(floor(colf) AS BIGINT) AS c0, CAST(floor(rowf) AS BIGINT) AS r0,
+           colf - floor(colf) AS cf, rowf - floor(rowf) AS rf,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM k),
+       v AS (SELECT *,
+           a + 2*c0     + 3*r0     + ((c0//8)*(r0//8)) % 32         AS v00,
+           a + 2*(c0+1) + 3*r0     + (((c0+1)//8)*(r0//8)) % 32     AS v10,
+           a + 2*(c0+1) + 3*(r0+1) + (((c0+1)//8)*((r0+1)//8)) % 32 AS v11,
+           a + 2*c0     + 3*(r0+1) + ((c0//8)*((r0+1)//8)) % 32     AS v01 FROM g),
+       e AS (SELECT poly_id, area,
+           CASE WHEN swlng BETWEEN -120 AND -117 AND swlat BETWEEN 36 AND 37
+                     AND NOT ((swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36))
+                THEN (v00 + (v10 - v00) * cf) +
+                     ((v01 + (v11 - v01) * cf) - (v00 + (v10 - v00) * cf)) * rf
+                ELSE 0.0 END AS elev
+         FROM v),
+       q AS (SELECT poly_id,
+           CAST(floor(area * elev * CAST(1000000000.0 AS DOUBLE)) AS BIGINT) AS wq,
+           CAST(floor(area * CAST(1000000000000.0 AS DOUBLE)) AS BIGINT) AS aq
+         FROM e)
+       SELECT poly_id, count(*) AS n_cells,
+         CAST(sum(wq) AS BIGINT) AS wsum_q, CAST(sum(aq) AS BIGINT) AS asum_q,
+         CAST(sum(wq) AS BIGINT) / CAST(sum(aq) AS BIGINT) * CAST(1000.0 AS DOUBLE) AS wmean
+       FROM q GROUP BY poly_id ORDER BY poly_id"""
+
+  // lazy: referenced by the two oracle vals declared ABOVE it
+  private lazy val cellAreaCtes: String = {
     // orient(a,b,pt) = (bx-ax)*(pt.y-ay) - (by-ay)*(pt.x-ax), pt inlined
     def orient(ax: String, ay: String, bx: String, by: String, pt: String) =
       s"(($bx)-($ax))*(($pt).y-($ay)) - (($by)-($ay))*(($pt).x-($ax))"
@@ -2193,7 +2256,7 @@ object SparkEntry {
         list_transform(range(1, len(r4)+1), i ->
           r4[i].x * r4[i % len(r4) + 1].y - r4[i % len(r4) + 1].x * r4[i].y)),
         (p,q) -> p + q)"""
-    s"""WITH tri AS (SELECT s_suppkey AS poly_id,
+    s"""tri AS (SELECT s_suppkey AS poly_id,
          -120.0 + (s_suppkey % 40) * CAST(0.1 AS DOUBLE) AS cx0,
          36.0 + ((s_suppkey * 3) % 20) * CAST(0.1 AS DOUBLE) AS cy0,
          CAST(0.05 AS DOUBLE) + (s_suppkey % 7) * CAST(0.013 AS DOUBLE) AS w,
@@ -2218,9 +2281,7 @@ object SparkEntry {
        c4 AS MATERIALIZED (SELECT poly_id, cx, cy, $p4 FROM c3),
        ar AS (SELECT poly_id, cx, cy,
            CASE WHEN len(r4) < 3 THEN 0.0 ELSE abs($shoelace) / CAST(2.0 AS DOUBLE) END AS area
-         FROM c4)
-       SELECT poly_id, CAST(cx AS INT) AS cx, CAST(cy AS INT) AS cy, area
-       FROM ar WHERE area > 0.0 ORDER BY poly_id, cx, cy"""
+         FROM c4)"""
   }
 
   /** SimHash near-dup oracle: same 48-bit simhash, the 4×12-bit band
@@ -3875,6 +3936,7 @@ object SparkEntry {
     "dedup_simhash_neardup" -> simhashNearDupOracleSql,
     "text_vocab_oov" -> vocabOovOracleSql,
     "geo_cell_weights" -> cellAreaOracleSql,
+    "zonal_weighted" -> zonalWeightedOracleSql,
     "geo_range_join" ->
       """WITH probes AS (SELECT c_custkey AS probe_id,
            -120.0 + (c_custkey % 4) + ((c_custkey % 577) + 0.5)/577.0 AS plng,
