@@ -832,6 +832,35 @@ object SparkEntry {
       ops.Curation.vocabOov(t(s, dir, "documents"), vocabSize = 20)
         .orderBy("doc_id")
     }),
+    // Self-trained add-one unigram LM surprisal (integer micro-nats) —
+    // the cheap "perplexity filter" quality signal.
+    "text_perplexity" -> ((s, dir) => {
+      ops.Curation.unigramSurprisal(t(s, dir, "documents")).orderBy("doc_id")
+    }),
+    // PII scrub over text with deterministically injected e-mails (docs
+    // with id%3!=0) and phone numbers (id%2=0) — variable per-row counts
+    // so the gate actually exercises 0/1 match cases of both patterns.
+    "text_pii_redact" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 =!= 0,
+            concat(lit(" contact user"), col("doc_id"),
+              lit("@mail.example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" call +1-415-555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))).as("scrub_text"))
+      ops.Curation.redactPii(d, "scrub_text").orderBy("doc_id")
+    }),
+    // Asymmetric containment near-dup over the engineered-dup corpus: the
+    // exact +100000 copies and suffixed +200000 near-copies both land at
+    // containment_ppm = 1000000 while symmetric Jaccard on the suffixed
+    // pairs is already < 1; df-capped posting-list join (maxDf=20) drops
+    // the shared " zz qq ww ee rr tt" boilerplate shingles (df≈71).
+    "dedup_containment" -> ((s, dir) => {
+      ops.TextDedup.containmentPairs(dedupCorpus(s, dir), shingleWords = 5,
+        maxDf = 20, minPpm = 400000L).orderBy("id_a", "id_b")
+    }),
     "dedup_jaccard" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val sub = d.filter(col("doc_id") % 25 === 0).select(col("doc_id"), col("text"))
@@ -3935,6 +3964,63 @@ object SparkEntry {
     "geo_simplify_chunked" -> simplifyChunkedOracleSql(16, 16),
     "dedup_simhash_neardup" -> simhashNearDupOracleSql,
     "text_vocab_oov" -> vocabOovOracleSql,
+    "text_perplexity" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         tok AS (SELECT doc_id, unnest(ws) AS wd FROM w),
+         cnt AS (SELECT wd, count(*) AS c FROM tok GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+                        count(*) AS n_vocab FROM cnt),
+         sq AS (SELECT t.doc_id,
+             CAST(floor(1000000.0 * ln(
+               CAST(tot.n_total + tot.n_vocab AS DOUBLE) /
+               CAST(cnt.c + 1 AS DOUBLE))) AS BIGINT) AS sq
+           FROM tok t JOIN cnt ON cnt.wd = t.wd CROSS JOIN tot)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(sq) AS BIGINT) AS surprisal_q,
+           CAST(sum(sq) AS BIGINT) // CAST(count(*) AS BIGINT) AS ppx_q
+         FROM sq GROUP BY doc_id ORDER BY doc_id""",
+    "text_pii_redact" ->
+      """WITH d AS (SELECT doc_id, text ||
+           CASE WHEN doc_id % 3 <> 0 THEN ' contact user' ||
+             CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END ||
+           CASE WHEN doc_id % 2 = 0 THEN ' call +1-415-555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS t
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t,
+             '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT)
+             AS n_phones,
+           md5(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'))
+             AS redacted_md5
+         FROM d ORDER BY doc_id""",
+    "dedup_containment" ->
+      s"""WITH corpus AS ($sqlDedupCorpus),
+         w AS (SELECT doc_id, text, string_split(text,' ') AS ws FROM corpus),
+         sh AS (SELECT doc_id,
+             CASE WHEN len(ws) >= 5 THEN list_distinct(list_transform(
+                 range(1, len(ws) - 3),
+                 g -> array_to_string(list_slice(ws, g, g + 4), ' ')))
+               ELSE [text] END AS shs FROM w),
+         sz AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS n FROM sh),
+         ex AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+         kept AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM ex GROUP BY 1)
+           WHERE df BETWEEN 2 AND 20),
+         p AS (SELECT e.doc_id, e.sh FROM ex e JOIN kept k ON k.sh = e.sh),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS inter
+           FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT pr.id_a, pr.id_b, sa.n AS na, sb.n AS nb, pr.inter,
+           pr.inter * 1000000 // least(sa.n, sb.n) AS containment_ppm
+         FROM pr JOIN sz sa ON sa.doc_id = pr.id_a
+                 JOIN sz sb ON sb.doc_id = pr.id_b
+         WHERE pr.inter * 1000000 // least(sa.n, sb.n) >= 400000
+         ORDER BY id_a, id_b""",
     "geo_cell_weights" -> cellAreaOracleSql,
     "zonal_weighted" -> zonalWeightedOracleSql,
     "geo_range_join" ->

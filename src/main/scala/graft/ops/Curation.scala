@@ -366,4 +366,72 @@ object Curation {
           .cast("long").as("n_oov"))
       .withColumn("oov_frac", col("n_oov") / col("n_tokens"))
   }
+
+  /** Unigram-LM surprisal scoring — the classic cheap "perplexity filter"
+    * of corpus curation: train an add-one-smoothed word-unigram model on
+    * the corpus itself, then score every document by its total surprisal
+    * `Σ ln((N+V)/(c(w)+1))` (N = corpus token count, V = vocab size,
+    * c(w) = corpus frequency of token w). High per-token surprisal means
+    * the document is dominated by corpus-rare tokens — the standard
+    * first-pass junk signal when no external LM is available.
+    *
+    * Determinism: each token's surprisal is quantized to integer
+    * micro-nats (`floor(1e6·ln)`) BEFORE the per-doc sum, so the aggregate
+    * is an order-independent integer sum, and the per-token mean is an
+    * integer division — bit-stable across partitionings and engines.
+    *
+    * Scale shape: one partial-aggregated shuffle builds the count table,
+    * one shuffle-join on the token scores the corpus (the count table is
+    * vocab-sized — AQE broadcasts it when small, hash-join otherwise; a
+    * 100 TB corpus's 10⁸-row vocab still joins key-bounded), and the N/V
+    * totals are a 1-row broadcast cross join. No text bytes shuffle twice.
+    *
+    * @return (doc_id, n_tokens, surprisal_q, ppx_q) — `surprisal_q` total
+    *         micro-nats, `ppx_q` = surprisal_q div n_tokens (mean
+    *         micro-nats per token)
+    */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id").cast("long"),
+      explode(TextDedup.words(col("text"))).as("wd"))
+    val counts = tok.groupBy("wd").agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum("c").as("n_total"), count(lit(1)).as("n_vocab"))
+    tok.join(counts, "wd")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        floor(lit(1e6) * log(
+          (col("n_total") + col("n_vocab")).cast("double") /
+            (col("c") + lit(1L)).cast("double"))).cast("long").as("sq"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum("sq").cast("long").as("surprisal_q"))
+      .withColumn("ppx_q", expr("surprisal_q div n_tokens"))
+  }
+
+  /** PII redaction — the compliance pass every published training corpus
+    * runs: replace e-mail addresses and dashed phone numbers with typed
+    * placeholder tokens and report per-document match counts. Patterns are
+    * deliberately restricted to a regex subset with identical semantics in
+    * Java regex and RE2 (character classes, bounded repetition — no
+    * backreferences or lookaround), so the operation is oracle-replicable.
+    *
+    * E-mails are replaced before phones: the e-mail placeholder contains
+    * no digits, so the first rewrite can never manufacture a phone match.
+    * Counts are taken on the ORIGINAL text for the same reason.
+    *
+    * Scale shape: pure per-row codegen'd string work on the corpus scan —
+    * no shuffle, no state; the scan stays in one WholeStageCodegen span.
+    *
+    * @param textCol column holding the text to scrub
+    * @return (doc_id, n_emails, n_phones, redacted_md5)
+    */
+  def redactPii(docs: DataFrame, textCol: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val t = col(textCol)
+    docs.select(col("doc_id").cast("long"),
+      regexp_count(t, lit(email)).cast("long").as("n_emails"),
+      regexp_count(t, lit(phone)).cast("long").as("n_phones"),
+      md5(regexp_replace(regexp_replace(t, email, "<EMAIL>"),
+        phone, "<PHONE>")).as("redacted_md5"))
+  }
 }

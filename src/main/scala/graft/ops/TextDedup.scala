@@ -373,4 +373,53 @@ object TextDedup {
       stopRatio * 0.3 +
       least(avgWlen / lit(10.0), lit(1.0)) * 0.3
   }
+
+  /** Containment near-dup detection — the asymmetric companion to Jaccard:
+    * `|A∩B| / min(|A|,|B|)` over word-shingle sets is ≈1 when one document
+    * CONTAINS the other (quote inclusion, boilerplate wrapping, truncated
+    * re-crawls), cases a symmetric Jaccard threshold misses because the
+    * union is dominated by the longer side.
+    *
+    * Candidate generation is an inverted-index self-join on the shingle,
+    * bounded by a document-frequency cap: shingles appearing in more than
+    * `maxDf` documents are dropped BEFORE the pair join (the standard
+    * posting-list cut — a boilerplate shingle shared by 10⁶ documents
+    * would otherwise emit 10¹² pairs). The intersection this computes is
+    * therefore over shingles with 2 ≤ df ≤ maxDf — exact for genuinely
+    * contained pairs (whose shared shingles are rare by construction once
+    * boilerplate is capped) and a documented lower bound otherwise. Per
+    * shingle the join emits ≤ maxDf² pairs, so the whole plan is
+    * key-bounded: two shuffles on the shingle, one on the pair.
+    *
+    * Determinism: containment is quantized to ppm by integer division
+    * (`inter·10⁶ div min(na,nb)`) — no float ratios in the output.
+    *
+    * @param shingleWords words per shingle
+    * @param maxDf        posting-list cut: max documents per shingle
+    * @param minPpm       emit pairs with containment_ppm ≥ this
+    * @return (id_a, id_b, na, nb, inter, containment_ppm), id_a < id_b
+    */
+  def containmentPairs(docs: DataFrame, shingleWords: Int, maxDf: Int,
+                       minPpm: Long): DataFrame = {
+    require(shingleWords > 0 && maxDf >= 2, s"bad params: $shingleWords, $maxDf")
+    val sh = docs.select(col("doc_id").cast("long"),
+      array_distinct(shingles(col("text"), shingleWords)).as("shs"))
+    val sizes = sh.select(col("doc_id"), size(col("shs")).cast("long").as("n"))
+    val posting = sh.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val kept = posting.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("sh")
+    val p = posting.join(kept, "sh")
+    val pairs = p.as("a").join(p.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).cast("long").as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("containment_ppm",
+        expr("inter * 1000000L div least(na, nb)"))
+      .filter(col("containment_ppm") >= minPpm)
+      .select("id_a", "id_b", "na", "nb", "inter", "containment_ppm")
+  }
 }

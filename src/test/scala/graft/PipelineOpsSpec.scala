@@ -1032,4 +1032,65 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"vec $id err out of bound: $errQ")
     }
   }
+
+  test("containmentPairs: copies hit 1e6 ppm, subsets score by the short side") {
+    import spark.implicits._
+    val body = (0 until 40).map(i => s"w${i % 17}x$i").mkString(" ")
+    val docs = Seq(
+      (1L, body),                          // original
+      (2L, body),                          // exact copy -> containment 1.0
+      (3L, body + " tail0 tail1 tail2 tail3 tail4 tail5"), // superset of 1
+      (4L, "alpha beta gamma delta epsilon zeta")          // unrelated
+    ).toDF("doc_id", "text")
+    val got = TextDedup.containmentPairs(docs, shingleWords = 5, maxDf = 10,
+        minPpm = 400000L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._6).toMap
+    assert(got((1L, 2L)) == 1000000L)
+    assert(got((1L, 3L)) == 1000000L, "superset must fully contain the original")
+    assert(got((2L, 3L)) == 1000000L)
+    assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    // df cap: a shingle shared by all three dup docs (df=3 <= maxDf) counts;
+    // rerun with maxDf=2 and the triple-shared shingles drop out entirely
+    val capped = TextDedup.containmentPairs(docs, shingleWords = 5, maxDf = 2,
+      minPpm = 1L).count()
+    assert(capped == 0, "df cap must drop shingles shared by all three docs")
+  }
+
+  test("redactPii scrubs emails before phones and counts on the original") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail me at a.b+c@x-mail.example.org today"),
+      (2L, "call +1-415-555-0100 or +44-200-555-0200"),
+      (3L, "both ann@ex.io and +1-650-555-01234 here"), // 5th digit stays
+      (4L, "nothing sensitive")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Curation.redactPii(docs, "text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 1 && got(1L)._3 == 0)
+    assert(got(2L)._2 == 0 && got(2L)._3 == 2)
+    assert(got(3L)._2 == 1 && got(3L)._3 == 1)
+    assert(got(4L)._2 == 0 && got(4L)._3 == 0)
+    // the redaction is the md5 of the placeholder-substituted text
+    def md5(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(3L)._4 == md5("both <EMAIL> and <PHONE>4 here"))
+    assert(got(4L)._4 == md5("nothing sensitive"))
+  }
+
+  test("unigramSurprisal: rare-token docs score higher; exact integer identity") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the the the the the the the the"),   // 8x the most common token
+      (2L, "qq zz vv kk jj xx yy ww")            // 8 singletons
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Curation.unigramSurprisal(docs)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // N = 16 tokens, V = 9 distinct; c(the)=8 -> ln(25/9); c(rare)=1 -> ln(25/2)
+    def q(c: Long): Long = math.floor(1e6 * math.log(25.0 / (c + 1))).toLong
+    assert(got(1L)._2 == 8 && got(1L)._3 == 8 * q(8))
+    assert(got(2L)._2 == 8 && got(2L)._3 == 8 * q(1))
+    assert(got(2L)._4 > got(1L)._4, "rare tokens must out-score common ones")
+    assert(got(1L)._4 == got(1L)._3 / 8)
+  }
 }
