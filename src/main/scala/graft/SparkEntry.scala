@@ -700,6 +700,79 @@ object SparkEntry {
         .select("point_id", "d8")
         .orderBy("point_id")
     }),
+    // Watershed delineation over a synthetic multi-basin 100×100 grid:
+    // D8 steepest-descent successors (first maximal drop wins, borders
+    // excluded) resolved to sink labels by O(log path) pointer doubling.
+    "geo_watershed" -> ((s, dir) => {
+      val n = 100
+      // neighbours as ROWS (explode + rank), not as a folded struct-max
+      // expression: a when()-fold over 8 struct candidates duplicates the
+      // accumulated tree per comparison (2⁸ blowup — kills codegen)
+      val nb = s.range(n.toLong * n)
+        .selectExpr("id AS cell", s"id DIV $n AS i", s"id % $n AS j")
+        .selectExpr("cell", "i", "j", "(i*i)%97 + (j*j)%89 + (i*j)%31 AS e")
+        .withColumn("k", explode(sequence(lit(0), lit(7))))
+        .selectExpr("cell", "e", "k",
+          "i + element_at(array(1,1,0,-1,-1,-1,0,1), k+1) AS ni",
+          "j + element_at(array(0,1,1,1,0,-1,-1,-1), k+1) AS nj")
+      val sc = nb.selectExpr("cell", "k", "ni", "nj",
+        s"""CASE WHEN ni BETWEEN 0 AND ${n - 1} AND nj BETWEEN 0 AND ${n - 1}
+              AND e - ((ni*ni)%97 + (nj*nj)%89 + (ni*nj)%31) > 0
+            THEN e - ((ni*ni)%97 + (nj*nj)%89 + (ni*nj)%31)
+            ELSE -1 END AS drp""")
+      // first maximal drop wins (drp DESC, then direction order k)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cell").orderBy(col("drp").desc, col("k").asc)
+      val succ = sc.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .selectExpr("cell",
+          s"CASE WHEN drp > 0 THEN ni*$n + nj ELSE cell END AS succ")
+      ops.FlowGraph.sinkLabels(succ).orderBy("cell")
+    }),
+    // Bounded-radius map matching: snap sampled customer points onto the
+    // nearest lineitem-derived segment within 0.05°; grid-ring candidates
+    // are exact at cell size = radius.
+    "geo_snap" -> ((s, dir) => {
+      val probes = t(s, dir, "customer").filter(col("c_custkey") % 10 === 0)
+        .selectExpr("c_custkey AS probe_id",
+          "-120 + (c_custkey % 4) + ((c_custkey % 577) + 0.5D)/577.0D AS px",
+          "36 + (c_custkey % 2) + (((c_custkey*13) % 577) + 0.5D)/577.0D AS py")
+      val segs = t(s, dir, "lineitem").filter(col("l_orderkey") % 20 === 0)
+        .selectExpr(
+          "((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS seg_id",
+          "-120 + (l_orderkey % 4) + ((l_partkey % 577) + 0.5D)/577.0D AS x1",
+          "36 + (l_suppkey % 2) + (((l_partkey*13) % 577) + 0.5D)/577.0D AS y1",
+          "((l_suppkey % 20) + 1)/4000.0D AS dx",
+          "(((l_orderkey*3) % 41) - 20)/4000.0D AS dy")
+        .selectExpr("seg_id", "x1", "y1", "x1 + dx AS x2", "y1 + dy AS y2")
+      ops.SpatialJoin.snapToSegments(probes, segs, radius = 0.05)
+        .orderBy("probe_id")
+    }),
+    // Vector overlay: proper segment×segment crossings between two dense
+    // lineitem-derived families in a 0.5° box; PBSM reference-point dedup,
+    // four-orientation refine.
+    "geo_line_intersect" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem").filter(col("l_orderkey") % 50 <= 1)
+        .selectExpr(
+          "((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS seg_id",
+          "l_orderkey % 50 AS grp",
+          "-119.5 + ((l_partkey % 501))/1000.0D AS x1",
+          "36.2 + (((l_suppkey*7) % 501))/1000.0D AS y1",
+          "((l_suppkey % 41) - 20)/2000.0D AS dx",
+          "(((l_orderkey*3) % 41) - 20)/2000.0D AS dy")
+        .selectExpr("seg_id", "grp", "x1", "y1",
+          "x1 + dx AS x2", "y1 + dy AS y2")
+      val a = base.filter(col("grp") === 0).drop("grp")
+      val b = base.filter(col("grp") === 1).drop("grp")
+      ops.SpatialJoin.segmentIntersectJoin(a, b, cellSize = 0.02)
+        .orderBy("a_id", "b_id")
+    }),
+    // Distributed power iteration (3 rounds of integer-exact Xᵀ(Xv)) for
+    // the corpus's top principal direction.
+    "ann_power_iteration" -> ((s, dir) => {
+      ops.Embeddings.powerIteration(t(s, dir, "embeddings"), rounds = 3,
+        dims = 64).orderBy("rnd", "d")
+    }),
     // Map algebra: terrain ruggedness index — Σ|neighbour − centre| over the
     // same 8 clamped neighbours; pure integer arithmetic.
     // Discrete Laplacian curvature: 4-neighbour second difference, integer
@@ -2826,6 +2899,33 @@ object SparkEntry {
     * comparison (2·drop²ₛ vs drop²d, first maximal code wins) over the 8
     * clamped neighbours of the nearest node. Missing tile ⇒ 0.
     */
+  /** Power-iteration oracle: the 3 rounds of integer-exact Xᵀ(Xv) unrolled
+    * as CTE chains (v0 = e₀·1000; per-round ÷2²⁰ and max-normalize as
+    * floor-of-double-division, mirroring Embeddings.powerIteration).
+    */
+  private def powerIterOracleSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""dot$r AS (SELECT vec_id, CAST(sum(xq * v) AS BIGINT) AS s
+           FROM x JOIN v${r - 1} USING (d) GROUP BY 1),
+         u$r AS (SELECT d, CAST(sum(xq * s) AS BIGINT) AS u
+           FROM x JOIN dot$r USING (vec_id) GROUP BY 1),
+         s$r AS (SELECT d, CAST(floor(CAST(u AS DOUBLE)/1048576.0) AS BIGINT) AS su
+           FROM u$r),
+         m$r AS (SELECT max(abs(su)) AS m FROM s$r),
+         v$r AS (SELECT d, CAST(floor(CAST(su AS DOUBLE)*1000.0/CAST(m AS DOUBLE))
+           AS BIGINT) AS v FROM s$r, m$r)"""
+    }.mkString(",\n         ")
+    val out = (1 to rounds)
+      .map(r => s"SELECT $r AS rnd, d, v FROM v$r").mkString(" UNION ALL ")
+    s"""WITH x AS (SELECT vec_id, d,
+           CAST(floor(CAST(embedding[d+1] AS DOUBLE) * 1000.0) AS BIGINT) AS xq
+         FROM embeddings, range(0,64) t(d)),
+       v0 AS (SELECT d, CASE WHEN d = 0 THEN 1000 ELSE 0 END AS v
+         FROM range(0,64) t(d)),
+       $roundCtes
+       SELECT * FROM ($out) ORDER BY rnd, d"""
+  }
+
   private val flowdirOracleSql: String = {
     val scores = (0 until 8).map { i =>
       val dc = Seq(1, 1, 0, -1, -1, -1, 0, 1)(i)
@@ -2986,6 +3086,83 @@ object SparkEntry {
     "geo_elev_profile" -> profileOracleSql,
     "geo_viewshed" -> viewshedOracleSql,
     "geo_flowdir" -> flowdirOracleSql,
+    "geo_watershed" ->
+      """WITH RECURSIVE cells AS (SELECT t1.i AS i, t2.j AS j, t1.i*100 + t2.j AS cell
+           FROM range(0,100) t1(i), range(0,100) t2(j)),
+         e AS (SELECT cell, i, j, (i*i)%97 + (j*j)%89 + (i*j)%31 AS e FROM cells),
+         nb AS (SELECT cell, e, k,
+             i + [1,1,0,-1,-1,-1,0,1][k+1] AS ni,
+             j + [0,1,1,1,0,-1,-1,-1][k+1] AS nj
+           FROM e, range(0,8) t(k)),
+         sc AS (SELECT cell, e, k, ni, nj,
+             CASE WHEN ni BETWEEN 0 AND 99 AND nj BETWEEN 0 AND 99
+                   AND e - ((ni*ni)%97 + (nj*nj)%89 + (ni*nj)%31) > 0
+               THEN e - ((ni*ni)%97 + (nj*nj)%89 + (ni*nj)%31)
+               ELSE -1 END AS drp FROM nb),
+         pick AS (SELECT cell, drp, ni*100 + nj AS nc,
+             row_number() OVER (PARTITION BY cell ORDER BY drp DESC, k ASC) AS rk
+           FROM sc),
+         succ AS (SELECT cell,
+             CASE WHEN drp > 0 THEN nc ELSE cell END AS succ
+           FROM pick WHERE rk = 1),
+         w AS (SELECT cell, succ AS cur FROM succ
+           UNION ALL
+           SELECT w.cell, s.succ FROM w JOIN succ s ON s.cell = w.cur
+           WHERE s.succ <> w.cur)
+         SELECT w.cell, w.cur AS sink FROM w JOIN succ s ON s.cell = w.cur
+         WHERE s.succ = w.cur ORDER BY w.cell""",
+    "geo_snap" ->
+      """WITH probes AS (SELECT c_custkey AS probe_id,
+           -120 + (c_custkey % 4) + ((c_custkey % 577) + 0.5)/577.0 AS px,
+           36 + (c_custkey % 2) + (((c_custkey*13) % 577) + 0.5)/577.0 AS py
+           FROM customer WHERE c_custkey % 10 = 0),
+         segs0 AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS seg_id,
+           -120 + (l_orderkey % 4) + ((l_partkey % 577) + 0.5)/577.0 AS x1,
+           36 + (l_suppkey % 2) + (((l_partkey*13) % 577) + 0.5)/577.0 AS y1,
+           ((l_suppkey % 20) + 1)/4000.0 AS dx,
+           (((l_orderkey*3) % 41) - 20)/4000.0 AS dy
+           FROM lineitem WHERE l_orderkey % 20 = 0),
+         segs AS (SELECT seg_id, x1, y1, x1 + dx AS x2, y1 + dy AS y2 FROM segs0),
+         cand AS (SELECT probe_id, seg_id, px, py, x1, y1, x2, y2,
+             CASE WHEN (x2-x1)*(x2-x1) + (y2-y1)*(y2-y1) > 0.0
+               THEN LEAST(1.0, GREATEST(0.0,
+                 ((px-x1)*(x2-x1) + (py-y1)*(y2-y1)) /
+                 ((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1))))
+               ELSE 0.0 END AS t
+           FROM probes, segs),
+         d AS (SELECT probe_id, seg_id, t,
+             (px - (x1 + t*(x2-x1))) AS ddx,
+             (py - (y1 + t*(y2-y1))) AS ddy FROM cand),
+         f AS (SELECT probe_id, seg_id, t, ddx*ddx + ddy*ddy AS dist2
+           FROM d WHERE ddx*ddx + ddy*ddy <= 0.05*0.05)
+         SELECT probe_id, seg_id, t, dist2 FROM f
+         QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY dist2, seg_id) = 1
+         ORDER BY probe_id""",
+    "geo_line_intersect" ->
+      """WITH base AS (SELECT
+           ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS seg_id,
+           l_orderkey % 50 AS grp,
+           -119.5 + ((l_partkey % 501))/1000.0 AS x1,
+           36.2 + (((l_suppkey*7) % 501))/1000.0 AS y1,
+           ((l_suppkey % 41) - 20)/2000.0 AS dx,
+           (((l_orderkey*3) % 41) - 20)/2000.0 AS dy
+           FROM lineitem WHERE l_orderkey % 50 <= 1),
+         segs AS (SELECT seg_id, grp, x1, y1, x1 + dx AS x2, y1 + dy AS y2 FROM base),
+         p AS (SELECT a.seg_id AS a_id, b.seg_id AS b_id,
+             a.x1 AS ax1, a.y1 AS ay1, a.x2 AS ax2, a.y2 AS ay2,
+             b.x1 AS bx1, b.y1 AS by1, b.x2 AS bx2, b.y2 AS by2
+           FROM segs a, segs b WHERE a.grp = 0 AND b.grp = 1),
+         o AS (SELECT *,
+             (bx2-bx1)*(ay1-by1) - (by2-by1)*(ax1-bx1) AS d1,
+             (bx2-bx1)*(ay2-by1) - (by2-by1)*(ax2-bx1) AS d2,
+             (ax2-ax1)*(by1-ay1) - (ay2-ay1)*(bx1-ax1) AS d3,
+             (ax2-ax1)*(by2-ay1) - (ay2-ay1)*(bx2-ax1) AS d4
+           FROM p),
+         hit AS (SELECT *, d1/(d1 - d2) AS t FROM o
+           WHERE d1*d2 < 0.0 AND d3*d4 < 0.0)
+         SELECT a_id, b_id, ax1 + t*(ax2-ax1) AS ix, ay1 + t*(ay2-ay1) AS iy
+         FROM hit ORDER BY a_id, b_id""",
+    "ann_power_iteration" -> powerIterOracleSql(3),
     "geo_tri" -> triOracleSql,
     "geo_curvature" -> curvatureOracleSql,
     "geo_poly_join" -> polyJoinOracleSql,

@@ -676,4 +676,50 @@ object Embeddings {
       .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"),
         round(col("adc"), 4).as("adc_r"))
   }
+
+  /** Distributed power iteration for the corpus's top principal direction —
+    * the building block of PCA whitening / spectral embedding-quality
+    * checks. Each round is two key-bounded shuffle aggregations computing
+    * `u = Xᵀ(Xv)` (one keyed by row, one by dimension — the classic
+    * distributed matvec; X never materializes as a matrix), so the plan is
+    * rounds × 2 shuffles regardless of corpus size.
+    *
+    * Exactness discipline: X is quantized once to integer milli-units, the
+    * matvec runs in exact integer arithmetic, and the two per-round
+    * rescales (÷2²⁰, then normalize to ±1000 by the max component) are
+    * floor-of-double-division with both operands < 2⁵³ — identical IEEE
+    * ops in any engine, so every round's vector is bit-reproducible.
+    * Integer headroom: |xq| ≤ 1000 ⇒ |u| ≤ n·1000·(dims·1000²); safe in a
+    * 64-bit sum to n ≈ 10⁸ rows at dims = 64 — beyond that, pre-shift xq
+    * (costs precision, not correctness).
+    *
+    * @return (rnd, d, v) — the quantized direction after each round,
+    *         normalized so max|v| = 1000
+    */
+  def powerIteration(emb: DataFrame, rounds: Int, dims: Int): DataFrame = {
+    require(rounds > 0 && dims > 0, s"bad params: $rounds, $dims")
+    val spark = emb.sparkSession
+    val x = emb.select(col("vec_id").cast("long"),
+        posexplode(col("embedding")).as(Seq("d", "xv")))
+      .select(col("vec_id"), col("d").cast("long").as("d"),
+        floor(col("xv").cast("double") * lit(1000.0)).cast("long").as("xq"))
+    var v = spark.range(dims).select(col("id").as("d"),
+      when(col("id") === 0, lit(1000L)).otherwise(lit(0L)).as("v"))
+    val hist = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      val dot = x.join(v, "d")
+        .groupBy("vec_id").agg(sum(col("xq") * col("v")).as("s"))
+      val u = x.join(dot, "vec_id")
+        .groupBy("d").agg(sum(col("xq") * col("s")).as("u"))
+      val su = u.select(col("d"),
+        floor(col("u").cast("double") / lit(1048576.0)).cast("long").as("su"))
+      val m = su.agg(max(abs(col("su"))).as("m"))
+      v = su.crossJoin(broadcast(m))
+        .select(col("d"), floor(col("su").cast("double") * lit(1000.0) /
+          col("m").cast("double")).cast("long").as("v"))
+        .localCheckpoint() // cut the per-round lineage; 64 rows
+      hist += v.withColumn("rnd", lit(r))
+    }
+    hist.result().reduce(_ unionAll _).select("rnd", "d", "v")
+  }
 }

@@ -718,4 +718,120 @@ object SpatialJoin {
       }
       .toDF("poly_a", "poly_b", "area")
   }
+
+  /** Bounded-radius snap of points onto the nearest line segment — the map-
+    * matching primitive (GPS trace → road network). Exact within `radius`:
+    * the grid cell size equals the radius, probes search their 3×3 cell
+    * ring, and any segment within `radius` of a probe has bbox cover
+    * intersecting that ring — so the ring join is a complete candidate set,
+    * not a heuristic. One equi-join shuffle on the cell; segments replicate
+    * to O(len/radius + 1)² cells, probes to 9.
+    *
+    * Refinement projects the probe onto each candidate segment
+    * (`t = clamp₀₁((p−a)·(b−a)/|b−a|²)`, degenerate segments snap to their
+    * `a` endpoint) in a fixed association order, so the doubles are
+    * bit-reproducible. Per probe the single nearest segment survives
+    * (ties: smaller seg_id); probes with nothing in range emit no row.
+    *
+    * @param probes (probe_id, px, py)
+    * @param segs   (seg_id, x1, y1, x2, y2)
+    * @return (probe_id, seg_id, t, dist2)
+    */
+  def snapToSegments(probes: DataFrame, segs: DataFrame,
+                     radius: Double): DataFrame = {
+    require(radius > 0, s"radius must be > 0, got $radius")
+    val cs = lit(radius)
+    val segCells = segs
+      .withColumn("gx0", floor(least(col("x1"), col("x2")) / cs).cast("long"))
+      .withColumn("gx1", floor(greatest(col("x1"), col("x2")) / cs).cast("long"))
+      .withColumn("gy0", floor(least(col("y1"), col("y2")) / cs).cast("long"))
+      .withColumn("gy1", floor(greatest(col("y1"), col("y2")) / cs).cast("long"))
+      .withColumn("gx", explode(sequence(col("gx0"), col("gx1"))))
+      .withColumn("gy", explode(sequence(col("gy0"), col("gy1"))))
+      .select("seg_id", "x1", "y1", "x2", "y2", "gx", "gy")
+    val probeCells = probes
+      .withColumn("pgx", floor(col("px") / cs).cast("long"))
+      .withColumn("pgy", floor(col("py") / cs).cast("long"))
+      .withColumn("gx", explode(sequence(col("pgx") - 1, col("pgx") + 1)))
+      .withColumn("gy", explode(sequence(col("pgy") - 1, col("pgy") + 1)))
+      .select("probe_id", "px", "py", "gx", "gy")
+    val dxs = col("x2") - col("x1")
+    val dys = col("y2") - col("y1")
+    val len2 = dxs * dxs + dys * dys
+    val dot = (col("px") - col("x1")) * dxs + (col("py") - col("y1")) * dys
+    val t = when(len2 > 0.0, least(lit(1.0), greatest(lit(0.0), dot / len2)))
+      .otherwise(lit(0.0))
+    val cand = probeCells.join(segCells, Seq("gx", "gy"))
+      .withColumn("t", t)
+      .withColumn("ddx", col("px") - (col("x1") + col("t") * dxs))
+      .withColumn("ddy", col("py") - (col("y1") + col("t") * dys))
+      .withColumn("dist2", col("ddx") * col("ddx") + col("ddy") * col("ddy"))
+      .filter(col("dist2") <= lit(radius * radius))
+    // a segment spanning several ring cells yields duplicate candidate rows
+    // with identical (t, dist2) — row_number keeps exactly one survivor
+    val w = Window.partitionBy("probe_id").orderBy(col("dist2"), col("seg_id"))
+    cand.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select("probe_id", "seg_id", "t", "dist2")
+  }
+
+  /** Segment×segment intersection join — the vector-overlay primitive
+    * (road/river crossings, trajectory × boundary). Candidates come from a
+    * uniform-grid equi-join over each segment's bbox cell cover; the pair
+    * is emitted only from the ONE cell containing the upper-left corner of
+    * the two bboxes' overlap (the PBSM reference-point rule), so no
+    * distinct-shuffle is needed to dedup multi-cell pairs.
+    *
+    * Refinement is the classic four-orientation test (proper intersection:
+    * the endpoints of each segment straddle the other's line), and the
+    * crossing point comes from the signed-distance ratio `t = d1/(d1−d2)`
+    * — all fixed-order double arithmetic, bit-reproducible. Collinear
+    * overlaps and shared endpoints are NOT emitted (proper crossings only
+    * — the d·d < 0 strictness), which is the documented contract.
+    *
+    * @param a (seg_id, x1, y1, x2, y2) — emitted as a_id
+    * @param b (seg_id, x1, y1, x2, y2) — emitted as b_id
+    * @return (a_id, b_id, ix, iy) one row per properly-crossing pair
+    */
+  def segmentIntersectJoin(a: DataFrame, b: DataFrame,
+                           cellSize: Double): DataFrame = {
+    require(cellSize > 0, s"cellSize must be > 0, got $cellSize")
+    val cs = lit(cellSize)
+    def cover(df: DataFrame, p: String): DataFrame = df
+      .select(col("seg_id").as(s"${p}_id"), col("x1").as(s"${p}x1"),
+        col("y1").as(s"${p}y1"), col("x2").as(s"${p}x2"), col("y2").as(s"${p}y2"))
+      .withColumn(s"${p}x0", least(col(s"${p}x1"), col(s"${p}x2")))
+      .withColumn(s"${p}y0", least(col(s"${p}y1"), col(s"${p}y2")))
+      .withColumn(s"${p}xm", greatest(col(s"${p}x1"), col(s"${p}x2")))
+      .withColumn(s"${p}ym", greatest(col(s"${p}y1"), col(s"${p}y2")))
+      .withColumn("gx", explode(sequence(
+        floor(col(s"${p}x0") / cs).cast("long"),
+        floor(col(s"${p}xm") / cs).cast("long"))))
+      .withColumn("gy", explode(sequence(
+        floor(col(s"${p}y0") / cs).cast("long"),
+        floor(col(s"${p}ym") / cs).cast("long"))))
+    def cross(px: Column, py: Column, qx: Column, qy: Column,
+              rx: Column, ry: Column): Column =
+      (qx - px) * (ry - py) - (qy - py) * (rx - px)
+    val d1 = cross(col("bx1"), col("by1"), col("bx2"), col("by2"),
+      col("ax1"), col("ay1")) // a1 vs line b
+    val d2 = cross(col("bx1"), col("by1"), col("bx2"), col("by2"),
+      col("ax2"), col("ay2")) // a2 vs line b
+    val d3 = cross(col("ax1"), col("ay1"), col("ax2"), col("ay2"),
+      col("bx1"), col("by1")) // b1 vs line a
+    val d4 = cross(col("ax1"), col("ay1"), col("ax2"), col("ay2"),
+      col("bx2"), col("by2")) // b2 vs line a
+    cover(a, "a").join(cover(b, "b"), Seq("gx", "gy"))
+      // PBSM reference point: only the cell holding the overlap's min corner
+      // emits the pair; any crossing point lies in both bboxes, so that cell
+      // is in both covers and the pair is found exactly once
+      .filter(col("gx") === floor(greatest(col("ax0"), col("bx0")) / cs).cast("long") &&
+        col("gy") === floor(greatest(col("ay0"), col("by0")) / cs).cast("long"))
+      .withColumn("d1", d1).withColumn("d2", d2)
+      .withColumn("d3", d3).withColumn("d4", d4)
+      .filter(col("d1") * col("d2") < 0.0 && col("d3") * col("d4") < 0.0)
+      .withColumn("t", col("d1") / (col("d1") - col("d2")))
+      .select(col("a_id"), col("b_id"),
+        (col("ax1") + col("t") * (col("ax2") - col("ax1"))).as("ix"),
+        (col("ay1") + col("t") * (col("ay2") - col("ay1"))).as("iy"))
+  }
 }

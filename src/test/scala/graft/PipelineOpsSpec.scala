@@ -1093,4 +1093,118 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2L)._4 > got(1L)._4, "rare tokens must out-score common ones")
     assert(got(1L)._4 == got(1L)._3 / 8)
   }
+
+  test("powerIteration equals an exact integer matvec replay") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dims = 16
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Array.fill(dims)((rnd.nextDouble() - 0.5).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Embeddings.powerIteration(df, rounds = 3, dims = dims)
+      .as[(Int, Long, Long)].collect()
+      .groupBy(_._1).map { case (r, rows) =>
+        r -> rows.sortBy(_._2).map(_._3).toArray
+      }
+    // driver-side replay with the same quantization discipline
+    val xq = vecs.map { case (_, v) =>
+      v.map(f => math.floor(f.toDouble * 1000.0).toLong)
+    }
+    var v = Array.tabulate(dims)(d => if (d == 0) 1000L else 0L)
+    for (r <- 1 to 3) {
+      val dots = xq.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+      val u = Array.tabulate(dims)(d =>
+        xq.zip(dots).map { case (row, s) => row(d) * s }.sum)
+      val su = u.map(x => math.floor(x.toDouble / 1048576.0).toLong)
+      val m = su.map(math.abs).max
+      v = su.map(x => math.floor(x.toDouble * 1000.0 / m.toDouble).toLong)
+      assert(got(r).sameElements(v), s"round $r mismatch")
+    }
+    assert(math.abs(v.map(math.abs).max) == 1000L)
+  }
+
+  test("snapToSegments equals brute-force nearest within radius") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val probes = (0 until 80).map(i =>
+      (i.toLong, rnd.nextDouble() * 2 - 1, rnd.nextDouble() * 2 - 1))
+    val segs = (100 until 180).map { i =>
+      val x1 = rnd.nextDouble() * 2 - 1; val y1 = rnd.nextDouble() * 2 - 1
+      (i.toLong, x1, y1, x1 + rnd.nextDouble() * 0.1, y1 + rnd.nextDouble() * 0.1)
+    } :+ (999L, 0.5, 0.5, 0.5, 0.5) // degenerate zero-length segment
+    val r = 0.15
+    val got = ops.SpatialJoin.snapToSegments(
+        probes.toDF("probe_id", "px", "py"),
+        segs.toDF("seg_id", "x1", "y1", "x2", "y2"), r)
+      .as[(Long, Long, Double, Double)].collect().map(x => x._1 -> x).toMap
+    probes.foreach { case (pid, px, py) =>
+      val best = segs.map { case (sid, x1, y1, x2, y2) =>
+        val (dx, dy) = (x2 - x1, y2 - y1)
+        val len2 = dx * dx + dy * dy
+        val t = if (len2 > 0)
+          math.min(1.0, math.max(0.0, ((px - x1) * dx + (py - y1) * dy) / len2))
+        else 0.0
+        val (ddx, ddy) = (px - (x1 + t * dx), py - (y1 + t * dy))
+        (ddx * ddx + ddy * ddy, sid, t)
+      }.filter(_._1 <= r * r).sorted.headOption
+      (best, got.get(pid)) match {
+        case (Some((d2, sid, t)), Some((_, gsid, gt, gd2))) =>
+          assert(gsid == sid && gt == t && gd2 == d2, s"probe $pid")
+        case (None, None) => ()
+        case other => fail(s"probe $pid: $other")
+      }
+    }
+  }
+
+  test("segmentIntersectJoin equals brute-force proper-crossing pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def mkSegs(n: Int, off: Int) = (0 until n).map { i =>
+      val x1 = rnd.nextDouble(); val y1 = rnd.nextDouble()
+      ((off + i).toLong, x1, y1,
+        x1 + rnd.nextDouble() * 0.4 - 0.2, y1 + rnd.nextDouble() * 0.4 - 0.2)
+    }
+    val a = mkSegs(60, 0); val b = mkSegs(60, 1000)
+    val got = ops.SpatialJoin.segmentIntersectJoin(
+        a.toDF("seg_id", "x1", "y1", "x2", "y2"),
+        b.toDF("seg_id", "x1", "y1", "x2", "y2"), cellSize = 0.1)
+      .as[(Long, Long, Double, Double)].collect()
+    def cross(px: Double, py: Double, qx: Double, qy: Double,
+              rx: Double, ry: Double) = (qx - px) * (ry - py) - (qy - py) * (rx - px)
+    val want = for {
+      (ai, ax1, ay1, ax2, ay2) <- a
+      (bi, bx1, by1, bx2, by2) <- b
+      d1 = cross(bx1, by1, bx2, by2, ax1, ay1)
+      d2 = cross(bx1, by1, bx2, by2, ax2, ay2)
+      d3 = cross(ax1, ay1, ax2, ay2, bx1, by1)
+      d4 = cross(ax1, ay1, ax2, ay2, bx2, by2)
+      if d1 * d2 < 0 && d3 * d4 < 0
+    } yield {
+      val t = d1 / (d1 - d2)
+      (ai, bi, ax1 + t * (ax2 - ax1), ay1 + t * (ay2 - ay1))
+    }
+    assert(want.nonEmpty, "fixture produced no crossings — weak test")
+    assert(got.sortBy(p => (p._1, p._2)).toSeq == want.sortBy(p => (p._1, p._2)),
+      "pair sets differ (or a pair was emitted from more than one cell)")
+  }
+
+  test("sinkLabels: pointer doubling equals sequential walking; cycles fail fast") {
+    import spark.implicits._
+    // a deterministic functional DAG: succ(i) = i - (1..3) with sinks at 0..2
+    val n = 400
+    val succSeq = (0 until n).map { i =>
+      if (i < 3) (i.toLong, i.toLong)
+      else (i.toLong, (i - 1 - (i * 7 % 3)).toLong)
+    }
+    val got = graft.ops.FlowGraph.sinkLabels(succSeq.toDF("cell", "succ"))
+      .as[(Long, Long)].collect().toMap
+    val succMap = succSeq.toMap
+    def walk(c: Long): Long = if (succMap(c) == c) c else walk(succMap(c))
+    (0 until n).foreach(i => assert(got(i.toLong) == walk(i.toLong), s"cell $i"))
+    // a 2-cycle must hit the round cap, not spin forever
+    val cyc = Seq((0L, 1L), (1L, 0L)).toDF("cell", "succ")
+    intercept[IllegalArgumentException] {
+      graft.ops.FlowGraph.sinkLabels(cyc, maxRounds = 4).collect()
+    }
+  }
 }
