@@ -453,6 +453,35 @@ object SparkEntry {
         .groupBy("poly_id", "bin").agg(count(lit(1)).as("n"))
         .orderBy("poly_id", "bin")
     }),
+    // Majority elevation class per zone (mode with the deterministic
+    // (count desc, bin) tie-break) — the categorical zonal statistic.
+    "zonal_majority" -> ((s, dir) => {
+      val bc = ops.TileIndex.broadcastIndex(gateTiles(s))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("poly_id").orderBy(col("n").desc, col("bin").asc)
+      ops.SpatialJoin.pointInPolygon(gatePoints(s, dir), trianglePolys(s, dir), Some(11))
+        .withColumn("elev", ops.ElevAt.elev_at(col("lng"), col("lat"), bc))
+        .withColumn("bin", floor(col("elev") / lit(256.0)).cast("long"))
+        .groupBy("poly_id", "bin").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("poly_id"), col("bin").as("majority_bin"), col("n"))
+        .orderBy("poly_id")
+    }),
+    // IDW gridding: interpolate a scattered observation field at probe
+    // points (exact 3×3-ring candidates, integer-quantized weights).
+    "geo_idw" -> ((s, dir) => {
+      val probes = t(s, dir, "customer").filter(col("c_custkey") % 10 === 0)
+        .selectExpr("c_custkey AS probe_id",
+          "-120 + (c_custkey % 4) + ((c_custkey % 577) + 0.5D)/577.0D AS px",
+          "36 + (c_custkey % 2) + (((c_custkey*13) % 577) + 0.5D)/577.0D AS py")
+      val obs = t(s, dir, "lineitem").filter(col("l_orderkey") % 20 === 0)
+        .selectExpr(
+          "-120 + (l_orderkey % 4) + ((l_partkey % 577) + 0.5D)/577.0D AS x",
+          "36 + (l_suppkey % 2) + (((l_partkey*13) % 577) + 0.5D)/577.0D AS y",
+          "l_partkey % 1000 + 1 AS v")
+      ops.SpatialJoin.idwInterpolate(probes, obs, radius = 0.05)
+        .orderBy("probe_id")
+    }),
     // S2 + hex cell assignment with full cross-engine oracles (the DuckDB
     // side re-implements the Hilbert curve as a recursive CTE).
     "geo_s2_cell" -> ((s, dir) => {
@@ -476,6 +505,30 @@ object SparkEntry {
         .groupBy("cell").agg(count(lit(1)).as("n"))
         .filter(col("n") >= 5)
         .orderBy(col("n").desc, col("cell"))
+    }),
+    // Discrete KDE heatmap: 3×3 integer-kernel smoothing of per-cell point
+    // counts (center 4 / edge 2 / corner 1) — density shuffles move cells,
+    // never points.
+    "geo_kde" -> ((s, dir) => {
+      ops.Rasterize.kdeSmooth(gatePoints(s, dir), cellsPerDeg = 20)
+        .orderBy("gx", "gy")
+    }),
+    // Stay-point detection: integer random-walk positions per user (exact
+    // cumulative sums), bucketed to cells; dwell = >=4 consecutive events
+    // in one cell via gaps-and-islands.
+    "traj_dwell" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val pts = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("event_id") % 7).as("dx"),
+          ((col("event_id") * 3) % 5).as("dy"))
+        .withColumn("px", sum("dx").over(w))
+        .withColumn("py", sum("dy").over(w))
+        .selectExpr("user_id AS traj_id", "ts", "event_id AS tie",
+          "(px DIV 6) * 1000000 + (py DIV 4) AS cell")
+      ops.Trajectory.dwellRuns(pts, minRun = 4)
+        .orderBy("traj_id", "ts_start", "cell")
     }),
     // Anti-join: customers with no 1997+ order (churn report), per segment.
     "q_antijoin" -> ((s, dir) => {
@@ -2899,6 +2952,46 @@ object SparkEntry {
     * comparison (2·drop²ₛ vs drop²d, first maximal code wins) over the 8
     * clamped neighbours of the nearest node. Missing tile ⇒ 0.
     */
+  /** Zonal-histogram oracle (PIP membership × bilinear elevation × 256 m
+    * bins); also the body the `zonal_majority` oracle ranks over.
+    */
+  private val zonalHistOracleSql: String =
+    """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
+           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS px,
+           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS py
+           FROM lineitem),
+         tri AS (SELECT s_suppkey AS poly_id,
+           -120.0 + (s_suppkey % 40) * 0.1 AS cx, 36.0 + ((s_suppkey * 3) % 20) * 0.1 AS cy,
+           0.05 + (s_suppkey % 7) * 0.013 AS w, 0.04 + (s_suppkey % 5) * 0.017 AS h
+           FROM supplier),
+         tv AS (SELECT poly_id, cx AS x1, cy + h AS y1, cx - w AS x2, cy - h AS y2,
+           cx + w AS x3, cy - h AS y3 FROM tri),
+         inside AS (SELECT point_id, poly_id, px, py FROM (
+             SELECT p.point_id, p.px, p.py, tv.* FROM pts p JOIN tv
+             ON p.px >= tv.x2 AND p.px <= tv.x3 AND p.py >= tv.y2 AND p.py <= tv.y1)
+           WHERE ((CASE WHEN (y1 > py) <> (y3 > py) AND px < (x3 - x1) * (py - y1) / (y3 - y1) + x1 THEN 1 ELSE 0 END)
+                + (CASE WHEN (y2 > py) <> (y1 > py) AND px < (x1 - x2) * (py - y2) / (y1 - y2) + x2 THEN 1 ELSE 0 END)
+                + (CASE WHEN (y3 > py) <> (y2 > py) AND px < (x2 - x3) * (py - y3) / (y2 - y3) + x3 THEN 1 ELSE 0 END)) % 2 = 1),
+         ek AS (SELECT point_id, px AS lng, py AS lat,
+           CAST(floor(px) AS BIGINT) AS swlng, CAST(floor(py) AS BIGINT) AS swlat,
+           (px - floor(px)) * 600 AS colf, (py - floor(py)) * 600 AS rowf FROM pts),
+         eg AS (SELECT *, CAST(floor(colf) AS BIGINT) AS c0, CAST(floor(rowf) AS BIGINT) AS r0,
+           colf - floor(colf) AS cf, rowf - floor(rowf) AS rf,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM ek),
+         ev AS (SELECT *,
+           a + 2*c0     + 3*r0     + ((c0//8)*(r0//8)) % 32         AS v00,
+           a + 2*(c0+1) + 3*r0     + (((c0+1)//8)*(r0//8)) % 32     AS v10,
+           a + 2*(c0+1) + 3*(r0+1) + (((c0+1)//8)*((r0+1)//8)) % 32 AS v11,
+           a + 2*c0     + 3*(r0+1) + ((c0//8)*((r0+1)//8)) % 32     AS v01 FROM eg),
+         e AS (SELECT point_id,
+           CASE WHEN (swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36) THEN 0.0
+                ELSE (v00 + (v10 - v00) * cf) +
+                     ((v01 + (v11 - v01) * cf) - (v00 + (v10 - v00) * cf)) * rf
+           END AS elev FROM ev)
+         SELECT poly_id, CAST(floor(elev / 256.0) AS BIGINT) AS bin, count(*) AS n
+         FROM inside JOIN e USING (point_id)
+         GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** Power-iteration oracle: the 3 rounds of integer-exact Xᵀ(Xv) unrolled
     * as CTE chains (v0 = e₀·1000; per-round ÷2²⁰ and max-normalize as
     * floor-of-double-division, mirroring Embeddings.powerIteration).
@@ -3163,6 +3256,37 @@ object SparkEntry {
          SELECT a_id, b_id, ax1 + t*(ax2-ax1) AS ix, ay1 + t*(ay2-ay1) AS iy
          FROM hit ORDER BY a_id, b_id""",
     "ann_power_iteration" -> powerIterOracleSql(3),
+    "geo_kde" ->
+      """WITH pts AS (SELECT
+           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
+           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
+           FROM lineitem),
+         c AS (SELECT CAST(floor(lng*20) AS BIGINT) AS cx,
+             CAST(floor(lat*20) AS BIGINT) AS cy, count(*) AS n
+           FROM pts GROUP BY 1, 2),
+         sm AS (SELECT cx + di AS gx, cy + dj AS gy,
+             n * (2 - abs(di)) * (2 - abs(dj)) AS w
+           FROM c, range(-1,2) t1(di), range(-1,2) t2(dj))
+         SELECT gx, gy, CAST(sum(w) AS BIGINT) AS density
+         FROM sm GROUP BY 1, 2 ORDER BY 1, 2""",
+    "traj_dwell" ->
+      """WITH pts AS (SELECT user_id, ts, event_id,
+           event_id % 7 AS dx, (event_id * 3) % 5 AS dy FROM events),
+         c AS (SELECT user_id, ts, event_id,
+             CAST(sum(dx) OVER w AS BIGINT) AS px,
+             CAST(sum(dy) OVER w AS BIGINT) AS py
+           FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         k AS (SELECT user_id, ts, event_id,
+             (px // 6) * 1000000 + (py // 4) AS cell FROM c),
+         r AS (SELECT *,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id, cell ORDER BY ts, event_id) AS rc
+           FROM k)
+         SELECT user_id AS traj_id, cell, CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS ts_start, max(ts) AS ts_end
+         FROM r GROUP BY user_id, cell, rn - rc
+         HAVING count(*) >= 4 ORDER BY traj_id, ts_start, cell""",
     "geo_tri" -> triOracleSql,
     "geo_curvature" -> curvatureOracleSql,
     "geo_poly_join" -> polyJoinOracleSql,
@@ -3492,42 +3616,32 @@ object SparkEntry {
          SELECT poly_id, count(*) AS n_points, min(elev) AS min_elev, max(elev) AS max_elev
          FROM inside JOIN e USING (point_id)
          GROUP BY poly_id ORDER BY poly_id""",
-    "zonal_hist" ->
-      """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
-           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS px,
-           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS py
-           FROM lineitem),
-         tri AS (SELECT s_suppkey AS poly_id,
-           -120.0 + (s_suppkey % 40) * 0.1 AS cx, 36.0 + ((s_suppkey * 3) % 20) * 0.1 AS cy,
-           0.05 + (s_suppkey % 7) * 0.013 AS w, 0.04 + (s_suppkey % 5) * 0.017 AS h
-           FROM supplier),
-         tv AS (SELECT poly_id, cx AS x1, cy + h AS y1, cx - w AS x2, cy - h AS y2,
-           cx + w AS x3, cy - h AS y3 FROM tri),
-         inside AS (SELECT point_id, poly_id, px, py FROM (
-             SELECT p.point_id, p.px, p.py, tv.* FROM pts p JOIN tv
-             ON p.px >= tv.x2 AND p.px <= tv.x3 AND p.py >= tv.y2 AND p.py <= tv.y1)
-           WHERE ((CASE WHEN (y1 > py) <> (y3 > py) AND px < (x3 - x1) * (py - y1) / (y3 - y1) + x1 THEN 1 ELSE 0 END)
-                + (CASE WHEN (y2 > py) <> (y1 > py) AND px < (x1 - x2) * (py - y2) / (y1 - y2) + x2 THEN 1 ELSE 0 END)
-                + (CASE WHEN (y3 > py) <> (y2 > py) AND px < (x2 - x3) * (py - y3) / (y2 - y3) + x3 THEN 1 ELSE 0 END)) % 2 = 1),
-         ek AS (SELECT point_id, px AS lng, py AS lat,
-           CAST(floor(px) AS BIGINT) AS swlng, CAST(floor(py) AS BIGINT) AS swlat,
-           (px - floor(px)) * 600 AS colf, (py - floor(py)) * 600 AS rowf FROM pts),
-         eg AS (SELECT *, CAST(floor(colf) AS BIGINT) AS c0, CAST(floor(rowf) AS BIGINT) AS r0,
-           colf - floor(colf) AS cf, rowf - floor(rowf) AS rf,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM ek),
-         ev AS (SELECT *,
-           a + 2*c0     + 3*r0     + ((c0//8)*(r0//8)) % 32         AS v00,
-           a + 2*(c0+1) + 3*r0     + (((c0+1)//8)*(r0//8)) % 32     AS v10,
-           a + 2*(c0+1) + 3*(r0+1) + (((c0+1)//8)*((r0+1)//8)) % 32 AS v11,
-           a + 2*c0     + 3*(r0+1) + ((c0//8)*((r0+1)//8)) % 32     AS v01 FROM eg),
-         e AS (SELECT point_id,
-           CASE WHEN (swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36) THEN 0.0
-                ELSE (v00 + (v10 - v00) * cf) +
-                     ((v01 + (v11 - v01) * cf) - (v00 + (v10 - v00) * cf)) * rf
-           END AS elev FROM ev)
-         SELECT poly_id, CAST(floor(elev / 256.0) AS BIGINT) AS bin, count(*) AS n
-         FROM inside JOIN e USING (point_id)
-         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "zonal_hist" -> zonalHistOracleSql,
+    "zonal_majority" ->
+      s"""SELECT poly_id, bin AS majority_bin, CAST(n AS BIGINT) AS n
+         FROM ($zonalHistOracleSql)
+         QUALIFY row_number() OVER (PARTITION BY poly_id ORDER BY n DESC, bin) = 1
+         ORDER BY poly_id""",
+    "geo_idw" ->
+      """WITH probes AS (SELECT c_custkey AS probe_id,
+           -120 + (c_custkey % 4) + ((c_custkey % 577) + 0.5)/577.0 AS px,
+           36 + (c_custkey % 2) + (((c_custkey*13) % 577) + 0.5)/577.0 AS py
+           FROM customer WHERE c_custkey % 10 = 0),
+         obs AS (SELECT
+           -120 + (l_orderkey % 4) + ((l_partkey % 577) + 0.5)/577.0 AS x,
+           36 + (l_suppkey % 2) + (((l_partkey*13) % 577) + 0.5)/577.0 AS y,
+           l_partkey % 1000 + 1 AS v
+           FROM lineitem WHERE l_orderkey % 20 = 0),
+         c AS (SELECT probe_id, v, (px - x) AS ddx, (py - y) AS ddy
+           FROM probes, obs),
+         f AS (SELECT probe_id, v, ddx*ddx + ddy*ddy AS d2 FROM c
+           WHERE ddx*ddx + ddy*ddy > 0.0 AND ddx*ddx + ddy*ddy <= 0.05*0.05),
+         w AS (SELECT probe_id, v,
+           CAST(LEAST(floor(1.0/d2), 1000000000000.0) AS BIGINT) AS wq FROM f)
+         SELECT probe_id, CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(sum(wq * v) AS BIGINT) AS vsum, CAST(sum(wq) AS BIGINT) AS wsum,
+           CAST(sum(wq * v) AS BIGINT) // CAST(sum(wq) AS BIGINT) AS idw_q
+         FROM w GROUP BY 1 ORDER BY 1""",
     "geo_s2_cell" -> s2OracleSql(quadrantPtsCte, 12),
     "geo_hex_cell" -> hexOracleSql(quadrantPtsCte, 9),
     "geo_cell_density" ->

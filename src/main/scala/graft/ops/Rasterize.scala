@@ -62,4 +62,35 @@ object Rasterize {
       }
       .toDF("poly_id", "cx", "cy", "area")
   }
+
+  /** Discrete kernel-density surface over a degree grid — the "heatmap"
+    * companion to the point-count density (`geo_cell_density`): per-cell
+    * point counts convolved with the separable integer kernel
+    * `(2−|di|)·(2−|dj|)` (center 4, edges 2, corners 1) over the 3×3
+    * neighbourhood, so isolated-cell noise smooths into ridges the way a
+    * Gaussian KDE would, but in exact integer arithmetic.
+    *
+    * Scale shape: one partial-aggregated count shuffle keyed by cell, a
+    * constant 9× row fan-out of the (already aggregated, tiny) cell counts
+    * — never of the points — and a second key-bounded cell shuffle. Both
+    * shuffles move O(#occupied cells), not O(#points).
+    *
+    * @return (gx, gy, density) for every cell receiving any kernel mass
+    */
+  def kdeSmooth(points: DataFrame, cellsPerDeg: Int): DataFrame = {
+    require(cellsPerDeg > 0, s"cellsPerDeg must be > 0, got $cellsPerDeg")
+    import org.apache.spark.sql.functions._
+    val counts = points.select(
+        floor(col("lng") * cellsPerDeg).cast("long").as("cx"),
+        floor(col("lat") * cellsPerDeg).cast("long").as("cy"))
+      .groupBy("cx", "cy").agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("di", explode(sequence(lit(-1), lit(1))))
+      .withColumn("dj", explode(sequence(lit(-1), lit(1))))
+      .select((col("cx") + col("di")).as("gx"),
+        (col("cy") + col("dj")).as("gy"),
+        (col("n") * (lit(2) - abs(col("di"))) * (lit(2) - abs(col("dj"))))
+          .as("w"))
+      .groupBy("gx", "gy").agg(sum("w").cast("long").as("density"))
+  }
 }

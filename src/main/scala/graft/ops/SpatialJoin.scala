@@ -774,6 +774,51 @@ object SpatialJoin {
       .select("probe_id", "seg_id", "t", "dist2")
   }
 
+  /** Inverse-distance-weighted interpolation — the scattered-data gridding
+    * primitive (estimate a field at probe locations from irregular
+    * observations), complementing [[graft.raster.Bilinear]]'s regular-grid
+    * sampling. Same exact-candidate discipline as [[snapToSegments]]: cell
+    * size = radius, probes search their 3×3 ring, so every observation
+    * within `radius` is found — one equi-join shuffle keyed by the cell.
+    *
+    * Determinism: weights are `floor(1/d²)` capped at 10¹² (the floor input
+    * is one IEEE division, the cap keeps the long sums exact), so the
+    * per-probe aggregation is an order-independent integer sum and the
+    * interpolated value an integer division. Exact probe/observation
+    * coincidences (d² = 0) are EXCLUDED — the caller dedups those
+    * separately (standard IDW practice: an exact hit is the value itself).
+    *
+    * @param probes (probe_id, px, py)
+    * @param obs    (x, y, v) — v integral
+    * @return (probe_id, n_obs, vsum, wsum, idw_q = vsum div wsum)
+    */
+  def idwInterpolate(probes: DataFrame, obs: DataFrame,
+                     radius: Double): DataFrame = {
+    require(radius > 0, s"radius must be > 0, got $radius")
+    val cs = lit(radius)
+    val obsCells = obs
+      .withColumn("gx", floor(col("x") / cs).cast("long"))
+      .withColumn("gy", floor(col("y") / cs).cast("long"))
+    val probeCells = probes
+      .withColumn("pgx", floor(col("px") / cs).cast("long"))
+      .withColumn("pgy", floor(col("py") / cs).cast("long"))
+      .withColumn("gx", explode(sequence(col("pgx") - 1, col("pgx") + 1)))
+      .withColumn("gy", explode(sequence(col("pgy") - 1, col("pgy") + 1)))
+      .drop("pgx", "pgy")
+    probeCells.join(obsCells, Seq("gx", "gy"))
+      .withColumn("ddx", col("px") - col("x"))
+      .withColumn("ddy", col("py") - col("y"))
+      .withColumn("d2", col("ddx") * col("ddx") + col("ddy") * col("ddy"))
+      .filter(col("d2") > 0.0 && col("d2") <= lit(radius * radius))
+      .withColumn("wq",
+        least(floor(lit(1.0) / col("d2")), lit(1.0e12)).cast("long"))
+      .groupBy("probe_id")
+      .agg(count(lit(1)).cast("long").as("n_obs"),
+        sum(col("wq") * col("v")).cast("long").as("vsum"),
+        sum("wq").cast("long").as("wsum"))
+      .withColumn("idw_q", expr("vsum div wsum"))
+  }
+
   /** Segment×segment intersection join — the vector-overlay primitive
     * (road/river crossings, trajectory × boundary). Candidates come from a
     * uniform-grid equi-join over each segment's bbox cell cover; the pair

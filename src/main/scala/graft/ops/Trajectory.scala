@@ -82,4 +82,38 @@ object Trajectory {
       .toDF("line_id", "seq", "lng", "lat")
       .distinct()
   }
+
+  /** Dwell (stay-point) detection: maximal runs of ≥ `minRun` CONSECUTIVE
+    * samples of one trajectory inside one spatial cell — the stop-detection
+    * primitive of trajectory mining (where did the device linger), with the
+    * cell pre-assigned by the caller so the run semantics are pure
+    * gaps-and-islands: `row_number() − row_number() within (traj, cell)` is
+    * constant exactly along a consecutive same-cell run.
+    *
+    * Scale shape: two window passes keyed by the trajectory (state bounded
+    * by one trajectory's history — the same per-key discipline as
+    * sessionization) and one aggregation keyed by (traj, cell, run); no
+    * joins, nothing quadratic.
+    *
+    * @param points (traj_id, ts, tie, cell) — `tie` breaks equal
+    *               timestamps to a total order (pass a unique event id)
+    * @return (traj_id, cell, n_events, ts_start, ts_end), runs ≥ minRun
+    */
+  def dwellRuns(points: DataFrame, minRun: Int): DataFrame = {
+    require(minRun >= 2, s"minRun must be >= 2, got $minRun")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val wAll = Window.partitionBy("traj_id").orderBy(col("ts"), col("tie"))
+    val wCell = Window.partitionBy("traj_id", "cell")
+      .orderBy(col("ts"), col("tie"))
+    points
+      .withColumn("rn", row_number().over(wAll))
+      .withColumn("rc", row_number().over(wCell))
+      .withColumn("grp", col("rn") - col("rc"))
+      .groupBy("traj_id", "cell", "grp")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        min("ts").as("ts_start"), max("ts").as("ts_end"))
+      .filter(col("n_events") >= minRun)
+      .drop("grp")
+  }
 }

@@ -1188,6 +1188,73 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "pair sets differ (or a pair was emitted from more than one cell)")
   }
 
+  test("idwInterpolate equals brute force; exact hits excluded; weights capped") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val probes = (0 until 60).map(i =>
+      (i.toLong, rnd.nextDouble(), rnd.nextDouble()))
+    val obs = (0 until 300).map(i =>
+      (rnd.nextDouble(), rnd.nextDouble(), (i % 50 + 1).toLong)) :+
+      (probes.head._2, probes.head._3, 7L) // exact coincidence with probe 0
+    val r = 0.12
+    val got = ops.SpatialJoin.idwInterpolate(
+        probes.toDF("probe_id", "px", "py"),
+        obs.toDF("x", "y", "v"), r)
+      .as[(Long, Long, Long, Long, Long)].collect().map(x => x._1 -> x).toMap
+    probes.foreach { case (pid, px, py) =>
+      val ws = obs.flatMap { case (x, y, v) =>
+        val (ddx, ddy) = (px - x, py - y)
+        val d2 = ddx * ddx + ddy * ddy
+        if (d2 > 0 && d2 <= r * r)
+          Some((math.min(math.floor(1.0 / d2), 1.0e12).toLong, v))
+        else None
+      }
+      if (ws.isEmpty) assert(!got.contains(pid), s"probe $pid")
+      else {
+        val (_, n, vsum, wsum, idw) = got(pid)
+        assert(n == ws.size && wsum == ws.map(_._1).sum &&
+          vsum == ws.map(w => w._1 * w._2).sum && idw == vsum / wsum,
+          s"probe $pid")
+      }
+    }
+  }
+
+  test("kdeSmooth equals a driver-side 3x3 integer convolution") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val pts = (0 until 500).map(_ =>
+      (rnd.nextDouble() * 2 - 1, rnd.nextDouble() * 2 - 1))
+    val got = ops.Rasterize.kdeSmooth(pts.toDF("lng", "lat"), cellsPerDeg = 8)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val counts = pts.groupBy { case (x, y) =>
+      (math.floor(x * 8).toLong, math.floor(y * 8).toLong)
+    }.map { case (c, l) => c -> l.size.toLong }
+    val want = collection.mutable.Map[(Long, Long), Long]().withDefaultValue(0L)
+    for (((cx, cy), n) <- counts; di <- -1 to 1; dj <- -1 to 1)
+      want((cx + di, cy + dj)) += n * (2 - math.abs(di)) * (2 - math.abs(dj))
+    assert(got == want.toMap)
+    // total kernel mass is 16x the point count (sum over the 3x3 kernel)
+    assert(got.values.sum == 16L * pts.size)
+  }
+
+  test("dwellRuns finds exactly the maximal same-cell runs of length >= minRun") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    // user 1: cells A A A B A A A A; user 2: all distinct
+    val cells1 = Seq(10L, 10L, 10L, 20L, 10L, 10L, 10L, 10L)
+    val rows = cells1.zipWithIndex.map { case (c, i) =>
+      (1L, at(i), i.toLong, c)
+    } ++ (0 until 6).map(i => (2L, at(i), (100 + i).toLong, (30L + i)))
+    val got = graft.ops.Trajectory.dwellRuns(
+        rows.toDF("traj_id", "ts", "tie", "cell"), minRun = 3)
+      .as[(Long, Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().sortBy(r => (r._1, r._4.getTime))
+    assert(got.length == 2)
+    assert(got(0) == (1L, 10L, 3L, at(0), at(2)), "first A-run")
+    assert(got(1) == (1L, 10L, 4L, at(4), at(7)), "second A-run (after the B gap)")
+  }
+
   test("sinkLabels: pointer doubling equals sequential walking; cycles fail fast") {
     import spark.implicits._
     // a deterministic functional DAG: succ(i) = i - (1..3) with sinks at 0..2

@@ -528,4 +528,49 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       s"semDedup fell back to all-pairs:\n$plan")
   }
+
+  test("segment overlay + snap join on grid cells, never all-pairs") {
+    import spark.implicits._
+    val segsA = (0 until 2000).map { i =>
+      val x = (i % 50) * 0.01; val y = (i / 50) * 0.01
+      (i.toLong, x, y, x + 0.015, y + 0.008)
+    }.toDF("seg_id", "x1", "y1", "x2", "y2")
+    val segsB = (0 until 2000).map { i =>
+      val x = (i % 50) * 0.01 + 0.003; val y = (i / 50) * 0.01 + 0.006
+      (i.toLong + 10000, x, y, x + 0.004, y - 0.009)
+    }.toDF("seg_id", "x1", "y1", "x2", "y2")
+    val overlay = graft.ops.SpatialJoin.segmentIntersectJoin(segsA, segsB, 0.02)
+    assert(overlay.collect().nonEmpty)
+    val p1 = overlay.queryExecution.executedPlan.toString
+    assert(!p1.contains("CartesianProduct") && !p1.contains("BroadcastNestedLoop"),
+      s"overlay fell back to all-pairs:\n$p1")
+    val probes = (0 until 500).map(i =>
+      (i.toLong, (i % 25) * 0.02, (i / 25) * 0.02)).toDF("probe_id", "px", "py")
+    val snap = graft.ops.SpatialJoin.snapToSegments(probes, segsA, 0.02)
+    assert(snap.collect().nonEmpty)
+    val p2 = snap.queryExecution.executedPlan.toString
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoop"),
+      s"snap fell back to all-pairs:\n$p2")
+  }
+
+  test("kdeSmooth shuffles cells, not points: both exchanges key-bounded") {
+    import spark.implicits._
+    val pts = (0 until 20000).map(i =>
+      ((i % 97) * 0.01, (i % 89) * 0.01)).toDF("lng", "lat")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = graft.ops.Rasterize.kdeSmooth(pts, cellsPerDeg = 16)
+      assert(out.collect().nonEmpty)
+      val exchanges = out.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      // one count shuffle + one smoothing shuffle; the 9x fan-out sits
+      // BETWEEN them (on aggregated cells), never on the raw point scan
+      assert(exchanges.size == 2,
+        s"expected 2 exchanges:\n${out.queryExecution.executedPlan}")
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+        s"count must partial-aggregate before the first exchange:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
