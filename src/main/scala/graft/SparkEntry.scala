@@ -467,6 +467,17 @@ object SparkEntry {
         .select(col("poly_id"), col("bin").as("majority_bin"), col("n"))
         .orderBy("poly_id")
     }),
+    // Voronoi catchment labeling: 60k points against 40 broadcast sites;
+    // the argmin partial-aggregates map-side (one struct per point crosses
+    // the shuffle, not the 40-fanned candidates).
+    "geo_voronoi" -> ((s, dir) => {
+      val sites = t(s, dir, "supplier").filter(col("s_suppkey") <= 40)
+        .selectExpr("s_suppkey AS site_id",
+          "-120 + (s_suppkey % 4) + (((s_suppkey*13) % 97) + 0.5D)/97.0D AS sx",
+          "36 + (s_suppkey % 2) + (((s_suppkey*29) % 97) + 0.5D)/97.0D AS sy")
+      ops.SpatialJoin.voronoiAssign(gatePoints(s, dir), sites)
+        .orderBy("point_id")
+    }),
     // IDW gridding: interpolate a scattered observation field at probe
     // points (exact 3×3-ring candidates, integer-quantized weights).
     "geo_idw" -> ((s, dir) => {
@@ -3622,6 +3633,20 @@ object SparkEntry {
          FROM ($zonalHistOracleSql)
          QUALIFY row_number() OVER (PARTITION BY poly_id ORDER BY n DESC, bin) = 1
          ORDER BY poly_id""",
+    "geo_voronoi" ->
+      """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
+           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
+           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
+           FROM lineitem),
+         sites AS (SELECT s_suppkey AS site_id,
+           -120 + (s_suppkey % 4) + (((s_suppkey*13) % 97) + 0.5)/97.0 AS sx,
+           36 + (s_suppkey % 2) + (((s_suppkey*29) % 97) + 0.5)/97.0 AS sy
+           FROM supplier WHERE s_suppkey <= 40),
+         c AS (SELECT point_id, site_id,
+           (lng - sx)*(lng - sx) + (lat - sy)*(lat - sy) AS d2 FROM pts, sites)
+         SELECT point_id, site_id, d2 FROM c
+         QUALIFY row_number() OVER (PARTITION BY point_id ORDER BY d2, site_id) = 1
+         ORDER BY point_id""",
     "geo_idw" ->
       """WITH probes AS (SELECT c_custkey AS probe_id,
            -120 + (c_custkey % 4) + ((c_custkey % 577) + 0.5)/577.0 AS px,

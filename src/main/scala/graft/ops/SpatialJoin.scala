@@ -774,6 +774,31 @@ object SpatialJoin {
       .select("probe_id", "seg_id", "t", "dist2")
   }
 
+  /** Dense nearest-site assignment (Voronoi labeling): every point gets its
+    * closest of K sites — service-area / catchment assignment. The site set
+    * is SMALL by contract (it broadcasts; a 10¹²-point scan never
+    * shuffles): the per-point argmin is `min(struct(d², site_id))`, which
+    * partial-aggregates map-side, so the single shuffle carries one struct
+    * per point, not the K-fanned candidates. For large site sets use
+    * [[knn]] (cell-ring pruning) instead — this is the k=1 broadcast
+    * complement, the same small-side/big-side split as the tile-index
+    * elevation join.
+    *
+    * @param points (point_id, lng, lat)
+    * @param sites  (site_id, sx, sy) — must fit a broadcast
+    * @return (point_id, site_id, d2) — ties on d² break to smaller site_id
+    */
+  def voronoiAssign(points: DataFrame, sites: DataFrame): DataFrame = {
+    points.crossJoin(broadcast(sites))
+      .withColumn("ddx", col("lng") - col("sx"))
+      .withColumn("ddy", col("lat") - col("sy"))
+      .withColumn("d2", col("ddx") * col("ddx") + col("ddy") * col("ddy"))
+      .groupBy("point_id")
+      .agg(min(struct(col("d2"), col("site_id"))).as("best"))
+      .select(col("point_id"), col("best.site_id").as("site_id"),
+        col("best.d2").as("d2"))
+  }
+
   /** Inverse-distance-weighted interpolation — the scattered-data gridding
     * primitive (estimate a field at probe locations from irregular
     * observations), complementing [[graft.raster.Bilinear]]'s regular-grid

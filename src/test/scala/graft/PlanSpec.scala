@@ -529,6 +529,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"semDedup fell back to all-pairs:\n$plan")
   }
 
+  test("containmentPairs: posting-list equi-join on the shingle, never all-pairs") {
+    import spark.implicits._
+    val docs = (0 until 300).map { i =>
+      val body = (0 until 30).map(w => s"w${(i * 31 + w * 7) % 211}").mkString(" ")
+      (i.toLong, if (i % 10 == 0) body + " tail xx yy" else body)
+    }.toDF("doc_id", "text")
+    val out = graft.ops.TextDedup.containmentPairs(docs, 5, 20, 1L)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"containment fell back to all-pairs:\n$plan")
+  }
+
   test("segment overlay + snap join on grid cells, never all-pairs") {
     import spark.implicits._
     val segsA = (0 until 2000).map { i =>
