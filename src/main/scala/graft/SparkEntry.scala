@@ -467,6 +467,12 @@ object SparkEntry {
         .select(col("poly_id"), col("bin").as("majority_bin"), col("n"))
         .orderBy("poly_id")
     }),
+    // Pyramid build step: 2°×2° mosaic + 2:1 box downsample with the F8
+    // missing-tile⇒0 rule; one key-bounded groupBy, ≤4 tiles per group.
+    // Block (-118,36) has both absent tiles — exercises the no-data path.
+    "tile_mosaic" -> ((s, dir) => {
+      ops.TilePyramid.downsampleMosaic(gateTiles(s)).orderBy("plng", "plat")
+    }),
     // Voronoi catchment labeling: 60k points against 40 broadcast sites;
     // the argmin partial-aggregates map-side (one struct per point crosses
     // the shuffle, not the 40-fanned candidates).
@@ -501,6 +507,19 @@ object SparkEntry {
         .withColumn("leaf", cells.s2_cell(col("lng"), col("lat"), lit(30)))
         .select("point_id", "cell", "leaf")
         .orderBy("point_id")
+    }),
+    // Multi-resolution hex rollup: res-9 counts re-keyed to their res-7
+    // parents (center-containment parentage) — the H3-style pyramid
+    // aggregation next to the z/x/y quadtree rollup. Two key-bounded
+    // shuffles; the parent re-key is per-row codegen on aggregated cells.
+    "hex_rollup" -> ((s, dir) => {
+      quadrantPoints(s, dir)
+        .withColumn("cell9", cells.hex_cell(col("lng"), col("lat"), lit(9)))
+        .groupBy("cell9").agg(count(lit(1)).as("n9"))
+        .withColumn("cell7", cells.hex_parent(col("cell9"), lit(7)))
+        .groupBy("cell7").agg(sum("n9").cast("long").as("n"),
+          count(lit(1)).cast("long").as("n_children"))
+        .orderBy("cell7")
     }),
     "geo_hex_cell" -> ((s, dir) => {
       quadrantPoints(s, dir)
@@ -792,6 +811,14 @@ object SparkEntry {
         .selectExpr("cell",
           s"CASE WHEN drp > 0 THEN ni*$n + nj ELSE cell END AS succ")
       ops.FlowGraph.sinkLabels(succ).orderBy("cell")
+    }),
+    // Basin areas: the watershed labels rolled up per sink — how much of
+    // the grid drains to each outlet (downstream composition of the
+    // pointer-doubled labels).
+    "geo_basin_size" -> ((s, dir) => {
+      queries("geo_watershed")(s, dir)
+        .groupBy("sink").agg(count(lit(1)).cast("long").as("n_cells"))
+        .orderBy("sink")
     }),
     // Bounded-radius map matching: snap sampled customer points onto the
     // nearest lineitem-derived segment within 0.05°; grid-ring candidates
@@ -3003,6 +3030,99 @@ object SparkEntry {
          FROM inside JOIN e USING (point_id)
          GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  private val watershedOracleSql: String =
+    """WITH RECURSIVE cells AS (SELECT t1.i AS i, t2.j AS j, t1.i*100 + t2.j AS cell
+           FROM range(0,100) t1(i), range(0,100) t2(j)),
+         e AS (SELECT cell, i, j, (i*i)%97 + (j*j)%89 + (i*j)%31 AS e FROM cells),
+         nb AS (SELECT cell, e, k,
+             i + [1,1,0,-1,-1,-1,0,1][k+1] AS ni,
+             j + [0,1,1,1,0,-1,-1,-1][k+1] AS nj
+           FROM e, range(0,8) t(k)),
+         sc AS (SELECT cell, e, k, ni, nj,
+             CASE WHEN ni BETWEEN 0 AND 99 AND nj BETWEEN 0 AND 99
+                   AND e - ((ni*ni)%97 + (nj*nj)%89 + (ni*nj)%31) > 0
+               THEN e - ((ni*ni)%97 + (nj*nj)%89 + (ni*nj)%31)
+               ELSE -1 END AS drp FROM nb),
+         pick AS (SELECT cell, drp, ni*100 + nj AS nc,
+             row_number() OVER (PARTITION BY cell ORDER BY drp DESC, k ASC) AS rk
+           FROM sc),
+         succ AS (SELECT cell,
+             CASE WHEN drp > 0 THEN nc ELSE cell END AS succ
+           FROM pick WHERE rk = 1),
+         w AS (SELECT cell, succ AS cur FROM succ
+           UNION ALL
+           SELECT w.cell, s.succ FROM w JOIN succ s ON s.cell = w.cur
+           WHERE s.succ <> w.cur)
+         SELECT w.cell, w.cur AS sink FROM w JOIN succ s ON s.cell = w.cur
+         WHERE s.succ = w.cur ORDER BY w.cell"""
+
+  /** hex_rollup oracle: res-9 axial assignment → per-cell counts → centers
+    * re-assigned at res 7 — op-order-identical to Hex.cellToParent
+    * (cellCenter → latLngToCell; Sqrt3 = sqrt(3.0) in both engines).
+    */
+  private val hexRollupOracleSql: String = {
+    val e9 = graft.geo.Hex.edge(9)
+    val e7 = graft.geo.Hex.edge(7)
+    s"""WITH pts AS ($quadrantPtsCte),
+       ax9 AS (SELECT point_id,
+         (sqrt(3.0)/3.0 * lng - lat/3.0) / CAST('$e9' AS DOUBLE) AS qf,
+         (2.0/3.0 * lat) / CAST('$e9' AS DOUBLE) AS rf FROM pts),
+       r09 AS (SELECT point_id, qf, rf, -qf - rf AS sf,
+         CAST(floor(qf + 0.5) AS BIGINT) AS qi,
+         CAST(floor(rf + 0.5) AS BIGINT) AS ri,
+         CAST(floor(-qf - rf + 0.5) AS BIGINT) AS si FROM ax9),
+       rr9 AS (SELECT point_id,
+         CASE WHEN abs(qi - qf) > abs(ri - rf) AND abs(qi - qf) > abs(si - sf)
+              THEN -ri - si ELSE qi END AS q,
+         CASE WHEN NOT (abs(qi - qf) > abs(ri - rf) AND abs(qi - qf) > abs(si - sf))
+                   AND abs(ri - rf) > abs(si - sf)
+              THEN -qi - si ELSE ri END AS r FROM r09),
+       g AS (SELECT q, r, count(*) AS n9 FROM rr9 GROUP BY 1, 2),
+       ctr AS (SELECT n9,
+         CAST('$e9' AS DOUBLE) * (sqrt(3.0) * q + sqrt(3.0) / 2.0 * r) AS cx,
+         CAST('$e9' AS DOUBLE) * (CAST(1.5 AS DOUBLE) * r) AS cy FROM g),
+       ax7 AS (SELECT n9,
+         (sqrt(3.0)/3.0 * cx - cy/3.0) / CAST('$e7' AS DOUBLE) AS qf,
+         (2.0/3.0 * cy) / CAST('$e7' AS DOUBLE) AS rf FROM ctr),
+       r07 AS (SELECT *, -qf - rf AS sf,
+         CAST(floor(qf + 0.5) AS BIGINT) AS qi,
+         CAST(floor(rf + 0.5) AS BIGINT) AS ri,
+         CAST(floor(-qf - rf + 0.5) AS BIGINT) AS si FROM ax7),
+       rr7 AS (SELECT n9,
+         CASE WHEN abs(qi - qf) > abs(ri - rf) AND abs(qi - qf) > abs(si - sf)
+              THEN -ri - si ELSE qi END AS q7,
+         CASE WHEN NOT (abs(qi - qf) > abs(ri - rf) AND abs(qi - qf) > abs(si - sf))
+                   AND abs(ri - rf) > abs(si - sf)
+              THEN -qi - si ELSE ri END AS r7 FROM r07)
+       SELECT CAST(7 AS BIGINT) * 288230376151711744 + (q7 + 268435456) * 536870912 + (r7 + 268435456) AS cell7,
+         CAST(sum(n9) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_children
+       FROM rr7 GROUP BY 1 ORDER BY 1"""
+  }
+
+  /** Mosaic-downsample oracle: the 2:1 box mean over the assembled 2°
+    * block, every sample recomputed closed-form (TileGen.sampleAt), absent
+    * tiles ⇒ 0, `>> 2` exact mean.
+    */
+  private val tileMosaicOracleSql: String = {
+    def samp(rE: String, cE: String): String =
+      s"""(CASE WHEN ((plng + ($cE) // 600) = -118 AND (36 + ($rE) // 600) = 37)
+              OR ((plng + ($cE) // 600) = -117 AND (36 + ($rE) // 600) = 36) THEN 0
+           ELSE ((plng + ($cE) // 600 + 180)*7 + (36 + ($rE) // 600 + 90)*11) % 1000
+                + 2*(($cE) % 600) + 3*(($rE) % 600)
+                + (((($cE) % 600)//8) * ((($rE) % 600)//8)) % 32 END)"""
+    s"""WITH rc AS (SELECT plng, tr.r AS r, tc.c AS c
+         FROM (VALUES (-120), (-118)) p(plng),
+              range(0,600) tr(r), range(0,600) tc(c)),
+       s AS (SELECT plng, r, c,
+         (${samp("2*r", "2*c")} + ${samp("2*r", "2*c+1")} +
+          ${samp("2*r+1", "2*c")} + ${samp("2*r+1", "2*c+1")}) >> 2 AS v
+         FROM rc)
+       SELECT plng, 36 AS plat, CAST(count(*) AS BIGINT) AS n_px,
+         CAST(sum(v) AS BIGINT) AS v_sum, CAST(sum(v*r) AS BIGINT) AS vr_sum,
+         CAST(sum(v*c) AS BIGINT) AS vc_sum
+       FROM s GROUP BY plng ORDER BY plng"""
+  }
+
   /** Power-iteration oracle: the 3 rounds of integer-exact Xᵀ(Xv) unrolled
     * as CTE chains (v0 = e₀·1000; per-round ÷2²⁰ and max-normalize as
     * floor-of-double-division, mirroring Embeddings.powerIteration).
@@ -3190,31 +3310,10 @@ object SparkEntry {
     "geo_elev_profile" -> profileOracleSql,
     "geo_viewshed" -> viewshedOracleSql,
     "geo_flowdir" -> flowdirOracleSql,
-    "geo_watershed" ->
-      """WITH RECURSIVE cells AS (SELECT t1.i AS i, t2.j AS j, t1.i*100 + t2.j AS cell
-           FROM range(0,100) t1(i), range(0,100) t2(j)),
-         e AS (SELECT cell, i, j, (i*i)%97 + (j*j)%89 + (i*j)%31 AS e FROM cells),
-         nb AS (SELECT cell, e, k,
-             i + [1,1,0,-1,-1,-1,0,1][k+1] AS ni,
-             j + [0,1,1,1,0,-1,-1,-1][k+1] AS nj
-           FROM e, range(0,8) t(k)),
-         sc AS (SELECT cell, e, k, ni, nj,
-             CASE WHEN ni BETWEEN 0 AND 99 AND nj BETWEEN 0 AND 99
-                   AND e - ((ni*ni)%97 + (nj*nj)%89 + (ni*nj)%31) > 0
-               THEN e - ((ni*ni)%97 + (nj*nj)%89 + (ni*nj)%31)
-               ELSE -1 END AS drp FROM nb),
-         pick AS (SELECT cell, drp, ni*100 + nj AS nc,
-             row_number() OVER (PARTITION BY cell ORDER BY drp DESC, k ASC) AS rk
-           FROM sc),
-         succ AS (SELECT cell,
-             CASE WHEN drp > 0 THEN nc ELSE cell END AS succ
-           FROM pick WHERE rk = 1),
-         w AS (SELECT cell, succ AS cur FROM succ
-           UNION ALL
-           SELECT w.cell, s.succ FROM w JOIN succ s ON s.cell = w.cur
-           WHERE s.succ <> w.cur)
-         SELECT w.cell, w.cur AS sink FROM w JOIN succ s ON s.cell = w.cur
-         WHERE s.succ = w.cur ORDER BY w.cell""",
+    "geo_watershed" -> watershedOracleSql,
+    "geo_basin_size" ->
+      s"""SELECT sink, CAST(count(*) AS BIGINT) AS n_cells
+         FROM ($watershedOracleSql) GROUP BY 1 ORDER BY 1""",
     "geo_snap" ->
       """WITH probes AS (SELECT c_custkey AS probe_id,
            -120 + (c_custkey % 4) + ((c_custkey % 577) + 0.5)/577.0 AS px,
@@ -3633,6 +3732,8 @@ object SparkEntry {
          FROM ($zonalHistOracleSql)
          QUALIFY row_number() OVER (PARTITION BY poly_id ORDER BY n DESC, bin) = 1
          ORDER BY poly_id""",
+    "tile_mosaic" -> tileMosaicOracleSql,
+    "hex_rollup" -> hexRollupOracleSql,
     "geo_voronoi" ->
       """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
            -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
@@ -4323,7 +4424,9 @@ object SparkEntry {
                  g -> array_to_string(list_slice(ws, g, g + 4), ' ')))
                ELSE [text] END AS shs FROM w),
          sz AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS n FROM sh),
-         ex AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+         ex AS (SELECT doc_id,
+             CAST(('0x' || substring(md5(unnest(shs)), 1, 15)) AS BIGINT) AS sh
+           FROM sh),
          kept AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM ex GROUP BY 1)
            WHERE df BETWEEN 2 AND 20),
          p AS (SELECT e.doc_id, e.sh FROM ex e JOIN kept k ON k.sh = e.sh),

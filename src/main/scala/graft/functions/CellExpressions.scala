@@ -84,6 +84,25 @@ case class HexCellExpr(first: Expression, second: Expression, third: Expression)
       c: Expression): HexCellExpr = copy(first = a, second = b, third = c)
 }
 
+/** `hex_parent(cell, parentRes)` — coarser-resolution ancestor of an
+  * aperture-7 hex cell (center-containment parentage, the H3 API's
+  * cellToParent) — the multi-resolution rollup key.
+  */
+case class HexParentExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, IntegerType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hex_parent"
+  override def nullSafeEval(cell: Any, res: Any): Any =
+    graft.geo.Hex.cellToParent(cell.asInstanceOf[Long], res.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (cell, res) =>
+      s"graft.geo.Hex.cellToParent($cell, $res)")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): HexParentExpr = copy(left = l, right = r)
+}
+
 /** `zorder_key(lng, lat)` — 32-bit Morton write-clustering key
   * (graft.geo.Morton; sort-before-write locality for row-group pruning).
   */
@@ -113,6 +132,8 @@ object cells {
   def hex_cell(lng: Column, lat: Column, res: Column): Column =
     col(HexCellExpr(ex(lng.cast(DoubleType)), ex(lat.cast(DoubleType)),
       ex(res.cast(IntegerType))))
+  def hex_parent(cell: Column, parentRes: Column): Column =
+    col(HexParentExpr(ex(cell.cast(LongType)), ex(parentRes.cast(IntegerType))))
   def zorder_key(lng: Column, lat: Column): Column =
     col(ZOrderKeyExpr(ex(lng.cast(DoubleType)), ex(lat.cast(DoubleType))))
 
@@ -123,6 +144,8 @@ object cells {
     reg.createOrReplaceTempFunction("s2_token", es => S2TokenExpr(es.head), "built-in")
     reg.createOrReplaceTempFunction("hex_cell",
       es => HexCellExpr(es.head, es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("hex_parent",
+      es => HexParentExpr(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("zorder_key",
       es => ZOrderKeyExpr(es.head, es(1)), "built-in")
   }

@@ -405,7 +405,18 @@ object TextDedup {
     val sh = docs.select(col("doc_id").cast("long"),
       array_distinct(shingles(col("text"), shingleWords)).as("shs"))
     val sizes = sh.select(col("doc_id"), size(col("shs")).cast("long").as("n"))
-    val posting = sh.select(col("doc_id"), explode(col("shs")).as("sh"))
+    // postings carry a 60-bit md5 key, not the shingle text: the two
+    // posting shuffles and the pair join move 8-byte longs instead of
+    // ~40-byte strings (measured 30.6 s → ~6 s at sf0.1). md5 is the
+    // oracle-replicable hash; 60 bits over ~10⁷ distinct shingles keeps
+    // the collision expectation ≪ 1 (and a collision only inflates one
+    // pair's intersection by 1).
+    // lazy localCheckpoint: the shingle+md5 subtree feeds the df count AND
+    // both sides of the self-join — without the cut it re-tokenizes the
+    // corpus once per consumer (~4×; the dominant cost at sf0.1)
+    val posting = sh.select(col("doc_id"), explode(col("shs")).as("sht"))
+      .select(col("doc_id"), h60(col("sht")).as("sh"))
+      .localCheckpoint(false)
     val kept = posting.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
       .select("sh")

@@ -1188,6 +1188,43 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "pair sets differ (or a pair was emitted from more than one cell)")
   }
 
+  test("downsampleMosaic: 2:1 box mean over the assembled block, missing tiles = 0") {
+    import spark.implicits._
+    // two present tiles of a 2x2 block (NE and SW missing) at size 5
+    // (inner = 4, output 4x4 from the assembled 8x8)
+    val size = 5
+    def mk(lng: Int, lat: Int) = {
+      val g = graft.synth.TileGen.grid(lng, lat, size,
+        (sw, sl, r, c) => graft.synth.TileGen.sampleAt(sw, sl, r, c))
+      graft.core.TileRow(graft.geo.TileKey.ofDegrees(lng, lat),
+        graft.raster.Hgt.encode(g, size), size, size, "hgt",
+        graft.core.TileCodec.captionJson(
+          graft.synth.TileGen.caption(lng, lat, size)),
+        graft.raster.Fidelity.phash(g, size))
+    }
+    val tiles = spark.createDataset(Seq(mk(10, 40), mk(11, 41)))(
+      org.apache.spark.sql.Encoders.product[graft.core.TileRow])
+    val got = graft.ops.TilePyramid.downsampleMosaic(tiles)
+      .as[(Int, Int, Long, Long, Long, Long)].collect()
+    assert(got.length == 1 && got(0)._1 == 10 && got(0)._2 == 40)
+    // driver-side replay
+    val inner = size - 1
+    def sample(rr: Int, cc: Int): Long = {
+      val (tlng, tlat) = (10 + cc / inner, 40 + rr / inner)
+      val present = (tlng, tlat) == ((10, 40)) || (tlng, tlat) == ((11, 41))
+      if (!present) 0L
+      else graft.synth.TileGen.sampleAt(tlng, tlat, rr % inner, cc % inner)
+    }
+    var vs = 0L; var vr = 0L; var vc = 0L
+    for (r <- 0 until inner; c <- 0 until inner) {
+      val v = (sample(2 * r, 2 * c) + sample(2 * r, 2 * c + 1) +
+        sample(2 * r + 1, 2 * c) + sample(2 * r + 1, 2 * c + 1)) >> 2
+      vs += v; vr += v * r; vc += v * c
+    }
+    assert(got(0)._3 == inner.toLong * inner)
+    assert((got(0)._4, got(0)._5, got(0)._6) == ((vs, vr, vc)))
+  }
+
   test("idwInterpolate equals brute force; exact hits excluded; weights capped") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
