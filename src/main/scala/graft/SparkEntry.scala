@@ -310,6 +310,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
         .orderBy("hr", "event_type")
     }),
+    // Structured Streaming through the correctness gate: the events table
+    // replayed as a file-source STREAM into a watermarked event-time window
+    // aggregation, drained with AvailableNow — the drained state equals the
+    // batch GROUP BY bit-for-bit (milli-unit Long sums are micro-batch-
+    // order-independent), so DuckDB is the oracle for the streaming engine.
+    "stream_window_counts" -> ((s, dir) => {
+      streaming.StreamOps.windowedCounts(s, s"$dir/events.parquet")
+        .orderBy("day", "event_type")
+    }),
 
     // ---- spatial core (F4/F9, J1/J4+F1/F2/F8, F6, z/x/y) ----
     "geo_tile_key" -> ((s, dir) => {
@@ -559,6 +568,22 @@ object SparkEntry {
           "(px DIV 6) * 1000000 + (py DIV 4) AS cell")
       ops.Trajectory.dwellRuns(pts, minRun = 4)
         .orderBy("traj_id", "ts_start", "cell")
+    }),
+    // Origin–destination matrix over the same random-walk trajectories:
+    // first→last cell per user, counted per (o, d) pair. One window shuffle
+    // keyed by trajectory, then the flow rollup.
+    "traj_od_matrix" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val pts = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("event_id") % 7).as("dx"),
+          ((col("event_id") * 3) % 5).as("dy"))
+        .withColumn("px", sum("dx").over(w))
+        .withColumn("py", sum("dy").over(w))
+        .selectExpr("user_id AS traj_id", "ts", "event_id AS tie",
+          "(px DIV 6) * 1000000 + (py DIV 4) AS cell")
+      ops.Trajectory.odMatrix(pts).orderBy("o_cell", "d_cell")
     }),
     // Anti-join: customers with no 1997+ order (churn report), per segment.
     "q_antijoin" -> ((s, dir) => {
@@ -858,11 +883,31 @@ object SparkEntry {
       ops.SpatialJoin.segmentIntersectJoin(a, b, cellSize = 0.02)
         .orderBy("a_id", "b_id")
     }),
+    // Per-group convex hull (coverage footprint): 25 groups of ≤ 40 integer
+    // points; the minimal vertex set is exact-Long geometry, so the oracle
+    // re-derives it from the Carathéodory characterization. The custkey cap
+    // keeps the oracle's O(n⁴) certificate tractable — the ENGINE side is
+    // one group-keyed shuffle at any scale.
+    "geo_convex_hull" -> ((s, dir) => {
+      val pts = t(s, dir, "customer").filter(col("c_custkey") <= 1000)
+        .selectExpr("c_custkey % 25 AS gid",
+          "(c_custkey * 7) % 1201 AS x", "(c_custkey * 13) % 1009 AS y")
+      ops.SpatialJoin.convexHullPerGroup(pts).orderBy("gid", "x", "y")
+    }),
     // Distributed power iteration (3 rounds of integer-exact Xᵀ(Xv)) for
     // the corpus's top principal direction.
     "ann_power_iteration" -> ((s, dir) => {
       ops.Embeddings.powerIteration(t(s, dir, "embeddings"), rounds = 3,
         dims = 64).orderBy("rnd", "d")
+    }),
+    // PCA projection: every embedding scored against the round-3 principal
+    // direction (integer dot in the trainer's milli-units) — the whitening /
+    // spectral-quality column. One fan-out + one vec_id-keyed shuffle.
+    "ann_pca_project" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val v3 = ops.Embeddings.powerIteration(emb, rounds = 3, dims = 64)
+        .filter(col("rnd") === 3).select("d", "v")
+      ops.Embeddings.pcaProject(emb, v3).orderBy("vec_id")
     }),
     // Map algebra: terrain ruggedness index — Σ|neighbour − centre| over the
     // same 8 clamped neighbours; pure integer arithmetic.
@@ -1174,6 +1219,17 @@ object SparkEntry {
       ops.TextDedup.connectedComponentsStar(edges, corpus.select("doc_id"))
         .withColumn("keep", col("doc_id") === col("comp"))
         .orderBy("doc_id")
+    }),
+    // Fixed-round integer-exact PageRank over a supplier→part edge graph —
+    // the domain/site authority weight of web-corpus curation. 3 rounds ×
+    // (one rank⋈edges join + one dst-keyed sum); the edge list never moves.
+    "graph_pagerank" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
+        .distinct()
+      ops.Graph.pagerank(edges, rounds = 3)
+        .withColumnRenamed("rank", "pr") // dodge the RANK keyword in DuckDB
+        .orderBy("node")
     }),
     // Per-row format fidelity (input_hint: decoded pixels allclose, PSNR
     // >= 40 dB for lossy): decode each payload (real javax.imageio for png),
@@ -3127,7 +3183,11 @@ object SparkEntry {
     * as CTE chains (v0 = e₀·1000; per-round ÷2²⁰ and max-normalize as
     * floor-of-double-division, mirroring Embeddings.powerIteration).
     */
-  private def powerIterOracleSql(rounds: Int): String = {
+  /** Shared WITH-body of the power-iteration replay: x (milli-quantized
+    * corpus), v0 (seed) and per-round dot/u/s/m/v CTEs — reused by the
+    * projection oracle below.
+    */
+  private def powerIterCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""dot$r AS (SELECT vec_id, CAST(sum(xq * v) AS BIGINT) AS s
            FROM x JOIN v${r - 1} USING (d) GROUP BY 1),
@@ -3139,16 +3199,83 @@ object SparkEntry {
          v$r AS (SELECT d, CAST(floor(CAST(su AS DOUBLE)*1000.0/CAST(m AS DOUBLE))
            AS BIGINT) AS v FROM s$r, m$r)"""
     }.mkString(",\n         ")
-    val out = (1 to rounds)
-      .map(r => s"SELECT $r AS rnd, d, v FROM v$r").mkString(" UNION ALL ")
-    s"""WITH x AS (SELECT vec_id, d,
+    s"""x AS (SELECT vec_id, d,
            CAST(floor(CAST(embedding[d+1] AS DOUBLE) * 1000.0) AS BIGINT) AS xq
          FROM embeddings, range(0,64) t(d)),
        v0 AS (SELECT d, CASE WHEN d = 0 THEN 1000 ELSE 0 END AS v
          FROM range(0,64) t(d)),
-       $roundCtes
+       $roundCtes"""
+  }
+
+  private def powerIterOracleSql(rounds: Int): String = {
+    val out = (1 to rounds)
+      .map(r => s"SELECT $r AS rnd, d, v FROM v$r").mkString(" UNION ALL ")
+    s"""WITH ${powerIterCtes(rounds)}
        SELECT * FROM ($out) ORDER BY rnd, d"""
   }
+
+  /** PCA-projection oracle: the round-3 direction replayed via the shared
+    * CTEs, then the same milli-quantized integer dot per vector.
+    */
+  private val pcaProjectOracleSql: String =
+    s"""WITH ${powerIterCtes(3)}
+       SELECT vec_id, CAST(sum(xq * v) AS BIGINT) AS score
+       FROM x JOIN v3 USING (d) GROUP BY 1 ORDER BY vec_id"""
+
+  /** PageRank oracle: the 3 rounds unrolled as CTE chains — every step an
+    * integer floor-division (`//` = Spark `DIV` on positive operands) or an
+    * order-independent sum, so ranks are bit-equal across engines.
+    */
+  private val pagerankOracleSql: String = {
+    val rounds = (1 to 3).map { r =>
+      s"""c$r AS (SELECT e.dst AS node, sum(rr.pr // o.outdeg) AS inflow
+           FROM r${r - 1} rr JOIN outdeg o USING (node)
+           JOIN e ON e.src = rr.node GROUP BY 1),
+         r$r AS (SELECT n.node,
+             150000 + (850000 * COALESCE(c.inflow, 0)) // 1000000 AS pr
+           FROM nodes n LEFT JOIN c$r c USING (node))"""
+    }.mkString(",\n         ")
+    s"""WITH e AS (SELECT DISTINCT l_suppkey % 500 AS src,
+           l_partkey % 500 AS dst FROM lineitem),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+         outdeg AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
+         r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+         $rounds
+         SELECT node, CAST(pr AS BIGINT) AS pr FROM r3 ORDER BY node"""
+  }
+
+  /** Convex-hull oracle: the Carathéodory certificate — a deduped point is
+    * a hull vertex iff it is NOT strictly inside any triangle of same-group
+    * points and NOT strictly between two of them on a segment. All cross
+    * products are exact BIGINT (integer coordinates), so the certificate
+    * identifies exactly the engine's minimal strict-turn vertex set.
+    */
+  private val convexHullOracleSql: String =
+    """WITH raw AS (SELECT c_custkey % 25 AS gid,
+           (c_custkey * 7) % 1201 AS x, (c_custkey * 13) % 1009 AS y
+         FROM customer WHERE c_custkey <= 1000),
+       pts AS (SELECT DISTINCT gid, x, y FROM raw),
+       tri AS (SELECT DISTINCT p.gid, p.x, p.y
+         FROM pts p
+         JOIN pts a ON a.gid = p.gid
+         JOIN pts b ON b.gid = p.gid
+         JOIN pts c ON c.gid = p.gid
+         WHERE ((a.x-p.x)*(b.y-p.y) - (a.y-p.y)*(b.x-p.x) > 0 AND
+                (b.x-p.x)*(c.y-p.y) - (b.y-p.y)*(c.x-p.x) > 0 AND
+                (c.x-p.x)*(a.y-p.y) - (c.y-p.y)*(a.x-p.x) > 0)
+            OR ((a.x-p.x)*(b.y-p.y) - (a.y-p.y)*(b.x-p.x) < 0 AND
+                (b.x-p.x)*(c.y-p.y) - (b.y-p.y)*(c.x-p.x) < 0 AND
+                (c.x-p.x)*(a.y-p.y) - (c.y-p.y)*(a.x-p.x) < 0)),
+       seg AS (SELECT DISTINCT p.gid, p.x, p.y
+         FROM pts p
+         JOIN pts a ON a.gid = p.gid
+         JOIN pts b ON b.gid = p.gid
+         WHERE (a.x-p.x)*(b.y-p.y) - (a.y-p.y)*(b.x-p.x) = 0
+           AND (p.x-a.x)*(b.x-p.x) + (p.y-a.y)*(b.y-p.y) > 0)
+       SELECT gid, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y FROM (
+         SELECT * FROM pts
+         EXCEPT (SELECT * FROM tri UNION SELECT * FROM seg))
+       ORDER BY gid, x, y"""
 
   private val flowdirOracleSql: String = {
     val scores = (0 until 8).map { i =>
@@ -3366,6 +3493,33 @@ object SparkEntry {
          SELECT a_id, b_id, ax1 + t*(ax2-ax1) AS ix, ay1 + t*(ay2-ay1) AS iy
          FROM hit ORDER BY a_id, b_id""",
     "ann_power_iteration" -> powerIterOracleSql(3),
+    "ann_pca_project" -> pcaProjectOracleSql,
+    "graph_pagerank" -> pagerankOracleSql,
+    "geo_convex_hull" -> convexHullOracleSql,
+    "stream_window_counts" ->
+      """SELECT date_trunc('day', ts) AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 1000.0) AS BIGINT)) AS BIGINT) AS v_sum
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "traj_od_matrix" ->
+      """WITH pts AS (SELECT user_id, ts, event_id,
+           event_id % 7 AS dx, (event_id * 3) % 5 AS dy FROM events),
+         c AS (SELECT user_id, ts, event_id,
+             CAST(sum(dx) OVER w AS BIGINT) AS px,
+             CAST(sum(dy) OVER w AS BIGINT) AS py
+           FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         k AS (SELECT user_id, ts, event_id,
+             (px // 6) * 1000000 + (py // 4) AS cell FROM c),
+         f AS (SELECT user_id, cell,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ra,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rd
+           FROM k),
+         od AS (SELECT o.cell AS o_cell, d.cell AS d_cell
+           FROM (SELECT user_id, cell FROM f WHERE ra = 1) o
+           JOIN (SELECT user_id, cell FROM f WHERE rd = 1) d USING (user_id))
+         SELECT o_cell, d_cell, CAST(count(*) AS BIGINT) AS n_traj
+         FROM od GROUP BY 1, 2 ORDER BY 1, 2""",
     "geo_kde" ->
       """WITH pts AS (SELECT
            -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,

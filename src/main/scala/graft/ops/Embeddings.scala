@@ -722,4 +722,27 @@ object Embeddings {
     }
     hist.result().reduce(_ unionAll _).select("rnd", "d", "v")
   }
+
+  /** Project every embedding onto a direction vector (e.g. the
+    * [[powerIteration]] output) — the PCA-projection step of whitening /
+    * spectral scoring. The corpus side explodes to (vec_id, d, xq) in the
+    * same milli-unit quantization as the trainer and the 64-row direction
+    * broadcasts into the dot-product join, so the plan is one fan-out
+    * projection + ONE shuffle keyed by vec_id; the integer dot product is
+    * an order-independent Long sum, bit-reproducible in any engine.
+    *
+    * @param emb       (vec_id, embedding)
+    * @param direction (d, v) — one row per dimension, Long components
+    * @return (vec_id, score)
+    */
+  def pcaProject(emb: DataFrame, direction: DataFrame): DataFrame = {
+    val x = emb.select(col("vec_id").cast("long"),
+        posexplode(col("embedding")).as(Seq("d", "xv")))
+      .select(col("vec_id"), col("d").cast("long").as("d"),
+        floor(col("xv").cast("double") * lit(1000.0)).cast("long").as("xq"))
+    x.join(broadcast(direction.select(col("d").cast("long").as("d"),
+        col("v").cast("long").as("v"))), "d")
+      .groupBy("vec_id")
+      .agg(sum(col("xq") * col("v")).cast("long").as("score"))
+  }
 }

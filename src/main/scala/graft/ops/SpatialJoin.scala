@@ -972,4 +972,37 @@ object SpatialJoin {
         (col("ax1") + col("t") * (col("ax2") - col("ax1"))).as("ix"),
         (col("ay1") + col("t") * (col("ay2") - col("ay1"))).as("iy"))
   }
+
+  /** Per-group convex hull over integer coordinates: the footprint /
+    * coverage-outline aggregate (one hull per device, per region, per
+    * cluster). Exact Long cross products via [[graft.geo.Hull]] — the
+    * minimal vertex set is engine-independent, so the DuckDB oracle can
+    * re-derive it from the Carathéodory characterization (not strictly
+    * inside any triangle of other points, not strictly between two points
+    * on a segment).
+    *
+    * Scale shape: ONE shuffle keyed by the group; per-group state is that
+    * group's deduped point set (the same per-feature bound as GeoJSON
+    * reassembly A4). Groups are mutually independent; a group too big for
+    * one task should be pre-reduced (e.g. per-partition hulls unioned, then
+    * hulled again — hull(hull(A)∪hull(B)) = hull(A∪B)).
+    *
+    * @param points (gid, x, y) integer coordinates, |x|,|y| < 2³⁰
+    * @return (gid, x, y) hull vertices, one row per vertex
+    */
+  def convexHullPerGroup(points: DataFrame): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points.select(col("gid").cast("long"), col("x").cast("long"),
+        col("y").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (gid, it) =>
+        val pts = it.toArray
+        val xs = pts.map(_._2); val ys = pts.map(_._3)
+        graft.geo.Hull.convexHull(xs, ys).iterator
+          .map(i => (gid, xs(i), ys(i)))
+      }
+      .toDF("gid", "x", "y")
+  }
 }

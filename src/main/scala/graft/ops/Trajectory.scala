@@ -116,4 +116,34 @@ object Trajectory {
       .filter(col("n_events") >= minRun)
       .drop("grp")
   }
+
+  /** Origin–destination matrix: each trajectory contributes one flow from
+    * the cell of its FIRST sample to the cell of its LAST (ordered by
+    * (ts, tie) — total order, so the endpoints are unique), then flows
+    * aggregate per (origin, destination) cell pair — the mobility-analytics
+    * rollup (commute flows, tile-to-tile demand).
+    *
+    * Scale shape: ONE window shuffle keyed by the trajectory extracts both
+    * endpoints in a single pass (first/last over the full frame — no
+    * struct-typed min/max aggregate, which Spark's hash aggregate rejects
+    * and would silently degrade to a SortAggregate), a per-trajectory
+    * dedupe, and the (o, d) count. State per key is one row; nothing
+    * quadratic, no joins.
+    *
+    * @param points (traj_id, ts, tie, cell)
+    * @return (o_cell, d_cell, n_traj)
+    */
+  def odMatrix(points: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("traj_id").orderBy(col("ts"), col("tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    points
+      .select(col("traj_id"),
+        first("cell").over(w).as("o_cell"),
+        last("cell").over(w).as("d_cell"))
+      .distinct()
+      .groupBy("o_cell", "d_cell")
+      .agg(count(lit(1)).cast("long").as("n_traj"))
+  }
 }

@@ -1311,4 +1311,75 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.ops.FlowGraph.sinkLabels(cyc, maxRounds = 4).collect()
     }
   }
+
+  test("convexHull: minimal vertex set equals the Caratheodory brute force") {
+    val rnd = new scala.util.Random(41)
+    // grids force duplicates and collinear triples — the degenerate cases
+    for (trial <- 0 until 30) {
+      val n = 3 + rnd.nextInt(20)
+      val xs = Array.fill(n)(rnd.nextInt(10).toLong)
+      val ys = Array.fill(n)(rnd.nextInt(10).toLong)
+      val hull = graft.geo.Hull.convexHull(xs, ys)
+        .map(i => (xs(i), ys(i))).toSet
+      val pts = (xs zip ys).distinct
+      def cross(p: (Long, Long), a: (Long, Long), b: (Long, Long)): Long =
+        (a._1 - p._1) * (b._2 - p._2) - (a._2 - p._2) * (b._1 - p._1)
+      val expected = pts.filter { p =>
+        val others = pts.filter(_ != p)
+        val inTri = others.exists(a => others.exists(b => others.exists { c =>
+          val (d1, d2, d3) = (cross(p, a, b), cross(p, b, c), cross(p, c, a))
+          (d1 > 0 && d2 > 0 && d3 > 0) || (d1 < 0 && d2 < 0 && d3 < 0)
+        }))
+        val onSeg = others.exists(a => others.exists(b =>
+          cross(p, a, b) == 0 &&
+            (p._1 - a._1) * (b._1 - p._1) + (p._2 - a._2) * (b._2 - p._2) > 0))
+        !inTri && !onSeg
+      }.toSet
+      assert(hull == expected, s"trial $trial: $hull vs $expected")
+    }
+    // degenerates: all-equal, all-collinear
+    assert(graft.geo.Hull.convexHull(Array(5L, 5L, 5L), Array(2L, 2L, 2L))
+      .map(i => (5L, 2L)).toSet == Set((5L, 2L)))
+    val cxs = Array(0L, 1L, 2L, 3L); val cys = Array(0L, 2L, 4L, 6L)
+    assert(graft.geo.Hull.convexHull(cxs, cys).map(i => (cxs(i), cys(i))).toSet
+      == Set((0L, 0L), (3L, 6L)))
+  }
+
+  test("pagerank: 3 rounds on a hand-walked 4-node graph (with a pure-source node)") {
+    import spark.implicits._
+    // 0->1, 0->2, 1->2, 2->0, 3->0 ; node 3 is a pure source
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 0L))
+      .toDF("src", "dst")
+    val got = graft.ops.Graph.pagerank(edges, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    // driver-side replay in exact integer arithmetic
+    val e = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 0L))
+    val nodes = e.flatMap(t => Seq(t._1, t._2)).distinct
+    val outdeg = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val inflow = nodes.map(v =>
+        v -> e.filter(_._2 == v).map(t => r(t._1) / outdeg(t._1)).sum).toMap
+      r = nodes.map(v => v -> (150000L + 850000L * inflow(v) / 1000000L)).toMap
+    }
+    nodes.foreach(v => assert(got(v) == r(v), s"node $v"))
+    // source node 3 (no in-edges) settles at pure teleport from round 1 on
+    assert(got(3L) == 150000L)
+  }
+
+  test("odMatrix: endpoints by (ts, tie) total order; one flow per trajectory") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(s: Int) = new java.sql.Timestamp(ts0.getTime + s * 1000L)
+    val pts = Seq(
+      (1L, t(0), 1L, 10L), (1L, t(5), 2L, 20L), (1L, t(9), 3L, 30L),
+      (2L, t(1), 4L, 10L), (2L, t(2), 5L, 30L),
+      (3L, t(3), 6L, 30L), // single-sample trajectory: o == d
+      // equal timestamps — tie column decides first/last
+      (4L, t(7), 8L, 40L), (4L, t(7), 7L, 10L)
+    ).toDF("traj_id", "ts", "tie", "cell")
+    val got = graft.ops.Trajectory.odMatrix(pts)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((10L, 30L, 2L), (30L, 30L, 1L), (10L, 40L, 1L)))
+  }
 }
