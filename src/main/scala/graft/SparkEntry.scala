@@ -194,6 +194,36 @@ object SparkEntry {
       "-180 + (c_custkey % 360) + 0.5D AS lng",
       "-90 + ((c_custkey * 7) % 180) + 0.25D AS lat")
 
+  /** D8 steepest-descent successor table of the synthetic multi-basin
+    * 100×100 grid (first maximal drop wins, borders excluded) — shared by
+    * the hydrology queries (watershed labels, flow accumulation).
+    * Neighbours go through explode + rank, not a folded struct-max
+    * expression: a when()-fold over 8 struct candidates duplicates the
+    * accumulated tree per comparison (2⁸ blowup — kills codegen).
+    */
+  private def d8SuccGrid(s: SparkSession): DataFrame = {
+    val n = 100
+    val nb = s.range(n.toLong * n)
+      .selectExpr("id AS cell", s"id DIV $n AS i", s"id % $n AS j")
+      .selectExpr("cell", "i", "j", "(i*i)%97 + (j*j)%89 + (i*j)%31 AS e")
+      .withColumn("k", explode(sequence(lit(0), lit(7))))
+      .selectExpr("cell", "e", "k",
+        "i + element_at(array(1,1,0,-1,-1,-1,0,1), k+1) AS ni",
+        "j + element_at(array(0,1,1,1,0,-1,-1,-1), k+1) AS nj")
+    val sc = nb.selectExpr("cell", "k", "ni", "nj",
+      s"""CASE WHEN ni BETWEEN 0 AND ${n - 1} AND nj BETWEEN 0 AND ${n - 1}
+            AND e - ((ni*ni)%97 + (nj*nj)%89 + (ni*nj)%31) > 0
+          THEN e - ((ni*ni)%97 + (nj*nj)%89 + (ni*nj)%31)
+          ELSE -1 END AS drp""")
+    // first maximal drop wins (drp DESC, then direction order k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell").orderBy(col("drp").desc, col("k").asc)
+    sc.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .selectExpr("cell",
+        s"CASE WHEN drp > 0 THEN ni*$n + nj ELSE cell END AS succ")
+  }
+
   /** Flagship: the reference's own golden fixture (JMT, 54 features / 5,998
     * coords) sampled against the 3-arc-second synthetic tile pyramid via the
     * broadcast tile join. Driver smoke-checks rows>0 at sf0.001.
@@ -812,30 +842,13 @@ object SparkEntry {
     // D8 steepest-descent successors (first maximal drop wins, borders
     // excluded) resolved to sink labels by O(log path) pointer doubling.
     "geo_watershed" -> ((s, dir) => {
-      val n = 100
-      // neighbours as ROWS (explode + rank), not as a folded struct-max
-      // expression: a when()-fold over 8 struct candidates duplicates the
-      // accumulated tree per comparison (2⁸ blowup — kills codegen)
-      val nb = s.range(n.toLong * n)
-        .selectExpr("id AS cell", s"id DIV $n AS i", s"id % $n AS j")
-        .selectExpr("cell", "i", "j", "(i*i)%97 + (j*j)%89 + (i*j)%31 AS e")
-        .withColumn("k", explode(sequence(lit(0), lit(7))))
-        .selectExpr("cell", "e", "k",
-          "i + element_at(array(1,1,0,-1,-1,-1,0,1), k+1) AS ni",
-          "j + element_at(array(0,1,1,1,0,-1,-1,-1), k+1) AS nj")
-      val sc = nb.selectExpr("cell", "k", "ni", "nj",
-        s"""CASE WHEN ni BETWEEN 0 AND ${n - 1} AND nj BETWEEN 0 AND ${n - 1}
-              AND e - ((ni*ni)%97 + (nj*nj)%89 + (ni*nj)%31) > 0
-            THEN e - ((ni*ni)%97 + (nj*nj)%89 + (ni*nj)%31)
-            ELSE -1 END AS drp""")
-      // first maximal drop wins (drp DESC, then direction order k)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("cell").orderBy(col("drp").desc, col("k").asc)
-      val succ = sc.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .selectExpr("cell",
-          s"CASE WHEN drp > 0 THEN ni*$n + nj ELSE cell END AS succ")
-      ops.FlowGraph.sinkLabels(succ).orderBy("cell")
+      ops.FlowGraph.sinkLabels(d8SuccGrid(s)).orderBy("cell")
+    }),
+    // Flow accumulation: upstream contributing cells per node (self
+    // included) — paths enumerated in O(log L) path-doubling rounds, never
+    // a sequential walk.
+    "geo_flowaccum" -> ((s, dir) => {
+      ops.FlowGraph.accumulation(d8SuccGrid(s)).orderBy("cell")
     }),
     // Basin areas: the watershed labels rolled up per sink — how much of
     // the grid drains to each outlet (downstream composition of the
@@ -1043,6 +1056,11 @@ object SparkEntry {
     }),
     // Self-trained add-one unigram LM surprisal (integer micro-nats) —
     // the cheap "perplexity filter" quality signal.
+    // Bigram-LM surprisal: context-aware junk scoring — word-salad text
+    // with a normal unigram profile but improbable transitions scores high.
+    "text_bigram_lm" -> ((s, dir) => {
+      ops.Curation.bigramSurprisal(t(s, dir, "documents")).orderBy("doc_id")
+    }),
     "text_perplexity" -> ((s, dir) => {
       ops.Curation.unigramSurprisal(t(s, dir, "documents")).orderBy("doc_id")
     }),
@@ -3086,8 +3104,12 @@ object SparkEntry {
          FROM inside JOIN e USING (point_id)
          GROUP BY 1, 2 ORDER BY 1, 2"""
 
-  private val watershedOracleSql: String =
-    """WITH RECURSIVE cells AS (SELECT t1.i AS i, t2.j AS j, t1.i*100 + t2.j AS cell
+  /** Shared D8 scaffolding of the hydrology oracles: the 100×100 synthetic
+    * grid, its steepest-descent successor table — reused by watershed,
+    * basin-size and flow-accumulation replays.
+    */
+  private val watershedCtes: String =
+    """cells AS (SELECT t1.i AS i, t2.j AS j, t1.i*100 + t2.j AS cell
            FROM range(0,100) t1(i), range(0,100) t2(j)),
          e AS (SELECT cell, i, j, (i*i)%97 + (j*j)%89 + (i*j)%31 AS e FROM cells),
          nb AS (SELECT cell, e, k,
@@ -3104,13 +3126,31 @@ object SparkEntry {
            FROM sc),
          succ AS (SELECT cell,
              CASE WHEN drp > 0 THEN nc ELSE cell END AS succ
-           FROM pick WHERE rk = 1),
+           FROM pick WHERE rk = 1)"""
+
+  private val watershedOracleSql: String =
+    s"""WITH RECURSIVE $watershedCtes,
          w AS (SELECT cell, succ AS cur FROM succ
            UNION ALL
            SELECT w.cell, s.succ FROM w JOIN succ s ON s.cell = w.cur
            WHERE s.succ <> w.cur)
          SELECT w.cell, w.cur AS sink FROM w JOIN succ s ON s.cell = w.cur
          WHERE s.succ = w.cur ORDER BY w.cell"""
+
+  /** Flow-accumulation oracle: every cell's downstream path enumerated by
+    * the recursive walk (one row per (source, downstream node), absorbing
+    * at the sink), then upstream counts per node + self.
+    */
+  private val flowaccumOracleSql: String =
+    s"""WITH RECURSIVE $watershedCtes,
+         p AS (SELECT cell, succ AS cur FROM succ WHERE succ <> cell
+           UNION ALL
+           SELECT p.cell, s.succ FROM p JOIN succ s ON s.cell = p.cur
+           WHERE s.succ <> p.cur)
+         SELECT s.cell, CAST(1 + COALESCE(q.cnt, 0) AS BIGINT) AS acc
+         FROM succ s LEFT JOIN (SELECT cur, count(*) AS cnt FROM p GROUP BY 1) q
+           ON q.cur = s.cell
+         ORDER BY s.cell"""
 
   /** hex_rollup oracle: res-9 axial assignment → per-cell counts → centers
     * re-assigned at res 7 — op-order-identical to Hex.cellToParent
@@ -3438,6 +3478,7 @@ object SparkEntry {
     "geo_viewshed" -> viewshedOracleSql,
     "geo_flowdir" -> flowdirOracleSql,
     "geo_watershed" -> watershedOracleSql,
+    "geo_flowaccum" -> flowaccumOracleSql,
     "geo_basin_size" ->
       s"""SELECT sink, CAST(count(*) AS BIGINT) AS n_cells
          FROM ($watershedOracleSql) GROUP BY 1 ORDER BY 1""",
@@ -4535,6 +4576,24 @@ object SparkEntry {
     "geo_simplify_chunked" -> simplifyChunkedOracleSql(16, 16),
     "dedup_simhash_neardup" -> simhashNearDupOracleSql,
     "text_vocab_oov" -> vocabOovOracleSql,
+    "text_bigram_lm" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         bg AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)), g -> ws[g])) AS w1,
+             unnest(list_transform(range(1, len(ws)), g -> ws[g+1])) AS w2
+           FROM w WHERE len(ws) >= 2),
+         cb AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2),
+         cu AS (SELECT w1, count(*) AS c_x FROM bg GROUP BY 1),
+         vv AS (SELECT count(DISTINCT w2) AS n_vocab FROM bg),
+         sq AS (SELECT bg.doc_id,
+             CAST(floor(1000000.0 * ln(
+               CAST(cu.c_x + vv.n_vocab AS DOUBLE) /
+               CAST(cb.c_xy + 1 AS DOUBLE))) AS BIGINT) AS sq
+           FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN vv)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(sq) AS BIGINT) AS surprisal_q,
+           CAST(sum(sq) AS BIGINT) // CAST(count(*) AS BIGINT) AS ppx_q
+         FROM sq GROUP BY doc_id ORDER BY doc_id""",
     "text_perplexity" ->
       """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
          tok AS (SELECT doc_id, unnest(ws) AS wd FROM w),

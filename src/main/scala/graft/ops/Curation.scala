@@ -407,6 +407,49 @@ object Curation {
       .withColumn("ppx_q", expr("surprisal_q div n_tokens"))
   }
 
+  /** Bigram-LM surprisal — the context-aware upgrade of
+    * [[unigramSurprisal]]: train add-one-smoothed word-bigram conditionals
+    * on the corpus itself (`p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V)`), then score
+    * every document by its total bigram surprisal. Catches word-salad junk
+    * whose unigram distribution looks normal but whose transitions are
+    * improbable — the standard second-pass quality filter.
+    *
+    * Same determinism discipline as the unigram op: each bigram's
+    * surprisal quantizes to integer micro-nats BEFORE the per-doc sum.
+    *
+    * Scale shape: the corpus tokenizes once (localCheckpoint feeds both
+    * the bigram and unigram count tables); counts are vocab/pair-bounded
+    * map-side-combined aggregations; scoring is two key-bounded joins on
+    * (w₁,w₂) and w₁. Documents with fewer than 2 tokens have no bigrams
+    * and drop out (the unigram op covers them).
+    *
+    * @return (doc_id, n_bigrams, surprisal_q, ppx_q) in micro-nats
+    */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val bg = docs.select(col("doc_id").cast("long"),
+        TextDedup.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .selectExpr("doc_id",
+        """explode(zip_with(slice(w, 1, size(w)-1), slice(w, 2, size(w)-1),
+           (a, b) -> struct(a AS w1, b AS w2))) AS bg""")
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .localCheckpoint(false) // feeds pair counts AND the scoring join
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val cu = bg.groupBy("w1").agg(count(lit(1)).as("c_x"))
+    // V = distinct SECOND words (the conditional's support); +1 smoothing
+    val v = cb.select(col("w2")).distinct().agg(count(lit(1)).as("n_vocab"))
+    bg.join(cb, Seq("w1", "w2")).join(cu, "w1")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        floor(lit(1e6) * log(
+          (col("c_x") + col("n_vocab")).cast("double") /
+            (col("c_xy") + lit(1L)).cast("double"))).cast("long").as("sq"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum("sq").cast("long").as("surprisal_q"))
+      .withColumn("ppx_q", expr("surprisal_q div n_bigrams"))
+  }
+
   /** PII redaction — the compliance pass every published training corpus
     * runs: replace e-mail addresses and dashed phone numbers with typed
     * placeholder tokens and report per-document match counts. Patterns are

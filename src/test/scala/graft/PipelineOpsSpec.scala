@@ -1312,6 +1312,26 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("accumulation: path-doubling upstream counts equal sequential walking") {
+    import spark.implicits._
+    // same functional DAG shape as the sinkLabels spec
+    val n = 300
+    val succSeq = (0 until n).map { i =>
+      if (i < 3) (i.toLong, i.toLong)
+      else (i.toLong, (i - 1 - (i * 7 % 3)).toLong)
+    }
+    val got = graft.ops.FlowGraph.accumulation(succSeq.toDF("cell", "succ"))
+      .as[(Long, Long)].collect().toMap
+    val succMap = succSeq.toMap
+    // brute force: acc(u) = 1 + #{v : u on v's proper downstream path}
+    val exp = Array.fill(n)(1L)
+    for (v <- 0 until n) {
+      var c = v.toLong
+      while (succMap(c) != c) { c = succMap(c); exp(c.toInt) += 1 }
+    }
+    (0 until n).foreach(i => assert(got(i.toLong) == exp(i), s"cell $i"))
+  }
+
   test("convexHull: minimal vertex set equals the Caratheodory brute force") {
     val rnd = new scala.util.Random(41)
     // grids force duplicates and collinear triples — the degenerate cases
