@@ -349,6 +349,29 @@ object SparkEntry {
       streaming.StreamOps.windowedCounts(s, s"$dir/events.parquet")
         .orderBy("day", "event_type")
     }),
+    // Session windows through the streaming engine: merging-window state
+    // per user, drained to the same gaps-and-islands result the batch
+    // sessionization computes (gap >= 12h starts a session).
+    "stream_session_counts" -> ((s, dir) => {
+      streaming.StreamOps.sessionCounts(s, s"$dir/events.parquet")
+        .orderBy("user_id", "start_us")
+    }),
+    // Contact-graph join: distinct trajectory pairs sharing a (cell, day)
+    // observation bucket — bucketed self-join, never all-pairs.
+    "traj_colocation" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val pts = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("event_id") % 7).as("dx"),
+          ((col("event_id") * 3) % 5).as("dy"))
+        .withColumn("px", sum("dx").over(w))
+        .withColumn("py", sum("dy").over(w))
+        .selectExpr("user_id AS traj_id",
+          "(px DIV 6) * 1000000 + (py DIV 4) AS cell",
+          "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 AS tb")
+      ops.Trajectory.colocation(pts).orderBy("t1", "t2")
+    }),
 
     // ---- spatial core (F4/F9, J1/J4+F1/F2/F8, F6, z/x/y) ----
     "geo_tile_key" -> ((s, dir) => {
@@ -3542,6 +3565,38 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(floor(value * 1000.0) AS BIGINT)) AS BIGINT) AS v_sum
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "stream_session_counts" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+         m AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                 OR tus - lag(tus) OVER w >= 43200000000
+               THEN 1 ELSE 0 END AS new_sess
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+         s AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+                 ORDER BY tus, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seq
+           FROM m)
+         SELECT user_id, CAST(min(tus) AS BIGINT) AS start_us,
+           CAST(max(tus) + 43200000000 AS BIGINT) AS end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM s GROUP BY user_id, seq ORDER BY user_id, start_us""",
+    "traj_colocation" ->
+      """WITH pts AS (SELECT user_id, ts, event_id,
+           event_id % 7 AS dx, (event_id * 3) % 5 AS dy FROM events),
+         c AS (SELECT user_id, ts, event_id,
+             CAST(sum(dx) OVER w AS BIGINT) AS px,
+             CAST(sum(dy) OVER w AS BIGINT) AS py
+           FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         o AS (SELECT DISTINCT user_id,
+             (px // 6) * 1000000 + (py // 4) AS cell,
+             epoch_us(ts) // 86400000000 AS tb FROM c),
+         p AS (SELECT a.user_id AS t1, b.user_id AS t2
+           FROM o a JOIN o b ON a.cell = b.cell AND a.tb = b.tb
+             AND a.user_id < b.user_id)
+         SELECT t1, t2, CAST(count(*) AS BIGINT) AS n_encounters
+         FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
     "traj_od_matrix" ->
       """WITH pts AS (SELECT user_id, ts, event_id,
            event_id % 7 AS dx, (event_id * 3) % 5 AS dy FROM events),

@@ -117,6 +117,35 @@ object Trajectory {
       .drop("grp")
   }
 
+  /** Co-location (contact) join: pairs of trajectories observed in the SAME
+    * spatial cell during the SAME time bucket, weighted by how many
+    * distinct (cell, bucket) encounters they share — the contact-graph
+    * primitive (proximity tracing, co-travel detection). Its output edge
+    * list feeds [[Graph.pagerank]] / [[TextDedup.connectedComponentsStar]].
+    *
+    * Scale shape: the ONLY join is a self-equi-join keyed by
+    * (cell, bucket) — the same bucketed discipline as the LSH band join;
+    * never all-pairs. Within one bucket the k² pair fan-out IS the answer's
+    * size; skewed mega-buckets (a stadium cell) should be capped upstream
+    * by a per-bucket distinct-trajectory limit, exactly like LSH's maxDf.
+    * The per-pair dedup (a pair counted once per encounter even with many
+    * samples inside the bucket) happens BEFORE the pair join via distinct.
+    *
+    * @param points (traj_id, cell, tb) — cell + time bucket pre-assigned
+    * @return (t1, t2, n_encounters) with t1 < t2
+    */
+  def colocation(points: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val obs = points.select(col("traj_id").cast("long"), col("cell"),
+      col("tb")).distinct()
+    obs.select(col("traj_id").as("t1"), col("cell"), col("tb"))
+      .join(obs.select(col("traj_id").as("t2"), col("cell"), col("tb")),
+        Seq("cell", "tb"))
+      .filter(col("t1") < col("t2"))
+      .groupBy("t1", "t2")
+      .agg(count(lit(1)).cast("long").as("n_encounters"))
+  }
+
   /** Origin–destination matrix: each trajectory contributes one flow from
     * the cell of its FIRST sample to the cell of its LAST (ordered by
     * (ts, tie) — total order, so the endpoints are unique), then flows

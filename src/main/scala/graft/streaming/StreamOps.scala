@@ -72,7 +72,57 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // materialize before dropping the sink's backing table
+    drain(spark, name)
+  }
+
+  /** Event-time SESSION-window aggregation over a file-source stream — the
+    * merging-window state machine (Structured Streaming's session_window)
+    * driven through the correctness gate. A session extends while the next
+    * event starts strictly inside [last, last + gap); equivalently a gap
+    * ≥ `gap` starts a new session, which is exactly the batch
+    * gaps-and-islands rule the DuckDB oracle replays. Complete-mode drain
+    * as in [[windowedCounts]]; sums quantized to integer cents pre-sum.
+    *
+    * Scale shape: session state is keyed by (user, merging window) — the
+    * per-key bound of sessionization; in an append deployment the
+    * watermark closes and evicts sessions.
+    *
+    * @return (user_id, start_us, end_us, n_events, sum_cents)
+    */
+  def sessionCounts(spark: SparkSession, path: String,
+                    gap: String = "12 hours"): DataFrame = {
+    val name = s"graft_stream_sess_${runSeq.incrementAndGet()}"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_ckpt_").toString
+    val src = java.nio.file.Paths.get(path)
+    val streamDir =
+      if (java.nio.file.Files.isDirectory(src)) path
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft_stream_src_")
+        java.nio.file.Files.createSymbolicLink(d.resolve(src.getFileName), src)
+        d.toString
+      }
+    val schema = spark.read.parquet(streamDir).schema
+    val q = spark.readStream.schema(schema).parquet(streamDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(round(col("value") * lit(100.0), 0).cast("long")).as("sum_cents"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"), col("n_events"),
+        col("sum_cents"))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    drain(spark, name)
+  }
+
+  /** Materialize a memory sink's table and release the temp-view name. */
+  private def drain(spark: SparkSession, name: String): DataFrame = {
     val out = spark.table(name).cache()
     out.count()
     spark.catalog.dropTempView(name)
