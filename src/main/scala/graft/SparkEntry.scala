@@ -340,6 +340,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
         .orderBy("hr", "event_type")
     }),
+    // CUBE rollup: all four (event_type × day) grouping sets in ONE pass —
+    // Spark's Expand operator fans each row to its grouping sets before the
+    // single aggregation shuffle (4× the rows, but one job instead of four
+    // scans — the multi-granularity dashboard query at 100 TB). Data has no
+    // NULL keys, so the rollup NULLs are unambiguous.
+    "events_cube" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("day", date_trunc("day", col("ts")))
+        .cube("event_type", "day")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(expr("CAST(round(value * 100, 0) AS LONG)")).cast("long")
+            .as("sum_cents"))
+        .orderBy("event_type", "day")
+    }),
     // Structured Streaming through the correctness gate: the events table
     // replayed as a file-source STREAM into a watermarked event-time window
     // aggregation, drained with AvailableNow — the drained state equals the
@@ -3565,6 +3579,13 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(floor(value * 1000.0) AS BIGINT)) AS BIGINT) AS v_sum
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "events_cube" ->
+      """WITH e AS (SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+         SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM e GROUP BY CUBE (event_type, day)
+         ORDER BY event_type, day""",
     "stream_session_counts" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
              CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),

@@ -586,4 +586,40 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"count must partial-aggregate before the first exchange:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("colocation: bucketed self-equi-join on (cell, tb), never all-pairs") {
+    import spark.implicits._
+    val pts = (0 until 5000).map(i =>
+      (i % 40L, (i * 7) % 30L, (i * 13) % 5L)).toDF("traj_id", "cell", "tb")
+    val out = graft.ops.Trajectory.colocation(pts)
+    assert(out.collect().nonEmpty)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"colocation fell back to all-pairs:\n$plan")
+  }
+
+  test("pagerank: no cartesian; edge contributions partial-aggregate per dst") {
+    import spark.implicits._
+    val edges = (0 until 3000).map(i =>
+      (i % 200L, (i * 13) % 200L)).toDF("src", "dst")
+    val out = graft.ops.Graph.pagerank(edges, rounds = 2)
+    assert(out.collect().length == 200)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"pagerank planned an all-pairs join:\n$plan")
+  }
+
+  test("pcaProject: direction side broadcasts; one vec_id-keyed aggregation") {
+    import spark.implicits._
+    val emb = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 7 + d * 3) % 17) / 17.0))
+    }.toDF("vec_id", "embedding")
+    val dir = (0 until 8).map(d => (d.toLong, (d % 3 + 1) * 100L)).toDF("d", "v")
+    val out = graft.ops.Embeddings.pcaProject(emb, dir)
+    assert(out.collect().length == 300)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"direction join must broadcast the 64-row side:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in pcaProject:\n$plan")
+  }
 }
