@@ -212,20 +212,32 @@ object SpatialJoin {
       val ext = if (extRow.isNullAt(0)) 1e-6 else extRow.getDouble(0)
       coverLevelFor(math.max(ext, 1e-6))
     }
-    // poly side: explode the bbox cover (flatMap — a typed generator)
+    // poly side: explode the bbox cover (flatMap — a typed generator).
+    // Geometry is NEVER replicated per cover cell (see
+    // [[pointInPolygonMulti]] for the measured rationale): the cell join
+    // carries only flat (cell, poly_id, bbox) rows, a fused inclusive-bbox
+    // filter drops the cell-slop candidates, and only survivors fetch the
+    // ring arrays via the poly_id equi-join feeding the exact refine.
     val polyCells = polys
       .select(col("poly_id"), col("xs"), col("ys"))
       .as[(Long, Array[Double], Array[Double])]
       .flatMap { case (pid, xs, ys) =>
-        coverCells(xs.toSeq, ys.toSeq, lvl).map(c => (c, pid, xs, ys))
+        coverCells(xs.toSeq, ys.toSeq, lvl)
+          .map(c => (c, pid, xs.min, xs.max, ys.min, ys.max))
       }
-      .toDF("cell", "poly_id", "xs", "ys")
+      .toDF("cell", "poly_id", "bxmin", "bxmax", "bymin", "bymax")
+    val rings = polys.select(col("poly_id"), col("xs"), col("ys"))
     val probe = points.withColumn("cell",
       graft.functions.cells.s2_cell(col("lng"), col("lat"), lit(lvl)))
-    val cand = if (broadcastPolys) probe.join(broadcast(polyCells), Seq("cell"))
-               else probe.join(polyCells, Seq("cell"))
-    cand.filter(ray_cast(col("lng"), col("lat"), col("xs"), col("ys")))
-      .drop("cell", "xs", "ys")
+    val cand = (if (broadcastPolys) probe.join(broadcast(polyCells), Seq("cell"))
+                else probe.join(polyCells, Seq("cell")))
+      .filter(col("lng") >= col("bxmin") && col("lng") <= col("bxmax") &&
+        col("lat") >= col("bymin") && col("lat") <= col("bymax"))
+      .drop("cell", "bxmin", "bxmax", "bymin", "bymax")
+    val withRings = if (broadcastPolys) cand.join(broadcast(rings), Seq("poly_id"))
+                    else cand.join(rings, Seq("poly_id"))
+    withRings.filter(ray_cast(col("lng"), col("lat"), col("xs"), col("ys")))
+      .drop("xs", "ys")
   }
 
   /** [[pointInPolygon]] for MULTI-RING geometries — Polygon with holes and
@@ -311,19 +323,28 @@ object SpatialJoin {
     val probe = probe0.withColumn("salt",
       when(isHotProbe, pmod(col("point_id").cast(LongType), lit(salt)))
         .otherwise(lit(0L)))
+    // flat (cell, salt, poly_id, bbox) rows only: geometry is never
+    // replicated through the cover × salt fan-out (salt multiplies the
+    // replication, so the late ring fetch matters MORE here than in the
+    // unsalted join); rings join the bbox survivors on poly_id
     val polyCells = polys
       .select(col("poly_id"), col("xs"), col("ys"))
       .as[(Long, Array[Double], Array[Double])]
       .flatMap { case (pid, xs, ys) =>
         coverCells(xs.toSeq, ys.toSeq, level).flatMap { c =>
           val copies = if (hotB.value.contains(c)) 0 until salt else 0 until 1
-          copies.map(sv => (c, sv.toLong, pid, xs, ys))
+          copies.map(sv => (c, sv.toLong, pid, xs.min, xs.max, ys.min, ys.max))
         }
       }
-      .toDF("cell", "salt", "poly_id", "xs", "ys")
+      .toDF("cell", "salt", "poly_id", "bxmin", "bxmax", "bymin", "bymax")
+    val rings = polys.select(col("poly_id"), col("xs"), col("ys"))
     probe.join(polyCells, Seq("cell", "salt"))
+      .filter(col("lng") >= col("bxmin") && col("lng") <= col("bxmax") &&
+        col("lat") >= col("bymin") && col("lat") <= col("bymax"))
+      .drop("cell", "salt", "bxmin", "bxmax", "bymin", "bymax")
+      .join(broadcast(rings), Seq("poly_id"))
       .filter(ray_cast(col("lng"), col("lat"), col("xs"), col("ys")))
-      .drop("cell", "salt", "xs", "ys")
+      .drop("xs", "ys")
   }
 
   /** Adaptive cell-splitting PIP (north rule: "salted repartitioning and
@@ -375,22 +396,28 @@ object SpatialJoin {
       .select(col("poly_id"), col("xs"), col("ys"))
       .as[(Long, Array[Double], Array[Double])]
       .flatMap { case (pid, xs, ys) =>
+        def row(c: Long) = (c, pid, xs.min, xs.max, ys.min, ys.max)
         val coarse = coverCells(xs.toSeq, ys.toSeq, level)
-        if (!coarse.exists(hotB.value.contains)) coarse.map(c => (c, pid, xs, ys))
+        if (!coarse.exists(hotB.value.contains)) coarse.map(row)
         else {
           val fineByParent = S2.coverBBox(xs.min, ys.min, xs.max, ys.max, fine)
             .groupBy(fc => S2.parent(fc, level))
           coarse.flatMap { c =>
             if (hotB.value.contains(c))
-              fineByParent.getOrElse(c, Nil).map(fc => (fc, pid, xs, ys))
-            else Seq((c, pid, xs, ys))
+              fineByParent.getOrElse(c, Nil).map(row)
+            else Seq(row(c))
           }
         }
       }
-      .toDF("jcell", "poly_id", "xs", "ys")
+      .toDF("jcell", "poly_id", "bxmin", "bxmax", "bymin", "bymax")
+    val rings = polys.select(col("poly_id"), col("xs"), col("ys"))
     probe.join(polyCells, Seq("jcell"))
+      .filter(col("lng") >= col("bxmin") && col("lng") <= col("bxmax") &&
+        col("lat") >= col("bymin") && col("lat") <= col("bymax"))
+      .drop("jcell", "bxmin", "bxmax", "bymin", "bymax")
+      .join(broadcast(rings), Seq("poly_id"))
       .filter(ray_cast(col("lng"), col("lat"), col("xs"), col("ys")))
-      .drop("jcell", "xs", "ys")
+      .drop("xs", "ys")
   }
 
   // ---------------- J5: within-distance (range) join ----------------
