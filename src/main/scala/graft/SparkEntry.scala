@@ -744,6 +744,22 @@ object SparkEntry {
       ops.SpatialJoin.knnGeodesic(probes, targets, k = 5, res = 5)
         .orderBy("probe_id", "rank")
     }),
+    // Geodesic (meter-radius) range join at the same 66-68°N fixture: the
+    // hex-disk cover widens by the cos-lat-safe planar superset, the exact
+    // refine keeps polynomial-haversine t ≤ sinP(r/2R)² — pure arithmetic
+    // the oracle replays IEEE-exactly (same kernel as geo_knn_geodesic).
+    "geo_range_geodesic" -> ((s, dir) => {
+      val probes = t(s, dir, "customer").filter(col("c_custkey") % 100 === 0)
+        .selectExpr("c_custkey AS probe_id",
+          "-20.0D + (c_custkey % 4) + ((c_custkey % 577) + 0.5D)/577.0D AS lng",
+          "66.0D + (c_custkey % 2) + (((c_custkey*13) % 577) + 0.5D)/577.0D AS lat")
+      val targets = t(s, dir, "lineitem").selectExpr(
+        "((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS target_id",
+        "-20 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5D)/600.0D AS lng",
+        "66 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5D)/600.0D AS lat")
+      ops.SpatialJoin.withinDistanceGeodesic(probes, targets, radiusMeters = 2000.0)
+        .orderBy("probe_id", "target_id")
+    }),
     // Trajectory simplification: Douglas-Peucker over the gate trails (the
     // reference's polyline domain as analytics). Split rule is sqrt/div-free
     // (cross² > ε²·len²) so the unrolled-CTE oracle replicates every branch;
@@ -2148,6 +2164,30 @@ object SparkEntry {
          CAST(row_number() OVER (PARTITION BY probe_id ORDER BY t, target_id) AS INTEGER) AS rank FROM pairs)
        SELECT probe_id, target_id, rank, ${sqlMetersFromT("t")} AS dist_m
        FROM r WHERE rank <= 5 ORDER BY probe_id, rank"""
+
+  /** Brute-force geodesic range join: same polynomial-haversine kernel; the
+    * t-threshold is the ENGINE's Scala-computed double spliced exactly
+    * (Double.toString round-trips), so the filter sees bit-equal operands.
+    */
+  private val rangeGeodesicOracleSql: String = {
+    val sinHalf = graft.geo.Geodesic.sinP(
+      2000.0 / (2.0 * graft.geo.Geodesic.EarthRadiusM))
+    val tThr = sinHalf * sinHalf
+    s"""WITH probes AS (SELECT c_custkey AS probe_id,
+         -20.0 + (c_custkey % 4) + ((c_custkey % 577) + 0.5)/577.0 AS plng,
+         66.0 + (c_custkey % 2) + (((c_custkey*13) % 577) + 0.5)/577.0 AS plat
+         FROM customer WHERE c_custkey % 100 = 0),
+       targets AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS target_id,
+         -20 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS tlng,
+         66 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS tlat
+         FROM lineitem),
+       pairs AS (SELECT probe_id, target_id,
+         ${sqlHavT("plng", "plat", "tlng", "tlat")} AS t
+         FROM probes, targets)
+       SELECT probe_id, target_id, ${sqlMetersFromT("t")} AS dist_m
+       FROM pairs WHERE t <= ${d2s(tThr)}
+       ORDER BY probe_id, target_id"""
+  }
 
   /** Multi-ring even-odd oracle: same IEEE edge orientation as RayCast's
     * loop (edge (i, j = i−1) wrapping WITHIN each ring), crossing parity
@@ -4631,6 +4671,7 @@ object SparkEntry {
     "geo_pip_adaptive" -> pipOracleSkewSql,
     "geo_pip_holes" -> pipHolesOracleSql,
     "geo_knn_geodesic" -> knnGeodesicOracleSql,
+    "geo_range_geodesic" -> rangeGeodesicOracleSql,
     "geo_knn" ->
       """WITH probes AS (SELECT c_custkey AS probe_id,
            -120.0 + (c_custkey % 4) + ((c_custkey % 577) + 0.5)/577.0 AS plng,
