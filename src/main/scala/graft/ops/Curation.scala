@@ -251,11 +251,14 @@ object Curation {
     */
   def wordNgrams(textCol: Column, n: Int): Column = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val w = split(textCol, " ")
-    when(size(w) >= n,
-      transform(sequence(lit(1), size(w) - (n - 1)),
-        g => concat_ws(" ", slice(w, g, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    // let-bind the split via a single-element transform: a lambda variable
+    // evaluates once per row, while referencing the split expression
+    // directly re-executes it per n-gram slice (see TextDedup.shingles)
+    element_at(transform(array(split(textCol, " ")), w =>
+      when(size(w) >= n,
+        transform(sequence(lit(1), size(w) - (n - 1)),
+          g => concat_ws(" ", slice(w, g, lit(n)))))
+        .otherwise(array().cast("array<string>"))), 1)
   }
 
   /** Benchmark decontamination: flag corpus documents that share at least one

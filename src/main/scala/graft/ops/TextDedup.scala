@@ -368,16 +368,17 @@ object TextDedup {
     * exact binary expansion via BigDecimal HALF_UP, DuckDB half-away —
     * they disagree on ~1 in 5k values; caught at sf0.1).
     */
-  def qualityScore(text: Column): Column = {
-    val w = words(text)
-    val nWords = size(w).cast("double")
-    val stopRatio = size(filter(w, x => x === "the" || x === "a" || x === "of" ||
-      x === "and" || x === "to")).cast("double") / nWords
-    val avgWlen = length(regexp_replace(text, " ", "")).cast("double") / nWords
-    least(nWords / lit(100.0), lit(1.0)) * 0.4 +
-      stopRatio * 0.3 +
-      least(avgWlen / lit(10.0), lit(1.0)) * 0.3
-  }
+  def qualityScore(text: Column): Column =
+    // let-bound words array (one split per row; see [[shingles]])
+    element_at(transform(array(words(text)), w => {
+      val nWords = size(w).cast("double")
+      val stopRatio = size(filter(w, x => x === "the" || x === "a" || x === "of" ||
+        x === "and" || x === "to")).cast("double") / nWords
+      val avgWlen = length(regexp_replace(text, " ", "")).cast("double") / nWords
+      least(nWords / lit(100.0), lit(1.0)) * 0.4 +
+        stopRatio * 0.3 +
+        least(avgWlen / lit(10.0), lit(1.0)) * 0.3
+    }), 1)
 
   /** Containment near-dup detection — the asymmetric companion to Jaccard:
     * `|A∩B| / min(|A|,|B|)` over word-shingle sets is ≈1 when one document
