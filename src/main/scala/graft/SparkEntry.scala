@@ -1064,6 +1064,14 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) => {
       ops.TextDedup.minhashPairs(dedupCorpus(s, dir)).orderBy("doc_a", "doc_b")
     }),
+    // MinHash signature-agreement Jaccard estimate per band-join candidate
+    // pair: n_agree lanes of 8 -> est_ppm = n_agree*1e6 div 8. The cheap
+    // ranking pre-filter before any exact intersection at 100 TB; integer-
+    // exact in both engines.
+    "dedup_minhash_est" -> ((s, dir) => {
+      ops.TextDedup.minhashEstimatePairs(dedupCorpus(s, dir))
+        .orderBy("doc_a", "doc_b")
+    }),
     // MinHash LSH recall: of the exact-Jaccard >= 0.5 pairs (ground truth on
     // a deterministic doc_id % 40 == 0 subset, O(n^2/1600) bounded), what share
     // did the band join surface? The band/row tuning number for text dedup —
@@ -1202,6 +1210,16 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       ops.Embeddings.ivfSearch(e, e.filter(col("vec_id") < 5),
         kCentroids = 8, nProbe = 2, topK = 5).orderBy("qid", "rank")
+    }),
+    // Cosine RANGE search over the IVF index (the vector-space J5): all
+    // pairs in the probed lists with cos >= 0.25 — no rank window at all;
+    // the only exchange is the byte-gated probe join. cos is the left-fold
+    // kernel, so the threshold compares bit-equal operands in both engines.
+    "ann_range_search" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      ops.Embeddings.ivfRangeSearch(e, e.filter(col("vec_id") < 25),
+        kCentroids = 8, nProbe = 2, minCos = 0.25)
+        .orderBy("qid", "neighbor_id")
     }),
     // recall@5 of IVF-PQ vs the exact baseline: the PQ-fidelity number on
     // top of the coarse-probe loss (compare with ann_ivf_recall).
@@ -2452,6 +2470,21 @@ object SparkEntry {
        FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
        WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b"""
 
+  /** Signature-agreement estimate oracle: the band-join candidates joined
+    * back to the 8-lane signatures; n_agree and est_ppm are integer-exact.
+    */
+  private val minhashEstOracleSql: String =
+    s"""WITH $minhashCtes,
+       pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+         WHERE a.doc_id < b.doc_id)
+       SELECT p.doc_a, p.doc_b,
+         CAST((CASE WHEN sa.m0 = sb.m0 THEN 1 ELSE 0 END) + (CASE WHEN sa.m1 = sb.m1 THEN 1 ELSE 0 END) + (CASE WHEN sa.m2 = sb.m2 THEN 1 ELSE 0 END) + (CASE WHEN sa.m3 = sb.m3 THEN 1 ELSE 0 END) + (CASE WHEN sa.m4 = sb.m4 THEN 1 ELSE 0 END) + (CASE WHEN sa.m5 = sb.m5 THEN 1 ELSE 0 END) + (CASE WHEN sa.m6 = sb.m6 THEN 1 ELSE 0 END) + (CASE WHEN sa.m7 = sb.m7 THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+         CAST(((CASE WHEN sa.m0 = sb.m0 THEN 1 ELSE 0 END) + (CASE WHEN sa.m1 = sb.m1 THEN 1 ELSE 0 END) + (CASE WHEN sa.m2 = sb.m2 THEN 1 ELSE 0 END) + (CASE WHEN sa.m3 = sb.m3 THEN 1 ELSE 0 END) + (CASE WHEN sa.m4 = sb.m4 THEN 1 ELSE 0 END) + (CASE WHEN sa.m5 = sb.m5 THEN 1 ELSE 0 END) + (CASE WHEN sa.m6 = sb.m6 THEN 1 ELSE 0 END) + (CASE WHEN sa.m7 = sb.m7 THEN 1 ELSE 0 END)) * 1000000 // 8 AS BIGINT) AS est_ppm
+       FROM pairs p JOIN sig sa ON sa.doc_id = p.doc_a
+       JOIN sig sb ON sb.doc_id = p.doc_b
+       ORDER BY doc_a, doc_b"""
+
   /** Connected components of the MinHash pair graph as a recursive CTE:
     * enumerate every (doc, reachable doc) pair, component = min reachable.
     * Mirrors TextDedup.connectedComponents' min-label fixpoint exactly.
@@ -2714,6 +2747,34 @@ object SparkEntry {
          SELECT qid, neighbor_id, centroid, cos,
            CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM cand)
        WHERE rank <= 5 ORDER BY qid, rank"""
+
+  /** Range-search oracle: same coarse-assign/probe CTEs as the topk oracle
+    * (25 queries), threshold filter instead of the rank window.
+    */
+  private val ivfRangeOracleSql: String =
+    """WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       cents AS (SELECT range AS c FROM range(0, 8)),
+       d AS (SELECT vec_id, c,
+         list_reduce(list_prepend(0.0, list_transform(range(0,64),
+           d -> (v[d+1] - (((c*53 + d*17) % 13) - 6)) * (v[d+1] - (((c*53 + d*17) % 13) - 6)))),
+           (p,q) -> p + q) AS d2
+         FROM vv, cents),
+       nrm AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(range(0,64),
+           d -> v[d+1] * v[d+1])), (p,q) -> p + q)) AS nrm FROM vv),
+       assign AS (SELECT vec_id, c AS centroid FROM (
+         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d) WHERE rn = 1),
+       qprobe AS (SELECT vec_id AS qid, c AS centroid FROM (
+         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d WHERE vec_id < 25) WHERE rn <= 2),
+       cand AS (SELECT q.qid, n.vec_id AS neighbor_id, a.centroid,
+           list_reduce(list_prepend(0.0, list_transform(range(0,64),
+             d -> n.v[d+1] * qn.v[d+1])), (p,q) -> p + q) / (n.nrm * qn.nrm) AS cos
+         FROM qprobe q JOIN assign a ON a.centroid = q.centroid
+         JOIN nrm n ON n.vec_id = a.vec_id
+         JOIN nrm qn ON qn.vec_id = q.qid
+         WHERE n.vec_id <> q.qid)
+       SELECT qid, neighbor_id, CAST(centroid AS INT) AS centroid,
+         round(cos, 4) AS cos_r
+       FROM cand WHERE cos >= 0.25 ORDER BY qid, neighbor_id"""
 
   /** Recall@5 oracle: IVF candidate set (same CTEs as the topk oracle, 25
     * queries) intersected with the exact brute-force top-5 per query.
@@ -4111,6 +4172,7 @@ object SparkEntry {
          ORDER BY p.point_id"""
     },
     "dedup_minhash" -> minhashOracleSql,
+    "dedup_minhash_est" -> minhashEstOracleSql,
     "dedup_minhash_recall" -> minhashRecallOracleSql,
     "dedup_simhash" -> simhashOracleSql,
     "dedup_jaccard" ->
@@ -4179,6 +4241,7 @@ object SparkEntry {
            CAST(sum(q) AS BIGINT) / (count(*) * 1000000.0) AS mean
          FROM x GROUP BY 1, 2 ORDER BY centroid, dim""",
     "ann_ivf_topk" -> ivfTopkOracleSql,
+    "ann_range_search" -> ivfRangeOracleSql,
     "ann_ivfpq_topk" -> ivfPqOracleSql,
     "ann_ivfpq_recall" -> ivfPqRecallOracleSql,
     "ann_kmeans_train" -> kmeansTrainOracleSql,

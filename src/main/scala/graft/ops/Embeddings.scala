@@ -154,6 +154,32 @@ object Embeddings {
         col("rank"), round(col("cos"), 4).as("cos_r"))
   }
 
+  /** Cosine RANGE search over the IVF index: every (query, vector) pair in
+    * the probed centroid lists with cosine ≥ `minCos` — the vector-space
+    * analogue of the spatial within-distance join (J5): candidates come
+    * from the bucketed structure (probed lists), the refine is one codegen'd
+    * scan predicate, and no per-query window is needed (unlike topK the
+    * output size is data-dependent, so there is no rank shuffle at all —
+    * the only exchange is the probe join itself, and that broadcasts under
+    * the byte gate). cos is the shared left-fold [[dot]]/[[norm]] kernel,
+    * bit-replayable by the oracle, so the threshold compares bit-equal
+    * operands on both sides.
+    */
+  def ivfRangeSearch(vecs: DataFrame, queries: DataFrame, kCentroids: Int,
+                     nProbe: Int, minCos: Double,
+                     broadcastMaxBytes: Long = 64L << 20): DataFrame = {
+    val (corpus0, probeSide) =
+      coarseProbe(vecs, queries, kCentroids, nProbe, broadcastMaxBytes)
+    val corpus = corpus0.withColumn("nrm", norm(col("v")))
+    corpus.join(probeSide, Seq("centroid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        dot(col("v"), col("qv")) / (col("nrm") * norm(col("qv"))))
+      .filter(col("cos") >= lit(minCos))
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("centroid"),
+        round(col("cos"), 4).as("cos_r"))
+  }
+
   /** Exact brute-force cosine top-k: broadcast the query side (small by
     * contract), stream the corpus — one corpus scan, no shuffle before the
     * per-query top-k window. The exact baseline [[ivfRecall]] measures

@@ -98,6 +98,48 @@ object TextDedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Signature-agreement Jaccard ESTIMATE for the band-join candidates:
+    * `est_ppm = n_agree · 10⁶ div nHashes` where n_agree counts lanes with
+    * equal minhash values — the standard MinHash estimator (E[n_agree/n] =
+    * Jaccard), integer-exact in both engines. The signature subtree is
+    * computed once (lazy localCheckpoint) and feeds the band join AND both
+    * sides of the estimate join, so the corpus shingles exactly once; the
+    * candidate set is the same bucketed band join as [[minhashPairs]] —
+    * never all-pairs. At 100 TB this is the cheap pre-filter that ranks
+    * candidate pairs before any exact intersection is computed.
+    *
+    * @return (doc_a, doc_b, n_agree, est_ppm), doc_a < doc_b, one row per
+    *         candidate pair
+    */
+  def minhashEstimatePairs(docs: DataFrame, shingleN: Int = 3,
+                           nHashes: Int = 8, bands: Int = 4): DataFrame = {
+    require(nHashes % bands == 0, "nHashes must be divisible by bands")
+    val r = nHashes / bands
+    val sig = docs
+      .select(col("doc_id"), shingleHashes(col("text"), shingleN).as("hv"))
+      .select(col("doc_id"), minhashSigFromHashes(col("hv"), nHashes).as("sig"))
+      .localCheckpoint(false)
+    val banded = sig.select(col("doc_id"),
+      posexplode(array((0 until bands).map { bnd =>
+        (0 until r).map(i => element_at(col("sig"), bnd * r + i + 1))
+          .reduceLeft((acc, v) => acc * lit(P) + v)
+      }: _*)).as(Seq("band_id", "band_key")))
+    val a = banded.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b"))
+    val pairs = a.join(b, Seq("band_id", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    pairs
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .withColumn("n_agree",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
+          lit(0), (s, v) => s + v).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("n_agree"),
+        expr(s"n_agree * 1000000L div $nHashes").as("est_ppm"))
+  }
+
   /** Connected components over an undirected near-dup pair graph by
     * iterative min-label propagation: every node starts as its own
     * component; each round every node takes the min label among itself and

@@ -1402,4 +1402,82 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set((10L, 30L, 2L), (30L, 30L, 1L), (10L, 40L, 1L)))
   }
+  test("ivfRangeSearch equals brute force over the probed lists at the threshold") {
+    import spark.implicits._
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(64)(d => (((i * 31 + d * 7) % 17) - 8).toFloat)
+    val vecs = (0 until 200).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val queries = (0 until 3).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val minCos = 0.2
+    val got = Embeddings.ivfRangeSearch(vecs, queries, kCentroids = 8,
+        nProbe = 2, minCos = minCos)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    def centroid(c: Int): Array[Double] =
+      Array.tabulate(64)(d => ((c * 53 + d * 17) % 13 - 6).toDouble)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < 64) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < 64) { s += a(i) * b(i); i += 1 }; s
+    }
+    val all = (0 until 200).map(i => i.toLong -> vec(i).map(_.toDouble)).toMap
+    val assign = all.map { case (id, v) =>
+      id -> (0 until 8).map(c => (d2(v, centroid(c)), c)).min._2
+    }
+    val want = (0 until 3).flatMap { qi =>
+      val qv = all(qi.toLong)
+      val probed = (0 until 8).map(c => (d2(qv, centroid(c)), c)).sorted.take(2)
+        .map(_._2).toSet
+      val qn = math.sqrt(dot(qv, qv))
+      all.filter { case (id, _) => id != qi.toLong && probed.contains(assign(id)) }
+        .toSeq
+        .filter { case (_, v) => dot(v, qv) / (math.sqrt(dot(v, v)) * qn) >= minCos }
+        .map { case (id, _) => (qi.toLong, id) }
+    }.toSet
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("minhashEstimatePairs: candidates equal minhashPairs; n_agree matches recomputation; copies estimate 1.0") {
+    import spark.implicits._
+    val wordsPool = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def text(i: Int): String =
+      (0 until 12).map(t => wordsPool((i * 7 + t * (1 + i % 3)) % 10)).mkString(" ")
+    val docs = (0 until 60).map(i => (i.toLong, text(i))) ++
+      (0 until 60).filter(_ % 5 == 0).map(i => (i + 1000L, text(i)))
+    val df = docs.toDF("doc_id", "text")
+    val est = ops.TextDedup.minhashEstimatePairs(df)
+      .as[(Long, Long, Long, Long)].collect()
+    val pairSet = ops.TextDedup.minhashPairs(df)
+      .as[(Long, Long)].collect().toSet
+    assert(est.map(r => (r._1, r._2)).toSet == pairSet)
+    // scala-side oracle: h60 = first 15 hex chars of md5, lanes over mod-P
+    val P = 1048573L
+    def h60(x: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def sig(t: String): Array[Long] = {
+      val ws = t.split(" ")
+      val sh = if (ws.length >= 3)
+        (0 to ws.length - 3).map(i => ws.slice(i, i + 3).mkString(" "))
+      else Seq(t)
+      val hv = sh.map(x => h60(x) % P)
+      Array.tabulate(8)(j => hv.map(h => ((2L * j + 3L) * h + (5L * j + 7L)) % P).min)
+    }
+    val byId = docs.toMap.map { case (id, t) => id -> sig(t) }
+    est.foreach { case (a, b, nAgree, ppm) =>
+      val expect = byId(a).zip(byId(b)).count { case (x, y) => x == y }
+      assert(nAgree == expect, s"pair ($a,$b)")
+      assert(ppm == nAgree * 1000000L / 8)
+    }
+    // every exact copy pair must be found with a full-agreement estimate
+    (0 until 60).filter(_ % 5 == 0).foreach { i =>
+      val row = est.find(r => r._1 == i.toLong && r._2 == i + 1000L)
+      assert(row.exists(_._3 == 8L), s"copy pair $i missing or partial: $row")
+    }
+  }
 }
