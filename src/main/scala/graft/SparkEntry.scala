@@ -145,6 +145,16 @@ object SparkEntry {
           concat(col("text"), lit(" zz qq ww ee rr tt")).as("text")))
   }
 
+  /** Synthetic media metadata from supplier (closed-form, so the DuckDB
+    * oracle can replay any byte of the generated payload; MediaOps.synth
+    * builds the actual binary column from the same formula).
+    */
+  private def mediaMeta(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier").selectExpr("s_suppkey AS media_id",
+      "1000 + (s_suppkey % 20) * 500 AS duration_ms",
+      "CASE WHEN s_suppkey % 2 = 0 THEN 24000 ELSE 30000 END AS fps_milli",
+      "4096 + (s_suppkey % 7) * 512 AS n_bytes")
+
   /** Trained-quantizer memo, keyed by sf dir: five gate queries need the
     * same 3-round Lloyd fixpoints (coarse k=8 and PQ 8×16), and the bench
     * times every query over 3 interleaved sweeps — retraining per call
@@ -1395,6 +1405,20 @@ object SparkEntry {
       val keepers = corpus.groupBy("h").agg(min(col("doc_id")).as("doc_id"))
       corpus.join(keepers, Seq("h", "doc_id"), "left_semi")
         .select("doc_id").orderBy("doc_id")
+    }),
+    // Multimodal A/V plumbing (MediaOps scaladoc): opaque-binary media rows
+    // with typed metadata, per-partition stub decoder, exact-integer
+    // frame-sampling arithmetic. The stub digests REAL bytes from the
+    // binary column; the oracle replays them closed-form.
+    "media_frame_sample" -> ((s, dir) => {
+      ops.MediaOps.frameSample(ops.MediaOps.synth(mediaMeta(s, dir)), everyMs = 500L)
+        .orderBy("media_id", "ts_ms")
+    }),
+    // Audio path over the same table: fixed 512-sample windows, exact
+    // integer sum of squares (the RMS numerator) per window.
+    "media_window_rms" -> ((s, dir) => {
+      ops.MediaOps.windowSquares(ops.MediaOps.synth(mediaMeta(s, dir)), winLen = 512)
+        .orderBy("media_id", "win_no")
     }),
     "img_stats" -> ((s, dir) => {
       ops.ImageOps.decodeStats(gateTiles(s, "png")).orderBy("image_id")
@@ -4173,6 +4197,38 @@ object SparkEntry {
     },
     "dedup_minhash" -> minhashOracleSql,
     "dedup_minhash_est" -> minhashEstOracleSql,
+    "media_frame_sample" ->
+      """WITH m AS (SELECT s_suppkey AS media_id,
+           1000 + (s_suppkey % 20) * 500 AS duration_ms,
+           CASE WHEN s_suppkey % 2 = 0 THEN 24000 ELSE 30000 END AS fps_milli,
+           4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),
+         f AS (SELECT media_id, fps_milli, n_bytes,
+           unnest(range(0, duration_ms, 500)) AS ts_ms FROM m),
+         h AS (SELECT media_id, ts_ms, ts_ms * fps_milli // 1000000 AS frame_no,
+           n_bytes FROM f),
+         o AS (SELECT media_id, frame_no, ts_ms,
+           (frame_no * 997) % (n_bytes - 16) AS off FROM h)
+         SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(frame_no AS BIGINT) AS frame_no,
+           CAST(ts_ms AS BIGINT) AS ts_ms,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(0,16),
+               i -> CAST((media_id*31 + (off+i)*7) % 256 AS BIGINT))),
+             (d,b) -> (d*131 + b) % 1000000007) AS BIGINT) AS frame_digest,
+           CAST(list_sum(list_transform(range(0,16),
+             i -> (media_id*31 + (off+i)*7) % 256)) // 16 AS BIGINT) AS luma16
+         FROM o ORDER BY media_id, ts_ms""",
+    "media_window_rms" ->
+      """WITH m AS (SELECT s_suppkey AS media_id,
+           4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),
+         w AS (SELECT media_id, unnest(range(0, n_bytes // 512)) AS win_no FROM m)
+         SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(win_no AS BIGINT) AS win_no,
+           CAST(512 AS BIGINT) AS n_samp,
+           CAST(list_sum(list_transform(range(0,512),
+             i -> (((media_id*31 + (win_no*512+i)*7) % 256) - 128)
+                * (((media_id*31 + (win_no*512+i)*7) % 256) - 128))) AS BIGINT) AS sq_sum
+         FROM w ORDER BY media_id, win_no""",
     "dedup_minhash_recall" -> minhashRecallOracleSql,
     "dedup_simhash" -> simhashOracleSql,
     "dedup_jaccard" ->

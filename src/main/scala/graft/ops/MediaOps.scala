@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (audio/video) columns as OPAQUE BINARY + typed metadata —
+  * the driver-mandated pattern next to the real-codec image path
+  * (ImageOps uses javax.imageio; no audio/video codec ships in this
+  * container, so the codec itself is a deterministic STUB while every
+  * Spark-side piece is real and tested):
+  *
+  *  - schema: `(media_id long, bytes binary, fmt string, duration_ms long,
+  *    fps_milli long)` — the image+caption table shape (BASELINE.json
+  *    input_hint) generalized to time-based media;
+  *  - partitioning/batch shape: decode runs in `mapPartitions` with ONE
+  *    decoder instance per partition (the seam where libav/ffmpeg would be
+  *    constructed once and reused row-to-row — constructing per row is the
+  *    classic 100 TB anti-pattern);
+  *  - frame-sampling arithmetic (every-k-ms timestamps → integer frame
+  *    numbers at the row's own frame rate) is exact integer math;
+  *  - the stub "decode" reads REAL bytes from the binary column (a 16-byte
+  *    window per frame / fixed windows for audio) and folds them with
+  *    exact mod-p integer arithmetic, so a DuckDB oracle can replay the
+  *    whole pipeline closed-form against the generator formula.
+  */
+object MediaOps {
+
+  /** The media table row (bytes is the opaque payload). */
+  case class MediaRow(media_id: Long, bytes: Array[Byte], fmt: String,
+                      duration_ms: Long, fps_milli: Long)
+
+  /** One sampled frame: deterministic digest + 16-byte luma mean. */
+  case class FrameRow(media_id: Long, frame_no: Long, ts_ms: Long,
+                      frame_digest: Long, luma16: Long)
+
+  /** One audio analysis window: exact integer sum of squares. */
+  case class WindowRow(media_id: Long, win_no: Long, n_samp: Long,
+                       sq_sum: Long)
+
+  val DigestP = 1000000007L
+
+  /** Deterministic synthetic media table (closed-form bytes, so the oracle
+    * can replay any byte without reading the column): byte k of media m is
+    * `(m·31 + k·7) mod 256`.
+    */
+  def synth(meta: DataFrame): Dataset[MediaRow] = {
+    val spark = meta.sparkSession
+    import spark.implicits._
+    meta.select(col("media_id").cast("long"), col("duration_ms").cast("long"),
+        col("fps_milli").cast("long"), col("n_bytes").cast("int"))
+      .as[(Long, Long, Long, Int)]
+      .map { case (id, dur, fps, n) =>
+        MediaRow(id,
+          Array.tabulate(n)(k => ((id * 31 + k * 7) % 256).toByte),
+          if (id % 2 == 0) "v8" else "pcm", dur, fps)
+      }
+  }
+
+  /** Sample one frame every `everyMs` (timestamps 0, everyMs, … <
+    * duration_ms): `frame_no = ts·fps_milli / 10⁶` (integer), then the
+    * stub decode digests the 16-byte window at offset
+    * `(frame_no·997) mod (len−16)`: `d ← (d·131 + byte) mod p` left fold
+    * plus the integer mean of the same window. A real deployment swaps
+    * the window fold for a codec frame decode; nothing else changes.
+    */
+  def frameSample(media: Dataset[MediaRow], everyMs: Long): DataFrame = {
+    require(everyMs > 0, s"everyMs must be > 0, got $everyMs")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // one decoder instance per partition (stub: just the fold state)
+      it.flatMap { m =>
+        val span = math.max(1L, m.bytes.length.toLong - 16L)
+        Iterator.range(0L, math.max(m.duration_ms, 0L), everyMs).map { t =>
+          val frameNo = t * m.fps_milli / 1000000L
+          val off = ((frameNo * 997L) % span).toInt
+          var dig = 0L; var lum = 0L; var i = 0
+          while (i < 16) {
+            val b = m.bytes(off + i) & 0xff
+            dig = (dig * 131L + b) % DigestP
+            lum += b
+            i += 1
+          }
+          FrameRow(m.media_id, frameNo, t, dig, lum / 16L)
+        }
+      }
+    }.toDF()
+  }
+
+  /** Audio path: bytes as centered 8-bit samples (`b − 128`), fixed
+    * windows of `winLen` samples (tail window dropped — exact contract),
+    * exact integer sum of squares per window (the RMS numerator; the
+    * division/sqrt stays with the caller so the gate compares integers).
+    */
+  def windowSquares(media: Dataset[MediaRow], winLen: Int): DataFrame = {
+    require(winLen > 0, s"winLen must be > 0, got $winLen")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val nWin = m.bytes.length / winLen
+        Iterator.range(0L, nWin.toLong).map { w =>
+          var s = 0L; var i = 0
+          val base = (w * winLen).toInt
+          while (i < winLen) {
+            val v = (m.bytes(base + i) & 0xff) - 128
+            s += v.toLong * v
+            i += 1
+          }
+          WindowRow(m.media_id, w, winLen.toLong, s)
+        }
+      }
+    }.toDF()
+  }
+}

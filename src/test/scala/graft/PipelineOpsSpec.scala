@@ -1480,4 +1480,47 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(row.exists(_._3 == 8L), s"copy pair $i missing or partial: $row")
     }
   }
+  test("MediaOps: frame sampling and window squares match per-row brute force") {
+    import spark.implicits._
+    import graft.ops.MediaOps
+    val meta = (1 to 40).map(i => (i.toLong, 1000L + (i % 20) * 500L,
+        if (i % 2 == 0) 24000L else 30000L, 4096 + (i % 7) * 512))
+      .toDF("media_id", "duration_ms", "fps_milli", "n_bytes")
+    val media = MediaOps.synth(meta)
+    val frames = MediaOps.frameSample(media, everyMs = 500L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val wins = MediaOps.windowSquares(media, winLen = 512)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    def byte(id: Long, k: Long): Long = (id * 31 + k * 7) % 256
+    val wantFrames = (1 to 40).flatMap { i =>
+      val id = i.toLong
+      val dur = 1000L + (i % 20) * 500L
+      val fps = if (i % 2 == 0) 24000L else 30000L
+      val n = 4096 + (i % 7) * 512
+      (0L until dur by 500L).map { t =>
+        val fn = t * fps / 1000000L
+        val off = (fn * 997L) % (n - 16L)
+        val dig = (0 until 16).foldLeft(0L)((d, j) =>
+          (d * 131L + byte(id, off + j)) % 1000000007L)
+        val lum = (0 until 16).map(j => byte(id, off + j)).sum / 16L
+        (id, fn, t, dig, lum)
+      }
+    }.toSet
+    assert(frames == wantFrames)
+    val wantWins = (1 to 40).flatMap { i =>
+      val id = i.toLong
+      val n = 4096 + (i % 7) * 512
+      (0L until (n / 512).toLong).map { w =>
+        val s = (0 until 512).map { j =>
+          val v = byte(id, w * 512 + j) - 128; v * v
+        }.sum
+        (id, w, 512L, s)
+      }
+    }.toSet
+    assert(wins == wantWins)
+    // the binary column is real: payload bytes round-trip the schema
+    val one = media.filter($"media_id" === 5L).head()
+    assert(one.bytes.length == 4096 + (5 % 7) * 512 &&
+      (one.bytes(10) & 0xff) == ((5 * 31 + 10 * 7) % 256))
+  }
 }
