@@ -380,6 +380,22 @@ object SparkEntry {
       streaming.StreamOps.sessionCounts(s, s"$dir/events.parquet")
         .orderBy("user_id", "start_us")
     }),
+    // Stream-stream interval join through the gate (the third streaming
+    // row): purchases within 1h after a view, watermark-bounded state,
+    // append-mode drain equals the batch interval join bit-for-bit.
+    "stream_interval_join" -> ((s, dir) => {
+      streaming.StreamOps.viewPurchaseJoin(s, s"$dir/events.parquet")
+        .orderBy("view_id", "purchase_id")
+    }),
+    // Triangle enumeration: canonical-orientation wedge join (two
+    // key-bounded shuffles, each triangle a<b<c exactly once) — the
+    // clustering-coefficient / community primitive next to pagerank/CC.
+    "graph_triangles" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem").selectExpr(
+        "l_orderkey % 20000 AS src",
+        "(l_orderkey*7 + l_linenumber*13) % 20000 AS dst")
+      ops.Graph.triangles(edges).orderBy("a", "b", "c")
+    }),
     // Contact-graph join: distinct trajectory pairs sharing a (cell, day)
     // observation bucket — bucketed self-join, never all-pairs.
     "traj_colocation" -> ((s, dir) => {
@@ -4197,6 +4213,26 @@ object SparkEntry {
     },
     "dedup_minhash" -> minhashOracleSql,
     "dedup_minhash_est" -> minhashEstOracleSql,
+    "stream_interval_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+           epoch_us(ts) AS tus FROM events)
+         SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+           CAST(v.tus AS BIGINT) AS v_us, CAST(p.tus AS BIGINT) AS p_us
+         FROM e v JOIN e p ON v.user_id = p.user_id
+           AND v.event_type = 'view' AND p.event_type = 'purchase'
+           AND p.tus >= v.tus AND p.tus <= v.tus + 3600000000
+         ORDER BY view_id, purchase_id""",
+    "graph_triangles" ->
+      """WITH e0 AS (SELECT DISTINCT
+           greatest(l_orderkey % 20000, (l_orderkey*7 + l_linenumber*13) % 20000) AS hi,
+           least(l_orderkey % 20000, (l_orderkey*7 + l_linenumber*13) % 20000) AS lo
+           FROM lineitem
+           WHERE l_orderkey % 20000 <> (l_orderkey*7 + l_linenumber*13) % 20000)
+         SELECT CAST(e1.lo AS BIGINT) AS a, CAST(e1.hi AS BIGINT) AS b,
+           CAST(e2.hi AS BIGINT) AS c
+         FROM e0 e1 JOIN e0 e2 ON e2.lo = e1.hi
+         JOIN e0 e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+         ORDER BY a, b, c""",
     "media_frame_sample" ->
       """WITH m AS (SELECT s_suppkey AS media_id,
            1000 + (s_suppkey % 20) * 500 AS duration_ms,

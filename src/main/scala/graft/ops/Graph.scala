@@ -64,4 +64,28 @@ object Graph {
     }
     rank
   }
+
+  /** Triangle enumeration over an undirected edge list: canonical (hi, lo)
+    * dedup, then two hash equi-joins — e1(a,b) ⋈ e2(b,c) on b, ⋈ e3(a,c)
+    * on (a,c) — emit each triangle with a < b < c exactly once. Never
+    * all-pairs: every join keys on node ids, so the plan is two key-bounded
+    * shuffles whose fan-out is the true wedge count (the canonical
+    * orientation means each wedge is generated once, from its smallest
+    * vertex). The closing e3 probe is a semi-structural join that AQE can
+    * broadcast when the edge list is small.
+    *
+    * @param edges (src, dst) directed or undirected; self-loops dropped
+    * @return (a, b, c) one row per triangle, a < b < c
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(greatest(col("src"), col("dst")).as("hi"),
+        least(col("src"), col("dst")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
+      .localCheckpoint(false)
+    val e1 = e.select(col("lo").as("a"), col("hi").as("b"))
+    val e2 = e.select(col("lo").as("b"), col("hi").as("c"))
+    val e3 = e.select(col("lo").as("a"), col("hi").as("c"))
+    e1.join(e2, Seq("b")).join(e3, Seq("a", "c")).select("a", "b", "c")
+  }
 }

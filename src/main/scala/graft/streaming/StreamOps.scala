@@ -121,6 +121,52 @@ object StreamOps {
     drain(spark, name)
   }
 
+  /** Watermarked STREAM-STREAM interval join drained through the gate:
+    * purchases within 1 h after a view by the same user, both sides
+    * streaming from the same file source. State is bounded by the 2 h
+    * watermark + the time-range condition (Spark evicts view state once
+    * the purchase-side watermark passes v_ts + 1 h). Append mode — every
+    * matched pair emits exactly once, so the drained table equals the
+    * batch interval join bit-for-bit.
+    */
+  def viewPurchaseJoin(spark: SparkSession, path: String): DataFrame = {
+    val name = s"graft_stream_vp_${runSeq.incrementAndGet()}"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_ckpt_").toString
+    val src = java.nio.file.Paths.get(path)
+    val streamDir =
+      if (java.nio.file.Files.isDirectory(src)) path
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft_stream_src_")
+        java.nio.file.Files.createSymbolicLink(d.resolve(src.getFileName), src)
+        d.toString
+      }
+    val schema = spark.read.parquet(streamDir).schema
+    def side(tpe: String) = spark.readStream.schema(schema).parquet(streamDir)
+      .filter(col("event_type") === tpe)
+      .select(col("user_id"), col("event_id"), col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", "2 hours")
+    val views = side("view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+    val purchases = side("purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val q = views.join(purchases,
+        col("v_user") === col("p_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("view_id"), col("purchase_id"),
+        unix_micros(col("v_ts")).as("v_us"), unix_micros(col("p_ts")).as("p_us"))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    drain(spark, name)
+  }
+
   /** Materialize a memory sink's table and release the temp-view name. */
   private def drain(spark: SparkSession, name: String): DataFrame = {
     val out = spark.table(name).cache()
