@@ -396,6 +396,16 @@ object SparkEntry {
         "(l_orderkey*7 + l_linenumber*13) % 20000 AS dst")
       ops.Graph.triangles(edges).orderBy("a", "b", "c")
     }),
+    // Common-neighbor link prediction: top-50 NON-adjacent pairs by shared
+    // neighbors — the triangles wedge join with an anti-joined (absent)
+    // closing edge instead of a present one.
+    "graph_suggest" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem").selectExpr(
+        "l_orderkey % 20000 AS src",
+        "(l_orderkey*7 + l_linenumber*13) % 20000 AS dst")
+      ops.Graph.commonNeighbors(edges, 50)
+        .orderBy(col("cn").desc, col("a"), col("b"))
+    }),
     // Contact-graph join: distinct trajectory pairs sharing a (cell, day)
     // observation bucket — bucketed self-join, never all-pairs.
     "traj_colocation" -> ((s, dir) => {
@@ -1538,6 +1548,15 @@ object SparkEntry {
           col("s.score").as("score"), (col("i") + 1).cast("int").as("rk"))
         .orderBy("source", "rk")
     }),
+    // Domain-mixture reweighting (ops.Curation.mixtureWeights): per-source
+    // ppm sampling weights + repetition budgets toward a uniform token
+    // target, exact rational ppm arithmetic — the sampler knob downstream
+    // of quota/stratified/budget.
+    "curation_mix" -> ((s, dir) => {
+      ops.Curation.mixtureWeights(t(s, dir, "documents"),
+          expr("size(split(text, ' '))"))
+        .orderBy("source")
+    }),
     // Deterministic stratified sampling: per-source keep rates as a pure
     // md5-bucket filter on the scan (ops.Curation.stratifiedSample) —
     // reproducible across runs/partitionings, nested rates give nested
@@ -1806,6 +1825,17 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(max(col("n")).as("n"), at(0.5).as("p50"), at(0.9).as("p90"),
           at(0.99).as("p99"))
+        .orderBy("event_type")
+    }),
+    // Robust outlier profile (ops.Quantiles.madOutliers): lower-median +
+    // MAD with the |x − med| > 2·MAD Hampel flag, exact integer cents —
+    // the 50%-breakdown counterpart of events_welford's mean/stddev z-flag
+    // (which outliers drag). Both window sorts share one event_type
+    // Exchange.
+    "events_mad" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("iv", floor(col("value") * 100).cast("long"))
+      ops.Quantiles.madOutliers(e, "event_type", col("iv"), col("event_id"))
         .orderBy("event_type")
     }),
     // One-pass HISTOGRAM quantiles (ops.Quantiles) — the scale path next to
@@ -4233,6 +4263,21 @@ object SparkEntry {
          FROM e0 e1 JOIN e0 e2 ON e2.lo = e1.hi
          JOIN e0 e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
          ORDER BY a, b, c""",
+    "graph_suggest" ->
+      """WITH e AS (SELECT DISTINCT
+           greatest(l_orderkey % 20000, (l_orderkey*7 + l_linenumber*13) % 20000) AS hi,
+           least(l_orderkey % 20000, (l_orderkey*7 + l_linenumber*13) % 20000) AS lo
+           FROM lineitem
+           WHERE l_orderkey % 20000 <> (l_orderkey*7 + l_linenumber*13) % 20000),
+         adj AS (SELECT lo AS u, hi AS v FROM e
+                 UNION ALL SELECT hi AS u, lo AS v FROM e),
+         c AS (SELECT l.v AS a, r.v AS b, CAST(count(*) AS BIGINT) AS cn
+               FROM adj l JOIN adj r ON l.u = r.u AND l.v < r.v
+               GROUP BY l.v, r.v)
+         SELECT CAST(c.a AS BIGINT) AS a, CAST(c.b AS BIGINT) AS b, cn
+         FROM c LEFT JOIN e ON c.a = e.lo AND c.b = e.hi
+         WHERE e.lo IS NULL
+         ORDER BY cn DESC, a, b LIMIT 50""",
     "media_frame_sample" ->
       """WITH m AS (SELECT s_suppkey AS media_id,
            1000 + (s_suppkey % 20) * 500 AS duration_ms,
@@ -4744,6 +4789,24 @@ object SparkEntry {
            max(CASE WHEN rn = floor((n-1)*0.9)+1 THEN value END) AS p90,
            max(CASE WHEN rn = floor((n-1)*0.99)+1 THEN value END) AS p99
          FROM r GROUP BY 1 ORDER BY 1""",
+    "events_mad" ->
+      """WITH b AS (SELECT event_type, CAST(floor(value*100) AS BIGINT) AS iv,
+           event_id FROM events),
+         m1 AS (SELECT event_type, iv,
+           row_number() OVER (PARTITION BY event_type ORDER BY iv, event_id) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n FROM b),
+         med AS (SELECT event_type, iv AS med FROM m1 WHERE rn = (n+1)//2),
+         d AS (SELECT b.event_type, abs(b.iv - med.med) AS dev, b.event_id,
+           med.med FROM b JOIN med USING (event_type)),
+         m2 AS (SELECT event_type, dev,
+           row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n FROM d),
+         mad AS (SELECT event_type, dev AS mad FROM m2 WHERE rn = (n+1)//2)
+         SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(max(d.med) AS BIGINT) AS med, CAST(max(mad.mad) AS BIGINT) AS mad,
+           CAST(sum(CASE WHEN d.dev > 2*mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+         FROM d JOIN mad USING (event_type)
+         GROUP BY d.event_type ORDER BY d.event_type""",
     "events_rollup" ->
       """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
            CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
@@ -4984,6 +5047,19 @@ object SparkEntry {
            FROM sc)
          SELECT doc_id, source, score, rk FROM r WHERE rk <= 30
          ORDER BY source, rk""",
+    "curation_mix" ->
+      """WITH p AS (SELECT source,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok
+           FROM documents GROUP BY source),
+         t AS (SELECT CAST(sum(tok) AS BIGINT) AS total_tok,
+           count(*) AS n_src FROM p),
+         s AS (SELECT source, tok, tok * 1000000 // total_tok AS share_ppm,
+           1000000 // n_src AS target_ppm FROM p, t),
+         w AS (SELECT source, tok, share_ppm,
+           target_ppm * 1000000 // greatest(share_ppm, 1) AS weight_ppm FROM s)
+         SELECT source, tok, share_ppm, weight_ppm,
+           (weight_ppm + 999999) // 1000000 AS epochs
+         FROM w ORDER BY source""",
     "curation_quota" ->
       """WITH q AS (SELECT doc_id,
            CAST(len(string_split(text,' ')) AS DOUBLE) AS nw,

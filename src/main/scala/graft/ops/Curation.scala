@@ -480,4 +480,43 @@ object Curation {
       md5(regexp_replace(regexp_replace(t, email, "<EMAIL>"),
         phone, "<PHONE>")).as("redacted_md5"))
   }
+
+  /** Domain-mixture reweighting: per-source sampling weights that move the
+    * corpus token distribution toward a TARGET distribution — the knob a
+    * training-data pipeline turns after dedup/quality/decontam decide WHAT
+    * survives, to decide HOW OFTEN each domain is sampled (the mixture
+    * tables of the public LLM data recipes). Uniform target here: every
+    * source gets `1_000_000 div n_sources` ppm of the sampled stream.
+    *
+    * Exact rational arithmetic end to end (ppm units, integer floor
+    * division — engine-independent):
+    *
+    *  - `share_ppm  = tok·1_000_000 div total_tok` (actual share),
+    *  - `weight_ppm = target_ppm·1_000_000 div share_ppm` (the per-document
+    *    sampling multiplier; 1_000_000 = sampled at natural rate),
+    *  - `epochs = ceil(weight_ppm / 1_000_000)` — how many passes over an
+    *    up-weighted source a sampler needs (its repetition budget).
+    *
+    * Plan shape: one per-source aggregation (map-side combined), then the
+    * scalar corpus total joined back by cross-joining a 1-row frame —
+    * broadcast by size, no window over a single global partition. Row
+    * count = |sources|, so every downstream consumer broadcasts it.
+    *
+    * @param docs      corpus with a `source` column
+    * @param tokenCount exact-integer per-document token count expression
+    * @return (source, tok, share_ppm, weight_ppm, epochs), one row/source
+    */
+  def mixtureWeights(docs: DataFrame, tokenCount: Column): DataFrame = {
+    val perSrc = docs.groupBy(col("source"))
+      .agg(sum(tokenCount.cast("long")).as("tok"))
+    val totals = perSrc.agg(sum(col("tok")).as("total_tok"),
+      count(lit(1)).as("n_src"))
+    perSrc.crossJoin(broadcast(totals))
+      .withColumn("share_ppm", expr("tok * 1000000 DIV total_tok"))
+      .withColumn("target_ppm", expr("1000000 DIV n_src"))
+      .withColumn("weight_ppm",
+        expr("target_ppm * 1000000 DIV greatest(share_ppm, 1)"))
+      .withColumn("epochs", expr("(weight_ppm + 999999) DIV 1000000"))
+      .select("source", "tok", "share_ppm", "weight_ppm", "epochs")
+  }
 }

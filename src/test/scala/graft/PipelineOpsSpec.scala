@@ -1523,4 +1523,73 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one.bytes.length == 4096 + (5 % 7) * 512 &&
       (one.bytes(10) & 0xff) == ((5 * 31 + 10 * 7) % 256))
   }
+
+  test("commonNeighbors matches brute force and excludes adjacent pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val raw = (0 until 400).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val got = graft.ops.Graph.commonNeighbors(raw.toDF("src", "dst"), 30)
+      .as[(Long, Long, Long)].collect()
+    // brute force
+    val edges = raw.collect { case (s, d) if s != d =>
+      (math.min(s, d), math.max(s, d)) }.toSet
+    val nbrs = edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val nodes = nbrs.keys.toSeq
+    val want = (for {
+      a <- nodes; b <- nodes if a < b && !edges.contains((a, b))
+      cn = (nbrs(a) & nbrs(b)).size if cn > 0
+    } yield (a, b, cn.toLong))
+      .sortBy { case (a, b, cn) => (-cn, a, b) }.take(30)
+    assert(got.toSeq == want, "top-30 suggestions differ from brute force")
+    got.foreach { case (a, b, _) =>
+      assert(!edges.contains((a, b)), s"adjacent pair ($a,$b) suggested") }
+  }
+
+  test("madOutliers: lower median, MAD, and Hampel counts match brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // heavy-tailed: mostly small values, a few huge outliers per group
+    val rows = (0 until 500).map { i =>
+      val g = s"g${i % 3}"
+      val v = if (rnd.nextInt(20) == 0) 100000L + rnd.nextInt(1000)
+              else rnd.nextInt(100).toLong
+      (i.toLong, g, v)
+    }
+    val got = graft.ops.Quantiles.madOutliers(
+        rows.toDF("event_id", "event_type", "iv"),
+        "event_type", col("iv"), col("event_id"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    rows.groupBy(_._2).foreach { case (g, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._1))
+      val med = sorted((sorted.size + 1) / 2 - 1)._3
+      val devs = rs.map(r => (r._1, math.abs(r._3 - med))).sortBy(d => (d._2, d._1))
+      val mad = devs((devs.size + 1) / 2 - 1)._2
+      val nOut = rs.count(r => math.abs(r._3 - med) > 2 * mad).toLong
+      assert(got(g) == ((rs.size.toLong, med, mad, nOut)), s"group $g")
+      // the robust flag actually catches the planted tail
+      assert(nOut > 0, s"group $g flagged no outliers")
+    }
+  }
+
+  test("mixtureWeights: exact ppm shares, uniform target, ceil epochs") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "w w w w w w w w"), ("a", "w w"),   // a: 10 tokens
+      ("b", "w w w w"),                          // b: 4
+      ("c", "w"), ("c", "w")                     // c: 2
+    ).toDF("source", "text")
+    val got = graft.ops.Curation.mixtureWeights(docs,
+        expr("size(split(text, ' '))"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    // total 16 tokens, 3 sources, target 333333 ppm
+    assert(got("a") == ((10L, 625000L, 333333L * 1000000L / 625000L,
+      (333333L * 1000000L / 625000L + 999999L) / 1000000L)))
+    assert(got("b") == ((4L, 250000L, 1333332L, 2L)))
+    assert(got("c") == ((2L, 125000L, 2666664L, 3L)))
+    // under-represented sources get weight > 1e6, over-represented < 1e6
+    assert(got("a")._3 < 1000000L && got("c")._3 > 1000000L)
+  }
 }
