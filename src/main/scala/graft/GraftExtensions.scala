@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("s2_cell", es => S2CellExpr(es.head, es(1), es(2))))
     ext.injectFunction(fn("s2_token", es => S2TokenExpr(es.head)))
     ext.injectFunction(fn("hex_cell", es => HexCellExpr(es.head, es(1), es(2))))
+    ext.injectFunction(fn("geohash", es => GeohashExpr(es.head, es(1), es(2))))
     ext.injectFunction(fn("terrarium_rgb", es => TerrariumRgbExpr(es.head)))
     ext.injectFunction(fn("zxy_x", es => TileXExpr(es.head, es(1))))
     ext.injectFunction(fn("zxy_y", es => TileYExpr(es.head, es(1))))

@@ -458,6 +458,16 @@ object SparkEntry {
         .select("line_id", "seq", "visible")
         .orderBy("line_id", "seq")
     }),
+    // Point-at-fraction along each line (ops.Trajectory.pointAlong — the
+    // turf `along` primitive): quarter/mid/three-quarter waypoints in
+    // exact micro-degree integer arithmetic, one line_id window pass.
+    "geo_along" -> ((s, dir) => {
+      val verts = gatePoints(s, dir)
+        .withColumn("line_id", col("point_id") % 199)
+        .withColumn("seq", col("point_id"))
+      ops.Trajectory.pointAlong(verts, Seq(250000L, 500000L, 750000L))
+        .orderBy("line_id", "f_ppm")
+    }),
     "geo_terrarium" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .selectExpr("((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id",
@@ -637,6 +647,18 @@ object SparkEntry {
       quadrantPoints(s, dir)
         .withColumn("cell", cells.hex_cell(col("lng"), col("lat"), lit(9)))
         .select("point_id", "cell")
+        .orderBy("point_id")
+    }),
+    // Geohash cell strings (geo.Geohash closed-form interleave, codegen'd
+    // expression): the STRING-prefix cell index — substring(gh, 1, k) IS
+    // the k-char parent, shown alongside — interoperable with any external
+    // geohash-keyed dataset (the encoding is fully published, unlike h3's
+    // constant tables). All-quadrant points exercise both hemispheres.
+    "geo_geohash" -> ((s, dir) => {
+      quadrantPoints(s, dir)
+        .withColumn("gh", cells.geohash(col("lng"), col("lat"), lit(7)))
+        .withColumn("gh_parent", substring(col("gh"), 1, 4))
+        .select("point_id", "gh", "gh_parent")
         .orderBy("point_id")
     }),
     // Hex-cell density profile: the skew report that feeds salting/adaptive
@@ -3683,6 +3705,36 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "geo_elev_profile" -> profileOracleSql,
+    "geo_along" ->
+      """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
+           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
+           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
+           FROM lineitem),
+         v AS (SELECT point_id % 199 AS line_id, point_id AS seq,
+           CAST(floor(lng * 1000000.0) AS BIGINT) AS xq,
+           CAST(floor(lat * 1000000.0) AS BIGINT) AS yq FROM pts),
+         d AS (SELECT line_id, seq, xq, yq,
+           lag(xq) OVER w AS px, lag(yq) OVER w AS py,
+           row_number() OVER w AS rn
+           FROM v WINDOW w AS (PARTITION BY line_id ORDER BY seq)),
+         sg AS (SELECT *, coalesce(CAST(floor(sqrt(CAST((xq-px)*(xq-px) + (yq-py)*(yq-py) AS DOUBLE))) AS BIGINT), 0) AS seg_q FROM d),
+         c AS (SELECT *,
+           CAST(sum(seg_q) OVER (PARTITION BY line_id ORDER BY seq
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_q,
+           CAST(sum(seg_q) OVER (PARTITION BY line_id) AS BIGINT) AS total_q FROM sg),
+         f AS (SELECT c.*, CAST(fr.f_ppm AS BIGINT) AS f_ppm,
+           (total_q * fr.f_ppm) // 1000000 AS tq
+           FROM c CROSS JOIN (VALUES (250000), (500000), (750000)) AS fr(f_ppm)),
+         h AS (SELECT *, tq - (cum_q - seg_q) AS offq FROM f
+           WHERE (tq = 0 AND rn = 1) OR (tq > cum_q - seg_q AND tq <= cum_q))
+         SELECT line_id, f_ppm,
+           CASE WHEN seg_q = 0 THEN xq
+                ELSE px + CASE WHEN xq >= px THEN ((xq - px) * offq) // seg_q
+                          ELSE -(((px - xq) * offq) // seg_q) END END AS ax,
+           CASE WHEN seg_q = 0 THEN yq
+                ELSE py + CASE WHEN yq >= py THEN ((yq - py) * offq) // seg_q
+                          ELSE -(((py - yq) * offq) // seg_q) END END AS ay
+         FROM h ORDER BY line_id, f_ppm""",
     "geo_viewshed" -> viewshedOracleSql,
     "geo_flowdir" -> flowdirOracleSql,
     "geo_watershed" -> watershedOracleSql,
@@ -3892,6 +3944,26 @@ object SparkEntry {
          s3 AS (SELECT point_id, ((x | (x << 2)) & 858993459) AS x, ((y | (y << 2)) & 858993459) AS y FROM s2),
          s4 AS (SELECT point_id, ((x | (x << 1)) & 1431655765) AS x, ((y | (y << 1)) & 1431655765) AS y FROM s3)
          SELECT point_id, ((y << 1) | x) AS zkey FROM s4 ORDER BY point_id""",
+    "geo_geohash" -> {
+      // base-32 pick of char i (1-based) from the 60-bit interleaved code
+      val chars = (1 to 7).map(i =>
+        s"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((code >> ${60 - 5 * i}) & 31) AS INTEGER) + 1, 1)")
+      s"""WITH pts AS (SELECT c_custkey AS point_id,
+           -180 + (c_custkey % 360) + 0.5 AS lng,
+           -90 + ((c_custkey * 7) % 180) + 0.25 AS lat FROM customer),
+         q AS (SELECT point_id,
+           LEAST(1073741823, GREATEST(0, CAST(floor(((lng + 180.0) / 360.0) * 1073741824.0) AS BIGINT))) AS qx,
+           LEAST(1073741823, GREATEST(0, CAST(floor(((lat + 90.0) / 180.0) * 1073741824.0) AS BIGINT))) AS qy FROM pts),
+         s0 AS (SELECT point_id, ((qx | (qx << 16)) & 281470681808895) AS x, ((qy | (qy << 16)) & 281470681808895) AS y FROM q),
+         s1 AS (SELECT point_id, ((x | (x << 8)) & 71777214294589695) AS x, ((y | (y << 8)) & 71777214294589695) AS y FROM s0),
+         s2 AS (SELECT point_id, ((x | (x << 4)) & 1085102592571150095) AS x, ((y | (y << 4)) & 1085102592571150095) AS y FROM s1),
+         s3 AS (SELECT point_id, ((x | (x << 2)) & 3689348814741910323) AS x, ((y | (y << 2)) & 3689348814741910323) AS y FROM s2),
+         s4 AS (SELECT point_id, ((x | (x << 1)) & 6148914691236517205) AS x, ((y | (y << 1)) & 6148914691236517205) AS y FROM s3),
+         c AS (SELECT point_id, ((x << 1) | y) AS code FROM s4),
+         g AS (SELECT point_id, ${chars.mkString(" || ")} AS gh FROM c)
+         SELECT point_id, gh, substr(gh, 1, 4) AS gh_parent FROM g
+         ORDER BY point_id"""
+    },
     "curation_decontam" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          grams AS (SELECT doc_id,

@@ -84,6 +84,36 @@ case class HexCellExpr(first: Expression, second: Expression, third: Expression)
       c: Expression): HexCellExpr = copy(first = a, second = b, third = c)
 }
 
+/** `geohash(lng, lat, chars)` — base-32 geohash string of length `chars`
+  * (graft.geo.Geohash closed-form interleave; the string-prefix cell
+  * index — `substring(gh, 1, k)` is the k-char parent). Non-finite
+  * coordinates yield NULL, like the other cell-key expressions.
+  */
+case class GeohashExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType, IntegerType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "geohash"
+  override def nullSafeEval(lng: Any, lat: Any, chars: Any): Any = {
+    val lngd = lng.asInstanceOf[Double]; val latd = lat.asInstanceOf[Double]
+    if (java.lang.Double.isFinite(lngd) && java.lang.Double.isFinite(latd))
+      UTF8String.fromString(
+        graft.geo.Geohash.encode(lngd, latd, chars.asInstanceOf[Int]))
+    else null
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lng, lat, c) =>
+      s"""if (java.lang.Double.isFinite($lng) && java.lang.Double.isFinite($lat)) {
+         |  ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |    graft.geo.Geohash.encode($lng, $lat, $c));
+         |} else {
+         |  ${ev.isNull} = true;
+         |}""".stripMargin)
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression): GeohashExpr = copy(first = a, second = b, third = c)
+}
+
 /** `hex_parent(cell, parentRes)` — coarser-resolution ancestor of an
   * aperture-7 hex cell (center-containment parentage, the H3 API's
   * cellToParent) — the multi-resolution rollup key.
@@ -134,6 +164,9 @@ object cells {
       ex(res.cast(IntegerType))))
   def hex_parent(cell: Column, parentRes: Column): Column =
     col(HexParentExpr(ex(cell.cast(LongType)), ex(parentRes.cast(IntegerType))))
+  def geohash(lng: Column, lat: Column, chars: Column): Column =
+    col(GeohashExpr(ex(lng.cast(DoubleType)), ex(lat.cast(DoubleType)),
+      ex(chars.cast(IntegerType))))
   def zorder_key(lng: Column, lat: Column): Column =
     col(ZOrderKeyExpr(ex(lng.cast(DoubleType)), ex(lat.cast(DoubleType))))
 
@@ -146,6 +179,8 @@ object cells {
       es => HexCellExpr(es.head, es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("hex_parent",
       es => HexParentExpr(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("geohash",
+      es => GeohashExpr(es.head, es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("zorder_key",
       es => ZOrderKeyExpr(es.head, es(1)), "built-in")
   }

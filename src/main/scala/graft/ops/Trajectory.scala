@@ -175,4 +175,66 @@ object Trajectory {
       .groupBy("o_cell", "d_cell")
       .agg(count(lit(1)).cast("long").as("n_traj"))
   }
+
+  /** Point-at-fraction along every line (the turf `along` primitive as a
+    * batch op): for each requested fraction f of a line's total length,
+    * the interpolated position — waypoint/milestone extraction, label
+    * placement, progress markers along routes.
+    *
+    * Exact integer arithmetic end to end so any engine replays it
+    * bit-for-bit: vertices quantize to micro-degree Longs FIRST, each
+    * segment length is `floor(sqrt(dx² + dy²))` in micro-units (one IEEE
+    * sqrt of an exactly-representable integer — dx² + dy² < 2⁵³ holds
+    * world-wide), cumulative/total lengths are exact Long sums in vertex
+    * order, the target arclength is `(total · f_ppm) div 10⁶`, and the
+    * within-segment lerp is a sign-split non-negative integer division
+    * (`DIV` truncation == floor on non-negatives — the cross-engine
+    * contract; the numerator |Δcoord|·offset < 2⁶³ world-wide). The
+    * containing segment is unique: strictly-positive-length segments
+    * partition (0, total] into half-open runs, and target 0 falls to the
+    * explicit first-vertex case.
+    *
+    * Plan shape: ONE `line_id` window Exchange computes lag/cum/total/rn
+    * in a single pass (all four functions share the sort), the fraction
+    * list explodes AFTER the windows (|fracs| rows per vertex, filtered
+    * immediately to one row per (line, fraction)) — no joins, no second
+    * shuffle; lines process independently at any scale.
+    *
+    * @param verts    (line_id, seq, lng, lat) vertex rows
+    * @param fracsPpm fractions of total length, in ppm (500000 = midpoint)
+    * @return (line_id, f_ppm, ax, ay) — interpolated micro-degree coords
+    */
+  def pointAlong(verts: DataFrame, fracsPpm: Seq[Long]): DataFrame = {
+    require(fracsPpm.nonEmpty && fracsPpm.forall(f => f >= 0 && f <= 1000000),
+      s"fractions must be in [0, 1000000] ppm: $fracsPpm")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("line_id").orderBy("seq")
+    val d = verts
+      .select(col("line_id"), col("seq"),
+        floor(col("lng") * lit(1000000.0)).cast("long").as("xq"),
+        floor(col("lat") * lit(1000000.0)).cast("long").as("yq"))
+      .withColumn("px", lag("xq", 1).over(w))
+      .withColumn("py", lag("yq", 1).over(w))
+      .withColumn("seg_q", coalesce(
+        floor(sqrt(((col("xq") - col("px")) * (col("xq") - col("px")) +
+          (col("yq") - col("py")) * (col("yq") - col("py"))).cast("double")))
+          .cast("long"), lit(0L)))
+      .withColumn("cum_q", sum("seg_q")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total_q", sum("seg_q").over(Window.partitionBy("line_id")))
+      .withColumn("rn", row_number().over(w))
+    d.withColumn("f_ppm", explode(array(fracsPpm.map(lit): _*)))
+      .withColumn("tq", expr("(total_q * f_ppm) DIV 1000000"))
+      .filter((col("tq") === 0 && col("rn") === 1) ||
+        (col("tq") > col("cum_q") - col("seg_q") && col("tq") <= col("cum_q")))
+      .withColumn("offq", col("tq") - (col("cum_q") - col("seg_q")))
+      .selectExpr("line_id", "f_ppm",
+        """CASE WHEN seg_q = 0 THEN xq
+           ELSE px + CASE WHEN xq >= px THEN ((xq - px) * offq) DIV seg_q
+                     ELSE -(((px - xq) * offq) DIV seg_q) END END AS ax""",
+        """CASE WHEN seg_q = 0 THEN yq
+           ELSE py + CASE WHEN yq >= py THEN ((yq - py) * offq) DIV seg_q
+                     ELSE -(((py - yq) * offq) DIV seg_q) END END AS ay""")
+  }
 }

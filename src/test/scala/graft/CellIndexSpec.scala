@@ -1,6 +1,6 @@
 package graft
 
-import graft.geo.{Hex, S2}
+import graft.geo.{Geohash, Hex, Morton, S2}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** S2 (bit-faithful, hand-derived golden vectors + properties) and the
@@ -257,6 +257,25 @@ class CellIndexSpec extends AnyFunSuite {
       val runs = 1 + rowMajor.zip(rowMajor.tail).count { case (a, b) => b != a + 1 }
       assert(runs == n)
     }
+  }
+
+  test("Geohash golden vectors (published test points) and prefix parents") {
+    // canonical examples from the public geohash literature
+    assert(Geohash.encode(10.40744, 57.64911, 11) == "u4pruydqqvj")
+    assert(Geohash.encode(-5.603, 42.605, 5) == "ezs42")
+    assert(Geohash.encode(-0.1278, 51.5074, 7) == "gcpvj0d")
+    // prefix property: shorter hash IS the leading substring
+    val rnd = new scala.util.Random(3)
+    for (_ <- 1 to 200) {
+      val lng = rnd.nextDouble() * 360 - 180
+      val lat = rnd.nextDouble() * 180 - 90
+      val full = Geohash.encode(lng, lat, 12)
+      for (k <- 1 to 11)
+        assert(Geohash.encode(lng, lat, k) == full.substring(0, k))
+    }
+    // nearby points share long prefixes; the 60-bit code orders like Morton
+    assert(Geohash.encode(10.40744, 57.64911, 6)
+      .startsWith(Geohash.encode(10.40745, 57.64912, 4).substring(0, 3)))
   }
 
   test("Hex coverBBox is a superset cover") {

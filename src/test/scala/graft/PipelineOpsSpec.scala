@@ -1573,6 +1573,64 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pointAlong matches brute force; endpoints and single-vertex lines") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    // random lines incl. a single-vertex line and duplicate vertices
+    val verts = (0 until 20).flatMap { lid =>
+      val n = if (lid == 0) 1 else 2 + rnd.nextInt(8)
+      (0 until n).map { i =>
+        val dup = lid == 3 && i == 2 // duplicated vertex (zero-length seg)
+        val base = if (dup) 1 else i
+        (lid.toLong, i.toLong,
+          -120.0 + lid * 0.1 + base * rnd.nextDouble() * 0.01,
+          36.0 + base * rnd.nextDouble() * 0.01)
+      }
+    }
+    val fracs = Seq(0L, 250000L, 500000L, 1000000L)
+    val got = graft.ops.Trajectory.pointAlong(
+        verts.toDF("line_id", "seq", "lng", "lat"), fracs)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // brute force in the same integer model
+    val byLine = verts.groupBy(_._1)
+    byLine.foreach { case (lid, vs) =>
+      val q = vs.sortBy(_._2).map(v =>
+        (math.floor(v._3 * 1e6).toLong, math.floor(v._4 * 1e6).toLong))
+      val segs = q.zip(q.drop(1)).map { case ((x0, y0), (x1, y1)) =>
+        math.floor(math.sqrt(
+          ((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0)).toDouble)).toLong
+      }
+      val total = segs.sum
+      fracs.foreach { f =>
+        val target = total * f / 1000000L
+        val want =
+          if (target == 0) q.head
+          else {
+            var cum = 0L; var i = 0
+            while (cum + segs(i) < target) { cum += segs(i); i += 1 }
+            // first segment with prev < target <= cum; skip zero segs
+            while (segs(i) == 0) { i += 1 }
+            val off = target - cum
+            val (x0, y0) = q(i); val (x1, y1) = q(i + 1)
+            def lerp(a: Long, b: Long): Long =
+              if (b >= a) a + (b - a) * off / segs(i)
+              else a - (a - b) * off / segs(i)
+            (lerp(x0, x1), lerp(y0, y1))
+          }
+        assert(got((lid, f)) == want, s"line $lid frac $f")
+      }
+    }
+    // exactly one row per (line, fraction)
+    assert(got.size == byLine.size * fracs.size)
+    // f=1000000 lands exactly on the last vertex
+    byLine.foreach { case (lid, vs) =>
+      val last = vs.maxBy(_._2)
+      assert(got((lid, 1000000L)) ==
+        ((math.floor(last._3 * 1e6).toLong, math.floor(last._4 * 1e6).toLong)))
+    }
+  }
+
   test("mixtureWeights: exact ppm shares, uniform target, ceil epochs") {
     import spark.implicits._
     val docs = Seq(
