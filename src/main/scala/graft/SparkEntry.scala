@@ -1269,6 +1269,16 @@ object SparkEntry {
       ops.Embeddings.ivfSearch(e, e.filter(col("vec_id") < 5),
         kCentroids = 8, nProbe = 2, topK = 5).orderBy("qid", "rank")
     }),
+    // Metadata-filtered ANN (ops.Embeddings.ivfSearchFiltered): top-5 among
+    // corpus vectors with label = 2 only — the pre-filter strategy, exact
+    // for the probed lists at any selectivity; the label predicate reaches
+    // the parquet scan (PlanSpec asserts PushedFilters).
+    "ann_filtered_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      ops.Embeddings.ivfSearchFiltered(e, e.filter(col("vec_id") < 5),
+        kCentroids = 8, nProbe = 2, topK = 5, pred = col("label") === 2)
+        .orderBy("qid", "rank")
+    }),
     // Cosine RANGE search over the IVF index (the vector-space J5): all
     // pairs in the probed lists with cos >= 0.25 — no rank window at all;
     // the only exchange is the byte-gated probe join. cos is the left-fold
@@ -2835,6 +2845,37 @@ object SparkEntry {
          JOIN nrm n ON n.vec_id = a.vec_id
          JOIN nrm qn ON qn.vec_id = q.qid
          WHERE n.vec_id <> q.qid)
+       SELECT qid, neighbor_id, CAST(centroid AS INT) AS centroid, rank, round(cos, 4) AS cos_r FROM (
+         SELECT qid, neighbor_id, centroid, cos,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM cand)
+       WHERE rank <= 5 ORDER BY qid, rank"""
+
+  /** Filtered-search oracle: the topk oracle with a label semi-join on the
+    * corpus side (pre-filter commutes with per-vector centroid assignment,
+    * so post-assignment restriction replays it exactly).
+    */
+  private val ivfFilteredOracleSql: String =
+    """WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       cents AS (SELECT range AS c FROM range(0, 8)),
+       d AS (SELECT vec_id, c,
+         list_reduce(list_prepend(0.0, list_transform(range(0,64),
+           d -> (v[d+1] - (((c*53 + d*17) % 13) - 6)) * (v[d+1] - (((c*53 + d*17) % 13) - 6)))),
+           (p,q) -> p + q) AS d2
+         FROM vv, cents),
+       nrm AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(range(0,64),
+           d -> v[d+1] * v[d+1])), (p,q) -> p + q)) AS nrm FROM vv),
+       assign AS (SELECT vec_id, c AS centroid FROM (
+         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d) WHERE rn = 1),
+       qprobe AS (SELECT vec_id AS qid, c AS centroid FROM (
+         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d WHERE vec_id < 5) WHERE rn <= 2),
+       cand AS (SELECT q.qid, n.vec_id AS neighbor_id, a.centroid,
+           list_reduce(list_prepend(0.0, list_transform(range(0,64),
+             d -> n.v[d+1] * qn.v[d+1])), (p,q) -> p + q) / (n.nrm * qn.nrm) AS cos
+         FROM qprobe q JOIN assign a ON a.centroid = q.centroid
+         JOIN nrm n ON n.vec_id = a.vec_id
+         JOIN nrm qn ON qn.vec_id = q.qid
+         WHERE n.vec_id <> q.qid
+           AND n.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 2))
        SELECT qid, neighbor_id, CAST(centroid AS INT) AS centroid, rank, round(cos, 4) AS cos_r FROM (
          SELECT qid, neighbor_id, centroid, cos,
            CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM cand)
@@ -4450,6 +4491,7 @@ object SparkEntry {
            CAST(sum(q) AS BIGINT) / (count(*) * 1000000.0) AS mean
          FROM x GROUP BY 1, 2 ORDER BY centroid, dim""",
     "ann_ivf_topk" -> ivfTopkOracleSql,
+    "ann_filtered_topk" -> ivfFilteredOracleSql,
     "ann_range_search" -> ivfRangeOracleSql,
     "ann_ivfpq_topk" -> ivfPqOracleSql,
     "ann_ivfpq_recall" -> ivfPqRecallOracleSql,

@@ -154,6 +154,33 @@ object Embeddings {
         col("rank"), round(col("cos"), 4).as("cos_r"))
   }
 
+  /** Metadata-FILTERED IVF top-k: ANN search restricted to corpus vectors
+    * satisfying a scalar predicate (label, language, license, date…) — the
+    * shape every retrieval deployment actually runs ("nearest neighbors
+    * WHERE lang = 'en'"). This is the PRE-filter strategy: the predicate is
+    * applied to the corpus BEFORE centroid assignment, so
+    *
+    *  - it lands on the parquet scan as a pushed data filter (row-group
+    *    pruning if the table is clustered by the attribute; PlanSpec
+    *    asserts `PushedFilters` — filtered-out vectors are never decoded,
+    *    the 100 TB win over post-filtering a top-k' overfetch);
+    *  - the returned top-k among survivors in the probed lists is EXACT for
+    *    those lists — no recall cliff when the filter is selective, where
+    *    post-filter (search-then-filter) returns k·selectivity rows and
+    *    must guess the overfetch factor.
+    *
+    * The trade: probe-list sizes shrink with selectivity, so very selective
+    * filters want a larger `nProbe` (the [[ivfRecall]] gate measures
+    * exactly this number on the filtered corpus — same knob, same gate).
+    * Centroid assignment is per-vector, so pre-filtering commutes with
+    * assignment: the oracle replays it as a post-assignment semi-join.
+    */
+  def ivfSearchFiltered(vecs: DataFrame, queries: DataFrame, kCentroids: Int,
+                        nProbe: Int, topK: Int, pred: Column,
+                        broadcastMaxBytes: Long = 64L << 20): DataFrame =
+    ivfSearch(vecs.filter(pred), queries, kCentroids, nProbe, topK,
+      broadcastMaxBytes)
+
   /** Cosine RANGE search over the IVF index: every (query, vector) pair in
     * the probed centroid lists with cosine ≥ `minCos` — the vector-space
     * analogue of the spatial within-distance join (J5): candidates come

@@ -163,6 +163,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("filtered ANN: the metadata predicate reaches the parquet scan") {
+    import spark.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_planspec_fvecs"
+    graft.table.Checkpoint.clear(dir)
+    (0 until 500).map(i => (i.toLong,
+        Array.tabulate(64)(d => (((i * 31 + d * 7) % 17) - 8).toFloat), i % 5))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(dir)
+    val vecs = spark.read.parquet(dir)
+    val out = graft.ops.Embeddings.ivfSearchFiltered(
+      vecs, vecs.filter(col("vec_id") < 3), kCentroids = 4, nProbe = 2,
+      topK = 5, pred = col("label") === 2)
+    // sparkPlan (pre-AQE): the adaptive wrapper hides scan nodes from collect
+    val pushed = out.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f.metadata("PushedFilters")
+    }
+    assert(pushed.exists(_.contains("EqualTo(label,2)")),
+      s"label predicate not pushed to the corpus scan: $pushed")
+    // and the filter actually restricts results
+    val labels = (0 until 500).map(i => i.toLong -> i % 5).toMap
+    out.select("neighbor_id").as[Long].collect()
+      .foreach(n => assert(labels(n) == 2, s"unfiltered neighbor $n"))
+  }
+
   test("pq coding is shuffle-free; kmeans step shuffles only k·dims partials") {
     import spark.implicits._
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_planspec_vecs"
