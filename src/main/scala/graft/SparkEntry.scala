@@ -406,6 +406,17 @@ object SparkEntry {
       ops.Graph.commonNeighbors(edges, 50)
         .orderBy(col("cn").desc, col("a"), col("b"))
     }),
+    // DBSCAN density clustering (ops.SpatialJoin.dbscan): ε-pairs from the
+    // hex-disk cover join, core flags by neighbor count, clusters by
+    // large-star/small-star CC, min-label border assignment — on a
+    // synthetic 12-cluster + lattice-noise point set.
+    "geo_dbscan" -> ((s, dir) => {
+      val pts = t(s, dir, "customer").selectExpr(
+        "c_custkey AS pid",
+        "CASE WHEN c_custkey % 41 = 0 THEN -130.0D + (c_custkey % 100) / 10.0D ELSE -120.0D + ((c_custkey % 12) % 4) * 0.5D + ((c_custkey * 7) % 19 - 9) / 1000.0D END AS lng",
+        "CASE WHEN c_custkey % 41 = 0 THEN 30.0D + ((c_custkey * 13) % 100) / 10.0D ELSE 36.0D + ((c_custkey % 12) DIV 4) * 0.5D + ((c_custkey * 11) % 23 - 11) / 1000.0D END AS lat")
+      ops.SpatialJoin.dbscan(pts, eps = 0.0025, minPts = 8).orderBy("pid")
+    }),
     // Contact-graph join: distinct trajectory pairs sharing a (cell, day)
     // observation bucket — bucketed self-join, never all-pairs.
     "traj_colocation" -> ((s, dir) => {
@@ -2604,6 +2615,45 @@ object SparkEntry {
        SELECT doc AS doc_id, min(other) AS comp, doc = min(other) AS keep
        FROM reach GROUP BY doc ORDER BY doc_id"""
 
+  /** DBSCAN oracle: brute-force ε-pairs (1500² at sf0.01 — fine for the
+    * oracle, never the engine), HAVING-count core flags, recursive-CTE
+    * min-label components over core–core edges, min-label border
+    * assignment. The ε² threshold is the ENGINE's Scala double
+    * (`0.003 * 0.003` spliced verbatim) so the boundary compares bit-equal
+    * operands — the geo_range_geodesic convention.
+    */
+  private val dbscanOracleSql: String = {
+    val r2 = java.lang.Double.toString(0.0025 * 0.0025)
+    s"""WITH RECURSIVE pts AS (SELECT c_custkey AS pid,
+         CASE WHEN c_custkey % 41 = 0 THEN -130.0 + (c_custkey % 100) / 10.0
+              ELSE -120.0 + ((c_custkey % 12) % 4) * 0.5 + ((c_custkey * 7) % 19 - 9) / 1000.0 END AS lng,
+         CASE WHEN c_custkey % 41 = 0 THEN 30.0 + ((c_custkey * 13) % 100) / 10.0
+              ELSE 36.0 + ((c_custkey % 12) // 4) * 0.5 + ((c_custkey * 11) % 23 - 11) / 1000.0 END AS lat
+         FROM customer),
+       prs AS (SELECT a.pid AS pa, b.pid AS pb
+         FROM pts a JOIN pts b ON a.pid <> b.pid
+          AND (b.lng - a.lng)*(b.lng - a.lng) + (b.lat - a.lat)*(b.lat - a.lat) <= $r2),
+       core AS (SELECT pa AS pid FROM prs GROUP BY pa HAVING count(*) + 1 >= 8),
+       ce AS (SELECT pa, pb FROM prs
+         WHERE pa IN (SELECT pid FROM core) AND pb IN (SELECT pid FROM core)),
+       reach(pid, other) AS (
+         SELECT pid, pid FROM core
+         UNION
+         SELECT r.pid, e.pb FROM reach r JOIN ce e ON e.pa = r.other),
+       comp AS (SELECT pid, min(other) AS cluster FROM reach GROUP BY pid),
+       bord AS (SELECT p.pa AS pid, min(c.cluster) AS bcluster
+         FROM prs p JOIN comp c ON c.pid = p.pb GROUP BY p.pa)
+       SELECT p.pid,
+         CASE WHEN comp.pid IS NOT NULL THEN 'core'
+              WHEN bord.bcluster IS NOT NULL THEN 'border'
+              ELSE 'noise' END AS role,
+         CASE WHEN comp.pid IS NOT NULL THEN comp.cluster
+              ELSE bord.bcluster END AS cluster
+       FROM pts p LEFT JOIN comp ON comp.pid = p.pid
+       LEFT JOIN bord ON bord.pid = p.pid
+       ORDER BY p.pid"""
+  }
+
   /** Shared CTEs for the Cavnar–Trenkle langid gates: regenerate the
     * deterministic multilingual corpus (word lists rendered from the SAME
     * ops.LangId constants), re-derive padded char 2-/3-grams, train the
@@ -4504,6 +4554,7 @@ object SparkEntry {
     "ann_sq8" -> sq8OracleSql,
     "dedup_spans" -> dedupSpansOracleSql,
     "events_interval_join" -> intervalJoinOracleSql,
+    "geo_dbscan" -> dbscanOracleSql,
     "dedup_cluster_keep" -> clusterOracleSql,
     // star contraction must land on the identical component map, so it
     // shares the recursive-CTE clustering oracle

@@ -529,6 +529,71 @@ object SpatialJoin {
         Geodesic.metersFromT(col("t")).as("dist_m"))
   }
 
+  /** DBSCAN density clustering (Ester et al., KDD'96 — the published
+    * algorithm) over planar points, composed entirely from the engine's
+    * scale primitives so every stage is key-bounded:
+    *
+    *  1. ε-neighbor pairs from [[withinDistance]]'s hex-disk cover — ONE
+    *     cell equi-join, never all-pairs;
+    *  2. core points by neighbor count (`|N_ε(p)| ≥ minPts`, the point
+    *     itself included — the classic convention);
+    *  3. clusters = connected components of the core–core ε-graph via
+    *     [[TextDedup.connectedComponentsStar]] (large-star/small-star,
+    *     O(log n) rounds regardless of cluster diameter — a snaking
+    *     density ridge doesn't serialize the job);
+    *  4. border points (non-core with ≥ 1 core ε-neighbor) join the MIN
+    *     adjacent core's cluster label — the textbook algorithm leaves
+    *     border assignment scan-order-dependent; taking the min makes it
+    *     deterministic and engine-independent (the oracle contract).
+    *
+    * Cluster labels are the min core point id of the component. Noise rows
+    * keep a NULL cluster.
+    *
+    * @param points (pid, lng, lat)
+    * @param eps    ε radius in planar degrees
+    * @param minPts density threshold, self included
+    * @return (pid, role ∈ core|border|noise, cluster — null for noise)
+    */
+  def dbscan(points: DataFrame, eps: Double, minPts: Int): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1: $minPts")
+    val pts = points.select(col("pid").cast(LongType),
+      col("lng").cast(DoubleType), col("lat").cast(DoubleType))
+    val pairs = withinDistance(
+        pts.select(col("pid").as("probe_id"), col("lng"), col("lat")),
+        pts.select(col("pid").as("target_id"), col("lng"), col("lat")), eps)
+      .filter(col("probe_id") =!= col("target_id"))
+      .select(col("probe_id"), col("target_id"))
+      .localCheckpoint(false)
+    val nNbr = pairs.groupBy(col("probe_id").as("pid"))
+      .agg(count(lit(1)).as("n_nbr"))
+    val flagged = pts.join(nNbr, Seq("pid"), "left")
+      .withColumn("is_core",
+        coalesce(col("n_nbr"), lit(0L)) + 1 >= lit(minPts.toLong))
+      .select("pid", "is_core")
+    val coreIds = flagged.filter(col("is_core")).select("pid")
+      .localCheckpoint(false)
+    val coreEdges = pairs
+      .join(coreIds.select(col("pid").as("probe_id")), Seq("probe_id"), "left_semi")
+      .join(coreIds.select(col("pid").as("target_id")), Seq("target_id"), "left_semi")
+      .select(col("probe_id").as("doc_a"), col("target_id").as("doc_b"))
+    val comp = TextDedup.connectedComponentsStar(coreEdges,
+        coreIds.select(col("pid").as("doc_id")))
+      .select(col("doc_id").as("pid"), col("comp").as("ccluster"))
+    val borderLbl = pairs
+      .join(comp.select(col("pid").as("target_id"), col("ccluster")),
+        Seq("target_id"))
+      .groupBy(col("probe_id").as("pid"))
+      .agg(min("ccluster").as("bcluster"))
+    flagged.join(comp, Seq("pid"), "left")
+      .join(borderLbl, Seq("pid"), "left")
+      .select(col("pid"),
+        when(col("is_core"), lit("core"))
+          .when(col("bcluster").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        when(col("is_core"), col("ccluster"))
+          .otherwise(col("bcluster")).as("cluster"))
+  }
+
   // ---------------- J3: kNN (cell-ring expansion, distance-bounded) ----------------
 
   /** kNN join: for each probe, the k nearest targets by planar squared
