@@ -1105,6 +1105,33 @@ object SparkEntry {
         .orderBy("grp")
     }),
 
+    // Iceberg-style TIME TRAVEL (table.Checkpoint.writeVersioned/readAt):
+    // r1 snapshots the full table, r2 patches buckets 0-3 (price +1000);
+    // reading AS OF r1 vs AS OF r2 shows bucket-granularity snapshot
+    // isolation — per bucket the newest committed write wins, resolved from
+    // the manifest log and pushed down as partition-literal pruning.
+    "checkpoint_timetravel" -> ((s, dir) => {
+      val out =
+        s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_tt_${dir.hashCode}"
+      table.Checkpoint.clear(out)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      table.Checkpoint.writeVersioned(orders, col("o_orderkey") % 12, 12,
+        out, "r1")
+      val patched = orders.filter(col("o_orderkey") % 12 < 4)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      table.Checkpoint.writeVersioned(patched, col("o_orderkey") % 12, 12,
+        out, "r2")
+      def snap(runs: Seq[String], tag: String) =
+        table.Checkpoint.readAt(s, out, runs)
+          .groupBy((col("o_custkey") % 16).as("grp"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .withColumn("snap", lit(tag))
+      snap(Seq("r1"), "r1").unionAll(snap(Seq("r1", "r2"), "r2"))
+        .orderBy("snap", "grp")
+    }),
+
     // Pure SQL surface: the same spatial functions through the function
     // registry + spark.sql over a temp view (what a SQL-first user writes).
     "sql_surface" -> ((s, dir) => {
@@ -5049,6 +5076,19 @@ object SparkEntry {
       """SELECT o_custkey % 16 AS grp, count(*) AS n,
          round(sum(o_totalprice), 2) AS sum_price
          FROM orders GROUP BY 1 ORDER BY grp""",
+    "checkpoint_timetravel" ->
+      """WITH s1 AS (SELECT o_custkey % 16 AS grp, count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price, 'r1' AS snap
+           FROM orders GROUP BY 1),
+         merged AS (SELECT o_custkey,
+           CASE WHEN o_orderkey % 12 < 4 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS p FROM orders),
+         s2 AS (SELECT o_custkey % 16 AS grp, count(*) AS n,
+           round(sum(p), 2) AS sum_price, 'r2' AS snap
+           FROM merged GROUP BY 1)
+         SELECT grp, n, sum_price, snap FROM s1
+         UNION ALL SELECT grp, n, sum_price, snap FROM s2
+         ORDER BY snap, grp""",
     "geo_pip" -> pipOracleSql,
     "geo_pip_salted" -> pipOracleSkewSql,
     "geo_pip_adaptive" -> pipOracleSkewSql,

@@ -276,4 +276,98 @@ object Checkpoint {
     val (fs, p) = fsOf(dir, SparkSession.getActiveSession)
     if (fs.exists(p)) fs.delete(p, true): Unit
   }
+
+  /** Versioned snapshot write — the time-travel side of the Iceberg-style
+    * layout. Where [[writeResumable]] REWRITES bucket directories in place
+    * (one live version), each `writeVersioned` run appends an immutable
+    * `data/__run=<runId>/__bucket=N/` tree and commits manifest rows after
+    * the data is durable, so every run remains readable forever and
+    * [[readAt]] reconstructs the table AS OF any run: per bucket, the
+    * newest committed write at-or-before the requested snapshot wins —
+    * bucket-granularity overwrite semantics, exactly Iceberg's
+    * copy-on-write partition overwrite with the manifest log as the
+    * snapshot lineage.
+    *
+    * The bucket function is an explicit caller expression (not the hash of
+    * [[writeResumable]]) so a patch run can target the buckets it changes
+    * and readers/oracles can reason about bucket membership in plain SQL.
+    *
+    * @param df       rows of this snapshot's buckets — a bucket written
+    *                 here REPLACES its previous content as of this run
+    * @param bucketOf integer bucket expression (taken mod `nBuckets`)
+    */
+  def writeVersioned(df: DataFrame, bucketOf: org.apache.spark.sql.Column,
+                     nBuckets: Int, dir: String, runId: String,
+                     bucketsPerJob: Int = 64): Seq[BucketManifest] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(!runId.contains("=") && !runId.contains("/"), s"bad runId: $runId")
+    val t0 = System.nanoTime()
+    val bucketed = df
+      .withColumn("__bucket", pmod(bucketOf.cast("long"), lit(nBuckets)).cast("int"))
+      .withColumn("__run", lit(runId))
+    bucketed.repartition(nBuckets, col("__bucket"))
+      .write.mode("append")
+      .partitionBy("__run", "__bucket")
+      .parquet(s"$dir/data")
+    // stats from the durably written run tree (same contract as
+    // writeResumable: validate disk, not the upstream plan)
+    val written = spark.read
+      .schema(org.apache.spark.sql.types.StructType(
+        df.schema.fields :+
+          org.apache.spark.sql.types.StructField("__bucket", IntegerType)))
+      .parquet(s"$dir/data/__run=$runId")
+    val dataCols = written.columns.filterNot(_ == "__bucket").sorted
+    val stats = written.groupBy("__bucket")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(struct(dataCols.map(col): _*))
+          .bitwiseAND(lit(0xFFFFFFFFL))), lit(0L)).as("c"))
+      .as[(Int, Long, Long)].collect()
+      .map { case (b, n, c) => b -> ((n, c)) }.toMap
+    val wallMs = ((System.nanoTime() - t0) / 1000000) /
+      math.max(1, stats.size)
+    val (mfs, _) = fsOf(s"$dir/manifest", Some(spark))
+    cleanTmpManifests(mfs, dir)
+    val out = Seq.newBuilder[BucketManifest]
+    stats.keys.toSeq.sorted.grouped(math.max(1, bucketsPerJob)).foreach { g =>
+      val rows = g.map { b =>
+        val (n, c) = stats(b)
+        BucketManifest(runId, b, n, c, wallMs, System.currentTimeMillis())
+      }
+      appendManifest(mfs, dir, rows)
+      out ++= rows
+    }
+    out.result()
+  }
+
+  /** Time-travel read: the table AS OF the last run in `runOrder`. For each
+    * bucket the newest run in `runOrder` (caller-supplied commit order —
+    * the snapshot lineage) holding a committed manifest row for it wins;
+    * buckets no run in the prefix wrote are absent. The winner set is
+    * resolved from the commit log (≤ runs × buckets rows — driver-bounded
+    * by the manifest contract, never by data size) and pushed down as
+    * `__run`/`__bucket` partition-literal disjunctions, so the scan touches
+    * exactly the winning partition directories.
+    */
+  def readAt(spark: SparkSession, dir: String,
+             runOrder: Seq[String]): DataFrame = {
+    val idx = runOrder.zipWithIndex.toMap
+    val wins = manifests(spark, dir)
+      .select("run_id", "bucket").distinct()
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+      .filter { case (r, _) => idx.contains(r) }
+      .groupBy(_._2).toSeq // toSeq BEFORE map: mapping the Map would
+      // collapse buckets sharing a winner index into one key
+      .map { case (b, rs) => (rs.map(r => idx(r._1)).max, b) }
+    if (wins.isEmpty) return spark.emptyDataFrame
+    val byRun = wins.groupBy(_._1).toSeq.sortBy(_._1)
+    val pred = byRun.map { case (ri, bs) =>
+      col("__run") === lit(runOrder(ri)) &&
+        col("__bucket").isin(bs.map(_._2): _*)
+    }.reduce(_ || _)
+    spark.read.parquet(s"$dir/data")
+      .where(pred)
+      .drop("__run", "__bucket")
+  }
 }

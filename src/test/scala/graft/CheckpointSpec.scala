@@ -111,4 +111,43 @@ class CheckpointSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Int, Long, Long)].collect().map { case (b, n, c) => (b, (n, c)) }.toMap
     assert(re == m)
   }
+
+  test("time travel: per-bucket newest-write-wins across three snapshots; pruned scan") {
+    import spark.implicits._
+    val dir = freshDir("tt")
+    val base = (0 until 1200).map(i => (i.toLong, i * 10L)).toDF("k", "v")
+    Checkpoint.writeVersioned(base, col("k") % 8, 8, dir, "r1")
+    // r2 rewrites buckets 0..2 with v+1; r3 rewrites bucket 1 only with v+2
+    Checkpoint.writeVersioned(
+      base.filter(col("k") % 8 < 3).withColumn("v", col("v") + 1),
+      col("k") % 8, 8, dir, "r2")
+    Checkpoint.writeVersioned(
+      base.filter(col("k") % 8 === 1).withColumn("v", col("v") + 2),
+      col("k") % 8, 8, dir, "r3")
+    def expect(runs: Int): Map[Long, Long] = (0 until 1200).map { i =>
+      val b = i % 8
+      val bump = if (runs >= 3 && b == 1) 2L else if (runs >= 2 && b < 3) 1L else 0L
+      i.toLong -> (i * 10L + bump)
+    }.toMap
+    for ((runs, n) <- Seq(Seq("r1") -> 1, Seq("r1", "r2") -> 2,
+        Seq("r1", "r2", "r3") -> 3)) {
+      val got = Checkpoint.readAt(spark, dir, runs)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expect(n), s"snapshot $runs")
+    }
+    // unknown run ids are ignored; empty lineage reads empty
+    assert(Checkpoint.readAt(spark, dir, Seq("nope")).isEmpty)
+    // partition pruning (plan-level, TileStoreSpec convention): the winner
+    // disjunction reaches the scan as PartitionFilters and only the 8
+    // winning bucket dirs' files are read (r3: bucket 1; r2: 0,2; r1: rest)
+    val asOf = Checkpoint.readAt(spark, dir, Seq("r1", "r2", "r3"))
+    val fileScan = asOf.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    assert(fileScan.partitionFilters.nonEmpty,
+      s"winner set not pushed as partition filters:\n${asOf.queryExecution.executedPlan}")
+    asOf.collect() // materialize so metrics populate
+    val numFiles = fileScan.metrics("numFiles").value
+    assert(numFiles == 8, s"expected the 8 winning files, got $numFiles")
+  }
 }
