@@ -417,6 +417,42 @@ object SparkEntry {
         "CASE WHEN c_custkey % 41 = 0 THEN 30.0D + ((c_custkey * 13) % 100) / 10.0D ELSE 36.0D + ((c_custkey % 12) DIV 4) * 0.5D + ((c_custkey * 11) % 23 - 11) / 1000.0D END AS lat")
       ops.SpatialJoin.dbscan(pts, eps = 0.0025, minPts = 8).orderBy("pid")
     }),
+    // Single-source shortest paths (ops.Graph.sssp): 4 fixed Bellman-Ford
+    // relaxation rounds from node 0, exact min-plus integer arithmetic —
+    // the oracle unrolls the same rounds as CTEs.
+    "graph_sssp" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem").selectExpr(
+        "l_orderkey % 20000 AS src",
+        "(l_orderkey*7 + l_linenumber*13) % 20000 AS dst",
+        "l_linenumber % 5 + 1 AS w")
+      ops.Graph.sssp(edges, source = 0L, rounds = 4).orderBy("node")
+    }),
+    // Streaming dedup (streaming.StreamOps.dedupKeys — the 4th stateful
+    // streaming row): dropDuplicates on (user, type, day) through a file
+    // stream, append drain == batch SELECT DISTINCT bit-for-bit.
+    "stream_dedup" -> ((s, dir) => {
+      streaming.StreamOps.dedupKeys(s, s"$dir/events.parquet")
+        .orderBy("user_id", "event_type", "day")
+    }),
+    // Fixed-interval time resampling (ops.Trajectory.resample): positions
+    // at 6h epoch-aligned ticks lerped between fixes, exact micro-degree /
+    // micro-second integer arithmetic — the normalization pass before
+    // same-instant trajectory analytics.
+    "traj_resample" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val pts = t(s, dir, "events").filter(col("user_id") < 50)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("event_id") % 7).as("dx"),
+          ((col("event_id") * 3) % 5).as("dy"))
+        .withColumn("pxc", sum("dx").over(w))
+        .withColumn("pyc", sum("dy").over(w))
+        .selectExpr("user_id AS traj_id",
+          "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us", "event_id AS tie",
+          "-120.0D + pxc / 1000.0D AS lng", "36.0D + pyc / 1000.0D AS lat")
+      ops.Trajectory.resample(pts, 21600000000L)
+        .orderBy("traj_id", "tick_us")
+    }),
     // Contact-graph join: distinct trajectory pairs sharing a (cell, day)
     // observation bucket — bucketed self-join, never all-pairs.
     "traj_colocation" -> ((s, dir) => {
@@ -4453,6 +4489,53 @@ object SparkEntry {
          FROM e0 e1 JOIN e0 e2 ON e2.lo = e1.hi
          JOIN e0 e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
          ORDER BY a, b, c""",
+    "graph_sssp" -> {
+      val rounds = (1 to 4).map { i =>
+        s"""d$i AS (SELECT node, min(dist) AS dist FROM (
+           SELECT node, dist FROM d${i - 1}
+           UNION ALL
+           SELECT e.dst AS node, d${i - 1}.dist + e.w AS dist
+           FROM d${i - 1} JOIN e ON e.src = d${i - 1}.node) GROUP BY node)"""
+      }.mkString(",\n         ")
+      s"""WITH e AS (SELECT l_orderkey % 20000 AS src,
+           (l_orderkey*7 + l_linenumber*13) % 20000 AS dst,
+           l_linenumber % 5 + 1 AS w FROM lineitem),
+         d0(node, dist) AS (SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+         $rounds
+         SELECT node, dist FROM d4 ORDER BY node"""
+    },
+    "stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type, date_trunc('day', ts) AS day
+         FROM events ORDER BY user_id, event_type, day""",
+    "traj_resample" ->
+      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           event_id % 7 AS dx, (event_id * 3) % 5 AS dy
+           FROM events WHERE user_id < 50),
+         c AS (SELECT user_id AS traj_id, event_id AS tie, ts_us,
+           sum(dx) OVER w AS pxc, sum(dy) OVER w AS pyc
+           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         q AS (SELECT traj_id, ts_us, tie,
+           CAST(floor((-120.0 + pxc / 1000.0) * 1000000.0) AS BIGINT) AS xq,
+           CAST(floor((36.0 + pyc / 1000.0) * 1000000.0) AS BIGINT) AS yq FROM c),
+         d AS (SELECT traj_id, ts_us, xq, yq,
+           lag(ts_us) OVER w2 AS pts, lag(xq) OVER w2 AS px,
+           lag(yq) OVER w2 AS py, row_number() OVER w2 AS rn
+           FROM q WINDOW w2 AS (PARTITION BY traj_id ORDER BY ts_us, tie)),
+         f AS (SELECT traj_id, ts_us AS tick_us, xq AS ax, yq AS ay
+           FROM d WHERE rn = 1 AND ts_us % 21600000000 = 0),
+         s AS (SELECT d.*, pts // 21600000000 + 1 AS k0,
+           ts_us // 21600000000 AS k1 FROM d WHERE rn > 1 AND ts_us > pts),
+         g AS (SELECT traj_id, k.kk * 21600000000 AS tick_us, px, py, xq, yq,
+           k.kk * 21600000000 - pts AS offq, ts_us - pts AS den
+           FROM s, unnest(range(s.k0, s.k1 + 1)) AS k(kk)),
+         h AS (SELECT traj_id, tick_us,
+           px + CASE WHEN xq >= px THEN ((xq - px) * offq) // den
+                ELSE -(((px - xq) * offq) // den) END AS ax,
+           py + CASE WHEN yq >= py THEN ((yq - py) * offq) // den
+                ELSE -(((py - yq) * offq) // den) END AS ay FROM g)
+         SELECT traj_id, tick_us, ax, ay FROM f
+         UNION ALL SELECT traj_id, tick_us, ax, ay FROM h
+         ORDER BY traj_id, tick_us""",
     "graph_suggest" ->
       """WITH e AS (SELECT DISTINCT
            greatest(l_orderkey % 20000, (l_orderkey*7 + l_linenumber*13) % 20000) AS hi,

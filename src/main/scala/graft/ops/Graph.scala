@@ -89,6 +89,46 @@ object Graph {
     e1.join(e2, Seq("b")).join(e3, Seq("a", "c")).select("a", "b", "c")
   }
 
+  /** Single-source shortest paths by FIXED-ROUND distributed Bellman–Ford —
+    * the weighted-graph distance primitive next to [[pagerank]] (same
+    * discipline: deterministic round count, the edge list never moves, each
+    * round is one key-bounded join + one min-aggregation, lineage cut per
+    * round). After R rounds every node reachable within R hops carries its
+    * R-HOP-OPTIMAL distance — exact shortest distance once R reaches the
+    * hop count of its shortest path (R ≥ |V|−1 is always enough; real
+    * graphs converge at their small hop diameter). The oracle unrolls the
+    * same rounds as CTEs, so the gate pins the relaxation algebra, not a
+    * convergence heuristic. Integer weights ⇒ exact min-plus arithmetic;
+    * unreached nodes are absent (distance ∞ by absence, the same
+    * encoding-as-absence rule as the raster no-data contract).
+    *
+    * Scale shape per round: |frontier| ≤ |V| rows join edges on `src`
+    * (partial-aggregated min on `dst`), union with the running table, one
+    * `node`-keyed min groupBy. At 10^12 edges the round cost is two
+    * key-bounded shuffles — never all-pairs, never driver-side.
+    *
+    * @param edges  (src, dst, w) directed weighted edges, w ≥ 0 integer
+    * @param source start node id
+    * @param rounds relaxation rounds (R-hop exact horizon)
+    * @return (node, dist) for nodes reached within `rounds` hops
+    */
+  def sssp(edges: DataFrame, source: Long, rounds: Int): DataFrame = {
+    require(rounds > 0, s"rounds must be positive: $rounds")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      col("w").cast("long"))
+    var dist = Seq((source, 0L)).toDF("node", "dist").localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint(false)
+    }
+    dist
+  }
+
   /** Common-neighbor link prediction: for every NON-adjacent pair (a, b)
     * that shares at least one neighbor, count the shared neighbors and keep
     * the global top-k — the classic "people you may know" / co-citation

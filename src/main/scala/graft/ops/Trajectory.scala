@@ -176,6 +176,66 @@ object Trajectory {
       .agg(count(lit(1)).cast("long").as("n_traj"))
   }
 
+  /** Fixed-interval TIME resampling of trajectories: the position at every
+    * epoch-aligned tick (`tick % stepUs == 0`) inside each trajectory's
+    * observed time span, linearly interpolated between the surrounding
+    * fixes — the normalization step before any cross-trajectory analytics
+    * (co-location, OD matrices, speed profiles) that must compare positions
+    * AT THE SAME INSTANT rather than at unaligned GPS fix times.
+    *
+    * Same exact-integer model as [[pointAlong]], with TIME as the
+    * interpolation axis: coords quantize to micro-degree Longs first; a
+    * segment (prev, cur] contributes ticks `k·step` for
+    * `k ∈ [prev div step + 1, cur div step]` (half-open on the left, so a
+    * tick landing exactly on a fix is produced once, by the segment ending
+    * there — and the first fix emits itself iff it is tick-aligned); the
+    * lerp is the sign-split non-negative `DIV` of [[pointAlong]].
+    * Duplicate-timestamp fixes order by the tie column and produce empty
+    * segments — no division by zero, no double emission. Integer headroom:
+    * |Δcoord_μdeg| · segment_μs < 2⁶³ — holds for any fix cadence up to
+    * hours even at antipodal jumps; day-long gaps across the globe want a
+    * pre-split (documented, not silently truncated).
+    *
+    * Plan shape: ONE traj_id window Exchange (lag + row_number share the
+    * sort), ticks explode per segment with no join — trajectories resample
+    * independently at any scale.
+    *
+    * @param points (traj_id, ts_us, tie, lng, lat) — micros + tie-break id
+    * @param stepUs tick interval in microseconds
+    * @return (traj_id, tick_us, ax, ay) — micro-degree positions
+    */
+  def resample(points: DataFrame, stepUs: Long): DataFrame = {
+    require(stepUs > 0, s"stepUs must be positive: $stepUs")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("traj_id").orderBy("ts_us", "tie")
+    val d = points
+      .select(col("traj_id"), col("ts_us").cast(LongType), col("tie"),
+        floor(col("lng") * lit(1000000.0)).cast(LongType).as("xq"),
+        floor(col("lat") * lit(1000000.0)).cast(LongType).as("yq"))
+      .withColumn("pts", lag("ts_us", 1).over(w))
+      .withColumn("px", lag("xq", 1).over(w))
+      .withColumn("py", lag("yq", 1).over(w))
+      .withColumn("rn", row_number().over(w))
+    val first = d.filter(col("rn") === 1 && col("ts_us") % lit(stepUs) === 0)
+      .select(col("traj_id"), col("ts_us").as("tick_us"),
+        col("xq").as("ax"), col("yq").as("ay"))
+    val seg = d.filter(col("rn") > 1 && col("ts_us") > col("pts"))
+      .withColumn("k0", expr(s"pts DIV ${stepUs}L + 1"))
+      .withColumn("k1", expr(s"ts_us DIV ${stepUs}L"))
+      .filter(col("k0") <= col("k1"))
+      .withColumn("k", explode(sequence(col("k0"), col("k1"))))
+      .withColumn("tick_us", col("k") * lit(stepUs))
+      .withColumn("offq", col("tick_us") - col("pts"))
+      .withColumn("den", col("ts_us") - col("pts"))
+      .selectExpr("traj_id", "tick_us",
+        """px + CASE WHEN xq >= px THEN ((xq - px) * offq) DIV den
+               ELSE -(((px - xq) * offq) DIV den) END AS ax""",
+        """py + CASE WHEN yq >= py THEN ((yq - py) * offq) DIV den
+               ELSE -(((py - yq) * offq) DIV den) END AS ay""")
+    first.unionByName(seg)
+  }
+
   /** Point-at-fraction along every line (the turf `along` primitive as a
     * batch op): for each requested fraction f of a line's total length,
     * the interpolated position — waypoint/milestone extraction, label

@@ -167,6 +167,53 @@ object StreamOps {
     drain(spark, name)
   }
 
+  /** STREAMING DEDUPLICATION — the fourth stateful-streaming surface next
+    * to the window agg, session windows and the interval join:
+    * `dropDuplicates` over (user_id, event_type, day) keeps exactly the
+    * first arrival of each key and emits every key once. Only the KEY
+    * columns are emitted: which physical row "wins" inside a micro-batch is
+    * order-dependent, the key set is not — emitting keys makes the
+    * append-mode drain equal the batch `SELECT DISTINCT` bit-for-bit (the
+    * DuckDB gate), the same determinism discipline as the other drains.
+    *
+    * State note (honest contract): exact global dedup keeps one state row
+    * per distinct key forever — Spark only expires dedup state when the
+    * event-time column itself is among the keys. The production TTL'd
+    * variant is `dropDuplicatesWithinWatermark`, which bounds state by the
+    * watermark delay at the cost of re-admitting a key whose duplicates
+    * straddle the delay — that trade is data-dependent, so the GATE pins
+    * the exact variant and the scaladoc records the knob.
+    */
+  def dedupKeys(spark: SparkSession, path: String): DataFrame = {
+    val name = s"graft_stream_dd_${runSeq.incrementAndGet()}"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_ckpt_").toString
+    val src = java.nio.file.Paths.get(path)
+    val streamDir =
+      if (java.nio.file.Files.isDirectory(src)) path
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft_stream_src_")
+        java.nio.file.Files.createSymbolicLink(d.resolve(src.getFileName), src)
+        d.toString
+      }
+    val schema = spark.read.parquet(streamDir).schema
+    val q = spark.readStream.schema(schema).parquet(streamDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_type"),
+        date_trunc("day", col("ts")).as("day"), col("ts"))
+      .dropDuplicates("user_id", "event_type", "day")
+      .select(col("user_id"), col("event_type"),
+        col("day").cast("timestamp_ntz").as("day"))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    drain(spark, name)
+  }
+
   /** Materialize a memory sink's table and release the temp-view name. */
   private def drain(spark: SparkSession, name: String): DataFrame = {
     val out = spark.table(name).cache()

@@ -1631,6 +1631,58 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sssp: hand-walked weighted graph; R-hop horizon; min over multi-edges") {
+    import spark.implicits._
+    // 0-1(1), 0-2(5), 1-2(1), 2-3(1), 3-4(1), plus a worse duplicate 0->1(3)
+    val edges = Seq((0L, 1L, 1L), (0L, 2L, 5L), (1L, 2L, 1L), (2L, 3L, 1L),
+      (3L, 4L, 1L), (0L, 1L, 3L)).toDF("src", "dst", "w")
+    val d4 = graft.ops.Graph.sssp(edges, 0L, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(d4 == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    // 2 rounds: node 4 (4 hops away) absent; node 3 reachable in 2 hops
+    // only via the expensive 0-2(5)-3(1) path, so its 2-hop-optimal
+    // distance is 6 — tightened to 3 by rounds 3-4 above
+    val d2 = graft.ops.Graph.sssp(edges, 0L, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(d2 == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 6L))
+  }
+
+  test("resample: brute-force time lerp; aligned fixes and duplicate ts") {
+    import spark.implicits._
+    val step = 100L
+    // traj 1: aligned first fix, a long segment spanning 3 ticks, dup-ts fix
+    val pts = Seq(
+      (1L, 200L, 1L, 10.0, 20.0), (1L, 450L, 2L, 10.001, 20.002),
+      (1L, 450L, 3L, 10.002, 20.001), (1L, 650L, 4L, 10.004, 20.000),
+      // traj 2: unaligned start, single tick inside
+      (2L, 130L, 5L, -5.0, -6.0), (2L, 330L, 6L, -5.002, -6.004))
+      .toDF("traj_id", "ts_us", "tie", "lng", "lat")
+    val got = graft.ops.Trajectory.resample(pts, step)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    def q(v: Double) = math.floor(v * 1e6).toLong
+    def lerp(a: Long, b: Long, off: Long, den: Long): Long =
+      if (b >= a) a + (b - a) * off / den else a - (a - b) * off / den
+    // traj 1 ticks: 200 (aligned first fix), 300/400 in (200,450] via tie=2,
+    // 500/600 in (450,650] from the LAST dup-ts fix (tie=3 position)
+    assert(got((1L, 200L)) == ((q(10.0), q(20.0))))
+    assert(got((1L, 300L)) ==
+      ((lerp(q(10.0), q(10.001), 100, 250), lerp(q(20.0), q(20.002), 100, 250))))
+    assert(got((1L, 400L)) ==
+      ((lerp(q(10.0), q(10.001), 200, 250), lerp(q(20.0), q(20.002), 200, 250))))
+    assert(got((1L, 500L)) ==
+      ((lerp(q(10.002), q(10.004), 50, 200), lerp(q(20.001), q(20.000), 50, 200))))
+    assert(got((1L, 600L)) ==
+      ((lerp(q(10.002), q(10.004), 150, 200), lerp(q(20.001), q(20.000), 150, 200))))
+    // traj 2: only ticks 200 and 300 inside (130, 330]
+    assert(got((2L, 200L)) ==
+      ((lerp(q(-5.0), q(-5.002), 70, 200), lerp(q(-6.0), q(-6.004), 70, 200))))
+    assert(got((2L, 300L)) ==
+      ((lerp(q(-5.0), q(-5.002), 170, 200), lerp(q(-6.0), q(-6.004), 170, 200))))
+    // exactly these ticks, nothing else (dup-ts fix emitted no tick itself)
+    assert(got.size == 7)
+  }
+
   test("mixtureWeights: exact ppm shares, uniform target, ceil epochs") {
     import spark.implicits._
     val docs = Seq(
