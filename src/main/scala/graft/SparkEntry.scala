@@ -1604,6 +1604,13 @@ object SparkEntry {
       ops.ImageOps.phashNearDup(phashCorpusTiles(s), 3)
         .orderBy("id_a", "id_b")
     }),
+    // Image near-dup CLUSTERING (ops.ImageOps.phashClusters): the phash
+    // band pair graph contracted by star CC, keep = lexicographic-min
+    // representative per visual-duplicate chain.
+    "img_dedup_cluster" -> ((s, dir) => {
+      ops.ImageOps.phashClusters(phashCorpusTiles(s), 3)
+        .orderBy("image_id")
+    }),
     // Bigram collocations (ops.Curation.collocations): phrase mining by
     // integer-quantized lift — PMI's ranking without PMI's log. Counts are
     // vocabulary-bounded mergeable aggs; the pair tail is pruned by
@@ -2677,6 +2684,41 @@ object SparkEntry {
          FROM reach r JOIN edges e ON e.doc_a = r.other OR e.doc_b = r.other)
        SELECT doc AS doc_id, min(other) AS comp, doc = min(other) AS keep
        FROM reach GROUP BY doc ORDER BY doc_id"""
+
+  /** Shared CTEs for the phash gates: recompute the 6×4 variant corpus's
+    * 64-bit perceptual hashes from the closed-form tile generator, band
+    * them 4×16 bits, and emit banded candidate pairs (`cand`). Ends
+    * unterminated — consumers append their own final SELECT (pair filter
+    * for img_phash_neardup, recursive component map for img_dedup_cluster).
+    */
+  private val phashPairCtes: String =
+    """corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         g AS (SELECT swlng, swlat, ((8*r.range+7)//601)*8 + (8*c.range+7)//601 AS idx,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS v
+           FROM corners, range(0,601) r, range(0,601) c),
+         blk AS (SELECT swlng, swlat, idx, CAST(sum(v) AS BIGINT) AS sv, count(*) AS n
+           FROM g GROUP BY 1, 2, 3),
+         vb AS (SELECT swlng, swlat, vr.range AS var, idx,
+           CAST(sv + CASE WHEN (((swlng+180)*31 + (swlat+90)*17 + idx*idx*7) % 64 < 32) != (idx < vr.range)
+                          THEN 4000*n ELSE 0 END AS DOUBLE)/n AS bm
+           FROM blk, range(0,4) vr),
+         m AS (SELECT swlng, swlat, var, list_reduce(list(bm ORDER BY idx), (a, b) -> a + b)/64.0 AS mean
+           FROM vb GROUP BY 1, 2, 3),
+         bits AS (SELECT vb.swlng, vb.swlat, vb.var,
+           CAST(sum(CASE WHEN idx < 63 AND bm > mean THEN CAST(1 AS BIGINT) << idx ELSE 0 END) AS BIGINT)
+           + CASE WHEN max(CASE WHEN idx = 63 AND bm > mean THEN 1 ELSE 0 END) = 1
+                  THEN -9223372036854775808 ELSE 0 END AS phash
+           FROM vb JOIN m ON vb.swlng = m.swlng AND vb.swlat = m.swlat AND vb.var = m.var
+           GROUP BY 1, 2, 3),
+         corpus AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0') ||
+             '_v' || CAST(var AS VARCHAR)) AS image_id, phash FROM bits),
+         bands AS (SELECT image_id, phash, b.range AS band_i,
+             (phash >> (16*CAST(b.range AS INT))) & 65535 AS band_key
+           FROM corpus, range(0,4) b),
+         cand AS (SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b, a.phash AS pa, b.phash AS pb
+           FROM bands a JOIN bands b ON a.band_i = b.band_i AND a.band_key = b.band_key
+             AND a.image_id < b.image_id)"""
 
   /** DBSCAN oracle: brute-force ε-pairs (1500² at sf0.01 — fine for the
     * oracle, never the engine), HAVING-count core flags, recursive-CTE
@@ -4857,35 +4899,19 @@ object SparkEntry {
     // bit_count(xor) Hamming filter (arithmetic >> then & 65535 extracts
     // identical band keys in both engines — verified on the sign bit)
     "img_phash_neardup" ->
-      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         g AS (SELECT swlng, swlat, ((8*r.range+7)//601)*8 + (8*c.range+7)//601 AS idx,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS v
-           FROM corners, range(0,601) r, range(0,601) c),
-         blk AS (SELECT swlng, swlat, idx, CAST(sum(v) AS BIGINT) AS sv, count(*) AS n
-           FROM g GROUP BY 1, 2, 3),
-         vb AS (SELECT swlng, swlat, vr.range AS var, idx,
-           CAST(sv + CASE WHEN (((swlng+180)*31 + (swlat+90)*17 + idx*idx*7) % 64 < 32) != (idx < vr.range)
-                          THEN 4000*n ELSE 0 END AS DOUBLE)/n AS bm
-           FROM blk, range(0,4) vr),
-         m AS (SELECT swlng, swlat, var, list_reduce(list(bm ORDER BY idx), (a, b) -> a + b)/64.0 AS mean
-           FROM vb GROUP BY 1, 2, 3),
-         bits AS (SELECT vb.swlng, vb.swlat, vb.var,
-           CAST(sum(CASE WHEN idx < 63 AND bm > mean THEN CAST(1 AS BIGINT) << idx ELSE 0 END) AS BIGINT)
-           + CASE WHEN max(CASE WHEN idx = 63 AND bm > mean THEN 1 ELSE 0 END) = 1
-                  THEN -9223372036854775808 ELSE 0 END AS phash
-           FROM vb JOIN m ON vb.swlng = m.swlng AND vb.swlat = m.swlat AND vb.var = m.var
-           GROUP BY 1, 2, 3),
-         corpus AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0') ||
-             '_v' || CAST(var AS VARCHAR)) AS image_id, phash FROM bits),
-         bands AS (SELECT image_id, phash, b.range AS band_i,
-             (phash >> (16*CAST(b.range AS INT))) & 65535 AS band_key
-           FROM corpus, range(0,4) b),
-         cand AS (SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b, a.phash AS pa, b.phash AS pb
-           FROM bands a JOIN bands b ON a.band_i = b.band_i AND a.band_key = b.band_key
-             AND a.image_id < b.image_id)
+      s"""WITH $phashPairCtes
          SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
          FROM cand WHERE bit_count(xor(pa, pb)) <= 3 ORDER BY id_a, id_b""",
+    "img_dedup_cluster" ->
+      s"""WITH RECURSIVE $phashPairCtes,
+         pairs AS (SELECT id_a, id_b FROM cand WHERE bit_count(xor(pa, pb)) <= 3),
+         reach(id, other) AS (
+           SELECT image_id, image_id FROM corpus
+           UNION
+           SELECT r.id, CASE WHEN p.id_a = r.other THEN p.id_b ELSE p.id_a END
+           FROM reach r JOIN pairs p ON p.id_a = r.other OR p.id_b = r.other)
+         SELECT id AS image_id, min(other) AS cluster, id = min(other) AS keep
+         FROM reach GROUP BY id ORDER BY image_id""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
          round(sum(l_extendedprice), 2) AS sum_base,

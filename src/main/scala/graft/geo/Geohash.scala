@@ -50,6 +50,35 @@ object Geohash {
   def bits(lng: Double, lat: Double): Long =
     (spread30(qLng(lng)) << 1) | spread30(qLat(lat))
 
+  /** Decode a geohash to its cell box `(lngMin, lngMax, latMin, latMax)` —
+    * the ideal real-arithmetic box (lower incl., upper excl.); callers that
+    * prune against FLOAT coordinates must pad by an ulp-scale epsilon (the
+    * closed-form encoder rounds once per coordinate). None on an invalid
+    * character or length.
+    */
+  def box(gh: String): Option[(Double, Double, Double, Double)] = {
+    if (gh.isEmpty || gh.length > 12) return None
+    var bits = 0L; var n = 0
+    var ci = 0
+    while (ci < gh.length) {
+      val v = Alphabet.indexOf(gh.charAt(ci))
+      if (v < 0) return None
+      bits = (bits << 5) | v; n += 5; ci += 1
+    }
+    var lngIdx = 0L; var latIdx = 0L; var nLng = 0; var nLat = 0
+    var j = 0
+    while (j < n) {
+      val b = (bits >>> (n - 1 - j)) & 1L
+      if ((j & 1) == 0) { lngIdx = (lngIdx << 1) | b; nLng += 1 }
+      else { latIdx = (latIdx << 1) | b; nLat += 1 }
+      j += 1
+    }
+    val lngSpan = 360.0 / (1L << nLng)
+    val latSpan = 180.0 / (1L << nLat)
+    Some((-180.0 + lngIdx * lngSpan, -180.0 + (lngIdx + 1) * lngSpan,
+      -90.0 + latIdx * latSpan, -90.0 + (latIdx + 1) * latSpan))
+  }
+
   /** Base-32 geohash of length `chars` (1..12 — 12 chars = 60 bits). */
   def encode(lng: Double, lat: Double, chars: Int): String = {
     require(chars >= 1 && chars <= 12, s"chars must be in 1..12: $chars")

@@ -327,4 +327,26 @@ object ImageOps {
       .distinct()
       .filter(col("hamming") <= radius)
   }
+
+  /** Image near-dup CLUSTERING + keep-set: [[phashNearDup]]'s Hamming-band
+    * pair graph contracted to connected components via
+    * [[TextDedup.connectedComponentsStar]] (O(log n) rounds), keeping the
+    * lexicographically-least image per cluster — the image-side analogue of
+    * the text `dedup_cluster_keep` endgame, for when visual duplicates
+    * CHAIN (crop of a resize of a re-encode): pairwise dedup would keep one
+    * per PAIR, clustering keeps one per chain. Ids stay opaque strings
+    * end-to-end (component labels are string mins — same total order in
+    * any engine for ASCII ids).
+    *
+    * @return (image_id, cluster, keep) — cluster = min image_id of the
+    *         component; keep = this row is the cluster representative
+    */
+  def phashClusters(tiles: Dataset[TileRow], radius: Int): DataFrame = {
+    val pairs = phashNearDup(tiles, radius)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val nodes = tiles.toDF().select(col("image_id").as("doc_id")).distinct()
+    TextDedup.connectedComponentsStar(pairs, nodes)
+      .select(col("doc_id").as("image_id"), col("comp").as("cluster"),
+        (col("doc_id") === col("comp")).as("keep"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.plans
 
-import graft.functions.{HexCellExpr, TileKeyExpr}
-import graft.geo.{Hex, TileKey}
+import graft.functions.{GeohashExpr, HexCellExpr, TileKeyExpr}
+import graft.geo.{Geohash, Hex, TileKey}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -37,8 +37,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * `semanticEquals`) are not re-added, so the fixpoint batch converges on
   * the second pass.
   *
-  * Scope: tile keys (equality + IN) and hex cells (equality + IN, res
-  * encoded in the id). S2 cells are deliberately OUT: an S2 cell's lat/lng
+  * Scope: tile keys (equality + IN), hex cells (equality + IN, res encoded
+  * in the id), and geohashes (equality + IN — the box decodes from the
+  * string literal itself at any prefix length; equirectangular cells, so
+  * the box is exact up to the encoder's one FP rounding, ulp-padded).
+  * S2 cells are deliberately OUT: an S2 cell's lat/lng
   * bounds need geodesic edge extrema (S2LatLngRect machinery) — a corner
   * bbox is unsound near poles/face edges, and an unsound prune is a wrong
   * result. Install via `spark.experimental.extraOptimizations :+=
@@ -83,7 +86,37 @@ object CellRangeDerivation extends Rule[LogicalPlan] with PredicateHelper {
         if hset.nonEmpty && hset.forall(_.isInstanceOf[Long]) =>
       hexBoxes(hset.toSeq.map(_.asInstanceOf[Long]))
         .toSeq.flatMap(box => rangePreds(lngE, latE, box))
+    // geohash equality/IN: the cell box decodes from the literal itself
+    // (any prefix length — the string IS the cell), padded like hex for
+    // the encoder's one-rounding-per-coordinate FP boundary
+    case EqualTo(GeohashExpr(lngE, latE, _), Literal(g: UTF8String, StringType)) =>
+      ghBoxes(Seq(g)).toSeq.flatMap(box => rangePreds(lngE, latE, box))
+    case EqualTo(Literal(g: UTF8String, StringType), GeohashExpr(lngE, latE, _)) =>
+      ghBoxes(Seq(g)).toSeq.flatMap(box => rangePreds(lngE, latE, box))
+    case In(GeohashExpr(lngE, latE, _), keys) if literalStrings(keys) =>
+      ghBoxes(keys.map(_.asInstanceOf[Literal].value.asInstanceOf[UTF8String]))
+        .toSeq.flatMap(box => rangePreds(lngE, latE, box))
+    case InSet(GeohashExpr(lngE, latE, _), hset)
+        if hset.nonEmpty && hset.forall(_.isInstanceOf[UTF8String]) =>
+      ghBoxes(hset.toSeq.map(_.asInstanceOf[UTF8String]))
+        .toSeq.flatMap(box => rangePreds(lngE, latE, box))
     case _ => Seq.empty
+  }
+
+  /** Hull box of the geohashes' decoded cells, ulp-padded; None on any
+    * invalid hash (derive nothing rather than risk an unsound range).
+    */
+  private def ghBoxes(ghs: Seq[UTF8String]): Option[Box] = {
+    val parsed = ghs.map(g => Geohash.box(g.toString))
+    if (parsed.exists(_.isEmpty) || parsed.isEmpty) None
+    else {
+      val b = parsed.flatten.map { case (x0, x1, y0, y1) =>
+        val padX = math.max(1e-12, (x1 - x0) * 1e-9)
+        val padY = math.max(1e-12, (y1 - y0) * 1e-9)
+        (x0 - padX, x1 + padX, y0 - padY, y1 + padY)
+      }
+      Some((b.map(_._1).min, b.map(_._2).max, b.map(_._3).min, b.map(_._4).max, false))
+    }
   }
 
   private def literalStrings(es: Seq[Expression]): Boolean =

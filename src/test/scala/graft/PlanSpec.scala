@@ -284,6 +284,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       val inSetPred = graft.functions.spatial.tile_key(col("lng"), col("lat"))
         .isin(manyKeys: _*)
       assert(pushed(pts.where(inSetPred)).contains("GreaterThanOrEqual(lng"))
+      // geohash equality: box decodes from the literal itself (any prefix
+      // length) and pushes padded ranges; results unchanged
+      val gh = graft.geo.Geohash.encode(-118.4, 36.6, 4)
+      val ghPred = graft.functions.cells.geohash(col("lng"), col("lat"), lit(4)) === gh
+      val ghRows0 = {
+        spark.experimental.extraOptimizations = Seq.empty
+        val r = pts.where(ghPred).collect().map(_.toSeq).toSet
+        spark.experimental.extraOptimizations = Seq(graft.plans.CellRangeDerivation)
+        r
+      }
+      assert(ghRows0.nonEmpty, "geohash workload sanity")
+      val ghPushed = pushed(pts.where(ghPred))
+      assert(ghPushed.contains("GreaterThanOrEqual(lng") &&
+        ghPushed.contains("GreaterThanOrEqual(lat"),
+        s"geohash ranges not pushed: $ghPushed")
+      assert(pts.where(ghPred).collect().map(_.toSeq).toSet == ghRows0)
+      // box sanity: the decoded cell contains its own encode inputs
+      val Some((x0, x1, y0, y1)) = graft.geo.Geohash.box(gh)
+      assert(x0 <= -118.4 && -118.4 < x1 && y0 <= 36.6 && 36.6 < y1)
     } finally spark.experimental.extraOptimizations = Seq.empty
   }
 
