@@ -380,6 +380,18 @@ object SparkEntry {
       streaming.StreamOps.sessionCounts(s, s"$dir/events.parquet")
         .orderBy("user_id", "start_us")
     }),
+    // Streaming elevation enrichment (streaming.StreamOps.elevationEnrich):
+    // the reference's live endpoint as a stateless streaming job probing
+    // the broadcast tile index — the J1 family's third physical path,
+    // same oracle as geo_elev_bilinear.
+    "stream_elevation" -> ((s, dir) => {
+      streaming.StreamOps.elevationEnrich(s, s"$dir/lineitem.parquet",
+          gateTiles(s), Seq(
+            "((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id",
+            "-120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5D)/600.0D AS lng",
+            "36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5D)/600.0D AS lat"))
+        .orderBy("point_id")
+    }),
     // Stream-stream interval join through the gate (the third streaming
     // row): purchases within 1h after a view, watermark-bounded state,
     // append-mode drain equals the batch interval join bit-for-bit.
@@ -1660,6 +1672,24 @@ object SparkEntry {
         .select(col("s.doc_id").as("doc_id"), col("source"),
           col("s.score").as("score"), (col("i") + 1).cast("int").as("rk"))
         .orderBy("source", "rk")
+    }),
+    // URL canonicalization + dedup (ops.Curation.urlDedup): the first web
+    // dedup pass — scheme/host lowering, www/query/fragment/trailing-slash
+    // stripping, min-doc_id keep per canonical URL. Fixture mints four
+    // case/suffix variants per underlying page.
+    "curation_url_dedup" -> ((s, dir) => {
+      val urls = t(s, dir, "documents").selectExpr("doc_id",
+        """CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN concat('https://WWW.Example.com/path/',
+             CAST(doc_id DIV 4 AS STRING), '/page?utm=123#frag')
+           WHEN 1 THEN concat('https://example.com/path/',
+             CAST(doc_id DIV 4 AS STRING), '/page')
+           WHEN 2 THEN concat('http://Blog.Site.org/a/',
+             CAST(doc_id % 97 AS STRING))
+           ELSE concat('http://blog.site.org/a/',
+             CAST(doc_id % 97 AS STRING), '/')
+           END AS url""")
+      ops.Curation.urlDedup(urls).orderBy("doc_id")
     }),
     // Domain-mixture reweighting (ops.Curation.mixtureWeights): per-source
     // ppm sampling weights + repetition budgets toward a uniform token
@@ -5159,6 +5189,9 @@ object SparkEntry {
             lpad(CAST(CAST(abs(floor(lng)) AS BIGINT) AS VARCHAR), 3, '0')) AS tile_key
          FROM pts ORDER BY point_id""",
     "geo_elev_bilinear" -> cogroupElevOracleSql,
+    // the streaming enrichment path must land on the identical result, so
+    // it shares the bilinear oracle
+    "stream_elevation" -> cogroupElevOracleSql,
     "geo_terrarium" ->
       """WITH e AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
            ((l_extendedprice % 9000.0) - 500.0) + 32768.0 AS ev FROM lineitem)
@@ -5361,6 +5394,28 @@ object SparkEntry {
            FROM sc)
          SELECT doc_id, source, score, rk FROM r WHERE rk <= 30
          ORDER BY source, rk""",
+    "curation_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+           CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN concat('https://WWW.Example.com/path/',
+             CAST(doc_id // 4 AS VARCHAR), '/page?utm=123#frag')
+           WHEN 1 THEN concat('https://example.com/path/',
+             CAST(doc_id // 4 AS VARCHAR), '/page')
+           WHEN 2 THEN concat('http://Blog.Site.org/a/',
+             CAST(doc_id % 97 AS VARCHAR))
+           ELSE concat('http://blog.site.org/a/',
+             CAST(doc_id % 97 AS VARCHAR), '/')
+           END AS url FROM documents),
+         c AS (SELECT doc_id,
+           lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://' ||
+           regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)), '^www\.', '') ||
+           CASE WHEN regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$', '') = ''
+                THEN '/'
+                ELSE regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$', '') END
+           AS canon FROM u)
+         SELECT doc_id, canon,
+           doc_id = min(doc_id) OVER (PARTITION BY canon) AS keep
+         FROM c ORDER BY doc_id""",
     "curation_mix" ->
       """WITH p AS (SELECT source,
            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok

@@ -506,6 +506,38 @@ object Curation {
     * @param tokenCount exact-integer per-document token count expression
     * @return (source, tok, share_ppm, weight_ppm, epochs), one row/source
     */
+  /** URL canonicalization + dedup — the FIRST dedup pass of every web-scale
+    * corpus (cheaper than any content hash: the same page crawled via
+    * `https://WWW.Site.com/a/?utm=x#top` and `https://site.com/a` is one
+    * fetch decision, caught before bytes are even compared). Rules, all
+    * pure string/regex ops both engines evaluate identically:
+    * lowercase scheme and host, strip a leading `www.`, drop the query
+    * string and fragment, strip trailing slashes (empty path ⇒ `/`).
+    * Deliberately NOT url-decoding or sorting query params — those vary by
+    * site semantics; the knob is the rule list, the shape is per-row.
+    *
+    * Keep rule: min doc_id per canonical URL (one window over `canon` —
+    * the only shuffle; at 100 TB this is the cheap groupBy-dedup shape of
+    * `dedup_exact` with the canonical string as the key).
+    *
+    * @param urls (doc_id, url)
+    * @return (doc_id, canon, keep)
+    */
+  def urlDedup(urls: DataFrame): DataFrame = {
+    val scheme = lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1))
+    val host = regexp_replace(
+      lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1)),
+      "^www\\.", "")
+    val path0 = regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    val path = regexp_replace(path0, "/+$", "")
+    val canon = concat(scheme, lit("://"), host,
+      when(path === "", lit("/")).otherwise(path))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("canon")
+    urls.withColumn("canon", canon)
+      .withColumn("keep", col("doc_id") === min("doc_id").over(w))
+      .select("doc_id", "canon", "keep")
+  }
+
   def mixtureWeights(docs: DataFrame, tokenCount: Column): DataFrame = {
     val perSrc = docs.groupBy(col("source"))
       .agg(sum(tokenCount.cast("long")).as("tok"))

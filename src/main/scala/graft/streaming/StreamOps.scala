@@ -214,6 +214,48 @@ object StreamOps {
     drain(spark, name)
   }
 
+  /** STREAMING ELEVATION ENRICHMENT — the reference's live `/geojson`
+    * endpoint (`src/server.ts:74-95`) in its truest Spark form: a
+    * Structured Streaming job that enriches an unbounded coordinate stream
+    * against the broadcast tile-pyramid index. The lookup is STATELESS
+    * (tile_key + the codegen'd index-probe expression are per-row column
+    * adds), so the stream needs no watermark, no state store, and the
+    * append drain equals the batch [[graft.ops.Elevation.lookupBroadcast]]
+    * bit-for-bit — the J1 join family's third physical path (broadcast
+    * probe / cogroup shuffle / streaming enrichment), all three through
+    * the same oracle.
+    *
+    * @param pointExprs selectExpr strings deriving (point_id, lng, lat)
+    *                   from the streamed rows (the gate's fixture exprs)
+    */
+  def elevationEnrich(spark: SparkSession, path: String,
+                      tiles: org.apache.spark.sql.Dataset[graft.core.TileRow],
+                      pointExprs: Seq[String]): DataFrame = {
+    val name = s"graft_stream_el_${runSeq.incrementAndGet()}"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_ckpt_").toString
+    val src = java.nio.file.Paths.get(path)
+    val streamDir =
+      if (java.nio.file.Files.isDirectory(src)) path
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft_stream_src_")
+        java.nio.file.Files.createSymbolicLink(d.resolve(src.getFileName), src)
+        d.toString
+      }
+    val schema = spark.read.parquet(streamDir).schema
+    val pts = spark.readStream.schema(schema).parquet(streamDir)
+      .selectExpr(pointExprs: _*)
+    val q = graft.ops.Elevation.lookupBroadcast(pts, tiles)
+      .select(col("point_id"), col("tile_key"), col("elev"))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    drain(spark, name)
+  }
+
   /** Materialize a memory sink's table and release the temp-view name. */
   private def drain(spark: SparkSession, name: String): DataFrame = {
     val out = spark.table(name).cache()

@@ -1683,6 +1683,29 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 7)
   }
 
+  test("urlDedup: canonicalization rules and min-id keep") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "https://WWW.Example.com/A/B/?utm=1#x"), // www+case+query+frag+slash
+      (2L, "https://example.com/A/B"),              // dup of 1
+      (3L, "https://example.com/a/b"),              // path case differs: NOT a dup
+      (4L, "http://example.com/A/B"),               // scheme differs: NOT a dup
+      (5L, "https://example.com"),                  // empty path => '/'
+      (6L, "https://Example.com/"),                 // dup of 5
+      (7L, "https://wwwx.com/p")                    // 'www' only as a PREFIX label
+    ).toDF("doc_id", "url")
+    val got = graft.ops.Curation.urlDedup(urls)
+      .as[(Long, String, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == (("https://example.com/A/B", true)))
+    assert(got(2L) == (("https://example.com/A/B", false)))
+    assert(got(3L)._2 && got(3L)._1 == "https://example.com/a/b")
+    assert(got(4L)._2 && got(4L)._1 == "http://example.com/A/B")
+    assert(got(5L) == (("https://example.com/", true)))
+    assert(got(6L) == (("https://example.com/", false)))
+    assert(got(7L) == (("https://wwwx.com/p", true)), "wwwx host must not lose chars")
+  }
+
   test("mixtureWeights: exact ppm shares, uniform target, ceil epochs") {
     import spark.implicits._
     val docs = Seq(
