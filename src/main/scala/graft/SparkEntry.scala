@@ -446,6 +446,25 @@ object SparkEntry {
       streaming.StreamOps.dedupKeys(s, s"$dir/events.parquet")
         .orderBy("user_id", "event_type", "day")
     }),
+    // Implausible-speed flagging (ops.Trajectory.speedFlags): the GPS
+    // cleaning pass — exact integer µdeg/s per fix pair, teleports planted
+    // every 101st event jump the walk by 5 degrees.
+    "traj_speed" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val pts = t(s, dir, "events").filter(col("user_id") < 50)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          ((col("event_id") % 7) +
+            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
+          ((col("event_id") * 3) % 5).as("dy"))
+        .withColumn("pxc", sum("dx").over(w))
+        .withColumn("pyc", sum("dy").over(w))
+        .selectExpr("user_id AS traj_id",
+          "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us", "event_id AS tie",
+          "-120.0D + pxc / 1000.0D AS lng", "36.0D + pyc / 1000.0D AS lat")
+      ops.Trajectory.speedFlags(pts, maxSpeedQ = 100L)
+        .orderBy("traj_id", "tie")
+    }),
     // Fixed-interval time resampling (ops.Trajectory.resample): positions
     // at 6h epoch-aligned ticks lerped between fixes, exact micro-degree /
     // micro-second integer arithmetic — the normalization pass before
@@ -1563,6 +1582,14 @@ object SparkEntry {
     "media_window_rms" -> ((s, dir) => {
       ops.MediaOps.windowSquares(ops.MediaOps.synth(mediaMeta(s, dir)), winLen = 512)
         .orderBy("media_id", "win_no")
+    }),
+    // Shot-boundary detection (ops.MediaOps.sceneCuts): luminance-jump
+    // cuts over the sampled frame stream — decode-side features into one
+    // media_id window; binary payloads never shuffle.
+    "media_scene_cut" -> ((s, dir) => {
+      ops.MediaOps.sceneCuts(ops.MediaOps.synth(mediaMeta(s, dir)),
+          everyMs = 500L, threshold = 40L)
+        .orderBy("media_id", "ts_ms")
     }),
     "img_stats" -> ((s, dir) => {
       ops.ImageOps.decodeStats(gateTiles(s, "png")).orderBy("image_id")
@@ -4579,6 +4606,32 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT DISTINCT user_id, event_type, date_trunc('day', ts) AS day
          FROM events ORDER BY user_id, event_type, day""",
+    "traj_speed" ->
+      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
+           (event_id * 3) % 5 AS dy
+           FROM events WHERE user_id < 50),
+         c AS (SELECT user_id AS traj_id, event_id AS tie, ts_us,
+           sum(dx) OVER w AS pxc, sum(dy) OVER w AS pyc
+           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         q AS (SELECT traj_id, ts_us, tie,
+           CAST(floor((-120.0 + pxc / 1000.0) * 1000000.0) AS BIGINT) AS xq,
+           CAST(floor((36.0 + pyc / 1000.0) * 1000000.0) AS BIGINT) AS yq FROM c),
+         d AS (SELECT traj_id, tie, ts_us, xq, yq,
+           lag(ts_us) OVER w2 AS pts, lag(xq) OVER w2 AS px,
+           lag(yq) OVER w2 AS py
+           FROM q WINDOW w2 AS (PARTITION BY traj_id ORDER BY ts_us, tie)),
+         e AS (SELECT traj_id, tie, pts,
+           coalesce(CAST(floor(sqrt(CAST((xq-px)*(xq-px) + (yq-py)*(yq-py) AS DOUBLE))) AS BIGINT), 0) AS dist_q,
+           coalesce(ts_us - pts, 0) AS dt_us FROM d),
+         g AS (SELECT traj_id, tie, pts, dist_q, dt_us,
+           CASE WHEN pts IS NULL THEN 0
+                WHEN dt_us = 0 AND dist_q = 0 THEN 0
+                WHEN dt_us = 0 THEN -1
+                ELSE (dist_q * 1000000) // dt_us END AS speed_q FROM e)
+         SELECT traj_id, tie, dist_q, dt_us, speed_q,
+           (pts IS NOT NULL AND (speed_q = -1 OR speed_q > 100)) AS flagged
+         FROM g ORDER BY traj_id, tie""",
     "traj_resample" ->
       """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
            event_id % 7 AS dx, (event_id * 3) % 5 AS dy
@@ -4644,6 +4697,28 @@ object SparkEntry {
            CAST(list_sum(list_transform(range(0,16),
              i -> (media_id*31 + (off+i)*7) % 256)) // 16 AS BIGINT) AS luma16
          FROM o ORDER BY media_id, ts_ms""",
+    "media_scene_cut" ->
+      """WITH m AS (SELECT s_suppkey AS media_id,
+           1000 + (s_suppkey % 20) * 500 AS duration_ms,
+           CASE WHEN s_suppkey % 2 = 0 THEN 24000 ELSE 30000 END AS fps_milli,
+           4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),
+         f AS (SELECT media_id, fps_milli, n_bytes,
+           unnest(range(0, duration_ms, 500)) AS ts_ms FROM m),
+         h AS (SELECT media_id, ts_ms, ts_ms * fps_milli // 1000000 AS frame_no,
+           n_bytes FROM f),
+         o AS (SELECT media_id, frame_no, ts_ms,
+           (frame_no * 997) % (n_bytes - 16) AS off FROM h),
+         fr AS (SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(ts_ms AS BIGINT) AS ts_ms,
+           CAST(list_sum(list_transform(range(0,16),
+             i -> (media_id*31 + (off+i)*7) % 256)) // 16 AS BIGINT) AS luma16
+           FROM o),
+         d AS (SELECT media_id, ts_ms, luma16, lag(luma16) OVER w AS pl
+           FROM fr WINDOW w AS (PARTITION BY media_id ORDER BY ts_ms))
+         SELECT media_id, ts_ms, luma16,
+           CAST(coalesce(abs(luma16 - pl), 0) AS BIGINT) AS d_lum,
+           (pl IS NOT NULL AND abs(luma16 - pl) > 40) AS cut
+         FROM d ORDER BY media_id, ts_ms""",
     "media_window_rms" ->
       """WITH m AS (SELECT s_suppkey AS media_id,
            4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),

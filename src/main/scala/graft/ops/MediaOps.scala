@@ -92,6 +92,30 @@ object MediaOps {
     * exact integer sum of squares per window (the RMS numerator; the
     * division/sqrt stays with the caller so the gate compares integers).
     */
+  /** Scene-cut detection over the sampled frame stream: a cut is a frame
+    * whose 16-sample luminance mean jumps more than `threshold` levels from
+    * the previous sampled frame — the standard shot-boundary heuristic on
+    * the decode-side feature [[frameSample]] already extracts (a real
+    * deployment swaps the stub digest for a codec decode + histogram
+    * distance; the windowing algebra is unchanged). First frame of each
+    * asset: delta 0, never a cut. Exact integers end-to-end; ONE media_id
+    * window Exchange on the frame table (frames-per-asset rows, tiny next
+    * to the binary payloads, which never shuffle).
+    *
+    * @return (media_id, ts_ms, luma16, d_lum, cut)
+    */
+  def sceneCuts(media: Dataset[MediaRow], everyMs: Long,
+                threshold: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("media_id").orderBy("ts_ms")
+    frameSample(media, everyMs)
+      .withColumn("d_lum",
+        coalesce(abs(col("luma16") - lag("luma16", 1).over(w)), lit(0L)))
+      .withColumn("cut",
+        lag("luma16", 1).over(w).isNotNull && col("d_lum") > lit(threshold))
+      .select("media_id", "ts_ms", "luma16", "d_lum", "cut")
+  }
+
   def windowSquares(media: Dataset[MediaRow], winLen: Int): DataFrame = {
     require(winLen > 0, s"winLen must be > 0, got $winLen")
     val spark = media.sparkSession

@@ -236,6 +236,49 @@ object Trajectory {
     first.unionByName(seg)
   }
 
+  /** Implausible-speed flagging — the standard GPS-cleaning pass BEFORE any
+    * trajectory analytics (a teleporting fix poisons dwell runs, OD
+    * matrices and co-location alike): per consecutive fix pair, the exact
+    * integer speed `dist_μdeg · 10⁶ div Δt_μs` (micro-degrees/second), and
+    * a flag when it exceeds `maxSpeedQ` — or when Δt = 0 with nonzero
+    * displacement (two "simultaneous" fixes apart in space, the hard
+    * teleport). First fix of a trajectory is never flagged. Same quantize/
+    * sqrt/DIV algebra as [[pointAlong]]/[[resample]]; one traj_id window
+    * pass.
+    *
+    * @param points    (traj_id, ts_us, tie, lng, lat)
+    * @param maxSpeedQ plausibility ceiling in micro-degrees/second
+    * @return (traj_id, tie, dist_q, dt_us, speed_q, flagged) — speed_q is
+    *         −1 for the Δt = 0 + displacement case (∞ sentinel), 0 for a
+    *         trajectory's first fix
+    */
+  def speedFlags(points: DataFrame, maxSpeedQ: Long): DataFrame = {
+    require(maxSpeedQ > 0, s"maxSpeedQ must be positive: $maxSpeedQ")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("traj_id").orderBy("ts_us", "tie")
+    points
+      .select(col("traj_id"), col("ts_us").cast(LongType), col("tie"),
+        floor(col("lng") * lit(1000000.0)).cast(LongType).as("xq"),
+        floor(col("lat") * lit(1000000.0)).cast(LongType).as("yq"))
+      .withColumn("pts", lag("ts_us", 1).over(w))
+      .withColumn("px", lag("xq", 1).over(w))
+      .withColumn("py", lag("yq", 1).over(w))
+      .withColumn("dist_q", coalesce(
+        floor(sqrt(((col("xq") - col("px")) * (col("xq") - col("px")) +
+          (col("yq") - col("py")) * (col("yq") - col("py"))).cast("double")))
+          .cast(LongType), lit(0L)))
+      .withColumn("dt_us", coalesce(col("ts_us") - col("pts"), lit(0L)))
+      .withColumn("speed_q", expr(
+        """CASE WHEN pts IS NULL THEN 0L
+           WHEN dt_us = 0L AND dist_q = 0L THEN 0L
+           WHEN dt_us = 0L THEN -1L
+           ELSE (dist_q * 1000000L) DIV dt_us END"""))
+      .withColumn("flagged", col("pts").isNotNull &&
+        (col("speed_q") === -1L || col("speed_q") > lit(maxSpeedQ)))
+      .select("traj_id", "tie", "dist_q", "dt_us", "speed_q", "flagged")
+  }
+
   /** Point-at-fraction along every line (the turf `along` primitive as a
     * batch op): for each requested fraction f of a line's total length,
     * the interpolated position — waypoint/milestone extraction, label

@@ -1683,6 +1683,47 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 7)
   }
 
+  test("speedFlags: teleports, dup-ts fixes, and first-fix semantics") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, 1000000L, 1L, 10.0, 20.0),      // first fix: never flagged
+      (1L, 2000000L, 2L, 10.0001, 20.0),   // 100 µdeg in 1s = 100 -> at limit
+      (1L, 3000000L, 3L, 10.01, 20.0),     // 9900 µdeg in 1s -> flagged
+      (1L, 3000000L, 4L, 10.02, 20.0),     // dt=0, displacement -> -1 flagged
+      (1L, 3000000L, 5L, 10.02, 20.0),     // dt=0, no displacement -> ok
+      (2L, 1000000L, 6L, 0.0, 0.0)         // lone fix
+    ).toDF("traj_id", "ts_us", "tie", "lng", "lat")
+    val got = graft.ops.Trajectory.speedFlags(pts, maxSpeedQ = 100L)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._2 -> (r._5, r._6)).toMap
+    assert(got(1L) == ((0L, false)), "first fix")
+    assert(got(2L) == ((100L, false)), "exactly at the limit is plausible")
+    assert(got(3L)._2, "teleport flagged")
+    assert(got(4L) == ((-1L, true)), "dt=0 with displacement is the inf sentinel")
+    assert(got(5L) == ((0L, false)), "coincident duplicate fix is fine")
+    assert(got(6L) == ((0L, false)), "lone fix")
+  }
+
+  test("sceneCuts: first frame never cuts; jumps above threshold do") {
+    import spark.implicits._
+    // two synthetic assets via the deterministic generator
+    val meta = Seq((3L, 2000L, 24000L, 4096), (4L, 1500L, 30000L, 5120))
+      .toDF("media_id", "duration_ms", "fps_milli", "n_bytes")
+    val media = graft.ops.MediaOps.synth(meta)
+    val got = graft.ops.MediaOps.sceneCuts(media, 500L, 40L)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    got.foreach { case (id, frames) =>
+      assert(frames.head._4 == 0L && !frames.head._5, s"first frame of $id")
+      frames.sliding(2).foreach {
+        case Array((_, _, l0, _, _), (_, _, l1, d, c)) =>
+          assert(d == math.abs(l1 - l0), "delta is |lum jump|")
+          assert(c == (d > 40L), "cut iff above threshold")
+        case _ => ()
+      }
+    }
+  }
+
   test("urlDedup: canonicalization rules and min-id keep") {
     import spark.implicits._
     val urls = Seq(
