@@ -465,6 +465,27 @@ object SparkEntry {
       ops.Trajectory.speedFlags(pts, maxSpeedQ = 100L)
         .orderBy("traj_id", "tie")
     }),
+    // Composed trajectory pipeline (ops.Trajectory.cleanPipeline): speed
+    // cleaning -> time resampling -> 0.1-degree grid cells -> OD flows —
+    // the spatial analogue of curation_pipeline, gating the COMPOSITION of
+    // the already-gated stages.
+    "traj_pipeline" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val pts = t(s, dir, "events").filter(col("user_id") < 50)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          ((col("event_id") % 7) +
+            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
+          ((col("event_id") * 3) % 5).as("dy"))
+        .withColumn("pxc", sum("dx").over(w))
+        .withColumn("pyc", sum("dy").over(w))
+        .selectExpr("user_id AS traj_id",
+          "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us", "event_id AS tie",
+          "-120.0D + pxc / 1000.0D AS lng", "36.0D + pyc / 1000.0D AS lat")
+      ops.Trajectory.cleanPipeline(pts, maxSpeedQ = 100L,
+          stepUs = 21600000000L)
+        .orderBy("o_cell", "d_cell")
+    }),
     // Fixed-interval time resampling (ops.Trajectory.resample): positions
     // at 6h epoch-aligned ticks lerped between fixes, exact micro-degree /
     // micro-second integer arithmetic — the normalization pass before
@@ -4632,6 +4653,61 @@ object SparkEntry {
          SELECT traj_id, tie, dist_q, dt_us, speed_q,
            (pts IS NOT NULL AND (speed_q = -1 OR speed_q > 100)) AS flagged
          FROM g ORDER BY traj_id, tie""",
+    "traj_pipeline" ->
+      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
+           (event_id * 3) % 5 AS dy
+           FROM events WHERE user_id < 50),
+         c AS (SELECT user_id AS traj_id, event_id AS tie, ts_us,
+           sum(dx) OVER w AS pxc, sum(dy) OVER w AS pyc
+           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         q AS (SELECT traj_id, ts_us, tie,
+           CAST(floor((-120.0 + pxc / 1000.0) * 1000000.0) AS BIGINT) AS xq,
+           CAST(floor((36.0 + pyc / 1000.0) * 1000000.0) AS BIGINT) AS yq FROM c),
+         d AS (SELECT traj_id, tie, ts_us, xq, yq,
+           lag(ts_us) OVER w2 AS pts, lag(xq) OVER w2 AS px,
+           lag(yq) OVER w2 AS py
+           FROM q WINDOW w2 AS (PARTITION BY traj_id ORDER BY ts_us, tie)),
+         e AS (SELECT traj_id, tie, pts,
+           coalesce(CAST(floor(sqrt(CAST((xq-px)*(xq-px) + (yq-py)*(yq-py) AS DOUBLE))) AS BIGINT), 0) AS dist_q,
+           coalesce(ts_us - pts, 0) AS dt_us FROM d),
+         g AS (SELECT traj_id, tie, pts, dist_q, dt_us,
+           CASE WHEN pts IS NULL THEN 0
+                WHEN dt_us = 0 AND dist_q = 0 THEN 0
+                WHEN dt_us = 0 THEN -1
+                ELSE (dist_q * 1000000) // dt_us END AS speed_q FROM e),
+         cl AS (SELECT q.traj_id, q.ts_us, q.tie, q.xq, q.yq
+           FROM q JOIN g ON q.traj_id = g.traj_id AND q.tie = g.tie
+           WHERE NOT (g.pts IS NOT NULL AND (g.speed_q = -1 OR g.speed_q > 100))),
+         d2 AS (SELECT traj_id, ts_us, tie, xq, yq,
+           lag(ts_us) OVER w3 AS pts, lag(xq) OVER w3 AS px,
+           lag(yq) OVER w3 AS py, row_number() OVER w3 AS rn
+           FROM cl WINDOW w3 AS (PARTITION BY traj_id ORDER BY ts_us, tie)),
+         f2 AS (SELECT traj_id, ts_us AS tick_us, xq AS ax, yq AS ay
+           FROM d2 WHERE rn = 1 AND ts_us % 21600000000 = 0),
+         s2 AS (SELECT d2.*, pts // 21600000000 + 1 AS k0,
+           ts_us // 21600000000 AS k1 FROM d2 WHERE rn > 1 AND ts_us > pts),
+         g2 AS (SELECT traj_id, k.kk * 21600000000 AS tick_us, px, py, xq, yq,
+           k.kk * 21600000000 - pts AS offq, ts_us - pts AS den
+           FROM s2, unnest(range(s2.k0, s2.k1 + 1)) AS k(kk)),
+         h2 AS (SELECT traj_id, tick_us,
+           px + CASE WHEN xq >= px THEN ((xq - px) * offq) // den
+                ELSE -(((px - xq) * offq) // den) END AS ax,
+           py + CASE WHEN yq >= py THEN ((yq - py) * offq) // den
+                ELSE -(((py - yq) * offq) // den) END AS ay FROM g2),
+         tk AS (SELECT traj_id, tick_us, ax, ay FROM f2
+           UNION ALL SELECT traj_id, tick_us, ax, ay FROM h2),
+         cells AS (SELECT traj_id, tick_us,
+           ((ax + 180000000) // 100000) * 10000 + (ay + 90000000) // 100000 AS cell
+           FROM tk),
+         ends AS (SELECT traj_id,
+           first_value(cell) OVER w4 AS o_cell,
+           last_value(cell) OVER w4 AS d_cell
+           FROM cells WINDOW w4 AS (PARTITION BY traj_id ORDER BY tick_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+         dd AS (SELECT DISTINCT traj_id, o_cell, d_cell FROM ends)
+         SELECT o_cell, d_cell, CAST(count(*) AS BIGINT) AS n_traj
+         FROM dd GROUP BY 1, 2 ORDER BY o_cell, d_cell""",
     "traj_resample" ->
       """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
            event_id % 7 AS dx, (event_id * 3) % 5 AS dy

@@ -279,6 +279,41 @@ object Trajectory {
       .select("traj_id", "tie", "dist_q", "dt_us", "speed_q", "flagged")
   }
 
+  /** The composed trajectory pipeline — the spatial analogue of the
+    * curation stack's dedup→quality→decontam→budget chain, stitching this
+    * module's stages into the shape a production movement-analytics job
+    * actually runs:
+    *
+    *   [[speedFlags]] (drop implausible fixes) → [[resample]] (same-instant
+    *   ticks) → 0.1° grid-cell assignment (offset integer DIV — engine-
+    *   exact) → [[odMatrix]] (first→last flows).
+    *
+    * Every stage is the already-gated operator — the pipeline gate proves
+    * the COMPOSITION (cleaning changes which segments exist, resampling
+    * changes which instants are compared, the OD rollup sees only clean
+    * aligned ticks), not new math. Plan shape: the stages share the
+    * traj_id partitioning; the only new exchange beyond the stage set is
+    * the final (o, d) rollup.
+    *
+    * @return (o_cell, d_cell, n_traj)
+    */
+  def cleanPipeline(points: DataFrame, maxSpeedQ: Long,
+                    stepUs: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val flagged = speedFlags(points, maxSpeedQ)
+      .filter(col("flagged"))
+      .select(col("traj_id").as("f_traj"), col("tie").as("f_tie"))
+    val clean = points.join(flagged,
+      points("traj_id") === flagged("f_traj") &&
+        points("tie") === flagged("f_tie"), "left_anti")
+    val ticks = resample(clean, stepUs)
+      .select(col("traj_id"), col("tick_us").as("ts"),
+        col("tick_us").as("tie"),
+        (expr("((ax + 180000000) DIV 100000) * 10000") +
+          expr("(ay + 90000000) DIV 100000")).as("cell"))
+    odMatrix(ticks)
+  }
+
   /** Point-at-fraction along every line (the turf `along` primitive as a
     * batch op): for each requested fraction f of a line's total length,
     * the interpolated position — waypoint/milestone extraction, label
