@@ -1193,6 +1193,30 @@ object SparkEntry {
         .orderBy("grp")
     }),
 
+    // Changelog MERGE (ops.Cdc.applyChanges): latest-wins upsert + deletes
+    // + inserts folded into the base snapshot by one key window — the
+    // row-level complement of checkpoint_timetravel's table snapshots.
+    // Fixture: +1000 price updates on keys %7, deletes on %13 (outranking
+    // the updates where both apply), fresh inserts cloned from keys %31.
+    "cdc_upsert" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val upd = base.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        .withColumn("seq", lit(1L)).withColumn("op", lit("U"))
+      val del = base.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("seq", lit(2L)).withColumn("op", lit("D"))
+      val ins = base.filter(col("o_orderkey") % 31 === 0)
+        .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+        .withColumn("seq", lit(1L)).withColumn("op", lit("I"))
+      ops.Cdc.applyChanges(base, upd.unionByName(del).unionByName(ins),
+          Seq("o_orderkey"))
+        .groupBy((col("o_custkey") % 16).as("grp"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy("grp")
+    }),
     // Iceberg-style TIME TRAVEL (table.Checkpoint.writeVersioned/readAt):
     // r1 snapshots the full table, r2 patches buckets 0-3 (price +1000);
     // reading AS OF r1 vs AS OF r2 shows bucket-granularity snapshot
@@ -1614,6 +1638,12 @@ object SparkEntry {
     }),
     "img_stats" -> ((s, dir) => {
       ops.ImageOps.decodeStats(gateTiles(s, "png")).orderBy("image_id")
+    }),
+    // Variance-of-Laplacian focus measure (ops.ImageOps.blurStats): the
+    // standard blur filter of image curation, exact integer moments so the
+    // sharpness ranking needs no float division. Decode-once, zero shuffle.
+    "img_blur" -> ((s, dir) => {
+      ops.ImageOps.blurStats(gateTiles(s, "png")).orderBy("image_id")
     }),
     // Per-image luminance histogram (width-256 bins): the exposure profile
     // for degenerate-image filtering; decode-once, zero shuffle.
@@ -5369,6 +5399,36 @@ object SparkEntry {
       """SELECT o_custkey % 16 AS grp, count(*) AS n,
          round(sum(o_totalprice), 2) AS sum_price
          FROM orders GROUP BY 1 ORDER BY grp""",
+    "cdc_upsert" ->
+      """WITH fin AS (
+           SELECT o_custkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS p
+           FROM orders WHERE o_orderkey % 13 <> 0
+           UNION ALL
+           SELECT o_custkey, o_totalprice AS p
+           FROM orders WHERE o_orderkey % 31 = 0)
+         SELECT o_custkey % 16 AS grp, CAST(count(*) AS BIGINT) AS n,
+           round(sum(p), 2) AS sum_price
+         FROM fin GROUP BY 1 ORDER BY grp""",
+    "img_blur" ->
+      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         l AS (SELECT swlng, swlat,
+           4*(((c.range//8)*(r.range//8)) % 32)
+           - (((c.range//8)*((r.range-1)//8)) % 32)
+           - (((c.range//8)*((r.range+1)//8)) % 32)
+           - ((((c.range-1)//8)*(r.range//8)) % 32)
+           - ((((c.range+1)//8)*(r.range//8)) % 32) AS lap
+           FROM corners, range(1,600) r, range(1,600) c),
+         a AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           CAST(count(*) AS BIGINT) AS n_int,
+           CAST(sum(lap) AS BIGINT) AS lap_sum,
+           CAST(sum(lap*lap) AS BIGINT) AS lap_sumsq
+           FROM l GROUP BY 1)
+         SELECT image_id, n_int, lap_sum, lap_sumsq,
+           n_int * lap_sumsq - lap_sum * lap_sum AS var_num
+         FROM a ORDER BY image_id""",
     "checkpoint_timetravel" ->
       """WITH s1 AS (SELECT o_custkey % 16 AS grp, count(*) AS n,
            round(sum(o_totalprice), 2) AS sum_price, 'r1' AS snap

@@ -39,6 +39,50 @@ object ImageOps {
     }.toDF()
   }
 
+  /** Per-image Laplacian focus measure row. */
+  final case class BlurRow(image_id: String, n_int: Long, lap_sum: Long,
+                           lap_sumsq: Long, var_num: Long)
+
+  /** Variance-of-Laplacian focus measure — the standard blur/defocus filter
+    * of image-corpus curation (a sharp image has high-frequency content ⇒
+    * large 4-neighbour Laplacian variance; a blurred one collapses toward
+    * zero). Exact integers end to end: per interior pixel
+    * `lap = 4v − v↑ − v↓ − v← − v→`, and the emitted moments
+    * `(n, Σlap, Σlap², n·Σlap² − (Σlap)²)` let any consumer rank/threshold
+    * without a float division (the variance NUMERATOR is the comparable —
+    * same denominator n² for every image of one shape). The Laplacian
+    * stencil is symmetric under row/column flips, so the moment set is
+    * independent of the decode's row orientation. Integer headroom:
+    * |lap| ≤ 4·max_value ⇒ Σlap² ≤ n·16·max², and the variance numerator
+    * needs n·Σlap² < 2⁶³ — holds to megapixel images at 16-bit depth.
+    * Decode-once mapPartitions, one row out per image, ZERO shuffle.
+    */
+  def blurStats(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[BlurRow]
+    tiles.mapPartitions { it =>
+      it.map { t =>
+        val d = TileCodec.decode(t)
+        val size = d.size
+        var sum = 0L; var sumsq = 0L
+        var r = 1
+        while (r < size - 1) {
+          var c = 1
+          val base = r * size
+          while (c < size - 1) {
+            val lap = 4L * d.samples(base + c) -
+              d.samples(base - size + c) - d.samples(base + size + c) -
+              d.samples(base + c - 1) - d.samples(base + c + 1)
+            sum += lap; sumsq += lap * lap
+            c += 1
+          }
+          r += 1
+        }
+        val n = (size - 2).toLong * (size - 2).toLong
+        BlurRow(t.image_id, n, sum, sumsq, n * sumsq - sum * sum)
+      }
+    }.toDF()
+  }
+
   /** One luminance-histogram bin of one image. */
   final case class ImgHistRow(image_id: String, bin: Int, n_px: Long)
 

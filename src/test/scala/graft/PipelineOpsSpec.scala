@@ -1724,6 +1724,53 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("cdc applyChanges: latest-wins, deletes terminal, inserts, seq order") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    val changes = Seq(
+      (1L, "a2", 11.0, 1L, "U"),  // update
+      (1L, "a3", 12.0, 3L, "U"),  // later update wins over seq 1
+      (2L, "xx", 0.0, 5L, "D"),   // delete (payload ignored)
+      (4L, "d", 40.0, 1L, "I"),   // insert (key absent from base)
+      (5L, "e", 50.0, 1L, "I"),   // insert then delete -> absent
+      (5L, "xx", 0.0, 2L, "D"),
+      (6L, "f", 60.0, 2L, "D"),   // delete then LATER re-insert -> present
+      (6L, "f2", 61.0, 4L, "I")
+    ).toDF("k", "name", "v", "seq", "op")
+    val got = graft.ops.Cdc.applyChanges(base, changes, Seq("k"))
+      .as[(Long, String, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(
+      1L -> ("a3", 12.0),   // highest seq wins
+      3L -> ("c", 30.0),    // untouched base row survives
+      4L -> ("d", 40.0),
+      6L -> ("f2", 61.0)))  // re-insert after delete
+  }
+
+  test("blurStats: moments match the independent closed-form Laplacian") {
+    import spark.implicits._
+    val tiles = spark.createDataset(graft.synth.TileGen.tiles(
+      Seq((-119, 36), (-118, 37)), 101, "hgt"))
+    val got = graft.ops.ImageOps.blurStats(tiles)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    for ((swLng, swLat) <- Seq((-119, 36), (-118, 37))) {
+      // independent reference straight from the generator formula — the
+      // linear terms cancel, only the blocky curvature contributes
+      def m(r: Int, c: Int) = ((c / 8) * (r / 8)) % 32
+      var sum = 0L; var sumsq = 0L
+      for (r <- 1 until 100; c <- 1 until 100) {
+        val lap = 4L * m(r, c) - m(r - 1, c) - m(r + 1, c) - m(r, c - 1) - m(r, c + 1)
+        sum += lap; sumsq += lap * lap
+      }
+      val n = 99L * 99L
+      val key = graft.geo.TileKey.ofDegrees(swLng, swLat)
+      assert(got(key) == ((n, sum, sumsq, n * sumsq - sum * sum)), key)
+      // a sharp synthetic field has nonzero focus numerator
+      assert(got(key)._4 > 0L)
+    }
+  }
+
   test("urlDedup: canonicalization rules and min-id keep") {
     import spark.implicits._
     val urls = Seq(
