@@ -465,6 +465,27 @@ object SparkEntry {
       ops.Trajectory.speedFlags(pts, maxSpeedQ = 100L)
         .orderBy("traj_id", "tie")
     }),
+    // Regular-grid gap filling (ops.AsofJoin.gapFill): one row per type per
+    // hour across its observed span, forward-filled — the normalization
+    // pass that makes ROWS-frame analytics honest on sparse series. The
+    // user subset sparsifies the hourly buckets so real gaps exist.
+    "events_gap_fill" -> ((s, dir) => {
+      ops.AsofJoin.gapFill(
+          t(s, dir, "events").filter(col("user_id") % 50 === 0),
+          "event_type", expr("unix_micros(CAST(ts AS TIMESTAMP))"),
+          expr("CAST(round(value * 100, 0) AS LONG)"), stepUs = 3600000000L)
+        .orderBy("event_type", "bucket_us")
+    }),
+    // Line rasterization (ops.Rasterize.lineDensity): integer-DDA traces of
+    // every segment onto a 0.01-degree grid, distinct-line count per cell —
+    // the road/trail density map.
+    "geo_line_density" -> ((s, dir) => {
+      val verts = gatePoints(s, dir)
+        .withColumn("line_id", col("point_id") % 199)
+        .withColumn("seq", col("point_id"))
+      ops.Rasterize.lineDensity(verts, cellsPerDeg = 100)
+        .orderBy("cx", "cy")
+    }),
     // Composed trajectory pipeline (ops.Trajectory.cleanPipeline): speed
     // cleaning -> time resampling -> 0.1-degree grid cells -> OD flows —
     // the spatial analogue of curation_pipeline, gating the COMPOSITION of
@@ -4683,6 +4704,44 @@ object SparkEntry {
          SELECT traj_id, tie, dist_q, dt_us, speed_q,
            (pts IS NOT NULL AND (speed_q = -1 OR speed_q > 100)) AS flagged
          FROM g ORDER BY traj_id, tie""",
+    "events_gap_fill" ->
+      """WITH b AS (SELECT event_type,
+           (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+           CAST(round(value * 100, 0) AS BIGINT) AS v
+           FROM events WHERE user_id % 50 = 0),
+         p AS (SELECT event_type, bucket_us, CAST(sum(v) AS BIGINT) AS obs_cents
+           FROM b GROUP BY 1, 2),
+         sp AS (SELECT event_type,
+           unnest(range(min(bucket_us), max(bucket_us) + 3600000000, 3600000000)) AS bucket_us
+           FROM p GROUP BY event_type),
+         j AS (SELECT sp.event_type, sp.bucket_us, p.obs_cents
+           FROM sp LEFT JOIN p ON p.event_type = sp.event_type AND p.bucket_us = sp.bucket_us),
+         f AS (SELECT event_type, bucket_us,
+           last_value(obs_cents IGNORE NULLS) OVER (PARTITION BY event_type
+             ORDER BY bucket_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents,
+           obs_cents IS NULL AS filled FROM j)
+         SELECT event_type, bucket_us, cents, filled FROM f
+         ORDER BY event_type, bucket_us""",
+    "geo_line_density" ->
+      """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
+           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
+           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
+           FROM lineitem),
+         v AS (SELECT point_id % 199 AS line_id, point_id AS seq,
+           CAST(floor(lng * 100) AS BIGINT) AS x1,
+           CAST(floor(lat * 100) AS BIGINT) AS y1 FROM pts),
+         d AS (SELECT line_id, x1, y1, lag(x1) OVER w AS x0, lag(y1) OVER w AS y0
+           FROM v WINDOW w AS (PARTITION BY line_id ORDER BY seq)),
+         s AS (SELECT *, greatest(abs(x1-x0), abs(y1-y0), 1) AS steps
+           FROM d WHERE x0 IS NOT NULL),
+         tr AS (SELECT DISTINCT line_id,
+           x0 + CASE WHEN x1 >= x0 THEN ((x1-x0)*k.kk) // steps
+                ELSE -(((x0-x1)*k.kk) // steps) END AS cx,
+           y0 + CASE WHEN y1 >= y0 THEN ((y1-y0)*k.kk) // steps
+                ELSE -(((y0-y1)*k.kk) // steps) END AS cy
+           FROM s, unnest(range(0, s.steps + 1)) AS k(kk))
+         SELECT cx, cy, CAST(count(*) AS BIGINT) AS n_lines
+         FROM tr GROUP BY 1, 2 ORDER BY cx, cy""",
     "traj_pipeline" ->
       """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
            event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.geo.ConvexClip
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 
 /** Vector→raster rasterization with EXACT area weights — the missing step
   * between boolean point-in-polygon membership and area-weighted zonal
@@ -92,5 +92,48 @@ object Rasterize {
         (col("n") * (lit(2) - abs(col("di"))) * (lit(2) - abs(col("dj"))))
           .as("w"))
       .groupBy("gx", "gy").agg(sum("w").cast("long").as("density"))
+  }
+
+  /** LINE rasterization — per-cell distinct-line density (the road/trail
+    * density map; the 1-D companion of [[cellAreaWeights]]' polygon
+    * kernel). Each consecutive vertex pair is traced onto the cell grid by
+    * integer DDA: `steps = max(|Δcx|, |Δcy|, 1)` and cell i of the trace is
+    * `(c0 + Δ·i div steps)` with the engine's sign-split non-negative
+    * division — every cell the parameterized line passes at 1/steps
+    * sampling, exact integers, engine-replayable (Bresenham's
+    * error-accumulator variant visits the same cells for |Δ| ≤ steps but
+    * is gratuitously stateful for SQL replay; DDA at the max-delta step
+    * count is the standard supercover-lite). Duplicate coverage dedupes
+    * per line, then the density is a distinct-line count per cell.
+    *
+    * Plan shape: one window-free explode (steps+1 rows per segment — the
+    * trace length is the segment's cell span, data-bounded), one distinct,
+    * one (cx, cy) rollup. Lines never join anything.
+    *
+    * @param verts (line_id, seq, lng, lat)
+    * @param cellsPerDeg grid resolution (cells per degree)
+    * @return (cx, cy, n_lines)
+    */
+  def lineDensity(verts: DataFrame, cellsPerDeg: Int): DataFrame = {
+    require(cellsPerDeg > 0, s"cellsPerDeg must be positive: $cellsPerDeg")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("line_id").orderBy("seq")
+    verts
+      .select(col("line_id"), col("seq"),
+        floor(col("lng") * cellsPerDeg).cast("long").as("x1"),
+        floor(col("lat") * cellsPerDeg).cast("long").as("y1"))
+      .withColumn("x0", lag("x1", 1).over(w))
+      .withColumn("y0", lag("y1", 1).over(w))
+      .filter(col("x0").isNotNull)
+      .withColumn("steps",
+        greatest(abs(col("x1") - col("x0")), abs(col("y1") - col("y0")), lit(1L)))
+      .withColumn("i", explode(sequence(lit(0L), col("steps"))))
+      .selectExpr("line_id",
+        """x0 + CASE WHEN x1 >= x0 THEN ((x1 - x0) * i) DIV steps
+             ELSE -(((x0 - x1) * i) DIV steps) END AS cx""",
+        """y0 + CASE WHEN y1 >= y0 THEN ((y1 - y0) * i) DIV steps
+             ELSE -(((y0 - y1) * i) DIV steps) END AS cy""")
+      .distinct()
+      .groupBy("cx", "cy").agg(count(lit(1)).as("n_lines"))
   }
 }

@@ -1771,6 +1771,57 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("gapFill: spine spans per key, forward fill, gap flags") {
+    import spark.implicits._
+    // key a: observations at buckets 0, 3 (gap at 1, 2); key b: single obs
+    val rows = Seq(
+      ("a", 50L, 10L), ("a", 80L, 5L),   // bucket 0 (step 100): sum 15
+      ("a", 320L, 7L),                    // bucket 3
+      ("b", 1010L, 2L))
+      .toDF("k", "ts", "v")
+    val got = graft.ops.AsofJoin.gapFill(rows, "k", col("ts"), col("v"), 100L)
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got == Map(
+      ("a", 0L) -> (15L, false),
+      ("a", 100L) -> (15L, true),
+      ("a", 200L) -> (15L, true),
+      ("a", 300L) -> (7L, false),
+      ("b", 1000L) -> (2L, false)))
+  }
+
+  test("lineDensity: DDA trace matches brute force; counts are per-line distinct") {
+    import spark.implicits._
+    val verts = Seq(
+      // line 1: a diagonal crossing several cells, revisiting one cell
+      (1L, 0L, 0.005, 0.005), (1L, 1L, 0.055, 0.035), (1L, 2L, 0.005, 0.005),
+      // line 2: axis-aligned east, overlapping line 1's first cell
+      (2L, 0L, 0.001, 0.001), (2L, 1L, 0.045, 0.001))
+      .toDF("line_id", "seq", "lng", "lat")
+    val got = graft.ops.Rasterize.lineDensity(verts, 100)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // brute force: same integer DDA
+    def trace(x0: Long, y0: Long, x1: Long, y1: Long): Set[(Long, Long)] = {
+      val steps = math.max(1L, math.max(math.abs(x1 - x0), math.abs(y1 - y0)))
+      (0L to steps).map { i =>
+        def lerp(a: Long, b: Long) =
+          if (b >= a) a + (b - a) * i / steps else a - (a - b) * i / steps
+        (lerp(x0, x1), lerp(y0, y1))
+      }.toSet
+    }
+    def q(v: Double) = math.floor(v * 100).toLong
+    val lines = Seq(
+      1L -> Seq((0.005, 0.005), (0.055, 0.035), (0.005, 0.005)),
+      2L -> Seq((0.001, 0.001), (0.045, 0.001)))
+    val want = lines.flatMap { case (lid, vs) =>
+      vs.zip(vs.drop(1)).flatMap { case ((ax, ay), (bx, by)) =>
+        trace(q(ax), q(ay), q(bx), q(by)) }.toSet.map((c: (Long, Long)) => c -> lid)
+    }.groupBy(_._1).map { case (c, ls) => c -> ls.map(_._2).distinct.size.toLong }
+    assert(got == want)
+    // the shared start cell counts both lines once each
+    assert(got((0L, 0L)) == 2L)
+  }
+
   test("urlDedup: canonicalization rules and min-id keep") {
     import spark.implicits._
     val urls = Seq(
