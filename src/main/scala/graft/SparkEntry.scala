@@ -1660,6 +1660,20 @@ object SparkEntry {
     "img_stats" -> ((s, dir) => {
       ops.ImageOps.decodeStats(gateTiles(s, "png")).orderBy("image_id")
     }),
+    // Raster change detection (ops.ImageOps.changeStats): two epochs of
+    // the tile store — the curvy field vs the smooth plane — joined on
+    // tile key and diffed pairwise; only 5-integer stats rows leave the
+    // operator. The raster<->raster join next to J4's raster<->vector.
+    "geo_elev_diff" -> ((s, dir) => {
+      import s.implicits._
+      val corners = Seq((-120, 36), (-120, 37), (-119, 36), (-119, 37),
+        (-118, 36), (-117, 37))
+      val epochA = s.createDataset(TileGen.tiles(corners, 601, "hgt"))
+      val epochB = s.createDataset(corners.map { case (lng, lat) =>
+        TileGen.tileRow(lng, lat, 601, "hgt", TileGen.planeAt) })
+      ops.ImageOps.changeStats(epochA, epochB, threshold = 600)
+        .orderBy("image_id")
+    }),
     // Variance-of-Laplacian focus measure (ops.ImageOps.blurStats): the
     // standard blur filter of image curation, exact integer moments so the
     // sharpness ranking needs no float division. Decode-once, zero shuffle.
@@ -5470,6 +5484,18 @@ object SparkEntry {
          SELECT o_custkey % 16 AS grp, CAST(count(*) AS BIGINT) AS n,
            round(sum(p), 2) AS sum_price
          FROM fin GROUP BY 1 ORDER BY grp""",
+    "geo_elev_diff" ->
+      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         g AS (SELECT swlng, swlat,
+           c.range + r.range + ((c.range//8)*(r.range//8)) % 32 AS ad
+           FROM corners, range(0,601) r, range(0,601) c)
+         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(CASE WHEN ad > 600 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(sum(ad) AS BIGINT) AS abs_sum,
+           CAST(max(ad) AS BIGINT) AS abs_max
+         FROM g GROUP BY swlng, swlat ORDER BY image_id""",
     "img_blur" ->
       """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
          l AS (SELECT swlng, swlat,

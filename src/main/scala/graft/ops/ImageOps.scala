@@ -39,6 +39,49 @@ object ImageOps {
     }.toDF()
   }
 
+  /** Per-tile raster change-detection row. */
+  final case class ChangeRow(image_id: String, n_px: Long, n_changed: Long,
+                             abs_sum: Long, abs_max: Long)
+
+  /** Raster CHANGE DETECTION — the raster↔raster join the engine's join
+    * inventory was missing next to raster↔vector (J4): two epochs of the
+    * same tile store joined on tile key, decoded pairwise, per-tile
+    * difference statistics (changed-pixel count above a threshold, total
+    * and max absolute change) in exact integers. The terrain-monitoring /
+    * map-update primitive ("which tiles changed enough to re-process").
+    *
+    * Scale shape: ONE equi-join on the store's partition key — on a
+    * tile_key-bucketed layout both sides co-locate and the join is
+    * shuffle-free; decode happens once per matched pair inside the map,
+    * and only the 5-integer stats rows leave the operator (never pixels).
+    * Tiles present in one epoch only are dropped (inner join — the
+    * new/retired-tile report is a cheap anti-join the caller composes).
+    */
+  def changeStats(a: Dataset[TileRow], b: Dataset[TileRow],
+                  threshold: Int): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    a.joinWith(b, a("image_id") === b("image_id"))
+      .mapPartitions { it =>
+        it.map { case (ta, tb) =>
+          val da = TileCodec.decode(ta)
+          val db = TileCodec.decode(tb)
+          require(da.size == db.size,
+            s"epoch size mismatch for ${ta.image_id}: ${da.size} vs ${db.size}")
+          var nch = 0L; var s = 0L; var mx = 0L
+          var i = 0
+          while (i < da.samples.length) {
+            val d = math.abs(db.samples(i) - da.samples(i)).toLong
+            if (d > threshold) nch += 1
+            s += d
+            if (d > mx) mx = d
+            i += 1
+          }
+          ChangeRow(ta.image_id, da.samples.length.toLong, nch, s, mx)
+        }
+      }.toDF()
+  }
+
   /** Per-image Laplacian focus measure row. */
   final case class BlurRow(image_id: String, n_int: Long, lap_sum: Long,
                            lap_sumsq: Long, var_num: Long)

@@ -187,6 +187,46 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       .foreach(n => assert(labels(n) == 2, s"unfiltered neighbor $n"))
   }
 
+  test("continuation ops plan audit: key-bounded shuffles, no cartesian") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def audit(df: org.apache.spark.sql.DataFrame, maxShuffles: Int,
+                tag: String): Unit = {
+        val plan = df.queryExecution.executedPlan
+        assert(plan.collect {
+          case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        }.isEmpty, s"$tag planned a cartesian:\n$plan")
+        val n = plan.collect { case s: ShuffleExchangeExec => s }.length
+        assert(n <= maxShuffles, s"$tag: $n shuffles > $maxShuffles:\n$plan")
+      }
+      // CDC merge: ONE key window exchange (union is narrow)
+      val base = (0 until 100).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+      val ch = (0 until 50).map(i => (i.toLong, i * 2.0, 1L, "U"))
+        .toDF("k", "v", "seq", "op")
+      audit(graft.ops.Cdc.applyChanges(base, ch, Seq("k")), 1, "cdc")
+      // gap fill: bucket rollup + spine agg + join/window — all keyed
+      val ev = (0 until 500).map(i => (s"t${i % 3}", i.toLong * 7, i.toLong))
+        .toDF("k", "ts", "v")
+      audit(graft.ops.AsofJoin.gapFill(ev, "k", col("ts"), col("v"), 100L),
+        4, "gapFill")
+      // line density: line window + distinct + cell rollup
+      val verts = (0 until 300).map(i =>
+        (i.toLong % 10, i.toLong, -119.0 + (i % 30) * 0.001, 36.0 + (i % 7) * 0.001))
+        .toDF("line_id", "seq", "lng", "lat")
+      audit(graft.ops.Rasterize.lineDensity(verts, 100), 3, "lineDensity")
+      // speed flags / pointAlong / resample: ONE traj window exchange each
+      val pts = (0 until 200).map(i =>
+        (i.toLong % 5, 1000000L + i * 1000L, i.toLong,
+          -119.0 + i * 1e-4, 36.0 + i * 1e-4))
+        .toDF("traj_id", "ts_us", "tie", "lng", "lat")
+      audit(graft.ops.Trajectory.speedFlags(pts, 100L), 1, "speedFlags")
+      audit(graft.ops.Trajectory.resample(pts, 100000L), 2, "resample")
+      val lverts = pts.selectExpr("traj_id AS line_id", "tie AS seq", "lng", "lat")
+      audit(graft.ops.Trajectory.pointAlong(lverts, Seq(500000L)), 1, "pointAlong")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("pq coding is shuffle-free; kmeans step shuffles only k·dims partials") {
     import spark.implicits._
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_planspec_vecs"
