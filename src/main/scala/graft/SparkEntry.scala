@@ -446,6 +446,18 @@ object SparkEntry {
       streaming.StreamOps.dedupKeys(s, s"$dir/events.parquet")
         .orderBy("user_id", "event_type", "day")
     }),
+    // Streaming HLL distinct (streaming.StreamOps.hllDistinct — the 5th
+    // stateful streaming row): the sketch registers ARE the stream state
+    // (32 max-rank Longs per group, merged by MAX each micro-batch,
+    // order-insensitive), so the drain equals the batch sketch bit-for-bit
+    // and the gate reuses events_hll_distinct's oracle verbatim.
+    "stream_hll" -> ((s, dir) => {
+      val sk = streaming.StreamOps.hllDistinct(
+        s, s"$dir/events.parquet", "event_type", "user_id")
+      val exact = t(s, dir, "events").groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_exact"))
+      sk.join(exact, "event_type").orderBy("event_type")
+    }),
     // Implausible-speed flagging (ops.Trajectory.speedFlags): the GPS
     // cleaning pass — exact integer µdeg/s per fix pair, teleports planted
     // every 101st event jump the walk by 5 degrees.
@@ -1238,6 +1250,50 @@ object SparkEntry {
           round(sum(col("o_totalprice")), 2).as("sum_price"))
         .orderBy("grp")
     }),
+    // SCD type-2 history build (ops.Cdc.scd2): the same changelog folded
+    // into versioned dimension rows — [valid_from, valid_to) in sequence
+    // space, deletes closing, last open version flagged current. ONE key
+    // window (lead); the gate pins every interval endpoint via per-bucket
+    // sums and the price sum per currency state.
+    "cdc_scd2" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+      val ins = o.withColumn("seq", lit(1L)).withColumn("op", lit("I"))
+      val upd = o.filter(col("k") % 3 === 0)
+        .withColumn("price", col("price") + lit(100.0))
+        .withColumn("seq", lit(2L)).withColumn("op", lit("U"))
+      val del = o.filter(col("k") % 11 === 0)
+        .withColumn("seq", lit(3L)).withColumn("op", lit("D"))
+      ops.Cdc.scd2(ins.unionByName(upd).unionByName(del), Seq("k"))
+        .groupBy(col("is_current"), (col("k") % 16).as("grp"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("price")), 2).as("sum_price"),
+          sum(col("valid_from")).as("sum_from"),
+          sum(coalesce(col("valid_to"), lit(0L))).as("sum_to"))
+        .orderBy("is_current", "grp")
+    }),
+    // Data-quality expectation suite (ops.DataQuality.check): Deequ-style
+    // declared constraints — all row-level rules fold into ONE scan's
+    // combined aggregation; uniqueness is one key histogram; referential
+    // containment is a distinct-first anti-join probe. The gate declares a
+    // deliberate mix of passing and failing rules so both verdict paths
+    // and every violation count are pinned.
+    "dq_expectations" -> ((s, dir) => {
+      import ops.DataQuality._
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      check(orders, Seq(
+        NotNull("o_custkey"),
+        Bounds("o_totalprice", 1000.0, 200000.0),
+        InValues("o_orderstatus", Seq("F", "O")),
+        MinRows(1000L),
+        Unique("o_orderkey"),
+        Unique("o_custkey"),
+        InTable("o_custkey", customer, "c_custkey"),
+        InTable("o_custkey",
+          customer.filter(col("c_custkey") % 2 === 0), "c_custkey")))
+        .orderBy("rule", "column", "violations")
+    }),
     // Iceberg-style TIME TRAVEL (table.Checkpoint.writeVersioned/readAt):
     // r1 snapshots the full table, r2 patches buckets 0-3 (price +1000);
     // reading AS OF r1 vs AS OF r2 shows bucket-granularity snapshot
@@ -1396,6 +1452,22 @@ object SparkEntry {
             size(array_union(col("sa"), col("sb"))), 6))
         .filter(col("j") >= 0.05)
         .select("doc_a", "doc_b", "j")
+        .orderBy("doc_a", "doc_b")
+    }),
+    // EXACT Jaccard-threshold join via prefix filtering
+    // (ops.TextDedup.prefixJaccardJoin): the lossless counterpart of the
+    // MinHash band join — rarest-first token prefixes bound the candidate
+    // set with provably zero false negatives, so the result equals brute
+    // force bit-for-bit (the oracle IS brute force) while the plan stays
+    // key-bounded (PlanSpec: no cartesian anywhere).
+    "dedup_prefix_join" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val sub = d.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id"), col("text"))
+        .unionAll(d.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" zz qq ww ee rr tt")).as("text")))
+      ops.TextDedup.prefixJaccardJoin(sub, thresholdPpm = 600000L)
         .orderBy("doc_a", "doc_b")
     }),
     "doc_fingerprint" -> ((s, dir) => {
@@ -1679,6 +1751,15 @@ object SparkEntry {
     // sharpness ranking needs no float division. Decode-once, zero shuffle.
     "img_blur" -> ((s, dir) => {
       ops.ImageOps.blurStats(gateTiles(s, "png")).orderBy("image_id")
+    }),
+    // ViT-style patch extraction (ops.ImageOps.patchify): each grid cut
+    // into non-overlapping 100×100 patches, one row per patch with exact
+    // integer moments (ragged 601st row/col dropped by the grid contract).
+    // Decode-once, zero shuffle; the oracle recomputes every patch moment
+    // from the closed-form field.
+    "img_patchify" -> ((s, dir) => {
+      ops.ImageOps.patchify(gateTiles(s, "png"), patch = 100)
+        .orderBy("image_id", "py", "px")
     }),
     // Per-image luminance histogram (width-256 bins): the exposure profile
     // for degenerate-image filtering; decode-once, zero shuffle.
@@ -2568,6 +2649,31 @@ object SparkEntry {
          AND p.py >= cy - h AND p.py <= cy + h)
        SELECT point_id, poly_id FROM cand WHERE ($crossings) % 2 = 1
        ORDER BY point_id, poly_id"""
+  }
+
+  /** Shared by events_hll_distinct (batch sketch) and stream_hll (the
+    * streaming drain of the same registers): one oracle, two engines.
+    */
+  private val hllDistinctOracleSql: String = {
+    val lsbCase = (0 until 26).map(i => s"WHEN ${1L << i} THEN ${i + 1}")
+      .mkString(" ")
+    s"""WITH h AS (SELECT event_type,
+           (user_id * 1103515245 + 12345) % 2147483648 AS h FROM events),
+       b AS (SELECT event_type, h % 32 AS bucket, h // 32 AS rest FROM h),
+       r AS (SELECT event_type, bucket,
+           CASE (rest & -rest) $lsbCase ELSE 27 END AS rk FROM b),
+       m AS (SELECT event_type, bucket, max(rk) AS m FROM r GROUP BY 1, 2),
+       s AS (SELECT event_type, count(*) AS n_buckets,
+           CAST(sum(1::BIGINT << (40 - m)) AS BIGINT) AS sump
+         FROM m GROUP BY 1),
+       q AS (SELECT event_type, n_buckets,
+           CAST(floor(CAST(0.697 AS DOUBLE) * CAST(1125899906842624 AS DOUBLE)
+             / CAST(sump + (32 - n_buckets) * (1::BIGINT << 40) AS DOUBLE)) AS BIGINT) AS hll_q
+         FROM s)
+       SELECT q.event_type, n_buckets, hll_q, e.n_exact
+       FROM q JOIN (SELECT event_type, count(DISTINCT user_id) AS n_exact
+                    FROM events GROUP BY 1) e ON q.event_type = e.event_type
+       ORDER BY q.event_type"""
   }
 
   private val pipOracleSql: String = pipOracleFor(
@@ -4921,6 +5027,19 @@ object SparkEntry {
              round(len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))), 6) AS j
            FROM sh a, sh b WHERE a.doc_id < b.doc_id)
          WHERE j >= 0.05 ORDER BY doc_a, doc_b""",
+    // brute force IS the oracle: the prefix filter is exact, so the full
+    // quadratic enumeration over the small gate corpus must agree
+    "dedup_prefix_join" ->
+      """WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0
+           UNION ALL SELECT doc_id + 200000 AS doc_id, text || ' zz qq ww ee rr tt' AS text
+             FROM documents WHERE doc_id % 25 = 0),
+         w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM sub),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS i,
+             CAST(len(list_distinct(list_concat(a.s, b.s))) AS BIGINT) AS u
+           FROM w a, w b WHERE a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, round(i / u, 6) AS j FROM p
+         WHERE i * 1000000 >= 600000 * u ORDER BY doc_a, doc_b""",
     "doc_fingerprint" ->
       s"""SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
            list_transform(string_split(text,' '), w -> ${sqlH60("w")} % 1048573)),
@@ -5321,26 +5440,9 @@ object SparkEntry {
     // replicates ops.Sketches.hllDistinct step for step: same congruential
     // hash, same lsb-CASE rank, same exact-integer register sum over the
     // 2^40 denominator, same single IEEE division at the end
-    "events_hll_distinct" -> {
-      val lsbCase = (0 until 26).map(i => s"WHEN ${1L << i} THEN ${i + 1}")
-        .mkString(" ")
-      s"""WITH h AS (SELECT event_type,
-             (user_id * 1103515245 + 12345) % 2147483648 AS h FROM events),
-         b AS (SELECT event_type, h % 32 AS bucket, h // 32 AS rest FROM h),
-         r AS (SELECT event_type, bucket,
-             CASE (rest & -rest) $lsbCase ELSE 27 END AS rk FROM b),
-         m AS (SELECT event_type, bucket, max(rk) AS m FROM r GROUP BY 1, 2),
-         s AS (SELECT event_type, count(*) AS n_buckets,
-             CAST(sum(1::BIGINT << (40 - m)) AS BIGINT) AS sump
-           FROM m GROUP BY 1),
-         q AS (SELECT event_type, n_buckets,
-             CAST(floor(CAST(0.697 AS DOUBLE) * CAST(1125899906842624 AS DOUBLE)
-               / CAST(sump + (32 - n_buckets) * (1::BIGINT << 40) AS DOUBLE)) AS BIGINT) AS hll_q
-           FROM s)
-         SELECT q.event_type, n_buckets, hll_q, e.n_exact
-         FROM q JOIN (SELECT event_type, count(DISTINCT user_id) AS n_exact
-                      FROM events GROUP BY 1) e ON q.event_type = e.event_type
-         ORDER BY q.event_type""" },
+    "events_hll_distinct" -> hllDistinctOracleSql,
+    // the streaming sketch drains to the SAME registers -> same estimate
+    "stream_hll" -> hllDistinctOracleSql,
     "curation_split" ->
       """SELECT doc_id, (doc_id * 40503 + 30013) % 65536 AS h,
            CASE WHEN ((doc_id * 40503 + 30013) % 65536) % 100 < 80 THEN 'train'
@@ -5484,6 +5586,70 @@ object SparkEntry {
          SELECT o_custkey % 16 AS grp, CAST(count(*) AS BIGINT) AS n,
            round(sum(p), 2) AS sum_price
          FROM fin GROUP BY 1 ORDER BY grp""",
+    "cdc_scd2" ->
+      """WITH ch AS (
+           SELECT o_orderkey AS k, o_totalprice AS price, 1 AS seq, 'I' AS op
+           FROM orders
+           UNION ALL
+           SELECT o_orderkey, o_totalprice + 100.0, 2, 'U'
+           FROM orders WHERE o_orderkey % 3 = 0
+           UNION ALL
+           SELECT o_orderkey, 0.0, 3, 'D'
+           FROM orders WHERE o_orderkey % 11 = 0),
+         h AS (SELECT k, price, op, CAST(seq AS BIGINT) AS valid_from,
+             CAST(lead(seq) OVER (PARTITION BY k ORDER BY seq) AS BIGINT)
+               AS valid_to
+           FROM ch),
+         v AS (SELECT k, price, valid_from, valid_to,
+             valid_to IS NULL AS is_current
+           FROM h WHERE op <> 'D')
+         SELECT is_current, k % 16 AS grp, CAST(count(*) AS BIGINT) AS n,
+           round(sum(price), 2) AS sum_price,
+           CAST(sum(valid_from) AS BIGINT) AS sum_from,
+           CAST(sum(coalesce(valid_to, 0)) AS BIGINT) AS sum_to
+         FROM v GROUP BY 1, 2 ORDER BY is_current, grp""",
+    "dq_expectations" ->
+      """WITH r1 AS (SELECT 'not_null' AS rule, 'o_custkey' AS "column",
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS violations,
+             CAST(count(*) AS BIGINT) AS total FROM orders),
+         r2 AS (SELECT 'bounds', 'o_totalprice',
+             CAST(sum(CASE WHEN o_totalprice IS NOT NULL AND
+                 NOT (o_totalprice >= 1000.0 AND o_totalprice <= 200000.0)
+               THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(*) AS BIGINT) FROM orders),
+         r3 AS (SELECT 'in_values', 'o_orderstatus',
+             CAST(sum(CASE WHEN o_orderstatus IS NOT NULL AND
+                 o_orderstatus NOT IN ('F', 'O')
+               THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(*) AS BIGINT) FROM orders),
+         r4 AS (SELECT 'min_rows', '*',
+             CAST(greatest(1000 - count(*), 0) AS BIGINT),
+             CAST(count(*) AS BIGINT) FROM orders),
+         r5 AS (SELECT 'unique', 'o_orderkey',
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders),
+         r6 AS (SELECT 'unique', 'o_custkey',
+             CAST(count(*) - count(DISTINCT o_custkey) AS BIGINT),
+             CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders),
+         probe AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE o_custkey IS NOT NULL),
+         r7 AS (SELECT 'in_table', 'o_custkey',
+             CAST((SELECT count(*) FROM probe p WHERE NOT EXISTS
+               (SELECT 1 FROM customer c WHERE c.c_custkey = p.o_custkey))
+               AS BIGINT),
+             CAST((SELECT count(*) FROM probe) AS BIGINT)),
+         r8 AS (SELECT 'in_table', 'o_custkey',
+             CAST((SELECT count(*) FROM probe p WHERE NOT EXISTS
+               (SELECT 1 FROM customer c WHERE c.c_custkey % 2 = 0
+                  AND c.c_custkey = p.o_custkey)) AS BIGINT),
+             CAST((SELECT count(*) FROM probe) AS BIGINT)),
+         u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+           UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+           UNION ALL SELECT * FROM r5 UNION ALL SELECT * FROM r6
+           UNION ALL SELECT * FROM r7 UNION ALL SELECT * FROM r8)
+         SELECT rule, "column", violations, total, violations = 0 AS passed
+         FROM u ORDER BY rule, "column", violations""",
     "geo_elev_diff" ->
       """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
          g AS (SELECT swlng, swlat,
@@ -5514,6 +5680,23 @@ object SparkEntry {
          SELECT image_id, n_int, lap_sum, lap_sumsq,
            n_int * lap_sumsq - lap_sum * lap_sum AS var_num
          FROM a ORDER BY image_id""",
+    "img_patchify" ->
+      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         g AS (SELECT swlng, swlat,
+           CAST(r.range // 100 AS INT) AS py, CAST(c.range // 100 AS INT) AS px,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range
+             + ((c.range//8)*(r.range//8)) % 32 AS v
+           FROM corners, range(0,600) r, range(0,600) c)
+         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           py, px,
+           CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(sum(v*v) AS BIGINT) AS px_sumsq,
+           CAST(min(v) AS INT) AS px_min,
+           CAST(max(v) AS INT) AS px_max
+         FROM g GROUP BY swlng, swlat, py, px
+         ORDER BY image_id, py, px""",
     "checkpoint_timetravel" ->
       """WITH s1 AS (SELECT o_custkey % 16 AS grp, count(*) AS n,
            round(sum(o_totalprice), 2) AS sum_price, 'r1' AS snap

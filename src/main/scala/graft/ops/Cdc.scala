@@ -47,4 +47,41 @@ object Cdc {
       .filter(col("__rn") === 1 && col("__op") =!= "D")
       .select((keyCols ++ payload).map(col): _*)
   }
+
+  /** Slowly-changing-dimension type-2 history build: fold the same
+    * changelog into VERSIONED rows instead of a latest-wins snapshot —
+    * each non-delete change opens a version valid over
+    * `[valid_from, valid_to)` in sequence space, closed by the key's next
+    * change (update or delete); the key's last non-delete version is
+    * `is_current` with a null `valid_to`. The standard dimension-table
+    * answer to "what did this row say at sequence S" — the row-level
+    * analogue of [[graft.table.Checkpoint]] time travel, which answers the
+    * same question per table snapshot.
+    *
+    * Plan shape: ONE key-partitioned window (`lead(seq)` over seq asc) —
+    * a single hash-partition-by-key shuffle; per-key state is one row of
+    * lookahead, so 100 TB changelogs stream through without skew beyond
+    * the key histogram itself. Deterministic under the caller's
+    * unique-(key, seq) contract.
+    *
+    * @param changes change rows: key + payload columns, plus `seq` (Long,
+    *                unique per key) and `op` ('I' | 'U' | 'D'; a 'D' row
+    *                closes the prior version and emits nothing)
+    * @param keyCols key column names
+    * @return history rows: key + payload + `valid_from`, `valid_to`
+    *         (null = open), `is_current`
+    */
+  def scd2(changes: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val payload =
+      changes.columns.filterNot(c => keyCols.contains(c) || c == "seq" || c == "op")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("seq").asc)
+    changes
+      .withColumn("valid_from", col("seq").cast("long"))
+      .withColumn("valid_to", lead(col("seq").cast("long"), 1).over(w))
+      .filter(col("op") =!= "D")
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((keyCols ++ payload).map(col) ++
+        Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
+  }
 }

@@ -129,6 +129,62 @@ object ImageOps {
   /** One luminance-histogram bin of one image. */
   final case class ImgHistRow(image_id: String, bin: Int, n_px: Long)
 
+  /** One extracted patch of one image (ViT-style tokenization). */
+  final case class PatchRow(image_id: String, py: Int, px: Int, n_px: Long,
+                            px_sum: Long, px_sumsq: Long, px_min: Int,
+                            px_max: Int)
+
+  /** PATCH EXTRACTION — cut each decoded grid into non-overlapping
+    * `patch`×`patch` windows (row-major patch coordinates `(py, px)`) and
+    * emit one row per patch with its exact integer moments — the
+    * vision-transformer tokenization step of a multimodal training
+    * pipeline, where a 100 TB image corpus becomes a (images × patches)
+    * table feeding embedding / masking / quality-filter stages. The ragged
+    * right/bottom remainder (grids whose side is not a multiple of
+    * `patch`) is dropped, matching the standard ViT center-crop-to-grid
+    * contract; exact moments (sum, sum of squares, min, max) stand in for
+    * the patch payload so the gate is bit-checkable, while a payload
+    * variant is the same loop writing `Array[Short]` slices.
+    *
+    * Scale shape: decode-once mapPartitions, (side/patch)² rows out per
+    * image and ZERO shuffle — each patch row is complete where its image
+    * was read; downstream per-patch pipelines group by the already-unique
+    * (image_id, py, px). Pixels never leave the operator.
+    */
+  def patchify(tiles: Dataset[TileRow], patch: Int): DataFrame = {
+    require(patch > 0, s"patch must be > 0, got $patch")
+    implicit val enc = Encoders.product[PatchRow]
+    tiles.mapPartitions { it =>
+      it.flatMap { t =>
+        val d = TileCodec.decode(t)
+        val size = d.size
+        val per = size / patch
+        for {
+          py <- 0 until per
+          px <- 0 until per
+        } yield {
+          var sum = 0L; var sumsq = 0L
+          var mn = Int.MaxValue; var mx = Int.MinValue
+          var r = py * patch
+          val rEnd = r + patch
+          while (r < rEnd) {
+            val base = r * size + px * patch
+            var i = 0
+            while (i < patch) {
+              val v: Int = d.samples(base + i)
+              sum += v; sumsq += v.toLong * v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              i += 1
+            }
+            r += 1
+          }
+          PatchRow(t.image_id, py, px, patch.toLong * patch, sum, sumsq, mn, mx)
+        }
+      }
+    }.toDF()
+  }
+
   /** Per-image fixed-width value histogram from the decoded grid — the
     * exposure/contrast profile used to filter degenerate images (all-flat,
     * clipped, bimodal) from a training corpus. Decode-once mapPartitions,

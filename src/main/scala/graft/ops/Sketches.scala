@@ -36,7 +36,16 @@ object Sketches {
     *
     * @return (groupCol, n_buckets, hll_q = floor(estimate))
     */
-  def hllDistinct(df: DataFrame, groupCol: String, idCol: String): DataFrame = {
+  def hllDistinct(df: DataFrame, groupCol: String, idCol: String): DataFrame =
+    hllFinish(hllRegisters(df, groupCol, idCol), groupCol)
+
+  /** The sketch state itself: per-(group, bucket) max rank — 32 registers
+    * per group, mergeable by MAX, so the SAME rows come out of a batch
+    * groupBy, a streaming stateful agg, or a union of per-shard sketches
+    * (order-insensitive by construction). Shared by the batch estimate
+    * above and [[graft.streaming.StreamOps]]'s incremental twin.
+    */
+  def hllRegisters(df: DataFrame, groupCol: String, idCol: String): DataFrame = {
     // rank = (trailing zeros of the 26-bit rest) + 1; 27 when rest = 0.
     // lsb = rest & -rest is a power of two — an exact integer CASE beats a
     // log2 whose libm rounding an oracle need not share
@@ -49,7 +58,11 @@ object Sketches {
         s"CASE (rest & -rest) $lsbCase ELSE 27 END AS rank")
       .groupBy(col(groupCol), col("bucket"))
       .agg(max("rank").as("m"))
-      .groupBy(groupCol)
+  }
+
+  /** Fold register rows from [[hllRegisters]] into the final estimate. */
+  def hllFinish(registers: DataFrame, groupCol: String): DataFrame =
+    registers.groupBy(groupCol)
       .agg(count(lit(1)).as("n_buckets"),
         sum(expr("shiftleft(CAST(1 AS BIGINT), 40 - m)")).as("sump"))
       // empty buckets contribute 2^0 = 1 each ⇒ 2^40 over the denominator
@@ -59,7 +72,6 @@ object Sketches {
         // α·m²·2^40 = 0.697 · 2^50; scaling by a power of two is exact, so
         // the whole estimate is one IEEE division of exact doubles
         "CAST(floor(0.697D * 1125899906842624.0D / CAST(sumint AS DOUBLE)) AS BIGINT) AS hll_q")
-  }
 
   /** k=3 deterministic Bloom hash constants (multiplicative congruences over
     * 2^31, like [[hllDistinct]]'s — an independent engine replays them).

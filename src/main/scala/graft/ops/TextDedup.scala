@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -485,5 +486,66 @@ object TextDedup {
         expr("inter * 1000000L div least(na, nb)"))
       .filter(col("containment_ppm") >= minPpm)
       .select("id_a", "id_b", "na", "nb", "inter", "containment_ppm")
+  }
+
+  /** EXACT Jaccard-threshold self-join via prefix filtering (AllPairs /
+    * PPJoin candidate scheme) — the lossless complement of
+    * [[minhashPairs]]: MinHash banding trades recall for candidate count;
+    * the prefix filter is exact (zero false negatives, provably) while
+    * still never enumerating all pairs.
+    *
+    * Scheme: order the token universe rarest-first — (document frequency,
+    * token), a total order both sides share — and keep each document's
+    * PREFIX of its sorted distinct-token set, of length
+    * `n − ⌈t·n⌉ + 1` (integer ppm arithmetic, no IEEE rounding in the
+    * bound). Soundness: J(x,y) ≥ t ⟹ |x∩y| ≥ t·max(|x|,|y|) ≥ ⌈t·|x|⌉;
+    * if no common token sat in x's prefix, all common tokens would fit in
+    * x's suffix of ⌈t·|x|⌉ − 1 slots — contradiction. So every qualifying
+    * pair shares a prefix token ON BOTH SIDES and one equi-join on the
+    * prefix token finds a candidate superset; an exact intersection/union
+    * verify (integer cross-multiplication, `inter·10⁶ ≥ tPpm·union`)
+    * finishes.
+    *
+    * 100 TB shape: rarest-first prefixes make posting lists short exactly
+    * where the join would explode (stopwords land at the END of every
+    * prefix order and rarely enter one); candidate pairs ≤ Σ_w df_prefix(w)²
+    * with df over PREFIX occurrences only. Two token-keyed shuffles + one
+    * pair-keyed verify join, all key-bounded; nothing collects.
+    *
+    * @param thresholdPpm Jaccard threshold in parts-per-million
+    * @return (doc_a, doc_b, j) with doc_a < doc_b, j = round(i/u, 6)
+    */
+  def prefixJaccardJoin(docs: DataFrame, thresholdPpm: Long): DataFrame = {
+    require(thresholdPpm > 0 && thresholdPpm <= 1000000L,
+      s"thresholdPpm out of (0, 1e6]: $thresholdPpm")
+    // one tokenize feeding document frequencies AND prefixes (the verify
+    // re-reads texts candidate-bounded, as in decontam_fuzzy)
+    val toks = docs.select(col("doc_id").cast("long").as("doc_id"),
+        explode(array_distinct(words(col("text")))).as("w"))
+      .localCheckpoint(false)
+    val dfreq = toks.groupBy("w").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("df").asc, col("w").asc)
+    val prefix = toks.join(dfreq, "w")
+      .withColumn("pos", row_number().over(wDoc))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      // minOverlap = ⌈t·n⌉ in exact ppm integers
+      .withColumn("min_ov",
+        expr(s"(n * ${thresholdPpm}L + 999999L) div 1000000L"))
+      .filter(col("pos") <= col("n") - col("min_ov") + 1)
+      .select("doc_id", "w")
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = docs.select(col("doc_id").cast("long").as("doc_id"),
+      array_distinct(words(col("text"))).as("s"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("u", size(array_union(col("sa"), col("sb"))).cast("long"))
+      .filter(col("i") * lit(1000000L) >= lit(thresholdPpm) * col("u"))
+      .withColumn("j", round(col("i") / col("u"), 6))
+      .select("doc_a", "doc_b", "j")
   }
 }

@@ -256,6 +256,48 @@ object StreamOps {
     drain(spark, name)
   }
 
+  /** STREAMING HLL DISTINCT — the engine's distinct-count sketch
+    * ([[graft.ops.Sketches.hllRegisters]]) maintained incrementally: the
+    * stateful streaming aggregation IS the sketch (per-(group, bucket) MAX
+    * rank — 32 Long registers per group, merged by max on every
+    * micro-batch, order-insensitive by construction), so the drained
+    * complete-mode register table is bit-identical to the batch sketch no
+    * matter how the source splits micro-batches, and the finished estimate
+    * reuses the exact same fold ([[graft.ops.Sketches.hllFinish]]) — one
+    * oracle covers both engines.
+    *
+    * Scale shape: state is 32 registers × |groups| — the whole point of
+    * sketching an unbounded stream; a forever-running deployment emits
+    * per-window snapshots off the same state. No watermark: registers
+    * never retire (distinct-so-far semantics).
+    *
+    * @return (groupCol, n_buckets, hll_q) — as the batch twin
+    */
+  def hllDistinct(spark: SparkSession, path: String, groupCol: String,
+                  idCol: String): DataFrame = {
+    val name = s"graft_stream_hll_${runSeq.incrementAndGet()}"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_ckpt_").toString
+    val src = java.nio.file.Paths.get(path)
+    val streamDir =
+      if (java.nio.file.Files.isDirectory(src)) path
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft_stream_src_")
+        java.nio.file.Files.createSymbolicLink(d.resolve(src.getFileName), src)
+        d.toString
+      }
+    val schema = spark.read.parquet(streamDir).schema
+    val q = graft.ops.Sketches.hllRegisters(
+        spark.readStream.schema(schema).parquet(streamDir), groupCol, idCol)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.ops.Sketches.hllFinish(drain(spark, name), groupCol)
+  }
+
   /** Materialize a memory sink's table and release the temp-view name. */
   private def drain(spark: SparkSession, name: String): DataFrame = {
     val out = spark.table(name).cache()

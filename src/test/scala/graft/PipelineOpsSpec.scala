@@ -1864,4 +1864,72 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // under-represented sources get weight > 1e6, over-represented < 1e6
     assert(got("a")._3 < 1000000L && got("c")._3 > 1000000L)
   }
+
+  test("cdc scd2: interval chain, deletes close, last open version is current") {
+    import spark.implicits._
+    val changes = Seq(
+      (1L, "a", 1L, "I"), (1L, "a2", 3L, "U"), (1L, "a3", 7L, "U"), // open chain
+      (2L, "b", 1L, "I"), (2L, "x", 4L, "D"),                       // closed by D
+      (3L, "c", 2L, "I"), (3L, "x", 5L, "D"), (3L, "c2", 9L, "I")   // re-insert
+    ).toDF("k", "name", "seq", "op")
+    val got = graft.ops.Cdc.scd2(changes, Seq("k"))
+      .as[(Long, String, Long, Option[Long], Boolean)].collect()
+      .map(r => (r._1, r._3) -> (r._2, r._4, r._5)).toMap
+    assert(got == Map(
+      (1L, 1L) -> ("a", Some(3L), false),
+      (1L, 3L) -> ("a2", Some(7L), false),
+      (1L, 7L) -> ("a3", None, true),
+      (2L, 1L) -> ("b", Some(4L), false),  // closed by the delete, not current
+      (3L, 2L) -> ("c", Some(5L), false),
+      (3L, 9L) -> ("c2", None, true)))     // re-insert after delete is current
+    // D rows themselves never appear
+    assert(got.size == 6)
+  }
+
+  test("patchify: per-patch moments match brute force; ragged edge dropped") {
+    import spark.implicits._
+    val size = 101 // patch 40 -> 2x2 full patches, 21-px ragged edge dropped
+    val tiles = spark.createDataset(graft.synth.TileGen.tiles(
+      Seq((-119, 36)), size, "hgt"))
+    val got = graft.ops.ImageOps.patchify(tiles, patch = 40)
+      .as[(String, Int, Int, Long, Long, Long, Int, Int)].collect()
+      .map(r => (r._2, r._3) -> (r._4, r._5, r._6, r._7, r._8)).toMap
+    assert(got.keySet == Set((0, 0), (0, 1), (1, 0), (1, 1)))
+    for (((py, px), (n, sum, sumsq, mn, mx)) <- got) {
+      var bSum = 0L; var bSq = 0L; var bMn = Int.MaxValue; var bMx = Int.MinValue
+      for (r <- py * 40 until py * 40 + 40; c <- px * 40 until px * 40 + 40) {
+        val v: Int = graft.synth.TileGen.sampleAt(-119, 36, r, c)
+        bSum += v; bSq += v.toLong * v
+        bMn = math.min(bMn, v); bMx = math.max(bMx, v)
+      }
+      assert((n, sum, sumsq, mn, mx) == ((1600L, bSum, bSq, bMn, bMx)), (py, px))
+    }
+  }
+
+  test("dataQuality check: each rule class counts violations exactly") {
+    import spark.implicits._
+    import graft.ops.DataQuality._
+    val df = Seq(
+      (1L, Some(10.0), "F"), (2L, Some(250.0), "O"), (3L, None, "P"),
+      (2L, Some(-5.0), "F") // duplicate key 2, below-bounds value
+    ).toDF("k", "v", "st")
+    val ref = Seq(1L, 2L).toDF("rk") // key 3 missing from the reference
+    val got = check(df, Seq(
+      NotNull("v"), Bounds("v", 0.0, 100.0), InValues("st", Seq("F", "O")),
+      MinRows(10L), Unique("k"), InTable("k", ref, "rk")))
+      .as[(String, String, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(got(("not_null", "v")) == ((1L, 4L, false)))
+    // nulls are NotNull's job: only 250.0 and -5.0 violate the bounds
+    assert(got(("bounds", "v")) == ((2L, 4L, false)))
+    assert(got(("in_values", "st")) == ((1L, 4L, false)))
+    assert(got(("min_rows", "*")) == ((6L, 4L, false)))
+    // totals switch to key counts for the key rules
+    assert(got(("unique", "k")) == ((1L, 3L, false)))
+    assert(got(("in_table", "k")) == ((1L, 3L, false)))
+    // and a fully green suite reports passed everywhere
+    val green = check(df.filter($"k" === 1L), Seq(NotNull("k"), Unique("k")))
+      .as[(String, String, Long, Long, Boolean)].collect()
+    assert(green.forall(_._5))
+  }
 }
