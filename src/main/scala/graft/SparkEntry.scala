@@ -323,6 +323,17 @@ object SparkEntry {
     // window (current hour excluded). The z>=2 test is EXACT integer
     // arithmetic on cents: (x*n - sum)^2 >= 4*(n*sumsq - sum^2) avoids any
     // float mean/stddev, so the oracle replays it bit-for-bit. Magnitudes
+    // Page's CUSUM drift test (ops.Drift.cusum): per-user sequential
+    // changepoint statistic over exact cents — the sustained-shift monitor
+    // beside the single-outlier z-flags. One key shuffle; the recurrence
+    // is a codegen'd HOF fold the oracle replays as a recursive CTE.
+    "events_cusum" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("v_cents"))
+      ops.Drift.cusum(ev, "user_id", Seq("ts", "event_id"), "v_cents",
+        drift = 6000L, threshold = 20000L).orderBy("user_id")
+    }),
     // hold in int64 through the gate SFs; a 100 TB deployment would move
     // the squares to DECIMAL(38,0) (same plan, wider integers).
     "events_rolling_z" -> ((s, dir) => {
@@ -1294,6 +1305,16 @@ object SparkEntry {
           customer.filter(col("c_custkey") % 2 === 0), "c_custkey")))
         .orderBy("rule", "column", "violations")
     }),
+    // Column profiling (ops.DataQuality.profile): the discovery half of
+    // the quality gate — nulls, EXACT distinct cardinalities, numeric
+    // bounds for every column in ONE aggregation pass (multi-distinct
+    // expansion, still a single shuffle). The snapshot-statistics table a
+    // 100 TB pipeline publishes beside every corpus version.
+    "dq_profile" -> ((s, dir) => {
+      ops.DataQuality.profile(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")).orderBy("column")
+    }),
     // Iceberg-style TIME TRAVEL (table.Checkpoint.writeVersioned/readAt):
     // r1 snapshots the full table, r2 patches buckets 0-3 (price +1000);
     // reading AS OF r1 vs AS OF r2 shows bucket-granularity snapshot
@@ -1631,6 +1652,17 @@ object SparkEntry {
         .withColumnRenamed("rank", "pr") // dodge the RANK keyword in DuckDB
         .orderBy("node")
     }),
+    // k-core decomposition (ops.Graph.kcore): fixed-round peeling to the
+    // maximal min-degree->=k subgraph — the link-farm / dense-community
+    // filter of web-graph curation. Each round is two node-keyed
+    // semi-joins + one degree count over an edge list that never moves;
+    // the oracle unrolls the same 4 rounds as CTEs.
+    "graph_kcore" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 7 === 0)
+        .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
+      ops.Graph.kcore(edges, k = 18, rounds = 4).orderBy("node")
+    }),
     // Per-row format fidelity (input_hint: decoded pixels allclose, PSNR
     // >= 40 dB for lossy): decode each payload (real javax.imageio for png),
     // compare against the closed-form grid it encodes. px_sum anchors the
@@ -1751,6 +1783,14 @@ object SparkEntry {
     // sharpness ranking needs no float division. Decode-once, zero shuffle.
     "img_blur" -> ((s, dir) => {
       ops.ImageOps.blurStats(gateTiles(s, "png")).orderBy("image_id")
+    }),
+    // Sobel gradient energy (ops.ImageOps.sobelStats): the edge-content /
+    // texture measure beside the blur filter — exact integer Gx/Gy moments
+    // per image, Gy's sign pinning the south-first decode orientation.
+    // Decode-once, zero shuffle; the oracle replays both kernels over the
+    // closed-form field.
+    "img_sobel" -> ((s, dir) => {
+      ops.ImageOps.sobelStats(gateTiles(s, "png")).orderBy("image_id")
     }),
     // ViT-style patch extraction (ops.ImageOps.patchify): each grid cut
     // into non-overlapping 100×100 patches, one row per patch with exact
@@ -3959,6 +3999,56 @@ object SparkEntry {
          SELECT node, CAST(pr AS BIGINT) AS pr FROM r3 ORDER BY node"""
   }
 
+  /** k-core oracle: the engine's fixed-round peel unrolled as CTEs — per
+    * round, degrees over edges with BOTH endpoints in the prior survivor
+    * set, HAVING deg ≥ k. Same graph recipe as the engine (canonical
+    * undirected dedup, self-loops dropped, adjacency doubled).
+    */
+  private val kcoreOracleSql: String = {
+    val rounds = (1 to 4).map { r =>
+      s"""d$r AS (SELECT s.u AS node, count(*) AS deg
+           FROM sym s JOIN a${r - 1} x ON s.u = x.node
+           JOIN a${r - 1} y ON s.v = y.node
+           GROUP BY 1 HAVING count(*) >= 18),
+         a$r AS (SELECT node FROM d$r)"""
+    }.mkString(",\n         ")
+    s"""WITH e AS (SELECT DISTINCT
+           GREATEST(l_suppkey % 500, l_partkey % 500) AS hi,
+           LEAST(l_suppkey % 500, l_partkey % 500) AS lo
+         FROM lineitem WHERE l_orderkey % 7 = 0),
+         e2 AS (SELECT hi, lo FROM e WHERE hi <> lo),
+         sym AS (SELECT lo AS u, hi AS v FROM e2
+                 UNION ALL SELECT hi AS u, lo AS v FROM e2),
+         a0 AS (SELECT DISTINCT u AS node FROM sym),
+         $rounds
+         SELECT node, CAST(deg AS BIGINT) AS deg FROM d4 ORDER BY node"""
+  }
+
+  /** Sobel oracle: both 3×3 kernels replayed over the closed-form curvy
+    * field (same grid recipe as the img_blur laplacian oracle, but the
+    * asymmetric Gy pins the south-first row orientation too).
+    */
+  private val sobelOracleSql: String = {
+    def v(c: String, r: String) = gridV(c, r)
+    val gx = s"((${v("c.range+1", "r.range-1")} + 2*${v("c.range+1", "r.range")} + ${v("c.range+1", "r.range+1")})" +
+      s" - (${v("c.range-1", "r.range-1")} + 2*${v("c.range-1", "r.range")} + ${v("c.range-1", "r.range+1")}))"
+    val gy = s"((${v("c.range-1", "r.range+1")} + 2*${v("c.range", "r.range+1")} + ${v("c.range+1", "r.range+1")})" +
+      s" - (${v("c.range-1", "r.range-1")} + 2*${v("c.range", "r.range-1")} + ${v("c.range+1", "r.range-1")}))"
+    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+       k AS (SELECT swlng, swlat,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
+       g AS (SELECT swlng, swlat, $gx AS gx, $gy AS gy
+         FROM k, range(1,600) r, range(1,600) c)
+       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+         CAST(count(*) AS BIGINT) AS n_int,
+         CAST(sum(gx) AS BIGINT) AS gx_sum,
+         CAST(sum(gy) AS BIGINT) AS gy_sum,
+         CAST(sum(gx*gx + gy*gy) AS BIGINT) AS energy_sum,
+         CAST(max(gx*gx + gy*gy) AS BIGINT) AS energy_max
+       FROM g GROUP BY swlng, swlat ORDER BY image_id"""
+  }
+
   /** Convex-hull oracle: the Carathéodory certificate — a deduped point is
     * a hull vertex iff it is NOT strictly inside any triangle of same-group
     * points and NOT strictly between two of them on a segment. All cross
@@ -4241,6 +4331,54 @@ object SparkEntry {
     "ann_power_iteration" -> powerIterOracleSql(3),
     "ann_pca_project" -> pcaProjectOracleSql,
     "graph_pagerank" -> pagerankOracleSql,
+    "graph_kcore" -> kcoreOracleSql,
+    "img_sobel" -> sobelOracleSql,
+    // Page's CUSUM recurrence replayed as a recursive CTE: one recursion
+    // level per per-user event index, exact integer state throughout
+    "events_cusum" ->
+      """WITH RECURSIVE ev AS (SELECT user_id,
+             CAST(round(value*100) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS i FROM events),
+         cnt AS (SELECT user_id, count(*) AS n FROM ev GROUP BY 1),
+         st AS (
+           SELECT user_id, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS s,
+             CAST(0 AS BIGINT) AS alarms, CAST(0 AS BIGINT) AS smax
+           FROM cnt
+           UNION ALL
+           SELECT st.user_id, st.i + 1,
+             CAST(CASE WHEN greatest(0, st.s + e.v - 6000) >= 20000 THEN 0
+                  ELSE greatest(0, st.s + e.v - 6000) END AS BIGINT),
+             CAST(st.alarms + CASE WHEN greatest(0, st.s + e.v - 6000) >= 20000
+                  THEN 1 ELSE 0 END AS BIGINT),
+             CAST(greatest(st.smax, greatest(0, st.s + e.v - 6000)) AS BIGINT)
+           FROM st JOIN ev e ON e.user_id = st.user_id AND e.i = st.i + 1)
+         SELECT st.user_id, c.n AS n_events, st.alarms AS n_alarms,
+           st.s AS s_final, st.smax AS s_max
+         FROM st JOIN cnt c USING (user_id) WHERE st.i = c.n
+         ORDER BY st.user_id""",
+    "dq_profile" -> {
+      val cols = Seq(
+        ("o_orderkey", true), ("o_custkey", true), ("o_orderstatus", false),
+        ("o_totalprice", true), ("o_orderdate", false),
+        ("o_orderpriority", false))
+      val aggs = cols.zipWithIndex.map { case ((c, num), i) =>
+        val mm = if (num)
+          s"CAST(min($c) AS DOUBLE) AS mn$i, CAST(max($c) AS DOUBLE) AS mx$i"
+        else s"CAST(NULL AS DOUBLE) AS mn$i, CAST(NULL AS DOUBLE) AS mx$i"
+        s"""CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn$i,
+           CAST(count(DISTINCT $c) AS BIGINT) AS d$i, $mm"""
+      }.mkString(",\n           ")
+      val rows = cols.zipWithIndex.map { case ((c, _), i) =>
+        s"""SELECT '$c' AS "column", n AS n_rows, nn$i AS n_null,
+           d$i AS n_distinct, mn$i AS min_num, mx$i AS max_num FROM a"""
+      }.mkString("\n         UNION ALL ")
+      s"""WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           $aggs
+         FROM orders)
+         $rows
+         ORDER BY "column""""
+    },
     "geo_convex_hull" -> convexHullOracleSql,
     "stream_window_counts" ->
       """SELECT date_trunc('day', ts) AS day, event_type,

@@ -110,4 +110,53 @@ object DataQuality {
     }.toDF("ord", "rule", "column", "violations", "total", "passed")
       .orderBy("ord").drop("ord")
   }
+
+  /** Column profiling — the discovery half of the quality gate ([[check]]
+    * declares expectations; `profile` tells you what to declare): for each
+    * requested column, row count, null count, exact distinct count, and
+    * numeric min/max (null for non-numeric columns). The per-snapshot
+    * statistics table a 100 TB pipeline publishes beside every corpus
+    * version (and the source of Iceberg-style scan-pruning bounds).
+    *
+    * Plan shape: ONE aggregation over ONE scan for ALL columns — nulls and
+    * min/max are plain combined aggregates; the exact distinct counts make
+    * Spark expand the input (one replica per distinct aggregate, the
+    * standard multi-distinct rewrite), which is the honest price of EXACT
+    * cardinalities: still a single shuffle, map-side partially aggregated.
+    * At 100 TB swap `count_distinct` for `approx_count_distinct` (HLL — cf.
+    * [[graft.ops.Sketches]]) via `approx = true` without changing the
+    * output shape: the expansion disappears and the pass is one
+    * straight-through scan.
+    *
+    * @return one row per requested column, request order:
+    *         `(column, n_rows, n_null, n_distinct, min_num, max_num)`
+    */
+  def profile(df: DataFrame, columns: Seq[String],
+              approx: Boolean = false): DataFrame = {
+    require(columns.nonEmpty, "columns must be non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.NumericType
+    val aggs = count(lit(1L)).as("__n") +: columns.zipWithIndex.flatMap {
+      case (c, i) =>
+        val numeric = df.schema(c).dataType.isInstanceOf[NumericType]
+        Seq(
+          violatedWhen(col(c).isNull).as(s"__null$i"),
+          (if (approx) approx_count_distinct(col(c))
+           else count_distinct(col(c))).as(s"__d$i"),
+          (if (numeric) min(col(c)).cast("double") else lit(null).cast("double"))
+            .as(s"__min$i"),
+          (if (numeric) max(col(c)).cast("double") else lit(null).cast("double"))
+            .as(s"__max$i"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    columns.zipWithIndex.map { case (c, i) =>
+      (i, c, row.getAs[Long]("__n"), row.getAs[Long](s"__null$i"),
+        row.getAs[Long](s"__d$i"),
+        Option(row.getAs[java.lang.Double](s"__min$i")).map(_.doubleValue),
+        Option(row.getAs[java.lang.Double](s"__max$i")).map(_.doubleValue))
+    }.toDF("ord", "column", "n_rows", "n_null", "n_distinct", "min_num",
+        "max_num")
+      .orderBy("ord").drop("ord")
+  }
 }

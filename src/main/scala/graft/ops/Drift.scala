@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sequential drift / changepoint detection over keyed event streams —
+  * the monitoring layer next to the Welford z-flags (reference analogue:
+  * the online latency outlier flagging at `src/s3Fetcher.ts:33-52`,
+  * generalized from a single global mean/stddev to a per-key SEQUENTIAL
+  * statistic that reacts to sustained shifts rather than single outliers).
+  */
+object Drift {
+
+  /** One-sided CUSUM per key: with per-event integer values `v_i` (exact
+    * cents — never IEEE), allowance `drift` and alarm bound `threshold`,
+    * fold the key's events in (orderCols) order through
+    *
+    * {{{
+    *   s_i   = max(0, s_{i-1} + v_i − drift)     // s_0 = 0
+    *   alarm = s_i ≥ threshold  ⇒  count it and RESET s_i to 0
+    * }}}
+    *
+    * — Page's classic cumulative-sum test, restart variant. All state is
+    * integer, the fold order is total (orderCols must be a per-key unique
+    * sort key), so the emitted `(n_events, n_alarms, s_final, s_max)` are
+    * bit-reproducible in any engine (the oracle replays the recurrence as
+    * a recursive CTE).
+    *
+    * Plan shape: ONE key shuffle — `collect_list(struct(order, v))` with
+    * map-side partial aggregation, `sort_array` for the total order, and
+    * the recurrence as a codegen'd `aggregate` higher-order fold with a
+    * 3-field struct accumulator; no UDF, no mapGroups, nothing on the
+    * driver. Per-key state is the key's own event array — the same
+    * bounded-by-key-cardinality contract as feature reassembly; 100 TB
+    * deployments window the input (e.g. per day) to cap it, which
+    * composes as a pre-`groupBy` projection without changing this plan.
+    *
+    * @param df        input rows
+    * @param keyCol    grouping key
+    * @param orderCols per-key unique total order (e.g. ts, event_id)
+    * @param vCol      integer value column (cents — caller quantizes)
+    * @param drift     per-event allowance subtracted before the clamp
+    * @param threshold alarm bound (alarm resets the statistic)
+    * @return (keyCol, n_events, n_alarms, s_final, s_max)
+    */
+  def cusum(df: DataFrame, keyCol: String, orderCols: Seq[String],
+            vCol: String, drift: Long, threshold: Long): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val seqCols = (orderCols.map(col) :+ col(vCol).cast("long").as("v"))
+    val step =
+      s"""aggregate(ev,
+            named_struct('s', 0L, 'alarms', 0L, 'smax', 0L),
+            (acc, x) -> named_struct(
+              's', CASE WHEN greatest(0L, acc.s + x.v - ${drift}L) >= ${threshold}L
+                        THEN 0L ELSE greatest(0L, acc.s + x.v - ${drift}L) END,
+              'alarms', acc.alarms +
+                CASE WHEN greatest(0L, acc.s + x.v - ${drift}L) >= ${threshold}L
+                     THEN 1L ELSE 0L END,
+              'smax', greatest(acc.smax, greatest(0L, acc.s + x.v - ${drift}L))))"""
+    df.groupBy(col(keyCol))
+      .agg(collect_list(struct(seqCols: _*)).as("raw"))
+      .withColumn("ev", sort_array(col("raw")))
+      .withColumn("fin", expr(step))
+      .select(col(keyCol), size(col("ev")).cast("long").as("n_events"),
+        col("fin.alarms").as("n_alarms"), col("fin.s").as("s_final"),
+        col("fin.smax").as("s_max"))
+  }
+}

@@ -169,4 +169,53 @@ object Graph {
       .orderBy(col("cn").desc, col("a"), col("b"))
       .limit(topK)
   }
+
+  /** k-core decomposition by FIXED-ROUND peeling: repeatedly delete every
+    * node whose degree in the SURVIVING subgraph is below `k`; after
+    * enough rounds the survivors are exactly the k-core (the maximal
+    * subgraph of minimum degree ≥ k) — the density filter of web-graph
+    * curation (link-farm / spam cores, collaboration cliques) next to
+    * [[pagerank]]'s authority weight and [[triangles]]' local density.
+    * Same deterministic discipline as every iterative op here: a FIXED
+    * round count the oracle unrolls as CTEs (peeling is monotone — once
+    * the survivor set stops shrinking it is the k-core and further rounds
+    * are identity, so "enough rounds" is checkable by the gate comparing
+    * round R to R−1; real graphs peel in few rounds because each round
+    * removes entire shells).
+    *
+    * Scale shape per round: the edge list never moves — two semi-joins of
+    * the symmetric adjacency against the shrinking survivor set (node-keyed,
+    * broadcast once survivors fit) + one src-keyed degree count; survivor
+    * lineage cut per round. Never all-pairs, never driver-side.
+    *
+    * @param edges  (src, dst) directed or undirected; self-loops dropped
+    * @param k      minimum surviving degree
+    * @param rounds fixed peel rounds
+    * @return (node, deg) survivors after `rounds` rounds with their
+    *         final-round degree (deg ≥ k once converged)
+    */
+  def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(rounds > 0, s"rounds must be positive: $rounds")
+    val e = edges
+      .select(greatest(col("src"), col("dst")).as("hi"),
+        least(col("src"), col("dst")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
+      .localCheckpoint(false)
+    val sym = e.select(col("lo").as("u"), col("hi").as("v"))
+      .union(e.select(col("hi").as("u"), col("lo").as("v")))
+      .localCheckpoint(false)
+    var alive = sym.select(col("u").as("node")).distinct()
+    var deg: DataFrame = null
+    for (_ <- 1 to rounds) {
+      deg = sym
+        .join(alive.select(col("node").as("u")), "u")
+        .join(alive.select(col("node").as("v")), "v")
+        .groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .localCheckpoint(false)
+      alive = deg.select("node")
+    }
+    deg
+  }
 }

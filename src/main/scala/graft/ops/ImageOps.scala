@@ -126,6 +126,67 @@ object ImageOps {
     }.toDF()
   }
 
+  /** Per-image Sobel gradient-energy row. */
+  final case class SobelRow(image_id: String, n_int: Long, gx_sum: Long,
+                            gy_sum: Long, energy_sum: Long, energy_max: Long)
+
+  /** Sobel gradient energy — the edge-content measure next to the
+    * variance-of-Laplacian focus measure ([[blurStats]]): per interior
+    * pixel the 3×3 Sobel kernels
+    * {{{
+    *   Gx = (v(r-1,c+1) + 2v(r,c+1) + v(r+1,c+1))
+    *      − (v(r-1,c-1) + 2v(r,c-1) + v(r+1,c-1))
+    *   Gy = (v(r+1,c-1) + 2v(r+1,c) + v(r+1,c+1))
+    *      − (v(r-1,c-1) + 2v(r-1,c) + v(r-1,c+1))
+    * }}}
+    * and the emitted exact-integer moments `(Σ Gx, Σ Gy, Σ(Gx²+Gy²),
+    * max(Gx²+Gy²))` rank images by edge density / texture without a float
+    * anywhere — the flat-vs-textured filter of image-corpus curation, and
+    * (summed over tiles of one raster) the gradient magnitude a hillshade
+    * or slope product consumes (cf. the central-difference slope operator
+    * over the same grids). Unlike the symmetric Laplacian, Gy's SIGN fixes
+    * the row orientation: it is defined on the decoded logical grid (row 0
+    * = south edge, the engine-wide decode contract anchored on the
+    * reference's north-first flip, src/elevation/getElevation.ts:56-58),
+    * which the oracle replays index-for-index. Integer headroom:
+    * |Gx|,|Gy| ≤ 8·max_value ⇒ energy ≤ 128·max² < 2⁶³ at 16-bit depth.
+    * Decode-once mapPartitions, one row out per image, ZERO shuffle.
+    */
+  def sobelStats(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[SobelRow]
+    tiles.mapPartitions { it =>
+      it.map { t =>
+        val d = TileCodec.decode(t)
+        val size = d.size
+        var gxs = 0L; var gys = 0L; var es = 0L; var emax = 0L
+        var r = 1
+        while (r < size - 1) {
+          val up = (r - 1) * size   // logical south neighbour row
+          val mid = r * size
+          val dn = (r + 1) * size
+          var c = 1
+          while (c < size - 1) {
+            val gx = (d.samples(up + c + 1) + 2L * d.samples(mid + c + 1) +
+                d.samples(dn + c + 1)) -
+              (d.samples(up + c - 1) + 2L * d.samples(mid + c - 1) +
+                d.samples(dn + c - 1))
+            val gy = (d.samples(dn + c - 1) + 2L * d.samples(dn + c) +
+                d.samples(dn + c + 1)) -
+              (d.samples(up + c - 1) + 2L * d.samples(up + c) +
+                d.samples(up + c + 1))
+            val e = gx * gx + gy * gy
+            gxs += gx; gys += gy; es += e
+            if (e > emax) emax = e
+            c += 1
+          }
+          r += 1
+        }
+        val n = (size - 2).toLong * (size - 2).toLong
+        SobelRow(t.image_id, n, gxs, gys, es, emax)
+      }
+    }.toDF()
+  }
+
   /** One luminance-histogram bin of one image. */
   final case class ImgHistRow(image_id: String, bin: Int, n_px: Long)
 

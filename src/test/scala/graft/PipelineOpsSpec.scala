@@ -1932,4 +1932,71 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(String, String, Long, Long, Boolean)].collect()
     assert(green.forall(_._5))
   }
+
+  test("dataQuality profile: one row per column, numeric bounds, exact distincts") {
+    import spark.implicits._
+    val df = Seq((1L, Some(2.5), "x"), (2L, Some(7.0), "y"),
+      (2L, None, "y")).toDF("k", "v", "s")
+    val got = graft.ops.DataQuality.profile(df, Seq("k", "v", "s"))
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got("k") == ((3L, 0L, 2L, Some(1.0), Some(2.0))))
+    assert(got("v") == ((3L, 1L, 2L, Some(2.5), Some(7.0))))
+    // non-numeric: null bounds, distincts still exact
+    assert(got("s") == ((3L, 0L, 2L, None, None)))
+  }
+
+  test("kcore: peeling cascades down chains, cliques survive") {
+    import spark.implicits._
+    // triangle 1-2-3 (+ pendant 4-1, chain 5-6) with k=2: the pendant and
+    // the chain peel (chain in round 1, nothing cascades INTO the triangle)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (5L, 6L))
+      .toDF("src", "dst")
+    val got = graft.ops.Graph.kcore(edges, k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // a pure path of 4 nodes peels COMPLETELY, but only via the cascade:
+    // round 1 drops the endpoints, round 2 the middle (degree was 2 before)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(graft.ops.Graph.kcore(path, k = 2, rounds = 3).count() == 0L)
+    assert(graft.ops.Graph.kcore(path, k = 2, rounds = 1).count() == 2L)
+  }
+
+  test("cusum: recurrence, alarm reset, max statistic") {
+    import spark.implicits._
+    // drift 10, threshold 25: values 30,30 push s to 20 then 40 -> alarm +
+    // reset; then 5 keeps s at 0; 40 -> 30 -> second alarm; 12 -> s 2
+    val ev = Seq((1L, 1L, 30L), (1L, 2L, 30L), (1L, 3L, 5L), (1L, 4L, 40L),
+      (1L, 5L, 12L), (2L, 1L, 9L)).toDF("k", "t", "v")
+    val got = graft.ops.Drift.cusum(ev, "k", Seq("t"), "v",
+        drift = 10L, threshold = 25L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((5L, 2L, 2L, 40L)))
+    // a key that never accumulates: no alarms, statistic pinned at 0
+    assert(got(2L) == ((1L, 0L, 0L, 0L)))
+  }
+
+  test("sobel: gradient moments match brute force on the synthetic grid") {
+    import spark.implicits._
+    val size = 12
+    val tiles = spark.createDataset(graft.synth.TileGen.tiles(
+      Seq((-119, 36)), size, "hgt"))
+    val got = graft.ops.ImageOps.sobelStats(tiles)
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    def v(r: Int, c: Int): Long =
+      graft.synth.TileGen.sampleAt(-119, 36, r, c).toLong
+    var gxs = 0L; var gys = 0L; var es = 0L; var emax = 0L
+    for (r <- 1 until size - 1; c <- 1 until size - 1) {
+      val gx = (v(r - 1, c + 1) + 2 * v(r, c + 1) + v(r + 1, c + 1)) -
+        (v(r - 1, c - 1) + 2 * v(r, c - 1) + v(r + 1, c - 1))
+      val gy = (v(r + 1, c - 1) + 2 * v(r + 1, c) + v(r + 1, c + 1)) -
+        (v(r - 1, c - 1) + 2 * v(r - 1, c) + v(r - 1, c + 1))
+      val e = gx * gx + gy * gy
+      gxs += gx; gys += gy; es += e; emax = math.max(emax, e)
+    }
+    assert(got == (("N36W119", 100L, gxs, gys, es, emax)))
+    // the grid has nonzero gradient in BOTH axes (Gy pins orientation)
+    assert(got._3 != 0L && got._4 != 0L)
+  }
 }
