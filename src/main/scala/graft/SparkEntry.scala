@@ -876,6 +876,18 @@ object SparkEntry {
         .select("point_id", "x", "y")
         .orderBy("point_id")
     }),
+    // Bing quadkey (functions.raster.quadkey): the STRING tile address
+    // whose prefix property turns pyramid containment into LIKE/range
+    // predicates parquet stats prune — digits unrolled at plan time into
+    // one codegen'd concat of bit ops over the same z14 tile coords.
+    "geo_quadkey" -> ((s, dir) => {
+      quadrantPoints(s, dir)
+        .withColumn("x", zxy_x(col("lng"), lit(14)))
+        .withColumn("y", zxy_y(col("lat"), lit(14)))
+        .withColumn("qk", quadkey(col("x"), col("y"), 14))
+        .select("point_id", "x", "y", "qk")
+        .orderBy("point_id")
+    }),
     // Z-order (Morton) write-clustering key: sort-before-write locality so
     // parquet row-group min/max stats prune spatial range predicates. The
     // oracle replays the quantizer and the 4-step magic-mask bit spread.
@@ -1282,6 +1294,34 @@ object SparkEntry {
           sum(col("valid_from")).as("sum_from"),
           sum(coalesce(col("valid_to"), lit(0L))).as("sum_to"))
         .orderBy("is_current", "grp")
+    }),
+    // Incremental aggregate maintenance (ops.Cdc.incrementalAgg): the
+    // maintained groupBy(count, sum) absorbs a changelog of inserts /
+    // group-moving updates / deletes as exact-integer deltas — work
+    // proportional to the CHANGES, never the facts. The oracle recomputes
+    // the aggregate from the FINAL state, pinning the maintenance algebra.
+    "cdc_incr_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), (col("o_custkey") % 16).as("grp"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      val base = o.filter(col("k") % 5 =!= 0)
+      val baseAgg = base.groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+      val ins = o.filter(col("k") % 5 === 0)
+        .select(lit(null).cast("long").as("grp_old"),
+          lit(null).cast("long").as("v_old"),
+          col("grp").as("grp_new"), col("v").as("v_new"))
+      val upd = base.filter(col("k") % 3 === 0)
+        .select(col("grp").as("grp_old"), col("v").as("v_old"),
+          when(col("k") % 9 === 0, (col("grp") + 1) % 16).otherwise(col("grp"))
+            .as("grp_new"),
+          (col("v") + 10000L).as("v_new"))
+      val del = base.filter(col("k") % 3 =!= 0 && col("k") % 11 === 0)
+        .select(col("grp").as("grp_old"), col("v").as("v_old"),
+          lit(null).cast("long").as("grp_new"),
+          lit(null).cast("long").as("v_new"))
+      ops.Cdc.incrementalAgg(baseAgg,
+        ins.unionByName(upd).unionByName(del)).orderBy("grp")
     }),
     // Data-quality expectation suite (ops.DataQuality.check): Deequ-style
     // declared constraints — all row-level rules fold into ONE scan's
@@ -2162,6 +2202,14 @@ object SparkEntry {
         "cast(size(split(text, ' ')) as bigint) AS n_ws_tokens",
         "cast(aggregate(split(text, ' '), 0, (acc, w) -> acc + cast((length(w) + 3) / 4 as int)) as bigint) AS n_bpe_tokens")
         .orderBy("doc_id")
+    }),
+    // BPE merge statistics (ops.TextDedup.bpePairStats): corpus-wide
+    // adjacent character-pair counts — the counting step a BPE tokenizer
+    // trainer iterates; ONE pair-keyed count, ranking bounded by the
+    // |alphabet|² pair vocabulary, never the corpus.
+    "text_bpe_pairs" -> ((s, dir) => {
+      ops.TextDedup.bpePairStats(t(s, dir, "documents"), topK = 20)
+        .orderBy("rk")
     }),
     // Tile-pyramid materialization: render each 1° tile into 2×2
     // Terrarium-RGB PNG sub-tiles (64² px, bilinear at pixel centers), then
@@ -5703,6 +5751,24 @@ object SparkEntry {
            CAST(least(greatest(floor((lng + 180.0)/360.0 * 16384), 0), 16383) AS INT) AS x,
            CAST(least(greatest(floor((1.0 - ln(tan(radians(latc)) + 1.0/cos(radians(latc)))/pi())/2.0 * 16384), 0), 16383) AS INT) AS y
          FROM c ORDER BY point_id""",
+    // same tile coords as geo_zxy; quadkey digits unrolled exactly as the
+    // engine's plan-time concat of bit ops
+    "geo_quadkey" -> {
+      val digits = (14 to 1 by -1).map { i =>
+        s"CAST((x >> ${i - 1}) % 2 + 2*((y >> ${i - 1}) % 2) AS VARCHAR)"
+      }.mkString(" || ")
+      s"""WITH pts AS (SELECT c_custkey AS point_id,
+           -180 + (c_custkey % 360) + 0.5 AS lng,
+           -90 + ((c_custkey * 7) % 180) + 0.25 AS lat FROM customer),
+         c AS (SELECT point_id, lng,
+           least(greatest(lat, -85.05112877980659), 85.05112877980659) AS latc FROM pts),
+         xy AS (SELECT point_id,
+           CAST(least(greatest(floor((lng + 180.0)/360.0 * 16384), 0), 16383) AS INT) AS x,
+           CAST(least(greatest(floor((1.0 - ln(tan(radians(latc)) + 1.0/cos(radians(latc)))/pi())/2.0 * 16384), 0), 16383) AS INT) AS y
+         FROM c)
+         SELECT point_id, x, y, $digits AS qk
+         FROM xy ORDER BY point_id"""
+    },
     "dedup_exact" ->
       """WITH all_docs AS (SELECT doc_id, text FROM documents
            UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
@@ -5746,6 +5812,23 @@ object SparkEntry {
            CAST(sum(valid_from) AS BIGINT) AS sum_from,
            CAST(sum(coalesce(valid_to, 0)) AS BIGINT) AS sum_to
          FROM v GROUP BY 1, 2 ORDER BY is_current, grp""",
+    // full recompute from the FINAL table state — the maintenance
+    // invariant the incremental path must hit bit-for-bit
+    "cdc_incr_agg" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey % 16 AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+         base AS (SELECT * FROM o WHERE k % 5 <> 0),
+         ins AS (SELECT grp, v FROM o WHERE k % 5 = 0),
+         upd AS (SELECT CASE WHEN k % 9 = 0 THEN (grp + 1) % 16 ELSE grp END
+               AS grp, v + 10000 AS v
+           FROM base WHERE k % 3 = 0),
+         kept AS (SELECT grp, v FROM base
+           WHERE k % 3 <> 0 AND NOT (k % 11 = 0)),
+         fin AS (SELECT * FROM kept UNION ALL SELECT * FROM upd
+           UNION ALL SELECT * FROM ins)
+         SELECT grp, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS sum_v
+         FROM fin GROUP BY grp ORDER BY grp""",
     "dq_expectations" ->
       """WITH r1 AS (SELECT 'not_null' AS rule, 'o_custkey' AS "column",
              CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -6088,6 +6171,15 @@ object SparkEntry {
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
            CAST(list_sum(list_transform(string_split(text, ' '), w -> (length(w) + 3) // 4)) AS BIGINT) AS n_bpe_tokens
          FROM documents ORDER BY doc_id""",
+    "text_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         p AS (SELECT substr(w, CAST(g AS INT), 2) AS pair
+           FROM w, unnest(range(1, len(w))) AS t(g) WHERE len(w) >= 2),
+         c AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1),
+         r AS (SELECT pair, n,
+             CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rk
+           FROM c)
+         SELECT pair, n, rk FROM r WHERE rk <= 20 ORDER BY rk""",
     "ann_cosine_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),

@@ -69,4 +69,24 @@ object raster {
     col(TileXExpr(ex(lng.cast(DoubleType)), ex(z.cast(IntegerType))))
   def zxy_y(lat: Column, z: Column): Column =
     col(TileYExpr(ex(lat.cast(DoubleType)), ex(z.cast(IntegerType))))
+
+  /** Bing-maps quadkey of slippy tile `(x, y)` at zoom `z`: digit i (MSB
+    * first) is `bit_i(x) + 2·bit_i(y)` as a character `'0'..'3'` — the
+    * string tile address whose PREFIX property (a parent tile's quadkey is
+    * a proper prefix of every descendant's) turns pyramid containment into
+    * `LIKE 'prefix%'` / string-range predicates that parquet min/max stats
+    * and Catalyst pushdown prune directly — the string twin of the Morton
+    * `zorder_key` (same bit interleave, opposite consumer: range scans vs
+    * write clustering). `z` is a plan-time constant, so the digits unroll
+    * into a fixed `concat` of codegen'd integer bit ops — no UDF, no
+    * array allocation.
+    */
+  def quadkey(x: Column, y: Column, z: Int): Column = {
+    import org.apache.spark.sql.functions.{concat, shiftright, lit}
+    require(z >= 1 && z <= 30, s"zoom out of [1, 30]: $z")
+    concat((z to 1 by -1).map { i =>
+      ((shiftright(x, i - 1) % lit(2)) + (shiftright(y, i - 1) % lit(2)) * lit(2))
+        .cast("string")
+    }: _*)
+  }
 }

@@ -84,4 +84,51 @@ object Cdc {
       .select((keyCols ++ payload).map(col) ++
         Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
   }
+
+  /** INCREMENTAL AGGREGATE MAINTENANCE: apply a changelog to a maintained
+    * `groupBy(grp).agg(count, sum)` WITHOUT touching the base fact table —
+    * the materialized-view maintenance primitive that makes a 100 TB
+    * rollup affordable to keep fresh: the work is proportional to the
+    * CHANGES (plus the aggregate's own |groups| rows), never to the facts.
+    * Counts and sums are self-maintainable under insert/update/delete
+    * (each change contributes an exact additive delta); min/max are not —
+    * they need the per-group recompute on delete, which is exactly why
+    * this operator restricts itself to the additive family.
+    *
+    * Change rows declare their effect positionally: an insert carries
+    * `(grp_new, v_new)` with null olds, a delete `(grp_old, v_old)` with
+    * null news, an update both (moving a row between groups when they
+    * differ). Values must be exact integers (cents) — incremental
+    * maintenance REORDERS additions relative to a full recompute, so IEEE
+    * float sums would drift; with integer deltas the maintained aggregate
+    * is bit-identical to recomputing from the final state, which is the
+    * oracle contract.
+    *
+    * Plan shape: one `explode` of the two signed delta structs per change,
+    * one grp-keyed partial-aggregated sum (bounded by |touched groups|),
+    * one full-outer join against the base aggregate (|groups| rows), all
+    * key-bounded. Groups whose maintained count reaches 0 are dropped
+    * (absence = empty, the engine-wide encoding).
+    *
+    * @param baseAgg (grp, n, sum_v) — the maintained aggregate
+    * @param changes (grp_old, v_old, grp_new, v_new) nullable as above
+    * @return updated (grp, n, sum_v)
+    */
+  def incrementalAgg(baseAgg: DataFrame, changes: DataFrame): DataFrame = {
+    val deltas = changes.select(explode(array(
+        struct(col("grp_old").as("grp"), lit(-1L).as("dn"),
+          (-col("v_old")).cast("long").as("dv")),
+        struct(col("grp_new").as("grp"), lit(1L).as("dn"),
+          col("v_new").cast("long").as("dv")))).as("d"))
+      .select(col("d.grp").as("grp"), col("d.dn"), col("d.dv"))
+      .filter(col("grp").isNotNull)
+      .groupBy("grp")
+      .agg(sum("dn").as("dn"), sum("dv").as("dv"))
+    baseAgg.join(deltas, Seq("grp"), "full_outer")
+      .select(col("grp"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("sum_v"), lit(0L)) + coalesce(col("dv"), lit(0L)))
+          .as("sum_v"))
+      .filter(col("n") > 0)
+  }
 }

@@ -1999,4 +1999,53 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the grid has nonzero gradient in BOTH axes (Gy pins orientation)
     assert(got._3 != 0L && got._4 != 0L)
   }
+
+  test("quadkey: Bing golden vectors and prefix property") {
+    import spark.implicits._
+    // bing maps tile-system doc example: tile (3, 5) at level 3 -> "213"
+    val df = Seq((3, 5), (0, 0), (7, 7)).toDF("x", "y")
+      .withColumn("qk", graft.functions.raster.quadkey($"x", $"y", 3))
+    val got = df.as[(Int, Int, String)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((3, 5)) == "213")
+    assert(got((0, 0)) == "000")
+    assert(got((7, 7)) == "333")
+    // parent at z2 = proper prefix of the z3 key (the pyramid range-scan
+    // property): (3,5) at z3 has parent (1,2) at z2
+    val parent = Seq((1, 2)).toDF("x", "y")
+      .withColumn("qk", graft.functions.raster.quadkey($"x", $"y", 2))
+      .as[(Int, Int, String)].collect().head._3
+    assert(got((3, 5)).startsWith(parent))
+  }
+
+  test("incrementalAgg: deltas match recompute, moves move, empty groups drop") {
+    import spark.implicits._
+    val baseAgg = Seq((1L, 2L, 100L), (2L, 1L, 50L)).toDF("grp", "n", "sum_v")
+    val changes = Seq(
+      // insert into a NEW group 3
+      (None, None, Some(3L), Some(7L)),
+      // update moving a row from group 1 to group 2 (value 60 -> 65)
+      (Some(1L), Some(60L), Some(2L), Some(65L)),
+      // delete group 2's only original row -> group 2 = the moved row only
+      (Some(2L), Some(50L), None, None)
+    ).toDF("grp_old", "v_old", "grp_new", "v_new")
+    val got = graft.ops.Cdc.incrementalAgg(baseAgg, changes)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(1L -> ((1L, 40L)), 2L -> ((1L, 65L)), 3L -> ((1L, 7L))))
+    // a delete that empties a group removes the row entirely
+    val wipe = Seq((Some(3L), Some(7L), Option.empty[Long], Option.empty[Long]))
+      .toDF("grp_old", "v_old", "grp_new", "v_new")
+    val after = graft.ops.Cdc.incrementalAgg(
+        Seq((3L, 1L, 7L)).toDF("grp", "n", "sum_v"), wipe)
+    assert(after.count() == 0L)
+  }
+
+  test("bpePairStats: pair counts and deterministic ranking") {
+    import spark.implicits._
+    val docs = Seq((1L, "aab ab"), (2L, "b aab")).toDF("doc_id", "text")
+    // pairs: aab -> aa, ab (x2 docs); ab -> ab; b too short
+    // counts: ab = 3 (two aab + one ab), aa = 2
+    val got = graft.ops.TextDedup.bpePairStats(docs, topK = 10)
+      .as[(String, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map("ab" -> ((3L, 1)), "aa" -> ((2L, 2))))
+  }
 }
