@@ -469,6 +469,32 @@ object SparkEntry {
         .agg(countDistinct("user_id").as("n_exact"))
       sk.join(exact, "event_type").orderBy("event_type")
     }),
+    // Streaming CDC snapshot (streaming.StreamOps.cdcSnapshot): latest-wins
+    // upsert state as ONE declarative stateful aggregation — per key
+    // max_by(payload, seq), order-insensitive under unique (key, seq), so
+    // the drained snapshot equals the batch changelog fold however the
+    // source micro-batches. The oracle replays latest-wins from the final
+    // changelog state (same invariant as cdc_upsert).
+    "stream_cdc_snapshot" -> ((s, dir) => {
+      val base = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("ck"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val log = base
+        .withColumn("seq", lit(0L)).withColumn("op", lit("I"))
+        .unionByName(base.filter(col("k") % 7 === 0)
+          .withColumn("cents", col("cents") + lit(100000L))
+          .withColumn("seq", lit(1L)).withColumn("op", lit("U")))
+        .unionByName(base.filter(col("k") % 13 === 0)
+          .withColumn("seq", lit(2L)).withColumn("op", lit("D")))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_cdc_log_").toString
+      log.write.mode("overwrite").parquet(tmp)
+      streaming.StreamOps.cdcSnapshot(s, tmp, "k", "seq")
+        .filter(col("op") =!= "D")
+        .groupBy((col("ck") % 16).as("grp"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .orderBy("grp")
+    }),
     // Implausible-speed flagging (ops.Trajectory.speedFlags): the GPS
     // cleaning pass — exact integer µdeg/s per fix pair, teleports planted
     // every 101st event jump the walk by 5 degrees.
@@ -564,6 +590,28 @@ object SparkEntry {
           "(px DIV 6) * 1000000 + (py DIV 4) AS cell",
           "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 AS tb")
       ops.Trajectory.colocation(pts).orderBy("t1", "t2")
+    }),
+    // Symmetric discrete Hausdorff over candidate trajectory pairs
+    // (ops.Trajectory.hausdorff): the track-similarity refine after
+    // cell-level colocation — exact integer squared distances, the
+    // quadratic expansion confined to the candidate pairs (here the
+    // labeled bounded all-pairs of a 12-track subset, the gate's stand-in
+    // for colocation output).
+    "traj_hausdorff" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val pts = t(s, dir, "events")
+        .filter(col("user_id") < 12)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("event_id") % 7).as("dx"),
+          ((col("event_id") * 3) % 5).as("dy"))
+        .withColumn("px", sum("dx").over(w))
+        .withColumn("py", sum("dy").over(w))
+        .select(col("user_id").as("traj_id"), col("px"), col("py"))
+      val ids = pts.select("traj_id").distinct()
+      val pairs = ids.select(col("traj_id").as("t1"))
+        .join(ids.select(col("traj_id").as("t2")), col("t1") < col("t2"))
+      ops.Trajectory.hausdorff(pts, pairs).orderBy("t1", "t2")
     }),
 
     // ---- spatial core (F4/F9, J1/J4+F1/F2/F8, F6, z/x/y) ----
@@ -5812,6 +5860,52 @@ object SparkEntry {
            CAST(sum(valid_from) AS BIGINT) AS sum_from,
            CAST(sum(coalesce(valid_to, 0)) AS BIGINT) AS sum_to
          FROM v GROUP BY 1, 2 ORDER BY is_current, grp""",
+    // latest-wins replay from the final changelog: seq2 'D' beats seq1 'U'
+    // beats the seq0 base row — the batch invariant the streaming
+    // max_by-state snapshot must reproduce exactly
+    "stream_cdc_snapshot" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_custkey AS ck,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+         fin AS (SELECT k, ck,
+             CASE WHEN k % 7 = 0 THEN cents + 100000 ELSE cents END AS cents
+           FROM base WHERE NOT (k % 13 = 0))
+         SELECT ck % 16 AS grp, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM fin GROUP BY 1 ORDER BY grp""",
+    // symmetric Hausdorff over the same 12-track walk: both directed
+    // max-min passes replayed in exact integers
+    "traj_hausdorff" ->
+      """WITH p AS (SELECT user_id AS traj_id,
+             CAST(sum(event_id % 7) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS px,
+             CAST(sum((event_id * 3) % 5) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS py
+           FROM events WHERE user_id < 12),
+         ids AS (SELECT DISTINCT traj_id FROM p),
+         pairs AS (SELECT a.traj_id AS t1, b.traj_id AS t2
+           FROM ids a, ids b WHERE a.traj_id < b.traj_id),
+         j AS (SELECT t1, t2, pa.px AS ax, pa.py AS ay,
+             pb.px AS bx, pb.py AS b_y,
+             (pa.px - pb.px) * (pa.px - pb.px)
+               + (pa.py - pb.py) * (pa.py - pb.py) AS d2
+           FROM pairs
+           JOIN p pa ON pa.traj_id = t1 JOIN p pb ON pb.traj_id = t2),
+         hab AS (SELECT t1, t2, max(mn) AS h_ab,
+             CAST(count(*) AS BIGINT) AS n_a
+           FROM (SELECT t1, t2, ax, ay, min(d2) AS mn FROM j
+                 GROUP BY 1, 2, 3, 4) GROUP BY 1, 2),
+         hba AS (SELECT t1, t2, max(mn) AS h_ba,
+             CAST(count(*) AS BIGINT) AS n_b
+           FROM (SELECT t1, t2, bx, b_y, min(d2) AS mn FROM j
+                 GROUP BY 1, 2, 3, 4) GROUP BY 1, 2)
+         SELECT hab.t1, hab.t2, n_a, n_b,
+           CAST(greatest(h_ab, h_ba) AS BIGINT) AS hausdorff_d2
+         FROM hab JOIN hba ON hab.t1 = hba.t1 AND hab.t2 = hba.t2
+         ORDER BY hab.t1, hab.t2""",
     // full recompute from the FINAL table state — the maintenance
     // invariant the incremental path must hit bit-for-bit
     "cdc_incr_agg" ->

@@ -375,4 +375,49 @@ object Trajectory {
            ELSE py + CASE WHEN yq >= py THEN ((yq - py) * offq) DIV seg_q
                      ELSE -(((py - yq) * offq) DIV seg_q) END END AS ay""")
   }
+
+  /** Symmetric (discrete) Hausdorff distance between trajectory pairs —
+    * the track-similarity refine of trajectory dedup / map-matching QA:
+    * for each candidate pair `(t1, t2)`,
+    * `H² = max( max_a min_b d²(a,b), max_b min_a d²(a,b) )` over the two
+    * point sets, exact integer squared distances throughout (no sqrt — H²
+    * ranks identically and stays oracle-exact).
+    *
+    * Plan shape — the standard candidate/refine split of every join
+    * family here: CANDIDATE pairs are the caller's (typically
+    * [[colocation]]'s cell-level output — trajectories sharing space-time
+    * cells), so the quadratic a×b expansion is confined to pairs already
+    * known to be close, bounded per pair by the two track lengths (the
+    * same per-pair-quadratic contract as the exact-Jaccard verify after
+    * MinHash banding). Within a pair: one pair-keyed join replicating each
+    * side once, a `(pair, probe-point)`-keyed MIN, a pair-keyed MAX —
+    * all key-bounded shuffles; both directions share the one expansion
+    * (min over b per a-point AND min over a per b-point read the same
+    * joined rows). Never all-pairs across trajectories; nothing collects.
+    *
+    * @param points (traj_id, px, py) integer track points
+    * @param pairs  (t1, t2) candidate pairs, t1 < t2 by caller contract
+    * @return (t1, t2, n_a, n_b, hausdorff_d2)
+    */
+  def hausdorff(points: DataFrame, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = pairs.join(points.select(col("traj_id").as("t1"),
+      col("px").as("ax"), col("py").as("ay")), "t1")
+    val joined = a.join(points.select(col("traj_id").as("t2"),
+        col("px").as("bx"), col("py").as("by")), "t2")
+      .withColumn("d2",
+        (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by")))
+    val hAB = joined.groupBy("t1", "t2", "ax", "ay")
+      .agg(min("d2").as("mn"))
+      .groupBy("t1", "t2")
+      .agg(max("mn").as("h_ab"), count(lit(1)).as("n_a"))
+    val hBA = joined.groupBy("t1", "t2", "bx", "by")
+      .agg(min("d2").as("mn"))
+      .groupBy("t1", "t2")
+      .agg(max("mn").as("h_ba"), count(lit(1)).as("n_b"))
+    hAB.join(hBA, Seq("t1", "t2"))
+      .select(col("t1"), col("t2"), col("n_a"), col("n_b"),
+        greatest(col("h_ab"), col("h_ba")).as("hausdorff_d2"))
+  }
 }

@@ -2039,6 +2039,18 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.count() == 0L)
   }
 
+  test("hausdorff: symmetric max-min over point sets, brute-force checked") {
+    import spark.implicits._
+    // A = {(0,0),(10,0)}, B = {(0,1),(10,0),(20,0)}:
+    // h(A,B): a(0,0)->1, a(10,0)->0 => 1;  h(B,A): 1, 0, 100 => 100
+    val pts = Seq((1L, 0L, 0L), (1L, 10L, 0L),
+      (2L, 0L, 1L), (2L, 10L, 0L), (2L, 20L, 0L)).toDF("traj_id", "px", "py")
+    val pairs = Seq((1L, 2L)).toDF("t1", "t2")
+    val got = graft.ops.Trajectory.hausdorff(pts, pairs)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got == ((1L, 2L, 2L, 3L, 100L)))
+  }
+
   test("bpePairStats: pair counts and deterministic ranking") {
     import spark.implicits._
     val docs = Seq((1L, "aab ab"), (2L, "b aab")).toDF("doc_id", "text")
