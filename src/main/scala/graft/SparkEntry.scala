@@ -334,6 +334,19 @@ object SparkEntry {
       ops.Drift.cusum(ev, "user_id", Seq("ts", "event_id"), "v_cents",
         drift = 6000L, threshold = 20000L).orderBy("user_id")
     }),
+    // Holt double-exponential smoothing (ops.Drift.holt): per-user
+    // level+trend forecast in exact ppm integer arithmetic with an
+    // explicit floor division both engines replay identically; the
+    // abs-err backtest column rides along. Same one-shuffle fold plan as
+    // events_cusum; oracle = recursive CTE.
+    "events_holt" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("v_cents"))
+      ops.Drift.holt(ev, "user_id", Seq("ts", "event_id"), "v_cents",
+        alphaPpm = 300000L, betaPpm = 100000L, horizon = 3L)
+        .orderBy("user_id")
+    }),
     // hold in int64 through the gate SFs; a 100 TB deployment would move
     // the squares to DECIMAL(38,0) (same plan, wider integers).
     "events_rolling_z" -> ((s, dir) => {
@@ -838,6 +851,22 @@ object SparkEntry {
       quadrantPoints(s, dir)
         .withColumn("cell", cells.hex_cell(col("lng"), col("lat"), lit(9)))
         .select("point_id", "cell")
+        .orderBy("point_id")
+    }),
+    // Hex grid distance (cells.hex_grid_distance — the h3 gridDistance
+    // API): axial metric unpacked straight from the cell id bit layout as
+    // codegen'd integer ops; consecutive-point pairs via one key-bounded
+    // self-join. Pins the packed layout AND the ring metric the kNN
+    // pruning bound quantifies over.
+    "geo_hex_distance" -> ((s, dir) => {
+      val pts = quadrantPoints(s, dir)
+        .withColumn("cell", cells.hex_cell(col("lng"), col("lat"), lit(9)))
+        .select("point_id", "cell")
+      val b = pts.select((col("point_id") - 1).as("point_id"),
+        col("cell").as("cell_b"))
+      pts.withColumnRenamed("cell", "cell_a").join(b, "point_id")
+        .withColumn("hex_dist",
+          cells.hex_grid_distance(col("cell_a"), col("cell_b")))
         .orderBy("point_id")
     }),
     // Geohash cell strings (geo.Geohash closed-form interleave, codegen'd
@@ -4963,6 +4992,22 @@ object SparkEntry {
          FROM w GROUP BY 1 ORDER BY 1""",
     "geo_s2_cell" -> s2OracleSql(quadrantPtsCte, 12),
     "geo_hex_cell" -> hexOracleSql(quadrantPtsCte, 9),
+    // same cell derivation; distance = axial metric over the offset-encoded
+    // q/r unpacked by exact integer division (2^29 = 536870912)
+    "geo_hex_distance" ->
+      s"""WITH c AS (${hexOracleSql(quadrantPtsCte, 9)}),
+         p AS (SELECT a.point_id, a.cell AS cell_a, b.cell AS cell_b
+           FROM c a JOIN c b ON b.point_id = a.point_id + 1),
+         d AS (SELECT point_id, cell_a, cell_b,
+             ((cell_a // 536870912) % 536870912) - 268435456 AS qa,
+             (cell_a % 536870912) - 268435456 AS ra,
+             ((cell_b // 536870912) % 536870912) - 268435456 AS qb,
+             (cell_b % 536870912) - 268435456 AS rb
+           FROM p)
+         SELECT point_id, cell_a, cell_b,
+           CAST((abs(qa - qb) + abs(ra - rb) + abs((qa - qb) + (ra - rb)))
+             // 2 AS BIGINT) AS hex_dist
+         FROM d ORDER BY point_id""",
     "geo_cell_density" ->
       s"""SELECT cell, count(*) AS n FROM (${hexOracleSql(quadrantPtsCte, 7)})
          GROUP BY cell HAVING count(*) >= 5 ORDER BY n DESC, cell""",
@@ -5906,6 +5951,34 @@ object SparkEntry {
            CAST(greatest(h_ab, h_ba) AS BIGINT) AS hausdorff_d2
          FROM hab JOIN hba ON hab.t1 = hba.t1 AND hab.t2 = hba.t2
          ORDER BY hab.t1, hab.t2""",
+    // Holt recurrence replayed as a recursive CTE; the floor division is
+    // spelled out the same way the engine spells it, so negative trends
+    // floor identically in both engines
+    "events_holt" -> {
+      def fd(x: String) =
+        s"(($x) - ((($x) % 1000000 + 1000000) % 1000000)) // 1000000"
+      val lNew = fd("300000 * e.v + 700000 * (st.l + st.b)")
+      s"""WITH RECURSIVE ev AS (SELECT user_id,
+             CAST(round(value*100) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS i FROM events),
+         cnt AS (SELECT user_id, count(*) AS n FROM ev GROUP BY 1),
+         st AS (
+           SELECT ev.user_id, CAST(1 AS BIGINT) AS i, ev.v AS l,
+             CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS e
+           FROM ev WHERE ev.i = 1
+           UNION ALL
+           SELECT st.user_id, st.i + 1,
+             CAST($lNew AS BIGINT),
+             CAST(${fd(s"100000 * (($lNew) - st.l) + 900000 * st.b")} AS BIGINT),
+             CAST(st.e + abs(e.v - (st.l + st.b)) AS BIGINT)
+           FROM st JOIN ev e ON e.user_id = st.user_id AND e.i = st.i + 1)
+         SELECT st.user_id, c.n AS n_events, st.l AS level, st.b AS trend,
+           CAST(st.l + 3 * st.b AS BIGINT) AS forecast,
+           st.e AS abs_err_sum
+         FROM st JOIN cnt c USING (user_id) WHERE st.i = c.n
+         ORDER BY st.user_id"""
+    },
     // full recompute from the FINAL table state — the maintenance
     // invariant the incremental path must hit bit-for-bit
     "cdc_incr_agg" ->

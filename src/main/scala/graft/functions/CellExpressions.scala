@@ -170,6 +170,27 @@ object cells {
   def zorder_key(lng: Column, lat: Column): Column =
     col(ZOrderKeyExpr(ex(lng.cast(DoubleType)), ex(lat.cast(DoubleType))))
 
+  /** Hex grid distance between two SAME-RESOLUTION packed cells (the h3
+    * `gridDistance` API as column arithmetic): unpack the offset-encoded
+    * axial coords straight from the cell id's bit layout
+    * ([[graft.geo.Hex.pack]]) and take the standard axial metric
+    * `(|dq| + |dr| + |dq+dr|) / 2` — the sum is always even, so the final
+    * halving is an exact `shiftright`. Pure codegen'd integer bit ops
+    * (no UDF, no unpack round trip through the driver); this is the
+    * distance the kNN ring expansion's pruning bound quantifies over, made
+    * queryable — e.g. "how many rings apart are these two point sets".
+    */
+  def hex_grid_distance(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.{abs, lit, shiftright}
+    def qOf(c: Column): Column =
+      shiftright(c, 29).bitwiseAND(lit((1L << 29) - 1)) - lit(1L << 28)
+    def rOf(c: Column): Column =
+      c.bitwiseAND(lit((1L << 29) - 1)) - lit(1L << 28)
+    val dq = qOf(a) - qOf(b)
+    val dr = rOf(a) - rOf(b)
+    shiftright(abs(dq) + abs(dr) + abs(dq + dr), 1)
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("s2_cell",

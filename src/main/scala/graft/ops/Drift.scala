@@ -65,4 +65,59 @@ object Drift {
         col("fin.alarms").as("n_alarms"), col("fin.s").as("s_final"),
         col("fin.smax").as("s_max"))
   }
+
+  /** Holt double-exponential smoothing per key — the level+trend forecast
+    * next to [[cusum]]'s alarm (CUSUM says "something shifted", Holt says
+    * "where the series is heading"): with smoothing weights `alphaPpm`,
+    * `betaPpm` in exact parts-per-million,
+    *
+    * {{{
+    *   l_1 = x_1,  b_1 = 0
+    *   l_i = ⌊(α·x_i + (10⁶−α)·(l_{i−1} + b_{i−1})) / 10⁶⌋
+    *   b_i = ⌊(β·(l_i − l_{i−1}) + (10⁶−β)·b_{i−1}) / 10⁶⌋
+    * }}}
+    *
+    * all in integer arithmetic with an explicit FLOOR division (computed
+    * as `(x − ((x mod 10⁶ + 10⁶) mod 10⁶)) / 10⁶` so both engines agree on
+    * negative trends — truncating `DIV` and flooring `//` coincide only on
+    * the exact multiple this form produces). Emits the final level/trend,
+    * the `horizon`-step linear forecast `l + h·b`, and the summed absolute
+    * one-step-ahead forecast error — the backtest number that says whether
+    * the smoothing weights fit the series.
+    *
+    * Same plan and state contract as [[cusum]]: one key shuffle, sorted
+    * array, codegen'd HOF fold, per-key state bounded by that key's
+    * events.
+    *
+    * @return (keyCol, n_events, level, trend, forecast, abs_err_sum)
+    */
+  def holt(df: DataFrame, keyCol: String, orderCols: Seq[String],
+           vCol: String, alphaPpm: Long, betaPpm: Long,
+           horizon: Long): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    require(alphaPpm >= 0 && alphaPpm <= 1000000L, s"alphaPpm: $alphaPpm")
+    require(betaPpm >= 0 && betaPpm <= 1000000L, s"betaPpm: $betaPpm")
+    def fd(x: String) = s"(($x) - ((($x) % 1000000L + 1000000L) % 1000000L)) DIV 1000000L"
+    val a = alphaPpm; val b = betaPpm
+    val lNew = fd(s"${a}L * x.v + ${1000000L - a}L * (acc.l + acc.b)")
+    val step =
+      s"""aggregate(ev,
+            named_struct('i', 0L, 'l', 0L, 'b', 0L, 'e', 0L),
+            (acc, x) -> CASE WHEN acc.i = 0L
+              THEN named_struct('i', 1L, 'l', x.v, 'b', 0L, 'e', 0L)
+              ELSE named_struct(
+                'i', acc.i + 1L,
+                'l', $lNew,
+                'b', ${fd(s"${b}L * (($lNew) - acc.l) + ${1000000L - b}L * acc.b")},
+                'e', acc.e + abs(x.v - (acc.l + acc.b))) END)"""
+    df.groupBy(col(keyCol))
+      .agg(collect_list(struct(
+        orderCols.map(col) :+ col(vCol).cast("long").as("v"): _*)).as("raw"))
+      .withColumn("ev", sort_array(col("raw")))
+      .withColumn("fin", expr(step))
+      .select(col(keyCol), size(col("ev")).cast("long").as("n_events"),
+        col("fin.l").as("level"), col("fin.b").as("trend"),
+        (col("fin.l") + lit(horizon) * col("fin.b")).as("forecast"),
+        col("fin.e").as("abs_err_sum"))
+  }
 }

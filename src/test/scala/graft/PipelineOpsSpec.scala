@@ -2051,6 +2051,47 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == ((1L, 2L, 2L, 3L, 100L)))
   }
 
+  test("holt: recurrence matches a hand fold, negative trend floors correctly") {
+    import spark.implicits._
+    val xs = Seq(100L, 90L, 80L, 70L) // falling series -> negative trend
+    val ev = xs.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }
+      .toDF("k", "t", "v")
+    val got = graft.ops.Drift.holt(ev, "k", Seq("t"), "v",
+        alphaPpm = 500000L, betaPpm = 500000L, horizon = 2L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    // hand fold with floor division (alpha = beta = 1/2)
+    def fd(x: Long): Long = Math.floorDiv(x, 1000000L)
+    var l = xs.head; var b = 0L; var e = 0L
+    for (x <- xs.tail) {
+      val pred = l + b
+      val ln = fd(500000L * x + 500000L * pred)
+      val bn = fd(500000L * (ln - l) + 500000L * b)
+      e += math.abs(x - pred); l = ln; b = bn
+    }
+    assert(got == ((1L, 4L, l, b, l + 2 * b, e)))
+    assert(b < 0L, "falling series must carry a negative trend")
+  }
+
+  test("hex_grid_distance: column arithmetic equals Hex.gridDistance") {
+    import spark.implicits._
+    val cells = Seq(
+      (graft.geo.Hex.pack(9, 5, -3), graft.geo.Hex.pack(9, -2, 4)),
+      (graft.geo.Hex.pack(9, 0, 0), graft.geo.Hex.pack(9, 0, 0)),
+      (graft.geo.Hex.pack(7, -100, 250), graft.geo.Hex.pack(7, 40, 251)))
+    val got = cells.toDF("a", "b")
+      .withColumn("d", graft.functions.cells.hex_grid_distance($"a", $"b"))
+      .as[(Long, Long, Long)].collect()
+    for ((a, b, d) <- got)
+      assert(d == graft.geo.Hex.gridDistance(a, b).toLong, (a, b))
+    // neighbors sit at distance exactly 1
+    val c0 = graft.geo.Hex.pack(9, 7, 7)
+    val nb = graft.geo.Hex.neighbors(c0)
+    val nd = nb.map(n => (c0, n)).toDF("a", "b")
+      .withColumn("d", graft.functions.cells.hex_grid_distance($"a", $"b"))
+      .as[(Long, Long, Long)].collect()
+    assert(nd.forall(_._3 == 1L) && nd.length == 6)
+  }
+
   test("bpePairStats: pair counts and deterministic ranking") {
     import spark.implicits._
     val docs = Seq((1L, "aab ab"), (2L, "b aab")).toDF("doc_id", "text")
