@@ -1458,6 +1458,35 @@ object SparkEntry {
       snap(Seq("r1"), "r1").unionAll(snap(Seq("r1", "r2"), "r2"))
         .orderBy("snap", "grp")
     }),
+    // Copy-on-write COMPACTION (table.Checkpoint.compactVersioned —
+    // lakehouse OPTIMIZE): winners of the r1+r2 lineage rewritten as ONE
+    // run, validated per bucket against the commit log before the manifest
+    // commit. The gate reads the COMPACTED snapshot (tag c1) AND the
+    // pre-compaction r1 snapshot afterwards — content preserved, time
+    // travel intact.
+    "checkpoint_compact" -> ((s, dir) => {
+      val out =
+        s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_cp_${dir.hashCode}"
+      table.Checkpoint.clear(out)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      table.Checkpoint.writeVersioned(orders, col("o_orderkey") % 12, 12,
+        out, "r1")
+      val patched = orders.filter(col("o_orderkey") % 12 < 4)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      table.Checkpoint.writeVersioned(patched, col("o_orderkey") % 12, 12,
+        out, "r2")
+      table.Checkpoint.compactVersioned(s, out, Seq("r1", "r2"), "c1")
+      def snap(runs: Seq[String], tag: String) =
+        table.Checkpoint.readAt(s, out, runs)
+          .groupBy((col("o_custkey") % 16).as("grp"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .withColumn("snap", lit(tag))
+      snap(Seq("r1"), "r1")
+        .unionAll(snap(Seq("r1", "r2", "c1"), "c1"))
+        .orderBy("snap", "grp")
+    }),
 
     // Pure SQL surface: the same spatial functions through the function
     // registry + spark.sql over a temp view (what a SQL-first user writes).
@@ -6097,6 +6126,21 @@ object SparkEntry {
            FROM merged GROUP BY 1)
          SELECT grp, n, sum_price, snap FROM s1
          UNION ALL SELECT grp, n, sum_price, snap FROM s2
+         ORDER BY snap, grp""",
+    // compaction preserves content: AS OF after OPTIMIZE = the r2 state,
+    // and the pre-compaction r1 snapshot is untouched
+    "checkpoint_compact" ->
+      """WITH s1 AS (SELECT o_custkey % 16 AS grp, count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price, 'r1' AS snap
+           FROM orders GROUP BY 1),
+         merged AS (SELECT o_custkey,
+           CASE WHEN o_orderkey % 12 < 4 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS p FROM orders),
+         sc AS (SELECT o_custkey % 16 AS grp, count(*) AS n,
+           round(sum(p), 2) AS sum_price, 'c1' AS snap
+           FROM merged GROUP BY 1)
+         SELECT grp, n, sum_price, snap FROM s1
+         UNION ALL SELECT grp, n, sum_price, snap FROM sc
          ORDER BY snap, grp""",
     "geo_pip" -> pipOracleSql,
     "geo_pip_salted" -> pipOracleSkewSql,

@@ -370,4 +370,98 @@ object Checkpoint {
       .where(pred)
       .drop("__run", "__bucket")
   }
+
+  /** Rewrite refused: the compacted run's stats differ from the winning
+    * manifests — either the store was corrupted or a concurrent writer
+    * moved a bucket's winner mid-compaction. Nothing was committed.
+    */
+  final class CompactionIntegrityViolation(msg: String)
+      extends RuntimeException(msg)
+
+  /** COMPACTION (lakehouse OPTIMIZE) on the versioned store — copy-on-write
+    * consolidation: read the CURRENT winners of `runOrder` (the same
+    * newest-committed-run-per-bucket resolution as [[readAt]]), rewrite
+    * them as ONE new immutable run (`runId`) with one file per bucket, and
+    * commit its manifest rows only after validating the rewrite against
+    * the commit log. After compaction, `readAt(runOrder :+ runId)` resolves
+    * every bucket to the single compacted run — one partition directory
+    * per bucket instead of winners scattered across the whole run lineage —
+    * while every PRE-compaction snapshot stays readable unchanged (the old
+    * run trees are immutable; retention/GC of superseded runs is a separate
+    * policy decision, exactly as in Iceberg's `expire_snapshots`).
+    *
+    * Integrity is part of the protocol, not a hope: the rewritten run's
+    * per-bucket `(row_count, checksum)` — computed from the durably written
+    * files, the engine-wide validate-disk-not-plan contract — must equal
+    * the winning manifests' values; any difference throws
+    * [[CompactionIntegrityViolation]] BEFORE the manifest commit, leaving
+    * the store exactly as it was (the half-written run tree is invisible:
+    * no manifest row ⇒ no reader lists it — the same crash-atomicity
+    * argument as writeResumable's kill contract).
+    *
+    * Plan shape: winner resolution is driver-bounded by the commit log
+    * (≤ runs × buckets rows); the data path is ONE scan of exactly the
+    * winning partition directories (partition-literal pushdown) + one
+    * bucket-aligned repartition + one append — no shuffle beyond the
+    * write alignment, work proportional to the LIVE table, never the
+    * lineage.
+    */
+  def compactVersioned(spark: SparkSession, dir: String,
+                       runOrder: Seq[String],
+                       runId: String): Seq[BucketManifest] = {
+    require(!runId.contains("=") && !runId.contains("/"), s"bad runId: $runId")
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    val idx = runOrder.zipWithIndex.toMap
+    val mrows = manifests(spark, dir)
+      .select("run_id", "bucket", "row_count", "checksum").distinct()
+      .as[(String, Int, Long, Long)].collect()
+      .filter { case (r, _, _, _) => idx.contains(r) }
+    if (mrows.isEmpty) return Seq.empty
+    // newest committed run per bucket: the content contract to preserve
+    val winner: Map[Int, (String, Long, Long)] =
+      mrows.groupBy(_._2).map { case (b, rs) =>
+        val w = rs.maxBy(r => idx(r._1))
+        b -> ((w._1, w._3, w._4))
+      }
+    val pred = winner.toSeq.groupBy(_._2._1).map { case (r, bs) =>
+      col("__run") === lit(r) && col("__bucket").isin(bs.map(_._1): _*)
+    }.reduce(_ || _)
+    val nBuckets = winner.keys.max + 1
+    spark.read.parquet(s"$dir/data").where(pred).drop("__run")
+      .withColumn("__run", lit(runId))
+      .repartition(nBuckets, col("__bucket"))
+      .write.mode("append")
+      .partitionBy("__run", "__bucket")
+      .parquet(s"$dir/data")
+    val written = spark.read.parquet(s"$dir/data/__run=$runId")
+    val dataCols = written.columns.filterNot(_ == "__bucket").sorted
+    val stats = written.groupBy("__bucket")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(struct(dataCols.map(col): _*))
+          .bitwiseAND(lit(0xFFFFFFFFL))), lit(0L)).as("c"))
+      .as[(Int, Long, Long)].collect()
+      .map { case (b, n, c) => b -> ((n, c)) }.toMap
+    winner.foreach { case (b, (_, n, c)) =>
+      val (wn, wc) = stats.getOrElse(b, (0L, 0L))
+      if (wn != n || wc != c)
+        throw new CompactionIntegrityViolation(
+          s"bucket $b rewrote to (rows=$wn, checksum=$wc) " +
+            s"but the winning manifest says (rows=$n, checksum=$c)")
+    }
+    val wallMs = ((System.nanoTime() - t0) / 1000000) /
+      math.max(1, winner.size)
+    val (mfs, _) = fsOf(s"$dir/manifest", Some(spark))
+    cleanTmpManifests(mfs, dir)
+    val out = Seq.newBuilder[BucketManifest]
+    winner.keys.toSeq.sorted.grouped(64).foreach { g =>
+      val rows = g.map { b =>
+        val (n, c) = stats(b)
+        BucketManifest(runId, b, n, c, wallMs, System.currentTimeMillis())
+      }
+      appendManifest(mfs, dir, rows)
+      out ++= rows
+    }
+    out.result()
+  }
 }

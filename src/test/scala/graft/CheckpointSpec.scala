@@ -150,4 +150,47 @@ class CheckpointSpec extends AnyFunSuite with BeforeAndAfterAll {
     val numFiles = fileScan.metrics("numFiles").value
     assert(numFiles == 8, s"expected the 8 winning files, got $numFiles")
   }
+
+  test("compaction: winners consolidate into one run, old snapshots intact, corruption refused") {
+    import spark.implicits._
+    val dir = freshDir("cp")
+    val base = (0 until 1200).map(i => (i.toLong, i * 10L)).toDF("k", "v")
+    Checkpoint.writeVersioned(base, col("k") % 8, 8, dir, "r1")
+    Checkpoint.writeVersioned(
+      base.filter(col("k") % 8 < 3).withColumn("v", col("v") + 1),
+      col("k") % 8, 8, dir, "r2")
+    val pre = Checkpoint.readAt(spark, dir, Seq("r1", "r2"))
+      .as[(Long, Long)].collect().toMap
+    val ms = Checkpoint.compactVersioned(spark, dir, Seq("r1", "r2"), "c1")
+    assert(ms.map(_.bucket).sorted == (0 until 8), "one manifest per bucket")
+    // content identical through the compacted lineage
+    val post = Checkpoint.readAt(spark, dir, Seq("r1", "r2", "c1"))
+      .as[(Long, Long)].collect().toMap
+    assert(post == pre)
+    // every winner now resolves to c1: the AS-OF scan reads ONLY __run=c1
+    val asOf = Checkpoint.readAt(spark, dir, Seq("r1", "r2", "c1"))
+    val scan = asOf.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    asOf.collect()
+    assert(scan.metrics("numFiles").value == 8,
+      "compacted snapshot must read exactly the 8 compacted files")
+    // pre-compaction snapshots untouched
+    val r1 = Checkpoint.readAt(spark, dir, Seq("r1")).as[(Long, Long)]
+      .collect().toMap
+    assert(r1 == (0 until 1200).map(i => i.toLong -> (i * 10L)).toMap)
+    // a corrupted winner (manifest says other stats) is refused BEFORE
+    // commit: fake a newer manifest row for bucket 0 with a wrong checksum
+    val mdir = new java.io.File(s"$dir/manifest")
+    val bogus = new java.io.File(mdir, "commit-bogus.json")
+    val w = new java.io.PrintWriter(bogus)
+    w.println("""{"run_id":"r9","bucket":0,"row_count":999,"checksum":1,"wall_ms":0,"committed_at":1}""")
+    w.close()
+    intercept[Checkpoint.CompactionIntegrityViolation] {
+      Checkpoint.compactVersioned(spark, dir, Seq("r1", "r2", "r9"), "c2")
+    }
+    // the refused run committed nothing: c2 resolves to the same content
+    assert(Checkpoint.readAt(spark, dir, Seq("r1", "r2", "c1", "c2"))
+      .as[(Long, Long)].collect().toMap == pre)
+  }
 }
