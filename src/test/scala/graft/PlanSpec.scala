@@ -705,4 +705,76 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"direction join must broadcast the 64-row side:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian in pcaProject:\n$plan")
   }
+
+  test("prefixJaccardJoin: candidates only from the prefix-token equi-join, no all-pairs") {
+    import spark.implicits._
+    val docs = (0 until 400).map { i =>
+      (i.toLong, (0 until 12).map(j => s"w${(i * 7 + j * 3) % 90}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = graft.ops.TextDedup.prefixJaccardJoin(docs, thresholdPpm = 700000L)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"prefix join fell back to all-pairs:\n$plan")
+  }
+
+  test("hausdorff: pair-keyed expansion and aggregations, no nested-loop refine") {
+    import spark.implicits._
+    val pts = (0 until 2000).map(i =>
+      (i % 20L, (i * 7) % 101L, (i * 13) % 97L)).toDF("traj_id", "px", "py")
+    val pairs = (0 until 19).map(i => (i.toLong, i + 1L)).toDF("t1", "t2")
+    val out = graft.ops.Trajectory.hausdorff(pts, pairs)
+    assert(out.collect().length == 19)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"hausdorff planned an all-pairs join:\n$plan")
+  }
+
+  test("kcore: both survivor semi-joins and the degree count stay key-bounded") {
+    import spark.implicits._
+    val edges = (0 until 4000).map(i =>
+      (i % 300L, (i * 17 + (i / 300) * 7) % 300L)).toDF("src", "dst")
+    val out = graft.ops.Graph.kcore(edges, k = 5, rounds = 3)
+    assert(out.collect().nonEmpty)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"kcore planned an all-pairs join:\n$plan")
+  }
+
+  test("cusum/holt fold: ONE key exchange, recurrence inside the aggregate") {
+    import spark.implicits._
+    val ev = (0 until 5000).map(i =>
+      (i % 50L, i.toLong, (i * 37) % 1000L)).toDF("k", "t", "v")
+    for (out <- Seq(
+        graft.ops.Drift.cusum(ev, "k", Seq("t"), "v", 10L, 100L),
+        graft.ops.Drift.holt(ev, "k", Seq("t"), "v", 300000L, 100000L, 3L))) {
+      assert(out.collect().length == 50)
+      // AQE echoes the initial plan below the final one — count only the
+      // final plan's exchanges
+      val plan = out.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1,
+        s"expected exactly one key exchange, got $exchanges:\n$plan")
+      assert(!plan.contains("CartesianProduct"))
+    }
+  }
+
+  test("incrementalAgg: delta path partial-aggregates; no scan of base facts") {
+    import spark.implicits._
+    val baseAgg = (0 until 16).map(i => (i.toLong, 100L, 10000L))
+      .toDF("grp", "n", "sum_v")
+    val changes = (0 until 2000).map { i =>
+      (Some(i % 16L), Some(i.toLong), Some((i + 1) % 16L), Some(i + 5L))
+    }.toDF("grp_old", "v_old", "grp_new", "v_new")
+    val out = graft.ops.Cdc.incrementalAgg(baseAgg, changes)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"incrementalAgg planned an all-pairs join:\n$plan")
+    // the signed deltas partial-aggregate before the shuffle (map-side
+    // combine on grp), so delta traffic is bounded by touched groups
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
+      s"delta aggregation missing its partial phase:\n$plan")
+  }
 }
