@@ -1798,6 +1798,16 @@ object SparkEntry {
         .withColumnRenamed("rank", "pr") // dodge the RANK keyword in DuckDB
         .orderBy("node")
     }),
+    // Degree-mixing statistics (ops.Graph.degreeMix): the assortativity
+    // moments as ONE exact-integer row — num/den of Newman's r assembled,
+    // the float division left to the consumer. One degree count + two
+    // node-keyed joins + one global agg.
+    "graph_degree_mix" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 7 === 0)
+        .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
+      ops.Graph.degreeMix(edges)
+    }),
     // k-core decomposition (ops.Graph.kcore): fixed-round peeling to the
     // maximal min-degree->=k subgraph — the link-farm / dense-community
     // filter of web-graph curation. Each round is two node-keyed
@@ -1923,6 +1933,21 @@ object SparkEntry {
         TileGen.tileRow(lng, lat, 601, "hgt", TileGen.planeAt) })
       ops.ImageOps.changeStats(epochA, epochB, threshold = 600)
         .orderBy("image_id")
+    }),
+    // Blockwise joint moments of the two epochs (ops.ImageOps.nccBlocks):
+    // the NCC/SSIM sufficient statistics (n, Σa, Σb, Σa², Σb², Σab) per
+    // 100×100 window — change LOCALIZATION next to geo_elev_diff's
+    // whole-tile verdict; exact integers, decode-once, pixels never
+    // shuffle.
+    "img_ncc_blocks" -> ((s, dir) => {
+      import s.implicits._
+      val corners = Seq((-120, 36), (-120, 37), (-119, 36), (-119, 37),
+        (-118, 36), (-117, 37))
+      val epochA = s.createDataset(TileGen.tiles(corners, 601, "hgt"))
+      val epochB = s.createDataset(corners.map { case (lng, lat) =>
+        TileGen.tileRow(lng, lat, 601, "hgt", TileGen.planeAt) })
+      ops.ImageOps.nccBlocks(epochA, epochB, block = 100)
+        .orderBy("image_id", "py", "px")
     }),
     // Variance-of-Laplacian focus measure (ops.ImageOps.blurStats): the
     // standard blur filter of image curation, exact integer moments so the
@@ -4486,6 +4511,49 @@ object SparkEntry {
     "ann_pca_project" -> pcaProjectOracleSql,
     "graph_pagerank" -> pagerankOracleSql,
     "graph_kcore" -> kcoreOracleSql,
+    // same canonical-undirected graph recipe as kcore; degrees over the
+    // doubled edge set, moments in exact BIGINTs
+    "graph_degree_mix" ->
+      """WITH e AS (SELECT DISTINCT
+           GREATEST(l_suppkey % 500, l_partkey % 500) AS hi,
+           LEAST(l_suppkey % 500, l_partkey % 500) AS lo
+         FROM lineitem WHERE l_orderkey % 7 = 0),
+         e2 AS (SELECT hi, lo FROM e WHERE hi <> lo),
+         sym AS (SELECT lo AS u, hi AS v FROM e2
+                 UNION ALL SELECT hi AS u, lo AS v FROM e2),
+         deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d
+                 FROM sym GROUP BY 1),
+         t AS (SELECT a.d AS du, b.d AS dv FROM sym
+               JOIN deg a ON a.node = sym.u JOIN deg b ON b.node = sym.v),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(du) AS BIGINT) AS sx,
+             CAST(sum(du * dv) AS BIGINT) AS sxy,
+             CAST(sum(du * du) AS BIGINT) AS sxx FROM t)
+         SELECT m, sx, sxy, sxx,
+           CAST(m * sxy - sx * sx AS BIGINT) AS num,
+           CAST(m * sxx - sx * sx AS BIGINT) AS den
+         FROM s""",
+    // blockwise joint moments over the two closed-form epochs (curvy vs
+    // plane) — the grid recipe of img_patchify with both fields emitted
+    "img_ncc_blocks" ->
+      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         g AS (SELECT swlng, swlat,
+           CAST(r.range // 100 AS INT) AS py, CAST(c.range // 100 AS INT) AS px,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range
+             + ((c.range//8)*(r.range//8)) % 32 AS va,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 + c.range + 2*r.range AS vb
+           FROM corners, range(0,600) r, range(0,600) c)
+         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           py, px,
+           CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(va) AS BIGINT) AS sa,
+           CAST(sum(vb) AS BIGINT) AS sb,
+           CAST(sum(va*va) AS BIGINT) AS saa,
+           CAST(sum(vb*vb) AS BIGINT) AS sbb,
+           CAST(sum(va*vb) AS BIGINT) AS sab
+         FROM g GROUP BY swlng, swlat, py, px
+         ORDER BY image_id, py, px""",
     "img_sobel" -> sobelOracleSql,
     // Page's CUSUM recurrence replayed as a recursive CTE: one recursion
     // level per per-user event index, exact integer state throughout

@@ -218,4 +218,42 @@ object Graph {
     }
     deg
   }
+
+  /** Degree-mixing sufficient statistics — everything degree assortativity
+    * (Newman's r over edge-endpoint degrees) needs, as ONE exact-integer
+    * row: over the symmetric directed edge set (each undirected edge in
+    * both orientations, so the statistic is orientation-free and the
+    * endpoint marginals coincide),
+    * `m = |edges|, Σd_src, Σd_src·d_dst, Σd_src²`, plus the assembled
+    * numerator `m·Σxy − (Σx)²` and denominator `m·Σx² − (Σx)²` —
+    * `r = num/den` is one float division the CONSUMER performs; the engine
+    * emits only integers (the same moments-not-ratios discipline as the
+    * blur/Welford gates). Hub-attracts-hub (r>0) vs hub-attracts-leaf
+    * (r<0) is the structural fingerprint distinguishing collaboration
+    * graphs from web/link-farm graphs — a one-row diagnostic worth
+    * computing before trusting [[pagerank]]-style authority scores.
+    *
+    * Plan shape: one degree count (node-keyed), one node-keyed join per
+    * endpoint to tag edges with degrees, one global aggregation to a
+    * single row. Never all-pairs; the edge list shuffles only on node ids.
+    */
+  def degreeMix(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(greatest(col("src"), col("dst")).as("hi"),
+        least(col("src"), col("dst")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
+      .localCheckpoint(false)
+    val sym = e.select(col("lo").as("u"), col("hi").as("v"))
+      .union(e.select(col("hi").as("u"), col("lo").as("v")))
+    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+    sym
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+      .agg(count(lit(1)).as("m"), sum(col("du")).as("sx"),
+        sum(col("du") * col("dv")).as("sxy"),
+        sum(col("du") * col("du")).as("sxx"))
+      .select(col("m"), col("sx"), col("sxy"), col("sxx"),
+        (col("m") * col("sxy") - col("sx") * col("sx")).as("num"),
+        (col("m") * col("sxx") - col("sx") * col("sx")).as("den"))
+  }
 }

@@ -126,6 +126,68 @@ object ImageOps {
     }.toDF()
   }
 
+  /** One joint-moment block of one two-epoch image pair. */
+  final case class NccBlockRow(image_id: String, py: Int, px: Int, n_px: Long,
+                               sa: Long, sb: Long, saa: Long, sbb: Long,
+                               sab: Long)
+
+  /** Blockwise JOINT moments of a two-epoch raster pair — the sufficient
+    * statistics of normalized cross-correlation and SSIM per
+    * `block`×`block` window: `(n, Σa, Σb, Σa², Σb², Σab)`, from which any
+    * consumer forms `NCC = (n·Σab − Σa·Σb) / √((n·Σa²−(Σa)²)(n·Σb²−(Σb)²))`
+    * or the SSIM luminance/contrast/structure terms without this operator
+    * ever committing to a float — the registration-QA / change-localization
+    * refinement of the whole-image diff ([[changeStats]] says "this tile
+    * changed", the block moments say WHERE and how correlated the change
+    * is). Ragged right/top remainder dropped (the [[patchify]] grid
+    * contract). Integer headroom: Σab ≤ n·maxA·maxB < 2⁶³ for megapixel
+    * blocks at 16-bit depth.
+    *
+    * Scale shape: image_id equi-join (co-locating shuffle-free on a
+    * tile_key-bucketed layout), decode-once per pair, (side/block)² rows
+    * out, pixels never leave the operator — the changeStats plan with a
+    * blocked emit.
+    */
+  def nccBlocks(a: Dataset[TileRow], b: Dataset[TileRow],
+                block: Int): DataFrame = {
+    require(block > 0, s"block must be > 0, got $block")
+    val spark = a.sparkSession
+    import spark.implicits._
+    a.joinWith(b, a("image_id") === b("image_id"))
+      .mapPartitions { it =>
+        it.flatMap { case (ta, tb) =>
+          val da = TileCodec.decode(ta)
+          val db = TileCodec.decode(tb)
+          require(da.size == db.size,
+            s"epoch size mismatch for ${ta.image_id}: ${da.size} vs ${db.size}")
+          val size = da.size
+          val per = size / block
+          for {
+            py <- 0 until per
+            px <- 0 until per
+          } yield {
+            var sa = 0L; var sb = 0L; var saa = 0L; var sbb = 0L; var sab = 0L
+            var r = py * block
+            val rEnd = r + block
+            while (r < rEnd) {
+              val base = r * size + px * block
+              var i = 0
+              while (i < block) {
+                val va: Long = da.samples(base + i)
+                val vb: Long = db.samples(base + i)
+                sa += va; sb += vb
+                saa += va * va; sbb += vb * vb; sab += va * vb
+                i += 1
+              }
+              r += 1
+            }
+            NccBlockRow(ta.image_id, py, px, block.toLong * block,
+              sa, sb, saa, sbb, sab)
+          }
+        }
+      }.toDF()
+  }
+
   /** Per-image Sobel gradient-energy row. */
   final case class SobelRow(image_id: String, n_int: Long, gx_sum: Long,
                             gy_sum: Long, energy_sum: Long, energy_max: Long)

@@ -2092,6 +2092,53 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nd.forall(_._3 == 1L) && nd.length == 6)
   }
 
+  test("nccBlocks: joint moments match brute force; identical epochs give NCC=1 stats") {
+    import spark.implicits._
+    val size = 90 // block 40 -> 2x2 blocks, 10-px ragged edge dropped
+    val a = spark.createDataset(Seq(
+      graft.synth.TileGen.tileRow(-119, 36, size, "hgt")))
+    val b = spark.createDataset(Seq(
+      graft.synth.TileGen.tileRow(-119, 36, size, "hgt", graft.synth.TileGen.planeAt)))
+    val got = graft.ops.ImageOps.nccBlocks(a, b, block = 40)
+      .as[(String, Int, Int, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._2, r._3) -> ((r._4, r._5, r._6, r._7, r._8, r._9))).toMap
+    assert(got.keySet == Set((0, 0), (0, 1), (1, 0), (1, 1)))
+    for (((py, px), (n, sa, sb, saa, sbb, sab)) <- got) {
+      var esa = 0L; var esb = 0L; var esaa = 0L; var esbb = 0L; var esab = 0L
+      for (r <- py * 40 until py * 40 + 40; c <- px * 40 until px * 40 + 40) {
+        val va: Long = graft.synth.TileGen.sampleAt(-119, 36, r, c)
+        val vb: Long = graft.synth.TileGen.planeAt(-119, 36, r, c)
+        esa += va; esb += vb; esaa += va * va; esbb += vb * vb; esab += va * vb
+      }
+      assert((n, sa, sb, saa, sbb, sab) ==
+        ((1600L, esa, esb, esaa, esbb, esab)), (py, px))
+    }
+    // an epoch joined with itself: NCC numerator = variance numerator
+    val self = graft.ops.ImageOps.nccBlocks(a, a, block = 40)
+      .as[(String, Int, Int, Long, Long, Long, Long, Long, Long)].collect()
+    for (r <- self) {
+      val (n, sa, sb, saa, sbb, sab) = (r._4, r._5, r._6, r._7, r._8, r._9)
+      assert(sa == sb && saa == sbb && sab == saa)
+      assert(n * sab - sa * sb == n * saa - sa * sa)
+    }
+  }
+
+  test("degreeMix: moments on a star vs a cycle separate assortativity signs") {
+    import spark.implicits._
+    // star K1,4: every edge joins deg-4 hub to deg-1 leaf -> num < 0
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    val s = graft.ops.Graph.degreeMix(star)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    // sym edges: 8; du sum = 4*4 + 4*1; sxy = 8 * (4*1); sxx = 4*16 + 4*1
+    assert(s == ((8L, 20L, 32L, 68L, 8L * 32L - 400L, 8L * 68L - 400L)))
+    assert(s._5 < 0L, "star must be disassortative")
+    // 4-cycle: regular graph -> zero numerator (and zero denominator)
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("src", "dst")
+    val c = graft.ops.Graph.degreeMix(cyc)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(c._5 == 0L && c._6 == 0L)
+  }
+
   test("bpePairStats: pair counts and deterministic ranking") {
     import spark.implicits._
     val docs = Seq((1L, "aab ab"), (2L, "b aab")).toDF("doc_id", "text")
