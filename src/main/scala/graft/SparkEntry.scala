@@ -1432,6 +1432,23 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderdate", "o_orderpriority")).orderBy("column")
     }),
+    // Snapshot drift report (ops.DataQuality.drift): the two profiles
+    // compared in exact integer ppm — the gate declares a degraded "after"
+    // snapshot (rows dropped, nulls injected, an enum value collapsed) so
+    // every verdict column fires on a known cause.
+    "dq_drift" -> ((s, dir) => {
+      val before = t(s, dir, "orders")
+      val after = before.filter(col("o_orderkey") % 10 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, lit(null).cast("double"))
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderstatus",
+          when(col("o_orderstatus") === "P", lit("F"))
+            .otherwise(col("o_orderstatus")))
+      ops.DataQuality.drift(before, after,
+        Seq("o_custkey", "o_orderstatus", "o_totalprice"), tolPpm = 20000L)
+        .orderBy("column")
+    }),
     // Iceberg-style TIME TRAVEL (table.Checkpoint.writeVersioned/readAt):
     // r1 snapshots the full table, r2 patches buckets 0-3 (price +1000);
     // reading AS OF r1 vs AS OF r2 shows bucket-granularity snapshot
@@ -6002,6 +6019,42 @@ object SparkEntry {
            CAST(sum(valid_from) AS BIGINT) AS sum_from,
            CAST(sum(coalesce(valid_to, 0)) AS BIGINT) AS sum_to
          FROM v GROUP BY 1, 2 ORDER BY is_current, grp""",
+    // the two profiles replayed; every verdict is integer ppm arithmetic
+    // (floor division both engines share on nonnegative counts)
+    "dq_drift" -> {
+      def prof(src: String, c: String, numeric: Boolean) = {
+        val mm = if (numeric)
+          s"CAST(min($c) AS DOUBLE) AS mn, CAST(max($c) AS DOUBLE) AS mx"
+        else "CAST(NULL AS DOUBLE) AS mn, CAST(NULL AS DOUBLE) AS mx"
+        s"""SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+           CAST(count(DISTINCT $c) AS BIGINT) AS d, $mm FROM $src"""
+      }
+      def ppm(p: String) =
+        s"CASE WHEN $p.n = 0 THEN 0 ELSE $p.nn * 1000000 // $p.n END"
+      val cols = Seq(("o_custkey", true), ("o_orderstatus", false),
+        ("o_totalprice", true))
+      val branches = cols.map { case (c, num) =>
+        s"""SELECT '$c' AS "column", pa.n AS n_a, pb.n AS n_b,
+           CAST(${ppm("pa")} AS BIGINT) AS null_ppm_a,
+           CAST(${ppm("pb")} AS BIGINT) AS null_ppm_b,
+           pa.d AS d_a, pb.d AS d_b,
+           abs(${ppm("pa")} - ${ppm("pb")}) >= 20000 AS null_drift,
+           abs(pa.d - pb.d) * 1000000 >= 20000 * greatest(pa.d, 1)
+             AS card_drift,
+           (pa.mn IS DISTINCT FROM pb.mn) OR (pa.mx IS DISTINCT FROM pb.mx)
+             AS bounds_moved
+           FROM (${prof("orders", c, num)}) pa, (${prof("aft", c, num)}) pb"""
+      }
+      s"""WITH aft AS (SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderstatus = 'P' THEN 'F' ELSE o_orderstatus END
+             AS o_orderstatus,
+           CASE WHEN o_orderkey % 7 = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE o_totalprice END AS o_totalprice
+         FROM orders WHERE o_orderkey % 10 <> 0)
+         ${branches.mkString("\n         UNION ALL ")}
+         ORDER BY "column""""
+    },
     // latest-wins replay from the final changelog: seq2 'D' beats seq1 'U'
     // beats the seq0 base row — the batch invariant the streaming
     // max_by-state snapshot must reproduce exactly

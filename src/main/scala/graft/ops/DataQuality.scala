@@ -159,4 +159,48 @@ object DataQuality {
         "max_num")
       .orderBy("ord").drop("ord")
   }
+
+  /** Snapshot DRIFT report — [[profile]] of two corpus versions compared
+    * column by column: the monitoring gate that catches silent upstream
+    * schema/content rot (a feed starts emitting nulls, an enum loses a
+    * value, a range shifts) BEFORE a 100 TB retrain consumes it. All
+    * verdicts are exact integer/boolean arithmetic on the two profiles:
+    *
+    *  - `null_drift`: |null-rate ppm difference| ≥ `tolPpm`
+    *  - `card_drift`: |distinct-count change| ≥ `tolPpm` relative to the
+    *    BEFORE cardinality (exact cross-multiplication, no division)
+    *  - `bounds_moved`: numeric min or max changed at all (IS DISTINCT
+    *    FROM semantics — a moved bound is a moved bound)
+    *
+    * Cost: the two single-pass profiles; the comparison is |columns| rows
+    * on the driver — nothing new touches the data.
+    *
+    * @return one row per column, request order: `(column, n_a, n_b,
+    *         null_ppm_a, null_ppm_b, d_a, d_b, null_drift, card_drift,
+    *         bounds_moved)`
+    */
+  def drift(before: DataFrame, after: DataFrame, columns: Seq[String],
+            tolPpm: Long): DataFrame = {
+    require(tolPpm >= 0, s"tolPpm must be >= 0: $tolPpm")
+    val spark = before.sparkSession
+    import spark.implicits._
+    def rows(df: DataFrame) = profile(df, columns).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.getAs[java.lang.Double]("min_num")).map(_.doubleValue),
+        Option(r.getAs[java.lang.Double]("max_num")).map(_.doubleValue)))
+    }.toMap
+    val a = rows(before); val b = rows(after)
+    columns.zipWithIndex.map { case (c, i) =>
+      val (na, nullA, da, mnA, mxA) = a(c)
+      val (nb, nullB, db, mnB, mxB) = b(c)
+      val nullPpmA = if (na == 0) 0L else nullA * 1000000L / na
+      val nullPpmB = if (nb == 0) 0L else nullB * 1000000L / nb
+      (i, c, na, nb, nullPpmA, nullPpmB, da, db,
+        math.abs(nullPpmA - nullPpmB) >= tolPpm,
+        math.abs(da - db) * 1000000L >= tolPpm * math.max(da, 1L),
+        mnA != mnB || mxA != mxB)
+    }.toDF("ord", "column", "n_a", "n_b", "null_ppm_a", "null_ppm_b",
+        "d_a", "d_b", "null_drift", "card_drift", "bounds_moved")
+      .orderBy("ord").drop("ord")
+  }
 }

@@ -2139,6 +2139,32 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c._5 == 0L && c._6 == 0L)
   }
 
+  test("dataQuality drift: ppm verdicts fire exactly on their planted causes") {
+    import spark.implicits._
+    val before = Seq((1L, Some(1.0), "a"), (2L, Some(2.0), "b"),
+      (3L, Some(3.0), "c"), (4L, Some(4.0), "a")).toDF("k", "v", "s")
+    // after: one row dropped (no null drift on k), v nulled once (25% ->
+    // null drift), s loses a category (card drift), max(v) drops (bounds)
+    val after = Seq((1L, Some(1.0), "a"), (2L, None, "b"),
+      (3L, Some(3.0), "a")).toDF("k", "v", "s")
+    val got = graft.ops.DataQuality.drift(before, after, Seq("k", "v", "s"),
+        tolPpm = 100000L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    val k = got("k"); val v = got("v"); val sCol = got("s")
+    assert(!k._8 && !v._2.equals(0L), "sanity")
+    assert(k._8 == false && k._10 == true) // k: no null drift, max moved 4->3
+    assert(v._8 == true && v._10 == true)  // v: 0 -> 333333 ppm nulls
+    assert(v._5 == 333333L)
+    assert(sCol._9 == true && sCol._10 == false) // s: 3 -> 2 categories
+    // identical snapshots: all verdicts false
+    val same = graft.ops.DataQuality.drift(before, before, Seq("k", "v", "s"),
+        tolPpm = 1L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Boolean, Boolean, Boolean)]
+      .collect()
+    assert(same.forall(r => !r._8 && !r._9 && !r._10))
+  }
+
   test("bpePairStats: pair counts and deterministic ranking") {
     import spark.implicits._
     val docs = Seq((1L, "aab ab"), (2L, "b aab")).toDF("doc_id", "text")
