@@ -1638,6 +1638,19 @@ object SparkEntry {
         .select("doc_a", "doc_b", "j")
         .orderBy("doc_a", "doc_b")
     }),
+    // Line-level boilerplate removal (ops.TextDedup.lineDedup — CCNet
+    // style): 10-word lines, document-frequency count, drop lines in >50
+    // docs. The gate PREPENDS a 10-word boilerplate to every third doc so
+    // exactly that line crosses the df threshold.
+    "dedup_lines" -> ((s, dir) => {
+      val bp = "terms of service copyright notice all rights reserved footer end"
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(lit(bp + " "), col("text")))
+            .otherwise(col("text")).as("text"))
+      ops.TextDedup.lineDedup(d, lineWords = 10, maxDf = 50)
+        .orderBy("doc_id")
+    }),
     // EXACT Jaccard-threshold join via prefix filtering
     // (ops.TextDedup.prefixJaccardJoin): the lossless counterpart of the
     // MinHash band join — rarest-first token prefixes bound the candidate
@@ -1674,6 +1687,19 @@ object SparkEntry {
     }),
     "ann_ivf_assign" -> ((s, dir) => {
       ops.Embeddings.ivfAssign(t(s, dir, "embeddings"), 8).orderBy("vec_id")
+    }),
+    // IVF index-health diagnostic: per-centroid list sizes + exact ppm
+    // share — the balance number that says whether nProbe pruning will
+    // actually prune (a collapsed quantizer puts everything in one list).
+    // One count over the assignment, a 1-row broadcast for the total.
+    "ann_ivf_balance" -> ((s, dir) => {
+      val asg = ops.Embeddings.ivfAssign(t(s, dir, "embeddings"), 8)
+      val tot = asg.agg(count(lit(1)).as("tot"))
+      asg.groupBy("centroid").agg(count(lit(1)).as("n_vecs"))
+        .crossJoin(broadcast(tot))
+        .selectExpr("centroid", "n_vecs",
+          "(n_vecs * 1000000L) DIV tot AS share_ppm")
+        .orderBy("centroid")
     }),
     // Product quantization (8 subspaces × 8 codes): the embedding
     // COMPRESSION step of an IVF-PQ index — per-row on the scan, no
@@ -5449,6 +5475,35 @@ object SparkEntry {
            FROM s) ORDER BY doc_id""",
     "ann_lsh_neardup" -> annLshOracleSql,
     "ann_ivf_assign" -> ivfOracleSql,
+    "ann_ivf_balance" ->
+      s"""WITH asg AS ($ivfOracleSql),
+         t AS (SELECT count(*) AS tot FROM asg)
+         SELECT centroid, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(*) * 1000000 // tot AS BIGINT) AS share_ppm
+         FROM asg, t GROUP BY centroid, tot ORDER BY centroid""",
+    // same chunking as the engine: 1-based 10-element slices, ragged tail
+    // kept as the last line; df over DISTINCT carrier docs
+    "dedup_lines" ->
+      """WITH d AS (SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+             THEN 'terms of service copyright notice all rights reserved footer end ' || text
+             ELSE text END AS text FROM documents),
+         w AS (SELECT doc_id, string_split(text, ' ') AS w FROM d
+               WHERE len(string_split(text, ' ')) > 0),
+         l AS (SELECT doc_id,
+             array_to_string(list_slice(w, CAST(i*10+1 AS BIGINT),
+               CAST(i*10+10 AS BIGINT)), ' ') AS line
+           FROM w, unnest(range(0, (len(w) + 9) // 10)) AS t(i)),
+         df AS (SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY 1),
+         j AS (SELECT l.doc_id, df.df,
+             len(string_split(l.line, ' ')) AS lw
+           FROM l JOIN df USING (line))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN df <= 50 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept_lines,
+           CAST(sum(CASE WHEN df <= 50 THEN lw ELSE 0 END) AS BIGINT)
+             AS n_kept_words
+         FROM j GROUP BY doc_id ORDER BY doc_id""",
     // per-(vec, subspace) argmin over the deterministic PQ codebook, ties
     // to the smaller code; identical left-fold residual sums
     "ann_pq_code" ->

@@ -549,6 +549,44 @@ object TextDedup {
       .select("doc_a", "doc_b", "j")
   }
 
+  /** LINE-LEVEL boilerplate removal (CCNet-style): chunk each document
+    * into consecutive `lineWords`-word lines (ragged tail = last line),
+    * count each line's DOCUMENT frequency corpus-wide, and drop lines
+    * appearing in more than `maxDf` documents — the navigation / footer /
+    * legal-notice stripper that runs BEFORE document-level dedup in a web
+    * curation pipeline (a boilerplate line inflates document similarity
+    * and survives document-level dedup because its carriers differ
+    * elsewhere). Emits per-document accounting rather than re-assembled
+    * text so the gate pins every count; the text-rebuilding variant is the
+    * same plan with a `sort_array(collect_list((li, line)))` reassembly.
+    *
+    * Scale shape: one explode (doc → lines), one line-keyed distinct-doc
+    * count (map-side partial), one line-keyed join back, one doc-keyed
+    * aggregation — all key-bounded; the df table is the only global state
+    * and it is |distinct lines|, the thing boilerplate makes SMALL.
+    *
+    * @return (doc_id, n_lines, n_kept_lines, n_kept_words)
+    */
+  def lineDedup(docs: DataFrame, lineWords: Int, maxDf: Long): DataFrame = {
+    require(lineWords > 0, s"lineWords must be > 0: $lineWords")
+    require(maxDf > 0, s"maxDf must be > 0: $maxDf")
+    val lines = docs
+      .select(col("doc_id").cast("long").as("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, (size(w) + ${lineWords - 1}) div $lineWords - 1),
+            i -> array_join(slice(w, i * $lineWords + 1, $lineWords), ' '))"""))
+        .as("line"))
+    val dfreq = lines.groupBy("line")
+      .agg(count_distinct(col("doc_id")).as("df"))
+    lines.join(dfreq, "line")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("df") <= maxDf, 1L).otherwise(0L)).as("n_kept_lines"),
+        sum(when(col("df") <= maxDf, size(split(col("line"), " ")).cast("long"))
+          .otherwise(0L)).as("n_kept_words"))
+  }
+
   /** BPE merge statistics — the counting step of byte-pair-encoding
     * tokenizer training: corpus-wide frequencies of ADJACENT character
     * pairs inside words, ranked `(count desc, pair asc)`; the top entry is

@@ -2165,6 +2165,24 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(same.forall(r => !r._8 && !r._9 && !r._10))
   }
 
+  test("lineDedup: boilerplate lines drop, ragged tails count, per-doc accounting exact") {
+    import spark.implicits._
+    // 3-word lines; "the same header" opens docs 1-3 (df 3 > maxDf 2)
+    val docs = Seq(
+      (1L, "the same header alpha beta gamma delta"),   // 3 lines, tail 1 word
+      (2L, "the same header epsilon zeta"),             // 2 lines, tail 2 words
+      (3L, "the same header"),                          // 1 line (all boilerplate)
+      (4L, "unique words only here")                    // 2 lines, tail 1 word
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextDedup.lineDedup(docs, lineWords = 3, maxDf = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, 2L, 4L))) // header dropped; alpha-beta-gamma + delta
+    assert(got(2L) == ((2L, 1L, 2L))) // header dropped; epsilon-zeta kept
+    assert(got(3L) == ((1L, 0L, 0L))) // fully boilerplate doc
+    assert(got(4L) == ((2L, 2L, 4L))) // nothing dropped
+  }
+
   test("bpePairStats: pair counts and deterministic ranking") {
     import spark.implicits._
     val docs = Seq((1L, "aab ab"), (2L, "b aab")).toDF("doc_id", "text")
