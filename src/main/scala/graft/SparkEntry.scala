@@ -639,6 +639,21 @@ object SparkEntry {
         .select("point_id", "tile_key", "elev")
         .orderBy("point_id")
     }),
+    // COMPOSED raster pipeline (the spatial analogue of curation_pipeline
+    // for the raster path): J1 broadcast elevation join → per-row integer
+    // quantization (bilinear output is an exact multiple of 0.25 on the
+    // half-sample gate points, so ×100 is integer and the rollup sums are
+    // order-insensitive) → hex-cell rollup. One gate pins the composition
+    // of three already-gated stages end to end.
+    "geo_enrich_rollup" -> ((s, dir) => {
+      Elevation.lookupBroadcast(gatePoints(s, dir), gateTiles(s))
+        .withColumn("cell", cells.hex_cell(col("lng"), col("lat"), lit(6)))
+        .withColumn("q", expr("CAST(round(elev * 100) AS BIGINT)"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"), sum("q").as("sum_q"),
+          min("q").as("min_q"), max("q").as("max_q"))
+        .orderBy("cell")
+    }),
     // Elevation profile (the reference's /polyline use case as analytics):
     // per-vertex elevation + running planar distance / total ascent per
     // line, running totals integer-quantized for engine-independent sums.
@@ -4955,6 +4970,23 @@ object SparkEntry {
            coalesce(n_outliers, 0) AS n_outliers
          FROM st2 LEFT JOIN fl USING (event_type) ORDER BY event_type""",
     "geo_elev_cogroup" -> cogroupElevOracleSql,
+    // the composed pipeline = the bilinear oracle joined to the hex-cell
+    // oracle on point_id, rolled up per cell in exact integers
+    "geo_enrich_rollup" -> {
+      val gatePtsCte =
+        """SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
+           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
+           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
+           FROM lineitem"""
+      s"""WITH e AS ($cogroupElevOracleSql),
+         h AS (${hexOracleSql(gatePtsCte, 6)})
+         SELECT h.cell, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(e.elev * 100) AS BIGINT)) AS BIGINT) AS sum_q,
+           CAST(min(CAST(round(e.elev * 100) AS BIGINT)) AS BIGINT) AS min_q,
+           CAST(max(CAST(round(e.elev * 100) AS BIGINT)) AS BIGINT) AS max_q
+         FROM e JOIN h USING (point_id)
+         GROUP BY h.cell ORDER BY h.cell"""
+    },
     "geo_elev_nearest" ->
       """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
            -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
