@@ -1606,6 +1606,13 @@ object SparkEntry {
     "text_bigram_lm" -> ((s, dir) => {
       ops.Curation.bigramSurprisal(t(s, dir, "documents")).orderBy("doc_id")
     }),
+    // Kneser–Ney bigram model (ops.Curation.knBigram): continuation-count
+    // backoff in exact quarters + one ppb fixed-point quantization per
+    // term — the published formula as deterministic integer arithmetic.
+    // Ranking bounded by the distinct-bigram vocabulary.
+    "text_kn_bigram" -> ((s, dir) => {
+      ops.Curation.knBigram(t(s, dir, "documents"), topK = 40).orderBy("rk")
+    }),
     "text_perplexity" -> ((s, dir) => {
       ops.Curation.unigramSurprisal(t(s, dir, "documents")).orderBy("doc_id")
     }),
@@ -6395,6 +6402,30 @@ object SparkEntry {
            CAST(sum(sq) AS BIGINT) AS surprisal_q,
            CAST(sum(sq) AS BIGINT) // CAST(count(*) AS BIGINT) AS ppx_q
          FROM sq GROUP BY doc_id ORDER BY doc_id""",
+    // KN replay: same quarters arithmetic, same two ppb floor divisions in
+    // the same order
+    "text_kn_bigram" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         bg AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)), g -> ws[g])) AS w1,
+             unnest(list_transform(range(1, len(ws)), g -> ws[g+1])) AS w2
+           FROM w WHERE len(ws) >= 2),
+         cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+           FROM bg GROUP BY 1, 2),
+         cx AS (SELECT w1, CAST(sum(c_xy) AS BIGINT) AS c_x,
+             CAST(count(*) AS BIGINT) AS n1p_fol FROM cb GROUP BY 1),
+         cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_cont
+           FROM cb GROUP BY 1),
+         nt AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM cb),
+         p AS (SELECT cb.w1, cb.w2, cb.c_xy,
+             CAST(greatest(4 * cb.c_xy - 3, 0) * 1000000000 // (4 * cx.c_x)
+               + (3 * cx.n1p_fol * (cont.n_cont * 1000000000 // nt.n_tot))
+                 // (4 * cx.c_x) AS BIGINT) AS p_ppb
+           FROM cb JOIN cx USING (w1) JOIN cont USING (w2) CROSS JOIN nt),
+         r AS (SELECT w1, w2, c_xy, p_ppb,
+             CAST(row_number() OVER (ORDER BY c_xy DESC, w1, w2) AS INT)
+               AS rk FROM p)
+         SELECT w1, w2, c_xy, p_ppb, rk FROM r WHERE rk <= 40 ORDER BY rk""",
     "text_perplexity" ->
       """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
          tok AS (SELECT doc_id, unnest(ws) AS wd FROM w),

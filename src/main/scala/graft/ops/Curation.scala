@@ -453,6 +453,62 @@ object Curation {
       .withColumn("ppx_q", expr("surprisal_q div n_bigrams"))
   }
 
+  /** Interpolated KNESER–NEY bigram probabilities (Kneser & Ney 1995; the
+    * modified-discount form of Chen & Goodman 1998 with a single discount)
+    * — the LM that add-one smoothing ([[bigramSurprisal]]) approximates
+    * badly: instead of backing off to raw unigram frequency, KN backs off
+    * to CONTINUATION counts ("in how many distinct contexts does w₂
+    * appear"), which is what makes frequent-but-context-bound words
+    * (e.g. "Francisco") cheap to predict only after their context.
+    * Discount d = 3/4, carried in exact quarters so the standard formula
+    *
+    * {{{
+    *   P(w₂|w₁) = max(c₁₂ − d, 0)/c₁ + (d·N₁₊(w₁·)/c₁) · N₁₊(·w₂)/N₁₊(··)
+    * }}}
+    *
+    * becomes all-integer with one ppb fixed-point quantization per term:
+    * `term1 = (4·c₁₂ − 3)·10⁹ div (4·c₁)`, `pcont = Ncont(w₂)·10⁹ div Ntot`,
+    * `term2 = 3·N₁₊(w₁)·pcont div (4·c₁)` — deterministic floor divisions
+    * any engine replays bit-for-bit (quantization error < 2 ppb, far
+    * below any filtering threshold that would consume these scores).
+    *
+    * Plan shape: one bigram explode feeding four key-bounded counts
+    * (pair, left-context, left-fanout, right-continuation — all map-side
+    * partial) and one 1-row broadcast for the global continuation total;
+    * scoring is joins on the bigram keys. The returned table is the
+    * MODEL (one row per distinct bigram, ranked); scoring a corpus
+    * against it is one more join, same shape as [[bigramSurprisal]].
+    *
+    * @return top-`topK` bigrams by count: (w1, w2, c_xy, p_ppb, rk)
+    */
+  def knBigram(docs: DataFrame, topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    val bg = docs.select(col("doc_id").cast("long"),
+        TextDedup.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .selectExpr("doc_id",
+        """explode(zip_with(slice(w, 1, size(w)-1), slice(w, 2, size(w)-1),
+           (a, b) -> struct(a AS w1, b AS w2))) AS bg""")
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .localCheckpoint(false)
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .localCheckpoint(false) // feeds c_x, fanout, continuation AND scoring
+    val cx = cb.groupBy("w1").agg(sum("c_xy").as("c_x"),
+      count(lit(1)).as("n1p_fol"))
+    val cont = cb.groupBy("w2").agg(count(lit(1)).as("n_cont"))
+    val ntot = cb.agg(count(lit(1)).as("n_tot"))
+    cb.join(cx, "w1").join(cont, "w2").crossJoin(broadcast(ntot))
+      .selectExpr("w1", "w2", "c_xy",
+        """greatest(4L * c_xy - 3L, 0L) * 1000000000L DIV (4L * c_x)
+           + (3L * n1p_fol * (n_cont * 1000000000L DIV n_tot)) DIV (4L * c_x)
+           AS p_ppb""")
+      .withColumn("rk", row_number()
+        .over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("c_xy").desc, col("w1").asc, col("w2").asc))
+        .cast("int"))
+      .filter(col("rk") <= topK)
+  }
+
   /** PII redaction — the compliance pass every published training corpus
     * runs: replace e-mail addresses and dashed phone numbers with typed
     * placeholder tokens and report per-document match counts. Patterns are

@@ -2183,6 +2183,27 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(4L) == ((2L, 2L, 4L))) // nothing dropped
   }
 
+  test("knBigram: continuation backoff matches the hand-computed formula") {
+    import spark.implicits._
+    // corpus bigrams: (a b) x2, (b a), (a c), (c b)
+    val docs = Seq((1L, "a b a b"), (2L, "a c b")).toDF("doc_id", "text")
+    val got = graft.ops.Curation.knBigram(docs, topK = 10)
+      .as[(String, String, Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // counts: c(a,b)=2 c(b,a)=1 c(a,c)=1 c(c,b)=1; c_x: a=3, b=1, c=1
+    // fanout: a->2, b->1, c->1; cont: b<-2 (a,c), a<-1, c<-1; Ntot=4
+    def kn(c12: Long, cx: Long, fan: Long, cont: Long): Long =
+      math.max(4 * c12 - 3, 0) * 1000000000L / (4 * cx) +
+        (3 * fan * (cont * 1000000000L / 4)) / (4 * cx)
+    assert(got(("a", "b")) == ((2L, kn(2, 3, 2, 2))))
+    assert(got(("b", "a")) == ((1L, kn(1, 1, 1, 1))))
+    assert(got(("a", "c")) == ((1L, kn(1, 3, 2, 1))))
+    assert(got(("c", "b")) == ((1L, kn(1, 1, 1, 2))))
+    // the same count backs off differently: (a,c) vs (b,a) share c12=1 but
+    // differ in context fanout and continuation mass
+    assert(got(("a", "c"))._2 != got(("b", "a"))._2)
+  }
+
   test("bpePairStats: pair counts and deterministic ranking") {
     import spark.implicits._
     val docs = Seq((1L, "aab ab"), (2L, "b aab")).toDF("doc_id", "text")
