@@ -4977,22 +4977,54 @@ object SparkEntry {
            coalesce(n_outliers, 0) AS n_outliers
          FROM st2 LEFT JOIN fl USING (event_type) ORDER BY event_type""",
     "geo_elev_cogroup" -> cogroupElevOracleSql,
-    // the composed pipeline = the bilinear oracle joined to the hex-cell
-    // oracle on point_id, rolled up per cell in exact integers
+    // the composed pipeline replayed per ROW in one CTE chain — elevation
+    // and hex cell computed side by side, never joined (the synthetic
+    // point_id is not injective at every SF, so a point_id join would
+    // fabricate rows the engine's straight-line plan never sees)
     "geo_enrich_rollup" -> {
-      val gatePtsCte =
-        """SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
+      val e6 = graft.geo.Hex.edge(6)
+      """WITH pts AS (SELECT
            -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
            36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
-           FROM lineitem"""
-      s"""WITH e AS ($cogroupElevOracleSql),
-         h AS (${hexOracleSql(gatePtsCte, 6)})
-         SELECT h.cell, CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(round(e.elev * 100) AS BIGINT)) AS BIGINT) AS sum_q,
-           CAST(min(CAST(round(e.elev * 100) AS BIGINT)) AS BIGINT) AS min_q,
-           CAST(max(CAST(round(e.elev * 100) AS BIGINT)) AS BIGINT) AS max_q
-         FROM e JOIN h USING (point_id)
-         GROUP BY h.cell ORDER BY h.cell"""
+           FROM lineitem),
+         k AS (SELECT lng, lat,
+           CAST(floor(lng) AS BIGINT) AS swlng, CAST(floor(lat) AS BIGINT) AS swlat,
+           (lng - floor(lng)) * 600 AS colf, (lat - floor(lat)) * 600 AS rowf FROM pts),
+         g AS (SELECT *, CAST(floor(colf) AS BIGINT) AS c0, CAST(floor(rowf) AS BIGINT) AS r0,
+           colf - floor(colf) AS cf, rowf - floor(rowf) AS rf,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM k),
+         v AS (SELECT *,
+           a + 2*c0     + 3*r0     + ((c0//8)*(r0//8)) % 32         AS v00,
+           a + 2*(c0+1) + 3*r0     + (((c0+1)//8)*(r0//8)) % 32     AS v10,
+           a + 2*(c0+1) + 3*(r0+1) + (((c0+1)//8)*((r0+1)//8)) % 32 AS v11,
+           a + 2*c0     + 3*(r0+1) + ((c0//8)*((r0+1)//8)) % 32     AS v01 FROM g),
+         ev AS (SELECT lng, lat,
+           CASE WHEN (swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36) THEN 0.0
+                ELSE (v00 + (v10 - v00) * cf) +
+                     ((v01 + (v11 - v01) * cf) - (v00 + (v10 - v00) * cf)) * rf
+           END AS elev FROM v),""" +
+      s"""
+         ax AS (SELECT elev,
+           (sqrt(3.0)/3.0 * lng - lat/3.0) / $e6 AS qf,
+           (2.0/3.0 * lat) / $e6 AS rf2 FROM ev),
+         r0c AS (SELECT elev, qf, rf2, -qf - rf2 AS sf,
+           CAST(floor(qf + 0.5) AS BIGINT) AS qi,
+           CAST(floor(rf2 + 0.5) AS BIGINT) AS ri,
+           CAST(floor(-qf - rf2 + 0.5) AS BIGINT) AS si FROM ax),
+         rr AS (SELECT elev,
+           CASE WHEN abs(qi - qf) > abs(ri - rf2) AND abs(qi - qf) > abs(si - sf)
+                THEN -ri - si ELSE qi END AS q,
+           CASE WHEN NOT (abs(qi - qf) > abs(ri - rf2) AND abs(qi - qf) > abs(si - sf))
+                     AND abs(ri - rf2) > abs(si - sf)
+                THEN -qi - si ELSE ri END AS r FROM r0c),
+         cq AS (SELECT
+           CAST(6 AS BIGINT) * 288230376151711744 + (q + 268435456) * 536870912 + (r + 268435456) AS cell,
+           CAST(round(elev * 100) AS BIGINT) AS q100 FROM rr)
+         SELECT cell, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(q100) AS BIGINT) AS sum_q,
+           CAST(min(q100) AS BIGINT) AS min_q,
+           CAST(max(q100) AS BIGINT) AS max_q
+         FROM cq GROUP BY cell ORDER BY cell"""
     },
     "geo_elev_nearest" ->
       """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
