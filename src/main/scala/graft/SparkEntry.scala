@@ -347,6 +347,17 @@ object SparkEntry {
         alphaPpm = 300000L, betaPpm = 100000L, horizon = 3L)
         .orderBy("user_id")
     }),
+    // Autocorrelation sufficient statistics (ops.Drift.acf): per-type
+    // lag-1..4 pair moments as exact BIGINTs — the seasonality/persistence
+    // profile beside cusum/holt; one window pass computes all lags, the
+    // moment agg is map-side partial on the already-co-partitioned key.
+    "events_acf" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("ts"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("v_cents"))
+      ops.Drift.acf(ev, "event_type", Seq("ts", "event_id"), "v_cents",
+        maxLag = 4).orderBy("event_type", "lag")
+    }),
     // hold in int64 through the gate SFs; a 100 TB deployment would move
     // the squares to DECIMAL(38,0) (same plan, wider integers).
     "events_rolling_z" -> ((s, dir) => {
@@ -1873,6 +1884,20 @@ object SparkEntry {
         .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
       ops.Graph.degreeMix(edges)
     }),
+    // Modularity of a given partition (ops.Graph.modularity): per-community
+    // exact-integer Q pieces (4·m·in_c − d_c²) over the canonical
+    // undirected graph — the community-quality score for any clustering;
+    // the gate evaluates a node%16 bucket partition so the oracle stays a
+    // pure GROUP BY. Two edge-keyed joins against the broadcastable
+    // community map, map-side-combined aggs, no iteration.
+    "graph_modularity" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 7 === 0)
+        .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
+      val comms = s.range(500)
+        .select(col("id").as("node"), (col("id") % 16).as("comm"))
+      ops.Graph.modularity(edges, comms).orderBy("comm")
+    }),
     // k-core decomposition (ops.Graph.kcore): fixed-round peeling to the
     // maximal min-degree->=k subgraph — the link-farm / dense-community
     // filter of web-graph curation. Each round is two node-keyed
@@ -2042,6 +2067,13 @@ object SparkEntry {
     "img_histogram" -> ((s, dir) => {
       ops.ImageOps.histogram(gateTiles(s, "png"), width = 256)
         .orderBy("image_id", "bin")
+    }),
+    // Per-image Otsu threshold (ops.ImageOps.otsu): argmax of the floored
+    // exact between-class-variance objective over width-64 bins — the
+    // binarization / degenerate-image split with NO float in the decision
+    // path (BigInt here, int128 in the oracle). Decode-once, zero shuffle.
+    "img_otsu" -> ((s, dir) => {
+      ops.ImageOps.otsu(gateTiles(s, "png"), width = 64).orderBy("image_id")
     }),
     // Dual-resolution conversion (reference getResolutionAndSize.ts: 1″↔3″):
     // 3:1 decimation resample re-encoded as HGT rows, then re-decoded for
@@ -4598,6 +4630,28 @@ object SparkEntry {
            CAST(m * sxy - sx * sx AS BIGINT) AS num,
            CAST(m * sxx - sx * sx AS BIGINT) AS den
          FROM s""",
+    // same canonical graph; given partition = node % 16; per-community
+    // exact-integer modularity pieces
+    "graph_modularity" ->
+      """WITH e AS (SELECT DISTINCT
+           GREATEST(l_suppkey % 500, l_partkey % 500) AS hi,
+           LEAST(l_suppkey % 500, l_partkey % 500) AS lo
+         FROM lineitem WHERE l_orderkey % 7 = 0),
+         e2 AS (SELECT hi, lo FROM e WHERE hi <> lo),
+         mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e2),
+         cm AS (SELECT range AS node, range % 16 AS comm FROM range(0,500)),
+         sym AS (SELECT lo AS node FROM e2 UNION ALL SELECT hi AS node FROM e2),
+         dc AS (SELECT c.comm, CAST(count(*) AS BIGINT) AS deg_sum,
+             CAST(count(DISTINCT s.node) AS BIGINT) AS n_nodes
+           FROM sym s JOIN cm c USING (node) GROUP BY 1),
+         ie AS (SELECT cl.comm AS comm, CAST(count(*) AS BIGINT) AS in_edges
+           FROM e2 JOIN cm cl ON cl.node = e2.lo JOIN cm ch ON ch.node = e2.hi
+           WHERE cl.comm = ch.comm GROUP BY 1)
+         SELECT dc.comm, dc.n_nodes,
+           CAST(coalesce(ie.in_edges, 0) AS BIGINT) AS in_edges,
+           dc.deg_sum, mm.m,
+           CAST(4*mm.m*coalesce(ie.in_edges, 0) - dc.deg_sum*dc.deg_sum AS BIGINT) AS qnum
+         FROM dc LEFT JOIN ie USING (comm) CROSS JOIN mm ORDER BY dc.comm""",
     // blockwise joint moments over the two closed-form epochs (curvy vs
     // plane) — the grid recipe of img_patchify with both fields emitted
     "img_ncc_blocks" ->
@@ -4644,6 +4698,24 @@ object SparkEntry {
            st.s AS s_final, st.smax AS s_max
          FROM st JOIN cnt c USING (user_id) WHERE st.i = c.n
          ORDER BY st.user_id""",
+    // the same four lag windows, unpivoted, exact integer moments
+    "events_acf" ->
+      """WITH ev AS (SELECT event_type, ts, event_id,
+             CAST(round(value*100) AS BIGINT) AS y FROM events),
+         l AS (SELECT event_type, y,
+             lag(y,1) OVER w AS x1, lag(y,2) OVER w AS x2,
+             lag(y,3) OVER w AS x3, lag(y,4) OVER w AS x4
+           FROM ev WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+         p AS (
+           SELECT event_type, CAST(1 AS BIGINT) AS lag, x1 AS x, y FROM l WHERE x1 IS NOT NULL
+           UNION ALL SELECT event_type, 2, x2, y FROM l WHERE x2 IS NOT NULL
+           UNION ALL SELECT event_type, 3, x3, y FROM l WHERE x3 IS NOT NULL
+           UNION ALL SELECT event_type, 4, x4, y FROM l WHERE x4 IS NOT NULL)
+         SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+           CAST(sum(x*y) AS BIGINT) AS sxy
+         FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
     "dq_profile" -> {
       val cols = Seq(
         ("o_orderkey", true), ("o_custkey", true), ("o_orderstatus", false),
@@ -5642,6 +5714,35 @@ object SparkEntry {
                  CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
            CAST(v // 256 AS INT) AS bin, count(*) AS n_px
          FROM g GROUP BY 1, 2 ORDER BY 1, 2""",
+    // Otsu replay: same histogram recipe at width 64, cumulative w0/a0 by
+    // window, the squared numerator in int128, the SAME floored /n-
+    // normalized objective, ties to the smallest bin via row_number
+    "img_otsu" ->
+      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         g AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS v
+           FROM corners, range(0,601) r, range(0,601) c),
+         h AS (SELECT image_id, v // 64 AS b, CAST(count(*) AS BIGINT) AS c
+           FROM g GROUP BY 1, 2),
+         tot AS (SELECT image_id, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(b*c) AS BIGINT) AS s FROM h GROUP BY 1),
+         cum AS (SELECT image_id, b,
+             CAST(sum(c) OVER (PARTITION BY image_id ORDER BY b) AS BIGINT) AS w0,
+             CAST(sum(b*c) OVER (PARTITION BY image_id ORDER BY b) AS BIGINT) AS a0
+           FROM h),
+         cand AS (SELECT cum.image_id, b, w0, a0, n, s
+           FROM cum JOIN tot USING (image_id) WHERE w0 < n),
+         obj AS (SELECT image_id, b, w0, a0, n,
+             CAST(((CAST(s AS HUGEINT)*w0 - CAST(n AS HUGEINT)*a0)
+                 * (CAST(s AS HUGEINT)*w0 - CAST(n AS HUGEINT)*a0))
+               // (CAST(w0 AS HUGEINT)*(n-w0)*n) AS BIGINT) AS obj_q
+           FROM cand)
+         SELECT image_id, CAST(b AS INT) AS thr_bin, n AS n_px, w0, a0,
+           n - w0 AS n_fg, obj_q
+         FROM obj
+         QUALIFY row_number() OVER (PARTITION BY image_id ORDER BY obj_q DESC, b) = 1
+         ORDER BY image_id""",
     "img_stats" ->
       """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
          g AS (SELECT swlng, swlat,

@@ -120,4 +120,55 @@ object Drift {
         (col("fin.l") + lit(horizon) * col("fin.b")).as("forecast"),
         col("fin.e").as("abs_err_sum"))
   }
+
+  /** Autocorrelation sufficient statistics per key at lags 1..`maxLag` —
+    * the seasonality/persistence profile beside [[cusum]] (shift) and
+    * [[holt]] (direction): a daily-periodic series shows ACF peaks at the
+    * period, white noise shows none. Rather than emit a float correlation,
+    * emits the EXACT integer moments of the lag-k pair set
+    * {(x_i, x_{i+k})} — `(n_pairs, sx, sy, sxx, syy, sxy)` over the
+    * caller's integer values — from which r_k is one float division away
+    * (Pearson over the paired series, the standard "ACF with per-lag
+    * means" estimator); bit-reproducible in any engine.
+    *
+    * Plan shape: ONE key shuffle — a single window pass computes all
+    * `maxLag` lag columns over the same (orderCols) frame, a codegen'd
+    * `stack` unpivots to (lag, x, y) pairs, and the moment aggregation is
+    * map-side partial on (key, lag) — the window's hash-partitioning on
+    * `key` already satisfies the (key, lag) clustering requirement (a
+    * non-empty subset), so Catalyst plans NO second exchange. Per-key
+    * state is the window buffer (maxLag rows), NOT the key's history.
+    *
+    * @param df        input rows
+    * @param keyCol    grouping key (one series per key)
+    * @param orderCols per-key unique total order (e.g. ts, event_id)
+    * @param vCol      integer value column (cents — caller quantizes)
+    * @param maxLag    largest lag (≥ 1); lags 1..maxLag all emitted
+    * @return (keyCol, lag, n_pairs, sx, sy, sxx, syy, sxy), one row per
+    *         (key, lag) with at least one pair
+    */
+  def acf(df: DataFrame, keyCol: String, orderCols: Seq[String],
+          vCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val lagged = (1 to maxLag).foldLeft(
+      df.select(col(keyCol) +: col(vCol).cast("long").as("y") +:
+        orderCols.map(col): _*)) {
+      (d, k) => d.withColumn(s"x$k", lag(col("y"), k).over(w))
+    }
+    val pairs = (1 to maxLag)
+      .map(k => s"${k}L, x$k").mkString(", ")
+    lagged
+      .select(col(keyCol), expr(
+        s"stack($maxLag, $pairs) AS (lag, x)"), col("y"))
+      .filter(col("x").isNotNull)
+      .groupBy(col(keyCol), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+  }
 }

@@ -339,6 +339,69 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class OtsuRow(image_id: String, thr_bin: Int, n_px: Long,
+                           w0: Long, a0: Long, n_fg: Long, obj_q: Long)
+
+  /** Per-image Otsu threshold over the width-`width` value histogram — the
+    * global binarization / foreground-background split used to drop
+    * flat or degenerate images and to seed mask-based augmentation. The
+    * classic criterion (maximize between-class variance over the histogram)
+    * is made bit-reproducible by selecting the argmax of the EXACT floored
+    * normalized objective
+    *
+    * {{{ obj_q(t) = ⌊ (S·w0(t) − n·a0(t))² / (w0(t)·(n−w0(t))·n) ⌋ }}}
+    *
+    * (w0/a0 = count/levels-sum of bins ≤ t, S = total levels-sum, levels =
+    * bin indexes) — the numerator square is taken in arbitrary-precision
+    * integers here and in int128 by the oracle, the division is a floor,
+    * and ties break to the smallest bin, so both engines land on the
+    * identical threshold with NO float in the decision path. Candidate
+    * thresholds range over the occupied bins with a non-trivial split
+    * (w0 < n); between occupied bins the objective is constant, so
+    * restricting to them loses nothing. The /n normalization keeps obj_q
+    * in int64 (≤ 63²·n at 64-wide bins on this value range).
+    *
+    * Same scale contract as [[histogram]]: decode-once mapPartitions, one
+    * output row per image, ZERO shuffle.
+    *
+    * @return (image_id, thr_bin, n_px, w0, a0, n_fg, obj_q) — foreground =
+    *         samples in bins > thr_bin
+    */
+  def otsu(tiles: Dataset[TileRow], width: Int): DataFrame = {
+    require(width > 0, s"width must be > 0, got $width")
+    implicit val enc = Encoders.product[OtsuRow]
+    tiles.mapPartitions { it =>
+      it.map { t =>
+        val d = TileCodec.decode(t)
+        val counts = scala.collection.mutable.LongMap.empty[Long]
+        var i = 0
+        while (i < d.samples.length) {
+          val b = math.floorDiv(d.samples(i).toInt, width)
+          counts(b.toLong) = counts.getOrElse(b.toLong, 0L) + 1L
+          i += 1
+        }
+        val bins = counts.toSeq.sortBy(_._1)
+        val n = d.samples.length.toLong
+        var s = 0L
+        bins.foreach { case (b, c) => s += b * c }
+        var w0 = 0L; var a0 = 0L
+        var bestBin = Int.MinValue; var bestObj = -1L
+        var bestW0 = 0L; var bestA0 = 0L
+        bins.foreach { case (b, c) =>
+          w0 += c; a0 += b * c
+          if (w0 < n) {
+            val num = BigInt(s) * w0 - BigInt(n) * a0
+            val obj = (num * num / (BigInt(w0) * (n - w0) * n)).toLong
+            if (obj > bestObj) { // strict: ties keep the smallest bin
+              bestObj = obj; bestBin = b.toInt; bestW0 = w0; bestA0 = a0
+            }
+          }
+        }
+        OtsuRow(t.image_id, bestBin, n, bestW0, bestA0, n - bestW0, bestObj)
+      }
+    }.toDF()
+  }
+
   /** k:1 decimation resample — the reference's dual-resolution domain
     * (SRTM 1″ 3601² ↔ 3″ 1201², src/elevation/getResolutionAndSize.ts:3-14)
     * as a batch tile-table transform: every kth sample of the logical grid,

@@ -777,4 +777,51 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
       s"delta aggregation missing its partial phase:\n$plan")
   }
+
+  test("acf: ONE key exchange — window partitioning satisfies the (key,lag) agg") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val ev = (0 until 2000).map(i => (s"t${i % 3}", i.toLong, (i * 37 % 500).toLong))
+        .toDF("k", "ts", "v")
+      val out = graft.ops.Drift.acf(ev, "k", Seq("ts"), "v", maxLag = 4)
+      out.collect()
+      val plan = out.queryExecution.executedPlan
+      val n = plan.collect { case s: ShuffleExchangeExec => s }.length
+      assert(n == 1, s"acf must shuffle exactly once (got $n):\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("modularity: no cartesian; community map joins stay key-bounded") {
+    import spark.implicits._
+    val edges = (0 until 3000).map(i => ((i * 7 % 300).toLong, (i * 13 % 300).toLong))
+      .toDF("src", "dst")
+    val comms = spark.range(300).selectExpr("id AS node", "id % 8 AS comm")
+    val out = graft.ops.Graph.modularity(edges, comms)
+    val rows = out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"modularity planned a cartesian:\n$plan")
+    // the ONLY nested-loop is the broadcast attach of the 1-row m aggregate
+    // (O(|communities|) work); the edge-side community joins must hash.
+    // AQE's toString repeats the plan (Final + Initial) — audit Final only.
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") <= 1,
+      s"modularity nested-loops a non-scalar side:\n$finalPlan")
+    // exact-integer invariant: Σ_c qnum = 4m²·Q, and Q ≤ 1 ⇒ Σ qnum ≤ 4m²
+    val m = rows.head.getAs[Long]("m")
+    val qsum = rows.map(_.getAs[Long]("qnum")).sum
+    assert(qsum <= 4 * m * m, s"modularity out of range: $qsum vs ${4 * m * m}")
+  }
+
+  test("otsu: decode-once map plan, zero shuffle") {
+    val tiles = spark.createDataset(TileGen.tiles(
+      Seq((-120, 36), (-119, 36)), 121, "png"))(Encoders.product[TileRow])
+    val out = graft.ops.ImageOps.otsu(tiles, width = 64)
+    assert(out.count() == 2)
+    val plan = out.queryExecution.executedPlan
+    assert(plan.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"otsu must not shuffle:\n$plan")
+  }
 }
