@@ -1700,6 +1700,22 @@ object SparkEntry {
       ops.TextDedup.prefixJaccardJoin(sub, thresholdPpm = 600000L)
         .orderBy("doc_a", "doc_b")
     }),
+    // Edit-distance verification layer (ops.TextDedup.editVerify): the
+    // character-exact arbiter on the prefix-join candidates — banded
+    // levenshtein(l, r, threshold) keeps pairs <= 30 edits apart (the
+    // appended 18-char variant suffix passes, cross-doc pairs fail).
+    // Candidates only: the corpus never self-joins on text.
+    "dedup_edit_verify" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val sub = d.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id"), col("text"))
+        .unionAll(d.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" zz qq ww ee rr tt")).as("text")))
+      val cands = ops.TextDedup.prefixJaccardJoin(sub, thresholdPpm = 600000L)
+      ops.TextDedup.editVerify(cands, sub, maxDist = 30)
+        .orderBy("doc_a", "doc_b")
+    }),
     "doc_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), ops.TextDedup.fingerprint(col("text")).as("fp"))
@@ -1898,6 +1914,16 @@ object SparkEntry {
         .select(col("id").as("node"), (col("id") % 16).as("comm"))
       ops.Graph.modularity(edges, comms).orderBy("comm")
     }),
+    // Per-node clustering coefficient pieces (ops.Graph.clusteringCoeff):
+    // (deg, tri_cnt, wedges) in exact integers over the 20000-node wedge
+    // graph — the link-farm / community discriminator; triangles' wedge
+    // join + per-corner fan-out, both key-bounded.
+    "graph_clustering" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem").selectExpr(
+        "l_orderkey % 20000 AS src",
+        "(l_orderkey*7 + l_linenumber*13) % 20000 AS dst")
+      ops.Graph.clusteringCoeff(edges).orderBy("node")
+    }),
     // k-core decomposition (ops.Graph.kcore): fixed-round peeling to the
     // maximal min-degree->=k subgraph — the link-farm / dense-community
     // filter of web-graph curation. Each round is two node-keyed
@@ -2074,6 +2100,20 @@ object SparkEntry {
     // path (BigInt here, int128 in the oracle). Decode-once, zero shuffle.
     "img_otsu" -> ((s, dir) => {
       ops.ImageOps.otsu(gateTiles(s, "png"), width = 64).orderBy("image_id")
+    }),
+    // Haralick texture moments (ops.ImageOps.glcm): per-image exact-integer
+    // co-occurrence moments at offset (0,1) over width-64 gray levels —
+    // contrast/correlation/homogeneity numerators with no float anywhere.
+    // Decode-once, zero shuffle.
+    "img_glcm" -> ((s, dir) => {
+      ops.ImageOps.glcm(gateTiles(s, "png"), binWidth = 64).orderBy("image_id")
+    }),
+    // 3x3 box morphology census (ops.ImageOps.morph): foreground/eroded/
+    // dilated counts + morphological gradient over the >=2000 binarization,
+    // border-clipped SE computed separably — the oracle replays the two
+    // window passes. Decode-once, zero shuffle.
+    "img_morph" -> ((s, dir) => {
+      ops.ImageOps.morph(gateTiles(s, "png"), thr = 2000).orderBy("image_id")
     }),
     // Dual-resolution conversion (reference getResolutionAndSize.ts: 1″↔3″):
     // 3:1 decimation resample re-encoded as HGT rows, then re-decoded for
@@ -4652,6 +4692,24 @@ object SparkEntry {
            dc.deg_sum, mm.m,
            CAST(4*mm.m*coalesce(ie.in_edges, 0) - dc.deg_sum*dc.deg_sum AS BIGINT) AS qnum
          FROM dc LEFT JOIN ie USING (comm) CROSS JOIN mm ORDER BY dc.comm""",
+    // the triangle-enumeration graph; per-node triangle counts from the
+    // 3-corner fan-out, wedges = deg*(deg-1)/2 exact
+    "graph_clustering" ->
+      """WITH e0 AS (SELECT DISTINCT
+           greatest(l_orderkey % 20000, (l_orderkey*7 + l_linenumber*13) % 20000) AS hi,
+           least(l_orderkey % 20000, (l_orderkey*7 + l_linenumber*13) % 20000) AS lo
+           FROM lineitem
+           WHERE l_orderkey % 20000 <> (l_orderkey*7 + l_linenumber*13) % 20000),
+         deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+           (SELECT lo AS node FROM e0 UNION ALL SELECT hi FROM e0) GROUP BY 1),
+         t AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c FROM e0 e1
+           JOIN e0 e2 ON e2.lo = e1.hi JOIN e0 e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+         tn AS (SELECT node, CAST(count(*) AS BIGINT) AS tri_cnt FROM
+           (SELECT a AS node FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t) GROUP BY 1)
+         SELECT CAST(deg.node AS BIGINT) AS node, deg.deg,
+           CAST(coalesce(tn.tri_cnt, 0) AS BIGINT) AS tri_cnt,
+           CAST(deg.deg * (deg.deg - 1) // 2 AS BIGINT) AS wedges
+         FROM deg LEFT JOIN tn USING (node) ORDER BY node""",
     // blockwise joint moments over the two closed-form epochs (curvy vs
     // plane) — the grid recipe of img_patchify with both fields emitted
     "img_ncc_blocks" ->
@@ -5602,6 +5660,23 @@ object SparkEntry {
            FROM w a, w b WHERE a.doc_id < b.doc_id)
          SELECT doc_a, doc_b, round(i / u, 6) AS j FROM p
          WHERE i * 1000000 >= 600000 * u ORDER BY doc_a, doc_b""",
+    // prefix-join candidates re-verified by full-DP levenshtein <= 30
+    // (the engine's banded threshold variant is exact within the bound)
+    "dedup_edit_verify" ->
+      """WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0
+           UNION ALL SELECT doc_id + 200000 AS doc_id, text || ' zz qq ww ee rr tt' AS text
+             FROM documents WHERE doc_id % 25 = 0),
+         w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM sub),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS i,
+             CAST(len(list_distinct(list_concat(a.s, b.s))) AS BIGINT) AS u
+           FROM w a, w b WHERE a.doc_id < b.doc_id),
+         c AS (SELECT doc_a, doc_b FROM p WHERE i * 1000000 >= 600000 * u)
+         SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+         FROM c JOIN sub a ON a.doc_id = c.doc_a JOIN sub b ON b.doc_id = c.doc_b
+         WHERE levenshtein(a.text, b.text) <= 30
+         ORDER BY doc_a, doc_b""",
     "doc_fingerprint" ->
       s"""SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
            list_transform(string_split(text,' '), w -> ${sqlH60("w")} % 1048573)),
@@ -5743,6 +5818,49 @@ object SparkEntry {
          FROM obj
          QUALIFY row_number() OVER (PARTITION BY image_id ORDER BY obj_q DESC, b) = 1
          ORDER BY image_id""",
+    // same grid recipe with (r, c) kept; horizontal neighbor via lead,
+    // width-64 levels, exact integer moments
+    "img_glcm" ->
+      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         g AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           r.range AS r, c.range AS c,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS v
+           FROM corners, range(0,601) r, range(0,601) c),
+         q AS (SELECT image_id, r, c, v // 64 AS b FROM g),
+         p AS (SELECT image_id, b AS i,
+             lead(b) OVER (PARTITION BY image_id, r ORDER BY c) AS j
+           FROM q)
+         SELECT image_id, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(i) AS BIGINT) AS s_i, CAST(sum(j) AS BIGINT) AS s_j,
+           CAST(sum(i*j) AS BIGINT) AS s_ij,
+           CAST(sum(abs(i-j)) AS BIGINT) AS s_absdiff,
+           CAST(sum((i-j)*(i-j)) AS BIGINT) AS s_sqdiff,
+           CAST(sum(CASE WHEN i = j THEN 1 ELSE 0 END) AS BIGINT) AS n_eq
+         FROM p WHERE j IS NOT NULL GROUP BY 1 ORDER BY image_id""",
+    // same grid; >=2000 binarization, separable border-clipped 3x3 box
+    // min/max as two window passes (rows then columns)
+    "img_morph" ->
+      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         g AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           r.range AS r, c.range AS c,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS v
+           FROM corners, range(0,601) r, range(0,601) c),
+         b AS (SELECT image_id, r, c, CASE WHEN v >= 2000 THEN 1 ELSE 0 END AS b FROM g),
+         hm AS (SELECT image_id, r, c, b,
+             min(b) OVER (PARTITION BY image_id, r ORDER BY c ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS hmin,
+             max(b) OVER (PARTITION BY image_id, r ORDER BY c ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS hmax
+           FROM b),
+         vm AS (SELECT image_id, b,
+             min(hmin) OVER (PARTITION BY image_id, c ORDER BY r ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS ero,
+             max(hmax) OVER (PARTITION BY image_id, c ORDER BY r ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS dil
+           FROM hm)
+         SELECT image_id, CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(b) AS BIGINT) AS n_fg, CAST(sum(ero) AS BIGINT) AS n_ero,
+           CAST(sum(dil) AS BIGINT) AS n_dil,
+           CAST(sum(dil) - sum(ero) AS BIGINT) AS n_edge
+         FROM vm GROUP BY 1 ORDER BY image_id""",
     "img_stats" ->
       """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
          g AS (SELECT swlng, swlat,

@@ -316,4 +316,44 @@ object Graph {
         (lit(4L) * col("m") * col("in_edges") -
           col("deg_sum") * col("deg_sum")).as("qnum"))
   }
+
+  /** Per-node clustering coefficient pieces in exact integers — the local
+    * density score that separates link-farm hubs (high degree, near-zero
+    * closure) from genuine communities (high closure) in web-graph
+    * curation: `cc(v) = tri(v) / wedges(v)` with
+    * `wedges(v) = deg(v)·(deg(v)−1)/2`. Emits `(node, deg, tri_cnt,
+    * wedges)` — the coefficient is one float division away and every
+    * column is bit-reproducible (deg·(deg−1) is always even, so the
+    * halving is exact).
+    *
+    * Plan shape: [[triangles]]' canonical-orientation wedge join (two
+    * key-bounded shuffles, each triangle a<b<c once), then each triangle
+    * fans out to its three corners and aggregates per node with map-side
+    * combine; degrees ride the same doubled-edge aggregation as
+    * [[degreeMix]]. Never all-pairs; no iteration.
+    *
+    * @param edges (src, dst) Long node ids; self-loops/duplicates dropped
+    * @return (node, deg, tri_cnt, wedges), one row per non-isolated node
+    */
+  def clusteringCoeff(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(greatest(col("src"), col("dst")).as("hi"),
+        least(col("src"), col("dst")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
+      .localCheckpoint(false)
+    val deg = e.select(col("lo").as("node")).union(e.select(col("hi").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val e1 = e.select(col("lo").as("a"), col("hi").as("b"))
+    val e2 = e.select(col("lo").as("b"), col("hi").as("c"))
+    val e3 = e.select(col("lo").as("a"), col("hi").as("c"))
+    val tri = e1.join(e2, Seq("b")).join(e3, Seq("a", "c"))
+    val triNodes = tri.select(col("a").as("node"))
+      .union(tri.select(col("b").as("node")))
+      .union(tri.select(col("c").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
+    deg.join(triNodes, Seq("node"), "left_outer")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"),
+        expr("deg * (deg - 1) DIV 2").as("wedges"))
+  }
 }

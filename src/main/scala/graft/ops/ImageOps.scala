@@ -402,6 +402,128 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class GlcmRow(image_id: String, n_pairs: Long, s_i: Long,
+                           s_j: Long, s_ij: Long, s_absdiff: Long,
+                           s_sqdiff: Long, n_eq: Long)
+
+  /** Per-image gray-level co-occurrence moments at offset (0, 1) — the
+    * Haralick texture profile (contrast / correlation / homogeneity family)
+    * that separates flat, noisy, and structured tiles for quality
+    * filtering. Each horizontal neighbor pair (r, c)→(r, c+1) contributes
+    * its quantized levels `i = ⌊v/binWidth⌋, j` to the EXACT integer
+    * moments `(n_pairs, Σi, Σj, Σij, Σ|i−j|, Σ(i−j)², #{i=j})` — contrast
+    * is `Σ(i−j)²/n` and correlation's numerator `n·Σij − Σi·Σj`, each one
+    * float division away; the diagonal mass `n_eq/n` is the exact part of
+    * homogeneity. No float anywhere, so the table is bit-reproducible.
+    *
+    * Integer headroom: at 64-wide bins on int16 grids, Σij ≤ n·levels² <
+    * 2⁶³ to n ≈ 10¹⁴ pairs per image — any real image.
+    *
+    * Same scale contract as [[histogram]]: decode-once mapPartitions, one
+    * output row per image, ZERO shuffle.
+    */
+  def glcm(tiles: Dataset[TileRow], binWidth: Int): DataFrame = {
+    require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
+    implicit val enc = Encoders.product[GlcmRow]
+    tiles.mapPartitions { it =>
+      it.map { t =>
+        val d = TileCodec.decode(t)
+        val size = d.size
+        var np = 0L; var si = 0L; var sj = 0L; var sij = 0L
+        var sad = 0L; var ssd = 0L; var neq = 0L
+        var r = 0
+        while (r < size) {
+          val base = r * size
+          var c = 0
+          while (c < size - 1) {
+            val i = math.floorDiv(d.samples(base + c).toInt, binWidth).toLong
+            val j = math.floorDiv(d.samples(base + c + 1).toInt, binWidth).toLong
+            val diff = i - j
+            np += 1L; si += i; sj += j; sij += i * j
+            sad += math.abs(diff); ssd += diff * diff
+            if (diff == 0L) neq += 1L
+            c += 1
+          }
+          r += 1
+        }
+        GlcmRow(t.image_id, np, si, sj, sij, sad, ssd, neq)
+      }
+    }.toDF()
+  }
+
+  final case class MorphRow(image_id: String, n_px: Long, n_fg: Long,
+                            n_ero: Long, n_dil: Long, n_edge: Long)
+
+  /** Per-image 3×3 box morphology census over the `thr`-binarized grid —
+    * foreground / eroded / dilated pixel counts plus the morphological
+    * gradient `n_dil − n_ero` (the boundary-pixel mass: near-zero for flat
+    * or salt-and-pepper tiles, large for structured ones — the shape-noise
+    * discriminator beside [[blurStats]]' frequency view). The structuring
+    * element is border-CLIPPED (at edges the 3×3 box truncates to the
+    * in-bounds rectangle), which keeps the operator total without a
+    * padding convention; erosion = all clipped-box pixels foreground,
+    * dilation = any. Both are computed separably (row min/max pass, then
+    * column pass over that) — the box is a product set, so the composition
+    * is exactly the 2-D clipped-box min/max and the oracle's two window
+    * passes replay it bit-for-bit.
+    *
+    * Same scale contract as [[histogram]]: decode-once mapPartitions, two
+    * O(n) passes, one output row per image, ZERO shuffle.
+    *
+    * @param thr foreground threshold (sample ≥ thr)
+    */
+  def morph(tiles: Dataset[TileRow], thr: Int): DataFrame = {
+    implicit val enc = Encoders.product[MorphRow]
+    tiles.mapPartitions { it =>
+      it.map { t =>
+        val d = TileCodec.decode(t)
+        val size = d.size
+        val n = size * size
+        val b = new Array[Boolean](n)
+        var i = 0
+        while (i < n) { b(i) = d.samples(i) >= thr; i += 1 }
+        // horizontal clipped-box pass
+        val hmin = new Array[Boolean](n); val hmax = new Array[Boolean](n)
+        var r = 0
+        while (r < size) {
+          val base = r * size
+          var c = 0
+          while (c < size) {
+            val lo = math.max(c - 1, 0); val hi = math.min(c + 1, size - 1)
+            var mn = true; var mx = false
+            var cc = lo
+            while (cc <= hi) {
+              val v = b(base + cc); mn &&= v; mx ||= v; cc += 1
+            }
+            hmin(base + c) = mn; hmax(base + c) = mx
+            c += 1
+          }
+          r += 1
+        }
+        // vertical clipped-box pass + counts
+        var nFg = 0L; var nEro = 0L; var nDil = 0L
+        r = 0
+        while (r < size) {
+          val lo = math.max(r - 1, 0); val hi = math.min(r + 1, size - 1)
+          var c = 0
+          while (c < size) {
+            if (b(r * size + c)) nFg += 1L
+            var mn = true; var mx = false
+            var rr = lo
+            while (rr <= hi) {
+              mn &&= hmin(rr * size + c); mx ||= hmax(rr * size + c); rr += 1
+            }
+            if (mn) nEro += 1L
+            if (mx) nDil += 1L
+            c += 1
+          }
+          r += 1
+        }
+        MorphRow(t.image_id, n.toLong, nFg, nEro, nDil, nDil - nEro)
+      }
+    }.toDF()
+  }
+
   /** k:1 decimation resample — the reference's dual-resolution domain
     * (SRTM 1″ 3601² ↔ 3″ 1201², src/elevation/getResolutionAndSize.ts:3-14)
     * as a batch tile-table transform: every kth sample of the logical grid,

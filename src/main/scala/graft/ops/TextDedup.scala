@@ -549,6 +549,44 @@ object TextDedup {
       .select("doc_a", "doc_b", "j")
   }
 
+  /** Edit-distance verification layer over a candidate pair table — the
+    * character-exact final arbiter of a dedup cascade: candidates come
+    * from a BANDED generator ([[prefixJaccardJoin]], [[minhashPairs]],
+    * simhash bands), this op re-reads the two texts and keeps pairs whose
+    * Levenshtein distance is ≤ `maxDist`, emitting the exact distance.
+    * Token-set measures (Jaccard) are blind to word-internal edits and
+    * ordering; edit distance is the boilerplate-suffix / typo-variant
+    * ruler, but is O(len²) per pair — which is why it NEVER runs all-pairs
+    * and only verifies the banded candidates.
+    *
+    * Plan shape: two hash equi-joins key the (small) candidate table to
+    * the docs table by id — texts travel only for candidate rows, the
+    * corpus never self-joins. The distance itself is Spark's codegen'd
+    * `levenshtein(l, r, threshold)` — the threshold variant runs the
+    * BANDED O(maxDist·len) DP and returns −1 past the bound, so a far
+    * pair costs O(maxDist·len), not O(len²); the oracle's full DP agrees
+    * exactly on every kept row (the banded algorithm is exact within the
+    * bound).
+    *
+    * @param cands   (doc_a, doc_b) candidate pairs from a banded generator
+    * @param docs    (doc_id, text) corpus
+    * @param maxDist inclusive edit-distance acceptance bound
+    * @return (doc_a, doc_b, edit_dist) for pairs with distance ≤ maxDist
+    */
+  def editVerify(cands: DataFrame, docs: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val d = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    cands
+      .select(col("doc_a").cast("long").as("doc_a"),
+        col("doc_b").cast("long").as("doc_b"))
+      .join(d.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      .withColumn("edit_dist",
+        levenshtein(col("ta"), col("tb"), maxDist).cast("long"))
+      .filter(col("edit_dist") >= 0L)
+      .select("doc_a", "doc_b", "edit_dist")
+  }
+
   /** LINE-LEVEL boilerplate removal (CCNet-style): chunk each document
     * into consecutive `lineWords`-word lines (ragged tail = last line),
     * count each line's DOCUMENT frequency corpus-wide, and drop lines

@@ -815,6 +815,56 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(qsum <= 4 * m * m, s"modularity out of range: $qsum vs ${4 * m * m}")
   }
 
+  test("glcm + morph: decode-once map plans, zero shuffle") {
+    val tiles = spark.createDataset(TileGen.tiles(
+      Seq((-120, 36), (-119, 36)), 121, "png"))(Encoders.product[TileRow])
+    for (out <- Seq(graft.ops.ImageOps.glcm(tiles, binWidth = 64),
+                    graft.ops.ImageOps.morph(tiles, thr = 2000))) {
+      assert(out.count() == 2)
+      val plan = out.queryExecution.executedPlan
+      assert(plan.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+        s"image kernel must not shuffle:\n$plan")
+    }
+  }
+
+  test("clusteringCoeff: key-bounded joins, no cartesian; closure invariants") {
+    import spark.implicits._
+    val edges = (0 until 3000).map(i => ((i * 7 % 300).toLong, (i * 13 % 300).toLong))
+      .toDF("src", "dst")
+    val out = graft.ops.Graph.clusteringCoeff(edges)
+    val rows = out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"clusteringCoeff planned an unkeyed join:\n$plan")
+    // local closure is bounded by the wedge count, and 3x the per-node
+    // triangle total equals 3 * the global triangle count
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tri_cnt") <= r.getAs[Long]("wedges"),
+        s"node ${r.getAs[Long]("node")}: tri > wedges")
+    }
+    val triTotal = graft.ops.Graph.triangles(edges).count()
+    assert(rows.map(_.getAs[Long]("tri_cnt")).sum == 3 * triTotal)
+  }
+
+  test("editVerify: candidate-keyed hash joins, banded levenshtein, no cartesian") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog zz qq"),
+      (3L, "completely different text about something else entirely")
+    ).toDF("doc_id", "text")
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val out = graft.ops.TextDedup.editVerify(cands, docs, maxDist = 10)
+    val rows = out.collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("doc_a") == 1L
+      && rows.head.getAs[Long]("doc_b") == 2L
+      && rows.head.getAs[Long]("edit_dist") == 6L) // " zz qq" appended
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"editVerify planned an unkeyed join:\n$plan")
+    assert(plan.contains("levenshtein"), s"banded levenshtein missing:\n$plan")
+  }
+
   test("otsu: decode-once map plan, zero shuffle") {
     val tiles = spark.createDataset(TileGen.tiles(
       Seq((-120, 36), (-119, 36)), 121, "png"))(Encoders.product[TileRow])
