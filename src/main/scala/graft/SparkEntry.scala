@@ -1475,6 +1475,16 @@ object SparkEntry {
         Seq("o_custkey", "o_orderstatus", "o_totalprice"), tolPpm = 20000L)
         .orderBy("column")
     }),
+    // Benford first-digit conformance (ops.DataQuality.benford): the
+    // fabricated-numbers screen over o_totalprice in exact cents — one
+    // scan, 9-key agg, fixed-point ppm deviations against the exact
+    // round(log10(1+1/d)·1e6) literals (they sum to exactly 1e6).
+    "dq_benford" -> ((s, dir) => {
+      val cents = t(s, dir, "orders")
+        .selectExpr("CAST(round(o_totalprice*100) AS BIGINT) AS cents")
+      ops.DataQuality.benford(cents, "cents", tolPpm = 30000L)
+        .orderBy("digit")
+    }),
     // Iceberg-style TIME TRAVEL (table.Checkpoint.writeVersioned/readAt):
     // r1 snapshots the full table, r2 patches buckets 0-3 (price +1000);
     // reading AS OF r1 vs AS OF r2 shows bucket-granularity snapshot
@@ -1528,6 +1538,39 @@ object SparkEntry {
           .withColumn("snap", lit(tag))
       snap(Seq("r1"), "r1")
         .unionAll(snap(Seq("r1", "r2", "c1"), "c1"))
+        .orderBy("snap", "grp")
+    }),
+    // BRANCHED lineages on the versioned store: r1 snapshots the table,
+    // branch a1 patches buckets 0-3 (+1000), branch b1 independently
+    // patches buckets 8-11 (+500). Reading AS OF (r1,a1) vs (r1,b1) shows
+    // isolated divergent branches over one shared base; (r1,a1,b1) is the
+    // fast-forward MERGE — bucket-granularity latest-wins, exactly the
+    // lakehouse branch/merge workflow, resolved purely from the manifest
+    // log with partition-literal pruning (no data rewrite).
+    "checkpoint_branch" -> ((s, dir) => {
+      val out =
+        s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_br_${dir.hashCode}"
+      table.Checkpoint.clear(out)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      table.Checkpoint.writeVersioned(orders, col("o_orderkey") % 12, 12,
+        out, "r1")
+      val a = orders.filter(col("o_orderkey") % 12 < 4)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      table.Checkpoint.writeVersioned(a, col("o_orderkey") % 12, 12,
+        out, "a1")
+      val b = orders.filter(col("o_orderkey") % 12 >= 8)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(500.0))
+      table.Checkpoint.writeVersioned(b, col("o_orderkey") % 12, 12,
+        out, "b1")
+      def snap(runs: Seq[String], tag: String) =
+        table.Checkpoint.readAt(s, out, runs)
+          .groupBy((col("o_custkey") % 16).as("grp"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .withColumn("snap", lit(tag))
+      snap(Seq("r1", "a1"), "a").unionAll(snap(Seq("r1", "b1"), "b"))
+        .unionAll(snap(Seq("r1", "a1", "b1"), "m"))
         .orderBy("snap", "grp")
     }),
 
@@ -1924,6 +1967,17 @@ object SparkEntry {
         "(l_orderkey*7 + l_linenumber*13) % 20000 AS dst")
       ops.Graph.clusteringCoeff(edges).orderBy("node")
     }),
+    // Per-edge triangle support (ops.Graph.trussSupport): the k-truss
+    // peeling primitive — |N(u)∩N(v)| per edge, the community-core signal
+    // a star-shaped link farm cannot fake (hub edges all have support 0).
+    // Same wedge join as graph_clustering, fan-out to the 3 canonical
+    // edges, zero-support edges restored by one left join.
+    "graph_truss" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem").selectExpr(
+        "l_orderkey % 20000 AS src",
+        "(l_orderkey*7 + l_linenumber*13) % 20000 AS dst")
+      ops.Graph.trussSupport(edges).orderBy("lo", "hi")
+    }),
     // k-core decomposition (ops.Graph.kcore): fixed-round peeling to the
     // maximal min-degree->=k subgraph — the link-farm / dense-community
     // filter of web-graph curation. Each round is two node-keyed
@@ -2114,6 +2168,15 @@ object SparkEntry {
     // window passes. Decode-once, zero shuffle.
     "img_morph" -> ((s, dir) => {
       ops.ImageOps.morph(gateTiles(s, "png"), thr = 2000).orderBy("image_id")
+    }),
+    // Euler characteristic census (ops.ImageOps.eulerCensus): Gray's padded
+    // 2x2 quad counts over the >=2000 binarization — components − holes as
+    // exact integers, the topology-grade noise/structure discriminator.
+    // Decode-once, zero shuffle; the oracle replays the padded quad scan
+    // from the closed-form corners.
+    "img_euler" -> ((s, dir) => {
+      ops.ImageOps.eulerCensus(gateTiles(s, "png"), thr = 2000)
+        .orderBy("image_id")
     }),
     // Dual-resolution conversion (reference getResolutionAndSize.ts: 1″↔3″):
     // 3:1 decimation resample re-encoded as HGT rows, then re-decoded for
@@ -4710,6 +4773,23 @@ object SparkEntry {
            CAST(coalesce(tn.tri_cnt, 0) AS BIGINT) AS tri_cnt,
            CAST(deg.deg * (deg.deg - 1) // 2 AS BIGINT) AS wedges
          FROM deg LEFT JOIN tn USING (node) ORDER BY node""",
+    // same canonical edge family; each triangle credits its 3 canonical
+    // edges, zero-support edges restored by the left join
+    "graph_truss" ->
+      """WITH e0 AS (SELECT DISTINCT
+           greatest(l_orderkey % 20000, (l_orderkey*7 + l_linenumber*13) % 20000) AS hi,
+           least(l_orderkey % 20000, (l_orderkey*7 + l_linenumber*13) % 20000) AS lo
+           FROM lineitem
+           WHERE l_orderkey % 20000 <> (l_orderkey*7 + l_linenumber*13) % 20000),
+         t AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c FROM e0 e1
+           JOIN e0 e2 ON e2.lo = e1.hi JOIN e0 e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+         s AS (SELECT lo, hi, CAST(count(*) AS BIGINT) AS support FROM
+           (SELECT a AS lo, b AS hi FROM t
+            UNION ALL SELECT b AS lo, c AS hi FROM t
+            UNION ALL SELECT a AS lo, c AS hi FROM t) GROUP BY 1, 2)
+         SELECT CAST(e0.lo AS BIGINT) AS lo, CAST(e0.hi AS BIGINT) AS hi,
+           CAST(coalesce(s.support, 0) AS BIGINT) AS support
+         FROM e0 LEFT JOIN s USING (lo, hi) ORDER BY lo, hi""",
     // blockwise joint moments over the two closed-form epochs (curvy vs
     // plane) — the grid recipe of img_patchify with both fields emitted
     "img_ncc_blocks" ->
@@ -5861,6 +5941,36 @@ object SparkEntry {
            CAST(sum(dil) AS BIGINT) AS n_dil,
            CAST(sum(dil) - sum(ero) AS BIGINT) AS n_edge
          FROM vm GROUP BY 1 ORDER BY image_id""",
+    // Gray's padded 2x2 quad census replayed from the closed-form corners:
+    // each quad position (r,c) in [-1,600]^2 evaluates its four corner
+    // bits inline (out-of-bounds = background), Q1/Q3/diagonal counts,
+    // then the exactly-divisible-by-4 Euler numbers
+    "img_euler" ->
+      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         q AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           r.range AS r, c.range AS c,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS b0
+           FROM corners, range(-1,601) r, range(-1,601) c),
+         bits AS (SELECT image_id,
+           CASE WHEN r BETWEEN 0 AND 600 AND c BETWEEN 0 AND 600
+                AND b0 + 2*c + 3*r + ((c//8)*(r//8)) % 32 >= 2000 THEN 1 ELSE 0 END AS tl,
+           CASE WHEN r BETWEEN 0 AND 600 AND c+1 BETWEEN 0 AND 600
+                AND b0 + 2*(c+1) + 3*r + (((c+1)//8)*(r//8)) % 32 >= 2000 THEN 1 ELSE 0 END AS tr,
+           CASE WHEN r+1 BETWEEN 0 AND 600 AND c BETWEEN 0 AND 600
+                AND b0 + 2*c + 3*(r+1) + ((c//8)*((r+1)//8)) % 32 >= 2000 THEN 1 ELSE 0 END AS bl,
+           CASE WHEN r+1 BETWEEN 0 AND 600 AND c+1 BETWEEN 0 AND 600
+                AND b0 + 2*(c+1) + 3*(r+1) + (((c+1)//8)*((r+1)//8)) % 32 >= 2000 THEN 1 ELSE 0 END AS br
+           FROM q),
+         agg AS (SELECT image_id,
+           CAST(count(*) FILTER (tl+tr+bl+br = 1) AS BIGINT) AS n_q1,
+           CAST(count(*) FILTER (tl+tr+bl+br = 3) AS BIGINT) AS n_q3,
+           CAST(count(*) FILTER (tl+tr+bl+br = 2 AND tl = br) AS BIGINT) AS n_qd
+           FROM bits GROUP BY 1)
+         SELECT image_id, n_q1, n_q3, n_qd,
+           CAST((n_q1 - n_q3 + 2*n_qd) // 4 AS BIGINT) AS euler4,
+           CAST((n_q1 - n_q3 - 2*n_qd) // 4 AS BIGINT) AS euler8
+         FROM agg ORDER BY image_id""",
     "img_stats" ->
       """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
          g AS (SELECT swlng, swlat,
@@ -6608,6 +6718,43 @@ object SparkEntry {
          SELECT grp, n, sum_price, snap FROM s1
          UNION ALL SELECT grp, n, sum_price, snap FROM sc
          ORDER BY snap, grp""",
+    // branch a = base + (+1000 on buckets 0-3), branch b = base + (+500 on
+    // buckets 8-11), merge m = both (disjoint buckets, latest-wins)
+    "checkpoint_branch" ->
+      """WITH sa AS (SELECT o_custkey % 16 AS grp, count(*) AS n,
+           round(sum(CASE WHEN o_orderkey % 12 < 4 THEN o_totalprice + 1000.0
+                          ELSE o_totalprice END), 2) AS sum_price, 'a' AS snap
+           FROM orders GROUP BY 1),
+         sb AS (SELECT o_custkey % 16 AS grp, count(*) AS n,
+           round(sum(CASE WHEN o_orderkey % 12 >= 8 THEN o_totalprice + 500.0
+                          ELSE o_totalprice END), 2) AS sum_price, 'b' AS snap
+           FROM orders GROUP BY 1),
+         sm AS (SELECT o_custkey % 16 AS grp, count(*) AS n,
+           round(sum(CASE WHEN o_orderkey % 12 < 4 THEN o_totalprice + 1000.0
+                          WHEN o_orderkey % 12 >= 8 THEN o_totalprice + 500.0
+                          ELSE o_totalprice END), 2) AS sum_price, 'm' AS snap
+           FROM orders GROUP BY 1)
+         SELECT grp, n, sum_price, snap FROM sa
+         UNION ALL SELECT grp, n, sum_price, snap FROM sb
+         UNION ALL SELECT grp, n, sum_price, snap FROM sm
+         ORDER BY snap, grp""",
+    // first significant digit of the exact cents column, 9-key census,
+    // fixed-point Benford expectations (the nine ppm literals sum to 1e6)
+    "dq_benford" ->
+      """WITH v AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders),
+         d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
+           FROM v WHERE cents IS NOT NULL AND cents > 0),
+         cnt AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY 1),
+         e(digit, e_ppm) AS (VALUES (1, 301030), (2, 176091), (3, 124939),
+           (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+         tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM cnt)
+         SELECT cnt.digit, n_obs, n_total,
+           CAST(n_obs * 1000000 // n_total AS BIGINT) AS obs_ppm,
+           CAST(e_ppm AS BIGINT) AS e_ppm,
+           CAST(abs(n_obs * 1000000 // n_total - e_ppm) AS BIGINT) AS dev_ppm,
+           CASE WHEN abs(n_obs * 1000000 // n_total - e_ppm) <= 30000
+                THEN 'ok' ELSE 'deviant' END AS verdict
+         FROM cnt JOIN e USING (digit), tot ORDER BY digit""",
     "geo_pip" -> pipOracleSql,
     "geo_pip_salted" -> pipOracleSkewSql,
     "geo_pip_adaptive" -> pipOracleSkewSql,

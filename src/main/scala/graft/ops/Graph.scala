@@ -356,4 +356,41 @@ object Graph {
         coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"),
         expr("deg * (deg - 1) DIV 2").as("wedges"))
   }
+
+  /** Per-edge triangle support — the k-truss primitive: `support(u,v)` =
+    * number of triangles containing the edge, i.e. |N(u) ∩ N(v)|. The
+    * truss decomposition (peel edges with support < k−2) is the
+    * community-core extractor that survives where k-core admits
+    * link-farm stars: a star hub has huge degree but every edge has
+    * support 0. This op emits the support table that peeling (and the
+    * `graph_clustering` closure view) consume.
+    *
+    * Plan shape: [[triangles]]' canonical-orientation wedge join (every
+    * triangle a<b<c materialized once), then each triangle fans out to
+    * its three canonical edges and aggregates per edge with map-side
+    * combine; zero-support edges are restored by ONE left join against
+    * the (deduplicated, checkpointed) edge list. Never all-pairs; no
+    * iteration; shuffles keyed by node/edge only.
+    *
+    * @param edges (src, dst) Long node ids; self-loops/duplicates dropped
+    * @return (lo, hi, support), one row per undirected edge
+    */
+  def trussSupport(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(greatest(col("src"), col("dst")).as("hi"),
+        least(col("src"), col("dst")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
+      .localCheckpoint(false)
+    val e1 = e.select(col("lo").as("a"), col("hi").as("b"))
+    val e2 = e.select(col("lo").as("b"), col("hi").as("c"))
+    val e3 = e.select(col("lo").as("a"), col("hi").as("c"))
+    val tri = e1.join(e2, Seq("b")).join(e3, Seq("a", "c"))
+    val sup = tri.select(col("a").as("lo"), col("b").as("hi"))
+      .union(tri.select(col("b").as("lo"), col("c").as("hi")))
+      .union(tri.select(col("a").as("lo"), col("c").as("hi")))
+      .groupBy("lo", "hi").agg(count(lit(1)).as("support"))
+    e.join(sup, Seq("lo", "hi"), "left_outer")
+      .select(col("lo"), col("hi"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
 }

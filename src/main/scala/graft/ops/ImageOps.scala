@@ -524,6 +524,62 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class EulerRow(image_id: String, n_q1: Long, n_q3: Long,
+                            n_qd: Long, euler4: Long, euler8: Long)
+
+  /** Per-image Euler characteristic census over the `thr`-binarized grid —
+    * Gray's quad-count formula (S. B. Gray, "Local properties of binary
+    * images in two dimensions", IEEE ToC 1971): scan every 2×2 quad of the
+    * background-PADDED image and count the bit patterns with exactly one
+    * foreground corner (Q1), exactly three (Q3), and the two diagonal
+    * patterns (Qd); then `4·χ₄ = Q1 − Q3 + 2·Qd` (4-connectivity) and
+    * `4·χ₈ = Q1 − Q3 − 2·Qd` (8-connectivity), both exactly divisible by 4
+    * on a padded image. χ = components − holes is the topology-grade
+    * degenerate-image discriminator: salt-and-pepper noise inflates |χ|
+    * by orders of magnitude while any structured scene keeps it small —
+    * a one-row-per-image screen no histogram moment can replicate.
+    *
+    * Same scale contract as [[histogram]]: decode-once mapPartitions, one
+    * O(n) pass over (size+1)² quads, one output row per image, ZERO
+    * shuffle; all counts exact integers.
+    *
+    * @param thr foreground threshold (sample ≥ thr)
+    */
+  def eulerCensus(tiles: Dataset[TileRow], thr: Int): DataFrame = {
+    implicit val enc = Encoders.product[EulerRow]
+    tiles.mapPartitions { it =>
+      it.map { t =>
+        val d = TileCodec.decode(t)
+        val size = d.size
+        @inline def fg(r: Int, c: Int): Int =
+          if (r < 0 || c < 0 || r >= size || c >= size) 0
+          else if (d.samples(r * size + c) >= thr) 1 else 0
+        var q1 = 0L; var q3 = 0L; var qd = 0L
+        var r = -1
+        while (r < size) {
+          var c = -1
+          while (c < size) {
+            val tl = fg(r, c); val tr = fg(r, c + 1)
+            val bl = fg(r + 1, c); val br = fg(r + 1, c + 1)
+            val s = tl + tr + bl + br
+            if (s == 1) q1 += 1L
+            else if (s == 3) q3 += 1L
+            // s == 2 with equal diagonal corners ⇒ one of the two
+            // checkerboard patterns (tl=br=1,tr=bl=0 or the transpose)
+            else if (s == 2 && tl == br) qd += 1L
+            c += 1
+          }
+          r += 1
+        }
+        val e4x4 = q1 - q3 + 2L * qd
+        val e8x4 = q1 - q3 - 2L * qd
+        require(e4x4 % 4 == 0 && e8x4 % 4 == 0,
+          s"euler quad census not ≡ 0 mod 4 on ${t.image_id}: $q1/$q3/$qd")
+        EulerRow(t.image_id, q1, q3, qd, e4x4 / 4, e8x4 / 4)
+      }
+    }.toDF()
+  }
+
   /** k:1 decimation resample — the reference's dual-resolution domain
     * (SRTM 1″ 3601² ↔ 3″ 1201², src/elevation/getResolutionAndSize.ts:3-14)
     * as a batch tile-table transform: every kth sample of the logical grid,

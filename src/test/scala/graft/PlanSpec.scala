@@ -874,4 +874,73 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.collect { case s: ShuffleExchangeExec => s }.isEmpty,
       s"otsu must not shuffle:\n$plan")
   }
+
+  test("eulerCensus: known topology (solid square χ=1, ring-with-hole χ=0), zero shuffle") {
+    // solid 9x9 block => 1 component, 0 holes, χ4 = χ8 = 1;
+    // square ring with a 3x3 hole => 1 component, 1 hole, χ4 = χ8 = 0
+    def tile(id: String, fg: (Int, Int) => Boolean) = {
+      val g = TileGen.grid(-120, 36, 16,
+        (_, _, r, c) => if (fg(r, c)) 3000.toShort else 0.toShort)
+      graft.core.TileRow(id, graft.raster.Hgt.encode(g, 16), 16, 16, "hgt",
+        graft.core.TileCodec.captionJson(TileGen.caption(-120, 36, 16)),
+        graft.raster.Fidelity.phash(g, 16))
+    }
+    val solid = tile("N36W120",
+      (r, c) => r >= 2 && r <= 10 && c >= 2 && c <= 10)
+    val ring = tile("N36W119", (r, c) =>
+      r >= 2 && r <= 10 && c >= 2 && c <= 10 &&
+        !(r >= 5 && r <= 7 && c >= 5 && c <= 7))
+    val out = graft.ops.ImageOps.eulerCensus(
+      spark.createDataset(Seq(solid, ring))(Encoders.product[TileRow]),
+      thr = 2000)
+    val rows = out.collect().map(r =>
+      r.getString(0) -> ((r.getAs[Long]("euler4"), r.getAs[Long]("euler8")))).toMap
+    assert(rows("N36W120") == ((1L, 1L)), s"solid square: ${rows("N36W120")}")
+    assert(rows("N36W119") == ((0L, 0L)), s"ring with hole: ${rows("N36W119")}")
+    val plan = out.queryExecution.executedPlan
+    assert(plan.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"eulerCensus must not shuffle:\n$plan")
+  }
+
+  test("trussSupport: K4 edges support 2, pendant 0; sum = 3·triangles; no cartesian") {
+    import spark.implicits._
+    // K4 on {0,1,2,3} (4 triangles, every edge in exactly 2) + pendant 3-9
+    val edges = (for { a <- 0 to 3; b <- 0 to 3 if a < b } yield
+      (a.toLong, b.toLong)).toSeq :+ (3L, 9L)
+    val out = graft.ops.Graph.trussSupport(edges.toDF("src", "dst"))
+    val rows = out.collect()
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      val exp = if (r.getAs[Long]("hi") == 9L) 0L else 2L
+      assert(r.getAs[Long]("support") == exp, s"edge $r")
+    }
+    val tri = graft.ops.Graph.triangles(edges.toDF("src", "dst")).count()
+    assert(rows.map(_.getAs[Long]("support")).sum == 3 * tri)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"trussSupport planned an unkeyed join:\n$plan")
+  }
+
+  test("benford: exact ppm table on uniform 1..999 (111 per digit), one scan") {
+    import spark.implicits._
+    val df = (1L to 999L).toDF("v")
+    val out = graft.ops.DataQuality.benford(df, "v", tolPpm = 30000L)
+    val rows = out.collect().sortBy(_.getInt(0))
+    assert(rows.length == 9)
+    assert(graft.ops.DataQuality.BenfordPpm.sum == 1000000L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_obs") == 111L)       // 1 + 10 + 100 per digit
+      assert(r.getAs[Long]("n_total") == 999L)
+      assert(r.getAs[Long]("obs_ppm") == 111111L)  // 111·1e6 DIV 999, exact
+      val d = r.getInt(0)
+      assert(r.getAs[Long]("dev_ppm") ==
+        math.abs(111111L - graft.ops.DataQuality.BenfordPpm(d - 1)))
+    }
+    // uniform data is maximally non-Benford at d=1, conformant mid-range
+    assert(rows.head.getAs[String]("verdict") == "deviant")
+    val scans = out.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(scans.size <= 2, s"benford should be one agg + one 9-row window")
+  }
 }
