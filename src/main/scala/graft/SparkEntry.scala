@@ -1573,6 +1573,35 @@ object SparkEntry {
         .unionAll(snap(Seq("r1", "a1", "b1"), "m"))
         .orderBy("snap", "grp")
     }),
+    // Retention GC (table.Checkpoint.vacuumVersioned — expire_snapshots +
+    // remove_orphan_files): r1 + patch r2 compacted into c1, then vacuum
+    // retaining ONLY the compacted lineage — r1's 12 and r2's 4 partition
+    // dirs are reclaimed (the require pins the count from the FS walk),
+    // the commit log is compacted to c1's rows, and the gate reads the
+    // post-GC snapshot to prove the retained content survived bit-exactly.
+    "checkpoint_vacuum" -> ((s, dir) => {
+      val out =
+        s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_vac_${dir.hashCode}"
+      table.Checkpoint.clear(out)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      table.Checkpoint.writeVersioned(orders, col("o_orderkey") % 12, 12,
+        out, "r1")
+      val patched = orders.filter(col("o_orderkey") % 12 < 4)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      table.Checkpoint.writeVersioned(patched, col("o_orderkey") % 12, 12,
+        out, "r2")
+      table.Checkpoint.compactVersioned(s, out, Seq("r1", "r2"), "c1")
+      val st = table.Checkpoint.vacuumVersioned(s, out, Seq(Seq("c1")))
+      require(st.deletedPartitions == 16 && st.livePartitions == 12,
+        s"unexpected vacuum stats: $st")
+      table.Checkpoint.readAt(s, out, Seq("c1"))
+        .groupBy((col("o_custkey") % 16).as("grp"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .withColumn("snap", lit("v"))
+        .orderBy("grp")
+    }),
 
     // Pure SQL surface: the same spatial functions through the function
     // registry + spark.sql over a temp view (what a SQL-first user writes).
@@ -1978,6 +2007,17 @@ object SparkEntry {
         "(l_orderkey*7 + l_linenumber*13) % 20000 AS dst")
       ops.Graph.trussSupport(edges).orderBy("lo", "hi")
     }),
+    // Bipartite projection with hub pruning (ops.Graph.biproject): the
+    // co-occurrence graph minted from (customer, order-bucket) interaction
+    // edges — users over maxDegree=40 distinct items are dropped BEFORE
+    // the user-keyed pair self-join (quadratic hub fan-out is the scale
+    // hazard of projection), pairs sharing >=2 users survive.
+    "graph_biproject" -> ((s, dir) => {
+      val edges = t(s, dir, "orders").selectExpr(
+        "o_custkey % 400 AS src", "o_orderkey % 300 AS dst")
+      ops.Graph.biproject(edges, maxDegree = 40L, minWeight = 2L)
+        .orderBy("item_a", "item_b")
+    }),
     // k-core decomposition (ops.Graph.kcore): fixed-round peeling to the
     // maximal min-degree->=k subgraph — the link-farm / dense-community
     // filter of web-graph curation. Each round is two node-keyed
@@ -2178,6 +2218,14 @@ object SparkEntry {
       ops.ImageOps.eulerCensus(gateTiles(s, "png"), thr = 2000)
         .orderBy("image_id")
     }),
+    // Run-length census (ops.ImageOps.rle): horizontal + vertical maximal
+    // foreground runs over the >=2000 binarization — count, longest, Σlen²
+    // per axis, the directional-coherence / compressibility screen. The
+    // oracle replays the run structure with lag-window run-starts and a
+    // cumulative run id per scanline. Decode-once, zero shuffle.
+    "img_rle" -> ((s, dir) => {
+      ops.ImageOps.rle(gateTiles(s, "png"), thr = 2000).orderBy("image_id")
+    }),
     // Dual-resolution conversion (reference getResolutionAndSize.ts: 1″↔3″):
     // 3:1 decimation resample re-encoded as HGT rows, then re-decoded for
     // stats — encode∘decode round-trips through the new payload, and the
@@ -2234,6 +2282,17 @@ object SparkEntry {
     // minCount before any join.
     "text_collocations" -> ((s, dir) => {
       ops.Curation.collocations(t(s, dir, "documents"), col("text"), 5L, 30)
+    }),
+    // Flesch readability pieces (ops.Curation.readability) in exact
+    // integers — sentence/word/vowel-group counts and the floored
+    // millipoint score, all codegen'd string expressions, one scan. The
+    // corpus has no sentence punctuation, so the gate injects
+    // deterministic terminators first (' table ' -> '. ') — a regex
+    // replacement both engines replay identically.
+    "text_readability" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("txt", regexp_replace(col("text"), " table ", ". "))
+      ops.Curation.readability(docs, col("txt")).orderBy("doc_id")
     }),
     "text_stats" -> ((s, dir) => {
       t(s, dir, "documents").selectExpr(
@@ -4790,6 +4849,16 @@ object SparkEntry {
          SELECT CAST(e0.lo AS BIGINT) AS lo, CAST(e0.hi AS BIGINT) AS hi,
            CAST(coalesce(s.support, 0) AS BIGINT) AS support
          FROM e0 LEFT JOIN s USING (lo, hi) ORDER BY lo, hi""",
+    // degree prune first, then the user-keyed pair self-join
+    "graph_biproject" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey % 400 AS src, o_orderkey % 300 AS dst FROM orders),
+         keep AS (SELECT src FROM e0 GROUP BY src HAVING count(*) <= 40),
+         k AS (SELECT e0.src, e0.dst FROM e0 JOIN keep USING (src)),
+         p AS (SELECT a.dst AS item_a, b.dst AS item_b
+           FROM k a JOIN k b ON a.src = b.src AND a.dst < b.dst)
+         SELECT CAST(item_a AS BIGINT) AS item_a, CAST(item_b AS BIGINT) AS item_b,
+           CAST(count(*) AS BIGINT) AS w
+         FROM p GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY item_a, item_b""",
     // blockwise joint moments over the two closed-form epochs (curvy vs
     // plane) — the grid recipe of img_patchify with both fields emitted
     "img_ncc_blocks" ->
@@ -5971,6 +6040,39 @@ object SparkEntry {
            CAST((n_q1 - n_q3 + 2*n_qd) // 4 AS BIGINT) AS euler4,
            CAST((n_q1 - n_q3 - 2*n_qd) // 4 AS BIGINT) AS euler8
          FROM agg ORDER BY image_id""",
+    // run structure replayed per scanline: lag-window run starts, a
+    // cumulative run id, lengths grouped per (line, run) — both axes
+    "img_rle" ->
+      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         g AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           r.range AS r, c.range AS c,
+           CASE WHEN ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range
+                + ((c.range//8)*(r.range//8)) % 32 >= 2000 THEN 1 ELSE 0 END AS b
+           FROM corners, range(0,601) r, range(0,601) c),
+         hs AS (SELECT image_id, r, c, b,
+             CASE WHEN b = 1 AND coalesce(lag(b) OVER (PARTITION BY image_id, r ORDER BY c), 0) = 0
+                  THEN 1 ELSE 0 END AS strt FROM g),
+         hr AS (SELECT image_id, r, b,
+             sum(strt) OVER (PARTITION BY image_id, r ORDER BY c) AS rid FROM hs),
+         hl AS (SELECT image_id, CAST(count(*) AS BIGINT) AS len
+           FROM hr WHERE b = 1 GROUP BY image_id, r, rid),
+         hh AS (SELECT image_id, CAST(count(*) AS BIGINT) AS n_runs_h,
+             CAST(max(len) AS BIGINT) AS max_run_h,
+             CAST(sum(len*len) AS BIGINT) AS ss_run_h FROM hl GROUP BY 1),
+         vs AS (SELECT image_id, r, c, b,
+             CASE WHEN b = 1 AND coalesce(lag(b) OVER (PARTITION BY image_id, c ORDER BY r), 0) = 0
+                  THEN 1 ELSE 0 END AS strt FROM g),
+         vr AS (SELECT image_id, c, b,
+             sum(strt) OVER (PARTITION BY image_id, c ORDER BY r) AS rid FROM vs),
+         vl AS (SELECT image_id, CAST(count(*) AS BIGINT) AS len
+           FROM vr WHERE b = 1 GROUP BY image_id, c, rid),
+         vv AS (SELECT image_id, CAST(count(*) AS BIGINT) AS n_runs_v,
+             CAST(max(len) AS BIGINT) AS max_run_v,
+             CAST(sum(len*len) AS BIGINT) AS ss_run_v FROM vl GROUP BY 1)
+         SELECT image_id, n_runs_h, max_run_h, ss_run_h,
+           n_runs_v, max_run_v, ss_run_v
+         FROM hh JOIN vv USING (image_id) ORDER BY image_id""",
     "img_stats" ->
       """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
          g AS (SELECT swlng, swlat,
@@ -6738,6 +6840,30 @@ object SparkEntry {
          UNION ALL SELECT grp, n, sum_price, snap FROM sb
          UNION ALL SELECT grp, n, sum_price, snap FROM sm
          ORDER BY snap, grp""",
+    // vacuum retains only the compacted lineage = the r2 state
+    "checkpoint_vacuum" ->
+      """SELECT o_custkey % 16 AS grp, count(*) AS n,
+           round(sum(CASE WHEN o_orderkey % 12 < 4 THEN o_totalprice + 1000.0
+                          ELSE o_totalprice END), 2) AS sum_price, 'v' AS snap
+         FROM orders GROUP BY 1 ORDER BY grp""",
+    // identical group-count length trick, identical fixed-point Flesch
+    // numerators, floor division (DuckDB // floors; the engine floors via
+    // the pmod identity)
+    "text_readability" ->
+      """WITH d AS (SELECT doc_id, regexp_replace(text, ' table ', '. ', 'g') AS txt FROM documents),
+         m AS (SELECT doc_id,
+           CAST(length(regexp_replace(txt, '[.!?]+', '#', 'g'))
+              - length(regexp_replace(txt, '[.!?]+', '', 'g')) AS BIGINT) AS n_sents,
+           CAST(len(string_split(txt, ' ')) AS BIGINT) AS n_words,
+           CAST(length(regexp_replace(lower(txt), '[aeiou]+', '#', 'g'))
+              - length(regexp_replace(lower(txt), '[aeiou]+', '', 'g')) AS BIGINT) AS n_syll
+           FROM d)
+         SELECT doc_id, n_sents, n_words, n_syll,
+           CAST((206835 * greatest(n_sents, 1) * greatest(n_words, 1)
+               - 1015000 * greatest(n_words, 1) * greatest(n_words, 1)
+               - 84600000 * n_syll * greatest(n_sents, 1))
+             // (1000 * greatest(n_sents, 1) * greatest(n_words, 1)) AS BIGINT) AS flesch_milli
+         FROM m ORDER BY doc_id""",
     // first significant digit of the exact cents column, 9-key census,
     // fixed-point Benford expectations (the nine ppm literals sum to 1e6)
     "dq_benford" ->

@@ -607,4 +607,44 @@ object Curation {
       .withColumn("epochs", expr("(weight_ppm + 999999) DIV 1000000"))
       .select("source", "tok", "share_ppm", "weight_ppm", "epochs")
   }
+
+  /** Readability statistics in exact integers — the Flesch reading-ease
+    * pieces as a pure-expression scan: sentence count (maximal `[.!?]+`
+    * terminator groups), word count (whitespace tokens), and a vowel-group
+    * syllable proxy (maximal `[aeiou]+` groups on the lowercased text —
+    * the standard cheap estimator). The Flesch score
+    * `206.835 − 1.015·(W/S) − 84.6·(Y/W)` is emitted as its exact floored
+    * millipoint value: numerator `206835·s·w − 1015000·w² − 84600000·y·s`
+    * over denominator `1000·s·w` (s, w clamped to ≥ 1), so no float enters
+    * the gate path and the verdict is bit-reproducible.
+    *
+    * Group counting is the replace-vs-delete length trick — replacing each
+    * maximal group with one `#` leaves length `L − V + G`, deleting leaves
+    * `L − V`, difference `G` — entirely inside codegen'd string
+    * expressions; no UDF, no split-array materialization beyond the word
+    * count already standard in `text_stats`. One scan, per-row, trivially
+    * 100 TB-parallel.
+    *
+    * @return (doc_id, n_sents, n_words, n_syll, flesch_milli)
+    */
+  def readability(docs: DataFrame, text: Column): DataFrame = {
+    def groups(src: Column, pattern: String): Column =
+      (length(regexp_replace(src, pattern, "#")) -
+        length(regexp_replace(src, pattern, ""))).cast("long")
+    docs.select(col("doc_id"),
+        groups(text, "[.!?]+").as("n_sents"),
+        size(split(text, " ")).cast("long").as("n_words"),
+        groups(lower(text), "[aeiou]+").as("n_syll"))
+      .withColumn("f_num", expr(
+        """206835 * greatest(n_sents, 1) * greatest(n_words, 1)
+          | - 1015000 * greatest(n_words, 1) * greatest(n_words, 1)
+          | - 84600000 * n_syll * greatest(n_sents, 1)""".stripMargin))
+      .withColumn("f_den",
+        expr("1000 * greatest(n_sents, 1) * greatest(n_words, 1)"))
+      // num is usually negative: Spark's DIV truncates toward zero, and
+      // DuckDB's `//` does too (verified: -7 // 2 = -3), so plain integer
+      // division is the bit-identical convention on both engines
+      .withColumn("flesch_milli", expr("f_num DIV f_den"))
+      .drop("f_num", "f_den")
+  }
 }

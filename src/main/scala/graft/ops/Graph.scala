@@ -393,4 +393,40 @@ object Graph {
       .select(col("lo"), col("hi"),
         coalesce(col("support"), lit(0L)).as("support"))
   }
+
+  /** Bipartite projection with hub pruning — the co-occurrence graph
+    * builder: from (src=user, dst=item) edges, emit item pairs that share
+    * a user, weighted by how many users they share. This is how co-click /
+    * co-citation / doc-domain graphs are minted from raw interaction logs
+    * before any graph algorithm runs.
+    *
+    * The scale hazard of projection is quadratic hub fan-out: one user
+    * touching d items mints d(d−1)/2 pairs, so a single power-law hub
+    * (a crawler account, a boilerplate domain) can emit more pairs than
+    * the rest of the corpus combined. `maxDegree` removes such hubs BEFORE
+    * the self-join — standard practice (their co-occurrence carries no
+    * signal) — which caps per-key fan-out at maxDegree² and makes the
+    * join's output bound explicit: |users| · maxDegree². The degree
+    * histogram and the prune are one key-bounded agg + one semi-join; the
+    * pair self-join is keyed on user; the final agg is map-side combined.
+    * Never all-pairs across items.
+    *
+    * @param maxDegree drop users with more than this many distinct items
+    * @param minWeight emit only pairs sharing at least this many users
+    * @return (item_a, item_b, w) with item_a < item_b
+    */
+  def biproject(edges: DataFrame, maxDegree: Long, minWeight: Long): DataFrame = {
+    require(maxDegree >= 2 && minWeight >= 1,
+      s"bad bounds: maxDegree=$maxDegree minWeight=$minWeight")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(false)
+    val keep = e.groupBy("src").agg(count(lit(1)).as("du"))
+      .filter(col("du") <= maxDegree).select("src")
+    val k = e.join(keep, Seq("src"), "left_semi")
+    val l = k.select(col("src"), col("dst").as("item_a"))
+    val r = k.select(col("src"), col("dst").as("item_b"))
+    l.join(r, Seq("src")).filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minWeight)
+  }
 }

@@ -580,6 +580,65 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class RleRow(image_id: String, n_runs_h: Long, max_run_h: Long,
+                          ss_run_h: Long, n_runs_v: Long, max_run_v: Long,
+                          ss_run_v: Long)
+
+  /** Per-image run-length census over the `thr`-binarized grid — the RLE
+    * compressibility profile, horizontal AND vertical: number of maximal
+    * foreground runs, longest run, and Σlen² (the second moment that
+    * separates a few long coherent runs from many fragments at equal
+    * foreground mass). Dual-axis because structure is directional: scanline
+    * banding compresses horizontally but not vertically; the h/v asymmetry
+    * is itself the signal. Complements [[morph]] (boundary mass) and
+    * [[eulerCensus]] (topology) as the cheap coherence screen for
+    * degenerate-image filtering.
+    *
+    * Same scale contract as [[histogram]]: decode-once mapPartitions, two
+    * O(n) passes, one output row per image, ZERO shuffle; all counts exact
+    * integers (Σlen² ≤ n·size < 2⁶³ for any real image).
+    *
+    * @param thr foreground threshold (sample ≥ thr)
+    */
+  def rle(tiles: Dataset[TileRow], thr: Int): DataFrame = {
+    implicit val enc = Encoders.product[RleRow]
+    tiles.mapPartitions { it =>
+      it.map { t =>
+        val d = TileCodec.decode(t)
+        val size = d.size
+        // scan lines along `major`, stepping `minor`: (stride, step) maps
+        // (line, pos) to the flat index for each axis
+        def scan(lineStride: Int, posStride: Int): (Long, Long, Long) = {
+          var nRuns = 0L; var maxRun = 0L; var ssRun = 0L
+          var line = 0
+          while (line < size) {
+            var run = 0L
+            var pos = 0
+            while (pos < size) {
+              val v = d.samples(line * lineStride + pos * posStride)
+              if (v >= thr) run += 1L
+              else if (run > 0L) {
+                nRuns += 1L; ssRun += run * run
+                if (run > maxRun) maxRun = run
+                run = 0L
+              }
+              pos += 1
+            }
+            if (run > 0L) {
+              nRuns += 1L; ssRun += run * run
+              if (run > maxRun) maxRun = run
+            }
+            line += 1
+          }
+          (nRuns, maxRun, ssRun)
+        }
+        val (nh, mh, sh) = scan(size, 1) // rows left→right
+        val (nv, mv, sv) = scan(1, size) // columns top→bottom
+        RleRow(t.image_id, nh, mh, sh, nv, mv, sv)
+      }
+    }.toDF()
+  }
+
   /** k:1 decimation resample — the reference's dual-resolution domain
     * (SRTM 1″ 3601² ↔ 3″ 1201², src/elevation/getResolutionAndSize.ts:3-14)
     * as a batch tile-table transform: every kth sample of the logical grid,

@@ -464,4 +464,80 @@ object Checkpoint {
     }
     out.result()
   }
+
+  final case class VacuumStats(livePartitions: Int, deletedPartitions: Int,
+                               manifestRows: Int)
+
+  /** Retention GC on the versioned store — Iceberg's `expire_snapshots` +
+    * `remove_orphan_files` as one policy step: keep exactly the
+    * `data/__run=R/__bucket=B` partition directories that at least one
+    * RETAINED lineage resolves as a winner (the same
+    * newest-committed-run-per-bucket resolution as [[readAt]]), delete
+    * every other partition, and compact the commit log to the surviving
+    * rows. Every retained snapshot reads back bit-identically (its winners
+    * are untouched immutable trees); every non-retained lineage is gone —
+    * that is the contract of expiry, storage reclaimed in exchange for
+    * history.
+    *
+    * Crash safety: data partitions are deleted only AFTER the live set is
+    * resolved from the durable commit log, and the log compaction appends
+    * the rewritten manifest BEFORE removing the old files — a kill between
+    * the two leaves duplicate manifest rows, which every reader already
+    * `distinct()`s away ([[readAt]], [[committedBuckets]],
+    * [[compactVersioned]]); a kill mid-data-delete leaves extra partitions
+    * that the next vacuum removes. No window leaves a retained snapshot
+    * unreadable.
+    *
+    * Driver-bounded like the rest of the manifest protocol: the live-set
+    * resolution is ≤ runs × buckets commit-log rows, the FS walk is one
+    * directory listing per run — never a data scan.
+    *
+    * @param retain snapshot lineages (each a [[readAt]] `runOrder`) that
+    *               must remain readable
+    */
+  def vacuumVersioned(spark: SparkSession, dir: String,
+                      retain: Seq[Seq[String]]): VacuumStats = {
+    require(retain.nonEmpty, "vacuum must retain at least one lineage")
+    import spark.implicits._
+    val all = manifests(spark, dir).distinct()
+      .as[BucketManifest].collect()
+    val live = scala.collection.mutable.Set.empty[(String, Int)]
+    retain.foreach { lineage =>
+      val idx = lineage.zipWithIndex.toMap
+      all.filter(r => idx.contains(r.run_id)).groupBy(_.bucket)
+        .foreach { case (b, rs) =>
+          live += ((rs.maxBy(r => idx(r.run_id)).run_id, b))
+        }
+    }
+    val (fs, dataDir) = fsOf(s"$dir/data", Some(spark))
+    var deleted = 0
+    if (fs.exists(dataDir)) {
+      fs.listStatus(dataDir)
+        .filter(_.getPath.getName.startsWith("__run=")).foreach { runSt =>
+          val run = runSt.getPath.getName.stripPrefix("__run=")
+          fs.listStatus(runSt.getPath)
+            .filter(_.getPath.getName.startsWith("__bucket=")).foreach { bSt =>
+              val b = bSt.getPath.getName.stripPrefix("__bucket=").toInt
+              if (!live.contains((run, b))) {
+                fs.delete(bSt.getPath, true); deleted += 1
+              }
+            }
+          if (fs.listStatus(runSt.getPath).isEmpty)
+            fs.delete(runSt.getPath, true): Unit
+        }
+    }
+    // log compaction: append the surviving rows first, then drop the old
+    // commit files (the crash window only duplicates rows — see scaladoc)
+    val liveRows = all.filter(r => live.contains((r.run_id, r.bucket)))
+    val (mfs, mdir) = fsOf(s"$dir/manifest", Some(spark))
+    cleanTmpManifests(mfs, dir)
+    val old =
+      if (mfs.exists(mdir))
+        mfs.listStatus(mdir).map(_.getPath)
+          .filterNot(_.getName.startsWith("."))
+      else Array.empty[Path]
+    liveRows.grouped(64).foreach(g => appendManifest(mfs, dir, g.toSeq))
+    old.foreach(p => mfs.delete(p, true): Unit)
+    VacuumStats(live.size, deleted, liveRows.length)
+  }
 }

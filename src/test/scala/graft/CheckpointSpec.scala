@@ -193,4 +193,37 @@ class CheckpointSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Checkpoint.readAt(spark, dir, Seq("r1", "r2", "c1", "c2"))
       .as[(Long, Long)].collect().toMap == pre)
   }
+
+  test("vacuum: retained lineage bit-identical, expired lineages gone, orphan dirs reclaimed") {
+    import spark.implicits._
+    val dir = freshDir("vac")
+    val base = (0 until 1200).map(i => (i.toLong, i * 10L)).toDF("k", "v")
+    Checkpoint.writeVersioned(base, col("k") % 8, 8, dir, "r1")
+    Checkpoint.writeVersioned(
+      base.filter(col("k") % 8 < 3).withColumn("v", col("v") + 1),
+      col("k") % 8, 8, dir, "r2")
+    Checkpoint.compactVersioned(spark, dir, Seq("r1", "r2"), "c1")
+    val pre = Checkpoint.readAt(spark, dir, Seq("c1"))
+      .as[(Long, Long)].collect().toMap
+    val st = Checkpoint.vacuumVersioned(spark, dir, Seq(Seq("c1")))
+    // r1 wrote 8 partitions, r2 wrote 3; c1's 8 survive
+    assert(st.deletedPartitions == 11 && st.livePartitions == 8
+      && st.manifestRows == 8, s"stats: $st")
+    // retained snapshot reads back bit-identically post-GC
+    val post = Checkpoint.readAt(spark, dir, Seq("c1"))
+      .as[(Long, Long)].collect().toMap
+    assert(post == pre)
+    // expired lineages resolve to nothing (their manifest rows are gone)
+    assert(Checkpoint.readAt(spark, dir, Seq("r1")).isEmpty)
+    assert(Checkpoint.readAt(spark, dir, Seq("r1", "r2")).isEmpty)
+    // the FS holds exactly the retained run tree
+    val runs = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.startsWith("__run=")).map(_.getName).toSet
+    assert(runs == Set("__run=c1"), s"surviving run dirs: $runs")
+    // vacuum is idempotent: a second pass deletes nothing
+    val st2 = Checkpoint.vacuumVersioned(spark, dir, Seq(Seq("c1")))
+    assert(st2.deletedPartitions == 0 && st2.livePartitions == 8)
+    assert(Checkpoint.readAt(spark, dir, Seq("c1"))
+      .as[(Long, Long)].collect().toMap == pre)
+  }
 }

@@ -943,4 +943,59 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(scans.size <= 2, s"benford should be one agg + one 9-row window")
   }
+
+  test("rle: known striped fixture (h/v asymmetry), zero shuffle") {
+    // rows 2-4 and 8 fully foreground: horizontally 4 runs of 16;
+    // vertically each of the 16 columns has runs of length 3 and 1
+    val g = TileGen.grid(-120, 36, 16, (_, _, r, _) =>
+      if ((r >= 2 && r <= 4) || r == 8) 3000.toShort else 0.toShort)
+    val tile = graft.core.TileRow("N36W120", graft.raster.Hgt.encode(g, 16),
+      16, 16, "hgt",
+      graft.core.TileCodec.captionJson(TileGen.caption(-120, 36, 16)),
+      graft.raster.Fidelity.phash(g, 16))
+    val out = graft.ops.ImageOps.rle(
+      spark.createDataset(Seq(tile))(Encoders.product[TileRow]), thr = 2000)
+    val r = out.collect().head
+    assert(r.getAs[Long]("n_runs_h") == 4L && r.getAs[Long]("max_run_h") == 16L
+      && r.getAs[Long]("ss_run_h") == 4L * 256L)
+    assert(r.getAs[Long]("n_runs_v") == 32L && r.getAs[Long]("max_run_v") == 3L
+      && r.getAs[Long]("ss_run_v") == 16L * (9L + 1L))
+    val plan = out.queryExecution.executedPlan
+    assert(plan.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"rle must not shuffle:\n$plan")
+  }
+
+  test("biproject: hub pruned before the pair join, weights exact, no cartesian") {
+    import spark.implicits._
+    // user 1 is a hub (6 items > maxDegree 5): contributes NO pairs;
+    // users 2 and 3 both touch items {2,3} => weight 2 pair survives
+    val edges = ((1 to 6).map(i => (1L, i.toLong)) ++
+      Seq((2L, 1L), (2L, 2L), (2L, 3L), (3L, 2L), (3L, 3L)))
+      .toDF("src", "dst")
+    val out = graft.ops.Graph.biproject(edges, maxDegree = 5L, minWeight = 2L)
+    val rows = out.collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("item_a") == 2L
+      && rows.head.getAs[Long]("item_b") == 3L
+      && rows.head.getAs[Long]("w") == 2L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"biproject planned an unkeyed join:\n$plan")
+    // without the prune the hub's pairs appear (user 2/3 pairs coincide
+    // with hub pairs, so the distinct-pair count is exactly C(6,2))
+    val unpruned = graft.ops.Graph.biproject(edges, maxDegree = 50L, minWeight = 1L)
+    assert(unpruned.count() == 15)
+  }
+
+  test("readability: hand-checked Flesch pieces, floored negative division") {
+    import spark.implicits._
+    val docs = Seq((1L, "Hello world. It is good!")).toDF("doc_id", "text")
+    val r = graft.ops.Curation.readability(docs, col("text")).collect().head
+    assert(r.getAs[Long]("n_sents") == 2L)
+    assert(r.getAs[Long]("n_words") == 5L)  // split on ' ': 5 tokens
+    assert(r.getAs[Long]("n_syll") == 6L)   // e-o | o | i | i | oo
+    // (206835·10 − 1015000·25 − 84600000·12) / (1000·10) = −103850.665 →
+    // trunc −103850 (both Spark DIV and DuckDB // truncate toward zero)
+    assert(r.getAs[Long]("flesch_milli") == -103850L)
+  }
 }
