@@ -1485,6 +1485,31 @@ object SparkEntry {
       ops.DataQuality.benford(cents, "cents", tolPpm = 30000L)
         .orderBy("digit")
     }),
+    // Schema-evolution diff (ops.DataQuality.schemaDiff): the snapshot
+    // compatibility verdict — one row per column in either version with
+    // added/removed/type_changed/unchanged status, pure metadata (no data
+    // scan at any size). The gate evolves orders: drops a column, widens
+    // a type, adds an ingest column.
+    "dq_schema_diff" -> ((s, dir) => {
+      val before = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val after = before.drop("o_orderstatus")
+        .withColumn("o_totalprice", col("o_totalprice").cast("decimal(12,2)"))
+        .withColumn("o_ingest_day", lit(20260819L))
+      ops.DataQuality.schemaDiff(before, after).orderBy("column")
+    }),
+    // Per-user interval UNION (ops.IntervalJoin.intervalUnion): merged
+    // busy-time coverage over event intervals (2-16 min, event_id-derived)
+    // — the uptime/SLA aggregate a plain sum(e−s) double-counts; one
+    // line-sweep window pass, exact epoch-micro integers.
+    "events_interval_union" -> ((s, dir) => {
+      val iv = t(s, dir, "events").selectExpr(
+        "user_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS s",
+        "unix_micros(CAST(ts AS TIMESTAMP)) + ((event_id % 7) + 1) * 120000000 AS e")
+      ops.IntervalJoin.intervalUnion(iv, "user_id", "s", "e")
+        .orderBy("user_id")
+    }),
     // Iceberg-style TIME TRAVEL (table.Checkpoint.writeVersioned/readAt):
     // r1 snapshots the full table, r2 patches buckets 0-3 (price +1000);
     // reading AS OF r1 vs AS OF r2 shows bucket-granularity snapshot
@@ -2018,6 +2043,14 @@ object SparkEntry {
       ops.Graph.biproject(edges, maxDegree = 40L, minWeight = 2L)
         .orderBy("item_a", "item_b")
     }),
+    // Reciprocity moments (ops.Graph.reciprocity): the mutual-link share
+    // of a directed 500-node graph as ONE exact row — organic-vs-broadcast
+    // link structure; one reversed-key semi-join, never all-pairs.
+    "graph_reciprocity" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem").selectExpr(
+        "l_suppkey % 500 AS src", "(l_partkey * 3 + l_linenumber) % 500 AS dst")
+      ops.Graph.reciprocity(edges)
+    }),
     // k-core decomposition (ops.Graph.kcore): fixed-round peeling to the
     // maximal min-degree->=k subgraph — the link-farm / dense-community
     // filter of web-graph curation. Each round is two node-keyed
@@ -2225,6 +2258,13 @@ object SparkEntry {
     // cumulative run id per scanline. Decode-once, zero shuffle.
     "img_rle" -> ((s, dir) => {
       ops.ImageOps.rle(gateTiles(s, "png"), thr = 2000).orderBy("image_id")
+    }),
+    // Axis projection profiles (ops.ImageOps.projections): 0°/90° Radon
+    // moments — per-axis (argmax, max, Σprofile²) plus total mass, the
+    // banding/skew detector. Decode-once, zero shuffle; the oracle
+    // replays both profiles as GROUP BYs with QUALIFY argmax.
+    "img_projections" -> ((s, dir) => {
+      ops.ImageOps.projections(gateTiles(s, "png")).orderBy("image_id")
     }),
     // Dual-resolution conversion (reference getResolutionAndSize.ts: 1″↔3″):
     // 3:1 decimation resample re-encoded as HGT rows, then re-decoded for
@@ -4859,6 +4899,19 @@ object SparkEntry {
          SELECT CAST(item_a AS BIGINT) AS item_a, CAST(item_b AS BIGINT) AS item_b,
            CAST(count(*) AS BIGINT) AS w
          FROM p GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY item_a, item_b""",
+    // distinct directed edges, reversed-key semi-join for the mutual count
+    "graph_reciprocity" ->
+      """WITH e0 AS (SELECT DISTINCT l_suppkey % 500 AS src,
+           (l_partkey * 3 + l_linenumber) % 500 AS dst FROM lineitem
+           WHERE l_suppkey % 500 <> (l_partkey * 3 + l_linenumber) % 500),
+         r AS (SELECT CAST(count(*) AS BIGINT) AS n_recip FROM e0
+           WHERE EXISTS (SELECT 1 FROM e0 x WHERE x.src = e0.dst AND x.dst = e0.src)),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM
+           (SELECT src AS v FROM e0 UNION SELECT dst FROM e0)),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e0)
+         SELECT n_nodes, n_edges, n_recip,
+           CAST(n_recip // 2 AS BIGINT) AS n_mutual_pairs
+         FROM n, t, r""",
     // blockwise joint moments over the two closed-form epochs (curvy vs
     // plane) — the grid recipe of img_patchify with both fields emitted
     "img_ncc_blocks" ->
@@ -6073,6 +6126,29 @@ object SparkEntry {
          SELECT image_id, n_runs_h, max_run_h, ss_run_h,
            n_runs_v, max_run_v, ss_run_v
          FROM hh JOIN vv USING (image_id) ORDER BY image_id""",
+    // both projection profiles as GROUP BYs; argmax via QUALIFY with the
+    // smallest-index tiebreak
+    "img_projections" ->
+      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         g AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           r.range AS r, c.range AS c,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range
+             + ((c.range//8)*(r.range//8)) % 32 AS v
+           FROM corners, range(0,601) r, range(0,601) c),
+         rs AS (SELECT image_id, r, CAST(sum(v) AS BIGINT) AS p FROM g GROUP BY 1, 2),
+         cs AS (SELECT image_id, c, CAST(sum(v) AS BIGINT) AS p FROM g GROUP BY 1, 2),
+         ra AS (SELECT image_id, CAST(r AS INT) AS row_argmax, p AS row_max FROM rs
+           QUALIFY row_number() OVER (PARTITION BY image_id ORDER BY p DESC, r) = 1),
+         rm AS (SELECT image_id, CAST(sum(p) AS BIGINT) AS total,
+             CAST(sum(p*p) AS BIGINT) AS row_ss FROM rs GROUP BY 1),
+         ca AS (SELECT image_id, CAST(c AS INT) AS col_argmax, p AS col_max FROM cs
+           QUALIFY row_number() OVER (PARTITION BY image_id ORDER BY p DESC, c) = 1),
+         cm AS (SELECT image_id, CAST(sum(p*p) AS BIGINT) AS col_ss FROM cs GROUP BY 1)
+         SELECT image_id, total, row_argmax, row_max, row_ss,
+           col_argmax, col_max, col_ss
+         FROM rm JOIN ra USING (image_id) JOIN ca USING (image_id)
+           JOIN cm USING (image_id) ORDER BY image_id""",
     "img_stats" ->
       """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
          g AS (SELECT swlng, swlat,
@@ -6881,6 +6957,36 @@ object SparkEntry {
            CASE WHEN abs(n_obs * 1000000 // n_total - e_ppm) <= 30000
                 THEN 'ok' ELSE 'deviant' END AS verdict
          FROM cnt JOIN e USING (digit), tot ORDER BY digit""",
+    // pure-metadata verdict table — the oracle pins the contract literally
+    "dq_schema_diff" ->
+      """SELECT * FROM (VALUES
+           ('o_custkey', 'BIGINT', 'BIGINT', 'unchanged'),
+           ('o_ingest_day', NULL, 'BIGINT', 'added'),
+           ('o_orderkey', 'BIGINT', 'BIGINT', 'unchanged'),
+           ('o_orderstatus', 'STRING', NULL, 'removed'),
+           ('o_totalprice', 'DOUBLE', 'DECIMAL(12,2)', 'type_changed'))
+         AS t("column", type_a, type_b, status) ORDER BY "column"""",
+    // line sweep replayed: running-max of prior ends, cumulative segment
+    // ids, merged-segment lengths
+    "events_interval_union" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+           epoch_us(ts) + ((event_id % 7) + 1) * 120000000 AS e FROM events),
+         m AS (SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM iv),
+         sg AS (SELECT user_id, s, e,
+             CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nw FROM m),
+         si AS (SELECT user_id, s, e,
+             CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg
+           FROM sg),
+         segs AS (SELECT user_id, seg, CAST(count(*) AS BIGINT) AS n_iv,
+             min(s) AS ss, max(e) AS ee FROM si GROUP BY 1, 2)
+         SELECT user_id, CAST(sum(n_iv) AS BIGINT) AS n_iv,
+           CAST(count(*) AS BIGINT) AS n_seg,
+           CAST(sum(ee - ss) AS BIGINT) AS covered,
+           CAST(max(ee) - min(ss) AS BIGINT) AS span
+         FROM segs GROUP BY 1 ORDER BY user_id""",
     "geo_pip" -> pipOracleSql,
     "geo_pip_salted" -> pipOracleSkewSql,
     "geo_pip_adaptive" -> pipOracleSkewSql,

@@ -429,4 +429,34 @@ object Graph {
       .groupBy("item_a", "item_b").agg(count(lit(1)).as("w"))
       .filter(col("w") >= minWeight)
   }
+
+  /** Directed-graph reciprocity moments — ONE exact-integer row: how much
+    * of the link graph is mutual. Reciprocity separates conversational /
+    * organic link structure (high) from broadcast or spam link structure
+    * (near zero), a standard first diagnostic on any crawled web graph.
+    * `r = n_recip / n_edges` is one float division away; both counted
+    * pieces are emitted exactly.
+    *
+    * Plan shape: distinct directed edges (self-loops dropped), then ONE
+    * self equi-join on the reversed key to count mutual pairs — keyed,
+    * never all-pairs; node count is one more key-bounded agg.
+    *
+    * @param edges (src, dst) Long node ids
+    * @return one row (n_nodes, n_edges, n_recip, n_mutual_pairs) —
+    *         n_recip counts directed edges whose reverse exists,
+    *         n_mutual_pairs = n_recip / 2 unordered mutual pairs
+    */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(false)
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+    val recip = e.join(rev, Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("n_recip"))
+    val nodes = e.select(col("src").as("n")).union(e.select(col("dst")))
+      .distinct().agg(count(lit(1)).as("n_nodes"))
+    val total = e.agg(count(lit(1)).as("n_edges"))
+    nodes.crossJoin(total).crossJoin(recip)
+      .withColumn("n_mutual_pairs", expr("n_recip DIV 2"))
+  }
 }

@@ -639,6 +639,54 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class ProjRow(image_id: String, total: Long, row_argmax: Int,
+                           row_max: Long, row_ss: Long, col_argmax: Int,
+                           col_max: Long, col_ss: Long)
+
+  /** Per-image axis projection profiles — the 0°/90° Radon transform's
+    * summary moments: row sums and column sums reduced to (argmax index,
+    * max, Σprofile²). The projection second moment Σp² at fixed total mass
+    * is the classic skew/banding detector (uniform mass minimizes it;
+    * concentrated bands maximize it), and the argmax locates the dominant
+    * band — the cheap layout screen used before any expensive geometric
+    * normalization. Ties on the max break to the SMALLEST index so the
+    * result is deterministic.
+    *
+    * Same scale contract as [[histogram]]: decode-once mapPartitions, one
+    * O(n) pass accumulating both profiles, one output row per image, ZERO
+    * shuffle; exact integers throughout (Σp² ≤ size·(size·vmax)² fits
+    * int64 to ~4k² int16 tiles).
+    */
+  def projections(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[ProjRow]
+    tiles.mapPartitions { it =>
+      it.map { t =>
+        val d = TileCodec.decode(t)
+        val size = d.size
+        val rows = new Array[Long](size); val cols = new Array[Long](size)
+        var i = 0
+        while (i < d.samples.length) {
+          val v = d.samples(i).toLong
+          rows(i / size) += v; cols(i % size) += v
+          i += 1
+        }
+        def moments(p: Array[Long]): (Int, Long, Long) = {
+          var am = 0; var mx = Long.MinValue; var ss = 0L
+          var j = 0
+          while (j < p.length) {
+            if (p(j) > mx) { mx = p(j); am = j }
+            ss += p(j) * p(j)
+            j += 1
+          }
+          (am, mx, ss)
+        }
+        val (ra, rm, rs) = moments(rows)
+        val (ca, cm, cs) = moments(cols)
+        ProjRow(t.image_id, rows.sum, ra, rm, rs, ca, cm, cs)
+      }
+    }.toDF()
+  }
+
   /** k:1 decimation resample — the reference's dual-resolution domain
     * (SRTM 1″ 3601² ↔ 3″ 1201², src/elevation/getResolutionAndSize.ts:3-14)
     * as a batch tile-table transform: every kth sample of the logical grid,

@@ -50,4 +50,42 @@ object IntervalJoin {
         (least(col("l_e"), col("r_e")) - greatest(col("l_s"), col("r_s")))
           .as("overlap_ms"))
   }
+
+  /** Per-key interval UNION — total covered length with overlaps merged,
+    * the uptime / SLA / "distinct busy time" aggregate that a plain
+    * `sum(end − start)` double-counts: the classic line-sweep expressed
+    * as ONE window pass. A row starts a new merged segment iff its start
+    * exceeds the running max of all previous ends (ends may regress under
+    * the start ordering, hence the running MAX, not lag); the cumulative
+    * count of starts is the segment id; each merged segment contributes
+    * `max(end) − min(start)`.
+    *
+    * 100 TB shape: one shuffle on `key` shared by both window passes and
+    * the final agg (same partitioning, Catalyst reuses the exchange);
+    * per-key state is the sort — no self-join, no explode, no
+    * all-pairs. Exact integer arithmetic end to end.
+    *
+    * @param df  (key, s, e) integer interval bounds, e >= s
+    * @return (key, n_iv, n_seg, covered, span) — n_iv raw intervals,
+    *         n_seg merged segments, covered = Σ merged lengths,
+    *         span = max(e) − min(s)
+    */
+  def intervalUnion(df: DataFrame, key: String, s: String, e: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(key).orderBy(col(s), col(e))
+    val prevMax = max(col(e)).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    val seg = df
+      .withColumn("__new",
+        when(prevMax.isNull || col(s) > prevMax, lit(1L)).otherwise(lit(0L)))
+      .withColumn("__seg", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    seg.groupBy(col(key), col("__seg"))
+      .agg(count(lit(1)).as("n_iv"), min(col(s)).as("ss"),
+        max(col(e)).as("ee"))
+      .groupBy(key)
+      .agg(sum("n_iv").as("n_iv"), count(lit(1)).as("n_seg"),
+        sum(col("ee") - col("ss")).as("covered"),
+        (max("ee") - min("ss")).as("span"))
+  }
 }

@@ -998,4 +998,78 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // trunc −103850 (both Spark DIV and DuckDB // truncate toward zero)
     assert(r.getAs[Long]("flesch_milli") == -103850L)
   }
+
+  test("projections: striped fixture moments, smallest-index tiebreak, zero shuffle") {
+    // rows 2-4 and 8 at 3000, else 0: row profile has four equal peaks of
+    // 16·3000 (argmax ties to row 2); every column sums to 4·3000
+    val g = TileGen.grid(-120, 36, 16, (_, _, r, _) =>
+      if ((r >= 2 && r <= 4) || r == 8) 3000.toShort else 0.toShort)
+    val tile = graft.core.TileRow("N36W120", graft.raster.Hgt.encode(g, 16),
+      16, 16, "hgt",
+      graft.core.TileCodec.captionJson(TileGen.caption(-120, 36, 16)),
+      graft.raster.Fidelity.phash(g, 16))
+    val out = graft.ops.ImageOps.projections(
+      spark.createDataset(Seq(tile))(Encoders.product[TileRow]))
+    val r = out.collect().head
+    assert(r.getAs[Long]("total") == 4L * 16L * 3000L)
+    assert(r.getAs[Int]("row_argmax") == 2 && r.getAs[Long]("row_max") == 48000L)
+    assert(r.getAs[Long]("row_ss") == 4L * 48000L * 48000L)
+    assert(r.getAs[Int]("col_argmax") == 0 && r.getAs[Long]("col_max") == 12000L)
+    assert(r.getAs[Long]("col_ss") == 16L * 12000L * 12000L)
+    val plan = out.queryExecution.executedPlan
+    assert(plan.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"projections must not shuffle:\n$plan")
+  }
+
+  test("intervalUnion: merge, touching-merge, containment; one keyed shuffle chain") {
+    import spark.implicits._
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 12L), (1L, 20L, 30L), (1L, 30L, 35L),
+      (2L, 20L, 30L), (2L, 22L, 25L), (2L, 28L, 40L))
+      .toDF("user_id", "s", "e")
+    val out = graft.ops.IntervalJoin.intervalUnion(iv, "user_id", "s", "e")
+    val rows = out.collect().map(r => r.getLong(0) ->
+      ((r.getAs[Long]("n_iv"), r.getAs[Long]("n_seg"),
+        r.getAs[Long]("covered"), r.getAs[Long]("span")))).toMap
+    // [0,12] merged, [20,35] merged across the touching boundary
+    assert(rows(1L) == ((4L, 2L, 27L, 35L)), s"key 1: ${rows(1L)}")
+    // containment: one segment [20,40]
+    assert(rows(2L) == ((3L, 1L, 20L, 20L)), s"key 2: ${rows(2L)}")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"),
+      s"intervalUnion must be join-free:\n$plan")
+  }
+
+  test("reciprocity: mutual pairs exact, self-loops/dups dropped, keyed semi-join") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L), (4L, 3L),
+      (5L, 5L), (1L, 2L)).toDF("src", "dst")
+    val out = graft.ops.Graph.reciprocity(edges)
+    val r = out.collect().head
+    assert(r.getAs[Long]("n_nodes") == 4L && r.getAs[Long]("n_edges") == 5L)
+    assert(r.getAs[Long]("n_recip") == 4L && r.getAs[Long]("n_mutual_pairs") == 2L)
+    // the DATA join (mutual-edge detection) must be a keyed semi-join; the
+    // final 1-row × 1-row combines are literal crossJoins and may plan as
+    // BroadcastNestedLoopJoin — that's constant-size, not a scale hazard
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"reciprocity planned a cartesian:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"mutual-edge detection must be a keyed semi-join:\n$plan")
+  }
+
+  test("schemaDiff: added/removed/type_changed/unchanged verdicts") {
+    import spark.implicits._
+    val before = Seq((1L, "a", 1.0)).toDF("k", "s", "p")
+    val after = before.drop("s")
+      .withColumn("p", col("p").cast("decimal(10,2)"))
+      .withColumn("extra", lit(1))
+    val got = graft.ops.DataQuality.schemaDiff(before, after)
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.getString(1)), Option(r.getString(2)), r.getString(3)))).toMap
+    assert(got("k") == ((Some("BIGINT"), Some("BIGINT"), "unchanged")))
+    assert(got("s") == ((Some("STRING"), None, "removed")))
+    assert(got("p") == ((Some("DOUBLE"), Some("DECIMAL(10,2)"), "type_changed")))
+    assert(got("extra") == ((None, Some("INT"), "added")))
+  }
 }
