@@ -1510,6 +1510,19 @@ object SparkEntry {
       ops.IntervalJoin.intervalUnion(iv, "user_id", "s", "e")
         .orderBy("user_id")
     }),
+    // Peak event rate (burst / rate-limit audit): max events in any
+    // trailing 1-hour window per user — ONE keyed range-frame window on
+    // exact epoch micros, the sliding-window load profile.
+    "events_peak_rate" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        .orderBy("tus").rangeBetween(-3599999999L, 0L)
+      t(s, dir, "events")
+        .selectExpr("user_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS tus")
+        .withColumn("cnt", count(lit(1)).over(w))
+        .groupBy("user_id")
+        .agg(max("cnt").as("peak_1h"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
     // Iceberg-style TIME TRAVEL (table.Checkpoint.writeVersioned/readAt):
     // r1 snapshots the full table, r2 patches buckets 0-3 (price +1000);
     // reading AS OF r1 vs AS OF r2 shows bucket-granularity snapshot
@@ -1912,6 +1925,19 @@ object SparkEntry {
       ops.Embeddings.ivfRecall(e, e.filter(col("vec_id") < 25),
         kCentroids = 8, nProbe = 2, topK = 5).orderBy("qid")
     }),
+    // The recall-vs-nProbe OPERATING CURVE — the table an ANN deployment
+    // is tuned from: recall@5 at nProbe ∈ {1, 2, 4} against the exact
+    // baseline, one row per (n_probe, query). Monotone in nProbe by
+    // construction; the curve's knee picks the production setting.
+    "ann_recall_curve" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 25)
+      Seq(1, 2, 4).map(np =>
+        ops.Embeddings.ivfRecall(e, q, kCentroids = 8, nProbe = np, topK = 5)
+          .withColumn("n_probe", lit(np)))
+        .reduce(_ unionByName _)
+        .orderBy("n_probe", "qid")
+    }),
     // The coarse-quantizer TRAINING LOOP (iterated kmeansStep from the
     // deterministic seed): per-round centroid sums, oracle-replayed by
     // unrolled CTEs — means are exact-integer sums + one IEEE division,
@@ -2192,6 +2218,20 @@ object SparkEntry {
       ops.ImageOps.nccBlocks(epochA, epochB, block = 100)
         .orderBy("image_id", "py", "px")
     }),
+    // Change-detection confusion matrix (ops.ImageOps.crosstab): pixels
+    // counted per (zone_a, zone_b) over the width-512 quantization of the
+    // two epochs — which class became which, the summary a per-pixel diff
+    // can't express. Keyed pair join, kernel-side counting, zones² rows.
+    "zonal_crosstab" -> ((s, dir) => {
+      import s.implicits._
+      val corners = Seq((-120, 36), (-120, 37), (-119, 36), (-119, 37),
+        (-118, 36), (-117, 37))
+      val epochA = s.createDataset(TileGen.tiles(corners, 601, "hgt"))
+      val epochB = s.createDataset(corners.map { case (lng, lat) =>
+        TileGen.tileRow(lng, lat, 601, "hgt", TileGen.planeAt) })
+      ops.ImageOps.crosstab(epochA, epochB, binWidth = 512)
+        .orderBy("image_id", "zone_a", "zone_b")
+    }),
     // Variance-of-Laplacian focus measure (ops.ImageOps.blurStats): the
     // standard blur filter of image curation, exact integer moments so the
     // sharpness ranking needs no float division. Decode-once, zero shuffle.
@@ -2333,6 +2373,14 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
         .withColumn("txt", regexp_replace(col("text"), " table ", ". "))
       ops.Curation.readability(docs, col("txt")).orderBy("doc_id")
+    }),
+    // Simpson token diversity (ops.Curation.simpson): the log-free
+    // repetitiveness score in exact ppm — Σc(c−1)/(n(n−1)); boilerplate
+    // and keyword stuffing score high, diverse prose low. One explode +
+    // two key-bounded aggs, no joins.
+    "text_simpson" -> ((s, dir) => {
+      ops.Curation.simpson(t(s, dir, "documents"), col("text"))
+        .orderBy("doc_id")
     }),
     "text_stats" -> ((s, dir) => {
       t(s, dir, "documents").selectExpr(
@@ -4103,6 +4151,52 @@ object SparkEntry {
          COALESCE(h.n_hits, 0) / 5.0 AS recall
        FROM (SELECT DISTINCT vec_id AS qid FROM embeddings WHERE vec_id < 25) q
        LEFT JOIN hits h ON h.qid = q.qid ORDER BY q.qid"""
+
+  /** The ivfRecall oracle swept over nProbe ∈ {1,2,4} — the operating
+    * curve; probe fan-out parameterized by a probes VALUES list.
+    */
+  private val ivfRecallCurveOracleSql: String =
+    """WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       cents AS (SELECT range AS c FROM range(0, 8)),
+       d AS (SELECT vec_id, c,
+         list_reduce(list_prepend(0.0, list_transform(range(0,64),
+           d -> (v[d+1] - (((c*53 + d*17) % 13) - 6)) * (v[d+1] - (((c*53 + d*17) % 13) - 6)))),
+           (p,q) -> p + q) AS d2
+         FROM vv, cents),
+       nrm AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(range(0,64),
+           d -> v[d+1] * v[d+1])), (p,q) -> p + q)) AS nrm FROM vv),
+       assign AS (SELECT vec_id, c AS centroid FROM (
+         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d) WHERE rn = 1),
+       probes(np) AS (VALUES (1), (2), (4)),
+       qr AS (SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+         FROM d WHERE vec_id < 25),
+       qprobe AS (SELECT p.np, qr.vec_id AS qid, qr.c AS centroid FROM qr, probes p WHERE qr.rn <= p.np),
+       cand AS (SELECT q.np, q.qid, n.vec_id AS neighbor_id,
+           list_reduce(list_prepend(0.0, list_transform(range(0,64),
+             d -> n.v[d+1] * qn.v[d+1])), (p,q) -> p + q) / (n.nrm * qn.nrm) AS cos
+         FROM qprobe q JOIN assign a ON a.centroid = q.centroid
+         JOIN nrm n ON n.vec_id = a.vec_id
+         JOIN nrm qn ON qn.vec_id = q.qid
+         WHERE n.vec_id <> q.qid),
+       ivf AS (SELECT np, qid, neighbor_id FROM (
+         SELECT np, qid, neighbor_id, row_number() OVER (PARTITION BY np, qid ORDER BY cos DESC, neighbor_id) AS rank FROM cand)
+         WHERE rank <= 5),
+       exp AS (SELECT qn.vec_id AS qid, n.vec_id AS neighbor_id,
+           list_reduce(list_prepend(0.0, list_transform(range(0,64),
+             d -> n.v[d+1] * qn.v[d+1])), (p,q) -> p + q) / (n.nrm * qn.nrm) AS cos
+         FROM nrm qn, nrm n WHERE qn.vec_id < 25 AND n.vec_id <> qn.vec_id),
+       ex AS (SELECT qid, neighbor_id FROM (
+         SELECT qid, neighbor_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank FROM exp)
+         WHERE rank <= 5),
+       hits AS (SELECT i.np, i.qid, count(*) AS n_hits FROM ivf i
+         JOIN ex ON ex.qid = i.qid AND ex.neighbor_id = i.neighbor_id GROUP BY 1, 2),
+       qp AS (SELECT q.qid, p.np
+         FROM (SELECT DISTINCT vec_id AS qid FROM embeddings WHERE vec_id < 25) q, probes p)
+       SELECT CAST(qp.np AS INT) AS n_probe, qp.qid,
+         COALESCE(h.n_hits, 0) AS n_hits,
+         COALESCE(h.n_hits, 0) / 5.0 AS recall
+       FROM qp LEFT JOIN hits h ON h.qid = qp.qid AND h.np = qp.np
+       ORDER BY n_probe, qp.qid"""
 
   private val ivfOracleSql: String =
     """WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -5973,6 +6067,7 @@ object SparkEntry {
     "ann_ivfpq_topk_trained" -> ivfPqTrainedOracleSql,
     "ann_ivfpq_recall_trained" -> ivfPqTrainedRecallOracleSql,
     "ann_ivf_recall" -> ivfRecallOracleSql,
+    "ann_recall_curve" -> ivfRecallCurveOracleSql,
     "ann_semdedup" -> semDedupOracleSql,
     "ann_sq8" -> sq8OracleSql,
     "dedup_spans" -> dedupSpansOracleSql,
@@ -6149,6 +6244,19 @@ object SparkEntry {
            col_argmax, col_max, col_ss
          FROM rm JOIN ra USING (image_id) JOIN ca USING (image_id)
            JOIN cm USING (image_id) ORDER BY image_id""",
+    // both closed-form epochs quantized to width-512 zones, counted per
+    // (zone_a, zone_b) cell
+    "zonal_crosstab" ->
+      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         g AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range
+             + ((c.range//8)*(r.range//8)) % 32 AS va,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 + c.range + 2*r.range AS vb
+           FROM corners, range(0,601) r, range(0,601) c)
+         SELECT image_id, CAST(va // 512 AS INT) AS zone_a,
+           CAST(vb // 512 AS INT) AS zone_b, CAST(count(*) AS BIGINT) AS n
+         FROM g GROUP BY 1, 2, 3 ORDER BY image_id, zone_a, zone_b""",
     "img_stats" ->
       """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
          g AS (SELECT swlng, swlat,
@@ -6987,6 +7095,29 @@ object SparkEntry {
            CAST(sum(ee - ss) AS BIGINT) AS covered,
            CAST(max(ee) - min(ss) AS BIGINT) AS span
          FROM segs GROUP BY 1 ORDER BY user_id""",
+    // trailing 1h range-frame count per user, then the per-user max
+    "events_peak_rate" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+         c AS (SELECT user_id,
+             CAST(count(*) OVER (PARTITION BY user_id ORDER BY tus
+               RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW) AS BIGINT) AS cnt
+           FROM ev)
+         SELECT user_id, CAST(max(cnt) AS BIGINT) AS peak_1h,
+           CAST(count(*) AS BIGINT) AS n_events
+         FROM c GROUP BY 1 ORDER BY user_id""",
+    // unnest token counts, Simpson's Σc(c−1)/(n(n−1)) in truncating ppm
+    "text_simpson" ->
+      """WITH tk AS (SELECT doc_id, u.tok FROM documents,
+           unnest(string_split(text, ' ')) AS u(tok)),
+         c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1, 2),
+         d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(c*(c-1)) AS BIGINT) AS coll FROM c GROUP BY 1)
+         SELECT doc_id, n_tokens, n_distinct, coll,
+           CAST(CASE WHEN n_tokens > 1
+                THEN coll * 1000000 // (n_tokens * (n_tokens - 1))
+                ELSE 0 END AS BIGINT) AS simpson_ppm
+         FROM d ORDER BY doc_id""",
     "geo_pip" -> pipOracleSql,
     "geo_pip_salted" -> pipOracleSkewSql,
     "geo_pip_adaptive" -> pipOracleSkewSql,

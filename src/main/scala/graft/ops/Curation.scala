@@ -608,6 +608,32 @@ object Curation {
       .select("source", "tok", "share_ppm", "weight_ppm", "epochs")
   }
 
+  /** Simpson diversity of the token distribution in exact fixed-point ppm —
+    * the log-free repetitiveness score: the probability two tokens drawn
+    * without replacement coincide, `Σc(c−1) / (n(n−1))` scaled to ppm with
+    * truncating integer division. High Simpson = few tokens dominate
+    * (boilerplate, keyword stuffing, template spam); low = diverse prose.
+    * The exact-arithmetic complement to the Gopher repetition heuristics —
+    * entropy needs a log and is therefore not bit-reproducible across
+    * engines; Simpson is.
+    *
+    * Plan shape: one explode → (doc, token) count (map-side combined,
+    * key-bounded by per-doc vocabulary) → one doc-keyed agg. No joins.
+    *
+    * @return (doc_id, n_tokens, n_distinct, coll, simpson_ppm) — coll =
+    *         Σc(c−1); docs with < 2 tokens emit simpson_ppm 0
+    */
+  def simpson(docs: DataFrame, text: Column): DataFrame =
+    docs.select(col("doc_id"), explode(split(text, " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum(expr("c * (c - 1)")).as("coll"))
+      .withColumn("simpson_ppm", expr(
+        """CASE WHEN n_tokens > 1
+          | THEN coll * 1000000 DIV (n_tokens * (n_tokens - 1))
+          | ELSE 0 END""".stripMargin))
+
   /** Readability statistics in exact integers — the Flesch reading-ease
     * pieces as a pure-expression scan: sentence count (maximal `[.!?]+`
     * terminator groups), word count (whitespace tokens), and a vowel-group

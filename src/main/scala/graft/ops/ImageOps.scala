@@ -188,6 +188,50 @@ object ImageOps {
       }.toDF()
   }
 
+  final case class CrosstabRow(image_id: String, zone_a: Int, zone_b: Int,
+                               n: Long)
+
+  /** Zonal cross-tabulation of a two-epoch raster pair — the
+    * change-detection CONFUSION MATRIX: quantize both epochs to
+    * `binWidth`-wide zones and count pixels per (zone_a, zone_b) cell.
+    * The diagonal is "stayed in class", off-diagonal cells localize which
+    * class transitioned to which — the standard land-cover / content
+    * change summary that a plain per-pixel diff ([[nccBlocks]],
+    * `changeStats`) cannot express. Exact integer counts; output is
+    * vocabulary-bounded (zones² rows max per image), so the emit is
+    * mergeable at any scale.
+    *
+    * Scale shape: image_id equi-join (co-locating shuffle-free on a
+    * tile_key-bucketed layout), decode-once per pair, kernel-side
+    * counting — pixels never leave the operator.
+    */
+  def crosstab(a: Dataset[TileRow], b: Dataset[TileRow],
+               binWidth: Int): DataFrame = {
+    require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
+    val spark = a.sparkSession
+    import spark.implicits._
+    a.joinWith(b, a("image_id") === b("image_id"))
+      .mapPartitions { it =>
+        it.flatMap { case (ta, tb) =>
+          val da = TileCodec.decode(ta)
+          val db = TileCodec.decode(tb)
+          require(da.size == db.size,
+            s"epoch size mismatch for ${ta.image_id}: ${da.size} vs ${db.size}")
+          val counts = scala.collection.mutable.HashMap.empty[(Int, Int), Long]
+          var i = 0
+          while (i < da.samples.length) {
+            val k = (math.floorDiv(da.samples(i).toInt, binWidth),
+              math.floorDiv(db.samples(i).toInt, binWidth))
+            counts(k) = counts.getOrElse(k, 0L) + 1L
+            i += 1
+          }
+          counts.toSeq.sortBy(_._1).map { case ((za, zb), n) =>
+            CrosstabRow(ta.image_id, za, zb, n)
+          }
+        }
+      }.toDF()
+  }
+
   /** Per-image Sobel gradient-energy row. */
   final case class SobelRow(image_id: String, n_int: Long, gx_sum: Long,
                             gy_sum: Long, energy_sum: Long, energy_max: Long)

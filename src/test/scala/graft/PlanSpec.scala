@@ -1058,6 +1058,40 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"mutual-edge detection must be a keyed semi-join:\n$plan")
   }
 
+  test("crosstab: two-epoch confusion counts exact, keyed pair join") {
+    // epoch A: rows 0-7 = 0, rows 8-15 = 1000; epoch B: cols 0-7 = 0,
+    // cols 8-15 = 1000 → four 8×8 quadrants, one per (zone_a, zone_b)
+    def tile(f: (Int, Int) => Short) = {
+      val g = TileGen.grid(-120, 36, 16, (_, _, r, c) => f(r, c))
+      graft.core.TileRow("N36W120", graft.raster.Hgt.encode(g, 16), 16, 16,
+        "hgt", graft.core.TileCodec.captionJson(TileGen.caption(-120, 36, 16)),
+        graft.raster.Fidelity.phash(g, 16))
+    }
+    val a = spark.createDataset(Seq(tile((r, _) =>
+      if (r >= 8) 1000.toShort else 0.toShort)))(Encoders.product[TileRow])
+    val b = spark.createDataset(Seq(tile((_, c) =>
+      if (c >= 8) 1000.toShort else 0.toShort)))(Encoders.product[TileRow])
+    val out = graft.ops.ImageOps.crosstab(a, b, binWidth = 512)
+    val got = out.collect().map(r =>
+      (r.getAs[Int]("zone_a"), r.getAs[Int]("zone_b")) -> r.getAs[Long]("n")).toMap
+    assert(got == Map((0, 0) -> 64L, (0, 1) -> 64L, (1, 0) -> 64L, (1, 1) -> 64L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"crosstab pair join must be keyed:\n$plan")
+  }
+
+  test("simpson: exact ppm on a hand-counted doc, join-free two-agg plan") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val r = graft.ops.Curation.simpson(docs, col("text")).collect().head
+    assert(r.getAs[Long]("n_tokens") == 3L && r.getAs[Long]("n_distinct") == 2L)
+    assert(r.getAs[Long]("coll") == 2L)        // a contributes 2·1, b 0
+    assert(r.getAs[Long]("simpson_ppm") == 333333L) // 2e6 DIV 6
+    val plan = graft.ops.Curation.simpson(docs, col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"simpson must be join-free:\n$plan")
+  }
+
   test("schemaDiff: added/removed/type_changed/unchanged verdicts") {
     import spark.implicits._
     val before = Seq((1L, "a", 1.0)).toDF("k", "s", "p")
