@@ -1611,6 +1611,39 @@ object SparkEntry {
         .unionAll(snap(Seq("r1", "a1", "b1"), "m"))
         .orderBy("snap", "grp")
     }),
+    // Incremental snapshot-diff read (table.Checkpoint.readDelta — Iceberg
+    // incremental scan): exactly the rows of buckets whose winner CHANGED
+    // between two lineages, read from the new winners — an incremental
+    // consumer's work is proportional to the change, never the table.
+    // d1 = r1→r1+a1 (buckets 0-3, +1000), d2 = r1+a1→r1+a1+b1 (buckets
+    // 8-11, +500); each delta aggregated per customer group; the oracle
+    // states both deltas from the bucket recipe.
+    "checkpoint_delta" -> ((s, dir) => {
+      val out =
+        s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_dl_${dir.hashCode}"
+      table.Checkpoint.clear(out)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      table.Checkpoint.writeVersioned(orders, col("o_orderkey") % 12, 12,
+        out, "r1")
+      val a = orders.filter(col("o_orderkey") % 12 < 4)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      table.Checkpoint.writeVersioned(a, col("o_orderkey") % 12, 12,
+        out, "a1")
+      val b = orders.filter(col("o_orderkey") % 12 >= 8)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(500.0))
+      table.Checkpoint.writeVersioned(b, col("o_orderkey") % 12, 12,
+        out, "b1")
+      def delta(oldO: Seq[String], newO: Seq[String], tag: String) =
+        table.Checkpoint.readDelta(s, out, oldO, newO)
+          .groupBy((col("o_custkey") % 16).as("grp"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .withColumn("delta", lit(tag))
+      delta(Seq("r1"), Seq("r1", "a1"), "d1")
+        .unionAll(delta(Seq("r1", "a1"), Seq("r1", "a1", "b1"), "d2"))
+        .orderBy("delta", "grp")
+    }),
     // Retention GC (table.Checkpoint.vacuumVersioned — expire_snapshots +
     // remove_orphan_files): r1 + patch r2 compacted into c1, then vacuum
     // retaining ONLY the compacted lineage — r1's 12 and r2's 4 partition
@@ -2088,6 +2121,18 @@ object SparkEntry {
         .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
       ops.Graph.kcore(edges, k = 18, rounds = 4).orderBy("node")
     }),
+    // HITS hubs-and-authorities (ops.Graph.hits): 3 exact fixed-point
+    // rounds in ppm integers over the supplier→part graph — the
+    // curator-vs-content separation PageRank's single score cannot make.
+    // Per round: two edge joins + two key-bounded sums + one broadcast L1
+    // total; the edge list never moves. The oracle unrolls the identical
+    // rounds as CTEs (truncating // division = Spark's DIV on non-negative
+    // scores).
+    "graph_hits" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
+      ops.Graph.hits(edges, rounds = 3).orderBy("node")
+    }),
     // Per-row format fidelity (input_hint: decoded pixels allclose, PSNR
     // >= 40 dB for lossy): decode each payload (real javax.imageio for png),
     // compare against the closed-form grid it encodes. px_sum anchors the
@@ -2305,6 +2350,16 @@ object SparkEntry {
     // replays both profiles as GROUP BYs with QUALIFY argmax.
     "img_projections" -> ((s, dir) => {
       ops.ImageOps.projections(gateTiles(s, "png")).orderBy("image_id")
+    }),
+    // FAST-12 corner census (ops.ImageOps.fastCorners): Rosten–Drummond
+    // segment test over the radius-3 Bresenham circle — ≥12 CONTIGUOUS
+    // circle pixels all ≥ center+t (or all ≤ center−t), contiguity by the
+    // doubled-mask bit trick, pure integers end to end. The keypoint-
+    // density screen of image curation (texture scores, flat fills don't).
+    // Decode-once, zero shuffle; the oracle replays every circle pixel
+    // from the closed form and the same mask arithmetic in SQL.
+    "img_fast_corners" -> ((s, dir) => {
+      ops.ImageOps.fastCorners(gateTiles(s, "png"), t = 2).orderBy("image_id")
     }),
     // Dual-resolution conversion (reference getResolutionAndSize.ts: 1″↔3″):
     // 3:1 decimation resample re-encoded as HGT rows, then re-decoded for
@@ -4571,6 +4626,36 @@ object SparkEntry {
          SELECT node, CAST(pr AS BIGINT) AS pr FROM r3 ORDER BY node"""
   }
 
+  /** HITS oracle: the engine's 3 fixed rounds unrolled as CTEs — per round
+    * auth_raw = Σ hub over in-edges, L1-renormalized to ppm by truncating
+    * division, then hub_raw = Σ NEW auth over out-edges, renormalized the
+    * same way. All arithmetic non-negative integers, so DuckDB's `//`
+    * equals Spark's DIV bit-for-bit.
+    */
+  private val hitsOracleSql: String = {
+    def norm(raw: String, out: String) =
+      s"""(SELECT n.node,
+             (COALESCE(x.raw, 0) * 1000000) // (SELECT sum(raw) FROM $raw) AS $out
+           FROM nodes n LEFT JOIN $raw x USING (node))"""
+    val rounds = (1 to 3).map { r =>
+      s"""ar$r AS (SELECT e.dst AS node, sum(h.hub) AS raw
+           FROM h${r - 1} h JOIN e ON e.src = h.node GROUP BY 1),
+         a$r AS ${norm(s"ar$r", "auth")},
+         hr$r AS (SELECT e.src AS node, sum(a.auth) AS raw
+           FROM a$r a JOIN e ON e.dst = a.node GROUP BY 1),
+         h$r AS ${norm(s"hr$r", "hub")}"""
+    }.mkString(",\n         ")
+    s"""WITH e AS (SELECT DISTINCT l_suppkey % 500 AS src,
+           l_partkey % 500 AS dst FROM lineitem
+           WHERE l_suppkey % 500 <> l_partkey % 500),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+         h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM nodes),
+         $rounds
+         SELECT CAST(a3.node AS BIGINT) AS node, CAST(a3.auth AS BIGINT) AS auth,
+                CAST(h3.hub AS BIGINT) AS hub
+         FROM a3 JOIN h3 USING (node) ORDER BY node"""
+  }
+
   /** k-core oracle: the engine's fixed-round peel unrolled as CTEs — per
     * round, degrees over edges with BOTH endpoints in the prior survivor
     * set, HAVING deg ≥ k. Same graph recipe as the engine (canonical
@@ -4619,6 +4704,44 @@ object SparkEntry {
          CAST(sum(gx*gx + gy*gy) AS BIGINT) AS energy_sum,
          CAST(max(gx*gx + gy*gy) AS BIGINT) AS energy_max
        FROM g GROUP BY swlng, swlat ORDER BY image_id"""
+  }
+
+  /** FAST-12 oracle: every circle pixel replayed from the closed-form
+    * curvy field (margin-3 interior, range(3,598)); bright/dark masks as
+    * bit sums generated from the SAME [[ops.ImageOps.FastOffsets]] table
+    * the kernel walks, contiguous-12 by the identical doubled-mask trick
+    * in DuckDB bit arithmetic.
+    */
+  private val fastOracleSql: String = {
+    val thr = 2
+    def v(dc: Int, dr: Int) =
+      gridV(s"c.range+($dc)", s"r.range+($dr)")
+    def mask(cmp: String) = ops.ImageOps.FastOffsets.zipWithIndex.map {
+      case ((dr, dc), i) =>
+        s"(CASE WHEN ${v(dc, dr)} $cmp THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val bm = mask(s">= ${v(0, 0)} + $thr")
+    val dm = mask(s"<= ${v(0, 0)} - $thr")
+    def run12(mm: String) = (1 to 11).map(k => s"($mm >> $k)")
+      .mkString(s"(($mm & ", " & ", ") & 65535) <> 0")
+    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+       k AS (SELECT swlng, swlat,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
+       m AS (SELECT swlng, swlat, $bm AS bm, $dm AS dm
+         FROM k, range(3,598) r, range(3,598) c),
+       t AS (SELECT swlng, swlat,
+           ((CAST(bm AS BIGINT) << 16) | CAST(bm AS BIGINT)) AS bmm,
+           ((CAST(dm AS BIGINT) << 16) | CAST(dm AS BIGINT)) AS dmm FROM m),
+       f AS (SELECT swlng, swlat,
+           CASE WHEN ${run12("bmm")} THEN 1 ELSE 0 END AS isb,
+           CASE WHEN ${run12("dmm")} THEN 1 ELSE 0 END AS isd FROM t)
+       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+         CAST(count(*) AS BIGINT) AS n_tested,
+         CAST(sum(isb) AS BIGINT) AS n_bright,
+         CAST(sum(isd) AS BIGINT) AS n_dark,
+         CAST(sum(CASE WHEN isb = 1 OR isd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_corners
+       FROM f GROUP BY swlng, swlat ORDER BY image_id"""
   }
 
   /** Convex-hull oracle: the Carathéodory certificate — a deduped point is
@@ -4904,6 +5027,7 @@ object SparkEntry {
     "ann_pca_project" -> pcaProjectOracleSql,
     "graph_pagerank" -> pagerankOracleSql,
     "graph_kcore" -> kcoreOracleSql,
+    "graph_hits" -> hitsOracleSql,
     // same canonical-undirected graph recipe as kcore; degrees over the
     // doubled edge set, moments in exact BIGINTs
     "graph_degree_mix" ->
@@ -5028,6 +5152,7 @@ object SparkEntry {
          FROM g GROUP BY swlng, swlat, py, px
          ORDER BY image_id, py, px""",
     "img_sobel" -> sobelOracleSql,
+    "img_fast_corners" -> fastOracleSql,
     // Page's CUSUM recurrence replayed as a recursive CTE: one recursion
     // level per per-user event index, exact integer state throughout
     "events_cusum" ->
@@ -7024,6 +7149,17 @@ object SparkEntry {
          UNION ALL SELECT grp, n, sum_price, snap FROM sb
          UNION ALL SELECT grp, n, sum_price, snap FROM sm
          ORDER BY snap, grp""",
+    // each delta is exactly the changed buckets' rows from the new winner
+    "checkpoint_delta" ->
+      """WITH d1 AS (SELECT o_custkey % 16 AS grp, count(*) AS n,
+           round(sum(o_totalprice + 1000.0), 2) AS sum_price, 'd1' AS delta
+           FROM orders WHERE o_orderkey % 12 < 4 GROUP BY 1),
+         d2 AS (SELECT o_custkey % 16 AS grp, count(*) AS n,
+           round(sum(o_totalprice + 500.0), 2) AS sum_price, 'd2' AS delta
+           FROM orders WHERE o_orderkey % 12 >= 8 GROUP BY 1)
+         SELECT grp, n, sum_price, delta FROM d1
+         UNION ALL SELECT grp, n, sum_price, delta FROM d2
+         ORDER BY delta, grp""",
     // vacuum retains only the compacted lineage = the r2 state
     "checkpoint_vacuum" ->
       """SELECT o_custkey % 16 AS grp, count(*) AS n,

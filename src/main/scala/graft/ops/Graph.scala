@@ -430,6 +430,48 @@ object Graph {
       .filter(col("w") >= minWeight)
   }
 
+  /** HITS hubs-and-authorities (Kleinberg) in exact fixed-point — the
+    * second classic link-analysis score beside [[pagerank]], and the one
+    * that separates CURATORS (hubs: pages pointing at many good
+    * authorities) from CONTENT (authorities: pages pointed at by many
+    * good hubs) — a distinction PageRank's single score cannot make, and
+    * the standard mutual-reinforcement view for link-farm forensics.
+    *
+    * Fixed-round, integer-exact like [[pagerank]]: scores live in ppm
+    * (start 10⁶), each round computes `auth_raw(v) = Σ hub(u→v)` then
+    * L1-normalizes `auth = auth_raw·10⁶ DIV Σauth_raw` (truncating
+    * division — both engines agree bit-for-bit), then the same for hubs
+    * from the NEW authorities (the standard update order). Per round: two
+    * edge joins + two key-bounded aggs + one broadcast scalar; the edge
+    * list never moves.
+    *
+    * @return (node, auth, hub) ppm scores, one row per node
+    */
+  def hits(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds > 0, s"rounds must be positive: $rounds")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false)
+    var hub = nodes.select(col("node"), lit(1000000L).as("hub"))
+    var auth = nodes.select(col("node"), lit(1000000L).as("auth"))
+    def normalize(raw: DataFrame, out: String): DataFrame =
+      nodes.join(raw, Seq("node"), "left")
+        .withColumn("raw", coalesce(col("raw"), lit(0L)))
+        .crossJoin(broadcast(raw.agg(sum(col("raw")).as("tot"))))
+        .select(col("node"), expr("(raw * 1000000) DIV tot").as(out))
+    for (_ <- 1 to rounds) {
+      val araw = hub.join(e, col("node") === col("src"))
+        .groupBy(col("dst").as("node")).agg(sum("hub").as("raw"))
+      auth = normalize(araw, "auth").localCheckpoint(false)
+      val hraw = auth.join(e, col("node") === col("dst"))
+        .groupBy(col("src").as("node")).agg(sum("auth").as("raw"))
+      hub = normalize(hraw, "hub").localCheckpoint(false)
+    }
+    auth.join(hub, Seq("node"))
+  }
+
   /** Directed-graph reciprocity moments — ONE exact-integer row: how much
     * of the link graph is mutual. Reciprocity separates conversational /
     * organic link structure (high) from broadcast or spam link structure

@@ -232,6 +232,77 @@ object ImageOps {
       }.toDF()
   }
 
+  /** FAST's 16-pixel Bresenham circle (radius 3), standard clockwise order
+    * from the top — shared by the kernel and the oracle generator.
+    */
+  val FastOffsets: Array[(Int, Int)] = Array(
+    (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+    (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1))
+
+  final case class FastRow(image_id: String, n_tested: Long, n_bright: Long,
+                           n_dark: Long, n_corners: Long)
+
+  /** FAST-12 corner census (Rosten & Drummond's segment test, public): a
+    * pixel is a corner when ≥ 12 CONTIGUOUS pixels of its radius-3
+    * 16-pixel Bresenham circle are all brighter than center+t (or all
+    * darker than center−t). Pure integer arithmetic — the contiguous-run
+    * test is the doubled-mask trick `mm = m | m<<16; mm & mm>>1 & … &
+    * mm>>11 ≠ 0 (low 16 bits)` — so the census is bit-reproducible and
+    * the oracle can replay every circle pixel from the closed form. This
+    * is the keypoint-DENSITY screen of image curation: texture-rich
+    * natural scenes score thousands of corners, synthetic gradients and
+    * flat fills score ~0; non-max suppression is a consumer concern, the
+    * census counts raw segment-test positives.
+    *
+    * Same scale contract as [[histogram]]: decode-once mapPartitions, one
+    * O(16n) pass over the margin-3 interior, one output row per image,
+    * ZERO shuffle.
+    *
+    * @param t segment-test threshold
+    */
+  def fastCorners(tiles: Dataset[TileRow], t: Int): DataFrame = {
+    require(t > 0, s"threshold must be > 0, got $t")
+    implicit val enc = Encoders.product[FastRow]
+    tiles.mapPartitions { it =>
+      it.map { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        @inline def run12(m: Int): Boolean = {
+          val mm: Long = (m.toLong << 16) | m.toLong
+          var rr = mm
+          var k = 1
+          while (k <= 11) { rr &= (mm >> k); k += 1 }
+          (rr & 0xFFFFL) != 0L
+        }
+        var nT = 0L; var nB = 0L; var nD = 0L; var nC = 0L
+        var r = 3
+        while (r < size - 3) {
+          var c = 3
+          while (c < size - 3) {
+            val v = d.samples(r * size + c).toInt
+            var bm = 0; var dm = 0
+            var i = 0
+            while (i < 16) {
+              val off = FastOffsets(i)
+              val p = d.samples((r + off._1) * size + (c + off._2)).toInt
+              if (p >= v + t) bm |= (1 << i)
+              if (p <= v - t) dm |= (1 << i)
+              i += 1
+            }
+            val b = run12(bm); val dk = run12(dm)
+            nT += 1L
+            if (b) nB += 1L
+            if (dk) nD += 1L
+            if (b || dk) nC += 1L
+            c += 1
+          }
+          r += 1
+        }
+        FastRow(tl.image_id, nT, nB, nD, nC)
+      }
+    }.toDF()
+  }
+
   /** Per-image Sobel gradient-energy row. */
   final case class SobelRow(image_id: String, n_int: Long, gx_sum: Long,
                             gy_sum: Long, energy_sum: Long, energy_max: Long)

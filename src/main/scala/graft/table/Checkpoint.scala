@@ -465,6 +465,44 @@ object Checkpoint {
     out.result()
   }
 
+  /** Incremental read between two snapshot lineages — the CDC view of the
+    * versioned store: exactly the rows of buckets whose WINNER differs
+    * between `oldOrder` and `newOrder` (changed or newly written), read
+    * from the new lineage's winners. An incremental consumer (index
+    * refresh, downstream materialization) processes this delta instead of
+    * re-reading the table — work proportional to the CHANGE, never the
+    * table; Iceberg's incremental scan between snapshots.
+    *
+    * Bucket granularity is the store's write granularity, so the delta is
+    * exact at the protocol level: a bucket whose winner is unchanged
+    * cannot contain changed rows (runs are immutable). Resolution is
+    * driver-bounded by the commit log; the data path is one partition-
+    * pruned scan of only the changed partitions.
+    */
+  def readDelta(spark: SparkSession, dir: String, oldOrder: Seq[String],
+                newOrder: Seq[String]): DataFrame = {
+    def winners(order: Seq[String]): Map[Int, String] = {
+      val idx = order.zipWithIndex.toMap
+      manifests(spark, dir).select("run_id", "bucket").distinct().collect()
+        .map(r => (r.getString(0), r.getInt(1)))
+        .filter { case (run, _) => idx.contains(run) }
+        .groupBy(_._2).map { case (b, rs) =>
+          b -> rs.maxBy(r => idx(r._1))._1
+        }
+    }
+    val ow = winners(oldOrder)
+    val changed = winners(newOrder).filter { case (b, run) =>
+      !ow.get(b).contains(run)
+    }
+    val base = spark.read.parquet(s"$dir/data")
+    // empty delta keeps the data schema (a consumer unions deltas blindly)
+    if (changed.isEmpty) return base.where(lit(false)).drop("__run", "__bucket")
+    val pred = changed.toSeq.groupBy(_._2).map { case (run, bs) =>
+      col("__run") === lit(run) && col("__bucket").isin(bs.map(_._1): _*)
+    }.reduce(_ || _)
+    base.where(pred).drop("__run", "__bucket")
+  }
+
   final case class VacuumStats(livePartitions: Int, deletedPartitions: Int,
                                manifestRows: Int)
 

@@ -226,4 +226,40 @@ class CheckpointSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Checkpoint.readAt(spark, dir, Seq("c1"))
       .as[(Long, Long)].collect().toMap == pre)
   }
+
+  test("readDelta: exactly the changed buckets' rows from the new winners; pruned scan") {
+    import spark.implicits._
+    val dir = freshDir("delta")
+    val base = (0 until 1200).map(i => (i.toLong, i * 10L)).toDF("k", "v")
+    Checkpoint.writeVersioned(base, col("k") % 8, 8, dir, "r1")
+    Checkpoint.writeVersioned(
+      base.filter(col("k") % 8 < 3).withColumn("v", col("v") + 1),
+      col("k") % 8, 8, dir, "r2")
+    Checkpoint.writeVersioned(
+      base.filter(col("k") % 8 === 1).withColumn("v", col("v") + 2),
+      col("k") % 8, 8, dir, "r3")
+    // r1 -> r1+r2: buckets 0..2 changed, rows come from r2 (v+1)
+    val d1 = Checkpoint.readDelta(spark, dir, Seq("r1"), Seq("r1", "r2"))
+    assert(d1.as[(Long, Long)].collect().toMap ==
+      (0 until 1200).filter(_ % 8 < 3).map(i => i.toLong -> (i * 10L + 1)).toMap)
+    // r1+r2 -> r1+r2+r3: only bucket 1 changed, rows from r3 (v+2)
+    val d2 = Checkpoint.readDelta(spark, dir, Seq("r1", "r2"),
+      Seq("r1", "r2", "r3"))
+    assert(d2.as[(Long, Long)].collect().toMap ==
+      (0 until 1200).filter(_ % 8 == 1).map(i => i.toLong -> (i * 10L + 2)).toMap)
+    // nothing-to-old: the whole new lineage is the delta (initial sync)
+    val d0 = Checkpoint.readDelta(spark, dir, Seq.empty, Seq("r1"))
+    assert(d0.count() == 1200)
+    // identical lineages: empty delta, data schema preserved
+    val dEmpty = Checkpoint.readDelta(spark, dir, Seq("r1", "r2"), Seq("r1", "r2"))
+    assert(dEmpty.isEmpty && dEmpty.columns.toSet == Set("k", "v"))
+    // scan touches only the changed partition dirs (1 bucket for d2)
+    val fileScan = d2.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    assert(fileScan.partitionFilters.nonEmpty)
+    d2.collect()
+    assert(fileScan.metrics("numFiles").value == 1,
+      s"expected 1 changed-bucket file, got ${fileScan.metrics("numFiles").value}")
+  }
 }

@@ -130,6 +130,31 @@ class IngestJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       above.getAs[Long]("n_above") == 9)
   }
 
+  test("fastCorners: isolated peak is a dark corner, step edge is not, flat is nothing") {
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[graft.core.TileRow]
+    def tile(id: String, f: (Int, Int) => Int) = {
+      val g = Array.tabulate[Short](81)(i => f(i / 9, i % 9).toShort)
+      graft.core.TileRow(id, graft.raster.Hgt.encode(g, 9), 9, 9, "hgt", "{}", 0L)
+    }
+    def census(t: graft.core.TileRow) =
+      graft.ops.ImageOps.fastCorners(spark.createDataset(Seq(t)), t = 10)
+        .collect().map(r => (r.getAs[Long]("n_tested"), r.getAs[Long]("n_bright"),
+          r.getAs[Long]("n_dark"), r.getAs[Long]("n_corners"))).head
+    // size 9, margin 3 -> 3x3 interior = 9 tested pixels everywhere
+    // flat field: no corners of either polarity
+    assert(census(tile("N36W119", (_, _) => 100)) == ((9L, 0L, 0L, 0L)))
+    // single bright peak at (4,4): its whole circle is darker by 100 ->
+    // exactly one dark-polarity corner; no other interior pixel's circle
+    // even touches the peak (all 16 offsets exceed the 3x3 interior)
+    assert(census(tile("N37W119", (r, c) => if (r == 4 && c == 4) 200 else 100))
+      == ((9L, 0L, 1L, 1L)))
+    // vertical step edge: at most 7 contiguous circle pixels cross the
+    // step from any interior pixel -> FAST-12 rejects edges by design
+    assert(census(tile("N36W120", (_, c) => if (c >= 4) 200 else 100))
+      == ((9L, 0L, 0L, 0L)))
+  }
+
   test("ingestHgt rejects non-square payloads (P3 size predicate)") {
     graft.table.Checkpoint.clear(s"$base/bad")
     val d = new java.io.File(s"$base/bad/hgt"); d.mkdirs()

@@ -1387,6 +1387,34 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L) == 150000L)
   }
 
+  test("hits: 3 rounds on a hand-walked graph; pure source has zero authority") {
+    import spark.implicits._
+    val e = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 0L))
+    val got = graft.ops.Graph.hits(e.toDF("src", "dst"), rounds = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // driver-side replay in exact ppm integer arithmetic (standard update
+    // order: authorities from OLD hubs, hubs from NEW authorities)
+    val nodes = e.flatMap(t => Seq(t._1, t._2)).distinct
+    var hub = nodes.map(_ -> 1000000L).toMap
+    var auth = nodes.map(_ -> 1000000L).toMap
+    def norm(raw: Map[Long, Long]): Map[Long, Long] = {
+      val tot = raw.values.sum
+      nodes.map(v => v -> raw.getOrElse(v, 0L) * 1000000L / tot).toMap
+    }
+    for (_ <- 1 to 3) {
+      auth = norm(nodes.map(v =>
+        v -> e.filter(_._2 == v).map(t => hub(t._1)).sum).filter(_._2 > 0).toMap)
+      hub = norm(nodes.map(v =>
+        v -> e.filter(_._1 == v).map(t => auth(t._2)).sum).filter(_._2 > 0).toMap)
+    }
+    nodes.foreach(v => assert(got(v) == ((auth(v), hub(v))), s"node $v"))
+    // node 3 points but is never pointed at: authority 0, positive hub
+    assert(got(3L)._1 == 0L && got(3L)._2 > 0L)
+    // L1 contract: each score vector sums to <= 1e6 (truncating division)
+    assert(got.values.map(_._1).sum <= 1000000L &&
+      got.values.map(_._2).sum <= 1000000L)
+  }
+
   test("odMatrix: endpoints by (ts, tie) total order; one flow per trajectory") {
     import spark.implicits._
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
