@@ -916,6 +916,24 @@ object SparkEntry {
         .filter(col("n") >= 5)
         .orderBy(col("n").desc, col("cell"))
     }),
+    // kRing smoothing (cells.hex_disk — the h3 gridDisk API): per-cell
+    // counts spread to every cell within grid distance 2 via a PLAN-TIME
+    // literal-offset array (pack is linear in (q,r): one 64-bit add per
+    // disk member, explode ×19, fully codegen) and re-aggregated — the
+    // hotspot-smoothing / neighborhood-dilation primitive where shuffle
+    // traffic scales with CELLS × disk size, never with the points inside;
+    // an occupied-cell equi-join keeps the output on the data.
+    "geo_hex_kring" -> ((s, dir) => {
+      val perCell = quadrantPoints(s, dir)
+        .withColumn("cell", cells.hex_cell(col("lng"), col("lat"), lit(9)))
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+      val spread = perCell
+        .select(explode(cells.hex_disk(col("cell"), 2)).as("cell"), col("n"))
+        .groupBy("cell").agg(sum("n").as("smooth"))
+      perCell.join(spread, "cell")
+        .select(col("cell"), col("n"), col("smooth"))
+        .orderBy("cell")
+    }),
     // Discrete KDE heatmap: 3×3 integer-kernel smoothing of per-cell point
     // counts (center 4 / edge 2 / corner 1) — density shuffles move cells,
     // never points.
@@ -1522,6 +1540,39 @@ object SparkEntry {
         .groupBy("user_id")
         .agg(max("cnt").as("peak_1h"), count(lit(1)).as("n_events"))
         .orderBy("user_id")
+    }),
+    // First/last-touch attribution: every purchase credited to the first
+    // and the most recent prior click/view of the same user — ONE
+    // user-keyed window over the merged touch+conversion stream (the
+    // as-of trick: running first/last ignoreNulls; touches sort before a
+    // same-instant conversion), no join, no per-conversion rescan;
+    // 'direct' when nothing precedes. The marketing-analytics workhorse
+    // beside funnel/retention.
+    "events_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+      val convs = ev.filter(col("event_type") === "purchase")
+      val merged = touches.select(col("user_id"), col("ts"), col("event_id"),
+          lit(0).as("side"), col("event_type"))
+        .unionAll(convs.select(col("user_id"), col("ts"), col("event_id"),
+          lit(1).as("side"), col("event_type")))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("side"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val touchId = when(col("side") === 0, col("event_id"))
+      val touchTy = when(col("side") === 0, col("event_type"))
+      merged
+        .withColumn("first_tid", first(touchId, ignoreNulls = true).over(w))
+        .withColumn("first_type", first(touchTy, ignoreNulls = true).over(w))
+        .withColumn("last_tid", last(touchId, ignoreNulls = true).over(w))
+        .withColumn("last_type", last(touchTy, ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id").as("conv_id"), col("user_id"),
+          coalesce(col("first_tid"), lit(-1L)).as("first_tid"),
+          coalesce(col("first_type"), lit("direct")).as("first_type"),
+          coalesce(col("last_tid"), lit(-1L)).as("last_tid"),
+          coalesce(col("last_type"), lit("direct")).as("last_type"))
+        .orderBy("conv_id")
     }),
     // Iceberg-style TIME TRAVEL (table.Checkpoint.writeVersioned/readAt):
     // r1 snapshots the full table, r2 patches buckets 0-3 (price +1000);
@@ -2361,6 +2412,16 @@ object SparkEntry {
     "img_fast_corners" -> ((s, dir) => {
       ops.ImageOps.fastCorners(gateTiles(s, "png"), t = 2).orderBy("image_id")
     }),
+    // Level-1 Haar wavelet subband census (ops.ImageOps.haar): ΣLL + per-
+    // subband detail energies (Σ LH², HL², HH²) over non-overlapping 2×2
+    // blocks, pure integers — the approximation-vs-detail energy split
+    // that separates compressible smooth content from texture and noise
+    // (the one-level DWT every multiresolution codec starts with).
+    // Decode-once, zero shuffle; the oracle replays every block from the
+    // closed-form field.
+    "img_haar" -> ((s, dir) => {
+      ops.ImageOps.haar(gateTiles(s, "png")).orderBy("image_id")
+    }),
     // Dual-resolution conversion (reference getResolutionAndSize.ts: 1″↔3″):
     // 3:1 decimation resample re-encoded as HGT rows, then re-decoded for
     // stats — encode∘decode round-trips through the new payload, and the
@@ -2735,6 +2796,26 @@ object SparkEntry {
         "cast(size(split(text, ' ')) as bigint) AS n_ws_tokens",
         "cast(aggregate(split(text, ' '), 0, (acc, w) -> acc + cast((length(w) + 3) / 4 as int)) as bigint) AS n_bpe_tokens")
         .orderBy("doc_id")
+    }),
+    // Heaps-law vocabulary growth over 3-gram TYPES: distinct-type count
+    // after each 50-doc corpus prefix — each gram shuffles ONCE (min
+    // first-occurrence doc per type), the curve itself is a cumulative
+    // window over ≤ ⌈N/50⌉ checkpoint rows. The vocabulary-saturation
+    // diagnostic of corpus curation (is more data still adding new
+    // types?); 3-grams because the synthetic unigram vocabulary (31
+    // types) saturates inside the first bucket — the gate needs a curve
+    // that is still growing.
+    "text_vocab_growth" -> ((s, dir) => {
+      val firstSeen = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(ops.Curation.wordNgrams(col("text"), 3)).as("tok"))
+        .groupBy("tok").agg(min("doc_id").as("first_doc"))
+      firstSeen
+        .groupBy((expr("first_doc DIV 50") * 50 + 50).as("n_docs"))
+        .agg(count(lit(1)).as("new_types"))
+        .withColumn("vocab", sum("new_types").over(Window.orderBy("n_docs")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("n_docs")
     }),
     // BPE merge statistics (ops.TextDedup.bpePairStats): corpus-wide
     // adjacent character-pair counts — the counting step a BPE tokenizer
@@ -4351,6 +4432,36 @@ object SparkEntry {
        FROM rr ORDER BY point_id"""
   }
 
+  /** kRing-smoothing oracle: the same res-9 axial assignment as
+    * [[hexOracleSql]], per-cell counts, then the grid-distance-≤2 pair
+    * join stated directly on the axial metric (the engine's literal-offset
+    * disk explode covers exactly the cells at axial distance ≤ k).
+    */
+  private val hexKringOracleSql: String = {
+    val e = graft.geo.Hex.edge(9)
+    s"""WITH pts AS ($quadrantPtsCte),
+       ax AS (SELECT point_id,
+         (sqrt(3.0)/3.0 * lng - lat/3.0) / $e AS qf,
+         (2.0/3.0 * lat) / $e AS rf FROM pts),
+       r0 AS (SELECT point_id, qf, rf, -qf - rf AS sf,
+         CAST(floor(qf + 0.5) AS BIGINT) AS qi,
+         CAST(floor(rf + 0.5) AS BIGINT) AS ri,
+         CAST(floor(-qf - rf + 0.5) AS BIGINT) AS si FROM ax),
+       rr AS (SELECT point_id,
+         CASE WHEN abs(qi - qf) > abs(ri - rf) AND abs(qi - qf) > abs(si - sf)
+              THEN -ri - si ELSE qi END AS q,
+         CASE WHEN NOT (abs(qi - qf) > abs(ri - rf) AND abs(qi - qf) > abs(si - sf))
+                   AND abs(ri - rf) > abs(si - sf)
+              THEN -qi - si ELSE ri END AS r FROM r0),
+       cnt AS (SELECT q, r, count(*) AS n FROM rr GROUP BY 1, 2),
+       sm AS (SELECT a.q, a.r, sum(b.n) AS smooth FROM cnt a JOIN cnt b
+         ON (abs(a.q - b.q) + abs(a.r - b.r) + abs((a.q - b.q) + (a.r - b.r))) // 2 <= 2
+         GROUP BY 1, 2)
+       SELECT CAST(9 AS BIGINT) * 288230376151711744 + (c.q + 268435456) * 536870912 + (c.r + 268435456) AS cell,
+         CAST(c.n AS BIGINT) AS n, CAST(s.smooth AS BIGINT) AS smooth
+       FROM cnt c JOIN sm s ON c.q = s.q AND c.r = s.r ORDER BY cell"""
+  }
+
   /** Bilinear elevation oracle over the 6-present/2-absent gate tiles —
     * shared by the broadcast-index and cogroup physical paths. */
   private val cogroupElevOracleSql: String =
@@ -4704,6 +4815,34 @@ object SparkEntry {
          CAST(sum(gx*gx + gy*gy) AS BIGINT) AS energy_sum,
          CAST(max(gx*gx + gy*gy) AS BIGINT) AS energy_max
        FROM g GROUP BY swlng, swlat ORDER BY image_id"""
+  }
+
+  /** Haar oracle: every 2×2 block of the closed-form field (300×300 blocks
+    * over the even 600×600 prefix of the 601-size grid), the four subband
+    * values assembled from the same NW/NE/SW/SE corners the kernel reads.
+    */
+  private val haarOracleSql: String = {
+    val va = gridV("2*c.range", "2*r.range")
+    val vb = gridV("2*c.range+1", "2*r.range")
+    val vc = gridV("2*c.range", "2*r.range+1")
+    val vd = gridV("2*c.range+1", "2*r.range+1")
+    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+       k AS (SELECT swlng, swlat,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
+       b AS (SELECT swlng, swlat,
+           ($va + $vb + $vc + $vd) AS ll,
+           (($va + $vc) - ($vb + $vd)) AS lh,
+           (($va + $vb) - ($vc + $vd)) AS hl,
+           ($va - $vb - $vc + $vd) AS hh
+         FROM k, range(0,300) r, range(0,300) c)
+       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+         CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(sum(ll) AS BIGINT) AS ll_sum,
+         CAST(sum(lh*lh) AS BIGINT) AS lh_energy,
+         CAST(sum(hl*hl) AS BIGINT) AS hl_energy,
+         CAST(sum(hh*hh) AS BIGINT) AS hh_energy
+       FROM b GROUP BY swlng, swlat ORDER BY image_id"""
   }
 
   /** FAST-12 oracle: every circle pixel replayed from the closed-form
@@ -5153,6 +5292,7 @@ object SparkEntry {
          ORDER BY image_id, py, px""",
     "img_sobel" -> sobelOracleSql,
     "img_fast_corners" -> fastOracleSql,
+    "img_haar" -> haarOracleSql,
     // Page's CUSUM recurrence replayed as a recursive CTE: one recursion
     // level per per-user event index, exact integer state throughout
     "events_cusum" ->
@@ -5754,6 +5894,7 @@ object SparkEntry {
          FROM w GROUP BY 1 ORDER BY 1""",
     "geo_s2_cell" -> s2OracleSql(quadrantPtsCte, 12),
     "geo_hex_cell" -> hexOracleSql(quadrantPtsCte, 9),
+    "geo_hex_kring" -> hexKringOracleSql,
     // same cell derivation; distance = axial metric over the offset-encoded
     // q/r unpacked by exact integer division (2^29 = 536870912)
     "geo_hex_distance" ->
@@ -7241,6 +7382,31 @@ object SparkEntry {
          SELECT user_id, CAST(max(cnt) AS BIGINT) AS peak_1h,
            CAST(count(*) AS BIGINT) AS n_events
          FROM c GROUP BY 1 ORDER BY user_id""",
+    // running first/last IGNORE NULLS over the merged touch+conversion
+    // stream; touches (side 0) sort before a same-instant conversion
+    "events_attribution" ->
+      """WITH ev AS (SELECT user_id, ts, event_id,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side,
+           event_type
+           FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+         wnd AS (SELECT *,
+             first_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+               OVER w AS first_tid,
+             first_value(CASE WHEN side = 0 THEN event_type END IGNORE NULLS)
+               OVER w AS first_type,
+             last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+               OVER w AS last_tid,
+             last_value(CASE WHEN side = 0 THEN event_type END IGNORE NULLS)
+               OVER w AS last_type
+           FROM ev
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_id AS conv_id, user_id,
+           COALESCE(first_tid, -1) AS first_tid,
+           COALESCE(first_type, 'direct') AS first_type,
+           COALESCE(last_tid, -1) AS last_tid,
+           COALESCE(last_type, 'direct') AS last_type
+         FROM wnd WHERE side = 1 ORDER BY conv_id""",
     // unnest token counts, Simpson's Σc(c−1)/(n(n−1)) in truncating ppm
     "text_simpson" ->
       """WITH tk AS (SELECT doc_id, u.tok FROM documents,
@@ -7518,6 +7684,20 @@ object SparkEntry {
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
            CAST(list_sum(list_transform(string_split(text, ' '), w -> (length(w) + 3) // 4)) AS BIGINT) AS n_bpe_tokens
          FROM documents ORDER BY doc_id""",
+    // one min per 3-gram type, then the cumulative curve over checkpoints
+    "text_vocab_growth" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         grams AS (SELECT doc_id,
+             array_to_string(list_slice(w, CAST(g AS BIGINT), CAST(g AS BIGINT) + 2), ' ') AS tok
+           FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(g)),
+         fs AS (SELECT tok, min(doc_id) AS first_doc FROM grams GROUP BY 1),
+         nt AS (SELECT (first_doc // 50) * 50 + 50 AS n_docs,
+             count(*) AS new_types FROM fs GROUP BY 1)
+         SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(new_types AS BIGINT) AS new_types,
+           CAST(sum(new_types) OVER (ORDER BY n_docs
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab
+         FROM nt ORDER BY n_docs""",
     "text_bpe_pairs" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
          p AS (SELECT substr(w, CAST(g AS INT), 2) AS pair

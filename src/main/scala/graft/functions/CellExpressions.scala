@@ -191,6 +191,27 @@ object cells {
     shiftright(abs(dq) + abs(dr) + abs(dq + dr), 1)
   }
 
+  /** All same-resolution cells within hex grid distance `k` of `cell` (the
+    * h3 `gridDisk` / kRing API) as a plan-time literal-offset array:
+    * [[graft.geo.Hex.pack]] is LINEAR in (q, r), so every disk member is
+    * the cell id plus one 64-bit constant `(dq << 29) + dr` — the
+    * 1+3k(k+1) offsets are enumerated when the plan is built and the whole
+    * disk is pure codegen'd adds (no UDF, no driver round trip). This is
+    * the neighborhood-expansion primitive of kRing smoothing / hotspot
+    * dilation: explode(hex_disk(cell, k)) fans each aggregated CELL out to
+    * its bounded neighborhood — shuffle traffic scales with cells × disk,
+    * never with the points inside them.
+    */
+  def hex_disk(cell: Column, k: Int): Column = {
+    require(k >= 0, s"k must be >= 0: $k")
+    import org.apache.spark.sql.functions.{array, lit}
+    val offs = for { dq <- -k to k
+                     dr <- math.max(-k, -dq - k) to math.min(k, -dq + k) }
+      yield (dq, dr)
+    array(offs.map { case (dq, dr) =>
+      cell + lit((dq.toLong << 29) + dr.toLong) }: _*)
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("s2_cell",

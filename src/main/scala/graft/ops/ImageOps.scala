@@ -232,6 +232,50 @@ object ImageOps {
       }.toDF()
   }
 
+  final case class HaarRow(image_id: String, n_blocks: Long, ll_sum: Long,
+                           lh_energy: Long, hl_energy: Long, hh_energy: Long)
+
+  /** Level-1 Haar wavelet subband census over non-overlapping 2×2 blocks
+    * (ragged odd row/col dropped — the patchify convention): per block
+    * a=NW b=NE c=SW d=SE, LL = a+b+c+d, LH = (a+c)−(b+d) (horizontal
+    * detail), HL = (a+b)−(c+d) (vertical), HH = a−b−c+d (diagonal); the
+    * image row emits Σ LL and Σ detail² per subband — the energy split
+    * between approximation and detail bands that separates compressible
+    * smooth content from texture and from noise (the JPEG2000-grade
+    * compressibility screen of image curation, and the one-level DWT any
+    * multiresolution codec starts with). Pure integer arithmetic, so the
+    * oracle replays every block from the closed form. Decode-once
+    * mapPartitions, one O(n) pass, ZERO shuffle.
+    */
+  def haar(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[HaarRow]
+    tiles.mapPartitions { it =>
+      it.map { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val half = size / 2
+        var ll = 0L; var lh = 0L; var hl = 0L; var hh = 0L
+        var br = 0
+        while (br < half) {
+          var bc = 0
+          while (bc < half) {
+            val a = d.samples((2 * br) * size + 2 * bc).toLong
+            val b = d.samples((2 * br) * size + 2 * bc + 1).toLong
+            val c = d.samples((2 * br + 1) * size + 2 * bc).toLong
+            val e = d.samples((2 * br + 1) * size + 2 * bc + 1).toLong
+            ll += a + b + c + e
+            val lhv = (a + c) - (b + e); lh += lhv * lhv
+            val hlv = (a + b) - (c + e); hl += hlv * hlv
+            val hhv = a - b - c + e; hh += hhv * hhv
+            bc += 1
+          }
+          br += 1
+        }
+        HaarRow(tl.image_id, half.toLong * half, ll, lh, hl, hh)
+      }
+    }.toDF()
+  }
+
   /** FAST's 16-pixel Bresenham circle (radius 3), standard clockwise order
     * from the top — shared by the kernel and the oracle generator.
     */

@@ -155,6 +155,25 @@ class IngestJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       == ((9L, 0L, 0L, 0L)))
   }
 
+  test("haar: hand-computed 4x4 subband sums; flat field has zero detail energy") {
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[graft.core.TileRow]
+    def tile(f: (Int, Int) => Int) = {
+      val g = Array.tabulate[Short](16)(i => f(i / 4, i % 4).toShort)
+      graft.core.TileRow("N36W119", graft.raster.Hgt.encode(g, 4), 4, 4, "hgt", "{}", 0L)
+    }
+    def row(t: graft.core.TileRow) =
+      graft.ops.ImageOps.haar(spark.createDataset(Seq(t))).collect()
+        .map(r => (r.getAs[Long]("n_blocks"), r.getAs[Long]("ll_sum"),
+          r.getAs[Long]("lh_energy"), r.getAs[Long]("hl_energy"),
+          r.getAs[Long]("hh_energy"))).head
+    // f(r,c) = 4r + c + 1: per block lh = -2, hl = -8, hh = 0 exactly;
+    // block NW corners a ∈ {1, 3, 9, 11}, ll_sum = Σ(4a + 10) = 136
+    assert(row(tile((r, c) => 4 * r + c + 1)) == ((4L, 136L, 16L, 256L, 0L)))
+    // flat field: all detail bands identically zero, LL carries the mass
+    assert(row(tile((_, _) => 7)) == ((4L, 4L * 28L, 0L, 0L, 0L)))
+  }
+
   test("ingestHgt rejects non-square payloads (P3 size predicate)") {
     graft.table.Checkpoint.clear(s"$base/bad")
     val d = new java.io.File(s"$base/bad/hgt"); d.mkdirs()

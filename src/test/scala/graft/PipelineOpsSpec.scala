@@ -1415,6 +1415,20 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       got.values.map(_._2).sum <= 1000000L)
   }
 
+  test("hex_disk column equals Hex.gridDisk for k in 0..3 (plan-time offsets)") {
+    import spark.implicits._
+    val cells = Seq((-119.3, 36.7, 9), (2.1, 48.8, 7), (-58.4, -34.6, 11))
+      .map { case (lng, lat, res) => graft.geo.Hex.latLngToCell(lng, lat, res) }
+    for (k <- 0 to 3; cell <- cells) {
+      val got = Seq(cell).toDF("cell")
+        .select(org.apache.spark.sql.functions.explode(
+          graft.functions.cells.hex_disk(org.apache.spark.sql.functions.col("cell"), k)))
+        .as[Long].collect().toSet
+      assert(got == graft.geo.Hex.gridDisk(cell, k).toSet, s"k=$k cell=$cell")
+      assert(got.size == 1 + 3 * k * (k + 1))
+    }
+  }
+
   test("odMatrix: endpoints by (ts, tie) total order; one flow per trajectory") {
     import spark.implicits._
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
