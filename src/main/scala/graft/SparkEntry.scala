@@ -1574,6 +1574,30 @@ object SparkEntry {
           coalesce(col("last_type"), lit("direct")).as("last_type"))
         .orderBy("conv_id")
     }),
+    // RFM quintile scoring: recency (days since last event vs the corpus
+    // max), frequency, monetary (exact cents) per user, each cut into
+    // NTILE(5) with a deterministic (metric, user_id) order — the
+    // customer-value segmentation staple. Events aggregate ONCE per user;
+    // the ntile windows rank the already-aggregated user rows (bounded by
+    // |users|, never by events).
+    "events_rfm" -> ((s, dir) => {
+      val per = t(s, dir, "events")
+        .select(col("user_id"), expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tus"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .groupBy("user_id")
+        .agg(max("tus").as("umax"), count(lit(1)).as("freq"),
+          sum("cents").as("cents"))
+      per.crossJoin(broadcast(per.agg(max("umax").as("gmax"))))
+        .withColumn("rec_days", expr("(gmax - umax) DIV 86400000000"))
+        .withColumn("r_q",
+          ntile(5).over(Window.orderBy(col("rec_days").asc, col("user_id").asc)))
+        .withColumn("f_q",
+          ntile(5).over(Window.orderBy(col("freq").desc, col("user_id").asc)))
+        .withColumn("m_q",
+          ntile(5).over(Window.orderBy(col("cents").desc, col("user_id").asc)))
+        .select("user_id", "rec_days", "freq", "cents", "r_q", "f_q", "m_q")
+        .orderBy("user_id")
+    }),
     // Iceberg-style TIME TRAVEL (table.Checkpoint.writeVersioned/readAt):
     // r1 snapshots the full table, r2 patches buckets 0-3 (price +1000);
     // reading AS OF r1 vs AS OF r2 shows bucket-granularity snapshot
@@ -1694,6 +1718,34 @@ object SparkEntry {
       delta(Seq("r1"), Seq("r1", "a1"), "d1")
         .unionAll(delta(Seq("r1", "a1"), Seq("r1", "a1", "b1"), "d2"))
         .orderBy("delta", "grp")
+    }),
+    // MERGE INTO / upsert (table.Checkpoint.upsertVersioned — Iceberg
+    // copy-on-write merge at bucket granularity): r1 snapshots orders,
+    // then ONE patch both updates rows of buckets 2 and 5 (price +100)
+    // and inserts fresh keys (+1200000, bucket-preserving) for bucket 7 —
+    // only those 3 buckets are rewritten as run u1 (work ∝ patch, never
+    // table), untouched buckets keep r1's winners; the gate reads the
+    // merged snapshot.
+    "checkpoint_upsert" -> ((s, dir) => {
+      val out =
+        s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_up_${dir.hashCode}"
+      table.Checkpoint.clear(out)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      table.Checkpoint.writeVersioned(orders, col("o_orderkey") % 12, 12,
+        out, "r1")
+      val updates = orders.filter(col("o_orderkey") % 12 isin (2, 5))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+      val inserts = orders.filter(col("o_orderkey") % 12 === 7)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1200000L))
+      table.Checkpoint.upsertVersioned(s, out, Seq("r1"),
+        updates.unionAll(inserts), Seq("o_orderkey"),
+        col("o_orderkey") % 12, 12, "u1")
+      table.Checkpoint.readAt(s, out, Seq("r1", "u1"))
+        .groupBy((col("o_custkey") % 16).as("grp"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy("grp")
     }),
     // Retention GC (table.Checkpoint.vacuumVersioned — expire_snapshots +
     // remove_orphan_files): r1 + patch r2 compacted into c1, then vacuum
@@ -2184,6 +2236,18 @@ object SparkEntry {
         .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
       ops.Graph.hits(edges, rounds = 3).orderBy("node")
     }),
+    // Label-propagation communities (ops.Graph.labelPropagate): 3 fully
+    // deterministic mode-vote sweeps (ties → smallest label) over the
+    // canonical undirected 500-node graph — DENSE-block structure inside
+    // one component, where min-label CC only sees connectivity. Per round
+    // one label join + one (node,label) count + one node-keyed argmax
+    // window; the oracle unrolls the identical rounds with QUALIFY.
+    "graph_labelprop" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 7 === 0)
+        .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
+      ops.Graph.labelPropagate(edges, rounds = 3).orderBy("node")
+    }),
     // Per-row format fidelity (input_hint: decoded pixels allclose, PSNR
     // >= 40 dB for lossy): decode each payload (real javax.imageio for png),
     // compare against the closed-form grid it encodes. px_sum anchors the
@@ -2421,6 +2485,15 @@ object SparkEntry {
     // closed-form field.
     "img_haar" -> ((s, dir) => {
       ops.ImageOps.haar(gateTiles(s, "png")).orderBy("image_id")
+    }),
+    // Local-binary-pattern census (ops.ImageOps.lbp): 8-neighbor ≥-code
+    // per interior pixel, histogrammed over the 256 codes — the classic
+    // micro-texture signature (flat → one code, gradients → a handful,
+    // texture spreads the histogram). Decode-once, zero shuffle, ≤256
+    // rows/image; the oracle replays every neighborhood from the closed
+    // form.
+    "img_lbp" -> ((s, dir) => {
+      ops.ImageOps.lbp(gateTiles(s, "png")).orderBy("image_id", "code")
     }),
     // Dual-resolution conversion (reference getResolutionAndSize.ts: 1″↔3″):
     // 3:1 decimation resample re-encoded as HGT rows, then re-decoded for
@@ -4767,6 +4840,32 @@ object SparkEntry {
          FROM a3 JOIN h3 USING (node) ORDER BY node"""
   }
 
+  /** Label-propagation oracle: the engine's 3 deterministic mode-vote
+    * sweeps unrolled — per round, neighbor-label counts then the per-node
+    * argmax with the (cnt DESC, lbl ASC) tie order as QUALIFY. Same
+    * canonical-undirected graph recipe as the k-core oracle.
+    */
+  private val labelpropOracleSql: String = {
+    val rounds = (1 to 3).map { r =>
+      s"""v$r AS (SELECT s.u AS node, l.lbl, count(*) AS cnt
+           FROM sym s JOIN l${r - 1} l ON s.v = l.node GROUP BY 1, 2),
+         l$r AS (SELECT node, lbl FROM v$r
+           QUALIFY row_number() OVER (PARTITION BY node
+             ORDER BY cnt DESC, lbl ASC) = 1)"""
+    }.mkString(",\n         ")
+    s"""WITH e AS (SELECT DISTINCT
+           GREATEST(l_suppkey % 500, l_partkey % 500) AS hi,
+           LEAST(l_suppkey % 500, l_partkey % 500) AS lo
+         FROM lineitem WHERE l_orderkey % 7 = 0),
+         e2 AS (SELECT hi, lo FROM e WHERE hi <> lo),
+         sym AS (SELECT lo AS u, hi AS v FROM e2
+                 UNION ALL SELECT hi AS u, lo AS v FROM e2),
+         l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym),
+         $rounds
+         SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS lbl
+         FROM l3 ORDER BY node"""
+  }
+
   /** k-core oracle: the engine's fixed-round peel unrolled as CTEs — per
     * round, degrees over edges with BOTH endpoints in the prior survivor
     * set, HAVING deg ≥ k. Same graph recipe as the engine (canonical
@@ -4881,6 +4980,28 @@ object SparkEntry {
          CAST(sum(isd) AS BIGINT) AS n_dark,
          CAST(sum(CASE WHEN isb = 1 OR isd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_corners
        FROM f GROUP BY swlng, swlat ORDER BY image_id"""
+  }
+
+  /** LBP oracle: every interior neighborhood replayed from the closed
+    * form; bit weights generated from the SAME [[ops.ImageOps.LbpOffsets]]
+    * table the kernel walks.
+    */
+  private val lbpOracleSql: String = {
+    def v(dc: Int, dr: Int) = gridV(s"c.range+($dc)", s"r.range+($dr)")
+    val code = ops.ImageOps.LbpOffsets.zipWithIndex.map {
+      case ((dr, dc), i) =>
+        s"(CASE WHEN ${v(dc, dr)} >= ${v(0, 0)} THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+       k AS (SELECT swlng, swlat,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
+       p AS (SELECT swlng, swlat, $code AS code
+         FROM k, range(1,600) r, range(1,600) c)
+       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+         CAST(code AS INT) AS code,
+         CAST(count(*) AS BIGINT) AS n
+       FROM p GROUP BY swlng, swlat, code ORDER BY image_id, code"""
   }
 
   /** Convex-hull oracle: the Carathéodory certificate — a deduped point is
@@ -5167,6 +5288,7 @@ object SparkEntry {
     "graph_pagerank" -> pagerankOracleSql,
     "graph_kcore" -> kcoreOracleSql,
     "graph_hits" -> hitsOracleSql,
+    "graph_labelprop" -> labelpropOracleSql,
     // same canonical-undirected graph recipe as kcore; degrees over the
     // doubled edge set, moments in exact BIGINTs
     "graph_degree_mix" ->
@@ -5293,6 +5415,7 @@ object SparkEntry {
     "img_sobel" -> sobelOracleSql,
     "img_fast_corners" -> fastOracleSql,
     "img_haar" -> haarOracleSql,
+    "img_lbp" -> lbpOracleSql,
     // Page's CUSUM recurrence replayed as a recursive CTE: one recursion
     // level per per-user event index, exact integer state throughout
     "events_cusum" ->
@@ -7301,6 +7424,18 @@ object SparkEntry {
          SELECT grp, n, sum_price, delta FROM d1
          UNION ALL SELECT grp, n, sum_price, delta FROM d2
          ORDER BY delta, grp""",
+    // merged view: updates win in buckets 2/5, bucket-7 rows also inserted
+    "checkpoint_upsert" ->
+      """WITH m AS (
+           SELECT o_custkey, CASE WHEN o_orderkey % 12 IN (2, 5)
+               THEN o_totalprice + 100.0 ELSE o_totalprice END AS p
+           FROM orders
+           UNION ALL
+           SELECT o_custkey, o_totalprice AS p FROM orders
+           WHERE o_orderkey % 12 = 7)
+         SELECT o_custkey % 16 AS grp, count(*) AS n,
+           round(sum(p), 2) AS sum_price
+         FROM m GROUP BY 1 ORDER BY grp""",
     // vacuum retains only the compacted lineage = the r2 state
     "checkpoint_vacuum" ->
       """SELECT o_custkey % 16 AS grp, count(*) AS n,
@@ -7407,6 +7542,22 @@ object SparkEntry {
            COALESCE(last_tid, -1) AS last_tid,
            COALESCE(last_type, 'direct') AS last_type
          FROM wnd WHERE side = 1 ORDER BY conv_id""",
+    // user-level aggregates once, then deterministic NTILE(5) cuts
+    "events_rfm" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+         u AS (SELECT user_id, max(tus) AS umax,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(cents) AS BIGINT) AS cents
+           FROM ev GROUP BY 1),
+         g AS (SELECT max(umax) AS gmax FROM u)
+         SELECT user_id,
+           CAST(((SELECT gmax FROM g) - umax) // 86400000000 AS BIGINT) AS rec_days,
+           freq, cents,
+           CAST(ntile(5) OVER (ORDER BY ((SELECT gmax FROM g) - umax) // 86400000000 ASC, user_id ASC) AS INTEGER) AS r_q,
+           CAST(ntile(5) OVER (ORDER BY freq DESC, user_id ASC) AS INTEGER) AS f_q,
+           CAST(ntile(5) OVER (ORDER BY cents DESC, user_id ASC) AS INTEGER) AS m_q
+         FROM u ORDER BY user_id""",
     // unnest token counts, Simpson's Σc(c−1)/(n(n−1)) in truncating ppm
     "text_simpson" ->
       """WITH tk AS (SELECT doc_id, u.tok FROM documents,

@@ -472,6 +472,45 @@ object Graph {
     auth.join(hub, Seq("node"))
   }
 
+  /** Synchronous label-propagation communities (Raghavan–Albert–Kumara,
+    * public): every node adopts the MOST FREQUENT label among its
+    * neighbors each round, ties to the smallest label — so the fixed
+    * rounds are fully deterministic and an oracle can unroll them. Labels
+    * start as node ids over the canonical undirected graph. Unlike the
+    * min-label propagation of connected components (pure connectivity),
+    * mode-voting finds DENSE blocks — community structure INSIDE one
+    * component; the near-duplicate-cluster / link-farm partitioner that
+    * needs no target community count.
+    *
+    * Per round: one label join + one (node, label) count + one per-node
+    * argmax window — all key-bounded (the window partitions by node, never
+    * globally); the edge list never moves.
+    */
+  def labelPropagate(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds > 0, s"rounds must be positive: $rounds")
+    val e = edges
+      .select(greatest(col("src"), col("dst")).as("hi"),
+        least(col("src"), col("dst")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
+      .localCheckpoint(false)
+    val sym = e.select(col("lo").as("u"), col("hi").as("v"))
+      .union(e.select(col("hi").as("u"), col("lo").as("v")))
+      .localCheckpoint(false)
+    var lbl = sym.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("node")
+      .orderBy(col("cnt").desc, col("lbl").asc)
+    for (_ <- 1 to rounds) {
+      lbl = sym.join(lbl.withColumnRenamed("node", "v"), "v")
+        .groupBy(col("u").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("node", "lbl")
+        .localCheckpoint(false)
+    }
+    lbl
+  }
+
   /** Directed-graph reciprocity moments — ONE exact-integer row: how much
     * of the link graph is mutual. Reciprocity separates conversational /
     * organic link structure (high) from broadcast or spam link structure

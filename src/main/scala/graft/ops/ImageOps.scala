@@ -276,6 +276,54 @@ object ImageOps {
     }.toDF()
   }
 
+  /** LBP's 8-neighborhood, clockwise from NW (bit 0) — shared by the
+    * kernel and the oracle generator.
+    */
+  val LbpOffsets: Array[(Int, Int)] = Array(
+    (-1, -1), (-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1))
+
+  final case class LbpRow(image_id: String, code: Int, n: Long)
+
+  /** Local-binary-pattern census (Ojala et al., public): per interior
+    * pixel an 8-bit code — bit i set when the i-th 8-neighbor is ≥ the
+    * center — histogrammed over the 256 codes per image. The classic
+    * micro-texture descriptor: flat fields collapse onto code 255,
+    * directional gradients onto a handful of codes, texture spreads the
+    * histogram; its per-image shape is the texture signature image
+    * curation clusters on. Pure integer comparisons, so the oracle
+    * replays every neighborhood from the closed form. Decode-once
+    * mapPartitions, one O(8n) pass, ≤256 rows per image, ZERO shuffle.
+    */
+  def lbp(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[LbpRow]
+    tiles.mapPartitions { it =>
+      it.flatMap { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val hist = new Array[Long](256)
+        var r = 1
+        while (r < size - 1) {
+          var c = 1
+          while (c < size - 1) {
+            val v = d.samples(r * size + c).toInt
+            var code = 0; var i = 0
+            while (i < 8) {
+              val o = LbpOffsets(i)
+              if (d.samples((r + o._1) * size + (c + o._2)).toInt >= v)
+                code |= 1 << i
+              i += 1
+            }
+            hist(code) += 1L
+            c += 1
+          }
+          r += 1
+        }
+        (0 until 256).iterator.filter(hist(_) > 0L)
+          .map(k => LbpRow(tl.image_id, k, hist(k)))
+      }
+    }.toDF()
+  }
+
   /** FAST's 16-pixel Bresenham circle (radius 3), standard clockwise order
     * from the top — shared by the kernel and the oracle generator.
     */

@@ -503,6 +503,41 @@ object Checkpoint {
     base.where(pred).drop("__run", "__bucket")
   }
 
+  /** MERGE INTO (upsert) on the versioned store — Iceberg's copy-on-write
+    * merge at the store's bucket granularity: rows of `patch` REPLACE
+    * current rows with the same key and new keys are inserted, by
+    * rewriting ONLY the buckets the patch touches as one new run.
+    *
+    * Work is proportional to the PATCH, never the table: the touched
+    * bucket set is resolved from the patch (driver-bounded by nBuckets),
+    * the current snapshot is read partition-pruned to those buckets
+    * ([[readAt]] pushes the winner set as partition literals), and one
+    * key-equi full-outer join merges them — patch wins per column.
+    * Untouched buckets keep their old winners; `readAt(lineage :+ runId)`
+    * sees the merged table.
+    *
+    * @param patch    full replacement rows (same schema as the table)
+    * @param keyCols  merge key — unique per row in both sides
+    */
+  def upsertVersioned(spark: SparkSession, dir: String, lineage: Seq[String],
+                      patch: DataFrame, keyCols: Seq[String],
+                      bucketOf: org.apache.spark.sql.Column, nBuckets: Int,
+                      runId: String): Seq[BucketManifest] = {
+    val bucketExpr = pmod(bucketOf.cast("long"), lit(nBuckets)).cast("int")
+    val touched = patch.select(bucketExpr.as("__b")).distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ nBuckets rows, driver-bounded
+    val current = readAt(spark, dir, lineage)
+      .where(bucketExpr.isin(touched: _*))
+    val dataCols = patch.columns.filterNot(keyCols.contains).toSeq
+    val p = patch.select((keyCols.map(col) ++
+      dataCols.map(c => col(c).as(s"__p_$c"))): _*)
+    val merged = current.join(p, keyCols, "full_outer")
+      .select((keyCols.map(col) ++ dataCols.map(c =>
+        coalesce(col(s"__p_$c"), col(c)).as(c))): _*)
+      .select(patch.columns.map(col).toSeq: _*) // keep the table's column order
+    writeVersioned(merged, bucketOf, nBuckets, dir, runId)
+  }
+
   final case class VacuumStats(livePartitions: Int, deletedPartitions: Int,
                                manifestRows: Int)
 

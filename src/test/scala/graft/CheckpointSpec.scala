@@ -262,4 +262,33 @@ class CheckpointSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fileScan.metrics("numFiles").value == 1,
       s"expected 1 changed-bucket file, got ${fileScan.metrics("numFiles").value}")
   }
+
+  test("upsertVersioned: updates win, inserts land, only touched buckets rewritten") {
+    import spark.implicits._
+    val dir = freshDir("upsert")
+    val base = (0 until 1200).map(i => (i.toLong, i * 10L)).toDF("k", "v")
+    Checkpoint.writeVersioned(base, col("k") % 8, 8, dir, "r1")
+    // patch: update keys of buckets 1 and 4 (v+1), insert 5 fresh keys
+    // into bucket 2 (k = 1202 + 8i)
+    val patch = base.filter(col("k") % 8 isin (1, 4))
+      .withColumn("v", col("v") + 1)
+      .unionAll((0 until 5).map(i => (1202L + 8 * i, 7L)).toDF("k", "v"))
+    Checkpoint.upsertVersioned(spark, dir, Seq("r1"), patch, Seq("k"),
+      col("k") % 8, 8, "u1")
+    val got = Checkpoint.readAt(spark, dir, Seq("r1", "u1"))
+      .as[(Long, Long)].collect().toMap
+    val want = (0 until 1200).map { i =>
+      i.toLong -> (if (i % 8 == 1 || i % 8 == 4) i * 10L + 1 else i * 10L)
+    }.toMap ++ (0 until 5).map(i => (1202L + 8 * i) -> 7L)
+    assert(got == want)
+    // the new run holds ONLY the three touched bucket dirs
+    val u1Buckets = new java.io.File(s"$dir/data/__run=u1").listFiles()
+      .filter(_.getName.startsWith("__bucket=")).map(_.getName).toSet
+    assert(u1Buckets == Set("__bucket=1", "__bucket=2", "__bucket=4"),
+      s"rewritten buckets: $u1Buckets")
+    // the pre-merge snapshot is untouched (time travel still exact)
+    assert(Checkpoint.readAt(spark, dir, Seq("r1"))
+      .as[(Long, Long)].collect().toMap ==
+      (0 until 1200).map(i => i.toLong -> (i * 10L)).toMap)
+  }
 }

@@ -174,6 +174,22 @@ class IngestJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row(tile((_, _) => 7)) == ((4L, 4L * 28L, 0L, 0L, 0L)))
   }
 
+  test("lbp: flat field is all-255, a pure column gradient is one directional code") {
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[graft.core.TileRow]
+    def hist(f: (Int, Int) => Int) = {
+      val g = Array.tabulate[Short](81)(i => f(i / 9, i % 9).toShort)
+      val t = graft.core.TileRow("N36W119", graft.raster.Hgt.encode(g, 9),
+        9, 9, "hgt", "{}", 0L)
+      graft.ops.ImageOps.lbp(spark.createDataset(Seq(t))).collect()
+        .map(r => r.getAs[Int]("code") -> r.getAs[Long]("n")).toMap
+    }
+    // flat: every neighbor >= center -> code 255 for all 49 interior pixels
+    assert(hist((_, _) => 100) == Map(255 -> 49L))
+    // strict column gradient: exactly the dc >= 0 bits (i1..i5) fire
+    assert(hist((_, c) => c * 10) == Map(62 -> 49L))
+  }
+
   test("ingestHgt rejects non-square payloads (P3 size predicate)") {
     graft.table.Checkpoint.clear(s"$base/bad")
     val d = new java.io.File(s"$base/bad/hgt"); d.mkdirs()

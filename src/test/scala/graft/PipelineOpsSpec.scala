@@ -1415,6 +1415,29 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       got.values.map(_._2).sum <= 1000000L)
   }
 
+  test("labelPropagate: mode vote with min-label ties on two bridged triangles") {
+    import spark.implicits._
+    // triangles {0,1,2} and {3,4,5} bridged by 2-3
+    val e = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L), (3L, 5L), (4L, 5L), (2L, 3L))
+    val got = graft.ops.Graph.labelPropagate(e.toDF("src", "dst"), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    // driver-side replay of the synchronous sweeps (neighbors only, ties
+    // to the smallest label)
+    val sym = e.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val nodes = sym.map(_._1).distinct
+    var lbl = nodes.map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      lbl = nodes.map { v =>
+        val votes = sym.filter(_._1 == v).map(t => lbl(t._2))
+          .groupBy(identity).map { case (l, vs) => (l, vs.size) }
+        v -> votes.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }.toMap
+    }
+    nodes.foreach(v => assert(got(v) == lbl(v), s"node $v"))
+    // both triangles collapse onto their smallest member's label
+    assert(Set(0L, 1L, 2L).map(got) == Set(0L))
+  }
+
   test("hex_disk column equals Hex.gridDisk for k in 0..3 (plan-time offsets)") {
     import spark.implicits._
     val cells = Seq((-119.3, 36.7, 9), (2.1, 48.8, 7), (-58.4, -34.6, 11))
