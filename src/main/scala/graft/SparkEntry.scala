@@ -464,6 +464,30 @@ object SparkEntry {
         "CASE WHEN c_custkey % 41 = 0 THEN 30.0D + ((c_custkey * 13) % 100) / 10.0D ELSE 36.0D + ((c_custkey % 12) DIV 4) * 0.5D + ((c_custkey * 11) % 23 - 11) / 1000.0D END AS lat")
       ops.SpatialJoin.dbscan(pts, eps = 0.0025, minPts = 8).orderBy("pid")
     }),
+    // Composed cluster-shape pipeline: DBSCAN (cell-bucketed range join +
+    // star CC) labels the dense blobs, then each cluster's 1-in-5 member
+    // sample is hulled by the exact integer Graham scan — the
+    // cluster→footprint-polygon step of heatmap/territory mining, both
+    // stages the already-gated primitives. Coordinates are ×1000-quantized
+    // to integers (round() pins both engines) so the hull certificate
+    // stays exact.
+    "geo_dbscan_hulls" -> ((s, dir) => {
+      val pts = t(s, dir, "customer").selectExpr(
+        "c_custkey AS pid",
+        "CASE WHEN c_custkey % 41 = 0 THEN -130.0D + (c_custkey % 100) / 10.0D ELSE -120.0D + ((c_custkey % 12) % 4) * 0.5D + ((c_custkey * 7) % 19 - 9) / 1000.0D END AS lng",
+        "CASE WHEN c_custkey % 41 = 0 THEN 30.0D + ((c_custkey * 13) % 100) / 10.0D ELSE 36.0D + ((c_custkey % 12) DIV 4) * 0.5D + ((c_custkey * 11) % 23 - 11) / 1000.0D END AS lat")
+      val members = ops.SpatialJoin.dbscan(pts, eps = 0.0025, minPts = 8)
+        .filter(col("role") =!= "noise")
+        .filter(col("pid") % 5 === 0)
+        .join(pts, "pid")
+        .selectExpr("cluster AS gid",
+          "CAST(round((lng + 130.0D) * 1000) AS BIGINT) AS x",
+          "CAST(round((lat - 30.0D) * 1000) AS BIGINT) AS y")
+        .distinct()
+      ops.SpatialJoin.convexHullPerGroup(members)
+        .withColumnRenamed("gid", "cluster")
+        .orderBy("cluster", "x", "y")
+    }),
     // Single-source shortest paths (ops.Graph.sssp): 4 fixed Bellman-Ford
     // relaxation rounds from node 0, exact min-plus integer arithmetic —
     // the oracle unrolls the same rounds as CTEs.
@@ -1598,6 +1622,27 @@ object SparkEntry {
         .select("user_id", "rec_days", "freq", "cents", "r_q", "f_q", "m_q")
         .orderBy("user_id")
     }),
+    // Hourly OHLC bars per event type (exact cents): open/close by one
+    // full-frame (type,hour)-keyed window on the (ts, event_id) total
+    // order, high/low/volume/turnover by plain aggregation — the
+    // time-series bar compaction every monitoring/market pipeline runs;
+    // key-bounded window, one shuffle.
+    "events_ohlc" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        date_trunc("hour", expr("CAST(ts AS TIMESTAMP)")).as("hr"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tus"),
+        col("event_id"), round(col("value") * 100, 0).cast("long").as("cents"))
+      val w = Window.partitionBy("event_type", "hr")
+        .orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      ev.withColumn("open", first("cents").over(w))
+        .withColumn("close", last("cents").over(w))
+        .groupBy("event_type", "hr")
+        .agg(max("open").as("open"), max("cents").as("high"),
+          min("cents").as("low"), max("close").as("close"),
+          count(lit(1)).as("volume"), sum("cents").as("turnover"))
+        .orderBy("event_type", "hr")
+    }),
     // Iceberg-style TIME TRAVEL (table.Checkpoint.writeVersioned/readAt):
     // r1 snapshots the full table, r2 patches buckets 0-3 (price +1000);
     // reading AS OF r1 vs AS OF r2 shows bucket-granularity snapshot
@@ -1745,6 +1790,31 @@ object SparkEntry {
         .groupBy((col("o_custkey") % 16).as("grp"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy("grp")
+    }),
+    // SCHEMA EVOLUTION on the versioned store (Iceberg add-column): run r2
+    // rewrites buckets 0-3 WITH a new o_flag column; readAt(mergeSchema)
+    // resolves the union schema by name, so rows from r1's buckets surface
+    // o_flag as NULL while r2's carry values — the gate counts both
+    // populations per group to pin exactly that.
+    "checkpoint_evolve" -> ((s, dir) => {
+      val out =
+        s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_ev_${dir.hashCode}"
+      table.Checkpoint.clear(out)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      table.Checkpoint.writeVersioned(orders, col("o_orderkey") % 12, 12,
+        out, "r1")
+      val evolved = orders.filter(col("o_orderkey") % 12 < 4)
+        .withColumn("o_flag", col("o_orderkey") % 2 === 0)
+      table.Checkpoint.writeVersioned(evolved, col("o_orderkey") % 12, 12,
+        out, "r2")
+      table.Checkpoint.readAt(s, out, Seq("r1", "r2"), mergeSchema = true)
+        .groupBy((col("o_custkey") % 16).as("grp"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"),
+          count(when(col("o_flag") === true, 1)).as("n_flagged"),
+          count(when(col("o_flag").isNull, 1)).as("n_nullflag"))
         .orderBy("grp")
     }),
     // Retention GC (table.Checkpoint.vacuumVersioned — expire_snapshots +
@@ -3781,6 +3851,65 @@ object SparkEntry {
        FROM pts p LEFT JOIN comp ON comp.pid = p.pid
        LEFT JOIN bord ON bord.pid = p.pid
        ORDER BY p.pid"""
+  }
+
+  /** Composed DBSCAN→hull oracle: the dbscan CTEs verbatim, the 1-in-5
+    * member sample quantized to exact integers, then the Carathéodory hull
+    * certificate per cluster (a point is a hull vertex iff not strictly
+    * inside any same-cluster triangle nor strictly interior to a collinear
+    * segment) — all cross products exact BIGINT.
+    */
+  private val dbscanHullsOracleSql: String = {
+    val r2 = java.lang.Double.toString(0.0025 * 0.0025)
+    s"""WITH RECURSIVE pts0 AS (SELECT c_custkey AS pid,
+         CASE WHEN c_custkey % 41 = 0 THEN -130.0 + (c_custkey % 100) / 10.0
+              ELSE -120.0 + ((c_custkey % 12) % 4) * 0.5 + ((c_custkey * 7) % 19 - 9) / 1000.0 END AS lng,
+         CASE WHEN c_custkey % 41 = 0 THEN 30.0 + ((c_custkey * 13) % 100) / 10.0
+              ELSE 36.0 + ((c_custkey % 12) // 4) * 0.5 + ((c_custkey * 11) % 23 - 11) / 1000.0 END AS lat
+         FROM customer),
+       prs AS (SELECT a.pid AS pa, b.pid AS pb
+         FROM pts0 a JOIN pts0 b ON a.pid <> b.pid
+          AND (b.lng - a.lng)*(b.lng - a.lng) + (b.lat - a.lat)*(b.lat - a.lat) <= $r2),
+       core AS (SELECT pa AS pid FROM prs GROUP BY pa HAVING count(*) + 1 >= 8),
+       ce AS (SELECT pa, pb FROM prs
+         WHERE pa IN (SELECT pid FROM core) AND pb IN (SELECT pid FROM core)),
+       reach(pid, other) AS (
+         SELECT pid, pid FROM core
+         UNION
+         SELECT r.pid, e.pb FROM reach r JOIN ce e ON e.pa = r.other),
+       comp AS (SELECT pid, min(other) AS cluster FROM reach GROUP BY pid),
+       bord AS (SELECT p.pa AS pid, min(c.cluster) AS bcluster
+         FROM prs p JOIN comp c ON c.pid = p.pb GROUP BY p.pa),
+       memb AS (SELECT p.pid, COALESCE(comp.cluster, bord.bcluster) AS gid,
+           p.lng, p.lat
+         FROM pts0 p LEFT JOIN comp ON comp.pid = p.pid
+         LEFT JOIN bord ON bord.pid = p.pid
+         WHERE (comp.pid IS NOT NULL OR bord.bcluster IS NOT NULL)
+           AND p.pid % 5 = 0),
+       ipts AS (SELECT DISTINCT gid,
+           CAST(round((lng + 130.0) * 1000) AS BIGINT) AS x,
+           CAST(round((lat - 30.0) * 1000) AS BIGINT) AS y FROM memb),
+       tri AS (SELECT DISTINCT p.gid, p.x, p.y
+         FROM ipts p
+         JOIN ipts a ON a.gid = p.gid
+         JOIN ipts b ON b.gid = p.gid
+         JOIN ipts c ON c.gid = p.gid
+         WHERE ((a.x-p.x)*(b.y-p.y) - (a.y-p.y)*(b.x-p.x) > 0 AND
+                (b.x-p.x)*(c.y-p.y) - (b.y-p.y)*(c.x-p.x) > 0 AND
+                (c.x-p.x)*(a.y-p.y) - (c.y-p.y)*(a.x-p.x) > 0)
+            OR ((a.x-p.x)*(b.y-p.y) - (a.y-p.y)*(b.x-p.x) < 0 AND
+                (b.x-p.x)*(c.y-p.y) - (b.y-p.y)*(c.x-p.x) < 0 AND
+                (c.x-p.x)*(a.y-p.y) - (c.y-p.y)*(a.x-p.x) < 0)),
+       seg AS (SELECT DISTINCT p.gid, p.x, p.y
+         FROM ipts p
+         JOIN ipts a ON a.gid = p.gid
+         JOIN ipts b ON b.gid = p.gid
+         WHERE (a.x-p.x)*(b.y-p.y) - (a.y-p.y)*(b.x-p.x) = 0
+           AND (p.x-a.x)*(b.x-p.x) + (p.y-a.y)*(b.y-p.y) > 0)
+       SELECT CAST(gid AS BIGINT) AS cluster, x, y FROM (
+         SELECT * FROM ipts
+         EXCEPT (SELECT * FROM tri UNION SELECT * FROM seg))
+       ORDER BY cluster, x, y"""
   }
 
   /** Shared CTEs for the Cavnar–Trenkle langid gates: regenerate the
@@ -6462,6 +6591,7 @@ object SparkEntry {
     "dedup_spans" -> dedupSpansOracleSql,
     "events_interval_join" -> intervalJoinOracleSql,
     "geo_dbscan" -> dbscanOracleSql,
+    "geo_dbscan_hulls" -> dbscanHullsOracleSql,
     "dedup_cluster_keep" -> clusterOracleSql,
     // star contraction must land on the identical component map, so it
     // shares the recursive-CTE clustering oracle
@@ -7436,6 +7566,14 @@ object SparkEntry {
          SELECT o_custkey % 16 AS grp, count(*) AS n,
            round(sum(p), 2) AS sum_price
          FROM m GROUP BY 1 ORDER BY grp""",
+    // merged-schema read: o_flag only exists for r2's buckets (0-3)
+    "checkpoint_evolve" ->
+      """SELECT o_custkey % 16 AS grp, count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price,
+           CAST(count(CASE WHEN o_orderkey % 12 < 4 AND o_orderkey % 2 = 0
+             THEN 1 END) AS BIGINT) AS n_flagged,
+           CAST(count(CASE WHEN o_orderkey % 12 >= 4 THEN 1 END) AS BIGINT) AS n_nullflag
+         FROM orders GROUP BY 1 ORDER BY grp""",
     // vacuum retains only the compacted lineage = the r2 state
     "checkpoint_vacuum" ->
       """SELECT o_custkey % 16 AS grp, count(*) AS n,
@@ -7558,6 +7696,24 @@ object SparkEntry {
            CAST(ntile(5) OVER (ORDER BY freq DESC, user_id ASC) AS INTEGER) AS f_q,
            CAST(ntile(5) OVER (ORDER BY cents DESC, user_id ASC) AS INTEGER) AS m_q
          FROM u ORDER BY user_id""",
+    // full-frame first/last on the (ts,event_id) order, then plain aggs
+    "events_ohlc" ->
+      """WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+           epoch_us(ts) AS tus, event_id,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+         f AS (SELECT *,
+             first_value(cents) OVER w AS open,
+             last_value(cents) OVER w AS close
+           FROM ev WINDOW w AS (PARTITION BY event_type, hr
+             ORDER BY tus, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+         SELECT event_type, hr, CAST(max(open) AS BIGINT) AS open,
+           CAST(max(cents) AS BIGINT) AS high,
+           CAST(min(cents) AS BIGINT) AS low,
+           CAST(max(close) AS BIGINT) AS close,
+           CAST(count(*) AS BIGINT) AS volume,
+           CAST(sum(cents) AS BIGINT) AS turnover
+         FROM f GROUP BY 1, 2 ORDER BY event_type, hr""",
     // unnest token counts, Simpson's Σc(c−1)/(n(n−1)) in truncating ppm
     "text_simpson" ->
       """WITH tk AS (SELECT doc_id, u.tok FROM documents,

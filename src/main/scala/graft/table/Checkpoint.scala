@@ -349,8 +349,15 @@ object Checkpoint {
     * `__run`/`__bucket` partition-literal disjunctions, so the scan touches
     * exactly the winning partition directories.
     */
-  def readAt(spark: SparkSession, dir: String,
-             runOrder: Seq[String]): DataFrame = {
+  /** @param mergeSchema resolve the union of the run trees' schemas by
+    *                     name (Iceberg-style schema evolution: a run that
+    *                     ADDED columns still reads with older runs; columns
+    *                     absent in an old run surface as nulls). Off by
+    *                     default — it costs a footer sweep; a real catalog
+    *                     would pin the table schema instead.
+    */
+  def readAt(spark: SparkSession, dir: String, runOrder: Seq[String],
+             mergeSchema: Boolean = false): DataFrame = {
     val idx = runOrder.zipWithIndex.toMap
     val wins = manifests(spark, dir)
       .select("run_id", "bucket").distinct()
@@ -366,7 +373,8 @@ object Checkpoint {
       col("__run") === lit(runOrder(ri)) &&
         col("__bucket").isin(bs.map(_._2): _*)
     }.reduce(_ || _)
-    spark.read.parquet(s"$dir/data")
+    spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(s"$dir/data")
       .where(pred)
       .drop("__run", "__bucket")
   }

@@ -291,4 +291,22 @@ class CheckpointSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Long, Long)].collect().toMap ==
       (0 until 1200).map(i => i.toLong -> (i * 10L)).toMap)
   }
+
+  test("schema evolution: a run that adds a column reads merged, old rows null") {
+    import spark.implicits._
+    val dir = freshDir("evolve")
+    val base = (0 until 400).map(i => (i.toLong, i * 10L)).toDF("k", "v")
+    Checkpoint.writeVersioned(base, col("k") % 4, 4, dir, "r1")
+    Checkpoint.writeVersioned(
+      base.filter(col("k") % 4 === 1).withColumn("w", col("k") * 2),
+      col("k") % 4, 4, dir, "r2")
+    val got = Checkpoint.readAt(spark, dir, Seq("r1", "r2"), mergeSchema = true)
+    assert(got.columns.toSet == Set("k", "v", "w"))
+    val m = got.select("k", "v", "w").as[(Long, Long, Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    (0 until 400).foreach { i =>
+      val want = (i * 10L, if (i % 4 == 1) Some(i * 2L) else None)
+      assert(m(i.toLong) == want, s"k=$i")
+    }
+  }
 }
