@@ -297,6 +297,17 @@ object SparkEntry {
         .select("o_custkey", "o_orderkey", "rn", "run_total")
         .orderBy("o_custkey", "rn")
     }),
+    // PIVOT surface: month × order-status wide table (the reshape every
+    // BI layer emits) — Spark's relational groupBy().pivot() with an
+    // explicit value list (one pass, no per-status scan); absent cells
+    // stay NULL on both engines.
+    "q_pivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("mon", month(col("o_orderdate")))
+        .groupBy("mon").pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum("o_totalprice"), 2))
+        .orderBy("mon")
+    }),
     // A1: Welford-equivalent single-pass stats + z>=2 outlier flagging
     // (reference src/s3Fetcher.ts:33-52), on exact-integer moments so the
     // oracle matches bit-for-bit.
@@ -1642,6 +1653,19 @@ object SparkEntry {
           min("cents").as("low"), max("close").as("close"),
           count(lit(1)).as("volume"), sum("cents").as("turnover"))
         .orderBy("event_type", "hr")
+    }),
+    // Semi-structured columnization (schema-on-read): pull the typed `k`
+    // field out of the JSON props string per row — codegen'd path
+    // extraction, no UDF — then aggregate it like any native column; the
+    // ubiquitous first step over logged/semi-structured 100 TB inputs.
+    "events_json_cols" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("k_sum"),
+          min("k").as("k_min"), max("k").as("k_max"),
+          countDistinct("k").as("k_card"))
+        .orderBy("event_type")
     }),
     // Iceberg-style TIME TRAVEL (table.Checkpoint.writeVersioned/readAt):
     // r1 snapshots the full table, r2 patches buckets 0-3 (price +1000);
@@ -3230,6 +3254,42 @@ object SparkEntry {
         .filter(col("rank") <= 10)
         .select(col("qid"), col("neighbor_id"), col("rank"), round(col("cos"), 4).as("cos_r"))
         .orderBy("qid", "rank")
+    }),
+    // Reciprocal-rank fusion (Cormack et al., public): fuse the cosine
+    // top-20 and the L2 top-20 per query into one list — score =
+    // Σ 10⁶ DIV (60 + rank) in exact integers (the ppm-truncated RRF
+    // constant-60 form), missing-from-a-list contributes 0, final top-10
+    // by (score, neighbor) total order. The standard multi-retriever /
+    // multi-index result merge; both candidate rankings are the labeled
+    // exact baselines (broadcast query side, one corpus scan each).
+    "ann_rrf_fusion" -> ((s, dir) => {
+      import graft.functions.vectors.vec_dot
+      val e = t(s, dir, "embeddings")
+        .selectExpr("vec_id", "cast(embedding as array<double>) AS v")
+        .withColumn("nrm", sqrt(vec_dot(col("v"), col("v"))))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+      val scored = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+        .withColumn("dot", vec_dot(col("qv"), col("v")))
+        .select(col("qid"), col("vec_id").as("neighbor_id"),
+          (col("dot") / (col("qnrm") * col("nrm"))).as("cos"),
+          (col("qnrm") * col("qnrm") + col("nrm") * col("nrm")
+            - lit(2.0) * col("dot")).as("l2sq"))
+      def topk(ord: Seq[org.apache.spark.sql.Column], name: String) =
+        scored.withColumn(name, row_number().over(
+            Window.partitionBy("qid").orderBy(ord: _*)))
+          .filter(col(name) <= 20).select("qid", "neighbor_id", name)
+      val a = topk(Seq(col("cos").desc, col("neighbor_id").asc), "rank_a")
+      val b = topk(Seq(col("l2sq").asc, col("neighbor_id").asc), "rank_b")
+      a.join(b, Seq("qid", "neighbor_id"), "full_outer")
+        .withColumn("score_ppm",
+          coalesce(expr("1000000 DIV (60 + rank_a)"), lit(0L)) +
+          coalesce(expr("1000000 DIV (60 + rank_b)"), lit(0L)))
+        .withColumn("fused_rank", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("score_ppm").desc, col("neighbor_id").asc)))
+        .filter(col("fused_rank") <= 10)
+        .select("qid", "neighbor_id", "score_ppm", "fused_rank")
+        .orderBy("qid", "fused_rank")
     })
   )
 
@@ -8024,6 +8084,49 @@ object SparkEntry {
          r AS (SELECT qid, neighbor_id, cos,
              CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM p)
          SELECT qid, neighbor_id, rank, round(cos, 4) AS cos_r
-         FROM r WHERE rank <= 10 ORDER BY qid, rank"""
+         FROM r WHERE rank <= 10 ORDER BY qid, rank""",
+    // both exact rankings, then the integer-exact ppm-truncated RRF merge
+    "ann_rrf_fusion" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
+         p AS (SELECT qid, n.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])) AS dot,
+             qnrm, nrm
+           FROM q, n WHERE n.vec_id <> qid),
+         s AS (SELECT qid, neighbor_id, dot / (qnrm * nrm) AS cos,
+             qnrm * qnrm + nrm * nrm - 2.0 * dot AS l2sq FROM p),
+         ra AS (SELECT qid, neighbor_id,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank_a
+           FROM s QUALIFY rank_a <= 20),
+         rb AS (SELECT qid, neighbor_id,
+             row_number() OVER (PARTITION BY qid ORDER BY l2sq ASC, neighbor_id) AS rank_b
+           FROM s QUALIFY rank_b <= 20),
+         f AS (SELECT COALESCE(ra.qid, rb.qid) AS qid,
+             COALESCE(ra.neighbor_id, rb.neighbor_id) AS neighbor_id,
+             COALESCE(1000000 // (60 + rank_a), 0) +
+             COALESCE(1000000 // (60 + rank_b), 0) AS score
+           FROM ra FULL OUTER JOIN rb
+           ON ra.qid = rb.qid AND ra.neighbor_id = rb.neighbor_id)
+         SELECT qid, neighbor_id, CAST(score AS BIGINT) AS score_ppm,
+           CAST(row_number() OVER (PARTITION BY qid
+             ORDER BY score DESC, neighbor_id) AS INTEGER) AS fused_rank
+         FROM f QUALIFY fused_rank <= 10 ORDER BY qid, fused_rank""",
+    // schema-on-read: typed k out of the JSON props, then native aggs
+    "events_json_cols" ->
+      """WITH ev AS (SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(k) AS BIGINT) AS k_sum, CAST(min(k) AS BIGINT) AS k_min,
+           CAST(max(k) AS BIGINT) AS k_max,
+           CAST(count(DISTINCT k) AS BIGINT) AS k_card
+         FROM ev GROUP BY 1 ORDER BY event_type""",
+    // the pivot restated as explicit CASE sums; absent cells NULL
+    "q_pivot" ->
+      """SELECT CAST(month(o_orderdate) AS INT) AS mon,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+         FROM orders GROUP BY 1 ORDER BY mon"""
   )
 }
