@@ -969,6 +969,27 @@ object SparkEntry {
         .select(col("cell"), col("n"), col("smooth"))
         .orderBy("cell")
     }),
+    // Spatial connected regions (island detection): occupied res-1 hex
+    // cells linked to occupied NEIGHBORS (one hex_disk(1) literal-offset
+    // explode + one equi-join — never all-pairs), components via the
+    // O(log n)-round large-star/small-star contraction, then per-region
+    // cell/point rollups. The contiguous-coverage analysis (service
+    // areas, data-coverage islands) composed from three gated primitives.
+    "geo_hex_regions" -> ((s, dir) => {
+      val perCell = quadrantPoints(s, dir)
+        .withColumn("cell", cells.hex_cell(col("lng"), col("lat"), lit(1)))
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+      val edges = perCell
+        .select(col("cell").as("doc_a"),
+          explode(cells.hex_disk(col("cell"), 1)).as("doc_b"))
+        .filter(col("doc_a") =!= col("doc_b"))
+      val comps = ops.TextDedup.connectedComponentsStar(edges,
+        perCell.select(col("cell").as("doc_id")))
+      perCell.join(comps, perCell("cell") === comps("doc_id"))
+        .groupBy(col("comp").as("region"))
+        .agg(count(lit(1)).as("n_cells"), sum("n").as("n_points"))
+        .orderBy("region")
+    }),
     // Discrete KDE heatmap: 3×3 integer-kernel smoothing of per-cell point
     // counts (center 4 / edge 2 / corner 1) — density shuffles move cells,
     // never points.
@@ -1510,6 +1531,30 @@ object SparkEntry {
       ops.DataQuality.profile(t(s, dir, "orders"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderdate", "o_orderpriority")).orderBy("column")
+    }),
+    // Referential-integrity audit: orphan-FK counts per relationship via
+    // key left joins (parent side broadcast-able keys only, never rows) —
+    // the cross-table consistency check of any warehouse intake; the
+    // customer side is deliberately trimmed (%7) so the orders check
+    // fires nonzero while lineitem→orders proves a clean zero.
+    "dq_referential" -> ((s, dir) => {
+      def check(tag: String, child: DataFrame, fk: String,
+                parent: DataFrame) =
+        child.select(col(fk).as("fk"))
+          .join(parent, col("fk") === col("pk"), "left")
+          .groupBy(lit(tag).as("chk"))
+          .agg(count(lit(1)).as("n_child"),
+            count(when(col("pk").isNull, 1)).as("n_orphans"),
+            countDistinct(when(col("pk").isNull, col("fk"))).as("orphan_keys"))
+      val trimmedCust = t(s, dir, "customer")
+        .filter(col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey").as("pk"))
+      val orderKeys = t(s, dir, "orders").select(col("o_orderkey").as("pk"))
+      check("orders_customer", t(s, dir, "orders"), "o_custkey", trimmedCust)
+        .unionAll(
+          check("lineitem_orders", t(s, dir, "lineitem"), "l_orderkey",
+            orderKeys))
+        .orderBy("chk")
     }),
     // Snapshot drift report (ops.DataQuality.drift): the two profiles
     // compared in exact integer ppm — the gate declares a degraded "after"
@@ -2589,6 +2634,16 @@ object SparkEntry {
     "img_lbp" -> ((s, dir) => {
       ops.ImageOps.lbp(gateTiles(s, "png")).orderBy("image_id", "code")
     }),
+    // Gradient-orientation census (ops.ImageOps.orientHist — the HOG
+    // binning step with NO trig): central differences assigned to 8
+    // half-open octants by pure sign/|gx|-vs-|gy| comparisons + a flat
+    // bucket, Σ(gx²+gy²) per sector — the banding/scan-artifact
+    // discriminator. Decode-once, zero shuffle; the oracle replays every
+    // pixel's comparisons.
+    "img_orient_hist" -> ((s, dir) => {
+      ops.ImageOps.orientHist(gateTiles(s, "png"))
+        .orderBy("image_id", "sector")
+    }),
     // Dual-resolution conversion (reference getResolutionAndSize.ts: 1″↔3″):
     // 3:1 decimation resample re-encoded as HGT rows, then re-decoded for
     // stats — encode∘decode round-trips through the new payload, and the
@@ -3253,6 +3308,27 @@ object SparkEntry {
       pairs.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)
         .select(col("qid"), col("neighbor_id"), col("rank"), round(col("cos"), 4).as("cos_r"))
+        .orderBy("qid", "rank")
+    }),
+    // Sign-bit binary quantization + Hamming top-k: each 64-dim embedding
+    // collapses to ONE 64-bit word (bit i = dim i > 0), candidate ranking
+    // by bit_count(xor) — 64 bytes → 8, the memory-collapse ANN trick;
+    // pure codegen'd bit ops (HOF fold to pack, one xor+popcount per
+    // pair), broadcast query side, one corpus scan.
+    "ann_binary_hamming" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .selectExpr("vec_id", "cast(embedding as array<double>) AS v")
+        .selectExpr("vec_id",
+          "aggregate(sequence(1, 64), CAST(0 AS BIGINT), (acc, i) -> acc | CASE WHEN element_at(v, i) > 0D THEN shiftleft(CAST(1 AS BIGINT), i - 1) ELSE CAST(0 AS BIGINT) END) AS bits")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("bits").as("qbits"))
+      e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+        .selectExpr("qid", "vec_id AS neighbor_id",
+          "CAST(bit_count(qbits ^ bits) AS INT) AS ham")
+        .withColumn("rank", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("ham").asc, col("neighbor_id").asc)))
+        .filter(col("rank") <= 10)
+        .select("qid", "neighbor_id", "ham", "rank")
         .orderBy("qid", "rank")
     }),
     // Reciprocal-rank fusion (Cormack et al., public): fuse the cosine
@@ -4724,6 +4800,45 @@ object SparkEntry {
        FROM cnt c JOIN sm s ON c.q = s.q AND c.r = s.r ORDER BY cell"""
   }
 
+  /** Hex-region oracle: res-1 axial assignment (the coarse cells where the
+    * 1°-lattice quadrant points form mixed 1–5-cell islands), occupied-cell
+    * adjacency at axial distance 1, reachability closure, min-cell-id
+    * component labels (packed ids are lexicographic in (q, r), matching
+    * the star-CC min-label contract), per-region rollups.
+    */
+  private val hexRegionsOracleSql: String = {
+    val e = graft.geo.Hex.edge(1)
+    s"""WITH RECURSIVE pts AS ($quadrantPtsCte),
+       ax AS (SELECT point_id,
+         (sqrt(3.0)/3.0 * lng - lat/3.0) / $e AS qf,
+         (2.0/3.0 * lat) / $e AS rf FROM pts),
+       r0 AS (SELECT point_id, qf, rf, -qf - rf AS sf,
+         CAST(floor(qf + 0.5) AS BIGINT) AS qi,
+         CAST(floor(rf + 0.5) AS BIGINT) AS ri,
+         CAST(floor(-qf - rf + 0.5) AS BIGINT) AS si FROM ax),
+       rr AS (SELECT point_id,
+         CASE WHEN abs(qi - qf) > abs(ri - rf) AND abs(qi - qf) > abs(si - sf)
+              THEN -ri - si ELSE qi END AS q,
+         CASE WHEN NOT (abs(qi - qf) > abs(ri - rf) AND abs(qi - qf) > abs(si - sf))
+                   AND abs(ri - rf) > abs(si - sf)
+              THEN -qi - si ELSE ri END AS r FROM r0),
+       cnt AS (SELECT q, r, count(*) AS n FROM rr GROUP BY 1, 2),
+       cid AS (SELECT q, r, n,
+           CAST(1 AS BIGINT) * 288230376151711744 + (q + 268435456) * 536870912 + (r + 268435456) AS cell
+         FROM cnt),
+       adj AS (SELECT a.cell AS ca, b.cell AS cb FROM cid a JOIN cid b
+         ON (abs(a.q - b.q) + abs(a.r - b.r) + abs((a.q - b.q) + (a.r - b.r))) // 2 = 1),
+       reach(cell, other) AS (
+         SELECT cell, cell FROM cid
+         UNION
+         SELECT x.cell, a.cb FROM reach x JOIN adj a ON a.ca = x.other),
+       comp AS (SELECT cell, min(other) AS region FROM reach GROUP BY cell)
+       SELECT c2.region, CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(cid.n) AS BIGINT) AS n_points
+       FROM cid JOIN comp c2 ON cid.cell = c2.cell
+       GROUP BY 1 ORDER BY region"""
+  }
+
   /** Bilinear elevation oracle over the 6-present/2-absent gate tiles —
     * shared by the broadcast-index and cogroup physical paths. */
   private val cogroupElevOracleSql: String =
@@ -5193,6 +5308,34 @@ object SparkEntry {
        FROM p GROUP BY swlng, swlat, code ORDER BY image_id, code"""
   }
 
+  /** Orientation-census oracle: central differences from the closed form,
+    * the identical half-open octant CASE ladder (pure integer sign /
+    * magnitude comparisons), energy as exact Σ(gx²+gy²).
+    */
+  private val orientOracleSql: String = {
+    def v(dc: Int, dr: Int) = gridV(s"c.range+($dc)", s"r.range+($dr)")
+    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+       k AS (SELECT swlng, swlat,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
+       g AS (SELECT swlng, swlat,
+           (${v(1, 0)} - ${v(-1, 0)}) AS gx,
+           (${v(0, 1)} - ${v(0, -1)}) AS gy
+         FROM k, range(1,600) r, range(1,600) c),
+       sct AS (SELECT swlng, swlat, gx, gy,
+           CASE WHEN gx = 0 AND gy = 0 THEN 8
+                WHEN gx > 0 AND gy >= 0 THEN (CASE WHEN gy < gx THEN 0 ELSE 1 END)
+                WHEN gx <= 0 AND gy > 0 THEN (CASE WHEN -gx < gy THEN 2 ELSE 3 END)
+                WHEN gx < 0 AND gy <= 0 THEN (CASE WHEN -gy < -gx THEN 4 ELSE 5 END)
+                ELSE (CASE WHEN gx < -gy THEN 6 ELSE 7 END) END AS sector
+         FROM g)
+       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+         CAST(sector AS INT) AS sector,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(gx*gx + gy*gy) AS BIGINT) AS energy
+       FROM sct GROUP BY swlng, swlat, sector ORDER BY image_id, sector"""
+  }
+
   /** Convex-hull oracle: the Carathéodory certificate — a deduped point is
     * a hull vertex iff it is NOT strictly inside any triangle of same-group
     * points and NOT strictly between two of them on a segment. All cross
@@ -5605,6 +5748,7 @@ object SparkEntry {
     "img_fast_corners" -> fastOracleSql,
     "img_haar" -> haarOracleSql,
     "img_lbp" -> lbpOracleSql,
+    "img_orient_hist" -> orientOracleSql,
     // Page's CUSUM recurrence replayed as a recursive CTE: one recursion
     // level per per-user event index, exact integer state throughout
     "events_cusum" ->
@@ -6207,6 +6351,7 @@ object SparkEntry {
     "geo_s2_cell" -> s2OracleSql(quadrantPtsCte, 12),
     "geo_hex_cell" -> hexOracleSql(quadrantPtsCte, 9),
     "geo_hex_kring" -> hexKringOracleSql,
+    "geo_hex_regions" -> hexRegionsOracleSql,
     // same cell derivation; distance = axial metric over the offset-encoded
     // q/r unpacked by exact integer division (2^29 = 536870912)
     "geo_hex_distance" ->
@@ -8085,6 +8230,23 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM p)
          SELECT qid, neighbor_id, rank, round(cos, 4) AS cos_r
          FROM r WHERE rank <= 10 ORDER BY qid, rank""",
+    // sign-bit packing as a 1-based list fold, xor()+bit_count ranking
+    "ann_binary_hamming" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         b AS (SELECT vec_id, CAST(list_sum(list_transform(range(1, 65),
+             -- DuckDB overflow-checks 1<<63; the sign bit needs the literal
+             i -> CASE WHEN v[i] <= 0 THEN CAST(0 AS BIGINT)
+                       WHEN i = 64 THEN CAST(-9223372036854775807 AS BIGINT) - 1
+                       ELSE (CAST(1 AS BIGINT) << (CAST(i AS INT) - 1)) END)) AS BIGINT) AS bits FROM e),
+         q AS (SELECT vec_id AS qid, bits AS qbits FROM b WHERE vec_id < 5),
+         p AS (SELECT qid, b.vec_id AS neighbor_id,
+             CAST(bit_count(xor(qbits, b.bits)) AS INT) AS ham
+           FROM q, b WHERE b.vec_id <> qid),
+         r AS (SELECT qid, neighbor_id, ham,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY ham, neighbor_id) AS INTEGER) AS rank FROM p)
+         SELECT qid, neighbor_id, ham, rank FROM r WHERE rank <= 10
+         ORDER BY qid, rank""",
     // both exact rankings, then the integer-exact ppm-truncated RRF merge
     "ann_rrf_fusion" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -8112,6 +8274,23 @@ object SparkEntry {
            CAST(row_number() OVER (PARTITION BY qid
              ORDER BY score DESC, neighbor_id) AS INTEGER) AS fused_rank
          FROM f QUALIFY fused_rank <= 10 ORDER BY qid, fused_rank""",
+    // orphan-FK audit: key left joins, null-parent counting
+    "dq_referential" ->
+      """WITH pc AS (SELECT c_custkey AS pk FROM customer WHERE c_custkey % 7 <> 0),
+         c1 AS (SELECT 'orders_customer' AS chk,
+             CAST(count(*) AS BIGINT) AS n_child,
+             CAST(count(CASE WHEN pk IS NULL THEN 1 END) AS BIGINT) AS n_orphans,
+             CAST(count(DISTINCT CASE WHEN pk IS NULL THEN o_custkey END) AS BIGINT) AS orphan_keys
+           FROM orders LEFT JOIN pc ON o_custkey = pk),
+         ok AS (SELECT o_orderkey AS pk FROM orders),
+         c2 AS (SELECT 'lineitem_orders' AS chk,
+             CAST(count(*) AS BIGINT) AS n_child,
+             CAST(count(CASE WHEN pk IS NULL THEN 1 END) AS BIGINT) AS n_orphans,
+             CAST(count(DISTINCT CASE WHEN pk IS NULL THEN l_orderkey END) AS BIGINT) AS orphan_keys
+           FROM lineitem LEFT JOIN ok ON l_orderkey = pk)
+         SELECT chk, n_child, n_orphans, orphan_keys FROM c1
+         UNION ALL SELECT chk, n_child, n_orphans, orphan_keys FROM c2
+         ORDER BY chk""",
     // schema-on-read: typed k out of the JSON props, then native aggs
     "events_json_cols" ->
       """WITH ev AS (SELECT event_type,

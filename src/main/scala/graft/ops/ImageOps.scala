@@ -276,6 +276,50 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class OrientRow(image_id: String, sector: Int, n: Long,
+                             energy: Long)
+
+  /** Gradient-orientation census (the HOG descriptor's binning step,
+    * Dalal–Triggs, public) with NO trig anywhere: central-difference
+    * (gx, gy) per interior pixel, assigned to one of 8 half-open π/4
+    * octants purely by SIGN and |gx|-vs-|gy| integer comparisons (sector
+    * k covers [kπ/4,(k+1)π/4); zero gradient → sector 8 "flat"), with
+    * Σ(gx²+gy²) energy per sector. The orientation signature that
+    * separates isotropic texture from banding/scan artifacts — and being
+    * comparison-exact, the oracle replays every pixel. Decode-once,
+    * one O(n) pass, ≤9 rows per image, ZERO shuffle.
+    */
+  def orientHist(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[OrientRow]
+    tiles.mapPartitions { it =>
+      it.flatMap { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val cnt = new Array[Long](9); val en = new Array[Long](9)
+        var r = 1
+        while (r < size - 1) {
+          var c = 1
+          while (c < size - 1) {
+            val gx = d.samples(r * size + c + 1) - d.samples(r * size + c - 1)
+            val gy = d.samples((r + 1) * size + c) - d.samples((r - 1) * size + c)
+            val s =
+              if (gx == 0 && gy == 0) 8
+              else if (gx > 0 && gy >= 0) { if (gy < gx) 0 else 1 }
+              else if (gx <= 0 && gy > 0) { if (-gx < gy) 2 else 3 }
+              else if (gx < 0 && gy <= 0) { if (-gy < -gx) 4 else 5 }
+              else { if (gx < -gy) 6 else 7 }
+            cnt(s) += 1L
+            en(s) += gx.toLong * gx + gy.toLong * gy
+            c += 1
+          }
+          r += 1
+        }
+        (0 to 8).iterator.filter(cnt(_) > 0L)
+          .map(k => OrientRow(tl.image_id, k, cnt(k), en(k)))
+      }
+    }.toDF()
+  }
+
   /** LBP's 8-neighborhood, clockwise from NW (bit 0) — shared by the
     * kernel and the oracle generator.
     */

@@ -190,6 +190,27 @@ class IngestJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hist((_, c) => c * 10) == Map(62 -> 49L))
   }
 
+  test("orientHist: octant ladder on axis/diagonal gradients and the flat bucket") {
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[graft.core.TileRow]
+    def hist(f: (Int, Int) => Int) = {
+      val g = Array.tabulate[Short](81)(i => f(i / 9, i % 9).toShort)
+      val t = graft.core.TileRow("N36W119", graft.raster.Hgt.encode(g, 9),
+        9, 9, "hgt", "{}", 0L)
+      graft.ops.ImageOps.orientHist(spark.createDataset(Seq(t))).collect()
+        .map(r => r.getAs[Int]("sector") ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("energy")))).toMap
+    }
+    // pure +x gradient: gx=20, gy=0 -> sector 0; energy 49 * 400
+    assert(hist((_, c) => c * 10) == Map(0 -> ((49L, 19600L))))
+    // pure +y gradient: gx=0, gy=20 -> sector 2 (pi/2 opens octant 2)
+    assert(hist((r, _) => r * 10) == Map(2 -> ((49L, 19600L))))
+    // exact diagonal gy=gx>0: angle pi/4 belongs to the HIGHER octant (1)
+    assert(hist((r, c) => (r + c) * 10) == Map(1 -> ((49L, 39200L))))
+    // flat: everything lands in the flat bucket with zero energy
+    assert(hist((_, _) => 5) == Map(8 -> ((49L, 0L))))
+  }
+
   test("ingestHgt rejects non-square payloads (P3 size predicate)") {
     graft.table.Checkpoint.clear(s"$base/bad")
     val d = new java.io.File(s"$base/bad/hgt"); d.mkdirs()
