@@ -942,6 +942,19 @@ object SparkEntry {
         .select("point_id", "gh", "gh_parent")
         .orderBy("point_id")
     }),
+    // Coverage-gap audit (the missing-data side of the tile store): the
+    // candidate 1° key grid of a bbox anti-joined against the present
+    // tiles — which tiles a whole-region job would find absent (the
+    // reference's NO_DATA⇒0 lane, surfaced as an audit table). Grid is
+    // generated, never scanned; the anti-join broadcasts the key set.
+    "geo_coverage_gap" -> ((s, dir) => {
+      val grid = s.range(0, 24).selectExpr(
+        "CAST(-121 + id % 6 AS DOUBLE) + 0.5D AS lng",
+        "CAST(35 + id DIV 6 AS DOUBLE) + 0.5D AS lat")
+        .select(tile_key(col("lng"), col("lat")).as("tile_key"))
+      val present = gateTiles(s).select(col("image_id").as("tile_key"))
+      grid.join(present, Seq("tile_key"), "left_anti").orderBy("tile_key")
+    }),
     // Hex-cell density profile: the skew report that feeds salting/adaptive
     // PIP hot-set decisions — dense cells at res 7, one map-combined shuffle.
     "geo_cell_density" -> ((s, dir) => {
@@ -1653,6 +1666,53 @@ object SparkEntry {
           coalesce(col("last_tid"), lit(-1L)).as("last_tid"),
           coalesce(col("last_type"), lit("direct")).as("last_type"))
         .orderBy("conv_id")
+    }),
+    // Two-proportion A/B significance (the experiment-analysis staple)
+    // with NO float in the decision: arms by user parity, conversion = a
+    // high-value purchase (≥90 — plain "any purchase" saturates both arms
+    // at 100% on this corpus); z² ≥ 1.96² decided by exact integer
+    // cross-multiplication — z²·den = Δ²·N·625 vs 2401·n1·n2·(c)·(N−c)
+    // (1.96² = 2401/625 exactly). One user agg + one 2-row arm agg.
+    "events_ab_test" -> ((s, dir) => {
+      val users = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase" &&
+            col("value") >= 90, 1).otherwise(0))
+          .cast("long").as("conv"))
+        .withColumn("arm", (col("user_id") % 2).cast("int"))
+      val arms = users.groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+      val a = arms.filter(col("arm") === 0)
+        .select(col("n").as("n1"), col("c").as("c1"))
+      val b = arms.filter(col("arm") === 1)
+        .select(col("n").as("n2"), col("c").as("c2"))
+      a.crossJoin(b)
+        .withColumn("z2_num",
+          expr("(c1*n2 - c2*n1) * (c1*n2 - c2*n1) * (n1+n2) * 625"))
+        .withColumn("z2_den",
+          expr("2401 * n1 * n2 * (c1+c2) * (n1+n2-c1-c2)"))
+        .withColumn("significant", col("z2_num") >= col("z2_den"))
+        .select("n1", "c1", "n2", "c2", "z2_num", "z2_den", "significant")
+    }),
+    // Radius-of-gyration pieces per trajectory (the human-mobility range
+    // statistic): the dwell-run random walk's exact integer positions, ONE
+    // window shuffle + one agg; gyr_num = m²Σ(x²+y²) − m(Sx²+Sy²) is the
+    // exact numerator of m³·Rg² — no float anywhere.
+    "traj_gyration" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("event_id") % 7).as("dx"), ((col("event_id") * 3) % 5).as("dy"))
+        .withColumn("px", sum("dx").over(w))
+        .withColumn("py", sum("dy").over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("px").as("sx"), sum("py").as("sy"),
+          sum(col("px") * col("px")).as("sxx"),
+          sum(col("py") * col("py")).as("syy"))
+        .selectExpr("user_id", "n", "sx", "sy",
+          "n*n*(sxx+syy) - n*(sx*sx + sy*sy) AS gyr_num")
+        .orderBy("user_id")
     }),
     // RFM quintile scoring: recency (days since last event vs the corpus
     // max), frequency, monetary (exact cents) per user, each cut into
@@ -2643,6 +2703,14 @@ object SparkEntry {
     "img_orient_hist" -> ((s, dir) => {
       ops.ImageOps.orientHist(gateTiles(s, "png"))
         .orderBy("image_id", "sector")
+    }),
+    // Bit-plane population census (ops.ImageOps.bitPlanes): per-bit set
+    // counts over all samples — the randomness-vs-structure screen (noise
+    // planes sit near 50%, structural planes skew). Pure bit arithmetic,
+    // decode-once, zero shuffle, 12 rows/image.
+    "img_bit_planes" -> ((s, dir) => {
+      ops.ImageOps.bitPlanes(gateTiles(s, "png"), planes = 12)
+        .orderBy("image_id", "plane")
     }),
     // Dual-resolution conversion (reference getResolutionAndSize.ts: 1″↔3″):
     // 3:1 decimation resample re-encoded as HGT rows, then re-decoded for
@@ -5308,6 +5376,25 @@ object SparkEntry {
        FROM p GROUP BY swlng, swlat, code ORDER BY image_id, code"""
   }
 
+  /** Bit-plane oracle: all samples from the closed form, per-plane set
+    * counts via `(v // 2^b) % 2` (samples are non-negative, so integer
+    * division matches the kernel's shift-and-mask exactly).
+    */
+  private val bitPlanesOracleSql: String = {
+    val v = gridV("c.range", "r.range")
+    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+       k AS (SELECT swlng, swlat,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
+       px AS (SELECT swlng, swlat, $v AS v
+         FROM k, range(0,601) r, range(0,601) c)
+       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+         CAST(b.range AS INT) AS plane,
+         CAST(sum((v // (1 << CAST(b.range AS INT))) % 2) AS BIGINT) AS n_set
+       FROM px, range(0, 12) b
+       GROUP BY swlng, swlat, b.range ORDER BY image_id, plane"""
+  }
+
   /** Orientation-census oracle: central differences from the closed form,
     * the identical half-open octant CASE ladder (pure integer sign /
     * magnitude comparisons), energy as exact Σ(gx²+gy²).
@@ -5749,6 +5836,7 @@ object SparkEntry {
     "img_haar" -> haarOracleSql,
     "img_lbp" -> lbpOracleSql,
     "img_orient_hist" -> orientOracleSql,
+    "img_bit_planes" -> bitPlanesOracleSql,
     // Page's CUSUM recurrence replayed as a recursive CTE: one recursion
     // level per per-user event index, exact integer state throughout
     "events_cusum" ->
@@ -6352,6 +6440,19 @@ object SparkEntry {
     "geo_hex_cell" -> hexOracleSql(quadrantPtsCte, 9),
     "geo_hex_kring" -> hexKringOracleSql,
     "geo_hex_regions" -> hexRegionsOracleSql,
+    // candidate bbox key grid minus the present tiles
+    "geo_coverage_gap" ->
+      """WITH g AS (SELECT -121 + (CAST(i AS INT) % 6) AS swlng,
+             35 + (CAST(i AS INT) // 6) AS swlat FROM range(0, 24) t(i)),
+         keys AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END ||
+             lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END ||
+             lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS tile_key FROM g),
+         present(tile_key) AS (VALUES ('N36W120'),('N37W120'),('N36W119'),
+           ('N37W119'),('N36W118'),('N37W117'))
+         SELECT tile_key FROM keys
+         WHERE tile_key NOT IN (SELECT tile_key FROM present)
+         ORDER BY tile_key""",
     // same cell derivation; distance = axial metric over the offset-encoded
     // q/r unpacked by exact integer division (2^29 = 536870912)
     "geo_hex_distance" ->
@@ -7885,6 +7986,39 @@ object SparkEntry {
            COALESCE(last_tid, -1) AS last_tid,
            COALESCE(last_type, 'direct') AS last_type
          FROM wnd WHERE side = 1 ORDER BY conv_id""",
+    // exact integer cross-multiplied two-proportion z² decision
+    "events_ab_test" ->
+      """WITH u AS (SELECT user_id,
+           max(CASE WHEN event_type = 'purchase' AND value >= 90
+               THEN 1 ELSE 0 END) AS conv
+           FROM events GROUP BY 1),
+         arms AS (SELECT CAST(user_id % 2 AS INT) AS arm,
+             CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS c
+           FROM u GROUP BY 1),
+         a AS (SELECT n AS n1, c AS c1 FROM arms WHERE arm = 0),
+         b AS (SELECT n AS n2, c AS c2 FROM arms WHERE arm = 1)
+         SELECT n1, c1, n2, c2,
+           CAST((c1*n2 - c2*n1) * (c1*n2 - c2*n1) * (n1+n2) * 625 AS BIGINT) AS z2_num,
+           CAST(2401 * n1 * n2 * (c1+c2) * (n1+n2-c1-c2) AS BIGINT) AS z2_den,
+           (c1*n2 - c2*n1) * (c1*n2 - c2*n1) * (n1+n2) * 625 >=
+             2401 * n1 * n2 * (c1+c2) * (n1+n2-c1-c2) AS significant
+         FROM a, b""",
+    // the dwell walk's exact positions, one window + one agg, exact pieces
+    "traj_gyration" ->
+      """WITH w AS (SELECT user_id, ts, event_id,
+           sum(event_id % 7) OVER pw AS px,
+           sum((event_id * 3) % 5) OVER pw AS py
+           FROM events
+           WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(px) AS BIGINT) AS sx, CAST(sum(py) AS BIGINT) AS sy,
+             CAST(sum(px*px) AS BIGINT) AS sxx,
+             CAST(sum(py*py) AS BIGINT) AS syy
+           FROM w GROUP BY 1)
+         SELECT user_id, n, sx, sy,
+           CAST(n*n*(sxx+syy) - n*(sx*sx + sy*sy) AS BIGINT) AS gyr_num
+         FROM a ORDER BY user_id""",
     // user-level aggregates once, then deterministic NTILE(5) cuts
     "events_rfm" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus,

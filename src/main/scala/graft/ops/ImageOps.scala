@@ -320,6 +320,38 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class PlaneRow(image_id: String, plane: Int, n_set: Long)
+
+  /** Bit-plane population census: per bit position, how many samples have
+    * it set — the classic randomness-vs-structure screen (low planes of
+    * natural data are ~50/50 noise-like, high planes carry structure; a
+    * constant or synthetic field shows degenerate planes). One decode-once
+    * O(planes·n) pass, fixed `planes` rows per image, ZERO shuffle; pure
+    * bit arithmetic the oracle replays with `(v // 2^b) % 2`.
+    */
+  def bitPlanes(tiles: Dataset[TileRow], planes: Int): DataFrame = {
+    require(planes >= 1 && planes <= 16, s"planes in 1..16: $planes")
+    implicit val enc = Encoders.product[PlaneRow]
+    tiles.mapPartitions { it =>
+      it.flatMap { tl =>
+        val d = TileCodec.decode(tl)
+        val cnt = new Array[Long](planes)
+        val n = d.samples.length
+        var i = 0
+        while (i < n) {
+          val v = d.samples(i).toInt & 0xFFFF
+          var b = 0
+          while (b < planes) {
+            if (((v >> b) & 1) == 1) cnt(b) += 1L
+            b += 1
+          }
+          i += 1
+        }
+        (0 until planes).iterator.map(b => PlaneRow(tl.image_id, b, cnt(b)))
+      }
+    }.toDF()
+  }
+
   /** LBP's 8-neighborhood, clockwise from NW (bit 0) — shared by the
     * kernel and the oracle generator.
     */
