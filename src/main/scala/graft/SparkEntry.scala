@@ -1921,6 +1921,36 @@ object SparkEntry {
           round(sum(col("o_totalprice")), 2).as("sum_price"))
         .orderBy("grp")
     }),
+    // AS OF TIMESTAMP read (table.Checkpoint.readAsOf — Iceberg's
+    // FOR TIMESTAMP AS OF): the lineage is derived from the commit log's
+    // own committed_at frontier instead of an explicit run order — 't1'
+    // reads at r1's commit frontier (pure r1), 'now' at +∞ (r1+r2
+    // merged); both resolved driver-side and partition-pruned.
+    "checkpoint_as_of_ts" -> ((s, dir) => {
+      val out =
+        s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_ts_${dir.hashCode}"
+      table.Checkpoint.clear(out)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      table.Checkpoint.writeVersioned(orders, col("o_orderkey") % 12, 12,
+        out, "r1")
+      Thread.sleep(10) // ms-resolution commit stamps: keep frontiers apart
+      val patched = orders.filter(col("o_orderkey") % 12 < 4)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      table.Checkpoint.writeVersioned(patched, col("o_orderkey") % 12, 12,
+        out, "r2")
+      val cutoff = table.Checkpoint.manifests(s, out)
+        .filter(col("run_id") === "r1")
+        .agg(max("committed_at")).head().getLong(0)
+      def snap(ts: Long, tag: String) =
+        table.Checkpoint.readAsOf(s, out, ts)
+          .groupBy((col("o_custkey") % 16).as("grp"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .withColumn("snap", lit(tag))
+      snap(cutoff, "t1").unionAll(snap(Long.MaxValue, "now"))
+        .orderBy("snap", "grp")
+    }),
     // SCHEMA EVOLUTION on the versioned store (Iceberg add-column): run r2
     // rewrites buckets 0-3 WITH a new o_flag column; readAt(mergeSchema)
     // resolves the union schema by name, so rows from r1's buckets surface
@@ -2447,6 +2477,16 @@ object SparkEntry {
         .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
       ops.Graph.labelPropagate(edges, rounds = 3).orderBy("node")
     }),
+    // Two-hop reach census (ops.Graph.twoHop): direct degree + exact
+    // friend-of-friend audience per node — wedge join, self/direct
+    // removed by one filter + one key anti-join, Σdeg² bounded. The
+    // influence-radius primitive next to triangles/suggest.
+    "graph_twohop" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 7 === 0)
+        .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
+      ops.Graph.twoHop(edges).orderBy("node")
+    }),
     // Per-row format fidelity (input_hint: decoded pixels allclose, PSNR
     // >= 40 dB for lossy): decode each payload (real javax.imageio for png),
     // compare against the closed-form grid it encodes. px_sum anchors the
@@ -2711,6 +2751,15 @@ object SparkEntry {
     "img_bit_planes" -> ((s, dir) => {
       ops.ImageOps.bitPlanes(gateTiles(s, "png"), planes = 12)
         .orderBy("image_id", "plane")
+    }),
+    // Multiresolution roughness pyramid (ops.ImageOps.roughnessPyramid):
+    // per-depth Σ(block max−min) + worst block over 1/4/16/64 blocks —
+    // the quadtree-splitting / adaptive-compression heuristic as a
+    // queryable profile. Exact integer min/max, decode-once, zero
+    // shuffle; the oracle replays each depth as a block-grid GROUP BY.
+    "img_roughness" -> ((s, dir) => {
+      ops.ImageOps.roughnessPyramid(gateTiles(s, "png"), depths = 4)
+        .orderBy("image_id", "depth")
     }),
     // Dual-resolution conversion (reference getResolutionAndSize.ts: 1″↔3″):
     // 3:1 decimation resample re-encoded as HGT rows, then re-decoded for
@@ -3397,6 +3446,36 @@ object SparkEntry {
           .orderBy(col("ham").asc, col("neighbor_id").asc)))
         .filter(col("rank") <= 10)
         .select("qid", "neighbor_id", "ham", "rank")
+        .orderBy("qid", "rank")
+    }),
+    // Matryoshka prefix-dimension search: candidates by cosine on the
+    // FIRST 16 dims (¼ the flops/bytes — the matryoshka-embedding
+    // truncation trick), exact full-dim cosine re-rank of the top-50 —
+    // the two-stage shape every modern embedding index runs. Broadcast
+    // query side, one corpus scan, candidate set bounded per query.
+    "ann_matryoshka" -> ((s, dir) => {
+      import graft.functions.vectors.vec_dot
+      val e = t(s, dir, "embeddings")
+        .selectExpr("vec_id", "cast(embedding as array<double>) AS v")
+        .withColumn("p", expr("slice(v, 1, 16)"))
+        .withColumn("nrm", sqrt(vec_dot(col("v"), col("v"))))
+        .withColumn("pnrm", sqrt(vec_dot(col("p"), col("p"))))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("p").as("qp"), col("nrm").as("qnrm"), col("pnrm").as("qpnrm"))
+      e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+        .withColumn("pcos",
+          vec_dot(col("qp"), col("p")) / (col("qpnrm") * col("pnrm")))
+        .withColumn("prank", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("pcos").desc, col("vec_id").asc)))
+        .filter(col("prank") <= 50)
+        .withColumn("cos",
+          vec_dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+        .withColumn("rank", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("vec_id").asc)))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"),
+          round(col("cos"), 4).as("cos_r"))
         .orderBy("qid", "rank")
     }),
     // Reciprocal-rank fusion (Cormack et al., public): fuse the cosine
@@ -5212,6 +5291,28 @@ object SparkEntry {
          FROM a3 JOIN h3 USING (node) ORDER BY node"""
   }
 
+  /** Two-hop oracle: wedge join for distance-2 candidates, EXISTS
+    * anti-filter for direct neighbors, same canonical-undirected recipe.
+    */
+  private val twoHopOracleSql: String =
+    """WITH e AS (SELECT DISTINCT
+           GREATEST(l_suppkey % 500, l_partkey % 500) AS hi,
+           LEAST(l_suppkey % 500, l_partkey % 500) AS lo
+         FROM lineitem WHERE l_orderkey % 7 = 0),
+       e2 AS (SELECT hi, lo FROM e WHERE hi <> lo),
+       sym AS (SELECT lo AS u, hi AS v FROM e2
+               UNION ALL SELECT hi AS u, lo AS v FROM e2),
+       direct AS (SELECT u AS node, count(*) AS n_direct FROM sym GROUP BY 1),
+       th AS (SELECT DISTINCT a.u, b.v AS w FROM sym a JOIN sym b ON a.v = b.u
+         WHERE b.v <> a.u),
+       thx AS (SELECT u, w FROM th WHERE NOT EXISTS
+         (SELECT 1 FROM sym s WHERE s.u = th.u AND s.v = th.w)),
+       t2 AS (SELECT u AS node, count(*) AS n_twohop FROM thx GROUP BY 1)
+       SELECT CAST(d.node AS BIGINT) AS node,
+         CAST(n_direct AS BIGINT) AS n_direct,
+         CAST(COALESCE(n_twohop, 0) AS BIGINT) AS n_twohop
+       FROM direct d LEFT JOIN t2 USING (node) ORDER BY node"""
+
   /** Label-propagation oracle: the engine's 3 deterministic mode-vote
     * sweeps unrolled — per round, neighbor-label counts then the per-node
     * argmax with the (cnt DESC, lbl ASC) tie order as QUALIFY. Same
@@ -5393,6 +5494,33 @@ object SparkEntry {
          CAST(sum((v // (1 << CAST(b.range AS INT))) % 2) AS BIGINT) AS n_set
        FROM px, range(0, 12) b
        GROUP BY swlng, swlat, b.range ORDER BY image_id, plane"""
+  }
+
+  /** Roughness-pyramid oracle: per depth, block ranges as a GROUP BY on
+    * the (r//bs, c//bs) block grid of the closed-form field, then the
+    * per-image Σ/max rollup; depths unrolled as a UNION ALL.
+    */
+  private val roughnessOracleSql: String = {
+    val v = gridV("c.range", "r.range")
+    val parts = (0 until 4).map { dep =>
+      val nb = 1 << dep
+      val bs = 600 / nb
+      s"""SELECT swlng, swlat, $dep AS depth,
+          CAST(${nb.toLong * nb} AS BIGINT) AS n_blocks,
+          CAST(sum(rng) AS BIGINT) AS range_sum,
+          CAST(max(rng) AS BIGINT) AS range_max
+        FROM (SELECT swlng, swlat, (r.range // $bs) AS br,
+            (c.range // $bs) AS bc, max($v) - min($v) AS rng
+          FROM k, range(0,600) r, range(0,600) c
+          GROUP BY 1, 2, 3, 4) GROUP BY 1, 2, 3"""
+    }.mkString("\n         UNION ALL ")
+    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+       k AS (SELECT swlng, swlat,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners)
+       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+         CAST(depth AS INT) AS depth, n_blocks, range_sum, range_max
+       FROM ($parts) ORDER BY image_id, depth"""
   }
 
   /** Orientation-census oracle: central differences from the closed form,
@@ -5708,6 +5836,7 @@ object SparkEntry {
     "graph_kcore" -> kcoreOracleSql,
     "graph_hits" -> hitsOracleSql,
     "graph_labelprop" -> labelpropOracleSql,
+    "graph_twohop" -> twoHopOracleSql,
     // same canonical-undirected graph recipe as kcore; degrees over the
     // doubled edge set, moments in exact BIGINTs
     "graph_degree_mix" ->
@@ -5837,6 +5966,7 @@ object SparkEntry {
     "img_lbp" -> lbpOracleSql,
     "img_orient_hist" -> orientOracleSql,
     "img_bit_planes" -> bitPlanesOracleSql,
+    "img_roughness" -> roughnessOracleSql,
     // Page's CUSUM recurrence replayed as a recursive CTE: one recursion
     // level per per-user event index, exact integer state throughout
     "events_cusum" ->
@@ -7872,6 +8002,18 @@ object SparkEntry {
          SELECT o_custkey % 16 AS grp, count(*) AS n,
            round(sum(p), 2) AS sum_price
          FROM m GROUP BY 1 ORDER BY grp""",
+    // as-of r1's commit frontier = pure r1; as-of +inf = r1+r2 merged
+    "checkpoint_as_of_ts" ->
+      """WITH s1 AS (SELECT o_custkey % 16 AS grp, count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price, 't1' AS snap
+           FROM orders GROUP BY 1),
+         s2 AS (SELECT o_custkey % 16 AS grp, count(*) AS n,
+           round(sum(CASE WHEN o_orderkey % 12 < 4 THEN o_totalprice + 1000.0
+                          ELSE o_totalprice END), 2) AS sum_price, 'now' AS snap
+           FROM orders GROUP BY 1)
+         SELECT grp, n, sum_price, snap FROM s1
+         UNION ALL SELECT grp, n, sum_price, snap FROM s2
+         ORDER BY snap, grp""",
     // merged-schema read: o_flag only exists for r2's buckets (0-3)
     "checkpoint_evolve" ->
       """SELECT o_custkey % 16 AS grp, count(*) AS n,
@@ -8364,6 +8506,28 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM p)
          SELECT qid, neighbor_id, rank, round(cos, 4) AS cos_r
          FROM r WHERE rank <= 10 ORDER BY qid, rank""",
+    // prefix-cosine candidates, exact full-dim re-rank of the top-50
+    "ann_matryoshka" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         n AS (SELECT vec_id, v, v[1:16] AS p,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+             sqrt(list_sum(list_transform(v[1:16], x -> x * x))) AS pnrm FROM e),
+         q AS (SELECT vec_id AS qid, v AS qv, p AS qp, nrm AS qnrm,
+             pnrm AS qpnrm FROM n WHERE vec_id < 5),
+         c0 AS (SELECT qid, n.vec_id AS neighbor_id, qv, n.v, qnrm, n.nrm,
+             list_sum(list_transform(range(1, 17), i -> qp[i] * p[i])) / (qpnrm * n.pnrm) AS pcos
+           FROM q, n WHERE n.vec_id <> qid),
+         c1 AS (SELECT qid, neighbor_id, qv, v, qnrm, nrm,
+             row_number() OVER (PARTITION BY qid ORDER BY pcos DESC, neighbor_id) AS prank
+           FROM c0 QUALIFY prank <= 50),
+         r AS (SELECT qid, neighbor_id,
+             list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])) / (qnrm * nrm) AS cos
+           FROM c1),
+         rk AS (SELECT qid, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM r)
+         SELECT qid, neighbor_id, rank, round(cos, 4) AS cos_r
+         FROM rk WHERE rank <= 10 ORDER BY qid, rank""",
     // sign-bit packing as a 1-based list fold, xor()+bit_count ranking
     "ann_binary_hamming" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

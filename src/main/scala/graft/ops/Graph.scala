@@ -472,6 +472,36 @@ object Graph {
     auth.join(hub, Seq("node"))
   }
 
+  /** Two-hop reach census — per node the DIRECT degree and the count of
+    * nodes at graph distance EXACTLY 2 (friend-of-friend audience): the
+    * wedge join fans each node to its neighbors' neighbors, self and
+    * direct neighbors are removed by one filter + one key anti-join, and
+    * everything stays key-bounded by degree (the join never materializes
+    * more than Σ deg(v)² wedge rows — the same bound the triangle and
+    * clustering-coefficient ops already live with). The audience-size /
+    * influence-radius primitive of social and link-graph analytics.
+    */
+  def twoHop(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(greatest(col("src"), col("dst")).as("hi"),
+        least(col("src"), col("dst")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
+      .localCheckpoint(false)
+    val sym = e.select(col("lo").as("u"), col("hi").as("v"))
+      .union(e.select(col("hi").as("u"), col("lo").as("v")))
+      .localCheckpoint(false)
+    val direct = sym.groupBy("u").agg(count(lit(1)).as("n_direct"))
+    val hops = sym.select(col("u"), col("v").as("m"))
+      .join(sym.select(col("u").as("m"), col("v").as("w")), "m")
+      .filter(col("u") =!= col("w"))
+      .select("u", "w").distinct()
+      .join(sym.select(col("u"), col("v").as("w")), Seq("u", "w"), "left_anti")
+      .groupBy("u").agg(count(lit(1)).as("n_twohop"))
+    direct.join(hops, Seq("u"), "left")
+      .select(col("u").as("node"), col("n_direct"),
+        coalesce(col("n_twohop"), lit(0L)).as("n_twohop"))
+  }
+
   /** Synchronous label-propagation communities (Raghavan–Albert–Kumara,
     * public): every node adopts the MOST FREQUENT label among its
     * neighbors each round, ties to the smallest label — so the fixed

@@ -320,6 +320,58 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class RoughRow(image_id: String, depth: Int, n_blocks: Long,
+                            range_sum: Long, range_max: Long)
+
+  /** Multiresolution roughness pyramid: at depth d the even 600² prefix is
+    * cut into (2^d)² blocks and each block contributes its exact value
+    * range (max − min); the per-depth Σrange / max-range profile is the
+    * adaptive-compression / quadtree-splitting heuristic made queryable —
+    * smooth content collapses fast with depth, textured content doesn't.
+    * Pure integer min/max, so the oracle replays every block as a GROUP BY
+    * on the block grid. Decode-once, `depths` passes, ZERO shuffle.
+    */
+  def roughnessPyramid(tiles: Dataset[TileRow], depths: Int): DataFrame = {
+    require(depths >= 1 && depths <= 4, s"depths in 1..4: $depths")
+    implicit val enc = Encoders.product[RoughRow]
+    tiles.mapPartitions { it =>
+      it.flatMap { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val ext = 600 min (size - size % 8) // even prefix divisible by 8
+        (0 until depths).iterator.map { dep =>
+          val nb = 1 << dep
+          val bs = ext / nb
+          var sum = 0L; var mx = 0L
+          var br = 0
+          while (br < nb) {
+            var bc = 0
+            while (bc < nb) {
+              var lo = Int.MaxValue; var hi = Int.MinValue
+              var r = br * bs
+              while (r < (br + 1) * bs) {
+                var c = bc * bs
+                while (c < (bc + 1) * bs) {
+                  val v = d.samples(r * size + c).toInt
+                  if (v < lo) lo = v
+                  if (v > hi) hi = v
+                  c += 1
+                }
+                r += 1
+              }
+              val rng = (hi - lo).toLong
+              sum += rng
+              if (rng > mx) mx = rng
+              bc += 1
+            }
+            br += 1
+          }
+          RoughRow(tl.image_id, dep, nb.toLong * nb, sum, mx)
+        }
+      }
+    }.toDF()
+  }
+
   final case class PlaneRow(image_id: String, plane: Int, n_set: Long)
 
   /** Bit-plane population census: per bit position, how many samples have

@@ -511,6 +511,34 @@ object Checkpoint {
     base.where(pred).drop("__run", "__bucket")
   }
 
+  /** AS OF TIMESTAMP read — Iceberg's `FOR TIMESTAMP AS OF` on the
+    * versioned store: per bucket the newest manifest row with
+    * `committed_at <= cutoffMs` wins (ties broken by run_id, so the read
+    * is a pure function of the commit log), resolved driver-side and
+    * pushed down as the same partition-literal pruning as [[readAt]].
+    * Where [[readAt]] takes an explicit lineage, this derives it from the
+    * commit timestamps the protocol already records — the "what did the
+    * table look like at 3pm" audit read.
+    */
+  def readAsOf(spark: SparkSession, dir: String, cutoffMs: Long,
+               mergeSchema: Boolean = false): DataFrame = {
+    val wins = manifests(spark, dir)
+      .select("run_id", "bucket", "committed_at")
+      .where(col("committed_at") <= cutoffMs)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._2).toSeq
+      .map { case (b, rs) => (rs.maxBy(r => (r._3, r._1))._1, b) }
+    if (wins.isEmpty) return spark.emptyDataFrame
+    val pred = wins.groupBy(_._1).toSeq.sortBy(_._1).map { case (run, bs) =>
+      col("__run") === lit(run) && col("__bucket").isin(bs.map(_._2): _*)
+    }.reduce(_ || _)
+    spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(s"$dir/data")
+      .where(pred)
+      .drop("__run", "__bucket")
+  }
+
   /** MERGE INTO (upsert) on the versioned store — Iceberg's copy-on-write
     * merge at the store's bucket granularity: rows of `patch` REPLACE
     * current rows with the same key and new keys are inserted, by

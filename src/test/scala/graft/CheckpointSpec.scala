@@ -292,6 +292,33 @@ class CheckpointSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0 until 1200).map(i => i.toLong -> (i * 10L)).toMap)
   }
 
+  test("readAsOf: commit-frontier cutoffs reproduce every intermediate snapshot") {
+    import spark.implicits._
+    val dir = freshDir("asof")
+    val base = (0 until 400).map(i => (i.toLong, i * 10L)).toDF("k", "v")
+    Checkpoint.writeVersioned(base, col("k") % 4, 4, dir, "r1")
+    Thread.sleep(10)
+    Checkpoint.writeVersioned(
+      base.filter(col("k") % 4 === 1).withColumn("v", col("v") + 1),
+      col("k") % 4, 4, dir, "r2")
+    Thread.sleep(10)
+    Checkpoint.writeVersioned(
+      base.filter(col("k") % 4 === 1).withColumn("v", col("v") + 2),
+      col("k") % 4, 4, dir, "r3")
+    def frontier(run: String) = Checkpoint.manifests(spark, dir)
+      .filter(col("run_id") === run).agg(max("committed_at")).head().getLong(0)
+    def snap(ts: Long) = Checkpoint.readAsOf(spark, dir, ts)
+      .as[(Long, Long)].collect().toMap
+    def want(bump: Long) = (0 until 400).map { i =>
+      i.toLong -> (if (i % 4 == 1) i * 10L + bump else i * 10L)
+    }.toMap
+    assert(snap(frontier("r1")) == want(0))
+    assert(snap(frontier("r2")) == want(1))
+    assert(snap(Long.MaxValue) == want(2))
+    // before any commit: empty
+    assert(Checkpoint.readAsOf(spark, dir, 0L).isEmpty)
+  }
+
   test("schema evolution: a run that adds a column reads merged, old rows null") {
     import spark.implicits._
     val dir = freshDir("evolve")
