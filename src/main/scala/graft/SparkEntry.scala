@@ -964,6 +964,40 @@ object SparkEntry {
         .filter(col("n") >= 5)
         .orderBy(col("n").desc, col("cell"))
     }),
+    // Moran's I spatial autocorrelation over an integer customer grid —
+    // THE hotspot-clustering diagnostic of spatial statistics (is density
+    // spatially clustered, dispersed, or random?). Exact rational form:
+    // deviations are scaled by n (z_i = n·x_i − Σx, integer), so numerator
+    // Σ_{rook-adjacent} z_i·z_j, denominator Σz_i² and the pair count W
+    // are all exact BIGINTs (the n² scale cancels in the ratio) and the
+    // final I = n·num / (W·den) is ONE IEEE division both engines agree
+    // on. Rook adjacency over OCCUPIED cells (the data-driven contract) is
+    // a 4-offset cell equi-join — per-cell state, never all-pairs, the
+    // plan a 1000-executor lattice would want.
+    "geo_morans_i" -> ((s, dir) => {
+      val cellsDf = t(s, dir, "customer")
+        .selectExpr("(c_custkey % 360) DIV 8 AS cx",
+          "((c_custkey * 7) % 180) DIV 4 AS cy")
+        .groupBy("cx", "cy").agg(count(lit(1)).as("x"))
+        .localCheckpoint(false)
+      val tot = cellsDf.agg(count(lit(1)).as("n_cells"), sum("x").as("sx"))
+      val z = cellsDf.crossJoin(broadcast(tot))
+        .withColumn("z", col("n_cells") * col("x") - col("sx"))
+        .select("cx", "cy", "z")
+        .localCheckpoint(false)
+      val shifted = Seq((1, 0), (-1, 0), (0, 1), (0, -1)).map { case (dx, dy) =>
+        z.select((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy"),
+          col("z").as("zn"))
+      }.reduce(_ unionAll _)
+      val pairs = z.join(shifted, Seq("cx", "cy"))
+        .agg(sum(col("z") * col("zn")).as("num"), count(lit(1)).as("w_pairs"))
+      val den = z.agg(sum(col("z") * col("z")).as("den"))
+      tot.select("n_cells").crossJoin(den).crossJoin(pairs)
+        .withColumn("morans_i",
+          (col("n_cells") * col("num")).cast("double") /
+            (col("w_pairs") * col("den")).cast("double"))
+        .select("n_cells", "w_pairs", "num", "den", "morans_i")
+    }),
     // kRing smoothing (cells.hex_disk — the h3 gridDisk API): per-cell
     // counts spread to every cell within grid distance 2 via a PLAN-TIME
     // literal-offset array (pack is linear in (q,r): one 64-bit add per
@@ -2487,6 +2521,21 @@ object SparkEntry {
         .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
       ops.Graph.twoHop(edges).orderBy("node")
     }),
+    // Depth-bounded BOM explosion (ops.Graph.bomRollup): the recursive-CTE
+    // transitive rollup Spark SQL lacks, unrolled as 3 keyed frontier
+    // joins over a DAG (parent < child ids guarantee acyclicity); per root
+    // the distinct-reachable count + exact Σ path-quantity-product. The
+    // where-used / cost-explosion primitive; DuckDB replays it as a true
+    // WITH RECURSIVE with the same depth guard.
+    "q_bom_explode" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 19 === 0)
+        .selectExpr("least(l_partkey % 300, l_suppkey % 300) AS parent",
+          "greatest(l_partkey % 300, l_suppkey % 300) AS child")
+        .filter(col("parent") =!= col("child"))
+        .withColumn("qty", expr("1 + (parent * 31 + child * 17) % 4"))
+      ops.Graph.bomRollup(edges, maxDepth = 3).orderBy("root")
+    }),
     // Per-row format fidelity (input_hint: decoded pixels allclose, PSNR
     // >= 40 dB for lossy): decode each payload (real javax.imageio for png),
     // compare against the closed-form grid it encodes. px_sum anchors the
@@ -2760,6 +2809,15 @@ object SparkEntry {
     "img_roughness" -> ((s, dir) => {
       ops.ImageOps.roughnessPyramid(gateTiles(s, "png"), depths = 4)
         .orderBy("image_id", "depth")
+    }),
+    // Summed-area-table box sums (ops.ImageOps.integralBoxSums): one O(n)
+    // integral-image pass, 16 deterministic boxes answered in O(1) each by
+    // the 4-corner identity — the box-filter/Viola–Jones primitive. The
+    // oracle recomputes every box as a grid-range GROUP BY, so a green row
+    // proves the SAT arithmetic end to end.
+    "img_integral_box" -> ((s, dir) => {
+      ops.ImageOps.integralBoxSums(gateTiles(s, "png"), nBoxes = 16)
+        .orderBy("image_id", "box_id")
     }),
     // Dual-resolution conversion (reference getResolutionAndSize.ts: 1″↔3″):
     // 3:1 decimation resample re-encoded as HGT rows, then re-decoded for
@@ -3127,6 +3185,15 @@ object SparkEntry {
     // join; idf quantized to integers so ranking is engine-exact (no ln).
     "text_tfidf" -> ((s, dir) => {
       ops.Curation.tfidfTopTerms(t(s, dir, "documents"), 3)
+        .orderBy("doc_id", "rk")
+    }),
+    // Quantized BM25 top terms (ops.Curation.bm25TopTerms): the Okapi
+    // length-normalized retrieval scorer with idf AND the doc-length ratio
+    // quantized to integers (k1=1.2, b=0.75 folded into the 44000/20000/
+    // 6000/18 constants), so the whole ranking is exact 64-bit arithmetic
+    // both engines replay bit-identically.
+    "text_bm25q" -> ((s, dir) => {
+      ops.Curation.bm25TopTerms(t(s, dir, "documents"), 3)
         .orderBy("doc_id", "rk")
     }),
     "token_count" -> ((s, dir) => {
@@ -5523,6 +5590,32 @@ object SparkEntry {
        FROM ($parts) ORDER BY image_id, depth"""
   }
 
+  /** Integral-box oracle: each of the 16 closed-form boxes replayed as a
+    * grid-range GROUP BY over the synthetic field — the naive O(side²)
+    * sum the engine's summed-area table answers in O(1).
+    */
+  private val integralBoxOracleSql: String = {
+    val v = gridV("c.range", "r.range")
+    val boxes = (0 until 16).map { i =>
+      val (r0, c0, side) = ops.ImageOps.boxSpec(i, 600)
+      s"($i,$r0,$c0,$side)"
+    }.mkString(",")
+    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+       k AS (SELECT swlng, swlat,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
+       boxes(box_id, r0, c0, side) AS (VALUES $boxes),
+       cell AS (SELECT swlng, swlat, box_id, r0, c0, side, $v AS v
+         FROM k, boxes, range(0,600) r, range(0,600) c
+         WHERE r.range >= r0 AND r.range < r0 + side
+           AND c.range >= c0 AND c.range < c0 + side)
+       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+         CAST(box_id AS INT) AS box_id, CAST(r0 AS INT) AS r0,
+         CAST(c0 AS INT) AS c0, CAST(side AS INT) AS side,
+         CAST(sum(v) AS BIGINT) AS box_sum
+       FROM cell GROUP BY 1, 2, 3, 4, 5 ORDER BY image_id, box_id"""
+  }
+
   /** Orientation-census oracle: central differences from the closed form,
     * the identical half-open octant CASE ladder (pure integer sign /
     * magnitude comparisons), energy as exact Σ(gx²+gy²).
@@ -5837,6 +5930,27 @@ object SparkEntry {
     "graph_hits" -> hitsOracleSql,
     "graph_labelprop" -> labelpropOracleSql,
     "graph_twohop" -> twoHopOracleSql,
+    // BOM explosion as a TRUE recursive CTE with the same depth-3 guard;
+    // UNION ALL recursion keeps every path, matching the engine's
+    // path-multiplicity (extended-quantity) semantics
+    "q_bom_explode" ->
+      """WITH RECURSIVE e AS (
+           SELECT DISTINCT LEAST(l_partkey % 300, l_suppkey % 300) AS parent,
+             GREATEST(l_partkey % 300, l_suppkey % 300) AS child
+           FROM lineitem WHERE l_orderkey % 19 = 0
+             AND l_partkey % 300 <> l_suppkey % 300),
+         eq AS (SELECT parent, child,
+             1 + (parent * 31 + child * 17) % 4 AS qty FROM e),
+         paths AS (
+           SELECT parent AS root, child AS node, qty AS q, 1 AS depth FROM eq
+           UNION ALL
+           SELECT p.root, eq.child AS node, p.q * eq.qty AS q, p.depth + 1
+           FROM paths p JOIN eq ON eq.parent = p.node WHERE p.depth < 3)
+         SELECT CAST(root AS BIGINT) AS root,
+           CAST(count(DISTINCT node) AS BIGINT) AS n_reach,
+           CAST(sum(q) AS BIGINT) AS ext_qty,
+           CAST(max(depth) AS BIGINT) AS max_depth
+         FROM paths GROUP BY root ORDER BY root""",
     // same canonical-undirected graph recipe as kcore; degrees over the
     // doubled edge set, moments in exact BIGINTs
     "graph_degree_mix" ->
@@ -5967,6 +6081,7 @@ object SparkEntry {
     "img_orient_hist" -> orientOracleSql,
     "img_bit_planes" -> bitPlanesOracleSql,
     "img_roughness" -> roughnessOracleSql,
+    "img_integral_box" -> integralBoxOracleSql,
     // Page's CUSUM recurrence replayed as a recursive CTE: one recursion
     // level per per-user event index, exact integer state throughout
     "events_cusum" ->
@@ -6602,6 +6717,24 @@ object SparkEntry {
     "geo_cell_density" ->
       s"""SELECT cell, count(*) AS n FROM (${hexOracleSql(quadrantPtsCte, 7)})
          GROUP BY cell HAVING count(*) >= 5 ORDER BY n DESC, cell""",
+    // Moran's I in exact rationals: z_i = n·x_i − Σx keeps deviations
+    // integer (the n² cancels in the ratio); ONE IEEE division at the end
+    "geo_morans_i" ->
+      """WITH cells AS (SELECT (c_custkey % 360) // 8 AS cx,
+             ((c_custkey * 7) % 180) // 4 AS cy, count(*) AS x
+           FROM customer GROUP BY 1, 2),
+         tot AS (SELECT count(*) AS n_cells, CAST(sum(x) AS BIGINT) AS sx FROM cells),
+         z AS (SELECT cx, cy, n_cells * x - sx AS z FROM cells, tot),
+         offs(dx, dy) AS (VALUES (1,0),(-1,0),(0,1),(0,-1)),
+         pairs AS (SELECT CAST(sum(a.z * b.z) AS BIGINT) AS num,
+             count(*) AS w_pairs
+           FROM z a JOIN offs o ON true
+           JOIN z b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy),
+         den AS (SELECT CAST(sum(z*z) AS BIGINT) AS den FROM z)
+         SELECT CAST(n_cells AS BIGINT) AS n_cells,
+           CAST(w_pairs AS BIGINT) AS w_pairs, num, den,
+           CAST(n_cells * num AS DOUBLE) / CAST(w_pairs * den AS DOUBLE) AS morans_i
+         FROM tot, den, pairs""",
     "q_antijoin" ->
       """SELECT c_mktsegment, count(*) AS n_customers FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders
@@ -8466,6 +8599,23 @@ object SparkEntry {
            FROM tf JOIN dfq USING (term), nd),
          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS rk FROM sc)
          SELECT doc_id, term, tf, df, idf_q, score, rk
+         FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
+    // quantized BM25: same integer-// pipeline with the doc-length ratio
+    // pre-quantized to thousandths (k1=1.2, b=0.75 folded into constants)
+    "text_bm25q" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         dlq AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         nd AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+             (SELECT CAST(sum(dl) AS BIGINT) FROM dlq) AS sum_len),
+         sc AS (SELECT tf.doc_id, tf.term, tf.tf, dlq.dl,
+             (dlq.dl * nd.n_docs * 1000) // nd.sum_len AS dlr_q,
+             (((nd.n_docs * 1000) // dfq.df) * tf.tf * 44000) //
+               (20000*tf.tf + 6000 + 18*((dlq.dl * nd.n_docs * 1000) // nd.sum_len)) AS score_q
+           FROM tf JOIN dfq USING (term) JOIN dlq USING (doc_id), nd),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, term) AS INTEGER) AS rk FROM sc)
+         SELECT doc_id, term, tf, dl, dlr_q, score_q, rk
          FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
     "token_count" ->
       """SELECT doc_id,

@@ -136,6 +136,58 @@ object Curation {
       .filter(col("rk") <= k)
       .select("doc_id", "term", "tf", "df", "idf_q", "score", "rk")
   }
+
+  /** Quantized BM25 top-k terms per document — the length-normalized
+    * ranking function behind every lexical retrieval stack (and the
+    * query-side scorer of retrieval-based decontamination), with the
+    * Okapi saturation curve made ENGINE-EXACT by quantizing both ratios
+    * to integers instead of trusting `ln`/double division ulps:
+    *
+    *   - `idf_q  = (N · 1000) div df`            (as [[tfidfTopTerms]])
+    *   - `dlr_q  = (dl · N · 1000) div ΣL`       (doc length / avg length,
+    *                                              in thousandths)
+    *   - `score_q = (idf_q · tf · 44000) div
+    *                (20000·tf + 6000 + 18·dlr_q)`
+    *
+    * which is exactly `idf_q · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    * for the standard k1 = 1.2, b = 0.75 with the length ratio pre-rounded
+    * to dlr_q/1000 (multiply numerator and denominator by 20 000/tf-units:
+    * 44 000 = 20 000·2.2, 20 000·k1·(1−b) = 6 000, 20 000·k1·b/1000 = 18).
+    * All operands nonnegative, so Spark `DIV` and DuckDB `//` agree; the
+    * rank (score_q desc, term asc) is total and bit-reproducible.
+    *
+    * Scale shape: identical to [[tfidfTopTerms]] — wordcount tf shuffle,
+    * vocabulary-bounded df agg, term join, per-doc window — plus ONE more
+    * doc-keyed aggregate for dl (computed from the tf table, never a
+    * second corpus scan) and a 2-value broadcast (N, ΣL). Integer
+    * headroom: idf_q ≤ N·1000, so the score numerator stays < 2⁶³ up to
+    * N ≈ 10⁹ docs × tf ≤ 50; beyond that drop idf_q to centi-units.
+    *
+    * @return (doc_id, term, tf, dl, dlr_q, score_q, rk), rk ≤ k
+    */
+  def bm25TopTerms(docs: DataFrame, k: Int): DataFrame = {
+    // same CSE trap as tfidfTopTerms: tf feeds score, df AND dl
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val tot = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(sum("dl").as("sum_len")))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_q").desc, col("term"))
+    tf.join(df, "term").join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .withColumn("idf_q", expr("(n_docs * 1000) div df"))
+      .withColumn("dlr_q", expr("(dl * n_docs * 1000) div sum_len"))
+      .withColumn("score_q",
+        expr("(idf_q * tf * 44000) div (20000*tf + 6000 + 18*dlr_q)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("doc_id", "term", "tf", "dl", "dlr_q", "score_q", "rk")
+  }
   /** Deterministic stratified sampling — "keep r‰ of each stratum" — the
     * reproducible down-sampling primitive of corpus mixing (per-source /
     * per-language rates chosen from a mixing recipe).

@@ -372,6 +372,60 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class BoxRow(image_id: String, box_id: Int, r0: Int, c0: Int,
+                          side: Int, box_sum: Long)
+
+  /** Deterministic query-box layout for [[integralBoxSums]]: closed-form
+    * in the box index and the usable square extent, shared verbatim by
+    * the engine and the oracle generator (side ≤ 163, anchors wrap inside
+    * `ext − side`, so every box fits any tile with ext ≥ 192).
+    */
+  def boxSpec(i: Int, ext: Int): (Int, Int, Int) = {
+    val side = 64 + (i * 37) % 100
+    ((i * 97) % (ext - side), (i * 139 + 53) % (ext - side), side)
+  }
+
+  /** Summed-area-table box sums: ONE O(n) integral-image pass per tile,
+    * then each of `nBoxes` deterministic query boxes answered in O(1) via
+    * the 4-corner identity — the Viola–Jones / box-filter primitive that
+    * turns arbitrary-size rectangle sums into constant-time lookups (vs
+    * O(side²) per box naively; the pyramid ops above pay per-pixel per
+    * level). Box anchors/sides are closed-form in the box index, so the
+    * oracle replays every box as a grid-range GROUP BY while the engine
+    * proves the SAT identity. Exact integer throughout (600² int16 sums
+    * < 2³¹ ≪ Long), decode-once, ZERO shuffle, fixed nBoxes rows/image.
+    */
+  def integralBoxSums(tiles: Dataset[TileRow], nBoxes: Int): DataFrame = {
+    require(nBoxes >= 1 && nBoxes <= 64, s"nBoxes in 1..64: $nBoxes")
+    implicit val enc = Encoders.product[BoxRow]
+    tiles.mapPartitions { it =>
+      it.flatMap { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val ext = 600 min size
+        val w = ext + 1
+        val sat = new Array[Long](w * w)
+        var r = 0
+        while (r < ext) {
+          var rowSum = 0L
+          var c = 0
+          while (c < ext) {
+            rowSum += d.samples(r * size + c)
+            sat((r + 1) * w + c + 1) = sat(r * w + c + 1) + rowSum
+            c += 1
+          }
+          r += 1
+        }
+        (0 until nBoxes).iterator.map { i =>
+          val (r0, c0, side) = boxSpec(i, ext)
+          val s = sat((r0 + side) * w + c0 + side) - sat(r0 * w + c0 + side) -
+            sat((r0 + side) * w + c0) + sat(r0 * w + c0)
+          BoxRow(tl.image_id, i, r0, c0, side, s)
+        }
+      }
+    }.toDF()
+  }
+
   final case class PlaneRow(image_id: String, plane: Int, n_set: Long)
 
   /** Bit-plane population census: per bit position, how many samples have

@@ -2278,4 +2278,45 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(String, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(got == Map("ab" -> ((3L, 1)), "aa" -> ((2L, 2))))
   }
+
+  test("integralBoxSums: SAT box sums equal brute force on a random tile") {
+    val size = 200
+    val rnd = new scala.util.Random(7)
+    val g = Array.fill(size * size)(rnd.nextInt(4000).toShort)
+    val tile = graft.core.TileRow("N36W119", graft.raster.Hgt.encode(g, size),
+      size, size, "hgt", "{}", 0L)
+    val ds = spark.createDataset(Seq(tile))(
+      org.apache.spark.sql.Encoders.product[graft.core.TileRow])
+    val got = graft.ops.ImageOps.integralBoxSums(ds, 16).collect()
+      .map(r => r.getInt(1) -> ((r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getLong(5)))).toMap
+    assert(got.size == 16)
+    for (i <- 0 until 16) {
+      val (r0, c0, side) = graft.ops.ImageOps.boxSpec(i, size)
+      var s = 0L
+      for (r <- r0 until r0 + side; c <- c0 until c0 + side)
+        s += g(r * size + c)
+      assert(got(i) == ((r0, c0, side, s)), s"box $i")
+    }
+  }
+
+  test("bomRollup: diamond multiplicity, depth cap, per-root exactness") {
+    import spark.implicits._
+    // diamond 1→{2,3}→4→5: two distinct paths 1⇝4 both count in ext_qty
+    val edges = Seq((1L, 2L, 2L), (1L, 3L, 3L), (2L, 4L, 4L),
+      (3L, 4L, 5L), (4L, 5L, 6L)).toDF("parent", "child", "qty")
+    val d3 = graft.ops.Graph.bomRollup(edges, maxDepth = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(d3 == Map(
+      1L -> ((4L, 2L + 3 + 8 + 15 + 48 + 90, 3L)),
+      2L -> ((2L, 4L + 24, 2L)),
+      3L -> ((2L, 5L + 30, 2L)),
+      4L -> ((1L, 6L, 1L))))
+    // depth cap 2: node 5 no longer reachable from 1
+    val d2 = graft.ops.Graph.bomRollup(edges, maxDepth = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(d2(1L) == ((3L, 2L + 3 + 8 + 15, 2L)))
+  }
 }
