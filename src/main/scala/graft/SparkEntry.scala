@@ -998,6 +998,77 @@ object SparkEntry {
             (col("w_pairs") * col("den")).cast("double"))
         .select("n_cells", "w_pairs", "num", "den", "morans_i")
     }),
+    // Getis–Ord Gi* hotspot flags — the LOCAL companion to geo_morans_i's
+    // global statistic: per occupied cell, is the rook-neighborhood sum
+    // (self included) significantly above the mean? The z² ≥ 1.96² test
+    // is EXACT integer cross-multiplication (precedent events_ab_test):
+    // with T=Σx, Q=Σx², L_i the local sum, W_i the neighborhood size,
+    // z² = (nL_i−TW_i)²(n−1) / [(nQ−T²)·W_i(n−W_i)] and 1.96² = 2401/625,
+    // so hot ⟺ num>0 ∧ 625·num²·(n−1) ≥ 2401·(nQ−T²)·W_i·(n−W_i). One
+    // 5-offset cell equi-join + one 3-value broadcast — per-cell state,
+    // the hotspot-detection plan a planetary grid wants.
+    "geo_getis_hot" -> ((s, dir) => {
+      val cellsDf = t(s, dir, "customer")
+        .selectExpr("(c_custkey % 360) DIV 8 AS cx",
+          "((c_custkey * 7) % 180) DIV 4 AS cy")
+        .groupBy("cx", "cy").agg(count(lit(1)).as("x"))
+        .localCheckpoint(false)
+      val tot = cellsDf.agg(count(lit(1)).as("n"), sum("x").as("tx"),
+        sum(col("x") * col("x")).as("qx"))
+      val shifted = Seq((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1))
+        .map { case (dx, dy) =>
+          cellsDf.select((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy"),
+            col("x").as("xn"))
+        }.reduce(_ unionAll _)
+      cellsDf.join(shifted, Seq("cx", "cy"))
+        .groupBy("cx", "cy")
+        .agg(max("x").as("x"), sum("xn").as("li"), count(lit(1)).as("wi"))
+        .crossJoin(broadcast(tot))
+        .withColumn("num", col("n") * col("li") - col("tx") * col("wi"))
+        .withColumn("hot", when(col("num") > 0 &&
+            lit(625L) * col("num") * col("num") * (col("n") - 1) >=
+            lit(2401L) * (col("n") * col("qx") - col("tx") * col("tx")) *
+              col("wi") * (col("n") - col("wi")), 1L).otherwise(0L))
+        .select("cx", "cy", "x", "li", "wi", "num", "hot")
+        .orderBy("cx", "cy")
+    }),
+    // Vector→raster burn (rasterize): pixel centers on an EXACT 1/64°
+    // lattice (px = −120 + (2·gi+1)/128 — power-of-two divisions, zero
+    // rounding, both engines bit-identical) PIP-joined to the triangle
+    // family via the existing hex-cover join; per-pixel covering-polygon
+    // count. The rasterization primitive of map rendering / zonal
+    // preprocessing — candidates come from the cell join, never
+    // pixels × polygons.
+    "geo_rasterize" -> ((s, dir) => {
+      val centers = s.range(264L * 136L)
+        .selectExpr("id AS point_id",
+          "-120 + (2 * (id DIV 136) + 1) / 128.0D AS lng",
+          "36 + (2 * (id % 136) + 1) / 128.0D AS lat")
+      ops.SpatialJoin.pointInPolygon(centers, trianglePolys(s, dir), Some(11))
+        .groupBy(expr("point_id DIV 136").as("gi"),
+          expr("point_id % 136").as("gj"))
+        .agg(count(lit(1)).as("n_polys"))
+        .orderBy("gi", "gj")
+    }),
+    // Terrain cost-distance (least-cost reachability): the hydrology
+    // family's closed-form 100×100 elevation field turned into an
+    // 8-connected weighted graph (move cost 1 + max(0, uphill rise)) and
+    // relaxed 6 Bellman–Ford rounds from the center cell via Graph.sssp —
+    // the cost-surface / isochrone primitive of terrain routing. Exact
+    // min-plus integer arithmetic; the oracle unrolls the same 6 rounds.
+    "geo_cost_distance" -> ((s, dir) => {
+      val edges = s.range(100L * 100L)
+        .selectExpr("id AS src", "id DIV 100 AS i", "id % 100 AS j")
+        .withColumn("k", explode(sequence(lit(0), lit(7))))
+        .selectExpr("src", "i", "j",
+          "i + element_at(array(1,1,0,-1,-1,-1,0,1), k+1) AS ni",
+          "j + element_at(array(0,1,1,1,0,-1,-1,-1), k+1) AS nj")
+        .filter("ni BETWEEN 0 AND 99 AND nj BETWEEN 0 AND 99")
+        .selectExpr("src", "ni*100 + nj AS dst",
+          """1 + greatest(0, ((ni*ni)%97 + (nj*nj)%89 + (ni*nj)%31) -
+             ((i*i)%97 + (j*j)%89 + (i*j)%31)) AS w""")
+      ops.Graph.sssp(edges, source = 5050L, rounds = 6).orderBy("node")
+    }),
     // kRing smoothing (cells.hex_disk — the h3 gridDisk API): per-cell
     // counts spread to every cell within grid distance 2 via a PLAN-TIME
     // literal-offset array (pack is linear in (q,r): one 64-bit add per
@@ -2625,6 +2696,21 @@ object SparkEntry {
     "media_window_rms" -> ((s, dir) => {
       ops.MediaOps.windowSquares(ops.MediaOps.synth(mediaMeta(s, dir)), winLen = 512)
         .orderBy("media_id", "win_no")
+    }),
+    // VAD segment merging (ops.MediaOps.activeSegments): per-window
+    // activity decisions (closed-form gate: (m·131 + w·37) % 97 < 40)
+    // coalesced into utterance spans with a 1-window hangover — silence
+    // filtered BEFORE the shuffle, one media-keyed window + groupBy. The
+    // window ordinals come from the same synthetic byte stream as
+    // media_window_rms (n_bytes/64 windows per medium).
+    "media_active_segments" -> ((s, dir) => {
+      val wins = mediaMeta(s, dir)
+        .select(col("media_id"), explode(sequence(lit(0L),
+          expr("CAST(n_bytes DIV 64 AS BIGINT) - 1"))).as("win_no"))
+        .withColumn("active",
+          expr("CASE WHEN (media_id*131 + win_no*37) % 97 < 40 THEN 1 ELSE 0 END"))
+      ops.MediaOps.activeSegments(wins, gap = 1)
+        .orderBy("media_id", "seg_no")
     }),
     // Shot-boundary detection (ops.MediaOps.sceneCuts): luminance-jump
     // cuts over the sampled frame stream — decode-side features into one
@@ -5590,6 +5676,33 @@ object SparkEntry {
        FROM ($parts) ORDER BY image_id, depth"""
   }
 
+  /** Cost-distance oracle: the same 8-connected uphill-cost edges from
+    * the closed-form field, the same 6 Bellman–Ford relaxations unrolled
+    * as per-round min-aggregated CTEs (exact min-plus integers).
+    */
+  private val costDistanceOracleSql: String = {
+    val rounds = (1 to 6).map { r =>
+      s"""d$r AS (SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM d${r - 1}
+            UNION ALL
+            SELECT e.dst AS node, p.dist + e.w AS dist
+            FROM d${r - 1} p JOIN e ON e.src = p.node) GROUP BY node)"""
+    }.mkString(",\n         ")
+    s"""WITH g AS (SELECT range AS id, range // 100 AS i, range % 100 AS j
+           FROM range(0, 10000)),
+       nb(di, dj) AS (VALUES (1,0),(1,1),(0,1),(-1,1),(-1,0),(-1,-1),(0,-1),(1,-1)),
+       e AS (SELECT i*100 + j AS src, (i+di)*100 + (j+dj) AS dst,
+           1 + GREATEST(0,
+             (((i+di)*(i+di))%97 + ((j+dj)*(j+dj))%89 + ((i+di)*(j+dj))%31)
+             - ((i*i)%97 + (j*j)%89 + (i*j)%31)) AS w
+         FROM g, nb
+         WHERE i+di BETWEEN 0 AND 99 AND j+dj BETWEEN 0 AND 99),
+       d0(node, dist) AS (SELECT 5050, 0),
+       $rounds
+       SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
+       FROM d6 ORDER BY node"""
+  }
+
   /** Integral-box oracle: each of the 16 closed-form boxes replayed as a
     * grid-range GROUP BY over the synthetic field — the naive O(side²)
     * sum the engine's summed-area table answers in O(1).
@@ -6735,6 +6848,52 @@ object SparkEntry {
            CAST(w_pairs AS BIGINT) AS w_pairs, num, den,
            CAST(n_cells * num AS DOUBLE) / CAST(w_pairs * den AS DOUBLE) AS morans_i
          FROM tot, den, pairs""",
+    // Gi* hotspots: same occupied-cell grid, 5-offset (self + rook)
+    // neighborhood join, exact integer z² cross-multiplication
+    "geo_getis_hot" ->
+      """WITH cells AS (SELECT (c_custkey % 360) // 8 AS cx,
+             ((c_custkey * 7) % 180) // 4 AS cy, count(*) AS x
+           FROM customer GROUP BY 1, 2),
+         tot AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS tx,
+             CAST(sum(x*x) AS BIGINT) AS qx FROM cells),
+         offs(dx, dy) AS (VALUES (0,0),(1,0),(-1,0),(0,1),(0,-1)),
+         loc AS (SELECT a.cx, a.cy, max(a.x) AS x,
+             CAST(sum(b.x) AS BIGINT) AS li, count(*) AS wi
+           FROM cells a JOIN offs o ON true
+           JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+           GROUP BY a.cx, a.cy)
+         SELECT CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy,
+           CAST(x AS BIGINT) AS x, li, CAST(wi AS BIGINT) AS wi,
+           CAST(n*li - tx*wi AS BIGINT) AS num,
+           CAST(CASE WHEN n*li - tx*wi > 0
+             AND 625*(n*li - tx*wi)*(n*li - tx*wi)*(n-1) >=
+                 2401*(n*qx - tx*tx)*wi*(n-wi)
+             THEN 1 ELSE 0 END AS BIGINT) AS hot
+         FROM loc, tot ORDER BY cx, cy""",
+    // rasterize: the zonal triangle family against exact 1/64° pixel
+    // centers, even-odd PIP per center, per-pixel covering count
+    "geo_rasterize" ->
+      """WITH g AS (SELECT range AS id, range // 136 AS gi, range % 136 AS gj
+           FROM range(0, 35904)),
+         ctr AS (SELECT gi, gj,
+             -120 + (2*gi + 1) / 128.0 AS px, 36 + (2*gj + 1) / 128.0 AS py
+           FROM g),
+         tri AS (SELECT s_suppkey AS poly_id,
+           -120.0 + (s_suppkey % 40) * 0.1 AS cx, 36.0 + ((s_suppkey * 3) % 20) * 0.1 AS cy,
+           0.05 + (s_suppkey % 7) * 0.013 AS w, 0.04 + (s_suppkey % 5) * 0.017 AS h
+           FROM supplier),
+         tv AS (SELECT poly_id, cx AS x1, cy + h AS y1, cx - w AS x2, cy - h AS y2,
+           cx + w AS x3, cy - h AS y3 FROM tri),
+         inside AS (SELECT gi, gj, poly_id FROM (
+             SELECT c.gi, c.gj, c.px, c.py, tv.* FROM ctr c JOIN tv
+             ON c.px >= tv.x2 AND c.px <= tv.x3 AND c.py >= tv.y2 AND c.py <= tv.y1)
+           WHERE ((CASE WHEN (y1 > py) <> (y3 > py) AND px < (x3 - x1) * (py - y1) / (y3 - y1) + x1 THEN 1 ELSE 0 END)
+                + (CASE WHEN (y2 > py) <> (y1 > py) AND px < (x1 - x2) * (py - y2) / (y1 - y2) + x2 THEN 1 ELSE 0 END)
+                + (CASE WHEN (y3 > py) <> (y2 > py) AND px < (x2 - x3) * (py - y3) / (y2 - y3) + x3 THEN 1 ELSE 0 END)) % 2 = 1)
+         SELECT CAST(gi AS BIGINT) AS gi, CAST(gj AS BIGINT) AS gj,
+           count(*) AS n_polys
+         FROM inside GROUP BY 1, 2 ORDER BY 1, 2""",
+    "geo_cost_distance" -> costDistanceOracleSql,
     "q_antijoin" ->
       """SELECT c_mktsegment, count(*) AS n_customers FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders
@@ -7018,6 +7177,29 @@ object SparkEntry {
              i -> (((media_id*31 + (win_no*512+i)*7) % 256) - 128)
                 * (((media_id*31 + (win_no*512+i)*7) % 256) - 128))) AS BIGINT) AS sq_sum
          FROM w ORDER BY media_id, win_no""",
+    // VAD segments: same closed-form activity gate, lag-break + running
+    // sum islands, per-(media, segment) span rollup
+    "media_active_segments" ->
+      """WITH m AS (SELECT s_suppkey AS media_id,
+           4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),
+         w AS (SELECT media_id, unnest(range(0, n_bytes // 64)) AS win_no FROM m),
+         act AS (SELECT media_id, win_no FROM w
+           WHERE (media_id*131 + win_no*37) % 97 < 40),
+         brk AS (SELECT media_id, win_no,
+             CASE WHEN lag(win_no) OVER mw IS NULL THEN 1
+                  WHEN win_no - lag(win_no) OVER mw > 2 THEN 1
+                  ELSE 0 END AS b
+           FROM act WINDOW mw AS (PARTITION BY media_id ORDER BY win_no)),
+         seg AS (SELECT media_id, win_no,
+             sum(b) OVER (PARTITION BY media_id ORDER BY win_no
+               ROWS UNBOUNDED PRECEDING) AS seg_no
+           FROM brk)
+         SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(seg_no AS BIGINT) AS seg_no,
+           CAST(min(win_no) AS BIGINT) AS start_win,
+           CAST(max(win_no) AS BIGINT) AS end_win,
+           count(*) AS n_active
+         FROM seg GROUP BY 1, 2 ORDER BY media_id, seg_no""",
     "dedup_minhash_recall" -> minhashRecallOracleSql,
     "dedup_simhash" -> simhashOracleSql,
     "dedup_jaccard" ->

@@ -136,4 +136,40 @@ object MediaOps {
       }
     }.toDF()
   }
+
+  /** Voice-activity-style segment merging: active windows whose indices
+    * are within `gap` inactive windows of each other coalesce into ONE
+    * segment — the VAD / silence-splitting primitive that turns a
+    * per-window activity decision into utterance spans (and the
+    * index-domain cousin of the time-gap sessionization in the events
+    * family: here the key is the window ORDINAL, so the hangover rule is
+    * exact integer arithmetic, no timestamps involved).
+    *
+    * Plan shape: inactive windows are FILTERED before any shuffle (the
+    * dominant reduction — silence is most of real audio), then one
+    * media-keyed window (lag + running sum of break flags) and one
+    * (media, segment) groupBy. State per key is bounded by that medium's
+    * window count; nothing global, no binary payloads move.
+    *
+    * @param windows (media_id, win_no, active) — active ∈ {0, 1}
+    * @param gap     max inactive windows bridged inside one segment
+    * @return (media_id, seg_no, start_win, end_win, n_active) — seg_no is
+    *         1-based in start order per medium
+    */
+  def activeSegments(windows: DataFrame, gap: Int): DataFrame = {
+    require(gap >= 0, s"gap must be >= 0: $gap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("win_no")
+    windows.filter(col("active") === 1)
+      .withColumn("brk",
+        when(lag(col("win_no"), 1).over(w).isNull, 1L)
+          .when(col("win_no") - lag(col("win_no"), 1).over(w) > gap + 1, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("seg_no", sum(col("brk")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy("media_id", "seg_no")
+      .agg(min("win_no").as("start_win"), max("win_no").as("end_win"),
+        count(lit(1)).as("n_active"))
+  }
 }

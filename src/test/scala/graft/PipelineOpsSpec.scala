@@ -2300,6 +2300,19 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("activeSegments: hangover bridges 1-gaps, splits larger, per-media") {
+    import spark.implicits._
+    // media 1: actives 0,1,2,4 (the 1-hole at 3 is bridged by gap=1),
+    // then 8 after a 3-hole (split); media 2: one isolated active
+    val wins = Seq((1L, 0L, 1), (1L, 1L, 1), (1L, 2L, 1), (1L, 3L, 0),
+      (1L, 4L, 1), (1L, 5L, 0), (1L, 6L, 0), (1L, 7L, 0), (1L, 8L, 1),
+      (2L, 5L, 1), (2L, 6L, 0)).toDF("media_id", "win_no", "active")
+    val got = graft.ops.MediaOps.activeSegments(wins, gap = 1)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 0L, 4L, 4L), (1L, 2L, 8L, 8L, 1L),
+      (2L, 1L, 5L, 5L, 1L)))
+  }
+
   test("bomRollup: diamond multiplicity, depth cap, per-root exactness") {
     import spark.implicits._
     // diamond 1→{2,3}→4→5: two distinct paths 1⇝4 both count in ext_qty
