@@ -1378,6 +1378,39 @@ object SparkEntry {
       ops.SpatialJoin.withinDistance(probes, targets, radius = 0.05)
         .orderBy("probe_id", "target_id")
     }),
+    // Ripley's K point-pattern statistic: ordered close pairs of ONE
+    // point set counted at 4 nested radii — the clustered-vs-random
+    // diagnostic of spatial statistics (K above πr² ⇒ clustering). The
+    // pair set comes from the hex-pruned within-distance join at r_max
+    // (never all-pairs); the 4-radius classification is a 4-literal-row
+    // broadcast nested loop over already-bounded pairs. k_est = A·n/n²
+    // is ONE IEEE division over exact integers (A = 8 deg², the point
+    // quadrant's area).
+    "geo_ripley_k" -> ((s, dir) => {
+      import s.implicits._
+      val pts = t(s, dir, "customer").filter(col("c_custkey") % 20 === 0)
+        .selectExpr("c_custkey AS point_id",
+          "-120.0D + (c_custkey % 4) + ((c_custkey % 577) + 0.5D)/577.0D AS lng",
+          "36.0D + (c_custkey % 2) + (((c_custkey*13) % 577) + 0.5D)/577.0D AS lat")
+        .localCheckpoint(false)
+      val pairs = ops.SpatialJoin.withinDistance(
+          pts.withColumnRenamed("point_id", "probe_id"),
+          pts.withColumnRenamed("point_id", "target_id"), radius = 0.2)
+        .filter(col("probe_id") =!= col("target_id"))
+      val radii = Seq((1L, 0.05), (2L, 0.10), (3L, 0.15), (4L, 0.20))
+        .toDF("r_idx", "r")
+      val n = pts.agg(count(lit(1)).as("n"))
+      radii.join(pairs,
+          expr("dist2 <= CAST(r AS DOUBLE) * CAST(r AS DOUBLE)"), "left")
+        .groupBy("r_idx", "r")
+        .agg(count(col("probe_id")).as("n_pairs"))
+        .crossJoin(broadcast(n))
+        .withColumn("k_est",
+          (col("n_pairs").cast("double") * lit(8.0)) /
+            (col("n") * col("n")).cast("double"))
+        .select("r_idx", "r", "n_pairs", "n", "k_est")
+        .orderBy("r_idx")
+    }),
     // Map algebra: Lambertian hillshade (sun az 315°, alt 45°) from the same
     // central-difference gradient as geo_slope; all light-vector constants
     // are exact double literals so the oracle reproduces the value exactly.
@@ -2025,6 +2058,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           round(sum(col("o_totalprice")), 2).as("sum_price"))
         .orderBy("grp")
+    }),
+    // MERGE-ON-READ DELETE (table.Checkpoint.deleteWhere/readMor — Iceberg
+    // v2 equality deletes / Delta deletion vectors): r1 snapshots orders,
+    // d1 tombstones the keys with o_orderkey % 7 = 3, d2 additionally
+    // tombstones o_custkey % 10 = 0 — each delete writes ONLY the matching
+    // key set as a bucketed run under deletes/ (work ∝ deleted keys, never
+    // the table, no bucket rewrite); readMor applies committed tombstones
+    // as one key anti-join. Snapshots after d1 and after d1+d2 pin both
+    // the MOR semantics and delete-run composability.
+    "checkpoint_mor_delete" -> ((s, dir) => {
+      val out =
+        s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_mor_${dir.hashCode}"
+      table.Checkpoint.clear(out)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      table.Checkpoint.writeVersioned(orders, col("o_orderkey") % 12, 12,
+        out, "r1")
+      table.Checkpoint.deleteWhere(s, out, Seq("r1"),
+        col("o_orderkey") % 7 === 3, Seq("o_orderkey"),
+        col("o_orderkey") % 12, 12, "d1")
+      table.Checkpoint.deleteWhere(s, out, Seq("r1"),
+        col("o_custkey") % 10 === 0, Seq("o_orderkey"),
+        col("o_orderkey") % 12, 12, "d2")
+      def snap(dels: Seq[String], tag: String) =
+        table.Checkpoint.readMor(s, out, Seq("r1"), dels, Seq("o_orderkey"))
+          .groupBy((col("o_custkey") % 16).as("grp"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .withColumn("snap", lit(tag))
+      snap(Seq("d1"), "d1").unionAll(snap(Seq("d1", "d2"), "d12"))
+        .orderBy("snap", "grp")
     }),
     // AS OF TIMESTAMP read (table.Checkpoint.readAsOf — Iceberg's
     // FOR TIMESTAMP AS OF): the lineage is derived from the commit log's
@@ -2905,6 +2969,16 @@ object SparkEntry {
       ops.ImageOps.integralBoxSums(gateTiles(s, "png"), nBoxes = 16)
         .orderBy("image_id", "box_id")
     }),
+    // Adaptive quadtree leaves (ops.ImageOps.quadtreeLeaves): the actual
+    // split decisions at thr=770 — the synthetic field's depth-2 block
+    // ranges straddle the threshold (745..776), so the tree genuinely
+    // mixes depth-2 leaves with depth-3 refinements. Oracle walks the
+    // ancestor chain over per-depth block ranges.
+    "img_quadtree" -> ((s, dir) => {
+      ops.ImageOps.quadtreeLeaves(gateTiles(s, "png"), thr = 770L,
+          maxDepth = 3)
+        .orderBy("image_id", "depth", "br", "bc")
+    }),
     // Dual-resolution conversion (reference getResolutionAndSize.ts: 1″↔3″):
     // 3:1 decimation resample re-encoded as HGT rows, then re-decoded for
     // stats — encode∘decode round-trips through the new payload, and the
@@ -3280,6 +3354,16 @@ object SparkEntry {
     // both engines replay bit-identically.
     "text_bm25q" -> ((s, dir) => {
       ops.Curation.bm25TopTerms(t(s, dir, "documents"), 3)
+        .orderBy("doc_id", "rk")
+    }),
+    // RAKE keyphrase extraction (ops.Curation.rakeKeywords): stopword-free
+    // runs as candidate phrases, quantized deg/freq word scores summed per
+    // phrase, per-doc top-3 — the zero-training keyphrase primitive. The
+    // 4-word stopword list splits the synthetic corpus into real
+    // multi-word phrases.
+    "text_rake" -> ((s, dir) => {
+      ops.Curation.rakeKeywords(t(s, dir, "documents"),
+          Seq("a", "the", "value", "table"), 3)
         .orderBy("doc_id", "rk")
     }),
     "token_count" -> ((s, dir) => {
@@ -5676,6 +5760,40 @@ object SparkEntry {
        FROM ($parts) ORDER BY image_id, depth"""
   }
 
+  /** Quadtree-leaf oracle: every depth's block ranges from the closed-form
+    * field (same grid GROUP BY as the roughness oracle), then the leaf
+    * predicate replayed declaratively — a block is a leaf iff its own range
+    * stops the split (rng ≤ thr, or the depth cap) AND every strict
+    * ancestor split (rng > thr), the ancestor found by integer-dividing the
+    * block coordinates.
+    */
+  private val quadtreeOracleSql: String = {
+    val v = gridV("c.range", "r.range")
+    val parts = (0 to 3).map { dep =>
+      val bs = 600 >> dep
+      s"""SELECT swlng, swlat, $dep AS depth, (r.range // $bs) AS br,
+            (c.range // $bs) AS bc, max($v) - min($v) AS rng
+          FROM k, range(0,600) r, range(0,600) c
+          GROUP BY 1, 2, 3, 4, 5"""
+    }.mkString("\n         UNION ALL ")
+    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+       k AS (SELECT swlng, swlat,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
+       blk AS ($parts)
+       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+         CAST(depth AS INT) AS depth, CAST(br AS INT) AS br,
+         CAST(bc AS INT) AS bc, CAST(rng AS BIGINT) AS rng
+       FROM blk b
+       WHERE (b.rng <= 770 OR b.depth = 3)
+         AND NOT EXISTS (SELECT 1 FROM blk anc
+           WHERE anc.swlng = b.swlng AND anc.swlat = b.swlat
+             AND anc.depth < b.depth AND anc.rng <= 770
+             AND anc.br = b.br // (1 << (b.depth - anc.depth))
+             AND anc.bc = b.bc // (1 << (b.depth - anc.depth)))
+       ORDER BY image_id, depth, br, bc"""
+  }
+
   /** Cost-distance oracle: the same 8-connected uphill-cost edges from
     * the closed-form field, the same 6 Bellman–Ford relaxations unrolled
     * as per-round min-aggregated CTEs (exact min-plus integers).
@@ -6195,6 +6313,7 @@ object SparkEntry {
     "img_bit_planes" -> bitPlanesOracleSql,
     "img_roughness" -> roughnessOracleSql,
     "img_integral_box" -> integralBoxOracleSql,
+    "img_quadtree" -> quadtreeOracleSql,
     // Page's CUSUM recurrence replayed as a recursive CTE: one recursion
     // level per per-user event index, exact integer state throughout
     "events_cusum" ->
@@ -8317,6 +8436,20 @@ object SparkEntry {
          SELECT o_custkey % 16 AS grp, count(*) AS n,
            round(sum(p), 2) AS sum_price
          FROM m GROUP BY 1 ORDER BY grp""",
+    // MOR delete: d1 removes o_orderkey%7=3; d1+d2 additionally removes
+    // o_custkey%10=0 — the base never rewrites, so both snapshots are the
+    // base table minus the tombstoned predicates
+    "checkpoint_mor_delete" ->
+      """WITH s1 AS (SELECT o_custkey % 16 AS grp, count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price, 'd1' AS snap
+           FROM orders WHERE NOT (o_orderkey % 7 = 3) GROUP BY 1),
+         s2 AS (SELECT o_custkey % 16 AS grp, count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price, 'd12' AS snap
+           FROM orders
+           WHERE NOT (o_orderkey % 7 = 3 OR o_custkey % 10 = 0) GROUP BY 1)
+         SELECT grp, n, sum_price, snap FROM s1
+         UNION ALL SELECT grp, n, sum_price, snap FROM s2
+         ORDER BY snap, grp""",
     // as-of r1's commit frontier = pure r1; as-of +inf = r1+r2 merged
     "checkpoint_as_of_ts" ->
       """WITH s1 AS (SELECT o_custkey % 16 AS grp, count(*) AS n,
@@ -8668,6 +8801,28 @@ object SparkEntry {
          WHERE (tlng - plng) * (tlng - plng) + (tlat - plat) * (tlat - plat)
                <= CAST(0.05 AS DOUBLE) * CAST(0.05 AS DOUBLE)
          ORDER BY probe_id, target_id""",
+    // Ripley's K: brute-force ordered close pairs of the same point set at
+    // r_max, classified at 4 nested radii; k_est = pairs·A/n² with A = 8
+    "geo_ripley_k" ->
+      """WITH pts AS (SELECT c_custkey AS point_id,
+           -120.0 + (c_custkey % 4) + ((c_custkey % 577) + 0.5)/577.0 AS lng,
+           36.0 + (c_custkey % 2) + (((c_custkey*13) % 577) + 0.5)/577.0 AS lat
+           FROM customer WHERE c_custkey % 20 = 0),
+         nn AS (SELECT count(*) AS n FROM pts),
+         pairs AS (SELECT a.point_id AS pa,
+             (b.lng - a.lng) * (b.lng - a.lng) + (b.lat - a.lat) * (b.lat - a.lat) AS dist2
+           FROM pts a, pts b
+           WHERE a.point_id <> b.point_id
+             AND (b.lng - a.lng) * (b.lng - a.lng) + (b.lat - a.lat) * (b.lat - a.lat)
+                 <= CAST(0.2 AS DOUBLE) * CAST(0.2 AS DOUBLE)),
+         radii(r_idx, r) AS (VALUES (1, CAST(0.05 AS DOUBLE)), (2, CAST(0.10 AS DOUBLE)),
+           (3, CAST(0.15 AS DOUBLE)), (4, CAST(0.20 AS DOUBLE))),
+         cnt AS (SELECT r_idx, r, count(p.pa) AS n_pairs
+           FROM radii LEFT JOIN pairs p ON p.dist2 <= r * r GROUP BY 1, 2)
+         SELECT CAST(r_idx AS BIGINT) AS r_idx, r,
+           CAST(n_pairs AS BIGINT) AS n_pairs, nn.n AS n,
+           CAST(n_pairs AS DOUBLE) * 8.0 / CAST(nn.n * nn.n AS DOUBLE) AS k_est
+         FROM cnt, nn ORDER BY r_idx""",
     "geo_area" ->
       """WITH p AS (SELECT s_suppkey AS poly_id,
            -120.0 + (s_suppkey % 40) * CAST(0.1 AS DOUBLE) AS cx,
@@ -8798,6 +8953,35 @@ object SparkEntry {
            FROM tf JOIN dfq USING (term) JOIN dlq USING (doc_id), nd),
          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, term) AS INTEGER) AS rk FROM sc)
          SELECT doc_id, term, tf, dl, dlr_q, score_q, rk
+         FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
+    // RAKE: stopword-free runs via a running stopword count (= phrase id),
+    // word deg/freq over all phrase instances, quantized score, per-doc top-3
+    "text_rake" ->
+      """WITH toks AS (SELECT doc_id, CAST(g AS INT) AS pos, w[CAST(g AS INT)] AS tok
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+                unnest(range(1, len(w) + 1)) AS t(g)),
+         tk AS (SELECT doc_id, pos, tok,
+             CASE WHEN tok IN ('a','the','value','table') THEN 1 ELSE 0 END AS stop
+           FROM toks WHERE tok <> ''),
+         ph AS (SELECT doc_id, pos, tok, stop,
+             sum(stop) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+           FROM tk),
+         pw AS (SELECT doc_id, pid, pos, tok FROM ph WHERE stop = 0),
+         phr AS (SELECT doc_id, pid, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             count(*) AS n_words FROM pw GROUP BY 1, 2),
+         wstats AS (SELECT tok, (sum(n_words) * 1000) // count(*) AS wscore_q
+           FROM pw JOIN phr USING (doc_id, pid) GROUP BY 1),
+         psc AS (SELECT doc_id, pid, sum(wscore_q) AS score_q
+           FROM pw JOIN wstats USING (tok) GROUP BY 1, 2),
+         agg AS (SELECT doc_id, phrase, max(n_words) AS n_words,
+             count(*) AS n_occur, max(score_q) AS score_q
+           FROM phr JOIN psc USING (doc_id, pid) GROUP BY 1, 2),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+             ORDER BY score_q DESC, phrase) AS INTEGER) AS rk FROM agg)
+         SELECT doc_id, phrase, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_occur AS BIGINT) AS n_occur,
+           CAST(score_q AS BIGINT) AS score_q, rk
          FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
     "token_count" ->
       """SELECT doc_id,

@@ -188,6 +188,60 @@ object Curation {
       .filter(col("rk") <= k)
       .select("doc_id", "term", "tf", "dl", "dlr_q", "score_q", "rk")
   }
+
+  /** RAKE keyword extraction (Rose et al. 2010, public): candidate
+    * phrases are the maximal stopword-free token runs of each document;
+    * each word scores `deg/freq` where `freq` counts its occurrences
+    * across ALL phrases and `deg` sums the lengths of the phrases it
+    * appears in (co-occurrence degree, self included); a phrase scores
+    * the sum of its words' scores. The classic zero-training keyphrase
+    * extractor of curation/indexing pipelines — here with the word score
+    * QUANTIZED (`wscore_q = (deg·1000) div freq`) so phrase scores and
+    * the (score desc, phrase asc) ranking are exact 64-bit integers in
+    * both engines.
+    *
+    * Scale shape: tokenize → per-doc window (running stopword count =
+    * phrase id, one doc-keyed shuffle) → (doc, phrase) agg → global word
+    * stats bounded by VOCABULARY (like [[tfidfTopTerms]]'s df) joined
+    * back on the word key → per-doc top-k window. No step keys on
+    * anything wider than (doc, phrase) or the vocabulary.
+    *
+    * @return (doc_id, phrase, n_words, n_occur, score_q, rk), rk ≤ k
+    */
+  def rakeKeywords(docs: DataFrame, stopwords: Seq[String],
+                   k: Int): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val phrased = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "tok")
+      .filter(col("tok") =!= "")
+      .withColumn("stop", col("tok").isin(stopwords: _*).cast("long"))
+      .withColumn("pid", sum("stop").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("stop") === 0)
+      .localCheckpoint(false) // feeds phrases, word stats AND the re-join
+    val phrases = phrased.groupBy("doc_id", "pid")
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "struct(pos, tok))), s -> s.tok), ' ')").as("phrase"),
+        count(lit(1)).as("n_words"))
+      .localCheckpoint(false)
+    val words = phrased.select("doc_id", "pid", "tok")
+      .join(phrases.select("doc_id", "pid", "n_words"), Seq("doc_id", "pid"))
+    val wstats = words.groupBy("tok")
+      .agg(count(lit(1)).as("freq"), sum("n_words").as("deg"))
+      .withColumn("wscore_q", expr("(deg * 1000) div freq"))
+    val pscore = words.join(wstats.select("tok", "wscore_q"), "tok")
+      .groupBy("doc_id", "pid").agg(sum("wscore_q").as("score_q"))
+    val rkw = Window.partitionBy("doc_id")
+      .orderBy(col("score_q").desc, col("phrase").asc)
+    phrases.join(pscore, Seq("doc_id", "pid"))
+      .groupBy("doc_id", "phrase")
+      .agg(max("n_words").as("n_words"), count(lit(1)).as("n_occur"),
+        max("score_q").as("score_q"))
+      .withColumn("rk", row_number().over(rkw))
+      .filter(col("rk") <= k)
+      .select("doc_id", "phrase", "n_words", "n_occur", "score_q", "rk")
+  }
   /** Deterministic stratified sampling — "keep r‰ of each stratum" — the
     * reproducible down-sampling primitive of corpus mixing (per-source /
     * per-language rates chosen from a mixing recipe).

@@ -372,6 +372,63 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class QuadLeaf(image_id: String, depth: Int, br: Int, bc: Int,
+                            rng: Long)
+
+  /** Adaptive quadtree encoding — the actual split DECISIONS, not the
+    * per-depth aggregates of [[roughnessPyramid]]: starting from the even
+    * 600² prefix, a block SPLITS into 4 while its value range exceeds
+    * `thr` and depth < `maxDepth`; everything else is a LEAF. The output
+    * is the leaf set (depth, block row/col, exact range) — the adaptive
+    * raster-compression / level-of-detail structure (smooth regions stay
+    * coarse, textured regions refine), replayable by an oracle that
+    * computes every depth's block ranges and walks the ancestor chain:
+    * leaf(d) ⟺ all ancestors' rng > thr ∧ (rng ≤ thr ∨ d = maxDepth).
+    * Exact integer min/max, decode-once, ZERO shuffle; ≤ 4^maxDepth
+    * rows/image.
+    */
+  def quadtreeLeaves(tiles: Dataset[TileRow], thr: Long,
+                     maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 4, s"maxDepth in 1..4: $maxDepth")
+    implicit val enc = Encoders.product[QuadLeaf]
+    tiles.mapPartitions { it =>
+      it.flatMap { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val ext = 600 min (size - size % 8)
+        val out = scala.collection.mutable.ArrayBuffer.empty[QuadLeaf]
+        // explicit DFS stack: a recursive local def would lift to the
+        // enclosing module and break closure serialization
+        var stk: List[(Int, Int, Int)] = List((0, 0, 0))
+        while (stk.nonEmpty) {
+          val (depth, br, bc) = stk.head
+          stk = stk.tail
+          val bs = ext >> depth
+          var lo = Int.MaxValue; var hi = Int.MinValue
+          var r = br * bs
+          while (r < (br + 1) * bs) {
+            var c = bc * bs
+            while (c < (bc + 1) * bs) {
+              val v = d.samples(r * size + c).toInt
+              if (v < lo) lo = v
+              if (v > hi) hi = v
+              c += 1
+            }
+            r += 1
+          }
+          val rng = (hi - lo).toLong
+          if (rng > thr && depth < maxDepth)
+            stk = (depth + 1, 2 * br, 2 * bc) ::
+              (depth + 1, 2 * br, 2 * bc + 1) ::
+              (depth + 1, 2 * br + 1, 2 * bc) ::
+              (depth + 1, 2 * br + 1, 2 * bc + 1) :: stk
+          else out += QuadLeaf(tl.image_id, depth, br, bc, rng)
+        }
+        out.iterator
+      }
+    }.toDF()
+  }
+
   final case class BoxRow(image_id: String, box_id: Int, r0: Int, c0: Int,
                           side: Int, box_sum: Long)
 

@@ -298,7 +298,14 @@ object Checkpoint {
     */
   def writeVersioned(df: DataFrame, bucketOf: org.apache.spark.sql.Column,
                      nBuckets: Int, dir: String, runId: String,
-                     bucketsPerJob: Int = 64): Seq[BucketManifest] = {
+                     bucketsPerJob: Int = 64): Seq[BucketManifest] =
+    writeRunTree(df, bucketOf, nBuckets, dir, "data", runId, bucketsPerJob)
+
+  private def writeRunTree(df: DataFrame,
+                           bucketOf: org.apache.spark.sql.Column,
+                           nBuckets: Int, dir: String, sub: String,
+                           runId: String,
+                           bucketsPerJob: Int): Seq[BucketManifest] = {
     val spark = df.sparkSession
     import spark.implicits._
     require(!runId.contains("=") && !runId.contains("/"), s"bad runId: $runId")
@@ -309,14 +316,14 @@ object Checkpoint {
     bucketed.repartition(nBuckets, col("__bucket"))
       .write.mode("append")
       .partitionBy("__run", "__bucket")
-      .parquet(s"$dir/data")
+      .parquet(s"$dir/$sub")
     // stats from the durably written run tree (same contract as
     // writeResumable: validate disk, not the upstream plan)
     val written = spark.read
       .schema(org.apache.spark.sql.types.StructType(
         df.schema.fields :+
           org.apache.spark.sql.types.StructField("__bucket", IntegerType)))
-      .parquet(s"$dir/data/__run=$runId")
+      .parquet(s"$dir/$sub/__run=$runId")
     val dataCols = written.columns.filterNot(_ == "__bucket").sorted
     val stats = written.groupBy("__bucket")
       .agg(count(lit(1)).as("n"),
@@ -537,6 +544,59 @@ object Checkpoint {
       .parquet(s"$dir/data")
       .where(pred)
       .drop("__run", "__bucket")
+  }
+
+  /** EQUALITY-DELETE vector (merge-on-read DELETE, Iceberg v2 equality
+    * deletes / Delta deletion vectors): instead of rewriting the buckets
+    * that hold matching rows (the copy-on-write path [[upsertVersioned]]
+    * takes), record ONLY the matching keys as a bucketed tombstone run
+    * under `dir/deletes`, committed through the SAME crash-atomic
+    * manifest protocol as data runs — no manifest row, no visible delete.
+    * Write cost is proportional to the DELETED keys, never the table;
+    * [[readMor]] applies the tombstones at read time.
+    *
+    * Delete runs share the commit log with data runs; callers keep the
+    * run-id namespaces disjoint (e.g. `d1`, `d2`) and pass data lineage
+    * and delete lineage separately to [[readMor]] — the same discipline
+    * as Iceberg's separate data/delete manifests.
+    *
+    * @param pred    rows of the CURRENT snapshot (per `lineage`) matching
+    *                this predicate have their keys tombstoned
+    * @param keyCols equality-delete key (the tombstone payload)
+    */
+  def deleteWhere(spark: SparkSession, dir: String, lineage: Seq[String],
+                  pred: org.apache.spark.sql.Column, keyCols: Seq[String],
+                  bucketOf: org.apache.spark.sql.Column, nBuckets: Int,
+                  runId: String): Seq[BucketManifest] = {
+    val keys = readAt(spark, dir, lineage)
+      .where(pred)
+      .select(keyCols.map(col): _*)
+      .distinct()
+    writeRunTree(keys, bucketOf, nBuckets, dir, "deletes", runId, 64)
+  }
+
+  /** Merge-on-read snapshot: the [[readAt]] base minus every key
+    * tombstoned by the COMMITTED delete runs in `deleteRuns` — one
+    * key-equi LEFT ANTI join (the tombstone side is the distinct deleted
+    * key set, orders of magnitude smaller than the table; Catalyst
+    * broadcasts it under the threshold and shuffles on the key above it —
+    * both are the correct 100 TB shape, and the tombstone trees are
+    * bucketed by the same key hash as the data, so a bucket-aligned
+    * reader can co-locate the anti-join entirely). Uncommitted delete
+    * runs are invisible — the crash-atomicity contract extends to
+    * deletes.
+    */
+  def readMor(spark: SparkSession, dir: String, lineage: Seq[String],
+              deleteRuns: Seq[String], keyCols: Seq[String]): DataFrame = {
+    val base = readAt(spark, dir, lineage)
+    val committed = manifests(spark, dir).select("run_id").distinct()
+      .collect().map(_.getString(0)).toSet
+    val live = deleteRuns.filter(committed)
+    if (live.isEmpty) return base
+    val dels = live.map(r => spark.read.parquet(s"$dir/deletes/__run=$r"))
+      .reduce(_ unionByName _)
+      .select(keyCols.map(col): _*).distinct()
+    base.join(dels, keyCols, "left_anti")
   }
 
   /** MERGE INTO (upsert) on the versioned store — Iceberg's copy-on-write
