@@ -1192,6 +1192,59 @@ object SparkEntry {
         .select("point_id", "zkey")
         .orderBy("point_id")
     }),
+    // Hilbert-curve clustering key (graft.geo.Hilbert — codegen'd
+    // HilbertKeyExpr): the tighter-locality alternative to geo_zorder
+    // (consecutive keys are ALWAYS grid-adjacent). The oracle unrolls the
+    // published 8-level quadrant+rotation recurrence as chained CTEs in
+    // pure integer arithmetic.
+    "geo_hilbert" -> ((s, dir) => {
+      quadrantPoints(s, dir)
+        .withColumn("hkey", cells.hilbert_key(col("lng"), col("lat")))
+        .select("point_id", "hkey")
+        .orderBy("point_id")
+    }),
+    // Data-skipping audit — the NUMBER behind the zorder_key scaladoc's
+    // clustering claim: the same points bucketed by the top-6 Morton bits
+    // (8×8 spatial blocks) vs by row-major qy stripes; per bucket×layout,
+    // parquet-style min/max stats decide which buckets a box predicate can
+    // SKIP. The lng-band predicate is the separator: every row-major
+    // stripe spans all longitudes (no pruning), while z-order scans only
+    // the intersecting column blocks. Pure integer min/max pruning
+    // arithmetic the oracle replays directly.
+    "store_zorder_skip" -> ((s, dir) => {
+      import s.implicits._
+      val pts = quadrantPoints(s, dir).selectExpr("point_id", "lng", "lat",
+          "LEAST(65535L, GREATEST(0L, CAST(FLOOR(((lng + 180.0D)/360.0D)*65536.0D) AS BIGINT))) AS qx",
+          "LEAST(65535L, GREATEST(0L, CAST(FLOOR(((lat + 90.0D)/180.0D)*65536.0D) AS BIGINT))) AS qy")
+        .withColumn("zb", shiftright(cells.zorder_key(col("lng"), col("lat")), 26))
+        .withColumn("rb", shiftright(col("qy"), 10))
+        .localCheckpoint(false)
+      def stats(bcol: String, tag: String) = pts.groupBy(col(bcol).as("bucket"))
+        .agg(count(lit(1)).as("n"), min("qx").as("minx"), max("qx").as("maxx"),
+          min("qy").as("miny"), max("qy").as("maxy"))
+        .withColumn("layout", lit(tag))
+      val st = stats("zb", "zorder").unionAll(stats("rb", "rowmajor"))
+      val preds = Seq((1L, 20000L, 30000L, 20000L, 30000L),
+          (2L, 10000L, 14000L, 0L, 65535L), (3L, 0L, 65535L, 50000L, 54000L))
+        .toDF("pred_id", "xlo", "xhi", "ylo", "yhi")
+      val scan = st.crossJoin(broadcast(preds))
+        .withColumn("scanned", (col("xlo") <= col("maxx") &&
+          col("xhi") >= col("minx") && col("ylo") <= col("maxy") &&
+          col("yhi") >= col("miny")).cast("long"))
+        .groupBy("pred_id", "layout")
+        .agg(count(lit(1)).as("n_buckets"), sum("scanned").as("n_scanned"),
+          sum(when(col("scanned") === 1, col("n")).otherwise(lit(0L)))
+            .as("rows_scanned"))
+      val matches = pts.crossJoin(broadcast(preds))
+        .filter(col("qx").between(col("xlo"), col("xhi")) &&
+          col("qy").between(col("ylo"), col("yhi")))
+        .groupBy("pred_id").agg(count(lit(1)).as("rows_match"))
+      scan.join(matches, Seq("pred_id"), "left")
+        .na.fill(0L, Seq("rows_match"))
+        .select("pred_id", "layout", "n_buckets", "n_scanned",
+          "rows_scanned", "rows_match")
+        .orderBy("pred_id", "layout")
+    }),
 
     // ---- spatial joins over cell indexes (J2/J3, north rule) ----
     // Triangles derived from supplier; PIP via S2 cell-cover candidate join
@@ -2979,6 +3032,14 @@ object SparkEntry {
           maxDepth = 3)
         .orderBy("image_id", "depth", "br", "bc")
     }),
+    // 3×3 median-filter census (ops.ImageOps.medianDenoiseStats): exact
+    // integer median-of-9 vs the pixel — the salt-and-pepper screening
+    // stats. Oracle sorts the 9 closed-form neighbour values per pixel
+    // (list_sort[5]).
+    "img_median" -> ((s, dir) => {
+      ops.ImageOps.medianDenoiseStats(gateTiles(s, "png"))
+        .orderBy("image_id")
+    }),
     // Dual-resolution conversion (reference getResolutionAndSize.ts: 1″↔3″):
     // 3:1 decimation resample re-encoded as HGT rows, then re-decoded for
     // stats — encode∘decode round-trips through the new payload, and the
@@ -3663,6 +3724,21 @@ object SparkEntry {
         .filter(col("rank") <= 10)
         .select(col("qid"), col("neighbor_id"), col("rank"), round(col("cos"), 4).as("cos_r"))
         .orderBy("qid", "rank")
+    }),
+    // MMR diversified retrieval (ops.Embeddings.mmrDiversify): exact
+    // cosine top-20 per query, then 4 greedy picks maximizing
+    // 0.5·rel − 0.5·max-sim-to-selected — near-duplicate corpus vectors
+    // can't monopolize the page. Every greedy round is a qid-keyed agg
+    // over the nCand-bounded pool (no driver collect, corpus scanned
+    // once); the oracle unrolls the 4 rounds as CTEs with the identical
+    // IEEE scoring.
+    "ann_mmr" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      ops.Embeddings.mmrDiversify(e, e.filter(col("vec_id") < 3),
+          nCand = 20, k = 4, lambda = 0.5)
+        .select(col("qid"), col("step"), col("neighbor_id"),
+          round(col("rel"), 4).as("rel_r"), round(col("score"), 4).as("score_r"))
+        .orderBy("qid", "step")
     }),
     // Sign-bit binary quantization + Hamming top-k: each 64-dim embedding
     // collapses to ONE 64-bit word (bit i = dim i > 0), candidate ranking
@@ -5794,6 +5870,103 @@ object SparkEntry {
        ORDER BY image_id, depth, br, bc"""
   }
 
+  /** Hilbert-key oracle: the published xy→d recurrence unrolled as 8 CTE
+    * steps — quadrant digit `(3·rx)⊕ry` written as the polynomial
+    * `3rx + ry − 2·rx·ry` (rx, ry ∈ {0,1}), then the reflect+transpose
+    * frame update, all in exact integers.
+    */
+  private val hilbertOracleSql: String = {
+    val steps = (0 until 8).map { i =>
+      val sv = 128 >> i
+      s"""h${i + 1} AS (SELECT point_id,
+          d + ${sv.toLong * sv} * (3 * rx + ry - 2 * rx * ry) AS d,
+          CASE WHEN ry = 1 THEN x ELSE (CASE WHEN rx = 1 THEN $sv - 1 - y ELSE y END) END AS x,
+          CASE WHEN ry = 1 THEN y ELSE (CASE WHEN rx = 1 THEN $sv - 1 - x ELSE x END) END AS y
+        FROM (SELECT point_id, d, x, y,
+            CASE WHEN (x & $sv) > 0 THEN 1 ELSE 0 END AS rx,
+            CASE WHEN (y & $sv) > 0 THEN 1 ELSE 0 END AS ry FROM h$i))"""
+    }.mkString(",\n         ")
+    s"""WITH pts AS (SELECT c_custkey AS point_id,
+         -180 + (c_custkey % 360) + 0.5 AS lng,
+         -90 + ((c_custkey * 7) % 180) + 0.25 AS lat FROM customer),
+       h0 AS (SELECT point_id, CAST(0 AS BIGINT) AS d,
+         LEAST(255, GREATEST(0, CAST(floor(((lng + 180.0) / 360.0) * 256.0) AS BIGINT))) AS x,
+         LEAST(255, GREATEST(0, CAST(floor(((lat + 90.0) / 180.0) * 256.0) AS BIGINT))) AS y FROM pts),
+       $steps
+       SELECT point_id, CAST(d AS BIGINT) AS hkey FROM h8 ORDER BY point_id"""
+  }
+
+  /** MMR oracle: the exact cosine top-20 kernel (same list_sum fold as
+    * ann_cosine_topk), the candidate pairwise-sim matrix, then the 4
+    * greedy rounds unrolled — each round scores the not-yet-picked
+    * candidates via a correlated max-sim subquery against the selected
+    * set and picks the (score desc, neighbor_id) winner.
+    */
+  private val mmrOracleSql: String = {
+    val lam = "CAST(0.5 AS DOUBLE)"
+    val rounds = (2 to 4).map { st =>
+      s"""sc$st AS (SELECT c.qid, c.neighbor_id, c.rel,
+            $lam * c.rel - $lam * (SELECT max(s.sim) FROM sim s
+              JOIN sel${st - 1} p ON p.qid = s.qid AND p.neighbor_id = s.ib
+              WHERE s.qid = c.qid AND s.ia = c.neighbor_id) AS score
+          FROM cand c
+          WHERE NOT EXISTS (SELECT 1 FROM sel${st - 1} p
+            WHERE p.qid = c.qid AND p.neighbor_id = c.neighbor_id)),
+         pick$st AS (SELECT qid, $st AS step, neighbor_id, rel, score FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid
+              ORDER BY score DESC, neighbor_id) AS rn FROM sc$st) WHERE rn = 1),
+         sel$st AS (SELECT qid, neighbor_id FROM sel${st - 1}
+           UNION ALL SELECT qid, neighbor_id FROM pick$st)"""
+    }.mkString(",\n         ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 3),
+       p AS (SELECT qid, n.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])) / (qnrm * nrm) AS rel
+         FROM q, n WHERE n.vec_id <> qid),
+       cand AS (SELECT qid, neighbor_id, rel FROM (
+           SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, neighbor_id) AS rk
+           FROM p) WHERE rk <= 20),
+       cv AS (SELECT c.qid, c.neighbor_id, n.v, n.nrm FROM cand c
+         JOIN n ON n.vec_id = c.neighbor_id),
+       sim AS (SELECT a.qid, a.neighbor_id AS ia, b.neighbor_id AS ib,
+           list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS sim
+         FROM cv a JOIN cv b ON a.qid = b.qid AND a.neighbor_id <> b.neighbor_id),
+       sc1 AS (SELECT qid, neighbor_id, rel, $lam * rel AS score FROM cand),
+       pick1 AS (SELECT qid, 1 AS step, neighbor_id, rel, score FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY score DESC, neighbor_id) AS rn FROM sc1) WHERE rn = 1),
+       sel1 AS (SELECT qid, neighbor_id FROM pick1),
+       $rounds
+       SELECT qid, CAST(step AS INTEGER) AS step, neighbor_id,
+         round(rel, 4) AS rel_r, round(score, 4) AS score_r
+       FROM (SELECT * FROM pick1 UNION ALL SELECT * FROM pick2
+         UNION ALL SELECT * FROM pick3 UNION ALL SELECT * FROM pick4)
+       ORDER BY qid, step"""
+  }
+
+  /** Median-census oracle: the 9 closed-form neighbour values per interior
+    * pixel as a list, median = list_sort(...)[5], image rollup in exact
+    * integers.
+    */
+  private val medianOracleSql: String = {
+    def v(dc: Int, dr: Int) = gridV(s"c.range+($dc)", s"r.range+($dr)")
+    val nine = (for { dr <- -1 to 1; dc <- -1 to 1 } yield v(dc, dr)).mkString(", ")
+    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+       k AS (SELECT swlng, swlat,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
+       px AS (SELECT swlng, swlat, ${v(0, 0)} AS v0, [$nine] AS nb
+         FROM k, range(1,599) r, range(1,599) c),
+       m AS (SELECT swlng, swlat, v0, list_sort(nb)[5] AS med FROM px)
+       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+         CAST(count(*) AS BIGINT) AS n_px,
+         CAST(sum(CASE WHEN med <> v0 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+         CAST(sum(abs(med - v0)) AS BIGINT) AS sum_abs,
+         CAST(max(abs(med - v0)) AS BIGINT) AS max_abs
+       FROM m GROUP BY 1 ORDER BY image_id"""
+  }
+
   /** Cost-distance oracle: the same 8-connected uphill-cost edges from
     * the closed-form field, the same 6 Bellman–Ford relaxations unrolled
     * as per-round min-aggregated CTEs (exact min-plus integers).
@@ -6314,6 +6487,9 @@ object SparkEntry {
     "img_roughness" -> roughnessOracleSql,
     "img_integral_box" -> integralBoxOracleSql,
     "img_quadtree" -> quadtreeOracleSql,
+    "img_median" -> medianOracleSql,
+    "geo_hilbert" -> hilbertOracleSql,
+    "ann_mmr" -> mmrOracleSql,
     // Page's CUSUM recurrence replayed as a recursive CTE: one recursion
     // level per per-user event index, exact integer state throughout
     "events_cusum" ->
@@ -6526,6 +6702,41 @@ object SparkEntry {
          s3 AS (SELECT point_id, ((x | (x << 2)) & 858993459) AS x, ((y | (y << 2)) & 858993459) AS y FROM s2),
          s4 AS (SELECT point_id, ((x | (x << 1)) & 1431655765) AS x, ((y | (y << 1)) & 1431655765) AS y FROM s3)
          SELECT point_id, ((y << 1) | x) AS zkey FROM s4 ORDER BY point_id""",
+    // min/max data-skipping: zorder 8×8 blocks vs row-major qy stripes;
+    // a bucket is scanned iff the predicate box intersects its stat box
+    "store_zorder_skip" ->
+      """WITH pts AS (SELECT c_custkey AS point_id,
+           -180 + (c_custkey % 360) + 0.5 AS lng,
+           -90 + ((c_custkey * 7) % 180) + 0.25 AS lat FROM customer),
+         q AS (SELECT point_id,
+           LEAST(65535, GREATEST(0, CAST(floor(((lng + 180.0) / 360.0) * 65536.0) AS BIGINT))) AS qx,
+           LEAST(65535, GREATEST(0, CAST(floor(((lat + 90.0) / 180.0) * 65536.0) AS BIGINT))) AS qy FROM pts),
+         s1 AS (SELECT point_id, qx, qy, ((qx | (qx << 8)) & 16711935) AS x, ((qy | (qy << 8)) & 16711935) AS y FROM q),
+         s2 AS (SELECT point_id, qx, qy, ((x | (x << 4)) & 252645135) AS x, ((y | (y << 4)) & 252645135) AS y FROM s1),
+         s3 AS (SELECT point_id, qx, qy, ((x | (x << 2)) & 858993459) AS x, ((y | (y << 2)) & 858993459) AS y FROM s2),
+         s4 AS (SELECT point_id, qx, qy, ((x | (x << 1)) & 1431655765) AS x, ((y | (y << 1)) & 1431655765) AS y FROM s3),
+         pq AS (SELECT point_id, qx, qy, (((y << 1) | x) >> 26) AS zb, (qy >> 10) AS rb FROM s4),
+         st AS (SELECT 'zorder' AS layout, zb AS bucket, count(*) AS n,
+             min(qx) AS minx, max(qx) AS maxx, min(qy) AS miny, max(qy) AS maxy
+           FROM pq GROUP BY 2
+           UNION ALL
+           SELECT 'rowmajor' AS layout, rb AS bucket, count(*) AS n,
+             min(qx), max(qx), min(qy), max(qy) FROM pq GROUP BY 2),
+         preds(pred_id, xlo, xhi, ylo, yhi) AS (VALUES
+           (1, 20000, 30000, 20000, 30000),
+           (2, 10000, 14000, 0, 65535),
+           (3, 0, 65535, 50000, 54000)),
+         scan AS (SELECT pred_id, layout,
+             CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(CASE WHEN xlo <= maxx AND xhi >= minx AND ylo <= maxy AND yhi >= miny THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
+             CAST(sum(CASE WHEN xlo <= maxx AND xhi >= minx AND ylo <= maxy AND yhi >= miny THEN n ELSE 0 END) AS BIGINT) AS rows_scanned
+           FROM st, preds GROUP BY 1, 2),
+         m AS (SELECT pred_id, count(*) AS rows_match FROM pq, preds
+           WHERE qx BETWEEN xlo AND xhi AND qy BETWEEN ylo AND yhi GROUP BY 1)
+         SELECT CAST(pred_id AS BIGINT) AS pred_id, layout, n_buckets,
+           n_scanned, rows_scanned,
+           CAST(COALESCE(rows_match, 0) AS BIGINT) AS rows_match
+         FROM scan LEFT JOIN m USING (pred_id) ORDER BY pred_id, layout""",
     "geo_geohash" -> {
       // base-32 pick of char i (1-based) from the 60-bit interleaved code
       val chars = (1 to 7).map(i =>

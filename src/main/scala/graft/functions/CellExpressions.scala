@@ -150,6 +150,35 @@ case class ZOrderKeyExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `hilbert_key(lng, lat)` — 16-bit order-8 Hilbert write-clustering key
+  * (graft.geo.Hilbert; consecutive keys are always grid-adjacent, the
+  * tighter-locality alternative to [[ZOrderKeyExpr]]). Non-finite
+  * coordinates yield NULL, like the other cell-key expressions.
+  */
+case class HilbertKeyExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "hilbert_key"
+  override def nullSafeEval(lng: Any, lat: Any): Any = {
+    val lngd = lng.asInstanceOf[Double]; val latd = lat.asInstanceOf[Double]
+    if (java.lang.Double.isFinite(lngd) && java.lang.Double.isFinite(latd))
+      graft.geo.Hilbert.key(lngd, latd)
+    else null
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lng, lat) =>
+      s"""if (java.lang.Double.isFinite($lng) && java.lang.Double.isFinite($lat)) {
+         |  ${ev.value} = graft.geo.Hilbert.key($lng, $lat);
+         |} else {
+         |  ${ev.isNull} = true;
+         |}""".stripMargin)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HilbertKeyExpr =
+    copy(left = l, right = r)
+}
+
 /** Column API + SQL registration. */
 object cells {
   private def col(e: Expression): Column = GraftColumns.column(e)
@@ -169,6 +198,8 @@ object cells {
       ex(chars.cast(IntegerType))))
   def zorder_key(lng: Column, lat: Column): Column =
     col(ZOrderKeyExpr(ex(lng.cast(DoubleType)), ex(lat.cast(DoubleType))))
+  def hilbert_key(lng: Column, lat: Column): Column =
+    col(HilbertKeyExpr(ex(lng.cast(DoubleType)), ex(lat.cast(DoubleType))))
 
   /** Hex grid distance between two SAME-RESOLUTION packed cells (the h3
     * `gridDistance` API as column arithmetic): unpack the offset-encoded
@@ -225,5 +256,7 @@ object cells {
       es => GeohashExpr(es.head, es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("zorder_key",
       es => ZOrderKeyExpr(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("hilbert_key",
+      es => HilbertKeyExpr(es.head, es(1)), "built-in")
   }
 }

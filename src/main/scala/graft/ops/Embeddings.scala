@@ -798,4 +798,72 @@ object Embeddings {
       .groupBy("vec_id")
       .agg(sum(col("xq") * col("v")).cast("long").as("score"))
   }
+
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998, public)
+    * diversified top-k: after exact cosine retrieval of `nCand` candidates
+    * per query, greedily pick `k` results maximizing
+    * `λ·rel − (1−λ)·max_{s∈selected} sim(c, s)` (step 1 has no selected set
+    * ⇒ score = λ·rel) — the retrieval op that stops near-duplicate corpus
+    * vectors from monopolizing a result page.
+    *
+    * Scale shape: retrieval is the broadcast-query corpus scan
+    * (`cosineTopK`'s plan); the candidate pool and its pairwise-sim matrix
+    * are nCand-bounded per query (≤ nCand² rows, key = qid), and each of
+    * the k greedy rounds is a qid-keyed agg + top-1 window over that
+    * bounded pool — NO driver collect, no step touches the corpus again.
+    * Ties break by neighbor_id; every comparison is IEEE double arithmetic
+    * an independent engine replays exactly.
+    *
+    * @return (qid, step, neighbor_id, rel, score) — step ∈ 1..k in pick
+    *         order
+    */
+  def mmrDiversify(vecs: DataFrame, queries: DataFrame, nCand: Int, k: Int,
+                   lambda: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand0 = cosineTopK(vecs, queries, nCand)
+      .select(col("qid"), col("neighbor_id"), col("cos").as("rel"))
+      .localCheckpoint(false)
+    val corpus = vecs.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    // pairwise sims within each query's candidate pool: candidates join
+    // their vectors, then a qid-keyed self-join — ≤ nCand² rows per query
+    val cv = cand0.join(corpus, col("neighbor_id") === col("vec_id"))
+      .select(col("qid"), col("neighbor_id"), col("v"), col("nrm"))
+    val sims = cv.as("a").join(cv.as("b"), Seq("qid"))
+      .filter(col("a.neighbor_id") =!= col("b.neighbor_id"))
+      .select(col("qid"), col("a.neighbor_id").as("ia"),
+        col("b.neighbor_id").as("ib"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
+      .localCheckpoint(false)
+    val w = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    var selected: DataFrame = null // (qid, step, neighbor_id, rel, score)
+    var remaining = cand0
+    for (step <- 1 to k) {
+      val scored =
+        if (selected == null)
+          remaining.withColumn("score", lit(lambda) * col("rel"))
+        else {
+          val ms = sims
+            .join(selected.select(col("qid"), col("neighbor_id").as("ib")),
+              Seq("qid", "ib"))
+            .groupBy(col("qid"), col("ia").as("neighbor_id"))
+            .agg(max(col("sim")).as("maxsim"))
+          remaining.join(ms, Seq("qid", "neighbor_id"))
+            .withColumn("score",
+              lit(lambda) * col("rel") - lit(1.0 - lambda) * col("maxsim"))
+        }
+      val pick = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("qid"), lit(step).as("step"), col("neighbor_id"),
+          col("rel"), col("score"))
+        .localCheckpoint(false)
+      selected = if (selected == null) pick else selected.unionAll(pick)
+      remaining = remaining
+        .join(pick.select("qid", "neighbor_id"), Seq("qid", "neighbor_id"),
+          "left_anti")
+    }
+    selected
+  }
 }

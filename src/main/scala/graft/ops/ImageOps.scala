@@ -429,6 +429,63 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class MedianRow(image_id: String, n_px: Long, n_changed: Long,
+                             sum_abs: Long, max_abs: Long)
+
+  /** 3×3 median-filter census — the classic salt-and-pepper denoise pass as
+    * per-image statistics: over the interior of the even 600² prefix, the
+    * exact integer median of each pixel's 3×3 neighbourhood (5th smallest of
+    * 9) compared to the pixel itself. Output: interior pixel count, pixels
+    * the filter would CHANGE, Σ|median − v| (total denoise energy) and
+    * max|median − v| (the strongest single correction) — the knobs of an
+    * impulse-noise screening stage. Decode-once, ZERO shuffle, one
+    * insertion-sorted 9-buffer per pixel; the oracle replays the median as
+    * a discrete quantile over the 9 closed-form neighbour values.
+    */
+  def medianDenoiseStats(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[MedianRow]
+    tiles.mapPartitions { it =>
+      it.map { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val ext = 600 min (size - size % 8)
+        var nPx = 0L; var nChanged = 0L; var sumAbs = 0L; var maxAbs = 0L
+        val buf = new Array[Int](9)
+        var r = 1
+        while (r < ext - 1) {
+          var c = 1
+          while (c < ext - 1) {
+            var i = 0
+            var dr = -1
+            while (dr <= 1) {
+              var dc = -1
+              while (dc <= 1) {
+                val v = d.samples((r + dr) * size + (c + dc)).toInt
+                // insertion sort into buf[0..i)
+                var j = i
+                while (j > 0 && buf(j - 1) > v) { buf(j) = buf(j - 1); j -= 1 }
+                buf(j) = v
+                i += 1
+                dc += 1
+              }
+              dr += 1
+            }
+            val med = buf(4)
+            val v0 = d.samples(r * size + c).toInt
+            val ad = math.abs(med - v0).toLong
+            nPx += 1
+            if (ad != 0) nChanged += 1
+            sumAbs += ad
+            if (ad > maxAbs) maxAbs = ad
+            c += 1
+          }
+          r += 1
+        }
+        MedianRow(tl.image_id, nPx, nChanged, sumAbs, maxAbs)
+      }
+    }.toDF()
+  }
+
   final case class BoxRow(image_id: String, box_id: Int, r0: Int, c0: Int,
                           side: Int, box_sum: Long)
 

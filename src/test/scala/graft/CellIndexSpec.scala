@@ -290,4 +290,26 @@ class CellIndexSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("Hilbert: bijective round trip over the full order-8 grid; unit-step adjacency") {
+    import graft.geo.Hilbert
+    // every d in [0, 65536) maps to a unique cell and back
+    var d = 0L
+    while (d < 65536L) {
+      val (x, y) = Hilbert.cellOf(d)
+      assert(Hilbert.index(x, y) == d, s"round trip broke at d=$d")
+      if (d > 0) {
+        // the defining Hilbert property Morton lacks: consecutive indexes
+        // are ALWAYS 4-adjacent grid cells
+        val (px, py) = Hilbert.cellOf(d - 1)
+        assert(math.abs(x - px) + math.abs(y - py) == 1,
+          s"non-adjacent step at d=$d: ($px,$py) -> ($x,$y)")
+      }
+      d += 1
+    }
+    // quantizer contract matches the Morton association order at 8 bits
+    assert(Hilbert.q8Lng(-180.0) == 0 && Hilbert.q8Lng(179.9999) == 255)
+    assert(Hilbert.q8Lat(-90.0) == 0 && Hilbert.q8Lat(89.9999) == 255)
+    assert(Hilbert.key(0.0, 0.0) == Hilbert.index(128, 128))
+  }
 }

@@ -2332,4 +2332,64 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(d2(1L) == ((3L, 2L + 3 + 8 + 15, 2L)))
   }
+
+  test("mmrDiversify replays the greedy MMR recurrence bit-exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 30L).map { i =>
+      (i, Array.fill(8)((rnd.nextInt(19) - 9).toFloat))
+    }.toDF("vec_id", "embedding")
+    val got = Embeddings.mmrDiversify(vecs, vecs.filter(col("vec_id") < 2),
+        nCand = 10, k = 4, lambda = 0.5)
+      .select("qid", "step", "neighbor_id").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (q, rows) =>
+        q -> rows.sortBy(_._2).map(_._3).toSeq }
+    // local replay with the identical left-fold double arithmetic
+    val v = vecs.as[(Long, Array[Float])].collect().toMap
+      .map { case (k, a) => k -> a.map(_.toDouble) }
+    def dotl(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def cos(a: Long, b: Long): Double =
+      dotl(v(a), v(b)) / (math.sqrt(dotl(v(a), v(a))) * math.sqrt(dotl(v(b), v(b))))
+    for (q <- Seq(0L, 1L)) {
+      val cand = v.keys.filter(_ != q).toSeq
+        .map(i => (i, cos(q, i))).sortBy { case (i, r) => (-r, i) }.take(10)
+      val rel = cand.toMap
+      var sel = Vector.empty[Long]
+      var rem = cand.map(_._1).toSet
+      for (_ <- 1 to 4) {
+        val pick = rem.toSeq.map { i =>
+          val score = if (sel.isEmpty) 0.5 * rel(i)
+            else 0.5 * rel(i) - 0.5 * sel.map(sl => cos(i, sl)).max
+          (i, score)
+        }.minBy { case (i, sc) => (-sc, i) }._1
+        sel :+= pick
+        rem -= pick
+      }
+      assert(got(q) == sel, s"qid $q: got ${got(q)}, want $sel")
+    }
+  }
+
+  test("medianDenoiseStats: constant tile is a fixpoint; one impulse localizes") {
+    import spark.implicits._
+    import graft.synth.TileGen
+    val size = 64 // ext = 64, interior 62x62
+    val flat = TileGen.tileRow(-119, 36, size, "hgt", (_, _, _, _) => 500.toShort)
+    val spike = TileGen.tileRow(-118, 36, size, "hgt",
+      (_, _, r, c) => if (r == 10 && c == 10) 900.toShort else 500.toShort)
+    val ds = spark.createDataset(Seq(flat, spike))(
+      org.apache.spark.sql.Encoders.product[graft.core.TileRow])
+    val got = graft.ops.ImageOps.medianDenoiseStats(ds)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val n = 62L * 62L
+    assert(got("N36W119") == ((n, 0L, 0L, 0L)))
+    // the spiked pixel's 3x3 median is the background (8 of 9 agree), so
+    // exactly ONE pixel changes, by the full impulse height; its
+    // neighbours' medians are untouched (1 outlier of 9)
+    assert(got("N36W118") == ((n, 1L, 400L, 400L)))
+  }
 }
