@@ -650,6 +650,22 @@ object SparkEntry {
           "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 AS tb")
       ops.Trajectory.colocation(pts).orderBy("t1", "t2")
     }),
+    // Convoy / co-travel detection (ops.Trajectory.convoy): pairs sharing a
+    // cell in ≥3 CONSECUTIVE day buckets. Users ride 10 deterministic
+    // "routes" (cell = route's moving position per day) with per-user
+    // dropout days ((traj_id + tb) % 5 = 0), so pair runs genuinely
+    // fragment and only some reach the threshold — gaps-and-islands over
+    // the bucketed contact join.
+    "traj_convoy" -> ((s, dir) => {
+      val pts = t(s, dir, "events")
+        .selectExpr("user_id AS traj_id",
+          "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 AS tb")
+        .distinct()
+        .filter(expr("(traj_id + tb) % 5 != 0"))
+        .withColumn("cell", expr("(traj_id % 10) * 1000 + tb % 7"))
+      ops.Trajectory.convoy(pts, minLen = 3)
+        .orderBy("t1", "t2", "start_tb")
+    }),
     // Symmetric discrete Hausdorff over candidate trajectory pairs
     // (ops.Trajectory.hausdorff): the track-similarity refine after
     // cell-level colocation — exact integer squared distances, the
@@ -3040,6 +3056,14 @@ object SparkEntry {
       ops.ImageOps.medianDenoiseStats(gateTiles(s, "png"))
         .orderBy("image_id")
     }),
+    // Manhattan distance transform (ops.ImageOps.distanceTransformStats):
+    // grid-step distance to the nearest high sample (≥3600) on the
+    // stride-10 lattice — exact two-raster-scan DP in the engine, brute
+    // min |Δi|+|Δj| over the high set in the oracle.
+    "img_distance" -> ((s, dir) => {
+      ops.ImageOps.distanceTransformStats(gateTiles(s, "png"), thr = 3600L)
+        .orderBy("image_id")
+    }),
     // Dual-resolution conversion (reference getResolutionAndSize.ts: 1″↔3″):
     // 3:1 decimation resample re-encoded as HGT rows, then re-decoded for
     // stats — encode∘decode round-trips through the new payload, and the
@@ -3454,6 +3478,26 @@ object SparkEntry {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .orderBy("n_docs")
     }),
+    // Per-document n-gram NOVELTY — the memorization/leakage screen dual
+    // to text_vocab_growth's corpus curve: for each doc (corpus ordered by
+    // doc_id), how many of its distinct 3-grams appear HERE first. Low
+    // novelty late in the corpus = near-duplicate or templated content;
+    // gram-keyed shuffles bounded by the gram vocabulary.
+    "text_novelty" -> ((s, dir) => {
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(ops.Curation.wordNgrams(col("text"), 3)).as("tok"))
+        .distinct()
+      val firstSeen = grams.groupBy("tok").agg(min("doc_id").as("first_doc"))
+      grams.join(firstSeen, "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty_ppm",
+          expr("(n_novel * 1000000) div n_distinct"))
+        .orderBy("doc_id")
+    }),
     // BPE merge statistics (ops.TextDedup.bpePairStats): corpus-wide
     // adjacent character-pair counts — the counting step a BPE tokenizer
     // trainer iterates; ONE pair-keyed count, ranking bounded by the
@@ -3584,6 +3628,21 @@ object SparkEntry {
         .groupBy("user_id").agg(count(lit(1)).as("n"))
         .groupBy("n").agg(count(lit(1)).as("n_keys"))
         .orderBy("n")
+    }),
+    // Gini concentration of per-key volume — the single-number skew verdict
+    // events_key_skew's histogram feeds: G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx)
+    // over counts sorted ascending (rank i by count, user_id ties), in
+    // exact integers quantized to ppm with ONE integer division. The
+    // "does one source dominate the corpus" gate of mixing recipes.
+    "events_gini" -> ((s, dir) => {
+      val counts = t(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      val ranked = counts.withColumn("i",
+        row_number().over(Window.orderBy(col("n"), col("user_id"))))
+      ranked.agg(count(lit(1)).as("n_keys"), sum("n").as("total"),
+          sum(col("i") * col("n")).as("iwsum"))
+        .selectExpr("n_keys", "total",
+          "((2 * iwsum - (n_keys + 1) * total) * 1000000) div (CAST(n_keys AS BIGINT) * total) AS gini_ppm")
     }),
     // Deterministic train/val/test split — assignment must be a pure
     // function of the row key (reproducible, join-free, engine-independent)
@@ -5967,6 +6026,32 @@ object SparkEntry {
        FROM m GROUP BY 1 ORDER BY image_id"""
   }
 
+  /** Distance-transform oracle: brute-force `min |Δi|+|Δj|` from every
+    * stride-10 lattice cell to the high set — the naive O(cells·high)
+    * definition the engine's two-scan DP answers in O(cells).
+    */
+  private val distanceOracleSql: String = {
+    val v = gridV("j.range*10", "i.range*10")
+    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+       k AS (SELECT swlng, swlat,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
+       g AS (SELECT swlng, swlat, i.range AS i, j.range AS j, $v AS v
+         FROM k, range(0,60) i, range(0,60) j),
+       h AS (SELECT swlng, swlat, i, j FROM g WHERE v >= 3600),
+       d AS (SELECT g.swlng, g.swlat, g.i, g.j,
+           min(abs(g.i - h.i) + abs(g.j - h.j)) AS dt
+         FROM g JOIN h ON h.swlng = g.swlng AND h.swlat = g.swlat
+         GROUP BY 1, 2, 3, 4),
+       hc AS (SELECT swlng, swlat, CAST(count(*) AS BIGINT) AS n_high
+         FROM h GROUP BY 1, 2)
+       SELECT (CASE WHEN d.swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(d.swlat) AS VARCHAR),2,'0') ||
+           CASE WHEN d.swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(d.swlng) AS VARCHAR),3,'0')) AS image_id,
+         CAST(3600 AS BIGINT) AS n_cells, hc.n_high,
+         CAST(sum(dt) AS BIGINT) AS sum_dt, CAST(max(dt) AS BIGINT) AS max_dt
+       FROM d JOIN hc ON hc.swlng = d.swlng AND hc.swlat = d.swlat
+       GROUP BY 1, 2, 3 ORDER BY image_id"""
+  }
+
   /** Cost-distance oracle: the same 8-connected uphill-cost edges from
     * the closed-form field, the same 6 Bellman–Ford relaxations unrolled
     * as per-round min-aggregated CTEs (exact min-plus integers).
@@ -6488,6 +6573,7 @@ object SparkEntry {
     "img_integral_box" -> integralBoxOracleSql,
     "img_quadtree" -> quadtreeOracleSql,
     "img_median" -> medianOracleSql,
+    "img_distance" -> distanceOracleSql,
     "geo_hilbert" -> hilbertOracleSql,
     "ann_mmr" -> mmrOracleSql,
     // Page's CUSUM recurrence replayed as a recursive CTE: one recursion
@@ -6599,6 +6685,23 @@ object SparkEntry {
              AND a.user_id < b.user_id)
          SELECT t1, t2, CAST(count(*) AS BIGINT) AS n_encounters
          FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
+    // convoy: route cells shared per day minus dropout days, then
+    // gaps-and-islands runs of length >= 3
+    "traj_convoy" ->
+      """WITH pts AS (SELECT DISTINCT user_id AS traj_id,
+           epoch_us(ts) // 86400000000 AS tb FROM events),
+         o AS (SELECT traj_id, tb, (traj_id % 10) * 1000 + tb % 7 AS cell
+           FROM pts WHERE (traj_id + tb) % 5 <> 0),
+         ct AS (SELECT DISTINCT a.traj_id AS t1, b.traj_id AS t2, a.tb
+           FROM o a JOIN o b ON a.cell = b.cell AND a.tb = b.tb
+             AND a.traj_id < b.traj_id),
+         runs AS (SELECT t1, t2, tb,
+             tb - row_number() OVER (PARTITION BY t1, t2 ORDER BY tb) AS grp
+           FROM ct)
+         SELECT t1, t2, CAST(min(tb) AS BIGINT) AS start_tb,
+           CAST(count(*) AS BIGINT) AS len
+         FROM runs GROUP BY t1, t2, grp HAVING count(*) >= 3
+         ORDER BY t1, t2, start_tb""",
     "traj_od_matrix" ->
       """WITH pts AS (SELECT user_id, ts, event_id,
            event_id % 7 AS dx, (event_id * 3) % 5 AS dy FROM events),
@@ -8114,6 +8217,16 @@ object SparkEntry {
     "events_key_skew" ->
       """WITH per AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
          SELECT n, count(*) AS n_keys FROM per GROUP BY n ORDER BY n""",
+    // Gini over ascending-ranked counts; all-integer, one // at the end
+    "events_gini" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+         r AS (SELECT n, row_number() OVER (ORDER BY n, user_id) AS i FROM c),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(n) AS BIGINT) AS total,
+             CAST(sum(i * n) AS BIGINT) AS iwsum FROM r)
+         SELECT n_keys, total,
+           ((2 * iwsum - (n_keys + 1) * total) * 1000000) // (n_keys * total) AS gini_ppm
+         FROM a""",
     // same split, same bigram windows, same integer lift quantization; the
     // oracle's // is floor division on positives exactly like Spark's div
     "text_collocations" ->
@@ -9213,6 +9326,20 @@ object SparkEntry {
            CAST(sum(new_types) OVER (ORDER BY n_docs
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab
          FROM nt ORDER BY n_docs""",
+    // per-doc distinct 3-grams vs the grams whose corpus-wide first doc is
+    // this doc; ppm via one integer //
+    "text_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         grams AS (SELECT DISTINCT doc_id,
+             array_to_string(list_slice(w, CAST(g AS BIGINT), CAST(g AS BIGINT) + 2), ' ') AS tok
+           FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(g)),
+         fs AS (SELECT tok, min(doc_id) AS first_doc FROM grams GROUP BY 1),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+           FROM grams JOIN fs USING (tok) GROUP BY 1)
+         SELECT doc_id, n_distinct, n_novel,
+           (n_novel * 1000000) // n_distinct AS novelty_ppm
+         FROM agg ORDER BY doc_id""",
     "text_bpe_pairs" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
          p AS (SELECT substr(w, CAST(g AS INT), 2) AS pair

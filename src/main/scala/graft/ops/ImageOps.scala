@@ -429,6 +429,76 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class DtRow(image_id: String, n_cells: Long, n_high: Long,
+                         sum_dt: Long, max_dt: Long)
+
+  /** Manhattan distance transform on the stride-10 sample lattice (60×60
+    * index grid over the 600² prefix): distance in GRID STEPS from every
+    * cell to the nearest cell whose sample ≥ `thr` — the proximity field
+    * behind morphological dilation, buffer masks and "how far from
+    * terrain X" features. The engine runs the exact two-raster-scan DP
+    * (forward min(left, up)+1, backward min(right, down)+1 — exact for the
+    * 4-neighbour Manhattan metric); the oracle brute-forces
+    * `min |Δi|+|Δj|` over the high set. Exact integers, decode-once, ZERO
+    * shuffle.
+    */
+  def distanceTransformStats(tiles: Dataset[TileRow], thr: Long): DataFrame = {
+    implicit val enc = Encoders.product[DtRow]
+    val n = 60
+    tiles.mapPartitions { it =>
+      it.map { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val inf = Int.MaxValue / 4
+        val dt = new Array[Int](n * n)
+        var nHigh = 0L
+        var i = 0
+        while (i < n) {
+          var j = 0
+          while (j < n) {
+            val v = d.samples((i * 10) * size + (j * 10)).toLong
+            if (v >= thr) { dt(i * n + j) = 0; nHigh += 1 }
+            else dt(i * n + j) = inf
+            j += 1
+          }
+          i += 1
+        }
+        i = 0
+        while (i < n) { // forward raster scan
+          var j = 0
+          while (j < n) {
+            var m = dt(i * n + j)
+            if (i > 0 && dt((i - 1) * n + j) + 1 < m) m = dt((i - 1) * n + j) + 1
+            if (j > 0 && dt(i * n + j - 1) + 1 < m) m = dt(i * n + j - 1) + 1
+            dt(i * n + j) = m
+            j += 1
+          }
+          i += 1
+        }
+        i = n - 1
+        while (i >= 0) { // backward raster scan
+          var j = n - 1
+          while (j >= 0) {
+            var m = dt(i * n + j)
+            if (i < n - 1 && dt((i + 1) * n + j) + 1 < m) m = dt((i + 1) * n + j) + 1
+            if (j < n - 1 && dt(i * n + j + 1) + 1 < m) m = dt(i * n + j + 1) + 1
+            dt(i * n + j) = m
+            j -= 1
+          }
+          i -= 1
+        }
+        var sum = 0L; var mx = 0L
+        var p = 0
+        while (p < n * n) {
+          sum += dt(p)
+          if (dt(p) > mx) mx = dt(p)
+          p += 1
+        }
+        DtRow(tl.image_id, (n * n).toLong, nHigh, sum, mx)
+      }
+    }.toDF()
+  }
+
   final case class MedianRow(image_id: String, n_px: Long, n_changed: Long,
                              sum_abs: Long, max_abs: Long)
 

@@ -146,6 +146,37 @@ object Trajectory {
       .agg(count(lit(1)).cast("long").as("n_encounters"))
   }
 
+  /** Convoy (co-movement) detection — [[colocation]]'s temporal upgrade:
+    * a pair of trajectories forms a convoy run when they share a spatial
+    * cell in ≥ `minLen` CONSECUTIVE time buckets (the classic co-travel /
+    * flock pattern; one-off contacts don't qualify). Pair contacts come
+    * from the same (cell, tb)-bucketed self-join as [[colocation]] (never
+    * all-pairs); runs are the gaps-and-islands grouping `tb − row_number`
+    * over each pair's distinct contact buckets — ONE pair-keyed window.
+    *
+    * @param points (traj_id, cell, tb)
+    * @return (t1, t2, start_tb, len) — one row per maximal run with
+    *         len ≥ minLen, t1 < t2
+    */
+  def convoy(points: DataFrame, minLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val obs = points.select(col("traj_id").cast("long"), col("cell"),
+      col("tb")).distinct()
+    val contacts = obs.select(col("traj_id").as("t1"), col("cell"), col("tb"))
+      .join(obs.select(col("traj_id").as("t2"), col("cell"), col("tb")),
+        Seq("cell", "tb"))
+      .filter(col("t1") < col("t2"))
+      .select("t1", "t2", "tb").distinct() // many shared cells, one contact
+    val w = Window.partitionBy("t1", "t2").orderBy("tb")
+    contacts
+      .withColumn("grp", col("tb") - row_number().over(w))
+      .groupBy("t1", "t2", "grp")
+      .agg(min("tb").as("start_tb"), count(lit(1)).as("len"))
+      .filter(col("len") >= minLen)
+      .select("t1", "t2", "start_tb", "len")
+  }
+
   /** Origin–destination matrix: each trajectory contributes one flow from
     * the cell of its FIRST sample to the cell of its LAST (ordered by
     * (ts, tie) — total order, so the endpoints are unique), then flows

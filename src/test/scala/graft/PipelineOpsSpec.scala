@@ -2392,4 +2392,58 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // neighbours' medians are untouched (1 outlier of 9)
     assert(got("N36W118") == ((n, 1L, 400L, 400L)))
   }
+
+  test("Trajectory.convoy matches brute-force maximal-run extraction") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 12 trajectories over 20 buckets, 4 shared cells, random presence
+    val pts = for {
+      t <- 0L until 12L; tb <- 0L until 20L
+      if rnd.nextInt(3) > 0
+    } yield (t, (t % 4) * 100 + tb % 3, tb)
+    val df = pts.toDF("traj_id", "cell", "tb")
+    val got = graft.ops.Trajectory.convoy(df, minLen = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // brute force: contact buckets per pair, then maximal runs
+    val byTraj = pts.groupBy(_._1)
+      .map { case (t, rows) => t -> rows.map(r => (r._2, r._3)).toSet }
+    val want = (for {
+      a <- 0L until 12L; b <- (a + 1) until 12L
+      cTbs = (for { (ca, tba) <- byTraj.getOrElse(a, Set.empty)
+                    if byTraj.getOrElse(b, Set.empty).contains((ca, tba)) }
+        yield tba).toSeq.distinct.sorted
+      if cTbs.nonEmpty
+      run <- {
+        // split into maximal consecutive runs
+        val runs = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+        var cur = Seq(cTbs.head)
+        for (tb <- cTbs.tail) {
+          if (tb == cur.last + 1) cur :+= tb
+          else { runs += cur; cur = Seq(tb) }
+        }
+        runs += cur
+        runs.toSeq
+      }
+      if run.length >= 3
+    } yield (a, b, run.head, run.length.toLong)).toSet
+    assert(got == want)
+  }
+
+  test("distanceTransformStats: single impulse yields the exact Manhattan cone") {
+    import spark.implicits._
+    import graft.synth.TileGen
+    val size = 601
+    val spike = TileGen.tileRow(-119, 36, size, "hgt",
+      (_, _, r, c) => if (r == 200 && c == 300) 1000.toShort else 500.toShort)
+    val ds = spark.createDataset(Seq(spike))(
+      org.apache.spark.sql.Encoders.product[graft.core.TileRow])
+    val got = graft.ops.ImageOps.distanceTransformStats(ds, thr = 900L)
+      .as[(String, Long, Long, Long, Long)].collect().head
+    var sum = 0L; var mx = 0L
+    for (i <- 0 until 60; j <- 0 until 60) {
+      val d = math.abs(i - 20L) + math.abs(j - 30L)
+      sum += d; mx = math.max(mx, d)
+    }
+    assert(got == (("N36W119", 3600L, 1L, sum, mx)))
+  }
 }
