@@ -688,6 +688,23 @@ object SparkEntry {
         .join(ids.select(col("traj_id").as("t2")), col("t1") < col("t2"))
       ops.Trajectory.hausdorff(pts, pairs).orderBy("t1", "t2")
     }),
+    // Discrete Fréchet distance (ops.Trajectory.frechet): the order-aware
+    // coupling DP over 20 six-vertex closed-form walks, all 190 ordered
+    // pairs. Oracle unrolls the DP as one CTE per anti-diagonal (11
+    // levels), LEFT-joining the two predecessor diagonals with MaxValue
+    // coalesce at the lattice borders.
+    "traj_frechet" -> ((s, dir) => {
+      val trajs = t(s, dir, "supplier")
+        .selectExpr("s_suppkey % 20 AS traj_id").distinct()
+      val pts = trajs
+        .select(col("traj_id"), explode(expr("sequence(0, 5)")).as("seq"))
+        .selectExpr("traj_id", "seq",
+          "(traj_id * 7 + seq * (traj_id % 5 + 1) * 3) % 40 AS px",
+          "(traj_id * 11 + seq * (traj_id % 3 + 2) * 2) % 40 AS py")
+      val pairs = trajs.select(col("traj_id").as("t1"))
+        .join(trajs.select(col("traj_id").as("t2")), col("t1") < col("t2"))
+      ops.Trajectory.frechet(pts, pairs).orderBy("t1", "t2")
+    }),
 
     // ---- spatial core (F4/F9, J1/J4+F1/F2/F8, F6, z/x/y) ----
     "geo_tile_key" -> ((s, dir) => {
@@ -842,6 +859,25 @@ object SparkEntry {
         .groupBy("poly_id")
         .agg(count(lit(1)).as("n_points"),
           min(col("elev")).as("min_elev"), max(col("elev")).as("max_elev"))
+        .orderBy("poly_id")
+    }),
+    // Per-zone exact MEDIAN elevation (selection statistic zonal_stats's
+    // min/max can't express): lower median = the value at rank
+    // (n+1) DIV 2 ordered by (elev, point_id) — a total order, so the
+    // picked VALUE is engine-independent. One zone-keyed window.
+    "zonal_median" -> ((s, dir) => {
+      val bc = ops.TileIndex.broadcastIndex(gateTiles(s))
+      val memb = ops.SpatialJoin.pointInPolygon(gatePoints(s, dir),
+          trianglePolys(s, dir), Some(11))
+        .withColumn("elev", ops.ElevAt.elev_at(col("lng"), col("lat"), bc))
+      val w = Window.partitionBy("poly_id")
+        .orderBy(col("elev"), col("point_id"))
+      memb.withColumn("rn", row_number().over(w))
+        .withColumn("n_points", count(lit(1)).over(
+          Window.partitionBy("poly_id")))
+        .filter(expr("rn = (n_points + 1) DIV 2"))
+        .select(col("poly_id"), col("n_points"),
+          col("elev").as("median_elev"))
         .orderBy("poly_id")
     }),
     // Zonal histogram: per-polygon elevation distribution in width-256 bins
@@ -2616,6 +2652,20 @@ object SparkEntry {
         .withColumnRenamed("rank", "pr") // dodge the RANK keyword in DuckDB
         .orderBy("node")
     }),
+    // Personalized PageRank (ops.Graph.personalizedPagerank): teleport
+    // mass pinned to 3 seed nodes — "importance as seen from the seeds",
+    // the related-items / local-community primitive. Same exact-integer
+    // recurrence as graph_pagerank; non-seed nodes hold pure damped
+    // inflow, so rank localizes around the seeds.
+    "graph_ppr" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
+        .distinct()
+      ops.Graph.personalizedPagerank(edges, seeds = Seq(7L, 42L, 99L),
+          rounds = 3)
+        .withColumnRenamed("rank", "ppr")
+        .orderBy("node")
+    }),
     // Degree-mixing statistics (ops.Graph.degreeMix): the assortativity
     // moments as ONE exact-integer row — num/den of Newman's r assembled,
     // the float division left to the consumer. One degree count + two
@@ -3063,6 +3113,14 @@ object SparkEntry {
     "img_distance" -> ((s, dir) => {
       ops.ImageOps.distanceTransformStats(gateTiles(s, "png"), thr = 3600L)
         .orderBy("image_id")
+    }),
+    // Hough line census (ops.ImageOps.houghLines): 4 lattice direction
+    // families, ρ-bucket votes from gradient-energy≥200 edge pixels, top-5
+    // accumulator cells per image — the block-bonus seams surface as the
+    // dominant lines. Exact integer votes, decode-once.
+    "img_hough" -> ((s, dir) => {
+      ops.ImageOps.houghLines(gateTiles(s, "png"), thr = 200L, topK = 5)
+        .orderBy("image_id", "rk")
     }),
     // Dual-resolution conversion (reference getResolutionAndSize.ts: 1″↔3″):
     // 3:1 decimation resample re-encoded as HGT rows, then re-decoded for
@@ -6052,6 +6110,97 @@ object SparkEntry {
        GROUP BY 1, 2, 3 ORDER BY image_id"""
   }
 
+  /** Fréchet oracle: the coupling DP unrolled as one CTE per anti-diagonal
+    * (i+j = k, 11 levels over 6×6 lattices); the two predecessor diagonals
+    * LEFT-join with MaxValue coalesce so lattice borders take the only
+    * available predecessor — exactly the engine's boundary rule.
+    */
+  private val frechetOracleSql: String = {
+    val big = "9223372036854775807"
+    val diags = (1 to 10).map { k =>
+      val p2 = s"ca${math.max(k - 2, 0)}"
+      s"""ca$k AS MATERIALIZED (SELECT c.t1, c.t2, c.i, c.j,
+          GREATEST(c.d2, LEAST(
+            COALESCE(p1.v, $big), COALESCE(p3.v, $big), COALESCE(p2.v, $big))) AS v
+        FROM cells c
+        LEFT JOIN ca${k - 1} p1 ON p1.t1 = c.t1 AND p1.t2 = c.t2
+          AND p1.i = c.i - 1 AND p1.j = c.j
+        LEFT JOIN ca${k - 1} p3 ON p3.t1 = c.t1 AND p3.t2 = c.t2
+          AND p3.i = c.i AND p3.j = c.j - 1
+        LEFT JOIN $p2 p2 ON p2.t1 = c.t1 AND p2.t2 = c.t2
+          AND p2.i = c.i - 1 AND p2.j = c.j - 1
+        WHERE c.i + c.j = $k)"""
+    }.mkString(",\n         ")
+    s"""WITH trajs AS (SELECT DISTINCT s_suppkey % 20 AS traj_id FROM supplier),
+       v AS (SELECT traj_id, CAST(g AS BIGINT) AS seq,
+           (traj_id * 7 + g * (traj_id % 5 + 1) * 3) % 40 AS px,
+           (traj_id * 11 + g * (traj_id % 3 + 2) * 2) % 40 AS py
+         FROM trajs, unnest(range(0, 6)) AS t(g)),
+       pairs AS (SELECT a.traj_id AS t1, b.traj_id AS t2
+         FROM trajs a, trajs b WHERE a.traj_id < b.traj_id),
+       cells AS MATERIALIZED (SELECT p.t1, p.t2, CAST(va.seq AS INT) AS i, CAST(vb.seq AS INT) AS j,
+           (va.px - vb.px)*(va.px - vb.px) + (va.py - vb.py)*(va.py - vb.py) AS d2
+         FROM pairs p JOIN v va ON va.traj_id = p.t1 JOIN v vb ON vb.traj_id = p.t2),
+       ca0 AS MATERIALIZED (SELECT t1, t2, i, j, d2 AS v FROM cells WHERE i = 0 AND j = 0),
+       $diags,
+       sz AS (SELECT t1, t2, CAST(max(i) + 1 AS INTEGER) AS n_a,
+           CAST(max(j) + 1 AS INTEGER) AS n_b FROM cells GROUP BY 1, 2)
+       SELECT ca10.t1, ca10.t2, sz.n_a, sz.n_b, CAST(ca10.v AS BIGINT) AS frechet_d2
+       FROM ca10 JOIN sz ON sz.t1 = ca10.t1 AND sz.t2 = ca10.t2
+       ORDER BY ca10.t1, ca10.t2"""
+  }
+
+  /** Hough oracle: the same central-difference edge mask and 4 lattice
+    * direction families as integer vote counts, top-5 per image.
+    */
+  private val houghOracleSql: String = {
+    def v(dc: Int, dr: Int) = gridV(s"c.range+($dc)", s"r.range+($dr)")
+    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+       k AS (SELECT swlng, swlat,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
+       g AS (SELECT swlng, swlat, r.range AS r, c.range AS c,
+           (${v(1, 0)} - ${v(-1, 0)}) AS gx,
+           (${v(0, 1)} - ${v(0, -1)}) AS gy
+         FROM k, range(1,599) r, range(1,599) c),
+       e AS (SELECT swlng, swlat, r, c FROM g WHERE gx*gx + gy*gy >= 200),
+       h AS (SELECT swlng, swlat, 0 AS dir, c // 8 AS rho_b FROM e
+         UNION ALL SELECT swlng, swlat, 1, r // 8 FROM e
+         UNION ALL SELECT swlng, swlat, 2, (r + c) // 8 FROM e
+         UNION ALL SELECT swlng, swlat, 3, (r - c + 599) // 8 FROM e),
+       cnt AS (SELECT swlng, swlat, dir, rho_b, count(*) AS n
+         FROM h GROUP BY 1, 2, 3, 4),
+       rkd AS (SELECT *, row_number() OVER (PARTITION BY swlng, swlat
+           ORDER BY n DESC, dir, rho_b) AS rk FROM cnt)
+       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+         CAST(rk AS INT) AS rk, CAST(dir AS INT) AS dir,
+         CAST(rho_b AS INT) AS rho_b, CAST(n AS BIGINT) AS n
+       FROM rkd WHERE rk <= 5 ORDER BY image_id, rk"""
+  }
+
+  /** PPR oracle: the pagerank recurrence with the teleport share pinned to
+    * the seed literals, 3 rounds unrolled.
+    */
+  private val pprOracleSql: String = {
+    val rounds = (1 to 3).map { r =>
+      s"""c$r AS (SELECT e.dst AS node, sum(rr.ppr // o.outdeg) AS inflow
+           FROM r${r - 1} rr JOIN outdeg o USING (node)
+           JOIN e ON e.src = rr.node GROUP BY 1),
+         r$r AS (SELECT n.node,
+             (CASE WHEN n.node IN (7, 42, 99) THEN 150000 ELSE 0 END)
+               + (850000 * COALESCE(c.inflow, 0)) // 1000000 AS ppr
+           FROM nodes n LEFT JOIN c$r c USING (node))"""
+    }.mkString(",\n         ")
+    s"""WITH e AS (SELECT DISTINCT l_suppkey % 500 AS src,
+           l_partkey % 500 AS dst FROM lineitem),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+         outdeg AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
+         r0 AS (SELECT node, CAST(CASE WHEN node IN (7, 42, 99)
+             THEN 1000000 ELSE 0 END AS BIGINT) AS ppr FROM nodes),
+         $rounds
+         SELECT node, CAST(ppr AS BIGINT) AS ppr FROM r3 ORDER BY node"""
+  }
+
   /** Cost-distance oracle: the same 8-connected uphill-cost edges from
     * the closed-form field, the same 6 Bellman–Ford relaxations unrolled
     * as per-round min-aggregated CTEs (exact min-plus integers).
@@ -6415,6 +6564,9 @@ object SparkEntry {
     "ann_power_iteration" -> powerIterOracleSql(3),
     "ann_pca_project" -> pcaProjectOracleSql,
     "graph_pagerank" -> pagerankOracleSql,
+    "graph_ppr" -> pprOracleSql,
+    "traj_frechet" -> frechetOracleSql,
+    "img_hough" -> houghOracleSql,
     "graph_kcore" -> kcoreOracleSql,
     "graph_hits" -> hitsOracleSql,
     "graph_labelprop" -> labelpropOracleSql,
@@ -7185,6 +7337,47 @@ object SparkEntry {
          SELECT poly_id, count(*) AS n_points, min(elev) AS min_elev, max(elev) AS max_elev
          FROM inside JOIN e USING (point_id)
          GROUP BY poly_id ORDER BY poly_id""",
+    // lower median: the value at rank (n+1)//2 under the (elev, point_id)
+    // total order — same membership and bilinear kernel as zonal_stats
+    "zonal_median" ->
+      """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
+           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS px,
+           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS py
+           FROM lineitem),
+         tri AS (SELECT s_suppkey AS poly_id,
+           -120.0 + (s_suppkey % 40) * 0.1 AS cx, 36.0 + ((s_suppkey * 3) % 20) * 0.1 AS cy,
+           0.05 + (s_suppkey % 7) * 0.013 AS w, 0.04 + (s_suppkey % 5) * 0.017 AS h
+           FROM supplier),
+         tv AS (SELECT poly_id, cx AS x1, cy + h AS y1, cx - w AS x2, cy - h AS y2,
+           cx + w AS x3, cy - h AS y3 FROM tri),
+         inside AS (SELECT point_id, poly_id, px, py FROM (
+             SELECT p.point_id, p.px, p.py, tv.* FROM pts p JOIN tv
+             ON p.px >= tv.x2 AND p.px <= tv.x3 AND p.py >= tv.y2 AND p.py <= tv.y1)
+           WHERE ((CASE WHEN (y1 > py) <> (y3 > py) AND px < (x3 - x1) * (py - y1) / (y3 - y1) + x1 THEN 1 ELSE 0 END)
+                + (CASE WHEN (y2 > py) <> (y1 > py) AND px < (x1 - x2) * (py - y2) / (y1 - y2) + x2 THEN 1 ELSE 0 END)
+                + (CASE WHEN (y3 > py) <> (y2 > py) AND px < (x2 - x3) * (py - y3) / (y2 - y3) + x3 THEN 1 ELSE 0 END)) % 2 = 1),
+         ek AS (SELECT point_id, px AS lng, py AS lat,
+           CAST(floor(px) AS BIGINT) AS swlng, CAST(floor(py) AS BIGINT) AS swlat,
+           (px - floor(px)) * 600 AS colf, (py - floor(py)) * 600 AS rowf FROM pts),
+         eg AS (SELECT *, CAST(floor(colf) AS BIGINT) AS c0, CAST(floor(rowf) AS BIGINT) AS r0,
+           colf - floor(colf) AS cf, rowf - floor(rowf) AS rf,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM ek),
+         ev AS (SELECT *,
+           a + 2*c0     + 3*r0     + ((c0//8)*(r0//8)) % 32         AS v00,
+           a + 2*(c0+1) + 3*r0     + (((c0+1)//8)*(r0//8)) % 32     AS v10,
+           a + 2*(c0+1) + 3*(r0+1) + (((c0+1)//8)*((r0+1)//8)) % 32 AS v11,
+           a + 2*c0     + 3*(r0+1) + ((c0//8)*((r0+1)//8)) % 32     AS v01 FROM eg),
+         e AS (SELECT point_id,
+           CASE WHEN (swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36) THEN 0.0
+                ELSE (v00 + (v10 - v00) * cf) +
+                     ((v01 + (v11 - v01) * cf) - (v00 + (v10 - v00) * cf)) * rf
+           END AS elev FROM ev),
+         w AS (SELECT poly_id, point_id, elev,
+           row_number() OVER (PARTITION BY poly_id ORDER BY elev, point_id) AS rn,
+           count(*) OVER (PARTITION BY poly_id) AS n_points
+           FROM inside JOIN e USING (point_id))
+         SELECT poly_id, n_points, elev AS median_elev
+         FROM w WHERE rn = (n_points + 1) // 2 ORDER BY poly_id""",
     "zonal_hist" -> zonalHistOracleSql,
     "zonal_majority" ->
       s"""SELECT poly_id, bin AS majority_bin, CAST(n AS BIGINT) AS n

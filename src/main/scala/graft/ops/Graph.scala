@@ -41,6 +41,45 @@ object Graph {
     *               convergence probes for oracle-checked pipelines)
     * @return (node, rank) after `rounds` rounds, micro-units
     */
+  /** Personalized PageRank ([[pagerank]] with the teleport vector
+    * concentrated on `seeds` — "importance as seen FROM these nodes", the
+    * related-items / local-community primitive): seeds start with the full
+    * 10⁶ mass and receive the 15% teleport share every round; every other
+    * node's rank is pure damped inflow. Same exact-integer recurrence,
+    * same 2-shuffles-per-round scale shape as [[pagerank]]; the seed test
+    * is a broadcast literal IN (codegen'd, no join).
+    *
+    * @return (node, ppr) after `rounds` rounds, micro-units
+    */
+  def personalizedPagerank(edges: DataFrame, seeds: Seq[Long],
+                           rounds: Int): DataFrame = {
+    require(rounds > 0 && seeds.nonEmpty, s"bad args: $rounds, $seeds")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false)
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    def teleport = when(col("node").isin(seeds: _*), lit(150000L))
+      .otherwise(lit(0L))
+    var rank = nodes.select(col("node"),
+      when(col("node").isin(seeds: _*), lit(1000000L)).otherwise(lit(0L))
+        .as("rank"))
+    for (_ <- 1 to rounds) {
+      val contrib = rank.join(outdeg, "node")
+        .select(col("node"), expr("rank DIV outdeg").as("c"))
+        .join(e, col("node") === col("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).as("inflow"))
+      rank = nodes.join(contrib, Seq("node"), "left")
+        .withColumn("inflow", coalesce(col("inflow"), lit(0L)))
+        .select(col("node"),
+          (teleport + expr("(850000 * inflow) DIV 1000000")).as("rank"))
+        .localCheckpoint(false)
+    }
+    rank
+  }
+
   def pagerank(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds > 0, s"rounds must be positive: $rounds")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))

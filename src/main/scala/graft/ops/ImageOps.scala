@@ -429,6 +429,53 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class HoughRow(image_id: String, rk: Int, dir: Int, rho_b: Int,
+                            n: Long)
+
+  /** Integer Hough line census over 4 quantized directions — the
+    * deskew/structure detector: every edge pixel (central-difference
+    * gradient energy ≥ `thr`) votes for the line through it in each
+    * direction family (vertical ρ=c, horizontal ρ=r, diagonal ρ=r+c,
+    * anti-diagonal ρ=r−c+ext−1), ρ bucketed by 8; the top-`topK`
+    * accumulator cells per image are the dominant lines. The synthetic
+    * field's 8-px block-bonus seams light up as genuine grid lines. No
+    * trig — directions are exact lattice families, every vote an integer;
+    * decode-once, ZERO shuffle, accumulator state 4·2·ext/8 counters.
+    */
+  def houghLines(tiles: Dataset[TileRow], thr: Long, topK: Int): DataFrame = {
+    implicit val enc = Encoders.product[HoughRow]
+    tiles.mapPartitions { it =>
+      it.flatMap { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val ext = 600 min (size - size % 8)
+        val nb = ((2 * ext) >> 3) + 1
+        val acc = Array.fill(4)(new Array[Long](nb))
+        var r = 1
+        while (r < ext - 1) {
+          var c = 1
+          while (c < ext - 1) {
+            val gx = d.samples(r * size + c + 1) - d.samples(r * size + c - 1)
+            val gy = d.samples((r + 1) * size + c) - d.samples((r - 1) * size + c)
+            if (gx.toLong * gx + gy.toLong * gy >= thr) {
+              acc(0)(c >> 3) += 1
+              acc(1)(r >> 3) += 1
+              acc(2)((r + c) >> 3) += 1
+              acc(3)((r - c + ext - 1) >> 3) += 1
+            }
+            c += 1
+          }
+          r += 1
+        }
+        val rows = for { dir <- 0 until 4; b <- 0 until nb if acc(dir)(b) > 0 }
+          yield (dir, b, acc(dir)(b))
+        rows.sortBy { case (dir, b, n) => (-n, dir, b) }.take(topK)
+          .zipWithIndex.map { case ((dir, b, n), idx) =>
+            HoughRow(tl.image_id, idx + 1, dir, b, n) }
+      }
+    }.toDF()
+  }
+
   final case class DtRow(image_id: String, n_cells: Long, n_high: Long,
                          sum_dt: Long, max_dt: Long)
 

@@ -430,6 +430,74 @@ object Trajectory {
     * @param pairs  (t1, t2) candidate pairs, t1 < t2 by caller contract
     * @return (t1, t2, n_a, n_b, hausdorff_d2)
     */
+  /** Discrete Fréchet distance (squared, exact integers) — the ORDER-AWARE
+    * trajectory similarity [[hausdorff]] isn't: the classic "dog leash"
+    * coupling DP ca(i,j) = max(d²(i,j), min(ca(i−1,j), ca(i−1,j−1),
+    * ca(i,j−1))) over the full traversal lattice (Eiter & Mannila 1994,
+    * public). Two reversed traversals of the same path are Hausdorff-0 but
+    * Fréchet-far — the property map-matching and route-dedup need.
+    *
+    * Scale shape: the d² lattice is built by two pair-keyed equi-joins
+    * (|pairs|·m·n rows, never all trajectory pairs), then ONE groupByKey
+    * whose per-pair state is the m×n matrix — bounded by trajectory
+    * length, the same justification as feature_reassembly's per-feature
+    * state. The oracle unrolls the DP as one CTE per anti-diagonal.
+    *
+    * @param points (traj_id, seq, px, py) integer coordinates
+    * @param pairs  (t1, t2)
+    * @return (t1, t2, n_a, n_b, frechet_d2)
+    */
+  def frechet(points: DataFrame, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = points.sparkSession
+    import spark.implicits._
+    val a = pairs.join(points.select(col("traj_id").as("t1"),
+      col("seq").cast("int").as("i"), col("px").cast("long").as("ax"),
+      col("py").cast("long").as("ay")), "t1")
+    val cells = a.join(points.select(col("traj_id").as("t2"),
+        col("seq").cast("int").as("j"), col("px").cast("long").as("bx"),
+        col("py").cast("long").as("by")), "t2")
+      .select(col("t1").cast("long"), col("t2").cast("long"), col("i"),
+        col("j"),
+        ((col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by"))).as("d2"))
+    cells.as[(Long, Long, Int, Int, Long)]
+      .groupByKey { case (t1, t2, _, _, _) => (t1, t2) }
+      .mapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Int, Int, Long)]) =>
+        val (t1, t2) = key
+        val m = it.toArray
+        var nA = 0; var nB = 0
+        m.foreach { case (_, _, i, j, _) =>
+          if (i >= nA) nA = i + 1
+          if (j >= nB) nB = j + 1
+        }
+        val d2 = Array.fill(nA * nB)(Long.MaxValue)
+        m.foreach { case (_, _, i, j, v) => d2(i * nB + j) = v }
+        val ca = new Array[Long](nA * nB)
+        var i = 0
+        while (i < nA) {
+          var j = 0
+          while (j < nB) {
+            val best =
+              if (i == 0 && j == 0) d2(0)
+              else {
+                var mn = Long.MaxValue
+                if (i > 0 && ca((i - 1) * nB + j) < mn) mn = ca((i - 1) * nB + j)
+                if (j > 0 && ca(i * nB + j - 1) < mn) mn = ca(i * nB + j - 1)
+                if (i > 0 && j > 0 && ca((i - 1) * nB + j - 1) < mn)
+                  mn = ca((i - 1) * nB + j - 1)
+                if (d2(i * nB + j) > mn) d2(i * nB + j) else mn
+              }
+            ca(i * nB + j) = best
+            j += 1
+          }
+          i += 1
+        }
+        (t1, t2, nA, nB, ca(nA * nB - 1))
+      }
+      .toDF("t1", "t2", "n_a", "n_b", "frechet_d2")
+  }
+
   def hausdorff(points: DataFrame, pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     val a = pairs.join(points.select(col("traj_id").as("t1"),

@@ -2446,4 +2446,47 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(got == (("N36W119", 3600L, 1L, sum, mx)))
   }
+
+  test("Trajectory.frechet matches the recursive definition; orders where Hausdorff cannot") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // 8 random 5-point walks + trajectory 8 = reverse of trajectory 0
+    val base = (0 until 8).map(t =>
+      (0 until 5).map(i => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)))
+    val all = base :+ base.head.reverse
+    val pts = all.zipWithIndex.flatMap { case (vs, t) =>
+      vs.zipWithIndex.map { case ((x, y), i) => (t.toLong, i.toLong, x, y) }
+    }.toDF("traj_id", "seq", "px", "py")
+    val pairs = (for { a <- 0 until 9; b <- (a + 1) until 9 }
+      yield (a.toLong, b.toLong)).toDF("t1", "t2")
+    val got = graft.ops.Trajectory.frechet(pts, pairs)
+      .as[(Long, Long, Int, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._5).toMap
+    // reference: memoized recursive definition
+    def ref(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Long = {
+      val memo = scala.collection.mutable.Map.empty[(Int, Int), Long]
+      def d2(i: Int, j: Int) = {
+        val dx = a(i)._1 - b(j)._1; val dy = a(i)._2 - b(j)._2
+        dx * dx + dy * dy
+      }
+      def ca(i: Int, j: Int): Long = memo.getOrElseUpdate((i, j), {
+        if (i == 0 && j == 0) d2(0, 0)
+        else {
+          val preds = Seq(
+            if (i > 0) Some(ca(i - 1, j)) else None,
+            if (j > 0) Some(ca(i, j - 1)) else None,
+            if (i > 0 && j > 0) Some(ca(i - 1, j - 1)) else None).flatten
+          math.max(d2(i, j), preds.min)
+        }
+      })
+      ca(a.length - 1, b.length - 1)
+    }
+    for { a <- 0 until 9; b <- (a + 1) until 9 } {
+      assert(got((a, b)) == ref(all(a), all(b)), s"pair ($a,$b)")
+    }
+    // trajectory 8 visits exactly trajectory 0's points (Hausdorff 0) but
+    // in reverse order — Fréchet must see the difference unless the path
+    // is a palindrome
+    if (base.head != base.head.reverse) assert(got((0L, 8L)) > 0L)
+  }
 }
