@@ -308,6 +308,22 @@ object SparkEntry {
         .agg(round(sum("o_totalprice"), 2))
         .orderBy("mon")
     }),
+    // SKYLINE / Pareto front (ops.Skyline.skyline2d): the orders nobody
+    // beats on BOTH price and date (minimize both) — the classic
+    // multi-criteria operator, answered by the sorted-scan window identity
+    // (never the quadratic dominance self-join the oracle states
+    // definitionally). Integer cents + epoch days; duplicates
+    // pre-aggregated so the (x, y) order is total.
+    "q_skyline" -> ((s, dir) => {
+      val pairs = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 5 === 0)
+        .selectExpr(
+          "CAST(FLOOR(o_totalprice * 100.0D + 0.5D) AS BIGINT) AS price_c",
+          "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000 AS day")
+        .groupBy("price_c", "day").agg(count(lit(1)).as("n"))
+      ops.Skyline.skyline2d(pairs, "price_c", "day")
+        .orderBy("price_c")
+    }),
     // A1: Welford-equivalent single-pass stats + z>=2 outlier flagging
     // (reference src/s3Fetcher.ts:33-52), on exact-integer moments so the
     // oracle matches bit-for-bit.
@@ -3268,6 +3284,27 @@ object SparkEntry {
           expr("size(split(text, ' '))"))
         .orderBy("source")
     }),
+    // DSIR-style importance weights (Xie et al. 2023, public): score every
+    // corpus doc by how target-like its 2-gram distribution is — per gram,
+    // ratio_q = (target_freq·10⁶) div corpus_freq; doc weight = Σ ratio_q
+    // over its gram instances. The data-selection knob upstream of
+    // curation_quota (pick the highest-weight docs per budget). Gram stats
+    // bounded by vocabulary; one gram-keyed join back.
+    "curation_dsir" -> ((s, dir) => {
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(ops.Curation.wordNgrams(col("text"), 2)).as("tok"))
+      val corpusF = grams.groupBy("tok").agg(count(lit(1)).as("c_freq"))
+      val targetF = grams.filter(col("doc_id") % 10 === 0)
+        .groupBy("tok").agg(count(lit(1)).as("t_freq"))
+      val ratios = corpusF.join(targetF, Seq("tok"), "left")
+        .withColumn("ratio_q",
+          expr("(coalesce(t_freq, 0L) * 1000000) div c_freq"))
+      grams.join(ratios.select("tok", "ratio_q"), "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), sum("ratio_q").as("weight_q"))
+        .orderBy("doc_id")
+    }),
     // Deterministic stratified sampling: per-source keep rates as a pure
     // md5-bucket filter on the scan (ops.Curation.stratifiedSample) —
     // reproducible across runs/partitionings, nested rates give nested
@@ -3339,6 +3376,62 @@ object SparkEntry {
         .groupBy("cohort_week", "week_offset")
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy("cohort_week", "week_offset")
+    }),
+    // Kaplan-Meier survival curve in exact quantized arithmetic: customer
+    // lifetime = days between first and last order; customers still
+    // ordering in the dataset's final 90 days are CENSORED (they leave the
+    // at-risk pool at their observed lifetime without counting as a death
+    // — the thing that distinguishes KM from the empirical CDF). Per death
+    // time t:
+    // s_ppm ← s_ppm·(n_k − d_k) div n_k, the sequential product run by ONE
+    // flatMapGroups over the ≤(horizon+1)-row pre-aggregated curve (state
+    // bounded by the day horizon, never the users); oracle replays it as a
+    // recursive CTE over the ranked death times.
+    "events_survival" -> ((s, dir) => {
+      import s.implicits._
+      val users = t(s, dir, "orders")
+        .selectExpr("o_custkey AS user_id",
+          "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000 AS d")
+        .groupBy("user_id").agg(min("d").as("d0"), max("d").as("d1"))
+      val horizon = users.agg(max("d1")).head().getLong(0)
+      val lv = users.selectExpr("user_id", "d1 - d0 AS lifetime",
+        s"CASE WHEN d1 < ${horizon}L - 90L THEN 1 ELSE 0 END AS died")
+      val lifeCnt = lv.groupBy("lifetime").agg(count(lit(1)).as("n_at"))
+      val nGe = lifeCnt.withColumn("n_ge",
+        sum("n_at").over(Window.orderBy(col("lifetime").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val curve = lv.filter(col("died") === 1)
+        .groupBy(col("lifetime").as("t")).agg(count(lit(1)).as("d_k"))
+        .join(nGe.select(col("lifetime").as("t"), col("n_ge").as("n_k")), "t")
+      curve.select(col("t"), col("d_k"), col("n_k"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_ => true)
+        .flatMapGroups { (_: Boolean, it: Iterator[(Long, Long, Long)]) =>
+          val rows = it.toArray.sortBy(_._1)
+          var sp = 1000000L
+          rows.iterator.map { case (tt, dk, nk) =>
+            sp = sp * (nk - dk) / nk
+            (tt, nk, dk, sp)
+          }
+        }
+        .toDF("t_day", "n_risk", "n_deaths", "s_ppm")
+        .orderBy("t_day")
+    }),
+    // EXACT mergeable distinct (ops.Sketches.BitmapDistinctAgg): per-group
+    // bitmap over the bounded user domain, byte-OR merged — one 128-byte
+    // buffer per (group, partition) crosses the wire instead of every
+    // (group, user) pair; the exact counterpart to events_hll_distinct.
+    "events_bitmap_distinct" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select(col("event_type"), col("user_id").cast("long"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(new ops.Sketches.BitmapDistinctAgg(1024).toColumn
+          .name("n_distinct"))
+        .toDF("event_type", "n_distinct")
+        .orderBy("event_type")
     }),
     // The composed curation pipeline — the ops are designed to CHAIN:
     // exact dedup (md5 keeper) -> quality gate (length + Gopher word-rep)
@@ -9651,6 +9744,59 @@ object SparkEntry {
            round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
            round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
            round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
-         FROM orders GROUP BY 1 ORDER BY mon"""
+         FROM orders GROUP BY 1 ORDER BY mon""",
+    // definitional dominance oracle: the engine answers via the sorted-scan
+    // window identity, the oracle states NOT EXISTS dominance directly
+    "q_skyline" ->
+      """WITH p AS (SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_c,
+           epoch_us(o_orderdate) // 86400000000 AS day, count(*) AS n
+           FROM orders WHERE o_orderkey % 5 = 0 GROUP BY 1, 2)
+         SELECT r.price_c, r.day, r.n FROM p r
+         WHERE NOT EXISTS (SELECT 1 FROM p s
+           WHERE s.price_c <= r.price_c AND s.day <= r.day
+             AND (s.price_c < r.price_c OR s.day < r.day))
+         ORDER BY r.price_c""",
+    // KM: curve rows (death time, deaths, at-risk) then the quantized
+    // survival product replayed as a recursive CTE over ranked death times
+    "events_survival" ->
+      """WITH RECURSIVE d AS (SELECT o_custkey AS user_id,
+           epoch_us(o_orderdate) // 86400000000 AS d FROM orders),
+         u AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM d GROUP BY 1),
+         hz AS (SELECT max(d1) AS h FROM u),
+         lv AS (SELECT user_id, d1 - d0 AS lifetime,
+             CASE WHEN d1 < (SELECT h FROM hz) - 90 THEN 1 ELSE 0 END AS died FROM u),
+         lc AS (SELECT lifetime, count(*) AS n_at FROM lv GROUP BY 1),
+         ge AS (SELECT lifetime, CAST(sum(n_at) OVER (ORDER BY lifetime DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_ge FROM lc),
+         dt AS (SELECT lifetime AS t, CAST(count(*) AS BIGINT) AS d_k
+           FROM lv WHERE died = 1 GROUP BY 1),
+         curve AS (SELECT dt.t, dt.d_k, ge.n_ge AS n_k,
+             row_number() OVER (ORDER BY dt.t) AS idx
+           FROM dt JOIN ge ON ge.lifetime = dt.t),
+         km AS (SELECT idx, t, n_k, d_k,
+             (1000000 * (n_k - d_k)) // n_k AS s_ppm FROM curve WHERE idx = 1
+           UNION ALL
+           SELECT c.idx, c.t, c.n_k, c.d_k, (km.s_ppm * (c.n_k - c.d_k)) // c.n_k
+           FROM km JOIN curve c ON c.idx = km.idx + 1)
+         SELECT t AS t_day, n_k AS n_risk, d_k AS n_deaths,
+           CAST(s_ppm AS BIGINT) AS s_ppm
+         FROM km ORDER BY t_day""",
+    // the bitmap aggregator is EXACT — the oracle is count(distinct)
+    "events_bitmap_distinct" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+         FROM events GROUP BY 1 ORDER BY event_type""",
+    // same 2-gram stats, same quantized ratio, same instance-sum
+    "curation_dsir" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         grams AS (SELECT doc_id,
+             array_to_string(list_slice(w, CAST(g AS BIGINT), CAST(g AS BIGINT) + 1), ' ') AS tok
+           FROM toks, unnest(range(1, greatest(len(w), 1))) AS t(g)),
+         cf AS (SELECT tok, count(*) AS c_freq FROM grams GROUP BY 1),
+         tf AS (SELECT tok, count(*) AS t_freq FROM grams WHERE doc_id % 10 = 0 GROUP BY 1),
+         rt AS (SELECT cf.tok, (COALESCE(tf.t_freq, 0) * 1000000) // cf.c_freq AS ratio_q
+           FROM cf LEFT JOIN tf USING (tok))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(ratio_q) AS BIGINT) AS weight_q
+         FROM grams JOIN rt USING (tok) GROUP BY 1 ORDER BY doc_id"""
   )
 }

@@ -2489,4 +2489,28 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // is a palindrome
     if (base.head != base.head.reverse) assert(got((0L, 8L)) > 0L)
   }
+
+  test("BitmapDistinctAgg equals countDistinct; Skyline.skyline2d equals dominance brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // bitmap distinct
+    val rows = (0 until 2000).map(_ => (s"g${rnd.nextInt(4)}", rnd.nextInt(512).toLong))
+    val got = rows.toDF("g", "id").as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(new graft.ops.Sketches.BitmapDistinctAgg(512).toColumn.name("n"))
+      .collect().toMap
+    val want = rows.groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2).distinct.size.toLong }
+    assert(got == want)
+    // skyline on random pairs (with duplicates pre-aggregated)
+    val pts = (0 until 400).map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .distinct
+    val sky = graft.ops.Skyline.skyline2d(
+        pts.toDF("x", "y").repartition(7), "x", "y")
+      .as[(Long, Long)].collect().toSet
+    val ref = pts.filter { case (x, y) =>
+      !pts.exists { case (sx, sy) =>
+        sx <= x && sy <= y && (sx < x || sy < y) }
+    }.toSet
+    assert(sky == ref)
+  }
 }
