@@ -2896,6 +2896,35 @@ object SparkEntry {
       ops.MediaOps.windowSquares(ops.MediaOps.synth(mediaMeta(s, dir)), winLen = 512)
         .orderBy("media_id", "win_no")
     }),
+    // A/V alignment by integer cross-correlation: the second track is the
+    // first's window-energy sequence shifted by the per-media true lag
+    // (media_id % 5 − 2); xc(L) = Σ a(w)·b(w+L) over lags −4..4 in exact
+    // integers, argmax per media recovers −lag. The sync-offset estimator
+    // of multimodal ingest, as one lag-literal fanout + ONE media-keyed
+    // equi-join (never a window-by-window driver loop).
+    "media_av_offset" -> ((s, dir) => {
+      import s.implicits._
+      val a = ops.MediaOps.windowSquares(
+          ops.MediaOps.synth(mediaMeta(s, dir)), winLen = 512)
+        .select(col("media_id"), col("win_no"), col("sq_sum").as("sq"))
+        .localCheckpoint(false)
+      val b = a.selectExpr("media_id",
+        "win_no - (media_id % 5 - 2) AS wb", "sq AS sqb")
+      val lags = (-4L to 4L).toSeq.toDF("lag")
+      val probe = a.crossJoin(broadcast(lags))
+        .select(col("media_id"), col("lag"), col("sq"),
+          (col("win_no") + col("lag")).as("wb"))
+      probe.join(b, Seq("media_id", "wb"))
+        .groupBy("media_id", "lag")
+        .agg(sum(col("sq") * col("sqb")).as("xc"),
+          count(lit(1)).as("n_overlap"))
+        .withColumn("rn", row_number().over(Window.partitionBy("media_id")
+          .orderBy(col("xc").desc, col("lag"))))
+        .filter(col("rn") === 1)
+        .select(col("media_id"), col("lag").as("best_lag"), col("xc"),
+          col("n_overlap"))
+        .orderBy("media_id")
+    }),
     // VAD segment merging (ops.MediaOps.activeSegments): per-window
     // activity decisions (closed-form gate: (m·131 + w·37) % 97 < 40)
     // coalesced into utterance spans with a 1-window hangover — silence
@@ -2950,6 +2979,20 @@ object SparkEntry {
         TileGen.tileRow(lng, lat, 601, "hgt", TileGen.planeAt) })
       ops.ImageOps.nccBlocks(epochA, epochB, block = 100)
         .orderBy("image_id", "py", "px")
+    }),
+    // Image REGISTRATION (ops.ImageOps.cornerMatch): epoch B is epoch A
+    // translated by (2, 3); FAST corners + 32-bit circle descriptors
+    // equi-join across epochs (bucketed by descriptor, never all-pairs)
+    // and vote for their displacement — the mode recovers the true shift.
+    "img_register" -> ((s, dir) => {
+      import s.implicits._
+      val corners = Seq((-120, 36), (-120, 37), (-119, 36), (-119, 37),
+        (-118, 36), (-117, 37))
+      val epochA = s.createDataset(TileGen.tiles(corners, 601, "hgt"))
+      val epochB = s.createDataset(corners.map { case (lng, lat) =>
+        TileGen.tileRow(lng, lat, 601, "hgt",
+          (sw, sl, r, c) => TileGen.sampleAt(sw, sl, r + 2, c + 3)) })
+      ops.ImageOps.cornerMatch(epochA, epochB, t = 2).orderBy("image_id")
     }),
     // Change-detection confusion matrix (ops.ImageOps.crosstab): pixels
     // counted per (zone_a, zone_b) over the width-512 quantization of the
@@ -3779,6 +3822,23 @@ object SparkEntry {
         .groupBy("user_id").agg(count(lit(1)).as("n"))
         .groupBy("n").agg(count(lit(1)).as("n_keys"))
         .orderBy("n")
+    }),
+    // Day-of-week χ² uniformity test in exact integers: per event type,
+    // χ²·ppm against the uniform weekday expectation via the identity
+    // Σ(O−T/7)²/(T/7) = Σ(7O−T)²/(7T) — the numerator stays integer, ONE
+    // ppm division at the end. The seasonality screen of event pipelines.
+    "events_dow_chi2" -> ((s, dir) => {
+      val c = t(s, dir, "events")
+        .selectExpr("event_type",
+          "(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000) % 7 AS dow")
+        .groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+      c.withColumn("t_all", sum("o").over(Window.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(max("t_all").as("total"),
+          sum(expr("(7*o - t_all) * (7*o - t_all)")).as("chi_num"))
+        .withColumn("chi2_ppm",
+          expr("(chi_num * 1000000) div (7 * total)"))
+        .orderBy("event_type")
     }),
     // Gini concentration of per-key volume — the single-number skew verdict
     // events_key_skew's histogram feeds: G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx)
@@ -5946,6 +6006,56 @@ object SparkEntry {
     * the kernel walks, contiguous-12 by the identical doubled-mask trick
     * in DuckDB bit arithmetic.
     */
+  /** Registration oracle: both epochs' FAST corner tables (epoch B's field
+    * is the generator shifted by (+2, +3)), descriptor equi-join,
+    * displacement vote, per-image mode.
+    */
+  private val registerOracleSql: String = {
+    val thr = 2
+    def run12(mm: String) = (1 to 11).map(k => s"($mm >> $k)")
+      .mkString(s"(($mm & ", " & ", ") & 65535) <> 0")
+    def cornerCtes(tag: String, sc: Int, sr: Int): String = {
+      def v(dc: Int, dr: Int) =
+        gridV(s"c.range+(${dc + sc})", s"r.range+(${dr + sr})")
+      def mask(cmp: String) = ops.ImageOps.FastOffsets.zipWithIndex.map {
+        case ((dr, dc), i) =>
+          s"(CASE WHEN ${v(dc, dr)} $cmp THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ")
+      val bm = mask(s">= ${v(0, 0)} + $thr")
+      val dm = mask(s"<= ${v(0, 0)} - $thr")
+      s"""${tag}m AS MATERIALIZED (SELECT swlng, swlat, r.range AS r, c.range AS c,
+            ${v(0, 0)} AS v0, $bm AS bm, $dm AS dm
+          FROM k, range(3,598) r, range(3,598) c),
+         ${tag}t AS (SELECT swlng, swlat, r, c, v0, bm, dm,
+            ((CAST(bm AS BIGINT) << 16) | CAST(bm AS BIGINT)) AS bmm,
+            ((CAST(dm AS BIGINT) << 16) | CAST(dm AS BIGINT)) AS dmm FROM ${tag}m),
+         $tag AS MATERIALIZED (SELECT swlng, swlat, r, c,
+             ((((CAST(bm AS BIGINT) << 16) | CAST(dm AS BIGINT)) << 12)
+               | (CAST(v0 AS BIGINT) % 4096)) AS code
+           FROM ${tag}t WHERE (${run12("bmm")}) OR (${run12("dmm")}))"""
+    }
+    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+       k AS (SELECT swlng, swlat,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
+       ${cornerCtes("cna", 0, 0)},
+       ${cornerCtes("cnb", 3, 2)},
+       v AS (SELECT a.swlng, a.swlat, a.r - b.r AS dr, a.c - b.c AS dc,
+           count(*) AS n_votes
+         FROM cna a JOIN cnb b ON b.swlng = a.swlng AND b.swlat = a.swlat
+           AND b.code = a.code
+         GROUP BY 1, 2, 3, 4),
+       tt AS (SELECT swlng, swlat, CAST(sum(n_votes) AS BIGINT) AS n_matches
+         FROM v GROUP BY 1, 2),
+       rk AS (SELECT *, row_number() OVER (PARTITION BY swlng, swlat
+           ORDER BY n_votes DESC, dr, dc) AS rn FROM v)
+       SELECT (CASE WHEN rk.swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(rk.swlat) AS VARCHAR),2,'0') ||
+           CASE WHEN rk.swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(rk.swlng) AS VARCHAR),3,'0')) AS image_id,
+         CAST(dr AS INT) AS dr, CAST(dc AS INT) AS dc,
+         CAST(n_votes AS BIGINT) AS n_votes, tt.n_matches
+       FROM rk JOIN tt ON tt.swlng = rk.swlng AND tt.swlat = rk.swlat
+       WHERE rn = 1 ORDER BY image_id"""
+  }
+
   private val fastOracleSql: String = {
     val thr = 2
     def v(dc: Int, dr: Int) =
@@ -6810,6 +6920,7 @@ object SparkEntry {
          ORDER BY image_id, py, px""",
     "img_sobel" -> sobelOracleSql,
     "img_fast_corners" -> fastOracleSql,
+    "img_register" -> registerOracleSql,
     "img_haar" -> haarOracleSql,
     "img_lbp" -> lbpOracleSql,
     "img_orient_hist" -> orientOracleSql,
@@ -7896,6 +8007,30 @@ object SparkEntry {
              i -> (((media_id*31 + (win_no*512+i)*7) % 256) - 128)
                 * (((media_id*31 + (win_no*512+i)*7) % 256) - 128))) AS BIGINT) AS sq_sum
          FROM w ORDER BY media_id, win_no""",
+    // cross-correlation of the window-energy sequence with its lag-shifted
+    // copy at 9 lag literals; argmax per media (ties by lag asc)
+    "media_av_offset" ->
+      """WITH m AS (SELECT s_suppkey AS media_id,
+           4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),
+         w AS (SELECT media_id, unnest(range(0, n_bytes // 512)) AS win_no FROM m),
+         wsq AS MATERIALIZED (SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(win_no AS BIGINT) AS win_no,
+           CAST(list_sum(list_transform(range(0,512),
+             i -> (((media_id*31 + (win_no*512+i)*7) % 256) - 128)
+                * (((media_id*31 + (win_no*512+i)*7) % 256) - 128))) AS BIGINT) AS sq
+           FROM w),
+         b AS (SELECT media_id, win_no - (media_id % 5 - 2) AS wb, sq AS sqb FROM wsq),
+         l AS (SELECT unnest(range(-4, 5)) AS lag),
+         pr AS (SELECT a.media_id, l.lag, a.sq, a.win_no + l.lag AS wb FROM wsq a, l),
+         ag AS (SELECT pr.media_id, pr.lag,
+             CAST(sum(pr.sq * b.sqb) AS BIGINT) AS xc,
+             CAST(count(*) AS BIGINT) AS n_overlap
+           FROM pr JOIN b ON b.media_id = pr.media_id AND b.wb = pr.wb
+           GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (PARTITION BY media_id
+             ORDER BY xc DESC, lag) AS rn FROM ag)
+         SELECT media_id, CAST(lag AS BIGINT) AS best_lag, xc, n_overlap
+         FROM r WHERE rn = 1 ORDER BY media_id""",
     // VAD segments: same closed-form activity gate, lag-break + running
     // sum islands, per-(media, segment) span rollup
     "media_active_segments" ->
@@ -8503,6 +8638,19 @@ object SparkEntry {
     "events_key_skew" ->
       """WITH per AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
          SELECT n, count(*) AS n_keys FROM per GROUP BY n ORDER BY n""",
+    // χ² numerator Σ(7O−T)² stays integer; one // to ppm
+    "events_dow_chi2" ->
+      """WITH c AS (SELECT event_type,
+           (epoch_us(ts) // 86400000000) % 7 AS dow, count(*) AS o
+           FROM events GROUP BY 1, 2),
+         w AS (SELECT event_type, dow, o,
+           CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS t_all FROM c),
+         a AS (SELECT event_type, CAST(max(t_all) AS BIGINT) AS total,
+           CAST(sum((7*o - t_all) * (7*o - t_all)) AS BIGINT) AS chi_num
+           FROM w GROUP BY 1)
+         SELECT event_type, total, chi_num,
+           (chi_num * 1000000) // (7 * total) AS chi2_ppm
+         FROM a ORDER BY event_type""",
     // Gini over ascending-ranked counts; all-integer, one // at the end
     "events_gini" ->
       """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),

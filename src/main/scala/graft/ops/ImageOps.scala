@@ -744,6 +744,87 @@ object ImageOps {
     (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
     (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1))
 
+  final case class CornerRow(image_id: String, r: Int, c: Int, code: Long)
+
+  /** FAST corner positions + a 32-bit descriptor (bright mask ∥ dark mask
+    * of the radius-3 circle) — the keypoint table [[fastCorners]]'s census
+    * aggregates away. The descriptor is translation-invariant (it moves
+    * with the field), which is what [[cornerMatch]] exploits.
+    */
+  def cornerTable(tiles: Dataset[TileRow], t: Int): Dataset[CornerRow] = {
+    require(t > 0, s"threshold must be > 0, got $t")
+    implicit val enc = Encoders.product[CornerRow]
+    tiles.mapPartitions { it =>
+      it.flatMap { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val out = scala.collection.mutable.ArrayBuffer.empty[CornerRow]
+        var r = 3
+        while (r < size - 3) {
+          var c = 3
+          while (c < size - 3) {
+            val v = d.samples(r * size + c).toInt
+            var bm = 0; var dm = 0
+            var i = 0
+            while (i < 16) {
+              val off = FastOffsets(i)
+              val p = d.samples((r + off._1) * size + (c + off._2)).toInt
+              if (p >= v + t) bm |= (1 << i)
+              if (p <= v - t) dm |= (1 << i)
+              i += 1
+            }
+            // segment test: >= 12 contiguous set bits, wrap-around
+            val bmm = (bm.toLong << 16) | bm.toLong
+            val dmm = (dm.toLong << 16) | dm.toLong
+            var rb = bmm; var rd = dmm
+            var k = 1
+            while (k <= 11) { rb &= (bmm >> k); rd &= (dmm >> k); k += 1 }
+            // descriptor = circle masks ∥ center value (mod 4096): all three
+            // move with the field under translation, and the center value
+            // keeps descriptor buckets selective — without it the synthetic
+            // field's repeating seams put ~56k corners in one bucket and
+            // the match join explodes into all-pairs-within-bucket
+            if ((rb & 0xFFFFL) != 0L || (rd & 0xFFFFL) != 0L)
+              out += CornerRow(tl.image_id, r, c,
+                (((bm.toLong << 16) | dm.toLong) << 12) | (v.toLong & 0xFFFL))
+            c += 1
+          }
+          r += 1
+        }
+        out.iterator
+      }
+    }
+  }
+
+  /** Image REGISTRATION by corner-descriptor voting: detect FAST corners
+    * with their circle descriptors in both epochs, equi-join on
+    * (image, descriptor) — the bucketed candidate generation, never
+    * corner-all-pairs — and let every match vote for its displacement
+    * (ra−rb, ca−cb); the modal displacement per image is the estimated
+    * translation. The RANSAC-free core of raster/frame alignment: under a
+    * pure shift the true matches agree on ONE displacement while
+    * descriptor collisions scatter, so the mode wins.
+    *
+    * @return (image_id, dr, dc, n_votes, n_matches) — the winning
+    *         displacement, its votes, and the total match count
+    */
+  def cornerMatch(tilesA: Dataset[TileRow], tilesB: Dataset[TileRow],
+                  t: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = cornerTable(tilesA, t).toDF("image_id", "ra", "ca", "code")
+    val b = cornerTable(tilesB, t).toDF("image_id", "rb", "cb", "code")
+    val votes = a.join(b, Seq("image_id", "code"))
+      .groupBy(col("image_id"), (col("ra") - col("rb")).as("dr"),
+        (col("ca") - col("cb")).as("dc"))
+      .agg(count(lit(1)).as("n_votes"))
+    val tot = votes.groupBy("image_id").agg(sum("n_votes").as("n_matches"))
+    val w = Window.partitionBy("image_id")
+      .orderBy(col("n_votes").desc, col("dr"), col("dc"))
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(tot, "image_id")
+      .select("image_id", "dr", "dc", "n_votes", "n_matches")
+  }
+
   final case class FastRow(image_id: String, n_tested: Long, n_bright: Long,
                            n_dark: Long, n_corners: Long)
 
