@@ -721,6 +721,31 @@ object SparkEntry {
         .join(trajs.select(col("traj_id").as("t2")), col("t1") < col("t2"))
       ops.Trajectory.frechet(pts, pairs).orderBy("t1", "t2")
     }),
+    // Viterbi map-matching (ops.Trajectory.mapMatch): the first 6 fixes of
+    // each of 12 event-derived walks snapped to a 5×5 road-node grid under
+    // emission d² + transition 3·manhattan — the HMM decoder that keeps a
+    // noisy fix from jumping roads. The full DP cost table is the output,
+    // so the oracle replays the recurrence one CTE per step with a
+    // correlated min over the previous column.
+    "traj_mapmatch" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val pts = t(s, dir, "events")
+        .filter(col("user_id") < 12)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("event_id") % 7).as("dx"),
+          ((col("event_id") * 3) % 5).as("dy"))
+        .withColumn("px", sum("dx").over(w))
+        .withColumn("py", sum("dy").over(w))
+        .withColumn("seq", row_number().over(w) - 1)
+        .filter(col("seq") < 6)
+        .select(col("user_id").as("traj_id"), col("seq"), col("px"),
+          col("py"))
+      val nodes = for { i <- 0L until 5L; j <- 0L until 5L }
+        yield (i * 5 + j, j * 20, i * 20)
+      ops.Trajectory.mapMatch(pts, nodes, tw = 3L)
+        .orderBy("traj_id", "step", "node_id")
+    }),
 
     // ---- spatial core (F4/F9, J1/J4+F1/F2/F8, F6, z/x/y) ----
     "geo_tile_key" -> ((s, dir) => {
@@ -2682,6 +2707,44 @@ object SparkEntry {
         .withColumnRenamed("rank", "ppr")
         .orderBy("node")
     }),
+    // Deterministic walk corpus (ops.Graph.deterministicWalks): 4-hop
+    // walks from the %10 seeds, next hop = hash-argmin out-neighbour —
+    // the node2vec/DeepWalk corpus generator, oracle-replayable because
+    // the "randomness" is a literal hash.
+    "graph_walks" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
+        .distinct()
+      val seeds = edges.selectExpr("src AS seed")
+        .filter(col("seed") % 10 === 0).distinct()
+      ops.Graph.deterministicWalks(edges, seeds, steps = 4)
+        .orderBy("seed", "step")
+    }),
+    // Materialized-path hierarchy (CONNECT_BY_PATH / file-tree paths):
+    // the 40-node n DIV 3 forest rooted at 0, every node's root-to-node
+    // path string built by one frontier join per depth level (4 rounds —
+    // work ∝ tree depth); DuckDB replays it as a true recursive CTE.
+    "q_org_paths" -> ((s, dir) => {
+      val nodes = t(s, dir, "supplier")
+        .selectExpr("s_suppkey % 40 AS n").distinct()
+        .localCheckpoint(false)
+      var frontier = nodes.filter(col("n") === 0)
+        .select(col("n"), lit(0).as("depth"), lit("0").as("path"))
+        .localCheckpoint(false)
+      var out = frontier
+      for (k <- 1 to 4) {
+        frontier = nodes.filter(col("n") > 0)
+          .withColumn("parent", expr("n DIV 3"))
+          .join(frontier.select(col("n").as("parent"),
+            col("path").as("ppath")), "parent")
+          .select(col("n"), lit(k).as("depth"),
+            concat(col("ppath"), lit("/"), col("n").cast("string"))
+              .as("path"))
+          .localCheckpoint(false)
+        out = out.unionAll(frontier)
+      }
+      out.orderBy("n")
+    }),
     // Degree-mixing statistics (ops.Graph.degreeMix): the assortativity
     // moments as ONE exact-integer row — num/den of Newman's r assembled,
     // the float division left to the consumer. One degree count + two
@@ -2799,7 +2862,7 @@ object SparkEntry {
     // WITH RECURSIVE with the same depth guard.
     "q_bom_explode" -> ((s, dir) => {
       val edges = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 19 === 0)
+        .filter(col("l_orderkey") % 97 === 0)
         .selectExpr("least(l_partkey % 300, l_suppkey % 300) AS parent",
           "greatest(l_partkey % 300, l_suppkey % 300) AS child")
         .filter(col("parent") =!= col("child"))
@@ -3461,9 +3524,11 @@ object SparkEntry {
         .orderBy("t_day")
     }),
     // EXACT mergeable distinct (ops.Sketches.BitmapDistinctAgg): per-group
-    // bitmap over the bounded user domain, byte-OR merged — one 128-byte
+    // bitmap over the bounded user domain, byte-OR merged — one 8 KiB
     // buffer per (group, partition) crosses the wire instead of every
     // (group, user) pair; the exact counterpart to events_hll_distinct.
+    // 64 Ki bits covers the user domain through sf1 (the sf0.1 bench runs
+    // this too — a domain-sized sketch is part of the contract).
     "events_bitmap_distinct" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "events")
@@ -3471,7 +3536,7 @@ object SparkEntry {
         .as[(String, Long)]
         .groupByKey(_._1)
         .mapValues(_._2)
-        .agg(new ops.Sketches.BitmapDistinctAgg(1024).toColumn
+        .agg(new ops.Sketches.BitmapDistinctAgg(65536).toColumn
           .name("n_distinct"))
         .toDF("event_type", "n_distinct")
         .orderBy("event_type")
@@ -6353,6 +6418,45 @@ object SparkEntry {
        ORDER BY ca10.t1, ca10.t2"""
   }
 
+  /** Map-matching oracle: the Viterbi recurrence replayed one MATERIALIZED
+    * CTE per fix, the previous column folded in via a correlated min over
+    * all 25 states.
+    */
+  private val mapMatchOracleSql: String = {
+    val nodes = (for { i <- 0L until 5L; j <- 0L until 5L }
+      yield s"(${i * 5 + j}, ${j * 20}, ${i * 20})").mkString(",")
+    val steps = (1 to 5).map { k =>
+      s"""v$k AS MATERIALIZED (SELECT f.traj_id, n.node_id,
+          (SELECT min(p.cost + 3*(abs(n.nx - pn.nx) + abs(n.ny - pn.ny)))
+             FROM v${k - 1} p JOIN nodes pn ON pn.node_id = p.node_id
+             WHERE p.traj_id = f.traj_id)
+          + (f.px - n.nx)*(f.px - n.nx) + (f.py - n.ny)*(f.py - n.ny) AS cost
+        FROM fx f, nodes n WHERE f.seq = $k)"""
+    }.mkString(",\n         ")
+    val out = (0 to 5).map(k =>
+      s"SELECT traj_id, $k AS step, node_id, cost FROM v$k")
+      .mkString("\n         UNION ALL ")
+    s"""WITH p0 AS (SELECT user_id, ts, event_id,
+         event_id % 7 AS dx, (event_id * 3) % 5 AS dy FROM events
+         WHERE user_id < 12),
+       c AS (SELECT user_id, ts, event_id,
+           CAST(sum(dx) OVER w AS BIGINT) AS px,
+           CAST(sum(dy) OVER w AS BIGINT) AS py,
+           row_number() OVER w - 1 AS seq
+         FROM p0 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       fx AS MATERIALIZED (SELECT user_id AS traj_id, seq, px, py FROM c
+         WHERE seq < 6),
+       nodes(node_id, nx, ny) AS (VALUES $nodes),
+       v0 AS MATERIALIZED (SELECT f.traj_id, n.node_id,
+           (f.px - n.nx)*(f.px - n.nx) + (f.py - n.ny)*(f.py - n.ny) AS cost
+         FROM fx f, nodes n WHERE f.seq = 0),
+       $steps
+       SELECT traj_id, CAST(step AS INT) AS step,
+         CAST(node_id AS BIGINT) AS node_id, CAST(cost AS BIGINT) AS cost
+       FROM ($out) ORDER BY traj_id, step, node_id"""
+  }
+
   /** Hough oracle: the same central-difference edge mask and 4 lattice
     * direction families as integer vote counts, top-5 per image.
     */
@@ -6769,6 +6873,33 @@ object SparkEntry {
     "graph_pagerank" -> pagerankOracleSql,
     "graph_ppr" -> pprOracleSql,
     "traj_frechet" -> frechetOracleSql,
+    "traj_mapmatch" -> mapMatchOracleSql,
+    // 4 unrolled hops, next hop = hash-argmin out-neighbour (ties by dst)
+    "graph_walks" -> {
+      val hops = (1 to 4).map { k =>
+        s"""w$k AS (SELECT seed, $k AS step, dst AS node FROM (
+            SELECT w.seed, e.dst, row_number() OVER (PARTITION BY w.seed
+              ORDER BY (w.node * 1009 + $k * 131 + e.dst * 7919) % 104729, e.dst) AS rn
+            FROM w${k - 1} w JOIN e ON e.src = w.node) WHERE rn = 1)"""
+      }.mkString(",\n         ")
+      val out = (0 to 4).map(k => s"SELECT seed, step, node FROM w$k")
+        .mkString("\n         UNION ALL ")
+      s"""WITH e AS (SELECT DISTINCT l_suppkey % 500 AS src,
+           l_partkey % 500 AS dst FROM lineitem),
+         s0 AS (SELECT DISTINCT src AS seed FROM e WHERE src % 10 = 0),
+         w0 AS (SELECT seed, 0 AS step, seed AS node FROM s0),
+         $hops
+         SELECT seed, CAST(step AS INT) AS step, node
+         FROM ($out) ORDER BY seed, step"""
+    },
+    // recursive path materialization down the n//3 forest
+    "q_org_paths" ->
+      """WITH RECURSIVE nodes AS (SELECT DISTINCT s_suppkey % 40 AS n FROM supplier),
+         r AS (SELECT n, 0 AS depth, '0' AS path FROM nodes WHERE n = 0
+           UNION ALL
+           SELECT c.n, r.depth + 1, r.path || '/' || CAST(c.n AS VARCHAR)
+           FROM r JOIN nodes c ON c.n > 0 AND c.n // 3 = r.n)
+         SELECT n, CAST(depth AS INT) AS depth, path FROM r ORDER BY n""",
     "img_hough" -> houghOracleSql,
     "graph_kcore" -> kcoreOracleSql,
     "graph_hits" -> hitsOracleSql,
@@ -6781,7 +6912,7 @@ object SparkEntry {
       """WITH RECURSIVE e AS (
            SELECT DISTINCT LEAST(l_partkey % 300, l_suppkey % 300) AS parent,
              GREATEST(l_partkey % 300, l_suppkey % 300) AS child
-           FROM lineitem WHERE l_orderkey % 19 = 0
+           FROM lineitem WHERE l_orderkey % 97 = 0
              AND l_partkey % 300 <> l_suppkey % 300),
          eq AS (SELECT parent, child,
              1 + (parent * 31 + child * 17) % 4 AS qty FROM e),

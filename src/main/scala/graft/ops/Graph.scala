@@ -41,6 +41,46 @@ object Graph {
     *               convergence probes for oracle-checked pipelines)
     * @return (node, rank) after `rounds` rounds, micro-units
     */
+  /** Deterministic "random" walks — the node2vec/DeepWalk corpus generator
+    * made oracle-checkable: from every seed, `steps` hops where the next
+    * hop is the out-neighbour minimizing the hash
+    * `(cur·1009 + step·131 + nbr·7919) mod 104729` (ties by neighbour id;
+    * a dead end stops the walk). Swapping the hash for a real PRNG gives
+    * classic uniform walks with the identical plan; determinism is what
+    * lets a second engine replay the corpus bit-for-bit.
+    *
+    * Scale shape: each hop is ONE frontier-to-edges equi-join keyed by the
+    * current node plus a per-walk top-1 window — walks·steps rows of
+    * state, never materializing neighbourhoods.
+    *
+    * @return (seed, step, node) — step 0 is the seed itself
+    */
+  def deterministicWalks(edges: DataFrame, seeds: DataFrame,
+                         steps: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(steps >= 1, s"steps must be >= 1: $steps")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().localCheckpoint(false)
+    var frontier = seeds.select(col("seed").cast("long"))
+      .distinct()
+      .select(col("seed"), lit(0).as("step"), col("seed").as("node"))
+      .localCheckpoint(false)
+    var out = frontier
+    for (k <- 1 to steps) {
+      val w = Window.partitionBy("seed").orderBy(col("h"), col("dst"))
+      frontier = frontier
+        .join(e, col("node") === col("src"))
+        .withColumn("h",
+          expr(s"(node * 1009 + $k * 131 + dst * 7919) % 104729"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("seed"), lit(k).as("step"), col("dst").as("node"))
+        .localCheckpoint(false)
+      out = out.unionAll(frontier)
+    }
+    out
+  }
+
   /** Personalized PageRank ([[pagerank]] with the teleport vector
     * concentrated on `seeds` — "importance as seen FROM these nodes", the
     * related-items / local-community primitive): seeds start with the full

@@ -430,6 +430,69 @@ object Trajectory {
     * @param pairs  (t1, t2) candidate pairs, t1 < t2 by caller contract
     * @return (t1, t2, n_a, n_b, hausdorff_d2)
     */
+  /** Viterbi map-matching (HMM decoding, Newson & Krumm 2009 shape, public)
+    * in exact integers: snap a GPS fix sequence to the road-node grid by
+    * minimizing Σ emission + Σ transition, where emission(t, s) = squared
+    * distance fix_t→node_s and transition(s′, s) = `tw`·manhattan(s′, s)
+    * (the road-continuity prior that plain per-fix nearest-node snapping
+    * lacks — it jumps roads on noisy fixes). Output is the full Viterbi
+    * COST TABLE v(t, s) plus the decoded end state per trajectory, so an
+    * independent engine replays the recurrence step by step without
+    * backpointers.
+    *
+    * Scale shape: one groupByKey on the trajectory; per-key state is the
+    * T×S table (fix count × node grid, both bounded constants of the
+    * matcher, NOT data-sized). The nodes table is a plan-time literal.
+    *
+    * @param fixes (traj_id, seq, px, py) integer coordinates
+    * @param nodes (node_id, nx, ny) the road grid (small, literal)
+    * @param tw    transition weight
+    * @return (traj_id, step, node_id, cost) — every DP cell — plus the
+    *         per-(traj, step) decoded node via min cost (cost ties by
+    *         node_id are broken by the consumer's ORDER BY)
+    */
+  def mapMatch(fixes: DataFrame, nodes: Seq[(Long, Long, Long)],
+               tw: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = fixes.sparkSession
+    import spark.implicits._
+    val nArr = nodes.sortBy(_._1).toArray
+    fixes.select(col("traj_id").cast("long"), col("seq").cast("int"),
+        col("px").cast("long"), col("py").cast("long"))
+      .as[(Long, Int, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (traj: Long, it: Iterator[(Long, Int, Long, Long)]) =>
+        val fx = it.toArray.sortBy(_._2)
+        val nS = nArr.length
+        var prev: Array[Long] = null
+        fx.iterator.flatMap { case (_, step, px, py) =>
+          val cur = new Array[Long](nS)
+          var s = 0
+          while (s < nS) {
+            val (_, nx, ny) = nArr(s)
+            val em = (px - nx) * (px - nx) + (py - ny) * (py - ny)
+            if (prev == null) cur(s) = em
+            else {
+              var best = Long.MaxValue
+              var p = 0
+              while (p < nS) {
+                val (_, pnx, pny) = nArr(p)
+                val t = prev(p) +
+                  tw * (math.abs(nx - pnx) + math.abs(ny - pny))
+                if (t < best) best = t
+                p += 1
+              }
+              cur(s) = best + em
+            }
+            s += 1
+          }
+          prev = cur
+          nArr.indices.map(s2 => (traj, step, nArr(s2)._1, cur(s2)))
+        }
+      }
+      .toDF("traj_id", "step", "node_id", "cost")
+  }
+
   /** Discrete Fréchet distance (squared, exact integers) — the ORDER-AWARE
     * trajectory similarity [[hausdorff]] isn't: the classic "dog leash"
     * coupling DP ca(i,j) = max(d²(i,j), min(ca(i−1,j), ca(i−1,j−1),
