@@ -746,6 +746,55 @@ object SparkEntry {
       ops.Trajectory.mapMatch(pts, nodes, tw = 3L)
         .orderBy("traj_id", "step", "node_id")
     }),
+    // Chaikin corner-cutting (the classic polyline smoother, public): each
+    // segment (p, q) is replaced by Q = (3p+q)/4 and R = (p+3q)/4,
+    // endpoints kept; 2 rounds. Coordinates AND the ordering key scale ×4
+    // per round (Q at 3·s_p + s_q etc.), so everything stays exact 64-bit
+    // integers — final coords are 16× the true values. One traj-keyed
+    // window per round.
+    "geo_chaikin" -> ((s, dir) => {
+      val wseq = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      var pts = t(s, dir, "events")
+        .filter(col("user_id") < 12)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("event_id") % 7).as("dx"),
+          ((col("event_id") * 3) % 5).as("dy"))
+        .withColumn("x", sum("dx").over(wseq))
+        .withColumn("y", sum("dy").over(wseq))
+        .withColumn("pos", (row_number().over(wseq) - 1).cast("long"))
+        .filter(col("pos") < 8)
+        .select(col("user_id").as("traj_id"), col("pos"), col("x"), col("y"))
+      for (_ <- 1 to 2) {
+        val w = Window.partitionBy("traj_id").orderBy("pos")
+        val segs = pts
+          .withColumn("nx", lead("x", 1).over(w))
+          .withColumn("ny", lead("y", 1).over(w))
+          .withColumn("npos", lead("pos", 1).over(w))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("nrows", count(lit(1)).over(
+            Window.partitionBy("traj_id")))
+        val inner = segs.filter(col("npos").isNotNull)
+          .select(col("traj_id"),
+            explode(array(
+              struct((col("pos") * 3 + col("npos")).as("pos"),
+                (col("x") * 3 + col("nx")).as("x"),
+                (col("y") * 3 + col("ny")).as("y")),
+              struct((col("pos") + col("npos") * 3).as("pos"),
+                (col("x") + col("nx") * 3).as("x"),
+                (col("y") + col("ny") * 3).as("y")))).as("p"))
+          .select(col("traj_id"), col("p.pos"), col("p.x"), col("p.y"))
+        val ends = segs.filter(col("rn") === 1 || col("rn") === col("nrows"))
+          .select(col("traj_id"), (col("pos") * 4).as("pos"),
+            (col("x") * 4).as("x"), (col("y") * 4).as("y"))
+        pts = inner.unionAll(ends).localCheckpoint(false)
+      }
+      val wi = Window.partitionBy("traj_id").orderBy("pos")
+      pts.withColumn("idx", row_number().over(wi))
+        .select(col("traj_id"), col("idx"), col("x").as("xq16"),
+          col("y").as("yq16"))
+        .orderBy("traj_id", "idx")
+    }),
 
     // ---- spatial core (F4/F9, J1/J4+F1/F2/F8, F6, z/x/y) ----
     "geo_tile_key" -> ((s, dir) => {
@@ -1834,6 +1883,30 @@ object SparkEntry {
     // the cross-table consistency check of any warehouse intake; the
     // customer side is deliberately trimmed (%7) so the orders check
     // fires nonzero while lineitem→orders proves a clean zero.
+    // Cross-table AGGREGATE consistency audit (the invariant dq_referential
+    // can't see): per order, header o_totalprice vs the Σ of its line
+    // items' extendedprice, in exact cents; per status the violation count
+    // and the worst/total deviation — the reconciliation check of any
+    // header/detail ingest. One fk-keyed aggregate + one key equi-join.
+    "dq_agg_consistency" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .selectExpr("l_orderkey",
+          "CAST(FLOOR(l_extendedprice * 100.0D + 0.5D) AS BIGINT) AS cents")
+        .groupBy("l_orderkey").agg(sum("cents").as("li_cents"))
+      t(s, dir, "orders")
+        .selectExpr("o_orderkey", "o_orderstatus",
+          "CAST(FLOOR(o_totalprice * 100.0D + 0.5D) AS BIGINT) AS hdr_cents")
+        .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+        .withColumn("diff_c",
+          abs(col("hdr_cents") - coalesce(col("li_cents"), lit(0L))))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("li_cents").isNull, 1L).otherwise(0L))
+            .as("n_no_lines"),
+          sum(when(col("diff_c") > 0, 1L).otherwise(0L)).as("n_mismatch"),
+          max("diff_c").as("max_diff_c"), sum("diff_c").as("sum_diff_c"))
+        .orderBy("o_orderstatus")
+    }),
     "dq_referential" -> ((s, dir) => {
       def check(tag: String, child: DataFrame, fk: String,
                 parent: DataFrame) =
@@ -2523,6 +2596,18 @@ object SparkEntry {
         .unionAll(e.filter(col("vec_id") % 20 === 0)
           .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
       ops.Embeddings.nearDupPairs(corpus).orderBy("id_a", "id_b")
+    }),
+    // One NN-descent round (ops.Embeddings.nnDescentRecall): a two-band
+    // LSH seed kNN graph expanded by undirected neighbours-of-neighbours
+    // and exact-re-ranked; the gate reports recall@3 vs the exact baseline
+    // BEFORE and AFTER (18 → 22 hits of 75 at sf0.01) — the
+    // graph-refinement step of every kNN-graph index build, with its
+    // recall gain measured. (A single-band seed provably cannot gain: the
+    // bucket partition is transitive.)
+    "ann_nn_descent" -> ((s, dir) => {
+      ops.Embeddings.nnDescentRecall(t(s, dir, "embeddings"), k = 3,
+          nQueries = 25)
+        .orderBy("qid")
     }),
     "ann_ivf_assign" -> ((s, dir) => {
       ops.Embeddings.ivfAssign(t(s, dir, "embeddings"), 8).orderBy("vec_id")
@@ -4025,6 +4110,33 @@ object SparkEntry {
     "dedup_spans" -> ((s, dir) => {
       ops.TextDedup.duplicateSpanStats(dedupCorpus(s, dir), n = 8)
         .orderBy("doc_id")
+    }),
+    // Longest common SPAN between document pairs — the plagiarism-locator
+    // upgrade of dedup_spans' per-doc stats: 8-gram positions equi-join on
+    // the gram (pairs only materialize where grams collide, never doc ×
+    // doc), aligned-offset runs via gaps-and-islands, max run L ⇒ a shared
+    // span of L+7 tokens. Report pairs sharing a ≥12-token span.
+    "dedup_lcs_span" -> ((s, dir) => {
+      val docs = dedupCorpus(s, dir).filter(col("doc_id") % 5 === 0)
+      val g = docs.select(col("doc_id"),
+          posexplode(ops.Curation.wordNgrams(col("text"), 8))
+            .as(Seq("pos", "g")))
+      val m = g.select(col("doc_id").as("doc_a"), col("pos").as("pa"),
+          col("g"))
+        .join(g.select(col("doc_id").as("doc_b"), col("pos").as("pb"),
+          col("g")), "g")
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb").distinct()
+        .withColumn("off", col("pa") - col("pb"))
+      val w = Window.partitionBy("doc_a", "doc_b", "off").orderBy("pa")
+      m.withColumn("grp", col("pa") - row_number().over(w))
+        .groupBy("doc_a", "doc_b", "off", "grp")
+        .agg(count(lit(1)).as("run"))
+        .groupBy("doc_a", "doc_b")
+        .agg(max(col("run") + 7).as("span_tokens"),
+          count(lit(1)).as("n_runs"))
+        .filter(col("span_tokens") >= 12)
+        .orderBy("doc_a", "doc_b")
     }),
     // Interval-overlap join, bin-bucketed (5-min bins): view exposure
     // windows x purchase attribution windows on exact epoch-millis — the
@@ -6418,6 +6530,107 @@ object SparkEntry {
        ORDER BY ca10.t1, ca10.t2"""
   }
 
+  /** Chaikin oracle: 2 corner-cutting rounds replayed as window CTEs —
+    * coordinates and the ordering key both scale ×4 per round, exactly the
+    * engine's integer contract.
+    */
+  private val chaikinOracleSql: String = {
+    val rounds = (1 to 2).map { k =>
+      s"""s$k AS (SELECT traj_id, pos, x, y,
+          lead(x) OVER w AS nx, lead(y) OVER w AS ny,
+          lead(pos) OVER w AS npos,
+          row_number() OVER w AS rn,
+          count(*) OVER (PARTITION BY traj_id) AS nrows
+        FROM r${k - 1} WINDOW w AS (PARTITION BY traj_id ORDER BY pos)),
+       r$k AS (
+        SELECT traj_id, pos*3 + npos AS pos, x*3 + nx AS x, y*3 + ny AS y
+          FROM s$k WHERE npos IS NOT NULL
+        UNION ALL
+        SELECT traj_id, pos + npos*3, x + nx*3, y + ny*3
+          FROM s$k WHERE npos IS NOT NULL
+        UNION ALL
+        SELECT traj_id, pos*4, x*4, y*4 FROM s$k
+          WHERE rn = 1 OR rn = nrows)"""
+    }.mkString(",\n         ")
+    s"""WITH p0 AS (SELECT user_id, ts, event_id,
+         event_id % 7 AS dx, (event_id * 3) % 5 AS dy FROM events
+         WHERE user_id < 12),
+       c AS (SELECT user_id, ts, event_id,
+           CAST(sum(dx) OVER w AS BIGINT) AS px,
+           CAST(sum(dy) OVER w AS BIGINT) AS py,
+           row_number() OVER w - 1 AS seq
+         FROM p0 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       r0 AS (SELECT user_id AS traj_id, CAST(seq AS BIGINT) AS pos,
+           px AS x, py AS y FROM c WHERE seq < 8),
+       $rounds
+       SELECT traj_id,
+         CAST(row_number() OVER (PARTITION BY traj_id ORDER BY pos) AS INT) AS idx,
+         CAST(x AS BIGINT) AS xq16, CAST(y AS BIGINT) AS yq16
+       FROM r2 ORDER BY traj_id, idx"""
+  }
+
+  /** NN-descent oracle: LSH buckets, bucket-pair top-3, one
+    * neighbour-of-neighbour expansion, exact re-rank, recall vs the brute
+    * baseline — every stage the engine runs, in fold-dot arithmetic.
+    */
+  private val nnDescentOracleSql: String = {
+    val bucket = (0 until 8).map { j =>
+      s"(CASE WHEN ${sqlPlaneDot(j)} >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    def fdot(a: String, b: String) =
+      s"""list_reduce(list_prepend(0.0, list_transform(range(0,64),
+          d -> $a.v[d+1] * $b.v[d+1])), (p,q) -> p + q)"""
+    s"""WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       f AS MATERIALIZED (SELECT vec_id, v, $bucket AS b8,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(range(0,64),
+           d -> v[d+1] * v[d+1])), (p,q) -> p + q)) AS nrm FROM vv),
+       fb AS MATERIALIZED (SELECT vec_id, b8 % 16 AS band0, b8 // 16 AS band1 FROM f),
+       cp AS (SELECT DISTINCT qid, nid FROM (
+         SELECT a.vec_id AS qid, b.vec_id AS nid FROM fb a
+           JOIN fb b ON a.band0 = b.band0 AND a.vec_id <> b.vec_id
+         UNION ALL
+         SELECT a.vec_id, b.vec_id FROM fb a
+           JOIN fb b ON a.band1 = b.band1 AND a.vec_id <> b.vec_id)),
+       c0 AS (SELECT cp.qid, cp.nid,
+           ${fdot("a", "b")} / (a.nrm * b.nrm) AS cos
+         FROM cp JOIN f a ON a.vec_id = cp.qid JOIN f b ON b.vec_id = cp.nid),
+       knn0 AS MATERIALIZED (SELECT qid, nid FROM (SELECT *,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         FROM c0) WHERE rk <= 3),
+       und AS MATERIALIZED (SELECT DISTINCT qid, nid FROM (
+         SELECT qid, nid FROM knn0 UNION ALL SELECT nid AS qid, qid AS nid FROM knn0)),
+       ex AS (SELECT k1.qid, k2.nid FROM und k1
+         JOIN und k2 ON k2.qid = k1.nid WHERE k1.qid <> k2.nid),
+       cl AS (SELECT DISTINCT qid, nid FROM (
+         SELECT qid, nid FROM knn0 UNION ALL SELECT qid, nid FROM ex)),
+       c1 AS (SELECT cl.qid, cl.nid,
+           ${fdot("a", "b")} / (a.nrm * b.nrm) AS cos
+         FROM cl JOIN f a ON a.vec_id = cl.qid JOIN f b ON b.vec_id = cl.nid),
+       knn1 AS (SELECT qid, nid FROM (SELECT *,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         FROM c1) WHERE rk <= 3),
+       q AS (SELECT vec_id AS qid, v, nrm FROM f WHERE vec_id < 25),
+       exc AS (SELECT q.qid, f.vec_id AS nid,
+           list_reduce(list_prepend(0.0, list_transform(range(0,64),
+             d -> q.v[d+1] * f.v[d+1])), (p,q2) -> p + q2) / (q.nrm * f.nrm) AS cos
+         FROM q, f WHERE f.vec_id <> q.qid),
+       exact AS MATERIALIZED (SELECT qid, nid FROM (SELECT *,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         FROM exc) WHERE rk <= 3),
+       h0 AS (SELECT k.qid, count(*) AS hits FROM knn0 k
+         JOIN exact e ON e.qid = k.qid AND e.nid = k.nid
+         WHERE k.qid < 25 GROUP BY 1),
+       h1 AS (SELECT k.qid, count(*) AS hits FROM knn1 k
+         JOIN exact e ON e.qid = k.qid AND e.nid = k.nid
+         WHERE k.qid < 25 GROUP BY 1)
+       SELECT q.qid, CAST(COALESCE(h0.hits, 0) AS BIGINT) AS hits_lsh,
+         CAST(COALESCE(h1.hits, 0) AS BIGINT) AS hits_nnd
+       FROM (SELECT DISTINCT qid FROM q) q
+       LEFT JOIN h0 ON h0.qid = q.qid
+       LEFT JOIN h1 ON h1.qid = q.qid ORDER BY q.qid"""
+  }
+
   /** Map-matching oracle: the Viterbi recurrence replayed one MATERIALIZED
     * CTE per fix, the previous column folded in via a correlated min over
     * all 25 states.
@@ -6874,6 +7087,44 @@ object SparkEntry {
     "graph_ppr" -> pprOracleSql,
     "traj_frechet" -> frechetOracleSql,
     "traj_mapmatch" -> mapMatchOracleSql,
+    "geo_chaikin" -> chaikinOracleSql,
+    "ann_nn_descent" -> nnDescentOracleSql,
+    // per-pair longest aligned 8-gram run via gram join + gaps-and-islands
+    "dedup_lcs_span" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+           UNION ALL SELECT doc_id + 200000, text || ' zz qq ww ee rr tt' FROM documents WHERE doc_id % 7 = 0),
+         d AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus WHERE doc_id % 5 = 0),
+         gr AS (SELECT doc_id, CAST(g - 1 AS INT) AS pos,
+             array_to_string(list_slice(w, CAST(g AS BIGINT), CAST(g AS BIGINT) + 7), ' ') AS gram
+           FROM d, unnest(range(1, greatest(len(w) - 6, 1))) AS t(g)),
+         m AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pa, b.pos AS pb
+           FROM gr a JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+         r AS (SELECT doc_a, doc_b, pa - pb AS off, pa,
+             pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+               ORDER BY pa) AS grp FROM m),
+         runs AS (SELECT doc_a, doc_b, off, grp, count(*) AS run
+           FROM r GROUP BY 1, 2, 3, 4)
+         SELECT doc_a, doc_b, CAST(max(run + 7) AS BIGINT) AS span_tokens,
+           CAST(count(*) AS BIGINT) AS n_runs
+         FROM runs GROUP BY 1, 2 HAVING max(run + 7) >= 12
+         ORDER BY doc_a, doc_b""",
+    // header/detail cents reconciliation; all-integer deviations
+    "dq_agg_consistency" ->
+      """WITH li AS (SELECT l_orderkey,
+           CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS li_cents
+           FROM lineitem GROUP BY 1),
+         j AS (SELECT o_orderstatus, li.l_orderkey AS lk,
+             abs(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+               - COALESCE(li_cents, 0)) AS diff_c
+           FROM orders LEFT JOIN li ON li.l_orderkey = o_orderkey)
+         SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN lk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lines,
+           CAST(sum(CASE WHEN diff_c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+           CAST(max(diff_c) AS BIGINT) AS max_diff_c,
+           CAST(sum(diff_c) AS BIGINT) AS sum_diff_c
+         FROM j GROUP BY 1 ORDER BY o_orderstatus""",
     // 4 unrolled hops, next hop = hash-argmin out-neighbour (ties by dst)
     "graph_walks" -> {
       val hops = (1 to 4).map { k =>

@@ -799,6 +799,78 @@ object Embeddings {
       .agg(sum(col("xq") * col("v")).cast("long").as("score"))
   }
 
+  /** One NN-DESCENT round + recall audit (Dong et al. 2011, public) — the
+    * k-NN-graph builder's core step: start from a two-band LSH approximate
+    * k-NN graph, propose every neighbour-of-neighbour as a candidate
+    * ("a neighbour's neighbour is likely a neighbour"), exact-cosine
+    * re-rank, and measure recall@k against the exact baseline before and
+    * after. The audit IS the op's value: it quantifies how much one
+    * descent round closes the LSH graph's recall gap.
+    *
+    * Scale shape: the expansion join is knn⋈knn on the shared neighbour
+    * key — |V|·k² candidate rows, never |V|² — and the re-rank joins
+    * vectors back by key. Exactly the bounded-fanout discipline of the
+    * band/bucket joins.
+    *
+    * @return (qid, hits_lsh, hits_nnd) for qid < nQueries — exact-top-k
+    *         members found by the LSH graph vs after one descent round
+    */
+  def nnDescentRecall(vecs: DataFrame, k: Int,
+                      nQueries: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = vecs.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .localCheckpoint(false)
+    // TWO independent 4-plane bands from one 8-plane code: a single-band
+    // bucketing is an equivalence relation, so neighbour-of-neighbour can
+    // never leave the bucket and descent provably gains nothing; with two
+    // bands the seed graph overlaps and the expansion crosses bands
+    val fb = e.withColumn("b8", lshBucket(col("v"), 8))
+      .withColumn("band0", col("b8") % 16)
+      .withColumn("band1", expr("b8 DIV 16"))
+      .localCheckpoint(false)
+    def bandPairs(c: String) = fb.select(col(c), col("vec_id").as("qid"))
+      .join(fb.select(col(c), col("vec_id").as("nid")), Seq(c))
+      .filter(col("qid") =!= col("nid")).select("qid", "nid")
+    def score(pairs: DataFrame) = pairs
+      .join(e.select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn")), "qid")
+      .join(e.select(col("vec_id").as("nid"), col("v").as("nv"),
+        col("nrm").as("nn")), "nid")
+      .select(col("qid"), col("nid"),
+        (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    val cand0 = bandPairs("band0").unionAll(bandPairs("band1")).distinct()
+    val knn0 = score(cand0).withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).select("qid", "nid")
+      .localCheckpoint(false)
+    // undirected expansion (Dong et al.'s general-neighbour step): reverse
+    // edges included so the proposal set reaches across bands
+    val und = knn0.unionAll(
+        knn0.select(col("nid").as("qid"), col("qid").as("nid")))
+      .distinct().localCheckpoint(false)
+    val expand = und
+      .join(und.select(col("qid").as("nid"), col("nid").as("cid")), "nid")
+      .select(col("qid"), col("cid").as("nid"))
+      .filter(col("qid") =!= col("nid"))
+    val cand1 = knn0.unionAll(expand).distinct()
+    val knn1 = score(cand1).withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).select("qid", "nid")
+    val queries = vecs.filter(col("vec_id") < nQueries)
+    val exact = cosineTopK(vecs, queries, k)
+      .select(col("qid"), col("neighbor_id").as("nid"))
+      .localCheckpoint(false)
+    def hits(knn: DataFrame, tag: String) = knn
+      .filter(col("qid") < nQueries)
+      .join(exact, Seq("qid", "nid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as(tag))
+    queries.select(col("vec_id").cast("long").as("qid"))
+      .join(hits(knn0, "hits_lsh"), Seq("qid"), "left")
+      .join(hits(knn1, "hits_nnd"), Seq("qid"), "left")
+      .na.fill(0L, Seq("hits_lsh", "hits_nnd"))
+  }
+
   /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998, public)
     * diversified top-k: after exact cosine retrieval of `nCand` candidates
     * per query, greedily pick `k` results maximizing
