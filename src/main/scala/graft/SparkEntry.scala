@@ -2309,6 +2309,24 @@ object SparkEntry {
       snap(Seq("d1"), "d1").unionAll(snap(Seq("d1", "d2"), "d12"))
         .orderBy("snap", "grp")
     }),
+    // ORPHAN-FILE audit (table.Checkpoint.orphanAudit — the detection half
+    // of remove_orphan_files/VACUUM): r1 commits normally; a "crashed
+    // writer" leaves a run tree zz with NO manifest row. The audit lists
+    // both trees, counts rows, and flags commit status — zz is invisible
+    // to readers yet present on disk, exactly what a maintenance job
+    // deletes.
+    "checkpoint_orphans" -> ((s, dir) => {
+      val out =
+        s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_orph_${dir.hashCode}"
+      table.Checkpoint.clear(out)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      table.Checkpoint.writeVersioned(orders, col("o_orderkey") % 12, 12,
+        out, "r1")
+      orders.filter(col("o_orderkey") % 9 === 0)
+        .write.mode("overwrite").parquet(s"$out/data/__run=zz/__bucket=0")
+      table.Checkpoint.orphanAudit(s, out).orderBy("run_id")
+    }),
     // AS OF TIMESTAMP read (table.Checkpoint.readAsOf — Iceberg's
     // FOR TIMESTAMP AS OF): the lineage is derived from the commit log's
     // own committed_at frontier instead of an explicit run order — 't1'
@@ -2421,6 +2439,31 @@ object SparkEntry {
     // 8 minhashes → 4 bands → bucket self-join) with identical arithmetic.
     "dedup_minhash" -> ((s, dir) => {
       ops.TextDedup.minhashPairs(dedupCorpus(s, dir)).orderBy("doc_a", "doc_b")
+    }),
+    // Cross-modal dedup verification: every MinHash TEXT candidate pair
+    // re-scored in EMBEDDING space (injected copies map to their base
+    // vector via id % 100000) — the modality-agreement check of multimodal
+    // curation: a text near-dup whose embeddings disagree is a template,
+    // not a duplicate. One key join per side onto the candidate set.
+    "dedup_cross_modal" -> ((s, dir) => {
+      import graft.functions.vectors.vec_dot
+      val pairs = ops.TextDedup.minhashPairs(dedupCorpus(s, dir))
+        .select(col("doc_a"), col("doc_b"))
+      val e = t(s, dir, "embeddings")
+        .selectExpr("vec_id", "cast(embedding as array<double>) AS v")
+        .withColumn("nrm", sqrt(vec_dot(col("v"), col("v"))))
+      pairs
+        .withColumn("ea", col("doc_a") % 100000)
+        .withColumn("eb", col("doc_b") % 100000)
+        .join(e.select(col("vec_id").as("ea"), col("v").as("va"),
+          col("nrm").as("na")), "ea")
+        .join(e.select(col("vec_id").as("eb"), col("v").as("vb"),
+          col("nrm").as("nb")), "eb")
+        .withColumn("cos",
+          vec_dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .select(col("doc_a"), col("doc_b"), round(col("cos"), 4).as("cos_r"),
+          (col("cos") >= 0.999).cast("int").as("vec_agree"))
+        .orderBy("doc_a", "doc_b")
     }),
     // MinHash signature-agreement Jaccard estimate per band-join candidate
     // pair: n_agree lanes of 8 -> est_ppm = n_agree*1e6 div 8. The cheap
@@ -3265,6 +3308,14 @@ object SparkEntry {
     // bucket, Σ(gx²+gy²) per sector — the banding/scan-artifact
     // discriminator. Decode-once, zero shuffle; the oracle replays every
     // pixel's comparisons.
+    // Block HOG census (ops.ImageOps.hogBlocks): the orientation octant
+    // histogram + exact gradient energy per 4×4 spatial block — the
+    // block-local structure descriptor; same trig-free octant ladder as
+    // img_orient_hist, two more GROUP BY keys in the oracle.
+    "img_hog" -> ((s, dir) => {
+      ops.ImageOps.hogBlocks(gateTiles(s, "png"))
+        .orderBy("image_id", "br", "bc", "sector")
+    }),
     "img_orient_hist" -> ((s, dir) => {
       ops.ImageOps.orientHist(gateTiles(s, "png"))
         .orderBy("image_id", "sector")
@@ -3515,6 +3566,29 @@ object SparkEntry {
     // Per-user sequences are memory-bounded (events/user, not events/table);
     // a pathological single-user firehose would move to repartition +
     // sortWithinPartitions + mapPartitions streaming fold.
+    // Conversion-lag quartiles: per user, first 'view' → first subsequent
+    // 'purchase'; exact selection quartiles over the per-user lags (rank
+    // floor((n−1)p)+1 under the (lag, user) total order — the same
+    // convention as events_quantiles). The step-timing number funnels'
+    // counts don't carry.
+    "events_conversion_lag" -> ((s, dir) => {
+      val ev = t(s, dir, "events").selectExpr("user_id", "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("v_us"))
+      val lags = ev.filter(col("event_type") === "purchase")
+        .join(v, "user_id")
+        .filter(col("us") > col("v_us"))
+        .groupBy("user_id").agg((min("us") - max("v_us")).as("lag_us"))
+      val w = Window.orderBy(col("lag_us"), col("user_id"))
+      def at(p: Double) =
+        max(when(col("rn") === floor((col("n") - 1) * lit(p)) + 1,
+          col("lag_us")))
+      lags.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .agg(max("n").as("n_converted"), at(0.25).as("p25_us"),
+          at(0.5).as("p50_us"), at(0.75).as("p75_us"))
+    }),
     "events_funnel" -> ((s, dir) => {
       t(s, dir, "events")
         .selectExpr("user_id",
@@ -4804,6 +4878,56 @@ object SparkEntry {
        FROM pairs p JOIN sig sa ON sa.doc_id = p.doc_a
        JOIN sig sb ON sb.doc_id = p.doc_b
        ORDER BY doc_a, doc_b"""
+
+  /** Cross-modal verification oracle: the MinHash candidate pairs scored
+    * by embedding cosine (copies map to base vectors via % 100000).
+    */
+  private val crossModalOracleSql: String = {
+    def fdot(a: String, b: String) =
+      s"""list_reduce(list_prepend(0.0, list_transform(range(0,64),
+          d -> $a.v[d+1] * $b.v[d+1])), (p,q) -> p + q)"""
+    s"""WITH $minhashCtes,
+       pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+         WHERE a.doc_id < b.doc_id),
+       vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       f AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0,
+           list_transform(range(0,64), d -> v[d+1] * v[d+1])), (p,q) -> p + q)) AS nrm FROM vv),
+       sc AS (SELECT p.doc_a, p.doc_b, ${fdot("a", "b")} / (a.nrm * b.nrm) AS cos
+         FROM pairs p JOIN f a ON a.vec_id = p.doc_a % 100000
+         JOIN f b ON b.vec_id = p.doc_b % 100000)
+       SELECT doc_a, doc_b, round(cos, 4) AS cos_r,
+         CAST(CASE WHEN cos >= 0.999 THEN 1 ELSE 0 END AS INT) AS vec_agree
+       FROM sc ORDER BY doc_a, doc_b"""
+  }
+
+  /** Block-HOG oracle: the orientation octant ladder with the two block
+    * GROUP BY keys added.
+    */
+  private val hogOracleSql: String = {
+    def v(dc: Int, dr: Int) = gridV(s"c.range+($dc)", s"r.range+($dr)")
+    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+       k AS (SELECT swlng, swlat,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
+       g AS (SELECT swlng, swlat, (r.range // 150) AS br, (c.range // 150) AS bc,
+           (${v(1, 0)} - ${v(-1, 0)}) AS gx,
+           (${v(0, 1)} - ${v(0, -1)}) AS gy
+         FROM k, range(1,600) r, range(1,600) c),
+       sct AS (SELECT swlng, swlat, br, bc, gx, gy,
+           CASE WHEN gx = 0 AND gy = 0 THEN 8
+                WHEN gx > 0 AND gy >= 0 THEN (CASE WHEN gy < gx THEN 0 ELSE 1 END)
+                WHEN gx <= 0 AND gy > 0 THEN (CASE WHEN -gx < gy THEN 2 ELSE 3 END)
+                WHEN gx < 0 AND gy <= 0 THEN (CASE WHEN -gy < -gx THEN 4 ELSE 5 END)
+                ELSE (CASE WHEN gx < -gy THEN 6 ELSE 7 END) END AS sector
+         FROM g)
+       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+         CAST(br AS INT) AS br, CAST(bc AS INT) AS bc,
+         CAST(sector AS INT) AS sector,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(gx*gx + gy*gy) AS BIGINT) AS energy
+       FROM sct GROUP BY 1, 2, 3, 4 ORDER BY image_id, br, bc, sector"""
+  }
 
   /** Connected components of the MinHash pair graph as a recursive CTE:
     * enumerate every (doc, reachable doc) pair, component = min reachable.
@@ -8134,6 +8258,32 @@ object SparkEntry {
     },
     "dedup_minhash" -> minhashOracleSql,
     "dedup_minhash_est" -> minhashEstOracleSql,
+    "dedup_cross_modal" -> crossModalOracleSql,
+    "img_hog" -> hogOracleSql,
+    // r1 committed with every order; zz is the crashed writer's tree
+    "checkpoint_orphans" ->
+      """SELECT 'r1' AS run_id, CAST(count(*) AS BIGINT) AS n_rows,
+           TRUE AS committed FROM orders
+         UNION ALL
+         SELECT 'zz', CAST(count(*) AS BIGINT), FALSE FROM orders
+         WHERE o_orderkey % 9 = 0
+         ORDER BY run_id""",
+    // first view -> first subsequent purchase per user; selection quartiles
+    "events_conversion_lag" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         v AS (SELECT user_id, min(us) AS v_us FROM ev
+           WHERE event_type = 'view' GROUP BY 1),
+         lg AS (SELECT e.user_id, CAST(min(e.us) - max(v.v_us) AS BIGINT) AS lag_us
+           FROM ev e JOIN v ON v.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.us > v.v_us GROUP BY 1),
+         r AS (SELECT lag_us, user_id,
+             row_number() OVER (ORDER BY lag_us, user_id) AS rn,
+             count(*) OVER () AS n FROM lg)
+         SELECT CAST(max(n) AS BIGINT) AS n_converted,
+           max(CASE WHEN rn = floor((n-1)*0.25)+1 THEN lag_us END) AS p25_us,
+           max(CASE WHEN rn = floor((n-1)*0.5)+1 THEN lag_us END) AS p50_us,
+           max(CASE WHEN rn = floor((n-1)*0.75)+1 THEN lag_us END) AS p75_us
+         FROM r""",
     "stream_interval_join" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
            epoch_us(ts) AS tus FROM events)

@@ -320,6 +320,50 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class HogRow(image_id: String, br: Int, bc: Int, sector: Int,
+                          n: Long, energy: Long)
+
+  /** Block HOG census — [[orientHist]] localized to a 4×4 block grid (the
+    * histogram-of-oriented-gradients descriptor layout, Dalal & Triggs
+    * 2005, public, minus the float normalization): per 150² block, the
+    * 8-octant orientation counts + flat bin and exact gradient energy.
+    * The block-local structure signature used for patch matching and
+    * texture segmentation; same trig-free half-open octant ladder as the
+    * global census, so the oracle adds two GROUP BY keys and nothing else.
+    */
+  def hogBlocks(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[HogRow]
+    tiles.mapPartitions { it =>
+      it.flatMap { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val cnt = new Array[Long](16 * 9); val en = new Array[Long](16 * 9)
+        var r = 1
+        while (r < size - 1) {
+          var c = 1
+          while (c < size - 1) {
+            val gx = d.samples(r * size + c + 1) - d.samples(r * size + c - 1)
+            val gy = d.samples((r + 1) * size + c) - d.samples((r - 1) * size + c)
+            val s =
+              if (gx == 0 && gy == 0) 8
+              else if (gx > 0 && gy >= 0) { if (gy < gx) 0 else 1 }
+              else if (gx <= 0 && gy > 0) { if (-gx < gy) 2 else 3 }
+              else if (gx < 0 && gy <= 0) { if (-gy < -gx) 4 else 5 }
+              else { if (gx < -gy) 6 else 7 }
+            val b = ((r / 150) * 4 + (c / 150)) * 9 + s
+            cnt(b) += 1L
+            en(b) += gx.toLong * gx + gy.toLong * gy
+            c += 1
+          }
+          r += 1
+        }
+        (0 until 16 * 9).iterator.filter(cnt(_) > 0L).map { b =>
+          HogRow(tl.image_id, b / 9 / 4, (b / 9) % 4, b % 9, cnt(b), en(b))
+        }
+      }
+    }.toDF()
+  }
+
   final case class RoughRow(image_id: String, depth: Int, n_blocks: Long,
                             range_sum: Long, range_max: Long)
 

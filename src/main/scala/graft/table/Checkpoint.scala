@@ -599,6 +599,35 @@ object Checkpoint {
     base.join(dels, keyCols, "left_anti")
   }
 
+  /** ORPHAN-FILE audit (the detection half of Iceberg's
+    * remove_orphan_files / Delta VACUUM of untracked files): list every
+    * `__run=` tree under the data directory, count its rows, and flag
+    * whether ANY committed manifest references it. A crashed writer leaves
+    * a complete or partial run tree with no manifest row — invisible to
+    * every reader (the crash-atomicity contract) but still billing
+    * storage; this audit is what a maintenance job deletes from.
+    *
+    * The run listing is driver-side FS metadata (exactly like manifest
+    * resolution); per-run row counts are Spark jobs.
+    *
+    * @return (run_id, n_rows, committed)
+    */
+  def orphanAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (fs, dataP) = fsOf(s"$dir/data", Some(spark))
+    val runs =
+      if (!fs.exists(dataP)) Seq.empty[String]
+      else fs.listStatus(dataP).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("__run=")).map(_.stripPrefix("__run=")).sorted
+    val committed = manifests(spark, dir).select("run_id").distinct()
+      .collect().map(_.getString(0)).toSet
+    val rows = runs.map { r =>
+      val n = spark.read.parquet(s"$dir/data/__run=$r").count()
+      (r, n, committed.contains(r))
+    }
+    rows.toDF("run_id", "n_rows", "committed")
+  }
+
   /** MERGE INTO (upsert) on the versioned store — Iceberg's copy-on-write
     * merge at the store's bucket granularity: rows of `patch` REPLACE
     * current rows with the same key and new keys are inserted, by
