@@ -2835,6 +2835,17 @@ object SparkEntry {
         .withColumnRenamed("rank", "ppr")
         .orderBy("node")
     }),
+    // Parallel maximal matching (ops.Graph.handshakeMatching): 3 rounds of
+    // mutual-min handshakes on the undirected part graph — the
+    // record-linkage primitive that pairs every node at most once, with
+    // expected-O(log n) rounds instead of a sequential greedy edge scan.
+    "graph_matching" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .selectExpr("least(l_suppkey % 500, l_partkey % 500) AS a",
+          "greatest(l_suppkey % 500, l_partkey % 500) AS b")
+        .filter(col("a") =!= col("b"))
+      ops.Graph.handshakeMatching(edges, rounds = 3).orderBy("a", "b")
+    }),
     // Deterministic walk corpus (ops.Graph.deterministicWalks): 4-hop
     // walks from the %10 seeds, next hop = hash-argmin out-neighbour —
     // the node2vec/DeepWalk corpus generator, oracle-replayable because
@@ -3916,6 +3927,30 @@ object SparkEntry {
           expr("(n_novel * 1000000) div n_distinct"))
         .orderBy("doc_id")
     }),
+    // Term BURSTINESS (Church & Gale's variance-to-mean ratio, public):
+    // topical terms clump into few documents (VMR ≫ 1), function words
+    // spread evenly (VMR ≈ 1) — the zero-training topicality signal
+    // complementing tf-idf. Exact integer moments over per-doc counts
+    // (absent docs contribute 0 to both sums), ONE ppm division; top-20.
+    "text_burstiness" -> ((s, dir) => {
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("x"))
+      val nd = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      tf.groupBy("tok")
+        .agg(count(lit(1)).as("df"), sum("x").as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .filter(col("df") >= 5)
+        .crossJoin(broadcast(nd))
+        .withColumn("vmr_ppm",
+          expr("((n_docs * sxx - sx * sx) * 1000000) div (n_docs * sx)"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("vmr_ppm").desc, col("tok"))))
+        .filter(col("rk") <= 20)
+        .select("tok", "df", "sx", "vmr_ppm", "rk")
+        .orderBy("rk")
+    }),
     // BPE merge statistics (ops.TextDedup.bpePairStats): corpus-wide
     // adjacent character-pair counts — the counting step a BPE tokenizer
     // trainer iterates; ONE pair-keyed count, ranking bounded by the
@@ -4063,6 +4098,31 @@ object SparkEntry {
         .withColumn("chi2_ppm",
           expr("(chi_num * 1000000) div (7 * total)"))
         .orderBy("event_type")
+    }),
+    // Trailing-7-day ROLLING MEDIAN of daily volume per type — the robust
+    // trend line (one outage day doesn't move it, unlike the rolling
+    // mean): daily counts fan out to the ≤7 target days they serve
+    // (bounded equi-fanout, never a range self-join), lower median by
+    // selection rank.
+    "events_rolling_median" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .selectExpr("event_type",
+          "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 AS d")
+        .groupBy("event_type", "d").agg(count(lit(1)).as("cnt"))
+      val fan = daily.select(col("event_type"), col("d").as("src_d"),
+          col("cnt"), explode(expr("sequence(0, 6)")).as("o"))
+        .withColumn("d", col("src_d") + col("o"))
+      val win = fan.join(daily.select("event_type", "d"),
+        Seq("event_type", "d"), "left_semi")
+      val w = Window.partitionBy("event_type", "d")
+        .orderBy(col("cnt"), col("src_d"))
+      win.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy("event_type", "d")))
+        .filter(expr("rn = (n + 1) DIV 2"))
+        .select(col("event_type"), col("d"), col("n").as("n_days"),
+          col("cnt").as("med_daily"))
+        .orderBy("event_type", "d")
     }),
     // Gini concentration of per-key volume — the single-number skew verdict
     // events_key_skew's histogram feeds: G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx)
@@ -7209,6 +7269,27 @@ object SparkEntry {
     "ann_pca_project" -> pcaProjectOracleSql,
     "graph_pagerank" -> pagerankOracleSql,
     "graph_ppr" -> pprOracleSql,
+    // 3 unrolled mutual-min handshake rounds; matched endpoints drop out
+    "graph_matching" -> {
+      val rounds = (1 to 3).map { r =>
+        s"""p$r AS (SELECT a, b FROM (SELECT *,
+            row_number() OVER (PARTITION BY a ORDER BY h, b) AS ra,
+            row_number() OVER (PARTITION BY b ORDER BY h, a) AS rb
+          FROM l${r - 1}) WHERE ra = 1 AND rb = 1),
+         t$r AS (SELECT a AS n FROM p$r UNION SELECT b FROM p$r),
+         l$r AS (SELECT * FROM l${r - 1}
+           WHERE a NOT IN (SELECT n FROM t$r) AND b NOT IN (SELECT n FROM t$r))"""
+      }.mkString(",\n         ")
+      val out = (1 to 3).map(r => s"SELECT a, b, $r AS round FROM p$r")
+        .mkString("\n         UNION ALL ")
+      s"""WITH e0 AS (SELECT DISTINCT least(l_suppkey % 500, l_partkey % 500) AS a,
+           greatest(l_suppkey % 500, l_partkey % 500) AS b FROM lineitem
+           WHERE least(l_suppkey % 500, l_partkey % 500) <> greatest(l_suppkey % 500, l_partkey % 500)),
+         l0 AS (SELECT a, b, (a * 7919 + b * 104729) % 999983 AS h FROM e0),
+         $rounds
+         SELECT a, b, CAST(round AS INT) AS round FROM ($out)
+         ORDER BY a, b"""
+    },
     "traj_frechet" -> frechetOracleSql,
     "traj_mapmatch" -> mapMatchOracleSql,
     "geo_chaikin" -> chaikinOracleSql,
@@ -9170,6 +9251,20 @@ object SparkEntry {
     "events_key_skew" ->
       """WITH per AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
          SELECT n, count(*) AS n_keys FROM per GROUP BY n ORDER BY n""",
+    // bounded 7-day fanout + per-(type, day) selection median
+    "events_rolling_median" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+           count(*) AS cnt FROM events GROUP BY 1, 2),
+         fan AS (SELECT d2.event_type, d2.d AS src_d, d2.cnt, d2.d + t.o AS d
+           FROM daily d2, unnest(range(0, 7)) AS t(o)),
+         win AS (SELECT f.event_type, f.d, f.src_d, f.cnt FROM fan f
+           JOIN daily s ON s.event_type = f.event_type AND s.d = f.d),
+         r AS (SELECT event_type, d, cnt, src_d,
+             row_number() OVER (PARTITION BY event_type, d ORDER BY cnt, src_d) AS rn,
+             count(*) OVER (PARTITION BY event_type, d) AS n FROM win)
+         SELECT event_type, CAST(d AS BIGINT) AS d, CAST(n AS BIGINT) AS n_days,
+           CAST(cnt AS BIGINT) AS med_daily
+         FROM r WHERE rn = (n + 1) // 2 ORDER BY event_type, d""",
     // χ² numerator Σ(7O−T)² stays integer; one // to ppm
     "events_dow_chi2" ->
       """WITH c AS (SELECT event_type,
@@ -10306,6 +10401,19 @@ object SparkEntry {
          SELECT doc_id, n_distinct, n_novel,
            (n_novel * 1000000) // n_distinct AS novelty_ppm
          FROM agg ORDER BY doc_id""",
+    // VMR over exact per-doc count moments; df >= 5, top-20
+    "text_burstiness" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS x FROM toks WHERE tok <> '' GROUP BY 1, 2),
+         nd AS (SELECT count(*) AS n_docs FROM documents),
+         st AS (SELECT tok, CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x*x) AS BIGINT) AS sxx
+           FROM tf GROUP BY 1 HAVING count(*) >= 5),
+         sc AS (SELECT tok, df, sx,
+             ((nd.n_docs * sxx - sx * sx) * 1000000) // (nd.n_docs * sx) AS vmr_ppm
+           FROM st, nd),
+         r AS (SELECT *, CAST(row_number() OVER (ORDER BY vmr_ppm DESC, tok) AS INT) AS rk FROM sc)
+         SELECT tok, df, sx, vmr_ppm, rk FROM r WHERE rk <= 20 ORDER BY rk""",
     "text_bpe_pairs" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
          p AS (SELECT substr(w, CAST(g AS INT), 2) AS pair

@@ -41,6 +41,48 @@ object Graph {
     *               convergence probes for oracle-checked pipelines)
     * @return (node, rank) after `rounds` rounds, micro-units
     */
+  /** MAXIMAL MATCHING by mutual-min handshakes — the parallel greedy
+    * matching of Israeli–Itai shape (public): each unmatched node proposes
+    * its min-hash incident edge; an edge whose BOTH endpoints proposed it
+    * is matched; matched nodes drop out; repeat. Each round is two
+    * node-keyed aggregations + one equi-join — no sequential edge scan —
+    * and expected-O(log n) rounds maximalize the matching; the fixed
+    * `rounds` keeps the plan deterministic for the oracle. The matching
+    * primitive of record-linkage ("pair every candidate at most once").
+    *
+    * @param edges undirected (a, b) with a < b
+    * @return (a, b, round) — matched pairs and the round that sealed them
+    */
+  def handshakeMatching(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var live = edges.select(col("a").cast("long"), col("b").cast("long"))
+      .filter(col("a") < col("b")).distinct()
+      .withColumn("h", expr("(a * 7919 + b * 104729) % 999983"))
+      .localCheckpoint(false)
+    var matched = Seq.empty[(Long, Long, Int)].toDF("a", "b", "round")
+    for (r <- 1 to rounds) {
+      import org.apache.spark.sql.expressions.Window
+      val wa = Window.partitionBy("a").orderBy(col("h"), col("b"))
+      val wb = Window.partitionBy("b").orderBy(col("h"), col("a"))
+      val pick = live
+        .withColumn("ra", row_number().over(wa))
+        .withColumn("rb", row_number().over(wb))
+        .filter(col("ra") === 1 && col("rb") === 1) // mutual-min handshake
+        .select(col("a"), col("b"), lit(r).as("round"))
+        .localCheckpoint(false)
+      matched = matched.unionAll(pick)
+      val taken = pick.select(col("a").as("n")).unionAll(
+        pick.select(col("b").as("n"))).distinct()
+      live = live
+        .join(taken.withColumnRenamed("n", "a"), Seq("a"), "left_anti")
+        .join(taken.withColumnRenamed("n", "b"), Seq("b"), "left_anti")
+        .localCheckpoint(false)
+    }
+    matched
+  }
+
   /** Deterministic "random" walks — the node2vec/DeepWalk corpus generator
     * made oracle-checkable: from every seed, `steps` hops where the next
     * hop is the out-neighbour minimizing the hash
