@@ -3367,6 +3367,64 @@ object SparkEntry {
           maxDepth = 3)
         .orderBy("image_id", "depth", "br", "bc")
     }),
+    // CUT/FILL earthworks rollup (ops.ImageOps.cutFill): epoch B is a
+    // tilted plane +900, so the signed difference genuinely changes sign
+    // across each tile; per 4×4 zone the split cut/fill/net volumes on the
+    // stride-10 lattice — what geo_elev_diff's net number hides.
+    "zonal_cutfill" -> ((s, dir) => {
+      import s.implicits._
+      val corners = Seq((-120, 36), (-120, 37), (-119, 36), (-119, 37),
+        (-118, 36), (-117, 37))
+      val epochA = s.createDataset(TileGen.tiles(corners, 601, "hgt"))
+      val epochB = s.createDataset(corners.map { case (lng, lat) =>
+        TileGen.tileRow(lng, lat, 601, "hgt",
+          (sw, sl, r, c) => (TileGen.planeAt(sw, sl, r, c) + 900).toShort) })
+      ops.ImageOps.cutFill(epochA, epochB)
+        .orderBy("image_id", "zr", "zc")
+    }),
+    // Center-surround SALIENCY census (difference-of-box-means, exact by
+    // cross-multiplication: |s3/9 − s9/81| ≥ t ⇔ |9·s3 − s9| ≥ 81·t): the
+    // attention/figure-ground screen; integer box sums on the stride-6
+    // lattice, threshold 2000 in the cross-multiplied units.
+    "img_saliency" -> ((s, dir) => {
+      import s.implicits._
+      val tiles = gateTiles(s, "png")
+      tiles.mapPartitions { it =>
+        it.map { tl =>
+          val d = graft.core.TileCodec.decode(tl)
+          val size = d.size
+          var nPts = 0L; var nSal = 0L; var sumM = 0L; var maxM = 0L
+          var i = 1
+          while (i < 100) {
+            var j = 1
+            while (j < 100) {
+              val r = i * 6; val c = j * 6
+              var s3 = 0L; var s9 = 0L
+              var dr = -4
+              while (dr <= 4) {
+                var dc = -4
+                while (dc <= 4) {
+                  val v = d.samples((r + dr) * size + (c + dc)).toLong
+                  s9 += v
+                  if (dr >= -1 && dr <= 1 && dc >= -1 && dc <= 1) s3 += v
+                  dc += 1
+                }
+                dr += 1
+              }
+              val m = math.abs(9L * s3 - s9)
+              nPts += 1
+              if (m >= 2000L) nSal += 1
+              sumM += m
+              if (m > maxM) maxM = m
+              j += 1
+            }
+            i += 1
+          }
+          (tl.image_id, nPts, nSal, sumM, maxM)
+        }
+      }.toDF("image_id", "n_pts", "n_salient", "sum_m", "max_m")
+        .orderBy("image_id")
+    }),
     // 3×3 median-filter census (ops.ImageOps.medianDenoiseStats): exact
     // integer median-of-9 vs the pixel — the salt-and-pepper screening
     // stats. Oracle sorts the 9 closed-form neighbour values per pixel
@@ -4097,6 +4155,32 @@ object SparkEntry {
           sum(expr("(7*o - t_all) * (7*o - t_all)")).as("chi_num"))
         .withColumn("chi2_ppm",
           expr("(chi_num * 1000000) div (7 * total)"))
+        .orderBy("event_type")
+    }),
+    // Kitagawa MIX-SHIFT decomposition (public): the change in overall
+    // mean value between the first/second half-month splits into a MIX
+    // effect (segment weights moved) and a RATE effect (within-segment
+    // means moved) per event type: Δ = Σ(w2−w1)·r1 + Σ w2·(r2−r1). Weights
+    // in exact ppm, rates in floor cents; the effects are PRODUCTS of
+    // those integers, so no negative-division divergence between engines.
+    "events_mix_shift" -> ((s, dir) => {
+      val ev = t(s, dir, "events").selectExpr("event_type",
+        "CASE WHEN unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 < 19738 THEN 1 ELSE 2 END AS period",
+        "CAST(FLOOR(value * 100.0D + 0.5D) AS BIGINT) AS cents")
+      val seg = ev.groupBy("period", "event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sc"))
+        .withColumn("tot", sum("n").over(Window.partitionBy("period")))
+        .selectExpr("period", "event_type",
+          "(n * 1000000) div tot AS w_ppm", "sc div n AS r_c")
+      val p1 = seg.filter(col("period") === 1)
+        .select(col("event_type"), col("w_ppm").as("w1_ppm"),
+          col("r_c").as("r1_c"))
+      val p2 = seg.filter(col("period") === 2)
+        .select(col("event_type"), col("w_ppm").as("w2_ppm"),
+          col("r_c").as("r2_c"))
+      p1.join(p2, "event_type")
+        .withColumn("mix_eff", (col("w2_ppm") - col("w1_ppm")) * col("r1_c"))
+        .withColumn("rate_eff", col("w2_ppm") * (col("r2_c") - col("r1_c")))
         .orderBy("event_type")
     }),
     // Trailing-7-day ROLLING MEDIAN of daily volume per type — the robust
@@ -6905,6 +6989,49 @@ object SparkEntry {
          SELECT node, CAST(ppr AS BIGINT) AS ppr FROM r3 ORDER BY node"""
   }
 
+  /** Cut/fill oracle: a − (plane+900) = c + r + bonus − 900 on the
+    * stride-10 lattice, split-signed per 4×4 zone.
+    */
+  private val cutFillOracleSql: String =
+    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+       px AS (SELECT swlng, swlat, i.range AS i, j.range AS j,
+           (j.range*10) + (i.range*10)
+             + (((j.range*10)//8)*((i.range*10)//8)) % 32 - 900 AS d
+         FROM corners, range(0,60) i, range(0,60) j)
+       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+         CAST(i // 15 AS INT) AS zr, CAST(j // 15 AS INT) AS zc,
+         CAST(sum(CASE WHEN d > 0 THEN d ELSE 0 END) AS BIGINT) AS cut,
+         CAST(sum(CASE WHEN d < 0 THEN -d ELSE 0 END) AS BIGINT) AS fill,
+         CAST(sum(d) AS BIGINT) AS net
+       FROM px GROUP BY 1, 2, 3 ORDER BY image_id, zr, zc"""
+
+  /** Saliency oracle: the 3×3 / 9×9 box sums per stride-6 lattice point as
+    * one offsets cross join, metric |9·s3 − s9| rolled up per image.
+    */
+  private val saliencyOracleSql: String = {
+    val v = gridV("j*6 + dc", "i*6 + dr")
+    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+       k AS (SELECT swlng, swlat,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
+       o9 AS (SELECT a.range - 4 AS dr, b.range - 4 AS dc
+         FROM range(0,9) a, range(0,9) b),
+       px AS (SELECT swlng, swlat, a, i.range AS i, j.range AS j
+         FROM k, range(1,100) i, range(1,100) j),
+       sums AS (SELECT swlng, swlat, i, j,
+           CAST(sum($v) AS BIGINT) AS s9,
+           CAST(sum(CASE WHEN dr BETWEEN -1 AND 1 AND dc BETWEEN -1 AND 1
+             THEN $v ELSE 0 END) AS BIGINT) AS s3
+         FROM px, o9 GROUP BY 1, 2, 3, 4),
+       m AS (SELECT swlng, swlat, abs(9*s3 - s9) AS m FROM sums)
+       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+         CAST(count(*) AS BIGINT) AS n_pts,
+         CAST(sum(CASE WHEN m >= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS n_salient,
+         CAST(sum(m) AS BIGINT) AS sum_m, CAST(max(m) AS BIGINT) AS max_m
+       FROM m GROUP BY 1 ORDER BY image_id"""
+  }
+
   /** Cost-distance oracle: the same 8-connected uphill-cost edges from
     * the closed-form field, the same 6 Bellman–Ford relaxations unrolled
     * as per-round min-aggregated CTEs (exact min-plus integers).
@@ -7517,6 +7644,26 @@ object SparkEntry {
     "img_quadtree" -> quadtreeOracleSql,
     "img_median" -> medianOracleSql,
     "img_distance" -> distanceOracleSql,
+    "zonal_cutfill" -> cutFillOracleSql,
+    "img_saliency" -> saliencyOracleSql,
+    // Kitagawa decomposition: ppm weights × floor-cent rates; effects are
+    // integer products (no negative division anywhere)
+    "events_mix_shift" ->
+      """WITH ev AS (SELECT event_type,
+           CASE WHEN epoch_us(ts) // 86400000000 < 19738 THEN 1 ELSE 2 END AS period,
+           CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events),
+         seg AS (SELECT period, event_type, count(*) AS n, sum(cents) AS sc
+           FROM ev GROUP BY 1, 2),
+         sw AS (SELECT period, event_type,
+             CAST((n * 1000000) // sum(n) OVER (PARTITION BY period) AS BIGINT) AS w_ppm,
+             CAST(sc // n AS BIGINT) AS r_c FROM seg)
+         SELECT p1.event_type, p1.w_ppm AS w1_ppm, p1.r_c AS r1_c,
+           p2.w_ppm AS w2_ppm, p2.r_c AS r2_c,
+           (p2.w_ppm - p1.w_ppm) * p1.r_c AS mix_eff,
+           p2.w_ppm * (p2.r_c - p1.r_c) AS rate_eff
+         FROM sw p1 JOIN sw p2 ON p2.event_type = p1.event_type
+           AND p1.period = 1 AND p2.period = 2
+         ORDER BY p1.event_type""",
     "geo_hilbert" -> hilbertOracleSql,
     "ann_mmr" -> mmrOracleSql,
     // Page's CUSUM recurrence replayed as a recursive CTE: one recursion

@@ -320,6 +320,48 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class CutFillRow(image_id: String, zr: Int, zc: Int, cut: Long,
+                              fill: Long, net: Long)
+
+  /** CUT/FILL volumes between two raster epochs per 4×4 zone block on the
+    * stride-10 sample lattice — the earthworks / change-budget rollup:
+    * cut = Σ max(0, a−b), fill = Σ max(0, b−a), net = Σ(a−b), all exact
+    * integers in sample units. The signed SPLIT is the point — a plain net
+    * difference hides offsetting cut and fill (geo_elev_diff's limitation).
+    * Decode-once per epoch pair, ZERO shuffle past the image-key join.
+    */
+  def cutFill(a: Dataset[TileRow], b: Dataset[TileRow]): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    a.joinWith(b, a("image_id") === b("image_id"))
+      .mapPartitions { it =>
+        it.flatMap { case (ta, tb) =>
+          val da = TileCodec.decode(ta)
+          val db = TileCodec.decode(tb)
+          require(da.size == db.size,
+            s"epoch size mismatch for ${ta.image_id}: ${da.size} vs ${db.size}")
+          val size = da.size
+          val cut = new Array[Long](16); val fill = new Array[Long](16)
+          var i = 0
+          while (i < 60) {
+            var j = 0
+            while (j < 60) {
+              val p = (i * 10) * size + (j * 10)
+              val d = da.samples(p) - db.samples(p)
+              val z = (i / 15) * 4 + (j / 15)
+              if (d > 0) cut(z) += d else fill(z) -= d
+              j += 1
+            }
+            i += 1
+          }
+          (0 until 16).iterator.map { z =>
+            CutFillRow(ta.image_id, z / 4, z % 4, cut(z), fill(z),
+              cut(z) - fill(z))
+          }
+        }
+      }.toDF()
+  }
+
   final case class HogRow(image_id: String, br: Int, bc: Int, sector: Int,
                           n: Long, energy: Long)
 
