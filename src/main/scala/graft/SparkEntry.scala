@@ -2835,6 +2835,33 @@ object SparkEntry {
         .withColumnRenamed("rank", "ppr")
         .orderBy("node")
     }),
+    // SNN edge similarity (shared-nearest-neighbour graph sparsification,
+    // Jarvis–Patrick, public): per edge, |N(a)∩N(b)| via one
+    // common-neighbour equi-join and Jaccard over open neighbourhoods in
+    // exact ppm — keep high-jac edges, drop bridges; the density-robust
+    // pre-step of SNN clustering.
+    "graph_snn" -> ((s, dir) => {
+      val e0 = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 7 === 0)
+        .selectExpr("least(l_suppkey % 300, l_partkey % 300) AS a",
+          "greatest(l_suppkey % 300, l_partkey % 300) AS b")
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(false)
+      val adj = e0.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e0.select(col("b").as("u"), col("a").as("v")))
+      val deg = adj.groupBy("u").agg(count(lit(1)).as("d"))
+      val inter = e0
+        .join(adj.select(col("u").as("a"), col("v").as("x")), "a")
+        .join(adj.select(col("u").as("b"), col("v").as("x")), Seq("b", "x"))
+        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      e0.join(inter, Seq("a", "b"), "left").na.fill(0L, Seq("inter"))
+        .join(deg.select(col("u").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("u").as("b"), col("d").as("db")), "b")
+        .withColumn("jac_ppm",
+          expr("(inter * 1000000) div (da + db - inter)"))
+        .select("a", "b", "da", "db", "inter", "jac_ppm")
+        .orderBy("a", "b")
+    }),
     // Parallel maximal matching (ops.Graph.handshakeMatching): 3 rounds of
     // mutual-min handshakes on the undirected part graph — the
     // record-linkage primitive that pairs every node at most once, with
@@ -3439,6 +3466,14 @@ object SparkEntry {
     // min |Δi|+|Δj| over the high set in the oracle.
     "img_distance" -> ((s, dir) => {
       ops.ImageOps.distanceTransformStats(gateTiles(s, "png"), thr = 3600L)
+        .orderBy("image_id")
+    }),
+    // TRUE blob labeling (ops.ImageOps.blobStats): exact 4-connected
+    // components of the ≥3600 mask on the stride-10 lattice — blob count
+    // and largest blob, what img_euler's blobs−holes number only
+    // approximates. Union-find per image; recursive-CTE min-label oracle.
+    "img_blobs" -> ((s, dir) => {
+      ops.ImageOps.blobStats(gateTiles(s, "png"), thr = 3600L)
         .orderBy("image_id")
     }),
     // Hough line census (ops.ImageOps.houghLines): 4 lattice direction
@@ -7646,6 +7681,54 @@ object SparkEntry {
     "img_distance" -> distanceOracleSql,
     "zonal_cutfill" -> cutFillOracleSql,
     "img_saliency" -> saliencyOracleSql,
+    // min-label blob components per image; every image has high cells
+    "img_blobs" -> {
+      val v = "(a + 2*(j.range*10) + 3*(i.range*10) + (((j.range*10)//8)*((i.range*10)//8)) % 32)"
+      s"""WITH RECURSIVE corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         k AS (SELECT swlng, swlat,
+             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
+         c AS (SELECT swlng, swlat, i.range*60 + j.range AS cell,
+             i.range AS i, j.range AS j
+           FROM k, range(0,60) i, range(0,60) j WHERE $v >= 3600),
+         e AS (SELECT x.swlng, x.swlat, x.cell AS ca, y.cell AS cb
+           FROM c x JOIN c y ON x.swlng = y.swlng AND x.swlat = y.swlat
+             AND ((abs(x.i - y.i) = 1 AND x.j = y.j)
+               OR (x.i = y.i AND abs(x.j - y.j) = 1))),
+         reach(swlng, swlat, cell, other) AS (
+           SELECT swlng, swlat, cell, cell FROM c
+           UNION
+           SELECT r.swlng, r.swlat, r.cell, e.cb FROM reach r
+             JOIN e ON e.swlng = r.swlng AND e.swlat = r.swlat AND e.ca = r.other),
+         comp AS (SELECT swlng, swlat, cell, min(other) AS blob
+           FROM reach GROUP BY 1, 2, 3),
+         bs AS (SELECT swlng, swlat, blob, count(*) AS sz
+           FROM comp GROUP BY 1, 2, 3),
+         hc AS (SELECT swlng, swlat, count(*) AS n_high FROM c GROUP BY 1, 2)
+         SELECT (CASE WHEN bs.swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(bs.swlat) AS VARCHAR),2,'0') ||
+             CASE WHEN bs.swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(bs.swlng) AS VARCHAR),3,'0')) AS image_id,
+           CAST(max(hc.n_high) AS BIGINT) AS n_high,
+           CAST(count(*) AS BIGINT) AS n_blobs,
+           CAST(max(sz) AS BIGINT) AS largest
+         FROM bs JOIN hc ON hc.swlng = bs.swlng AND hc.swlat = bs.swlat
+         GROUP BY 1 ORDER BY image_id"""
+    },
+    // per-edge common-neighbour count + open-neighbourhood Jaccard ppm
+    "graph_snn" ->
+      """WITH e0 AS (SELECT DISTINCT least(l_suppkey % 300, l_partkey % 300) AS a,
+           greatest(l_suppkey % 300, l_partkey % 300) AS b FROM lineitem
+           WHERE l_orderkey % 7 = 0
+             AND least(l_suppkey % 300, l_partkey % 300) <> greatest(l_suppkey % 300, l_partkey % 300)),
+         adj AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
+         deg AS (SELECT u, count(*) AS d FROM adj GROUP BY 1),
+         inter AS (SELECT e0.a, e0.b, count(*) AS inter
+           FROM e0 JOIN adj x ON x.u = e0.a JOIN adj y ON y.u = e0.b AND y.v = x.v
+           GROUP BY 1, 2)
+         SELECT e0.a, e0.b, da.d AS da, db.d AS db,
+           CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter,
+           (CAST(COALESCE(i.inter, 0) AS BIGINT) * 1000000) // (da.d + db.d - COALESCE(i.inter, 0)) AS jac_ppm
+         FROM e0 LEFT JOIN inter i ON i.a = e0.a AND i.b = e0.b
+         JOIN deg da ON da.u = e0.a JOIN deg db ON db.u = e0.b
+         ORDER BY e0.a, e0.b""",
     // Kitagawa decomposition: ppm weights × floor-cent rates; effects are
     // integer products (no negative division anywhere)
     "events_mix_shift" ->

@@ -320,6 +320,79 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class BlobRow(image_id: String, n_high: Long, n_blobs: Long,
+                           largest: Long)
+
+  /** TRUE connected-component labeling of the high mask (≥ `thr`) on the
+    * stride-10 lattice, 4-connected — the blob census [[eulerStats]] only
+    * approximates (Euler number = blobs − holes): per image the high-cell
+    * count, the exact number of blobs and the largest blob's size. Engine:
+    * one union-find pass per image (decode-once, state ∝ lattice); oracle:
+    * recursive-CTE min-label propagation over the adjacency — the same
+    * contract as the dedup clustering gates, per image.
+    */
+  def blobStats(tiles: Dataset[TileRow], thr: Long): DataFrame = {
+    implicit val enc = Encoders.product[BlobRow]
+    val n = 60
+    tiles.mapPartitions { it =>
+      it.map { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val high = new Array[Boolean](n * n)
+        var nHigh = 0L
+        var i = 0
+        while (i < n) {
+          var j = 0
+          while (j < n) {
+            if (d.samples((i * 10) * size + (j * 10)).toLong >= thr) {
+              high(i * n + j) = true; nHigh += 1
+            }
+            j += 1
+          }
+          i += 1
+        }
+        val parent = Array.tabulate(n * n)(identity)
+        // runtime closure, not a local def: a lifted local method would
+        // capture the enclosing module and break task serialization
+        val find: Int => Int = x0 => {
+          var x = x0
+          while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+          x
+        }
+        i = 0
+        while (i < n) {
+          var j = 0
+          while (j < n) {
+            val p = i * n + j
+            if (high(p)) {
+              if (i > 0 && high(p - n)) {
+                val a = find(p); val b = find(p - n)
+                if (a != b) parent(math.max(a, b)) = math.min(a, b)
+              }
+              if (j > 0 && high(p - 1)) {
+                val a = find(p); val b = find(p - 1)
+                if (a != b) parent(math.max(a, b)) = math.min(a, b)
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        val sizes = scala.collection.mutable.HashMap.empty[Int, Long]
+        var p = 0
+        while (p < n * n) {
+          if (high(p)) {
+            val r = find(p)
+            sizes(r) = sizes.getOrElse(r, 0L) + 1L
+          }
+          p += 1
+        }
+        BlobRow(tl.image_id, nHigh, sizes.size.toLong,
+          if (sizes.isEmpty) 0L else sizes.values.max)
+      }
+    }.toDF()
+  }
+
   final case class CutFillRow(image_id: String, zr: Int, zc: Int, cut: Long,
                               fill: Long, net: Long)
 
