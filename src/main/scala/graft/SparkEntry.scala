@@ -721,6 +721,33 @@ object SparkEntry {
         .join(trajs.select(col("traj_id").as("t2")), col("t1") < col("t2"))
       ops.Trajectory.frechet(pts, pairs).orderBy("t1", "t2")
     }),
+    // Direction ROSE: the octant census of trajectory step vectors (the
+    // wind-rose of movement analytics) over the 20 closed-form walks —
+    // same trig-free sign ladder as the gradient censuses, applied to
+    // consecutive-vertex deltas; zero steps get the flat bin 8.
+    "traj_rose" -> ((s, dir) => {
+      val trajs = t(s, dir, "supplier")
+        .selectExpr("s_suppkey % 20 AS traj_id").distinct()
+      val pts = trajs
+        .select(col("traj_id"), explode(expr("sequence(0, 5)")).as("seq"))
+        .selectExpr("traj_id", "seq",
+          "(traj_id * 7 + seq * (traj_id % 5 + 1) * 3) % 40 AS px",
+          "(traj_id * 11 + seq * (traj_id % 3 + 2) * 2) % 40 AS py")
+      val w = Window.partitionBy("traj_id").orderBy("seq")
+      pts.withColumn("dx", (lead("px", 1).over(w) - col("px")))
+        .withColumn("dy", (lead("py", 1).over(w) - col("py")))
+        .filter(col("dx").isNotNull)
+        .selectExpr(
+          """CASE WHEN dx = 0 AND dy = 0 THEN 8
+                  WHEN dx > 0 AND dy >= 0 THEN (CASE WHEN dy < dx THEN 0 ELSE 1 END)
+                  WHEN dx <= 0 AND dy > 0 THEN (CASE WHEN -dx < dy THEN 2 ELSE 3 END)
+                  WHEN dx < 0 AND dy <= 0 THEN (CASE WHEN -dy < -dx THEN 4 ELSE 5 END)
+                  ELSE (CASE WHEN dx < -dy THEN 6 ELSE 7 END) END AS sector""",
+          "dx * dx + dy * dy AS len2")
+        .groupBy("sector")
+        .agg(count(lit(1)).as("n"), sum("len2").as("len2_sum"))
+        .orderBy("sector")
+    }),
     // Viterbi map-matching (ops.Trajectory.mapMatch): the first 6 fixes of
     // each of 12 event-derived walks snapped to a 5×5 road-node grid under
     // emission d² + transition 3·manhattan — the HMM decoder that keeps a
@@ -3468,6 +3495,50 @@ object SparkEntry {
       ops.ImageOps.distanceTransformStats(gateTiles(s, "png"), thr = 3600L)
         .orderBy("image_id")
     }),
+    // Histogram-equalization LUT: per image, 16 equal-width value buckets
+    // over [vmin, vmax] and the exact cumulative ppm each bucket maps to —
+    // the contrast-normalization transform as a queryable table (the
+    // decode side applies cdf_ppm as the remap). Exact integer bucketing;
+    // one image-keyed pass.
+    "img_equalize" -> ((s, dir) => {
+      import s.implicits._
+      gateTiles(s, "png").mapPartitions { it =>
+        it.flatMap { tl =>
+          val d = graft.core.TileCodec.decode(tl)
+          val size = d.size
+          var lo = Long.MaxValue; var hi = Long.MinValue
+          var r = 0
+          while (r < 600) {
+            var c = 0
+            while (c < 600) {
+              val v = d.samples(r * size + c).toLong
+              if (v < lo) lo = v
+              if (v > hi) hi = v
+              c += 1
+            }
+            r += 1
+          }
+          val span = hi - lo + 1
+          val cnt = new Array[Long](16)
+          r = 0
+          while (r < 600) {
+            var c = 0
+            while (c < 600) {
+              val v = d.samples(r * size + c).toLong
+              cnt((((v - lo) * 16) / span).toInt) += 1L
+              c += 1
+            }
+            r += 1
+          }
+          var cum = 0L
+          (0 until 16).iterator.map { b =>
+            cum += cnt(b)
+            (tl.image_id, b, cnt(b), cum * 1000000L / 360000L)
+          }
+        }
+      }.toDF("image_id", "bucket", "n", "cdf_ppm")
+        .orderBy("image_id", "bucket")
+    }),
     // TRUE blob labeling (ops.ImageOps.blobStats): exact 4-connected
     // components of the ≥3600 mask on the stride-10 lattice — blob count
     // and largest blob, what img_euler's blobs−holes number only
@@ -4191,6 +4262,25 @@ object SparkEntry {
         .withColumn("chi2_ppm",
           expr("(chi_num * 1000000) div (7 * total)"))
         .orderBy("event_type")
+    }),
+    // Top event PATHS (3-step behavioural n-grams): the "what do users do
+    // next-next" product-analytics staple one step beyond
+    // events_transition's Markov pairs. One user-keyed window (two leads),
+    // vocabulary-bounded count, global top-10.
+    "events_trigrams" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("e2", lead("event_type", 1).over(w))
+        .withColumn("e3", lead("event_type", 2).over(w))
+        .filter(col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+          .as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n").desc, col("path"))))
+        .filter(col("rk") <= 10)
+        .orderBy("rk")
     }),
     // Kitagawa MIX-SHIFT decomposition (public): the change in overall
     // mean value between the first/second half-month splits into a MIX
@@ -7681,6 +7771,30 @@ object SparkEntry {
     "img_distance" -> distanceOracleSql,
     "zonal_cutfill" -> cutFillOracleSql,
     "img_saliency" -> saliencyOracleSql,
+    // equalization LUT: 16-bucket spine LEFT-joined so empty buckets keep
+    // their cdf rows, exactly like the engine's dense array
+    "img_equalize" -> {
+      val v = gridV("c.range", "r.range")
+      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         k AS (SELECT swlng, swlat,
+             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
+         g AS (SELECT swlng, swlat, $v AS v FROM k, range(0,600) r, range(0,600) c),
+         mm AS (SELECT swlng, swlat, min(v) AS lo, max(v) AS hi FROM g GROUP BY 1, 2),
+         bk AS (SELECT g.swlng, g.swlat,
+             ((g.v - mm.lo) * 16) // (mm.hi - mm.lo + 1) AS bucket
+           FROM g JOIN mm ON mm.swlng = g.swlng AND mm.swlat = g.swlat),
+         cn AS (SELECT swlng, swlat, bucket, count(*) AS n FROM bk GROUP BY 1, 2, 3),
+         sp AS (SELECT mm.swlng, mm.swlat, b.range AS bucket FROM mm, range(0, 16) b),
+         j AS (SELECT sp.swlng, sp.swlat, sp.bucket, COALESCE(cn.n, 0) AS n
+           FROM sp LEFT JOIN cn ON cn.swlng = sp.swlng AND cn.swlat = sp.swlat
+             AND cn.bucket = sp.bucket)
+         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           CAST(bucket AS INT) AS bucket, CAST(n AS BIGINT) AS n,
+           CAST((sum(n) OVER (PARTITION BY swlng, swlat ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1000000 // 360000 AS BIGINT) AS cdf_ppm
+         FROM j ORDER BY image_id, bucket"""
+    },
     // min-label blob components per image; every image has high cells
     "img_blobs" -> {
       val v = "(a + 2*(j.range*10) + 3*(i.range*10) + (((j.range*10)//8)*((i.range*10)//8)) % 32)"
@@ -7729,6 +7843,37 @@ object SparkEntry {
          FROM e0 LEFT JOIN inter i ON i.a = e0.a AND i.b = e0.b
          JOIN deg da ON da.u = e0.a JOIN deg db ON db.u = e0.b
          ORDER BY e0.a, e0.b""",
+    // 3-step behavioural paths via two leads, global top-10
+    "events_trigrams" ->
+      """WITH s AS (SELECT user_id, event_type,
+           lead(event_type, 1) OVER w AS e2, lead(event_type, 2) OVER w AS e3
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         p AS (SELECT event_type || '>' || e2 || '>' || e3 AS path FROM s
+           WHERE e3 IS NOT NULL),
+         c AS (SELECT path, count(*) AS n FROM p GROUP BY 1),
+         r AS (SELECT *, CAST(row_number() OVER (ORDER BY n DESC, path) AS INT) AS rk FROM c)
+         SELECT path, CAST(n AS BIGINT) AS n, rk FROM r WHERE rk <= 10
+         ORDER BY rk""",
+    // octant census of consecutive-vertex deltas over the 20 walks
+    "traj_rose" ->
+      """WITH trajs AS (SELECT DISTINCT s_suppkey % 20 AS traj_id FROM supplier),
+         v AS (SELECT traj_id, CAST(g AS BIGINT) AS seq,
+             (traj_id * 7 + g * (traj_id % 5 + 1) * 3) % 40 AS px,
+             (traj_id * 11 + g * (traj_id % 3 + 2) * 2) % 40 AS py
+           FROM trajs, unnest(range(0, 6)) AS t(g)),
+         s AS (SELECT traj_id,
+             lead(px) OVER w - px AS dx, lead(py) OVER w - py AS dy
+           FROM v WINDOW w AS (PARTITION BY traj_id ORDER BY seq)),
+         sec AS (SELECT CASE WHEN dx = 0 AND dy = 0 THEN 8
+               WHEN dx > 0 AND dy >= 0 THEN (CASE WHEN dy < dx THEN 0 ELSE 1 END)
+               WHEN dx <= 0 AND dy > 0 THEN (CASE WHEN -dx < dy THEN 2 ELSE 3 END)
+               WHEN dx < 0 AND dy <= 0 THEN (CASE WHEN -dy < -dx THEN 4 ELSE 5 END)
+               ELSE (CASE WHEN dx < -dy THEN 6 ELSE 7 END) END AS sector,
+             dx*dx + dy*dy AS len2
+           FROM s WHERE dx IS NOT NULL)
+         SELECT CAST(sector AS INT) AS sector, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(len2) AS BIGINT) AS len2_sum
+         FROM sec GROUP BY 1 ORDER BY sector""",
     // Kitagawa decomposition: ppm weights × floor-cent rates; effects are
     // integer products (no negative division anywhere)
     "events_mix_shift" ->
