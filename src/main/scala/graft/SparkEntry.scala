@@ -721,6 +721,29 @@ object SparkEntry {
         .join(trajs.select(col("traj_id").as("t2")), col("t1") < col("t2"))
       ops.Trajectory.frechet(pts, pairs).orderBy("t1", "t2")
     }),
+    // Straightness index per trajectory: net displacement² over Σ step²
+    // in exact ppm — 10⁶ means a beeline, small means wandering; the
+    // cheap commute-vs-wander classifier of mobility analytics.
+    "traj_straightness" -> ((s, dir) => {
+      val trajs = t(s, dir, "supplier")
+        .selectExpr("s_suppkey % 20 AS traj_id").distinct()
+      val pts = trajs
+        .select(col("traj_id"), explode(expr("sequence(0, 5)")).as("seq"))
+        .selectExpr("traj_id", "seq",
+          "(traj_id * 7 + seq * (traj_id % 5 + 1) * 3) % 40 AS px",
+          "(traj_id * 11 + seq * (traj_id % 3 + 2) * 2) % 40 AS py")
+      val w = Window.partitionBy("traj_id").orderBy("seq")
+      val steps = pts
+        .withColumn("dx", lead("px", 1).over(w) - col("px"))
+        .withColumn("dy", lead("py", 1).over(w) - col("py"))
+      steps.groupBy("traj_id")
+        .agg(count(col("dx")).as("n_steps"),
+          sum(col("dx") * col("dx") + col("dy") * col("dy")).as("path_d2"),
+          (sum(col("dx")) * sum(col("dx")) +
+            sum(col("dy")) * sum(col("dy"))).as("net_d2"))
+        .withColumn("si_ppm", expr("(net_d2 * 1000000) div path_d2"))
+        .orderBy("traj_id")
+    }),
     // Direction ROSE: the octant census of trajectory step vectors (the
     // wind-rose of movement analytics) over the 20 closed-form walks —
     // same trig-free sign ladder as the gradient censuses, applied to
@@ -2682,6 +2705,37 @@ object SparkEntry {
     "ann_ivf_assign" -> ((s, dir) => {
       ops.Embeddings.ivfAssign(t(s, dir, "embeddings"), 8).orderBy("vec_id")
     }),
+    // RESIDUAL quantization (2-level RQ, the additive cousin of PQ): coarse
+    // code = nearest IVF centroid; the residual, quantized to exact
+    // milli-units, is coded against a second 8-entry codebook by integer
+    // argmin — code pair + exact integer reconstruction error per vector.
+    // All second-level arithmetic is 64-bit integer, so the oracle replays
+    // the argmin bit-for-bit.
+    "ann_rq_code" -> ((s, dir) => {
+      import s.implicits._
+      val asg = ops.Embeddings.ivfAssign(t(s, dir, "embeddings"), 8)
+        .select(col("vec_id"), col("centroid").as("c1"))
+      val e = t(s, dir, "embeddings")
+        .selectExpr("vec_id", "cast(embedding as array<double>) AS v")
+      val rq = e.join(asg, "vec_id")
+        .withColumn("rq", expr(
+          """transform(sequence(0, 63),
+             d -> CAST(FLOOR((element_at(v, d + 1)
+               - (((c1*53 + d*17) % 13) - 6)) * 1000.0D) AS BIGINT))"""))
+      val cents2 = (0L until 8L).toDF("k")
+      rq.crossJoin(broadcast(cents2))
+        .withColumn("d2", expr(
+          """aggregate(sequence(0, 63), 0L,
+             (acc, d) -> acc + (element_at(rq, d + 1)
+               - (((k*37 + d*11) % 15) - 7) * 50)
+               * (element_at(rq, d + 1) - (((k*37 + d*11) % 15) - 7) * 50))"""))
+        .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+          .orderBy(col("d2"), col("k"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("c1"), col("k").as("c2"),
+          col("d2").as("err_q"))
+        .orderBy("vec_id")
+    }),
     // IVF index-health diagnostic: per-centroid list sizes + exact ppm
     // share — the balance number that says whether nProbe pruning will
     // actually prune (a collapsed quantizer puts everything in one list).
@@ -3538,6 +3592,38 @@ object SparkEntry {
         }
       }.toDF("image_id", "bucket", "n", "cdf_ppm")
         .orderBy("image_id", "bucket")
+    }),
+    // Noise estimate: the exact lower MEDIAN of |4-neighbour Laplacian|
+    // per image (the robust MAD-style sigma proxy behind denoising
+    // parameter choice — img_blur's variance is outlier-dominated). One
+    // decode + one in-memory sort per image.
+    "img_noise_mad" -> ((s, dir) => {
+      import s.implicits._
+      gateTiles(s, "png").mapPartitions { it =>
+        it.map { tl =>
+          val d = graft.core.TileCodec.decode(tl)
+          val size = d.size
+          val n = 598 * 598
+          val a = new Array[Int](n)
+          var p = 0
+          var r = 1
+          while (r < 599) {
+            var c = 1
+            while (c < 599) {
+              val lap = 4 * d.samples(r * size + c) -
+                d.samples(r * size + c + 1) - d.samples(r * size + c - 1) -
+                d.samples((r + 1) * size + c) - d.samples((r - 1) * size + c)
+              a(p) = math.abs(lap)
+              p += 1
+              c += 1
+            }
+            r += 1
+          }
+          java.util.Arrays.sort(a)
+          (tl.image_id, n.toLong, a((n + 1) / 2 - 1).toLong)
+        }
+      }.toDF("image_id", "n_px", "med_abs_lap")
+        .orderBy("image_id")
     }),
     // TRUE blob labeling (ops.ImageOps.blobStats): exact 4-connected
     // components of the ≥3600 mask on the stride-10 lattice — blob count
@@ -7795,6 +7881,24 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1000000 // 360000 AS BIGINT) AS cdf_ppm
          FROM j ORDER BY image_id, bucket"""
     },
+    // lower median of |Laplacian| by selection rank per image
+    "img_noise_mad" -> {
+      val v0 = gridV("c.range", "r.range")
+      def v(dc: Int, dr: Int) = gridV(s"c.range+($dc)", s"r.range+($dr)")
+      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         k AS (SELECT swlng, swlat,
+             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
+         l AS (SELECT swlng, swlat,
+             abs(4*($v0) - (${v(1, 0)}) - (${v(-1, 0)}) - (${v(0, 1)}) - (${v(0, -1)})) AS al
+           FROM k, range(1,599) r, range(1,599) c),
+         r AS (SELECT swlng, swlat, al,
+             row_number() OVER (PARTITION BY swlng, swlat ORDER BY al) AS rn,
+             count(*) OVER (PARTITION BY swlng, swlat) AS n FROM l)
+         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           CAST(n AS BIGINT) AS n_px, CAST(al AS BIGINT) AS med_abs_lap
+         FROM r WHERE rn = (n + 1) // 2 ORDER BY image_id"""
+    },
     // min-label blob components per image; every image has high cells
     "img_blobs" -> {
       val v = "(a + 2*(j.range*10) + 3*(i.range*10) + (((j.range*10)//8)*((i.range*10)//8)) % 32)"
@@ -7854,6 +7958,23 @@ object SparkEntry {
          r AS (SELECT *, CAST(row_number() OVER (ORDER BY n DESC, path) AS INT) AS rk FROM c)
          SELECT path, CAST(n AS BIGINT) AS n, rk FROM r WHERE rk <= 10
          ORDER BY rk""",
+    // net² / Σstep² straightness in exact ppm over the 20 walks
+    "traj_straightness" ->
+      """WITH trajs AS (SELECT DISTINCT s_suppkey % 20 AS traj_id FROM supplier),
+         v AS (SELECT traj_id, CAST(g AS BIGINT) AS seq,
+             (traj_id * 7 + g * (traj_id % 5 + 1) * 3) % 40 AS px,
+             (traj_id * 11 + g * (traj_id % 3 + 2) * 2) % 40 AS py
+           FROM trajs, unnest(range(0, 6)) AS t(g)),
+         s AS (SELECT traj_id,
+             lead(px) OVER w - px AS dx, lead(py) OVER w - py AS dy
+           FROM v WINDOW w AS (PARTITION BY traj_id ORDER BY seq)),
+         a AS (SELECT traj_id, CAST(count(dx) AS BIGINT) AS n_steps,
+             CAST(sum(dx*dx + dy*dy) AS BIGINT) AS path_d2,
+             CAST(sum(dx)*sum(dx) + sum(dy)*sum(dy) AS BIGINT) AS net_d2
+           FROM s GROUP BY 1)
+         SELECT traj_id, n_steps, path_d2, net_d2,
+           (net_d2 * 1000000) // path_d2 AS si_ppm
+         FROM a ORDER BY traj_id""",
     // octant census of consecutive-vertex deltas over the 20 walks
     "traj_rose" ->
       """WITH trajs AS (SELECT DISTINCT s_suppkey % 20 AS traj_id FROM supplier),
@@ -9100,6 +9221,34 @@ object SparkEntry {
            FROM s) ORDER BY doc_id""",
     "ann_lsh_neardup" -> annLshOracleSql,
     "ann_ivf_assign" -> ivfOracleSql,
+    // coarse assign, milli-quantized residual, integer argmin vs the
+    // second codebook
+    "ann_rq_code" ->
+      """WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         cents AS (SELECT range AS c FROM range(0, 8)),
+         d AS (SELECT vec_id, c,
+           list_reduce(list_prepend(0.0, list_transform(range(0,64),
+             d -> (v[d+1] - (((c*53 + d*17) % 13) - 6)) * (v[d+1] - (((c*53 + d*17) % 13) - 6)))),
+             (p,q) -> p + q) AS d2
+           FROM vv, cents),
+         a1 AS (SELECT vec_id, c AS c1 FROM (SELECT vec_id, c, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d)
+           WHERE rn = 1),
+         rq AS (SELECT vv.vec_id, a1.c1, list_transform(range(0,64),
+             d -> CAST(floor((vv.v[d+1] - (((a1.c1*53 + d*17) % 13) - 6)) * 1000.0) AS BIGINT)) AS rq
+           FROM vv JOIN a1 USING (vec_id)),
+         k2 AS (SELECT range AS k FROM range(0, 8)),
+         dd AS (SELECT rq.vec_id, rq.c1, k2.k,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0,64),
+               d -> (rq.rq[d+1] - (((k2.k*37 + d*11) % 15) - 7) * 50)
+                  * (rq.rq[d+1] - (((k2.k*37 + d*11) % 15) - 7) * 50))),
+               (p,q) -> p + q) AS d2
+           FROM rq, k2)
+         SELECT vec_id, CAST(c1 AS INT) AS c1, CAST(k AS BIGINT) AS c2,
+           CAST(d2 AS BIGINT) AS err_q
+         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rn
+           FROM dd) WHERE rn = 1
+         ORDER BY vec_id""",
     "ann_ivf_balance" ->
       s"""WITH asg AS ($ivfOracleSql),
          t AS (SELECT count(*) AS tot FROM asg)
