@@ -308,6 +308,20 @@ object SparkEntry {
         .agg(round(sum("o_totalprice"), 2))
         .orderBy("mon")
     }),
+    // UNPIVOT surface — q_pivot's inverse reshape (wide month×status grid
+    // back to long triples): Spark's `stack` table generator fans the three
+    // status columns into rows in ONE projection pass (no union of three
+    // scans); NULL cells are excluded on both engines (DuckDB UNPIVOT's
+    // default). Exact integer cents so the gate is bit-exact.
+    "q_unpivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("mon", month(col("o_orderdate")))
+        .groupBy("mon").pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(expr("CAST(FLOOR(o_totalprice * 100.0D + 0.5D) AS BIGINT)")))
+        .selectExpr("mon", "stack(3, 'F', `F`, 'O', `O`, 'P', `P`) AS (status, cents)")
+        .filter(col("cents").isNotNull)
+        .orderBy("mon", "status")
+    }),
     // SKYLINE / Pareto front (ops.Skyline.skyline2d): the orders nobody
     // beats on BOTH price and date (minimize both) — the classic
     // multi-criteria operator, answered by the sorted-scan window identity
@@ -1060,7 +1074,10 @@ object SparkEntry {
         .selectExpr("s_suppkey AS site_id",
           "-120 + (s_suppkey % 4) + (((s_suppkey*13) % 97) + 0.5D)/97.0D AS sx",
           "36 + (s_suppkey % 2) + (((s_suppkey*29) % 97) + 0.5D)/97.0D AS sy")
-      ops.SpatialJoin.voronoiAssign(gatePoints(s, dir), sites)
+      // dedup the gate input by id: the oracle's QUALIFY is per point_id,
+      // and sf0.001 carries one genuinely duplicated lineitem row (same
+      // quad twice ⇒ same point_id AND coords, so dedup loses nothing)
+      ops.SpatialJoin.voronoiAssign(gatePoints(s, dir).dropDuplicates("point_id"), sites)
         .orderBy("point_id")
     }),
     // IDW gridding: interpolate a scattered observation field at probe
@@ -1185,9 +1202,13 @@ object SparkEntry {
         .agg(sum(col("z") * col("zn")).as("num"), count(lit(1)).as("w_pairs"))
       val den = z.agg(sum(col("z") * col("z")).as("den"))
       tot.select("n_cells").crossJoin(den).crossJoin(pairs)
+        // ANSI guard: Spark 4 throws DIVIDE_BY_ZERO even for doubles, and a
+        // lattice with NO rook-adjacent occupied pairs (tiny SFs) has
+        // w_pairs = 0 — Moran's I is undefined there, so emit NULL
         .withColumn("morans_i",
-          (col("n_cells") * col("num")).cast("double") /
-            (col("w_pairs") * col("den")).cast("double"))
+          when(col("w_pairs") * col("den") =!= 0,
+            (col("n_cells") * col("num")).cast("double") /
+              (col("w_pairs") * col("den")).cast("double")))
         .select("n_cells", "w_pairs", "num", "den", "morans_i")
     }),
     // Getis–Ord Gi* hotspot flags — the LOCAL companion to geo_morans_i's
@@ -3402,6 +3423,16 @@ object SparkEntry {
     "img_fast_corners" -> ((s, dir) => {
       ops.ImageOps.fastCorners(gateTiles(s, "png"), t = 2).orderBy("image_id")
     }),
+    // Harris corner census (ops.ImageOps.harris): the STRUCTURE-TENSOR
+    // detector next to FAST's segment test — per 2×2 interior block the
+    // Sobel tensor (Σgx², Σgy², Σgx·gy) and the integer-scaled response
+    // R₁₆ = 16·det − trace² (k = 1/16, sign/argmax preserved, no float in
+    // the decision path). Corner count + exact max response + its argmax
+    // block; positives localize the planted 8×8 quantization lattice.
+    // Decode-once, zero shuffle; the oracle replays every block tensor.
+    "img_harris" -> ((s, dir) => {
+      ops.ImageOps.harris(gateTiles(s, "png")).orderBy("image_id")
+    }),
     // Level-1 Haar wavelet subband census (ops.ImageOps.haar): ΣLL + per-
     // subband detail energies (Σ LH², HL², HH²) over non-overlapping 2×2
     // blocks, pure integers — the approximation-vs-detail energy split
@@ -4280,6 +4311,21 @@ object SparkEntry {
     "events_hll_distinct" -> ((s, dir) => {
       val e = t(s, dir, "events")
       val sk = ops.Sketches.hllDistinct(e, "event_type", "user_id")
+      val exact = e.groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_exact"))
+      sk.join(exact, "event_type").orderBy("event_type")
+    }),
+    // KMV bottom-k distinct sketch (ops.Sketches.kmvDistinct): keep the 64
+    // smallest distinct hashes per group; the 64th order statistic gives
+    // the cardinality estimate (k−1)·2³¹/h_k — tighter than HLL-32
+    // (σ≈1/√62) AND the retained set is a deterministic key sample that
+    // composes into Jaccard estimates. Two-phase: capped TreeSet fold per
+    // partition (≤ k·partitions rows per group cross the shuffle), then a
+    // global bottom-k — exact count(distinct) joined alongside as the
+    // gate's accuracy witness.
+    "events_kmv_distinct" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val sk = ops.Sketches.kmvDistinct(e, "event_type", "user_id", 64)
       val exact = e.groupBy("event_type")
         .agg(countDistinct("user_id").as("n_exact"))
       sk.join(exact, "event_type").orderBy("event_type")
@@ -6628,6 +6674,45 @@ object SparkEntry {
        FROM g GROUP BY swlng, swlat ORDER BY image_id"""
   }
 
+  /** Harris oracle: every 2×2 interior block's Sobel structure tensor from
+    * the closed-form field (299×299 blocks over rows/cols 1..598), the
+    * integer response 16·det − trace², census + argmax (ties → smallest
+    * (br, bc)). Sums cast to BIGINT (DuckDB integer sums widen to HUGEINT).
+    */
+  private val harrisOracleSql: String = {
+    val cb = "(1 + 2*bc.range + dc.range)"
+    val rb = "(1 + 2*br.range + dr.range)"
+    def v(dc: Int, dr: Int) = gridV(s"$cb+($dc)", s"$rb+($dr)")
+    val gx = s"((${v(1, -1)} + 2*${v(1, 0)} + ${v(1, 1)})" +
+      s" - (${v(-1, -1)} + 2*${v(-1, 0)} + ${v(-1, 1)}))"
+    val gy = s"((${v(-1, 1)} + 2*${v(0, 1)} + ${v(1, 1)})" +
+      s" - (${v(-1, -1)} + 2*${v(0, -1)} + ${v(1, -1)}))"
+    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+       k AS (SELECT swlng, swlat,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
+       g AS (SELECT swlng, swlat, br.range AS br, bc.range AS bc,
+           $gx AS gx, $gy AS gy
+         FROM k, range(0,299) br, range(0,299) bc, range(0,2) dr, range(0,2) dc),
+       st AS (SELECT swlng, swlat, br, bc,
+           CAST(sum(gx*gx) AS BIGINT) AS sxx, CAST(sum(gy*gy) AS BIGINT) AS syy,
+           CAST(sum(gx*gy) AS BIGINT) AS sxy
+         FROM g GROUP BY 1, 2, 3, 4),
+       resp AS (SELECT swlng, swlat, br, bc,
+           16*(sxx*syy - sxy*sxy) - (sxx+syy)*(sxx+syy) AS r16 FROM st),
+       agg AS (SELECT swlng, swlat, CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(CASE WHEN r16 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corners
+         FROM resp GROUP BY 1, 2),
+       best AS (SELECT swlng, swlat, r16, br, bc,
+           row_number() OVER (PARTITION BY swlng, swlat ORDER BY r16 DESC, br, bc) AS rn
+         FROM resp)
+       SELECT (CASE WHEN a.swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(a.swlat) AS VARCHAR),2,'0') ||
+           CASE WHEN a.swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(a.swlng) AS VARCHAR),3,'0')) AS image_id,
+         a.n_blocks, a.n_corners, CAST(b.r16 AS BIGINT) AS r_max,
+         CAST(b.br AS INT) AS best_br, CAST(b.bc AS INT) AS best_bc
+       FROM agg a JOIN best b ON a.swlng = b.swlng AND a.swlat = b.swlat AND b.rn = 1
+       ORDER BY image_id"""
+  }
+
   /** Haar oracle: every 2×2 block of the closed-form field (300×300 blocks
     * over the even 600×600 prefix of the 601-size grid), the four subband
     * values assembled from the same NW/NE/SW/SE corners the kernel reads.
@@ -7845,6 +7930,7 @@ object SparkEntry {
          ORDER BY image_id, py, px""",
     "img_sobel" -> sobelOracleSql,
     "img_fast_corners" -> fastOracleSql,
+    "img_harris" -> harrisOracleSql,
     "img_register" -> registerOracleSql,
     "img_haar" -> haarOracleSql,
     "img_lbp" -> lbpOracleSql,
@@ -9873,6 +9959,23 @@ object SparkEntry {
     // hash, same lsb-CASE rank, same exact-integer register sum over the
     // 2^40 denominator, same single IEEE division at the end
     "events_hll_distinct" -> hllDistinctOracleSql,
+    // definitional bottom-64: distinct hashes ranked per group, the 64th
+    // order statistic finishes the estimate by exact integer division
+    "events_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+           (user_id * 1103515245 + 12345) % 2147483648 AS h FROM events),
+         r AS (SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM h),
+         s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_k,
+             CAST(max(h) AS BIGINT) AS kth_hash
+           FROM r WHERE rk <= 64 GROUP BY 1)
+         SELECT s.event_type, s.n_k, s.kth_hash,
+           CASE WHEN s.n_k < 64 THEN s.n_k
+                ELSE (CAST(63 AS BIGINT) * 2147483648) // greatest(s.kth_hash, 1) END AS kmv_q,
+           e.n_exact
+         FROM s JOIN (SELECT event_type, count(DISTINCT user_id) AS n_exact
+                      FROM events GROUP BY 1) e ON s.event_type = e.event_type
+         ORDER BY s.event_type""",
     // the streaming sketch drains to the SAME registers -> same estimate
     "stream_hll" -> hllDistinctOracleSql,
     "curation_split" ->
@@ -11057,6 +11160,17 @@ object SparkEntry {
            round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
            round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
          FROM orders GROUP BY 1 ORDER BY mon""",
+    // the wide grid rebuilt, then DuckDB's native UNPIVOT (NULL cells
+    // excluded by default on both engines)
+    "q_unpivot" ->
+      """WITH w AS (SELECT CAST(month(o_orderdate) AS INT) AS mon,
+           sum(CASE WHEN o_orderstatus = 'F' THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) END) AS "F",
+           sum(CASE WHEN o_orderstatus = 'O' THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) END) AS "O",
+           sum(CASE WHEN o_orderstatus = 'P' THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) END) AS "P"
+         FROM orders GROUP BY 1)
+         SELECT mon, status, CAST(cents AS BIGINT) AS cents
+         FROM w UNPIVOT (cents FOR status IN ("F", "O", "P"))
+         ORDER BY mon, status""",
     // definitional dominance oracle: the engine answers via the sorted-scan
     // window identity, the oracle states NOT EXISTS dominance directly
     "q_skyline" ->

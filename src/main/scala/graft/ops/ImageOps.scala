@@ -1823,4 +1823,75 @@ object ImageOps {
       .select(col("doc_id").as("image_id"), col("comp").as("cluster"),
         (col("doc_id") === col("comp")).as("keep"))
   }
+
+  /** Per-image Harris corner census row. */
+  final case class HarrisRow(image_id: String, n_blocks: Long, n_corners: Long,
+                             r_max: Long, best_br: Int, best_bc: Int)
+
+  /** HARRIS corner census — the STRUCTURE-TENSOR detector next to the
+    * segment-test one ([[fastCorners]]): FAST fires on intensity contrast
+    * around a circle; Harris fires where the local gradient field spans TWO
+    * directions (the autocorrelation surface curves both ways), which is
+    * the geometric definition of a corner and the keypoint foundation of
+    * classic registration/SfM pipelines. Per non-overlapping 2×2 block of
+    * interior pixels the Sobel structure tensor
+    * `Sxx = Σgx², Syy = Σgy², Sxy = Σgx·gy` and the integer-scaled
+    * Harris–Stephens response with k = 1/16:
+    * {{{ R₁₆ = 16·(Sxx·Syy − Sxy²) − (Sxx + Syy)² }}}
+    * (16·R for real-valued R = det − k·trace², so sign and argmax are
+    * preserved and NO float enters the decision path — a single-pixel
+    * tensor would make det ≡ 0, hence the 2×2 aggregation window). Emitted:
+    * block count, corner count (R₁₆ > 0: det must beat the edge/flat
+    * penalty), the exact max response and its argmax block (ties → smallest
+    * (br, bc)). On the synthetic grids the positive responses localize the
+    * 8×8 quantization-lattice corners — the detector provably recovers the
+    * planted structure. Integer headroom: |g| ≤ 8·max ⇒ S ≤ 4·64·max² and
+    * R₁₆ ≤ 32·(4·64·max²)² < 2⁶³ at the gate's 12-bit sample depth.
+    * Decode-once mapPartitions, one row out per image, ZERO shuffle.
+    */
+  def harris(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[HarrisRow]
+    tiles.mapPartitions { it =>
+      it.map { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        @inline def gx(r: Int, c: Int): Long =
+          (d.samples((r - 1) * size + c + 1) + 2L * d.samples(r * size + c + 1) +
+            d.samples((r + 1) * size + c + 1)) -
+            (d.samples((r - 1) * size + c - 1) + 2L * d.samples(r * size + c - 1) +
+              d.samples((r + 1) * size + c - 1))
+        @inline def gy(r: Int, c: Int): Long =
+          (d.samples((r + 1) * size + c - 1) + 2L * d.samples((r + 1) * size + c) +
+            d.samples((r + 1) * size + c + 1)) -
+            (d.samples((r - 1) * size + c - 1) + 2L * d.samples((r - 1) * size + c) +
+              d.samples((r - 1) * size + c + 1))
+        val nb = (size - 3) / 2            // blocks per axis over rows/cols 1..size-2
+        var corners = 0L; var rMax = Long.MinValue; var bestBr = 0; var bestBc = 0
+        var br = 0
+        while (br < nb) {
+          var bc = 0
+          while (bc < nb) {
+            var sxx = 0L; var syy = 0L; var sxy = 0L
+            var dr = 0
+            while (dr < 2) {
+              var dc = 0
+              while (dc < 2) {
+                val x = gx(1 + 2 * br + dr, 1 + 2 * bc + dc)
+                val y = gy(1 + 2 * br + dr, 1 + 2 * bc + dc)
+                sxx += x * x; syy += y * y; sxy += x * y
+                dc += 1
+              }
+              dr += 1
+            }
+            val r16 = 16L * (sxx * syy - sxy * sxy) - (sxx + syy) * (sxx + syy)
+            if (r16 > 0) corners += 1L
+            if (r16 > rMax) { rMax = r16; bestBr = br; bestBc = bc }
+            bc += 1
+          }
+          br += 1
+        }
+        HarrisRow(tl.image_id, nb.toLong * nb, corners, rMax, bestBr, bestBc)
+      }
+    }.toDF()
+  }
 }

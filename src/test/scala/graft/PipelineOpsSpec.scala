@@ -486,6 +486,79 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("kmvDistinct matches scalar bottom-k; exact below k; estimate within sigma") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // g0/g1: well above k distinct; g2: exactly 10 distinct (< k path)
+    val rows = (0 until 6000).map(i => (s"g${i % 2}", rnd.nextInt(2500).toLong)) ++
+      (0 until 100).map(i => ("g2", (i % 10).toLong))
+    val df = rows.toDF("grp", "uid").repartition(7)
+    val k = 64
+    def brute(ids: Seq[Long]): (Long, Long, Long) = {
+      val hs = ids.map(id => (id * 1103515245L + 12345L) % 2147483648L)
+        .distinct.sorted.take(k)
+      val kth = hs.last
+      val est = if (hs.size < k) hs.size.toLong
+                else (k - 1).toLong * 2147483648L / math.max(kth, 1L)
+      (hs.size.toLong, kth, est)
+    }
+    val got = graft.ops.Sketches.kmvDistinct(df, "grp", "uid", k)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    rows.groupBy(_._1).foreach { case (g, xs) =>
+      val exact = xs.map(_._2).distinct.size
+      assert(got(g) == brute(xs.map(_._2)), s"group $g")
+      val est = got(g)._3
+      if (exact < k) assert(est == exact, s"group $g below-k must be exact")
+      // sigma ~ 1/sqrt(k-2) ~ 12.7%; 3-sigma bound
+      else assert(math.abs(est - exact) <= 0.39 * exact, s"group $g est=$est exact=$exact")
+    }
+  }
+
+  test("harris census matches the brute-force structure-tensor scan") {
+    val size = 65
+    val corners = Seq((10, 5), (11, 6))
+    val grids = corners.map { case (lng, lat) =>
+      (lng, lat, graft.synth.TileGen.grid(lng, lat, size,
+        graft.synth.TileGen.sampleAt))
+    }
+    val tiles = spark.createDataset(grids.map { case (lng, lat, g) =>
+      graft.core.TileRow(graft.geo.TileKey.ofDegrees(lng, lat),
+        graft.raster.Hgt.encode(g, size), size, size, "hgt", "{}", 0L)
+    })(org.apache.spark.sql.Encoders.product[graft.core.TileRow])
+    def want(g: Array[Short]): (Long, Long, Long, Int, Int) = {
+      def v(r: Int, c: Int) = g(r * size + c).toLong
+      def gx(r: Int, c: Int) = (v(r - 1, c + 1) + 2 * v(r, c + 1) + v(r + 1, c + 1)) -
+        (v(r - 1, c - 1) + 2 * v(r, c - 1) + v(r + 1, c - 1))
+      def gy(r: Int, c: Int) = (v(r + 1, c - 1) + 2 * v(r + 1, c) + v(r + 1, c + 1)) -
+        (v(r - 1, c - 1) + 2 * v(r - 1, c) + v(r - 1, c + 1))
+      val nb = (size - 3) / 2
+      var corners = 0L; var rMax = Long.MinValue; var bbr = 0; var bbc = 0
+      for (br <- 0 until nb; bc <- 0 until nb) {
+        var sxx = 0L; var syy = 0L; var sxy = 0L
+        for (dr <- 0 to 1; dc <- 0 to 1) {
+          val x = gx(1 + 2 * br + dr, 1 + 2 * bc + dc)
+          val y = gy(1 + 2 * br + dr, 1 + 2 * bc + dc)
+          sxx += x * x; syy += y * y; sxy += x * y
+        }
+        val r16 = 16L * (sxx * syy - sxy * sxy) - (sxx + syy) * (sxx + syy)
+        if (r16 > 0) corners += 1
+        if (r16 > rMax) { rMax = r16; bbr = br; bbc = bc }
+      }
+      (nb.toLong * nb, corners, rMax, bbr, bbc)
+    }
+    import spark.implicits._
+    val got = graft.ops.ImageOps.harris(tiles)
+      .as[(String, Long, Long, Long, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    grids.foreach { case (lng, lat, g) =>
+      assert(got(graft.geo.TileKey.ofDegrees(lng, lat)) == want(g), s"tile ($lng,$lat)")
+    }
+    // the synthetic 8x8 quantization lattice must actually fire the detector
+    assert(grids.forall { case (lng, lat, _) =>
+      got(graft.geo.TileKey.ofDegrees(lng, lat))._2 > 0 })
+  }
+
   test("phashNearDup finds exactly the brute-force Hamming<=3 pairs via band join") {
     val size = 201
     val corners = Seq((10, 5), (11, 5), (12, 6))
