@@ -399,6 +399,28 @@ object SparkEntry {
       ops.Drift.acf(ev, "event_type", Seq("ts", "event_id"), "v_cents",
         maxLag = 4).orderBy("event_type", "lag")
     }),
+    // Lagged CROSS-correlation between two series — events_acf's
+    // two-signal sibling (does 'view' volume at hour t lead 'click' volume
+    // at t+lag?): per lag ∈ [−3, 3] the raw co-occurrence mass
+    // Σ_t n_view(t)·n_click(t+lag) over overlapping hours, pure integers
+    // (zero hours contribute nothing to the dot product, so the sparse
+    // hour join equals the dense series). Two hour-keyed aggs + one 7×
+    // fan-out equi-join — never a per-lag rescan.
+    "events_xcorr" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("hr", expr("unix_micros(date_trunc('hour', ts)) div 3600000000L"))
+      val a = e.filter(col("event_type") === "view")
+        .groupBy("hr").agg(count(lit(1)).as("na"))
+      val b = e.filter(col("event_type") === "click")
+        .groupBy("hr").agg(count(lit(1)).as("nb"))
+      val lags = s.range(-3, 4).toDF("lag")
+      a.crossJoin(broadcast(lags))
+        .withColumn("hr2", col("hr") + col("lag"))
+        .join(b.withColumnRenamed("hr", "hr2"), "hr2")
+        .groupBy("lag")
+        .agg(count(lit(1)).as("n_hours"), sum(col("na") * col("nb")).as("dot"))
+        .orderBy("lag")
+    }),
     // hold in int64 through the gate SFs; a 100 TB deployment would move
     // the squares to DECIMAL(38,0) (same plan, wider integers).
     "events_rolling_z" -> ((s, dir) => {
@@ -493,6 +515,18 @@ object SparkEntry {
         "(l_orderkey*7 + l_linenumber*13) % 20000 AS dst")
       ops.Graph.commonNeighbors(edges, 50)
         .orderBy(col("cn").desc, col("a"), col("b"))
+    }),
+    // Resource-allocation link prediction (ops.Graph.resourceAllocation):
+    // graph_suggest's wedge join with the midpoint DISCOUNTED by degree —
+    // Σ floor(10⁶/deg(u)) ppm over common neighbors, so hub-mediated
+    // pairs stop dominating; exact integer score, same anti-join against
+    // existing edges, deterministic (ra_ppm desc, a, b) top-50.
+    "graph_resource_alloc" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem").selectExpr(
+        "l_orderkey % 20000 AS src",
+        "(l_orderkey*7 + l_linenumber*13) % 20000 AS dst")
+      ops.Graph.resourceAllocation(edges, 50)
+        .orderBy(col("ra_ppm").desc, col("a"), col("b"))
     }),
     // DBSCAN density clustering (ops.SpatialJoin.dbscan): ε-pairs from the
     // hex-disk cover join, core flags by neighbor count, clusters by
@@ -1799,6 +1833,17 @@ object SparkEntry {
       gatePoints(s, dir)
         .withColumn("tri", ops.ElevAt.elev_tri(col("lng"), col("lat"), bc).cast("long"))
         .select("point_id", "tri")
+        .orderBy("point_id")
+    }),
+    // Topographic position index (×24, exact integer): centre node vs its
+    // 5×5 neighbourhood mean — positive = ridgetop, negative = valley
+    // bottom, ~0 = planar slope; the landform classifier next to geo_tri's
+    // unsigned ruggedness. Same broadcast-index codegen probe, zero shuffle.
+    "geo_tpi" -> ((s, dir) => {
+      val bc = ops.TileIndex.broadcastIndex(gateTiles(s))
+      gatePoints(s, dir)
+        .withColumn("tpi24", ops.ElevAt.elev_tpi(col("lng"), col("lat"), bc).cast("long"))
+        .select("point_id", "tpi24")
         .orderBy("point_id")
     }),
     // Map algebra: aspect octant — dominant compass direction of the
@@ -7479,6 +7524,20 @@ object SparkEntry {
        FROM c ORDER BY point_id"""
   }
 
+  /** TPI oracle: 24·centre − Σ(5×5 neighbourhood minus centre) on the
+    * synthetic grid, neighbours clamped, the two absent tiles ⇒ 0.
+    */
+  private val tpiOracleSql: String = {
+    val terms = (for { dr <- -2 to 2; dc <- -2 to 2; if !(dr == 0 && dc == 0) }
+      yield gridV(clamp("cn", dc), clamp("rn", dr))).mkString(" + ")
+    s"""$nodeScaffoldSql,
+       c AS (SELECT *, ${gridV("cn", "rn")} AS vc FROM b)
+       SELECT point_id,
+         CAST(CASE WHEN (swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36) THEN 0
+                   ELSE 24*vc - ($terms) END AS BIGINT) AS tpi24
+       FROM c ORDER BY point_id"""
+  }
+
   /** Laplacian-curvature oracle: N + S + E + W − 4·centre on the synthetic
     * grid, neighbours clamped, the two absent tiles ⇒ 0.
     */
@@ -8143,6 +8202,17 @@ object SparkEntry {
            CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
            CAST(sum(x*y) AS BIGINT) AS sxy
          FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
+    // raw lagged dot product of the two hourly count series
+    "events_xcorr" ->
+      """WITH e AS (SELECT event_type,
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr FROM events),
+         a AS (SELECT hr, count(*) AS na FROM e WHERE event_type = 'view' GROUP BY 1),
+         b AS (SELECT hr, count(*) AS nb FROM e WHERE event_type = 'click' GROUP BY 1),
+         l AS (SELECT range AS lag FROM range(-3, 4))
+         SELECT l.lag, CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(a.na * b.nb) AS BIGINT) AS dot
+         FROM a CROSS JOIN l JOIN b ON b.hr = a.hr + l.lag
+         GROUP BY 1 ORDER BY 1""",
     "dq_profile" -> {
       val cols = Seq(
         ("o_orderkey", true), ("o_custkey", true), ("o_orderstatus", false),
@@ -8278,6 +8348,7 @@ object SparkEntry {
          FROM r GROUP BY user_id, cell, rn - rc
          HAVING count(*) >= 4 ORDER BY traj_id, ts_start, cell""",
     "geo_tri" -> triOracleSql,
+    "geo_tpi" -> tpiOracleSql,
     "geo_curvature" -> curvatureOracleSql,
     "geo_poly_join" -> polyJoinOracleSql,
     "geo_tile_cover" -> {
@@ -9148,6 +9219,27 @@ object SparkEntry {
          FROM c LEFT JOIN e ON c.a = e.lo AND c.b = e.hi
          WHERE e.lo IS NULL
          ORDER BY cn DESC, a, b LIMIT 50""",
+    // the same wedge join with the midpoint's degree discount in exact ppm
+    "graph_resource_alloc" ->
+      """WITH e AS (SELECT DISTINCT
+           greatest(l_orderkey % 20000, (l_orderkey*7 + l_linenumber*13) % 20000) AS hi,
+           least(l_orderkey % 20000, (l_orderkey*7 + l_linenumber*13) % 20000) AS lo
+           FROM lineitem
+           WHERE l_orderkey % 20000 <> (l_orderkey*7 + l_linenumber*13) % 20000),
+         adj AS (SELECT lo AS u, hi AS v FROM e
+                 UNION ALL SELECT hi AS u, lo AS v FROM e),
+         deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY 1),
+         w AS (SELECT l.v AS a, r.v AS b,
+               CAST(1000000 AS BIGINT) // d.deg AS contrib
+               FROM adj l JOIN adj r ON l.u = r.u AND l.v < r.v
+               JOIN deg d ON d.u = l.u),
+         c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cn,
+               CAST(sum(contrib) AS BIGINT) AS ra_ppm
+               FROM w GROUP BY 1, 2)
+         SELECT CAST(c.a AS BIGINT) AS a, CAST(c.b AS BIGINT) AS b, cn, ra_ppm
+         FROM c LEFT JOIN e ON c.a = e.lo AND c.b = e.hi
+         WHERE e.lo IS NULL
+         ORDER BY ra_ppm DESC, a, b LIMIT 50""",
     "media_frame_sample" ->
       """WITH m AS (SELECT s_suppkey AS media_id,
            1000 + (s_suppkey % 20) * 500 AS duration_ms,

@@ -166,6 +166,43 @@ final class TileIndex(rows: Array[TileRow]) extends Serializable {
     }
   }
 
+  /** Topographic position index ×24 (map-algebra op, beyond the reference):
+    * `24·v_centre − Σ` over the 5×5 neighbourhood minus the centre (24
+    * cells, clamped at tile edges) at the grid node nearest to (lng, lat) —
+    * the ridge/valley-position classifier of terrain analysis (Weiss 2001,
+    * public): strongly positive on ridgetops (centre above its
+    * neighbourhood mean), strongly negative in valley bottoms, near 0 on
+    * planar slopes. Scaling the mean comparison by the neighbour count
+    * keeps it pure int64 on int16 samples, so oracle-exact; the classic
+    * index is this value / 24. Missing tile ⇒ 0.
+    */
+  def tpi(lng: Double, lat: Double): Double = {
+    val swLng = math.floor(lng)
+    val swLat = math.floor(lat)
+    val d = decoded.get(TileIndex.key(swLng.toInt, swLat.toInt))
+    if (d == null) 0.0
+    else {
+      val size = d.size - 1
+      val (rn, cn) = Bilinear.nearestNode(d.size, swLng, swLat, lng, lat)
+      val vc = d.sample(rn, cn).toLong
+      var sum = 0L
+      var dr = -2
+      while (dr <= 2) {
+        var dc = -2
+        while (dc <= 2) {
+          if (!(dr == 0 && dc == 0)) {
+            val cc = math.min(size, math.max(0, cn + dc))
+            val rc = math.min(size, math.max(0, rn + dr))
+            sum += d.sample(rc, cc)
+          }
+          dc += 1
+        }
+        dr += 1
+      }
+      (24L * vc - sum).toDouble
+    }
+  }
+
   /** Discrete Laplacian curvature (map-algebra op, beyond the reference):
     * the 4-neighbour second difference N + S + E + W − 4·centre at the grid
     * node nearest to (lng, lat), neighbours clamped at tile edges — positive
@@ -266,6 +303,7 @@ case class ElevAtExpr(left: Expression, right: Expression,
       case "hillshade"        => bc.value.hillshade(x, y)
       case "flowdirD8"        => bc.value.flowdirD8(x, y)
       case "tri"              => bc.value.tri(x, y)
+      case "tpi"              => bc.value.tpi(x, y)
       case "laplacian"        => bc.value.laplacian(x, y)
       case "aspectOctant"     => bc.value.aspectOctant(x, y)
       case _                  => bc.value.elevation(x, y)
@@ -306,6 +344,10 @@ object ElevAt {
     GraftColumns.column(ElevAtExpr(
       GraftColumns.expression(lng.cast(DoubleType)),
       GraftColumns.expression(lat.cast(DoubleType)), bc, "tri"))
+  def elev_tpi(lng: Column, lat: Column, bc: Broadcast[TileIndex]): Column =
+    GraftColumns.column(ElevAtExpr(
+      GraftColumns.expression(lng.cast(DoubleType)),
+      GraftColumns.expression(lat.cast(DoubleType)), bc, "tpi"))
   def elev_curvature(lng: Column, lat: Column, bc: Broadcast[TileIndex]): Column =
     GraftColumns.column(ElevAtExpr(
       GraftColumns.expression(lng.cast(DoubleType)),
