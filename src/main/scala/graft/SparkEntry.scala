@@ -2069,6 +2069,36 @@ object SparkEntry {
       ops.DataQuality.benford(cents, "cents", tolPpm = 30000L)
         .orderBy("digit")
     }),
+    // IQR fence outlier audit — Tukey's 1.5·IQR rule with NO float in the
+    // decision: per priority group, exact selection quartiles (ranks
+    // ⌈n/4⌉ / ⌈3n/4⌉ over a total (cents, key) order), then fences by
+    // cross-multiplication (2x > 5·q3 − 3·q1 ⟺ x > q3 + 1.5·IQR). The
+    // per-column robust-outlier count every data-quality suite reports,
+    // as one group-keyed window + one broadcast-shaped rejoin.
+    "dq_iqr_outliers" -> ((s, dir) => {
+      val o = t(s, dir, "orders").selectExpr("o_orderpriority AS grp",
+        "CAST(FLOOR(o_totalprice * 100.0D + 0.5D) AS BIGINT) AS cents",
+        "o_orderkey")
+      val w = Window.partitionBy("grp").orderBy("cents", "o_orderkey")
+      val ranked = o
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+      val q = ranked
+        .filter(col("rn") === expr("(n+3) div 4") ||
+          col("rn") === expr("(3*n+3) div 4"))
+        .groupBy("grp", "n")
+        .agg(min(when(col("rn") === expr("(n+3) div 4"), col("cents"))).as("q1"),
+          min(when(col("rn") === expr("(3*n+3) div 4"), col("cents"))).as("q3"))
+      o.join(q.withColumnRenamed("grp", "g"), col("grp") === col("g"))
+        .groupBy("grp", "n", "q1", "q3")
+        .agg(
+          sum(when(lit(2L) * col("cents") < lit(5L) * col("q1") - lit(3L) * col("q3"), 1L)
+            .otherwise(0L)).as("n_low"),
+          sum(when(lit(2L) * col("cents") > lit(5L) * col("q3") - lit(3L) * col("q1"), 1L)
+            .otherwise(0L)).as("n_high"))
+        .select("grp", "n", "q1", "q3", "n_low", "n_high")
+        .orderBy("grp")
+    }),
     // Schema-evolution diff (ops.DataQuality.schemaDiff): the snapshot
     // compatibility verdict — one row per column in either version with
     // added/removed/type_changed/unchanged status, pure metadata (no data
@@ -3272,6 +3302,26 @@ object SparkEntry {
       ops.MediaOps.windowSquares(ops.MediaOps.synth(mediaMeta(s, dir)), winLen = 512)
         .orderBy("media_id", "win_no")
     }),
+    // RELATIVE-GATED loudness (EBU R128's gating idea in exact integers):
+    // per media, keep only windows whose energy reaches the UNGATED mean
+    // (sq·n_win ≥ Σsq — cross-multiplied, no division) and report the
+    // gated mean — the "how loud is the loud part" number that silence
+    // padding can't dilute. One media-keyed agg + one broadcast-shaped
+    // rejoin; n_gated ≥ 1 always (the max window is ≥ the mean).
+    "media_gated_loudness" -> ((s, dir) => {
+      val w = ops.MediaOps.windowSquares(
+        ops.MediaOps.synth(mediaMeta(s, dir)), winLen = 512)
+      val tot = w.groupBy("media_id")
+        .agg(count(lit(1)).as("n_win"), sum("sq_sum").as("tot_sq"))
+      w.join(tot, "media_id")
+        .filter(col("sq_sum") * col("n_win") >= col("tot_sq"))
+        .groupBy("media_id", "n_win", "tot_sq")
+        .agg(count(lit(1)).as("n_gated"), sum("sq_sum").as("gated_sum"))
+        .withColumn("gated_mean_q", expr("gated_sum div n_gated"))
+        .select("media_id", "n_win", "n_gated", "tot_sq", "gated_sum",
+          "gated_mean_q")
+        .orderBy("media_id")
+    }),
     // A/V alignment by integer cross-correlation: the second track is the
     // first's window-energy sequence shifted by the per-media true lag
     // (media_id % 5 − 2); xc(L) = Σ a(w)·b(w+L) over lags −4..4 in exact
@@ -3354,6 +3404,36 @@ object SparkEntry {
       val epochB = s.createDataset(corners.map { case (lng, lat) =>
         TileGen.tileRow(lng, lat, 601, "hgt", TileGen.planeAt) })
       ops.ImageOps.nccBlocks(epochA, epochB, block = 100)
+        .orderBy("image_id", "py", "px")
+    }),
+    // Per-block SSIM between two raster epochs — the perceptual
+    // change/fidelity measure next to img_ncc_blocks' correlation (SSIM
+    // multiplies a luminance term by a contrast+structure term, so a
+    // brightness shift and a texture change score differently). The four
+    // factors are EXACT integers over the same block moments nccBlocks
+    // already emits (everything ×n² so no division: num1 = 2·Sa·Sb + c1n²,
+    // num2 = 2·(n·Sab − Sa·Sb) + c2n², den1 = Sa² + Sb² + c1n², den2 =
+    // n·var_a + n·var_b + c2n²); only the final ratio is float — one IEEE
+    // product/division chain both engines replay bit-for-bit, floored to
+    // ppm. c1 = 1677·n², c2 = 15099·n² (the classic (0.01L)²/(0.03L)²
+    // at L = 4095, integer-floored).
+    "img_ssim_blocks" -> ((s, dir) => {
+      import s.implicits._
+      val corners = Seq((-120, 36), (-120, 37), (-119, 36), (-119, 37),
+        (-118, 36), (-117, 37))
+      val epochA = s.createDataset(TileGen.tiles(corners, 601, "hgt"))
+      val epochB = s.createDataset(corners.map { case (lng, lat) =>
+        TileGen.tileRow(lng, lat, 601, "hgt", TileGen.planeAt) })
+      ops.ImageOps.nccBlocks(epochA, epochB, block = 100)
+        .withColumn("num1", expr("2L*sa*sb + 167700000000L"))
+        .withColumn("num2", expr("2L*(n_px*sab - sa*sb) + 1509900000000L"))
+        .withColumn("den1", expr("sa*sa + sb*sb + 167700000000L"))
+        .withColumn("den2", expr(
+          "(n_px*saa - sa*sa) + (n_px*sbb - sb*sb) + 1509900000000L"))
+        .withColumn("ssim_ppm", expr(
+          """CAST(FLOOR(CAST(num1 AS DOUBLE) * CAST(num2 AS DOUBLE)
+             / (CAST(den1 AS DOUBLE) * CAST(den2 AS DOUBLE)) * 1000000.0D) AS BIGINT)"""))
+        .select("image_id", "py", "px", "num1", "num2", "den1", "den2", "ssim_ppm")
         .orderBy("image_id", "py", "px")
     }),
     // Image REGISTRATION (ops.ImageOps.cornerMatch): epoch B is epoch A
@@ -7987,6 +8067,35 @@ object SparkEntry {
            CAST(sum(va*vb) AS BIGINT) AS sab
          FROM g GROUP BY swlng, swlat, py, px
          ORDER BY image_id, py, px""",
+    // the ncc moment CTE re-finished as the four exact SSIM factors + the
+    // single IEEE ratio floored to ppm (epoch B is the smooth plane)
+    "img_ssim_blocks" ->
+      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         g AS (SELECT swlng, swlat,
+           CAST(r.range // 100 AS INT) AS py, CAST(c.range // 100 AS INT) AS px,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range
+             + ((c.range//8)*(r.range//8)) % 32 AS va,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 + c.range + 2*r.range AS vb
+           FROM corners, range(0,600) r, range(0,600) c),
+         m AS (SELECT swlng, swlat, py, px,
+           CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(va) AS BIGINT) AS sa, CAST(sum(vb) AS BIGINT) AS sb,
+           CAST(sum(va*va) AS BIGINT) AS saa, CAST(sum(vb*vb) AS BIGINT) AS sbb,
+           CAST(sum(va*vb) AS BIGINT) AS sab
+           FROM g GROUP BY swlng, swlat, py, px),
+         f AS (SELECT swlng, swlat, py, px,
+           2*sa*sb + 167700000000 AS num1,
+           2*(n_px*sab - sa*sb) + 1509900000000 AS num2,
+           sa*sa + sb*sb + 167700000000 AS den1,
+           (n_px*saa - sa*sa) + (n_px*sbb - sb*sb) + 1509900000000 AS den2
+           FROM m)
+         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           py, px, CAST(num1 AS BIGINT) AS num1, CAST(num2 AS BIGINT) AS num2,
+           CAST(den1 AS BIGINT) AS den1, CAST(den2 AS BIGINT) AS den2,
+           CAST(FLOOR(CAST(num1 AS DOUBLE) * CAST(num2 AS DOUBLE)
+             / (CAST(den1 AS DOUBLE) * CAST(den2 AS DOUBLE)) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS ssim_ppm
+         FROM f ORDER BY image_id, py, px""",
     "img_sobel" -> sobelOracleSql,
     "img_fast_corners" -> fastOracleSql,
     "img_harris" -> harrisOracleSql,
@@ -9294,6 +9403,26 @@ object SparkEntry {
              i -> (((media_id*31 + (win_no*512+i)*7) % 256) - 128)
                 * (((media_id*31 + (win_no*512+i)*7) % 256) - 128))) AS BIGINT) AS sq_sum
          FROM w ORDER BY media_id, win_no""",
+    // window energies re-gated at the ungated mean by cross-multiplication
+    "media_gated_loudness" ->
+      """WITH m AS (SELECT s_suppkey AS media_id,
+           4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),
+         w AS (SELECT media_id, unnest(range(0, n_bytes // 512)) AS win_no FROM m),
+         wsq AS (SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(list_sum(list_transform(range(0,512),
+             i -> (((media_id*31 + (win_no*512+i)*7) % 256) - 128)
+                * (((media_id*31 + (win_no*512+i)*7) % 256) - 128))) AS BIGINT) AS sq
+           FROM w),
+         tot AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_win,
+             CAST(sum(sq) AS BIGINT) AS tot_sq
+           FROM wsq GROUP BY 1)
+         SELECT w.media_id, t.n_win, CAST(count(*) AS BIGINT) AS n_gated,
+           t.tot_sq, CAST(sum(w.sq) AS BIGINT) AS gated_sum,
+           CAST(sum(w.sq) AS BIGINT) // CAST(count(*) AS BIGINT) AS gated_mean_q
+         FROM wsq w JOIN tot t ON w.media_id = t.media_id
+         WHERE w.sq * t.n_win >= t.tot_sq
+         GROUP BY w.media_id, t.n_win, t.tot_sq
+         ORDER BY w.media_id""",
     // cross-correlation of the window-energy sequence with its lag-shifted
     // copy at 9 lag literals; argmax per media (ties by lag asc)
     "media_av_offset" ->
@@ -10600,6 +10729,27 @@ object SparkEntry {
          FROM m ORDER BY doc_id""",
     // first significant digit of the exact cents column, 9-key census,
     // fixed-point Benford expectations (the nine ppm literals sum to 1e6)
+    // exact selection quartiles per group, fences by cross-multiplication
+    "dq_iqr_outliers" ->
+      """WITH o AS (SELECT o_orderpriority AS grp,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+             o_orderkey
+           FROM orders),
+         r AS (SELECT grp, cents,
+             row_number() OVER (PARTITION BY grp ORDER BY cents, o_orderkey) AS rn,
+             CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+           FROM o),
+         q AS (SELECT grp, n,
+             min(CASE WHEN rn = (n+3) // 4 THEN cents END) AS q1,
+             min(CASE WHEN rn = (3*n+3) // 4 THEN cents END) AS q3
+           FROM r WHERE rn = (n+3) // 4 OR rn = (3*n+3) // 4
+           GROUP BY 1, 2)
+         SELECT o.grp, q.n, q.q1, q.q3,
+           CAST(sum(CASE WHEN 2*o.cents < 5*q.q1 - 3*q.q3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(sum(CASE WHEN 2*o.cents > 5*q.q3 - 3*q.q1 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+         FROM o JOIN q ON o.grp = q.grp
+         GROUP BY o.grp, q.n, q.q1, q.q3
+         ORDER BY o.grp""",
     "dq_benford" ->
       """WITH v AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders),
          d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
