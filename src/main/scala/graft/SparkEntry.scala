@@ -819,6 +819,47 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("len2").as("len2_sum"))
         .orderBy("sector")
     }),
+    // Turn-based segmentation: steps of a curvier 12-point walk classified
+    // by the trig-free octant ladder; a TURN is a circular sector jump ≥ 2
+    // between consecutive moving steps (zero-steps never turn), runs of
+    // straight travel are delimited by the turns — n_turns + longest
+    // straight run per trajectory, the stop-and-turn structure extractor
+    // under traj_mapmatch and traj_simplify. Two windows, pure integers.
+    "traj_turns" -> ((s, dir) => {
+      val trajs = t(s, dir, "supplier")
+        .selectExpr("s_suppkey % 20 AS traj_id").distinct()
+      val pts = trajs
+        .select(col("traj_id"), explode(expr("sequence(0, 11)")).as("seq"))
+        .selectExpr("traj_id", "seq",
+          "(traj_id * 7 + seq * seq * 3 + seq * (traj_id % 5 + 1)) % 40 AS px",
+          "(traj_id * 11 + seq * (traj_id % 3 + 1) * 2 + (seq * seq * 7) % 13) % 40 AS py")
+      val w = Window.partitionBy("traj_id").orderBy("seq")
+      val steps = pts
+        .withColumn("dx", lead("px", 1).over(w) - col("px"))
+        .withColumn("dy", lead("py", 1).over(w) - col("py"))
+        .filter(col("dx").isNotNull)
+        .selectExpr("traj_id", "seq",
+          """CASE WHEN dx = 0 AND dy = 0 THEN 8
+                  WHEN dx > 0 AND dy >= 0 THEN (CASE WHEN dy < dx THEN 0 ELSE 1 END)
+                  WHEN dx <= 0 AND dy > 0 THEN (CASE WHEN -dx < dy THEN 2 ELSE 3 END)
+                  WHEN dx < 0 AND dy <= 0 THEN (CASE WHEN -dy < -dx THEN 4 ELSE 5 END)
+                  ELSE (CASE WHEN dx < -dy THEN 6 ELSE 7 END) END AS sector""")
+      val flagged = steps
+        .withColumn("prev", lag("sector", 1).over(w))
+        .withColumn("turn", when(col("prev").isNull || col("prev") === 8 ||
+            col("sector") === 8, 0L)
+          .otherwise(when(least(abs(col("sector") - col("prev")),
+            lit(8) - abs(col("sector") - col("prev"))) >= 2, 1L).otherwise(0L)))
+        .withColumn("run_id", sum("turn").over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+      val runs = flagged.groupBy("traj_id", "run_id")
+        .agg(count(lit(1)).as("run_len"))
+      flagged.groupBy("traj_id")
+        .agg(count(lit(1)).as("n_steps"), sum("turn").as("n_turns"))
+        .join(runs.groupBy("traj_id").agg(max("run_len").as("longest_run")),
+          Seq("traj_id"))
+        .orderBy("traj_id")
+    }),
     // Viterbi map-matching (ops.Trajectory.mapMatch): the first 6 fixes of
     // each of 12 event-derived walks snapped to a 5×5 road-node grid under
     // emission d² + transition 3·manhattan — the HMM decoder that keeps a
@@ -1113,6 +1154,17 @@ object SparkEntry {
       // quad twice ⇒ same point_id AND coords, so dedup loses nothing)
       ops.SpatialJoin.voronoiAssign(gatePoints(s, dir).dropDuplicates("point_id"), sites)
         .orderBy("point_id")
+    }),
+    // Pole of inaccessibility (ops.Rasterize.poleOfInaccessibility): the
+    // label-anchor point of the hole-punched polygons — even-odd membership
+    // on a 16×16 cell-center lattice over each polygon's bbox, exact L1
+    // distance transform to the nearest outside cell (grid border counts),
+    // argmax with (dist desc, gy, gx) ties. Per-polygon local kernel, no
+    // shuffle; the oracle states the inside×outside pair minimum
+    // definitionally.
+    "geo_polylabel" -> ((s, dir) => {
+      ops.Rasterize.poleOfInaccessibility(holePolys(s, dir), gridN = 16)
+        .orderBy("poly_id")
     }),
     // IDW gridding: interpolate a scattered observation field at probe
     // points (exact 3×3-ring candidates, integer-quantized weights).
@@ -2299,6 +2351,36 @@ object SparkEntry {
             round(sum(col("o_totalprice")), 2).as("sum_price"))
           .withColumn("snap", lit(tag))
       snap(Seq("r1"), "r1").unionAll(snap(Seq("r1", "r2"), "r2"))
+        .orderBy("snap", "grp")
+    }),
+    // RESTORE (table.Checkpoint.restoreVersioned — Delta RESTORE TO
+    // VERSION as a NEW COMMIT): r2 patches buckets <4, r3 rolls the table
+    // back to r1 by re-asserting r1's content for exactly those buckets
+    // (integrity-validated against r1's manifests before commit). The gate
+    // reads the post-restore snapshot (must equal the r1 target) AND the
+    // pre-restore r2 snapshot (history intact).
+    "checkpoint_restore" -> ((s, dir) => {
+      val out =
+        s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_rs_${dir.hashCode}"
+      table.Checkpoint.clear(out)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      table.Checkpoint.writeVersioned(orders, col("o_orderkey") % 12, 12,
+        out, "r1")
+      val patched = orders.filter(col("o_orderkey") % 12 < 4)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      table.Checkpoint.writeVersioned(patched, col("o_orderkey") % 12, 12,
+        out, "r2")
+      table.Checkpoint.restoreVersioned(s, out, Seq("r1", "r2"), Seq("r1"),
+        "r3")
+      def snap(runs: Seq[String], tag: String) =
+        table.Checkpoint.readAt(s, out, runs)
+          .groupBy((col("o_custkey") % 16).as("grp"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .withColumn("snap", lit(tag))
+      snap(Seq("r1", "r2"), "r2")
+        .unionAll(snap(Seq("r1", "r2", "r3"), "restored"))
         .orderBy("snap", "grp")
     }),
     // Copy-on-write COMPACTION (table.Checkpoint.compactVersioned —
@@ -5137,6 +5219,62 @@ object SparkEntry {
          AND p.py >= cy - h AND p.py <= cy + h)
        SELECT point_id, poly_id FROM cand WHERE ($crossings) % 2 = 1
        ORDER BY point_id, poly_id"""
+  }
+
+  /** Polylabel oracle: even-odd membership on the 16×16 cell-center
+    * lattice (same crossings fragment as the PIP oracle), the L1 distance
+    * stated DEFINITIONALLY as the inside×outside pair minimum (LEAST'd
+    * with the border distance), argmax with (dist desc, gy, gx) ties.
+    */
+  private val polylabelOracleSql: String = {
+    val j = "((i + len(xss[r]) - 2) % len(xss[r])) + 1"
+    val crossings = s"""list_sum(list_transform(range(1, len(xss)+1), r ->
+        len(list_filter(range(1, len(xss[r])+1), i ->
+          (yss[r][i] > py) <> (yss[r][$j] > py)
+          AND px < (xss[r][$j] - xss[r][i]) * (py - yss[r][i]) / (yss[r][$j] - yss[r][i]) + xss[r][i]))))"""
+    s"""WITH tri AS (SELECT s_suppkey AS poly_id,
+         -120.0 + (s_suppkey % 40) * CAST(0.1 AS DOUBLE) AS cx,
+         36.0 + ((s_suppkey * 3) % 20) * CAST(0.1 AS DOUBLE) AS cy,
+         CAST(0.05 AS DOUBLE) + (s_suppkey % 7) * CAST(0.013 AS DOUBLE) AS w,
+         CAST(0.04 AS DOUBLE) + (s_suppkey % 5) * CAST(0.017 AS DOUBLE) AS h
+         FROM supplier),
+       poly AS (SELECT poly_id,
+         [[cx - w, cx + w, cx + w, cx - w],
+          [cx - w*CAST(0.5 AS DOUBLE), cx + w*CAST(0.5 AS DOUBLE), cx + w*CAST(0.5 AS DOUBLE), cx - w*CAST(0.5 AS DOUBLE)],
+          [cx + CAST(0.35 AS DOUBLE) - w*CAST(0.4 AS DOUBLE), cx + CAST(0.35 AS DOUBLE) + w*CAST(0.4 AS DOUBLE),
+           cx + CAST(0.35 AS DOUBLE) + w*CAST(0.4 AS DOUBLE), cx + CAST(0.35 AS DOUBLE) - w*CAST(0.4 AS DOUBLE)]] AS xss,
+         [[cy - h, cy - h, cy + h, cy + h],
+          [cy - h*CAST(0.5 AS DOUBLE), cy - h*CAST(0.5 AS DOUBLE), cy + h*CAST(0.5 AS DOUBLE), cy + h*CAST(0.5 AS DOUBLE)],
+          [cy - h*CAST(0.4 AS DOUBLE), cy - h*CAST(0.4 AS DOUBLE), cy + h*CAST(0.4 AS DOUBLE), cy + h*CAST(0.4 AS DOUBLE)]] AS yss
+         FROM tri),
+       bb AS (SELECT poly_id, xss, yss,
+           list_min(flatten(xss)) AS minx, list_max(flatten(xss)) AS maxx,
+           list_min(flatten(yss)) AS miny, list_max(flatten(yss)) AS maxy
+         FROM poly),
+       cells AS (SELECT poly_id, xss, yss,
+           gy.range AS gy, gx.range AS gx,
+           minx + (gx.range + CAST(0.5 AS DOUBLE)) * ((maxx - minx) / CAST(16.0 AS DOUBLE)) AS px,
+           miny + (gy.range + CAST(0.5 AS DOUBLE)) * ((maxy - miny) / CAST(16.0 AS DOUBLE)) AS py
+         FROM bb, range(0,16) gy, range(0,16) gx),
+       m AS (SELECT poly_id, gy, gx, (($crossings) % 2 = 1) AS inside FROM cells),
+       ins AS (SELECT poly_id, gy, gx FROM m WHERE inside),
+       outs AS (SELECT poly_id, gy, gx FROM m WHERE NOT inside),
+       pd AS (SELECT i.poly_id, i.gy, i.gx,
+           min(abs(i.gy - o.gy) + abs(i.gx - o.gx)) AS dp
+         FROM ins i JOIN outs o ON i.poly_id = o.poly_id
+         GROUP BY 1, 2, 3),
+       d AS (SELECT i.poly_id, i.gy, i.gx,
+           least(least(i.gy + 1, 16 - i.gy), least(i.gx + 1, 16 - i.gx),
+             coalesce(p.dp, 9999)) AS dist
+         FROM ins i LEFT JOIN pd p
+           ON i.poly_id = p.poly_id AND i.gy = p.gy AND i.gx = p.gx),
+       best AS (SELECT poly_id, gy, gx, dist,
+           row_number() OVER (PARTITION BY poly_id ORDER BY dist DESC, gy, gx) AS rn,
+           CAST(count(*) OVER (PARTITION BY poly_id) AS BIGINT) AS n_inside
+         FROM d)
+       SELECT poly_id, n_inside, CAST(gy AS INT) AS best_gy,
+         CAST(gx AS INT) AS best_gx, CAST(dist AS BIGINT) AS dist_cells
+       FROM best WHERE rn = 1 ORDER BY poly_id"""
   }
 
   /** Shared by events_hll_distinct (batch sketch) and stream_hll (the
@@ -8249,6 +8387,45 @@ object SparkEntry {
          SELECT CAST(sector AS INT) AS sector, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(len2) AS BIGINT) AS len2_sum
          FROM sec GROUP BY 1 ORDER BY sector""",
+    // octant ladder + circular sector-jump >= 2 turn flags + run lengths
+    "traj_turns" ->
+      """WITH trajs AS (SELECT DISTINCT s_suppkey % 20 AS traj_id FROM supplier),
+         v AS (SELECT traj_id, CAST(g AS BIGINT) AS seq,
+             (traj_id * 7 + g * g * 3 + g * (traj_id % 5 + 1)) % 40 AS px,
+             (traj_id * 11 + g * (traj_id % 3 + 1) * 2 + (g * g * 7) % 13) % 40 AS py
+           FROM trajs, unnest(range(0, 12)) AS t(g)),
+         s AS (SELECT traj_id, seq,
+             lead(px) OVER w - px AS dx, lead(py) OVER w - py AS dy
+           FROM v WINDOW w AS (PARTITION BY traj_id ORDER BY seq)),
+         sec AS (SELECT traj_id, seq,
+             CASE WHEN dx = 0 AND dy = 0 THEN 8
+               WHEN dx > 0 AND dy >= 0 THEN (CASE WHEN dy < dx THEN 0 ELSE 1 END)
+               WHEN dx <= 0 AND dy > 0 THEN (CASE WHEN -dx < dy THEN 2 ELSE 3 END)
+               WHEN dx < 0 AND dy <= 0 THEN (CASE WHEN -dy < -dx THEN 4 ELSE 5 END)
+               ELSE (CASE WHEN dx < -dy THEN 6 ELSE 7 END) END AS sector
+           FROM s WHERE dx IS NOT NULL),
+         f AS (SELECT traj_id, seq, sector,
+             lag(sector) OVER w AS prev
+           FROM sec WINDOW w AS (PARTITION BY traj_id ORDER BY seq)),
+         t2 AS (SELECT traj_id, seq,
+             CASE WHEN prev IS NULL OR prev = 8 OR sector = 8 THEN 0
+                  WHEN least(abs(sector - prev), 8 - abs(sector - prev)) >= 2 THEN 1
+                  ELSE 0 END AS turn
+           FROM f),
+         r AS (SELECT traj_id, seq, turn,
+             sum(turn) OVER (PARTITION BY traj_id ORDER BY seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+           FROM t2),
+         runs AS (SELECT traj_id, run_id, count(*) AS run_len
+           FROM r GROUP BY 1, 2),
+         agg AS (SELECT traj_id, CAST(count(*) AS BIGINT) AS n_steps,
+             CAST(sum(turn) AS BIGINT) AS n_turns
+           FROM r GROUP BY 1),
+         lr AS (SELECT traj_id, CAST(max(run_len) AS BIGINT) AS longest_run
+           FROM runs GROUP BY 1)
+         SELECT a.traj_id, a.n_steps, a.n_turns, lr.longest_run
+         FROM agg a JOIN lr ON a.traj_id = lr.traj_id
+         ORDER BY a.traj_id""",
     // Kitagawa decomposition: ppm weights × floor-cent rates; effects are
     // integer products (no negative division anywhere)
     "events_mix_shift" ->
@@ -10611,6 +10788,21 @@ object SparkEntry {
          SELECT grp, n, sum_price, snap FROM s1
          UNION ALL SELECT grp, n, sum_price, snap FROM s2
          ORDER BY snap, grp""",
+    // restore rolls the table back to the r1 content as a NEW commit while
+    // the pre-restore r2 snapshot stays readable
+    "checkpoint_restore" ->
+      """WITH merged AS (SELECT o_custkey,
+           CASE WHEN o_orderkey % 12 < 4 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS p FROM orders),
+         s2 AS (SELECT o_custkey % 16 AS grp, count(*) AS n,
+           round(sum(p), 2) AS sum_price, 'r2' AS snap
+           FROM merged GROUP BY 1),
+         s3 AS (SELECT o_custkey % 16 AS grp, count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price, 'restored' AS snap
+           FROM orders GROUP BY 1)
+         SELECT grp, n, sum_price, snap FROM s2
+         UNION ALL SELECT grp, n, sum_price, snap FROM s3
+         ORDER BY snap, grp""",
     // compaction preserves content: AS OF after OPTIMIZE = the r2 state,
     // and the pre-compaction r1 snapshot is untouched
     "checkpoint_compact" ->
@@ -10914,6 +11106,7 @@ object SparkEntry {
     "geo_pip_salted" -> pipOracleSkewSql,
     "geo_pip_adaptive" -> pipOracleSkewSql,
     "geo_pip_holes" -> pipHolesOracleSql,
+    "geo_polylabel" -> polylabelOracleSql,
     "geo_knn_geodesic" -> knnGeodesicOracleSql,
     "geo_range_geodesic" -> rangeGeodesicOracleSql,
     "geo_knn" ->

@@ -518,6 +518,106 @@ object Checkpoint {
     base.where(pred).drop("__run", "__bucket")
   }
 
+  /** RESTORE — Delta's `RESTORE TABLE ... TO VERSION` / Iceberg's
+    * rollback, expressed as a NEW COMMIT on the versioned store (the
+    * lakehouse contract: a rollback never deletes history — every
+    * post-restore snapshot stays time-travelable, and the restore itself
+    * is one more auditable run in the lineage): for every bucket whose
+    * winner under `currentOrder` differs from its winner under
+    * `targetOrder`, re-assert the TARGET content as run `runId`; buckets
+    * created after the target (present in current, absent in target) get a
+    * zero-row manifest tombstone so they resolve to the restore run and
+    * read empty. After this, `readAt(currentOrder :+ runId)` equals
+    * `readAt(targetOrder)` bucket-for-bucket.
+    *
+    * Integrity mirrors [[compactVersioned]]: the rewritten buckets'
+    * per-bucket (row_count, checksum) from the durably written files must
+    * equal the TARGET winners' manifest values before anything commits —
+    * a mismatch throws and leaves the store untouched (the orphan run tree
+    * is invisible without manifest rows).
+    *
+    * Plan shape: winner diff is driver-bounded by the commit log; the data
+    * path scans exactly the to-restore buckets' target partitions
+    * (partition-literal pushdown) + one bucket-aligned append — work
+    * proportional to the CHANGE since the target, never the table.
+    */
+  def restoreVersioned(spark: SparkSession, dir: String,
+                       currentOrder: Seq[String], targetOrder: Seq[String],
+                       runId: String): Seq[BucketManifest] = {
+    require(!runId.contains("=") && !runId.contains("/"), s"bad runId: $runId")
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    val mrows = manifests(spark, dir)
+      .select("run_id", "bucket", "row_count", "checksum").distinct()
+      .as[(String, Int, Long, Long)].collect()
+    def winners(order: Seq[String]): Map[Int, (String, Long, Long)] = {
+      val idx = order.zipWithIndex.toMap
+      mrows.filter { case (r, _, _, _) => idx.contains(r) }
+        .groupBy(_._2).map { case (b, rs) =>
+          val w = rs.maxBy(r => idx(r._1))
+          b -> ((w._1, w._3, w._4))
+        }
+    }
+    val cur = winners(currentOrder)
+    val tgt = winners(targetOrder)
+    // buckets whose content must change: different winner, or vanished
+    val rewrite = tgt.filter { case (b, (run, _, _)) =>
+      !cur.get(b).exists(_._1 == run)
+    }
+    val tombstone = (cur.keySet -- tgt.keySet).toSeq.sorted
+    val (mfs, _) = fsOf(s"$dir/manifest", Some(spark))
+    cleanTmpManifests(mfs, dir)
+    val out = Seq.newBuilder[BucketManifest]
+    if (rewrite.nonEmpty) {
+      val pred = rewrite.toSeq.groupBy(_._2._1).map { case (r, bs) =>
+        col("__run") === lit(r) && col("__bucket").isin(bs.map(_._1): _*)
+      }.reduce(_ || _)
+      val nBuckets = rewrite.keys.max + 1
+      spark.read.parquet(s"$dir/data").where(pred).drop("__run")
+        .withColumn("__run", lit(runId))
+        .repartition(nBuckets, col("__bucket"))
+        .write.mode("append")
+        .partitionBy("__run", "__bucket")
+        .parquet(s"$dir/data")
+      val written = spark.read.parquet(s"$dir/data/__run=$runId")
+      val dataCols = written.columns.filterNot(_ == "__bucket").sorted
+      val stats = written.groupBy("__bucket")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(xxhash64(struct(dataCols.map(col): _*))
+            .bitwiseAND(lit(0xFFFFFFFFL))), lit(0L)).as("c"))
+        .as[(Int, Long, Long)].collect()
+        .map { case (b, n, c) => b -> ((n, c)) }.toMap
+      rewrite.foreach { case (b, (_, n, c)) =>
+        val (wn, wc) = stats.getOrElse(b, (0L, 0L))
+        if (wn != n || wc != c)
+          throw new CompactionIntegrityViolation(
+            s"restore bucket $b rewrote to (rows=$wn, checksum=$wc) " +
+              s"but the target manifest says (rows=$n, checksum=$c)")
+      }
+      val wallMs = ((System.nanoTime() - t0) / 1000000) /
+        math.max(1, rewrite.size)
+      rewrite.keys.toSeq.sorted.grouped(64).foreach { g =>
+        val rows = g.map { b =>
+          val (n, c) = stats(b)
+          BucketManifest(runId, b, n, c, wallMs, System.currentTimeMillis())
+        }
+        appendManifest(mfs, dir, rows)
+        out ++= rows
+      }
+    }
+    if (tombstone.nonEmpty) {
+      // no data files: a zero-row manifest makes the restore run the
+      // bucket's winner, and the partition-pruned scan reads nothing
+      tombstone.grouped(64).foreach { g =>
+        val rows = g.map(b =>
+          BucketManifest(runId, b, 0L, 0L, 0L, System.currentTimeMillis()))
+        appendManifest(mfs, dir, rows)
+        out ++= rows
+      }
+    }
+    out.result()
+  }
+
   /** AS OF TIMESTAMP read — Iceberg's `FOR TIMESTAMP AS OF` on the
     * versioned store: per bucket the newest manifest row with
     * `committed_at <= cutoffMs` wins (ties broken by run_id, so the read

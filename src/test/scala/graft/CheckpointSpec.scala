@@ -151,6 +151,42 @@ class CheckpointSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(numFiles == 8, s"expected the 8 winning files, got $numFiles")
   }
 
+  test("restoreVersioned: rollback as new commit; created-after-target buckets tombstone to empty") {
+    import spark.implicits._
+    val dir = freshDir("rs")
+    // r1 writes buckets 0..5 only; r2 patches buckets 0..2 AND creates 6,7
+    val base = (0 until 1200).filter(_ % 8 < 6)
+      .map(i => (i.toLong, i * 10L)).toDF("k", "v")
+    Checkpoint.writeVersioned(base, col("k") % 8, 8, dir, "r1")
+    val extra = (0 until 1200).filterNot(_ % 8 < 6)
+      .map(i => (i.toLong, i * 10L)).toDF("k", "v")
+    Checkpoint.writeVersioned(
+      base.filter(col("k") % 8 < 3).withColumn("v", col("v") + 1)
+        .unionAll(extra),
+      col("k") % 8, 8, dir, "r2")
+    Checkpoint.restoreVersioned(spark, dir, Seq("r1", "r2"), Seq("r1"), "r3")
+    val want = base.as[(Long, Long)].collect().toMap
+    val got = Checkpoint.readAt(spark, dir, Seq("r1", "r2", "r3"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want, "post-restore snapshot must equal the r1 target")
+    // history is intact: the pre-restore snapshot still reads the r2 state
+    val r2got = Checkpoint.readAt(spark, dir, Seq("r1", "r2"))
+      .as[(Long, Long)].collect().toMap
+    val r2want = (0 until 1200).filter(i => i % 8 < 6 || i % 8 >= 6).map { i =>
+      val bump = if (i % 8 < 3) 1L else 0L
+      i.toLong -> (i * 10L + bump)
+    }.toMap
+    assert(r2got == r2want, "pre-restore snapshot changed")
+    // the restore touched only the changed buckets: 0..2 rewritten + 6,7
+    // tombstoned — manifest rows for r3 cover exactly those
+    val r3rows = Checkpoint.manifests(spark, dir)
+      .filter(col("run_id") === "r3")
+      .select("bucket", "row_count")
+      .as[(Int, Long)].collect().toMap
+    assert(r3rows.keySet == Set(0, 1, 2, 6, 7), s"restore run wrote $r3rows")
+    assert(r3rows(6) == 0L && r3rows(7) == 0L, "tombstones must be zero-row")
+  }
+
   test("compaction: winners consolidate into one run, old snapshots intact, corruption refused") {
     import spark.implicits._
     val dir = freshDir("cp")
