@@ -448,6 +448,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
         .orderBy("hr", "event_type")
     }),
+    // HOUR-OF-DAY seasonality profile — events_hourly folded onto the
+    // 24-hour clock: per (type, hour 0..23) the exact count/cents mass and
+    // the seasonality index in ppm of a flat profile (cents·24·10⁶ div
+    // total — 10⁶ means an average hour, 2·10⁶ a doubled one). The
+    // capacity-planning shape every ops dashboard draws; ≤ types×24 rows,
+    // one agg + one type-keyed rejoin, pure integers.
+    "events_seasonality" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("hod", hour(col("ts")).cast("long"))
+        .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      val byHour = e.groupBy("event_type", "hod")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+      val tot = e.groupBy("event_type").agg(sum("cents").as("tot_cents"))
+      byHour.join(tot, "event_type")
+        .withColumn("idx_ppm", expr("(cents * 24L * 1000000L) div tot_cents"))
+        .select("event_type", "hod", "n", "cents", "idx_ppm")
+        .orderBy("event_type", "hod")
+    }),
     // CUBE rollup: all four (event_type × day) grouping sets in ONE pass —
     // Spark's Expand operator fans each row to its grouping sets before the
     // single aggregation shuffle (4× the rows, but one job instead of four
@@ -2883,6 +2901,18 @@ object SparkEntry {
     "ann_ivf_assign" -> ((s, dir) => {
       ops.Embeddings.ivfAssign(t(s, dir, "embeddings"), 8).orderBy("vec_id")
     }),
+    // Greedy graph-ANN search (ops.Embeddings.greedyGraphSearch): the
+    // HNSW/NSG navigating-graph shape — beam-1 descent over a degree-4
+    // exact kNN graph from a fixed entry, 6 unrolled rounds, milli-floored
+    // vectors so every distance is an exact integer; joined against the
+    // brute-force NN so the gate also measures where greedy gets trapped
+    // (is_exact = 0 motivates beam > 1). Per-round: one node-keyed join,
+    // state = one row per query.
+    "ann_beam_search" -> ((s, dir) => {
+      ops.Embeddings.greedyGraphSearch(t(s, dir, "embeddings"),
+        corpusMod = 16, queryMod = 160, queryOff = 7, degree = 4, rounds = 6)
+        .orderBy("query_id")
+    }),
     // RESIDUAL quantization (2-level RQ, the additive cousin of PQ): coarse
     // code = nearest IVF centroid; the residual, quantized to exact
     // milli-units, is coded against a second 8-entry codebook by integer
@@ -4383,6 +4413,22 @@ object SparkEntry {
     // types?); 3-grams because the synthetic unigram vocabulary (31
     // types) saturates inside the first bucket — the gate needs a curve
     // that is still growing.
+    // Hapax share per document — the vocabulary-tail exposure screen:
+    // which docs are built from corpus-frequency-1 tokens (rare-content /
+    // OCR-noise / code-dump indicator; the complement of templated text).
+    // One token-keyed freq agg + one rejoin, both vocabulary-bounded;
+    // exact ppm by integer division.
+    "text_hapax" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val freq = toks.groupBy("tok").agg(count(lit(1)).as("cf"))
+      toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("cf") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .withColumn("hapax_ppm", expr("(n_hapax * 1000000L) div n_tokens"))
+        .orderBy("doc_id")
+    }),
     "text_vocab_growth" -> ((s, dir) => {
       val firstSeen = t(s, dir, "documents")
         .select(col("doc_id"),
@@ -5219,6 +5265,59 @@ object SparkEntry {
          AND p.py >= cy - h AND p.py <= cy + h)
        SELECT point_id, poly_id FROM cand WHERE ($crossings) % 2 = 1
        ORDER BY point_id, poly_id"""
+  }
+
+  /** Greedy graph-search oracle: the degree-4 exact kNN graph + `rounds`
+    * unrolled argmin CTEs (state ∪ neighbors, tie (d2, id)), then the
+    * brute-force NN join. All distances are BIGINT sums over the
+    * milli-floored vectors — bit-equal to the engine's exact-integer
+    * vec_dist2 doubles.
+    */
+  private def greedySearchOracleSql(rounds: Int): String = {
+    def d2(a: String, b: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 64),
+         d -> ($a[d+1] - $b[d+1]) * ($a[d+1] - $b[d+1]))), (p, q) -> p + q)"""
+    val steps = (1 to rounds).map { k =>
+      s"""s$k AS (SELECT query_id, qv, cid AS id, nd2 AS d2,
+           hops + moved AS hops
+         FROM (SELECT u.*, row_number() OVER (PARTITION BY query_id
+             ORDER BY nd2, cid) AS rn
+           FROM (SELECT query_id, qv, id AS cid, d2 AS nd2, hops,
+               CAST(0 AS BIGINT) AS moved FROM s${k - 1}
+             UNION ALL
+             SELECT s.query_id, s.qv, g.nbr AS cid,
+               ${d2("s.qv", "c.nv")} AS nd2, s.hops, CAST(1 AS BIGINT) AS moved
+             FROM s${k - 1} s JOIN graph g ON s.id = g.node
+             JOIN corpus c ON g.nbr = c.id) u)
+         WHERE rn = 1)"""
+    }.mkString(",\n       ")
+    s"""WITH e AS (SELECT vec_id, list_transform(range(0, 64),
+           d -> CAST(floor(CAST(embedding[d+1] AS DOUBLE) * 1000.0) AS BIGINT)) AS vq
+         FROM embeddings),
+       corpus AS (SELECT vec_id AS id, vq AS nv FROM e WHERE vec_id % 16 = 0),
+       graph AS (SELECT node, nbr FROM (
+           SELECT a.id AS node, b.id AS nbr,
+             row_number() OVER (PARTITION BY a.id
+               ORDER BY ${d2("a.nv", "b.nv")}, b.id) AS rn
+           FROM corpus a JOIN corpus b ON a.id <> b.id)
+         WHERE rn <= 4),
+       queries AS (SELECT vec_id AS query_id, vq AS qv FROM e WHERE vec_id % 160 = 7),
+       entry AS (SELECT min(id) AS eid FROM corpus),
+       s0 AS (SELECT q.query_id, q.qv, c.id,
+           ${d2("q.qv", "c.nv")} AS d2, CAST(0 AS BIGINT) AS hops
+         FROM queries q CROSS JOIN entry JOIN corpus c ON c.id = entry.eid),
+       $steps,
+       ex AS (SELECT query_id, id AS exact_id, ed2 AS exact_d2 FROM (
+           SELECT q.query_id, c.id, ${d2("q.qv", "c.nv")} AS ed2,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY ${d2("q.qv", "c.nv")}, c.id) AS rn
+           FROM queries q CROSS JOIN corpus c)
+         WHERE rn = 1)
+       SELECT s.query_id, s.id AS found_id, s.d2 AS found_d2, s.hops,
+         ex.exact_id, ex.exact_d2,
+         CASE WHEN s.id = ex.exact_id THEN 1 ELSE 0 END AS is_exact
+       FROM s$rounds s JOIN ex ON s.query_id = ex.query_id
+       ORDER BY s.query_id"""
   }
 
   /** Polylabel oracle: even-odd membership on the 16×16 cell-center
@@ -9705,6 +9804,7 @@ object SparkEntry {
            FROM s) ORDER BY doc_id""",
     "ann_lsh_neardup" -> annLshOracleSql,
     "ann_ivf_assign" -> ivfOracleSql,
+    "ann_beam_search" -> greedySearchOracleSql(6),
     // coarse assign, milli-quantized residual, integer argmin vs the
     // second codebook
     "ann_rq_code" ->
@@ -10467,6 +10567,19 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n,
          round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY hr, event_type""",
+    // hour-of-day fold + flat-profile index in exact ppm
+    "events_seasonality" ->
+      """WITH e AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         h AS (SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS cents
+           FROM e GROUP BY 1, 2),
+         t AS (SELECT event_type, CAST(sum(cents) AS BIGINT) AS tot_cents
+           FROM e GROUP BY 1)
+         SELECT h.event_type, h.hod, h.n, h.cents,
+           (h.cents * 24 * 1000000) // t.tot_cents AS idx_ppm
+         FROM h JOIN t ON h.event_type = t.event_type
+         ORDER BY h.event_type, h.hod""",
     "geo_tile_key" ->
       """WITH pts AS (SELECT c_custkey AS point_id,
            -180 + (c_custkey % 360) + 0.5 AS lng,
@@ -11436,6 +11549,17 @@ object SparkEntry {
            CAST(list_sum(list_transform(string_split(text, ' '), w -> (length(w) + 3) // 4)) AS BIGINT) AS n_bpe_tokens
          FROM documents ORDER BY doc_id""",
     // one min per 3-gram type, then the cumulative curve over checkpoints
+    // corpus term frequencies, hapax flags re-joined per doc, exact ppm
+    "text_hapax" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         freq AS (SELECT tok, count(*) AS cf FROM toks GROUP BY 1)
+         SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN f.cf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           (CAST(sum(CASE WHEN f.cf = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+             // CAST(count(*) AS BIGINT) AS hapax_ppm
+         FROM toks t JOIN freq f ON t.tok = f.tok
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
     "text_vocab_growth" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          grams AS (SELECT doc_id,

@@ -25,6 +25,9 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        if (sys.env.contains("SPARK_GRAFT_VERBOSE"))
+          e.getStackTrace.take(12).foreach(f =>
+            System.err.println(s"[verify]   at $f"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

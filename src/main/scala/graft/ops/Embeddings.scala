@@ -938,4 +938,97 @@ object Embeddings {
     }
     selected
   }
+
+  /** GREEDY GRAPH-ANN SEARCH — the navigating-graph search shape of
+    * HNSW/NSG (single layer, beam width 1, public algorithms): from a fixed
+    * entry point, repeatedly move to the neighbor closest to the query
+    * until no neighbor improves; the index is a degree-bounded exact kNN
+    * graph (the labeled fixture — a production build uses the
+    * nn-descent rounds already gated by `ann_nn_descent`). Joined against
+    * the brute-force nearest neighbor so the gate also certifies WHERE
+    * greedy search gets trapped in a local minimum (`is_exact` = 0) — the
+    * number that motivates beam widths > 1.
+    *
+    * Determinism: vectors are milli-floored to integer-valued doubles
+    * (exact in IEEE up to 2⁵³, so `vec_dist2`'s double fold is an EXACT
+    * integer and the BIGINT cast loses nothing); every argmin tie-breaks
+    * by (d2, candidate id); a FIXED round count the oracle unrolls as
+    * CTEs (greedy is monotone — once settled, further rounds are
+    * identity).
+    *
+    * Scale shape per round: state is one row per query; ONE node-keyed
+    * equi-join against the graph + one against the corpus — never
+    * all-pairs after the (fixture-sized) graph build. Lineage cut per
+    * round, same discipline as kNN/SSSP.
+    *
+    * @return (query_id, found_id, found_d2, hops, exact_id, exact_d2,
+    *         is_exact) one row per query
+    */
+  def greedyGraphSearch(vecs: DataFrame, corpusMod: Int, queryMod: Int,
+                        queryOff: Int, degree: Int, rounds: Int): DataFrame = {
+    require(degree > 0 && rounds > 0, s"bad degree=$degree rounds=$rounds")
+    import org.apache.spark.sql.expressions.Window
+    val q = vecs.selectExpr("vec_id",
+      """transform(sequence(0, 63),
+         d -> CAST(CAST(FLOOR(element_at(CAST(embedding AS ARRAY<DOUBLE>), d + 1)
+           * 1000.0D) AS BIGINT) AS DOUBLE)) AS vq""")
+    val corpus = q.filter(col("vec_id") % corpusMod === 0)
+      .select(col("vec_id").as("id"), col("vq").as("nv"))
+      .localCheckpoint(false)
+    def d2(a: Column, b: Column) = vec_dist2(a, b).cast("long")
+    val graph = corpus.toDF("a_id", "va")
+      .join(corpus.toDF("b_id", "vb"), col("a_id") =!= col("b_id"))
+      .withColumn("gd2", d2(col("va"), col("vb")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("a_id").orderBy(col("gd2"), col("b_id"))))
+      .filter(col("rn") <= degree)
+      .select(col("a_id").as("node"), col("b_id").as("nbr"))
+      .localCheckpoint(false)
+    val queries = q.filter(col("vec_id") % queryMod === queryOff)
+      .select(col("vec_id").as("query_id"), col("vq").as("qv"))
+      .localCheckpoint(false)
+    val entryId = corpus.agg(min("id")).first().getLong(0)
+    var state = queries
+      .crossJoin(broadcast(corpus.filter(col("id") === entryId)))
+      .withColumn("d2", d2(col("qv"), col("nv")))
+      .select(col("query_id"), col("qv"), col("id"), col("d2"),
+        lit(0L).as("hops"))
+      .localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      // best neighbor per query, then a lexicographic (d2, id) compare
+      // against the current node — identical to the argmin over
+      // {cur} ∪ neighbors, without the self-union (whose constraint
+      // rewrite Spark 4 trips over on shared-lineage children)
+      val bestN = state
+        .join(graph, state("id") === graph("node"))
+        .join(corpus.select(col("id").as("cid"), col("nv")),
+          col("nbr") === col("cid"))
+        .withColumn("nd2", d2(col("qv"), col("nv")))
+        .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("nd2"), col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("cid"), col("nd2"))
+      state = state.join(bestN, Seq("query_id"), "left_outer")
+        .withColumn("take", col("cid").isNotNull &&
+          (col("nd2") < col("d2") ||
+            (col("nd2") === col("d2") && col("cid") < col("id"))))
+        .select(col("query_id"), col("qv"),
+          when(col("take"), col("cid")).otherwise(col("id")).as("id"),
+          when(col("take"), col("nd2")).otherwise(col("d2")).as("d2"),
+          (col("hops") + when(col("take"), 1L).otherwise(0L)).as("hops"))
+        .localCheckpoint(false)
+    }
+    val exact = queries.crossJoin(corpus)
+      .withColumn("ed2", d2(col("qv"), col("nv")))
+      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("ed2"), col("id"))))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("id").as("exact_id"),
+        col("ed2").as("exact_d2"))
+    state.join(exact, "query_id")
+      .withColumn("is_exact", (col("id") === col("exact_id")).cast("int"))
+      .select(col("query_id"), col("id").as("found_id"),
+        col("d2").as("found_d2"), col("hops"), col("exact_id"),
+        col("exact_d2"), col("is_exact"))
+  }
 }
