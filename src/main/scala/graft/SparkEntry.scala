@@ -448,6 +448,63 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
         .orderBy("hr", "event_type")
     }),
+    // Binary-segmentation CHANGEPOINT (one split): the hour index that
+    // maximizes the quantized between-segment objective
+    // S1² div n1 + S2² div n2 over each type's hourly cents series — the
+    // detector behind events_cusum's sequential alarm, answered offline.
+    // The objective is DEFINED as the integer-division form so both
+    // engines replay the argmax exactly (ties → earliest split). Gate-SF
+    // int64 headroom: totals ≤ ~10⁹ cents ⇒ S² ≤ 10¹⁸ < 2⁶³; a 100 TB
+    // deployment widens to DECIMAL(38,0), same plan.
+    "events_changepoint" -> ((s, dir) => {
+      val hrly = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("hr")
+      val wp = Window.partitionBy("event_type")
+      val pre = hrly
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("s1", sum("c").over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n", count(lit(1)).over(wp))
+        .withColumn("stot", sum("c").over(wp))
+      val cand = pre.filter(col("i") < col("n"))
+        .withColumn("obj", expr(
+          "(s1*s1) div i + ((stot-s1)*(stot-s1)) div (n - i)"))
+      cand.withColumn("rn", row_number().over(Window.partitionBy("event_type")
+          .orderBy(col("obj").desc, col("i"))))
+        .filter(col("rn") === 1)
+        .withColumn("gain", expr("obj - (stot*stot) div n"))
+        .select(col("event_type"), col("n").as("n_hours"),
+          col("i").as("best_idx"), col("hr").as("best_hr"), col("obj"),
+          col("gain"))
+        .orderBy("event_type")
+    }),
+    // Pareto concentration N80 — "how many top users carry 80% of the
+    // value": per type, users ranked by cents desc (ties by user_id), the
+    // smallest prefix whose running share reaches 80% by exact
+    // cross-multiplication (5·cum ≥ 4·total) — the concentration COUNT
+    // next to events_gini's coefficient. Two key-bounded windows.
+    "events_pareto_n80" -> ((s, dir) => {
+      val byUser = t(s, dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("c"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("c").desc, col("user_id"))
+      val wp = Window.partitionBy("event_type")
+      byUser
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("cum", sum("c").over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("tot", sum("c").over(wp))
+        .withColumn("n_users", count(lit(1)).over(wp))
+        .filter(lit(5L) * col("cum") >= lit(4L) * col("tot"))
+        .groupBy("event_type", "n_users", "tot")
+        .agg(min("rk").as("n80"))
+        .select("event_type", "n_users", "tot", "n80")
+        .orderBy("event_type")
+    }),
     // HOUR-OF-DAY seasonality profile — events_hourly folded onto the
     // 24-hour clock: per (type, hour 0..23) the exact count/cents mass and
     // the seasonality index in ppm of a flat profile (cents·24·10⁶ div
@@ -3625,6 +3682,15 @@ object SparkEntry {
     // window passes. Decode-once, zero shuffle.
     "img_morph" -> ((s, dir) => {
       ops.ImageOps.morph(gateTiles(s, "png"), thr = 2000).orderBy("image_id")
+    }),
+    // Perimeter + isoperimetric compactness of the >=3600 mask
+    // (ops.ImageOps.perimeter): exposed-edge count (border counts) and
+    // 16e6·A div P² — a solid square scores exactly 10⁶, filaments far
+    // less; the blob-vs-streak mask QA number next to img_morph's
+    // area-based gradient. Pure integers, decode-once, zero shuffle.
+    "img_perimeter" -> ((s, dir) => {
+      ops.ImageOps.perimeter(gateTiles(s, "png"), thr = 3600)
+        .orderBy("image_id")
     }),
     // Euler characteristic census (ops.ImageOps.eulerCensus): Gray's padded
     // 2x2 quad counts over the >=2000 binarization — components − holes as
@@ -9982,6 +10048,35 @@ object SparkEntry {
          FROM p WHERE j IS NOT NULL GROUP BY 1 ORDER BY image_id""",
     // same grid; >=2000 binarization, separable border-clipped 3x3 box
     // min/max as two window passes (rows then columns)
+    // exposed-edge perimeter of the >=3600 mask + 16e6·A div P²
+    "img_perimeter" -> {
+      val v0 = gridV("c.range", "r.range")
+      def nb(dc: Int, dr: Int, guard: String) =
+        s"CASE WHEN $guard THEN FALSE ELSE (${gridV(s"c.range+($dc)", s"r.range+($dr)")}) >= 3600 END"
+      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         k AS (SELECT swlng, swlat,
+             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
+         h AS (SELECT swlng, swlat,
+             ($v0) >= 3600 AS hi,
+             ${nb(0, -1, "r.range = 0")} AS hup,
+             ${nb(0, 1, "r.range = 600")} AS hdn,
+             ${nb(-1, 0, "c.range = 0")} AS hlf,
+             ${nb(1, 0, "c.range = 600")} AS hrt
+           FROM k, range(0,601) r, range(0,601) c),
+         agg AS (SELECT swlng, swlat,
+             CAST(sum(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+             CAST(sum(CASE WHEN hi THEN
+               (CASE WHEN NOT hup THEN 1 ELSE 0 END) + (CASE WHEN NOT hdn THEN 1 ELSE 0 END)
+               + (CASE WHEN NOT hlf THEN 1 ELSE 0 END) + (CASE WHEN NOT hrt THEN 1 ELSE 0 END)
+               ELSE 0 END) AS BIGINT) AS perimeter
+           FROM h GROUP BY 1, 2)
+         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           n_high, perimeter,
+           CASE WHEN perimeter = 0 THEN CAST(0 AS BIGINT)
+                ELSE (16000000 * n_high) // (perimeter * perimeter) END AS compact_ppm
+         FROM agg ORDER BY image_id"""
+    },
     "img_morph" ->
       """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
          g AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
@@ -10567,6 +10662,43 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n,
          round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY hr, event_type""",
+    // prefix-sum objective in the defined integer-division form, argmax
+    // with earliest-split ties
+    "events_changepoint" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         p AS (SELECT event_type, hr, c,
+             CAST(row_number() OVER w AS BIGINT) AS i,
+             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s1,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS stot
+           FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
+         cand AS (SELECT *,
+             (s1*s1) // i + ((stot-s1)*(stot-s1)) // (n - i) AS obj
+           FROM p WHERE i < n),
+         best AS (SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY obj DESC, i) AS rn FROM cand)
+         SELECT event_type, n AS n_hours, i AS best_idx, hr AS best_hr,
+           obj, obj - (stot*stot) // n AS gain
+         FROM best WHERE rn = 1 ORDER BY event_type""",
+    // rank-desc running share, 80% frontier by cross-multiplication
+    "events_pareto_n80" ->
+      """WITH u AS (SELECT event_type, user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT event_type, user_id, c,
+             CAST(row_number() OVER w AS BIGINT) AS rk,
+             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY c DESC, user_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_users
+           FROM u WINDOW w AS (PARTITION BY event_type ORDER BY c DESC, user_id))
+         SELECT event_type, n_users, tot, CAST(min(rk) AS BIGINT) AS n80
+         FROM r WHERE 5 * cum >= 4 * tot
+         GROUP BY event_type, n_users, tot
+         ORDER BY event_type""",
     // hour-of-day fold + flat-profile index in exact ppm
     "events_seasonality" ->
       """WITH e AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,

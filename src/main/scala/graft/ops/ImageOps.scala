@@ -1332,6 +1332,50 @@ object ImageOps {
     *
     * @param thr foreground threshold (sample ≥ thr)
     */
+  /** Per-image perimeter/compactness census row. */
+  final case class PerimRow(image_id: String, n_high: Long, perimeter: Long,
+                            compact_ppm: Long)
+
+  /** PERIMETER + ISOPERIMETRIC compactness of the ≥`thr` mask — the shape
+    * descriptor next to [[morph]]'s area-based gradient: perimeter counts
+    * EXPOSED EDGES (4-neighborhood; the grid border is exposed), so it is
+    * the true boundary length of the binary mask, and the compactness
+    * quotient `16·10⁶·A div P²` normalizes a solid square to exactly 10⁶
+    * (fragmented / filamentous masks score far lower — the blob-vs-streak
+    * discriminator of mask QA). Pure integers; decode-once, zero shuffle.
+    */
+  def perimeter(tiles: Dataset[TileRow], thr: Int): DataFrame = {
+    implicit val enc = Encoders.product[PerimRow]
+    tiles.mapPartitions { it =>
+      it.map { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        @inline def high(r: Int, c: Int): Boolean =
+          r >= 0 && r < size && c >= 0 && c < size &&
+            d.samples(r * size + c) >= thr
+        var area = 0L; var per = 0L
+        var r = 0
+        while (r < size) {
+          var c = 0
+          while (c < size) {
+            if (high(r, c)) {
+              area += 1L
+              if (!high(r - 1, c)) per += 1L
+              if (!high(r + 1, c)) per += 1L
+              if (!high(r, c - 1)) per += 1L
+              if (!high(r, c + 1)) per += 1L
+            }
+            c += 1
+          }
+          r += 1
+        }
+        val compact =
+          if (per == 0L) 0L else 16L * 1000000L * area / (per * per)
+        PerimRow(tl.image_id, area, per, compact)
+      }
+    }.toDF()
+  }
+
   def morph(tiles: Dataset[TileRow], thr: Int): DataFrame = {
     implicit val enc = Encoders.product[MorphRow]
     tiles.mapPartitions { it =>
