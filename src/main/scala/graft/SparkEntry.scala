@@ -448,6 +448,58 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
         .orderBy("hr", "event_type")
     }),
+    // SPC control-rule flags (Western Electric rules 1 and 4, public) on
+    // the hourly EVENT-RATE series: per type, exact global moments
+    // (n, Σc, Σc²), then R1 = rate beyond 3σ by cross-multiplication
+    // ((n·c−S)²·(n−1) > 9·n·(nQ−S²)) and R4 = 8 consecutive hours the
+    // same side of the mean (|rolling sum of sign(n·c−S)| = 8 — only
+    // possible when all 8 agree). The monitoring-rule layer above
+    // events_rolling_z's windowed score; two key-bounded windows, pure
+    // integers.
+    "events_spc" -> ((s, dir) => {
+      val hrly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("hr")
+      val wp = Window.partitionBy("event_type")
+      val m = hrly
+        .withColumn("n", count(lit(1)).over(wp))
+        .withColumn("sc", sum("c").over(wp))
+        .withColumn("sq", sum(col("c") * col("c")).over(wp))
+        .withColumn("dev", col("n") * col("c") - col("sc"))
+        .withColumn("side", signum(col("dev")).cast("long"))
+        .withColumn("r1", when(col("n") >= 2 &&
+          col("dev") * col("dev") * (col("n") - 1) >
+            lit(9L) * col("n") * (col("n") * col("sq") - col("sc") * col("sc")),
+          1L).otherwise(0L))
+        .withColumn("run8", sum("side").over(w.rowsBetween(-7, 0)))
+        .withColumn("cnt8", count(lit(1)).over(w.rowsBetween(-7, 0)))
+        .withColumn("r4", when(col("cnt8") === 8 &&
+          abs(col("run8")) === 8, 1L).otherwise(0L))
+      m.groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"), sum("r1").as("n_r1"),
+          sum("r4").as("n_r4"))
+        .orderBy("event_type")
+    }),
+    // Cohort LTV matrix — events_retention's revenue sibling: customers
+    // cohorted by FIRST order month, cumulative cents by cohort age in
+    // months — the lifetime-value curve every growth dashboard draws.
+    // One custkey-keyed min + one (cohort, age) agg + one cohort window,
+    // exact integer months and cents.
+    "events_cohort_ltv" -> ((s, dir) => {
+      val o = t(s, dir, "orders").selectExpr("o_custkey",
+        "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m",
+        "CAST(FLOOR(o_totalprice * 100.0D + 0.5D) AS BIGINT) AS cents")
+      val first = o.groupBy("o_custkey").agg(min("m").as("m0"))
+      o.join(first, "o_custkey")
+        .withColumn("age", col("m") - col("m0"))
+        .groupBy(col("m0").as("cohort"), col("age"))
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("cents"))
+        .withColumn("cum_cents", sum("cents").over(
+          Window.partitionBy("cohort").orderBy("age")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .orderBy("cohort", "age")
+    }),
     // Binary-segmentation CHANGEPOINT (one split): the hour index that
     // maximizes the quantized between-segment objective
     // S1² div n1 + S2² div n2 over each type's hourly cents series — the
@@ -1585,6 +1637,50 @@ object SparkEntry {
     // stripe spans all longitudes (no pruning), while z-order scans only
     // the intersecting column blocks. Pure integer min/max pruning
     // arithmetic the oracle replays directly.
+    // BLOOM data-skipping audit — the secondary-index complement to
+    // store_zorder_skip's min/max pruning: point lookups on a NON-layout
+    // column (o_custkey in an o_orderkey-bucketed store) can't use
+    // min/max; a per-bucket bloom (the deterministic Sketches hash family,
+    // 3×4096 bits) prunes buckets instead. Per probe key (15 present + 5
+    // provably absent): candidate buckets vs true buckets vs MISSED true
+    // buckets — the no-false-negative contract is a gated output column
+    // (n_missed ≡ 0), and absent keys' candidate counts measure the FP
+    // cost. Bit positions are DISTINCT'd per bucket (bounded state, the
+    // bloomBuild shuffle shape).
+    "store_bloom_skip" -> ((s, dir) => {
+      import s.implicits._
+      val A = ops.Sketches.BloomA; val B = ops.Sketches.BloomB
+      def posCols(key: String) = array((0 until 3).map(j =>
+        struct(lit(j).as("j"),
+          expr(s"((($key % 2147483648L) * ${A(j)}L + ${B(j)}L) % 2147483648L) % 4096")
+            .as("pos"))): _*)
+      val rows = t(s, dir, "orders")
+        .selectExpr("o_custkey AS key", "o_orderkey % 16 AS b")
+      val bits = rows.select(col("b"), explode(posCols("key")).as("jp"))
+        .select(col("b"), col("jp.j").as("j"), col("jp.pos").as("pos"))
+        .distinct().localCheckpoint(false)
+      val probes = t(s, dir, "customer").filter(col("c_custkey") % 100 === 3)
+        .select(col("c_custkey").as("pkey"))
+        .unionAll(s.range(5).select((col("id") + 1000000007L).as("pkey")))
+        .localCheckpoint(false)
+      val ppos = probes.select(col("pkey"), explode(posCols("pkey")).as("jp"))
+        .select(col("pkey"), col("jp.j").as("j"), col("jp.pos").as("pos"))
+      val candB = ppos.join(bits, Seq("j", "pos"))
+        .groupBy("pkey", "b").agg(countDistinct("j").as("nj"))
+        .filter(col("nj") === 3).select("pkey", "b")
+        .localCheckpoint(false)
+      val trueB = probes.join(rows, col("pkey") === col("key"))
+        .select("pkey", "b").distinct().localCheckpoint(false)
+      val cand = candB.groupBy("pkey").agg(count(lit(1)).as("n_candidates"))
+      val tru = trueB.groupBy("pkey").agg(count(lit(1)).as("n_true"))
+      val missed = trueB.join(candB, Seq("pkey", "b"), "left_anti")
+        .groupBy("pkey").agg(count(lit(1)).as("n_missed"))
+      probes.join(cand, Seq("pkey"), "left")
+        .join(tru, Seq("pkey"), "left")
+        .join(missed, Seq("pkey"), "left")
+        .na.fill(0L, Seq("n_candidates", "n_true", "n_missed"))
+        .orderBy("pkey")
+    }),
     "store_zorder_skip" -> ((s, dir) => {
       import s.implicits._
       val pts = quadrantPoints(s, dir).selectExpr("point_id", "lng", "lat",
@@ -8854,6 +8950,43 @@ object SparkEntry {
          SELECT point_id, ((y << 1) | x) AS zkey FROM s4 ORDER BY point_id""",
     // min/max data-skipping: zorder 8×8 blocks vs row-major qy stripes;
     // a bucket is scanned iff the predicate box intersects its stat box
+    // per-bucket distinct bit positions, all-3-hash candidate rule,
+    // true/missed buckets definitionally
+    "store_bloom_skip" -> {
+      val a = ops.Sketches.BloomA; val b = ops.Sketches.BloomB
+      def pos(key: String, j: Int) =
+        s"((($key % 2147483648) * ${a(j)} + ${b(j)}) % 2147483648) % 4096"
+      val hashes = (0 until 3).map(j =>
+        s"SELECT b, $j AS j, ${pos("key", j)} AS pos FROM rws").mkString(" UNION ALL ")
+      val phashes = (0 until 3).map(j =>
+        s"SELECT pkey, $j AS j, ${pos("pkey", j)} AS pos FROM probes").mkString(" UNION ALL ")
+      s"""WITH rws AS (SELECT o_custkey AS key, o_orderkey % 16 AS b FROM orders),
+         bits AS (SELECT DISTINCT b, j, pos FROM ($hashes)),
+         probes AS (SELECT c_custkey AS pkey FROM customer WHERE c_custkey % 100 = 3
+           UNION ALL SELECT 1000000007 + r.range FROM range(0, 5) r),
+         ppos AS (SELECT pkey, j, pos FROM ($phashes)),
+         candb AS (SELECT pkey, b FROM (
+             SELECT p.pkey, t.b, count(DISTINCT p.j) AS nj
+             FROM ppos p JOIN bits t ON p.j = t.j AND p.pos = t.pos
+             GROUP BY 1, 2) WHERE nj = 3),
+         trueb AS (SELECT DISTINCT p.pkey, r.b
+           FROM probes p JOIN rws r ON p.pkey = r.key),
+         cand AS (SELECT pkey, CAST(count(*) AS BIGINT) AS n_candidates
+           FROM candb GROUP BY 1),
+         tru AS (SELECT pkey, CAST(count(*) AS BIGINT) AS n_true
+           FROM trueb GROUP BY 1),
+         miss AS (SELECT t.pkey, CAST(count(*) AS BIGINT) AS n_missed
+           FROM trueb t LEFT JOIN candb c ON t.pkey = c.pkey AND t.b = c.b
+           WHERE c.pkey IS NULL GROUP BY 1)
+         SELECT p.pkey, coalesce(cand.n_candidates, 0) AS n_candidates,
+           coalesce(tru.n_true, 0) AS n_true,
+           coalesce(miss.n_missed, 0) AS n_missed
+         FROM probes p
+         LEFT JOIN cand ON p.pkey = cand.pkey
+         LEFT JOIN tru ON p.pkey = tru.pkey
+         LEFT JOIN miss ON p.pkey = miss.pkey
+         ORDER BY p.pkey"""
+    },
     "store_zorder_skip" ->
       """WITH pts AS (SELECT c_custkey AS point_id,
            -180 + (c_custkey % 360) + 0.5 AS lng,
@@ -10662,6 +10795,45 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n,
          round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY hr, event_type""",
+    // global exact moments, cross-multiplied 3-sigma rule + signed 8-run
+    "events_spc" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         m AS (SELECT event_type, hr, c,
+             CAST(count(*) OVER p AS BIGINT) AS n,
+             CAST(sum(c) OVER p AS BIGINT) AS sc,
+             CAST(sum(c*c) OVER p AS BIGINT) AS sq
+           FROM h WINDOW p AS (PARTITION BY event_type)),
+         d AS (SELECT *, n*c - sc AS dev,
+             CAST(sign(n*c - sc) AS BIGINT) AS side FROM m),
+         f AS (SELECT *,
+             CASE WHEN n >= 2 AND dev*dev*(n-1) > 9*n*(n*sq - sc*sc)
+                  THEN 1 ELSE 0 END AS r1,
+             CAST(sum(side) OVER w8 AS BIGINT) AS run8,
+             CAST(count(*) OVER w8 AS BIGINT) AS cnt8
+           FROM d WINDOW w8 AS (PARTITION BY event_type ORDER BY hr
+             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(r1) AS BIGINT) AS n_r1,
+           CAST(sum(CASE WHEN cnt8 = 8 AND abs(run8) = 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_r4
+         FROM f GROUP BY 1 ORDER BY event_type""",
+    // first-order-month cohorts, cumulative cents by age
+    "events_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+         f AS (SELECT o_custkey, min(m) AS m0 FROM o GROUP BY 1),
+         j AS (SELECT o.o_custkey, f.m0 AS cohort, o.m - f.m0 AS age, o.cents
+           FROM o JOIN f ON o.o_custkey = f.o_custkey),
+         mat AS (SELECT cohort, age, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS cents
+           FROM j GROUP BY 1, 2)
+         SELECT cohort, age, n_orders, cents,
+           CAST(sum(cents) OVER (PARTITION BY cohort ORDER BY age
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+         FROM mat ORDER BY cohort, age""",
     // prefix-sum objective in the defined integer-division form, argmax
     // with earliest-split ties
     "events_changepoint" ->
