@@ -3268,6 +3268,23 @@ object SparkEntry {
     // the related-items / local-community primitive. Same exact-integer
     // recurrence as graph_pagerank; non-seed nodes hold pure damped
     // inflow, so rank localizes around the seeds.
+    // Sampled-source harmonic closeness (ops.Graph.closeness): 5 seed
+    // hubs BFS-swept in ONE batched frontier plan (6 exact hop rounds,
+    // (src0, node)-keyed min state — k sweeps share every scan/shuffle);
+    // per source the reach count, farness Σd, and harmonic closeness
+    // Σ⌊10⁶/d⌋ in exact integers. The oracle unrolls the same 6 rounds.
+    "graph_closeness" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 13 === 0)
+        .selectExpr("l_suppkey % 400 AS a",
+          "(l_partkey * 3 + l_linenumber) % 400 AS b")
+        .filter(col("a") =!= col("b"))
+      val edges = base.selectExpr("a AS src", "b AS dst")
+        .unionAll(base.selectExpr("b AS src", "a AS dst")).distinct()
+      ops.Graph.closeness(edges, sources = Seq(0L, 80L, 160L, 240L, 320L),
+          rounds = 6)
+        .orderBy("src0")
+    }),
     "graph_ppr" -> ((s, dir) => {
       val edges = t(s, dir, "lineitem")
         .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
@@ -3831,6 +3848,16 @@ object SparkEntry {
     // Decode-once, zero shuffle; the oracle replays every block tensor.
     "img_harris" -> ((s, dir) => {
       ops.ImageOps.harris(gateTiles(s, "png")).orderBy("image_id")
+    }),
+    // Second-order moment ellipse (ops.ImageOps.momentEllipse): exact
+    // central moments mu20/mu02/mu11 of the intensity mass (BigInt
+    // numerators, trunc-div by Σv), a trig-free orientation quadrant from
+    // (sign μ11, sign μ20−μ02), and the elongation number
+    // (μ20−μ02)²+4μ11² div 2^40 — the blob-orientation / registration
+    // prior next to img_register. Decode-once, zero shuffle; the oracle
+    // replays the moments in HUGEINT from the closed-form grid.
+    "img_ellipse" -> ((s, dir) => {
+      ops.ImageOps.momentEllipse(gateTiles(s, "png")).orderBy("image_id")
     }),
     // Level-1 Haar wavelet subband census (ops.ImageOps.haar): ΣLL + per-
     // subband detail energies (Σ LH², HL², HH²) over non-overlapping 2×2
@@ -4646,6 +4673,15 @@ object SparkEntry {
         .filter(col("rk") <= 20)
         .select("tok", "df", "sx", "vmr_ppm", "rk")
         .orderBy("rk")
+    }),
+    // Moving-average type-token ratio (ops.Curation.mattr): the
+    // length-robust lexical-diversity score — mean distinct-type count
+    // over every sliding 50-token window, computed in ONE lag pass via
+    // the previous-occurrence identity (never a per-window DISTINCT);
+    // docs shorter than the window are dropped. Exact integers.
+    "text_mattr" -> ((s, dir) => {
+      ops.Curation.mattr(t(s, dir, "documents"), col("text"), w = 50)
+        .orderBy("doc_id")
     }),
     // BPE merge statistics (ops.TextDedup.bpePairStats): corpus-wide
     // adjacent character-pair counts — the counting step a BPE tokenizer
@@ -8230,6 +8266,32 @@ object SparkEntry {
     "ann_pca_project" -> pcaProjectOracleSql,
     "graph_pagerank" -> pagerankOracleSql,
     "graph_ppr" -> pprOracleSql,
+    // 6 unrolled batched-BFS rounds keyed (src0, node); harmonic terms
+    // floor per-node so the sum is order-independent
+    "graph_closeness" -> {
+      val rounds = (1 to 6).map { i =>
+        s"""d$i AS (SELECT src0, node, min(dist) AS dist FROM (
+           SELECT src0, node, dist FROM d${i - 1}
+           UNION ALL
+           SELECT d${i - 1}.src0, e.dst AS node, d${i - 1}.dist + 1 AS dist
+           FROM d${i - 1} JOIN e ON e.src = d${i - 1}.node) GROUP BY 1, 2)"""
+      }.mkString(",\n         ")
+      s"""WITH b AS (SELECT l_suppkey % 400 AS a,
+             (l_partkey * 3 + l_linenumber) % 400 AS b
+           FROM lineitem WHERE l_orderkey % 13 = 0),
+         e AS (SELECT DISTINCT src, dst FROM (
+           SELECT a AS src, b AS dst FROM b WHERE a <> b
+           UNION ALL
+           SELECT b AS src, a AS dst FROM b WHERE a <> b)),
+         d0(src0, node, dist) AS (
+           SELECT CAST(s AS BIGINT), CAST(s AS BIGINT), CAST(0 AS BIGINT)
+           FROM (VALUES (0), (80), (160), (240), (320)) t(s)),
+         $rounds
+         SELECT src0, CAST(count(*) AS BIGINT) AS n_reach,
+           CAST(sum(dist) AS BIGINT) AS hop_sum,
+           CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_q
+         FROM d6 WHERE dist > 0 GROUP BY src0 ORDER BY src0"""
+    },
     // 3 unrolled mutual-min handshake rounds; matched endpoints drop out
     "graph_matching" -> {
       val rounds = (1 to 3).map { r =>
@@ -8498,6 +8560,34 @@ object SparkEntry {
     "img_sobel" -> sobelOracleSql,
     "img_fast_corners" -> fastOracleSql,
     "img_harris" -> harrisOracleSql,
+    // second-order HUGEINT moments over the closed-form grid; trunc-div
+    // (DuckDB // == Spark DIV == BigInt /) keeps every value int64-exact
+    "img_ellipse" ->
+      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         g AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           r.range AS r, c.range AS c,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS v
+           FROM corners, range(0,601) r, range(0,601) c),
+         m AS (SELECT image_id,
+             CAST(sum(v) AS HUGEINT) AS s,
+             CAST(sum(v*r) AS HUGEINT) AS sr, CAST(sum(v*c) AS HUGEINT) AS sc,
+             CAST(sum(CAST(v AS BIGINT)*r*r) AS HUGEINT) AS srr,
+             CAST(sum(CAST(v AS BIGINT)*c*c) AS HUGEINT) AS scc,
+             CAST(sum(CAST(v AS BIGINT)*r*c) AS HUGEINT) AS src
+           FROM g GROUP BY 1),
+         mu AS (SELECT image_id, s,
+             (s*srr - sr*sr) // s AS mu20,
+             (s*scc - sc*sc) // s AS mu02,
+             (s*src - sr*sc) // s AS mu11 FROM m)
+         SELECT image_id, CAST(s AS BIGINT) AS s_v,
+           CAST(mu20 AS BIGINT) AS mu20, CAST(mu02 AS BIGINT) AS mu02,
+           CAST(mu11 AS BIGINT) AS mu11,
+           CAST((CASE WHEN mu11 >= 0 THEN 0 ELSE 2 END) +
+                (CASE WHEN mu20 >= mu02 THEN 0 ELSE 1 END) AS INT) AS orient,
+           CAST(((mu20-mu02)*(mu20-mu02) + 4*mu11*mu11)
+             // CAST(1099511627776 AS HUGEINT) AS BIGINT) AS ecc_q
+         FROM mu ORDER BY image_id""",
     "img_register" -> registerOracleSql,
     "img_haar" -> haarOracleSql,
     "img_lbp" -> lbpOracleSql,
@@ -11892,6 +11982,24 @@ object SparkEntry {
            (n_novel * 1000000) // n_distinct AS novelty_ppm
          FROM agg ORDER BY doc_id""",
     // VMR over exact per-doc count moments; df >= 5, top-20
+    // previous-occurrence identity: token p is first-in-window(i) iff
+    // prev(p) < i; per-token closed-form start-range overlap count
+    "text_mattr" ->
+      """WITH toks AS (SELECT doc_id, CAST(g AS BIGINT) - 1 AS p,
+             list_extract(w, CAST(g AS BIGINT)) AS tok
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             unnest(range(1, len(w) + 1)) AS t(g)),
+         pr AS (SELECT doc_id, p,
+             coalesce(lag(p) OVER (PARTITION BY doc_id, tok ORDER BY p), -1) AS prev,
+             count(*) OVER (PARTITION BY doc_id) AS L FROM toks),
+         f AS (SELECT doc_id, L, least(p, L - 50) AS hi,
+             greatest(p - 49, 0, prev + 1) AS lo
+           FROM pr WHERE L >= 50)
+         SELECT doc_id, CAST(max(L) AS BIGINT) AS n_tokens,
+           CAST(sum(greatest(hi - lo + 1, 0)) AS BIGINT) AS distinct_sum,
+           CAST(sum(greatest(hi - lo + 1, 0)) AS BIGINT) * 1000000
+             // (50 * (CAST(max(L) AS BIGINT) - 49)) AS mattr_ppm
+         FROM f GROUP BY doc_id ORDER BY doc_id""",
     "text_burstiness" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
          tf AS (SELECT doc_id, tok, count(*) AS x FROM toks WHERE tok <> '' GROUP BY 1, 2),

@@ -779,4 +779,50 @@ object Curation {
       .withColumn("flesch_milli", expr("f_num DIV f_den"))
       .drop("f_num", "f_den")
   }
+
+  /** Moving-average type-token ratio (MATTR, Covington–McFall) — the
+    * length-robust lexical-diversity score (plain TTR collapses with
+    * document length; [[simpson]] weights high-frequency types
+    * quadratically; MATTR is the curation-standard fix: mean distinct-type
+    * count over every sliding window of `w` tokens).
+    *
+    * The naive form re-counts distinct tokens per window (O(L·w) state and
+    * a per-window DISTINCT — hopeless as a Spark plan). This computes the
+    * identical sum in ONE window pass via the previous-occurrence
+    * identity: token at position `p` is the FIRST occurrence inside window
+    * start `i` iff `prev(p) < i` (prev = position of the token's previous
+    * occurrence in the doc, −1 if none), so
+    *
+    *   Σ_windows distinct = Σ_p #{ i ∈ [max(0, p−w+1), min(p, L−w)] : i > prev(p) }
+    *                      = Σ_p max(0, min(p, L−w) − max(p−w+1, 0, prev(p)+1) + 1)
+    *
+    * — a per-token closed form from one `lag` over (doc, token). Output
+    * `mattr_ppm = 10^6 · Σ div (w · (L−w+1))` in exact integers; docs
+    * shorter than `w` tokens are dropped (no full window exists —
+    * documented, the standard MATTR edge rule).
+    *
+    * Plan shape: posexplode → one (doc, tok)-keyed window (lag) → one
+    * doc-keyed agg. Both shuffles are key-bounded; no joins, no per-window
+    * state — 100 TB-safe wherever single documents fit a partition (the
+    * same bound every text op here carries).
+    *
+    * @return (doc_id, n_tokens, distinct_sum, mattr_ppm)
+    */
+  def mattr(docs: DataFrame, text: Column, w: Int): DataFrame = {
+    require(w > 1, s"window must exceed 1 token: $w")
+    val occ = Window.partitionBy(col("doc_id"), col("tok")).orderBy(col("p"))
+    docs.select(col("doc_id"), posexplode(split(text, " ")).as(Seq("p", "tok")))
+      .withColumn("prev", coalesce(lag(col("p"), 1).over(occ), lit(-1)))
+      .withColumn("L", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("L") >= w)
+      .withColumn("hi", least(col("p"), col("L") - w))
+      .withColumn("lo", greatest(col("p") - (w - 1), lit(0), col("prev") + 1))
+      .groupBy("doc_id")
+      .agg(first("L").as("n_tokens"),
+        sum(greatest(col("hi") - col("lo") + 1, lit(0))).cast("long")
+          .as("distinct_sum"))
+      .withColumn("n_tokens", col("n_tokens").cast("long"))
+      .withColumn("mattr_ppm",
+        expr(s"distinct_sum * 1000000L DIV ($w * (n_tokens - $w + 1))"))
+  }
 }

@@ -250,6 +250,56 @@ object Graph {
     dist
   }
 
+  /** Multi-source harmonic closeness centrality — "how near is everything
+    * to this hub" for a SAMPLED source set, the scalable stand-in for
+    * all-pairs closeness (exact closeness is Θ(|V|·BFS); every production
+    * deployment samples sources, e.g. Eppstein–Wang). Per source the exact
+    * hop-truncated BFS sweep yields
+    *
+    *   - `n_reach`      nodes reached within `rounds` hops (source excluded),
+    *   - `hop_sum`      Σ dist(s, v) — classic farness,
+    *   - `harmonic_q`   Σ (1_000_000 div dist) — harmonic closeness in
+    *                    exact floored micro-units (each reciprocal floors
+    *                    independently, so the sum is order-independent and
+    *                    bit-reproducible; unreached nodes contribute 0,
+    *                    the standard harmonic treatment of disconnection).
+    *
+    * Scale shape per round: the frontier table (≤ |sources|·|V| rows, keyed
+    * by (src0, node)) joins edges on the node side and re-minimises — two
+    * key-bounded shuffles per hop, identical discipline to [[sssp]] but
+    * batched over ALL sources in one plan (the k BFS sweeps share every
+    * scan and shuffle rather than running k sequential jobs). Never
+    * all-pairs; lineage cut per round on the |sources|·|V| state.
+    *
+    * @param edges   (src, dst) directed edges (pass both directions for
+    *                undirected semantics)
+    * @param sources sampled source node ids
+    * @param rounds  BFS horizon (exact within `rounds` hops)
+    * @return (src0, n_reach, hop_sum, harmonic_q) one row per source
+    */
+  def closeness(edges: DataFrame, sources: Seq[Long], rounds: Int): DataFrame = {
+    require(rounds > 0, s"rounds must be positive: $rounds")
+    require(sources.nonEmpty, "sources must be non-empty")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    var dist = sources.map(s => (s, s, 0L)).toDF("src0", "node", "dist")
+      .localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(e, col("node") === col("src"))
+        .select(col("src0"), col("dst").as("node"),
+          (col("dist") + lit(1L)).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy("src0", "node").agg(min("dist").as("dist"))
+        .localCheckpoint(false)
+    }
+    dist.filter(col("dist") > 0)
+      .groupBy("src0")
+      .agg(count(lit(1)).as("n_reach"),
+        sum("dist").as("hop_sum"),
+        sum(expr("1000000L div dist")).as("harmonic_q"))
+  }
+
   /** Common-neighbor link prediction: for every NON-adjacent pair (a, b)
     * that shares at least one neighbor, count the shared neighbors and keep
     * the global top-k — the classic "people you may know" / co-citation

@@ -1938,4 +1938,64 @@ object ImageOps {
       }
     }.toDF()
   }
+
+  /** Second-order intensity moments → equivalent-ellipse orientation, the
+    * shape descriptor behind blob orientation / registration priors (the
+    * trig-free sibling of [[positionMoments]]' first-order checksums).
+    *
+    * Per image the exact CENTRAL moments of the intensity mass: with
+    * `S = Σv`, `Sr = Σv·r`, `Sc = Σv·c` (row-major indices), the
+    * trunc-toward-zero rationals `mu20 = (S·Σv·r² − Sr²) div S`,
+    * `mu02 = (S·Σv·c² − Sc²) div S`, `mu11 = (S·Σv·rc − Sr·Sc) div S`
+    * (trunc is the convention Spark `DIV` and DuckDB `//` share, cf.
+    * [[Curation.readability]]) — numerators exceed int64 at 601², so
+    * they ride through BigInt (the oracle mirrors with HUGEINT) and only
+    * the int64 moments leave the row. Orientation is classified
+    * without trig: the major axis of the moment ellipse satisfies
+    * `tan(2θ) = 2μ11/(μ20−μ02)`, so (sign(μ11), sign(μ20−μ02)) pins θ to
+    * one of four octant classes (0 = r-axis-dominant & positive shear,
+    * …), and `ecc_num = (μ20−μ02)² + 4μ11²` (BigInt → div 2^40)
+    * orders elongation. Pure per-row integer arithmetic; decode-once,
+    * zero shuffle — at 100 TB this is a map-only pass whose output is 7
+    * integers per image.
+    */
+  final case class EllipseRow(image_id: String, s_v: Long, mu20: Long,
+                              mu02: Long, mu11: Long, orient: Int,
+                              ecc_q: Long)
+
+  def momentEllipse(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[EllipseRow]
+    tiles.mapPartitions { it =>
+      it.map { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        var s = 0L; var sr = 0L; var sc = 0L
+        var srr = 0L; var scc = 0L; var src = 0L
+        var r = 0
+        while (r < size) {
+          var c = 0
+          val rBase = r * size
+          while (c < size) {
+            val v: Long = d.samples(rBase + c)
+            s += v; sr += v * r; sc += v * c
+            srr += v * r * r; scc += v * c * c; src += v * r * c
+            c += 1
+          }
+          r += 1
+        }
+        // BigInt `/` truncates toward zero — the same convention as Spark
+        // DIV and DuckDB `//`, so the oracle replays it verbatim in HUGEINT
+        val bs = BigInt(s)
+        val mu20 = (bs * srr - BigInt(sr) * sr) / bs
+        val mu02 = (bs * scc - BigInt(sc) * sc) / bs
+        val mu11 = (bs * src - BigInt(sr) * sc) / bs
+        val diff = mu20 - mu02
+        val orient =
+          (if (mu11.signum >= 0) 0 else 2) + (if (diff.signum >= 0) 0 else 1)
+        val ecc = (diff * diff + 4 * mu11 * mu11) / (BigInt(1) << 40)
+        EllipseRow(tl.image_id, s, mu20.toLong, mu02.toLong, mu11.toLong,
+          orient, ecc.toLong)
+      }
+    }.toDF()
+  }
 }

@@ -1769,6 +1769,87 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("momentEllipse matches the brute-force BigInt central moments") {
+    val size = 65
+    val corners = Seq((10, 5), (11, 6))
+    val grids = corners.map { case (lng, lat) =>
+      (lng, lat, graft.synth.TileGen.grid(lng, lat, size,
+        graft.synth.TileGen.sampleAt))
+    }
+    val tiles = spark.createDataset(grids.map { case (lng, lat, g) =>
+      graft.core.TileRow(graft.geo.TileKey.ofDegrees(lng, lat),
+        graft.raster.Hgt.encode(g, size), size, size, "hgt", "{}", 0L)
+    })(org.apache.spark.sql.Encoders.product[graft.core.TileRow])
+    def want(g: Array[Short]): (Long, Long, Long, Long, Int, Long) = {
+      var s = BigInt(0); var sr = BigInt(0); var sc = BigInt(0)
+      var srr = BigInt(0); var scc = BigInt(0); var src = BigInt(0)
+      for (r <- 0 until size; c <- 0 until size) {
+        val v = BigInt(g(r * size + c).toLong)
+        s += v; sr += v * r; sc += v * c
+        srr += v * r * r; scc += v * c * c; src += v * r * c
+      }
+      val mu20 = (s * srr - sr * sr) / s
+      val mu02 = (s * scc - sc * sc) / s
+      val mu11 = (s * src - sr * sc) / s
+      val diff = mu20 - mu02
+      val orient =
+        (if (mu11.signum >= 0) 0 else 2) + (if (diff.signum >= 0) 0 else 1)
+      val ecc = (diff * diff + 4 * mu11 * mu11) / (BigInt(1) << 40)
+      (s.toLong, mu20.toLong, mu02.toLong, mu11.toLong, orient, ecc.toLong)
+    }
+    import spark.implicits._
+    val got = graft.ops.ImageOps.momentEllipse(tiles)
+      .as[(String, Long, Long, Long, Long, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    grids.foreach { case (lng, lat, g) =>
+      assert(got(graft.geo.TileKey.ofDegrees(lng, lat)) == want(g),
+        s"tile ($lng,$lat)")
+    }
+  }
+
+  test("closeness: hand-walked path graph, horizon truncation, floored harmonic") {
+    import spark.implicits._
+    // undirected path 0-1-2-3-4 (both directions materialized)
+    val base = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    val edges = (base ++ base.map(_.swap)).toDF("src", "dst")
+    val got = graft.ops.Graph.closeness(edges, Seq(0L, 2L), rounds = 4)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // from 0: d = 1,2,3,4 -> harmonic 1000000+500000+333333+250000
+    assert(got(0L) == ((4L, 10L, 2083333L)))
+    // from 2: two at d=1, two at d=2
+    assert(got(2L) == ((4L, 6L, 3000000L)))
+    // horizon 2 truncates node 0's sweep to {1, 2}
+    val h2 = graft.ops.Graph.closeness(edges, Seq(0L), rounds = 2)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(h2 == ((0L, 2L, 3L, 1500000L)))
+  }
+
+  test("mattr: brute-force sliding-window distinct counts; short docs dropped") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b c"), (2L, "a a a"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Curation.mattr(docs, col("text"), w = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1: windows [a b a]=2, [b a b]=2, [a b c]=3 -> 7 over 3*3
+    assert(got(1L) == ((5L, 7L, 777777L)))
+    // doc 2: one window [a a a]=1
+    assert(got(2L) == ((3L, 1L, 333333L)))
+    // doc 3 shorter than the window: dropped
+    assert(!got.contains(3L) && got.size == 2)
+    // brute-force cross-check on a longer mixed doc
+    val toks = "p q r p s q p r r q t".split(" ")
+    val w = 4
+    val brute = (0 to toks.length - w)
+      .map(i => toks.slice(i, i + w).distinct.length.toLong).sum
+    val one = Seq((9L, toks.mkString(" "))).toDF("doc_id", "text")
+    val row = graft.ops.Curation.mattr(one, col("text"), w)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(row._3 == brute)
+    assert(row._4 == brute * 1000000L / (w * (toks.length - w + 1)))
+  }
+
   test("sssp: hand-walked weighted graph; R-hop horizon; min over multi-edges") {
     import spark.implicits._
     // 0-1(1), 0-2(5), 1-2(1), 2-3(1), 3-4(1), plus a worse duplicate 0->1(3)
