@@ -3590,6 +3590,16 @@ object SparkEntry {
     // gated mean — the "how loud is the loud part" number that silence
     // padding can't dilute. One media-keyed agg + one broadcast-shaped
     // rejoin; n_gated ≥ 1 always (the max window is ≥ the mean).
+    // Clipping / saturation audit (ops.MediaOps.clippingAudit): samples at
+    // |v| ≥ 120, maximal clipped-run count and longest run per media —
+    // the capture-quality gate (sustained saturation vs isolated peaks).
+    // One sequential map-only scan; the oracle replays the runs with one
+    // lag window over the closed-form byte stream.
+    "media_clipping" -> ((s, dir) => {
+      ops.MediaOps.clippingAudit(ops.MediaOps.synth(mediaMeta(s, dir)),
+          thr = 120)
+        .orderBy("media_id")
+    }),
     "media_gated_loudness" -> ((s, dir) => {
       val w = ops.MediaOps.windowSquares(
         ops.MediaOps.synth(mediaMeta(s, dir)), winLen = 512)
@@ -3858,6 +3868,15 @@ object SparkEntry {
     // replays the moments in HUGEINT from the closed-form grid.
     "img_ellipse" -> ((s, dir) => {
       ops.ImageOps.momentEllipse(gateTiles(s, "png")).orderBy("image_id")
+    }),
+    // Block-pooled min-seam DP (ops.ImageOps.seamEnergy): horizontal
+    // total-variation pooled to a 20×20 block grid, then the seam-carving
+    // recurrence d(r,c) = e(r,c) + min(d(r−1, c−1..c+1)) — the cheapest
+    // low-detail corridor, exact integers, smallest-column tie-break.
+    // Decode-once, zero shuffle; the oracle unrolls the 19 DP rounds.
+    "img_seam" -> ((s, dir) => {
+      ops.ImageOps.seamEnergy(gateTiles(s, "png"), block = 30)
+        .orderBy("image_id")
     }),
     // Level-1 Haar wavelet subband census (ops.ImageOps.haar): ΣLL + per-
     // subband detail energies (Σ LH², HL², HH²) over non-overlapping 2×2
@@ -5097,6 +5116,40 @@ object SparkEntry {
         .filter(col("rank") <= 10)
         .select(col("qid"), col("neighbor_id"), col("rank"), round(col("cos"), 4).as("cos_r"))
         .orderBy("qid", "rank")
+    }),
+    // Hard-negative mining — the contrastive-training data op (every
+    // embedding trainer mines "closest wrong-label" pairs): per anchor
+    // (vec_id % 50 = 0) the hardest NEGATIVE (max cosine among different-
+    // label corpus vectors) and the nearest POSITIVE (max cosine, same
+    // label), plus the margin in exact 1e4 quanta — anchors whose margin
+    // is negative are the confusable cases a curriculum surfaces first.
+    // Same broadcast-the-anchors / stream-the-corpus shape as
+    // ann_cosine_topk; two filtered windows over one pair pass.
+    "ann_hard_negatives" -> ((s, dir) => {
+      import graft.functions.vectors.vec_dot
+      val e = t(s, dir, "embeddings")
+        .selectExpr("vec_id", "label", "cast(embedding as array<double>) AS v")
+        .withColumn("nrm", sqrt(vec_dot(col("v"), col("v"))))
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("v").as("qv"), col("nrm").as("qnrm"))
+      val pairs = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+          (vec_dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+      val byCos = Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("vec_id"))
+      val pos = pairs.filter(col("label") === col("qlabel"))
+        .withColumn("rn", row_number().over(byCos)).filter(col("rn") === 1)
+        .select(col("qid"), col("vec_id").as("pos_id"), col("cos").as("pcos"))
+      val neg = pairs.filter(col("label") =!= col("qlabel"))
+        .withColumn("rn", row_number().over(byCos)).filter(col("rn") === 1)
+        .select(col("qid"), col("vec_id").as("neg_id"), col("cos").as("ncos"))
+      pos.join(neg, "qid")
+        .select(col("qid"), col("pos_id"), col("neg_id"),
+          round(col("pcos"), 4).as("cos_pos_r"),
+          round(col("ncos"), 4).as("cos_neg_r"),
+          expr("CAST(round((pcos - ncos) * 10000.0D) AS BIGINT)").as("margin_q"))
+        .orderBy("qid")
     }),
     // MMR diversified retrieval (ops.Embeddings.mmrDiversify): exact
     // cosine top-20 per query, then 4 greedy picks maximizing
@@ -7273,6 +7326,38 @@ object SparkEntry {
        ORDER BY image_id"""
   }
 
+  /** Seam oracle: horizontal TV pooled to the 20×20 block grid (rows/cols
+    * 0..599, gradient to c+1), then the 19 vertical-seam DP rounds
+    * unrolled as min-join CTEs; final column ties break to the smallest
+    * index via the same (cost, bc) row_number order as the engine.
+    */
+  private val seamOracleSql: String = {
+    val v = gridV("c.range", "r.range")
+    val vn = gridV("c.range+1", "r.range")
+    val dp = (1 to 19).map { i =>
+      s"""d$i AS (SELECT e.swlng, e.swlat, e.bc, e.e + min(p.cost) AS cost
+         FROM e JOIN d${i - 1} p ON p.swlng = e.swlng AND p.swlat = e.swlat
+           AND abs(p.bc - e.bc) <= 1
+         WHERE e.br = $i GROUP BY e.swlng, e.swlat, e.bc, e.e)"""
+    }.mkString(",\n       ")
+    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+       k AS (SELECT swlng, swlat,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
+       e AS (SELECT swlng, swlat, r.range//30 AS br, c.range//30 AS bc,
+           CAST(sum(abs(($vn) - ($v))) AS BIGINT) AS e
+         FROM k, range(0,600) r, range(0,600) c GROUP BY 1, 2, 3, 4),
+       d0 AS (SELECT swlng, swlat, bc, e AS cost FROM e WHERE br = 0),
+       $dp,
+       best AS (SELECT swlng, swlat, cost, bc,
+           row_number() OVER (PARTITION BY swlng, swlat ORDER BY cost, bc) AS rn
+         FROM d19)
+       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+         CAST(20 AS INT) AS n_block_rows, CAST(20 AS INT) AS n_block_cols,
+         CAST(cost AS BIGINT) AS seam_cost, CAST(bc AS BIGINT) AS end_col
+       FROM best WHERE rn = 1 ORDER BY image_id"""
+  }
+
   /** Haar oracle: every 2×2 block of the closed-form field (300×300 blocks
     * over the even 600×600 prefix of the 601-size grid), the four subband
     * values assembled from the same NW/NE/SW/SE corners the kernel reads.
@@ -8588,6 +8673,7 @@ object SparkEntry {
            CAST(((mu20-mu02)*(mu20-mu02) + 4*mu11*mu11)
              // CAST(1099511627776 AS HUGEINT) AS BIGINT) AS ecc_q
          FROM mu ORDER BY image_id""",
+    "img_seam" -> seamOracleSql,
     "img_register" -> registerOracleSql,
     "img_haar" -> haarOracleSql,
     "img_lbp" -> lbpOracleSql,
@@ -9968,6 +10054,33 @@ object SparkEntry {
              i -> (((media_id*31 + (win_no*512+i)*7) % 256) - 128)
                 * (((media_id*31 + (win_no*512+i)*7) % 256) - 128))) AS BIGINT) AS sq_sum
          FROM w ORDER BY media_id, win_no""",
+    // closed-form byte stream; runs via one lag window (run starts) + a
+    // running sum of starts as the run id
+    "media_clipping" ->
+      """WITH m AS (SELECT s_suppkey AS media_id,
+           4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),
+         s AS (SELECT media_id, n_bytes, unnest(range(0, n_bytes)) AS k FROM m),
+         c AS (SELECT media_id, k,
+             abs(((media_id*31 + k*7) % 256) - 128) >= 120 AS clip FROM s),
+         r AS (SELECT media_id, k, clip,
+             CASE WHEN clip AND NOT coalesce(
+                 lag(clip) OVER (PARTITION BY media_id ORDER BY k), FALSE)
+               THEN 1 ELSE 0 END AS st
+           FROM c),
+         runs AS (SELECT media_id, clip,
+             sum(st) OVER (PARTITION BY media_id ORDER BY k) AS run_id FROM r),
+         rl AS (SELECT media_id, run_id, CAST(count(*) AS BIGINT) AS len
+           FROM runs WHERE clip GROUP BY 1, 2),
+         agg AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_runs,
+             CAST(sum(len) AS BIGINT) AS n_clipped,
+             CAST(max(len) AS BIGINT) AS max_run FROM rl GROUP BY 1)
+         SELECT CAST(m.media_id AS BIGINT) AS media_id,
+           CAST(m.n_bytes AS BIGINT) AS n_samp,
+           coalesce(a.n_clipped, CAST(0 AS BIGINT)) AS n_clipped,
+           coalesce(a.n_runs, CAST(0 AS BIGINT)) AS n_runs,
+           coalesce(a.max_run, CAST(0 AS BIGINT)) AS max_run
+         FROM m LEFT JOIN agg a ON a.media_id = m.media_id
+         ORDER BY media_id""",
     // window energies re-gated at the ungated mean by cross-multiplication
     "media_gated_loudness" ->
       """WITH m AS (SELECT s_suppkey AS media_id,
@@ -12032,6 +12145,25 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM p)
          SELECT qid, neighbor_id, rank, round(cos, 4) AS cos_r
          FROM r WHERE rank <= 10 ORDER BY qid, rank""",
+    // hardest wrong-label / nearest same-label neighbour per anchor; the
+    // margin in 1e4 quanta through the identical double pipeline
+    "ann_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         n AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv, nrm AS qnrm FROM n WHERE vec_id % 50 = 0),
+         p AS (SELECT qid, qlabel, n.vec_id, n.label,
+             list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])) / (qnrm * nrm) AS cos
+           FROM q, n WHERE n.vec_id <> qid),
+         pos AS (SELECT qid, vec_id AS pos_id, cos AS pcos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+           FROM p WHERE label = qlabel QUALIFY rn = 1),
+         neg AS (SELECT qid, vec_id AS neg_id, cos AS ncos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+           FROM p WHERE label <> qlabel QUALIFY rn = 1)
+         SELECT pos.qid, pos_id, neg_id,
+           round(pcos, 4) AS cos_pos_r, round(ncos, 4) AS cos_neg_r,
+           CAST(round((pcos - ncos) * 10000.0) AS BIGINT) AS margin_q
+         FROM pos JOIN neg ON pos.qid = neg.qid ORDER BY pos.qid""",
     // prefix-cosine candidates, exact full-dim re-rank of the top-50
     "ann_matryoshka" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

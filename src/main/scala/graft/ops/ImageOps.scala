@@ -1939,6 +1939,72 @@ object ImageOps {
     }.toDF()
   }
 
+  /** Block-pooled minimum-seam energy (seam carving's core DP, Avidan–
+    * Shamir, public): pool the horizontal total-variation `Σ|v(r,c+1)−v(r,c)|`
+    * into a `nb×nb` block grid (nb = (size−1)/block), then run the
+    * classic vertical-seam recurrence
+    * `d(br,bc) = e(br,bc) + min(d(br−1, bc−1..bc+1))` top to bottom —
+    * the cheapest low-detail corridor through the image, the
+    * content-aware-crop / retarget primitive (and a localisation-grade
+    * "where is the boring stripe" signal for tile QA). Pooling first is
+    * the scale move: the DP state is nb integers instead of a full-res
+    * column vector, and the whole thing stays a per-row local pass —
+    * decode-once, zero shuffle, 5 integers out per image. Exact integer
+    * arithmetic end-to-end; ties in the final column pick the smallest
+    * index (total order, oracle-replicable).
+    *
+    * @return (image_id, n_block_rows, n_block_cols, seam_cost, end_col)
+    */
+  final case class SeamRow(image_id: String, n_block_rows: Int,
+                           n_block_cols: Int, seam_cost: Long, end_col: Long)
+
+  def seamEnergy(tiles: Dataset[TileRow], block: Int): DataFrame = {
+    require(block > 0, s"block must be positive: $block")
+    implicit val enc = Encoders.product[SeamRow]
+    tiles.mapPartitions { it =>
+      it.map { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val nb = (size - 1) / block
+        val px = nb * block
+        val e = Array.ofDim[Long](nb, nb)
+        var r = 0
+        while (r < px) {
+          var c = 0
+          val rBase = r * size
+          while (c < px) {
+            val diff = d.samples(rBase + c + 1) - d.samples(rBase + c)
+            e(r / block)(c / block) += math.abs(diff).toLong
+            c += 1
+          }
+          r += 1
+        }
+        var prev = e(0)
+        var br = 1
+        while (br < nb) {
+          val cur = new Array[Long](nb)
+          var bc = 0
+          while (bc < nb) {
+            var best = prev(bc)
+            if (bc > 0 && prev(bc - 1) < best) best = prev(bc - 1)
+            if (bc < nb - 1 && prev(bc + 1) < best) best = prev(bc + 1)
+            cur(bc) = e(br)(bc) + best
+            bc += 1
+          }
+          prev = cur
+          br += 1
+        }
+        var bestCost = Long.MaxValue; var bestCol = 0L
+        var bc = 0
+        while (bc < nb) {
+          if (prev(bc) < bestCost) { bestCost = prev(bc); bestCol = bc.toLong }
+          bc += 1
+        }
+        SeamRow(tl.image_id, nb, nb, bestCost, bestCol)
+      }
+    }.toDF()
+  }
+
   /** Second-order intensity moments → equivalent-ellipse orientation, the
     * shape descriptor behind blob orientation / registration priors (the
     * trig-free sibling of [[positionMoments]]' first-order checksums).

@@ -137,6 +137,46 @@ object MediaOps {
     }.toDF()
   }
 
+  /** Clipping / saturation audit — the capture-quality gate every audio
+    * curation pass runs first (clipped recordings poison loudness and
+    * embedding features): per media the count of samples at or beyond the
+    * clip threshold, the number of MAXIMAL clipped runs, and the longest
+    * run (sustained saturation vs isolated peaks — the number that
+    * separates a hot mix from a broken gain stage).
+    *
+    * Samples are the stub codec's centered bytes (`(byte & 0xff) − 128`,
+    * the same convention as [[windowSquares]]); a sample clips when
+    * `|v| ≥ thr`. One sequential scan per media inside `mapPartitions` —
+    * run-length state is 3 integers, no window materialization; at 100 TB
+    * this is a map-only pass emitting 5 integers per media row.
+    *
+    * @return (media_id, n_samp, n_clipped, n_runs, max_run)
+    */
+  final case class ClipRow(media_id: Long, n_samp: Long, n_clipped: Long,
+                           n_runs: Long, max_run: Long)
+
+  def clippingAudit(media: Dataset[MediaRow], thr: Int): DataFrame = {
+    require(thr > 0 && thr <= 128, s"thr must be in 1..128: $thr")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        var nc = 0L; var runs = 0L; var maxRun = 0L; var cur = 0L
+        var i = 0
+        while (i < m.bytes.length) {
+          val v = (m.bytes(i) & 0xff) - 128
+          if (v >= thr || v <= -thr) {
+            nc += 1; cur += 1
+            if (cur == 1L) runs += 1
+            if (cur > maxRun) maxRun = cur
+          } else cur = 0L
+          i += 1
+        }
+        ClipRow(m.media_id, m.bytes.length.toLong, nc, runs, maxRun)
+      }
+    }.toDF()
+  }
+
   /** Voice-activity-style segment merging: active windows whose indices
     * are within `gap` inactive windows of each other coalesce into ONE
     * segment — the VAD / silence-splitting primitive that turns a

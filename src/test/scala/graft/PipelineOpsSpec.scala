@@ -1807,6 +1807,63 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("seamEnergy matches the brute-force pooled DP") {
+    val size = 65
+    val block = 8 // nb = 8 over rows/cols 0..63
+    val corners = Seq((10, 5), (11, 6))
+    val grids = corners.map { case (lng, lat) =>
+      (lng, lat, graft.synth.TileGen.grid(lng, lat, size,
+        graft.synth.TileGen.sampleAt))
+    }
+    val tiles = spark.createDataset(grids.map { case (lng, lat, g) =>
+      graft.core.TileRow(graft.geo.TileKey.ofDegrees(lng, lat),
+        graft.raster.Hgt.encode(g, size), size, size, "hgt", "{}", 0L)
+    })(org.apache.spark.sql.Encoders.product[graft.core.TileRow])
+    def want(g: Array[Short]): (Long, Long) = {
+      val nb = (size - 1) / block
+      val e = Array.ofDim[Long](nb, nb)
+      for (r <- 0 until nb * block; c <- 0 until nb * block)
+        e(r / block)(c / block) +=
+          math.abs(g(r * size + c + 1) - g(r * size + c)).toLong
+      var prev = e(0)
+      for (br <- 1 until nb) {
+        prev = Array.tabulate(nb) { bc =>
+          val cands = (math.max(0, bc - 1) to math.min(nb - 1, bc + 1)).map(prev)
+          e(br)(bc) + cands.min
+        }
+      }
+      val best = prev.min
+      (best, prev.indexOf(best).toLong)
+    }
+    import spark.implicits._
+    val got = graft.ops.ImageOps.seamEnergy(tiles, block)
+      .as[(String, Int, Int, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    grids.foreach { case (lng, lat, g) =>
+      val (cost, col) = want(g)
+      assert(got(graft.geo.TileKey.ofDegrees(lng, lat)) == ((8, 8, cost, col)),
+        s"tile ($lng,$lat)")
+    }
+  }
+
+  test("clippingAudit: hand-crafted runs, threshold inclusivity, clean media") {
+    import spark.implicits._
+    def media(id: Long, vs: Seq[Int]) = graft.ops.MediaOps.MediaRow(
+      id, vs.map(v => (v + 128).toByte).toArray, "pcm", 1000L, 24000L)
+    val rows = spark.createDataset(Seq(
+      // runs: [125,126] then [-127,121,120] -> 5 clipped, 2 runs, max 3
+      media(1L, Seq(0, 125, 126, 0, -127, 121, 120, -3)),
+      media(2L, Seq(5, -10, 119, -119, 0)), // nothing reaches |120|
+      media(3L, Seq(120))                   // single-sample run
+    ))(org.apache.spark.sql.Encoders.product[graft.ops.MediaOps.MediaRow])
+    val got = graft.ops.MediaOps.clippingAudit(rows, thr = 120)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((8L, 5L, 2L, 3L)))
+    assert(got(2L) == ((5L, 0L, 0L, 0L)))
+    assert(got(3L) == ((1L, 1L, 1L, 1L)))
+  }
+
   test("closeness: hand-walked path graph, horizon truncation, floored harmonic") {
     import spark.implicits._
     // undirected path 0-1-2-3-4 (both directions materialized)
