@@ -301,6 +301,20 @@ object SparkEntry {
     // BI layer emits) — Spark's relational groupBy().pivot() with an
     // explicit value list (one pass, no per-status scan); absent cells
     // stay NULL on both engines.
+    // GROUPING SETS surface — the BI reshape between q_pivot and
+    // events_cube/rollup: four explicit sets over (month, status) in ONE
+    // expand-and-aggregate pass (Spark's Expand node, never four scans);
+    // the null pattern distinguishes the sets, exact integer cents.
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT mon, status, count(1) AS n, sum(cents) AS sum_cents
+          |FROM (SELECT month(o_orderdate) AS mon, o_orderstatus AS status,
+          |        CAST(FLOOR(o_totalprice * 100.0D + 0.5D) AS BIGINT) AS cents
+          |      FROM orders_gs)
+          |GROUP BY GROUPING SETS ((mon, status), (mon), (status), ())
+          |ORDER BY mon, status""".stripMargin)
+    }),
     "q_pivot" -> ((s, dir) => {
       t(s, dir, "orders")
         .withColumn("mon", month(col("o_orderdate")))
@@ -1589,6 +1603,25 @@ object SparkEntry {
         .join(t(s, dir, "lineitem"), col("s_suppkey") === col("l_suppkey"), "left_semi")
         .groupBy("s_nationkey").agg(count(lit(1)).as("n_suppliers"))
         .orderBy("s_nationkey")
+    }),
+    // Spatial-occupancy skew audit: the z14 cell histogram's head — the
+    // hotspot diagnostic that motivates the salted/adaptive PIP paths
+    // (events_key_skew's spatial sibling). Per-cell count is map-side
+    // combined; the global top-10 ranks the ALREADY-aggregated cell rows
+    // (bounded by distinct cells, never points); share in exact ppm.
+    "geo_cell_skew" -> ((s, dir) => {
+      val cells = gatePoints(s, dir)
+        .select(zxy_x(col("lng"), lit(14)).as("x"),
+          zxy_y(col("lat"), lit(14)).as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("n"))
+      val tot = cells.agg(sum("n").as("tot"))
+      cells.crossJoin(broadcast(tot))
+        .withColumn("share_ppm", expr("n * 1000000L div tot"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("x"), col("y"))))
+        .filter(col("rank") <= 10)
+        .select("x", "y", "n", "share_ppm", "rank")
+        .orderBy("rank")
     }),
     "geo_zxy" -> ((s, dir) => {
       quadrantPoints(s, dir)
@@ -4842,6 +4875,27 @@ object SparkEntry {
     // join or agg. Two mergeable aggregations; the second's input is
     // bounded by the number of DISTINCT per-key counts, so the profile of
     // a 100 TB table is a few hundred rows.
+    // Inter-arrival profile: per-user event-gap sufficient statistics in
+    // exact integer seconds (count, min/max, Σg, and the variance
+    // numerator n·Σg²−(Σg)² — the burstiness/regularity discriminator;
+    // σ and B=(σ−μ)/(σ+μ) are one local sqrt away for the caller). One
+    // user-keyed lag window + one agg, both on the same partitioning.
+    "events_interarrival" -> ((s, dir) => {
+      t(s, dir, "events")
+        .selectExpr("user_id", "event_id",
+          "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us")
+        .withColumn("gap_s",
+          expr("(ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)) div 1000000L"))
+        .filter(col("gap_s").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          min("gap_s").as("min_gap_s"), max("gap_s").as("max_gap_s"),
+          sum("gap_s").as("sum_gap_s"),
+          sum(expr("gap_s * gap_s")).as("sum_sq"))
+        .withColumn("var_num", expr("n_gaps * sum_sq - sum_gap_s * sum_gap_s"))
+        .drop("sum_sq")
+        .orderBy("user_id")
+    }),
     "events_key_skew" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy("user_id").agg(count(lit(1)).as("n"))
@@ -10787,6 +10841,20 @@ object SparkEntry {
            count(*) AS n_px, CAST(sum(tr) AS BIGINT) AS r_sum,
            CAST(sum(tg) AS BIGINT) AS g_sum, CAST(sum(tb) AS BIGINT) AS b_sum
          FROM t GROUP BY swlng, swlat, sx, sy ORDER BY image_id, sx, sy""",
+    // trunc-div gaps in whole seconds; variance numerator in HUGEINT,
+    // value int64 by construction
+    "events_interarrival" ->
+      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+         g AS (SELECT user_id,
+             (ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)) // 1000000 AS gap_s
+           FROM b)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+           CAST(sum(gap_s) AS BIGINT) AS sum_gap_s,
+           CAST(count(*) * sum(gap_s*gap_s) - sum(gap_s)*sum(gap_s) AS BIGINT) AS var_num
+         FROM g WHERE gap_s IS NOT NULL
+         GROUP BY user_id ORDER BY user_id""",
     "events_key_skew" ->
       """WITH per AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
          SELECT n, count(*) AS n_keys FROM per GROUP BY n ORDER BY n""",
@@ -11108,6 +11176,23 @@ object SparkEntry {
            CAST(trunc(ev % 256) AS INT) AS g,
            CAST(floor((ev - floor(ev)) * 256) AS INT) AS b
          FROM e ORDER BY point_id""",
+    // same z14 web-mercator formula as geo_zxy over the gate point cloud
+    "geo_cell_skew" ->
+      """WITH pts AS (SELECT
+           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
+           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
+           FROM lineitem),
+         c AS (SELECT lng,
+           least(greatest(lat, -85.05112877980659), 85.05112877980659) AS latc FROM pts),
+         xy AS (SELECT
+             CAST(least(greatest(floor((lng + 180.0)/360.0 * 16384), 0), 16383) AS INT) AS x,
+             CAST(least(greatest(floor((1.0 - ln(tan(radians(latc)) + 1.0/cos(radians(latc)))/pi())/2.0 * 16384), 0), 16383) AS INT) AS y
+           FROM c),
+         g AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n FROM xy GROUP BY 1, 2),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM g)
+         SELECT x, y, n, n * 1000000 // tot AS share_ppm,
+           CAST(row_number() OVER (ORDER BY n DESC, x, y) AS INT) AS rank
+         FROM g, t QUALIFY rank <= 10 ORDER BY rank""",
     "geo_zxy" ->
       """WITH pts AS (SELECT c_custkey AS point_id,
            -180 + (c_custkey % 360) + 0.5 AS lng,
@@ -12257,6 +12342,15 @@ object SparkEntry {
            CAST(count(DISTINCT k) AS BIGINT) AS k_card
          FROM ev GROUP BY 1 ORDER BY event_type""",
     // the pivot restated as explicit CASE sums; absent cells NULL
+    "q_grouping_sets" ->
+      """SELECT mon, status, CAST(count(1) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM (SELECT CAST(month(o_orderdate) AS INT) AS mon,
+                 o_orderstatus AS status,
+                 CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+               FROM orders)
+         GROUP BY GROUPING SETS ((mon, status), (mon), (status), ())
+         ORDER BY mon, status""",
     "q_pivot" ->
       """SELECT CAST(month(o_orderdate) AS INT) AS mon,
            round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
