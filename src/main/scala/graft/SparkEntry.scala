@@ -759,6 +759,56 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
         .orderBy("grp")
     }),
+    // Geofence enter/exit extraction (ops.Trajectory.geofence): every fix
+    // tested against 2 broadcast fence triangles with the SAME codegen'd
+    // ray-cast as the PIP join, one (traj, fence) lag keeps only the
+    // membership flips — the fleet-alerting event stream (output is
+    // transitions, never per-fix membership).
+    "traj_geofence" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val pts = t(s, dir, "events").filter(col("user_id") < 50)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          ((col("event_id") % 7) +
+            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
+          ((col("event_id") * 3) % 5).as("dy"))
+        .withColumn("pxc", sum("dx").over(w))
+        .withColumn("pyc", sum("dy").over(w))
+        .selectExpr("user_id AS traj_id",
+          "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us", "event_id AS tie",
+          "-120.0D + pxc / 1000.0D AS lng", "36.0D + pyc / 1000.0D AS lat")
+      val fences = Seq(
+        (1L, Seq(-119.7, -120.0, -119.4), Seq(36.25, 35.75, 35.75)),
+        (2L, Seq(-119.0, -119.3, -118.7), Seq(36.35, 35.85, 35.85)))
+        .toDF("fence_id", "xs", "ys")
+      ops.Trajectory.geofence(pts, fences)
+        .orderBy("traj_id", "fence_id", "tie")
+    }),
+    // Per-(trajectory, fence) dwell (ops.Trajectory.fenceDwell): exact µs
+    // inside each fence by left-continuous interval attribution + visit
+    // counts — same walk and fences as traj_geofence, sparse pair output.
+    "traj_fence_dwell" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val pts = t(s, dir, "events").filter(col("user_id") < 50)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          ((col("event_id") % 7) +
+            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
+          ((col("event_id") * 3) % 5).as("dy"))
+        .withColumn("pxc", sum("dx").over(w))
+        .withColumn("pyc", sum("dy").over(w))
+        .selectExpr("user_id AS traj_id",
+          "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us", "event_id AS tie",
+          "-120.0D + pxc / 1000.0D AS lng", "36.0D + pyc / 1000.0D AS lat")
+      val fences = Seq(
+        (1L, Seq(-119.7, -120.0, -119.4), Seq(36.25, 35.75, 35.75)),
+        (2L, Seq(-119.0, -119.3, -118.7), Seq(36.35, 35.85, 35.85)))
+        .toDF("fence_id", "xs", "ys")
+      ops.Trajectory.fenceDwell(pts, fences)
+        .orderBy("traj_id", "fence_id")
+    }),
     // Implausible-speed flagging (ops.Trajectory.speedFlags): the GPS
     // cleaning pass — exact integer µdeg/s per fix pair, teleports planted
     // every 101st event jump the walk by 5 degrees.
@@ -3910,6 +3960,14 @@ object SparkEntry {
     "img_seam" -> ((s, dir) => {
       ops.ImageOps.seamEnergy(gateTiles(s, "png"), block = 30)
         .orderBy("image_id")
+    }),
+    // Radial intensity profile (ops.ImageOps.radialProfile): n_px + exact
+    // Σv per squared-distance ring about the centre — the vignetting /
+    // centre-bias audit; squared-bucket rings, no sqrt, 20 rows/image.
+    "img_radial" -> ((s, dir) => {
+      ops.ImageOps.radialProfile(gateTiles(s, "png"), ringDiv = 9000L,
+          nRings = 20)
+        .orderBy("image_id", "ring")
     }),
     // Level-1 Haar wavelet subband census (ops.ImageOps.haar): ΣLL + per-
     // subband detail energies (Σ LH², HL², HH²) over non-overlapping 2×2
@@ -8728,6 +8786,19 @@ object SparkEntry {
              // CAST(1099511627776 AS HUGEINT) AS BIGINT) AS ecc_q
          FROM mu ORDER BY image_id""",
     "img_seam" -> seamOracleSql,
+    // radial profile: squared-distance ring buckets about node (300,300),
+    // exact-integer count + Σv per ring over the same synthetic grid
+    "img_radial" ->
+      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         g AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           r.range AS r, c.range AS c,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS v
+           FROM corners, range(0,601) r, range(0,601) c)
+         SELECT image_id,
+           CAST(least(((r-300)*(r-300) + (c-300)*(c-300)) // 9000, 19) AS INT) AS ring,
+           count(*) AS n_px, CAST(sum(v) AS BIGINT) AS sum_v
+         FROM g GROUP BY 1, 2 ORDER BY image_id, ring""",
     "img_register" -> registerOracleSql,
     "img_haar" -> haarOracleSql,
     "img_lbp" -> lbpOracleSql,
@@ -9870,6 +9941,65 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT DISTINCT user_id, event_type, date_trunc('day', ts) AS day
          FROM events ORDER BY user_id, event_type, day""",
+    // geofence: same synthetic walk as traj_speed, same per-edge ray-cast
+    // fragment as geo_pip (edge (i, i−1) wrapping), lag keeps the flips
+    "traj_geofence" ->
+      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
+           (event_id * 3) % 5 AS dy
+           FROM events WHERE user_id < 50),
+         c AS (SELECT user_id AS traj_id, event_id AS tie, ts_us,
+           sum(dx) OVER w AS pxc, sum(dy) OVER w AS pyc
+           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         p AS (SELECT traj_id, tie, ts_us,
+           -120.0 + pxc / 1000.0 AS lng, 36.0 + pyc / 1000.0 AS lat FROM c),
+         f(fence_id, x1, y1, x2, y2, x3, y3) AS (VALUES
+           (CAST(1 AS BIGINT), -119.7, 36.25, -120.0, 35.75, -119.4, 35.75),
+           (CAST(2 AS BIGINT), -119.0, 36.35, -119.3, 35.85, -118.7, 35.85)),
+         m AS (SELECT traj_id, fence_id, tie, ts_us,
+           CASE WHEN ((CASE WHEN (y1 > lat) <> (y3 > lat) AND lng < (x3 - x1) * (lat - y1) / (y3 - y1) + x1 THEN 1 ELSE 0 END)
+             + (CASE WHEN (y2 > lat) <> (y1 > lat) AND lng < (x1 - x2) * (lat - y2) / (y1 - y2) + x2 THEN 1 ELSE 0 END)
+             + (CASE WHEN (y3 > lat) <> (y2 > lat) AND lng < (x2 - x3) * (lat - y3) / (y2 - y3) + x3 THEN 1 ELSE 0 END)) % 2 = 1
+             THEN 1 ELSE 0 END AS inside
+           FROM p, f),
+         d AS (SELECT traj_id, fence_id, tie, ts_us, inside,
+           lag(inside) OVER (PARTITION BY traj_id, fence_id ORDER BY ts_us, tie) AS prev FROM m)
+         SELECT traj_id, fence_id, tie, ts_us,
+           CASE WHEN inside = 1 THEN 'enter' ELSE 'exit' END AS event
+         FROM d WHERE prev IS NOT NULL AND prev <> inside
+         ORDER BY traj_id, fence_id, tie""",
+    // fence dwell: same membership chain, lead-interval attribution,
+    // first-fix-inside counts as a visit
+    "traj_fence_dwell" ->
+      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
+           (event_id * 3) % 5 AS dy
+           FROM events WHERE user_id < 50),
+         c AS (SELECT user_id AS traj_id, event_id AS tie, ts_us,
+           sum(dx) OVER w AS pxc, sum(dy) OVER w AS pyc
+           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         p AS (SELECT traj_id, tie, ts_us,
+           -120.0 + pxc / 1000.0 AS lng, 36.0 + pyc / 1000.0 AS lat FROM c),
+         f(fence_id, x1, y1, x2, y2, x3, y3) AS (VALUES
+           (CAST(1 AS BIGINT), -119.7, 36.25, -120.0, 35.75, -119.4, 35.75),
+           (CAST(2 AS BIGINT), -119.0, 36.35, -119.3, 35.85, -118.7, 35.85)),
+         m AS (SELECT traj_id, fence_id, tie, ts_us,
+           CASE WHEN ((CASE WHEN (y1 > lat) <> (y3 > lat) AND lng < (x3 - x1) * (lat - y1) / (y3 - y1) + x1 THEN 1 ELSE 0 END)
+             + (CASE WHEN (y2 > lat) <> (y1 > lat) AND lng < (x1 - x2) * (lat - y2) / (y1 - y2) + x2 THEN 1 ELSE 0 END)
+             + (CASE WHEN (y3 > lat) <> (y2 > lat) AND lng < (x2 - x3) * (lat - y3) / (y2 - y3) + x3 THEN 1 ELSE 0 END)) % 2 = 1
+             THEN 1 ELSE 0 END AS inside
+           FROM p, f),
+         d AS (SELECT traj_id, fence_id, ts_us, inside,
+           lag(inside) OVER w2 AS prev,
+           coalesce(lead(ts_us) OVER w2 - ts_us, 0) AS dt_us
+           FROM m WINDOW w2 AS (PARTITION BY traj_id, fence_id ORDER BY ts_us, tie)),
+         g AS (SELECT traj_id, fence_id,
+           CAST(sum(inside) AS BIGINT) AS n_inside,
+           CAST(sum(CASE WHEN inside = 1 AND (prev IS NULL OR prev = 0) THEN 1 ELSE 0 END) AS BIGINT) AS visits,
+           CAST(sum(CASE WHEN inside = 1 THEN dt_us ELSE 0 END) AS BIGINT) AS dwell_us
+           FROM d GROUP BY 1, 2)
+         SELECT traj_id, fence_id, n_inside, visits, dwell_us
+         FROM g WHERE n_inside > 0 ORDER BY traj_id, fence_id""",
     "traj_speed" ->
       """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
            event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,

@@ -1939,6 +1939,50 @@ object ImageOps {
     }.toDF()
   }
 
+  /** Radial intensity profile: pixel count + exact intensity sum per
+    * squared-distance ring around the image centre — the rotational-
+    * symmetry / vignetting / centre-bias audit (lens falloff and centred
+    * watermarks show up as ring-mean trends no global histogram can see).
+    * Rings are SQUARED-distance buckets `((r−cr)² + (c−cc)²) div ringDiv`,
+    * capped at `nRings−1` — no sqrt anywhere, so every value is an exact
+    * integer both here and in the oracle's replay. Per-image local
+    * accumulation into `nRings` cells; decode-once, zero shuffle,
+    * `nRings` rows out per image.
+    *
+    * @return (image_id, ring, n_px, sum_v)
+    */
+  final case class RadialRow(image_id: String, ring: Int, n_px: Long,
+                             sum_v: Long)
+
+  def radialProfile(tiles: Dataset[TileRow], ringDiv: Long,
+                    nRings: Int): DataFrame = {
+    require(ringDiv > 0 && nRings > 0, s"bad ring spec: $ringDiv/$nRings")
+    implicit val enc = Encoders.product[RadialRow]
+    tiles.flatMap { tl =>
+      val d = TileCodec.decode(tl)
+      val size = d.size
+      val ctr = (size - 1) / 2
+      val n = new Array[Long](nRings)
+      val sv = new Array[Long](nRings)
+      var r = 0
+      while (r < size) {
+        var c = 0
+        val rBase = r * size
+        val dr2 = (r - ctr).toLong * (r - ctr)
+        while (c < size) {
+          val d2 = dr2 + (c - ctr).toLong * (c - ctr)
+          val ring = math.min(d2 / ringDiv, (nRings - 1).toLong).toInt
+          n(ring) += 1
+          sv(ring) += d.samples(rBase + c)
+          c += 1
+        }
+        r += 1
+      }
+      Iterator.range(0, nRings).filter(n(_) > 0)
+        .map(i => RadialRow(tl.image_id, i, n(i), sv(i)))
+    }.toDF()
+  }
+
   /** Block-pooled minimum-seam energy (seam carving's core DP, Avidan–
     * Shamir, public): pool the horizontal total-variation `Σ|v(r,c+1)−v(r,c)|`
     * into a `nb×nb` block grid (nb = (size−1)/block), then run the

@@ -582,4 +582,75 @@ object Trajectory {
       .select(col("t1"), col("t2"), col("n_a"), col("n_b"),
         greatest(col("h_ab"), col("h_ba")).as("hausdorff_d2"))
   }
+
+  /** Geofence transition extraction — the enter/exit event stream every
+    * fleet/alerting system derives from raw fixes: each fix is tested
+    * against every fence ring (even-odd [[graft.geo.RayCast]], the same
+    * codegen'd predicate as the PIP join), then ONE per-(traj, fence) lag
+    * compares consecutive memberships and keeps only the flips. Fences are
+    * a broadcast literal table (alert geofences are thousands, not
+    * billions); the only shuffle is the (traj_id, fence_id) window, and
+    * rows leaving the operator are transitions only — at 100 TB of fixes
+    * the output is the tiny event stream, never the per-fix membership.
+    *
+    * A fix exactly on a fence edge follows ray-cast open-edge semantics
+    * (may land either side — callers needing closed fences buffer first).
+    *
+    * @param points (traj_id, tie, ts_us, lng, lat) fixes; (ts_us, tie)
+    *               must totally order each trajectory
+    * @param fences (fence_id, xs, ys) packed rings, broadcast-sized
+    * @return (traj_id, fence_id, tie, ts_us, event) — event ∈
+    *         {enter, exit}, ordered flips only (first fix emits nothing)
+    */
+  def geofence(points: DataFrame, fences: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("traj_id", "fence_id").orderBy("ts_us", "tie")
+    points.crossJoin(broadcast(fences))
+      .withColumn("inside",
+        SpatialJoin.ray_cast(col("lng"), col("lat"), col("xs"), col("ys"))
+          .cast("int"))
+      .withColumn("prev", lag(col("inside"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") =!= col("inside"))
+      .select(col("traj_id"), col("fence_id"), col("tie"), col("ts_us"),
+        when(col("inside") === 1, lit("enter")).otherwise(lit("exit"))
+          .as("event"))
+  }
+
+  /** Per-(trajectory, fence) dwell accumulation — the billing/exposure
+    * metric behind every geofence product (time on site, zone occupancy):
+    * each inter-fix interval `[tsᵢ, tsᵢ₊₁)` is attributed to the fences the
+    * EARLIER fix is inside (left-continuous step interpolation — exact
+    * integer µs, no midpoint floats), the last fix of a trajectory
+    * contributes 0. `visits` counts entry events, the first fix counting
+    * as an entry when it is already inside. Same broadcast-fence ×
+    * per-(traj, fence) window shape as [[geofence]]; the output is one row
+    * per pair that was ever visited — sparse at fleet scale, never the
+    * per-fix membership.
+    *
+    * @param points (traj_id, tie, ts_us, lng, lat)
+    * @param fences (fence_id, xs, ys) packed rings, broadcast-sized
+    * @return (traj_id, fence_id, n_inside, visits, dwell_us)
+    */
+  def fenceDwell(points: DataFrame, fences: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("traj_id", "fence_id").orderBy("ts_us", "tie")
+    points.crossJoin(broadcast(fences))
+      .withColumn("inside",
+        SpatialJoin.ray_cast(col("lng"), col("lat"), col("xs"), col("ys"))
+          .cast("int"))
+      .withColumn("prev", lag(col("inside"), 1).over(w))
+      .withColumn("dt_us",
+        coalesce(lead(col("ts_us"), 1).over(w) - col("ts_us"), lit(0L)))
+      .groupBy("traj_id", "fence_id")
+      .agg(
+        sum(col("inside").cast("long")).as("n_inside"),
+        sum(when(col("inside") === 1 &&
+          (col("prev").isNull || col("prev") === 0), 1L).otherwise(0L))
+          .as("visits"),
+        sum(when(col("inside") === 1, col("dt_us")).otherwise(0L))
+          .as("dwell_us"))
+      .filter(col("n_inside") > 0)
+  }
 }
