@@ -9084,13 +9084,16 @@ object SparkEntry {
          ORDER BY "column""""
     },
     "geo_convex_hull" -> convexHullOracleSql,
+    // CAST(... AS TIMESTAMP): DuckDB date_trunc('day') returns DATE where
+    // the engine emits a timestamp_ntz bucket — same instant, driver-hash-
+    // sensitive type (the round-3 HUGEINT lesson applied to dates)
     "stream_window_counts" ->
-      """SELECT date_trunc('day', ts) AS day, event_type,
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(floor(value * 1000.0) AS BIGINT)) AS BIGINT) AS v_sum
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "events_cube" ->
-      """WITH e AS (SELECT event_type, date_trunc('day', ts) AS day,
+      """WITH e AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
              CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
          SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(cents) AS BIGINT) AS sum_cents
@@ -9939,7 +9942,8 @@ object SparkEntry {
          SELECT node, dist FROM d4 ORDER BY node"""
     },
     "stream_dedup" ->
-      """SELECT DISTINCT user_id, event_type, date_trunc('day', ts) AS day
+      """SELECT DISTINCT user_id, event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
          FROM events ORDER BY user_id, event_type, day""",
     // geofence: same synthetic walk as traj_speed, same per-edge ray-cast
     // fragment as geo_pip (edge (i, i−1) wrapping), lag keeps the flips
