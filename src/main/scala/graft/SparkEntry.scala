@@ -809,6 +809,24 @@ object SparkEntry {
       ops.Trajectory.fenceDwell(pts, fences)
         .orderBy("traj_id", "fence_id")
     }),
+    // Home/work anchor cells (ops.Trajectory.anchors): modal 0.005° cell
+    // per (trajectory, hour-regime) — night fixes vote "home", business
+    // hours vote "work"; counts aggregate before the top-1 window ranks.
+    "traj_anchors" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val pts = t(s, dir, "events").filter(col("user_id") < 50)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          ((col("event_id") % 7) +
+            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
+          ((col("event_id") * 3) % 5).as("dy"))
+        .withColumn("pxc", sum("dx").over(w))
+        .withColumn("pyc", sum("dy").over(w))
+        .selectExpr("user_id AS traj_id", "hour(CAST(ts AS TIMESTAMP)) AS hour",
+          "-120.0D + pxc / 1000.0D AS lng", "36.0D + pyc / 1000.0D AS lat")
+      ops.Trajectory.anchors(pts)
+        .orderBy("traj_id", "regime")
+    }),
     // Implausible-speed flagging (ops.Trajectory.speedFlags): the GPS
     // cleaning pass — exact integer µdeg/s per fix pair, teleports planted
     // every 101st event jump the walk by 5 degrees.
@@ -1797,6 +1815,38 @@ object SparkEntry {
         .select("pred_id", "layout", "n_buckets", "n_scanned",
           "rows_scanned", "rows_match")
         .orderBy("pred_id", "layout")
+    }),
+    // Overlap-depth layout audit — the compaction-planner metric (Iceberg/
+    // Delta OPTIMIZE decide re-clustering from exactly this number): per
+    // bucket file, how many sibling files' [min, max] ranges intersect
+    // its own. A hash layout (o_orderkey % 16) makes every file span the
+    // key domain (depth 15); a range layout (16 quantile slabs of the same
+    // rows) drives depth to the boundary-touch minimum. Stats rows are
+    // metadata-sized (16/layout), so the pairwise intersect join is a
+    // broadcast over file stats — never over data.
+    "store_overlap_depth" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("v"))
+      val mx = o.agg(max("v").as("mxv"))
+      val b = o.crossJoin(broadcast(mx))
+        .selectExpr("v", "o_orderkey % 16 AS b_hash",
+          "(v * 16) div (mxv + 1) AS b_range")
+      def stats(bcol: String, tag: String) = b.groupBy(col(bcol).as("bucket"))
+        .agg(count(lit(1)).as("n"), min("v").as("min_v"), max("v").as("max_v"))
+        .withColumn("layout", lit(tag))
+      val st = stats("b_hash", "hash").unionAll(stats("b_range", "range"))
+        .localCheckpoint(false)
+      val ov = st.as("a").join(broadcast(st.select(
+          col("layout"), col("bucket").as("b2"),
+          col("min_v").as("mn2"), col("max_v").as("mx2"))),
+          Seq("layout"))
+        .filter(col("bucket") =!= col("b2") &&
+          col("min_v") <= col("mx2") && col("mn2") <= col("max_v"))
+        .groupBy("layout", "bucket").agg(count(lit(1)).as("overlap_cnt"))
+      st.join(ov, Seq("layout", "bucket"), "left")
+        .na.fill(0L, Seq("overlap_cnt"))
+        .select("layout", "bucket", "n", "min_v", "max_v", "overlap_cnt")
+        .orderBy("layout", "bucket")
     }),
 
     // ---- spatial joins over cell indexes (J2/J3, north rule) ----
@@ -4438,6 +4488,24 @@ object SparkEntry {
                  ELSE acc END) AS f""")
         .selectExpr("user_id", "f.stage AS funnel_stage", "f.t1 AS view_us",
           "f.t2 AS click_us", "f.t3 AS purchase_us")
+        .orderBy("user_id")
+    }),
+    // Longest active-day streaks (gaps-and-islands on DISTINCT epoch days):
+    // day − row_number is constant exactly along a consecutive run, so one
+    // distinct + one per-user window + two key-bounded aggs give streak
+    // count, total active days, and the longest run — the engagement
+    // metric every consumer product reports.
+    "events_streaks" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("d")
+      t(s, dir, "events")
+        .selectExpr("user_id",
+          "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000L AS d")
+        .distinct()
+        .withColumn("grp", col("d") - row_number().over(w))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("user_id").agg(count(lit(1)).as("n_streaks"),
+          sum("len").as("n_days"), max("len").as("max_streak"))
         .orderBy("user_id")
     }),
     // Sliding 7-day distinct actives (WAU per day): each (user, active-day)
@@ -9291,6 +9359,28 @@ object SparkEntry {
          LEFT JOIN miss ON p.pkey = miss.pkey
          ORDER BY p.pkey"""
     },
+    // overlap depth: pairwise [min,max] intersect count over per-bucket
+    // stats, hash vs 16-slab range layout of the same rows
+    "store_overlap_depth" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey AS v FROM orders),
+         mx AS (SELECT max(v) AS mxv FROM o),
+         b AS (SELECT v, o_orderkey % 16 AS b_hash,
+           (v * 16) // (mxv + 1) AS b_range FROM o, mx),
+         st AS (SELECT 'hash' AS layout, b_hash AS bucket,
+             CAST(count(*) AS BIGINT) AS n, min(v) AS min_v, max(v) AS max_v
+           FROM b GROUP BY 2
+           UNION ALL
+           SELECT 'range' AS layout, b_range AS bucket,
+             CAST(count(*) AS BIGINT) AS n, min(v) AS min_v, max(v) AS max_v
+           FROM b GROUP BY 2),
+         ov AS (SELECT a.layout, a.bucket, CAST(count(*) AS BIGINT) AS overlap_cnt
+           FROM st a JOIN st x ON a.layout = x.layout AND a.bucket <> x.bucket
+             AND a.min_v <= x.max_v AND x.min_v <= a.max_v
+           GROUP BY 1, 2)
+         SELECT st.layout, st.bucket, st.n, st.min_v, st.max_v,
+           coalesce(ov.overlap_cnt, 0) AS overlap_cnt
+         FROM st LEFT JOIN ov ON st.layout = ov.layout AND st.bucket = ov.bucket
+         ORDER BY st.layout, st.bucket""",
     "store_zorder_skip" ->
       """WITH pts AS (SELECT c_custkey AS point_id,
            -180 + (c_custkey % 360) + 0.5 AS lng,
@@ -9401,6 +9491,20 @@ object SparkEntry {
            count(DISTINCT ev.user_id) AS n_users
          FROM ev JOIN cohort ON ev.user_id = cohort.user_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // streaks: gaps-and-islands on distinct epoch days (d − row_number
+    // constant along a run)
+    "events_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+           epoch_us(ts) // 86400000000 AS d FROM events),
+         g AS (SELECT user_id, d,
+           d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+           FROM d),
+         runs AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+           FROM g GROUP BY 1, 2)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(sum(len) AS BIGINT) AS n_days,
+           CAST(max(len) AS BIGINT) AS max_streak
+         FROM runs GROUP BY 1 ORDER BY user_id""",
     "curation_decontam_fuzzy" -> decontamFuzzyOracleSql,
     "curation_pipeline" ->
       s"""WITH corpus AS ($sqlDedupCorpus),
@@ -9945,6 +10049,29 @@ object SparkEntry {
       """SELECT DISTINCT user_id, event_type,
            CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
          FROM events ORDER BY user_id, event_type, day""",
+    // anchors: same walk, hour regimes, modal 0.005° cell with
+    // (n DESC, cell_x, cell_y) tie-break
+    "traj_anchors" ->
+      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, hour(ts) AS hr,
+           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
+           (event_id * 3) % 5 AS dy
+           FROM events WHERE user_id < 50),
+         c AS (SELECT user_id AS traj_id, hr,
+           sum(dx) OVER w AS pxc, sum(dy) OVER w AS pyc
+           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         p AS (SELECT traj_id,
+           CASE WHEN hr < 6 THEN 'home'
+                WHEN hr >= 9 AND hr < 17 THEN 'work' END AS regime,
+           CAST(floor((-120.0 + pxc / 1000.0) * 200.0) AS BIGINT) AS cell_x,
+           CAST(floor((36.0 + pyc / 1000.0) * 200.0) AS BIGINT) AS cell_y
+           FROM c),
+         g AS (SELECT traj_id, regime, cell_x, cell_y,
+           CAST(count(*) AS BIGINT) AS n_fixes
+           FROM p WHERE regime IS NOT NULL GROUP BY 1, 2, 3, 4),
+         r AS (SELECT *, row_number() OVER (PARTITION BY traj_id, regime
+             ORDER BY n_fixes DESC, cell_x, cell_y) AS rn FROM g)
+         SELECT traj_id, regime, cell_x, cell_y, n_fixes
+         FROM r WHERE rn = 1 ORDER BY traj_id, regime""",
     // geofence: same synthetic walk as traj_speed, same per-edge ray-cast
     // fragment as geo_pip (edge (i, i−1) wrapping), lag keeps the flips
     "traj_geofence" ->

@@ -653,4 +653,35 @@ object Trajectory {
           .as("dwell_us"))
       .filter(col("n_inside") > 0)
   }
+
+  /** Home/work anchor inference — the mobility-analytics primitive behind
+    * commute matrices and user geocoding: fixes are snapped to 0.005°
+    * cells (`floor(coord·200)`, one IEEE multiply both engines replay
+    * bit-equally), bucketed into the night (hour < 6 → "home") and
+    * business-hours (9 ≤ hour < 17 → "work") regimes, and the modal cell
+    * per (trajectory, regime) wins — ties break on (cell_x, cell_y) so the
+    * answer is deterministic. Both shuffles are key-bounded: the count
+    * aggregates raw fixes down to cells first, and the top-1 window ranks
+    * only the per-cell counts — never the 100 TB of fixes.
+    *
+    * @param points (traj_id, hour, lng, lat) fixes; hour ∈ [0, 24)
+    * @return (traj_id, regime, cell_x, cell_y, n_fixes) — regime ∈
+    *         {home, work}, one row per (traj, regime) with ≥1 fix
+    */
+  def anchors(points: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("traj_id", "regime")
+      .orderBy(col("n_fixes").desc, col("cell_x"), col("cell_y"))
+    points
+      .withColumn("regime", when(col("hour") < 6, "home")
+        .when(col("hour") >= 9 && col("hour") < 17, "work"))
+      .filter(col("regime").isNotNull)
+      .withColumn("cell_x", floor(col("lng") * lit(200.0)).cast("long"))
+      .withColumn("cell_y", floor(col("lat") * lit(200.0)).cast("long"))
+      .groupBy("traj_id", "regime", "cell_x", "cell_y")
+      .agg(count(lit(1)).as("n_fixes"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
 }
