@@ -2067,6 +2067,36 @@ object SparkEntry {
         .select("r_idx", "r", "n_pairs", "n", "k_est")
         .orderBy("r_idx")
     }),
+    // Quadrat-count dispersion audit (classic CSR χ² screen): 32×8 cells
+    // of 0.25° over the gate bbox; χ² = Σ_cells(C·nᵢ − N)² / (C·N) by
+    // cross-multiplication (empty cells contribute N² each via the closed
+    // form — no spine join). Uniform vs planted-hotspot points side by
+    // side: the number a spatial partitioner reads before deciding to
+    // salt. Exact for N ≲ 2·10⁹ points (127N squared fits a Long);
+    // beyond that, shard-stratified χ² slabs.
+    "geo_quadrat" -> ((s, dir) => {
+      val nc = 256L
+      def stat(pts: DataFrame, tag: String) = {
+        val cells = pts.selectExpr(
+            "CAST(floor((lng + 120.0D) * 8.0D) AS BIGINT) AS cx",
+            "CAST(floor((lat - 36.0D) * 4.0D) AS BIGINT) AS cy")
+          .groupBy("cx", "cy").agg(count(lit(1)).as("cnt"))
+        val tot = cells.agg(sum("cnt").cast("long").as("n_points"))
+        cells.crossJoin(broadcast(tot))
+          .groupBy("n_points")
+          .agg(count(lit(1)).as("n_occupied"),
+            sum((lit(nc) * col("cnt") - col("n_points")) *
+              (lit(nc) * col("cnt") - col("n_points"))).cast("long")
+              .as("ss_occ"))
+          .withColumn("ss", col("ss_occ") +
+            (lit(nc) - col("n_occupied")) * col("n_points") * col("n_points"))
+          .selectExpr(s"'$tag' AS dataset", "n_points", "n_occupied",
+            s"ss div ($nc * n_points) AS chi2_q")
+      }
+      stat(gatePoints(s, dir), "uniform")
+        .unionAll(stat(skewPoints(s, dir), "skewed"))
+        .orderBy("dataset")
+    }),
     // Map algebra: Lambertian hillshade (sun az 315°, alt 45°) from the same
     // central-difference gradient as geo_slope; all light-vector constants
     // are exact double literals so the oracle reproduces the value exactly.
@@ -4081,6 +4111,20 @@ object SparkEntry {
     "img_integral_box" -> ((s, dir) => {
       ops.ImageOps.integralBoxSums(gateTiles(s, "png"), nBoxes = 16)
         .orderBy("image_id", "box_id")
+    }),
+    // Laplacian-pyramid residual energy (ops.ImageOps.laplacianPyramid):
+    // per-level Σ(4·g − blocksum)² — deviation from the 2×2 block mean
+    // scaled by 4 so every value stays an exact integer; 3 levels.
+    "img_laplacian" -> ((s, dir) => {
+      ops.ImageOps.laplacianPyramid(gateTiles(s, "png"), levels = 3)
+        .orderBy("image_id", "level")
+    }),
+    // Adaptive local-mean threshold census (ops.ImageOps.adaptiveThreshold):
+    // 225·v vs 15×15 SAT box sum (division-free), interior pixels only;
+    // n_fg + contrast excess mass per image.
+    "img_adaptive_thresh" -> ((s, dir) => {
+      ops.ImageOps.adaptiveThreshold(gateTiles(s, "png"))
+        .orderBy("image_id")
     }),
     // Adaptive quadtree leaves (ops.ImageOps.quadtreeLeaves): the actual
     // split decisions at thr=770 — the synthetic field's depth-2 block
@@ -8868,6 +8912,56 @@ object SparkEntry {
            count(*) AS n_px, CAST(sum(v) AS BIGINT) AS sum_v
          FROM g GROUP BY 1, 2 ORDER BY image_id, ring""",
     "img_register" -> registerOracleSql,
+    // Laplacian pyramid: block-sum levels via integer-div GROUP BYs,
+    // residual 4·g − blocksum joined back per level
+    "img_laplacian" ->
+      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         g0 AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           r.range AS r, c.range AS c,
+           CAST(((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS BIGINT) AS v
+           FROM corners, range(0,600) r, range(0,600) c),
+         g1 AS (SELECT image_id, r//2 AS r, c//2 AS c, CAST(sum(v) AS BIGINT) AS v FROM g0 GROUP BY 1,2,3),
+         g2 AS (SELECT image_id, r//2 AS r, c//2 AS c, CAST(sum(v) AS BIGINT) AS v FROM g1 GROUP BY 1,2,3),
+         g3 AS (SELECT image_id, r//2 AS r, c//2 AS c, CAST(sum(v) AS BIGINT) AS v FROM g2 GROUP BY 1,2,3),
+         e0 AS (SELECT a.image_id, CAST(count(*) AS BIGINT) AS n_px,
+             CAST(sum((4*a.v - s.v)*(4*a.v - s.v)) AS BIGINT) AS energy
+           FROM g0 a JOIN g1 s ON s.image_id = a.image_id AND s.r = a.r//2 AND s.c = a.c//2 GROUP BY 1),
+         e1 AS (SELECT a.image_id, CAST(count(*) AS BIGINT) AS n_px,
+             CAST(sum((4*a.v - s.v)*(4*a.v - s.v)) AS BIGINT) AS energy
+           FROM g1 a JOIN g2 s ON s.image_id = a.image_id AND s.r = a.r//2 AND s.c = a.c//2 GROUP BY 1),
+         e2 AS (SELECT a.image_id, CAST(count(*) AS BIGINT) AS n_px,
+             CAST(sum((4*a.v - s.v)*(4*a.v - s.v)) AS BIGINT) AS energy
+           FROM g2 a JOIN g3 s ON s.image_id = a.image_id AND s.r = a.r//2 AND s.c = a.c//2 GROUP BY 1)
+         SELECT image_id, CAST(0 AS INT) AS level, n_px, energy FROM e0
+         UNION ALL SELECT image_id, CAST(1 AS INT), n_px, energy FROM e1
+         UNION ALL SELECT image_id, CAST(2 AS INT), n_px, energy FROM e2
+         ORDER BY image_id, level""",
+    // adaptive threshold: SAT via two chained window cumsums, four
+    // corner lookups per interior pixel, division-free 225·v vs box
+    "img_adaptive_thresh" ->
+      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         g AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           r.range AS r, c.range AS c,
+           CAST(((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS BIGINT) AS v
+           FROM corners, range(0,600) r, range(0,600) c),
+         rc AS (SELECT image_id, r, c, v,
+             sum(v) OVER (PARTITION BY image_id, r ORDER BY c) AS rcum FROM g),
+         ii AS (SELECT image_id, r, c,
+             CAST(sum(rcum) OVER (PARTITION BY image_id, c ORDER BY r) AS BIGINT) AS s FROM rc),
+         e AS (SELECT g.image_id, 225*g.v AS lhs,
+             a.s - b.s - d.s + f.s AS box
+           FROM g
+           JOIN ii a ON a.image_id = g.image_id AND a.r = g.r+7 AND a.c = g.c+7
+           JOIN ii b ON b.image_id = g.image_id AND b.r = g.r-8 AND b.c = g.c+7
+           JOIN ii d ON d.image_id = g.image_id AND d.r = g.r+7 AND d.c = g.c-8
+           JOIN ii f ON f.image_id = g.image_id AND f.r = g.r-8 AND f.c = g.c-8
+           WHERE g.r BETWEEN 8 AND 592 AND g.c BETWEEN 8 AND 592)
+         SELECT image_id, CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(CASE WHEN lhs > box THEN 1 ELSE 0 END) AS BIGINT) AS n_fg,
+           CAST(sum(CASE WHEN lhs > box THEN lhs - box ELSE 0 END) AS BIGINT) AS sum_excess
+         FROM e GROUP BY 1 ORDER BY image_id""",
     "img_haar" -> haarOracleSql,
     "img_lbp" -> lbpOracleSql,
     "img_orient_hist" -> orientOracleSql,
@@ -12214,6 +12308,41 @@ object SparkEntry {
          WHERE (tlng - plng) * (tlng - plng) + (tlat - plat) * (tlat - plat)
                <= CAST(0.05 AS DOUBLE) * CAST(0.05 AS DOUBLE)
          ORDER BY probe_id, target_id""",
+    // quadrat χ²: 256 cells, cross-multiplied Σ(256·nᵢ − N)² with the
+    // empty-cell closed form, over the uniform and skewed point sets
+    "geo_quadrat" ->
+      """WITH u AS (SELECT -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
+           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
+           FROM lineitem),
+         k AS (SELECT CASE WHEN l_orderkey % 3 = 0
+             THEN -119.0 + (((l_partkey*600 + l_suppkey) % 3000) + 0.5)/3000.0 * 0.1
+             ELSE -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 END AS lng,
+           CASE WHEN l_orderkey % 3 = 0
+             THEN 36.5 + (((l_suppkey*131 + l_linenumber) % 3000) + 0.5)/3000.0 * 0.1
+             ELSE 36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 END AS lat
+           FROM lineitem),
+         cu AS (SELECT CAST(floor((lng + 120.0)*8.0) AS BIGINT) AS cx,
+             CAST(floor((lat - 36.0)*4.0) AS BIGINT) AS cy,
+             CAST(count(*) AS BIGINT) AS cnt FROM u GROUP BY 1, 2),
+         ck AS (SELECT CAST(floor((lng + 120.0)*8.0) AS BIGINT) AS cx,
+             CAST(floor((lat - 36.0)*4.0) AS BIGINT) AS cy,
+             CAST(count(*) AS BIGINT) AS cnt FROM k GROUP BY 1, 2),
+         au AS (SELECT cnt, (SELECT CAST(sum(cnt) AS BIGINT) FROM cu) AS n FROM cu),
+         ak AS (SELECT cnt, (SELECT CAST(sum(cnt) AS BIGINT) FROM ck) AS n FROM ck),
+         ru AS (SELECT 'uniform' AS dataset, n AS n_points,
+             CAST(count(*) AS BIGINT) AS n_occupied,
+             CAST(sum((256*cnt - n)*(256*cnt - n)) AS BIGINT)
+               + (256 - CAST(count(*) AS BIGINT)) * n * n AS ss
+           FROM au GROUP BY n),
+         rk AS (SELECT 'skewed' AS dataset, n AS n_points,
+             CAST(count(*) AS BIGINT) AS n_occupied,
+             CAST(sum((256*cnt - n)*(256*cnt - n)) AS BIGINT)
+               + (256 - CAST(count(*) AS BIGINT)) * n * n AS ss
+           FROM ak GROUP BY n)
+         SELECT dataset, n_points, n_occupied,
+           ss // (256 * n_points) AS chi2_q
+         FROM (SELECT * FROM ru UNION ALL SELECT * FROM rk)
+         ORDER BY dataset""",
     // Ripley's K: brute-force ordered close pairs of the same point set at
     // r_max, classified at 4 nested radii; k_est = pairs·A/n² with A = 8
     "geo_ripley_k" ->

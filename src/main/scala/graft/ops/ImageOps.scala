@@ -816,6 +816,123 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class LapRow(image_id: String, level: Int, n_px: Long,
+                          energy: Long)
+
+  /** Laplacian-pyramid residual energy (Burt–Adelson, public): per level k
+    * the residual is `4·gₖ(r,c) − sₖ(r/2, c/2)` where sₖ is the 2×2 block
+    * SUM of gₖ and gₖ₊₁ = sₖ — i.e. deviation from the block mean scaled
+    * by 4, which keeps every value an exact integer (no mean division
+    * anywhere). Σ residual² per level is the detail-vs-approximation
+    * energy split across scales — the signal a compression/blur planner
+    * reads (blurred inputs collapse level-0 energy first). 600×600 even
+    * region, 3 levels, decode-once, ZERO shuffle, 3 rows/image.
+    */
+  def laplacianPyramid(tiles: Dataset[TileRow], levels: Int = 3): DataFrame = {
+    require(levels >= 1 && levels <= 4, s"levels in 1..4: $levels")
+    implicit val enc = Encoders.product[LapRow]
+    tiles.flatMap { tl =>
+      val d = TileCodec.decode(tl)
+      val size = d.size
+      var ext = 600 min size
+      if (ext % 2 == 1) ext -= 1
+      var g = new Array[Long](ext * ext)
+      var i = 0
+      while (i < ext) {
+        var c = 0
+        while (c < ext) { g(i * ext + c) = d.samples(i * size + c); c += 1 }
+        i += 1
+      }
+      val out = new Array[LapRow](levels)
+      var k = 0
+      var side = ext
+      while (k < levels) {
+        val half = side / 2
+        val s = new Array[Long](half * half)
+        var r = 0
+        while (r < side) {
+          var c = 0
+          while (c < side) {
+            s((r / 2) * half + c / 2) += g(r * side + c)
+            c += 1
+          }
+          r += 1
+        }
+        var energy = 0L
+        r = 0
+        while (r < side) {
+          var c = 0
+          while (c < side) {
+            val res = 4L * g(r * side + c) - s((r / 2) * half + c / 2)
+            energy += res * res
+            c += 1
+          }
+          r += 1
+        }
+        out(k) = LapRow(tl.image_id, k, side.toLong * side, energy)
+        g = s; side = half; k += 1
+      }
+      out.iterator
+    }.toDF()
+  }
+
+  final case class AdaptRow(image_id: String, n_eval: Long, n_fg: Long,
+                            sum_excess: Long)
+
+  /** Adaptive (local-mean) threshold census — the document-scan
+    * binarization audit: a pixel is foreground when it exceeds its 15×15
+    * neighbourhood mean, compared WITHOUT division (`225·v > boxsum`), so
+    * the verdict is exact integer arithmetic. Box sums come from one
+    * summed-area table per image (the integralBoxSums primitive, O(1) per
+    * window); only interior pixels with a full window are evaluated, so
+    * no clamping asymmetry enters the oracle replay. `sum_excess`
+    * accumulates `225·v − boxsum` over foreground pixels — the contrast
+    * mass a flat (low-detail) image can't fake. Decode-once, ZERO shuffle,
+    * one row/image.
+    */
+  def adaptiveThreshold(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[AdaptRow]
+    val half = 7
+    tiles.map { tl =>
+      val d = TileCodec.decode(tl)
+      val size = d.size
+      val ext = 600 min size
+      val w = ext + 1
+      val sat = new Array[Long](w * w)
+      var r = 0
+      while (r < ext) {
+        var rowSum = 0L
+        var c = 0
+        while (c < ext) {
+          rowSum += d.samples(r * size + c)
+          sat((r + 1) * w + c + 1) = sat(r * w + c + 1) + rowSum
+          c += 1
+        }
+        r += 1
+      }
+      // strict interior (half+1 .. ext-half-1): every SAT corner lookup
+      // lands on a real prefix row, so the oracle's cumsum replay needs
+      // no implicit-zero edge rows
+      var nEval = 0L; var nFg = 0L; var excess = 0L
+      r = half + 1
+      while (r < ext - half) {
+        var c = half + 1
+        while (c < ext - half) {
+          val box = sat((r + half + 1) * w + c + half + 1) -
+            sat((r - half) * w + c + half + 1) -
+            sat((r + half + 1) * w + c - half) +
+            sat((r - half) * w + c - half)
+          val lhs = 225L * d.samples(r * size + c)
+          nEval += 1
+          if (lhs > box) { nFg += 1; excess += lhs - box }
+          c += 1
+        }
+        r += 1
+      }
+      AdaptRow(tl.image_id, nEval, nFg, excess)
+    }.toDF()
+  }
+
   final case class PlaneRow(image_id: String, plane: Int, n_set: Long)
 
   /** Bit-plane population census: per bit position, how many samples have
