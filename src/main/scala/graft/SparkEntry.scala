@@ -3418,6 +3418,19 @@ object SparkEntry {
     // Fixed-round integer-exact PageRank over a supplier→part edge graph —
     // the domain/site authority weight of web-corpus curation. 3 rounds ×
     // (one rank⋈edges join + one dst-keyed sum); the edge list never moves.
+    // Per-component bipartiteness (ops.Graph.bipartite): doubled-graph
+    // reduction over the SAME connected-components machinery as the dedup
+    // endgame — family A is even→odd by construction (bipartite), family
+    // B is a dense 40-node general graph (odd cycles).
+    "graph_bipartite" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val bip = li.selectExpr("2 * (l_suppkey % 50) AS src",
+        "2 * (l_partkey % 50) + 1 AS dst")
+      val odd = li.selectExpr("200 + (l_suppkey % 40) AS src",
+        "200 + (l_partkey % 40) AS dst")
+      ops.Graph.bipartite(bip.unionAll(odd))
+        .orderBy("comp")
+    }),
     "graph_pagerank" -> ((s, dir) => {
       val edges = t(s, dir, "lineitem")
         .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
@@ -3761,6 +3774,13 @@ object SparkEntry {
     "media_clipping" -> ((s, dir) => {
       ops.MediaOps.clippingAudit(ops.MediaOps.synth(mediaMeta(s, dir)),
           thr = 120)
+        .orderBy("media_id")
+    }),
+    // Crest factor / dynamic-range audit (ops.MediaOps.crestFactor):
+    // ppm-scaled crest² = 10⁶·n·peak²/Σv², one end division — the
+    // over-compression screen next to media_clipping's saturation one.
+    "media_crest" -> ((s, dir) => {
+      ops.MediaOps.crestFactor(ops.MediaOps.synth(mediaMeta(s, dir)))
         .orderBy("media_id")
     }),
     "media_gated_loudness" -> ((s, dir) => {
@@ -4118,6 +4138,13 @@ object SparkEntry {
     "img_laplacian" -> ((s, dir) => {
       ops.ImageOps.laplacianPyramid(gateTiles(s, "png"), levels = 3)
         .orderBy("image_id", "level")
+    }),
+    // Border-vs-interior contrast (ops.ImageOps.borderContrast): 8-px
+    // frame ring vs interior mean gap in exact milli-units — the
+    // letterbox / padding / watermark-frame detector.
+    "img_border" -> ((s, dir) => {
+      ops.ImageOps.borderContrast(gateTiles(s, "png"), frame = 8)
+        .orderBy("image_id")
     }),
     // Adaptive local-mean threshold census (ops.ImageOps.adaptiveThreshold):
     // 225·v vs 15×15 SAT box sum (division-free), interior pixels only;
@@ -8573,6 +8600,35 @@ object SparkEntry {
          FROM hit ORDER BY a_id, b_id""",
     "ann_power_iteration" -> powerIterOracleSql(3),
     "ann_pca_project" -> pcaProjectOracleSql,
+    // bipartite: transitive-closure CC on the original AND doubled graphs,
+    // parity conflict = odd cycle
+    "graph_bipartite" ->
+      """WITH RECURSIVE li AS (
+           SELECT 2 * (l_suppkey % 50) AS src, 2 * (l_partkey % 50) + 1 AS dst FROM lineitem
+           UNION ALL
+           SELECT 200 + (l_suppkey % 40), 200 + (l_partkey % 40) FROM lineitem),
+         e AS (SELECT DISTINCT src AS a, dst AS b FROM li WHERE src <> dst),
+         nodes AS (SELECT DISTINCT a AS n FROM e UNION SELECT DISTINCT b FROM e),
+         reach(node, other) AS (
+           SELECT n, n FROM nodes
+           UNION
+           SELECT r.node, CASE WHEN e.a = r.other THEN e.b ELSE e.a END
+           FROM reach r JOIN e ON e.a = r.other OR e.b = r.other),
+         uc AS (SELECT node, min(other) AS comp FROM reach GROUP BY 1),
+         de AS (SELECT 2*a AS a, 2*b+1 AS b FROM e UNION ALL SELECT 2*a+1, 2*b FROM e),
+         dn AS (SELECT 2*n AS n FROM nodes UNION ALL SELECT 2*n+1 FROM nodes),
+         dreach(node, other) AS (
+           SELECT n, n FROM dn
+           UNION
+           SELECT r.node, CASE WHEN de.a = r.other THEN de.b ELSE de.a END
+           FROM dreach r JOIN de ON de.a = r.other OR de.b = r.other),
+         dc AS (SELECT node, min(other) AS comp FROM dreach GROUP BY 1),
+         confl AS (SELECT node // 2 AS n, count(DISTINCT comp) = 1 AS odd
+           FROM dc GROUP BY 1)
+         SELECT uc.comp, CAST(count(*) AS BIGINT) AS n_nodes,
+           max(CASE WHEN confl.odd THEN 1 ELSE 0 END) = 0 AS is_bipartite
+         FROM uc JOIN confl ON confl.n = uc.node
+         GROUP BY 1 ORDER BY comp""",
     "graph_pagerank" -> pagerankOracleSql,
     "graph_ppr" -> pprOracleSql,
     // 6 unrolled batched-BFS rounds keyed (src0, node); harmonic terms
@@ -8937,6 +8993,24 @@ object SparkEntry {
          UNION ALL SELECT image_id, CAST(1 AS INT), n_px, energy FROM e1
          UNION ALL SELECT image_id, CAST(2 AS INT), n_px, energy FROM e2
          ORDER BY image_id, level""",
+    // border ring vs interior, cross-multiplied milli-unit mean gap
+    "img_border" ->
+      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         g AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           (r.range < 8 OR r.range >= 592 OR c.range < 8 OR c.range >= 592) AS brd,
+           CAST(((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS BIGINT) AS v
+           FROM corners, range(0,600) r, range(0,600) c),
+         a AS (SELECT image_id,
+             CAST(sum(CASE WHEN brd THEN 1 ELSE 0 END) AS BIGINT) AS n_border,
+             CAST(sum(CASE WHEN brd THEN v ELSE 0 END) AS BIGINT) AS sum_border,
+             CAST(sum(CASE WHEN brd THEN 0 ELSE 1 END) AS BIGINT) AS n_inner,
+             CAST(sum(CASE WHEN brd THEN 0 ELSE v END) AS BIGINT) AS sum_inner
+           FROM g GROUP BY 1)
+         SELECT image_id, n_border, sum_border, n_inner, sum_inner,
+           (1000 * abs(sum_border * n_inner - sum_inner * n_border))
+             // (n_border * n_inner) AS contrast_mil
+         FROM a ORDER BY image_id""",
     // adaptive threshold: SAT via two chained window cumsums, four
     // corner lookups per interior pixel, division-free 225·v vs box
     "img_adaptive_thresh" ->
@@ -10465,6 +10539,21 @@ object SparkEntry {
          FROM w ORDER BY media_id, win_no""",
     // closed-form byte stream; runs via one lag window (run starts) + a
     // running sum of starts as the run id
+    // crest: closed-form byte stream, one end floor-division
+    "media_crest" ->
+      """WITH m AS (SELECT s_suppkey AS media_id,
+           4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),
+         s AS (SELECT media_id, n_bytes, unnest(range(0, n_bytes)) AS k FROM m),
+         v AS (SELECT media_id, n_bytes, ((media_id*31 + k*7) % 256) - 128 AS v FROM s),
+         a AS (SELECT media_id, CAST(max(n_bytes) AS BIGINT) AS n_samp,
+             CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+             CAST(sum(v*v) AS BIGINT) AS sum_sq
+           FROM v GROUP BY 1)
+         SELECT CAST(media_id AS BIGINT) AS media_id, n_samp, peak_abs, sum_sq,
+           CASE WHEN sum_sq > 0
+             THEN (1000000 * n_samp * peak_abs * peak_abs) // sum_sq
+             ELSE CAST(0 AS BIGINT) END AS crest_ppm
+         FROM a ORDER BY media_id""",
     "media_clipping" ->
       """WITH m AS (SELECT s_suppkey AS media_id,
            4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),

@@ -833,4 +833,43 @@ object Graph {
         sum("q").as("ext_qty"),
         max("depth").cast("bigint").as("max_depth"))
   }
+
+  /** Per-component bipartiteness by the doubled-graph reduction: every
+    * edge (u, v) becomes (2u, 2v+1) and (2u+1, 2v); the original component
+    * of v contains an odd cycle iff 2v and 2v+1 land in the SAME doubled
+    * component (walking an odd cycle flips parity back onto yourself).
+    * Both component maps reuse [[TextDedup.connectedComponents]] — the
+    * same O(diameter)-round min-label propagation the dedup endgame runs,
+    * so scale behavior is inherited, not re-derived. The verdict gates
+    * 2-coloring (conflict-free user/item splits, signed-graph balance,
+    * crawl frontier layering) before anything downstream assumes it.
+    *
+    * @param edges (src, dst) undirected pairs
+    * @return (comp, n_nodes, is_bipartite) — comp = min node id of the
+    *         original component
+    */
+  def bipartite(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val e = edges.select(col("src").as("doc_a"), col("dst").as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b")).distinct()
+      .localCheckpoint(false)
+    val nodes = e.select(col("doc_a").as("doc_id"))
+      .unionAll(e.select(col("doc_b").as("doc_id"))).distinct()
+      .localCheckpoint(false)
+    val ucomp = TextDedup.connectedComponents(e, nodes, maxRounds)
+    val doubled = e.select((col("doc_a") * 2).as("doc_a"),
+        (col("doc_b") * 2 + 1).as("doc_b"))
+      .unionAll(e.select((col("doc_a") * 2 + 1).as("doc_a"),
+        (col("doc_b") * 2).as("doc_b")))
+    val dnodes = nodes.select((col("doc_id") * 2).as("doc_id"))
+      .unionAll(nodes.select((col("doc_id") * 2 + 1).as("doc_id")))
+    val dcomp = TextDedup.connectedComponentsStar(doubled, dnodes)
+    val conflict = dcomp
+      .select(expr("doc_id div 2").as("doc_id"), col("comp"))
+      .groupBy("doc_id")
+      .agg((countDistinct("comp") === 1).as("odd"))
+    ucomp.join(conflict, Seq("doc_id"))
+      .groupBy("comp")
+      .agg(count(lit(1)).as("n_nodes"),
+        (max(col("odd").cast("int")) === 0).as("is_bipartite"))
+  }
 }

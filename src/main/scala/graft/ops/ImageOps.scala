@@ -933,6 +933,45 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class BorderRow(image_id: String, n_border: Long,
+                             sum_border: Long, n_inner: Long,
+                             sum_inner: Long, contrast_mil: Long)
+
+  /** Border-vs-interior contrast — the letterbox / padding / watermark-
+    * frame detector a training-image curation pass runs before cropping:
+    * pixels in the `frame`-wide border ring are summed against the
+    * interior, and the absolute mean difference is reported in exact
+    * milli-units by cross-multiplication
+    * (`⌊1000·|Σb·nᵢ − Σᵢ·n_b| / (n_b·nᵢ)⌋` — no float mean anywhere).
+    * Synthetic/natural images sit near 0; a padded or letterboxed image
+    * jumps by the pad-vs-content gap. Decode-once, ZERO shuffle, one
+    * row/image.
+    */
+  def borderContrast(tiles: Dataset[TileRow], frame: Int = 8): DataFrame = {
+    require(frame > 0, s"frame must be > 0: $frame")
+    implicit val enc = Encoders.product[BorderRow]
+    tiles.map { tl =>
+      val d = TileCodec.decode(tl)
+      val size = d.size
+      val ext = 600 min size
+      var nb = 0L; var sb = 0L; var ni = 0L; var si = 0L
+      var r = 0
+      while (r < ext) {
+        var c = 0
+        val rowBorder = r < frame || r >= ext - frame
+        while (c < ext) {
+          val v = d.samples(r * size + c).toLong
+          if (rowBorder || c < frame || c >= ext - frame) { nb += 1; sb += v }
+          else { ni += 1; si += v }
+          c += 1
+        }
+        r += 1
+      }
+      val diff = math.abs(sb * ni - si * nb)
+      BorderRow(tl.image_id, nb, sb, ni, si, 1000L * diff / (nb * ni))
+    }.toDF()
+  }
+
   final case class PlaneRow(image_id: String, plane: Int, n_set: Long)
 
   /** Bit-plane population census: per bit position, how many samples have

@@ -177,6 +177,38 @@ object MediaOps {
     }.toDF()
   }
 
+  final case class CrestRow(media_id: Long, n_samp: Long, peak_abs: Long,
+                            sum_sq: Long, crest_ppm: Long)
+
+  /** Crest factor (peak-to-RMS dynamic range) in exact integers:
+    * `crest_ppm = ⌊10⁶ · n · peak² / Σv²⌋` — crest² scaled to ppm with the
+    * division done once at the end, so engine and oracle replay the same
+    * value bit-for-bit. The mastering/compression audit: heavily limited
+    * (over-compressed) audio shows crest² → 1–2, natural speech ≫ that;
+    * paired with [[clippingAudit]] it separates "loud" from "damaged".
+    * One map-only pass per medium, ZERO shuffle, one row/media.
+    */
+  def crestFactor(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        var peak = 0L; var ss = 0L
+        var i = 0
+        while (i < m.bytes.length) {
+          val v = ((m.bytes(i) & 0xff) - 128).toLong
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          ss += v * v
+          i += 1
+        }
+        val n = m.bytes.length.toLong
+        val crest = if (ss > 0L) 1000000L * n * peak * peak / ss else 0L
+        CrestRow(m.media_id, n, peak, ss, crest)
+      }
+    }.toDF()
+  }
+
   /** Voice-activity-style segment merging: active windows whose indices
     * are within `gap` inactive windows of each other coalesce into ONE
     * segment — the VAD / silence-splitting primitive that turns a
