@@ -2130,6 +2130,18 @@ object SparkEntry {
     "geo_flowaccum" -> ((s, dir) => {
       ops.FlowGraph.accumulation(d8SuccGrid(s)).orderBy("cell")
     }),
+    // Strahler stream order (ops.FlowGraph.strahler): the hydrology
+    // branch-ranking classic over a deterministic binary flow tree
+    // (child → child div 2) whose node set comes from orders — leaves
+    // order 1, promote at ≥2 max-order children; bottom-up rounds = tree
+    // height. The oracle unrolls the same 9 rounds as chained CTEs.
+    "geo_strahler" -> ((s, dir) => {
+      val e = t(s, dir, "orders")
+        .selectExpr("o_orderkey % 199 + 1 AS child")
+        .distinct()
+        .selectExpr("child", "child div 2 AS parent")
+      ops.FlowGraph.strahler(e).orderBy("node")
+    }),
     // Basin areas: the watershed labels rolled up per sink — how much of
     // the grid drains to each outlet (downstream composition of the
     // pointer-doubled labels).
@@ -2513,6 +2525,35 @@ object SparkEntry {
     // Peak event rate (burst / rate-limit audit): max events in any
     // trailing 1-hour window per user — ONE keyed range-frame window on
     // exact epoch micros, the sliding-window load profile.
+    // Token-bucket rate-limiter replay (capacity 5 tokens, 1 token/10 s,
+    // µs-integer state): per-user ordered fold via the codegen'd
+    // aggregate() HOF — state bounded per user, partial-agg collect, the
+    // API-abuse / throttling audit. DuckDB replays the identical fold
+    // with list_reduce.
+    "events_token_bucket" -> ((s, dir) => {
+      val cap = 50000000L; val cost = 10000000L
+      def refill = s"LEAST(CAST($cap AS BIGINT), acc.tok + " +
+        "(CASE WHEN acc.p < CAST(0 AS BIGINT) THEN CAST(0 AS BIGINT) " +
+        "ELSE x.ts_us - acc.p END))"
+      t(s, dir, "events").filter(col("user_id") < 100)
+        .selectExpr("user_id",
+          "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us", "event_id")
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("ts_us"), col("event_id"))))
+          .as("evs"))
+        .selectExpr("user_id", "CAST(size(evs) AS BIGINT) AS n_events",
+          s"""aggregate(evs,
+             named_struct('p', CAST(-1 AS BIGINT), 'tok', CAST($cap AS BIGINT), 'rej', CAST(0 AS BIGINT)),
+             (acc, x) -> named_struct(
+               'p', x.ts_us,
+               'tok', CASE WHEN $refill >= CAST($cost AS BIGINT)
+                      THEN $refill - CAST($cost AS BIGINT) ELSE $refill END,
+               'rej', acc.rej + CASE WHEN $refill >= CAST($cost AS BIGINT)
+                      THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END)) AS st""")
+        .selectExpr("user_id", "n_events", "st.rej AS n_rejected",
+          "st.tok AS tokens_left_us")
+        .orderBy("user_id")
+    }),
     "events_peak_rate" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
         .orderBy("tus").rangeBetween(-3599999999L, 0L)
@@ -4403,6 +4444,26 @@ object SparkEntry {
     // two key-bounded aggs, no joins.
     "text_simpson" -> ((s, dir) => {
       ops.Curation.simpson(t(s, dir, "documents"), col("text"))
+        .orderBy("doc_id")
+    }),
+    // OCR-garbage screen: per-word max consonant run via an 8-step RLIKE
+    // ladder (identical regex classes both engines), garbage = run ≥ 4;
+    // doc_id % 13 docs get planted garbage tokens so the gate has signal.
+    "text_ocr_garbage" -> ((s, dir) => {
+      val ladder = (8 to 1 by -1).map(k =>
+        s"WHEN w RLIKE '[bcdfghjklmnpqrstvwxyz]{$k}' THEN $k")
+        .mkString("CASE ", " ", " ELSE 0 END")
+      t(s, dir, "documents")
+        .selectExpr("doc_id",
+          "CASE WHEN doc_id % 13 = 0 THEN text || ' xqzvwm kkkkk ok' ELSE text END AS t2")
+        .select(col("doc_id"),
+          explode(split(lower(col("t2")), "[^a-z]+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .withColumn("run", expr(ladder))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), max("run").as("max_run"),
+          sum(when(col("run") >= 4, 1L).otherwise(0L)).as("n_garbage"))
+        .withColumn("garbage_ppm", expr("n_garbage * 1000000 div n_words"))
         .orderBy("doc_id")
     }),
     "text_stats" -> ((s, dir) => {
@@ -8544,6 +8605,32 @@ object SparkEntry {
     "geo_flowdir" -> flowdirOracleSql,
     "geo_watershed" -> watershedOracleSql,
     "geo_flowaccum" -> flowaccumOracleSql,
+    // strahler: 9 unrolled bottom-up rounds; per round, parents whose
+    // children are all assigned take max(child) (+1 on a ≥2-way tie).
+    // The per-round CTEs MUST be MATERIALIZED: inlined, a9's expansion
+    // re-reads the orders parquet exponentially many times (fd blowup).
+    "geo_strahler" -> {
+      val rounds = (1 to 9).map { k =>
+        s"""c$k AS MATERIALIZED (SELECT e.parent AS node, a.ord
+             FROM e LEFT JOIN a${k - 1} a ON a.node = e.child),
+           g$k AS (SELECT node, count(*) AS nc, count(ord) AS na, max(ord) AS mo
+             FROM c$k GROUP BY 1),
+           t$k AS (SELECT g.node, g.mo,
+               sum(CASE WHEN c.ord = g.mo THEN 1 ELSE 0 END) AS ct
+             FROM g$k g JOIN c$k c ON c.node = g.node
+             WHERE g.nc = g.na AND g.node NOT IN (SELECT node FROM a${k - 1})
+             GROUP BY 1, 2),
+           a$k AS MATERIALIZED (SELECT * FROM a${k - 1} UNION ALL
+             SELECT node, mo + CASE WHEN ct >= 2 THEN 1 ELSE 0 END FROM t$k)"""
+      }.mkString(",\n         ")
+      s"""WITH ch AS MATERIALIZED (SELECT DISTINCT o_orderkey % 199 + 1 AS child FROM orders),
+         e AS MATERIALIZED (SELECT child, child // 2 AS parent FROM ch WHERE child <> child // 2),
+         nodes AS (SELECT child AS node FROM e UNION SELECT parent FROM e),
+         a0 AS (SELECT node, CAST(1 AS BIGINT) AS ord FROM nodes
+           WHERE node NOT IN (SELECT parent FROM e)),
+         $rounds
+         SELECT node, CAST(ord AS BIGINT) AS strahler_ord FROM a9 ORDER BY node"""
+    },
     "geo_basin_size" ->
       s"""SELECT sink, CAST(count(*) AS BIGINT) AS n_cells
          FROM ($watershedOracleSql) GROUP BY 1 ORDER BY 1""",
@@ -12137,6 +12224,33 @@ object SparkEntry {
            CAST(max(ee) - min(ss) AS BIGINT) AS span
          FROM segs GROUP BY 1 ORDER BY user_id""",
     // trailing 1h range-frame count per user, then the per-user max
+    // token bucket: identical µs-integer fold via list_reduce with a
+    // prepended init sentinel
+    "events_token_bucket" -> {
+      def refill = "least(CAST(50000000 AS BIGINT), acc.tok + " +
+        "CASE WHEN acc.p < CAST(0 AS BIGINT) THEN CAST(0 AS BIGINT) " +
+        "ELSE x.p - acc.p END)"
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+           FROM events WHERE user_id < 100),
+         l AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             list(struct_pack(ts_us := ts_us, event_id := event_id)
+               ORDER BY ts_us, event_id) AS evs
+           FROM e GROUP BY 1),
+         f AS (SELECT user_id, n_events,
+             list_reduce(list_prepend(
+               struct_pack(p := CAST(-1 AS BIGINT), tok := CAST(50000000 AS BIGINT), rej := CAST(0 AS BIGINT)),
+               list_transform(evs, y -> struct_pack(p := y.ts_us, tok := CAST(0 AS BIGINT), rej := CAST(0 AS BIGINT)))),
+               (acc, x) -> struct_pack(
+                 p := x.p,
+                 tok := CASE WHEN $refill >= CAST(10000000 AS BIGINT)
+                        THEN $refill - CAST(10000000 AS BIGINT) ELSE $refill END,
+                 rej := acc.rej + CASE WHEN $refill >= CAST(10000000 AS BIGINT)
+                        THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END)) AS st
+           FROM l)
+         SELECT user_id, n_events, st.rej AS n_rejected,
+           st.tok AS tokens_left_us
+         FROM f ORDER BY user_id"""
+    },
     "events_peak_rate" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
          c AS (SELECT user_id,
@@ -12474,6 +12588,25 @@ object SparkEntry {
            (0.0 + (x0+x1)*cr0 + (x1+x2)*cr1 + (x2+x0)*cr2) / (3.0 * (0.0 + cr0 + cr1 + cr2)) AS cxc,
            (0.0 + (y0+y1)*cr0 + (y1+y2)*cr1 + (y2+y0)*cr2) / (3.0 * (0.0 + cr0 + cr1 + cr2)) AS cyc
          FROM c ORDER BY poly_id""",
+    // ocr garbage: same planted tokens, same regex ladder via
+    // regexp_matches, same ppm floor division
+    "text_ocr_garbage" -> {
+      val ladder = (8 to 1 by -1).map(k =>
+        s"WHEN regexp_matches(w, '[bcdfghjklmnpqrstvwxyz]{$k}') THEN $k")
+        .mkString("CASE ", " ", " ELSE 0 END")
+      s"""WITH d AS (SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN text || ' xqzvwm kkkkk ok' ELSE text END AS t2
+           FROM documents),
+         w AS (SELECT doc_id, unnest(string_split_regex(lower(t2), '[^a-z]+')) AS w FROM d),
+         r AS (SELECT doc_id, $ladder AS run FROM w WHERE len(w) > 0),
+         a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             max(run) AS max_run,
+             CAST(sum(CASE WHEN run >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_garbage
+           FROM r GROUP BY 1)
+         SELECT doc_id, n_words, max_run, n_garbage,
+           (n_garbage * 1000000) // n_words AS garbage_ppm
+         FROM a ORDER BY doc_id"""
+    },
     "text_stats" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

@@ -100,4 +100,62 @@ object FlowGraph {
       .select(col("cell"),
         (coalesce(col("ups"), lit(0L)) + lit(1L)).as("acc"))
   }
+
+  /** Strahler stream order over a flow tree (Strahler 1957, public) — the
+    * hydrology classic that ranks a drainage network's branches: leaves
+    * are order 1; an internal node takes its children's max order m,
+    * promoted to m+1 exactly when ≥2 children attain m. Computed
+    * bottom-up in synchronized rounds: each round assigns every node
+    * whose children are ALL assigned, so round count = tree height (a
+    * drainage tree's height is O(log n) for natural branching; the guard
+    * throws rather than spin on a degenerate chain). Per round: one
+    * children-join + two key-bounded aggs — no driver-side tree walk,
+    * every round's work is proportional to the still-unassigned frontier.
+    *
+    * @param edges (child, parent) — a forest (each child one parent)
+    * @return (node, strahler_ord) for every node in the forest
+    */
+  def strahler(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val e = edges.select(col("child"), col("parent"))
+      .filter(col("child") =!= col("parent")).distinct()
+      .localCheckpoint(false)
+    val nodes = e.select(col("child").as("node"))
+      .unionAll(e.select(col("parent").as("node"))).distinct()
+      .localCheckpoint(false)
+    val parents = e.select(col("parent").as("node")).distinct()
+    var assigned = nodes.join(parents, Seq("node"), "left_anti")
+      .select(col("node"), lit(1L).as("strahler_ord"))
+      .localCheckpoint(false)
+    var remaining = nodes.join(assigned, Seq("node"), "left_anti").count()
+    var rounds = 0
+    while (remaining > 0) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"strahler: no fixpoint after $maxRounds rounds — tree height " +
+            "exceeds the guard (degenerate chain?); raise maxRounds")
+      // two-phase: ready parents (all children assigned), then count of
+      // children attaining the max order
+      val ready = e.join(assigned.select(col("node").as("child"),
+          col("strahler_ord").as("ord")), Seq("child"), "left")
+        .groupBy(col("parent").as("node"))
+        .agg(count(lit(1)).as("nc"), count(col("ord")).as("na"),
+          max("ord").as("mo"))
+        .filter(col("nc") === col("na"))
+        .join(assigned.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint(false)
+      val newly = e.join(assigned.select(col("node").as("child"),
+          col("strahler_ord").as("ord")), Seq("child"))
+        .join(ready.select(col("node").as("parent"), col("mo")), Seq("parent"))
+        .filter(col("ord") === col("mo"))
+        .groupBy(col("parent").as("node"), col("mo"))
+        .agg(count(lit(1)).as("ct"))
+        .select(col("node"),
+          (col("mo") + when(col("ct") >= 2, 1L).otherwise(0L))
+            .as("strahler_ord"))
+      assigned = assigned.unionAll(newly).localCheckpoint(false)
+      remaining -= newly.count()
+      rounds += 1
+    }
+    assigned
+  }
 }

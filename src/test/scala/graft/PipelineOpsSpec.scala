@@ -1405,6 +1405,33 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     (0 until n).foreach(i => assert(got(i.toLong) == exp(i), s"cell $i"))
   }
 
+  test("strahler: round-synchronized orders equal the recursive definition") {
+    import spark.implicits._
+    // a deterministic forest: parent(i) = i / 2 for i in 1..n (binary tree
+    // rooted at 1, with 0 isolated via self-loop filter) plus an irregular
+    // tail so not every internal node has exactly 2 children
+    val children = (2 to 300) ++ Seq(601, 602, 603).map(_ => 300)
+    val edges = ((2 to 300).map(i => (i.toLong, (i / 2).toLong)) ++
+      Seq((601L, 150L), (602L, 150L), (603L, 150L)))
+    val got = graft.ops.FlowGraph.strahler(edges.toDF("child", "parent"))
+      .as[(Long, Long)].collect().toMap
+    val kids = edges.groupBy(_._2).map { case (p, es) => p -> es.map(_._1) }
+    def ord(v: Long): Long = kids.get(v) match {
+      case None => 1L
+      case Some(cs) =>
+        val os = cs.map(ord); val m = os.max
+        if (os.count(_ == m) >= 2) m + 1 else m
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.foreach(v => assert(got(v) == ord(v), s"node $v"))
+    assert(got.size == nodes.size)
+    // a chain deeper than the guard must fail fast, not spin
+    val chain = (1 to 30).map(i => (i.toLong, (i - 1).toLong)).toDF("child", "parent")
+    intercept[IllegalStateException] {
+      graft.ops.FlowGraph.strahler(chain, maxRounds = 5).collect()
+    }
+  }
+
   test("convexHull: minimal vertex set equals the Caratheodory brute force") {
     val rnd = new scala.util.Random(41)
     // grids force duplicates and collinear triples — the degenerate cases
