@@ -2554,6 +2554,34 @@ object SparkEntry {
           "st.tok AS tokens_left_us")
         .orderBy("user_id")
     }),
+    // Peak interval concurrency (line sweep): per event_type the maximum
+    // number of simultaneously-open intervals (same 2–16 min event
+    // intervals as events_interval_union) — the capacity-planning number
+    // interval_union's coverage sum cannot give. ±1 sweep points, ONE
+    // keyed window running sum ([s,e) semantics: ends sort before starts
+    // at a shared instant, so touching intervals never double-count),
+    // peak_at = earliest µs instant attaining the peak. One shuffle on
+    // event_type; state per row is one Long.
+    "events_concurrency" -> ((s, dir) => {
+      val iv = t(s, dir, "events").selectExpr("event_type", "event_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS st",
+        "unix_micros(CAST(ts AS TIMESTAMP)) + ((event_id % 7) + 1) * 120000000 AS en")
+      val pts = iv.selectExpr("event_type", "st AS t",
+          "CAST(1 AS BIGINT) AS delta", "event_id")
+        .unionAll(iv.selectExpr("event_type", "en AS t",
+          "CAST(-1 AS BIGINT) AS delta", "event_id"))
+      val wRun = Window.partitionBy("event_type")
+        .orderBy(col("t"), col("delta"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("event_type")
+      pts.withColumn("cur", sum("delta").over(wRun))
+        .withColumn("mx", max(col("cur")).over(wAll))
+        .groupBy("event_type")
+        .agg(sum(when(col("delta") === 1, lit(1L))).as("n_intervals"),
+          max(col("cur")).as("peak_concurrency"),
+          min(when(col("cur") === col("mx"), col("t"))).as("peak_at"))
+        .orderBy("event_type")
+    }),
     "events_peak_rate" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
         .orderBy("tus").rangeBetween(-3599999999L, 0L)
@@ -3472,6 +3500,22 @@ object SparkEntry {
       ops.Graph.bipartite(bip.unionAll(odd))
         .orderBy("comp")
     }),
+    // Critical-path levels in a DAG (ops.Graph.longestPathLevels): the
+    // earliest wave each task of a layered dependency graph can start in
+    // (longest-path depth; max level = the critical path bounding
+    // wall-clock under infinite parallelism — the build/ETL scheduler
+    // read). Bellman-style MAX relaxation, one edges⋈levels join + two
+    // key-bounded aggs per round, rounds = graph depth (9 here: layer of
+    // src = o_orderkey % 8, dst one-or-two layers up, so strictly
+    // acyclic). The oracle unrolls the same 9 rounds as MATERIALIZED
+    // CTEs.
+    "graph_critical_path" -> ((s, dir) => {
+      val e = t(s, dir, "orders").selectExpr(
+        "(o_orderkey % 8) * 100 + (o_custkey % 20) AS src",
+        """((o_orderkey % 8) + 1 + CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) * 100
+           + ((o_custkey * 7 + o_orderkey) % 20) AS dst""")
+      ops.Graph.longestPathLevels(e, rounds = 9).orderBy("node")
+    }),
     "graph_pagerank" -> ((s, dir) => {
       val edges = t(s, dir, "lineitem")
         .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
@@ -4100,6 +4144,18 @@ object SparkEntry {
     // Decode-once, zero shuffle; the oracle unrolls the 19 DP rounds.
     "img_seam" -> ((s, dir) => {
       ops.ImageOps.seamEnergy(gateTiles(s, "png"), block = 30)
+        .orderBy("image_id")
+    }),
+    // Projection-profile deskew estimate (ops.ImageOps.deskew, Postl's
+    // method): per integer shear candidate s ∈ [-3, 3] the energy Σp² of
+    // the sheared row-projection (bucket = ((r+3)·size + s·c) div size,
+    // offset keeps the numerator non-negative so trunc = floor on both
+    // engines); the skew estimate is the argmax shear, flat_score (s = 0)
+    // alongside for the alignment-gain read. The scanned-page ingest step
+    // before OCR/layout. Decode-once, zero shuffle; the oracle replays
+    // every sheared bucket from the closed-form grid.
+    "img_deskew" -> ((s, dir) => {
+      ops.ImageOps.deskew(gateTiles(s, "png"), maxShear = 3)
         .orderBy("image_id")
     }),
     // Radial intensity profile (ops.ImageOps.radialProfile): n_px + exact
@@ -8716,6 +8772,29 @@ object SparkEntry {
            max(CASE WHEN confl.odd THEN 1 ELSE 0 END) = 0 AS is_bipartite
          FROM uc JOIN confl ON confl.n = uc.node
          GROUP BY 1 ORDER BY comp""",
+    // 9 unrolled MAX-relaxation rounds; MATERIALIZED so a9's expansion
+    // doesn't re-read the orders parquet exponentially many times
+    "graph_critical_path" -> {
+      val rounds = (1 to 9).map { k =>
+        s"""a$k AS MATERIALIZED (
+             SELECT n.node, GREATEST(n.lvl, coalesce(c.m, CAST(0 AS BIGINT))) AS lvl
+             FROM a${k - 1} n LEFT JOIN (
+               SELECT e.dst AS node, max(a.lvl) + 1 AS m
+               FROM e JOIN a${k - 1} a ON a.node = e.src GROUP BY 1) c
+             ON c.node = n.node)"""
+      }.mkString(",\n         ")
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT
+           (o_orderkey % 8) * 100 + (o_custkey % 20) AS src,
+           ((o_orderkey % 8) + 1 + CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) * 100
+             + ((o_custkey * 7 + o_orderkey) % 20) AS dst
+           FROM orders WHERE (o_orderkey % 8) * 100 + (o_custkey % 20) <>
+             ((o_orderkey % 8) + 1 + CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) * 100
+             + ((o_custkey * 7 + o_orderkey) % 20)),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         a0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS lvl FROM nodes),
+         $rounds
+         SELECT node, lvl FROM a9 ORDER BY node"""
+    },
     "graph_pagerank" -> pagerankOracleSql,
     "graph_ppr" -> pprOracleSql,
     // 6 unrolled batched-BFS rounds keyed (src0, node); harmonic terms
@@ -11082,6 +11161,28 @@ object SparkEntry {
          SELECT image_id, n_runs_h, max_run_h, ss_run_h,
            n_runs_v, max_run_v, ss_run_v
          FROM hh JOIN vv USING (image_id) ORDER BY image_id""",
+    // every (shear, sheared-row bucket) partial sum from the closed form;
+    // trunc-div = floor since the numerator is offset non-negative
+    "img_deskew" ->
+      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         shears(s) AS (VALUES (-3),(-2),(-1),(0),(1),(2),(3)),
+         g AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           r.range AS r, c.range AS c,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range
+             + ((c.range//8)*(r.range//8)) % 32 AS v
+           FROM corners, range(0,601) r, range(0,601) c),
+         b AS (SELECT image_id, s, ((r + 3) * 601 + s * c) // 601 AS bkt,
+             CAST(sum(v) AS BIGINT) AS p
+           FROM g, shears GROUP BY 1, 2, 3),
+         sc AS (SELECT image_id, s, CAST(sum(p * p) AS BIGINT) AS score
+           FROM b GROUP BY 1, 2),
+         best AS (SELECT image_id, CAST(s AS INT) AS best_shear,
+             score AS best_score FROM sc
+           QUALIFY row_number() OVER (PARTITION BY image_id ORDER BY score DESC, s) = 1)
+         SELECT image_id, best_shear, best_score, f.score AS flat_score
+         FROM best JOIN (SELECT image_id, score FROM sc WHERE s = 0) f USING (image_id)
+         ORDER BY image_id""",
     // both projection profiles as GROUP BYs; argmax via QUALIFY with the
     // smallest-index tiebreak
     "img_projections" ->
@@ -12223,6 +12324,25 @@ object SparkEntry {
            CAST(sum(ee - ss) AS BIGINT) AS covered,
            CAST(max(ee) - min(ss) AS BIGINT) AS span
          FROM segs GROUP BY 1 ORDER BY user_id""",
+    // ±1 sweep points, running sum with ends-before-starts tie order,
+    // peak + earliest instant attaining it
+    "events_concurrency" ->
+      """WITH iv AS (SELECT event_type, event_id, epoch_us(ts) AS st,
+           epoch_us(ts) + ((event_id % 7) + 1) * 120000000 AS en FROM events),
+         pts AS (SELECT event_type, st AS t, CAST(1 AS BIGINT) AS delta, event_id FROM iv
+           UNION ALL
+           SELECT event_type, en, CAST(-1 AS BIGINT), event_id FROM iv),
+         c AS (SELECT event_type, t, delta,
+             CAST(sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cur
+           FROM pts),
+         m AS (SELECT event_type, t, delta, cur,
+             max(cur) OVER (PARTITION BY event_type) AS mx FROM c)
+         SELECT event_type,
+           CAST(sum(CASE WHEN delta = 1 THEN 1 END) AS BIGINT) AS n_intervals,
+           max(cur) AS peak_concurrency,
+           min(CASE WHEN cur = mx THEN t END) AS peak_at
+         FROM m GROUP BY 1 ORDER BY event_type""",
     // trailing 1h range-frame count per user, then the per-user max
     // token bucket: identical µs-integer fold via list_reduce with a
     // prepended init sentinel

@@ -872,4 +872,42 @@ object Graph {
       .agg(count(lit(1)).as("n_nodes"),
         (max(col("odd").cast("int")) === 0).as("is_bipartite"))
   }
+
+  /** Longest-path level per node in a DAG — the critical-path depth a
+    * build/ETL scheduler reads (level k ⇒ the task can start no earlier
+    * than wave k; max level = the critical path length that bounds
+    * wall-clock under infinite parallelism). Computed by Bellman-style
+    * MAX-relaxation: d_k(v) = max(d_{k-1}(v), max over edges (u,v) of
+    * d_{k-1}(u) + 1), d_0 ≡ 0 — after `rounds` ≥ the longest chain the
+    * fixpoint is exact (sources stay 0). Cycles are the caller's contract
+    * (a cycle would keep relaxing; `rounds` bounds the damage rather than
+    * hanging).
+    *
+    * 100 TB shape: each round is ONE edges⋈levels equi-join + a key-bounded
+    * max-agg + a left-join — all shuffles keyed on node ids, state is one
+    * Long per node, rounds = graph depth (layered DAGs: O(10¹)). No driver
+    * walk, no frontier collect.
+    *
+    * @param edges (src, dst) directed; self-loops dropped
+    * @param rounds ≥ longest chain length for an exact answer
+    * @return (node, lvl)
+    */
+  def longestPathLevels(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+    var lvl = nodes.withColumn("lvl", lit(0L)).localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      val cand = e.join(lvl.select(col("node").as("src"), col("lvl")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(max(col("lvl") + lit(1L)).as("clvl"))
+      lvl = lvl.join(cand, Seq("node"), "left")
+        .select(col("node"),
+          greatest(col("lvl"), coalesce(col("clvl"), lit(0L))).as("lvl"))
+        .localCheckpoint(false)
+    }
+    lvl
+  }
 }

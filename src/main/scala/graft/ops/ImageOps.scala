@@ -2264,4 +2264,59 @@ object ImageOps {
       }
     }.toDF()
   }
+
+  /** Projection-profile deskew estimate (Postl's method, public): for each
+    * integer shear candidate s in [-maxShear, maxShear], pixels are bucketed
+    * to the sheared row index `((r + maxShear)·size + s·c) div size` (the
+    * +maxShear offset keeps the numerator non-negative so trunc-div = floor
+    * on both engines) and the candidate's score is the energy of the sheared
+    * row-projection, `Σ_buckets p²` — text/structure rows align under the
+    * correct shear and maximize the profile energy. Exact Long integers end
+    * to end; the estimate is the argmax shear (smallest-s tie-break).
+    *
+    * 100 TB shape: decode-once mapPartitions, zero shuffle, one output row
+    * per image; per-image work is (2·maxShear+1)·size² integer adds. The
+    * scanned-corpus ingest step before any OCR or layout model.
+    *
+    * @return (image_id, best_shear, best_score, flat_score) — flat_score is
+    *         the s = 0 energy, so best_score/flat_score reads as the
+    *         alignment gain the deskew would buy
+    */
+  final case class DeskewRow(image_id: String, best_shear: Int,
+                             best_score: Long, flat_score: Long)
+
+  def deskew(tiles: Dataset[TileRow], maxShear: Int): DataFrame = {
+    require(maxShear > 0, s"maxShear must be positive: $maxShear")
+    implicit val enc = Encoders.product[DeskewRow]
+    tiles.mapPartitions { it =>
+      it.map { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val nBkt = size + 2 * maxShear + 1
+        var bestS = 0; var bestScore = Long.MinValue; var flat = 0L
+        var s = -maxShear
+        while (s <= maxShear) {
+          val p = new Array[Long](nBkt)
+          var r = 0
+          while (r < size) {
+            val rBase = r * size
+            val num0 = (r + maxShear) * size
+            var c = 0
+            while (c < size) {
+              p((num0 + s * c) / size) += d.samples(rBase + c).toLong
+              c += 1
+            }
+            r += 1
+          }
+          var score = 0L
+          var j = 0
+          while (j < nBkt) { score += p(j) * p(j); j += 1 }
+          if (s == 0) flat = score
+          if (score > bestScore) { bestScore = score; bestS = s }
+          s += 1
+        }
+        DeskewRow(tl.image_id, bestS, bestScore, flat)
+      }
+    }.toDF()
+  }
 }
