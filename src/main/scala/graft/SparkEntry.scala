@@ -1439,6 +1439,19 @@ object SparkEntry {
     // the k-char parent, shown alongside — interoperable with any external
     // geohash-keyed dataset (the encoding is fully published, unlike h3's
     // constant tables). All-quadrant points exercise both hemispheres.
+    // 10-digit Open Location Code / plus code (cells.olc, public spec):
+    // 1/8000°-grid floor, five interleaved base-20 digit pairs, '+' after
+    // pair 4 — the third public cell encoding beside geohash and
+    // z/x/y-S2-hex, composed entirely from codegen'd built-ins (the digit
+    // extraction keeps double division exact, see the scaladoc). olc_block
+    // is the 8-char (≈275 m) block key sharing drops to.
+    "geo_olc" -> ((s, dir) => {
+      quadrantPoints(s, dir)
+        .withColumn("olc", cells.olc(col("lng"), col("lat")))
+        .withColumn("olc_block", substring(col("olc"), 1, 8))
+        .select("point_id", "olc", "olc_block")
+        .orderBy("point_id")
+    }),
     "geo_geohash" -> ((s, dir) => {
       quadrantPoints(s, dir)
         .withColumn("gh", cells.geohash(col("lng"), col("lat"), lit(7)))
@@ -3509,6 +3522,18 @@ object SparkEntry {
     // src = o_orderkey % 8, dst one-or-two layers up, so strictly
     // acyclic). The oracle unrolls the same 9 rounds as MATERIALIZED
     // CTEs.
+    // 4-cycle / rectangle census (ops.Graph.squares): Σ C(co-neighbours,
+    // 2) over node pairs div 2 — each 4-cycle counted once per diagonal.
+    // The coordinated-engagement (follow-back ring) signature next to
+    // graph_triangles' clustering view; ONE wedge self-join + key-bounded
+    // aggs, exact integers.
+    "graph_squares" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 7 === 0)
+        .selectExpr("l_suppkey % 150 AS src",
+          "(l_partkey * 3 + l_linenumber) % 150 AS dst")
+      ops.Graph.squares(e)
+    }),
     "graph_critical_path" -> ((s, dir) => {
       val e = t(s, dir, "orders").selectExpr(
         "(o_orderkey % 8) * 100 + (o_custkey % 20) AS src",
@@ -3866,6 +3891,16 @@ object SparkEntry {
     // over-compression screen next to media_clipping's saturation one.
     "media_crest" -> ((s, dir) => {
       ops.MediaOps.crestFactor(ops.MediaOps.synth(mediaMeta(s, dir)))
+        .orderBy("media_id")
+    }),
+    // Zero-crossing rate census (ops.MediaOps.zeroCrossingRate): strict
+    // sign flips per 512-sample window, per-asset total + max/min window
+    // — the spectral-content proxy beside media_window_rms's energy
+    // (voiced content crosses rarely, noise constantly; the VAD feature
+    // pair). Decode-once, zero shuffle, one row per asset.
+    "media_zcr" -> ((s, dir) => {
+      ops.MediaOps.zeroCrossingRate(ops.MediaOps.synth(mediaMeta(s, dir)),
+          winLen = 512)
         .orderBy("media_id")
     }),
     "media_gated_loudness" -> ((s, dir) => {
@@ -8772,6 +8807,21 @@ object SparkEntry {
            max(CASE WHEN confl.odd THEN 1 ELSE 0 END) = 0 AS is_bipartite
          FROM uc JOIN confl ON confl.n = uc.node
          GROUP BY 1 ORDER BY comp""",
+    // one wedge self-join, Σ C(n,2) per diagonal pair, div 2
+    "graph_squares" ->
+      """WITH base AS (SELECT l_suppkey % 150 AS src,
+           (l_partkey * 3 + l_linenumber) % 150 AS dst
+           FROM lineitem WHERE l_orderkey % 7 = 0),
+         und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+           FROM base WHERE src <> dst),
+         d AS (SELECT a AS u, b AS m FROM und UNION ALL SELECT b, a FROM und),
+         co AS (SELECT l.u AS x, r.u AS y, count(*) AS n
+           FROM d l JOIN d r ON l.m = r.m AND l.u < r.u GROUP BY 1, 2)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+           CAST(max(n) AS BIGINT) AS max_copairs,
+           CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_diag_pairs,
+           CAST(sum(n * (n - 1) // 2) // 2 AS BIGINT) AS n_squares
+         FROM co""",
     // 9 unrolled MAX-relaxation rounds; MATERIALIZED so a9's expansion
     // doesn't re-read the orders parquet exponentially many times
     "graph_critical_path" -> {
@@ -9748,6 +9798,25 @@ object SparkEntry {
            n_scanned, rows_scanned,
            CAST(COALESCE(rows_match, 0) AS BIGINT) AS rows_match
          FROM scan LEFT JOIN m USING (pred_id) ORDER BY pred_id, layout""",
+    // base-20 digit picks straight off the 1/8000°-grid integers,
+    // lat-major interleave with the '+' after pair 4
+    "geo_olc" -> {
+      def d(v: String, p: Long) =
+        s"substr('23456789CFGHJMPQRVWX', CAST(($v // $p) % 20 AS INTEGER) + 1, 1)"
+      val code = Seq(160000L, 8000L, 400L, 20L).map(p =>
+        s"${d("ilat", p)} || ${d("ilng", p)}").mkString(" || ") +
+        s" || '+' || ${d("ilat", 1L)} || ${d("ilng", 1L)}"
+      s"""WITH pts AS (SELECT c_custkey AS point_id,
+           -180 + (c_custkey % 360) + 0.5 AS lng,
+           -90 + ((c_custkey * 7) % 180) + 0.25 AS lat FROM customer),
+         q AS (SELECT point_id,
+           LEAST(1439999, GREATEST(0, CAST(floor((lat + 90.0) * 8000.0) AS BIGINT))) AS ilat,
+           LEAST(2879999, GREATEST(0, CAST(floor((lng + 180.0) * 8000.0) AS BIGINT))) AS ilng
+           FROM pts),
+         g AS (SELECT point_id, $code AS olc FROM q)
+         SELECT point_id, olc, substr(olc, 1, 8) AS olc_block FROM g
+         ORDER BY point_id"""
+    },
     "geo_geohash" -> {
       // base-32 pick of char i (1-based) from the 60-bit interleaved code
       val chars = (1 to 7).map(i =>
@@ -10720,6 +10789,26 @@ object SparkEntry {
              THEN (1000000 * n_samp * peak_abs * peak_abs) // sum_sq
              ELSE CAST(0 AS BIGINT) END AS crest_ppm
          FROM a ORDER BY media_id""",
+    // per-window strict sign-flip counts from the closed-form byte
+    // formula; lead() pairs, pos < 511 keeps pairs inside one window
+    "media_zcr" ->
+      """WITH m AS (SELECT s_suppkey AS media_id,
+           4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),
+         s AS (SELECT media_id, n_bytes, unnest(range(0, n_bytes)) AS k FROM m),
+         v AS (SELECT media_id, n_bytes, k, k // 512 AS win,
+             ((media_id * 31 + k * 7) % 256) - 128 AS x FROM s),
+         p AS (SELECT media_id, win, x,
+             lead(x) OVER (PARTITION BY media_id ORDER BY k) AS nx,
+             k % 512 AS pos
+           FROM v WHERE k < (n_bytes // 512) * 512),
+         c AS (SELECT media_id, win,
+             CAST(sum(CASE WHEN pos < 511 AND x * nx < 0 THEN 1 ELSE 0 END) AS BIGINT) AS cr
+           FROM p GROUP BY 1, 2)
+         SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(count(*) AS BIGINT) AS n_win,
+           CAST(sum(cr) AS BIGINT) AS total_cross,
+           max(cr) AS max_cross, min(cr) AS min_cross
+         FROM c GROUP BY 1 ORDER BY media_id""",
     "media_clipping" ->
       """WITH m AS (SELECT s_suppkey AS media_id,
            4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),

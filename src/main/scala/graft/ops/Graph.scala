@@ -892,6 +892,43 @@ object Graph {
     * @param rounds ≥ longest chain length for an exact answer
     * @return (node, lvl)
     */
+  /** 4-cycle (rectangle) census of an undirected simple graph — the
+    * bot-farm / coordinated-engagement signature (organic interaction
+    * graphs are 4-cycle-sparse; scripted follow-back rings are
+    * 4-cycle-dense). Counted by the diagonal-pair identity: for every
+    * unordered node pair, its co-neighbourhood size n gives C(n,2)
+    * diagonal choices, and every 4-cycle is counted once per diagonal —
+    * exactly twice — so `squares = Σ C(n,2) / 2` (always even, the
+    * division is exact).
+    *
+    * 100 TB shape: ONE wedge self-join keyed on the mid node + one
+    * key-bounded co-count agg — the Σd(m)² wedge cost every triangle/
+    * rectangle counter pays; at scale the standard mitigations (degree
+    * ordering, hot-mid salting) slot into the same plan. No driver walk.
+    *
+    * @param edges undirected (src, dst); self-loops dropped, both
+    *              orientations derived internally
+    * @return ONE row: (n_edges, max_copairs, n_diag_pairs, n_squares)
+    */
+  def squares(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val dir = und.select(col("a").as("u"), col("b").as("m"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("m")))
+    val co = dir.as("l").join(dir.as("r"), col("l.m") === col("r.m"))
+      .filter(col("l.u") < col("r.u"))
+      .groupBy(col("l.u").as("x"), col("r.u").as("y"))
+      .agg(count(lit(1)).as("n"))
+    co.select(expr("n * (n - 1) div 2 AS cp"), col("n"))
+      .agg(sum("cp").as("n_diag_pairs"), max("n").as("max_copairs"))
+      .crossJoin(und.agg(count(lit(1)).as("n_edges")))
+      .select(col("n_edges"), col("max_copairs"), col("n_diag_pairs"),
+        expr("n_diag_pairs div 2 AS n_squares"))
+  }
+
   def longestPathLevels(edges: DataFrame, rounds: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct()

@@ -244,4 +244,49 @@ object MediaOps {
       .agg(min("win_no").as("start_win"), max("win_no").as("end_win"),
         count(lit(1)).as("n_active"))
   }
+
+  /** Zero-crossing rate census — the classic spectral-content proxy next
+    * to [[windowSquares]]'s energy (voiced/low-frequency content crosses
+    * rarely, fricatives/noise cross constantly; VAD and audio-quality
+    * screens read both). Per fixed `winLen`-sample window the count of
+    * STRICT sign flips between adjacent samples (`s·s' < 0`; zeros never
+    * cross — the exact, oracle-replicable convention), rolled up per
+    * asset: total plus the max/min window so the spread is visible
+    * without shipping per-window rows.
+    *
+    * 100 TB shape: decode-once mapPartitions over the opaque payload,
+    * zero shuffle, ONE row per asset.
+    *
+    * @return (media_id, n_win, total_cross, max_cross, min_cross)
+    */
+  final case class ZcrRow(media_id: Long, n_win: Long, total_cross: Long,
+                          max_cross: Long, min_cross: Long)
+
+  def zeroCrossingRate(media: Dataset[MediaRow], winLen: Int): DataFrame = {
+    require(winLen > 1, s"winLen must be > 1, got $winLen")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val nWin = m.bytes.length / winLen
+        var tot = 0L; var mx = 0L; var mn = Long.MaxValue
+        var w = 0
+        while (w < nWin) {
+          var cr = 0L
+          val base = w * winLen
+          var i = 0
+          while (i < winLen - 1) {
+            val a = (m.bytes(base + i) & 0xff) - 128
+            val b = (m.bytes(base + i + 1) & 0xff) - 128
+            if (a * b < 0) cr += 1
+            i += 1
+          }
+          tot += cr; if (cr > mx) mx = cr; if (cr < mn) mn = cr
+          w += 1
+        }
+        if (nWin == 0) mn = 0L
+        ZcrRow(m.media_id, nWin.toLong, tot, mx, mn)
+      }
+    }.toDF()
+  }
 }
