@@ -846,6 +846,27 @@ object SparkEntry {
       ops.Trajectory.speedFlags(pts, maxSpeedQ = 100L)
         .orderBy("traj_id", "tie")
     }),
+    // Acceleration profile + harsh-event audit (ops.Trajectory.accelFlags):
+    // the derivative above traj_speed — per consecutive segment pair
+    // (speed_q − prev)·10⁶ DIV dt_us (trunc-div matches on negatives, so
+    // braking rows replay exactly), harsh counts both directions, one
+    // rollup row per trajectory on the same single traj_id window.
+    "traj_accel" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val pts = t(s, dir, "events").filter(col("user_id") < 50)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          ((col("event_id") % 7) +
+            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
+          ((col("event_id") * 3) % 5).as("dy"))
+        .withColumn("pxc", sum("dx").over(w))
+        .withColumn("pyc", sum("dy").over(w))
+        .selectExpr("user_id AS traj_id",
+          "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us", "event_id AS tie",
+          "-120.0D + pxc / 1000.0D AS lng", "36.0D + pyc / 1000.0D AS lat")
+      ops.Trajectory.accelFlags(pts, harshQ = 50L)
+        .orderBy("traj_id")
+    }),
     // Regular-grid gap filling (ops.AsofJoin.gapFill): one row per type per
     // hour across its observed span, forward-filled — the normalization
     // pass that makes ROWS-frame analytics honest on sparse series. The
@@ -2595,6 +2616,35 @@ object SparkEntry {
           min(when(col("cur") === col("mx"), col("t"))).as("peak_at"))
         .orderBy("event_type")
     }),
+    // Jacobson/Karels smoothed-RTT replay (RFC 6298 integer arithmetic):
+    // per-user ordered fold over inter-event gaps — srtt ← (7·srtt+g)/8,
+    // rttvar ← (3·rttvar+|g−srtt|)/4, first gap initializes (g, g/2), all
+    // µs-integers so the fold replays exactly; rto = srtt + 4·rttvar. The
+    // adaptive-timeout estimator next to events_token_bucket's throttle
+    // replay — same codegen'd aggregate() HOF shape, O(1) state per key.
+    "events_srtt" -> ((s, dir) => {
+      t(s, dir, "events").filter(col("user_id") < 100)
+        .selectExpr("user_id",
+          "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us", "event_id")
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("ts_us"), col("event_id"))))
+          .as("evs"))
+        .selectExpr("user_id", "CAST(size(evs) - 1 AS BIGINT) AS n_gaps",
+          """aggregate(evs,
+             named_struct('p', CAST(-1 AS BIGINT), 'srtt', CAST(-1 AS BIGINT), 'rttvar', CAST(0 AS BIGINT)),
+             (acc, x) -> named_struct(
+               'p', x.ts_us,
+               'srtt', CASE WHEN acc.p < CAST(0 AS BIGINT) THEN CAST(-1 AS BIGINT)
+                      WHEN acc.srtt < CAST(0 AS BIGINT) THEN x.ts_us - acc.p
+                      ELSE (CAST(7 AS BIGINT) * acc.srtt + (x.ts_us - acc.p)) DIV CAST(8 AS BIGINT) END,
+               'rttvar', CASE WHEN acc.p < CAST(0 AS BIGINT) THEN CAST(0 AS BIGINT)
+                      WHEN acc.srtt < CAST(0 AS BIGINT) THEN (x.ts_us - acc.p) DIV CAST(2 AS BIGINT)
+                      ELSE (CAST(3 AS BIGINT) * acc.rttvar + abs((x.ts_us - acc.p) - acc.srtt)) DIV CAST(4 AS BIGINT) END)) AS st""")
+        .selectExpr("user_id", "n_gaps", "st.srtt AS srtt_us",
+          "st.rttvar AS rttvar_us",
+          "st.srtt + CAST(4 AS BIGINT) * st.rttvar AS rto_us")
+        .orderBy("user_id")
+    }),
     "events_peak_rate" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
         .orderBy("tus").rangeBetween(-3599999999L, 0L)
@@ -4000,6 +4050,22 @@ object SparkEntry {
         TileGen.tileRow(lng, lat, 601, "hgt", TileGen.planeAt) })
       ops.ImageOps.nccBlocks(epochA, epochB, block = 100)
         .orderBy("image_id", "py", "px")
+    }),
+    // Best-epoch block compositing (ops.ImageOps.bestEpoch): per aligned
+    // 100×100 block the epoch with higher total-variation detail wins
+    // (epoch A on ties) — the cloud-free-mosaic / focus-stack selection
+    // rule; one selection-rollup row per image. Decode-once per pair, ONE
+    // image_id equi-join; the oracle replays every neighbor-pair |Δ| from
+    // the two closed-form fields (the base offset cancels in differences).
+    "img_best_epoch" -> ((s, dir) => {
+      import s.implicits._
+      val corners = Seq((-120, 36), (-120, 37), (-119, 36), (-119, 37),
+        (-118, 36), (-117, 37))
+      val epochA = s.createDataset(TileGen.tiles(corners, 601, "hgt"))
+      val epochB = s.createDataset(corners.map { case (lng, lat) =>
+        TileGen.tileRow(lng, lat, 601, "hgt", TileGen.planeAt) })
+      ops.ImageOps.bestEpoch(epochA, epochB, block = 100)
+        .orderBy("image_id")
     }),
     // Per-block SSIM between two raster epochs — the perceptual
     // change/fidelity measure next to img_ncc_blocks' correlation (SSIM
@@ -9090,6 +9156,32 @@ object SparkEntry {
          FROM n, t, r""",
     // blockwise joint moments over the two closed-form epochs (curvy vs
     // plane) — the grid recipe of img_patchify with both fields emitted
+    // per-pixel neighbor |Δ| of both fields from the closed forms (base
+    // offset cancels); plane field contributes 1/pixel h, 2/pixel v
+    "img_best_epoch" ->
+      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         g AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           r.range AS r, c.range AS c
+           FROM corners, range(0,600) r, range(0,600) c),
+         h AS (SELECT image_id, r // 100 AS by, c // 100 AS bx,
+             CASE WHEN c % 100 < 99 THEN
+               abs(2 + (((c+1)//8)*(r//8)) % 32 - ((c//8)*(r//8)) % 32) ELSE 0 END
+           + CASE WHEN r % 100 < 99 THEN
+               abs(3 + ((c//8)*((r+1)//8)) % 32 - ((c//8)*(r//8)) % 32) ELSE 0 END AS ea,
+             CASE WHEN c % 100 < 99 THEN 1 ELSE 0 END
+           + CASE WHEN r % 100 < 99 THEN 2 ELSE 0 END AS eb
+           FROM g),
+         bl AS (SELECT image_id, by, bx, CAST(sum(ea) AS BIGINT) AS ta,
+             CAST(sum(eb) AS BIGINT) AS tb
+           FROM h GROUP BY 1, 2, 3)
+         SELECT image_id, CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(CASE WHEN ta >= tb THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN ta < tb THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(sum(ta) AS BIGINT) AS energy_a,
+           CAST(sum(tb) AS BIGINT) AS energy_b,
+           CAST(sum(CASE WHEN ta >= tb THEN ta ELSE tb END) AS BIGINT) AS composite_energy
+         FROM bl GROUP BY 1 ORDER BY image_id""",
     "img_ncc_blocks" ->
       """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
          g AS (SELECT swlng, swlat,
@@ -10560,6 +10652,43 @@ object SparkEntry {
          SELECT traj_id, tie, dist_q, dt_us, speed_q,
            (pts IS NOT NULL AND (speed_q = -1 OR speed_q > 100)) AS flagged
          FROM g ORDER BY traj_id, tie""",
+    // the traj_speed chain plus one more lag; trunc-div matches DIV on
+    // negative (braking) numerators
+    "traj_accel" ->
+      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
+           (event_id * 3) % 5 AS dy
+           FROM events WHERE user_id < 50),
+         c AS (SELECT user_id AS traj_id, event_id AS tie, ts_us,
+           sum(dx) OVER w AS pxc, sum(dy) OVER w AS pyc
+           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         q AS (SELECT traj_id, ts_us, tie,
+           CAST(floor((-120.0 + pxc / 1000.0) * 1000000.0) AS BIGINT) AS xq,
+           CAST(floor((36.0 + pyc / 1000.0) * 1000000.0) AS BIGINT) AS yq FROM c),
+         d AS (SELECT traj_id, tie, ts_us, xq, yq,
+           lag(ts_us) OVER w2 AS pts, lag(xq) OVER w2 AS px,
+           lag(yq) OVER w2 AS py
+           FROM q WINDOW w2 AS (PARTITION BY traj_id ORDER BY ts_us, tie)),
+         e AS (SELECT traj_id, tie, ts_us, pts,
+           coalesce(CAST(floor(sqrt(CAST((xq-px)*(xq-px) + (yq-py)*(yq-py) AS DOUBLE))) AS BIGINT), 0) AS dist_q,
+           coalesce(ts_us - pts, 0) AS dt_us FROM d),
+         g AS (SELECT traj_id, tie, ts_us, dt_us,
+           CASE WHEN pts IS NULL THEN 0
+                WHEN dt_us = 0 AND dist_q = 0 THEN 0
+                WHEN dt_us = 0 THEN -1
+                ELSE (dist_q * 1000000) // dt_us END AS speed_q FROM e),
+         h AS (SELECT traj_id, dt_us, speed_q,
+           lag(speed_q) OVER w3 AS prev_sq, row_number() OVER w3 AS rn
+           FROM g WINDOW w3 AS (PARTITION BY traj_id ORDER BY ts_us, tie)),
+         i AS (SELECT traj_id, ((speed_q - prev_sq) * 1000000) // dt_us AS accel_q
+           FROM h WHERE prev_sq IS NOT NULL AND prev_sq <> -1
+             AND speed_q <> -1 AND dt_us > 0 AND rn > 2)
+         SELECT traj_id, CAST(count(*) AS BIGINT) AS n_acc,
+           CAST(sum(CASE WHEN accel_q <= -50 THEN 1 ELSE 0 END) AS BIGINT) AS n_harsh_brake,
+           CAST(sum(CASE WHEN accel_q >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_harsh_accel,
+           CAST(min(accel_q) AS BIGINT) AS min_accel_q,
+           CAST(max(accel_q) AS BIGINT) AS max_accel_q
+         FROM i GROUP BY 1 ORDER BY traj_id""",
     "events_gap_fill" ->
       """WITH b AS (SELECT event_type,
            (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
@@ -12460,6 +12589,34 @@ object SparkEntry {
            st.tok AS tokens_left_us
          FROM f ORDER BY user_id"""
     },
+    // the same Jacobson fold as a per-user recursive CTE (one event per
+    // round, all users advance jointly). NOT list_reduce: DuckDB 1.0.0's
+    // list_reduce lets later struct_pack fields observe the CURRENT
+    // step's already-updated accumulator fields on some steps (probed:
+    // a field reading acc.s after s := ... sees the new s), which breaks
+    // any two-field state machine; the recursive CTE reads the whole old
+    // state row, so the fold replays exactly.
+    "events_srtt" ->
+      """WITH RECURSIVE e AS MATERIALIZED (
+           SELECT user_id, epoch_us(ts) AS t,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS i
+           FROM events WHERE user_id < 100),
+         n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY 1),
+         st(user_id, i, p, srtt, var) AS (
+           SELECT user_id, 1, t, CAST(-1 AS BIGINT), CAST(0 AS BIGINT)
+           FROM e WHERE i = 1
+           UNION ALL
+           SELECT st.user_id, st.i + 1, e.t,
+             CASE WHEN st.srtt < 0 THEN e.t - st.p
+                  ELSE (7 * st.srtt + (e.t - st.p)) // 8 END,
+             CASE WHEN st.srtt < 0 THEN (e.t - st.p) // 2
+                  ELSE (3 * st.var + abs((e.t - st.p) - st.srtt)) // 4 END
+           FROM st JOIN e ON e.user_id = st.user_id AND e.i = st.i + 1)
+         SELECT st.user_id, n.cnt - 1 AS n_gaps, st.srtt AS srtt_us,
+           st.var AS rttvar_us, st.srtt + 4 * st.var AS rto_us
+         FROM st JOIN n ON n.user_id = st.user_id AND st.i = n.cnt
+         ORDER BY st.user_id""",
     "events_peak_rate" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
          c AS (SELECT user_id,

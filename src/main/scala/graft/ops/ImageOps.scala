@@ -188,6 +188,79 @@ object ImageOps {
       }.toDF()
   }
 
+  /** Best-epoch block compositing — the cloud-free-mosaic / focus-stack
+    * selection rule: per aligned block, the epoch with the higher
+    * total-variation detail energy (Σ|∂h| + Σ|∂v| over within-block
+    * neighbor pairs, exact integers) wins; haze/cloud/defocus flattens
+    * detail, so the per-block argmax assembles the sharpest composite.
+    * Epoch A wins ties (the deterministic, oracle-replicable convention).
+    * Emits the per-image selection rollup: blocks won per epoch, each
+    * epoch's total energy, and the composite (selected) energy — the
+    * mosaic QA summary a compositing job logs per scene.
+    *
+    * 100 TB shape: ONE image_id equi-join (shuffle-free on a
+    * tile_key-bucketed layout), decode-once per pair, one row per image;
+    * pixels never leave the operator.
+    *
+    * @return (image_id, n_blocks, n_a, n_b, energy_a, energy_b,
+    *          composite_energy)
+    */
+  final case class BestEpochRow(image_id: String, n_blocks: Long, n_a: Long,
+                                n_b: Long, energy_a: Long, energy_b: Long,
+                                composite_energy: Long)
+
+  def bestEpoch(a: Dataset[TileRow], b: Dataset[TileRow],
+                block: Int): DataFrame = {
+    require(block > 1, s"block must be > 1, got $block")
+    val spark = a.sparkSession
+    import spark.implicits._
+    a.joinWith(b, a("image_id") === b("image_id"))
+      .mapPartitions { it =>
+        it.map { case (ta, tb) =>
+          val da = TileCodec.decode(ta)
+          val db = TileCodec.decode(tb)
+          require(da.size == db.size,
+            s"epoch size mismatch for ${ta.image_id}: ${da.size} vs ${db.size}")
+          val size = da.size
+          val per = size / block
+          var nA = 0L; var nB = 0L
+          var eA = 0L; var eB = 0L; var eSel = 0L
+          var py = 0
+          while (py < per) {
+            var px = 0
+            while (px < per) {
+              var ta0 = 0L; var tb0 = 0L
+              var r = py * block
+              val rEnd = r + block
+              while (r < rEnd) {
+                val base = r * size + px * block
+                var i = 0
+                while (i < block) {
+                  val idx = base + i
+                  if (i < block - 1) {
+                    ta0 += math.abs(da.samples(idx + 1) - da.samples(idx)).toLong
+                    tb0 += math.abs(db.samples(idx + 1) - db.samples(idx)).toLong
+                  }
+                  if (r < rEnd - 1) {
+                    ta0 += math.abs(da.samples(idx + size) - da.samples(idx)).toLong
+                    tb0 += math.abs(db.samples(idx + size) - db.samples(idx)).toLong
+                  }
+                  i += 1
+                }
+                r += 1
+              }
+              eA += ta0; eB += tb0
+              if (ta0 >= tb0) { nA += 1; eSel += ta0 }
+              else { nB += 1; eSel += tb0 }
+              px += 1
+            }
+            py += 1
+          }
+          BestEpochRow(ta.image_id, per.toLong * per, nA, nB, eA, eB, eSel)
+        }
+      }.toDF()
+  }
+
   final case class CrosstabRow(image_id: String, zone_a: Int, zone_b: Int,
                                n: Long)
 

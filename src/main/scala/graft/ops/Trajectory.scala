@@ -310,6 +310,60 @@ object Trajectory {
       .select("traj_id", "tie", "dist_q", "dt_us", "speed_q", "flagged")
   }
 
+  /** Acceleration profile + harsh-event audit — the fleet-telematics rollup
+    * one derivative above [[speedFlags]]: per consecutive segment pair the
+    * quantized acceleration `(speed_q − prev_speed_q)·10⁶ DIV dt_us`
+    * (trunc-div toward zero — Spark DIV and DuckDB `//` agree on negatives,
+    * so braking rows replay exactly), counted against a harsh threshold in
+    * both directions. Rows where either speed is undefined (first two fixes
+    * of a trajectory, same-instant fixes) are excluded from the audit, the
+    * exact contract a real telematics scorer applies.
+    *
+    * 100 TB shape: the same single traj_id window partitioning as
+    * speedFlags (the two extra lags reuse the sort), then one key-bounded
+    * rollup — one row per trajectory, no second shuffle.
+    *
+    * @return (traj_id, n_acc, n_harsh_brake, n_harsh_accel, min_accel_q,
+    *          max_accel_q)
+    */
+  def accelFlags(points: DataFrame, harshQ: Long): DataFrame = {
+    require(harshQ > 0, s"harshQ must be positive: $harshQ")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("traj_id").orderBy("ts_us", "tie")
+    points
+      .select(col("traj_id"), col("ts_us").cast(LongType), col("tie"),
+        floor(col("lng") * lit(1000000.0)).cast(LongType).as("xq"),
+        floor(col("lat") * lit(1000000.0)).cast(LongType).as("yq"))
+      .withColumn("pts", lag("ts_us", 1).over(w))
+      .withColumn("px", lag("xq", 1).over(w))
+      .withColumn("py", lag("yq", 1).over(w))
+      .withColumn("dist_q", coalesce(
+        floor(sqrt(((col("xq") - col("px")) * (col("xq") - col("px")) +
+          (col("yq") - col("py")) * (col("yq") - col("py"))).cast("double")))
+          .cast(LongType), lit(0L)))
+      .withColumn("dt_us", coalesce(col("ts_us") - col("pts"), lit(0L)))
+      .withColumn("speed_q", expr(
+        """CASE WHEN pts IS NULL THEN 0L
+           WHEN dt_us = 0L AND dist_q = 0L THEN 0L
+           WHEN dt_us = 0L THEN -1L
+           ELSE (dist_q * 1000000L) DIV dt_us END"""))
+      .withColumn("prev_sq", lag("speed_q", 1).over(w))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("prev_sq").isNotNull && col("prev_sq") =!= -1L &&
+        col("speed_q") =!= -1L && col("dt_us") > 0L && col("rn") > 2)
+      .withColumn("accel_q",
+        expr("((speed_q - prev_sq) * 1000000L) DIV dt_us"))
+      .groupBy("traj_id")
+      .agg(count(lit(1)).as("n_acc"),
+        sum(when(col("accel_q") <= -harshQ, 1L).otherwise(0L))
+          .as("n_harsh_brake"),
+        sum(when(col("accel_q") >= harshQ, 1L).otherwise(0L))
+          .as("n_harsh_accel"),
+        min("accel_q").as("min_accel_q"),
+        max("accel_q").as("max_accel_q"))
+  }
+
   /** The composed trajectory pipeline — the spatial analogue of the
     * curation stack's dedup→quality→decontam→budget chain, stitching this
     * module's stages into the shape a production movement-analytics job
