@@ -1460,6 +1460,19 @@ object SparkEntry {
     // the k-char parent, shown alongside — interoperable with any external
     // geohash-keyed dataset (the encoding is fully published, unlike h3's
     // constant tables). All-quadrant points exercise both hemispheres.
+    // STR R-tree leaf packing audit (ops.SpatialJoin.strPack, Leutenegger
+    // et al.): global x-rank DISTRIBUTED (range repartition + partition
+    // offsets, never one window partition), ⌈√L⌉ vertical slices, y-rank
+    // leaves of 64 — per-leaf count + bbox, the bulk-load quality table
+    // of a spatial index build. The oracle replays the identical rank
+    // arithmetic.
+    "geo_str_pack" -> ((s, dir) => {
+      val pts = quadrantPoints(s, dir).selectExpr("point_id",
+        "CAST(floor(lng * 1000000.0D) AS BIGINT) AS xq",
+        "CAST(floor(lat * 1000000.0D) AS BIGINT) AS yq")
+      ops.SpatialJoin.strPack(pts, leafCap = 64)
+        .orderBy("slice", "leaf")
+    }),
     // 10-digit Open Location Code / plus code (cells.olc, public spec):
     // 1/8000°-grid floor, five interleaved base-20 digit pairs, '+' after
     // pair 4 — the third public cell encoding beside geohash and
@@ -3943,6 +3956,15 @@ object SparkEntry {
       ops.MediaOps.crestFactor(ops.MediaOps.synth(mediaMeta(s, dir)))
         .orderBy("media_id")
     }),
+    // Stuck/duplicate-frame audit (ops.MediaOps.stuckFrames): runs of
+    // equal consecutive frame digests at 20 ms sampling (faster than
+    // either frame rate, so repeats are structural) — the frozen-encoder
+    // QA + oversampling detector; one media_id window, one row per asset.
+    "media_frame_dedup" -> ((s, dir) => {
+      ops.MediaOps.stuckFrames(ops.MediaOps.synth(mediaMeta(s, dir)),
+          everyMs = 20L)
+        .orderBy("media_id")
+    }),
     // Zero-crossing rate census (ops.MediaOps.zeroCrossingRate): strict
     // sign flips per 512-sample window, per-asset total + max/min window
     // — the spectral-content proxy beside media_window_rms's energy
@@ -4050,6 +4072,15 @@ object SparkEntry {
         TileGen.tileRow(lng, lat, 601, "hgt", TileGen.planeAt) })
       ops.ImageOps.nccBlocks(epochA, epochB, block = 100)
         .orderBy("image_id", "py", "px")
+    }),
+    // Cross-tile seam audit (ops.ImageOps.tileSeams): east edge column vs
+    // the east neighbor's west edge column per adjacent pair — the mosaic
+    // mis-registration QA (nominally shared seam columns). Only edge
+    // vectors leave the decode; stats are codegen'd zip_with/aggregate
+    // HOFs. The oracle replays both edges closed-form (3r cancels).
+    "img_tile_seams" -> ((s, dir) => {
+      ops.ImageOps.tileSeams(gateTiles(s))
+        .orderBy("seam_lng", "seam_lat")
     }),
     // Best-epoch block compositing (ops.ImageOps.bestEpoch): per aligned
     // 100×100 block the epoch with higher total-variation detail wins
@@ -9156,6 +9187,29 @@ object SparkEntry {
          FROM n, t, r""",
     // blockwise joint moments over the two closed-form epochs (curvy vs
     // plane) — the grid recipe of img_patchify with both fields emitted
+    // adjacent corner pairs; east edge A1+1200+(75·(r//8))%32 vs west
+    // edge A2 (+3r on both sides cancels)
+    "img_tile_seams" -> {
+      def key(lngV: String, latV: String) =
+        s"(CASE WHEN $latV < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs($latV) AS VARCHAR),2,'0') || " +
+          s"CASE WHEN $lngV < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs($lngV) AS VARCHAR),3,'0'))"
+      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         pairs AS (SELECT a.swlng AS alng, a.swlat AS lat, b.swlng AS blng
+           FROM corners a JOIN corners b
+           ON b.swlng = a.swlng + 1 AND b.swlat = a.swlat),
+         r AS (SELECT alng, lat, blng, unnest(range(0, 601)) AS rr FROM pairs),
+         d AS (SELECT alng, lat, blng,
+             abs((((alng+180)*7 + (lat+90)*11) % 1000 + 1200 + ((600//8)*(rr//8)) % 32)
+               - (((blng+180)*7 + (lat+90)*11) % 1000)) AS ad
+           FROM r)
+         SELECT CAST(blng AS INT) AS seam_lng, CAST(lat AS INT) AS seam_lat,
+           ${key("alng", "lat")} AS west_id, ${key("blng", "lat")} AS east_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(CASE WHEN ad = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_equal,
+           CAST(sum(ad) AS BIGINT) AS sum_abs,
+           CAST(max(ad) AS BIGINT) AS max_abs
+         FROM d GROUP BY 1, 2, 3, 4 ORDER BY seam_lng, seam_lat"""
+    },
     // per-pixel neighbor |Δ| of both fields from the closed forms (base
     // offset cancels); plane field contributes 1/pixel h, 2/pixel v
     "img_best_epoch" ->
@@ -9890,6 +9944,29 @@ object SparkEntry {
            n_scanned, rows_scanned,
            CAST(COALESCE(rows_match, 0) AS BIGINT) AS rows_match
          FROM scan LEFT JOIN m USING (pred_id) ORDER BY pred_id, layout""",
+    // identical STR rank arithmetic: global (xq, point_id) rank, ⌈n/S⌉
+    // slices, per-slice (yq, point_id) rank into leaves of 64
+    "geo_str_pack" ->
+      """WITH pts AS (SELECT c_custkey AS point_id,
+           CAST(floor((-180 + (c_custkey % 360) + 0.5) * 1000000.0) AS BIGINT) AS xq,
+           CAST(floor((-90 + ((c_custkey * 7) % 180) + 0.25) * 1000000.0) AS BIGINT) AS yq
+           FROM customer),
+         p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts),
+         c AS (SELECT n,
+             CAST(ceil(sqrt(CAST((n + 63) // 64 AS DOUBLE))) AS BIGINT) AS s
+           FROM p),
+         r AS (SELECT point_id, xq, yq,
+             row_number() OVER (ORDER BY xq, point_id) - 1 AS xr FROM pts),
+         sl AS (SELECT r.xq, r.yq, r.point_id,
+             xr // ((c.n + c.s - 1) // c.s) AS slice FROM r, c),
+         yr AS (SELECT slice, xq, yq,
+             (row_number() OVER (PARTITION BY slice ORDER BY yq, point_id) - 1) // 64 AS leaf
+           FROM sl)
+         SELECT CAST(slice AS BIGINT) AS slice, CAST(leaf AS BIGINT) AS leaf,
+           CAST(count(*) AS BIGINT) AS n_pts,
+           min(xq) AS min_x, max(xq) AS max_x,
+           min(yq) AS min_y, max(yq) AS max_y
+         FROM yr GROUP BY 1, 2 ORDER BY slice, leaf""",
     // base-20 digit picks straight off the 1/8000°-grid integers,
     // lat-major interleave with the '+' after pair 4
     "geo_olc" -> {
@@ -10918,6 +10995,38 @@ object SparkEntry {
              THEN (1000000 * n_samp * peak_abs * peak_abs) // sum_sq
              ELSE CAST(0 AS BIGINT) END AS crest_ppm
          FROM a ORDER BY media_id""",
+    // the frame_sample digest replay + run-length grouping on equal
+    // consecutive digests (IS DISTINCT FROM starts runs, first row too)
+    "media_frame_dedup" ->
+      """WITH m AS (SELECT s_suppkey AS media_id,
+           1000 + (s_suppkey % 20) * 500 AS duration_ms,
+           CASE WHEN s_suppkey % 2 = 0 THEN 24000 ELSE 30000 END AS fps_milli,
+           4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),
+         f AS (SELECT media_id, fps_milli, n_bytes,
+           unnest(range(0, duration_ms, 20)) AS ts_ms FROM m),
+         h AS (SELECT media_id, ts_ms, ts_ms * fps_milli // 1000000 AS frame_no,
+           n_bytes FROM f),
+         o AS (SELECT media_id, ts_ms,
+           (frame_no * 997) % (n_bytes - 16) AS off FROM h),
+         dg AS (SELECT media_id, ts_ms,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(0,16),
+                 i -> CAST((media_id*31 + (off+i)*7) % 256 AS BIGINT))),
+               (d,b) -> (d*131 + b) % 1000000007) AS dig FROM o),
+         st AS (SELECT media_id, ts_ms,
+             CASE WHEN lag(dig) OVER w IS DISTINCT FROM dig THEN 1 ELSE 0 END AS strt
+           FROM dg WINDOW w AS (PARTITION BY media_id ORDER BY ts_ms)),
+         ru AS (SELECT media_id,
+             sum(strt) OVER (PARTITION BY media_id ORDER BY ts_ms) AS run_id
+           FROM st),
+         rl AS (SELECT media_id, run_id, CAST(count(*) AS BIGINT) AS len
+           FROM ru GROUP BY 1, 2)
+         SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(sum(len) AS BIGINT) AS n_frames,
+           CAST(sum(CASE WHEN len >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_stuck_runs,
+           CAST(max(len) AS BIGINT) AS max_run,
+           CAST(sum(len - 1) AS BIGINT) AS n_dup_frames
+         FROM rl GROUP BY 1 ORDER BY media_id""",
     // per-window strict sign-flip counts from the closed-form byte
     // formula; lead() pairs, pos < 511 keeps pairs inside one window
     "media_zcr" ->

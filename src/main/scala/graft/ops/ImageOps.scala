@@ -188,6 +188,53 @@ object ImageOps {
       }.toDF()
   }
 
+  /** Cross-tile seam audit — the mosaic-QA check a pyramid/mosaic build
+    * runs before publishing: for every east-west adjacent tile pair, the
+    * east edge column of the west tile compared sample-by-sample against
+    * the west edge column of its east neighbor (SRTM-style 1°-grid tiles
+    * nominally SHARE the seam column, so non-zero deltas mean mis-
+    * registered or differently-processed sources). Emits one row per seam
+    * with exact integer agreement stats.
+    *
+    * 100 TB shape: decode-once per tile, only two edge VECTORS (size
+    * samples each) ever leave the operator — pixels don't shuffle; the
+    * seam join is a tiny (seam_lng, seam_lat) equi-join, and the
+    * per-seam stats are codegen'd zip_with/aggregate HOFs.
+    *
+    * @return (seam_lng, seam_lat, west_id, east_id, n_samples, n_equal,
+    *          sum_abs, max_abs)
+    */
+  final case class SeamEdgeRow(seam_lng: Int, seam_lat: Int, side: String,
+                               image_id: String, edge: Array[Long])
+
+  def tileSeams(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[SeamEdgeRow]
+    val edges = tiles.mapPartitions { it =>
+      it.flatMap { t =>
+        val d = TileCodec.decode(t)
+        val n = d.size
+        val (lng, lat) = graft.geo.TileKey.toDegrees(t.image_id)
+        val west = Array.tabulate(n)(r => d.samples(r * n).toLong)
+        val east = Array.tabulate(n)(r => d.samples(r * n + n - 1).toLong)
+        Iterator(
+          SeamEdgeRow(lng + 1, lat, "E", t.image_id, east),
+          SeamEdgeRow(lng, lat, "W", t.image_id, west))
+      }
+    }
+    val e = edges.filter(col("side") === "E")
+      .select(col("seam_lng"), col("seam_lat"),
+        col("image_id").as("west_id"), col("edge").as("ee"))
+    val w = edges.filter(col("side") === "W")
+      .select(col("seam_lng"), col("seam_lat"),
+        col("image_id").as("east_id"), col("edge").as("we"))
+    e.join(w, Seq("seam_lng", "seam_lat"))
+      .selectExpr("seam_lng", "seam_lat", "west_id", "east_id",
+        "CAST(size(ee) AS BIGINT) AS n_samples",
+        "CAST(size(filter(zip_with(ee, we, (a, b) -> abs(a - b)), d -> d = CAST(0 AS BIGINT))) AS BIGINT) AS n_equal",
+        "aggregate(zip_with(ee, we, (a, b) -> abs(a - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS sum_abs",
+        "aggregate(zip_with(ee, we, (a, b) -> abs(a - b)), CAST(0 AS BIGINT), (acc, x) -> CASE WHEN x > acc THEN x ELSE acc END) AS max_abs")
+  }
+
   /** Best-epoch block compositing — the cloud-free-mosaic / focus-stack
     * selection rule: per aligned block, the epoch with the higher
     * total-variation detail energy (Σ|∂h| + Σ|∂v| over within-block

@@ -245,6 +245,37 @@ object MediaOps {
         count(lit(1)).as("n_active"))
   }
 
+  /** Stuck/duplicate-frame audit over the sampled frame stream — the
+    * frozen-encoder / dropped-frame QA of video ingest: a run is a maximal
+    * stretch of CONSECUTIVE sampled frames with equal digest (sampling
+    * faster than the frame rate makes repeats structural, so the audit
+    * also doubles as the oversampling detector). Per asset: frames, runs
+    * of length ≥ 2, the longest run, and the duplicate-frame overhead
+    * Σ(len−1) a dedup re-encode would reclaim.
+    *
+    * 100 TB shape: decode-side digests only (16-byte stub window per
+    * frame — a real codec swap changes nothing downstream), ONE media_id
+    * window Exchange, one row per asset.
+    *
+    * @return (media_id, n_frames, n_stuck_runs, max_run, n_dup_frames)
+    */
+  def stuckFrames(media: Dataset[MediaRow], everyMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("media_id").orderBy("ts_ms")
+    frameSample(media, everyMs)
+      .withColumn("strt", when(coalesce(
+        lag("frame_digest", 1).over(w) =!= col("frame_digest"),
+        lit(true)), 1L).otherwise(0L))
+      .withColumn("run_id", sum("strt").over(w))
+      .groupBy("media_id", "run_id")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("media_id")
+      .agg(sum("len").as("n_frames"),
+        sum(when(col("len") >= 2, 1L).otherwise(0L)).as("n_stuck_runs"),
+        max("len").as("max_run"),
+        sum(col("len") - 1).as("n_dup_frames"))
+  }
+
   /** Zero-crossing rate census — the classic spectral-content proxy next
     * to [[windowSquares]]'s energy (voiced/low-frequency content crosses
     * rarely, fricatives/noise cross constantly; VAD and audio-quality

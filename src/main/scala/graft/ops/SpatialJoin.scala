@@ -1116,4 +1116,56 @@ object SpatialJoin {
       }
       .toDF("gid", "x", "y")
   }
+
+  /** Sort-Tile-Recursive R-tree leaf packing (Leutenegger et al., public)
+    * — the bulk-load step of a spatial index build, surfaced as the leaf
+    * audit a packing job logs (per-leaf count + bbox; tight, low-overlap
+    * leaf rectangles are the whole point of STR). Points are ranked by
+    * (xq, point_id), cut into ⌈√L⌉ vertical slices of ⌈n/S⌉ points, and
+    * each slice is ranked by (yq, point_id) into leaves of `leafCap`.
+    *
+    * The global x-rank is computed DISTRIBUTED, never through one window
+    * partition: range-repartition on the rank key, sort within partitions,
+    * then per-partition offsets (one ≤#partitions-row agg, broadcast back)
+    * + the partition-local row_number. Rank values are independent of
+    * where the range boundaries fall, so the sampling inside
+    * repartitionByRange cannot perturb results. The per-slice y-rank
+    * window is key-bounded (≤⌈n/S⌉ rows per slice). One count() action
+    * sizes the grid — the same pass a production bulk-loader spends.
+    *
+    * @param points (point_id, xq, yq) integer-quantized coordinates
+    * @return (slice, leaf, n_pts, min_x, max_x, min_y, max_y)
+    */
+  def strPack(points: DataFrame, leafCap: Int): DataFrame = {
+    require(leafCap > 0, s"leafCap must be positive: $leafCap")
+    val base = points.select(col("point_id").cast(LongType),
+      col("xq").cast(LongType), col("yq").cast(LongType))
+    val n = base.count()
+    val leaves = (n + leafCap - 1) / leafCap
+    val s = math.ceil(math.sqrt(leaves.toDouble)).toLong max 1L
+    val sliceSz = (n + s - 1) / s max 1L
+    val parts = base
+      .repartitionByRange(col("xq"), col("point_id"))
+      .sortWithinPartitions("xq", "point_id")
+      .withColumn("pid", spark_partition_id())
+    val offs = parts.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(
+        sum("cnt").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "off")
+    val ranked = parts.join(broadcast(offs), "pid")
+      .withColumn("xr",
+        row_number().over(Window.partitionBy("pid").orderBy("xq", "point_id"))
+          .cast(LongType) - 1L + col("off"))
+      .withColumn("slice", expr(s"xr DIV ${sliceSz}L"))
+    ranked
+      .withColumn("yr",
+        row_number().over(Window.partitionBy("slice").orderBy("yq", "point_id"))
+          .cast(LongType) - 1L)
+      .withColumn("leaf", expr(s"yr DIV ${leafCap}L"))
+      .groupBy("slice", "leaf")
+      .agg(count(lit(1)).as("n_pts"),
+        min("xq").as("min_x"), max("xq").as("max_x"),
+        min("yq").as("min_y"), max("yq").as("max_y"))
+  }
 }
