@@ -3147,6 +3147,15 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) => {
       ops.TextDedup.minhashPairs(dedupCorpus(s, dir)).orderBy("doc_a", "doc_b")
     }),
+    // LSH bucket-size skew audit (ops.TextDedup.minhashBucketStats): per
+    // band the bucket histogram summary + Σ C(sz,2) exact candidate-pair
+    // cost — the pre-join diagnostic that catches boilerplate hot buckets
+    // BEFORE they melt the band self-join. Same signature derivation as
+    // dedup_minhash, stopped at the bucket rollup.
+    "dedup_lsh_skew" -> ((s, dir) => {
+      ops.TextDedup.minhashBucketStats(dedupCorpus(s, dir))
+        .orderBy("band_id")
+    }),
     // Cross-modal dedup verification: every MinHash TEXT candidate pair
     // re-scored in EMBEDDING space (injected copies map to their base
     // vector via id % 100000) — the modality-agreement check of multimodal
@@ -3956,6 +3965,26 @@ object SparkEntry {
       ops.MediaOps.crestFactor(ops.MediaOps.synth(mediaMeta(s, dir)))
         .orderBy("media_id")
     }),
+    // Loudness range (the EBU R128 LRA analog on exact integers): per
+    // asset the p95 − p10 spread of per-128-sample-window energies by
+    // exact nearest-rank ((n−1)·q DIV 100 + 1) — wide LRA = dynamic
+    // content, narrow = compressed/limited. One media_id window shuffle.
+    "media_lra" -> ((s, dir) => {
+      val w = ops.MediaOps.windowSquares(
+        ops.MediaOps.synth(mediaMeta(s, dir)), winLen = 128)
+      val byVal = Window.partitionBy("media_id").orderBy("sq_sum", "win_no")
+      val all = Window.partitionBy("media_id")
+      w.withColumn("rn", row_number().over(byVal).cast("long"))
+        .withColumn("n", count(lit(1)).over(all))
+        .groupBy("media_id")
+        .agg(max("n").as("n_win"),
+          max(when(col("rn") === expr("(n - 1) * 10 DIV 100 + 1"),
+            col("sq_sum"))).as("p10_sq"),
+          max(when(col("rn") === expr("(n - 1) * 95 DIV 100 + 1"),
+            col("sq_sum"))).as("p95_sq"))
+        .withColumn("lra_q", col("p95_sq") - col("p10_sq"))
+        .orderBy("media_id")
+    }),
     // Stuck/duplicate-frame audit (ops.MediaOps.stuckFrames): runs of
     // equal consecutive frame digests at 20 ms sampling (faster than
     // either frame rate, so repeats are structural) — the frozen-encoder
@@ -4072,6 +4101,17 @@ object SparkEntry {
         TileGen.tileRow(lng, lat, 601, "hgt", TileGen.planeAt) })
       ops.ImageOps.nccBlocks(epochA, epochB, block = 100)
         .orderBy("image_id", "py", "px")
+    }),
+    // Walsh–Hadamard 8×8 block-transform energy census
+    // (ops.ImageOps.whtEnergy): per-coefficient signed block sums squared
+    // — the integer-exact DCT-energy stand-in (compressibility read: low
+    // AC ⇒ gradients, high AC ⇒ texture/noise). Decode-once, zero
+    // shuffle; the oracle replays every signed pixel (parity of cu&i via
+    // bit sums).
+    "img_wht_energy" -> ((s, dir) => {
+      ops.ImageOps.whtEnergy(gateTiles(s, "png"),
+          Seq((0, 1), (1, 0), (1, 1), (2, 2)))
+        .orderBy("image_id", "cu", "cv")
     }),
     // Cross-tile seam audit (ops.ImageOps.tileSeams): east edge column vs
     // the east neighbor's west edge column per adjacent pair — the mosaic
@@ -9187,6 +9227,30 @@ object SparkEntry {
          FROM n, t, r""",
     // blockwise joint moments over the two closed-form epochs (curvy vs
     // plane) — the grid recipe of img_patchify with both fields emitted
+    // every signed pixel from the closed form; sign = parity of cu&(r%8)
+    // (resp. cv&(c%8)) via bit sums, 75×75 blocks over 0..599
+    "img_wht_energy" -> {
+      def par(u: String, x: String) =
+        s"(1 - 2*((($u & ($x%8))%2 + (($u & ($x%8))//2)%2 + (($u & ($x%8))//4)%2) % 2))"
+      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         coeffs(cu, cv) AS (VALUES (0,1),(1,0),(1,1),(2,2)),
+         g AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           r.range AS r, c.range AS c,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range
+             + ((c.range//8)*(r.range//8)) % 32 AS px
+           FROM corners, range(0,600) r, range(0,600) c),
+         sg AS (SELECT image_id, cu, cv, r // 8 AS br, c // 8 AS bc,
+             px * ${par("cu", "r")} * ${par("cv", "c")} AS sv
+           FROM g, coeffs),
+         bl AS (SELECT image_id, cu, cv, br, bc,
+             CAST(sum(sv) AS BIGINT) AS coef
+           FROM sg GROUP BY 1, 2, 3, 4, 5)
+         SELECT image_id, CAST(cu AS INT) AS cu, CAST(cv AS INT) AS cv,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(coef * coef) AS BIGINT) AS energy
+         FROM bl GROUP BY 1, 2, 3 ORDER BY image_id, cu, cv"""
+    },
     // adjacent corner pairs; east edge A1+1200+(75·(r//8))%32 vs west
     // edge A2 (+3r on both sides cancels)
     "img_tile_seams" -> {
@@ -10555,6 +10619,17 @@ object SparkEntry {
          ORDER BY p.point_id"""
     },
     "dedup_minhash" -> minhashOracleSql,
+    // same banded CTE, stopped at the bucket histogram
+    "dedup_lsh_skew" ->
+      s"""WITH $minhashCtes,
+         bsz AS (SELECT band_id, band_key, CAST(count(*) AS BIGINT) AS sz
+           FROM banded GROUP BY 1, 2)
+         SELECT CAST(band_id AS INT) AS band_id,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(sz) AS BIGINT) AS n_rows,
+           CAST(max(sz) AS BIGINT) AS max_bucket,
+           CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS candidate_pairs
+         FROM bsz GROUP BY 1 ORDER BY band_id""",
     "dedup_minhash_est" -> minhashEstOracleSql,
     "dedup_cross_modal" -> crossModalOracleSql,
     "img_hog" -> hogOracleSql,
@@ -10995,6 +11070,27 @@ object SparkEntry {
              THEN (1000000 * n_samp * peak_abs * peak_abs) // sum_sq
              ELSE CAST(0 AS BIGINT) END AS crest_ppm
          FROM a ORDER BY media_id""",
+    // 128-sample window energies from the closed form, exact nearest-rank
+    // p10/p95 per asset
+    "media_lra" ->
+      """WITH m AS (SELECT s_suppkey AS media_id,
+           4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),
+         w AS (SELECT media_id, unnest(range(0, n_bytes // 128)) AS win_no FROM m),
+         sq AS (SELECT media_id, win_no,
+             CAST(list_sum(list_transform(range(0,128),
+               i -> (((media_id*31 + (win_no*128+i)*7) % 256) - 128)
+                  * (((media_id*31 + (win_no*128+i)*7) % 256) - 128))) AS BIGINT) AS sq_sum
+           FROM w),
+         r AS (SELECT media_id, sq_sum,
+             row_number() OVER (PARTITION BY media_id ORDER BY sq_sum, win_no) AS rn,
+             count(*) OVER (PARTITION BY media_id) AS n FROM sq)
+         SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(max(n) AS BIGINT) AS n_win,
+           max(CASE WHEN rn = (n - 1) * 10 // 100 + 1 THEN sq_sum END) AS p10_sq,
+           max(CASE WHEN rn = (n - 1) * 95 // 100 + 1 THEN sq_sum END) AS p95_sq,
+           max(CASE WHEN rn = (n - 1) * 95 // 100 + 1 THEN sq_sum END)
+             - max(CASE WHEN rn = (n - 1) * 10 // 100 + 1 THEN sq_sum END) AS lra_q
+         FROM r GROUP BY 1 ORDER BY media_id""",
     // the frame_sample digest replay + run-length grouping on equal
     // consecutive digests (IS DISTINCT FROM starts runs, first row too)
     "media_frame_dedup" ->

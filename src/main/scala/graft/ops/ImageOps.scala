@@ -188,6 +188,66 @@ object ImageOps {
       }.toDF()
   }
 
+  /** Walsh–Hadamard 8×8 block-transform energy census — the integer-exact
+    * stand-in for DCT energy compaction (the WHT shares the DCT's ±
+    * butterfly structure with signs only, so the per-coefficient energy
+    * split is the same compressibility read codecs make, with no floats
+    * anywhere). For each requested natural-order coefficient (cu, cv) the
+    * per-block signed sum Σ (−1)^{popcount(cu&i)+popcount(cv&j)}·v(i,j)
+    * over the 75×75 grid of 8×8 blocks, squared and summed per image —
+    * low-order AC energy ⇒ smooth gradients, high-order ⇒ texture/noise.
+    *
+    * 100 TB shape: decode-once mapPartitions, zero shuffle, one row per
+    * (image, coefficient).
+    *
+    * @return (image_id, cu, cv, n_blocks, energy)
+    */
+  final case class WhtRow(image_id: String, cu: Int, cv: Int,
+                          n_blocks: Long, energy: Long)
+
+  def whtEnergy(tiles: Dataset[TileRow],
+                coeffs: Seq[(Int, Int)]): DataFrame = {
+    require(coeffs.nonEmpty && coeffs.forall { case (u, v) =>
+      u >= 0 && u < 8 && v >= 0 && v < 8 }, s"coeffs must be in 0..7: $coeffs")
+    implicit val enc = Encoders.product[WhtRow]
+    tiles.mapPartitions { it =>
+      it.flatMap { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val per = size / 8
+        coeffs.iterator.map { case (cu, cv) =>
+          val sgnR = Array.tabulate(8)(i =>
+            if (Integer.bitCount(cu & i) % 2 == 0) 1L else -1L)
+          val sgnC = Array.tabulate(8)(j =>
+            if (Integer.bitCount(cv & j) % 2 == 0) 1L else -1L)
+          var energy = 0L
+          var br = 0
+          while (br < per) {
+            var bc = 0
+            while (bc < per) {
+              var coef = 0L
+              var i = 0
+              while (i < 8) {
+                val base = (br * 8 + i) * size + bc * 8
+                val s = sgnR(i)
+                var j = 0
+                while (j < 8) {
+                  coef += s * sgnC(j) * d.samples(base + j)
+                  j += 1
+                }
+                i += 1
+              }
+              energy += coef * coef
+              bc += 1
+            }
+            br += 1
+          }
+          WhtRow(tl.image_id, cu, cv, per.toLong * per, energy)
+        }
+      }
+    }.toDF()
+  }
+
   /** Cross-tile seam audit — the mosaic-QA check a pyramid/mosaic build
     * runs before publishing: for every east-west adjacent tile pair, the
     * east edge column of the west tile compared sample-by-sample against

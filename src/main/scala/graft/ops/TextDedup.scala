@@ -99,6 +99,34 @@ object TextDedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** LSH bucket-size skew audit — the scale diagnostic an LSH dedup run
+    * monitors BEFORE firing the band self-join: per band the bucket count,
+    * the largest bucket, and Σ C(sz,2) candidate pairs (the exact join
+    * cost; one hot bucket of size k costs k²/2 comparisons, which is how
+    * boilerplate shingles melt a cluster). Same signature/band derivation
+    * as [[minhashPairs]], stopped at the bucket histogram — no self-join.
+    *
+    * @return (band_id, n_buckets, n_rows, max_bucket, candidate_pairs)
+    */
+  def minhashBucketStats(docs: DataFrame, shingleN: Int = 3, nHashes: Int = 8,
+                         bands: Int = 4): DataFrame = {
+    require(nHashes % bands == 0, "nHashes must be divisible by bands")
+    val r = nHashes / bands
+    val sig = docs
+      .select(col("doc_id"), shingleHashes(col("text"), shingleN).as("hv"))
+      .select(col("doc_id"), minhashSigFromHashes(col("hv"), nHashes).as("sig"))
+    val banded = sig.select(col("doc_id"),
+      posexplode(array((0 until bands).map { bnd =>
+        (0 until r).map(i => element_at(col("sig"), bnd * r + i + 1))
+          .reduceLeft((acc, v) => acc * lit(P) + v)
+      }: _*)).as(Seq("band_id", "band_key")))
+    banded.groupBy("band_id", "band_key").agg(count(lit(1)).as("sz"))
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n_buckets"), sum("sz").as("n_rows"),
+        max("sz").as("max_bucket"),
+        sum(expr("sz * (sz - 1) div 2")).as("candidate_pairs"))
+  }
+
   /** Signature-agreement Jaccard ESTIMATE for the band-join candidates:
     * `est_ppm = n_agree · 10⁶ div nHashes` where n_agree counts lanes with
     * equal minhash values — the standard MinHash estimator (E[n_agree/n] =
