@@ -3837,6 +3837,80 @@ object SparkEntry {
         .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
       ops.Graph.twoHop(edges).orderBy("node")
     }),
+    // Minimum spanning forest (ops.Graph.boruvkaMsf): Borůvka rounds —
+    // per-component cheapest-edge picks + star-CC contraction, ≤ log₂|V|
+    // rounds, the distributed MST next to sssp/labelprop. wkey composes
+    // the weight with the canonical pair id in the low 12 bits, so
+    // weights are DISTINCT and the forest unique; the oracle replays the
+    // cycle property (edge ∈ MSF iff its far endpoint is unreachable via
+    // strictly lighter edges) as ONE recursive reachability.
+    "graph_mst" -> ((s, dir) => {
+      val edges = t(s, dir, "supplier").selectExpr(
+        "s_suppkey % 64 AS src",
+        "(s_suppkey * 13 + 7) % 64 AS dst",
+        "(s_suppkey % 97) * 4096 + least(s_suppkey % 64, (s_suppkey * 13 + 7) % 64) * 64 + greatest(s_suppkey % 64, (s_suppkey * 13 + 7) % 64) AS wkey")
+      ops.Graph.boruvkaMsf(edges).orderBy("a", "b")
+    }),
+    // Two-sample Kolmogorov–Smirnov test on per-user engagement (the
+    // distribution-level A/B read events_ab_test's proportion z-test
+    // can't see): per event_type, users split by id parity, D = sup
+    // |F₁−F₂| over the pooled support as the EXACT integer
+    // d_num = max|c1·n2 − c2·n1| (denominator n1·n2), d_ppm the floored
+    // consumer view, and the α=0.05 decision by cross-multiplied squares
+    // (c² = 1.358² scaled to ppm — no float anywhere). One user-keyed
+    // agg + one value-ordered window per type.
+    "events_ks_test" -> ((s, dir) => {
+      val perUser = t(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      val counts = perUser.groupBy("event_type", "cents")
+        .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("k1"),
+          sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("k2"))
+      val w = Window.partitionBy("event_type").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wp = Window.partitionBy("event_type")
+      counts
+        .withColumn("c1", sum("k1").over(w))
+        .withColumn("c2", sum("k2").over(w))
+        .withColumn("n1", sum("k1").over(wp))
+        .withColumn("n2", sum("k2").over(wp))
+        .groupBy("event_type")
+        .agg(max("n1").as("n1"), max("n2").as("n2"),
+          max(abs(col("c1") * col("n2") - col("c2") * col("n1")))
+            .as("d_num"))
+        .withColumn("d_den", col("n1") * col("n2"))
+        .withColumn("d_ppm", expr("d_num * 1000000 DIV d_den"))
+        .withColumn("significant",
+          expr("d_num * d_num * 1000000 > 1844164 * (n1 + n2) * n1 * n2"))
+        .orderBy("event_type")
+    }),
+    // Ordinal-pattern census (Bandt–Pompe permutation patterns, public):
+    // per event_type the hourly-count series' sliding length-3 windows
+    // mapped to their rank permutation (ties break by earlier position,
+    // the standard convention) — the permutation-entropy input that
+    // separates trending/oscillating/noisy series with zero arithmetic
+    // beyond comparisons. One hour-ordered window per type + one
+    // key-bounded count.
+    "events_ordinal_patterns" -> ((s, dir) => {
+      val hrly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("hr")
+      val tri = hrly
+        .select(col("event_type"), col("c").as("v0"),
+          lead("c", 1).over(w).as("v1"), lead("c", 2).over(w).as("v2"))
+        .filter(col("v1").isNotNull && col("v2").isNotNull)
+      val r0 = when(col("v1") < col("v0"), 1).otherwise(0) +
+        when(col("v2") < col("v0"), 1).otherwise(0)
+      val r1 = when(col("v0") <= col("v1"), 1).otherwise(0) +
+        when(col("v2") < col("v1"), 1).otherwise(0)
+      val r2 = when(col("v0") <= col("v2"), 1).otherwise(0) +
+        when(col("v1") <= col("v2"), 1).otherwise(0)
+      tri.withColumn("pattern", (r0 * 100 + r1 * 10 + r2).cast("int"))
+        .groupBy("event_type", "pattern")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "pattern")
+    }),
     // Depth-bounded BOM explosion (ops.Graph.bomRollup): the recursive-CTE
     // transitive rollup Spark SQL lacks, unrolled as 3 keyed frontier
     // joins over a DAG (parent < child ids guarantee acyclicity); per root
@@ -9102,6 +9176,75 @@ object SparkEntry {
     "graph_hits" -> hitsOracleSql,
     "graph_labelprop" -> labelpropOracleSql,
     "graph_twohop" -> twoHopOracleSql,
+    // unique-weight MSF by the cycle property: an edge is in the forest
+    // iff its far endpoint is NOT reachable from the near one using
+    // strictly lighter edges — one recursive reachability keyed by edge
+    "graph_mst" ->
+      """WITH RECURSIVE raw AS (SELECT s_suppkey % 64 AS src,
+           (s_suppkey * 13 + 7) % 64 AS dst,
+           (s_suppkey % 97) * 4096
+             + least(s_suppkey % 64, (s_suppkey * 13 + 7) % 64) * 64
+             + greatest(s_suppkey % 64, (s_suppkey * 13 + 7) % 64) AS wkey
+           FROM supplier),
+         e AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+             min(wkey) AS wkey
+           FROM raw WHERE src <> dst GROUP BY 1, 2),
+         r(a0, b0, w0, node) AS (
+           SELECT a, b, wkey, a FROM e
+           UNION
+           SELECT r.a0, r.b0, r.w0,
+             CASE WHEN g.a = r.node THEN g.b ELSE g.a END
+           FROM r JOIN e g ON (g.a = r.node OR g.b = r.node)
+             AND g.wkey < r.w0)
+         SELECT CAST(e.a AS BIGINT) AS a, CAST(e.b AS BIGINT) AS b,
+           CAST(e.wkey AS BIGINT) AS wkey
+         FROM e WHERE NOT EXISTS (SELECT 1 FROM r
+           WHERE r.a0 = e.a AND r.b0 = e.b AND r.node = e.b)
+         ORDER BY a, b""",
+    // pooled-support exact KS: cumulative counts per arm at every distinct
+    // per-user total, D as the cross-multiplied integer max
+    "events_ks_test" ->
+      """WITH pu AS (SELECT event_type, user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+           FROM events GROUP BY 1, 2),
+         ct AS (SELECT event_type, cents,
+             CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+             CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k2
+           FROM pu GROUP BY 1, 2),
+         cum AS (SELECT event_type,
+             CAST(sum(k1) OVER (PARTITION BY event_type ORDER BY cents) AS BIGINT) AS c1,
+             CAST(sum(k2) OVER (PARTITION BY event_type ORDER BY cents) AS BIGINT) AS c2,
+             CAST(sum(k1) OVER (PARTITION BY event_type) AS BIGINT) AS n1,
+             CAST(sum(k2) OVER (PARTITION BY event_type) AS BIGINT) AS n2
+           FROM ct),
+         agg AS (SELECT event_type, max(n1) AS n1, max(n2) AS n2,
+             CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS d_num
+           FROM cum GROUP BY 1)
+         SELECT event_type, n1, n2, d_num, n1 * n2 AS d_den,
+           d_num * 1000000 // (n1 * n2) AS d_ppm,
+           d_num * d_num * 1000000 > 1844164 * (n1 + n2) * n1 * n2 AS significant
+         FROM agg ORDER BY event_type""",
+    // hourly counts, lead() triples, rank-by-comparison (ties to earlier
+    // position), pattern = r0*100 + r1*10 + r2
+    "events_ordinal_patterns" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+           CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         tri AS (SELECT event_type, c AS v0,
+             lead(c, 1) OVER (PARTITION BY event_type ORDER BY hr) AS v1,
+             lead(c, 2) OVER (PARTITION BY event_type ORDER BY hr) AS v2
+           FROM h),
+         pat AS (SELECT event_type,
+             (CASE WHEN v1 < v0 THEN 1 ELSE 0 END
+              + CASE WHEN v2 < v0 THEN 1 ELSE 0 END) * 100
+             + (CASE WHEN v0 <= v1 THEN 1 ELSE 0 END
+                + CASE WHEN v2 < v1 THEN 1 ELSE 0 END) * 10
+             + (CASE WHEN v0 <= v2 THEN 1 ELSE 0 END
+                + CASE WHEN v1 <= v2 THEN 1 ELSE 0 END) AS pattern
+           FROM tri WHERE v1 IS NOT NULL AND v2 IS NOT NULL)
+         SELECT event_type, CAST(pattern AS INT) AS pattern,
+           CAST(count(*) AS BIGINT) AS n
+         FROM pat GROUP BY 1, 2 ORDER BY event_type, pattern""",
     // BOM explosion as a TRUE recursive CTE with the same depth-3 guard;
     // UNION ALL recursion keeps every path, matching the engine's
     // path-multiplicity (extended-quantity) semantics

@@ -947,4 +947,90 @@ object Graph {
     }
     lvl
   }
+
+  /** Minimum spanning forest by Borůvka rounds — the distributed MST
+    * (Borůvka 1926, public): every round each component picks its
+    * cheapest outgoing edge (all picks are MSF edges by the cut property),
+    * the picked edges contract components via large-star/small-star CC
+    * ([[TextDedup.connectedComponentsStar]]), and components at least
+    * halve — so the loop is ≤ ⌈log₂ |V|⌉ rounds with NO driver walk. With
+    * distinct `wkey`s the forest is unique, which is what makes the oracle
+    * replicable: the cycle property says an edge is in the MSF iff its
+    * heavier endpoint is NOT reachable from the lighter one using strictly
+    * lighter edges — a single recursive reachability the oracle replays.
+    *
+    * 100 TB shape: per round, two node-keyed joins to tag components, one
+    * key-bounded min-agg (the per-component argmin rides a struct min, so
+    * it partial-aggregates map-side), and the O(log n)-round star CC on
+    * the picked-edge graph (|components| rows, shrinking geometrically).
+    * The edge list shuffles only on its endpoints; state is one label per
+    * node, lineage cut per round. Loop control is a bounded `isEmpty`
+    * probe, never a collect.
+    *
+    * @param edges (src, dst, wkey); multi-edges collapse to min wkey,
+    *              self-loops drop. `wkey` must be DISTINCT per canonical
+    *              undirected pair for a unique forest (compose a tiebreak
+    *              into low bits as the callers do).
+    * @param maxRounds components halve per round, so the default covers
+    *                  2⁶⁴ nodes; the guard catches contract violations
+    * @return MSF edges (a, b, wkey), a < b
+    */
+  def boruvkaMsf(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val e = edges
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("wkey"))
+      .groupBy("a", "b").agg(min("wkey").as("wkey"))
+      .localCheckpoint(false)
+    var comp = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node"))).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint(false)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var rounds = 0
+    var done = e.isEmpty
+    while (!done) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"boruvkaMsf: no fixpoint after $maxRounds rounds — components " +
+            "halve per round, so this means the wkey-distinctness contract " +
+            "was violated")
+      val cross = e
+        .join(comp.select(col("node").as("a"), col("comp").as("ca")), Seq("a"))
+        .join(comp.select(col("node").as("b"), col("comp").as("cb")), Seq("b"))
+        .filter(col("ca") =!= col("cb"))
+        .localCheckpoint(false)
+      if (cross.isEmpty) done = true
+      else {
+        // cheapest OUTGOING edge per component: argmin rides a struct min
+        // (wkey leads, so distinct wkeys make the pick deterministic)
+        val dir = cross.select(col("ca").as("c"),
+            struct(col("wkey"), col("a"), col("b"),
+              col("ca"), col("cb")).as("e"))
+          .unionAll(cross.select(col("cb").as("c"),
+            struct(col("wkey"), col("a"), col("b"),
+              col("ca"), col("cb")).as("e")))
+        val chosen = dir.groupBy("c").agg(min("e").as("e"))
+          .select(col("e.wkey").as("wkey"), col("e.a").as("a"),
+            col("e.b").as("b"), col("e.ca").as("ca"), col("e.cb").as("cb"))
+          .distinct()
+          .localCheckpoint(false)
+        picked += chosen.select("a", "b", "wkey")
+        // contract: components of the picked-edge graph fold to one label
+        val cnodes = chosen.select(col("ca").as("doc_id"))
+          .unionAll(chosen.select(col("cb").as("doc_id"))).distinct()
+        val cc = TextDedup.connectedComponentsStar(
+          chosen.select(col("ca").as("doc_a"), col("cb").as("doc_b")), cnodes)
+        comp = comp.join(
+            cc.select(col("doc_id").as("comp"), col("comp").as("newcomp")),
+            Seq("comp"), "left")
+          .select(col("node"),
+            coalesce(col("newcomp"), col("comp")).as("comp"))
+          .localCheckpoint(false)
+        rounds += 1
+      }
+    }
+    if (picked.isEmpty) e.select("a", "b", "wkey").limit(0)
+    else picked.reduce(_ unionAll _)
+  }
 }
