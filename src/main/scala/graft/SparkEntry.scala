@@ -2246,6 +2246,34 @@ object SparkEntry {
           "(c_custkey * 7) % 1201 AS x", "(c_custkey * 13) % 1009 AS y")
       ops.SpatialJoin.convexHullPerGroup(pts).orderBy("gid", "x", "y")
     }),
+    // Hull diameter per group: the farthest pair, computed on the HULL
+    // vertices only (all max-distance pairs are hull vertices — distance
+    // along a segment is strictly convex, so interior/edge points never
+    // tie a vertex pair) — hull size ≪ point count is what makes the
+    // all-pairs refine scale; the oracle brute-forces ALL distinct point
+    // pairs, which must agree by that argument. Deterministic argmax by
+    // (d2 desc, ax, ay, bx, by).
+    "geo_hull_diameter" -> ((s, dir) => {
+      val pts = t(s, dir, "customer").filter(col("c_custkey") <= 1000)
+        .selectExpr("c_custkey % 25 AS gid",
+          "(c_custkey * 7) % 1201 AS x", "(c_custkey * 13) % 1009 AS y")
+      val hull = ops.SpatialJoin.convexHullPerGroup(pts)
+      val pairs = hull.select(col("gid"), col("x").as("ax"), col("y").as("ay"))
+        .join(hull.select(col("gid"), col("x").as("bx"), col("y").as("by")),
+          Seq("gid"))
+        .filter(col("ax") < col("bx") ||
+          (col("ax") === col("bx") && col("ay") < col("by")))
+        .withColumn("d2", expr(
+          "(ax - bx) * (ax - bx) + (ay - by) * (ay - by)"))
+      val best = pairs.withColumn("rn", row_number().over(
+          Window.partitionBy("gid").orderBy(col("d2").desc, col("ax"),
+            col("ay"), col("bx"), col("by"))))
+        .filter(col("rn") === 1).drop("rn")
+      val n = pts.distinct().groupBy("gid").agg(count(lit(1)).as("n_pts"))
+      best.join(n, Seq("gid"))
+        .select("gid", "n_pts", "d2", "ax", "ay", "bx", "by")
+        .orderBy("gid")
+    }),
     // Distributed power iteration (3 rounds of integer-exact Xᵀ(Xv)) for
     // the corpus's top principal direction.
     "ann_power_iteration" -> ((s, dir) => {
@@ -3884,6 +3912,33 @@ object SparkEntry {
           expr("d_num * d_num * 1000000 > 1844164 * (n1 + n2) * n1 * n2"))
         .orderBy("event_type")
     }),
+    // Mann–Whitney U on the same per-user split (the rank-sum companion to
+    // events_ks_test's sup-gap): doubled midranks keep tie handling exact
+    // integer — per distinct value, 2·midrank = 2·(count before) + k + 1,
+    // so 2R₁ = Σ k₁·(2·before + k + 1), 2U₁ = 2R₁ − n₁(n₁+1), and the tie
+    // correction Σ(k³−k) ships for the consumer's variance. One value-
+    // ordered window per type.
+    "events_mannwhitney" -> ((s, dir) => {
+      val perUser = t(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      val counts = perUser.groupBy("event_type", "cents")
+        .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("k1"),
+          sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("k2"))
+        .withColumn("k", col("k1") + col("k2"))
+      val w = Window.partitionBy("event_type").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      counts
+        .withColumn("before", sum("k").over(w) - col("k"))
+        .withColumn("term", expr("k1 * (2 * before + k + 1)"))
+        .groupBy("event_type")
+        .agg(sum("k1").as("n1"), sum("k2").as("n2"),
+          sum("term").as("r1_x2"),
+          sum(expr("k * k * k - k")).as("tie_corr"))
+        .withColumn("u1_x2", expr("r1_x2 - n1 * (n1 + 1)"))
+        .withColumn("u2_x2", expr("2 * n1 * n2 - u1_x2"))
+        .orderBy("event_type")
+    }),
     // Ordinal-pattern census (Bandt–Pompe permutation patterns, public):
     // per event_type the hourly-count series' sliding length-3 windows
     // mapped to their rank permutation (ties break by earlier position,
@@ -4570,6 +4625,16 @@ object SparkEntry {
     // (list_sort[5]).
     "img_median" -> ((s, dir) => {
       ops.ImageOps.medianDenoiseStats(gateTiles(s, "png"))
+        .orderBy("image_id")
+    }),
+    // Kuwahara edge-preserving smoothing census (ops.ImageOps
+    // .kuwaharaStats): per interior pixel the min-variance 3×3 quadrant of
+    // the 5×5 window wins (exact 9·Σx²−(Σx)² comparison, ties to lowest
+    // index) and contributes its floor-mean — per-quadrant pick counts +
+    // smoothing energy per image. Two integral images, O(1) per quadrant,
+    // zero shuffle.
+    "img_kuwahara" -> ((s, dir) => {
+      ops.ImageOps.kuwaharaStats(gateTiles(s, "png"))
         .orderBy("image_id")
     }),
     // Manhattan distance transform (ops.ImageOps.distanceTransformStats):
@@ -8269,6 +8334,53 @@ object SparkEntry {
     * pixel as a list, median = list_sort(...)[5], image rollup in exact
     * integers.
     */
+  /** Kuwahara oracle: the four 3×3 quadrant (Σx, Σx²) pairs per interior
+    * pixel spelled out over the closed-form grid, min-variance pick by the
+    * same `9·Σx² − (Σx)²` comparison with lowest-index ties, floor-mean
+    * output.
+    */
+  private val kuwaharaOracleSql: String = {
+    def v(dc: Int, dr: Int) = gridV(s"c.range+($dc)", s"r.range+($dr)")
+    def quad(rs: Seq[Int], cs: Seq[Int]) =
+      for { dr <- rs; dc <- cs } yield v(dc, dr)
+    val quads = Seq(
+      quad(-2 to 0, -2 to 0), quad(-2 to 0, 0 to 2),
+      quad(0 to 2, -2 to 0), quad(0 to 2, 0 to 2))
+    val sums = quads.zipWithIndex.map { case (q, i) =>
+      s"(${q.mkString(" + ")}) AS s$i" }.mkString(",\n           ")
+    val ssqs = quads.zipWithIndex.map { case (q, i) =>
+      s"(${q.map(x => s"$x*$x").mkString(" + ")}) AS ss$i" }
+      .mkString(",\n           ")
+    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+       k AS (SELECT swlng, swlat,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
+       px AS (SELECT swlng, swlat, ${v(0, 0)} AS v0,
+           $sums,
+           $ssqs
+         FROM k, range(2,599) r, range(2,599) c),
+       nv AS (SELECT swlng, swlat, v0, s0, s1, s2, s3,
+           9*ss0 - s0*s0 AS n0, 9*ss1 - s1*s1 AS n1,
+           9*ss2 - s2*s2 AS n2, 9*ss3 - s3*s3 AS n3 FROM px),
+       pick AS (SELECT swlng, swlat, v0,
+           CASE WHEN n0 <= n1 AND n0 <= n2 AND n0 <= n3 THEN 0
+                WHEN n1 <= n2 AND n1 <= n3 THEN 1
+                WHEN n2 <= n3 THEN 2 ELSE 3 END AS q,
+           CASE WHEN n0 <= n1 AND n0 <= n2 AND n0 <= n3 THEN s0 // 9
+                WHEN n1 <= n2 AND n1 <= n3 THEN s1 // 9
+                WHEN n2 <= n3 THEN s2 // 9 ELSE s3 // 9 END AS outv
+         FROM nv)
+       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+         CAST(count(*) AS BIGINT) AS n_px,
+         CAST(sum(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS q0,
+         CAST(sum(CASE WHEN q = 1 THEN 1 ELSE 0 END) AS BIGINT) AS q1,
+         CAST(sum(CASE WHEN q = 2 THEN 1 ELSE 0 END) AS BIGINT) AS q2,
+         CAST(sum(CASE WHEN q = 3 THEN 1 ELSE 0 END) AS BIGINT) AS q3,
+         CAST(sum(outv) AS BIGINT) AS sum_out,
+         CAST(sum(abs(outv - v0)) AS BIGINT) AS sum_absdiff
+       FROM pick GROUP BY 1 ORDER BY image_id"""
+  }
+
   private val medianOracleSql: String = {
     def v(dc: Int, dr: Int) = gridV(s"c.range+($dc)", s"r.range+($dr)")
     val nine = (for { dr <- -1 to 1; dc <- -1 to 1 } yield v(dc, dr)).mkString(", ")
@@ -9224,6 +9336,29 @@ object SparkEntry {
            d_num * 1000000 // (n1 * n2) AS d_ppm,
            d_num * d_num * 1000000 > 1844164 * (n1 + n2) * n1 * n2 AS significant
          FROM agg ORDER BY event_type""",
+    // doubled midranks: per distinct value 2·midrank = 2·before + k + 1;
+    // window sums cast back from DuckDB's HUGEINT
+    "events_mannwhitney" ->
+      """WITH pu AS (SELECT event_type, user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+           FROM events GROUP BY 1, 2),
+         ct AS (SELECT event_type, cents,
+             CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+             CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k2
+           FROM pu GROUP BY 1, 2),
+         cum AS (SELECT event_type, k1, k2, k1 + k2 AS k,
+             CAST(sum(k1 + k2) OVER (PARTITION BY event_type ORDER BY cents)
+               AS BIGINT) - (k1 + k2) AS bef
+           FROM ct),
+         agg AS (SELECT event_type,
+             CAST(sum(k1) AS BIGINT) AS n1, CAST(sum(k2) AS BIGINT) AS n2,
+             CAST(sum(k1 * (2 * bef + k + 1)) AS BIGINT) AS r1_x2,
+             CAST(sum(k * k * k - k) AS BIGINT) AS tie_corr
+           FROM cum GROUP BY 1)
+         SELECT event_type, n1, n2, r1_x2, tie_corr,
+           r1_x2 - n1 * (n1 + 1) AS u1_x2,
+           2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS u2_x2
+         FROM agg ORDER BY event_type""",
     // hourly counts, lead() triples, rank-by-comparison (ties to earlier
     // position), pattern = r0*100 + r1*10 + r2
     "events_ordinal_patterns" ->
@@ -9613,6 +9748,7 @@ object SparkEntry {
     "img_integral_box" -> integralBoxOracleSql,
     "img_quadtree" -> quadtreeOracleSql,
     "img_median" -> medianOracleSql,
+    "img_kuwahara" -> kuwaharaOracleSql,
     "img_distance" -> distanceOracleSql,
     "zonal_cutfill" -> cutFillOracleSql,
     "img_saliency" -> saliencyOracleSql,
@@ -9889,6 +10025,26 @@ object SparkEntry {
          ORDER BY "column""""
     },
     "geo_convex_hull" -> convexHullOracleSql,
+    // brute-force all DISTINCT point pairs per group — every max-distance
+    // pair is a hull-vertex pair (strict convexity along segments), so the
+    // engine's hull-only refine must agree, argmax ties included
+    "geo_hull_diameter" ->
+      """WITH pts AS (SELECT DISTINCT c_custkey % 25 AS gid,
+           (c_custkey * 7) % 1201 AS x, (c_custkey * 13) % 1009 AS y
+           FROM customer WHERE c_custkey <= 1000),
+         pr AS (SELECT a.gid, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+           FROM pts a JOIN pts b ON a.gid = b.gid
+             AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))),
+         best AS (SELECT gid, d2, ax, ay, bx, by,
+             row_number() OVER (PARTITION BY gid
+               ORDER BY d2 DESC, ax, ay, bx, by) AS rn
+           FROM pr),
+         n AS (SELECT gid, CAST(count(*) AS BIGINT) AS n_pts
+           FROM pts GROUP BY 1)
+         SELECT best.gid, n.n_pts, d2, ax, ay, bx, by
+         FROM best JOIN n ON n.gid = best.gid WHERE rn = 1
+         ORDER BY best.gid""",
     // CAST(... AS TIMESTAMP): DuckDB date_trunc('day') returns DATE where
     // the engine emits a timestamp_ntz bucket — same instant, driver-hash-
     // sensitive type (the round-3 HUGEINT lesson applied to dates)

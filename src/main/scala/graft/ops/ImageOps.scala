@@ -885,6 +885,84 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class KuwaharaRow(image_id: String, n_px: Long, q0: Long,
+                               q1: Long, q2: Long, q3: Long, sum_out: Long,
+                               sum_absdiff: Long)
+
+  /** Kuwahara edge-preserving smoothing census (Kuwahara 1976, public) —
+    * per interior pixel the four overlapping 3×3 quadrants (NW/NE/SW/SE of
+    * the 5×5 window), the pixel takes the MEAN of the quadrant with the
+    * smallest variance (edges survive because the window straddling an
+    * edge loses to the flat side). All-integer: equal quadrant size makes
+    * the variance comparison `9·Σx² − (Σx)²` exact, ties go to the lowest
+    * quadrant index, the output mean is the floor division. Census output
+    * per image: interior pixel count, per-quadrant pick counts (the
+    * edge-orientation fingerprint), Σ output and Σ|output − v| (total
+    * smoothing energy).
+    *
+    * 100 TB shape: decode-once mapPartitions, TWO summed-area tables per
+    * tile (values + squares, one O(n) pass) answer every quadrant in O(1)
+    * — the integral-image discipline of [[integralBoxSums]]; zero shuffle,
+    * one row per image.
+    */
+  def kuwaharaStats(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[KuwaharaRow]
+    tiles.mapPartitions { it =>
+      it.map { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val w = size + 1
+        val ii = new Array[Long](w * w)
+        val ii2 = new Array[Long](w * w)
+        var r = 0
+        while (r < size) {
+          var rowS = 0L; var rowS2 = 0L
+          var c = 0
+          while (c < size) {
+            val v = d.samples(r * size + c).toLong
+            rowS += v; rowS2 += v * v
+            ii((r + 1) * w + (c + 1)) = ii(r * w + (c + 1)) + rowS
+            ii2((r + 1) * w + (c + 1)) = ii2(r * w + (c + 1)) + rowS2
+            c += 1
+          }
+          r += 1
+        }
+        def box(arr: Array[Long], r0: Int, c0: Int, r1: Int, c1: Int): Long =
+          arr((r1 + 1) * w + (c1 + 1)) - arr(r0 * w + (c1 + 1)) -
+            arr((r1 + 1) * w + c0) + arr(r0 * w + c0)
+        var nPx = 0L; val qc = new Array[Long](4)
+        var sumOut = 0L; var sumAd = 0L
+        r = 2
+        while (r <= size - 3) {
+          var c = 2
+          while (c <= size - 3) {
+            var best = 0; var bestNum = Long.MaxValue; var bestSum = 0L
+            var q = 0
+            while (q < 4) {
+              val r0 = if (q < 2) r - 2 else r
+              val r1 = if (q < 2) r else r + 2
+              val c0 = if (q % 2 == 0) c - 2 else c
+              val c1 = if (q % 2 == 0) c else c + 2
+              val s = box(ii, r0, c0, r1, c1)
+              val s2 = box(ii2, r0, c0, r1, c1)
+              val num = 9L * s2 - s * s
+              if (num < bestNum) { bestNum = num; best = q; bestSum = s }
+              q += 1
+            }
+            val out = Math.floorDiv(bestSum, 9L)
+            val v0 = d.samples(r * size + c).toLong
+            nPx += 1; qc(best) += 1; sumOut += out
+            sumAd += math.abs(out - v0)
+            c += 1
+          }
+          r += 1
+        }
+        KuwaharaRow(tl.image_id, nPx, qc(0), qc(1), qc(2), qc(3),
+          sumOut, sumAd)
+      }
+    }.toDF()
+  }
+
   final case class MedianRow(image_id: String, n_px: Long, n_changed: Long,
                              sum_abs: Long, max_abs: Long)
 
