@@ -149,6 +149,31 @@ object SparkEntry {
     * oracle can replay any byte of the generated payload; MediaOps.synth
     * builds the actual binary column from the same formula).
     */
+  /** Soundex code as a pure SQL expression chain (translate + chained
+    * adjacent-duplicate collapses) shared by engine and oracle; `g=true`
+    * emits DuckDB's regexp_replace global flag (Spark replaces all matches
+    * by default, and DuckDB's RE2 has no backreferences — hence one
+    * collapse per digit instead of `(\d)\1+`). h/w are deleted before
+    * collapsing so duplicates merge THROUGH them (the Ashcraft rule),
+    * vowels code to 0 and separate duplicates until stripped, and the
+    * first letter's own code collapses with the tail (the Pfister rule) —
+    * the drop of that leading code group is skipped when the first letter
+    * is h/w (its code is empty).
+    */
+  private def soundexSql(word: String, g: Boolean): String = {
+    val flag = if (g) ", 'g'" else ""
+    val from = "abcdefgijklmnopqrstuvxyzhw"
+    val to = "012301202245501262301202"
+    val coded = s"translate($word, '$from', '$to')"
+    val collapsed = (0 to 6).foldLeft(coded) { (acc, d) =>
+      s"regexp_replace($acc, '$d$d+', '$d'$flag)" }
+    val firstCode = s"translate(substr($word, 1, 1), '$from', '$to')"
+    val tail =
+      s"substr($collapsed, CASE WHEN $firstCode = '' THEN 1 ELSE 2 END)"
+    s"upper(substr($word, 1, 1)) || " +
+      s"rpad(substr(replace($tail, '0', ''), 1, 3), 3, '0')"
+  }
+
   private def mediaMeta(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "supplier").selectExpr("s_suppkey AS media_id",
       "1000 + (s_suppkey % 20) * 500 AS duration_ms",
@@ -3939,6 +3964,52 @@ object SparkEntry {
         .withColumn("u2_x2", expr("2 * n1 * n2 - u1_x2"))
         .orderBy("event_type")
     }),
+    // Theil–Sen robust trend slope per event_type: median over ALL pair
+    // slopes of the hourly-count series, quantized to exact ppm by
+    // positive-offset floor division (slopes can be negative; Spark DIV
+    // truncates where DuckDB // floors, so +K·Δi shifts every numerator
+    // positive — where the two agree — and K·10⁶ subtracts back exactly).
+    // The n² pair join is key-bounded per type (series length, not event
+    // count); median by nearest-rank lower over one value-ordered window.
+    "events_theil_sen" -> ((s, dir) => {
+      val hrly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("hr")
+      val pts = hrly.select(col("event_type"),
+        row_number().over(w).cast("long").as("i"), col("c"))
+      val pairs = pts.as("a").join(pts.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.i") < col("b.i"))
+        .select(col("a.event_type").as("event_type"),
+          expr("((b.c - a.c + 100000 * (b.i - a.i)) * 1000000) DIV " +
+            "(b.i - a.i) - 100000000000").as("slope_ppm"))
+      val wv = Window.partitionBy("event_type").orderBy("slope_ppm")
+      val wp = Window.partitionBy("event_type")
+      pairs.withColumn("rn", row_number().over(wv).cast("long"))
+        .withColumn("np", count(lit(1)).over(wp))
+        .filter(col("rn") === expr("(np + 1) DIV 2"))
+        .join(pts.groupBy("event_type").agg(max("i").as("n_pts")),
+          Seq("event_type"))
+        .select(col("event_type"), col("n_pts"), col("np").as("n_pairs"),
+          col("slope_ppm"))
+        .orderBy("event_type")
+    }),
+    // Soundex blocking census (the record-linkage blocking pass): every
+    // part-name head word coded by the shared translate/collapse chain
+    // (soundexSql — NO UDF, pure codegen'd string expressions), then per
+    // block the size, distinct-word count and exact C(sz,2) candidate-pair
+    // cost — the same pre-join skew read as dedup_lsh_skew, for the
+    // phonetic-key join family.
+    "text_soundex" -> ((s, dir) => {
+      val words = t(s, dir, "part")
+        .selectExpr("split_part(p_name, ' ', 1) AS w")
+        .selectExpr(s"${soundexSql("w", g = false)} AS code", "w")
+      words.groupBy("code")
+        .agg(count(lit(1)).as("sz"), countDistinct("w").as("n_words"))
+        .withColumn("candidate_pairs", expr("sz * (sz - 1) DIV 2"))
+        .orderBy("code")
+    }),
     // Ordinal-pattern census (Bandt–Pompe permutation patterns, public):
     // per event_type the hourly-count series' sliding length-3 windows
     // mapped to their rank permutation (ties break by earlier position,
@@ -4112,6 +4183,26 @@ object SparkEntry {
           max(when(col("rn") === expr("(n - 1) * 95 DIV 100 + 1"),
             col("sq_sum"))).as("p95_sq"))
         .withColumn("lra_q", col("p95_sq") - col("p10_sq"))
+        .orderBy("media_id")
+    }),
+    // Leading/trailing silence trim points (the audio-preprocessing cut a
+    // training pipeline makes before feature extraction): per asset the
+    // first/last 128-sample window whose energy clears the gate (700 000 ≈
+    // the uniform-noise mean, so both states occur), active-window count,
+    // and the tail gap — conditional aggregation keeps all-silent assets
+    // as NULL trims. One media_id-keyed agg, zero windows.
+    "media_silence_trim" -> ((s, dir) => {
+      val w = ops.MediaOps.windowSquares(
+        ops.MediaOps.synth(mediaMeta(s, dir)), winLen = 128)
+      w.groupBy("media_id").agg(
+          count(lit(1)).as("n_win"),
+          sum(when(col("sq_sum") > 700000L, 1L).otherwise(0L))
+            .as("n_active"),
+          min(when(col("sq_sum") > 700000L, col("win_no")))
+            .as("first_active"),
+          max(when(col("sq_sum") > 700000L, col("win_no")))
+            .as("last_active"))
+        .withColumn("tail_gap", expr("n_win - 1 - last_active"))
         .orderBy("media_id")
     }),
     // Stuck/duplicate-frame audit (ops.MediaOps.stuckFrames): runs of
@@ -9359,6 +9450,37 @@ object SparkEntry {
            r1_x2 - n1 * (n1 + 1) AS u1_x2,
            2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS u2_x2
          FROM agg ORDER BY event_type""",
+    // all pair slopes of the hourly series, positive-offset floor-division
+    // ppm quantization (+10⁵·Δi then −10¹¹), nearest-rank-lower median
+    "events_theil_sen" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+           CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         p AS (SELECT event_type, CAST(row_number() OVER (
+             PARTITION BY event_type ORDER BY hr) AS BIGINT) AS i, c
+           FROM h),
+         pr AS (SELECT a.event_type,
+             ((b.c - a.c + 100000 * (b.i - a.i)) * 1000000) // (b.i - a.i)
+               - 100000000000 AS slope_ppm
+           FROM p a JOIN p b ON a.event_type = b.event_type AND a.i < b.i),
+         r AS (SELECT event_type, slope_ppm,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY slope_ppm) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS np FROM pr),
+         n AS (SELECT event_type, CAST(max(i) AS BIGINT) AS n_pts
+           FROM p GROUP BY 1)
+         SELECT r.event_type, n.n_pts, CAST(np AS BIGINT) AS n_pairs,
+           slope_ppm
+         FROM r JOIN n ON n.event_type = r.event_type
+         WHERE rn = (np + 1) // 2 ORDER BY r.event_type""",
+    // identical soundex chain (global-flag regexp_replace), block rollup
+    "text_soundex" ->
+      s"""WITH w AS (SELECT split_part(p_name, ' ', 1) AS w FROM part),
+         c AS (SELECT w, ${soundexSql("w", g = true)} AS code FROM w)
+         SELECT code, CAST(count(*) AS BIGINT) AS sz,
+           CAST(count(DISTINCT w) AS BIGINT) AS n_words,
+           CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS candidate_pairs
+         FROM c GROUP BY 1 ORDER BY code""",
     // hourly counts, lead() triples, rank-by-comparison (ties to earlier
     // position), pattern = r0*100 + r1*10 + r2
     "events_ordinal_patterns" ->
@@ -11390,6 +11512,25 @@ object SparkEntry {
            max(CASE WHEN rn = (n - 1) * 95 // 100 + 1 THEN sq_sum END)
              - max(CASE WHEN rn = (n - 1) * 10 // 100 + 1 THEN sq_sum END) AS lra_q
          FROM r GROUP BY 1 ORDER BY media_id""",
+    // same 128-sample window energies, conditional min/max over the
+    // active gate
+    "media_silence_trim" ->
+      """WITH m AS (SELECT s_suppkey AS media_id,
+           4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),
+         w AS (SELECT media_id, unnest(range(0, n_bytes // 128)) AS win_no FROM m),
+         sq AS (SELECT media_id, win_no,
+             CAST(list_sum(list_transform(range(0,128),
+               i -> (((media_id*31 + (win_no*128+i)*7) % 256) - 128)
+                  * (((media_id*31 + (win_no*128+i)*7) % 256) - 128))) AS BIGINT) AS sq_sum
+           FROM w)
+         SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(count(*) AS BIGINT) AS n_win,
+           CAST(sum(CASE WHEN sq_sum > 700000 THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+           CAST(min(CASE WHEN sq_sum > 700000 THEN win_no END) AS BIGINT) AS first_active,
+           CAST(max(CASE WHEN sq_sum > 700000 THEN win_no END) AS BIGINT) AS last_active,
+           CAST(count(*) - 1
+             - max(CASE WHEN sq_sum > 700000 THEN win_no END) AS BIGINT) AS tail_gap
+         FROM sq GROUP BY 1 ORDER BY media_id""",
     // the frame_sample digest replay + run-length grouping on equal
     // consecutive digests (IS DISTINCT FROM starts runs, first row too)
     "media_frame_dedup" ->
