@@ -4728,6 +4728,35 @@ object SparkEntry {
       ops.ImageOps.kuwaharaStats(gateTiles(s, "png"))
         .orderBy("image_id")
     }),
+    // Gradient structure tensor per ~100² block (ops.ImageOps
+    // .structureTensor): integer central differences, second moments and
+    // the (λ₁−λ₂)² coherence numerator — the orientation/striping QA next
+    // to img_sobel's magnitude census. Decode-once, zero shuffle.
+    "img_structure_tensor" -> ((s, dir) => {
+      ops.ImageOps.structureTensor(gateTiles(s, "png"))
+        .orderBy("image_id", "py", "px")
+    }),
+    // NFD compaction bin packing (ops.Curation.binPackNfd): per table
+    // partition, manifest files sorted (size desc, id) fill 512-unit bins
+    // greedily — the OPTIMIZE plan next to store_overlap_depth's trigger
+    // metric; the oracle walks the identical recurrence as a recursive
+    // CTE. Key-bounded mapGroups over metadata-scale rows.
+    "store_compaction_plan" -> ((s, dir) => {
+      val files = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 50 === 0)
+        .selectExpr("o_orderkey % 8 AS part", "o_orderkey AS file_id",
+          "1 + (o_orderkey * 7919) % 200 AS sz")
+      ops.Curation.binPackNfd(files, capacity = 512L)
+        .orderBy("part", "file_id")
+    }),
+    // Farthest-first k-center pivot seeding (ops.Embeddings
+    // .farthestFirst): 5 deterministic coverage-maximizing pivots in exact
+    // milli-quantized integer distance — the IVF/routing seeding pass next
+    // to ann_kmeans_train; ≤4 driver rounds, one codegen'd scan each.
+    "ann_farthest_first" -> ((s, dir) => {
+      ops.Embeddings.farthestFirst(t(s, dir, "embeddings"), k = 5)
+        .orderBy("pick_no")
+    }),
     // Manhattan distance transform (ops.ImageOps.distanceTransformStats):
     // grid-step distance to the nearest high sample (≥3600) on the
     // stride-10 lattice — exact two-raster-scan DP in the engine, brute
@@ -8472,6 +8501,63 @@ object SparkEntry {
        FROM pick GROUP BY 1 ORDER BY image_id"""
   }
 
+  /** Structure-tensor oracle: the same central differences over the
+    * closed-form grid, block moments by GROUP BY.
+    */
+  private val structureTensorOracleSql: String = {
+    def v(dc: Int, dr: Int) = gridV(s"c.range+($dc)", s"r.range+($dr)")
+    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+       k AS (SELECT swlng, swlat,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
+       g AS (SELECT swlng, swlat, (r.range - 1) // 100 AS py,
+           (c.range - 1) // 100 AS px,
+           (${v(1, 0)}) - (${v(-1, 0)}) AS gx,
+           (${v(0, 1)}) - (${v(0, -1)}) AS gy
+         FROM k, range(1,600) r, range(1,600) c),
+       b AS (SELECT swlng, swlat, py, px, CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(gx*gx) AS BIGINT) AS sxx,
+           CAST(sum(gy*gy) AS BIGINT) AS syy,
+           CAST(sum(gx*gy) AS BIGINT) AS sxy
+         FROM g GROUP BY 1, 2, 3, 4)
+       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+         CAST(py AS INT) AS py, CAST(px AS INT) AS px, n_px, sxx, syy, sxy,
+         (sxx - syy) * (sxx - syy) + 4 * sxy * sxy AS coherence_num
+       FROM b ORDER BY image_id, py, px"""
+  }
+
+  /** Farthest-first oracle: 4 unrolled pick rounds, each the LEAST of the
+    * exact integer distances to every prior pivot, top-1 by
+    * (d2 desc, vec_id).
+    */
+  private val farthestFirstOracleSql: String = {
+    def d2(p: String) =
+      s"CAST(list_sum(list_transform(range(1,65), " +
+        s"i -> (q.eq[i] - $p.eq[i]) * (q.eq[i] - $p.eq[i]))) AS BIGINT)"
+    val rounds = (1 to 4).map { r =>
+      val pivots = (0 until r).map(j => s"p$j")
+      val mind =
+        if (r == 1) d2("p0")
+        else pivots.map(d2).mkString("LEAST(", ", ", ")")
+      s"""d$r AS (SELECT q.vec_id, q.eq, $mind AS d2
+         FROM e q, ${pivots.mkString(", ")}),
+         p$r AS (SELECT vec_id, eq, d2 FROM d$r
+           ORDER BY d2 DESC, vec_id LIMIT 1)"""
+    }.mkString(",\n         ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS eq
+         FROM embeddings),
+       p0 AS (SELECT vec_id, eq FROM e ORDER BY vec_id LIMIT 1),
+       $rounds
+       SELECT CAST(0 AS BIGINT) AS pick_no, vec_id,
+         CAST(0 AS BIGINT) AS d2 FROM p0
+       UNION ALL SELECT 1, vec_id, d2 FROM p1
+       UNION ALL SELECT 2, vec_id, d2 FROM p2
+       UNION ALL SELECT 3, vec_id, d2 FROM p3
+       UNION ALL SELECT 4, vec_id, d2 FROM p4
+       ORDER BY pick_no"""
+  }
+
   private val medianOracleSql: String = {
     def v(dc: Int, dr: Int) = gridV(s"c.range+($dc)", s"r.range+($dr)")
     val nine = (for { dr <- -1 to 1; dc <- -1 to 1 } yield v(dc, dr)).mkString(", ")
@@ -9871,6 +9957,26 @@ object SparkEntry {
     "img_quadtree" -> quadtreeOracleSql,
     "img_median" -> medianOracleSql,
     "img_kuwahara" -> kuwaharaOracleSql,
+    "img_structure_tensor" -> structureTensorOracleSql,
+    "ann_farthest_first" -> farthestFirstOracleSql,
+    // the identical NFD recurrence as a recursive CTE, one file per
+    // iteration per partition
+    "store_compaction_plan" ->
+      """WITH RECURSIVE f AS (SELECT o_orderkey % 8 AS part,
+           o_orderkey AS file_id, 1 + (o_orderkey * 7919) % 200 AS sz
+           FROM orders WHERE o_orderkey % 50 = 0),
+         s AS (SELECT part, file_id, sz, CAST(row_number() OVER (
+             PARTITION BY part ORDER BY sz DESC, file_id) AS BIGINT) AS idx
+           FROM f),
+         r(part, idx, file_id, sz, bin, fill) AS (
+           SELECT part, idx, file_id, sz, CAST(0 AS BIGINT), sz
+           FROM s WHERE idx = 1
+           UNION ALL
+           SELECT s.part, s.idx, s.file_id, s.sz,
+             CASE WHEN r.fill + s.sz <= 512 THEN r.bin ELSE r.bin + 1 END,
+             CASE WHEN r.fill + s.sz <= 512 THEN r.fill + s.sz ELSE s.sz END
+           FROM r JOIN s ON s.part = r.part AND s.idx = r.idx + 1)
+         SELECT part, file_id, sz, bin FROM r ORDER BY part, file_id""",
     "img_distance" -> distanceOracleSql,
     "zonal_cutfill" -> cutFillOracleSql,
     "img_saliency" -> saliencyOracleSql,

@@ -825,4 +825,44 @@ object Curation {
       .withColumn("mattr_ppm",
         expr(s"distinct_sum * 1000000L DIV ($w * (n_tokens - $w + 1))"))
   }
+
+  /** Next-fit-decreasing compaction bin packing — the small-file
+    * compaction plan an Iceberg/Delta OPTIMIZE job emits: per table
+    * partition, files sorted (size desc, file_id) fill bins greedily, a
+    * new bin opens when the next file would overflow `capacity`
+    * (an oversized file sits alone in its own bin). NFD is the
+    * deterministic member of the FFD family — same ≤ 2·OPT-ish packing
+    * behavior in practice, but replayable row-by-row, which is what makes
+    * it oracle-checkable (DuckDB walks the identical recurrence as a
+    * recursive CTE).
+    *
+    * 100 TB shape: one groupByKey keyed by the TABLE PARTITION — the unit
+    * a compaction job plans independently anyway — with per-group state
+    * one (bin, fill) pair and per-group input the partition's manifest
+    * rows (metadata-scale, thousands, not data-scale). Never a global
+    * sort, never a driver collect.
+    *
+    * @param files (part, file_id, sz)
+    * @return (part, file_id, sz, bin) — bin ids 0-based per partition
+    */
+  def binPackNfd(files: DataFrame, capacity: Long): DataFrame = {
+    require(capacity > 0, s"capacity must be > 0, got $capacity")
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col("part").cast("long"), col("file_id").cast("long"),
+        col("sz").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (part, it) =>
+        val fs = it.toArray.sortBy { case (_, id, sz) => (-sz, id) }
+        var bin = 0L; var fill = 0L
+        fs.iterator.zipWithIndex.map { case ((_, id, sz), i) =>
+          if (i == 0) { bin = 0L; fill = sz }
+          else if (fill + sz <= capacity) { fill += sz }
+          else { bin += 1; fill = sz }
+          (part, id, sz, bin)
+        }
+      }
+      .toDF("part", "file_id", "sz", "bin")
+  }
 }

@@ -1031,4 +1031,56 @@ object Embeddings {
         col("d2").as("found_d2"), col("hops"), col("exact_id"),
         col("exact_d2"), col("is_exact"))
   }
+
+  /** Farthest-first traversal (Gonzalez 1985 k-center seeding, public) —
+    * the deterministic coverage-maximizing pivot picker an IVF/routing
+    * index seeds from: start at the lowest vec_id, then k−1 times pick the
+    * point whose min squared distance to the chosen set is LARGEST (ties
+    * to the lower id). Classic 2-approximation to k-center; unlike
+    * kmeans++ it needs no randomness, so both engines replay it exactly.
+    *
+    * Exactness: vectors milli-floored to integer once (the
+    * [[powerIteration]] discipline), every distance an exact Long.
+    *
+    * 100 TB shape: k−1 rounds, each ONE full codegen'd scan (the ≤ k pivot
+    * vectors ride the plan as literals — no join, no shuffle) + a top-1
+    * reduce; the only driver traffic is one row per round. The scan count
+    * is the algorithm's sequential nature, not a plan artifact.
+    *
+    * @return (pick_no, vec_id, d2) — d2 the selection-time min distance
+    *         (0 for the seed)
+    */
+  def farthestFirst(emb: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = emb.select(col("vec_id").cast("long"),
+        expr("transform(embedding, " +
+          "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))").as("eq"))
+      .localCheckpoint(false)
+    val first = q.orderBy("vec_id").limit(1)
+      .as[(Long, Seq[Long])].collect()(0)
+    val picks =
+      scala.collection.mutable.ArrayBuffer[(Long, Long, Long)](
+        (0L, first._1, 0L))
+    val pivotVecs = scala.collection.mutable.ArrayBuffer[Seq[Long]](first._2)
+    var round = 1
+    while (round < k) {
+      val dcols = pivotVecs.toSeq.map { pv =>
+        aggregate(
+          zip_with(col("eq"), array(pv.map(lit): _*),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+      }
+      val mind = if (dcols.size == 1) dcols.head else least(dcols: _*)
+      val next = q.withColumn("d2", mind)
+        .orderBy(col("d2").desc, col("vec_id")).limit(1)
+        .select("vec_id", "d2", "eq")
+        .as[(Long, Long, Seq[Long])].collect()(0)
+      picks += ((round.toLong, next._1, next._2))
+      pivotVecs += next._3
+      round += 1
+    }
+    picks.toSeq.toDF("pick_no", "vec_id", "d2")
+  }
 }

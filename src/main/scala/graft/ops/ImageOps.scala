@@ -885,6 +885,58 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class TensorRow(image_id: String, py: Int, px: Int, n_px: Long,
+                             sxx: Long, syy: Long, sxy: Long,
+                             coherence_num: Long)
+
+  /** Gradient structure-tensor census per ~100² block — the orientation-
+    * coherence read (Förstner/Harris family, public) in exact integers:
+    * central differences WITHOUT the ÷2 (gx = v(r,c+1) − v(r,c−1), gy
+    * likewise), per block the second moments Σgx², Σgy², Σgx·gy and the
+    * coherence numerator (Σgx² − Σgy²)² + 4(Σgx·gy)² = (λ₁−λ₂)² — high
+    * where gradients align (edges/striping), ~0 where isotropic
+    * (texture/noise). The eigen-split itself needs one sqrt the CONSUMER
+    * takes; the engine ships only integers.
+    *
+    * 100 TB shape: decode-once mapPartitions, zero shuffle, 36 rows per
+    * tile.
+    */
+  def structureTensor(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[TensorRow]
+    tiles.mapPartitions { it =>
+      it.flatMap { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val nb = (size - 2 + 99) / 100
+        val sxx = new Array[Long](nb * nb)
+        val syy = new Array[Long](nb * nb)
+        val sxy = new Array[Long](nb * nb)
+        val npx = new Array[Long](nb * nb)
+        var r = 1
+        while (r <= size - 2) {
+          val py = (r - 1) / 100
+          var c = 1
+          while (c <= size - 2) {
+            val gx = (d.samples(r * size + c + 1) -
+              d.samples(r * size + c - 1)).toLong
+            val gy = (d.samples((r + 1) * size + c) -
+              d.samples((r - 1) * size + c)).toLong
+            val b = py * nb + (c - 1) / 100
+            sxx(b) += gx * gx; syy(b) += gy * gy; sxy(b) += gx * gy
+            npx(b) += 1
+            c += 1
+          }
+          r += 1
+        }
+        Iterator.range(0, nb * nb).map { b =>
+          val dxy = sxx(b) - syy(b)
+          TensorRow(tl.image_id, b / nb, b % nb, npx(b), sxx(b), syy(b),
+            sxy(b), dxy * dxy + 4L * sxy(b) * sxy(b))
+        }
+      }
+    }.toDF()
+  }
+
   final case class KuwaharaRow(image_id: String, n_px: Long, q0: Long,
                                q1: Long, q2: Long, q3: Long, sum_out: Long,
                                sum_absdiff: Long)
