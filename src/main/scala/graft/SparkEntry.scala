@@ -149,6 +149,40 @@ object SparkEntry {
     * oracle can replay any byte of the generated payload; MediaOps.synth
     * builds the actual binary column from the same formula).
     */
+  /** Corridor polyline shared by traj_corridor's engine call and oracle
+    * expression generator.
+    */
+  private val corridorSegs: Seq[(Long, Long, Long, Long)] =
+    Seq((0L, 0L, 200L, 130L), (200L, 130L, 500L, 200L),
+      (500L, 200L, 6000L, 300L))
+
+  /** Per-segment regionized integer point-to-segment radius test, OR'd —
+    * the SQL mirror of [[ops.Trajectory.corridorAudit]]'s Column chain.
+    */
+  private def corridorInsideSql(segs: Seq[(Long, Long, Long, Long)],
+                                r: Long): String =
+    segs.map { case (ax, ay, bx, by) =>
+      val abx = bx - ax; val aby = by - ay
+      val ab2 = abx * abx + aby * aby
+      val r2 = r * r
+      s"""(CASE WHEN (px-($ax))*($abx) + (py-($ay))*($aby) <= 0
+          THEN (px-($ax))*(px-($ax)) + (py-($ay))*(py-($ay)) <= $r2
+          WHEN (px-($ax))*($abx) + (py-($ay))*($aby) >= $ab2
+          THEN (px-($bx))*(px-($bx)) + (py-($by))*(py-($by)) <= $r2
+          ELSE ((px-($ax))*($aby) - (py-($ay))*($abx))
+             * ((px-($ax))*($aby) - (py-($ay))*($abx)) <= ${r2 * ab2} END)"""
+    }.mkString("(", " OR ", ")")
+
+  /** One h-index round as a CTE: rank neighbors' h desc, h' = max
+    * min(rank, value).
+    */
+  private def corenessRoundCte(k: Int): String =
+    s"""h$k AS (SELECT u AS node, CAST(max(least(rk, hv)) AS BIGINT) AS h
+       FROM (SELECT s.u, hh.h AS hv, CAST(row_number() OVER (
+           PARTITION BY s.u ORDER BY hh.h DESC, s.v) AS BIGINT) AS rk
+         FROM sym s JOIN h${k - 1} hh ON hh.node = s.v) t
+       GROUP BY u)"""
+
   /** Soundex code as a pure SQL expression chain (translate + chained
     * adjacent-duplicate collapses) shared by engine and oracle; `g=true`
     * emits DuckDB's regexp_replace global flag (Spark replaces all matches
@@ -3903,6 +3937,46 @@ object SparkEntry {
         "(s_suppkey * 13 + 7) % 64 AS dst",
         "(s_suppkey % 97) * 4096 + least(s_suppkey % 64, (s_suppkey * 13 + 7) % 64) * 64 + greatest(s_suppkey % 64, (s_suppkey * 13 + 7) % 64) AS wkey")
       ops.Graph.boruvkaMsf(edges).orderBy("a", "b")
+    }),
+    // Core decomposition by h-index iteration (ops.Graph.corenessHIndex):
+    // 8 rounds of "h(v) ← h-index of neighbor values" starting from
+    // degree — monotone to the exact coreness (Lü et al. 2016), each round
+    // key-bounded join + rank window + max-agg; `stable` certifies the
+    // fixpoint. The density layer under graph_kcore's fixed-k membership.
+    "graph_coreness" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 7 === 0)
+        .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
+      ops.Graph.corenessHIndex(edges, rounds = 8).orderBy("node")
+    }),
+    // Corridor-compliance audit (ops.Trajectory.corridorAudit): per fix an
+    // exact integer point-to-segment radius test against the literal
+    // reference polyline (regionized, cross-multiplied — no division),
+    // rolled up per trajectory with first/last violation. The
+    // route-adherence QA next to traj_speed's teleport flags.
+    "traj_corridor" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pts = t(s, dir, "events").filter(col("user_id") < 50)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          ((col("event_id") % 7) +
+            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
+          ((col("event_id") * 3) % 5).as("dy"))
+        .withColumn("px", sum("dx").over(w))
+        .withColumn("py", sum("dy").over(w))
+        .selectExpr("user_id AS traj_id", "event_id AS seq", "px", "py")
+      ops.Trajectory.corridorAudit(pts, corridorSegs, r = 40L)
+        .orderBy("traj_id")
+    }),
+    // Ordered LISTAGG surface: per nation the comma-joined sorted supplier
+    // roster — Spark spells it sort_array(collect_list)+concat_ws where
+    // DuckDB has string_agg(ORDER BY); same string either way.
+    "q_listagg" -> ((s, dir) => {
+      t(s, dir, "supplier")
+        .groupBy(col("s_nationkey").as("nation"))
+        .agg(count(lit(1)).as("n_sup"),
+          concat_ws(",", sort_array(collect_list(col("s_name"))))
+            .as("names_csv"))
+        .orderBy("nation")
     }),
     // Two-sample Kolmogorov–Smirnov test on per-user engagement (the
     // distribution-level A/B read events_ab_test's proportion z-test
@@ -9490,6 +9564,45 @@ object SparkEntry {
          FROM e WHERE NOT EXISTS (SELECT 1 FROM r
            WHERE r.a0 = e.a AND r.b0 = e.b AND r.node = e.b)
          ORDER BY a, b""",
+    // degree start + 8 unrolled h-index rounds; stable = last two agree
+    "graph_coreness" -> {
+      val rounds = (1 to 8).map(corenessRoundCte).mkString(",\n         ")
+      s"""WITH e AS (SELECT DISTINCT
+           GREATEST(l_suppkey % 500, l_partkey % 500) AS hi,
+           LEAST(l_suppkey % 500, l_partkey % 500) AS lo
+           FROM lineitem WHERE l_orderkey % 7 = 0
+             AND l_suppkey % 500 <> l_partkey % 500),
+         sym AS (SELECT hi AS u, lo AS v FROM e
+           UNION ALL SELECT lo, hi FROM e),
+         h0 AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS h
+           FROM sym GROUP BY 1),
+         $rounds
+         SELECT h8.node, h8.h AS coreness, h7.h AS h_prev,
+           h8.h = h7.h AS stable
+         FROM h8 JOIN h7 ON h7.node = h8.node ORDER BY h8.node"""
+    },
+    // the identical walk cumsum, the shared regionized segment test
+    "traj_corridor" -> {
+      s"""WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
+           (event_id * 3) % 5 AS dy
+           FROM events WHERE user_id < 50),
+         c AS (SELECT user_id AS traj_id, event_id AS seq,
+           CAST(sum(dx) OVER w AS BIGINT) AS px,
+           CAST(sum(dy) OVER w AS BIGINT) AS py
+           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         m AS (SELECT traj_id, seq,
+           ${corridorInsideSql(corridorSegs, 40L)} AS inside FROM c)
+         SELECT traj_id, CAST(count(*) AS BIGINT) AS n_fixes,
+           CAST(sum(CASE WHEN inside THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+           CAST(min(CASE WHEN NOT inside THEN seq END) AS BIGINT) AS first_out,
+           CAST(max(CASE WHEN NOT inside THEN seq END) AS BIGINT) AS last_out
+         FROM m GROUP BY 1 ORDER BY traj_id"""
+    },
+    "q_listagg" ->
+      """SELECT s_nationkey AS nation, CAST(count(*) AS BIGINT) AS n_sup,
+         string_agg(s_name, ',' ORDER BY s_name) AS names_csv
+         FROM supplier GROUP BY 1 ORDER BY nation""",
     // pooled-support exact KS: cumulative counts per arm at every distinct
     // per-user total, D as the cross-multiplied integer max
     "events_ks_test" ->

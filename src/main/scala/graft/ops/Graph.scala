@@ -948,6 +948,50 @@ object Graph {
     lvl
   }
 
+  /** Core number per node by h-index iteration (Lü–Chen–Zhou 2016,
+    * public): h₀(v) = deg(v); each round h(v) becomes the h-index of its
+    * neighbors' values — max over desc-sorted ranks r of min(r, value_r).
+    * The sequence is monotone non-increasing and converges to the exact
+    * coreness, which the classic sequential peeling computes — but THIS
+    * form is per-node-local, so it distributes as rounds of (join, rank
+    * window, max-agg), all key-bounded on node ids. `stable` reports
+    * whether the last two rounds agree (the fixpoint certificate); ranks
+    * among tied values permute only equal entries, so min(r, v_r) is
+    * order-independent and both engines replay bit-equal.
+    *
+    * @param rounds fixed round count (oracle unrolls the same); pick ≥ the
+    *               graph's convergence radius and read `stable`
+    * @return (node, coreness, h_prev, stable)
+    */
+  def corenessHIndex(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val e = edges
+      .select(greatest(col("src"), col("dst")).as("hi"),
+        least(col("src"), col("dst")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
+      .localCheckpoint(false)
+    val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+      .unionAll(e.select(col("lo").as("u"), col("hi").as("v")))
+      .localCheckpoint(false)
+    var h = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("h"))
+      .localCheckpoint(false)
+    var prev: DataFrame = h
+    for (_ <- 1 to rounds) {
+      prev = h
+      val nb = sym.join(h.select(col("node").as("v"), col("h").as("hv")),
+        Seq("v"))
+      h = nb.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("u")
+            .orderBy(col("hv").desc, col("v"))).cast("long"))
+        .groupBy(col("u").as("node"))
+        .agg(max(least(col("rk"), col("hv"))).as("h"))
+        .localCheckpoint(false)
+    }
+    h.join(prev.withColumnRenamed("h", "h_prev"), Seq("node"))
+      .select(col("node"), col("h").as("coreness"), col("h_prev"),
+        (col("h") === col("h_prev")).as("stable"))
+  }
+
   /** Minimum spanning forest by Borůvka rounds — the distributed MST
     * (Borůvka 1926, public): every round each component picks its
     * cheapest outgoing edge (all picks are MSF edges by the cut property),

@@ -738,4 +738,46 @@ object Trajectory {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
   }
+
+  /** Corridor-compliance audit — per fix, is the point within radius `r`
+    * of the reference polyline (route adherence / geofenced-lane QA)?
+    * Exact integers throughout: per segment the squared point-to-segment
+    * distance comparison is regionized (endpoint A if AP·AB ≤ 0, endpoint
+    * B if AP·AB ≥ |AB|², else the perpendicular case cross² ≤ r²·|AB|² —
+    * cross-multiplied so no division ever happens), OR'd over segments.
+    *
+    * 100 TB shape: the corridor rides the plan as literals (no join, pure
+    * codegen'd comparisons per fix), then ONE traj-keyed aggregation.
+    *
+    * @param points (traj_id, seq, px, py) integer coordinates
+    * @param segs   corridor polyline segments (ax, ay, bx, by), each with
+    *               nonzero length
+    * @return (traj_id, n_fixes, n_inside, first_out, last_out) — the out
+    *         columns NULL when fully compliant
+    */
+  def corridorAudit(points: DataFrame, segs: Seq[(Long, Long, Long, Long)],
+                    r: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(segs.nonEmpty, "need at least one segment")
+    require(segs.forall { case (ax, ay, bx, by) => ax != bx || ay != by },
+      "degenerate zero-length segment")
+    val r2 = r * r
+    val inside = segs.map { case (ax, ay, bx, by) =>
+      val abx = bx - ax; val aby = by - ay
+      val ab2 = abx * abx + aby * aby
+      val apx = col("px") - ax; val apy = col("py") - ay
+      val bpx = col("px") - bx; val bpy = col("py") - by
+      val dot = apx * abx + apy * aby
+      val cross = apx * aby - apy * abx
+      when(dot <= 0, apx * apx + apy * apy <= r2)
+        .when(dot >= ab2, bpx * bpx + bpy * bpy <= r2)
+        .otherwise(cross * cross <= lit(r2) * lit(ab2))
+    }.reduce(_ || _)
+    points.withColumn("inside", inside)
+      .groupBy("traj_id").agg(
+        count(lit(1)).as("n_fixes"),
+        sum(when(col("inside"), 1L).otherwise(0L)).as("n_inside"),
+        min(when(!col("inside"), col("seq"))).as("first_out"),
+        max(when(!col("inside"), col("seq"))).as("last_out"))
+  }
 }
