@@ -3243,6 +3243,15 @@ object SparkEntry {
       ops.TextDedup.minhashBucketStats(dedupCorpus(s, dir))
         .orderBy("band_id")
     }),
+    // Winnowing fingerprint selection (ops.TextDedup.winnow): per document
+    // the MOSS rightmost-min-per-window fingerprint set over 3-gram
+    // hashes, rolled up — the position-aware dedup index companion to
+    // dedup_minhash's set signatures; argmin rides ONE integer windowed
+    // MIN via key packing.
+    "dedup_winnow" -> ((s, dir) => {
+      ops.TextDedup.winnow(t(s, dir, "documents").select("doc_id", "text"))
+        .orderBy("doc_id")
+    }),
     // Cross-modal dedup verification: every MinHash TEXT candidate pair
     // re-scored in EMBEDDING space (injected copies map to their base
     // vector via id % 100000) — the modality-agreement check of multimodal
@@ -3948,6 +3957,15 @@ object SparkEntry {
         .filter(col("l_orderkey") % 7 === 0)
         .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
       ops.Graph.corenessHIndex(edges, rounds = 8).orderBy("node")
+    }),
+    // Small-motif census (ops.Graph.motifCensus): ONE row of exact edge/
+    // wedge/claw/triangle/P₃ counts — degree-sequence closed forms plus
+    // the triangle wedge join and the `Σ(dᵤ−1)(dᵥ−1) − 3Δ` path identity.
+    "graph_motif_census" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 7 === 0)
+        .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
+      ops.Graph.motifCensus(edges)
     }),
     // Corridor-compliance audit (ops.Trajectory.corridorAudit): per fix an
     // exact integer point-to-segment radius test against the literal
@@ -4809,6 +4827,14 @@ object SparkEntry {
     "img_structure_tensor" -> ((s, dir) => {
       ops.ImageOps.structureTensor(gateTiles(s, "png"))
         .orderBy("image_id", "py", "px")
+    }),
+    // Ordered Bayer-dither census (ops.ImageOps.bayerDither): 1-bit
+    // halftone ON-counts per closed-form B₈ threshold cell — 64 rows per
+    // image, decode-once, zero shuffle; the oracle replays the matrix
+    // arithmetically (bit dilation, no table).
+    "img_bayer_dither" -> ((s, dir) => {
+      ops.ImageOps.bayerDither(gateTiles(s, "png"))
+        .orderBy("image_id", "bcell")
     }),
     // NFD compaction bin packing (ops.Curation.binPackNfd): per table
     // partition, manifest files sorted (size desc, id) fill 512-unit bins
@@ -8632,6 +8658,29 @@ object SparkEntry {
        ORDER BY pick_no"""
   }
 
+  /** Bayer-dither oracle: the index-dilation matrix replayed as modular
+    * bit arithmetic, clamped v≫6 level, per-cell rollup.
+    */
+  private val bayerOracleSql: String = {
+    val v = gridV("c.range", "r.range")
+    val bcell = "((rr%2 + cc%2) % 2)*32 + (rr%2)*16" +
+      " + (((rr//2)%2 + (cc//2)%2) % 2)*8 + ((rr//2)%2)*4" +
+      " + (((rr//4)%2 + (cc//4)%2) % 2)*2 + ((rr//4)%2)"
+    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+       k AS (SELECT swlng, swlat,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
+       g AS (SELECT swlng, swlat, (r.range % 8) AS rr, (c.range % 8) AS cc,
+           $v AS v
+         FROM k, range(0,601) r, range(0,601) c),
+       b AS (SELECT swlng, swlat, $bcell AS bcell,
+           greatest(0, least(63, v // 64)) AS lvl FROM g)
+       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+         CAST(bcell AS INT) AS bcell, CAST(count(*) AS BIGINT) AS n_px,
+         CAST(sum(CASE WHEN lvl > bcell THEN 1 ELSE 0 END) AS BIGINT) AS n_on
+       FROM b GROUP BY 1, 2 ORDER BY image_id, bcell"""
+  }
+
   private val medianOracleSql: String = {
     def v(dc: Int, dr: Int) = gridV(s"c.range+($dc)", s"r.range+($dr)")
     val nine = (for { dr <- -1 to 1; dc <- -1 to 1 } yield v(dc, dr)).mkString(", ")
@@ -9581,6 +9630,27 @@ object SparkEntry {
            h8.h = h7.h AS stable
          FROM h8 JOIN h7 ON h7.node = h8.node ORDER BY h8.node"""
     },
+    // degree-sequence closed forms + the canonical a<b<c triangle join +
+    // the P3 identity
+    "graph_motif_census" ->
+      """WITH e AS (SELECT DISTINCT
+           GREATEST(l_suppkey % 500, l_partkey % 500) AS b,
+           LEAST(l_suppkey % 500, l_partkey % 500) AS a
+           FROM lineitem WHERE l_orderkey % 7 = 0
+             AND l_suppkey % 500 <> l_partkey % 500),
+         sym AS (SELECT a AS u FROM e UNION ALL SELECT b FROM e),
+         deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+         base AS (SELECT CAST(sum(d*(d-1)//2) AS BIGINT) AS wedges,
+             CAST(sum(d*(d-1)*(d-2)//6) AS BIGINT) AS claws FROM deg),
+         ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+         tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+           FROM e e1 JOIN e e2 ON e2.a = e1.b
+           JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         pe AS (SELECT CAST(sum((da.d - 1) * (db.d - 1)) AS BIGINT) AS pe
+           FROM e JOIN deg da ON da.u = e.a JOIN deg db ON db.u = e.b)
+         SELECT n_edges, wedges, claws, n_triangles,
+           pe - 3 * n_triangles AS p3_paths
+         FROM ne, base, tri, pe""",
     // the identical walk cumsum, the shared regionized segment test
     "traj_corridor" -> {
       s"""WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
@@ -10071,6 +10141,7 @@ object SparkEntry {
     "img_median" -> medianOracleSql,
     "img_kuwahara" -> kuwaharaOracleSql,
     "img_structure_tensor" -> structureTensorOracleSql,
+    "img_bayer_dither" -> bayerOracleSql,
     "ann_farthest_first" -> farthestFirstOracleSql,
     // the identical NFD recurrence as a recursive CTE, one file per
     // iteration per partition
@@ -11270,6 +11341,28 @@ object SparkEntry {
            CAST(max(sz) AS BIGINT) AS max_bucket,
            CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS candidate_pairs
          FROM bsz GROUP BY 1 ORDER BY band_id""",
+    // rightmost-min winnowing via the same packed-key windowed MIN
+    "dedup_winnow" ->
+      s"""WITH sh AS (SELECT doc_id, $sqlShingles3 AS sh FROM documents),
+         hv AS (SELECT doc_id, list_transform(sh,
+             x -> ${sqlH60("x")} % 1048573) AS hv FROM sh),
+         px AS (SELECT doc_id, unnest(range(0, len(hv))) AS p, hv FROM hv),
+         pos AS (SELECT doc_id, CAST(p AS BIGINT) AS pos,
+             hv[CAST(p AS INT) + 1] AS h FROM px),
+         k AS (SELECT doc_id, pos, h,
+             h * 1048576 + (1048575 - pos) AS key,
+             CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS m
+           FROM pos),
+         wm AS (SELECT doc_id, m, pos, min(key) OVER (PARTITION BY doc_id
+             ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+           FROM k),
+         sel AS (SELECT DISTINCT doc_id, m, wmin // 1048576 AS h,
+             1048575 - wmin % 1048576 AS sel_pos
+           FROM wm WHERE pos <= m - 4)
+         SELECT doc_id, CAST(max(m) AS BIGINT) AS n_grams,
+           CAST(count(*) AS BIGINT) AS n_fp, CAST(sum(h) AS BIGINT) AS fp_sum,
+           CAST(min(h) AS BIGINT) AS fp_min, CAST(max(h) AS BIGINT) AS fp_max
+         FROM sel GROUP BY 1 ORDER BY doc_id""",
     "dedup_minhash_est" -> minhashEstOracleSql,
     "dedup_cross_modal" -> crossModalOracleSql,
     "img_hog" -> hogOracleSql,

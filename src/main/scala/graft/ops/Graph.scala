@@ -948,6 +948,47 @@ object Graph {
     lvl
   }
 
+  /** Exact small-motif census in ONE row: edges, wedges (paths of 2
+    * edges), claws (K₁,₃ stars), triangles, and 3-edge paths — the
+    * subgraph-frequency fingerprint (graphlet degree distribution's first
+    * rows) that separates social, web and bot-farm topologies. Everything
+    * but the triangle count is a closed form over the degree sequence
+    * (wedges = ΣC(d,2), claws = ΣC(d,3)); P₃ uses the identity
+    * `p3 = Σ_{(u,v)∈E}(d_u−1)(d_v−1) − 3·triangles` (each triangle's 3
+    * edges each miscount one path).
+    *
+    * 100 TB shape: one degree agg + two node-keyed joins + the same
+    * canonical wedge join [[triangles]] pays — the Σd² bound with the
+    * usual degree-ordering mitigation; the four 1-row aggregates cross-
+    * join at the end.
+    *
+    * @return ONE row (n_edges, wedges, claws, n_triangles, p3_paths)
+    */
+  def motifCensus(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint(false)
+    val sym = und.select(col("a").as("u"))
+      .unionAll(und.select(col("b").as("u")))
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
+      .localCheckpoint(false)
+    val base = deg.agg(sum(expr("d * (d - 1) div 2")).as("wedges"),
+      sum(expr("d * (d - 1) * (d - 2) div 6")).as("claws"))
+    val ne = und.agg(count(lit(1)).as("n_edges"))
+    val tri = triangles(edges).agg(count(lit(1)).as("n_triangles"))
+    val pe = und
+      .join(deg.select(col("u").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("u").as("b"), col("d").as("db")), Seq("b"))
+      .agg(sum(expr("(da - 1) * (db - 1)")).as("pe"))
+    ne.crossJoin(base).crossJoin(tri).crossJoin(pe)
+      .select(col("n_edges"), col("wedges"), col("claws"),
+        col("n_triangles"),
+        expr("pe - 3 * n_triangles").as("p3_paths"))
+  }
+
   /** Core number per node by h-index iteration (Lü–Chen–Zhou 2016,
     * public): h₀(v) = deg(v); each round h(v) becomes the h-index of its
     * neighbors' values — max over desc-sorted ranks r of min(r, value_r).

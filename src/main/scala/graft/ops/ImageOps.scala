@@ -885,6 +885,54 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class DitherRow(image_id: String, bcell: Int, n_px: Long,
+                             n_on: Long)
+
+  /** Ordered (Bayer 8×8) dithering census — the 1-bit halftoning pass as
+    * per-threshold-cell statistics: each pixel quantizes to a 0..63 level
+    * (v ≫ 6, clamped) and switches ON iff level > B₈(r mod 8, c mod 8),
+    * where B₈ is the closed-form index-dilation Bayer matrix
+    * `Σ_k ((r_k⊕c_k) ≪ (2(2−k)+1)) | (r_k ≪ 2(2−k))` (bit k of r/c) — no
+    * table, so the oracle replays it arithmetically. Per (image, matrix
+    * cell) the pixel and ON counts: a flat field turns cells on in
+    * strict threshold order, so the 64-row profile is the banding/gradient
+    * diagnostic of the halftone.
+    *
+    * 100 TB shape: decode-once mapPartitions, zero shuffle, 64 rows per
+    * image.
+    */
+  def bayerDither(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[DitherRow]
+    val bayer = Array.tabulate(8, 8) { (r, c) =>
+      (0 until 3).map { k =>
+        val rk = (r >> k) & 1; val ck = (c >> k) & 1
+        ((rk ^ ck) << (2 * (2 - k) + 1)) | (rk << (2 * (2 - k)))
+      }.sum
+    }
+    tiles.mapPartitions { it =>
+      it.flatMap { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val npx = new Array[Long](64)
+        val non = new Array[Long](64)
+        var r = 0
+        while (r < size) {
+          var c = 0
+          while (c < size) {
+            val b = bayer(r % 8)(c % 8)
+            val lvl = math.min(63, math.max(0, d.samples(r * size + c) >> 6))
+            npx(b) += 1
+            if (lvl > b) non(b) += 1
+            c += 1
+          }
+          r += 1
+        }
+        Iterator.range(0, 64).map(b =>
+          DitherRow(tl.image_id, b, npx(b), non(b)))
+      }
+    }.toDF()
+  }
+
   final case class TensorRow(image_id: String, py: Int, px: Int, n_px: Long,
                              sxx: Long, syy: Long, sxy: Long,
                              coherence_num: Long)

@@ -305,6 +305,49 @@ object TextDedup {
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
   }
 
+  /** Winnowing fingerprint selection (Schleimer–Wilkerson–Aiken 2003,
+    * public — the MOSS document-fingerprint scheme): over each document's
+    * 3-gram hash sequence, every length-`window` window contributes the
+    * position of its minimum hash (RIGHTMOST on ties, the standard rule);
+    * the distinct selected (position, hash) set is the fingerprint, which
+    * guarantees any shared substring ≥ window+shingle−1 grams yields a
+    * shared fingerprint. Rolled up per document (count/sum/min/max of the
+    * selected hashes) — the set-size/collision diagnostic of a
+    * winnowing-based dedup index.
+    *
+    * Exactness: argmin-with-rightmost-tie rides a single integer min —
+    * key = h·2²⁰ + (2²⁰−1 − pos) (h < P < 2²⁰ and positions < 2²⁰), so
+    * both engines compute one windowed MIN. Documents shorter than
+    * `window` grams have no full window and are omitted (both engines).
+    *
+    * 100 TB shape: one doc-keyed window frame over the gram sequence +
+    * one doc-keyed rollup — key-bounded by document length, the
+    * feature_reassembly bound.
+    *
+    * @return (doc_id, n_grams, n_fp, fp_sum, fp_min, fp_max)
+    */
+  def winnow(docs: DataFrame, shingleN: Int = 3, window: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 1, s"window must be >= 1: $window")
+    val hv = docs.select(col("doc_id"),
+      posexplode(shingleHashes(col("text"), shingleN)).as(Seq("pos", "h")))
+    val frame = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, window - 1)
+    val keyed = hv
+      .withColumn("key",
+        col("h") * lit(1048576L) + (lit(1048575L) - col("pos")))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("wmin", min("key").over(frame))
+      .filter(col("pos") <= col("m") - window)
+    keyed.select(col("doc_id"), col("m"),
+        expr("wmin DIV 1048576").as("h"),
+        expr("1048575 - wmin % 1048576").as("sel_pos"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(max("m").as("n_grams"), count(lit(1)).as("n_fp"),
+        sum("h").as("fp_sum"), min("h").as("fp_min"), max("h").as("fp_max"))
+  }
+
   /** Word-hash array for simhash — materialize once (see shingleHashes). */
   def wordHashes(text: Column): Column = transform(words(text), w => h60(w))
 
