@@ -3985,6 +3985,82 @@ object SparkEntry {
       ops.Trajectory.corridorAudit(pts, corridorSegs, r = 40L)
         .orderBy("traj_id")
     }),
+    // Emerging-hotspot trend: Mann–Kendall S per spatial cell over its
+    // daily visit counts (sign-of-pair-difference sums — pure comparisons,
+    // no arithmetic on magnitudes) + the tie-correction term Σt(t−1)(2t+5)
+    // the consumer's variance needs. The TEMPORAL layer over
+    // geo_cell_density's static counts; pair join key-bounded per cell
+    // (≤ 30 days here). Single-day cells drop (no pairs) in both engines.
+    "geo_mann_kendall" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pts = t(s, dir, "events").filter(col("user_id") < 50)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          ((col("event_id") % 7) +
+            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
+          ((col("event_id") * 3) % 5).as("dy"))
+        .withColumn("px", sum("dx").over(w))
+        .withColumn("py", sum("dy").over(w))
+      val daily = pts.groupBy(expr("px DIV 200").as("cell_x"),
+          expr("py DIV 50").as("cell_y"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val srt = daily.withColumn("i", row_number().over(
+        Window.partitionBy("cell_x", "cell_y").orderBy("day")).cast("long"))
+      val prs = srt.as("a").join(srt.as("b"),
+          col("a.cell_x") === col("b.cell_x") &&
+            col("a.cell_y") === col("b.cell_y") && col("a.i") < col("b.i"))
+        .select(col("a.cell_x").as("cell_x"), col("a.cell_y").as("cell_y"),
+          expr("CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 " +
+            "ELSE 0 END").cast("long").as("sgn"))
+      val sa = prs.groupBy("cell_x", "cell_y")
+        .agg(sum("sgn").as("s_stat"), count(lit(1)).as("n_pairs"))
+      val nd = srt.groupBy("cell_x", "cell_y")
+        .agg(count(lit(1)).as("n_days"))
+      val tt = srt.groupBy("cell_x", "cell_y", "c")
+        .agg(count(lit(1)).as("t"))
+        .groupBy("cell_x", "cell_y")
+        .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_term"))
+      nd.join(sa, Seq("cell_x", "cell_y"))
+        .join(tt, Seq("cell_x", "cell_y"))
+        .withColumn("trend", expr(
+          "CASE WHEN s_stat > 0 THEN 1 WHEN s_stat < 0 THEN -1 ELSE 0 END"))
+        .orderBy("cell_x", "cell_y")
+    }),
+    // Winsorized robust rollup per type: nearest-rank p5/p95 fences, the
+    // clamped sum and both clamp counts — the outlier-resistant revenue
+    // aggregate next to events_mad/events_iqr's detection reads. Two
+    // windows + one broadcast-back join.
+    "events_winsorize" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          col("event_id"))
+      val w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+      val wp = Window.partitionBy("event_type")
+      val ranked = ev.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wp))
+      val pcts = ranked.groupBy("event_type").agg(
+        max("n").as("n"),
+        max(when(col("rn") === expr("(n - 1) * 5 DIV 100 + 1"),
+          col("cents"))).as("p5"),
+        max(when(col("rn") === expr("(n - 1) * 95 DIV 100 + 1"),
+          col("cents"))).as("p95"))
+      ev.join(pcts, Seq("event_type"))
+        .groupBy("event_type")
+        .agg(max("n").as("n"), max("p5").as("p5"), max("p95").as("p95"),
+          sum(expr("greatest(p5, least(p95, cents))")).as("sum_w"),
+          sum(when(col("cents") < col("p5"), 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("cents") > col("p95"), 1L).otherwise(0L)).as("n_hi"))
+        .orderBy("event_type")
+    }),
+    // Sampled silhouette audit (ops.Embeddings.silhouetteStats): are the
+    // corpus labels cluster-shaped? Exact intra/nearest-inter squared-
+    // distance sufficient stats per anchor, milli-floored mean comparison,
+    // s_pos the decisive bit. Anchors×corpus sample join, never corpus².
+    "ann_silhouette" -> ((s, dir) => {
+      ops.Embeddings.silhouetteStats(t(s, dir, "embeddings"),
+        sampleMod = 20L).orderBy("aid")
+    }),
     // Ordered LISTAGG surface: per nation the comma-joined sorted supplier
     // roster — Spark spells it sort_array(collect_list)+concat_ws where
     // DuckDB has string_agg(ORDER BY); same string either way.
@@ -9673,6 +9749,83 @@ object SparkEntry {
       """SELECT s_nationkey AS nation, CAST(count(*) AS BIGINT) AS n_sup,
          string_agg(s_name, ',' ORDER BY s_name) AS names_csv
          FROM supplier GROUP BY 1 ORDER BY nation""",
+    // the walk cumsum cells, sign-of-pair-difference sums + tie term
+    "geo_mann_kendall" ->
+      """WITH b AS (SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us,
+           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
+           (event_id * 3) % 5 AS dy
+           FROM events WHERE user_id < 50),
+         c AS (SELECT ts, CAST(sum(dx) OVER w AS BIGINT) AS px,
+           CAST(sum(dy) OVER w AS BIGINT) AS py
+           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         d AS (SELECT px // 200 AS cell_x, py // 50 AS cell_y,
+             date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS c
+           FROM c GROUP BY 1, 2, 3),
+         s AS (SELECT cell_x, cell_y, day, c, CAST(row_number() OVER (
+             PARTITION BY cell_x, cell_y ORDER BY day) AS BIGINT) AS i
+           FROM d),
+         pr AS (SELECT a.cell_x, a.cell_y,
+             CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END AS sgn
+           FROM s a JOIN s b ON a.cell_x = b.cell_x AND a.cell_y = b.cell_y
+             AND a.i < b.i),
+         sa AS (SELECT cell_x, cell_y, CAST(sum(sgn) AS BIGINT) AS s_stat,
+             CAST(count(*) AS BIGINT) AS n_pairs FROM pr GROUP BY 1, 2),
+         nd AS (SELECT cell_x, cell_y, CAST(count(*) AS BIGINT) AS n_days
+           FROM s GROUP BY 1, 2),
+         tt AS (SELECT cell_x, cell_y,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+           FROM (SELECT cell_x, cell_y, c, CAST(count(*) AS BIGINT) AS t
+             FROM s GROUP BY 1, 2, 3) q GROUP BY 1, 2)
+         SELECT nd.cell_x, nd.cell_y, n_days, n_pairs, s_stat, tie_term,
+           CASE WHEN s_stat > 0 THEN 1 WHEN s_stat < 0 THEN -1 ELSE 0 END AS trend
+         FROM nd JOIN sa ON sa.cell_x = nd.cell_x AND sa.cell_y = nd.cell_y
+         JOIN tt ON tt.cell_x = nd.cell_x AND tt.cell_y = nd.cell_y
+         ORDER BY nd.cell_x, nd.cell_y""",
+    // nearest-rank fences, clamped sum, clamp counts
+    "events_winsorize" ->
+      """WITH ev AS (SELECT event_type,
+           CAST(round(value * 100) AS BIGINT) AS cents, event_id FROM events),
+         r AS (SELECT event_type, cents,
+             CAST(row_number() OVER (PARTITION BY event_type
+               ORDER BY cents, event_id) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           FROM ev),
+         p AS (SELECT event_type, max(n) AS n,
+             max(CASE WHEN rn = (n - 1) * 5 // 100 + 1 THEN cents END) AS p5,
+             max(CASE WHEN rn = (n - 1) * 95 // 100 + 1 THEN cents END) AS p95
+           FROM r GROUP BY 1)
+         SELECT ev.event_type, max(p.n) AS n, max(p5) AS p5, max(p95) AS p95,
+           CAST(sum(greatest(p5, least(p95, cents))) AS BIGINT) AS sum_w,
+           CAST(sum(CASE WHEN cents < p5 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+           CAST(sum(CASE WHEN cents > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+         FROM ev JOIN p ON p.event_type = ev.event_type
+         GROUP BY 1 ORDER BY ev.event_type""",
+    // milli-floored mean comparison, lowest-label ties, same sample join
+    "ann_silhouette" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS eq
+           FROM embeddings),
+         anc AS (SELECT vec_id AS aid, label AS alabel, eq AS aeq
+           FROM e WHERE vec_id % 20 = 0),
+         p AS (SELECT aid, alabel, e.label,
+             CAST(list_sum(list_transform(range(1,65),
+               i -> (aeq[i] - eq[i]) * (aeq[i] - eq[i]))) AS BIGINT) AS d2
+           FROM anc, e WHERE e.vec_id <> anc.aid),
+         bl AS (SELECT aid, alabel, label, CAST(sum(d2) AS BIGINT) AS dsum,
+             CAST(count(*) AS BIGINT) AS dn
+           FROM p GROUP BY 1, 2, 3),
+         a AS (SELECT aid, dsum AS a_sum, dn AS a_n,
+             dsum * 1000 // dn AS a_mean_q FROM bl WHERE label = alabel),
+         b AS (SELECT aid, label AS b_label, dsum AS b_sum, dn AS b_n,
+             b_mean_q FROM (
+             SELECT aid, label, dsum, dn, dsum * 1000 // dn AS b_mean_q,
+               row_number() OVER (PARTITION BY aid
+                 ORDER BY dsum * 1000 // dn, label) AS rn
+             FROM bl WHERE label <> alabel) q WHERE rn = 1)
+         SELECT anc.aid, anc.alabel, a_sum, a_n, a_mean_q, b_label, b_sum,
+           b_n, b_mean_q, b_mean_q > a_mean_q AS s_pos
+         FROM anc JOIN a ON a.aid = anc.aid JOIN b ON b.aid = anc.aid
+         ORDER BY anc.aid""",
     // pooled-support exact KS: cumulative counts per arm at every distinct
     // per-user total, D as the cross-multiplied integer max
     "events_ks_test" ->

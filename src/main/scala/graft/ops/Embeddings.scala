@@ -1032,6 +1032,53 @@ object Embeddings {
         col("exact_d2"), col("is_exact"))
   }
 
+  /** Sampled silhouette audit over a labeled embedding corpus — "do the
+    * labels look like clusters?" as EXACT sufficient statistics: per
+    * sampled anchor, the intra-label squared-distance sum/count (a) and
+    * the nearest OTHER label by milli-floored mean squared distance (b,
+    * ties to the lower label). The classic silhouette s = (b−a)/max(a,b)
+    * is one float division the consumer takes; the engine ships integers
+    * plus the decisive `s_pos = b̄ > ā` bit. Squared distances (not
+    * rooted) keep every quantity a Long — the documented variant.
+    *
+    * 100 TB shape: anchors × corpus is a broadcast-sized sample join (the
+    * corpus never self-joins), then two anchor-keyed aggregations and one
+    * anchor-keyed rank window.
+    *
+    * @return (aid, alabel, a_sum, a_n, a_mean_q, b_label, b_sum, b_n,
+    *         b_mean_q, s_pos); anchors whose label has no other member
+    *         drop (no intra distance exists)
+    */
+  def silhouetteStats(emb: DataFrame, sampleMod: Long): DataFrame = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1: $sampleMod")
+    val q = emb.select(col("vec_id").cast("long"), col("label"),
+      expr("transform(embedding, " +
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))").as("eq"))
+    val anchors = q.filter(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id").as("aid"), col("label").as("alabel"),
+        col("eq").as("aeq"))
+    val pairs = anchors.join(q, col("vec_id") =!= col("aid"))
+      .withColumn("d2", aggregate(
+        zip_with(col("aeq"), col("eq"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+    val byLabel = pairs.groupBy("aid", "alabel", "label")
+      .agg(sum("d2").as("dsum"), count(lit(1)).as("dn"))
+    val a = byLabel.filter(col("label") === col("alabel"))
+      .select(col("aid"), col("dsum").as("a_sum"), col("dn").as("a_n"),
+        expr("dsum * 1000 DIV dn").as("a_mean_q"))
+    val b = byLabel.filter(col("label") =!= col("alabel"))
+      .withColumn("b_mean_q", expr("dsum * 1000 DIV dn"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("aid")
+          .orderBy(col("b_mean_q"), col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("aid"), col("label").as("b_label"),
+        col("dsum").as("b_sum"), col("dn").as("b_n"), col("b_mean_q"))
+    anchors.select(col("aid"), col("alabel"))
+      .join(a, Seq("aid")).join(b, Seq("aid"))
+      .withColumn("s_pos", col("b_mean_q") > col("a_mean_q"))
+  }
+
   /** Farthest-first traversal (Gonzalez 1985 k-center seeding, public) —
     * the deterministic coverage-maximizing pivot picker an IVF/routing
     * index seeds from: start at the lowest vec_id, then k−1 times pick the
