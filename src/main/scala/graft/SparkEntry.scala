@@ -149,6 +149,16 @@ object SparkEntry {
     * oracle can replay any byte of the generated payload; MediaOps.synth
     * builds the actual binary column from the same formula).
     */
+  /** Sector antennas (id, cx, cy, d1x, d1y, d2x, d2y, r2) shared by
+    * geo_sector_cover's engine call and oracle VALUES — each sector spans
+    * < 180° CCW from dir1 to dir2, membership is two integer half-plane
+    * cross products + one radius square.
+    */
+  private val sectorAntennas: Seq[(Long, Long, Long, Long, Long, Long, Long, Long)] =
+    Seq((1L, 100L, 50L, 1L, 0L, 0L, 1L, 14400L),
+      (2L, 300L, 150L, 1L, -1L, 1L, 1L, 40000L),
+      (3L, 1000L, 100L, 0L, -1L, 1L, 0L, 250000L))
+
   /** Corridor polyline shared by traj_corridor's engine call and oracle
     * expression generator.
     */
@@ -4052,6 +4062,80 @@ object SparkEntry {
           sum(when(col("cents") < col("p5"), 1L).otherwise(0L)).as("n_lo"),
           sum(when(col("cents") > col("p95"), 1L).otherwise(0L)).as("n_hi"))
         .orderBy("event_type")
+    }),
+    // Antenna-sector coverage join: per literal RF sector (center + two
+    // CCW direction vectors + radius) the walk-fix membership census —
+    // pure integer half-plane cross products, no trig anywhere; antennas
+    // broadcast, one key-bounded rollup.
+    "geo_sector_cover" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pts = t(s, dir, "events").filter(col("user_id") < 50)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          ((col("event_id") % 7) +
+            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
+          ((col("event_id") * 3) % 5).as("dy"))
+        .withColumn("px", sum("dx").over(w))
+        .withColumn("py", sum("dy").over(w))
+        .selectExpr("user_id AS traj_id", "px", "py")
+      val ants = s.createDataFrame(sectorAntennas)
+        .toDF("antenna_id", "cx", "cy", "d1x", "d1y", "d2x", "d2y", "r2")
+      pts.crossJoin(broadcast(ants))
+        .withColumn("vx", col("px") - col("cx"))
+        .withColumn("vy", col("py") - col("cy"))
+        .withColumn("inside",
+          expr("d1x * vy - d1y * vx >= 0 AND vx * d2y - vy * d2x >= 0 " +
+            "AND vx * vx + vy * vy <= r2"))
+        .groupBy("antenna_id")
+        .agg(count(lit(1)).as("n_pts"),
+          sum(when(col("inside"), 1L).otherwise(0L)).as("n_in"),
+          countDistinct(when(col("inside"), col("traj_id"))).as("n_traj"))
+        .orderBy("antenna_id")
+    }),
+    // Dominant periodicity pick (the beat/cadence read): per asset the
+    // window-energy autocorrelation at lags 2..16, scored by the floored
+    // per-term mean product so unequal overlap counts compare fairly;
+    // argmax by (score desc, lag). One key-bounded band self-join.
+    "media_tempo" -> ((s, dir) => {
+      val w = ops.MediaOps.windowSquares(
+        ops.MediaOps.synth(mediaMeta(s, dir)), winLen = 128)
+      val j = w.as("a").join(w.as("b"),
+          col("a.media_id") === col("b.media_id") &&
+            col("b.win_no") > col("a.win_no") &&
+            col("b.win_no") <= col("a.win_no") + 16)
+        .select(col("a.media_id").as("media_id"),
+          (col("b.win_no") - col("a.win_no")).as("lag"),
+          (col("a.sq_sum") * col("b.sq_sum")).as("prod"))
+        .filter(col("lag") >= 2)
+      val sc = j.groupBy("media_id", "lag")
+        .agg(sum("prod").as("psum"), count(lit(1)).as("n_terms"))
+        .withColumn("score_q", expr("psum DIV n_terms"))
+      val nw = w.groupBy("media_id").agg(count(lit(1)).as("n_win"))
+      sc.withColumn("rn", row_number().over(Window.partitionBy("media_id")
+          .orderBy(col("score_q").desc, col("lag"))))
+        .filter(col("rn") === 1).drop("rn")
+        .join(nw, Seq("media_id"))
+        .select("media_id", "n_win", "lag", "n_terms", "psum", "score_q")
+        .orderBy("media_id")
+    }),
+    // Nearest-neighbour as-of join (ops.AsofJoin.asofNearest): each
+    // purchase paired with its |Δt|-closest view — two directional
+    // window-scan as-of passes + one comparison, never a theta-join; the
+    // oracle brute-forces the per-user candidate set with the identical
+    // tie ladder (equal gap → backward; within side → the directional seq
+    // rule).
+    "events_asof_nearest" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("tus", expr("unix_micros(cast(ts as timestamp))"))
+        .select("event_id", "user_id", "tus", "event_type")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .drop("event_type")
+      val views = e.filter(col("event_type") === "view").drop("event_type")
+      ops.AsofJoin.asofNearest(purchases, views, Seq("user_id"),
+          tsCol = "tus", seqCol = "event_id", payload = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("tus"),
+          col("near_event_id").as("view_event_id"),
+          col("near_tus").as("view_tus"), col("near_gap"))
+        .orderBy("event_id")
     }),
     // Sampled silhouette audit (ops.Embeddings.silhouetteStats): are the
     // corpus labels cluster-shaped? Exact intra/nearest-inter squared-
@@ -9800,6 +9884,81 @@ object SparkEntry {
            CAST(sum(CASE WHEN cents > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
          FROM ev JOIN p ON p.event_type = ev.event_type
          GROUP BY 1 ORDER BY ev.event_type""",
+    // the walk cumsum + sector VALUES, identical cross-product membership
+    "geo_sector_cover" -> {
+      val antRows = sectorAntennas.map {
+        case (id, cx, cy, d1x, d1y, d2x, d2y, r2) =>
+          s"(CAST($id AS BIGINT), $cx, $cy, $d1x, $d1y, $d2x, $d2y, $r2)"
+      }.mkString(", ")
+      s"""WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
+           (event_id * 3) % 5 AS dy
+           FROM events WHERE user_id < 50),
+         c AS (SELECT user_id AS traj_id,
+           CAST(sum(dx) OVER w AS BIGINT) AS px,
+           CAST(sum(dy) OVER w AS BIGINT) AS py
+           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         ant(antenna_id, cx, cy, d1x, d1y, d2x, d2y, r2) AS (VALUES $antRows),
+         m AS (SELECT antenna_id, traj_id,
+             CASE WHEN d1x*(py-cy) - d1y*(px-cx) >= 0
+               AND (px-cx)*d2y - (py-cy)*d2x >= 0
+               AND (px-cx)*(px-cx) + (py-cy)*(py-cy) <= r2
+               THEN 1 ELSE 0 END AS inside
+           FROM c, ant)
+         SELECT antenna_id, CAST(count(*) AS BIGINT) AS n_pts,
+           CAST(sum(inside) AS BIGINT) AS n_in,
+           CAST(count(DISTINCT CASE WHEN inside = 1 THEN traj_id END)
+             AS BIGINT) AS n_traj
+         FROM m GROUP BY 1 ORDER BY antenna_id"""
+    },
+    // same window energies, lag band self-join, floored per-term mean
+    "media_tempo" ->
+      """WITH m AS (SELECT s_suppkey AS media_id,
+           4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),
+         w AS (SELECT media_id, unnest(range(0, n_bytes // 128)) AS win_no FROM m),
+         sq AS (SELECT media_id, win_no,
+             CAST(list_sum(list_transform(range(0,128),
+               i -> (((media_id*31 + (win_no*128+i)*7) % 256) - 128)
+                  * (((media_id*31 + (win_no*128+i)*7) % 256) - 128))) AS BIGINT) AS sq_sum
+           FROM w),
+         j AS (SELECT a.media_id, b.win_no - a.win_no AS lag,
+             a.sq_sum * b.sq_sum AS prod
+           FROM sq a JOIN sq b ON b.media_id = a.media_id
+             AND b.win_no - a.win_no BETWEEN 2 AND 16),
+         sc AS (SELECT media_id, lag, CAST(sum(prod) AS BIGINT) AS psum,
+             CAST(count(*) AS BIGINT) AS n_terms FROM j GROUP BY 1, 2),
+         nw AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_win
+           FROM sq GROUP BY 1),
+         r AS (SELECT media_id, lag, psum, n_terms,
+             psum // n_terms AS score_q,
+             row_number() OVER (PARTITION BY media_id
+               ORDER BY psum // n_terms DESC, lag) AS rn FROM sc)
+         SELECT CAST(r.media_id AS BIGINT) AS media_id, n_win,
+           CAST(lag AS BIGINT) AS lag, n_terms, psum, score_q
+         FROM r JOIN nw ON nw.media_id = r.media_id WHERE rn = 1
+         ORDER BY r.media_id""",
+    // brute-force per-user candidates with the same tie ladder: gap asc,
+    // backward first, then the directional seq rule
+    "events_asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
+           event_type FROM events),
+         p AS (SELECT event_id, user_id, tus FROM e
+           WHERE event_type = 'purchase'),
+         v AS (SELECT event_id, user_id, tus FROM e
+           WHERE event_type = 'view'),
+         j AS (SELECT p.event_id, p.user_id, p.tus,
+             v.event_id AS view_event_id, v.tus AS vtus,
+             abs(v.tus - p.tus) AS ag,
+             CASE WHEN v.tus <= p.tus THEN 1 ELSE 0 END AS is_back
+           FROM p LEFT JOIN v ON v.user_id = p.user_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY event_id
+             ORDER BY ag, is_back DESC,
+               CASE WHEN is_back = 1 THEN -view_event_id
+                    ELSE view_event_id END) AS rn
+           FROM j)
+         SELECT event_id, user_id, tus, view_event_id, vtus AS view_tus,
+           vtus - tus AS near_gap
+         FROM r WHERE rn = 1 ORDER BY event_id""",
     // milli-floored mean comparison, lowest-label ties, same sample join
     "ann_silhouette" ->
       """WITH e AS (SELECT vec_id, label, list_transform(embedding,
