@@ -4996,6 +4996,61 @@ object SparkEntry {
       ops.ImageOps.bayerDither(gateTiles(s, "png"))
         .orderBy("image_id", "bcell")
     }),
+    // Per-block value-diversity census (ops.ImageOps.blockDiversity):
+    // distinct-count, range and smallest-tie mode per 100² block — the
+    // log-free entropy proxy of a compression/nodata screen. Decode-once,
+    // zero shuffle.
+    "img_block_diversity" -> ((s, dir) => {
+      ops.ImageOps.blockDiversity(gateTiles(s, "png"))
+        .orderBy("image_id", "py", "px")
+    }),
+    // Audience-overlap matrix: per event-type pair the exact common-user
+    // count and floored Jaccard ppm — the cross-sell / cannibalization
+    // read over distinct (type, user) memberships; one user-keyed
+    // self-join, audiences joined back by type.
+    "events_audience_overlap" -> ((s, dir) => {
+      val aud = t(s, dir, "events").select("event_type", "user_id").distinct()
+      val sizes = aud.groupBy("event_type").agg(count(lit(1)).as("n"))
+      aud.as("x").join(aud.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(sizes.select(col("event_type").as("type_a"),
+          col("n").as("n_a")), Seq("type_a"))
+        .join(sizes.select(col("event_type").as("type_b"),
+          col("n").as("n_b")), Seq("type_b"))
+        .withColumn("jaccard_ppm",
+          expr("n_common * 1000000 DIV (n_a + n_b - n_common)"))
+        .select("type_a", "type_b", "n_a", "n_b", "n_common", "jaccard_ppm")
+        .orderBy("type_a", "type_b")
+    }),
+    // Gridline-crossing tiling cost: per trajectory segment the exact
+    // count of 64-unit vertical / 16-unit horizontal grid boundaries
+    // crossed (|⌊x₂/G⌋−⌊x₁/G⌋| + |…|) — the tile-fanout estimate a vector
+    // tiler prices BEFORE cutting; one lag window + one rollup.
+    "geo_grid_crossings" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pts = t(s, dir, "events").filter(col("user_id") < 50)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          ((col("event_id") % 7) +
+            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
+          ((col("event_id") * 3) % 5).as("dy"))
+        .withColumn("px", sum("dx").over(w))
+        .withColumn("py", sum("dy").over(w))
+      val seg = pts
+        .withColumn("ppx", lag("px", 1).over(w))
+        .withColumn("ppy", lag("py", 1).over(w))
+        .filter(col("ppx").isNotNull)
+        .withColumn("cx", expr("abs(px DIV 64 - ppx DIV 64)"))
+        .withColumn("cy", expr("abs(py DIV 16 - ppy DIV 16)"))
+      seg.groupBy(col("user_id").as("traj_id"))
+        .agg(count(lit(1)).as("n_seg"),
+          sum("cx").as("cross_x"), sum("cy").as("cross_y"),
+          max(expr("cx + cy")).as("max_seg_cross"))
+        .orderBy("traj_id")
+    }),
     // NFD compaction bin packing (ops.Curation.binPackNfd): per table
     // partition, manifest files sorted (size desc, id) fill 512-unit bins
     // greedily — the OPTIMIZE plan next to store_overlap_depth's trigger
@@ -8818,6 +8873,37 @@ object SparkEntry {
        ORDER BY pick_no"""
   }
 
+  /** Block-diversity oracle: value counts per 100² block, distinct/range
+    * rollup + smallest-tie mode by rank.
+    */
+  private val blockDiversityOracleSql: String = {
+    val v = gridV("c.range", "r.range")
+    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+       k AS (SELECT swlng, swlat,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
+       g AS (SELECT swlng, swlat, r.range // 100 AS py, c.range // 100 AS px,
+           $v AS v
+         FROM k, range(0,600) r, range(0,600) c),
+       vc AS (SELECT swlng, swlat, py, px, v, CAST(count(*) AS BIGINT) AS cnt
+         FROM g GROUP BY 1, 2, 3, 4, 5),
+       st AS (SELECT swlng, swlat, py, px,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
+         FROM vc GROUP BY 1, 2, 3, 4),
+       md AS (SELECT swlng, swlat, py, px, CAST(v AS BIGINT) AS mode_v,
+           cnt AS mode_n, row_number() OVER (PARTITION BY swlng, swlat, py, px
+             ORDER BY cnt DESC, v) AS rn
+         FROM vc)
+       SELECT (CASE WHEN st.swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(st.swlat) AS VARCHAR),2,'0') ||
+           CASE WHEN st.swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(st.swlng) AS VARCHAR),3,'0')) AS image_id,
+         CAST(st.py AS INT) AS py, CAST(st.px AS INT) AS px,
+         CAST(10000 AS BIGINT) AS n_px, n_distinct, min_v, max_v,
+         mode_v, mode_n
+       FROM st JOIN md ON md.swlng = st.swlng AND md.swlat = st.swlat
+         AND md.py = st.py AND md.px = st.px AND md.rn = 1
+       ORDER BY image_id, py, px"""
+  }
+
   /** Bayer-dither oracle: the index-dilation matrix replayed as modular
     * bit arithmetic, clamped v≫6 level, per-cell rollup.
     */
@@ -10454,6 +10540,43 @@ object SparkEntry {
     "img_kuwahara" -> kuwaharaOracleSql,
     "img_structure_tensor" -> structureTensorOracleSql,
     "img_bayer_dither" -> bayerOracleSql,
+    "img_block_diversity" -> blockDiversityOracleSql,
+    // distinct (type,user) memberships, canonical pair self-join
+    "events_audience_overlap" ->
+      """WITH aud AS (SELECT DISTINCT event_type, user_id FROM events),
+         sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+           FROM aud GROUP BY 1),
+         pr AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_common
+           FROM aud x JOIN aud y ON y.user_id = x.user_id
+             AND x.event_type < y.event_type
+           GROUP BY 1, 2)
+         SELECT type_a, type_b, a.n AS n_a, b.n AS n_b, n_common,
+           n_common * 1000000 // (a.n + b.n - n_common) AS jaccard_ppm
+         FROM pr JOIN sz a ON a.event_type = pr.type_a
+         JOIN sz b ON b.event_type = pr.type_b
+         ORDER BY type_a, type_b""",
+    // the walk cumsum, floor-bucket deltas per segment
+    "geo_grid_crossings" ->
+      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
+           (event_id * 3) % 5 AS dy
+           FROM events WHERE user_id < 50),
+         c AS (SELECT user_id, event_id, ts_us,
+           CAST(sum(dx) OVER w AS BIGINT) AS px,
+           CAST(sum(dy) OVER w AS BIGINT) AS py
+           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         s AS (SELECT user_id,
+             lag(px) OVER w2 AS ppx, lag(py) OVER w2 AS ppy, px, py
+           FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         g AS (SELECT user_id, abs(px // 64 - ppx // 64) AS cx,
+             abs(py // 16 - ppy // 16) AS cy
+           FROM s WHERE ppx IS NOT NULL)
+         SELECT user_id AS traj_id, CAST(count(*) AS BIGINT) AS n_seg,
+           CAST(sum(cx) AS BIGINT) AS cross_x,
+           CAST(sum(cy) AS BIGINT) AS cross_y,
+           CAST(max(cx + cy) AS BIGINT) AS max_seg_cross
+         FROM g GROUP BY 1 ORDER BY traj_id""",
     "ann_farthest_first" -> farthestFirstOracleSql,
     // the identical NFD recurrence as a recursive CTE, one file per
     // iteration per partition

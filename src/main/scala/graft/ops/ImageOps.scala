@@ -885,6 +885,60 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class DiversityRow(image_id: String, py: Int, px: Int,
+                                n_px: Long, n_distinct: Long, min_v: Long,
+                                max_v: Long, mode_v: Long, mode_n: Long)
+
+  /** Per-block value-diversity census — the no-logarithm entropy proxy a
+    * compression/uniformity screen uses: over each 100² block of the even
+    * 600² prefix, the distinct sample-value count, range, and the modal
+    * value with its multiplicity (ties to the SMALLEST value). Few
+    * distinct values ⇒ flat/synthetic content (RLE-friendly); a dominant
+    * mode ⇒ banding or nodata fill.
+    *
+    * 100 TB shape: decode-once mapPartitions, one per-block hash count,
+    * 36 rows per tile, zero shuffle.
+    */
+  def blockDiversity(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[DiversityRow]
+    tiles.mapPartitions { it =>
+      it.flatMap { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val ext = 600 min (size - size % 8)
+        val nb = ext / 100
+        Iterator.range(0, nb * nb).map { b =>
+          val py = b / nb; val px = b % nb
+          val counts = new java.util.HashMap[Int, Long]()
+          var minV = Long.MaxValue; var maxV = Long.MinValue
+          var r = py * 100
+          while (r < (py + 1) * 100) {
+            var c = px * 100
+            while (c < (px + 1) * 100) {
+              val v = d.samples(r * size + c).toInt
+              counts.merge(v, 1L, (a, x) => a + x)
+              if (v < minV) minV = v
+              if (v > maxV) maxV = v
+              c += 1
+            }
+            r += 1
+          }
+          var modeV = 0L; var modeN = 0L
+          val e = counts.entrySet().iterator()
+          while (e.hasNext) {
+            val en = e.next()
+            if (en.getValue > modeN ||
+              (en.getValue == modeN && en.getKey < modeV)) {
+              modeN = en.getValue; modeV = en.getKey.toLong
+            }
+          }
+          DiversityRow(tl.image_id, py, px, 10000L, counts.size.toLong,
+            minV, maxV, modeV, modeN)
+        }
+      }
+    }.toDF()
+  }
+
   final case class DitherRow(image_id: String, bcell: Int, n_px: Long,
                              n_on: Long)
 
