@@ -159,6 +159,29 @@ object SparkEntry {
       (2L, 300L, 150L, 1L, -1L, 1L, 1L, 40000L),
       (3L, 1000L, 100L, 0L, -1L, 1L, 0L, 250000L))
 
+  /** Self-intersecting bowtie ring (closed; shared by geo_winding_rule's
+    * engine Columns and oracle SQL). Even-odd and nonzero fill rules
+    * disagree exactly on its central overlap lobe.
+    */
+  private val bowtieRing: Seq[(Long, Long)] =
+    Seq((0L, 0L), (400L, 200L), (0L, 200L), (400L, 0L))
+
+  /** Per-edge crossing terms for a literal ring: (upCross, downCross)
+    * SQL expressions against columns px/py — t is the cross-multiplied
+    * "left of edge" sign, so no division appears; even-odd sums both,
+    * winding signs them.
+    */
+  private def ringCrossingsSql(ring: Seq[(Long, Long)]): (String, String) = {
+    val edges = ring.indices.map { i =>
+      val (x1, y1) = ring(i); val (x2, y2) = ring((i + 1) % ring.size)
+      val t = s"(($x2 - $x1) * (py - $y1) - (px - $x1) * ($y2 - $y1))"
+      val up = s"(CASE WHEN $y2 > py AND NOT ($y1 > py) AND $t > 0 THEN 1 ELSE 0 END)"
+      val dn = s"(CASE WHEN $y1 > py AND NOT ($y2 > py) AND $t < 0 THEN 1 ELSE 0 END)"
+      (up, dn)
+    }
+    (edges.map(_._1).mkString(" + "), edges.map(_._2).mkString(" + "))
+  }
+
   /** Corridor polyline shared by traj_corridor's engine call and oracle
     * expression generator.
     */
@@ -4136,6 +4159,65 @@ object SparkEntry {
           col("near_event_id").as("view_event_id"),
           col("near_tus").as("view_tus"), col("near_gap"))
         .orderBy("event_id")
+    }),
+    // Fill-rule disagreement census: the same self-intersecting bowtie
+    // ring under BOTH polygon fill rules — even-odd (crossing parity) vs
+    // nonzero (signed winding) — per walk fix; they differ exactly on the
+    // overlap lobe, the distinction GeoJSON consumers hit on malformed
+    // rings. Shared crossing expressions, pure integer signs.
+    "geo_winding_rule" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val (upSql, dnSql) = ringCrossingsSql(bowtieRing)
+      val pts = t(s, dir, "events").filter(col("user_id") < 50)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          ((col("event_id") % 7) +
+            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
+          ((col("event_id") * 3) % 5).as("dy"))
+        .withColumn("px", sum("dx").over(w))
+        .withColumn("py", sum("dy").over(w))
+      pts.withColumn("up", expr(upSql)).withColumn("dn", expr(dnSql))
+        .withColumn("evenodd", (col("up") + col("dn")) % 2 === 1)
+        .withColumn("nonzero", (col("up") - col("dn")) =!= 0)
+        .groupBy(col("user_id").as("traj_id"))
+        .agg(count(lit(1)).as("n_pts"),
+          sum(when(col("evenodd"), 1L).otherwise(0L)).as("n_evenodd"),
+          sum(when(col("nonzero"), 1L).otherwise(0L)).as("n_nonzero"),
+          sum(when(col("evenodd") =!= col("nonzero"), 1L).otherwise(0L))
+            .as("n_disagree"))
+        .orderBy("traj_id")
+    }),
+    // Component-size distribution (large-star/small-star CC + histogram):
+    // the dedup-blast-radius read — how many merge groups of each size a
+    // connected-components pass produces; O(log n) CC rounds, two
+    // key-bounded rollups.
+    "graph_component_hist" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 31 === 0)
+        .selectExpr("(l_suppkey * 131) % 3000 AS doc_a",
+          "l_partkey % 3000 AS doc_b")
+      val nodes = edges.selectExpr("doc_a AS doc_id")
+        .union(edges.selectExpr("doc_b AS doc_id")).distinct()
+      ops.TextDedup.connectedComponentsStar(edges, nodes)
+        .groupBy("comp").agg(count(lit(1)).as("csize"))
+        .groupBy("csize").agg(count(lit(1)).as("n_components"))
+        .withColumn("n_nodes", col("csize") * col("n_components"))
+        .orderBy("csize")
+    }),
+    // Per-dimension variance ranking (the matryoshka/feature-selection
+    // read): exact integer moments per embedding dimension, variance
+    // numerator n·Σx²−(Σx)², rank by it — which dims carry the signal.
+    "ann_dim_variance" -> ((s, dir) => {
+      val x = t(s, dir, "embeddings")
+        .select(posexplode(expr("transform(embedding, " +
+          "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))"))
+          .as(Seq("d", "xq")))
+      x.groupBy(col("d").cast("int").as("d"))
+        .agg(count(lit(1)).as("n"), sum("xq").as("s"),
+          sum(expr("xq * xq")).as("ss"))
+        .withColumn("var_num", expr("n * ss - s * s"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("var_num").desc, col("d"))).cast("int"))
+        .orderBy("d")
     }),
     // Sampled silhouette audit (ops.Embeddings.silhouetteStats): are the
     // corpus labels cluster-shaped? Exact intra/nearest-inter squared-
@@ -10045,6 +10127,59 @@ object SparkEntry {
          SELECT event_id, user_id, tus, view_event_id, vtus AS view_tus,
            vtus - tus AS near_gap
          FROM r WHERE rn = 1 ORDER BY event_id""",
+    // the walk cumsum + the same shared crossing terms
+    "geo_winding_rule" -> {
+      val (upSql, dnSql) = ringCrossingsSql(bowtieRing)
+      s"""WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
+           (event_id * 3) % 5 AS dy
+           FROM events WHERE user_id < 50),
+         c AS (SELECT user_id,
+           CAST(sum(dx) OVER w AS BIGINT) AS px,
+           CAST(sum(dy) OVER w AS BIGINT) AS py
+           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         m AS (SELECT user_id, ($upSql) AS up, ($dnSql) AS dn FROM c)
+         SELECT user_id AS traj_id, CAST(count(*) AS BIGINT) AS n_pts,
+           CAST(sum(CASE WHEN (up + dn) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_evenodd,
+           CAST(sum(CASE WHEN up - dn <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonzero,
+           CAST(sum(CASE WHEN ((up + dn) % 2 = 1) <> (up - dn <> 0)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree
+         FROM m GROUP BY 1 ORDER BY traj_id"""
+    },
+    // recursive min-label reach over the same sparse graph, then the
+    // size histogram
+    "graph_component_hist" ->
+      """WITH RECURSIVE raw AS (SELECT (l_suppkey * 131) % 3000 AS a,
+           l_partkey % 3000 AS b
+           FROM lineitem WHERE l_orderkey % 31 = 0),
+         e AS (SELECT DISTINCT greatest(a, b) AS hi, least(a, b) AS lo
+           FROM raw WHERE a <> b),
+         nodes AS (SELECT a AS n FROM raw UNION SELECT b FROM raw),
+         r(n, m) AS (SELECT n, n FROM nodes
+           UNION
+           SELECT r.n, CASE WHEN e.hi = r.m THEN e.lo ELSE e.hi END
+           FROM r JOIN e ON e.hi = r.m OR e.lo = r.m),
+         comp AS (SELECT n, min(m) AS comp FROM r GROUP BY 1),
+         cs AS (SELECT comp, CAST(count(*) AS BIGINT) AS csize
+           FROM comp GROUP BY 1)
+         SELECT csize, CAST(count(*) AS BIGINT) AS n_components,
+           csize * CAST(count(*) AS BIGINT) AS n_nodes
+         FROM cs GROUP BY 1 ORDER BY csize""",
+    // milli-floored moments per dimension, rank by variance numerator
+    "ann_dim_variance" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS eq
+           FROM embeddings),
+         x AS (SELECT d.range AS d, eq[CAST(d.range AS INT) + 1] AS xq
+           FROM e, range(0, 64) d),
+         a AS (SELECT CAST(d AS INT) AS d, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xq) AS BIGINT) AS s,
+             CAST(sum(xq * xq) AS BIGINT) AS ss
+           FROM x GROUP BY 1)
+         SELECT d, n, s, ss, n * ss - s * s AS var_num,
+           CAST(row_number() OVER (ORDER BY n * ss - s * s DESC, d)
+             AS INT) AS rank
+         FROM a ORDER BY d""",
     // milli-floored mean comparison, lowest-label ties, same sample join
     "ann_silhouette" ->
       """WITH e AS (SELECT vec_id, label, list_transform(embedding,
