@@ -1091,6 +1091,67 @@ object SparkEntry {
         .join(trajs.select(col("traj_id").as("t2")), col("t1") < col("t2"))
       ops.Trajectory.frechet(pts, pairs).orderBy("t1", "t2")
     }),
+    // LCSS trajectory similarity (ops.Trajectory.lcss): tolerance-gated
+    // longest common subsequence over the same pair lattice — the
+    // outlier-robust member of the frechet/hausdorff family; identical
+    // anti-diagonal oracle with COALESCE-0 borders.
+    "traj_lcss" -> ((s, dir) => {
+      val trajs = t(s, dir, "supplier")
+        .selectExpr("s_suppkey % 20 AS traj_id").distinct()
+      val pts = trajs
+        .select(col("traj_id"), explode(expr("sequence(0, 5)")).as("seq"))
+        .selectExpr("traj_id", "seq",
+          "(traj_id * 7 + seq * (traj_id % 5 + 1) * 3) % 40 AS px",
+          "(traj_id * 11 + seq * (traj_id % 3 + 2) * 2) % 40 AS py")
+      val pairs = trajs.select(col("traj_id").as("t1"))
+        .join(trajs.select(col("traj_id").as("t2")), col("t1") < col("t2"))
+      ops.Trajectory.lcss(pts, pairs, eps2 = 64L).orderBy("t1", "t2")
+    }),
+    // Difference-in-differences 2×2: treated (even users) × post (the
+    // span midpoint), per type the quadrant counts/sums and the DiD
+    // estimate on milli-floored means — the causal-analytics read over
+    // events_ab_test's single split. One aggregation.
+    "events_did" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          (col("user_id") % 2 === 0).as("treated"),
+          expr("ts >= timestamp'2024-01-16'").as("post"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy("event_type")
+        .agg(
+          sum(when(col("treated") && col("post"), 1L).otherwise(0L)).as("n_tp"),
+          sum(when(col("treated") && col("post"), col("cents"))).as("s_tp"),
+          sum(when(col("treated") && !col("post"), 1L).otherwise(0L)).as("n_t0"),
+          sum(when(col("treated") && !col("post"), col("cents"))).as("s_t0"),
+          sum(when(!col("treated") && col("post"), 1L).otherwise(0L)).as("n_cp"),
+          sum(when(!col("treated") && col("post"), col("cents"))).as("s_cp"),
+          sum(when(!col("treated") && !col("post"), 1L).otherwise(0L)).as("n_c0"),
+          sum(when(!col("treated") && !col("post"), col("cents"))).as("s_c0"))
+        .withColumn("did_milli", expr(
+          "(s_tp * 1000 DIV n_tp - s_t0 * 1000 DIV n_t0) - " +
+            "(s_cp * 1000 DIV n_cp - s_c0 * 1000 DIV n_c0)"))
+        .orderBy("event_type")
+    }),
+    // Distinctive keywords per source: exact cross-product association
+    // score o·(N−Nₛ) − (o_tot−o)·Nₛ (positive ⇔ over-represented), top-5
+    // per source — the corpus-mix diagnostic next to text_tfidf; one
+    // word-keyed agg + one key-bounded rank window.
+    "text_distinctive_terms" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      val bySrcWord = words.groupBy("source", "w").agg(count(lit(1)).as("o"))
+      val bySrc = words.groupBy("source").agg(count(lit(1)).as("ns"))
+      val byWord = words.groupBy("w").agg(count(lit(1)).as("ow"))
+      val tot = words.agg(count(lit(1)).as("n"))
+      bySrcWord.join(bySrc, Seq("source")).join(byWord, Seq("w"))
+        .crossJoin(broadcast(tot))
+        .withColumn("score", expr("o * (n - ns) - (ow - o) * ns"))
+        .withColumn("rk", row_number().over(Window.partitionBy("source")
+          .orderBy(col("score").desc, col("w"))).cast("int"))
+        .filter(col("rk") <= 5)
+        .select("source", "rk", "w", "o", "ow", "ns", "n", "score")
+        .orderBy("source", "rk")
+    }),
     // Straightness index per trajectory: net displacement² over Σ step²
     // in exact ppm — 10⁶ means a beeline, small means wandering; the
     // cheap commute-vs-wander classifier of mobility analytics.
@@ -9093,6 +9154,48 @@ object SparkEntry {
        ORDER BY ca10.t1, ca10.t2"""
   }
 
+  /** LCSS oracle: the tolerance-gated DP per anti-diagonal, COALESCE-0
+    * borders (missing lattice edges contribute an empty subsequence).
+    */
+  private val lcssOracleSql: String = {
+    val eps2 = 64L
+    val diags = (1 to 10).map { k =>
+      val p2 = s"ca${math.max(k - 2, 0)}"
+      s"""ca$k AS MATERIALIZED (SELECT c.t1, c.t2, c.i, c.j,
+          CASE WHEN c.d2 <= $eps2 THEN COALESCE(p2.v, 0) + 1
+               ELSE GREATEST(COALESCE(p1.v, 0), COALESCE(p3.v, 0)) END AS v
+        FROM cells c
+        LEFT JOIN ca${k - 1} p1 ON p1.t1 = c.t1 AND p1.t2 = c.t2
+          AND p1.i = c.i - 1 AND p1.j = c.j
+        LEFT JOIN ca${k - 1} p3 ON p3.t1 = c.t1 AND p3.t2 = c.t2
+          AND p3.i = c.i AND p3.j = c.j - 1
+        LEFT JOIN $p2 p2 ON p2.t1 = c.t1 AND p2.t2 = c.t2
+          AND p2.i = c.i - 1 AND p2.j = c.j - 1
+        WHERE c.i + c.j = $k)"""
+    }.mkString(",\n         ")
+    s"""WITH trajs AS (SELECT DISTINCT s_suppkey % 20 AS traj_id FROM supplier),
+       v AS (SELECT traj_id, CAST(g AS BIGINT) AS seq,
+           (traj_id * 7 + g * (traj_id % 5 + 1) * 3) % 40 AS px,
+           (traj_id * 11 + g * (traj_id % 3 + 2) * 2) % 40 AS py
+         FROM trajs, unnest(range(0, 6)) AS t(g)),
+       pairs AS (SELECT a.traj_id AS t1, b.traj_id AS t2
+         FROM trajs a, trajs b WHERE a.traj_id < b.traj_id),
+       cells AS MATERIALIZED (SELECT p.t1, p.t2, CAST(va.seq AS INT) AS i, CAST(vb.seq AS INT) AS j,
+           (va.px - vb.px)*(va.px - vb.px) + (va.py - vb.py)*(va.py - vb.py) AS d2
+         FROM pairs p JOIN v va ON va.traj_id = p.t1 JOIN v vb ON vb.traj_id = p.t2),
+       ca0 AS MATERIALIZED (SELECT t1, t2, i, j,
+           CASE WHEN d2 <= $eps2 THEN 1 ELSE 0 END AS v
+         FROM cells WHERE i = 0 AND j = 0),
+       $diags,
+       sz AS (SELECT t1, t2, CAST(max(i) + 1 AS INTEGER) AS n_a,
+           CAST(max(j) + 1 AS INTEGER) AS n_b FROM cells GROUP BY 1, 2)
+       SELECT ca10.t1, ca10.t2, sz.n_a, sz.n_b,
+         CAST(ca10.v AS BIGINT) AS lcss_len,
+         CAST(ca10.v AS BIGINT) * 1000000 // least(sz.n_a, sz.n_b) AS sim_ppm
+       FROM ca10 JOIN sz ON sz.t1 = ca10.t1 AND sz.t2 = ca10.t2
+       ORDER BY ca10.t1, ca10.t2"""
+  }
+
   /** Chaikin oracle: 2 corner-cutting rounds replayed as window CTEs —
     * coordinates and the ordering key both scale ×4 per round, exactly the
     * engine's integer contract.
@@ -9846,6 +9949,44 @@ object SparkEntry {
          ORDER BY a, b"""
     },
     "traj_frechet" -> frechetOracleSql,
+    "traj_lcss" -> lcssOracleSql,
+    // 2×2 quadrant sums + milli-floored mean DiD
+    "events_did" ->
+      """WITH e AS (SELECT event_type, user_id % 2 = 0 AS treated,
+           ts >= TIMESTAMP '2024-01-16' AS post,
+           CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         a AS (SELECT event_type,
+             CAST(sum(CASE WHEN treated AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+             CAST(sum(CASE WHEN treated AND post THEN cents END) AS BIGINT) AS s_tp,
+             CAST(sum(CASE WHEN treated AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_t0,
+             CAST(sum(CASE WHEN treated AND NOT post THEN cents END) AS BIGINT) AS s_t0,
+             CAST(sum(CASE WHEN NOT treated AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_cp,
+             CAST(sum(CASE WHEN NOT treated AND post THEN cents END) AS BIGINT) AS s_cp,
+             CAST(sum(CASE WHEN NOT treated AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_c0,
+             CAST(sum(CASE WHEN NOT treated AND NOT post THEN cents END) AS BIGINT) AS s_c0
+           FROM e GROUP BY 1)
+         SELECT event_type, n_tp, s_tp, n_t0, s_t0, n_cp, s_cp, n_c0, s_c0,
+           (s_tp * 1000 // n_tp - s_t0 * 1000 // n_t0)
+             - (s_cp * 1000 // n_cp - s_c0 * 1000 // n_c0) AS did_milli
+         FROM a ORDER BY event_type""",
+    // word counts vs source marginals, exact cross-product score, top-5
+    "text_distinctive_terms" ->
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+         sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS o
+           FROM w GROUP BY 1, 2),
+         s AS (SELECT source, CAST(count(*) AS BIGINT) AS ns
+           FROM w GROUP BY 1),
+         wd AS (SELECT w, CAST(count(*) AS BIGINT) AS ow FROM w GROUP BY 1),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w),
+         sc AS (SELECT sw.source, sw.w, o, ow, ns, n.n,
+             o * (n.n - ns) - (ow - o) * ns AS score
+           FROM sw JOIN s ON s.source = sw.source
+           JOIN wd ON wd.w = sw.w CROSS JOIN n),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+             ORDER BY score DESC, w) AS INT) AS rk FROM sc)
+         SELECT source, rk, w, o, ow, ns, n, score
+         FROM r WHERE rk <= 5 ORDER BY source, rk""",
     "traj_mapmatch" -> mapMatchOracleSql,
     "geo_chaikin" -> chaikinOracleSql,
     "ann_nn_descent" -> nnDescentOracleSql,
