@@ -159,6 +159,23 @@ object SparkEntry {
       (2L, 300L, 150L, 1L, -1L, 1L, 1L, 40000L),
       (3L, 1000L, 100L, 0L, -1L, 1L, 0L, 250000L))
 
+  /** Spatiotemporal incidents (id, ix, iy, ts literal) shared by
+    * geo_st_join's engine rows and oracle VALUES.
+    */
+  private val stIncidents: Seq[(Long, Long, Long, String)] =
+    Seq((1L, 150L, 80L, "2024-01-05 12:00:00"),
+      (2L, 400L, 160L, "2024-01-15 00:00:00"),
+      (3L, 900L, 120L, "2024-01-25 18:00:00"))
+
+  /** Pruning-audit queries (qid, kind, lo, hi) shared by
+    * store_spec_evolution's engine rows and oracle VALUES; points have
+    * lo = hi.
+    */
+  private val specQueries: Seq[(Long, String, Long, Long)] =
+    Seq((1L, "point", 47L, 47L), (2L, "point", 250L, 250L),
+      (3L, "point", 777L, 777L), (4L, "range", 100L, 300L),
+      (5L, "range", 900L, 1500L))
+
   /** Self-intersecting bowtie ring (closed; shared by geo_winding_rule's
     * engine Columns and oracle SQL). Even-odd and nonzero fill rules
     * disagree exactly on its central overlap lobe.
@@ -4220,6 +4237,95 @@ object SparkEntry {
           col("near_event_id").as("view_event_id"),
           col("near_tus").as("view_tus"), col("near_gap"))
         .orderBy("event_id")
+    }),
+    // Spatiotemporal incident join: walk fixes within 50 units AND ±12 h
+    // of each literal incident — the space-AND-time join (accident
+    // exposure / witness query) the pure spatial joins can't express;
+    // incidents broadcast, per-incident rollup. At scale the same
+    // predicate rides a (cell, time-bucket) equi-join.
+    "geo_st_join" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pts = t(s, dir, "events").filter(col("user_id") < 50)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          ((col("event_id") % 7) +
+            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
+          ((col("event_id") * 3) % 5).as("dy"))
+        .withColumn("px", sum("dx").over(w))
+        .withColumn("py", sum("dy").over(w))
+        .withColumn("tus", expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+      val inc = s.createDataFrame(stIncidents)
+        .toDF("inc_id", "ix", "iy", "its")
+        .withColumn("itus", expr("unix_micros(CAST(its AS TIMESTAMP))"))
+      pts.crossJoin(broadcast(inc))
+        .withColumn("d2", expr(
+          "(px - ix) * (px - ix) + (py - iy) * (py - iy)"))
+        .withColumn("near",
+          col("d2") <= 2500L && abs(col("tus") - col("itus")) <= 43200000000L)
+        .groupBy("inc_id")
+        .agg(count(lit(1)).as("n_fixes"),
+          sum(when(col("near"), 1L).otherwise(0L)).as("n_near"),
+          countDistinct(when(col("near"), col("user_id"))).as("n_traj"),
+          min(when(col("near"), col("d2"))).as("min_d2"))
+        .orderBy("inc_id")
+    }),
+    // Partition-spec evolution pruning audit: half the files live under
+    // the OLD range spec (identity min/max pruning), half under the NEW
+    // hash spec (bucket pruning) — point queries prune both; RANGE
+    // queries prune only the range spec (hash must scan all) — the exact
+    // trade an Iceberg spec migration buys and loses, as one stats-only
+    // broadcast join.
+    "store_spec_evolution" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey").as("v"))
+      val mx = o.agg(max("v").as("mxv"))
+      val st0 = o.crossJoin(broadcast(mx))
+        .selectExpr("(v * 16) div (mxv + 1) AS bucket", "v")
+        .groupBy("bucket")
+        .agg(min("v").as("mn"), max("v").as("mx"))
+        .withColumn("spec", lit(0))
+      val st1 = o.selectExpr("v % 16 AS bucket", "v")
+        .groupBy("bucket")
+        .agg(min("v").as("mn"), max("v").as("mx"))
+        .withColumn("spec", lit(1))
+      val st = st0.unionAll(st1)
+      val q = s.createDataFrame(specQueries).toDF("qid", "kind", "lo", "hi")
+      q.crossJoin(broadcast(st))
+        .withColumn("scan", expr(
+          "CASE WHEN spec = 0 THEN mx >= lo AND mn <= hi " +
+            "ELSE kind = 'range' OR bucket = lo % 16 END"))
+        .groupBy("qid", "kind")
+        .agg(sum(when(col("scan") && col("spec") === 0, 1L).otherwise(0L))
+            .as("n_spec0"),
+          sum(when(col("scan") && col("spec") === 1, 1L).otherwise(0L))
+            .as("n_spec1"),
+          count(lit(1)).as("total_files"))
+        .withColumn("scanned", col("n_spec0") + col("n_spec1"))
+        .orderBy("qid")
+    }),
+    // Similarity-threshold yield curve: the exact pairwise Jaccard ppm
+    // histogram (100k-ppm buckets) over the gate corpus — how many pairs
+    // each dedup threshold would merge, the tuning read BEFORE committing
+    // a minhash band config. Same shingle-once discipline as
+    // dedup_jaccard.
+    "dedup_jaccard_hist" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val sub = d.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id"), col("text"))
+        .unionAll(d.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" zz qq ww ee rr tt")).as("text")))
+        .select(col("doc_id"),
+          array_distinct(ops.TextDedup.shingles(col("text"), 3)).as("s"))
+      val a = sub.select(col("doc_id").as("doc_a"), col("s").as("sa"))
+      val b = sub.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+      a.crossJoin(broadcast(b)).filter(col("doc_a") < col("doc_b"))
+        .select(expr("size(array_intersect(sa, sb))").cast("long").as("i"),
+          expr("size(array_distinct(concat(sa, sb)))").cast("long").as("u"))
+        .withColumn("ppm", expr("i * 1000000 DIV u"))
+        .withColumn("bucket", expr("ppm DIV 100000").cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_pairs"), min("ppm").as("min_ppm"),
+          max("ppm").as("max_ppm"))
+        .orderBy("bucket")
     }),
     // Fill-rule disagreement census: the same self-intersecting bowtie
     // ring under BOTH polygon fill rules — even-odd (crossing parity) vs
@@ -10268,6 +10374,72 @@ object SparkEntry {
          SELECT event_id, user_id, tus, view_event_id, vtus AS view_tus,
            vtus - tus AS near_gap
          FROM r WHERE rn = 1 ORDER BY event_id""",
+    // the walk cumsum + incident VALUES, identical distance/time gates
+    "geo_st_join" -> {
+      val incRows = stIncidents.map { case (id, ix, iy, ts) =>
+        s"(CAST($id AS BIGINT), $ix, $iy, TIMESTAMP '$ts')"
+      }.mkString(", ")
+      s"""WITH b AS (SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us,
+           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
+           (event_id * 3) % 5 AS dy
+           FROM events WHERE user_id < 50),
+         c AS (SELECT user_id, epoch_us(ts) AS tus,
+           CAST(sum(dx) OVER w AS BIGINT) AS px,
+           CAST(sum(dy) OVER w AS BIGINT) AS py
+           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         inc(inc_id, ix, iy, its) AS (VALUES $incRows),
+         m AS (SELECT inc_id, user_id,
+             (px - ix) * (px - ix) + (py - iy) * (py - iy) AS d2,
+             (px - ix) * (px - ix) + (py - iy) * (py - iy) <= 2500
+               AND abs(tus - epoch_us(its)) <= 43200000000 AS near
+           FROM c, inc)
+         SELECT inc_id, CAST(count(*) AS BIGINT) AS n_fixes,
+           CAST(sum(CASE WHEN near THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+           CAST(count(DISTINCT CASE WHEN near THEN user_id END) AS BIGINT) AS n_traj,
+           CAST(min(CASE WHEN near THEN d2 END) AS BIGINT) AS min_d2
+         FROM m GROUP BY 1 ORDER BY inc_id"""
+    },
+    // the same two spec stats + query VALUES, per-spec pruning predicate
+    "store_spec_evolution" -> {
+      val qRows = specQueries.map { case (qid, kind, lo, hi) =>
+        s"(CAST($qid AS BIGINT), '$kind', $lo, $hi)"
+      }.mkString(", ")
+      s"""WITH o AS (SELECT o_custkey AS v FROM orders),
+         mx AS (SELECT max(v) AS mxv FROM o),
+         st0 AS (SELECT (v * 16) // (mxv + 1) AS bucket, min(v) AS mn,
+             max(v) AS mx, 0 AS spec
+           FROM o, mx GROUP BY 1),
+         st1 AS (SELECT v % 16 AS bucket, min(v) AS mn, max(v) AS mx,
+             1 AS spec
+           FROM o GROUP BY 1),
+         st AS (SELECT * FROM st0 UNION ALL SELECT * FROM st1),
+         q(qid, kind, lo, hi) AS (VALUES $qRows),
+         m AS (SELECT qid, kind, spec,
+             CASE WHEN spec = 0 THEN st.mx >= lo AND st.mn <= hi
+                  ELSE kind = 'range' OR bucket = lo % 16 END AS scan
+           FROM q, st)
+         SELECT qid, kind,
+           CAST(sum(CASE WHEN scan AND spec = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_spec0,
+           CAST(sum(CASE WHEN scan AND spec = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_spec1,
+           CAST(count(*) AS BIGINT) AS total_files,
+           CAST(sum(CASE WHEN scan THEN 1 ELSE 0 END) AS BIGINT) AS scanned
+         FROM m GROUP BY 1, 2 ORDER BY qid"""
+    },
+    // exact pairwise Jaccard ppm bucketed at 100k
+    "dedup_jaccard_hist" ->
+      s"""WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0
+           UNION ALL SELECT doc_id + 200000 AS doc_id, text || ' zz qq ww ee rr tt' AS text
+             FROM documents WHERE doc_id % 25 = 0),
+         sh AS (SELECT doc_id, list_distinct($sqlShingles3) AS s FROM sub),
+         p AS (SELECT CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS i,
+             CAST(len(list_distinct(list_concat(a.s, b.s))) AS BIGINT) AS u
+           FROM sh a, sh b WHERE a.doc_id < b.doc_id),
+         v AS (SELECT i * 1000000 // u AS ppm FROM p)
+         SELECT CAST(ppm // 100000 AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(ppm) AS BIGINT) AS min_ppm,
+           CAST(max(ppm) AS BIGINT) AS max_ppm
+         FROM v GROUP BY 1 ORDER BY bucket""",
     // the walk cumsum + the same shared crossing terms
     "geo_winding_rule" -> {
       val (upSql, dnSql) = ringCrossingsSql(bowtieRing)
