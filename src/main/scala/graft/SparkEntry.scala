@@ -5245,6 +5245,57 @@ object SparkEntry {
       ops.ImageOps.bayerDither(gateTiles(s, "png"))
         .orderBy("image_id", "bcell")
     }),
+    // JPEG-blockiness audit (ops.ImageOps.blockiness): 8×8 boundary vs
+    // interior adjacent-step ratio in exact cross-multiplied milli — the
+    // codec-artifact screen next to img_noise_mad. Decode-once, one row
+    // per image.
+    "img_blockiness" -> ((s, dir) => {
+      ops.ImageOps.blockiness(gateTiles(s, "png")).orderBy("image_id")
+    }),
+    // Rich-club census: per degree threshold k the high-degree core size,
+    // its internal edge count and density φ ppm — hub-interconnection
+    // structure over the same canonical graph; stats-only joins against
+    // the literal threshold list.
+    "graph_rich_club" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 7 === 0)
+        .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
+      val und = edges.filter(col("src") =!= col("dst"))
+        .selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+        .distinct()
+      val sym = und.selectExpr("a AS u").unionAll(und.selectExpr("b AS u"))
+      val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
+      val th = s.createDataFrame(Seq(Tuple1(2L), Tuple1(4L), Tuple1(8L),
+        Tuple1(16L))).toDF("k")
+      val nRich = deg.crossJoin(broadcast(th)).filter(col("d") > col("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_rich"))
+      val eRich = und
+        .join(deg.select(col("u").as("a"), col("d").as("da")), Seq("a"))
+        .join(deg.select(col("u").as("b"), col("d").as("db")), Seq("b"))
+        .crossJoin(broadcast(th))
+        .filter(col("da") > col("k") && col("db") > col("k"))
+        .groupBy("k").agg(count(lit(1)).as("e_rich"))
+      nRich.join(eRich, Seq("k"), "left")
+        .withColumn("e_rich", coalesce(col("e_rich"), lit(0L)))
+        .withColumn("possible", expr("n_rich * (n_rich - 1) DIV 2"))
+        .filter(col("possible") > 0)
+        .withColumn("phi_ppm", expr("e_rich * 1000000 DIV possible"))
+        .orderBy("k")
+    }),
+    // Embedding-norm histogram (the representation-health QC): exact
+    // integer milli-norm² per vector bucketed at 10⁶ — collapsed or
+    // bimodal norm mass flags a broken encoder before any ANN build.
+    "ann_norm_hist" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(expr("aggregate(transform(embedding, " +
+          "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)), " +
+          "0L, (acc, v) -> acc + v * v)").as("n2"))
+        .withColumn("bucket", expr("n2 DIV 1000000").cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_vecs"), min("n2").as("min_n2"),
+          max("n2").as("max_n2"))
+        .orderBy("bucket")
+    }),
     // Per-block value-diversity census (ops.ImageOps.blockDiversity):
     // distinct-count, range and smallest-tie mode per 100² block — the
     // log-free entropy proxy of a compression/nodata screen. Decode-once,
@@ -9153,6 +9204,36 @@ object SparkEntry {
        ORDER BY image_id, py, px"""
   }
 
+  /** Blockiness oracle: horizontal + vertical adjacent |Δ| over the 600²
+    * prefix, split by 8-divisible boundary index.
+    */
+  private val blockinessOracleSql: String = {
+    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+       k AS (SELECT swlng, swlat,
+           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
+       h AS (SELECT swlng, swlat,
+           abs((${gridV("c.range", "r.range")}) - (${gridV("c.range-1", "r.range")})) AS dv,
+           CASE WHEN c.range % 8 = 0 THEN 1 ELSE 0 END AS isb
+         FROM k, range(0,600) r, range(1,600) c),
+       vv AS (SELECT swlng, swlat,
+           abs((${gridV("c.range", "r.range")}) - (${gridV("c.range", "r.range-1")})) AS dv,
+           CASE WHEN r.range % 8 = 0 THEN 1 ELSE 0 END AS isb
+         FROM k, range(1,600) r, range(0,600) c),
+       u AS (SELECT * FROM h UNION ALL SELECT * FROM vv),
+       ag AS (SELECT swlng, swlat,
+           CAST(sum(CASE WHEN isb = 1 THEN dv ELSE 0 END) AS BIGINT) AS b_sum,
+           CAST(sum(isb) AS BIGINT) AS b_n,
+           CAST(sum(CASE WHEN isb = 0 THEN dv ELSE 0 END) AS BIGINT) AS i_sum,
+           CAST(sum(1 - isb) AS BIGINT) AS i_n
+         FROM u GROUP BY 1, 2)
+       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+         b_sum, b_n, i_sum, i_n,
+         CASE WHEN i_sum = 0 OR b_n = 0 THEN CAST(0 AS BIGINT)
+              ELSE b_sum * i_n * 1000 // (i_sum * b_n) END AS blockiness_milli
+       FROM ag ORDER BY image_id"""
+  }
+
   /** Bayer-dither oracle: the index-dilation matrix replayed as modular
     * bit arithmetic, clamped v≫6 level, per-cell rollup.
     */
@@ -10989,6 +11070,40 @@ object SparkEntry {
     "img_structure_tensor" -> structureTensorOracleSql,
     "img_bayer_dither" -> bayerOracleSql,
     "img_block_diversity" -> blockDiversityOracleSql,
+    "img_blockiness" -> blockinessOracleSql,
+    // the same canonical graph, threshold VALUES, stats-only joins
+    "graph_rich_club" ->
+      """WITH e AS (SELECT DISTINCT
+           GREATEST(l_suppkey % 500, l_partkey % 500) AS b,
+           LEAST(l_suppkey % 500, l_partkey % 500) AS a
+           FROM lineitem WHERE l_orderkey % 7 = 0
+             AND l_suppkey % 500 <> l_partkey % 500),
+         sym AS (SELECT a AS u FROM e UNION ALL SELECT b FROM e),
+         deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+         th(k) AS (VALUES (CAST(2 AS BIGINT)), (4), (8), (16)),
+         nr AS (SELECT k, CAST(count(*) AS BIGINT) AS n_rich
+           FROM deg CROSS JOIN th WHERE d > k GROUP BY 1),
+         er AS (SELECT k, CAST(count(*) AS BIGINT) AS e_rich
+           FROM e JOIN deg da ON da.u = e.a JOIN deg db ON db.u = e.b
+           CROSS JOIN th WHERE da.d > k AND db.d > k GROUP BY 1),
+         j AS (SELECT nr.k, n_rich, COALESCE(e_rich, 0) AS e_rich,
+             n_rich * (n_rich - 1) // 2 AS possible
+           FROM nr LEFT JOIN er ON er.k = nr.k)
+         SELECT k, n_rich, e_rich, possible,
+           e_rich * 1000000 // possible AS phi_ppm
+         FROM j WHERE possible > 0 ORDER BY k""",
+    // milli-floored norm², 10⁶ buckets
+    "ann_norm_hist" ->
+      """WITH e AS (SELECT list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS eq
+           FROM embeddings),
+         n AS (SELECT CAST(list_sum(list_transform(eq, v -> v * v))
+             AS BIGINT) AS n2 FROM e)
+         SELECT CAST(n2 // 1000000 AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(min(n2) AS BIGINT) AS min_n2,
+           CAST(max(n2) AS BIGINT) AS max_n2
+         FROM n GROUP BY 1 ORDER BY bucket""",
     // distinct (type,user) memberships, canonical pair self-join
     "events_audience_overlap" ->
       """WITH aud AS (SELECT DISTINCT event_type, user_id FROM events),
