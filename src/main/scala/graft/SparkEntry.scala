@@ -5515,6 +5515,53 @@ object SparkEntry {
       ops.ImageOps.phashNearDup(phashCorpusTiles(s), 3)
         .orderBy("id_a", "id_b")
     }),
+    // Hamming-radius yield curve (ops.ImageOps.phashHist): the pairwise
+    // phash distance histogram over the variant corpus — the threshold
+    // tuning read for the banded near-dup join, the image twin of
+    // dedup_jaccard_hist.
+    "img_phash_hist" -> ((s, dir) => {
+      ops.ImageOps.phashHist(phashCorpusTiles(s)).orderBy("bucket")
+    }),
+    // Max cross-track deviation per trajectory: the farthest point from
+    // the start→end chord by exact cross² (the chord length² is constant
+    // per trajectory, so cross² ranks exactly) — the GPS-detour /
+    // simplification-error read next to traj_straightness.
+    "traj_crosstrack" -> ((s, dir) => {
+      val trajs = t(s, dir, "supplier")
+        .selectExpr("s_suppkey % 20 AS traj_id").distinct()
+      val pts = trajs
+        .select(col("traj_id"), explode(expr("sequence(0, 5)")).as("seq"))
+        .selectExpr("traj_id", "seq",
+          "(traj_id * 7 + seq * (traj_id % 5 + 1) * 3) % 40 AS px",
+          "(traj_id * 11 + seq * (traj_id % 3 + 2) * 2) % 40 AS py")
+      val se = pts.filter(col("seq") === 0)
+        .selectExpr("traj_id", "px AS sx", "py AS sy")
+        .join(pts.filter(col("seq") === 5)
+          .selectExpr("traj_id", "px AS ex", "py AS ey"), Seq("traj_id"))
+      pts.join(se, Seq("traj_id"))
+        .withColumn("cr",
+          expr("(ex - sx) * (py - sy) - (ey - sy) * (px - sx)"))
+        .withColumn("c2", expr("cr * cr"))
+        .withColumn("rn", row_number().over(Window.partitionBy("traj_id")
+          .orderBy(col("c2").desc, col("seq"))))
+        .filter(col("rn") === 1)
+        .selectExpr("traj_id", "CAST(6 AS BIGINT) AS n_pts",
+          "(ex - sx) * (ex - sx) + (ey - sy) * (ey - sy) AS len2",
+          "c2 AS max_cross2", "seq AS at_seq")
+        .orderBy("traj_id")
+    }),
+    // INTERSECT / EXCEPT surface: distinct pre- vs post-midpoint user
+    // sets — retained / churned / acquired counts in one row.
+    "q_setops" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val a = ev.filter(expr("ts < timestamp'2024-01-16'"))
+        .select("user_id").distinct()
+      val b = ev.filter(expr("ts >= timestamp'2024-01-16'"))
+        .select("user_id").distinct()
+      a.intersect(b).agg(count(lit(1)).as("n_both"))
+        .crossJoin(a.except(b).agg(count(lit(1)).as("n_only_pre")))
+        .crossJoin(b.except(a).agg(count(lit(1)).as("n_only_post")))
+    }),
     // Image near-dup CLUSTERING (ops.ImageOps.phashClusters): the phash
     // band pair graph contracted by star CC, keep = lexicographic-min
     // representative per visual-duplicate chain.
@@ -10137,6 +10184,52 @@ object SparkEntry {
     },
     "traj_frechet" -> frechetOracleSql,
     "traj_lcss" -> lcssOracleSql,
+    // the phash corpus CTEs, full-pairwise xor popcount
+    "img_phash_hist" ->
+      s"""WITH $phashPairCtes,
+         p AS (SELECT CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hd
+           FROM corpus a JOIN corpus b ON a.image_id < b.image_id)
+         SELECT CAST(hd // 8 AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(hd) AS BIGINT) AS min_hd,
+           CAST(max(hd) AS BIGINT) AS max_hd
+         FROM p GROUP BY 1 ORDER BY bucket""",
+    // the frechet trajectory synth, chord cross² argmax
+    "traj_crosstrack" ->
+      """WITH trajs AS (SELECT DISTINCT s_suppkey % 20 AS traj_id FROM supplier),
+         v AS (SELECT traj_id, CAST(g AS INT) AS seq,
+             (traj_id * 7 + g * (traj_id % 5 + 1) * 3) % 40 AS px,
+             (traj_id * 11 + g * (traj_id % 3 + 2) * 2) % 40 AS py
+           FROM trajs, unnest(range(0, 6)) AS t(g)),
+         se AS (SELECT s.traj_id, s.px AS sx, s.py AS sy, e.px AS ex,
+             e.py AS ey
+           FROM v s JOIN v e ON e.traj_id = s.traj_id
+           WHERE s.seq = 0 AND e.seq = 5),
+         c AS (SELECT v.traj_id, v.seq,
+             ((ex - sx) * (py - sy) - (ey - sy) * (px - sx))
+               * ((ex - sx) * (py - sy) - (ey - sy) * (px - sx)) AS c2,
+             (ex - sx) * (ex - sx) + (ey - sy) * (ey - sy) AS len2,
+             row_number() OVER (PARTITION BY v.traj_id ORDER BY
+               ((ex - sx) * (py - sy) - (ey - sy) * (px - sx))
+                 * ((ex - sx) * (py - sy) - (ey - sy) * (px - sx)) DESC,
+               v.seq) AS rn
+           FROM v JOIN se ON se.traj_id = v.traj_id)
+         SELECT traj_id, CAST(6 AS BIGINT) AS n_pts, len2,
+           c2 AS max_cross2, seq AS at_seq
+         FROM c WHERE rn = 1 ORDER BY traj_id""",
+    // INTERSECT/EXCEPT over distinct user sets
+    "q_setops" ->
+      """WITH a AS (SELECT DISTINCT user_id FROM events
+           WHERE ts < TIMESTAMP '2024-01-16'),
+         b AS (SELECT DISTINCT user_id FROM events
+           WHERE ts >= TIMESTAMP '2024-01-16'),
+         i AS (SELECT CAST(count(*) AS BIGINT) AS n_both FROM
+           (SELECT * FROM a INTERSECT SELECT * FROM b)),
+         oa AS (SELECT CAST(count(*) AS BIGINT) AS n_only_pre FROM
+           (SELECT * FROM a EXCEPT SELECT * FROM b)),
+         ob AS (SELECT CAST(count(*) AS BIGINT) AS n_only_post FROM
+           (SELECT * FROM b EXCEPT SELECT * FROM a))
+         SELECT n_both, n_only_pre, n_only_post FROM i, oa, ob""",
     // 2×2 quadrant sums + milli-floored mean DiD
     "events_did" ->
       """WITH e AS (SELECT event_type, user_id % 2 = 0 AS treated,

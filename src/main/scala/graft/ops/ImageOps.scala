@@ -2438,6 +2438,34 @@ object ImageOps {
     * post-join Hamming filter is one codegen'd `bit_count(pa ^ pb)`; the
     * candidate self-join never materializes pairs outside shared buckets.
     */
+  /** Pairwise perceptual-hash Hamming-distance histogram — the radius
+    * tuning curve for [[phashNearDup]]: how many image pairs each Hamming
+    * threshold would merge, bucketed by 8 bits. Run on a SAMPLE corpus
+    * (this is the full-pairwise diagnostic that sizes the banded join,
+    * never the production path).
+    *
+    * @return (bucket = hd/8, n_pairs, min_hd, max_hd)
+    */
+  def phashHist(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[(String, Long)]
+    val hashes = tiles.mapPartitions { it =>
+      it.map { t =>
+        val samples = t.fmt match {
+          case "hgt" => graft.raster.Hgt.decode(t.bytes, t.w)
+          case _     => graft.raster.ImageCodec.decodeToGrid(t.bytes)._1
+        }
+        (t.image_id, Fidelity.phash(samples, t.w))
+      }
+    }.toDF("image_id", "phash")
+    val a = hashes.toDF("id_a", "pa")
+    val b = hashes.toDF("id_b", "pb")
+    a.crossJoin(broadcast(b)).filter(col("id_a") < col("id_b"))
+      .withColumn("hd", expr("bit_count(pa ^ pb)").cast("long"))
+      .withColumn("bucket", expr("hd DIV 8").cast("int"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_pairs"),
+        min("hd").as("min_hd"), max("hd").as("max_hd"))
+  }
+
   def phashNearDup(tiles: Dataset[TileRow], radius: Int): DataFrame = {
     require(radius <= 3, s"4 bands guarantee recall only for radius <= 3, got $radius")
     implicit val enc = Encoders.product[(String, Long)]
