@@ -5550,6 +5550,55 @@ object SparkEntry {
           "c2 AS max_cross2", "seq AS at_seq")
         .orderBy("traj_id")
     }),
+    // Leave-one-out IDW cross-validation: each station predicted from its
+    // radius neighbors with integer-quantized inverse-square weights
+    // (w = 10⁹ DIV max(d², 1) — exact in both engines), milli-floored
+    // prediction vs actual — the interpolation-error read geo_idw itself
+    // can't give. Stations broadcast; stations with no in-radius neighbor
+    // drop (both engines).
+    "geo_idw_loocv" -> ((s, dir) => {
+      val st = t(s, dir, "supplier").selectExpr("s_suppkey AS st_id",
+        "(s_suppkey * 37) % 500 AS x", "(s_suppkey * 53) % 500 AS y",
+        "s_suppkey % 200 + 50 AS v")
+      val nb = st.selectExpr("st_id", "x", "y", "v AS va")
+        .join(broadcast(st.selectExpr("st_id AS nb_id", "x AS nx",
+          "y AS ny", "v AS nv")), col("st_id") =!= col("nb_id"))
+        .withColumn("d2", expr(
+          "(x - nx) * (x - nx) + (y - ny) * (y - ny)"))
+        .filter(col("d2") <= 14400L)
+        .withColumn("w", expr("1000000000 DIV greatest(d2, 1)"))
+      nb.groupBy("st_id")
+        .agg(count(lit(1)).as("n_nb"), max("va").as("va"),
+          sum(expr("w * nv")).as("wv"), sum("w").as("ws"))
+        .withColumn("pred_milli", expr("wv * 1000 DIV ws"))
+        .withColumn("actual_milli", expr("va * 1000"))
+        .withColumn("abs_err_milli",
+          expr("abs(pred_milli - actual_milli)"))
+        .select("st_id", "n_nb", "pred_milli", "actual_milli",
+          "abs_err_milli")
+        .orderBy("st_id")
+    }),
+    // Value-based RANGE window frame surface: per type, for each distinct
+    // cents level the event mass within ±500 cents — the sliding
+    // value-band density q_window's ROWS frames can't express; frame
+    // bounds are values, so the result is tie-independent.
+    "q_range_frame" -> ((s, dir) => {
+      val byCents = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("cents")
+        .rangeBetween(-500L, 500L)
+      byCents.withColumn("n_within", sum("n").over(w))
+        .orderBy("event_type", "cents")
+    }),
+    // Mirror-symmetry census (ops.ImageOps.symmetryStats): Σ|v − mirror|
+    // under horizontal and vertical flips over the even 600² prefix — the
+    // flip-augmentation sanity read (a symmetric field makes flip
+    // augmentation a no-op). Decode-once, one row per image.
+    "img_symmetry" -> ((s, dir) => {
+      ops.ImageOps.symmetryStats(gateTiles(s, "png")).orderBy("image_id")
+    }),
     // INTERSECT / EXCEPT surface: distinct pre- vs post-midpoint user
     // sets — retained / churned / acquired counts in one row.
     "q_setops" -> ((s, dir) => {
@@ -10217,6 +10266,52 @@ object SparkEntry {
          SELECT traj_id, CAST(6 AS BIGINT) AS n_pts, len2,
            c2 AS max_cross2, seq AS at_seq
          FROM c WHERE rn = 1 ORDER BY traj_id""",
+    // quantized inverse-square weights, milli-floored prediction
+    "geo_idw_loocv" ->
+      """WITH st AS (SELECT s_suppkey AS st_id, (s_suppkey*37) % 500 AS x,
+           (s_suppkey*53) % 500 AS y, s_suppkey % 200 + 50 AS v
+           FROM supplier),
+         nb AS (SELECT a.st_id, a.v AS va,
+             1000000000 // greatest((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y), 1) AS w,
+             b.v AS nv
+           FROM st a JOIN st b ON b.st_id <> a.st_id
+             AND (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= 14400),
+         g AS (SELECT st_id, CAST(count(*) AS BIGINT) AS n_nb,
+             max(va) AS va, CAST(sum(w*nv) AS BIGINT) AS wv,
+             CAST(sum(w) AS BIGINT) AS ws FROM nb GROUP BY 1)
+         SELECT st_id, n_nb, wv * 1000 // ws AS pred_milli,
+           va * 1000 AS actual_milli,
+           abs(wv * 1000 // ws - va * 1000) AS abs_err_milli
+         FROM g ORDER BY st_id""",
+    // value-based RANGE frame over distinct cents levels
+    "q_range_frame" ->
+      """WITH bc AS (SELECT event_type,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2)
+         SELECT event_type, cents, n,
+           CAST(sum(n) OVER (PARTITION BY event_type ORDER BY cents
+             RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS BIGINT) AS n_within
+         FROM bc ORDER BY event_type, cents""",
+    // mirrored closed-form values over half-grids
+    "img_symmetry" -> {
+      val hv = s"abs((${gridV("c.range", "r.range")}) - (${gridV("599 - c.range", "r.range")}))"
+      val vv = s"abs((${gridV("c.range", "r.range")}) - (${gridV("c.range", "599 - r.range")}))"
+      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         k AS (SELECT swlng, swlat,
+             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
+         h AS (SELECT swlng, swlat, CAST(sum($hv) AS BIGINT) AS hs
+           FROM k, range(0,600) r, range(0,300) c GROUP BY 1, 2),
+         vva AS (SELECT swlng, swlat, CAST(sum($vv) AS BIGINT) AS vs
+           FROM k, range(0,300) r, range(0,600) c GROUP BY 1, 2)
+         SELECT (CASE WHEN h.swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(h.swlat) AS VARCHAR),2,'0') ||
+             CASE WHEN h.swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(h.swlng) AS VARCHAR),3,'0')) AS image_id,
+           CAST(180000 AS BIGINT) AS n_pairs, hs AS h_absdiff,
+           vs AS v_absdiff,
+           CASE WHEN vs = 0 THEN CAST(0 AS BIGINT)
+                ELSE hs * 1000 // vs END AS hv_ratio_milli
+         FROM h JOIN vva ON vva.swlng = h.swlng AND vva.swlat = h.swlat
+         ORDER BY image_id"""
+    },
     // INTERSECT/EXCEPT over distinct user sets
     "q_setops" ->
       """WITH a AS (SELECT DISTINCT user_id FROM events

@@ -2438,6 +2438,51 @@ object ImageOps {
     * post-join Hamming filter is one codegen'd `bit_count(pa ^ pb)`; the
     * candidate self-join never materializes pairs outside shared buckets.
     */
+  final case class SymmetryRow(image_id: String, n_pairs: Long,
+                               h_absdiff: Long, v_absdiff: Long,
+                               hv_ratio_milli: Long)
+
+  /** Mirror-symmetry census: Σ|v(r,c) − v(r, W−1−c)| over left-half pairs
+    * (horizontal flip) and Σ|v(r,c) − v(H−1−r, c)| over top-half pairs
+    * (vertical flip), on the even 600² prefix — near-zero sums mean flip
+    * augmentation adds nothing; the h/v ratio (milli, floored) reads
+    * directional structure. Decode-once, one row per image.
+    */
+  def symmetryStats(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[SymmetryRow]
+    tiles.mapPartitions { it =>
+      it.map { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val ext = 600 min (size - size % 8)
+        var hs = 0L; var vs = 0L
+        var r = 0
+        while (r < ext) {
+          var c = 0
+          while (c < ext / 2) {
+            hs += math.abs(d.samples(r * size + c) -
+              d.samples(r * size + (ext - 1 - c))).toLong
+            c += 1
+          }
+          r += 1
+        }
+        r = 0
+        while (r < ext / 2) {
+          var c = 0
+          while (c < ext) {
+            vs += math.abs(d.samples(r * size + c) -
+              d.samples((ext - 1 - r) * size + c)).toLong
+            c += 1
+          }
+          r += 1
+        }
+        val np = ext.toLong * (ext / 2)
+        val ratio = if (vs == 0L) 0L else hs * 1000L / vs
+        SymmetryRow(tl.image_id, np, hs, vs, ratio)
+      }
+    }.toDF()
+  }
+
   /** Pairwise perceptual-hash Hamming-distance histogram — the radius
     * tuning curve for [[phashNearDup]]: how many image pairs each Hamming
     * threshold would merge, bucketed by 8 bits. Run on a SAMPLE corpus
