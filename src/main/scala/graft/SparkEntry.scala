@@ -5734,6 +5734,40 @@ object SparkEntry {
           expr("size(split(text, ' '))"))
         .orderBy("source")
     }),
+    // Epoch/oversampling plan: per source the full-epoch repeat factor
+    // and remainder under a 200k-token budget split by integer source
+    // weights — the "how many passes over each source" table a
+    // mixture-trained run materializes from curation_mix's shares.
+    "curation_epochs" -> ((s, dir) => {
+      val avail = t(s, dir, "documents")
+        .groupBy("source")
+        .agg(sum(expr("size(split(text, ' '))")).cast("long")
+          .as("avail_tok"))
+        .withColumn("weight",
+          expr("CAST(substring(source, 4) AS BIGINT) + 1"))
+      val tot = avail.agg(sum("weight").as("wsum"))
+      avail.crossJoin(broadcast(tot))
+        .withColumn("target_tok", expr("200000 * weight DIV wsum"))
+        .withColumn("full_epochs", expr("target_tok DIV avail_tok"))
+        .withColumn("remainder_tok", expr("target_tok % avail_tok"))
+        .select("source", "avail_tok", "weight", "target_tok",
+          "full_epochs", "remainder_tok")
+        .orderBy("source")
+    }),
+    // Custom-state streaming rollup (streaming.StreamOps.stateRollup):
+    // mapGroupsWithState per-user (n, Σ, min, max) — the GroupState API
+    // surface; every fold order-independent, drain takes each key's final
+    // (max-n) emission, so the result IS the batch GROUP BY.
+    "stream_state_rollup" -> ((s, dir) => {
+      streaming.StreamOps.stateRollup(s, s"$dir/events.parquet")
+        .orderBy("user_id")
+    }),
+    // Dead-row screen (ops.ImageOps.rowDefects): the 3 lowest
+    // adjacent-row |Δ| sums per image — the repeated-scanline defect QA.
+    "img_row_defects" -> ((s, dir) => {
+      ops.ImageOps.rowDefects(gateTiles(s, "png"))
+        .orderBy("image_id", "rank")
+    }),
     // DSIR-style importance weights (Xie et al. 2023, public): score every
     // corpus doc by how target-like its 2-gram distribution is — per gram,
     // ratio_q = (target_freq·10⁶) div corpus_freq; doc weight = Σ ratio_q
@@ -10266,6 +10300,44 @@ object SparkEntry {
          SELECT traj_id, CAST(6 AS BIGINT) AS n_pts, len2,
            c2 AS max_cross2, seq AS at_seq
          FROM c WHERE rn = 1 ORDER BY traj_id""",
+    // per-source token mass, integer weight split of the 200k budget
+    "curation_epochs" ->
+      """WITH a AS (SELECT source,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tok,
+           CAST(substring(source, 4) AS BIGINT) + 1 AS weight
+           FROM documents GROUP BY 1),
+         t AS (SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM a)
+         SELECT source, avail_tok, weight,
+           200000 * weight // wsum AS target_tok,
+           (200000 * weight // wsum) // avail_tok AS full_epochs,
+           (200000 * weight // wsum) % avail_tok AS remainder_tok
+         FROM a, t ORDER BY source""",
+    // the stream's final state per key IS the batch GROUP BY
+    "stream_state_rollup" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+         CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+         CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+         FROM events GROUP BY 1 ORDER BY user_id""",
+    // per-row adjacent |Δ| sums from the closed form, 3 lowest by
+    // (delta, row)
+    "img_row_defects" -> {
+      val dv = s"abs((${gridV("c.range", "r.range")}) - (${gridV("c.range", "r.range-1")}))"
+      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         k AS (SELECT swlng, swlat,
+             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
+         d AS (SELECT swlng, swlat, CAST(r.range AS INT) AS row,
+             CAST(sum($dv) AS BIGINT) AS delta_sum
+           FROM k, range(1,600) r, range(0,600) c GROUP BY 1, 2, 3),
+         rk AS (SELECT swlng, swlat, row, delta_sum,
+             CAST(row_number() OVER (PARTITION BY swlng, swlat
+               ORDER BY delta_sum, row) AS INT) AS rank
+           FROM d)
+         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           rank, row, delta_sum
+         FROM rk WHERE rank <= 3 ORDER BY image_id, rank"""
+    },
     // quantized inverse-square weights, milli-floored prediction
     "geo_idw_loocv" ->
       """WITH st AS (SELECT s_suppkey AS st_id, (s_suppkey*37) % 500 AS x,

@@ -2438,6 +2438,39 @@ object ImageOps {
     * post-join Hamming filter is one codegen'd `bit_count(pa ^ pb)`; the
     * candidate self-join never materializes pairs outside shared buckets.
     */
+  final case class RowDefectRow(image_id: String, rank: Int, row: Int,
+                                delta_sum: Long)
+
+  /** Dead-row screen — the stuck-sensor-line detector: per row r ≥ 1 of
+    * the even 600² prefix, Σ_c |v(r,c) − v(r−1,c)|; the 3 LOWEST-delta
+    * rows (ties to the lower row index) are the repeated-line suspects a
+    * scanline-defect QA flags. Decode-once, 3 rows per image.
+    */
+  def rowDefects(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[RowDefectRow]
+    tiles.mapPartitions { it =>
+      it.flatMap { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val ext = 600 min (size - size % 8)
+        val deltas = Array.tabulate(ext - 1) { i =>
+          val r = i + 1
+          var s = 0L; var c = 0
+          while (c < ext) {
+            s += math.abs(d.samples(r * size + c) -
+              d.samples((r - 1) * size + c)).toLong
+            c += 1
+          }
+          (r, s)
+        }
+        deltas.sortBy { case (r, s) => (s, r) }.take(3).zipWithIndex
+          .map { case ((r, s), i) =>
+            RowDefectRow(tl.image_id, i + 1, r, s)
+          }.iterator
+      }
+    }.toDF()
+  }
+
   final case class SymmetryRow(image_id: String, n_pairs: Long,
                                h_absdiff: Long, v_absdiff: Long,
                                hv_ratio_milli: Long)

@@ -342,6 +342,63 @@ object StreamOps {
   }
 
   /** Materialize a memory sink's table and release the temp-view name. */
+  /** Arbitrary-state streaming rollup through `mapGroupsWithState` — the
+    * custom-state API surface (GroupState) driven through the DuckDB gate:
+    * per user a running (n, Σcents, min, max) updated per micro-batch.
+    * Every field is an order-independent fold, so the FINAL state equals
+    * the batch GROUP BY no matter how the file source splits batches; the
+    * memory sink in update mode keeps every intermediate emission, and the
+    * drain picks each key's last (max-n — n is strictly monotone per
+    * update) row. NoTimeout: state lives for the run, bounded by one tuple
+    * per key — the production deployment would add a timeout eviction.
+    */
+  def stateRollup(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import spark.implicits._
+    val name = s"graft_stream_state_${runSeq.incrementAndGet()}"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_ckpt_").toString
+    val src = java.nio.file.Paths.get(path)
+    val streamDir =
+      if (java.nio.file.Files.isDirectory(src)) path
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft_stream_src_")
+        java.nio.file.Files.createSymbolicLink(d.resolve(src.getFileName), src)
+        d.toString
+      }
+    val schema = spark.read.parquet(streamDir).schema
+    val q = spark.readStream.schema(schema).parquet(streamDir)
+      .select(col("user_id").cast("long").as("u"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (u: Long, it: Iterator[(Long, Long)],
+         st: GroupState[(Long, Long, Long, Long)]) =>
+          var (n, s, mn, mx) = st.getOption
+            .getOrElse((0L, 0L, Long.MaxValue, Long.MinValue))
+          it.foreach { case (_, c) =>
+            n += 1; s += c
+            if (c < mn) mn = c
+            if (c > mx) mx = c
+          }
+          st.update((n, s, mn, mx))
+          (u, n, s, mn, mx)
+      }
+      .toDF("user_id", "n", "sum_cents", "min_cents", "max_cents")
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val all = drain(spark, name)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("n").desc)
+    all.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
   private def drain(spark: SparkSession, name: String): DataFrame = {
     val out = spark.table(name).cache()
     out.count()
