@@ -4069,6 +4069,54 @@ object SparkEntry {
         .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
       ops.Graph.corenessHIndex(edges, rounds = 8).orderBy("node")
     }),
+    // Sampled truncated-radius betweenness (ops.Graph.betweennessSampled):
+    // Brandes forward path counts + backward dependency accumulation from
+    // 3 sources within 4 hops, every σ ratio floored per term at ppm —
+    // the bridge-detection centrality next to closeness/pagerank; oracle
+    // unrolls both phases.
+    "graph_betweenness" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 7 === 0)
+        .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
+      ops.Graph.betweennessSampled(edges, Seq(0L, 1L, 2L), rounds = 4)
+        .orderBy("node")
+    }),
+    // Pairwise-cosine histogram on sampled anchors (the isotropy read
+    // next to ann_norm_hist): the identical double cosine pipeline as
+    // ann_cosine_topk, bucketed at 0.1 — collapsed mass near 1.0 flags
+    // anisotropic/degenerate embeddings.
+    "ann_cosine_hist" -> ((s, dir) => {
+      import graft.functions.vectors.vec_dot
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val n = e.withColumn("nrm", sqrt(vec_dot(col("v"), col("v"))))
+      val anc = n.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      anc.crossJoin(n).filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos",
+          vec_dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+        .withColumn("bucket", expr("CAST(floor(cos * 10) AS INT)"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("bucket")
+    }),
+    // Sequence-order audit: per user the adjacent (ts, event_id)-ordered
+    // steps whose event_id moves BACKWARD — the clock-skew / out-of-order
+    // ingestion QA; one lag window.
+    "dq_sequence_order" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev_id", lag("event_id", 1).over(w))
+        .filter(col("prev_id").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_steps"),
+          sum(when(col("event_id") < col("prev_id"), 1L).otherwise(0L))
+            .as("n_inversions"),
+          min(when(col("event_id") < col("prev_id"), col("event_id")))
+            .as("min_bad_id"))
+        .orderBy("user_id")
+    }),
     // Small-motif census (ops.Graph.motifCensus): ONE row of exact edge/
     // wedge/claw/triangle/P₃ counts — degree-sequence closed forms plus
     // the triangle wedge join and the `Σ(dᵤ−1)(dᵥ−1) − 3Δ` path identity.
@@ -10546,6 +10594,72 @@ object SparkEntry {
            h8.h = h7.h AS stable
          FROM h8 JOIN h7 ON h7.node = h8.node ORDER BY h8.node"""
     },
+    // both Brandes phases unrolled: BFS rounds with NOT-EXISTS visited
+    // guards, then level-by-level dependency sums with the same per-term
+    // floor
+    "graph_betweenness" -> {
+      val fwd = (1 to 4).map { k =>
+        s"""add$k AS (SELECT src, node, $k AS dist, sigma FROM (
+            SELECT p.src, s.v AS node, CAST(sum(p.sigma) AS BIGINT) AS sigma
+            FROM st${k - 1} p JOIN sym s ON s.u = p.node
+            WHERE p.dist = ${k - 1} AND NOT EXISTS (SELECT 1 FROM st${k - 1} x
+              WHERE x.src = p.src AND x.node = s.v)
+            GROUP BY 1, 2) q),
+           st$k AS (SELECT * FROM st${k - 1} UNION ALL SELECT * FROM add$k)"""
+      }.mkString(",\n         ")
+      val bwd = (3 to 0 by -1).map { k =>
+        s"""dl$k AS (SELECT src, vn AS node, CAST(sum(term) AS BIGINT) AS dppm FROM (
+            SELECT v.src, v.node AS vn,
+              (v.sigma * (1000000 + COALESCE(d.dppm, 0))) // w.sigma AS term
+            FROM st4 v JOIN sym s ON s.u = v.node
+            JOIN st4 w ON w.src = v.src AND w.node = s.v AND w.dist = v.dist + 1
+            LEFT JOIN da${k + 1} d ON d.src = w.src AND d.node = w.node
+            WHERE v.dist = $k) t GROUP BY 1, 2),
+           da$k AS (SELECT * FROM da${k + 1} UNION ALL SELECT * FROM dl$k)"""
+      }.mkString(",\n         ")
+      s"""WITH e AS (SELECT DISTINCT
+           GREATEST(l_suppkey % 500, l_partkey % 500) AS hi,
+           LEAST(l_suppkey % 500, l_partkey % 500) AS lo
+           FROM lineitem WHERE l_orderkey % 7 = 0
+             AND l_suppkey % 500 <> l_partkey % 500),
+         sym AS (SELECT hi AS u, lo AS v FROM e
+           UNION ALL SELECT lo, hi FROM e),
+         st0 AS (SELECT src, src AS node, 0 AS dist,
+             CAST(1 AS BIGINT) AS sigma
+           FROM (VALUES (CAST(0 AS BIGINT)), (1), (2)) s(src)),
+         $fwd,
+         da4 AS (SELECT src, node, CAST(0 AS BIGINT) AS dppm
+           FROM st4 WHERE dist = 4),
+         $bwd
+         SELECT node, CAST(sum(dppm) AS BIGINT) AS bc_ppm
+         FROM da0 WHERE node <> src GROUP BY 1 ORDER BY node"""
+    },
+    // identical double cosine pipeline, 0.1 buckets
+    "ann_cosine_hist" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+           x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         anc AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+           WHERE vec_id % 50 = 0),
+         p AS (SELECT CAST(floor(list_sum(list_transform(range(1, 65),
+             i -> qv[i] * v[i])) / (qn * nrm) * 10) AS INT) AS bucket
+           FROM anc, n WHERE n.vec_id <> anc.qid)
+         SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs
+         FROM p GROUP BY 1 ORDER BY bucket""",
+    // adjacent-step id inversions under (ts, event_id) order
+    "dq_sequence_order" ->
+      """WITH s AS (SELECT user_id, event_id,
+           lag(event_id) OVER (PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_id) AS prev_id
+           FROM events)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_steps,
+           CAST(sum(CASE WHEN event_id < prev_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_inversions,
+           CAST(min(CASE WHEN event_id < prev_id THEN event_id END)
+             AS BIGINT) AS min_bad_id
+         FROM s WHERE prev_id IS NOT NULL
+         GROUP BY 1 ORDER BY user_id""",
     // degree-sequence closed forms + the canonical a<b<c triangle join +
     // the P3 identity
     "graph_motif_census" ->

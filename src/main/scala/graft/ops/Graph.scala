@@ -948,6 +948,74 @@ object Graph {
     lvl
   }
 
+  /** Sampled truncated-radius betweenness (Brandes 12001's two-phase
+    * algorithm, public, on a source sample with a fixed BFS radius): per
+    * source an unweighted BFS with exact path counts σ, then the backward
+    * dependency accumulation δ(v) = Σ_{w ∈ succ(v)} σ_v/σ_w · (1 + δ(w))
+    * — quantized per TERM as `(σ_v · (10⁶ + δppm_w)) div σ_w`, so both
+    * engines floor identically and everything stays a Long. Nodes beyond
+    * `rounds` hops from a source are outside that source's horizon
+    * (truncated-radius betweenness — the standard k-bounded estimator).
+    *
+    * 100 TB shape: state is one (src, node, dist, σ) row per reached
+    * pair; each forward round is one frontier⋈edges join + key-bounded
+    * sum + anti-join dedup, each backward round one level⋈edges⋈level
+    * join — 2·rounds key-bounded shuffles regardless of graph size, the
+    * [[sssp]]/[[closeness]] discipline with path counts added.
+    *
+    * @return (node, bc_ppm) — Σ over sources of quantized dependency,
+    *         source self-rows excluded; nodes that accumulate no
+    *         dependency and sit on no source horizon are absent
+    */
+  def betweennessSampled(edges: DataFrame, sources: Seq[Long],
+                         rounds: Int): DataFrame = {
+    require(sources.nonEmpty && rounds >= 1, "need sources and rounds >= 1")
+    val spark = edges.sparkSession
+    val e = edges
+      .select(greatest(col("src"), col("dst")).as("hi"),
+        least(col("src"), col("dst")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
+      .localCheckpoint(false)
+    val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+      .unionAll(e.select(col("lo").as("u"), col("hi").as("v")))
+      .localCheckpoint(false)
+    import spark.implicits._
+    var st = sources.map(s => (s, s, 0, 1L))
+      .toDF("src", "node", "dist", "sigma")
+      .localCheckpoint(false)
+    for (k <- 1 to rounds) {
+      val cand = st.filter(col("dist") === k - 1)
+        .join(sym.select(col("u").as("node"), col("v")), Seq("node"))
+        .groupBy(col("src"), col("v").as("node"))
+        .agg(sum("sigma").as("sigma"))
+        .join(st.select("src", "node"), Seq("src", "node"), "left_anti")
+        .withColumn("dist", lit(k))
+        .select("src", "node", "dist", "sigma")
+      st = st.unionByName(cand).localCheckpoint(false)
+    }
+    var delta = st.filter(col("dist") === rounds)
+      .select(col("src"), col("node"), lit(0L).as("dppm"))
+      .localCheckpoint(false)
+    for (k <- (rounds - 1) to 0 by -1) {
+      val vs = st.filter(col("dist") === k)
+        .select(col("src"), col("node").as("vn"), col("sigma").as("sv"))
+      val ws = st.filter(col("dist") === k + 1)
+        .select(col("src"), col("node").as("wn"), col("sigma").as("sw"))
+        .join(delta.select(col("src"), col("node").as("wn"),
+          col("dppm").as("dw")), Seq("src", "wn"), "left")
+        .withColumn("dw", coalesce(col("dw"), lit(0L)))
+      val terms = vs
+        .join(sym.select(col("u").as("vn"), col("v").as("wn")), Seq("vn"))
+        .join(ws, Seq("src", "wn"))
+        .withColumn("term", expr("sv * (1000000 + dw) DIV sw"))
+        .groupBy(col("src"), col("vn").as("node"))
+        .agg(sum("term").as("dppm"))
+      delta = delta.unionByName(terms).localCheckpoint(false)
+    }
+    delta.filter(col("node") =!= col("src"))
+      .groupBy("node").agg(sum("dppm").as("bc_ppm"))
+  }
+
   /** Exact small-motif census in ONE row: edges, wedges (paths of 2
     * edges), claws (K₁,₃ stars), triangles, and 3-edge paths — the
     * subgraph-frequency fingerprint (graphlet degree distribution's first
