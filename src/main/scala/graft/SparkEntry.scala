@@ -4081,6 +4081,78 @@ object SparkEntry {
       ops.Graph.betweennessSampled(edges, Seq(0L, 1L, 2L), rounds = 4)
         .orderBy("node")
     }),
+    // BFS wavefront profile (ops.Graph.bfsProfile): per sampled source the
+    // node count at each hop ≤ 4 — the expansion-rate read that sizes
+    // frontier algorithms; forward phase of graph_betweenness without
+    // path counts.
+    "graph_bfs_profile" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 7 === 0)
+        .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
+      ops.Graph.bfsProfile(edges, Seq(0L, 1L, 2L), rounds = 4)
+        .orderBy("src", "dist")
+    }),
+    // Histogram-matching LUT between epochs: quantized-level CDFs of the
+    // curvy field (A) and the plane (B), mapped(l) = min m with
+    // cdf_B(m) ≥ cdf_A(l) — the radiometric-normalization table a mosaic
+    // build applies before compositing. Stats-only theta join (≤ 64×64
+    // per image).
+    "img_hist_match" -> ((s, dir) => {
+      import s.implicits._
+      val corners = Seq((-120, 36), (-120, 37), (-119, 36), (-119, 37),
+        (-118, 36), (-117, 37))
+      val epochA = s.createDataset(TileGen.tiles(corners, 601, "hgt"))
+      val epochB = s.createDataset(corners.map { case (lng, lat) =>
+        TileGen.tileRow(lng, lat, 601, "hgt", TileGen.planeAt) })
+      val wc = Window.partitionBy("image_id").orderBy("level")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ca = ops.ImageOps.levelHistogram(epochA)
+        .withColumn("cdf_a", sum("n").over(wc))
+      val cb = ops.ImageOps.levelHistogram(epochB)
+        .withColumn("cdf_b", sum("n").over(wc))
+      ca.as("a").join(cb.as("b"),
+          col("a.image_id") === col("b.image_id") &&
+            col("b.cdf_b") >= col("a.cdf_a"))
+        .groupBy(col("a.image_id").as("image_id"),
+          col("a.level").as("level"), col("a.n").as("n_px"),
+          col("a.cdf_a").as("cdf_a"))
+        .agg(min(col("b.level")).as("mapped_level"))
+        .orderBy("image_id", "level")
+    }),
+    // Haar multiresolution energy split of the hourly series: 3 cascade
+    // levels of pairwise (sum, difference), per level the exact detail
+    // energy Σd² — which timescale carries the variance (hourly noise vs
+    // daily structure); first 128 hours, unpaired tails drop at each
+    // level in both engines.
+    "events_haar_energy" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("hr")
+      var cur = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("idx", (row_number().over(w) - 1).cast("long"))
+        .filter(col("idx") < 128)
+        .select("event_type", "idx", "c")
+      val levels = (1 to 3).map { lvl =>
+        val paired = cur.withColumn("p", expr("idx DIV 2"))
+          .groupBy("event_type", "p")
+          .agg(count(lit(1)).as("m"),
+            sum(when(col("idx") % 2 === 0, col("c")).otherwise(-col("c")))
+              .as("detail"),
+            sum("c").as("approx"))
+          .filter(col("m") === 2)
+        val energy = paired.groupBy("event_type")
+          .agg(count(lit(1)).as("n_coeffs"),
+            sum(expr("detail * detail")).as("energy"))
+          .withColumn("level", lit(lvl))
+        cur = paired.select(col("event_type"), col("p").as("idx"),
+          col("approx").as("c"))
+        energy
+      }
+      levels.reduce(_ unionByName _)
+        .select("event_type", "level", "n_coeffs", "energy")
+        .orderBy("event_type", "level")
+    }),
     // Pairwise-cosine histogram on sampled anchors (the isotropy read
     // next to ann_norm_hist): the identical double cosine pipeline as
     // ann_cosine_topk, bucketed at 0.1 — collapsed mass near 1.0 flags
@@ -10633,6 +10705,86 @@ object SparkEntry {
          $bwd
          SELECT node, CAST(sum(dppm) AS BIGINT) AS bc_ppm
          FROM da0 WHERE node <> src GROUP BY 1 ORDER BY node"""
+    },
+    // forward BFS rounds only, per-wavefront counts
+    "graph_bfs_profile" -> {
+      val fwd = (1 to 4).map { k =>
+        s"""add$k AS (SELECT DISTINCT p.src, s.v AS node, $k AS dist
+            FROM st${k - 1} p JOIN sym s ON s.u = p.node
+            WHERE p.dist = ${k - 1} AND NOT EXISTS (SELECT 1 FROM st${k - 1} x
+              WHERE x.src = p.src AND x.node = s.v)),
+           st$k AS (SELECT * FROM st${k - 1} UNION ALL SELECT * FROM add$k)"""
+      }.mkString(",\n         ")
+      s"""WITH e AS (SELECT DISTINCT
+           GREATEST(l_suppkey % 500, l_partkey % 500) AS hi,
+           LEAST(l_suppkey % 500, l_partkey % 500) AS lo
+           FROM lineitem WHERE l_orderkey % 7 = 0
+             AND l_suppkey % 500 <> l_partkey % 500),
+         sym AS (SELECT hi AS u, lo AS v FROM e
+           UNION ALL SELECT lo, hi FROM e),
+         st0 AS (SELECT src, src AS node, 0 AS dist
+           FROM (VALUES (CAST(0 AS BIGINT)), (1), (2)) s(src)),
+         $fwd
+         SELECT src, CAST(dist AS INT) AS dist,
+           CAST(count(*) AS BIGINT) AS n_nodes
+         FROM st4 GROUP BY 1, 2 ORDER BY src, dist"""
+    },
+    // closed-form level CDFs for both epochs, min-m mapping
+    "img_hist_match" -> {
+      val va = gridV("c.range", "r.range")
+      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         k AS (SELECT swlng, swlat,
+             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
+         ga AS (SELECT swlng, swlat,
+             greatest(0, least(63, ($va) // 64)) AS level
+           FROM k, range(0,601) r, range(0,601) c),
+         gb AS (SELECT swlng, swlat,
+             greatest(0, least(63, (a + c.range + 2*r.range) // 64)) AS level
+           FROM k, range(0,601) r, range(0,601) c),
+         ha AS (SELECT swlng, swlat, CAST(level AS INT) AS level,
+             CAST(count(*) AS BIGINT) AS n FROM ga GROUP BY 1, 2, 3),
+         hb AS (SELECT swlng, swlat, CAST(level AS INT) AS level,
+             CAST(count(*) AS BIGINT) AS n FROM gb GROUP BY 1, 2, 3),
+         ca AS (SELECT swlng, swlat, level, n, CAST(sum(n) OVER (
+             PARTITION BY swlng, swlat ORDER BY level) AS BIGINT) AS cdf_a
+           FROM ha),
+         cb AS (SELECT swlng, swlat, level, CAST(sum(n) OVER (
+             PARTITION BY swlng, swlat ORDER BY level) AS BIGINT) AS cdf_b
+           FROM hb),
+         m AS (SELECT ca.swlng, ca.swlat, ca.level, ca.n AS n_px, ca.cdf_a,
+             CAST(min(cb.level) AS INT) AS mapped_level
+           FROM ca JOIN cb ON cb.swlng = ca.swlng AND cb.swlat = ca.swlat
+             AND cb.cdf_b >= ca.cdf_a
+           GROUP BY 1, 2, 3, 4, 5)
+         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           level, n_px, cdf_a, mapped_level
+         FROM m ORDER BY image_id, level"""
+    },
+    // 3 unrolled pairwise (sum, difference) cascade levels
+    "events_haar_energy" -> {
+      val lvls = (1 to 3).map { l =>
+        s"""l$l AS (SELECT event_type, idx // 2 AS p,
+            CAST(count(*) AS BIGINT) AS m,
+            CAST(sum(CASE WHEN idx % 2 = 0 THEN c ELSE -c END) AS BIGINT) AS detail,
+            CAST(sum(c) AS BIGINT) AS approx
+          FROM s${l - 1} GROUP BY 1, 2),
+         e$l AS (SELECT event_type, $l AS level,
+            CAST(count(*) AS BIGINT) AS n_coeffs,
+            CAST(sum(detail * detail) AS BIGINT) AS energy
+          FROM l$l WHERE m = 2 GROUP BY 1),
+         s$l AS (SELECT event_type, p AS idx, approx AS c
+          FROM l$l WHERE m = 2)"""
+      }.mkString(",\n         ")
+      s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+           CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+         s0 AS (SELECT * FROM (SELECT event_type,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY hr)
+               - 1 AS BIGINT) AS idx, c FROM h) q WHERE idx < 128),
+         $lvls
+         SELECT * FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+           UNION ALL SELECT * FROM e3)
+         ORDER BY event_type, level"""
     },
     // identical double cosine pipeline, 0.1 buckets
     "ann_cosine_hist" ->

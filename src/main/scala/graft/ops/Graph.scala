@@ -948,7 +948,42 @@ object Graph {
     lvl
   }
 
-  /** Sampled truncated-radius betweenness (Brandes 12001's two-phase
+  /** BFS wavefront profile from sampled sources: per source the node
+    * count at each hop distance ≤ `rounds` — the reachability/diameter
+    * read (how fast does the graph expand from here?) that sizes
+    * frontier-based algorithms before running them. Same frontier
+    * expansion as [[betweennessSampled]]'s forward phase, without path
+    * counts.
+    *
+    * @return (src, dist, n_nodes)
+    */
+  def bfsProfile(edges: DataFrame, sources: Seq[Long],
+                 rounds: Int): DataFrame = {
+    require(sources.nonEmpty && rounds >= 1, "need sources and rounds >= 1")
+    val spark = edges.sparkSession
+    val e = edges
+      .select(greatest(col("src"), col("dst")).as("hi"),
+        least(col("src"), col("dst")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
+      .localCheckpoint(false)
+    val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+      .unionAll(e.select(col("lo").as("u"), col("hi").as("v")))
+      .localCheckpoint(false)
+    import spark.implicits._
+    var st = sources.map(s => (s, s, 0)).toDF("src", "node", "dist")
+      .localCheckpoint(false)
+    for (k <- 1 to rounds) {
+      val cand = st.filter(col("dist") === k - 1)
+        .join(sym.select(col("u").as("node"), col("v")), Seq("node"))
+        .select(col("src"), col("v").as("node")).distinct()
+        .join(st.select("src", "node"), Seq("src", "node"), "left_anti")
+        .withColumn("dist", lit(k))
+      st = st.unionByName(cand).localCheckpoint(false)
+    }
+    st.groupBy("src", "dist").agg(count(lit(1)).as("n_nodes"))
+  }
+
+  /** Sampled truncated-radius betweenness (Brandes 2001's two-phase
     * algorithm, public, on a source sample with a fixed BFS radius): per
     * source an unweighted BFS with exact path counts σ, then the backward
     * dependency accumulation δ(v) = Σ_{w ∈ succ(v)} σ_v/σ_w · (1 + δ(w))

@@ -2438,6 +2438,29 @@ object ImageOps {
     * post-join Hamming filter is one codegen'd `bit_count(pa ^ pb)`; the
     * candidate self-join never materializes pairs outside shared buckets.
     */
+  /** Quantized-level histogram per tile: v ≫ 6 clamped to 0..63, one
+    * (image_id, level, n) row per occupied level — the shared input of
+    * histogram matching/equalization passes. Decode-once, ≤ 64 rows per
+    * tile.
+    */
+  def levelHistogram(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[(String, Int, Long)]
+    tiles.mapPartitions { it =>
+      it.flatMap { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val h = new Array[Long](64)
+        var i = 0
+        while (i < size * size) {
+          h(math.min(63, math.max(0, d.samples(i) >> 6))) += 1
+          i += 1
+        }
+        Iterator.range(0, 64).filter(h(_) > 0)
+          .map(l => (tl.image_id, l, h(l)))
+      }
+    }.toDF("image_id", "level", "n")
+  }
+
   final case class RowDefectRow(image_id: String, rank: Int, row: Int,
                                 delta_sum: Long)
 
