@@ -5365,6 +5365,55 @@ object SparkEntry {
       ops.ImageOps.bayerDither(gateTiles(s, "png"))
         .orderBy("image_id", "bcell")
     }),
+    // Banding-period detector (ops.ImageOps.bandingPeriod): column-mean
+    // autocorrelation argmax over lags 2..32 by floored per-term mean —
+    // the stripe-period read next to img_structure_tensor's orientation.
+    "img_banding_period" -> ((s, dir) => {
+      ops.ImageOps.bandingPeriod(gateTiles(s, "png")).orderBy("image_id")
+    }),
+    // Market-basket lift at day granularity: per type pair the user-days
+    // both occurred vs independence — lift_ppm = obs·N·10⁶ DIV (n_a·n_b)
+    // over distinct (user, day) baskets; the co-engagement read above
+    // events_audience_overlap's lifetime Jaccard.
+    "events_basket_lift" -> ((s, dir) => {
+      val ud = t(s, dir, "events")
+        .select(col("event_type"), col("user_id"),
+          date_trunc("day", col("ts")).as("day"))
+        .distinct()
+      val sizes = ud.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val tot = ud.select("user_id", "day").distinct()
+        .agg(count(lit(1)).as("nud"))
+      ud.as("x").join(ud.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.day") === col("y.day") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+        .join(sizes.select(col("event_type").as("type_a"),
+          col("n").as("n_a")), Seq("type_a"))
+        .join(sizes.select(col("event_type").as("type_b"),
+          col("n").as("n_b")), Seq("type_b"))
+        .crossJoin(broadcast(tot))
+        .withColumn("lift_ppm",
+          expr("n_both * nud * 1000000 DIV (n_a * n_b)"))
+        .select("type_a", "type_b", "n_a", "n_b", "n_both", "nud",
+          "lift_ppm")
+        .orderBy("type_a", "type_b")
+    }),
+    // Shingle document-frequency histogram: how many shingles sit at each
+    // df — the df-cap tuning read for the posting-list joins
+    // (dedup_containment's maxDf and the LSH boilerplate story in one
+    // curve).
+    "dedup_shingle_df_hist" -> ((s, dir) => {
+      dedupCorpus(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(ops.TextDedup.shingles(col("text"), 3)))
+            .as("sh"))
+        .groupBy("sh").agg(count(lit(1)).as("df"))
+        .groupBy("df").agg(count(lit(1)).as("n_shingles"))
+        .orderBy("df")
+    }),
     // JPEG-blockiness audit (ops.ImageOps.blockiness): 8×8 boundary vs
     // interior adjacent-step ratio in exact cross-multiplied milli — the
     // codec-artifact screen next to img_noise_mad. Decode-once, one row
@@ -11597,6 +11646,58 @@ object SparkEntry {
     "img_bayer_dither" -> bayerOracleSql,
     "img_block_diversity" -> blockDiversityOracleSql,
     "img_blockiness" -> blockinessOracleSql,
+    // column sums over the closed form, lag-band self-join, floored mean
+    "img_banding_period" -> {
+      val v = gridV("c.range", "r.range")
+      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         k AS (SELECT swlng, swlat,
+             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
+         cs AS (SELECT swlng, swlat, c.range AS c,
+             CAST(sum($v) AS BIGINT) AS s
+           FROM k, range(0,600) r, range(0,600) c GROUP BY 1, 2, 3),
+         j AS (SELECT a.swlng, a.swlat, CAST(b.c - a.c AS INT) AS lag,
+             a.s * b.s AS prod
+           FROM cs a JOIN cs b ON b.swlng = a.swlng AND b.swlat = a.swlat
+             AND b.c - a.c BETWEEN 2 AND 32),
+         sc AS (SELECT swlng, swlat, lag,
+             CAST(sum(prod) AS BIGINT) // CAST(count(*) AS BIGINT) AS score_q,
+             CAST(count(*) AS BIGINT) AS n_terms
+           FROM j GROUP BY 1, 2, 3),
+         r AS (SELECT swlng, swlat, lag AS best_lag, score_q, n_terms,
+             row_number() OVER (PARTITION BY swlng, swlat
+               ORDER BY score_q DESC, lag) AS rn FROM sc)
+         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           best_lag, score_q, n_terms
+         FROM r WHERE rn = 1 ORDER BY image_id"""
+    },
+    // distinct (type, user, day) baskets, pair join + independence lift
+    "events_basket_lift" ->
+      """WITH ud AS (SELECT DISTINCT event_type, user_id,
+           date_trunc('day', ts) AS day FROM events),
+         sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+           FROM ud GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS nud FROM
+           (SELECT DISTINCT user_id, day FROM ud)),
+         pr AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+           FROM ud x JOIN ud y ON y.user_id = x.user_id AND y.day = x.day
+             AND x.event_type < y.event_type
+           GROUP BY 1, 2)
+         SELECT type_a, type_b, a.n AS n_a, b.n AS n_b, n_both, nud,
+           n_both * nud * 1000000 // (a.n * b.n) AS lift_ppm
+         FROM pr JOIN sz a ON a.event_type = pr.type_a
+         JOIN sz b ON b.event_type = pr.type_b CROSS JOIN tot
+         ORDER BY type_a, type_b""",
+    // per-shingle df over the gate corpus, histogram by df
+    "dedup_shingle_df_hist" ->
+      s"""WITH corpus AS ($sqlDedupCorpus),
+         sh AS (SELECT doc_id, unnest(list_distinct($sqlShingles3)) AS sh
+           FROM corpus),
+         df AS (SELECT sh, CAST(count(*) AS BIGINT) AS df
+           FROM sh GROUP BY 1)
+         SELECT df, CAST(count(*) AS BIGINT) AS n_shingles
+         FROM df GROUP BY 1 ORDER BY df""",
     // the same canonical graph, threshold VALUES, stats-only joins
     "graph_rich_club" ->
       """WITH e AS (SELECT DISTINCT

@@ -2438,6 +2438,46 @@ object ImageOps {
     * post-join Hamming filter is one codegen'd `bit_count(pa ^ pb)`; the
     * candidate self-join never materializes pairs outside shared buckets.
     */
+  final case class BandingRow(image_id: String, best_lag: Int,
+                              score_q: Long, n_terms: Long)
+
+  /** Banding-period detector: the column-mean profile's autocorrelation
+    * at lags 2..32, scored by the floored per-term mean product so
+    * unequal overlap counts compare fairly (the [[graft.ops.MediaOps]]
+    * tempo discipline on the spatial axis); the winning lag is the
+    * stripe/banding period a scanner or compression stage imprinted.
+    * Column sums collapse the decode to 600 Longs per tile, then the lag
+    * scan is O(lags·cols).
+    */
+  def bandingPeriod(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[BandingRow]
+    tiles.mapPartitions { it =>
+      it.map { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val ext = 600 min (size - size % 8)
+        val cs = new Array[Long](ext)
+        var r = 0
+        while (r < ext) {
+          var c = 0
+          while (c < ext) { cs(c) += d.samples(r * size + c); c += 1 }
+          r += 1
+        }
+        var bestLag = 0; var bestScore = Long.MinValue; var bestN = 0L
+        var lag = 2
+        while (lag <= 32) {
+          var s = 0L; var c = 0
+          while (c < ext - lag) { s += cs(c) * cs(c + lag); c += 1 }
+          val n = (ext - lag).toLong
+          val score = s / n
+          if (score > bestScore) { bestScore = score; bestLag = lag; bestN = n }
+          lag += 1
+        }
+        BandingRow(tl.image_id, bestLag, bestScore, bestN)
+      }
+    }.toDF()
+  }
+
   /** Quantized-level histogram per tile: v ≫ 6 clamped to 0..63, one
     * (image_id, level, n) row per occupied level — the shared input of
     * histogram matching/equalization passes. Decode-once, ≤ 64 rows per
