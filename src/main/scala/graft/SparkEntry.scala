@@ -3744,6 +3744,58 @@ object SparkEntry {
         cents, cbs, nProbe = 2, shortlist = 50, topK = 5)
         .orderBy("qid", "rank")
     }),
+    // Per-code distortion audit of the TRAINED PQ codebooks
+    // (ops.Embeddings.pqDistortion): micro-floored squared error per
+    // assignment — localizes the under-trained/overloaded cells behind
+    // ann_ivfpq_recall_trained's number.
+    "ann_pq_distortion" -> ((s, dir) => {
+      val (cbs, _) = trainedPq(s, dir)
+      ops.Embeddings.pqDistortion(t(s, dir, "embeddings"), cbs)
+        .orderBy("sub", "code")
+    }),
+    // FULL OUTER reconciliation surface: pre- vs post-midpoint per-user
+    // spend, status both/pre_only/post_only + coalesced delta.
+    "q_full_outer" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def spend(pred: String, nm: String) = ev.filter(expr(pred))
+        .groupBy("user_id")
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as(nm))
+      spend("ts < timestamp'2024-01-16'", "pre_cents")
+        .join(spend("ts >= timestamp'2024-01-16'", "post_cents"),
+          Seq("user_id"), "full_outer")
+        .withColumn("status", expr(
+          "CASE WHEN pre_cents IS NULL THEN 'post_only' " +
+            "WHEN post_cents IS NULL THEN 'pre_only' ELSE 'both' END"))
+        .withColumn("delta_cents",
+          expr("coalesce(post_cents, 0) - coalesce(pre_cents, 0)"))
+        .orderBy("user_id")
+    }),
+    // Concentric ring-buffer census around the literal incident centers:
+    // fixes per squared-radius ring per center — the facility-catchment
+    // profile; centers broadcast, one rollup.
+    "geo_ring_buffer" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pts = t(s, dir, "events").filter(col("user_id") < 50)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          ((col("event_id") % 7) +
+            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
+          ((col("event_id") * 3) % 5).as("dy"))
+        .withColumn("px", sum("dx").over(w))
+        .withColumn("py", sum("dy").over(w))
+      val ctr = s.createDataFrame(stIncidents)
+        .toDF("center_id", "ix", "iy", "its").drop("its")
+      pts.crossJoin(broadcast(ctr))
+        .withColumn("d2", expr(
+          "(px - ix) * (px - ix) + (py - iy) * (py - iy)"))
+        .withColumn("ring", expr(
+          "CASE WHEN d2 <= 2500 THEN 1 WHEN d2 <= 10000 THEN 2 " +
+            "WHEN d2 <= 40000 THEN 3 WHEN d2 <= 160000 THEN 4 END"))
+        .filter(col("ring").isNotNull)
+        .groupBy("center_id", "ring")
+        .agg(count(lit(1)).as("n_fixes"),
+          countDistinct("user_id").as("n_traj"))
+        .orderBy("center_id", "ring")
+    }),
     // recall@5 of the trained+refined IVF-PQ vs the exact L2 baseline —
     // the acceptance gate for the training loop (VERDICT r3: within ~0.1
     // of the probe ceiling, vs the demo codebook's 0.024; measured 0.608
@@ -11030,6 +11082,65 @@ object SparkEntry {
          SELECT event_id, user_id, tus, view_event_id, vtus AS view_tus,
            vtus - tus AS near_gap
          FROM r WHERE rn = 1 ORDER BY event_id""",
+    // trained-codebook assignment with d2 carried, micro-floored per vector
+    "ann_pq_distortion" ->
+      s"""WITH ${kmeansTrainCtes(8, 3)}, ${pqTrainCtes(8, 16, 3)},
+         pdf AS (SELECT vec_id, cb.s AS s, cb.k AS k,
+             list_reduce(list_prepend(0.0, list_transform(range(0,8),
+               dd -> (v[cb.s*8 + dd + 1]-cb.cl[dd+1])*(v[cb.s*8 + dd + 1]-cb.cl[dd+1]))),
+               (p,q) -> p + q) AS d2
+           FROM vv, cb3 cb),
+         paf AS (SELECT vec_id, s, k AS code, d2 FROM (
+             SELECT vec_id, s, k, d2, row_number() OVER (
+               PARTITION BY vec_id, s ORDER BY d2, k) AS rn FROM pdf) q
+           WHERE rn = 1),
+         qd AS (SELECT s, code,
+             CAST(floor(d2 * 1000000.0) AS BIGINT) AS d2q FROM paf)
+         SELECT CAST(s AS INT) AS sub, CAST(code AS INT) AS code,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(d2q) AS BIGINT) AS sum_d2q,
+           CAST(max(d2q) AS BIGINT) AS max_d2q
+         FROM qd GROUP BY 1, 2 ORDER BY sub, code""",
+    // FULL OUTER with coalesced key and status ladder
+    "q_full_outer" ->
+      """WITH pre AS (SELECT user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS pre_cents
+           FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),
+         post AS (SELECT user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS post_cents
+           FROM events WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1)
+         SELECT COALESCE(pre.user_id, post.user_id) AS user_id, pre_cents,
+           post_cents,
+           CASE WHEN pre_cents IS NULL THEN 'post_only'
+                WHEN post_cents IS NULL THEN 'pre_only'
+                ELSE 'both' END AS status,
+           COALESCE(post_cents, 0) - COALESCE(pre_cents, 0) AS delta_cents
+         FROM pre FULL OUTER JOIN post ON post.user_id = pre.user_id
+         ORDER BY user_id""",
+    // the walk cumsum + center VALUES, squared-radius ring ladder
+    "geo_ring_buffer" -> {
+      val ctrRows = stIncidents.map { case (id, ix, iy, _) =>
+        s"(CAST($id AS BIGINT), $ix, $iy)"
+      }.mkString(", ")
+      s"""WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
+           (event_id * 3) % 5 AS dy
+           FROM events WHERE user_id < 50),
+         c AS (SELECT user_id,
+           CAST(sum(dx) OVER w AS BIGINT) AS px,
+           CAST(sum(dy) OVER w AS BIGINT) AS py
+           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         ctr(center_id, ix, iy) AS (VALUES $ctrRows),
+         m AS (SELECT center_id, user_id,
+             CASE WHEN d2 <= 2500 THEN 1 WHEN d2 <= 10000 THEN 2
+                  WHEN d2 <= 40000 THEN 3 WHEN d2 <= 160000 THEN 4 END AS ring
+           FROM (SELECT center_id, user_id,
+               (px-ix)*(px-ix) + (py-iy)*(py-iy) AS d2 FROM c, ctr) q)
+         SELECT center_id, ring, CAST(count(*) AS BIGINT) AS n_fixes,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_traj
+         FROM m WHERE ring IS NOT NULL GROUP BY 1, 2
+         ORDER BY center_id, ring"""
+    },
     // the walk cumsum + incident VALUES, identical distance/time gates
     "geo_st_join" -> {
       val incRows = stIncidents.map { case (id, ix, iy, ts) =>

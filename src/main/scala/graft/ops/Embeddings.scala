@@ -446,6 +446,38 @@ object Embeddings {
     (cur, hist.result())
   }
 
+  /** Per-code quantization-distortion audit for trained PQ codebooks: every
+    * vector's subvector assigned to its nearest code (min d², ties to the
+    * lower code — the training assignment rule), the squared error floored
+    * to micro units per VECTOR so the per-code sums are order-independent
+    * Longs. High-distortion codes are the under-trained/overloaded cells
+    * [[ivfPqRecall]] ultimately pays for — this localizes them.
+    *
+    * @return (sub, code, n, sum_d2q, max_d2q)
+    */
+  def pqDistortion(vecs: DataFrame,
+                   codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val nSub = codebooks.length
+    val kCodes = codebooks(0).length
+    val dims = 64 / nSub
+    val v = vecs.select(col("vec_id").cast("long"),
+      col("embedding").cast("array<double>").as("v"))
+    val subRows = (0 until nSub).map { s =>
+      val sub = slice(col("v"), s * dims + 1, dims)
+      val best = least((0 until kCodes).map { k =>
+        struct(vec_dist2(sub, typedLit(codebooks(s)(k).toSeq)).as("d2"),
+          lit(k).as("k"))
+      }: _*)
+      struct(lit(s).as("s"), best.getField("k").as("code"),
+        floor(best.getField("d2") * lit(1000000.0)).cast("long").as("d2q"))
+    }
+    v.select(explode(array(subRows: _*)).as("a"))
+      .select(col("a.s").as("sub"), col("a.code").as("code"), col("a.d2q"))
+      .groupBy("sub", "code")
+      .agg(count(lit(1)).as("n"), sum("d2q").as("sum_d2q"),
+        max("d2q").as("max_d2q"))
+  }
+
   /** [[coarseProbe]] with TRAINED centroid literals instead of the closed
     * form — plan shape identical (constant arrays either way, same lazy
     * byte-gated probe broadcast).
