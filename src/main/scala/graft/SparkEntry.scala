@@ -5417,6 +5417,66 @@ object SparkEntry {
       ops.ImageOps.bayerDither(gateTiles(s, "png"))
         .orderBy("image_id", "bcell")
     }),
+    // Per-block shift field between epochs (ops.ImageOps.shiftField):
+    // ±2-pixel SAD block matching, ties to the smallest (dy, dx) — the
+    // local-misregistration map above img_register's global estimate.
+    "img_shift_field" -> ((s, dir) => {
+      import s.implicits._
+      val corners = Seq((-120, 36), (-120, 37), (-119, 36), (-119, 37),
+        (-118, 36), (-117, 37))
+      val epochA = s.createDataset(TileGen.tiles(corners, 601, "hgt"))
+      val epochB = s.createDataset(corners.map { case (lng, lat) =>
+        TileGen.tileRow(lng, lat, 601, "hgt", TileGen.planeAt) })
+      ops.ImageOps.shiftField(epochA, epochB)
+        .orderBy("image_id", "py", "px")
+    }),
+    // Space-filling-curve locality audit: the SAME quantized 256² cells
+    // ordered by the Hilbert key vs an arithmetic Morton interleave —
+    // total and max cell jump between consecutive points (Hilbert's
+    // always-adjacent property vs Z-order's seam jumps), the write-
+    // clustering choice quantified.
+    "geo_curve_locality" -> ((s, dir) => {
+      val pts = quadrantPoints(s, dir)
+        .withColumn("qx", expr("LEAST(255, GREATEST(0, " +
+          "CAST(floor(((lng + 180.0D) / 360.0D) * 256.0D) AS BIGINT)))"))
+        .withColumn("qy", expr("LEAST(255, GREATEST(0, " +
+          "CAST(floor(((lat + 90.0D) / 180.0D) * 256.0D) AS BIGINT)))"))
+        .withColumn("hkey", cells.hilbert_key(col("lng"), col("lat")))
+        .withColumn("mkey", expr(mortonSql("qx", "qy", "DIV")))
+      def jumps(keyCol: String, nm: String) = {
+        val w = Window.orderBy(col(keyCol), col("point_id"))
+        pts.withColumn("pqx", lag("qx", 1).over(w))
+          .withColumn("pqy", lag("qy", 1).over(w))
+          .filter(col("pqx").isNotNull)
+          .agg(sum(expr("abs(qx - pqx) + abs(qy - pqy)"))
+              .as(s"${nm}_jump"),
+            max(expr("abs(qx - pqx) + abs(qy - pqy)")).as(s"${nm}_max"))
+      }
+      pts.agg(count(lit(1)).as("n_pts"))
+        .crossJoin(jumps("hkey", "hilbert"))
+        .crossJoin(jumps("mkey", "morton"))
+    }),
+    // Weekday-profile distance matrix: per type the day-of-week share
+    // vector in exact ppm, pairwise L1 — which behaviors share a weekly
+    // rhythm; 7-dim stats joins only.
+    "events_dow_distance" -> ((s, dir) => {
+      val dow = t(s, dir, "events")
+        .groupBy(col("event_type"), expr(
+          "(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000) % 7")
+          .as("dow"))
+        .agg(count(lit(1)).as("c"))
+      val tot = dow.groupBy("event_type").agg(sum("c").as("n"))
+      val sh = dow.join(tot, Seq("event_type"))
+        .withColumn("share_ppm", expr("c * 1000000 DIV n"))
+      sh.as("x").join(sh.as("y"),
+          col("x.dow") === col("y.dow") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"))
+        .agg(sum(expr("abs(x.share_ppm - y.share_ppm)")).as("l1_ppm"),
+          count(lit(1)).as("n_dows"))
+        .orderBy("type_a", "type_b")
+    }),
     // Banding-period detector (ops.ImageOps.bandingPeriod): column-mean
     // autocorrelation argmax over lags 2..32 by floored per-term mean —
     // the stripe-period read next to img_structure_tensor's orientation.
@@ -9346,8 +9406,12 @@ object SparkEntry {
     * `3rx + ry − 2·rx·ry` (rx, ry ∈ {0,1}), then the reflect+transpose
     * frame update, all in exact integers.
     */
-  private val hilbertOracleSql: String = {
-    val steps = (0 until 8).map { i =>
+  /** The 8-level Hilbert quadrant+rotation recurrence as chained CTEs
+    * (h1..h8 from h0) — shared by the hilbert-key oracle and the
+    * curve-locality audit.
+    */
+  private def hilbertStepCtes: String =
+    (0 until 8).map { i =>
       val sv = 128 >> i
       s"""h${i + 1} AS (SELECT point_id,
           d + ${sv.toLong * sv} * (3 * rx + ry - 2 * rx * ry) AS d,
@@ -9357,6 +9421,20 @@ object SparkEntry {
             CASE WHEN (x & $sv) > 0 THEN 1 ELSE 0 END AS rx,
             CASE WHEN (y & $sv) > 0 THEN 1 ELSE 0 END AS ry FROM h$i))"""
     }.mkString(",\n         ")
+
+  /** Bit-interleave Morton key of two 8-bit axes as a pure arithmetic
+    * expression; `div` is the integer-division token ("DIV" Spark,
+    * "//" DuckDB).
+    */
+  private def mortonSql(qx: String, qy: String, div: String): String =
+    (0 until 8).map { k =>
+      val p = 1 << k
+      s"(($qx $div $p) % 2) * ${1L << (2 * k)} + " +
+        s"(($qy $div $p) % 2) * ${1L << (2 * k + 1)}"
+    }.mkString(" + ")
+
+  private val hilbertOracleSql: String = {
+    val steps = hilbertStepCtes
     s"""WITH pts AS (SELECT c_custkey AS point_id,
          -180 + (c_custkey % 360) + 0.5 AS lng,
          -90 + ((c_custkey * 7) % 180) + 0.25 AS lat FROM customer),
@@ -11757,6 +11835,73 @@ object SparkEntry {
     "img_bayer_dither" -> bayerOracleSql,
     "img_block_diversity" -> blockDiversityOracleSql,
     "img_blockiness" -> blockinessOracleSql,
+    // curvy-vs-plane SAD over 25 shifts per block, min (sad, dy, dx)
+    "img_shift_field" -> {
+      val va = gridV("c.range", "r.range")
+      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         k AS (SELECT swlng, swlat,
+             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
+         sh(dy, dx) AS (SELECT CAST(y.range AS INT) - 2, CAST(x.range AS INT) - 2
+           FROM range(0,5) y, range(0,5) x),
+         g AS (SELECT swlng, swlat, CAST(r.range // 100 AS INT) AS py,
+             CAST(c.range // 100 AS INT) AS px, dy, dx,
+             abs(($va) - (a + (c.range + dx) + 2*(r.range + dy))) AS ad
+           FROM k, range(0,600) r, range(0,600) c, sh
+           WHERE r.range % 100 >= 2 AND r.range % 100 < 98
+             AND c.range % 100 >= 2 AND c.range % 100 < 98),
+         sadt AS (SELECT swlng, swlat, py, px, dy, dx,
+             CAST(sum(ad) AS BIGINT) AS sad
+           FROM g GROUP BY 1, 2, 3, 4, 5, 6),
+         r AS (SELECT swlng, swlat, py, px, dy AS best_dy, dx AS best_dx,
+             sad, row_number() OVER (PARTITION BY swlng, swlat, py, px
+               ORDER BY sad, dy, dx) AS rn FROM sadt)
+         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           py, px, best_dy, best_dx, sad
+         FROM r WHERE rn = 1 ORDER BY image_id, py, px"""
+    },
+    // the shared Hilbert recurrence + arithmetic Morton, jumps under both
+    // orders
+    "geo_curve_locality" ->
+      s"""WITH pts AS (SELECT c_custkey AS point_id,
+           -180 + (c_custkey % 360) + 0.5 AS lng,
+           -90 + ((c_custkey * 7) % 180) + 0.25 AS lat FROM customer),
+         h0 AS (SELECT point_id, CAST(0 AS BIGINT) AS d,
+           LEAST(255, GREATEST(0, CAST(floor(((lng + 180.0) / 360.0) * 256.0) AS BIGINT))) AS x,
+           LEAST(255, GREATEST(0, CAST(floor(((lat + 90.0) / 180.0) * 256.0) AS BIGINT))) AS y FROM pts),
+         $hilbertStepCtes,
+         kk AS (SELECT h8.point_id, CAST(h8.d AS BIGINT) AS hkey,
+             h0.x AS qx, h0.y AS qy,
+             ${mortonSql("h0.x", "h0.y", "//")} AS mkey
+           FROM h8 JOIN h0 ON h0.point_id = h8.point_id),
+         hj AS (SELECT CAST(sum(j) AS BIGINT) AS hilbert_jump,
+             CAST(max(j) AS BIGINT) AS hilbert_max FROM (
+             SELECT abs(qx - lag(qx) OVER w) + abs(qy - lag(qy) OVER w) AS j
+             FROM kk WINDOW w AS (ORDER BY hkey, point_id)) t
+           WHERE j IS NOT NULL),
+         mj AS (SELECT CAST(sum(j) AS BIGINT) AS morton_jump,
+             CAST(max(j) AS BIGINT) AS morton_max FROM (
+             SELECT abs(qx - lag(qx) OVER w) + abs(qy - lag(qy) OVER w) AS j
+             FROM kk WINDOW w AS (ORDER BY mkey, point_id)) t
+           WHERE j IS NOT NULL),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_pts FROM kk)
+         SELECT n_pts, hilbert_jump, hilbert_max, morton_jump, morton_max
+         FROM n, hj, mj""",
+    // epoch-day mod 7 shares in ppm, pairwise L1
+    "events_dow_distance" ->
+      """WITH d AS (SELECT event_type,
+           (epoch_us(ts) // 86400000000) % 7 AS dow,
+           CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+         t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+           FROM d GROUP BY 1),
+         sh AS (SELECT d.event_type, dow, c * 1000000 // n AS share_ppm
+           FROM d JOIN t ON t.event_type = d.event_type)
+         SELECT x.event_type AS type_a, y.event_type AS type_b,
+           CAST(sum(abs(x.share_ppm - y.share_ppm)) AS BIGINT) AS l1_ppm,
+           CAST(count(*) AS BIGINT) AS n_dows
+         FROM sh x JOIN sh y ON y.dow = x.dow
+           AND x.event_type < y.event_type
+         GROUP BY 1, 2 ORDER BY type_a, type_b""",
     // column sums over the closed form, lag-band self-join, floored mean
     "img_banding_period" -> {
       val v = gridV("c.range", "r.range")

@@ -2438,6 +2438,58 @@ object ImageOps {
     * post-join Hamming filter is one codegen'd `bit_count(pa ^ pb)`; the
     * candidate self-join never materializes pairs outside shared buckets.
     */
+  final case class ShiftRow(image_id: String, py: Int, px: Int, best_dy: Int,
+                            best_dx: Int, sad: Long)
+
+  /** Per-block shift field between two co-registered epochs — optical-flow
+    * -lite block matching: for each ~100² block the (dy, dx) ∈ [−2, 2]²
+    * minimizing the exact SAD Σ|A(r,c) − B(r+dy, c+dx)| (ties by dy then
+    * dx) — the local-misregistration map above [[nccBlocks]]'s global
+    * moments. Block interiors inset by 2 so every candidate shift stays
+    * in-bounds.
+    *
+    * 100 TB shape: tiles join on image_id (co-partitioned epochs), 25
+    * candidate SADs per block computed in one decode pass, 36 rows out.
+    */
+  def shiftField(a: Dataset[TileRow], b: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[ShiftRow]
+    val spark = a.sparkSession
+    import spark.implicits._
+    a.joinWith(b, a("image_id") === b("image_id"))
+      .mapPartitions { it =>
+        it.flatMap { case (ta, tb) =>
+          val da = TileCodec.decode(ta); val db = TileCodec.decode(tb)
+          val size = da.size
+          val nb = 6
+          Iterator.range(0, nb * nb).map { blk =>
+            val py = blk / nb; val px = blk % nb
+            var bestDy = 0; var bestDx = 0; var bestSad = Long.MaxValue
+            var dy = -2
+            while (dy <= 2) {
+              var dx = -2
+              while (dx <= 2) {
+                var sad = 0L
+                var r = py * 100 + 2
+                while (r < py * 100 + 98) {
+                  var c = px * 100 + 2
+                  while (c < px * 100 + 98) {
+                    sad += math.abs(da.samples(r * size + c) -
+                      db.samples((r + dy) * size + c + dx)).toLong
+                    c += 1
+                  }
+                  r += 1
+                }
+                if (sad < bestSad) { bestSad = sad; bestDy = dy; bestDx = dx }
+                dx += 1
+              }
+              dy += 1
+            }
+            ShiftRow(ta.image_id, py, px, bestDy, bestDx, bestSad)
+          }
+        }
+      }.toDF()
+  }
+
   final case class BandingRow(image_id: String, best_lag: Int,
                               score_q: Long, n_terms: Long)
 
