@@ -5417,6 +5417,65 @@ object SparkEntry {
       ops.ImageOps.bayerDither(gateTiles(s, "png"))
         .orderBy("image_id", "bcell")
     }),
+    // Directional variogram (ops.ImageOps.variogram): exact Σ(v−v₊ₕ)² at
+    // 6 literal lags — the geostatistics read under kriging/IDW radius
+    // choices; anisotropy falls out of the field's 2c+3r gradient.
+    "img_variogram" -> ((s, dir) => {
+      ops.ImageOps.variogram(gateTiles(s, "png"),
+          Seq((1, 0), (0, 1), (4, 0), (0, 4), (16, 0), (0, 16)))
+        .orderBy("image_id", "dy", "dx")
+    }),
+    // Leave-one-out 5-NN label prediction over the embedding corpus:
+    // exact milli-quantized distances, majority vote (ties to the lower
+    // label) — per-label accuracy, the end-to-end representation-quality
+    // number above ann_silhouette's geometry read.
+    "ann_knn_loocv" -> ((s, dir) => {
+      val q = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("long"), col("label"),
+          expr("transform(embedding, " +
+            "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))")
+            .as("eq"))
+      val pairs = q.select(col("vec_id").as("aid"),
+          col("label").as("alabel"), col("eq").as("aeq"))
+        .join(q, col("vec_id") =!= col("aid"))
+        .withColumn("d2", aggregate(
+          zip_with(col("aeq"), col("eq"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+      val top5 = pairs.withColumn("rn", row_number().over(
+          Window.partitionBy("aid").orderBy(col("d2"), col("vec_id"))))
+        .filter(col("rn") <= 5)
+      val vote = top5.groupBy("aid", "alabel", "label")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vr", row_number().over(Window.partitionBy("aid")
+          .orderBy(col("votes").desc, col("label"))))
+        .filter(col("vr") === 1)
+      vote.groupBy("alabel")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("label") === col("alabel"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .orderBy("alabel")
+    }),
+    // Distribution-shift audit: pre- vs post-midpoint cents histograms
+    // (1000-cent buckets) as ppm shares, per type the total L1 and the
+    // worst bucket gap — the PSI-style drift read without logarithms.
+    "dq_value_shift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT) DIV 1000").as("bucket"),
+          expr("ts >= timestamp'2024-01-16'").as("post"))
+      val h = ev.groupBy("event_type", "bucket")
+        .agg(sum(when(!col("post"), 1L).otherwise(0L)).as("c_pre"),
+          sum(when(col("post"), 1L).otherwise(0L)).as("c_post"))
+      val tot = h.groupBy("event_type")
+        .agg(sum("c_pre").as("n_pre"), sum("c_post").as("n_post"))
+      h.join(tot, Seq("event_type"))
+        .withColumn("gap_ppm", expr(
+          "abs(c_pre * 1000000 DIV n_pre - c_post * 1000000 DIV n_post)"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_buckets"), sum("gap_ppm").as("l1_ppm"),
+          max("gap_ppm").as("max_gap_ppm"))
+        .orderBy("event_type")
+    }),
     // Per-block shift field between epochs (ops.ImageOps.shiftField):
     // ±2-pixel SAD block matching, ties to the smallest (dy, dx) — the
     // local-misregistration map above img_register's global estimate.
@@ -11835,6 +11894,68 @@ object SparkEntry {
     "img_bayer_dither" -> bayerOracleSql,
     "img_block_diversity" -> blockDiversityOracleSql,
     "img_blockiness" -> blockinessOracleSql,
+    // closed-form squared lag differences at the 6 literal lags
+    "img_variogram" -> {
+      val lags = Seq((1, 0), (0, 1), (4, 0), (0, 4), (16, 0), (0, 16))
+      val branches = lags.map { case (dy, dx) =>
+        val va = gridV("c.range", "r.range")
+        val vb = gridV(s"c.range+($dx)", s"r.range+($dy)")
+        s"""SELECT swlng, swlat, $dy AS dy, $dx AS dx,
+            CAST(${(600 - dy).toLong * (600 - dx)} AS BIGINT) AS n_pairs,
+            CAST(sum((($va) - ($vb)) * (($va) - ($vb))) AS BIGINT) AS sum_sq
+          FROM k, range(0,${600 - dy}) r, range(0,${600 - dx}) c
+          GROUP BY 1, 2"""
+      }.mkString("\n         UNION ALL ")
+      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         k AS (SELECT swlng, swlat,
+             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
+         u AS ($branches)
+         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           CAST(dy AS INT) AS dy, CAST(dx AS INT) AS dx, n_pairs, sum_sq
+         FROM u ORDER BY image_id, dy, dx"""
+    },
+    // exact milli distances, rank-5 window, majority with low-label ties
+    "ann_knn_loocv" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS eq
+           FROM embeddings),
+         p AS (SELECT a.vec_id AS aid, a.label AS alabel, e.label,
+             e.vec_id,
+             CAST(list_sum(list_transform(range(1,65),
+               i -> (a.eq[i] - e.eq[i]) * (a.eq[i] - e.eq[i]))) AS BIGINT) AS d2
+           FROM e a JOIN e ON e.vec_id <> a.vec_id),
+         t5 AS (SELECT aid, alabel, label FROM (
+             SELECT aid, alabel, label, row_number() OVER (
+               PARTITION BY aid ORDER BY d2, vec_id) AS rn FROM p) q
+           WHERE rn <= 5),
+         v AS (SELECT aid, alabel, label,
+             CAST(count(*) AS BIGINT) AS votes FROM t5 GROUP BY 1, 2, 3),
+         w AS (SELECT aid, alabel, label FROM (
+             SELECT aid, alabel, label, row_number() OVER (PARTITION BY aid
+               ORDER BY votes DESC, label) AS vr FROM v) q WHERE vr = 1)
+         SELECT alabel, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN label = alabel THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct
+         FROM w GROUP BY 1 ORDER BY alabel""",
+    // 1000-cent bucket shares pre/post, L1 + worst gap
+    "dq_value_shift" ->
+      """WITH ev AS (SELECT event_type,
+           CAST(round(value * 100) AS BIGINT) // 1000 AS bucket,
+           ts >= TIMESTAMP '2024-01-16' AS post FROM events),
+         h AS (SELECT event_type, bucket,
+             CAST(sum(CASE WHEN NOT post THEN 1 ELSE 0 END) AS BIGINT) AS c_pre,
+             CAST(sum(CASE WHEN post THEN 1 ELSE 0 END) AS BIGINT) AS c_post
+           FROM ev GROUP BY 1, 2),
+         t AS (SELECT event_type, CAST(sum(c_pre) AS BIGINT) AS n_pre,
+             CAST(sum(c_post) AS BIGINT) AS n_post FROM h GROUP BY 1)
+         SELECT h.event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(abs(c_pre * 1000000 // n_pre
+             - c_post * 1000000 // n_post)) AS BIGINT) AS l1_ppm,
+           CAST(max(abs(c_pre * 1000000 // n_pre
+             - c_post * 1000000 // n_post)) AS BIGINT) AS max_gap_ppm
+         FROM h JOIN t ON t.event_type = h.event_type
+         GROUP BY 1 ORDER BY h.event_type""",
     // curvy-vs-plane SAD over 25 shifts per block, min (sad, dy, dx)
     "img_shift_field" -> {
       val va = gridV("c.range", "r.range")

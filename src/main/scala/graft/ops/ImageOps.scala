@@ -2438,6 +2438,47 @@ object ImageOps {
     * post-join Hamming filter is one codegen'd `bit_count(pa ^ pb)`; the
     * candidate self-join never materializes pairs outside shared buckets.
     */
+  final case class VariogramRow(image_id: String, dy: Int, dx: Int,
+                                n_pairs: Long, sum_sq: Long)
+
+  /** Directional empirical variogram — the geostatistics primitive under
+    * kriging/IDW radius choices: for each literal lag vector (dy, dx) the
+    * exact Σ(v(p) − v(p+h))² and pair count over the 600² prefix (the
+    * semivariance is sum/(2n), one division the consumer takes).
+    * Anisotropy (row lags ≠ column lags) falls straight out of the
+    * closed-form field's 2c+3r gradient. Decode-once, |lags| rows per
+    * image.
+    */
+  def variogram(tiles: Dataset[TileRow],
+                lags: Seq[(Int, Int)]): DataFrame = {
+    require(lags.nonEmpty && lags.forall { case (dy, dx) =>
+      dy >= 0 && dx >= 0 && (dy > 0 || dx > 0) }, s"bad lags: $lags")
+    implicit val enc = Encoders.product[VariogramRow]
+    tiles.mapPartitions { it =>
+      it.flatMap { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val ext = 600 min (size - size % 8)
+        lags.iterator.map { case (dy, dx) =>
+          var s = 0L
+          var r = 0
+          while (r < ext - dy) {
+            var c = 0
+            while (c < ext - dx) {
+              val df = (d.samples(r * size + c) -
+                d.samples((r + dy) * size + c + dx)).toLong
+              s += df * df
+              c += 1
+            }
+            r += 1
+          }
+          VariogramRow(tl.image_id, dy, dx,
+            (ext - dy).toLong * (ext - dx), s)
+        }
+      }
+    }.toDF()
+  }
+
   final case class ShiftRow(image_id: String, py: Int, px: Int, best_dy: Int,
                             best_dx: Int, sad: Long)
 
