@@ -5417,6 +5417,54 @@ object SparkEntry {
       ops.ImageOps.bayerDither(gateTiles(s, "png"))
         .orderBy("image_id", "bcell")
     }),
+    // Intervisibility matrix over the row-300 terrain profile: station
+    // pairs see each other iff NO between-sample rises strictly above the
+    // chord — the cross-multiplied integer line-of-sight test (the 1-D
+    // core of viewshed networks / radio-link planning).
+    "geo_intervisibility" -> ((s, dir) => {
+      val prof = ops.ImageOps.rowProfile(gateTiles(s, "png"), row = 300)
+        .filter(col("image_id") === "N36W120")
+      val st = prof.filter(col("c") % 50 === 0 && col("c") > 0 &&
+        col("c") <= 500)
+      val pairs = st.select(col("c").as("ca"), col("v").as("va"))
+        .join(st.select(col("c").as("cb"), col("v").as("vb")),
+          col("ca") < col("cb"))
+      pairs.join(prof.select(col("c"), col("v")),
+          col("c") > col("ca") && col("c") < col("cb"))
+        .withColumn("above",
+          expr("v * (cb - ca) > va * (cb - c) + vb * (c - ca)"))
+        .groupBy("ca", "cb", "va", "vb")
+        .agg(count(lit(1)).as("n_between"),
+          sum(when(col("above"), 1L).otherwise(0L)).as("n_above"))
+        .withColumn("visible", col("n_above") === 0L)
+        .orderBy("ca", "cb")
+    }),
+    // Count-Min error audit: estimate − exact over ALL keys (≥ 0 by the
+    // CM overestimate property), histogrammed — the sketch-width sizing
+    // read behind events_cm_topk.
+    "events_cm_error" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val sk = ops.Sketches.cmSketch(e, "user_id", 1024)
+      val exact = e.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      ops.Sketches.cmEstimate(exact, "user_id", sk, 1024)
+        .withColumn("over", col("cm_est") - col("n_exact"))
+        .withColumn("bucket", expr("over DIV 10").cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_keys"), sum("over").as("sum_over"),
+          max("over").as("max_over"))
+        .orderBy("bucket")
+    }),
+    // MinHash candidate-degree histogram: per doc the number of band
+    // partners, bucketed — the per-document blast-radius view under
+    // dedup_lsh_skew's per-bucket costs.
+    "dedup_pair_degree_hist" -> ((s, dir) => {
+      val pairs = ops.TextDedup.minhashPairs(dedupCorpus(s, dir))
+      pairs.selectExpr("doc_a AS doc")
+        .unionAll(pairs.selectExpr("doc_b AS doc"))
+        .groupBy("doc").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+        .orderBy("degree")
+    }),
     // Directional variogram (ops.ImageOps.variogram): exact Σ(v−v₊ₕ)² at
     // 6 literal lags — the geostatistics read under kriging/IDW radius
     // choices; anisotropy falls out of the field's 2c+3r gradient.
@@ -11894,6 +11942,61 @@ object SparkEntry {
     "img_bayer_dither" -> bayerOracleSql,
     "img_block_diversity" -> blockDiversityOracleSql,
     "img_blockiness" -> blockinessOracleSql,
+    // row-300 closed-form profile, chord comparisons cross-multiplied
+    "geo_intervisibility" ->
+      s"""WITH k AS (SELECT ((-120+180)*7 + (36+90)*11) % 1000 AS a),
+         prof AS (SELECT CAST(c.range AS BIGINT) AS c,
+             CAST(${gridV("c.range", "300")} AS BIGINT) AS v
+           FROM k, range(0,601) c),
+         st AS (SELECT c, v FROM prof
+           WHERE c % 50 = 0 AND c > 0 AND c <= 500),
+         pairs AS (SELECT a.c AS ca, a.v AS va, b.c AS cb, b.v AS vb
+           FROM st a JOIN st b ON a.c < b.c),
+         bet AS (SELECT ca, cb, va, vb,
+             p.v * (cb - ca) > va * (cb - p.c) + vb * (p.c - ca) AS above
+           FROM pairs JOIN prof p ON p.c > ca AND p.c < cb)
+         SELECT ca, cb, va, vb, CAST(count(*) AS BIGINT) AS n_between,
+           CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+           sum(CASE WHEN above THEN 1 ELSE 0 END) = 0 AS visible
+         FROM bet GROUP BY 1, 2, 3, 4 ORDER BY ca, cb""",
+    // the same three congruential hash rows over ALL keys, min counter,
+    // overestimate histogram
+    "events_cm_error" ->
+      """WITH sk AS (SELECT j, pos, count(*) AS cnt FROM (
+           SELECT 0 AS j, ((user_id * 1103515245 + 12345) % 2147483648) % 1024 AS pos FROM events
+           UNION ALL SELECT 1, ((user_id * 214013 + 2531011) % 2147483648) % 1024 FROM events
+           UNION ALL SELECT 2, ((user_id * 69069 + 1234567) % 2147483648) % 1024 FROM events)
+           GROUP BY 1, 2),
+         ex AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+           FROM events GROUP BY 1),
+         tp AS (SELECT user_id, n_exact, 0 AS j,
+             ((user_id * 1103515245 + 12345) % 2147483648) % 1024 AS pos FROM ex
+           UNION ALL SELECT user_id, n_exact, 1,
+             ((user_id * 214013 + 2531011) % 2147483648) % 1024 FROM ex
+           UNION ALL SELECT user_id, n_exact, 2,
+             ((user_id * 69069 + 1234567) % 2147483648) % 1024 FROM ex),
+         est AS (SELECT tp.user_id, max(tp.n_exact) AS n_exact,
+             CAST(min(COALESCE(cnt, 0)) AS BIGINT) AS cm_est
+           FROM tp LEFT JOIN sk ON tp.j = sk.j AND tp.pos = sk.pos
+           GROUP BY 1),
+         ov AS (SELECT cm_est - n_exact AS over FROM est)
+         SELECT CAST(over // 10 AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(over) AS BIGINT) AS sum_over,
+           CAST(max(over) AS BIGINT) AS max_over
+         FROM ov GROUP BY 1 ORDER BY bucket""",
+    // the banded candidate graph's per-doc degree histogram
+    "dedup_pair_degree_hist" ->
+      s"""WITH $minhashCtes,
+         edges AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM banded a JOIN banded b ON a.band_id = b.band_id
+             AND a.band_key = b.band_key
+           WHERE a.doc_id < b.doc_id),
+         deg AS (SELECT doc, CAST(count(*) AS BIGINT) AS degree FROM (
+             SELECT doc_a AS doc FROM edges
+             UNION ALL SELECT doc_b FROM edges) u GROUP BY 1)
+         SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+         FROM deg GROUP BY 1 ORDER BY degree""",
     // closed-form squared lag differences at the 6 literal lags
     "img_variogram" -> {
       val lags = Seq((1, 0), (0, 1), (4, 0), (0, 4), (16, 0), (0, 16))

@@ -2438,6 +2438,22 @@ object ImageOps {
     * post-join Hamming filter is one codegen'd `bit_count(pa ^ pb)`; the
     * candidate self-join never materializes pairs outside shared buckets.
     */
+  /** One raster row as (image_id, c, v) rows — the 1-D terrain profile
+    * feeding chord/visibility analytics. Decode-once.
+    */
+  def rowProfile(tiles: Dataset[TileRow], row: Int): DataFrame = {
+    implicit val enc = Encoders.product[(String, Long, Long)]
+    tiles.mapPartitions { it =>
+      it.flatMap { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        require(row < size, s"row $row out of bounds for size $size")
+        Iterator.range(0, size).map(c =>
+          (tl.image_id, c.toLong, d.samples(row * size + c).toLong))
+      }
+    }.toDF("image_id", "c", "v")
+  }
+
   final case class VariogramRow(image_id: String, dy: Int, dx: Int,
                                 n_pairs: Long, sum_sq: Long)
 
