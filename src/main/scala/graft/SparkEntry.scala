@@ -5417,6 +5417,66 @@ object SparkEntry {
       ops.ImageOps.bayerDither(gateTiles(s, "png"))
         .orderBy("image_id", "bcell")
     }),
+    // Decimation-bias audit (ops.ImageOps.downsampleBias): stride-2 pick
+    // vs 2×2 floor-mean per output pixel over 2 cascaded pyramid levels —
+    // the aliasing energy a naive pyramid injects; the resampling QA next
+    // to tile_pyramid's materialization.
+    "img_downsample_bias" -> ((s, dir) => {
+      ops.ImageOps.downsampleBias(gateTiles(s, "png"), levels = 2)
+        .orderBy("image_id", "level")
+    }),
+    // Self-intersection census: proper crossings between non-adjacent walk
+    // segments by the 4-orientation integer test — the GPS loop /
+    // corrupted-track read; pair join key-bounded per trajectory.
+    "traj_self_cross" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val seg = t(s, dir, "events").filter(col("user_id") < 50)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          ((col("event_id") % 7) +
+            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
+          ((col("event_id") * 3) % 5).as("dy"))
+        .withColumn("px", sum("dx").over(w))
+        .withColumn("py", sum("dy").over(w))
+        .withColumn("seq", row_number().over(w).cast("long"))
+        .withColumn("ppx", lag("px", 1).over(w))
+        .withColumn("ppy", lag("py", 1).over(w))
+        .filter(col("ppx").isNotNull)
+        .selectExpr("user_id AS traj_id", "seq", "ppx AS x1", "ppy AS y1",
+          "px AS x2", "py AS y2")
+      val j = seg.as("a").join(seg.as("b"),
+          col("a.traj_id") === col("b.traj_id") &&
+            col("b.seq") > col("a.seq") + 1)
+        .withColumn("d1", expr(
+          "(a.x2 - a.x1) * (b.y1 - a.y1) - (a.y2 - a.y1) * (b.x1 - a.x1)"))
+        .withColumn("d2", expr(
+          "(a.x2 - a.x1) * (b.y2 - a.y1) - (a.y2 - a.y1) * (b.x2 - a.x1)"))
+        .withColumn("d3", expr(
+          "(b.x2 - b.x1) * (a.y1 - b.y1) - (b.y2 - b.y1) * (a.x1 - b.x1)"))
+        .withColumn("d4", expr(
+          "(b.x2 - b.x1) * (a.y2 - b.y1) - (b.y2 - b.y1) * (a.x2 - b.x1)"))
+        .withColumn("crossing",
+          expr("CASE WHEN d1 * d2 < 0 AND d3 * d4 < 0 THEN 1 ELSE 0 END"))
+      val ns = seg.groupBy(col("traj_id")).agg(count(lit(1)).as("n_seg"))
+      j.groupBy(col("a.traj_id").as("traj_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("crossing").as("n_crossings"))
+        .join(ns, Seq("traj_id"))
+        .select("traj_id", "n_seg", "n_pairs", "n_crossings")
+        .orderBy("traj_id")
+    }),
+    // Multiset set-op surface: EXCEPT ALL / INTERSECT ALL vs distinct
+    // EXCEPT over bucketed keys — the bag semantics reconciliation counts.
+    "q_setops_all" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val a = ev.filter(expr("ts < timestamp'2024-01-16'"))
+        .select((col("user_id") % 100).as("k"))
+      val b = ev.filter(expr("ts >= timestamp'2024-01-16'"))
+        .select((col("user_id") % 100).as("k"))
+      a.exceptAll(b).agg(count(lit(1)).as("n_except_all"))
+        .crossJoin(a.except(b).agg(count(lit(1)).as("n_except_distinct")))
+        .crossJoin(a.intersectAll(b)
+          .agg(count(lit(1)).as("n_intersect_all")))
+    }),
     // Intervisibility matrix over the row-300 terrain profile: station
     // pairs see each other iff NO between-sample rises strictly above the
     // chord — the cross-multiplied integer line-of-sight test (the 1-D
@@ -11942,6 +12002,84 @@ object SparkEntry {
     "img_bayer_dither" -> bayerOracleSql,
     "img_block_diversity" -> blockDiversityOracleSql,
     "img_blockiness" -> blockinessOracleSql,
+    // level-1 means from the raw grid, level-2 means-of-means, top-left
+    // stride vs mean per output pixel
+    "img_downsample_bias" -> {
+      val v = gridV("c.range", "r.range")
+      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         k AS (SELECT swlng, swlat,
+             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
+         g AS (SELECT swlng, swlat, r.range AS r, c.range AS c,
+             CAST($v AS BIGINT) AS v
+           FROM k, range(0,600) r, range(0,600) c),
+         l1 AS (SELECT swlng, swlat, r // 2 AS rr, c // 2 AS cc,
+             CAST(sum(v) AS BIGINT) // 4 AS m,
+             max(CASE WHEN r % 2 = 0 AND c % 2 = 0 THEN v END) AS tl
+           FROM g GROUP BY 1, 2, 3, 4),
+         e1 AS (SELECT swlng, swlat, 1 AS level,
+             CAST(count(*) AS BIGINT) AS n_px,
+             CAST(sum(abs(tl - m)) AS BIGINT) AS sum_abs_diff,
+             CAST(max(abs(tl - m)) AS BIGINT) AS max_abs_diff
+           FROM l1 GROUP BY 1, 2),
+         l2 AS (SELECT swlng, swlat, rr // 2 AS r2, cc // 2 AS c2,
+             CAST(sum(m) AS BIGINT) // 4 AS m2,
+             max(CASE WHEN rr % 2 = 0 AND cc % 2 = 0 THEN m END) AS tl
+           FROM l1 GROUP BY 1, 2, 3, 4),
+         e2 AS (SELECT swlng, swlat, 2 AS level,
+             CAST(count(*) AS BIGINT) AS n_px,
+             CAST(sum(abs(tl - m2)) AS BIGINT) AS sum_abs_diff,
+             CAST(max(abs(tl - m2)) AS BIGINT) AS max_abs_diff
+           FROM l2 GROUP BY 1, 2),
+         u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           level, n_px, sum_abs_diff, max_abs_diff
+         FROM u ORDER BY image_id, level"""
+    },
+    // the walk segments, 4-orientation strict crossing test
+    "traj_self_cross" ->
+      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
+           (event_id * 3) % 5 AS dy
+           FROM events WHERE user_id < 50),
+         c0 AS (SELECT user_id, ts_us, event_id,
+           CAST(row_number() OVER w AS BIGINT) AS seq,
+           CAST(sum(dx) OVER w AS BIGINT) AS px,
+           CAST(sum(dy) OVER w AS BIGINT) AS py
+           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         c AS (SELECT user_id, seq, px, py,
+           lag(px) OVER w AS ppx, lag(py) OVER w AS ppy
+           FROM c0 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         s AS (SELECT user_id AS traj_id, seq, ppx AS x1, ppy AS y1,
+             px AS x2, py AS y2 FROM c WHERE ppx IS NOT NULL),
+         j AS (SELECT a.traj_id,
+             CASE WHEN ((a.x2 - a.x1) * (b.y1 - a.y1) - (a.y2 - a.y1) * (b.x1 - a.x1))
+                  * ((a.x2 - a.x1) * (b.y2 - a.y1) - (a.y2 - a.y1) * (b.x2 - a.x1)) < 0
+               AND ((b.x2 - b.x1) * (a.y1 - b.y1) - (b.y2 - b.y1) * (a.x1 - b.x1))
+                  * ((b.x2 - b.x1) * (a.y2 - b.y1) - (b.y2 - b.y1) * (a.x2 - b.x1)) < 0
+               THEN 1 ELSE 0 END AS crossing
+           FROM s a JOIN s b ON b.traj_id = a.traj_id
+             AND b.seq > a.seq + 1),
+         ns AS (SELECT traj_id, CAST(count(*) AS BIGINT) AS n_seg
+           FROM s GROUP BY 1)
+         SELECT j.traj_id, ns.n_seg, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(crossing) AS BIGINT) AS n_crossings
+         FROM j JOIN ns ON ns.traj_id = j.traj_id
+         GROUP BY 1, 2 ORDER BY j.traj_id""",
+    // bag-semantics EXCEPT ALL / INTERSECT ALL vs distinct EXCEPT
+    "q_setops_all" ->
+      """WITH a AS (SELECT user_id % 100 AS k FROM events
+           WHERE ts < TIMESTAMP '2024-01-16'),
+         b AS (SELECT user_id % 100 AS k FROM events
+           WHERE ts >= TIMESTAMP '2024-01-16'),
+         ea AS (SELECT CAST(count(*) AS BIGINT) AS n_except_all FROM
+           (SELECT * FROM a EXCEPT ALL SELECT * FROM b)),
+         ed AS (SELECT CAST(count(*) AS BIGINT) AS n_except_distinct FROM
+           (SELECT * FROM a EXCEPT SELECT * FROM b)),
+         ia AS (SELECT CAST(count(*) AS BIGINT) AS n_intersect_all FROM
+           (SELECT * FROM a INTERSECT ALL SELECT * FROM b))
+         SELECT n_except_all, n_except_distinct, n_intersect_all
+         FROM ea, ed, ia""",
     // row-300 closed-form profile, chord comparisons cross-multiplied
     "geo_intervisibility" ->
       s"""WITH k AS (SELECT ((-120+180)*7 + (36+90)*11) % 1000 AS a),

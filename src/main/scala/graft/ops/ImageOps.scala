@@ -2438,6 +2438,54 @@ object ImageOps {
     * post-join Hamming filter is one codegen'd `bit_count(pa ^ pb)`; the
     * candidate self-join never materializes pairs outside shared buckets.
     */
+  final case class DownsampleRow(image_id: String, level: Int, n_px: Long,
+                                 sum_abs_diff: Long, max_abs_diff: Long)
+
+  /** Decimation-bias audit: stride-2 picking vs 2×2 floor-mean
+    * downsampling compared per output pixel, cascaded over `levels`
+    * pyramid levels (each level built from the MEAN path, the correct
+    * one) — Σ|stride − mean| is the aliasing energy a naive pyramid
+    * injects. All-integer: means are floor divisions by 4. Decode-once,
+    * one row per (image, level).
+    */
+  def downsampleBias(tiles: Dataset[TileRow], levels: Int): DataFrame = {
+    require(levels >= 1, s"levels must be >= 1: $levels")
+    implicit val enc = Encoders.product[DownsampleRow]
+    tiles.mapPartitions { it =>
+      it.flatMap { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        var ext = 600 min (size - size % 8)
+        var cur = Array.tabulate(ext * ext)(i =>
+          d.samples((i / ext) * size + i % ext).toLong)
+        Iterator.range(1, levels + 1).map { lvl =>
+          val half = ext / 2
+          val mean = new Array[Long](half * half)
+          var sumAd = 0L; var maxAd = 0L
+          var r = 0
+          while (r < half) {
+            var c = 0
+            while (c < half) {
+              val base = 2 * r * ext + 2 * c
+              val m = Math.floorDiv(cur(base) + cur(base + 1) +
+                cur(base + ext) + cur(base + ext + 1), 4L)
+              mean(r * half + c) = m
+              val ad = math.abs(cur(base) - m)
+              sumAd += ad
+              if (ad > maxAd) maxAd = ad
+              c += 1
+            }
+            r += 1
+          }
+          val row = DownsampleRow(tl.image_id, lvl,
+            half.toLong * half, sumAd, maxAd)
+          cur = mean; ext = half
+          row
+        }
+      }
+    }.toDF()
+  }
+
   /** One raster row as (image_id, c, v) rows — the 1-D terrain profile
     * feeding chord/visibility analytics. Decode-once.
     */
