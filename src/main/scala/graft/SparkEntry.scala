@@ -5464,6 +5464,55 @@ object SparkEntry {
         .select("traj_id", "n_seg", "n_pairs", "n_crossings")
         .orderBy("traj_id")
     }),
+    // Recency-decayed user score with INTEGER half-life: spend shifted
+    // right one bit per week of age relative to the corpus high-water day
+    // — exact bitwise exponential decay, no floats; the CRM scoring read
+    // next to events_rfm.
+    "events_decay_score" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000")
+          .as("eday"))
+      val mx = ev.agg(max("eday").as("mxd"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("k", expr("CAST((mxd - eday) DIV 7 AS INT)"))
+        .withColumn("dec", expr("shiftright(cents, k)"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("cents").as("raw_cents"),
+          sum("dec").as("decayed_cents"))
+        .orderBy("user_id")
+    }),
+    // Per-language corpus profile: docs, words, chars, source spread and
+    // the milli chars-per-doc density — the first read of a multilingual
+    // mix, off the so-far-unused lang column.
+    "text_lang_profile" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("size(split(text, ' '))")).cast("long").as("n_words"),
+          sum("n_chars").as("sum_chars"),
+          countDistinct("source").as("n_sources"))
+        .withColumn("chars_per_doc_milli",
+          expr("sum_chars * 1000 DIV n_docs"))
+        .orderBy("lang")
+    }),
+    // Does the quality score just measure length? Exact Pearson moments
+    // between the milli-quantized score and n_chars over all docs — the
+    // filter-bias audit a curation pipeline runs before trusting its
+    // quality gate. One row, pure integers.
+    "curation_quality_corr" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(ops.TextDedup.qualityScore(col("text")).as("q"),
+          col("n_chars"))
+        .select(expr("CAST(round(q * 1000) AS BIGINT)").as("x"),
+          col("n_chars").as("y"))
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
+          sum(expr("y * y")).as("syy"))
+        .withColumn("corr_num", expr("n * sxy - sx * sy"))
+        .withColumn("var_x_num", expr("n * sxx - sx * sx"))
+        .withColumn("var_y_num", expr("n * syy - sy * sy"))
+    }),
     // Multiset set-op surface: EXCEPT ALL / INTERSECT ALL vs distinct
     // EXCEPT over bucketed keys — the bag semantics reconciliation counts.
     "q_setops_all" -> ((s, dir) => {
@@ -12066,6 +12115,48 @@ object SparkEntry {
            CAST(sum(crossing) AS BIGINT) AS n_crossings
          FROM j JOIN ns ON ns.traj_id = j.traj_id
          GROUP BY 1, 2 ORDER BY j.traj_id""",
+    // high-water anchor day, per-week right shift
+    "events_decay_score" ->
+      """WITH ev AS (SELECT user_id,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           epoch_us(ts) // 86400000000 AS eday FROM events),
+         mx AS (SELECT max(eday) AS mxd FROM ev)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS raw_cents,
+           CAST(sum(cents >> CAST((mxd - eday) // 7 AS INT)) AS BIGINT)
+             AS decayed_cents
+         FROM ev, mx GROUP BY 1 ORDER BY user_id""",
+    // per-lang rollup off the documents metadata
+    "text_lang_profile" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(sum(n_chars) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT)
+           AS chars_per_doc_milli
+         FROM documents GROUP BY 1 ORDER BY lang""",
+    // the quality_score formula, milli-quantized, exact Pearson moments
+    "curation_quality_corr" ->
+      """WITH s AS (SELECT doc_id, n_chars,
+           CAST(len(string_split(text,' ')) AS DOUBLE) AS nw,
+           CAST(len(list_filter(string_split(text,' '),
+             w -> w='the' OR w='a' OR w='of' OR w='and' OR w='to')) AS DOUBLE) AS ns,
+           CAST(length(replace(text,' ','')) AS DOUBLE) AS nc FROM documents),
+         sc AS (SELECT CAST(round((least(nw/100.0, 1.0)*0.4 + (ns/nw)*0.3
+             + least((nc/nw)/10.0, 1.0)*0.3) * 1000) AS BIGINT) AS x,
+             n_chars AS y
+           FROM s),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+           FROM sc)
+         SELECT n, sx, sy, sxy, sxx, syy,
+           n * sxy - sx * sy AS corr_num,
+           n * sxx - sx * sx AS var_x_num,
+           n * syy - sy * sy AS var_y_num
+         FROM a""",
     // bag-semantics EXCEPT ALL / INTERSECT ALL vs distinct EXCEPT
     "q_setops_all" ->
       """WITH a AS (SELECT user_id % 100 AS k FROM events
