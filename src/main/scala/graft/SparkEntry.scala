@@ -5548,6 +5548,71 @@ object SparkEntry {
         .withColumn("visible", col("n_above") === 0L)
         .orderBy("ca", "cb")
     }),
+    // East horizon angle per observer on the row-300 profile: argmax of
+    // the positive-offset floored elevation/distance ratio (the solar /
+    // radio horizon read; quantization makes the rational argmax an
+    // integer order both engines share).
+    "geo_horizon_angle" -> ((s, dir) => {
+      val prof = ops.ImageOps.rowProfile(gateTiles(s, "png"), row = 300)
+        .filter(col("image_id") === "N36W120")
+      val obs = prof.filter(col("c").isin(100L, 300L, 500L))
+        .select(col("c").as("c0"), col("v").as("v0"))
+      obs.join(prof.select(col("c"), col("v")), col("c") > col("c0"))
+        .withColumn("angle_q", expr(
+          "((v - v0 + 4000 * (c - c0)) * 1000000) DIV (c - c0) " +
+            "- 4000000000"))
+        .withColumn("rn", row_number().over(Window.partitionBy("c0")
+          .orderBy(col("angle_q").desc, col("c"))))
+        .filter(col("rn") === 1)
+        .select(col("c0"), col("v0"), col("c").as("horizon_c"),
+          col("v").as("horizon_v"), col("angle_q"))
+        .orderBy("c0")
+    }),
+    // Per-user Fano dispersion of daily activity: variance/mean numerator
+    // and denominator exact, milli-floored index — bursty users (>1000)
+    // vs metronomes (<1000); users with ≥ 2 active days.
+    "events_fano" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      daily.groupBy("user_id")
+        .agg(count(lit(1)).as("n_days"), sum("c").as("s"),
+          sum(expr("c * c")).as("ss"))
+        .filter(col("n_days") >= 2)
+        .withColumn("fano_milli",
+          expr("(n_days * ss - s * s) * 1000 DIV ((n_days - 1) * s)"))
+        .orderBy("user_id")
+    }),
+    // Precision of the MinHash band join vs EXACT Jaccard ≥ 0.5 truth on
+    // the gate subset — the other half of dedup_minhash_recall's PR pair;
+    // truth by cross-multiplied set sizes, one row.
+    "dedup_minhash_precision" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val sub = d.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id"), col("text"))
+        .unionAll(d.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" zz qq ww ee rr tt")).as("text")))
+      val cands = ops.TextDedup.minhashPairs(sub)
+      val shs = sub.select(col("doc_id"),
+        array_distinct(ops.TextDedup.shingles(col("text"), 3)).as("sset"))
+      val truth = shs.select(col("doc_id").as("doc_a"), col("sset").as("sa"))
+        .join(broadcast(shs.select(col("doc_id").as("doc_b"),
+          col("sset").as("sb"))), col("doc_a") < col("doc_b"))
+        .filter(expr("size(array_intersect(sa, sb)) * 2 >= " +
+          "size(array_distinct(concat(sa, sb)))"))
+        .select("doc_a", "doc_b")
+      cands.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .crossJoin(cands.join(truth, Seq("doc_a", "doc_b"))
+          .agg(count(lit(1)).as("tp")))
+        .withColumn("fp", expr("n_cand - tp"))
+        .withColumn("fn", expr("n_truth - tp"))
+        .withColumn("precision_ppm", expr(
+          "CASE WHEN n_cand = 0 THEN 0L ELSE tp * 1000000 DIV n_cand END"))
+        .withColumn("recall_ppm", expr(
+          "CASE WHEN n_truth = 0 THEN 0L ELSE tp * 1000000 DIV n_truth END"))
+    }),
     // Count-Min error audit: estimate − exact over ALL keys (≥ 0 by the
     // CM overestimate property), histogrammed — the sketch-width sizing
     // read behind events_cm_topk.
@@ -12188,6 +12253,71 @@ object SparkEntry {
            CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
            sum(CASE WHEN above THEN 1 ELSE 0 END) = 0 AS visible
          FROM bet GROUP BY 1, 2, 3, 4 ORDER BY ca, cb""",
+    // row-300 profile, positive-offset floored angle argmax
+    "geo_horizon_angle" ->
+      s"""WITH k AS (SELECT ((-120+180)*7 + (36+90)*11) % 1000 AS a),
+         prof AS (SELECT CAST(c.range AS BIGINT) AS c,
+             CAST(${gridV("c.range", "300")} AS BIGINT) AS v
+           FROM k, range(0,601) c),
+         obs AS (SELECT c AS c0, v AS v0 FROM prof
+           WHERE c IN (100, 300, 500)),
+         j AS (SELECT c0, v0, c, v,
+             ((v - v0 + 4000 * (c - c0)) * 1000000) // (c - c0)
+               - 4000000000 AS angle_q
+           FROM obs JOIN prof ON c > c0),
+         r AS (SELECT c0, v0, c AS horizon_c, v AS horizon_v, angle_q,
+             row_number() OVER (PARTITION BY c0
+               ORDER BY angle_q DESC, c) AS rn FROM j)
+         SELECT c0, v0, horizon_c, horizon_v, angle_q
+         FROM r WHERE rn = 1 ORDER BY c0""",
+    // daily counts per user, exact dispersion pieces
+    "events_fano" ->
+      """WITH d AS (SELECT user_id, date_trunc('day', ts) AS day,
+           CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+         a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS ss
+           FROM d GROUP BY 1)
+         SELECT user_id, n_days, s, ss,
+           (n_days * ss - s * s) * 1000 // ((n_days - 1) * s) AS fano_milli
+         FROM a WHERE n_days >= 2 ORDER BY user_id""",
+    // subset band join replayed + exact Jaccard >= 0.5 truth, PR counts
+    "dedup_minhash_precision" -> {
+      val sigs = (0 until 8).map { j =>
+        s"list_min(list_transform(hv, h -> (${2 * j + 3}*h + ${5 * j + 7}) % 1048573)) AS m$j"
+      }.mkString(", ")
+      val bandRows = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS band_id, m${2 * b}*1048573 + m${2 * b + 1} AS band_key FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0
+           UNION ALL SELECT doc_id + 200000, text || ' zz qq ww ee rr tt'
+             FROM documents WHERE doc_id % 25 = 0),
+         sh0 AS (SELECT doc_id, $sqlShingles3 AS sh FROM sub),
+         hv AS (SELECT doc_id, list_transform(sh,
+             x -> ${sqlH60("x")} % 1048573) AS hv FROM sh0),
+         sig AS (SELECT doc_id, $sigs FROM hv),
+         banded AS ($bandRows),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM banded a JOIN banded b ON a.band_id = b.band_id
+             AND a.band_key = b.band_key
+           WHERE a.doc_id < b.doc_id),
+         shs AS (SELECT doc_id, list_distinct(sh) AS s FROM sh0),
+         truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.s, b.s)) AS BIGINT) * 2 >=
+                 CAST(len(list_distinct(list_concat(a.s, b.s))) AS BIGINT)),
+         tpq AS (SELECT CAST(count(*) AS BIGINT) AS tp FROM cand
+           JOIN truth ON truth.doc_a = cand.doc_a
+             AND truth.doc_b = cand.doc_b),
+         nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+         nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
+         SELECT n_cand, n_truth, tp, n_cand - tp AS fp,
+           n_truth - tp AS fn,
+           CASE WHEN n_cand = 0 THEN CAST(0 AS BIGINT)
+                ELSE tp * 1000000 // n_cand END AS precision_ppm,
+           CASE WHEN n_truth = 0 THEN CAST(0 AS BIGINT)
+                ELSE tp * 1000000 // n_truth END AS recall_ppm
+         FROM nc, nt, tpq"""
+    },
     // the same three congruential hash rows over ALL keys, min counter,
     // overestimate histogram
     "events_cm_error" ->
