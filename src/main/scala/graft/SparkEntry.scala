@@ -1124,6 +1124,57 @@ object SparkEntry {
         .join(trajs.select(col("traj_id").as("t2")), col("t1") < col("t2"))
       ops.Trajectory.lcss(pts, pairs, eps2 = 64L).orderBy("t1", "t2")
     }),
+    // DTW (ops.Trajectory.dtw): summed-cost elastic alignment — the third
+    // member of the frechet/lcss similarity trio on the same pair
+    // lattice; identical anti-diagonal oracle with + for the combine.
+    "traj_dtw" -> ((s, dir) => {
+      val trajs = t(s, dir, "supplier")
+        .selectExpr("s_suppkey % 20 AS traj_id").distinct()
+      val pts = trajs
+        .select(col("traj_id"), explode(expr("sequence(0, 5)")).as("seq"))
+        .selectExpr("traj_id", "seq",
+          "(traj_id * 7 + seq * (traj_id % 5 + 1) * 3) % 40 AS px",
+          "(traj_id * 11 + seq * (traj_id % 3 + 2) * 2) % 40 AS py")
+      val pairs = trajs.select(col("traj_id").as("t1"))
+        .join(trajs.select(col("traj_id").as("t2")), col("t1") < col("t2"))
+      ops.Trajectory.dtw(pts, pairs).orderBy("t1", "t2")
+    }),
+    // Zipf head products: top-50 corpus words with rank·frequency — the
+    // log-free Zipf-law read (a ~constant product column is the law).
+    "text_zipf_products" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("freq").desc, col("w"))).cast("int"))
+        .filter(col("rank") <= 50)
+        .withColumn("rank_x_freq", expr("rank * freq"))
+        .select("rank", "w", "freq", "rank_x_freq")
+        .orderBy("rank")
+    }),
+    // Calibration bins: pre-period purchase propensity (ppm, floored)
+    // bucketed at 0.1, vs actual post-period conversion — the
+    // calibration-curve read with zero model; users active both periods.
+    "events_calibration" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val pre = ev.filter(expr("ts < timestamp'2024-01-16'"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pre"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_pre_purch"))
+      val post = ev.filter(expr("ts >= timestamp'2024-01-16'"))
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+      pre.join(post, Seq("user_id"))
+        .withColumn("share_ppm", expr("n_pre_purch * 1000000 DIV n_pre"))
+        .withColumn("bin", expr("share_ppm DIV 100000").cast("int"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_users"),
+          sum("share_ppm").as("sum_share_ppm"),
+          sum("converted").as("n_converted"))
+        .orderBy("bin")
+    }),
     // Difference-in-differences 2×2: treated (even users) × post (the
     // span midpoint), per type the quadrant counts/sums and the DiD
     // estimate on milli-floored means — the causal-analytics read over
@@ -10847,6 +10898,70 @@ object SparkEntry {
     },
     "traj_frechet" -> frechetOracleSql,
     "traj_lcss" -> lcssOracleSql,
+    // the frechet lattice with summed costs per anti-diagonal
+    "traj_dtw" -> {
+      val big = "9223372036854775807"
+      val diags = (1 to 10).map { k =>
+        val p2 = s"ca${math.max(k - 2, 0)}"
+        s"""ca$k AS MATERIALIZED (SELECT c.t1, c.t2, c.i, c.j,
+            c.d2 + LEAST(
+              COALESCE(p1.v, $big), COALESCE(p3.v, $big), COALESCE(p2.v, $big)) AS v
+          FROM cells c
+          LEFT JOIN ca${k - 1} p1 ON p1.t1 = c.t1 AND p1.t2 = c.t2
+            AND p1.i = c.i - 1 AND p1.j = c.j
+          LEFT JOIN ca${k - 1} p3 ON p3.t1 = c.t1 AND p3.t2 = c.t2
+            AND p3.i = c.i AND p3.j = c.j - 1
+          LEFT JOIN $p2 p2 ON p2.t1 = c.t1 AND p2.t2 = c.t2
+            AND p2.i = c.i - 1 AND p2.j = c.j - 1
+          WHERE c.i + c.j = $k)"""
+      }.mkString(",\n         ")
+      s"""WITH trajs AS (SELECT DISTINCT s_suppkey % 20 AS traj_id FROM supplier),
+         v AS (SELECT traj_id, CAST(g AS BIGINT) AS seq,
+             (traj_id * 7 + g * (traj_id % 5 + 1) * 3) % 40 AS px,
+             (traj_id * 11 + g * (traj_id % 3 + 2) * 2) % 40 AS py
+           FROM trajs, unnest(range(0, 6)) AS t(g)),
+         pairs AS (SELECT a.traj_id AS t1, b.traj_id AS t2
+           FROM trajs a, trajs b WHERE a.traj_id < b.traj_id),
+         cells AS MATERIALIZED (SELECT p.t1, p.t2, CAST(va.seq AS INT) AS i, CAST(vb.seq AS INT) AS j,
+             (va.px - vb.px)*(va.px - vb.px) + (va.py - vb.py)*(va.py - vb.py) AS d2
+           FROM pairs p JOIN v va ON va.traj_id = p.t1 JOIN v vb ON vb.traj_id = p.t2),
+         ca0 AS MATERIALIZED (SELECT t1, t2, i, j, d2 AS v FROM cells WHERE i = 0 AND j = 0),
+         $diags,
+         sz AS (SELECT t1, t2, CAST(max(i) + 1 AS INTEGER) AS n_a,
+             CAST(max(j) + 1 AS INTEGER) AS n_b FROM cells GROUP BY 1, 2)
+         SELECT ca10.t1, ca10.t2, sz.n_a, sz.n_b,
+           CAST(ca10.v AS BIGINT) AS dtw_d2
+         FROM ca10 JOIN sz ON sz.t1 = ca10.t1 AND sz.t2 = ca10.t2
+         ORDER BY ca10.t1, ca10.t2"""
+    },
+    // global word frequencies, rank window, head products
+    "text_zipf_products" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
+           FROM documents),
+         f AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
+           FROM w GROUP BY 1),
+         r AS (SELECT w, freq, CAST(row_number() OVER (
+             ORDER BY freq DESC, w) AS INT) AS rank FROM f)
+         SELECT rank, w, freq, rank * freq AS rank_x_freq
+         FROM r WHERE rank <= 50 ORDER BY rank""",
+    // pre-period propensity bins vs post conversion
+    "events_calibration" ->
+      """WITH pre AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_pre,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_pre_purch
+           FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),
+         post AS (SELECT user_id,
+           CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS converted
+           FROM events WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1),
+         j AS (SELECT pre.user_id,
+             n_pre_purch * 1000000 // n_pre AS share_ppm, converted
+           FROM pre JOIN post ON post.user_id = pre.user_id)
+         SELECT CAST(share_ppm // 100000 AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(share_ppm) AS BIGINT) AS sum_share_ppm,
+           CAST(sum(converted) AS BIGINT) AS n_converted
+         FROM j GROUP BY 1 ORDER BY bin""",
     // the phash corpus CTEs, full-pairwise xor popcount
     "img_phash_hist" ->
       s"""WITH $phashPairCtes,

@@ -615,6 +615,69 @@ object Trajectory {
       .toDF("t1", "t2", "n_a", "n_b", "frechet_d2")
   }
 
+  /** Dynamic Time Warping (squared-distance costs, exact integers) — the
+    * elastic-alignment member of the similarity trio: [[frechet]] takes
+    * the MAX edge of the best coupling, [[lcss]] counts tolerance
+    * matches, DTW SUMS the cost along the optimal monotone alignment
+    * `dtw(i,j) = d²(i,j) + min(dtw(i−1,j), dtw(i−1,j−1), dtw(i,j−1))`.
+    * Same pair-keyed lattice and per-pair bounded DP; the oracle unrolls
+    * the identical recurrence per anti-diagonal.
+    *
+    * @param points (traj_id, seq, px, py) integer coordinates
+    * @param pairs  (t1, t2)
+    * @return (t1, t2, n_a, n_b, dtw_d2)
+    */
+  def dtw(points: DataFrame, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = points.sparkSession
+    import spark.implicits._
+    val a = pairs.join(points.select(col("traj_id").as("t1"),
+      col("seq").cast("int").as("i"), col("px").cast("long").as("ax"),
+      col("py").cast("long").as("ay")), "t1")
+    val cells = a.join(points.select(col("traj_id").as("t2"),
+        col("seq").cast("int").as("j"), col("px").cast("long").as("bx"),
+        col("py").cast("long").as("by")), "t2")
+      .select(col("t1").cast("long"), col("t2").cast("long"), col("i"),
+        col("j"),
+        ((col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by"))).as("d2"))
+    cells.as[(Long, Long, Int, Int, Long)]
+      .groupByKey { case (t1, t2, _, _, _) => (t1, t2) }
+      .mapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Int, Int, Long)]) =>
+        val (t1, t2) = key
+        val m = it.toArray
+        var nA = 0; var nB = 0
+        m.foreach { case (_, _, i, j, _) =>
+          if (i >= nA) nA = i + 1
+          if (j >= nB) nB = j + 1
+        }
+        val d2 = Array.fill(nA * nB)(Long.MaxValue)
+        m.foreach { case (_, _, i, j, v) => d2(i * nB + j) = v }
+        val ca = new Array[Long](nA * nB)
+        var i = 0
+        while (i < nA) {
+          var j = 0
+          while (j < nB) {
+            val prev =
+              if (i == 0 && j == 0) 0L
+              else {
+                var mn = Long.MaxValue
+                if (i > 0 && ca((i - 1) * nB + j) < mn) mn = ca((i - 1) * nB + j)
+                if (j > 0 && ca(i * nB + j - 1) < mn) mn = ca(i * nB + j - 1)
+                if (i > 0 && j > 0 && ca((i - 1) * nB + j - 1) < mn)
+                  mn = ca((i - 1) * nB + j - 1)
+                mn
+              }
+            ca(i * nB + j) = d2(i * nB + j) + prev
+            j += 1
+          }
+          i += 1
+        }
+        (t1, t2, nA, nB, ca(nA * nB - 1))
+      }
+      .toDF("t1", "t2", "n_a", "n_b", "dtw_d2")
+  }
+
   /** LCSS trajectory similarity (Vlachos–Kollios–Gunopulos 2002, public):
     * longest common subsequence of fixes under a spatial tolerance —
     * match when d² ≤ eps2, else carry max(skip-a, skip-b). Robust to
