@@ -4195,6 +4195,98 @@ object SparkEntry {
       ops.Graph.bfsProfile(edges, Seq(0L, 1L, 2L), rounds = 4)
         .orderBy("src", "dist")
     }),
+    // 1-D Earth Mover's Distance between epoch level histograms:
+    // EMD = Σ|cdf_A − cdf_B| exact over the union of occupied levels —
+    // the distribution-shift metric a radiometric-consistency gate uses
+    // (stronger than mean/variance diffs, no optimization needed in 1-D).
+    "img_emd_epochs" -> ((s, dir) => {
+      import s.implicits._
+      val corners = Seq((-120, 36), (-120, 37), (-119, 36), (-119, 37),
+        (-118, 36), (-117, 37))
+      val epochA = s.createDataset(TileGen.tiles(corners, 601, "hgt"))
+      val epochB = s.createDataset(corners.map { case (lng, lat) =>
+        TileGen.tileRow(lng, lat, 601, "hgt", TileGen.planeAt) })
+      val hA = ops.ImageOps.levelHistogram(epochA)
+        .withColumnRenamed("n", "na")
+      val hB = ops.ImageOps.levelHistogram(epochB)
+        .withColumnRenamed("n", "nb")
+      val j = hA.join(hB, Seq("image_id", "level"), "full_outer")
+        .select(col("image_id"), col("level"),
+          coalesce(col("na"), lit(0L)).as("na"),
+          coalesce(col("nb"), lit(0L)).as("nb"))
+      val w = Window.partitionBy("image_id").orderBy("level")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      j.withColumn("ca", sum("na").over(w))
+        .withColumn("cb", sum("nb").over(w))
+        .groupBy("image_id")
+        .agg(count(lit(1)).as("n_levels"),
+          sum(expr("abs(ca - cb)")).as("emd"))
+        .orderBy("image_id")
+    }),
+    // Community conductance pieces over the label-propagation partition:
+    // per label the volume, internal and cut edge counts + the floored
+    // conductance ppm — the partition-quality read above graph_modularity.
+    "graph_conductance" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 7 === 0)
+        .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
+      val comp = ops.Graph.labelPropagate(edges, rounds = 3)
+      val und = edges.filter(col("src") =!= col("dst"))
+        .selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+        .distinct()
+      val deg = und.selectExpr("a AS u").unionAll(und.selectExpr("b AS u"))
+        .groupBy("u").agg(count(lit(1)).as("d"))
+      val tagged = und
+        .join(comp.select(col("node").as("a"), col("lbl").as("la")),
+          Seq("a"))
+        .join(comp.select(col("node").as("b"), col("lbl").as("lb")),
+          Seq("b"))
+      val cut = tagged.filter(col("la") =!= col("lb"))
+        .select(col("la").as("lbl"))
+        .unionAll(tagged.filter(col("la") =!= col("lb"))
+          .select(col("lb").as("lbl")))
+        .groupBy("lbl").agg(count(lit(1)).as("cut"))
+      val internal = tagged.filter(col("la") === col("lb"))
+        .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("internal"))
+      val vol = comp.join(deg.select(col("u").as("node"), col("d")),
+          Seq("node"))
+        .groupBy("lbl").agg(count(lit(1)).as("n_nodes"),
+          sum("d").as("vol"))
+      val m2 = und.agg((count(lit(1)) * 2).as("deg_total"))
+      vol.join(cut, Seq("lbl"), "left").join(internal, Seq("lbl"), "left")
+        .crossJoin(broadcast(m2))
+        .withColumn("cut", coalesce(col("cut"), lit(0L)))
+        .withColumn("internal", coalesce(col("internal"), lit(0L)))
+        .withColumn("conduct_ppm", expr(
+          "CASE WHEN least(vol, deg_total - vol) = 0 THEN 0L " +
+            "ELSE cut * 1000000 DIV least(vol, deg_total - vol) END"))
+        .select("lbl", "n_nodes", "vol", "internal", "cut",
+          "conduct_ppm")
+        .orderBy("lbl")
+    }),
+    // Clark–Evans nearest-neighbour pieces: per-point exact NN d², the
+    // milli-floored NN distance sum (sqrt is the same IEEE double both
+    // engines) and the bbox extent — everything the aggregation-index
+    // R = d̄_obs/d̄_exp needs, no float accumulation anywhere.
+    "geo_clark_evans" -> ((s, dir) => {
+      val pts = t(s, dir, "customer").filter(col("c_custkey") <= 500)
+        .selectExpr("c_custkey AS pid", "(c_custkey * 7) % 1201 AS x",
+          "(c_custkey * 13) % 1009 AS y")
+      val nn = pts.as("a").join(pts.as("b"),
+          col("a.pid") =!= col("b.pid"))
+        .select(col("a.pid").as("pid"),
+          expr("(a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)")
+            .as("d2"))
+        .groupBy("pid").agg(min("d2").as("nn_d2"))
+        .withColumn("nn_d_milli", expr(
+          "CAST(floor(sqrt(CAST(nn_d2 AS DOUBLE)) * 1000.0) AS BIGINT)"))
+      nn.agg(count(lit(1)).as("n"),
+          sum("nn_d_milli").as("sum_nn_d_milli"),
+          min("nn_d2").as("min_nn_d2"), max("nn_d2").as("max_nn_d2"))
+        .crossJoin(pts.agg(
+          (max("x") - min("x")).as("extent_x"),
+          (max("y") - min("y")).as("extent_y")))
+    }),
     // Histogram-matching LUT between epochs: quantized-level CDFs of the
     // curvy field (A) and the plane (B), mapped(l) = min m with
     // cdf_B(m) ≥ cdf_A(l) — the radiometric-normalization table a mosaic
@@ -11304,6 +11396,98 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_nodes
          FROM st4 GROUP BY 1, 2 ORDER BY src, dist"""
     },
+    // both closed-form histograms full-outer on level, Σ|cdf gap|
+    "img_emd_epochs" -> {
+      val va = gridV("c.range", "r.range")
+      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         k AS (SELECT swlng, swlat,
+             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
+         ha AS (SELECT swlng, swlat,
+             CAST(greatest(0, least(63, ($va) // 64)) AS INT) AS level,
+             CAST(count(*) AS BIGINT) AS na
+           FROM k, range(0,601) r, range(0,601) c GROUP BY 1, 2, 3),
+         hb AS (SELECT swlng, swlat,
+             CAST(greatest(0, least(63, (a + c.range + 2*r.range) // 64)) AS INT) AS level,
+             CAST(count(*) AS BIGINT) AS nb
+           FROM k, range(0,601) r, range(0,601) c GROUP BY 1, 2, 3),
+         j AS (SELECT COALESCE(ha.swlng, hb.swlng) AS swlng,
+             COALESCE(ha.swlat, hb.swlat) AS swlat,
+             COALESCE(ha.level, hb.level) AS level,
+             COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+           FROM ha FULL OUTER JOIN hb ON hb.swlng = ha.swlng
+             AND hb.swlat = ha.swlat AND hb.level = ha.level),
+         cdf AS (SELECT swlng, swlat, level,
+             CAST(sum(na) OVER w AS BIGINT) AS ca,
+             CAST(sum(nb) OVER w AS BIGINT) AS cb
+           FROM j WINDOW w AS (PARTITION BY swlng, swlat ORDER BY level))
+         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           CAST(count(*) AS BIGINT) AS n_levels,
+           CAST(sum(abs(ca - cb)) AS BIGINT) AS emd
+         FROM cdf GROUP BY 1 ORDER BY image_id"""
+    },
+    // labelprop rounds + per-label volume/cut/internal pieces
+    "graph_conductance" -> {
+      val rounds = (1 to 3).map { r =>
+        s"""v$r AS (SELECT s.u AS node, l.lbl, count(*) AS cnt
+             FROM sym s JOIN l${r - 1} l ON s.v = l.node GROUP BY 1, 2),
+           l$r AS (SELECT node, lbl FROM v$r
+             QUALIFY row_number() OVER (PARTITION BY node
+               ORDER BY cnt DESC, lbl ASC) = 1)"""
+      }.mkString(",\n         ")
+      s"""WITH e AS (SELECT DISTINCT
+           GREATEST(l_suppkey % 500, l_partkey % 500) AS hi,
+           LEAST(l_suppkey % 500, l_partkey % 500) AS lo
+         FROM lineitem WHERE l_orderkey % 7 = 0),
+         e2 AS (SELECT hi, lo FROM e WHERE hi <> lo),
+         sym AS (SELECT lo AS u, hi AS v FROM e2
+                 UNION ALL SELECT hi AS u, lo AS v FROM e2),
+         l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym),
+         $rounds,
+         deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d
+           FROM sym GROUP BY 1),
+         tg AS (SELECT e2.lo AS a, e2.hi AS b, la.lbl AS la, lb.lbl AS lb
+           FROM e2 JOIN l3 la ON la.node = e2.lo
+           JOIN l3 lb ON lb.node = e2.hi),
+         cut AS (SELECT lbl, CAST(count(*) AS BIGINT) AS cut FROM (
+             SELECT la AS lbl FROM tg WHERE la <> lb
+             UNION ALL SELECT lb FROM tg WHERE la <> lb) u GROUP BY 1),
+         intr AS (SELECT la AS lbl, CAST(count(*) AS BIGINT) AS internal
+           FROM tg WHERE la = lb GROUP BY 1),
+         vol AS (SELECT l3.lbl, CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d) AS BIGINT) AS vol
+           FROM l3 JOIN deg ON deg.u = l3.node GROUP BY 1),
+         m2 AS (SELECT CAST(count(*) * 2 AS BIGINT) AS deg_total FROM e2)
+         SELECT CAST(vol.lbl AS BIGINT) AS lbl, n_nodes, vol,
+           COALESCE(internal, 0) AS internal, COALESCE(cut.cut, 0) AS cut,
+           CASE WHEN least(vol, deg_total - vol) = 0 THEN CAST(0 AS BIGINT)
+                ELSE COALESCE(cut.cut, 0) * 1000000
+                  // least(vol, deg_total - vol) END AS conduct_ppm
+         FROM vol LEFT JOIN cut ON cut.lbl = vol.lbl
+         LEFT JOIN intr ON intr.lbl = vol.lbl CROSS JOIN m2
+         ORDER BY lbl"""
+    },
+    // brute-force NN per point, milli-floored sqrt, bbox extent
+    "geo_clark_evans" ->
+      """WITH pts AS (SELECT c_custkey AS pid, (c_custkey * 7) % 1201 AS x,
+           (c_custkey * 13) % 1009 AS y
+           FROM customer WHERE c_custkey <= 500),
+         nn AS (SELECT a.pid,
+             min((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+               AS nn_d2
+           FROM pts a JOIN pts b ON b.pid <> a.pid GROUP BY 1),
+         q AS (SELECT pid, nn_d2,
+             CAST(floor(sqrt(CAST(nn_d2 AS DOUBLE)) * 1000.0) AS BIGINT)
+               AS nn_d_milli FROM nn),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(nn_d_milli) AS BIGINT) AS sum_nn_d_milli,
+             CAST(min(nn_d2) AS BIGINT) AS min_nn_d2,
+             CAST(max(nn_d2) AS BIGINT) AS max_nn_d2 FROM q),
+         bb AS (SELECT CAST(max(x) - min(x) AS BIGINT) AS extent_x,
+             CAST(max(y) - min(y) AS BIGINT) AS extent_y FROM pts)
+         SELECT n, sum_nn_d_milli, min_nn_d2, max_nn_d2, extent_x,
+           extent_y
+         FROM agg, bb""",
     // closed-form level CDFs for both epochs, min-m mapping
     "img_hist_match" -> {
       val va = gridV("c.range", "r.range")
