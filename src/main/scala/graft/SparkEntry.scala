@@ -3795,6 +3795,63 @@ object SparkEntry {
         cents, cbs, nProbe = 2, shortlist = 50, topK = 5)
         .orderBy("qid", "rank")
     }),
+    // Distance-to-centroid OOD gate on the TRAINED coarse quantizer:
+    // per centroid the nearest-rank median micro-distance and how many
+    // members exceed 2× it — the embedding-drift / outlier read an index
+    // build monitors per cell.
+    "ann_ood_flags" -> ((s, dir) => {
+      import graft.functions.vectors.vec_dist2
+      val (cents, _) = trainedKmeans(s, dir)
+      val dists = cents.indices.map { c =>
+        struct(vec_dist2(col("v"), typedLit(cents(c).toSeq)).as("d2"),
+          lit(c).as("c"))
+      }
+      val asg = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("long"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("best", least(dists: _*))
+        .select(col("vec_id"), col("best").getField("c").as("centroid"),
+          floor(col("best").getField("d2") * lit(1000000.0)).cast("long")
+            .as("d2q"))
+      val w = Window.partitionBy("centroid").orderBy("d2q", "vec_id")
+      val wp = Window.partitionBy("centroid")
+      val med = asg.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wp))
+        .filter(col("rn") === expr("(n + 1) DIV 2"))
+        .select(col("centroid"), col("d2q").as("med_d2q"))
+      asg.join(med, Seq("centroid"))
+        .groupBy("centroid")
+        .agg(count(lit(1)).as("n"), max("med_d2q").as("med_d2q"),
+          sum(when(col("d2q") > col("med_d2q") * 2, 1L).otherwise(0L))
+            .as("n_flagged"))
+        .orderBy("centroid")
+    }),
+    // Top-k token coverage curve: what share of all corpus tokens the
+    // top 10/50/100/500 words carry — the head-heaviness read that sizes
+    // stopword lists and vocabulary truncations.
+    "text_coverage_curve" -> ((s, dir) => {
+      val f = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      val ranked = f.withColumn("rank", row_number().over(
+          Window.orderBy(col("freq").desc, col("w"))).cast("int"))
+        .withColumn("cum_freq", sum("freq").over(
+          Window.orderBy(col("freq").desc, col("w"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = f.agg(sum("freq").as("total_freq"))
+      ranked.filter(col("rank").isin(10, 50, 100, 500))
+        .crossJoin(broadcast(tot))
+        .withColumn("coverage_ppm",
+          expr("cum_freq * 1000000 DIV total_freq"))
+        .select("rank", "cum_freq", "total_freq", "coverage_ppm")
+        .orderBy("rank")
+    }),
+    // DC-offset audit (ops.MediaOps.dcStats): exact signed sample sums —
+    // the stuck-bias ADC screen under the energy gates.
+    "media_dc_offset" -> ((s, dir) => {
+      ops.MediaOps.dcStats(ops.MediaOps.synth(mediaMeta(s, dir)))
+        .orderBy("media_id")
+    }),
     // Per-code distortion audit of the TRAINED PQ codebooks
     // (ops.Embeddings.pqDistortion): micro-floored squared error per
     // assignment — localizes the under-trained/overloaded cells behind
@@ -11740,6 +11797,61 @@ object SparkEntry {
          SELECT event_id, user_id, tus, view_event_id, vtus AS view_tus,
            vtus - tus AS near_gap
          FROM r WHERE rn = 1 ORDER BY event_id""",
+    // trained coarse assignment (min d2, low-c ties), micro floor,
+    // nearest-rank median, 2× flags
+    "ann_ood_flags" ->
+      s"""WITH ${kmeansTrainCtes(8, 3)},
+         cd AS (SELECT vec_id, c, list_reduce(list_prepend(0.0,
+             list_transform(range(0,64),
+               d -> (v[d+1]-cl[d+1])*(v[d+1]-cl[d+1]))), (p,q) -> p + q) AS d2
+           FROM vv, cents3),
+         ca AS (SELECT vec_id, c AS centroid,
+             CAST(floor(d2 * 1000000.0) AS BIGINT) AS d2q FROM (
+             SELECT vec_id, c, d2, row_number() OVER (PARTITION BY vec_id
+               ORDER BY d2, c) AS rn FROM cd) q WHERE rn = 1),
+         r AS (SELECT centroid, d2q, vec_id, row_number() OVER (
+             PARTITION BY centroid ORDER BY d2q, vec_id) AS rn,
+             count(*) OVER (PARTITION BY centroid) AS n FROM ca),
+         med AS (SELECT centroid, d2q AS med_d2q FROM r
+           WHERE rn = (n + 1) // 2)
+         SELECT CAST(ca.centroid AS INT) AS centroid,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(max(med.med_d2q) AS BIGINT) AS med_d2q,
+           CAST(sum(CASE WHEN ca.d2q > med.med_d2q * 2 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_flagged
+         FROM ca JOIN med ON med.centroid = ca.centroid
+         GROUP BY 1 ORDER BY centroid""",
+    // global rank + running coverage at the four head sizes
+    "text_coverage_curve" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
+           FROM documents),
+         f AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
+           FROM w GROUP BY 1),
+         r AS (SELECT w, freq, CAST(row_number() OVER (
+             ORDER BY freq DESC, w) AS INT) AS rank,
+             CAST(sum(freq) OVER (ORDER BY freq DESC, w
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_freq
+           FROM f),
+         t AS (SELECT CAST(sum(freq) AS BIGINT) AS total_freq FROM f)
+         SELECT rank, cum_freq, total_freq,
+           cum_freq * 1000000 // total_freq AS coverage_ppm
+         FROM r, t WHERE rank IN (10, 50, 100, 500) ORDER BY rank""",
+    // signed closed-form sample sums per asset
+    "media_dc_offset" ->
+      """WITH m AS (SELECT s_suppkey AS media_id,
+           4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),
+         s AS (SELECT media_id, n_bytes,
+             CAST(list_sum(list_transform(range(0, n_bytes),
+               k -> ((media_id*31 + k*7) % 256) - 128)) AS BIGINT) AS sum_v,
+             CAST(list_min(list_transform(range(0, n_bytes),
+               k -> ((media_id*31 + k*7) % 256) - 128)) AS BIGINT) AS min_v,
+             CAST(list_max(list_transform(range(0, n_bytes),
+               k -> ((media_id*31 + k*7) % 256) - 128)) AS BIGINT) AS max_v
+           FROM m)
+         SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(n_bytes AS BIGINT) AS n_samp, sum_v, min_v, max_v
+         FROM s ORDER BY media_id""",
     // trained-codebook assignment with d2 carried, micro-floored per vector
     "ann_pq_distortion" ->
       s"""WITH ${kmeansTrainCtes(8, 3)}, ${pqTrainCtes(8, 16, 3)},

@@ -320,4 +320,31 @@ object MediaOps {
       }
     }.toDF()
   }
+
+  final case class DcRow(media_id: Long, n_samp: Long, sum_v: Long,
+                         min_v: Long, max_v: Long)
+
+  /** DC-offset audit — the broken-ADC/bias screen: per asset the exact
+    * signed sample sum (a healthy centered signal sums near 0; a stuck
+    * bias shifts it by n·offset), plus the range. Decode-once, one row
+    * per asset; mean = sum/n is the consumer's division.
+    */
+  def dcStats(media: Dataset[MediaRow]): DataFrame = {
+    implicit val enc = Encoders.product[DcRow]
+    media.mapPartitions { it =>
+      it.map { m =>
+        var s = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+        var i = 0
+        while (i < m.bytes.length) {
+          val v = ((m.bytes(i) & 0xff) - 128).toLong
+          s += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i += 1
+        }
+        if (m.bytes.length == 0) { mn = 0L; mx = 0L }
+        DcRow(m.media_id, m.bytes.length.toLong, s, mn, mx)
+      }
+    }.toDF()
+  }
 }
