@@ -5748,6 +5748,61 @@ object SparkEntry {
         .withColumn("visible", col("n_above") === 0L)
         .orderBy("ca", "cb")
     }),
+    // Box-counting census at dyadic scales (ops.ImageOps.boxCount): the
+    // fractal-dimension input over the ≥3600 mask — occupied boxes per
+    // scale, partial edge boxes exact; decode-once, 5 rows per image.
+    "img_boxcount" -> ((s, dir) => {
+      ops.ImageOps.boxCount(gateTiles(s, "png"), thr = 3600,
+          scales = Seq(1, 2, 4, 8, 16))
+        .orderBy("image_id", "scale")
+    }),
+    // Daily activity-centroid drift: per day the exact integer centroid
+    // (milli-floored) of all walk fixes and its squared day-over-day
+    // displacement — the range-shift read over geo_mann_kendall's per-cell
+    // trends. One day rollup + one lag window.
+    "geo_centroid_drift" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pts = t(s, dir, "events").filter(col("user_id") < 50)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          ((col("event_id") % 7) +
+            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
+          ((col("event_id") * 3) % 5).as("dy"))
+        .withColumn("px", sum("dx").over(w))
+        .withColumn("py", sum("dy").over(w))
+      val daily = pts.groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), sum("px").as("sx"), sum("py").as("sy"))
+        .withColumn("cx_milli", expr("sx * 1000 DIV n"))
+        .withColumn("cy_milli", expr("sy * 1000 DIV n"))
+      val wd = Window.orderBy("day")
+      daily.withColumn("pcx", lag("cx_milli", 1).over(wd))
+        .withColumn("pcy", lag("cy_milli", 1).over(wd))
+        .withColumn("drift_d2_milli", expr(
+          "CASE WHEN pcx IS NULL THEN NULL ELSE " +
+            "(cx_milli - pcx) * (cx_milli - pcx) + " +
+            "(cy_milli - pcy) * (cy_milli - pcy) END"))
+        .select("day", "n", "cx_milli", "cy_milli", "drift_d2_milli")
+        .orderBy("day")
+    }),
+    // Degree-inequality Gini pieces: ranked-degree weighted sums — is
+    // attention concentrated in hubs? The events_gini read on graph
+    // structure; one rank window over |V| rows.
+    "graph_degree_gini" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 7 === 0)
+        .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
+      val und = edges.filter(col("src") =!= col("dst"))
+        .selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+        .distinct()
+      val deg = und.selectExpr("a AS u").unionAll(und.selectExpr("b AS u"))
+        .groupBy("u").agg(count(lit(1)).as("d"))
+      val ranked = deg.withColumn("i", row_number().over(
+        Window.orderBy(col("d"), col("u"))).cast("long"))
+      ranked.agg(count(lit(1)).as("n"), sum("d").as("sum_d"),
+          sum(expr("(2 * i - 1) * d")).as("wsum"))
+        .withColumn("gini_num", expr("wsum - n * sum_d"))
+        .withColumn("gini_den", expr("n * sum_d"))
+        .withColumn("gini_milli", expr("gini_num * 1000 DIV gini_den"))
+    }),
     // East horizon angle per observer on the row-300 profile: argmax of
     // the positive-offset floored elevation/distance ratio (the solar /
     // radio horizon read; quantization makes the rational argmax an
@@ -12664,6 +12719,67 @@ object SparkEntry {
            CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
            sum(CASE WHEN above THEN 1 ELSE 0 END) = 0 AS visible
          FROM bet GROUP BY 1, 2, 3, 4 ORDER BY ca, cb""",
+    // mask boxes per scale via index-division distinct counts
+    "img_boxcount" -> {
+      val v = gridV("c.range", "r.range")
+      val branches = Seq(1, 2, 4, 8, 16).map { sc =>
+        s"""SELECT swlng, swlat, $sc AS scale,
+            CAST(count(DISTINCT (r.range // $sc) * 1000 + (c.range // $sc)) AS BIGINT) AS n_boxes,
+            CAST(${((600 + sc - 1) / sc).toLong * ((600 + sc - 1) / sc)} AS BIGINT) AS n_total
+          FROM k, range(0,600) r, range(0,600) c
+          WHERE ($v) >= 3600 GROUP BY 1, 2"""
+      }.mkString("\n         UNION ALL ")
+      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         k AS (SELECT swlng, swlat,
+             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
+         u AS ($branches)
+         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           CAST(scale AS INT) AS scale, n_boxes, n_total
+         FROM u ORDER BY image_id, scale"""
+    },
+    // the walk cumsum, day rollup (day CAST to TIMESTAMP), lag drift
+    "geo_centroid_drift" ->
+      """WITH b AS (SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us,
+           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
+           (event_id * 3) % 5 AS dy
+           FROM events WHERE user_id < 50),
+         c AS (SELECT ts, CAST(sum(dx) OVER w AS BIGINT) AS px,
+           CAST(sum(dy) OVER w AS BIGINT) AS py
+           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(count(*) AS BIGINT) AS n, CAST(sum(px) AS BIGINT) AS sx,
+             CAST(sum(py) AS BIGINT) AS sy
+           FROM c GROUP BY 1),
+         e AS (SELECT day, n, sx * 1000 // n AS cx_milli,
+             sy * 1000 // n AS cy_milli FROM d),
+         f AS (SELECT day, n, cx_milli, cy_milli,
+             lag(cx_milli) OVER (ORDER BY day) AS pcx,
+             lag(cy_milli) OVER (ORDER BY day) AS pcy FROM e)
+         SELECT day, n, cx_milli, cy_milli,
+           CASE WHEN pcx IS NULL THEN NULL
+                ELSE (cx_milli - pcx) * (cx_milli - pcx)
+                   + (cy_milli - pcy) * (cy_milli - pcy) END AS drift_d2_milli
+         FROM f ORDER BY day""",
+    // asc-ranked degrees, exact Gini pieces
+    "graph_degree_gini" ->
+      """WITH e AS (SELECT DISTINCT
+           GREATEST(l_suppkey % 500, l_partkey % 500) AS b,
+           LEAST(l_suppkey % 500, l_partkey % 500) AS a
+           FROM lineitem WHERE l_orderkey % 7 = 0
+             AND l_suppkey % 500 <> l_partkey % 500),
+         sym AS (SELECT a AS u FROM e UNION ALL SELECT b FROM e),
+         deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d
+           FROM sym GROUP BY 1),
+         r AS (SELECT u, d, CAST(row_number() OVER (ORDER BY d, u)
+             AS BIGINT) AS i FROM deg),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(d) AS BIGINT) AS sum_d,
+             CAST(sum((2 * i - 1) * d) AS BIGINT) AS wsum FROM r)
+         SELECT n, sum_d, wsum, wsum - n * sum_d AS gini_num,
+           n * sum_d AS gini_den,
+           (wsum - n * sum_d) * 1000 // (n * sum_d) AS gini_milli
+         FROM a""",
     // row-300 profile, positive-offset floored angle argmax
     "geo_horizon_angle" ->
       s"""WITH k AS (SELECT ((-120+180)*7 + (36+90)*11) % 1000 AS a),

@@ -2486,6 +2486,46 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class BoxCountRow(image_id: String, scale: Int,
+                               n_boxes: Long, n_total: Long)
+
+  /** Box-counting census of the ≥ `thr` mask at dyadic scales — the
+    * fractal-dimension input (the log-log slope is the consumer's fit;
+    * the engine ships exact occupied-box counts): a box of side s is
+    * occupied iff ANY pixel in it is high. Partial edge boxes count
+    * (box = index division), so non-divisible scales stay exact.
+    * Decode-once, |scales| rows per image.
+    */
+  def boxCount(tiles: Dataset[TileRow], thr: Int,
+               scales: Seq[Int]): DataFrame = {
+    require(scales.nonEmpty && scales.forall(_ >= 1), s"bad scales: $scales")
+    implicit val enc = Encoders.product[BoxCountRow]
+    tiles.mapPartitions { it =>
+      it.flatMap { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val ext = 600 min (size - size % 8)
+        scales.iterator.map { sc =>
+          val nb = (ext + sc - 1) / sc
+          val occ = new Array[Boolean](nb * nb)
+          var r = 0
+          while (r < ext) {
+            var c = 0
+            while (c < ext) {
+              if (d.samples(r * size + c) >= thr)
+                occ((r / sc) * nb + c / sc) = true
+              c += 1
+            }
+            r += 1
+          }
+          var n = 0L; var i = 0
+          while (i < occ.length) { if (occ(i)) n += 1; i += 1 }
+          BoxCountRow(tl.image_id, sc, n, nb.toLong * nb)
+        }
+      }
+    }.toDF()
+  }
+
   /** One raster row as (image_id, c, v) rows — the 1-D terrain profile
     * feeding chord/visibility analytics. Decode-once.
     */
