@@ -5748,6 +5748,71 @@ object SparkEntry {
         .withColumn("visible", col("n_above") === 0L)
         .orderBy("ca", "cb")
     }),
+    // Cluster purity against the PLANTED duplicate truth (variant ids are
+    // base + 100000/200000, so base = doc_id % 100000 is ground truth):
+    // per MinHash CC cluster the majority-base share — the
+    // dedup-clustering precision eval above dedup_minhash_recall's pair
+    // recall.
+    "dedup_cluster_purity" -> ((s, dir) => {
+      val corpus = dedupCorpus(s, dir)
+      val edges = ops.TextDedup.minhashPairs(corpus)
+      val cc = ops.TextDedup.connectedComponentsStar(edges,
+        corpus.select("doc_id"))
+      val lab = cc.withColumn("base", col("doc_id") % 100000)
+      val sz = lab.groupBy("comp").agg(count(lit(1)).as("size"))
+      val maj = lab.groupBy("comp", "base").agg(count(lit(1)).as("k"))
+        .withColumn("rn", row_number().over(Window.partitionBy("comp")
+          .orderBy(col("k").desc, col("base"))))
+        .filter(col("rn") === 1)
+        .select(col("comp"), col("base").as("maj_base"),
+          col("k").as("maj_k"))
+      sz.join(maj, Seq("comp")).filter(col("size") >= 2)
+        .withColumn("purity_ppm", expr("maj_k * 1000000 DIV size"))
+        .orderBy("comp")
+    }),
+    // Small-world pieces: global transitivity 3Δ/wedges (exact ppm) +
+    // truncated average path length from the sampled BFS — the two
+    // numbers whose ratio-vs-random defines the small-world index;
+    // composed from the motif census and BFS profile primitives.
+    "graph_small_world" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 7 === 0)
+        .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
+      val mot = ops.Graph.motifCensus(edges)
+        .select("n_edges", "wedges", "n_triangles")
+      val path = ops.Graph.bfsProfile(edges, Seq(0L, 1L, 2L), rounds = 4)
+        .filter(col("dist") > 0)
+        .agg(sum(expr("dist * n_nodes")).as("sum_dist"),
+          sum("n_nodes").as("n_reached"))
+      mot.crossJoin(path)
+        .withColumn("transitivity_ppm",
+          expr("3 * n_triangles * 1000000 DIV wedges"))
+        .withColumn("avg_path_milli",
+          expr("sum_dist * 1000 DIV n_reached"))
+    }),
+    // Median-threshold mask sensitivity: foreground counts at the median
+    // level ±1 — how much the mask moves per threshold step (the
+    // robustness read behind any fixed-threshold mask op).
+    "img_mask_sensitivity" -> ((s, dir) => {
+      val h = ops.ImageOps.levelHistogram(gateTiles(s, "png"))
+      val wc = Window.partitionBy("image_id").orderBy("level")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = h.groupBy("image_id").agg(sum("n").as("n_px"))
+      val med = h.withColumn("cum", sum("n").over(wc))
+        .join(tot, Seq("image_id"))
+        .filter(col("cum") >= expr("(n_px + 1) DIV 2"))
+        .groupBy("image_id", "n_px").agg(min("level").as("med_level"))
+      h.join(med, Seq("image_id"))
+        .groupBy("image_id", "n_px", "med_level")
+        .agg(sum(when(col("level") > col("med_level") - 1, col("n"))
+            .otherwise(0L)).as("fg_lo"),
+          sum(when(col("level") > col("med_level"), col("n"))
+            .otherwise(0L)).as("fg_mid"),
+          sum(when(col("level") > col("med_level") + 1, col("n"))
+            .otherwise(0L)).as("fg_hi"))
+        .withColumn("band_px", expr("fg_lo - fg_hi"))
+        .orderBy("image_id")
+    }),
     // Box-counting census at dyadic scales (ops.ImageOps.boxCount): the
     // fractal-dimension input over the ≥3600 mask — occupied boxes per
     // scale, partial edge boxes exact; decode-once, 5 rows per image.
@@ -12719,6 +12784,100 @@ object SparkEntry {
            CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
            sum(CASE WHEN above THEN 1 ELSE 0 END) = 0 AS visible
          FROM bet GROUP BY 1, 2, 3, 4 ORDER BY ca, cb""",
+    // the reach-CC cluster map + planted-base purity rollup
+    "dedup_cluster_purity" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         edges AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM banded a JOIN banded b ON a.band_id = b.band_id
+             AND a.band_key = b.band_key
+           WHERE a.doc_id < b.doc_id),
+         reach(doc, other) AS (
+           SELECT doc_id, doc_id FROM corpus
+           UNION
+           SELECT r.doc, CASE WHEN e.doc_a = r.other THEN e.doc_b
+             ELSE e.doc_a END
+           FROM reach r JOIN edges e ON e.doc_a = r.other
+             OR e.doc_b = r.other),
+         cmp AS (SELECT doc AS doc_id, min(other) AS comp
+           FROM reach GROUP BY doc),
+         lab AS (SELECT doc_id, comp, doc_id % 100000 AS base FROM cmp),
+         sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS size
+           FROM lab GROUP BY 1),
+         maj AS (SELECT comp, base AS maj_base, k AS maj_k FROM (
+             SELECT comp, base, CAST(count(*) AS BIGINT) AS k,
+               row_number() OVER (PARTITION BY comp
+                 ORDER BY count(*) DESC, base) AS rn
+             FROM lab GROUP BY comp, base) q WHERE rn = 1)
+         SELECT sz.comp, size, maj_base, maj_k,
+           maj_k * 1000000 // size AS purity_ppm
+         FROM sz JOIN maj ON maj.comp = sz.comp WHERE size >= 2
+         ORDER BY sz.comp""",
+    // motif closed forms + BFS rounds, composed pieces
+    "graph_small_world" -> {
+      val fwd = (1 to 4).map { k =>
+        s"""add$k AS (SELECT DISTINCT p.src, s.v AS node, $k AS dist
+            FROM st${k - 1} p JOIN sym s ON s.u = p.node
+            WHERE p.dist = ${k - 1} AND NOT EXISTS (SELECT 1 FROM st${k - 1} x
+              WHERE x.src = p.src AND x.node = s.v)),
+           st$k AS (SELECT * FROM st${k - 1} UNION ALL SELECT * FROM add$k)"""
+      }.mkString(",\n         ")
+      s"""WITH e AS (SELECT DISTINCT
+           GREATEST(l_suppkey % 500, l_partkey % 500) AS b,
+           LEAST(l_suppkey % 500, l_partkey % 500) AS a
+           FROM lineitem WHERE l_orderkey % 7 = 0
+             AND l_suppkey % 500 <> l_partkey % 500),
+         symn AS (SELECT a AS u FROM e UNION ALL SELECT b FROM e),
+         deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d
+           FROM symn GROUP BY 1),
+         base AS (SELECT CAST(sum(d*(d-1)//2) AS BIGINT) AS wedges
+           FROM deg),
+         ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+         tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+           FROM e e1 JOIN e e2 ON e2.a = e1.b
+           JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         sym AS (SELECT a AS u, b AS v FROM e
+           UNION ALL SELECT b, a FROM e),
+         st0 AS (SELECT src, src AS node, 0 AS dist
+           FROM (VALUES (CAST(0 AS BIGINT)), (1), (2)) s(src)),
+         $fwd,
+         pth AS (SELECT CAST(sum(dist * 1) AS BIGINT) AS sum_dist,
+             CAST(count(*) AS BIGINT) AS n_reached
+           FROM st4 WHERE dist > 0)
+         SELECT n_edges, wedges, n_triangles, sum_dist, n_reached,
+           3 * n_triangles * 1000000 // wedges AS transitivity_ppm,
+           sum_dist * 1000 // n_reached AS avg_path_milli
+         FROM ne, base, tri, pth"""
+    },
+    // clamped level histogram, weighted median, ±1 foreground counts
+    "img_mask_sensitivity" -> {
+      val v = gridV("c.range", "r.range")
+      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         k AS (SELECT swlng, swlat,
+             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
+         h AS (SELECT swlng, swlat,
+             CAST(greatest(0, least(63, ($v) // 64)) AS INT) AS level,
+             CAST(count(*) AS BIGINT) AS n
+           FROM k, range(0,601) r, range(0,601) c GROUP BY 1, 2, 3),
+         tot AS (SELECT swlng, swlat, CAST(sum(n) AS BIGINT) AS n_px
+           FROM h GROUP BY 1, 2),
+         cum AS (SELECT h.swlng, h.swlat, level, n, n_px,
+             CAST(sum(n) OVER (PARTITION BY h.swlng, h.swlat
+               ORDER BY level) AS BIGINT) AS cum
+           FROM h JOIN tot ON tot.swlng = h.swlng AND tot.swlat = h.swlat),
+         med AS (SELECT swlng, swlat, n_px,
+             CAST(min(level) AS INT) AS med_level
+           FROM cum WHERE cum >= (n_px + 1) // 2 GROUP BY 1, 2, 3),
+         fg AS (SELECT h.swlng, h.swlat, med.n_px, med.med_level,
+             CAST(sum(CASE WHEN level > med_level - 1 THEN n ELSE 0 END) AS BIGINT) AS fg_lo,
+             CAST(sum(CASE WHEN level > med_level THEN n ELSE 0 END) AS BIGINT) AS fg_mid,
+             CAST(sum(CASE WHEN level > med_level + 1 THEN n ELSE 0 END) AS BIGINT) AS fg_hi
+           FROM h JOIN med ON med.swlng = h.swlng AND med.swlat = h.swlat
+           GROUP BY 1, 2, 3, 4)
+         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           n_px, med_level, fg_lo, fg_mid, fg_hi, fg_lo - fg_hi AS band_px
+         FROM fg ORDER BY image_id"""
+    },
     // mask boxes per scale via index-division distinct counts
     "img_boxcount" -> {
       val v = gridV("c.range", "r.range")
