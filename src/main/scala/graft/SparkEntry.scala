@@ -5748,6 +5748,51 @@ object SparkEntry {
         .withColumn("visible", col("n_above") === 0L)
         .orderBy("ca", "cb")
     }),
+    // Illumination-tilt regression numerators (ops.ImageOps.illumTilt):
+    // exact planar least-squares pieces on the orthogonal grid regressors
+    // — the vignette/calibration read under img_sobel's local gradients.
+    "img_illum_tilt" -> ((s, dir) => {
+      ops.ImageOps.illumTilt(gateTiles(s, "png")).orderBy("image_id")
+    }),
+    // Mobility regularity: per user the distinct (cell, day) visit table,
+    // cells revisited on ≥5 distinct days as the routine share — the
+    // predictability read over traj_anchors' home/work inference.
+    "traj_regularity" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pts = t(s, dir, "events").filter(col("user_id") < 50)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          ((col("event_id") % 7) +
+            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
+          ((col("event_id") * 3) % 5).as("dy"))
+        .withColumn("px", sum("dx").over(w))
+        .withColumn("py", sum("dy").over(w))
+      val visits = pts.select(col("user_id"),
+          expr("px DIV 200").as("cell_x"), expr("py DIV 50").as("cell_y"),
+          date_trunc("day", col("ts")).as("day"))
+        .distinct()
+      val perCell = visits.groupBy("user_id", "cell_x", "cell_y")
+        .agg(count(lit(1)).as("n_days"))
+      perCell.groupBy(col("user_id").as("traj_id"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(when(col("n_days") >= 5, 1L).otherwise(0L))
+            .as("n_regular"),
+          max("n_days").as("max_cell_days"))
+        .withColumn("regularity_ppm",
+          expr("n_regular * 1000000 DIV n_cells"))
+        .orderBy("traj_id")
+    }),
+    // Codec-mix rollup off the so-far-unused codec column: assets, bytes,
+    // duration and the fps spread per codec.
+    "media_codec_mix" -> ((s, dir) => {
+      ops.MediaOps.synth(mediaMeta(s, dir))
+        .groupBy("fmt")
+        .agg(count(lit(1)).as("n_assets"),
+          sum(expr("CAST(length(bytes) AS BIGINT)")).as("total_bytes"),
+          sum("duration_ms").as("total_duration_ms"),
+          min("fps_milli").as("min_fps_milli"),
+          max("fps_milli").as("max_fps_milli"))
+        .orderBy("fmt")
+    }),
     // Cluster purity against the PLANTED duplicate truth (variant ids are
     // base + 100000/200000, so base = doc_id % 100000 is ground truth):
     // per MinHash CC cluster the majority-base share — the
@@ -12784,6 +12829,67 @@ object SparkEntry {
            CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
            sum(CASE WHEN above THEN 1 ELSE 0 END) = 0 AS visible
          FROM bet GROUP BY 1, 2, 3, 4 ORDER BY ca, cb""",
+    // closed-form moment sums with Scala-precomputed axis constants
+    "img_illum_tilt" -> {
+      val v = gridV("c.range", "r.range")
+      val n = 600L * 600L
+      val sAxis = 600L * 599L / 2L * 600L
+      val sAxis2 = 599L * 600L * 1199L / 6L * 600L
+      val varNum = n * sAxis2 - sAxis * sAxis
+      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         k AS (SELECT swlng, swlat,
+             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
+         g AS (SELECT swlng, swlat, r.range AS r, c.range AS c,
+             CAST($v AS BIGINT) AS v
+           FROM k, range(0,600) r, range(0,600) c),
+         agr AS (SELECT swlng, swlat, CAST(sum(v) AS BIGINT) AS sv,
+             CAST(sum(r * v) AS BIGINT) AS srv,
+             CAST(sum(c * v) AS BIGINT) AS scv
+           FROM g GROUP BY 1, 2)
+         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           CAST($n AS BIGINT) AS n_px, sv AS sum_v, srv, scv,
+           CAST($varNum AS BIGINT) AS var_axis_num,
+           $n * srv - $sAxis * sv AS br_num,
+           $n * scv - $sAxis * sv AS bc_num
+         FROM agr ORDER BY image_id"""
+    },
+    // distinct (cell, day) visits from the walk, routine-cell rollup
+    "traj_regularity" ->
+      """WITH b AS (SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us,
+           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
+           (event_id * 3) % 5 AS dy
+           FROM events WHERE user_id < 50),
+         c AS (SELECT user_id, ts,
+           CAST(sum(dx) OVER w AS BIGINT) AS px,
+           CAST(sum(dy) OVER w AS BIGINT) AS py
+           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         vis AS (SELECT DISTINCT user_id, px // 200 AS cell_x,
+             py // 50 AS cell_y, date_trunc('day', ts) AS day FROM c),
+         pc AS (SELECT user_id, cell_x, cell_y,
+             CAST(count(*) AS BIGINT) AS n_days
+           FROM vis GROUP BY 1, 2, 3)
+         SELECT user_id AS traj_id, CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(CASE WHEN n_days >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_regular,
+           CAST(max(n_days) AS BIGINT) AS max_cell_days,
+           CAST(sum(CASE WHEN n_days >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000 // CAST(count(*) AS BIGINT) AS regularity_ppm
+         FROM pc GROUP BY 1 ORDER BY traj_id""",
+    // the synth closed forms rolled up by codec
+    "media_codec_mix" ->
+      """WITH m AS (SELECT s_suppkey AS media_id,
+           CASE WHEN s_suppkey % 2 = 0 THEN 'v8' ELSE 'pcm' END AS fmt,
+           4096 + (s_suppkey % 7) * 512 AS n_bytes,
+           1000 + (s_suppkey % 20) * 500 AS duration_ms,
+           CASE WHEN s_suppkey % 2 = 0 THEN 24000 ELSE 30000 END AS fps_milli
+           FROM supplier)
+         SELECT fmt, CAST(count(*) AS BIGINT) AS n_assets,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(sum(duration_ms) AS BIGINT) AS total_duration_ms,
+           CAST(min(fps_milli) AS BIGINT) AS min_fps_milli,
+           CAST(max(fps_milli) AS BIGINT) AS max_fps_milli
+         FROM m GROUP BY 1 ORDER BY fmt""",
     // the reach-CC cluster map + planted-base purity rollup
     "dedup_cluster_purity" ->
       s"""WITH RECURSIVE $minhashCtes,

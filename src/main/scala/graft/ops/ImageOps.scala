@@ -2486,6 +2486,47 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class TiltRow(image_id: String, n_px: Long, sum_v: Long,
+                           srv: Long, scv: Long, var_axis_num: Long,
+                           br_num: Long, bc_num: Long)
+
+  /** Illumination-tilt audit — the planar least-squares fit v ≈ a + b·r +
+    * c·c as EXACT normal-equation numerators: on the centered square grid
+    * the r/c regressors are orthogonal with equal variance, so
+    * slope_r = br_num / var_axis_num and slope_c = bc_num / var_axis_num
+    * with br_num = n·Σrv − Σr·Σv (the one division left to the consumer).
+    * A vignette/illumination gradient shows as large |slopes|; the flat
+    * calibration read under [[sobelStats]]'s local gradients.
+    * Decode-once, one row per image.
+    */
+  def illumTilt(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[TiltRow]
+    tiles.mapPartitions { it =>
+      it.map { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val ext = 600 min (size - size % 8)
+        var sv = 0L; var srv = 0L; var scv = 0L
+        var r = 0
+        while (r < ext) {
+          var c = 0
+          while (c < ext) {
+            val v = d.samples(r * size + c).toLong
+            sv += v; srv += r * v; scv += c * v
+            c += 1
+          }
+          r += 1
+        }
+        val n = ext.toLong * ext
+        val sAxis = ext.toLong * (ext - 1) / 2 * ext // Σr over grid
+        val sAxis2 = (ext.toLong - 1) * ext * (2L * ext - 1) / 6 * ext
+        val varNum = n * sAxis2 - sAxis * sAxis
+        TiltRow(tl.image_id, n, sv, srv, scv, varNum,
+          n * srv - sAxis * sv, n * scv - sAxis * sv)
+      }
+    }.toDF()
+  }
+
   final case class BoxCountRow(image_id: String, scale: Int,
                                n_boxes: Long, n_total: Long)
 
