@@ -5748,6 +5748,52 @@ object SparkEntry {
         .withColumn("visible", col("n_above") === 0L)
         .orderBy("ca", "cb")
     }),
+    // Keystone/skew audit (ops.ImageOps.keystone): row-centroid drift
+    // slope numerators — the rectification QA next to img_deskew's
+    // projection-profile angle.
+    "img_keystone" -> ((s, dir) => {
+      ops.ImageOps.keystone(gateTiles(s, "png")).orderBy("image_id")
+    }),
+    // Duplication-rate-by-length audit: is the dedup candidate graph
+    // biased toward long documents? Docs bucketed by 20-word bands,
+    // flagged if they appear in ANY MinHash candidate pair.
+    "dedup_length_bias" -> ((s, dir) => {
+      val corpus = dedupCorpus(s, dir)
+      val pairs = ops.TextDedup.minhashPairs(corpus)
+      val duped = pairs.selectExpr("doc_a AS doc_id")
+        .union(pairs.selectExpr("doc_b AS doc_id")).distinct()
+        .withColumn("is_dup", lit(1L))
+      corpus
+        .withColumn("len_bucket",
+          expr("size(split(text, ' ')) DIV 20").cast("int"))
+        .join(duped, Seq("doc_id"), "left")
+        .groupBy("len_bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("n_duped"))
+        .withColumn("rate_ppm", expr("n_duped * 1000000 DIV n_docs"))
+        .orderBy("len_bucket")
+    }),
+    // Fade-in/out detection: the strictly-monotone energy prefix/suffix
+    // lengths over the 128-sample windows — the ramp QA of an audio
+    // mastering check; one lag/lead window per asset.
+    "media_fades" -> ((s, dir) => {
+      val wseq = ops.MediaOps.windowSquares(
+        ops.MediaOps.synth(mediaMeta(s, dir)), winLen = 128)
+      val w = Window.partitionBy("media_id").orderBy("win_no")
+      wseq.withColumn("prev", lag("sq_sum", 1).over(w))
+        .withColumn("nxt", lead("sq_sum", 1).over(w))
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_win"),
+          min(when(col("prev").isNotNull &&
+            col("sq_sum") <= col("prev"), col("win_no"))).as("fi"),
+          max(when(col("nxt").isNotNull &&
+            col("sq_sum") <= col("nxt"), col("win_no"))).as("fo"))
+        .withColumn("fadein_wins", expr("coalesce(fi, n_win)"))
+        .withColumn("fadeout_wins",
+          expr("CASE WHEN fo IS NULL THEN n_win ELSE n_win - 1 - fo END"))
+        .select("media_id", "n_win", "fadein_wins", "fadeout_wins")
+        .orderBy("media_id")
+    }),
     // Illumination-tilt regression numerators (ops.ImageOps.illumTilt):
     // exact planar least-squares pieces on the orthogonal grid regressors
     // — the vignette/calibration read under img_sobel's local gradients.
@@ -12829,6 +12875,77 @@ object SparkEntry {
            CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
            sum(CASE WHEN above THEN 1 ELSE 0 END) = 0 AS visible
          FROM bet GROUP BY 1, 2, 3, 4 ORDER BY ca, cb""",
+    // per-row centroid from the closed form, regression pieces
+    "img_keystone" -> {
+      val v = gridV("c.range", "r.range")
+      val n = 600L
+      val sr = n * (n - 1) / 2
+      val sr2 = (n - 1) * n * (2 * n - 1) / 6
+      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
+         k AS (SELECT swlng, swlat,
+             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
+         rows_ AS (SELECT swlng, swlat, r.range AS r,
+             CAST(sum($v) AS BIGINT) AS rs,
+             CAST(sum(c.range * ($v)) AS BIGINT) AS rcs
+           FROM k, range(0,600) r, range(0,600) c GROUP BY 1, 2, 3),
+         cent AS (SELECT swlng, swlat, r,
+             CASE WHEN rs = 0 THEN CAST(0 AS BIGINT)
+                  ELSE rcs * 1000 // rs END AS cent
+           FROM rows_),
+         agr AS (SELECT swlng, swlat,
+             CAST(sum(cent) AS BIGINT) AS sum_cent_milli,
+             CAST(sum(r * cent) AS BIGINT) AS src
+           FROM cent GROUP BY 1, 2)
+         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
+             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
+           CAST($n AS BIGINT) AS n_rows, sum_cent_milli,
+           $n * src - $sr * sum_cent_milli AS slope_num,
+           CAST(${n * sr2 - sr * sr} AS BIGINT) AS var_axis_num
+         FROM agr ORDER BY image_id"""
+    },
+    // banded candidate membership flag, 20-word buckets
+    "dedup_length_bias" ->
+      s"""WITH $minhashCtes,
+         edges AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM banded a JOIN banded b ON a.band_id = b.band_id
+             AND a.band_key = b.band_key
+           WHERE a.doc_id < b.doc_id),
+         duped AS (SELECT DISTINCT doc FROM (
+             SELECT doc_a AS doc FROM edges
+             UNION ALL SELECT doc_b FROM edges) u),
+         lb AS (SELECT corpus.doc_id,
+             CAST(len(string_split(text, ' ')) // 20 AS INT) AS len_bucket,
+             CASE WHEN duped.doc IS NULL THEN 0 ELSE 1 END AS is_dup
+           FROM corpus LEFT JOIN duped ON duped.doc = corpus.doc_id)
+         SELECT len_bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(is_dup) AS BIGINT) AS n_duped,
+           CAST(sum(is_dup) AS BIGINT) * 1000000
+             // CAST(count(*) AS BIGINT) AS rate_ppm
+         FROM lb GROUP BY 1 ORDER BY len_bucket""",
+    // window energies, monotone prefix/suffix lengths
+    "media_fades" ->
+      """WITH m AS (SELECT s_suppkey AS media_id,
+           4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),
+         w AS (SELECT media_id, unnest(range(0, n_bytes // 128)) AS win_no FROM m),
+         sq AS (SELECT media_id, win_no,
+             CAST(list_sum(list_transform(range(0,128),
+               i -> (((media_id*31 + (win_no*128+i)*7) % 256) - 128)
+                  * (((media_id*31 + (win_no*128+i)*7) % 256) - 128))) AS BIGINT) AS sq_sum
+           FROM w),
+         l AS (SELECT media_id, win_no, sq_sum,
+             lag(sq_sum) OVER pw AS prev, lead(sq_sum) OVER pw AS nxt
+           FROM sq WINDOW pw AS (PARTITION BY media_id ORDER BY win_no)),
+         a AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_win,
+             CAST(min(CASE WHEN prev IS NOT NULL AND sq_sum <= prev
+               THEN win_no END) AS BIGINT) AS fi,
+             CAST(max(CASE WHEN nxt IS NOT NULL AND sq_sum <= nxt
+               THEN win_no END) AS BIGINT) AS fo
+           FROM l GROUP BY 1)
+         SELECT CAST(media_id AS BIGINT) AS media_id, n_win,
+           COALESCE(fi, n_win) AS fadein_wins,
+           CASE WHEN fo IS NULL THEN n_win ELSE n_win - 1 - fo END
+             AS fadeout_wins
+         FROM a ORDER BY media_id""",
     // closed-form moment sums with Scala-precomputed axis constants
     "img_illum_tilt" -> {
       val v = gridV("c.range", "r.range")

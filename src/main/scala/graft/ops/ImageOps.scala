@@ -2486,6 +2486,47 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class KeystoneRow(image_id: String, n_rows: Long,
+                               sum_cent_milli: Long, slope_num: Long,
+                               var_axis_num: Long)
+
+  /** Keystone/skew audit: per row the milli-floored mass centroid column
+    * Σc·v/Σv, then the exact least-squares slope numerator of centroid vs
+    * row index — a rectified image fits slope ≈ 0; perspective keystone
+    * or shear drifts it linearly. The 1-D projective cousin of
+    * [[illumTilt]]; one division (slope_num/var_axis_num) left to the
+    * consumer. Decode-once, one row per image.
+    */
+  def keystone(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[KeystoneRow]
+    tiles.mapPartitions { it =>
+      it.map { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val ext = 600 min (size - size % 8)
+        var sumCent = 0L; var sumRCent = 0L
+        var r = 0
+        while (r < ext) {
+          var rs = 0L; var rcs = 0L
+          var c = 0
+          while (c < ext) {
+            val v = d.samples(r * size + c).toLong
+            rs += v; rcs += c * v
+            c += 1
+          }
+          val cent = if (rs == 0L) 0L else rcs * 1000L / rs
+          sumCent += cent; sumRCent += r * cent
+          r += 1
+        }
+        val n = ext.toLong
+        val sr = n * (n - 1) / 2
+        val sr2 = (n - 1) * n * (2 * n - 1) / 6
+        KeystoneRow(tl.image_id, n, sumCent,
+          n * sumRCent - sr * sumCent, n * sr2 - sr * sr)
+      }
+    }.toDF()
+  }
+
   final case class TiltRow(image_id: String, n_px: Long, sum_v: Long,
                            srv: Long, scv: Long, var_axis_num: Long,
                            br_num: Long, bc_num: Long)
