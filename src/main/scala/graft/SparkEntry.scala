@@ -4699,6 +4699,76 @@ object SparkEntry {
           max("ppm").as("max_ppm"))
         .orderBy("bucket")
     }),
+    // Coverage-redundancy histogram: per walk fix how many of the literal
+    // sectors cover it, histogrammed — the single-point-of-failure read
+    // over geo_sector_cover's per-antenna counts.
+    "geo_cover_redundancy" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pts = t(s, dir, "events").filter(col("user_id") < 50)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          ((col("event_id") % 7) +
+            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
+          ((col("event_id") * 3) % 5).as("dy"))
+        .withColumn("px", sum("dx").over(w))
+        .withColumn("py", sum("dy").over(w))
+        .withColumn("fix_id",
+          expr("user_id * 1000000 + event_id"))
+      val ants = s.createDataFrame(sectorAntennas)
+        .toDF("antenna_id", "cx", "cy", "d1x", "d1y", "d2x", "d2y", "r2")
+      pts.crossJoin(broadcast(ants))
+        .withColumn("vx", col("px") - col("cx"))
+        .withColumn("vy", col("py") - col("cy"))
+        .withColumn("inside",
+          expr("d1x * vy - d1y * vx >= 0 AND vx * d2y - vy * d2x >= 0 " +
+            "AND vx * vx + vy * vy <= r2"))
+        .groupBy("fix_id")
+        .agg(sum(when(col("inside"), 1L).otherwise(0L)).as("n_covering"))
+        .groupBy("n_covering").agg(count(lit(1)).as("n_fixes"))
+        .orderBy("n_covering")
+    }),
+    // Two-NN ratio histogram (Facco et al. intrinsic-dimension input):
+    // per vector the 1st/2nd neighbour squared-distance ratio ×1000
+    // (floored), bucketed — flat near 1000 means high intrinsic
+    // dimension; the manifold-dimension read over ann_dim_variance's
+    // axis view.
+    "ann_twonn_ratio_hist" -> ((s, dir) => {
+      val q = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("long"),
+          expr("transform(embedding, " +
+            "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))")
+            .as("eq"))
+      val pairs = q.select(col("vec_id").as("aid"), col("eq").as("aeq"))
+        .join(q, col("vec_id") =!= col("aid"))
+        .withColumn("d2", aggregate(
+          zip_with(col("aeq"), col("eq"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+      val top2 = pairs.withColumn("rn", row_number().over(
+          Window.partitionBy("aid").orderBy(col("d2"), col("vec_id"))))
+        .filter(col("rn") <= 2)
+      top2.groupBy("aid")
+        .agg(min(when(col("rn") === 1, col("d2"))).as("d1"),
+          min(when(col("rn") === 2, col("d2"))).as("d2n"))
+        .filter(col("d1") > 0)
+        .withColumn("ratio_q", expr("d2n * 1000 DIV d1"))
+        .withColumn("bucket", expr("least(ratio_q DIV 250, 20)").cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_vecs"), min("ratio_q").as("min_ratio_q"),
+          max("ratio_q").as("max_ratio_q"))
+        .orderBy("bucket")
+    }),
+    // Template-prefix detection: documents sharing their first-5-word
+    // prefix, groups of ≥3 — the doc-level boilerplate read above
+    // dedup_lines' per-line df.
+    "text_template_prefixes" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("array_join(slice(split(text, ' '), 1, 5), ' ')")
+            .as("prefix"))
+        .groupBy("prefix").agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("min_doc"))
+        .filter(col("n_docs") >= 3)
+        .orderBy("prefix")
+    }),
     // Fill-rule disagreement census: the same self-intersecting bowtie
     // ring under BOTH polygon fill rules — even-odd (crossing parity) vs
     // nonzero (signed winding) — per walk fix; they differ exactly on the
@@ -12188,6 +12258,61 @@ object SparkEntry {
            CAST(min(ppm) AS BIGINT) AS min_ppm,
            CAST(max(ppm) AS BIGINT) AS max_ppm
          FROM v GROUP BY 1 ORDER BY bucket""",
+    // the walk cumsum + sector VALUES, per-fix covering count histogram
+    "geo_cover_redundancy" -> {
+      val antRows = sectorAntennas.map {
+        case (id, cx, cy, d1x, d1y, d2x, d2y, r2) =>
+          s"(CAST($id AS BIGINT), $cx, $cy, $d1x, $d1y, $d2x, $d2y, $r2)"
+      }.mkString(", ")
+      s"""WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
+           (event_id * 3) % 5 AS dy
+           FROM events WHERE user_id < 50),
+         c AS (SELECT user_id * 1000000 + event_id AS fix_id,
+           CAST(sum(dx) OVER w AS BIGINT) AS px,
+           CAST(sum(dy) OVER w AS BIGINT) AS py
+           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         ant(antenna_id, cx, cy, d1x, d1y, d2x, d2y, r2) AS (VALUES $antRows),
+         m AS (SELECT fix_id,
+             CAST(sum(CASE WHEN d1x*(py-cy) - d1y*(px-cx) >= 0
+               AND (px-cx)*d2y - (py-cy)*d2x >= 0
+               AND (px-cx)*(px-cx) + (py-cy)*(py-cy) <= r2
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_covering
+           FROM c, ant GROUP BY 1)
+         SELECT n_covering, CAST(count(*) AS BIGINT) AS n_fixes
+         FROM m GROUP BY 1 ORDER BY n_covering"""
+    },
+    // exact top-2 NN distances, floored ratio, capped buckets
+    "ann_twonn_ratio_hist" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS eq
+           FROM embeddings),
+         p AS (SELECT a.vec_id AS aid, e.vec_id,
+             CAST(list_sum(list_transform(range(1,65),
+               i -> (a.eq[i] - e.eq[i]) * (a.eq[i] - e.eq[i]))) AS BIGINT) AS d2
+           FROM e a JOIN e ON e.vec_id <> a.vec_id),
+         t2 AS (SELECT aid, rn, d2 FROM (
+             SELECT aid, d2, row_number() OVER (PARTITION BY aid
+               ORDER BY d2, vec_id) AS rn FROM p) q WHERE rn <= 2),
+         r AS (SELECT aid,
+             min(CASE WHEN rn = 1 THEN d2 END) AS d1,
+             min(CASE WHEN rn = 2 THEN d2 END) AS d2n
+           FROM t2 GROUP BY 1),
+         v AS (SELECT d2n * 1000 // d1 AS ratio_q FROM r WHERE d1 > 0)
+         SELECT CAST(least(ratio_q // 250, 20) AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(min(ratio_q) AS BIGINT) AS min_ratio_q,
+           CAST(max(ratio_q) AS BIGINT) AS max_ratio_q
+         FROM v GROUP BY 1 ORDER BY bucket""",
+    // first-5-word prefixes, groups of 3+
+    "text_template_prefixes" ->
+      """WITH p AS (SELECT doc_id,
+           array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')
+             AS prefix
+           FROM documents)
+         SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc
+         FROM p GROUP BY 1 HAVING count(*) >= 3 ORDER BY prefix""",
     // the walk cumsum + the same shared crossing terms
     "geo_winding_rule" -> {
       val (upSql, dnSql) = ringCrossingsSql(bowtieRing)
