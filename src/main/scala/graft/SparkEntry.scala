@@ -4907,6 +4907,87 @@ object SparkEntry {
         .withColumn("u2_x2", expr("2 * n1 * n2 - u1_x2"))
         .orderBy("event_type")
     }),
+    // Effect-size pieces for the A/B split: per type the arm moments and
+    // the exact Cohen's-d numerators (mean-difference and pooled-variance
+    // pieces; the one sqrt+division is the consumer's) — the magnitude
+    // read next to events_ks_test/events_mannwhitney's significance.
+    "events_effect_size" -> ((s, dir) => {
+      val perUser = t(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+        .withColumn("arm", (col("user_id") % 2).cast("int"))
+      perUser.groupBy("event_type")
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 0, col("cents"))).as("s1"),
+          sum(when(col("arm") === 0, expr("cents * cents"))).as("ss1"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("arm") === 1, col("cents"))).as("s2"),
+          sum(when(col("arm") === 1, expr("cents * cents"))).as("ss2"))
+        .withColumn("mean_diff_num", expr("s1 * n2 - s2 * n1"))
+        .withColumn("var1_num", expr("n1 * ss1 - s1 * s1"))
+        .withColumn("var2_num", expr("n2 * ss2 - s2 * s2"))
+        .orderBy("event_type")
+    }),
+    // Pairwise sector co-coverage: fixes inside BOTH sectors of each
+    // antenna pair — the handover/interference matrix over
+    // geo_cover_redundancy's per-fix counts.
+    "geo_sector_overlap" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pts = t(s, dir, "events").filter(col("user_id") < 50)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          ((col("event_id") % 7) +
+            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
+          ((col("event_id") * 3) % 5).as("dy"))
+        .withColumn("px", sum("dx").over(w))
+        .withColumn("py", sum("dy").over(w))
+        .withColumn("fix_id", expr("user_id * 1000000 + event_id"))
+      val ants = s.createDataFrame(sectorAntennas)
+        .toDF("antenna_id", "cx", "cy", "d1x", "d1y", "d2x", "d2y", "r2")
+      val m = pts.crossJoin(broadcast(ants))
+        .filter(expr("d1x * (py - cy) - d1y * (px - cx) >= 0 AND " +
+          "(px - cx) * d2y - (py - cy) * d2x >= 0 AND " +
+          "(px - cx) * (px - cx) + (py - cy) * (py - cy) <= r2"))
+        .select(col("fix_id"), col("antenna_id"))
+      m.as("x").join(m.as("y"),
+          col("x.fix_id") === col("y.fix_id") &&
+            col("x.antenna_id") < col("y.antenna_id"))
+        .groupBy(col("x.antenna_id").as("ant_a"),
+          col("y.antenna_id").as("ant_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .orderBy("ant_a", "ant_b")
+    }),
+    // Per-trajectory speed quantiles: exact integer µunit/s Manhattan
+    // speeds per segment, nearest-rank p50/p95 — the mobility profile
+    // over traj_speed's binary flags.
+    "traj_speed_quantiles" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val seg = t(s, dir, "events").filter(col("user_id") < 50)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          ((col("event_id") % 7) +
+            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
+          ((col("event_id") * 3) % 5).as("dy"))
+        .withColumn("px", sum("dx").over(w))
+        .withColumn("py", sum("dy").over(w))
+        .withColumn("tus", expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+        .withColumn("ppx", lag("px", 1).over(w))
+        .withColumn("ppy", lag("py", 1).over(w))
+        .withColumn("ptus", lag("tus", 1).over(w))
+        .filter(col("ppx").isNotNull && col("tus") > col("ptus"))
+        .selectExpr("user_id AS traj_id", "event_id",
+          "(abs(px - ppx) + abs(py - ppy)) * 1000000 DIV (tus - ptus) AS speed_q")
+      val wv = Window.partitionBy("traj_id").orderBy("speed_q", "event_id")
+      val wp = Window.partitionBy("traj_id")
+      seg.withColumn("rn", row_number().over(wv).cast("long"))
+        .withColumn("n", count(lit(1)).over(wp))
+        .groupBy("traj_id")
+        .agg(max("n").as("n_seg"),
+          max(when(col("rn") === expr("(n - 1) * 50 DIV 100 + 1"),
+            col("speed_q"))).as("p50_speed_q"),
+          max(when(col("rn") === expr("(n - 1) * 95 DIV 100 + 1"),
+            col("speed_q"))).as("p95_speed_q"),
+          max("speed_q").as("max_speed_q"))
+        .orderBy("traj_id")
+    }),
     // Theil–Sen robust trend slope per event_type: median over ALL pair
     // slopes of the hourly-count series, quantized to exact ppm by
     // positive-offset floor division (slopes can be negative; Spark DIV
@@ -12438,6 +12519,81 @@ object SparkEntry {
            r1_x2 - n1 * (n1 + 1) AS u1_x2,
            2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS u2_x2
          FROM agg ORDER BY event_type""",
+    // per-user cents by arm, exact moment pieces
+    "events_effect_size" ->
+      """WITH pu AS (SELECT event_type, user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(user_id % 2 AS INT) AS arm
+           FROM events GROUP BY 1, 2),
+         a AS (SELECT event_type,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN arm = 0 THEN cents END) AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN arm = 0 THEN cents * cents END) AS BIGINT) AS ss1,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN arm = 1 THEN cents END) AS BIGINT) AS s2,
+             CAST(sum(CASE WHEN arm = 1 THEN cents * cents END) AS BIGINT) AS ss2
+           FROM pu GROUP BY 1)
+         SELECT event_type, n1, s1, ss1, n2, s2, ss2,
+           s1 * n2 - s2 * n1 AS mean_diff_num,
+           n1 * ss1 - s1 * s1 AS var1_num,
+           n2 * ss2 - s2 * s2 AS var2_num
+         FROM a ORDER BY event_type""",
+    // sector membership rows, canonical pair join
+    "geo_sector_overlap" -> {
+      val antRows = sectorAntennas.map {
+        case (id, cx, cy, d1x, d1y, d2x, d2y, r2) =>
+          s"(CAST($id AS BIGINT), $cx, $cy, $d1x, $d1y, $d2x, $d2y, $r2)"
+      }.mkString(", ")
+      s"""WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
+           (event_id * 3) % 5 AS dy
+           FROM events WHERE user_id < 50),
+         c AS (SELECT user_id * 1000000 + event_id AS fix_id,
+           CAST(sum(dx) OVER w AS BIGINT) AS px,
+           CAST(sum(dy) OVER w AS BIGINT) AS py
+           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         ant(antenna_id, cx, cy, d1x, d1y, d2x, d2y, r2) AS (VALUES $antRows),
+         m AS (SELECT fix_id, antenna_id
+           FROM c, ant
+           WHERE d1x*(py-cy) - d1y*(px-cx) >= 0
+             AND (px-cx)*d2y - (py-cy)*d2x >= 0
+             AND (px-cx)*(px-cx) + (py-cy)*(py-cy) <= r2)
+         SELECT x.antenna_id AS ant_a, y.antenna_id AS ant_b,
+           CAST(count(*) AS BIGINT) AS n_common
+         FROM m x JOIN m y ON y.fix_id = x.fix_id
+           AND x.antenna_id < y.antenna_id
+         GROUP BY 1, 2 ORDER BY ant_a, ant_b"""
+    },
+    // Manhattan µspeed per segment, nearest-rank quantiles
+    "traj_speed_quantiles" ->
+      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
+           (event_id * 3) % 5 AS dy
+           FROM events WHERE user_id < 50),
+         c0 AS (SELECT user_id, event_id, tus,
+           CAST(sum(dx) OVER w AS BIGINT) AS px,
+           CAST(sum(dy) OVER w AS BIGINT) AS py
+           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+         c AS (SELECT user_id, event_id, tus, px, py,
+           lag(px) OVER w AS ppx, lag(py) OVER w AS ppy,
+           lag(tus) OVER w AS ptus
+           FROM c0 WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+         s AS (SELECT user_id AS traj_id, event_id,
+             (abs(px - ppx) + abs(py - ppy)) * 1000000 // (tus - ptus)
+               AS speed_q
+           FROM c WHERE ppx IS NOT NULL AND tus > ptus),
+         r AS (SELECT traj_id, speed_q,
+             CAST(row_number() OVER (PARTITION BY traj_id
+               ORDER BY speed_q, event_id) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY traj_id) AS BIGINT) AS n
+           FROM s)
+         SELECT traj_id, max(n) AS n_seg,
+           max(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN speed_q END)
+             AS p50_speed_q,
+           max(CASE WHEN rn = (n - 1) * 95 // 100 + 1 THEN speed_q END)
+             AS p95_speed_q,
+           CAST(max(speed_q) AS BIGINT) AS max_speed_q
+         FROM r GROUP BY 1 ORDER BY traj_id""",
     // all pair slopes of the hourly series, positive-offset floor-division
     // ppm quantization (+10⁵·Δi then −10¹¹), nearest-rank-lower median
     "events_theil_sen" ->
