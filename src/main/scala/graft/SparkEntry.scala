@@ -4907,6 +4907,69 @@ object SparkEntry {
         .withColumn("u2_x2", expr("2 * n1 * n2 - u1_x2"))
         .orderBy("event_type")
     }),
+    // Week-over-week growth: per type the weekly counts (epoch-week,
+    // engine-neutral) with lagged growth ppm — the BI trend table above
+    // events_wau's snapshot.
+    "events_wow_growth" -> ((s, dir) => {
+      val weekly = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000) DIV 7")
+            .as("week"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("week")
+      weekly.withColumn("prev_n", lag("n", 1).over(w))
+        .withColumn("growth_ppm", expr(
+          "CASE WHEN prev_n IS NULL OR prev_n = 0 THEN NULL " +
+            "ELSE (n - prev_n) * 1000000 DIV prev_n END"))
+        .orderBy("event_type", "week")
+    }),
+    // Character-4-gram Jaccard near-dup over the part-name head vocab —
+    // the SHORT-string granularity word shingles can't reach (typo/brand
+    // variants); exact set arithmetic on the distinct vocabulary.
+    "dedup_char_ngram" -> ((s, dir) => {
+      val words = t(s, dir, "part")
+        .selectExpr("split_part(p_name, ' ', 1) AS w").distinct()
+        .filter(length(col("w")) >= 4)
+        .withColumn("grams", expr(
+          "array_distinct(transform(sequence(1, length(w) - 3), " +
+            "i -> substring(w, i, 4)))"))
+      words.select(col("w").as("wa"), col("grams").as("ga"))
+        .join(broadcast(words.select(col("w").as("wb"),
+          col("grams").as("gb"))), col("wa") < col("wb"))
+        .withColumn("i", expr("size(array_intersect(ga, gb))").cast("long"))
+        .withColumn("u",
+          expr("size(array_distinct(concat(ga, gb)))").cast("long"))
+        .filter(expr("i * 10 >= u * 4"))
+        .withColumn("jaccard_ppm", expr("i * 1000000 DIV u"))
+        .select("wa", "wb", "i", "u", "jaccard_ppm")
+        .orderBy("wa", "wb")
+    }),
+    // Residual variance after the top principal direction: total per-dim
+    // variance numerators vs the projection's (scores ÷1000 to keep every
+    // square a Long) — the "is one direction carrying the corpus"
+    // spectral read; pieces only, divisions are the consumer's.
+    "ann_pca_residual" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val v3 = ops.Embeddings.powerIteration(emb, rounds = 3, dims = 64)
+        .filter(col("rnd") === 3).select("d", "v")
+      val proj = ops.Embeddings.pcaProject(emb, v3)
+        .withColumn("p", expr("(score + 1000000000) DIV 1000 - 1000000"))
+      val pv = proj.agg(count(lit(1)).as("n"), sum("p").as("proj_s"),
+        sum(expr("p * p")).as("proj_ss"))
+      val x = emb.select(posexplode(expr("transform(embedding, " +
+          "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))"))
+          .as(Seq("d", "xq")))
+      val tv = x.groupBy("d")
+        .agg(count(lit(1)).as("nd"), sum("xq").as("s"),
+          sum(expr("xq * xq")).as("ss"))
+        .agg(sum(expr("nd * ss - s * s")).as("total_var_num"),
+          count(lit(1)).as("dims"))
+      val v2 = v3.agg(sum(expr("v * v")).as("v2"))
+      pv.crossJoin(tv).crossJoin(v2)
+        .withColumn("proj_var_num", expr("n * proj_ss - proj_s * proj_s"))
+        .select("n", "dims", "total_var_num", "v2", "proj_s", "proj_ss",
+          "proj_var_num")
+    }),
     // Effect-size pieces for the A/B split: per type the arm moments and
     // the exact Cohen's-d numerators (mean-difference and pooled-variance
     // pieces; the one sqrt+division is the consumer's) — the magnitude
@@ -12519,6 +12582,53 @@ object SparkEntry {
            r1_x2 - n1 * (n1 + 1) AS u1_x2,
            2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS u2_x2
          FROM agg ORDER BY event_type""",
+    // epoch-week counts, lagged growth
+    "events_wow_growth" ->
+      """WITH w AS (SELECT event_type,
+           (epoch_us(ts) // 86400000000) // 7 AS week,
+           CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+         l AS (SELECT event_type, week, n,
+           lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+           FROM w)
+         SELECT event_type, week, n, prev_n,
+           CASE WHEN prev_n IS NULL OR prev_n = 0 THEN NULL
+                ELSE (n - prev_n) * 1000000 // prev_n END AS growth_ppm
+         FROM l ORDER BY event_type, week""",
+    // distinct head words, char-4-gram sets, exact threshold join
+    "dedup_char_ngram" ->
+      """WITH w AS (SELECT DISTINCT split_part(p_name, ' ', 1) AS w
+           FROM part),
+         g AS (SELECT w, list_distinct(list_transform(
+             range(1, length(w) - 2), i -> substring(w, CAST(i AS INT), 4)))
+             AS grams
+           FROM w WHERE length(w) >= 4),
+         p AS (SELECT a.w AS wa, b.w AS wb,
+             CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS i,
+             CAST(len(list_distinct(list_concat(a.grams, b.grams)))
+               AS BIGINT) AS u
+           FROM g a JOIN g b ON a.w < b.w)
+         SELECT wa, wb, i, u, i * 1000000 // u AS jaccard_ppm
+         FROM p WHERE i * 10 >= u * 4 ORDER BY wa, wb""",
+    // shared power-iteration replay, offset-floored projection quanta,
+    // total/projection variance pieces
+    "ann_pca_residual" ->
+      s"""WITH ${powerIterCtes(3)},
+         proj AS (SELECT vec_id, CAST(sum(xq * v) AS BIGINT) AS score
+           FROM x JOIN v3 USING (d) GROUP BY 1),
+         pq AS (SELECT (score + 1000000000) // 1000 - 1000000 AS p
+           FROM proj),
+         pv AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(p) AS BIGINT) AS proj_s,
+             CAST(sum(p * p) AS BIGINT) AS proj_ss FROM pq),
+         tv AS (SELECT CAST(sum(nd * ss - s * s) AS BIGINT) AS total_var_num,
+             CAST(count(*) AS BIGINT) AS dims FROM (
+             SELECT d, CAST(count(*) AS BIGINT) AS nd,
+               CAST(sum(xq) AS BIGINT) AS s,
+               CAST(sum(xq * xq) AS BIGINT) AS ss FROM x GROUP BY 1) q),
+         vv2 AS (SELECT CAST(sum(v * v) AS BIGINT) AS v2 FROM v3)
+         SELECT n, dims, total_var_num, v2, proj_s, proj_ss,
+           n * proj_ss - proj_s * proj_s AS proj_var_num
+         FROM pv, tv, vv2""",
     // per-user cents by arm, exact moment pieces
     "events_effect_size" ->
       """WITH pu AS (SELECT event_type, user_id,
