@@ -948,6 +948,72 @@ object Graph {
     lvl
   }
 
+  /** Edge betweenness on the same sampled truncated-radius Brandes pass:
+    * the per-term dependency `(σ_v · (10⁶ + δppm_w)) div σ_w` IS the flow
+    * over edge (v, w), so summing terms per (canonical) edge across
+    * sources and levels yields the bridge-edge ranking — which single
+    * links carry the shortest-path mass ([[betweennessSampled]] exposes
+    * the node view of the identical recurrence).
+    *
+    * @return (a, b, ebc_ppm) canonical a < b, only edges that carry flow
+    */
+  def edgeBetweennessSampled(edges: DataFrame, sources: Seq[Long],
+                             rounds: Int): DataFrame = {
+    require(sources.nonEmpty && rounds >= 1, "need sources and rounds >= 1")
+    val spark = edges.sparkSession
+    val e = edges
+      .select(greatest(col("src"), col("dst")).as("hi"),
+        least(col("src"), col("dst")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
+      .localCheckpoint(false)
+    val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+      .unionAll(e.select(col("lo").as("u"), col("hi").as("v")))
+      .localCheckpoint(false)
+    import spark.implicits._
+    var st = sources.map(s => (s, s, 0, 1L))
+      .toDF("src", "node", "dist", "sigma")
+      .localCheckpoint(false)
+    for (k <- 1 to rounds) {
+      val cand = st.filter(col("dist") === k - 1)
+        .join(sym.select(col("u").as("node"), col("v")), Seq("node"))
+        .groupBy(col("src"), col("v").as("node"))
+        .agg(sum("sigma").as("sigma"))
+        .join(st.select("src", "node"), Seq("src", "node"), "left_anti")
+        .withColumn("dist", lit(k))
+        .select("src", "node", "dist", "sigma")
+      st = st.unionByName(cand).localCheckpoint(false)
+    }
+    var delta = st.filter(col("dist") === rounds)
+      .select(col("src"), col("node"), lit(0L).as("dppm"))
+      .localCheckpoint(false)
+    var edgeTerms = spark.emptyDataset[(Long, Long, Long)]
+      .toDF("vn", "wn", "term")
+    for (k <- (rounds - 1) to 0 by -1) {
+      val vs = st.filter(col("dist") === k)
+        .select(col("src"), col("node").as("vn"), col("sigma").as("sv"))
+      val ws = st.filter(col("dist") === k + 1)
+        .select(col("src"), col("node").as("wn"), col("sigma").as("sw"))
+        .join(delta.select(col("src"), col("node").as("wn"),
+          col("dppm").as("dw")), Seq("src", "wn"), "left")
+        .withColumn("dw", coalesce(col("dw"), lit(0L)))
+      val terms = vs
+        .join(sym.select(col("u").as("vn"), col("v").as("wn")), Seq("vn"))
+        .join(ws, Seq("src", "wn"))
+        .withColumn("term", expr("sv * (1000000 + dw) DIV sw"))
+        .localCheckpoint(false)
+      edgeTerms = edgeTerms.unionByName(
+        terms.select(col("vn"), col("wn"), col("term")))
+      delta = delta.unionByName(
+        terms.groupBy(col("src"), col("vn").as("node"))
+          .agg(sum("term").as("dppm")))
+        .localCheckpoint(false)
+    }
+    edgeTerms
+      .select(least(col("vn"), col("wn")).as("a"),
+        greatest(col("vn"), col("wn")).as("b"), col("term"))
+      .groupBy("a", "b").agg(sum("term").as("ebc_ppm"))
+  }
+
   /** BFS wavefront profile from sampled sources: per source the node
     * count at each hop distance ≤ `rounds` — the reachability/diameter
     * read (how fast does the graph expand from here?) that sizes

@@ -2486,6 +2486,43 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class ContrastRow(image_id: String, py: Int, px: Int,
+                               p10_v: Long, p90_v: Long, range_v: Long)
+
+  /** Robust per-block contrast map: nearest-rank p10/p90 sample values per
+    * 100² block (the (n−1)·q div 100 + 1 convention) — outlier-immune
+    * local dynamic range, the tone-mapping input next to
+    * [[blockDiversity]]'s min/max. Decode-once, 36 rows per image.
+    */
+  def contrastMap(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[ContrastRow]
+    tiles.mapPartitions { it =>
+      it.flatMap { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val nb = 6
+        Iterator.range(0, nb * nb).map { b =>
+          val py = b / nb; val px = b % nb
+          val buf = new Array[Short](10000)
+          var i = 0
+          var r = py * 100
+          while (r < (py + 1) * 100) {
+            var c = px * 100
+            while (c < (px + 1) * 100) {
+              buf(i) = d.samples(r * size + c); i += 1
+              c += 1
+            }
+            r += 1
+          }
+          java.util.Arrays.sort(buf)
+          val p10 = buf((10000 - 1) * 10 / 100).toLong
+          val p90 = buf((10000 - 1) * 90 / 100).toLong
+          ContrastRow(tl.image_id, py, px, p10, p90, p90 - p10)
+        }
+      }
+    }.toDF()
+  }
+
   final case class FocusRow(image_id: String, py: Int, px: Int,
                             n_px: Long, lap_abs_sum: Long, lap_abs_max: Long)
 
