@@ -2486,6 +2486,45 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class GradZcrRow(image_id: String, n_steps: Long,
+                              n_flips: Long, rate_ppm: Long)
+
+  /** Horizontal-gradient zero-crossing census: strict sign flips of
+    * v(r,c+1) − v(r,c) along each row of the even 600² prefix (zero
+    * gradients break runs without flipping) — the spatial-frequency proxy
+    * ([[graft.ops.MediaOps]]'s ZCR on the raster axis). Decode-once, one
+    * row per image.
+    */
+  def gradientZcr(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[GradZcrRow]
+    tiles.mapPartitions { it =>
+      it.map { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val ext = 600 min (size - size % 8)
+        var steps = 0L; var flips = 0L
+        var r = 0
+        while (r < ext) {
+          var prevSign = 0
+          var c = 1
+          while (c < ext) {
+            val g = d.samples(r * size + c) - d.samples(r * size + c - 1)
+            val sg = if (g > 0) 1 else if (g < 0) -1 else 0
+            if (sg != 0) {
+              if (prevSign != 0 && sg != prevSign) flips += 1
+              prevSign = sg
+            }
+            steps += 1
+            c += 1
+          }
+          r += 1
+        }
+        GradZcrRow(tl.image_id, steps, flips,
+          if (steps == 0) 0L else flips * 1000000L / steps)
+      }
+    }.toDF()
+  }
+
   final case class ContrastRow(image_id: String, py: Int, px: Int,
                                p10_v: Long, p90_v: Long, range_v: Long)
 
