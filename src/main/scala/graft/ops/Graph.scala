@@ -1287,4 +1287,54 @@ object Graph {
     if (picked.isEmpty) e.select("a", "b", "wkey").limit(0)
     else picked.reduce(_ unionAll _)
   }
+
+  /** Directed-reachability bowtie decomposition (the web macro-structure of
+    * Broder et al. 2000, public): forward set F and backward set B from a
+    * pivot by count-gated fixpoint frontier expansion over the directed
+    * edge list; SCC(pivot) = F∩B, IN = B∖SCC, OUT = F∖SCC, `disc` =
+    * nodes in neither.
+    *
+    * 100 TB shape: each round is one frontier⋈edges equi-join + one
+    * node-keyed anti-join dedup; total rounds = the pivot's directed
+    * eccentricity, state one row per reached node — the [[bfsProfile]]
+    * discipline with the fixpoint gate [[TextDedup]]'s clustering uses
+    * (a cheap `count()` on the shrinking frontier, never a collect).
+    *
+    * @return (component, n_nodes), components `in|out|scc|disc`
+    */
+  def bowtie(edges: DataFrame, pivot: Long): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(false)
+    def reach(adj: DataFrame): DataFrame = {
+      var seen = Seq(pivot).toDF("node").localCheckpoint(false)
+      var frontier = seen
+      var done = false
+      while (!done) {
+        val next = frontier
+          .join(adj.select(col("u").as("node"), col("v")), Seq("node"))
+          .select(col("v").as("node")).distinct()
+          .join(seen, Seq("node"), "left_anti")
+          .localCheckpoint(false)
+        if (next.count() == 0) done = true
+        else { seen = seen.unionAll(next).localCheckpoint(false); frontier = next }
+      }
+      seen
+    }
+    val fwd = reach(e.select(col("src").as("u"), col("dst").as("v")))
+    val bwd = reach(e.select(col("dst").as("u"), col("src").as("v")))
+    e.select(col("src").as("node")).unionAll(e.select(col("dst").as("node")))
+      .distinct()
+      .join(fwd.withColumn("f", lit(1)), Seq("node"), "left")
+      .join(bwd.withColumn("b", lit(1)), Seq("node"), "left")
+      .withColumn("component",
+        when(col("f").isNotNull && col("b").isNotNull, "scc")
+          .when(col("b").isNotNull, "in")
+          .when(col("f").isNotNull, "out")
+          .otherwise("disc"))
+      .groupBy("component").agg(count(lit(1)).as("n_nodes"))
+  }
 }

@@ -3347,4 +3347,47 @@ object ImageOps {
       }
     }.toDF()
   }
+
+  final case class CensusRow(image_id: String, popcnt: Int, n_pixels: Long)
+
+  /** 3×3 census-transform popcount histogram (Zabih–Woodfill 1994,
+    * public): for each interior pixel of the even 600² prefix, the number
+    * of its 8 neighbours strictly greater than the centre, binned 0..8 —
+    * the mass function of the illumination-invariant descriptor stereo
+    * and optical-flow matchers rank patches by. Decode-once
+    * mapPartitions; exactly 9 rows per image (empty bins emit 0).
+    */
+  def censusTransform(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[CensusRow]
+    tiles.mapPartitions { it =>
+      it.flatMap { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val ext = 600 min (size - size % 8)
+        val hist = new Array[Long](9)
+        var r = 1
+        while (r < ext - 1) {
+          var c = 1
+          while (c < ext - 1) {
+            val v = d.samples(r * size + c)
+            var k = 0
+            var dr = -1
+            while (dr <= 1) {
+              var dc = -1
+              while (dc <= 1) {
+                if ((dr != 0 || dc != 0) &&
+                  d.samples((r + dr) * size + (c + dc)) > v) k += 1
+                dc += 1
+              }
+              dr += 1
+            }
+            hist(k) += 1
+            c += 1
+          }
+          r += 1
+        }
+        (0 to 8).map(k => CensusRow(tl.image_id, k, hist(k)))
+      }
+    }.toDF()
+  }
 }
