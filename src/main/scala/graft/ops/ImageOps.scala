@@ -3390,4 +3390,50 @@ object ImageOps {
       }
     }.toDF()
   }
+
+  final case class PitRow(image_id: String, n_interior: Long, n_pits: Long,
+                          depth_sum: Long)
+
+  /** D8 pit census: interior cells of the even 600² prefix strictly lower
+    * than all 8 neighbours, plus the total fill depth Σ(min neighbour −
+    * centre) — the depression inventory hydrological conditioning (pit
+    * filling before flow routing) is sized by. Decode-once mapPartitions,
+    * one row per tile.
+    */
+  def pitCensus(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[PitRow]
+    tiles.mapPartitions { it =>
+      it.map { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val ext = 600 min (size - size % 8)
+        var interior = 0L; var pits = 0L; var depth = 0L
+        var r = 1
+        while (r < ext - 1) {
+          var c = 1
+          while (c < ext - 1) {
+            val v = d.samples(r * size + c).toInt
+            var nmin = Int.MaxValue
+            var dr = -1
+            while (dr <= 1) {
+              var dc = -1
+              while (dc <= 1) {
+                if (dr != 0 || dc != 0) {
+                  val nv = d.samples((r + dr) * size + (c + dc)).toInt
+                  if (nv < nmin) nmin = nv
+                }
+                dc += 1
+              }
+              dr += 1
+            }
+            if (nmin > v) { pits += 1; depth += (nmin - v).toLong }
+            interior += 1
+            c += 1
+          }
+          r += 1
+        }
+        PitRow(tl.image_id, interior, pits, depth)
+      }
+    }.toDF()
+  }
 }

@@ -347,4 +347,43 @@ object MediaOps {
       }
     }.toDF()
   }
+
+  final case class TruePeakRow(media_id: Long, n_samp: Long, peak: Long,
+                               true_peak_x16: Long, n_isp: Long)
+
+  /** Inter-sample (true) peak estimate — the loudness-compliance check
+    * (ITU-R BS.1770's oversampled peak, public) that catches clipping a
+    * sample-peak meter misses: 2× oversample by Catmull–Rom half-sample
+    * interpolation h(i) = −v(i−1) + 9v(i) + 9v(i+1) − v(i+2) (×16 scale,
+    * pure integers — linear interp can never exceed the sample peak, a
+    * 4-tap kernel can). Per media: sample peak, the ×16-scaled true peak
+    * max(16·peak, max|h|), and the count of half-sample positions whose
+    * magnitude exceeds the ×16 local sample peak. One sequential scan in
+    * `mapPartitions`, 4 longs of state — map-only at 100 TB.
+    */
+  def truePeak(media: Dataset[MediaRow]): DataFrame = {
+    implicit val enc = Encoders.product[TruePeakRow]
+    media.mapPartitions { it =>
+      it.map { m =>
+        val n = m.bytes.length
+        def v(i: Int): Long = ((m.bytes(i) & 0xff) - 128).toLong
+        var peak = 0L; var hmax = 0L; var isp = 0L
+        var i = 0
+        while (i < n) {
+          val av = math.abs(v(i))
+          if (av > peak) peak = av
+          i += 1
+        }
+        i = 1
+        while (i + 2 < n) {
+          val h = math.abs(-v(i - 1) + 9 * v(i) + 9 * v(i + 1) - v(i + 2))
+          if (h > hmax) hmax = h
+          if (h > 16 * math.max(math.abs(v(i)), math.abs(v(i + 1)))) isp += 1
+          i += 1
+        }
+        TruePeakRow(m.media_id, n.toLong, peak,
+          math.max(16 * peak, hmax), isp)
+      }
+    }.toDF()
+  }
 }
