@@ -1337,4 +1337,49 @@ object Graph {
           .otherwise("disc"))
       .groupBy("component").agg(count(lit(1)).as("n_nodes"))
   }
+
+  /** Earliest-arrival reachability over a TEMPORAL edge list (u, v, t):
+    * a node is reached at the smallest arrival time achievable by a chain
+    * of edges whose timestamps never decrease (wait-at-node allowed,
+    * traversal instantaneous) — the time-respecting reachability of
+    * Kempe–Kleinberg–Kumar 2000 (public) that static reachability
+    * overcounts (an edge that fired BEFORE the infection arrived cannot
+    * transmit).
+    *
+    * 100 TB shape: label-correcting fixpoint — each round one
+    * frontier⋈edges equi-join filtered by `t >= arr(u)`, a per-node min,
+    * and a full-outer merge keeping the smaller label; state is one
+    * (node, arr) row per reached node, rounds bounded by the longest
+    * shortest temporal chain, termination gated by a `count()` of
+    * improved labels.
+    *
+    * @return (node, arr_day) for every temporally reachable node,
+    *         pivot included at time 0
+    */
+  def temporalReach(edges: DataFrame, pivot: Long): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("u").cast("long").as("node"),
+        col("v").cast("long").as("v"), col("t").cast("long").as("t"))
+      .filter(col("node") =!= col("v")).distinct()
+      .localCheckpoint(false)
+    var arr = Seq((pivot, 0L)).toDF("node", "arr").localCheckpoint(false)
+    var done = false
+    while (!done) {
+      val cand = arr.join(e, Seq("node"))
+        .filter(col("t") >= col("arr"))
+        .groupBy(col("v").as("node")).agg(min("t").as("cand"))
+      val merged = arr.join(cand, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(coalesce(col("arr"), lit(Long.MaxValue)),
+            coalesce(col("cand"), lit(Long.MaxValue))).as("new_arr"),
+          col("arr"))
+        .localCheckpoint(false)
+      if (merged.filter(col("arr").isNull || col("new_arr") < col("arr"))
+            .count() == 0) done = true
+      arr = merged.select(col("node"), col("new_arr").as("arr"))
+        .localCheckpoint(false)
+    }
+    arr.withColumnRenamed("arr", "arr_day")
+  }
 }

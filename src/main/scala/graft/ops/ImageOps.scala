@@ -3436,4 +3436,46 @@ object ImageOps {
       }
     }.toDF()
   }
+
+  final case class NyquistRow(image_id: String, by: Long, bx: Long,
+                              s_checker: Long, s_row: Long, s_col: Long)
+
+  /** Nyquist-component energy per 100² block: the three alternating-sign
+    * sums Σv·(−1)^(r+c) (checkerboard), Σv·(−1)^c (horizontal Nyquist)
+    * and Σv·(−1)^r (vertical) — the exact-integer detectors for the
+    * highest-frequency artifacts bad demosaicing or 2× decimation without
+    * a low-pass leaves behind. Decode-once, 36 rows per image.
+    */
+  def nyquistEnergy(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[NyquistRow]
+    tiles.mapPartitions { it =>
+      it.flatMap { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val ext = 600 min (size - size % 8)
+        val nb = ext / 100
+        val chk = Array.ofDim[Long](nb, nb)
+        val rw = Array.ofDim[Long](nb, nb)
+        val cl = Array.ofDim[Long](nb, nb)
+        var r = 0
+        while (r < nb * 100) {
+          var c = 0
+          while (c < nb * 100) {
+            val v = d.samples(r * size + c).toLong
+            val sr = if (c % 2 == 0) v else -v
+            val sc = if (r % 2 == 0) v else -v
+            val sk = if ((r + c) % 2 == 0) v else -v
+            chk(r / 100)(c / 100) += sk
+            rw(r / 100)(c / 100) += sr
+            cl(r / 100)(c / 100) += sc
+            c += 1
+          }
+          r += 1
+        }
+        for { by <- 0 until nb; bx <- 0 until nb }
+          yield NyquistRow(tl.image_id, by.toLong, bx.toLong,
+            chk(by)(bx), rw(by)(bx), cl(by)(bx))
+      }
+    }.toDF()
+  }
 }
