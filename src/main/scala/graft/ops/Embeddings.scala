@@ -1162,4 +1162,55 @@ object Embeddings {
     }
     picks.toSeq.toDF("pick_no", "vec_id", "d2")
   }
+
+  /** Greedy facility-location / max-coverage selection (the 1−1/e
+    * approximation of Nemhauser–Wolsey–Fisher 1978, public): k rounds,
+    * each picking the candidate covering the most not-yet-covered corpus
+    * vectors within squared distance `r2` (ties to the smallest id) —
+    * the coreset/data-selection primitive that picks representative
+    * training vectors instead of random samples.
+    *
+    * 100 TB shape: the coverage edge list is built ONCE — corpus ⋈
+    * broadcast candidate pool, [[graft.functions.vectors.vec_dist2]]
+    * codegen'd, filtered to the r2 ball so only near pairs materialize;
+    * each round is then one anti-join + one count per candidate + a
+    * single-row collect (k driver rows total, never the corpus).
+    *
+    * @return (round, center_id, gain, covered_total)
+    */
+  def facilityGreedy(emb: DataFrame, candModulo: Int, r2: Double,
+                     k: Int): DataFrame = {
+    require(candModulo >= 1 && k >= 1, "need candModulo >= 1 and k >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.selectExpr("vec_id", "cast(embedding as array<double>) AS v")
+    val cands = e.filter(col("vec_id") % candModulo === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val edges = e.crossJoin(broadcast(cands))
+      .filter(vec_dist2(col("v"), col("cv")) <= lit(r2))
+      .select(col("cid"), col("vec_id").as("pid"))
+      .localCheckpoint(false)
+    var covered = Seq.empty[Long].toDF("pid").localCheckpoint(false)
+    var chosen = Seq.empty[Long]
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var total = 0L
+    for (round <- 1 to k) {
+      val base = if (chosen.isEmpty) edges
+        else edges.filter(!col("cid").isin(chosen: _*))
+      val best = base.join(covered, Seq("pid"), "left_anti")
+        .groupBy("cid").agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("cid").asc).limit(1)
+        .as[(Long, Long)].collect()
+      if (best.nonEmpty) {
+        val (cid, g) = best(0)
+        total += g
+        picks += ((round.toLong, cid, g, total))
+        chosen :+= cid
+        covered = covered
+          .unionAll(edges.filter(col("cid") === cid).select("pid"))
+          .distinct().localCheckpoint(false)
+      }
+    }
+    picks.toSeq.toDF("round", "center_id", "gain", "covered_total")
+  }
 }
