@@ -3437,6 +3437,54 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class PaletteRow(image_id: String, n_px: Long, n_distinct: Long,
+                              palette_sum: Long, err_sum: Long)
+
+  /** Popularity-quantization audit: the k most frequent sample values of
+    * the even 600² prefix (ties to the smaller value) form the palette;
+    * the report is the exact total L1 mapping error Σ count·min|v−p| —
+    * the palettization-loss number (GIF/PNG8-style popularity quantizers)
+    * computed on the per-value histogram, never per pixel twice.
+    * Decode-once, one row per image.
+    */
+  def popularityPalette(tiles: Dataset[TileRow], k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    implicit val enc = Encoders.product[PaletteRow]
+    tiles.mapPartitions { it =>
+      it.map { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val ext = 600 min (size - size % 8)
+        val counts = scala.collection.mutable.LongMap.empty[Long]
+        var r = 0
+        while (r < ext) {
+          var c = 0
+          while (c < ext) {
+            val v = d.samples(r * size + c).toLong
+            counts(v) = counts.getOrElse(v, 0L) + 1L
+            c += 1
+          }
+          r += 1
+        }
+        val palette = counts.toSeq
+          .sortBy { case (v, n) => (-n, v) }.take(k).map(_._1).toArray
+        var err = 0L
+        counts.foreach { case (v, n) =>
+          var best = Long.MaxValue
+          var j = 0
+          while (j < palette.length) {
+            val e = math.abs(v - palette(j))
+            if (e < best) best = e
+            j += 1
+          }
+          err += n * best
+        }
+        PaletteRow(tl.image_id, ext.toLong * ext, counts.size.toLong,
+          palette.sum, err)
+      }
+    }.toDF()
+  }
+
   final case class NyquistRow(image_id: String, by: Long, bx: Long,
                               s_checker: Long, s_row: Long, s_col: Long)
 
