@@ -3485,6 +3485,62 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class ModeFilterRow(image_id: String, n_interior: Long,
+                                 n_changed: Long, l1_change: Long)
+
+  /** 3×3 mode-filter audit: per interior pixel the most frequent value of
+    * the 9-cell neighbourhood (ties to the smallest value); reported are
+    * the pixels the filter would change and the total L1 change — the
+    * impulse-noise repair estimate (mode filters fix salt noise that
+    * medians blur). Decode-once, one row per image.
+    */
+  def modeFilter(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[ModeFilterRow]
+    tiles.mapPartitions { it =>
+      it.map { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val ext = 600 min (size - size % 8)
+        var interior = 0L; var changed = 0L; var l1 = 0L
+        val vals = new Array[Int](9)
+        var r = 1
+        while (r < ext - 1) {
+          var c = 1
+          while (c < ext - 1) {
+            var i = 0
+            var dr = -1
+            while (dr <= 1) {
+              var dc = -1
+              while (dc <= 1) {
+                vals(i) = d.samples((r + dr) * size + (c + dc)).toInt
+                i += 1
+                dc += 1
+              }
+              dr += 1
+            }
+            var mode = 0; var bestCnt = 0
+            var j = 0
+            while (j < 9) {
+              var cnt = 0
+              var k = 0
+              while (k < 9) { if (vals(k) == vals(j)) cnt += 1; k += 1 }
+              if (cnt > bestCnt || (cnt == bestCnt && vals(j) < mode)) {
+                mode = vals(j); bestCnt = cnt
+              }
+              j += 1
+            }
+            val ctr = d.samples(r * size + c).toInt
+            if (mode != ctr) { changed += 1; l1 += math.abs(mode - ctr).toLong }
+            interior += 1
+            c += 1
+          }
+          r += 1
+        }
+        ModeFilterRow(tl.image_id, interior, changed, l1)
+      }
+    }.toDF()
+  }
+
   final case class NyquistRow(image_id: String, by: Long, bx: Long,
                               s_checker: Long, s_row: Long, s_col: Long)
 

@@ -386,4 +386,36 @@ object MediaOps {
       }
     }.toDF()
   }
+
+  final case class DecimateRow(media_id: Long, n_samp: Long, sq_sum: Long,
+                               dec_sq_sum: Long, hf_sum: Long)
+
+  /** 2:1 decimation audit: energy of the original, energy after
+    * mean-decimation (pair means with a shift-positive floor so both
+    * engines round identically), and the odd–even difference energy —
+    * the exact-integer read on how much high-frequency content a naive
+    * downsample would alias (the audio twin of the image
+    * downsample-bias pyramid audit). One sequential scan per media.
+    */
+  def decimateAudit(media: Dataset[MediaRow]): DataFrame = {
+    implicit val enc = Encoders.product[DecimateRow]
+    media.mapPartitions { it =>
+      it.map { m =>
+        val n = m.bytes.length
+        def v(i: Int): Long = ((m.bytes(i) & 0xff) - 128).toLong
+        var sq = 0L; var dsq = 0L; var hf = 0L
+        var i = 0
+        while (i < n) { sq += v(i) * v(i); i += 1 }
+        i = 0
+        while (i + 1 < n) {
+          val mean = (v(i) + v(i + 1) + 256L) / 2L - 128L
+          dsq += mean * mean
+          val d = v(i) - v(i + 1)
+          hf += d * d
+          i += 2
+        }
+        DecimateRow(m.media_id, n.toLong, sq, dsq, hf)
+      }
+    }.toDF()
+  }
 }
