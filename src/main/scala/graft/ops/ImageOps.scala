@@ -1882,6 +1882,75 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class Otsu2Row(image_id: String, t1_bin: Int, t2_bin: Int,
+                            n_px: Long, w0: Long, w1: Long, w2: Long,
+                            obj_q: Long)
+
+  /** Two-threshold (3-class) Otsu: exhaustive scan over bin pairs
+    * t1 < t2 of the width-`width` histogram, maximizing the quantized
+    * between-class objective Σ_k ⌊A_k²·10⁶ / (w_k·n)⌋ (per-term floors,
+    * empty classes skipped, ties to the lexicographically smallest
+    * pair) — the trimodal segmentation (shadow / mid / highlight) the
+    * single-threshold [[otsu]] cannot express. Per-tile in-memory prefix
+    * sums over ≤64 bins; the 64²/2 candidate scan never leaves the
+    * executor.
+    */
+  def otsuMultilevel(tiles: Dataset[TileRow], width: Int): DataFrame = {
+    require(width > 0, s"width must be > 0, got $width")
+    implicit val enc = Encoders.product[Otsu2Row]
+    tiles.mapPartitions { it =>
+      it.map { t =>
+        val d = TileCodec.decode(t)
+        val counts = scala.collection.mutable.LongMap.empty[Long]
+        var i = 0
+        while (i < d.samples.length) {
+          val b = math.floorDiv(d.samples(i).toInt, width)
+          counts(b.toLong) = counts.getOrElse(b.toLong, 0L) + 1L
+          i += 1
+        }
+        val bins = counts.keys.toArray.sorted
+        val lo = bins.head.toInt; val hi = bins.last.toInt
+        val nb = hi - lo + 1
+        val w = new Array[Long](nb + 1)   // prefix counts over [lo, lo+j)
+        val a = new Array[Long](nb + 1)   // prefix Σ b·c
+        var j = 0
+        while (j < nb) {
+          val c = counts.getOrElse((lo + j).toLong, 0L)
+          w(j + 1) = w(j) + c
+          a(j + 1) = a(j) + (lo + j).toLong * c
+          j += 1
+        }
+        val n = w(nb)
+        var bestT1 = Int.MinValue; var bestT2 = Int.MinValue
+        var bestObj = -1L
+        var bw = (0L, 0L, 0L); var ba = (0L, 0L, 0L)
+        var t1 = 0
+        while (t1 < nb - 1) {
+          var t2 = t1 + 1
+          while (t2 < nb) {
+            val w0 = w(t1 + 1); val w1 = w(t2 + 1) - w(t1 + 1)
+            val w2 = n - w(t2 + 1)
+            if (w0 > 0 && w1 > 0 && w2 > 0) {
+              val a0 = a(t1 + 1); val a1 = a(t2 + 1) - a(t1 + 1)
+              val a2 = a(nb) - a(t2 + 1)
+              def term(ak: Long, wk: Long): Long =
+                (BigInt(ak) * ak * 1000000 / (BigInt(wk) * n)).toLong
+              val obj = term(a0, w0) + term(a1, w1) + term(a2, w2)
+              if (obj > bestObj) { // strict: ties keep the smallest pair
+                bestObj = obj; bestT1 = lo + t1; bestT2 = lo + t2
+                bw = (w0, w1, w2); ba = (a0, a1, a2)
+              }
+            }
+            t2 += 1
+          }
+          t1 += 1
+        }
+        Otsu2Row(t.image_id, bestT1, bestT2, n, bw._1, bw._2, bw._3,
+          bestObj)
+      }
+    }.toDF()
+  }
+
   final case class GlcmRow(image_id: String, n_pairs: Long, s_i: Long,
                            s_j: Long, s_ij: Long, s_absdiff: Long,
                            s_sqdiff: Long, n_eq: Long)
