@@ -3554,6 +3554,51 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class GlrlmRow(image_id: String, n_runs: Long, sre_q: Long,
+                            lre: Long, gln: Long, rp_permille: Long)
+
+  /** Gray-level run-length texture (Galloway 1975, public): horizontal
+    * runs of equal quantized level (v ≫ 6) over the even 600² prefix;
+    * exact pieces of the classic GLRLM features — run count, short-run
+    * emphasis Σ⌊10⁶/len²⌋ (per-run floors), long-run emphasis Σlen²,
+    * gray-level non-uniformity Σ(runs-per-level)², and run percentage in
+    * permille. Decode-once, one row per image.
+    */
+  def glrlm(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[GlrlmRow]
+    tiles.mapPartitions { it =>
+      it.map { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val ext = 600 min (size - size % 8)
+        val perLevel = scala.collection.mutable.LongMap.empty[Long]
+        var runs = 0L; var sre = 0L; var lre = 0L
+        var r = 0
+        while (r < ext) {
+          var c = 0
+          while (c < ext) {
+            val lv = math.min(63, math.max(0, d.samples(r * size + c) >> 6))
+            var len = 1L
+            while (c + 1 < ext &&
+              math.min(63, math.max(0, d.samples(r * size + c + 1) >> 6)) == lv) {
+              len += 1; c += 1
+            }
+            runs += 1
+            sre += 1000000L / (len * len)
+            lre += len * len
+            perLevel(lv.toLong) = perLevel.getOrElse(lv.toLong, 0L) + 1L
+            c += 1
+          }
+          r += 1
+        }
+        var gln = 0L
+        perLevel.foreach { case (_, n) => gln += n * n }
+        GlrlmRow(tl.image_id, runs, sre, lre, gln,
+          1000L * runs / (ext.toLong * ext))
+      }
+    }.toDF()
+  }
+
   final case class FillRow(image_id: String, n_cells: Long, n_raised: Long,
                            fill_volume: Long)
 

@@ -418,4 +418,40 @@ object MediaOps {
       }
     }.toDF()
   }
+
+  final case class PyramidRow(media_id: Long, level: Int, bucket: Long,
+                              v_min: Long, v_max: Long)
+
+  /** Waveform min/max preview pyramid: per media the per-bucket sample
+    * extrema at three zoom levels (256/1024/4096 samples per bucket) —
+    * the precomputed envelope every waveform renderer scrubs instead of
+    * raw samples; at 100 TB this is THE artifact that makes audio QA
+    * interactive. One sequential scan per media, all levels emitted in
+    * the same pass.
+    */
+  def minmaxPyramid(media: Dataset[MediaRow]): DataFrame = {
+    implicit val enc = Encoders.product[PyramidRow]
+    val widths = Array(256, 1024, 4096)
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val n = m.bytes.length
+        def v(i: Int): Long = ((m.bytes(i) & 0xff) - 128).toLong
+        widths.zipWithIndex.flatMap { case (w, lvl) =>
+          val nb = (n + w - 1) / w
+          (0 until nb).map { b =>
+            var mn = Long.MaxValue; var mx = Long.MinValue
+            var i = b * w
+            val end = math.min(n, (b + 1) * w)
+            while (i < end) {
+              val x = v(i)
+              if (x < mn) mn = x
+              if (x > mx) mx = x
+              i += 1
+            }
+            PyramidRow(m.media_id, lvl, b.toLong, mn, mx)
+          }
+        }
+      }
+    }.toDF()
+  }
 }
