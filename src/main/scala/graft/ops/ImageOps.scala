@@ -3554,6 +3554,52 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class DiffusionRow(image_id: String, n_interior: Long,
+                                sum_flux: Long, sum_abs_flux: Long,
+                                n_pos: Long)
+
+  /** One Perona–Malik anisotropic-diffusion step (1990, public) in exact
+    * integers: per interior pixel the 4-neighbour flux
+    * F = Σ ⌊10⁶/(1000+d²)⌋·d with d the neighbour difference — the
+    * edge-preserving conduction field (large gradients conduct less).
+    * Division is always positive-by-positive, so both engines floor
+    * identically; the report is the per-image flux field summary.
+    */
+  def peronaMalik(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[DiffusionRow]
+    tiles.mapPartitions { it =>
+      it.map { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val ext = 600 min (size - size % 8)
+        var interior = 0L; var sf = 0L; var saf = 0L; var np = 0L
+        val offs = Array((1, 0), (-1, 0), (0, 1), (0, -1))
+        var r = 1
+        while (r < ext - 1) {
+          var c = 1
+          while (c < ext - 1) {
+            val v = d.samples(r * size + c).toLong
+            var f = 0L
+            var k = 0
+            while (k < 4) {
+              val dd = d.samples((r + offs(k)._1) * size + c + offs(k)._2)
+                .toLong - v
+              f += (1000000L / (1000L + dd * dd)) * dd
+              k += 1
+            }
+            sf += f
+            saf += math.abs(f)
+            if (f > 0) np += 1
+            interior += 1
+            c += 1
+          }
+          r += 1
+        }
+        DiffusionRow(tl.image_id, interior, sf, saf, np)
+      }
+    }.toDF()
+  }
+
   final case class GlrlmRow(image_id: String, n_runs: Long, sre_q: Long,
                             lre: Long, gln: Long, rp_permille: Long)
 
