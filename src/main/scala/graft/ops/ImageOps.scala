@@ -3554,6 +3554,53 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class DiagProjRow(image_id: String, direction: String,
+                               n_lines: Long, min_sum: Long, max_sum: Long,
+                               sumsq: Long)
+
+  /** Diagonal (45°/135°) projection profiles over the even 600² prefix:
+    * per anti-diagonal (r+c) and diagonal (r−c) line the sample sum —
+    * the two Radon directions [[projections]]' row/column profiles miss,
+    * closing the 4-direction streak/skew detector. Per image one summary
+    * row per direction (extrema + second moment of the line sums).
+    */
+  def diagProjections(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[DiagProjRow]
+    tiles.mapPartitions { it =>
+      it.flatMap { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val ext = 600 min (size - size % 8)
+        val nd = 2 * ext - 1
+        val s1 = new Array[Long](nd)
+        val s2 = new Array[Long](nd)
+        var r = 0
+        while (r < ext) {
+          var c = 0
+          while (c < ext) {
+            val v = d.samples(r * size + c).toLong
+            s1(r + c) += v
+            s2(r - c + ext - 1) += v
+            c += 1
+          }
+          r += 1
+        }
+        def summarize(name: String, a: Array[Long]): DiagProjRow = {
+          var mn = Long.MaxValue; var mx = Long.MinValue; var sq = 0L
+          var i = 0
+          while (i < a.length) {
+            if (a(i) < mn) mn = a(i)
+            if (a(i) > mx) mx = a(i)
+            sq += a(i) * a(i)
+            i += 1
+          }
+          DiagProjRow(tl.image_id, name, a.length.toLong, mn, mx, sq)
+        }
+        Seq(summarize("anti", s1), summarize("main", s2))
+      }
+    }.toDF()
+  }
+
   final case class DiffusionRow(image_id: String, n_interior: Long,
                                 sum_flux: Long, sum_abs_flux: Long,
                                 n_pos: Long)
