@@ -3554,6 +3554,62 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class LandformRow(image_id: String, class_s: Int, class_l: Int,
+                               n_pixels: Long)
+
+  /** Two-scale TPI landform census (Weiss 2001 landform classes, public):
+    * per interior pixel of the offset-100 100² window the sign of the
+    * cross-multiplied topographic position index at a 5×5 and a 13×13
+    * neighbourhood (ts = 25·v − Σ₅ₓ₅, tl = 169·v − Σ₁₃ₓ₁₃ — no division,
+    * both engines agree exactly); the 3×3 sign grid is the
+    * canyon/valley/flat/ridge/peak partition. Integral-image prefix sums
+    * in-memory, 9 census rows max per image.
+    */
+  def landformClass(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[LandformRow]
+    val off = 100; val n = 100
+    val rs = 2; val rl = 6
+    tiles.mapPartitions { it =>
+      it.flatMap { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        // integral image over the window, ii(r)(c) = Σ v[0..r)[0..c)
+        val ii = Array.ofDim[Long](n + 1, n + 1)
+        var r = 0
+        while (r < n) {
+          var c = 0
+          while (c < n) {
+            ii(r + 1)(c + 1) = ii(r)(c + 1) + ii(r + 1)(c) - ii(r)(c) +
+              d.samples((off + r) * size + (off + c)).toLong
+            c += 1
+          }
+          r += 1
+        }
+        def box(r: Int, c: Int, rad: Int): Long =
+          ii(r + rad + 1)(c + rad + 1) - ii(r - rad)(c + rad + 1) -
+            ii(r + rad + 1)(c - rad) + ii(r - rad)(c - rad)
+        val census = scala.collection.mutable.Map.empty[(Int, Int), Long]
+        r = rl
+        while (r < n - rl) {
+          var c = rl
+          while (c < n - rl) {
+            val v = d.samples((off + r) * size + (off + c)).toLong
+            val ts = 25L * v - box(r, c, rs)
+            val tln = 169L * v - box(r, c, rl)
+            val cs = if (ts > 0) 1 else if (ts < 0) -1 else 0
+            val cl = if (tln > 0) 1 else if (tln < 0) -1 else 0
+            census((cs, cl)) = census.getOrElse((cs, cl), 0L) + 1L
+            c += 1
+          }
+          r += 1
+        }
+        census.toSeq.sortBy(_._1).map { case ((cs, cl), cnt) =>
+          LandformRow(tl.image_id, cs, cl, cnt)
+        }
+      }
+    }.toDF()
+  }
+
   final case class DiagProjRow(image_id: String, direction: String,
                                n_lines: Long, min_sum: Long, max_sum: Long,
                                sumsq: Long)
