@@ -3554,6 +3554,47 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class DemosaicRow(image_id: String, n_interp: Long,
+                               sad_q: Long, max_err_q: Long)
+
+  /** Bayer-green demosaic audit (RGGB): at the R (even,even) and B
+    * (odd,odd) sites the green channel must be interpolated from the 4
+    * orthogonal neighbours — the ×4-scaled reconstruction error
+    * Σ|Σ₄nbrs − 4v| against the true field says how much detail bilinear
+    * demosaicing would lose on this content. Exact integers, interior
+    * pixels of the even 600² prefix, one row per image.
+    */
+  def demosaicError(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[DemosaicRow]
+    tiles.mapPartitions { it =>
+      it.map { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val ext = 600 min (size - size % 8)
+        var n = 0L; var sad = 0L; var mx = 0L
+        var r = 1
+        while (r < ext - 1) {
+          var c = 1
+          while (c < ext - 1) {
+            if (r % 2 == c % 2) { // R (even,even) and B (odd,odd) sites
+              val v = d.samples(r * size + c).toLong
+              val g4 = d.samples((r - 1) * size + c).toLong +
+                d.samples((r + 1) * size + c).toLong +
+                d.samples(r * size + c - 1).toLong +
+                d.samples(r * size + c + 1).toLong
+              val e = math.abs(g4 - 4L * v)
+              n += 1; sad += e
+              if (e > mx) mx = e
+            }
+            c += 1
+          }
+          r += 1
+        }
+        DemosaicRow(tl.image_id, n, sad, mx)
+      }
+    }.toDF()
+  }
+
   final case class LandformRow(image_id: String, class_s: Int, class_l: Int,
                                n_pixels: Long)
 
