@@ -3554,6 +3554,115 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class LapPyrRow(image_id: String, level: Int, n_px: Long,
+                             energy: Long)
+
+  /** Laplacian-pyramid detail energies (Burt–Adelson 1983, public) in
+    * exact integers: G1 = 2×2 block sums (×4 scale), G2 = 2×2 of G1
+    * (×16); level-0 detail Σ|4v − G1|, level-1 detail Σ|4·G1 − G2|, and
+    * the level-2 base mass ΣG2 — where the image keeps its detail across
+    * scales (blur/compression shifts this profile down-pyramid).
+    * Decode-once, 3 rows per image.
+    */
+  def laplacianPyramid(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[LapPyrRow]
+    tiles.mapPartitions { it =>
+      it.flatMap { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val ext = 600 min (size - size % 8)
+        val h1 = ext / 2
+        val h2 = ext / 4
+        val g1 = Array.ofDim[Long](h1 * h1)
+        var r = 0
+        while (r < ext) {
+          var c = 0
+          while (c < ext) {
+            g1((r / 2) * h1 + c / 2) += d.samples(r * size + c).toLong
+            c += 1
+          }
+          r += 1
+        }
+        val g2 = Array.ofDim[Long](h2 * h2)
+        var i = 0
+        while (i < h1 * h1) {
+          g2((i / h1 / 2) * h2 + (i % h1) / 2) += g1(i)
+          i += 1
+        }
+        var e0 = 0L
+        r = 0
+        while (r < ext) {
+          var c = 0
+          while (c < ext) {
+            e0 += math.abs(4L * d.samples(r * size + c) -
+              g1((r / 2) * h1 + c / 2))
+            c += 1
+          }
+          r += 1
+        }
+        var e1 = 0L
+        i = 0
+        while (i < h1 * h1) {
+          e1 += math.abs(4L * g1(i) - g2((i / h1 / 2) * h2 + (i % h1) / 2))
+          i += 1
+        }
+        var base = 0L
+        i = 0
+        while (i < h2 * h2) { base += g2(i); i += 1 }
+        Seq(LapPyrRow(tl.image_id, 0, ext.toLong * ext, e0),
+          LapPyrRow(tl.image_id, 1, h1.toLong * h1, e1),
+          LapPyrRow(tl.image_id, 2, h2.toLong * h2, base))
+      }
+    }.toDF()
+  }
+
+  final case class IrradianceRow(image_id: String, n_samples: Long,
+                                 irr_q_sum: Long, n_dark: Long)
+
+  /** Multi-azimuth irradiance proxy: at every 4th interior sample the
+    * central-difference surface normal (−dzdx, −dzdy, 2) dotted with six
+    * 60°-spaced sun vectors at 45° elevation (the shared ×1000 integer
+    * table `suns`), negative incidence clamped — the daily insolation
+    * index a single-azimuth hillshade cannot give. Exact integers.
+    */
+  def irradianceSum(tiles: Dataset[TileRow],
+                    suns: Seq[(Long, Long, Long)]): DataFrame = {
+    implicit val enc = Encoders.product[IrradianceRow]
+    tiles.mapPartitions { it =>
+      it.map { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val ext = 600 min (size - size % 8)
+        var n = 0L; var irr = 0L; var dark = 0L
+        var r = 1
+        while (r < ext - 1) {
+          if (r % 4 == 1) {
+            var c = 1
+            while (c < ext - 1) {
+              if (c % 4 == 1) {
+                val dzdx = d.samples(r * size + c + 1).toLong -
+                  d.samples(r * size + c - 1).toLong
+                val dzdy = d.samples((r + 1) * size + c).toLong -
+                  d.samples((r - 1) * size + c).toLong
+                var sum = 0L; var allDark = true
+                suns.foreach { case (sx, sy, sz) =>
+                  val dot = -dzdx * sx - dzdy * sy + 2L * sz
+                  if (dot > 0) { sum += dot; allDark = false }
+                }
+                irr += sum
+                if (allDark) dark += 1
+                n += 1
+              }
+              c += 1
+            }
+          }
+          r += 1
+        }
+        IrradianceRow(tl.image_id, n, irr, dark)
+      }
+    }.toDF()
+  }
+
   final case class DemosaicRow(image_id: String, n_interp: Long,
                                sad_q: Long, max_err_q: Long)
 
