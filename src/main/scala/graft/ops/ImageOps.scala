@@ -3554,6 +3554,113 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class SwathRow(image_id: String, bin: Long, n_cells: Long,
+                            min_v: Long, max_v: Long, sum_v: Long)
+
+  /** Swath profile along the fixed chord (100,0)→(500,599): cells within
+    * cross-track half-width 20 are projected onto the chord, binned into
+    * 50 along-track bins (integer cross-multiplied projection — no
+    * division until the final bin floor), and summarized min/max/sum —
+    * the corridor elevation profile geomorphologists cut across valleys.
+    * Decode-once, ≤50 rows per image.
+    */
+  def swathProfile(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[SwathRow]
+    val dr = 400L; val dcc = 599L
+    val dd = dr * dr + dcc * dcc
+    val w2dd = 400L * dd // half-width 20 => 20² · |d|²
+    tiles.mapPartitions { it =>
+      it.flatMap { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val ext = 600 min (size - size % 8)
+        val mn = Array.fill(50)(Long.MaxValue)
+        val mx = Array.fill(50)(Long.MinValue)
+        val sm = new Array[Long](50)
+        val cnt = new Array[Long](50)
+        var r = 0
+        while (r < ext) {
+          var c = 0
+          while (c < ext) {
+            val tn = (r - 100L) * dr + c * dcc
+            if (tn >= 0 && tn <= dd) {
+              val cross = (r - 100L) * dcc - c * dr
+              if (cross * cross <= w2dd) {
+                val bin = math.min(49L, tn * 50L / dd).toInt
+                val v = d.samples(r * size + c).toLong
+                if (v < mn(bin)) mn(bin) = v
+                if (v > mx(bin)) mx(bin) = v
+                sm(bin) += v
+                cnt(bin) += 1
+              }
+            }
+            c += 1
+          }
+          r += 1
+        }
+        (0 until 50).filter(cnt(_) > 0).map(b =>
+          SwathRow(tl.image_id, b.toLong, cnt(b), mn(b), mx(b), sm(b)))
+      }
+    }.toDF()
+  }
+
+  final case class PeakRow(image_id: String, rank: Int, r: Int, c: Int,
+                           v: Long, sw: Long, swr: Long, swc: Long)
+
+  /** Strict local-maxima keypoints with sub-pixel centroid pieces: the 5
+    * highest interior peaks (ties to the smaller (r,c)), each with the
+    * 3×3 intensity-weighted centroid numerators Σv, Σv·r, Σv·c — the
+    * star/corner centroiding step (the sub-pixel position is the exact
+    * rational swr/sw, swc/sw). Decode-once, 5 rows per image.
+    */
+  def peakCentroids(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[PeakRow]
+    tiles.mapPartitions { it =>
+      it.flatMap { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val ext = 600 min (size - size % 8)
+        val peaks = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
+        var r = 1
+        while (r < ext - 1) {
+          var c = 1
+          while (c < ext - 1) {
+            val v = d.samples(r * size + c).toInt
+            var isMax = true
+            var dr2 = -1
+            while (dr2 <= 1 && isMax) {
+              var dc2 = -1
+              while (dc2 <= 1 && isMax) {
+                if ((dr2 != 0 || dc2 != 0) &&
+                  d.samples((r + dr2) * size + (c + dc2)) >= v) isMax = false
+                dc2 += 1
+              }
+              dr2 += 1
+            }
+            if (isMax) peaks += ((v.toLong, r, c))
+            c += 1
+          }
+          r += 1
+        }
+        peaks.sortBy { case (v, r2, c2) => (-v, r2, c2) }.take(5)
+          .zipWithIndex.map { case ((v, pr, pc), i) =>
+            var sw = 0L; var swr = 0L; var swc = 0L
+            var a = -1
+            while (a <= 1) {
+              var b = -1
+              while (b <= 1) {
+                val nv = d.samples((pr + a) * size + (pc + b)).toLong
+                sw += nv; swr += nv * (pr + a); swc += nv * (pc + b)
+                b += 1
+              }
+              a += 1
+            }
+            PeakRow(tl.image_id, i + 1, pr, pc, v, sw, swr, swc)
+          }
+      }
+    }.toDF()
+  }
+
   final case class LapPyrRow(image_id: String, level: Int, n_px: Long,
                              energy: Long)
 
