@@ -3554,6 +3554,47 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class NormalDispRow(image_id: String, n_samples: Long,
+                                 sx: Long, sy: Long, sz: Long, r2: Long)
+
+  /** Surface-normal dispersion (the vector-strength roughness measure):
+    * resultant of the unnormalized central-difference normals
+    * (−dzdx, −dzdy, 2) over every 2nd interior pixel — R²/(ΣnΣn) → 1 on
+    * planar terrain, drops with directional disorder; all pieces exact
+    * integers (R² = sx²+sy²+sz²). One row per tile.
+    */
+  def normalDispersion(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[NormalDispRow]
+    tiles.mapPartitions { it =>
+      it.map { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val ext = 600 min (size - size % 8)
+        var n = 0L; var sx = 0L; var sy = 0L
+        var r = 1
+        while (r < ext - 1) {
+          if (r % 2 == 1) {
+            var c = 1
+            while (c < ext - 1) {
+              if (c % 2 == 1) {
+                sx -= d.samples(r * size + c + 1).toLong -
+                  d.samples(r * size + c - 1).toLong
+                sy -= d.samples((r + 1) * size + c).toLong -
+                  d.samples((r - 1) * size + c).toLong
+                n += 1
+              }
+              c += 1
+            }
+          }
+          r += 1
+        }
+        val sz = 2L * n
+        NormalDispRow(tl.image_id, n, sx, sy, sz,
+          sx * sx + sy * sy + sz * sz)
+      }
+    }.toDF()
+  }
+
   final case class SwathRow(image_id: String, bin: Long, n_cells: Long,
                             min_v: Long, max_v: Long, sum_v: Long)
 
