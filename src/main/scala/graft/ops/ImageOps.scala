@@ -3554,6 +3554,53 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class ArealRow(image_id: String, tr: Int, tc: Int,
+                            est_scaled: Long, true_sum: Long, abs_err: Long)
+
+  /** Areal interpolation audit: source zones are the 3×3 200-px grid with
+    * their exact sums; target zones the 4×4 150-px grid. The
+    * area-weighted estimate Σ overlap·srcSum ÷ 40000 (exact axis-aligned
+    * rectangle intersections, one floor at the end) is compared to the
+    * true target sums — the dasymetric-baseline error every zonal
+    * re-aggregation (census tract → hex cell) should report. One pass,
+    * 16 rows per image.
+    */
+  def arealInterp(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[ArealRow]
+    tiles.mapPartitions { it =>
+      it.flatMap { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val srcSum = Array.ofDim[Long](3, 3)
+        val trueSum = Array.ofDim[Long](4, 4)
+        var r = 0
+        while (r < 600) {
+          var c = 0
+          while (c < 600) {
+            val v = d.samples(r * size + c).toLong
+            srcSum(r / 200)(c / 200) += v
+            trueSum(r / 150)(c / 150) += v
+            c += 1
+          }
+          r += 1
+        }
+        def overlap(a0: Int, a1: Int, b0: Int, b1: Int): Long =
+          math.max(0, math.min(a1, b1) - math.max(a0, b0)).toLong
+        for { tr <- 0 until 4; tc <- 0 until 4 } yield {
+          var num = 0L
+          for { sr <- 0 until 3; sc <- 0 until 3 } {
+            val ov = overlap(sr * 200, sr * 200 + 200, tr * 150, tr * 150 + 150) *
+              overlap(sc * 200, sc * 200 + 200, tc * 150, tc * 150 + 150)
+            num += ov * srcSum(sr)(sc)
+          }
+          val est = num / 40000L
+          ArealRow(tl.image_id, tr, tc, est, trueSum(tr)(tc),
+            math.abs(est - trueSum(tr)(tc)))
+        }
+      }
+    }.toDF()
+  }
+
   final case class NormalDispRow(image_id: String, n_samples: Long,
                                  sx: Long, sy: Long, sz: Long, r2: Long)
 
