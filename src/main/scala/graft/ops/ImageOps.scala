@@ -3554,6 +3554,62 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class BtcRow(image_id: String, n_blocks: Long, err_sum: Long,
+                          max_block_err: Long)
+
+  /** Block-truncation-coding audit (Delp–Mitchell 1979, public): per 4×4
+    * block, pixels split at the block mean (16·v ≥ Σ — no division), the
+    * two reconstruction levels are the floored low/high means, and the
+    * report is the exact L1 reconstruction error — the 2-bpp codec loss
+    * on this content. Decode-once, one row per image.
+    */
+  def btcAudit(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[BtcRow]
+    tiles.mapPartitions { it =>
+      it.map { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val ext = 600 min (size - size % 8)
+        var blocks = 0L; var err = 0L; var mxe = 0L
+        var br = 0
+        while (br < ext) {
+          var bc = 0
+          while (bc < ext) {
+            var s16 = 0L
+            var i = 0
+            while (i < 16) {
+              s16 += d.samples((br + i / 4) * size + bc + i % 4).toLong
+              i += 1
+            }
+            var sl = 0L; var nl = 0L; var sh = 0L; var nh = 0L
+            i = 0
+            while (i < 16) {
+              val v = d.samples((br + i / 4) * size + bc + i % 4).toLong
+              if (16L * v >= s16) { sh += v; nh += 1 }
+              else { sl += v; nl += 1 }
+              i += 1
+            }
+            val a = if (nl == 0) 0L else sl / nl
+            val b = if (nh == 0) 0L else sh / nh
+            var be = 0L
+            i = 0
+            while (i < 16) {
+              val v = d.samples((br + i / 4) * size + bc + i % 4).toLong
+              be += math.abs(v - (if (16L * v >= s16) b else a))
+              i += 1
+            }
+            blocks += 1
+            err += be
+            if (be > mxe) mxe = be
+            bc += 4
+          }
+          br += 4
+        }
+        BtcRow(tl.image_id, blocks, err, mxe)
+      }
+    }.toDF()
+  }
+
   final case class ArealRow(image_id: String, tr: Int, tc: Int,
                             est_scaled: Long, true_sum: Long, abs_err: Long)
 

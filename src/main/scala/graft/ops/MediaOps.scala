@@ -419,6 +419,37 @@ object MediaOps {
     }.toDF()
   }
 
+  final case class EchoRow(media_id: Long, ac0: Long, best_lag: Long,
+                           ac_best: Long)
+
+  /** Echo / comb-filter detection: exact integer autocorrelation
+    * Σ v(k)·v(k+lag) over the candidate lag grid 20..95 step 5, argmax
+    * with ties to the shorter lag — the slapback-echo lag finder (and
+    * the loop-point candidate) on the stub codec's centered bytes. One
+    * sequential scan per (media, lag) pair, all in one pass.
+    */
+  def echoLag(media: Dataset[MediaRow]): DataFrame = {
+    implicit val enc = Encoders.product[EchoRow]
+    val lags = (20 to 95 by 5).toArray
+    media.mapPartitions { it =>
+      it.map { m =>
+        val n = m.bytes.length
+        def v(i: Int): Long = ((m.bytes(i) & 0xff) - 128).toLong
+        var ac0 = 0L
+        var i = 0
+        while (i < n) { ac0 += v(i) * v(i); i += 1 }
+        var bestLag = -1L; var bestAc = Long.MinValue
+        lags.foreach { lag =>
+          var ac = 0L
+          var k = 0
+          while (k + lag < n) { ac += v(k) * v(k + lag); k += 1 }
+          if (ac > bestAc) { bestAc = ac; bestLag = lag.toLong }
+        }
+        EchoRow(m.media_id, ac0, bestLag, bestAc)
+      }
+    }.toDF()
+  }
+
   final case class PyramidRow(media_id: Long, level: Int, bucket: Long,
                               v_min: Long, v_max: Long)
 
