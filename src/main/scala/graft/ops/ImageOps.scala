@@ -3554,6 +3554,51 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class TerrainRoseRow(image_id: String, octant: Int, band: Int,
+                                  n_cells: Long)
+
+  /** Terrain rose: aspect octant (0..7 counter-clockwise from +x by
+    * integer sign/ratio comparisons on the central-difference gradient,
+    * −1 = flat) × slope band (|∇|² thresholds 200/800) census per tile —
+    * the aspect/slope wheel a terrain summary prints, with no trig
+    * anywhere. Decode-once, ≤27 rows per image.
+    */
+  def terrainRose(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[TerrainRoseRow]
+    tiles.mapPartitions { it =>
+      it.flatMap { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val ext = 600 min (size - size % 8)
+        val census = scala.collection.mutable.Map.empty[(Int, Int), Long]
+        var r = 1
+        while (r < ext - 1) {
+          var c = 1
+          while (c < ext - 1) {
+            val gx = d.samples(r * size + c + 1).toLong -
+              d.samples(r * size + c - 1).toLong
+            val gy = d.samples((r + 1) * size + c).toLong -
+              d.samples((r - 1) * size + c).toLong
+            val s2 = gx * gx + gy * gy
+            val band = if (s2 <= 200) 0 else if (s2 <= 800) 1 else 2
+            val oct =
+              if (gx == 0 && gy == 0) -1
+              else if (gx > 0 && gy >= 0) { if (gx > gy) 0 else 1 }
+              else if (gx <= 0 && gy > 0) { if (gy > -gx) 2 else 3 }
+              else if (gx < 0 && gy <= 0) { if (-gx > -gy) 4 else 5 }
+              else { if (-gy > gx) 6 else 7 }
+            census((oct, band)) = census.getOrElse((oct, band), 0L) + 1L
+            c += 1
+          }
+          r += 1
+        }
+        census.toSeq.sortBy(_._1).map { case ((o, b), n) =>
+          TerrainRoseRow(tl.image_id, o, b, n)
+        }
+      }
+    }.toDF()
+  }
+
   final case class BtcRow(image_id: String, n_blocks: Long, err_sum: Long,
                           max_block_err: Long)
 
