@@ -3554,6 +3554,39 @@ object ImageOps {
     }.toDF()
   }
 
+  final case class LsbRow(image_id: String, n_px: Long, n_flips: Long,
+                          flip_ppm: Long)
+
+  /** LSB watermark embed cost: pixels of the even 600² prefix whose
+    * least-significant bit disagrees with the deterministic payload bit
+    * ((r·7 + c·13) mod 2) — half the pixels in expectation; deviations
+    * say the LSB plane is not noise (already-quantized or synthetic
+    * content, where LSB embedding is visible). One row per image.
+    */
+  def lsbEmbedCost(tiles: Dataset[TileRow]): DataFrame = {
+    implicit val enc = Encoders.product[LsbRow]
+    tiles.mapPartitions { it =>
+      it.map { tl =>
+        val d = TileCodec.decode(tl)
+        val size = d.size
+        val ext = 600 min (size - size % 8)
+        var flips = 0L
+        var r = 0
+        while (r < ext) {
+          var c = 0
+          while (c < ext) {
+            val lsb = d.samples(r * size + c) & 1
+            if (lsb != ((r * 7 + c * 13) % 2)) flips += 1
+            c += 1
+          }
+          r += 1
+        }
+        val n = ext.toLong * ext
+        LsbRow(tl.image_id, n, flips, 1000000L * flips / n)
+      }
+    }.toDF()
+  }
+
   final case class TerrainRoseRow(image_id: String, octant: Int, band: Int,
                                   n_cells: Long)
 
