@@ -419,6 +419,38 @@ object MediaOps {
     }.toDF()
   }
 
+  final case class LevelUsageRow(media_id: Long, n_samp: Long,
+                                 n_levels: Long, simpson_num: Long,
+                                 util_ppm: Long)
+
+  /** Quantization-level usage: distinct sample values, 256-level
+    * utilization in ppm and the Simpson concentration numerator Σc² of
+    * the level histogram — re-quantized, clipped or bit-crushed audio
+    * shows a collapsed level set long before it is audible. One
+    * 256-entry counting pass per media.
+    */
+  def levelUsage(media: Dataset[MediaRow]): DataFrame = {
+    implicit val enc = Encoders.product[LevelUsageRow]
+    media.mapPartitions { it =>
+      it.map { m =>
+        val counts = new Array[Long](256)
+        var i = 0
+        while (i < m.bytes.length) {
+          counts(m.bytes(i) & 0xff) += 1
+          i += 1
+        }
+        var levels = 0L; var simpson = 0L
+        var j = 0
+        while (j < 256) {
+          if (counts(j) > 0) { levels += 1; simpson += counts(j) * counts(j) }
+          j += 1
+        }
+        LevelUsageRow(m.media_id, m.bytes.length.toLong, levels, simpson,
+          1000000L * levels / 256L)
+      }
+    }.toDF()
+  }
+
   final case class EchoRow(media_id: Long, ac0: Long, best_lag: Long,
                            ac_best: Long)
 

@@ -903,4 +903,64 @@ object Trajectory {
         min(when(!col("inside"), col("seq"))).as("first_out"),
         max(when(!col("inside"), col("seq"))).as("last_out"))
   }
+
+  /** EDR trajectory distance (Chen–Özsu–Oria 2005, public): edit distance
+    * on real sequences — insertions/deletions cost 1, a substitution
+    * costs 0 when the fixes match within `eps2` (squared tolerance) and
+    * 1 otherwise. Completes the [[dtw]]/[[frechet]]/[[lcss]] family: EDR
+    * penalizes gaps (LCSS ignores them) yet tolerates noise (DTW
+    * couples every point). Same pair-keyed lattice fold in mapGroups;
+    * at 100 TB the lattice per pair is bounded by the resampled fix
+    * budget, and pairs shard by the pairs relation.
+    *
+    * @return (t1, t2, n_a, n_b, edr)
+    */
+  def edr(points: DataFrame, pairs: DataFrame, eps2: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = points.sparkSession
+    import spark.implicits._
+    val a = pairs.join(points.select(col("traj_id").as("t1"),
+      col("seq").cast("int").as("i"), col("px").cast("long").as("ax"),
+      col("py").cast("long").as("ay")), "t1")
+    val cells = a.join(points.select(col("traj_id").as("t2"),
+        col("seq").cast("int").as("j"), col("px").cast("long").as("bx"),
+        col("py").cast("long").as("by")), "t2")
+      .select(col("t1").cast("long"), col("t2").cast("long"), col("i"),
+        col("j"),
+        ((col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by"))).as("d2"))
+    cells.as[(Long, Long, Int, Int, Long)]
+      .groupByKey { case (t1, t2, _, _, _) => (t1, t2) }
+      .mapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Int, Int, Long)]) =>
+        val (t1, t2) = key
+        val m = it.toArray
+        var nA = 0; var nB = 0
+        m.foreach { case (_, _, i, j, _) =>
+          if (i >= nA) nA = i + 1
+          if (j >= nB) nB = j + 1
+        }
+        val sub = Array.fill(nA * nB)(1L)
+        m.foreach { case (_, _, i, j, v) =>
+          sub(i * nB + j) = if (v <= eps2) 0L else 1L
+        }
+        val dp = new Array[Long](nA * nB)
+        var i = 0
+        while (i < nA) {
+          var j = 0
+          while (j < nB) {
+            val del = (if (i > 0) dp((i - 1) * nB + j) else (j + 1).toLong) + 1L
+            val ins = (if (j > 0) dp(i * nB + j - 1) else (i + 1).toLong) + 1L
+            val diag = (if (i > 0 && j > 0) dp((i - 1) * nB + j - 1)
+              else if (i == 0 && j == 0) 0L
+              else if (i == 0) j.toLong
+              else i.toLong) + sub(i * nB + j)
+            dp(i * nB + j) = math.min(del, math.min(ins, diag))
+            j += 1
+          }
+          i += 1
+        }
+        (t1, t2, nA, nB, dp(nA * nB - 1))
+      }
+      .toDF("t1", "t2", "n_a", "n_b", "edr")
+  }
 }
