@@ -3,7 +3,11 @@ package graft
 import graft.bench.Headline
 import org.apache.spark.sql.SparkSession
 
-/** Per-round benchmark: times every SparkEntry query at `SPARK_GRAFT_SF_DIR`
+/** Per-round benchmark: times every CORE-tier SparkEntry query
+  * ([[graft.queries.Tiers.core]] — `SparkEntry.queries` exposes exactly that
+  * tier since round 5; the O(n²) exact diagnostics and the 400+-entry
+  * extended tail are out of the timed default path per VERDICT r4 #1c/#2)
+  * at `SPARK_GRAFT_SF_DIR`
   * (full evaluation through the noop sink — count() would let column pruning
   * skip the actual operator work), then runs the headline
   * elevation-lookup + spatial-join workload at two parallelism levels
@@ -258,8 +262,12 @@ object Bench {
     spark.stop()
 
     // One scaling block: nPairs interleaved (lo, hi) passes of `job`, each
-    // pair with in-window hardware-ceiling probes. Returns the JSON object
-    // body (shared by the broadcast-path and cogroup-path headlines).
+    // pair with in-window hardware-ceiling probes. Returns (short, full)
+    // JSON object bodies (shared by the broadcast-path and cogroup-path
+    // headlines): `short` goes on the ONE stdout line — the driver records
+    // only the LAST ~2000 chars of output, and round 3/4 proved a long line
+    // gets its head truncated and parses to null — `full` (per-pair arrays)
+    // goes to the sidecar detail file.
     //
     // interleave lo/hi passes: host CPU availability drifts over minutes,
     // so back-to-back blocks bias the ratio. Each (lo, hi) pair runs
@@ -271,7 +279,7 @@ object Bench {
     // pairs measured minutes apart under drifting contention).
     def scalingBlock(nPairs: Int, kRep: Int,
         job: (org.apache.spark.sql.SparkSession, String, Int) => (Long, Double))
-        : String = {
+        : (String, String) = {
       val loCpus = math.max(2, cpus / 4)
       // ceiling probes are short (0.1–2 s) and exposed to instantaneous
       // steal — min-of-2 per level per pair keeps one bad sample from
@@ -322,19 +330,22 @@ object Bench {
       val memCeilingMedian = median(pairMemCeils)
       def arr(xs: Seq[Double]): String =
         xs.map(x => f"$x%.3f").mkString("[", ",", "]")
-      f"""{"rows":$rows,"cpus_lo":$loCpus,"cpus_hi":$cpus,"sec_lo":$tLo%.3f,"sec_hi":$tHi%.3f,"rows_per_sec_lo":$rpsLo%.0f,"rows_per_sec_hi":$rpsHi%.0f,"efficiency":$effMedian%.3f,"efficiency_method":"paired_median_of_$nPairs","efficiency_paired_best":$effBest%.3f,"pair_efficiencies":${arr(pairEffs)},"pair_ceilings":${arr(pairCeils)},"pair_mem_ceilings":${arr(pairMemCeils)},"efficiency_min_ratio":$effMinRatio%.3f,"cpu_turbo_ceiling":$ceilingMedian%.3f,"mem_bw_ceiling":$memCeilingMedian%.3f,"efficiency_vs_ceiling":$effNorm%.3f,"efficiency_vs_mem_ceiling":$effNormMem%.3f}"""
+      val short =
+        f"""{"rows":$rows,"cpus_lo":$loCpus,"cpus_hi":$cpus,"sec_lo":$tLo%.3f,"sec_hi":$tHi%.3f,"rows_per_sec_lo":$rpsLo%.0f,"rows_per_sec_hi":$rpsHi%.0f,"efficiency":$effMedian%.3f,"efficiency_paired_best":$effBest%.3f,"efficiency_min_ratio":$effMinRatio%.3f,"cpu_turbo_ceiling":$ceilingMedian%.3f,"mem_bw_ceiling":$memCeilingMedian%.3f,"efficiency_vs_ceiling":$effNorm%.3f,"efficiency_vs_mem_ceiling":$effNormMem%.3f}"""
+      val full = short.dropRight(1) +
+        f""","efficiency_method":"paired_median_of_$nPairs","pair_efficiencies":${arr(pairEffs)},"pair_ceilings":${arr(pairCeils)},"pair_mem_ceilings":${arr(pairMemCeils)}}"""
+      (short, full)
     }
 
-    val scaling =
-      if (!doScaling) ""
+    val (scalingShort, scalingFull) =
+      if (!doScaling) ("", "")
       else {
-        // 8 pairs ≈ 9 min with the ceiling probes — enough for a stable
-        // median (validated against 10-pair runs) without tripling the
-        // round's bench wall time
+        // 6 pairs ≈ 7 min with the ceiling probes — enough for a stable
+        // median without risking the driver's bench window (r4 lesson)
         val nPairs =
-          math.max(1, sys.env.getOrElse("SPARK_GRAFT_SCALING_PASSES", "8").toInt)
+          math.max(1, sys.env.getOrElse("SPARK_GRAFT_SCALING_PASSES", "6").toInt)
         spinWall(2); memWall(2); releaseMemBuf() // JIT warmup
-        val bcast = scalingBlock(nPairs, k, Headline.run)
+        val (bcastS, bcastF) = scalingBlock(nPairs, k, Headline.run)
         // cogroup path: every probe row crosses the shuffle, so the same
         // wall budget covers fewer rows — default 1/32 the broadcast fan-out
         // (still ~38M rows/run at sf0.1, ≥8s of work per timed run at
@@ -343,10 +354,11 @@ object Bench {
           math.max(1, k / 32).toString).toInt
         val nPairsCg = math.max(1, sys.env.getOrElse(
           "SPARK_GRAFT_SCALING_PASSES_COGROUP", (nPairs / 2).toString).toInt)
-        val cg = scalingBlock(nPairsCg, kCg, Headline.runCogroup(_, _, _))
+        val (cgS, cgF) = scalingBlock(nPairsCg, kCg, Headline.runCogroup(_, _, _))
         val rpsHi = "\"rows_per_sec_hi\":([0-9]+)".r
-          .findFirstMatchIn(bcast).map(_.group(1)).getOrElse("0")
-        s""","elev_rows_per_sec":$rpsHi,"scaling":$bcast,"scaling_cogroup":$cg"""
+          .findFirstMatchIn(bcastS).map(_.group(1)).getOrElse("0")
+        (s""","elev_rows_per_sec":$rpsHi,"scaling":$bcastS,"scaling_cogroup":$cgS""",
+         s""","elev_rows_per_sec":$rpsHi,"scaling":$bcastF,"scaling_cogroup":$cgF""")
       }
 
     def asJson(rs: Seq[(String, Double)]): String =
@@ -354,12 +366,33 @@ object Bench {
         .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalStr = f"$total%.3f"
+    // The ONE stdout JSON line must stay well under ~2000 chars: the driver
+    // keeps only the output tail, and rounds 3 and 4 both produced
+    // `parsed: null` because the full per-query map pushed the line's head
+    // out of the capture window. stdout carries a fixed §2-representative
+    // subset of the per-query timings; the COMPLETE per-query data (all
+    // sweeps, first-sweep column, per-pair scaling arrays) goes to the
+    // sidecar file `BENCH_DETAIL.json` (committed to the repo and quoted in
+    // BASELINE.md).
+    val headlineSubset = Seq("q1_agg", "q5_multijoin", "geo_elev_bilinear",
+      "geo_elev_cogroup", "geo_pip", "geo_knn", "geo_range_join",
+      "geo_poly_join", "zonal_stats", "dedup_minhash", "ann_ivfpq_topk",
+      "text_langid", "img_phash_neardup", "checkpoint_resume",
+      "events_sessions", "stream_window_counts")
+    val resultMap = results.toMap
+    val shortQueries = headlineSubset.flatMap(n => resultMap.get(n).map(n -> _))
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "BENCH_DETAIL.json")
     // "first sweep", not "cold": the session warmup and any table/footer
     // reuse across queries mean sweep 1 is only process-cold for the first
     // toucher of each table
     val coldJson =
       if (coldResults.isEmpty || queryPasses == 1) ""
-      else s""","queries_first_sweep":${asJson(coldResults)},"query_passes":$queryPasses"""
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":${asJson(results)},"sf":"$sfDir"$coldJson$scaling}""")
+      else s""","queries_first_sweep":${asJson(coldResults)}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","query_count":${results.size},"query_passes":$queryPasses,"queries":${asJson(results)},"sf":"$sfDir"$coldJson$scalingFull}""" + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","query_count":${results.size},"query_passes":$queryPasses,"queries":${asJson(shortQueries)},"detail":"$detailPath","sf":"$sfDir"$scalingShort}""")
   }
 }
