@@ -21,366 +21,6 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
-
-  /** The 6 tiles present in the synthetic store for the gate queries; points
-    * also fall on (-118,37) and (-117,36), which are intentionally absent →
-    * NO_DATA → elevation 0 (F8).
-    */
-  private val presentCorners: Seq[(Int, Int)] =
-    for { lng <- -120 to -117; lat <- 36 to 37
-          if !((lng == -118 && lat == 37) || (lng == -117 && lat == 36)) } yield (lng, lat)
-
-  private def gateTiles(s: SparkSession, fmt: String = "hgt") =
-    s.createDataset(TileGen.tiles(presentCorners, 601, fmt))(Encoders.product[TileRow])
-
-  /** Near-dup phash corpus: 4 deterministic variants per present corner,
-    * REAL re-encoded HGT payloads (the op decodes them). Each corner gets a
-    * pseudorandom half-set of "high" 8×8 phash blocks (+4000 on every
-    * sample); variant v flips the high-status of blocks 0..v-1, so variants
-    * of one corner sit ≈|u−v| Hamming apart while distinct corners differ
-    * in ~32 bits — the structure a phash near-dup join must recover.
-    */
-  private def phashCorpusTiles(s: SparkSession) = {
-    val size = 601
-    val rows = for { v <- 0 to 3; (lng, lat) <- presentCorners } yield {
-      val g = TileGen.grid(lng, lat, size, (sw, sl, r, c) => {
-        val idx = ((8 * r + 7) / size) * 8 + (8 * c + 7) / size
-        val high = ((sw + 180) * 31 + (sl + 90) * 17 + idx * idx * 7) % 64 < 32
-        val hv = high != (idx < v)
-        (TileGen.sampleAt(sw, sl, r, c) + (if (hv) 4000 else 0)).toShort
-      })
-      TileRow(s"${graft.geo.TileKey.ofDegrees(lng, lat)}_v$v",
-        graft.raster.Hgt.encode(g, size), size, size, "hgt",
-        graft.core.TileCodec.captionJson(TileGen.caption(lng, lat, size)),
-        graft.raster.Fidelity.phash(g, size))
-    }
-    s.createDataset(rows)(Encoders.product[TileRow])
-  }
-
-  /** Deterministic points over the 8-tile bbox, derived from lineitem. */
-  private def gatePoints(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem").selectExpr(
-      "((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id",
-      "-120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5D)/600.0D AS lng",
-      "36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5D)/600.0D AS lat")
-
-  /** Synthetic triangle family (packed coordinate arrays) from supplier:
-    * apex (cx, cy+h), base corners (cx∓w, cy−h) — CCW, which
-    * [[graft.ops.SpatialJoin.polygonJoin]]'s orientation predicate relies
-    * on. Oracle-replicable doubles; the (cx, cy, w, h) exprs parameterize
-    * the two families used by the gates.
-    */
-  private def triangleFamily(s: SparkSession, dir: String, cx: String,
-                             cy: String, w: String, h: String): DataFrame =
-    t(s, dir, "supplier").selectExpr("s_suppkey AS poly_id",
-        s"$cx AS cx", s"$cy AS cy", s"$w AS w", s"$h AS h")
-      .selectExpr("poly_id",
-        "array(cx, cx - w, cx + w) AS xs",
-        "array(cy + h, cy - h, cy - h) AS ys")
-
-  private def trianglePolys(s: SparkSession, dir: String): DataFrame =
-    triangleFamily(s, dir,
-      "-120.0D + (s_suppkey % 40) * 0.1D",
-      "36.0D + ((s_suppkey * 3) % 20) * 0.1D",
-      "0.05D + (s_suppkey % 7) * 0.013D",
-      "0.04D + (s_suppkey % 5) * 0.017D")
-
-  /** Multi-ring fixtures for the holes/MultiPolygon PIP gate: per supplier,
-    * an outer rectangle, a centered half-size rectangular HOLE, and a
-    * DISJOINT second shell 0.35° east (outer half-width ≤ 0.128 < 0.35 −
-    * 0.4·w, so the shells never overlap and even-odd parity is the plain
-    * shell/hole semantics). Rings as arrays-of-arrays; all corner doubles
-    * oracle-replicable.
-    */
-  private def holePolys(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "supplier").selectExpr("s_suppkey AS poly_id",
-        "-120.0D + (s_suppkey % 40) * 0.1D AS cx",
-        "36.0D + ((s_suppkey * 3) % 20) * 0.1D AS cy",
-        "0.05D + (s_suppkey % 7) * 0.013D AS w",
-        "0.04D + (s_suppkey % 5) * 0.017D AS h")
-      .selectExpr("poly_id",
-        """array(
-             array(cx - w, cx + w, cx + w, cx - w),
-             array(cx - w*0.5D, cx + w*0.5D, cx + w*0.5D, cx - w*0.5D),
-             array(cx + 0.35D - w*0.4D, cx + 0.35D + w*0.4D, cx + 0.35D + w*0.4D, cx + 0.35D - w*0.4D)) AS xss""",
-        """array(
-             array(cy - h, cy - h, cy + h, cy + h),
-             array(cy - h*0.5D, cy - h*0.5D, cy + h*0.5D, cy + h*0.5D),
-             array(cy - h*0.4D, cy - h*0.4D, cy + h*0.4D, cy + h*0.4D)) AS yss""")
-
-  /** A second, staggered triangle family for the polygon-polygon join. */
-  private def trianglePolysB(s: SparkSession, dir: String): DataFrame =
-    triangleFamily(s, dir,
-      "-120.0D + ((s_suppkey * 7) % 40) * 0.1D + 0.03D",
-      "36.0D + ((s_suppkey * 5) % 20) * 0.1D + 0.02D",
-      "0.06D + (s_suppkey % 5) * 0.011D",
-      "0.05D + (s_suppkey % 3) * 0.019D")
-
-  /** Skewed points (north rule: urban-hotspot skew): one third of all points
-    * land in a 0.1°×0.1° box (≈8 level-11 S2 cells carrying ~2000× the mean
-    * density), the rest spread uniformly over the 8-tile bbox.
-    */
-  private def skewPoints(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem").selectExpr(
-      "((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id",
-      """CASE WHEN l_orderkey % 3 = 0
-         THEN -119.0D + (((l_partkey*600 + l_suppkey) % 3000) + 0.5D)/3000.0D * 0.1D
-         ELSE -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5D)/600.0D END AS lng""",
-      """CASE WHEN l_orderkey % 3 = 0
-         THEN 36.5D + (((l_suppkey*131 + l_linenumber) % 3000) + 0.5D)/3000.0D * 0.1D
-         ELSE 36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5D)/600.0D END AS lat""")
-
-  /** Dedup corpus: documents plus exact copies (doc_id%10) and near copies
-    * with six appended words (doc_id%7). Oracle-replicable.
-    */
-  private def dedupCorpus(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-    d.select(col("doc_id"), col("text"))
-      .unionAll(d.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
-      .unionAll(d.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 200000).as("doc_id"),
-          concat(col("text"), lit(" zz qq ww ee rr tt")).as("text")))
-  }
-
-  /** Synthetic media metadata from supplier (closed-form, so the DuckDB
-    * oracle can replay any byte of the generated payload; MediaOps.synth
-    * builds the actual binary column from the same formula).
-    */
-  /** Sector antennas (id, cx, cy, d1x, d1y, d2x, d2y, r2) shared by
-    * geo_sector_cover's engine call and oracle VALUES — each sector spans
-    * < 180° CCW from dir1 to dir2, membership is two integer half-plane
-    * cross products + one radius square.
-    */
-  private val sectorAntennas: Seq[(Long, Long, Long, Long, Long, Long, Long, Long)] =
-    Seq((1L, 100L, 50L, 1L, 0L, 0L, 1L, 14400L),
-      (2L, 300L, 150L, 1L, -1L, 1L, 1L, 40000L),
-      (3L, 1000L, 100L, 0L, -1L, 1L, 0L, 250000L))
-
-  /** Spatiotemporal incidents (id, ix, iy, ts literal) shared by
-    * geo_st_join's engine rows and oracle VALUES.
-    */
-  private val stIncidents: Seq[(Long, Long, Long, String)] =
-    Seq((1L, 150L, 80L, "2024-01-05 12:00:00"),
-      (2L, 400L, 160L, "2024-01-15 00:00:00"),
-      (3L, 900L, 120L, "2024-01-25 18:00:00"))
-
-  /** Pruning-audit queries (qid, kind, lo, hi) shared by
-    * store_spec_evolution's engine rows and oracle VALUES; points have
-    * lo = hi.
-    */
-  private val specQueries: Seq[(Long, String, Long, Long)] =
-    Seq((1L, "point", 47L, 47L), (2L, "point", 250L, 250L),
-      (3L, "point", 777L, 777L), (4L, "range", 100L, 300L),
-      (5L, "range", 900L, 1500L))
-
-  /** Self-intersecting bowtie ring (closed; shared by geo_winding_rule's
-    * engine Columns and oracle SQL). Even-odd and nonzero fill rules
-    * disagree exactly on its central overlap lobe.
-    */
-  private val bowtieRing: Seq[(Long, Long)] =
-    Seq((0L, 0L), (400L, 200L), (0L, 200L), (400L, 0L))
-
-  /** Per-edge crossing terms for a literal ring: (upCross, downCross)
-    * SQL expressions against columns px/py — t is the cross-multiplied
-    * "left of edge" sign, so no division appears; even-odd sums both,
-    * winding signs them.
-    */
-  private def ringCrossingsSql(ring: Seq[(Long, Long)]): (String, String) = {
-    val edges = ring.indices.map { i =>
-      val (x1, y1) = ring(i); val (x2, y2) = ring((i + 1) % ring.size)
-      val t = s"(($x2 - $x1) * (py - $y1) - (px - $x1) * ($y2 - $y1))"
-      val up = s"(CASE WHEN $y2 > py AND NOT ($y1 > py) AND $t > 0 THEN 1 ELSE 0 END)"
-      val dn = s"(CASE WHEN $y1 > py AND NOT ($y2 > py) AND $t < 0 THEN 1 ELSE 0 END)"
-      (up, dn)
-    }
-    (edges.map(_._1).mkString(" + "), edges.map(_._2).mkString(" + "))
-  }
-
-  /** Corridor polyline shared by traj_corridor's engine call and oracle
-    * expression generator.
-    */
-  private val corridorSegs: Seq[(Long, Long, Long, Long)] =
-    Seq((0L, 0L, 200L, 130L), (200L, 130L, 500L, 200L),
-      (500L, 200L, 6000L, 300L))
-
-  /** Per-segment regionized integer point-to-segment radius test, OR'd —
-    * the SQL mirror of [[ops.Trajectory.corridorAudit]]'s Column chain.
-    */
-  private def corridorInsideSql(segs: Seq[(Long, Long, Long, Long)],
-                                r: Long): String =
-    segs.map { case (ax, ay, bx, by) =>
-      val abx = bx - ax; val aby = by - ay
-      val ab2 = abx * abx + aby * aby
-      val r2 = r * r
-      s"""(CASE WHEN (px-($ax))*($abx) + (py-($ay))*($aby) <= 0
-          THEN (px-($ax))*(px-($ax)) + (py-($ay))*(py-($ay)) <= $r2
-          WHEN (px-($ax))*($abx) + (py-($ay))*($aby) >= $ab2
-          THEN (px-($bx))*(px-($bx)) + (py-($by))*(py-($by)) <= $r2
-          ELSE ((px-($ax))*($aby) - (py-($ay))*($abx))
-             * ((px-($ax))*($aby) - (py-($ay))*($abx)) <= ${r2 * ab2} END)"""
-    }.mkString("(", " OR ", ")")
-
-  /** One h-index round as a CTE: rank neighbors' h desc, h' = max
-    * min(rank, value).
-    */
-  private def corenessRoundCte(k: Int): String =
-    s"""h$k AS (SELECT u AS node, CAST(max(least(rk, hv)) AS BIGINT) AS h
-       FROM (SELECT s.u, hh.h AS hv, CAST(row_number() OVER (
-           PARTITION BY s.u ORDER BY hh.h DESC, s.v) AS BIGINT) AS rk
-         FROM sym s JOIN h${k - 1} hh ON hh.node = s.v) t
-       GROUP BY u)"""
-
-  /** Soundex code as a pure SQL expression chain (translate + chained
-    * adjacent-duplicate collapses) shared by engine and oracle; `g=true`
-    * emits DuckDB's regexp_replace global flag (Spark replaces all matches
-    * by default, and DuckDB's RE2 has no backreferences — hence one
-    * collapse per digit instead of `(\d)\1+`). h/w are deleted before
-    * collapsing so duplicates merge THROUGH them (the Ashcraft rule),
-    * vowels code to 0 and separate duplicates until stripped, and the
-    * first letter's own code collapses with the tail (the Pfister rule) —
-    * the drop of that leading code group is skipped when the first letter
-    * is h/w (its code is empty).
-    */
-  private def soundexSql(word: String, g: Boolean): String = {
-    val flag = if (g) ", 'g'" else ""
-    val from = "abcdefgijklmnopqrstuvxyzhw"
-    val to = "012301202245501262301202"
-    val coded = s"translate($word, '$from', '$to')"
-    val collapsed = (0 to 6).foldLeft(coded) { (acc, d) =>
-      s"regexp_replace($acc, '$d$d+', '$d'$flag)" }
-    val firstCode = s"translate(substr($word, 1, 1), '$from', '$to')"
-    val tail =
-      s"substr($collapsed, CASE WHEN $firstCode = '' THEN 1 ELSE 2 END)"
-    s"upper(substr($word, 1, 1)) || " +
-      s"rpad(substr(replace($tail, '0', ''), 1, 3), 3, '0')"
-  }
-
-  /** 24-hour unit-circle table scaled 1e6 (rounded once here, embedded as
-    * literals in BOTH the engine query and the oracle VALUES, so the two
-    * sides share the identical integer table by construction).
-    */
-  private val hourCirc: Seq[(Int, Long, Long)] = (0 until 24).map { h =>
-    val th = 2.0 * math.Pi * h.toDouble / 24.0
-    (h, math.round(math.cos(th) * 1000000.0), math.round(math.sin(th) * 1000000.0))
-  }
-
-  /** Six 60°-spaced sun vectors at 45° elevation, ×1000 integers —
-    * rounded ONCE here and embedded as literals in both the engine call
-    * and the oracle VALUES (the [[hourCirc]] discipline).
-    */
-  private val sunVectors: Seq[(Long, Long, Long)] = (0 until 6).map { k =>
-    val az = 2.0 * math.Pi * k.toDouble / 6.0
-    val ce = math.cos(math.Pi / 4.0)
-    (math.round(ce * math.cos(az) * 1000.0),
-      math.round(ce * math.sin(az) * 1000.0),
-      math.round(math.sin(math.Pi / 4.0) * 1000.0))
-  }
-
-  /** Trailing-zeros+1 register value of the 27-bit hash word `w` as a
-    * shared SQL CASE chain — one string, parsed by BOTH Spark SQL
-    * (graph_hyperball's expr) and DuckDB (its oracle), so the register
-    * arithmetic is identical by construction.
-    */
-  private val rhoCaseSql: String =
-    "CASE WHEN w = 0 THEN 28 " + (1 to 27).map(k =>
-      s"WHEN w % ${1L << k} = ${1L << (k - 1)} THEN $k").mkString(" ") +
-      " END"
-
-  /** Subword vocabulary shared by text_wordpiece_count's greedy
-    * segmentation and its oracle VALUES.
-    */
-  private val wordpieceVocab: Seq[String] =
-    Seq("the", "ta", "ble", "scan", "me", "rge", "ord", "er", "st", "re",
-      "am", "ba", "tch", "row", "qu", "ry", "da", "in", "an", "lu", "ar")
-
-  private def mediaMeta(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "supplier").selectExpr("s_suppkey AS media_id",
-      "1000 + (s_suppkey % 20) * 500 AS duration_ms",
-      "CASE WHEN s_suppkey % 2 = 0 THEN 24000 ELSE 30000 END AS fps_milli",
-      "4096 + (s_suppkey % 7) * 512 AS n_bytes")
-
-  /** Trained-quantizer memo, keyed by sf dir: five gate queries need the
-    * same 3-round Lloyd fixpoints (coarse k=8 and PQ 8×16), and the bench
-    * times every query over 3 interleaved sweeps — retraining per call
-    * would run the identical deterministic jobs 15×. Train once per input
-    * dir, reuse everywhere (exactly what a production index build does);
-    * cached state is bounded (k·64 + 8·16·8 doubles + the per-round
-    * history rows the two training gates emit).
-    */
-  private val kmeansCache =
-    new java.util.concurrent.ConcurrentHashMap[String,
-      (Array[Array[Double]], Seq[ops.Embeddings.TrainRow])]()
-  private val pqCache =
-    new java.util.concurrent.ConcurrentHashMap[String,
-      (Array[Array[Array[Double]]], Seq[(Int, Int, Int, Int, Long, Long, Double)])]()
-
-  private def trainedKmeans(s: SparkSession, dir: String) =
-    kmeansCache.computeIfAbsent(dir,
-      _ => ops.Embeddings.kmeansTrain(t(s, dir, "embeddings"), k = 8, rounds = 3))
-
-  private def trainedPq(s: SparkSession, dir: String) =
-    pqCache.computeIfAbsent(dir,
-      _ => ops.Embeddings.pqTrain(t(s, dir, "embeddings"), nSub = 8, kCodes = 16,
-        rounds = 3))
-
-  /** Embedding dedup corpus (SemDeDup input): base vectors as doubles plus
-    * exact copies (vec_id%10, +100000) and slightly perturbed copies
-    * (vec_id%7, +200000, dim d shifted by ((d%5)−2)·0.001). Oracle-
-    * replicable: the perturbation is the same IEEE add on both engines.
-    */
-  private def semCorpus(e: DataFrame): DataFrame = {
-    val base = e.select(col("vec_id").cast("long"),
-      col("embedding").cast("array<double>").as("embedding"))
-    base
-      .unionAll(base.filter(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
-      .unionAll(base.filter(col("vec_id") % 7 === 0)
-        .select((col("vec_id") + 200000).as("vec_id"),
-          transform(col("embedding"),
-            (x, i) => x + ((i % 5) - lit(2)).cast("double") * lit(0.001))
-            .as("embedding")))
-  }
-
-  /** Points spanning all four hemisphere quadrants, from customer. */
-  private def quadrantPoints(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "customer").selectExpr(
-      "c_custkey AS point_id",
-      "-180 + (c_custkey % 360) + 0.5D AS lng",
-      "-90 + ((c_custkey * 7) % 180) + 0.25D AS lat")
-
-  /** D8 steepest-descent successor table of the synthetic multi-basin
-    * 100×100 grid (first maximal drop wins, borders excluded) — shared by
-    * the hydrology queries (watershed labels, flow accumulation).
-    * Neighbours go through explode + rank, not a folded struct-max
-    * expression: a when()-fold over 8 struct candidates duplicates the
-    * accumulated tree per comparison (2⁸ blowup — kills codegen).
-    */
-  private def d8SuccGrid(s: SparkSession): DataFrame = {
-    val n = 100
-    val nb = s.range(n.toLong * n)
-      .selectExpr("id AS cell", s"id DIV $n AS i", s"id % $n AS j")
-      .selectExpr("cell", "i", "j", "(i*i)%97 + (j*j)%89 + (i*j)%31 AS e")
-      .withColumn("k", explode(sequence(lit(0), lit(7))))
-      .selectExpr("cell", "e", "k",
-        "i + element_at(array(1,1,0,-1,-1,-1,0,1), k+1) AS ni",
-        "j + element_at(array(0,1,1,1,0,-1,-1,-1), k+1) AS nj")
-    val sc = nb.selectExpr("cell", "k", "ni", "nj",
-      s"""CASE WHEN ni BETWEEN 0 AND ${n - 1} AND nj BETWEEN 0 AND ${n - 1}
-            AND e - ((ni*ni)%97 + (nj*nj)%89 + (ni*nj)%31) > 0
-          THEN e - ((ni*ni)%97 + (nj*nj)%89 + (ni*nj)%31)
-          ELSE -1 END AS drp""")
-    // first maximal drop wins (drp DESC, then direction order k)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("cell").orderBy(col("drp").desc, col("k").asc)
-    sc.withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .selectExpr("cell",
-        s"CASE WHEN drp > 0 THEN ni*$n + nj ELSE cell END AS succ")
-  }
-
   /** Flagship: the reference's own golden fixture (JMT, 54 features / 5,998
     * coords) sampled against the 3-arc-second synthetic tile pyramid via the
     * broadcast tile join. Driver smoke-checks rows>0 at sf0.001.
@@ -411,23179 +51,40 @@ object SparkEntry {
     graft.queries.Tiers.core.iterator.map(n => n -> all(n)).toMap
   }
 
-  def allQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- relational core (A1-analogs, joins, windows) ----
-    "q1_agg" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .filter(col("l_shipdate") <= lit("1999-09-01").cast("timestamp"))
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          sum(col("l_quantity")).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc"),
-          avg(col("l_quantity")).as("avg_qty"),
-          count(lit(1)).as("n"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
-    }),
-    "q3_topk" -> ((s, dir) => {
-      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
-      val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("o_orderkey"), col("o_orderdate"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
-        .orderBy(col("revenue").desc, col("o_orderkey"))
-        .limit(10)
-        .select("o_orderkey", "o_orderdate", "revenue")
-    }),
-    "q5_multijoin" -> ((s, dir) => {
-      t(s, dir, "region").filter(col("r_name") === "ASIA")
-        .join(t(s, dir, "nation"), col("r_regionkey") === col("n_regionkey"))
-        .join(t(s, dir, "customer"), col("n_nationkey") === col("c_nationkey"))
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
-        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .join(t(s, dir, "supplier"),
-          col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("n_nationkey"))
-        .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
-        .orderBy(col("n_name"))
-    }),
-    "q_window" -> ((s, dir) => {
-      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
-      t(s, dir, "orders")
-        .withColumn("rn", row_number().over(w))
-        .withColumn("run_total",
-          round(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
-        .filter(col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "rn", "run_total")
-        .orderBy("o_custkey", "rn")
-    }),
-    // PIVOT surface: month × order-status wide table (the reshape every
-    // BI layer emits) — Spark's relational groupBy().pivot() with an
-    // explicit value list (one pass, no per-status scan); absent cells
-    // stay NULL on both engines.
-    // GROUPING SETS surface — the BI reshape between q_pivot and
-    // events_cube/rollup: four explicit sets over (month, status) in ONE
-    // expand-and-aggregate pass (Spark's Expand node, never four scans);
-    // the null pattern distinguishes the sets, exact integer cents.
-    "q_grouping_sets" -> ((s, dir) => {
-      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
-      s.sql(
-        """SELECT mon, status, count(1) AS n, sum(cents) AS sum_cents
-          |FROM (SELECT month(o_orderdate) AS mon, o_orderstatus AS status,
-          |        CAST(FLOOR(o_totalprice * 100.0D + 0.5D) AS BIGINT) AS cents
-          |      FROM orders_gs)
-          |GROUP BY GROUPING SETS ((mon, status), (mon), (status), ())
-          |ORDER BY mon, status""".stripMargin)
-    }),
-    "q_pivot" -> ((s, dir) => {
-      t(s, dir, "orders")
-        .withColumn("mon", month(col("o_orderdate")))
-        .groupBy("mon").pivot("o_orderstatus", Seq("F", "O", "P"))
-        .agg(round(sum("o_totalprice"), 2))
-        .orderBy("mon")
-    }),
-    // UNPIVOT surface — q_pivot's inverse reshape (wide month×status grid
-    // back to long triples): Spark's `stack` table generator fans the three
-    // status columns into rows in ONE projection pass (no union of three
-    // scans); NULL cells are excluded on both engines (DuckDB UNPIVOT's
-    // default). Exact integer cents so the gate is bit-exact.
-    "q_unpivot" -> ((s, dir) => {
-      t(s, dir, "orders")
-        .withColumn("mon", month(col("o_orderdate")))
-        .groupBy("mon").pivot("o_orderstatus", Seq("F", "O", "P"))
-        .agg(sum(expr("CAST(FLOOR(o_totalprice * 100.0D + 0.5D) AS BIGINT)")))
-        .selectExpr("mon", "stack(3, 'F', `F`, 'O', `O`, 'P', `P`) AS (status, cents)")
-        .filter(col("cents").isNotNull)
-        .orderBy("mon", "status")
-    }),
-    // SKYLINE / Pareto front (ops.Skyline.skyline2d): the orders nobody
-    // beats on BOTH price and date (minimize both) — the classic
-    // multi-criteria operator, answered by the sorted-scan window identity
-    // (never the quadratic dominance self-join the oracle states
-    // definitionally). Integer cents + epoch days; duplicates
-    // pre-aggregated so the (x, y) order is total.
-    "q_skyline" -> ((s, dir) => {
-      val pairs = t(s, dir, "orders")
-        .filter(col("o_orderkey") % 5 === 0)
-        .selectExpr(
-          "CAST(FLOOR(o_totalprice * 100.0D + 0.5D) AS BIGINT) AS price_c",
-          "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000 AS day")
-        .groupBy("price_c", "day").agg(count(lit(1)).as("n"))
-      ops.Skyline.skyline2d(pairs, "price_c", "day")
-        .orderBy("price_c")
-    }),
-    // A1: Welford-equivalent single-pass stats + z>=2 outlier flagging
-    // (reference src/s3Fetcher.ts:33-52), on exact-integer moments so the
-    // oracle matches bit-for-bit.
-    "events_welford" -> ((s, dir) => {
-      val e = t(s, dir, "events")
-        .withColumn("iv", floor(col("value") * 100).cast("long"))
-      val stats = e.groupBy("event_type").agg(
-        count(lit(1)).as("n"), sum(col("iv")).as("sv"),
-        sum(col("iv") * col("iv")).as("svv"))
-        .withColumn("mean", col("sv").cast("double") / col("n"))
-        .withColumn("stddev", sqrt(
-          (col("svv").cast("double") - col("sv").cast("double") * col("sv") / col("n")) /
-            (col("n") - 1)))
-      val flagged = e.join(stats.select("event_type", "mean", "stddev"), Seq("event_type"))
-        .filter(abs(col("iv") - col("mean")) >= col("stddev") * 2)
-        .groupBy("event_type").agg(count(lit(1)).as("n_outliers"))
-      stats.join(flagged, Seq("event_type"), "left_outer")
-        .select(col("event_type"), col("n"), round(col("mean"), 6).as("mean_r"),
-          round(col("stddev"), 6).as("std_r"),
-          coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
-        .orderBy("event_type")
-    }),
-    // Rolling anomaly flags: hourly per-type totals vs the trailing-24h
-    // window (current hour excluded). The z>=2 test is EXACT integer
-    // arithmetic on cents: (x*n - sum)^2 >= 4*(n*sumsq - sum^2) avoids any
-    // float mean/stddev, so the oracle replays it bit-for-bit. Magnitudes
-    // Page's CUSUM drift test (ops.Drift.cusum): per-user sequential
-    // changepoint statistic over exact cents — the sustained-shift monitor
-    // beside the single-outlier z-flags. One key shuffle; the recurrence
-    // is a codegen'd HOF fold the oracle replays as a recursive CTE.
-    "events_cusum" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          expr("CAST(round(value * 100) AS BIGINT)").as("v_cents"))
-      ops.Drift.cusum(ev, "user_id", Seq("ts", "event_id"), "v_cents",
-        drift = 6000L, threshold = 20000L).orderBy("user_id")
-    }),
-    // Holt double-exponential smoothing (ops.Drift.holt): per-user
-    // level+trend forecast in exact ppm integer arithmetic with an
-    // explicit floor division both engines replay identically; the
-    // abs-err backtest column rides along. Same one-shuffle fold plan as
-    // events_cusum; oracle = recursive CTE.
-    "events_holt" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          expr("CAST(round(value * 100) AS BIGINT)").as("v_cents"))
-      ops.Drift.holt(ev, "user_id", Seq("ts", "event_id"), "v_cents",
-        alphaPpm = 300000L, betaPpm = 100000L, horizon = 3L)
-        .orderBy("user_id")
-    }),
-    // Autocorrelation sufficient statistics (ops.Drift.acf): per-type
-    // lag-1..4 pair moments as exact BIGINTs — the seasonality/persistence
-    // profile beside cusum/holt; one window pass computes all lags, the
-    // moment agg is map-side partial on the already-co-partitioned key.
-    "events_acf" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .select(col("event_type"), col("ts"), col("event_id"),
-          expr("CAST(round(value * 100) AS BIGINT)").as("v_cents"))
-      ops.Drift.acf(ev, "event_type", Seq("ts", "event_id"), "v_cents",
-        maxLag = 4).orderBy("event_type", "lag")
-    }),
-    // Lagged CROSS-correlation between two series — events_acf's
-    // two-signal sibling (does 'view' volume at hour t lead 'click' volume
-    // at t+lag?): per lag ∈ [−3, 3] the raw co-occurrence mass
-    // Σ_t n_view(t)·n_click(t+lag) over overlapping hours, pure integers
-    // (zero hours contribute nothing to the dot product, so the sparse
-    // hour join equals the dense series). Two hour-keyed aggs + one 7×
-    // fan-out equi-join — never a per-lag rescan.
-    "events_xcorr" -> ((s, dir) => {
-      val e = t(s, dir, "events")
-        .withColumn("hr", expr("unix_micros(date_trunc('hour', ts)) div 3600000000L"))
-      val a = e.filter(col("event_type") === "view")
-        .groupBy("hr").agg(count(lit(1)).as("na"))
-      val b = e.filter(col("event_type") === "click")
-        .groupBy("hr").agg(count(lit(1)).as("nb"))
-      val lags = s.range(-3, 4).toDF("lag")
-      a.crossJoin(broadcast(lags))
-        .withColumn("hr2", col("hr") + col("lag"))
-        .join(b.withColumnRenamed("hr", "hr2"), "hr2")
-        .groupBy("lag")
-        .agg(count(lit(1)).as("n_hours"), sum(col("na") * col("nb")).as("dot"))
-        .orderBy("lag")
-    }),
-    // hold in int64 through the gate SFs; a 100 TB deployment would move
-    // the squares to DECIMAL(38,0) (same plan, wider integers).
-    "events_rolling_z" -> ((s, dir) => {
-      val w = Window.partitionBy("event_type").orderBy("hr").rowsBetween(-24, -1)
-      t(s, dir, "events")
-        .groupBy(col("event_type"),
-          date_trunc("hour", expr("cast(ts as timestamp)")).as("hr"))
-        .agg(count(lit(1)).as("n"),
-          sum(round(col("value") * 100, 0).cast("long")).as("cents"))
-        .withColumn("rcnt", count(lit(1)).over(w))
-        .withColumn("rsum", sum("cents").over(w))
-        .withColumn("rsumsq", sum(col("cents") * col("cents")).over(w))
-        .withColumn("is_anomaly",
-          when(col("rcnt") >= 8 &&
-            (col("cents") * col("rcnt") - col("rsum")) *
-              (col("cents") * col("rcnt") - col("rsum")) >=
-              lit(4L) * (col("rcnt") * col("rsumsq") - col("rsum") * col("rsum")),
-            1).otherwise(0))
-        .select("event_type", "hr", "n", "cents", "rcnt", "is_anomaly")
-        .orderBy("event_type", "hr")
-    }),
-    "events_hourly" -> ((s, dir) => {
-      t(s, dir, "events")
-        .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
-        .orderBy("hr", "event_type")
-    }),
-    // SPC control-rule flags (Western Electric rules 1 and 4, public) on
-    // the hourly EVENT-RATE series: per type, exact global moments
-    // (n, Σc, Σc²), then R1 = rate beyond 3σ by cross-multiplication
-    // ((n·c−S)²·(n−1) > 9·n·(nQ−S²)) and R4 = 8 consecutive hours the
-    // same side of the mean (|rolling sum of sign(n·c−S)| = 8 — only
-    // possible when all 8 agree). The monitoring-rule layer above
-    // events_rolling_z's windowed score; two key-bounded windows, pure
-    // integers.
-    "events_spc" -> ((s, dir) => {
-      val hrly = t(s, dir, "events")
-        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
-        .agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy("event_type").orderBy("hr")
-      val wp = Window.partitionBy("event_type")
-      val m = hrly
-        .withColumn("n", count(lit(1)).over(wp))
-        .withColumn("sc", sum("c").over(wp))
-        .withColumn("sq", sum(col("c") * col("c")).over(wp))
-        .withColumn("dev", col("n") * col("c") - col("sc"))
-        .withColumn("side", signum(col("dev")).cast("long"))
-        .withColumn("r1", when(col("n") >= 2 &&
-          col("dev") * col("dev") * (col("n") - 1) >
-            lit(9L) * col("n") * (col("n") * col("sq") - col("sc") * col("sc")),
-          1L).otherwise(0L))
-        .withColumn("run8", sum("side").over(w.rowsBetween(-7, 0)))
-        .withColumn("cnt8", count(lit(1)).over(w.rowsBetween(-7, 0)))
-        .withColumn("r4", when(col("cnt8") === 8 &&
-          abs(col("run8")) === 8, 1L).otherwise(0L))
-      m.groupBy("event_type")
-        .agg(count(lit(1)).as("n_hours"), sum("r1").as("n_r1"),
-          sum("r4").as("n_r4"))
-        .orderBy("event_type")
-    }),
-    // Cohort LTV matrix — events_retention's revenue sibling: customers
-    // cohorted by FIRST order month, cumulative cents by cohort age in
-    // months — the lifetime-value curve every growth dashboard draws.
-    // One custkey-keyed min + one (cohort, age) agg + one cohort window,
-    // exact integer months and cents.
-    "events_cohort_ltv" -> ((s, dir) => {
-      val o = t(s, dir, "orders").selectExpr("o_custkey",
-        "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m",
-        "CAST(FLOOR(o_totalprice * 100.0D + 0.5D) AS BIGINT) AS cents")
-      val first = o.groupBy("o_custkey").agg(min("m").as("m0"))
-      o.join(first, "o_custkey")
-        .withColumn("age", col("m") - col("m0"))
-        .groupBy(col("m0").as("cohort"), col("age"))
-        .agg(count(lit(1)).as("n_orders"), sum("cents").as("cents"))
-        .withColumn("cum_cents", sum("cents").over(
-          Window.partitionBy("cohort").orderBy("age")
-            .rowsBetween(Window.unboundedPreceding, 0)))
-        .orderBy("cohort", "age")
-    }),
-    // Binary-segmentation CHANGEPOINT (one split): the hour index that
-    // maximizes the quantized between-segment objective
-    // S1² div n1 + S2² div n2 over each type's hourly cents series — the
-    // detector behind events_cusum's sequential alarm, answered offline.
-    // The objective is DEFINED as the integer-division form so both
-    // engines replay the argmax exactly (ties → earliest split). Gate-SF
-    // int64 headroom: totals ≤ ~10⁹ cents ⇒ S² ≤ 10¹⁸ < 2⁶³; a 100 TB
-    // deployment widens to DECIMAL(38,0), same plan.
-    "events_changepoint" -> ((s, dir) => {
-      val hrly = t(s, dir, "events")
-        .groupBy(col("event_type"),
-          date_trunc("hour", col("ts")).as("hr"))
-        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("c"))
-      val w = Window.partitionBy("event_type").orderBy("hr")
-      val wp = Window.partitionBy("event_type")
-      val pre = hrly
-        .withColumn("i", row_number().over(w).cast("long"))
-        .withColumn("s1", sum("c").over(
-          w.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("n", count(lit(1)).over(wp))
-        .withColumn("stot", sum("c").over(wp))
-      val cand = pre.filter(col("i") < col("n"))
-        .withColumn("obj", expr(
-          "(s1*s1) div i + ((stot-s1)*(stot-s1)) div (n - i)"))
-      cand.withColumn("rn", row_number().over(Window.partitionBy("event_type")
-          .orderBy(col("obj").desc, col("i"))))
-        .filter(col("rn") === 1)
-        .withColumn("gain", expr("obj - (stot*stot) div n"))
-        .select(col("event_type"), col("n").as("n_hours"),
-          col("i").as("best_idx"), col("hr").as("best_hr"), col("obj"),
-          col("gain"))
-        .orderBy("event_type")
-    }),
-    // Pareto concentration N80 — "how many top users carry 80% of the
-    // value": per type, users ranked by cents desc (ties by user_id), the
-    // smallest prefix whose running share reaches 80% by exact
-    // cross-multiplication (5·cum ≥ 4·total) — the concentration COUNT
-    // next to events_gini's coefficient. Two key-bounded windows.
-    "events_pareto_n80" -> ((s, dir) => {
-      val byUser = t(s, dir, "events")
-        .groupBy("event_type", "user_id")
-        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("c"))
-      val w = Window.partitionBy("event_type")
-        .orderBy(col("c").desc, col("user_id"))
-      val wp = Window.partitionBy("event_type")
-      byUser
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .withColumn("cum", sum("c").over(
-          w.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("tot", sum("c").over(wp))
-        .withColumn("n_users", count(lit(1)).over(wp))
-        .filter(lit(5L) * col("cum") >= lit(4L) * col("tot"))
-        .groupBy("event_type", "n_users", "tot")
-        .agg(min("rk").as("n80"))
-        .select("event_type", "n_users", "tot", "n80")
-        .orderBy("event_type")
-    }),
-    // HOUR-OF-DAY seasonality profile — events_hourly folded onto the
-    // 24-hour clock: per (type, hour 0..23) the exact count/cents mass and
-    // the seasonality index in ppm of a flat profile (cents·24·10⁶ div
-    // total — 10⁶ means an average hour, 2·10⁶ a doubled one). The
-    // capacity-planning shape every ops dashboard draws; ≤ types×24 rows,
-    // one agg + one type-keyed rejoin, pure integers.
-    "events_seasonality" -> ((s, dir) => {
-      val e = t(s, dir, "events")
-        .withColumn("hod", hour(col("ts")).cast("long"))
-        .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
-      val byHour = e.groupBy("event_type", "hod")
-        .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
-      val tot = e.groupBy("event_type").agg(sum("cents").as("tot_cents"))
-      byHour.join(tot, "event_type")
-        .withColumn("idx_ppm", expr("(cents * 24L * 1000000L) div tot_cents"))
-        .select("event_type", "hod", "n", "cents", "idx_ppm")
-        .orderBy("event_type", "hod")
-    }),
-    // CUBE rollup: all four (event_type × day) grouping sets in ONE pass —
-    // Spark's Expand operator fans each row to its grouping sets before the
-    // single aggregation shuffle (4× the rows, but one job instead of four
-    // scans — the multi-granularity dashboard query at 100 TB). Data has no
-    // NULL keys, so the rollup NULLs are unambiguous.
-    "events_cube" -> ((s, dir) => {
-      t(s, dir, "events")
-        .withColumn("day", date_trunc("day", col("ts")))
-        .cube("event_type", "day")
-        .agg(count(lit(1)).cast("long").as("n"),
-          sum(expr("CAST(round(value * 100, 0) AS LONG)")).cast("long")
-            .as("sum_cents"))
-        .orderBy("event_type", "day")
-    }),
-    // Structured Streaming through the correctness gate: the events table
-    // replayed as a file-source STREAM into a watermarked event-time window
-    // aggregation, drained with AvailableNow — the drained state equals the
-    // batch GROUP BY bit-for-bit (milli-unit Long sums are micro-batch-
-    // order-independent), so DuckDB is the oracle for the streaming engine.
-    "stream_window_counts" -> ((s, dir) => {
-      streaming.StreamOps.windowedCounts(s, s"$dir/events.parquet")
-        .orderBy("day", "event_type")
-    }),
-    // Session windows through the streaming engine: merging-window state
-    // per user, drained to the same gaps-and-islands result the batch
-    // sessionization computes (gap >= 12h starts a session).
-    "stream_session_counts" -> ((s, dir) => {
-      streaming.StreamOps.sessionCounts(s, s"$dir/events.parquet")
-        .orderBy("user_id", "start_us")
-    }),
-    // Streaming elevation enrichment (streaming.StreamOps.elevationEnrich):
-    // the reference's live endpoint as a stateless streaming job probing
-    // the broadcast tile index — the J1 family's third physical path,
-    // same oracle as geo_elev_bilinear.
-    "stream_elevation" -> ((s, dir) => {
-      streaming.StreamOps.elevationEnrich(s, s"$dir/lineitem.parquet",
-          gateTiles(s), Seq(
-            "((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id",
-            "-120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5D)/600.0D AS lng",
-            "36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5D)/600.0D AS lat"))
-        .orderBy("point_id")
-    }),
-    // Stream-stream interval join through the gate (the third streaming
-    // row): purchases within 1h after a view, watermark-bounded state,
-    // append-mode drain equals the batch interval join bit-for-bit.
-    "stream_interval_join" -> ((s, dir) => {
-      streaming.StreamOps.viewPurchaseJoin(s, s"$dir/events.parquet")
-        .orderBy("view_id", "purchase_id")
-    }),
-    // Triangle enumeration: canonical-orientation wedge join (two
-    // key-bounded shuffles, each triangle a<b<c exactly once) — the
-    // clustering-coefficient / community primitive next to pagerank/CC.
-    "graph_triangles" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem").selectExpr(
-        "l_orderkey % 20000 AS src",
-        "(l_orderkey*7 + l_linenumber*13) % 20000 AS dst")
-      ops.Graph.triangles(edges).orderBy("a", "b", "c")
-    }),
-    // Common-neighbor link prediction: top-50 NON-adjacent pairs by shared
-    // neighbors — the triangles wedge join with an anti-joined (absent)
-    // closing edge instead of a present one.
-    "graph_suggest" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem").selectExpr(
-        "l_orderkey % 20000 AS src",
-        "(l_orderkey*7 + l_linenumber*13) % 20000 AS dst")
-      ops.Graph.commonNeighbors(edges, 50)
-        .orderBy(col("cn").desc, col("a"), col("b"))
-    }),
-    // Resource-allocation link prediction (ops.Graph.resourceAllocation):
-    // graph_suggest's wedge join with the midpoint DISCOUNTED by degree —
-    // Σ floor(10⁶/deg(u)) ppm over common neighbors, so hub-mediated
-    // pairs stop dominating; exact integer score, same anti-join against
-    // existing edges, deterministic (ra_ppm desc, a, b) top-50.
-    "graph_resource_alloc" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem").selectExpr(
-        "l_orderkey % 20000 AS src",
-        "(l_orderkey*7 + l_linenumber*13) % 20000 AS dst")
-      ops.Graph.resourceAllocation(edges, 50)
-        .orderBy(col("ra_ppm").desc, col("a"), col("b"))
-    }),
-    // DBSCAN density clustering (ops.SpatialJoin.dbscan): ε-pairs from the
-    // hex-disk cover join, core flags by neighbor count, clusters by
-    // large-star/small-star CC, min-label border assignment — on a
-    // synthetic 12-cluster + lattice-noise point set.
-    "geo_dbscan" -> ((s, dir) => {
-      val pts = t(s, dir, "customer").selectExpr(
-        "c_custkey AS pid",
-        "CASE WHEN c_custkey % 41 = 0 THEN -130.0D + (c_custkey % 100) / 10.0D ELSE -120.0D + ((c_custkey % 12) % 4) * 0.5D + ((c_custkey * 7) % 19 - 9) / 1000.0D END AS lng",
-        "CASE WHEN c_custkey % 41 = 0 THEN 30.0D + ((c_custkey * 13) % 100) / 10.0D ELSE 36.0D + ((c_custkey % 12) DIV 4) * 0.5D + ((c_custkey * 11) % 23 - 11) / 1000.0D END AS lat")
-      ops.SpatialJoin.dbscan(pts, eps = 0.0025, minPts = 8).orderBy("pid")
-    }),
-    // Composed cluster-shape pipeline: DBSCAN (cell-bucketed range join +
-    // star CC) labels the dense blobs, then each cluster's 1-in-5 member
-    // sample is hulled by the exact integer Graham scan — the
-    // cluster→footprint-polygon step of heatmap/territory mining, both
-    // stages the already-gated primitives. Coordinates are ×1000-quantized
-    // to integers (round() pins both engines) so the hull certificate
-    // stays exact.
-    "geo_dbscan_hulls" -> ((s, dir) => {
-      val pts = t(s, dir, "customer").selectExpr(
-        "c_custkey AS pid",
-        "CASE WHEN c_custkey % 41 = 0 THEN -130.0D + (c_custkey % 100) / 10.0D ELSE -120.0D + ((c_custkey % 12) % 4) * 0.5D + ((c_custkey * 7) % 19 - 9) / 1000.0D END AS lng",
-        "CASE WHEN c_custkey % 41 = 0 THEN 30.0D + ((c_custkey * 13) % 100) / 10.0D ELSE 36.0D + ((c_custkey % 12) DIV 4) * 0.5D + ((c_custkey * 11) % 23 - 11) / 1000.0D END AS lat")
-      val members = ops.SpatialJoin.dbscan(pts, eps = 0.0025, minPts = 8)
-        .filter(col("role") =!= "noise")
-        .filter(col("pid") % 5 === 0)
-        .join(pts, "pid")
-        .selectExpr("cluster AS gid",
-          "CAST(round((lng + 130.0D) * 1000) AS BIGINT) AS x",
-          "CAST(round((lat - 30.0D) * 1000) AS BIGINT) AS y")
-        .distinct()
-      ops.SpatialJoin.convexHullPerGroup(members)
-        .withColumnRenamed("gid", "cluster")
-        .orderBy("cluster", "x", "y")
-    }),
-    // Single-source shortest paths (ops.Graph.sssp): 4 fixed Bellman-Ford
-    // relaxation rounds from node 0, exact min-plus integer arithmetic —
-    // the oracle unrolls the same rounds as CTEs.
-    "graph_sssp" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem").selectExpr(
-        "l_orderkey % 20000 AS src",
-        "(l_orderkey*7 + l_linenumber*13) % 20000 AS dst",
-        "l_linenumber % 5 + 1 AS w")
-      ops.Graph.sssp(edges, source = 0L, rounds = 4).orderBy("node")
-    }),
-    // Streaming dedup (streaming.StreamOps.dedupKeys — the 4th stateful
-    // streaming row): dropDuplicates on (user, type, day) through a file
-    // stream, append drain == batch SELECT DISTINCT bit-for-bit.
-    "stream_dedup" -> ((s, dir) => {
-      streaming.StreamOps.dedupKeys(s, s"$dir/events.parquet")
-        .orderBy("user_id", "event_type", "day")
-    }),
-    // Streaming HLL distinct (streaming.StreamOps.hllDistinct — the 5th
-    // stateful streaming row): the sketch registers ARE the stream state
-    // (32 max-rank Longs per group, merged by MAX each micro-batch,
-    // order-insensitive), so the drain equals the batch sketch bit-for-bit
-    // and the gate reuses events_hll_distinct's oracle verbatim.
-    "stream_hll" -> ((s, dir) => {
-      val sk = streaming.StreamOps.hllDistinct(
-        s, s"$dir/events.parquet", "event_type", "user_id")
-      val exact = t(s, dir, "events").groupBy("event_type")
-        .agg(countDistinct("user_id").as("n_exact"))
-      sk.join(exact, "event_type").orderBy("event_type")
-    }),
-    // Streaming CDC snapshot (streaming.StreamOps.cdcSnapshot): latest-wins
-    // upsert state as ONE declarative stateful aggregation — per key
-    // max_by(payload, seq), order-insensitive under unique (key, seq), so
-    // the drained snapshot equals the batch changelog fold however the
-    // source micro-batches. The oracle replays latest-wins from the final
-    // changelog state (same invariant as cdc_upsert).
-    "stream_cdc_snapshot" -> ((s, dir) => {
-      val base = t(s, dir, "orders").select(col("o_orderkey").as("k"),
-        col("o_custkey").as("ck"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
-      val log = base
-        .withColumn("seq", lit(0L)).withColumn("op", lit("I"))
-        .unionByName(base.filter(col("k") % 7 === 0)
-          .withColumn("cents", col("cents") + lit(100000L))
-          .withColumn("seq", lit(1L)).withColumn("op", lit("U")))
-        .unionByName(base.filter(col("k") % 13 === 0)
-          .withColumn("seq", lit(2L)).withColumn("op", lit("D")))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_cdc_log_").toString
-      log.write.mode("overwrite").parquet(tmp)
-      streaming.StreamOps.cdcSnapshot(s, tmp, "k", "seq")
-        .filter(col("op") =!= "D")
-        .groupBy((col("ck") % 16).as("grp"))
-        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
-        .orderBy("grp")
-    }),
-    // Geofence enter/exit extraction (ops.Trajectory.geofence): every fix
-    // tested against 2 broadcast fence triangles with the SAME codegen'd
-    // ray-cast as the PIP join, one (traj, fence) lag keeps only the
-    // membership flips — the fleet-alerting event stream (output is
-    // transitions, never per-fix membership).
-    "traj_geofence" -> ((s, dir) => {
-      import s.implicits._
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts", "event_id")
-      val pts = t(s, dir, "events").filter(col("user_id") < 50)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          ((col("event_id") % 7) +
-            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
-          ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("pxc", sum("dx").over(w))
-        .withColumn("pyc", sum("dy").over(w))
-        .selectExpr("user_id AS traj_id",
-          "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us", "event_id AS tie",
-          "-120.0D + pxc / 1000.0D AS lng", "36.0D + pyc / 1000.0D AS lat")
-      val fences = Seq(
-        (1L, Seq(-119.7, -120.0, -119.4), Seq(36.25, 35.75, 35.75)),
-        (2L, Seq(-119.0, -119.3, -118.7), Seq(36.35, 35.85, 35.85)))
-        .toDF("fence_id", "xs", "ys")
-      ops.Trajectory.geofence(pts, fences)
-        .orderBy("traj_id", "fence_id", "tie")
-    }),
-    // Per-(trajectory, fence) dwell (ops.Trajectory.fenceDwell): exact µs
-    // inside each fence by left-continuous interval attribution + visit
-    // counts — same walk and fences as traj_geofence, sparse pair output.
-    "traj_fence_dwell" -> ((s, dir) => {
-      import s.implicits._
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts", "event_id")
-      val pts = t(s, dir, "events").filter(col("user_id") < 50)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          ((col("event_id") % 7) +
-            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
-          ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("pxc", sum("dx").over(w))
-        .withColumn("pyc", sum("dy").over(w))
-        .selectExpr("user_id AS traj_id",
-          "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us", "event_id AS tie",
-          "-120.0D + pxc / 1000.0D AS lng", "36.0D + pyc / 1000.0D AS lat")
-      val fences = Seq(
-        (1L, Seq(-119.7, -120.0, -119.4), Seq(36.25, 35.75, 35.75)),
-        (2L, Seq(-119.0, -119.3, -118.7), Seq(36.35, 35.85, 35.85)))
-        .toDF("fence_id", "xs", "ys")
-      ops.Trajectory.fenceDwell(pts, fences)
-        .orderBy("traj_id", "fence_id")
-    }),
-    // Home/work anchor cells (ops.Trajectory.anchors): modal 0.005° cell
-    // per (trajectory, hour-regime) — night fixes vote "home", business
-    // hours vote "work"; counts aggregate before the top-1 window ranks.
-    "traj_anchors" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts", "event_id")
-      val pts = t(s, dir, "events").filter(col("user_id") < 50)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          ((col("event_id") % 7) +
-            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
-          ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("pxc", sum("dx").over(w))
-        .withColumn("pyc", sum("dy").over(w))
-        .selectExpr("user_id AS traj_id", "hour(CAST(ts AS TIMESTAMP)) AS hour",
-          "-120.0D + pxc / 1000.0D AS lng", "36.0D + pyc / 1000.0D AS lat")
-      ops.Trajectory.anchors(pts)
-        .orderBy("traj_id", "regime")
-    }),
-    // Implausible-speed flagging (ops.Trajectory.speedFlags): the GPS
-    // cleaning pass — exact integer µdeg/s per fix pair, teleports planted
-    // every 101st event jump the walk by 5 degrees.
-    "traj_speed" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts", "event_id")
-      val pts = t(s, dir, "events").filter(col("user_id") < 50)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          ((col("event_id") % 7) +
-            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
-          ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("pxc", sum("dx").over(w))
-        .withColumn("pyc", sum("dy").over(w))
-        .selectExpr("user_id AS traj_id",
-          "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us", "event_id AS tie",
-          "-120.0D + pxc / 1000.0D AS lng", "36.0D + pyc / 1000.0D AS lat")
-      ops.Trajectory.speedFlags(pts, maxSpeedQ = 100L)
-        .orderBy("traj_id", "tie")
-    }),
-    // Acceleration profile + harsh-event audit (ops.Trajectory.accelFlags):
-    // the derivative above traj_speed — per consecutive segment pair
-    // (speed_q − prev)·10⁶ DIV dt_us (trunc-div matches on negatives, so
-    // braking rows replay exactly), harsh counts both directions, one
-    // rollup row per trajectory on the same single traj_id window.
-    "traj_accel" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts", "event_id")
-      val pts = t(s, dir, "events").filter(col("user_id") < 50)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          ((col("event_id") % 7) +
-            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
-          ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("pxc", sum("dx").over(w))
-        .withColumn("pyc", sum("dy").over(w))
-        .selectExpr("user_id AS traj_id",
-          "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us", "event_id AS tie",
-          "-120.0D + pxc / 1000.0D AS lng", "36.0D + pyc / 1000.0D AS lat")
-      ops.Trajectory.accelFlags(pts, harshQ = 50L)
-        .orderBy("traj_id")
-    }),
-    // Regular-grid gap filling (ops.AsofJoin.gapFill): one row per type per
-    // hour across its observed span, forward-filled — the normalization
-    // pass that makes ROWS-frame analytics honest on sparse series. The
-    // user subset sparsifies the hourly buckets so real gaps exist.
-    "events_gap_fill" -> ((s, dir) => {
-      ops.AsofJoin.gapFill(
-          t(s, dir, "events").filter(col("user_id") % 50 === 0),
-          "event_type", expr("unix_micros(CAST(ts AS TIMESTAMP))"),
-          expr("CAST(round(value * 100, 0) AS LONG)"), stepUs = 3600000000L)
-        .orderBy("event_type", "bucket_us")
-    }),
-    // Line rasterization (ops.Rasterize.lineDensity): integer-DDA traces of
-    // every segment onto a 0.01-degree grid, distinct-line count per cell —
-    // the road/trail density map.
-    "geo_line_density" -> ((s, dir) => {
-      val verts = gatePoints(s, dir)
-        .withColumn("line_id", col("point_id") % 199)
-        .withColumn("seq", col("point_id"))
-      ops.Rasterize.lineDensity(verts, cellsPerDeg = 100)
-        .orderBy("cx", "cy")
-    }),
-    // Composed trajectory pipeline (ops.Trajectory.cleanPipeline): speed
-    // cleaning -> time resampling -> 0.1-degree grid cells -> OD flows —
-    // the spatial analogue of curation_pipeline, gating the COMPOSITION of
-    // the already-gated stages.
-    "traj_pipeline" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts", "event_id")
-      val pts = t(s, dir, "events").filter(col("user_id") < 50)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          ((col("event_id") % 7) +
-            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
-          ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("pxc", sum("dx").over(w))
-        .withColumn("pyc", sum("dy").over(w))
-        .selectExpr("user_id AS traj_id",
-          "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us", "event_id AS tie",
-          "-120.0D + pxc / 1000.0D AS lng", "36.0D + pyc / 1000.0D AS lat")
-      ops.Trajectory.cleanPipeline(pts, maxSpeedQ = 100L,
-          stepUs = 21600000000L)
-        .orderBy("o_cell", "d_cell")
-    }),
-    // Fixed-interval time resampling (ops.Trajectory.resample): positions
-    // at 6h epoch-aligned ticks lerped between fixes, exact micro-degree /
-    // micro-second integer arithmetic — the normalization pass before
-    // same-instant trajectory analytics.
-    "traj_resample" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts", "event_id")
-      val pts = t(s, dir, "events").filter(col("user_id") < 50)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          (col("event_id") % 7).as("dx"),
-          ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("pxc", sum("dx").over(w))
-        .withColumn("pyc", sum("dy").over(w))
-        .selectExpr("user_id AS traj_id",
-          "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us", "event_id AS tie",
-          "-120.0D + pxc / 1000.0D AS lng", "36.0D + pyc / 1000.0D AS lat")
-      ops.Trajectory.resample(pts, 21600000000L)
-        .orderBy("traj_id", "tick_us")
-    }),
-    // Contact-graph join: distinct trajectory pairs sharing a (cell, day)
-    // observation bucket — bucketed self-join, never all-pairs.
-    "traj_colocation" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts", "event_id")
-      val pts = t(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          (col("event_id") % 7).as("dx"),
-          ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("px", sum("dx").over(w))
-        .withColumn("py", sum("dy").over(w))
-        .selectExpr("user_id AS traj_id",
-          "(px DIV 6) * 1000000 + (py DIV 4) AS cell",
-          "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 AS tb")
-      ops.Trajectory.colocation(pts).orderBy("t1", "t2")
-    }),
-    // Convoy / co-travel detection (ops.Trajectory.convoy): pairs sharing a
-    // cell in ≥3 CONSECUTIVE day buckets. Users ride 10 deterministic
-    // "routes" (cell = route's moving position per day) with per-user
-    // dropout days ((traj_id + tb) % 5 = 0), so pair runs genuinely
-    // fragment and only some reach the threshold — gaps-and-islands over
-    // the bucketed contact join.
-    "traj_convoy" -> ((s, dir) => {
-      val pts = t(s, dir, "events")
-        .selectExpr("user_id AS traj_id",
-          "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 AS tb")
-        .distinct()
-        .filter(expr("(traj_id + tb) % 5 != 0"))
-        .withColumn("cell", expr("(traj_id % 10) * 1000 + tb % 7"))
-      ops.Trajectory.convoy(pts, minLen = 3)
-        .orderBy("t1", "t2", "start_tb")
-    }),
-    // Symmetric discrete Hausdorff over candidate trajectory pairs
-    // (ops.Trajectory.hausdorff): the track-similarity refine after
-    // cell-level colocation — exact integer squared distances, the
-    // quadratic expansion confined to the candidate pairs (here the
-    // labeled bounded all-pairs of a 12-track subset, the gate's stand-in
-    // for colocation output).
-    "traj_hausdorff" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts", "event_id")
-      val pts = t(s, dir, "events")
-        .filter(col("user_id") < 12)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          (col("event_id") % 7).as("dx"),
-          ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("px", sum("dx").over(w))
-        .withColumn("py", sum("dy").over(w))
-        .select(col("user_id").as("traj_id"), col("px"), col("py"))
-      val ids = pts.select("traj_id").distinct()
-      val pairs = ids.select(col("traj_id").as("t1"))
-        .join(ids.select(col("traj_id").as("t2")), col("t1") < col("t2"))
-      ops.Trajectory.hausdorff(pts, pairs).orderBy("t1", "t2")
-    }),
-    // Discrete Fréchet distance (ops.Trajectory.frechet): the order-aware
-    // coupling DP over 20 six-vertex closed-form walks, all 190 ordered
-    // pairs. Oracle unrolls the DP as one CTE per anti-diagonal (11
-    // levels), LEFT-joining the two predecessor diagonals with MaxValue
-    // coalesce at the lattice borders.
-    "traj_frechet" -> ((s, dir) => {
-      val trajs = t(s, dir, "supplier")
-        .selectExpr("s_suppkey % 20 AS traj_id").distinct()
-      val pts = trajs
-        .select(col("traj_id"), explode(expr("sequence(0, 5)")).as("seq"))
-        .selectExpr("traj_id", "seq",
-          "(traj_id * 7 + seq * (traj_id % 5 + 1) * 3) % 40 AS px",
-          "(traj_id * 11 + seq * (traj_id % 3 + 2) * 2) % 40 AS py")
-      val pairs = trajs.select(col("traj_id").as("t1"))
-        .join(trajs.select(col("traj_id").as("t2")), col("t1") < col("t2"))
-      ops.Trajectory.frechet(pts, pairs).orderBy("t1", "t2")
-    }),
-    // LCSS trajectory similarity (ops.Trajectory.lcss): tolerance-gated
-    // longest common subsequence over the same pair lattice — the
-    // outlier-robust member of the frechet/hausdorff family; identical
-    // anti-diagonal oracle with COALESCE-0 borders.
-    "traj_lcss" -> ((s, dir) => {
-      val trajs = t(s, dir, "supplier")
-        .selectExpr("s_suppkey % 20 AS traj_id").distinct()
-      val pts = trajs
-        .select(col("traj_id"), explode(expr("sequence(0, 5)")).as("seq"))
-        .selectExpr("traj_id", "seq",
-          "(traj_id * 7 + seq * (traj_id % 5 + 1) * 3) % 40 AS px",
-          "(traj_id * 11 + seq * (traj_id % 3 + 2) * 2) % 40 AS py")
-      val pairs = trajs.select(col("traj_id").as("t1"))
-        .join(trajs.select(col("traj_id").as("t2")), col("t1") < col("t2"))
-      ops.Trajectory.lcss(pts, pairs, eps2 = 64L).orderBy("t1", "t2")
-    }),
-    // DTW (ops.Trajectory.dtw): summed-cost elastic alignment — the third
-    // member of the frechet/lcss similarity trio on the same pair
-    // lattice; identical anti-diagonal oracle with + for the combine.
-    "traj_dtw" -> ((s, dir) => {
-      val trajs = t(s, dir, "supplier")
-        .selectExpr("s_suppkey % 20 AS traj_id").distinct()
-      val pts = trajs
-        .select(col("traj_id"), explode(expr("sequence(0, 5)")).as("seq"))
-        .selectExpr("traj_id", "seq",
-          "(traj_id * 7 + seq * (traj_id % 5 + 1) * 3) % 40 AS px",
-          "(traj_id * 11 + seq * (traj_id % 3 + 2) * 2) % 40 AS py")
-      val pairs = trajs.select(col("traj_id").as("t1"))
-        .join(trajs.select(col("traj_id").as("t2")), col("t1") < col("t2"))
-      ops.Trajectory.dtw(pts, pairs).orderBy("t1", "t2")
-    }),
-    // Zipf head products: top-50 corpus words with rank·frequency — the
-    // log-free Zipf-law read (a ~constant product column is the law).
-    "text_zipf_products" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("freq"))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("freq").desc, col("w"))).cast("int"))
-        .filter(col("rank") <= 50)
-        .withColumn("rank_x_freq", expr("rank * freq"))
-        .select("rank", "w", "freq", "rank_x_freq")
-        .orderBy("rank")
-    }),
-    // Calibration bins: pre-period purchase propensity (ppm, floored)
-    // bucketed at 0.1, vs actual post-period conversion — the
-    // calibration-curve read with zero model; users active both periods.
-    "events_calibration" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val pre = ev.filter(expr("ts < timestamp'2024-01-16'"))
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_pre"),
-          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-            .as("n_pre_purch"))
-      val post = ev.filter(expr("ts >= timestamp'2024-01-16'"))
-        .groupBy("user_id")
-        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
-          .as("converted"))
-      pre.join(post, Seq("user_id"))
-        .withColumn("share_ppm", expr("n_pre_purch * 1000000 DIV n_pre"))
-        .withColumn("bin", expr("share_ppm DIV 100000").cast("int"))
-        .groupBy("bin")
-        .agg(count(lit(1)).as("n_users"),
-          sum("share_ppm").as("sum_share_ppm"),
-          sum("converted").as("n_converted"))
-        .orderBy("bin")
-    }),
-    // Difference-in-differences 2×2: treated (even users) × post (the
-    // span midpoint), per type the quadrant counts/sums and the DiD
-    // estimate on milli-floored means — the causal-analytics read over
-    // events_ab_test's single split. One aggregation.
-    "events_did" -> ((s, dir) => {
-      t(s, dir, "events")
-        .select(col("event_type"),
-          (col("user_id") % 2 === 0).as("treated"),
-          expr("ts >= timestamp'2024-01-16'").as("post"),
-          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-        .groupBy("event_type")
-        .agg(
-          sum(when(col("treated") && col("post"), 1L).otherwise(0L)).as("n_tp"),
-          sum(when(col("treated") && col("post"), col("cents"))).as("s_tp"),
-          sum(when(col("treated") && !col("post"), 1L).otherwise(0L)).as("n_t0"),
-          sum(when(col("treated") && !col("post"), col("cents"))).as("s_t0"),
-          sum(when(!col("treated") && col("post"), 1L).otherwise(0L)).as("n_cp"),
-          sum(when(!col("treated") && col("post"), col("cents"))).as("s_cp"),
-          sum(when(!col("treated") && !col("post"), 1L).otherwise(0L)).as("n_c0"),
-          sum(when(!col("treated") && !col("post"), col("cents"))).as("s_c0"))
-        .withColumn("did_milli", expr(
-          "(s_tp * 1000 DIV n_tp - s_t0 * 1000 DIV n_t0) - " +
-            "(s_cp * 1000 DIV n_cp - s_c0 * 1000 DIV n_c0)"))
-        .orderBy("event_type")
-    }),
-    // Distinctive keywords per source: exact cross-product association
-    // score o·(N−Nₛ) − (o_tot−o)·Nₛ (positive ⇔ over-represented), top-5
-    // per source — the corpus-mix diagnostic next to text_tfidf; one
-    // word-keyed agg + one key-bounded rank window.
-    "text_distinctive_terms" -> ((s, dir) => {
-      val words = t(s, dir, "documents")
-        .select(col("source"), explode(split(col("text"), " ")).as("w"))
-      val bySrcWord = words.groupBy("source", "w").agg(count(lit(1)).as("o"))
-      val bySrc = words.groupBy("source").agg(count(lit(1)).as("ns"))
-      val byWord = words.groupBy("w").agg(count(lit(1)).as("ow"))
-      val tot = words.agg(count(lit(1)).as("n"))
-      bySrcWord.join(bySrc, Seq("source")).join(byWord, Seq("w"))
-        .crossJoin(broadcast(tot))
-        .withColumn("score", expr("o * (n - ns) - (ow - o) * ns"))
-        .withColumn("rk", row_number().over(Window.partitionBy("source")
-          .orderBy(col("score").desc, col("w"))).cast("int"))
-        .filter(col("rk") <= 5)
-        .select("source", "rk", "w", "o", "ow", "ns", "n", "score")
-        .orderBy("source", "rk")
-    }),
-    // Straightness index per trajectory: net displacement² over Σ step²
-    // in exact ppm — 10⁶ means a beeline, small means wandering; the
-    // cheap commute-vs-wander classifier of mobility analytics.
-    "traj_straightness" -> ((s, dir) => {
-      val trajs = t(s, dir, "supplier")
-        .selectExpr("s_suppkey % 20 AS traj_id").distinct()
-      val pts = trajs
-        .select(col("traj_id"), explode(expr("sequence(0, 5)")).as("seq"))
-        .selectExpr("traj_id", "seq",
-          "(traj_id * 7 + seq * (traj_id % 5 + 1) * 3) % 40 AS px",
-          "(traj_id * 11 + seq * (traj_id % 3 + 2) * 2) % 40 AS py")
-      val w = Window.partitionBy("traj_id").orderBy("seq")
-      val steps = pts
-        .withColumn("dx", lead("px", 1).over(w) - col("px"))
-        .withColumn("dy", lead("py", 1).over(w) - col("py"))
-      steps.groupBy("traj_id")
-        .agg(count(col("dx")).as("n_steps"),
-          sum(col("dx") * col("dx") + col("dy") * col("dy")).as("path_d2"),
-          (sum(col("dx")) * sum(col("dx")) +
-            sum(col("dy")) * sum(col("dy"))).as("net_d2"))
-        .withColumn("si_ppm", expr("(net_d2 * 1000000) div path_d2"))
-        .orderBy("traj_id")
-    }),
-    // Direction ROSE: the octant census of trajectory step vectors (the
-    // wind-rose of movement analytics) over the 20 closed-form walks —
-    // same trig-free sign ladder as the gradient censuses, applied to
-    // consecutive-vertex deltas; zero steps get the flat bin 8.
-    "traj_rose" -> ((s, dir) => {
-      val trajs = t(s, dir, "supplier")
-        .selectExpr("s_suppkey % 20 AS traj_id").distinct()
-      val pts = trajs
-        .select(col("traj_id"), explode(expr("sequence(0, 5)")).as("seq"))
-        .selectExpr("traj_id", "seq",
-          "(traj_id * 7 + seq * (traj_id % 5 + 1) * 3) % 40 AS px",
-          "(traj_id * 11 + seq * (traj_id % 3 + 2) * 2) % 40 AS py")
-      val w = Window.partitionBy("traj_id").orderBy("seq")
-      pts.withColumn("dx", (lead("px", 1).over(w) - col("px")))
-        .withColumn("dy", (lead("py", 1).over(w) - col("py")))
-        .filter(col("dx").isNotNull)
-        .selectExpr(
-          """CASE WHEN dx = 0 AND dy = 0 THEN 8
-                  WHEN dx > 0 AND dy >= 0 THEN (CASE WHEN dy < dx THEN 0 ELSE 1 END)
-                  WHEN dx <= 0 AND dy > 0 THEN (CASE WHEN -dx < dy THEN 2 ELSE 3 END)
-                  WHEN dx < 0 AND dy <= 0 THEN (CASE WHEN -dy < -dx THEN 4 ELSE 5 END)
-                  ELSE (CASE WHEN dx < -dy THEN 6 ELSE 7 END) END AS sector""",
-          "dx * dx + dy * dy AS len2")
-        .groupBy("sector")
-        .agg(count(lit(1)).as("n"), sum("len2").as("len2_sum"))
-        .orderBy("sector")
-    }),
-    // Turn-based segmentation: steps of a curvier 12-point walk classified
-    // by the trig-free octant ladder; a TURN is a circular sector jump ≥ 2
-    // between consecutive moving steps (zero-steps never turn), runs of
-    // straight travel are delimited by the turns — n_turns + longest
-    // straight run per trajectory, the stop-and-turn structure extractor
-    // under traj_mapmatch and traj_simplify. Two windows, pure integers.
-    "traj_turns" -> ((s, dir) => {
-      val trajs = t(s, dir, "supplier")
-        .selectExpr("s_suppkey % 20 AS traj_id").distinct()
-      val pts = trajs
-        .select(col("traj_id"), explode(expr("sequence(0, 11)")).as("seq"))
-        .selectExpr("traj_id", "seq",
-          "(traj_id * 7 + seq * seq * 3 + seq * (traj_id % 5 + 1)) % 40 AS px",
-          "(traj_id * 11 + seq * (traj_id % 3 + 1) * 2 + (seq * seq * 7) % 13) % 40 AS py")
-      val w = Window.partitionBy("traj_id").orderBy("seq")
-      val steps = pts
-        .withColumn("dx", lead("px", 1).over(w) - col("px"))
-        .withColumn("dy", lead("py", 1).over(w) - col("py"))
-        .filter(col("dx").isNotNull)
-        .selectExpr("traj_id", "seq",
-          """CASE WHEN dx = 0 AND dy = 0 THEN 8
-                  WHEN dx > 0 AND dy >= 0 THEN (CASE WHEN dy < dx THEN 0 ELSE 1 END)
-                  WHEN dx <= 0 AND dy > 0 THEN (CASE WHEN -dx < dy THEN 2 ELSE 3 END)
-                  WHEN dx < 0 AND dy <= 0 THEN (CASE WHEN -dy < -dx THEN 4 ELSE 5 END)
-                  ELSE (CASE WHEN dx < -dy THEN 6 ELSE 7 END) END AS sector""")
-      val flagged = steps
-        .withColumn("prev", lag("sector", 1).over(w))
-        .withColumn("turn", when(col("prev").isNull || col("prev") === 8 ||
-            col("sector") === 8, 0L)
-          .otherwise(when(least(abs(col("sector") - col("prev")),
-            lit(8) - abs(col("sector") - col("prev"))) >= 2, 1L).otherwise(0L)))
-        .withColumn("run_id", sum("turn").over(
-          w.rowsBetween(Window.unboundedPreceding, 0)))
-      val runs = flagged.groupBy("traj_id", "run_id")
-        .agg(count(lit(1)).as("run_len"))
-      flagged.groupBy("traj_id")
-        .agg(count(lit(1)).as("n_steps"), sum("turn").as("n_turns"))
-        .join(runs.groupBy("traj_id").agg(max("run_len").as("longest_run")),
-          Seq("traj_id"))
-        .orderBy("traj_id")
-    }),
-    // Viterbi map-matching (ops.Trajectory.mapMatch): the first 6 fixes of
-    // each of 12 event-derived walks snapped to a 5×5 road-node grid under
-    // emission d² + transition 3·manhattan — the HMM decoder that keeps a
-    // noisy fix from jumping roads. The full DP cost table is the output,
-    // so the oracle replays the recurrence one CTE per step with a
-    // correlated min over the previous column.
-    "traj_mapmatch" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts", "event_id")
-      val pts = t(s, dir, "events")
-        .filter(col("user_id") < 12)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          (col("event_id") % 7).as("dx"),
-          ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("px", sum("dx").over(w))
-        .withColumn("py", sum("dy").over(w))
-        .withColumn("seq", row_number().over(w) - 1)
-        .filter(col("seq") < 6)
-        .select(col("user_id").as("traj_id"), col("seq"), col("px"),
-          col("py"))
-      val nodes = for { i <- 0L until 5L; j <- 0L until 5L }
-        yield (i * 5 + j, j * 20, i * 20)
-      ops.Trajectory.mapMatch(pts, nodes, tw = 3L)
-        .orderBy("traj_id", "step", "node_id")
-    }),
-    // Chaikin corner-cutting (the classic polyline smoother, public): each
-    // segment (p, q) is replaced by Q = (3p+q)/4 and R = (p+3q)/4,
-    // endpoints kept; 2 rounds. Coordinates AND the ordering key scale ×4
-    // per round (Q at 3·s_p + s_q etc.), so everything stays exact 64-bit
-    // integers — final coords are 16× the true values. One traj-keyed
-    // window per round.
-    "geo_chaikin" -> ((s, dir) => {
-      val wseq = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts", "event_id")
-      var pts = t(s, dir, "events")
-        .filter(col("user_id") < 12)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          (col("event_id") % 7).as("dx"),
-          ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("x", sum("dx").over(wseq))
-        .withColumn("y", sum("dy").over(wseq))
-        .withColumn("pos", (row_number().over(wseq) - 1).cast("long"))
-        .filter(col("pos") < 8)
-        .select(col("user_id").as("traj_id"), col("pos"), col("x"), col("y"))
-      for (_ <- 1 to 2) {
-        val w = Window.partitionBy("traj_id").orderBy("pos")
-        val segs = pts
-          .withColumn("nx", lead("x", 1).over(w))
-          .withColumn("ny", lead("y", 1).over(w))
-          .withColumn("npos", lead("pos", 1).over(w))
-          .withColumn("rn", row_number().over(w))
-          .withColumn("nrows", count(lit(1)).over(
-            Window.partitionBy("traj_id")))
-        val inner = segs.filter(col("npos").isNotNull)
-          .select(col("traj_id"),
-            explode(array(
-              struct((col("pos") * 3 + col("npos")).as("pos"),
-                (col("x") * 3 + col("nx")).as("x"),
-                (col("y") * 3 + col("ny")).as("y")),
-              struct((col("pos") + col("npos") * 3).as("pos"),
-                (col("x") + col("nx") * 3).as("x"),
-                (col("y") + col("ny") * 3).as("y")))).as("p"))
-          .select(col("traj_id"), col("p.pos"), col("p.x"), col("p.y"))
-        val ends = segs.filter(col("rn") === 1 || col("rn") === col("nrows"))
-          .select(col("traj_id"), (col("pos") * 4).as("pos"),
-            (col("x") * 4).as("x"), (col("y") * 4).as("y"))
-        pts = inner.unionAll(ends).localCheckpoint(false)
-      }
-      val wi = Window.partitionBy("traj_id").orderBy("pos")
-      pts.withColumn("idx", row_number().over(wi))
-        .select(col("traj_id"), col("idx"), col("x").as("xq16"),
-          col("y").as("yq16"))
-        .orderBy("traj_id", "idx")
-    }),
-
-    // ---- spatial core (F4/F9, J1/J4+F1/F2/F8, F6, z/x/y) ----
-    "geo_tile_key" -> ((s, dir) => {
-      quadrantPoints(s, dir)
-        .withColumn("tile_key", tile_key(col("lng"), col("lat")))
-        .select("point_id", "tile_key")
-        .orderBy("point_id")
-    }),
-    "geo_elev_bilinear" -> ((s, dir) => {
-      Elevation.lookupBroadcast(gatePoints(s, dir), gateTiles(s))
-        .select("point_id", "tile_key", "elev")
-        .orderBy("point_id")
-    }),
-    // COMPOSED raster pipeline (the spatial analogue of curation_pipeline
-    // for the raster path): J1 broadcast elevation join → per-row integer
-    // quantization (bilinear output is an exact multiple of 0.25 on the
-    // half-sample gate points, so ×100 is integer and the rollup sums are
-    // order-insensitive) → hex-cell rollup. One gate pins the composition
-    // of three already-gated stages end to end.
-    "geo_enrich_rollup" -> ((s, dir) => {
-      Elevation.lookupBroadcast(gatePoints(s, dir), gateTiles(s))
-        .withColumn("cell", cells.hex_cell(col("lng"), col("lat"), lit(6)))
-        .withColumn("q", expr("CAST(round(elev * 100) AS BIGINT)"))
-        .groupBy("cell")
-        .agg(count(lit(1)).as("n"), sum("q").as("sum_q"),
-          min("q").as("min_q"), max("q").as("max_q"))
-        .orderBy("cell")
-    }),
-    // Elevation profile (the reference's /polyline use case as analytics):
-    // per-vertex elevation + running planar distance / total ascent per
-    // line, running totals integer-quantized for engine-independent sums.
-    "geo_elev_profile" -> ((s, dir) => {
-      val verts = gatePoints(s, dir)
-        .withColumn("line_id", col("point_id") % 199)
-        .withColumn("seq", col("point_id"))
-      ops.Elevation.profile(verts, gateTiles(s))
-        .select("line_id", "seq", "elev", "cum_dist_q", "ascent_q")
-        .orderBy("line_id", "seq")
-    }),
-    // Line-of-sight along each profile line (ops.Elevation.viewshed): the
-    // reference's elevation profiles extended to visibility analysis —
-    // tangent-surrogate comparison against the running max angle, one
-    // line_id shuffle for the whole query.
-    "geo_viewshed" -> ((s, dir) => {
-      val verts = gatePoints(s, dir)
-        .withColumn("line_id", col("point_id") % 199)
-        .withColumn("seq", col("point_id"))
-      ops.Elevation.viewshed(verts, gateTiles(s))
-        .select("line_id", "seq", "visible")
-        .orderBy("line_id", "seq")
-    }),
-    // Point-at-fraction along each line (ops.Trajectory.pointAlong — the
-    // turf `along` primitive): quarter/mid/three-quarter waypoints in
-    // exact micro-degree integer arithmetic, one line_id window pass.
-    "geo_along" -> ((s, dir) => {
-      val verts = gatePoints(s, dir)
-        .withColumn("line_id", col("point_id") % 199)
-        .withColumn("seq", col("point_id"))
-      ops.Trajectory.pointAlong(verts, Seq(250000L, 500000L, 750000L))
-        .orderBy("line_id", "f_ppm")
-    }),
-    "geo_terrarium" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .selectExpr("((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id",
-          "(l_extendedprice % 9000.0D) - 500.0D AS e")
-        .withColumn("rgb", terrarium_rgb(col("e")))
-        .select(col("point_id"), element_at(col("rgb"), 1).as("r"),
-          element_at(col("rgb"), 2).as("g"), element_at(col("rgb"), 3).as("b"))
-        .orderBy("point_id")
-    }),
-    // J1 through the shuffle path (the 100 TB route: cogroup on tile key,
-    // decode each tile once per group, salt-4) — same oracle as the
-    // broadcast-index path, proving physical-path equivalence in the gate.
-    "geo_elev_cogroup" -> ((s, dir) => {
-      import s.implicits._
-      val coords = gatePoints(s, dir)
-        .select(col("point_id").cast("string").as("feature_id"),
-          lit(0L).as("coord_idx"), col("lng"), col("lat"))
-        .as[core.CoordRow]
-      ops.Elevation.lookupCogroup(coords, gateTiles(s), salt = 4)
-        .toDF()
-        .select(col("feature_id").cast("long").as("point_id"),
-          col("tile_key"), col("elev"))
-        .orderBy("point_id")
-    }),
-    // F3: nearest-neighbour sampling mode via the broadcast tile index.
-    "geo_elev_nearest" -> ((s, dir) => {
-      val bc = ops.TileIndex.broadcastIndex(gateTiles(s))
-      gatePoints(s, dir)
-        .withColumn("elev", ops.ElevAt.elev_at_nearest(col("lng"), col("lat"), bc))
-        .select("point_id", "elev")
-        .orderBy("point_id")
-    }),
-    // F5: polyline encode/decode round trip as a distributed query — points
-    // grouped into per-group polylines, encoded (precision 5), decoded back.
-    "polyline_roundtrip" -> ((s, dir) => {
-      import s.implicits._
-      val pts = gatePoints(s, dir).withColumn("grp", col("point_id") % 500)
-        .select(col("grp").cast("long"), col("point_id").cast("long"),
-          col("lng"), col("lat"))
-        .as[(Long, Long, Double, Double)]
-      val encoded = pts.groupByKey(_._1).mapGroups { (g, it) =>
-        val sorted = it.toArray.sortBy(_._2)
-        (g, graft.geo.Polyline.encode(sorted.toSeq.map(t => (t._3, t._4))))
-      }
-      encoded.flatMap { case (g, pl) =>
-        graft.geo.Polyline.decode(pl).iterator.zipWithIndex.map {
-          case ((lng, lat), i) => (g, i, lng, lat)
-        }
-      }.toDF("grp", "idx", "lng5", "lat5").orderBy("grp", "idx")
-    }),
-    // A4 + P4 end to end: synthesize LineString features from point groups,
-    // run the full GeoJSON addElevation pipeline (flatten → broadcast-index
-    // sample → nested write-back), then re-extract per-feature stats whose
-    // oracle is the closed-form bilinear field. first/last/min/max are
-    // order-independent or index-pinned — exact doubles, no float-sum order
-    // sensitivity.
-    "feature_reassembly" -> ((s, dir) => {
-      import s.implicits._
-      val pts = gatePoints(s, dir).withColumn("grp", col("point_id") % 200)
-        .select(col("grp").cast("long"), col("point_id").cast("long"),
-          col("lng"), col("lat"))
-        .as[(Long, Long, Double, Double)]
-      val features = pts.groupByKey(_._1).mapGroups { (g, it) =>
-        val sorted = it.toArray.sortBy(_._2)
-        val coords = sorted.map(t => s"[${t._3},${t._4}]").mkString(",")
-        core.FeatureRow(g.toString,
-          s"""{"type":"Feature","id":"$g","geometry":{"type":"LineString","coordinates":[$coords]},"properties":{}}""")
-      }
-      ops.Elevation.addElevation(features, gateTiles(s))
-        .map { fr =>
-          val es = core.GeoJson.elevations(fr)
-          (fr.feature_id.toLong, es.size.toLong, es.head, es.last, es.min, es.max)
-        }
-        .toDF("grp", "n", "first_elev", "last_elev", "min_elev", "max_elev")
-        .orderBy("grp")
-    }),
-    // Map algebra: central-difference slope at the nearest grid node.
-    "geo_slope" -> ((s, dir) => {
-      val bc = ops.TileIndex.broadcastIndex(gateTiles(s))
-      gatePoints(s, dir)
-        .withColumn("slope2", ops.ElevAt.elev_slope2(col("lng"), col("lat"), bc))
-        .select("point_id", "slope2")
-        .orderBy("point_id")
-    }),
-    // Zonal statistics: J2 (PIP) × J4 (elevation sampling) × aggregation —
-    // per-polygon stats of the terrain under its contained points.
-    "zonal_stats" -> ((s, dir) => {
-      val bc = ops.TileIndex.broadcastIndex(gateTiles(s))
-      ops.SpatialJoin.pointInPolygon(gatePoints(s, dir), trianglePolys(s, dir), Some(11))
-        .withColumn("elev", ops.ElevAt.elev_at(col("lng"), col("lat"), bc))
-        .groupBy("poly_id")
-        .agg(count(lit(1)).as("n_points"),
-          min(col("elev")).as("min_elev"), max(col("elev")).as("max_elev"))
-        .orderBy("poly_id")
-    }),
-    // Per-zone exact MEDIAN elevation (selection statistic zonal_stats's
-    // min/max can't express): lower median = the value at rank
-    // (n+1) DIV 2 ordered by (elev, point_id) — a total order, so the
-    // picked VALUE is engine-independent. One zone-keyed window.
-    "zonal_median" -> ((s, dir) => {
-      val bc = ops.TileIndex.broadcastIndex(gateTiles(s))
-      val memb = ops.SpatialJoin.pointInPolygon(gatePoints(s, dir),
-          trianglePolys(s, dir), Some(11))
-        .withColumn("elev", ops.ElevAt.elev_at(col("lng"), col("lat"), bc))
-      val w = Window.partitionBy("poly_id")
-        .orderBy(col("elev"), col("point_id"))
-      memb.withColumn("rn", row_number().over(w))
-        .withColumn("n_points", count(lit(1)).over(
-          Window.partitionBy("poly_id")))
-        .filter(expr("rn = (n_points + 1) DIV 2"))
-        .select(col("poly_id"), col("n_points"),
-          col("elev").as("median_elev"))
-        .orderBy("poly_id")
-    }),
-    // Zonal histogram: per-polygon elevation distribution in width-256 bins
-    // (terrain mix per zone) — the PIP join + probe of zonal_stats, one
-    // map-combined groupBy on (poly, bin). floor(x/256.0) is exact for the
-    // power-of-two width, so the oracle replays it bit-for-bit.
-    "zonal_hist" -> ((s, dir) => {
-      val bc = ops.TileIndex.broadcastIndex(gateTiles(s))
-      ops.SpatialJoin.pointInPolygon(gatePoints(s, dir), trianglePolys(s, dir), Some(11))
-        .withColumn("elev", ops.ElevAt.elev_at(col("lng"), col("lat"), bc))
-        .withColumn("bin", floor(col("elev") / lit(256.0)).cast("long"))
-        .groupBy("poly_id", "bin").agg(count(lit(1)).as("n"))
-        .orderBy("poly_id", "bin")
-    }),
-    // Majority elevation class per zone (mode with the deterministic
-    // (count desc, bin) tie-break) — the categorical zonal statistic.
-    "zonal_majority" -> ((s, dir) => {
-      val bc = ops.TileIndex.broadcastIndex(gateTiles(s))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("poly_id").orderBy(col("n").desc, col("bin").asc)
-      ops.SpatialJoin.pointInPolygon(gatePoints(s, dir), trianglePolys(s, dir), Some(11))
-        .withColumn("elev", ops.ElevAt.elev_at(col("lng"), col("lat"), bc))
-        .withColumn("bin", floor(col("elev") / lit(256.0)).cast("long"))
-        .groupBy("poly_id", "bin").agg(count(lit(1)).as("n"))
-        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-        .select(col("poly_id"), col("bin").as("majority_bin"), col("n"))
-        .orderBy("poly_id")
-    }),
-    // Pyramid build step: 2°×2° mosaic + 2:1 box downsample with the F8
-    // missing-tile⇒0 rule; one key-bounded groupBy, ≤4 tiles per group.
-    // Block (-118,36) has both absent tiles — exercises the no-data path.
-    "tile_mosaic" -> ((s, dir) => {
-      ops.TilePyramid.downsampleMosaic(gateTiles(s)).orderBy("plng", "plat")
-    }),
-    // Voronoi catchment labeling: 60k points against 40 broadcast sites;
-    // the argmin partial-aggregates map-side (one struct per point crosses
-    // the shuffle, not the 40-fanned candidates).
-    "geo_voronoi" -> ((s, dir) => {
-      val sites = t(s, dir, "supplier").filter(col("s_suppkey") <= 40)
-        .selectExpr("s_suppkey AS site_id",
-          "-120 + (s_suppkey % 4) + (((s_suppkey*13) % 97) + 0.5D)/97.0D AS sx",
-          "36 + (s_suppkey % 2) + (((s_suppkey*29) % 97) + 0.5D)/97.0D AS sy")
-      // dedup the gate input by id: the oracle's QUALIFY is per point_id,
-      // and sf0.001 carries one genuinely duplicated lineitem row (same
-      // quad twice ⇒ same point_id AND coords, so dedup loses nothing)
-      ops.SpatialJoin.voronoiAssign(gatePoints(s, dir).dropDuplicates("point_id"), sites)
-        .orderBy("point_id")
-    }),
-    // Pole of inaccessibility (ops.Rasterize.poleOfInaccessibility): the
-    // label-anchor point of the hole-punched polygons — even-odd membership
-    // on a 16×16 cell-center lattice over each polygon's bbox, exact L1
-    // distance transform to the nearest outside cell (grid border counts),
-    // argmax with (dist desc, gy, gx) ties. Per-polygon local kernel, no
-    // shuffle; the oracle states the inside×outside pair minimum
-    // definitionally.
-    "geo_polylabel" -> ((s, dir) => {
-      ops.Rasterize.poleOfInaccessibility(holePolys(s, dir), gridN = 16)
-        .orderBy("poly_id")
-    }),
-    // IDW gridding: interpolate a scattered observation field at probe
-    // points (exact 3×3-ring candidates, integer-quantized weights).
-    "geo_idw" -> ((s, dir) => {
-      val probes = t(s, dir, "customer").filter(col("c_custkey") % 10 === 0)
-        .selectExpr("c_custkey AS probe_id",
-          "-120 + (c_custkey % 4) + ((c_custkey % 577) + 0.5D)/577.0D AS px",
-          "36 + (c_custkey % 2) + (((c_custkey*13) % 577) + 0.5D)/577.0D AS py")
-      val obs = t(s, dir, "lineitem").filter(col("l_orderkey") % 20 === 0)
-        .selectExpr(
-          "-120 + (l_orderkey % 4) + ((l_partkey % 577) + 0.5D)/577.0D AS x",
-          "36 + (l_suppkey % 2) + (((l_partkey*13) % 577) + 0.5D)/577.0D AS y",
-          "l_partkey % 1000 + 1 AS v")
-      ops.SpatialJoin.idwInterpolate(probes, obs, radius = 0.05)
-        .orderBy("probe_id")
-    }),
-    // S2 + hex cell assignment with full cross-engine oracles (the DuckDB
-    // side re-implements the Hilbert curve as a recursive CTE).
-    "geo_s2_cell" -> ((s, dir) => {
-      quadrantPoints(s, dir)
-        .withColumn("cell", cells.s2_cell(col("lng"), col("lat"), lit(12)))
-        .withColumn("leaf", cells.s2_cell(col("lng"), col("lat"), lit(30)))
-        .select("point_id", "cell", "leaf")
-        .orderBy("point_id")
-    }),
-    // Multi-resolution hex rollup: res-9 counts re-keyed to their res-7
-    // parents (center-containment parentage) — the H3-style pyramid
-    // aggregation next to the z/x/y quadtree rollup. Two key-bounded
-    // shuffles; the parent re-key is per-row codegen on aggregated cells.
-    "hex_rollup" -> ((s, dir) => {
-      quadrantPoints(s, dir)
-        .withColumn("cell9", cells.hex_cell(col("lng"), col("lat"), lit(9)))
-        .groupBy("cell9").agg(count(lit(1)).as("n9"))
-        .withColumn("cell7", cells.hex_parent(col("cell9"), lit(7)))
-        .groupBy("cell7").agg(sum("n9").cast("long").as("n"),
-          count(lit(1)).cast("long").as("n_children"))
-        .orderBy("cell7")
-    }),
-    "geo_hex_cell" -> ((s, dir) => {
-      quadrantPoints(s, dir)
-        .withColumn("cell", cells.hex_cell(col("lng"), col("lat"), lit(9)))
-        .select("point_id", "cell")
-        .orderBy("point_id")
-    }),
-    // Hex grid distance (cells.hex_grid_distance — the h3 gridDistance
-    // API): axial metric unpacked straight from the cell id bit layout as
-    // codegen'd integer ops; consecutive-point pairs via one key-bounded
-    // self-join. Pins the packed layout AND the ring metric the kNN
-    // pruning bound quantifies over.
-    "geo_hex_distance" -> ((s, dir) => {
-      val pts = quadrantPoints(s, dir)
-        .withColumn("cell", cells.hex_cell(col("lng"), col("lat"), lit(9)))
-        .select("point_id", "cell")
-      val b = pts.select((col("point_id") - 1).as("point_id"),
-        col("cell").as("cell_b"))
-      pts.withColumnRenamed("cell", "cell_a").join(b, "point_id")
-        .withColumn("hex_dist",
-          cells.hex_grid_distance(col("cell_a"), col("cell_b")))
-        .orderBy("point_id")
-    }),
-    // Geohash cell strings (geo.Geohash closed-form interleave, codegen'd
-    // expression): the STRING-prefix cell index — substring(gh, 1, k) IS
-    // the k-char parent, shown alongside — interoperable with any external
-    // geohash-keyed dataset (the encoding is fully published, unlike h3's
-    // constant tables). All-quadrant points exercise both hemispheres.
-    // STR R-tree leaf packing audit (ops.SpatialJoin.strPack, Leutenegger
-    // et al.): global x-rank DISTRIBUTED (range repartition + partition
-    // offsets, never one window partition), ⌈√L⌉ vertical slices, y-rank
-    // leaves of 64 — per-leaf count + bbox, the bulk-load quality table
-    // of a spatial index build. The oracle replays the identical rank
-    // arithmetic.
-    "geo_str_pack" -> ((s, dir) => {
-      val pts = quadrantPoints(s, dir).selectExpr("point_id",
-        "CAST(floor(lng * 1000000.0D) AS BIGINT) AS xq",
-        "CAST(floor(lat * 1000000.0D) AS BIGINT) AS yq")
-      ops.SpatialJoin.strPack(pts, leafCap = 64)
-        .orderBy("slice", "leaf")
-    }),
-    // 10-digit Open Location Code / plus code (cells.olc, public spec):
-    // 1/8000°-grid floor, five interleaved base-20 digit pairs, '+' after
-    // pair 4 — the third public cell encoding beside geohash and
-    // z/x/y-S2-hex, composed entirely from codegen'd built-ins (the digit
-    // extraction keeps double division exact, see the scaladoc). olc_block
-    // is the 8-char (≈275 m) block key sharing drops to.
-    "geo_olc" -> ((s, dir) => {
-      quadrantPoints(s, dir)
-        .withColumn("olc", cells.olc(col("lng"), col("lat")))
-        .withColumn("olc_block", substring(col("olc"), 1, 8))
-        .select("point_id", "olc", "olc_block")
-        .orderBy("point_id")
-    }),
-    "geo_geohash" -> ((s, dir) => {
-      quadrantPoints(s, dir)
-        .withColumn("gh", cells.geohash(col("lng"), col("lat"), lit(7)))
-        .withColumn("gh_parent", substring(col("gh"), 1, 4))
-        .select("point_id", "gh", "gh_parent")
-        .orderBy("point_id")
-    }),
-    // Coverage-gap audit (the missing-data side of the tile store): the
-    // candidate 1° key grid of a bbox anti-joined against the present
-    // tiles — which tiles a whole-region job would find absent (the
-    // reference's NO_DATA⇒0 lane, surfaced as an audit table). Grid is
-    // generated, never scanned; the anti-join broadcasts the key set.
-    "geo_coverage_gap" -> ((s, dir) => {
-      val grid = s.range(0, 24).selectExpr(
-        "CAST(-121 + id % 6 AS DOUBLE) + 0.5D AS lng",
-        "CAST(35 + id DIV 6 AS DOUBLE) + 0.5D AS lat")
-        .select(tile_key(col("lng"), col("lat")).as("tile_key"))
-      val present = gateTiles(s).select(col("image_id").as("tile_key"))
-      grid.join(present, Seq("tile_key"), "left_anti").orderBy("tile_key")
-    }),
-    // Hex-cell density profile: the skew report that feeds salting/adaptive
-    // PIP hot-set decisions — dense cells at res 7, one map-combined shuffle.
-    "geo_cell_density" -> ((s, dir) => {
-      quadrantPoints(s, dir)
-        .withColumn("cell", cells.hex_cell(col("lng"), col("lat"), lit(7)))
-        .groupBy("cell").agg(count(lit(1)).as("n"))
-        .filter(col("n") >= 5)
-        .orderBy(col("n").desc, col("cell"))
-    }),
-    // Moran's I spatial autocorrelation over an integer customer grid —
-    // THE hotspot-clustering diagnostic of spatial statistics (is density
-    // spatially clustered, dispersed, or random?). Exact rational form:
-    // deviations are scaled by n (z_i = n·x_i − Σx, integer), so numerator
-    // Σ_{rook-adjacent} z_i·z_j, denominator Σz_i² and the pair count W
-    // are all exact BIGINTs (the n² scale cancels in the ratio) and the
-    // final I = n·num / (W·den) is ONE IEEE division both engines agree
-    // on. Rook adjacency over OCCUPIED cells (the data-driven contract) is
-    // a 4-offset cell equi-join — per-cell state, never all-pairs, the
-    // plan a 1000-executor lattice would want.
-    "geo_morans_i" -> ((s, dir) => {
-      val cellsDf = t(s, dir, "customer")
-        .selectExpr("(c_custkey % 360) DIV 8 AS cx",
-          "((c_custkey * 7) % 180) DIV 4 AS cy")
-        .groupBy("cx", "cy").agg(count(lit(1)).as("x"))
-        .localCheckpoint(false)
-      val tot = cellsDf.agg(count(lit(1)).as("n_cells"), sum("x").as("sx"))
-      val z = cellsDf.crossJoin(broadcast(tot))
-        .withColumn("z", col("n_cells") * col("x") - col("sx"))
-        .select("cx", "cy", "z")
-        .localCheckpoint(false)
-      val shifted = Seq((1, 0), (-1, 0), (0, 1), (0, -1)).map { case (dx, dy) =>
-        z.select((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy"),
-          col("z").as("zn"))
-      }.reduce(_ unionAll _)
-      val pairs = z.join(shifted, Seq("cx", "cy"))
-        .agg(sum(col("z") * col("zn")).as("num"), count(lit(1)).as("w_pairs"))
-      val den = z.agg(sum(col("z") * col("z")).as("den"))
-      tot.select("n_cells").crossJoin(den).crossJoin(pairs)
-        // ANSI guard: Spark 4 throws DIVIDE_BY_ZERO even for doubles, and a
-        // lattice with NO rook-adjacent occupied pairs (tiny SFs) has
-        // w_pairs = 0 — Moran's I is undefined there, so emit NULL
-        .withColumn("morans_i",
-          when(col("w_pairs") * col("den") =!= 0,
-            (col("n_cells") * col("num")).cast("double") /
-              (col("w_pairs") * col("den")).cast("double")))
-        .select("n_cells", "w_pairs", "num", "den", "morans_i")
-    }),
-    // Getis–Ord Gi* hotspot flags — the LOCAL companion to geo_morans_i's
-    // global statistic: per occupied cell, is the rook-neighborhood sum
-    // (self included) significantly above the mean? The z² ≥ 1.96² test
-    // is EXACT integer cross-multiplication (precedent events_ab_test):
-    // with T=Σx, Q=Σx², L_i the local sum, W_i the neighborhood size,
-    // z² = (nL_i−TW_i)²(n−1) / [(nQ−T²)·W_i(n−W_i)] and 1.96² = 2401/625,
-    // so hot ⟺ num>0 ∧ 625·num²·(n−1) ≥ 2401·(nQ−T²)·W_i·(n−W_i). One
-    // 5-offset cell equi-join + one 3-value broadcast — per-cell state,
-    // the hotspot-detection plan a planetary grid wants.
-    "geo_getis_hot" -> ((s, dir) => {
-      val cellsDf = t(s, dir, "customer")
-        .selectExpr("(c_custkey % 360) DIV 8 AS cx",
-          "((c_custkey * 7) % 180) DIV 4 AS cy")
-        .groupBy("cx", "cy").agg(count(lit(1)).as("x"))
-        .localCheckpoint(false)
-      val tot = cellsDf.agg(count(lit(1)).as("n"), sum("x").as("tx"),
-        sum(col("x") * col("x")).as("qx"))
-      val shifted = Seq((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1))
-        .map { case (dx, dy) =>
-          cellsDf.select((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy"),
-            col("x").as("xn"))
-        }.reduce(_ unionAll _)
-      cellsDf.join(shifted, Seq("cx", "cy"))
-        .groupBy("cx", "cy")
-        .agg(max("x").as("x"), sum("xn").as("li"), count(lit(1)).as("wi"))
-        .crossJoin(broadcast(tot))
-        .withColumn("num", col("n") * col("li") - col("tx") * col("wi"))
-        .withColumn("hot", when(col("num") > 0 &&
-            lit(625L) * col("num") * col("num") * (col("n") - 1) >=
-            lit(2401L) * (col("n") * col("qx") - col("tx") * col("tx")) *
-              col("wi") * (col("n") - col("wi")), 1L).otherwise(0L))
-        .select("cx", "cy", "x", "li", "wi", "num", "hot")
-        .orderBy("cx", "cy")
-    }),
-    // Vector→raster burn (rasterize): pixel centers on an EXACT 1/64°
-    // lattice (px = −120 + (2·gi+1)/128 — power-of-two divisions, zero
-    // rounding, both engines bit-identical) PIP-joined to the triangle
-    // family via the existing hex-cover join; per-pixel covering-polygon
-    // count. The rasterization primitive of map rendering / zonal
-    // preprocessing — candidates come from the cell join, never
-    // pixels × polygons.
-    "geo_rasterize" -> ((s, dir) => {
-      val centers = s.range(264L * 136L)
-        .selectExpr("id AS point_id",
-          "-120 + (2 * (id DIV 136) + 1) / 128.0D AS lng",
-          "36 + (2 * (id % 136) + 1) / 128.0D AS lat")
-      ops.SpatialJoin.pointInPolygon(centers, trianglePolys(s, dir), Some(11))
-        .groupBy(expr("point_id DIV 136").as("gi"),
-          expr("point_id % 136").as("gj"))
-        .agg(count(lit(1)).as("n_polys"))
-        .orderBy("gi", "gj")
-    }),
-    // Terrain cost-distance (least-cost reachability): the hydrology
-    // family's closed-form 100×100 elevation field turned into an
-    // 8-connected weighted graph (move cost 1 + max(0, uphill rise)) and
-    // relaxed 6 Bellman–Ford rounds from the center cell via Graph.sssp —
-    // the cost-surface / isochrone primitive of terrain routing. Exact
-    // min-plus integer arithmetic; the oracle unrolls the same 6 rounds.
-    "geo_cost_distance" -> ((s, dir) => {
-      val edges = s.range(100L * 100L)
-        .selectExpr("id AS src", "id DIV 100 AS i", "id % 100 AS j")
-        .withColumn("k", explode(sequence(lit(0), lit(7))))
-        .selectExpr("src", "i", "j",
-          "i + element_at(array(1,1,0,-1,-1,-1,0,1), k+1) AS ni",
-          "j + element_at(array(0,1,1,1,0,-1,-1,-1), k+1) AS nj")
-        .filter("ni BETWEEN 0 AND 99 AND nj BETWEEN 0 AND 99")
-        .selectExpr("src", "ni*100 + nj AS dst",
-          """1 + greatest(0, ((ni*ni)%97 + (nj*nj)%89 + (ni*nj)%31) -
-             ((i*i)%97 + (j*j)%89 + (i*j)%31)) AS w""")
-      ops.Graph.sssp(edges, source = 5050L, rounds = 6).orderBy("node")
-    }),
-    // kRing smoothing (cells.hex_disk — the h3 gridDisk API): per-cell
-    // counts spread to every cell within grid distance 2 via a PLAN-TIME
-    // literal-offset array (pack is linear in (q,r): one 64-bit add per
-    // disk member, explode ×19, fully codegen) and re-aggregated — the
-    // hotspot-smoothing / neighborhood-dilation primitive where shuffle
-    // traffic scales with CELLS × disk size, never with the points inside;
-    // an occupied-cell equi-join keeps the output on the data.
-    "geo_hex_kring" -> ((s, dir) => {
-      val perCell = quadrantPoints(s, dir)
-        .withColumn("cell", cells.hex_cell(col("lng"), col("lat"), lit(9)))
-        .groupBy("cell").agg(count(lit(1)).as("n"))
-      val spread = perCell
-        .select(explode(cells.hex_disk(col("cell"), 2)).as("cell"), col("n"))
-        .groupBy("cell").agg(sum("n").as("smooth"))
-      perCell.join(spread, "cell")
-        .select(col("cell"), col("n"), col("smooth"))
-        .orderBy("cell")
-    }),
-    // Spatial connected regions (island detection): occupied res-1 hex
-    // cells linked to occupied NEIGHBORS (one hex_disk(1) literal-offset
-    // explode + one equi-join — never all-pairs), components via the
-    // O(log n)-round large-star/small-star contraction, then per-region
-    // cell/point rollups. The contiguous-coverage analysis (service
-    // areas, data-coverage islands) composed from three gated primitives.
-    "geo_hex_regions" -> ((s, dir) => {
-      val perCell = quadrantPoints(s, dir)
-        .withColumn("cell", cells.hex_cell(col("lng"), col("lat"), lit(1)))
-        .groupBy("cell").agg(count(lit(1)).as("n"))
-      val edges = perCell
-        .select(col("cell").as("doc_a"),
-          explode(cells.hex_disk(col("cell"), 1)).as("doc_b"))
-        .filter(col("doc_a") =!= col("doc_b"))
-      val comps = ops.TextDedup.connectedComponentsStar(edges,
-        perCell.select(col("cell").as("doc_id")))
-      perCell.join(comps, perCell("cell") === comps("doc_id"))
-        .groupBy(col("comp").as("region"))
-        .agg(count(lit(1)).as("n_cells"), sum("n").as("n_points"))
-        .orderBy("region")
-    }),
-    // Discrete KDE heatmap: 3×3 integer-kernel smoothing of per-cell point
-    // counts (center 4 / edge 2 / corner 1) — density shuffles move cells,
-    // never points.
-    "geo_kde" -> ((s, dir) => {
-      ops.Rasterize.kdeSmooth(gatePoints(s, dir), cellsPerDeg = 20)
-        .orderBy("gx", "gy")
-    }),
-    // Stay-point detection: integer random-walk positions per user (exact
-    // cumulative sums), bucketed to cells; dwell = >=4 consecutive events
-    // in one cell via gaps-and-islands.
-    "traj_dwell" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts", "event_id")
-      val pts = t(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          (col("event_id") % 7).as("dx"),
-          ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("px", sum("dx").over(w))
-        .withColumn("py", sum("dy").over(w))
-        .selectExpr("user_id AS traj_id", "ts", "event_id AS tie",
-          "(px DIV 6) * 1000000 + (py DIV 4) AS cell")
-      ops.Trajectory.dwellRuns(pts, minRun = 4)
-        .orderBy("traj_id", "ts_start", "cell")
-    }),
-    // Origin–destination matrix over the same random-walk trajectories:
-    // first→last cell per user, counted per (o, d) pair. One window shuffle
-    // keyed by trajectory, then the flow rollup.
-    "traj_od_matrix" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts", "event_id")
-      val pts = t(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          (col("event_id") % 7).as("dx"),
-          ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("px", sum("dx").over(w))
-        .withColumn("py", sum("dy").over(w))
-        .selectExpr("user_id AS traj_id", "ts", "event_id AS tie",
-          "(px DIV 6) * 1000000 + (py DIV 4) AS cell")
-      ops.Trajectory.odMatrix(pts).orderBy("o_cell", "d_cell")
-    }),
-    // Anti-join: customers with no 1997+ order (churn report), per segment.
-    "q_antijoin" -> ((s, dir) => {
-      val recent = t(s, dir, "orders")
-        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
-      t(s, dir, "customer")
-        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
-        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
-        .orderBy("c_mktsegment")
-    }),
-    // Semi-join: suppliers with shipped lineitems, per nation.
-    "q_semijoin" -> ((s, dir) => {
-      t(s, dir, "supplier")
-        .join(t(s, dir, "lineitem"), col("s_suppkey") === col("l_suppkey"), "left_semi")
-        .groupBy("s_nationkey").agg(count(lit(1)).as("n_suppliers"))
-        .orderBy("s_nationkey")
-    }),
-    // Spatial-occupancy skew audit: the z14 cell histogram's head — the
-    // hotspot diagnostic that motivates the salted/adaptive PIP paths
-    // (events_key_skew's spatial sibling). Per-cell count is map-side
-    // combined; the global top-10 ranks the ALREADY-aggregated cell rows
-    // (bounded by distinct cells, never points); share in exact ppm.
-    "geo_cell_skew" -> ((s, dir) => {
-      val cells = gatePoints(s, dir)
-        .select(zxy_x(col("lng"), lit(14)).as("x"),
-          zxy_y(col("lat"), lit(14)).as("y"))
-        .groupBy("x", "y").agg(count(lit(1)).as("n"))
-      val tot = cells.agg(sum("n").as("tot"))
-      cells.crossJoin(broadcast(tot))
-        .withColumn("share_ppm", expr("n * 1000000L div tot"))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("n").desc, col("x"), col("y"))))
-        .filter(col("rank") <= 10)
-        .select("x", "y", "n", "share_ppm", "rank")
-        .orderBy("rank")
-    }),
-    "geo_zxy" -> ((s, dir) => {
-      quadrantPoints(s, dir)
-        .withColumn("x", zxy_x(col("lng"), lit(14)))
-        .withColumn("y", zxy_y(col("lat"), lit(14)))
-        .select("point_id", "x", "y")
-        .orderBy("point_id")
-    }),
-    // Bing quadkey (functions.raster.quadkey): the STRING tile address
-    // whose prefix property turns pyramid containment into LIKE/range
-    // predicates parquet stats prune — digits unrolled at plan time into
-    // one codegen'd concat of bit ops over the same z14 tile coords.
-    "geo_quadkey" -> ((s, dir) => {
-      quadrantPoints(s, dir)
-        .withColumn("x", zxy_x(col("lng"), lit(14)))
-        .withColumn("y", zxy_y(col("lat"), lit(14)))
-        .withColumn("qk", quadkey(col("x"), col("y"), 14))
-        .select("point_id", "x", "y", "qk")
-        .orderBy("point_id")
-    }),
-    // Z-order (Morton) write-clustering key: sort-before-write locality so
-    // parquet row-group min/max stats prune spatial range predicates. The
-    // oracle replays the quantizer and the 4-step magic-mask bit spread.
-    "geo_zorder" -> ((s, dir) => {
-      quadrantPoints(s, dir)
-        .withColumn("zkey", cells.zorder_key(col("lng"), col("lat")))
-        .select("point_id", "zkey")
-        .orderBy("point_id")
-    }),
-    // Hilbert-curve clustering key (graft.geo.Hilbert — codegen'd
-    // HilbertKeyExpr): the tighter-locality alternative to geo_zorder
-    // (consecutive keys are ALWAYS grid-adjacent). The oracle unrolls the
-    // published 8-level quadrant+rotation recurrence as chained CTEs in
-    // pure integer arithmetic.
-    "geo_hilbert" -> ((s, dir) => {
-      quadrantPoints(s, dir)
-        .withColumn("hkey", cells.hilbert_key(col("lng"), col("lat")))
-        .select("point_id", "hkey")
-        .orderBy("point_id")
-    }),
-    // Data-skipping audit — the NUMBER behind the zorder_key scaladoc's
-    // clustering claim: the same points bucketed by the top-6 Morton bits
-    // (8×8 spatial blocks) vs by row-major qy stripes; per bucket×layout,
-    // parquet-style min/max stats decide which buckets a box predicate can
-    // SKIP. The lng-band predicate is the separator: every row-major
-    // stripe spans all longitudes (no pruning), while z-order scans only
-    // the intersecting column blocks. Pure integer min/max pruning
-    // arithmetic the oracle replays directly.
-    // BLOOM data-skipping audit — the secondary-index complement to
-    // store_zorder_skip's min/max pruning: point lookups on a NON-layout
-    // column (o_custkey in an o_orderkey-bucketed store) can't use
-    // min/max; a per-bucket bloom (the deterministic Sketches hash family,
-    // 3×4096 bits) prunes buckets instead. Per probe key (15 present + 5
-    // provably absent): candidate buckets vs true buckets vs MISSED true
-    // buckets — the no-false-negative contract is a gated output column
-    // (n_missed ≡ 0), and absent keys' candidate counts measure the FP
-    // cost. Bit positions are DISTINCT'd per bucket (bounded state, the
-    // bloomBuild shuffle shape).
-    "store_bloom_skip" -> ((s, dir) => {
-      import s.implicits._
-      val A = ops.Sketches.BloomA; val B = ops.Sketches.BloomB
-      def posCols(key: String) = array((0 until 3).map(j =>
-        struct(lit(j).as("j"),
-          expr(s"((($key % 2147483648L) * ${A(j)}L + ${B(j)}L) % 2147483648L) % 4096")
-            .as("pos"))): _*)
-      val rows = t(s, dir, "orders")
-        .selectExpr("o_custkey AS key", "o_orderkey % 16 AS b")
-      val bits = rows.select(col("b"), explode(posCols("key")).as("jp"))
-        .select(col("b"), col("jp.j").as("j"), col("jp.pos").as("pos"))
-        .distinct().localCheckpoint(false)
-      val probes = t(s, dir, "customer").filter(col("c_custkey") % 100 === 3)
-        .select(col("c_custkey").as("pkey"))
-        .unionAll(s.range(5).select((col("id") + 1000000007L).as("pkey")))
-        .localCheckpoint(false)
-      val ppos = probes.select(col("pkey"), explode(posCols("pkey")).as("jp"))
-        .select(col("pkey"), col("jp.j").as("j"), col("jp.pos").as("pos"))
-      val candB = ppos.join(bits, Seq("j", "pos"))
-        .groupBy("pkey", "b").agg(countDistinct("j").as("nj"))
-        .filter(col("nj") === 3).select("pkey", "b")
-        .localCheckpoint(false)
-      val trueB = probes.join(rows, col("pkey") === col("key"))
-        .select("pkey", "b").distinct().localCheckpoint(false)
-      val cand = candB.groupBy("pkey").agg(count(lit(1)).as("n_candidates"))
-      val tru = trueB.groupBy("pkey").agg(count(lit(1)).as("n_true"))
-      val missed = trueB.join(candB, Seq("pkey", "b"), "left_anti")
-        .groupBy("pkey").agg(count(lit(1)).as("n_missed"))
-      probes.join(cand, Seq("pkey"), "left")
-        .join(tru, Seq("pkey"), "left")
-        .join(missed, Seq("pkey"), "left")
-        .na.fill(0L, Seq("n_candidates", "n_true", "n_missed"))
-        .orderBy("pkey")
-    }),
-    "store_zorder_skip" -> ((s, dir) => {
-      import s.implicits._
-      val pts = quadrantPoints(s, dir).selectExpr("point_id", "lng", "lat",
-          "LEAST(65535L, GREATEST(0L, CAST(FLOOR(((lng + 180.0D)/360.0D)*65536.0D) AS BIGINT))) AS qx",
-          "LEAST(65535L, GREATEST(0L, CAST(FLOOR(((lat + 90.0D)/180.0D)*65536.0D) AS BIGINT))) AS qy")
-        .withColumn("zb", shiftright(cells.zorder_key(col("lng"), col("lat")), 26))
-        .withColumn("rb", shiftright(col("qy"), 10))
-        .localCheckpoint(false)
-      def stats(bcol: String, tag: String) = pts.groupBy(col(bcol).as("bucket"))
-        .agg(count(lit(1)).as("n"), min("qx").as("minx"), max("qx").as("maxx"),
-          min("qy").as("miny"), max("qy").as("maxy"))
-        .withColumn("layout", lit(tag))
-      val st = stats("zb", "zorder").unionAll(stats("rb", "rowmajor"))
-      val preds = Seq((1L, 20000L, 30000L, 20000L, 30000L),
-          (2L, 10000L, 14000L, 0L, 65535L), (3L, 0L, 65535L, 50000L, 54000L))
-        .toDF("pred_id", "xlo", "xhi", "ylo", "yhi")
-      val scan = st.crossJoin(broadcast(preds))
-        .withColumn("scanned", (col("xlo") <= col("maxx") &&
-          col("xhi") >= col("minx") && col("ylo") <= col("maxy") &&
-          col("yhi") >= col("miny")).cast("long"))
-        .groupBy("pred_id", "layout")
-        .agg(count(lit(1)).as("n_buckets"), sum("scanned").as("n_scanned"),
-          sum(when(col("scanned") === 1, col("n")).otherwise(lit(0L)))
-            .as("rows_scanned"))
-      val matches = pts.crossJoin(broadcast(preds))
-        .filter(col("qx").between(col("xlo"), col("xhi")) &&
-          col("qy").between(col("ylo"), col("yhi")))
-        .groupBy("pred_id").agg(count(lit(1)).as("rows_match"))
-      scan.join(matches, Seq("pred_id"), "left")
-        .na.fill(0L, Seq("rows_match"))
-        .select("pred_id", "layout", "n_buckets", "n_scanned",
-          "rows_scanned", "rows_match")
-        .orderBy("pred_id", "layout")
-    }),
-    // Overlap-depth layout audit — the compaction-planner metric (Iceberg/
-    // Delta OPTIMIZE decide re-clustering from exactly this number): per
-    // bucket file, how many sibling files' [min, max] ranges intersect
-    // its own. A hash layout (o_orderkey % 16) makes every file span the
-    // key domain (depth 15); a range layout (16 quantile slabs of the same
-    // rows) drives depth to the boundary-touch minimum. Stats rows are
-    // metadata-sized (16/layout), so the pairwise intersect join is a
-    // broadcast over file stats — never over data.
-    "store_overlap_depth" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey").as("v"))
-      val mx = o.agg(max("v").as("mxv"))
-      val b = o.crossJoin(broadcast(mx))
-        .selectExpr("v", "o_orderkey % 16 AS b_hash",
-          "(v * 16) div (mxv + 1) AS b_range")
-      def stats(bcol: String, tag: String) = b.groupBy(col(bcol).as("bucket"))
-        .agg(count(lit(1)).as("n"), min("v").as("min_v"), max("v").as("max_v"))
-        .withColumn("layout", lit(tag))
-      val st = stats("b_hash", "hash").unionAll(stats("b_range", "range"))
-        .localCheckpoint(false)
-      val ov = st.as("a").join(broadcast(st.select(
-          col("layout"), col("bucket").as("b2"),
-          col("min_v").as("mn2"), col("max_v").as("mx2"))),
-          Seq("layout"))
-        .filter(col("bucket") =!= col("b2") &&
-          col("min_v") <= col("mx2") && col("mn2") <= col("max_v"))
-        .groupBy("layout", "bucket").agg(count(lit(1)).as("overlap_cnt"))
-      st.join(ov, Seq("layout", "bucket"), "left")
-        .na.fill(0L, Seq("overlap_cnt"))
-        .select("layout", "bucket", "n", "min_v", "max_v", "overlap_cnt")
-        .orderBy("layout", "bucket")
-    }),
-
-    // ---- spatial joins over cell indexes (J2/J3, north rule) ----
-    // Triangles derived from supplier; PIP via S2 cell-cover candidate join
-    // + exact ray-cast refinement. The oracle replicates the ray-cast edge
-    // tests with identical IEEE arithmetic (edges (v1,v3),(v2,v1),(v3,v2) —
-    // same (i,j) orientation as graft.geo.RayCast's loop).
-    "geo_pip" -> ((s, dir) => {
-      ops.SpatialJoin.pointInPolygon(gatePoints(s, dir), trianglePolys(s, dir), Some(11))
-        .select(col("point_id"), col("poly_id"))
-        .orderBy("point_id", "poly_id")
-    }),
-    // Skew handling over genuinely skewed input (one third of points in an
-    // 8-cell hotspot): only the hotspot cells salt / split, the uniform
-    // remainder joins at the coarse level untouched.
-    "geo_pip_salted" -> ((s, dir) => {
-      ops.SpatialJoin.pointInPolygonSalted(skewPoints(s, dir), trianglePolys(s, dir),
-          level = 11, hotThreshold = 500L, salt = 8)
-        .select(col("point_id"), col("poly_id"))
-        .orderBy("point_id", "poly_id")
-    }),
-    "geo_pip_adaptive" -> ((s, dir) => {
-      ops.SpatialJoin.pointInPolygonAdaptive(skewPoints(s, dir), trianglePolys(s, dir),
-          level = 11, hotThreshold = 500L, splitLevels = 2)
-        .select(col("point_id"), col("poly_id"))
-        .orderBy("point_id", "poly_id")
-    }),
-    // Multi-ring PIP (VERDICT r3 missing #1): rectangles with a centered
-    // HOLE plus a disjoint second shell (MultiPolygon) — even-odd over all
-    // rings, so hole points are excluded and second-shell points included.
-    // Same S2-cover join; refine is the codegen'd ray_cast_multi.
-    "geo_pip_holes" -> ((s, dir) => {
-      ops.SpatialJoin.pointInPolygonMulti(gatePoints(s, dir), holePolys(s, dir), Some(11))
-        .select(col("point_id"), col("poly_id"))
-        .orderBy("point_id", "poly_id")
-    }),
-    "geo_knn" -> ((s, dir) => {
-      val probes = t(s, dir, "customer").filter(col("c_custkey") % 100 === 0)
-        .selectExpr("c_custkey AS probe_id",
-          "-120.0D + (c_custkey % 4) + ((c_custkey % 577) + 0.5D)/577.0D AS lng",
-          "36.0D + (c_custkey % 2) + (((c_custkey*13) % 577) + 0.5D)/577.0D AS lat")
-      val targets = gatePoints(s, dir).withColumnRenamed("point_id", "target_id")
-      ops.SpatialJoin.knn(probes, targets, k = 5, res = 5)
-        .select(col("probe_id"), col("target_id"), col("rank"), col("dist2"))
-        .orderBy("probe_id", "rank")
-    }),
-    // GEODESIC kNN at 66-68°N, where 1° of longitude is ~43 km and planar
-    // degree ranking is simply wrong — hex cells still prune, only the
-    // refine metric changes (polynomial haversine; Geodesic scaladoc).
-    "geo_knn_geodesic" -> ((s, dir) => {
-      val probes = t(s, dir, "customer").filter(col("c_custkey") % 100 === 0)
-        .selectExpr("c_custkey AS probe_id",
-          "-20.0D + (c_custkey % 4) + ((c_custkey % 577) + 0.5D)/577.0D AS lng",
-          "66.0D + (c_custkey % 2) + (((c_custkey*13) % 577) + 0.5D)/577.0D AS lat")
-      val targets = t(s, dir, "lineitem").selectExpr(
-        "((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS target_id",
-        "-20 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5D)/600.0D AS lng",
-        "66 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5D)/600.0D AS lat")
-      ops.SpatialJoin.knnGeodesic(probes, targets, k = 5, res = 5)
-        .orderBy("probe_id", "rank")
-    }),
-    // Geodesic (meter-radius) range join at the same 66-68°N fixture: the
-    // hex-disk cover widens by the cos-lat-safe planar superset, the exact
-    // refine keeps polynomial-haversine t ≤ sinP(r/2R)² — pure arithmetic
-    // the oracle replays IEEE-exactly (same kernel as geo_knn_geodesic).
-    "geo_range_geodesic" -> ((s, dir) => {
-      val probes = t(s, dir, "customer").filter(col("c_custkey") % 100 === 0)
-        .selectExpr("c_custkey AS probe_id",
-          "-20.0D + (c_custkey % 4) + ((c_custkey % 577) + 0.5D)/577.0D AS lng",
-          "66.0D + (c_custkey % 2) + (((c_custkey*13) % 577) + 0.5D)/577.0D AS lat")
-      val targets = t(s, dir, "lineitem").selectExpr(
-        "((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS target_id",
-        "-20 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5D)/600.0D AS lng",
-        "66 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5D)/600.0D AS lat")
-      ops.SpatialJoin.withinDistanceGeodesic(probes, targets, radiusMeters = 2000.0)
-        .orderBy("probe_id", "target_id")
-    }),
-    // Trajectory simplification: Douglas-Peucker over the gate trails (the
-    // reference's polyline domain as analytics). Split rule is sqrt/div-free
-    // (cross² > ε²·len²) so the unrolled-CTE oracle replicates every branch;
-    // ε = 0.25 (exact binary double) keeps ~79% of the zigzag vertices.
-    // Movement bearing octant per trajectory segment: the aspect-octant
-    // sign/|.| classification on (dlng, dlat) — no atan2, engine-exact.
-    "geo_bearing" -> ((s, dir) => {
-      val w = Window.partitionBy("line_id").orderBy("seq")
-      gatePoints(s, dir).filter(col("point_id") % 10 === 0)
-        .select((col("point_id") % 199).as("line_id"), col("point_id").as("seq"),
-          col("lng"), col("lat"))
-        .withColumn("dx", col("lng") - lag("lng", 1).over(w))
-        .withColumn("dy", col("lat") - lag("lat", 1).over(w))
-        .filter(col("dx").isNotNull)
-        .withColumn("octant",
-          when(col("dx") === 0 && col("dy") === 0, 0)
-            .when(abs(col("dx")) > abs(col("dy")),
-              when(col("dx") > 0, 1).otherwise(5))
-            .when(abs(col("dy")) > abs(col("dx")),
-              when(col("dy") > 0, 3).otherwise(7))
-            .otherwise(when(col("dx") > 0,
-              when(col("dy") > 0, 2).otherwise(8))
-              .otherwise(when(col("dy") > 0, 4).otherwise(6))))
-        .select("line_id", "seq", "octant")
-        .orderBy("line_id", "seq")
-    }),
-    // Polygon-polygon intersection join (J6): S2-cover cell equi-join
-    // candidates, exact orientation-sign refine (vertex containment either
-    // way or proper edge crossing) as codegen'd HOF arithmetic.
-    "geo_poly_join" -> ((s, dir) => {
-      ops.SpatialJoin.polygonJoin(
-          trianglePolys(s, dir), trianglePolysB(s, dir), level = 9)
-        .orderBy("poly_a", "poly_b")
-    }),
-    // z14 tile cover of polygon bboxes: which slippy tiles does a feature
-    // touch — the serving-side fan-out count per feature; pure per-row math.
-    "geo_tile_cover" -> ((s, dir) => {
-      import graft.functions.raster.{zxy_x, zxy_y}
-      trianglePolys(s, dir)
-        .select(col("poly_id"),
-          array_min(col("xs")).as("xmin"), array_max(col("xs")).as("xmax"),
-          array_min(col("ys")).as("ymin"), array_max(col("ys")).as("ymax"))
-        .select(col("poly_id"),
-          zxy_x(col("xmin"), lit(14)).as("tx0"),
-          zxy_x(col("xmax"), lit(14)).as("tx1"),
-          zxy_y(col("ymax"), lit(14)).as("ty0"),
-          zxy_y(col("ymin"), lit(14)).as("ty1"))
-        .withColumn("n_tiles",
-          (col("tx1") - col("tx0") + 1).cast("long") * (col("ty1") - col("ty0") + 1))
-        .orderBy("poly_id")
-    }),
-    "geo_simplify" -> ((s, dir) => {
-      val verts = gatePoints(s, dir).filter(col("point_id") % 10 === 0)
-        .select((col("point_id") % 199).as("line_id"), col("point_id").as("seq"),
-          col("lng"), col("lat"))
-      ops.Trajectory.simplify(verts, eps = 0.25)
-        .select("line_id", "seq", "lng", "lat")
-        .orderBy("line_id", "seq")
-    }),
-    // Vector→raster rasterization with exact area weights: each triangle
-    // clipped (Sutherland–Hodgman) against every 1/16° cell its bbox
-    // touches — the clip kernel's first ORACLE gate (1/16° cell edges are
-    // exact binary doubles, so every clip intermediate is IEEE-replicable
-    // and the oracle replays all four clip passes in SQL).
-    "geo_cell_weights" -> ((s, dir) => {
-      ops.Rasterize.cellAreaWeights(trianglePolys(s, dir), cellsPerDeg = 16)
-        .orderBy("poly_id", "cx", "cy")
-    }),
-    // AREA-WEIGHTED zonal elevation — the composition Rasterize promises:
-    // per-cell overlap weights x bilinear elevation at cell centers
-    // (missing tile => 0), aggregated per polygon over floor-quantized
-    // integers so the sums are order-independent and oracle-exact. The
-    // weighted mean divides the two exact sums once.
-    "zonal_weighted" -> ((s, dir) => {
-      val bc = ops.TileIndex.broadcastIndex(gateTiles(s))
-      ops.Rasterize.cellAreaWeights(trianglePolys(s, dir), cellsPerDeg = 16)
-        .withColumn("clng", (col("cx").cast("double") + lit(0.5)) / lit(16.0))
-        .withColumn("clat", (col("cy").cast("double") + lit(0.5)) / lit(16.0))
-        .withColumn("elev", ops.ElevAt.elev_at(col("clng"), col("clat"), bc))
-        .withColumn("wq", floor(col("area") * col("elev") * lit(1.0e9)).cast("long"))
-        .withColumn("aq", floor(col("area") * lit(1.0e12)).cast("long"))
-        .groupBy("poly_id")
-        .agg(count(lit(1)).as("n_cells"), sum("wq").as("wsum_q"), sum("aq").as("asum_q"))
-        .withColumn("wmean", col("wsum_q") / col("asum_q") * lit(1000.0))
-        .orderBy("poly_id")
-    }),
-    // Split-apply DP — the scale path for continent-length lines: chunks
-    // of 16 consecutive vertices with shared boundary points, exact DP per
-    // chunk (memory bounded by chunk+1 regardless of line length); the
-    // oracle replays the chunked grouping through the same unrolled CTEs.
-    "geo_simplify_chunked" -> ((s, dir) => {
-      val verts = gatePoints(s, dir).filter(col("point_id") % 10 === 0)
-        .select((col("point_id") % 199).as("line_id"), col("point_id").as("seq"),
-          col("lng"), col("lat"))
-      ops.Trajectory.simplifyChunked(verts, eps = 0.25, chunk = 16)
-        .select("line_id", "seq", "lng", "lat")
-        .orderBy("line_id", "seq")
-    }),
-    // J5: within-distance (range) join — every gate point within 0.05° of a
-    // sampled customer probe; probe-side hex-disk cover (7 cells at the
-    // derived res), one cell equi-join, exact dist2 refine.
-    "geo_range_join" -> ((s, dir) => {
-      val probes = t(s, dir, "customer").filter(col("c_custkey") % 100 === 0)
-        .selectExpr("c_custkey AS probe_id",
-          "-120.0D + (c_custkey % 4) + ((c_custkey % 577) + 0.5D)/577.0D AS lng",
-          "36.0D + (c_custkey % 2) + (((c_custkey*13) % 577) + 0.5D)/577.0D AS lat")
-      val targets = gatePoints(s, dir).withColumnRenamed("point_id", "target_id")
-      ops.SpatialJoin.withinDistance(probes, targets, radius = 0.05)
-        .orderBy("probe_id", "target_id")
-    }),
-    // Ripley's K point-pattern statistic: ordered close pairs of ONE
-    // point set counted at 4 nested radii — the clustered-vs-random
-    // diagnostic of spatial statistics (K above πr² ⇒ clustering). The
-    // pair set comes from the hex-pruned within-distance join at r_max
-    // (never all-pairs); the 4-radius classification is a 4-literal-row
-    // broadcast nested loop over already-bounded pairs. k_est = A·n/n²
-    // is ONE IEEE division over exact integers (A = 8 deg², the point
-    // quadrant's area).
-    "geo_ripley_k" -> ((s, dir) => {
-      import s.implicits._
-      val pts = t(s, dir, "customer").filter(col("c_custkey") % 20 === 0)
-        .selectExpr("c_custkey AS point_id",
-          "-120.0D + (c_custkey % 4) + ((c_custkey % 577) + 0.5D)/577.0D AS lng",
-          "36.0D + (c_custkey % 2) + (((c_custkey*13) % 577) + 0.5D)/577.0D AS lat")
-        .localCheckpoint(false)
-      val pairs = ops.SpatialJoin.withinDistance(
-          pts.withColumnRenamed("point_id", "probe_id"),
-          pts.withColumnRenamed("point_id", "target_id"), radius = 0.2)
-        .filter(col("probe_id") =!= col("target_id"))
-      val radii = Seq((1L, 0.05), (2L, 0.10), (3L, 0.15), (4L, 0.20))
-        .toDF("r_idx", "r")
-      val n = pts.agg(count(lit(1)).as("n"))
-      radii.join(pairs,
-          expr("dist2 <= CAST(r AS DOUBLE) * CAST(r AS DOUBLE)"), "left")
-        .groupBy("r_idx", "r")
-        .agg(count(col("probe_id")).as("n_pairs"))
-        .crossJoin(broadcast(n))
-        .withColumn("k_est",
-          (col("n_pairs").cast("double") * lit(8.0)) /
-            (col("n") * col("n")).cast("double"))
-        .select("r_idx", "r", "n_pairs", "n", "k_est")
-        .orderBy("r_idx")
-    }),
-    // Quadrat-count dispersion audit (classic CSR χ² screen): 32×8 cells
-    // of 0.25° over the gate bbox; χ² = Σ_cells(C·nᵢ − N)² / (C·N) by
-    // cross-multiplication (empty cells contribute N² each via the closed
-    // form — no spine join). Uniform vs planted-hotspot points side by
-    // side: the number a spatial partitioner reads before deciding to
-    // salt. Exact for N ≲ 2·10⁹ points (127N squared fits a Long);
-    // beyond that, shard-stratified χ² slabs.
-    "geo_quadrat" -> ((s, dir) => {
-      val nc = 256L
-      def stat(pts: DataFrame, tag: String) = {
-        val cells = pts.selectExpr(
-            "CAST(floor((lng + 120.0D) * 8.0D) AS BIGINT) AS cx",
-            "CAST(floor((lat - 36.0D) * 4.0D) AS BIGINT) AS cy")
-          .groupBy("cx", "cy").agg(count(lit(1)).as("cnt"))
-        val tot = cells.agg(sum("cnt").cast("long").as("n_points"))
-        cells.crossJoin(broadcast(tot))
-          .groupBy("n_points")
-          .agg(count(lit(1)).as("n_occupied"),
-            sum((lit(nc) * col("cnt") - col("n_points")) *
-              (lit(nc) * col("cnt") - col("n_points"))).cast("long")
-              .as("ss_occ"))
-          .withColumn("ss", col("ss_occ") +
-            (lit(nc) - col("n_occupied")) * col("n_points") * col("n_points"))
-          .selectExpr(s"'$tag' AS dataset", "n_points", "n_occupied",
-            s"ss div ($nc * n_points) AS chi2_q")
-      }
-      stat(gatePoints(s, dir), "uniform")
-        .unionAll(stat(skewPoints(s, dir), "skewed"))
-        .orderBy("dataset")
-    }),
-    // Map algebra: Lambertian hillshade (sun az 315°, alt 45°) from the same
-    // central-difference gradient as geo_slope; all light-vector constants
-    // are exact double literals so the oracle reproduces the value exactly.
-    "geo_hillshade" -> ((s, dir) => {
-      val bc = ops.TileIndex.broadcastIndex(gateTiles(s))
-      gatePoints(s, dir)
-        .withColumn("hillshade", ops.ElevAt.elev_hillshade(col("lng"), col("lat"), bc))
-        .select("point_id", "hillshade")
-        .orderBy("point_id")
-    }),
-    // Map algebra, hydrology: D8 flow direction — steepest descent to the 8
-    // clamped neighbours of the nearest grid node, ESRI power-of-2 codes.
-    // The straight-vs-diagonal comparison is sqrt/division-free (2·drop²ₛ vs
-    // drop²d), pure integers, so the oracle replicates every branch exactly.
-    "geo_flowdir" -> ((s, dir) => {
-      val bc = ops.TileIndex.broadcastIndex(gateTiles(s))
-      gatePoints(s, dir)
-        .withColumn("d8", ops.ElevAt.elev_flowdir(col("lng"), col("lat"), bc).cast("long"))
-        .select("point_id", "d8")
-        .orderBy("point_id")
-    }),
-    // Watershed delineation over a synthetic multi-basin 100×100 grid:
-    // D8 steepest-descent successors (first maximal drop wins, borders
-    // excluded) resolved to sink labels by O(log path) pointer doubling.
-    "geo_watershed" -> ((s, dir) => {
-      ops.FlowGraph.sinkLabels(d8SuccGrid(s)).orderBy("cell")
-    }),
-    // Flow accumulation: upstream contributing cells per node (self
-    // included) — paths enumerated in O(log L) path-doubling rounds, never
-    // a sequential walk.
-    "geo_flowaccum" -> ((s, dir) => {
-      ops.FlowGraph.accumulation(d8SuccGrid(s)).orderBy("cell")
-    }),
-    // Strahler stream order (ops.FlowGraph.strahler): the hydrology
-    // branch-ranking classic over a deterministic binary flow tree
-    // (child → child div 2) whose node set comes from orders — leaves
-    // order 1, promote at ≥2 max-order children; bottom-up rounds = tree
-    // height. The oracle unrolls the same 9 rounds as chained CTEs.
-    "geo_strahler" -> ((s, dir) => {
-      val e = t(s, dir, "orders")
-        .selectExpr("o_orderkey % 199 + 1 AS child")
-        .distinct()
-        .selectExpr("child", "child div 2 AS parent")
-      ops.FlowGraph.strahler(e).orderBy("node")
-    }),
-    // Basin areas: the watershed labels rolled up per sink — how much of
-    // the grid drains to each outlet (downstream composition of the
-    // pointer-doubled labels).
-    "geo_basin_size" -> ((s, dir) => {
-      queries("geo_watershed")(s, dir)
-        .groupBy("sink").agg(count(lit(1)).cast("long").as("n_cells"))
-        .orderBy("sink")
-    }),
-    // Bounded-radius map matching: snap sampled customer points onto the
-    // nearest lineitem-derived segment within 0.05°; grid-ring candidates
-    // are exact at cell size = radius.
-    "geo_snap" -> ((s, dir) => {
-      val probes = t(s, dir, "customer").filter(col("c_custkey") % 10 === 0)
-        .selectExpr("c_custkey AS probe_id",
-          "-120 + (c_custkey % 4) + ((c_custkey % 577) + 0.5D)/577.0D AS px",
-          "36 + (c_custkey % 2) + (((c_custkey*13) % 577) + 0.5D)/577.0D AS py")
-      val segs = t(s, dir, "lineitem").filter(col("l_orderkey") % 20 === 0)
-        .selectExpr(
-          "((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS seg_id",
-          "-120 + (l_orderkey % 4) + ((l_partkey % 577) + 0.5D)/577.0D AS x1",
-          "36 + (l_suppkey % 2) + (((l_partkey*13) % 577) + 0.5D)/577.0D AS y1",
-          "((l_suppkey % 20) + 1)/4000.0D AS dx",
-          "(((l_orderkey*3) % 41) - 20)/4000.0D AS dy")
-        .selectExpr("seg_id", "x1", "y1", "x1 + dx AS x2", "y1 + dy AS y2")
-      ops.SpatialJoin.snapToSegments(probes, segs, radius = 0.05)
-        .orderBy("probe_id")
-    }),
-    // Vector overlay: proper segment×segment crossings between two dense
-    // lineitem-derived families in a 0.5° box; PBSM reference-point dedup,
-    // four-orientation refine.
-    "geo_line_intersect" -> ((s, dir) => {
-      val base = t(s, dir, "lineitem").filter(col("l_orderkey") % 50 <= 1)
-        .selectExpr(
-          "((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS seg_id",
-          "l_orderkey % 50 AS grp",
-          "-119.5 + ((l_partkey % 501))/1000.0D AS x1",
-          "36.2 + (((l_suppkey*7) % 501))/1000.0D AS y1",
-          "((l_suppkey % 41) - 20)/2000.0D AS dx",
-          "(((l_orderkey*3) % 41) - 20)/2000.0D AS dy")
-        .selectExpr("seg_id", "grp", "x1", "y1",
-          "x1 + dx AS x2", "y1 + dy AS y2")
-      val a = base.filter(col("grp") === 0).drop("grp")
-      val b = base.filter(col("grp") === 1).drop("grp")
-      ops.SpatialJoin.segmentIntersectJoin(a, b, cellSize = 0.02)
-        .orderBy("a_id", "b_id")
-    }),
-    // Per-group convex hull (coverage footprint): 25 groups of ≤ 40 integer
-    // points; the minimal vertex set is exact-Long geometry, so the oracle
-    // re-derives it from the Carathéodory characterization. The custkey cap
-    // keeps the oracle's O(n⁴) certificate tractable — the ENGINE side is
-    // one group-keyed shuffle at any scale.
-    "geo_convex_hull" -> ((s, dir) => {
-      val pts = t(s, dir, "customer").filter(col("c_custkey") <= 1000)
-        .selectExpr("c_custkey % 25 AS gid",
-          "(c_custkey * 7) % 1201 AS x", "(c_custkey * 13) % 1009 AS y")
-      ops.SpatialJoin.convexHullPerGroup(pts).orderBy("gid", "x", "y")
-    }),
-    // Hull diameter per group: the farthest pair, computed on the HULL
-    // vertices only (all max-distance pairs are hull vertices — distance
-    // along a segment is strictly convex, so interior/edge points never
-    // tie a vertex pair) — hull size ≪ point count is what makes the
-    // all-pairs refine scale; the oracle brute-forces ALL distinct point
-    // pairs, which must agree by that argument. Deterministic argmax by
-    // (d2 desc, ax, ay, bx, by).
-    "geo_hull_diameter" -> ((s, dir) => {
-      val pts = t(s, dir, "customer").filter(col("c_custkey") <= 1000)
-        .selectExpr("c_custkey % 25 AS gid",
-          "(c_custkey * 7) % 1201 AS x", "(c_custkey * 13) % 1009 AS y")
-      val hull = ops.SpatialJoin.convexHullPerGroup(pts)
-      val pairs = hull.select(col("gid"), col("x").as("ax"), col("y").as("ay"))
-        .join(hull.select(col("gid"), col("x").as("bx"), col("y").as("by")),
-          Seq("gid"))
-        .filter(col("ax") < col("bx") ||
-          (col("ax") === col("bx") && col("ay") < col("by")))
-        .withColumn("d2", expr(
-          "(ax - bx) * (ax - bx) + (ay - by) * (ay - by)"))
-      val best = pairs.withColumn("rn", row_number().over(
-          Window.partitionBy("gid").orderBy(col("d2").desc, col("ax"),
-            col("ay"), col("bx"), col("by"))))
-        .filter(col("rn") === 1).drop("rn")
-      val n = pts.distinct().groupBy("gid").agg(count(lit(1)).as("n_pts"))
-      best.join(n, Seq("gid"))
-        .select("gid", "n_pts", "d2", "ax", "ay", "bx", "by")
-        .orderBy("gid")
-    }),
-    // Distributed power iteration (3 rounds of integer-exact Xᵀ(Xv)) for
-    // the corpus's top principal direction.
-    "ann_power_iteration" -> ((s, dir) => {
-      ops.Embeddings.powerIteration(t(s, dir, "embeddings"), rounds = 3,
-        dims = 64).orderBy("rnd", "d")
-    }),
-    // PCA projection: every embedding scored against the round-3 principal
-    // direction (integer dot in the trainer's milli-units) — the whitening /
-    // spectral-quality column. One fan-out + one vec_id-keyed shuffle.
-    "ann_pca_project" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val v3 = ops.Embeddings.powerIteration(emb, rounds = 3, dims = 64)
-        .filter(col("rnd") === 3).select("d", "v")
-      ops.Embeddings.pcaProject(emb, v3).orderBy("vec_id")
-    }),
-    // Map algebra: terrain ruggedness index — Σ|neighbour − centre| over the
-    // same 8 clamped neighbours; pure integer arithmetic.
-    // Discrete Laplacian curvature: 4-neighbour second difference, integer
-    // arithmetic on the int16 grid (sinks > 0, ridges < 0).
-    "geo_curvature" -> ((s, dir) => {
-      val bc = ops.TileIndex.broadcastIndex(gateTiles(s))
-      gatePoints(s, dir)
-        .withColumn("lap",
-          ops.ElevAt.elev_curvature(col("lng"), col("lat"), bc).cast("long"))
-        .select("point_id", "lap")
-        .orderBy("point_id")
-    }),
-    "geo_tri" -> ((s, dir) => {
-      val bc = ops.TileIndex.broadcastIndex(gateTiles(s))
-      gatePoints(s, dir)
-        .withColumn("tri", ops.ElevAt.elev_tri(col("lng"), col("lat"), bc).cast("long"))
-        .select("point_id", "tri")
-        .orderBy("point_id")
-    }),
-    // Topographic position index (×24, exact integer): centre node vs its
-    // 5×5 neighbourhood mean — positive = ridgetop, negative = valley
-    // bottom, ~0 = planar slope; the landform classifier next to geo_tri's
-    // unsigned ruggedness. Same broadcast-index codegen probe, zero shuffle.
-    "geo_tpi" -> ((s, dir) => {
-      val bc = ops.TileIndex.broadcastIndex(gateTiles(s))
-      gatePoints(s, dir)
-        .withColumn("tpi24", ops.ElevAt.elev_tpi(col("lng"), col("lat"), bc).cast("long"))
-        .select("point_id", "tpi24")
-        .orderBy("point_id")
-    }),
-    // Map algebra: aspect octant — dominant compass direction of the
-    // downslope vector from the central-difference gradient, quantized to
-    // 8 sectors (+0 flat) so there is no atan2 ulp risk cross-engine.
-    "geo_aspect" -> ((s, dir) => {
-      val bc = ops.TileIndex.broadcastIndex(gateTiles(s))
-      gatePoints(s, dir)
-        .withColumn("aspect", ops.ElevAt.elev_aspect(col("lng"), col("lat"), bc).cast("long"))
-        .select("point_id", "aspect")
-        .orderBy("point_id")
-    }),
-    // Vector analytics: shoelace area / perimeter / area-weighted centroid
-    // per polygon ring, composed from built-in higher-order functions (an
-    // in-order fold the oracle replicates term-for-term).
-    "geo_area" -> ((s, dir) => {
-      trianglePolys(s, dir)
-        .select(col("poly_id"),
-          polygon_area(col("xs"), col("ys")).as("area"),
-          polygon_perimeter(col("xs"), col("ys")).as("perimeter"),
-          polygon_centroid_x(col("xs"), col("ys")).as("cxc"),
-          polygon_centroid_y(col("xs"), col("ys")).as("cyc"))
-        .orderBy("poly_id")
-    }),
-
-    // ---- checkpoint / lineage (north rule: partition-granular resume) ----
-    // Writes orders through the resumable bucketed writer, killing the run
-    // after 3 of 12 bucket commits, then resumes and reads the table back.
-    // The oracle sees the same aggregate as a direct query — proving the
-    // kill/resume produced exactly-once content.
-    "checkpoint_resume" -> ((s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_q_${dir.hashCode}"
-      table.Checkpoint.clear(out)
-      val df = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
-      try table.Checkpoint.writeResumable(df, Seq("o_orderkey"), 12, out, "r1",
-        failBeforeBucket = 3)
-      catch { case _: table.Checkpoint.InjectedFailure => () }
-      table.Checkpoint.writeResumable(df, Seq("o_orderkey"), 12, out, "r2")
-      table.Checkpoint.read(s, out)
-        .groupBy((col("o_custkey") % 16).as("grp"))
-        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
-        .orderBy("grp")
-    }),
-
-    // Changelog MERGE (ops.Cdc.applyChanges): latest-wins upsert + deletes
-    // + inserts folded into the base snapshot by one key window — the
-    // row-level complement of checkpoint_timetravel's table snapshots.
-    // Fixture: +1000 price updates on keys %7, deletes on %13 (outranking
-    // the updates where both apply), fresh inserts cloned from keys %31.
-    "cdc_upsert" -> ((s, dir) => {
-      val base = t(s, dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-      val upd = base.filter(col("o_orderkey") % 7 === 0)
-        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
-        .withColumn("seq", lit(1L)).withColumn("op", lit("U"))
-      val del = base.filter(col("o_orderkey") % 13 === 0)
-        .withColumn("seq", lit(2L)).withColumn("op", lit("D"))
-      val ins = base.filter(col("o_orderkey") % 31 === 0)
-        .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
-          col("o_custkey"), col("o_totalprice"))
-        .withColumn("seq", lit(1L)).withColumn("op", lit("I"))
-      ops.Cdc.applyChanges(base, upd.unionByName(del).unionByName(ins),
-          Seq("o_orderkey"))
-        .groupBy((col("o_custkey") % 16).as("grp"))
-        .agg(count(lit(1)).as("n"),
-          round(sum(col("o_totalprice")), 2).as("sum_price"))
-        .orderBy("grp")
-    }),
-    // SCD type-2 history build (ops.Cdc.scd2): the same changelog folded
-    // into versioned dimension rows — [valid_from, valid_to) in sequence
-    // space, deletes closing, last open version flagged current. ONE key
-    // window (lead); the gate pins every interval endpoint via per-bucket
-    // sums and the price sum per currency state.
-    "cdc_scd2" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
-      val ins = o.withColumn("seq", lit(1L)).withColumn("op", lit("I"))
-      val upd = o.filter(col("k") % 3 === 0)
-        .withColumn("price", col("price") + lit(100.0))
-        .withColumn("seq", lit(2L)).withColumn("op", lit("U"))
-      val del = o.filter(col("k") % 11 === 0)
-        .withColumn("seq", lit(3L)).withColumn("op", lit("D"))
-      ops.Cdc.scd2(ins.unionByName(upd).unionByName(del), Seq("k"))
-        .groupBy(col("is_current"), (col("k") % 16).as("grp"))
-        .agg(count(lit(1)).as("n"),
-          round(sum(col("price")), 2).as("sum_price"),
-          sum(col("valid_from")).as("sum_from"),
-          sum(coalesce(col("valid_to"), lit(0L))).as("sum_to"))
-        .orderBy("is_current", "grp")
-    }),
-    // Incremental aggregate maintenance (ops.Cdc.incrementalAgg): the
-    // maintained groupBy(count, sum) absorbs a changelog of inserts /
-    // group-moving updates / deletes as exact-integer deltas — work
-    // proportional to the CHANGES, never the facts. The oracle recomputes
-    // the aggregate from the FINAL state, pinning the maintenance algebra.
-    "cdc_incr_agg" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-        .select(col("o_orderkey").as("k"), (col("o_custkey") % 16).as("grp"),
-          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
-      val base = o.filter(col("k") % 5 =!= 0)
-      val baseAgg = base.groupBy("grp")
-        .agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
-      val ins = o.filter(col("k") % 5 === 0)
-        .select(lit(null).cast("long").as("grp_old"),
-          lit(null).cast("long").as("v_old"),
-          col("grp").as("grp_new"), col("v").as("v_new"))
-      val upd = base.filter(col("k") % 3 === 0)
-        .select(col("grp").as("grp_old"), col("v").as("v_old"),
-          when(col("k") % 9 === 0, (col("grp") + 1) % 16).otherwise(col("grp"))
-            .as("grp_new"),
-          (col("v") + 10000L).as("v_new"))
-      val del = base.filter(col("k") % 3 =!= 0 && col("k") % 11 === 0)
-        .select(col("grp").as("grp_old"), col("v").as("v_old"),
-          lit(null).cast("long").as("grp_new"),
-          lit(null).cast("long").as("v_new"))
-      ops.Cdc.incrementalAgg(baseAgg,
-        ins.unionByName(upd).unionByName(del)).orderBy("grp")
-    }),
-    // Data-quality expectation suite (ops.DataQuality.check): Deequ-style
-    // declared constraints — all row-level rules fold into ONE scan's
-    // combined aggregation; uniqueness is one key histogram; referential
-    // containment is a distinct-first anti-join probe. The gate declares a
-    // deliberate mix of passing and failing rules so both verdict paths
-    // and every violation count are pinned.
-    "dq_expectations" -> ((s, dir) => {
-      import ops.DataQuality._
-      val orders = t(s, dir, "orders")
-      val customer = t(s, dir, "customer")
-      check(orders, Seq(
-        NotNull("o_custkey"),
-        Bounds("o_totalprice", 1000.0, 200000.0),
-        InValues("o_orderstatus", Seq("F", "O")),
-        MinRows(1000L),
-        Unique("o_orderkey"),
-        Unique("o_custkey"),
-        InTable("o_custkey", customer, "c_custkey"),
-        InTable("o_custkey",
-          customer.filter(col("c_custkey") % 2 === 0), "c_custkey")))
-        .orderBy("rule", "column", "violations")
-    }),
-    // Column profiling (ops.DataQuality.profile): the discovery half of
-    // the quality gate — nulls, EXACT distinct cardinalities, numeric
-    // bounds for every column in ONE aggregation pass (multi-distinct
-    // expansion, still a single shuffle). The snapshot-statistics table a
-    // 100 TB pipeline publishes beside every corpus version.
-    "dq_profile" -> ((s, dir) => {
-      ops.DataQuality.profile(t(s, dir, "orders"),
-        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-          "o_orderdate", "o_orderpriority")).orderBy("column")
-    }),
-    // Referential-integrity audit: orphan-FK counts per relationship via
-    // key left joins (parent side broadcast-able keys only, never rows) —
-    // the cross-table consistency check of any warehouse intake; the
-    // customer side is deliberately trimmed (%7) so the orders check
-    // fires nonzero while lineitem→orders proves a clean zero.
-    // Cross-table AGGREGATE consistency audit (the invariant dq_referential
-    // can't see): per order, header o_totalprice vs the Σ of its line
-    // items' extendedprice, in exact cents; per status the violation count
-    // and the worst/total deviation — the reconciliation check of any
-    // header/detail ingest. One fk-keyed aggregate + one key equi-join.
-    "dq_agg_consistency" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .selectExpr("l_orderkey",
-          "CAST(FLOOR(l_extendedprice * 100.0D + 0.5D) AS BIGINT) AS cents")
-        .groupBy("l_orderkey").agg(sum("cents").as("li_cents"))
-      t(s, dir, "orders")
-        .selectExpr("o_orderkey", "o_orderstatus",
-          "CAST(FLOOR(o_totalprice * 100.0D + 0.5D) AS BIGINT) AS hdr_cents")
-        .join(li, col("o_orderkey") === col("l_orderkey"), "left")
-        .withColumn("diff_c",
-          abs(col("hdr_cents") - coalesce(col("li_cents"), lit(0L))))
-        .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n_orders"),
-          sum(when(col("li_cents").isNull, 1L).otherwise(0L))
-            .as("n_no_lines"),
-          sum(when(col("diff_c") > 0, 1L).otherwise(0L)).as("n_mismatch"),
-          max("diff_c").as("max_diff_c"), sum("diff_c").as("sum_diff_c"))
-        .orderBy("o_orderstatus")
-    }),
-    "dq_referential" -> ((s, dir) => {
-      def check(tag: String, child: DataFrame, fk: String,
-                parent: DataFrame) =
-        child.select(col(fk).as("fk"))
-          .join(parent, col("fk") === col("pk"), "left")
-          .groupBy(lit(tag).as("chk"))
-          .agg(count(lit(1)).as("n_child"),
-            count(when(col("pk").isNull, 1)).as("n_orphans"),
-            countDistinct(when(col("pk").isNull, col("fk"))).as("orphan_keys"))
-      val trimmedCust = t(s, dir, "customer")
-        .filter(col("c_custkey") % 7 =!= 0)
-        .select(col("c_custkey").as("pk"))
-      val orderKeys = t(s, dir, "orders").select(col("o_orderkey").as("pk"))
-      check("orders_customer", t(s, dir, "orders"), "o_custkey", trimmedCust)
-        .unionAll(
-          check("lineitem_orders", t(s, dir, "lineitem"), "l_orderkey",
-            orderKeys))
-        .orderBy("chk")
-    }),
-    // Snapshot drift report (ops.DataQuality.drift): the two profiles
-    // compared in exact integer ppm — the gate declares a degraded "after"
-    // snapshot (rows dropped, nulls injected, an enum value collapsed) so
-    // every verdict column fires on a known cause.
-    "dq_drift" -> ((s, dir) => {
-      val before = t(s, dir, "orders")
-      val after = before.filter(col("o_orderkey") % 10 =!= 0)
-        .withColumn("o_totalprice",
-          when(col("o_orderkey") % 7 === 0, lit(null).cast("double"))
-            .otherwise(col("o_totalprice")))
-        .withColumn("o_orderstatus",
-          when(col("o_orderstatus") === "P", lit("F"))
-            .otherwise(col("o_orderstatus")))
-      ops.DataQuality.drift(before, after,
-        Seq("o_custkey", "o_orderstatus", "o_totalprice"), tolPpm = 20000L)
-        .orderBy("column")
-    }),
-    // Benford first-digit conformance (ops.DataQuality.benford): the
-    // fabricated-numbers screen over o_totalprice in exact cents — one
-    // scan, 9-key agg, fixed-point ppm deviations against the exact
-    // round(log10(1+1/d)·1e6) literals (they sum to exactly 1e6).
-    "dq_benford" -> ((s, dir) => {
-      val cents = t(s, dir, "orders")
-        .selectExpr("CAST(round(o_totalprice*100) AS BIGINT) AS cents")
-      ops.DataQuality.benford(cents, "cents", tolPpm = 30000L)
-        .orderBy("digit")
-    }),
-    // IQR fence outlier audit — Tukey's 1.5·IQR rule with NO float in the
-    // decision: per priority group, exact selection quartiles (ranks
-    // ⌈n/4⌉ / ⌈3n/4⌉ over a total (cents, key) order), then fences by
-    // cross-multiplication (2x > 5·q3 − 3·q1 ⟺ x > q3 + 1.5·IQR). The
-    // per-column robust-outlier count every data-quality suite reports,
-    // as one group-keyed window + one broadcast-shaped rejoin.
-    "dq_iqr_outliers" -> ((s, dir) => {
-      val o = t(s, dir, "orders").selectExpr("o_orderpriority AS grp",
-        "CAST(FLOOR(o_totalprice * 100.0D + 0.5D) AS BIGINT) AS cents",
-        "o_orderkey")
-      val w = Window.partitionBy("grp").orderBy("cents", "o_orderkey")
-      val ranked = o
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
-      val q = ranked
-        .filter(col("rn") === expr("(n+3) div 4") ||
-          col("rn") === expr("(3*n+3) div 4"))
-        .groupBy("grp", "n")
-        .agg(min(when(col("rn") === expr("(n+3) div 4"), col("cents"))).as("q1"),
-          min(when(col("rn") === expr("(3*n+3) div 4"), col("cents"))).as("q3"))
-      o.join(q.withColumnRenamed("grp", "g"), col("grp") === col("g"))
-        .groupBy("grp", "n", "q1", "q3")
-        .agg(
-          sum(when(lit(2L) * col("cents") < lit(5L) * col("q1") - lit(3L) * col("q3"), 1L)
-            .otherwise(0L)).as("n_low"),
-          sum(when(lit(2L) * col("cents") > lit(5L) * col("q3") - lit(3L) * col("q1"), 1L)
-            .otherwise(0L)).as("n_high"))
-        .select("grp", "n", "q1", "q3", "n_low", "n_high")
-        .orderBy("grp")
-    }),
-    // Schema-evolution diff (ops.DataQuality.schemaDiff): the snapshot
-    // compatibility verdict — one row per column in either version with
-    // added/removed/type_changed/unchanged status, pure metadata (no data
-    // scan at any size). The gate evolves orders: drops a column, widens
-    // a type, adds an ingest column.
-    "dq_schema_diff" -> ((s, dir) => {
-      val before = t(s, dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-      val after = before.drop("o_orderstatus")
-        .withColumn("o_totalprice", col("o_totalprice").cast("decimal(12,2)"))
-        .withColumn("o_ingest_day", lit(20260819L))
-      ops.DataQuality.schemaDiff(before, after).orderBy("column")
-    }),
-    // Per-user interval UNION (ops.IntervalJoin.intervalUnion): merged
-    // busy-time coverage over event intervals (2-16 min, event_id-derived)
-    // — the uptime/SLA aggregate a plain sum(e−s) double-counts; one
-    // line-sweep window pass, exact epoch-micro integers.
-    "events_interval_union" -> ((s, dir) => {
-      val iv = t(s, dir, "events").selectExpr(
-        "user_id",
-        "unix_micros(CAST(ts AS TIMESTAMP)) AS s",
-        "unix_micros(CAST(ts AS TIMESTAMP)) + ((event_id % 7) + 1) * 120000000 AS e")
-      ops.IntervalJoin.intervalUnion(iv, "user_id", "s", "e")
-        .orderBy("user_id")
-    }),
-    // Peak event rate (burst / rate-limit audit): max events in any
-    // trailing 1-hour window per user — ONE keyed range-frame window on
-    // exact epoch micros, the sliding-window load profile.
-    // Token-bucket rate-limiter replay (capacity 5 tokens, 1 token/10 s,
-    // µs-integer state): per-user ordered fold via the codegen'd
-    // aggregate() HOF — state bounded per user, partial-agg collect, the
-    // API-abuse / throttling audit. DuckDB replays the identical fold
-    // with list_reduce.
-    "events_token_bucket" -> ((s, dir) => {
-      val cap = 50000000L; val cost = 10000000L
-      def refill = s"LEAST(CAST($cap AS BIGINT), acc.tok + " +
-        "(CASE WHEN acc.p < CAST(0 AS BIGINT) THEN CAST(0 AS BIGINT) " +
-        "ELSE x.ts_us - acc.p END))"
-      t(s, dir, "events").filter(col("user_id") < 100)
-        .selectExpr("user_id",
-          "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us", "event_id")
-        .groupBy("user_id")
-        .agg(sort_array(collect_list(struct(col("ts_us"), col("event_id"))))
-          .as("evs"))
-        .selectExpr("user_id", "CAST(size(evs) AS BIGINT) AS n_events",
-          s"""aggregate(evs,
-             named_struct('p', CAST(-1 AS BIGINT), 'tok', CAST($cap AS BIGINT), 'rej', CAST(0 AS BIGINT)),
-             (acc, x) -> named_struct(
-               'p', x.ts_us,
-               'tok', CASE WHEN $refill >= CAST($cost AS BIGINT)
-                      THEN $refill - CAST($cost AS BIGINT) ELSE $refill END,
-               'rej', acc.rej + CASE WHEN $refill >= CAST($cost AS BIGINT)
-                      THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END)) AS st""")
-        .selectExpr("user_id", "n_events", "st.rej AS n_rejected",
-          "st.tok AS tokens_left_us")
-        .orderBy("user_id")
-    }),
-    // Peak interval concurrency (line sweep): per event_type the maximum
-    // number of simultaneously-open intervals (same 2–16 min event
-    // intervals as events_interval_union) — the capacity-planning number
-    // interval_union's coverage sum cannot give. ±1 sweep points, ONE
-    // keyed window running sum ([s,e) semantics: ends sort before starts
-    // at a shared instant, so touching intervals never double-count),
-    // peak_at = earliest µs instant attaining the peak. One shuffle on
-    // event_type; state per row is one Long.
-    "events_concurrency" -> ((s, dir) => {
-      val iv = t(s, dir, "events").selectExpr("event_type", "event_id",
-        "unix_micros(CAST(ts AS TIMESTAMP)) AS st",
-        "unix_micros(CAST(ts AS TIMESTAMP)) + ((event_id % 7) + 1) * 120000000 AS en")
-      val pts = iv.selectExpr("event_type", "st AS t",
-          "CAST(1 AS BIGINT) AS delta", "event_id")
-        .unionAll(iv.selectExpr("event_type", "en AS t",
-          "CAST(-1 AS BIGINT) AS delta", "event_id"))
-      val wRun = Window.partitionBy("event_type")
-        .orderBy(col("t"), col("delta"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy("event_type")
-      pts.withColumn("cur", sum("delta").over(wRun))
-        .withColumn("mx", max(col("cur")).over(wAll))
-        .groupBy("event_type")
-        .agg(sum(when(col("delta") === 1, lit(1L))).as("n_intervals"),
-          max(col("cur")).as("peak_concurrency"),
-          min(when(col("cur") === col("mx"), col("t"))).as("peak_at"))
-        .orderBy("event_type")
-    }),
-    // Jacobson/Karels smoothed-RTT replay (RFC 6298 integer arithmetic):
-    // per-user ordered fold over inter-event gaps — srtt ← (7·srtt+g)/8,
-    // rttvar ← (3·rttvar+|g−srtt|)/4, first gap initializes (g, g/2), all
-    // µs-integers so the fold replays exactly; rto = srtt + 4·rttvar. The
-    // adaptive-timeout estimator next to events_token_bucket's throttle
-    // replay — same codegen'd aggregate() HOF shape, O(1) state per key.
-    "events_srtt" -> ((s, dir) => {
-      t(s, dir, "events").filter(col("user_id") < 100)
-        .selectExpr("user_id",
-          "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us", "event_id")
-        .groupBy("user_id")
-        .agg(sort_array(collect_list(struct(col("ts_us"), col("event_id"))))
-          .as("evs"))
-        .selectExpr("user_id", "CAST(size(evs) - 1 AS BIGINT) AS n_gaps",
-          """aggregate(evs,
-             named_struct('p', CAST(-1 AS BIGINT), 'srtt', CAST(-1 AS BIGINT), 'rttvar', CAST(0 AS BIGINT)),
-             (acc, x) -> named_struct(
-               'p', x.ts_us,
-               'srtt', CASE WHEN acc.p < CAST(0 AS BIGINT) THEN CAST(-1 AS BIGINT)
-                      WHEN acc.srtt < CAST(0 AS BIGINT) THEN x.ts_us - acc.p
-                      ELSE (CAST(7 AS BIGINT) * acc.srtt + (x.ts_us - acc.p)) DIV CAST(8 AS BIGINT) END,
-               'rttvar', CASE WHEN acc.p < CAST(0 AS BIGINT) THEN CAST(0 AS BIGINT)
-                      WHEN acc.srtt < CAST(0 AS BIGINT) THEN (x.ts_us - acc.p) DIV CAST(2 AS BIGINT)
-                      ELSE (CAST(3 AS BIGINT) * acc.rttvar + abs((x.ts_us - acc.p) - acc.srtt)) DIV CAST(4 AS BIGINT) END)) AS st""")
-        .selectExpr("user_id", "n_gaps", "st.srtt AS srtt_us",
-          "st.rttvar AS rttvar_us",
-          "st.srtt + CAST(4 AS BIGINT) * st.rttvar AS rto_us")
-        .orderBy("user_id")
-    }),
-    "events_peak_rate" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
-        .orderBy("tus").rangeBetween(-3599999999L, 0L)
-      t(s, dir, "events")
-        .selectExpr("user_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS tus")
-        .withColumn("cnt", count(lit(1)).over(w))
-        .groupBy("user_id")
-        .agg(max("cnt").as("peak_1h"), count(lit(1)).as("n_events"))
-        .orderBy("user_id")
-    }),
-    // First/last-touch attribution: every purchase credited to the first
-    // and the most recent prior click/view of the same user — ONE
-    // user-keyed window over the merged touch+conversion stream (the
-    // as-of trick: running first/last ignoreNulls; touches sort before a
-    // same-instant conversion), no join, no per-conversion rescan;
-    // 'direct' when nothing precedes. The marketing-analytics workhorse
-    // beside funnel/retention.
-    "events_attribution" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val touches = ev.filter(col("event_type").isin("click", "view"))
-      val convs = ev.filter(col("event_type") === "purchase")
-      val merged = touches.select(col("user_id"), col("ts"), col("event_id"),
-          lit(0).as("side"), col("event_type"))
-        .unionAll(convs.select(col("user_id"), col("ts"), col("event_id"),
-          lit(1).as("side"), col("event_type")))
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("ts"), col("side"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val touchId = when(col("side") === 0, col("event_id"))
-      val touchTy = when(col("side") === 0, col("event_type"))
-      merged
-        .withColumn("first_tid", first(touchId, ignoreNulls = true).over(w))
-        .withColumn("first_type", first(touchTy, ignoreNulls = true).over(w))
-        .withColumn("last_tid", last(touchId, ignoreNulls = true).over(w))
-        .withColumn("last_type", last(touchTy, ignoreNulls = true).over(w))
-        .filter(col("side") === 1)
-        .select(col("event_id").as("conv_id"), col("user_id"),
-          coalesce(col("first_tid"), lit(-1L)).as("first_tid"),
-          coalesce(col("first_type"), lit("direct")).as("first_type"),
-          coalesce(col("last_tid"), lit(-1L)).as("last_tid"),
-          coalesce(col("last_type"), lit("direct")).as("last_type"))
-        .orderBy("conv_id")
-    }),
-    // Two-proportion A/B significance (the experiment-analysis staple)
-    // with NO float in the decision: arms by user parity, conversion = a
-    // high-value purchase (≥90 — plain "any purchase" saturates both arms
-    // at 100% on this corpus); z² ≥ 1.96² decided by exact integer
-    // cross-multiplication — z²·den = Δ²·N·625 vs 2401·n1·n2·(c)·(N−c)
-    // (1.96² = 2401/625 exactly). One user agg + one 2-row arm agg.
-    "events_ab_test" -> ((s, dir) => {
-      val users = t(s, dir, "events")
-        .groupBy("user_id")
-        .agg(max(when(col("event_type") === "purchase" &&
-            col("value") >= 90, 1).otherwise(0))
-          .cast("long").as("conv"))
-        .withColumn("arm", (col("user_id") % 2).cast("int"))
-      val arms = users.groupBy("arm")
-        .agg(count(lit(1)).as("n"), sum("conv").as("c"))
-      val a = arms.filter(col("arm") === 0)
-        .select(col("n").as("n1"), col("c").as("c1"))
-      val b = arms.filter(col("arm") === 1)
-        .select(col("n").as("n2"), col("c").as("c2"))
-      a.crossJoin(b)
-        .withColumn("z2_num",
-          expr("(c1*n2 - c2*n1) * (c1*n2 - c2*n1) * (n1+n2) * 625"))
-        .withColumn("z2_den",
-          expr("2401 * n1 * n2 * (c1+c2) * (n1+n2-c1-c2)"))
-        .withColumn("significant", col("z2_num") >= col("z2_den"))
-        .select("n1", "c1", "n2", "c2", "z2_num", "z2_den", "significant")
-    }),
-    // Radius-of-gyration pieces per trajectory (the human-mobility range
-    // statistic): the dwell-run random walk's exact integer positions, ONE
-    // window shuffle + one agg; gyr_num = m²Σ(x²+y²) − m(Sx²+Sy²) is the
-    // exact numerator of m³·Rg² — no float anywhere.
-    "traj_gyration" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          (col("event_id") % 7).as("dx"), ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("px", sum("dx").over(w))
-        .withColumn("py", sum("dy").over(w))
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n"), sum("px").as("sx"), sum("py").as("sy"),
-          sum(col("px") * col("px")).as("sxx"),
-          sum(col("py") * col("py")).as("syy"))
-        .selectExpr("user_id", "n", "sx", "sy",
-          "n*n*(sxx+syy) - n*(sx*sx + sy*sy) AS gyr_num")
-        .orderBy("user_id")
-    }),
-    // RFM quintile scoring: recency (days since last event vs the corpus
-    // max), frequency, monetary (exact cents) per user, each cut into
-    // NTILE(5) with a deterministic (metric, user_id) order — the
-    // customer-value segmentation staple. Events aggregate ONCE per user;
-    // the ntile windows rank the already-aggregated user rows (bounded by
-    // |users|, never by events).
-    "events_rfm" -> ((s, dir) => {
-      val per = t(s, dir, "events")
-        .select(col("user_id"), expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tus"),
-          round(col("value") * 100, 0).cast("long").as("cents"))
-        .groupBy("user_id")
-        .agg(max("tus").as("umax"), count(lit(1)).as("freq"),
-          sum("cents").as("cents"))
-      per.crossJoin(broadcast(per.agg(max("umax").as("gmax"))))
-        .withColumn("rec_days", expr("(gmax - umax) DIV 86400000000"))
-        .withColumn("r_q",
-          ntile(5).over(Window.orderBy(col("rec_days").asc, col("user_id").asc)))
-        .withColumn("f_q",
-          ntile(5).over(Window.orderBy(col("freq").desc, col("user_id").asc)))
-        .withColumn("m_q",
-          ntile(5).over(Window.orderBy(col("cents").desc, col("user_id").asc)))
-        .select("user_id", "rec_days", "freq", "cents", "r_q", "f_q", "m_q")
-        .orderBy("user_id")
-    }),
-    // Hourly OHLC bars per event type (exact cents): open/close by one
-    // full-frame (type,hour)-keyed window on the (ts, event_id) total
-    // order, high/low/volume/turnover by plain aggregation — the
-    // time-series bar compaction every monitoring/market pipeline runs;
-    // key-bounded window, one shuffle.
-    "events_ohlc" -> ((s, dir) => {
-      val ev = t(s, dir, "events").select(col("event_type"),
-        date_trunc("hour", expr("CAST(ts AS TIMESTAMP)")).as("hr"),
-        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tus"),
-        col("event_id"), round(col("value") * 100, 0).cast("long").as("cents"))
-      val w = Window.partitionBy("event_type", "hr")
-        .orderBy("tus", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      ev.withColumn("open", first("cents").over(w))
-        .withColumn("close", last("cents").over(w))
-        .groupBy("event_type", "hr")
-        .agg(max("open").as("open"), max("cents").as("high"),
-          min("cents").as("low"), max("close").as("close"),
-          count(lit(1)).as("volume"), sum("cents").as("turnover"))
-        .orderBy("event_type", "hr")
-    }),
-    // Semi-structured columnization (schema-on-read): pull the typed `k`
-    // field out of the JSON props string per row — codegen'd path
-    // extraction, no UDF — then aggregate it like any native column; the
-    // ubiquitous first step over logged/semi-structured 100 TB inputs.
-    "events_json_cols" -> ((s, dir) => {
-      t(s, dir, "events")
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum("k").as("k_sum"),
-          min("k").as("k_min"), max("k").as("k_max"),
-          countDistinct("k").as("k_card"))
-        .orderBy("event_type")
-    }),
-    // Iceberg-style TIME TRAVEL (table.Checkpoint.writeVersioned/readAt):
-    // r1 snapshots the full table, r2 patches buckets 0-3 (price +1000);
-    // reading AS OF r1 vs AS OF r2 shows bucket-granularity snapshot
-    // isolation — per bucket the newest committed write wins, resolved from
-    // the manifest log and pushed down as partition-literal pruning.
-    "checkpoint_timetravel" -> ((s, dir) => {
-      val out =
-        s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_tt_${dir.hashCode}"
-      table.Checkpoint.clear(out)
-      val orders = t(s, dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-      table.Checkpoint.writeVersioned(orders, col("o_orderkey") % 12, 12,
-        out, "r1")
-      val patched = orders.filter(col("o_orderkey") % 12 < 4)
-        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
-      table.Checkpoint.writeVersioned(patched, col("o_orderkey") % 12, 12,
-        out, "r2")
-      def snap(runs: Seq[String], tag: String) =
-        table.Checkpoint.readAt(s, out, runs)
-          .groupBy((col("o_custkey") % 16).as("grp"))
-          .agg(count(lit(1)).as("n"),
-            round(sum(col("o_totalprice")), 2).as("sum_price"))
-          .withColumn("snap", lit(tag))
-      snap(Seq("r1"), "r1").unionAll(snap(Seq("r1", "r2"), "r2"))
-        .orderBy("snap", "grp")
-    }),
-    // RESTORE (table.Checkpoint.restoreVersioned — Delta RESTORE TO
-    // VERSION as a NEW COMMIT): r2 patches buckets <4, r3 rolls the table
-    // back to r1 by re-asserting r1's content for exactly those buckets
-    // (integrity-validated against r1's manifests before commit). The gate
-    // reads the post-restore snapshot (must equal the r1 target) AND the
-    // pre-restore r2 snapshot (history intact).
-    "checkpoint_restore" -> ((s, dir) => {
-      val out =
-        s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_rs_${dir.hashCode}"
-      table.Checkpoint.clear(out)
-      val orders = t(s, dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-      table.Checkpoint.writeVersioned(orders, col("o_orderkey") % 12, 12,
-        out, "r1")
-      val patched = orders.filter(col("o_orderkey") % 12 < 4)
-        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
-      table.Checkpoint.writeVersioned(patched, col("o_orderkey") % 12, 12,
-        out, "r2")
-      table.Checkpoint.restoreVersioned(s, out, Seq("r1", "r2"), Seq("r1"),
-        "r3")
-      def snap(runs: Seq[String], tag: String) =
-        table.Checkpoint.readAt(s, out, runs)
-          .groupBy((col("o_custkey") % 16).as("grp"))
-          .agg(count(lit(1)).as("n"),
-            round(sum(col("o_totalprice")), 2).as("sum_price"))
-          .withColumn("snap", lit(tag))
-      snap(Seq("r1", "r2"), "r2")
-        .unionAll(snap(Seq("r1", "r2", "r3"), "restored"))
-        .orderBy("snap", "grp")
-    }),
-    // Copy-on-write COMPACTION (table.Checkpoint.compactVersioned —
-    // lakehouse OPTIMIZE): winners of the r1+r2 lineage rewritten as ONE
-    // run, validated per bucket against the commit log before the manifest
-    // commit. The gate reads the COMPACTED snapshot (tag c1) AND the
-    // pre-compaction r1 snapshot afterwards — content preserved, time
-    // travel intact.
-    "checkpoint_compact" -> ((s, dir) => {
-      val out =
-        s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_cp_${dir.hashCode}"
-      table.Checkpoint.clear(out)
-      val orders = t(s, dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-      table.Checkpoint.writeVersioned(orders, col("o_orderkey") % 12, 12,
-        out, "r1")
-      val patched = orders.filter(col("o_orderkey") % 12 < 4)
-        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
-      table.Checkpoint.writeVersioned(patched, col("o_orderkey") % 12, 12,
-        out, "r2")
-      table.Checkpoint.compactVersioned(s, out, Seq("r1", "r2"), "c1")
-      def snap(runs: Seq[String], tag: String) =
-        table.Checkpoint.readAt(s, out, runs)
-          .groupBy((col("o_custkey") % 16).as("grp"))
-          .agg(count(lit(1)).as("n"),
-            round(sum(col("o_totalprice")), 2).as("sum_price"))
-          .withColumn("snap", lit(tag))
-      snap(Seq("r1"), "r1")
-        .unionAll(snap(Seq("r1", "r2", "c1"), "c1"))
-        .orderBy("snap", "grp")
-    }),
-    // BRANCHED lineages on the versioned store: r1 snapshots the table,
-    // branch a1 patches buckets 0-3 (+1000), branch b1 independently
-    // patches buckets 8-11 (+500). Reading AS OF (r1,a1) vs (r1,b1) shows
-    // isolated divergent branches over one shared base; (r1,a1,b1) is the
-    // fast-forward MERGE — bucket-granularity latest-wins, exactly the
-    // lakehouse branch/merge workflow, resolved purely from the manifest
-    // log with partition-literal pruning (no data rewrite).
-    "checkpoint_branch" -> ((s, dir) => {
-      val out =
-        s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_br_${dir.hashCode}"
-      table.Checkpoint.clear(out)
-      val orders = t(s, dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-      table.Checkpoint.writeVersioned(orders, col("o_orderkey") % 12, 12,
-        out, "r1")
-      val a = orders.filter(col("o_orderkey") % 12 < 4)
-        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
-      table.Checkpoint.writeVersioned(a, col("o_orderkey") % 12, 12,
-        out, "a1")
-      val b = orders.filter(col("o_orderkey") % 12 >= 8)
-        .withColumn("o_totalprice", col("o_totalprice") + lit(500.0))
-      table.Checkpoint.writeVersioned(b, col("o_orderkey") % 12, 12,
-        out, "b1")
-      def snap(runs: Seq[String], tag: String) =
-        table.Checkpoint.readAt(s, out, runs)
-          .groupBy((col("o_custkey") % 16).as("grp"))
-          .agg(count(lit(1)).as("n"),
-            round(sum(col("o_totalprice")), 2).as("sum_price"))
-          .withColumn("snap", lit(tag))
-      snap(Seq("r1", "a1"), "a").unionAll(snap(Seq("r1", "b1"), "b"))
-        .unionAll(snap(Seq("r1", "a1", "b1"), "m"))
-        .orderBy("snap", "grp")
-    }),
-    // Incremental snapshot-diff read (table.Checkpoint.readDelta — Iceberg
-    // incremental scan): exactly the rows of buckets whose winner CHANGED
-    // between two lineages, read from the new winners — an incremental
-    // consumer's work is proportional to the change, never the table.
-    // d1 = r1→r1+a1 (buckets 0-3, +1000), d2 = r1+a1→r1+a1+b1 (buckets
-    // 8-11, +500); each delta aggregated per customer group; the oracle
-    // states both deltas from the bucket recipe.
-    "checkpoint_delta" -> ((s, dir) => {
-      val out =
-        s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_dl_${dir.hashCode}"
-      table.Checkpoint.clear(out)
-      val orders = t(s, dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-      table.Checkpoint.writeVersioned(orders, col("o_orderkey") % 12, 12,
-        out, "r1")
-      val a = orders.filter(col("o_orderkey") % 12 < 4)
-        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
-      table.Checkpoint.writeVersioned(a, col("o_orderkey") % 12, 12,
-        out, "a1")
-      val b = orders.filter(col("o_orderkey") % 12 >= 8)
-        .withColumn("o_totalprice", col("o_totalprice") + lit(500.0))
-      table.Checkpoint.writeVersioned(b, col("o_orderkey") % 12, 12,
-        out, "b1")
-      def delta(oldO: Seq[String], newO: Seq[String], tag: String) =
-        table.Checkpoint.readDelta(s, out, oldO, newO)
-          .groupBy((col("o_custkey") % 16).as("grp"))
-          .agg(count(lit(1)).as("n"),
-            round(sum(col("o_totalprice")), 2).as("sum_price"))
-          .withColumn("delta", lit(tag))
-      delta(Seq("r1"), Seq("r1", "a1"), "d1")
-        .unionAll(delta(Seq("r1", "a1"), Seq("r1", "a1", "b1"), "d2"))
-        .orderBy("delta", "grp")
-    }),
-    // MERGE INTO / upsert (table.Checkpoint.upsertVersioned — Iceberg
-    // copy-on-write merge at bucket granularity): r1 snapshots orders,
-    // then ONE patch both updates rows of buckets 2 and 5 (price +100)
-    // and inserts fresh keys (+1200000, bucket-preserving) for bucket 7 —
-    // only those 3 buckets are rewritten as run u1 (work ∝ patch, never
-    // table), untouched buckets keep r1's winners; the gate reads the
-    // merged snapshot.
-    "checkpoint_upsert" -> ((s, dir) => {
-      val out =
-        s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_up_${dir.hashCode}"
-      table.Checkpoint.clear(out)
-      val orders = t(s, dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-      table.Checkpoint.writeVersioned(orders, col("o_orderkey") % 12, 12,
-        out, "r1")
-      val updates = orders.filter(col("o_orderkey") % 12 isin (2, 5))
-        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
-      val inserts = orders.filter(col("o_orderkey") % 12 === 7)
-        .withColumn("o_orderkey", col("o_orderkey") + lit(1200000L))
-      table.Checkpoint.upsertVersioned(s, out, Seq("r1"),
-        updates.unionAll(inserts), Seq("o_orderkey"),
-        col("o_orderkey") % 12, 12, "u1")
-      table.Checkpoint.readAt(s, out, Seq("r1", "u1"))
-        .groupBy((col("o_custkey") % 16).as("grp"))
-        .agg(count(lit(1)).as("n"),
-          round(sum(col("o_totalprice")), 2).as("sum_price"))
-        .orderBy("grp")
-    }),
-    // MERGE-ON-READ DELETE (table.Checkpoint.deleteWhere/readMor — Iceberg
-    // v2 equality deletes / Delta deletion vectors): r1 snapshots orders,
-    // d1 tombstones the keys with o_orderkey % 7 = 3, d2 additionally
-    // tombstones o_custkey % 10 = 0 — each delete writes ONLY the matching
-    // key set as a bucketed run under deletes/ (work ∝ deleted keys, never
-    // the table, no bucket rewrite); readMor applies committed tombstones
-    // as one key anti-join. Snapshots after d1 and after d1+d2 pin both
-    // the MOR semantics and delete-run composability.
-    "checkpoint_mor_delete" -> ((s, dir) => {
-      val out =
-        s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_mor_${dir.hashCode}"
-      table.Checkpoint.clear(out)
-      val orders = t(s, dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-      table.Checkpoint.writeVersioned(orders, col("o_orderkey") % 12, 12,
-        out, "r1")
-      table.Checkpoint.deleteWhere(s, out, Seq("r1"),
-        col("o_orderkey") % 7 === 3, Seq("o_orderkey"),
-        col("o_orderkey") % 12, 12, "d1")
-      table.Checkpoint.deleteWhere(s, out, Seq("r1"),
-        col("o_custkey") % 10 === 0, Seq("o_orderkey"),
-        col("o_orderkey") % 12, 12, "d2")
-      def snap(dels: Seq[String], tag: String) =
-        table.Checkpoint.readMor(s, out, Seq("r1"), dels, Seq("o_orderkey"))
-          .groupBy((col("o_custkey") % 16).as("grp"))
-          .agg(count(lit(1)).as("n"),
-            round(sum(col("o_totalprice")), 2).as("sum_price"))
-          .withColumn("snap", lit(tag))
-      snap(Seq("d1"), "d1").unionAll(snap(Seq("d1", "d2"), "d12"))
-        .orderBy("snap", "grp")
-    }),
-    // ORPHAN-FILE audit (table.Checkpoint.orphanAudit — the detection half
-    // of remove_orphan_files/VACUUM): r1 commits normally; a "crashed
-    // writer" leaves a run tree zz with NO manifest row. The audit lists
-    // both trees, counts rows, and flags commit status — zz is invisible
-    // to readers yet present on disk, exactly what a maintenance job
-    // deletes.
-    "checkpoint_orphans" -> ((s, dir) => {
-      val out =
-        s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_orph_${dir.hashCode}"
-      table.Checkpoint.clear(out)
-      val orders = t(s, dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-      table.Checkpoint.writeVersioned(orders, col("o_orderkey") % 12, 12,
-        out, "r1")
-      orders.filter(col("o_orderkey") % 9 === 0)
-        .write.mode("overwrite").parquet(s"$out/data/__run=zz/__bucket=0")
-      table.Checkpoint.orphanAudit(s, out).orderBy("run_id")
-    }),
-    // AS OF TIMESTAMP read (table.Checkpoint.readAsOf — Iceberg's
-    // FOR TIMESTAMP AS OF): the lineage is derived from the commit log's
-    // own committed_at frontier instead of an explicit run order — 't1'
-    // reads at r1's commit frontier (pure r1), 'now' at +∞ (r1+r2
-    // merged); both resolved driver-side and partition-pruned.
-    "checkpoint_as_of_ts" -> ((s, dir) => {
-      val out =
-        s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_ts_${dir.hashCode}"
-      table.Checkpoint.clear(out)
-      val orders = t(s, dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-      table.Checkpoint.writeVersioned(orders, col("o_orderkey") % 12, 12,
-        out, "r1")
-      Thread.sleep(10) // ms-resolution commit stamps: keep frontiers apart
-      val patched = orders.filter(col("o_orderkey") % 12 < 4)
-        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
-      table.Checkpoint.writeVersioned(patched, col("o_orderkey") % 12, 12,
-        out, "r2")
-      val cutoff = table.Checkpoint.manifests(s, out)
-        .filter(col("run_id") === "r1")
-        .agg(max("committed_at")).head().getLong(0)
-      def snap(ts: Long, tag: String) =
-        table.Checkpoint.readAsOf(s, out, ts)
-          .groupBy((col("o_custkey") % 16).as("grp"))
-          .agg(count(lit(1)).as("n"),
-            round(sum(col("o_totalprice")), 2).as("sum_price"))
-          .withColumn("snap", lit(tag))
-      snap(cutoff, "t1").unionAll(snap(Long.MaxValue, "now"))
-        .orderBy("snap", "grp")
-    }),
-    // SCHEMA EVOLUTION on the versioned store (Iceberg add-column): run r2
-    // rewrites buckets 0-3 WITH a new o_flag column; readAt(mergeSchema)
-    // resolves the union schema by name, so rows from r1's buckets surface
-    // o_flag as NULL while r2's carry values — the gate counts both
-    // populations per group to pin exactly that.
-    "checkpoint_evolve" -> ((s, dir) => {
-      val out =
-        s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_ev_${dir.hashCode}"
-      table.Checkpoint.clear(out)
-      val orders = t(s, dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-      table.Checkpoint.writeVersioned(orders, col("o_orderkey") % 12, 12,
-        out, "r1")
-      val evolved = orders.filter(col("o_orderkey") % 12 < 4)
-        .withColumn("o_flag", col("o_orderkey") % 2 === 0)
-      table.Checkpoint.writeVersioned(evolved, col("o_orderkey") % 12, 12,
-        out, "r2")
-      table.Checkpoint.readAt(s, out, Seq("r1", "r2"), mergeSchema = true)
-        .groupBy((col("o_custkey") % 16).as("grp"))
-        .agg(count(lit(1)).as("n"),
-          round(sum(col("o_totalprice")), 2).as("sum_price"),
-          count(when(col("o_flag") === true, 1)).as("n_flagged"),
-          count(when(col("o_flag").isNull, 1)).as("n_nullflag"))
-        .orderBy("grp")
-    }),
-    // Retention GC (table.Checkpoint.vacuumVersioned — expire_snapshots +
-    // remove_orphan_files): r1 + patch r2 compacted into c1, then vacuum
-    // retaining ONLY the compacted lineage — r1's 12 and r2's 4 partition
-    // dirs are reclaimed (the require pins the count from the FS walk),
-    // the commit log is compacted to c1's rows, and the gate reads the
-    // post-GC snapshot to prove the retained content survived bit-exactly.
-    "checkpoint_vacuum" -> ((s, dir) => {
-      val out =
-        s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_vac_${dir.hashCode}"
-      table.Checkpoint.clear(out)
-      val orders = t(s, dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-      table.Checkpoint.writeVersioned(orders, col("o_orderkey") % 12, 12,
-        out, "r1")
-      val patched = orders.filter(col("o_orderkey") % 12 < 4)
-        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
-      table.Checkpoint.writeVersioned(patched, col("o_orderkey") % 12, 12,
-        out, "r2")
-      table.Checkpoint.compactVersioned(s, out, Seq("r1", "r2"), "c1")
-      val st = table.Checkpoint.vacuumVersioned(s, out, Seq(Seq("c1")))
-      require(st.deletedPartitions == 16 && st.livePartitions == 12,
-        s"unexpected vacuum stats: $st")
-      table.Checkpoint.readAt(s, out, Seq("c1"))
-        .groupBy((col("o_custkey") % 16).as("grp"))
-        .agg(count(lit(1)).as("n"),
-          round(sum(col("o_totalprice")), 2).as("sum_price"))
-        .withColumn("snap", lit("v"))
-        .orderBy("grp")
-    }),
-
-    // Pure SQL surface: the same spatial functions through the function
-    // registry + spark.sql over a temp view (what a SQL-first user writes).
-    "sql_surface" -> ((s, dir) => {
-      functions.spatial.register(s)
-      functions.cells.register(s)
-      quadrantPoints(s, dir).createOrReplaceTempView("pts")
-      s.sql("""SELECT point_id, tile_key(lng, lat) AS tile_key,
-                      s2_cell(lng, lat, 10) AS cell10,
-                      hex_cell(lng, lat, 7) AS hex7
-               FROM pts ORDER BY point_id""")
-    }),
-
-    // ---- training-data pipeline ops ----
-    "dedup_exact" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val all = d.select(col("doc_id"), col("text"))
-        .unionAll(d.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
-      all.groupBy(md5(col("text")).as("h"))
-        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
-        .orderBy("h")
-    }),
-    // MinHash+LSH near-dup candidates over a corpus with exact and near
-    // copies injected; the oracle replicates the whole pipeline (shingles →
-    // 8 minhashes → 4 bands → bucket self-join) with identical arithmetic.
-    "dedup_minhash" -> ((s, dir) => {
-      ops.TextDedup.minhashPairs(dedupCorpus(s, dir)).orderBy("doc_a", "doc_b")
-    }),
-    // LSH bucket-size skew audit (ops.TextDedup.minhashBucketStats): per
-    // band the bucket histogram summary + Σ C(sz,2) exact candidate-pair
-    // cost — the pre-join diagnostic that catches boilerplate hot buckets
-    // BEFORE they melt the band self-join. Same signature derivation as
-    // dedup_minhash, stopped at the bucket rollup.
-    "dedup_lsh_skew" -> ((s, dir) => {
-      ops.TextDedup.minhashBucketStats(dedupCorpus(s, dir))
-        .orderBy("band_id")
-    }),
-    // Winnowing fingerprint selection (ops.TextDedup.winnow): per document
-    // the MOSS rightmost-min-per-window fingerprint set over 3-gram
-    // hashes, rolled up — the position-aware dedup index companion to
-    // dedup_minhash's set signatures; argmin rides ONE integer windowed
-    // MIN via key packing.
-    "dedup_winnow" -> ((s, dir) => {
-      ops.TextDedup.winnow(t(s, dir, "documents").select("doc_id", "text"))
-        .orderBy("doc_id")
-    }),
-    // Cross-modal dedup verification: every MinHash TEXT candidate pair
-    // re-scored in EMBEDDING space (injected copies map to their base
-    // vector via id % 100000) — the modality-agreement check of multimodal
-    // curation: a text near-dup whose embeddings disagree is a template,
-    // not a duplicate. One key join per side onto the candidate set.
-    "dedup_cross_modal" -> ((s, dir) => {
-      import graft.functions.vectors.vec_dot
-      val pairs = ops.TextDedup.minhashPairs(dedupCorpus(s, dir))
-        .select(col("doc_a"), col("doc_b"))
-      val e = t(s, dir, "embeddings")
-        .selectExpr("vec_id", "cast(embedding as array<double>) AS v")
-        .withColumn("nrm", sqrt(vec_dot(col("v"), col("v"))))
-      pairs
-        .withColumn("ea", col("doc_a") % 100000)
-        .withColumn("eb", col("doc_b") % 100000)
-        .join(e.select(col("vec_id").as("ea"), col("v").as("va"),
-          col("nrm").as("na")), "ea")
-        .join(e.select(col("vec_id").as("eb"), col("v").as("vb"),
-          col("nrm").as("nb")), "eb")
-        .withColumn("cos",
-          vec_dot(col("va"), col("vb")) / (col("na") * col("nb")))
-        .select(col("doc_a"), col("doc_b"), round(col("cos"), 4).as("cos_r"),
-          (col("cos") >= 0.999).cast("int").as("vec_agree"))
-        .orderBy("doc_a", "doc_b")
-    }),
-    // MinHash signature-agreement Jaccard estimate per band-join candidate
-    // pair: n_agree lanes of 8 -> est_ppm = n_agree*1e6 div 8. The cheap
-    // ranking pre-filter before any exact intersection at 100 TB; integer-
-    // exact in both engines.
-    "dedup_minhash_est" -> ((s, dir) => {
-      ops.TextDedup.minhashEstimatePairs(dedupCorpus(s, dir))
-        .orderBy("doc_a", "doc_b")
-    }),
-    // MinHash LSH recall: of the exact-Jaccard >= 0.5 pairs (ground truth on
-    // a deterministic doc_id % 40 == 0 subset, O(n^2/1600) bounded), what share
-    // did the band join surface? The band/row tuning number for text dedup —
-    // the counterpart of ann_ivf_recall. Counts are exact integers; the one
-    // division is IEEE on the same ints in both engines.
-    "dedup_minhash_recall" -> ((s, dir) => {
-      val sub = dedupCorpus(s, dir).filter(col("doc_id") % 40 === 0)
-      val sh = sub.select(col("doc_id"),
-        array_distinct(ops.TextDedup.shingles(col("text"), 3)).as("sh"))
-      val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sa"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sb"))
-      val truth = a.crossJoin(broadcast(b)).filter(col("doc_a") < col("doc_b"))
-        .filter(size(array_intersect(col("sa"), col("sb"))) * 2 >=
-          size(array_union(col("sa"), col("sb")))) // j >= 0.5 exactly, int math
-        .select("doc_a", "doc_b")
-      val detected = ops.TextDedup.minhashPairs(sub)
-      val hit = truth.join(detected, Seq("doc_a", "doc_b"), "left_semi")
-      truth.agg(count(lit(1)).as("n_truth"))
-        .crossJoin(hit.agg(count(lit(1)).as("n_detected")))
-        .withColumn("recall",
-          col("n_detected").cast("double") / col("n_truth"))
-    }),
-    "dedup_simhash" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), ops.TextDedup.wordHashes(col("text")).as("hw"))
-        .select(col("doc_id"),
-          ops.TextDedup.simhashFromHashes(col("hw"), 16).as("simhash16"))
-        .orderBy("doc_id")
-    }),
-    // SimHash near-dup pairs via multi-index Hamming bands (text twin of
-    // img_phash_neardup): 48-bit simhash, 4×12-bit band equi-joins, exact
-    // bit_count(xor) <= 3 refine — perfect recall at radius 3 by pigeonhole.
-    "dedup_simhash_neardup" -> ((s, dir) => {
-      ops.TextDedup.simhashNearDup(dedupCorpus(s, dir))
-        .orderBy("id_a", "id_b")
-    }),
-    // Vocabulary build (top-20 of the corpus's 31 distinct words, the
-    // deterministic (count desc, word) cut) + per-doc OOV profile —
-    // tokenizer coverage measurement; the 11 tail words are OOV.
-    "text_vocab_oov" -> ((s, dir) => {
-      ops.Curation.vocabOov(t(s, dir, "documents"), vocabSize = 20)
-        .orderBy("doc_id")
-    }),
-    // Self-trained add-one unigram LM surprisal (integer micro-nats) —
-    // the cheap "perplexity filter" quality signal.
-    // Bigram-LM surprisal: context-aware junk scoring — word-salad text
-    // with a normal unigram profile but improbable transitions scores high.
-    "text_bigram_lm" -> ((s, dir) => {
-      ops.Curation.bigramSurprisal(t(s, dir, "documents")).orderBy("doc_id")
-    }),
-    // Kneser–Ney bigram model (ops.Curation.knBigram): continuation-count
-    // backoff in exact quarters + one ppb fixed-point quantization per
-    // term — the published formula as deterministic integer arithmetic.
-    // Ranking bounded by the distinct-bigram vocabulary.
-    "text_kn_bigram" -> ((s, dir) => {
-      ops.Curation.knBigram(t(s, dir, "documents"), topK = 40).orderBy("rk")
-    }),
-    "text_perplexity" -> ((s, dir) => {
-      ops.Curation.unigramSurprisal(t(s, dir, "documents")).orderBy("doc_id")
-    }),
-    // PII scrub over text with deterministically injected e-mails (docs
-    // with id%3!=0) and phone numbers (id%2=0) — variable per-row counts
-    // so the gate actually exercises 0/1 match cases of both patterns.
-    "text_pii_redact" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
-        concat(col("text"),
-          when(col("doc_id") % 3 =!= 0,
-            concat(lit(" contact user"), col("doc_id"),
-              lit("@mail.example.com"))).otherwise(lit("")),
-          when(col("doc_id") % 2 === 0,
-            concat(lit(" call +1-415-555-"),
-              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
-            .otherwise(lit(""))).as("scrub_text"))
-      ops.Curation.redactPii(d, "scrub_text").orderBy("doc_id")
-    }),
-    // Asymmetric containment near-dup over the engineered-dup corpus: the
-    // exact +100000 copies and suffixed +200000 near-copies both land at
-    // containment_ppm = 1000000 while symmetric Jaccard on the suffixed
-    // pairs is already < 1; df-capped posting-list join (maxDf=20) drops
-    // the shared " zz qq ww ee rr tt" boilerplate shingles (df≈71).
-    "dedup_containment" -> ((s, dir) => {
-      ops.TextDedup.containmentPairs(dedupCorpus(s, dir), shingleWords = 5,
-        maxDf = 20, minPpm = 400000L).orderBy("id_a", "id_b")
-    }),
-    "dedup_jaccard" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val sub = d.filter(col("doc_id") % 25 === 0).select(col("doc_id"), col("text"))
-        .unionAll(d.filter(col("doc_id") % 25 === 0)
-          .select((col("doc_id") + 200000).as("doc_id"),
-            concat(col("text"), lit(" zz qq ww ee rr tt")).as("text")))
-        // shingle once per doc BEFORE the pair join — shingling inside the
-        // join condition would rerun split+distinct per PAIR (O(n²) texts)
-        .select(col("doc_id"),
-          array_distinct(ops.TextDedup.shingles(col("text"), 3)).as("s"))
-      val a = sub.select(col("doc_id").as("doc_a"), col("s").as("sa"))
-      val b = sub.select(col("doc_id").as("doc_b"), col("s").as("sb"))
-      a.crossJoin(broadcast(b)).filter(col("doc_a") < col("doc_b"))
-        .withColumn("j", round(
-          size(array_intersect(col("sa"), col("sb"))) /
-            size(array_union(col("sa"), col("sb"))), 6))
-        .filter(col("j") >= 0.05)
-        .select("doc_a", "doc_b", "j")
-        .orderBy("doc_a", "doc_b")
-    }),
-    // Line-level boilerplate removal (ops.TextDedup.lineDedup — CCNet
-    // style): 10-word lines, document-frequency count, drop lines in >50
-    // docs. The gate PREPENDS a 10-word boilerplate to every third doc so
-    // exactly that line crosses the df threshold.
-    "dedup_lines" -> ((s, dir) => {
-      val bp = "terms of service copyright notice all rights reserved footer end"
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"),
-          when(col("doc_id") % 3 === 0, concat(lit(bp + " "), col("text")))
-            .otherwise(col("text")).as("text"))
-      ops.TextDedup.lineDedup(d, lineWords = 10, maxDf = 50)
-        .orderBy("doc_id")
-    }),
-    // EXACT Jaccard-threshold join via prefix filtering
-    // (ops.TextDedup.prefixJaccardJoin): the lossless counterpart of the
-    // MinHash band join — rarest-first token prefixes bound the candidate
-    // set with provably zero false negatives, so the result equals brute
-    // force bit-for-bit (the oracle IS brute force) while the plan stays
-    // key-bounded (PlanSpec: no cartesian anywhere).
-    "dedup_prefix_join" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val sub = d.filter(col("doc_id") % 25 === 0)
-        .select(col("doc_id"), col("text"))
-        .unionAll(d.filter(col("doc_id") % 25 === 0)
-          .select((col("doc_id") + 200000).as("doc_id"),
-            concat(col("text"), lit(" zz qq ww ee rr tt")).as("text")))
-      ops.TextDedup.prefixJaccardJoin(sub, thresholdPpm = 600000L)
-        .orderBy("doc_a", "doc_b")
-    }),
-    // Edit-distance verification layer (ops.TextDedup.editVerify): the
-    // character-exact arbiter on the prefix-join candidates — banded
-    // levenshtein(l, r, threshold) keeps pairs <= 30 edits apart (the
-    // appended 18-char variant suffix passes, cross-doc pairs fail).
-    // Candidates only: the corpus never self-joins on text.
-    "dedup_edit_verify" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val sub = d.filter(col("doc_id") % 25 === 0)
-        .select(col("doc_id"), col("text"))
-        .unionAll(d.filter(col("doc_id") % 25 === 0)
-          .select((col("doc_id") + 200000).as("doc_id"),
-            concat(col("text"), lit(" zz qq ww ee rr tt")).as("text")))
-      val cands = ops.TextDedup.prefixJaccardJoin(sub, thresholdPpm = 600000L)
-      ops.TextDedup.editVerify(cands, sub, maxDist = 30)
-        .orderBy("doc_a", "doc_b")
-    }),
-    "doc_fingerprint" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), ops.TextDedup.fingerprint(col("text")).as("fp"))
-        .orderBy("doc_id")
-    }),
-    "quality_score" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), ops.TextDedup.qualityScore(col("text")).as("score"))
-        .withColumn("keep", col("score") >= 0.5)
-        .orderBy("doc_id")
-    }),
-    "ann_lsh_neardup" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val corpus = e.select(col("vec_id"), col("embedding"))
-        .unionAll(e.filter(col("vec_id") % 20 === 0)
-          .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
-      ops.Embeddings.nearDupPairs(corpus).orderBy("id_a", "id_b")
-    }),
-    // One NN-descent round (ops.Embeddings.nnDescentRecall): a two-band
-    // LSH seed kNN graph expanded by undirected neighbours-of-neighbours
-    // and exact-re-ranked; the gate reports recall@3 vs the exact baseline
-    // BEFORE and AFTER (18 → 22 hits of 75 at sf0.01) — the
-    // graph-refinement step of every kNN-graph index build, with its
-    // recall gain measured. (A single-band seed provably cannot gain: the
-    // bucket partition is transitive.)
-    "ann_nn_descent" -> ((s, dir) => {
-      ops.Embeddings.nnDescentRecall(t(s, dir, "embeddings"), k = 3,
-          nQueries = 25)
-        .orderBy("qid")
-    }),
-    "ann_ivf_assign" -> ((s, dir) => {
-      ops.Embeddings.ivfAssign(t(s, dir, "embeddings"), 8).orderBy("vec_id")
-    }),
-    // Greedy graph-ANN search (ops.Embeddings.greedyGraphSearch): the
-    // HNSW/NSG navigating-graph shape — beam-1 descent over a degree-4
-    // exact kNN graph from a fixed entry, 6 unrolled rounds, milli-floored
-    // vectors so every distance is an exact integer; joined against the
-    // brute-force NN so the gate also measures where greedy gets trapped
-    // (is_exact = 0 motivates beam > 1). Per-round: one node-keyed join,
-    // state = one row per query.
-    "ann_beam_search" -> ((s, dir) => {
-      ops.Embeddings.greedyGraphSearch(t(s, dir, "embeddings"),
-        corpusMod = 16, queryMod = 160, queryOff = 7, degree = 4, rounds = 6)
-        .orderBy("query_id")
-    }),
-    // RESIDUAL quantization (2-level RQ, the additive cousin of PQ): coarse
-    // code = nearest IVF centroid; the residual, quantized to exact
-    // milli-units, is coded against a second 8-entry codebook by integer
-    // argmin — code pair + exact integer reconstruction error per vector.
-    // All second-level arithmetic is 64-bit integer, so the oracle replays
-    // the argmin bit-for-bit.
-    "ann_rq_code" -> ((s, dir) => {
-      import s.implicits._
-      val asg = ops.Embeddings.ivfAssign(t(s, dir, "embeddings"), 8)
-        .select(col("vec_id"), col("centroid").as("c1"))
-      val e = t(s, dir, "embeddings")
-        .selectExpr("vec_id", "cast(embedding as array<double>) AS v")
-      val rq = e.join(asg, "vec_id")
-        .withColumn("rq", expr(
-          """transform(sequence(0, 63),
-             d -> CAST(FLOOR((element_at(v, d + 1)
-               - (((c1*53 + d*17) % 13) - 6)) * 1000.0D) AS BIGINT))"""))
-      val cents2 = (0L until 8L).toDF("k")
-      rq.crossJoin(broadcast(cents2))
-        .withColumn("d2", expr(
-          """aggregate(sequence(0, 63), 0L,
-             (acc, d) -> acc + (element_at(rq, d + 1)
-               - (((k*37 + d*11) % 15) - 7) * 50)
-               * (element_at(rq, d + 1) - (((k*37 + d*11) % 15) - 7) * 50))"""))
-        .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
-          .orderBy(col("d2"), col("k"))))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("c1"), col("k").as("c2"),
-          col("d2").as("err_q"))
-        .orderBy("vec_id")
-    }),
-    // IVF index-health diagnostic: per-centroid list sizes + exact ppm
-    // share — the balance number that says whether nProbe pruning will
-    // actually prune (a collapsed quantizer puts everything in one list).
-    // One count over the assignment, a 1-row broadcast for the total.
-    "ann_ivf_balance" -> ((s, dir) => {
-      val asg = ops.Embeddings.ivfAssign(t(s, dir, "embeddings"), 8)
-      val tot = asg.agg(count(lit(1)).as("tot"))
-      asg.groupBy("centroid").agg(count(lit(1)).as("n_vecs"))
-        .crossJoin(broadcast(tot))
-        .selectExpr("centroid", "n_vecs",
-          "(n_vecs * 1000000L) DIV tot AS share_ppm")
-        .orderBy("centroid")
-    }),
-    // Product quantization (8 subspaces × 8 codes): the embedding
-    // COMPRESSION step of an IVF-PQ index — per-row on the scan, no
-    // shuffle; d2_r per subspace sums to the reconstruction error.
-    "ann_pq_code" -> ((s, dir) => {
-      ops.Embeddings.pqCode(t(s, dir, "embeddings"), 8, 8)
-        .orderBy("vec_id", "sub")
-    }),
-    // One Lloyd iteration of k-means — the IVF centroid TRAINING step:
-    // per-row assignment on the scan, one partial-aggregated shuffle to
-    // k·dims rows, quantized-integer sums for engine-exact means.
-    "ann_kmeans_step" -> ((s, dir) => {
-      ops.Embeddings.kmeansStep(t(s, dir, "embeddings"), 8)
-        .orderBy("centroid", "dim")
-    }),
-    // IVF top-k SEARCH (the scale path of ANN): queries probe only their
-    // nProbe nearest centroid lists, exact cosine re-ranks candidates.
-    "ann_ivf_topk" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      ops.Embeddings.ivfSearch(e, e.filter(col("vec_id") < 5),
-        kCentroids = 8, nProbe = 2, topK = 5).orderBy("qid", "rank")
-    }),
-    // Metadata-filtered ANN (ops.Embeddings.ivfSearchFiltered): top-5 among
-    // corpus vectors with label = 2 only — the pre-filter strategy, exact
-    // for the probed lists at any selectivity; the label predicate reaches
-    // the parquet scan (PlanSpec asserts PushedFilters).
-    "ann_filtered_topk" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      ops.Embeddings.ivfSearchFiltered(e, e.filter(col("vec_id") < 5),
-        kCentroids = 8, nProbe = 2, topK = 5, pred = col("label") === 2)
-        .orderBy("qid", "rank")
-    }),
-    // Cosine RANGE search over the IVF index (the vector-space J5): all
-    // pairs in the probed lists with cos >= 0.25 — no rank window at all;
-    // the only exchange is the byte-gated probe join. cos is the left-fold
-    // kernel, so the threshold compares bit-equal operands in both engines.
-    "ann_range_search" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      ops.Embeddings.ivfRangeSearch(e, e.filter(col("vec_id") < 25),
-        kCentroids = 8, nProbe = 2, minCos = 0.25)
-        .orderBy("qid", "neighbor_id")
-    }),
-    // recall@5 of IVF-PQ vs the exact baseline: the PQ-fidelity number on
-    // top of the coarse-probe loss (compare with ann_ivf_recall).
-    "ann_ivfpq_recall" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      ops.Embeddings.ivfPqRecall(e, e.filter(col("vec_id") < 25),
-        kCentroids = 8, nProbe = 2, nSub = 8, kCodes = 8, topK = 5)
-        .orderBy("qid")
-    }),
-    // IVF-PQ: same coarse probe, candidates scored by asymmetric distance
-    // over 8x1B PQ codes — corpus vectors never cross the join.
-    "ann_ivfpq_topk" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      ops.Embeddings.ivfPqSearch(e, e.filter(col("vec_id") < 5),
-        kCentroids = 8, nProbe = 2, nSub = 8, kCodes = 8, topK = 5)
-        .orderBy("qid", "rank")
-    }),
-    // Recall@k of the IVF search vs the exact cosine baseline on the same
-    // queries — the tuning number for nProbe (deterministic, so the oracle
-    // reproduces the exact hit counts).
-    "ann_ivf_recall" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      ops.Embeddings.ivfRecall(e, e.filter(col("vec_id") < 25),
-        kCentroids = 8, nProbe = 2, topK = 5).orderBy("qid")
-    }),
-    // The recall-vs-nProbe OPERATING CURVE — the table an ANN deployment
-    // is tuned from: recall@5 at nProbe ∈ {1, 2, 4} against the exact
-    // baseline, one row per (n_probe, query). Monotone in nProbe by
-    // construction; the curve's knee picks the production setting.
-    "ann_recall_curve" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") < 25)
-      Seq(1, 2, 4).map(np =>
-        ops.Embeddings.ivfRecall(e, q, kCentroids = 8, nProbe = np, topK = 5)
-          .withColumn("n_probe", lit(np)))
-        .reduce(_ unionByName _)
-        .orderBy("n_probe", "qid")
-    }),
-    // The coarse-quantizer TRAINING LOOP (iterated kmeansStep from the
-    // deterministic seed): per-round centroid sums, oracle-replayed by
-    // unrolled CTEs — means are exact-integer sums + one IEEE division,
-    // so every round is bit-reproducible.
-    "ann_kmeans_train" -> ((s, dir) => {
-      import s.implicits._
-      val (_, hist) = trainedKmeans(s, dir)
-      hist.toDF("round", "centroid", "dim", "n", "sum_q", "mean")
-        .orderBy("round", "centroid", "dim")
-    }),
-    // The PQ-codebook training loop: same Lloyd fixpoint per subspace, all
-    // subspaces trained in the same jobs (one scan + one bounded
-    // aggregation per round).
-    "ann_pq_train" -> ((s, dir) => {
-      import s.implicits._
-      val (_, hist) = trainedPq(s, dir)
-      hist.toDF("round", "sub", "code", "dim", "n", "sum_q", "mean")
-        .orderBy("round", "sub", "code", "dim")
-    }),
-    // The production IVF-PQ read path with TRAINED quantizers (3 Lloyd
-    // rounds each, data-Forgy seeded): trained-ADC shortlist of 50, exact
-    // re-rank to top 5 — the fidelity fix ann_ivfpq_recall's diagnosis
-    // calls for (the demo codebook's integer entries sit ~20x outside the
-    // data's scale).
-    "ann_ivfpq_topk_trained" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val (cents, _) = trainedKmeans(s, dir)
-      val (cbs, _) = trainedPq(s, dir)
-      ops.Embeddings.ivfPqSearchRefined(e, e.filter(col("vec_id") < 5),
-        cents, cbs, nProbe = 2, shortlist = 50, topK = 5)
-        .orderBy("qid", "rank")
-    }),
-    // Distance-to-centroid OOD gate on the TRAINED coarse quantizer:
-    // per centroid the nearest-rank median micro-distance and how many
-    // members exceed 2× it — the embedding-drift / outlier read an index
-    // build monitors per cell.
-    "ann_ood_flags" -> ((s, dir) => {
-      import graft.functions.vectors.vec_dist2
-      val (cents, _) = trainedKmeans(s, dir)
-      val dists = cents.indices.map { c =>
-        struct(vec_dist2(col("v"), typedLit(cents(c).toSeq)).as("d2"),
-          lit(c).as("c"))
-      }
-      val asg = t(s, dir, "embeddings")
-        .select(col("vec_id").cast("long"),
-          col("embedding").cast("array<double>").as("v"))
-        .withColumn("best", least(dists: _*))
-        .select(col("vec_id"), col("best").getField("c").as("centroid"),
-          floor(col("best").getField("d2") * lit(1000000.0)).cast("long")
-            .as("d2q"))
-      val w = Window.partitionBy("centroid").orderBy("d2q", "vec_id")
-      val wp = Window.partitionBy("centroid")
-      val med = asg.withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(wp))
-        .filter(col("rn") === expr("(n + 1) DIV 2"))
-        .select(col("centroid"), col("d2q").as("med_d2q"))
-      asg.join(med, Seq("centroid"))
-        .groupBy("centroid")
-        .agg(count(lit(1)).as("n"), max("med_d2q").as("med_d2q"),
-          sum(when(col("d2q") > col("med_d2q") * 2, 1L).otherwise(0L))
-            .as("n_flagged"))
-        .orderBy("centroid")
-    }),
-    // Top-k token coverage curve: what share of all corpus tokens the
-    // top 10/50/100/500 words carry — the head-heaviness read that sizes
-    // stopword lists and vocabulary truncations.
-    "text_coverage_curve" -> ((s, dir) => {
-      val f = t(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("freq"))
-      val ranked = f.withColumn("rank", row_number().over(
-          Window.orderBy(col("freq").desc, col("w"))).cast("int"))
-        .withColumn("cum_freq", sum("freq").over(
-          Window.orderBy(col("freq").desc, col("w"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val tot = f.agg(sum("freq").as("total_freq"))
-      ranked.filter(col("rank").isin(10, 50, 100, 500))
-        .crossJoin(broadcast(tot))
-        .withColumn("coverage_ppm",
-          expr("cum_freq * 1000000 DIV total_freq"))
-        .select("rank", "cum_freq", "total_freq", "coverage_ppm")
-        .orderBy("rank")
-    }),
-    // DC-offset audit (ops.MediaOps.dcStats): exact signed sample sums —
-    // the stuck-bias ADC screen under the energy gates.
-    "media_dc_offset" -> ((s, dir) => {
-      ops.MediaOps.dcStats(ops.MediaOps.synth(mediaMeta(s, dir)))
-        .orderBy("media_id")
-    }),
-    // Per-code distortion audit of the TRAINED PQ codebooks
-    // (ops.Embeddings.pqDistortion): micro-floored squared error per
-    // assignment — localizes the under-trained/overloaded cells behind
-    // ann_ivfpq_recall_trained's number.
-    "ann_pq_distortion" -> ((s, dir) => {
-      val (cbs, _) = trainedPq(s, dir)
-      ops.Embeddings.pqDistortion(t(s, dir, "embeddings"), cbs)
-        .orderBy("sub", "code")
-    }),
-    // FULL OUTER reconciliation surface: pre- vs post-midpoint per-user
-    // spend, status both/pre_only/post_only + coalesced delta.
-    "q_full_outer" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      def spend(pred: String, nm: String) = ev.filter(expr(pred))
-        .groupBy("user_id")
-        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as(nm))
-      spend("ts < timestamp'2024-01-16'", "pre_cents")
-        .join(spend("ts >= timestamp'2024-01-16'", "post_cents"),
-          Seq("user_id"), "full_outer")
-        .withColumn("status", expr(
-          "CASE WHEN pre_cents IS NULL THEN 'post_only' " +
-            "WHEN post_cents IS NULL THEN 'pre_only' ELSE 'both' END"))
-        .withColumn("delta_cents",
-          expr("coalesce(post_cents, 0) - coalesce(pre_cents, 0)"))
-        .orderBy("user_id")
-    }),
-    // Concentric ring-buffer census around the literal incident centers:
-    // fixes per squared-radius ring per center — the facility-catchment
-    // profile; centers broadcast, one rollup.
-    "geo_ring_buffer" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val pts = t(s, dir, "events").filter(col("user_id") < 50)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          ((col("event_id") % 7) +
-            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
-          ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("px", sum("dx").over(w))
-        .withColumn("py", sum("dy").over(w))
-      val ctr = s.createDataFrame(stIncidents)
-        .toDF("center_id", "ix", "iy", "its").drop("its")
-      pts.crossJoin(broadcast(ctr))
-        .withColumn("d2", expr(
-          "(px - ix) * (px - ix) + (py - iy) * (py - iy)"))
-        .withColumn("ring", expr(
-          "CASE WHEN d2 <= 2500 THEN 1 WHEN d2 <= 10000 THEN 2 " +
-            "WHEN d2 <= 40000 THEN 3 WHEN d2 <= 160000 THEN 4 END"))
-        .filter(col("ring").isNotNull)
-        .groupBy("center_id", "ring")
-        .agg(count(lit(1)).as("n_fixes"),
-          countDistinct("user_id").as("n_traj"))
-        .orderBy("center_id", "ring")
-    }),
-    // recall@5 of the trained+refined IVF-PQ vs the exact L2 baseline —
-    // the acceptance gate for the training loop (VERDICT r3: within ~0.1
-    // of the probe ceiling, vs the demo codebook's 0.024; measured 0.608
-    // against the trained coarse ceiling 0.624 at sf0.01).
-    "ann_ivfpq_recall_trained" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val (cents, _) = trainedKmeans(s, dir)
-      val (cbs, _) = trainedPq(s, dir)
-      ops.Embeddings.ivfPqRecallTrained(e, e.filter(col("vec_id") < 25),
-        cents, cbs, nProbe = 2, shortlist = 50, topK = 5).orderBy("qid")
-    }),
-    // Near-dup CLUSTERING: connected components over the MinHash pair graph
-    // (min-label propagation), keep-set = component representative. The
-    // dedup endgame at 100 TB: pairs alone do not say which docs to drop
-    // when duplicates chain (a~b, b~c but not a~c).
-    "dedup_cluster_keep" -> ((s, dir) => {
-      val corpus = dedupCorpus(s, dir)
-      val edges = ops.TextDedup.minhashPairs(corpus)
-      ops.TextDedup.connectedComponents(edges, corpus.select("doc_id"))
-        .withColumn("keep", col("doc_id") === col("comp"))
-        .orderBy("doc_id")
-    }),
-    // Same clustering contract via alternating large-star/small-star
-    // contraction (O(log n) rounds regardless of component diameter — the
-    // adversarial-chain path); must land on the identical component map.
-    "dedup_cluster_star" -> ((s, dir) => {
-      val corpus = dedupCorpus(s, dir)
-      val edges = ops.TextDedup.minhashPairs(corpus)
-      ops.TextDedup.connectedComponentsStar(edges, corpus.select("doc_id"))
-        .withColumn("keep", col("doc_id") === col("comp"))
-        .orderBy("doc_id")
-    }),
-    // Fixed-round integer-exact PageRank over a supplier→part edge graph —
-    // the domain/site authority weight of web-corpus curation. 3 rounds ×
-    // (one rank⋈edges join + one dst-keyed sum); the edge list never moves.
-    // Per-component bipartiteness (ops.Graph.bipartite): doubled-graph
-    // reduction over the SAME connected-components machinery as the dedup
-    // endgame — family A is even→odd by construction (bipartite), family
-    // B is a dense 40-node general graph (odd cycles).
-    "graph_bipartite" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val bip = li.selectExpr("2 * (l_suppkey % 50) AS src",
-        "2 * (l_partkey % 50) + 1 AS dst")
-      val odd = li.selectExpr("200 + (l_suppkey % 40) AS src",
-        "200 + (l_partkey % 40) AS dst")
-      ops.Graph.bipartite(bip.unionAll(odd))
-        .orderBy("comp")
-    }),
-    // Critical-path levels in a DAG (ops.Graph.longestPathLevels): the
-    // earliest wave each task of a layered dependency graph can start in
-    // (longest-path depth; max level = the critical path bounding
-    // wall-clock under infinite parallelism — the build/ETL scheduler
-    // read). Bellman-style MAX relaxation, one edges⋈levels join + two
-    // key-bounded aggs per round, rounds = graph depth (9 here: layer of
-    // src = o_orderkey % 8, dst one-or-two layers up, so strictly
-    // acyclic). The oracle unrolls the same 9 rounds as MATERIALIZED
-    // CTEs.
-    // 4-cycle / rectangle census (ops.Graph.squares): Σ C(co-neighbours,
-    // 2) over node pairs div 2 — each 4-cycle counted once per diagonal.
-    // The coordinated-engagement (follow-back ring) signature next to
-    // graph_triangles' clustering view; ONE wedge self-join + key-bounded
-    // aggs, exact integers.
-    "graph_squares" -> ((s, dir) => {
-      val e = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 7 === 0)
-        .selectExpr("l_suppkey % 150 AS src",
-          "(l_partkey * 3 + l_linenumber) % 150 AS dst")
-      ops.Graph.squares(e)
-    }),
-    "graph_critical_path" -> ((s, dir) => {
-      val e = t(s, dir, "orders").selectExpr(
-        "(o_orderkey % 8) * 100 + (o_custkey % 20) AS src",
-        """((o_orderkey % 8) + 1 + CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) * 100
-           + ((o_custkey * 7 + o_orderkey) % 20) AS dst""")
-      ops.Graph.longestPathLevels(e, rounds = 9).orderBy("node")
-    }),
-    "graph_pagerank" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem")
-        .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
-        .distinct()
-      ops.Graph.pagerank(edges, rounds = 3)
-        .withColumnRenamed("rank", "pr") // dodge the RANK keyword in DuckDB
-        .orderBy("node")
-    }),
-    // Personalized PageRank (ops.Graph.personalizedPagerank): teleport
-    // mass pinned to 3 seed nodes — "importance as seen from the seeds",
-    // the related-items / local-community primitive. Same exact-integer
-    // recurrence as graph_pagerank; non-seed nodes hold pure damped
-    // inflow, so rank localizes around the seeds.
-    // Sampled-source harmonic closeness (ops.Graph.closeness): 5 seed
-    // hubs BFS-swept in ONE batched frontier plan (6 exact hop rounds,
-    // (src0, node)-keyed min state — k sweeps share every scan/shuffle);
-    // per source the reach count, farness Σd, and harmonic closeness
-    // Σ⌊10⁶/d⌋ in exact integers. The oracle unrolls the same 6 rounds.
-    "graph_closeness" -> ((s, dir) => {
-      val base = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 13 === 0)
-        .selectExpr("l_suppkey % 400 AS a",
-          "(l_partkey * 3 + l_linenumber) % 400 AS b")
-        .filter(col("a") =!= col("b"))
-      val edges = base.selectExpr("a AS src", "b AS dst")
-        .unionAll(base.selectExpr("b AS src", "a AS dst")).distinct()
-      ops.Graph.closeness(edges, sources = Seq(0L, 80L, 160L, 240L, 320L),
-          rounds = 6)
-        .orderBy("src0")
-    }),
-    "graph_ppr" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem")
-        .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
-        .distinct()
-      ops.Graph.personalizedPagerank(edges, seeds = Seq(7L, 42L, 99L),
-          rounds = 3)
-        .withColumnRenamed("rank", "ppr")
-        .orderBy("node")
-    }),
-    // SNN edge similarity (shared-nearest-neighbour graph sparsification,
-    // Jarvis–Patrick, public): per edge, |N(a)∩N(b)| via one
-    // common-neighbour equi-join and Jaccard over open neighbourhoods in
-    // exact ppm — keep high-jac edges, drop bridges; the density-robust
-    // pre-step of SNN clustering.
-    "graph_snn" -> ((s, dir) => {
-      val e0 = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 7 === 0)
-        .selectExpr("least(l_suppkey % 300, l_partkey % 300) AS a",
-          "greatest(l_suppkey % 300, l_partkey % 300) AS b")
-        .filter(col("a") =!= col("b")).distinct()
-        .localCheckpoint(false)
-      val adj = e0.select(col("a").as("u"), col("b").as("v"))
-        .unionAll(e0.select(col("b").as("u"), col("a").as("v")))
-      val deg = adj.groupBy("u").agg(count(lit(1)).as("d"))
-      val inter = e0
-        .join(adj.select(col("u").as("a"), col("v").as("x")), "a")
-        .join(adj.select(col("u").as("b"), col("v").as("x")), Seq("b", "x"))
-        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-      e0.join(inter, Seq("a", "b"), "left").na.fill(0L, Seq("inter"))
-        .join(deg.select(col("u").as("a"), col("d").as("da")), "a")
-        .join(deg.select(col("u").as("b"), col("d").as("db")), "b")
-        .withColumn("jac_ppm",
-          expr("(inter * 1000000) div (da + db - inter)"))
-        .select("a", "b", "da", "db", "inter", "jac_ppm")
-        .orderBy("a", "b")
-    }),
-    // Parallel maximal matching (ops.Graph.handshakeMatching): 3 rounds of
-    // mutual-min handshakes on the undirected part graph — the
-    // record-linkage primitive that pairs every node at most once, with
-    // expected-O(log n) rounds instead of a sequential greedy edge scan.
-    "graph_matching" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem")
-        .selectExpr("least(l_suppkey % 500, l_partkey % 500) AS a",
-          "greatest(l_suppkey % 500, l_partkey % 500) AS b")
-        .filter(col("a") =!= col("b"))
-      ops.Graph.handshakeMatching(edges, rounds = 3).orderBy("a", "b")
-    }),
-    // Deterministic walk corpus (ops.Graph.deterministicWalks): 4-hop
-    // walks from the %10 seeds, next hop = hash-argmin out-neighbour —
-    // the node2vec/DeepWalk corpus generator, oracle-replayable because
-    // the "randomness" is a literal hash.
-    "graph_walks" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem")
-        .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
-        .distinct()
-      val seeds = edges.selectExpr("src AS seed")
-        .filter(col("seed") % 10 === 0).distinct()
-      ops.Graph.deterministicWalks(edges, seeds, steps = 4)
-        .orderBy("seed", "step")
-    }),
-    // Materialized-path hierarchy (CONNECT_BY_PATH / file-tree paths):
-    // the 40-node n DIV 3 forest rooted at 0, every node's root-to-node
-    // path string built by one frontier join per depth level (4 rounds —
-    // work ∝ tree depth); DuckDB replays it as a true recursive CTE.
-    "q_org_paths" -> ((s, dir) => {
-      val nodes = t(s, dir, "supplier")
-        .selectExpr("s_suppkey % 40 AS n").distinct()
-        .localCheckpoint(false)
-      var frontier = nodes.filter(col("n") === 0)
-        .select(col("n"), lit(0).as("depth"), lit("0").as("path"))
-        .localCheckpoint(false)
-      var out = frontier
-      for (k <- 1 to 4) {
-        frontier = nodes.filter(col("n") > 0)
-          .withColumn("parent", expr("n DIV 3"))
-          .join(frontier.select(col("n").as("parent"),
-            col("path").as("ppath")), "parent")
-          .select(col("n"), lit(k).as("depth"),
-            concat(col("ppath"), lit("/"), col("n").cast("string"))
-              .as("path"))
-          .localCheckpoint(false)
-        out = out.unionAll(frontier)
-      }
-      out.orderBy("n")
-    }),
-    // Degree-mixing statistics (ops.Graph.degreeMix): the assortativity
-    // moments as ONE exact-integer row — num/den of Newman's r assembled,
-    // the float division left to the consumer. One degree count + two
-    // node-keyed joins + one global agg.
-    "graph_degree_mix" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 7 === 0)
-        .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
-      ops.Graph.degreeMix(edges)
-    }),
-    // Modularity of a given partition (ops.Graph.modularity): per-community
-    // exact-integer Q pieces (4·m·in_c − d_c²) over the canonical
-    // undirected graph — the community-quality score for any clustering;
-    // the gate evaluates a node%16 bucket partition so the oracle stays a
-    // pure GROUP BY. Two edge-keyed joins against the broadcastable
-    // community map, map-side-combined aggs, no iteration.
-    "graph_modularity" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 7 === 0)
-        .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
-      val comms = s.range(500)
-        .select(col("id").as("node"), (col("id") % 16).as("comm"))
-      ops.Graph.modularity(edges, comms).orderBy("comm")
-    }),
-    // Per-node clustering coefficient pieces (ops.Graph.clusteringCoeff):
-    // (deg, tri_cnt, wedges) in exact integers over the 20000-node wedge
-    // graph — the link-farm / community discriminator; triangles' wedge
-    // join + per-corner fan-out, both key-bounded.
-    "graph_clustering" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem").selectExpr(
-        "l_orderkey % 20000 AS src",
-        "(l_orderkey*7 + l_linenumber*13) % 20000 AS dst")
-      ops.Graph.clusteringCoeff(edges).orderBy("node")
-    }),
-    // Per-edge triangle support (ops.Graph.trussSupport): the k-truss
-    // peeling primitive — |N(u)∩N(v)| per edge, the community-core signal
-    // a star-shaped link farm cannot fake (hub edges all have support 0).
-    // Same wedge join as graph_clustering, fan-out to the 3 canonical
-    // edges, zero-support edges restored by one left join.
-    "graph_truss" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem").selectExpr(
-        "l_orderkey % 20000 AS src",
-        "(l_orderkey*7 + l_linenumber*13) % 20000 AS dst")
-      ops.Graph.trussSupport(edges).orderBy("lo", "hi")
-    }),
-    // Bipartite projection with hub pruning (ops.Graph.biproject): the
-    // co-occurrence graph minted from (customer, order-bucket) interaction
-    // edges — users over maxDegree=40 distinct items are dropped BEFORE
-    // the user-keyed pair self-join (quadratic hub fan-out is the scale
-    // hazard of projection), pairs sharing >=2 users survive.
-    "graph_biproject" -> ((s, dir) => {
-      val edges = t(s, dir, "orders").selectExpr(
-        "o_custkey % 400 AS src", "o_orderkey % 300 AS dst")
-      ops.Graph.biproject(edges, maxDegree = 40L, minWeight = 2L)
-        .orderBy("item_a", "item_b")
-    }),
-    // Reciprocity moments (ops.Graph.reciprocity): the mutual-link share
-    // of a directed 500-node graph as ONE exact row — organic-vs-broadcast
-    // link structure; one reversed-key semi-join, never all-pairs.
-    "graph_reciprocity" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem").selectExpr(
-        "l_suppkey % 500 AS src", "(l_partkey * 3 + l_linenumber) % 500 AS dst")
-      ops.Graph.reciprocity(edges)
-    }),
-    // k-core decomposition (ops.Graph.kcore): fixed-round peeling to the
-    // maximal min-degree->=k subgraph — the link-farm / dense-community
-    // filter of web-graph curation. Each round is two node-keyed
-    // semi-joins + one degree count over an edge list that never moves;
-    // the oracle unrolls the same 4 rounds as CTEs.
-    "graph_kcore" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 7 === 0)
-        .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
-      ops.Graph.kcore(edges, k = 18, rounds = 4).orderBy("node")
-    }),
-    // HITS hubs-and-authorities (ops.Graph.hits): 3 exact fixed-point
-    // rounds in ppm integers over the supplier→part graph — the
-    // curator-vs-content separation PageRank's single score cannot make.
-    // Per round: two edge joins + two key-bounded sums + one broadcast L1
-    // total; the edge list never moves. The oracle unrolls the identical
-    // rounds as CTEs (truncating // division = Spark's DIV on non-negative
-    // scores).
-    "graph_hits" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem")
-        .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
-      ops.Graph.hits(edges, rounds = 3).orderBy("node")
-    }),
-    // Label-propagation communities (ops.Graph.labelPropagate): 3 fully
-    // deterministic mode-vote sweeps (ties → smallest label) over the
-    // canonical undirected 500-node graph — DENSE-block structure inside
-    // one component, where min-label CC only sees connectivity. Per round
-    // one label join + one (node,label) count + one node-keyed argmax
-    // window; the oracle unrolls the identical rounds with QUALIFY.
-    "graph_labelprop" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 7 === 0)
-        .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
-      ops.Graph.labelPropagate(edges, rounds = 3).orderBy("node")
-    }),
-    // Two-hop reach census (ops.Graph.twoHop): direct degree + exact
-    // friend-of-friend audience per node — wedge join, self/direct
-    // removed by one filter + one key anti-join, Σdeg² bounded. The
-    // influence-radius primitive next to triangles/suggest.
-    "graph_twohop" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 7 === 0)
-        .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
-      ops.Graph.twoHop(edges).orderBy("node")
-    }),
-    // Minimum spanning forest (ops.Graph.boruvkaMsf): Borůvka rounds —
-    // per-component cheapest-edge picks + star-CC contraction, ≤ log₂|V|
-    // rounds, the distributed MST next to sssp/labelprop. wkey composes
-    // the weight with the canonical pair id in the low 12 bits, so
-    // weights are DISTINCT and the forest unique; the oracle replays the
-    // cycle property (edge ∈ MSF iff its far endpoint is unreachable via
-    // strictly lighter edges) as ONE recursive reachability.
-    "graph_mst" -> ((s, dir) => {
-      val edges = t(s, dir, "supplier").selectExpr(
-        "s_suppkey % 64 AS src",
-        "(s_suppkey * 13 + 7) % 64 AS dst",
-        "(s_suppkey % 97) * 4096 + least(s_suppkey % 64, (s_suppkey * 13 + 7) % 64) * 64 + greatest(s_suppkey % 64, (s_suppkey * 13 + 7) % 64) AS wkey")
-      ops.Graph.boruvkaMsf(edges).orderBy("a", "b")
-    }),
-    // Core decomposition by h-index iteration (ops.Graph.corenessHIndex):
-    // 8 rounds of "h(v) ← h-index of neighbor values" starting from
-    // degree — monotone to the exact coreness (Lü et al. 2016), each round
-    // key-bounded join + rank window + max-agg; `stable` certifies the
-    // fixpoint. The density layer under graph_kcore's fixed-k membership.
-    "graph_coreness" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 7 === 0)
-        .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
-      ops.Graph.corenessHIndex(edges, rounds = 8).orderBy("node")
-    }),
-    // Sampled truncated-radius betweenness (ops.Graph.betweennessSampled):
-    // Brandes forward path counts + backward dependency accumulation from
-    // 3 sources within 4 hops, every σ ratio floored per term at ppm —
-    // the bridge-detection centrality next to closeness/pagerank; oracle
-    // unrolls both phases.
-    "graph_betweenness" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 7 === 0)
-        .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
-      ops.Graph.betweennessSampled(edges, Seq(0L, 1L, 2L), rounds = 4)
-        .orderBy("node")
-    }),
-    // BFS wavefront profile (ops.Graph.bfsProfile): per sampled source the
-    // node count at each hop ≤ 4 — the expansion-rate read that sizes
-    // frontier algorithms; forward phase of graph_betweenness without
-    // path counts.
-    "graph_bfs_profile" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 7 === 0)
-        .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
-      ops.Graph.bfsProfile(edges, Seq(0L, 1L, 2L), rounds = 4)
-        .orderBy("src", "dist")
-    }),
-    // 1-D Earth Mover's Distance between epoch level histograms:
-    // EMD = Σ|cdf_A − cdf_B| exact over the union of occupied levels —
-    // the distribution-shift metric a radiometric-consistency gate uses
-    // (stronger than mean/variance diffs, no optimization needed in 1-D).
-    "img_emd_epochs" -> ((s, dir) => {
-      import s.implicits._
-      val corners = Seq((-120, 36), (-120, 37), (-119, 36), (-119, 37),
-        (-118, 36), (-117, 37))
-      val epochA = s.createDataset(TileGen.tiles(corners, 601, "hgt"))
-      val epochB = s.createDataset(corners.map { case (lng, lat) =>
-        TileGen.tileRow(lng, lat, 601, "hgt", TileGen.planeAt) })
-      val hA = ops.ImageOps.levelHistogram(epochA)
-        .withColumnRenamed("n", "na")
-      val hB = ops.ImageOps.levelHistogram(epochB)
-        .withColumnRenamed("n", "nb")
-      val j = hA.join(hB, Seq("image_id", "level"), "full_outer")
-        .select(col("image_id"), col("level"),
-          coalesce(col("na"), lit(0L)).as("na"),
-          coalesce(col("nb"), lit(0L)).as("nb"))
-      val w = Window.partitionBy("image_id").orderBy("level")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      j.withColumn("ca", sum("na").over(w))
-        .withColumn("cb", sum("nb").over(w))
-        .groupBy("image_id")
-        .agg(count(lit(1)).as("n_levels"),
-          sum(expr("abs(ca - cb)")).as("emd"))
-        .orderBy("image_id")
-    }),
-    // Community conductance pieces over the label-propagation partition:
-    // per label the volume, internal and cut edge counts + the floored
-    // conductance ppm — the partition-quality read above graph_modularity.
-    "graph_conductance" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 7 === 0)
-        .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
-      val comp = ops.Graph.labelPropagate(edges, rounds = 3)
-      val und = edges.filter(col("src") =!= col("dst"))
-        .selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
-        .distinct()
-      val deg = und.selectExpr("a AS u").unionAll(und.selectExpr("b AS u"))
-        .groupBy("u").agg(count(lit(1)).as("d"))
-      val tagged = und
-        .join(comp.select(col("node").as("a"), col("lbl").as("la")),
-          Seq("a"))
-        .join(comp.select(col("node").as("b"), col("lbl").as("lb")),
-          Seq("b"))
-      val cut = tagged.filter(col("la") =!= col("lb"))
-        .select(col("la").as("lbl"))
-        .unionAll(tagged.filter(col("la") =!= col("lb"))
-          .select(col("lb").as("lbl")))
-        .groupBy("lbl").agg(count(lit(1)).as("cut"))
-      val internal = tagged.filter(col("la") === col("lb"))
-        .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("internal"))
-      val vol = comp.join(deg.select(col("u").as("node"), col("d")),
-          Seq("node"))
-        .groupBy("lbl").agg(count(lit(1)).as("n_nodes"),
-          sum("d").as("vol"))
-      val m2 = und.agg((count(lit(1)) * 2).as("deg_total"))
-      vol.join(cut, Seq("lbl"), "left").join(internal, Seq("lbl"), "left")
-        .crossJoin(broadcast(m2))
-        .withColumn("cut", coalesce(col("cut"), lit(0L)))
-        .withColumn("internal", coalesce(col("internal"), lit(0L)))
-        .withColumn("conduct_ppm", expr(
-          "CASE WHEN least(vol, deg_total - vol) = 0 THEN 0L " +
-            "ELSE cut * 1000000 DIV least(vol, deg_total - vol) END"))
-        .select("lbl", "n_nodes", "vol", "internal", "cut",
-          "conduct_ppm")
-        .orderBy("lbl")
-    }),
-    // Clark–Evans nearest-neighbour pieces: per-point exact NN d², the
-    // milli-floored NN distance sum (sqrt is the same IEEE double both
-    // engines) and the bbox extent — everything the aggregation-index
-    // R = d̄_obs/d̄_exp needs, no float accumulation anywhere.
-    "geo_clark_evans" -> ((s, dir) => {
-      val pts = t(s, dir, "customer").filter(col("c_custkey") <= 500)
-        .selectExpr("c_custkey AS pid", "(c_custkey * 7) % 1201 AS x",
-          "(c_custkey * 13) % 1009 AS y")
-      val nn = pts.as("a").join(pts.as("b"),
-          col("a.pid") =!= col("b.pid"))
-        .select(col("a.pid").as("pid"),
-          expr("(a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)")
-            .as("d2"))
-        .groupBy("pid").agg(min("d2").as("nn_d2"))
-        .withColumn("nn_d_milli", expr(
-          "CAST(floor(sqrt(CAST(nn_d2 AS DOUBLE)) * 1000.0) AS BIGINT)"))
-      nn.agg(count(lit(1)).as("n"),
-          sum("nn_d_milli").as("sum_nn_d_milli"),
-          min("nn_d2").as("min_nn_d2"), max("nn_d2").as("max_nn_d2"))
-        .crossJoin(pts.agg(
-          (max("x") - min("x")).as("extent_x"),
-          (max("y") - min("y")).as("extent_y")))
-    }),
-    // Histogram-matching LUT between epochs: quantized-level CDFs of the
-    // curvy field (A) and the plane (B), mapped(l) = min m with
-    // cdf_B(m) ≥ cdf_A(l) — the radiometric-normalization table a mosaic
-    // build applies before compositing. Stats-only theta join (≤ 64×64
-    // per image).
-    "img_hist_match" -> ((s, dir) => {
-      import s.implicits._
-      val corners = Seq((-120, 36), (-120, 37), (-119, 36), (-119, 37),
-        (-118, 36), (-117, 37))
-      val epochA = s.createDataset(TileGen.tiles(corners, 601, "hgt"))
-      val epochB = s.createDataset(corners.map { case (lng, lat) =>
-        TileGen.tileRow(lng, lat, 601, "hgt", TileGen.planeAt) })
-      val wc = Window.partitionBy("image_id").orderBy("level")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val ca = ops.ImageOps.levelHistogram(epochA)
-        .withColumn("cdf_a", sum("n").over(wc))
-      val cb = ops.ImageOps.levelHistogram(epochB)
-        .withColumn("cdf_b", sum("n").over(wc))
-      ca.as("a").join(cb.as("b"),
-          col("a.image_id") === col("b.image_id") &&
-            col("b.cdf_b") >= col("a.cdf_a"))
-        .groupBy(col("a.image_id").as("image_id"),
-          col("a.level").as("level"), col("a.n").as("n_px"),
-          col("a.cdf_a").as("cdf_a"))
-        .agg(min(col("b.level")).as("mapped_level"))
-        .orderBy("image_id", "level")
-    }),
-    // Haar multiresolution energy split of the hourly series: 3 cascade
-    // levels of pairwise (sum, difference), per level the exact detail
-    // energy Σd² — which timescale carries the variance (hourly noise vs
-    // daily structure); first 128 hours, unpaired tails drop at each
-    // level in both engines.
-    "events_haar_energy" -> ((s, dir) => {
-      val w = Window.partitionBy("event_type").orderBy("hr")
-      var cur = t(s, dir, "events")
-        .groupBy(col("event_type"),
-          date_trunc("hour", col("ts")).as("hr"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("idx", (row_number().over(w) - 1).cast("long"))
-        .filter(col("idx") < 128)
-        .select("event_type", "idx", "c")
-      val levels = (1 to 3).map { lvl =>
-        val paired = cur.withColumn("p", expr("idx DIV 2"))
-          .groupBy("event_type", "p")
-          .agg(count(lit(1)).as("m"),
-            sum(when(col("idx") % 2 === 0, col("c")).otherwise(-col("c")))
-              .as("detail"),
-            sum("c").as("approx"))
-          .filter(col("m") === 2)
-        val energy = paired.groupBy("event_type")
-          .agg(count(lit(1)).as("n_coeffs"),
-            sum(expr("detail * detail")).as("energy"))
-          .withColumn("level", lit(lvl))
-        cur = paired.select(col("event_type"), col("p").as("idx"),
-          col("approx").as("c"))
-        energy
-      }
-      levels.reduce(_ unionByName _)
-        .select("event_type", "level", "n_coeffs", "energy")
-        .orderBy("event_type", "level")
-    }),
-    // Pairwise-cosine histogram on sampled anchors (the isotropy read
-    // next to ann_norm_hist): the identical double cosine pipeline as
-    // ann_cosine_topk, bucketed at 0.1 — collapsed mass near 1.0 flags
-    // anisotropic/degenerate embeddings.
-    "ann_cosine_hist" -> ((s, dir) => {
-      import graft.functions.vectors.vec_dot
-      val e = t(s, dir, "embeddings").select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      val n = e.withColumn("nrm", sqrt(vec_dot(col("v"), col("v"))))
-      val anc = n.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("v").as("qv"),
-          col("nrm").as("qn"))
-      anc.crossJoin(n).filter(col("vec_id") =!= col("qid"))
-        .withColumn("cos",
-          vec_dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
-        .withColumn("bucket", expr("CAST(floor(cos * 10) AS INT)"))
-        .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
-        .orderBy("bucket")
-    }),
-    // Sequence-order audit: per user the adjacent (ts, event_id)-ordered
-    // steps whose event_id moves BACKWARD — the clock-skew / out-of-order
-    // ingestion QA; one lag window.
-    "dq_sequence_order" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      t(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"))
-        .withColumn("prev_id", lag("event_id", 1).over(w))
-        .filter(col("prev_id").isNotNull)
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_steps"),
-          sum(when(col("event_id") < col("prev_id"), 1L).otherwise(0L))
-            .as("n_inversions"),
-          min(when(col("event_id") < col("prev_id"), col("event_id")))
-            .as("min_bad_id"))
-        .orderBy("user_id")
-    }),
-    // Small-motif census (ops.Graph.motifCensus): ONE row of exact edge/
-    // wedge/claw/triangle/P₃ counts — degree-sequence closed forms plus
-    // the triangle wedge join and the `Σ(dᵤ−1)(dᵥ−1) − 3Δ` path identity.
-    "graph_motif_census" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 7 === 0)
-        .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
-      ops.Graph.motifCensus(edges)
-    }),
-    // Corridor-compliance audit (ops.Trajectory.corridorAudit): per fix an
-    // exact integer point-to-segment radius test against the literal
-    // reference polyline (regionized, cross-multiplied — no division),
-    // rolled up per trajectory with first/last violation. The
-    // route-adherence QA next to traj_speed's teleport flags.
-    "traj_corridor" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val pts = t(s, dir, "events").filter(col("user_id") < 50)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          ((col("event_id") % 7) +
-            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
-          ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("px", sum("dx").over(w))
-        .withColumn("py", sum("dy").over(w))
-        .selectExpr("user_id AS traj_id", "event_id AS seq", "px", "py")
-      ops.Trajectory.corridorAudit(pts, corridorSegs, r = 40L)
-        .orderBy("traj_id")
-    }),
-    // Emerging-hotspot trend: Mann–Kendall S per spatial cell over its
-    // daily visit counts (sign-of-pair-difference sums — pure comparisons,
-    // no arithmetic on magnitudes) + the tie-correction term Σt(t−1)(2t+5)
-    // the consumer's variance needs. The TEMPORAL layer over
-    // geo_cell_density's static counts; pair join key-bounded per cell
-    // (≤ 30 days here). Single-day cells drop (no pairs) in both engines.
-    "geo_mann_kendall" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val pts = t(s, dir, "events").filter(col("user_id") < 50)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          ((col("event_id") % 7) +
-            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
-          ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("px", sum("dx").over(w))
-        .withColumn("py", sum("dy").over(w))
-      val daily = pts.groupBy(expr("px DIV 200").as("cell_x"),
-          expr("py DIV 50").as("cell_y"),
-          date_trunc("day", col("ts")).as("day"))
-        .agg(count(lit(1)).as("c"))
-      val srt = daily.withColumn("i", row_number().over(
-        Window.partitionBy("cell_x", "cell_y").orderBy("day")).cast("long"))
-      val prs = srt.as("a").join(srt.as("b"),
-          col("a.cell_x") === col("b.cell_x") &&
-            col("a.cell_y") === col("b.cell_y") && col("a.i") < col("b.i"))
-        .select(col("a.cell_x").as("cell_x"), col("a.cell_y").as("cell_y"),
-          expr("CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 " +
-            "ELSE 0 END").cast("long").as("sgn"))
-      val sa = prs.groupBy("cell_x", "cell_y")
-        .agg(sum("sgn").as("s_stat"), count(lit(1)).as("n_pairs"))
-      val nd = srt.groupBy("cell_x", "cell_y")
-        .agg(count(lit(1)).as("n_days"))
-      val tt = srt.groupBy("cell_x", "cell_y", "c")
-        .agg(count(lit(1)).as("t"))
-        .groupBy("cell_x", "cell_y")
-        .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_term"))
-      nd.join(sa, Seq("cell_x", "cell_y"))
-        .join(tt, Seq("cell_x", "cell_y"))
-        .withColumn("trend", expr(
-          "CASE WHEN s_stat > 0 THEN 1 WHEN s_stat < 0 THEN -1 ELSE 0 END"))
-        .orderBy("cell_x", "cell_y")
-    }),
-    // Winsorized robust rollup per type: nearest-rank p5/p95 fences, the
-    // clamped sum and both clamp counts — the outlier-resistant revenue
-    // aggregate next to events_mad/events_iqr's detection reads. Two
-    // windows + one broadcast-back join.
-    "events_winsorize" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .select(col("event_type"),
-          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
-          col("event_id"))
-      val w = Window.partitionBy("event_type").orderBy("cents", "event_id")
-      val wp = Window.partitionBy("event_type")
-      val ranked = ev.withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(wp))
-      val pcts = ranked.groupBy("event_type").agg(
-        max("n").as("n"),
-        max(when(col("rn") === expr("(n - 1) * 5 DIV 100 + 1"),
-          col("cents"))).as("p5"),
-        max(when(col("rn") === expr("(n - 1) * 95 DIV 100 + 1"),
-          col("cents"))).as("p95"))
-      ev.join(pcts, Seq("event_type"))
-        .groupBy("event_type")
-        .agg(max("n").as("n"), max("p5").as("p5"), max("p95").as("p95"),
-          sum(expr("greatest(p5, least(p95, cents))")).as("sum_w"),
-          sum(when(col("cents") < col("p5"), 1L).otherwise(0L)).as("n_lo"),
-          sum(when(col("cents") > col("p95"), 1L).otherwise(0L)).as("n_hi"))
-        .orderBy("event_type")
-    }),
-    // Antenna-sector coverage join: per literal RF sector (center + two
-    // CCW direction vectors + radius) the walk-fix membership census —
-    // pure integer half-plane cross products, no trig anywhere; antennas
-    // broadcast, one key-bounded rollup.
-    "geo_sector_cover" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val pts = t(s, dir, "events").filter(col("user_id") < 50)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          ((col("event_id") % 7) +
-            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
-          ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("px", sum("dx").over(w))
-        .withColumn("py", sum("dy").over(w))
-        .selectExpr("user_id AS traj_id", "px", "py")
-      val ants = s.createDataFrame(sectorAntennas)
-        .toDF("antenna_id", "cx", "cy", "d1x", "d1y", "d2x", "d2y", "r2")
-      pts.crossJoin(broadcast(ants))
-        .withColumn("vx", col("px") - col("cx"))
-        .withColumn("vy", col("py") - col("cy"))
-        .withColumn("inside",
-          expr("d1x * vy - d1y * vx >= 0 AND vx * d2y - vy * d2x >= 0 " +
-            "AND vx * vx + vy * vy <= r2"))
-        .groupBy("antenna_id")
-        .agg(count(lit(1)).as("n_pts"),
-          sum(when(col("inside"), 1L).otherwise(0L)).as("n_in"),
-          countDistinct(when(col("inside"), col("traj_id"))).as("n_traj"))
-        .orderBy("antenna_id")
-    }),
-    // Dominant periodicity pick (the beat/cadence read): per asset the
-    // window-energy autocorrelation at lags 2..16, scored by the floored
-    // per-term mean product so unequal overlap counts compare fairly;
-    // argmax by (score desc, lag). One key-bounded band self-join.
-    "media_tempo" -> ((s, dir) => {
-      val w = ops.MediaOps.windowSquares(
-        ops.MediaOps.synth(mediaMeta(s, dir)), winLen = 128)
-      val j = w.as("a").join(w.as("b"),
-          col("a.media_id") === col("b.media_id") &&
-            col("b.win_no") > col("a.win_no") &&
-            col("b.win_no") <= col("a.win_no") + 16)
-        .select(col("a.media_id").as("media_id"),
-          (col("b.win_no") - col("a.win_no")).as("lag"),
-          (col("a.sq_sum") * col("b.sq_sum")).as("prod"))
-        .filter(col("lag") >= 2)
-      val sc = j.groupBy("media_id", "lag")
-        .agg(sum("prod").as("psum"), count(lit(1)).as("n_terms"))
-        .withColumn("score_q", expr("psum DIV n_terms"))
-      val nw = w.groupBy("media_id").agg(count(lit(1)).as("n_win"))
-      sc.withColumn("rn", row_number().over(Window.partitionBy("media_id")
-          .orderBy(col("score_q").desc, col("lag"))))
-        .filter(col("rn") === 1).drop("rn")
-        .join(nw, Seq("media_id"))
-        .select("media_id", "n_win", "lag", "n_terms", "psum", "score_q")
-        .orderBy("media_id")
-    }),
-    // Nearest-neighbour as-of join (ops.AsofJoin.asofNearest): each
-    // purchase paired with its |Δt|-closest view — two directional
-    // window-scan as-of passes + one comparison, never a theta-join; the
-    // oracle brute-forces the per-user candidate set with the identical
-    // tie ladder (equal gap → backward; within side → the directional seq
-    // rule).
-    "events_asof_nearest" -> ((s, dir) => {
-      val e = t(s, dir, "events")
-        .withColumn("tus", expr("unix_micros(cast(ts as timestamp))"))
-        .select("event_id", "user_id", "tus", "event_type")
-      val purchases = e.filter(col("event_type") === "purchase")
-        .drop("event_type")
-      val views = e.filter(col("event_type") === "view").drop("event_type")
-      ops.AsofJoin.asofNearest(purchases, views, Seq("user_id"),
-          tsCol = "tus", seqCol = "event_id", payload = Seq("event_id"))
-        .select(col("event_id"), col("user_id"), col("tus"),
-          col("near_event_id").as("view_event_id"),
-          col("near_tus").as("view_tus"), col("near_gap"))
-        .orderBy("event_id")
-    }),
-    // Spatiotemporal incident join: walk fixes within 50 units AND ±12 h
-    // of each literal incident — the space-AND-time join (accident
-    // exposure / witness query) the pure spatial joins can't express;
-    // incidents broadcast, per-incident rollup. At scale the same
-    // predicate rides a (cell, time-bucket) equi-join.
-    "geo_st_join" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val pts = t(s, dir, "events").filter(col("user_id") < 50)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          ((col("event_id") % 7) +
-            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
-          ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("px", sum("dx").over(w))
-        .withColumn("py", sum("dy").over(w))
-        .withColumn("tus", expr("unix_micros(CAST(ts AS TIMESTAMP))"))
-      val inc = s.createDataFrame(stIncidents)
-        .toDF("inc_id", "ix", "iy", "its")
-        .withColumn("itus", expr("unix_micros(CAST(its AS TIMESTAMP))"))
-      pts.crossJoin(broadcast(inc))
-        .withColumn("d2", expr(
-          "(px - ix) * (px - ix) + (py - iy) * (py - iy)"))
-        .withColumn("near",
-          col("d2") <= 2500L && abs(col("tus") - col("itus")) <= 43200000000L)
-        .groupBy("inc_id")
-        .agg(count(lit(1)).as("n_fixes"),
-          sum(when(col("near"), 1L).otherwise(0L)).as("n_near"),
-          countDistinct(when(col("near"), col("user_id"))).as("n_traj"),
-          min(when(col("near"), col("d2"))).as("min_d2"))
-        .orderBy("inc_id")
-    }),
-    // Partition-spec evolution pruning audit: half the files live under
-    // the OLD range spec (identity min/max pruning), half under the NEW
-    // hash spec (bucket pruning) — point queries prune both; RANGE
-    // queries prune only the range spec (hash must scan all) — the exact
-    // trade an Iceberg spec migration buys and loses, as one stats-only
-    // broadcast join.
-    "store_spec_evolution" -> ((s, dir) => {
-      val o = t(s, dir, "orders").select(col("o_custkey").as("v"))
-      val mx = o.agg(max("v").as("mxv"))
-      val st0 = o.crossJoin(broadcast(mx))
-        .selectExpr("(v * 16) div (mxv + 1) AS bucket", "v")
-        .groupBy("bucket")
-        .agg(min("v").as("mn"), max("v").as("mx"))
-        .withColumn("spec", lit(0))
-      val st1 = o.selectExpr("v % 16 AS bucket", "v")
-        .groupBy("bucket")
-        .agg(min("v").as("mn"), max("v").as("mx"))
-        .withColumn("spec", lit(1))
-      val st = st0.unionAll(st1)
-      val q = s.createDataFrame(specQueries).toDF("qid", "kind", "lo", "hi")
-      q.crossJoin(broadcast(st))
-        .withColumn("scan", expr(
-          "CASE WHEN spec = 0 THEN mx >= lo AND mn <= hi " +
-            "ELSE kind = 'range' OR bucket = lo % 16 END"))
-        .groupBy("qid", "kind")
-        .agg(sum(when(col("scan") && col("spec") === 0, 1L).otherwise(0L))
-            .as("n_spec0"),
-          sum(when(col("scan") && col("spec") === 1, 1L).otherwise(0L))
-            .as("n_spec1"),
-          count(lit(1)).as("total_files"))
-        .withColumn("scanned", col("n_spec0") + col("n_spec1"))
-        .orderBy("qid")
-    }),
-    // Similarity-threshold yield curve: the exact pairwise Jaccard ppm
-    // histogram (100k-ppm buckets) over the gate corpus — how many pairs
-    // each dedup threshold would merge, the tuning read BEFORE committing
-    // a minhash band config. Same shingle-once discipline as
-    // dedup_jaccard.
-    "dedup_jaccard_hist" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val sub = d.filter(col("doc_id") % 25 === 0)
-        .select(col("doc_id"), col("text"))
-        .unionAll(d.filter(col("doc_id") % 25 === 0)
-          .select((col("doc_id") + 200000).as("doc_id"),
-            concat(col("text"), lit(" zz qq ww ee rr tt")).as("text")))
-        .select(col("doc_id"),
-          array_distinct(ops.TextDedup.shingles(col("text"), 3)).as("s"))
-      val a = sub.select(col("doc_id").as("doc_a"), col("s").as("sa"))
-      val b = sub.select(col("doc_id").as("doc_b"), col("s").as("sb"))
-      a.crossJoin(broadcast(b)).filter(col("doc_a") < col("doc_b"))
-        .select(expr("size(array_intersect(sa, sb))").cast("long").as("i"),
-          expr("size(array_distinct(concat(sa, sb)))").cast("long").as("u"))
-        .withColumn("ppm", expr("i * 1000000 DIV u"))
-        .withColumn("bucket", expr("ppm DIV 100000").cast("int"))
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("n_pairs"), min("ppm").as("min_ppm"),
-          max("ppm").as("max_ppm"))
-        .orderBy("bucket")
-    }),
-    // Coverage-redundancy histogram: per walk fix how many of the literal
-    // sectors cover it, histogrammed — the single-point-of-failure read
-    // over geo_sector_cover's per-antenna counts.
-    "geo_cover_redundancy" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val pts = t(s, dir, "events").filter(col("user_id") < 50)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          ((col("event_id") % 7) +
-            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
-          ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("px", sum("dx").over(w))
-        .withColumn("py", sum("dy").over(w))
-        .withColumn("fix_id",
-          expr("user_id * 1000000 + event_id"))
-      val ants = s.createDataFrame(sectorAntennas)
-        .toDF("antenna_id", "cx", "cy", "d1x", "d1y", "d2x", "d2y", "r2")
-      pts.crossJoin(broadcast(ants))
-        .withColumn("vx", col("px") - col("cx"))
-        .withColumn("vy", col("py") - col("cy"))
-        .withColumn("inside",
-          expr("d1x * vy - d1y * vx >= 0 AND vx * d2y - vy * d2x >= 0 " +
-            "AND vx * vx + vy * vy <= r2"))
-        .groupBy("fix_id")
-        .agg(sum(when(col("inside"), 1L).otherwise(0L)).as("n_covering"))
-        .groupBy("n_covering").agg(count(lit(1)).as("n_fixes"))
-        .orderBy("n_covering")
-    }),
-    // Two-NN ratio histogram (Facco et al. intrinsic-dimension input):
-    // per vector the 1st/2nd neighbour squared-distance ratio ×1000
-    // (floored), bucketed — flat near 1000 means high intrinsic
-    // dimension; the manifold-dimension read over ann_dim_variance's
-    // axis view.
-    "ann_twonn_ratio_hist" -> ((s, dir) => {
-      val q = t(s, dir, "embeddings")
-        .select(col("vec_id").cast("long"),
-          expr("transform(embedding, " +
-            "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))")
-            .as("eq"))
-      val pairs = q.select(col("vec_id").as("aid"), col("eq").as("aeq"))
-        .join(q, col("vec_id") =!= col("aid"))
-        .withColumn("d2", aggregate(
-          zip_with(col("aeq"), col("eq"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x))
-      val top2 = pairs.withColumn("rn", row_number().over(
-          Window.partitionBy("aid").orderBy(col("d2"), col("vec_id"))))
-        .filter(col("rn") <= 2)
-      top2.groupBy("aid")
-        .agg(min(when(col("rn") === 1, col("d2"))).as("d1"),
-          min(when(col("rn") === 2, col("d2"))).as("d2n"))
-        .filter(col("d1") > 0)
-        .withColumn("ratio_q", expr("d2n * 1000 DIV d1"))
-        .withColumn("bucket", expr("least(ratio_q DIV 250, 20)").cast("int"))
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("n_vecs"), min("ratio_q").as("min_ratio_q"),
-          max("ratio_q").as("max_ratio_q"))
-        .orderBy("bucket")
-    }),
-    // Template-prefix detection: documents sharing their first-5-word
-    // prefix, groups of ≥3 — the doc-level boilerplate read above
-    // dedup_lines' per-line df.
-    "text_template_prefixes" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          expr("array_join(slice(split(text, ' '), 1, 5), ' ')")
-            .as("prefix"))
-        .groupBy("prefix").agg(count(lit(1)).as("n_docs"),
-          min("doc_id").as("min_doc"))
-        .filter(col("n_docs") >= 3)
-        .orderBy("prefix")
-    }),
-    // Fill-rule disagreement census: the same self-intersecting bowtie
-    // ring under BOTH polygon fill rules — even-odd (crossing parity) vs
-    // nonzero (signed winding) — per walk fix; they differ exactly on the
-    // overlap lobe, the distinction GeoJSON consumers hit on malformed
-    // rings. Shared crossing expressions, pure integer signs.
-    "geo_winding_rule" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val (upSql, dnSql) = ringCrossingsSql(bowtieRing)
-      val pts = t(s, dir, "events").filter(col("user_id") < 50)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          ((col("event_id") % 7) +
-            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
-          ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("px", sum("dx").over(w))
-        .withColumn("py", sum("dy").over(w))
-      pts.withColumn("up", expr(upSql)).withColumn("dn", expr(dnSql))
-        .withColumn("evenodd", (col("up") + col("dn")) % 2 === 1)
-        .withColumn("nonzero", (col("up") - col("dn")) =!= 0)
-        .groupBy(col("user_id").as("traj_id"))
-        .agg(count(lit(1)).as("n_pts"),
-          sum(when(col("evenodd"), 1L).otherwise(0L)).as("n_evenodd"),
-          sum(when(col("nonzero"), 1L).otherwise(0L)).as("n_nonzero"),
-          sum(when(col("evenodd") =!= col("nonzero"), 1L).otherwise(0L))
-            .as("n_disagree"))
-        .orderBy("traj_id")
-    }),
-    // Component-size distribution (large-star/small-star CC + histogram):
-    // the dedup-blast-radius read — how many merge groups of each size a
-    // connected-components pass produces; O(log n) CC rounds, two
-    // key-bounded rollups.
-    "graph_component_hist" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 31 === 0)
-        .selectExpr("(l_suppkey * 131) % 3000 AS doc_a",
-          "l_partkey % 3000 AS doc_b")
-      val nodes = edges.selectExpr("doc_a AS doc_id")
-        .union(edges.selectExpr("doc_b AS doc_id")).distinct()
-      ops.TextDedup.connectedComponentsStar(edges, nodes)
-        .groupBy("comp").agg(count(lit(1)).as("csize"))
-        .groupBy("csize").agg(count(lit(1)).as("n_components"))
-        .withColumn("n_nodes", col("csize") * col("n_components"))
-        .orderBy("csize")
-    }),
-    // Per-dimension variance ranking (the matryoshka/feature-selection
-    // read): exact integer moments per embedding dimension, variance
-    // numerator n·Σx²−(Σx)², rank by it — which dims carry the signal.
-    "ann_dim_variance" -> ((s, dir) => {
-      val x = t(s, dir, "embeddings")
-        .select(posexplode(expr("transform(embedding, " +
-          "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))"))
-          .as(Seq("d", "xq")))
-      x.groupBy(col("d").cast("int").as("d"))
-        .agg(count(lit(1)).as("n"), sum("xq").as("s"),
-          sum(expr("xq * xq")).as("ss"))
-        .withColumn("var_num", expr("n * ss - s * s"))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("var_num").desc, col("d"))).cast("int"))
-        .orderBy("d")
-    }),
-    // Sampled silhouette audit (ops.Embeddings.silhouetteStats): are the
-    // corpus labels cluster-shaped? Exact intra/nearest-inter squared-
-    // distance sufficient stats per anchor, milli-floored mean comparison,
-    // s_pos the decisive bit. Anchors×corpus sample join, never corpus².
-    "ann_silhouette" -> ((s, dir) => {
-      ops.Embeddings.silhouetteStats(t(s, dir, "embeddings"),
-        sampleMod = 20L).orderBy("aid")
-    }),
-    // Ordered LISTAGG surface: per nation the comma-joined sorted supplier
-    // roster — Spark spells it sort_array(collect_list)+concat_ws where
-    // DuckDB has string_agg(ORDER BY); same string either way.
-    "q_listagg" -> ((s, dir) => {
-      t(s, dir, "supplier")
-        .groupBy(col("s_nationkey").as("nation"))
-        .agg(count(lit(1)).as("n_sup"),
-          concat_ws(",", sort_array(collect_list(col("s_name"))))
-            .as("names_csv"))
-        .orderBy("nation")
-    }),
-    // Two-sample Kolmogorov–Smirnov test on per-user engagement (the
-    // distribution-level A/B read events_ab_test's proportion z-test
-    // can't see): per event_type, users split by id parity, D = sup
-    // |F₁−F₂| over the pooled support as the EXACT integer
-    // d_num = max|c1·n2 − c2·n1| (denominator n1·n2), d_ppm the floored
-    // consumer view, and the α=0.05 decision by cross-multiplied squares
-    // (c² = 1.358² scaled to ppm — no float anywhere). One user-keyed
-    // agg + one value-ordered window per type.
-    "events_ks_test" -> ((s, dir) => {
-      val perUser = t(s, dir, "events")
-        .groupBy(col("event_type"), col("user_id"))
-        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
-      val counts = perUser.groupBy("event_type", "cents")
-        .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("k1"),
-          sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("k2"))
-      val w = Window.partitionBy("event_type").orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wp = Window.partitionBy("event_type")
-      counts
-        .withColumn("c1", sum("k1").over(w))
-        .withColumn("c2", sum("k2").over(w))
-        .withColumn("n1", sum("k1").over(wp))
-        .withColumn("n2", sum("k2").over(wp))
-        .groupBy("event_type")
-        .agg(max("n1").as("n1"), max("n2").as("n2"),
-          max(abs(col("c1") * col("n2") - col("c2") * col("n1")))
-            .as("d_num"))
-        .withColumn("d_den", col("n1") * col("n2"))
-        .withColumn("d_ppm", expr("d_num * 1000000 DIV d_den"))
-        .withColumn("significant",
-          expr("d_num * d_num * 1000000 > 1844164 * (n1 + n2) * n1 * n2"))
-        .orderBy("event_type")
-    }),
-    // Mann–Whitney U on the same per-user split (the rank-sum companion to
-    // events_ks_test's sup-gap): doubled midranks keep tie handling exact
-    // integer — per distinct value, 2·midrank = 2·(count before) + k + 1,
-    // so 2R₁ = Σ k₁·(2·before + k + 1), 2U₁ = 2R₁ − n₁(n₁+1), and the tie
-    // correction Σ(k³−k) ships for the consumer's variance. One value-
-    // ordered window per type.
-    "events_mannwhitney" -> ((s, dir) => {
-      val perUser = t(s, dir, "events")
-        .groupBy(col("event_type"), col("user_id"))
-        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
-      val counts = perUser.groupBy("event_type", "cents")
-        .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("k1"),
-          sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("k2"))
-        .withColumn("k", col("k1") + col("k2"))
-      val w = Window.partitionBy("event_type").orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      counts
-        .withColumn("before", sum("k").over(w) - col("k"))
-        .withColumn("term", expr("k1 * (2 * before + k + 1)"))
-        .groupBy("event_type")
-        .agg(sum("k1").as("n1"), sum("k2").as("n2"),
-          sum("term").as("r1_x2"),
-          sum(expr("k * k * k - k")).as("tie_corr"))
-        .withColumn("u1_x2", expr("r1_x2 - n1 * (n1 + 1)"))
-        .withColumn("u2_x2", expr("2 * n1 * n2 - u1_x2"))
-        .orderBy("event_type")
-    }),
-    // Trajectory × raster composition: every walk fix mapped into the
-    // N36W120 tile and elevation-sampled through the broadcast index —
-    // per trajectory the altitude-exposure rollup (the J4 raster↔vector
-    // join applied to mobility data; fixes wrap into the tile by px/py
-    // mod 600 cell centers).
-    "traj_elevation_exposure" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val pts = t(s, dir, "events").filter(col("user_id") < 50)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          ((col("event_id") % 7) +
-            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
-          ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("px", sum("dx").over(w))
-        .withColumn("py", sum("dy").over(w))
-        .withColumn("lng", expr("-120 + ((px % 600) + 0.5D) / 600.0D"))
-        .withColumn("lat", expr("36 + ((py % 600) + 0.5D) / 600.0D"))
-      val bc = ops.TileIndex.broadcastIndex(gateTiles(s))
-      pts.withColumn("elev",
-          ops.ElevAt.elev_at_nearest(col("lng"), col("lat"), bc))
-        .groupBy(col("user_id").as("traj_id"))
-        .agg(count(lit(1)).as("n_fixes"),
-          sum(expr("CAST(elev AS BIGINT)")).as("sum_elev"),
-          sum(when(col("elev") >= 3600.0, 1L).otherwise(0L)).as("n_high"),
-          max(expr("CAST(elev AS BIGINT)")).as("max_elev"))
-        .orderBy("traj_id")
-    }),
-    // Simpson concentration of event types per user: exact collision
-    // probability Σnₜ(nₜ−1)/(n(n−1)) in ppm — one-type users score 10⁶,
-    // balanced explorers near 200k; the behavioral-diversity read.
-    "events_type_simpson" -> ((s, dir) => {
-      val byType = t(s, dir, "events")
-        .groupBy("user_id", "event_type")
-        .agg(count(lit(1)).as("c"))
-      byType.groupBy("user_id")
-        .agg(sum("c").as("n"), sum(expr("c * (c - 1)")).as("coll"))
-        .filter(col("n") >= 2)
-        .withColumn("simpson_ppm",
-          expr("coll * 1000000 DIV (n * (n - 1))"))
-        .orderBy("user_id")
-    }),
-    // NULL-semantics surface: a NULLIF-derived column through count /
-    // distinct / null-safe lag equality — the three-valued-logic
-    // behaviors (count skips nulls, distinct keeps one, <=> matches
-    // null=null) pinned across engines.
-    "q_null_semantics" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val ev = t(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          expr("CASE WHEN value >= 50 THEN NULL " +
-            "ELSE CAST(round(value * 100) AS BIGINT) END").as("v"))
-        .withColumn("pv", lag("v", 1).over(w))
-      ev.agg(count(lit(1)).as("n_rows"), count(col("v")).as("n_nonnull"),
-        countDistinct(col("v")).as("n_distinct"),
-        sum(when(col("v") <=> col("pv"), 1L).otherwise(0L))
-          .as("n_nullsafe_eq"),
-        sum(when(col("v") === col("pv"), 1L).otherwise(0L))
-          .as("n_plain_eq"))
-    }),
-    // Ranking AUC of exact Jaccard vs the planted duplicate truth: the
-    // doubled-midrank U statistic over pair scores (label = same base id)
-    // — threshold-free separability of the similarity signal, the ML-eval
-    // read above dedup_minhash_precision's fixed threshold.
-    "dedup_rank_auc" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val sub = d.filter(col("doc_id") % 25 === 0)
-        .select(col("doc_id"), col("text"))
-        .unionAll(d.filter(col("doc_id") % 25 === 0)
-          .select((col("doc_id") + 200000).as("doc_id"),
-            concat(col("text"), lit(" zz qq ww ee rr tt")).as("text")))
-        .select(col("doc_id"),
-          array_distinct(ops.TextDedup.shingles(col("text"), 3)).as("s"))
-      val pairs = sub.select(col("doc_id").as("doc_a"), col("s").as("sa"))
-        .join(broadcast(sub.select(col("doc_id").as("doc_b"),
-          col("s").as("sb"))), col("doc_a") < col("doc_b"))
-        .select(
-          expr("size(array_intersect(sa, sb)) * 1000000 DIV " +
-            "size(array_distinct(concat(sa, sb)))").as("score"),
-          (col("doc_a") % 100000 === col("doc_b") % 100000).as("pos"))
-      val counts = pairs.groupBy("score")
-        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("k1"),
-          sum(when(!col("pos"), 1L).otherwise(0L)).as("k2"))
-        .withColumn("k", col("k1") + col("k2"))
-      val w = Window.orderBy("score")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      counts.withColumn("before", sum("k").over(w) - col("k"))
-        .withColumn("term", expr("k1 * (2 * before + k + 1)"))
-        .agg(sum("k1").as("n_pos"), sum("k2").as("n_neg"),
-          sum("term").as("r1_x2"))
-        .withColumn("u1_x2", expr("r1_x2 - n_pos * (n_pos + 1)"))
-        .withColumn("auc_ppm",
-          expr("u1_x2 * 500000 DIV (n_pos * n_neg)"))
-    }),
-    // Interval-arithmetic surface: the first two days' events bucketed by
-    // hour AFTER a +90-minute shift — timestamp + INTERVAL semantics
-    // pinned across engines.
-    "q_interval_shift" -> ((s, dir) => {
-      t(s, dir, "events")
-        .filter(expr("ts < timestamp'2024-01-03'"))
-        .groupBy(expr("date_trunc('hour', ts + INTERVAL 90 MINUTE)")
-          .as("shifted_hr"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy("shifted_hr")
-    }),
-    // Per-source document-length quantiles: nearest-rank p50/p90 word
-    // counts — the corpus-shape profile under text_lang_profile's means.
-    "text_length_quantiles" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .select(col("source"), col("doc_id"),
-          expr("size(split(text, ' '))").cast("long").as("toks"))
-      val wv = Window.partitionBy("source").orderBy("toks", "doc_id")
-      val wp = Window.partitionBy("source")
-      docs.withColumn("rn", row_number().over(wv).cast("long"))
-        .withColumn("n", count(lit(1)).over(wp))
-        .groupBy("source")
-        .agg(max("n").as("n_docs"),
-          max(when(col("rn") === expr("(n - 1) * 50 DIV 100 + 1"),
-            col("toks"))).as("p50_toks"),
-          max(when(col("rn") === expr("(n - 1) * 90 DIV 100 + 1"),
-            col("toks"))).as("p90_toks"),
-          max("toks").as("max_toks"))
-        .orderBy("source")
-    }),
-    // Metric agreement: Kendall concordance between the DTW and Fréchet
-    // pair rankings over the same trajectories — do the two similarity
-    // metrics order pairs the same way? Exact concordant/discordant
-    // counts (ties dropped), tau in milli.
-    "traj_metric_agreement" -> ((s, dir) => {
-      val trajs = t(s, dir, "supplier")
-        .selectExpr("s_suppkey % 20 AS traj_id").distinct()
-      val pts = trajs
-        .select(col("traj_id"), explode(expr("sequence(0, 5)")).as("seq"))
-        .selectExpr("traj_id", "seq",
-          "(traj_id * 7 + seq * (traj_id % 5 + 1) * 3) % 40 AS px",
-          "(traj_id * 11 + seq * (traj_id % 3 + 2) * 2) % 40 AS py")
-      val pairs = trajs.select(col("traj_id").as("t1"))
-        .join(trajs.select(col("traj_id").as("t2")), col("t1") < col("t2"))
-      val d = ops.Trajectory.dtw(pts, pairs)
-        .select(col("t1"), col("t2"), col("dtw_d2"))
-      val f = ops.Trajectory.frechet(pts, pairs)
-        .select(col("t1"), col("t2"), col("frechet_d2"))
-      val m = d.join(f, Seq("t1", "t2"))
-        .withColumn("pid", expr("t1 * 100 + t2"))
-      m.as("x").join(m.as("y"), col("x.pid") < col("y.pid"))
-        .withColumn("sd", expr(
-          "CASE WHEN x.dtw_d2 = y.dtw_d2 OR x.frechet_d2 = y.frechet_d2 " +
-            "THEN 0 WHEN (x.dtw_d2 < y.dtw_d2) = " +
-            "(x.frechet_d2 < y.frechet_d2) THEN 1 ELSE -1 END"))
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(when(col("sd") === 1, 1L).otherwise(0L)).as("concordant"),
-          sum(when(col("sd") === -1, 1L).otherwise(0L)).as("discordant"))
-        .withColumn("tau_milli", expr(
-          "(concordant - discordant) * 1000 DIV (concordant + discordant)"))
-    }),
-    // Daily-count anomalies by median/MAD: per type the nearest-rank
-    // median daily count, the MAD, and days beyond median ± 3·MAD — the
-    // robust daily-volume alarm over events_spc's mean-based rules.
-    "events_outlier_days" -> ((s, dir) => {
-      val daily = t(s, dir, "events")
-        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-        .agg(count(lit(1)).as("c"))
-      val wv = Window.partitionBy("event_type").orderBy("c", "day")
-      val wp = Window.partitionBy("event_type")
-      val med = daily.withColumn("rn", row_number().over(wv).cast("long"))
-        .withColumn("n", count(lit(1)).over(wp))
-        .filter(col("rn") === expr("(n + 1) DIV 2"))
-        .select(col("event_type"), col("c").as("med"))
-      val dev = daily.join(med, Seq("event_type"))
-        .withColumn("ad", expr("abs(c - med)"))
-      val wv2 = Window.partitionBy("event_type").orderBy("ad", "day")
-      val mad = dev.withColumn("rn", row_number().over(wv2).cast("long"))
-        .withColumn("n", count(lit(1)).over(wp))
-        .filter(col("rn") === expr("(n + 1) DIV 2"))
-        .select(col("event_type"), col("ad").as("mad"))
-      dev.join(mad, Seq("event_type"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_days"), max("med").as("med"),
-          max("mad").as("mad"),
-          sum(when(col("ad") > col("mad") * 3, 1L).otherwise(0L))
-            .as("n_outlier_days"))
-        .orderBy("event_type")
-    }),
-    // Horizontal-gradient zero-crossing rate (ops.ImageOps.gradientZcr):
-    // sign flips of the row-wise first difference — the spatial-frequency
-    // proxy, media_zcr's read on the raster axis.
-    "img_gradient_zcr" -> ((s, dir) => {
-      ops.ImageOps.gradientZcr(gateTiles(s, "png")).orderBy("image_id")
-    }),
-    // Random-failure resilience (the contrast row to
-    // graph_attack_resilience): remove the deterministic 20% node sample
-    // (id % 5 = 0) instead of hubs — scale-free graphs barely notice
-    // random loss but shatter under targeted loss; same two star-CC
-    // passes.
-    "graph_random_failure" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 31 === 0)
-        .selectExpr("(l_suppkey * 131) % 3000 AS doc_a",
-          "l_partkey % 3000 AS doc_b")
-        .filter(col("doc_a") =!= col("doc_b"))
-      val nodes = edges.selectExpr("doc_a AS doc_id")
-        .union(edges.selectExpr("doc_b AS doc_id")).distinct()
-      val removed = nodes.filter(col("doc_id") % 5 === 0)
-      val lccBefore = ops.TextDedup.connectedComponentsStar(edges, nodes)
-        .groupBy("comp").agg(count(lit(1)).as("sz"))
-        .agg(max("sz").as("lcc_before"))
-      val edges2 = edges
-        .join(removed.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"),
-          "left_anti")
-        .join(removed.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"),
-          "left_anti")
-      val nodes2 = nodes.join(removed, Seq("doc_id"), "left_anti")
-      val lccAfter = ops.TextDedup.connectedComponentsStar(edges2, nodes2)
-        .groupBy("comp").agg(count(lit(1)).as("sz"))
-        .agg(max("sz").as("lcc_after"))
-      nodes.agg(count(lit(1)).as("n_nodes"))
-        .crossJoin(removed.agg(count(lit(1)).as("n_removed")))
-        .crossJoin(lccBefore).crossJoin(lccAfter)
-        .withColumn("drop_ppm", expr(
-          "(lcc_before - lcc_after) * 1000000 DIV lcc_before"))
-    }),
-    // Source-vocabulary overlap matrix: per source-pair the distinct-word
-    // Jaccard — which corpus slices speak the same language; the mix
-    // diagnostic above text_distinctive_terms' per-word scores.
-    "text_source_overlap" -> ((s, dir) => {
-      val vw = t(s, dir, "documents")
-        .select(col("source"), explode(split(col("text"), " ")).as("w"))
-        .distinct()
-      val sizes = vw.groupBy("source").agg(count(lit(1)).as("n"))
-      vw.as("x").join(vw.as("y"),
-          col("x.w") === col("y.w") &&
-            col("x.source") < col("y.source"))
-        .groupBy(col("x.source").as("src_a"),
-          col("y.source").as("src_b"))
-        .agg(count(lit(1)).as("n_common"))
-        .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")),
-          Seq("src_a"))
-        .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")),
-          Seq("src_b"))
-        .withColumn("jaccard_ppm",
-          expr("n_common * 1000000 DIV (n_a + n_b - n_common)"))
-        .select("src_a", "src_b", "n_a", "n_b", "n_common", "jaccard_ppm")
-        .orderBy("src_a", "src_b")
-    }),
-    // Integer EWMA (α = 1/8) over the hourly series as ONE codegen'd
-    // aggregate() fold per type — floor-consistent division via the
-    // sign-split CASE so Spark DIV and DuckDB // agree on negative
-    // innovations; final level + max innovation. The streaming-smoother
-    // read next to events_holt.
-    "events_ewma" -> ((s, dir) => {
-      val hrly = t(s, dir, "events")
-        .groupBy(col("event_type"),
-          date_trunc("hour", col("ts")).as("hr"))
-        .agg(count(lit(1)).as("c"))
-      hrly.groupBy("event_type")
-        .agg(expr("transform(sort_array(collect_list(struct(hr, c))), " +
-          "x -> x.c)").as("cs"))
-        .select(col("event_type"),
-          expr("CAST(size(cs) AS BIGINT)").as("n_hours"),
-          expr("aggregate(cs, named_struct('s', 0L, 'mx', 0L), " +
-            "(acc, c) -> named_struct(" +
-            "'s', acc.s + (CASE WHEN c - acc.s >= 0 " +
-            "THEN (c - acc.s) DIV 8 " +
-            "ELSE -((acc.s - c + 7) DIV 8) END), " +
-            "'mx', greatest(acc.mx, abs(c - acc.s))))").as("st"))
-        .selectExpr("event_type", "n_hours", "st.s AS ewma_final",
-          "st.mx AS max_dev")
-        .orderBy("event_type")
-    }),
-    // Core-shell histogram: nodes per core number from the h-index
-    // fixpoint — the density stratification view over graph_coreness's
-    // per-node values.
-    "graph_core_shells" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 7 === 0)
-        .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
-      ops.Graph.corenessHIndex(edges, rounds = 8)
-        .groupBy(col("coreness"))
-        .agg(count(lit(1)).as("n_nodes"),
-          sum(when(col("stable"), 1L).otherwise(0L)).as("n_stable"))
-        .orderBy("coreness")
-    }),
-    // Greedy quality-first budget fill: docs ranked (quality desc, id),
-    // kept while the running token total stays ≤ 100k — the selection
-    // policy curation_budget's arrival-order fill doesn't give; one
-    // global rank window over metadata-size rows.
-    "curation_greedy_quality" -> ((s, dir) => {
-      val scored = t(s, dir, "documents")
-        .select(col("doc_id"),
-          ops.TextDedup.qualityScore(col("text")).as("q"),
-          expr("size(split(text, ' '))").cast("long").as("toks"))
-        .select(col("doc_id"),
-          expr("CAST(round(q * 1000) AS BIGINT)").as("q_milli"),
-          col("toks"))
-      val w = Window.orderBy(col("q_milli").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      scored.withColumn("cum_toks", sum("toks").over(w))
-        .filter(col("cum_toks") <= 100000L)
-        .agg(count(lit(1)).as("n_kept"), max("cum_toks").as("tokens_kept"),
-          min("q_milli").as("min_quality_milli"))
-    }),
-    // DECIMAL money surface: exact decimal aggregation per status —
-    // the fixed-point arithmetic path every financial rollup needs,
-    // result pinned to DECIMAL(18,2) on both engines.
-    "q_decimal_money" -> ((s, dir) => {
-      t(s, dir, "orders")
-        .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n"),
-          expr("CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) " +
-            "AS DECIMAL(18,2))").as("total_price"),
-          expr("CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) " +
-            "AS DECIMAL(18,2))").as("max_price"))
-        .orderBy("o_orderstatus")
-    }),
-    // Targeted-attack resilience: largest component before vs after
-    // removing the 5 highest-degree hubs (ties by node id) — the
-    // robustness read scale-free graphs fail; two star-CC passes.
-    "graph_attack_resilience" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 31 === 0)
-        .selectExpr("(l_suppkey * 131) % 3000 AS doc_a",
-          "l_partkey % 3000 AS doc_b")
-        .filter(col("doc_a") =!= col("doc_b"))
-      val nodes = edges.selectExpr("doc_a AS doc_id")
-        .union(edges.selectExpr("doc_b AS doc_id")).distinct()
-      val und = edges.selectExpr("least(doc_a, doc_b) AS a",
-        "greatest(doc_a, doc_b) AS b").distinct()
-      val deg = und.selectExpr("a AS u").unionAll(und.selectExpr("b AS u"))
-        .groupBy("u").agg(count(lit(1)).as("d"))
-      val hubs = deg.withColumn("rk", row_number().over(
-          Window.orderBy(col("d").desc, col("u"))))
-        .filter(col("rk") <= 5).select(col("u").as("doc_id"))
-      val lccBefore = ops.TextDedup.connectedComponentsStar(edges, nodes)
-        .groupBy("comp").agg(count(lit(1)).as("sz"))
-        .agg(max("sz").as("lcc_before"))
-      val edges2 = edges
-        .join(hubs.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"),
-          "left_anti")
-        .join(hubs.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"),
-          "left_anti")
-      val nodes2 = nodes.join(hubs, Seq("doc_id"), "left_anti")
-      val lccAfter = ops.TextDedup.connectedComponentsStar(edges2, nodes2)
-        .groupBy("comp").agg(count(lit(1)).as("sz"))
-        .agg(max("sz").as("lcc_after"))
-      nodes.agg(count(lit(1)).as("n_nodes"))
-        .crossJoin(lccBefore).crossJoin(lccAfter)
-        .withColumn("drop_ppm", expr(
-          "(lcc_before - lcc_after) * 1000000 DIV lcc_before"))
-    }),
-    // Canonical-selection quality: per dedup cluster (size ≥ 2), does the
-    // KEPT representative (min doc_id) carry the cluster's maximum
-    // n_chars? The keep-policy audit over dedup_cluster_keep.
-    "dedup_keep_quality" -> ((s, dir) => {
-      val corpus = dedupCorpus(s, dir)
-      val lens = corpus.select(col("doc_id"),
-        length(col("text")).cast("long").as("n_chars"))
-      val edges = ops.TextDedup.minhashPairs(corpus)
-      val cc = ops.TextDedup.connectedComponentsStar(edges,
-        corpus.select("doc_id"))
-      val j = cc.join(lens, Seq("doc_id"))
-      val per = j.groupBy("comp")
-        .agg(count(lit(1)).as("size"), min("doc_id").as("kept"),
-          max("n_chars").as("max_chars"))
-        .filter(col("size") >= 2)
-      per.join(j.select(col("doc_id").as("kept"),
-          col("n_chars").as("kept_chars"), col("comp")),
-          Seq("comp", "kept"))
-        .agg(count(lit(1)).as("n_clusters"),
-          sum(when(col("kept_chars") === col("max_chars"), 1L)
-            .otherwise(0L)).as("n_kept_best"))
-        .withColumn("best_ppm",
-          expr("n_kept_best * 1000000 DIV n_clusters"))
-    }),
-    // kNN-graph mutuality: share of exact 5-NN edges that are mutual —
-    // low mutuality predicts poor graph-ANN navigability (the hubness
-    // pathology's edge view).
-    "ann_knn_mutuality" -> ((s, dir) => {
-      val q = t(s, dir, "embeddings")
-        .select(col("vec_id").cast("long"),
-          expr("transform(embedding, " +
-            "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))")
-            .as("eq"))
-      val top5 = q.select(col("vec_id").as("aid"), col("eq").as("aeq"))
-        .join(q, col("vec_id") =!= col("aid"))
-        .withColumn("d2", aggregate(
-          zip_with(col("aeq"), col("eq"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("aid").orderBy(col("d2"), col("vec_id"))))
-        .filter(col("rn") <= 5)
-        .select(col("aid"), col("vec_id").as("nb"))
-      top5.agg(count(lit(1)).as("n_edges"))
-        .crossJoin(top5.as("x").join(top5.as("y"),
-            col("x.aid") === col("y.nb") && col("x.nb") === col("y.aid"))
-          .agg(count(lit(1)).as("n_mutual")))
-        .withColumn("mutual_ppm", expr("n_mutual * 1000000 DIV n_edges"))
-    }),
-    // Spanning-forest weight share: MSF weight vs total graph weight in
-    // one row — how much of the network's cost a spanning backbone keeps;
-    // composes the verified Borůvka forest.
-    "graph_mst_weight_share" -> ((s, dir) => {
-      val edges = t(s, dir, "supplier").selectExpr(
-        "s_suppkey % 64 AS src",
-        "(s_suppkey * 13 + 7) % 64 AS dst",
-        "(s_suppkey % 97) * 4096 + least(s_suppkey % 64, (s_suppkey * 13 + 7) % 64) * 64 + greatest(s_suppkey % 64, (s_suppkey * 13 + 7) % 64) AS wkey")
-      val und = edges.filter(col("src") =!= col("dst"))
-        .selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b",
-          "wkey")
-        .groupBy("a", "b").agg(min("wkey").as("wkey"))
-      val msf = ops.Graph.boruvkaMsf(edges)
-      msf.agg(count(lit(1)).as("msf_edges"),
-          sum("wkey").as("msf_weight"))
-        .crossJoin(und.agg(count(lit(1)).as("total_edges"),
-          sum("wkey").as("total_weight")))
-        .withColumn("share_ppm",
-          expr("msf_weight * 1000000 DIV total_weight"))
-    }),
-    // Assignment stability under perturbation: every vector re-assigned
-    // after the semCorpus ±0.001 per-dim shift — the index-maintenance
-    // churn read (how often must postings move when embeddings refresh);
-    // per trained centroid the churn ppm.
-    "ann_assign_stability" -> ((s, dir) => {
-      import graft.functions.vectors.vec_dist2
-      val (cents, _) = trainedKmeans(s, dir)
-      def assign(vcol: org.apache.spark.sql.Column) = {
-        val dists = cents.indices.map { c =>
-          struct(vec_dist2(vcol, typedLit(cents(c).toSeq)).as("d2"),
-            lit(c).as("c"))
-        }
-        least(dists: _*).getField("c")
-      }
-      t(s, dir, "embeddings")
-        .select(col("vec_id").cast("long"),
-          col("embedding").cast("array<double>").as("v"))
-        .withColumn("vp", expr("transform(v, (x, i) -> " +
-          "x + CAST((i % 5) - 2 AS DOUBLE) * 0.001)"))
-        .withColumn("c0", assign(col("v")))
-        .withColumn("c1", assign(col("vp")))
-        .groupBy(col("c0").as("centroid"))
-        .agg(count(lit(1)).as("n_base"),
-          sum(when(col("c1") =!= col("c0"), 1L).otherwise(0L))
-            .as("n_changed"))
-        .withColumn("churn_ppm", expr("n_changed * 1000000 DIV n_base"))
-        .orderBy("centroid")
-    }),
-    // Pairwise trajectory bounding-box IoU: exact integer rectangle
-    // intersections over the walk extents — which users share territory;
-    // top-20 by IoU ppm, stats-only 50×50 join.
-    "traj_bbox_iou" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val bb = t(s, dir, "events").filter(col("user_id") < 50)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          ((col("event_id") % 7) +
-            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
-          ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("px", sum("dx").over(w))
-        .withColumn("py", sum("dy").over(w))
-        .groupBy(col("user_id"))
-        .agg(min("px").as("x0"), max("px").as("x1"),
-          min("py").as("y0"), max("py").as("y1"))
-      bb.as("a").join(bb.as("b"), col("a.user_id") < col("b.user_id"))
-        .withColumn("ix", expr(
-          "greatest(0, least(a.x1, b.x1) - greatest(a.x0, b.x0))"))
-        .withColumn("iy", expr(
-          "greatest(0, least(a.y1, b.y1) - greatest(a.y0, b.y0))"))
-        .withColumn("inter", expr("ix * iy"))
-        .withColumn("uni", expr(
-          "(a.x1 - a.x0) * (a.y1 - a.y0) + " +
-            "(b.x1 - b.x0) * (b.y1 - b.y0) - ix * iy"))
-        .filter(col("uni") > 0)
-        .withColumn("iou_ppm", expr("inter * 1000000 DIV uni"))
-        .select(col("a.user_id").as("traj_a"),
-          col("b.user_id").as("traj_b"), col("inter"), col("uni"),
-          col("iou_ppm"))
-        .withColumn("rk", row_number().over(Window.orderBy(
-          col("iou_ppm").desc, col("traj_a"), col("traj_b"))).cast("int"))
-        .filter(col("rk") <= 20)
-        .orderBy("rk")
-    }),
-    // Edge betweenness (ops.Graph.edgeBetweennessSampled): the Brandes
-    // dependency terms summed per canonical edge — which single links
-    // carry the shortest-path mass; top bridges ranked deterministically.
-    "graph_edge_betweenness" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 7 === 0)
-        .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
-      ops.Graph.edgeBetweennessSampled(edges, Seq(0L, 1L, 2L), rounds = 4)
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("ebc_ppm").desc, col("a"), col("b")))
-          .cast("int"))
-        .filter(col("rk") <= 20)
-        .orderBy("rk")
-    }),
-    // Robust per-block contrast map (ops.ImageOps.contrastMap): nearest-
-    // rank p10/p90 per 100² block — the outlier-immune local dynamic
-    // range under img_block_diversity's extremes.
-    "img_contrast_map" -> ((s, dir) => {
-      ops.ImageOps.contrastMap(gateTiles(s, "png"))
-        .orderBy("image_id", "py", "px")
-    }),
-    // SimHash bit-balance audit: per bit position the share of documents
-    // with the bit set — a healthy hash sits near 50%; skewed bits waste
-    // Hamming budget and inflate band collisions.
-    "dedup_simhash_balance" -> ((s, dir) => {
-      val sh = t(s, dir, "documents")
-        .select(ops.TextDedup.wordHashes(col("text")).as("hw"))
-        .select(ops.TextDedup.simhashFromHashes(col("hw"), 16).as("sh"))
-      sh.select(posexplode(expr(
-          "transform(sequence(0, 15), b -> shiftright(sh, b) % 2)"))
-          .as(Seq("bit", "isset")))
-        .groupBy(col("bit").cast("int").as("bit"))
-        .agg(count(lit(1)).as("n_docs"), sum("isset").as("n_ones"))
-        .withColumn("share_ppm", expr("n_ones * 1000000 DIV n_docs"))
-        .orderBy("bit")
-    }),
-    // Same-vs-different-label distance histograms over sampled anchors:
-    // the metric-learning separability read (overlapping histograms ⇒
-    // labels not linearly recoverable from distance alone) — the
-    // distribution view under ann_silhouette's per-anchor stats.
-    "ann_label_margin_hist" -> ((s, dir) => {
-      val q = t(s, dir, "embeddings")
-        .select(col("vec_id").cast("long"), col("label"),
-          expr("transform(embedding, " +
-            "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))")
-            .as("eq"))
-      q.filter(col("vec_id") % 10 === 0)
-        .select(col("vec_id").as("aid"), col("label").as("alabel"),
-          col("eq").as("aeq"))
-        .join(q, col("vec_id") =!= col("aid"))
-        .withColumn("d2", aggregate(
-          zip_with(col("aeq"), col("eq"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x))
-        .withColumn("bucket",
-          expr("least(d2 DIV 20000000, 20)").cast("int"))
-        .groupBy("bucket")
-        .agg(sum(when(col("label") === col("alabel"), 1L).otherwise(0L))
-            .as("n_same"),
-          sum(when(col("label") =!= col("alabel"), 1L).otherwise(0L))
-            .as("n_diff"))
-        .orderBy("bucket")
-    }),
-    // Heading persistence: consecutive walk segments sharing a direction
-    // octant — the momentum read under traj_rose's global distribution;
-    // octant by integer sign/diagonal comparisons, one lag window.
-    "traj_heading_persistence" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val seg = t(s, dir, "events").filter(col("user_id") < 50)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          ((col("event_id") % 7) +
-            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
-          ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("px", sum("dx").over(w))
-        .withColumn("py", sum("dy").over(w))
-        .withColumn("sdx", col("px") - lag("px", 1).over(w))
-        .withColumn("sdy", col("py") - lag("py", 1).over(w))
-        .filter(col("sdx").isNotNull &&
-          (col("sdx") =!= 0 || col("sdy") =!= 0))
-        .withColumn("octant", expr(
-          "CASE WHEN sdx > 0 AND sdy >= 0 AND sdx > sdy THEN 0 " +
-            "WHEN sdx > 0 AND sdy > 0 THEN 1 " +
-            "WHEN sdx <= 0 AND sdy > 0 AND -sdx < sdy THEN 2 " +
-            "WHEN sdy > 0 THEN 3 " +
-            "WHEN sdx < 0 AND sdy <= 0 AND -sdx > -sdy THEN 4 " +
-            "WHEN sdx < 0 THEN 5 " +
-            "WHEN sdy < 0 AND sdx < -sdy THEN 6 ELSE 7 END"))
-        .withColumn("poct", lag("octant", 1).over(w))
-        .filter(col("poct").isNotNull)
-      seg.groupBy(col("user_id").as("traj_id"))
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(when(col("octant") === col("poct"), 1L).otherwise(0L))
-            .as("n_same"))
-        .withColumn("persistence_ppm",
-          expr("n_same * 1000000 DIV n_pairs"))
-        .orderBy("traj_id")
-    }),
-    // Day-over-day occupied-cell turnover: consecutive days' cell-set
-    // Jaccard — the footprint-churn read over geo_centroid_drift's
-    // center-of-mass view.
-    "geo_cell_turnover" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val pts = t(s, dir, "events").filter(col("user_id") < 50)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          ((col("event_id") % 7) +
-            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
-          ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("px", sum("dx").over(w))
-        .withColumn("py", sum("dy").over(w))
-      val cells = pts.select(
-          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000")
-            .as("eday"),
-          expr("px DIV 200").as("cell_x"), expr("py DIV 50").as("cell_y"))
-        .distinct()
-      val sz = cells.groupBy("eday").agg(count(lit(1)).as("n_cells"))
-      val common = cells.as("a").join(cells.as("b"),
-          col("a.cell_x") === col("b.cell_x") &&
-            col("a.cell_y") === col("b.cell_y") &&
-            col("b.eday") === col("a.eday") + 1)
-        .groupBy(col("b.eday").as("eday"))
-        .agg(count(lit(1)).as("n_common"))
-      sz.as("t").join(sz.as("p"), col("p.eday") === col("t.eday") - 1)
-        .select(col("t.eday").as("eday"), col("t.n_cells").as("n_cells"),
-          col("p.n_cells").as("n_prev"))
-        .join(common, Seq("eday"), "left")
-        .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
-        .withColumn("jaccard_ppm", expr(
-          "n_common * 1000000 DIV (n_cells + n_prev - n_common)"))
-        .orderBy("eday")
-    }),
-    // Cycle-space dimension (cyclomatic number m − n + c): edges, nodes
-    // and star-CC component count in one row — how far from a forest the
-    // graph is, the redundancy read under graph_mst's spanning forest.
-    "graph_cyclomatic" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 31 === 0)
-        .selectExpr("(l_suppkey * 131) % 3000 AS doc_a",
-          "l_partkey % 3000 AS doc_b")
-      val nodes = edges.selectExpr("doc_a AS doc_id")
-        .union(edges.selectExpr("doc_b AS doc_id")).distinct()
-      val und = edges.filter(col("doc_a") =!= col("doc_b"))
-        .selectExpr("least(doc_a, doc_b) AS a",
-          "greatest(doc_a, doc_b) AS b").distinct()
-      val comps = ops.TextDedup.connectedComponentsStar(edges, nodes)
-        .agg(countDistinct("comp").as("n_components"))
-      und.agg(count(lit(1)).as("m"))
-        .crossJoin(nodes.agg(count(lit(1)).as("n")))
-        .crossJoin(comps)
-        .withColumn("cyclomatic", expr("m - n + n_components"))
-    }),
-    // Double-fire telemetry audit: adjacent same-user events with equal
-    // type and cents within 1 s — the client-retry / duplicate-ingestion
-    // QA; one lag window.
-    "dq_double_fire" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val ev = t(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          col("event_type"),
-          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
-          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tus"))
-        .withColumn("ptype", lag("event_type", 1).over(w))
-        .withColumn("pcents", lag("cents", 1).over(w))
-        .withColumn("ptus", lag("tus", 1).over(w))
-      ev.groupBy("event_type")
-        .agg(count(lit(1)).as("n_events"),
-          sum(when(col("ptype") === col("event_type") &&
-            col("pcents") === col("cents") &&
-            col("tus") - col("ptus") <= 1000000L, 1L).otherwise(0L))
-            .as("n_double"))
-        .withColumn("rate_ppm", expr("n_double * 1000000 DIV n_events"))
-        .orderBy("event_type")
-    }),
-    // Coarse-assignment margin: per vector the micro-floored gap between
-    // its 2nd- and 1st-nearest trained centroids, histogrammed — small
-    // margins mean boundary vectors nProbe must cover; the confidence
-    // read under ann_ivf_recall's aggregate number.
-    "ann_assign_margin" -> ((s, dir) => {
-      import graft.functions.vectors.vec_dist2
-      val (cents, _) = trainedKmeans(s, dir)
-      val dcols = cents.indices.map { c =>
-        struct(vec_dist2(col("v"), typedLit(cents(c).toSeq)).as("d2"),
-          lit(c).as("c"))
-      }
-      t(s, dir, "embeddings")
-        .select(col("vec_id").cast("long"),
-          col("embedding").cast("array<double>").as("v"))
-        .withColumn("srt", slice(array_sort(array(dcols: _*)), 1, 2))
-        .select(col("vec_id"),
-          floor((element_at(col("srt"), 2).getField("d2") -
-            element_at(col("srt"), 1).getField("d2")) * lit(1000000.0))
-            .cast("long").as("margin_q"))
-        .withColumn("bucket", expr("least(margin_q DIV 1000000, 20)")
-          .cast("int"))
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("n_vecs"), min("margin_q").as("min_margin"),
-          max("margin_q").as("max_margin"))
-        .orderBy("bucket")
-    }),
-    // Sample-ratio mismatch guard: per type the A/B arm user counts vs
-    // the designed 50/50 — flagged by the exact cross-multiplied χ²₁ test
-    // ((n1−n2)² vs 3.8415·(n1+n2), scaled ×10⁴) — the broken-bucketing
-    // alarm that must fire BEFORE reading events_ab_test.
-    "events_srm" -> ((s, dir) => {
-      t(s, dir, "events")
-        .select("event_type", "user_id").distinct()
-        .groupBy("event_type")
-        .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L))
-            .as("n1"),
-          sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("n2"))
-        .withColumn("srm_num", expr("(n1 - n2) * (n1 - n2) * 10000"))
-        .withColumn("srm_thresh", expr("38415 * (n1 + n2)"))
-        .withColumn("mismatch", col("srm_num") > col("srm_thresh"))
-        .orderBy("event_type")
-    }),
-    // Revisit-interval audit: per user the day gaps between returns to
-    // the same cell — routine periodicity (gap ≈ 7 = weekly habit); one
-    // lag window over (user, cell) distinct visit days.
-    "traj_revisit_gaps" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val pts = t(s, dir, "events").filter(col("user_id") < 50)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          ((col("event_id") % 7) +
-            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
-          ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("px", sum("dx").over(w))
-        .withColumn("py", sum("dy").over(w))
-      val visits = pts.select(col("user_id"),
-          expr("px DIV 200").as("cell_x"), expr("py DIV 50").as("cell_y"),
-          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000")
-            .as("eday"))
-        .distinct()
-      val wg = Window.partitionBy("user_id", "cell_x", "cell_y")
-        .orderBy("eday")
-      visits.withColumn("prev", lag("eday", 1).over(wg))
-        .filter(col("prev").isNotNull)
-        .withColumn("gap", col("eday") - col("prev"))
-        .groupBy(col("user_id").as("traj_id"))
-        .agg(count(lit(1)).as("n_revisits"), sum("gap").as("sum_gap_days"),
-          max("gap").as("max_gap_days"),
-          sum(when(col("gap") === 7, 1L).otherwise(0L)).as("n_weekly"))
-        .orderBy("traj_id")
-    }),
-    // Hubness: how often each vector appears in OTHERS' exact 5-NN lists
-    // — the high-dimensional pathology (a few hubs dominating neighbour
-    // lists degrades every ANN downstream); in-degree histogram.
-    "ann_hubness" -> ((s, dir) => {
-      val q = t(s, dir, "embeddings")
-        .select(col("vec_id").cast("long"),
-          expr("transform(embedding, " +
-            "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))")
-            .as("eq"))
-      val top5 = q.select(col("vec_id").as("aid"), col("eq").as("aeq"))
-        .join(q, col("vec_id") =!= col("aid"))
-        .withColumn("d2", aggregate(
-          zip_with(col("aeq"), col("eq"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("aid").orderBy(col("d2"), col("vec_id"))))
-        .filter(col("rn") <= 5)
-      val indeg = q.select(col("vec_id"))
-        .join(top5.groupBy("vec_id").agg(count(lit(1)).as("in_deg")),
-          Seq("vec_id"), "left")
-        .withColumn("in_deg", coalesce(col("in_deg"), lit(0L)))
-      indeg.groupBy("in_deg").agg(count(lit(1)).as("n_vecs"))
-        .orderBy("in_deg")
-    }),
-    // Functional-dependency check over literal column pairs: distinct(A)
-    // vs distinct(A,B) — zero violations certifies A→B; the
-    // schema-discovery DQ read next to dq_referential.
-    "dq_fd_check" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      def fd(tag: String, a: String, b: String) =
-        o.agg(countDistinct(col(a)).as("nd_a"),
-            countDistinct(col(a), col(b)).as("nd_ab"))
-          .select(lit(tag).as("fd"), col("nd_a"), col("nd_ab"),
-            (col("nd_ab") - col("nd_a")).as("violations"))
-      fd("orderkey->custkey", "o_orderkey", "o_custkey")
-        .unionAll(fd("custkey->orderstatus", "o_custkey", "o_orderstatus"))
-        .unionAll(fd("orderdate->orderpriority", "o_orderdate",
-          "o_orderpriority"))
-        .orderBy("fd")
-    }),
-    // Train/test split leakage: MinHash near-dup pairs that STRADDLE the
-    // hash split (doc_id % 10 < 8 → train) — the eval-hygiene number
-    // curation_decontam can't see (it checks exact grams, not near-dups).
-    "curation_split_leakage" -> ((s, dir) => {
-      val corpus = dedupCorpus(s, dir)
-      val pairs = ops.TextDedup.minhashPairs(corpus)
-        .withColumn("tr_a", col("doc_a") % 10 < 8)
-        .withColumn("tr_b", col("doc_b") % 10 < 8)
-      val sizes = corpus
-        .agg(sum(when(col("doc_id") % 10 < 8, 1L).otherwise(0L))
-            .as("n_train"),
-          sum(when(col("doc_id") % 10 >= 8, 1L).otherwise(0L))
-            .as("n_test"))
-      pairs.agg(count(lit(1)).as("n_pairs"),
-          sum(when(col("tr_a") =!= col("tr_b"), 1L).otherwise(0L))
-            .as("n_cross"))
-        .crossJoin(sizes)
-        .withColumn("leak_ppm", expr(
-          "CASE WHEN n_pairs = 0 THEN 0L " +
-            "ELSE n_cross * 1000000 DIV n_pairs END"))
-    }),
-    // Hypsometric deciles: per tile the quantized level at each 10% of
-    // cumulative area — the elevation-distribution curve geomorphology
-    // reads (youthful vs senile terrain); reuses the level histogram.
-    "geo_hypsometric" -> ((s, dir) => {
-      val h = ops.ImageOps.levelHistogram(gateTiles(s, "png"))
-      val wc = Window.partitionBy("image_id").orderBy("level")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = h.groupBy("image_id").agg(sum("n").as("n_px"))
-      val cum = h.withColumn("cum", sum("n").over(wc))
-        .join(tot, Seq("image_id"))
-      val dec = s.createDataFrame((1 to 9).map(d => Tuple1(d.toLong)))
-        .toDF("decile")
-      cum.crossJoin(broadcast(dec))
-        .filter(expr("cum * 10 >= n_px * decile"))
-        .groupBy("image_id", "decile")
-        .agg(min("level").as("level"))
-        .withColumn("decile", col("decile").cast("int"))
-        .orderBy("image_id", "decile")
-    }),
-    // Truncated absorbing-chain expected steps: transition shares in ppm
-    // (floored), E' = 1 + P·E unrolled 6 rounds with 'purchase' absorbing
-    // — "how many events until a purchase from each state", the
-    // analytic layer over events_transition's raw matrix.
-    "events_absorb_steps" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val pairs = t(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          col("event_type"))
-        .withColumn("nxt", lead("event_type", 1).over(w))
-        .filter(col("nxt").isNotNull)
-      val trans = pairs.groupBy(col("event_type").as("s"),
-        col("nxt").as("t2")).agg(count(lit(1)).as("n"))
-      val outs = trans.groupBy("s").agg(sum("n").as("n_s"))
-      val p = trans.join(outs, Seq("s"))
-        .withColumn("p_ppm", expr("n * 1000000 DIV n_s"))
-        .filter(col("s") =!= "purchase")
-      val states = t(s, dir, "events").select(col("event_type").as("t2"))
-        .distinct()
-      var e = states.withColumn("e_milli", lit(0L))
-      for (_ <- 1 to 6) {
-        val acc = p.join(e.select(col("t2"), col("e_milli")), Seq("t2"))
-          .groupBy("s").agg(sum(expr("p_ppm * e_milli")).as("acc"))
-        e = states.join(acc.select(col("s").as("t2"), col("acc")),
-            Seq("t2"), "left")
-          .withColumn("e_milli", expr(
-            "CASE WHEN t2 = 'purchase' THEN 0L " +
-              "ELSE 1000 + acc DIV 1000000 END"))
-          .select("t2", "e_milli")
-      }
-      e.join(outs.select(col("s").as("t2"), col("n_s")), Seq("t2"), "left")
-        .select(col("t2").as("state"), col("e_milli"),
-          coalesce(col("n_s"), lit(0L)).as("n_out"))
-        .orderBy("state")
-    }),
-    // Per-block focus map (ops.ImageOps.focusMap): absolute-Laplacian
-    // energy per ~100² block — the local sharpness/best-frame read under
-    // img_laplacian's global census.
-    "img_focus_map" -> ((s, dir) => {
-      ops.ImageOps.focusMap(gateTiles(s, "png"))
-        .orderBy("image_id", "py", "px")
-    }),
-    // Access-distance quantiles: per trajectory the nearest-rank p50/p95
-    // of min squared distance to the literal centers — the
-    // facility-access equity read over geo_ring_buffer's per-center
-    // counts.
-    "geo_access_quantiles" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val pts = t(s, dir, "events").filter(col("user_id") < 50)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          ((col("event_id") % 7) +
-            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
-          ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("px", sum("dx").over(w))
-        .withColumn("py", sum("dy").over(w))
-      val ctr = s.createDataFrame(stIncidents)
-        .toDF("center_id", "ix", "iy", "its").drop("its")
-      val md = pts.crossJoin(broadcast(ctr))
-        .withColumn("d2", expr(
-          "(px - ix) * (px - ix) + (py - iy) * (py - iy)"))
-        .groupBy(col("user_id").as("traj_id"), col("event_id"))
-        .agg(min("d2").as("min_d2"))
-      val wv = Window.partitionBy("traj_id").orderBy("min_d2", "event_id")
-      val wp = Window.partitionBy("traj_id")
-      md.withColumn("rn", row_number().over(wv).cast("long"))
-        .withColumn("n", count(lit(1)).over(wp))
-        .groupBy("traj_id")
-        .agg(max("n").as("n_fixes"),
-          max(when(col("rn") === expr("(n - 1) * 50 DIV 100 + 1"),
-            col("min_d2"))).as("p50_d2"),
-          max(when(col("rn") === expr("(n - 1) * 95 DIV 100 + 1"),
-            col("min_d2"))).as("p95_d2"))
-        .orderBy("traj_id")
-    }),
-    // Week-over-week growth: per type the weekly counts (epoch-week,
-    // engine-neutral) with lagged growth ppm — the BI trend table above
-    // events_wau's snapshot.
-    "events_wow_growth" -> ((s, dir) => {
-      val weekly = t(s, dir, "events")
-        .groupBy(col("event_type"),
-          expr("(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000) DIV 7")
-            .as("week"))
-        .agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy("event_type").orderBy("week")
-      weekly.withColumn("prev_n", lag("n", 1).over(w))
-        .withColumn("growth_ppm", expr(
-          "CASE WHEN prev_n IS NULL OR prev_n = 0 THEN NULL " +
-            "ELSE (n - prev_n) * 1000000 DIV prev_n END"))
-        .orderBy("event_type", "week")
-    }),
-    // Character-4-gram Jaccard near-dup over the part-name head vocab —
-    // the SHORT-string granularity word shingles can't reach (typo/brand
-    // variants); exact set arithmetic on the distinct vocabulary.
-    "dedup_char_ngram" -> ((s, dir) => {
-      val words = t(s, dir, "part")
-        .selectExpr("split_part(p_name, ' ', 1) AS w").distinct()
-        .filter(length(col("w")) >= 4)
-        .withColumn("grams", expr(
-          "array_distinct(transform(sequence(1, length(w) - 3), " +
-            "i -> substring(w, i, 4)))"))
-      words.select(col("w").as("wa"), col("grams").as("ga"))
-        .join(broadcast(words.select(col("w").as("wb"),
-          col("grams").as("gb"))), col("wa") < col("wb"))
-        .withColumn("i", expr("size(array_intersect(ga, gb))").cast("long"))
-        .withColumn("u",
-          expr("size(array_distinct(concat(ga, gb)))").cast("long"))
-        .filter(expr("i * 10 >= u * 4"))
-        .withColumn("jaccard_ppm", expr("i * 1000000 DIV u"))
-        .select("wa", "wb", "i", "u", "jaccard_ppm")
-        .orderBy("wa", "wb")
-    }),
-    // Residual variance after the top principal direction: total per-dim
-    // variance numerators vs the projection's (scores ÷1000 to keep every
-    // square a Long) — the "is one direction carrying the corpus"
-    // spectral read; pieces only, divisions are the consumer's.
-    "ann_pca_residual" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val v3 = ops.Embeddings.powerIteration(emb, rounds = 3, dims = 64)
-        .filter(col("rnd") === 3).select("d", "v")
-      val proj = ops.Embeddings.pcaProject(emb, v3)
-        .withColumn("p", expr("(score + 1000000000) DIV 1000 - 1000000"))
-      val pv = proj.agg(count(lit(1)).as("n"), sum("p").as("proj_s"),
-        sum(expr("p * p")).as("proj_ss"))
-      val x = emb.select(posexplode(expr("transform(embedding, " +
-          "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))"))
-          .as(Seq("d", "xq")))
-      val tv = x.groupBy("d")
-        .agg(count(lit(1)).as("nd"), sum("xq").as("s"),
-          sum(expr("xq * xq")).as("ss"))
-        .agg(sum(expr("nd * ss - s * s")).as("total_var_num"),
-          count(lit(1)).as("dims"))
-      val v2 = v3.agg(sum(expr("v * v")).as("v2"))
-      pv.crossJoin(tv).crossJoin(v2)
-        .withColumn("proj_var_num", expr("n * proj_ss - proj_s * proj_s"))
-        .select("n", "dims", "total_var_num", "v2", "proj_s", "proj_ss",
-          "proj_var_num")
-    }),
-    // Effect-size pieces for the A/B split: per type the arm moments and
-    // the exact Cohen's-d numerators (mean-difference and pooled-variance
-    // pieces; the one sqrt+division is the consumer's) — the magnitude
-    // read next to events_ks_test/events_mannwhitney's significance.
-    "events_effect_size" -> ((s, dir) => {
-      val perUser = t(s, dir, "events")
-        .groupBy(col("event_type"), col("user_id"))
-        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
-        .withColumn("arm", (col("user_id") % 2).cast("int"))
-      perUser.groupBy("event_type")
-        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
-          sum(when(col("arm") === 0, col("cents"))).as("s1"),
-          sum(when(col("arm") === 0, expr("cents * cents"))).as("ss1"),
-          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n2"),
-          sum(when(col("arm") === 1, col("cents"))).as("s2"),
-          sum(when(col("arm") === 1, expr("cents * cents"))).as("ss2"))
-        .withColumn("mean_diff_num", expr("s1 * n2 - s2 * n1"))
-        .withColumn("var1_num", expr("n1 * ss1 - s1 * s1"))
-        .withColumn("var2_num", expr("n2 * ss2 - s2 * s2"))
-        .orderBy("event_type")
-    }),
-    // Pairwise sector co-coverage: fixes inside BOTH sectors of each
-    // antenna pair — the handover/interference matrix over
-    // geo_cover_redundancy's per-fix counts.
-    "geo_sector_overlap" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val pts = t(s, dir, "events").filter(col("user_id") < 50)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          ((col("event_id") % 7) +
-            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
-          ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("px", sum("dx").over(w))
-        .withColumn("py", sum("dy").over(w))
-        .withColumn("fix_id", expr("user_id * 1000000 + event_id"))
-      val ants = s.createDataFrame(sectorAntennas)
-        .toDF("antenna_id", "cx", "cy", "d1x", "d1y", "d2x", "d2y", "r2")
-      val m = pts.crossJoin(broadcast(ants))
-        .filter(expr("d1x * (py - cy) - d1y * (px - cx) >= 0 AND " +
-          "(px - cx) * d2y - (py - cy) * d2x >= 0 AND " +
-          "(px - cx) * (px - cx) + (py - cy) * (py - cy) <= r2"))
-        .select(col("fix_id"), col("antenna_id"))
-      m.as("x").join(m.as("y"),
-          col("x.fix_id") === col("y.fix_id") &&
-            col("x.antenna_id") < col("y.antenna_id"))
-        .groupBy(col("x.antenna_id").as("ant_a"),
-          col("y.antenna_id").as("ant_b"))
-        .agg(count(lit(1)).as("n_common"))
-        .orderBy("ant_a", "ant_b")
-    }),
-    // Per-trajectory speed quantiles: exact integer µunit/s Manhattan
-    // speeds per segment, nearest-rank p50/p95 — the mobility profile
-    // over traj_speed's binary flags.
-    "traj_speed_quantiles" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val seg = t(s, dir, "events").filter(col("user_id") < 50)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          ((col("event_id") % 7) +
-            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
-          ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("px", sum("dx").over(w))
-        .withColumn("py", sum("dy").over(w))
-        .withColumn("tus", expr("unix_micros(CAST(ts AS TIMESTAMP))"))
-        .withColumn("ppx", lag("px", 1).over(w))
-        .withColumn("ppy", lag("py", 1).over(w))
-        .withColumn("ptus", lag("tus", 1).over(w))
-        .filter(col("ppx").isNotNull && col("tus") > col("ptus"))
-        .selectExpr("user_id AS traj_id", "event_id",
-          "(abs(px - ppx) + abs(py - ppy)) * 1000000 DIV (tus - ptus) AS speed_q")
-      val wv = Window.partitionBy("traj_id").orderBy("speed_q", "event_id")
-      val wp = Window.partitionBy("traj_id")
-      seg.withColumn("rn", row_number().over(wv).cast("long"))
-        .withColumn("n", count(lit(1)).over(wp))
-        .groupBy("traj_id")
-        .agg(max("n").as("n_seg"),
-          max(when(col("rn") === expr("(n - 1) * 50 DIV 100 + 1"),
-            col("speed_q"))).as("p50_speed_q"),
-          max(when(col("rn") === expr("(n - 1) * 95 DIV 100 + 1"),
-            col("speed_q"))).as("p95_speed_q"),
-          max("speed_q").as("max_speed_q"))
-        .orderBy("traj_id")
-    }),
-    // Theil–Sen robust trend slope per event_type: median over ALL pair
-    // slopes of the hourly-count series, quantized to exact ppm by
-    // positive-offset floor division (slopes can be negative; Spark DIV
-    // truncates where DuckDB // floors, so +K·Δi shifts every numerator
-    // positive — where the two agree — and K·10⁶ subtracts back exactly).
-    // The n² pair join is key-bounded per type (series length, not event
-    // count); median by nearest-rank lower over one value-ordered window.
-    "events_theil_sen" -> ((s, dir) => {
-      val hrly = t(s, dir, "events")
-        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
-        .agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy("event_type").orderBy("hr")
-      val pts = hrly.select(col("event_type"),
-        row_number().over(w).cast("long").as("i"), col("c"))
-      val pairs = pts.as("a").join(pts.as("b"),
-          col("a.event_type") === col("b.event_type") &&
-            col("a.i") < col("b.i"))
-        .select(col("a.event_type").as("event_type"),
-          expr("((b.c - a.c + 100000 * (b.i - a.i)) * 1000000) DIV " +
-            "(b.i - a.i) - 100000000000").as("slope_ppm"))
-      val wv = Window.partitionBy("event_type").orderBy("slope_ppm")
-      val wp = Window.partitionBy("event_type")
-      pairs.withColumn("rn", row_number().over(wv).cast("long"))
-        .withColumn("np", count(lit(1)).over(wp))
-        .filter(col("rn") === expr("(np + 1) DIV 2"))
-        .join(pts.groupBy("event_type").agg(max("i").as("n_pts")),
-          Seq("event_type"))
-        .select(col("event_type"), col("n_pts"), col("np").as("n_pairs"),
-          col("slope_ppm"))
-        .orderBy("event_type")
-    }),
-    // Soundex blocking census (the record-linkage blocking pass): every
-    // part-name head word coded by the shared translate/collapse chain
-    // (soundexSql — NO UDF, pure codegen'd string expressions), then per
-    // block the size, distinct-word count and exact C(sz,2) candidate-pair
-    // cost — the same pre-join skew read as dedup_lsh_skew, for the
-    // phonetic-key join family.
-    "text_soundex" -> ((s, dir) => {
-      val words = t(s, dir, "part")
-        .selectExpr("split_part(p_name, ' ', 1) AS w")
-        .selectExpr(s"${soundexSql("w", g = false)} AS code", "w")
-      words.groupBy("code")
-        .agg(count(lit(1)).as("sz"), countDistinct("w").as("n_words"))
-        .withColumn("candidate_pairs", expr("sz * (sz - 1) DIV 2"))
-        .orderBy("code")
-    }),
-    // Ordinal-pattern census (Bandt–Pompe permutation patterns, public):
-    // per event_type the hourly-count series' sliding length-3 windows
-    // mapped to their rank permutation (ties break by earlier position,
-    // the standard convention) — the permutation-entropy input that
-    // separates trending/oscillating/noisy series with zero arithmetic
-    // beyond comparisons. One hour-ordered window per type + one
-    // key-bounded count.
-    "events_ordinal_patterns" -> ((s, dir) => {
-      val hrly = t(s, dir, "events")
-        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
-        .agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy("event_type").orderBy("hr")
-      val tri = hrly
-        .select(col("event_type"), col("c").as("v0"),
-          lead("c", 1).over(w).as("v1"), lead("c", 2).over(w).as("v2"))
-        .filter(col("v1").isNotNull && col("v2").isNotNull)
-      val r0 = when(col("v1") < col("v0"), 1).otherwise(0) +
-        when(col("v2") < col("v0"), 1).otherwise(0)
-      val r1 = when(col("v0") <= col("v1"), 1).otherwise(0) +
-        when(col("v2") < col("v1"), 1).otherwise(0)
-      val r2 = when(col("v0") <= col("v2"), 1).otherwise(0) +
-        when(col("v1") <= col("v2"), 1).otherwise(0)
-      tri.withColumn("pattern", (r0 * 100 + r1 * 10 + r2).cast("int"))
-        .groupBy("event_type", "pattern")
-        .agg(count(lit(1)).as("n"))
-        .orderBy("event_type", "pattern")
-    }),
-    // Depth-bounded BOM explosion (ops.Graph.bomRollup): the recursive-CTE
-    // transitive rollup Spark SQL lacks, unrolled as 3 keyed frontier
-    // joins over a DAG (parent < child ids guarantee acyclicity); per root
-    // the distinct-reachable count + exact Σ path-quantity-product. The
-    // where-used / cost-explosion primitive; DuckDB replays it as a true
-    // WITH RECURSIVE with the same depth guard.
-    "q_bom_explode" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 97 === 0)
-        .selectExpr("least(l_partkey % 300, l_suppkey % 300) AS parent",
-          "greatest(l_partkey % 300, l_suppkey % 300) AS child")
-        .filter(col("parent") =!= col("child"))
-        .withColumn("qty", expr("1 + (parent * 31 + child * 17) % 4"))
-      ops.Graph.bomRollup(edges, maxDepth = 3).orderBy("root")
-    }),
-    // Per-row format fidelity (input_hint: decoded pixels allclose, PSNR
-    // >= 40 dB for lossy): decode each payload (real javax.imageio for png),
-    // compare against the closed-form grid it encodes. px_sum anchors the
-    // decode arithmetic; sse (integer sum of squared pixel diffs vs the
-    // closed form) anchors exactness (0 for the exact lanes is the decode
-    // contract, stated by the oracle, computed by the engine from the real
-    // decode); psnr_q = floor(psnr*100), sentinel 99999 = infinite. So the
-    // PSNR FORMULA itself is exercised with a nonzero error on both sides,
-    // a third "noisy" lane encodes the grid with +3 on every 97th sample:
-    // its sse (9 per hit) and finite psnr_q (7993 = 79.93 dB, 0.05 from
-    // the quantization boundary — safe against ulp-level log10 differences)
-    // are recomputed by the oracle through the identical formula. (jpg's
-    // finite PSNR >= 40 dB gate stays in CoreSpec — a lossy javax.imageio
-    // decode is not SQL-recomputable.)
-    "img_fidelity" -> ((s, dir) => {
-      import s.implicits._
-      implicit val enc = Encoders.product[(graft.core.TileRow, String)]
-      val noisyF: (Int, Int, Int, Int) => Short = (lng0, lat0, r, c) => {
-        val v = TileGen.sampleAt(lng0, lat0, r, c)
-        if ((r * 601 + c) % 97 == 0) (v + 3).toShort else v
-      }
-      val rows =
-        presentCorners.flatMap { case (lng, lat) => Seq(
-          (TileGen.tileRow(lng, lat, 601, "png"), "exact"),
-          (TileGen.tileRow(lng, lat, 601, "hgt"), "exact"),
-          (TileGen.tileRow(lng, lat, 601, "hgt", noisyF), "noisy"))
-        }
-      s.createDataset(rows).map { case (t, variant) =>
-        val d = graft.core.TileCodec.decode(t)
-        val truth = graft.synth.TileGen.grid(d.swLng, d.swLat, d.size)
-        var pxSum = 0L
-        var sse = 0L
-        var i = 0
-        while (i < d.samples.length) {
-          pxSum += d.samples(i)
-          val diff = (d.samples(i) - truth(i)).toLong
-          sse += diff * diff
-          i += 1
-        }
-        val psnr = graft.raster.Fidelity.gridPsnr(truth, d.samples)
-        val psnrQ =
-          if (psnr.isInfinite) 99999L else math.floor(psnr * 100).toLong
-        (t.image_id, t.fmt, variant, pxSum, sse, psnrQ)
-      }.toDF("image_id", "fmt", "variant", "px_sum", "sse", "psnr_q")
-        .orderBy("image_id", "fmt", "variant")
-    }),
-    // Thumbnails (area-average resize to 8x8) exploded to one row per output
-    // pixel — the block boundaries and the IEEE sum/count division are
-    // replicated exactly by the DuckDB oracle over the closed-form grid.
-    "img_thumbs" -> ((s, dir) => {
-      ops.ImageOps.thumbnails(gateTiles(s, "hgt"), 8).toDF()
-        .select(col("image_id"), posexplode(col("pixels")).as(Seq("idx", "px")))
-        .orderBy("image_id", "idx")
-    }),
-    // Hierarchical tile-pyramid rollup: z14 point counts rolled up the
-    // quadtree to z12 and z10 (parent = child >> 2 per level).
-    "zxy_rollup" -> ((s, dir) => {
-      val p = gatePoints(s, dir)
-        .withColumn("x14", zxy_x(col("lng"), lit(14)))
-        .withColumn("y14", zxy_y(col("lat"), lit(14)))
-      p.select(lit(14).as("z"), col("x14").as("x"), col("y14").as("y"))
-        .unionAll(p.select(lit(12).as("z"), shiftright(col("x14"), 2).as("x"),
-          shiftright(col("y14"), 2).as("y")))
-        .unionAll(p.select(lit(10).as("z"), shiftright(col("x14"), 4).as("x"),
-          shiftright(col("y14"), 4).as("y")))
-        .groupBy("z", "x", "y").agg(count(lit(1)).as("n"))
-        .orderBy("z", "x", "y")
-    }),
-    // Semi/anti-join (dedup keep-set): documents whose text hash appears
-    // more than once lose all but the lowest doc_id.
-    "dedup_keep" -> ((s, dir) => {
-      val corpus = dedupCorpus(s, dir).withColumn("h", md5(col("text")))
-      val keepers = corpus.groupBy("h").agg(min(col("doc_id")).as("doc_id"))
-      corpus.join(keepers, Seq("h", "doc_id"), "left_semi")
-        .select("doc_id").orderBy("doc_id")
-    }),
-    // Multimodal A/V plumbing (MediaOps scaladoc): opaque-binary media rows
-    // with typed metadata, per-partition stub decoder, exact-integer
-    // frame-sampling arithmetic. The stub digests REAL bytes from the
-    // binary column; the oracle replays them closed-form.
-    "media_frame_sample" -> ((s, dir) => {
-      ops.MediaOps.frameSample(ops.MediaOps.synth(mediaMeta(s, dir)), everyMs = 500L)
-        .orderBy("media_id", "ts_ms")
-    }),
-    // Audio path over the same table: fixed 512-sample windows, exact
-    // integer sum of squares (the RMS numerator) per window.
-    "media_window_rms" -> ((s, dir) => {
-      ops.MediaOps.windowSquares(ops.MediaOps.synth(mediaMeta(s, dir)), winLen = 512)
-        .orderBy("media_id", "win_no")
-    }),
-    // RELATIVE-GATED loudness (EBU R128's gating idea in exact integers):
-    // per media, keep only windows whose energy reaches the UNGATED mean
-    // (sq·n_win ≥ Σsq — cross-multiplied, no division) and report the
-    // gated mean — the "how loud is the loud part" number that silence
-    // padding can't dilute. One media-keyed agg + one broadcast-shaped
-    // rejoin; n_gated ≥ 1 always (the max window is ≥ the mean).
-    // Clipping / saturation audit (ops.MediaOps.clippingAudit): samples at
-    // |v| ≥ 120, maximal clipped-run count and longest run per media —
-    // the capture-quality gate (sustained saturation vs isolated peaks).
-    // One sequential map-only scan; the oracle replays the runs with one
-    // lag window over the closed-form byte stream.
-    "media_clipping" -> ((s, dir) => {
-      ops.MediaOps.clippingAudit(ops.MediaOps.synth(mediaMeta(s, dir)),
-          thr = 120)
-        .orderBy("media_id")
-    }),
-    // Crest factor / dynamic-range audit (ops.MediaOps.crestFactor):
-    // ppm-scaled crest² = 10⁶·n·peak²/Σv², one end division — the
-    // over-compression screen next to media_clipping's saturation one.
-    "media_crest" -> ((s, dir) => {
-      ops.MediaOps.crestFactor(ops.MediaOps.synth(mediaMeta(s, dir)))
-        .orderBy("media_id")
-    }),
-    // Loudness range (the EBU R128 LRA analog on exact integers): per
-    // asset the p95 − p10 spread of per-128-sample-window energies by
-    // exact nearest-rank ((n−1)·q DIV 100 + 1) — wide LRA = dynamic
-    // content, narrow = compressed/limited. One media_id window shuffle.
-    "media_lra" -> ((s, dir) => {
-      val w = ops.MediaOps.windowSquares(
-        ops.MediaOps.synth(mediaMeta(s, dir)), winLen = 128)
-      val byVal = Window.partitionBy("media_id").orderBy("sq_sum", "win_no")
-      val all = Window.partitionBy("media_id")
-      w.withColumn("rn", row_number().over(byVal).cast("long"))
-        .withColumn("n", count(lit(1)).over(all))
-        .groupBy("media_id")
-        .agg(max("n").as("n_win"),
-          max(when(col("rn") === expr("(n - 1) * 10 DIV 100 + 1"),
-            col("sq_sum"))).as("p10_sq"),
-          max(when(col("rn") === expr("(n - 1) * 95 DIV 100 + 1"),
-            col("sq_sum"))).as("p95_sq"))
-        .withColumn("lra_q", col("p95_sq") - col("p10_sq"))
-        .orderBy("media_id")
-    }),
-    // Leading/trailing silence trim points (the audio-preprocessing cut a
-    // training pipeline makes before feature extraction): per asset the
-    // first/last 128-sample window whose energy clears the gate (700 000 ≈
-    // the uniform-noise mean, so both states occur), active-window count,
-    // and the tail gap — conditional aggregation keeps all-silent assets
-    // as NULL trims. One media_id-keyed agg, zero windows.
-    "media_silence_trim" -> ((s, dir) => {
-      val w = ops.MediaOps.windowSquares(
-        ops.MediaOps.synth(mediaMeta(s, dir)), winLen = 128)
-      w.groupBy("media_id").agg(
-          count(lit(1)).as("n_win"),
-          sum(when(col("sq_sum") > 700000L, 1L).otherwise(0L))
-            .as("n_active"),
-          min(when(col("sq_sum") > 700000L, col("win_no")))
-            .as("first_active"),
-          max(when(col("sq_sum") > 700000L, col("win_no")))
-            .as("last_active"))
-        .withColumn("tail_gap", expr("n_win - 1 - last_active"))
-        .orderBy("media_id")
-    }),
-    // Stuck/duplicate-frame audit (ops.MediaOps.stuckFrames): runs of
-    // equal consecutive frame digests at 20 ms sampling (faster than
-    // either frame rate, so repeats are structural) — the frozen-encoder
-    // QA + oversampling detector; one media_id window, one row per asset.
-    "media_frame_dedup" -> ((s, dir) => {
-      ops.MediaOps.stuckFrames(ops.MediaOps.synth(mediaMeta(s, dir)),
-          everyMs = 20L)
-        .orderBy("media_id")
-    }),
-    // Zero-crossing rate census (ops.MediaOps.zeroCrossingRate): strict
-    // sign flips per 512-sample window, per-asset total + max/min window
-    // — the spectral-content proxy beside media_window_rms's energy
-    // (voiced content crosses rarely, noise constantly; the VAD feature
-    // pair). Decode-once, zero shuffle, one row per asset.
-    "media_zcr" -> ((s, dir) => {
-      ops.MediaOps.zeroCrossingRate(ops.MediaOps.synth(mediaMeta(s, dir)),
-          winLen = 512)
-        .orderBy("media_id")
-    }),
-    "media_gated_loudness" -> ((s, dir) => {
-      val w = ops.MediaOps.windowSquares(
-        ops.MediaOps.synth(mediaMeta(s, dir)), winLen = 512)
-      val tot = w.groupBy("media_id")
-        .agg(count(lit(1)).as("n_win"), sum("sq_sum").as("tot_sq"))
-      w.join(tot, "media_id")
-        .filter(col("sq_sum") * col("n_win") >= col("tot_sq"))
-        .groupBy("media_id", "n_win", "tot_sq")
-        .agg(count(lit(1)).as("n_gated"), sum("sq_sum").as("gated_sum"))
-        .withColumn("gated_mean_q", expr("gated_sum div n_gated"))
-        .select("media_id", "n_win", "n_gated", "tot_sq", "gated_sum",
-          "gated_mean_q")
-        .orderBy("media_id")
-    }),
-    // A/V alignment by integer cross-correlation: the second track is the
-    // first's window-energy sequence shifted by the per-media true lag
-    // (media_id % 5 − 2); xc(L) = Σ a(w)·b(w+L) over lags −4..4 in exact
-    // integers, argmax per media recovers −lag. The sync-offset estimator
-    // of multimodal ingest, as one lag-literal fanout + ONE media-keyed
-    // equi-join (never a window-by-window driver loop).
-    "media_av_offset" -> ((s, dir) => {
-      import s.implicits._
-      val a = ops.MediaOps.windowSquares(
-          ops.MediaOps.synth(mediaMeta(s, dir)), winLen = 512)
-        .select(col("media_id"), col("win_no"), col("sq_sum").as("sq"))
-        .localCheckpoint(false)
-      val b = a.selectExpr("media_id",
-        "win_no - (media_id % 5 - 2) AS wb", "sq AS sqb")
-      val lags = (-4L to 4L).toSeq.toDF("lag")
-      val probe = a.crossJoin(broadcast(lags))
-        .select(col("media_id"), col("lag"), col("sq"),
-          (col("win_no") + col("lag")).as("wb"))
-      probe.join(b, Seq("media_id", "wb"))
-        .groupBy("media_id", "lag")
-        .agg(sum(col("sq") * col("sqb")).as("xc"),
-          count(lit(1)).as("n_overlap"))
-        .withColumn("rn", row_number().over(Window.partitionBy("media_id")
-          .orderBy(col("xc").desc, col("lag"))))
-        .filter(col("rn") === 1)
-        .select(col("media_id"), col("lag").as("best_lag"), col("xc"),
-          col("n_overlap"))
-        .orderBy("media_id")
-    }),
-    // VAD segment merging (ops.MediaOps.activeSegments): per-window
-    // activity decisions (closed-form gate: (m·131 + w·37) % 97 < 40)
-    // coalesced into utterance spans with a 1-window hangover — silence
-    // filtered BEFORE the shuffle, one media-keyed window + groupBy. The
-    // window ordinals come from the same synthetic byte stream as
-    // media_window_rms (n_bytes/64 windows per medium).
-    "media_active_segments" -> ((s, dir) => {
-      val wins = mediaMeta(s, dir)
-        .select(col("media_id"), explode(sequence(lit(0L),
-          expr("CAST(n_bytes DIV 64 AS BIGINT) - 1"))).as("win_no"))
-        .withColumn("active",
-          expr("CASE WHEN (media_id*131 + win_no*37) % 97 < 40 THEN 1 ELSE 0 END"))
-      ops.MediaOps.activeSegments(wins, gap = 1)
-        .orderBy("media_id", "seg_no")
-    }),
-    // Shot-boundary detection (ops.MediaOps.sceneCuts): luminance-jump
-    // cuts over the sampled frame stream — decode-side features into one
-    // media_id window; binary payloads never shuffle.
-    "media_scene_cut" -> ((s, dir) => {
-      ops.MediaOps.sceneCuts(ops.MediaOps.synth(mediaMeta(s, dir)),
-          everyMs = 500L, threshold = 40L)
-        .orderBy("media_id", "ts_ms")
-    }),
-    "img_stats" -> ((s, dir) => {
-      ops.ImageOps.decodeStats(gateTiles(s, "png")).orderBy("image_id")
-    }),
-    // Raster change detection (ops.ImageOps.changeStats): two epochs of
-    // the tile store — the curvy field vs the smooth plane — joined on
-    // tile key and diffed pairwise; only 5-integer stats rows leave the
-    // operator. The raster<->raster join next to J4's raster<->vector.
-    "geo_elev_diff" -> ((s, dir) => {
-      import s.implicits._
-      val corners = Seq((-120, 36), (-120, 37), (-119, 36), (-119, 37),
-        (-118, 36), (-117, 37))
-      val epochA = s.createDataset(TileGen.tiles(corners, 601, "hgt"))
-      val epochB = s.createDataset(corners.map { case (lng, lat) =>
-        TileGen.tileRow(lng, lat, 601, "hgt", TileGen.planeAt) })
-      ops.ImageOps.changeStats(epochA, epochB, threshold = 600)
-        .orderBy("image_id")
-    }),
-    // Blockwise joint moments of the two epochs (ops.ImageOps.nccBlocks):
-    // the NCC/SSIM sufficient statistics (n, Σa, Σb, Σa², Σb², Σab) per
-    // 100×100 window — change LOCALIZATION next to geo_elev_diff's
-    // whole-tile verdict; exact integers, decode-once, pixels never
-    // shuffle.
-    "img_ncc_blocks" -> ((s, dir) => {
-      import s.implicits._
-      val corners = Seq((-120, 36), (-120, 37), (-119, 36), (-119, 37),
-        (-118, 36), (-117, 37))
-      val epochA = s.createDataset(TileGen.tiles(corners, 601, "hgt"))
-      val epochB = s.createDataset(corners.map { case (lng, lat) =>
-        TileGen.tileRow(lng, lat, 601, "hgt", TileGen.planeAt) })
-      ops.ImageOps.nccBlocks(epochA, epochB, block = 100)
-        .orderBy("image_id", "py", "px")
-    }),
-    // Walsh–Hadamard 8×8 block-transform energy census
-    // (ops.ImageOps.whtEnergy): per-coefficient signed block sums squared
-    // — the integer-exact DCT-energy stand-in (compressibility read: low
-    // AC ⇒ gradients, high AC ⇒ texture/noise). Decode-once, zero
-    // shuffle; the oracle replays every signed pixel (parity of cu&i via
-    // bit sums).
-    "img_wht_energy" -> ((s, dir) => {
-      ops.ImageOps.whtEnergy(gateTiles(s, "png"),
-          Seq((0, 1), (1, 0), (1, 1), (2, 2)))
-        .orderBy("image_id", "cu", "cv")
-    }),
-    // Cross-tile seam audit (ops.ImageOps.tileSeams): east edge column vs
-    // the east neighbor's west edge column per adjacent pair — the mosaic
-    // mis-registration QA (nominally shared seam columns). Only edge
-    // vectors leave the decode; stats are codegen'd zip_with/aggregate
-    // HOFs. The oracle replays both edges closed-form (3r cancels).
-    "img_tile_seams" -> ((s, dir) => {
-      ops.ImageOps.tileSeams(gateTiles(s))
-        .orderBy("seam_lng", "seam_lat")
-    }),
-    // Best-epoch block compositing (ops.ImageOps.bestEpoch): per aligned
-    // 100×100 block the epoch with higher total-variation detail wins
-    // (epoch A on ties) — the cloud-free-mosaic / focus-stack selection
-    // rule; one selection-rollup row per image. Decode-once per pair, ONE
-    // image_id equi-join; the oracle replays every neighbor-pair |Δ| from
-    // the two closed-form fields (the base offset cancels in differences).
-    "img_best_epoch" -> ((s, dir) => {
-      import s.implicits._
-      val corners = Seq((-120, 36), (-120, 37), (-119, 36), (-119, 37),
-        (-118, 36), (-117, 37))
-      val epochA = s.createDataset(TileGen.tiles(corners, 601, "hgt"))
-      val epochB = s.createDataset(corners.map { case (lng, lat) =>
-        TileGen.tileRow(lng, lat, 601, "hgt", TileGen.planeAt) })
-      ops.ImageOps.bestEpoch(epochA, epochB, block = 100)
-        .orderBy("image_id")
-    }),
-    // Per-block SSIM between two raster epochs — the perceptual
-    // change/fidelity measure next to img_ncc_blocks' correlation (SSIM
-    // multiplies a luminance term by a contrast+structure term, so a
-    // brightness shift and a texture change score differently). The four
-    // factors are EXACT integers over the same block moments nccBlocks
-    // already emits (everything ×n² so no division: num1 = 2·Sa·Sb + c1n²,
-    // num2 = 2·(n·Sab − Sa·Sb) + c2n², den1 = Sa² + Sb² + c1n², den2 =
-    // n·var_a + n·var_b + c2n²); only the final ratio is float — one IEEE
-    // product/division chain both engines replay bit-for-bit, floored to
-    // ppm. c1 = 1677·n², c2 = 15099·n² (the classic (0.01L)²/(0.03L)²
-    // at L = 4095, integer-floored).
-    "img_ssim_blocks" -> ((s, dir) => {
-      import s.implicits._
-      val corners = Seq((-120, 36), (-120, 37), (-119, 36), (-119, 37),
-        (-118, 36), (-117, 37))
-      val epochA = s.createDataset(TileGen.tiles(corners, 601, "hgt"))
-      val epochB = s.createDataset(corners.map { case (lng, lat) =>
-        TileGen.tileRow(lng, lat, 601, "hgt", TileGen.planeAt) })
-      ops.ImageOps.nccBlocks(epochA, epochB, block = 100)
-        .withColumn("num1", expr("2L*sa*sb + 167700000000L"))
-        .withColumn("num2", expr("2L*(n_px*sab - sa*sb) + 1509900000000L"))
-        .withColumn("den1", expr("sa*sa + sb*sb + 167700000000L"))
-        .withColumn("den2", expr(
-          "(n_px*saa - sa*sa) + (n_px*sbb - sb*sb) + 1509900000000L"))
-        .withColumn("ssim_ppm", expr(
-          """CAST(FLOOR(CAST(num1 AS DOUBLE) * CAST(num2 AS DOUBLE)
-             / (CAST(den1 AS DOUBLE) * CAST(den2 AS DOUBLE)) * 1000000.0D) AS BIGINT)"""))
-        .select("image_id", "py", "px", "num1", "num2", "den1", "den2", "ssim_ppm")
-        .orderBy("image_id", "py", "px")
-    }),
-    // Image REGISTRATION (ops.ImageOps.cornerMatch): epoch B is epoch A
-    // translated by (2, 3); FAST corners + 32-bit circle descriptors
-    // equi-join across epochs (bucketed by descriptor, never all-pairs)
-    // and vote for their displacement — the mode recovers the true shift.
-    "img_register" -> ((s, dir) => {
-      import s.implicits._
-      val corners = Seq((-120, 36), (-120, 37), (-119, 36), (-119, 37),
-        (-118, 36), (-117, 37))
-      val epochA = s.createDataset(TileGen.tiles(corners, 601, "hgt"))
-      val epochB = s.createDataset(corners.map { case (lng, lat) =>
-        TileGen.tileRow(lng, lat, 601, "hgt",
-          (sw, sl, r, c) => TileGen.sampleAt(sw, sl, r + 2, c + 3)) })
-      ops.ImageOps.cornerMatch(epochA, epochB, t = 2).orderBy("image_id")
-    }),
-    // Change-detection confusion matrix (ops.ImageOps.crosstab): pixels
-    // counted per (zone_a, zone_b) over the width-512 quantization of the
-    // two epochs — which class became which, the summary a per-pixel diff
-    // can't express. Keyed pair join, kernel-side counting, zones² rows.
-    "zonal_crosstab" -> ((s, dir) => {
-      import s.implicits._
-      val corners = Seq((-120, 36), (-120, 37), (-119, 36), (-119, 37),
-        (-118, 36), (-117, 37))
-      val epochA = s.createDataset(TileGen.tiles(corners, 601, "hgt"))
-      val epochB = s.createDataset(corners.map { case (lng, lat) =>
-        TileGen.tileRow(lng, lat, 601, "hgt", TileGen.planeAt) })
-      ops.ImageOps.crosstab(epochA, epochB, binWidth = 512)
-        .orderBy("image_id", "zone_a", "zone_b")
-    }),
-    // Variance-of-Laplacian focus measure (ops.ImageOps.blurStats): the
-    // standard blur filter of image curation, exact integer moments so the
-    // sharpness ranking needs no float division. Decode-once, zero shuffle.
-    "img_blur" -> ((s, dir) => {
-      ops.ImageOps.blurStats(gateTiles(s, "png")).orderBy("image_id")
-    }),
-    // Sobel gradient energy (ops.ImageOps.sobelStats): the edge-content /
-    // texture measure beside the blur filter — exact integer Gx/Gy moments
-    // per image, Gy's sign pinning the south-first decode orientation.
-    // Decode-once, zero shuffle; the oracle replays both kernels over the
-    // closed-form field.
-    "img_sobel" -> ((s, dir) => {
-      ops.ImageOps.sobelStats(gateTiles(s, "png")).orderBy("image_id")
-    }),
-    // ViT-style patch extraction (ops.ImageOps.patchify): each grid cut
-    // into non-overlapping 100×100 patches, one row per patch with exact
-    // integer moments (ragged 601st row/col dropped by the grid contract).
-    // Decode-once, zero shuffle; the oracle recomputes every patch moment
-    // from the closed-form field.
-    "img_patchify" -> ((s, dir) => {
-      ops.ImageOps.patchify(gateTiles(s, "png"), patch = 100)
-        .orderBy("image_id", "py", "px")
-    }),
-    // Per-image luminance histogram (width-256 bins): the exposure profile
-    // for degenerate-image filtering; decode-once, zero shuffle.
-    "img_histogram" -> ((s, dir) => {
-      ops.ImageOps.histogram(gateTiles(s, "png"), width = 256)
-        .orderBy("image_id", "bin")
-    }),
-    // Per-image Otsu threshold (ops.ImageOps.otsu): argmax of the floored
-    // exact between-class-variance objective over width-64 bins — the
-    // binarization / degenerate-image split with NO float in the decision
-    // path (BigInt here, int128 in the oracle). Decode-once, zero shuffle.
-    "img_otsu" -> ((s, dir) => {
-      ops.ImageOps.otsu(gateTiles(s, "png"), width = 64).orderBy("image_id")
-    }),
-    // Haralick texture moments (ops.ImageOps.glcm): per-image exact-integer
-    // co-occurrence moments at offset (0,1) over width-64 gray levels —
-    // contrast/correlation/homogeneity numerators with no float anywhere.
-    // Decode-once, zero shuffle.
-    "img_glcm" -> ((s, dir) => {
-      ops.ImageOps.glcm(gateTiles(s, "png"), binWidth = 64).orderBy("image_id")
-    }),
-    // 3x3 box morphology census (ops.ImageOps.morph): foreground/eroded/
-    // dilated counts + morphological gradient over the >=2000 binarization,
-    // border-clipped SE computed separably — the oracle replays the two
-    // window passes. Decode-once, zero shuffle.
-    "img_morph" -> ((s, dir) => {
-      ops.ImageOps.morph(gateTiles(s, "png"), thr = 2000).orderBy("image_id")
-    }),
-    // Perimeter + isoperimetric compactness of the >=3600 mask
-    // (ops.ImageOps.perimeter): exposed-edge count (border counts) and
-    // 16e6·A div P² — a solid square scores exactly 10⁶, filaments far
-    // less; the blob-vs-streak mask QA number next to img_morph's
-    // area-based gradient. Pure integers, decode-once, zero shuffle.
-    "img_perimeter" -> ((s, dir) => {
-      ops.ImageOps.perimeter(gateTiles(s, "png"), thr = 3600)
-        .orderBy("image_id")
-    }),
-    // Euler characteristic census (ops.ImageOps.eulerCensus): Gray's padded
-    // 2x2 quad counts over the >=2000 binarization — components − holes as
-    // exact integers, the topology-grade noise/structure discriminator.
-    // Decode-once, zero shuffle; the oracle replays the padded quad scan
-    // from the closed-form corners.
-    "img_euler" -> ((s, dir) => {
-      ops.ImageOps.eulerCensus(gateTiles(s, "png"), thr = 2000)
-        .orderBy("image_id")
-    }),
-    // Run-length census (ops.ImageOps.rle): horizontal + vertical maximal
-    // foreground runs over the >=2000 binarization — count, longest, Σlen²
-    // per axis, the directional-coherence / compressibility screen. The
-    // oracle replays the run structure with lag-window run-starts and a
-    // cumulative run id per scanline. Decode-once, zero shuffle.
-    "img_rle" -> ((s, dir) => {
-      ops.ImageOps.rle(gateTiles(s, "png"), thr = 2000).orderBy("image_id")
-    }),
-    // Axis projection profiles (ops.ImageOps.projections): 0°/90° Radon
-    // moments — per-axis (argmax, max, Σprofile²) plus total mass, the
-    // banding/skew detector. Decode-once, zero shuffle; the oracle
-    // replays both profiles as GROUP BYs with QUALIFY argmax.
-    "img_projections" -> ((s, dir) => {
-      ops.ImageOps.projections(gateTiles(s, "png")).orderBy("image_id")
-    }),
-    // FAST-12 corner census (ops.ImageOps.fastCorners): Rosten–Drummond
-    // segment test over the radius-3 Bresenham circle — ≥12 CONTIGUOUS
-    // circle pixels all ≥ center+t (or all ≤ center−t), contiguity by the
-    // doubled-mask bit trick, pure integers end to end. The keypoint-
-    // density screen of image curation (texture scores, flat fills don't).
-    // Decode-once, zero shuffle; the oracle replays every circle pixel
-    // from the closed form and the same mask arithmetic in SQL.
-    "img_fast_corners" -> ((s, dir) => {
-      ops.ImageOps.fastCorners(gateTiles(s, "png"), t = 2).orderBy("image_id")
-    }),
-    // Harris corner census (ops.ImageOps.harris): the STRUCTURE-TENSOR
-    // detector next to FAST's segment test — per 2×2 interior block the
-    // Sobel tensor (Σgx², Σgy², Σgx·gy) and the integer-scaled response
-    // R₁₆ = 16·det − trace² (k = 1/16, sign/argmax preserved, no float in
-    // the decision path). Corner count + exact max response + its argmax
-    // block; positives localize the planted 8×8 quantization lattice.
-    // Decode-once, zero shuffle; the oracle replays every block tensor.
-    "img_harris" -> ((s, dir) => {
-      ops.ImageOps.harris(gateTiles(s, "png")).orderBy("image_id")
-    }),
-    // Second-order moment ellipse (ops.ImageOps.momentEllipse): exact
-    // central moments mu20/mu02/mu11 of the intensity mass (BigInt
-    // numerators, trunc-div by Σv), a trig-free orientation quadrant from
-    // (sign μ11, sign μ20−μ02), and the elongation number
-    // (μ20−μ02)²+4μ11² div 2^40 — the blob-orientation / registration
-    // prior next to img_register. Decode-once, zero shuffle; the oracle
-    // replays the moments in HUGEINT from the closed-form grid.
-    "img_ellipse" -> ((s, dir) => {
-      ops.ImageOps.momentEllipse(gateTiles(s, "png")).orderBy("image_id")
-    }),
-    // Block-pooled min-seam DP (ops.ImageOps.seamEnergy): horizontal
-    // total-variation pooled to a 20×20 block grid, then the seam-carving
-    // recurrence d(r,c) = e(r,c) + min(d(r−1, c−1..c+1)) — the cheapest
-    // low-detail corridor, exact integers, smallest-column tie-break.
-    // Decode-once, zero shuffle; the oracle unrolls the 19 DP rounds.
-    "img_seam" -> ((s, dir) => {
-      ops.ImageOps.seamEnergy(gateTiles(s, "png"), block = 30)
-        .orderBy("image_id")
-    }),
-    // Projection-profile deskew estimate (ops.ImageOps.deskew, Postl's
-    // method): per integer shear candidate s ∈ [-3, 3] the energy Σp² of
-    // the sheared row-projection (bucket = ((r+3)·size + s·c) div size,
-    // offset keeps the numerator non-negative so trunc = floor on both
-    // engines); the skew estimate is the argmax shear, flat_score (s = 0)
-    // alongside for the alignment-gain read. The scanned-page ingest step
-    // before OCR/layout. Decode-once, zero shuffle; the oracle replays
-    // every sheared bucket from the closed-form grid.
-    "img_deskew" -> ((s, dir) => {
-      ops.ImageOps.deskew(gateTiles(s, "png"), maxShear = 3)
-        .orderBy("image_id")
-    }),
-    // Radial intensity profile (ops.ImageOps.radialProfile): n_px + exact
-    // Σv per squared-distance ring about the centre — the vignetting /
-    // centre-bias audit; squared-bucket rings, no sqrt, 20 rows/image.
-    "img_radial" -> ((s, dir) => {
-      ops.ImageOps.radialProfile(gateTiles(s, "png"), ringDiv = 9000L,
-          nRings = 20)
-        .orderBy("image_id", "ring")
-    }),
-    // Level-1 Haar wavelet subband census (ops.ImageOps.haar): ΣLL + per-
-    // subband detail energies (Σ LH², HL², HH²) over non-overlapping 2×2
-    // blocks, pure integers — the approximation-vs-detail energy split
-    // that separates compressible smooth content from texture and noise
-    // (the one-level DWT every multiresolution codec starts with).
-    // Decode-once, zero shuffle; the oracle replays every block from the
-    // closed-form field.
-    "img_haar" -> ((s, dir) => {
-      ops.ImageOps.haar(gateTiles(s, "png")).orderBy("image_id")
-    }),
-    // Local-binary-pattern census (ops.ImageOps.lbp): 8-neighbor ≥-code
-    // per interior pixel, histogrammed over the 256 codes — the classic
-    // micro-texture signature (flat → one code, gradients → a handful,
-    // texture spreads the histogram). Decode-once, zero shuffle, ≤256
-    // rows/image; the oracle replays every neighborhood from the closed
-    // form.
-    "img_lbp" -> ((s, dir) => {
-      ops.ImageOps.lbp(gateTiles(s, "png")).orderBy("image_id", "code")
-    }),
-    // Gradient-orientation census (ops.ImageOps.orientHist — the HOG
-    // binning step with NO trig): central differences assigned to 8
-    // half-open octants by pure sign/|gx|-vs-|gy| comparisons + a flat
-    // bucket, Σ(gx²+gy²) per sector — the banding/scan-artifact
-    // discriminator. Decode-once, zero shuffle; the oracle replays every
-    // pixel's comparisons.
-    // Block HOG census (ops.ImageOps.hogBlocks): the orientation octant
-    // histogram + exact gradient energy per 4×4 spatial block — the
-    // block-local structure descriptor; same trig-free octant ladder as
-    // img_orient_hist, two more GROUP BY keys in the oracle.
-    "img_hog" -> ((s, dir) => {
-      ops.ImageOps.hogBlocks(gateTiles(s, "png"))
-        .orderBy("image_id", "br", "bc", "sector")
-    }),
-    "img_orient_hist" -> ((s, dir) => {
-      ops.ImageOps.orientHist(gateTiles(s, "png"))
-        .orderBy("image_id", "sector")
-    }),
-    // Bit-plane population census (ops.ImageOps.bitPlanes): per-bit set
-    // counts over all samples — the randomness-vs-structure screen (noise
-    // planes sit near 50%, structural planes skew). Pure bit arithmetic,
-    // decode-once, zero shuffle, 12 rows/image.
-    "img_bit_planes" -> ((s, dir) => {
-      ops.ImageOps.bitPlanes(gateTiles(s, "png"), planes = 12)
-        .orderBy("image_id", "plane")
-    }),
-    // Multiresolution roughness pyramid (ops.ImageOps.roughnessPyramid):
-    // per-depth Σ(block max−min) + worst block over 1/4/16/64 blocks —
-    // the quadtree-splitting / adaptive-compression heuristic as a
-    // queryable profile. Exact integer min/max, decode-once, zero
-    // shuffle; the oracle replays each depth as a block-grid GROUP BY.
-    "img_roughness" -> ((s, dir) => {
-      ops.ImageOps.roughnessPyramid(gateTiles(s, "png"), depths = 4)
-        .orderBy("image_id", "depth")
-    }),
-    // Summed-area-table box sums (ops.ImageOps.integralBoxSums): one O(n)
-    // integral-image pass, 16 deterministic boxes answered in O(1) each by
-    // the 4-corner identity — the box-filter/Viola–Jones primitive. The
-    // oracle recomputes every box as a grid-range GROUP BY, so a green row
-    // proves the SAT arithmetic end to end.
-    "img_integral_box" -> ((s, dir) => {
-      ops.ImageOps.integralBoxSums(gateTiles(s, "png"), nBoxes = 16)
-        .orderBy("image_id", "box_id")
-    }),
-    // Laplacian-pyramid residual energy (ops.ImageOps.laplacianPyramid):
-    // per-level Σ(4·g − blocksum)² — deviation from the 2×2 block mean
-    // scaled by 4 so every value stays an exact integer; 3 levels.
-    "img_laplacian" -> ((s, dir) => {
-      ops.ImageOps.laplacianPyramid(gateTiles(s, "png"), levels = 3)
-        .orderBy("image_id", "level")
-    }),
-    // Border-vs-interior contrast (ops.ImageOps.borderContrast): 8-px
-    // frame ring vs interior mean gap in exact milli-units — the
-    // letterbox / padding / watermark-frame detector.
-    "img_border" -> ((s, dir) => {
-      ops.ImageOps.borderContrast(gateTiles(s, "png"), frame = 8)
-        .orderBy("image_id")
-    }),
-    // Adaptive local-mean threshold census (ops.ImageOps.adaptiveThreshold):
-    // 225·v vs 15×15 SAT box sum (division-free), interior pixels only;
-    // n_fg + contrast excess mass per image.
-    "img_adaptive_thresh" -> ((s, dir) => {
-      ops.ImageOps.adaptiveThreshold(gateTiles(s, "png"))
-        .orderBy("image_id")
-    }),
-    // Adaptive quadtree leaves (ops.ImageOps.quadtreeLeaves): the actual
-    // split decisions at thr=770 — the synthetic field's depth-2 block
-    // ranges straddle the threshold (745..776), so the tree genuinely
-    // mixes depth-2 leaves with depth-3 refinements. Oracle walks the
-    // ancestor chain over per-depth block ranges.
-    "img_quadtree" -> ((s, dir) => {
-      ops.ImageOps.quadtreeLeaves(gateTiles(s, "png"), thr = 770L,
-          maxDepth = 3)
-        .orderBy("image_id", "depth", "br", "bc")
-    }),
-    // CUT/FILL earthworks rollup (ops.ImageOps.cutFill): epoch B is a
-    // tilted plane +900, so the signed difference genuinely changes sign
-    // across each tile; per 4×4 zone the split cut/fill/net volumes on the
-    // stride-10 lattice — what geo_elev_diff's net number hides.
-    "zonal_cutfill" -> ((s, dir) => {
-      import s.implicits._
-      val corners = Seq((-120, 36), (-120, 37), (-119, 36), (-119, 37),
-        (-118, 36), (-117, 37))
-      val epochA = s.createDataset(TileGen.tiles(corners, 601, "hgt"))
-      val epochB = s.createDataset(corners.map { case (lng, lat) =>
-        TileGen.tileRow(lng, lat, 601, "hgt",
-          (sw, sl, r, c) => (TileGen.planeAt(sw, sl, r, c) + 900).toShort) })
-      ops.ImageOps.cutFill(epochA, epochB)
-        .orderBy("image_id", "zr", "zc")
-    }),
-    // Center-surround SALIENCY census (difference-of-box-means, exact by
-    // cross-multiplication: |s3/9 − s9/81| ≥ t ⇔ |9·s3 − s9| ≥ 81·t): the
-    // attention/figure-ground screen; integer box sums on the stride-6
-    // lattice, threshold 2000 in the cross-multiplied units.
-    "img_saliency" -> ((s, dir) => {
-      import s.implicits._
-      val tiles = gateTiles(s, "png")
-      tiles.mapPartitions { it =>
-        it.map { tl =>
-          val d = graft.core.TileCodec.decode(tl)
-          val size = d.size
-          var nPts = 0L; var nSal = 0L; var sumM = 0L; var maxM = 0L
-          var i = 1
-          while (i < 100) {
-            var j = 1
-            while (j < 100) {
-              val r = i * 6; val c = j * 6
-              var s3 = 0L; var s9 = 0L
-              var dr = -4
-              while (dr <= 4) {
-                var dc = -4
-                while (dc <= 4) {
-                  val v = d.samples((r + dr) * size + (c + dc)).toLong
-                  s9 += v
-                  if (dr >= -1 && dr <= 1 && dc >= -1 && dc <= 1) s3 += v
-                  dc += 1
-                }
-                dr += 1
-              }
-              val m = math.abs(9L * s3 - s9)
-              nPts += 1
-              if (m >= 2000L) nSal += 1
-              sumM += m
-              if (m > maxM) maxM = m
-              j += 1
-            }
-            i += 1
-          }
-          (tl.image_id, nPts, nSal, sumM, maxM)
-        }
-      }.toDF("image_id", "n_pts", "n_salient", "sum_m", "max_m")
-        .orderBy("image_id")
-    }),
-    // 3×3 median-filter census (ops.ImageOps.medianDenoiseStats): exact
-    // integer median-of-9 vs the pixel — the salt-and-pepper screening
-    // stats. Oracle sorts the 9 closed-form neighbour values per pixel
-    // (list_sort[5]).
-    "img_median" -> ((s, dir) => {
-      ops.ImageOps.medianDenoiseStats(gateTiles(s, "png"))
-        .orderBy("image_id")
-    }),
-    // Kuwahara edge-preserving smoothing census (ops.ImageOps
-    // .kuwaharaStats): per interior pixel the min-variance 3×3 quadrant of
-    // the 5×5 window wins (exact 9·Σx²−(Σx)² comparison, ties to lowest
-    // index) and contributes its floor-mean — per-quadrant pick counts +
-    // smoothing energy per image. Two integral images, O(1) per quadrant,
-    // zero shuffle.
-    "img_kuwahara" -> ((s, dir) => {
-      ops.ImageOps.kuwaharaStats(gateTiles(s, "png"))
-        .orderBy("image_id")
-    }),
-    // Gradient structure tensor per ~100² block (ops.ImageOps
-    // .structureTensor): integer central differences, second moments and
-    // the (λ₁−λ₂)² coherence numerator — the orientation/striping QA next
-    // to img_sobel's magnitude census. Decode-once, zero shuffle.
-    "img_structure_tensor" -> ((s, dir) => {
-      ops.ImageOps.structureTensor(gateTiles(s, "png"))
-        .orderBy("image_id", "py", "px")
-    }),
-    // Ordered Bayer-dither census (ops.ImageOps.bayerDither): 1-bit
-    // halftone ON-counts per closed-form B₈ threshold cell — 64 rows per
-    // image, decode-once, zero shuffle; the oracle replays the matrix
-    // arithmetically (bit dilation, no table).
-    "img_bayer_dither" -> ((s, dir) => {
-      ops.ImageOps.bayerDither(gateTiles(s, "png"))
-        .orderBy("image_id", "bcell")
-    }),
-    // Decimation-bias audit (ops.ImageOps.downsampleBias): stride-2 pick
-    // vs 2×2 floor-mean per output pixel over 2 cascaded pyramid levels —
-    // the aliasing energy a naive pyramid injects; the resampling QA next
-    // to tile_pyramid's materialization.
-    "img_downsample_bias" -> ((s, dir) => {
-      ops.ImageOps.downsampleBias(gateTiles(s, "png"), levels = 2)
-        .orderBy("image_id", "level")
-    }),
-    // Self-intersection census: proper crossings between non-adjacent walk
-    // segments by the 4-orientation integer test — the GPS loop /
-    // corrupted-track read; pair join key-bounded per trajectory.
-    "traj_self_cross" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val seg = t(s, dir, "events").filter(col("user_id") < 50)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          ((col("event_id") % 7) +
-            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
-          ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("px", sum("dx").over(w))
-        .withColumn("py", sum("dy").over(w))
-        .withColumn("seq", row_number().over(w).cast("long"))
-        .withColumn("ppx", lag("px", 1).over(w))
-        .withColumn("ppy", lag("py", 1).over(w))
-        .filter(col("ppx").isNotNull)
-        .selectExpr("user_id AS traj_id", "seq", "ppx AS x1", "ppy AS y1",
-          "px AS x2", "py AS y2")
-      val j = seg.as("a").join(seg.as("b"),
-          col("a.traj_id") === col("b.traj_id") &&
-            col("b.seq") > col("a.seq") + 1)
-        .withColumn("d1", expr(
-          "(a.x2 - a.x1) * (b.y1 - a.y1) - (a.y2 - a.y1) * (b.x1 - a.x1)"))
-        .withColumn("d2", expr(
-          "(a.x2 - a.x1) * (b.y2 - a.y1) - (a.y2 - a.y1) * (b.x2 - a.x1)"))
-        .withColumn("d3", expr(
-          "(b.x2 - b.x1) * (a.y1 - b.y1) - (b.y2 - b.y1) * (a.x1 - b.x1)"))
-        .withColumn("d4", expr(
-          "(b.x2 - b.x1) * (a.y2 - b.y1) - (b.y2 - b.y1) * (a.x2 - b.x1)"))
-        .withColumn("crossing",
-          expr("CASE WHEN d1 * d2 < 0 AND d3 * d4 < 0 THEN 1 ELSE 0 END"))
-      val ns = seg.groupBy(col("traj_id")).agg(count(lit(1)).as("n_seg"))
-      j.groupBy(col("a.traj_id").as("traj_id"))
-        .agg(count(lit(1)).as("n_pairs"),
-          sum("crossing").as("n_crossings"))
-        .join(ns, Seq("traj_id"))
-        .select("traj_id", "n_seg", "n_pairs", "n_crossings")
-        .orderBy("traj_id")
-    }),
-    // Recency-decayed user score with INTEGER half-life: spend shifted
-    // right one bit per week of age relative to the corpus high-water day
-    // — exact bitwise exponential decay, no floats; the CRM scoring read
-    // next to events_rfm.
-    "events_decay_score" -> ((s, dir) => {
-      val ev = t(s, dir, "events").select(col("user_id"),
-        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
-        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000")
-          .as("eday"))
-      val mx = ev.agg(max("eday").as("mxd"))
-      ev.crossJoin(broadcast(mx))
-        .withColumn("k", expr("CAST((mxd - eday) DIV 7 AS INT)"))
-        .withColumn("dec", expr("shiftright(cents, k)"))
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n"), sum("cents").as("raw_cents"),
-          sum("dec").as("decayed_cents"))
-        .orderBy("user_id")
-    }),
-    // Per-language corpus profile: docs, words, chars, source spread and
-    // the milli chars-per-doc density — the first read of a multilingual
-    // mix, off the so-far-unused lang column.
-    "text_lang_profile" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(expr("size(split(text, ' '))")).cast("long").as("n_words"),
-          sum("n_chars").as("sum_chars"),
-          countDistinct("source").as("n_sources"))
-        .withColumn("chars_per_doc_milli",
-          expr("sum_chars * 1000 DIV n_docs"))
-        .orderBy("lang")
-    }),
-    // Does the quality score just measure length? Exact Pearson moments
-    // between the milli-quantized score and n_chars over all docs — the
-    // filter-bias audit a curation pipeline runs before trusting its
-    // quality gate. One row, pure integers.
-    "curation_quality_corr" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(ops.TextDedup.qualityScore(col("text")).as("q"),
-          col("n_chars"))
-        .select(expr("CAST(round(q * 1000) AS BIGINT)").as("x"),
-          col("n_chars").as("y"))
-        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
-          sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
-          sum(expr("y * y")).as("syy"))
-        .withColumn("corr_num", expr("n * sxy - sx * sy"))
-        .withColumn("var_x_num", expr("n * sxx - sx * sx"))
-        .withColumn("var_y_num", expr("n * syy - sy * sy"))
-    }),
-    // Multiset set-op surface: EXCEPT ALL / INTERSECT ALL vs distinct
-    // EXCEPT over bucketed keys — the bag semantics reconciliation counts.
-    "q_setops_all" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val a = ev.filter(expr("ts < timestamp'2024-01-16'"))
-        .select((col("user_id") % 100).as("k"))
-      val b = ev.filter(expr("ts >= timestamp'2024-01-16'"))
-        .select((col("user_id") % 100).as("k"))
-      a.exceptAll(b).agg(count(lit(1)).as("n_except_all"))
-        .crossJoin(a.except(b).agg(count(lit(1)).as("n_except_distinct")))
-        .crossJoin(a.intersectAll(b)
-          .agg(count(lit(1)).as("n_intersect_all")))
-    }),
-    // Intervisibility matrix over the row-300 terrain profile: station
-    // pairs see each other iff NO between-sample rises strictly above the
-    // chord — the cross-multiplied integer line-of-sight test (the 1-D
-    // core of viewshed networks / radio-link planning).
-    "geo_intervisibility" -> ((s, dir) => {
-      val prof = ops.ImageOps.rowProfile(gateTiles(s, "png"), row = 300)
-        .filter(col("image_id") === "N36W120")
-      val st = prof.filter(col("c") % 50 === 0 && col("c") > 0 &&
-        col("c") <= 500)
-      val pairs = st.select(col("c").as("ca"), col("v").as("va"))
-        .join(st.select(col("c").as("cb"), col("v").as("vb")),
-          col("ca") < col("cb"))
-      pairs.join(prof.select(col("c"), col("v")),
-          col("c") > col("ca") && col("c") < col("cb"))
-        .withColumn("above",
-          expr("v * (cb - ca) > va * (cb - c) + vb * (c - ca)"))
-        .groupBy("ca", "cb", "va", "vb")
-        .agg(count(lit(1)).as("n_between"),
-          sum(when(col("above"), 1L).otherwise(0L)).as("n_above"))
-        .withColumn("visible", col("n_above") === 0L)
-        .orderBy("ca", "cb")
-    }),
-    // Keystone/skew audit (ops.ImageOps.keystone): row-centroid drift
-    // slope numerators — the rectification QA next to img_deskew's
-    // projection-profile angle.
-    "img_keystone" -> ((s, dir) => {
-      ops.ImageOps.keystone(gateTiles(s, "png")).orderBy("image_id")
-    }),
-    // Duplication-rate-by-length audit: is the dedup candidate graph
-    // biased toward long documents? Docs bucketed by 20-word bands,
-    // flagged if they appear in ANY MinHash candidate pair.
-    "dedup_length_bias" -> ((s, dir) => {
-      val corpus = dedupCorpus(s, dir)
-      val pairs = ops.TextDedup.minhashPairs(corpus)
-      val duped = pairs.selectExpr("doc_a AS doc_id")
-        .union(pairs.selectExpr("doc_b AS doc_id")).distinct()
-        .withColumn("is_dup", lit(1L))
-      corpus
-        .withColumn("len_bucket",
-          expr("size(split(text, ' ')) DIV 20").cast("int"))
-        .join(duped, Seq("doc_id"), "left")
-        .groupBy("len_bucket")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(coalesce(col("is_dup"), lit(0L))).as("n_duped"))
-        .withColumn("rate_ppm", expr("n_duped * 1000000 DIV n_docs"))
-        .orderBy("len_bucket")
-    }),
-    // Fade-in/out detection: the strictly-monotone energy prefix/suffix
-    // lengths over the 128-sample windows — the ramp QA of an audio
-    // mastering check; one lag/lead window per asset.
-    "media_fades" -> ((s, dir) => {
-      val wseq = ops.MediaOps.windowSquares(
-        ops.MediaOps.synth(mediaMeta(s, dir)), winLen = 128)
-      val w = Window.partitionBy("media_id").orderBy("win_no")
-      wseq.withColumn("prev", lag("sq_sum", 1).over(w))
-        .withColumn("nxt", lead("sq_sum", 1).over(w))
-        .groupBy("media_id")
-        .agg(count(lit(1)).as("n_win"),
-          min(when(col("prev").isNotNull &&
-            col("sq_sum") <= col("prev"), col("win_no"))).as("fi"),
-          max(when(col("nxt").isNotNull &&
-            col("sq_sum") <= col("nxt"), col("win_no"))).as("fo"))
-        .withColumn("fadein_wins", expr("coalesce(fi, n_win)"))
-        .withColumn("fadeout_wins",
-          expr("CASE WHEN fo IS NULL THEN n_win ELSE n_win - 1 - fo END"))
-        .select("media_id", "n_win", "fadein_wins", "fadeout_wins")
-        .orderBy("media_id")
-    }),
-    // Illumination-tilt regression numerators (ops.ImageOps.illumTilt):
-    // exact planar least-squares pieces on the orthogonal grid regressors
-    // — the vignette/calibration read under img_sobel's local gradients.
-    "img_illum_tilt" -> ((s, dir) => {
-      ops.ImageOps.illumTilt(gateTiles(s, "png")).orderBy("image_id")
-    }),
-    // Mobility regularity: per user the distinct (cell, day) visit table,
-    // cells revisited on ≥5 distinct days as the routine share — the
-    // predictability read over traj_anchors' home/work inference.
-    "traj_regularity" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val pts = t(s, dir, "events").filter(col("user_id") < 50)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          ((col("event_id") % 7) +
-            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
-          ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("px", sum("dx").over(w))
-        .withColumn("py", sum("dy").over(w))
-      val visits = pts.select(col("user_id"),
-          expr("px DIV 200").as("cell_x"), expr("py DIV 50").as("cell_y"),
-          date_trunc("day", col("ts")).as("day"))
-        .distinct()
-      val perCell = visits.groupBy("user_id", "cell_x", "cell_y")
-        .agg(count(lit(1)).as("n_days"))
-      perCell.groupBy(col("user_id").as("traj_id"))
-        .agg(count(lit(1)).as("n_cells"),
-          sum(when(col("n_days") >= 5, 1L).otherwise(0L))
-            .as("n_regular"),
-          max("n_days").as("max_cell_days"))
-        .withColumn("regularity_ppm",
-          expr("n_regular * 1000000 DIV n_cells"))
-        .orderBy("traj_id")
-    }),
-    // Codec-mix rollup off the so-far-unused codec column: assets, bytes,
-    // duration and the fps spread per codec.
-    "media_codec_mix" -> ((s, dir) => {
-      ops.MediaOps.synth(mediaMeta(s, dir))
-        .groupBy("fmt")
-        .agg(count(lit(1)).as("n_assets"),
-          sum(expr("CAST(length(bytes) AS BIGINT)")).as("total_bytes"),
-          sum("duration_ms").as("total_duration_ms"),
-          min("fps_milli").as("min_fps_milli"),
-          max("fps_milli").as("max_fps_milli"))
-        .orderBy("fmt")
-    }),
-    // Cluster purity against the PLANTED duplicate truth (variant ids are
-    // base + 100000/200000, so base = doc_id % 100000 is ground truth):
-    // per MinHash CC cluster the majority-base share — the
-    // dedup-clustering precision eval above dedup_minhash_recall's pair
-    // recall.
-    "dedup_cluster_purity" -> ((s, dir) => {
-      val corpus = dedupCorpus(s, dir)
-      val edges = ops.TextDedup.minhashPairs(corpus)
-      val cc = ops.TextDedup.connectedComponentsStar(edges,
-        corpus.select("doc_id"))
-      val lab = cc.withColumn("base", col("doc_id") % 100000)
-      val sz = lab.groupBy("comp").agg(count(lit(1)).as("size"))
-      val maj = lab.groupBy("comp", "base").agg(count(lit(1)).as("k"))
-        .withColumn("rn", row_number().over(Window.partitionBy("comp")
-          .orderBy(col("k").desc, col("base"))))
-        .filter(col("rn") === 1)
-        .select(col("comp"), col("base").as("maj_base"),
-          col("k").as("maj_k"))
-      sz.join(maj, Seq("comp")).filter(col("size") >= 2)
-        .withColumn("purity_ppm", expr("maj_k * 1000000 DIV size"))
-        .orderBy("comp")
-    }),
-    // Small-world pieces: global transitivity 3Δ/wedges (exact ppm) +
-    // truncated average path length from the sampled BFS — the two
-    // numbers whose ratio-vs-random defines the small-world index;
-    // composed from the motif census and BFS profile primitives.
-    "graph_small_world" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 7 === 0)
-        .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
-      val mot = ops.Graph.motifCensus(edges)
-        .select("n_edges", "wedges", "n_triangles")
-      val path = ops.Graph.bfsProfile(edges, Seq(0L, 1L, 2L), rounds = 4)
-        .filter(col("dist") > 0)
-        .agg(sum(expr("dist * n_nodes")).as("sum_dist"),
-          sum("n_nodes").as("n_reached"))
-      mot.crossJoin(path)
-        .withColumn("transitivity_ppm",
-          expr("3 * n_triangles * 1000000 DIV wedges"))
-        .withColumn("avg_path_milli",
-          expr("sum_dist * 1000 DIV n_reached"))
-    }),
-    // Median-threshold mask sensitivity: foreground counts at the median
-    // level ±1 — how much the mask moves per threshold step (the
-    // robustness read behind any fixed-threshold mask op).
-    "img_mask_sensitivity" -> ((s, dir) => {
-      val h = ops.ImageOps.levelHistogram(gateTiles(s, "png"))
-      val wc = Window.partitionBy("image_id").orderBy("level")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = h.groupBy("image_id").agg(sum("n").as("n_px"))
-      val med = h.withColumn("cum", sum("n").over(wc))
-        .join(tot, Seq("image_id"))
-        .filter(col("cum") >= expr("(n_px + 1) DIV 2"))
-        .groupBy("image_id", "n_px").agg(min("level").as("med_level"))
-      h.join(med, Seq("image_id"))
-        .groupBy("image_id", "n_px", "med_level")
-        .agg(sum(when(col("level") > col("med_level") - 1, col("n"))
-            .otherwise(0L)).as("fg_lo"),
-          sum(when(col("level") > col("med_level"), col("n"))
-            .otherwise(0L)).as("fg_mid"),
-          sum(when(col("level") > col("med_level") + 1, col("n"))
-            .otherwise(0L)).as("fg_hi"))
-        .withColumn("band_px", expr("fg_lo - fg_hi"))
-        .orderBy("image_id")
-    }),
-    // Box-counting census at dyadic scales (ops.ImageOps.boxCount): the
-    // fractal-dimension input over the ≥3600 mask — occupied boxes per
-    // scale, partial edge boxes exact; decode-once, 5 rows per image.
-    "img_boxcount" -> ((s, dir) => {
-      ops.ImageOps.boxCount(gateTiles(s, "png"), thr = 3600,
-          scales = Seq(1, 2, 4, 8, 16))
-        .orderBy("image_id", "scale")
-    }),
-    // Daily activity-centroid drift: per day the exact integer centroid
-    // (milli-floored) of all walk fixes and its squared day-over-day
-    // displacement — the range-shift read over geo_mann_kendall's per-cell
-    // trends. One day rollup + one lag window.
-    "geo_centroid_drift" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val pts = t(s, dir, "events").filter(col("user_id") < 50)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          ((col("event_id") % 7) +
-            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
-          ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("px", sum("dx").over(w))
-        .withColumn("py", sum("dy").over(w))
-      val daily = pts.groupBy(date_trunc("day", col("ts")).as("day"))
-        .agg(count(lit(1)).as("n"), sum("px").as("sx"), sum("py").as("sy"))
-        .withColumn("cx_milli", expr("sx * 1000 DIV n"))
-        .withColumn("cy_milli", expr("sy * 1000 DIV n"))
-      val wd = Window.orderBy("day")
-      daily.withColumn("pcx", lag("cx_milli", 1).over(wd))
-        .withColumn("pcy", lag("cy_milli", 1).over(wd))
-        .withColumn("drift_d2_milli", expr(
-          "CASE WHEN pcx IS NULL THEN NULL ELSE " +
-            "(cx_milli - pcx) * (cx_milli - pcx) + " +
-            "(cy_milli - pcy) * (cy_milli - pcy) END"))
-        .select("day", "n", "cx_milli", "cy_milli", "drift_d2_milli")
-        .orderBy("day")
-    }),
-    // Degree-inequality Gini pieces: ranked-degree weighted sums — is
-    // attention concentrated in hubs? The events_gini read on graph
-    // structure; one rank window over |V| rows.
-    "graph_degree_gini" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 7 === 0)
-        .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
-      val und = edges.filter(col("src") =!= col("dst"))
-        .selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
-        .distinct()
-      val deg = und.selectExpr("a AS u").unionAll(und.selectExpr("b AS u"))
-        .groupBy("u").agg(count(lit(1)).as("d"))
-      val ranked = deg.withColumn("i", row_number().over(
-        Window.orderBy(col("d"), col("u"))).cast("long"))
-      ranked.agg(count(lit(1)).as("n"), sum("d").as("sum_d"),
-          sum(expr("(2 * i - 1) * d")).as("wsum"))
-        .withColumn("gini_num", expr("wsum - n * sum_d"))
-        .withColumn("gini_den", expr("n * sum_d"))
-        .withColumn("gini_milli", expr("gini_num * 1000 DIV gini_den"))
-    }),
-    // East horizon angle per observer on the row-300 profile: argmax of
-    // the positive-offset floored elevation/distance ratio (the solar /
-    // radio horizon read; quantization makes the rational argmax an
-    // integer order both engines share).
-    "geo_horizon_angle" -> ((s, dir) => {
-      val prof = ops.ImageOps.rowProfile(gateTiles(s, "png"), row = 300)
-        .filter(col("image_id") === "N36W120")
-      val obs = prof.filter(col("c").isin(100L, 300L, 500L))
-        .select(col("c").as("c0"), col("v").as("v0"))
-      obs.join(prof.select(col("c"), col("v")), col("c") > col("c0"))
-        .withColumn("angle_q", expr(
-          "((v - v0 + 4000 * (c - c0)) * 1000000) DIV (c - c0) " +
-            "- 4000000000"))
-        .withColumn("rn", row_number().over(Window.partitionBy("c0")
-          .orderBy(col("angle_q").desc, col("c"))))
-        .filter(col("rn") === 1)
-        .select(col("c0"), col("v0"), col("c").as("horizon_c"),
-          col("v").as("horizon_v"), col("angle_q"))
-        .orderBy("c0")
-    }),
-    // Per-user Fano dispersion of daily activity: variance/mean numerator
-    // and denominator exact, milli-floored index — bursty users (>1000)
-    // vs metronomes (<1000); users with ≥ 2 active days.
-    "events_fano" -> ((s, dir) => {
-      val daily = t(s, dir, "events")
-        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
-        .agg(count(lit(1)).as("c"))
-      daily.groupBy("user_id")
-        .agg(count(lit(1)).as("n_days"), sum("c").as("s"),
-          sum(expr("c * c")).as("ss"))
-        .filter(col("n_days") >= 2)
-        .withColumn("fano_milli",
-          expr("(n_days * ss - s * s) * 1000 DIV ((n_days - 1) * s)"))
-        .orderBy("user_id")
-    }),
-    // Precision of the MinHash band join vs EXACT Jaccard ≥ 0.5 truth on
-    // the gate subset — the other half of dedup_minhash_recall's PR pair;
-    // truth by cross-multiplied set sizes, one row.
-    "dedup_minhash_precision" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val sub = d.filter(col("doc_id") % 25 === 0)
-        .select(col("doc_id"), col("text"))
-        .unionAll(d.filter(col("doc_id") % 25 === 0)
-          .select((col("doc_id") + 200000).as("doc_id"),
-            concat(col("text"), lit(" zz qq ww ee rr tt")).as("text")))
-      val cands = ops.TextDedup.minhashPairs(sub)
-      val shs = sub.select(col("doc_id"),
-        array_distinct(ops.TextDedup.shingles(col("text"), 3)).as("sset"))
-      val truth = shs.select(col("doc_id").as("doc_a"), col("sset").as("sa"))
-        .join(broadcast(shs.select(col("doc_id").as("doc_b"),
-          col("sset").as("sb"))), col("doc_a") < col("doc_b"))
-        .filter(expr("size(array_intersect(sa, sb)) * 2 >= " +
-          "size(array_distinct(concat(sa, sb)))"))
-        .select("doc_a", "doc_b")
-      cands.agg(count(lit(1)).as("n_cand"))
-        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
-        .crossJoin(cands.join(truth, Seq("doc_a", "doc_b"))
-          .agg(count(lit(1)).as("tp")))
-        .withColumn("fp", expr("n_cand - tp"))
-        .withColumn("fn", expr("n_truth - tp"))
-        .withColumn("precision_ppm", expr(
-          "CASE WHEN n_cand = 0 THEN 0L ELSE tp * 1000000 DIV n_cand END"))
-        .withColumn("recall_ppm", expr(
-          "CASE WHEN n_truth = 0 THEN 0L ELSE tp * 1000000 DIV n_truth END"))
-    }),
-    // Count-Min error audit: estimate − exact over ALL keys (≥ 0 by the
-    // CM overestimate property), histogrammed — the sketch-width sizing
-    // read behind events_cm_topk.
-    "events_cm_error" -> ((s, dir) => {
-      val e = t(s, dir, "events")
-      val sk = ops.Sketches.cmSketch(e, "user_id", 1024)
-      val exact = e.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
-      ops.Sketches.cmEstimate(exact, "user_id", sk, 1024)
-        .withColumn("over", col("cm_est") - col("n_exact"))
-        .withColumn("bucket", expr("over DIV 10").cast("int"))
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("n_keys"), sum("over").as("sum_over"),
-          max("over").as("max_over"))
-        .orderBy("bucket")
-    }),
-    // MinHash candidate-degree histogram: per doc the number of band
-    // partners, bucketed — the per-document blast-radius view under
-    // dedup_lsh_skew's per-bucket costs.
-    "dedup_pair_degree_hist" -> ((s, dir) => {
-      val pairs = ops.TextDedup.minhashPairs(dedupCorpus(s, dir))
-      pairs.selectExpr("doc_a AS doc")
-        .unionAll(pairs.selectExpr("doc_b AS doc"))
-        .groupBy("doc").agg(count(lit(1)).as("degree"))
-        .groupBy("degree").agg(count(lit(1)).as("n_docs"))
-        .orderBy("degree")
-    }),
-    // Directional variogram (ops.ImageOps.variogram): exact Σ(v−v₊ₕ)² at
-    // 6 literal lags — the geostatistics read under kriging/IDW radius
-    // choices; anisotropy falls out of the field's 2c+3r gradient.
-    "img_variogram" -> ((s, dir) => {
-      ops.ImageOps.variogram(gateTiles(s, "png"),
-          Seq((1, 0), (0, 1), (4, 0), (0, 4), (16, 0), (0, 16)))
-        .orderBy("image_id", "dy", "dx")
-    }),
-    // Leave-one-out 5-NN label prediction over the embedding corpus:
-    // exact milli-quantized distances, majority vote (ties to the lower
-    // label) — per-label accuracy, the end-to-end representation-quality
-    // number above ann_silhouette's geometry read.
-    "ann_knn_loocv" -> ((s, dir) => {
-      val q = t(s, dir, "embeddings")
-        .select(col("vec_id").cast("long"), col("label"),
-          expr("transform(embedding, " +
-            "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))")
-            .as("eq"))
-      val pairs = q.select(col("vec_id").as("aid"),
-          col("label").as("alabel"), col("eq").as("aeq"))
-        .join(q, col("vec_id") =!= col("aid"))
-        .withColumn("d2", aggregate(
-          zip_with(col("aeq"), col("eq"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x))
-      val top5 = pairs.withColumn("rn", row_number().over(
-          Window.partitionBy("aid").orderBy(col("d2"), col("vec_id"))))
-        .filter(col("rn") <= 5)
-      val vote = top5.groupBy("aid", "alabel", "label")
-        .agg(count(lit(1)).as("votes"))
-        .withColumn("vr", row_number().over(Window.partitionBy("aid")
-          .orderBy(col("votes").desc, col("label"))))
-        .filter(col("vr") === 1)
-      vote.groupBy("alabel")
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("label") === col("alabel"), 1L).otherwise(0L))
-            .as("n_correct"))
-        .orderBy("alabel")
-    }),
-    // Distribution-shift audit: pre- vs post-midpoint cents histograms
-    // (1000-cent buckets) as ppm shares, per type the total L1 and the
-    // worst bucket gap — the PSI-style drift read without logarithms.
-    "dq_value_shift" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .select(col("event_type"),
-          expr("CAST(round(value * 100) AS BIGINT) DIV 1000").as("bucket"),
-          expr("ts >= timestamp'2024-01-16'").as("post"))
-      val h = ev.groupBy("event_type", "bucket")
-        .agg(sum(when(!col("post"), 1L).otherwise(0L)).as("c_pre"),
-          sum(when(col("post"), 1L).otherwise(0L)).as("c_post"))
-      val tot = h.groupBy("event_type")
-        .agg(sum("c_pre").as("n_pre"), sum("c_post").as("n_post"))
-      h.join(tot, Seq("event_type"))
-        .withColumn("gap_ppm", expr(
-          "abs(c_pre * 1000000 DIV n_pre - c_post * 1000000 DIV n_post)"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_buckets"), sum("gap_ppm").as("l1_ppm"),
-          max("gap_ppm").as("max_gap_ppm"))
-        .orderBy("event_type")
-    }),
-    // Per-block shift field between epochs (ops.ImageOps.shiftField):
-    // ±2-pixel SAD block matching, ties to the smallest (dy, dx) — the
-    // local-misregistration map above img_register's global estimate.
-    "img_shift_field" -> ((s, dir) => {
-      import s.implicits._
-      val corners = Seq((-120, 36), (-120, 37), (-119, 36), (-119, 37),
-        (-118, 36), (-117, 37))
-      val epochA = s.createDataset(TileGen.tiles(corners, 601, "hgt"))
-      val epochB = s.createDataset(corners.map { case (lng, lat) =>
-        TileGen.tileRow(lng, lat, 601, "hgt", TileGen.planeAt) })
-      ops.ImageOps.shiftField(epochA, epochB)
-        .orderBy("image_id", "py", "px")
-    }),
-    // Space-filling-curve locality audit: the SAME quantized 256² cells
-    // ordered by the Hilbert key vs an arithmetic Morton interleave —
-    // total and max cell jump between consecutive points (Hilbert's
-    // always-adjacent property vs Z-order's seam jumps), the write-
-    // clustering choice quantified.
-    "geo_curve_locality" -> ((s, dir) => {
-      val pts = quadrantPoints(s, dir)
-        .withColumn("qx", expr("LEAST(255, GREATEST(0, " +
-          "CAST(floor(((lng + 180.0D) / 360.0D) * 256.0D) AS BIGINT)))"))
-        .withColumn("qy", expr("LEAST(255, GREATEST(0, " +
-          "CAST(floor(((lat + 90.0D) / 180.0D) * 256.0D) AS BIGINT)))"))
-        .withColumn("hkey", cells.hilbert_key(col("lng"), col("lat")))
-        .withColumn("mkey", expr(mortonSql("qx", "qy", "DIV")))
-      def jumps(keyCol: String, nm: String) = {
-        val w = Window.orderBy(col(keyCol), col("point_id"))
-        pts.withColumn("pqx", lag("qx", 1).over(w))
-          .withColumn("pqy", lag("qy", 1).over(w))
-          .filter(col("pqx").isNotNull)
-          .agg(sum(expr("abs(qx - pqx) + abs(qy - pqy)"))
-              .as(s"${nm}_jump"),
-            max(expr("abs(qx - pqx) + abs(qy - pqy)")).as(s"${nm}_max"))
-      }
-      pts.agg(count(lit(1)).as("n_pts"))
-        .crossJoin(jumps("hkey", "hilbert"))
-        .crossJoin(jumps("mkey", "morton"))
-    }),
-    // Weekday-profile distance matrix: per type the day-of-week share
-    // vector in exact ppm, pairwise L1 — which behaviors share a weekly
-    // rhythm; 7-dim stats joins only.
-    "events_dow_distance" -> ((s, dir) => {
-      val dow = t(s, dir, "events")
-        .groupBy(col("event_type"), expr(
-          "(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000) % 7")
-          .as("dow"))
-        .agg(count(lit(1)).as("c"))
-      val tot = dow.groupBy("event_type").agg(sum("c").as("n"))
-      val sh = dow.join(tot, Seq("event_type"))
-        .withColumn("share_ppm", expr("c * 1000000 DIV n"))
-      sh.as("x").join(sh.as("y"),
-          col("x.dow") === col("y.dow") &&
-            col("x.event_type") < col("y.event_type"))
-        .groupBy(col("x.event_type").as("type_a"),
-          col("y.event_type").as("type_b"))
-        .agg(sum(expr("abs(x.share_ppm - y.share_ppm)")).as("l1_ppm"),
-          count(lit(1)).as("n_dows"))
-        .orderBy("type_a", "type_b")
-    }),
-    // Banding-period detector (ops.ImageOps.bandingPeriod): column-mean
-    // autocorrelation argmax over lags 2..32 by floored per-term mean —
-    // the stripe-period read next to img_structure_tensor's orientation.
-    "img_banding_period" -> ((s, dir) => {
-      ops.ImageOps.bandingPeriod(gateTiles(s, "png")).orderBy("image_id")
-    }),
-    // Market-basket lift at day granularity: per type pair the user-days
-    // both occurred vs independence — lift_ppm = obs·N·10⁶ DIV (n_a·n_b)
-    // over distinct (user, day) baskets; the co-engagement read above
-    // events_audience_overlap's lifetime Jaccard.
-    "events_basket_lift" -> ((s, dir) => {
-      val ud = t(s, dir, "events")
-        .select(col("event_type"), col("user_id"),
-          date_trunc("day", col("ts")).as("day"))
-        .distinct()
-      val sizes = ud.groupBy("event_type").agg(count(lit(1)).as("n"))
-      val tot = ud.select("user_id", "day").distinct()
-        .agg(count(lit(1)).as("nud"))
-      ud.as("x").join(ud.as("y"),
-          col("x.user_id") === col("y.user_id") &&
-            col("x.day") === col("y.day") &&
-            col("x.event_type") < col("y.event_type"))
-        .groupBy(col("x.event_type").as("type_a"),
-          col("y.event_type").as("type_b"))
-        .agg(count(lit(1)).as("n_both"))
-        .join(sizes.select(col("event_type").as("type_a"),
-          col("n").as("n_a")), Seq("type_a"))
-        .join(sizes.select(col("event_type").as("type_b"),
-          col("n").as("n_b")), Seq("type_b"))
-        .crossJoin(broadcast(tot))
-        .withColumn("lift_ppm",
-          expr("n_both * nud * 1000000 DIV (n_a * n_b)"))
-        .select("type_a", "type_b", "n_a", "n_b", "n_both", "nud",
-          "lift_ppm")
-        .orderBy("type_a", "type_b")
-    }),
-    // Shingle document-frequency histogram: how many shingles sit at each
-    // df — the df-cap tuning read for the posting-list joins
-    // (dedup_containment's maxDf and the LSH boilerplate story in one
-    // curve).
-    "dedup_shingle_df_hist" -> ((s, dir) => {
-      dedupCorpus(s, dir)
-        .select(col("doc_id"),
-          explode(array_distinct(ops.TextDedup.shingles(col("text"), 3)))
-            .as("sh"))
-        .groupBy("sh").agg(count(lit(1)).as("df"))
-        .groupBy("df").agg(count(lit(1)).as("n_shingles"))
-        .orderBy("df")
-    }),
-    // JPEG-blockiness audit (ops.ImageOps.blockiness): 8×8 boundary vs
-    // interior adjacent-step ratio in exact cross-multiplied milli — the
-    // codec-artifact screen next to img_noise_mad. Decode-once, one row
-    // per image.
-    "img_blockiness" -> ((s, dir) => {
-      ops.ImageOps.blockiness(gateTiles(s, "png")).orderBy("image_id")
-    }),
-    // Rich-club census: per degree threshold k the high-degree core size,
-    // its internal edge count and density φ ppm — hub-interconnection
-    // structure over the same canonical graph; stats-only joins against
-    // the literal threshold list.
-    "graph_rich_club" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 7 === 0)
-        .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
-      val und = edges.filter(col("src") =!= col("dst"))
-        .selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
-        .distinct()
-      val sym = und.selectExpr("a AS u").unionAll(und.selectExpr("b AS u"))
-      val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
-      val th = s.createDataFrame(Seq(Tuple1(2L), Tuple1(4L), Tuple1(8L),
-        Tuple1(16L))).toDF("k")
-      val nRich = deg.crossJoin(broadcast(th)).filter(col("d") > col("k"))
-        .groupBy("k").agg(count(lit(1)).as("n_rich"))
-      val eRich = und
-        .join(deg.select(col("u").as("a"), col("d").as("da")), Seq("a"))
-        .join(deg.select(col("u").as("b"), col("d").as("db")), Seq("b"))
-        .crossJoin(broadcast(th))
-        .filter(col("da") > col("k") && col("db") > col("k"))
-        .groupBy("k").agg(count(lit(1)).as("e_rich"))
-      nRich.join(eRich, Seq("k"), "left")
-        .withColumn("e_rich", coalesce(col("e_rich"), lit(0L)))
-        .withColumn("possible", expr("n_rich * (n_rich - 1) DIV 2"))
-        .filter(col("possible") > 0)
-        .withColumn("phi_ppm", expr("e_rich * 1000000 DIV possible"))
-        .orderBy("k")
-    }),
-    // Embedding-norm histogram (the representation-health QC): exact
-    // integer milli-norm² per vector bucketed at 10⁶ — collapsed or
-    // bimodal norm mass flags a broken encoder before any ANN build.
-    "ann_norm_hist" -> ((s, dir) => {
-      t(s, dir, "embeddings")
-        .select(expr("aggregate(transform(embedding, " +
-          "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)), " +
-          "0L, (acc, v) -> acc + v * v)").as("n2"))
-        .withColumn("bucket", expr("n2 DIV 1000000").cast("int"))
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("n_vecs"), min("n2").as("min_n2"),
-          max("n2").as("max_n2"))
-        .orderBy("bucket")
-    }),
-    // Per-block value-diversity census (ops.ImageOps.blockDiversity):
-    // distinct-count, range and smallest-tie mode per 100² block — the
-    // log-free entropy proxy of a compression/nodata screen. Decode-once,
-    // zero shuffle.
-    "img_block_diversity" -> ((s, dir) => {
-      ops.ImageOps.blockDiversity(gateTiles(s, "png"))
-        .orderBy("image_id", "py", "px")
-    }),
-    // Audience-overlap matrix: per event-type pair the exact common-user
-    // count and floored Jaccard ppm — the cross-sell / cannibalization
-    // read over distinct (type, user) memberships; one user-keyed
-    // self-join, audiences joined back by type.
-    "events_audience_overlap" -> ((s, dir) => {
-      val aud = t(s, dir, "events").select("event_type", "user_id").distinct()
-      val sizes = aud.groupBy("event_type").agg(count(lit(1)).as("n"))
-      aud.as("x").join(aud.as("y"),
-          col("x.user_id") === col("y.user_id") &&
-            col("x.event_type") < col("y.event_type"))
-        .groupBy(col("x.event_type").as("type_a"),
-          col("y.event_type").as("type_b"))
-        .agg(count(lit(1)).as("n_common"))
-        .join(sizes.select(col("event_type").as("type_a"),
-          col("n").as("n_a")), Seq("type_a"))
-        .join(sizes.select(col("event_type").as("type_b"),
-          col("n").as("n_b")), Seq("type_b"))
-        .withColumn("jaccard_ppm",
-          expr("n_common * 1000000 DIV (n_a + n_b - n_common)"))
-        .select("type_a", "type_b", "n_a", "n_b", "n_common", "jaccard_ppm")
-        .orderBy("type_a", "type_b")
-    }),
-    // Gridline-crossing tiling cost: per trajectory segment the exact
-    // count of 64-unit vertical / 16-unit horizontal grid boundaries
-    // crossed (|⌊x₂/G⌋−⌊x₁/G⌋| + |…|) — the tile-fanout estimate a vector
-    // tiler prices BEFORE cutting; one lag window + one rollup.
-    "geo_grid_crossings" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val pts = t(s, dir, "events").filter(col("user_id") < 50)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          ((col("event_id") % 7) +
-            when(col("event_id") % 101 === 0, 5000L).otherwise(0L)).as("dx"),
-          ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("px", sum("dx").over(w))
-        .withColumn("py", sum("dy").over(w))
-      val seg = pts
-        .withColumn("ppx", lag("px", 1).over(w))
-        .withColumn("ppy", lag("py", 1).over(w))
-        .filter(col("ppx").isNotNull)
-        .withColumn("cx", expr("abs(px DIV 64 - ppx DIV 64)"))
-        .withColumn("cy", expr("abs(py DIV 16 - ppy DIV 16)"))
-      seg.groupBy(col("user_id").as("traj_id"))
-        .agg(count(lit(1)).as("n_seg"),
-          sum("cx").as("cross_x"), sum("cy").as("cross_y"),
-          max(expr("cx + cy")).as("max_seg_cross"))
-        .orderBy("traj_id")
-    }),
-    // NFD compaction bin packing (ops.Curation.binPackNfd): per table
-    // partition, manifest files sorted (size desc, id) fill 512-unit bins
-    // greedily — the OPTIMIZE plan next to store_overlap_depth's trigger
-    // metric; the oracle walks the identical recurrence as a recursive
-    // CTE. Key-bounded mapGroups over metadata-scale rows.
-    "store_compaction_plan" -> ((s, dir) => {
-      val files = t(s, dir, "orders")
-        .filter(col("o_orderkey") % 50 === 0)
-        .selectExpr("o_orderkey % 8 AS part", "o_orderkey AS file_id",
-          "1 + (o_orderkey * 7919) % 200 AS sz")
-      ops.Curation.binPackNfd(files, capacity = 512L)
-        .orderBy("part", "file_id")
-    }),
-    // Farthest-first k-center pivot seeding (ops.Embeddings
-    // .farthestFirst): 5 deterministic coverage-maximizing pivots in exact
-    // milli-quantized integer distance — the IVF/routing seeding pass next
-    // to ann_kmeans_train; ≤4 driver rounds, one codegen'd scan each.
-    "ann_farthest_first" -> ((s, dir) => {
-      ops.Embeddings.farthestFirst(t(s, dir, "embeddings"), k = 5)
-        .orderBy("pick_no")
-    }),
-    // Manhattan distance transform (ops.ImageOps.distanceTransformStats):
-    // grid-step distance to the nearest high sample (≥3600) on the
-    // stride-10 lattice — exact two-raster-scan DP in the engine, brute
-    // min |Δi|+|Δj| over the high set in the oracle.
-    "img_distance" -> ((s, dir) => {
-      ops.ImageOps.distanceTransformStats(gateTiles(s, "png"), thr = 3600L)
-        .orderBy("image_id")
-    }),
-    // Histogram-equalization LUT: per image, 16 equal-width value buckets
-    // over [vmin, vmax] and the exact cumulative ppm each bucket maps to —
-    // the contrast-normalization transform as a queryable table (the
-    // decode side applies cdf_ppm as the remap). Exact integer bucketing;
-    // one image-keyed pass.
-    "img_equalize" -> ((s, dir) => {
-      import s.implicits._
-      gateTiles(s, "png").mapPartitions { it =>
-        it.flatMap { tl =>
-          val d = graft.core.TileCodec.decode(tl)
-          val size = d.size
-          var lo = Long.MaxValue; var hi = Long.MinValue
-          var r = 0
-          while (r < 600) {
-            var c = 0
-            while (c < 600) {
-              val v = d.samples(r * size + c).toLong
-              if (v < lo) lo = v
-              if (v > hi) hi = v
-              c += 1
-            }
-            r += 1
-          }
-          val span = hi - lo + 1
-          val cnt = new Array[Long](16)
-          r = 0
-          while (r < 600) {
-            var c = 0
-            while (c < 600) {
-              val v = d.samples(r * size + c).toLong
-              cnt((((v - lo) * 16) / span).toInt) += 1L
-              c += 1
-            }
-            r += 1
-          }
-          var cum = 0L
-          (0 until 16).iterator.map { b =>
-            cum += cnt(b)
-            (tl.image_id, b, cnt(b), cum * 1000000L / 360000L)
-          }
-        }
-      }.toDF("image_id", "bucket", "n", "cdf_ppm")
-        .orderBy("image_id", "bucket")
-    }),
-    // Noise estimate: the exact lower MEDIAN of |4-neighbour Laplacian|
-    // per image (the robust MAD-style sigma proxy behind denoising
-    // parameter choice — img_blur's variance is outlier-dominated). One
-    // decode + one in-memory sort per image.
-    "img_noise_mad" -> ((s, dir) => {
-      import s.implicits._
-      gateTiles(s, "png").mapPartitions { it =>
-        it.map { tl =>
-          val d = graft.core.TileCodec.decode(tl)
-          val size = d.size
-          val n = 598 * 598
-          val a = new Array[Int](n)
-          var p = 0
-          var r = 1
-          while (r < 599) {
-            var c = 1
-            while (c < 599) {
-              val lap = 4 * d.samples(r * size + c) -
-                d.samples(r * size + c + 1) - d.samples(r * size + c - 1) -
-                d.samples((r + 1) * size + c) - d.samples((r - 1) * size + c)
-              a(p) = math.abs(lap)
-              p += 1
-              c += 1
-            }
-            r += 1
-          }
-          java.util.Arrays.sort(a)
-          (tl.image_id, n.toLong, a((n + 1) / 2 - 1).toLong)
-        }
-      }.toDF("image_id", "n_px", "med_abs_lap")
-        .orderBy("image_id")
-    }),
-    // TRUE blob labeling (ops.ImageOps.blobStats): exact 4-connected
-    // components of the ≥3600 mask on the stride-10 lattice — blob count
-    // and largest blob, what img_euler's blobs−holes number only
-    // approximates. Union-find per image; recursive-CTE min-label oracle.
-    "img_blobs" -> ((s, dir) => {
-      ops.ImageOps.blobStats(gateTiles(s, "png"), thr = 3600L)
-        .orderBy("image_id")
-    }),
-    // Hough line census (ops.ImageOps.houghLines): 4 lattice direction
-    // families, ρ-bucket votes from gradient-energy≥200 edge pixels, top-5
-    // accumulator cells per image — the block-bonus seams surface as the
-    // dominant lines. Exact integer votes, decode-once.
-    "img_hough" -> ((s, dir) => {
-      ops.ImageOps.houghLines(gateTiles(s, "png"), thr = 200L, topK = 5)
-        .orderBy("image_id", "rk")
-    }),
-    // Dual-resolution conversion (reference getResolutionAndSize.ts: 1″↔3″):
-    // 3:1 decimation resample re-encoded as HGT rows, then re-decoded for
-    // stats — encode∘decode round-trips through the new payload, and the
-    // oracle recomputes the decimated grid from the closed form.
-    "img_resample" -> ((s, dir) => {
-      ops.ImageOps.decodeStats(ops.ImageOps.resample(gateTiles(s), 3))
-        .orderBy("image_id")
-    }),
-    // Marching-squares contour census at the 1800 m isoline: the exact
-    // per-cell case classification of raster→vector contour extraction,
-    // engine-computed from the real decode, oracle-recomputed from the
-    // closed-form corners. t=1800 cuts every gate tile (v spans ~806-3869).
-    "geo_contours" -> ((s, dir) => {
-      ops.ImageOps.contourCensus(gateTiles(s), 1800).orderBy("image_id")
-    }),
-    // Geometric augmentation (flip_h/flip_v/rot90) pinned by
-    // position-WEIGHTED moments (Σ v·r, Σ v·c): the engine permutes the
-    // grid, re-encodes HGT, re-decodes and sums; the oracle derives the
-    // transformed moments from the closed-form grid via the permutation
-    // identities (e.g. flip_h: c_moment' = m·Σv − c_moment). The 'none'
-    // lane anchors the base moments through the same decode path.
-    "img_augment" -> ((s, dir) => {
-      val tiles = gateTiles(s)
-      (("none", tiles) +: Seq("flip_h", "flip_v", "rot90")
-        .map(m => (m, ops.ImageOps.augment(tiles, m))))
-        .map { case (m, ds) =>
-          ops.ImageOps.positionMoments(ds).withColumn("mode", lit(m))
-        }
-        .reduce(_ unionByName _)
-        .orderBy("image_id", "mode")
-    }),
-    "img_integrity" -> ((s, dir) => {
-      ops.ImageOps.integrity(gateTiles(s, "png")).orderBy("image_id")
-    }),
-    // Perceptual-hash near-dup pairs (ops.ImageOps.phashNearDup): decode →
-    // 64-bit average-hash → multi-index Hamming band join (4×16-bit bands,
-    // perfect recall at radius ≤ 3 by pigeonhole) — image dedup without an
-    // all-pairs comparison. The oracle replays the identical hash from the
-    // closed-form grids and the identical band join.
-    "img_phash_neardup" -> ((s, dir) => {
-      ops.ImageOps.phashNearDup(phashCorpusTiles(s), 3)
-        .orderBy("id_a", "id_b")
-    }),
-    // Hamming-radius yield curve (ops.ImageOps.phashHist): the pairwise
-    // phash distance histogram over the variant corpus — the threshold
-    // tuning read for the banded near-dup join, the image twin of
-    // dedup_jaccard_hist.
-    "img_phash_hist" -> ((s, dir) => {
-      ops.ImageOps.phashHist(phashCorpusTiles(s)).orderBy("bucket")
-    }),
-    // Max cross-track deviation per trajectory: the farthest point from
-    // the start→end chord by exact cross² (the chord length² is constant
-    // per trajectory, so cross² ranks exactly) — the GPS-detour /
-    // simplification-error read next to traj_straightness.
-    "traj_crosstrack" -> ((s, dir) => {
-      val trajs = t(s, dir, "supplier")
-        .selectExpr("s_suppkey % 20 AS traj_id").distinct()
-      val pts = trajs
-        .select(col("traj_id"), explode(expr("sequence(0, 5)")).as("seq"))
-        .selectExpr("traj_id", "seq",
-          "(traj_id * 7 + seq * (traj_id % 5 + 1) * 3) % 40 AS px",
-          "(traj_id * 11 + seq * (traj_id % 3 + 2) * 2) % 40 AS py")
-      val se = pts.filter(col("seq") === 0)
-        .selectExpr("traj_id", "px AS sx", "py AS sy")
-        .join(pts.filter(col("seq") === 5)
-          .selectExpr("traj_id", "px AS ex", "py AS ey"), Seq("traj_id"))
-      pts.join(se, Seq("traj_id"))
-        .withColumn("cr",
-          expr("(ex - sx) * (py - sy) - (ey - sy) * (px - sx)"))
-        .withColumn("c2", expr("cr * cr"))
-        .withColumn("rn", row_number().over(Window.partitionBy("traj_id")
-          .orderBy(col("c2").desc, col("seq"))))
-        .filter(col("rn") === 1)
-        .selectExpr("traj_id", "CAST(6 AS BIGINT) AS n_pts",
-          "(ex - sx) * (ex - sx) + (ey - sy) * (ey - sy) AS len2",
-          "c2 AS max_cross2", "seq AS at_seq")
-        .orderBy("traj_id")
-    }),
-    // Leave-one-out IDW cross-validation: each station predicted from its
-    // radius neighbors with integer-quantized inverse-square weights
-    // (w = 10⁹ DIV max(d², 1) — exact in both engines), milli-floored
-    // prediction vs actual — the interpolation-error read geo_idw itself
-    // can't give. Stations broadcast; stations with no in-radius neighbor
-    // drop (both engines).
-    "geo_idw_loocv" -> ((s, dir) => {
-      val st = t(s, dir, "supplier").selectExpr("s_suppkey AS st_id",
-        "(s_suppkey * 37) % 500 AS x", "(s_suppkey * 53) % 500 AS y",
-        "s_suppkey % 200 + 50 AS v")
-      val nb = st.selectExpr("st_id", "x", "y", "v AS va")
-        .join(broadcast(st.selectExpr("st_id AS nb_id", "x AS nx",
-          "y AS ny", "v AS nv")), col("st_id") =!= col("nb_id"))
-        .withColumn("d2", expr(
-          "(x - nx) * (x - nx) + (y - ny) * (y - ny)"))
-        .filter(col("d2") <= 14400L)
-        .withColumn("w", expr("1000000000 DIV greatest(d2, 1)"))
-      nb.groupBy("st_id")
-        .agg(count(lit(1)).as("n_nb"), max("va").as("va"),
-          sum(expr("w * nv")).as("wv"), sum("w").as("ws"))
-        .withColumn("pred_milli", expr("wv * 1000 DIV ws"))
-        .withColumn("actual_milli", expr("va * 1000"))
-        .withColumn("abs_err_milli",
-          expr("abs(pred_milli - actual_milli)"))
-        .select("st_id", "n_nb", "pred_milli", "actual_milli",
-          "abs_err_milli")
-        .orderBy("st_id")
-    }),
-    // Value-based RANGE window frame surface: per type, for each distinct
-    // cents level the event mass within ±500 cents — the sliding
-    // value-band density q_window's ROWS frames can't express; frame
-    // bounds are values, so the result is tie-independent.
-    "q_range_frame" -> ((s, dir) => {
-      val byCents = t(s, dir, "events")
-        .groupBy(col("event_type"),
-          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-        .agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy("event_type").orderBy("cents")
-        .rangeBetween(-500L, 500L)
-      byCents.withColumn("n_within", sum("n").over(w))
-        .orderBy("event_type", "cents")
-    }),
-    // Mirror-symmetry census (ops.ImageOps.symmetryStats): Σ|v − mirror|
-    // under horizontal and vertical flips over the even 600² prefix — the
-    // flip-augmentation sanity read (a symmetric field makes flip
-    // augmentation a no-op). Decode-once, one row per image.
-    "img_symmetry" -> ((s, dir) => {
-      ops.ImageOps.symmetryStats(gateTiles(s, "png")).orderBy("image_id")
-    }),
-    // INTERSECT / EXCEPT surface: distinct pre- vs post-midpoint user
-    // sets — retained / churned / acquired counts in one row.
-    "q_setops" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val a = ev.filter(expr("ts < timestamp'2024-01-16'"))
-        .select("user_id").distinct()
-      val b = ev.filter(expr("ts >= timestamp'2024-01-16'"))
-        .select("user_id").distinct()
-      a.intersect(b).agg(count(lit(1)).as("n_both"))
-        .crossJoin(a.except(b).agg(count(lit(1)).as("n_only_pre")))
-        .crossJoin(b.except(a).agg(count(lit(1)).as("n_only_post")))
-    }),
-    // Image near-dup CLUSTERING (ops.ImageOps.phashClusters): the phash
-    // band pair graph contracted by star CC, keep = lexicographic-min
-    // representative per visual-duplicate chain.
-    "img_dedup_cluster" -> ((s, dir) => {
-      ops.ImageOps.phashClusters(phashCorpusTiles(s), 3)
-        .orderBy("image_id")
-    }),
-    // Bigram collocations (ops.Curation.collocations): phrase mining by
-    // integer-quantized lift — PMI's ranking without PMI's log. Counts are
-    // vocabulary-bounded mergeable aggs; the pair tail is pruned by
-    // minCount before any join.
-    "text_collocations" -> ((s, dir) => {
-      ops.Curation.collocations(t(s, dir, "documents"), col("text"), 5L, 30)
-    }),
-    // Flesch readability pieces (ops.Curation.readability) in exact
-    // integers — sentence/word/vowel-group counts and the floored
-    // millipoint score, all codegen'd string expressions, one scan. The
-    // corpus has no sentence punctuation, so the gate injects
-    // deterministic terminators first (' table ' -> '. ') — a regex
-    // replacement both engines replay identically.
-    "text_readability" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .withColumn("txt", regexp_replace(col("text"), " table ", ". "))
-      ops.Curation.readability(docs, col("txt")).orderBy("doc_id")
-    }),
-    // Simpson token diversity (ops.Curation.simpson): the log-free
-    // repetitiveness score in exact ppm — Σc(c−1)/(n(n−1)); boilerplate
-    // and keyword stuffing score high, diverse prose low. One explode +
-    // two key-bounded aggs, no joins.
-    "text_simpson" -> ((s, dir) => {
-      ops.Curation.simpson(t(s, dir, "documents"), col("text"))
-        .orderBy("doc_id")
-    }),
-    // OCR-garbage screen: per-word max consonant run via an 8-step RLIKE
-    // ladder (identical regex classes both engines), garbage = run ≥ 4;
-    // doc_id % 13 docs get planted garbage tokens so the gate has signal.
-    "text_ocr_garbage" -> ((s, dir) => {
-      val ladder = (8 to 1 by -1).map(k =>
-        s"WHEN w RLIKE '[bcdfghjklmnpqrstvwxyz]{$k}' THEN $k")
-        .mkString("CASE ", " ", " ELSE 0 END")
-      t(s, dir, "documents")
-        .selectExpr("doc_id",
-          "CASE WHEN doc_id % 13 = 0 THEN text || ' xqzvwm kkkkk ok' ELSE text END AS t2")
-        .select(col("doc_id"),
-          explode(split(lower(col("t2")), "[^a-z]+")).as("w"))
-        .filter(length(col("w")) > 0)
-        .withColumn("run", expr(ladder))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_words"), max("run").as("max_run"),
-          sum(when(col("run") >= 4, 1L).otherwise(0L)).as("n_garbage"))
-        .withColumn("garbage_ppm", expr("n_garbage * 1000000 div n_words"))
-        .orderBy("doc_id")
-    }),
-    "text_stats" -> ((s, dir) => {
-      t(s, dir, "documents").selectExpr(
-        "doc_id",
-        "cast(length(text) as bigint) AS n_chars",
-        "cast(size(split(text, ' ')) as bigint) AS n_words",
-        "cast(size(filter(split(text, ' '), w -> w = 'the')) as bigint) AS n_the",
-        "round(size(filter(split(text, ' '), w -> w = 'the')) / size(split(text, ' ')), 6) AS stop_ratio",
-        "round(length(replace(text, ' ', '')) / size(split(text, ' ')), 6) AS avg_wlen")
-        .orderBy("doc_id")
-    }),
-    // Curation quota sampling: keep the 30 best-quality docs per source —
-    // the per-source/per-domain cap of corpus mixing (data-mixing primitive
-    // before training). Exact two-phase top-k (ops.Curation.topKPerGroup):
-    // few huge groups must not serialize the corpus into one window
-    // partition per source.
-    "curation_quota" -> ((s, dir) => {
-      val scored = t(s, dir, "documents")
-        .select(col("doc_id"),
-          concat(lit("src"), col("doc_id") % 5).as("source"),
-          ops.TextDedup.qualityScore(col("text")).as("score"))
-      ops.Curation.topKPerGroup(scored,
-          col("source"), Seq(col("score").desc, col("doc_id")), 30)
-        .select(col("doc_id"), col("source"), col("score"), col("rk"))
-        .orderBy("source", "rk")
-    }),
-    // Same quota contract as curation_quota, computed by the typed
-    // Aggregator instead of windows: one mergeable aggregation, O(k) state
-    // per group, only k rows per group cross the shuffle. Same oracle.
-    "curation_topk_agg" -> ((s, dir) => {
-      import s.implicits._
-      val scored = t(s, dir, "documents")
-        .select(col("doc_id"),
-          concat(lit("src"), col("doc_id") % 5).as("source"),
-          ops.TextDedup.qualityScore(col("text")).as("score"))
-        .as[ops.Curation.ScoredDoc]
-      scored.groupByKey(_.source)
-        .agg(new ops.Curation.TopKAgg(30).toColumn.name("topk"))
-        .toDF("source", "topk")
-        .select(col("source"), posexplode(col("topk.items")).as(Seq("i", "s")))
-        .select(col("s.doc_id").as("doc_id"), col("source"),
-          col("s.score").as("score"), (col("i") + 1).cast("int").as("rk"))
-        .orderBy("source", "rk")
-    }),
-    // URL canonicalization + dedup (ops.Curation.urlDedup): the first web
-    // dedup pass — scheme/host lowering, www/query/fragment/trailing-slash
-    // stripping, min-doc_id keep per canonical URL. Fixture mints four
-    // case/suffix variants per underlying page.
-    "curation_url_dedup" -> ((s, dir) => {
-      val urls = t(s, dir, "documents").selectExpr("doc_id",
-        """CASE CAST(doc_id % 4 AS INT)
-           WHEN 0 THEN concat('https://WWW.Example.com/path/',
-             CAST(doc_id DIV 4 AS STRING), '/page?utm=123#frag')
-           WHEN 1 THEN concat('https://example.com/path/',
-             CAST(doc_id DIV 4 AS STRING), '/page')
-           WHEN 2 THEN concat('http://Blog.Site.org/a/',
-             CAST(doc_id % 97 AS STRING))
-           ELSE concat('http://blog.site.org/a/',
-             CAST(doc_id % 97 AS STRING), '/')
-           END AS url""")
-      ops.Curation.urlDedup(urls).orderBy("doc_id")
-    }),
-    // Domain-mixture reweighting (ops.Curation.mixtureWeights): per-source
-    // ppm sampling weights + repetition budgets toward a uniform token
-    // target, exact rational ppm arithmetic — the sampler knob downstream
-    // of quota/stratified/budget.
-    "curation_mix" -> ((s, dir) => {
-      ops.Curation.mixtureWeights(t(s, dir, "documents"),
-          expr("size(split(text, ' '))"))
-        .orderBy("source")
-    }),
-    // Epoch/oversampling plan: per source the full-epoch repeat factor
-    // and remainder under a 200k-token budget split by integer source
-    // weights — the "how many passes over each source" table a
-    // mixture-trained run materializes from curation_mix's shares.
-    "curation_epochs" -> ((s, dir) => {
-      val avail = t(s, dir, "documents")
-        .groupBy("source")
-        .agg(sum(expr("size(split(text, ' '))")).cast("long")
-          .as("avail_tok"))
-        .withColumn("weight",
-          expr("CAST(substring(source, 4) AS BIGINT) + 1"))
-      val tot = avail.agg(sum("weight").as("wsum"))
-      avail.crossJoin(broadcast(tot))
-        .withColumn("target_tok", expr("200000 * weight DIV wsum"))
-        .withColumn("full_epochs", expr("target_tok DIV avail_tok"))
-        .withColumn("remainder_tok", expr("target_tok % avail_tok"))
-        .select("source", "avail_tok", "weight", "target_tok",
-          "full_epochs", "remainder_tok")
-        .orderBy("source")
-    }),
-    // Custom-state streaming rollup (streaming.StreamOps.stateRollup):
-    // mapGroupsWithState per-user (n, Σ, min, max) — the GroupState API
-    // surface; every fold order-independent, drain takes each key's final
-    // (max-n) emission, so the result IS the batch GROUP BY.
-    "stream_state_rollup" -> ((s, dir) => {
-      streaming.StreamOps.stateRollup(s, s"$dir/events.parquet")
-        .orderBy("user_id")
-    }),
-    // Dead-row screen (ops.ImageOps.rowDefects): the 3 lowest
-    // adjacent-row |Δ| sums per image — the repeated-scanline defect QA.
-    "img_row_defects" -> ((s, dir) => {
-      ops.ImageOps.rowDefects(gateTiles(s, "png"))
-        .orderBy("image_id", "rank")
-    }),
-    // DSIR-style importance weights (Xie et al. 2023, public): score every
-    // corpus doc by how target-like its 2-gram distribution is — per gram,
-    // ratio_q = (target_freq·10⁶) div corpus_freq; doc weight = Σ ratio_q
-    // over its gram instances. The data-selection knob upstream of
-    // curation_quota (pick the highest-weight docs per budget). Gram stats
-    // bounded by vocabulary; one gram-keyed join back.
-    "curation_dsir" -> ((s, dir) => {
-      val grams = t(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(ops.Curation.wordNgrams(col("text"), 2)).as("tok"))
-      val corpusF = grams.groupBy("tok").agg(count(lit(1)).as("c_freq"))
-      val targetF = grams.filter(col("doc_id") % 10 === 0)
-        .groupBy("tok").agg(count(lit(1)).as("t_freq"))
-      val ratios = corpusF.join(targetF, Seq("tok"), "left")
-        .withColumn("ratio_q",
-          expr("(coalesce(t_freq, 0L) * 1000000) div c_freq"))
-      grams.join(ratios.select("tok", "ratio_q"), "tok")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"), sum("ratio_q").as("weight_q"))
-        .orderBy("doc_id")
-    }),
-    // Deterministic stratified sampling: per-source keep rates as a pure
-    // md5-bucket filter on the scan (ops.Curation.stratifiedSample) —
-    // reproducible across runs/partitionings, nested rates give nested
-    // samples. src0..src3 get explicit rates, the other sources a default.
-    // Benchmark decontamination: 13-gram overlap vs a deterministic eval
-    // slice (doc_id % 50 == 7). Eval n-grams broadcast; corpus never shuffles.
-    "curation_decontam" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "text")
-      ops.Curation.decontaminate(
-          docs.filter(col("doc_id") % 50 =!= 7),
-          docs.filter(col("doc_id") % 50 === 7), n = 13)
-        .orderBy("doc_id")
-    }),
-    // Funnel analysis: view -> click -> purchase as a per-user state machine
-    // folded over the (ts, event_id)-ordered event sequence with the codegen'd
-    // higher-order `aggregate` — ONE shuffle (groupBy user_id), no self-joins.
-    // Per-user sequences are memory-bounded (events/user, not events/table);
-    // a pathological single-user firehose would move to repartition +
-    // sortWithinPartitions + mapPartitions streaming fold.
-    // Conversion-lag quartiles: per user, first 'view' → first subsequent
-    // 'purchase'; exact selection quartiles over the per-user lags (rank
-    // floor((n−1)p)+1 under the (lag, user) total order — the same
-    // convention as events_quantiles). The step-timing number funnels'
-    // counts don't carry.
-    "events_conversion_lag" -> ((s, dir) => {
-      val ev = t(s, dir, "events").selectExpr("user_id", "event_type",
-        "unix_micros(CAST(ts AS TIMESTAMP)) AS us")
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min("us").as("v_us"))
-      val lags = ev.filter(col("event_type") === "purchase")
-        .join(v, "user_id")
-        .filter(col("us") > col("v_us"))
-        .groupBy("user_id").agg((min("us") - max("v_us")).as("lag_us"))
-      val w = Window.orderBy(col("lag_us"), col("user_id"))
-      def at(p: Double) =
-        max(when(col("rn") === floor((col("n") - 1) * lit(p)) + 1,
-          col("lag_us")))
-      lags.withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-        .agg(max("n").as("n_converted"), at(0.25).as("p25_us"),
-          at(0.5).as("p50_us"), at(0.75).as("p75_us"))
-    }),
-    "events_funnel" -> ((s, dir) => {
-      t(s, dir, "events")
-        .selectExpr("user_id",
-          "unix_micros(cast(ts as timestamp)) AS tus", "event_id", "event_type")
-        .groupBy("user_id")
-        .agg(sort_array(collect_list(struct(col("tus"), col("event_id"),
-          col("event_type").as("etype")))).as("evs"))
-        .selectExpr("user_id",
-          """aggregate(evs,
-               named_struct('stage', 0, 't1', CAST(NULL AS BIGINT),
-                            't2', CAST(NULL AS BIGINT), 't3', CAST(NULL AS BIGINT)),
-               (acc, e) -> CASE
-                 WHEN acc.stage = 0 AND e.etype = 'view'
-                   THEN named_struct('stage', 1, 't1', e.tus, 't2', acc.t2, 't3', acc.t3)
-                 WHEN acc.stage = 1 AND e.etype = 'click'
-                   THEN named_struct('stage', 2, 't1', acc.t1, 't2', e.tus, 't3', acc.t3)
-                 WHEN acc.stage = 2 AND e.etype = 'purchase'
-                   THEN named_struct('stage', 3, 't1', acc.t1, 't2', acc.t2, 't3', e.tus)
-                 ELSE acc END) AS f""")
-        .selectExpr("user_id", "f.stage AS funnel_stage", "f.t1 AS view_us",
-          "f.t2 AS click_us", "f.t3 AS purchase_us")
-        .orderBy("user_id")
-    }),
-    // Longest active-day streaks (gaps-and-islands on DISTINCT epoch days):
-    // day − row_number is constant exactly along a consecutive run, so one
-    // distinct + one per-user window + two key-bounded aggs give streak
-    // count, total active days, and the longest run — the engagement
-    // metric every consumer product reports.
-    "events_streaks" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("d")
-      t(s, dir, "events")
-        .selectExpr("user_id",
-          "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000L AS d")
-        .distinct()
-        .withColumn("grp", col("d") - row_number().over(w))
-        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
-        .groupBy("user_id").agg(count(lit(1)).as("n_streaks"),
-          sum("len").as("n_days"), max("len").as("max_streak"))
-        .orderBy("user_id")
-    }),
-    // Sliding 7-day distinct actives (WAU per day): each (user, active-day)
-    // explodes into the 7 report-days its activity covers, then one
-    // distinct-count groupBy — an equi-plan, NO range join; reported for
-    // observed activity days only (semi-join).
-    "events_wau" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .select(col("user_id"), to_date(expr("cast(ts as timestamp)")).as("d"))
-        .distinct()
-      val days = ev.select(col("d").as("day")).distinct()
-      ev.select(col("user_id"),
-          explode(expr("sequence(d, date_add(d, 6))")).as("day"))
-        .join(days, Seq("day"), "left_semi")
-        .groupBy("day").agg(countDistinct(col("user_id")).as("wau"))
-        .orderBy("day")
-    }),
-    // Cohort retention: users bucketed by first-activity week (Monday), then
-    // distinct actives per (cohort_week, week_offset). Two shuffles by
-    // construction: min-per-user, then the count-distinct re-key; the
-    // user->cohort map rides the same shuffle as a join on user_id.
-    "events_retention" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .withColumn("wk", to_date(date_trunc("week", expr("cast(ts as timestamp)"))))
-      val cohort = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
-      ev.join(cohort, "user_id")
-        .withColumn("week_offset",
-          (datediff(col("wk"), col("cohort_week")) / 7).cast("int"))
-        .groupBy("cohort_week", "week_offset")
-        .agg(countDistinct(col("user_id")).as("n_users"))
-        .orderBy("cohort_week", "week_offset")
-    }),
-    // Kaplan-Meier survival curve in exact quantized arithmetic: customer
-    // lifetime = days between first and last order; customers still
-    // ordering in the dataset's final 90 days are CENSORED (they leave the
-    // at-risk pool at their observed lifetime without counting as a death
-    // — the thing that distinguishes KM from the empirical CDF). Per death
-    // time t:
-    // s_ppm ← s_ppm·(n_k − d_k) div n_k, the sequential product run by ONE
-    // flatMapGroups over the ≤(horizon+1)-row pre-aggregated curve (state
-    // bounded by the day horizon, never the users); oracle replays it as a
-    // recursive CTE over the ranked death times.
-    "events_survival" -> ((s, dir) => {
-      import s.implicits._
-      val users = t(s, dir, "orders")
-        .selectExpr("o_custkey AS user_id",
-          "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000 AS d")
-        .groupBy("user_id").agg(min("d").as("d0"), max("d").as("d1"))
-      val horizon = users.agg(max("d1")).head().getLong(0)
-      val lv = users.selectExpr("user_id", "d1 - d0 AS lifetime",
-        s"CASE WHEN d1 < ${horizon}L - 90L THEN 1 ELSE 0 END AS died")
-      val lifeCnt = lv.groupBy("lifetime").agg(count(lit(1)).as("n_at"))
-      val nGe = lifeCnt.withColumn("n_ge",
-        sum("n_at").over(Window.orderBy(col("lifetime").desc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val curve = lv.filter(col("died") === 1)
-        .groupBy(col("lifetime").as("t")).agg(count(lit(1)).as("d_k"))
-        .join(nGe.select(col("lifetime").as("t"), col("n_ge").as("n_k")), "t")
-      curve.select(col("t"), col("d_k"), col("n_k"))
-        .as[(Long, Long, Long)]
-        .groupByKey(_ => true)
-        .flatMapGroups { (_: Boolean, it: Iterator[(Long, Long, Long)]) =>
-          val rows = it.toArray.sortBy(_._1)
-          var sp = 1000000L
-          rows.iterator.map { case (tt, dk, nk) =>
-            sp = sp * (nk - dk) / nk
-            (tt, nk, dk, sp)
-          }
-        }
-        .toDF("t_day", "n_risk", "n_deaths", "s_ppm")
-        .orderBy("t_day")
-    }),
-    // EXACT mergeable distinct (ops.Sketches.BitmapDistinctAgg): per-group
-    // bitmap over the bounded user domain, byte-OR merged — one 8 KiB
-    // buffer per (group, partition) crosses the wire instead of every
-    // (group, user) pair; the exact counterpart to events_hll_distinct.
-    // 64 Ki bits covers the user domain through sf1 (the sf0.1 bench runs
-    // this too — a domain-sized sketch is part of the contract).
-    "events_bitmap_distinct" -> ((s, dir) => {
-      import s.implicits._
-      t(s, dir, "events")
-        .select(col("event_type"), col("user_id").cast("long"))
-        .as[(String, Long)]
-        .groupByKey(_._1)
-        .mapValues(_._2)
-        .agg(new ops.Sketches.BitmapDistinctAgg(65536).toColumn
-          .name("n_distinct"))
-        .toDF("event_type", "n_distinct")
-        .orderBy("event_type")
-    }),
-    // The composed curation pipeline — the ops are designed to CHAIN:
-    // exact dedup (md5 keeper) -> quality gate (length + Gopher word-rep)
-    // -> 13-gram decontamination (broadcast eval grams, anti-join) ->
-    // per-source token budget (md5-ordered cumsum cap). Four stages,
-    // four key-bounded shuffles, one scan of the corpus text.
-    "curation_pipeline" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val s1 = dedupCorpus(s, dir)
-        .withColumn("keeper",
-          min("doc_id").over(Window.partitionBy(md5(col("text")))))
-        .filter(col("doc_id") === col("keeper")).drop("keeper")
-      val s2 = s1
-        .withColumn("wlist", split(col("text"), " "))
-        .withColumn("n_words", size(col("wlist")).cast("long"))
-        .withColumn("n_distinct", size(array_distinct(col("wlist"))).cast("long"))
-        .filter(col("n_words") >= 20 &&
-          expr("(n_words - n_distinct) * 1000000 div n_words") < 500000)
-      val evalGrams = docs.filter(col("doc_id") % 50 === 7)
-        .select(explode(ops.Curation.wordNgrams(col("text"), 13)).as("ng"))
-        .distinct()
-      val contaminated = s2
-        .select(col("doc_id"), explode(ops.Curation.wordNgrams(col("text"), 13)).as("ng"))
-        .join(broadcast(evalGrams), "ng").select("doc_id").distinct()
-      val s3 = s2.filter((col("doc_id") % 100000) % 50 =!= 7)
-        .join(contaminated, Seq("doc_id"), "left_anti")
-      val w4 = Window.partitionBy("source")
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      s3.withColumn("orig_id", col("doc_id") % 100000)
-        .join(docs.select(col("doc_id").as("orig_id"), col("source")), "orig_id")
-        .withColumn("cum", sum("n_words").over(
-          w4.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .filter(col("cum") <= 800)
-        .select("doc_id", "source", "n_words", "cum")
-        .orderBy("doc_id")
-    }),
-    // Fuzzy decontamination: LSH band candidates corpus x eval + exact
-    // shingle-Jaccard verify. Corpus augmented with mutated eval copies
-    // (+300000, trailing junk words) so the fuzzy path has real leakage to
-    // catch — the exact 13-gram test misses edited copies by construction.
-    "curation_decontam_fuzzy" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select("doc_id", "text")
-      val eval = d.filter(col("doc_id") % 50 === 7)
-      val corpus = d.filter(col("doc_id") % 50 =!= 7)
-        .unionAll(eval.select((col("doc_id") + 300000).as("doc_id"),
-          concat(col("text"), lit(" zz qq ww ee rr tt")).as("text")))
-      ops.Curation.decontaminateFuzzy(corpus, eval)
-        .orderBy("doc_id", "eval_id")
-    }),
-    // Event-type transition counts: the Markov matrix of consecutive
-    // per-user events — one window shuffle, integer counts.
-    "events_transition" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
-      t(s, dir, "events")
-        .selectExpr("user_id", "unix_micros(cast(ts as timestamp)) AS tus",
-          "event_id", "event_type")
-        .withColumn("prev", lag("event_type", 1).over(w))
-        .filter(col("prev").isNotNull)
-        .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy("from_type", "to_type")
-    }),
-    // Sequence packing: concatenate each source's docs in doc_id order and
-    // chop into 512-token training sequences — every doc gets (seq_id,
-    // offset) of its start; docs straddle boundaries, as GPT-style packing
-    // does. One shuffle (window per source), exact integer cumsums.
-    "curation_pack" -> ((s, dir) => {
-      val w = Window.partitionBy("source").orderBy("doc_id")
-      t(s, dir, "documents")
-        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-        .withColumn("start_tok",
-          coalesce(sum("n_tokens").over(w.rowsBetween(
-            Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("doc_id"), col("source"), col("n_tokens"),
-          expr("start_tok div 512").as("seq_id"),
-          (col("start_tok") % 512).as("offset"))
-        .orderBy("doc_id")
-    }),
-    // Token-budget sampling: keep each source's docs in deterministic
-    // md5-hash order until the source's token cap — the data-mixing step
-    // that hits per-source token targets, not row counts.
-    "curation_budget" -> ((s, dir) => {
-      val caps = typedLit(Map("src0" -> 1000L, "src1" -> 700L,
-        "src2" -> 400L, "src3" -> 200L))
-      val w = Window.partitionBy("source")
-        .orderBy(col("h"), col("doc_id"))
-      t(s, dir, "documents")
-        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-        .withColumn("h", md5(col("doc_id").cast("string")))
-        .withColumn("cum", sum("n_tokens").over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .filter(col("cum") <= coalesce(element_at(caps, col("source")), lit(800L)))
-        .select("doc_id", "source", "n_tokens", "cum")
-        .orderBy("doc_id")
-    }),
-    "curation_stratified" -> ((s, dir) => {
-      ops.Curation.stratifiedSample(
-          t(s, dir, "documents").select("doc_id", "source"),
-          col("doc_id"), col("source"),
-          Map("src0" -> 800, "src1" -> 400, "src2" -> 200, "src3" -> 50),
-          defaultPerMille = 100)
-        .orderBy("doc_id")
-    }),
-    // Gopher-style repetition quality signals (ops.Curation.repetitionStats):
-    // duplicate-word and top-bigram concentration as exact integers +
-    // floor-quantized millionth ratios.
-    "quality_repetition" -> ((s, dir) => {
-      ops.Curation.repetitionStats(t(s, dir, "documents"), col("text"))
-        .select("doc_id", "n_words", "n_distinct", "max_word_c",
-          "n_bigrams", "max_bigram_c", "dup_word_q", "top_bigram_q")
-        .orderBy("doc_id")
-    }),
-    // Language-ID confusion matrix (Cavnar–Trenkle rank-order character
-    // n-gram profiles, ops.LangId — replaced the round-3 stopword vote its
-    // own gate proved useless): profiles train on the 30% doc_id-hash
-    // slice of the deterministic multilingual gate corpus, classification
-    // runs on the held-out 70%. The acceptance criterion is DIAGONAL
-    // DOMINANCE — no majority-class collapse.
-    "text_langid_confusion" -> ((s, dir) => {
-      val corpus = ops.LangId.synthCorpus(t(s, dir, "documents").select("doc_id"))
-      val prof = ops.LangId.trainProfiles(
-        corpus.filter(col("doc_id") % 10 < 3), "lang", "text", 40)
-      val ev = corpus.filter(col("doc_id") % 10 >= 3)
-      ops.LangId.classify(ev, prof, 40)
-        .filter(col("pred_rn") === 1)
-        .select(col("doc_id"), col("lang").as("predicted"))
-        .join(ev.select("doc_id", "lang"), "doc_id")
-        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
-        .orderBy("lang", "predicted")
-    }),
-    // Per-document language prediction + out-of-place distance on the
-    // held-out slice (same trained profiles).
-    "text_langid" -> ((s, dir) => {
-      val corpus = ops.LangId.synthCorpus(t(s, dir, "documents").select("doc_id"))
-      val prof = ops.LangId.trainProfiles(
-        corpus.filter(col("doc_id") % 10 < 3), "lang", "text", 40)
-      val ev = corpus.filter(col("doc_id") % 10 >= 3)
-      ops.LangId.classify(ev, prof, 40)
-        .filter(col("pred_rn") === 1)
-        .select(col("doc_id"), col("lang").as("predicted"), col("dist"))
-        .join(ev.select("doc_id", "lang"), "doc_id")
-        .select("doc_id", "lang", "predicted", "dist")
-        .orderBy("doc_id")
-    }),
-    // Top-3 TF-IDF terms per document (ops.Curation.tfidfTopTerms):
-    // wordcount-shaped tf shuffle + vocabulary-bounded df aggregate + term
-    // join; idf quantized to integers so ranking is engine-exact (no ln).
-    "text_tfidf" -> ((s, dir) => {
-      ops.Curation.tfidfTopTerms(t(s, dir, "documents"), 3)
-        .orderBy("doc_id", "rk")
-    }),
-    // Quantized BM25 top terms (ops.Curation.bm25TopTerms): the Okapi
-    // length-normalized retrieval scorer with idf AND the doc-length ratio
-    // quantized to integers (k1=1.2, b=0.75 folded into the 44000/20000/
-    // 6000/18 constants), so the whole ranking is exact 64-bit arithmetic
-    // both engines replay bit-identically.
-    "text_bm25q" -> ((s, dir) => {
-      ops.Curation.bm25TopTerms(t(s, dir, "documents"), 3)
-        .orderBy("doc_id", "rk")
-    }),
-    // RAKE keyphrase extraction (ops.Curation.rakeKeywords): stopword-free
-    // runs as candidate phrases, quantized deg/freq word scores summed per
-    // phrase, per-doc top-3 — the zero-training keyphrase primitive. The
-    // 4-word stopword list splits the synthetic corpus into real
-    // multi-word phrases.
-    "text_rake" -> ((s, dir) => {
-      ops.Curation.rakeKeywords(t(s, dir, "documents"),
-          Seq("a", "the", "value", "table"), 3)
-        .orderBy("doc_id", "rk")
-    }),
-    "token_count" -> ((s, dir) => {
-      t(s, dir, "documents").selectExpr(
-        "doc_id",
-        "cast(size(split(text, ' ')) as bigint) AS n_ws_tokens",
-        "cast(aggregate(split(text, ' '), 0, (acc, w) -> acc + cast((length(w) + 3) / 4 as int)) as bigint) AS n_bpe_tokens")
-        .orderBy("doc_id")
-    }),
-    // Heaps-law vocabulary growth over 3-gram TYPES: distinct-type count
-    // after each 50-doc corpus prefix — each gram shuffles ONCE (min
-    // first-occurrence doc per type), the curve itself is a cumulative
-    // window over ≤ ⌈N/50⌉ checkpoint rows. The vocabulary-saturation
-    // diagnostic of corpus curation (is more data still adding new
-    // types?); 3-grams because the synthetic unigram vocabulary (31
-    // types) saturates inside the first bucket — the gate needs a curve
-    // that is still growing.
-    // Hapax share per document — the vocabulary-tail exposure screen:
-    // which docs are built from corpus-frequency-1 tokens (rare-content /
-    // OCR-noise / code-dump indicator; the complement of templated text).
-    // One token-keyed freq agg + one rejoin, both vocabulary-bounded;
-    // exact ppm by integer division.
-    "text_hapax" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      val freq = toks.groupBy("tok").agg(count(lit(1)).as("cf"))
-      toks.join(freq, "tok")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(when(col("cf") === 1, 1L).otherwise(0L)).as("n_hapax"))
-        .withColumn("hapax_ppm", expr("(n_hapax * 1000000L) div n_tokens"))
-        .orderBy("doc_id")
-    }),
-    "text_vocab_growth" -> ((s, dir) => {
-      val firstSeen = t(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(ops.Curation.wordNgrams(col("text"), 3)).as("tok"))
-        .groupBy("tok").agg(min("doc_id").as("first_doc"))
-      firstSeen
-        .groupBy((expr("first_doc DIV 50") * 50 + 50).as("n_docs"))
-        .agg(count(lit(1)).as("new_types"))
-        .withColumn("vocab", sum("new_types").over(Window.orderBy("n_docs")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .orderBy("n_docs")
-    }),
-    // Per-document n-gram NOVELTY — the memorization/leakage screen dual
-    // to text_vocab_growth's corpus curve: for each doc (corpus ordered by
-    // doc_id), how many of its distinct 3-grams appear HERE first. Low
-    // novelty late in the corpus = near-duplicate or templated content;
-    // gram-keyed shuffles bounded by the gram vocabulary.
-    "text_novelty" -> ((s, dir) => {
-      val grams = t(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(ops.Curation.wordNgrams(col("text"), 3)).as("tok"))
-        .distinct()
-      val firstSeen = grams.groupBy("tok").agg(min("doc_id").as("first_doc"))
-      grams.join(firstSeen, "tok")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_distinct"),
-          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-            .as("n_novel"))
-        .withColumn("novelty_ppm",
-          expr("(n_novel * 1000000) div n_distinct"))
-        .orderBy("doc_id")
-    }),
-    // Term BURSTINESS (Church & Gale's variance-to-mean ratio, public):
-    // topical terms clump into few documents (VMR ≫ 1), function words
-    // spread evenly (VMR ≈ 1) — the zero-training topicality signal
-    // complementing tf-idf. Exact integer moments over per-doc counts
-    // (absent docs contribute 0 to both sums), ONE ppm division; top-20.
-    "text_burstiness" -> ((s, dir) => {
-      val tf = t(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .filter(col("tok") =!= "")
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("x"))
-      val nd = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
-      tf.groupBy("tok")
-        .agg(count(lit(1)).as("df"), sum("x").as("sx"),
-          sum(col("x") * col("x")).as("sxx"))
-        .filter(col("df") >= 5)
-        .crossJoin(broadcast(nd))
-        .withColumn("vmr_ppm",
-          expr("((n_docs * sxx - sx * sx) * 1000000) div (n_docs * sx)"))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("vmr_ppm").desc, col("tok"))))
-        .filter(col("rk") <= 20)
-        .select("tok", "df", "sx", "vmr_ppm", "rk")
-        .orderBy("rk")
-    }),
-    // Moving-average type-token ratio (ops.Curation.mattr): the
-    // length-robust lexical-diversity score — mean distinct-type count
-    // over every sliding 50-token window, computed in ONE lag pass via
-    // the previous-occurrence identity (never a per-window DISTINCT);
-    // docs shorter than the window are dropped. Exact integers.
-    "text_mattr" -> ((s, dir) => {
-      ops.Curation.mattr(t(s, dir, "documents"), col("text"), w = 50)
-        .orderBy("doc_id")
-    }),
-    // BPE merge statistics (ops.TextDedup.bpePairStats): corpus-wide
-    // adjacent character-pair counts — the counting step a BPE tokenizer
-    // trainer iterates; ONE pair-keyed count, ranking bounded by the
-    // |alphabet|² pair vocabulary, never the corpus.
-    "text_bpe_pairs" -> ((s, dir) => {
-      ops.TextDedup.bpePairStats(t(s, dir, "documents"), topK = 20)
-        .orderBy("rk")
-    }),
-    // Tile-pyramid materialization: render each 1° tile into 2×2
-    // Terrarium-RGB PNG sub-tiles (64² px, bilinear at pixel centers), then
-    // DECODE the produced PNGs back and emit per-sub-tile RGB channel sums —
-    // the whole produce-side chain (bilinear sample → Terrarium encode → PNG
-    // encode → PNG decode) is pinned, because Terrarium encode∘decode is
-    // bijective on the byte triple and the oracle recomputes the same
-    // triples from the closed-form grid.
-    "tile_pyramid" -> ((s, dir) => {
-      import s.implicits._
-      val subs = ops.TilePyramid.materialize(gateTiles(s), 2, 64)
-      subs.map { st =>
-        val (elevs, sz) = graft.raster.ImageCodec.decodeToElevations(st.png)
-        var rs = 0L; var gs = 0L; var bs = 0L
-        var i = 0
-        while (i < elevs.length) {
-          val (r, g, b) = graft.raster.Terrarium.encode(elevs(i))
-          rs += r; gs += g; bs += b
-          i += 1
-        }
-        (st.image_id, st.sx, st.sy, sz.toLong * sz, rs, gs, bs)
-      }.toDF("image_id", "sx", "sy", "n_px", "r_sum", "g_sum", "b_sum")
-        .orderBy("image_id", "sx", "sy")
-    }),
-    // Exact per-group quantiles by deterministic SELECTION (rank
-    // floor((n-1)p)+1 under the total order (value, event_id)) — selection
-    // of an existing element is engine-exact where interpolation arithmetic
-    // is not; the scale shape is one shuffle on the group key and a
-    // rank-filter, no global sort.
-    "events_quantiles" -> ((s, dir) => {
-      val w = Window.partitionBy("event_type").orderBy("value", "event_id")
-      val nw = Window.partitionBy("event_type")
-      def at(p: Double) =
-        max(when(col("rn") === floor((col("n") - 1) * lit(p)) + 1, col("value")))
-      t(s, dir, "events")
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(nw))
-        .groupBy("event_type")
-        .agg(max(col("n")).as("n"), at(0.5).as("p50"), at(0.9).as("p90"),
-          at(0.99).as("p99"))
-        .orderBy("event_type")
-    }),
-    // Robust outlier profile (ops.Quantiles.madOutliers): lower-median +
-    // MAD with the |x − med| > 2·MAD Hampel flag, exact integer cents —
-    // the 50%-breakdown counterpart of events_welford's mean/stddev z-flag
-    // (which outliers drag). Both window sorts share one event_type
-    // Exchange.
-    "events_mad" -> ((s, dir) => {
-      val e = t(s, dir, "events")
-        .withColumn("iv", floor(col("value") * 100).cast("long"))
-      ops.Quantiles.madOutliers(e, "event_type", col("iv"), col("event_id"))
-        .orderBy("event_type")
-    }),
-    // One-pass HISTOGRAM quantiles (ops.Quantiles) — the scale path next to
-    // events_quantiles' exact per-group sort: bounded mergeable bin counts
-    // ($5 bins on exact cents), cumulative over the tiny bin list, same
-    // selection-rank convention. At 100 TB the exact sort dies on a huge
-    // group; the histogram's state is the bin count, period.
-    "events_histq" -> ((s, dir) => {
-      ops.Quantiles.histogramQuantiles(
-          t(s, dir, "events"), "event_type",
-          round(col("value") * 100, 0).cast("long"), 500L,
-          Seq(0.5, 0.9, 0.99))
-        .orderBy("event_type")
-    }),
-    // HLL-style distinct sketch (ops.Sketches) vs the exact count: the
-    // bounded-state distinct path — 32 integer registers per group cross
-    // the shuffle instead of every (group, user) pair. Deterministic
-    // hash + exact-integer register sum make the estimate oracle-exact.
-    "events_hll_distinct" -> ((s, dir) => {
-      val e = t(s, dir, "events")
-      val sk = ops.Sketches.hllDistinct(e, "event_type", "user_id")
-      val exact = e.groupBy("event_type")
-        .agg(countDistinct("user_id").as("n_exact"))
-      sk.join(exact, "event_type").orderBy("event_type")
-    }),
-    // KMV bottom-k distinct sketch (ops.Sketches.kmvDistinct): keep the 64
-    // smallest distinct hashes per group; the 64th order statistic gives
-    // the cardinality estimate (k−1)·2³¹/h_k — tighter than HLL-32
-    // (σ≈1/√62) AND the retained set is a deterministic key sample that
-    // composes into Jaccard estimates. Two-phase: capped TreeSet fold per
-    // partition (≤ k·partitions rows per group cross the shuffle), then a
-    // global bottom-k — exact count(distinct) joined alongside as the
-    // gate's accuracy witness.
-    "events_kmv_distinct" -> ((s, dir) => {
-      val e = t(s, dir, "events")
-      val sk = ops.Sketches.kmvDistinct(e, "event_type", "user_id", 64)
-      val exact = e.groupBy("event_type")
-        .agg(countDistinct("user_id").as("n_exact"))
-      sk.join(exact, "event_type").orderBy("event_type")
-    }),
-    // Count-Min heavy hitters (ops.Sketches.cmSketch/cmEstimate): bounded
-    // mergeable frequency state — 3×1024 counters cross the shuffle instead
-    // of every distinct key — then point estimates (min over rows, an
-    // overestimate by construction: cm_est ≥ n_exact on every output row)
-    // for the exact top-20 keys, both sides oracle-exact.
-    "events_cm_topk" -> ((s, dir) => {
-      val e = t(s, dir, "events")
-      val sk = ops.Sketches.cmSketch(e, "user_id", 1024)
-      val top = e.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
-        .orderBy(col("n_exact").desc, col("user_id")).limit(20)
-      ops.Sketches.cmEstimate(top, "user_id", sk, 1024)
-        .orderBy(col("n_exact").desc, col("user_id"))
-    }),
-    // Bloom-filter semi-join pre-filter (ops.Sketches.bloomBuild/
-    // bloomMightContain): the 100 TB join primitive — a 16 KiB broadcast
-    // bitmap prunes the probe scan to bloom-positive rows before any
-    // shuffle. Output counts the pass set, the exact semi-join truth, and
-    // the false positives per group; determinism makes all three
-    // oracle-exact (no-false-negative invariant: n_bloom_pass ≥ n_true).
-    "bloom_semijoin" -> ((s, dir) => {
-      val m = 1 << 17
-      val build = t(s, dir, "orders").where(col("o_totalprice") > 480000.0)
-        .select("o_orderkey")
-      val bc = ops.Sketches.bloomBuild(build, "o_orderkey", m)
-      val truth = build.distinct().withColumnRenamed("o_orderkey", "bk")
-      t(s, dir, "lineitem")
-        .withColumn("bloom_pass",
-          ops.Sketches.bloomMightContain(bc, m, col("l_orderkey")))
-        .join(broadcast(truth), col("l_orderkey") === col("bk"), "left")
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n_rows"),
-          sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_bloom_pass"),
-          sum(when(col("bk").isNotNull, 1L).otherwise(0L)).as("n_true"),
-          sum(when(col("bloom_pass") && col("bk").isNull, 1L).otherwise(0L))
-            .as("n_fp"))
-        .orderBy("l_returnflag")
-    }),
-    // Key-skew profile (count-of-counts): per-key cardinality histogram —
-    // the diagnostic that sizes salting / AQE-skew decisions before a big
-    // join or agg. Two mergeable aggregations; the second's input is
-    // bounded by the number of DISTINCT per-key counts, so the profile of
-    // a 100 TB table is a few hundred rows.
-    // Inter-arrival profile: per-user event-gap sufficient statistics in
-    // exact integer seconds (count, min/max, Σg, and the variance
-    // numerator n·Σg²−(Σg)² — the burstiness/regularity discriminator;
-    // σ and B=(σ−μ)/(σ+μ) are one local sqrt away for the caller). One
-    // user-keyed lag window + one agg, both on the same partitioning.
-    "events_interarrival" -> ((s, dir) => {
-      t(s, dir, "events")
-        .selectExpr("user_id", "event_id",
-          "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us")
-        .withColumn("gap_s",
-          expr("(ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)) div 1000000L"))
-        .filter(col("gap_s").isNotNull)
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_gaps"),
-          min("gap_s").as("min_gap_s"), max("gap_s").as("max_gap_s"),
-          sum("gap_s").as("sum_gap_s"),
-          sum(expr("gap_s * gap_s")).as("sum_sq"))
-        .withColumn("var_num", expr("n_gaps * sum_sq - sum_gap_s * sum_gap_s"))
-        .drop("sum_sq")
-        .orderBy("user_id")
-    }),
-    "events_key_skew" -> ((s, dir) => {
-      t(s, dir, "events")
-        .groupBy("user_id").agg(count(lit(1)).as("n"))
-        .groupBy("n").agg(count(lit(1)).as("n_keys"))
-        .orderBy("n")
-    }),
-    // Day-of-week χ² uniformity test in exact integers: per event type,
-    // χ²·ppm against the uniform weekday expectation via the identity
-    // Σ(O−T/7)²/(T/7) = Σ(7O−T)²/(7T) — the numerator stays integer, ONE
-    // ppm division at the end. The seasonality screen of event pipelines.
-    "events_dow_chi2" -> ((s, dir) => {
-      val c = t(s, dir, "events")
-        .selectExpr("event_type",
-          "(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000) % 7 AS dow")
-        .groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
-      c.withColumn("t_all", sum("o").over(Window.partitionBy("event_type")))
-        .groupBy("event_type")
-        .agg(max("t_all").as("total"),
-          sum(expr("(7*o - t_all) * (7*o - t_all)")).as("chi_num"))
-        .withColumn("chi2_ppm",
-          expr("(chi_num * 1000000) div (7 * total)"))
-        .orderBy("event_type")
-    }),
-    // Top event PATHS (3-step behavioural n-grams): the "what do users do
-    // next-next" product-analytics staple one step beyond
-    // events_transition's Markov pairs. One user-keyed window (two leads),
-    // vocabulary-bounded count, global top-10.
-    "events_trigrams" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      t(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-        .withColumn("e2", lead("event_type", 1).over(w))
-        .withColumn("e3", lead("event_type", 2).over(w))
-        .filter(col("e3").isNotNull)
-        .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
-          .as("path"))
-        .groupBy("path").agg(count(lit(1)).as("n"))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("n").desc, col("path"))))
-        .filter(col("rk") <= 10)
-        .orderBy("rk")
-    }),
-    // Kitagawa MIX-SHIFT decomposition (public): the change in overall
-    // mean value between the first/second half-month splits into a MIX
-    // effect (segment weights moved) and a RATE effect (within-segment
-    // means moved) per event type: Δ = Σ(w2−w1)·r1 + Σ w2·(r2−r1). Weights
-    // in exact ppm, rates in floor cents; the effects are PRODUCTS of
-    // those integers, so no negative-division divergence between engines.
-    "events_mix_shift" -> ((s, dir) => {
-      val ev = t(s, dir, "events").selectExpr("event_type",
-        "CASE WHEN unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 < 19738 THEN 1 ELSE 2 END AS period",
-        "CAST(FLOOR(value * 100.0D + 0.5D) AS BIGINT) AS cents")
-      val seg = ev.groupBy("period", "event_type")
-        .agg(count(lit(1)).as("n"), sum("cents").as("sc"))
-        .withColumn("tot", sum("n").over(Window.partitionBy("period")))
-        .selectExpr("period", "event_type",
-          "(n * 1000000) div tot AS w_ppm", "sc div n AS r_c")
-      val p1 = seg.filter(col("period") === 1)
-        .select(col("event_type"), col("w_ppm").as("w1_ppm"),
-          col("r_c").as("r1_c"))
-      val p2 = seg.filter(col("period") === 2)
-        .select(col("event_type"), col("w_ppm").as("w2_ppm"),
-          col("r_c").as("r2_c"))
-      p1.join(p2, "event_type")
-        .withColumn("mix_eff", (col("w2_ppm") - col("w1_ppm")) * col("r1_c"))
-        .withColumn("rate_eff", col("w2_ppm") * (col("r2_c") - col("r1_c")))
-        .orderBy("event_type")
-    }),
-    // Trailing-7-day ROLLING MEDIAN of daily volume per type — the robust
-    // trend line (one outage day doesn't move it, unlike the rolling
-    // mean): daily counts fan out to the ≤7 target days they serve
-    // (bounded equi-fanout, never a range self-join), lower median by
-    // selection rank.
-    "events_rolling_median" -> ((s, dir) => {
-      val daily = t(s, dir, "events")
-        .selectExpr("event_type",
-          "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 AS d")
-        .groupBy("event_type", "d").agg(count(lit(1)).as("cnt"))
-      val fan = daily.select(col("event_type"), col("d").as("src_d"),
-          col("cnt"), explode(expr("sequence(0, 6)")).as("o"))
-        .withColumn("d", col("src_d") + col("o"))
-      val win = fan.join(daily.select("event_type", "d"),
-        Seq("event_type", "d"), "left_semi")
-      val w = Window.partitionBy("event_type", "d")
-        .orderBy(col("cnt"), col("src_d"))
-      win.withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(
-          Window.partitionBy("event_type", "d")))
-        .filter(expr("rn = (n + 1) DIV 2"))
-        .select(col("event_type"), col("d"), col("n").as("n_days"),
-          col("cnt").as("med_daily"))
-        .orderBy("event_type", "d")
-    }),
-    // Gini concentration of per-key volume — the single-number skew verdict
-    // events_key_skew's histogram feeds: G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx)
-    // over counts sorted ascending (rank i by count, user_id ties), in
-    // exact integers quantized to ppm with ONE integer division. The
-    // "does one source dominate the corpus" gate of mixing recipes.
-    "events_gini" -> ((s, dir) => {
-      val counts = t(s, dir, "events")
-        .groupBy("user_id").agg(count(lit(1)).as("n"))
-      val ranked = counts.withColumn("i",
-        row_number().over(Window.orderBy(col("n"), col("user_id"))))
-      ranked.agg(count(lit(1)).as("n_keys"), sum("n").as("total"),
-          sum(col("i") * col("n")).as("iwsum"))
-        .selectExpr("n_keys", "total",
-          "((2 * iwsum - (n_keys + 1) * total) * 1000000) div (CAST(n_keys AS BIGINT) * total) AS gini_ppm")
-    }),
-    // Deterministic train/val/test split — assignment must be a pure
-    // function of the row key (reproducible, join-free, engine-independent)
-    // never a random() sample. The multiplicative hash keeps the arithmetic
-    // in oracle-replicable BIGINT range; a production corpus with unbounded
-    // ids would use xxhash64 (engine-internal, same shape).
-    "curation_split" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .selectExpr("doc_id", "(doc_id * 40503 + 30013) % 65536 AS h")
-        .selectExpr("doc_id", "h",
-          """CASE WHEN h % 100 < 80 THEN 'train'
-                  WHEN h % 100 < 90 THEN 'val'
-                  ELSE 'test' END AS split""")
-        .orderBy("doc_id")
-    }),
-    // Hierarchical ROLLUP totals (event_type, hour) -> (event_type) -> ()
-    // with sentinel labels instead of grouping nulls (engine-independent
-    // null ordering is not worth relying on). The grand-total sum covers
-    // EVERY row, so it aggregates exact integer cents (values carry 2
-    // decimals; round() kills the *100 representation error) — a plain
-    // double sum over the whole table is accumulation-order dependent and
-    // would eventually disagree with the oracle at a rounding boundary.
-    "events_rollup" -> ((s, dir) => {
-      t(s, dir, "events")
-        .withColumn("hr", date_trunc("hour", col("ts")))
-        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
-        .rollup("event_type", "hr")
-        .agg(count(lit(1)).as("n"),
-          (sum("cents") / lit(100.0)).as("sum_value"))
-        .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
-          coalesce(col("hr").cast("string"), lit("(all)")).as("hr"),
-          col("n"), col("sum_value"))
-        .orderBy("event_type", "hr")
-    }),
-    // Sessionization (gaps-and-islands): per-user sessions split at a
-    // 12-hour silence — the batch form of the streaming session-window op
-    // (StreamingSpec's mapGroupsWithState covers the incremental form).
-    // Gap arithmetic runs on exact integer microseconds (a double timestamp
-    // diff would not be oracle-exact); per-session aggregates shuffle once
-    // on user_id and the window + groupBy share that partitioning.
-    "events_sessions" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val gapUs = 12L * 3600 * 1000000
-      t(s, dir, "events")
-        // ts is TIMESTAMP_NTZ in the parquet; the cast reads it in the
-        // session's UTC zone, so unix_micros equals DuckDB's epoch_us
-        .withColumn("tus", expr("unix_micros(cast(ts as timestamp))"))
-        .withColumn("prev", lag("tus", 1).over(w))
-        .withColumn("new_sess",
-          when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1L)
-            .otherwise(0L))
-        .withColumn("sess_seq", sum("new_sess")
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        // exact integer cents, same as events_rollup: a raw double sum is
-        // accumulation-order dependent and would flake vs the oracle at a
-        // round(x, 2) boundary
-        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
-        .groupBy(col("user_id"), col("sess_seq"))
-        .agg(count(lit(1)).as("n_events"),
-          min("tus").as("start_us"), max("tus").as("end_us"),
-          (sum("cents") / lit(100.0)).as("sum_value"))
-        .orderBy("user_id", "sess_seq")
-    }),
-    // AS-OF join: each purchase annotated with the user's most recent view
-    // at-or-before it (exact integer micros). Join-free union+window fill —
-    // one shuffle on user_id, linear scan per group; see ops.AsofJoin.
-    "events_asof" -> ((s, dir) => {
-      val e = t(s, dir, "events")
-        .withColumn("tus", expr("unix_micros(cast(ts as timestamp))"))
-        .select("event_id", "user_id", "tus", "event_type")
-      val purchases = e.filter(col("event_type") === "purchase").drop("event_type")
-      val views = e.filter(col("event_type") === "view").drop("event_type")
-      ops.AsofJoin.asofJoin(purchases, views, Seq("user_id"),
-          tsCol = "tus", seqCol = "event_id", payload = Seq("event_id"))
-        .select(col("event_id"), col("user_id"), col("tus"),
-          col("asof_event_id").as("view_event_id"),
-          col("asof_tus").as("view_tus"),
-          (col("tus") - col("asof_tus")).as("gap_us"))
-        .orderBy("event_id")
-    }),
-    // Semantic dedup (SemDeDup): trained-kmeans clusters bound the candidate
-    // space, exact cosine prunes within clusters, smallest-id survivor —
-    // over the embedding dedup corpus (base + exact copies + perturbed
-    // copies). Cross-cluster dup pairs are missed by design (the published
-    // recall trade); the copies land with their originals here because a
-    // copy's assignment is bit-identical and the perturbation is tiny.
-    "ann_semdedup" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val (cents, _) = trainedKmeans(s, dir)
-      ops.Embeddings.semDedup(semCorpus(e), cents, minCos = 0.95)
-        .orderBy("vec_id")
-    }),
-    // Scalar SQ8 quantization — per-vector [mn,mx] byte codes + exact
-    // reconstruction error; the cheapest vector-compression lane.
-    "ann_sq8" -> ((s, dir) => {
-      ops.Embeddings.sq8(t(s, dir, "embeddings")).orderBy("vec_id")
-    }),
-    // Corpus-internal exact duplicate-SPAN dedup (Lee et al. 2022 style):
-    // 8-gram sites hashed and counted corpus-wide over the dedup corpus;
-    // non-canonical occurrences mark their tokens redundant; cleaned text
-    // (md5) drops exactly those tokens. The exact-copy docs (+100000) make
-    // every site a duplicate of its original's, so the copy side cleans
-    // down to whatever IT holds canonically — rich, fully deterministic.
-    "dedup_spans" -> ((s, dir) => {
-      ops.TextDedup.duplicateSpanStats(dedupCorpus(s, dir), n = 8)
-        .orderBy("doc_id")
-    }),
-    // Longest common SPAN between document pairs — the plagiarism-locator
-    // upgrade of dedup_spans' per-doc stats: 8-gram positions equi-join on
-    // the gram (pairs only materialize where grams collide, never doc ×
-    // doc), aligned-offset runs via gaps-and-islands, max run L ⇒ a shared
-    // span of L+7 tokens. Report pairs sharing a ≥12-token span.
-    "dedup_lcs_span" -> ((s, dir) => {
-      val docs = dedupCorpus(s, dir).filter(col("doc_id") % 5 === 0)
-      val g = docs.select(col("doc_id"),
-          posexplode(ops.Curation.wordNgrams(col("text"), 8))
-            .as(Seq("pos", "g")))
-      val m = g.select(col("doc_id").as("doc_a"), col("pos").as("pa"),
-          col("g"))
-        .join(g.select(col("doc_id").as("doc_b"), col("pos").as("pb"),
-          col("g")), "g")
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "pa", "pb").distinct()
-        .withColumn("off", col("pa") - col("pb"))
-      val w = Window.partitionBy("doc_a", "doc_b", "off").orderBy("pa")
-      m.withColumn("grp", col("pa") - row_number().over(w))
-        .groupBy("doc_a", "doc_b", "off", "grp")
-        .agg(count(lit(1)).as("run"))
-        .groupBy("doc_a", "doc_b")
-        .agg(max(col("run") + 7).as("span_tokens"),
-          count(lit(1)).as("n_runs"))
-        .filter(col("span_tokens") >= 12)
-        .orderBy("doc_a", "doc_b")
-    }),
-    // Interval-overlap join, bin-bucketed (5-min bins): view exposure
-    // windows x purchase attribution windows on exact epoch-millis — the
-    // temporal range join; pairs dedup by first-shared-bin, no distinct.
-    "events_interval_join" -> ((s, dir) => {
-      val e = t(s, dir, "events")
-        .withColumn("ms", expr("unix_millis(cast(ts as timestamp))"))
-      val views = e.filter(col("event_type") === "view")
-        .select(col("event_id").as("l_id"), col("ms").as("l_s"),
-          (col("ms") + (col("event_id") % 7 + 1) * 60000L).as("l_e"))
-      val buys = e.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("r_id"), col("ms").as("r_s"),
-          (col("ms") + (col("event_id") % 11 + 1) * 60000L).as("r_e"))
-      ops.IntervalJoin.overlapJoin(views, buys, binWidth = 300000L)
-        .orderBy("l_id", "r_id")
-    }),
-    "ann_cosine_topk" -> ((s, dir) => {
-      import graft.functions.vectors.vec_dot
-      val e = t(s, dir, "embeddings")
-        .selectExpr("vec_id", "cast(embedding as array<double>) AS v")
-        .withColumn("nrm", sqrt(vec_dot(col("v"), col("v"))))
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
-      // broadcast the QUERY side (k rows), stream the corpus: the scale
-      // shape (corpus partitions scan once, queries ride along), and the
-      // stream side keeps the corpus scan's parallelism
-      val pairs = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("neighbor_id"),
-          (vec_dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))
-      pairs.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select(col("qid"), col("neighbor_id"), col("rank"), round(col("cos"), 4).as("cos_r"))
-        .orderBy("qid", "rank")
-    }),
-    // Hard-negative mining — the contrastive-training data op (every
-    // embedding trainer mines "closest wrong-label" pairs): per anchor
-    // (vec_id % 50 = 0) the hardest NEGATIVE (max cosine among different-
-    // label corpus vectors) and the nearest POSITIVE (max cosine, same
-    // label), plus the margin in exact 1e4 quanta — anchors whose margin
-    // is negative are the confusable cases a curriculum surfaces first.
-    // Same broadcast-the-anchors / stream-the-corpus shape as
-    // ann_cosine_topk; two filtered windows over one pair pass.
-    "ann_hard_negatives" -> ((s, dir) => {
-      import graft.functions.vectors.vec_dot
-      val e = t(s, dir, "embeddings")
-        .selectExpr("vec_id", "label", "cast(embedding as array<double>) AS v")
-        .withColumn("nrm", sqrt(vec_dot(col("v"), col("v"))))
-      val q = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
-          col("v").as("qv"), col("nrm").as("qnrm"))
-      val pairs = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
-          (vec_dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
-      val byCos = Window.partitionBy("qid")
-        .orderBy(col("cos").desc, col("vec_id"))
-      val pos = pairs.filter(col("label") === col("qlabel"))
-        .withColumn("rn", row_number().over(byCos)).filter(col("rn") === 1)
-        .select(col("qid"), col("vec_id").as("pos_id"), col("cos").as("pcos"))
-      val neg = pairs.filter(col("label") =!= col("qlabel"))
-        .withColumn("rn", row_number().over(byCos)).filter(col("rn") === 1)
-        .select(col("qid"), col("vec_id").as("neg_id"), col("cos").as("ncos"))
-      pos.join(neg, "qid")
-        .select(col("qid"), col("pos_id"), col("neg_id"),
-          round(col("pcos"), 4).as("cos_pos_r"),
-          round(col("ncos"), 4).as("cos_neg_r"),
-          expr("CAST(round((pcos - ncos) * 10000.0D) AS BIGINT)").as("margin_q"))
-        .orderBy("qid")
-    }),
-    // MMR diversified retrieval (ops.Embeddings.mmrDiversify): exact
-    // cosine top-20 per query, then 4 greedy picks maximizing
-    // 0.5·rel − 0.5·max-sim-to-selected — near-duplicate corpus vectors
-    // can't monopolize the page. Every greedy round is a qid-keyed agg
-    // over the nCand-bounded pool (no driver collect, corpus scanned
-    // once); the oracle unrolls the 4 rounds as CTEs with the identical
-    // IEEE scoring.
-    "ann_mmr" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      ops.Embeddings.mmrDiversify(e, e.filter(col("vec_id") < 3),
-          nCand = 20, k = 4, lambda = 0.5)
-        .select(col("qid"), col("step"), col("neighbor_id"),
-          round(col("rel"), 4).as("rel_r"), round(col("score"), 4).as("score_r"))
-        .orderBy("qid", "step")
-    }),
-    // Sign-bit binary quantization + Hamming top-k: each 64-dim embedding
-    // collapses to ONE 64-bit word (bit i = dim i > 0), candidate ranking
-    // by bit_count(xor) — 64 bytes → 8, the memory-collapse ANN trick;
-    // pure codegen'd bit ops (HOF fold to pack, one xor+popcount per
-    // pair), broadcast query side, one corpus scan.
-    "ann_binary_hamming" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .selectExpr("vec_id", "cast(embedding as array<double>) AS v")
-        .selectExpr("vec_id",
-          "aggregate(sequence(1, 64), CAST(0 AS BIGINT), (acc, i) -> acc | CASE WHEN element_at(v, i) > 0D THEN shiftleft(CAST(1 AS BIGINT), i - 1) ELSE CAST(0 AS BIGINT) END) AS bits")
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("bits").as("qbits"))
-      e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
-        .selectExpr("qid", "vec_id AS neighbor_id",
-          "CAST(bit_count(qbits ^ bits) AS INT) AS ham")
-        .withColumn("rank", row_number().over(Window.partitionBy("qid")
-          .orderBy(col("ham").asc, col("neighbor_id").asc)))
-        .filter(col("rank") <= 10)
-        .select("qid", "neighbor_id", "ham", "rank")
-        .orderBy("qid", "rank")
-    }),
-    // Matryoshka prefix-dimension search: candidates by cosine on the
-    // FIRST 16 dims (¼ the flops/bytes — the matryoshka-embedding
-    // truncation trick), exact full-dim cosine re-rank of the top-50 —
-    // the two-stage shape every modern embedding index runs. Broadcast
-    // query side, one corpus scan, candidate set bounded per query.
-    "ann_matryoshka" -> ((s, dir) => {
-      import graft.functions.vectors.vec_dot
-      val e = t(s, dir, "embeddings")
-        .selectExpr("vec_id", "cast(embedding as array<double>) AS v")
-        .withColumn("p", expr("slice(v, 1, 16)"))
-        .withColumn("nrm", sqrt(vec_dot(col("v"), col("v"))))
-        .withColumn("pnrm", sqrt(vec_dot(col("p"), col("p"))))
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("v").as("qv"),
-          col("p").as("qp"), col("nrm").as("qnrm"), col("pnrm").as("qpnrm"))
-      e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
-        .withColumn("pcos",
-          vec_dot(col("qp"), col("p")) / (col("qpnrm") * col("pnrm")))
-        .withColumn("prank", row_number().over(Window.partitionBy("qid")
-          .orderBy(col("pcos").desc, col("vec_id").asc)))
-        .filter(col("prank") <= 50)
-        .withColumn("cos",
-          vec_dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
-        .withColumn("rank", row_number().over(Window.partitionBy("qid")
-          .orderBy(col("cos").desc, col("vec_id").asc)))
-        .filter(col("rank") <= 10)
-        .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"),
-          round(col("cos"), 4).as("cos_r"))
-        .orderBy("qid", "rank")
-    }),
-    // Reciprocal-rank fusion (Cormack et al., public): fuse the cosine
-    // top-20 and the L2 top-20 per query into one list — score =
-    // Σ 10⁶ DIV (60 + rank) in exact integers (the ppm-truncated RRF
-    // constant-60 form), missing-from-a-list contributes 0, final top-10
-    // by (score, neighbor) total order. The standard multi-retriever /
-    // multi-index result merge; both candidate rankings are the labeled
-    // exact baselines (broadcast query side, one corpus scan each).
-    "ann_rrf_fusion" -> ((s, dir) => {
-      import graft.functions.vectors.vec_dot
-      val e = t(s, dir, "embeddings")
-        .selectExpr("vec_id", "cast(embedding as array<double>) AS v")
-        .withColumn("nrm", sqrt(vec_dot(col("v"), col("v"))))
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
-      val scored = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
-        .withColumn("dot", vec_dot(col("qv"), col("v")))
-        .select(col("qid"), col("vec_id").as("neighbor_id"),
-          (col("dot") / (col("qnrm") * col("nrm"))).as("cos"),
-          (col("qnrm") * col("qnrm") + col("nrm") * col("nrm")
-            - lit(2.0) * col("dot")).as("l2sq"))
-      def topk(ord: Seq[org.apache.spark.sql.Column], name: String) =
-        scored.withColumn(name, row_number().over(
-            Window.partitionBy("qid").orderBy(ord: _*)))
-          .filter(col(name) <= 20).select("qid", "neighbor_id", name)
-      val a = topk(Seq(col("cos").desc, col("neighbor_id").asc), "rank_a")
-      val b = topk(Seq(col("l2sq").asc, col("neighbor_id").asc), "rank_b")
-      a.join(b, Seq("qid", "neighbor_id"), "full_outer")
-        .withColumn("score_ppm",
-          coalesce(expr("1000000 DIV (60 + rank_a)"), lit(0L)) +
-          coalesce(expr("1000000 DIV (60 + rank_b)"), lit(0L)))
-        .withColumn("fused_rank", row_number().over(Window.partitionBy("qid")
-          .orderBy(col("score_ppm").desc, col("neighbor_id").asc)))
-        .filter(col("fused_rank") <= 10)
-        .select("qid", "neighbor_id", "score_ppm", "fused_rank")
-        .orderBy("qid", "fused_rank")
-    }),
-    // Bowtie macro-structure (ops.Graph.bowtie): forward/backward fixpoint
-    // reachability from pivot 1 over the directed supplier->part graph,
-    // classifying every node as scc/in/out/disc — the Broder web-graph
-    // census that sizes a crawl frontier before link-based curation.
-    "graph_bowtie" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 23 === 0)
-        .selectExpr("(l_suppkey * 13 + l_orderkey) % 1000 AS src",
-          "(l_partkey * 7 + l_linenumber) % 1000 AS dst")
-      ops.Graph.bowtie(edges, pivot = 1L).orderBy("component")
-    }),
-    // Spearman rank correlation between daily-count series of event-type
-    // pairs: exact integer sum of squared rank differences on common days
-    // (ties broken by day, so both engines rank identically), rho in
-    // milli by cross-multiplied floor division.
-    "events_spearman" -> ((s, dir) => {
-      val daily = t(s, dir, "events")
-        .groupBy(col("event_type").as("et"), date_trunc("day", col("ts")).as("day"))
-        .agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy("et_a", "et_b")
-      daily.select(col("et").as("et_a"), col("day"), col("c").as("c_a"))
-        .join(daily.select(col("et").as("et_b"), col("day"), col("c").as("c_b")),
-          Seq("day"))
-        .filter(col("et_a") < col("et_b"))
-        .withColumn("ra", row_number().over(w.orderBy("c_a", "day")).cast("long"))
-        .withColumn("rb", row_number().over(w.orderBy("c_b", "day")).cast("long"))
-        .withColumn("d2", expr("(ra - rb) * (ra - rb)"))
-        .groupBy("et_a", "et_b")
-        .agg(count(lit(1)).as("n_days"), sum("d2").as("sum_d2"))
-        .filter(col("n_days") >= 2)
-        .withColumn("rho_milli", expr(
-          "1000 - 6000 * sum_d2 DIV (n_days * n_days * n_days - n_days)"))
-        .orderBy("et_a", "et_b")
-    }),
-    // Census-transform popcount histogram (ops.ImageOps.censusTransform):
-    // per interior pixel the count of 8-neighbours strictly above the
-    // centre, binned 0..8 per image.
-    "img_census_transform" -> ((s, dir) => {
-      ops.ImageOps.censusTransform(gateTiles(s, "png"))
-        .orderBy("image_id", "popcnt")
-    }),
-    // D8 pit census (ops.ImageOps.pitCensus): interior cells below all 8
-    // neighbours + total fill depth — the depression inventory that sizes
-    // hydrological conditioning before geo_flowdir/geo_watershed routing.
-    "geo_pit_census" -> ((s, dir) => {
-      ops.ImageOps.pitCensus(gateTiles(s)).orderBy("image_id")
-    }),
-    // Inter-sample true peak (ops.MediaOps.truePeak): Catmull-Rom
-    // half-sample oversampling in x16 integers — the BS.1770-style
-    // compliance number a sample-peak meter underreads.
-    "media_true_peak" -> ((s, dir) => {
-      ops.MediaOps.truePeak(ops.MediaOps.synth(mediaMeta(s, dir)))
-        .orderBy("media_id")
-    }),
-    // Yule's K vocabulary-richness pieces per source: N, V, and the
-    // frequency-spectrum second moment S2 = sum c^2 — K in milli by
-    // cross-multiplied floor division (repetitiveness gauge next to
-    // text_mattr's type-token curve).
-    "text_yule_k" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
-        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
-        .groupBy("source")
-        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
-          sum(expr("c * c")).as("s2"))
-        .withColumn("k_milli", expr(
-          "10000000 * (s2 - n_tokens) DIV (n_tokens * n_tokens)"))
-        .orderBy("source")
-    }),
-    // Record-breaking days per event type: running-max/min census over the
-    // daily-count series (expected ~ln n records for exchangeable data —
-    // an excess says trend) with the index of the last record high.
-    "events_running_records" -> ((s, dir) => {
-      val daily = t(s, dir, "events")
-        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-        .agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy("event_type").orderBy("day")
-      daily
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("pmax", max("c").over(w.rowsBetween(Window.unboundedPreceding, -1)))
-        .withColumn("pmin", min("c").over(w.rowsBetween(Window.unboundedPreceding, -1)))
-        .withColumn("hi", when(col("pmax").isNull || col("c") > col("pmax"), 1L).otherwise(0L))
-        .withColumn("lo", when(col("pmin").isNull || col("c") < col("pmin"), 1L).otherwise(0L))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_days"),
-          sum("hi").as("n_record_highs"), sum("lo").as("n_record_lows"),
-          max(when(col("hi") === 1L, col("rn"))).as("last_high_idx"))
-        .orderBy("event_type")
-    }),
-    // Time-respecting earliest arrival (ops.Graph.temporalReach) over the
-    // customer contact net with order-date timestamps — the diffusion
-    // footprint static reachability overcounts.
-    "graph_temporal_reach" -> ((s, dir) => {
-      val edges = t(s, dir, "orders").selectExpr(
-        "o_custkey % 300 AS u", "(o_custkey * 7 + o_orderkey) % 300 AS v",
-        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000 AS t")
-      ops.Graph.temporalReach(edges, pivot = 1L).orderBy("node")
-    }),
-    // Nyquist-component block energies (ops.ImageOps.nyquistEnergy):
-    // alternating-sign sums per 100-square block — checkerboard /
-    // decimation-aliasing artifact detector.
-    "img_nyquist_energy" -> ((s, dir) => {
-      ops.ImageOps.nyquistEnergy(gateTiles(s, "png"))
-        .orderBy("image_id", "by", "bx")
-    }),
-    // Chapman-Kolmogorov Markov-property test: per-user event sequences
-    // give 1-step and 2-step transition counts; if the chain is Markov,
-    // P2 ~ P1^2 — both sides quantized to ppm with per-term floors so the
-    // deviation |emp - model| is an exact integer both engines agree on.
-    "events_markov_test" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val seq = t(s, dir, "events")
-        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
-        .withColumn("e1", lead("event_type", 1).over(w))
-        .withColumn("e2", lead("event_type", 2).over(w))
-      val n1 = seq.filter(col("e1").isNotNull)
-        .groupBy(col("event_type").as("a"), col("e1").as("b"))
-        .agg(count(lit(1)).as("n1"))
-      val n2 = seq.filter(col("e2").isNotNull)
-        .groupBy(col("event_type").as("a"), col("e2").as("c"))
-        .agg(count(lit(1)).as("n2"))
-      val r1 = n1.groupBy("a").agg(sum("n1").as("ra"))
-      val r2 = n2.groupBy("a").agg(sum("n2").as("r2a"))
-      val model = n1.select(col("a"), col("b"), col("n1").as("nab"))
-        .join(n1.select(col("a").as("b2"), col("b").as("c"),
-          col("n1").as("nbc")), col("b") === col("b2"))
-        .join(r1.select(col("a"), col("ra")), Seq("a"))
-        .join(r1.select(col("a").as("b3"), col("ra").as("rb")), col("b") === col("b3"))
-        .withColumn("term", expr("1000000 * nab * nbc DIV (ra * rb)"))
-        .groupBy("a", "c").agg(sum("term").as("model_ppm"))
-      n2.join(r2, Seq("a"))
-        .withColumn("emp_ppm", expr("1000000 * n2 DIV r2a"))
-        .join(model, Seq("a", "c"), "left")
-        .withColumn("model_ppm", coalesce(col("model_ppm"), lit(0L)))
-        .withColumn("dev_ppm", expr("abs(emp_ppm - model_ppm)"))
-        .select(col("a").as("et_a"), col("c").as("et_c"), col("n2"),
-          col("emp_ppm"), col("model_ppm"), col("dev_ppm"))
-        .orderBy("et_a", "et_c")
-    }),
-    // Antimeridian segment splitting in exact micro-degrees: eastbound
-    // supplier segments from ~178°E into the western hemisphere are split
-    // at ±180°, the crossing latitude interpolated with nonneg integer
-    // floors, and the 1°-longitude tile span counted per side — the
-    // dateline correctness surface every global pipeline needs and most
-    // bbox code gets wrong.
-    "geo_antimeridian_split" -> ((s, dir) => {
-      t(s, dir, "supplier").selectExpr("s_suppkey AS seg_id",
-          "177000000 + (s_suppkey % 30) * 100000 AS lng1",
-          "30000000 + (s_suppkey % 50) * 200000 AS lat1",
-          """CASE WHEN s_suppkey % 4 = 0 THEN 179800000
-             ELSE -180000000 + ((s_suppkey * 3) % 25) * 100000 END AS lng2""",
-          "30000000 + (s_suppkey % 50) * 200000 + (s_suppkey % 30) * 100000 AS lat2")
-        .selectExpr("seg_id", "CASE WHEN lng2 < 0 THEN 1 ELSE 0 END AS crosses",
-          """CASE WHEN lng2 < 0 THEN lat1 + (lat2 - lat1) * (180000000 - lng1)
-               DIV ((180000000 - lng1) + (lng2 + 180000000))
-             ELSE CAST(NULL AS BIGINT) END AS lat_cross_micro""",
-          """CASE WHEN lng2 < 0
-             THEN (180 - lng1 DIV 1000000) + ((lng2 + 180000000) DIV 1000000 + 1)
-             ELSE greatest(lng1, lng2) DIV 1000000
-                - least(lng1, lng2) DIV 1000000 + 1 END AS n_tiles""")
-        .orderBy("seg_id")
-    }),
-    // SumBasic-style extractive pick: corpus word frequencies score each
-    // 10-word chunk (quantized mean frequency, argmax per doc, ties to
-    // the earliest chunk) — the classic frequency-summarization primitive
-    // over the documents table.
-    "text_sumbasic_pick" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
-        .select(col("doc_id"), posexplode(split(col("text"), " ")))
-        .withColumnRenamed("col", "tok")
-      val freq = toks.groupBy("tok").agg(count(lit(1)).as("f"))
-      val chunks = toks.join(freq, Seq("tok"))
-        .groupBy(col("doc_id"), expr("pos DIV 10").as("chunk"))
-        .agg(count(lit(1)).as("n_words"), sum("f").as("sum_freq"))
-        .withColumn("score_q", expr("sum_freq * 1000000 DIV n_words"))
-      val nc = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
-      chunks.withColumn("rn", row_number().over(Window.partitionBy("doc_id")
-          .orderBy(col("score_q").desc, col("chunk").asc)))
-        .filter(col("rn") === 1)
-        .join(nc, Seq("doc_id"))
-        .select(col("doc_id"), col("n_chunks"), col("chunk").as("best_chunk"),
-          col("n_words"), col("sum_freq"), col("score_q"))
-        .orderBy("doc_id")
-    }),
-    // Greedy max-coverage center selection (ops.Embeddings.facilityGreedy):
-    // 4 rounds over the r2=1.44 coverage ball, candidate pool broadcast —
-    // the (1-1/e) coreset pick that replaces random sampling in
-    // training-data selection.
-    "ann_facility_greedy" -> ((s, dir) => {
-      ops.Embeddings.facilityGreedy(t(s, dir, "embeddings"),
-        candModulo = 5, r2 = 1.44, k = 4).orderBy("round")
-    }),
-    // Kendall distance-to-sorted of the daily series: exact inversion and
-    // tie pair counts per event type, normalized to milli — the
-    // monotone-trend gauge next to geo_mann_kendall's S statistic.
-    "events_inversions" -> ((s, dir) => {
-      val daily = t(s, dir, "events")
-        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-        .agg(count(lit(1)).as("c"))
-      daily.select(col("event_type"), col("day").as("d1"), col("c").as("c1"))
-        .join(daily.select(col("event_type"), col("day").as("d2"),
-          col("c").as("c2")), Seq("event_type"))
-        .filter(col("d1") < col("d2"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(when(col("c1") > col("c2"), 1L).otherwise(0L)).as("n_inversions"),
-          sum(when(col("c1") === col("c2"), 1L).otherwise(0L)).as("n_ties"))
-        .withColumn("inv_milli", expr("1000 * n_inversions DIV n_pairs"))
-        .orderBy("event_type")
-    }),
-    // SAX symbolization: 7-day PAA segment sums per event type, symbols
-    // a..d by nearest-rank quartiles of the segment sums (ties to the
-    // earlier segment in the rank scan) — the alphabet time-series motif
-    // mining and indexing build on.
-    "events_sax_words" -> ((s, dir) => {
-      val daily = t(s, dir, "events")
-        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-        .agg(count(lit(1)).as("c"))
-      val wd = Window.partitionBy("event_type").orderBy("day")
-      val seg = daily
-        .withColumn("idx", (row_number().over(wd).cast("long") - 1L))
-        .withColumn("seg_idx", expr("idx DIV 7"))
-        .groupBy("event_type", "seg_idx")
-        .agg(count(lit(1)).as("n_days"), sum("c").as("paa_sum"))
-        .filter(col("n_days") === 7)
-      val wv = Window.partitionBy("event_type").orderBy("paa_sum", "seg_idx")
-      val wp = Window.partitionBy("event_type")
-      val qs = seg
-        .withColumn("rn", row_number().over(wv).cast("long"))
-        .withColumn("n", count(lit(1)).over(wp))
-        .groupBy("event_type")
-        .agg(max(when(col("rn") === expr("(1 * n + 3) DIV 4"), col("paa_sum"))).as("q1"),
-          max(when(col("rn") === expr("(2 * n + 3) DIV 4"), col("paa_sum"))).as("q2"),
-          max(when(col("rn") === expr("(3 * n + 3) DIV 4"), col("paa_sum"))).as("q3"))
-      seg.join(qs, Seq("event_type"))
-        .withColumn("symbol",
-          when(col("paa_sum") <= col("q1"), "a")
-            .when(col("paa_sum") <= col("q2"), "b")
-            .when(col("paa_sum") <= col("q3"), "c").otherwise("d"))
-        .select("event_type", "seg_idx", "paa_sum", "symbol")
-        .orderBy("event_type", "seg_idx")
-    }),
-    // Two-state burst Viterbi (Kleinberg-style with integer L1 emission
-    // costs): per event type the forward DP costs of the low (median
-    // rate) and high (2x median) states with switch penalty 40 — exact
-    // integers, the per-key sequential fold running key-partitioned in
-    // flatMapGroups (bounded state, the events_survival discipline).
-    "events_burst_viterbi" -> ((s, dir) => {
-      import s.implicits._
-      val daily = t(s, dir, "events")
-        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-        .agg(count(lit(1)).as("c"))
-      val wv = Window.partitionBy("event_type").orderBy("c", "day")
-      val wp = Window.partitionBy("event_type")
-      val med = daily.withColumn("rn", row_number().over(wv).cast("long"))
-        .withColumn("n", count(lit(1)).over(wp))
-        .filter(col("rn") === expr("(n + 1) DIV 2"))
-        .select(col("event_type"), col("c").as("med"))
-      val K = 40L
-      daily.join(med, Seq("event_type"))
-        .withColumn("idx", row_number().over(
-          Window.partitionBy("event_type").orderBy("day")).cast("long"))
-        .selectExpr("event_type", "idx", "c",
-          "abs(c - med) AS el", "abs(c - 2 * med) AS eh")
-        .as[(String, Long, Long, Long, Long)]
-        .groupByKey(_._1)
-        .flatMapGroups { (et, it) =>
-          val rows = it.toArray.sortBy(_._2)
-          var clow = 0L; var chigh = 0L; var first = true
-          rows.iterator.map { case (_, idx, c, el, eh) =>
-            if (first) { clow = el; chigh = eh + K; first = false }
-            else {
-              val nl = el + math.min(clow, chigh + K)
-              val nh = eh + math.min(chigh, clow + K)
-              clow = nl; chigh = nh
-            }
-            (et, idx, c, clow, chigh)
-          }
-        }
-        .toDF("event_type", "idx", "c", "cost_low", "cost_high")
-        .orderBy("event_type", "idx")
-    }),
-    // Popularity-palette quantization error (ops.ImageOps
-    // .popularityPalette): top-16 value palette, exact L1 mapping loss.
-    "img_popularity_palette" -> ((s, dir) => {
-      ops.ImageOps.popularityPalette(gateTiles(s, "png"), k = 16)
-        .orderBy("image_id")
-    }),
-    // Positional bias of the top-20 corpus tokens per source: exact
-    // permille relative positions (lead/tail placement skew — the
-    // summarization-prior diagnostic positional TF indexes capture).
-    "text_positional_bias" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
-        .withColumn("w", split(col("text"), " "))
-        .withColumn("len", size(col("w")).cast("long"))
-        .filter(col("len") > 1)
-        .select(col("source"), col("len"), posexplode(col("w")))
-        .withColumnRenamed("col", "tok")
-      val top = toks.groupBy("tok").agg(count(lit(1)).as("f"))
-        .orderBy(col("f").desc, col("tok").asc).limit(20)
-      toks.join(broadcast(top.select("tok")), Seq("tok"))
-        .withColumn("relq", expr("1000 * pos DIV (len - 1)"))
-        .groupBy("source", "tok")
-        .agg(count(lit(1)).as("n_occ"), sum("relq").as("sum_relq"))
-        .withColumn("mean_relq", expr("sum_relq DIV n_occ"))
-        .orderBy("source", "tok")
-    }),
-    // OD-matrix independence audit: observed flow shares vs the
-    // rank-1 margin product (row x column totals), both quantized ppm —
-    // the gravity-model null every OD study tests first, over the same
-    // flows traj_od_matrix builds.
-    "traj_od_independence" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts", "event_id")
-      val pts = t(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          (col("event_id") % 7).as("dx"),
-          ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("px", sum("dx").over(w))
-        .withColumn("py", sum("dy").over(w))
-        .selectExpr("user_id AS traj_id", "ts", "event_id AS tie",
-          "(px DIV 6) * 1000000 + (py DIV 4) AS cell")
-      val flows = ops.Trajectory.odMatrix(pts)
-      val rt = flows.groupBy("o_cell").agg(sum("n_traj").as("r"))
-      val ct = flows.groupBy("d_cell").agg(sum("n_traj").as("cc"))
-      val g = flows.agg(sum("n_traj").as("gt"))
-      flows.join(rt, Seq("o_cell")).join(ct, Seq("d_cell"))
-        .crossJoin(broadcast(g))
-        .withColumn("emp_ppm", expr("1000000 * n_traj DIV gt"))
-        .withColumn("exp_ppm", expr("1000000 * r * cc DIV (gt * gt)"))
-        .withColumn("dev_ppm", expr("abs(emp_ppm - exp_ppm)"))
-        .select("o_cell", "d_cell", "n_traj", "emp_ppm", "exp_ppm", "dev_ppm")
-        .orderBy("o_cell", "d_cell")
-    }),
-    // 3x3 mode-filter audit (ops.ImageOps.modeFilter): pixels an
-    // impulse-noise mode repair would change, with the exact L1 delta.
-    "img_mode_filter" -> ((s, dir) => {
-      ops.ImageOps.modeFilter(gateTiles(s, "png")).orderBy("image_id")
-    }),
-    // 2:1 decimation audit (ops.MediaOps.decimateAudit): original vs
-    // pair-mean energy and the odd-even difference energy — the aliasing
-    // exposure of a naive audio downsample.
-    "media_decimate_audit" -> ((s, dir) => {
-      ops.MediaOps.decimateAudit(ops.MediaOps.synth(mediaMeta(s, dir)))
-        .orderBy("media_id")
-    }),
-    // Depression filling (ops.ImageOps.fillDepressions): 32 Jacobi
-    // rounds of max(orig, min-neighbour) reconstruction on the offset-80
-    // 40-square window (measured fixpoint depth 25) — the pit-free
-    // surface geo_pit_census only inventories.
-    "geo_fill_depressions" -> ((s, dir) => {
-      ops.ImageOps.fillDepressions(gateTiles(s), off = 80, n = 40,
-        rounds = 32).orderBy("image_id")
-    }),
-    // VoteRank spreader seeding (ops.Graph.voteRank): 4 elections with
-    // milli-ability discounting — influence-set selection where each
-    // elected hub suppresses its own neighbourhood.
-    "graph_voterank" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 7 === 0)
-        .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
-      ops.Graph.voteRank(edges, k = 4).orderBy("round")
-    }),
-    // Coordinate-sentinel audit: null-island (0,0), -999 nodata pins,
-    // pole pins and out-of-range coordinates classified and shared in
-    // ppm — the first geo-data-quality gate any ingest runs.
-    "dq_coordinate_sentinels" -> ((s, dir) => {
-      val pts = t(s, dir, "lineitem").selectExpr(
-        """CASE WHEN l_orderkey % 97 = 0 THEN 0.0D
-           WHEN l_orderkey % 89 = 0 THEN -999.0D
-           ELSE -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5D)/600.0D END AS lng""",
-        """CASE WHEN l_orderkey % 97 = 0 THEN 0.0D
-           WHEN l_orderkey % 89 = 0 THEN -999.0D
-           WHEN l_orderkey % 83 = 0 THEN 90.0D
-           ELSE 36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5D)/600.0D END AS lat""")
-      pts
-        .withColumn("sentinel_class",
-          when(col("lng") === 0.0 && col("lat") === 0.0, "null_island")
-            .when(col("lng") === -999.0 || col("lat") === -999.0, "nodata_999")
-            .when(abs(col("lat")) === 90.0, "pole_pin")
-            .otherwise("ok"))
-        .groupBy("sentinel_class").agg(count(lit(1)).as("n_points"))
-        .crossJoin(broadcast(pts.agg(count(lit(1)).as("n_total"))))
-        .withColumn("share_ppm", expr("1000000 * n_points DIV n_total"))
-        .orderBy("sentinel_class")
-    }),
-    // Circular hour-of-day statistics: resultant-vector components over
-    // the shared 1e6-scaled 24-gon table (exact integers both sides) +
-    // the modal hour — the diurnal-concentration gauge linear means get
-    // wrong at midnight wraparound.
-    "events_circular_hour" -> ((s, dir) => {
-      import s.implicits._
-      val tab = hourCirc.toDF("h", "cq", "sq")
-      val hourly = t(s, dir, "events")
-        .withColumn("h", hour(col("ts")).cast("int"))
-        .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
-      val peak = hourly.withColumn("rn", row_number().over(
-          Window.partitionBy("event_type")
-            .orderBy(col("c").desc, col("h").asc)))
-        .filter(col("rn") === 1)
-        .select(col("event_type"), col("h").as("peak_hour"))
-      hourly.join(broadcast(tab), Seq("h"))
-        .groupBy("event_type")
-        .agg(sum("c").as("n_events"), sum(expr("c * cq")).as("rx_q"),
-          sum(expr("c * sq")).as("ry_q"))
-        .join(peak, Seq("event_type"))
-        .orderBy("event_type")
-    }),
-    // Two-threshold Otsu (ops.ImageOps.otsuMultilevel): 3-class
-    // segmentation by exhaustive quantized between-class objective.
-    "img_otsu_multilevel" -> ((s, dir) => {
-      ops.ImageOps.otsuMultilevel(gateTiles(s, "png"), width = 64)
-        .orderBy("image_id")
-    }),
-    // Greedy longest-match wordpiece segmentation over a fixed subword
-    // vocabulary: pieces-per-token fertility per source — the tokenizer
-    // cost model (distinct tokens segmented ONCE, counts joined back,
-    // never re-segmenting per occurrence).
-    "text_wordpiece_count" -> ((s, dir) => {
-      import s.implicits._
-      val vocab = wordpieceVocab
-      val occ = t(s, dir, "documents")
-        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
-        .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
-      val seg = occ.select("tok").distinct().as[String].map { tok =>
-        var pos = 0; var pieces = 0L; var multi = 0L
-        while (pos < tok.length) {
-          var m = 1
-          vocab.foreach { p =>
-            if (p.length > m && tok.startsWith(p, pos)) m = p.length
-          }
-          if (m >= 2) multi += 1
-          pieces += 1
-          pos += m
-        }
-        (tok, pieces, multi)
-      }.toDF("tok", "pieces", "multi")
-      occ.join(seg, Seq("tok"))
-        .groupBy("source")
-        .agg(sum("cnt").as("n_tokens"),
-          sum(expr("cnt * pieces")).as("n_pieces"),
-          sum(expr("cnt * multi")).as("n_multi"))
-        .withColumn("ppt_milli", expr("1000 * n_pieces DIV n_tokens"))
-        .orderBy("source")
-    }),
-    // Emerging hot-spot classification: per activity cell the
-    // Mann-Kendall S over six 15-day bins (zero-filled) plus first/last
-    // bin counts -> intensifying / diminishing / new / stable — the
-    // space-time-cube trend census on the od-matrix cell walk.
-    "geo_emerging_hotspot" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val pts = t(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          (col("event_id") % 7).as("dx"),
-          ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("px", sum("dx").over(w))
-        .withColumn("py", sum("dy").over(w))
-        .selectExpr("(px DIV 6) * 1000000 + (py DIV 4) AS cell",
-          "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 AS day")
-      val d0 = pts.agg(min("day")).head().getLong(0)
-      val binned = pts.selectExpr("cell", s"(day - ${d0}L) DIV 15 AS bin")
-        .filter(col("bin") < 6)
-        .groupBy("cell", "bin").agg(count(lit(1)).as("c"))
-      val full = binned.select("cell").distinct()
-        .crossJoin(s.range(0, 6).toDF("bin"))
-        .join(binned, Seq("cell", "bin"), "left")
-        .withColumn("c", coalesce(col("c"), lit(0L)))
-      val mk = full.select(col("cell"), col("bin").as("bi"), col("c").as("ci"))
-        .join(full.select(col("cell"), col("bin").as("bj"), col("c").as("cj")),
-          Seq("cell"))
-        .filter(col("bi") < col("bj"))
-        .groupBy("cell")
-        .agg(sum(expr(
-          "CASE WHEN cj > ci THEN 1 WHEN cj < ci THEN -1 ELSE 0 END")).as("s_mk"))
-      full.groupBy("cell")
-        .agg(sum(when(col("bin") === 0, col("c"))).as("first_c"),
-          sum(when(col("bin") === 5, col("c"))).as("last_c"),
-          sum("c").as("total"))
-        .join(mk, Seq("cell"))
-        .withColumn("class", expr(
-          """CASE WHEN s_mk >= 8 THEN 'intensifying'
-             WHEN s_mk <= -8 THEN 'diminishing'
-             WHEN first_c = 0 AND last_c > 0 THEN 'new'
-             ELSE 'stable' END"""))
-        .select("cell", "s_mk", "first_c", "last_c", "total", "class")
-        .orderBy("cell")
-    }),
-    // Run-length texture pieces (ops.ImageOps.glrlm): Galloway GLRLM
-    // short/long-run emphasis + gray-level non-uniformity, exact.
-    "img_glrlm" -> ((s, dir) => {
-      ops.ImageOps.glrlm(gateTiles(s, "png")).orderBy("image_id")
-    }),
-    // Waveform min/max preview pyramid (ops.MediaOps.minmaxPyramid):
-    // three zoom levels of per-bucket extrema in one pass.
-    "media_minmax_pyramid" -> ((s, dir) => {
-      ops.MediaOps.minmaxPyramid(ops.MediaOps.synth(mediaMeta(s, dir)))
-        .orderBy("media_id", "level", "bucket")
-    }),
-    // TextRank keyphrases (Mihalcea-Tarau 2004, public): co-occurrence
-    // graph (distance <= 2) over alphabetical dense token ids, 3 integer
-    // ppm PageRank rounds (ops.Graph.pagerank), top-10 by score.
-    "text_textrank" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
-        .select(col("doc_id"), posexplode(split(col("text"), " ")))
-        .withColumnRenamed("col", "tok")
-      val ids = toks.select("tok").distinct()
-        .withColumn("id", row_number().over(Window.orderBy("tok")).cast("long"))
-      val tp = toks.join(ids, Seq("tok"))
-        .select(col("doc_id"), col("pos"), col("id"))
-      val co = (1 to 2).map { d =>
-        tp.join(tp.selectExpr("doc_id", s"pos + $d AS pos", "id AS id2"),
-          Seq("doc_id", "pos"))
-          .select(col("id"), col("id2"))
-      }.reduce(_ unionAll _).filter(col("id") =!= col("id2"))
-      val edges = co.select(col("id").as("src"), col("id2").as("dst"))
-        .unionAll(co.select(col("id2").as("src"), col("id").as("dst")))
-        .distinct()
-      ops.Graph.pagerank(edges, rounds = 3)
-        .join(ids.withColumnRenamed("id", "node"), Seq("node"))
-        .select(col("tok"), col("rank").as("pr"))
-        .orderBy(col("pr").desc, col("tok")).limit(10)
-    }),
-    // One anisotropic-diffusion step (ops.ImageOps.peronaMalik): exact
-    // integer conduction-weighted flux field summary.
-    "img_perona_malik" -> ((s, dir) => {
-      ops.ImageOps.peronaMalik(gateTiles(s, "png")).orderBy("image_id")
-    }),
-    // Least-cost corridor on the synthetic cost grid: forward and
-    // reverse 6-round bounded SSSP fields, cells within slack of the
-    // best 5050->5555 cost — the corridor analysis (route robustness)
-    // that needs NO sequential path walk, just two fields and a filter.
-    "geo_cost_corridor" -> ((s, dir) => {
-      def gridEdges(rev: Boolean) = {
-        val base = s.range(100L * 100L)
-          .selectExpr("id AS src", "id DIV 100 AS i", "id % 100 AS j")
-          .withColumn("k", explode(sequence(lit(0), lit(7))))
-          .selectExpr("src", "i", "j",
-            "i + element_at(array(1,1,0,-1,-1,-1,0,1), k+1) AS ni",
-            "j + element_at(array(0,1,1,1,0,-1,-1,-1), k+1) AS nj")
-          .filter("ni BETWEEN 0 AND 99 AND nj BETWEEN 0 AND 99")
-          .selectExpr("src", "ni*100 + nj AS dst",
-            """1 + greatest(0, ((ni*ni)%97 + (nj*nj)%89 + (ni*nj)%31) -
-               ((i*i)%97 + (j*j)%89 + (i*j)%31)) AS w""")
-        if (rev) base.selectExpr("dst AS src", "src AS dst", "w") else base
-      }
-      val dF = ops.Graph.sssp(gridEdges(rev = false), source = 5050L, rounds = 6)
-      val dB = ops.Graph.sssp(gridEdges(rev = true), source = 5555L, rounds = 6)
-      val best = dF.filter(col("node") === 5555L).head().getLong(1)
-      dF.join(dB.withColumnRenamed("dist", "db"), Seq("node"))
-        .withColumn("tot", col("dist") + col("db"))
-        .filter(col("tot") <= lit(best + 50L))
-        .agg(lit(best).as("best_cost"), count(lit(1)).as("n_corridor"),
-          sum(when(col("tot") === best, 1L).otherwise(0L)).as("n_optimal"),
-          sum(when(col("tot") <= best + 10L, 1L).otherwise(0L)).as("n_tight"))
-    }),
-    // Multiprobe LSH recall contrast: probing the 8 Hamming-1 signature
-    // flips alongside the home bucket — recall gained per extra candidate
-    // against the exact cos>=0.999 truth on the planted-dupe corpus (the
-    // one-table multiprobe trick that replaces 9 hash tables at scale).
-    "dedup_lsh_multiprobe" -> ((s, dir) => {
-      import graft.functions.vectors.vec_dot
-      val base = t(s, dir, "embeddings")
-      val corpus = base.select(col("vec_id"), col("embedding"))
-        .unionAll(base.filter(col("vec_id") % 20 === 0)
-          .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
-      val v = corpus.selectExpr("vec_id", "cast(embedding as array<double>) AS v")
-        .withColumn("nrm", sqrt(vec_dot(col("v"), col("v"))))
-        .withColumn("bucket", ops.Embeddings.lshBucket(col("v"), 8))
-      val truth = v.select(col("vec_id").as("id_a"), col("v").as("va"),
-          col("nrm").as("na"))
-        .crossJoin(v.select(col("vec_id").as("id_b"), col("v").as("vb"),
-          col("nrm").as("nb")))
-        .filter(col("id_a") < col("id_b"))
-        .filter(vec_dot(col("va"), col("vb")) / (col("na") * col("nb"))
-          >= 0.999)
-        .select("id_a", "id_b")
-      val plain = v.select(col("vec_id").as("id_a"), col("bucket"))
-        .join(v.select(col("vec_id").as("id_b"), col("bucket")), Seq("bucket"))
-        .filter(col("id_a") < col("id_b")).select("id_a", "id_b").distinct()
-      val probes = v.select(col("vec_id").as("id_a"),
-        explode(array(col("bucket") +: (0 until 8).map(j =>
-          col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
-      val multi = probes
-        .join(v.select(col("vec_id").as("id_b"), col("bucket")), Seq("bucket"))
-        .filter(col("id_a") < col("id_b")).select("id_a", "id_b").distinct()
-      truth.agg(count(lit(1)).as("n_truth"))
-        .crossJoin(plain.agg(count(lit(1)).as("cand_plain")))
-        .crossJoin(multi.agg(count(lit(1)).as("cand_multi")))
-        .crossJoin(truth.join(plain, Seq("id_a", "id_b"))
-          .agg(count(lit(1)).as("hit_plain")))
-        .crossJoin(truth.join(multi, Seq("id_a", "id_b"))
-          .agg(count(lit(1)).as("hit_multi")))
-        .withColumn("recall_plain_ppm", expr("1000000 * hit_plain DIV n_truth"))
-        .withColumn("recall_multi_ppm", expr("1000000 * hit_multi DIV n_truth"))
-    }),
-    // Rolling-origin one-step backtest: naive (lag-1) vs seasonal-naive
-    // (lag-7) absolute-error sums over the shared evaluation days — the
-    // forecast-model selection primitive, exact integers.
-    "events_naive_backtest" -> ((s, dir) => {
-      val w = Window.partitionBy("event_type").orderBy("day")
-      t(s, dir, "events")
-        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("l1", lag("c", 1).over(w))
-        .withColumn("l7", lag("c", 7).over(w))
-        .filter(col("rn") > 7)
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_eval"),
-          sum(expr("abs(c - l1)")).as("sum_naive"),
-          sum(expr("abs(c - l7)")).as("sum_snaive"))
-        .withColumn("winner", expr(
-          """CASE WHEN sum_snaive < sum_naive THEN 'seasonal'
-             WHEN sum_snaive > sum_naive THEN 'naive' ELSE 'tie' END"""))
-        .orderBy("event_type")
-    }),
-    // Partition + min/max file-skipping audit: daily partitions bucketed
-    // by customer range, a date+key query's file and row selectivity in
-    // ppm — the lakehouse pruning report next to store_zorder_skip.
-    "store_date_prune" -> ((s, dir) => {
-      val o = t(s, dir, "orders").selectExpr(
-        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000 AS day",
-        "o_custkey")
-      val d0 = o.agg(min("day")).head().getLong(0)
-      val files = o
-        .groupBy(col("day"), expr("o_custkey DIV 300").as("ckb"))
-        .agg(count(lit(1)).as("n_rows"), min("o_custkey").as("min_ck"),
-          max("o_custkey").as("max_ck"))
-      val flagged = files
-        .withColumn("date_hit",
-          col("day") >= d0 + 30L && col("day") < d0 + 60L)
-        .withColumn("key_hit",
-          col("min_ck") <= 800L && col("max_ck") >= 150L)
-      flagged.agg(count(lit(1)).as("n_files"),
-          sum("n_rows").as("rows_total"),
-          sum(when(col("date_hit"), 1L).otherwise(0L)).as("n_after_date"),
-          sum(when(col("date_hit") && col("key_hit"), 1L).otherwise(0L))
-            .as("n_after_both"),
-          sum(when(col("date_hit") && col("key_hit"), col("n_rows"))
-            .otherwise(0L)).as("rows_scanned"))
-        .withColumn("prune_ppm", expr(
-          "1000000 * (rows_total - rows_scanned) DIV rows_total"))
-    }),
-    // OD-flow communities: 3 synchronous label-propagation rounds
-    // (ops.Graph.labelPropagate) over the trajectory flow graph —
-    // the catchment/zone discovery step after traj_od_matrix.
-    "traj_flow_communities" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val pts = t(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          (col("event_id") % 7).as("dx"),
-          ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("px", sum("dx").over(w))
-        .withColumn("py", sum("dy").over(w))
-        .selectExpr("user_id AS traj_id", "ts", "event_id AS tie",
-          "(px DIV 6) * 1000000 + (py DIV 4) AS cell")
-      val flows = ops.Trajectory.odMatrix(pts)
-      ops.Graph.labelPropagate(
-          flows.select(col("o_cell").as("src"), col("d_cell").as("dst")),
-          rounds = 3)
-        .groupBy("lbl").agg(count(lit(1)).as("n_cells"))
-        .orderBy("lbl")
-    }),
-    // Diagonal Radon profiles (ops.ImageOps.diagProjections): 45/135°
-    // line-sum extrema + second moments per image.
-    "img_diag_projections" -> ((s, dir) => {
-      ops.ImageOps.diagProjections(gateTiles(s, "png"))
-        .orderBy("image_id", "direction")
-    }),
-    // Late-arrival census under a 10-minute watermark: events whose ts
-    // falls behind the running max of earlier arrivals (arrival order =
-    // event_id) minus the allowed lateness — the batch audit that sizes
-    // a streaming watermark before deploying it.
-    "events_late_arrival_census" -> ((s, dir) => {
-      val w = Window.partitionBy("event_type").orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      t(s, dir, "events")
-        .selectExpr("event_type", "event_id",
-          "unix_micros(CAST(ts AS TIMESTAMP)) AS us")
-        .withColumn("wm", max("us").over(w) - lit(600000000L))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_events"),
-          sum(when(col("us") < col("wm"), 1L).otherwise(0L)).as("n_late"),
-          coalesce(max(when(col("us") < col("wm"), col("wm") - col("us"))),
-            lit(0L)).as("max_lateness_us"))
-        .orderBy("event_type")
-    }),
-    // Two-scale TPI landform census (ops.ImageOps.landformClass):
-    // cross-multiplied 5x5/13x13 position-index signs -> Weiss landform
-    // partition counts per tile.
-    "geo_landform_class" -> ((s, dir) => {
-      ops.ImageOps.landformClass(gateTiles(s))
-        .orderBy("image_id", "class_s", "class_l")
-    }),
-    // Candidate-key discovery over orders: distinct-vs-total census for
-    // four candidate column sets — the profiling step schema inference
-    // and CDC key selection start from.
-    "dq_key_discovery" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      def cand(name: String, cols: Seq[String]) =
-        o.agg(count(lit(1)).as("n_rows"),
-            countDistinct(cols.head, cols.tail: _*).as("n_distinct"))
-          .withColumn("candidate", lit(name))
-      cand("o_orderkey", Seq("o_orderkey"))
-        .unionByName(cand("o_custkey", Seq("o_custkey")))
-        .unionByName(cand("o_custkey,o_orderdate",
-          Seq("o_custkey", "o_orderdate")))
-        .unionByName(cand("o_orderstatus,o_orderpriority",
-          Seq("o_orderstatus", "o_orderpriority")))
-        .withColumn("is_key",
-          when(col("n_rows") === col("n_distinct"), 1).otherwise(0))
-        .withColumn("dup_ppm", expr(
-          "1000000 * (n_rows - n_distinct) DIV n_rows"))
-        .select("candidate", "n_rows", "n_distinct", "is_key", "dup_ppm")
-        .orderBy("candidate")
-    }),
-    // STL-lite seasonal decomposition in x7 integers: centered 7-day
-    // rolling trend, detrended = 7c - trend, per-day-of-week nearest-rank
-    // seasonal medians, residual L1 — the exact decomposition behind
-    // events_seasonality's strength number.
-    "events_stl_lite" -> ((s, dir) => {
-      val wd = Window.partitionBy("event_type").orderBy("day")
-      val daily = t(s, dir, "events")
-        .groupBy(col("event_type"),
-          expr("unix_micros(CAST(date_trunc('day', ts) AS TIMESTAMP)) DIV 86400000000")
-            .as("day"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(wd).cast("long"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
-        .withColumn("trend7",
-          sum("c").over(wd.rowsBetween(-3, 3)))
-        .filter(col("rn") >= 4 && col("rn") <= col("n") - 3)
-        .withColumn("det", expr("7 * c - trend7"))
-        .withColumn("dow", expr("day % 7"))
-      val wv = Window.partitionBy("event_type", "dow").orderBy("det", "day")
-      val wp = Window.partitionBy("event_type", "dow")
-      val med = daily
-        .withColumn("rk", row_number().over(wv).cast("long"))
-        .withColumn("m", count(lit(1)).over(wp))
-        .filter(col("rk") === expr("(m + 1) DIV 2"))
-        .select(col("event_type"), col("dow"), col("det").as("seasonal_q"))
-      daily.join(med, Seq("event_type", "dow"))
-        .groupBy("event_type", "dow")
-        .agg(count(lit(1)).as("n_obs"), max("seasonal_q").as("seasonal_q"),
-          sum(expr("abs(det - seasonal_q)")).as("resid_l1"))
-        .orderBy("event_type", "dow")
-    }),
-    // Bayer demosaic audit (ops.ImageOps.demosaicError): x4-scaled green
-    // interpolation loss at the R/B sites.
-    "img_demosaic_error" -> ((s, dir) => {
-      ops.ImageOps.demosaicError(gateTiles(s, "png")).orderBy("image_id")
-    }),
-    // Alpha-beta tracker over each user's x-coordinate walk: the
-    // fixed-gain predictor-corrector (g=1/4, h=1/8, truncating division —
-    // DuckDB's // truncates, so both engines round residual corrections
-    // toward zero) every real-time track smoother runs — per-key
-    // sequential fold in flatMapGroups, exact integers end to end.
-    "traj_alpha_beta_track" -> ((s, dir) => {
-      import s.implicits._
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      t(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          (col("event_id") % 7).as("dx"))
-        .withColumn("z", sum("dx").over(w))
-        .withColumn("idx", row_number().over(
-          Window.partitionBy("user_id").orderBy("ts", "event_id")).cast("long"))
-        .select(col("user_id"), col("idx"), col("z").cast("long"))
-        .as[(Long, Long, Long)]
-        .groupByKey(_._1)
-        .flatMapGroups { (uid, it) =>
-          val rows = it.toArray.sortBy(_._2)
-          var p = 0L; var v = 0L; var sumAbsR = 0L; var first = true
-          rows.foreach { case (_, _, z) =>
-            if (first) { p = z; v = 0L; first = false }
-            else {
-              val pred = p + v
-              val r = z - pred
-              sumAbsR += math.abs(r)
-              p = pred + r / 4L
-              v = v + r / 8L
-            }
-          }
-          Iterator.single((uid, rows.length.toLong, p, v, sumAbsR))
-        }
-        .toDF("user_id", "n_steps", "final_p", "final_v", "sum_abs_resid")
-        .orderBy("user_id")
-    }),
-    // Peaks-over-threshold excess pieces: nearest-rank p90 daily
-    // threshold per type, exceedance count and excess moments — the
-    // method-of-moments inputs of a GPD tail fit, exact.
-    "events_pot_excess" -> ((s, dir) => {
-      val daily = t(s, dir, "events")
-        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-        .agg(count(lit(1)).as("c"))
-      val wv = Window.partitionBy("event_type").orderBy("c", "day")
-      val wp = Window.partitionBy("event_type")
-      val thr = daily.withColumn("rn", row_number().over(wv).cast("long"))
-        .withColumn("n", count(lit(1)).over(wp))
-        .filter(col("rn") === expr("(9 * n + 9) DIV 10"))
-        .select(col("event_type"), col("c").as("u"))
-      daily.join(thr, Seq("event_type"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_days"), max("u").as("u"),
-          sum(when(col("c") > col("u"), 1L).otherwise(0L)).as("n_exc"),
-          sum(when(col("c") > col("u"), col("c") - col("u")).otherwise(0L))
-            .as("sum_excess"),
-          sum(when(col("c") > col("u"),
-            (col("c") - col("u")) * (col("c") - col("u"))).otherwise(0L))
-            .as("sum_excess_sq"),
-          coalesce(max(when(col("c") > col("u"), col("c") - col("u"))),
-            lit(0L)).as("max_excess"))
-        .orderBy("event_type")
-    }),
-    // Laplacian-pyramid detail profile (ops.ImageOps.laplacianPyramid):
-    // per-level x4/x16 integer detail energies + base mass.
-    "img_laplacian_pyramid" -> ((s, dir) => {
-      ops.ImageOps.laplacianPyramid(gateTiles(s, "png"))
-        .orderBy("image_id", "level")
-    }),
-    // Six-azimuth irradiance proxy (ops.ImageOps.irradianceSum) over the
-    // shared x1000 sun-vector table — terrain insolation census.
-    "geo_irradiance_sum" -> ((s, dir) => {
-      ops.ImageOps.irradianceSum(gateTiles(s), sunVectors)
-        .orderBy("image_id")
-    }),
-    // Parallel-trends (pre-period) check for the DiD pair: exact OLS
-    // slope pieces per arm on the first 45 days and the cross-multiplied
-    // slope difference — the identification test events_did assumes.
-    "events_pretrend_check" -> ((s, dir) => {
-      val daily = t(s, dir, "events")
-        .filter(col("event_type").isin("click", "view"))
-        .groupBy(col("event_type"),
-          expr("unix_micros(CAST(date_trunc('day', ts) AS TIMESTAMP)) DIV 86400000000")
-            .as("day"))
-        .agg(count(lit(1)).as("c"))
-      val d0 = daily.agg(min("day")).head().getLong(0)
-      val pre = daily.filter(col("day") < d0 + 45L)
-        .withColumn("x", col("day") - d0)
-      val pieces = pre.groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("c").as("sy"),
-          sum(expr("x * c")).as("sxy"), sum(expr("x * x")).as("sxx"))
-        .withColumn("num", expr("n * sxy - sx * sy"))
-        .withColumn("den", expr("n * sxx - sx * sx"))
-      val a = pieces.filter(col("event_type") === "click")
-        .select(col("n").as("n_a"), col("num").as("num_a"), col("den").as("den_a"))
-      val b = pieces.filter(col("event_type") === "view")
-        .select(col("n").as("n_b"), col("num").as("num_b"), col("den").as("den_b"))
-      a.crossJoin(b)
-        .withColumn("cross", expr("num_a * den_b - num_b * den_a"))
-        .withColumn("same_sign", expr(
-          "CASE WHEN num_a * num_b > 0 THEN 1 WHEN num_a * num_b < 0 THEN -1 ELSE 0 END"))
-    }),
-    // HyperBall register dataflow (Boldi-Vigna 2011, public): per-node
-    // 16-bucket max-rho registers unioned along out-edges for 3 rounds,
-    // next to the EXACT reachable-pair counts at the same radii — the
-    // integer register mass audits the sketch growth without float
-    // estimation; this is the neighborhood-function machinery of
-    // web-scale distance distributions.
-    "graph_hyperball" -> ((s, dir) => {
-      import s.implicits._
-      val e = t(s, dir, "lineitem").filter(col("l_orderkey") % 23 === 0)
-        .selectExpr("(l_suppkey * 13 + l_orderkey) % 1000 AS src",
-          "(l_partkey * 7 + l_linenumber) % 1000 AS dst")
-        .filter(col("src") =!= col("dst")).distinct()
-        .localCheckpoint(false)
-      val nodes = e.select(col("src").as("node"))
-        .unionAll(e.select(col("dst").as("node"))).distinct()
-      var regs = nodes
-        .withColumn("h", expr("(node * 2654435761L) % 2147483648L"))
-        .withColumn("bucket", expr("h % 16"))
-        .withColumn("w", expr("h DIV 16"))
-        .withColumn("rho", expr(rhoCaseSql))
-        .select("node", "bucket", "rho").localCheckpoint(false)
-      var pairs = nodes.select(col("node").as("v"), col("node").as("u"))
-        .localCheckpoint(false)
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
-      for (r <- 1 to 3) {
-        regs = regs.unionAll(
-            e.join(regs.withColumnRenamed("node", "dst"), Seq("dst"))
-              .select(col("src").as("node"), col("bucket"), col("rho")))
-          .groupBy("node", "bucket").agg(max("rho").as("rho"))
-          .localCheckpoint(false)
-        pairs = pairs.unionAll(
-            e.join(pairs.withColumnRenamed("v", "dst"), Seq("dst"))
-              .select(col("src").as("v"), col("u")))
-          .distinct().localCheckpoint(false)
-        val nP = pairs.count()
-        val st = regs.agg(count(lit(1)).as("nr"),
-          sum("rho").cast("long").as("rs")).head()
-        out += ((r.toLong, nP, st.getLong(0), st.getLong(1)))
-      }
-      out.toSeq.toDF("round", "n_pairs", "n_regs", "rho_sum")
-        .orderBy("round")
-    }),
-    // Burrows-Delta-style stylometry (L1 on per-million frequencies of
-    // the global top-20 tokens): the source-pair distance matrix that
-    // flags templated / machine-generated sources.
-    "text_stylo_delta" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
-        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
-      val top = toks.groupBy("tok").agg(count(lit(1)).as("f"))
-        .orderBy(col("f").desc, col("tok").asc).limit(20).select("tok")
-      val tot = toks.groupBy("source").agg(count(lit(1)).as("n_tok"))
-      val fpm = toks.join(broadcast(top), Seq("tok"))
-        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
-        .join(tot, Seq("source"))
-        .withColumn("fpm", expr("1000000 * c DIV n_tok"))
-      val grid = tot.select(col("source")).crossJoin(broadcast(top))
-        .join(fpm.select("source", "tok", "fpm"), Seq("source", "tok"), "left")
-        .withColumn("fpm", coalesce(col("fpm"), lit(0L)))
-      grid.select(col("source").as("src_a"), col("tok"), col("fpm").as("fa"))
-        .join(grid.select(col("source").as("src_b"), col("tok"),
-          col("fpm").as("fb")), Seq("tok"))
-        .filter(col("src_a") < col("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(sum(expr("abs(fa - fb)")).as("l1_fpm"))
-        .orderBy("src_a", "src_b")
-    }),
-    // Quantified-comparison surface (> ALL via NOT EXISTS over exact
-    // cents): suppliers whose balance beats every region's average,
-    // cross-multiplied so no float average is ever formed.
-    "q_any_all" -> ((s, dir) => {
-      val sup = t(s, dir, "supplier")
-        .withColumn("cents", expr("CAST(round(s_acctbal * 100) AS BIGINT)"))
-      val reg = sup.join(t(s, dir, "nation"),
-          col("s_nationkey") === col("n_nationkey"))
-        .groupBy("n_regionkey")
-        .agg(count(lit(1)).as("n_r"), sum("cents").as("sum_r"))
-      val viol = sup.crossJoin(broadcast(reg))
-        .filter(col("cents") * col("n_r") <= col("sum_r"))
-        .select(col("s_suppkey")).distinct()
-      sup.join(viol, Seq("s_suppkey"), "left_anti")
-        .select("s_suppkey", "cents")
-        .orderBy("s_suppkey")
-    }),
-    // Swath elevation profile (ops.ImageOps.swathProfile): 50 along-track
-    // bins within cross-track 20 of the fixed chord.
-    "geo_swath_profile" -> ((s, dir) => {
-      ops.ImageOps.swathProfile(gateTiles(s)).orderBy("image_id", "bin")
-    }),
-    // CUPED variance-reduction pieces: per-user pre/post event counts
-    // (45-day cut, arms by user parity) aggregated to the exact
-    // covariance/variance integers and the pooled theta fraction — the
-    // experiment-sensitivity machinery, no float ever formed.
-    "events_cuped_pieces" -> ((s, dir) => {
-      val ev = t(s, dir, "events").selectExpr("user_id",
-        "unix_micros(CAST(date_trunc('day', ts) AS TIMESTAMP)) DIV 86400000000 AS day")
-      val d0 = ev.agg(min("day")).head().getLong(0)
-      val usr = ev
-        .groupBy("user_id")
-        .agg(sum(when(col("day") < d0 + 45L, 1L).otherwise(0L)).as("pre"),
-          sum(when(col("day") >= d0 + 45L, 1L).otherwise(0L)).as("post"))
-        .withColumn("arm", col("user_id") % 2)
-      val arms = usr.groupBy("arm")
-        .agg(count(lit(1)).as("n"), sum("pre").as("sx"),
-          sum("post").as("sy"), sum(expr("pre * pre")).as("sxx"),
-          sum(expr("pre * post")).as("sxy"))
-      val pooled = usr.agg(count(lit(1)).as("pn"), sum("pre").as("px"),
-          sum("post").as("py"), sum(expr("pre * pre")).as("pxx"),
-          sum(expr("pre * post")).as("pxy"))
-        .selectExpr("pn * pxy - px * py AS theta_num",
-          "pn * pxx - px * px AS theta_den")
-      arms.crossJoin(broadcast(pooled)).orderBy("arm")
-    }),
-    // Peak keypoints with centroid numerators (ops.ImageOps
-    // .peakCentroids): top-5 strict local maxima, exact 3x3 moments.
-    "img_peak_centroids" -> ((s, dir) => {
-      ops.ImageOps.peakCentroids(gateTiles(s, "png"))
-        .orderBy("image_id", "rank")
-    }),
-    // Two REAL BPE merge rounds (Sennrich 2016, public): corpus-weighted
-    // adjacent-symbol pair counts over space-separated character
-    // segmentations, top pair merged via left-to-right non-overlapping
-    // replace (identical scan semantics in the JVM and DuckDB), then
-    // recount — the tokenizer-training loop text_bpe_pairs only
-    // inventories. Distinct words segmented once, counts joined back.
-    "text_bpe_merge" -> ((s, dir) => {
-      import s.implicits._
-      var words = t(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("wcnt"))
-        .withColumn("seg", concat(lit(" "),
-          trim(regexp_replace(col("tok"), "(.)", "$1 ")), lit(" ")))
-        .localCheckpoint(false)
-      val out = scala.collection.mutable.ArrayBuffer
-        .empty[(Long, String, String, Long, Long)]
-      for (round <- 1 to 2) {
-        val syms = words.select(col("tok"), col("wcnt"),
-          posexplode(split(trim(col("seg")), " ")))
-          .withColumnRenamed("col", "sym")
-        val top = syms
-          .join(syms.select(col("tok"), (col("pos") - 1).as("pos"),
-            col("sym").as("sym_b")), Seq("tok", "pos"))
-          .groupBy(col("sym").as("a"), col("sym_b").as("b"))
-          .agg(sum("wcnt").as("cnt"))
-          .orderBy(col("cnt").desc, col("a").asc, col("b").asc).limit(1)
-          .as[(String, String, Long)].collect()(0)
-        words = words.withColumn("seg",
-            expr(s"replace(seg, ' ${top._1} ${top._2} ', ' ${top._1}${top._2} ')"))
-          .localCheckpoint(false)
-        val nAfter = words
-          .select((col("wcnt") * (size(split(trim(col("seg")), " ")))).as("ns"))
-          .agg(sum("ns")).head().getLong(0)
-        out += ((round.toLong, top._1, top._2, top._3, nAfter))
-      }
-      out.toSeq.toDF("round", "sym_a", "sym_b", "pair_cnt", "n_symbols_after")
-        .orderBy("round")
-    }),
-    // LSM write-amplification study: fanout-4 leveling vs tiering over
-    // 128 flush units — the base-4 carry structure makes every
-    // compaction's cost closed-form, so the whole sim is a windowed
-    // cumulative sum; milestones every 16 flushes with WA in milli.
-    "store_write_amp_sim" -> ((s, dir) => {
-      val w = Window.orderBy("n")
-      s.range(1, 129).toDF("n")
-        .withColumn("lev", expr(
-          """1 + (CASE WHEN n % 4 = 0 THEN 4 + 4 * ((n DIV 4 - 1) % 4) ELSE 0 END)
-             + (CASE WHEN n % 16 = 0 THEN 16 + 16 * ((n DIV 16 - 1) % 4) ELSE 0 END)
-             + (CASE WHEN n % 64 = 0 THEN 64 + 64 * ((n DIV 64 - 1) % 4) ELSE 0 END)"""))
-        .withColumn("tier", expr(
-          """1 + (CASE WHEN n % 4 = 0 THEN 4 ELSE 0 END)
-             + (CASE WHEN n % 16 = 0 THEN 16 ELSE 0 END)
-             + (CASE WHEN n % 64 = 0 THEN 64 ELSE 0 END)"""))
-        .withColumn("lev_written", sum("lev").over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("tier_written", sum("tier").over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .filter(col("n") % 16 === 0)
-        .selectExpr("n AS n_flush", "lev_written", "tier_written",
-          "1000 * lev_written DIV n AS wa_lev_milli",
-          "1000 * tier_written DIV n AS wa_tier_milli")
-        .orderBy("n_flush")
-    }),
-    // Cyclic hour-profile shift detector: ppm-normalized hour-of-day
-    // histograms of the first vs second 45 days, L1 at shift 0 and the
-    // argmin cyclic shift — the timezone-misconfiguration audit an
-    // ingest pipeline runs after any collector change.
-    "dq_hour_shift" -> ((s, dir) => {
-      val ev = t(s, dir, "events").selectExpr("event_type",
-        "CAST(hour(ts) AS INT) AS h",
-        "unix_micros(CAST(date_trunc('day', ts) AS TIMESTAMP)) DIV 86400000000 AS day")
-      val d0 = ev.agg(min("day")).head().getLong(0)
-      val halves = ev.withColumn("half",
-        when(col("day") < d0 + 45L, 1).otherwise(2))
-      val tots = halves.groupBy("event_type", "half")
-        .agg(count(lit(1)).as("tot"))
-      val grid = tots
-        .crossJoin(s.range(0, 24).toDF("h").selectExpr("CAST(h AS INT) AS h"))
-      val prof = grid
-        .join(halves.groupBy("event_type", "half", "h")
-          .agg(count(lit(1)).as("c")), Seq("event_type", "half", "h"), "left")
-        .withColumn("ppm", expr("1000000 * coalesce(c, 0L) DIV tot"))
-      val p1 = prof.filter(col("half") === 1)
-        .select(col("event_type"), col("h"), col("ppm").as("ppm1"))
-      val p2 = prof.filter(col("half") === 2)
-        .select(col("event_type").as("et2"), col("h").as("h2"),
-          col("ppm").as("ppm2"))
-      val shifts = p1
-        .crossJoin(s.range(0, 24).toDF("sft").selectExpr("CAST(sft AS INT) AS sft"))
-        .join(p2, col("et2") === col("event_type") &&
-          col("h2") === (col("h") + col("sft")) % 24)
-        .groupBy("event_type", "sft")
-        .agg(sum(expr("abs(ppm1 - ppm2)")).as("l1"))
-      val best = shifts.withColumn("rn", row_number().over(
-          Window.partitionBy("event_type").orderBy(col("l1").asc, col("sft").asc)))
-        .filter(col("rn") === 1)
-        .select(col("event_type"), col("sft").as("best_shift"),
-          col("l1").as("l1_best"))
-      shifts.filter(col("sft") === 0)
-        .select(col("event_type"), col("l1").as("l1_zero"))
-        .join(best, Seq("event_type"))
-        .orderBy("event_type")
-    }),
-    // Tukey median polish (2 row/col sweeps, nearest-rank medians): the
-    // robust two-way decomposition of the type x day-of-week count
-    // matrix — residuals expose cell-level anomalies that means smear.
-    "events_median_polish" -> ((s, dir) => {
-      val m0 = t(s, dir, "events")
-        .groupBy(col("event_type"),
-          expr("(unix_micros(CAST(date_trunc('day', ts) AS TIMESTAMP)) DIV 86400000000) % 7")
-            .as("dow"))
-        .agg(count(lit(1)).as("v"))
-      def rowMed(m: DataFrame): DataFrame = {
-        val wv = Window.partitionBy("event_type").orderBy("v", "dow")
-        val wp = Window.partitionBy("event_type")
-        m.withColumn("rk", row_number().over(wv).cast("long"))
-          .withColumn("n", count(lit(1)).over(wp))
-          .filter(col("rk") === expr("(n + 1) DIV 2"))
-          .select(col("event_type"), col("v").as("med"))
-      }
-      def colMed(m: DataFrame): DataFrame = {
-        val wv = Window.partitionBy("dow").orderBy("v", "event_type")
-        val wp = Window.partitionBy("dow")
-        m.withColumn("rk", row_number().over(wv).cast("long"))
-          .withColumn("n", count(lit(1)).over(wp))
-          .filter(col("rk") === expr("(n + 1) DIV 2"))
-          .select(col("dow"), col("v").as("med"))
-      }
-      var m = m0
-      var rowEff = m0.select("event_type").distinct()
-        .withColumn("re", lit(0L))
-      var colEff = m0.select("dow").distinct().withColumn("ce", lit(0L))
-      for (_ <- 1 to 2) {
-        val rm = rowMed(m)
-        m = m.join(rm, Seq("event_type"))
-          .withColumn("v", col("v") - col("med")).drop("med")
-        rowEff = rowEff.join(rm, Seq("event_type"))
-          .withColumn("re", col("re") + col("med")).drop("med")
-        val cm = colMed(m)
-        m = m.join(cm, Seq("dow"))
-          .withColumn("v", col("v") - col("med")).drop("med")
-        colEff = colEff.join(cm, Seq("dow"))
-          .withColumn("ce", col("ce") + col("med")).drop("med")
-      }
-      m.join(rowEff, Seq("event_type")).join(colEff, Seq("dow"))
-        .select(col("event_type"), col("dow"), col("v").as("resid"),
-          col("re").as("row_eff"), col("ce").as("col_eff"))
-        .orderBy("event_type", "dow")
-    }),
-    // Normal-vector dispersion (ops.ImageOps.normalDispersion): exact
-    // resultant pieces of the terrain normal field.
-    "geo_normal_dispersion" -> ((s, dir) => {
-      ops.ImageOps.normalDispersion(gateTiles(s)).orderBy("image_id")
-    }),
-    // Order-of-magnitude profile of the value column: digit-length
-    // histogram of exact cents per type with ppm shares — the mixed-unit
-    // (dollars-vs-cents, seconds-vs-millis) ingestion bug detector.
-    "dq_magnitude_profile" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
-        .withColumn("digits", length(expr("CAST(abs(cents) AS STRING)")))
-      val tot = ev.groupBy("event_type").agg(count(lit(1)).as("tot"))
-      ev.groupBy("event_type", "digits").agg(count(lit(1)).as("n"))
-        .join(tot, Seq("event_type"))
-        .withColumn("share_ppm", expr("1000000 * n DIV tot"))
-        .select("event_type", "digits", "n", "share_ppm")
-        .orderBy("event_type", "digits")
-    }),
-    // Lorenz curve deciles: users ranked by activity, cumulative event
-    // share per decile in ppm — the inequality curve behind
-    // events_gini's single number.
-    "events_lorenz_deciles" -> ((s, dir) => {
-      val ua = t(s, dir, "events")
-        .groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
-      val wv = Window.partitionBy("event_type").orderBy("c", "user_id")
-      val wp = Window.partitionBy("event_type")
-      val dec = ua
-        .withColumn("rk", row_number().over(wv).cast("long"))
-        .withColumn("n", count(lit(1)).over(wp))
-        .withColumn("tot", sum("c").over(wp))
-        .withColumn("decile", expr("((rk - 1) * 10) DIV n"))
-        .groupBy("event_type", "decile")
-        .agg(count(lit(1)).as("n_users"), sum("c").as("sum_events"),
-          max("tot").as("tot"))
-      dec.withColumn("cum", sum("sum_events").over(
-          Window.partitionBy("event_type").orderBy("decile")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("cum_share_ppm", expr("1000000 * cum DIV tot"))
-        .select("event_type", "decile", "n_users", "sum_events",
-          "cum_share_ppm")
-        .orderBy("event_type", "decile")
-    }),
-    // Follow detection: user b visiting at step i the cell user a
-    // occupied at step i-2 — the time-shifted co-location join (one
-    // equi-join on (cell, shifted step), never all-pairs); top-10
-    // follower pairs.
-    "traj_follow_detect" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val pts = t(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          (col("event_id") % 7).as("dx"),
-          ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("px", sum("dx").over(w))
-        .withColumn("py", sum("dy").over(w))
-        .withColumn("step", row_number().over(w).cast("long"))
-        .selectExpr("user_id", "step",
-          "(px DIV 6) * 1000000 + (py DIV 4) AS cell")
-      pts.selectExpr("user_id AS a", "step + 2 AS step", "cell")
-        .join(pts.selectExpr("user_id AS b", "step", "cell"),
-          Seq("step", "cell"))
-        .filter(col("a") =!= col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("n_follow"))
-        .withColumn("rk", row_number().over(Window.orderBy(
-          col("n_follow").desc, col("a").asc, col("b").asc)))
-        .filter(col("rk") <= 10)
-        .select("rk", "a", "b", "n_follow")
-        .orderBy("rk")
-    }),
-    // Phonetic blocking + edit-distance verify: distinct first words
-    // bucketed by Soundex, within-bucket pairs screened at Levenshtein
-    // <= 2 — the classic fuzzy-name dedup join (blocking keeps it off
-    // all-pairs; both engines' levenshtein is unit-cost edit distance).
-    "dedup_phonetic_join" -> ((s, dir) => {
-      val words = t(s, dir, "part")
-        .selectExpr("split_part(p_name, ' ', 1) AS w").distinct()
-        .selectExpr(s"${soundexSql("w", g = false)} AS code", "w")
-      words.select(col("code"), col("w").as("wa"))
-        .join(words.select(col("code"), col("w").as("wb")), Seq("code"))
-        .filter(col("wa") < col("wb"))
-        .groupBy("code")
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(when(expr("levenshtein(wa, wb)") <= 2, 1L).otherwise(0L))
-            .as("n_pairs_lev2"))
-        .orderBy("code")
-    }),
-    // Areal interpolation audit (ops.ImageOps.arealInterp): exact
-    // rectangle-overlap re-aggregation error, 3x3 -> 4x4 zones.
-    "geo_area_weighted_interp" -> ((s, dir) => {
-      ops.ImageOps.arealInterp(gateTiles(s)).orderBy("image_id", "tr", "tc")
-    }),
-    // Home/work anchor detection: per user the modal activity cell in
-    // night (0-6) vs office (9-17) hours (ties to the smaller cell) —
-    // the anchor-inference step of every mobility pipeline.
-    "traj_home_work" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val pts = t(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          (col("event_id") % 7).as("dx"),
-          ((col("event_id") * 3) % 5).as("dy"))
-        .withColumn("px", sum("dx").over(w))
-        .withColumn("py", sum("dy").over(w))
-        .selectExpr("user_id", "CAST(hour(ts) AS INT) AS h",
-          "(px DIV 6) * 1000000 + (py DIV 4) AS cell")
-      def modal(lo: Int, hi: Int, name: String, cname: String) = {
-        val f = pts.filter(col("h") >= lo && col("h") <= hi)
-          .groupBy("user_id", "cell").agg(count(lit(1)).as("c"))
-        f.withColumn("rn", row_number().over(Window.partitionBy("user_id")
-            .orderBy(col("c").desc, col("cell").asc)))
-          .filter(col("rn") === 1)
-          .select(col("user_id"), col("cell").as(cname), col("c").as(name))
-      }
-      modal(0, 6, "n_night", "home_cell")
-        .join(modal(9, 17, "n_day", "work_cell"), Seq("user_id"))
-        .withColumn("same_anchor",
-          when(col("home_cell") === col("work_cell"), 1).otherwise(0))
-        .select("user_id", "home_cell", "n_night", "work_cell", "n_day",
-          "same_anchor")
-        .orderBy("user_id")
-    }),
-    // Correlated-subquery surface: orders beating their own customer's
-    // average, exact cents cross-multiplied (no float average formed).
-    "q_correlated_above_avg" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-        .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
-      val cu = o.groupBy("o_custkey")
-        .agg(count(lit(1)).as("n"), sum("cents").as("s"))
-      o.join(cu, Seq("o_custkey"))
-        .groupBy("o_custkey")
-        .agg(max("n").as("n_orders"),
-          sum(when(col("cents") * col("n") > col("s"), 1L).otherwise(0L))
-            .as("n_above_own_avg"))
-        .orderBy("o_custkey")
-    }),
-    // Semantic-balance contingency: IVF cluster x label counts with the
-    // cross-multiplied independence deviation |n*G - R*C| per cell — is
-    // each label spread across semantic clusters or concentrated (the
-    // mixture-health check before cluster-stratified sampling)?
-    "curation_cluster_balance" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val ct = ops.Embeddings.ivfAssign(emb, 8).select("vec_id", "centroid")
-        .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
-        .groupBy("centroid", "label").agg(count(lit(1)).as("n"))
-      val rt = ct.groupBy("centroid").agg(sum("n").as("row_tot"))
-      val lt = ct.groupBy("label").agg(sum("n").as("col_tot"))
-      val g = ct.agg(sum("n").as("grand"))
-      ct.join(rt, Seq("centroid")).join(lt, Seq("label"))
-        .crossJoin(broadcast(g))
-        .withColumn("dev_q", expr("abs(n * grand - row_tot * col_tot)"))
-        .select("centroid", "label", "n", "row_tot", "col_tot", "dev_q")
-        .orderBy("centroid", "label")
-    }),
-    // Spatial-join selectivity estimate vs truth: 0.1-degree grid
-    // histograms give the optimizer's candidate-pair estimate
-    // (sum over cells of points x poly-bboxes), audited against the
-    // exact bbox-overlap pair count — the cost-model number a spatial
-    // join planner needs before choosing broadcast vs shuffle.
-    "geo_join_selectivity" -> ((s, dir) => {
-      val pts = gatePoints(s, dir)
-        .selectExpr("point_id", "lng", "lat",
-          "CAST(floor(lng * 10.0D) AS BIGINT) AS cx",
-          "CAST(floor(lat * 10.0D) AS BIGINT) AS cy")
-      val polys = trianglePolys(s, dir).selectExpr("poly_id",
-          "array_min(xs) AS minx", "array_max(xs) AS maxx",
-          "array_min(ys) AS miny", "array_max(ys) AS maxy")
-      val pcells = polys.selectExpr("poly_id", "minx", "maxx", "miny", "maxy",
-          """explode(sequence(CAST(floor(minx * 10.0D) AS BIGINT),
-             CAST(floor(maxx * 10.0D) AS BIGINT))) AS cx""")
-        .selectExpr("poly_id", "minx", "maxx", "miny", "maxy", "cx",
-          """explode(sequence(CAST(floor(miny * 10.0D) AS BIGINT),
-             CAST(floor(maxy * 10.0D) AS BIGINT))) AS cy""")
-      val ph = pts.groupBy("cx", "cy").agg(count(lit(1)).as("np"))
-      val gh = pcells.groupBy("cx", "cy").agg(count(lit(1)).as("ng"))
-      val est = ph.join(gh, Seq("cx", "cy"))
-        .agg(sum(expr("np * ng")).as("est_pairs"))
-      val actual = pts.join(pcells, Seq("cx", "cy"))
-        .filter(col("lng") >= col("minx") && col("lng") <= col("maxx") &&
-          col("lat") >= col("miny") && col("lat") <= col("maxy"))
-        .select("point_id", "poly_id").distinct()
-        .agg(count(lit(1)).as("actual_pairs"))
-      pts.agg(count(lit(1)).as("n_points"))
-        .crossJoin(polys.agg(count(lit(1)).as("n_polys")))
-        .crossJoin(est).crossJoin(actual)
-        .withColumn("ratio_ppm", expr("1000000 * actual_pairs DIV est_pairs"))
-    }),
-    // IVF candidate accounting: per query the two probed lists and the
-    // exact fraction of the corpus scanned (the latency-proxy number
-    // that justifies IVF over brute force at scale).
-    "ann_candidate_accounting" -> ((s, dir) => {
-      import graft.functions.vectors.vec_dist2
-      val emb = t(s, dir, "embeddings")
-        .selectExpr("vec_id", "cast(embedding as array<double>) AS v")
-      def cent(c: Int) = expr(
-        s"transform(sequence(0, 63), d -> CAST((($c * 53) + d * 17) % 13 - 6 AS DOUBLE))")
-      val sizes = ops.Embeddings.ivfAssign(t(s, dir, "embeddings"), 8)
-        .groupBy("centroid").agg(count(lit(1)).as("list_sz"))
-      val q = emb.filter(col("vec_id") % 50 === 0)
-      val probes = q.select(col("vec_id").as("qid"),
-          explode(array((0 until 8).map(c =>
-            struct(vec_dist2(col("v"), cent(c)).as("d2"),
-              lit(c).as("c"))): _*)).as("pc"))
-        .select(col("qid"), col("pc.d2").as("d2"), col("pc.c").as("centroid"))
-        .withColumn("rn", row_number().over(Window.partitionBy("qid")
-          .orderBy(col("d2").asc, col("centroid").asc)))
-        .filter(col("rn") <= 2)
-      val n = emb.agg(count(lit(1)).as("n_corpus"))
-      probes.join(sizes, Seq("centroid"))
-        .groupBy("qid")
-        .agg(min(when(col("rn") === 1, col("centroid"))).as("c1"),
-          min(when(col("rn") === 2, col("centroid"))).as("c2"),
-          sum("list_sz").as("n_cand"))
-        .crossJoin(broadcast(n))
-        .withColumn("ratio_ppm", expr("1000000 * n_cand DIV n_corpus"))
-        .orderBy("qid")
-    }),
-    // Echo-lag autocorrelation argmax (ops.MediaOps.echoLag).
-    "media_echo_lag" -> ((s, dir) => {
-      ops.MediaOps.echoLag(ops.MediaOps.synth(mediaMeta(s, dir)))
-        .orderBy("media_id")
-    }),
-    // Block-truncation-coding loss (ops.ImageOps.btcAudit).
-    "img_btc_audit" -> ((s, dir) => {
-      ops.ImageOps.btcAudit(gateTiles(s, "png")).orderBy("image_id")
-    }),
-    // Weekly leaderboard churn: per ISO-ish week the event types ranked
-    // by volume, joined to the previous week's ranks — the rank-delta
-    // report trend dashboards run.
-    "events_rank_churn" -> ((s, dir) => {
-      val wk = t(s, dir, "events")
-        .selectExpr("event_type",
-          "(unix_micros(CAST(date_trunc('day', ts) AS TIMESTAMP)) DIV 86400000000) DIV 7 AS week")
-        .groupBy("week", "event_type").agg(count(lit(1)).as("c"))
-        .withColumn("rk", row_number().over(Window.partitionBy("week")
-          .orderBy(col("c").desc, col("event_type").asc)).cast("long"))
-      wk.join(wk.selectExpr("week + 1 AS week", "event_type",
-          "rk AS prev_rk"), Seq("week", "event_type"))
-        .withColumn("delta", col("prev_rk") - col("rk"))
-        .select("week", "event_type", "c", "rk", "prev_rk", "delta")
-        .orderBy("week", "event_type")
-    }),
-    // V-optimal histogram (Jagadish et al. 1998, public): 4-bucket DP on
-    // the 24 hourly counts with the scaled-SSE cost n·Σx² − (Σx)² (pure
-    // integers; one cost table from prefix sums, 3 DP stages as joins,
-    // argmin backtrack with smallest-boundary ties) — the
-    // optimizer-statistics construction equi-width/equi-depth histograms
-    // approximate.
-    "store_voptimal_hist" -> ((s, dir) => {
-      import s.implicits._
-      val hourly = t(s, dir, "events")
-        .selectExpr("CAST(hour(ts) AS INT) AS h")
-        .groupBy("h").agg(count(lit(1)).as("x"))
-      val xs = s.range(0, 24).selectExpr("CAST(id AS INT) AS h")
-        .join(hourly, Seq("h"), "left")
-        .withColumn("x", coalesce(col("x"), lit(0L)))
-      val wv = Window.orderBy("h")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val pref = xs
-        .withColumn("ps", sum("x").over(wv))
-        .withColumn("pss", sum(expr("x * x")).over(wv))
-        .select("h", "ps", "pss")
-        .unionByName(Seq((-1, 0L, 0L)).toDF("h", "ps", "pss"))
-        .localCheckpoint(false)
-      val cost = pref.selectExpr("h AS jm", "ps AS psj", "pss AS pssj")
-        .crossJoin(pref.selectExpr("h AS im", "ps AS psi", "pss AS pssi"))
-        .filter(col("im") < col("jm") && col("jm") >= 0)
-        .selectExpr("im + 1 AS i", "jm AS j",
-          "(pssj - pssi) * (jm - im) - (psj - psi) * (psj - psi) AS cst")
-        .localCheckpoint(false)
-      var dp = cost.filter(col("i") === 0).select(col("j"), col("cst").as("dp"))
-      val dps = scala.collection.mutable.ArrayBuffer(dp)
-      for (_ <- 2 to 3) {
-        dp = dp.selectExpr("j AS i1", "dp")
-          .join(cost, col("i") === col("i1") + 1)
-          .groupBy("j").agg(min(expr("dp + cst")).as("dp"))
-        dps += dp
-      }
-      def argmin(d: DataFrame, jEnd: Int): Int =
-        d.selectExpr("j AS i1", "dp")
-          .join(cost.filter(col("j") === jEnd), col("i") === col("i1") + 1)
-          .selectExpr("i1", "dp + cst AS total")
-          .orderBy(col("total").asc, col("i1").asc).limit(1)
-          .as[(Int, Long)].collect()(0)._1
-      val j3 = argmin(dps(2), 23)
-      val j2 = argmin(dps(1), j3)
-      val j1 = argmin(dps(0), j2)
-      val bounds = Seq((1, 0, j1), (2, j1 + 1, j2), (3, j2 + 1, j3),
-        (4, j3 + 1, 23)).toDF("bucket", "lo", "hi")
-      bounds.join(cost, col("i") === col("lo") && col("j") === col("hi"))
-        .join(pref.selectExpr("h AS hi", "ps AS ps_hi"), Seq("hi"))
-        .join(pref.selectExpr("h + 1 AS lo", "ps AS ps_lo"), Seq("lo"))
-        .selectExpr("bucket", "lo", "hi",
-          "CAST(hi - lo + 1 AS BIGINT) AS n_hours",
-          "ps_hi - ps_lo AS seg_sum", "cst AS seg_cost_q")
-        .orderBy("bucket")
-    }),
-    // Trigonometry-free aspect/slope rose (ops.ImageOps.terrainRose).
-    "geo_terrain_rose" -> ((s, dir) => {
-      ops.ImageOps.terrainRose(gateTiles(s))
-        .orderBy("image_id", "octant", "band")
-    }),
-    // Metadata-vs-payload consistency: delivered samples against the
-    // duration x 8 samples/ms contract, signed drift in ppm — the ingest
-    // truncation/padding audit run before any media op trusts duration.
-    "media_duration_consistency" -> ((s, dir) => {
-      mediaMeta(s, dir).selectExpr("CAST(media_id AS BIGINT) AS media_id",
-          "CAST(n_bytes AS BIGINT) AS n_samp",
-          "CAST(duration_ms * 8 AS BIGINT) AS expected_samp")
-        .withColumn("drift_ppm", expr(
-          "1000000 * (n_samp - expected_samp) DIV expected_samp"))
-        .orderBy("media_id")
-    }),
-    // Dictionary-encoding gain estimator: per varchar column the exact
-    // plain vs dictionary byte model (distinct payload + ceil(log2 n)
-    // bits per row) — the columnar-layout decision number a writer
-    // computes before choosing an encoding.
-    "store_dict_gain" -> ((s, dir) => {
-      def colStats(df: DataFrame, cname: String, label: String) = {
-        val vals = df.select(col(cname).as("v"))
-        val d = vals.select("v").distinct()
-          .agg(count(lit(1)).as("n_distinct"),
-            sum(length(col("v"))).cast("long").as("distinct_bytes"))
-        vals.agg(count(lit(1)).as("n_rows"),
-            sum(length(col("v"))).cast("long").as("plain_bytes"))
-          .crossJoin(d)
-          .withColumn("column_name", lit(label))
-      }
-      colStats(t(s, dir, "orders"), "o_orderstatus", "orders.o_orderstatus")
-        .unionByName(colStats(t(s, dir, "orders"), "o_orderpriority",
-          "orders.o_orderpriority"))
-        .unionByName(colStats(t(s, dir, "events"), "event_type",
-          "events.event_type"))
-        .withColumn("bits", expr(
-          """CASE WHEN n_distinct <= 2 THEN 1 WHEN n_distinct <= 4 THEN 2
-             WHEN n_distinct <= 16 THEN 4 WHEN n_distinct <= 256 THEN 8
-             ELSE 16 END"""))
-        .withColumn("dict_bytes", expr(
-          "distinct_bytes + (n_rows * bits + 7) DIV 8"))
-        .withColumn("gain_ppm", expr(
-          "1000000 * (plain_bytes - dict_bytes) DIV plain_bytes"))
-        .select("column_name", "n_rows", "n_distinct", "plain_bytes",
-          "dict_bytes", "gain_ppm")
-        .orderBy("column_name")
-    }),
-    // LSB watermark embed cost: pixels whose least-significant bit
-    // disagrees with the pseudorandom payload bit (r*7+c*13 parity) —
-    // the steganographic capacity/visibility number, exact.
-    "img_lsb_embed_cost" -> ((s, dir) => {
-      ops.ImageOps.lsbEmbedCost(gateTiles(s, "png")).orderBy("image_id")
-    }),
-    // Float-dust audit: values whose cents representation is not exact
-    // (value*100 differs from its round) — the currency-stored-as-float
-    // ingest detector.
-    "dq_float_dust" -> ((s, dir) => {
-      t(s, dir, "events")
-        .withColumn("dusty",
-          when(expr("value * 100.0D = round(value * 100.0D)"), 0L)
-            .otherwise(1L))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum("dusty").as("n_dusty"))
-        .withColumn("dust_ppm", expr("1000000 * n_dusty DIV n"))
-        .orderBy("event_type")
-    }),
-    // EDR trajectory distance (ops.Trajectory.edr): gap-penalizing,
-    // noise-tolerant — the fourth member of the dtw/frechet/lcss family
-    // over the shared synthetic trajectories, eps2 = 25.
-    "traj_edr" -> ((s, dir) => {
-      val trajs = t(s, dir, "supplier")
-        .selectExpr("s_suppkey % 20 AS traj_id").distinct()
-      val pts = trajs
-        .select(col("traj_id"), explode(expr("sequence(0, 5)")).as("seq"))
-        .selectExpr("traj_id", "seq",
-          "(traj_id * 7 + seq * (traj_id % 5 + 1) * 3) % 40 AS px",
-          "(traj_id * 11 + seq * (traj_id % 3 + 2) * 2) % 40 AS py")
-      val pairs = trajs.select(col("traj_id").as("t1"))
-        .join(trajs.select(col("traj_id").as("t2")), col("t1") < col("t2"))
-      ops.Trajectory.edr(pts, pairs, eps2 = 25L).orderBy("t1", "t2")
-    }),
-    // Quantization-level usage: distinct sample values, 256-level
-    // utilization and the Simpson concentration of the level histogram —
-    // the bit-depth health check (re-quantized or clipped audio shows a
-    // collapsed level set).
-    "media_level_usage" -> ((s, dir) => {
-      ops.MediaOps.levelUsage(ops.MediaOps.synth(mediaMeta(s, dir)))
-        .orderBy("media_id")
-    }),
-    // Run-length encoding gain in arrival order vs sorted: RLE run
-    // counts of o_orderstatus over the o_orderkey sequence vs its
-    // sorted layout — the sort-before-write decision number next to
-    // store_dict_gain's dictionary model.
-    "store_rle_gain" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-        .withColumn("prev", lag("o_orderstatus", 1).over(
-          Window.orderBy("o_orderkey")))
-      val natural = o.agg(count(lit(1)).as("n_rows"),
-        sum(when(col("prev").isNull ||
-          col("prev") =!= col("o_orderstatus"), 1L).otherwise(0L))
-          .as("runs_natural"))
-      val sorted = t(s, dir, "orders").groupBy("o_orderstatus").count()
-        .agg(count(lit(1)).as("runs_sorted"))
-      natural.crossJoin(sorted)
-        .withColumn("gain_ppm", expr(
-          "1000000 * (runs_natural - runs_sorted) DIV runs_natural"))
-    }),
-    // Id-sequence gap census: holes in the o_orderkey key space (lag
-    // deltas > 1) — the dropped-batch / failed-partition detector every
-    // ingest reconciliation runs on monotone ids.
-    "dq_id_gap_census" -> ((s, dir) => {
-      t(s, dir, "orders").select(col("o_orderkey").as("k")).distinct()
-        .withColumn("prev", lag("k", 1).over(Window.orderBy("k")))
-        .agg(count(lit(1)).as("n_keys"),
-          min("k").as("min_key"), max("k").as("max_key"),
-          sum(when(col("prev").isNotNull && col("k") - col("prev") > 1, 1L)
-            .otherwise(0L)).as("n_gaps"),
-          coalesce(max(when(col("prev").isNotNull,
-            col("k") - col("prev") - 1)), lit(0L)).as("max_gap"))
-        .withColumn("n_missing",
-          expr("max_key - min_key + 1 - n_keys"))
-    }),
-    // Character-class profile per source: alphabetic and whitespace
-    // shares in ppm via global regexp strip — the encoding/garbage drift
-    // gauge next to text_ocr_garbage.
-    "text_char_class_profile" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .withColumn("n_chars", length(col("text")).cast("long"))
-        .withColumn("n_alpha", (col("n_chars") -
-          length(regexp_replace(col("text"), "[a-z]", ""))).cast("long"))
-        .withColumn("n_space", (col("n_chars") -
-          length(regexp_replace(col("text"), " ", ""))).cast("long"))
-        .groupBy("source")
-        .agg(sum("n_chars").as("n_chars"), sum("n_alpha").as("n_alpha"),
-          sum("n_space").as("n_space"))
-        .withColumn("alpha_ppm", expr("1000000 * n_alpha DIV n_chars"))
-        .orderBy("source")
-    }),
-    // DAU / trailing-28-day MAU stickiness: exact windowed distinct via
-    // the (day x active-day) range join — the product-health ratio, no
-    // sketch needed at gate scale.
-    "events_dau_mau" -> ((s, dir) => {
-      val du = t(s, dir, "events").selectExpr("user_id",
-          "unix_micros(CAST(date_trunc('day', ts) AS TIMESTAMP)) DIV 86400000000 AS day")
-        .distinct()
-      val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
-      val mau = dau.select(col("day"))
-        .join(du.selectExpr("user_id", "day AS aday"),
-          col("aday") <= col("day") && col("aday") > col("day") - 28L)
-        .select("day", "user_id").distinct()
-        .groupBy("day").agg(count(lit(1)).as("mau28"))
-      dau.join(mau, Seq("day"))
-        .withColumn("stickiness_ppm", expr("1000000 * dau DIV mau28"))
-        .orderBy("day")
-    })
-  )
-
-  /** Douglas-Peucker oracle: the recursion unrolled as `levels` chained CTE
-    * levels (standard SQL recursion cannot aggregate/window in the recursive
-    * term). Each level joins the still-active chords to their interior
-    * points, ranks by the sqrt/div-free split metric m = cross² (point
-    * distance² on a degenerate chord) with ties to the smallest seq —
-    * exactly [[graft.geo.Simplify]]'s strict-> scan — and splits where
-    * m > ε²·len². `levels` is sized ABOVE the measured max split depth of
-    * the deterministic gate data (13 at sf0.01, 24 at sf0.1; ε = 0.25,
-    * ε² = 0.0625 exact in binary): the DP result is depth-independent, and
-    * an undersized unroll would surface as a gate mismatch, never a silent
-    * false pass.
-    */
-  private def simplifyOracleSql(levels: Int): String = simplifyOracleCore(
-    levels,
-    """pts AS MATERIALIZED (SELECT point_id % 199 AS line_id, point_id AS seq, lng, lat
-       FROM p0 WHERE point_id % 10 = 0)""",
-    "SELECT line_id, seq, lng, lat FROM keeps ORDER BY line_id, seq")
-
-  /** Chunked-DP oracle: the SAME unrolled-level machinery, but the point
-    * source re-keys each line into (line·100000 + chunk) groups with every
-    * chunk-boundary vertex duplicated into both neighbouring chunks — the
-    * engine's split-apply contract — and the final select maps group ids
-    * back to lines (DISTINCT dedups the shared boundary keeps). Chunks
-    * hold ≤ chunk+1 points, so split depth ≤ log-bounded ≪ `levels`.
-    */
-  private def simplifyChunkedOracleSql(levels: Int, chunk: Int): String =
-    simplifyOracleCore(
-      levels,
-      s"""base AS (SELECT point_id % 199 AS line_id, point_id AS seq, lng, lat
-         FROM p0 WHERE point_id % 10 = 0),
-       rb AS (SELECT line_id, seq, lng, lat,
-           row_number() OVER (PARTITION BY line_id ORDER BY seq) - 1 AS r FROM base),
-       pts AS MATERIALIZED (
-         SELECT line_id*100000 + (r // $chunk) AS line_id, seq, lng, lat FROM rb
-         UNION ALL
-         SELECT line_id*100000 + (r // $chunk) - 1 AS line_id, seq, lng, lat
-         FROM rb WHERE r % $chunk = 0 AND r > 0)""",
-      """SELECT DISTINCT line_id // 100000 AS line_id, seq, lng, lat FROM keeps
-       ORDER BY line_id, seq""")
-
-  private def simplifyOracleCore(levels: Int, ptsSql: String,
-                                 finalSelect: String): String = {
-    // segments CARRY their chord-endpoint coords (alng/alat/blng/blat) so
-    // each level joins the (MATERIALIZED — one parquet scan, not one per
-    // reference) points CTE exactly once; split rows carry the split point's
-    // coords into the child segments the same way.
-    val len2 = "(s.blng-s.alng)*(s.blng-s.alng)+(s.blat-s.alat)*(s.blat-s.alat)"
-    val cross = "((s.blng-s.alng)*(p.lat-s.alat)-(s.blat-s.alat)*(p.lng-s.alng))"
-    val m = s"CASE WHEN $len2 = 0 THEN (p.lng-s.alng)*(p.lng-s.alng)+(p.lat-s.alat)*(p.lat-s.alat) " +
-      s"ELSE $cross*$cross END"
-    val t = s"CASE WHEN $len2 = 0 THEN 0.0625 ELSE 0.0625 * ($len2) END"
-    val levelCtes = (1 to levels).map { k =>
-      s"""cand$k AS (SELECT s.line_id, s.lo, s.hi, s.alng, s.alat, s.blng, s.blat,
-            p.seq, p.lng AS plng, p.lat AS plat, $m AS m, $t AS t,
-            row_number() OVER (PARTITION BY s.line_id, s.lo, s.hi ORDER BY $m DESC, p.seq) AS rn
-          FROM seg${k - 1} s
-          JOIN pts p ON p.line_id = s.line_id AND p.seq > s.lo AND p.seq < s.hi),
-        split$k AS MATERIALIZED (SELECT * FROM cand$k WHERE rn = 1 AND m > t),
-        seg$k AS (SELECT line_id, lo, seq AS hi, alng, alat, plng AS blng, plat AS blat FROM split$k
-                  UNION ALL
-                  SELECT line_id, seq AS lo, hi, plng AS alng, plat AS alat, blng, blat FROM split$k)"""
-    }.mkString(",\n")
-    val keepUnions = (1 to levels)
-      .map(k => s"UNION SELECT line_id, seq, plng AS lng, plat AS lat FROM split$k").mkString(" ")
-    s"""WITH p0 AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
-         -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
-         36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
-         FROM lineitem),
-       $ptsSql,
-       ends AS (SELECT line_id, min(seq) AS lo, max(seq) AS hi FROM pts GROUP BY line_id),
-       seg0 AS (SELECT e.line_id, e.lo, e.hi, a.lng AS alng, a.lat AS alat,
-           b.lng AS blng, b.lat AS blat
-         FROM ends e
-         JOIN pts a ON a.line_id = e.line_id AND a.seq = e.lo
-         JOIN pts b ON b.line_id = e.line_id AND b.seq = e.hi),
-       $levelCtes,
-       keeps AS (SELECT line_id, lo AS seq, alng AS lng, alat AS lat FROM seg0
-         UNION SELECT line_id, hi AS seq, blng AS lng, blat AS lat FROM seg0 $keepUnions)
-       $finalSelect"""
-  }
-
-  /** Shared PIP oracle: bbox prefilter (a superset — every ray-cast-inside
-    * point lies in the bbox) then the exact ray-cast edge tests with the
-    * same (i,j) edge orientation and IEEE op order as graft.geo.RayCast.
-    * Divisions sit inside CASE so the horizontal base edge never divides
-    * by zero.
-    */
-  private def pipOracleFor(ptsCte: String): String =
-    s"""WITH pts AS ($ptsCte),
-       tri AS (SELECT s_suppkey AS poly_id,
-         -120.0 + (s_suppkey % 40) * 0.1 AS cx,
-         36.0 + ((s_suppkey * 3) % 20) * 0.1 AS cy,
-         0.05 + (s_suppkey % 7) * 0.013 AS w,
-         0.04 + (s_suppkey % 5) * 0.017 AS h
-         FROM supplier),
-       v AS (SELECT poly_id, cx AS x1, cy + h AS y1, cx - w AS x2, cy - h AS y2,
-         cx + w AS x3, cy - h AS y3 FROM tri),
-       cand AS (SELECT p.point_id, p.px, p.py, v.* FROM pts p JOIN v
-         ON p.px >= v.x2 AND p.px <= v.x3 AND p.py >= v.y2 AND p.py <= v.y1)
-       SELECT point_id, poly_id FROM cand
-       WHERE ((CASE WHEN (y1 > py) <> (y3 > py) AND px < (x3 - x1) * (py - y1) / (y3 - y1) + x1 THEN 1 ELSE 0 END)
-            + (CASE WHEN (y2 > py) <> (y1 > py) AND px < (x1 - x2) * (py - y2) / (y1 - y2) + x2 THEN 1 ELSE 0 END)
-            + (CASE WHEN (y3 > py) <> (y2 > py) AND px < (x2 - x3) * (py - y3) / (y2 - y3) + x3 THEN 1 ELSE 0 END)) % 2 = 1
-       ORDER BY point_id, poly_id"""
-
-  /** Polygon-join oracle: bbox-overlap candidates (a superset of the truth,
-    * like the engine's S2-cover join) + the SAME orientation-sign predicate
-    * in DuckDB list-lambda syntax.
-    */
-  private val polyJoinOracleSql: String = {
-    def orient(ax: String, ay: String, bx: String, by: String,
-               cx: String, cy: String): String =
-      s"((($bx) - ($ax)) * (($cy) - ($ay)) - ((($by) - ($ay)) * (($cx) - ($ax))))"
-    def vin(pxs: String, pys: String, qx: String, qy: String): String =
-      s"len(list_filter(range(1, len($pxs)+1), i -> ${orient(
-        s"$pxs[i]", s"$pys[i]",
-        s"$pxs[(i % len($pxs)) + 1]", s"$pys[(i % len($pxs)) + 1]",
-        qx, qy)} >= 0)) = len($pxs)"
-    val (a1x, a1y) = ("axs[i]", "ays[i]")
-    val (a2x, a2y) = ("axs[(i % len(axs)) + 1]", "ays[(i % len(axs)) + 1]")
-    val (b1x, b1y) = ("bxs[j]", "bys[j]")
-    val (b2x, b2y) = ("bxs[(j % len(bxs)) + 1]", "bys[(j % len(bxs)) + 1]")
-    val o1 = orient(a1x, a1y, a2x, a2y, b1x, b1y)
-    val o2 = orient(a1x, a1y, a2x, a2y, b2x, b2y)
-    val o3 = orient(b1x, b1y, b2x, b2y, a1x, a1y)
-    val o4 = orient(b1x, b1y, b2x, b2y, a2x, a2y)
-    val cross = s"""len(list_filter(range(1, len(axs)+1), i ->
-        len(list_filter(range(1, len(bxs)+1), j ->
-          ($o1) * ($o2) < 0 AND ($o3) * ($o4) < 0)) > 0)) > 0"""
-    val bInA = s"len(list_filter(range(1, len(bxs)+1), j -> ${vin(
-      "axs", "ays", "bxs[j]", "bys[j]")})) > 0"
-    val aInB = s"len(list_filter(range(1, len(axs)+1), k -> ${vin(
-      "bxs", "bys", "axs[k]", "ays[k]")})) > 0"
-    s"""WITH ta AS (SELECT s_suppkey AS pa,
-         -120.0 + (s_suppkey % 40) * 0.1 AS cx, 36.0 + ((s_suppkey * 3) % 20) * 0.1 AS cy,
-         0.05 + (s_suppkey % 7) * 0.013 AS w, 0.04 + (s_suppkey % 5) * 0.017 AS h FROM supplier),
-       a AS (SELECT pa, [cx, cx - w, cx + w] AS axs, [cy + h, cy - h, cy - h] AS ays,
-         cx - w AS axmin, cx + w AS axmax, cy - h AS aymin, cy + h AS aymax FROM ta),
-       tb AS (SELECT s_suppkey AS pb,
-         -120.0 + ((s_suppkey * 7) % 40) * 0.1 + 0.03 AS cx, 36.0 + ((s_suppkey * 5) % 20) * 0.1 + 0.02 AS cy,
-         0.06 + (s_suppkey % 5) * 0.011 AS w, 0.05 + (s_suppkey % 3) * 0.019 AS h FROM supplier),
-       b AS (SELECT pb, [cx, cx - w, cx + w] AS bxs, [cy + h, cy - h, cy - h] AS bys,
-         cx - w AS bxmin, cx + w AS bxmax, cy - h AS bymin, cy + h AS bymax FROM tb),
-       cand AS (SELECT pa, pb, axs, ays, bxs, bys FROM a JOIN b
-         ON axmin <= bxmax AND bxmin <= axmax AND aymin <= bymax AND bymin <= aymax)
-       SELECT pa AS poly_a, pb AS poly_b FROM cand
-       WHERE ($bInA) OR ($aInB) OR ($cross)
-       ORDER BY 1, 2"""
-  }
-
-  // ---- polynomial-haversine SQL fragments (mirror graft.geo.Geodesic,
-  //      coefficient doubles shared via Double.toString round-trips) ----
-  private def d2s(d: Double): String = java.lang.Double.toString(d)
-
-  private def sqlSinP(x: String): String = {
-    import graft.geo.Geodesic._
-    val x2 = s"(($x)*($x))"
-    s"(($x) * (1.0 + $x2 * (${d2s(Sin3)} + $x2 * (${d2s(Sin5)} + $x2 * ${d2s(Sin7)}))))"
-  }
-
-  private def sqlCosP(x: String): String = {
-    val x2 = s"(($x)*($x))"
-    val tail = graft.geo.Geodesic.CosTail.reverse.foldLeft(null: String) { (acc, c) =>
-      if (acc == null) d2s(c) else s"(${d2s(c)} + $x2 * ($acc))"
-    }
-    s"(1.0 + $x2 * ($tail))"
-  }
-
-  private def sqlAsinP(u: String): String = {
-    import graft.geo.Geodesic._
-    val u2 = s"(($u)*($u))"
-    s"(($u) * (1.0 + $u2 * (${d2s(Asin3)} + $u2 * (${d2s(Asin5)} + $u2 * (${d2s(Asin7)} + $u2 * ${d2s(Asin9)})))))"
-  }
-
-  private def sqlHavT(plng: String, plat: String, tlng: String, tlat: String): String = {
-    val deg = d2s(graft.geo.Geodesic.DegToRad)
-    val dphi = s"((($tlat) - ($plat)) * $deg * 0.5)"
-    val dlmb = s"((($tlng) - ($plng)) * $deg * 0.5)"
-    val sp = sqlSinP(dphi); val sl = sqlSinP(dlmb)
-    s"($sp * $sp + ${sqlCosP(s"(($plat) * $deg)")} * ${sqlCosP(s"(($tlat) * $deg)")} * $sl * $sl)"
-  }
-
-  private def sqlMetersFromT(t: String): String =
-    s"(${d2s(2.0 * graft.geo.Geodesic.EarthRadiusM)} * ${sqlAsinP(s"sqrt($t)")})"
-
-  private val knnGeodesicOracleSql: String =
-    s"""WITH probes AS (SELECT c_custkey AS probe_id,
-         -20.0 + (c_custkey % 4) + ((c_custkey % 577) + 0.5)/577.0 AS plng,
-         66.0 + (c_custkey % 2) + (((c_custkey*13) % 577) + 0.5)/577.0 AS plat
-         FROM customer WHERE c_custkey % 100 = 0),
-       targets AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS target_id,
-         -20 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS tlng,
-         66 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS tlat
-         FROM lineitem),
-       pairs AS (SELECT probe_id, target_id,
-         ${sqlHavT("plng", "plat", "tlng", "tlat")} AS t
-         FROM probes, targets),
-       r AS (SELECT probe_id, target_id, t,
-         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY t, target_id) AS INTEGER) AS rank FROM pairs)
-       SELECT probe_id, target_id, rank, ${sqlMetersFromT("t")} AS dist_m
-       FROM r WHERE rank <= 5 ORDER BY probe_id, rank"""
-
-  /** Brute-force geodesic range join: same polynomial-haversine kernel; the
-    * t-threshold is the ENGINE's Scala-computed double spliced exactly
-    * (Double.toString round-trips), so the filter sees bit-equal operands.
-    */
-  private val rangeGeodesicOracleSql: String = {
-    val sinHalf = graft.geo.Geodesic.sinP(
-      2000.0 / (2.0 * graft.geo.Geodesic.EarthRadiusM))
-    val tThr = sinHalf * sinHalf
-    s"""WITH probes AS (SELECT c_custkey AS probe_id,
-         -20.0 + (c_custkey % 4) + ((c_custkey % 577) + 0.5)/577.0 AS plng,
-         66.0 + (c_custkey % 2) + (((c_custkey*13) % 577) + 0.5)/577.0 AS plat
-         FROM customer WHERE c_custkey % 100 = 0),
-       targets AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS target_id,
-         -20 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS tlng,
-         66 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS tlat
-         FROM lineitem),
-       pairs AS (SELECT probe_id, target_id,
-         ${sqlHavT("plng", "plat", "tlng", "tlat")} AS t
-         FROM probes, targets)
-       SELECT probe_id, target_id, ${sqlMetersFromT("t")} AS dist_m
-       FROM pairs WHERE t <= ${d2s(tThr)}
-       ORDER BY probe_id, target_id"""
-  }
-
-  /** Multi-ring even-odd oracle: same IEEE edge orientation as RayCast's
-    * loop (edge (i, j = i−1) wrapping WITHIN each ring), crossing parity
-    * summed across rings. The division is float (DuckDB inf/nan, never an
-    * error) and guarded by the crossing condition like the engine's.
-    */
-  private val pipHolesOracleSql: String = {
-    val j = "((i + len(xss[r]) - 2) % len(xss[r])) + 1"
-    val crossings = s"""list_sum(list_transform(range(1, len(xss)+1), r ->
-        len(list_filter(range(1, len(xss[r])+1), i ->
-          (yss[r][i] > py) <> (yss[r][$j] > py)
-          AND px < (xss[r][$j] - xss[r][i]) * (py - yss[r][i]) / (yss[r][$j] - yss[r][i]) + xss[r][i]))))"""
-    s"""WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
-         -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS px,
-         36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS py
-         FROM lineitem),
-       tri AS (SELECT s_suppkey AS poly_id,
-         -120.0 + (s_suppkey % 40) * CAST(0.1 AS DOUBLE) AS cx,
-         36.0 + ((s_suppkey * 3) % 20) * CAST(0.1 AS DOUBLE) AS cy,
-         CAST(0.05 AS DOUBLE) + (s_suppkey % 7) * CAST(0.013 AS DOUBLE) AS w,
-         CAST(0.04 AS DOUBLE) + (s_suppkey % 5) * CAST(0.017 AS DOUBLE) AS h
-         FROM supplier),
-       poly AS (SELECT poly_id, cx, cy, w, h,
-         [[cx - w, cx + w, cx + w, cx - w],
-          [cx - w*CAST(0.5 AS DOUBLE), cx + w*CAST(0.5 AS DOUBLE), cx + w*CAST(0.5 AS DOUBLE), cx - w*CAST(0.5 AS DOUBLE)],
-          [cx + CAST(0.35 AS DOUBLE) - w*CAST(0.4 AS DOUBLE), cx + CAST(0.35 AS DOUBLE) + w*CAST(0.4 AS DOUBLE),
-           cx + CAST(0.35 AS DOUBLE) + w*CAST(0.4 AS DOUBLE), cx + CAST(0.35 AS DOUBLE) - w*CAST(0.4 AS DOUBLE)]] AS xss,
-         [[cy - h, cy - h, cy + h, cy + h],
-          [cy - h*CAST(0.5 AS DOUBLE), cy - h*CAST(0.5 AS DOUBLE), cy + h*CAST(0.5 AS DOUBLE), cy + h*CAST(0.5 AS DOUBLE)],
-          [cy - h*CAST(0.4 AS DOUBLE), cy - h*CAST(0.4 AS DOUBLE), cy + h*CAST(0.4 AS DOUBLE), cy + h*CAST(0.4 AS DOUBLE)]] AS yss
-         FROM tri),
-       cand AS (SELECT p.point_id, p.px, p.py, poly.poly_id, xss, yss FROM pts p JOIN poly
-         ON p.px >= cx - w AND p.px <= cx + CAST(0.35 AS DOUBLE) + w*CAST(0.4 AS DOUBLE)
-         AND p.py >= cy - h AND p.py <= cy + h)
-       SELECT point_id, poly_id FROM cand WHERE ($crossings) % 2 = 1
-       ORDER BY point_id, poly_id"""
-  }
-
-  /** Greedy graph-search oracle: the degree-4 exact kNN graph + `rounds`
-    * unrolled argmin CTEs (state ∪ neighbors, tie (d2, id)), then the
-    * brute-force NN join. All distances are BIGINT sums over the
-    * milli-floored vectors — bit-equal to the engine's exact-integer
-    * vec_dist2 doubles.
-    */
-  private def greedySearchOracleSql(rounds: Int): String = {
-    def d2(a: String, b: String) =
-      s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 64),
-         d -> ($a[d+1] - $b[d+1]) * ($a[d+1] - $b[d+1]))), (p, q) -> p + q)"""
-    val steps = (1 to rounds).map { k =>
-      s"""s$k AS (SELECT query_id, qv, cid AS id, nd2 AS d2,
-           hops + moved AS hops
-         FROM (SELECT u.*, row_number() OVER (PARTITION BY query_id
-             ORDER BY nd2, cid) AS rn
-           FROM (SELECT query_id, qv, id AS cid, d2 AS nd2, hops,
-               CAST(0 AS BIGINT) AS moved FROM s${k - 1}
-             UNION ALL
-             SELECT s.query_id, s.qv, g.nbr AS cid,
-               ${d2("s.qv", "c.nv")} AS nd2, s.hops, CAST(1 AS BIGINT) AS moved
-             FROM s${k - 1} s JOIN graph g ON s.id = g.node
-             JOIN corpus c ON g.nbr = c.id) u)
-         WHERE rn = 1)"""
-    }.mkString(",\n       ")
-    s"""WITH e AS (SELECT vec_id, list_transform(range(0, 64),
-           d -> CAST(floor(CAST(embedding[d+1] AS DOUBLE) * 1000.0) AS BIGINT)) AS vq
-         FROM embeddings),
-       corpus AS (SELECT vec_id AS id, vq AS nv FROM e WHERE vec_id % 16 = 0),
-       graph AS (SELECT node, nbr FROM (
-           SELECT a.id AS node, b.id AS nbr,
-             row_number() OVER (PARTITION BY a.id
-               ORDER BY ${d2("a.nv", "b.nv")}, b.id) AS rn
-           FROM corpus a JOIN corpus b ON a.id <> b.id)
-         WHERE rn <= 4),
-       queries AS (SELECT vec_id AS query_id, vq AS qv FROM e WHERE vec_id % 160 = 7),
-       entry AS (SELECT min(id) AS eid FROM corpus),
-       s0 AS (SELECT q.query_id, q.qv, c.id,
-           ${d2("q.qv", "c.nv")} AS d2, CAST(0 AS BIGINT) AS hops
-         FROM queries q CROSS JOIN entry JOIN corpus c ON c.id = entry.eid),
-       $steps,
-       ex AS (SELECT query_id, id AS exact_id, ed2 AS exact_d2 FROM (
-           SELECT q.query_id, c.id, ${d2("q.qv", "c.nv")} AS ed2,
-             row_number() OVER (PARTITION BY q.query_id
-               ORDER BY ${d2("q.qv", "c.nv")}, c.id) AS rn
-           FROM queries q CROSS JOIN corpus c)
-         WHERE rn = 1)
-       SELECT s.query_id, s.id AS found_id, s.d2 AS found_d2, s.hops,
-         ex.exact_id, ex.exact_d2,
-         CASE WHEN s.id = ex.exact_id THEN 1 ELSE 0 END AS is_exact
-       FROM s$rounds s JOIN ex ON s.query_id = ex.query_id
-       ORDER BY s.query_id"""
-  }
-
-  /** Polylabel oracle: even-odd membership on the 16×16 cell-center
-    * lattice (same crossings fragment as the PIP oracle), the L1 distance
-    * stated DEFINITIONALLY as the inside×outside pair minimum (LEAST'd
-    * with the border distance), argmax with (dist desc, gy, gx) ties.
-    */
-  private val polylabelOracleSql: String = {
-    val j = "((i + len(xss[r]) - 2) % len(xss[r])) + 1"
-    val crossings = s"""list_sum(list_transform(range(1, len(xss)+1), r ->
-        len(list_filter(range(1, len(xss[r])+1), i ->
-          (yss[r][i] > py) <> (yss[r][$j] > py)
-          AND px < (xss[r][$j] - xss[r][i]) * (py - yss[r][i]) / (yss[r][$j] - yss[r][i]) + xss[r][i]))))"""
-    s"""WITH tri AS (SELECT s_suppkey AS poly_id,
-         -120.0 + (s_suppkey % 40) * CAST(0.1 AS DOUBLE) AS cx,
-         36.0 + ((s_suppkey * 3) % 20) * CAST(0.1 AS DOUBLE) AS cy,
-         CAST(0.05 AS DOUBLE) + (s_suppkey % 7) * CAST(0.013 AS DOUBLE) AS w,
-         CAST(0.04 AS DOUBLE) + (s_suppkey % 5) * CAST(0.017 AS DOUBLE) AS h
-         FROM supplier),
-       poly AS (SELECT poly_id,
-         [[cx - w, cx + w, cx + w, cx - w],
-          [cx - w*CAST(0.5 AS DOUBLE), cx + w*CAST(0.5 AS DOUBLE), cx + w*CAST(0.5 AS DOUBLE), cx - w*CAST(0.5 AS DOUBLE)],
-          [cx + CAST(0.35 AS DOUBLE) - w*CAST(0.4 AS DOUBLE), cx + CAST(0.35 AS DOUBLE) + w*CAST(0.4 AS DOUBLE),
-           cx + CAST(0.35 AS DOUBLE) + w*CAST(0.4 AS DOUBLE), cx + CAST(0.35 AS DOUBLE) - w*CAST(0.4 AS DOUBLE)]] AS xss,
-         [[cy - h, cy - h, cy + h, cy + h],
-          [cy - h*CAST(0.5 AS DOUBLE), cy - h*CAST(0.5 AS DOUBLE), cy + h*CAST(0.5 AS DOUBLE), cy + h*CAST(0.5 AS DOUBLE)],
-          [cy - h*CAST(0.4 AS DOUBLE), cy - h*CAST(0.4 AS DOUBLE), cy + h*CAST(0.4 AS DOUBLE), cy + h*CAST(0.4 AS DOUBLE)]] AS yss
-         FROM tri),
-       bb AS (SELECT poly_id, xss, yss,
-           list_min(flatten(xss)) AS minx, list_max(flatten(xss)) AS maxx,
-           list_min(flatten(yss)) AS miny, list_max(flatten(yss)) AS maxy
-         FROM poly),
-       cells AS (SELECT poly_id, xss, yss,
-           gy.range AS gy, gx.range AS gx,
-           minx + (gx.range + CAST(0.5 AS DOUBLE)) * ((maxx - minx) / CAST(16.0 AS DOUBLE)) AS px,
-           miny + (gy.range + CAST(0.5 AS DOUBLE)) * ((maxy - miny) / CAST(16.0 AS DOUBLE)) AS py
-         FROM bb, range(0,16) gy, range(0,16) gx),
-       m AS (SELECT poly_id, gy, gx, (($crossings) % 2 = 1) AS inside FROM cells),
-       ins AS (SELECT poly_id, gy, gx FROM m WHERE inside),
-       outs AS (SELECT poly_id, gy, gx FROM m WHERE NOT inside),
-       pd AS (SELECT i.poly_id, i.gy, i.gx,
-           min(abs(i.gy - o.gy) + abs(i.gx - o.gx)) AS dp
-         FROM ins i JOIN outs o ON i.poly_id = o.poly_id
-         GROUP BY 1, 2, 3),
-       d AS (SELECT i.poly_id, i.gy, i.gx,
-           least(least(i.gy + 1, 16 - i.gy), least(i.gx + 1, 16 - i.gx),
-             coalesce(p.dp, 9999)) AS dist
-         FROM ins i LEFT JOIN pd p
-           ON i.poly_id = p.poly_id AND i.gy = p.gy AND i.gx = p.gx),
-       best AS (SELECT poly_id, gy, gx, dist,
-           row_number() OVER (PARTITION BY poly_id ORDER BY dist DESC, gy, gx) AS rn,
-           CAST(count(*) OVER (PARTITION BY poly_id) AS BIGINT) AS n_inside
-         FROM d)
-       SELECT poly_id, n_inside, CAST(gy AS INT) AS best_gy,
-         CAST(gx AS INT) AS best_gx, CAST(dist AS BIGINT) AS dist_cells
-       FROM best WHERE rn = 1 ORDER BY poly_id"""
-  }
-
-  /** Shared by events_hll_distinct (batch sketch) and stream_hll (the
-    * streaming drain of the same registers): one oracle, two engines.
-    */
-  private val hllDistinctOracleSql: String = {
-    val lsbCase = (0 until 26).map(i => s"WHEN ${1L << i} THEN ${i + 1}")
-      .mkString(" ")
-    s"""WITH h AS (SELECT event_type,
-           (user_id * 1103515245 + 12345) % 2147483648 AS h FROM events),
-       b AS (SELECT event_type, h % 32 AS bucket, h // 32 AS rest FROM h),
-       r AS (SELECT event_type, bucket,
-           CASE (rest & -rest) $lsbCase ELSE 27 END AS rk FROM b),
-       m AS (SELECT event_type, bucket, max(rk) AS m FROM r GROUP BY 1, 2),
-       s AS (SELECT event_type, count(*) AS n_buckets,
-           CAST(sum(1::BIGINT << (40 - m)) AS BIGINT) AS sump
-         FROM m GROUP BY 1),
-       q AS (SELECT event_type, n_buckets,
-           CAST(floor(CAST(0.697 AS DOUBLE) * CAST(1125899906842624 AS DOUBLE)
-             / CAST(sump + (32 - n_buckets) * (1::BIGINT << 40) AS DOUBLE)) AS BIGINT) AS hll_q
-         FROM s)
-       SELECT q.event_type, n_buckets, hll_q, e.n_exact
-       FROM q JOIN (SELECT event_type, count(DISTINCT user_id) AS n_exact
-                    FROM events GROUP BY 1) e ON q.event_type = e.event_type
-       ORDER BY q.event_type"""
-  }
-
-  private val pipOracleSql: String = pipOracleFor(
-    """SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
-       -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS px,
-       36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS py
-       FROM lineitem""")
-
-  private val pipOracleSkewSql: String = pipOracleFor(
-    """SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
-       CASE WHEN l_orderkey % 3 = 0
-         THEN -119.0 + (((l_partkey*600 + l_suppkey) % 3000) + 0.5)/3000.0 * 0.1
-         ELSE -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 END AS px,
-       CASE WHEN l_orderkey % 3 = 0
-         THEN 36.5 + (((l_suppkey*131 + l_linenumber) % 3000) + 0.5)/3000.0 * 0.1
-         ELSE 36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 END AS py
-       FROM lineitem""")
-
-  // ---- shared DuckDB fragments for the dedup/similarity oracles ----
-  /** 60-bit md5 hash — mirrors TextDedup.h60. */
-  private def sqlH60(x: String): String =
-    s"CAST(('0x' || substring(md5($x),1,15)) AS BIGINT)"
-  /** Word 3-gram shingles — mirrors TextDedup.shingles(_, 3). */
-  private val sqlShingles3: String =
-    """CASE WHEN len(string_split(text,' ')) >= 3
-       THEN list_transform(range(1, len(string_split(text,' '))-1),
-         i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
-       ELSE [text] END"""
-  private val sqlDedupCorpus: String =
-    """SELECT doc_id, text FROM documents
-       UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
-       UNION ALL SELECT doc_id + 200000 AS doc_id, text || ' zz qq ww ee rr tt' AS text
-         FROM documents WHERE doc_id % 7 = 0"""
-  /** Sequential-fold dot product of v against hyperplane j — mirrors
-    * Embeddings.dot/planeWeight (left fold, same IEEE op order).
-    */
-  private def sqlPlaneDot(j: Int): String =
-    s"""list_reduce(list_prepend(0.0, list_transform(range(0,64),
-        d -> v[d+1] * ((($j*97 + d*31) % 19) - 9))), (p,q) -> p + q)"""
-
-  /** Shared WITH-body for the MinHash oracles (pairs + clustering). */
-  private val minhashCtes: String = {
-    val sigs = (0 until 8).map { j =>
-      s"list_min(list_transform(hv, h -> (${2 * j + 3}*h + ${5 * j + 7}) % 1048573)) AS m$j"
-    }.mkString(",\n           ")
-    val bandRows = (0 until 4).map { b =>
-      s"SELECT doc_id, $b AS band_id, m${2 * b}*1048573 + m${2 * b + 1} AS band_key FROM sig"
-    }.mkString("\n           UNION ALL ")
-    s"""corpus AS ($sqlDedupCorpus),
-       sh AS (SELECT doc_id, $sqlShingles3 AS sh FROM corpus),
-       hv AS (SELECT doc_id, list_transform(sh, x -> ${sqlH60("x")} % 1048573) AS hv FROM sh),
-       sig AS (SELECT doc_id, $sigs FROM hv),
-       banded AS ($bandRows)"""
-  }
-
-  /** SemDeDup oracle: the trained-centroid CTEs (identical to
-    * ann_kmeans_train), the embedding dedup corpus, final assignment by
-    * (d2, c) rank, and the within-cluster cosine prune — every cosine is
-    * the same left-fold dot / (na·nb) the engine computes.
-    */
-  private val semDedupOracleSql: String = {
-    def fdot(a: String, b: String) =
-      s"""list_reduce(list_prepend(0.0, list_transform(range(0,64),
-          d -> $a.v[d+1]*$b.v[d+1])), (p,q) -> p + q)"""
-    s"""WITH ${kmeansTrainCtes(8, 3)},
-       corpus AS (
-         SELECT vec_id, v FROM vv
-         UNION ALL SELECT vec_id + 100000 AS vec_id, v FROM vv WHERE vec_id % 10 = 0
-         UNION ALL SELECT vec_id + 200000 AS vec_id,
-           list_transform(range(0,64), d -> v[d+1] + CAST((d % 5) - 2 AS DOUBLE)*0.001) AS v
-           FROM vv WHERE vec_id % 7 = 0),
-       cd AS (SELECT vec_id, c, list_reduce(list_prepend(0.0, list_transform(range(0,64),
-           d -> (v[d+1]-cl[d+1])*(v[d+1]-cl[d+1]))), (p,q) -> p + q) AS d2
-         FROM corpus, cents3),
-       ca AS (SELECT vec_id, c AS centroid FROM (
-           SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM cd)
-         WHERE rn = 1),
-       cn AS (SELECT corpus.vec_id, centroid, v,
-           sqrt(list_reduce(list_prepend(0.0, list_transform(range(0,64),
-             d -> v[d+1]*v[d+1])), (p,q) -> p + q)) AS nrm
-         FROM corpus JOIN ca ON ca.vec_id = corpus.vec_id),
-       dups AS (SELECT b.vec_id, count(*) AS n_dups
-         FROM cn a JOIN cn b ON a.centroid = b.centroid AND a.vec_id < b.vec_id
-         WHERE ${fdot("a", "b")} / (a.nrm * b.nrm) >= 0.95
-         GROUP BY b.vec_id)
-       SELECT c.vec_id, CAST(c.centroid AS INT) AS centroid,
-         CAST(COALESCE(d.n_dups, 0) AS BIGINT) AS n_dups,
-         COALESCE(d.n_dups, 0) = 0 AS keep
-       FROM ca c LEFT JOIN dups d ON d.vec_id = c.vec_id ORDER BY c.vec_id"""
-  }
-
-  /** SQ8 oracle: per-vector [mn,mx] byte codes and the floor-quantized
-    * reconstruction error — sub/mul/div/floor and the left fold are IEEE
-    * correctly-rounded, so codes and err_q agree bit-for-bit.
-    */
-  private val sq8OracleSql: String =
-    """WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       mm AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM vv),
-       cc AS (SELECT vec_id, mn, mx, v,
-           list_transform(v, x -> CASE WHEN mx = mn THEN 0
-             ELSE least(255, CAST(floor((x - mn) * 255.0 / (mx - mn)) AS BIGINT)) END) AS codes
-         FROM mm)
-       SELECT vec_id, mn, mx,
-         md5(array_to_string(codes, ',')) AS codes_md5,
-         CAST(floor(list_reduce(list_prepend(0.0, list_transform(range(0,64),
-           d -> (v[d+1] - (mn + codes[d+1]*(mx - mn)/255.0)) * (v[d+1] - (mn + codes[d+1]*(mx - mn)/255.0)))),
-           (p,q) -> p + q) * 1000000.0) AS BIGINT) AS err_q
-       FROM cc ORDER BY vec_id"""
-
-  /** Duplicate-span oracle: 8-gram sites over the dedup corpus, corpus-wide
-    * count + canonical rank windows on the same 60-bit gram hash, ×8 token
-    * coverage of non-canonical duplicate sites, and the cleaned text
-    * rebuilt by dropping exactly those token positions.
-    */
-  private val dedupSpansOracleSql: String =
-    s"""WITH corpus AS ($sqlDedupCorpus),
-       w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
-       sites AS (SELECT doc_id, unnest(range(1, len(ws)-6)) AS pos, ws
-         FROM w WHERE len(ws) >= 8),
-       sg AS (SELECT doc_id, pos,
-           ${sqlH60("array_to_string(ws[pos:pos+7], ' ')")} AS g FROM sites),
-       mk AS (SELECT doc_id, pos,
-           count(*) OVER (PARTITION BY g) AS cnt,
-           row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
-         FROM sg),
-       dupsites AS (SELECT doc_id, pos, rn FROM mk WHERE cnt >= 2),
-       red AS (SELECT DISTINCT doc_id, pos + d.range AS t
-         FROM dupsites CROSS JOIN range(0, 8) d WHERE rn > 1),
-       nred AS (SELECT doc_id, count(*) AS n_red FROM red GROUP BY 1),
-       ndup AS (SELECT doc_id, count(*) AS n_dup FROM dupsites GROUP BY 1),
-       tk AS (SELECT doc_id, unnest(range(1, len(ws)+1)) AS t, ws FROM w),
-       kept AS (SELECT k.doc_id, string_agg(k.ws[k.t], ' ' ORDER BY k.t) AS cleaned
-         FROM tk k LEFT JOIN red r ON r.doc_id = k.doc_id AND r.t = k.t
-         WHERE r.t IS NULL GROUP BY k.doc_id)
-       SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
-         CAST(COALESCE(ndup.n_dup, 0) AS BIGINT) AS n_dup_sites,
-         CAST(COALESCE(nred.n_red, 0) AS BIGINT) AS n_redundant,
-         COALESCE(nred.n_red, 0) / len(w.ws) AS dup_frac,
-         md5(COALESCE(kept.cleaned, '')) AS cleaned_md5
-       FROM w LEFT JOIN ndup ON ndup.doc_id = w.doc_id
-       LEFT JOIN nred ON nred.doc_id = w.doc_id
-       LEFT JOIN kept ON kept.doc_id = w.doc_id
-       ORDER BY w.doc_id"""
-
-  /** Interval-join oracle: the same exposure/attribution windows on exact
-    * epoch millis, joined by the plain closed-interval overlap predicate —
-    * the engine's bin bucketing + first-shared-bin dedup must reproduce
-    * exactly this pair set.
-    */
-  private val intervalJoinOracleSql: String =
-    """WITH e AS (SELECT event_id, event_type, epoch_ms(ts) AS ms FROM events),
-       v AS (SELECT event_id AS l_id, ms AS l_s,
-           ms + (event_id % 7 + 1) * 60000 AS l_e FROM e WHERE event_type = 'view'),
-       b AS (SELECT event_id AS r_id, ms AS r_s,
-           ms + (event_id % 11 + 1) * 60000 AS r_e FROM e WHERE event_type = 'purchase')
-       SELECT l_id, r_id, least(l_e, r_e) - greatest(l_s, r_s) AS overlap_ms
-       FROM v JOIN b ON l_s <= r_e AND r_s <= l_e
-       ORDER BY l_id, r_id"""
-
-  /** Fuzzy-decontamination oracle: the minhash band pipeline over
-    * corpus ∪ eval (corpus = non-eval docs + mutated eval copies at
-    * +300000), cross-set band candidates, exact shingle-Jaccard verify.
-    */
-  private val decontamFuzzyOracleSql: String = {
-    val sigs = (0 until 8).map { j =>
-      s"list_min(list_transform(hv, h -> (${2 * j + 3}*h + ${5 * j + 7}) % 1048573)) AS m$j"
-    }.mkString(",\n           ")
-    val bandRows = (0 until 4).map { b =>
-      s"SELECT doc_id, $b AS band_id, m${2 * b}*1048573 + m${2 * b + 1} AS band_key FROM sig"
-    }.mkString("\n           UNION ALL ")
-    s"""WITH alldocs AS (
-         SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 7
-         UNION ALL SELECT doc_id + 300000 AS doc_id, text || ' zz qq ww ee rr tt' AS text
-           FROM documents WHERE doc_id % 50 = 7
-         UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 50 = 7),
-       sh AS (SELECT doc_id, $sqlShingles3 AS sh FROM alldocs),
-       hv AS (SELECT doc_id, list_transform(sh, x -> ${sqlH60("x")} % 1048573) AS hv FROM sh),
-       sig AS (SELECT doc_id, $sigs FROM hv),
-       banded AS ($bandRows),
-       cand AS (SELECT DISTINCT a.doc_id, b.doc_id AS eval_id
-         FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
-         WHERE (a.doc_id >= 300000 OR a.doc_id % 50 <> 7)
-           AND b.doc_id < 300000 AND b.doc_id % 50 = 7),
-       ds AS (SELECT doc_id, list_distinct(sh) AS s FROM sh)
-       SELECT doc_id, eval_id, j FROM (
-         SELECT c.doc_id, c.eval_id,
-           round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
-             len(list_distinct(list_concat(sa.s, sb.s))), 6) AS j
-         FROM cand c JOIN ds sa ON sa.doc_id = c.doc_id
-           JOIN ds sb ON sb.doc_id = c.eval_id)
-       WHERE j >= 0.5 ORDER BY doc_id, eval_id"""
-  }
-
-  /** MinHash-recall oracle: exact-Jaccard >= 0.5 truth (integer 2|∩| >= |∪|)
-    * on the doc_id % 40 = 0 dedup-corpus subset vs the band-join detections.
-    */
-  private val minhashRecallOracleSql: String = {
-    val sigs = (0 until 8).map { j =>
-      s"list_min(list_transform(hv, h -> (${2 * j + 3}*h + ${5 * j + 7}) % 1048573)) AS m$j"
-    }.mkString(",\n           ")
-    val bandRows = (0 until 4).map { b =>
-      s"SELECT doc_id, $b AS band_id, m${2 * b}*1048573 + m${2 * b + 1} AS band_key FROM sig"
-    }.mkString("\n           UNION ALL ")
-    s"""WITH corpus AS ($sqlDedupCorpus),
-       sub AS (SELECT * FROM corpus WHERE doc_id % 40 = 0),
-       shr AS (SELECT doc_id, $sqlShingles3 AS sh FROM sub),
-       shd AS (SELECT doc_id, list_distinct(sh) AS sh FROM shr),
-       truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         FROM shd a, shd b WHERE a.doc_id < b.doc_id
-           AND 2 * len(list_intersect(a.sh, b.sh)) >= len(list_distinct(list_concat(a.sh, b.sh)))),
-       hv AS (SELECT doc_id, list_transform(sh, x -> ${sqlH60("x")} % 1048573) AS hv FROM shr),
-       sig AS (SELECT doc_id, $sigs FROM hv),
-       banded AS ($bandRows),
-       det AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
-         WHERE a.doc_id < b.doc_id),
-       hit AS (SELECT t.doc_a, t.doc_b FROM truth t JOIN det USING (doc_a, doc_b))
-       SELECT (SELECT count(*) FROM truth) AS n_truth,
-              (SELECT count(*) FROM hit) AS n_detected,
-              CAST((SELECT count(*) FROM hit) AS DOUBLE) / (SELECT count(*) FROM truth) AS recall"""
-  }
-
-  private val minhashOracleSql: String =
-    s"""WITH $minhashCtes
-       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
-       WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b"""
-
-  /** Signature-agreement estimate oracle: the band-join candidates joined
-    * back to the 8-lane signatures; n_agree and est_ppm are integer-exact.
-    */
-  private val minhashEstOracleSql: String =
-    s"""WITH $minhashCtes,
-       pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
-         WHERE a.doc_id < b.doc_id)
-       SELECT p.doc_a, p.doc_b,
-         CAST((CASE WHEN sa.m0 = sb.m0 THEN 1 ELSE 0 END) + (CASE WHEN sa.m1 = sb.m1 THEN 1 ELSE 0 END) + (CASE WHEN sa.m2 = sb.m2 THEN 1 ELSE 0 END) + (CASE WHEN sa.m3 = sb.m3 THEN 1 ELSE 0 END) + (CASE WHEN sa.m4 = sb.m4 THEN 1 ELSE 0 END) + (CASE WHEN sa.m5 = sb.m5 THEN 1 ELSE 0 END) + (CASE WHEN sa.m6 = sb.m6 THEN 1 ELSE 0 END) + (CASE WHEN sa.m7 = sb.m7 THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
-         CAST(((CASE WHEN sa.m0 = sb.m0 THEN 1 ELSE 0 END) + (CASE WHEN sa.m1 = sb.m1 THEN 1 ELSE 0 END) + (CASE WHEN sa.m2 = sb.m2 THEN 1 ELSE 0 END) + (CASE WHEN sa.m3 = sb.m3 THEN 1 ELSE 0 END) + (CASE WHEN sa.m4 = sb.m4 THEN 1 ELSE 0 END) + (CASE WHEN sa.m5 = sb.m5 THEN 1 ELSE 0 END) + (CASE WHEN sa.m6 = sb.m6 THEN 1 ELSE 0 END) + (CASE WHEN sa.m7 = sb.m7 THEN 1 ELSE 0 END)) * 1000000 // 8 AS BIGINT) AS est_ppm
-       FROM pairs p JOIN sig sa ON sa.doc_id = p.doc_a
-       JOIN sig sb ON sb.doc_id = p.doc_b
-       ORDER BY doc_a, doc_b"""
-
-  /** Cross-modal verification oracle: the MinHash candidate pairs scored
-    * by embedding cosine (copies map to base vectors via % 100000).
-    */
-  private val crossModalOracleSql: String = {
-    def fdot(a: String, b: String) =
-      s"""list_reduce(list_prepend(0.0, list_transform(range(0,64),
-          d -> $a.v[d+1] * $b.v[d+1])), (p,q) -> p + q)"""
-    s"""WITH $minhashCtes,
-       pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
-         WHERE a.doc_id < b.doc_id),
-       vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       f AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0,
-           list_transform(range(0,64), d -> v[d+1] * v[d+1])), (p,q) -> p + q)) AS nrm FROM vv),
-       sc AS (SELECT p.doc_a, p.doc_b, ${fdot("a", "b")} / (a.nrm * b.nrm) AS cos
-         FROM pairs p JOIN f a ON a.vec_id = p.doc_a % 100000
-         JOIN f b ON b.vec_id = p.doc_b % 100000)
-       SELECT doc_a, doc_b, round(cos, 4) AS cos_r,
-         CAST(CASE WHEN cos >= 0.999 THEN 1 ELSE 0 END AS INT) AS vec_agree
-       FROM sc ORDER BY doc_a, doc_b"""
-  }
-
-  /** Block-HOG oracle: the orientation octant ladder with the two block
-    * GROUP BY keys added.
-    */
-  private val hogOracleSql: String = {
-    def v(dc: Int, dr: Int) = gridV(s"c.range+($dc)", s"r.range+($dr)")
-    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-       k AS (SELECT swlng, swlat,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-       g AS (SELECT swlng, swlat, (r.range // 150) AS br, (c.range // 150) AS bc,
-           (${v(1, 0)} - ${v(-1, 0)}) AS gx,
-           (${v(0, 1)} - ${v(0, -1)}) AS gy
-         FROM k, range(1,600) r, range(1,600) c),
-       sct AS (SELECT swlng, swlat, br, bc, gx, gy,
-           CASE WHEN gx = 0 AND gy = 0 THEN 8
-                WHEN gx > 0 AND gy >= 0 THEN (CASE WHEN gy < gx THEN 0 ELSE 1 END)
-                WHEN gx <= 0 AND gy > 0 THEN (CASE WHEN -gx < gy THEN 2 ELSE 3 END)
-                WHEN gx < 0 AND gy <= 0 THEN (CASE WHEN -gy < -gx THEN 4 ELSE 5 END)
-                ELSE (CASE WHEN gx < -gy THEN 6 ELSE 7 END) END AS sector
-         FROM g)
-       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-         CAST(br AS INT) AS br, CAST(bc AS INT) AS bc,
-         CAST(sector AS INT) AS sector,
-         CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(gx*gx + gy*gy) AS BIGINT) AS energy
-       FROM sct GROUP BY 1, 2, 3, 4 ORDER BY image_id, br, bc, sector"""
-  }
-
-  /** Connected components of the MinHash pair graph as a recursive CTE:
-    * enumerate every (doc, reachable doc) pair, component = min reachable.
-    * Mirrors TextDedup.connectedComponents' min-label fixpoint exactly.
-    */
-  private val clusterOracleSql: String =
-    s"""WITH RECURSIVE $minhashCtes,
-       edges AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
-         WHERE a.doc_id < b.doc_id),
-       reach(doc, other) AS (
-         SELECT doc_id, doc_id FROM corpus
-         UNION
-         SELECT r.doc, CASE WHEN e.doc_a = r.other THEN e.doc_b ELSE e.doc_a END
-         FROM reach r JOIN edges e ON e.doc_a = r.other OR e.doc_b = r.other)
-       SELECT doc AS doc_id, min(other) AS comp, doc = min(other) AS keep
-       FROM reach GROUP BY doc ORDER BY doc_id"""
-
-  /** Shared CTEs for the phash gates: recompute the 6×4 variant corpus's
-    * 64-bit perceptual hashes from the closed-form tile generator, band
-    * them 4×16 bits, and emit banded candidate pairs (`cand`). Ends
-    * unterminated — consumers append their own final SELECT (pair filter
-    * for img_phash_neardup, recursive component map for img_dedup_cluster).
-    */
-  private val phashPairCtes: String =
-    """corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         g AS (SELECT swlng, swlat, ((8*r.range+7)//601)*8 + (8*c.range+7)//601 AS idx,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS v
-           FROM corners, range(0,601) r, range(0,601) c),
-         blk AS (SELECT swlng, swlat, idx, CAST(sum(v) AS BIGINT) AS sv, count(*) AS n
-           FROM g GROUP BY 1, 2, 3),
-         vb AS (SELECT swlng, swlat, vr.range AS var, idx,
-           CAST(sv + CASE WHEN (((swlng+180)*31 + (swlat+90)*17 + idx*idx*7) % 64 < 32) != (idx < vr.range)
-                          THEN 4000*n ELSE 0 END AS DOUBLE)/n AS bm
-           FROM blk, range(0,4) vr),
-         m AS (SELECT swlng, swlat, var, list_reduce(list(bm ORDER BY idx), (a, b) -> a + b)/64.0 AS mean
-           FROM vb GROUP BY 1, 2, 3),
-         bits AS (SELECT vb.swlng, vb.swlat, vb.var,
-           CAST(sum(CASE WHEN idx < 63 AND bm > mean THEN CAST(1 AS BIGINT) << idx ELSE 0 END) AS BIGINT)
-           + CASE WHEN max(CASE WHEN idx = 63 AND bm > mean THEN 1 ELSE 0 END) = 1
-                  THEN -9223372036854775808 ELSE 0 END AS phash
-           FROM vb JOIN m ON vb.swlng = m.swlng AND vb.swlat = m.swlat AND vb.var = m.var
-           GROUP BY 1, 2, 3),
-         corpus AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0') ||
-             '_v' || CAST(var AS VARCHAR)) AS image_id, phash FROM bits),
-         bands AS (SELECT image_id, phash, b.range AS band_i,
-             (phash >> (16*CAST(b.range AS INT))) & 65535 AS band_key
-           FROM corpus, range(0,4) b),
-         cand AS (SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b, a.phash AS pa, b.phash AS pb
-           FROM bands a JOIN bands b ON a.band_i = b.band_i AND a.band_key = b.band_key
-             AND a.image_id < b.image_id)"""
-
-  /** DBSCAN oracle: brute-force ε-pairs (1500² at sf0.01 — fine for the
-    * oracle, never the engine), HAVING-count core flags, recursive-CTE
-    * min-label components over core–core edges, min-label border
-    * assignment. The ε² threshold is the ENGINE's Scala double
-    * (`0.003 * 0.003` spliced verbatim) so the boundary compares bit-equal
-    * operands — the geo_range_geodesic convention.
-    */
-  private val dbscanOracleSql: String = {
-    val r2 = java.lang.Double.toString(0.0025 * 0.0025)
-    s"""WITH RECURSIVE pts AS (SELECT c_custkey AS pid,
-         CASE WHEN c_custkey % 41 = 0 THEN -130.0 + (c_custkey % 100) / 10.0
-              ELSE -120.0 + ((c_custkey % 12) % 4) * 0.5 + ((c_custkey * 7) % 19 - 9) / 1000.0 END AS lng,
-         CASE WHEN c_custkey % 41 = 0 THEN 30.0 + ((c_custkey * 13) % 100) / 10.0
-              ELSE 36.0 + ((c_custkey % 12) // 4) * 0.5 + ((c_custkey * 11) % 23 - 11) / 1000.0 END AS lat
-         FROM customer),
-       prs AS (SELECT a.pid AS pa, b.pid AS pb
-         FROM pts a JOIN pts b ON a.pid <> b.pid
-          AND (b.lng - a.lng)*(b.lng - a.lng) + (b.lat - a.lat)*(b.lat - a.lat) <= $r2),
-       core AS (SELECT pa AS pid FROM prs GROUP BY pa HAVING count(*) + 1 >= 8),
-       ce AS (SELECT pa, pb FROM prs
-         WHERE pa IN (SELECT pid FROM core) AND pb IN (SELECT pid FROM core)),
-       reach(pid, other) AS (
-         SELECT pid, pid FROM core
-         UNION
-         SELECT r.pid, e.pb FROM reach r JOIN ce e ON e.pa = r.other),
-       comp AS (SELECT pid, min(other) AS cluster FROM reach GROUP BY pid),
-       bord AS (SELECT p.pa AS pid, min(c.cluster) AS bcluster
-         FROM prs p JOIN comp c ON c.pid = p.pb GROUP BY p.pa)
-       SELECT p.pid,
-         CASE WHEN comp.pid IS NOT NULL THEN 'core'
-              WHEN bord.bcluster IS NOT NULL THEN 'border'
-              ELSE 'noise' END AS role,
-         CASE WHEN comp.pid IS NOT NULL THEN comp.cluster
-              ELSE bord.bcluster END AS cluster
-       FROM pts p LEFT JOIN comp ON comp.pid = p.pid
-       LEFT JOIN bord ON bord.pid = p.pid
-       ORDER BY p.pid"""
-  }
-
-  /** Composed DBSCAN→hull oracle: the dbscan CTEs verbatim, the 1-in-5
-    * member sample quantized to exact integers, then the Carathéodory hull
-    * certificate per cluster (a point is a hull vertex iff not strictly
-    * inside any same-cluster triangle nor strictly interior to a collinear
-    * segment) — all cross products exact BIGINT.
-    */
-  private val dbscanHullsOracleSql: String = {
-    val r2 = java.lang.Double.toString(0.0025 * 0.0025)
-    s"""WITH RECURSIVE pts0 AS (SELECT c_custkey AS pid,
-         CASE WHEN c_custkey % 41 = 0 THEN -130.0 + (c_custkey % 100) / 10.0
-              ELSE -120.0 + ((c_custkey % 12) % 4) * 0.5 + ((c_custkey * 7) % 19 - 9) / 1000.0 END AS lng,
-         CASE WHEN c_custkey % 41 = 0 THEN 30.0 + ((c_custkey * 13) % 100) / 10.0
-              ELSE 36.0 + ((c_custkey % 12) // 4) * 0.5 + ((c_custkey * 11) % 23 - 11) / 1000.0 END AS lat
-         FROM customer),
-       prs AS (SELECT a.pid AS pa, b.pid AS pb
-         FROM pts0 a JOIN pts0 b ON a.pid <> b.pid
-          AND (b.lng - a.lng)*(b.lng - a.lng) + (b.lat - a.lat)*(b.lat - a.lat) <= $r2),
-       core AS (SELECT pa AS pid FROM prs GROUP BY pa HAVING count(*) + 1 >= 8),
-       ce AS (SELECT pa, pb FROM prs
-         WHERE pa IN (SELECT pid FROM core) AND pb IN (SELECT pid FROM core)),
-       reach(pid, other) AS (
-         SELECT pid, pid FROM core
-         UNION
-         SELECT r.pid, e.pb FROM reach r JOIN ce e ON e.pa = r.other),
-       comp AS (SELECT pid, min(other) AS cluster FROM reach GROUP BY pid),
-       bord AS (SELECT p.pa AS pid, min(c.cluster) AS bcluster
-         FROM prs p JOIN comp c ON c.pid = p.pb GROUP BY p.pa),
-       memb AS (SELECT p.pid, COALESCE(comp.cluster, bord.bcluster) AS gid,
-           p.lng, p.lat
-         FROM pts0 p LEFT JOIN comp ON comp.pid = p.pid
-         LEFT JOIN bord ON bord.pid = p.pid
-         WHERE (comp.pid IS NOT NULL OR bord.bcluster IS NOT NULL)
-           AND p.pid % 5 = 0),
-       ipts AS (SELECT DISTINCT gid,
-           CAST(round((lng + 130.0) * 1000) AS BIGINT) AS x,
-           CAST(round((lat - 30.0) * 1000) AS BIGINT) AS y FROM memb),
-       tri AS (SELECT DISTINCT p.gid, p.x, p.y
-         FROM ipts p
-         JOIN ipts a ON a.gid = p.gid
-         JOIN ipts b ON b.gid = p.gid
-         JOIN ipts c ON c.gid = p.gid
-         WHERE ((a.x-p.x)*(b.y-p.y) - (a.y-p.y)*(b.x-p.x) > 0 AND
-                (b.x-p.x)*(c.y-p.y) - (b.y-p.y)*(c.x-p.x) > 0 AND
-                (c.x-p.x)*(a.y-p.y) - (c.y-p.y)*(a.x-p.x) > 0)
-            OR ((a.x-p.x)*(b.y-p.y) - (a.y-p.y)*(b.x-p.x) < 0 AND
-                (b.x-p.x)*(c.y-p.y) - (b.y-p.y)*(c.x-p.x) < 0 AND
-                (c.x-p.x)*(a.y-p.y) - (c.y-p.y)*(a.x-p.x) < 0)),
-       seg AS (SELECT DISTINCT p.gid, p.x, p.y
-         FROM ipts p
-         JOIN ipts a ON a.gid = p.gid
-         JOIN ipts b ON b.gid = p.gid
-         WHERE (a.x-p.x)*(b.y-p.y) - (a.y-p.y)*(b.x-p.x) = 0
-           AND (p.x-a.x)*(b.x-p.x) + (p.y-a.y)*(b.y-p.y) > 0)
-       SELECT CAST(gid AS BIGINT) AS cluster, x, y FROM (
-         SELECT * FROM ipts
-         EXCEPT (SELECT * FROM tri UNION SELECT * FROM seg))
-       ORDER BY cluster, x, y"""
-  }
-
-  /** Shared CTEs for the Cavnar–Trenkle langid gates: regenerate the
-    * deterministic multilingual corpus (word lists rendered from the SAME
-    * ops.LangId constants), re-derive padded char 2-/3-grams, train the
-    * rank-order profiles on the doc_id%10<3 slice, and classify the
-    * held-out slice by the out-of-place distance — every step integer
-    * counting + ranking with total tie orders.
-    */
-  private val langIdCtes: String = {
-    val langwords = "[" + ops.LangId.LangWords.map(ws =>
-      "[" + ws.map("'" + _ + "'").mkString(",") + "]").mkString(",") + "]"
-    val shared = "[" + ops.LangId.SharedWords.map("'" + _ + "'").mkString(",") + "]"
-    val langnames = "[" + ops.LangId.LangNames.map("'" + _ + "'").mkString(",") + "]"
-    s"""base AS (SELECT doc_id, $langnames[CAST(doc_id % 4 AS INT) + 1] AS lang FROM documents),
-       gen AS (SELECT doc_id, lang,
-           list_transform(range(0,30), i -> CASE WHEN (doc_id*13 + i*11) % 10 < 3
-             THEN $shared[CAST((doc_id*7 + i*3) % 8 AS INT) + 1]
-             ELSE $langwords[CAST(doc_id % 4 AS INT) + 1][CAST((doc_id*31 + i*7) % 16 AS INT) + 1] END) AS ws
-         FROM base),
-       ngr AS (SELECT doc_id, lang, unnest(flatten(list_transform(ws, w0 ->
-           flatten([ list_transform(range(1, length('_' || w0 || '_')), i -> substring('_' || w0 || '_', CAST(i AS INT), 2)),
-                     list_transform(range(1, length('_' || w0 || '_') - 1), i -> substring('_' || w0 || '_', CAST(i AS INT), 3)) ])))) AS ngram
-         FROM gen),
-       tn AS (SELECT lang, ngram, count(*) AS cnt FROM ngr WHERE doc_id % 10 < 3 GROUP BY 1, 2),
-       prof AS (SELECT lang, ngram, rank FROM (
-           SELECT lang, ngram, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, ngram) AS rank FROM tn)
-         WHERE rank <= 40),
-       dn AS (SELECT doc_id, ngram, count(*) AS cnt FROM ngr WHERE doc_id % 10 >= 3 GROUP BY 1, 2),
-       dprof AS (SELECT doc_id, ngram, drank FROM (
-           SELECT doc_id, ngram, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, ngram) AS drank FROM dn)
-         WHERE drank <= 40),
-       langs AS (SELECT DISTINCT lang FROM prof),
-       sc AS (SELECT d.doc_id, l.lang,
-           CAST(sum(COALESCE(abs(CAST(d.drank AS BIGINT) - CAST(p.rank AS BIGINT)), 40)) AS BIGINT) AS dist
-         FROM dprof d CROSS JOIN langs l LEFT JOIN prof p ON p.lang = l.lang AND p.ngram = d.ngram
-         GROUP BY 1, 2),
-       pred AS (SELECT doc_id, lang AS predicted, dist FROM (
-           SELECT doc_id, lang, dist, row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rn FROM sc)
-         WHERE rn = 1)"""
-  }
-
-  private val simhashOracleSql: String = {
-    val bits = (0 until 16).map { b =>
-      s"""(CASE WHEN list_sum(list_transform(hw, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0 THEN ${1L << b} ELSE 0 END)"""
-    }.mkString(" + ")
-    s"""WITH hw AS (SELECT doc_id, list_transform(string_split(text,' '),
-         w -> ${sqlH60("w")}) AS hw FROM documents)
-       SELECT doc_id, CAST($bits AS BIGINT) AS simhash16 FROM hw ORDER BY doc_id"""
-  }
-
-  /** Cell-area-weights oracle: the Sutherland–Hodgman clip REPLAYED IN SQL —
-    * one CTE per clip edge, each pass transforming the ring (a list of
-    * (x, y) structs) exactly as ConvexClip.clip's inner loop does: per
-    * subject edge p→q emit [q], [hit, q], [hit], or [] by the same
-    * orient-sign cases, hit = p + t·(q−p) with t = o(p)/(o(p)−o(q)) in the
-    * same IEEE op order. Cell boundaries are k/16 — exact binary doubles —
-    * so every intermediate bit matches the engine.
-    */
-  private lazy val cellAreaOracleSql: String =
-    s"""WITH $cellAreaCtes
-       SELECT poly_id, CAST(cx AS INT) AS cx, CAST(cy AS INT) AS cy, area
-       FROM ar WHERE area > 0.0 ORDER BY poly_id, cx, cy"""
-
-  /** Area-weighted zonal elevation oracle: the clip CTEs feed cell centers
-    * into the same closed-form bilinear probe as the elevation oracles
-    * (missing tile ⇒ 0), and per-poly sums run on floor-quantized integers
-    * so the aggregation is order-independent and HUGEINT-cast-safe.
-    */
-  private lazy val zonalWeightedOracleSql: String =
-    s"""WITH $cellAreaCtes,
-       cc AS (SELECT poly_id, cx, cy, area,
-           (cx + CAST(0.5 AS DOUBLE)) / CAST(16.0 AS DOUBLE) AS clng,
-           (cy + CAST(0.5 AS DOUBLE)) / CAST(16.0 AS DOUBLE) AS clat
-         FROM ar WHERE area > 0.0),
-       k AS (SELECT poly_id, cx, cy, area,
-           CAST(floor(clng) AS BIGINT) AS swlng, CAST(floor(clat) AS BIGINT) AS swlat,
-           (clng - floor(clng)) * 600 AS colf, (clat - floor(clat)) * 600 AS rowf
-         FROM cc),
-       g AS (SELECT *, CAST(floor(colf) AS BIGINT) AS c0, CAST(floor(rowf) AS BIGINT) AS r0,
-           colf - floor(colf) AS cf, rowf - floor(rowf) AS rf,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM k),
-       v AS (SELECT *,
-           a + 2*c0     + 3*r0     + ((c0//8)*(r0//8)) % 32         AS v00,
-           a + 2*(c0+1) + 3*r0     + (((c0+1)//8)*(r0//8)) % 32     AS v10,
-           a + 2*(c0+1) + 3*(r0+1) + (((c0+1)//8)*((r0+1)//8)) % 32 AS v11,
-           a + 2*c0     + 3*(r0+1) + ((c0//8)*((r0+1)//8)) % 32     AS v01 FROM g),
-       e AS (SELECT poly_id, area,
-           CASE WHEN swlng BETWEEN -120 AND -117 AND swlat BETWEEN 36 AND 37
-                     AND NOT ((swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36))
-                THEN (v00 + (v10 - v00) * cf) +
-                     ((v01 + (v11 - v01) * cf) - (v00 + (v10 - v00) * cf)) * rf
-                ELSE 0.0 END AS elev
-         FROM v),
-       q AS (SELECT poly_id,
-           CAST(floor(area * elev * CAST(1000000000.0 AS DOUBLE)) AS BIGINT) AS wq,
-           CAST(floor(area * CAST(1000000000000.0 AS DOUBLE)) AS BIGINT) AS aq
-         FROM e)
-       SELECT poly_id, count(*) AS n_cells,
-         CAST(sum(wq) AS BIGINT) AS wsum_q, CAST(sum(aq) AS BIGINT) AS asum_q,
-         CAST(sum(wq) AS BIGINT) / CAST(sum(aq) AS BIGINT) * CAST(1000.0 AS DOUBLE) AS wmean
-       FROM q GROUP BY poly_id ORDER BY poly_id"""
-
-  // lazy: referenced by the two oracle vals declared ABOVE it
-  private lazy val cellAreaCtes: String = {
-    // orient(a,b,pt) = (bx-ax)*(pt.y-ay) - (by-ay)*(pt.x-ax), pt inlined
-    def orient(ax: String, ay: String, bx: String, by: String, pt: String) =
-      s"(($bx)-($ax))*(($pt).y-($ay)) - (($by)-($ay))*(($pt).x-($ax))"
-    def pass(inRing: String, outRing: String,
-             ax: String, ay: String, bx: String, by: String): String = {
-      val p = s"$inRing[j]"
-      val q = s"$inRing[j % len($inRing) + 1]"
-      val op = orient(ax, ay, bx, by, p)
-      val oq = orient(ax, ay, bx, by, q)
-      val t = s"($op) / (($op) - ($oq))"
-      val hit = s"{'x': ($p).x + ($t)*(($q).x - ($p).x), " +
-        s"'y': ($p).y + ($t)*(($q).y - ($p).y)}"
-      s"""flatten(list_transform(range(1, len($inRing)+1), j ->
-          CASE WHEN ($oq) >= 0 AND ($op) >= 0 THEN [$q]
-               WHEN ($oq) >= 0 THEN [$hit, $q]
-               WHEN ($op) >= 0 THEN [$hit]
-               ELSE [] END)) AS $outRing"""
-    }
-    // CCW cell rectangle (x0,y0)-(x1,y0)-(x1,y1)-(x0,y1): bottom, right,
-    // top, left edges in the engine's ring order
-    val p1 = pass("r0", "r1", "x0", "y0", "x1", "y0")
-    val p2 = pass("r1", "r2", "x1", "y0", "x1", "y1")
-    val p3 = pass("r2", "r3", "x1", "y1", "x0", "y1")
-    val p4 = pass("r3", "r4", "x0", "y1", "x0", "y0")
-    val shoelace = """list_reduce(list_prepend(0.0,
-        list_transform(range(1, len(r4)+1), i ->
-          r4[i].x * r4[i % len(r4) + 1].y - r4[i % len(r4) + 1].x * r4[i].y)),
-        (p,q) -> p + q)"""
-    s"""tri AS (SELECT s_suppkey AS poly_id,
-         -120.0 + (s_suppkey % 40) * CAST(0.1 AS DOUBLE) AS cx0,
-         36.0 + ((s_suppkey * 3) % 20) * CAST(0.1 AS DOUBLE) AS cy0,
-         CAST(0.05 AS DOUBLE) + (s_suppkey % 7) * CAST(0.013 AS DOUBLE) AS w,
-         CAST(0.04 AS DOUBLE) + (s_suppkey % 5) * CAST(0.017 AS DOUBLE) AS h
-         FROM supplier),
-       poly AS (SELECT poly_id,
-           [{'x': cx0, 'y': cy0 + h}, {'x': cx0 - w, 'y': cy0 - h}, {'x': cx0 + w, 'y': cy0 - h}] AS r0,
-           CAST(floor(least(cx0, cx0 - w, cx0 + w) * 16) AS BIGINT) AS gx0,
-           CAST(floor(greatest(cx0, cx0 - w, cx0 + w) * 16) AS BIGINT) AS gx1,
-           CAST(floor(least(cy0 + h, cy0 - h) * 16) AS BIGINT) AS gy0,
-           CAST(floor(greatest(cy0 + h, cy0 - h) * 16) AS BIGINT) AS gy1
-         FROM tri),
-       cellsx AS (SELECT poly_id, r0, gy0, gy1, unnest(range(gx0, gx1 + 1)) AS cx FROM poly),
-       cells AS (SELECT poly_id, r0, cx, unnest(range(gy0, gy1 + 1)) AS cy FROM cellsx),
-       rect AS (SELECT poly_id, r0, cx, cy,
-           cx / CAST(16.0 AS DOUBLE) AS x0, (cx + 1) / CAST(16.0 AS DOUBLE) AS x1,
-           cy / CAST(16.0 AS DOUBLE) AS y0, (cy + 1) / CAST(16.0 AS DOUBLE) AS y1
-         FROM cells),
-       c1 AS MATERIALIZED (SELECT poly_id, cx, cy, x0, x1, y0, y1, $p1 FROM rect),
-       c2 AS MATERIALIZED (SELECT poly_id, cx, cy, x0, x1, y0, y1, $p2 FROM c1),
-       c3 AS MATERIALIZED (SELECT poly_id, cx, cy, x0, x1, y0, y1, $p3 FROM c2),
-       c4 AS MATERIALIZED (SELECT poly_id, cx, cy, $p4 FROM c3),
-       ar AS (SELECT poly_id, cx, cy,
-           CASE WHEN len(r4) < 3 THEN 0.0 ELSE abs($shoelace) / CAST(2.0 AS DOUBLE) END AS area
-         FROM c4)"""
-  }
-
-  /** SimHash near-dup oracle: same 48-bit simhash, the 4×12-bit band
-    * self-join candidates, exact bit_count(xor) refine — all integer ops.
-    */
-  private val simhashNearDupOracleSql: String = {
-    val bits48 = (0 until 48).map { b =>
-      s"""(CASE WHEN list_sum(list_transform(hw, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0 THEN ${1L << b} ELSE 0 END)"""
-    }.mkString(" + ")
-    s"""WITH corpus AS ($sqlDedupCorpus),
-       hw AS (SELECT doc_id, list_transform(string_split(text,' '),
-         w -> ${sqlH60("w")}) AS hw FROM corpus),
-       sh AS (SELECT doc_id, CAST($bits48 AS BIGINT) AS sh FROM hw),
-       banded AS (SELECT doc_id, sh, b.range AS band, (sh >> (b.range*12)) & 4095 AS key
-         FROM sh CROSS JOIN range(0,4) b)
-       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
-       FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
-         AND a.doc_id < b.doc_id
-       WHERE bit_count(xor(a.sh, b.sh)) <= 3
-       ORDER BY id_a, id_b"""
-  }
-
-  /** Vocab/OOV oracle: same (count desc, word) total-order cut at 100,
-    * per-doc OOV counted by anti-joining tokens to the vocabulary.
-    */
-  private val vocabOovOracleSql: String =
-    """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
-       tok AS (SELECT doc_id, unnest(ws) AS wd FROM w),
-       cnt AS (SELECT wd, count(*) AS c FROM tok GROUP BY 1),
-       vocab AS (SELECT wd FROM (
-           SELECT wd, row_number() OVER (ORDER BY c DESC, wd) AS rk FROM cnt)
-         WHERE rk <= 20),
-       oov AS (SELECT t.doc_id, count(*) AS n_oov FROM tok t
-         LEFT JOIN vocab v ON v.wd = t.wd WHERE v.wd IS NULL GROUP BY 1)
-       SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
-         CAST(COALESCE(o.n_oov, 0) AS BIGINT) AS n_oov,
-         COALESCE(o.n_oov, 0) / len(w.ws) AS oov_frac
-       FROM w LEFT JOIN oov o ON o.doc_id = w.doc_id ORDER BY w.doc_id"""
-
-  private val annLshOracleSql: String = {
-    val bucket = (0 until 8).map { j =>
-      s"(CASE WHEN ${sqlPlaneDot(j)} >= 0 THEN ${1L << j} ELSE 0 END)"
-    }.mkString(" + ")
-    val pairDot = """list_reduce(list_prepend(0.0, list_transform(range(0,64),
-        d -> a.v[d+1] * b.v[d+1])), (p,q) -> p + q)"""
-    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
-         UNION ALL SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
-       vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM corpus),
-       f AS (SELECT vec_id, v, $bucket AS bucket,
-         sqrt(list_reduce(list_prepend(0.0, list_transform(range(0,64),
-           d -> v[d+1] * v[d+1])), (p,q) -> p + q)) AS nrm FROM vv)
-       SELECT id_a, id_b, round(cos, 4) AS cos_r FROM (
-         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           $pairDot / (a.nrm * b.nrm) AS cos
-         FROM f a JOIN f b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-       WHERE cos >= 0.999 ORDER BY id_a, id_b"""
-  }
-
-  /** IVF top-k search oracle: same centroid formula/assignment tie order
-    * ((d2, c) lexicographic), same nProbe selection, same cosine fold and
-    * (cos DESC, neighbor_id) rank order as Embeddings.ivfSearch.
-    */
-  private val ivfTopkOracleSql: String =
-    """WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       cents AS (SELECT range AS c FROM range(0, 8)),
-       d AS (SELECT vec_id, c,
-         list_reduce(list_prepend(0.0, list_transform(range(0,64),
-           d -> (v[d+1] - (((c*53 + d*17) % 13) - 6)) * (v[d+1] - (((c*53 + d*17) % 13) - 6)))),
-           (p,q) -> p + q) AS d2
-         FROM vv, cents),
-       nrm AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(range(0,64),
-           d -> v[d+1] * v[d+1])), (p,q) -> p + q)) AS nrm FROM vv),
-       assign AS (SELECT vec_id, c AS centroid FROM (
-         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d) WHERE rn = 1),
-       qprobe AS (SELECT vec_id AS qid, c AS centroid FROM (
-         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d WHERE vec_id < 5) WHERE rn <= 2),
-       cand AS (SELECT q.qid, n.vec_id AS neighbor_id, a.centroid,
-           list_reduce(list_prepend(0.0, list_transform(range(0,64),
-             d -> n.v[d+1] * qn.v[d+1])), (p,q) -> p + q) / (n.nrm * qn.nrm) AS cos
-         FROM qprobe q JOIN assign a ON a.centroid = q.centroid
-         JOIN nrm n ON n.vec_id = a.vec_id
-         JOIN nrm qn ON qn.vec_id = q.qid
-         WHERE n.vec_id <> q.qid)
-       SELECT qid, neighbor_id, CAST(centroid AS INT) AS centroid, rank, round(cos, 4) AS cos_r FROM (
-         SELECT qid, neighbor_id, centroid, cos,
-           CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM cand)
-       WHERE rank <= 5 ORDER BY qid, rank"""
-
-  /** Filtered-search oracle: the topk oracle with a label semi-join on the
-    * corpus side (pre-filter commutes with per-vector centroid assignment,
-    * so post-assignment restriction replays it exactly).
-    */
-  private val ivfFilteredOracleSql: String =
-    """WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       cents AS (SELECT range AS c FROM range(0, 8)),
-       d AS (SELECT vec_id, c,
-         list_reduce(list_prepend(0.0, list_transform(range(0,64),
-           d -> (v[d+1] - (((c*53 + d*17) % 13) - 6)) * (v[d+1] - (((c*53 + d*17) % 13) - 6)))),
-           (p,q) -> p + q) AS d2
-         FROM vv, cents),
-       nrm AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(range(0,64),
-           d -> v[d+1] * v[d+1])), (p,q) -> p + q)) AS nrm FROM vv),
-       assign AS (SELECT vec_id, c AS centroid FROM (
-         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d) WHERE rn = 1),
-       qprobe AS (SELECT vec_id AS qid, c AS centroid FROM (
-         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d WHERE vec_id < 5) WHERE rn <= 2),
-       cand AS (SELECT q.qid, n.vec_id AS neighbor_id, a.centroid,
-           list_reduce(list_prepend(0.0, list_transform(range(0,64),
-             d -> n.v[d+1] * qn.v[d+1])), (p,q) -> p + q) / (n.nrm * qn.nrm) AS cos
-         FROM qprobe q JOIN assign a ON a.centroid = q.centroid
-         JOIN nrm n ON n.vec_id = a.vec_id
-         JOIN nrm qn ON qn.vec_id = q.qid
-         WHERE n.vec_id <> q.qid
-           AND n.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 2))
-       SELECT qid, neighbor_id, CAST(centroid AS INT) AS centroid, rank, round(cos, 4) AS cos_r FROM (
-         SELECT qid, neighbor_id, centroid, cos,
-           CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM cand)
-       WHERE rank <= 5 ORDER BY qid, rank"""
-
-  /** Range-search oracle: same coarse-assign/probe CTEs as the topk oracle
-    * (25 queries), threshold filter instead of the rank window.
-    */
-  private val ivfRangeOracleSql: String =
-    """WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       cents AS (SELECT range AS c FROM range(0, 8)),
-       d AS (SELECT vec_id, c,
-         list_reduce(list_prepend(0.0, list_transform(range(0,64),
-           d -> (v[d+1] - (((c*53 + d*17) % 13) - 6)) * (v[d+1] - (((c*53 + d*17) % 13) - 6)))),
-           (p,q) -> p + q) AS d2
-         FROM vv, cents),
-       nrm AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(range(0,64),
-           d -> v[d+1] * v[d+1])), (p,q) -> p + q)) AS nrm FROM vv),
-       assign AS (SELECT vec_id, c AS centroid FROM (
-         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d) WHERE rn = 1),
-       qprobe AS (SELECT vec_id AS qid, c AS centroid FROM (
-         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d WHERE vec_id < 25) WHERE rn <= 2),
-       cand AS (SELECT q.qid, n.vec_id AS neighbor_id, a.centroid,
-           list_reduce(list_prepend(0.0, list_transform(range(0,64),
-             d -> n.v[d+1] * qn.v[d+1])), (p,q) -> p + q) / (n.nrm * qn.nrm) AS cos
-         FROM qprobe q JOIN assign a ON a.centroid = q.centroid
-         JOIN nrm n ON n.vec_id = a.vec_id
-         JOIN nrm qn ON qn.vec_id = q.qid
-         WHERE n.vec_id <> q.qid)
-       SELECT qid, neighbor_id, CAST(centroid AS INT) AS centroid,
-         round(cos, 4) AS cos_r
-       FROM cand WHERE cos >= 0.25 ORDER BY qid, neighbor_id"""
-
-  /** Recall@5 oracle: IVF candidate set (same CTEs as the topk oracle, 25
-    * queries) intersected with the exact brute-force top-5 per query.
-    */
-  /** Shared IVF-PQ candidate CTEs (coarse assign + PQ codes + qprobe +
-    * ADC-scored candidates) for the topk and recall oracles — the codebook
-    * constants and tie-break order live in exactly one place. The ADC
-    * subspace sum is a left fold seeded with 0.0, IEEE-identical to
-    * Spark's `(0 until 8).map(term).reduce(_ + _)`.
-    */
-  private def ivfPqCandCtes(maxQid: Int): String =
-    s"""vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       cents AS (SELECT range AS c FROM range(0, 8)),
-       d AS (SELECT vec_id, c,
-         list_reduce(list_prepend(0.0, list_transform(range(0,64),
-           d -> (v[d+1] - (((c*53 + d*17) % 13) - 6)) * (v[d+1] - (((c*53 + d*17) % 13) - 6)))),
-           (p,q) -> p + q) AS d2
-         FROM vv, cents),
-       assign AS (SELECT vec_id, c AS centroid FROM (
-         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d) WHERE rn = 1),
-       pqd AS (SELECT vec_id, s.s AS s, kk.k AS k,
-           list_reduce(list_prepend(0.0, list_transform(range(0,8),
-             dd -> (v[s.s*8 + dd + 1] - (((s.s*29 + kk.k*53 + dd*17) % 13) - 6)) * (v[s.s*8 + dd + 1] - (((s.s*29 + kk.k*53 + dd*17) % 13) - 6)))),
-             (p,q) -> p + q) AS d2
-         FROM vv, (SELECT range AS s FROM range(0,8)) s, (SELECT range AS k FROM range(0,8)) kk),
-       codes AS (SELECT vec_id, list(k ORDER BY s) AS codes FROM (
-         SELECT vec_id, s, k, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, k) AS rn FROM pqd)
-         WHERE rn = 1 GROUP BY vec_id),
-       qprobe AS (SELECT vec_id AS qid, c AS centroid FROM (
-         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d WHERE vec_id < $maxQid) WHERE rn <= 2),
-       cand AS (SELECT q.qid, a.vec_id AS neighbor_id,
-           list_reduce(list_prepend(0.0, list_transform(range(0,8), s ->
-             list_reduce(list_prepend(0.0, list_transform(range(0,8),
-               dd -> (qv.v[s*8 + dd + 1] - (((s*29 + cd.codes[s+1]*53 + dd*17) % 13) - 6)) * (qv.v[s*8 + dd + 1] - (((s*29 + cd.codes[s+1]*53 + dd*17) % 13) - 6)))),
-               (p,q) -> p + q))), (p,q) -> p + q) AS adc
-         FROM qprobe q JOIN assign a ON a.centroid = q.centroid
-         JOIN codes cd ON cd.vec_id = a.vec_id
-         JOIN vv qv ON qv.vec_id = q.qid
-         WHERE a.vec_id <> q.qid)"""
-
-  private val ivfPqOracleSql: String =
-    s"""WITH ${ivfPqCandCtes(5)}
-       SELECT qid, neighbor_id, rank, round(adc, 4) AS adc_r FROM (
-         SELECT qid, neighbor_id, adc,
-           CAST(row_number() OVER (PARTITION BY qid ORDER BY adc, neighbor_id) AS INTEGER) AS rank FROM cand)
-       WHERE rank <= 5 ORDER BY qid, rank"""
-
-  /** IVF-PQ recall oracle: the shared [[ivfPqCandCtes]] (queries < 25)
-    * semi-joined against the exact EUCLIDEAN top-5 baseline (ADC is L2 —
-    * a cosine baseline would conflate quantization loss with metric
-    * mismatch; Embeddings.ivfPqRecall scaladoc has the measurement).
-    */
-  private val ivfPqRecallOracleSql: String =
-    s"""WITH ${ivfPqCandCtes(25)},
-       pq AS (SELECT qid, neighbor_id FROM (
-         SELECT qid, neighbor_id, row_number() OVER (PARTITION BY qid ORDER BY adc, neighbor_id) AS rank FROM cand)
-         WHERE rank <= 5),
-       exp AS (SELECT qn.vec_id AS qid, n.vec_id AS neighbor_id,
-           list_reduce(list_prepend(0.0, list_transform(range(0,64),
-             d -> (n.v[d+1] - qn.v[d+1]) * (n.v[d+1] - qn.v[d+1]))), (p,q) -> p + q) AS dist2
-         FROM vv qn, vv n WHERE qn.vec_id < 25 AND n.vec_id <> qn.vec_id),
-       ex AS (SELECT qid, neighbor_id FROM (
-         SELECT qid, neighbor_id, row_number() OVER (PARTITION BY qid ORDER BY dist2, neighbor_id) AS rank FROM exp)
-         WHERE rank <= 5),
-       hits AS (SELECT p.qid, count(*) AS n_hits FROM pq p
-         JOIN ex ON ex.qid = p.qid AND ex.neighbor_id = p.neighbor_id GROUP BY p.qid)
-       SELECT q.qid, COALESCE(h.n_hits, 0) AS n_hits,
-         COALESCE(h.n_hits, 0) / 5.0 AS recall
-       FROM (SELECT DISTINCT vec_id AS qid FROM embeddings WHERE vec_id < 25) q
-       LEFT JOIN hits h ON h.qid = q.qid ORDER BY q.qid"""
-
-  /** Unrolled Lloyd-training CTEs for the coarse quantizer: `cents0` is the
-    * deterministic Forgy seed (the first k vectors by id — the engine's
-    * dataSeeds), each round r derives assignment `ca_r` (lexicographic
-    * (d2, c) — same tie order as the engine's least()), the quantized sums
-    * `cs_r`, and the carried centroid lists `cents_r` (empty (c, dim) slots
-    * keep the previous value, as the engine's driver fold does). The d2 fold
-    * and the one-division mean are IEEE-identical to the engine's, so every
-    * round's centroids agree bit-for-bit.
-    */
-  private def kmeansTrainCtes(k: Int, rounds: Int): String = {
-    val fold64 = "list_reduce(list_prepend(0.0, list_transform(range(0,64), " +
-      "d -> (v[d+1]-cl[d+1])*(v[d+1]-cl[d+1]))), (p,q) -> p + q)"
-    val sb = new StringBuilder
-    sb ++= s"""vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       cents0 AS (SELECT vec_id AS c, v AS cl FROM vv WHERE vec_id < $k)"""
-    for (r <- 1 to rounds) {
-      sb ++= s""",
-       cd$r AS (SELECT vec_id, c, $fold64 AS d2 FROM vv, cents${r - 1}),
-       ca$r AS (SELECT vec_id, c AS centroid FROM (
-           SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM cd$r)
-         WHERE rn = 1),
-       cs$r AS (SELECT centroid, dd.range AS dim, count(*) AS n,
-           CAST(sum(CAST(floor(v[dd.range+1]*1000000.0) AS BIGINT)) AS BIGINT) AS sum_q
-         FROM ca$r JOIN vv USING (vec_id) CROSS JOIN range(0,64) dd GROUP BY 1, 2),
-       cents$r AS (SELECT p.c,
-           list(COALESCE(CAST(x.sum_q AS DOUBLE)/(x.n*1000000.0), p.cl[dd.range+1]) ORDER BY dd.range) AS cl
-         FROM cents${r - 1} p CROSS JOIN range(0,64) dd
-         LEFT JOIN cs$r x ON x.centroid = p.c AND x.dim = dd.range
-         GROUP BY p.c)"""
-    }
-    sb.toString
-  }
-
-  /** Unrolled Lloyd-training CTEs for the PQ codebooks (one (s, k) entry per
-    * subspace x code, `dims = 64/nSub` local dims each; code k of subspace s
-    * seeds from vector k's s-th subvector, the engine's per-subspace Forgy)
-    * — the per-subspace twin of [[kmeansTrainCtes]]; needs `vv` in scope.
-    */
-  private def pqTrainCtes(nSub: Int, kCodes: Int, rounds: Int): String = {
-    val dims = 64 / nSub
-    val sb = new StringBuilder
-    sb ++= s"""cb0 AS (SELECT ss.range AS s, vec_id AS k, list_transform(range(0,$dims),
-           d -> v[ss.range*$dims + d + 1]) AS cl
-         FROM vv CROSS JOIN range(0,$nSub) ss WHERE vec_id < $kCodes)"""
-    for (r <- 1 to rounds) {
-      sb ++= s""",
-       pd$r AS (SELECT vec_id, cb.s AS s, cb.k AS k,
-           list_reduce(list_prepend(0.0, list_transform(range(0,$dims),
-             dd -> (v[cb.s*$dims + dd + 1]-cb.cl[dd+1])*(v[cb.s*$dims + dd + 1]-cb.cl[dd+1]))),
-             (p,q) -> p + q) AS d2
-         FROM vv, cb${r - 1} cb),
-       pa$r AS (SELECT vec_id, s, k AS code FROM (
-           SELECT vec_id, s, k, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, k) AS rn FROM pd$r)
-         WHERE rn = 1),
-       ps$r AS (SELECT s, code, dd.range AS dim, count(*) AS n,
-           CAST(sum(CAST(floor(v[s*$dims + dd.range + 1]*1000000.0) AS BIGINT)) AS BIGINT) AS sum_q
-         FROM pa$r JOIN vv USING (vec_id) CROSS JOIN range(0,$dims) dd GROUP BY 1, 2, 3),
-       cb$r AS (SELECT p.s, p.k,
-           list(COALESCE(CAST(x.sum_q AS DOUBLE)/(x.n*1000000.0), p.cl[dd.range+1]) ORDER BY dd.range) AS cl
-         FROM cb${r - 1} p CROSS JOIN range(0,$dims) dd
-         LEFT JOIN ps$r x ON x.s = p.s AND x.code = p.k AND x.dim = dd.range
-         GROUP BY p.s, p.k)"""
-    }
-    sb.toString
-  }
-
-  private val kmeansTrainOracleSql: String = {
-    val per = (1 to 3).map { r =>
-      s"""SELECT $r AS round, CAST(centroid AS INTEGER) AS centroid,
-          CAST(dim AS INTEGER) AS dim, n, sum_q,
-          CAST(sum_q AS DOUBLE)/(n*1000000.0) AS mean FROM cs$r"""
-    }.mkString(" UNION ALL ")
-    s"""WITH ${kmeansTrainCtes(8, 3)}
-       SELECT * FROM ($per) ORDER BY round, centroid, dim"""
-  }
-
-  private val pqTrainOracleSql: String = {
-    val per = (1 to 3).map { r =>
-      s"""SELECT $r AS round, CAST(s AS INTEGER) AS sub, CAST(code AS INTEGER) AS code,
-          CAST(dim AS INTEGER) AS dim, n, sum_q,
-          CAST(sum_q AS DOUBLE)/(n*1000000.0) AS mean FROM ps$r"""
-    }.mkString(" UNION ALL ")
-    s"""WITH ${kmeansTrainCtes(8, 3)}, ${pqTrainCtes(8, 16, 3)}
-       SELECT * FROM ($per) ORDER BY round, sub, code, dim"""
-  }
-
-  /** Shared trained-IVF-PQ candidate CTEs: both training loops (coarse +
-    * PQ), final-round assignment/codes, probe lists for queries < maxQid,
-    * and ADC candidates — the per-subspace terms fold in subspace order via
-    * an ordered list aggregate, matching the engine's left-assoc sum
-    * (prepending 0.0 is exact: every term is a nonnegative sum of squares).
-    */
-  private def ivfPqTrainedCandCtes(maxQid: Int): String =
-    s"""${kmeansTrainCtes(8, 3)}, ${pqTrainCtes(8, 16, 3)},
-       fd AS (SELECT vec_id, c,
-           list_reduce(list_prepend(0.0, list_transform(range(0,64),
-             d -> (v[d+1]-cl[d+1])*(v[d+1]-cl[d+1]))), (p,q) -> p + q) AS d2
-         FROM vv, cents3),
-       fassign AS (SELECT vec_id, c AS centroid FROM (
-           SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM fd)
-         WHERE rn = 1),
-       fqprobe AS (SELECT vec_id AS qid, c AS centroid FROM (
-           SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
-           FROM fd WHERE vec_id < $maxQid)
-         WHERE rn <= 2),
-       fpd AS (SELECT vec_id, cb.s AS s, cb.k AS k,
-           list_reduce(list_prepend(0.0, list_transform(range(0,8),
-             dd -> (v[cb.s*8 + dd + 1]-cb.cl[dd+1])*(v[cb.s*8 + dd + 1]-cb.cl[dd+1]))),
-             (p,q) -> p + q) AS d2
-         FROM vv, cb3 cb),
-       fcodes AS (SELECT vec_id, s, k AS code FROM (
-           SELECT vec_id, s, k, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, k) AS rn FROM fpd)
-         WHERE rn = 1),
-       adc_terms AS (SELECT q.qid, a.vec_id, cs.s,
-           list_reduce(list_prepend(0.0, list_transform(range(0,8),
-             dd -> (qv.v[cs.s*8 + dd + 1]-cb.cl[dd+1])*(qv.v[cs.s*8 + dd + 1]-cb.cl[dd+1]))),
-             (p,q) -> p + q) AS term
-         FROM fqprobe q JOIN fassign a ON a.centroid = q.centroid
-         JOIN fcodes cs ON cs.vec_id = a.vec_id
-         JOIN cb3 cb ON cb.s = cs.s AND cb.k = cs.code
-         JOIN vv qv ON qv.vec_id = q.qid
-         WHERE a.vec_id <> q.qid),
-       cand AS (SELECT qid, vec_id AS neighbor_id,
-           list_reduce(list_prepend(0.0, list(term ORDER BY s)), (p,q) -> p + q) AS adc
-         FROM adc_terms GROUP BY qid, vec_id)"""
-
-  /** ADC shortlist (size `shortlist`) + exact L2 re-rank — the engine's
-    * ivfPqSearchRefined replayed: the refine d2 is the same 64-dim fold.
-    */
-  private def ivfPqRefinedCtes(shortlist: Int): String =
-    s"""short AS (SELECT qid, neighbor_id FROM (
-           SELECT qid, neighbor_id, row_number() OVER (PARTITION BY qid ORDER BY adc, neighbor_id) AS rank FROM cand)
-         WHERE rank <= $shortlist),
-       rr AS (SELECT s.qid, s.neighbor_id,
-           list_reduce(list_prepend(0.0, list_transform(range(0,64),
-             d -> (n.v[d+1] - qv.v[d+1]) * (n.v[d+1] - qv.v[d+1]))), (p,q) -> p + q) AS dist2
-         FROM short s JOIN vv n ON n.vec_id = s.neighbor_id
-         JOIN vv qv ON qv.vec_id = s.qid)"""
-
-  private val ivfPqTrainedOracleSql: String =
-    s"""WITH ${ivfPqTrainedCandCtes(5)}, ${ivfPqRefinedCtes(50)}
-       SELECT qid, neighbor_id, rank, round(dist2, 4) AS dist2_r FROM (
-         SELECT qid, neighbor_id, dist2,
-           CAST(row_number() OVER (PARTITION BY qid ORDER BY dist2, neighbor_id) AS INTEGER) AS rank FROM rr)
-       WHERE rank <= 5 ORDER BY qid, rank"""
-
-  private val ivfPqTrainedRecallOracleSql: String =
-    s"""WITH ${ivfPqTrainedCandCtes(25)}, ${ivfPqRefinedCtes(50)},
-       pq AS (SELECT qid, neighbor_id FROM (
-           SELECT qid, neighbor_id, row_number() OVER (PARTITION BY qid ORDER BY dist2, neighbor_id) AS rank FROM rr)
-         WHERE rank <= 5),
-       exp AS (SELECT qn.vec_id AS qid, n.vec_id AS neighbor_id,
-           list_reduce(list_prepend(0.0, list_transform(range(0,64),
-             d -> (n.v[d+1] - qn.v[d+1]) * (n.v[d+1] - qn.v[d+1]))), (p,q) -> p + q) AS dist2
-         FROM vv qn, vv n WHERE qn.vec_id < 25 AND n.vec_id <> qn.vec_id),
-       ex AS (SELECT qid, neighbor_id FROM (
-           SELECT qid, neighbor_id, row_number() OVER (PARTITION BY qid ORDER BY dist2, neighbor_id) AS rank FROM exp)
-         WHERE rank <= 5),
-       hits AS (SELECT p.qid, count(*) AS n_hits FROM pq p
-         JOIN ex ON ex.qid = p.qid AND ex.neighbor_id = p.neighbor_id GROUP BY p.qid)
-       SELECT q.qid, COALESCE(h.n_hits, 0) AS n_hits,
-         COALESCE(h.n_hits, 0) / 5.0 AS recall
-       FROM (SELECT DISTINCT vec_id AS qid FROM embeddings WHERE vec_id < 25) q
-       LEFT JOIN hits h ON h.qid = q.qid ORDER BY q.qid"""
-
-  private val ivfRecallOracleSql: String =
-    """WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       cents AS (SELECT range AS c FROM range(0, 8)),
-       d AS (SELECT vec_id, c,
-         list_reduce(list_prepend(0.0, list_transform(range(0,64),
-           d -> (v[d+1] - (((c*53 + d*17) % 13) - 6)) * (v[d+1] - (((c*53 + d*17) % 13) - 6)))),
-           (p,q) -> p + q) AS d2
-         FROM vv, cents),
-       nrm AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(range(0,64),
-           d -> v[d+1] * v[d+1])), (p,q) -> p + q)) AS nrm FROM vv),
-       assign AS (SELECT vec_id, c AS centroid FROM (
-         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d) WHERE rn = 1),
-       qprobe AS (SELECT vec_id AS qid, c AS centroid FROM (
-         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d WHERE vec_id < 25) WHERE rn <= 2),
-       cand AS (SELECT q.qid, n.vec_id AS neighbor_id,
-           list_reduce(list_prepend(0.0, list_transform(range(0,64),
-             d -> n.v[d+1] * qn.v[d+1])), (p,q) -> p + q) / (n.nrm * qn.nrm) AS cos
-         FROM qprobe q JOIN assign a ON a.centroid = q.centroid
-         JOIN nrm n ON n.vec_id = a.vec_id
-         JOIN nrm qn ON qn.vec_id = q.qid
-         WHERE n.vec_id <> q.qid),
-       ivf AS (SELECT qid, neighbor_id FROM (
-         SELECT qid, neighbor_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank FROM cand)
-         WHERE rank <= 5),
-       exp AS (SELECT qn.vec_id AS qid, n.vec_id AS neighbor_id,
-           list_reduce(list_prepend(0.0, list_transform(range(0,64),
-             d -> n.v[d+1] * qn.v[d+1])), (p,q) -> p + q) / (n.nrm * qn.nrm) AS cos
-         FROM nrm qn, nrm n WHERE qn.vec_id < 25 AND n.vec_id <> qn.vec_id),
-       ex AS (SELECT qid, neighbor_id FROM (
-         SELECT qid, neighbor_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank FROM exp)
-         WHERE rank <= 5),
-       hits AS (SELECT i.qid, count(*) AS n_hits FROM ivf i
-         JOIN ex ON ex.qid = i.qid AND ex.neighbor_id = i.neighbor_id GROUP BY i.qid)
-       SELECT q.qid, COALESCE(h.n_hits, 0) AS n_hits,
-         COALESCE(h.n_hits, 0) / 5.0 AS recall
-       FROM (SELECT DISTINCT vec_id AS qid FROM embeddings WHERE vec_id < 25) q
-       LEFT JOIN hits h ON h.qid = q.qid ORDER BY q.qid"""
-
-  /** The ivfRecall oracle swept over nProbe ∈ {1,2,4} — the operating
-    * curve; probe fan-out parameterized by a probes VALUES list.
-    */
-  private val ivfRecallCurveOracleSql: String =
-    """WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       cents AS (SELECT range AS c FROM range(0, 8)),
-       d AS (SELECT vec_id, c,
-         list_reduce(list_prepend(0.0, list_transform(range(0,64),
-           d -> (v[d+1] - (((c*53 + d*17) % 13) - 6)) * (v[d+1] - (((c*53 + d*17) % 13) - 6)))),
-           (p,q) -> p + q) AS d2
-         FROM vv, cents),
-       nrm AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(range(0,64),
-           d -> v[d+1] * v[d+1])), (p,q) -> p + q)) AS nrm FROM vv),
-       assign AS (SELECT vec_id, c AS centroid FROM (
-         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d) WHERE rn = 1),
-       probes(np) AS (VALUES (1), (2), (4)),
-       qr AS (SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
-         FROM d WHERE vec_id < 25),
-       qprobe AS (SELECT p.np, qr.vec_id AS qid, qr.c AS centroid FROM qr, probes p WHERE qr.rn <= p.np),
-       cand AS (SELECT q.np, q.qid, n.vec_id AS neighbor_id,
-           list_reduce(list_prepend(0.0, list_transform(range(0,64),
-             d -> n.v[d+1] * qn.v[d+1])), (p,q) -> p + q) / (n.nrm * qn.nrm) AS cos
-         FROM qprobe q JOIN assign a ON a.centroid = q.centroid
-         JOIN nrm n ON n.vec_id = a.vec_id
-         JOIN nrm qn ON qn.vec_id = q.qid
-         WHERE n.vec_id <> q.qid),
-       ivf AS (SELECT np, qid, neighbor_id FROM (
-         SELECT np, qid, neighbor_id, row_number() OVER (PARTITION BY np, qid ORDER BY cos DESC, neighbor_id) AS rank FROM cand)
-         WHERE rank <= 5),
-       exp AS (SELECT qn.vec_id AS qid, n.vec_id AS neighbor_id,
-           list_reduce(list_prepend(0.0, list_transform(range(0,64),
-             d -> n.v[d+1] * qn.v[d+1])), (p,q) -> p + q) / (n.nrm * qn.nrm) AS cos
-         FROM nrm qn, nrm n WHERE qn.vec_id < 25 AND n.vec_id <> qn.vec_id),
-       ex AS (SELECT qid, neighbor_id FROM (
-         SELECT qid, neighbor_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank FROM exp)
-         WHERE rank <= 5),
-       hits AS (SELECT i.np, i.qid, count(*) AS n_hits FROM ivf i
-         JOIN ex ON ex.qid = i.qid AND ex.neighbor_id = i.neighbor_id GROUP BY 1, 2),
-       qp AS (SELECT q.qid, p.np
-         FROM (SELECT DISTINCT vec_id AS qid FROM embeddings WHERE vec_id < 25) q, probes p)
-       SELECT CAST(qp.np AS INT) AS n_probe, qp.qid,
-         COALESCE(h.n_hits, 0) AS n_hits,
-         COALESCE(h.n_hits, 0) / 5.0 AS recall
-       FROM qp LEFT JOIN hits h ON h.qid = qp.qid AND h.np = qp.np
-       ORDER BY n_probe, qp.qid"""
-
-  private val ivfOracleSql: String =
-    """WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       cents AS (SELECT range AS c FROM range(0, 8)),
-       d AS (SELECT vec_id, c,
-         list_reduce(list_prepend(0.0, list_transform(range(0,64),
-           d -> (v[d+1] - (((c*53 + d*17) % 13) - 6)) * (v[d+1] - (((c*53 + d*17) % 13) - 6)))),
-           (p,q) -> p + q) AS d2
-         FROM vv, cents)
-       SELECT vec_id, CAST(c AS INT) AS centroid, round(d2, 4) AS d2_r FROM (
-         SELECT vec_id, c, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d)
-       WHERE rn = 1 ORDER BY vec_id"""
-
-  /** DuckDB re-implementation of the S2 cell id (graft.geo.S2): xyz → face →
-    * quadratic ST → leaf ij, then the 30-level Hilbert walk as a recursive
-    * CTE with the ijToPos/posToOrientation tables inlined as CASEs. HUGEINT
-    * carries the unsigned 64-bit id; the final CASE maps to the signed Long
-    * the engine emits. An independent second implementation of the whole
-    * algorithm — the strongest cross-check the offline sandbox allows.
-    */
-  private def s2OracleSql(ptsCte: String, level: Int): String = {
-    val ijToPos = Array(Array(0, 1, 3, 2), Array(0, 3, 1, 2), Array(2, 3, 1, 0), Array(2, 1, 3, 0))
-    val cases = (for { b <- 0 until 4; ij <- 0 until 4 }
-      yield s"WHEN ${b * 4 + ij} THEN ${ijToPos(b)(ij)}").mkString(" ")
-    val posExpr = s"(CASE (bits & 3) * 4 + (((i >> k) & 1) * 2 + ((j >> k) & 1)) $cases END)"
-    val lsb = 1L << (2 * (30 - level))
-    s"""WITH RECURSIVE pts AS ($ptsCte),
-       xyz AS (SELECT point_id,
-         cos(radians(lat))*cos(radians(lng)) AS x,
-         cos(radians(lat))*sin(radians(lng)) AS y,
-         sin(radians(lat)) AS z FROM pts),
-       f0 AS (SELECT point_id, x, y, z,
-         CASE WHEN abs(x) > abs(y) THEN (CASE WHEN abs(x) > abs(z) THEN 0 ELSE 2 END)
-              ELSE (CASE WHEN abs(y) > abs(z) THEN 1 ELSE 2 END) END AS fb FROM xyz),
-       fc AS (SELECT point_id, x, y, z,
-         fb + CASE WHEN (CASE fb WHEN 0 THEN x WHEN 1 THEN y ELSE z END) < 0 THEN 3 ELSE 0 END AS face
-         FROM f0),
-       uv AS (SELECT point_id, face,
-         CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
-                   WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
-         CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
-                   WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
-         FROM fc),
-       st AS (SELECT point_id, face,
-         CASE WHEN u >= 0 THEN 0.5*sqrt(1.0 + 3.0*u) ELSE 1.0 - 0.5*sqrt(1.0 - 3.0*u) END AS s,
-         CASE WHEN v >= 0 THEN 0.5*sqrt(1.0 + 3.0*v) ELSE 1.0 - 0.5*sqrt(1.0 - 3.0*v) END AS t
-         FROM uv),
-       ij AS (SELECT point_id, face,
-         GREATEST(0, LEAST(1073741823, CAST(floor(1073741824 * s) AS BIGINT))) AS i,
-         GREATEST(0, LEAST(1073741823, CAST(floor(1073741824 * t) AS BIGINT))) AS j
-         FROM st),
-       pow4(k, p) AS (SELECT 0, CAST(1 AS HUGEINT) UNION ALL SELECT k+1, p*4 FROM pow4 WHERE k < 29),
-       hil AS (
-         SELECT point_id, face, i, j, 29 AS k, (face & 1) AS bits,
-           CAST(face AS HUGEINT) * 1152921504606846976 AS n FROM ij
-         UNION ALL
-         SELECT h.point_id, h.face, h.i, h.j, h.k - 1,
-           xor(h.bits, CASE pos WHEN 0 THEN 1 WHEN 3 THEN 3 ELSE 0 END),
-           h.n + CAST(pos AS HUGEINT) * pw.p
-         FROM (SELECT *, $posExpr AS pos FROM hil WHERE k >= 0) h
-         JOIN pow4 pw ON pw.k = h.k),
-       leafid AS (SELECT point_id, n * 2 + 1 AS id FROM hil WHERE k = -1)
-       SELECT point_id,
-         CAST(CASE WHEN pid >= 9223372036854775808 THEN pid - 18446744073709551616 ELSE pid END AS BIGINT) AS cell,
-         CAST(CASE WHEN id  >= 9223372036854775808 THEN id  - 18446744073709551616 ELSE id  END AS BIGINT) AS leaf
-       FROM (SELECT point_id, id, (id // ${2 * lsb}) * ${2 * lsb} + $lsb AS pid FROM leafid)
-       ORDER BY point_id"""
-  }
-
-  private val quadrantPtsCte: String =
-    """SELECT c_custkey AS point_id,
-       -180 + (c_custkey % 360) + 0.5 AS lng,
-       -90 + ((c_custkey * 7) % 180) + 0.25 AS lat FROM customer"""
-
-  /** DuckDB re-implementation of the aperture-7 hex cell (graft.geo.Hex):
-    * axial coords at the embedded edge-length literal, JVM-round
-    * (floor(x+0.5)) cube rounding, same packed id arithmetic.
-    */
-  private def hexOracleSql(ptsCte: String, res: Int): String = {
-    val e = graft.geo.Hex.edge(res)
-    s"""WITH pts AS ($ptsCte),
-       ax AS (SELECT point_id,
-         (sqrt(3.0)/3.0 * lng - lat/3.0) / $e AS qf,
-         (2.0/3.0 * lat) / $e AS rf FROM pts),
-       r0 AS (SELECT point_id, qf, rf, -qf - rf AS sf,
-         CAST(floor(qf + 0.5) AS BIGINT) AS qi,
-         CAST(floor(rf + 0.5) AS BIGINT) AS ri,
-         CAST(floor(-qf - rf + 0.5) AS BIGINT) AS si FROM ax),
-       rr AS (SELECT point_id,
-         CASE WHEN abs(qi - qf) > abs(ri - rf) AND abs(qi - qf) > abs(si - sf)
-              THEN -ri - si ELSE qi END AS q,
-         CASE WHEN NOT (abs(qi - qf) > abs(ri - rf) AND abs(qi - qf) > abs(si - sf))
-                   AND abs(ri - rf) > abs(si - sf)
-              THEN -qi - si ELSE ri END AS r FROM r0)
-       SELECT point_id,
-         CAST($res AS BIGINT) * 288230376151711744 + (q + 268435456) * 536870912 + (r + 268435456) AS cell
-       FROM rr ORDER BY point_id"""
-  }
-
-  /** kRing-smoothing oracle: the same res-9 axial assignment as
-    * [[hexOracleSql]], per-cell counts, then the grid-distance-≤2 pair
-    * join stated directly on the axial metric (the engine's literal-offset
-    * disk explode covers exactly the cells at axial distance ≤ k).
-    */
-  private val hexKringOracleSql: String = {
-    val e = graft.geo.Hex.edge(9)
-    s"""WITH pts AS ($quadrantPtsCte),
-       ax AS (SELECT point_id,
-         (sqrt(3.0)/3.0 * lng - lat/3.0) / $e AS qf,
-         (2.0/3.0 * lat) / $e AS rf FROM pts),
-       r0 AS (SELECT point_id, qf, rf, -qf - rf AS sf,
-         CAST(floor(qf + 0.5) AS BIGINT) AS qi,
-         CAST(floor(rf + 0.5) AS BIGINT) AS ri,
-         CAST(floor(-qf - rf + 0.5) AS BIGINT) AS si FROM ax),
-       rr AS (SELECT point_id,
-         CASE WHEN abs(qi - qf) > abs(ri - rf) AND abs(qi - qf) > abs(si - sf)
-              THEN -ri - si ELSE qi END AS q,
-         CASE WHEN NOT (abs(qi - qf) > abs(ri - rf) AND abs(qi - qf) > abs(si - sf))
-                   AND abs(ri - rf) > abs(si - sf)
-              THEN -qi - si ELSE ri END AS r FROM r0),
-       cnt AS (SELECT q, r, count(*) AS n FROM rr GROUP BY 1, 2),
-       sm AS (SELECT a.q, a.r, sum(b.n) AS smooth FROM cnt a JOIN cnt b
-         ON (abs(a.q - b.q) + abs(a.r - b.r) + abs((a.q - b.q) + (a.r - b.r))) // 2 <= 2
-         GROUP BY 1, 2)
-       SELECT CAST(9 AS BIGINT) * 288230376151711744 + (c.q + 268435456) * 536870912 + (c.r + 268435456) AS cell,
-         CAST(c.n AS BIGINT) AS n, CAST(s.smooth AS BIGINT) AS smooth
-       FROM cnt c JOIN sm s ON c.q = s.q AND c.r = s.r ORDER BY cell"""
-  }
-
-  /** Hex-region oracle: res-1 axial assignment (the coarse cells where the
-    * 1°-lattice quadrant points form mixed 1–5-cell islands), occupied-cell
-    * adjacency at axial distance 1, reachability closure, min-cell-id
-    * component labels (packed ids are lexicographic in (q, r), matching
-    * the star-CC min-label contract), per-region rollups.
-    */
-  private val hexRegionsOracleSql: String = {
-    val e = graft.geo.Hex.edge(1)
-    s"""WITH RECURSIVE pts AS ($quadrantPtsCte),
-       ax AS (SELECT point_id,
-         (sqrt(3.0)/3.0 * lng - lat/3.0) / $e AS qf,
-         (2.0/3.0 * lat) / $e AS rf FROM pts),
-       r0 AS (SELECT point_id, qf, rf, -qf - rf AS sf,
-         CAST(floor(qf + 0.5) AS BIGINT) AS qi,
-         CAST(floor(rf + 0.5) AS BIGINT) AS ri,
-         CAST(floor(-qf - rf + 0.5) AS BIGINT) AS si FROM ax),
-       rr AS (SELECT point_id,
-         CASE WHEN abs(qi - qf) > abs(ri - rf) AND abs(qi - qf) > abs(si - sf)
-              THEN -ri - si ELSE qi END AS q,
-         CASE WHEN NOT (abs(qi - qf) > abs(ri - rf) AND abs(qi - qf) > abs(si - sf))
-                   AND abs(ri - rf) > abs(si - sf)
-              THEN -qi - si ELSE ri END AS r FROM r0),
-       cnt AS (SELECT q, r, count(*) AS n FROM rr GROUP BY 1, 2),
-       cid AS (SELECT q, r, n,
-           CAST(1 AS BIGINT) * 288230376151711744 + (q + 268435456) * 536870912 + (r + 268435456) AS cell
-         FROM cnt),
-       adj AS (SELECT a.cell AS ca, b.cell AS cb FROM cid a JOIN cid b
-         ON (abs(a.q - b.q) + abs(a.r - b.r) + abs((a.q - b.q) + (a.r - b.r))) // 2 = 1),
-       reach(cell, other) AS (
-         SELECT cell, cell FROM cid
-         UNION
-         SELECT x.cell, a.cb FROM reach x JOIN adj a ON a.ca = x.other),
-       comp AS (SELECT cell, min(other) AS region FROM reach GROUP BY cell)
-       SELECT c2.region, CAST(count(*) AS BIGINT) AS n_cells,
-         CAST(sum(cid.n) AS BIGINT) AS n_points
-       FROM cid JOIN comp c2 ON cid.cell = c2.cell
-       GROUP BY 1 ORDER BY region"""
-  }
-
-  /** Bilinear elevation oracle over the 6-present/2-absent gate tiles —
-    * shared by the broadcast-index and cogroup physical paths. */
-  private val cogroupElevOracleSql: String =
-    """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
-         -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
-         36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
-         FROM lineitem),
-       k AS (SELECT point_id, lng, lat,
-         CAST(floor(lng) AS BIGINT) AS swlng, CAST(floor(lat) AS BIGINT) AS swlat,
-         (lng - floor(lng)) * 600 AS colf, (lat - floor(lat)) * 600 AS rowf FROM pts),
-       g AS (SELECT *, CAST(floor(colf) AS BIGINT) AS c0, CAST(floor(rowf) AS BIGINT) AS r0,
-         colf - floor(colf) AS cf, rowf - floor(rowf) AS rf,
-         ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM k),
-       v AS (SELECT *,
-         a + 2*c0     + 3*r0     + ((c0//8)*(r0//8)) % 32         AS v00,
-         a + 2*(c0+1) + 3*r0     + (((c0+1)//8)*(r0//8)) % 32     AS v10,
-         a + 2*(c0+1) + 3*(r0+1) + (((c0+1)//8)*((r0+1)//8)) % 32 AS v11,
-         a + 2*c0     + 3*(r0+1) + ((c0//8)*((r0+1)//8)) % 32     AS v01 FROM g)
-       SELECT point_id,
-         (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END ||
-          lpad(CAST(abs(swlat) AS VARCHAR), 2, '0') ||
-          CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END ||
-          lpad(CAST(abs(swlng) AS VARCHAR), 3, '0')) AS tile_key,
-         CASE WHEN (swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36) THEN 0.0
-              ELSE (v00 + (v10 - v00) * cf) +
-                   ((v01 + (v11 - v01) * cf) - (v00 + (v10 - v00) * cf)) * rf
-         END AS elev
-       FROM v ORDER BY point_id"""
-
-  /** Shared scaffold for the nearest-node map-algebra oracles (flowdir/TRI):
-    * point → nearest grid node (cn, rn) + tile base offset `a`, exactly the
-    * geo_slope CTEs.
-    */
-  private val nodeScaffoldSql: String =
-    """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
-         -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
-         36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
-         FROM lineitem),
-       k AS (SELECT point_id,
-         CAST(floor(lng) AS BIGINT) AS swlng, CAST(floor(lat) AS BIGINT) AS swlat,
-         CAST(floor((lng - floor(lng)) * 600 + 0.5) AS BIGINT) AS cn,
-         CAST(floor((lat - floor(lat)) * 600 + 0.5) AS BIGINT) AS rn FROM pts),
-       b AS (SELECT *, ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM k)"""
-
-  /** Synthetic-grid sample value at node (c, r) — TileGen.sampleAt in SQL. */
-  private def gridV(c: String, r: String): String =
-    s"(a + 2*($c) + 3*($r) + (((($c))//8)*((($r))//8)) % 32)"
-
-  private def clamp(base: String, d: Int): String =
-    if (d == 0) base else s"LEAST(600, GREATEST(0, $base + ($d)))"
-
-  /** D8 flow-direction oracle: replicates TileIndex.flowdirD8's integer
-    * comparison (2·drop²ₛ vs drop²d, first maximal code wins) over the 8
-    * clamped neighbours of the nearest node. Missing tile ⇒ 0.
-    */
-  /** Zonal-histogram oracle (PIP membership × bilinear elevation × 256 m
-    * bins); also the body the `zonal_majority` oracle ranks over.
-    */
-  private val zonalHistOracleSql: String =
-    """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
-           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS px,
-           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS py
-           FROM lineitem),
-         tri AS (SELECT s_suppkey AS poly_id,
-           -120.0 + (s_suppkey % 40) * 0.1 AS cx, 36.0 + ((s_suppkey * 3) % 20) * 0.1 AS cy,
-           0.05 + (s_suppkey % 7) * 0.013 AS w, 0.04 + (s_suppkey % 5) * 0.017 AS h
-           FROM supplier),
-         tv AS (SELECT poly_id, cx AS x1, cy + h AS y1, cx - w AS x2, cy - h AS y2,
-           cx + w AS x3, cy - h AS y3 FROM tri),
-         inside AS (SELECT point_id, poly_id, px, py FROM (
-             SELECT p.point_id, p.px, p.py, tv.* FROM pts p JOIN tv
-             ON p.px >= tv.x2 AND p.px <= tv.x3 AND p.py >= tv.y2 AND p.py <= tv.y1)
-           WHERE ((CASE WHEN (y1 > py) <> (y3 > py) AND px < (x3 - x1) * (py - y1) / (y3 - y1) + x1 THEN 1 ELSE 0 END)
-                + (CASE WHEN (y2 > py) <> (y1 > py) AND px < (x1 - x2) * (py - y2) / (y1 - y2) + x2 THEN 1 ELSE 0 END)
-                + (CASE WHEN (y3 > py) <> (y2 > py) AND px < (x2 - x3) * (py - y3) / (y2 - y3) + x3 THEN 1 ELSE 0 END)) % 2 = 1),
-         ek AS (SELECT point_id, px AS lng, py AS lat,
-           CAST(floor(px) AS BIGINT) AS swlng, CAST(floor(py) AS BIGINT) AS swlat,
-           (px - floor(px)) * 600 AS colf, (py - floor(py)) * 600 AS rowf FROM pts),
-         eg AS (SELECT *, CAST(floor(colf) AS BIGINT) AS c0, CAST(floor(rowf) AS BIGINT) AS r0,
-           colf - floor(colf) AS cf, rowf - floor(rowf) AS rf,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM ek),
-         ev AS (SELECT *,
-           a + 2*c0     + 3*r0     + ((c0//8)*(r0//8)) % 32         AS v00,
-           a + 2*(c0+1) + 3*r0     + (((c0+1)//8)*(r0//8)) % 32     AS v10,
-           a + 2*(c0+1) + 3*(r0+1) + (((c0+1)//8)*((r0+1)//8)) % 32 AS v11,
-           a + 2*c0     + 3*(r0+1) + ((c0//8)*((r0+1)//8)) % 32     AS v01 FROM eg),
-         e AS (SELECT point_id,
-           CASE WHEN (swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36) THEN 0.0
-                ELSE (v00 + (v10 - v00) * cf) +
-                     ((v01 + (v11 - v01) * cf) - (v00 + (v10 - v00) * cf)) * rf
-           END AS elev FROM ev)
-         SELECT poly_id, CAST(floor(elev / 256.0) AS BIGINT) AS bin, count(*) AS n
-         FROM inside JOIN e USING (point_id)
-         GROUP BY 1, 2 ORDER BY 1, 2"""
-
-  /** Shared D8 scaffolding of the hydrology oracles: the 100×100 synthetic
-    * grid, its steepest-descent successor table — reused by watershed,
-    * basin-size and flow-accumulation replays.
-    */
-  private val watershedCtes: String =
-    """cells AS (SELECT t1.i AS i, t2.j AS j, t1.i*100 + t2.j AS cell
-           FROM range(0,100) t1(i), range(0,100) t2(j)),
-         e AS (SELECT cell, i, j, (i*i)%97 + (j*j)%89 + (i*j)%31 AS e FROM cells),
-         nb AS (SELECT cell, e, k,
-             i + [1,1,0,-1,-1,-1,0,1][k+1] AS ni,
-             j + [0,1,1,1,0,-1,-1,-1][k+1] AS nj
-           FROM e, range(0,8) t(k)),
-         sc AS (SELECT cell, e, k, ni, nj,
-             CASE WHEN ni BETWEEN 0 AND 99 AND nj BETWEEN 0 AND 99
-                   AND e - ((ni*ni)%97 + (nj*nj)%89 + (ni*nj)%31) > 0
-               THEN e - ((ni*ni)%97 + (nj*nj)%89 + (ni*nj)%31)
-               ELSE -1 END AS drp FROM nb),
-         pick AS (SELECT cell, drp, ni*100 + nj AS nc,
-             row_number() OVER (PARTITION BY cell ORDER BY drp DESC, k ASC) AS rk
-           FROM sc),
-         succ AS (SELECT cell,
-             CASE WHEN drp > 0 THEN nc ELSE cell END AS succ
-           FROM pick WHERE rk = 1)"""
-
-  private val watershedOracleSql: String =
-    s"""WITH RECURSIVE $watershedCtes,
-         w AS (SELECT cell, succ AS cur FROM succ
-           UNION ALL
-           SELECT w.cell, s.succ FROM w JOIN succ s ON s.cell = w.cur
-           WHERE s.succ <> w.cur)
-         SELECT w.cell, w.cur AS sink FROM w JOIN succ s ON s.cell = w.cur
-         WHERE s.succ = w.cur ORDER BY w.cell"""
-
-  /** Flow-accumulation oracle: every cell's downstream path enumerated by
-    * the recursive walk (one row per (source, downstream node), absorbing
-    * at the sink), then upstream counts per node + self.
-    */
-  private val flowaccumOracleSql: String =
-    s"""WITH RECURSIVE $watershedCtes,
-         p AS (SELECT cell, succ AS cur FROM succ WHERE succ <> cell
-           UNION ALL
-           SELECT p.cell, s.succ FROM p JOIN succ s ON s.cell = p.cur
-           WHERE s.succ <> p.cur)
-         SELECT s.cell, CAST(1 + COALESCE(q.cnt, 0) AS BIGINT) AS acc
-         FROM succ s LEFT JOIN (SELECT cur, count(*) AS cnt FROM p GROUP BY 1) q
-           ON q.cur = s.cell
-         ORDER BY s.cell"""
-
-  /** hex_rollup oracle: res-9 axial assignment → per-cell counts → centers
-    * re-assigned at res 7 — op-order-identical to Hex.cellToParent
-    * (cellCenter → latLngToCell; Sqrt3 = sqrt(3.0) in both engines).
-    */
-  private val hexRollupOracleSql: String = {
-    val e9 = graft.geo.Hex.edge(9)
-    val e7 = graft.geo.Hex.edge(7)
-    s"""WITH pts AS ($quadrantPtsCte),
-       ax9 AS (SELECT point_id,
-         (sqrt(3.0)/3.0 * lng - lat/3.0) / CAST('$e9' AS DOUBLE) AS qf,
-         (2.0/3.0 * lat) / CAST('$e9' AS DOUBLE) AS rf FROM pts),
-       r09 AS (SELECT point_id, qf, rf, -qf - rf AS sf,
-         CAST(floor(qf + 0.5) AS BIGINT) AS qi,
-         CAST(floor(rf + 0.5) AS BIGINT) AS ri,
-         CAST(floor(-qf - rf + 0.5) AS BIGINT) AS si FROM ax9),
-       rr9 AS (SELECT point_id,
-         CASE WHEN abs(qi - qf) > abs(ri - rf) AND abs(qi - qf) > abs(si - sf)
-              THEN -ri - si ELSE qi END AS q,
-         CASE WHEN NOT (abs(qi - qf) > abs(ri - rf) AND abs(qi - qf) > abs(si - sf))
-                   AND abs(ri - rf) > abs(si - sf)
-              THEN -qi - si ELSE ri END AS r FROM r09),
-       g AS (SELECT q, r, count(*) AS n9 FROM rr9 GROUP BY 1, 2),
-       ctr AS (SELECT n9,
-         CAST('$e9' AS DOUBLE) * (sqrt(3.0) * q + sqrt(3.0) / 2.0 * r) AS cx,
-         CAST('$e9' AS DOUBLE) * (CAST(1.5 AS DOUBLE) * r) AS cy FROM g),
-       ax7 AS (SELECT n9,
-         (sqrt(3.0)/3.0 * cx - cy/3.0) / CAST('$e7' AS DOUBLE) AS qf,
-         (2.0/3.0 * cy) / CAST('$e7' AS DOUBLE) AS rf FROM ctr),
-       r07 AS (SELECT *, -qf - rf AS sf,
-         CAST(floor(qf + 0.5) AS BIGINT) AS qi,
-         CAST(floor(rf + 0.5) AS BIGINT) AS ri,
-         CAST(floor(-qf - rf + 0.5) AS BIGINT) AS si FROM ax7),
-       rr7 AS (SELECT n9,
-         CASE WHEN abs(qi - qf) > abs(ri - rf) AND abs(qi - qf) > abs(si - sf)
-              THEN -ri - si ELSE qi END AS q7,
-         CASE WHEN NOT (abs(qi - qf) > abs(ri - rf) AND abs(qi - qf) > abs(si - sf))
-                   AND abs(ri - rf) > abs(si - sf)
-              THEN -qi - si ELSE ri END AS r7 FROM r07)
-       SELECT CAST(7 AS BIGINT) * 288230376151711744 + (q7 + 268435456) * 536870912 + (r7 + 268435456) AS cell7,
-         CAST(sum(n9) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_children
-       FROM rr7 GROUP BY 1 ORDER BY 1"""
-  }
-
-  /** Mosaic-downsample oracle: the 2:1 box mean over the assembled 2°
-    * block, every sample recomputed closed-form (TileGen.sampleAt), absent
-    * tiles ⇒ 0, `>> 2` exact mean.
-    */
-  private val tileMosaicOracleSql: String = {
-    def samp(rE: String, cE: String): String =
-      s"""(CASE WHEN ((plng + ($cE) // 600) = -118 AND (36 + ($rE) // 600) = 37)
-              OR ((plng + ($cE) // 600) = -117 AND (36 + ($rE) // 600) = 36) THEN 0
-           ELSE ((plng + ($cE) // 600 + 180)*7 + (36 + ($rE) // 600 + 90)*11) % 1000
-                + 2*(($cE) % 600) + 3*(($rE) % 600)
-                + (((($cE) % 600)//8) * ((($rE) % 600)//8)) % 32 END)"""
-    s"""WITH rc AS (SELECT plng, tr.r AS r, tc.c AS c
-         FROM (VALUES (-120), (-118)) p(plng),
-              range(0,600) tr(r), range(0,600) tc(c)),
-       s AS (SELECT plng, r, c,
-         (${samp("2*r", "2*c")} + ${samp("2*r", "2*c+1")} +
-          ${samp("2*r+1", "2*c")} + ${samp("2*r+1", "2*c+1")}) >> 2 AS v
-         FROM rc)
-       SELECT plng, 36 AS plat, CAST(count(*) AS BIGINT) AS n_px,
-         CAST(sum(v) AS BIGINT) AS v_sum, CAST(sum(v*r) AS BIGINT) AS vr_sum,
-         CAST(sum(v*c) AS BIGINT) AS vc_sum
-       FROM s GROUP BY plng ORDER BY plng"""
-  }
-
-  /** Power-iteration oracle: the 3 rounds of integer-exact Xᵀ(Xv) unrolled
-    * as CTE chains (v0 = e₀·1000; per-round ÷2²⁰ and max-normalize as
-    * floor-of-double-division, mirroring Embeddings.powerIteration).
-    */
-  /** Shared WITH-body of the power-iteration replay: x (milli-quantized
-    * corpus), v0 (seed) and per-round dot/u/s/m/v CTEs — reused by the
-    * projection oracle below.
-    */
-  private def powerIterCtes(rounds: Int): String = {
-    val roundCtes = (1 to rounds).map { r =>
-      s"""dot$r AS (SELECT vec_id, CAST(sum(xq * v) AS BIGINT) AS s
-           FROM x JOIN v${r - 1} USING (d) GROUP BY 1),
-         u$r AS (SELECT d, CAST(sum(xq * s) AS BIGINT) AS u
-           FROM x JOIN dot$r USING (vec_id) GROUP BY 1),
-         s$r AS (SELECT d, CAST(floor(CAST(u AS DOUBLE)/1048576.0) AS BIGINT) AS su
-           FROM u$r),
-         m$r AS (SELECT max(abs(su)) AS m FROM s$r),
-         v$r AS (SELECT d, CAST(floor(CAST(su AS DOUBLE)*1000.0/CAST(m AS DOUBLE))
-           AS BIGINT) AS v FROM s$r, m$r)"""
-    }.mkString(",\n         ")
-    s"""x AS (SELECT vec_id, d,
-           CAST(floor(CAST(embedding[d+1] AS DOUBLE) * 1000.0) AS BIGINT) AS xq
-         FROM embeddings, range(0,64) t(d)),
-       v0 AS (SELECT d, CASE WHEN d = 0 THEN 1000 ELSE 0 END AS v
-         FROM range(0,64) t(d)),
-       $roundCtes"""
-  }
-
-  private def powerIterOracleSql(rounds: Int): String = {
-    val out = (1 to rounds)
-      .map(r => s"SELECT $r AS rnd, d, v FROM v$r").mkString(" UNION ALL ")
-    s"""WITH ${powerIterCtes(rounds)}
-       SELECT * FROM ($out) ORDER BY rnd, d"""
-  }
-
-  /** PCA-projection oracle: the round-3 direction replayed via the shared
-    * CTEs, then the same milli-quantized integer dot per vector.
-    */
-  private val pcaProjectOracleSql: String =
-    s"""WITH ${powerIterCtes(3)}
-       SELECT vec_id, CAST(sum(xq * v) AS BIGINT) AS score
-       FROM x JOIN v3 USING (d) GROUP BY 1 ORDER BY vec_id"""
-
-  /** PageRank oracle: the 3 rounds unrolled as CTE chains — every step an
-    * integer floor-division (`//` = Spark `DIV` on positive operands) or an
-    * order-independent sum, so ranks are bit-equal across engines.
-    */
-  private val pagerankOracleSql: String = {
-    val rounds = (1 to 3).map { r =>
-      s"""c$r AS (SELECT e.dst AS node, sum(rr.pr // o.outdeg) AS inflow
-           FROM r${r - 1} rr JOIN outdeg o USING (node)
-           JOIN e ON e.src = rr.node GROUP BY 1),
-         r$r AS (SELECT n.node,
-             150000 + (850000 * COALESCE(c.inflow, 0)) // 1000000 AS pr
-           FROM nodes n LEFT JOIN c$r c USING (node))"""
-    }.mkString(",\n         ")
-    s"""WITH e AS (SELECT DISTINCT l_suppkey % 500 AS src,
-           l_partkey % 500 AS dst FROM lineitem),
-         nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
-         outdeg AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
-         r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
-         $rounds
-         SELECT node, CAST(pr AS BIGINT) AS pr FROM r3 ORDER BY node"""
-  }
-
-  /** HITS oracle: the engine's 3 fixed rounds unrolled as CTEs — per round
-    * auth_raw = Σ hub over in-edges, L1-renormalized to ppm by truncating
-    * division, then hub_raw = Σ NEW auth over out-edges, renormalized the
-    * same way. All arithmetic non-negative integers, so DuckDB's `//`
-    * equals Spark's DIV bit-for-bit.
-    */
-  private val hitsOracleSql: String = {
-    def norm(raw: String, out: String) =
-      s"""(SELECT n.node,
-             (COALESCE(x.raw, 0) * 1000000) // (SELECT sum(raw) FROM $raw) AS $out
-           FROM nodes n LEFT JOIN $raw x USING (node))"""
-    val rounds = (1 to 3).map { r =>
-      s"""ar$r AS (SELECT e.dst AS node, sum(h.hub) AS raw
-           FROM h${r - 1} h JOIN e ON e.src = h.node GROUP BY 1),
-         a$r AS ${norm(s"ar$r", "auth")},
-         hr$r AS (SELECT e.src AS node, sum(a.auth) AS raw
-           FROM a$r a JOIN e ON e.dst = a.node GROUP BY 1),
-         h$r AS ${norm(s"hr$r", "hub")}"""
-    }.mkString(",\n         ")
-    s"""WITH e AS (SELECT DISTINCT l_suppkey % 500 AS src,
-           l_partkey % 500 AS dst FROM lineitem
-           WHERE l_suppkey % 500 <> l_partkey % 500),
-         nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
-         h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM nodes),
-         $rounds
-         SELECT CAST(a3.node AS BIGINT) AS node, CAST(a3.auth AS BIGINT) AS auth,
-                CAST(h3.hub AS BIGINT) AS hub
-         FROM a3 JOIN h3 USING (node) ORDER BY node"""
-  }
-
-  /** Two-hop oracle: wedge join for distance-2 candidates, EXISTS
-    * anti-filter for direct neighbors, same canonical-undirected recipe.
-    */
-  private val twoHopOracleSql: String =
-    """WITH e AS (SELECT DISTINCT
-           GREATEST(l_suppkey % 500, l_partkey % 500) AS hi,
-           LEAST(l_suppkey % 500, l_partkey % 500) AS lo
-         FROM lineitem WHERE l_orderkey % 7 = 0),
-       e2 AS (SELECT hi, lo FROM e WHERE hi <> lo),
-       sym AS (SELECT lo AS u, hi AS v FROM e2
-               UNION ALL SELECT hi AS u, lo AS v FROM e2),
-       direct AS (SELECT u AS node, count(*) AS n_direct FROM sym GROUP BY 1),
-       th AS (SELECT DISTINCT a.u, b.v AS w FROM sym a JOIN sym b ON a.v = b.u
-         WHERE b.v <> a.u),
-       thx AS (SELECT u, w FROM th WHERE NOT EXISTS
-         (SELECT 1 FROM sym s WHERE s.u = th.u AND s.v = th.w)),
-       t2 AS (SELECT u AS node, count(*) AS n_twohop FROM thx GROUP BY 1)
-       SELECT CAST(d.node AS BIGINT) AS node,
-         CAST(n_direct AS BIGINT) AS n_direct,
-         CAST(COALESCE(n_twohop, 0) AS BIGINT) AS n_twohop
-       FROM direct d LEFT JOIN t2 USING (node) ORDER BY node"""
-
-  /** Label-propagation oracle: the engine's 3 deterministic mode-vote
-    * sweeps unrolled — per round, neighbor-label counts then the per-node
-    * argmax with the (cnt DESC, lbl ASC) tie order as QUALIFY. Same
-    * canonical-undirected graph recipe as the k-core oracle.
-    */
-  private val labelpropOracleSql: String = {
-    val rounds = (1 to 3).map { r =>
-      s"""v$r AS (SELECT s.u AS node, l.lbl, count(*) AS cnt
-           FROM sym s JOIN l${r - 1} l ON s.v = l.node GROUP BY 1, 2),
-         l$r AS (SELECT node, lbl FROM v$r
-           QUALIFY row_number() OVER (PARTITION BY node
-             ORDER BY cnt DESC, lbl ASC) = 1)"""
-    }.mkString(",\n         ")
-    s"""WITH e AS (SELECT DISTINCT
-           GREATEST(l_suppkey % 500, l_partkey % 500) AS hi,
-           LEAST(l_suppkey % 500, l_partkey % 500) AS lo
-         FROM lineitem WHERE l_orderkey % 7 = 0),
-         e2 AS (SELECT hi, lo FROM e WHERE hi <> lo),
-         sym AS (SELECT lo AS u, hi AS v FROM e2
-                 UNION ALL SELECT hi AS u, lo AS v FROM e2),
-         l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym),
-         $rounds
-         SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS lbl
-         FROM l3 ORDER BY node"""
-  }
-
-  /** k-core oracle: the engine's fixed-round peel unrolled as CTEs — per
-    * round, degrees over edges with BOTH endpoints in the prior survivor
-    * set, HAVING deg ≥ k. Same graph recipe as the engine (canonical
-    * undirected dedup, self-loops dropped, adjacency doubled).
-    */
-  private val kcoreOracleSql: String = {
-    val rounds = (1 to 4).map { r =>
-      s"""d$r AS (SELECT s.u AS node, count(*) AS deg
-           FROM sym s JOIN a${r - 1} x ON s.u = x.node
-           JOIN a${r - 1} y ON s.v = y.node
-           GROUP BY 1 HAVING count(*) >= 18),
-         a$r AS (SELECT node FROM d$r)"""
-    }.mkString(",\n         ")
-    s"""WITH e AS (SELECT DISTINCT
-           GREATEST(l_suppkey % 500, l_partkey % 500) AS hi,
-           LEAST(l_suppkey % 500, l_partkey % 500) AS lo
-         FROM lineitem WHERE l_orderkey % 7 = 0),
-         e2 AS (SELECT hi, lo FROM e WHERE hi <> lo),
-         sym AS (SELECT lo AS u, hi AS v FROM e2
-                 UNION ALL SELECT hi AS u, lo AS v FROM e2),
-         a0 AS (SELECT DISTINCT u AS node FROM sym),
-         $rounds
-         SELECT node, CAST(deg AS BIGINT) AS deg FROM d4 ORDER BY node"""
-  }
-
-  /** Sobel oracle: both 3×3 kernels replayed over the closed-form curvy
-    * field (same grid recipe as the img_blur laplacian oracle, but the
-    * asymmetric Gy pins the south-first row orientation too).
-    */
-  private val sobelOracleSql: String = {
-    def v(c: String, r: String) = gridV(c, r)
-    val gx = s"((${v("c.range+1", "r.range-1")} + 2*${v("c.range+1", "r.range")} + ${v("c.range+1", "r.range+1")})" +
-      s" - (${v("c.range-1", "r.range-1")} + 2*${v("c.range-1", "r.range")} + ${v("c.range-1", "r.range+1")}))"
-    val gy = s"((${v("c.range-1", "r.range+1")} + 2*${v("c.range", "r.range+1")} + ${v("c.range+1", "r.range+1")})" +
-      s" - (${v("c.range-1", "r.range-1")} + 2*${v("c.range", "r.range-1")} + ${v("c.range+1", "r.range-1")}))"
-    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-       k AS (SELECT swlng, swlat,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-       g AS (SELECT swlng, swlat, $gx AS gx, $gy AS gy
-         FROM k, range(1,600) r, range(1,600) c)
-       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-         CAST(count(*) AS BIGINT) AS n_int,
-         CAST(sum(gx) AS BIGINT) AS gx_sum,
-         CAST(sum(gy) AS BIGINT) AS gy_sum,
-         CAST(sum(gx*gx + gy*gy) AS BIGINT) AS energy_sum,
-         CAST(max(gx*gx + gy*gy) AS BIGINT) AS energy_max
-       FROM g GROUP BY swlng, swlat ORDER BY image_id"""
-  }
-
-  /** Harris oracle: every 2×2 interior block's Sobel structure tensor from
-    * the closed-form field (299×299 blocks over rows/cols 1..598), the
-    * integer response 16·det − trace², census + argmax (ties → smallest
-    * (br, bc)). Sums cast to BIGINT (DuckDB integer sums widen to HUGEINT).
-    */
-  private val harrisOracleSql: String = {
-    val cb = "(1 + 2*bc.range + dc.range)"
-    val rb = "(1 + 2*br.range + dr.range)"
-    def v(dc: Int, dr: Int) = gridV(s"$cb+($dc)", s"$rb+($dr)")
-    val gx = s"((${v(1, -1)} + 2*${v(1, 0)} + ${v(1, 1)})" +
-      s" - (${v(-1, -1)} + 2*${v(-1, 0)} + ${v(-1, 1)}))"
-    val gy = s"((${v(-1, 1)} + 2*${v(0, 1)} + ${v(1, 1)})" +
-      s" - (${v(-1, -1)} + 2*${v(0, -1)} + ${v(1, -1)}))"
-    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-       k AS (SELECT swlng, swlat,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-       g AS (SELECT swlng, swlat, br.range AS br, bc.range AS bc,
-           $gx AS gx, $gy AS gy
-         FROM k, range(0,299) br, range(0,299) bc, range(0,2) dr, range(0,2) dc),
-       st AS (SELECT swlng, swlat, br, bc,
-           CAST(sum(gx*gx) AS BIGINT) AS sxx, CAST(sum(gy*gy) AS BIGINT) AS syy,
-           CAST(sum(gx*gy) AS BIGINT) AS sxy
-         FROM g GROUP BY 1, 2, 3, 4),
-       resp AS (SELECT swlng, swlat, br, bc,
-           16*(sxx*syy - sxy*sxy) - (sxx+syy)*(sxx+syy) AS r16 FROM st),
-       agg AS (SELECT swlng, swlat, CAST(count(*) AS BIGINT) AS n_blocks,
-           CAST(sum(CASE WHEN r16 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corners
-         FROM resp GROUP BY 1, 2),
-       best AS (SELECT swlng, swlat, r16, br, bc,
-           row_number() OVER (PARTITION BY swlng, swlat ORDER BY r16 DESC, br, bc) AS rn
-         FROM resp)
-       SELECT (CASE WHEN a.swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(a.swlat) AS VARCHAR),2,'0') ||
-           CASE WHEN a.swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(a.swlng) AS VARCHAR),3,'0')) AS image_id,
-         a.n_blocks, a.n_corners, CAST(b.r16 AS BIGINT) AS r_max,
-         CAST(b.br AS INT) AS best_br, CAST(b.bc AS INT) AS best_bc
-       FROM agg a JOIN best b ON a.swlng = b.swlng AND a.swlat = b.swlat AND b.rn = 1
-       ORDER BY image_id"""
-  }
-
-  /** Seam oracle: horizontal TV pooled to the 20×20 block grid (rows/cols
-    * 0..599, gradient to c+1), then the 19 vertical-seam DP rounds
-    * unrolled as min-join CTEs; final column ties break to the smallest
-    * index via the same (cost, bc) row_number order as the engine.
-    */
-  private val seamOracleSql: String = {
-    val v = gridV("c.range", "r.range")
-    val vn = gridV("c.range+1", "r.range")
-    val dp = (1 to 19).map { i =>
-      s"""d$i AS (SELECT e.swlng, e.swlat, e.bc, e.e + min(p.cost) AS cost
-         FROM e JOIN d${i - 1} p ON p.swlng = e.swlng AND p.swlat = e.swlat
-           AND abs(p.bc - e.bc) <= 1
-         WHERE e.br = $i GROUP BY e.swlng, e.swlat, e.bc, e.e)"""
-    }.mkString(",\n       ")
-    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-       k AS (SELECT swlng, swlat,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-       e AS (SELECT swlng, swlat, r.range//30 AS br, c.range//30 AS bc,
-           CAST(sum(abs(($vn) - ($v))) AS BIGINT) AS e
-         FROM k, range(0,600) r, range(0,600) c GROUP BY 1, 2, 3, 4),
-       d0 AS (SELECT swlng, swlat, bc, e AS cost FROM e WHERE br = 0),
-       $dp,
-       best AS (SELECT swlng, swlat, cost, bc,
-           row_number() OVER (PARTITION BY swlng, swlat ORDER BY cost, bc) AS rn
-         FROM d19)
-       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-         CAST(20 AS INT) AS n_block_rows, CAST(20 AS INT) AS n_block_cols,
-         CAST(cost AS BIGINT) AS seam_cost, CAST(bc AS BIGINT) AS end_col
-       FROM best WHERE rn = 1 ORDER BY image_id"""
-  }
-
-  /** Haar oracle: every 2×2 block of the closed-form field (300×300 blocks
-    * over the even 600×600 prefix of the 601-size grid), the four subband
-    * values assembled from the same NW/NE/SW/SE corners the kernel reads.
-    */
-  private val haarOracleSql: String = {
-    val va = gridV("2*c.range", "2*r.range")
-    val vb = gridV("2*c.range+1", "2*r.range")
-    val vc = gridV("2*c.range", "2*r.range+1")
-    val vd = gridV("2*c.range+1", "2*r.range+1")
-    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-       k AS (SELECT swlng, swlat,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-       b AS (SELECT swlng, swlat,
-           ($va + $vb + $vc + $vd) AS ll,
-           (($va + $vc) - ($vb + $vd)) AS lh,
-           (($va + $vb) - ($vc + $vd)) AS hl,
-           ($va - $vb - $vc + $vd) AS hh
-         FROM k, range(0,300) r, range(0,300) c)
-       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-         CAST(count(*) AS BIGINT) AS n_blocks,
-         CAST(sum(ll) AS BIGINT) AS ll_sum,
-         CAST(sum(lh*lh) AS BIGINT) AS lh_energy,
-         CAST(sum(hl*hl) AS BIGINT) AS hl_energy,
-         CAST(sum(hh*hh) AS BIGINT) AS hh_energy
-       FROM b GROUP BY swlng, swlat ORDER BY image_id"""
-  }
-
-  /** FAST-12 oracle: every circle pixel replayed from the closed-form
-    * curvy field (margin-3 interior, range(3,598)); bright/dark masks as
-    * bit sums generated from the SAME [[ops.ImageOps.FastOffsets]] table
-    * the kernel walks, contiguous-12 by the identical doubled-mask trick
-    * in DuckDB bit arithmetic.
-    */
-  /** Registration oracle: both epochs' FAST corner tables (epoch B's field
-    * is the generator shifted by (+2, +3)), descriptor equi-join,
-    * displacement vote, per-image mode.
-    */
-  private val registerOracleSql: String = {
-    val thr = 2
-    def run12(mm: String) = (1 to 11).map(k => s"($mm >> $k)")
-      .mkString(s"(($mm & ", " & ", ") & 65535) <> 0")
-    def cornerCtes(tag: String, sc: Int, sr: Int): String = {
-      def v(dc: Int, dr: Int) =
-        gridV(s"c.range+(${dc + sc})", s"r.range+(${dr + sr})")
-      def mask(cmp: String) = ops.ImageOps.FastOffsets.zipWithIndex.map {
-        case ((dr, dc), i) =>
-          s"(CASE WHEN ${v(dc, dr)} $cmp THEN ${1 << i} ELSE 0 END)"
-      }.mkString(" + ")
-      val bm = mask(s">= ${v(0, 0)} + $thr")
-      val dm = mask(s"<= ${v(0, 0)} - $thr")
-      s"""${tag}m AS MATERIALIZED (SELECT swlng, swlat, r.range AS r, c.range AS c,
-            ${v(0, 0)} AS v0, $bm AS bm, $dm AS dm
-          FROM k, range(3,598) r, range(3,598) c),
-         ${tag}t AS (SELECT swlng, swlat, r, c, v0, bm, dm,
-            ((CAST(bm AS BIGINT) << 16) | CAST(bm AS BIGINT)) AS bmm,
-            ((CAST(dm AS BIGINT) << 16) | CAST(dm AS BIGINT)) AS dmm FROM ${tag}m),
-         $tag AS MATERIALIZED (SELECT swlng, swlat, r, c,
-             ((((CAST(bm AS BIGINT) << 16) | CAST(dm AS BIGINT)) << 12)
-               | (CAST(v0 AS BIGINT) % 4096)) AS code
-           FROM ${tag}t WHERE (${run12("bmm")}) OR (${run12("dmm")}))"""
-    }
-    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-       k AS (SELECT swlng, swlat,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-       ${cornerCtes("cna", 0, 0)},
-       ${cornerCtes("cnb", 3, 2)},
-       v AS (SELECT a.swlng, a.swlat, a.r - b.r AS dr, a.c - b.c AS dc,
-           count(*) AS n_votes
-         FROM cna a JOIN cnb b ON b.swlng = a.swlng AND b.swlat = a.swlat
-           AND b.code = a.code
-         GROUP BY 1, 2, 3, 4),
-       tt AS (SELECT swlng, swlat, CAST(sum(n_votes) AS BIGINT) AS n_matches
-         FROM v GROUP BY 1, 2),
-       rk AS (SELECT *, row_number() OVER (PARTITION BY swlng, swlat
-           ORDER BY n_votes DESC, dr, dc) AS rn FROM v)
-       SELECT (CASE WHEN rk.swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(rk.swlat) AS VARCHAR),2,'0') ||
-           CASE WHEN rk.swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(rk.swlng) AS VARCHAR),3,'0')) AS image_id,
-         CAST(dr AS INT) AS dr, CAST(dc AS INT) AS dc,
-         CAST(n_votes AS BIGINT) AS n_votes, tt.n_matches
-       FROM rk JOIN tt ON tt.swlng = rk.swlng AND tt.swlat = rk.swlat
-       WHERE rn = 1 ORDER BY image_id"""
-  }
-
-  private val fastOracleSql: String = {
-    val thr = 2
-    def v(dc: Int, dr: Int) =
-      gridV(s"c.range+($dc)", s"r.range+($dr)")
-    def mask(cmp: String) = ops.ImageOps.FastOffsets.zipWithIndex.map {
-      case ((dr, dc), i) =>
-        s"(CASE WHEN ${v(dc, dr)} $cmp THEN ${1 << i} ELSE 0 END)"
-    }.mkString(" + ")
-    val bm = mask(s">= ${v(0, 0)} + $thr")
-    val dm = mask(s"<= ${v(0, 0)} - $thr")
-    def run12(mm: String) = (1 to 11).map(k => s"($mm >> $k)")
-      .mkString(s"(($mm & ", " & ", ") & 65535) <> 0")
-    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-       k AS (SELECT swlng, swlat,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-       m AS (SELECT swlng, swlat, $bm AS bm, $dm AS dm
-         FROM k, range(3,598) r, range(3,598) c),
-       t AS (SELECT swlng, swlat,
-           ((CAST(bm AS BIGINT) << 16) | CAST(bm AS BIGINT)) AS bmm,
-           ((CAST(dm AS BIGINT) << 16) | CAST(dm AS BIGINT)) AS dmm FROM m),
-       f AS (SELECT swlng, swlat,
-           CASE WHEN ${run12("bmm")} THEN 1 ELSE 0 END AS isb,
-           CASE WHEN ${run12("dmm")} THEN 1 ELSE 0 END AS isd FROM t)
-       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-         CAST(count(*) AS BIGINT) AS n_tested,
-         CAST(sum(isb) AS BIGINT) AS n_bright,
-         CAST(sum(isd) AS BIGINT) AS n_dark,
-         CAST(sum(CASE WHEN isb = 1 OR isd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_corners
-       FROM f GROUP BY swlng, swlat ORDER BY image_id"""
-  }
-
-  /** LBP oracle: every interior neighborhood replayed from the closed
-    * form; bit weights generated from the SAME [[ops.ImageOps.LbpOffsets]]
-    * table the kernel walks.
-    */
-  private val lbpOracleSql: String = {
-    def v(dc: Int, dr: Int) = gridV(s"c.range+($dc)", s"r.range+($dr)")
-    val code = ops.ImageOps.LbpOffsets.zipWithIndex.map {
-      case ((dr, dc), i) =>
-        s"(CASE WHEN ${v(dc, dr)} >= ${v(0, 0)} THEN ${1 << i} ELSE 0 END)"
-    }.mkString(" + ")
-    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-       k AS (SELECT swlng, swlat,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-       p AS (SELECT swlng, swlat, $code AS code
-         FROM k, range(1,600) r, range(1,600) c)
-       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-         CAST(code AS INT) AS code,
-         CAST(count(*) AS BIGINT) AS n
-       FROM p GROUP BY swlng, swlat, code ORDER BY image_id, code"""
-  }
-
-  /** Bit-plane oracle: all samples from the closed form, per-plane set
-    * counts via `(v // 2^b) % 2` (samples are non-negative, so integer
-    * division matches the kernel's shift-and-mask exactly).
-    */
-  private val bitPlanesOracleSql: String = {
-    val v = gridV("c.range", "r.range")
-    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-       k AS (SELECT swlng, swlat,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-       px AS (SELECT swlng, swlat, $v AS v
-         FROM k, range(0,601) r, range(0,601) c)
-       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-         CAST(b.range AS INT) AS plane,
-         CAST(sum((v // (1 << CAST(b.range AS INT))) % 2) AS BIGINT) AS n_set
-       FROM px, range(0, 12) b
-       GROUP BY swlng, swlat, b.range ORDER BY image_id, plane"""
-  }
-
-  /** Roughness-pyramid oracle: per depth, block ranges as a GROUP BY on
-    * the (r//bs, c//bs) block grid of the closed-form field, then the
-    * per-image Σ/max rollup; depths unrolled as a UNION ALL.
-    */
-  private val roughnessOracleSql: String = {
-    val v = gridV("c.range", "r.range")
-    val parts = (0 until 4).map { dep =>
-      val nb = 1 << dep
-      val bs = 600 / nb
-      s"""SELECT swlng, swlat, $dep AS depth,
-          CAST(${nb.toLong * nb} AS BIGINT) AS n_blocks,
-          CAST(sum(rng) AS BIGINT) AS range_sum,
-          CAST(max(rng) AS BIGINT) AS range_max
-        FROM (SELECT swlng, swlat, (r.range // $bs) AS br,
-            (c.range // $bs) AS bc, max($v) - min($v) AS rng
-          FROM k, range(0,600) r, range(0,600) c
-          GROUP BY 1, 2, 3, 4) GROUP BY 1, 2, 3"""
-    }.mkString("\n         UNION ALL ")
-    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-       k AS (SELECT swlng, swlat,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners)
-       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-         CAST(depth AS INT) AS depth, n_blocks, range_sum, range_max
-       FROM ($parts) ORDER BY image_id, depth"""
-  }
-
-  /** Quadtree-leaf oracle: every depth's block ranges from the closed-form
-    * field (same grid GROUP BY as the roughness oracle), then the leaf
-    * predicate replayed declaratively — a block is a leaf iff its own range
-    * stops the split (rng ≤ thr, or the depth cap) AND every strict
-    * ancestor split (rng > thr), the ancestor found by integer-dividing the
-    * block coordinates.
-    */
-  private val quadtreeOracleSql: String = {
-    val v = gridV("c.range", "r.range")
-    val parts = (0 to 3).map { dep =>
-      val bs = 600 >> dep
-      s"""SELECT swlng, swlat, $dep AS depth, (r.range // $bs) AS br,
-            (c.range // $bs) AS bc, max($v) - min($v) AS rng
-          FROM k, range(0,600) r, range(0,600) c
-          GROUP BY 1, 2, 3, 4, 5"""
-    }.mkString("\n         UNION ALL ")
-    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-       k AS (SELECT swlng, swlat,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-       blk AS ($parts)
-       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-         CAST(depth AS INT) AS depth, CAST(br AS INT) AS br,
-         CAST(bc AS INT) AS bc, CAST(rng AS BIGINT) AS rng
-       FROM blk b
-       WHERE (b.rng <= 770 OR b.depth = 3)
-         AND NOT EXISTS (SELECT 1 FROM blk anc
-           WHERE anc.swlng = b.swlng AND anc.swlat = b.swlat
-             AND anc.depth < b.depth AND anc.rng <= 770
-             AND anc.br = b.br // (1 << (b.depth - anc.depth))
-             AND anc.bc = b.bc // (1 << (b.depth - anc.depth)))
-       ORDER BY image_id, depth, br, bc"""
-  }
-
-  /** Hilbert-key oracle: the published xy→d recurrence unrolled as 8 CTE
-    * steps — quadrant digit `(3·rx)⊕ry` written as the polynomial
-    * `3rx + ry − 2·rx·ry` (rx, ry ∈ {0,1}), then the reflect+transpose
-    * frame update, all in exact integers.
-    */
-  /** The 8-level Hilbert quadrant+rotation recurrence as chained CTEs
-    * (h1..h8 from h0) — shared by the hilbert-key oracle and the
-    * curve-locality audit.
-    */
-  private def hilbertStepCtes: String =
-    (0 until 8).map { i =>
-      val sv = 128 >> i
-      s"""h${i + 1} AS (SELECT point_id,
-          d + ${sv.toLong * sv} * (3 * rx + ry - 2 * rx * ry) AS d,
-          CASE WHEN ry = 1 THEN x ELSE (CASE WHEN rx = 1 THEN $sv - 1 - y ELSE y END) END AS x,
-          CASE WHEN ry = 1 THEN y ELSE (CASE WHEN rx = 1 THEN $sv - 1 - x ELSE x END) END AS y
-        FROM (SELECT point_id, d, x, y,
-            CASE WHEN (x & $sv) > 0 THEN 1 ELSE 0 END AS rx,
-            CASE WHEN (y & $sv) > 0 THEN 1 ELSE 0 END AS ry FROM h$i))"""
-    }.mkString(",\n         ")
-
-  /** Bit-interleave Morton key of two 8-bit axes as a pure arithmetic
-    * expression; `div` is the integer-division token ("DIV" Spark,
-    * "//" DuckDB).
-    */
-  private def mortonSql(qx: String, qy: String, div: String): String =
-    (0 until 8).map { k =>
-      val p = 1 << k
-      s"(($qx $div $p) % 2) * ${1L << (2 * k)} + " +
-        s"(($qy $div $p) % 2) * ${1L << (2 * k + 1)}"
-    }.mkString(" + ")
-
-  private val hilbertOracleSql: String = {
-    val steps = hilbertStepCtes
-    s"""WITH pts AS (SELECT c_custkey AS point_id,
-         -180 + (c_custkey % 360) + 0.5 AS lng,
-         -90 + ((c_custkey * 7) % 180) + 0.25 AS lat FROM customer),
-       h0 AS (SELECT point_id, CAST(0 AS BIGINT) AS d,
-         LEAST(255, GREATEST(0, CAST(floor(((lng + 180.0) / 360.0) * 256.0) AS BIGINT))) AS x,
-         LEAST(255, GREATEST(0, CAST(floor(((lat + 90.0) / 180.0) * 256.0) AS BIGINT))) AS y FROM pts),
-       $steps
-       SELECT point_id, CAST(d AS BIGINT) AS hkey FROM h8 ORDER BY point_id"""
-  }
-
-  /** MMR oracle: the exact cosine top-20 kernel (same list_sum fold as
-    * ann_cosine_topk), the candidate pairwise-sim matrix, then the 4
-    * greedy rounds unrolled — each round scores the not-yet-picked
-    * candidates via a correlated max-sim subquery against the selected
-    * set and picks the (score desc, neighbor_id) winner.
-    */
-  private val mmrOracleSql: String = {
-    val lam = "CAST(0.5 AS DOUBLE)"
-    val rounds = (2 to 4).map { st =>
-      s"""sc$st AS (SELECT c.qid, c.neighbor_id, c.rel,
-            $lam * c.rel - $lam * (SELECT max(s.sim) FROM sim s
-              JOIN sel${st - 1} p ON p.qid = s.qid AND p.neighbor_id = s.ib
-              WHERE s.qid = c.qid AND s.ia = c.neighbor_id) AS score
-          FROM cand c
-          WHERE NOT EXISTS (SELECT 1 FROM sel${st - 1} p
-            WHERE p.qid = c.qid AND p.neighbor_id = c.neighbor_id)),
-         pick$st AS (SELECT qid, $st AS step, neighbor_id, rel, score FROM (
-            SELECT *, row_number() OVER (PARTITION BY qid
-              ORDER BY score DESC, neighbor_id) AS rn FROM sc$st) WHERE rn = 1),
-         sel$st AS (SELECT qid, neighbor_id FROM sel${st - 1}
-           UNION ALL SELECT qid, neighbor_id FROM pick$st)"""
-    }.mkString(",\n         ")
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-       q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 3),
-       p AS (SELECT qid, n.vec_id AS neighbor_id,
-           list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])) / (qnrm * nrm) AS rel
-         FROM q, n WHERE n.vec_id <> qid),
-       cand AS (SELECT qid, neighbor_id, rel FROM (
-           SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, neighbor_id) AS rk
-           FROM p) WHERE rk <= 20),
-       cv AS (SELECT c.qid, c.neighbor_id, n.v, n.nrm FROM cand c
-         JOIN n ON n.vec_id = c.neighbor_id),
-       sim AS (SELECT a.qid, a.neighbor_id AS ia, b.neighbor_id AS ib,
-           list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS sim
-         FROM cv a JOIN cv b ON a.qid = b.qid AND a.neighbor_id <> b.neighbor_id),
-       sc1 AS (SELECT qid, neighbor_id, rel, $lam * rel AS score FROM cand),
-       pick1 AS (SELECT qid, 1 AS step, neighbor_id, rel, score FROM (
-          SELECT *, row_number() OVER (PARTITION BY qid
-            ORDER BY score DESC, neighbor_id) AS rn FROM sc1) WHERE rn = 1),
-       sel1 AS (SELECT qid, neighbor_id FROM pick1),
-       $rounds
-       SELECT qid, CAST(step AS INTEGER) AS step, neighbor_id,
-         round(rel, 4) AS rel_r, round(score, 4) AS score_r
-       FROM (SELECT * FROM pick1 UNION ALL SELECT * FROM pick2
-         UNION ALL SELECT * FROM pick3 UNION ALL SELECT * FROM pick4)
-       ORDER BY qid, step"""
-  }
-
-  /** Median-census oracle: the 9 closed-form neighbour values per interior
-    * pixel as a list, median = list_sort(...)[5], image rollup in exact
-    * integers.
-    */
-  /** Kuwahara oracle: the four 3×3 quadrant (Σx, Σx²) pairs per interior
-    * pixel spelled out over the closed-form grid, min-variance pick by the
-    * same `9·Σx² − (Σx)²` comparison with lowest-index ties, floor-mean
-    * output.
-    */
-  private val kuwaharaOracleSql: String = {
-    def v(dc: Int, dr: Int) = gridV(s"c.range+($dc)", s"r.range+($dr)")
-    def quad(rs: Seq[Int], cs: Seq[Int]) =
-      for { dr <- rs; dc <- cs } yield v(dc, dr)
-    val quads = Seq(
-      quad(-2 to 0, -2 to 0), quad(-2 to 0, 0 to 2),
-      quad(0 to 2, -2 to 0), quad(0 to 2, 0 to 2))
-    val sums = quads.zipWithIndex.map { case (q, i) =>
-      s"(${q.mkString(" + ")}) AS s$i" }.mkString(",\n           ")
-    val ssqs = quads.zipWithIndex.map { case (q, i) =>
-      s"(${q.map(x => s"$x*$x").mkString(" + ")}) AS ss$i" }
-      .mkString(",\n           ")
-    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-       k AS (SELECT swlng, swlat,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-       px AS (SELECT swlng, swlat, ${v(0, 0)} AS v0,
-           $sums,
-           $ssqs
-         FROM k, range(2,599) r, range(2,599) c),
-       nv AS (SELECT swlng, swlat, v0, s0, s1, s2, s3,
-           9*ss0 - s0*s0 AS n0, 9*ss1 - s1*s1 AS n1,
-           9*ss2 - s2*s2 AS n2, 9*ss3 - s3*s3 AS n3 FROM px),
-       pick AS (SELECT swlng, swlat, v0,
-           CASE WHEN n0 <= n1 AND n0 <= n2 AND n0 <= n3 THEN 0
-                WHEN n1 <= n2 AND n1 <= n3 THEN 1
-                WHEN n2 <= n3 THEN 2 ELSE 3 END AS q,
-           CASE WHEN n0 <= n1 AND n0 <= n2 AND n0 <= n3 THEN s0 // 9
-                WHEN n1 <= n2 AND n1 <= n3 THEN s1 // 9
-                WHEN n2 <= n3 THEN s2 // 9 ELSE s3 // 9 END AS outv
-         FROM nv)
-       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-         CAST(count(*) AS BIGINT) AS n_px,
-         CAST(sum(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS q0,
-         CAST(sum(CASE WHEN q = 1 THEN 1 ELSE 0 END) AS BIGINT) AS q1,
-         CAST(sum(CASE WHEN q = 2 THEN 1 ELSE 0 END) AS BIGINT) AS q2,
-         CAST(sum(CASE WHEN q = 3 THEN 1 ELSE 0 END) AS BIGINT) AS q3,
-         CAST(sum(outv) AS BIGINT) AS sum_out,
-         CAST(sum(abs(outv - v0)) AS BIGINT) AS sum_absdiff
-       FROM pick GROUP BY 1 ORDER BY image_id"""
-  }
-
-  /** Structure-tensor oracle: the same central differences over the
-    * closed-form grid, block moments by GROUP BY.
-    */
-  private val structureTensorOracleSql: String = {
-    def v(dc: Int, dr: Int) = gridV(s"c.range+($dc)", s"r.range+($dr)")
-    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-       k AS (SELECT swlng, swlat,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-       g AS (SELECT swlng, swlat, (r.range - 1) // 100 AS py,
-           (c.range - 1) // 100 AS px,
-           (${v(1, 0)}) - (${v(-1, 0)}) AS gx,
-           (${v(0, 1)}) - (${v(0, -1)}) AS gy
-         FROM k, range(1,600) r, range(1,600) c),
-       b AS (SELECT swlng, swlat, py, px, CAST(count(*) AS BIGINT) AS n_px,
-           CAST(sum(gx*gx) AS BIGINT) AS sxx,
-           CAST(sum(gy*gy) AS BIGINT) AS syy,
-           CAST(sum(gx*gy) AS BIGINT) AS sxy
-         FROM g GROUP BY 1, 2, 3, 4)
-       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-         CAST(py AS INT) AS py, CAST(px AS INT) AS px, n_px, sxx, syy, sxy,
-         (sxx - syy) * (sxx - syy) + 4 * sxy * sxy AS coherence_num
-       FROM b ORDER BY image_id, py, px"""
-  }
-
-  /** Farthest-first oracle: 4 unrolled pick rounds, each the LEAST of the
-    * exact integer distances to every prior pivot, top-1 by
-    * (d2 desc, vec_id).
-    */
-  private val farthestFirstOracleSql: String = {
-    def d2(p: String) =
-      s"CAST(list_sum(list_transform(range(1,65), " +
-        s"i -> (q.eq[i] - $p.eq[i]) * (q.eq[i] - $p.eq[i]))) AS BIGINT)"
-    val rounds = (1 to 4).map { r =>
-      val pivots = (0 until r).map(j => s"p$j")
-      val mind =
-        if (r == 1) d2("p0")
-        else pivots.map(d2).mkString("LEAST(", ", ", ")")
-      s"""d$r AS (SELECT q.vec_id, q.eq, $mind AS d2
-         FROM e q, ${pivots.mkString(", ")}),
-         p$r AS (SELECT vec_id, eq, d2 FROM d$r
-           ORDER BY d2 DESC, vec_id LIMIT 1)"""
-    }.mkString(",\n         ")
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding,
-         x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS eq
-         FROM embeddings),
-       p0 AS (SELECT vec_id, eq FROM e ORDER BY vec_id LIMIT 1),
-       $rounds
-       SELECT CAST(0 AS BIGINT) AS pick_no, vec_id,
-         CAST(0 AS BIGINT) AS d2 FROM p0
-       UNION ALL SELECT 1, vec_id, d2 FROM p1
-       UNION ALL SELECT 2, vec_id, d2 FROM p2
-       UNION ALL SELECT 3, vec_id, d2 FROM p3
-       UNION ALL SELECT 4, vec_id, d2 FROM p4
-       ORDER BY pick_no"""
-  }
-
-  /** Block-diversity oracle: value counts per 100² block, distinct/range
-    * rollup + smallest-tie mode by rank.
-    */
-  private val blockDiversityOracleSql: String = {
-    val v = gridV("c.range", "r.range")
-    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-       k AS (SELECT swlng, swlat,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-       g AS (SELECT swlng, swlat, r.range // 100 AS py, c.range // 100 AS px,
-           $v AS v
-         FROM k, range(0,600) r, range(0,600) c),
-       vc AS (SELECT swlng, swlat, py, px, v, CAST(count(*) AS BIGINT) AS cnt
-         FROM g GROUP BY 1, 2, 3, 4, 5),
-       st AS (SELECT swlng, swlat, py, px,
-           CAST(count(*) AS BIGINT) AS n_distinct,
-           CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
-         FROM vc GROUP BY 1, 2, 3, 4),
-       md AS (SELECT swlng, swlat, py, px, CAST(v AS BIGINT) AS mode_v,
-           cnt AS mode_n, row_number() OVER (PARTITION BY swlng, swlat, py, px
-             ORDER BY cnt DESC, v) AS rn
-         FROM vc)
-       SELECT (CASE WHEN st.swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(st.swlat) AS VARCHAR),2,'0') ||
-           CASE WHEN st.swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(st.swlng) AS VARCHAR),3,'0')) AS image_id,
-         CAST(st.py AS INT) AS py, CAST(st.px AS INT) AS px,
-         CAST(10000 AS BIGINT) AS n_px, n_distinct, min_v, max_v,
-         mode_v, mode_n
-       FROM st JOIN md ON md.swlng = st.swlng AND md.swlat = st.swlat
-         AND md.py = st.py AND md.px = st.px AND md.rn = 1
-       ORDER BY image_id, py, px"""
-  }
-
-  /** Blockiness oracle: horizontal + vertical adjacent |Δ| over the 600²
-    * prefix, split by 8-divisible boundary index.
-    */
-  private val blockinessOracleSql: String = {
-    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-       k AS (SELECT swlng, swlat,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-       h AS (SELECT swlng, swlat,
-           abs((${gridV("c.range", "r.range")}) - (${gridV("c.range-1", "r.range")})) AS dv,
-           CASE WHEN c.range % 8 = 0 THEN 1 ELSE 0 END AS isb
-         FROM k, range(0,600) r, range(1,600) c),
-       vv AS (SELECT swlng, swlat,
-           abs((${gridV("c.range", "r.range")}) - (${gridV("c.range", "r.range-1")})) AS dv,
-           CASE WHEN r.range % 8 = 0 THEN 1 ELSE 0 END AS isb
-         FROM k, range(1,600) r, range(0,600) c),
-       u AS (SELECT * FROM h UNION ALL SELECT * FROM vv),
-       ag AS (SELECT swlng, swlat,
-           CAST(sum(CASE WHEN isb = 1 THEN dv ELSE 0 END) AS BIGINT) AS b_sum,
-           CAST(sum(isb) AS BIGINT) AS b_n,
-           CAST(sum(CASE WHEN isb = 0 THEN dv ELSE 0 END) AS BIGINT) AS i_sum,
-           CAST(sum(1 - isb) AS BIGINT) AS i_n
-         FROM u GROUP BY 1, 2)
-       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-         b_sum, b_n, i_sum, i_n,
-         CASE WHEN i_sum = 0 OR b_n = 0 THEN CAST(0 AS BIGINT)
-              ELSE b_sum * i_n * 1000 // (i_sum * b_n) END AS blockiness_milli
-       FROM ag ORDER BY image_id"""
-  }
-
-  /** Bayer-dither oracle: the index-dilation matrix replayed as modular
-    * bit arithmetic, clamped v≫6 level, per-cell rollup.
-    */
-  private val bayerOracleSql: String = {
-    val v = gridV("c.range", "r.range")
-    val bcell = "((rr%2 + cc%2) % 2)*32 + (rr%2)*16" +
-      " + (((rr//2)%2 + (cc//2)%2) % 2)*8 + ((rr//2)%2)*4" +
-      " + (((rr//4)%2 + (cc//4)%2) % 2)*2 + ((rr//4)%2)"
-    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-       k AS (SELECT swlng, swlat,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-       g AS (SELECT swlng, swlat, (r.range % 8) AS rr, (c.range % 8) AS cc,
-           $v AS v
-         FROM k, range(0,601) r, range(0,601) c),
-       b AS (SELECT swlng, swlat, $bcell AS bcell,
-           greatest(0, least(63, v // 64)) AS lvl FROM g)
-       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-         CAST(bcell AS INT) AS bcell, CAST(count(*) AS BIGINT) AS n_px,
-         CAST(sum(CASE WHEN lvl > bcell THEN 1 ELSE 0 END) AS BIGINT) AS n_on
-       FROM b GROUP BY 1, 2 ORDER BY image_id, bcell"""
-  }
-
-  private val medianOracleSql: String = {
-    def v(dc: Int, dr: Int) = gridV(s"c.range+($dc)", s"r.range+($dr)")
-    val nine = (for { dr <- -1 to 1; dc <- -1 to 1 } yield v(dc, dr)).mkString(", ")
-    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-       k AS (SELECT swlng, swlat,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-       px AS (SELECT swlng, swlat, ${v(0, 0)} AS v0, [$nine] AS nb
-         FROM k, range(1,599) r, range(1,599) c),
-       m AS (SELECT swlng, swlat, v0, list_sort(nb)[5] AS med FROM px)
-       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-         CAST(count(*) AS BIGINT) AS n_px,
-         CAST(sum(CASE WHEN med <> v0 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
-         CAST(sum(abs(med - v0)) AS BIGINT) AS sum_abs,
-         CAST(max(abs(med - v0)) AS BIGINT) AS max_abs
-       FROM m GROUP BY 1 ORDER BY image_id"""
-  }
-
-  /** Distance-transform oracle: brute-force `min |Δi|+|Δj|` from every
-    * stride-10 lattice cell to the high set — the naive O(cells·high)
-    * definition the engine's two-scan DP answers in O(cells).
-    */
-  private val distanceOracleSql: String = {
-    val v = gridV("j.range*10", "i.range*10")
-    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-       k AS (SELECT swlng, swlat,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-       g AS (SELECT swlng, swlat, i.range AS i, j.range AS j, $v AS v
-         FROM k, range(0,60) i, range(0,60) j),
-       h AS (SELECT swlng, swlat, i, j FROM g WHERE v >= 3600),
-       d AS (SELECT g.swlng, g.swlat, g.i, g.j,
-           min(abs(g.i - h.i) + abs(g.j - h.j)) AS dt
-         FROM g JOIN h ON h.swlng = g.swlng AND h.swlat = g.swlat
-         GROUP BY 1, 2, 3, 4),
-       hc AS (SELECT swlng, swlat, CAST(count(*) AS BIGINT) AS n_high
-         FROM h GROUP BY 1, 2)
-       SELECT (CASE WHEN d.swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(d.swlat) AS VARCHAR),2,'0') ||
-           CASE WHEN d.swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(d.swlng) AS VARCHAR),3,'0')) AS image_id,
-         CAST(3600 AS BIGINT) AS n_cells, hc.n_high,
-         CAST(sum(dt) AS BIGINT) AS sum_dt, CAST(max(dt) AS BIGINT) AS max_dt
-       FROM d JOIN hc ON hc.swlng = d.swlng AND hc.swlat = d.swlat
-       GROUP BY 1, 2, 3 ORDER BY image_id"""
-  }
-
-  /** Fréchet oracle: the coupling DP unrolled as one CTE per anti-diagonal
-    * (i+j = k, 11 levels over 6×6 lattices); the two predecessor diagonals
-    * LEFT-join with MaxValue coalesce so lattice borders take the only
-    * available predecessor — exactly the engine's boundary rule.
-    */
-  private val frechetOracleSql: String = {
-    val big = "9223372036854775807"
-    val diags = (1 to 10).map { k =>
-      val p2 = s"ca${math.max(k - 2, 0)}"
-      s"""ca$k AS MATERIALIZED (SELECT c.t1, c.t2, c.i, c.j,
-          GREATEST(c.d2, LEAST(
-            COALESCE(p1.v, $big), COALESCE(p3.v, $big), COALESCE(p2.v, $big))) AS v
-        FROM cells c
-        LEFT JOIN ca${k - 1} p1 ON p1.t1 = c.t1 AND p1.t2 = c.t2
-          AND p1.i = c.i - 1 AND p1.j = c.j
-        LEFT JOIN ca${k - 1} p3 ON p3.t1 = c.t1 AND p3.t2 = c.t2
-          AND p3.i = c.i AND p3.j = c.j - 1
-        LEFT JOIN $p2 p2 ON p2.t1 = c.t1 AND p2.t2 = c.t2
-          AND p2.i = c.i - 1 AND p2.j = c.j - 1
-        WHERE c.i + c.j = $k)"""
-    }.mkString(",\n         ")
-    s"""WITH trajs AS (SELECT DISTINCT s_suppkey % 20 AS traj_id FROM supplier),
-       v AS (SELECT traj_id, CAST(g AS BIGINT) AS seq,
-           (traj_id * 7 + g * (traj_id % 5 + 1) * 3) % 40 AS px,
-           (traj_id * 11 + g * (traj_id % 3 + 2) * 2) % 40 AS py
-         FROM trajs, unnest(range(0, 6)) AS t(g)),
-       pairs AS (SELECT a.traj_id AS t1, b.traj_id AS t2
-         FROM trajs a, trajs b WHERE a.traj_id < b.traj_id),
-       cells AS MATERIALIZED (SELECT p.t1, p.t2, CAST(va.seq AS INT) AS i, CAST(vb.seq AS INT) AS j,
-           (va.px - vb.px)*(va.px - vb.px) + (va.py - vb.py)*(va.py - vb.py) AS d2
-         FROM pairs p JOIN v va ON va.traj_id = p.t1 JOIN v vb ON vb.traj_id = p.t2),
-       ca0 AS MATERIALIZED (SELECT t1, t2, i, j, d2 AS v FROM cells WHERE i = 0 AND j = 0),
-       $diags,
-       sz AS (SELECT t1, t2, CAST(max(i) + 1 AS INTEGER) AS n_a,
-           CAST(max(j) + 1 AS INTEGER) AS n_b FROM cells GROUP BY 1, 2)
-       SELECT ca10.t1, ca10.t2, sz.n_a, sz.n_b, CAST(ca10.v AS BIGINT) AS frechet_d2
-       FROM ca10 JOIN sz ON sz.t1 = ca10.t1 AND sz.t2 = ca10.t2
-       ORDER BY ca10.t1, ca10.t2"""
-  }
-
-  /** LCSS oracle: the tolerance-gated DP per anti-diagonal, COALESCE-0
-    * borders (missing lattice edges contribute an empty subsequence).
-    */
-  private val lcssOracleSql: String = {
-    val eps2 = 64L
-    val diags = (1 to 10).map { k =>
-      val p2 = s"ca${math.max(k - 2, 0)}"
-      s"""ca$k AS MATERIALIZED (SELECT c.t1, c.t2, c.i, c.j,
-          CASE WHEN c.d2 <= $eps2 THEN COALESCE(p2.v, 0) + 1
-               ELSE GREATEST(COALESCE(p1.v, 0), COALESCE(p3.v, 0)) END AS v
-        FROM cells c
-        LEFT JOIN ca${k - 1} p1 ON p1.t1 = c.t1 AND p1.t2 = c.t2
-          AND p1.i = c.i - 1 AND p1.j = c.j
-        LEFT JOIN ca${k - 1} p3 ON p3.t1 = c.t1 AND p3.t2 = c.t2
-          AND p3.i = c.i AND p3.j = c.j - 1
-        LEFT JOIN $p2 p2 ON p2.t1 = c.t1 AND p2.t2 = c.t2
-          AND p2.i = c.i - 1 AND p2.j = c.j - 1
-        WHERE c.i + c.j = $k)"""
-    }.mkString(",\n         ")
-    s"""WITH trajs AS (SELECT DISTINCT s_suppkey % 20 AS traj_id FROM supplier),
-       v AS (SELECT traj_id, CAST(g AS BIGINT) AS seq,
-           (traj_id * 7 + g * (traj_id % 5 + 1) * 3) % 40 AS px,
-           (traj_id * 11 + g * (traj_id % 3 + 2) * 2) % 40 AS py
-         FROM trajs, unnest(range(0, 6)) AS t(g)),
-       pairs AS (SELECT a.traj_id AS t1, b.traj_id AS t2
-         FROM trajs a, trajs b WHERE a.traj_id < b.traj_id),
-       cells AS MATERIALIZED (SELECT p.t1, p.t2, CAST(va.seq AS INT) AS i, CAST(vb.seq AS INT) AS j,
-           (va.px - vb.px)*(va.px - vb.px) + (va.py - vb.py)*(va.py - vb.py) AS d2
-         FROM pairs p JOIN v va ON va.traj_id = p.t1 JOIN v vb ON vb.traj_id = p.t2),
-       ca0 AS MATERIALIZED (SELECT t1, t2, i, j,
-           CASE WHEN d2 <= $eps2 THEN 1 ELSE 0 END AS v
-         FROM cells WHERE i = 0 AND j = 0),
-       $diags,
-       sz AS (SELECT t1, t2, CAST(max(i) + 1 AS INTEGER) AS n_a,
-           CAST(max(j) + 1 AS INTEGER) AS n_b FROM cells GROUP BY 1, 2)
-       SELECT ca10.t1, ca10.t2, sz.n_a, sz.n_b,
-         CAST(ca10.v AS BIGINT) AS lcss_len,
-         CAST(ca10.v AS BIGINT) * 1000000 // least(sz.n_a, sz.n_b) AS sim_ppm
-       FROM ca10 JOIN sz ON sz.t1 = ca10.t1 AND sz.t2 = ca10.t2
-       ORDER BY ca10.t1, ca10.t2"""
-  }
-
-  /** Chaikin oracle: 2 corner-cutting rounds replayed as window CTEs —
-    * coordinates and the ordering key both scale ×4 per round, exactly the
-    * engine's integer contract.
-    */
-  private val chaikinOracleSql: String = {
-    val rounds = (1 to 2).map { k =>
-      s"""s$k AS (SELECT traj_id, pos, x, y,
-          lead(x) OVER w AS nx, lead(y) OVER w AS ny,
-          lead(pos) OVER w AS npos,
-          row_number() OVER w AS rn,
-          count(*) OVER (PARTITION BY traj_id) AS nrows
-        FROM r${k - 1} WINDOW w AS (PARTITION BY traj_id ORDER BY pos)),
-       r$k AS (
-        SELECT traj_id, pos*3 + npos AS pos, x*3 + nx AS x, y*3 + ny AS y
-          FROM s$k WHERE npos IS NOT NULL
-        UNION ALL
-        SELECT traj_id, pos + npos*3, x + nx*3, y + ny*3
-          FROM s$k WHERE npos IS NOT NULL
-        UNION ALL
-        SELECT traj_id, pos*4, x*4, y*4 FROM s$k
-          WHERE rn = 1 OR rn = nrows)"""
-    }.mkString(",\n         ")
-    s"""WITH p0 AS (SELECT user_id, ts, event_id,
-         event_id % 7 AS dx, (event_id * 3) % 5 AS dy FROM events
-         WHERE user_id < 12),
-       c AS (SELECT user_id, ts, event_id,
-           CAST(sum(dx) OVER w AS BIGINT) AS px,
-           CAST(sum(dy) OVER w AS BIGINT) AS py,
-           row_number() OVER w - 1 AS seq
-         FROM p0 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-       r0 AS (SELECT user_id AS traj_id, CAST(seq AS BIGINT) AS pos,
-           px AS x, py AS y FROM c WHERE seq < 8),
-       $rounds
-       SELECT traj_id,
-         CAST(row_number() OVER (PARTITION BY traj_id ORDER BY pos) AS INT) AS idx,
-         CAST(x AS BIGINT) AS xq16, CAST(y AS BIGINT) AS yq16
-       FROM r2 ORDER BY traj_id, idx"""
-  }
-
-  /** NN-descent oracle: LSH buckets, bucket-pair top-3, one
-    * neighbour-of-neighbour expansion, exact re-rank, recall vs the brute
-    * baseline — every stage the engine runs, in fold-dot arithmetic.
-    */
-  private val nnDescentOracleSql: String = {
-    val bucket = (0 until 8).map { j =>
-      s"(CASE WHEN ${sqlPlaneDot(j)} >= 0 THEN ${1L << j} ELSE 0 END)"
-    }.mkString(" + ")
-    def fdot(a: String, b: String) =
-      s"""list_reduce(list_prepend(0.0, list_transform(range(0,64),
-          d -> $a.v[d+1] * $b.v[d+1])), (p,q) -> p + q)"""
-    s"""WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       f AS MATERIALIZED (SELECT vec_id, v, $bucket AS b8,
-         sqrt(list_reduce(list_prepend(0.0, list_transform(range(0,64),
-           d -> v[d+1] * v[d+1])), (p,q) -> p + q)) AS nrm FROM vv),
-       fb AS MATERIALIZED (SELECT vec_id, b8 % 16 AS band0, b8 // 16 AS band1 FROM f),
-       cp AS (SELECT DISTINCT qid, nid FROM (
-         SELECT a.vec_id AS qid, b.vec_id AS nid FROM fb a
-           JOIN fb b ON a.band0 = b.band0 AND a.vec_id <> b.vec_id
-         UNION ALL
-         SELECT a.vec_id, b.vec_id FROM fb a
-           JOIN fb b ON a.band1 = b.band1 AND a.vec_id <> b.vec_id)),
-       c0 AS (SELECT cp.qid, cp.nid,
-           ${fdot("a", "b")} / (a.nrm * b.nrm) AS cos
-         FROM cp JOIN f a ON a.vec_id = cp.qid JOIN f b ON b.vec_id = cp.nid),
-       knn0 AS MATERIALIZED (SELECT qid, nid FROM (SELECT *,
-           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
-         FROM c0) WHERE rk <= 3),
-       und AS MATERIALIZED (SELECT DISTINCT qid, nid FROM (
-         SELECT qid, nid FROM knn0 UNION ALL SELECT nid AS qid, qid AS nid FROM knn0)),
-       ex AS (SELECT k1.qid, k2.nid FROM und k1
-         JOIN und k2 ON k2.qid = k1.nid WHERE k1.qid <> k2.nid),
-       cl AS (SELECT DISTINCT qid, nid FROM (
-         SELECT qid, nid FROM knn0 UNION ALL SELECT qid, nid FROM ex)),
-       c1 AS (SELECT cl.qid, cl.nid,
-           ${fdot("a", "b")} / (a.nrm * b.nrm) AS cos
-         FROM cl JOIN f a ON a.vec_id = cl.qid JOIN f b ON b.vec_id = cl.nid),
-       knn1 AS (SELECT qid, nid FROM (SELECT *,
-           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
-         FROM c1) WHERE rk <= 3),
-       q AS (SELECT vec_id AS qid, v, nrm FROM f WHERE vec_id < 25),
-       exc AS (SELECT q.qid, f.vec_id AS nid,
-           list_reduce(list_prepend(0.0, list_transform(range(0,64),
-             d -> q.v[d+1] * f.v[d+1])), (p,q2) -> p + q2) / (q.nrm * f.nrm) AS cos
-         FROM q, f WHERE f.vec_id <> q.qid),
-       exact AS MATERIALIZED (SELECT qid, nid FROM (SELECT *,
-           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
-         FROM exc) WHERE rk <= 3),
-       h0 AS (SELECT k.qid, count(*) AS hits FROM knn0 k
-         JOIN exact e ON e.qid = k.qid AND e.nid = k.nid
-         WHERE k.qid < 25 GROUP BY 1),
-       h1 AS (SELECT k.qid, count(*) AS hits FROM knn1 k
-         JOIN exact e ON e.qid = k.qid AND e.nid = k.nid
-         WHERE k.qid < 25 GROUP BY 1)
-       SELECT q.qid, CAST(COALESCE(h0.hits, 0) AS BIGINT) AS hits_lsh,
-         CAST(COALESCE(h1.hits, 0) AS BIGINT) AS hits_nnd
-       FROM (SELECT DISTINCT qid FROM q) q
-       LEFT JOIN h0 ON h0.qid = q.qid
-       LEFT JOIN h1 ON h1.qid = q.qid ORDER BY q.qid"""
-  }
-
-  /** Map-matching oracle: the Viterbi recurrence replayed one MATERIALIZED
-    * CTE per fix, the previous column folded in via a correlated min over
-    * all 25 states.
-    */
-  private val mapMatchOracleSql: String = {
-    val nodes = (for { i <- 0L until 5L; j <- 0L until 5L }
-      yield s"(${i * 5 + j}, ${j * 20}, ${i * 20})").mkString(",")
-    val steps = (1 to 5).map { k =>
-      s"""v$k AS MATERIALIZED (SELECT f.traj_id, n.node_id,
-          (SELECT min(p.cost + 3*(abs(n.nx - pn.nx) + abs(n.ny - pn.ny)))
-             FROM v${k - 1} p JOIN nodes pn ON pn.node_id = p.node_id
-             WHERE p.traj_id = f.traj_id)
-          + (f.px - n.nx)*(f.px - n.nx) + (f.py - n.ny)*(f.py - n.ny) AS cost
-        FROM fx f, nodes n WHERE f.seq = $k)"""
-    }.mkString(",\n         ")
-    val out = (0 to 5).map(k =>
-      s"SELECT traj_id, $k AS step, node_id, cost FROM v$k")
-      .mkString("\n         UNION ALL ")
-    s"""WITH p0 AS (SELECT user_id, ts, event_id,
-         event_id % 7 AS dx, (event_id * 3) % 5 AS dy FROM events
-         WHERE user_id < 12),
-       c AS (SELECT user_id, ts, event_id,
-           CAST(sum(dx) OVER w AS BIGINT) AS px,
-           CAST(sum(dy) OVER w AS BIGINT) AS py,
-           row_number() OVER w - 1 AS seq
-         FROM p0 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-       fx AS MATERIALIZED (SELECT user_id AS traj_id, seq, px, py FROM c
-         WHERE seq < 6),
-       nodes(node_id, nx, ny) AS (VALUES $nodes),
-       v0 AS MATERIALIZED (SELECT f.traj_id, n.node_id,
-           (f.px - n.nx)*(f.px - n.nx) + (f.py - n.ny)*(f.py - n.ny) AS cost
-         FROM fx f, nodes n WHERE f.seq = 0),
-       $steps
-       SELECT traj_id, CAST(step AS INT) AS step,
-         CAST(node_id AS BIGINT) AS node_id, CAST(cost AS BIGINT) AS cost
-       FROM ($out) ORDER BY traj_id, step, node_id"""
-  }
-
-  /** Hough oracle: the same central-difference edge mask and 4 lattice
-    * direction families as integer vote counts, top-5 per image.
-    */
-  private val houghOracleSql: String = {
-    def v(dc: Int, dr: Int) = gridV(s"c.range+($dc)", s"r.range+($dr)")
-    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-       k AS (SELECT swlng, swlat,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-       g AS (SELECT swlng, swlat, r.range AS r, c.range AS c,
-           (${v(1, 0)} - ${v(-1, 0)}) AS gx,
-           (${v(0, 1)} - ${v(0, -1)}) AS gy
-         FROM k, range(1,599) r, range(1,599) c),
-       e AS (SELECT swlng, swlat, r, c FROM g WHERE gx*gx + gy*gy >= 200),
-       h AS (SELECT swlng, swlat, 0 AS dir, c // 8 AS rho_b FROM e
-         UNION ALL SELECT swlng, swlat, 1, r // 8 FROM e
-         UNION ALL SELECT swlng, swlat, 2, (r + c) // 8 FROM e
-         UNION ALL SELECT swlng, swlat, 3, (r - c + 599) // 8 FROM e),
-       cnt AS (SELECT swlng, swlat, dir, rho_b, count(*) AS n
-         FROM h GROUP BY 1, 2, 3, 4),
-       rkd AS (SELECT *, row_number() OVER (PARTITION BY swlng, swlat
-           ORDER BY n DESC, dir, rho_b) AS rk FROM cnt)
-       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-         CAST(rk AS INT) AS rk, CAST(dir AS INT) AS dir,
-         CAST(rho_b AS INT) AS rho_b, CAST(n AS BIGINT) AS n
-       FROM rkd WHERE rk <= 5 ORDER BY image_id, rk"""
-  }
-
-  /** PPR oracle: the pagerank recurrence with the teleport share pinned to
-    * the seed literals, 3 rounds unrolled.
-    */
-  private val pprOracleSql: String = {
-    val rounds = (1 to 3).map { r =>
-      s"""c$r AS (SELECT e.dst AS node, sum(rr.ppr // o.outdeg) AS inflow
-           FROM r${r - 1} rr JOIN outdeg o USING (node)
-           JOIN e ON e.src = rr.node GROUP BY 1),
-         r$r AS (SELECT n.node,
-             (CASE WHEN n.node IN (7, 42, 99) THEN 150000 ELSE 0 END)
-               + (850000 * COALESCE(c.inflow, 0)) // 1000000 AS ppr
-           FROM nodes n LEFT JOIN c$r c USING (node))"""
-    }.mkString(",\n         ")
-    s"""WITH e AS (SELECT DISTINCT l_suppkey % 500 AS src,
-           l_partkey % 500 AS dst FROM lineitem),
-         nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
-         outdeg AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
-         r0 AS (SELECT node, CAST(CASE WHEN node IN (7, 42, 99)
-             THEN 1000000 ELSE 0 END AS BIGINT) AS ppr FROM nodes),
-         $rounds
-         SELECT node, CAST(ppr AS BIGINT) AS ppr FROM r3 ORDER BY node"""
-  }
-
-  /** Cut/fill oracle: a − (plane+900) = c + r + bonus − 900 on the
-    * stride-10 lattice, split-signed per 4×4 zone.
-    */
-  private val cutFillOracleSql: String =
-    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-       px AS (SELECT swlng, swlat, i.range AS i, j.range AS j,
-           (j.range*10) + (i.range*10)
-             + (((j.range*10)//8)*((i.range*10)//8)) % 32 - 900 AS d
-         FROM corners, range(0,60) i, range(0,60) j)
-       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-         CAST(i // 15 AS INT) AS zr, CAST(j // 15 AS INT) AS zc,
-         CAST(sum(CASE WHEN d > 0 THEN d ELSE 0 END) AS BIGINT) AS cut,
-         CAST(sum(CASE WHEN d < 0 THEN -d ELSE 0 END) AS BIGINT) AS fill,
-         CAST(sum(d) AS BIGINT) AS net
-       FROM px GROUP BY 1, 2, 3 ORDER BY image_id, zr, zc"""
-
-  /** Saliency oracle: the 3×3 / 9×9 box sums per stride-6 lattice point as
-    * one offsets cross join, metric |9·s3 − s9| rolled up per image.
-    */
-  private val saliencyOracleSql: String = {
-    val v = gridV("j*6 + dc", "i*6 + dr")
-    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-       k AS (SELECT swlng, swlat,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-       o9 AS (SELECT a.range - 4 AS dr, b.range - 4 AS dc
-         FROM range(0,9) a, range(0,9) b),
-       px AS (SELECT swlng, swlat, a, i.range AS i, j.range AS j
-         FROM k, range(1,100) i, range(1,100) j),
-       sums AS (SELECT swlng, swlat, i, j,
-           CAST(sum($v) AS BIGINT) AS s9,
-           CAST(sum(CASE WHEN dr BETWEEN -1 AND 1 AND dc BETWEEN -1 AND 1
-             THEN $v ELSE 0 END) AS BIGINT) AS s3
-         FROM px, o9 GROUP BY 1, 2, 3, 4),
-       m AS (SELECT swlng, swlat, abs(9*s3 - s9) AS m FROM sums)
-       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-         CAST(count(*) AS BIGINT) AS n_pts,
-         CAST(sum(CASE WHEN m >= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS n_salient,
-         CAST(sum(m) AS BIGINT) AS sum_m, CAST(max(m) AS BIGINT) AS max_m
-       FROM m GROUP BY 1 ORDER BY image_id"""
-  }
-
-  /** Cost-distance oracle: the same 8-connected uphill-cost edges from
-    * the closed-form field, the same 6 Bellman–Ford relaxations unrolled
-    * as per-round min-aggregated CTEs (exact min-plus integers).
-    */
-  private val costDistanceOracleSql: String = {
-    val rounds = (1 to 6).map { r =>
-      s"""d$r AS (SELECT node, min(dist) AS dist FROM (
-            SELECT node, dist FROM d${r - 1}
-            UNION ALL
-            SELECT e.dst AS node, p.dist + e.w AS dist
-            FROM d${r - 1} p JOIN e ON e.src = p.node) GROUP BY node)"""
-    }.mkString(",\n         ")
-    s"""WITH g AS (SELECT range AS id, range // 100 AS i, range % 100 AS j
-           FROM range(0, 10000)),
-       nb(di, dj) AS (VALUES (1,0),(1,1),(0,1),(-1,1),(-1,0),(-1,-1),(0,-1),(1,-1)),
-       e AS (SELECT i*100 + j AS src, (i+di)*100 + (j+dj) AS dst,
-           1 + GREATEST(0,
-             (((i+di)*(i+di))%97 + ((j+dj)*(j+dj))%89 + ((i+di)*(j+dj))%31)
-             - ((i*i)%97 + (j*j)%89 + (i*j)%31)) AS w
-         FROM g, nb
-         WHERE i+di BETWEEN 0 AND 99 AND j+dj BETWEEN 0 AND 99),
-       d0(node, dist) AS (SELECT 5050, 0),
-       $rounds
-       SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
-       FROM d6 ORDER BY node"""
-  }
-
-  /** Integral-box oracle: each of the 16 closed-form boxes replayed as a
-    * grid-range GROUP BY over the synthetic field — the naive O(side²)
-    * sum the engine's summed-area table answers in O(1).
-    */
-  private val integralBoxOracleSql: String = {
-    val v = gridV("c.range", "r.range")
-    val boxes = (0 until 16).map { i =>
-      val (r0, c0, side) = ops.ImageOps.boxSpec(i, 600)
-      s"($i,$r0,$c0,$side)"
-    }.mkString(",")
-    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-       k AS (SELECT swlng, swlat,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-       boxes(box_id, r0, c0, side) AS (VALUES $boxes),
-       cell AS (SELECT swlng, swlat, box_id, r0, c0, side, $v AS v
-         FROM k, boxes, range(0,600) r, range(0,600) c
-         WHERE r.range >= r0 AND r.range < r0 + side
-           AND c.range >= c0 AND c.range < c0 + side)
-       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-         CAST(box_id AS INT) AS box_id, CAST(r0 AS INT) AS r0,
-         CAST(c0 AS INT) AS c0, CAST(side AS INT) AS side,
-         CAST(sum(v) AS BIGINT) AS box_sum
-       FROM cell GROUP BY 1, 2, 3, 4, 5 ORDER BY image_id, box_id"""
-  }
-
-  /** Orientation-census oracle: central differences from the closed form,
-    * the identical half-open octant CASE ladder (pure integer sign /
-    * magnitude comparisons), energy as exact Σ(gx²+gy²).
-    */
-  private val orientOracleSql: String = {
-    def v(dc: Int, dr: Int) = gridV(s"c.range+($dc)", s"r.range+($dr)")
-    s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-       k AS (SELECT swlng, swlat,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-       g AS (SELECT swlng, swlat,
-           (${v(1, 0)} - ${v(-1, 0)}) AS gx,
-           (${v(0, 1)} - ${v(0, -1)}) AS gy
-         FROM k, range(1,600) r, range(1,600) c),
-       sct AS (SELECT swlng, swlat, gx, gy,
-           CASE WHEN gx = 0 AND gy = 0 THEN 8
-                WHEN gx > 0 AND gy >= 0 THEN (CASE WHEN gy < gx THEN 0 ELSE 1 END)
-                WHEN gx <= 0 AND gy > 0 THEN (CASE WHEN -gx < gy THEN 2 ELSE 3 END)
-                WHEN gx < 0 AND gy <= 0 THEN (CASE WHEN -gy < -gx THEN 4 ELSE 5 END)
-                ELSE (CASE WHEN gx < -gy THEN 6 ELSE 7 END) END AS sector
-         FROM g)
-       SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-           CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-         CAST(sector AS INT) AS sector,
-         CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(gx*gx + gy*gy) AS BIGINT) AS energy
-       FROM sct GROUP BY swlng, swlat, sector ORDER BY image_id, sector"""
-  }
-
-  /** Convex-hull oracle: the Carathéodory certificate — a deduped point is
-    * a hull vertex iff it is NOT strictly inside any triangle of same-group
-    * points and NOT strictly between two of them on a segment. All cross
-    * products are exact BIGINT (integer coordinates), so the certificate
-    * identifies exactly the engine's minimal strict-turn vertex set.
-    */
-  private val convexHullOracleSql: String =
-    """WITH raw AS (SELECT c_custkey % 25 AS gid,
-           (c_custkey * 7) % 1201 AS x, (c_custkey * 13) % 1009 AS y
-         FROM customer WHERE c_custkey <= 1000),
-       pts AS (SELECT DISTINCT gid, x, y FROM raw),
-       tri AS (SELECT DISTINCT p.gid, p.x, p.y
-         FROM pts p
-         JOIN pts a ON a.gid = p.gid
-         JOIN pts b ON b.gid = p.gid
-         JOIN pts c ON c.gid = p.gid
-         WHERE ((a.x-p.x)*(b.y-p.y) - (a.y-p.y)*(b.x-p.x) > 0 AND
-                (b.x-p.x)*(c.y-p.y) - (b.y-p.y)*(c.x-p.x) > 0 AND
-                (c.x-p.x)*(a.y-p.y) - (c.y-p.y)*(a.x-p.x) > 0)
-            OR ((a.x-p.x)*(b.y-p.y) - (a.y-p.y)*(b.x-p.x) < 0 AND
-                (b.x-p.x)*(c.y-p.y) - (b.y-p.y)*(c.x-p.x) < 0 AND
-                (c.x-p.x)*(a.y-p.y) - (c.y-p.y)*(a.x-p.x) < 0)),
-       seg AS (SELECT DISTINCT p.gid, p.x, p.y
-         FROM pts p
-         JOIN pts a ON a.gid = p.gid
-         JOIN pts b ON b.gid = p.gid
-         WHERE (a.x-p.x)*(b.y-p.y) - (a.y-p.y)*(b.x-p.x) = 0
-           AND (p.x-a.x)*(b.x-p.x) + (p.y-a.y)*(b.y-p.y) > 0)
-       SELECT gid, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y FROM (
-         SELECT * FROM pts
-         EXCEPT (SELECT * FROM tri UNION SELECT * FROM seg))
-       ORDER BY gid, x, y"""
-
-  private val flowdirOracleSql: String = {
-    val scores = (0 until 8).map { i =>
-      val dc = Seq(1, 1, 0, -1, -1, -1, 0, 1)(i)
-      val dr = Seq(0, 1, 1, 1, 0, -1, -1, -1)(i)
-      val mult = if (dc != 0 && dr != 0) 1 else 2
-      val vn = gridV(clamp("cn", dc), clamp("rn", dr))
-      s"CASE WHEN (vc - $vn) > 0 THEN $mult*(vc - $vn)*(vc - $vn) ELSE -1 END AS s$i"
-    }.mkString(",\n           ")
-    val cascade = (0 until 8).map(i => s"WHEN s$i = best THEN ${1 << i}").mkString(" ")
-    s"""$nodeScaffoldSql,
-       c AS (SELECT *, ${gridV("cn", "rn")} AS vc FROM b),
-       n AS (SELECT point_id, swlng, swlat,
-           $scores FROM c),
-       m AS (SELECT *, GREATEST(s0, s1, s2, s3, s4, s5, s6, s7) AS best FROM n)
-       SELECT point_id,
-         CAST(CASE WHEN (swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36) THEN 0
-                   WHEN best <= 0 THEN 0 $cascade END AS BIGINT) AS d8
-       FROM m ORDER BY point_id"""
-  }
-
-  /** Terrain-ruggedness-index oracle: Σ|neighbour − centre| over the same 8
-    * clamped neighbours. Missing tile ⇒ 0.
-    */
-  private val triOracleSql: String = {
-    val terms = (0 until 8).map { i =>
-      val dc = Seq(1, 1, 0, -1, -1, -1, 0, 1)(i)
-      val dr = Seq(0, 1, 1, 1, 0, -1, -1, -1)(i)
-      s"abs(${gridV(clamp("cn", dc), clamp("rn", dr))} - vc)"
-    }.mkString(" + ")
-    s"""$nodeScaffoldSql,
-       c AS (SELECT *, ${gridV("cn", "rn")} AS vc FROM b)
-       SELECT point_id,
-         CAST(CASE WHEN (swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36) THEN 0
-                   ELSE $terms END AS BIGINT) AS tri
-       FROM c ORDER BY point_id"""
-  }
-
-  /** TPI oracle: 24·centre − Σ(5×5 neighbourhood minus centre) on the
-    * synthetic grid, neighbours clamped, the two absent tiles ⇒ 0.
-    */
-  private val tpiOracleSql: String = {
-    val terms = (for { dr <- -2 to 2; dc <- -2 to 2; if !(dr == 0 && dc == 0) }
-      yield gridV(clamp("cn", dc), clamp("rn", dr))).mkString(" + ")
-    s"""$nodeScaffoldSql,
-       c AS (SELECT *, ${gridV("cn", "rn")} AS vc FROM b)
-       SELECT point_id,
-         CAST(CASE WHEN (swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36) THEN 0
-                   ELSE 24*vc - ($terms) END AS BIGINT) AS tpi24
-       FROM c ORDER BY point_id"""
-  }
-
-  /** Laplacian-curvature oracle: N + S + E + W − 4·centre on the synthetic
-    * grid, neighbours clamped, the two absent tiles ⇒ 0.
-    */
-  private val curvatureOracleSql: String = {
-    val terms = Seq((1, 0), (-1, 0), (0, 1), (0, -1))
-      .map { case (dc, dr) => gridV(clamp("cn", dc), clamp("rn", dr)) }
-      .mkString(" + ")
-    s"""$nodeScaffoldSql,
-       c AS (SELECT *, ${gridV("cn", "rn")} AS vc FROM b)
-       SELECT point_id,
-         CAST(CASE WHEN (swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36) THEN 0
-                   ELSE ($terms) - 4*vc END AS BIGINT) AS lap
-       FROM c ORDER BY point_id"""
-  }
-
-  /** Aspect-octant oracle: the geo_slope gradient CTEs + the same exact
-    * sign/|·| classification as TileIndex.aspectOctant. Missing tile ⇒ 0.
-    */
-  private val aspectOracleSql: String =
-    s"""$nodeScaffoldSql,
-       e AS (SELECT *, GREATEST(0, cn-1) AS c0, LEAST(600, cn+1) AS c1,
-         GREATEST(0, rn-1) AS r0, LEAST(600, rn+1) AS r1 FROM b),
-       d AS (SELECT point_id, swlng, swlat,
-         -((${gridV("c1", "rn")} - ${gridV("c0", "rn")}) / (c1 - c0)) AS gx,
-         -((${gridV("cn", "r1")} - ${gridV("cn", "r0")}) / (r1 - r0)) AS gy
-         FROM e)
-       SELECT point_id,
-         CAST(CASE WHEN (swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36) THEN 0
-                   WHEN gx = 0 AND gy = 0 THEN 0
-                   WHEN abs(gx) > abs(gy) THEN CASE WHEN gx > 0 THEN 1 ELSE 5 END
-                   WHEN abs(gy) > abs(gx) THEN CASE WHEN gy > 0 THEN 7 ELSE 3 END
-                   WHEN gx > 0 THEN CASE WHEN gy > 0 THEN 8 ELSE 2 END
-                   ELSE CASE WHEN gy > 0 THEN 6 ELSE 4 END
-              END AS BIGINT) AS aspect
-       FROM d ORDER BY point_id"""
-
-  /** Profile oracle: the bilinear closed form (same CTEs as the elevation
-    * oracle) + lag/window sums over integer-quantized segments — CAST on the
-    * sums because DuckDB widens BIGINT sums to HUGEINT.
-    */
-  private val profileOracleSql: String =
-    """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
-         -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
-         36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
-         FROM lineitem),
-       k AS (SELECT point_id, lng, lat,
-         CAST(floor(lng) AS BIGINT) AS swlng, CAST(floor(lat) AS BIGINT) AS swlat,
-         (lng - floor(lng)) * 600 AS colf, (lat - floor(lat)) * 600 AS rowf FROM pts),
-       g AS (SELECT *, CAST(floor(colf) AS BIGINT) AS c0, CAST(floor(rowf) AS BIGINT) AS r0,
-         colf - floor(colf) AS cf, rowf - floor(rowf) AS rf,
-         ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM k),
-       v AS (SELECT *,
-         a + 2*c0     + 3*r0     + ((c0//8)*(r0//8)) % 32         AS v00,
-         a + 2*(c0+1) + 3*r0     + (((c0+1)//8)*(r0//8)) % 32     AS v10,
-         a + 2*(c0+1) + 3*(r0+1) + (((c0+1)//8)*((r0+1)//8)) % 32 AS v11,
-         a + 2*c0     + 3*(r0+1) + ((c0//8)*((r0+1)//8)) % 32     AS v01 FROM g),
-       e AS (SELECT point_id % 199 AS line_id, point_id AS seq, lng, lat,
-         CASE WHEN (swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36) THEN 0.0
-              ELSE (v00 + (v10 - v00) * cf) +
-                   ((v01 + (v11 - v01) * cf) - (v00 + (v10 - v00) * cf)) * rf
-         END AS elev FROM v),
-       d AS (SELECT line_id, seq, elev,
-         lng - lag(lng) OVER w AS dx, lat - lag(lat) OVER w AS dy,
-         elev - lag(elev) OVER w AS rise
-         FROM e WINDOW w AS (PARTITION BY line_id ORDER BY seq)),
-       q AS (SELECT line_id, seq, elev,
-         coalesce(CAST(floor(sqrt(dx*dx + dy*dy) * 1000000.0) AS BIGINT), 0) AS seg_q,
-         coalesce(CAST(floor(greatest(rise, 0.0) * 64.0) AS BIGINT), 0) AS rise_q FROM d)
-       SELECT line_id, seq, elev,
-         CAST(sum(seg_q) OVER w2 AS BIGINT) AS cum_dist_q,
-         CAST(sum(rise_q) OVER w2 AS BIGINT) AS ascent_q
-       FROM q WINDOW w2 AS (PARTITION BY line_id ORDER BY seq
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-       ORDER BY line_id, seq"""
-
-  /** Viewshed oracle: the profile oracle's elevation + cumulative-distance
-    * CTEs, extended with the tangent-surrogate running-max comparison.
-    */
-  private val viewshedOracleSql: String =
-    """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
-         -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
-         36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
-         FROM lineitem),
-       k AS (SELECT point_id, lng, lat,
-         CAST(floor(lng) AS BIGINT) AS swlng, CAST(floor(lat) AS BIGINT) AS swlat,
-         (lng - floor(lng)) * 600 AS colf, (lat - floor(lat)) * 600 AS rowf FROM pts),
-       g AS (SELECT *, CAST(floor(colf) AS BIGINT) AS c0, CAST(floor(rowf) AS BIGINT) AS r0,
-         colf - floor(colf) AS cf, rowf - floor(rowf) AS rf,
-         ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM k),
-       v AS (SELECT *,
-         a + 2*c0     + 3*r0     + ((c0//8)*(r0//8)) % 32         AS v00,
-         a + 2*(c0+1) + 3*r0     + (((c0+1)//8)*(r0//8)) % 32     AS v10,
-         a + 2*(c0+1) + 3*(r0+1) + (((c0+1)//8)*((r0+1)//8)) % 32 AS v11,
-         a + 2*c0     + 3*(r0+1) + ((c0//8)*((r0+1)//8)) % 32     AS v01 FROM g),
-       e AS (SELECT point_id % 199 AS line_id, point_id AS seq, lng, lat,
-         CASE WHEN (swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36) THEN 0.0
-              ELSE (v00 + (v10 - v00) * cf) +
-                   ((v01 + (v11 - v01) * cf) - (v00 + (v10 - v00) * cf)) * rf
-         END AS elev FROM v),
-       d AS (SELECT line_id, seq, elev,
-         lng - lag(lng) OVER w AS dx, lat - lag(lat) OVER w AS dy
-         FROM e WINDOW w AS (PARTITION BY line_id ORDER BY seq)),
-       q AS (SELECT line_id, seq, elev,
-         coalesce(CAST(floor(sqrt(dx*dx + dy*dy) * 1000000.0) AS BIGINT), 0) AS seg_q FROM d),
-       c AS (SELECT line_id, seq, elev, CAST(sum(seg_q) OVER w2 AS BIGINT) AS dd
-         FROM q WINDOW w2 AS (PARTITION BY line_id ORDER BY seq
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-       r AS (SELECT line_id, seq, elev, dd,
-         row_number() OVER w3 AS rn, first_value(elev) OVER w3 AS obs
-         FROM c WINDOW w3 AS (PARTITION BY line_id ORDER BY seq)),
-       t AS (SELECT line_id, seq, rn,
-         CASE WHEN rn = 1 THEN NULL
-              ELSE (elev - obs) / CAST(greatest(dd, 1) AS DOUBLE) END AS ratio FROM r),
-       p AS (SELECT line_id, seq, rn, ratio,
-         max(ratio) OVER (PARTITION BY line_id ORDER BY seq
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM t)
-       SELECT line_id, seq, (rn = 1 OR pm IS NULL OR ratio > pm) AS visible
-       FROM p ORDER BY line_id, seq"""
-
-  def allOracleSql: Map[String, String] = Map(
-    "geo_elev_profile" -> profileOracleSql,
-    "geo_along" ->
-      """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
-           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
-           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
-           FROM lineitem),
-         v AS (SELECT point_id % 199 AS line_id, point_id AS seq,
-           CAST(floor(lng * 1000000.0) AS BIGINT) AS xq,
-           CAST(floor(lat * 1000000.0) AS BIGINT) AS yq FROM pts),
-         d AS (SELECT line_id, seq, xq, yq,
-           lag(xq) OVER w AS px, lag(yq) OVER w AS py,
-           row_number() OVER w AS rn
-           FROM v WINDOW w AS (PARTITION BY line_id ORDER BY seq)),
-         sg AS (SELECT *, coalesce(CAST(floor(sqrt(CAST((xq-px)*(xq-px) + (yq-py)*(yq-py) AS DOUBLE))) AS BIGINT), 0) AS seg_q FROM d),
-         c AS (SELECT *,
-           CAST(sum(seg_q) OVER (PARTITION BY line_id ORDER BY seq
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_q,
-           CAST(sum(seg_q) OVER (PARTITION BY line_id) AS BIGINT) AS total_q FROM sg),
-         f AS (SELECT c.*, CAST(fr.f_ppm AS BIGINT) AS f_ppm,
-           (total_q * fr.f_ppm) // 1000000 AS tq
-           FROM c CROSS JOIN (VALUES (250000), (500000), (750000)) AS fr(f_ppm)),
-         h AS (SELECT *, tq - (cum_q - seg_q) AS offq FROM f
-           WHERE (tq = 0 AND rn = 1) OR (tq > cum_q - seg_q AND tq <= cum_q))
-         SELECT line_id, f_ppm,
-           CASE WHEN seg_q = 0 THEN xq
-                ELSE px + CASE WHEN xq >= px THEN ((xq - px) * offq) // seg_q
-                          ELSE -(((px - xq) * offq) // seg_q) END END AS ax,
-           CASE WHEN seg_q = 0 THEN yq
-                ELSE py + CASE WHEN yq >= py THEN ((yq - py) * offq) // seg_q
-                          ELSE -(((py - yq) * offq) // seg_q) END END AS ay
-         FROM h ORDER BY line_id, f_ppm""",
-    "geo_viewshed" -> viewshedOracleSql,
-    "geo_flowdir" -> flowdirOracleSql,
-    "geo_watershed" -> watershedOracleSql,
-    "geo_flowaccum" -> flowaccumOracleSql,
-    // strahler: 9 unrolled bottom-up rounds; per round, parents whose
-    // children are all assigned take max(child) (+1 on a ≥2-way tie).
-    // The per-round CTEs MUST be MATERIALIZED: inlined, a9's expansion
-    // re-reads the orders parquet exponentially many times (fd blowup).
-    "geo_strahler" -> {
-      val rounds = (1 to 9).map { k =>
-        s"""c$k AS MATERIALIZED (SELECT e.parent AS node, a.ord
-             FROM e LEFT JOIN a${k - 1} a ON a.node = e.child),
-           g$k AS (SELECT node, count(*) AS nc, count(ord) AS na, max(ord) AS mo
-             FROM c$k GROUP BY 1),
-           t$k AS (SELECT g.node, g.mo,
-               sum(CASE WHEN c.ord = g.mo THEN 1 ELSE 0 END) AS ct
-             FROM g$k g JOIN c$k c ON c.node = g.node
-             WHERE g.nc = g.na AND g.node NOT IN (SELECT node FROM a${k - 1})
-             GROUP BY 1, 2),
-           a$k AS MATERIALIZED (SELECT * FROM a${k - 1} UNION ALL
-             SELECT node, mo + CASE WHEN ct >= 2 THEN 1 ELSE 0 END FROM t$k)"""
-      }.mkString(",\n         ")
-      s"""WITH ch AS MATERIALIZED (SELECT DISTINCT o_orderkey % 199 + 1 AS child FROM orders),
-         e AS MATERIALIZED (SELECT child, child // 2 AS parent FROM ch WHERE child <> child // 2),
-         nodes AS (SELECT child AS node FROM e UNION SELECT parent FROM e),
-         a0 AS (SELECT node, CAST(1 AS BIGINT) AS ord FROM nodes
-           WHERE node NOT IN (SELECT parent FROM e)),
-         $rounds
-         SELECT node, CAST(ord AS BIGINT) AS strahler_ord FROM a9 ORDER BY node"""
-    },
-    "geo_basin_size" ->
-      s"""SELECT sink, CAST(count(*) AS BIGINT) AS n_cells
-         FROM ($watershedOracleSql) GROUP BY 1 ORDER BY 1""",
-    "geo_snap" ->
-      """WITH probes AS (SELECT c_custkey AS probe_id,
-           -120 + (c_custkey % 4) + ((c_custkey % 577) + 0.5)/577.0 AS px,
-           36 + (c_custkey % 2) + (((c_custkey*13) % 577) + 0.5)/577.0 AS py
-           FROM customer WHERE c_custkey % 10 = 0),
-         segs0 AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS seg_id,
-           -120 + (l_orderkey % 4) + ((l_partkey % 577) + 0.5)/577.0 AS x1,
-           36 + (l_suppkey % 2) + (((l_partkey*13) % 577) + 0.5)/577.0 AS y1,
-           ((l_suppkey % 20) + 1)/4000.0 AS dx,
-           (((l_orderkey*3) % 41) - 20)/4000.0 AS dy
-           FROM lineitem WHERE l_orderkey % 20 = 0),
-         segs AS (SELECT seg_id, x1, y1, x1 + dx AS x2, y1 + dy AS y2 FROM segs0),
-         cand AS (SELECT probe_id, seg_id, px, py, x1, y1, x2, y2,
-             CASE WHEN (x2-x1)*(x2-x1) + (y2-y1)*(y2-y1) > 0.0
-               THEN LEAST(1.0, GREATEST(0.0,
-                 ((px-x1)*(x2-x1) + (py-y1)*(y2-y1)) /
-                 ((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1))))
-               ELSE 0.0 END AS t
-           FROM probes, segs),
-         d AS (SELECT probe_id, seg_id, t,
-             (px - (x1 + t*(x2-x1))) AS ddx,
-             (py - (y1 + t*(y2-y1))) AS ddy FROM cand),
-         f AS (SELECT probe_id, seg_id, t, ddx*ddx + ddy*ddy AS dist2
-           FROM d WHERE ddx*ddx + ddy*ddy <= 0.05*0.05)
-         SELECT probe_id, seg_id, t, dist2 FROM f
-         QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY dist2, seg_id) = 1
-         ORDER BY probe_id""",
-    "geo_line_intersect" ->
-      """WITH base AS (SELECT
-           ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS seg_id,
-           l_orderkey % 50 AS grp,
-           -119.5 + ((l_partkey % 501))/1000.0 AS x1,
-           36.2 + (((l_suppkey*7) % 501))/1000.0 AS y1,
-           ((l_suppkey % 41) - 20)/2000.0 AS dx,
-           (((l_orderkey*3) % 41) - 20)/2000.0 AS dy
-           FROM lineitem WHERE l_orderkey % 50 <= 1),
-         segs AS (SELECT seg_id, grp, x1, y1, x1 + dx AS x2, y1 + dy AS y2 FROM base),
-         p AS (SELECT a.seg_id AS a_id, b.seg_id AS b_id,
-             a.x1 AS ax1, a.y1 AS ay1, a.x2 AS ax2, a.y2 AS ay2,
-             b.x1 AS bx1, b.y1 AS by1, b.x2 AS bx2, b.y2 AS by2
-           FROM segs a, segs b WHERE a.grp = 0 AND b.grp = 1),
-         o AS (SELECT *,
-             (bx2-bx1)*(ay1-by1) - (by2-by1)*(ax1-bx1) AS d1,
-             (bx2-bx1)*(ay2-by1) - (by2-by1)*(ax2-bx1) AS d2,
-             (ax2-ax1)*(by1-ay1) - (ay2-ay1)*(bx1-ax1) AS d3,
-             (ax2-ax1)*(by2-ay1) - (ay2-ay1)*(bx2-ax1) AS d4
-           FROM p),
-         hit AS (SELECT *, d1/(d1 - d2) AS t FROM o
-           WHERE d1*d2 < 0.0 AND d3*d4 < 0.0)
-         SELECT a_id, b_id, ax1 + t*(ax2-ax1) AS ix, ay1 + t*(ay2-ay1) AS iy
-         FROM hit ORDER BY a_id, b_id""",
-    "ann_power_iteration" -> powerIterOracleSql(3),
-    "ann_pca_project" -> pcaProjectOracleSql,
-    // bipartite: transitive-closure CC on the original AND doubled graphs,
-    // parity conflict = odd cycle
-    "graph_bipartite" ->
-      """WITH RECURSIVE li AS (
-           SELECT 2 * (l_suppkey % 50) AS src, 2 * (l_partkey % 50) + 1 AS dst FROM lineitem
-           UNION ALL
-           SELECT 200 + (l_suppkey % 40), 200 + (l_partkey % 40) FROM lineitem),
-         e AS (SELECT DISTINCT src AS a, dst AS b FROM li WHERE src <> dst),
-         nodes AS (SELECT DISTINCT a AS n FROM e UNION SELECT DISTINCT b FROM e),
-         reach(node, other) AS (
-           SELECT n, n FROM nodes
-           UNION
-           SELECT r.node, CASE WHEN e.a = r.other THEN e.b ELSE e.a END
-           FROM reach r JOIN e ON e.a = r.other OR e.b = r.other),
-         uc AS (SELECT node, min(other) AS comp FROM reach GROUP BY 1),
-         de AS (SELECT 2*a AS a, 2*b+1 AS b FROM e UNION ALL SELECT 2*a+1, 2*b FROM e),
-         dn AS (SELECT 2*n AS n FROM nodes UNION ALL SELECT 2*n+1 FROM nodes),
-         dreach(node, other) AS (
-           SELECT n, n FROM dn
-           UNION
-           SELECT r.node, CASE WHEN de.a = r.other THEN de.b ELSE de.a END
-           FROM dreach r JOIN de ON de.a = r.other OR de.b = r.other),
-         dc AS (SELECT node, min(other) AS comp FROM dreach GROUP BY 1),
-         confl AS (SELECT node // 2 AS n, count(DISTINCT comp) = 1 AS odd
-           FROM dc GROUP BY 1)
-         SELECT uc.comp, CAST(count(*) AS BIGINT) AS n_nodes,
-           max(CASE WHEN confl.odd THEN 1 ELSE 0 END) = 0 AS is_bipartite
-         FROM uc JOIN confl ON confl.n = uc.node
-         GROUP BY 1 ORDER BY comp""",
-    // one wedge self-join, Σ C(n,2) per diagonal pair, div 2
-    "graph_squares" ->
-      """WITH base AS (SELECT l_suppkey % 150 AS src,
-           (l_partkey * 3 + l_linenumber) % 150 AS dst
-           FROM lineitem WHERE l_orderkey % 7 = 0),
-         und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
-           FROM base WHERE src <> dst),
-         d AS (SELECT a AS u, b AS m FROM und UNION ALL SELECT b, a FROM und),
-         co AS (SELECT l.u AS x, r.u AS y, count(*) AS n
-           FROM d l JOIN d r ON l.m = r.m AND l.u < r.u GROUP BY 1, 2)
-         SELECT (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
-           CAST(max(n) AS BIGINT) AS max_copairs,
-           CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_diag_pairs,
-           CAST(sum(n * (n - 1) // 2) // 2 AS BIGINT) AS n_squares
-         FROM co""",
-    // 9 unrolled MAX-relaxation rounds; MATERIALIZED so a9's expansion
-    // doesn't re-read the orders parquet exponentially many times
-    "graph_critical_path" -> {
-      val rounds = (1 to 9).map { k =>
-        s"""a$k AS MATERIALIZED (
-             SELECT n.node, GREATEST(n.lvl, coalesce(c.m, CAST(0 AS BIGINT))) AS lvl
-             FROM a${k - 1} n LEFT JOIN (
-               SELECT e.dst AS node, max(a.lvl) + 1 AS m
-               FROM e JOIN a${k - 1} a ON a.node = e.src GROUP BY 1) c
-             ON c.node = n.node)"""
-      }.mkString(",\n         ")
-      s"""WITH e AS MATERIALIZED (SELECT DISTINCT
-           (o_orderkey % 8) * 100 + (o_custkey % 20) AS src,
-           ((o_orderkey % 8) + 1 + CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) * 100
-             + ((o_custkey * 7 + o_orderkey) % 20) AS dst
-           FROM orders WHERE (o_orderkey % 8) * 100 + (o_custkey % 20) <>
-             ((o_orderkey % 8) + 1 + CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) * 100
-             + ((o_custkey * 7 + o_orderkey) % 20)),
-         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-         a0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS lvl FROM nodes),
-         $rounds
-         SELECT node, lvl FROM a9 ORDER BY node"""
-    },
-    "graph_pagerank" -> pagerankOracleSql,
-    "graph_ppr" -> pprOracleSql,
-    // 6 unrolled batched-BFS rounds keyed (src0, node); harmonic terms
-    // floor per-node so the sum is order-independent
-    "graph_closeness" -> {
-      val rounds = (1 to 6).map { i =>
-        s"""d$i AS (SELECT src0, node, min(dist) AS dist FROM (
-           SELECT src0, node, dist FROM d${i - 1}
-           UNION ALL
-           SELECT d${i - 1}.src0, e.dst AS node, d${i - 1}.dist + 1 AS dist
-           FROM d${i - 1} JOIN e ON e.src = d${i - 1}.node) GROUP BY 1, 2)"""
-      }.mkString(",\n         ")
-      s"""WITH b AS (SELECT l_suppkey % 400 AS a,
-             (l_partkey * 3 + l_linenumber) % 400 AS b
-           FROM lineitem WHERE l_orderkey % 13 = 0),
-         e AS (SELECT DISTINCT src, dst FROM (
-           SELECT a AS src, b AS dst FROM b WHERE a <> b
-           UNION ALL
-           SELECT b AS src, a AS dst FROM b WHERE a <> b)),
-         d0(src0, node, dist) AS (
-           SELECT CAST(s AS BIGINT), CAST(s AS BIGINT), CAST(0 AS BIGINT)
-           FROM (VALUES (0), (80), (160), (240), (320)) t(s)),
-         $rounds
-         SELECT src0, CAST(count(*) AS BIGINT) AS n_reach,
-           CAST(sum(dist) AS BIGINT) AS hop_sum,
-           CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_q
-         FROM d6 WHERE dist > 0 GROUP BY src0 ORDER BY src0"""
-    },
-    // 3 unrolled mutual-min handshake rounds; matched endpoints drop out
-    "graph_matching" -> {
-      val rounds = (1 to 3).map { r =>
-        s"""p$r AS (SELECT a, b FROM (SELECT *,
-            row_number() OVER (PARTITION BY a ORDER BY h, b) AS ra,
-            row_number() OVER (PARTITION BY b ORDER BY h, a) AS rb
-          FROM l${r - 1}) WHERE ra = 1 AND rb = 1),
-         t$r AS (SELECT a AS n FROM p$r UNION SELECT b FROM p$r),
-         l$r AS (SELECT * FROM l${r - 1}
-           WHERE a NOT IN (SELECT n FROM t$r) AND b NOT IN (SELECT n FROM t$r))"""
-      }.mkString(",\n         ")
-      val out = (1 to 3).map(r => s"SELECT a, b, $r AS round FROM p$r")
-        .mkString("\n         UNION ALL ")
-      s"""WITH e0 AS (SELECT DISTINCT least(l_suppkey % 500, l_partkey % 500) AS a,
-           greatest(l_suppkey % 500, l_partkey % 500) AS b FROM lineitem
-           WHERE least(l_suppkey % 500, l_partkey % 500) <> greatest(l_suppkey % 500, l_partkey % 500)),
-         l0 AS (SELECT a, b, (a * 7919 + b * 104729) % 999983 AS h FROM e0),
-         $rounds
-         SELECT a, b, CAST(round AS INT) AS round FROM ($out)
-         ORDER BY a, b"""
-    },
-    "traj_frechet" -> frechetOracleSql,
-    "traj_lcss" -> lcssOracleSql,
-    // the frechet lattice with summed costs per anti-diagonal
-    "traj_dtw" -> {
-      val big = "9223372036854775807"
-      val diags = (1 to 10).map { k =>
-        val p2 = s"ca${math.max(k - 2, 0)}"
-        s"""ca$k AS MATERIALIZED (SELECT c.t1, c.t2, c.i, c.j,
-            c.d2 + LEAST(
-              COALESCE(p1.v, $big), COALESCE(p3.v, $big), COALESCE(p2.v, $big)) AS v
-          FROM cells c
-          LEFT JOIN ca${k - 1} p1 ON p1.t1 = c.t1 AND p1.t2 = c.t2
-            AND p1.i = c.i - 1 AND p1.j = c.j
-          LEFT JOIN ca${k - 1} p3 ON p3.t1 = c.t1 AND p3.t2 = c.t2
-            AND p3.i = c.i AND p3.j = c.j - 1
-          LEFT JOIN $p2 p2 ON p2.t1 = c.t1 AND p2.t2 = c.t2
-            AND p2.i = c.i - 1 AND p2.j = c.j - 1
-          WHERE c.i + c.j = $k)"""
-      }.mkString(",\n         ")
-      s"""WITH trajs AS (SELECT DISTINCT s_suppkey % 20 AS traj_id FROM supplier),
-         v AS (SELECT traj_id, CAST(g AS BIGINT) AS seq,
-             (traj_id * 7 + g * (traj_id % 5 + 1) * 3) % 40 AS px,
-             (traj_id * 11 + g * (traj_id % 3 + 2) * 2) % 40 AS py
-           FROM trajs, unnest(range(0, 6)) AS t(g)),
-         pairs AS (SELECT a.traj_id AS t1, b.traj_id AS t2
-           FROM trajs a, trajs b WHERE a.traj_id < b.traj_id),
-         cells AS MATERIALIZED (SELECT p.t1, p.t2, CAST(va.seq AS INT) AS i, CAST(vb.seq AS INT) AS j,
-             (va.px - vb.px)*(va.px - vb.px) + (va.py - vb.py)*(va.py - vb.py) AS d2
-           FROM pairs p JOIN v va ON va.traj_id = p.t1 JOIN v vb ON vb.traj_id = p.t2),
-         ca0 AS MATERIALIZED (SELECT t1, t2, i, j, d2 AS v FROM cells WHERE i = 0 AND j = 0),
-         $diags,
-         sz AS (SELECT t1, t2, CAST(max(i) + 1 AS INTEGER) AS n_a,
-             CAST(max(j) + 1 AS INTEGER) AS n_b FROM cells GROUP BY 1, 2)
-         SELECT ca10.t1, ca10.t2, sz.n_a, sz.n_b,
-           CAST(ca10.v AS BIGINT) AS dtw_d2
-         FROM ca10 JOIN sz ON sz.t1 = ca10.t1 AND sz.t2 = ca10.t2
-         ORDER BY ca10.t1, ca10.t2"""
-    },
-    // global word frequencies, rank window, head products
-    "text_zipf_products" ->
-      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
-           FROM documents),
-         f AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
-           FROM w GROUP BY 1),
-         r AS (SELECT w, freq, CAST(row_number() OVER (
-             ORDER BY freq DESC, w) AS INT) AS rank FROM f)
-         SELECT rank, w, freq, rank * freq AS rank_x_freq
-         FROM r WHERE rank <= 50 ORDER BY rank""",
-    // pre-period propensity bins vs post conversion
-    "events_calibration" ->
-      """WITH pre AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_pre,
-           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_pre_purch
-           FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),
-         post AS (SELECT user_id,
-           CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-             AS BIGINT) AS converted
-           FROM events WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1),
-         j AS (SELECT pre.user_id,
-             n_pre_purch * 1000000 // n_pre AS share_ppm, converted
-           FROM pre JOIN post ON post.user_id = pre.user_id)
-         SELECT CAST(share_ppm // 100000 AS INT) AS bin,
-           CAST(count(*) AS BIGINT) AS n_users,
-           CAST(sum(share_ppm) AS BIGINT) AS sum_share_ppm,
-           CAST(sum(converted) AS BIGINT) AS n_converted
-         FROM j GROUP BY 1 ORDER BY bin""",
-    // the phash corpus CTEs, full-pairwise xor popcount
-    "img_phash_hist" ->
-      s"""WITH $phashPairCtes,
-         p AS (SELECT CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hd
-           FROM corpus a JOIN corpus b ON a.image_id < b.image_id)
-         SELECT CAST(hd // 8 AS INT) AS bucket,
-           CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(min(hd) AS BIGINT) AS min_hd,
-           CAST(max(hd) AS BIGINT) AS max_hd
-         FROM p GROUP BY 1 ORDER BY bucket""",
-    // the frechet trajectory synth, chord cross² argmax
-    "traj_crosstrack" ->
-      """WITH trajs AS (SELECT DISTINCT s_suppkey % 20 AS traj_id FROM supplier),
-         v AS (SELECT traj_id, CAST(g AS INT) AS seq,
-             (traj_id * 7 + g * (traj_id % 5 + 1) * 3) % 40 AS px,
-             (traj_id * 11 + g * (traj_id % 3 + 2) * 2) % 40 AS py
-           FROM trajs, unnest(range(0, 6)) AS t(g)),
-         se AS (SELECT s.traj_id, s.px AS sx, s.py AS sy, e.px AS ex,
-             e.py AS ey
-           FROM v s JOIN v e ON e.traj_id = s.traj_id
-           WHERE s.seq = 0 AND e.seq = 5),
-         c AS (SELECT v.traj_id, v.seq,
-             ((ex - sx) * (py - sy) - (ey - sy) * (px - sx))
-               * ((ex - sx) * (py - sy) - (ey - sy) * (px - sx)) AS c2,
-             (ex - sx) * (ex - sx) + (ey - sy) * (ey - sy) AS len2,
-             row_number() OVER (PARTITION BY v.traj_id ORDER BY
-               ((ex - sx) * (py - sy) - (ey - sy) * (px - sx))
-                 * ((ex - sx) * (py - sy) - (ey - sy) * (px - sx)) DESC,
-               v.seq) AS rn
-           FROM v JOIN se ON se.traj_id = v.traj_id)
-         SELECT traj_id, CAST(6 AS BIGINT) AS n_pts, len2,
-           c2 AS max_cross2, seq AS at_seq
-         FROM c WHERE rn = 1 ORDER BY traj_id""",
-    // per-source token mass, integer weight split of the 200k budget
-    "curation_epochs" ->
-      """WITH a AS (SELECT source,
-           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tok,
-           CAST(substring(source, 4) AS BIGINT) + 1 AS weight
-           FROM documents GROUP BY 1),
-         t AS (SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM a)
-         SELECT source, avail_tok, weight,
-           200000 * weight // wsum AS target_tok,
-           (200000 * weight // wsum) // avail_tok AS full_epochs,
-           (200000 * weight // wsum) % avail_tok AS remainder_tok
-         FROM a, t ORDER BY source""",
-    // the stream's final state per key IS the batch GROUP BY
-    "stream_state_rollup" ->
-      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
-         CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,
-         CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
-         FROM events GROUP BY 1 ORDER BY user_id""",
-    // per-row adjacent |Δ| sums from the closed form, 3 lowest by
-    // (delta, row)
-    "img_row_defects" -> {
-      val dv = s"abs((${gridV("c.range", "r.range")}) - (${gridV("c.range", "r.range-1")}))"
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         d AS (SELECT swlng, swlat, CAST(r.range AS INT) AS row,
-             CAST(sum($dv) AS BIGINT) AS delta_sum
-           FROM k, range(1,600) r, range(0,600) c GROUP BY 1, 2, 3),
-         rk AS (SELECT swlng, swlat, row, delta_sum,
-             CAST(row_number() OVER (PARTITION BY swlng, swlat
-               ORDER BY delta_sum, row) AS INT) AS rank
-           FROM d)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           rank, row, delta_sum
-         FROM rk WHERE rank <= 3 ORDER BY image_id, rank"""
-    },
-    // quantized inverse-square weights, milli-floored prediction
-    "geo_idw_loocv" ->
-      """WITH st AS (SELECT s_suppkey AS st_id, (s_suppkey*37) % 500 AS x,
-           (s_suppkey*53) % 500 AS y, s_suppkey % 200 + 50 AS v
-           FROM supplier),
-         nb AS (SELECT a.st_id, a.v AS va,
-             1000000000 // greatest((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y), 1) AS w,
-             b.v AS nv
-           FROM st a JOIN st b ON b.st_id <> a.st_id
-             AND (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= 14400),
-         g AS (SELECT st_id, CAST(count(*) AS BIGINT) AS n_nb,
-             max(va) AS va, CAST(sum(w*nv) AS BIGINT) AS wv,
-             CAST(sum(w) AS BIGINT) AS ws FROM nb GROUP BY 1)
-         SELECT st_id, n_nb, wv * 1000 // ws AS pred_milli,
-           va * 1000 AS actual_milli,
-           abs(wv * 1000 // ws - va * 1000) AS abs_err_milli
-         FROM g ORDER BY st_id""",
-    // value-based RANGE frame over distinct cents levels
-    "q_range_frame" ->
-      """WITH bc AS (SELECT event_type,
-           CAST(round(value * 100) AS BIGINT) AS cents,
-           CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2)
-         SELECT event_type, cents, n,
-           CAST(sum(n) OVER (PARTITION BY event_type ORDER BY cents
-             RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS BIGINT) AS n_within
-         FROM bc ORDER BY event_type, cents""",
-    // mirrored closed-form values over half-grids
-    "img_symmetry" -> {
-      val hv = s"abs((${gridV("c.range", "r.range")}) - (${gridV("599 - c.range", "r.range")}))"
-      val vv = s"abs((${gridV("c.range", "r.range")}) - (${gridV("c.range", "599 - r.range")}))"
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         h AS (SELECT swlng, swlat, CAST(sum($hv) AS BIGINT) AS hs
-           FROM k, range(0,600) r, range(0,300) c GROUP BY 1, 2),
-         vva AS (SELECT swlng, swlat, CAST(sum($vv) AS BIGINT) AS vs
-           FROM k, range(0,300) r, range(0,600) c GROUP BY 1, 2)
-         SELECT (CASE WHEN h.swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(h.swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN h.swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(h.swlng) AS VARCHAR),3,'0')) AS image_id,
-           CAST(180000 AS BIGINT) AS n_pairs, hs AS h_absdiff,
-           vs AS v_absdiff,
-           CASE WHEN vs = 0 THEN CAST(0 AS BIGINT)
-                ELSE hs * 1000 // vs END AS hv_ratio_milli
-         FROM h JOIN vva ON vva.swlng = h.swlng AND vva.swlat = h.swlat
-         ORDER BY image_id"""
-    },
-    // INTERSECT/EXCEPT over distinct user sets
-    "q_setops" ->
-      """WITH a AS (SELECT DISTINCT user_id FROM events
-           WHERE ts < TIMESTAMP '2024-01-16'),
-         b AS (SELECT DISTINCT user_id FROM events
-           WHERE ts >= TIMESTAMP '2024-01-16'),
-         i AS (SELECT CAST(count(*) AS BIGINT) AS n_both FROM
-           (SELECT * FROM a INTERSECT SELECT * FROM b)),
-         oa AS (SELECT CAST(count(*) AS BIGINT) AS n_only_pre FROM
-           (SELECT * FROM a EXCEPT SELECT * FROM b)),
-         ob AS (SELECT CAST(count(*) AS BIGINT) AS n_only_post FROM
-           (SELECT * FROM b EXCEPT SELECT * FROM a))
-         SELECT n_both, n_only_pre, n_only_post FROM i, oa, ob""",
-    // 2×2 quadrant sums + milli-floored mean DiD
-    "events_did" ->
-      """WITH e AS (SELECT event_type, user_id % 2 = 0 AS treated,
-           ts >= TIMESTAMP '2024-01-16' AS post,
-           CAST(round(value * 100) AS BIGINT) AS cents FROM events),
-         a AS (SELECT event_type,
-             CAST(sum(CASE WHEN treated AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
-             CAST(sum(CASE WHEN treated AND post THEN cents END) AS BIGINT) AS s_tp,
-             CAST(sum(CASE WHEN treated AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_t0,
-             CAST(sum(CASE WHEN treated AND NOT post THEN cents END) AS BIGINT) AS s_t0,
-             CAST(sum(CASE WHEN NOT treated AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_cp,
-             CAST(sum(CASE WHEN NOT treated AND post THEN cents END) AS BIGINT) AS s_cp,
-             CAST(sum(CASE WHEN NOT treated AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_c0,
-             CAST(sum(CASE WHEN NOT treated AND NOT post THEN cents END) AS BIGINT) AS s_c0
-           FROM e GROUP BY 1)
-         SELECT event_type, n_tp, s_tp, n_t0, s_t0, n_cp, s_cp, n_c0, s_c0,
-           (s_tp * 1000 // n_tp - s_t0 * 1000 // n_t0)
-             - (s_cp * 1000 // n_cp - s_c0 * 1000 // n_c0) AS did_milli
-         FROM a ORDER BY event_type""",
-    // word counts vs source marginals, exact cross-product score, top-5
-    "text_distinctive_terms" ->
-      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
-           FROM documents),
-         sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS o
-           FROM w GROUP BY 1, 2),
-         s AS (SELECT source, CAST(count(*) AS BIGINT) AS ns
-           FROM w GROUP BY 1),
-         wd AS (SELECT w, CAST(count(*) AS BIGINT) AS ow FROM w GROUP BY 1),
-         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w),
-         sc AS (SELECT sw.source, sw.w, o, ow, ns, n.n,
-             o * (n.n - ns) - (ow - o) * ns AS score
-           FROM sw JOIN s ON s.source = sw.source
-           JOIN wd ON wd.w = sw.w CROSS JOIN n),
-         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
-             ORDER BY score DESC, w) AS INT) AS rk FROM sc)
-         SELECT source, rk, w, o, ow, ns, n, score
-         FROM r WHERE rk <= 5 ORDER BY source, rk""",
-    "traj_mapmatch" -> mapMatchOracleSql,
-    "geo_chaikin" -> chaikinOracleSql,
-    "ann_nn_descent" -> nnDescentOracleSql,
-    // per-pair longest aligned 8-gram run via gram join + gaps-and-islands
-    "dedup_lcs_span" ->
-      """WITH corpus AS (SELECT doc_id, text FROM documents
-           UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
-           UNION ALL SELECT doc_id + 200000, text || ' zz qq ww ee rr tt' FROM documents WHERE doc_id % 7 = 0),
-         d AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus WHERE doc_id % 5 = 0),
-         gr AS (SELECT doc_id, CAST(g - 1 AS INT) AS pos,
-             array_to_string(list_slice(w, CAST(g AS BIGINT), CAST(g AS BIGINT) + 7), ' ') AS gram
-           FROM d, unnest(range(1, greatest(len(w) - 6, 1))) AS t(g)),
-         m AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.pos AS pa, b.pos AS pb
-           FROM gr a JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id),
-         r AS (SELECT doc_a, doc_b, pa - pb AS off, pa,
-             pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
-               ORDER BY pa) AS grp FROM m),
-         runs AS (SELECT doc_a, doc_b, off, grp, count(*) AS run
-           FROM r GROUP BY 1, 2, 3, 4)
-         SELECT doc_a, doc_b, CAST(max(run + 7) AS BIGINT) AS span_tokens,
-           CAST(count(*) AS BIGINT) AS n_runs
-         FROM runs GROUP BY 1, 2 HAVING max(run + 7) >= 12
-         ORDER BY doc_a, doc_b""",
-    // header/detail cents reconciliation; all-integer deviations
-    "dq_agg_consistency" ->
-      """WITH li AS (SELECT l_orderkey,
-           CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS li_cents
-           FROM lineitem GROUP BY 1),
-         j AS (SELECT o_orderstatus, li.l_orderkey AS lk,
-             abs(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
-               - COALESCE(li_cents, 0)) AS diff_c
-           FROM orders LEFT JOIN li ON li.l_orderkey = o_orderkey)
-         SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(sum(CASE WHEN lk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lines,
-           CAST(sum(CASE WHEN diff_c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
-           CAST(max(diff_c) AS BIGINT) AS max_diff_c,
-           CAST(sum(diff_c) AS BIGINT) AS sum_diff_c
-         FROM j GROUP BY 1 ORDER BY o_orderstatus""",
-    // 4 unrolled hops, next hop = hash-argmin out-neighbour (ties by dst)
-    "graph_walks" -> {
-      val hops = (1 to 4).map { k =>
-        s"""w$k AS (SELECT seed, $k AS step, dst AS node FROM (
-            SELECT w.seed, e.dst, row_number() OVER (PARTITION BY w.seed
-              ORDER BY (w.node * 1009 + $k * 131 + e.dst * 7919) % 104729, e.dst) AS rn
-            FROM w${k - 1} w JOIN e ON e.src = w.node) WHERE rn = 1)"""
-      }.mkString(",\n         ")
-      val out = (0 to 4).map(k => s"SELECT seed, step, node FROM w$k")
-        .mkString("\n         UNION ALL ")
-      s"""WITH e AS (SELECT DISTINCT l_suppkey % 500 AS src,
-           l_partkey % 500 AS dst FROM lineitem),
-         s0 AS (SELECT DISTINCT src AS seed FROM e WHERE src % 10 = 0),
-         w0 AS (SELECT seed, 0 AS step, seed AS node FROM s0),
-         $hops
-         SELECT seed, CAST(step AS INT) AS step, node
-         FROM ($out) ORDER BY seed, step"""
-    },
-    // recursive path materialization down the n//3 forest
-    "q_org_paths" ->
-      """WITH RECURSIVE nodes AS (SELECT DISTINCT s_suppkey % 40 AS n FROM supplier),
-         r AS (SELECT n, 0 AS depth, '0' AS path FROM nodes WHERE n = 0
-           UNION ALL
-           SELECT c.n, r.depth + 1, r.path || '/' || CAST(c.n AS VARCHAR)
-           FROM r JOIN nodes c ON c.n > 0 AND c.n // 3 = r.n)
-         SELECT n, CAST(depth AS INT) AS depth, path FROM r ORDER BY n""",
-    "img_hough" -> houghOracleSql,
-    "graph_kcore" -> kcoreOracleSql,
-    "graph_hits" -> hitsOracleSql,
-    "graph_labelprop" -> labelpropOracleSql,
-    "graph_twohop" -> twoHopOracleSql,
-    // unique-weight MSF by the cycle property: an edge is in the forest
-    // iff its far endpoint is NOT reachable from the near one using
-    // strictly lighter edges — one recursive reachability keyed by edge
-    "graph_mst" ->
-      """WITH RECURSIVE raw AS (SELECT s_suppkey % 64 AS src,
-           (s_suppkey * 13 + 7) % 64 AS dst,
-           (s_suppkey % 97) * 4096
-             + least(s_suppkey % 64, (s_suppkey * 13 + 7) % 64) * 64
-             + greatest(s_suppkey % 64, (s_suppkey * 13 + 7) % 64) AS wkey
-           FROM supplier),
-         e AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
-             min(wkey) AS wkey
-           FROM raw WHERE src <> dst GROUP BY 1, 2),
-         r(a0, b0, w0, node) AS (
-           SELECT a, b, wkey, a FROM e
-           UNION
-           SELECT r.a0, r.b0, r.w0,
-             CASE WHEN g.a = r.node THEN g.b ELSE g.a END
-           FROM r JOIN e g ON (g.a = r.node OR g.b = r.node)
-             AND g.wkey < r.w0)
-         SELECT CAST(e.a AS BIGINT) AS a, CAST(e.b AS BIGINT) AS b,
-           CAST(e.wkey AS BIGINT) AS wkey
-         FROM e WHERE NOT EXISTS (SELECT 1 FROM r
-           WHERE r.a0 = e.a AND r.b0 = e.b AND r.node = e.b)
-         ORDER BY a, b""",
-    // degree start + 8 unrolled h-index rounds; stable = last two agree
-    "graph_coreness" -> {
-      val rounds = (1 to 8).map(corenessRoundCte).mkString(",\n         ")
-      s"""WITH e AS (SELECT DISTINCT
-           GREATEST(l_suppkey % 500, l_partkey % 500) AS hi,
-           LEAST(l_suppkey % 500, l_partkey % 500) AS lo
-           FROM lineitem WHERE l_orderkey % 7 = 0
-             AND l_suppkey % 500 <> l_partkey % 500),
-         sym AS (SELECT hi AS u, lo AS v FROM e
-           UNION ALL SELECT lo, hi FROM e),
-         h0 AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS h
-           FROM sym GROUP BY 1),
-         $rounds
-         SELECT h8.node, h8.h AS coreness, h7.h AS h_prev,
-           h8.h = h7.h AS stable
-         FROM h8 JOIN h7 ON h7.node = h8.node ORDER BY h8.node"""
-    },
-    // both Brandes phases unrolled: BFS rounds with NOT-EXISTS visited
-    // guards, then level-by-level dependency sums with the same per-term
-    // floor
-    "graph_betweenness" -> {
-      val fwd = (1 to 4).map { k =>
-        s"""add$k AS (SELECT src, node, $k AS dist, sigma FROM (
-            SELECT p.src, s.v AS node, CAST(sum(p.sigma) AS BIGINT) AS sigma
-            FROM st${k - 1} p JOIN sym s ON s.u = p.node
-            WHERE p.dist = ${k - 1} AND NOT EXISTS (SELECT 1 FROM st${k - 1} x
-              WHERE x.src = p.src AND x.node = s.v)
-            GROUP BY 1, 2) q),
-           st$k AS (SELECT * FROM st${k - 1} UNION ALL SELECT * FROM add$k)"""
-      }.mkString(",\n         ")
-      val bwd = (3 to 0 by -1).map { k =>
-        s"""dl$k AS (SELECT src, vn AS node, CAST(sum(term) AS BIGINT) AS dppm FROM (
-            SELECT v.src, v.node AS vn,
-              (v.sigma * (1000000 + COALESCE(d.dppm, 0))) // w.sigma AS term
-            FROM st4 v JOIN sym s ON s.u = v.node
-            JOIN st4 w ON w.src = v.src AND w.node = s.v AND w.dist = v.dist + 1
-            LEFT JOIN da${k + 1} d ON d.src = w.src AND d.node = w.node
-            WHERE v.dist = $k) t GROUP BY 1, 2),
-           da$k AS (SELECT * FROM da${k + 1} UNION ALL SELECT * FROM dl$k)"""
-      }.mkString(",\n         ")
-      s"""WITH e AS (SELECT DISTINCT
-           GREATEST(l_suppkey % 500, l_partkey % 500) AS hi,
-           LEAST(l_suppkey % 500, l_partkey % 500) AS lo
-           FROM lineitem WHERE l_orderkey % 7 = 0
-             AND l_suppkey % 500 <> l_partkey % 500),
-         sym AS (SELECT hi AS u, lo AS v FROM e
-           UNION ALL SELECT lo, hi FROM e),
-         st0 AS (SELECT src, src AS node, 0 AS dist,
-             CAST(1 AS BIGINT) AS sigma
-           FROM (VALUES (CAST(0 AS BIGINT)), (1), (2)) s(src)),
-         $fwd,
-         da4 AS (SELECT src, node, CAST(0 AS BIGINT) AS dppm
-           FROM st4 WHERE dist = 4),
-         $bwd
-         SELECT node, CAST(sum(dppm) AS BIGINT) AS bc_ppm
-         FROM da0 WHERE node <> src GROUP BY 1 ORDER BY node"""
-    },
-    // forward BFS rounds only, per-wavefront counts
-    "graph_bfs_profile" -> {
-      val fwd = (1 to 4).map { k =>
-        s"""add$k AS (SELECT DISTINCT p.src, s.v AS node, $k AS dist
-            FROM st${k - 1} p JOIN sym s ON s.u = p.node
-            WHERE p.dist = ${k - 1} AND NOT EXISTS (SELECT 1 FROM st${k - 1} x
-              WHERE x.src = p.src AND x.node = s.v)),
-           st$k AS (SELECT * FROM st${k - 1} UNION ALL SELECT * FROM add$k)"""
-      }.mkString(",\n         ")
-      s"""WITH e AS (SELECT DISTINCT
-           GREATEST(l_suppkey % 500, l_partkey % 500) AS hi,
-           LEAST(l_suppkey % 500, l_partkey % 500) AS lo
-           FROM lineitem WHERE l_orderkey % 7 = 0
-             AND l_suppkey % 500 <> l_partkey % 500),
-         sym AS (SELECT hi AS u, lo AS v FROM e
-           UNION ALL SELECT lo, hi FROM e),
-         st0 AS (SELECT src, src AS node, 0 AS dist
-           FROM (VALUES (CAST(0 AS BIGINT)), (1), (2)) s(src)),
-         $fwd
-         SELECT src, CAST(dist AS INT) AS dist,
-           CAST(count(*) AS BIGINT) AS n_nodes
-         FROM st4 GROUP BY 1, 2 ORDER BY src, dist"""
-    },
-    // both closed-form histograms full-outer on level, Σ|cdf gap|
-    "img_emd_epochs" -> {
-      val va = gridV("c.range", "r.range")
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         ha AS (SELECT swlng, swlat,
-             CAST(greatest(0, least(63, ($va) // 64)) AS INT) AS level,
-             CAST(count(*) AS BIGINT) AS na
-           FROM k, range(0,601) r, range(0,601) c GROUP BY 1, 2, 3),
-         hb AS (SELECT swlng, swlat,
-             CAST(greatest(0, least(63, (a + c.range + 2*r.range) // 64)) AS INT) AS level,
-             CAST(count(*) AS BIGINT) AS nb
-           FROM k, range(0,601) r, range(0,601) c GROUP BY 1, 2, 3),
-         j AS (SELECT COALESCE(ha.swlng, hb.swlng) AS swlng,
-             COALESCE(ha.swlat, hb.swlat) AS swlat,
-             COALESCE(ha.level, hb.level) AS level,
-             COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
-           FROM ha FULL OUTER JOIN hb ON hb.swlng = ha.swlng
-             AND hb.swlat = ha.swlat AND hb.level = ha.level),
-         cdf AS (SELECT swlng, swlat, level,
-             CAST(sum(na) OVER w AS BIGINT) AS ca,
-             CAST(sum(nb) OVER w AS BIGINT) AS cb
-           FROM j WINDOW w AS (PARTITION BY swlng, swlat ORDER BY level))
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           CAST(count(*) AS BIGINT) AS n_levels,
-           CAST(sum(abs(ca - cb)) AS BIGINT) AS emd
-         FROM cdf GROUP BY 1 ORDER BY image_id"""
-    },
-    // labelprop rounds + per-label volume/cut/internal pieces
-    "graph_conductance" -> {
-      val rounds = (1 to 3).map { r =>
-        s"""v$r AS (SELECT s.u AS node, l.lbl, count(*) AS cnt
-             FROM sym s JOIN l${r - 1} l ON s.v = l.node GROUP BY 1, 2),
-           l$r AS (SELECT node, lbl FROM v$r
-             QUALIFY row_number() OVER (PARTITION BY node
-               ORDER BY cnt DESC, lbl ASC) = 1)"""
-      }.mkString(",\n         ")
-      s"""WITH e AS (SELECT DISTINCT
-           GREATEST(l_suppkey % 500, l_partkey % 500) AS hi,
-           LEAST(l_suppkey % 500, l_partkey % 500) AS lo
-         FROM lineitem WHERE l_orderkey % 7 = 0),
-         e2 AS (SELECT hi, lo FROM e WHERE hi <> lo),
-         sym AS (SELECT lo AS u, hi AS v FROM e2
-                 UNION ALL SELECT hi AS u, lo AS v FROM e2),
-         l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym),
-         $rounds,
-         deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d
-           FROM sym GROUP BY 1),
-         tg AS (SELECT e2.lo AS a, e2.hi AS b, la.lbl AS la, lb.lbl AS lb
-           FROM e2 JOIN l3 la ON la.node = e2.lo
-           JOIN l3 lb ON lb.node = e2.hi),
-         cut AS (SELECT lbl, CAST(count(*) AS BIGINT) AS cut FROM (
-             SELECT la AS lbl FROM tg WHERE la <> lb
-             UNION ALL SELECT lb FROM tg WHERE la <> lb) u GROUP BY 1),
-         intr AS (SELECT la AS lbl, CAST(count(*) AS BIGINT) AS internal
-           FROM tg WHERE la = lb GROUP BY 1),
-         vol AS (SELECT l3.lbl, CAST(count(*) AS BIGINT) AS n_nodes,
-             CAST(sum(d) AS BIGINT) AS vol
-           FROM l3 JOIN deg ON deg.u = l3.node GROUP BY 1),
-         m2 AS (SELECT CAST(count(*) * 2 AS BIGINT) AS deg_total FROM e2)
-         SELECT CAST(vol.lbl AS BIGINT) AS lbl, n_nodes, vol,
-           COALESCE(internal, 0) AS internal, COALESCE(cut.cut, 0) AS cut,
-           CASE WHEN least(vol, deg_total - vol) = 0 THEN CAST(0 AS BIGINT)
-                ELSE COALESCE(cut.cut, 0) * 1000000
-                  // least(vol, deg_total - vol) END AS conduct_ppm
-         FROM vol LEFT JOIN cut ON cut.lbl = vol.lbl
-         LEFT JOIN intr ON intr.lbl = vol.lbl CROSS JOIN m2
-         ORDER BY lbl"""
-    },
-    // brute-force NN per point, milli-floored sqrt, bbox extent
-    "geo_clark_evans" ->
-      """WITH pts AS (SELECT c_custkey AS pid, (c_custkey * 7) % 1201 AS x,
-           (c_custkey * 13) % 1009 AS y
-           FROM customer WHERE c_custkey <= 500),
-         nn AS (SELECT a.pid,
-             min((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
-               AS nn_d2
-           FROM pts a JOIN pts b ON b.pid <> a.pid GROUP BY 1),
-         q AS (SELECT pid, nn_d2,
-             CAST(floor(sqrt(CAST(nn_d2 AS DOUBLE)) * 1000.0) AS BIGINT)
-               AS nn_d_milli FROM nn),
-         agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(nn_d_milli) AS BIGINT) AS sum_nn_d_milli,
-             CAST(min(nn_d2) AS BIGINT) AS min_nn_d2,
-             CAST(max(nn_d2) AS BIGINT) AS max_nn_d2 FROM q),
-         bb AS (SELECT CAST(max(x) - min(x) AS BIGINT) AS extent_x,
-             CAST(max(y) - min(y) AS BIGINT) AS extent_y FROM pts)
-         SELECT n, sum_nn_d_milli, min_nn_d2, max_nn_d2, extent_x,
-           extent_y
-         FROM agg, bb""",
-    // closed-form level CDFs for both epochs, min-m mapping
-    "img_hist_match" -> {
-      val va = gridV("c.range", "r.range")
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         ga AS (SELECT swlng, swlat,
-             greatest(0, least(63, ($va) // 64)) AS level
-           FROM k, range(0,601) r, range(0,601) c),
-         gb AS (SELECT swlng, swlat,
-             greatest(0, least(63, (a + c.range + 2*r.range) // 64)) AS level
-           FROM k, range(0,601) r, range(0,601) c),
-         ha AS (SELECT swlng, swlat, CAST(level AS INT) AS level,
-             CAST(count(*) AS BIGINT) AS n FROM ga GROUP BY 1, 2, 3),
-         hb AS (SELECT swlng, swlat, CAST(level AS INT) AS level,
-             CAST(count(*) AS BIGINT) AS n FROM gb GROUP BY 1, 2, 3),
-         ca AS (SELECT swlng, swlat, level, n, CAST(sum(n) OVER (
-             PARTITION BY swlng, swlat ORDER BY level) AS BIGINT) AS cdf_a
-           FROM ha),
-         cb AS (SELECT swlng, swlat, level, CAST(sum(n) OVER (
-             PARTITION BY swlng, swlat ORDER BY level) AS BIGINT) AS cdf_b
-           FROM hb),
-         m AS (SELECT ca.swlng, ca.swlat, ca.level, ca.n AS n_px, ca.cdf_a,
-             CAST(min(cb.level) AS INT) AS mapped_level
-           FROM ca JOIN cb ON cb.swlng = ca.swlng AND cb.swlat = ca.swlat
-             AND cb.cdf_b >= ca.cdf_a
-           GROUP BY 1, 2, 3, 4, 5)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           level, n_px, cdf_a, mapped_level
-         FROM m ORDER BY image_id, level"""
-    },
-    // 3 unrolled pairwise (sum, difference) cascade levels
-    "events_haar_energy" -> {
-      val lvls = (1 to 3).map { l =>
-        s"""l$l AS (SELECT event_type, idx // 2 AS p,
-            CAST(count(*) AS BIGINT) AS m,
-            CAST(sum(CASE WHEN idx % 2 = 0 THEN c ELSE -c END) AS BIGINT) AS detail,
-            CAST(sum(c) AS BIGINT) AS approx
-          FROM s${l - 1} GROUP BY 1, 2),
-         e$l AS (SELECT event_type, $l AS level,
-            CAST(count(*) AS BIGINT) AS n_coeffs,
-            CAST(sum(detail * detail) AS BIGINT) AS energy
-          FROM l$l WHERE m = 2 GROUP BY 1),
-         s$l AS (SELECT event_type, p AS idx, approx AS c
-          FROM l$l WHERE m = 2)"""
-      }.mkString(",\n         ")
-      s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
-           CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
-         s0 AS (SELECT * FROM (SELECT event_type,
-             CAST(row_number() OVER (PARTITION BY event_type ORDER BY hr)
-               - 1 AS BIGINT) AS idx, c FROM h) q WHERE idx < 128),
-         $lvls
-         SELECT * FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2
-           UNION ALL SELECT * FROM e3)
-         ORDER BY event_type, level"""
-    },
-    // identical double cosine pipeline, 0.1 buckets
-    "ann_cosine_hist" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding,
-           x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         n AS (SELECT vec_id, v,
-             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-         anc AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
-           WHERE vec_id % 50 = 0),
-         p AS (SELECT CAST(floor(list_sum(list_transform(range(1, 65),
-             i -> qv[i] * v[i])) / (qn * nrm) * 10) AS INT) AS bucket
-           FROM anc, n WHERE n.vec_id <> anc.qid)
-         SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs
-         FROM p GROUP BY 1 ORDER BY bucket""",
-    // adjacent-step id inversions under (ts, event_id) order
-    "dq_sequence_order" ->
-      """WITH s AS (SELECT user_id, event_id,
-           lag(event_id) OVER (PARTITION BY user_id
-             ORDER BY epoch_us(ts), event_id) AS prev_id
-           FROM events)
-         SELECT user_id, CAST(count(*) AS BIGINT) AS n_steps,
-           CAST(sum(CASE WHEN event_id < prev_id THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_inversions,
-           CAST(min(CASE WHEN event_id < prev_id THEN event_id END)
-             AS BIGINT) AS min_bad_id
-         FROM s WHERE prev_id IS NOT NULL
-         GROUP BY 1 ORDER BY user_id""",
-    // degree-sequence closed forms + the canonical a<b<c triangle join +
-    // the P3 identity
-    "graph_motif_census" ->
-      """WITH e AS (SELECT DISTINCT
-           GREATEST(l_suppkey % 500, l_partkey % 500) AS b,
-           LEAST(l_suppkey % 500, l_partkey % 500) AS a
-           FROM lineitem WHERE l_orderkey % 7 = 0
-             AND l_suppkey % 500 <> l_partkey % 500),
-         sym AS (SELECT a AS u FROM e UNION ALL SELECT b FROM e),
-         deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
-         base AS (SELECT CAST(sum(d*(d-1)//2) AS BIGINT) AS wedges,
-             CAST(sum(d*(d-1)*(d-2)//6) AS BIGINT) AS claws FROM deg),
-         ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
-         tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
-           FROM e e1 JOIN e e2 ON e2.a = e1.b
-           JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
-         pe AS (SELECT CAST(sum((da.d - 1) * (db.d - 1)) AS BIGINT) AS pe
-           FROM e JOIN deg da ON da.u = e.a JOIN deg db ON db.u = e.b)
-         SELECT n_edges, wedges, claws, n_triangles,
-           pe - 3 * n_triangles AS p3_paths
-         FROM ne, base, tri, pe""",
-    // the identical walk cumsum, the shared regionized segment test
-    "traj_corridor" -> {
-      s"""WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
-           (event_id * 3) % 5 AS dy
-           FROM events WHERE user_id < 50),
-         c AS (SELECT user_id AS traj_id, event_id AS seq,
-           CAST(sum(dx) OVER w AS BIGINT) AS px,
-           CAST(sum(dy) OVER w AS BIGINT) AS py
-           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-         m AS (SELECT traj_id, seq,
-           ${corridorInsideSql(corridorSegs, 40L)} AS inside FROM c)
-         SELECT traj_id, CAST(count(*) AS BIGINT) AS n_fixes,
-           CAST(sum(CASE WHEN inside THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
-           CAST(min(CASE WHEN NOT inside THEN seq END) AS BIGINT) AS first_out,
-           CAST(max(CASE WHEN NOT inside THEN seq END) AS BIGINT) AS last_out
-         FROM m GROUP BY 1 ORDER BY traj_id"""
-    },
-    "q_listagg" ->
-      """SELECT s_nationkey AS nation, CAST(count(*) AS BIGINT) AS n_sup,
-         string_agg(s_name, ',' ORDER BY s_name) AS names_csv
-         FROM supplier GROUP BY 1 ORDER BY nation""",
-    // the walk cumsum cells, sign-of-pair-difference sums + tie term
-    "geo_mann_kendall" ->
-      """WITH b AS (SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us,
-           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
-           (event_id * 3) % 5 AS dy
-           FROM events WHERE user_id < 50),
-         c AS (SELECT ts, CAST(sum(dx) OVER w AS BIGINT) AS px,
-           CAST(sum(dy) OVER w AS BIGINT) AS py
-           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-         d AS (SELECT px // 200 AS cell_x, py // 50 AS cell_y,
-             date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS c
-           FROM c GROUP BY 1, 2, 3),
-         s AS (SELECT cell_x, cell_y, day, c, CAST(row_number() OVER (
-             PARTITION BY cell_x, cell_y ORDER BY day) AS BIGINT) AS i
-           FROM d),
-         pr AS (SELECT a.cell_x, a.cell_y,
-             CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END AS sgn
-           FROM s a JOIN s b ON a.cell_x = b.cell_x AND a.cell_y = b.cell_y
-             AND a.i < b.i),
-         sa AS (SELECT cell_x, cell_y, CAST(sum(sgn) AS BIGINT) AS s_stat,
-             CAST(count(*) AS BIGINT) AS n_pairs FROM pr GROUP BY 1, 2),
-         nd AS (SELECT cell_x, cell_y, CAST(count(*) AS BIGINT) AS n_days
-           FROM s GROUP BY 1, 2),
-         tt AS (SELECT cell_x, cell_y,
-             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
-           FROM (SELECT cell_x, cell_y, c, CAST(count(*) AS BIGINT) AS t
-             FROM s GROUP BY 1, 2, 3) q GROUP BY 1, 2)
-         SELECT nd.cell_x, nd.cell_y, n_days, n_pairs, s_stat, tie_term,
-           CASE WHEN s_stat > 0 THEN 1 WHEN s_stat < 0 THEN -1 ELSE 0 END AS trend
-         FROM nd JOIN sa ON sa.cell_x = nd.cell_x AND sa.cell_y = nd.cell_y
-         JOIN tt ON tt.cell_x = nd.cell_x AND tt.cell_y = nd.cell_y
-         ORDER BY nd.cell_x, nd.cell_y""",
-    // nearest-rank fences, clamped sum, clamp counts
-    "events_winsorize" ->
-      """WITH ev AS (SELECT event_type,
-           CAST(round(value * 100) AS BIGINT) AS cents, event_id FROM events),
-         r AS (SELECT event_type, cents,
-             CAST(row_number() OVER (PARTITION BY event_type
-               ORDER BY cents, event_id) AS BIGINT) AS rn,
-             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
-           FROM ev),
-         p AS (SELECT event_type, max(n) AS n,
-             max(CASE WHEN rn = (n - 1) * 5 // 100 + 1 THEN cents END) AS p5,
-             max(CASE WHEN rn = (n - 1) * 95 // 100 + 1 THEN cents END) AS p95
-           FROM r GROUP BY 1)
-         SELECT ev.event_type, max(p.n) AS n, max(p5) AS p5, max(p95) AS p95,
-           CAST(sum(greatest(p5, least(p95, cents))) AS BIGINT) AS sum_w,
-           CAST(sum(CASE WHEN cents < p5 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
-           CAST(sum(CASE WHEN cents > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
-         FROM ev JOIN p ON p.event_type = ev.event_type
-         GROUP BY 1 ORDER BY ev.event_type""",
-    // the walk cumsum + sector VALUES, identical cross-product membership
-    "geo_sector_cover" -> {
-      val antRows = sectorAntennas.map {
-        case (id, cx, cy, d1x, d1y, d2x, d2y, r2) =>
-          s"(CAST($id AS BIGINT), $cx, $cy, $d1x, $d1y, $d2x, $d2y, $r2)"
-      }.mkString(", ")
-      s"""WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
-           (event_id * 3) % 5 AS dy
-           FROM events WHERE user_id < 50),
-         c AS (SELECT user_id AS traj_id,
-           CAST(sum(dx) OVER w AS BIGINT) AS px,
-           CAST(sum(dy) OVER w AS BIGINT) AS py
-           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-         ant(antenna_id, cx, cy, d1x, d1y, d2x, d2y, r2) AS (VALUES $antRows),
-         m AS (SELECT antenna_id, traj_id,
-             CASE WHEN d1x*(py-cy) - d1y*(px-cx) >= 0
-               AND (px-cx)*d2y - (py-cy)*d2x >= 0
-               AND (px-cx)*(px-cx) + (py-cy)*(py-cy) <= r2
-               THEN 1 ELSE 0 END AS inside
-           FROM c, ant)
-         SELECT antenna_id, CAST(count(*) AS BIGINT) AS n_pts,
-           CAST(sum(inside) AS BIGINT) AS n_in,
-           CAST(count(DISTINCT CASE WHEN inside = 1 THEN traj_id END)
-             AS BIGINT) AS n_traj
-         FROM m GROUP BY 1 ORDER BY antenna_id"""
-    },
-    // same window energies, lag band self-join, floored per-term mean
-    "media_tempo" ->
-      """WITH m AS (SELECT s_suppkey AS media_id,
-           4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),
-         w AS (SELECT media_id, unnest(range(0, n_bytes // 128)) AS win_no FROM m),
-         sq AS (SELECT media_id, win_no,
-             CAST(list_sum(list_transform(range(0,128),
-               i -> (((media_id*31 + (win_no*128+i)*7) % 256) - 128)
-                  * (((media_id*31 + (win_no*128+i)*7) % 256) - 128))) AS BIGINT) AS sq_sum
-           FROM w),
-         j AS (SELECT a.media_id, b.win_no - a.win_no AS lag,
-             a.sq_sum * b.sq_sum AS prod
-           FROM sq a JOIN sq b ON b.media_id = a.media_id
-             AND b.win_no - a.win_no BETWEEN 2 AND 16),
-         sc AS (SELECT media_id, lag, CAST(sum(prod) AS BIGINT) AS psum,
-             CAST(count(*) AS BIGINT) AS n_terms FROM j GROUP BY 1, 2),
-         nw AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_win
-           FROM sq GROUP BY 1),
-         r AS (SELECT media_id, lag, psum, n_terms,
-             psum // n_terms AS score_q,
-             row_number() OVER (PARTITION BY media_id
-               ORDER BY psum // n_terms DESC, lag) AS rn FROM sc)
-         SELECT CAST(r.media_id AS BIGINT) AS media_id, n_win,
-           CAST(lag AS BIGINT) AS lag, n_terms, psum, score_q
-         FROM r JOIN nw ON nw.media_id = r.media_id WHERE rn = 1
-         ORDER BY r.media_id""",
-    // brute-force per-user candidates with the same tie ladder: gap asc,
-    // backward first, then the directional seq rule
-    "events_asof_nearest" ->
-      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
-           event_type FROM events),
-         p AS (SELECT event_id, user_id, tus FROM e
-           WHERE event_type = 'purchase'),
-         v AS (SELECT event_id, user_id, tus FROM e
-           WHERE event_type = 'view'),
-         j AS (SELECT p.event_id, p.user_id, p.tus,
-             v.event_id AS view_event_id, v.tus AS vtus,
-             abs(v.tus - p.tus) AS ag,
-             CASE WHEN v.tus <= p.tus THEN 1 ELSE 0 END AS is_back
-           FROM p LEFT JOIN v ON v.user_id = p.user_id),
-         r AS (SELECT *, row_number() OVER (PARTITION BY event_id
-             ORDER BY ag, is_back DESC,
-               CASE WHEN is_back = 1 THEN -view_event_id
-                    ELSE view_event_id END) AS rn
-           FROM j)
-         SELECT event_id, user_id, tus, view_event_id, vtus AS view_tus,
-           vtus - tus AS near_gap
-         FROM r WHERE rn = 1 ORDER BY event_id""",
-    // trained coarse assignment (min d2, low-c ties), micro floor,
-    // nearest-rank median, 2× flags
-    "ann_ood_flags" ->
-      s"""WITH ${kmeansTrainCtes(8, 3)},
-         cd AS (SELECT vec_id, c, list_reduce(list_prepend(0.0,
-             list_transform(range(0,64),
-               d -> (v[d+1]-cl[d+1])*(v[d+1]-cl[d+1]))), (p,q) -> p + q) AS d2
-           FROM vv, cents3),
-         ca AS (SELECT vec_id, c AS centroid,
-             CAST(floor(d2 * 1000000.0) AS BIGINT) AS d2q FROM (
-             SELECT vec_id, c, d2, row_number() OVER (PARTITION BY vec_id
-               ORDER BY d2, c) AS rn FROM cd) q WHERE rn = 1),
-         r AS (SELECT centroid, d2q, vec_id, row_number() OVER (
-             PARTITION BY centroid ORDER BY d2q, vec_id) AS rn,
-             count(*) OVER (PARTITION BY centroid) AS n FROM ca),
-         med AS (SELECT centroid, d2q AS med_d2q FROM r
-           WHERE rn = (n + 1) // 2)
-         SELECT CAST(ca.centroid AS INT) AS centroid,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(max(med.med_d2q) AS BIGINT) AS med_d2q,
-           CAST(sum(CASE WHEN ca.d2q > med.med_d2q * 2 THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_flagged
-         FROM ca JOIN med ON med.centroid = ca.centroid
-         GROUP BY 1 ORDER BY centroid""",
-    // global rank + running coverage at the four head sizes
-    "text_coverage_curve" ->
-      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
-           FROM documents),
-         f AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
-           FROM w GROUP BY 1),
-         r AS (SELECT w, freq, CAST(row_number() OVER (
-             ORDER BY freq DESC, w) AS INT) AS rank,
-             CAST(sum(freq) OVER (ORDER BY freq DESC, w
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS cum_freq
-           FROM f),
-         t AS (SELECT CAST(sum(freq) AS BIGINT) AS total_freq FROM f)
-         SELECT rank, cum_freq, total_freq,
-           cum_freq * 1000000 // total_freq AS coverage_ppm
-         FROM r, t WHERE rank IN (10, 50, 100, 500) ORDER BY rank""",
-    // signed closed-form sample sums per asset
-    "media_dc_offset" ->
-      """WITH m AS (SELECT s_suppkey AS media_id,
-           4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),
-         s AS (SELECT media_id, n_bytes,
-             CAST(list_sum(list_transform(range(0, n_bytes),
-               k -> ((media_id*31 + k*7) % 256) - 128)) AS BIGINT) AS sum_v,
-             CAST(list_min(list_transform(range(0, n_bytes),
-               k -> ((media_id*31 + k*7) % 256) - 128)) AS BIGINT) AS min_v,
-             CAST(list_max(list_transform(range(0, n_bytes),
-               k -> ((media_id*31 + k*7) % 256) - 128)) AS BIGINT) AS max_v
-           FROM m)
-         SELECT CAST(media_id AS BIGINT) AS media_id,
-           CAST(n_bytes AS BIGINT) AS n_samp, sum_v, min_v, max_v
-         FROM s ORDER BY media_id""",
-    // trained-codebook assignment with d2 carried, micro-floored per vector
-    "ann_pq_distortion" ->
-      s"""WITH ${kmeansTrainCtes(8, 3)}, ${pqTrainCtes(8, 16, 3)},
-         pdf AS (SELECT vec_id, cb.s AS s, cb.k AS k,
-             list_reduce(list_prepend(0.0, list_transform(range(0,8),
-               dd -> (v[cb.s*8 + dd + 1]-cb.cl[dd+1])*(v[cb.s*8 + dd + 1]-cb.cl[dd+1]))),
-               (p,q) -> p + q) AS d2
-           FROM vv, cb3 cb),
-         paf AS (SELECT vec_id, s, k AS code, d2 FROM (
-             SELECT vec_id, s, k, d2, row_number() OVER (
-               PARTITION BY vec_id, s ORDER BY d2, k) AS rn FROM pdf) q
-           WHERE rn = 1),
-         qd AS (SELECT s, code,
-             CAST(floor(d2 * 1000000.0) AS BIGINT) AS d2q FROM paf)
-         SELECT CAST(s AS INT) AS sub, CAST(code AS INT) AS code,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(d2q) AS BIGINT) AS sum_d2q,
-           CAST(max(d2q) AS BIGINT) AS max_d2q
-         FROM qd GROUP BY 1, 2 ORDER BY sub, code""",
-    // FULL OUTER with coalesced key and status ladder
-    "q_full_outer" ->
-      """WITH pre AS (SELECT user_id,
-           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS pre_cents
-           FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),
-         post AS (SELECT user_id,
-           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS post_cents
-           FROM events WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1)
-         SELECT COALESCE(pre.user_id, post.user_id) AS user_id, pre_cents,
-           post_cents,
-           CASE WHEN pre_cents IS NULL THEN 'post_only'
-                WHEN post_cents IS NULL THEN 'pre_only'
-                ELSE 'both' END AS status,
-           COALESCE(post_cents, 0) - COALESCE(pre_cents, 0) AS delta_cents
-         FROM pre FULL OUTER JOIN post ON post.user_id = pre.user_id
-         ORDER BY user_id""",
-    // the walk cumsum + center VALUES, squared-radius ring ladder
-    "geo_ring_buffer" -> {
-      val ctrRows = stIncidents.map { case (id, ix, iy, _) =>
-        s"(CAST($id AS BIGINT), $ix, $iy)"
-      }.mkString(", ")
-      s"""WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
-           (event_id * 3) % 5 AS dy
-           FROM events WHERE user_id < 50),
-         c AS (SELECT user_id,
-           CAST(sum(dx) OVER w AS BIGINT) AS px,
-           CAST(sum(dy) OVER w AS BIGINT) AS py
-           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-         ctr(center_id, ix, iy) AS (VALUES $ctrRows),
-         m AS (SELECT center_id, user_id,
-             CASE WHEN d2 <= 2500 THEN 1 WHEN d2 <= 10000 THEN 2
-                  WHEN d2 <= 40000 THEN 3 WHEN d2 <= 160000 THEN 4 END AS ring
-           FROM (SELECT center_id, user_id,
-               (px-ix)*(px-ix) + (py-iy)*(py-iy) AS d2 FROM c, ctr) q)
-         SELECT center_id, ring, CAST(count(*) AS BIGINT) AS n_fixes,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS n_traj
-         FROM m WHERE ring IS NOT NULL GROUP BY 1, 2
-         ORDER BY center_id, ring"""
-    },
-    // the walk cumsum + incident VALUES, identical distance/time gates
-    "geo_st_join" -> {
-      val incRows = stIncidents.map { case (id, ix, iy, ts) =>
-        s"(CAST($id AS BIGINT), $ix, $iy, TIMESTAMP '$ts')"
-      }.mkString(", ")
-      s"""WITH b AS (SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us,
-           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
-           (event_id * 3) % 5 AS dy
-           FROM events WHERE user_id < 50),
-         c AS (SELECT user_id, epoch_us(ts) AS tus,
-           CAST(sum(dx) OVER w AS BIGINT) AS px,
-           CAST(sum(dy) OVER w AS BIGINT) AS py
-           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-         inc(inc_id, ix, iy, its) AS (VALUES $incRows),
-         m AS (SELECT inc_id, user_id,
-             (px - ix) * (px - ix) + (py - iy) * (py - iy) AS d2,
-             (px - ix) * (px - ix) + (py - iy) * (py - iy) <= 2500
-               AND abs(tus - epoch_us(its)) <= 43200000000 AS near
-           FROM c, inc)
-         SELECT inc_id, CAST(count(*) AS BIGINT) AS n_fixes,
-           CAST(sum(CASE WHEN near THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
-           CAST(count(DISTINCT CASE WHEN near THEN user_id END) AS BIGINT) AS n_traj,
-           CAST(min(CASE WHEN near THEN d2 END) AS BIGINT) AS min_d2
-         FROM m GROUP BY 1 ORDER BY inc_id"""
-    },
-    // the same two spec stats + query VALUES, per-spec pruning predicate
-    "store_spec_evolution" -> {
-      val qRows = specQueries.map { case (qid, kind, lo, hi) =>
-        s"(CAST($qid AS BIGINT), '$kind', $lo, $hi)"
-      }.mkString(", ")
-      s"""WITH o AS (SELECT o_custkey AS v FROM orders),
-         mx AS (SELECT max(v) AS mxv FROM o),
-         st0 AS (SELECT (v * 16) // (mxv + 1) AS bucket, min(v) AS mn,
-             max(v) AS mx, 0 AS spec
-           FROM o, mx GROUP BY 1),
-         st1 AS (SELECT v % 16 AS bucket, min(v) AS mn, max(v) AS mx,
-             1 AS spec
-           FROM o GROUP BY 1),
-         st AS (SELECT * FROM st0 UNION ALL SELECT * FROM st1),
-         q(qid, kind, lo, hi) AS (VALUES $qRows),
-         m AS (SELECT qid, kind, spec,
-             CASE WHEN spec = 0 THEN st.mx >= lo AND st.mn <= hi
-                  ELSE kind = 'range' OR bucket = lo % 16 END AS scan
-           FROM q, st)
-         SELECT qid, kind,
-           CAST(sum(CASE WHEN scan AND spec = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_spec0,
-           CAST(sum(CASE WHEN scan AND spec = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_spec1,
-           CAST(count(*) AS BIGINT) AS total_files,
-           CAST(sum(CASE WHEN scan THEN 1 ELSE 0 END) AS BIGINT) AS scanned
-         FROM m GROUP BY 1, 2 ORDER BY qid"""
-    },
-    // exact pairwise Jaccard ppm bucketed at 100k
-    "dedup_jaccard_hist" ->
-      s"""WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0
-           UNION ALL SELECT doc_id + 200000 AS doc_id, text || ' zz qq ww ee rr tt' AS text
-             FROM documents WHERE doc_id % 25 = 0),
-         sh AS (SELECT doc_id, list_distinct($sqlShingles3) AS s FROM sub),
-         p AS (SELECT CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS i,
-             CAST(len(list_distinct(list_concat(a.s, b.s))) AS BIGINT) AS u
-           FROM sh a, sh b WHERE a.doc_id < b.doc_id),
-         v AS (SELECT i * 1000000 // u AS ppm FROM p)
-         SELECT CAST(ppm // 100000 AS INT) AS bucket,
-           CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(min(ppm) AS BIGINT) AS min_ppm,
-           CAST(max(ppm) AS BIGINT) AS max_ppm
-         FROM v GROUP BY 1 ORDER BY bucket""",
-    // the walk cumsum + sector VALUES, per-fix covering count histogram
-    "geo_cover_redundancy" -> {
-      val antRows = sectorAntennas.map {
-        case (id, cx, cy, d1x, d1y, d2x, d2y, r2) =>
-          s"(CAST($id AS BIGINT), $cx, $cy, $d1x, $d1y, $d2x, $d2y, $r2)"
-      }.mkString(", ")
-      s"""WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
-           (event_id * 3) % 5 AS dy
-           FROM events WHERE user_id < 50),
-         c AS (SELECT user_id * 1000000 + event_id AS fix_id,
-           CAST(sum(dx) OVER w AS BIGINT) AS px,
-           CAST(sum(dy) OVER w AS BIGINT) AS py
-           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-         ant(antenna_id, cx, cy, d1x, d1y, d2x, d2y, r2) AS (VALUES $antRows),
-         m AS (SELECT fix_id,
-             CAST(sum(CASE WHEN d1x*(py-cy) - d1y*(px-cx) >= 0
-               AND (px-cx)*d2y - (py-cy)*d2x >= 0
-               AND (px-cx)*(px-cx) + (py-cy)*(py-cy) <= r2
-               THEN 1 ELSE 0 END) AS BIGINT) AS n_covering
-           FROM c, ant GROUP BY 1)
-         SELECT n_covering, CAST(count(*) AS BIGINT) AS n_fixes
-         FROM m GROUP BY 1 ORDER BY n_covering"""
-    },
-    // exact top-2 NN distances, floored ratio, capped buckets
-    "ann_twonn_ratio_hist" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding,
-           x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS eq
-           FROM embeddings),
-         p AS (SELECT a.vec_id AS aid, e.vec_id,
-             CAST(list_sum(list_transform(range(1,65),
-               i -> (a.eq[i] - e.eq[i]) * (a.eq[i] - e.eq[i]))) AS BIGINT) AS d2
-           FROM e a JOIN e ON e.vec_id <> a.vec_id),
-         t2 AS (SELECT aid, rn, d2 FROM (
-             SELECT aid, d2, row_number() OVER (PARTITION BY aid
-               ORDER BY d2, vec_id) AS rn FROM p) q WHERE rn <= 2),
-         r AS (SELECT aid,
-             min(CASE WHEN rn = 1 THEN d2 END) AS d1,
-             min(CASE WHEN rn = 2 THEN d2 END) AS d2n
-           FROM t2 GROUP BY 1),
-         v AS (SELECT d2n * 1000 // d1 AS ratio_q FROM r WHERE d1 > 0)
-         SELECT CAST(least(ratio_q // 250, 20) AS INT) AS bucket,
-           CAST(count(*) AS BIGINT) AS n_vecs,
-           CAST(min(ratio_q) AS BIGINT) AS min_ratio_q,
-           CAST(max(ratio_q) AS BIGINT) AS max_ratio_q
-         FROM v GROUP BY 1 ORDER BY bucket""",
-    // first-5-word prefixes, groups of 3+
-    "text_template_prefixes" ->
-      """WITH p AS (SELECT doc_id,
-           array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')
-             AS prefix
-           FROM documents)
-         SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(min(doc_id) AS BIGINT) AS min_doc
-         FROM p GROUP BY 1 HAVING count(*) >= 3 ORDER BY prefix""",
-    // the walk cumsum + the same shared crossing terms
-    "geo_winding_rule" -> {
-      val (upSql, dnSql) = ringCrossingsSql(bowtieRing)
-      s"""WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
-           (event_id * 3) % 5 AS dy
-           FROM events WHERE user_id < 50),
-         c AS (SELECT user_id,
-           CAST(sum(dx) OVER w AS BIGINT) AS px,
-           CAST(sum(dy) OVER w AS BIGINT) AS py
-           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-         m AS (SELECT user_id, ($upSql) AS up, ($dnSql) AS dn FROM c)
-         SELECT user_id AS traj_id, CAST(count(*) AS BIGINT) AS n_pts,
-           CAST(sum(CASE WHEN (up + dn) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_evenodd,
-           CAST(sum(CASE WHEN up - dn <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonzero,
-           CAST(sum(CASE WHEN ((up + dn) % 2 = 1) <> (up - dn <> 0)
-             THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree
-         FROM m GROUP BY 1 ORDER BY traj_id"""
-    },
-    // recursive min-label reach over the same sparse graph, then the
-    // size histogram
-    "graph_component_hist" ->
-      """WITH RECURSIVE raw AS (SELECT (l_suppkey * 131) % 3000 AS a,
-           l_partkey % 3000 AS b
-           FROM lineitem WHERE l_orderkey % 31 = 0),
-         e AS (SELECT DISTINCT greatest(a, b) AS hi, least(a, b) AS lo
-           FROM raw WHERE a <> b),
-         nodes AS (SELECT DISTINCT x AS n FROM (SELECT a AS x FROM raw
-           UNION ALL SELECT b FROM raw) u),
-         r(n, m) AS (SELECT n, n FROM nodes
-           UNION
-           SELECT r.n, CASE WHEN e.hi = r.m THEN e.lo ELSE e.hi END
-           FROM r JOIN e ON e.hi = r.m OR e.lo = r.m),
-         comp AS (SELECT n, min(m) AS comp FROM r GROUP BY 1),
-         cs AS (SELECT comp, CAST(count(*) AS BIGINT) AS csize
-           FROM comp GROUP BY 1)
-         SELECT csize, CAST(count(*) AS BIGINT) AS n_components,
-           csize * CAST(count(*) AS BIGINT) AS n_nodes
-         FROM cs GROUP BY 1 ORDER BY csize""",
-    // milli-floored moments per dimension, rank by variance numerator
-    "ann_dim_variance" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding,
-           x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS eq
-           FROM embeddings),
-         x AS (SELECT d.range AS d, eq[CAST(d.range AS INT) + 1] AS xq
-           FROM e, range(0, 64) d),
-         a AS (SELECT CAST(d AS INT) AS d, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(xq) AS BIGINT) AS s,
-             CAST(sum(xq * xq) AS BIGINT) AS ss
-           FROM x GROUP BY 1)
-         SELECT d, n, s, ss, n * ss - s * s AS var_num,
-           CAST(row_number() OVER (ORDER BY n * ss - s * s DESC, d)
-             AS INT) AS rank
-         FROM a ORDER BY d""",
-    // milli-floored mean comparison, lowest-label ties, same sample join
-    "ann_silhouette" ->
-      """WITH e AS (SELECT vec_id, label, list_transform(embedding,
-           x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS eq
-           FROM embeddings),
-         anc AS (SELECT vec_id AS aid, label AS alabel, eq AS aeq
-           FROM e WHERE vec_id % 20 = 0),
-         p AS (SELECT aid, alabel, e.label,
-             CAST(list_sum(list_transform(range(1,65),
-               i -> (aeq[i] - eq[i]) * (aeq[i] - eq[i]))) AS BIGINT) AS d2
-           FROM anc, e WHERE e.vec_id <> anc.aid),
-         bl AS (SELECT aid, alabel, label, CAST(sum(d2) AS BIGINT) AS dsum,
-             CAST(count(*) AS BIGINT) AS dn
-           FROM p GROUP BY 1, 2, 3),
-         a AS (SELECT aid, dsum AS a_sum, dn AS a_n,
-             dsum * 1000 // dn AS a_mean_q FROM bl WHERE label = alabel),
-         b AS (SELECT aid, label AS b_label, dsum AS b_sum, dn AS b_n,
-             b_mean_q FROM (
-             SELECT aid, label, dsum, dn, dsum * 1000 // dn AS b_mean_q,
-               row_number() OVER (PARTITION BY aid
-                 ORDER BY dsum * 1000 // dn, label) AS rn
-             FROM bl WHERE label <> alabel) q WHERE rn = 1)
-         SELECT anc.aid, anc.alabel, a_sum, a_n, a_mean_q, b_label, b_sum,
-           b_n, b_mean_q, b_mean_q > a_mean_q AS s_pos
-         FROM anc JOIN a ON a.aid = anc.aid JOIN b ON b.aid = anc.aid
-         ORDER BY anc.aid""",
-    // pooled-support exact KS: cumulative counts per arm at every distinct
-    // per-user total, D as the cross-multiplied integer max
-    "events_ks_test" ->
-      """WITH pu AS (SELECT event_type, user_id,
-           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-           FROM events GROUP BY 1, 2),
-         ct AS (SELECT event_type, cents,
-             CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
-             CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k2
-           FROM pu GROUP BY 1, 2),
-         cum AS (SELECT event_type,
-             CAST(sum(k1) OVER (PARTITION BY event_type ORDER BY cents) AS BIGINT) AS c1,
-             CAST(sum(k2) OVER (PARTITION BY event_type ORDER BY cents) AS BIGINT) AS c2,
-             CAST(sum(k1) OVER (PARTITION BY event_type) AS BIGINT) AS n1,
-             CAST(sum(k2) OVER (PARTITION BY event_type) AS BIGINT) AS n2
-           FROM ct),
-         agg AS (SELECT event_type, max(n1) AS n1, max(n2) AS n2,
-             CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS d_num
-           FROM cum GROUP BY 1)
-         SELECT event_type, n1, n2, d_num, n1 * n2 AS d_den,
-           d_num * 1000000 // (n1 * n2) AS d_ppm,
-           d_num * d_num * 1000000 > 1844164 * (n1 + n2) * n1 * n2 AS significant
-         FROM agg ORDER BY event_type""",
-    // doubled midranks: per distinct value 2·midrank = 2·before + k + 1;
-    // window sums cast back from DuckDB's HUGEINT
-    "events_mannwhitney" ->
-      """WITH pu AS (SELECT event_type, user_id,
-           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-           FROM events GROUP BY 1, 2),
-         ct AS (SELECT event_type, cents,
-             CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
-             CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k2
-           FROM pu GROUP BY 1, 2),
-         cum AS (SELECT event_type, k1, k2, k1 + k2 AS k,
-             CAST(sum(k1 + k2) OVER (PARTITION BY event_type ORDER BY cents)
-               AS BIGINT) - (k1 + k2) AS bef
-           FROM ct),
-         agg AS (SELECT event_type,
-             CAST(sum(k1) AS BIGINT) AS n1, CAST(sum(k2) AS BIGINT) AS n2,
-             CAST(sum(k1 * (2 * bef + k + 1)) AS BIGINT) AS r1_x2,
-             CAST(sum(k * k * k - k) AS BIGINT) AS tie_corr
-           FROM cum GROUP BY 1)
-         SELECT event_type, n1, n2, r1_x2, tie_corr,
-           r1_x2 - n1 * (n1 + 1) AS u1_x2,
-           2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS u2_x2
-         FROM agg ORDER BY event_type""",
-    // both DP lattices (shared trajectory synth), pair-of-pairs
-    // concordance
-    "traj_metric_agreement" -> {
-      val big = "9223372036854775807"
-      def dpDiags(prefix: String, combine: String) = (1 to 10).map { k =>
-        val p2 = s"$prefix${math.max(k - 2, 0)}"
-        s"""$prefix$k AS MATERIALIZED (SELECT c.t1, c.t2, c.i, c.j,
-            $combine AS v
-          FROM cells c
-          LEFT JOIN $prefix${k - 1} p1 ON p1.t1 = c.t1 AND p1.t2 = c.t2
-            AND p1.i = c.i - 1 AND p1.j = c.j
-          LEFT JOIN $prefix${k - 1} p3 ON p3.t1 = c.t1 AND p3.t2 = c.t2
-            AND p3.i = c.i AND p3.j = c.j - 1
-          LEFT JOIN $p2 p2 ON p2.t1 = c.t1 AND p2.t2 = c.t2
-            AND p2.i = c.i - 1 AND p2.j = c.j - 1
-          WHERE c.i + c.j = $k)"""
-      }.mkString(",\n         ")
-      val fre = dpDiags("fa",
-        s"GREATEST(c.d2, LEAST(COALESCE(p1.v, $big), COALESCE(p3.v, $big), COALESCE(p2.v, $big)))")
-      val dtw = dpDiags("da",
-        s"c.d2 + LEAST(COALESCE(p1.v, $big), COALESCE(p3.v, $big), COALESCE(p2.v, $big))")
-      s"""WITH trajs AS (SELECT DISTINCT s_suppkey % 20 AS traj_id FROM supplier),
-         v AS (SELECT traj_id, CAST(g AS BIGINT) AS seq,
-             (traj_id * 7 + g * (traj_id % 5 + 1) * 3) % 40 AS px,
-             (traj_id * 11 + g * (traj_id % 3 + 2) * 2) % 40 AS py
-           FROM trajs, unnest(range(0, 6)) AS t(g)),
-         pairs AS (SELECT a.traj_id AS t1, b.traj_id AS t2
-           FROM trajs a, trajs b WHERE a.traj_id < b.traj_id),
-         cells AS MATERIALIZED (SELECT p.t1, p.t2, CAST(va.seq AS INT) AS i, CAST(vb.seq AS INT) AS j,
-             (va.px - vb.px)*(va.px - vb.px) + (va.py - vb.py)*(va.py - vb.py) AS d2
-           FROM pairs p JOIN v va ON va.traj_id = p.t1 JOIN v vb ON vb.traj_id = p.t2),
-         fa0 AS MATERIALIZED (SELECT t1, t2, i, j, d2 AS v FROM cells WHERE i = 0 AND j = 0),
-         $fre,
-         da0 AS MATERIALIZED (SELECT t1, t2, i, j, d2 AS v FROM cells WHERE i = 0 AND j = 0),
-         $dtw,
-         m AS (SELECT fa10.t1 * 100 + fa10.t2 AS pid,
-             da10.v AS dtw_d2, fa10.v AS frechet_d2
-           FROM fa10 JOIN da10 ON da10.t1 = fa10.t1 AND da10.t2 = fa10.t2),
-         sd AS (SELECT CASE WHEN x.dtw_d2 = y.dtw_d2
-               OR x.frechet_d2 = y.frechet_d2 THEN 0
-             WHEN (x.dtw_d2 < y.dtw_d2) = (x.frechet_d2 < y.frechet_d2)
-               THEN 1 ELSE -1 END AS s
-           FROM m x JOIN m y ON x.pid < y.pid)
-         SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
-             AS concordant,
-           CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
-             AS discordant,
-           (CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
-             - CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT))
-             * 1000 // (CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
-             + CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT))
-             AS tau_milli
-         FROM sd"""
-    },
-    // two-phase nearest-rank median/MAD per type, 3-MAD day flags
-    "events_outlier_days" ->
-      """WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
-           CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
-         r1 AS (SELECT event_type, c, day,
-             CAST(row_number() OVER (PARTITION BY event_type
-               ORDER BY c, day) AS BIGINT) AS rn,
-             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
-           FROM d),
-         med AS (SELECT event_type, c AS med FROM r1
-           WHERE rn = (n + 1) // 2),
-         dev AS (SELECT d.event_type, d.day, d.c, med,
-             abs(d.c - med) AS ad
-           FROM d JOIN med ON med.event_type = d.event_type),
-         r2 AS (SELECT event_type, ad, day,
-             CAST(row_number() OVER (PARTITION BY event_type
-               ORDER BY ad, day) AS BIGINT) AS rn,
-             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
-           FROM dev),
-         mad AS (SELECT event_type, ad AS mad FROM r2
-           WHERE rn = (n + 1) // 2)
-         SELECT dev.event_type, CAST(count(*) AS BIGINT) AS n_days,
-           CAST(max(dev.med) AS BIGINT) AS med,
-           CAST(max(mad.mad) AS BIGINT) AS mad,
-           CAST(sum(CASE WHEN dev.ad > mad.mad * 3 THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_outlier_days
-         FROM dev JOIN mad ON mad.event_type = dev.event_type
-         GROUP BY 1 ORDER BY dev.event_type""",
-    // per-row nonzero-gradient sign runs, lag flips
-    "img_gradient_zcr" -> {
-      val gr = s"(${gridV("c.range", "r.range")}) - (${gridV("c.range-1", "r.range")})"
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         g AS (SELECT swlng, swlat, r.range AS r, c.range AS c,
-             $gr AS gr
-           FROM k, range(0,600) r, range(1,600) c),
-         nz AS (SELECT swlng, swlat, r, c,
-             CASE WHEN gr > 0 THEN 1 ELSE -1 END AS sg
-           FROM g WHERE gr <> 0),
-         fl AS (SELECT swlng, swlat, sg, lag(sg) OVER (
-             PARTITION BY swlng, swlat, r ORDER BY c) AS psg FROM nz),
-         st AS (SELECT swlng, swlat, CAST(count(*) AS BIGINT) AS n_steps
-           FROM g GROUP BY 1, 2),
-         fc AS (SELECT swlng, swlat,
-             CAST(sum(CASE WHEN psg IS NOT NULL AND sg <> psg
-               THEN 1 ELSE 0 END) AS BIGINT) AS n_flips
-           FROM fl GROUP BY 1, 2)
-         SELECT (CASE WHEN st.swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(st.swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN st.swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(st.swlng) AS VARCHAR),3,'0')) AS image_id,
-           n_steps, n_flips,
-           CASE WHEN n_steps = 0 THEN CAST(0 AS BIGINT)
-                ELSE n_flips * 1000000 // n_steps END AS rate_ppm
-         FROM st JOIN fc ON fc.swlng = st.swlng AND fc.swlat = st.swlat
-         ORDER BY image_id"""
-    },
-    // the attack-resilience machinery with the % 5 sample removed
-    "graph_random_failure" ->
-      """WITH RECURSIVE raw AS (SELECT (l_suppkey * 131) % 3000 AS a,
-           l_partkey % 3000 AS b
-           FROM lineitem WHERE l_orderkey % 31 = 0),
-         rw AS (SELECT a, b FROM raw WHERE a <> b),
-         e AS (SELECT DISTINCT greatest(a, b) AS hi, least(a, b) AS lo
-           FROM rw),
-         nodes AS (SELECT DISTINCT x AS n FROM (SELECT a AS x FROM rw
-           UNION ALL SELECT b FROM rw) u),
-         rem AS (SELECT n FROM nodes WHERE n % 5 = 0),
-         r(n, m) AS (SELECT n, n FROM nodes
-           UNION
-           SELECT r.n, CASE WHEN e.hi = r.m THEN e.lo ELSE e.hi END
-           FROM r JOIN e ON e.hi = r.m OR e.lo = r.m),
-         cmap1 AS (SELECT n, min(m) AS comp FROM r GROUP BY 1),
-         csz1 AS (SELECT comp, count(*) AS sz FROM cmap1 GROUP BY 1),
-         lcc1 AS (SELECT CAST(max(sz) AS BIGINT) AS lcc_before FROM csz1),
-         e2 AS (SELECT hi, lo FROM e
-           WHERE hi NOT IN (SELECT n FROM rem)
-             AND lo NOT IN (SELECT n FROM rem)),
-         nodes2 AS (SELECT n FROM nodes
-           WHERE n NOT IN (SELECT n FROM rem)),
-         r2(n, m) AS (SELECT n, n FROM nodes2
-           UNION
-           SELECT r2.n, CASE WHEN e2.hi = r2.m THEN e2.lo ELSE e2.hi END
-           FROM r2 JOIN e2 ON e2.hi = r2.m OR e2.lo = r2.m),
-         cmap2 AS (SELECT n, min(m) AS comp FROM r2 GROUP BY 1),
-         csz2 AS (SELECT comp, count(*) AS sz FROM cmap2 GROUP BY 1),
-         lcc2 AS (SELECT CAST(max(sz) AS BIGINT) AS lcc_after FROM csz2),
-         nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes),
-         nr AS (SELECT CAST(count(*) AS BIGINT) AS n_removed FROM rem)
-         SELECT n_nodes, n_removed, lcc_before, lcc_after,
-           (lcc_before - lcc_after) * 1000000 // lcc_before AS drop_ppm
-         FROM nn, nr, lcc1, lcc2""",
-    // distinct (source, word) sets, pairwise Jaccard
-    "text_source_overlap" ->
-      """WITH vw AS (SELECT DISTINCT source,
-           unnest(string_split(text, ' ')) AS w FROM documents),
-         sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
-           FROM vw GROUP BY 1),
-         pr AS (SELECT x.source AS src_a, y.source AS src_b,
-             CAST(count(*) AS BIGINT) AS n_common
-           FROM vw x JOIN vw y ON y.w = x.w AND x.source < y.source
-           GROUP BY 1, 2)
-         SELECT src_a, src_b, a.n AS n_a, b.n AS n_b, n_common,
-           n_common * 1000000 // (a.n + b.n - n_common) AS jaccard_ppm
-         FROM pr JOIN sz a ON a.source = pr.src_a
-         JOIN sz b ON b.source = pr.src_b
-         ORDER BY src_a, src_b""",
-    // the EWMA recurrence replayed one hour per recursion level
-    "events_ewma" ->
-      """WITH RECURSIVE h AS (SELECT event_type,
-           date_trunc('hour', ts) AS hr, CAST(count(*) AS BIGINT) AS c
-           FROM events GROUP BY 1, 2),
-         s0 AS (SELECT event_type, c, CAST(row_number() OVER (
-             PARTITION BY event_type ORDER BY hr) AS BIGINT) AS i
-           FROM h),
-         n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours
-           FROM s0 GROUP BY 1),
-         r(event_type, i, s, mx) AS (
-           SELECT event_type, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
-             CAST(0 AS BIGINT) FROM n
-           UNION ALL
-           SELECT r.event_type, r.i + 1,
-             r.s + (CASE WHEN s0.c - r.s >= 0 THEN (s0.c - r.s) // 8
-               ELSE -((r.s - s0.c + 7) // 8) END),
-             greatest(r.mx, abs(s0.c - r.s))
-           FROM r JOIN s0 ON s0.event_type = r.event_type
-             AND s0.i = r.i + 1)
-         SELECT r.event_type, n.n_hours, r.s AS ewma_final,
-           r.mx AS max_dev
-         FROM r JOIN n ON n.event_type = r.event_type
-           AND r.i = n.n_hours
-         ORDER BY r.event_type""",
-    // the walk wrapped into N36W120 cell centers, closed-form nearest
-    // elevation, per-traj rollup
-    "traj_elevation_exposure" ->
-      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
-           (event_id * 3) % 5 AS dy
-           FROM events WHERE user_id < 50),
-         c AS (SELECT user_id,
-           CAST(sum(dx) OVER w AS BIGINT) AS px,
-           CAST(sum(dy) OVER w AS BIGINT) AS py
-           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-         m AS (SELECT user_id,
-             -120 + ((px % 600) + 0.5) / 600.0 AS lng,
-             36 + ((py % 600) + 0.5) / 600.0 AS lat
-           FROM c),
-         k AS (SELECT user_id,
-             CAST(floor((lng + 120) * 600 + 0.5) AS BIGINT) AS cn,
-             CAST(floor((lat - 36) * 600 + 0.5) AS BIGINT) AS rn
-           FROM m),
-         e AS (SELECT user_id,
-             CAST(((-120+180)*7 + (36+90)*11) % 1000
-               + 2*cn + 3*rn + ((cn//8)*(rn//8)) % 32 AS BIGINT) AS elev
-           FROM k)
-         SELECT user_id AS traj_id, CAST(count(*) AS BIGINT) AS n_fixes,
-           CAST(sum(elev) AS BIGINT) AS sum_elev,
-           CAST(sum(CASE WHEN elev >= 3600 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_high,
-           CAST(max(elev) AS BIGINT) AS max_elev
-         FROM e GROUP BY 1 ORDER BY traj_id""",
-    // per-user type counts, exact collision probability
-    "events_type_simpson" ->
-      """WITH bt AS (SELECT user_id, event_type,
-           CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
-         a AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
-             CAST(sum(c * (c - 1)) AS BIGINT) AS coll
-           FROM bt GROUP BY 1)
-         SELECT user_id, n, coll,
-           coll * 1000000 // (n * (n - 1)) AS simpson_ppm
-         FROM a WHERE n >= 2 ORDER BY user_id""",
-    // NULLIF column through count/distinct/null-safe comparisons
-    "q_null_semantics" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
-           CASE WHEN value >= 50 THEN NULL
-                ELSE CAST(round(value * 100) AS BIGINT) END AS v
-           FROM events),
-         l AS (SELECT v, lag(v) OVER (PARTITION BY user_id
-             ORDER BY tus, event_id) AS pv FROM e)
-         SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(count(v) AS BIGINT) AS n_nonnull,
-           CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
-           CAST(sum(CASE WHEN v IS NOT DISTINCT FROM pv THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_nullsafe_eq,
-           CAST(sum(CASE WHEN v = pv THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_plain_eq
-         FROM l""",
-    // pair scores vs planted labels, doubled-midrank U, AUC
-    "dedup_rank_auc" ->
-      s"""WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0
-           UNION ALL SELECT doc_id + 200000, text || ' zz qq ww ee rr tt'
-             FROM documents WHERE doc_id % 25 = 0),
-         sh AS (SELECT doc_id, list_distinct($sqlShingles3) AS s FROM sub),
-         p AS (SELECT CAST(len(list_intersect(a.s, b.s)) AS BIGINT)
-               * 1000000
-               // CAST(len(list_distinct(list_concat(a.s, b.s))) AS BIGINT)
-               AS score,
-             a.doc_id % 100000 = b.doc_id % 100000 AS pos
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
-         ct AS (SELECT score,
-             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS k1,
-             CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS k2
-           FROM p GROUP BY 1),
-         cum AS (SELECT k1, k2, k1 + k2 AS k,
-             CAST(sum(k1 + k2) OVER (ORDER BY score) AS BIGINT)
-               - (k1 + k2) AS bef
-           FROM ct),
-         agg AS (SELECT CAST(sum(k1) AS BIGINT) AS n_pos,
-             CAST(sum(k2) AS BIGINT) AS n_neg,
-             CAST(sum(k1 * (2 * bef + k + 1)) AS BIGINT) AS r1_x2
-           FROM cum)
-         SELECT n_pos, n_neg, r1_x2,
-           r1_x2 - n_pos * (n_pos + 1) AS u1_x2,
-           (r1_x2 - n_pos * (n_pos + 1)) * 500000 // (n_pos * n_neg)
-             AS auc_ppm
-         FROM agg""",
-    // +90-minute shift then hour bucket
-    "q_interval_shift" ->
-      """SELECT date_trunc('hour', ts + INTERVAL 90 MINUTE) AS shifted_hr,
-         CAST(count(*) AS BIGINT) AS n
-         FROM events WHERE ts < TIMESTAMP '2024-01-03'
-         GROUP BY 1 ORDER BY shifted_hr""",
-    // per-source token-count ranks, nearest-rank p50/p90
-    "text_length_quantiles" ->
-      """WITH d AS (SELECT source, doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
-           FROM documents),
-         r AS (SELECT source, toks,
-             CAST(row_number() OVER (PARTITION BY source
-               ORDER BY toks, doc_id) AS BIGINT) AS rn,
-             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
-           FROM d)
-         SELECT source, max(n) AS n_docs,
-           max(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN toks END)
-             AS p50_toks,
-           max(CASE WHEN rn = (n - 1) * 90 // 100 + 1 THEN toks END)
-             AS p90_toks,
-           CAST(max(toks) AS BIGINT) AS max_toks
-         FROM r GROUP BY 1 ORDER BY source""",
-    // coreness rounds (shared builder) + shell rollup
-    "graph_core_shells" -> {
-      val rounds = (1 to 8).map(corenessRoundCte).mkString(",\n         ")
-      s"""WITH e AS (SELECT DISTINCT
-           GREATEST(l_suppkey % 500, l_partkey % 500) AS hi,
-           LEAST(l_suppkey % 500, l_partkey % 500) AS lo
-           FROM lineitem WHERE l_orderkey % 7 = 0
-             AND l_suppkey % 500 <> l_partkey % 500),
-         sym AS (SELECT hi AS u, lo AS v FROM e
-           UNION ALL SELECT lo, hi FROM e),
-         h0 AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS h
-           FROM sym GROUP BY 1),
-         $rounds
-         SELECT h8.h AS coreness, CAST(count(*) AS BIGINT) AS n_nodes,
-           CAST(sum(CASE WHEN h8.h = h7.h THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_stable
-         FROM h8 JOIN h7 ON h7.node = h8.node
-         GROUP BY 1 ORDER BY coreness"""
-    },
-    // quality_score formula ranked desc, cumulative token gate
-    "curation_greedy_quality" ->
-      """WITH s AS (SELECT doc_id,
-           CAST(len(string_split(text,' ')) AS DOUBLE) AS nw,
-           CAST(len(list_filter(string_split(text,' '),
-             w -> w='the' OR w='a' OR w='of' OR w='and' OR w='to')) AS DOUBLE) AS ns,
-           CAST(length(replace(text,' ','')) AS DOUBLE) AS nc,
-           CAST(len(string_split(text,' ')) AS BIGINT) AS toks
-           FROM documents),
-         sc AS (SELECT doc_id, toks,
-             CAST(round((least(nw/100.0, 1.0)*0.4 + (ns/nw)*0.3
-               + least((nc/nw)/10.0, 1.0)*0.3) * 1000) AS BIGINT) AS q_milli
-           FROM s),
-         c AS (SELECT doc_id, q_milli, toks,
-             CAST(sum(toks) OVER (ORDER BY q_milli DESC, doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS cum_toks
-           FROM sc)
-         SELECT CAST(count(*) AS BIGINT) AS n_kept,
-           CAST(max(cum_toks) AS BIGINT) AS tokens_kept,
-           CAST(min(q_milli) AS BIGINT) AS min_quality_milli
-         FROM c WHERE cum_toks <= 100000""",
-    // decimal-pinned money rollup
-    "q_decimal_money" ->
-      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
-           AS total_price,
-         CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
-           AS max_price
-         FROM orders GROUP BY 1 ORDER BY o_orderstatus""",
-    // two reach-CC passes, hub top-5 by (degree desc, node)
-    "graph_attack_resilience" ->
-      """WITH RECURSIVE raw AS (SELECT (l_suppkey * 131) % 3000 AS a,
-           l_partkey % 3000 AS b
-           FROM lineitem WHERE l_orderkey % 31 = 0),
-         rw AS (SELECT a, b FROM raw WHERE a <> b),
-         e AS (SELECT DISTINCT greatest(a, b) AS hi, least(a, b) AS lo
-           FROM rw),
-         nodes AS (SELECT DISTINCT x AS n FROM (SELECT a AS x FROM rw
-           UNION ALL SELECT b FROM rw) u),
-         deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM (
-             SELECT lo AS u FROM e UNION ALL SELECT hi FROM e) s
-           GROUP BY 1),
-         hubs AS (SELECT u FROM (SELECT u, d, row_number() OVER (
-             ORDER BY d DESC, u) AS rk FROM deg) q WHERE rk <= 5),
-         r(n, m) AS (SELECT n, n FROM nodes
-           UNION
-           SELECT r.n, CASE WHEN e.hi = r.m THEN e.lo ELSE e.hi END
-           FROM r JOIN e ON e.hi = r.m OR e.lo = r.m),
-         cmap1 AS (SELECT n, min(m) AS comp FROM r GROUP BY 1),
-         csz1 AS (SELECT comp, count(*) AS sz FROM cmap1 GROUP BY 1),
-         lcc1 AS (SELECT CAST(max(sz) AS BIGINT) AS lcc_before FROM csz1),
-         e2 AS (SELECT hi, lo FROM e
-           WHERE hi NOT IN (SELECT u FROM hubs)
-             AND lo NOT IN (SELECT u FROM hubs)),
-         nodes2 AS (SELECT n FROM nodes
-           WHERE n NOT IN (SELECT u FROM hubs)),
-         r2(n, m) AS (SELECT n, n FROM nodes2
-           UNION
-           SELECT r2.n, CASE WHEN e2.hi = r2.m THEN e2.lo ELSE e2.hi END
-           FROM r2 JOIN e2 ON e2.hi = r2.m OR e2.lo = r2.m),
-         cmap2 AS (SELECT n, min(m) AS comp FROM r2 GROUP BY 1),
-         csz2 AS (SELECT comp, count(*) AS sz FROM cmap2 GROUP BY 1),
-         lcc2 AS (SELECT CAST(max(sz) AS BIGINT) AS lcc_after FROM csz2),
-         nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes)
-         SELECT n_nodes, lcc_before, lcc_after,
-           (lcc_before - lcc_after) * 1000000 // lcc_before AS drop_ppm
-         FROM nn, lcc1, lcc2""",
-    // reach-CC clusters + corpus text lengths, keep = min id
-    "dedup_keep_quality" ->
-      s"""WITH RECURSIVE $minhashCtes,
-         edges AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM banded a JOIN banded b ON a.band_id = b.band_id
-             AND a.band_key = b.band_key
-           WHERE a.doc_id < b.doc_id),
-         reach(doc, other) AS (
-           SELECT doc_id, doc_id FROM corpus
-           UNION
-           SELECT r.doc, CASE WHEN e.doc_a = r.other THEN e.doc_b
-             ELSE e.doc_a END
-           FROM reach r JOIN edges e ON e.doc_a = r.other
-             OR e.doc_b = r.other),
-         cmp AS (SELECT doc AS doc_id, min(other) AS comp
-           FROM reach GROUP BY doc),
-         lens AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
-           FROM corpus),
-         j AS (SELECT cmp.doc_id, comp, n_chars
-           FROM cmp JOIN lens ON lens.doc_id = cmp.doc_id),
-         per AS (SELECT comp, CAST(count(*) AS BIGINT) AS size,
-             min(doc_id) AS kept, max(n_chars) AS max_chars
-           FROM j GROUP BY 1),
-         k AS (SELECT per.comp, per.size, per.max_chars,
-             j.n_chars AS kept_chars
-           FROM per JOIN j ON j.comp = per.comp AND j.doc_id = per.kept
-           WHERE per.size >= 2)
-         SELECT CAST(count(*) AS BIGINT) AS n_clusters,
-           CAST(sum(CASE WHEN kept_chars = max_chars THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_kept_best,
-           CAST(sum(CASE WHEN kept_chars = max_chars THEN 1 ELSE 0 END)
-             AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT) AS best_ppm
-         FROM k""",
-    // exact 5-NN edges, mutual-pair join
-    "ann_knn_mutuality" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding,
-           x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS eq
-           FROM embeddings),
-         p AS (SELECT a.vec_id AS aid, e.vec_id,
-             CAST(list_sum(list_transform(range(1,65),
-               i -> (a.eq[i] - e.eq[i]) * (a.eq[i] - e.eq[i]))) AS BIGINT) AS d2
-           FROM e a JOIN e ON e.vec_id <> a.vec_id),
-         t5 AS (SELECT aid, vec_id AS nb FROM (
-             SELECT aid, vec_id, row_number() OVER (PARTITION BY aid
-               ORDER BY d2, vec_id) AS rn FROM p) q WHERE rn <= 5),
-         ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM t5),
-         mu AS (SELECT CAST(count(*) AS BIGINT) AS n_mutual
-           FROM t5 x JOIN t5 y ON y.aid = x.nb AND y.nb = x.aid)
-         SELECT n_edges, n_mutual,
-           n_mutual * 1000000 // n_edges AS mutual_ppm
-         FROM ne, mu""",
-    // the MST cycle-property oracle + weight totals
-    "graph_mst_weight_share" ->
-      """WITH RECURSIVE raw AS (SELECT s_suppkey % 64 AS src,
-           (s_suppkey * 13 + 7) % 64 AS dst,
-           (s_suppkey % 97) * 4096
-             + least(s_suppkey % 64, (s_suppkey * 13 + 7) % 64) * 64
-             + greatest(s_suppkey % 64, (s_suppkey * 13 + 7) % 64) AS wkey
-           FROM supplier),
-         e AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
-             min(wkey) AS wkey
-           FROM raw WHERE src <> dst GROUP BY 1, 2),
-         r(a0, b0, w0, node) AS (
-           SELECT a, b, wkey, a FROM e
-           UNION
-           SELECT r.a0, r.b0, r.w0,
-             CASE WHEN g.a = r.node THEN g.b ELSE g.a END
-           FROM r JOIN e g ON (g.a = r.node OR g.b = r.node)
-             AND g.wkey < r.w0),
-         msf AS (SELECT e.a, e.b, e.wkey FROM e
-           WHERE NOT EXISTS (SELECT 1 FROM r
-             WHERE r.a0 = e.a AND r.b0 = e.b AND r.node = e.b)),
-         m AS (SELECT CAST(count(*) AS BIGINT) AS msf_edges,
-             CAST(sum(wkey) AS BIGINT) AS msf_weight FROM msf),
-         t AS (SELECT CAST(count(*) AS BIGINT) AS total_edges,
-             CAST(sum(wkey) AS BIGINT) AS total_weight FROM e)
-         SELECT msf_edges, msf_weight, total_edges, total_weight,
-           msf_weight * 1000000 // total_weight AS share_ppm
-         FROM m, t""",
-    // trained centroids, base vs perturbed assignment churn
-    "ann_assign_stability" ->
-      s"""WITH ${kmeansTrainCtes(8, 3)},
-         vp AS (SELECT vec_id, v, list_transform(range(0,64),
-             d -> v[d+1] + CAST((d % 5) - 2 AS DOUBLE) * 0.001) AS pv
-           FROM vv),
-         cda AS (SELECT vec_id, c, list_reduce(list_prepend(0.0,
-             list_transform(range(0,64),
-               d -> (v[d+1]-cl[d+1])*(v[d+1]-cl[d+1]))), (p,q) -> p + q) AS d2
-           FROM vp, cents3),
-         caa AS (SELECT vec_id, c AS c0 FROM (
-             SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
-               ORDER BY d2, c) AS rn FROM cda) q WHERE rn = 1),
-         cdb AS (SELECT vec_id, c, list_reduce(list_prepend(0.0,
-             list_transform(range(0,64),
-               d -> (pv[d+1]-cl[d+1])*(pv[d+1]-cl[d+1]))), (p,q) -> p + q) AS d2
-           FROM vp, cents3),
-         cab AS (SELECT vec_id, c AS c1 FROM (
-             SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
-               ORDER BY d2, c) AS rn FROM cdb) q WHERE rn = 1)
-         SELECT CAST(c0 AS INT) AS centroid,
-           CAST(count(*) AS BIGINT) AS n_base,
-           CAST(sum(CASE WHEN c1 <> c0 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_changed,
-           CAST(sum(CASE WHEN c1 <> c0 THEN 1 ELSE 0 END) AS BIGINT)
-             * 1000000 // CAST(count(*) AS BIGINT) AS churn_ppm
-         FROM caa JOIN cab ON cab.vec_id = caa.vec_id
-         GROUP BY 1 ORDER BY centroid""",
-    // walk bounding boxes, exact rectangle IoU, top 20
-    "traj_bbox_iou" ->
-      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
-           (event_id * 3) % 5 AS dy
-           FROM events WHERE user_id < 50),
-         c AS (SELECT user_id,
-           CAST(sum(dx) OVER w AS BIGINT) AS px,
-           CAST(sum(dy) OVER w AS BIGINT) AS py
-           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-         bb AS (SELECT user_id, min(px) AS x0, max(px) AS x1,
-             min(py) AS y0, max(py) AS y1 FROM c GROUP BY 1),
-         p AS (SELECT a.user_id AS traj_a, b.user_id AS traj_b,
-             greatest(0, least(a.x1, b.x1) - greatest(a.x0, b.x0)) AS ix,
-             greatest(0, least(a.y1, b.y1) - greatest(a.y0, b.y0)) AS iy,
-             (a.x1 - a.x0) * (a.y1 - a.y0) AS ar_a,
-             (b.x1 - b.x0) * (b.y1 - b.y0) AS ar_b
-           FROM bb a JOIN bb b ON a.user_id < b.user_id),
-         q AS (SELECT traj_a, traj_b, CAST(ix * iy AS BIGINT) AS inter,
-             CAST(ar_a + ar_b - ix * iy AS BIGINT) AS uni
-           FROM p WHERE ar_a + ar_b - ix * iy > 0),
-         r AS (SELECT traj_a, traj_b, inter, uni,
-             inter * 1000000 // uni AS iou_ppm FROM q),
-         s AS (SELECT *, CAST(row_number() OVER (ORDER BY iou_ppm DESC,
-             traj_a, traj_b) AS INT) AS rk FROM r)
-         SELECT traj_a, traj_b, inter, uni, iou_ppm, rk
-         FROM s WHERE rk <= 20 ORDER BY rk""",
-    // the Brandes phases with per-edge term capture, canonical edge sums,
-    // top 20
-    "graph_edge_betweenness" -> {
-      val fwd = (1 to 4).map { k =>
-        s"""add$k AS (SELECT src, node, $k AS dist, sigma FROM (
-            SELECT p.src, s.v AS node, CAST(sum(p.sigma) AS BIGINT) AS sigma
-            FROM st${k - 1} p JOIN sym s ON s.u = p.node
-            WHERE p.dist = ${k - 1} AND NOT EXISTS (SELECT 1 FROM st${k - 1} x
-              WHERE x.src = p.src AND x.node = s.v)
-            GROUP BY 1, 2) q),
-           st$k AS (SELECT * FROM st${k - 1} UNION ALL SELECT * FROM add$k)"""
-      }.mkString(",\n         ")
-      val bwd = (3 to 0 by -1).map { k =>
-        s"""tm$k AS (SELECT v.src, v.node AS vn, s.v AS wn,
-              (v.sigma * (1000000 + COALESCE(d.dppm, 0))) // w.sigma AS term
-            FROM st4 v JOIN sym s ON s.u = v.node
-            JOIN st4 w ON w.src = v.src AND w.node = s.v AND w.dist = v.dist + 1
-            LEFT JOIN da${k + 1} d ON d.src = w.src AND d.node = w.node
-            WHERE v.dist = $k),
-           dl$k AS (SELECT src, vn AS node, CAST(sum(term) AS BIGINT) AS dppm
-            FROM tm$k GROUP BY 1, 2),
-           da$k AS (SELECT * FROM da${k + 1} UNION ALL SELECT * FROM dl$k)"""
-      }.mkString(",\n         ")
-      s"""WITH e AS (SELECT DISTINCT
-           GREATEST(l_suppkey % 500, l_partkey % 500) AS hi,
-           LEAST(l_suppkey % 500, l_partkey % 500) AS lo
-           FROM lineitem WHERE l_orderkey % 7 = 0
-             AND l_suppkey % 500 <> l_partkey % 500),
-         sym AS (SELECT hi AS u, lo AS v FROM e
-           UNION ALL SELECT lo, hi FROM e),
-         st0 AS (SELECT src, src AS node, 0 AS dist,
-             CAST(1 AS BIGINT) AS sigma
-           FROM (VALUES (CAST(0 AS BIGINT)), (1), (2)) s(src)),
-         $fwd,
-         da4 AS (SELECT src, node, CAST(0 AS BIGINT) AS dppm
-           FROM st4 WHERE dist = 4),
-         $bwd,
-         allt AS (SELECT * FROM tm3 UNION ALL SELECT * FROM tm2
-           UNION ALL SELECT * FROM tm1 UNION ALL SELECT * FROM tm0),
-         eb AS (SELECT least(vn, wn) AS a, greatest(vn, wn) AS b,
-             CAST(sum(term) AS BIGINT) AS ebc_ppm
-           FROM allt GROUP BY 1, 2),
-         r AS (SELECT a, b, ebc_ppm, CAST(row_number() OVER (
-             ORDER BY ebc_ppm DESC, a, b) AS INT) AS rk FROM eb)
-         SELECT a, b, ebc_ppm, rk FROM r WHERE rk <= 20 ORDER BY rk"""
-    },
-    // per-block rank window, values at ranks 1000/9000
-    "img_contrast_map" -> {
-      val v = gridV("c.range", "r.range")
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         g AS (SELECT swlng, swlat,
-             CAST(r.range // 100 AS INT) AS py,
-             CAST(c.range // 100 AS INT) AS px, CAST($v AS BIGINT) AS v
-           FROM k, range(0,600) r, range(0,600) c),
-         rk AS (SELECT swlng, swlat, py, px, v, row_number() OVER (
-             PARTITION BY swlng, swlat, py, px ORDER BY v) AS rn FROM g)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           py, px,
-           max(CASE WHEN rn = 1000 THEN v END) AS p10_v,
-           max(CASE WHEN rn = 9000 THEN v END) AS p90_v,
-           max(CASE WHEN rn = 9000 THEN v END)
-             - max(CASE WHEN rn = 1000 THEN v END) AS range_v
-         FROM rk GROUP BY 1, 2, 3 ORDER BY image_id, py, px"""
-    },
-    // per-bit majority votes over the word-hash lists
-    "dedup_simhash_balance" -> {
-      val branches = (0 until 16).map { b =>
-        s"""SELECT $b AS bit, CAST(count(*) AS BIGINT) AS n_docs,
-            CAST(sum(CASE WHEN list_sum(list_transform(hw,
-              h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
-              THEN 1 ELSE 0 END) AS BIGINT) AS n_ones FROM hw"""
-      }.mkString("\n         UNION ALL ")
-      s"""WITH hw AS (SELECT doc_id, list_transform(string_split(text,' '),
-           w -> ${sqlH60("w")}) AS hw FROM documents),
-         u AS ($branches)
-         SELECT CAST(bit AS INT) AS bit, n_docs, n_ones,
-           n_ones * 1000000 // n_docs AS share_ppm
-         FROM u ORDER BY bit"""
-    },
-    // sampled anchors × corpus, bucketed by same/diff label
-    "ann_label_margin_hist" ->
-      """WITH e AS (SELECT vec_id, label, list_transform(embedding,
-           x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS eq
-           FROM embeddings),
-         p AS (SELECT a.label AS alabel, e.label,
-             CAST(list_sum(list_transform(range(1,65),
-               i -> (a.eq[i] - e.eq[i]) * (a.eq[i] - e.eq[i]))) AS BIGINT) AS d2
-           FROM e a JOIN e ON e.vec_id <> a.vec_id
-           WHERE a.vec_id % 10 = 0)
-         SELECT CAST(least(d2 // 20000000, 20) AS INT) AS bucket,
-           CAST(sum(CASE WHEN label = alabel THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_same,
-           CAST(sum(CASE WHEN label <> alabel THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_diff
-         FROM p GROUP BY 1 ORDER BY bucket""",
-    // octant ladder on segment deltas, lagged equality share
-    "traj_heading_persistence" ->
-      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
-           (event_id * 3) % 5 AS dy
-           FROM events WHERE user_id < 50),
-         c0 AS (SELECT user_id, ts_us, event_id,
-           CAST(sum(dx) OVER w AS BIGINT) AS px,
-           CAST(sum(dy) OVER w AS BIGINT) AS py
-           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-         c1 AS (SELECT user_id, ts_us, event_id,
-           px - lag(px) OVER w AS sdx, py - lag(py) OVER w AS sdy
-           FROM c0 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-         c2 AS (SELECT user_id, ts_us, event_id,
-           CASE WHEN sdx > 0 AND sdy >= 0 AND sdx > sdy THEN 0
-                WHEN sdx > 0 AND sdy > 0 THEN 1
-                WHEN sdx <= 0 AND sdy > 0 AND -sdx < sdy THEN 2
-                WHEN sdy > 0 THEN 3
-                WHEN sdx < 0 AND sdy <= 0 AND -sdx > -sdy THEN 4
-                WHEN sdx < 0 THEN 5
-                WHEN sdy < 0 AND sdx < -sdy THEN 6 ELSE 7 END AS octant
-           FROM c1 WHERE sdx IS NOT NULL AND (sdx <> 0 OR sdy <> 0)),
-         c3 AS (SELECT user_id, octant,
-           lag(octant) OVER (PARTITION BY user_id
-             ORDER BY ts_us, event_id) AS poct
-           FROM c2)
-         SELECT user_id AS traj_id, CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(sum(CASE WHEN octant = poct THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_same,
-           CAST(sum(CASE WHEN octant = poct THEN 1 ELSE 0 END) AS BIGINT)
-             * 1000000 // CAST(count(*) AS BIGINT) AS persistence_ppm
-         FROM c3 WHERE poct IS NOT NULL GROUP BY 1 ORDER BY traj_id""",
-    // distinct day cells, consecutive-day set Jaccard
-    "geo_cell_turnover" ->
-      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-           epoch_us(ts) // 86400000000 AS eday,
-           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
-           (event_id * 3) % 5 AS dy
-           FROM events WHERE user_id < 50),
-         c AS (SELECT eday,
-           CAST(sum(dx) OVER w AS BIGINT) AS px,
-           CAST(sum(dy) OVER w AS BIGINT) AS py
-           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-         cells AS (SELECT DISTINCT eday, px // 200 AS cell_x,
-             py // 50 AS cell_y FROM c),
-         sz AS (SELECT eday, CAST(count(*) AS BIGINT) AS n_cells
-           FROM cells GROUP BY 1),
-         cm AS (SELECT b.eday, CAST(count(*) AS BIGINT) AS n_common
-           FROM cells a JOIN cells b ON b.cell_x = a.cell_x
-             AND b.cell_y = a.cell_y AND b.eday = a.eday + 1
-           GROUP BY 1)
-         SELECT t.eday, t.n_cells, p.n_cells AS n_prev,
-           COALESCE(cm.n_common, 0) AS n_common,
-           COALESCE(cm.n_common, 0) * 1000000
-             // (t.n_cells + p.n_cells - COALESCE(cm.n_common, 0))
-             AS jaccard_ppm
-         FROM sz t JOIN sz p ON p.eday = t.eday - 1
-         LEFT JOIN cm ON cm.eday = t.eday
-         ORDER BY t.eday""",
-    // min-label reach components + edge/node counts
-    "graph_cyclomatic" ->
-      """WITH RECURSIVE raw AS (SELECT (l_suppkey * 131) % 3000 AS a,
-           l_partkey % 3000 AS b
-           FROM lineitem WHERE l_orderkey % 31 = 0),
-         e AS (SELECT DISTINCT greatest(a, b) AS hi, least(a, b) AS lo
-           FROM raw WHERE a <> b),
-         nodes AS (SELECT DISTINCT x AS n FROM (SELECT a AS x FROM raw
-           UNION ALL SELECT b FROM raw) u),
-         r(n, m) AS (SELECT n, n FROM nodes
-           UNION
-           SELECT r.n, CASE WHEN e.hi = r.m THEN e.lo ELSE e.hi END
-           FROM r JOIN e ON e.hi = r.m OR e.lo = r.m),
-         comp AS (SELECT n, min(m) AS comp FROM r GROUP BY 1),
-         cc AS (SELECT CAST(count(DISTINCT comp) AS BIGINT) AS n_components
-           FROM comp),
-         me AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
-         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)
-         SELECT m, n, n_components, m - n + n_components AS cyclomatic
-         FROM me, nn, cc""",
-    // lag window, equal-(type,cents) within 1 s
-    "dq_double_fire" ->
-      """WITH e AS (SELECT user_id, event_id, event_type,
-           CAST(round(value * 100) AS BIGINT) AS cents,
-           epoch_us(ts) AS tus FROM events),
-         l AS (SELECT event_type, cents, tus,
-           lag(event_type) OVER w AS ptype,
-           lag(cents) OVER w AS pcents, lag(tus) OVER w AS ptus
-           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
-         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CASE WHEN ptype = event_type AND pcents = cents
-             AND tus - ptus <= 1000000 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_double,
-           CAST(sum(CASE WHEN ptype = event_type AND pcents = cents
-             AND tus - ptus <= 1000000 THEN 1 ELSE 0 END) AS BIGINT)
-             * 1000000 // CAST(count(*) AS BIGINT) AS rate_ppm
-         FROM l GROUP BY 1 ORDER BY event_type""",
-    // trained-centroid top-2 distances, micro-floored margin buckets
-    "ann_assign_margin" ->
-      s"""WITH ${kmeansTrainCtes(8, 3)},
-         cd AS (SELECT vec_id, c, list_reduce(list_prepend(0.0,
-             list_transform(range(0,64),
-               d -> (v[d+1]-cl[d+1])*(v[d+1]-cl[d+1]))), (p,q) -> p + q) AS d2
-           FROM vv, cents3),
-         t2 AS (SELECT vec_id, rn, d2 FROM (
-             SELECT vec_id, d2, row_number() OVER (PARTITION BY vec_id
-               ORDER BY d2, c) AS rn FROM cd) q WHERE rn <= 2),
-         mg AS (SELECT vec_id, CAST(floor((max(CASE WHEN rn = 2 THEN d2 END)
-               - max(CASE WHEN rn = 1 THEN d2 END)) * 1000000.0) AS BIGINT)
-             AS margin_q
-           FROM t2 GROUP BY 1)
-         SELECT CAST(least(margin_q // 1000000, 20) AS INT) AS bucket,
-           CAST(count(*) AS BIGINT) AS n_vecs,
-           CAST(min(margin_q) AS BIGINT) AS min_margin,
-           CAST(max(margin_q) AS BIGINT) AS max_margin
-         FROM mg GROUP BY 1 ORDER BY bucket""",
-    // distinct audiences, arm counts, cross-multiplied χ² at 1e4 scale
-    "events_srm" ->
-      """WITH a AS (SELECT DISTINCT event_type, user_id FROM events),
-         g AS (SELECT event_type,
-             CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
-               AS BIGINT) AS n1,
-             CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
-               AS BIGINT) AS n2
-           FROM a GROUP BY 1)
-         SELECT event_type, n1, n2,
-           (n1 - n2) * (n1 - n2) * 10000 AS srm_num,
-           38415 * (n1 + n2) AS srm_thresh,
-           (n1 - n2) * (n1 - n2) * 10000 > 38415 * (n1 + n2) AS mismatch
-         FROM g ORDER BY event_type""",
-    // distinct (user, cell, day) visits, per-cell day gaps
-    "traj_revisit_gaps" ->
-      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-           epoch_us(ts) // 86400000000 AS eday,
-           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
-           (event_id * 3) % 5 AS dy
-           FROM events WHERE user_id < 50),
-         c AS (SELECT user_id, eday,
-           CAST(sum(dx) OVER w AS BIGINT) AS px,
-           CAST(sum(dy) OVER w AS BIGINT) AS py
-           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-         vis AS (SELECT DISTINCT user_id, px // 200 AS cell_x,
-             py // 50 AS cell_y, eday FROM c),
-         g AS (SELECT user_id, eday - lag(eday) OVER (
-             PARTITION BY user_id, cell_x, cell_y ORDER BY eday) AS gap
-           FROM vis)
-         SELECT user_id AS traj_id, CAST(count(*) AS BIGINT) AS n_revisits,
-           CAST(sum(gap) AS BIGINT) AS sum_gap_days,
-           CAST(max(gap) AS BIGINT) AS max_gap_days,
-           CAST(sum(CASE WHEN gap = 7 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_weekly
-         FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY traj_id""",
-    // exact 5-NN lists, in-degree histogram with zero-degree rows kept
-    "ann_hubness" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding,
-           x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS eq
-           FROM embeddings),
-         p AS (SELECT a.vec_id AS aid, e.vec_id,
-             CAST(list_sum(list_transform(range(1,65),
-               i -> (a.eq[i] - e.eq[i]) * (a.eq[i] - e.eq[i]))) AS BIGINT) AS d2
-           FROM e a JOIN e ON e.vec_id <> a.vec_id),
-         t5 AS (SELECT vec_id FROM (
-             SELECT aid, vec_id, row_number() OVER (PARTITION BY aid
-               ORDER BY d2, vec_id) AS rn FROM p) q WHERE rn <= 5),
-         ind AS (SELECT e.vec_id,
-             CAST(COALESCE(cnt, 0) AS BIGINT) AS in_deg
-           FROM e LEFT JOIN (SELECT vec_id, count(*) AS cnt FROM t5
-             GROUP BY 1) c ON c.vec_id = e.vec_id)
-         SELECT in_deg, CAST(count(*) AS BIGINT) AS n_vecs
-         FROM ind GROUP BY 1 ORDER BY in_deg""",
-    // distinct(A) vs distinct(A,B) per literal pair
-    "dq_fd_check" ->
-      """WITH f1 AS (SELECT 'orderkey->custkey' AS fd,
-           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd_a,
-           CAST(count(DISTINCT (o_orderkey, o_custkey)) AS BIGINT) AS nd_ab
-           FROM orders),
-         f2 AS (SELECT 'custkey->orderstatus' AS fd,
-           CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_a,
-           CAST(count(DISTINCT (o_custkey, o_orderstatus)) AS BIGINT) AS nd_ab
-           FROM orders),
-         f3 AS (SELECT 'orderdate->orderpriority' AS fd,
-           CAST(count(DISTINCT o_orderdate) AS BIGINT) AS nd_a,
-           CAST(count(DISTINCT (o_orderdate, o_orderpriority)) AS BIGINT) AS nd_ab
-           FROM orders),
-         u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2
-           UNION ALL SELECT * FROM f3)
-         SELECT fd, nd_a, nd_ab, nd_ab - nd_a AS violations
-         FROM u ORDER BY fd""",
-    // the banded candidate pairs vs the hash split
-    "curation_split_leakage" ->
-      s"""WITH $minhashCtes,
-         edges AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM banded a JOIN banded b ON a.band_id = b.band_id
-             AND a.band_key = b.band_key
-           WHERE a.doc_id < b.doc_id),
-         pr AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-             CAST(sum(CASE WHEN (doc_a % 10 < 8) <> (doc_b % 10 < 8)
-               THEN 1 ELSE 0 END) AS BIGINT) AS n_cross FROM edges),
-         sz AS (SELECT
-             CAST(sum(CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_train,
-             CAST(sum(CASE WHEN doc_id % 10 >= 8 THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_test FROM corpus)
-         SELECT n_pairs, n_cross, n_train, n_test,
-           CASE WHEN n_pairs = 0 THEN CAST(0 AS BIGINT)
-                ELSE n_cross * 1000000 // n_pairs END AS leak_ppm
-         FROM pr, sz""",
-    // clamped level CDF vs decile thresholds, min qualifying level
-    "geo_hypsometric" -> {
-      val v = gridV("c.range", "r.range")
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         h AS (SELECT swlng, swlat,
-             CAST(greatest(0, least(63, ($v) // 64)) AS INT) AS level,
-             CAST(count(*) AS BIGINT) AS n
-           FROM k, range(0,601) r, range(0,601) c GROUP BY 1, 2, 3),
-         tot AS (SELECT swlng, swlat, CAST(sum(n) AS BIGINT) AS n_px
-           FROM h GROUP BY 1, 2),
-         cum AS (SELECT h.swlng, h.swlat, level, n_px,
-             CAST(sum(n) OVER (PARTITION BY h.swlng, h.swlat
-               ORDER BY level) AS BIGINT) AS cum
-           FROM h JOIN tot ON tot.swlng = h.swlng AND tot.swlat = h.swlat),
-         dec AS (SELECT CAST(d.range AS BIGINT) AS decile
-           FROM range(1,10) d)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           CAST(decile AS INT) AS decile, CAST(min(level) AS INT) AS level
-         FROM cum, dec WHERE cum * 10 >= n_px * decile
-         GROUP BY 1, 2 ORDER BY image_id, decile"""
-    },
-    // transition ppm + 6 unrolled value-iteration rounds
-    "events_absorb_steps" -> {
-      val rounds = (1 to 6).map { k =>
-        s"""a$k AS (SELECT s, CAST(sum(p_ppm * e_milli) AS BIGINT) AS acc
-             FROM p JOIN e${k - 1} ON e${k - 1}.t2 = p.t2 GROUP BY 1),
-           e$k AS (SELECT st.t2,
-             CASE WHEN st.t2 = 'purchase' THEN CAST(0 AS BIGINT)
-                  ELSE 1000 + acc // 1000000 END AS e_milli
-             FROM st LEFT JOIN a$k ON a$k.s = st.t2)"""
-      }.mkString(",\n         ")
-      s"""WITH pr AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
-           event_type FROM events),
-         pairs AS (SELECT event_type AS s,
-             lead(event_type) OVER (PARTITION BY user_id
-               ORDER BY tus, event_id) AS t2
-           FROM pr),
-         trans AS (SELECT s, t2, CAST(count(*) AS BIGINT) AS n
-           FROM pairs WHERE t2 IS NOT NULL GROUP BY 1, 2),
-         outs AS (SELECT s, CAST(sum(n) AS BIGINT) AS n_s
-           FROM trans GROUP BY 1),
-         p AS (SELECT trans.s, t2, n * 1000000 // n_s AS p_ppm
-           FROM trans JOIN outs ON outs.s = trans.s
-           WHERE trans.s <> 'purchase'),
-         st AS (SELECT DISTINCT event_type AS t2 FROM events),
-         e0 AS (SELECT t2, CAST(0 AS BIGINT) AS e_milli FROM st),
-         $rounds
-         SELECT e6.t2 AS state, e6.e_milli,
-           COALESCE(outs.n_s, 0) AS n_out
-         FROM e6 LEFT JOIN outs ON outs.s = e6.t2 ORDER BY state"""
-    },
-    // interior absolute Laplacian per ~100² block
-    "img_focus_map" -> {
-      val v0 = gridV("c.range", "r.range")
-      val vn = gridV("c.range", "r.range-1")
-      val vs = gridV("c.range", "r.range+1")
-      val vw = gridV("c.range-1", "r.range")
-      val ve = gridV("c.range+1", "r.range")
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         g AS (SELECT swlng, swlat,
-             CAST(least((r.range - 1) // 100, 5) AS INT) AS py,
-             CAST(least((c.range - 1) // 100, 5) AS INT) AS px,
-             abs(4*($v0) - ($vn) - ($vs) - ($vw) - ($ve)) AS lap
-           FROM k, range(1,600) r, range(1,600) c)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           py, px, CAST(count(*) AS BIGINT) AS n_px,
-           CAST(sum(lap) AS BIGINT) AS lap_abs_sum,
-           CAST(max(lap) AS BIGINT) AS lap_abs_max
-         FROM g GROUP BY 1, 2, 3 ORDER BY image_id, py, px"""
-    },
-    // per-fix min d2 to center VALUES, per-traj nearest-rank quantiles
-    "geo_access_quantiles" -> {
-      val ctrRows = stIncidents.map { case (id, ix, iy, _) =>
-        s"(CAST($id AS BIGINT), $ix, $iy)"
-      }.mkString(", ")
-      s"""WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
-           (event_id * 3) % 5 AS dy
-           FROM events WHERE user_id < 50),
-         c AS (SELECT user_id, event_id,
-           CAST(sum(dx) OVER w AS BIGINT) AS px,
-           CAST(sum(dy) OVER w AS BIGINT) AS py
-           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-         ctr(center_id, ix, iy) AS (VALUES $ctrRows),
-         md AS (SELECT user_id AS traj_id, event_id,
-             min((px-ix)*(px-ix) + (py-iy)*(py-iy)) AS min_d2
-           FROM c, ctr GROUP BY 1, 2),
-         r AS (SELECT traj_id, min_d2,
-             CAST(row_number() OVER (PARTITION BY traj_id
-               ORDER BY min_d2, event_id) AS BIGINT) AS rn,
-             CAST(count(*) OVER (PARTITION BY traj_id) AS BIGINT) AS n
-           FROM md)
-         SELECT traj_id, max(n) AS n_fixes,
-           max(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN min_d2 END)
-             AS p50_d2,
-           max(CASE WHEN rn = (n - 1) * 95 // 100 + 1 THEN min_d2 END)
-             AS p95_d2
-         FROM r GROUP BY 1 ORDER BY traj_id"""
-    },
-    // epoch-week counts, lagged growth
-    "events_wow_growth" ->
-      """WITH w AS (SELECT event_type,
-           (epoch_us(ts) // 86400000000) // 7 AS week,
-           CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
-         l AS (SELECT event_type, week, n,
-           lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
-           FROM w)
-         SELECT event_type, week, n, prev_n,
-           CASE WHEN prev_n IS NULL OR prev_n = 0 THEN NULL
-                ELSE (n - prev_n) * 1000000 // prev_n END AS growth_ppm
-         FROM l ORDER BY event_type, week""",
-    // distinct head words, char-4-gram sets, exact threshold join
-    "dedup_char_ngram" ->
-      """WITH w AS (SELECT DISTINCT split_part(p_name, ' ', 1) AS w
-           FROM part),
-         g AS (SELECT w, list_distinct(list_transform(
-             range(1, length(w) - 2), i -> substring(w, CAST(i AS INT), 4)))
-             AS grams
-           FROM w WHERE length(w) >= 4),
-         p AS (SELECT a.w AS wa, b.w AS wb,
-             CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS i,
-             CAST(len(list_distinct(list_concat(a.grams, b.grams)))
-               AS BIGINT) AS u
-           FROM g a JOIN g b ON a.w < b.w)
-         SELECT wa, wb, i, u, i * 1000000 // u AS jaccard_ppm
-         FROM p WHERE i * 10 >= u * 4 ORDER BY wa, wb""",
-    // shared power-iteration replay, offset-floored projection quanta,
-    // total/projection variance pieces
-    "ann_pca_residual" ->
-      s"""WITH ${powerIterCtes(3)},
-         proj AS (SELECT vec_id, CAST(sum(xq * v) AS BIGINT) AS score
-           FROM x JOIN v3 USING (d) GROUP BY 1),
-         pq AS (SELECT (score + 1000000000) // 1000 - 1000000 AS p
-           FROM proj),
-         pv AS (SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(p) AS BIGINT) AS proj_s,
-             CAST(sum(p * p) AS BIGINT) AS proj_ss FROM pq),
-         tv AS (SELECT CAST(sum(nd * ss - s * s) AS BIGINT) AS total_var_num,
-             CAST(count(*) AS BIGINT) AS dims FROM (
-             SELECT d, CAST(count(*) AS BIGINT) AS nd,
-               CAST(sum(xq) AS BIGINT) AS s,
-               CAST(sum(xq * xq) AS BIGINT) AS ss FROM x GROUP BY 1) q),
-         vv2 AS (SELECT CAST(sum(v * v) AS BIGINT) AS v2 FROM v3)
-         SELECT n, dims, total_var_num, v2, proj_s, proj_ss,
-           n * proj_ss - proj_s * proj_s AS proj_var_num
-         FROM pv, tv, vv2""",
-    // per-user cents by arm, exact moment pieces
-    "events_effect_size" ->
-      """WITH pu AS (SELECT event_type, user_id,
-           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
-           CAST(user_id % 2 AS INT) AS arm
-           FROM events GROUP BY 1, 2),
-         a AS (SELECT event_type,
-             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-             CAST(sum(CASE WHEN arm = 0 THEN cents END) AS BIGINT) AS s1,
-             CAST(sum(CASE WHEN arm = 0 THEN cents * cents END) AS BIGINT) AS ss1,
-             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-             CAST(sum(CASE WHEN arm = 1 THEN cents END) AS BIGINT) AS s2,
-             CAST(sum(CASE WHEN arm = 1 THEN cents * cents END) AS BIGINT) AS ss2
-           FROM pu GROUP BY 1)
-         SELECT event_type, n1, s1, ss1, n2, s2, ss2,
-           s1 * n2 - s2 * n1 AS mean_diff_num,
-           n1 * ss1 - s1 * s1 AS var1_num,
-           n2 * ss2 - s2 * s2 AS var2_num
-         FROM a ORDER BY event_type""",
-    // sector membership rows, canonical pair join
-    "geo_sector_overlap" -> {
-      val antRows = sectorAntennas.map {
-        case (id, cx, cy, d1x, d1y, d2x, d2y, r2) =>
-          s"(CAST($id AS BIGINT), $cx, $cy, $d1x, $d1y, $d2x, $d2y, $r2)"
-      }.mkString(", ")
-      s"""WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
-           (event_id * 3) % 5 AS dy
-           FROM events WHERE user_id < 50),
-         c AS (SELECT user_id * 1000000 + event_id AS fix_id,
-           CAST(sum(dx) OVER w AS BIGINT) AS px,
-           CAST(sum(dy) OVER w AS BIGINT) AS py
-           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-         ant(antenna_id, cx, cy, d1x, d1y, d2x, d2y, r2) AS (VALUES $antRows),
-         m AS (SELECT fix_id, antenna_id
-           FROM c, ant
-           WHERE d1x*(py-cy) - d1y*(px-cx) >= 0
-             AND (px-cx)*d2y - (py-cy)*d2x >= 0
-             AND (px-cx)*(px-cx) + (py-cy)*(py-cy) <= r2)
-         SELECT x.antenna_id AS ant_a, y.antenna_id AS ant_b,
-           CAST(count(*) AS BIGINT) AS n_common
-         FROM m x JOIN m y ON y.fix_id = x.fix_id
-           AND x.antenna_id < y.antenna_id
-         GROUP BY 1, 2 ORDER BY ant_a, ant_b"""
-    },
-    // Manhattan µspeed per segment, nearest-rank quantiles
-    "traj_speed_quantiles" ->
-      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
-           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
-           (event_id * 3) % 5 AS dy
-           FROM events WHERE user_id < 50),
-         c0 AS (SELECT user_id, event_id, tus,
-           CAST(sum(dx) OVER w AS BIGINT) AS px,
-           CAST(sum(dy) OVER w AS BIGINT) AS py
-           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
-         c AS (SELECT user_id, event_id, tus, px, py,
-           lag(px) OVER w AS ppx, lag(py) OVER w AS ppy,
-           lag(tus) OVER w AS ptus
-           FROM c0 WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
-         s AS (SELECT user_id AS traj_id, event_id,
-             (abs(px - ppx) + abs(py - ppy)) * 1000000 // (tus - ptus)
-               AS speed_q
-           FROM c WHERE ppx IS NOT NULL AND tus > ptus),
-         r AS (SELECT traj_id, speed_q,
-             CAST(row_number() OVER (PARTITION BY traj_id
-               ORDER BY speed_q, event_id) AS BIGINT) AS rn,
-             CAST(count(*) OVER (PARTITION BY traj_id) AS BIGINT) AS n
-           FROM s)
-         SELECT traj_id, max(n) AS n_seg,
-           max(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN speed_q END)
-             AS p50_speed_q,
-           max(CASE WHEN rn = (n - 1) * 95 // 100 + 1 THEN speed_q END)
-             AS p95_speed_q,
-           CAST(max(speed_q) AS BIGINT) AS max_speed_q
-         FROM r GROUP BY 1 ORDER BY traj_id""",
-    // all pair slopes of the hourly series, positive-offset floor-division
-    // ppm quantization (+10⁵·Δi then −10¹¹), nearest-rank-lower median
-    "events_theil_sen" ->
-      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
-           CAST(count(*) AS BIGINT) AS c
-           FROM events GROUP BY 1, 2),
-         p AS (SELECT event_type, CAST(row_number() OVER (
-             PARTITION BY event_type ORDER BY hr) AS BIGINT) AS i, c
-           FROM h),
-         pr AS (SELECT a.event_type,
-             ((b.c - a.c + 100000 * (b.i - a.i)) * 1000000) // (b.i - a.i)
-               - 100000000000 AS slope_ppm
-           FROM p a JOIN p b ON a.event_type = b.event_type AND a.i < b.i),
-         r AS (SELECT event_type, slope_ppm,
-             row_number() OVER (PARTITION BY event_type
-               ORDER BY slope_ppm) AS rn,
-             count(*) OVER (PARTITION BY event_type) AS np FROM pr),
-         n AS (SELECT event_type, CAST(max(i) AS BIGINT) AS n_pts
-           FROM p GROUP BY 1)
-         SELECT r.event_type, n.n_pts, CAST(np AS BIGINT) AS n_pairs,
-           slope_ppm
-         FROM r JOIN n ON n.event_type = r.event_type
-         WHERE rn = (np + 1) // 2 ORDER BY r.event_type""",
-    // identical soundex chain (global-flag regexp_replace), block rollup
-    "text_soundex" ->
-      s"""WITH w AS (SELECT split_part(p_name, ' ', 1) AS w FROM part),
-         c AS (SELECT w, ${soundexSql("w", g = true)} AS code FROM w)
-         SELECT code, CAST(count(*) AS BIGINT) AS sz,
-           CAST(count(DISTINCT w) AS BIGINT) AS n_words,
-           CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS candidate_pairs
-         FROM c GROUP BY 1 ORDER BY code""",
-    // hourly counts, lead() triples, rank-by-comparison (ties to earlier
-    // position), pattern = r0*100 + r1*10 + r2
-    "events_ordinal_patterns" ->
-      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
-           CAST(count(*) AS BIGINT) AS c
-           FROM events GROUP BY 1, 2),
-         tri AS (SELECT event_type, c AS v0,
-             lead(c, 1) OVER (PARTITION BY event_type ORDER BY hr) AS v1,
-             lead(c, 2) OVER (PARTITION BY event_type ORDER BY hr) AS v2
-           FROM h),
-         pat AS (SELECT event_type,
-             (CASE WHEN v1 < v0 THEN 1 ELSE 0 END
-              + CASE WHEN v2 < v0 THEN 1 ELSE 0 END) * 100
-             + (CASE WHEN v0 <= v1 THEN 1 ELSE 0 END
-                + CASE WHEN v2 < v1 THEN 1 ELSE 0 END) * 10
-             + (CASE WHEN v0 <= v2 THEN 1 ELSE 0 END
-                + CASE WHEN v1 <= v2 THEN 1 ELSE 0 END) AS pattern
-           FROM tri WHERE v1 IS NOT NULL AND v2 IS NOT NULL)
-         SELECT event_type, CAST(pattern AS INT) AS pattern,
-           CAST(count(*) AS BIGINT) AS n
-         FROM pat GROUP BY 1, 2 ORDER BY event_type, pattern""",
-    // BOM explosion as a TRUE recursive CTE with the same depth-3 guard;
-    // UNION ALL recursion keeps every path, matching the engine's
-    // path-multiplicity (extended-quantity) semantics
-    "q_bom_explode" ->
-      """WITH RECURSIVE e AS (
-           SELECT DISTINCT LEAST(l_partkey % 300, l_suppkey % 300) AS parent,
-             GREATEST(l_partkey % 300, l_suppkey % 300) AS child
-           FROM lineitem WHERE l_orderkey % 97 = 0
-             AND l_partkey % 300 <> l_suppkey % 300),
-         eq AS (SELECT parent, child,
-             1 + (parent * 31 + child * 17) % 4 AS qty FROM e),
-         paths AS (
-           SELECT parent AS root, child AS node, qty AS q, 1 AS depth FROM eq
-           UNION ALL
-           SELECT p.root, eq.child AS node, p.q * eq.qty AS q, p.depth + 1
-           FROM paths p JOIN eq ON eq.parent = p.node WHERE p.depth < 3)
-         SELECT CAST(root AS BIGINT) AS root,
-           CAST(count(DISTINCT node) AS BIGINT) AS n_reach,
-           CAST(sum(q) AS BIGINT) AS ext_qty,
-           CAST(max(depth) AS BIGINT) AS max_depth
-         FROM paths GROUP BY root ORDER BY root""",
-    // same canonical-undirected graph recipe as kcore; degrees over the
-    // doubled edge set, moments in exact BIGINTs
-    "graph_degree_mix" ->
-      """WITH e AS (SELECT DISTINCT
-           GREATEST(l_suppkey % 500, l_partkey % 500) AS hi,
-           LEAST(l_suppkey % 500, l_partkey % 500) AS lo
-         FROM lineitem WHERE l_orderkey % 7 = 0),
-         e2 AS (SELECT hi, lo FROM e WHERE hi <> lo),
-         sym AS (SELECT lo AS u, hi AS v FROM e2
-                 UNION ALL SELECT hi AS u, lo AS v FROM e2),
-         deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d
-                 FROM sym GROUP BY 1),
-         t AS (SELECT a.d AS du, b.d AS dv FROM sym
-               JOIN deg a ON a.node = sym.u JOIN deg b ON b.node = sym.v),
-         s AS (SELECT CAST(count(*) AS BIGINT) AS m,
-             CAST(sum(du) AS BIGINT) AS sx,
-             CAST(sum(du * dv) AS BIGINT) AS sxy,
-             CAST(sum(du * du) AS BIGINT) AS sxx FROM t)
-         SELECT m, sx, sxy, sxx,
-           CAST(m * sxy - sx * sx AS BIGINT) AS num,
-           CAST(m * sxx - sx * sx AS BIGINT) AS den
-         FROM s""",
-    // same canonical graph; given partition = node % 16; per-community
-    // exact-integer modularity pieces
-    "graph_modularity" ->
-      """WITH e AS (SELECT DISTINCT
-           GREATEST(l_suppkey % 500, l_partkey % 500) AS hi,
-           LEAST(l_suppkey % 500, l_partkey % 500) AS lo
-         FROM lineitem WHERE l_orderkey % 7 = 0),
-         e2 AS (SELECT hi, lo FROM e WHERE hi <> lo),
-         mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e2),
-         cm AS (SELECT range AS node, range % 16 AS comm FROM range(0,500)),
-         sym AS (SELECT lo AS node FROM e2 UNION ALL SELECT hi AS node FROM e2),
-         dc AS (SELECT c.comm, CAST(count(*) AS BIGINT) AS deg_sum,
-             CAST(count(DISTINCT s.node) AS BIGINT) AS n_nodes
-           FROM sym s JOIN cm c USING (node) GROUP BY 1),
-         ie AS (SELECT cl.comm AS comm, CAST(count(*) AS BIGINT) AS in_edges
-           FROM e2 JOIN cm cl ON cl.node = e2.lo JOIN cm ch ON ch.node = e2.hi
-           WHERE cl.comm = ch.comm GROUP BY 1)
-         SELECT dc.comm, dc.n_nodes,
-           CAST(coalesce(ie.in_edges, 0) AS BIGINT) AS in_edges,
-           dc.deg_sum, mm.m,
-           CAST(4*mm.m*coalesce(ie.in_edges, 0) - dc.deg_sum*dc.deg_sum AS BIGINT) AS qnum
-         FROM dc LEFT JOIN ie USING (comm) CROSS JOIN mm ORDER BY dc.comm""",
-    // the triangle-enumeration graph; per-node triangle counts from the
-    // 3-corner fan-out, wedges = deg*(deg-1)/2 exact
-    "graph_clustering" ->
-      """WITH e0 AS (SELECT DISTINCT
-           greatest(l_orderkey % 20000, (l_orderkey*7 + l_linenumber*13) % 20000) AS hi,
-           least(l_orderkey % 20000, (l_orderkey*7 + l_linenumber*13) % 20000) AS lo
-           FROM lineitem
-           WHERE l_orderkey % 20000 <> (l_orderkey*7 + l_linenumber*13) % 20000),
-         deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
-           (SELECT lo AS node FROM e0 UNION ALL SELECT hi FROM e0) GROUP BY 1),
-         t AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c FROM e0 e1
-           JOIN e0 e2 ON e2.lo = e1.hi JOIN e0 e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
-         tn AS (SELECT node, CAST(count(*) AS BIGINT) AS tri_cnt FROM
-           (SELECT a AS node FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t) GROUP BY 1)
-         SELECT CAST(deg.node AS BIGINT) AS node, deg.deg,
-           CAST(coalesce(tn.tri_cnt, 0) AS BIGINT) AS tri_cnt,
-           CAST(deg.deg * (deg.deg - 1) // 2 AS BIGINT) AS wedges
-         FROM deg LEFT JOIN tn USING (node) ORDER BY node""",
-    // same canonical edge family; each triangle credits its 3 canonical
-    // edges, zero-support edges restored by the left join
-    "graph_truss" ->
-      """WITH e0 AS (SELECT DISTINCT
-           greatest(l_orderkey % 20000, (l_orderkey*7 + l_linenumber*13) % 20000) AS hi,
-           least(l_orderkey % 20000, (l_orderkey*7 + l_linenumber*13) % 20000) AS lo
-           FROM lineitem
-           WHERE l_orderkey % 20000 <> (l_orderkey*7 + l_linenumber*13) % 20000),
-         t AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c FROM e0 e1
-           JOIN e0 e2 ON e2.lo = e1.hi JOIN e0 e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
-         s AS (SELECT lo, hi, CAST(count(*) AS BIGINT) AS support FROM
-           (SELECT a AS lo, b AS hi FROM t
-            UNION ALL SELECT b AS lo, c AS hi FROM t
-            UNION ALL SELECT a AS lo, c AS hi FROM t) GROUP BY 1, 2)
-         SELECT CAST(e0.lo AS BIGINT) AS lo, CAST(e0.hi AS BIGINT) AS hi,
-           CAST(coalesce(s.support, 0) AS BIGINT) AS support
-         FROM e0 LEFT JOIN s USING (lo, hi) ORDER BY lo, hi""",
-    // degree prune first, then the user-keyed pair self-join
-    "graph_biproject" ->
-      """WITH e0 AS (SELECT DISTINCT o_custkey % 400 AS src, o_orderkey % 300 AS dst FROM orders),
-         keep AS (SELECT src FROM e0 GROUP BY src HAVING count(*) <= 40),
-         k AS (SELECT e0.src, e0.dst FROM e0 JOIN keep USING (src)),
-         p AS (SELECT a.dst AS item_a, b.dst AS item_b
-           FROM k a JOIN k b ON a.src = b.src AND a.dst < b.dst)
-         SELECT CAST(item_a AS BIGINT) AS item_a, CAST(item_b AS BIGINT) AS item_b,
-           CAST(count(*) AS BIGINT) AS w
-         FROM p GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY item_a, item_b""",
-    // distinct directed edges, reversed-key semi-join for the mutual count
-    "graph_reciprocity" ->
-      """WITH e0 AS (SELECT DISTINCT l_suppkey % 500 AS src,
-           (l_partkey * 3 + l_linenumber) % 500 AS dst FROM lineitem
-           WHERE l_suppkey % 500 <> (l_partkey * 3 + l_linenumber) % 500),
-         r AS (SELECT CAST(count(*) AS BIGINT) AS n_recip FROM e0
-           WHERE EXISTS (SELECT 1 FROM e0 x WHERE x.src = e0.dst AND x.dst = e0.src)),
-         n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM
-           (SELECT src AS v FROM e0 UNION SELECT dst FROM e0)),
-         t AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e0)
-         SELECT n_nodes, n_edges, n_recip,
-           CAST(n_recip // 2 AS BIGINT) AS n_mutual_pairs
-         FROM n, t, r""",
-    // blockwise joint moments over the two closed-form epochs (curvy vs
-    // plane) — the grid recipe of img_patchify with both fields emitted
-    // every signed pixel from the closed form; sign = parity of cu&(r%8)
-    // (resp. cv&(c%8)) via bit sums, 75×75 blocks over 0..599
-    "img_wht_energy" -> {
-      def par(u: String, x: String) =
-        s"(1 - 2*((($u & ($x%8))%2 + (($u & ($x%8))//2)%2 + (($u & ($x%8))//4)%2) % 2))"
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         coeffs(cu, cv) AS (VALUES (0,1),(1,0),(1,1),(2,2)),
-         g AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           r.range AS r, c.range AS c,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range
-             + ((c.range//8)*(r.range//8)) % 32 AS px
-           FROM corners, range(0,600) r, range(0,600) c),
-         sg AS (SELECT image_id, cu, cv, r // 8 AS br, c // 8 AS bc,
-             px * ${par("cu", "r")} * ${par("cv", "c")} AS sv
-           FROM g, coeffs),
-         bl AS (SELECT image_id, cu, cv, br, bc,
-             CAST(sum(sv) AS BIGINT) AS coef
-           FROM sg GROUP BY 1, 2, 3, 4, 5)
-         SELECT image_id, CAST(cu AS INT) AS cu, CAST(cv AS INT) AS cv,
-           CAST(count(*) AS BIGINT) AS n_blocks,
-           CAST(sum(coef * coef) AS BIGINT) AS energy
-         FROM bl GROUP BY 1, 2, 3 ORDER BY image_id, cu, cv"""
-    },
-    // adjacent corner pairs; east edge A1+1200+(75·(r//8))%32 vs west
-    // edge A2 (+3r on both sides cancels)
-    "img_tile_seams" -> {
-      def key(lngV: String, latV: String) =
-        s"(CASE WHEN $latV < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs($latV) AS VARCHAR),2,'0') || " +
-          s"CASE WHEN $lngV < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs($lngV) AS VARCHAR),3,'0'))"
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         pairs AS (SELECT a.swlng AS alng, a.swlat AS lat, b.swlng AS blng
-           FROM corners a JOIN corners b
-           ON b.swlng = a.swlng + 1 AND b.swlat = a.swlat),
-         r AS (SELECT alng, lat, blng, unnest(range(0, 601)) AS rr FROM pairs),
-         d AS (SELECT alng, lat, blng,
-             abs((((alng+180)*7 + (lat+90)*11) % 1000 + 1200 + ((600//8)*(rr//8)) % 32)
-               - (((blng+180)*7 + (lat+90)*11) % 1000)) AS ad
-           FROM r)
-         SELECT CAST(blng AS INT) AS seam_lng, CAST(lat AS INT) AS seam_lat,
-           ${key("alng", "lat")} AS west_id, ${key("blng", "lat")} AS east_id,
-           CAST(count(*) AS BIGINT) AS n_samples,
-           CAST(sum(CASE WHEN ad = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_equal,
-           CAST(sum(ad) AS BIGINT) AS sum_abs,
-           CAST(max(ad) AS BIGINT) AS max_abs
-         FROM d GROUP BY 1, 2, 3, 4 ORDER BY seam_lng, seam_lat"""
-    },
-    // per-pixel neighbor |Δ| of both fields from the closed forms (base
-    // offset cancels); plane field contributes 1/pixel h, 2/pixel v
-    "img_best_epoch" ->
-      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         g AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           r.range AS r, c.range AS c
-           FROM corners, range(0,600) r, range(0,600) c),
-         h AS (SELECT image_id, r // 100 AS by, c // 100 AS bx,
-             CASE WHEN c % 100 < 99 THEN
-               abs(2 + (((c+1)//8)*(r//8)) % 32 - ((c//8)*(r//8)) % 32) ELSE 0 END
-           + CASE WHEN r % 100 < 99 THEN
-               abs(3 + ((c//8)*((r+1)//8)) % 32 - ((c//8)*(r//8)) % 32) ELSE 0 END AS ea,
-             CASE WHEN c % 100 < 99 THEN 1 ELSE 0 END
-           + CASE WHEN r % 100 < 99 THEN 2 ELSE 0 END AS eb
-           FROM g),
-         bl AS (SELECT image_id, by, bx, CAST(sum(ea) AS BIGINT) AS ta,
-             CAST(sum(eb) AS BIGINT) AS tb
-           FROM h GROUP BY 1, 2, 3)
-         SELECT image_id, CAST(count(*) AS BIGINT) AS n_blocks,
-           CAST(sum(CASE WHEN ta >= tb THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-           CAST(sum(CASE WHEN ta < tb THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-           CAST(sum(ta) AS BIGINT) AS energy_a,
-           CAST(sum(tb) AS BIGINT) AS energy_b,
-           CAST(sum(CASE WHEN ta >= tb THEN ta ELSE tb END) AS BIGINT) AS composite_energy
-         FROM bl GROUP BY 1 ORDER BY image_id""",
-    "img_ncc_blocks" ->
-      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         g AS (SELECT swlng, swlat,
-           CAST(r.range // 100 AS INT) AS py, CAST(c.range // 100 AS INT) AS px,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range
-             + ((c.range//8)*(r.range//8)) % 32 AS va,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 + c.range + 2*r.range AS vb
-           FROM corners, range(0,600) r, range(0,600) c)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           py, px,
-           CAST(count(*) AS BIGINT) AS n_px,
-           CAST(sum(va) AS BIGINT) AS sa,
-           CAST(sum(vb) AS BIGINT) AS sb,
-           CAST(sum(va*va) AS BIGINT) AS saa,
-           CAST(sum(vb*vb) AS BIGINT) AS sbb,
-           CAST(sum(va*vb) AS BIGINT) AS sab
-         FROM g GROUP BY swlng, swlat, py, px
-         ORDER BY image_id, py, px""",
-    // the ncc moment CTE re-finished as the four exact SSIM factors + the
-    // single IEEE ratio floored to ppm (epoch B is the smooth plane)
-    "img_ssim_blocks" ->
-      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         g AS (SELECT swlng, swlat,
-           CAST(r.range // 100 AS INT) AS py, CAST(c.range // 100 AS INT) AS px,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range
-             + ((c.range//8)*(r.range//8)) % 32 AS va,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 + c.range + 2*r.range AS vb
-           FROM corners, range(0,600) r, range(0,600) c),
-         m AS (SELECT swlng, swlat, py, px,
-           CAST(count(*) AS BIGINT) AS n_px,
-           CAST(sum(va) AS BIGINT) AS sa, CAST(sum(vb) AS BIGINT) AS sb,
-           CAST(sum(va*va) AS BIGINT) AS saa, CAST(sum(vb*vb) AS BIGINT) AS sbb,
-           CAST(sum(va*vb) AS BIGINT) AS sab
-           FROM g GROUP BY swlng, swlat, py, px),
-         f AS (SELECT swlng, swlat, py, px,
-           2*sa*sb + 167700000000 AS num1,
-           2*(n_px*sab - sa*sb) + 1509900000000 AS num2,
-           sa*sa + sb*sb + 167700000000 AS den1,
-           (n_px*saa - sa*sa) + (n_px*sbb - sb*sb) + 1509900000000 AS den2
-           FROM m)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           py, px, CAST(num1 AS BIGINT) AS num1, CAST(num2 AS BIGINT) AS num2,
-           CAST(den1 AS BIGINT) AS den1, CAST(den2 AS BIGINT) AS den2,
-           CAST(FLOOR(CAST(num1 AS DOUBLE) * CAST(num2 AS DOUBLE)
-             / (CAST(den1 AS DOUBLE) * CAST(den2 AS DOUBLE)) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS ssim_ppm
-         FROM f ORDER BY image_id, py, px""",
-    "img_sobel" -> sobelOracleSql,
-    "img_fast_corners" -> fastOracleSql,
-    "img_harris" -> harrisOracleSql,
-    // second-order HUGEINT moments over the closed-form grid; trunc-div
-    // (DuckDB // == Spark DIV == BigInt /) keeps every value int64-exact
-    "img_ellipse" ->
-      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         g AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           r.range AS r, c.range AS c,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS v
-           FROM corners, range(0,601) r, range(0,601) c),
-         m AS (SELECT image_id,
-             CAST(sum(v) AS HUGEINT) AS s,
-             CAST(sum(v*r) AS HUGEINT) AS sr, CAST(sum(v*c) AS HUGEINT) AS sc,
-             CAST(sum(CAST(v AS BIGINT)*r*r) AS HUGEINT) AS srr,
-             CAST(sum(CAST(v AS BIGINT)*c*c) AS HUGEINT) AS scc,
-             CAST(sum(CAST(v AS BIGINT)*r*c) AS HUGEINT) AS src
-           FROM g GROUP BY 1),
-         mu AS (SELECT image_id, s,
-             (s*srr - sr*sr) // s AS mu20,
-             (s*scc - sc*sc) // s AS mu02,
-             (s*src - sr*sc) // s AS mu11 FROM m)
-         SELECT image_id, CAST(s AS BIGINT) AS s_v,
-           CAST(mu20 AS BIGINT) AS mu20, CAST(mu02 AS BIGINT) AS mu02,
-           CAST(mu11 AS BIGINT) AS mu11,
-           CAST((CASE WHEN mu11 >= 0 THEN 0 ELSE 2 END) +
-                (CASE WHEN mu20 >= mu02 THEN 0 ELSE 1 END) AS INT) AS orient,
-           CAST(((mu20-mu02)*(mu20-mu02) + 4*mu11*mu11)
-             // CAST(1099511627776 AS HUGEINT) AS BIGINT) AS ecc_q
-         FROM mu ORDER BY image_id""",
-    "img_seam" -> seamOracleSql,
-    // radial profile: squared-distance ring buckets about node (300,300),
-    // exact-integer count + Σv per ring over the same synthetic grid
-    "img_radial" ->
-      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         g AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           r.range AS r, c.range AS c,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS v
-           FROM corners, range(0,601) r, range(0,601) c)
-         SELECT image_id,
-           CAST(least(((r-300)*(r-300) + (c-300)*(c-300)) // 9000, 19) AS INT) AS ring,
-           count(*) AS n_px, CAST(sum(v) AS BIGINT) AS sum_v
-         FROM g GROUP BY 1, 2 ORDER BY image_id, ring""",
-    "img_register" -> registerOracleSql,
-    // Laplacian pyramid: block-sum levels via integer-div GROUP BYs,
-    // residual 4·g − blocksum joined back per level
-    "img_laplacian" ->
-      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         g0 AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           r.range AS r, c.range AS c,
-           CAST(((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS BIGINT) AS v
-           FROM corners, range(0,600) r, range(0,600) c),
-         g1 AS (SELECT image_id, r//2 AS r, c//2 AS c, CAST(sum(v) AS BIGINT) AS v FROM g0 GROUP BY 1,2,3),
-         g2 AS (SELECT image_id, r//2 AS r, c//2 AS c, CAST(sum(v) AS BIGINT) AS v FROM g1 GROUP BY 1,2,3),
-         g3 AS (SELECT image_id, r//2 AS r, c//2 AS c, CAST(sum(v) AS BIGINT) AS v FROM g2 GROUP BY 1,2,3),
-         e0 AS (SELECT a.image_id, CAST(count(*) AS BIGINT) AS n_px,
-             CAST(sum((4*a.v - s.v)*(4*a.v - s.v)) AS BIGINT) AS energy
-           FROM g0 a JOIN g1 s ON s.image_id = a.image_id AND s.r = a.r//2 AND s.c = a.c//2 GROUP BY 1),
-         e1 AS (SELECT a.image_id, CAST(count(*) AS BIGINT) AS n_px,
-             CAST(sum((4*a.v - s.v)*(4*a.v - s.v)) AS BIGINT) AS energy
-           FROM g1 a JOIN g2 s ON s.image_id = a.image_id AND s.r = a.r//2 AND s.c = a.c//2 GROUP BY 1),
-         e2 AS (SELECT a.image_id, CAST(count(*) AS BIGINT) AS n_px,
-             CAST(sum((4*a.v - s.v)*(4*a.v - s.v)) AS BIGINT) AS energy
-           FROM g2 a JOIN g3 s ON s.image_id = a.image_id AND s.r = a.r//2 AND s.c = a.c//2 GROUP BY 1)
-         SELECT image_id, CAST(0 AS INT) AS level, n_px, energy FROM e0
-         UNION ALL SELECT image_id, CAST(1 AS INT), n_px, energy FROM e1
-         UNION ALL SELECT image_id, CAST(2 AS INT), n_px, energy FROM e2
-         ORDER BY image_id, level""",
-    // border ring vs interior, cross-multiplied milli-unit mean gap
-    "img_border" ->
-      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         g AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           (r.range < 8 OR r.range >= 592 OR c.range < 8 OR c.range >= 592) AS brd,
-           CAST(((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS BIGINT) AS v
-           FROM corners, range(0,600) r, range(0,600) c),
-         a AS (SELECT image_id,
-             CAST(sum(CASE WHEN brd THEN 1 ELSE 0 END) AS BIGINT) AS n_border,
-             CAST(sum(CASE WHEN brd THEN v ELSE 0 END) AS BIGINT) AS sum_border,
-             CAST(sum(CASE WHEN brd THEN 0 ELSE 1 END) AS BIGINT) AS n_inner,
-             CAST(sum(CASE WHEN brd THEN 0 ELSE v END) AS BIGINT) AS sum_inner
-           FROM g GROUP BY 1)
-         SELECT image_id, n_border, sum_border, n_inner, sum_inner,
-           (1000 * abs(sum_border * n_inner - sum_inner * n_border))
-             // (n_border * n_inner) AS contrast_mil
-         FROM a ORDER BY image_id""",
-    // adaptive threshold: SAT via two chained window cumsums, four
-    // corner lookups per interior pixel, division-free 225·v vs box
-    "img_adaptive_thresh" ->
-      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         g AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           r.range AS r, c.range AS c,
-           CAST(((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS BIGINT) AS v
-           FROM corners, range(0,600) r, range(0,600) c),
-         rc AS (SELECT image_id, r, c, v,
-             sum(v) OVER (PARTITION BY image_id, r ORDER BY c) AS rcum FROM g),
-         ii AS (SELECT image_id, r, c,
-             CAST(sum(rcum) OVER (PARTITION BY image_id, c ORDER BY r) AS BIGINT) AS s FROM rc),
-         e AS (SELECT g.image_id, 225*g.v AS lhs,
-             a.s - b.s - d.s + f.s AS box
-           FROM g
-           JOIN ii a ON a.image_id = g.image_id AND a.r = g.r+7 AND a.c = g.c+7
-           JOIN ii b ON b.image_id = g.image_id AND b.r = g.r-8 AND b.c = g.c+7
-           JOIN ii d ON d.image_id = g.image_id AND d.r = g.r+7 AND d.c = g.c-8
-           JOIN ii f ON f.image_id = g.image_id AND f.r = g.r-8 AND f.c = g.c-8
-           WHERE g.r BETWEEN 8 AND 592 AND g.c BETWEEN 8 AND 592)
-         SELECT image_id, CAST(count(*) AS BIGINT) AS n_eval,
-           CAST(sum(CASE WHEN lhs > box THEN 1 ELSE 0 END) AS BIGINT) AS n_fg,
-           CAST(sum(CASE WHEN lhs > box THEN lhs - box ELSE 0 END) AS BIGINT) AS sum_excess
-         FROM e GROUP BY 1 ORDER BY image_id""",
-    "img_haar" -> haarOracleSql,
-    "img_lbp" -> lbpOracleSql,
-    "img_orient_hist" -> orientOracleSql,
-    "img_bit_planes" -> bitPlanesOracleSql,
-    "img_roughness" -> roughnessOracleSql,
-    "img_integral_box" -> integralBoxOracleSql,
-    "img_quadtree" -> quadtreeOracleSql,
-    "img_median" -> medianOracleSql,
-    "img_kuwahara" -> kuwaharaOracleSql,
-    "img_structure_tensor" -> structureTensorOracleSql,
-    "img_bayer_dither" -> bayerOracleSql,
-    "img_block_diversity" -> blockDiversityOracleSql,
-    "img_blockiness" -> blockinessOracleSql,
-    // level-1 means from the raw grid, level-2 means-of-means, top-left
-    // stride vs mean per output pixel
-    "img_downsample_bias" -> {
-      val v = gridV("c.range", "r.range")
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         g AS (SELECT swlng, swlat, r.range AS r, c.range AS c,
-             CAST($v AS BIGINT) AS v
-           FROM k, range(0,600) r, range(0,600) c),
-         l1 AS (SELECT swlng, swlat, r // 2 AS rr, c // 2 AS cc,
-             CAST(sum(v) AS BIGINT) // 4 AS m,
-             max(CASE WHEN r % 2 = 0 AND c % 2 = 0 THEN v END) AS tl
-           FROM g GROUP BY 1, 2, 3, 4),
-         e1 AS (SELECT swlng, swlat, 1 AS level,
-             CAST(count(*) AS BIGINT) AS n_px,
-             CAST(sum(abs(tl - m)) AS BIGINT) AS sum_abs_diff,
-             CAST(max(abs(tl - m)) AS BIGINT) AS max_abs_diff
-           FROM l1 GROUP BY 1, 2),
-         l2 AS (SELECT swlng, swlat, rr // 2 AS r2, cc // 2 AS c2,
-             CAST(sum(m) AS BIGINT) // 4 AS m2,
-             max(CASE WHEN rr % 2 = 0 AND cc % 2 = 0 THEN m END) AS tl
-           FROM l1 GROUP BY 1, 2, 3, 4),
-         e2 AS (SELECT swlng, swlat, 2 AS level,
-             CAST(count(*) AS BIGINT) AS n_px,
-             CAST(sum(abs(tl - m2)) AS BIGINT) AS sum_abs_diff,
-             CAST(max(abs(tl - m2)) AS BIGINT) AS max_abs_diff
-           FROM l2 GROUP BY 1, 2),
-         u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           level, n_px, sum_abs_diff, max_abs_diff
-         FROM u ORDER BY image_id, level"""
-    },
-    // the walk segments, 4-orientation strict crossing test
-    "traj_self_cross" ->
-      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
-           (event_id * 3) % 5 AS dy
-           FROM events WHERE user_id < 50),
-         c0 AS (SELECT user_id, ts_us, event_id,
-           CAST(row_number() OVER w AS BIGINT) AS seq,
-           CAST(sum(dx) OVER w AS BIGINT) AS px,
-           CAST(sum(dy) OVER w AS BIGINT) AS py
-           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-         c AS (SELECT user_id, seq, px, py,
-           lag(px) OVER w AS ppx, lag(py) OVER w AS ppy
-           FROM c0 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-         s AS (SELECT user_id AS traj_id, seq, ppx AS x1, ppy AS y1,
-             px AS x2, py AS y2 FROM c WHERE ppx IS NOT NULL),
-         j AS (SELECT a.traj_id,
-             CASE WHEN ((a.x2 - a.x1) * (b.y1 - a.y1) - (a.y2 - a.y1) * (b.x1 - a.x1))
-                  * ((a.x2 - a.x1) * (b.y2 - a.y1) - (a.y2 - a.y1) * (b.x2 - a.x1)) < 0
-               AND ((b.x2 - b.x1) * (a.y1 - b.y1) - (b.y2 - b.y1) * (a.x1 - b.x1))
-                  * ((b.x2 - b.x1) * (a.y2 - b.y1) - (b.y2 - b.y1) * (a.x2 - b.x1)) < 0
-               THEN 1 ELSE 0 END AS crossing
-           FROM s a JOIN s b ON b.traj_id = a.traj_id
-             AND b.seq > a.seq + 1),
-         ns AS (SELECT traj_id, CAST(count(*) AS BIGINT) AS n_seg
-           FROM s GROUP BY 1)
-         SELECT j.traj_id, ns.n_seg, CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(sum(crossing) AS BIGINT) AS n_crossings
-         FROM j JOIN ns ON ns.traj_id = j.traj_id
-         GROUP BY 1, 2 ORDER BY j.traj_id""",
-    // high-water anchor day, per-week right shift
-    "events_decay_score" ->
-      """WITH ev AS (SELECT user_id,
-           CAST(round(value * 100) AS BIGINT) AS cents,
-           epoch_us(ts) // 86400000000 AS eday FROM events),
-         mx AS (SELECT max(eday) AS mxd FROM ev)
-         SELECT user_id, CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(cents) AS BIGINT) AS raw_cents,
-           CAST(sum(cents >> CAST((mxd - eday) // 7 AS INT)) AS BIGINT)
-             AS decayed_cents
-         FROM ev, mx GROUP BY 1 ORDER BY user_id""",
-    // per-lang rollup off the documents metadata
-    "text_lang_profile" ->
-      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
-         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
-         CAST(sum(n_chars) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT)
-           AS chars_per_doc_milli
-         FROM documents GROUP BY 1 ORDER BY lang""",
-    // the quality_score formula, milli-quantized, exact Pearson moments
-    "curation_quality_corr" ->
-      """WITH s AS (SELECT doc_id, n_chars,
-           CAST(len(string_split(text,' ')) AS DOUBLE) AS nw,
-           CAST(len(list_filter(string_split(text,' '),
-             w -> w='the' OR w='a' OR w='of' OR w='and' OR w='to')) AS DOUBLE) AS ns,
-           CAST(length(replace(text,' ','')) AS DOUBLE) AS nc FROM documents),
-         sc AS (SELECT CAST(round((least(nw/100.0, 1.0)*0.4 + (ns/nw)*0.3
-             + least((nc/nw)/10.0, 1.0)*0.3) * 1000) AS BIGINT) AS x,
-             n_chars AS y
-           FROM s),
-         a AS (SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x * y) AS BIGINT) AS sxy,
-             CAST(sum(x * x) AS BIGINT) AS sxx,
-             CAST(sum(y * y) AS BIGINT) AS syy
-           FROM sc)
-         SELECT n, sx, sy, sxy, sxx, syy,
-           n * sxy - sx * sy AS corr_num,
-           n * sxx - sx * sx AS var_x_num,
-           n * syy - sy * sy AS var_y_num
-         FROM a""",
-    // bag-semantics EXCEPT ALL / INTERSECT ALL vs distinct EXCEPT
-    "q_setops_all" ->
-      """WITH a AS (SELECT user_id % 100 AS k FROM events
-           WHERE ts < TIMESTAMP '2024-01-16'),
-         b AS (SELECT user_id % 100 AS k FROM events
-           WHERE ts >= TIMESTAMP '2024-01-16'),
-         ea AS (SELECT CAST(count(*) AS BIGINT) AS n_except_all FROM
-           (SELECT * FROM a EXCEPT ALL SELECT * FROM b)),
-         ed AS (SELECT CAST(count(*) AS BIGINT) AS n_except_distinct FROM
-           (SELECT * FROM a EXCEPT SELECT * FROM b)),
-         ia AS (SELECT CAST(count(*) AS BIGINT) AS n_intersect_all FROM
-           (SELECT * FROM a INTERSECT ALL SELECT * FROM b))
-         SELECT n_except_all, n_except_distinct, n_intersect_all
-         FROM ea, ed, ia""",
-    // row-300 closed-form profile, chord comparisons cross-multiplied
-    "geo_intervisibility" ->
-      s"""WITH k AS (SELECT ((-120+180)*7 + (36+90)*11) % 1000 AS a),
-         prof AS (SELECT CAST(c.range AS BIGINT) AS c,
-             CAST(${gridV("c.range", "300")} AS BIGINT) AS v
-           FROM k, range(0,601) c),
-         st AS (SELECT c, v FROM prof
-           WHERE c % 50 = 0 AND c > 0 AND c <= 500),
-         pairs AS (SELECT a.c AS ca, a.v AS va, b.c AS cb, b.v AS vb
-           FROM st a JOIN st b ON a.c < b.c),
-         bet AS (SELECT ca, cb, va, vb,
-             p.v * (cb - ca) > va * (cb - p.c) + vb * (p.c - ca) AS above
-           FROM pairs JOIN prof p ON p.c > ca AND p.c < cb)
-         SELECT ca, cb, va, vb, CAST(count(*) AS BIGINT) AS n_between,
-           CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
-           sum(CASE WHEN above THEN 1 ELSE 0 END) = 0 AS visible
-         FROM bet GROUP BY 1, 2, 3, 4 ORDER BY ca, cb""",
-    // per-row centroid from the closed form, regression pieces
-    "img_keystone" -> {
-      val v = gridV("c.range", "r.range")
-      val n = 600L
-      val sr = n * (n - 1) / 2
-      val sr2 = (n - 1) * n * (2 * n - 1) / 6
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         rows_ AS (SELECT swlng, swlat, r.range AS r,
-             CAST(sum($v) AS BIGINT) AS rs,
-             CAST(sum(c.range * ($v)) AS BIGINT) AS rcs
-           FROM k, range(0,600) r, range(0,600) c GROUP BY 1, 2, 3),
-         cent AS (SELECT swlng, swlat, r,
-             CASE WHEN rs = 0 THEN CAST(0 AS BIGINT)
-                  ELSE rcs * 1000 // rs END AS cent
-           FROM rows_),
-         agr AS (SELECT swlng, swlat,
-             CAST(sum(cent) AS BIGINT) AS sum_cent_milli,
-             CAST(sum(r * cent) AS BIGINT) AS src
-           FROM cent GROUP BY 1, 2)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           CAST($n AS BIGINT) AS n_rows, sum_cent_milli,
-           $n * src - $sr * sum_cent_milli AS slope_num,
-           CAST(${n * sr2 - sr * sr} AS BIGINT) AS var_axis_num
-         FROM agr ORDER BY image_id"""
-    },
-    // banded candidate membership flag, 20-word buckets
-    "dedup_length_bias" ->
-      s"""WITH $minhashCtes,
-         edges AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM banded a JOIN banded b ON a.band_id = b.band_id
-             AND a.band_key = b.band_key
-           WHERE a.doc_id < b.doc_id),
-         duped AS (SELECT DISTINCT doc FROM (
-             SELECT doc_a AS doc FROM edges
-             UNION ALL SELECT doc_b FROM edges) u),
-         lb AS (SELECT corpus.doc_id,
-             CAST(len(string_split(text, ' ')) // 20 AS INT) AS len_bucket,
-             CASE WHEN duped.doc IS NULL THEN 0 ELSE 1 END AS is_dup
-           FROM corpus LEFT JOIN duped ON duped.doc = corpus.doc_id)
-         SELECT len_bucket, CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(is_dup) AS BIGINT) AS n_duped,
-           CAST(sum(is_dup) AS BIGINT) * 1000000
-             // CAST(count(*) AS BIGINT) AS rate_ppm
-         FROM lb GROUP BY 1 ORDER BY len_bucket""",
-    // window energies, monotone prefix/suffix lengths
-    "media_fades" ->
-      """WITH m AS (SELECT s_suppkey AS media_id,
-           4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),
-         w AS (SELECT media_id, unnest(range(0, n_bytes // 128)) AS win_no FROM m),
-         sq AS (SELECT media_id, win_no,
-             CAST(list_sum(list_transform(range(0,128),
-               i -> (((media_id*31 + (win_no*128+i)*7) % 256) - 128)
-                  * (((media_id*31 + (win_no*128+i)*7) % 256) - 128))) AS BIGINT) AS sq_sum
-           FROM w),
-         l AS (SELECT media_id, win_no, sq_sum,
-             lag(sq_sum) OVER pw AS prev, lead(sq_sum) OVER pw AS nxt
-           FROM sq WINDOW pw AS (PARTITION BY media_id ORDER BY win_no)),
-         a AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_win,
-             CAST(min(CASE WHEN prev IS NOT NULL AND sq_sum <= prev
-               THEN win_no END) AS BIGINT) AS fi,
-             CAST(max(CASE WHEN nxt IS NOT NULL AND sq_sum <= nxt
-               THEN win_no END) AS BIGINT) AS fo
-           FROM l GROUP BY 1)
-         SELECT CAST(media_id AS BIGINT) AS media_id, n_win,
-           COALESCE(fi, n_win) AS fadein_wins,
-           CASE WHEN fo IS NULL THEN n_win ELSE n_win - 1 - fo END
-             AS fadeout_wins
-         FROM a ORDER BY media_id""",
-    // closed-form moment sums with Scala-precomputed axis constants
-    "img_illum_tilt" -> {
-      val v = gridV("c.range", "r.range")
-      val n = 600L * 600L
-      val sAxis = 600L * 599L / 2L * 600L
-      val sAxis2 = 599L * 600L * 1199L / 6L * 600L
-      val varNum = n * sAxis2 - sAxis * sAxis
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         g AS (SELECT swlng, swlat, r.range AS r, c.range AS c,
-             CAST($v AS BIGINT) AS v
-           FROM k, range(0,600) r, range(0,600) c),
-         agr AS (SELECT swlng, swlat, CAST(sum(v) AS BIGINT) AS sv,
-             CAST(sum(r * v) AS BIGINT) AS srv,
-             CAST(sum(c * v) AS BIGINT) AS scv
-           FROM g GROUP BY 1, 2)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           CAST($n AS BIGINT) AS n_px, sv AS sum_v, srv, scv,
-           CAST($varNum AS BIGINT) AS var_axis_num,
-           $n * srv - $sAxis * sv AS br_num,
-           $n * scv - $sAxis * sv AS bc_num
-         FROM agr ORDER BY image_id"""
-    },
-    // distinct (cell, day) visits from the walk, routine-cell rollup
-    "traj_regularity" ->
-      """WITH b AS (SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us,
-           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
-           (event_id * 3) % 5 AS dy
-           FROM events WHERE user_id < 50),
-         c AS (SELECT user_id, ts,
-           CAST(sum(dx) OVER w AS BIGINT) AS px,
-           CAST(sum(dy) OVER w AS BIGINT) AS py
-           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-         vis AS (SELECT DISTINCT user_id, px // 200 AS cell_x,
-             py // 50 AS cell_y, date_trunc('day', ts) AS day FROM c),
-         pc AS (SELECT user_id, cell_x, cell_y,
-             CAST(count(*) AS BIGINT) AS n_days
-           FROM vis GROUP BY 1, 2, 3)
-         SELECT user_id AS traj_id, CAST(count(*) AS BIGINT) AS n_cells,
-           CAST(sum(CASE WHEN n_days >= 5 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_regular,
-           CAST(max(n_days) AS BIGINT) AS max_cell_days,
-           CAST(sum(CASE WHEN n_days >= 5 THEN 1 ELSE 0 END) AS BIGINT)
-             * 1000000 // CAST(count(*) AS BIGINT) AS regularity_ppm
-         FROM pc GROUP BY 1 ORDER BY traj_id""",
-    // the synth closed forms rolled up by codec
-    "media_codec_mix" ->
-      """WITH m AS (SELECT s_suppkey AS media_id,
-           CASE WHEN s_suppkey % 2 = 0 THEN 'v8' ELSE 'pcm' END AS fmt,
-           4096 + (s_suppkey % 7) * 512 AS n_bytes,
-           1000 + (s_suppkey % 20) * 500 AS duration_ms,
-           CASE WHEN s_suppkey % 2 = 0 THEN 24000 ELSE 30000 END AS fps_milli
-           FROM supplier)
-         SELECT fmt, CAST(count(*) AS BIGINT) AS n_assets,
-           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
-           CAST(sum(duration_ms) AS BIGINT) AS total_duration_ms,
-           CAST(min(fps_milli) AS BIGINT) AS min_fps_milli,
-           CAST(max(fps_milli) AS BIGINT) AS max_fps_milli
-         FROM m GROUP BY 1 ORDER BY fmt""",
-    // the reach-CC cluster map + planted-base purity rollup
-    "dedup_cluster_purity" ->
-      s"""WITH RECURSIVE $minhashCtes,
-         edges AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM banded a JOIN banded b ON a.band_id = b.band_id
-             AND a.band_key = b.band_key
-           WHERE a.doc_id < b.doc_id),
-         reach(doc, other) AS (
-           SELECT doc_id, doc_id FROM corpus
-           UNION
-           SELECT r.doc, CASE WHEN e.doc_a = r.other THEN e.doc_b
-             ELSE e.doc_a END
-           FROM reach r JOIN edges e ON e.doc_a = r.other
-             OR e.doc_b = r.other),
-         cmp AS (SELECT doc AS doc_id, min(other) AS comp
-           FROM reach GROUP BY doc),
-         lab AS (SELECT doc_id, comp, doc_id % 100000 AS base FROM cmp),
-         sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS size
-           FROM lab GROUP BY 1),
-         maj AS (SELECT comp, base AS maj_base, k AS maj_k FROM (
-             SELECT comp, base, CAST(count(*) AS BIGINT) AS k,
-               row_number() OVER (PARTITION BY comp
-                 ORDER BY count(*) DESC, base) AS rn
-             FROM lab GROUP BY comp, base) q WHERE rn = 1)
-         SELECT sz.comp, size, maj_base, maj_k,
-           maj_k * 1000000 // size AS purity_ppm
-         FROM sz JOIN maj ON maj.comp = sz.comp WHERE size >= 2
-         ORDER BY sz.comp""",
-    // motif closed forms + BFS rounds, composed pieces
-    "graph_small_world" -> {
-      val fwd = (1 to 4).map { k =>
-        s"""add$k AS (SELECT DISTINCT p.src, s.v AS node, $k AS dist
-            FROM st${k - 1} p JOIN sym s ON s.u = p.node
-            WHERE p.dist = ${k - 1} AND NOT EXISTS (SELECT 1 FROM st${k - 1} x
-              WHERE x.src = p.src AND x.node = s.v)),
-           st$k AS (SELECT * FROM st${k - 1} UNION ALL SELECT * FROM add$k)"""
-      }.mkString(",\n         ")
-      s"""WITH e AS (SELECT DISTINCT
-           GREATEST(l_suppkey % 500, l_partkey % 500) AS b,
-           LEAST(l_suppkey % 500, l_partkey % 500) AS a
-           FROM lineitem WHERE l_orderkey % 7 = 0
-             AND l_suppkey % 500 <> l_partkey % 500),
-         symn AS (SELECT a AS u FROM e UNION ALL SELECT b FROM e),
-         deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d
-           FROM symn GROUP BY 1),
-         base AS (SELECT CAST(sum(d*(d-1)//2) AS BIGINT) AS wedges
-           FROM deg),
-         ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
-         tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
-           FROM e e1 JOIN e e2 ON e2.a = e1.b
-           JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
-         sym AS (SELECT a AS u, b AS v FROM e
-           UNION ALL SELECT b, a FROM e),
-         st0 AS (SELECT src, src AS node, 0 AS dist
-           FROM (VALUES (CAST(0 AS BIGINT)), (1), (2)) s(src)),
-         $fwd,
-         pth AS (SELECT CAST(sum(dist * 1) AS BIGINT) AS sum_dist,
-             CAST(count(*) AS BIGINT) AS n_reached
-           FROM st4 WHERE dist > 0)
-         SELECT n_edges, wedges, n_triangles, sum_dist, n_reached,
-           3 * n_triangles * 1000000 // wedges AS transitivity_ppm,
-           sum_dist * 1000 // n_reached AS avg_path_milli
-         FROM ne, base, tri, pth"""
-    },
-    // clamped level histogram, weighted median, ±1 foreground counts
-    "img_mask_sensitivity" -> {
-      val v = gridV("c.range", "r.range")
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         h AS (SELECT swlng, swlat,
-             CAST(greatest(0, least(63, ($v) // 64)) AS INT) AS level,
-             CAST(count(*) AS BIGINT) AS n
-           FROM k, range(0,601) r, range(0,601) c GROUP BY 1, 2, 3),
-         tot AS (SELECT swlng, swlat, CAST(sum(n) AS BIGINT) AS n_px
-           FROM h GROUP BY 1, 2),
-         cum AS (SELECT h.swlng, h.swlat, level, n, n_px,
-             CAST(sum(n) OVER (PARTITION BY h.swlng, h.swlat
-               ORDER BY level) AS BIGINT) AS cum
-           FROM h JOIN tot ON tot.swlng = h.swlng AND tot.swlat = h.swlat),
-         med AS (SELECT swlng, swlat, n_px,
-             CAST(min(level) AS INT) AS med_level
-           FROM cum WHERE cum >= (n_px + 1) // 2 GROUP BY 1, 2, 3),
-         fg AS (SELECT h.swlng, h.swlat, med.n_px, med.med_level,
-             CAST(sum(CASE WHEN level > med_level - 1 THEN n ELSE 0 END) AS BIGINT) AS fg_lo,
-             CAST(sum(CASE WHEN level > med_level THEN n ELSE 0 END) AS BIGINT) AS fg_mid,
-             CAST(sum(CASE WHEN level > med_level + 1 THEN n ELSE 0 END) AS BIGINT) AS fg_hi
-           FROM h JOIN med ON med.swlng = h.swlng AND med.swlat = h.swlat
-           GROUP BY 1, 2, 3, 4)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           n_px, med_level, fg_lo, fg_mid, fg_hi, fg_lo - fg_hi AS band_px
-         FROM fg ORDER BY image_id"""
-    },
-    // mask boxes per scale via index-division distinct counts
-    "img_boxcount" -> {
-      val v = gridV("c.range", "r.range")
-      val branches = Seq(1, 2, 4, 8, 16).map { sc =>
-        s"""SELECT swlng, swlat, $sc AS scale,
-            CAST(count(DISTINCT (r.range // $sc) * 1000 + (c.range // $sc)) AS BIGINT) AS n_boxes,
-            CAST(${((600 + sc - 1) / sc).toLong * ((600 + sc - 1) / sc)} AS BIGINT) AS n_total
-          FROM k, range(0,600) r, range(0,600) c
-          WHERE ($v) >= 3600 GROUP BY 1, 2"""
-      }.mkString("\n         UNION ALL ")
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         u AS ($branches)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           CAST(scale AS INT) AS scale, n_boxes, n_total
-         FROM u ORDER BY image_id, scale"""
-    },
-    // the walk cumsum, day rollup (day CAST to TIMESTAMP), lag drift
-    "geo_centroid_drift" ->
-      """WITH b AS (SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us,
-           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
-           (event_id * 3) % 5 AS dy
-           FROM events WHERE user_id < 50),
-         c AS (SELECT ts, CAST(sum(dx) OVER w AS BIGINT) AS px,
-           CAST(sum(dy) OVER w AS BIGINT) AS py
-           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-         d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-             CAST(count(*) AS BIGINT) AS n, CAST(sum(px) AS BIGINT) AS sx,
-             CAST(sum(py) AS BIGINT) AS sy
-           FROM c GROUP BY 1),
-         e AS (SELECT day, n, sx * 1000 // n AS cx_milli,
-             sy * 1000 // n AS cy_milli FROM d),
-         f AS (SELECT day, n, cx_milli, cy_milli,
-             lag(cx_milli) OVER (ORDER BY day) AS pcx,
-             lag(cy_milli) OVER (ORDER BY day) AS pcy FROM e)
-         SELECT day, n, cx_milli, cy_milli,
-           CASE WHEN pcx IS NULL THEN NULL
-                ELSE (cx_milli - pcx) * (cx_milli - pcx)
-                   + (cy_milli - pcy) * (cy_milli - pcy) END AS drift_d2_milli
-         FROM f ORDER BY day""",
-    // asc-ranked degrees, exact Gini pieces
-    "graph_degree_gini" ->
-      """WITH e AS (SELECT DISTINCT
-           GREATEST(l_suppkey % 500, l_partkey % 500) AS b,
-           LEAST(l_suppkey % 500, l_partkey % 500) AS a
-           FROM lineitem WHERE l_orderkey % 7 = 0
-             AND l_suppkey % 500 <> l_partkey % 500),
-         sym AS (SELECT a AS u FROM e UNION ALL SELECT b FROM e),
-         deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d
-           FROM sym GROUP BY 1),
-         r AS (SELECT u, d, CAST(row_number() OVER (ORDER BY d, u)
-             AS BIGINT) AS i FROM deg),
-         a AS (SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(d) AS BIGINT) AS sum_d,
-             CAST(sum((2 * i - 1) * d) AS BIGINT) AS wsum FROM r)
-         SELECT n, sum_d, wsum, wsum - n * sum_d AS gini_num,
-           n * sum_d AS gini_den,
-           (wsum - n * sum_d) * 1000 // (n * sum_d) AS gini_milli
-         FROM a""",
-    // row-300 profile, positive-offset floored angle argmax
-    "geo_horizon_angle" ->
-      s"""WITH k AS (SELECT ((-120+180)*7 + (36+90)*11) % 1000 AS a),
-         prof AS (SELECT CAST(c.range AS BIGINT) AS c,
-             CAST(${gridV("c.range", "300")} AS BIGINT) AS v
-           FROM k, range(0,601) c),
-         obs AS (SELECT c AS c0, v AS v0 FROM prof
-           WHERE c IN (100, 300, 500)),
-         j AS (SELECT c0, v0, c, v,
-             ((v - v0 + 4000 * (c - c0)) * 1000000) // (c - c0)
-               - 4000000000 AS angle_q
-           FROM obs JOIN prof ON c > c0),
-         r AS (SELECT c0, v0, c AS horizon_c, v AS horizon_v, angle_q,
-             row_number() OVER (PARTITION BY c0
-               ORDER BY angle_q DESC, c) AS rn FROM j)
-         SELECT c0, v0, horizon_c, horizon_v, angle_q
-         FROM r WHERE rn = 1 ORDER BY c0""",
-    // daily counts per user, exact dispersion pieces
-    "events_fano" ->
-      """WITH d AS (SELECT user_id, date_trunc('day', ts) AS day,
-           CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
-         a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
-             CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS ss
-           FROM d GROUP BY 1)
-         SELECT user_id, n_days, s, ss,
-           (n_days * ss - s * s) * 1000 // ((n_days - 1) * s) AS fano_milli
-         FROM a WHERE n_days >= 2 ORDER BY user_id""",
-    // subset band join replayed + exact Jaccard >= 0.5 truth, PR counts
-    "dedup_minhash_precision" -> {
-      val sigs = (0 until 8).map { j =>
-        s"list_min(list_transform(hv, h -> (${2 * j + 3}*h + ${5 * j + 7}) % 1048573)) AS m$j"
-      }.mkString(", ")
-      val bandRows = (0 until 4).map { b =>
-        s"SELECT doc_id, $b AS band_id, m${2 * b}*1048573 + m${2 * b + 1} AS band_key FROM sig"
-      }.mkString(" UNION ALL ")
-      s"""WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0
-           UNION ALL SELECT doc_id + 200000, text || ' zz qq ww ee rr tt'
-             FROM documents WHERE doc_id % 25 = 0),
-         sh0 AS (SELECT doc_id, $sqlShingles3 AS sh FROM sub),
-         hv AS (SELECT doc_id, list_transform(sh,
-             x -> ${sqlH60("x")} % 1048573) AS hv FROM sh0),
-         sig AS (SELECT doc_id, $sigs FROM hv),
-         banded AS ($bandRows),
-         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM banded a JOIN banded b ON a.band_id = b.band_id
-             AND a.band_key = b.band_key
-           WHERE a.doc_id < b.doc_id),
-         shs AS (SELECT doc_id, list_distinct(sh) AS s FROM sh0),
-         truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM shs a JOIN shs b ON a.doc_id < b.doc_id
-           WHERE CAST(len(list_intersect(a.s, b.s)) AS BIGINT) * 2 >=
-                 CAST(len(list_distinct(list_concat(a.s, b.s))) AS BIGINT)),
-         tpq AS (SELECT CAST(count(*) AS BIGINT) AS tp FROM cand
-           JOIN truth ON truth.doc_a = cand.doc_a
-             AND truth.doc_b = cand.doc_b),
-         nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
-         nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
-         SELECT n_cand, n_truth, tp, n_cand - tp AS fp,
-           n_truth - tp AS fn,
-           CASE WHEN n_cand = 0 THEN CAST(0 AS BIGINT)
-                ELSE tp * 1000000 // n_cand END AS precision_ppm,
-           CASE WHEN n_truth = 0 THEN CAST(0 AS BIGINT)
-                ELSE tp * 1000000 // n_truth END AS recall_ppm
-         FROM nc, nt, tpq"""
-    },
-    // the same three congruential hash rows over ALL keys, min counter,
-    // overestimate histogram
-    "events_cm_error" ->
-      """WITH sk AS (SELECT j, pos, count(*) AS cnt FROM (
-           SELECT 0 AS j, ((user_id * 1103515245 + 12345) % 2147483648) % 1024 AS pos FROM events
-           UNION ALL SELECT 1, ((user_id * 214013 + 2531011) % 2147483648) % 1024 FROM events
-           UNION ALL SELECT 2, ((user_id * 69069 + 1234567) % 2147483648) % 1024 FROM events)
-           GROUP BY 1, 2),
-         ex AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
-           FROM events GROUP BY 1),
-         tp AS (SELECT user_id, n_exact, 0 AS j,
-             ((user_id * 1103515245 + 12345) % 2147483648) % 1024 AS pos FROM ex
-           UNION ALL SELECT user_id, n_exact, 1,
-             ((user_id * 214013 + 2531011) % 2147483648) % 1024 FROM ex
-           UNION ALL SELECT user_id, n_exact, 2,
-             ((user_id * 69069 + 1234567) % 2147483648) % 1024 FROM ex),
-         est AS (SELECT tp.user_id, max(tp.n_exact) AS n_exact,
-             CAST(min(COALESCE(cnt, 0)) AS BIGINT) AS cm_est
-           FROM tp LEFT JOIN sk ON tp.j = sk.j AND tp.pos = sk.pos
-           GROUP BY 1),
-         ov AS (SELECT cm_est - n_exact AS over FROM est)
-         SELECT CAST(over // 10 AS INT) AS bucket,
-           CAST(count(*) AS BIGINT) AS n_keys,
-           CAST(sum(over) AS BIGINT) AS sum_over,
-           CAST(max(over) AS BIGINT) AS max_over
-         FROM ov GROUP BY 1 ORDER BY bucket""",
-    // the banded candidate graph's per-doc degree histogram
-    "dedup_pair_degree_hist" ->
-      s"""WITH $minhashCtes,
-         edges AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM banded a JOIN banded b ON a.band_id = b.band_id
-             AND a.band_key = b.band_key
-           WHERE a.doc_id < b.doc_id),
-         deg AS (SELECT doc, CAST(count(*) AS BIGINT) AS degree FROM (
-             SELECT doc_a AS doc FROM edges
-             UNION ALL SELECT doc_b FROM edges) u GROUP BY 1)
-         SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
-         FROM deg GROUP BY 1 ORDER BY degree""",
-    // closed-form squared lag differences at the 6 literal lags
-    "img_variogram" -> {
-      val lags = Seq((1, 0), (0, 1), (4, 0), (0, 4), (16, 0), (0, 16))
-      val branches = lags.map { case (dy, dx) =>
-        val va = gridV("c.range", "r.range")
-        val vb = gridV(s"c.range+($dx)", s"r.range+($dy)")
-        s"""SELECT swlng, swlat, $dy AS dy, $dx AS dx,
-            CAST(${(600 - dy).toLong * (600 - dx)} AS BIGINT) AS n_pairs,
-            CAST(sum((($va) - ($vb)) * (($va) - ($vb))) AS BIGINT) AS sum_sq
-          FROM k, range(0,${600 - dy}) r, range(0,${600 - dx}) c
-          GROUP BY 1, 2"""
-      }.mkString("\n         UNION ALL ")
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         u AS ($branches)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           CAST(dy AS INT) AS dy, CAST(dx AS INT) AS dx, n_pairs, sum_sq
-         FROM u ORDER BY image_id, dy, dx"""
-    },
-    // exact milli distances, rank-5 window, majority with low-label ties
-    "ann_knn_loocv" ->
-      """WITH e AS (SELECT vec_id, label, list_transform(embedding,
-           x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS eq
-           FROM embeddings),
-         p AS (SELECT a.vec_id AS aid, a.label AS alabel, e.label,
-             e.vec_id,
-             CAST(list_sum(list_transform(range(1,65),
-               i -> (a.eq[i] - e.eq[i]) * (a.eq[i] - e.eq[i]))) AS BIGINT) AS d2
-           FROM e a JOIN e ON e.vec_id <> a.vec_id),
-         t5 AS (SELECT aid, alabel, label FROM (
-             SELECT aid, alabel, label, row_number() OVER (
-               PARTITION BY aid ORDER BY d2, vec_id) AS rn FROM p) q
-           WHERE rn <= 5),
-         v AS (SELECT aid, alabel, label,
-             CAST(count(*) AS BIGINT) AS votes FROM t5 GROUP BY 1, 2, 3),
-         w AS (SELECT aid, alabel, label FROM (
-             SELECT aid, alabel, label, row_number() OVER (PARTITION BY aid
-               ORDER BY votes DESC, label) AS vr FROM v) q WHERE vr = 1)
-         SELECT alabel, CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CASE WHEN label = alabel THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_correct
-         FROM w GROUP BY 1 ORDER BY alabel""",
-    // 1000-cent bucket shares pre/post, L1 + worst gap
-    "dq_value_shift" ->
-      """WITH ev AS (SELECT event_type,
-           CAST(round(value * 100) AS BIGINT) // 1000 AS bucket,
-           ts >= TIMESTAMP '2024-01-16' AS post FROM events),
-         h AS (SELECT event_type, bucket,
-             CAST(sum(CASE WHEN NOT post THEN 1 ELSE 0 END) AS BIGINT) AS c_pre,
-             CAST(sum(CASE WHEN post THEN 1 ELSE 0 END) AS BIGINT) AS c_post
-           FROM ev GROUP BY 1, 2),
-         t AS (SELECT event_type, CAST(sum(c_pre) AS BIGINT) AS n_pre,
-             CAST(sum(c_post) AS BIGINT) AS n_post FROM h GROUP BY 1)
-         SELECT h.event_type, CAST(count(*) AS BIGINT) AS n_buckets,
-           CAST(sum(abs(c_pre * 1000000 // n_pre
-             - c_post * 1000000 // n_post)) AS BIGINT) AS l1_ppm,
-           CAST(max(abs(c_pre * 1000000 // n_pre
-             - c_post * 1000000 // n_post)) AS BIGINT) AS max_gap_ppm
-         FROM h JOIN t ON t.event_type = h.event_type
-         GROUP BY 1 ORDER BY h.event_type""",
-    // curvy-vs-plane SAD over 25 shifts per block, min (sad, dy, dx)
-    "img_shift_field" -> {
-      val va = gridV("c.range", "r.range")
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         sh(dy, dx) AS (SELECT CAST(y.range AS INT) - 2, CAST(x.range AS INT) - 2
-           FROM range(0,5) y, range(0,5) x),
-         g AS (SELECT swlng, swlat, CAST(r.range // 100 AS INT) AS py,
-             CAST(c.range // 100 AS INT) AS px, dy, dx,
-             abs(($va) - (a + (c.range + dx) + 2*(r.range + dy))) AS ad
-           FROM k, range(0,600) r, range(0,600) c, sh
-           WHERE r.range % 100 >= 2 AND r.range % 100 < 98
-             AND c.range % 100 >= 2 AND c.range % 100 < 98),
-         sadt AS (SELECT swlng, swlat, py, px, dy, dx,
-             CAST(sum(ad) AS BIGINT) AS sad
-           FROM g GROUP BY 1, 2, 3, 4, 5, 6),
-         r AS (SELECT swlng, swlat, py, px, dy AS best_dy, dx AS best_dx,
-             sad, row_number() OVER (PARTITION BY swlng, swlat, py, px
-               ORDER BY sad, dy, dx) AS rn FROM sadt)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           py, px, best_dy, best_dx, sad
-         FROM r WHERE rn = 1 ORDER BY image_id, py, px"""
-    },
-    // the shared Hilbert recurrence + arithmetic Morton, jumps under both
-    // orders
-    "geo_curve_locality" ->
-      s"""WITH pts AS (SELECT c_custkey AS point_id,
-           -180 + (c_custkey % 360) + 0.5 AS lng,
-           -90 + ((c_custkey * 7) % 180) + 0.25 AS lat FROM customer),
-         h0 AS (SELECT point_id, CAST(0 AS BIGINT) AS d,
-           LEAST(255, GREATEST(0, CAST(floor(((lng + 180.0) / 360.0) * 256.0) AS BIGINT))) AS x,
-           LEAST(255, GREATEST(0, CAST(floor(((lat + 90.0) / 180.0) * 256.0) AS BIGINT))) AS y FROM pts),
-         $hilbertStepCtes,
-         kk AS (SELECT h8.point_id, CAST(h8.d AS BIGINT) AS hkey,
-             h0.x AS qx, h0.y AS qy,
-             ${mortonSql("h0.x", "h0.y", "//")} AS mkey
-           FROM h8 JOIN h0 ON h0.point_id = h8.point_id),
-         hj AS (SELECT CAST(sum(j) AS BIGINT) AS hilbert_jump,
-             CAST(max(j) AS BIGINT) AS hilbert_max FROM (
-             SELECT abs(qx - lag(qx) OVER w) + abs(qy - lag(qy) OVER w) AS j
-             FROM kk WINDOW w AS (ORDER BY hkey, point_id)) t
-           WHERE j IS NOT NULL),
-         mj AS (SELECT CAST(sum(j) AS BIGINT) AS morton_jump,
-             CAST(max(j) AS BIGINT) AS morton_max FROM (
-             SELECT abs(qx - lag(qx) OVER w) + abs(qy - lag(qy) OVER w) AS j
-             FROM kk WINDOW w AS (ORDER BY mkey, point_id)) t
-           WHERE j IS NOT NULL),
-         n AS (SELECT CAST(count(*) AS BIGINT) AS n_pts FROM kk)
-         SELECT n_pts, hilbert_jump, hilbert_max, morton_jump, morton_max
-         FROM n, hj, mj""",
-    // epoch-day mod 7 shares in ppm, pairwise L1
-    "events_dow_distance" ->
-      """WITH d AS (SELECT event_type,
-           (epoch_us(ts) // 86400000000) % 7 AS dow,
-           CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
-         t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
-           FROM d GROUP BY 1),
-         sh AS (SELECT d.event_type, dow, c * 1000000 // n AS share_ppm
-           FROM d JOIN t ON t.event_type = d.event_type)
-         SELECT x.event_type AS type_a, y.event_type AS type_b,
-           CAST(sum(abs(x.share_ppm - y.share_ppm)) AS BIGINT) AS l1_ppm,
-           CAST(count(*) AS BIGINT) AS n_dows
-         FROM sh x JOIN sh y ON y.dow = x.dow
-           AND x.event_type < y.event_type
-         GROUP BY 1, 2 ORDER BY type_a, type_b""",
-    // column sums over the closed form, lag-band self-join, floored mean
-    "img_banding_period" -> {
-      val v = gridV("c.range", "r.range")
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         cs AS (SELECT swlng, swlat, c.range AS c,
-             CAST(sum($v) AS BIGINT) AS s
-           FROM k, range(0,600) r, range(0,600) c GROUP BY 1, 2, 3),
-         j AS (SELECT a.swlng, a.swlat, CAST(b.c - a.c AS INT) AS lag,
-             a.s * b.s AS prod
-           FROM cs a JOIN cs b ON b.swlng = a.swlng AND b.swlat = a.swlat
-             AND b.c - a.c BETWEEN 2 AND 32),
-         sc AS (SELECT swlng, swlat, lag,
-             CAST(sum(prod) AS BIGINT) // CAST(count(*) AS BIGINT) AS score_q,
-             CAST(count(*) AS BIGINT) AS n_terms
-           FROM j GROUP BY 1, 2, 3),
-         r AS (SELECT swlng, swlat, lag AS best_lag, score_q, n_terms,
-             row_number() OVER (PARTITION BY swlng, swlat
-               ORDER BY score_q DESC, lag) AS rn FROM sc)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           best_lag, score_q, n_terms
-         FROM r WHERE rn = 1 ORDER BY image_id"""
-    },
-    // distinct (type, user, day) baskets, pair join + independence lift
-    "events_basket_lift" ->
-      """WITH ud AS (SELECT DISTINCT event_type, user_id,
-           date_trunc('day', ts) AS day FROM events),
-         sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
-           FROM ud GROUP BY 1),
-         tot AS (SELECT CAST(count(*) AS BIGINT) AS nud FROM
-           (SELECT DISTINCT user_id, day FROM ud)),
-         pr AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
-             CAST(count(*) AS BIGINT) AS n_both
-           FROM ud x JOIN ud y ON y.user_id = x.user_id AND y.day = x.day
-             AND x.event_type < y.event_type
-           GROUP BY 1, 2)
-         SELECT type_a, type_b, a.n AS n_a, b.n AS n_b, n_both, nud,
-           n_both * nud * 1000000 // (a.n * b.n) AS lift_ppm
-         FROM pr JOIN sz a ON a.event_type = pr.type_a
-         JOIN sz b ON b.event_type = pr.type_b CROSS JOIN tot
-         ORDER BY type_a, type_b""",
-    // per-shingle df over the gate corpus, histogram by df
-    "dedup_shingle_df_hist" ->
-      s"""WITH corpus AS ($sqlDedupCorpus),
-         sh AS (SELECT doc_id, unnest(list_distinct($sqlShingles3)) AS sh
-           FROM corpus),
-         df AS (SELECT sh, CAST(count(*) AS BIGINT) AS df
-           FROM sh GROUP BY 1)
-         SELECT df, CAST(count(*) AS BIGINT) AS n_shingles
-         FROM df GROUP BY 1 ORDER BY df""",
-    // the same canonical graph, threshold VALUES, stats-only joins
-    "graph_rich_club" ->
-      """WITH e AS (SELECT DISTINCT
-           GREATEST(l_suppkey % 500, l_partkey % 500) AS b,
-           LEAST(l_suppkey % 500, l_partkey % 500) AS a
-           FROM lineitem WHERE l_orderkey % 7 = 0
-             AND l_suppkey % 500 <> l_partkey % 500),
-         sym AS (SELECT a AS u FROM e UNION ALL SELECT b FROM e),
-         deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
-         th(k) AS (VALUES (CAST(2 AS BIGINT)), (4), (8), (16)),
-         nr AS (SELECT k, CAST(count(*) AS BIGINT) AS n_rich
-           FROM deg CROSS JOIN th WHERE d > k GROUP BY 1),
-         er AS (SELECT k, CAST(count(*) AS BIGINT) AS e_rich
-           FROM e JOIN deg da ON da.u = e.a JOIN deg db ON db.u = e.b
-           CROSS JOIN th WHERE da.d > k AND db.d > k GROUP BY 1),
-         j AS (SELECT nr.k, n_rich, COALESCE(e_rich, 0) AS e_rich,
-             n_rich * (n_rich - 1) // 2 AS possible
-           FROM nr LEFT JOIN er ON er.k = nr.k)
-         SELECT k, n_rich, e_rich, possible,
-           e_rich * 1000000 // possible AS phi_ppm
-         FROM j WHERE possible > 0 ORDER BY k""",
-    // milli-floored norm², 10⁶ buckets
-    "ann_norm_hist" ->
-      """WITH e AS (SELECT list_transform(embedding,
-           x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS eq
-           FROM embeddings),
-         n AS (SELECT CAST(list_sum(list_transform(eq, v -> v * v))
-             AS BIGINT) AS n2 FROM e)
-         SELECT CAST(n2 // 1000000 AS INT) AS bucket,
-           CAST(count(*) AS BIGINT) AS n_vecs,
-           CAST(min(n2) AS BIGINT) AS min_n2,
-           CAST(max(n2) AS BIGINT) AS max_n2
-         FROM n GROUP BY 1 ORDER BY bucket""",
-    // distinct (type,user) memberships, canonical pair self-join
-    "events_audience_overlap" ->
-      """WITH aud AS (SELECT DISTINCT event_type, user_id FROM events),
-         sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
-           FROM aud GROUP BY 1),
-         pr AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
-             CAST(count(*) AS BIGINT) AS n_common
-           FROM aud x JOIN aud y ON y.user_id = x.user_id
-             AND x.event_type < y.event_type
-           GROUP BY 1, 2)
-         SELECT type_a, type_b, a.n AS n_a, b.n AS n_b, n_common,
-           n_common * 1000000 // (a.n + b.n - n_common) AS jaccard_ppm
-         FROM pr JOIN sz a ON a.event_type = pr.type_a
-         JOIN sz b ON b.event_type = pr.type_b
-         ORDER BY type_a, type_b""",
-    // the walk cumsum, floor-bucket deltas per segment
-    "geo_grid_crossings" ->
-      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
-           (event_id * 3) % 5 AS dy
-           FROM events WHERE user_id < 50),
-         c AS (SELECT user_id, event_id, ts_us,
-           CAST(sum(dx) OVER w AS BIGINT) AS px,
-           CAST(sum(dy) OVER w AS BIGINT) AS py
-           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-         s AS (SELECT user_id,
-             lag(px) OVER w2 AS ppx, lag(py) OVER w2 AS ppy, px, py
-           FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-         g AS (SELECT user_id, abs(px // 64 - ppx // 64) AS cx,
-             abs(py // 16 - ppy // 16) AS cy
-           FROM s WHERE ppx IS NOT NULL)
-         SELECT user_id AS traj_id, CAST(count(*) AS BIGINT) AS n_seg,
-           CAST(sum(cx) AS BIGINT) AS cross_x,
-           CAST(sum(cy) AS BIGINT) AS cross_y,
-           CAST(max(cx + cy) AS BIGINT) AS max_seg_cross
-         FROM g GROUP BY 1 ORDER BY traj_id""",
-    "ann_farthest_first" -> farthestFirstOracleSql,
-    // the identical NFD recurrence as a recursive CTE, one file per
-    // iteration per partition
-    "store_compaction_plan" ->
-      """WITH RECURSIVE f AS (SELECT o_orderkey % 8 AS part,
-           o_orderkey AS file_id, 1 + (o_orderkey * 7919) % 200 AS sz
-           FROM orders WHERE o_orderkey % 50 = 0),
-         s AS (SELECT part, file_id, sz, CAST(row_number() OVER (
-             PARTITION BY part ORDER BY sz DESC, file_id) AS BIGINT) AS idx
-           FROM f),
-         r(part, idx, file_id, sz, bin, fill) AS (
-           SELECT part, idx, file_id, sz, CAST(0 AS BIGINT), sz
-           FROM s WHERE idx = 1
-           UNION ALL
-           SELECT s.part, s.idx, s.file_id, s.sz,
-             CASE WHEN r.fill + s.sz <= 512 THEN r.bin ELSE r.bin + 1 END,
-             CASE WHEN r.fill + s.sz <= 512 THEN r.fill + s.sz ELSE s.sz END
-           FROM r JOIN s ON s.part = r.part AND s.idx = r.idx + 1)
-         SELECT part, file_id, sz, bin FROM r ORDER BY part, file_id""",
-    "img_distance" -> distanceOracleSql,
-    "zonal_cutfill" -> cutFillOracleSql,
-    "img_saliency" -> saliencyOracleSql,
-    // equalization LUT: 16-bucket spine LEFT-joined so empty buckets keep
-    // their cdf rows, exactly like the engine's dense array
-    "img_equalize" -> {
-      val v = gridV("c.range", "r.range")
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         g AS (SELECT swlng, swlat, $v AS v FROM k, range(0,600) r, range(0,600) c),
-         mm AS (SELECT swlng, swlat, min(v) AS lo, max(v) AS hi FROM g GROUP BY 1, 2),
-         bk AS (SELECT g.swlng, g.swlat,
-             ((g.v - mm.lo) * 16) // (mm.hi - mm.lo + 1) AS bucket
-           FROM g JOIN mm ON mm.swlng = g.swlng AND mm.swlat = g.swlat),
-         cn AS (SELECT swlng, swlat, bucket, count(*) AS n FROM bk GROUP BY 1, 2, 3),
-         sp AS (SELECT mm.swlng, mm.swlat, b.range AS bucket FROM mm, range(0, 16) b),
-         j AS (SELECT sp.swlng, sp.swlat, sp.bucket, COALESCE(cn.n, 0) AS n
-           FROM sp LEFT JOIN cn ON cn.swlng = sp.swlng AND cn.swlat = sp.swlat
-             AND cn.bucket = sp.bucket)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           CAST(bucket AS INT) AS bucket, CAST(n AS BIGINT) AS n,
-           CAST((sum(n) OVER (PARTITION BY swlng, swlat ORDER BY bucket
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1000000 // 360000 AS BIGINT) AS cdf_ppm
-         FROM j ORDER BY image_id, bucket"""
-    },
-    // lower median of |Laplacian| by selection rank per image
-    "img_noise_mad" -> {
-      val v0 = gridV("c.range", "r.range")
-      def v(dc: Int, dr: Int) = gridV(s"c.range+($dc)", s"r.range+($dr)")
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         l AS (SELECT swlng, swlat,
-             abs(4*($v0) - (${v(1, 0)}) - (${v(-1, 0)}) - (${v(0, 1)}) - (${v(0, -1)})) AS al
-           FROM k, range(1,599) r, range(1,599) c),
-         r AS (SELECT swlng, swlat, al,
-             row_number() OVER (PARTITION BY swlng, swlat ORDER BY al) AS rn,
-             count(*) OVER (PARTITION BY swlng, swlat) AS n FROM l)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           CAST(n AS BIGINT) AS n_px, CAST(al AS BIGINT) AS med_abs_lap
-         FROM r WHERE rn = (n + 1) // 2 ORDER BY image_id"""
-    },
-    // min-label blob components per image; every image has high cells
-    "img_blobs" -> {
-      val v = "(a + 2*(j.range*10) + 3*(i.range*10) + (((j.range*10)//8)*((i.range*10)//8)) % 32)"
-      s"""WITH RECURSIVE corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         c AS (SELECT swlng, swlat, i.range*60 + j.range AS cell,
-             i.range AS i, j.range AS j
-           FROM k, range(0,60) i, range(0,60) j WHERE $v >= 3600),
-         e AS (SELECT x.swlng, x.swlat, x.cell AS ca, y.cell AS cb
-           FROM c x JOIN c y ON x.swlng = y.swlng AND x.swlat = y.swlat
-             AND ((abs(x.i - y.i) = 1 AND x.j = y.j)
-               OR (x.i = y.i AND abs(x.j - y.j) = 1))),
-         reach(swlng, swlat, cell, other) AS (
-           SELECT swlng, swlat, cell, cell FROM c
-           UNION
-           SELECT r.swlng, r.swlat, r.cell, e.cb FROM reach r
-             JOIN e ON e.swlng = r.swlng AND e.swlat = r.swlat AND e.ca = r.other),
-         comp AS (SELECT swlng, swlat, cell, min(other) AS blob
-           FROM reach GROUP BY 1, 2, 3),
-         bs AS (SELECT swlng, swlat, blob, count(*) AS sz
-           FROM comp GROUP BY 1, 2, 3),
-         hc AS (SELECT swlng, swlat, count(*) AS n_high FROM c GROUP BY 1, 2)
-         SELECT (CASE WHEN bs.swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(bs.swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN bs.swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(bs.swlng) AS VARCHAR),3,'0')) AS image_id,
-           CAST(max(hc.n_high) AS BIGINT) AS n_high,
-           CAST(count(*) AS BIGINT) AS n_blobs,
-           CAST(max(sz) AS BIGINT) AS largest
-         FROM bs JOIN hc ON hc.swlng = bs.swlng AND hc.swlat = bs.swlat
-         GROUP BY 1 ORDER BY image_id"""
-    },
-    // per-edge common-neighbour count + open-neighbourhood Jaccard ppm
-    "graph_snn" ->
-      """WITH e0 AS (SELECT DISTINCT least(l_suppkey % 300, l_partkey % 300) AS a,
-           greatest(l_suppkey % 300, l_partkey % 300) AS b FROM lineitem
-           WHERE l_orderkey % 7 = 0
-             AND least(l_suppkey % 300, l_partkey % 300) <> greatest(l_suppkey % 300, l_partkey % 300)),
-         adj AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
-         deg AS (SELECT u, count(*) AS d FROM adj GROUP BY 1),
-         inter AS (SELECT e0.a, e0.b, count(*) AS inter
-           FROM e0 JOIN adj x ON x.u = e0.a JOIN adj y ON y.u = e0.b AND y.v = x.v
-           GROUP BY 1, 2)
-         SELECT e0.a, e0.b, da.d AS da, db.d AS db,
-           CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter,
-           (CAST(COALESCE(i.inter, 0) AS BIGINT) * 1000000) // (da.d + db.d - COALESCE(i.inter, 0)) AS jac_ppm
-         FROM e0 LEFT JOIN inter i ON i.a = e0.a AND i.b = e0.b
-         JOIN deg da ON da.u = e0.a JOIN deg db ON db.u = e0.b
-         ORDER BY e0.a, e0.b""",
-    // 3-step behavioural paths via two leads, global top-10
-    "events_trigrams" ->
-      """WITH s AS (SELECT user_id, event_type,
-           lead(event_type, 1) OVER w AS e2, lead(event_type, 2) OVER w AS e3
-           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         p AS (SELECT event_type || '>' || e2 || '>' || e3 AS path FROM s
-           WHERE e3 IS NOT NULL),
-         c AS (SELECT path, count(*) AS n FROM p GROUP BY 1),
-         r AS (SELECT *, CAST(row_number() OVER (ORDER BY n DESC, path) AS INT) AS rk FROM c)
-         SELECT path, CAST(n AS BIGINT) AS n, rk FROM r WHERE rk <= 10
-         ORDER BY rk""",
-    // net² / Σstep² straightness in exact ppm over the 20 walks
-    "traj_straightness" ->
-      """WITH trajs AS (SELECT DISTINCT s_suppkey % 20 AS traj_id FROM supplier),
-         v AS (SELECT traj_id, CAST(g AS BIGINT) AS seq,
-             (traj_id * 7 + g * (traj_id % 5 + 1) * 3) % 40 AS px,
-             (traj_id * 11 + g * (traj_id % 3 + 2) * 2) % 40 AS py
-           FROM trajs, unnest(range(0, 6)) AS t(g)),
-         s AS (SELECT traj_id,
-             lead(px) OVER w - px AS dx, lead(py) OVER w - py AS dy
-           FROM v WINDOW w AS (PARTITION BY traj_id ORDER BY seq)),
-         a AS (SELECT traj_id, CAST(count(dx) AS BIGINT) AS n_steps,
-             CAST(sum(dx*dx + dy*dy) AS BIGINT) AS path_d2,
-             CAST(sum(dx)*sum(dx) + sum(dy)*sum(dy) AS BIGINT) AS net_d2
-           FROM s GROUP BY 1)
-         SELECT traj_id, n_steps, path_d2, net_d2,
-           (net_d2 * 1000000) // path_d2 AS si_ppm
-         FROM a ORDER BY traj_id""",
-    // octant census of consecutive-vertex deltas over the 20 walks
-    "traj_rose" ->
-      """WITH trajs AS (SELECT DISTINCT s_suppkey % 20 AS traj_id FROM supplier),
-         v AS (SELECT traj_id, CAST(g AS BIGINT) AS seq,
-             (traj_id * 7 + g * (traj_id % 5 + 1) * 3) % 40 AS px,
-             (traj_id * 11 + g * (traj_id % 3 + 2) * 2) % 40 AS py
-           FROM trajs, unnest(range(0, 6)) AS t(g)),
-         s AS (SELECT traj_id,
-             lead(px) OVER w - px AS dx, lead(py) OVER w - py AS dy
-           FROM v WINDOW w AS (PARTITION BY traj_id ORDER BY seq)),
-         sec AS (SELECT CASE WHEN dx = 0 AND dy = 0 THEN 8
-               WHEN dx > 0 AND dy >= 0 THEN (CASE WHEN dy < dx THEN 0 ELSE 1 END)
-               WHEN dx <= 0 AND dy > 0 THEN (CASE WHEN -dx < dy THEN 2 ELSE 3 END)
-               WHEN dx < 0 AND dy <= 0 THEN (CASE WHEN -dy < -dx THEN 4 ELSE 5 END)
-               ELSE (CASE WHEN dx < -dy THEN 6 ELSE 7 END) END AS sector,
-             dx*dx + dy*dy AS len2
-           FROM s WHERE dx IS NOT NULL)
-         SELECT CAST(sector AS INT) AS sector, CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(len2) AS BIGINT) AS len2_sum
-         FROM sec GROUP BY 1 ORDER BY sector""",
-    // octant ladder + circular sector-jump >= 2 turn flags + run lengths
-    "traj_turns" ->
-      """WITH trajs AS (SELECT DISTINCT s_suppkey % 20 AS traj_id FROM supplier),
-         v AS (SELECT traj_id, CAST(g AS BIGINT) AS seq,
-             (traj_id * 7 + g * g * 3 + g * (traj_id % 5 + 1)) % 40 AS px,
-             (traj_id * 11 + g * (traj_id % 3 + 1) * 2 + (g * g * 7) % 13) % 40 AS py
-           FROM trajs, unnest(range(0, 12)) AS t(g)),
-         s AS (SELECT traj_id, seq,
-             lead(px) OVER w - px AS dx, lead(py) OVER w - py AS dy
-           FROM v WINDOW w AS (PARTITION BY traj_id ORDER BY seq)),
-         sec AS (SELECT traj_id, seq,
-             CASE WHEN dx = 0 AND dy = 0 THEN 8
-               WHEN dx > 0 AND dy >= 0 THEN (CASE WHEN dy < dx THEN 0 ELSE 1 END)
-               WHEN dx <= 0 AND dy > 0 THEN (CASE WHEN -dx < dy THEN 2 ELSE 3 END)
-               WHEN dx < 0 AND dy <= 0 THEN (CASE WHEN -dy < -dx THEN 4 ELSE 5 END)
-               ELSE (CASE WHEN dx < -dy THEN 6 ELSE 7 END) END AS sector
-           FROM s WHERE dx IS NOT NULL),
-         f AS (SELECT traj_id, seq, sector,
-             lag(sector) OVER w AS prev
-           FROM sec WINDOW w AS (PARTITION BY traj_id ORDER BY seq)),
-         t2 AS (SELECT traj_id, seq,
-             CASE WHEN prev IS NULL OR prev = 8 OR sector = 8 THEN 0
-                  WHEN least(abs(sector - prev), 8 - abs(sector - prev)) >= 2 THEN 1
-                  ELSE 0 END AS turn
-           FROM f),
-         r AS (SELECT traj_id, seq, turn,
-             sum(turn) OVER (PARTITION BY traj_id ORDER BY seq
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
-           FROM t2),
-         runs AS (SELECT traj_id, run_id, count(*) AS run_len
-           FROM r GROUP BY 1, 2),
-         agg AS (SELECT traj_id, CAST(count(*) AS BIGINT) AS n_steps,
-             CAST(sum(turn) AS BIGINT) AS n_turns
-           FROM r GROUP BY 1),
-         lr AS (SELECT traj_id, CAST(max(run_len) AS BIGINT) AS longest_run
-           FROM runs GROUP BY 1)
-         SELECT a.traj_id, a.n_steps, a.n_turns, lr.longest_run
-         FROM agg a JOIN lr ON a.traj_id = lr.traj_id
-         ORDER BY a.traj_id""",
-    // Kitagawa decomposition: ppm weights × floor-cent rates; effects are
-    // integer products (no negative division anywhere)
-    "events_mix_shift" ->
-      """WITH ev AS (SELECT event_type,
-           CASE WHEN epoch_us(ts) // 86400000000 < 19738 THEN 1 ELSE 2 END AS period,
-           CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events),
-         seg AS (SELECT period, event_type, count(*) AS n, sum(cents) AS sc
-           FROM ev GROUP BY 1, 2),
-         sw AS (SELECT period, event_type,
-             CAST((n * 1000000) // sum(n) OVER (PARTITION BY period) AS BIGINT) AS w_ppm,
-             CAST(sc // n AS BIGINT) AS r_c FROM seg)
-         SELECT p1.event_type, p1.w_ppm AS w1_ppm, p1.r_c AS r1_c,
-           p2.w_ppm AS w2_ppm, p2.r_c AS r2_c,
-           (p2.w_ppm - p1.w_ppm) * p1.r_c AS mix_eff,
-           p2.w_ppm * (p2.r_c - p1.r_c) AS rate_eff
-         FROM sw p1 JOIN sw p2 ON p2.event_type = p1.event_type
-           AND p1.period = 1 AND p2.period = 2
-         ORDER BY p1.event_type""",
-    "geo_hilbert" -> hilbertOracleSql,
-    "ann_mmr" -> mmrOracleSql,
-    // Page's CUSUM recurrence replayed as a recursive CTE: one recursion
-    // level per per-user event index, exact integer state throughout
-    "events_cusum" ->
-      """WITH RECURSIVE ev AS (SELECT user_id,
-             CAST(round(value*100) AS BIGINT) AS v,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               AS i FROM events),
-         cnt AS (SELECT user_id, count(*) AS n FROM ev GROUP BY 1),
-         st AS (
-           SELECT user_id, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS s,
-             CAST(0 AS BIGINT) AS alarms, CAST(0 AS BIGINT) AS smax
-           FROM cnt
-           UNION ALL
-           SELECT st.user_id, st.i + 1,
-             CAST(CASE WHEN greatest(0, st.s + e.v - 6000) >= 20000 THEN 0
-                  ELSE greatest(0, st.s + e.v - 6000) END AS BIGINT),
-             CAST(st.alarms + CASE WHEN greatest(0, st.s + e.v - 6000) >= 20000
-                  THEN 1 ELSE 0 END AS BIGINT),
-             CAST(greatest(st.smax, greatest(0, st.s + e.v - 6000)) AS BIGINT)
-           FROM st JOIN ev e ON e.user_id = st.user_id AND e.i = st.i + 1)
-         SELECT st.user_id, c.n AS n_events, st.alarms AS n_alarms,
-           st.s AS s_final, st.smax AS s_max
-         FROM st JOIN cnt c USING (user_id) WHERE st.i = c.n
-         ORDER BY st.user_id""",
-    // the same four lag windows, unpivoted, exact integer moments
-    "events_acf" ->
-      """WITH ev AS (SELECT event_type, ts, event_id,
-             CAST(round(value*100) AS BIGINT) AS y FROM events),
-         l AS (SELECT event_type, y,
-             lag(y,1) OVER w AS x1, lag(y,2) OVER w AS x2,
-             lag(y,3) OVER w AS x3, lag(y,4) OVER w AS x4
-           FROM ev WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
-         p AS (
-           SELECT event_type, CAST(1 AS BIGINT) AS lag, x1 AS x, y FROM l WHERE x1 IS NOT NULL
-           UNION ALL SELECT event_type, 2, x2, y FROM l WHERE x2 IS NOT NULL
-           UNION ALL SELECT event_type, 3, x3, y FROM l WHERE x3 IS NOT NULL
-           UNION ALL SELECT event_type, 4, x4, y FROM l WHERE x4 IS NOT NULL)
-         SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-           CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
-           CAST(sum(x*y) AS BIGINT) AS sxy
-         FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
-    // raw lagged dot product of the two hourly count series
-    "events_xcorr" ->
-      """WITH e AS (SELECT event_type,
-             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr FROM events),
-         a AS (SELECT hr, count(*) AS na FROM e WHERE event_type = 'view' GROUP BY 1),
-         b AS (SELECT hr, count(*) AS nb FROM e WHERE event_type = 'click' GROUP BY 1),
-         l AS (SELECT range AS lag FROM range(-3, 4))
-         SELECT l.lag, CAST(count(*) AS BIGINT) AS n_hours,
-           CAST(sum(a.na * b.nb) AS BIGINT) AS dot
-         FROM a CROSS JOIN l JOIN b ON b.hr = a.hr + l.lag
-         GROUP BY 1 ORDER BY 1""",
-    "dq_profile" -> {
-      val cols = Seq(
-        ("o_orderkey", true), ("o_custkey", true), ("o_orderstatus", false),
-        ("o_totalprice", true), ("o_orderdate", false),
-        ("o_orderpriority", false))
-      val aggs = cols.zipWithIndex.map { case ((c, num), i) =>
-        val mm = if (num)
-          s"CAST(min($c) AS DOUBLE) AS mn$i, CAST(max($c) AS DOUBLE) AS mx$i"
-        else s"CAST(NULL AS DOUBLE) AS mn$i, CAST(NULL AS DOUBLE) AS mx$i"
-        s"""CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn$i,
-           CAST(count(DISTINCT $c) AS BIGINT) AS d$i, $mm"""
-      }.mkString(",\n           ")
-      val rows = cols.zipWithIndex.map { case ((c, _), i) =>
-        s"""SELECT '$c' AS "column", n AS n_rows, nn$i AS n_null,
-           d$i AS n_distinct, mn$i AS min_num, mx$i AS max_num FROM a"""
-      }.mkString("\n         UNION ALL ")
-      s"""WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
-           $aggs
-         FROM orders)
-         $rows
-         ORDER BY "column""""
-    },
-    "geo_convex_hull" -> convexHullOracleSql,
-    // brute-force all DISTINCT point pairs per group — every max-distance
-    // pair is a hull-vertex pair (strict convexity along segments), so the
-    // engine's hull-only refine must agree, argmax ties included
-    "geo_hull_diameter" ->
-      """WITH pts AS (SELECT DISTINCT c_custkey % 25 AS gid,
-           (c_custkey * 7) % 1201 AS x, (c_custkey * 13) % 1009 AS y
-           FROM customer WHERE c_custkey <= 1000),
-         pr AS (SELECT a.gid, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by,
-             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
-           FROM pts a JOIN pts b ON a.gid = b.gid
-             AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))),
-         best AS (SELECT gid, d2, ax, ay, bx, by,
-             row_number() OVER (PARTITION BY gid
-               ORDER BY d2 DESC, ax, ay, bx, by) AS rn
-           FROM pr),
-         n AS (SELECT gid, CAST(count(*) AS BIGINT) AS n_pts
-           FROM pts GROUP BY 1)
-         SELECT best.gid, n.n_pts, d2, ax, ay, bx, by
-         FROM best JOIN n ON n.gid = best.gid WHERE rn = 1
-         ORDER BY best.gid""",
-    // CAST(... AS TIMESTAMP): DuckDB date_trunc('day') returns DATE where
-    // the engine emits a timestamp_ntz bucket — same instant, driver-hash-
-    // sensitive type (the round-3 HUGEINT lesson applied to dates)
-    "stream_window_counts" ->
-      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(floor(value * 1000.0) AS BIGINT)) AS BIGINT) AS v_sum
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
-    "events_cube" ->
-      """WITH e AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-             CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
-         SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(cents) AS BIGINT) AS sum_cents
-         FROM e GROUP BY CUBE (event_type, day)
-         ORDER BY event_type, day""",
-    "stream_session_counts" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
-             CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
-         m AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
-                 OR tus - lag(tus) OVER w >= 43200000000
-               THEN 1 ELSE 0 END AS new_sess
-           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
-         s AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
-                 ORDER BY tus, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seq
-           FROM m)
-         SELECT user_id, CAST(min(tus) AS BIGINT) AS start_us,
-           CAST(max(tus) + 43200000000 AS BIGINT) AS end_us,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(cents) AS BIGINT) AS sum_cents
-         FROM s GROUP BY user_id, seq ORDER BY user_id, start_us""",
-    "traj_colocation" ->
-      """WITH pts AS (SELECT user_id, ts, event_id,
-           event_id % 7 AS dx, (event_id * 3) % 5 AS dy FROM events),
-         c AS (SELECT user_id, ts, event_id,
-             CAST(sum(dx) OVER w AS BIGINT) AS px,
-             CAST(sum(dy) OVER w AS BIGINT) AS py
-           FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         o AS (SELECT DISTINCT user_id,
-             (px // 6) * 1000000 + (py // 4) AS cell,
-             epoch_us(ts) // 86400000000 AS tb FROM c),
-         p AS (SELECT a.user_id AS t1, b.user_id AS t2
-           FROM o a JOIN o b ON a.cell = b.cell AND a.tb = b.tb
-             AND a.user_id < b.user_id)
-         SELECT t1, t2, CAST(count(*) AS BIGINT) AS n_encounters
-         FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
-    // convoy: route cells shared per day minus dropout days, then
-    // gaps-and-islands runs of length >= 3
-    "traj_convoy" ->
-      """WITH pts AS (SELECT DISTINCT user_id AS traj_id,
-           epoch_us(ts) // 86400000000 AS tb FROM events),
-         o AS (SELECT traj_id, tb, (traj_id % 10) * 1000 + tb % 7 AS cell
-           FROM pts WHERE (traj_id + tb) % 5 <> 0),
-         ct AS (SELECT DISTINCT a.traj_id AS t1, b.traj_id AS t2, a.tb
-           FROM o a JOIN o b ON a.cell = b.cell AND a.tb = b.tb
-             AND a.traj_id < b.traj_id),
-         runs AS (SELECT t1, t2, tb,
-             tb - row_number() OVER (PARTITION BY t1, t2 ORDER BY tb) AS grp
-           FROM ct)
-         SELECT t1, t2, CAST(min(tb) AS BIGINT) AS start_tb,
-           CAST(count(*) AS BIGINT) AS len
-         FROM runs GROUP BY t1, t2, grp HAVING count(*) >= 3
-         ORDER BY t1, t2, start_tb""",
-    "traj_od_matrix" ->
-      """WITH pts AS (SELECT user_id, ts, event_id,
-           event_id % 7 AS dx, (event_id * 3) % 5 AS dy FROM events),
-         c AS (SELECT user_id, ts, event_id,
-             CAST(sum(dx) OVER w AS BIGINT) AS px,
-             CAST(sum(dy) OVER w AS BIGINT) AS py
-           FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         k AS (SELECT user_id, ts, event_id,
-             (px // 6) * 1000000 + (py // 4) AS cell FROM c),
-         f AS (SELECT user_id, cell,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ra,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rd
-           FROM k),
-         od AS (SELECT o.cell AS o_cell, d.cell AS d_cell
-           FROM (SELECT user_id, cell FROM f WHERE ra = 1) o
-           JOIN (SELECT user_id, cell FROM f WHERE rd = 1) d USING (user_id))
-         SELECT o_cell, d_cell, CAST(count(*) AS BIGINT) AS n_traj
-         FROM od GROUP BY 1, 2 ORDER BY 1, 2""",
-    "geo_kde" ->
-      """WITH pts AS (SELECT
-           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
-           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
-           FROM lineitem),
-         c AS (SELECT CAST(floor(lng*20) AS BIGINT) AS cx,
-             CAST(floor(lat*20) AS BIGINT) AS cy, count(*) AS n
-           FROM pts GROUP BY 1, 2),
-         sm AS (SELECT cx + di AS gx, cy + dj AS gy,
-             n * (2 - abs(di)) * (2 - abs(dj)) AS w
-           FROM c, range(-1,2) t1(di), range(-1,2) t2(dj))
-         SELECT gx, gy, CAST(sum(w) AS BIGINT) AS density
-         FROM sm GROUP BY 1, 2 ORDER BY 1, 2""",
-    "traj_dwell" ->
-      """WITH pts AS (SELECT user_id, ts, event_id,
-           event_id % 7 AS dx, (event_id * 3) % 5 AS dy FROM events),
-         c AS (SELECT user_id, ts, event_id,
-             CAST(sum(dx) OVER w AS BIGINT) AS px,
-             CAST(sum(dy) OVER w AS BIGINT) AS py
-           FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         k AS (SELECT user_id, ts, event_id,
-             (px // 6) * 1000000 + (py // 4) AS cell FROM c),
-         r AS (SELECT *,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
-             row_number() OVER (PARTITION BY user_id, cell ORDER BY ts, event_id) AS rc
-           FROM k)
-         SELECT user_id AS traj_id, cell, CAST(count(*) AS BIGINT) AS n_events,
-           min(ts) AS ts_start, max(ts) AS ts_end
-         FROM r GROUP BY user_id, cell, rn - rc
-         HAVING count(*) >= 4 ORDER BY traj_id, ts_start, cell""",
-    "geo_tri" -> triOracleSql,
-    "geo_tpi" -> tpiOracleSql,
-    "geo_curvature" -> curvatureOracleSql,
-    "geo_poly_join" -> polyJoinOracleSql,
-    "geo_tile_cover" -> {
-      def tx(e: String) =
-        s"CAST(least(greatest(floor(($e + 180.0)/360.0 * 16384), 0), 16383) AS INT)"
-      def ty(e: String) = {
-        val c = s"radians(least(greatest($e, -85.05112877980659), 85.05112877980659))"
-        s"CAST(least(greatest(floor((1.0 - ln(tan($c) + 1.0/cos($c))/pi())/2.0 * 16384), 0), 16383) AS INT)"
-      }
-      s"""WITH tri AS (SELECT s_suppkey AS poly_id,
-           -120.0 + (s_suppkey % 40) * 0.1 AS cx, 36.0 + ((s_suppkey * 3) % 20) * 0.1 AS cy,
-           0.05 + (s_suppkey % 7) * 0.013 AS w, 0.04 + (s_suppkey % 5) * 0.017 AS h FROM supplier),
-         bb AS (SELECT poly_id, cx - w AS xmin, cx + w AS xmax,
-           cy - h AS ymin, cy + h AS ymax FROM tri),
-         tc AS (SELECT poly_id,
-           ${tx("xmin")} AS tx0, ${tx("xmax")} AS tx1,
-           ${ty("ymax")} AS ty0, ${ty("ymin")} AS ty1 FROM bb)
-         SELECT poly_id, tx0, tx1, ty0, ty1,
-           CAST(tx1 - tx0 + 1 AS BIGINT) * (ty1 - ty0 + 1) AS n_tiles
-         FROM tc ORDER BY poly_id"""
-    },
-    "geo_bearing" ->
-      """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
-           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
-           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
-           FROM lineitem),
-         v AS (SELECT point_id % 199 AS line_id, point_id AS seq, lng, lat
-           FROM pts WHERE point_id % 10 = 0),
-         d AS (SELECT line_id, seq,
-             lng - lag(lng) OVER w AS dx, lat - lag(lat) OVER w AS dy
-           FROM v WINDOW w AS (PARTITION BY line_id ORDER BY seq))
-         SELECT line_id, seq,
-           CASE WHEN dx = 0 AND dy = 0 THEN 0
-                WHEN abs(dx) > abs(dy) THEN CASE WHEN dx > 0 THEN 1 ELSE 5 END
-                WHEN abs(dy) > abs(dx) THEN CASE WHEN dy > 0 THEN 3 ELSE 7 END
-                ELSE CASE WHEN dx > 0 THEN (CASE WHEN dy > 0 THEN 2 ELSE 8 END)
-                          ELSE (CASE WHEN dy > 0 THEN 4 ELSE 6 END) END
-           END AS octant
-         FROM d WHERE dx IS NOT NULL ORDER BY line_id, seq""",
-    "geo_aspect" -> aspectOracleSql,
-    "geo_zorder" ->
-      """WITH pts AS (SELECT c_custkey AS point_id,
-           -180 + (c_custkey % 360) + 0.5 AS lng,
-           -90 + ((c_custkey * 7) % 180) + 0.25 AS lat FROM customer),
-         q AS (SELECT point_id,
-           LEAST(65535, GREATEST(0, CAST(floor(((lng + 180.0) / 360.0) * 65536.0) AS BIGINT))) AS qx,
-           LEAST(65535, GREATEST(0, CAST(floor(((lat + 90.0) / 180.0) * 65536.0) AS BIGINT))) AS qy FROM pts),
-         s1 AS (SELECT point_id, ((qx | (qx << 8)) & 16711935) AS x, ((qy | (qy << 8)) & 16711935) AS y FROM q),
-         s2 AS (SELECT point_id, ((x | (x << 4)) & 252645135) AS x, ((y | (y << 4)) & 252645135) AS y FROM s1),
-         s3 AS (SELECT point_id, ((x | (x << 2)) & 858993459) AS x, ((y | (y << 2)) & 858993459) AS y FROM s2),
-         s4 AS (SELECT point_id, ((x | (x << 1)) & 1431655765) AS x, ((y | (y << 1)) & 1431655765) AS y FROM s3)
-         SELECT point_id, ((y << 1) | x) AS zkey FROM s4 ORDER BY point_id""",
-    // min/max data-skipping: zorder 8×8 blocks vs row-major qy stripes;
-    // a bucket is scanned iff the predicate box intersects its stat box
-    // per-bucket distinct bit positions, all-3-hash candidate rule,
-    // true/missed buckets definitionally
-    "store_bloom_skip" -> {
-      val a = ops.Sketches.BloomA; val b = ops.Sketches.BloomB
-      def pos(key: String, j: Int) =
-        s"((($key % 2147483648) * ${a(j)} + ${b(j)}) % 2147483648) % 4096"
-      val hashes = (0 until 3).map(j =>
-        s"SELECT b, $j AS j, ${pos("key", j)} AS pos FROM rws").mkString(" UNION ALL ")
-      val phashes = (0 until 3).map(j =>
-        s"SELECT pkey, $j AS j, ${pos("pkey", j)} AS pos FROM probes").mkString(" UNION ALL ")
-      s"""WITH rws AS (SELECT o_custkey AS key, o_orderkey % 16 AS b FROM orders),
-         bits AS (SELECT DISTINCT b, j, pos FROM ($hashes)),
-         probes AS (SELECT c_custkey AS pkey FROM customer WHERE c_custkey % 100 = 3
-           UNION ALL SELECT 1000000007 + r.range FROM range(0, 5) r),
-         ppos AS (SELECT pkey, j, pos FROM ($phashes)),
-         candb AS (SELECT pkey, b FROM (
-             SELECT p.pkey, t.b, count(DISTINCT p.j) AS nj
-             FROM ppos p JOIN bits t ON p.j = t.j AND p.pos = t.pos
-             GROUP BY 1, 2) WHERE nj = 3),
-         trueb AS (SELECT DISTINCT p.pkey, r.b
-           FROM probes p JOIN rws r ON p.pkey = r.key),
-         cand AS (SELECT pkey, CAST(count(*) AS BIGINT) AS n_candidates
-           FROM candb GROUP BY 1),
-         tru AS (SELECT pkey, CAST(count(*) AS BIGINT) AS n_true
-           FROM trueb GROUP BY 1),
-         miss AS (SELECT t.pkey, CAST(count(*) AS BIGINT) AS n_missed
-           FROM trueb t LEFT JOIN candb c ON t.pkey = c.pkey AND t.b = c.b
-           WHERE c.pkey IS NULL GROUP BY 1)
-         SELECT p.pkey, coalesce(cand.n_candidates, 0) AS n_candidates,
-           coalesce(tru.n_true, 0) AS n_true,
-           coalesce(miss.n_missed, 0) AS n_missed
-         FROM probes p
-         LEFT JOIN cand ON p.pkey = cand.pkey
-         LEFT JOIN tru ON p.pkey = tru.pkey
-         LEFT JOIN miss ON p.pkey = miss.pkey
-         ORDER BY p.pkey"""
-    },
-    // overlap depth: pairwise [min,max] intersect count over per-bucket
-    // stats, hash vs 16-slab range layout of the same rows
-    "store_overlap_depth" ->
-      """WITH o AS (SELECT o_orderkey, o_custkey AS v FROM orders),
-         mx AS (SELECT max(v) AS mxv FROM o),
-         b AS (SELECT v, o_orderkey % 16 AS b_hash,
-           (v * 16) // (mxv + 1) AS b_range FROM o, mx),
-         st AS (SELECT 'hash' AS layout, b_hash AS bucket,
-             CAST(count(*) AS BIGINT) AS n, min(v) AS min_v, max(v) AS max_v
-           FROM b GROUP BY 2
-           UNION ALL
-           SELECT 'range' AS layout, b_range AS bucket,
-             CAST(count(*) AS BIGINT) AS n, min(v) AS min_v, max(v) AS max_v
-           FROM b GROUP BY 2),
-         ov AS (SELECT a.layout, a.bucket, CAST(count(*) AS BIGINT) AS overlap_cnt
-           FROM st a JOIN st x ON a.layout = x.layout AND a.bucket <> x.bucket
-             AND a.min_v <= x.max_v AND x.min_v <= a.max_v
-           GROUP BY 1, 2)
-         SELECT st.layout, st.bucket, st.n, st.min_v, st.max_v,
-           coalesce(ov.overlap_cnt, 0) AS overlap_cnt
-         FROM st LEFT JOIN ov ON st.layout = ov.layout AND st.bucket = ov.bucket
-         ORDER BY st.layout, st.bucket""",
-    "store_zorder_skip" ->
-      """WITH pts AS (SELECT c_custkey AS point_id,
-           -180 + (c_custkey % 360) + 0.5 AS lng,
-           -90 + ((c_custkey * 7) % 180) + 0.25 AS lat FROM customer),
-         q AS (SELECT point_id,
-           LEAST(65535, GREATEST(0, CAST(floor(((lng + 180.0) / 360.0) * 65536.0) AS BIGINT))) AS qx,
-           LEAST(65535, GREATEST(0, CAST(floor(((lat + 90.0) / 180.0) * 65536.0) AS BIGINT))) AS qy FROM pts),
-         s1 AS (SELECT point_id, qx, qy, ((qx | (qx << 8)) & 16711935) AS x, ((qy | (qy << 8)) & 16711935) AS y FROM q),
-         s2 AS (SELECT point_id, qx, qy, ((x | (x << 4)) & 252645135) AS x, ((y | (y << 4)) & 252645135) AS y FROM s1),
-         s3 AS (SELECT point_id, qx, qy, ((x | (x << 2)) & 858993459) AS x, ((y | (y << 2)) & 858993459) AS y FROM s2),
-         s4 AS (SELECT point_id, qx, qy, ((x | (x << 1)) & 1431655765) AS x, ((y | (y << 1)) & 1431655765) AS y FROM s3),
-         pq AS (SELECT point_id, qx, qy, (((y << 1) | x) >> 26) AS zb, (qy >> 10) AS rb FROM s4),
-         st AS (SELECT 'zorder' AS layout, zb AS bucket, count(*) AS n,
-             min(qx) AS minx, max(qx) AS maxx, min(qy) AS miny, max(qy) AS maxy
-           FROM pq GROUP BY 2
-           UNION ALL
-           SELECT 'rowmajor' AS layout, rb AS bucket, count(*) AS n,
-             min(qx), max(qx), min(qy), max(qy) FROM pq GROUP BY 2),
-         preds(pred_id, xlo, xhi, ylo, yhi) AS (VALUES
-           (1, 20000, 30000, 20000, 30000),
-           (2, 10000, 14000, 0, 65535),
-           (3, 0, 65535, 50000, 54000)),
-         scan AS (SELECT pred_id, layout,
-             CAST(count(*) AS BIGINT) AS n_buckets,
-             CAST(sum(CASE WHEN xlo <= maxx AND xhi >= minx AND ylo <= maxy AND yhi >= miny THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
-             CAST(sum(CASE WHEN xlo <= maxx AND xhi >= minx AND ylo <= maxy AND yhi >= miny THEN n ELSE 0 END) AS BIGINT) AS rows_scanned
-           FROM st, preds GROUP BY 1, 2),
-         m AS (SELECT pred_id, count(*) AS rows_match FROM pq, preds
-           WHERE qx BETWEEN xlo AND xhi AND qy BETWEEN ylo AND yhi GROUP BY 1)
-         SELECT CAST(pred_id AS BIGINT) AS pred_id, layout, n_buckets,
-           n_scanned, rows_scanned,
-           CAST(COALESCE(rows_match, 0) AS BIGINT) AS rows_match
-         FROM scan LEFT JOIN m USING (pred_id) ORDER BY pred_id, layout""",
-    // identical STR rank arithmetic: global (xq, point_id) rank, ⌈n/S⌉
-    // slices, per-slice (yq, point_id) rank into leaves of 64
-    "geo_str_pack" ->
-      """WITH pts AS (SELECT c_custkey AS point_id,
-           CAST(floor((-180 + (c_custkey % 360) + 0.5) * 1000000.0) AS BIGINT) AS xq,
-           CAST(floor((-90 + ((c_custkey * 7) % 180) + 0.25) * 1000000.0) AS BIGINT) AS yq
-           FROM customer),
-         p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts),
-         c AS (SELECT n,
-             CAST(ceil(sqrt(CAST((n + 63) // 64 AS DOUBLE))) AS BIGINT) AS s
-           FROM p),
-         r AS (SELECT point_id, xq, yq,
-             row_number() OVER (ORDER BY xq, point_id) - 1 AS xr FROM pts),
-         sl AS (SELECT r.xq, r.yq, r.point_id,
-             xr // ((c.n + c.s - 1) // c.s) AS slice FROM r, c),
-         yr AS (SELECT slice, xq, yq,
-             (row_number() OVER (PARTITION BY slice ORDER BY yq, point_id) - 1) // 64 AS leaf
-           FROM sl)
-         SELECT CAST(slice AS BIGINT) AS slice, CAST(leaf AS BIGINT) AS leaf,
-           CAST(count(*) AS BIGINT) AS n_pts,
-           min(xq) AS min_x, max(xq) AS max_x,
-           min(yq) AS min_y, max(yq) AS max_y
-         FROM yr GROUP BY 1, 2 ORDER BY slice, leaf""",
-    // base-20 digit picks straight off the 1/8000°-grid integers,
-    // lat-major interleave with the '+' after pair 4
-    "geo_olc" -> {
-      def d(v: String, p: Long) =
-        s"substr('23456789CFGHJMPQRVWX', CAST(($v // $p) % 20 AS INTEGER) + 1, 1)"
-      val code = Seq(160000L, 8000L, 400L, 20L).map(p =>
-        s"${d("ilat", p)} || ${d("ilng", p)}").mkString(" || ") +
-        s" || '+' || ${d("ilat", 1L)} || ${d("ilng", 1L)}"
-      s"""WITH pts AS (SELECT c_custkey AS point_id,
-           -180 + (c_custkey % 360) + 0.5 AS lng,
-           -90 + ((c_custkey * 7) % 180) + 0.25 AS lat FROM customer),
-         q AS (SELECT point_id,
-           LEAST(1439999, GREATEST(0, CAST(floor((lat + 90.0) * 8000.0) AS BIGINT))) AS ilat,
-           LEAST(2879999, GREATEST(0, CAST(floor((lng + 180.0) * 8000.0) AS BIGINT))) AS ilng
-           FROM pts),
-         g AS (SELECT point_id, $code AS olc FROM q)
-         SELECT point_id, olc, substr(olc, 1, 8) AS olc_block FROM g
-         ORDER BY point_id"""
-    },
-    "geo_geohash" -> {
-      // base-32 pick of char i (1-based) from the 60-bit interleaved code
-      val chars = (1 to 7).map(i =>
-        s"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((code >> ${60 - 5 * i}) & 31) AS INTEGER) + 1, 1)")
-      s"""WITH pts AS (SELECT c_custkey AS point_id,
-           -180 + (c_custkey % 360) + 0.5 AS lng,
-           -90 + ((c_custkey * 7) % 180) + 0.25 AS lat FROM customer),
-         q AS (SELECT point_id,
-           LEAST(1073741823, GREATEST(0, CAST(floor(((lng + 180.0) / 360.0) * 1073741824.0) AS BIGINT))) AS qx,
-           LEAST(1073741823, GREATEST(0, CAST(floor(((lat + 90.0) / 180.0) * 1073741824.0) AS BIGINT))) AS qy FROM pts),
-         s0 AS (SELECT point_id, ((qx | (qx << 16)) & 281470681808895) AS x, ((qy | (qy << 16)) & 281470681808895) AS y FROM q),
-         s1 AS (SELECT point_id, ((x | (x << 8)) & 71777214294589695) AS x, ((y | (y << 8)) & 71777214294589695) AS y FROM s0),
-         s2 AS (SELECT point_id, ((x | (x << 4)) & 1085102592571150095) AS x, ((y | (y << 4)) & 1085102592571150095) AS y FROM s1),
-         s3 AS (SELECT point_id, ((x | (x << 2)) & 3689348814741910323) AS x, ((y | (y << 2)) & 3689348814741910323) AS y FROM s2),
-         s4 AS (SELECT point_id, ((x | (x << 1)) & 6148914691236517205) AS x, ((y | (y << 1)) & 6148914691236517205) AS y FROM s3),
-         c AS (SELECT point_id, ((x << 1) | y) AS code FROM s4),
-         g AS (SELECT point_id, ${chars.mkString(" || ")} AS gh FROM c)
-         SELECT point_id, gh, substr(gh, 1, 4) AS gh_parent FROM g
-         ORDER BY point_id"""
-    },
-    "curation_decontam" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         grams AS (SELECT doc_id,
-             array_to_string(list_slice(w, CAST(g AS BIGINT), CAST(g AS BIGINT) + 12), ' ') AS ng
-           FROM toks, unnest(range(1, greatest(len(w) - 11, 1))) AS t(g)),
-         bm AS (SELECT DISTINCT ng FROM grams WHERE doc_id % 50 = 7)
-         SELECT doc_id, count(DISTINCT ng) AS n_hit_grams
-         FROM grams WHERE doc_id % 50 <> 7 AND ng IN (SELECT ng FROM bm)
-         GROUP BY doc_id ORDER BY doc_id""",
-    "events_rolling_z" ->
-      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n,
-             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
-           FROM events GROUP BY 1, 2),
-         r AS (SELECT *,
-             count(*) OVER w AS rcnt,
-             COALESCE(sum(cents) OVER w, 0) AS rsum,
-             COALESCE(sum(cents * cents) OVER w, 0) AS rsumsq
-           FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr
-             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
-         SELECT event_type, hr, n, cents, rcnt,
-           CASE WHEN rcnt >= 8 AND
-             (cents * rcnt - rsum) * (cents * rcnt - rsum) >=
-               4 * (rcnt * rsumsq - rsum * rsum) THEN 1 ELSE 0 END AS is_anomaly
-         FROM r ORDER BY event_type, hr""",
-    "events_funnel" ->
-      """WITH r AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events),
-         u AS (SELECT DISTINCT user_id FROM r),
-         a AS (SELECT user_id, min(rn) AS p1 FROM r WHERE event_type = 'view' GROUP BY 1),
-         b AS (SELECT r.user_id, min(rn) AS p2 FROM r JOIN a USING (user_id)
-               WHERE event_type = 'click' AND rn > p1 GROUP BY 1),
-         c AS (SELECT r.user_id, min(rn) AS p3 FROM r JOIN b USING (user_id)
-               WHERE event_type = 'purchase' AND rn > p2 GROUP BY 1)
-         SELECT u.user_id,
-           CASE WHEN p3 IS NOT NULL THEN 3 WHEN p2 IS NOT NULL THEN 2
-                WHEN p1 IS NOT NULL THEN 1 ELSE 0 END AS funnel_stage,
-           t1.tus AS view_us, t2.tus AS click_us, t3.tus AS purchase_us
-         FROM u LEFT JOIN a USING (user_id) LEFT JOIN b USING (user_id)
-           LEFT JOIN c USING (user_id)
-           LEFT JOIN r t1 ON t1.user_id = u.user_id AND t1.rn = a.p1
-           LEFT JOIN r t2 ON t2.user_id = u.user_id AND t2.rn = b.p2
-           LEFT JOIN r t3 ON t3.user_id = u.user_id AND t3.rn = c.p3
-         ORDER BY u.user_id""",
-    "events_wau" ->
-      """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
-         days AS (SELECT DISTINCT d AS day FROM ev),
-         exp AS (SELECT user_id, d + CAST(i AS INT) AS day FROM ev, unnest(range(0, 7)) AS t(i))
-         SELECT day, count(DISTINCT user_id) AS wau FROM exp
-         WHERE day IN (SELECT day FROM days) GROUP BY 1 ORDER BY 1""",
-    "events_retention" ->
-      """WITH ev AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
-         cohort AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY user_id)
-         SELECT cohort_week,
-           CAST(date_diff('day', cohort_week, wk) / 7 AS INT) AS week_offset,
-           count(DISTINCT ev.user_id) AS n_users
-         FROM ev JOIN cohort ON ev.user_id = cohort.user_id
-         GROUP BY 1, 2 ORDER BY 1, 2""",
-    // streaks: gaps-and-islands on distinct epoch days (d − row_number
-    // constant along a run)
-    "events_streaks" ->
-      """WITH d AS (SELECT DISTINCT user_id,
-           epoch_us(ts) // 86400000000 AS d FROM events),
-         g AS (SELECT user_id, d,
-           d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
-           FROM d),
-         runs AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
-           FROM g GROUP BY 1, 2)
-         SELECT user_id, CAST(count(*) AS BIGINT) AS n_streaks,
-           CAST(sum(len) AS BIGINT) AS n_days,
-           CAST(max(len) AS BIGINT) AS max_streak
-         FROM runs GROUP BY 1 ORDER BY user_id""",
-    "curation_decontam_fuzzy" -> decontamFuzzyOracleSql,
-    "curation_pipeline" ->
-      s"""WITH corpus AS ($sqlDedupCorpus),
-         s1 AS (SELECT doc_id, text FROM (
-             SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM corpus)
-           WHERE doc_id = keeper),
-         s2 AS (SELECT doc_id, text,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
-           FROM s1),
-         s2f AS (SELECT * FROM s2
-           WHERE n_words >= 20 AND (n_words - n_distinct) * 1000000 // n_words < 500000),
-         toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM s2f),
-         grams AS (SELECT doc_id,
-             array_to_string(list_slice(w, CAST(g AS BIGINT), CAST(g AS BIGINT) + 12), ' ') AS ng
-           FROM toks, unnest(range(1, greatest(len(w) - 11, 1))) AS t(g)),
-         bm AS (SELECT DISTINCT
-             array_to_string(list_slice(w2, CAST(g AS BIGINT), CAST(g AS BIGINT) + 12), ' ') AS ng
-           FROM (SELECT string_split(text, ' ') AS w2 FROM documents WHERE doc_id % 50 = 7),
-             unnest(range(1, greatest(len(w2) - 11, 1))) AS t(g)),
-         bad AS (SELECT DISTINCT doc_id FROM grams WHERE ng IN (SELECT ng FROM bm)),
-         s3 AS (SELECT s2f.* FROM s2f
-           WHERE (doc_id % 100000) % 50 <> 7 AND doc_id NOT IN (SELECT doc_id FROM bad)),
-         s4 AS (SELECT s3.doc_id, d2.source, s3.n_words,
-             CAST(sum(s3.n_words) OVER (PARTITION BY d2.source
-               ORDER BY md5(CAST(s3.doc_id AS VARCHAR)), s3.doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-           FROM s3 JOIN documents d2 ON s3.doc_id % 100000 = d2.doc_id)
-         SELECT doc_id, source, n_words, cum FROM s4 WHERE cum <= 800 ORDER BY doc_id""",
-    "events_transition" ->
-      """WITH r AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id,
-             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-           FROM events)
-         SELECT prev AS from_type, event_type AS to_type, count(*) AS n
-         FROM r WHERE prev IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""",
-    "curation_pack" ->
-      """WITH d AS (SELECT doc_id, source,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
-         c AS (SELECT *, CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok FROM d)
-         SELECT doc_id, source, n_tokens,
-           start_tok // 512 AS seq_id, start_tok % 512 AS offset
-         FROM c ORDER BY doc_id""",
-    "curation_budget" ->
-      """WITH d AS (SELECT doc_id, source,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-           md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
-         c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM d)
-         SELECT doc_id, source, n_tokens, cum FROM c
-         WHERE cum <= CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 700
-           WHEN 'src2' THEN 400 WHEN 'src3' THEN 200 ELSE 800 END
-         ORDER BY doc_id""",
-    "curation_stratified" ->
-      """SELECT doc_id, source FROM documents
-         WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
-               < (CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 400
-                              WHEN 'src2' THEN 200 WHEN 'src3' THEN 50 ELSE 100 END)
-         ORDER BY doc_id""",
-    "quality_repetition" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-         w AS (SELECT doc_id, unnest(l) AS word FROM d),
-         wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
-         wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
-           count(*) AS n_distinct, max(c) AS max_word_c FROM wc GROUP BY 1),
-         bg AS (SELECT doc_id, unnest(list_transform(
-           generate_series(1, greatest(0, len(l) - 1)),
-           i -> l[i] || chr(1) || l[i+1])) AS b FROM d),
-         bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
-         ba AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
-           max(c) AS max_bigram_c FROM bc GROUP BY 1)
-         SELECT doc_id, n_words, n_distinct, max_word_c, n_bigrams, max_bigram_c,
-           ((n_words - n_distinct) * 1000000) // n_words AS dup_word_q,
-           (max_bigram_c * 1000000) // n_bigrams AS top_bigram_q
-         FROM wa JOIN ba USING (doc_id) ORDER BY doc_id""",
-    "events_welford" ->
-      """WITH e AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS iv FROM events),
-         st AS (SELECT event_type, count(*) AS n, sum(iv) AS sv, sum(iv*iv) AS svv FROM e GROUP BY 1),
-         st2 AS (SELECT event_type, n, CAST(sv AS DOUBLE)/n AS mean,
-           sqrt((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE)*sv/n) / (n-1)) AS stddev FROM st),
-         fl AS (SELECT e.event_type, count(*) AS n_outliers FROM e JOIN st2 USING (event_type)
-           WHERE abs(e.iv - st2.mean) >= st2.stddev * 2 GROUP BY 1)
-         SELECT event_type, n, round(mean, 6) AS mean_r, round(stddev, 6) AS std_r,
-           coalesce(n_outliers, 0) AS n_outliers
-         FROM st2 LEFT JOIN fl USING (event_type) ORDER BY event_type""",
-    "geo_elev_cogroup" -> cogroupElevOracleSql,
-    // the composed pipeline replayed per ROW in one CTE chain — elevation
-    // and hex cell computed side by side, never joined (the synthetic
-    // point_id is not injective at every SF, so a point_id join would
-    // fabricate rows the engine's straight-line plan never sees)
-    "geo_enrich_rollup" -> {
-      val e6 = graft.geo.Hex.edge(6)
-      """WITH pts AS (SELECT
-           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
-           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
-           FROM lineitem),
-         k AS (SELECT lng, lat,
-           CAST(floor(lng) AS BIGINT) AS swlng, CAST(floor(lat) AS BIGINT) AS swlat,
-           (lng - floor(lng)) * 600 AS colf, (lat - floor(lat)) * 600 AS rowf FROM pts),
-         g AS (SELECT *, CAST(floor(colf) AS BIGINT) AS c0, CAST(floor(rowf) AS BIGINT) AS r0,
-           colf - floor(colf) AS cf, rowf - floor(rowf) AS rf,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM k),
-         v AS (SELECT *,
-           a + 2*c0     + 3*r0     + ((c0//8)*(r0//8)) % 32         AS v00,
-           a + 2*(c0+1) + 3*r0     + (((c0+1)//8)*(r0//8)) % 32     AS v10,
-           a + 2*(c0+1) + 3*(r0+1) + (((c0+1)//8)*((r0+1)//8)) % 32 AS v11,
-           a + 2*c0     + 3*(r0+1) + ((c0//8)*((r0+1)//8)) % 32     AS v01 FROM g),
-         ev AS (SELECT lng, lat,
-           CASE WHEN (swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36) THEN 0.0
-                ELSE (v00 + (v10 - v00) * cf) +
-                     ((v01 + (v11 - v01) * cf) - (v00 + (v10 - v00) * cf)) * rf
-           END AS elev FROM v),""" +
-      s"""
-         ax AS (SELECT elev,
-           (sqrt(3.0)/3.0 * lng - lat/3.0) / $e6 AS qf,
-           (2.0/3.0 * lat) / $e6 AS rf2 FROM ev),
-         r0c AS (SELECT elev, qf, rf2, -qf - rf2 AS sf,
-           CAST(floor(qf + 0.5) AS BIGINT) AS qi,
-           CAST(floor(rf2 + 0.5) AS BIGINT) AS ri,
-           CAST(floor(-qf - rf2 + 0.5) AS BIGINT) AS si FROM ax),
-         rr AS (SELECT elev,
-           CASE WHEN abs(qi - qf) > abs(ri - rf2) AND abs(qi - qf) > abs(si - sf)
-                THEN -ri - si ELSE qi END AS q,
-           CASE WHEN NOT (abs(qi - qf) > abs(ri - rf2) AND abs(qi - qf) > abs(si - sf))
-                     AND abs(ri - rf2) > abs(si - sf)
-                THEN -qi - si ELSE ri END AS r FROM r0c),
-         cq AS (SELECT
-           CAST(6 AS BIGINT) * 288230376151711744 + (q + 268435456) * 536870912 + (r + 268435456) AS cell,
-           CAST(round(elev * 100) AS BIGINT) AS q100 FROM rr)
-         SELECT cell, CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(q100) AS BIGINT) AS sum_q,
-           CAST(min(q100) AS BIGINT) AS min_q,
-           CAST(max(q100) AS BIGINT) AS max_q
-         FROM cq GROUP BY cell ORDER BY cell"""
-    },
-    "geo_elev_nearest" ->
-      """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
-           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
-           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
-           FROM lineitem),
-         k AS (SELECT point_id,
-           CAST(floor(lng) AS BIGINT) AS swlng, CAST(floor(lat) AS BIGINT) AS swlat,
-           CAST(floor((lng - floor(lng)) * 600 + 0.5) AS BIGINT) AS cn,
-           CAST(floor((lat - floor(lat)) * 600 + 0.5) AS BIGINT) AS rn FROM pts)
-         SELECT point_id,
-           CASE WHEN (swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36) THEN 0.0
-                ELSE CAST(((swlng+180)*7 + (swlat+90)*11) % 1000
-                     + 2*cn + 3*rn + ((cn//8)*(rn//8)) % 32 AS DOUBLE)
-           END AS elev
-         FROM k ORDER BY point_id""",
-    "polyline_roundtrip" ->
-      """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
-           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
-           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
-           FROM lineitem)
-         SELECT point_id % 500 AS grp,
-           CAST(row_number() OVER (PARTITION BY point_id % 500 ORDER BY point_id) - 1 AS INTEGER) AS idx,
-           CAST(floor(lng*100000 + 0.5) AS BIGINT)/100000.0 AS lng5,
-           CAST(floor(lat*100000 + 0.5) AS BIGINT)/100000.0 AS lat5
-         FROM pts ORDER BY grp, idx""",
-    "feature_reassembly" ->
-      """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
-           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
-           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
-           FROM lineitem),
-         k AS (SELECT point_id, lng, lat,
-           CAST(floor(lng) AS BIGINT) AS swlng, CAST(floor(lat) AS BIGINT) AS swlat,
-           (lng - floor(lng)) * 600 AS colf, (lat - floor(lat)) * 600 AS rowf FROM pts),
-         g AS (SELECT *, CAST(floor(colf) AS BIGINT) AS c0, CAST(floor(rowf) AS BIGINT) AS r0,
-           colf - floor(colf) AS cf, rowf - floor(rowf) AS rf,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM k),
-         v AS (SELECT *,
-           a + 2*c0     + 3*r0     + ((c0//8)*(r0//8)) % 32         AS v00,
-           a + 2*(c0+1) + 3*r0     + (((c0+1)//8)*(r0//8)) % 32     AS v10,
-           a + 2*(c0+1) + 3*(r0+1) + (((c0+1)//8)*((r0+1)//8)) % 32 AS v11,
-           a + 2*c0     + 3*(r0+1) + ((c0//8)*((r0+1)//8)) % 32     AS v01 FROM g),
-         e AS (SELECT point_id, point_id % 200 AS grp,
-           CASE WHEN (swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36) THEN 0.0
-                ELSE (v00 + (v10 - v00) * cf) +
-                     ((v01 + (v11 - v01) * cf) - (v00 + (v10 - v00) * cf)) * rf
-           END AS elev FROM v),
-         w AS (SELECT grp, elev,
-           row_number() OVER (PARTITION BY grp ORDER BY point_id) AS rn,
-           count(*) OVER (PARTITION BY grp) AS n FROM e)
-         SELECT grp, n, max(CASE WHEN rn = 1 THEN elev END) AS first_elev,
-           max(CASE WHEN rn = n THEN elev END) AS last_elev,
-           min(elev) AS min_elev, max(elev) AS max_elev
-         FROM w GROUP BY grp, n ORDER BY grp""",
-    "geo_slope" ->
-      """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
-           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
-           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
-           FROM lineitem),
-         k AS (SELECT point_id,
-           CAST(floor(lng) AS BIGINT) AS swlng, CAST(floor(lat) AS BIGINT) AS swlat,
-           CAST(floor((lng - floor(lng)) * 600 + 0.5) AS BIGINT) AS cn,
-           CAST(floor((lat - floor(lat)) * 600 + 0.5) AS BIGINT) AS rn FROM pts),
-         b AS (SELECT *, GREATEST(0, cn-1) AS c0, LEAST(600, cn+1) AS c1,
-           GREATEST(0, rn-1) AS r0, LEAST(600, rn+1) AS r1,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM k),
-         d AS (SELECT point_id, swlng, swlat,
-           ((a + 2*c1 + 3*rn + ((c1//8)*(rn//8)) % 32) -
-            (a + 2*c0 + 3*rn + ((c0//8)*(rn//8)) % 32)) / (c1 - c0) AS dc,
-           ((a + 2*cn + 3*r1 + ((cn//8)*(r1//8)) % 32) -
-            (a + 2*cn + 3*r0 + ((cn//8)*(r0//8)) % 32)) / (r1 - r0) AS dr
-           FROM b)
-         SELECT point_id,
-           CASE WHEN (swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36) THEN 0.0
-                ELSE dc*dc + dr*dr END AS slope2
-         FROM d ORDER BY point_id""",
-    "geo_hillshade" ->
-      """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
-           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
-           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
-           FROM lineitem),
-         k AS (SELECT point_id,
-           CAST(floor(lng) AS BIGINT) AS swlng, CAST(floor(lat) AS BIGINT) AS swlat,
-           CAST(floor((lng - floor(lng)) * 600 + 0.5) AS BIGINT) AS cn,
-           CAST(floor((lat - floor(lat)) * 600 + 0.5) AS BIGINT) AS rn FROM pts),
-         b AS (SELECT *, GREATEST(0, cn-1) AS c0, LEAST(600, cn+1) AS c1,
-           GREATEST(0, rn-1) AS r0, LEAST(600, rn+1) AS r1,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM k),
-         d AS (SELECT point_id, swlng, swlat,
-           ((a + 2*c1 + 3*rn + ((c1//8)*(rn//8)) % 32) -
-            (a + 2*c0 + 3*rn + ((c0//8)*(rn//8)) % 32)) / (c1 - c0) AS dc,
-           ((a + 2*cn + 3*r1 + ((cn//8)*(r1//8)) % 32) -
-            (a + 2*cn + 3*r0 + ((cn//8)*(r0//8)) % 32)) / (r1 - r0) AS dr
-           FROM b)
-         SELECT point_id,
-           CASE WHEN (swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36) THEN 0.0
-                ELSE (-0.5 * -dc + 0.5 * -dr + 0.7071067811865476) / sqrt(dc*dc + dr*dr + 1.0) END AS hillshade
-         FROM d ORDER BY point_id""",
-    "zonal_stats" ->
-      """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
-           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS px,
-           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS py
-           FROM lineitem),
-         tri AS (SELECT s_suppkey AS poly_id,
-           -120.0 + (s_suppkey % 40) * 0.1 AS cx, 36.0 + ((s_suppkey * 3) % 20) * 0.1 AS cy,
-           0.05 + (s_suppkey % 7) * 0.013 AS w, 0.04 + (s_suppkey % 5) * 0.017 AS h
-           FROM supplier),
-         tv AS (SELECT poly_id, cx AS x1, cy + h AS y1, cx - w AS x2, cy - h AS y2,
-           cx + w AS x3, cy - h AS y3 FROM tri),
-         inside AS (SELECT point_id, poly_id, px, py FROM (
-             SELECT p.point_id, p.px, p.py, tv.* FROM pts p JOIN tv
-             ON p.px >= tv.x2 AND p.px <= tv.x3 AND p.py >= tv.y2 AND p.py <= tv.y1)
-           WHERE ((CASE WHEN (y1 > py) <> (y3 > py) AND px < (x3 - x1) * (py - y1) / (y3 - y1) + x1 THEN 1 ELSE 0 END)
-                + (CASE WHEN (y2 > py) <> (y1 > py) AND px < (x1 - x2) * (py - y2) / (y1 - y2) + x2 THEN 1 ELSE 0 END)
-                + (CASE WHEN (y3 > py) <> (y2 > py) AND px < (x2 - x3) * (py - y3) / (y2 - y3) + x3 THEN 1 ELSE 0 END)) % 2 = 1),
-         ek AS (SELECT point_id, px AS lng, py AS lat,
-           CAST(floor(px) AS BIGINT) AS swlng, CAST(floor(py) AS BIGINT) AS swlat,
-           (px - floor(px)) * 600 AS colf, (py - floor(py)) * 600 AS rowf FROM pts),
-         eg AS (SELECT *, CAST(floor(colf) AS BIGINT) AS c0, CAST(floor(rowf) AS BIGINT) AS r0,
-           colf - floor(colf) AS cf, rowf - floor(rowf) AS rf,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM ek),
-         ev AS (SELECT *,
-           a + 2*c0     + 3*r0     + ((c0//8)*(r0//8)) % 32         AS v00,
-           a + 2*(c0+1) + 3*r0     + (((c0+1)//8)*(r0//8)) % 32     AS v10,
-           a + 2*(c0+1) + 3*(r0+1) + (((c0+1)//8)*((r0+1)//8)) % 32 AS v11,
-           a + 2*c0     + 3*(r0+1) + ((c0//8)*((r0+1)//8)) % 32     AS v01 FROM eg),
-         e AS (SELECT point_id,
-           CASE WHEN (swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36) THEN 0.0
-                ELSE (v00 + (v10 - v00) * cf) +
-                     ((v01 + (v11 - v01) * cf) - (v00 + (v10 - v00) * cf)) * rf
-           END AS elev FROM ev)
-         SELECT poly_id, count(*) AS n_points, min(elev) AS min_elev, max(elev) AS max_elev
-         FROM inside JOIN e USING (point_id)
-         GROUP BY poly_id ORDER BY poly_id""",
-    // lower median: the value at rank (n+1)//2 under the (elev, point_id)
-    // total order — same membership and bilinear kernel as zonal_stats
-    "zonal_median" ->
-      """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
-           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS px,
-           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS py
-           FROM lineitem),
-         tri AS (SELECT s_suppkey AS poly_id,
-           -120.0 + (s_suppkey % 40) * 0.1 AS cx, 36.0 + ((s_suppkey * 3) % 20) * 0.1 AS cy,
-           0.05 + (s_suppkey % 7) * 0.013 AS w, 0.04 + (s_suppkey % 5) * 0.017 AS h
-           FROM supplier),
-         tv AS (SELECT poly_id, cx AS x1, cy + h AS y1, cx - w AS x2, cy - h AS y2,
-           cx + w AS x3, cy - h AS y3 FROM tri),
-         inside AS (SELECT point_id, poly_id, px, py FROM (
-             SELECT p.point_id, p.px, p.py, tv.* FROM pts p JOIN tv
-             ON p.px >= tv.x2 AND p.px <= tv.x3 AND p.py >= tv.y2 AND p.py <= tv.y1)
-           WHERE ((CASE WHEN (y1 > py) <> (y3 > py) AND px < (x3 - x1) * (py - y1) / (y3 - y1) + x1 THEN 1 ELSE 0 END)
-                + (CASE WHEN (y2 > py) <> (y1 > py) AND px < (x1 - x2) * (py - y2) / (y1 - y2) + x2 THEN 1 ELSE 0 END)
-                + (CASE WHEN (y3 > py) <> (y2 > py) AND px < (x2 - x3) * (py - y3) / (y2 - y3) + x3 THEN 1 ELSE 0 END)) % 2 = 1),
-         ek AS (SELECT point_id, px AS lng, py AS lat,
-           CAST(floor(px) AS BIGINT) AS swlng, CAST(floor(py) AS BIGINT) AS swlat,
-           (px - floor(px)) * 600 AS colf, (py - floor(py)) * 600 AS rowf FROM pts),
-         eg AS (SELECT *, CAST(floor(colf) AS BIGINT) AS c0, CAST(floor(rowf) AS BIGINT) AS r0,
-           colf - floor(colf) AS cf, rowf - floor(rowf) AS rf,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM ek),
-         ev AS (SELECT *,
-           a + 2*c0     + 3*r0     + ((c0//8)*(r0//8)) % 32         AS v00,
-           a + 2*(c0+1) + 3*r0     + (((c0+1)//8)*(r0//8)) % 32     AS v10,
-           a + 2*(c0+1) + 3*(r0+1) + (((c0+1)//8)*((r0+1)//8)) % 32 AS v11,
-           a + 2*c0     + 3*(r0+1) + ((c0//8)*((r0+1)//8)) % 32     AS v01 FROM eg),
-         e AS (SELECT point_id,
-           CASE WHEN (swlng = -118 AND swlat = 37) OR (swlng = -117 AND swlat = 36) THEN 0.0
-                ELSE (v00 + (v10 - v00) * cf) +
-                     ((v01 + (v11 - v01) * cf) - (v00 + (v10 - v00) * cf)) * rf
-           END AS elev FROM ev),
-         w AS (SELECT poly_id, point_id, elev,
-           row_number() OVER (PARTITION BY poly_id ORDER BY elev, point_id) AS rn,
-           count(*) OVER (PARTITION BY poly_id) AS n_points
-           FROM inside JOIN e USING (point_id))
-         SELECT poly_id, n_points, elev AS median_elev
-         FROM w WHERE rn = (n_points + 1) // 2 ORDER BY poly_id""",
-    "zonal_hist" -> zonalHistOracleSql,
-    "zonal_majority" ->
-      s"""SELECT poly_id, bin AS majority_bin, CAST(n AS BIGINT) AS n
-         FROM ($zonalHistOracleSql)
-         QUALIFY row_number() OVER (PARTITION BY poly_id ORDER BY n DESC, bin) = 1
-         ORDER BY poly_id""",
-    "tile_mosaic" -> tileMosaicOracleSql,
-    "hex_rollup" -> hexRollupOracleSql,
-    "geo_voronoi" ->
-      """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
-           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
-           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
-           FROM lineitem),
-         sites AS (SELECT s_suppkey AS site_id,
-           -120 + (s_suppkey % 4) + (((s_suppkey*13) % 97) + 0.5)/97.0 AS sx,
-           36 + (s_suppkey % 2) + (((s_suppkey*29) % 97) + 0.5)/97.0 AS sy
-           FROM supplier WHERE s_suppkey <= 40),
-         c AS (SELECT point_id, site_id,
-           (lng - sx)*(lng - sx) + (lat - sy)*(lat - sy) AS d2 FROM pts, sites)
-         SELECT point_id, site_id, d2 FROM c
-         QUALIFY row_number() OVER (PARTITION BY point_id ORDER BY d2, site_id) = 1
-         ORDER BY point_id""",
-    "geo_idw" ->
-      """WITH probes AS (SELECT c_custkey AS probe_id,
-           -120 + (c_custkey % 4) + ((c_custkey % 577) + 0.5)/577.0 AS px,
-           36 + (c_custkey % 2) + (((c_custkey*13) % 577) + 0.5)/577.0 AS py
-           FROM customer WHERE c_custkey % 10 = 0),
-         obs AS (SELECT
-           -120 + (l_orderkey % 4) + ((l_partkey % 577) + 0.5)/577.0 AS x,
-           36 + (l_suppkey % 2) + (((l_partkey*13) % 577) + 0.5)/577.0 AS y,
-           l_partkey % 1000 + 1 AS v
-           FROM lineitem WHERE l_orderkey % 20 = 0),
-         c AS (SELECT probe_id, v, (px - x) AS ddx, (py - y) AS ddy
-           FROM probes, obs),
-         f AS (SELECT probe_id, v, ddx*ddx + ddy*ddy AS d2 FROM c
-           WHERE ddx*ddx + ddy*ddy > 0.0 AND ddx*ddx + ddy*ddy <= 0.05*0.05),
-         w AS (SELECT probe_id, v,
-           CAST(LEAST(floor(1.0/d2), 1000000000000.0) AS BIGINT) AS wq FROM f)
-         SELECT probe_id, CAST(count(*) AS BIGINT) AS n_obs,
-           CAST(sum(wq * v) AS BIGINT) AS vsum, CAST(sum(wq) AS BIGINT) AS wsum,
-           CAST(sum(wq * v) AS BIGINT) // CAST(sum(wq) AS BIGINT) AS idw_q
-         FROM w GROUP BY 1 ORDER BY 1""",
-    "geo_s2_cell" -> s2OracleSql(quadrantPtsCte, 12),
-    "geo_hex_cell" -> hexOracleSql(quadrantPtsCte, 9),
-    "geo_hex_kring" -> hexKringOracleSql,
-    "geo_hex_regions" -> hexRegionsOracleSql,
-    // candidate bbox key grid minus the present tiles
-    "geo_coverage_gap" ->
-      """WITH g AS (SELECT -121 + (CAST(i AS INT) % 6) AS swlng,
-             35 + (CAST(i AS INT) // 6) AS swlat FROM range(0, 24) t(i)),
-         keys AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END ||
-             lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END ||
-             lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS tile_key FROM g),
-         present(tile_key) AS (VALUES ('N36W120'),('N37W120'),('N36W119'),
-           ('N37W119'),('N36W118'),('N37W117'))
-         SELECT tile_key FROM keys
-         WHERE tile_key NOT IN (SELECT tile_key FROM present)
-         ORDER BY tile_key""",
-    // same cell derivation; distance = axial metric over the offset-encoded
-    // q/r unpacked by exact integer division (2^29 = 536870912)
-    "geo_hex_distance" ->
-      s"""WITH c AS (${hexOracleSql(quadrantPtsCte, 9)}),
-         p AS (SELECT a.point_id, a.cell AS cell_a, b.cell AS cell_b
-           FROM c a JOIN c b ON b.point_id = a.point_id + 1),
-         d AS (SELECT point_id, cell_a, cell_b,
-             ((cell_a // 536870912) % 536870912) - 268435456 AS qa,
-             (cell_a % 536870912) - 268435456 AS ra,
-             ((cell_b // 536870912) % 536870912) - 268435456 AS qb,
-             (cell_b % 536870912) - 268435456 AS rb
-           FROM p)
-         SELECT point_id, cell_a, cell_b,
-           CAST((abs(qa - qb) + abs(ra - rb) + abs((qa - qb) + (ra - rb)))
-             // 2 AS BIGINT) AS hex_dist
-         FROM d ORDER BY point_id""",
-    "geo_cell_density" ->
-      s"""SELECT cell, count(*) AS n FROM (${hexOracleSql(quadrantPtsCte, 7)})
-         GROUP BY cell HAVING count(*) >= 5 ORDER BY n DESC, cell""",
-    // Moran's I in exact rationals: z_i = n·x_i − Σx keeps deviations
-    // integer (the n² cancels in the ratio); ONE IEEE division at the end
-    "geo_morans_i" ->
-      """WITH cells AS (SELECT (c_custkey % 360) // 8 AS cx,
-             ((c_custkey * 7) % 180) // 4 AS cy, count(*) AS x
-           FROM customer GROUP BY 1, 2),
-         tot AS (SELECT count(*) AS n_cells, CAST(sum(x) AS BIGINT) AS sx FROM cells),
-         z AS (SELECT cx, cy, n_cells * x - sx AS z FROM cells, tot),
-         offs(dx, dy) AS (VALUES (1,0),(-1,0),(0,1),(0,-1)),
-         pairs AS (SELECT CAST(sum(a.z * b.z) AS BIGINT) AS num,
-             count(*) AS w_pairs
-           FROM z a JOIN offs o ON true
-           JOIN z b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy),
-         den AS (SELECT CAST(sum(z*z) AS BIGINT) AS den FROM z)
-         SELECT CAST(n_cells AS BIGINT) AS n_cells,
-           CAST(w_pairs AS BIGINT) AS w_pairs, num, den,
-           CAST(n_cells * num AS DOUBLE) / CAST(w_pairs * den AS DOUBLE) AS morans_i
-         FROM tot, den, pairs""",
-    // Gi* hotspots: same occupied-cell grid, 5-offset (self + rook)
-    // neighborhood join, exact integer z² cross-multiplication
-    "geo_getis_hot" ->
-      """WITH cells AS (SELECT (c_custkey % 360) // 8 AS cx,
-             ((c_custkey * 7) % 180) // 4 AS cy, count(*) AS x
-           FROM customer GROUP BY 1, 2),
-         tot AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS tx,
-             CAST(sum(x*x) AS BIGINT) AS qx FROM cells),
-         offs(dx, dy) AS (VALUES (0,0),(1,0),(-1,0),(0,1),(0,-1)),
-         loc AS (SELECT a.cx, a.cy, max(a.x) AS x,
-             CAST(sum(b.x) AS BIGINT) AS li, count(*) AS wi
-           FROM cells a JOIN offs o ON true
-           JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
-           GROUP BY a.cx, a.cy)
-         SELECT CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy,
-           CAST(x AS BIGINT) AS x, li, CAST(wi AS BIGINT) AS wi,
-           CAST(n*li - tx*wi AS BIGINT) AS num,
-           CAST(CASE WHEN n*li - tx*wi > 0
-             AND 625*(n*li - tx*wi)*(n*li - tx*wi)*(n-1) >=
-                 2401*(n*qx - tx*tx)*wi*(n-wi)
-             THEN 1 ELSE 0 END AS BIGINT) AS hot
-         FROM loc, tot ORDER BY cx, cy""",
-    // rasterize: the zonal triangle family against exact 1/64° pixel
-    // centers, even-odd PIP per center, per-pixel covering count
-    "geo_rasterize" ->
-      """WITH g AS (SELECT range AS id, range // 136 AS gi, range % 136 AS gj
-           FROM range(0, 35904)),
-         ctr AS (SELECT gi, gj,
-             -120 + (2*gi + 1) / 128.0 AS px, 36 + (2*gj + 1) / 128.0 AS py
-           FROM g),
-         tri AS (SELECT s_suppkey AS poly_id,
-           -120.0 + (s_suppkey % 40) * 0.1 AS cx, 36.0 + ((s_suppkey * 3) % 20) * 0.1 AS cy,
-           0.05 + (s_suppkey % 7) * 0.013 AS w, 0.04 + (s_suppkey % 5) * 0.017 AS h
-           FROM supplier),
-         tv AS (SELECT poly_id, cx AS x1, cy + h AS y1, cx - w AS x2, cy - h AS y2,
-           cx + w AS x3, cy - h AS y3 FROM tri),
-         inside AS (SELECT gi, gj, poly_id FROM (
-             SELECT c.gi, c.gj, c.px, c.py, tv.* FROM ctr c JOIN tv
-             ON c.px >= tv.x2 AND c.px <= tv.x3 AND c.py >= tv.y2 AND c.py <= tv.y1)
-           WHERE ((CASE WHEN (y1 > py) <> (y3 > py) AND px < (x3 - x1) * (py - y1) / (y3 - y1) + x1 THEN 1 ELSE 0 END)
-                + (CASE WHEN (y2 > py) <> (y1 > py) AND px < (x1 - x2) * (py - y2) / (y1 - y2) + x2 THEN 1 ELSE 0 END)
-                + (CASE WHEN (y3 > py) <> (y2 > py) AND px < (x2 - x3) * (py - y3) / (y2 - y3) + x3 THEN 1 ELSE 0 END)) % 2 = 1)
-         SELECT CAST(gi AS BIGINT) AS gi, CAST(gj AS BIGINT) AS gj,
-           count(*) AS n_polys
-         FROM inside GROUP BY 1, 2 ORDER BY 1, 2""",
-    "geo_cost_distance" -> costDistanceOracleSql,
-    "q_antijoin" ->
-      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders
-           WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1997-01-01')
-         GROUP BY 1 ORDER BY 1""",
-    "q_semijoin" ->
-      """SELECT s_nationkey, count(*) AS n_suppliers FROM supplier
-         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
-         GROUP BY 1 ORDER BY 1""",
-    "sql_surface" -> {
-      // compose: tile key formatting + S2 level 10 + hex res 7 over the same
-      // quadrant points, each from its existing oracle building block
-      val s2part = s2OracleSql(quadrantPtsCte, 10)
-      val hexpart = hexOracleSql(quadrantPtsCte, 7)
-      s"""WITH s2q AS ($s2part), hexq AS ($hexpart),
-         pts AS ($quadrantPtsCte)
-         SELECT p.point_id,
-           (CASE WHEN floor(p.lat) < 0 THEN 'S' ELSE 'N' END ||
-            lpad(CAST(CAST(abs(floor(p.lat)) AS BIGINT) AS VARCHAR), 2, '0') ||
-            CASE WHEN floor(p.lng) < 0 THEN 'W' ELSE 'E' END ||
-            lpad(CAST(CAST(abs(floor(p.lng)) AS BIGINT) AS VARCHAR), 3, '0')) AS tile_key,
-           s2q.cell AS cell10, hexq.cell AS hex7
-         FROM pts p JOIN s2q ON p.point_id = s2q.point_id
-         JOIN hexq ON p.point_id = hexq.point_id
-         ORDER BY p.point_id"""
-    },
-    "dedup_minhash" -> minhashOracleSql,
-    // same banded CTE, stopped at the bucket histogram
-    "dedup_lsh_skew" ->
-      s"""WITH $minhashCtes,
-         bsz AS (SELECT band_id, band_key, CAST(count(*) AS BIGINT) AS sz
-           FROM banded GROUP BY 1, 2)
-         SELECT CAST(band_id AS INT) AS band_id,
-           CAST(count(*) AS BIGINT) AS n_buckets,
-           CAST(sum(sz) AS BIGINT) AS n_rows,
-           CAST(max(sz) AS BIGINT) AS max_bucket,
-           CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS candidate_pairs
-         FROM bsz GROUP BY 1 ORDER BY band_id""",
-    // rightmost-min winnowing via the same packed-key windowed MIN
-    "dedup_winnow" ->
-      s"""WITH sh AS (SELECT doc_id, $sqlShingles3 AS sh FROM documents),
-         hv AS (SELECT doc_id, list_transform(sh,
-             x -> ${sqlH60("x")} % 1048573) AS hv FROM sh),
-         px AS (SELECT doc_id, unnest(range(0, len(hv))) AS p, hv FROM hv),
-         pos AS (SELECT doc_id, CAST(p AS BIGINT) AS pos,
-             hv[CAST(p AS INT) + 1] AS h FROM px),
-         k AS (SELECT doc_id, pos, h,
-             h * 1048576 + (1048575 - pos) AS key,
-             CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS m
-           FROM pos),
-         wm AS (SELECT doc_id, m, pos, min(key) OVER (PARTITION BY doc_id
-             ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
-           FROM k),
-         sel AS (SELECT DISTINCT doc_id, m, wmin // 1048576 AS h,
-             1048575 - wmin % 1048576 AS sel_pos
-           FROM wm WHERE pos <= m - 4)
-         SELECT doc_id, CAST(max(m) AS BIGINT) AS n_grams,
-           CAST(count(*) AS BIGINT) AS n_fp, CAST(sum(h) AS BIGINT) AS fp_sum,
-           CAST(min(h) AS BIGINT) AS fp_min, CAST(max(h) AS BIGINT) AS fp_max
-         FROM sel GROUP BY 1 ORDER BY doc_id""",
-    "dedup_minhash_est" -> minhashEstOracleSql,
-    "dedup_cross_modal" -> crossModalOracleSql,
-    "img_hog" -> hogOracleSql,
-    // r1 committed with every order; zz is the crashed writer's tree
-    "checkpoint_orphans" ->
-      """SELECT 'r1' AS run_id, CAST(count(*) AS BIGINT) AS n_rows,
-           TRUE AS committed FROM orders
-         UNION ALL
-         SELECT 'zz', CAST(count(*) AS BIGINT), FALSE FROM orders
-         WHERE o_orderkey % 9 = 0
-         ORDER BY run_id""",
-    // first view -> first subsequent purchase per user; selection quartiles
-    "events_conversion_lag" ->
-      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
-         v AS (SELECT user_id, min(us) AS v_us FROM ev
-           WHERE event_type = 'view' GROUP BY 1),
-         lg AS (SELECT e.user_id, CAST(min(e.us) - max(v.v_us) AS BIGINT) AS lag_us
-           FROM ev e JOIN v ON v.user_id = e.user_id
-           WHERE e.event_type = 'purchase' AND e.us > v.v_us GROUP BY 1),
-         r AS (SELECT lag_us, user_id,
-             row_number() OVER (ORDER BY lag_us, user_id) AS rn,
-             count(*) OVER () AS n FROM lg)
-         SELECT CAST(max(n) AS BIGINT) AS n_converted,
-           max(CASE WHEN rn = floor((n-1)*0.25)+1 THEN lag_us END) AS p25_us,
-           max(CASE WHEN rn = floor((n-1)*0.5)+1 THEN lag_us END) AS p50_us,
-           max(CASE WHEN rn = floor((n-1)*0.75)+1 THEN lag_us END) AS p75_us
-         FROM r""",
-    "stream_interval_join" ->
-      """WITH e AS (SELECT user_id, event_id, event_type,
-           epoch_us(ts) AS tus FROM events)
-         SELECT v.event_id AS view_id, p.event_id AS purchase_id,
-           CAST(v.tus AS BIGINT) AS v_us, CAST(p.tus AS BIGINT) AS p_us
-         FROM e v JOIN e p ON v.user_id = p.user_id
-           AND v.event_type = 'view' AND p.event_type = 'purchase'
-           AND p.tus >= v.tus AND p.tus <= v.tus + 3600000000
-         ORDER BY view_id, purchase_id""",
-    "graph_triangles" ->
-      """WITH e0 AS (SELECT DISTINCT
-           greatest(l_orderkey % 20000, (l_orderkey*7 + l_linenumber*13) % 20000) AS hi,
-           least(l_orderkey % 20000, (l_orderkey*7 + l_linenumber*13) % 20000) AS lo
-           FROM lineitem
-           WHERE l_orderkey % 20000 <> (l_orderkey*7 + l_linenumber*13) % 20000)
-         SELECT CAST(e1.lo AS BIGINT) AS a, CAST(e1.hi AS BIGINT) AS b,
-           CAST(e2.hi AS BIGINT) AS c
-         FROM e0 e1 JOIN e0 e2 ON e2.lo = e1.hi
-         JOIN e0 e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
-         ORDER BY a, b, c""",
-    "graph_sssp" -> {
-      val rounds = (1 to 4).map { i =>
-        s"""d$i AS (SELECT node, min(dist) AS dist FROM (
-           SELECT node, dist FROM d${i - 1}
-           UNION ALL
-           SELECT e.dst AS node, d${i - 1}.dist + e.w AS dist
-           FROM d${i - 1} JOIN e ON e.src = d${i - 1}.node) GROUP BY node)"""
-      }.mkString(",\n         ")
-      s"""WITH e AS (SELECT l_orderkey % 20000 AS src,
-           (l_orderkey*7 + l_linenumber*13) % 20000 AS dst,
-           l_linenumber % 5 + 1 AS w FROM lineitem),
-         d0(node, dist) AS (SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
-         $rounds
-         SELECT node, dist FROM d4 ORDER BY node"""
-    },
-    "stream_dedup" ->
-      """SELECT DISTINCT user_id, event_type,
-           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
-         FROM events ORDER BY user_id, event_type, day""",
-    // anchors: same walk, hour regimes, modal 0.005° cell with
-    // (n DESC, cell_x, cell_y) tie-break
-    "traj_anchors" ->
-      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, hour(ts) AS hr,
-           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
-           (event_id * 3) % 5 AS dy
-           FROM events WHERE user_id < 50),
-         c AS (SELECT user_id AS traj_id, hr,
-           sum(dx) OVER w AS pxc, sum(dy) OVER w AS pyc
-           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-         p AS (SELECT traj_id,
-           CASE WHEN hr < 6 THEN 'home'
-                WHEN hr >= 9 AND hr < 17 THEN 'work' END AS regime,
-           CAST(floor((-120.0 + pxc / 1000.0) * 200.0) AS BIGINT) AS cell_x,
-           CAST(floor((36.0 + pyc / 1000.0) * 200.0) AS BIGINT) AS cell_y
-           FROM c),
-         g AS (SELECT traj_id, regime, cell_x, cell_y,
-           CAST(count(*) AS BIGINT) AS n_fixes
-           FROM p WHERE regime IS NOT NULL GROUP BY 1, 2, 3, 4),
-         r AS (SELECT *, row_number() OVER (PARTITION BY traj_id, regime
-             ORDER BY n_fixes DESC, cell_x, cell_y) AS rn FROM g)
-         SELECT traj_id, regime, cell_x, cell_y, n_fixes
-         FROM r WHERE rn = 1 ORDER BY traj_id, regime""",
-    // geofence: same synthetic walk as traj_speed, same per-edge ray-cast
-    // fragment as geo_pip (edge (i, i−1) wrapping), lag keeps the flips
-    "traj_geofence" ->
-      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
-           (event_id * 3) % 5 AS dy
-           FROM events WHERE user_id < 50),
-         c AS (SELECT user_id AS traj_id, event_id AS tie, ts_us,
-           sum(dx) OVER w AS pxc, sum(dy) OVER w AS pyc
-           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-         p AS (SELECT traj_id, tie, ts_us,
-           -120.0 + pxc / 1000.0 AS lng, 36.0 + pyc / 1000.0 AS lat FROM c),
-         f(fence_id, x1, y1, x2, y2, x3, y3) AS (VALUES
-           (CAST(1 AS BIGINT), -119.7, 36.25, -120.0, 35.75, -119.4, 35.75),
-           (CAST(2 AS BIGINT), -119.0, 36.35, -119.3, 35.85, -118.7, 35.85)),
-         m AS (SELECT traj_id, fence_id, tie, ts_us,
-           CASE WHEN ((CASE WHEN (y1 > lat) <> (y3 > lat) AND lng < (x3 - x1) * (lat - y1) / (y3 - y1) + x1 THEN 1 ELSE 0 END)
-             + (CASE WHEN (y2 > lat) <> (y1 > lat) AND lng < (x1 - x2) * (lat - y2) / (y1 - y2) + x2 THEN 1 ELSE 0 END)
-             + (CASE WHEN (y3 > lat) <> (y2 > lat) AND lng < (x2 - x3) * (lat - y3) / (y2 - y3) + x3 THEN 1 ELSE 0 END)) % 2 = 1
-             THEN 1 ELSE 0 END AS inside
-           FROM p, f),
-         d AS (SELECT traj_id, fence_id, tie, ts_us, inside,
-           lag(inside) OVER (PARTITION BY traj_id, fence_id ORDER BY ts_us, tie) AS prev FROM m)
-         SELECT traj_id, fence_id, tie, ts_us,
-           CASE WHEN inside = 1 THEN 'enter' ELSE 'exit' END AS event
-         FROM d WHERE prev IS NOT NULL AND prev <> inside
-         ORDER BY traj_id, fence_id, tie""",
-    // fence dwell: same membership chain, lead-interval attribution,
-    // first-fix-inside counts as a visit
-    "traj_fence_dwell" ->
-      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
-           (event_id * 3) % 5 AS dy
-           FROM events WHERE user_id < 50),
-         c AS (SELECT user_id AS traj_id, event_id AS tie, ts_us,
-           sum(dx) OVER w AS pxc, sum(dy) OVER w AS pyc
-           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-         p AS (SELECT traj_id, tie, ts_us,
-           -120.0 + pxc / 1000.0 AS lng, 36.0 + pyc / 1000.0 AS lat FROM c),
-         f(fence_id, x1, y1, x2, y2, x3, y3) AS (VALUES
-           (CAST(1 AS BIGINT), -119.7, 36.25, -120.0, 35.75, -119.4, 35.75),
-           (CAST(2 AS BIGINT), -119.0, 36.35, -119.3, 35.85, -118.7, 35.85)),
-         m AS (SELECT traj_id, fence_id, tie, ts_us,
-           CASE WHEN ((CASE WHEN (y1 > lat) <> (y3 > lat) AND lng < (x3 - x1) * (lat - y1) / (y3 - y1) + x1 THEN 1 ELSE 0 END)
-             + (CASE WHEN (y2 > lat) <> (y1 > lat) AND lng < (x1 - x2) * (lat - y2) / (y1 - y2) + x2 THEN 1 ELSE 0 END)
-             + (CASE WHEN (y3 > lat) <> (y2 > lat) AND lng < (x2 - x3) * (lat - y3) / (y2 - y3) + x3 THEN 1 ELSE 0 END)) % 2 = 1
-             THEN 1 ELSE 0 END AS inside
-           FROM p, f),
-         d AS (SELECT traj_id, fence_id, ts_us, inside,
-           lag(inside) OVER w2 AS prev,
-           coalesce(lead(ts_us) OVER w2 - ts_us, 0) AS dt_us
-           FROM m WINDOW w2 AS (PARTITION BY traj_id, fence_id ORDER BY ts_us, tie)),
-         g AS (SELECT traj_id, fence_id,
-           CAST(sum(inside) AS BIGINT) AS n_inside,
-           CAST(sum(CASE WHEN inside = 1 AND (prev IS NULL OR prev = 0) THEN 1 ELSE 0 END) AS BIGINT) AS visits,
-           CAST(sum(CASE WHEN inside = 1 THEN dt_us ELSE 0 END) AS BIGINT) AS dwell_us
-           FROM d GROUP BY 1, 2)
-         SELECT traj_id, fence_id, n_inside, visits, dwell_us
-         FROM g WHERE n_inside > 0 ORDER BY traj_id, fence_id""",
-    "traj_speed" ->
-      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
-           (event_id * 3) % 5 AS dy
-           FROM events WHERE user_id < 50),
-         c AS (SELECT user_id AS traj_id, event_id AS tie, ts_us,
-           sum(dx) OVER w AS pxc, sum(dy) OVER w AS pyc
-           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-         q AS (SELECT traj_id, ts_us, tie,
-           CAST(floor((-120.0 + pxc / 1000.0) * 1000000.0) AS BIGINT) AS xq,
-           CAST(floor((36.0 + pyc / 1000.0) * 1000000.0) AS BIGINT) AS yq FROM c),
-         d AS (SELECT traj_id, tie, ts_us, xq, yq,
-           lag(ts_us) OVER w2 AS pts, lag(xq) OVER w2 AS px,
-           lag(yq) OVER w2 AS py
-           FROM q WINDOW w2 AS (PARTITION BY traj_id ORDER BY ts_us, tie)),
-         e AS (SELECT traj_id, tie, pts,
-           coalesce(CAST(floor(sqrt(CAST((xq-px)*(xq-px) + (yq-py)*(yq-py) AS DOUBLE))) AS BIGINT), 0) AS dist_q,
-           coalesce(ts_us - pts, 0) AS dt_us FROM d),
-         g AS (SELECT traj_id, tie, pts, dist_q, dt_us,
-           CASE WHEN pts IS NULL THEN 0
-                WHEN dt_us = 0 AND dist_q = 0 THEN 0
-                WHEN dt_us = 0 THEN -1
-                ELSE (dist_q * 1000000) // dt_us END AS speed_q FROM e)
-         SELECT traj_id, tie, dist_q, dt_us, speed_q,
-           (pts IS NOT NULL AND (speed_q = -1 OR speed_q > 100)) AS flagged
-         FROM g ORDER BY traj_id, tie""",
-    // the traj_speed chain plus one more lag; trunc-div matches DIV on
-    // negative (braking) numerators
-    "traj_accel" ->
-      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
-           (event_id * 3) % 5 AS dy
-           FROM events WHERE user_id < 50),
-         c AS (SELECT user_id AS traj_id, event_id AS tie, ts_us,
-           sum(dx) OVER w AS pxc, sum(dy) OVER w AS pyc
-           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-         q AS (SELECT traj_id, ts_us, tie,
-           CAST(floor((-120.0 + pxc / 1000.0) * 1000000.0) AS BIGINT) AS xq,
-           CAST(floor((36.0 + pyc / 1000.0) * 1000000.0) AS BIGINT) AS yq FROM c),
-         d AS (SELECT traj_id, tie, ts_us, xq, yq,
-           lag(ts_us) OVER w2 AS pts, lag(xq) OVER w2 AS px,
-           lag(yq) OVER w2 AS py
-           FROM q WINDOW w2 AS (PARTITION BY traj_id ORDER BY ts_us, tie)),
-         e AS (SELECT traj_id, tie, ts_us, pts,
-           coalesce(CAST(floor(sqrt(CAST((xq-px)*(xq-px) + (yq-py)*(yq-py) AS DOUBLE))) AS BIGINT), 0) AS dist_q,
-           coalesce(ts_us - pts, 0) AS dt_us FROM d),
-         g AS (SELECT traj_id, tie, ts_us, dt_us,
-           CASE WHEN pts IS NULL THEN 0
-                WHEN dt_us = 0 AND dist_q = 0 THEN 0
-                WHEN dt_us = 0 THEN -1
-                ELSE (dist_q * 1000000) // dt_us END AS speed_q FROM e),
-         h AS (SELECT traj_id, dt_us, speed_q,
-           lag(speed_q) OVER w3 AS prev_sq, row_number() OVER w3 AS rn
-           FROM g WINDOW w3 AS (PARTITION BY traj_id ORDER BY ts_us, tie)),
-         i AS (SELECT traj_id, ((speed_q - prev_sq) * 1000000) // dt_us AS accel_q
-           FROM h WHERE prev_sq IS NOT NULL AND prev_sq <> -1
-             AND speed_q <> -1 AND dt_us > 0 AND rn > 2)
-         SELECT traj_id, CAST(count(*) AS BIGINT) AS n_acc,
-           CAST(sum(CASE WHEN accel_q <= -50 THEN 1 ELSE 0 END) AS BIGINT) AS n_harsh_brake,
-           CAST(sum(CASE WHEN accel_q >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_harsh_accel,
-           CAST(min(accel_q) AS BIGINT) AS min_accel_q,
-           CAST(max(accel_q) AS BIGINT) AS max_accel_q
-         FROM i GROUP BY 1 ORDER BY traj_id""",
-    "events_gap_fill" ->
-      """WITH b AS (SELECT event_type,
-           (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
-           CAST(round(value * 100, 0) AS BIGINT) AS v
-           FROM events WHERE user_id % 50 = 0),
-         p AS (SELECT event_type, bucket_us, CAST(sum(v) AS BIGINT) AS obs_cents
-           FROM b GROUP BY 1, 2),
-         sp AS (SELECT event_type,
-           unnest(range(min(bucket_us), max(bucket_us) + 3600000000, 3600000000)) AS bucket_us
-           FROM p GROUP BY event_type),
-         j AS (SELECT sp.event_type, sp.bucket_us, p.obs_cents
-           FROM sp LEFT JOIN p ON p.event_type = sp.event_type AND p.bucket_us = sp.bucket_us),
-         f AS (SELECT event_type, bucket_us,
-           last_value(obs_cents IGNORE NULLS) OVER (PARTITION BY event_type
-             ORDER BY bucket_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents,
-           obs_cents IS NULL AS filled FROM j)
-         SELECT event_type, bucket_us, cents, filled FROM f
-         ORDER BY event_type, bucket_us""",
-    "geo_line_density" ->
-      """WITH pts AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
-           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
-           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
-           FROM lineitem),
-         v AS (SELECT point_id % 199 AS line_id, point_id AS seq,
-           CAST(floor(lng * 100) AS BIGINT) AS x1,
-           CAST(floor(lat * 100) AS BIGINT) AS y1 FROM pts),
-         d AS (SELECT line_id, x1, y1, lag(x1) OVER w AS x0, lag(y1) OVER w AS y0
-           FROM v WINDOW w AS (PARTITION BY line_id ORDER BY seq)),
-         s AS (SELECT *, greatest(abs(x1-x0), abs(y1-y0), 1) AS steps
-           FROM d WHERE x0 IS NOT NULL),
-         tr AS (SELECT DISTINCT line_id,
-           x0 + CASE WHEN x1 >= x0 THEN ((x1-x0)*k.kk) // steps
-                ELSE -(((x0-x1)*k.kk) // steps) END AS cx,
-           y0 + CASE WHEN y1 >= y0 THEN ((y1-y0)*k.kk) // steps
-                ELSE -(((y0-y1)*k.kk) // steps) END AS cy
-           FROM s, unnest(range(0, s.steps + 1)) AS k(kk))
-         SELECT cx, cy, CAST(count(*) AS BIGINT) AS n_lines
-         FROM tr GROUP BY 1, 2 ORDER BY cx, cy""",
-    "traj_pipeline" ->
-      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-           event_id % 7 + CASE WHEN event_id % 101 = 0 THEN 5000 ELSE 0 END AS dx,
-           (event_id * 3) % 5 AS dy
-           FROM events WHERE user_id < 50),
-         c AS (SELECT user_id AS traj_id, event_id AS tie, ts_us,
-           sum(dx) OVER w AS pxc, sum(dy) OVER w AS pyc
-           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-         q AS (SELECT traj_id, ts_us, tie,
-           CAST(floor((-120.0 + pxc / 1000.0) * 1000000.0) AS BIGINT) AS xq,
-           CAST(floor((36.0 + pyc / 1000.0) * 1000000.0) AS BIGINT) AS yq FROM c),
-         d AS (SELECT traj_id, tie, ts_us, xq, yq,
-           lag(ts_us) OVER w2 AS pts, lag(xq) OVER w2 AS px,
-           lag(yq) OVER w2 AS py
-           FROM q WINDOW w2 AS (PARTITION BY traj_id ORDER BY ts_us, tie)),
-         e AS (SELECT traj_id, tie, pts,
-           coalesce(CAST(floor(sqrt(CAST((xq-px)*(xq-px) + (yq-py)*(yq-py) AS DOUBLE))) AS BIGINT), 0) AS dist_q,
-           coalesce(ts_us - pts, 0) AS dt_us FROM d),
-         g AS (SELECT traj_id, tie, pts, dist_q, dt_us,
-           CASE WHEN pts IS NULL THEN 0
-                WHEN dt_us = 0 AND dist_q = 0 THEN 0
-                WHEN dt_us = 0 THEN -1
-                ELSE (dist_q * 1000000) // dt_us END AS speed_q FROM e),
-         cl AS (SELECT q.traj_id, q.ts_us, q.tie, q.xq, q.yq
-           FROM q JOIN g ON q.traj_id = g.traj_id AND q.tie = g.tie
-           WHERE NOT (g.pts IS NOT NULL AND (g.speed_q = -1 OR g.speed_q > 100))),
-         d2 AS (SELECT traj_id, ts_us, tie, xq, yq,
-           lag(ts_us) OVER w3 AS pts, lag(xq) OVER w3 AS px,
-           lag(yq) OVER w3 AS py, row_number() OVER w3 AS rn
-           FROM cl WINDOW w3 AS (PARTITION BY traj_id ORDER BY ts_us, tie)),
-         f2 AS (SELECT traj_id, ts_us AS tick_us, xq AS ax, yq AS ay
-           FROM d2 WHERE rn = 1 AND ts_us % 21600000000 = 0),
-         s2 AS (SELECT d2.*, pts // 21600000000 + 1 AS k0,
-           ts_us // 21600000000 AS k1 FROM d2 WHERE rn > 1 AND ts_us > pts),
-         g2 AS (SELECT traj_id, k.kk * 21600000000 AS tick_us, px, py, xq, yq,
-           k.kk * 21600000000 - pts AS offq, ts_us - pts AS den
-           FROM s2, unnest(range(s2.k0, s2.k1 + 1)) AS k(kk)),
-         h2 AS (SELECT traj_id, tick_us,
-           px + CASE WHEN xq >= px THEN ((xq - px) * offq) // den
-                ELSE -(((px - xq) * offq) // den) END AS ax,
-           py + CASE WHEN yq >= py THEN ((yq - py) * offq) // den
-                ELSE -(((py - yq) * offq) // den) END AS ay FROM g2),
-         tk AS (SELECT traj_id, tick_us, ax, ay FROM f2
-           UNION ALL SELECT traj_id, tick_us, ax, ay FROM h2),
-         cells AS (SELECT traj_id, tick_us,
-           ((ax + 180000000) // 100000) * 10000 + (ay + 90000000) // 100000 AS cell
-           FROM tk),
-         ends AS (SELECT traj_id,
-           first_value(cell) OVER w4 AS o_cell,
-           last_value(cell) OVER w4 AS d_cell
-           FROM cells WINDOW w4 AS (PARTITION BY traj_id ORDER BY tick_us
-             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
-         dd AS (SELECT DISTINCT traj_id, o_cell, d_cell FROM ends)
-         SELECT o_cell, d_cell, CAST(count(*) AS BIGINT) AS n_traj
-         FROM dd GROUP BY 1, 2 ORDER BY o_cell, d_cell""",
-    "traj_resample" ->
-      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-           event_id % 7 AS dx, (event_id * 3) % 5 AS dy
-           FROM events WHERE user_id < 50),
-         c AS (SELECT user_id AS traj_id, event_id AS tie, ts_us,
-           sum(dx) OVER w AS pxc, sum(dy) OVER w AS pyc
-           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-         q AS (SELECT traj_id, ts_us, tie,
-           CAST(floor((-120.0 + pxc / 1000.0) * 1000000.0) AS BIGINT) AS xq,
-           CAST(floor((36.0 + pyc / 1000.0) * 1000000.0) AS BIGINT) AS yq FROM c),
-         d AS (SELECT traj_id, ts_us, xq, yq,
-           lag(ts_us) OVER w2 AS pts, lag(xq) OVER w2 AS px,
-           lag(yq) OVER w2 AS py, row_number() OVER w2 AS rn
-           FROM q WINDOW w2 AS (PARTITION BY traj_id ORDER BY ts_us, tie)),
-         f AS (SELECT traj_id, ts_us AS tick_us, xq AS ax, yq AS ay
-           FROM d WHERE rn = 1 AND ts_us % 21600000000 = 0),
-         s AS (SELECT d.*, pts // 21600000000 + 1 AS k0,
-           ts_us // 21600000000 AS k1 FROM d WHERE rn > 1 AND ts_us > pts),
-         g AS (SELECT traj_id, k.kk * 21600000000 AS tick_us, px, py, xq, yq,
-           k.kk * 21600000000 - pts AS offq, ts_us - pts AS den
-           FROM s, unnest(range(s.k0, s.k1 + 1)) AS k(kk)),
-         h AS (SELECT traj_id, tick_us,
-           px + CASE WHEN xq >= px THEN ((xq - px) * offq) // den
-                ELSE -(((px - xq) * offq) // den) END AS ax,
-           py + CASE WHEN yq >= py THEN ((yq - py) * offq) // den
-                ELSE -(((py - yq) * offq) // den) END AS ay FROM g)
-         SELECT traj_id, tick_us, ax, ay FROM f
-         UNION ALL SELECT traj_id, tick_us, ax, ay FROM h
-         ORDER BY traj_id, tick_us""",
-    "graph_suggest" ->
-      """WITH e AS (SELECT DISTINCT
-           greatest(l_orderkey % 20000, (l_orderkey*7 + l_linenumber*13) % 20000) AS hi,
-           least(l_orderkey % 20000, (l_orderkey*7 + l_linenumber*13) % 20000) AS lo
-           FROM lineitem
-           WHERE l_orderkey % 20000 <> (l_orderkey*7 + l_linenumber*13) % 20000),
-         adj AS (SELECT lo AS u, hi AS v FROM e
-                 UNION ALL SELECT hi AS u, lo AS v FROM e),
-         c AS (SELECT l.v AS a, r.v AS b, CAST(count(*) AS BIGINT) AS cn
-               FROM adj l JOIN adj r ON l.u = r.u AND l.v < r.v
-               GROUP BY l.v, r.v)
-         SELECT CAST(c.a AS BIGINT) AS a, CAST(c.b AS BIGINT) AS b, cn
-         FROM c LEFT JOIN e ON c.a = e.lo AND c.b = e.hi
-         WHERE e.lo IS NULL
-         ORDER BY cn DESC, a, b LIMIT 50""",
-    // the same wedge join with the midpoint's degree discount in exact ppm
-    "graph_resource_alloc" ->
-      """WITH e AS (SELECT DISTINCT
-           greatest(l_orderkey % 20000, (l_orderkey*7 + l_linenumber*13) % 20000) AS hi,
-           least(l_orderkey % 20000, (l_orderkey*7 + l_linenumber*13) % 20000) AS lo
-           FROM lineitem
-           WHERE l_orderkey % 20000 <> (l_orderkey*7 + l_linenumber*13) % 20000),
-         adj AS (SELECT lo AS u, hi AS v FROM e
-                 UNION ALL SELECT hi AS u, lo AS v FROM e),
-         deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY 1),
-         w AS (SELECT l.v AS a, r.v AS b,
-               CAST(1000000 AS BIGINT) // d.deg AS contrib
-               FROM adj l JOIN adj r ON l.u = r.u AND l.v < r.v
-               JOIN deg d ON d.u = l.u),
-         c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cn,
-               CAST(sum(contrib) AS BIGINT) AS ra_ppm
-               FROM w GROUP BY 1, 2)
-         SELECT CAST(c.a AS BIGINT) AS a, CAST(c.b AS BIGINT) AS b, cn, ra_ppm
-         FROM c LEFT JOIN e ON c.a = e.lo AND c.b = e.hi
-         WHERE e.lo IS NULL
-         ORDER BY ra_ppm DESC, a, b LIMIT 50""",
-    "media_frame_sample" ->
-      """WITH m AS (SELECT s_suppkey AS media_id,
-           1000 + (s_suppkey % 20) * 500 AS duration_ms,
-           CASE WHEN s_suppkey % 2 = 0 THEN 24000 ELSE 30000 END AS fps_milli,
-           4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),
-         f AS (SELECT media_id, fps_milli, n_bytes,
-           unnest(range(0, duration_ms, 500)) AS ts_ms FROM m),
-         h AS (SELECT media_id, ts_ms, ts_ms * fps_milli // 1000000 AS frame_no,
-           n_bytes FROM f),
-         o AS (SELECT media_id, frame_no, ts_ms,
-           (frame_no * 997) % (n_bytes - 16) AS off FROM h)
-         SELECT CAST(media_id AS BIGINT) AS media_id,
-           CAST(frame_no AS BIGINT) AS frame_no,
-           CAST(ts_ms AS BIGINT) AS ts_ms,
-           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-             list_transform(range(0,16),
-               i -> CAST((media_id*31 + (off+i)*7) % 256 AS BIGINT))),
-             (d,b) -> (d*131 + b) % 1000000007) AS BIGINT) AS frame_digest,
-           CAST(list_sum(list_transform(range(0,16),
-             i -> (media_id*31 + (off+i)*7) % 256)) // 16 AS BIGINT) AS luma16
-         FROM o ORDER BY media_id, ts_ms""",
-    "media_scene_cut" ->
-      """WITH m AS (SELECT s_suppkey AS media_id,
-           1000 + (s_suppkey % 20) * 500 AS duration_ms,
-           CASE WHEN s_suppkey % 2 = 0 THEN 24000 ELSE 30000 END AS fps_milli,
-           4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),
-         f AS (SELECT media_id, fps_milli, n_bytes,
-           unnest(range(0, duration_ms, 500)) AS ts_ms FROM m),
-         h AS (SELECT media_id, ts_ms, ts_ms * fps_milli // 1000000 AS frame_no,
-           n_bytes FROM f),
-         o AS (SELECT media_id, frame_no, ts_ms,
-           (frame_no * 997) % (n_bytes - 16) AS off FROM h),
-         fr AS (SELECT CAST(media_id AS BIGINT) AS media_id,
-           CAST(ts_ms AS BIGINT) AS ts_ms,
-           CAST(list_sum(list_transform(range(0,16),
-             i -> (media_id*31 + (off+i)*7) % 256)) // 16 AS BIGINT) AS luma16
-           FROM o),
-         d AS (SELECT media_id, ts_ms, luma16, lag(luma16) OVER w AS pl
-           FROM fr WINDOW w AS (PARTITION BY media_id ORDER BY ts_ms))
-         SELECT media_id, ts_ms, luma16,
-           CAST(coalesce(abs(luma16 - pl), 0) AS BIGINT) AS d_lum,
-           (pl IS NOT NULL AND abs(luma16 - pl) > 40) AS cut
-         FROM d ORDER BY media_id, ts_ms""",
-    "media_window_rms" ->
-      """WITH m AS (SELECT s_suppkey AS media_id,
-           4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),
-         w AS (SELECT media_id, unnest(range(0, n_bytes // 512)) AS win_no FROM m)
-         SELECT CAST(media_id AS BIGINT) AS media_id,
-           CAST(win_no AS BIGINT) AS win_no,
-           CAST(512 AS BIGINT) AS n_samp,
-           CAST(list_sum(list_transform(range(0,512),
-             i -> (((media_id*31 + (win_no*512+i)*7) % 256) - 128)
-                * (((media_id*31 + (win_no*512+i)*7) % 256) - 128))) AS BIGINT) AS sq_sum
-         FROM w ORDER BY media_id, win_no""",
-    // closed-form byte stream; runs via one lag window (run starts) + a
-    // running sum of starts as the run id
-    // crest: closed-form byte stream, one end floor-division
-    "media_crest" ->
-      """WITH m AS (SELECT s_suppkey AS media_id,
-           4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),
-         s AS (SELECT media_id, n_bytes, unnest(range(0, n_bytes)) AS k FROM m),
-         v AS (SELECT media_id, n_bytes, ((media_id*31 + k*7) % 256) - 128 AS v FROM s),
-         a AS (SELECT media_id, CAST(max(n_bytes) AS BIGINT) AS n_samp,
-             CAST(max(abs(v)) AS BIGINT) AS peak_abs,
-             CAST(sum(v*v) AS BIGINT) AS sum_sq
-           FROM v GROUP BY 1)
-         SELECT CAST(media_id AS BIGINT) AS media_id, n_samp, peak_abs, sum_sq,
-           CASE WHEN sum_sq > 0
-             THEN (1000000 * n_samp * peak_abs * peak_abs) // sum_sq
-             ELSE CAST(0 AS BIGINT) END AS crest_ppm
-         FROM a ORDER BY media_id""",
-    // 128-sample window energies from the closed form, exact nearest-rank
-    // p10/p95 per asset
-    "media_lra" ->
-      """WITH m AS (SELECT s_suppkey AS media_id,
-           4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),
-         w AS (SELECT media_id, unnest(range(0, n_bytes // 128)) AS win_no FROM m),
-         sq AS (SELECT media_id, win_no,
-             CAST(list_sum(list_transform(range(0,128),
-               i -> (((media_id*31 + (win_no*128+i)*7) % 256) - 128)
-                  * (((media_id*31 + (win_no*128+i)*7) % 256) - 128))) AS BIGINT) AS sq_sum
-           FROM w),
-         r AS (SELECT media_id, sq_sum,
-             row_number() OVER (PARTITION BY media_id ORDER BY sq_sum, win_no) AS rn,
-             count(*) OVER (PARTITION BY media_id) AS n FROM sq)
-         SELECT CAST(media_id AS BIGINT) AS media_id,
-           CAST(max(n) AS BIGINT) AS n_win,
-           max(CASE WHEN rn = (n - 1) * 10 // 100 + 1 THEN sq_sum END) AS p10_sq,
-           max(CASE WHEN rn = (n - 1) * 95 // 100 + 1 THEN sq_sum END) AS p95_sq,
-           max(CASE WHEN rn = (n - 1) * 95 // 100 + 1 THEN sq_sum END)
-             - max(CASE WHEN rn = (n - 1) * 10 // 100 + 1 THEN sq_sum END) AS lra_q
-         FROM r GROUP BY 1 ORDER BY media_id""",
-    // same 128-sample window energies, conditional min/max over the
-    // active gate
-    "media_silence_trim" ->
-      """WITH m AS (SELECT s_suppkey AS media_id,
-           4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),
-         w AS (SELECT media_id, unnest(range(0, n_bytes // 128)) AS win_no FROM m),
-         sq AS (SELECT media_id, win_no,
-             CAST(list_sum(list_transform(range(0,128),
-               i -> (((media_id*31 + (win_no*128+i)*7) % 256) - 128)
-                  * (((media_id*31 + (win_no*128+i)*7) % 256) - 128))) AS BIGINT) AS sq_sum
-           FROM w)
-         SELECT CAST(media_id AS BIGINT) AS media_id,
-           CAST(count(*) AS BIGINT) AS n_win,
-           CAST(sum(CASE WHEN sq_sum > 700000 THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
-           CAST(min(CASE WHEN sq_sum > 700000 THEN win_no END) AS BIGINT) AS first_active,
-           CAST(max(CASE WHEN sq_sum > 700000 THEN win_no END) AS BIGINT) AS last_active,
-           CAST(count(*) - 1
-             - max(CASE WHEN sq_sum > 700000 THEN win_no END) AS BIGINT) AS tail_gap
-         FROM sq GROUP BY 1 ORDER BY media_id""",
-    // the frame_sample digest replay + run-length grouping on equal
-    // consecutive digests (IS DISTINCT FROM starts runs, first row too)
-    "media_frame_dedup" ->
-      """WITH m AS (SELECT s_suppkey AS media_id,
-           1000 + (s_suppkey % 20) * 500 AS duration_ms,
-           CASE WHEN s_suppkey % 2 = 0 THEN 24000 ELSE 30000 END AS fps_milli,
-           4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),
-         f AS (SELECT media_id, fps_milli, n_bytes,
-           unnest(range(0, duration_ms, 20)) AS ts_ms FROM m),
-         h AS (SELECT media_id, ts_ms, ts_ms * fps_milli // 1000000 AS frame_no,
-           n_bytes FROM f),
-         o AS (SELECT media_id, ts_ms,
-           (frame_no * 997) % (n_bytes - 16) AS off FROM h),
-         dg AS (SELECT media_id, ts_ms,
-             list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(range(0,16),
-                 i -> CAST((media_id*31 + (off+i)*7) % 256 AS BIGINT))),
-               (d,b) -> (d*131 + b) % 1000000007) AS dig FROM o),
-         st AS (SELECT media_id, ts_ms,
-             CASE WHEN lag(dig) OVER w IS DISTINCT FROM dig THEN 1 ELSE 0 END AS strt
-           FROM dg WINDOW w AS (PARTITION BY media_id ORDER BY ts_ms)),
-         ru AS (SELECT media_id,
-             sum(strt) OVER (PARTITION BY media_id ORDER BY ts_ms) AS run_id
-           FROM st),
-         rl AS (SELECT media_id, run_id, CAST(count(*) AS BIGINT) AS len
-           FROM ru GROUP BY 1, 2)
-         SELECT CAST(media_id AS BIGINT) AS media_id,
-           CAST(sum(len) AS BIGINT) AS n_frames,
-           CAST(sum(CASE WHEN len >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_stuck_runs,
-           CAST(max(len) AS BIGINT) AS max_run,
-           CAST(sum(len - 1) AS BIGINT) AS n_dup_frames
-         FROM rl GROUP BY 1 ORDER BY media_id""",
-    // per-window strict sign-flip counts from the closed-form byte
-    // formula; lead() pairs, pos < 511 keeps pairs inside one window
-    "media_zcr" ->
-      """WITH m AS (SELECT s_suppkey AS media_id,
-           4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),
-         s AS (SELECT media_id, n_bytes, unnest(range(0, n_bytes)) AS k FROM m),
-         v AS (SELECT media_id, n_bytes, k, k // 512 AS win,
-             ((media_id * 31 + k * 7) % 256) - 128 AS x FROM s),
-         p AS (SELECT media_id, win, x,
-             lead(x) OVER (PARTITION BY media_id ORDER BY k) AS nx,
-             k % 512 AS pos
-           FROM v WHERE k < (n_bytes // 512) * 512),
-         c AS (SELECT media_id, win,
-             CAST(sum(CASE WHEN pos < 511 AND x * nx < 0 THEN 1 ELSE 0 END) AS BIGINT) AS cr
-           FROM p GROUP BY 1, 2)
-         SELECT CAST(media_id AS BIGINT) AS media_id,
-           CAST(count(*) AS BIGINT) AS n_win,
-           CAST(sum(cr) AS BIGINT) AS total_cross,
-           max(cr) AS max_cross, min(cr) AS min_cross
-         FROM c GROUP BY 1 ORDER BY media_id""",
-    "media_clipping" ->
-      """WITH m AS (SELECT s_suppkey AS media_id,
-           4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),
-         s AS (SELECT media_id, n_bytes, unnest(range(0, n_bytes)) AS k FROM m),
-         c AS (SELECT media_id, k,
-             abs(((media_id*31 + k*7) % 256) - 128) >= 120 AS clip FROM s),
-         r AS (SELECT media_id, k, clip,
-             CASE WHEN clip AND NOT coalesce(
-                 lag(clip) OVER (PARTITION BY media_id ORDER BY k), FALSE)
-               THEN 1 ELSE 0 END AS st
-           FROM c),
-         runs AS (SELECT media_id, clip,
-             sum(st) OVER (PARTITION BY media_id ORDER BY k) AS run_id FROM r),
-         rl AS (SELECT media_id, run_id, CAST(count(*) AS BIGINT) AS len
-           FROM runs WHERE clip GROUP BY 1, 2),
-         agg AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_runs,
-             CAST(sum(len) AS BIGINT) AS n_clipped,
-             CAST(max(len) AS BIGINT) AS max_run FROM rl GROUP BY 1)
-         SELECT CAST(m.media_id AS BIGINT) AS media_id,
-           CAST(m.n_bytes AS BIGINT) AS n_samp,
-           coalesce(a.n_clipped, CAST(0 AS BIGINT)) AS n_clipped,
-           coalesce(a.n_runs, CAST(0 AS BIGINT)) AS n_runs,
-           coalesce(a.max_run, CAST(0 AS BIGINT)) AS max_run
-         FROM m LEFT JOIN agg a ON a.media_id = m.media_id
-         ORDER BY media_id""",
-    // window energies re-gated at the ungated mean by cross-multiplication
-    "media_gated_loudness" ->
-      """WITH m AS (SELECT s_suppkey AS media_id,
-           4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),
-         w AS (SELECT media_id, unnest(range(0, n_bytes // 512)) AS win_no FROM m),
-         wsq AS (SELECT CAST(media_id AS BIGINT) AS media_id,
-           CAST(list_sum(list_transform(range(0,512),
-             i -> (((media_id*31 + (win_no*512+i)*7) % 256) - 128)
-                * (((media_id*31 + (win_no*512+i)*7) % 256) - 128))) AS BIGINT) AS sq
-           FROM w),
-         tot AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_win,
-             CAST(sum(sq) AS BIGINT) AS tot_sq
-           FROM wsq GROUP BY 1)
-         SELECT w.media_id, t.n_win, CAST(count(*) AS BIGINT) AS n_gated,
-           t.tot_sq, CAST(sum(w.sq) AS BIGINT) AS gated_sum,
-           CAST(sum(w.sq) AS BIGINT) // CAST(count(*) AS BIGINT) AS gated_mean_q
-         FROM wsq w JOIN tot t ON w.media_id = t.media_id
-         WHERE w.sq * t.n_win >= t.tot_sq
-         GROUP BY w.media_id, t.n_win, t.tot_sq
-         ORDER BY w.media_id""",
-    // cross-correlation of the window-energy sequence with its lag-shifted
-    // copy at 9 lag literals; argmax per media (ties by lag asc)
-    "media_av_offset" ->
-      """WITH m AS (SELECT s_suppkey AS media_id,
-           4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),
-         w AS (SELECT media_id, unnest(range(0, n_bytes // 512)) AS win_no FROM m),
-         wsq AS MATERIALIZED (SELECT CAST(media_id AS BIGINT) AS media_id,
-           CAST(win_no AS BIGINT) AS win_no,
-           CAST(list_sum(list_transform(range(0,512),
-             i -> (((media_id*31 + (win_no*512+i)*7) % 256) - 128)
-                * (((media_id*31 + (win_no*512+i)*7) % 256) - 128))) AS BIGINT) AS sq
-           FROM w),
-         b AS (SELECT media_id, win_no - (media_id % 5 - 2) AS wb, sq AS sqb FROM wsq),
-         l AS (SELECT unnest(range(-4, 5)) AS lag),
-         pr AS (SELECT a.media_id, l.lag, a.sq, a.win_no + l.lag AS wb FROM wsq a, l),
-         ag AS (SELECT pr.media_id, pr.lag,
-             CAST(sum(pr.sq * b.sqb) AS BIGINT) AS xc,
-             CAST(count(*) AS BIGINT) AS n_overlap
-           FROM pr JOIN b ON b.media_id = pr.media_id AND b.wb = pr.wb
-           GROUP BY 1, 2),
-         r AS (SELECT *, row_number() OVER (PARTITION BY media_id
-             ORDER BY xc DESC, lag) AS rn FROM ag)
-         SELECT media_id, CAST(lag AS BIGINT) AS best_lag, xc, n_overlap
-         FROM r WHERE rn = 1 ORDER BY media_id""",
-    // VAD segments: same closed-form activity gate, lag-break + running
-    // sum islands, per-(media, segment) span rollup
-    "media_active_segments" ->
-      """WITH m AS (SELECT s_suppkey AS media_id,
-           4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),
-         w AS (SELECT media_id, unnest(range(0, n_bytes // 64)) AS win_no FROM m),
-         act AS (SELECT media_id, win_no FROM w
-           WHERE (media_id*131 + win_no*37) % 97 < 40),
-         brk AS (SELECT media_id, win_no,
-             CASE WHEN lag(win_no) OVER mw IS NULL THEN 1
-                  WHEN win_no - lag(win_no) OVER mw > 2 THEN 1
-                  ELSE 0 END AS b
-           FROM act WINDOW mw AS (PARTITION BY media_id ORDER BY win_no)),
-         seg AS (SELECT media_id, win_no,
-             sum(b) OVER (PARTITION BY media_id ORDER BY win_no
-               ROWS UNBOUNDED PRECEDING) AS seg_no
-           FROM brk)
-         SELECT CAST(media_id AS BIGINT) AS media_id,
-           CAST(seg_no AS BIGINT) AS seg_no,
-           CAST(min(win_no) AS BIGINT) AS start_win,
-           CAST(max(win_no) AS BIGINT) AS end_win,
-           count(*) AS n_active
-         FROM seg GROUP BY 1, 2 ORDER BY media_id, seg_no""",
-    "dedup_minhash_recall" -> minhashRecallOracleSql,
-    "dedup_simhash" -> simhashOracleSql,
-    "dedup_jaccard" ->
-      s"""WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0
-           UNION ALL SELECT doc_id + 200000 AS doc_id, text || ' zz qq ww ee rr tt' AS text
-             FROM documents WHERE doc_id % 25 = 0),
-         sh AS (SELECT doc_id, list_distinct($sqlShingles3) AS s FROM sub)
-         SELECT doc_a, doc_b, j FROM (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             round(len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))), 6) AS j
-           FROM sh a, sh b WHERE a.doc_id < b.doc_id)
-         WHERE j >= 0.05 ORDER BY doc_a, doc_b""",
-    // brute force IS the oracle: the prefix filter is exact, so the full
-    // quadratic enumeration over the small gate corpus must agree
-    "dedup_prefix_join" ->
-      """WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0
-           UNION ALL SELECT doc_id + 200000 AS doc_id, text || ' zz qq ww ee rr tt' AS text
-             FROM documents WHERE doc_id % 25 = 0),
-         w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM sub),
-         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS i,
-             CAST(len(list_distinct(list_concat(a.s, b.s))) AS BIGINT) AS u
-           FROM w a, w b WHERE a.doc_id < b.doc_id)
-         SELECT doc_a, doc_b, round(i / u, 6) AS j FROM p
-         WHERE i * 1000000 >= 600000 * u ORDER BY doc_a, doc_b""",
-    // prefix-join candidates re-verified by full-DP levenshtein <= 30
-    // (the engine's banded threshold variant is exact within the bound)
-    "dedup_edit_verify" ->
-      """WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0
-           UNION ALL SELECT doc_id + 200000 AS doc_id, text || ' zz qq ww ee rr tt' AS text
-             FROM documents WHERE doc_id % 25 = 0),
-         w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM sub),
-         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS i,
-             CAST(len(list_distinct(list_concat(a.s, b.s))) AS BIGINT) AS u
-           FROM w a, w b WHERE a.doc_id < b.doc_id),
-         c AS (SELECT doc_a, doc_b FROM p WHERE i * 1000000 >= 600000 * u)
-         SELECT c.doc_a, c.doc_b,
-           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
-         FROM c JOIN sub a ON a.doc_id = c.doc_a JOIN sub b ON b.doc_id = c.doc_b
-         WHERE levenshtein(a.text, b.text) <= 30
-         ORDER BY doc_a, doc_b""",
-    "doc_fingerprint" ->
-      s"""SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
-           list_transform(string_split(text,' '), w -> ${sqlH60("w")} % 1048573)),
-           (a,b) -> (a*31 + b) % 2147483647) AS fp
-         FROM documents ORDER BY doc_id""",
-    "quality_score" ->
-      """WITH s AS (SELECT doc_id,
-           CAST(len(string_split(text,' ')) AS DOUBLE) AS nw,
-           CAST(len(list_filter(string_split(text,' '),
-             w -> w='the' OR w='a' OR w='of' OR w='and' OR w='to')) AS DOUBLE) AS ns,
-           CAST(length(replace(text,' ','')) AS DOUBLE) AS nc FROM documents)
-         SELECT doc_id, score, score >= 0.5 AS keep FROM (
-           SELECT doc_id, least(nw/100.0, 1.0)*0.4 + (ns/nw)*0.3 + least((nc/nw)/10.0, 1.0)*0.3 AS score
-           FROM s) ORDER BY doc_id""",
-    "ann_lsh_neardup" -> annLshOracleSql,
-    "ann_ivf_assign" -> ivfOracleSql,
-    "ann_beam_search" -> greedySearchOracleSql(6),
-    // coarse assign, milli-quantized residual, integer argmin vs the
-    // second codebook
-    "ann_rq_code" ->
-      """WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         cents AS (SELECT range AS c FROM range(0, 8)),
-         d AS (SELECT vec_id, c,
-           list_reduce(list_prepend(0.0, list_transform(range(0,64),
-             d -> (v[d+1] - (((c*53 + d*17) % 13) - 6)) * (v[d+1] - (((c*53 + d*17) % 13) - 6)))),
-             (p,q) -> p + q) AS d2
-           FROM vv, cents),
-         a1 AS (SELECT vec_id, c AS c1 FROM (SELECT vec_id, c, d2,
-             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d)
-           WHERE rn = 1),
-         rq AS (SELECT vv.vec_id, a1.c1, list_transform(range(0,64),
-             d -> CAST(floor((vv.v[d+1] - (((a1.c1*53 + d*17) % 13) - 6)) * 1000.0) AS BIGINT)) AS rq
-           FROM vv JOIN a1 USING (vec_id)),
-         k2 AS (SELECT range AS k FROM range(0, 8)),
-         dd AS (SELECT rq.vec_id, rq.c1, k2.k,
-             list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0,64),
-               d -> (rq.rq[d+1] - (((k2.k*37 + d*11) % 15) - 7) * 50)
-                  * (rq.rq[d+1] - (((k2.k*37 + d*11) % 15) - 7) * 50))),
-               (p,q) -> p + q) AS d2
-           FROM rq, k2)
-         SELECT vec_id, CAST(c1 AS INT) AS c1, CAST(k AS BIGINT) AS c2,
-           CAST(d2 AS BIGINT) AS err_q
-         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rn
-           FROM dd) WHERE rn = 1
-         ORDER BY vec_id""",
-    "ann_ivf_balance" ->
-      s"""WITH asg AS ($ivfOracleSql),
-         t AS (SELECT count(*) AS tot FROM asg)
-         SELECT centroid, CAST(count(*) AS BIGINT) AS n_vecs,
-           CAST(count(*) * 1000000 // tot AS BIGINT) AS share_ppm
-         FROM asg, t GROUP BY centroid, tot ORDER BY centroid""",
-    // same chunking as the engine: 1-based 10-element slices, ragged tail
-    // kept as the last line; df over DISTINCT carrier docs
-    "dedup_lines" ->
-      """WITH d AS (SELECT doc_id,
-           CASE WHEN doc_id % 3 = 0
-             THEN 'terms of service copyright notice all rights reserved footer end ' || text
-             ELSE text END AS text FROM documents),
-         w AS (SELECT doc_id, string_split(text, ' ') AS w FROM d
-               WHERE len(string_split(text, ' ')) > 0),
-         l AS (SELECT doc_id,
-             array_to_string(list_slice(w, CAST(i*10+1 AS BIGINT),
-               CAST(i*10+10 AS BIGINT)), ' ') AS line
-           FROM w, unnest(range(0, (len(w) + 9) // 10)) AS t(i)),
-         df AS (SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY 1),
-         j AS (SELECT l.doc_id, df.df,
-             len(string_split(l.line, ' ')) AS lw
-           FROM l JOIN df USING (line))
-         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
-           CAST(sum(CASE WHEN df <= 50 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_kept_lines,
-           CAST(sum(CASE WHEN df <= 50 THEN lw ELSE 0 END) AS BIGINT)
-             AS n_kept_words
-         FROM j GROUP BY doc_id ORDER BY doc_id""",
-    // per-(vec, subspace) argmin over the deterministic PQ codebook, ties
-    // to the smaller code; identical left-fold residual sums
-    "ann_pq_code" ->
-      """WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         subs AS (SELECT range AS s FROM range(0, 8)),
-         codes AS (SELECT range AS k FROM range(0, 8)),
-         d AS (SELECT vec_id, s, k,
-           list_reduce(list_prepend(0.0, list_transform(range(0,8),
-             d -> (v[s*8 + d + 1] - (((s*29 + k*53 + d*17) % 13) - 6)) * (v[s*8 + d + 1] - (((s*29 + k*53 + d*17) % 13) - 6)))),
-             (p,q) -> p + q) AS d2
-           FROM vv, subs, codes)
-         SELECT vec_id, CAST(s AS INT) AS sub, CAST(k AS INT) AS code,
-           round(d2, 4) AS d2_r
-         FROM (SELECT vec_id, s, k, d2,
-             row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, k) AS rn FROM d)
-         WHERE rn = 1 ORDER BY vec_id, sub""",
-    // same assignment as ivfOracleSql (argmin over the deterministic seed
-    // centroids, ties to the smaller c), then per-(centroid, dim) exact
-    // integer sums of the floor-quantized components — the mean is one IEEE
-    // division of exact integers
-    "ann_kmeans_step" ->
-      """WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         cents AS (SELECT range AS c FROM range(0, 8)),
-         d AS (SELECT vec_id, v, c,
-           list_reduce(list_prepend(0.0, list_transform(range(0,64),
-             d -> (v[d+1] - (((c*53 + d*17) % 13) - 6)) * (v[d+1] - (((c*53 + d*17) % 13) - 6)))),
-             (p,q) -> p + q) AS d2
-           FROM vv, cents),
-         a AS (SELECT vec_id, v, centroid FROM (
-             SELECT vec_id, v, c AS centroid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d)
-           WHERE rn = 1),
-         x AS (SELECT centroid, dm.range AS dim,
-             CAST(floor(v[dm.range + 1] * 1000000.0) AS BIGINT) AS q
-           FROM a, range(0, 64) dm)
-         SELECT CAST(centroid AS INT) AS centroid, CAST(dim AS INT) AS dim,
-           count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_q,
-           CAST(sum(q) AS BIGINT) / (count(*) * 1000000.0) AS mean
-         FROM x GROUP BY 1, 2 ORDER BY centroid, dim""",
-    "ann_ivf_topk" -> ivfTopkOracleSql,
-    "ann_filtered_topk" -> ivfFilteredOracleSql,
-    "ann_range_search" -> ivfRangeOracleSql,
-    "ann_ivfpq_topk" -> ivfPqOracleSql,
-    "ann_ivfpq_recall" -> ivfPqRecallOracleSql,
-    "ann_kmeans_train" -> kmeansTrainOracleSql,
-    "ann_pq_train" -> pqTrainOracleSql,
-    "ann_ivfpq_topk_trained" -> ivfPqTrainedOracleSql,
-    "ann_ivfpq_recall_trained" -> ivfPqTrainedRecallOracleSql,
-    "ann_ivf_recall" -> ivfRecallOracleSql,
-    "ann_recall_curve" -> ivfRecallCurveOracleSql,
-    "ann_semdedup" -> semDedupOracleSql,
-    "ann_sq8" -> sq8OracleSql,
-    "dedup_spans" -> dedupSpansOracleSql,
-    "events_interval_join" -> intervalJoinOracleSql,
-    "geo_dbscan" -> dbscanOracleSql,
-    "geo_dbscan_hulls" -> dbscanHullsOracleSql,
-    "dedup_cluster_keep" -> clusterOracleSql,
-    // star contraction must land on the identical component map, so it
-    // shares the recursive-CTE clustering oracle
-    "dedup_cluster_star" -> clusterOracleSql,
-    "img_histogram" ->
-      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         g AS (SELECT swlng, swlat,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS v
-           FROM corners, range(0,601) r, range(0,601) c)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           CAST(v // 256 AS INT) AS bin, count(*) AS n_px
-         FROM g GROUP BY 1, 2 ORDER BY 1, 2""",
-    // Otsu replay: same histogram recipe at width 64, cumulative w0/a0 by
-    // window, the squared numerator in int128, the SAME floored /n-
-    // normalized objective, ties to the smallest bin via row_number
-    "img_otsu" ->
-      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         g AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS v
-           FROM corners, range(0,601) r, range(0,601) c),
-         h AS (SELECT image_id, v // 64 AS b, CAST(count(*) AS BIGINT) AS c
-           FROM g GROUP BY 1, 2),
-         tot AS (SELECT image_id, CAST(sum(c) AS BIGINT) AS n,
-             CAST(sum(b*c) AS BIGINT) AS s FROM h GROUP BY 1),
-         cum AS (SELECT image_id, b,
-             CAST(sum(c) OVER (PARTITION BY image_id ORDER BY b) AS BIGINT) AS w0,
-             CAST(sum(b*c) OVER (PARTITION BY image_id ORDER BY b) AS BIGINT) AS a0
-           FROM h),
-         cand AS (SELECT cum.image_id, b, w0, a0, n, s
-           FROM cum JOIN tot USING (image_id) WHERE w0 < n),
-         obj AS (SELECT image_id, b, w0, a0, n,
-             CAST(((CAST(s AS HUGEINT)*w0 - CAST(n AS HUGEINT)*a0)
-                 * (CAST(s AS HUGEINT)*w0 - CAST(n AS HUGEINT)*a0))
-               // (CAST(w0 AS HUGEINT)*(n-w0)*n) AS BIGINT) AS obj_q
-           FROM cand)
-         SELECT image_id, CAST(b AS INT) AS thr_bin, n AS n_px, w0, a0,
-           n - w0 AS n_fg, obj_q
-         FROM obj
-         QUALIFY row_number() OVER (PARTITION BY image_id ORDER BY obj_q DESC, b) = 1
-         ORDER BY image_id""",
-    // same grid recipe with (r, c) kept; horizontal neighbor via lead,
-    // width-64 levels, exact integer moments
-    "img_glcm" ->
-      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         g AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           r.range AS r, c.range AS c,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS v
-           FROM corners, range(0,601) r, range(0,601) c),
-         q AS (SELECT image_id, r, c, v // 64 AS b FROM g),
-         p AS (SELECT image_id, b AS i,
-             lead(b) OVER (PARTITION BY image_id, r ORDER BY c) AS j
-           FROM q)
-         SELECT image_id, CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(sum(i) AS BIGINT) AS s_i, CAST(sum(j) AS BIGINT) AS s_j,
-           CAST(sum(i*j) AS BIGINT) AS s_ij,
-           CAST(sum(abs(i-j)) AS BIGINT) AS s_absdiff,
-           CAST(sum((i-j)*(i-j)) AS BIGINT) AS s_sqdiff,
-           CAST(sum(CASE WHEN i = j THEN 1 ELSE 0 END) AS BIGINT) AS n_eq
-         FROM p WHERE j IS NOT NULL GROUP BY 1 ORDER BY image_id""",
-    // same grid; >=2000 binarization, separable border-clipped 3x3 box
-    // min/max as two window passes (rows then columns)
-    // exposed-edge perimeter of the >=3600 mask + 16e6·A div P²
-    "img_perimeter" -> {
-      val v0 = gridV("c.range", "r.range")
-      def nb(dc: Int, dr: Int, guard: String) =
-        s"CASE WHEN $guard THEN FALSE ELSE (${gridV(s"c.range+($dc)", s"r.range+($dr)")}) >= 3600 END"
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         h AS (SELECT swlng, swlat,
-             ($v0) >= 3600 AS hi,
-             ${nb(0, -1, "r.range = 0")} AS hup,
-             ${nb(0, 1, "r.range = 600")} AS hdn,
-             ${nb(-1, 0, "c.range = 0")} AS hlf,
-             ${nb(1, 0, "c.range = 600")} AS hrt
-           FROM k, range(0,601) r, range(0,601) c),
-         agg AS (SELECT swlng, swlat,
-             CAST(sum(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
-             CAST(sum(CASE WHEN hi THEN
-               (CASE WHEN NOT hup THEN 1 ELSE 0 END) + (CASE WHEN NOT hdn THEN 1 ELSE 0 END)
-               + (CASE WHEN NOT hlf THEN 1 ELSE 0 END) + (CASE WHEN NOT hrt THEN 1 ELSE 0 END)
-               ELSE 0 END) AS BIGINT) AS perimeter
-           FROM h GROUP BY 1, 2)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           n_high, perimeter,
-           CASE WHEN perimeter = 0 THEN CAST(0 AS BIGINT)
-                ELSE (16000000 * n_high) // (perimeter * perimeter) END AS compact_ppm
-         FROM agg ORDER BY image_id"""
-    },
-    "img_morph" ->
-      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         g AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           r.range AS r, c.range AS c,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS v
-           FROM corners, range(0,601) r, range(0,601) c),
-         b AS (SELECT image_id, r, c, CASE WHEN v >= 2000 THEN 1 ELSE 0 END AS b FROM g),
-         hm AS (SELECT image_id, r, c, b,
-             min(b) OVER (PARTITION BY image_id, r ORDER BY c ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS hmin,
-             max(b) OVER (PARTITION BY image_id, r ORDER BY c ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS hmax
-           FROM b),
-         vm AS (SELECT image_id, b,
-             min(hmin) OVER (PARTITION BY image_id, c ORDER BY r ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS ero,
-             max(hmax) OVER (PARTITION BY image_id, c ORDER BY r ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS dil
-           FROM hm)
-         SELECT image_id, CAST(count(*) AS BIGINT) AS n_px,
-           CAST(sum(b) AS BIGINT) AS n_fg, CAST(sum(ero) AS BIGINT) AS n_ero,
-           CAST(sum(dil) AS BIGINT) AS n_dil,
-           CAST(sum(dil) - sum(ero) AS BIGINT) AS n_edge
-         FROM vm GROUP BY 1 ORDER BY image_id""",
-    // Gray's padded 2x2 quad census replayed from the closed-form corners:
-    // each quad position (r,c) in [-1,600]^2 evaluates its four corner
-    // bits inline (out-of-bounds = background), Q1/Q3/diagonal counts,
-    // then the exactly-divisible-by-4 Euler numbers
-    "img_euler" ->
-      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         q AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           r.range AS r, c.range AS c,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS b0
-           FROM corners, range(-1,601) r, range(-1,601) c),
-         bits AS (SELECT image_id,
-           CASE WHEN r BETWEEN 0 AND 600 AND c BETWEEN 0 AND 600
-                AND b0 + 2*c + 3*r + ((c//8)*(r//8)) % 32 >= 2000 THEN 1 ELSE 0 END AS tl,
-           CASE WHEN r BETWEEN 0 AND 600 AND c+1 BETWEEN 0 AND 600
-                AND b0 + 2*(c+1) + 3*r + (((c+1)//8)*(r//8)) % 32 >= 2000 THEN 1 ELSE 0 END AS tr,
-           CASE WHEN r+1 BETWEEN 0 AND 600 AND c BETWEEN 0 AND 600
-                AND b0 + 2*c + 3*(r+1) + ((c//8)*((r+1)//8)) % 32 >= 2000 THEN 1 ELSE 0 END AS bl,
-           CASE WHEN r+1 BETWEEN 0 AND 600 AND c+1 BETWEEN 0 AND 600
-                AND b0 + 2*(c+1) + 3*(r+1) + (((c+1)//8)*((r+1)//8)) % 32 >= 2000 THEN 1 ELSE 0 END AS br
-           FROM q),
-         agg AS (SELECT image_id,
-           CAST(count(*) FILTER (tl+tr+bl+br = 1) AS BIGINT) AS n_q1,
-           CAST(count(*) FILTER (tl+tr+bl+br = 3) AS BIGINT) AS n_q3,
-           CAST(count(*) FILTER (tl+tr+bl+br = 2 AND tl = br) AS BIGINT) AS n_qd
-           FROM bits GROUP BY 1)
-         SELECT image_id, n_q1, n_q3, n_qd,
-           CAST((n_q1 - n_q3 + 2*n_qd) // 4 AS BIGINT) AS euler4,
-           CAST((n_q1 - n_q3 - 2*n_qd) // 4 AS BIGINT) AS euler8
-         FROM agg ORDER BY image_id""",
-    // run structure replayed per scanline: lag-window run starts, a
-    // cumulative run id, lengths grouped per (line, run) — both axes
-    "img_rle" ->
-      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         g AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           r.range AS r, c.range AS c,
-           CASE WHEN ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range
-                + ((c.range//8)*(r.range//8)) % 32 >= 2000 THEN 1 ELSE 0 END AS b
-           FROM corners, range(0,601) r, range(0,601) c),
-         hs AS (SELECT image_id, r, c, b,
-             CASE WHEN b = 1 AND coalesce(lag(b) OVER (PARTITION BY image_id, r ORDER BY c), 0) = 0
-                  THEN 1 ELSE 0 END AS strt FROM g),
-         hr AS (SELECT image_id, r, b,
-             sum(strt) OVER (PARTITION BY image_id, r ORDER BY c) AS rid FROM hs),
-         hl AS (SELECT image_id, CAST(count(*) AS BIGINT) AS len
-           FROM hr WHERE b = 1 GROUP BY image_id, r, rid),
-         hh AS (SELECT image_id, CAST(count(*) AS BIGINT) AS n_runs_h,
-             CAST(max(len) AS BIGINT) AS max_run_h,
-             CAST(sum(len*len) AS BIGINT) AS ss_run_h FROM hl GROUP BY 1),
-         vs AS (SELECT image_id, r, c, b,
-             CASE WHEN b = 1 AND coalesce(lag(b) OVER (PARTITION BY image_id, c ORDER BY r), 0) = 0
-                  THEN 1 ELSE 0 END AS strt FROM g),
-         vr AS (SELECT image_id, c, b,
-             sum(strt) OVER (PARTITION BY image_id, c ORDER BY r) AS rid FROM vs),
-         vl AS (SELECT image_id, CAST(count(*) AS BIGINT) AS len
-           FROM vr WHERE b = 1 GROUP BY image_id, c, rid),
-         vv AS (SELECT image_id, CAST(count(*) AS BIGINT) AS n_runs_v,
-             CAST(max(len) AS BIGINT) AS max_run_v,
-             CAST(sum(len*len) AS BIGINT) AS ss_run_v FROM vl GROUP BY 1)
-         SELECT image_id, n_runs_h, max_run_h, ss_run_h,
-           n_runs_v, max_run_v, ss_run_v
-         FROM hh JOIN vv USING (image_id) ORDER BY image_id""",
-    // every (shear, sheared-row bucket) partial sum from the closed form;
-    // trunc-div = floor since the numerator is offset non-negative
-    "img_deskew" ->
-      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         shears(s) AS (VALUES (-3),(-2),(-1),(0),(1),(2),(3)),
-         g AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           r.range AS r, c.range AS c,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range
-             + ((c.range//8)*(r.range//8)) % 32 AS v
-           FROM corners, range(0,601) r, range(0,601) c),
-         b AS (SELECT image_id, s, ((r + 3) * 601 + s * c) // 601 AS bkt,
-             CAST(sum(v) AS BIGINT) AS p
-           FROM g, shears GROUP BY 1, 2, 3),
-         sc AS (SELECT image_id, s, CAST(sum(p * p) AS BIGINT) AS score
-           FROM b GROUP BY 1, 2),
-         best AS (SELECT image_id, CAST(s AS INT) AS best_shear,
-             score AS best_score FROM sc
-           QUALIFY row_number() OVER (PARTITION BY image_id ORDER BY score DESC, s) = 1)
-         SELECT image_id, best_shear, best_score, f.score AS flat_score
-         FROM best JOIN (SELECT image_id, score FROM sc WHERE s = 0) f USING (image_id)
-         ORDER BY image_id""",
-    // both projection profiles as GROUP BYs; argmax via QUALIFY with the
-    // smallest-index tiebreak
-    "img_projections" ->
-      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         g AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           r.range AS r, c.range AS c,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range
-             + ((c.range//8)*(r.range//8)) % 32 AS v
-           FROM corners, range(0,601) r, range(0,601) c),
-         rs AS (SELECT image_id, r, CAST(sum(v) AS BIGINT) AS p FROM g GROUP BY 1, 2),
-         cs AS (SELECT image_id, c, CAST(sum(v) AS BIGINT) AS p FROM g GROUP BY 1, 2),
-         ra AS (SELECT image_id, CAST(r AS INT) AS row_argmax, p AS row_max FROM rs
-           QUALIFY row_number() OVER (PARTITION BY image_id ORDER BY p DESC, r) = 1),
-         rm AS (SELECT image_id, CAST(sum(p) AS BIGINT) AS total,
-             CAST(sum(p*p) AS BIGINT) AS row_ss FROM rs GROUP BY 1),
-         ca AS (SELECT image_id, CAST(c AS INT) AS col_argmax, p AS col_max FROM cs
-           QUALIFY row_number() OVER (PARTITION BY image_id ORDER BY p DESC, c) = 1),
-         cm AS (SELECT image_id, CAST(sum(p*p) AS BIGINT) AS col_ss FROM cs GROUP BY 1)
-         SELECT image_id, total, row_argmax, row_max, row_ss,
-           col_argmax, col_max, col_ss
-         FROM rm JOIN ra USING (image_id) JOIN ca USING (image_id)
-           JOIN cm USING (image_id) ORDER BY image_id""",
-    // both closed-form epochs quantized to width-512 zones, counted per
-    // (zone_a, zone_b) cell
-    "zonal_crosstab" ->
-      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         g AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range
-             + ((c.range//8)*(r.range//8)) % 32 AS va,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 + c.range + 2*r.range AS vb
-           FROM corners, range(0,601) r, range(0,601) c)
-         SELECT image_id, CAST(va // 512 AS INT) AS zone_a,
-           CAST(vb // 512 AS INT) AS zone_b, CAST(count(*) AS BIGINT) AS n
-         FROM g GROUP BY 1, 2, 3 ORDER BY image_id, zone_a, zone_b""",
-    "img_stats" ->
-      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         g AS (SELECT swlng, swlat,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS v
-           FROM corners, range(0,601) r, range(0,601) c)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           count(*) AS n_px, CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max,
-           CAST(sum(v) AS BIGINT) AS px_sum,
-           CAST(sum(v) AS BIGINT) / CAST(count(*) AS BIGINT) AS px_mean
-         FROM g GROUP BY swlng, swlat ORDER BY image_id""",
-    // marching-squares census recomputed from the closed-form corners: each
-    // 2x2 cell's 4-bit case from the same >= 1800 corner bits, saddles =
-    // {5,10}, segments 2 for saddles / 1 for any other cut case
-    "geo_contours" ->
-      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         g AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS v
-           FROM corners, range(0,601) r, range(0,601) c),
-         ab AS (SELECT swlng, swlat, count(*) FILTER (v >= 1800) AS n_above
-           FROM g GROUP BY 1, 2),
-         cellbase AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS b, r.range AS r, c.range AS c
-           FROM corners, range(0,600) r, range(0,600) c),
-         cells AS (SELECT swlng, swlat,
-             (CASE WHEN b + 2*c + 3*r + ((c//8)*(r//8)) % 32 >= 1800 THEN 1 ELSE 0 END)
-           + (CASE WHEN b + 2*(c+1) + 3*r + (((c+1)//8)*(r//8)) % 32 >= 1800 THEN 2 ELSE 0 END)
-           + (CASE WHEN b + 2*(c+1) + 3*(r+1) + (((c+1)//8)*((r+1)//8)) % 32 >= 1800 THEN 4 ELSE 0 END)
-           + (CASE WHEN b + 2*c + 3*(r+1) + ((c//8)*((r+1)//8)) % 32 >= 1800 THEN 8 ELSE 0 END) AS idx
-           FROM cellbase),
-         cc AS (SELECT swlng, swlat,
-             count(*) FILTER (idx NOT IN (0, 15)) AS n_cut,
-             count(*) FILTER (idx IN (5, 10)) AS n_saddles,
-             CAST(sum(CASE WHEN idx IN (0, 15) THEN 0 WHEN idx IN (5, 10) THEN 2 ELSE 1 END) AS BIGINT) AS n_segments
-           FROM cells GROUP BY 1, 2)
-         SELECT (CASE WHEN ab.swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(ab.swlat) AS VARCHAR),2,'0') ||
-                 CASE WHEN ab.swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(ab.swlng) AS VARCHAR),3,'0')) AS image_id,
-           CAST(1800 AS INT) AS threshold, ab.n_above, cc.n_cut, cc.n_saddles, cc.n_segments
-         FROM ab JOIN cc ON ab.swlng = cc.swlng AND ab.swlat = cc.swlat
-         ORDER BY image_id""",
-    // position-weighted moments of the closed-form grid; augmented lanes
-    // come from the permutation identities on a 601-grid (m = 600):
-    // flip_h keeps Σv·r and mirrors Σv·c to m·Σv − Σv·c; flip_v mirrors
-    // the row moment; rot90 (out(r,c) = in(m−c, r)) sends (rm, cm) to
-    // (cm, m·Σv − rm). The engine earns its values through the real
-    // permute → HGT encode → decode chain.
-    "img_augment" ->
-      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         g AS (SELECT swlng, swlat, r.range AS r, c.range AS c,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS v
-           FROM corners, range(0,601) r, range(0,601) c),
-         s AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-             count(*) AS n_px, CAST(sum(v) AS BIGINT) AS ssum,
-             CAST(sum(v*r) AS BIGINT) AS rm, CAST(sum(v*c) AS BIGINT) AS cm
-           FROM g GROUP BY swlng, swlat)
-         SELECT image_id, mode, n_px, ssum AS px_sum,
-           CASE mode WHEN 'flip_v' THEN 600*ssum - rm WHEN 'rot90' THEN cm ELSE rm END AS r_moment,
-           CASE mode WHEN 'flip_h' THEN 600*ssum - cm WHEN 'rot90' THEN 600*ssum - rm ELSE cm END AS c_moment
-         FROM s, (VALUES ('none'),('flip_h'),('flip_v'),('rot90')) m(mode)
-         ORDER BY image_id, mode""",
-    "img_resample" ->
-      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         g AS (SELECT swlng, swlat,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*(3*c.range) + 3*(3*r.range) + (((3*c.range)//8)*((3*r.range)//8)) % 32 AS v
-           FROM corners, range(0,201) r, range(0,201) c)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           count(*) AS n_px, CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max,
-           CAST(sum(v) AS BIGINT) AS px_sum,
-           CAST(sum(v) AS BIGINT) / CAST(count(*) AS BIGINT) AS px_mean
-         FROM g GROUP BY swlng, swlat ORDER BY image_id""",
-    // fidelity: px_sum recomputed from the closed-form grid — the engine's
-    // value comes from the DECODED payload (png decode included), so the
-    // decode arithmetic is anchored. For the exact lanes sse=0 / psnr_q
-    // sentinel ARE the decode contract (the engine computes them from the
-    // real decode; the oracle states the contract values). The noisy lane
-    // makes the PSNR formula itself load-bearing: the oracle rebuilds the
-    // +3-every-97th-sample grid, recomputes its nonzero sse and runs the
-    // identical 10*log10(peak^2/(sse/n)) quantization the engine applies
-    // to its decoded pixels
-    "img_fidelity" ->
-      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         g AS (SELECT swlng, swlat,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS v,
-           CASE WHEN (r.range*601 + c.range) % 97 = 0 THEN 3 ELSE 0 END AS noise
-           FROM corners, range(0,601) r, range(0,601) c),
-         s AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           CAST(sum(v) AS BIGINT) AS px_sum,
-           CAST(sum(v + noise) AS BIGINT) AS px_sum_noisy,
-           CAST(sum(noise * noise) AS BIGINT) AS sse_noisy,
-           CAST(max(v) - min(v) AS DOUBLE) AS peak,
-           count(*) AS n
-           FROM g GROUP BY swlng, swlat)
-         SELECT image_id, fmt, variant, px_sum, sse, psnr_q FROM (
-           SELECT image_id, fmt, 'exact' AS variant, px_sum,
-             CAST(0 AS BIGINT) AS sse, CAST(99999 AS BIGINT) AS psnr_q
-           FROM s, (VALUES ('png'),('hgt')) f(fmt)
-           UNION ALL
-           SELECT image_id, 'hgt' AS fmt, 'noisy' AS variant, px_sum_noisy,
-             sse_noisy,
-             CAST(floor(100 * 10 * log10(peak * peak / (CAST(sse_noisy AS DOUBLE) / n))) AS BIGINT)
-           FROM s)
-         ORDER BY image_id, fmt, variant""",
-    // thumbnails: 8x8 area-average blocks of the closed-form grid; block of
-    // row r is (8r+7)//601 (boundaries floor(b*601/8) — identical to the
-    // engine's (br*(601/8.0)).toInt since 601/8 is exactly representable),
-    // and CAST(sum)/count is the same IEEE division of exact integers
-    "img_thumbs" ->
-      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         g AS (SELECT swlng, swlat, r.range AS r, c.range AS c,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS v
-           FROM corners, range(0,601) r, range(0,601) c)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           CAST(((8*r + 7)//601)*8 + (8*c + 7)//601 AS INT) AS idx,
-           CAST(sum(v) AS DOUBLE)/count(*) AS px
-         FROM g GROUP BY 1, 2 ORDER BY image_id, idx""",
-    "zxy_rollup" ->
-      """WITH pts AS (SELECT
-           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
-           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
-           FROM lineitem),
-         c AS (SELECT lng, least(greatest(lat, -85.05112877980659), 85.05112877980659) AS latc FROM pts),
-         xy AS (SELECT
-           CAST(least(greatest(floor((lng + 180.0)/360.0 * 16384), 0), 16383) AS INT) AS x14,
-           CAST(least(greatest(floor((1.0 - ln(tan(radians(latc)) + 1.0/cos(radians(latc)))/pi())/2.0 * 16384), 0), 16383) AS INT) AS y14
-           FROM c),
-         lv AS (SELECT 14 AS z, x14 AS x, y14 AS y FROM xy
-           UNION ALL SELECT 12, x14 >> 2, y14 >> 2 FROM xy
-           UNION ALL SELECT 10, x14 >> 4, y14 >> 4 FROM xy)
-         SELECT CAST(z AS INT) AS z, CAST(x AS INT) AS x, CAST(y AS INT) AS y, count(*) AS n
-         FROM lv GROUP BY 1, 2, 3 ORDER BY z, x, y""",
-    "dedup_keep" ->
-      s"""WITH corpus AS ($sqlDedupCorpus),
-         h AS (SELECT doc_id, md5(text) AS h FROM corpus),
-         k AS (SELECT h, min(doc_id) AS doc_id FROM h GROUP BY 1)
-         SELECT h.doc_id AS doc_id FROM h JOIN k ON h.h = k.h AND h.doc_id = k.doc_id
-         ORDER BY h.doc_id""",
-    // integrity: the perceptual hash itself is recomputed in SQL from the
-    // closed-form grid (8x8 block means of exact int sums -> IEEE division
-    // -> left-fold mean -> bit per block, bit 63 handled via signed wrap),
-    // so the engine's decode+phash arithmetic is fully oracle-anchored.
-    // phash_stored re-derives the value the generator wrote to the table's
-    // phash column (same closed form), and the cap_* columns re-derive the
-    // caption JSON's georeferencing from the tile corner — the row's
-    // caption-equality invariant as recomputed quantities, not booleans
-    "img_integrity" ->
-      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         g AS (SELECT swlng, swlat, r.range AS r, c.range AS c,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS v
-           FROM corners, range(0,601) r, range(0,601) c),
-         blk AS (SELECT swlng, swlat, ((8*r + 7)//601)*8 + (8*c + 7)//601 AS idx,
-           CAST(sum(v) AS DOUBLE)/count(*) AS bm
-           FROM g GROUP BY 1, 2, 3),
-         m AS (SELECT swlng, swlat,
-           list_reduce(list(bm ORDER BY idx), (a, b) -> a + b)/64.0 AS mean
-           FROM blk GROUP BY 1, 2),
-         bits AS (SELECT blk.swlng, blk.swlat,
-           CAST(sum(CASE WHEN idx < 63 AND bm > mean THEN CAST(1 AS BIGINT) << idx ELSE 0 END) AS BIGINT)
-           + CASE WHEN max(CASE WHEN idx = 63 AND bm > mean THEN 1 ELSE 0 END) = 1
-                  THEN -9223372036854775808 ELSE 0 END AS phash
-           FROM blk JOIN m ON blk.swlng = m.swlng AND blk.swlat = m.swlat GROUP BY 1, 2)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           phash, phash AS phash_stored,
-           (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-            CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS cap_tile_key,
-           CAST(swlng AS INT) AS cap_sw_lng, CAST(swlat AS INT) AS cap_sw_lat,
-           CAST(601 AS INT) AS cap_size
-         FROM bits ORDER BY image_id""",
-    // replays phashNearDup end-to-end: same closed-form grids (+4000 on the
-    // variant's "high" blocks), same block-sum/one-division/fold-mean hash
-    // as the img_integrity oracle (integer block sums so the +4000 rides
-    // inside the single IEEE division), same 4×16-bit band join, same
-    // bit_count(xor) Hamming filter (arithmetic >> then & 65535 extracts
-    // identical band keys in both engines — verified on the sign bit)
-    "img_phash_neardup" ->
-      s"""WITH $phashPairCtes
-         SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
-         FROM cand WHERE bit_count(xor(pa, pb)) <= 3 ORDER BY id_a, id_b""",
-    "img_dedup_cluster" ->
-      s"""WITH RECURSIVE $phashPairCtes,
-         pairs AS (SELECT id_a, id_b FROM cand WHERE bit_count(xor(pa, pb)) <= 3),
-         reach(id, other) AS (
-           SELECT image_id, image_id FROM corpus
-           UNION
-           SELECT r.id, CASE WHEN p.id_a = r.other THEN p.id_b ELSE p.id_a END
-           FROM reach r JOIN pairs p ON p.id_a = r.other OR p.id_b = r.other)
-         SELECT id AS image_id, min(other) AS cluster, id = min(other) AS keep
-         FROM reach GROUP BY id ORDER BY image_id""",
-    "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-         round(sum(l_extendedprice), 2) AS sum_base,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc,
-         avg(l_quantity) AS avg_qty, count(*) AS n
-         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-09-01'
-         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
-    "q3_topk" ->
-      """SELECT o_orderkey, o_orderdate,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
-         FROM customer JOIN orders ON c_custkey = o_custkey
-         JOIN lineitem ON l_orderkey = o_orderkey
-         WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
-           AND l_shipdate > TIMESTAMP '1998-01-01'
-         GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10""",
-    "q5_multijoin" ->
-      """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
-         FROM region JOIN nation ON r_regionkey = n_regionkey
-         JOIN customer ON n_nationkey = c_nationkey
-         JOIN orders ON c_custkey = o_custkey
-         JOIN lineitem ON o_orderkey = l_orderkey
-         JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = n_nationkey
-         WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name""",
-    "q_window" ->
-      """SELECT o_custkey, o_orderkey, rn, run_total FROM (
-           SELECT o_custkey, o_orderkey,
-             CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS rn,
-             round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
-           FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
-    // pyramid: pixel centers are dyadic rationals ((k+0.5)/128 is exact in
-    // binary), the bilinear runs in the engine's exact op order, and the
-    // Terrarium triple of the sampled double is recomputed per pixel — the
-    // engine's values additionally round-trip through real PNG bytes
-    "tile_pyramid" ->
-      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         px AS (SELECT swlng, swlat, sx.range AS sx, sy.range AS sy, r.range AS r, c.range AS c
-           FROM corners, range(0,2) sx, range(0,2) sy, range(0,64) r, range(0,64) c),
-         pos AS (SELECT swlng, swlat, sx, sy,
-           (swlat + (sy*64 + r + 0.5)/128.0 - swlat) * 600 AS rowf,
-           (swlng + (sx*64 + c + 0.5)/128.0 - swlng) * 600 AS colf FROM px),
-         eg AS (SELECT *, CAST(floor(colf) AS BIGINT) AS c0, CAST(floor(rowf) AS BIGINT) AS r0,
-           colf - floor(colf) AS cf, rowf - floor(rowf) AS rf,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM pos),
-         ev AS (SELECT *,
-           a + 2*c0     + 3*r0     + ((c0//8)*(r0//8)) % 32         AS v00,
-           a + 2*(c0+1) + 3*r0     + (((c0+1)//8)*(r0//8)) % 32     AS v10,
-           a + 2*(c0+1) + 3*(r0+1) + (((c0+1)//8)*((r0+1)//8)) % 32 AS v11,
-           a + 2*c0     + 3*(r0+1) + ((c0//8)*((r0+1)//8)) % 32     AS v01 FROM eg),
-         e AS (SELECT swlng, swlat, sx, sy,
-           ((v00 + (v10 - v00) * cf) +
-            ((v01 + (v11 - v01) * cf) - (v00 + (v10 - v00) * cf)) * rf) + 32768.0 AS ee FROM ev),
-         t AS (SELECT swlng, swlat, sx, sy,
-           CAST(floor(ee / 256) AS BIGINT) AS tr,
-           CAST(trunc(ee % 256) AS BIGINT) AS tg,
-           CAST(floor((ee - floor(ee)) * 256) AS BIGINT) AS tb FROM e)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           CAST(sx AS INT) AS sx, CAST(sy AS INT) AS sy,
-           count(*) AS n_px, CAST(sum(tr) AS BIGINT) AS r_sum,
-           CAST(sum(tg) AS BIGINT) AS g_sum, CAST(sum(tb) AS BIGINT) AS b_sum
-         FROM t GROUP BY swlng, swlat, sx, sy ORDER BY image_id, sx, sy""",
-    // trunc-div gaps in whole seconds; variance numerator in HUGEINT,
-    // value int64 by construction
-    "events_interarrival" ->
-      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
-         g AS (SELECT user_id,
-             (ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)) // 1000000 AS gap_s
-           FROM b)
-         SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
-           CAST(min(gap_s) AS BIGINT) AS min_gap_s,
-           CAST(max(gap_s) AS BIGINT) AS max_gap_s,
-           CAST(sum(gap_s) AS BIGINT) AS sum_gap_s,
-           CAST(count(*) * sum(gap_s*gap_s) - sum(gap_s)*sum(gap_s) AS BIGINT) AS var_num
-         FROM g WHERE gap_s IS NOT NULL
-         GROUP BY user_id ORDER BY user_id""",
-    "events_key_skew" ->
-      """WITH per AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
-         SELECT n, count(*) AS n_keys FROM per GROUP BY n ORDER BY n""",
-    // bounded 7-day fanout + per-(type, day) selection median
-    "events_rolling_median" ->
-      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d,
-           count(*) AS cnt FROM events GROUP BY 1, 2),
-         fan AS (SELECT d2.event_type, d2.d AS src_d, d2.cnt, d2.d + t.o AS d
-           FROM daily d2, unnest(range(0, 7)) AS t(o)),
-         win AS (SELECT f.event_type, f.d, f.src_d, f.cnt FROM fan f
-           JOIN daily s ON s.event_type = f.event_type AND s.d = f.d),
-         r AS (SELECT event_type, d, cnt, src_d,
-             row_number() OVER (PARTITION BY event_type, d ORDER BY cnt, src_d) AS rn,
-             count(*) OVER (PARTITION BY event_type, d) AS n FROM win)
-         SELECT event_type, CAST(d AS BIGINT) AS d, CAST(n AS BIGINT) AS n_days,
-           CAST(cnt AS BIGINT) AS med_daily
-         FROM r WHERE rn = (n + 1) // 2 ORDER BY event_type, d""",
-    // χ² numerator Σ(7O−T)² stays integer; one // to ppm
-    "events_dow_chi2" ->
-      """WITH c AS (SELECT event_type,
-           (epoch_us(ts) // 86400000000) % 7 AS dow, count(*) AS o
-           FROM events GROUP BY 1, 2),
-         w AS (SELECT event_type, dow, o,
-           CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS t_all FROM c),
-         a AS (SELECT event_type, CAST(max(t_all) AS BIGINT) AS total,
-           CAST(sum((7*o - t_all) * (7*o - t_all)) AS BIGINT) AS chi_num
-           FROM w GROUP BY 1)
-         SELECT event_type, total, chi_num,
-           (chi_num * 1000000) // (7 * total) AS chi2_ppm
-         FROM a ORDER BY event_type""",
-    // Gini over ascending-ranked counts; all-integer, one // at the end
-    "events_gini" ->
-      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
-         r AS (SELECT n, row_number() OVER (ORDER BY n, user_id) AS i FROM c),
-         a AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
-             CAST(sum(n) AS BIGINT) AS total,
-             CAST(sum(i * n) AS BIGINT) AS iwsum FROM r)
-         SELECT n_keys, total,
-           ((2 * iwsum - (n_keys + 1) * total) * 1000000) // (n_keys * total) AS gini_ppm
-         FROM a""",
-    // same split, same bigram windows, same integer lift quantization; the
-    // oracle's // is floor division on positives exactly like Spark's div
-    "text_collocations" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         bg AS (SELECT w[CAST(i AS INT)] AS w1, w[CAST(i AS INT)+1] AS w2
-           FROM w, unnest(generate_series(1, len(w)-1)) AS g(i)),
-         big AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2
-           HAVING count(*) >= 5),
-         uni AS (SELECT word, count(*) AS c
-           FROM (SELECT unnest(w) AS word FROM w) GROUP BY 1),
-         n AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uni)
-         SELECT w1, w2, c_xy,
-           (c_xy * n_total * 100000) // (cx.c * cy.c) AS lift_q
-         FROM big JOIN uni cx ON big.w1 = cx.word
-           JOIN uni cy ON big.w2 = cy.word, n
-         ORDER BY lift_q DESC, w1, w2 LIMIT 30""",
-    // same three congruential hashes as the engine's cmSketch; the sketch
-    // rebuild, the exact top-20 selection (ties broken by user_id), and the
-    // min-over-rows estimate are all replayed
-    "events_cm_topk" ->
-      """WITH sk AS (SELECT j, pos, count(*) AS cnt FROM (
-           SELECT 0 AS j, ((user_id * 1103515245 + 12345) % 2147483648) % 1024 AS pos FROM events
-           UNION ALL SELECT 1, ((user_id * 214013 + 2531011) % 2147483648) % 1024 FROM events
-           UNION ALL SELECT 2, ((user_id * 69069 + 1234567) % 2147483648) % 1024 FROM events)
-           GROUP BY 1, 2),
-         top AS (SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1
-           ORDER BY n_exact DESC, user_id LIMIT 20),
-         tp AS (SELECT user_id, n_exact, 0 AS j, ((user_id * 1103515245 + 12345) % 2147483648) % 1024 AS pos FROM top
-           UNION ALL SELECT user_id, n_exact, 1, ((user_id * 214013 + 2531011) % 2147483648) % 1024 FROM top
-           UNION ALL SELECT user_id, n_exact, 2, ((user_id * 69069 + 1234567) % 2147483648) % 1024 FROM top)
-         SELECT tp.user_id, tp.n_exact, min(cnt) AS cm_est
-         FROM tp JOIN sk ON tp.j = sk.j AND tp.pos = sk.pos
-         GROUP BY 1, 2 ORDER BY n_exact DESC, user_id""",
-    // replays the Bloom filter bit for bit: same three congruential hashes,
-    // positions deduped from the build keys, membership = all three probe
-    // positions present; truth via an exact IN
-    "bloom_semijoin" ->
-      """WITH bk AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_totalprice > 480000.0),
-         pos AS (
-           SELECT ((o_orderkey * 1103515245 + 12345) % 2147483648) % 131072 AS p FROM bk
-           UNION SELECT ((o_orderkey * 214013 + 2531011) % 2147483648) % 131072 FROM bk
-           UNION SELECT ((o_orderkey * 69069 + 1234567) % 2147483648) % 131072 FROM bk),
-         l AS (SELECT l_returnflag,
-             ((l_orderkey * 1103515245 + 12345) % 2147483648) % 131072 AS p1,
-             ((l_orderkey * 214013 + 2531011) % 2147483648) % 131072 AS p2,
-             ((l_orderkey * 69069 + 1234567) % 2147483648) % 131072 AS p3,
-             CASE WHEN l_orderkey IN (SELECT o_orderkey FROM bk) THEN 1 ELSE 0 END AS t
-           FROM lineitem),
-         f AS (SELECT l_returnflag, t,
-             CASE WHEN p1 IN (SELECT p FROM pos) AND p2 IN (SELECT p FROM pos)
-                   AND p3 IN (SELECT p FROM pos) THEN 1 ELSE 0 END AS bp
-           FROM l)
-         SELECT l_returnflag, count(*) AS n_rows,
-           CAST(sum(bp) AS BIGINT) AS n_bloom_pass,
-           CAST(sum(t) AS BIGINT) AS n_true,
-           CAST(sum(CASE WHEN bp = 1 AND t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
-         FROM f GROUP BY 1 ORDER BY 1""",
-    // replicates ops.Sketches.hllDistinct step for step: same congruential
-    // hash, same lsb-CASE rank, same exact-integer register sum over the
-    // 2^40 denominator, same single IEEE division at the end
-    "events_hll_distinct" -> hllDistinctOracleSql,
-    // definitional bottom-64: distinct hashes ranked per group, the 64th
-    // order statistic finishes the estimate by exact integer division
-    "events_kmv_distinct" ->
-      """WITH h AS (SELECT DISTINCT event_type,
-           (user_id * 1103515245 + 12345) % 2147483648 AS h FROM events),
-         r AS (SELECT event_type, h,
-             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM h),
-         s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_k,
-             CAST(max(h) AS BIGINT) AS kth_hash
-           FROM r WHERE rk <= 64 GROUP BY 1)
-         SELECT s.event_type, s.n_k, s.kth_hash,
-           CASE WHEN s.n_k < 64 THEN s.n_k
-                ELSE (CAST(63 AS BIGINT) * 2147483648) // greatest(s.kth_hash, 1) END AS kmv_q,
-           e.n_exact
-         FROM s JOIN (SELECT event_type, count(DISTINCT user_id) AS n_exact
-                      FROM events GROUP BY 1) e ON s.event_type = e.event_type
-         ORDER BY s.event_type""",
-    // the streaming sketch drains to the SAME registers -> same estimate
-    "stream_hll" -> hllDistinctOracleSql,
-    "curation_split" ->
-      """SELECT doc_id, (doc_id * 40503 + 30013) % 65536 AS h,
-           CASE WHEN ((doc_id * 40503 + 30013) % 65536) % 100 < 80 THEN 'train'
-                WHEN ((doc_id * 40503 + 30013) % 65536) % 100 < 90 THEN 'val'
-                ELSE 'test' END AS split
-         FROM documents ORDER BY doc_id""",
-    // same $5 bins over exact cents, same selection rank floor((n-1)p)+1;
-    // quantile bin = first bin whose cumulative count reaches the rank
-    "events_histq" ->
-      """WITH b AS (SELECT event_type,
-             CAST(floor(CAST(round(value*100, 0) AS BIGINT) / 500.0) AS BIGINT) AS bin
-           FROM events),
-         g AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY 1, 2),
-         cum AS (SELECT event_type, bin, c,
-             sum(c) OVER (PARTITION BY event_type ORDER BY bin
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-             sum(c) OVER (PARTITION BY event_type) AS n
-           FROM g)
-         SELECT event_type, CAST(max(n) AS BIGINT) AS n,
-           min(CASE WHEN cum >= floor((n-1)*0.5)+1 THEN bin*500 END) AS p50_lo,
-           min(CASE WHEN cum >= floor((n-1)*0.9)+1 THEN bin*500 END) AS p90_lo,
-           min(CASE WHEN cum >= floor((n-1)*0.99)+1 THEN bin*500 END) AS p99_lo
-         FROM cum GROUP BY event_type ORDER BY event_type""",
-    "events_quantiles" ->
-      """WITH r AS (SELECT event_type, value,
-           row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
-           count(*) OVER (PARTITION BY event_type) AS n
-           FROM events)
-         SELECT event_type, max(n) AS n,
-           max(CASE WHEN rn = floor((n-1)*0.5)+1 THEN value END) AS p50,
-           max(CASE WHEN rn = floor((n-1)*0.9)+1 THEN value END) AS p90,
-           max(CASE WHEN rn = floor((n-1)*0.99)+1 THEN value END) AS p99
-         FROM r GROUP BY 1 ORDER BY 1""",
-    "events_mad" ->
-      """WITH b AS (SELECT event_type, CAST(floor(value*100) AS BIGINT) AS iv,
-           event_id FROM events),
-         m1 AS (SELECT event_type, iv,
-           row_number() OVER (PARTITION BY event_type ORDER BY iv, event_id) AS rn,
-           count(*) OVER (PARTITION BY event_type) AS n FROM b),
-         med AS (SELECT event_type, iv AS med FROM m1 WHERE rn = (n+1)//2),
-         d AS (SELECT b.event_type, abs(b.iv - med.med) AS dev, b.event_id,
-           med.med FROM b JOIN med USING (event_type)),
-         m2 AS (SELECT event_type, dev,
-           row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
-           count(*) OVER (PARTITION BY event_type) AS n FROM d),
-         mad AS (SELECT event_type, dev AS mad FROM m2 WHERE rn = (n+1)//2)
-         SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
-           CAST(max(d.med) AS BIGINT) AS med, CAST(max(mad.mad) AS BIGINT) AS mad,
-           CAST(sum(CASE WHEN d.dev > 2*mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_out
-         FROM d JOIN mad USING (event_type)
-         GROUP BY d.event_type ORDER BY d.event_type""",
-    "events_rollup" ->
-      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
-           CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
-         SELECT COALESCE(event_type, '(all)') AS event_type,
-           COALESCE(CAST(hr AS VARCHAR), '(all)') AS hr,
-           count(*) AS n, CAST(sum(cents) AS BIGINT) / 100.0 AS sum_value
-         FROM h GROUP BY ROLLUP(event_type, hr)
-         ORDER BY 1, 2""",
-    "events_sessions" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
-                CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
-         m AS (SELECT *, CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
-                    OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) > 43200000000
-                  THEN 1 ELSE 0 END AS new_sess FROM e),
-         s AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_seq FROM m)
-         SELECT user_id, sess_seq, count(*) AS n_events,
-           min(tus) AS start_us, max(tus) AS end_us,
-           CAST(sum(cents) AS BIGINT) / 100.0 AS sum_value
-         FROM s GROUP BY 1, 2 ORDER BY user_id, sess_seq""",
-    // same union+window formulation as ops.AsofJoin: right (view) rows sort
-    // before left (purchase) rows at an equal timestamp => inclusive match
-    "events_asof" ->
-      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type FROM events),
-         u AS (SELECT user_id, tus, event_id, 0 AS side, event_id AS r_id FROM e WHERE event_type = 'view'
-               UNION ALL
-               SELECT user_id, tus, event_id, 1 AS side, NULL AS r_id FROM e WHERE event_type = 'purchase'),
-         w AS (SELECT *,
-             last_value(r_id IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tus, side, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_event_id,
-             last_value(CASE WHEN side = 0 THEN tus END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tus, side, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_tus
-           FROM u)
-         SELECT event_id, user_id, tus, view_event_id, view_tus,
-           tus - view_tus AS gap_us
-         FROM w WHERE side = 1 ORDER BY event_id""",
-    "events_hourly" ->
-      """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n,
-         round(sum(value), 2) AS sum_value
-         FROM events GROUP BY 1, 2 ORDER BY hr, event_type""",
-    // global exact moments, cross-multiplied 3-sigma rule + signed 8-run
-    "events_spc" ->
-      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
-             CAST(count(*) AS BIGINT) AS c
-           FROM events GROUP BY 1, 2),
-         m AS (SELECT event_type, hr, c,
-             CAST(count(*) OVER p AS BIGINT) AS n,
-             CAST(sum(c) OVER p AS BIGINT) AS sc,
-             CAST(sum(c*c) OVER p AS BIGINT) AS sq
-           FROM h WINDOW p AS (PARTITION BY event_type)),
-         d AS (SELECT *, n*c - sc AS dev,
-             CAST(sign(n*c - sc) AS BIGINT) AS side FROM m),
-         f AS (SELECT *,
-             CASE WHEN n >= 2 AND dev*dev*(n-1) > 9*n*(n*sq - sc*sc)
-                  THEN 1 ELSE 0 END AS r1,
-             CAST(sum(side) OVER w8 AS BIGINT) AS run8,
-             CAST(count(*) OVER w8 AS BIGINT) AS cnt8
-           FROM d WINDOW w8 AS (PARTITION BY event_type ORDER BY hr
-             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
-         SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
-           CAST(sum(r1) AS BIGINT) AS n_r1,
-           CAST(sum(CASE WHEN cnt8 = 8 AND abs(run8) = 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_r4
-         FROM f GROUP BY 1 ORDER BY event_type""",
-    // first-order-month cohorts, cumulative cents by age
-    "events_cohort_ltv" ->
-      """WITH o AS (SELECT o_custkey,
-             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
-             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
-           FROM orders),
-         f AS (SELECT o_custkey, min(m) AS m0 FROM o GROUP BY 1),
-         j AS (SELECT o.o_custkey, f.m0 AS cohort, o.m - f.m0 AS age, o.cents
-           FROM o JOIN f ON o.o_custkey = f.o_custkey),
-         mat AS (SELECT cohort, age, CAST(count(*) AS BIGINT) AS n_orders,
-             CAST(sum(cents) AS BIGINT) AS cents
-           FROM j GROUP BY 1, 2)
-         SELECT cohort, age, n_orders, cents,
-           CAST(sum(cents) OVER (PARTITION BY cohort ORDER BY age
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
-         FROM mat ORDER BY cohort, age""",
-    // prefix-sum objective in the defined integer-division form, argmax
-    // with earliest-split ties
-    "events_changepoint" ->
-      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
-           FROM events GROUP BY 1, 2),
-         p AS (SELECT event_type, hr, c,
-             CAST(row_number() OVER w AS BIGINT) AS i,
-             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY hr
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s1,
-             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
-             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS stot
-           FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
-         cand AS (SELECT *,
-             (s1*s1) // i + ((stot-s1)*(stot-s1)) // (n - i) AS obj
-           FROM p WHERE i < n),
-         best AS (SELECT *, row_number() OVER (PARTITION BY event_type
-             ORDER BY obj DESC, i) AS rn FROM cand)
-         SELECT event_type, n AS n_hours, i AS best_idx, hr AS best_hr,
-           obj, obj - (stot*stot) // n AS gain
-         FROM best WHERE rn = 1 ORDER BY event_type""",
-    // rank-desc running share, 80% frontier by cross-multiplication
-    "events_pareto_n80" ->
-      """WITH u AS (SELECT event_type, user_id,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
-           FROM events GROUP BY 1, 2),
-         r AS (SELECT event_type, user_id, c,
-             CAST(row_number() OVER w AS BIGINT) AS rk,
-             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY c DESC, user_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
-             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
-             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_users
-           FROM u WINDOW w AS (PARTITION BY event_type ORDER BY c DESC, user_id))
-         SELECT event_type, n_users, tot, CAST(min(rk) AS BIGINT) AS n80
-         FROM r WHERE 5 * cum >= 4 * tot
-         GROUP BY event_type, n_users, tot
-         ORDER BY event_type""",
-    // hour-of-day fold + flat-profile index in exact ppm
-    "events_seasonality" ->
-      """WITH e AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
-             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
-         h AS (SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(cents) AS BIGINT) AS cents
-           FROM e GROUP BY 1, 2),
-         t AS (SELECT event_type, CAST(sum(cents) AS BIGINT) AS tot_cents
-           FROM e GROUP BY 1)
-         SELECT h.event_type, h.hod, h.n, h.cents,
-           (h.cents * 24 * 1000000) // t.tot_cents AS idx_ppm
-         FROM h JOIN t ON h.event_type = t.event_type
-         ORDER BY h.event_type, h.hod""",
-    "geo_tile_key" ->
-      """WITH pts AS (SELECT c_custkey AS point_id,
-           -180 + (c_custkey % 360) + 0.5 AS lng,
-           -90 + ((c_custkey * 7) % 180) + 0.25 AS lat FROM customer)
-         SELECT point_id,
-           (CASE WHEN floor(lat) < 0 THEN 'S' ELSE 'N' END ||
-            lpad(CAST(CAST(abs(floor(lat)) AS BIGINT) AS VARCHAR), 2, '0') ||
-            CASE WHEN floor(lng) < 0 THEN 'W' ELSE 'E' END ||
-            lpad(CAST(CAST(abs(floor(lng)) AS BIGINT) AS VARCHAR), 3, '0')) AS tile_key
-         FROM pts ORDER BY point_id""",
-    "geo_elev_bilinear" -> cogroupElevOracleSql,
-    // the streaming enrichment path must land on the identical result, so
-    // it shares the bilinear oracle
-    "stream_elevation" -> cogroupElevOracleSql,
-    "geo_terrarium" ->
-      """WITH e AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
-           ((l_extendedprice % 9000.0) - 500.0) + 32768.0 AS ev FROM lineitem)
-         SELECT point_id, CAST(floor(ev / 256) AS INT) AS r,
-           CAST(trunc(ev % 256) AS INT) AS g,
-           CAST(floor((ev - floor(ev)) * 256) AS INT) AS b
-         FROM e ORDER BY point_id""",
-    // same z14 web-mercator formula as geo_zxy over the gate point cloud
-    "geo_cell_skew" ->
-      """WITH pts AS (SELECT
-           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
-           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
-           FROM lineitem),
-         c AS (SELECT lng,
-           least(greatest(lat, -85.05112877980659), 85.05112877980659) AS latc FROM pts),
-         xy AS (SELECT
-             CAST(least(greatest(floor((lng + 180.0)/360.0 * 16384), 0), 16383) AS INT) AS x,
-             CAST(least(greatest(floor((1.0 - ln(tan(radians(latc)) + 1.0/cos(radians(latc)))/pi())/2.0 * 16384), 0), 16383) AS INT) AS y
-           FROM c),
-         g AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n FROM xy GROUP BY 1, 2),
-         t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM g)
-         SELECT x, y, n, n * 1000000 // tot AS share_ppm,
-           CAST(row_number() OVER (ORDER BY n DESC, x, y) AS INT) AS rank
-         FROM g, t QUALIFY rank <= 10 ORDER BY rank""",
-    "geo_zxy" ->
-      """WITH pts AS (SELECT c_custkey AS point_id,
-           -180 + (c_custkey % 360) + 0.5 AS lng,
-           -90 + ((c_custkey * 7) % 180) + 0.25 AS lat FROM customer),
-         c AS (SELECT point_id, lng,
-           least(greatest(lat, -85.05112877980659), 85.05112877980659) AS latc FROM pts)
-         SELECT point_id,
-           CAST(least(greatest(floor((lng + 180.0)/360.0 * 16384), 0), 16383) AS INT) AS x,
-           CAST(least(greatest(floor((1.0 - ln(tan(radians(latc)) + 1.0/cos(radians(latc)))/pi())/2.0 * 16384), 0), 16383) AS INT) AS y
-         FROM c ORDER BY point_id""",
-    // same tile coords as geo_zxy; quadkey digits unrolled exactly as the
-    // engine's plan-time concat of bit ops
-    "geo_quadkey" -> {
-      val digits = (14 to 1 by -1).map { i =>
-        s"CAST((x >> ${i - 1}) % 2 + 2*((y >> ${i - 1}) % 2) AS VARCHAR)"
-      }.mkString(" || ")
-      s"""WITH pts AS (SELECT c_custkey AS point_id,
-           -180 + (c_custkey % 360) + 0.5 AS lng,
-           -90 + ((c_custkey * 7) % 180) + 0.25 AS lat FROM customer),
-         c AS (SELECT point_id, lng,
-           least(greatest(lat, -85.05112877980659), 85.05112877980659) AS latc FROM pts),
-         xy AS (SELECT point_id,
-           CAST(least(greatest(floor((lng + 180.0)/360.0 * 16384), 0), 16383) AS INT) AS x,
-           CAST(least(greatest(floor((1.0 - ln(tan(radians(latc)) + 1.0/cos(radians(latc)))/pi())/2.0 * 16384), 0), 16383) AS INT) AS y
-         FROM c)
-         SELECT point_id, x, y, $digits AS qk
-         FROM xy ORDER BY point_id"""
-    },
-    "dedup_exact" ->
-      """WITH all_docs AS (SELECT doc_id, text FROM documents
-           UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
-         SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
-         FROM all_docs GROUP BY 1 ORDER BY h""",
-    "checkpoint_resume" ->
-      """SELECT o_custkey % 16 AS grp, count(*) AS n,
-         round(sum(o_totalprice), 2) AS sum_price
-         FROM orders GROUP BY 1 ORDER BY grp""",
-    "cdc_upsert" ->
-      """WITH fin AS (
-           SELECT o_custkey,
-             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
-                  ELSE o_totalprice END AS p
-           FROM orders WHERE o_orderkey % 13 <> 0
-           UNION ALL
-           SELECT o_custkey, o_totalprice AS p
-           FROM orders WHERE o_orderkey % 31 = 0)
-         SELECT o_custkey % 16 AS grp, CAST(count(*) AS BIGINT) AS n,
-           round(sum(p), 2) AS sum_price
-         FROM fin GROUP BY 1 ORDER BY grp""",
-    "cdc_scd2" ->
-      """WITH ch AS (
-           SELECT o_orderkey AS k, o_totalprice AS price, 1 AS seq, 'I' AS op
-           FROM orders
-           UNION ALL
-           SELECT o_orderkey, o_totalprice + 100.0, 2, 'U'
-           FROM orders WHERE o_orderkey % 3 = 0
-           UNION ALL
-           SELECT o_orderkey, 0.0, 3, 'D'
-           FROM orders WHERE o_orderkey % 11 = 0),
-         h AS (SELECT k, price, op, CAST(seq AS BIGINT) AS valid_from,
-             CAST(lead(seq) OVER (PARTITION BY k ORDER BY seq) AS BIGINT)
-               AS valid_to
-           FROM ch),
-         v AS (SELECT k, price, valid_from, valid_to,
-             valid_to IS NULL AS is_current
-           FROM h WHERE op <> 'D')
-         SELECT is_current, k % 16 AS grp, CAST(count(*) AS BIGINT) AS n,
-           round(sum(price), 2) AS sum_price,
-           CAST(sum(valid_from) AS BIGINT) AS sum_from,
-           CAST(sum(coalesce(valid_to, 0)) AS BIGINT) AS sum_to
-         FROM v GROUP BY 1, 2 ORDER BY is_current, grp""",
-    // the two profiles replayed; every verdict is integer ppm arithmetic
-    // (floor division both engines share on nonnegative counts)
-    "dq_drift" -> {
-      def prof(src: String, c: String, numeric: Boolean) = {
-        val mm = if (numeric)
-          s"CAST(min($c) AS DOUBLE) AS mn, CAST(max($c) AS DOUBLE) AS mx"
-        else "CAST(NULL AS DOUBLE) AS mn, CAST(NULL AS DOUBLE) AS mx"
-        s"""SELECT CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn,
-           CAST(count(DISTINCT $c) AS BIGINT) AS d, $mm FROM $src"""
-      }
-      def ppm(p: String) =
-        s"CASE WHEN $p.n = 0 THEN 0 ELSE $p.nn * 1000000 // $p.n END"
-      val cols = Seq(("o_custkey", true), ("o_orderstatus", false),
-        ("o_totalprice", true))
-      val branches = cols.map { case (c, num) =>
-        s"""SELECT '$c' AS "column", pa.n AS n_a, pb.n AS n_b,
-           CAST(${ppm("pa")} AS BIGINT) AS null_ppm_a,
-           CAST(${ppm("pb")} AS BIGINT) AS null_ppm_b,
-           pa.d AS d_a, pb.d AS d_b,
-           abs(${ppm("pa")} - ${ppm("pb")}) >= 20000 AS null_drift,
-           abs(pa.d - pb.d) * 1000000 >= 20000 * greatest(pa.d, 1)
-             AS card_drift,
-           (pa.mn IS DISTINCT FROM pb.mn) OR (pa.mx IS DISTINCT FROM pb.mx)
-             AS bounds_moved
-           FROM (${prof("orders", c, num)}) pa, (${prof("aft", c, num)}) pb"""
-      }
-      s"""WITH aft AS (SELECT o_orderkey, o_custkey,
-           CASE WHEN o_orderstatus = 'P' THEN 'F' ELSE o_orderstatus END
-             AS o_orderstatus,
-           CASE WHEN o_orderkey % 7 = 0 THEN CAST(NULL AS DOUBLE)
-                ELSE o_totalprice END AS o_totalprice
-         FROM orders WHERE o_orderkey % 10 <> 0)
-         ${branches.mkString("\n         UNION ALL ")}
-         ORDER BY "column""""
-    },
-    // latest-wins replay from the final changelog: seq2 'D' beats seq1 'U'
-    // beats the seq0 base row — the batch invariant the streaming
-    // max_by-state snapshot must reproduce exactly
-    "stream_cdc_snapshot" ->
-      """WITH base AS (SELECT o_orderkey AS k, o_custkey AS ck,
-             CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
-         fin AS (SELECT k, ck,
-             CASE WHEN k % 7 = 0 THEN cents + 100000 ELSE cents END AS cents
-           FROM base WHERE NOT (k % 13 = 0))
-         SELECT ck % 16 AS grp, CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(cents) AS BIGINT) AS sum_cents
-         FROM fin GROUP BY 1 ORDER BY grp""",
-    // symmetric Hausdorff over the same 12-track walk: both directed
-    // max-min passes replayed in exact integers
-    "traj_hausdorff" ->
-      """WITH p AS (SELECT user_id AS traj_id,
-             CAST(sum(event_id % 7) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-               AS px,
-             CAST(sum((event_id * 3) % 5) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-               AS py
-           FROM events WHERE user_id < 12),
-         ids AS (SELECT DISTINCT traj_id FROM p),
-         pairs AS (SELECT a.traj_id AS t1, b.traj_id AS t2
-           FROM ids a, ids b WHERE a.traj_id < b.traj_id),
-         j AS (SELECT t1, t2, pa.px AS ax, pa.py AS ay,
-             pb.px AS bx, pb.py AS b_y,
-             (pa.px - pb.px) * (pa.px - pb.px)
-               + (pa.py - pb.py) * (pa.py - pb.py) AS d2
-           FROM pairs
-           JOIN p pa ON pa.traj_id = t1 JOIN p pb ON pb.traj_id = t2),
-         hab AS (SELECT t1, t2, max(mn) AS h_ab,
-             CAST(count(*) AS BIGINT) AS n_a
-           FROM (SELECT t1, t2, ax, ay, min(d2) AS mn FROM j
-                 GROUP BY 1, 2, 3, 4) GROUP BY 1, 2),
-         hba AS (SELECT t1, t2, max(mn) AS h_ba,
-             CAST(count(*) AS BIGINT) AS n_b
-           FROM (SELECT t1, t2, bx, b_y, min(d2) AS mn FROM j
-                 GROUP BY 1, 2, 3, 4) GROUP BY 1, 2)
-         SELECT hab.t1, hab.t2, n_a, n_b,
-           CAST(greatest(h_ab, h_ba) AS BIGINT) AS hausdorff_d2
-         FROM hab JOIN hba ON hab.t1 = hba.t1 AND hab.t2 = hba.t2
-         ORDER BY hab.t1, hab.t2""",
-    // Holt recurrence replayed as a recursive CTE; the floor division is
-    // spelled out the same way the engine spells it, so negative trends
-    // floor identically in both engines
-    "events_holt" -> {
-      def fd(x: String) =
-        s"(($x) - ((($x) % 1000000 + 1000000) % 1000000)) // 1000000"
-      val lNew = fd("300000 * e.v + 700000 * (st.l + st.b)")
-      s"""WITH RECURSIVE ev AS (SELECT user_id,
-             CAST(round(value*100) AS BIGINT) AS v,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               AS i FROM events),
-         cnt AS (SELECT user_id, count(*) AS n FROM ev GROUP BY 1),
-         st AS (
-           SELECT ev.user_id, CAST(1 AS BIGINT) AS i, ev.v AS l,
-             CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS e
-           FROM ev WHERE ev.i = 1
-           UNION ALL
-           SELECT st.user_id, st.i + 1,
-             CAST($lNew AS BIGINT),
-             CAST(${fd(s"100000 * (($lNew) - st.l) + 900000 * st.b")} AS BIGINT),
-             CAST(st.e + abs(e.v - (st.l + st.b)) AS BIGINT)
-           FROM st JOIN ev e ON e.user_id = st.user_id AND e.i = st.i + 1)
-         SELECT st.user_id, c.n AS n_events, st.l AS level, st.b AS trend,
-           CAST(st.l + 3 * st.b AS BIGINT) AS forecast,
-           st.e AS abs_err_sum
-         FROM st JOIN cnt c USING (user_id) WHERE st.i = c.n
-         ORDER BY st.user_id"""
-    },
-    // full recompute from the FINAL table state — the maintenance
-    // invariant the incremental path must hit bit-for-bit
-    "cdc_incr_agg" ->
-      """WITH o AS (SELECT o_orderkey AS k, o_custkey % 16 AS grp,
-             CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
-         base AS (SELECT * FROM o WHERE k % 5 <> 0),
-         ins AS (SELECT grp, v FROM o WHERE k % 5 = 0),
-         upd AS (SELECT CASE WHEN k % 9 = 0 THEN (grp + 1) % 16 ELSE grp END
-               AS grp, v + 10000 AS v
-           FROM base WHERE k % 3 = 0),
-         kept AS (SELECT grp, v FROM base
-           WHERE k % 3 <> 0 AND NOT (k % 11 = 0)),
-         fin AS (SELECT * FROM kept UNION ALL SELECT * FROM upd
-           UNION ALL SELECT * FROM ins)
-         SELECT grp, CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(v) AS BIGINT) AS sum_v
-         FROM fin GROUP BY grp ORDER BY grp""",
-    "dq_expectations" ->
-      """WITH r1 AS (SELECT 'not_null' AS rule, 'o_custkey' AS "column",
-             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-               AS violations,
-             CAST(count(*) AS BIGINT) AS total FROM orders),
-         r2 AS (SELECT 'bounds', 'o_totalprice',
-             CAST(sum(CASE WHEN o_totalprice IS NOT NULL AND
-                 NOT (o_totalprice >= 1000.0 AND o_totalprice <= 200000.0)
-               THEN 1 ELSE 0 END) AS BIGINT),
-             CAST(count(*) AS BIGINT) FROM orders),
-         r3 AS (SELECT 'in_values', 'o_orderstatus',
-             CAST(sum(CASE WHEN o_orderstatus IS NOT NULL AND
-                 o_orderstatus NOT IN ('F', 'O')
-               THEN 1 ELSE 0 END) AS BIGINT),
-             CAST(count(*) AS BIGINT) FROM orders),
-         r4 AS (SELECT 'min_rows', '*',
-             CAST(greatest(1000 - count(*), 0) AS BIGINT),
-             CAST(count(*) AS BIGINT) FROM orders),
-         r5 AS (SELECT 'unique', 'o_orderkey',
-             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
-             CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders),
-         r6 AS (SELECT 'unique', 'o_custkey',
-             CAST(count(*) - count(DISTINCT o_custkey) AS BIGINT),
-             CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders),
-         probe AS (SELECT DISTINCT o_custkey FROM orders
-                   WHERE o_custkey IS NOT NULL),
-         r7 AS (SELECT 'in_table', 'o_custkey',
-             CAST((SELECT count(*) FROM probe p WHERE NOT EXISTS
-               (SELECT 1 FROM customer c WHERE c.c_custkey = p.o_custkey))
-               AS BIGINT),
-             CAST((SELECT count(*) FROM probe) AS BIGINT)),
-         r8 AS (SELECT 'in_table', 'o_custkey',
-             CAST((SELECT count(*) FROM probe p WHERE NOT EXISTS
-               (SELECT 1 FROM customer c WHERE c.c_custkey % 2 = 0
-                  AND c.c_custkey = p.o_custkey)) AS BIGINT),
-             CAST((SELECT count(*) FROM probe) AS BIGINT)),
-         u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
-           UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
-           UNION ALL SELECT * FROM r5 UNION ALL SELECT * FROM r6
-           UNION ALL SELECT * FROM r7 UNION ALL SELECT * FROM r8)
-         SELECT rule, "column", violations, total, violations = 0 AS passed
-         FROM u ORDER BY rule, "column", violations""",
-    "geo_elev_diff" ->
-      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         g AS (SELECT swlng, swlat,
-           c.range + r.range + ((c.range//8)*(r.range//8)) % 32 AS ad
-           FROM corners, range(0,601) r, range(0,601) c)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           CAST(count(*) AS BIGINT) AS n_px,
-           CAST(sum(CASE WHEN ad > 600 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
-           CAST(sum(ad) AS BIGINT) AS abs_sum,
-           CAST(max(ad) AS BIGINT) AS abs_max
-         FROM g GROUP BY swlng, swlat ORDER BY image_id""",
-    "img_blur" ->
-      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         l AS (SELECT swlng, swlat,
-           4*(((c.range//8)*(r.range//8)) % 32)
-           - (((c.range//8)*((r.range-1)//8)) % 32)
-           - (((c.range//8)*((r.range+1)//8)) % 32)
-           - ((((c.range-1)//8)*(r.range//8)) % 32)
-           - ((((c.range+1)//8)*(r.range//8)) % 32) AS lap
-           FROM corners, range(1,600) r, range(1,600) c),
-         a AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           CAST(count(*) AS BIGINT) AS n_int,
-           CAST(sum(lap) AS BIGINT) AS lap_sum,
-           CAST(sum(lap*lap) AS BIGINT) AS lap_sumsq
-           FROM l GROUP BY 1)
-         SELECT image_id, n_int, lap_sum, lap_sumsq,
-           n_int * lap_sumsq - lap_sum * lap_sum AS var_num
-         FROM a ORDER BY image_id""",
-    "img_patchify" ->
-      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         g AS (SELECT swlng, swlat,
-           CAST(r.range // 100 AS INT) AS py, CAST(c.range // 100 AS INT) AS px,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range
-             + ((c.range//8)*(r.range//8)) % 32 AS v
-           FROM corners, range(0,600) r, range(0,600) c)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           py, px,
-           CAST(count(*) AS BIGINT) AS n_px,
-           CAST(sum(v) AS BIGINT) AS px_sum,
-           CAST(sum(v*v) AS BIGINT) AS px_sumsq,
-           CAST(min(v) AS INT) AS px_min,
-           CAST(max(v) AS INT) AS px_max
-         FROM g GROUP BY swlng, swlat, py, px
-         ORDER BY image_id, py, px""",
-    "checkpoint_timetravel" ->
-      """WITH s1 AS (SELECT o_custkey % 16 AS grp, count(*) AS n,
-           round(sum(o_totalprice), 2) AS sum_price, 'r1' AS snap
-           FROM orders GROUP BY 1),
-         merged AS (SELECT o_custkey,
-           CASE WHEN o_orderkey % 12 < 4 THEN o_totalprice + 1000.0
-                ELSE o_totalprice END AS p FROM orders),
-         s2 AS (SELECT o_custkey % 16 AS grp, count(*) AS n,
-           round(sum(p), 2) AS sum_price, 'r2' AS snap
-           FROM merged GROUP BY 1)
-         SELECT grp, n, sum_price, snap FROM s1
-         UNION ALL SELECT grp, n, sum_price, snap FROM s2
-         ORDER BY snap, grp""",
-    // restore rolls the table back to the r1 content as a NEW commit while
-    // the pre-restore r2 snapshot stays readable
-    "checkpoint_restore" ->
-      """WITH merged AS (SELECT o_custkey,
-           CASE WHEN o_orderkey % 12 < 4 THEN o_totalprice + 1000.0
-                ELSE o_totalprice END AS p FROM orders),
-         s2 AS (SELECT o_custkey % 16 AS grp, count(*) AS n,
-           round(sum(p), 2) AS sum_price, 'r2' AS snap
-           FROM merged GROUP BY 1),
-         s3 AS (SELECT o_custkey % 16 AS grp, count(*) AS n,
-           round(sum(o_totalprice), 2) AS sum_price, 'restored' AS snap
-           FROM orders GROUP BY 1)
-         SELECT grp, n, sum_price, snap FROM s2
-         UNION ALL SELECT grp, n, sum_price, snap FROM s3
-         ORDER BY snap, grp""",
-    // compaction preserves content: AS OF after OPTIMIZE = the r2 state,
-    // and the pre-compaction r1 snapshot is untouched
-    "checkpoint_compact" ->
-      """WITH s1 AS (SELECT o_custkey % 16 AS grp, count(*) AS n,
-           round(sum(o_totalprice), 2) AS sum_price, 'r1' AS snap
-           FROM orders GROUP BY 1),
-         merged AS (SELECT o_custkey,
-           CASE WHEN o_orderkey % 12 < 4 THEN o_totalprice + 1000.0
-                ELSE o_totalprice END AS p FROM orders),
-         sc AS (SELECT o_custkey % 16 AS grp, count(*) AS n,
-           round(sum(p), 2) AS sum_price, 'c1' AS snap
-           FROM merged GROUP BY 1)
-         SELECT grp, n, sum_price, snap FROM s1
-         UNION ALL SELECT grp, n, sum_price, snap FROM sc
-         ORDER BY snap, grp""",
-    // branch a = base + (+1000 on buckets 0-3), branch b = base + (+500 on
-    // buckets 8-11), merge m = both (disjoint buckets, latest-wins)
-    "checkpoint_branch" ->
-      """WITH sa AS (SELECT o_custkey % 16 AS grp, count(*) AS n,
-           round(sum(CASE WHEN o_orderkey % 12 < 4 THEN o_totalprice + 1000.0
-                          ELSE o_totalprice END), 2) AS sum_price, 'a' AS snap
-           FROM orders GROUP BY 1),
-         sb AS (SELECT o_custkey % 16 AS grp, count(*) AS n,
-           round(sum(CASE WHEN o_orderkey % 12 >= 8 THEN o_totalprice + 500.0
-                          ELSE o_totalprice END), 2) AS sum_price, 'b' AS snap
-           FROM orders GROUP BY 1),
-         sm AS (SELECT o_custkey % 16 AS grp, count(*) AS n,
-           round(sum(CASE WHEN o_orderkey % 12 < 4 THEN o_totalprice + 1000.0
-                          WHEN o_orderkey % 12 >= 8 THEN o_totalprice + 500.0
-                          ELSE o_totalprice END), 2) AS sum_price, 'm' AS snap
-           FROM orders GROUP BY 1)
-         SELECT grp, n, sum_price, snap FROM sa
-         UNION ALL SELECT grp, n, sum_price, snap FROM sb
-         UNION ALL SELECT grp, n, sum_price, snap FROM sm
-         ORDER BY snap, grp""",
-    // each delta is exactly the changed buckets' rows from the new winner
-    "checkpoint_delta" ->
-      """WITH d1 AS (SELECT o_custkey % 16 AS grp, count(*) AS n,
-           round(sum(o_totalprice + 1000.0), 2) AS sum_price, 'd1' AS delta
-           FROM orders WHERE o_orderkey % 12 < 4 GROUP BY 1),
-         d2 AS (SELECT o_custkey % 16 AS grp, count(*) AS n,
-           round(sum(o_totalprice + 500.0), 2) AS sum_price, 'd2' AS delta
-           FROM orders WHERE o_orderkey % 12 >= 8 GROUP BY 1)
-         SELECT grp, n, sum_price, delta FROM d1
-         UNION ALL SELECT grp, n, sum_price, delta FROM d2
-         ORDER BY delta, grp""",
-    // merged view: updates win in buckets 2/5, bucket-7 rows also inserted
-    "checkpoint_upsert" ->
-      """WITH m AS (
-           SELECT o_custkey, CASE WHEN o_orderkey % 12 IN (2, 5)
-               THEN o_totalprice + 100.0 ELSE o_totalprice END AS p
-           FROM orders
-           UNION ALL
-           SELECT o_custkey, o_totalprice AS p FROM orders
-           WHERE o_orderkey % 12 = 7)
-         SELECT o_custkey % 16 AS grp, count(*) AS n,
-           round(sum(p), 2) AS sum_price
-         FROM m GROUP BY 1 ORDER BY grp""",
-    // MOR delete: d1 removes o_orderkey%7=3; d1+d2 additionally removes
-    // o_custkey%10=0 — the base never rewrites, so both snapshots are the
-    // base table minus the tombstoned predicates
-    "checkpoint_mor_delete" ->
-      """WITH s1 AS (SELECT o_custkey % 16 AS grp, count(*) AS n,
-           round(sum(o_totalprice), 2) AS sum_price, 'd1' AS snap
-           FROM orders WHERE NOT (o_orderkey % 7 = 3) GROUP BY 1),
-         s2 AS (SELECT o_custkey % 16 AS grp, count(*) AS n,
-           round(sum(o_totalprice), 2) AS sum_price, 'd12' AS snap
-           FROM orders
-           WHERE NOT (o_orderkey % 7 = 3 OR o_custkey % 10 = 0) GROUP BY 1)
-         SELECT grp, n, sum_price, snap FROM s1
-         UNION ALL SELECT grp, n, sum_price, snap FROM s2
-         ORDER BY snap, grp""",
-    // as-of r1's commit frontier = pure r1; as-of +inf = r1+r2 merged
-    "checkpoint_as_of_ts" ->
-      """WITH s1 AS (SELECT o_custkey % 16 AS grp, count(*) AS n,
-           round(sum(o_totalprice), 2) AS sum_price, 't1' AS snap
-           FROM orders GROUP BY 1),
-         s2 AS (SELECT o_custkey % 16 AS grp, count(*) AS n,
-           round(sum(CASE WHEN o_orderkey % 12 < 4 THEN o_totalprice + 1000.0
-                          ELSE o_totalprice END), 2) AS sum_price, 'now' AS snap
-           FROM orders GROUP BY 1)
-         SELECT grp, n, sum_price, snap FROM s1
-         UNION ALL SELECT grp, n, sum_price, snap FROM s2
-         ORDER BY snap, grp""",
-    // merged-schema read: o_flag only exists for r2's buckets (0-3)
-    "checkpoint_evolve" ->
-      """SELECT o_custkey % 16 AS grp, count(*) AS n,
-           round(sum(o_totalprice), 2) AS sum_price,
-           CAST(count(CASE WHEN o_orderkey % 12 < 4 AND o_orderkey % 2 = 0
-             THEN 1 END) AS BIGINT) AS n_flagged,
-           CAST(count(CASE WHEN o_orderkey % 12 >= 4 THEN 1 END) AS BIGINT) AS n_nullflag
-         FROM orders GROUP BY 1 ORDER BY grp""",
-    // vacuum retains only the compacted lineage = the r2 state
-    "checkpoint_vacuum" ->
-      """SELECT o_custkey % 16 AS grp, count(*) AS n,
-           round(sum(CASE WHEN o_orderkey % 12 < 4 THEN o_totalprice + 1000.0
-                          ELSE o_totalprice END), 2) AS sum_price, 'v' AS snap
-         FROM orders GROUP BY 1 ORDER BY grp""",
-    // identical group-count length trick, identical fixed-point Flesch
-    // numerators, floor division (DuckDB // floors; the engine floors via
-    // the pmod identity)
-    "text_readability" ->
-      """WITH d AS (SELECT doc_id, regexp_replace(text, ' table ', '. ', 'g') AS txt FROM documents),
-         m AS (SELECT doc_id,
-           CAST(length(regexp_replace(txt, '[.!?]+', '#', 'g'))
-              - length(regexp_replace(txt, '[.!?]+', '', 'g')) AS BIGINT) AS n_sents,
-           CAST(len(string_split(txt, ' ')) AS BIGINT) AS n_words,
-           CAST(length(regexp_replace(lower(txt), '[aeiou]+', '#', 'g'))
-              - length(regexp_replace(lower(txt), '[aeiou]+', '', 'g')) AS BIGINT) AS n_syll
-           FROM d)
-         SELECT doc_id, n_sents, n_words, n_syll,
-           CAST((206835 * greatest(n_sents, 1) * greatest(n_words, 1)
-               - 1015000 * greatest(n_words, 1) * greatest(n_words, 1)
-               - 84600000 * n_syll * greatest(n_sents, 1))
-             // (1000 * greatest(n_sents, 1) * greatest(n_words, 1)) AS BIGINT) AS flesch_milli
-         FROM m ORDER BY doc_id""",
-    // first significant digit of the exact cents column, 9-key census,
-    // fixed-point Benford expectations (the nine ppm literals sum to 1e6)
-    // exact selection quartiles per group, fences by cross-multiplication
-    "dq_iqr_outliers" ->
-      """WITH o AS (SELECT o_orderpriority AS grp,
-             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
-             o_orderkey
-           FROM orders),
-         r AS (SELECT grp, cents,
-             row_number() OVER (PARTITION BY grp ORDER BY cents, o_orderkey) AS rn,
-             CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n
-           FROM o),
-         q AS (SELECT grp, n,
-             min(CASE WHEN rn = (n+3) // 4 THEN cents END) AS q1,
-             min(CASE WHEN rn = (3*n+3) // 4 THEN cents END) AS q3
-           FROM r WHERE rn = (n+3) // 4 OR rn = (3*n+3) // 4
-           GROUP BY 1, 2)
-         SELECT o.grp, q.n, q.q1, q.q3,
-           CAST(sum(CASE WHEN 2*o.cents < 5*q.q1 - 3*q.q3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
-           CAST(sum(CASE WHEN 2*o.cents > 5*q.q3 - 3*q.q1 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
-         FROM o JOIN q ON o.grp = q.grp
-         GROUP BY o.grp, q.n, q.q1, q.q3
-         ORDER BY o.grp""",
-    "dq_benford" ->
-      """WITH v AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders),
-         d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
-           FROM v WHERE cents IS NOT NULL AND cents > 0),
-         cnt AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY 1),
-         e(digit, e_ppm) AS (VALUES (1, 301030), (2, 176091), (3, 124939),
-           (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
-         tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM cnt)
-         SELECT cnt.digit, n_obs, n_total,
-           CAST(n_obs * 1000000 // n_total AS BIGINT) AS obs_ppm,
-           CAST(e_ppm AS BIGINT) AS e_ppm,
-           CAST(abs(n_obs * 1000000 // n_total - e_ppm) AS BIGINT) AS dev_ppm,
-           CASE WHEN abs(n_obs * 1000000 // n_total - e_ppm) <= 30000
-                THEN 'ok' ELSE 'deviant' END AS verdict
-         FROM cnt JOIN e USING (digit), tot ORDER BY digit""",
-    // pure-metadata verdict table — the oracle pins the contract literally
-    "dq_schema_diff" ->
-      """SELECT * FROM (VALUES
-           ('o_custkey', 'BIGINT', 'BIGINT', 'unchanged'),
-           ('o_ingest_day', NULL, 'BIGINT', 'added'),
-           ('o_orderkey', 'BIGINT', 'BIGINT', 'unchanged'),
-           ('o_orderstatus', 'STRING', NULL, 'removed'),
-           ('o_totalprice', 'DOUBLE', 'DECIMAL(12,2)', 'type_changed'))
-         AS t("column", type_a, type_b, status) ORDER BY "column"""",
-    // line sweep replayed: running-max of prior ends, cumulative segment
-    // ids, merged-segment lengths
-    "events_interval_union" ->
-      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
-           epoch_us(ts) + ((event_id % 7) + 1) * 120000000 AS e FROM events),
-         m AS (SELECT user_id, s, e,
-             max(e) OVER (PARTITION BY user_id ORDER BY s, e
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM iv),
-         sg AS (SELECT user_id, s, e,
-             CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nw FROM m),
-         si AS (SELECT user_id, s, e,
-             CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg
-           FROM sg),
-         segs AS (SELECT user_id, seg, CAST(count(*) AS BIGINT) AS n_iv,
-             min(s) AS ss, max(e) AS ee FROM si GROUP BY 1, 2)
-         SELECT user_id, CAST(sum(n_iv) AS BIGINT) AS n_iv,
-           CAST(count(*) AS BIGINT) AS n_seg,
-           CAST(sum(ee - ss) AS BIGINT) AS covered,
-           CAST(max(ee) - min(ss) AS BIGINT) AS span
-         FROM segs GROUP BY 1 ORDER BY user_id""",
-    // ±1 sweep points, running sum with ends-before-starts tie order,
-    // peak + earliest instant attaining it
-    "events_concurrency" ->
-      """WITH iv AS (SELECT event_type, event_id, epoch_us(ts) AS st,
-           epoch_us(ts) + ((event_id % 7) + 1) * 120000000 AS en FROM events),
-         pts AS (SELECT event_type, st AS t, CAST(1 AS BIGINT) AS delta, event_id FROM iv
-           UNION ALL
-           SELECT event_type, en, CAST(-1 AS BIGINT), event_id FROM iv),
-         c AS (SELECT event_type, t, delta,
-             CAST(sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cur
-           FROM pts),
-         m AS (SELECT event_type, t, delta, cur,
-             max(cur) OVER (PARTITION BY event_type) AS mx FROM c)
-         SELECT event_type,
-           CAST(sum(CASE WHEN delta = 1 THEN 1 END) AS BIGINT) AS n_intervals,
-           max(cur) AS peak_concurrency,
-           min(CASE WHEN cur = mx THEN t END) AS peak_at
-         FROM m GROUP BY 1 ORDER BY event_type""",
-    // trailing 1h range-frame count per user, then the per-user max
-    // token bucket: identical µs-integer fold via list_reduce with a
-    // prepended init sentinel
-    "events_token_bucket" -> {
-      def refill = "least(CAST(50000000 AS BIGINT), acc.tok + " +
-        "CASE WHEN acc.p < CAST(0 AS BIGINT) THEN CAST(0 AS BIGINT) " +
-        "ELSE x.p - acc.p END)"
-      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
-           FROM events WHERE user_id < 100),
-         l AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-             list(struct_pack(ts_us := ts_us, event_id := event_id)
-               ORDER BY ts_us, event_id) AS evs
-           FROM e GROUP BY 1),
-         f AS (SELECT user_id, n_events,
-             list_reduce(list_prepend(
-               struct_pack(p := CAST(-1 AS BIGINT), tok := CAST(50000000 AS BIGINT), rej := CAST(0 AS BIGINT)),
-               list_transform(evs, y -> struct_pack(p := y.ts_us, tok := CAST(0 AS BIGINT), rej := CAST(0 AS BIGINT)))),
-               (acc, x) -> struct_pack(
-                 p := x.p,
-                 tok := CASE WHEN $refill >= CAST(10000000 AS BIGINT)
-                        THEN $refill - CAST(10000000 AS BIGINT) ELSE $refill END,
-                 rej := acc.rej + CASE WHEN $refill >= CAST(10000000 AS BIGINT)
-                        THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END)) AS st
-           FROM l)
-         SELECT user_id, n_events, st.rej AS n_rejected,
-           st.tok AS tokens_left_us
-         FROM f ORDER BY user_id"""
-    },
-    // the same Jacobson fold as a per-user recursive CTE (one event per
-    // round, all users advance jointly). NOT list_reduce: DuckDB 1.0.0's
-    // list_reduce lets later struct_pack fields observe the CURRENT
-    // step's already-updated accumulator fields on some steps (probed:
-    // a field reading acc.s after s := ... sees the new s), which breaks
-    // any two-field state machine; the recursive CTE reads the whole old
-    // state row, so the fold replays exactly.
-    "events_srtt" ->
-      """WITH RECURSIVE e AS MATERIALIZED (
-           SELECT user_id, epoch_us(ts) AS t,
-             row_number() OVER (PARTITION BY user_id
-               ORDER BY epoch_us(ts), event_id) AS i
-           FROM events WHERE user_id < 100),
-         n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY 1),
-         st(user_id, i, p, srtt, var) AS (
-           SELECT user_id, 1, t, CAST(-1 AS BIGINT), CAST(0 AS BIGINT)
-           FROM e WHERE i = 1
-           UNION ALL
-           SELECT st.user_id, st.i + 1, e.t,
-             CASE WHEN st.srtt < 0 THEN e.t - st.p
-                  ELSE (7 * st.srtt + (e.t - st.p)) // 8 END,
-             CASE WHEN st.srtt < 0 THEN (e.t - st.p) // 2
-                  ELSE (3 * st.var + abs((e.t - st.p) - st.srtt)) // 4 END
-           FROM st JOIN e ON e.user_id = st.user_id AND e.i = st.i + 1)
-         SELECT st.user_id, n.cnt - 1 AS n_gaps, st.srtt AS srtt_us,
-           st.var AS rttvar_us, st.srtt + 4 * st.var AS rto_us
-         FROM st JOIN n ON n.user_id = st.user_id AND st.i = n.cnt
-         ORDER BY st.user_id""",
-    "events_peak_rate" ->
-      """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
-         c AS (SELECT user_id,
-             CAST(count(*) OVER (PARTITION BY user_id ORDER BY tus
-               RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW) AS BIGINT) AS cnt
-           FROM ev)
-         SELECT user_id, CAST(max(cnt) AS BIGINT) AS peak_1h,
-           CAST(count(*) AS BIGINT) AS n_events
-         FROM c GROUP BY 1 ORDER BY user_id""",
-    // running first/last IGNORE NULLS over the merged touch+conversion
-    // stream; touches (side 0) sort before a same-instant conversion
-    "events_attribution" ->
-      """WITH ev AS (SELECT user_id, ts, event_id,
-           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side,
-           event_type
-           FROM events WHERE event_type IN ('click', 'view', 'purchase')),
-         wnd AS (SELECT *,
-             first_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
-               OVER w AS first_tid,
-             first_value(CASE WHEN side = 0 THEN event_type END IGNORE NULLS)
-               OVER w AS first_type,
-             last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
-               OVER w AS last_tid,
-             last_value(CASE WHEN side = 0 THEN event_type END IGNORE NULLS)
-               OVER w AS last_type
-           FROM ev
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-         SELECT event_id AS conv_id, user_id,
-           COALESCE(first_tid, -1) AS first_tid,
-           COALESCE(first_type, 'direct') AS first_type,
-           COALESCE(last_tid, -1) AS last_tid,
-           COALESCE(last_type, 'direct') AS last_type
-         FROM wnd WHERE side = 1 ORDER BY conv_id""",
-    // exact integer cross-multiplied two-proportion z² decision
-    "events_ab_test" ->
-      """WITH u AS (SELECT user_id,
-           max(CASE WHEN event_type = 'purchase' AND value >= 90
-               THEN 1 ELSE 0 END) AS conv
-           FROM events GROUP BY 1),
-         arms AS (SELECT CAST(user_id % 2 AS INT) AS arm,
-             CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS c
-           FROM u GROUP BY 1),
-         a AS (SELECT n AS n1, c AS c1 FROM arms WHERE arm = 0),
-         b AS (SELECT n AS n2, c AS c2 FROM arms WHERE arm = 1)
-         SELECT n1, c1, n2, c2,
-           CAST((c1*n2 - c2*n1) * (c1*n2 - c2*n1) * (n1+n2) * 625 AS BIGINT) AS z2_num,
-           CAST(2401 * n1 * n2 * (c1+c2) * (n1+n2-c1-c2) AS BIGINT) AS z2_den,
-           (c1*n2 - c2*n1) * (c1*n2 - c2*n1) * (n1+n2) * 625 >=
-             2401 * n1 * n2 * (c1+c2) * (n1+n2-c1-c2) AS significant
-         FROM a, b""",
-    // the dwell walk's exact positions, one window + one agg, exact pieces
-    "traj_gyration" ->
-      """WITH w AS (SELECT user_id, ts, event_id,
-           sum(event_id % 7) OVER pw AS px,
-           sum((event_id * 3) % 5) OVER pw AS py
-           FROM events
-           WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(px) AS BIGINT) AS sx, CAST(sum(py) AS BIGINT) AS sy,
-             CAST(sum(px*px) AS BIGINT) AS sxx,
-             CAST(sum(py*py) AS BIGINT) AS syy
-           FROM w GROUP BY 1)
-         SELECT user_id, n, sx, sy,
-           CAST(n*n*(sxx+syy) - n*(sx*sx + sy*sy) AS BIGINT) AS gyr_num
-         FROM a ORDER BY user_id""",
-    // user-level aggregates once, then deterministic NTILE(5) cuts
-    "events_rfm" ->
-      """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus,
-           CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
-         u AS (SELECT user_id, max(tus) AS umax,
-             CAST(count(*) AS BIGINT) AS freq,
-             CAST(sum(cents) AS BIGINT) AS cents
-           FROM ev GROUP BY 1),
-         g AS (SELECT max(umax) AS gmax FROM u)
-         SELECT user_id,
-           CAST(((SELECT gmax FROM g) - umax) // 86400000000 AS BIGINT) AS rec_days,
-           freq, cents,
-           CAST(ntile(5) OVER (ORDER BY ((SELECT gmax FROM g) - umax) // 86400000000 ASC, user_id ASC) AS INTEGER) AS r_q,
-           CAST(ntile(5) OVER (ORDER BY freq DESC, user_id ASC) AS INTEGER) AS f_q,
-           CAST(ntile(5) OVER (ORDER BY cents DESC, user_id ASC) AS INTEGER) AS m_q
-         FROM u ORDER BY user_id""",
-    // full-frame first/last on the (ts,event_id) order, then plain aggs
-    "events_ohlc" ->
-      """WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS hr,
-           epoch_us(ts) AS tus, event_id,
-           CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
-         f AS (SELECT *,
-             first_value(cents) OVER w AS open,
-             last_value(cents) OVER w AS close
-           FROM ev WINDOW w AS (PARTITION BY event_type, hr
-             ORDER BY tus, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
-         SELECT event_type, hr, CAST(max(open) AS BIGINT) AS open,
-           CAST(max(cents) AS BIGINT) AS high,
-           CAST(min(cents) AS BIGINT) AS low,
-           CAST(max(close) AS BIGINT) AS close,
-           CAST(count(*) AS BIGINT) AS volume,
-           CAST(sum(cents) AS BIGINT) AS turnover
-         FROM f GROUP BY 1, 2 ORDER BY event_type, hr""",
-    // unnest token counts, Simpson's Σc(c−1)/(n(n−1)) in truncating ppm
-    "text_simpson" ->
-      """WITH tk AS (SELECT doc_id, u.tok FROM documents,
-           unnest(string_split(text, ' ')) AS u(tok)),
-         c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1, 2),
-         d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-             CAST(count(*) AS BIGINT) AS n_distinct,
-             CAST(sum(c*(c-1)) AS BIGINT) AS coll FROM c GROUP BY 1)
-         SELECT doc_id, n_tokens, n_distinct, coll,
-           CAST(CASE WHEN n_tokens > 1
-                THEN coll * 1000000 // (n_tokens * (n_tokens - 1))
-                ELSE 0 END AS BIGINT) AS simpson_ppm
-         FROM d ORDER BY doc_id""",
-    "geo_pip" -> pipOracleSql,
-    "geo_pip_salted" -> pipOracleSkewSql,
-    "geo_pip_adaptive" -> pipOracleSkewSql,
-    "geo_pip_holes" -> pipHolesOracleSql,
-    "geo_polylabel" -> polylabelOracleSql,
-    "geo_knn_geodesic" -> knnGeodesicOracleSql,
-    "geo_range_geodesic" -> rangeGeodesicOracleSql,
-    "geo_knn" ->
-      """WITH probes AS (SELECT c_custkey AS probe_id,
-           -120.0 + (c_custkey % 4) + ((c_custkey % 577) + 0.5)/577.0 AS plng,
-           36.0 + (c_custkey % 2) + (((c_custkey*13) % 577) + 0.5)/577.0 AS plat
-           FROM customer WHERE c_custkey % 100 = 0),
-         targets AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS target_id,
-           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS tlng,
-           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS tlat
-           FROM lineitem),
-         pairs AS (SELECT probe_id, target_id,
-           (tlng - plng) * (tlng - plng) + (tlat - plat) * (tlat - plat) AS dist2
-           FROM probes, targets),
-         r AS (SELECT probe_id, target_id, dist2,
-           CAST(row_number() OVER (PARTITION BY probe_id ORDER BY dist2, target_id) AS INTEGER) AS rank FROM pairs)
-         SELECT probe_id, target_id, rank, dist2 FROM r WHERE rank <= 5
-         ORDER BY probe_id, rank""",
-    "geo_simplify" -> simplifyOracleSql(32),
-    // chunks hold <= 17 points => split depth <= 15 < 16 levels
-    "geo_simplify_chunked" -> simplifyChunkedOracleSql(16, 16),
-    "dedup_simhash_neardup" -> simhashNearDupOracleSql,
-    "text_vocab_oov" -> vocabOovOracleSql,
-    "text_bigram_lm" ->
-      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
-         bg AS (SELECT doc_id,
-             unnest(list_transform(range(1, len(ws)), g -> ws[g])) AS w1,
-             unnest(list_transform(range(1, len(ws)), g -> ws[g+1])) AS w2
-           FROM w WHERE len(ws) >= 2),
-         cb AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2),
-         cu AS (SELECT w1, count(*) AS c_x FROM bg GROUP BY 1),
-         vv AS (SELECT count(DISTINCT w2) AS n_vocab FROM bg),
-         sq AS (SELECT bg.doc_id,
-             CAST(floor(1000000.0 * ln(
-               CAST(cu.c_x + vv.n_vocab AS DOUBLE) /
-               CAST(cb.c_xy + 1 AS DOUBLE))) AS BIGINT) AS sq
-           FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN vv)
-         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-           CAST(sum(sq) AS BIGINT) AS surprisal_q,
-           CAST(sum(sq) AS BIGINT) // CAST(count(*) AS BIGINT) AS ppx_q
-         FROM sq GROUP BY doc_id ORDER BY doc_id""",
-    // KN replay: same quarters arithmetic, same two ppb floor divisions in
-    // the same order
-    "text_kn_bigram" ->
-      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
-         bg AS (SELECT doc_id,
-             unnest(list_transform(range(1, len(ws)), g -> ws[g])) AS w1,
-             unnest(list_transform(range(1, len(ws)), g -> ws[g+1])) AS w2
-           FROM w WHERE len(ws) >= 2),
-         cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
-           FROM bg GROUP BY 1, 2),
-         cx AS (SELECT w1, CAST(sum(c_xy) AS BIGINT) AS c_x,
-             CAST(count(*) AS BIGINT) AS n1p_fol FROM cb GROUP BY 1),
-         cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_cont
-           FROM cb GROUP BY 1),
-         nt AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM cb),
-         p AS (SELECT cb.w1, cb.w2, cb.c_xy,
-             CAST(greatest(4 * cb.c_xy - 3, 0) * 1000000000 // (4 * cx.c_x)
-               + (3 * cx.n1p_fol * (cont.n_cont * 1000000000 // nt.n_tot))
-                 // (4 * cx.c_x) AS BIGINT) AS p_ppb
-           FROM cb JOIN cx USING (w1) JOIN cont USING (w2) CROSS JOIN nt),
-         r AS (SELECT w1, w2, c_xy, p_ppb,
-             CAST(row_number() OVER (ORDER BY c_xy DESC, w1, w2) AS INT)
-               AS rk FROM p)
-         SELECT w1, w2, c_xy, p_ppb, rk FROM r WHERE rk <= 40 ORDER BY rk""",
-    "text_perplexity" ->
-      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
-         tok AS (SELECT doc_id, unnest(ws) AS wd FROM w),
-         cnt AS (SELECT wd, count(*) AS c FROM tok GROUP BY 1),
-         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
-                        count(*) AS n_vocab FROM cnt),
-         sq AS (SELECT t.doc_id,
-             CAST(floor(1000000.0 * ln(
-               CAST(tot.n_total + tot.n_vocab AS DOUBLE) /
-               CAST(cnt.c + 1 AS DOUBLE))) AS BIGINT) AS sq
-           FROM tok t JOIN cnt ON cnt.wd = t.wd CROSS JOIN tot)
-         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-           CAST(sum(sq) AS BIGINT) AS surprisal_q,
-           CAST(sum(sq) AS BIGINT) // CAST(count(*) AS BIGINT) AS ppx_q
-         FROM sq GROUP BY doc_id ORDER BY doc_id""",
-    "text_pii_redact" ->
-      """WITH d AS (SELECT doc_id, text ||
-           CASE WHEN doc_id % 3 <> 0 THEN ' contact user' ||
-             CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END ||
-           CASE WHEN doc_id % 2 = 0 THEN ' call +1-415-555-' ||
-             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS t
-           FROM documents)
-         SELECT doc_id,
-           CAST(len(regexp_extract_all(t,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
-             AS n_emails,
-           CAST(len(regexp_extract_all(t,
-             '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT)
-             AS n_phones,
-           md5(regexp_replace(regexp_replace(t,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'))
-             AS redacted_md5
-         FROM d ORDER BY doc_id""",
-    "dedup_containment" ->
-      s"""WITH corpus AS ($sqlDedupCorpus),
-         w AS (SELECT doc_id, text, string_split(text,' ') AS ws FROM corpus),
-         sh AS (SELECT doc_id,
-             CASE WHEN len(ws) >= 5 THEN list_distinct(list_transform(
-                 range(1, len(ws) - 3),
-                 g -> array_to_string(list_slice(ws, g, g + 4), ' ')))
-               ELSE [text] END AS shs FROM w),
-         sz AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS n FROM sh),
-         ex AS (SELECT doc_id,
-             CAST(('0x' || substring(md5(unnest(shs)), 1, 15)) AS BIGINT) AS sh
-           FROM sh),
-         kept AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM ex GROUP BY 1)
-           WHERE df BETWEEN 2 AND 20),
-         p AS (SELECT e.doc_id, e.sh FROM ex e JOIN kept k ON k.sh = e.sh),
-         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             CAST(count(*) AS BIGINT) AS inter
-           FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
-         SELECT pr.id_a, pr.id_b, sa.n AS na, sb.n AS nb, pr.inter,
-           pr.inter * 1000000 // least(sa.n, sb.n) AS containment_ppm
-         FROM pr JOIN sz sa ON sa.doc_id = pr.id_a
-                 JOIN sz sb ON sb.doc_id = pr.id_b
-         WHERE pr.inter * 1000000 // least(sa.n, sb.n) >= 400000
-         ORDER BY id_a, id_b""",
-    "geo_cell_weights" -> cellAreaOracleSql,
-    "zonal_weighted" -> zonalWeightedOracleSql,
-    "geo_range_join" ->
-      """WITH probes AS (SELECT c_custkey AS probe_id,
-           -120.0 + (c_custkey % 4) + ((c_custkey % 577) + 0.5)/577.0 AS plng,
-           36.0 + (c_custkey % 2) + (((c_custkey*13) % 577) + 0.5)/577.0 AS plat
-           FROM customer WHERE c_custkey % 100 = 0),
-         targets AS (SELECT ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS target_id,
-           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS tlng,
-           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS tlat
-           FROM lineitem)
-         SELECT probe_id, target_id,
-           (tlng - plng) * (tlng - plng) + (tlat - plat) * (tlat - plat) AS dist2
-         FROM probes, targets
-         WHERE (tlng - plng) * (tlng - plng) + (tlat - plat) * (tlat - plat)
-               <= CAST(0.05 AS DOUBLE) * CAST(0.05 AS DOUBLE)
-         ORDER BY probe_id, target_id""",
-    // quadrat χ²: 256 cells, cross-multiplied Σ(256·nᵢ − N)² with the
-    // empty-cell closed form, over the uniform and skewed point sets
-    "geo_quadrat" ->
-      """WITH u AS (SELECT -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
-           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
-           FROM lineitem),
-         k AS (SELECT CASE WHEN l_orderkey % 3 = 0
-             THEN -119.0 + (((l_partkey*600 + l_suppkey) % 3000) + 0.5)/3000.0 * 0.1
-             ELSE -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 END AS lng,
-           CASE WHEN l_orderkey % 3 = 0
-             THEN 36.5 + (((l_suppkey*131 + l_linenumber) % 3000) + 0.5)/3000.0 * 0.1
-             ELSE 36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 END AS lat
-           FROM lineitem),
-         cu AS (SELECT CAST(floor((lng + 120.0)*8.0) AS BIGINT) AS cx,
-             CAST(floor((lat - 36.0)*4.0) AS BIGINT) AS cy,
-             CAST(count(*) AS BIGINT) AS cnt FROM u GROUP BY 1, 2),
-         ck AS (SELECT CAST(floor((lng + 120.0)*8.0) AS BIGINT) AS cx,
-             CAST(floor((lat - 36.0)*4.0) AS BIGINT) AS cy,
-             CAST(count(*) AS BIGINT) AS cnt FROM k GROUP BY 1, 2),
-         au AS (SELECT cnt, (SELECT CAST(sum(cnt) AS BIGINT) FROM cu) AS n FROM cu),
-         ak AS (SELECT cnt, (SELECT CAST(sum(cnt) AS BIGINT) FROM ck) AS n FROM ck),
-         ru AS (SELECT 'uniform' AS dataset, n AS n_points,
-             CAST(count(*) AS BIGINT) AS n_occupied,
-             CAST(sum((256*cnt - n)*(256*cnt - n)) AS BIGINT)
-               + (256 - CAST(count(*) AS BIGINT)) * n * n AS ss
-           FROM au GROUP BY n),
-         rk AS (SELECT 'skewed' AS dataset, n AS n_points,
-             CAST(count(*) AS BIGINT) AS n_occupied,
-             CAST(sum((256*cnt - n)*(256*cnt - n)) AS BIGINT)
-               + (256 - CAST(count(*) AS BIGINT)) * n * n AS ss
-           FROM ak GROUP BY n)
-         SELECT dataset, n_points, n_occupied,
-           ss // (256 * n_points) AS chi2_q
-         FROM (SELECT * FROM ru UNION ALL SELECT * FROM rk)
-         ORDER BY dataset""",
-    // Ripley's K: brute-force ordered close pairs of the same point set at
-    // r_max, classified at 4 nested radii; k_est = pairs·A/n² with A = 8
-    "geo_ripley_k" ->
-      """WITH pts AS (SELECT c_custkey AS point_id,
-           -120.0 + (c_custkey % 4) + ((c_custkey % 577) + 0.5)/577.0 AS lng,
-           36.0 + (c_custkey % 2) + (((c_custkey*13) % 577) + 0.5)/577.0 AS lat
-           FROM customer WHERE c_custkey % 20 = 0),
-         nn AS (SELECT count(*) AS n FROM pts),
-         pairs AS (SELECT a.point_id AS pa,
-             (b.lng - a.lng) * (b.lng - a.lng) + (b.lat - a.lat) * (b.lat - a.lat) AS dist2
-           FROM pts a, pts b
-           WHERE a.point_id <> b.point_id
-             AND (b.lng - a.lng) * (b.lng - a.lng) + (b.lat - a.lat) * (b.lat - a.lat)
-                 <= CAST(0.2 AS DOUBLE) * CAST(0.2 AS DOUBLE)),
-         radii(r_idx, r) AS (VALUES (1, CAST(0.05 AS DOUBLE)), (2, CAST(0.10 AS DOUBLE)),
-           (3, CAST(0.15 AS DOUBLE)), (4, CAST(0.20 AS DOUBLE))),
-         cnt AS (SELECT r_idx, r, count(p.pa) AS n_pairs
-           FROM radii LEFT JOIN pairs p ON p.dist2 <= r * r GROUP BY 1, 2)
-         SELECT CAST(r_idx AS BIGINT) AS r_idx, r,
-           CAST(n_pairs AS BIGINT) AS n_pairs, nn.n AS n,
-           CAST(n_pairs AS DOUBLE) * 8.0 / CAST(nn.n * nn.n AS DOUBLE) AS k_est
-         FROM cnt, nn ORDER BY r_idx""",
-    "geo_area" ->
-      """WITH p AS (SELECT s_suppkey AS poly_id,
-           -120.0 + (s_suppkey % 40) * CAST(0.1 AS DOUBLE) AS cx,
-           36.0 + ((s_suppkey * 3) % 20) * CAST(0.1 AS DOUBLE) AS cy,
-           CAST(0.05 AS DOUBLE) + (s_suppkey % 7) * CAST(0.013 AS DOUBLE) AS w,
-           CAST(0.04 AS DOUBLE) + (s_suppkey % 5) * CAST(0.017 AS DOUBLE) AS h
-           FROM supplier),
-         v AS (SELECT poly_id, cx AS x0, cx - w AS x1, cx + w AS x2,
-           cy + h AS y0, cy - h AS y1, cy - h AS y2 FROM p),
-         c AS (SELECT poly_id, x0, x1, x2, y0, y1, y2,
-           x0*y1 - x1*y0 AS cr0, x1*y2 - x2*y1 AS cr1, x2*y0 - x0*y2 AS cr2,
-           sqrt((x1-x0)*(x1-x0) + (y1-y0)*(y1-y0)) AS e0,
-           sqrt((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1)) AS e1,
-           sqrt((x0-x2)*(x0-x2) + (y0-y2)*(y0-y2)) AS e2 FROM v)
-         SELECT poly_id,
-           (0.0 + cr0 + cr1 + cr2) * 0.5 AS area,
-           0.0 + e0 + e1 + e2 AS perimeter,
-           (0.0 + (x0+x1)*cr0 + (x1+x2)*cr1 + (x2+x0)*cr2) / (3.0 * (0.0 + cr0 + cr1 + cr2)) AS cxc,
-           (0.0 + (y0+y1)*cr0 + (y1+y2)*cr1 + (y2+y0)*cr2) / (3.0 * (0.0 + cr0 + cr1 + cr2)) AS cyc
-         FROM c ORDER BY poly_id""",
-    // ocr garbage: same planted tokens, same regex ladder via
-    // regexp_matches, same ppm floor division
-    "text_ocr_garbage" -> {
-      val ladder = (8 to 1 by -1).map(k =>
-        s"WHEN regexp_matches(w, '[bcdfghjklmnpqrstvwxyz]{$k}') THEN $k")
-        .mkString("CASE ", " ", " ELSE 0 END")
-      s"""WITH d AS (SELECT doc_id,
-           CASE WHEN doc_id % 13 = 0 THEN text || ' xqzvwm kkkkk ok' ELSE text END AS t2
-           FROM documents),
-         w AS (SELECT doc_id, unnest(string_split_regex(lower(t2), '[^a-z]+')) AS w FROM d),
-         r AS (SELECT doc_id, $ladder AS run FROM w WHERE len(w) > 0),
-         a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-             max(run) AS max_run,
-             CAST(sum(CASE WHEN run >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_garbage
-           FROM r GROUP BY 1)
-         SELECT doc_id, n_words, max_run, n_garbage,
-           (n_garbage * 1000000) // n_words AS garbage_ppm
-         FROM a ORDER BY doc_id"""
-    },
-    "text_stats" ->
-      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-           CAST(len(list_filter(string_split(text, ' '), w -> w = 'the')) AS BIGINT) AS n_the,
-           round(len(list_filter(string_split(text, ' '), w -> w = 'the')) / len(string_split(text, ' ')), 6) AS stop_ratio,
-           round(length(replace(text, ' ', '')) / len(string_split(text, ' ')), 6) AS avg_wlen
-         FROM documents ORDER BY doc_id""",
-    // identical contract to curation_quota — the Aggregator must land on
-    // the same rows, ranks and scores as the window formulations
-    "curation_topk_agg" ->
-      """WITH q AS (SELECT doc_id,
-           CAST(len(string_split(text,' ')) AS DOUBLE) AS nw,
-           CAST(len(list_filter(string_split(text,' '),
-             w -> w='the' OR w='a' OR w='of' OR w='and' OR w='to')) AS DOUBLE) AS ns,
-           CAST(length(replace(text,' ','')) AS DOUBLE) AS nc FROM documents),
-         sc AS (SELECT doc_id, 'src' || CAST(doc_id % 5 AS VARCHAR) AS source,
-           least(nw/100.0, 1.0)*0.4 + (ns/nw)*0.3 + least((nc/nw)/10.0, 1.0)*0.3 AS score FROM q),
-         r AS (SELECT doc_id, source, score,
-           CAST(row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS INTEGER) AS rk
-           FROM sc)
-         SELECT doc_id, source, score, rk FROM r WHERE rk <= 30
-         ORDER BY source, rk""",
-    "curation_url_dedup" ->
-      """WITH u AS (SELECT doc_id,
-           CASE CAST(doc_id % 4 AS INT)
-           WHEN 0 THEN concat('https://WWW.Example.com/path/',
-             CAST(doc_id // 4 AS VARCHAR), '/page?utm=123#frag')
-           WHEN 1 THEN concat('https://example.com/path/',
-             CAST(doc_id // 4 AS VARCHAR), '/page')
-           WHEN 2 THEN concat('http://Blog.Site.org/a/',
-             CAST(doc_id % 97 AS VARCHAR))
-           ELSE concat('http://blog.site.org/a/',
-             CAST(doc_id % 97 AS VARCHAR), '/')
-           END AS url FROM documents),
-         c AS (SELECT doc_id,
-           lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://' ||
-           regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)), '^www\.', '') ||
-           CASE WHEN regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$', '') = ''
-                THEN '/'
-                ELSE regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$', '') END
-           AS canon FROM u)
-         SELECT doc_id, canon,
-           doc_id = min(doc_id) OVER (PARTITION BY canon) AS keep
-         FROM c ORDER BY doc_id""",
-    "curation_mix" ->
-      """WITH p AS (SELECT source,
-           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok
-           FROM documents GROUP BY source),
-         t AS (SELECT CAST(sum(tok) AS BIGINT) AS total_tok,
-           count(*) AS n_src FROM p),
-         s AS (SELECT source, tok, tok * 1000000 // total_tok AS share_ppm,
-           1000000 // n_src AS target_ppm FROM p, t),
-         w AS (SELECT source, tok, share_ppm,
-           target_ppm * 1000000 // greatest(share_ppm, 1) AS weight_ppm FROM s)
-         SELECT source, tok, share_ppm, weight_ppm,
-           (weight_ppm + 999999) // 1000000 AS epochs
-         FROM w ORDER BY source""",
-    "curation_quota" ->
-      """WITH q AS (SELECT doc_id,
-           CAST(len(string_split(text,' ')) AS DOUBLE) AS nw,
-           CAST(len(list_filter(string_split(text,' '),
-             w -> w='the' OR w='a' OR w='of' OR w='and' OR w='to')) AS DOUBLE) AS ns,
-           CAST(length(replace(text,' ','')) AS DOUBLE) AS nc FROM documents),
-         sc AS (SELECT doc_id, 'src' || CAST(doc_id % 5 AS VARCHAR) AS source,
-           least(nw/100.0, 1.0)*0.4 + (ns/nw)*0.3 + least((nc/nw)/10.0, 1.0)*0.3 AS score FROM q),
-         r AS (SELECT doc_id, source, score,
-           CAST(row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS INTEGER) AS rk
-           FROM sc)
-         SELECT doc_id, source, score, rk FROM r WHERE rk <= 30
-         ORDER BY source, rk""",
-    "text_langid_confusion" ->
-      s"""WITH $langIdCtes
-         SELECT b.lang, p.predicted, count(*) AS n
-         FROM pred p JOIN base b ON b.doc_id = p.doc_id
-         GROUP BY 1, 2 ORDER BY 1, 2""",
-    "text_langid" ->
-      s"""WITH $langIdCtes
-         SELECT p.doc_id, b.lang, p.predicted, p.dist
-         FROM pred p JOIN base b ON b.doc_id = p.doc_id
-         ORDER BY p.doc_id""",
-    // same quantized-idf arithmetic: integer floor division on nonnegative
-    // operands (`//` here, `div` in the engine), so score/rank are exact
-    "text_tfidf" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
-         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         nd AS (SELECT count(*) AS n_docs FROM documents),
-         sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
-             (nd.n_docs * 1000) // dfq.df AS idf_q,
-             tf.tf * ((nd.n_docs * 1000) // dfq.df) AS score
-           FROM tf JOIN dfq USING (term), nd),
-         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS rk FROM sc)
-         SELECT doc_id, term, tf, df, idf_q, score, rk
-         FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
-    // quantized BM25: same integer-// pipeline with the doc-length ratio
-    // pre-quantized to thousandths (k1=1.2, b=0.75 folded into constants)
-    "text_bm25q" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
-         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         dlq AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-         nd AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
-             (SELECT CAST(sum(dl) AS BIGINT) FROM dlq) AS sum_len),
-         sc AS (SELECT tf.doc_id, tf.term, tf.tf, dlq.dl,
-             (dlq.dl * nd.n_docs * 1000) // nd.sum_len AS dlr_q,
-             (((nd.n_docs * 1000) // dfq.df) * tf.tf * 44000) //
-               (20000*tf.tf + 6000 + 18*((dlq.dl * nd.n_docs * 1000) // nd.sum_len)) AS score_q
-           FROM tf JOIN dfq USING (term) JOIN dlq USING (doc_id), nd),
-         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, term) AS INTEGER) AS rk FROM sc)
-         SELECT doc_id, term, tf, dl, dlr_q, score_q, rk
-         FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
-    // RAKE: stopword-free runs via a running stopword count (= phrase id),
-    // word deg/freq over all phrase instances, quantized score, per-doc top-3
-    "text_rake" ->
-      """WITH toks AS (SELECT doc_id, CAST(g AS INT) AS pos, w[CAST(g AS INT)] AS tok
-           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-                unnest(range(1, len(w) + 1)) AS t(g)),
-         tk AS (SELECT doc_id, pos, tok,
-             CASE WHEN tok IN ('a','the','value','table') THEN 1 ELSE 0 END AS stop
-           FROM toks WHERE tok <> ''),
-         ph AS (SELECT doc_id, pos, tok, stop,
-             sum(stop) OVER (PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
-           FROM tk),
-         pw AS (SELECT doc_id, pid, pos, tok FROM ph WHERE stop = 0),
-         phr AS (SELECT doc_id, pid, string_agg(tok, ' ' ORDER BY pos) AS phrase,
-             count(*) AS n_words FROM pw GROUP BY 1, 2),
-         wstats AS (SELECT tok, (sum(n_words) * 1000) // count(*) AS wscore_q
-           FROM pw JOIN phr USING (doc_id, pid) GROUP BY 1),
-         psc AS (SELECT doc_id, pid, sum(wscore_q) AS score_q
-           FROM pw JOIN wstats USING (tok) GROUP BY 1, 2),
-         agg AS (SELECT doc_id, phrase, max(n_words) AS n_words,
-             count(*) AS n_occur, max(score_q) AS score_q
-           FROM phr JOIN psc USING (doc_id, pid) GROUP BY 1, 2),
-         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
-             ORDER BY score_q DESC, phrase) AS INTEGER) AS rk FROM agg)
-         SELECT doc_id, phrase, CAST(n_words AS BIGINT) AS n_words,
-           CAST(n_occur AS BIGINT) AS n_occur,
-           CAST(score_q AS BIGINT) AS score_q, rk
-         FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
-    "token_count" ->
-      """SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
-           CAST(list_sum(list_transform(string_split(text, ' '), w -> (length(w) + 3) // 4)) AS BIGINT) AS n_bpe_tokens
-         FROM documents ORDER BY doc_id""",
-    // one min per 3-gram type, then the cumulative curve over checkpoints
-    // corpus term frequencies, hapax flags re-joined per doc, exact ppm
-    "text_hapax" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-           FROM documents),
-         freq AS (SELECT tok, count(*) AS cf FROM toks GROUP BY 1)
-         SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-           CAST(sum(CASE WHEN f.cf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
-           (CAST(sum(CASE WHEN f.cf = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
-             // CAST(count(*) AS BIGINT) AS hapax_ppm
-         FROM toks t JOIN freq f ON t.tok = f.tok
-         GROUP BY t.doc_id ORDER BY t.doc_id""",
-    "text_vocab_growth" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         grams AS (SELECT doc_id,
-             array_to_string(list_slice(w, CAST(g AS BIGINT), CAST(g AS BIGINT) + 2), ' ') AS tok
-           FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(g)),
-         fs AS (SELECT tok, min(doc_id) AS first_doc FROM grams GROUP BY 1),
-         nt AS (SELECT (first_doc // 50) * 50 + 50 AS n_docs,
-             count(*) AS new_types FROM fs GROUP BY 1)
-         SELECT CAST(n_docs AS BIGINT) AS n_docs,
-           CAST(new_types AS BIGINT) AS new_types,
-           CAST(sum(new_types) OVER (ORDER BY n_docs
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab
-         FROM nt ORDER BY n_docs""",
-    // per-doc distinct 3-grams vs the grams whose corpus-wide first doc is
-    // this doc; ppm via one integer //
-    "text_novelty" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         grams AS (SELECT DISTINCT doc_id,
-             array_to_string(list_slice(w, CAST(g AS BIGINT), CAST(g AS BIGINT) + 2), ' ') AS tok
-           FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(g)),
-         fs AS (SELECT tok, min(doc_id) AS first_doc FROM grams GROUP BY 1),
-         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
-             CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
-           FROM grams JOIN fs USING (tok) GROUP BY 1)
-         SELECT doc_id, n_distinct, n_novel,
-           (n_novel * 1000000) // n_distinct AS novelty_ppm
-         FROM agg ORDER BY doc_id""",
-    // VMR over exact per-doc count moments; df >= 5, top-20
-    // previous-occurrence identity: token p is first-in-window(i) iff
-    // prev(p) < i; per-token closed-form start-range overlap count
-    "text_mattr" ->
-      """WITH toks AS (SELECT doc_id, CAST(g AS BIGINT) - 1 AS p,
-             list_extract(w, CAST(g AS BIGINT)) AS tok
-           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-             unnest(range(1, len(w) + 1)) AS t(g)),
-         pr AS (SELECT doc_id, p,
-             coalesce(lag(p) OVER (PARTITION BY doc_id, tok ORDER BY p), -1) AS prev,
-             count(*) OVER (PARTITION BY doc_id) AS L FROM toks),
-         f AS (SELECT doc_id, L, least(p, L - 50) AS hi,
-             greatest(p - 49, 0, prev + 1) AS lo
-           FROM pr WHERE L >= 50)
-         SELECT doc_id, CAST(max(L) AS BIGINT) AS n_tokens,
-           CAST(sum(greatest(hi - lo + 1, 0)) AS BIGINT) AS distinct_sum,
-           CAST(sum(greatest(hi - lo + 1, 0)) AS BIGINT) * 1000000
-             // (50 * (CAST(max(L) AS BIGINT) - 49)) AS mattr_ppm
-         FROM f GROUP BY doc_id ORDER BY doc_id""",
-    "text_burstiness" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-         tf AS (SELECT doc_id, tok, count(*) AS x FROM toks WHERE tok <> '' GROUP BY 1, 2),
-         nd AS (SELECT count(*) AS n_docs FROM documents),
-         st AS (SELECT tok, CAST(count(*) AS BIGINT) AS df,
-             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x*x) AS BIGINT) AS sxx
-           FROM tf GROUP BY 1 HAVING count(*) >= 5),
-         sc AS (SELECT tok, df, sx,
-             ((nd.n_docs * sxx - sx * sx) * 1000000) // (nd.n_docs * sx) AS vmr_ppm
-           FROM st, nd),
-         r AS (SELECT *, CAST(row_number() OVER (ORDER BY vmr_ppm DESC, tok) AS INT) AS rk FROM sc)
-         SELECT tok, df, sx, vmr_ppm, rk FROM r WHERE rk <= 20 ORDER BY rk""",
-    "text_bpe_pairs" ->
-      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-         p AS (SELECT substr(w, CAST(g AS INT), 2) AS pair
-           FROM w, unnest(range(1, len(w))) AS t(g) WHERE len(w) >= 2),
-         c AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1),
-         r AS (SELECT pair, n,
-             CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rk
-           FROM c)
-         SELECT pair, n, rk FROM r WHERE rk <= 20 ORDER BY rk""",
-    "ann_cosine_topk" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-         q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
-         p AS (SELECT qid, n.vec_id AS neighbor_id,
-             list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])) / (qnrm * nrm) AS cos
-           FROM q, n WHERE n.vec_id <> qid),
-         r AS (SELECT qid, neighbor_id, cos,
-             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM p)
-         SELECT qid, neighbor_id, rank, round(cos, 4) AS cos_r
-         FROM r WHERE rank <= 10 ORDER BY qid, rank""",
-    // hardest wrong-label / nearest same-label neighbour per anchor; the
-    // margin in 1e4 quanta through the identical double pipeline
-    "ann_hard_negatives" ->
-      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         n AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-         q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv, nrm AS qnrm FROM n WHERE vec_id % 50 = 0),
-         p AS (SELECT qid, qlabel, n.vec_id, n.label,
-             list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])) / (qnrm * nrm) AS cos
-           FROM q, n WHERE n.vec_id <> qid),
-         pos AS (SELECT qid, vec_id AS pos_id, cos AS pcos,
-             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
-           FROM p WHERE label = qlabel QUALIFY rn = 1),
-         neg AS (SELECT qid, vec_id AS neg_id, cos AS ncos,
-             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
-           FROM p WHERE label <> qlabel QUALIFY rn = 1)
-         SELECT pos.qid, pos_id, neg_id,
-           round(pcos, 4) AS cos_pos_r, round(ncos, 4) AS cos_neg_r,
-           CAST(round((pcos - ncos) * 10000.0) AS BIGINT) AS margin_q
-         FROM pos JOIN neg ON pos.qid = neg.qid ORDER BY pos.qid""",
-    // prefix-cosine candidates, exact full-dim re-rank of the top-50
-    "ann_matryoshka" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         n AS (SELECT vec_id, v, v[1:16] AS p,
-             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
-             sqrt(list_sum(list_transform(v[1:16], x -> x * x))) AS pnrm FROM e),
-         q AS (SELECT vec_id AS qid, v AS qv, p AS qp, nrm AS qnrm,
-             pnrm AS qpnrm FROM n WHERE vec_id < 5),
-         c0 AS (SELECT qid, n.vec_id AS neighbor_id, qv, n.v, qnrm, n.nrm,
-             list_sum(list_transform(range(1, 17), i -> qp[i] * p[i])) / (qpnrm * n.pnrm) AS pcos
-           FROM q, n WHERE n.vec_id <> qid),
-         c1 AS (SELECT qid, neighbor_id, qv, v, qnrm, nrm,
-             row_number() OVER (PARTITION BY qid ORDER BY pcos DESC, neighbor_id) AS prank
-           FROM c0 QUALIFY prank <= 50),
-         r AS (SELECT qid, neighbor_id,
-             list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])) / (qnrm * nrm) AS cos
-           FROM c1),
-         rk AS (SELECT qid, neighbor_id, cos,
-             CAST(row_number() OVER (PARTITION BY qid
-               ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM r)
-         SELECT qid, neighbor_id, rank, round(cos, 4) AS cos_r
-         FROM rk WHERE rank <= 10 ORDER BY qid, rank""",
-    // sign-bit packing as a 1-based list fold, xor()+bit_count ranking
-    "ann_binary_hamming" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         b AS (SELECT vec_id, CAST(list_sum(list_transform(range(1, 65),
-             -- DuckDB overflow-checks 1<<63; the sign bit needs the literal
-             i -> CASE WHEN v[i] <= 0 THEN CAST(0 AS BIGINT)
-                       WHEN i = 64 THEN CAST(-9223372036854775807 AS BIGINT) - 1
-                       ELSE (CAST(1 AS BIGINT) << (CAST(i AS INT) - 1)) END)) AS BIGINT) AS bits FROM e),
-         q AS (SELECT vec_id AS qid, bits AS qbits FROM b WHERE vec_id < 5),
-         p AS (SELECT qid, b.vec_id AS neighbor_id,
-             CAST(bit_count(xor(qbits, b.bits)) AS INT) AS ham
-           FROM q, b WHERE b.vec_id <> qid),
-         r AS (SELECT qid, neighbor_id, ham,
-             CAST(row_number() OVER (PARTITION BY qid
-               ORDER BY ham, neighbor_id) AS INTEGER) AS rank FROM p)
-         SELECT qid, neighbor_id, ham, rank FROM r WHERE rank <= 10
-         ORDER BY qid, rank""",
-    // both exact rankings, then the integer-exact ppm-truncated RRF merge
-    "ann_rrf_fusion" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-         q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
-         p AS (SELECT qid, n.vec_id AS neighbor_id,
-             list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])) AS dot,
-             qnrm, nrm
-           FROM q, n WHERE n.vec_id <> qid),
-         s AS (SELECT qid, neighbor_id, dot / (qnrm * nrm) AS cos,
-             qnrm * qnrm + nrm * nrm - 2.0 * dot AS l2sq FROM p),
-         ra AS (SELECT qid, neighbor_id,
-             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank_a
-           FROM s QUALIFY rank_a <= 20),
-         rb AS (SELECT qid, neighbor_id,
-             row_number() OVER (PARTITION BY qid ORDER BY l2sq ASC, neighbor_id) AS rank_b
-           FROM s QUALIFY rank_b <= 20),
-         f AS (SELECT COALESCE(ra.qid, rb.qid) AS qid,
-             COALESCE(ra.neighbor_id, rb.neighbor_id) AS neighbor_id,
-             COALESCE(1000000 // (60 + rank_a), 0) +
-             COALESCE(1000000 // (60 + rank_b), 0) AS score
-           FROM ra FULL OUTER JOIN rb
-           ON ra.qid = rb.qid AND ra.neighbor_id = rb.neighbor_id)
-         SELECT qid, neighbor_id, CAST(score AS BIGINT) AS score_ppm,
-           CAST(row_number() OVER (PARTITION BY qid
-             ORDER BY score DESC, neighbor_id) AS INTEGER) AS fused_rank
-         FROM f QUALIFY fused_rank <= 10 ORDER BY qid, fused_rank""",
-    // orphan-FK audit: key left joins, null-parent counting
-    "dq_referential" ->
-      """WITH pc AS (SELECT c_custkey AS pk FROM customer WHERE c_custkey % 7 <> 0),
-         c1 AS (SELECT 'orders_customer' AS chk,
-             CAST(count(*) AS BIGINT) AS n_child,
-             CAST(count(CASE WHEN pk IS NULL THEN 1 END) AS BIGINT) AS n_orphans,
-             CAST(count(DISTINCT CASE WHEN pk IS NULL THEN o_custkey END) AS BIGINT) AS orphan_keys
-           FROM orders LEFT JOIN pc ON o_custkey = pk),
-         ok AS (SELECT o_orderkey AS pk FROM orders),
-         c2 AS (SELECT 'lineitem_orders' AS chk,
-             CAST(count(*) AS BIGINT) AS n_child,
-             CAST(count(CASE WHEN pk IS NULL THEN 1 END) AS BIGINT) AS n_orphans,
-             CAST(count(DISTINCT CASE WHEN pk IS NULL THEN l_orderkey END) AS BIGINT) AS orphan_keys
-           FROM lineitem LEFT JOIN ok ON l_orderkey = pk)
-         SELECT chk, n_child, n_orphans, orphan_keys FROM c1
-         UNION ALL SELECT chk, n_child, n_orphans, orphan_keys FROM c2
-         ORDER BY chk""",
-    // schema-on-read: typed k out of the JSON props, then native aggs
-    "events_json_cols" ->
-      """WITH ev AS (SELECT event_type,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
-         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(k) AS BIGINT) AS k_sum, CAST(min(k) AS BIGINT) AS k_min,
-           CAST(max(k) AS BIGINT) AS k_max,
-           CAST(count(DISTINCT k) AS BIGINT) AS k_card
-         FROM ev GROUP BY 1 ORDER BY event_type""",
-    // the pivot restated as explicit CASE sums; absent cells NULL
-    "q_grouping_sets" ->
-      """SELECT mon, status, CAST(count(1) AS BIGINT) AS n,
-           CAST(sum(cents) AS BIGINT) AS sum_cents
-         FROM (SELECT CAST(month(o_orderdate) AS INT) AS mon,
-                 o_orderstatus AS status,
-                 CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
-               FROM orders)
-         GROUP BY GROUPING SETS ((mon, status), (mon), (status), ())
-         ORDER BY mon, status""",
-    "q_pivot" ->
-      """SELECT CAST(month(o_orderdate) AS INT) AS mon,
-           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
-           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
-           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
-         FROM orders GROUP BY 1 ORDER BY mon""",
-    // the wide grid rebuilt, then DuckDB's native UNPIVOT (NULL cells
-    // excluded by default on both engines)
-    "q_unpivot" ->
-      """WITH w AS (SELECT CAST(month(o_orderdate) AS INT) AS mon,
-           sum(CASE WHEN o_orderstatus = 'F' THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) END) AS "F",
-           sum(CASE WHEN o_orderstatus = 'O' THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) END) AS "O",
-           sum(CASE WHEN o_orderstatus = 'P' THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) END) AS "P"
-         FROM orders GROUP BY 1)
-         SELECT mon, status, CAST(cents AS BIGINT) AS cents
-         FROM w UNPIVOT (cents FOR status IN ("F", "O", "P"))
-         ORDER BY mon, status""",
-    // definitional dominance oracle: the engine answers via the sorted-scan
-    // window identity, the oracle states NOT EXISTS dominance directly
-    "q_skyline" ->
-      """WITH p AS (SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_c,
-           epoch_us(o_orderdate) // 86400000000 AS day, count(*) AS n
-           FROM orders WHERE o_orderkey % 5 = 0 GROUP BY 1, 2)
-         SELECT r.price_c, r.day, r.n FROM p r
-         WHERE NOT EXISTS (SELECT 1 FROM p s
-           WHERE s.price_c <= r.price_c AND s.day <= r.day
-             AND (s.price_c < r.price_c OR s.day < r.day))
-         ORDER BY r.price_c""",
-    // KM: curve rows (death time, deaths, at-risk) then the quantized
-    // survival product replayed as a recursive CTE over ranked death times
-    "events_survival" ->
-      """WITH RECURSIVE d AS (SELECT o_custkey AS user_id,
-           epoch_us(o_orderdate) // 86400000000 AS d FROM orders),
-         u AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM d GROUP BY 1),
-         hz AS (SELECT max(d1) AS h FROM u),
-         lv AS (SELECT user_id, d1 - d0 AS lifetime,
-             CASE WHEN d1 < (SELECT h FROM hz) - 90 THEN 1 ELSE 0 END AS died FROM u),
-         lc AS (SELECT lifetime, count(*) AS n_at FROM lv GROUP BY 1),
-         ge AS (SELECT lifetime, CAST(sum(n_at) OVER (ORDER BY lifetime DESC
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_ge FROM lc),
-         dt AS (SELECT lifetime AS t, CAST(count(*) AS BIGINT) AS d_k
-           FROM lv WHERE died = 1 GROUP BY 1),
-         curve AS (SELECT dt.t, dt.d_k, ge.n_ge AS n_k,
-             row_number() OVER (ORDER BY dt.t) AS idx
-           FROM dt JOIN ge ON ge.lifetime = dt.t),
-         km AS (SELECT idx, t, n_k, d_k,
-             (1000000 * (n_k - d_k)) // n_k AS s_ppm FROM curve WHERE idx = 1
-           UNION ALL
-           SELECT c.idx, c.t, c.n_k, c.d_k, (km.s_ppm * (c.n_k - c.d_k)) // c.n_k
-           FROM km JOIN curve c ON c.idx = km.idx + 1)
-         SELECT t AS t_day, n_k AS n_risk, d_k AS n_deaths,
-           CAST(s_ppm AS BIGINT) AS s_ppm
-         FROM km ORDER BY t_day""",
-    // the bitmap aggregator is EXACT — the oracle is count(distinct)
-    "events_bitmap_distinct" ->
-      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
-         FROM events GROUP BY 1 ORDER BY event_type""",
-    // same 2-gram stats, same quantized ratio, same instance-sum
-    "curation_dsir" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         grams AS (SELECT doc_id,
-             array_to_string(list_slice(w, CAST(g AS BIGINT), CAST(g AS BIGINT) + 1), ' ') AS tok
-           FROM toks, unnest(range(1, greatest(len(w), 1))) AS t(g)),
-         cf AS (SELECT tok, count(*) AS c_freq FROM grams GROUP BY 1),
-         tf AS (SELECT tok, count(*) AS t_freq FROM grams WHERE doc_id % 10 = 0 GROUP BY 1),
-         rt AS (SELECT cf.tok, (COALESCE(tf.t_freq, 0) * 1000000) // cf.c_freq AS ratio_q
-           FROM cf LEFT JOIN tf USING (tok))
-         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-           CAST(sum(ratio_q) AS BIGINT) AS weight_q
-         FROM grams JOIN rt USING (tok) GROUP BY 1 ORDER BY doc_id""",
-    // recursive-CTE UNION reachability both directions, same class rules
-    "graph_bowtie" ->
-      """WITH RECURSIVE e AS (SELECT DISTINCT
-           (l_suppkey * 13 + l_orderkey) % 1000 AS src,
-           (l_partkey * 7 + l_linenumber) % 1000 AS dst
-           FROM lineitem WHERE l_orderkey % 23 = 0
-           AND (l_suppkey * 13 + l_orderkey) % 1000
-             <> (l_partkey * 7 + l_linenumber) % 1000),
-         f AS (SELECT CAST(1 AS BIGINT) AS node
-           UNION SELECT e.dst FROM f JOIN e ON e.src = f.node),
-         b AS (SELECT CAST(1 AS BIGINT) AS node
-           UNION SELECT e.src FROM b JOIN e ON e.dst = b.node),
-         nodes AS (SELECT DISTINCT node FROM
-           (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
-         cls AS (SELECT n.node,
-             CASE WHEN fx.node IS NOT NULL AND bx.node IS NOT NULL THEN 'scc'
-               WHEN bx.node IS NOT NULL THEN 'in'
-               WHEN fx.node IS NOT NULL THEN 'out' ELSE 'disc' END AS component
-           FROM nodes n
-           LEFT JOIN (SELECT DISTINCT node FROM f) fx ON fx.node = n.node
-           LEFT JOIN (SELECT DISTINCT node FROM b) bx ON bx.node = n.node)
-         SELECT component, CAST(count(*) AS BIGINT) AS n_nodes
-         FROM cls GROUP BY 1 ORDER BY component""",
-    // same (count, day) rank tie-break, same cross-multiplied milli floor
-    "events_spearman" ->
-      """WITH d AS (SELECT event_type AS et, date_trunc('day', ts) AS day,
-           CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
-         j AS (SELECT a.et AS et_a, b.et AS et_b, a.day,
-             a.c AS c_a, b.c AS c_b
-           FROM d a JOIN d b ON b.day = a.day AND a.et < b.et),
-         r AS (SELECT et_a, et_b,
-             CAST(row_number() OVER (PARTITION BY et_a, et_b
-               ORDER BY c_a, day) AS BIGINT) AS ra,
-             CAST(row_number() OVER (PARTITION BY et_a, et_b
-               ORDER BY c_b, day) AS BIGINT) AS rb
-           FROM j),
-         g AS (SELECT et_a, et_b, CAST(count(*) AS BIGINT) AS n_days,
-             CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2
-           FROM r GROUP BY 1, 2 HAVING count(*) >= 2)
-         SELECT et_a, et_b, n_days, sum_d2,
-           CAST(1000 - 6000 * sum_d2 // (n_days * n_days * n_days - n_days)
-             AS BIGINT) AS rho_milli
-         FROM g ORDER BY et_a, et_b""",
-    // 8 neighbour comparisons per interior node, zero-filled 0..8 bins
-    "img_census_transform" -> {
-      val ctr = gridV("c.range", "r.range")
-      val terms = (for { dr <- -1 to 1; dc <- -1 to 1; if dr != 0 || dc != 0 }
-        yield s"(CASE WHEN ${gridV(s"c.range+($dc)", s"r.range+($dr)")} > ($ctr) THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         px AS (SELECT swlng, swlat, $terms AS popcnt
-           FROM k, range(1,599) r, range(1,599) c),
-         cnt AS (SELECT swlng, swlat, popcnt,
-             CAST(count(*) AS BIGINT) AS n FROM px GROUP BY 1, 2, 3),
-         buckets AS (SELECT swlng, swlat, CAST(b.range AS INT) AS popcnt
-           FROM corners, range(0, 9) b)
-         SELECT (CASE WHEN bu.swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(bu.swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN bu.swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(bu.swlng) AS VARCHAR),3,'0')) AS image_id,
-           bu.popcnt, COALESCE(cnt.n, CAST(0 AS BIGINT)) AS n_pixels
-         FROM buckets bu LEFT JOIN cnt ON cnt.swlng = bu.swlng
-           AND cnt.swlat = bu.swlat AND cnt.popcnt = bu.popcnt
-         ORDER BY image_id, bu.popcnt"""
-    },
-    // LEAST over the 8 neighbour samples vs the centre, gap-summed
-    "geo_pit_census" -> {
-      val ctr = gridV("c.range", "r.range")
-      val nmin = "LEAST(" +
-        (for { dr <- -1 to 1; dc <- -1 to 1; if dr != 0 || dc != 0 }
-          yield gridV(s"c.range+($dc)", s"r.range+($dr)")).mkString(", ") + ")"
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         px AS (SELECT swlng, swlat, ($nmin) - ($ctr) AS dgap
-           FROM k, range(1,599) r, range(1,599) c)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           CAST(count(*) AS BIGINT) AS n_interior,
-           CAST(sum(CASE WHEN dgap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pits,
-           CAST(sum(CASE WHEN dgap > 0 THEN dgap ELSE 0 END) AS BIGINT) AS depth_sum
-         FROM px GROUP BY 1 ORDER BY image_id"""
-    },
-    // closed-form byte replay, lag/lead Catmull-Rom half-samples
-    "media_true_peak" ->
-      """WITH m AS (SELECT s_suppkey AS media_id,
-           4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),
-         s AS (SELECT media_id, CAST(k AS BIGINT) AS k,
-             CAST(((media_id*31 + k*7) % 256) - 128 AS BIGINT) AS v
-           FROM m, unnest(range(0, n_bytes)) AS t(k)),
-         pk AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_samp,
-             CAST(max(abs(v)) AS BIGINT) AS peak FROM s GROUP BY 1),
-         w AS (SELECT media_id, v,
-             lag(v) OVER (PARTITION BY media_id ORDER BY k) AS vm1,
-             lead(v) OVER (PARTITION BY media_id ORDER BY k) AS vp1,
-             lead(v, 2) OVER (PARTITION BY media_id ORDER BY k) AS vp2
-           FROM s),
-         h AS (SELECT media_id,
-             CAST(max(abs(-vm1 + 9*v + 9*vp1 - vp2)) AS BIGINT) AS hmax,
-             CAST(sum(CASE WHEN abs(-vm1 + 9*v + 9*vp1 - vp2) >
-               16 * greatest(abs(v), abs(vp1)) THEN 1 ELSE 0 END) AS BIGINT) AS n_isp
-           FROM w WHERE vm1 IS NOT NULL AND vp1 IS NOT NULL
-             AND vp2 IS NOT NULL
-           GROUP BY 1)
-         SELECT CAST(pk.media_id AS BIGINT) AS media_id, n_samp, peak,
-           greatest(16 * peak, COALESCE(hmax, CAST(0 AS BIGINT))) AS true_peak_x16,
-           COALESCE(n_isp, CAST(0 AS BIGINT)) AS n_isp
-         FROM pk LEFT JOIN h ON h.media_id = pk.media_id
-         ORDER BY media_id""",
-    // same whitespace tokens, frequency-spectrum second moment, milli K
-    "text_yule_k" ->
-      """WITH toks AS (SELECT source,
-           unnest(string_split(text, ' ')) AS tok FROM documents),
-         tf AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
-           FROM toks GROUP BY 1, 2),
-         g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
-             CAST(count(*) AS BIGINT) AS n_types,
-             CAST(sum(c*c) AS BIGINT) AS s2
-           FROM tf GROUP BY 1)
-         SELECT source, n_tokens, n_types, s2,
-           CAST(10000000 * (s2 - n_tokens) // (n_tokens * n_tokens)
-             AS BIGINT) AS k_milli
-         FROM g ORDER BY source""",
-    // running extrema over the preceding frame, same null-first-day rule
-    "events_running_records" ->
-      """WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
-           CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
-         w AS (SELECT event_type, c,
-             CAST(row_number() OVER pw AS BIGINT) AS rn,
-             max(c) OVER (pw ROWS BETWEEN UNBOUNDED PRECEDING
-               AND 1 PRECEDING) AS pmax,
-             min(c) OVER (pw ROWS BETWEEN UNBOUNDED PRECEDING
-               AND 1 PRECEDING) AS pmin
-           FROM d WINDOW pw AS (PARTITION BY event_type ORDER BY day)),
-         f AS (SELECT event_type, rn,
-             CASE WHEN pmax IS NULL OR c > pmax THEN 1 ELSE 0 END AS hi,
-             CASE WHEN pmin IS NULL OR c < pmin THEN 1 ELSE 0 END AS lo
-           FROM w)
-         SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
-           CAST(sum(hi) AS BIGINT) AS n_record_highs,
-           CAST(sum(lo) AS BIGINT) AS n_record_lows,
-           CAST(max(CASE WHEN hi = 1 THEN rn END) AS BIGINT) AS last_high_idx
-         FROM f GROUP BY 1 ORDER BY event_type""",
-    // (node, arrival) pair enumeration with non-decreasing chains, min'd
-    "graph_temporal_reach" ->
-      """WITH RECURSIVE e AS (SELECT DISTINCT o_custkey % 300 AS u,
-           (o_custkey * 7 + o_orderkey) % 300 AS v,
-           epoch_us(o_orderdate) // 86400000000 AS t
-           FROM orders
-           WHERE o_custkey % 300 <> (o_custkey * 7 + o_orderkey) % 300),
-         p AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS arr
-           UNION SELECT e.v, e.t FROM p JOIN e ON e.u = p.node
-             AND e.t >= p.arr)
-         SELECT node, CAST(min(arr) AS BIGINT) AS arr_day
-         FROM p GROUP BY 1 ORDER BY node""",
-    // three signed parity sums per 100-square block
-    "img_nyquist_energy" -> {
-      val gv = gridV("c.range", "r.range")
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         px AS (SELECT swlng, swlat,
-             r.range // 100 AS by, c.range // 100 AS bx,
-             (CASE WHEN (r.range + c.range) % 2 = 0 THEN 1 ELSE -1 END) * ($gv) AS tchk,
-             (CASE WHEN c.range % 2 = 0 THEN 1 ELSE -1 END) * ($gv) AS trow,
-             (CASE WHEN r.range % 2 = 0 THEN 1 ELSE -1 END) * ($gv) AS tcol
-           FROM k, range(0,600) r, range(0,600) c)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           CAST(by AS BIGINT) AS by, CAST(bx AS BIGINT) AS bx,
-           CAST(sum(tchk) AS BIGINT) AS s_checker,
-           CAST(sum(trow) AS BIGINT) AS s_row,
-           CAST(sum(tcol) AS BIGINT) AS s_col
-         FROM px GROUP BY 1, 2, 3 ORDER BY image_id, by, bx"""
-    },
-    // same lead-1/lead-2 pair counts, per-term ppm floors in the model
-    "events_markov_test" ->
-      """WITH s AS (SELECT user_id, event_id, ts, event_type,
-           lead(event_type, 1) OVER pw AS e1,
-           lead(event_type, 2) OVER pw AS e2
-           FROM events WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         n1 AS (SELECT event_type AS a, e1 AS b, CAST(count(*) AS BIGINT) AS n1
-           FROM s WHERE e1 IS NOT NULL GROUP BY 1, 2),
-         n2 AS (SELECT event_type AS a, e2 AS c, CAST(count(*) AS BIGINT) AS n2
-           FROM s WHERE e2 IS NOT NULL GROUP BY 1, 2),
-         r1 AS (SELECT a, CAST(sum(n1) AS BIGINT) AS ra FROM n1 GROUP BY 1),
-         r2 AS (SELECT a, CAST(sum(n2) AS BIGINT) AS r2a FROM n2 GROUP BY 1),
-         model AS (SELECT x.a, y.b AS c,
-             CAST(sum(1000000 * x.n1 * y.n1 // (ra.ra * rb.ra)) AS BIGINT) AS model_ppm
-           FROM n1 x JOIN n1 y ON y.a = x.b
-           JOIN r1 ra ON ra.a = x.a JOIN r1 rb ON rb.a = x.b
-           GROUP BY 1, 2)
-         SELECT n2.a AS et_a, n2.c AS et_c, n2.n2,
-           CAST(1000000 * n2.n2 // r2.r2a AS BIGINT) AS emp_ppm,
-           COALESCE(model.model_ppm, CAST(0 AS BIGINT)) AS model_ppm,
-           CAST(abs(1000000 * n2.n2 // r2.r2a
-             - COALESCE(model.model_ppm, 0)) AS BIGINT) AS dev_ppm
-         FROM n2 JOIN r2 ON r2.a = n2.a
-         LEFT JOIN model ON model.a = n2.a AND model.c = n2.c
-         ORDER BY et_a, et_c""",
-    // same micro-degree arithmetic, nonneg floors only
-    "geo_antimeridian_split" ->
-      """WITH seg AS (SELECT s_suppkey AS seg_id,
-           177000000 + (s_suppkey % 30) * 100000 AS lng1,
-           30000000 + (s_suppkey % 50) * 200000 AS lat1,
-           CASE WHEN s_suppkey % 4 = 0 THEN 179800000
-             ELSE -180000000 + ((s_suppkey * 3) % 25) * 100000 END AS lng2,
-           30000000 + (s_suppkey % 50) * 200000
-             + (s_suppkey % 30) * 100000 AS lat2
-           FROM supplier)
-         SELECT seg_id,
-           CASE WHEN lng2 < 0 THEN 1 ELSE 0 END AS crosses,
-           CAST(CASE WHEN lng2 < 0 THEN lat1 + (lat2 - lat1) * (180000000 - lng1)
-               // ((180000000 - lng1) + (lng2 + 180000000))
-             ELSE NULL END AS BIGINT) AS lat_cross_micro,
-           CAST(CASE WHEN lng2 < 0
-             THEN (180 - lng1 // 1000000) + ((lng2 + 180000000) // 1000000 + 1)
-             ELSE greatest(lng1, lng2) // 1000000
-               - least(lng1, lng2) // 1000000 + 1 END AS BIGINT) AS n_tiles
-         FROM seg ORDER BY seg_id""",
-    // 1-based list positions shifted to 0-based, same quantized argmax
-    "text_sumbasic_pick" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         pos AS (SELECT doc_id, CAST(g AS BIGINT) - 1 AS pos,
-             list_extract(w, CAST(g AS BIGINT)) AS tok
-           FROM toks, unnest(range(1, len(w) + 1)) AS t(g)),
-         freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS f
-           FROM pos GROUP BY 1),
-         ch AS (SELECT doc_id, pos // 10 AS chunk,
-             CAST(count(*) AS BIGINT) AS n_words,
-             CAST(sum(f) AS BIGINT) AS sum_freq
-           FROM pos JOIN freq USING (tok) GROUP BY 1, 2),
-         sc AS (SELECT doc_id, chunk, n_words, sum_freq,
-             CAST(sum_freq * 1000000 // n_words AS BIGINT) AS score_q,
-             row_number() OVER (PARTITION BY doc_id
-               ORDER BY sum_freq * 1000000 // n_words DESC, chunk) AS rn,
-             CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_chunks
-           FROM ch)
-         SELECT doc_id, n_chunks, CAST(chunk AS BIGINT) AS best_chunk,
-           n_words, sum_freq, score_q
-         FROM sc WHERE rn = 1 ORDER BY doc_id""",
-    // 4 unrolled greedy rounds over the same r2-ball edge list
-    "ann_facility_greedy" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 5 = 0),
-         edges AS MATERIALIZED (SELECT cid, e.vec_id AS pid FROM c, e
-           WHERE list_sum(list_transform(range(1, 65),
-             i -> (e.v[i] - cv[i]) * (e.v[i] - cv[i]))) <= CAST(1.44 AS DOUBLE)),
-         g1 AS (SELECT cid, CAST(count(*) AS BIGINT) AS gain FROM edges
-           GROUP BY 1 ORDER BY gain DESC, cid LIMIT 1),
-         cov1 AS (SELECT DISTINCT pid FROM edges WHERE cid = (SELECT cid FROM g1)),
-         g2 AS (SELECT cid, CAST(count(*) AS BIGINT) AS gain FROM edges
-           WHERE cid <> (SELECT cid FROM g1)
-             AND pid NOT IN (SELECT pid FROM cov1)
-           GROUP BY 1 ORDER BY gain DESC, cid LIMIT 1),
-         cov2 AS (SELECT pid FROM cov1 UNION
-           SELECT pid FROM edges WHERE cid = (SELECT cid FROM g2)),
-         g3 AS (SELECT cid, CAST(count(*) AS BIGINT) AS gain FROM edges
-           WHERE cid NOT IN (SELECT cid FROM g1 UNION ALL SELECT cid FROM g2)
-             AND pid NOT IN (SELECT pid FROM cov2)
-           GROUP BY 1 ORDER BY gain DESC, cid LIMIT 1),
-         cov3 AS (SELECT pid FROM cov2 UNION
-           SELECT pid FROM edges WHERE cid = (SELECT cid FROM g3)),
-         g4 AS (SELECT cid, CAST(count(*) AS BIGINT) AS gain FROM edges
-           WHERE cid NOT IN (SELECT cid FROM g1 UNION ALL SELECT cid FROM g2
-             UNION ALL SELECT cid FROM g3)
-             AND pid NOT IN (SELECT pid FROM cov3)
-           GROUP BY 1 ORDER BY gain DESC, cid LIMIT 1),
-         u AS (SELECT 1 AS round, cid, gain FROM g1
-           UNION ALL SELECT 2, cid, gain FROM g2
-           UNION ALL SELECT 3, cid, gain FROM g3
-           UNION ALL SELECT 4, cid, gain FROM g4)
-         SELECT CAST(round AS BIGINT) AS round, CAST(cid AS BIGINT) AS center_id,
-           gain, CAST(sum(gain) OVER (ORDER BY round) AS BIGINT) AS covered_total
-         FROM u ORDER BY round""",
-    // exact day-pair inversion/tie counts, milli-normalized
-    "events_inversions" ->
-      """WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
-           CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
-         p AS (SELECT a.event_type, a.c AS c1, b.c AS c2
-           FROM d a JOIN d b ON b.event_type = a.event_type
-             AND a.day < b.day)
-         SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(sum(CASE WHEN c1 > c2 THEN 1 ELSE 0 END) AS BIGINT) AS n_inversions,
-           CAST(sum(CASE WHEN c1 = c2 THEN 1 ELSE 0 END) AS BIGINT) AS n_ties,
-           CAST(1000 * sum(CASE WHEN c1 > c2 THEN 1 ELSE 0 END) // count(*)
-             AS BIGINT) AS inv_milli
-         FROM p GROUP BY 1 ORDER BY event_type""",
-    // 7-day PAA sums, nearest-rank quartile breakpoints, a..d symbols
-    "events_sax_words" ->
-      """WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
-           CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
-         ix AS (SELECT event_type, c,
-             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
-               AS BIGINT) - 1 AS idx FROM d),
-         seg AS (SELECT event_type, idx // 7 AS seg_idx,
-             CAST(count(*) AS BIGINT) AS n_days,
-             CAST(sum(c) AS BIGINT) AS paa_sum
-           FROM ix GROUP BY 1, 2 HAVING count(*) = 7),
-         r AS (SELECT event_type, seg_idx, paa_sum,
-             CAST(row_number() OVER (PARTITION BY event_type
-               ORDER BY paa_sum, seg_idx) AS BIGINT) AS rn,
-             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
-           FROM seg),
-         q AS (SELECT event_type,
-             max(CASE WHEN rn = (1 * n + 3) // 4 THEN paa_sum END) AS q1,
-             max(CASE WHEN rn = (2 * n + 3) // 4 THEN paa_sum END) AS q2,
-             max(CASE WHEN rn = (3 * n + 3) // 4 THEN paa_sum END) AS q3
-           FROM r GROUP BY 1)
-         SELECT seg.event_type, CAST(seg_idx AS BIGINT) AS seg_idx, paa_sum,
-           CASE WHEN paa_sum <= q1 THEN 'a' WHEN paa_sum <= q2 THEN 'b'
-             WHEN paa_sum <= q3 THEN 'c' ELSE 'd' END AS symbol
-         FROM seg JOIN q ON q.event_type = seg.event_type
-         ORDER BY seg.event_type, seg_idx""",
-    // forward DP replayed as a recursive CTE over the day index
-    "events_burst_viterbi" ->
-      """WITH RECURSIVE d AS (SELECT event_type, date_trunc('day', ts) AS day,
-           CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
-         r1 AS (SELECT event_type, c, day,
-             CAST(row_number() OVER (PARTITION BY event_type
-               ORDER BY c, day) AS BIGINT) AS rn,
-             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
-           FROM d),
-         med AS (SELECT event_type, c AS med FROM r1 WHERE rn = (n + 1) // 2),
-         e AS MATERIALIZED (SELECT d.event_type,
-             CAST(row_number() OVER (PARTITION BY d.event_type
-               ORDER BY day) AS BIGINT) AS idx,
-             c, abs(c - med) AS el, abs(c - 2 * med) AS eh
-           FROM d JOIN med ON med.event_type = d.event_type),
-         dp AS (SELECT event_type, idx, c, el AS clow, eh + 40 AS chigh
-           FROM e WHERE idx = 1
-           UNION ALL
-           SELECT e.event_type, e.idx, e.c,
-             e.el + least(dp.clow, dp.chigh + 40),
-             e.eh + least(dp.chigh, dp.clow + 40)
-           FROM dp JOIN e ON e.event_type = dp.event_type
-             AND e.idx = dp.idx + 1)
-         SELECT event_type, idx, c, CAST(clow AS BIGINT) AS cost_low,
-           CAST(chigh AS BIGINT) AS cost_high
-         FROM dp ORDER BY event_type, idx""",
-    // per-value histogram, rank-16 palette, weighted L1 min join
-    "img_popularity_palette" -> {
-      val gv = gridV("c.range", "r.range")
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         hist AS (SELECT swlng, swlat, CAST($gv AS BIGINT) AS v,
-             CAST(count(*) AS BIGINT) AS n
-           FROM k, range(0,600) r, range(0,600) c GROUP BY 1, 2, 3),
-         pal AS (SELECT swlng, swlat, v FROM (SELECT swlng, swlat, v, n,
-             row_number() OVER (PARTITION BY swlng, swlat
-               ORDER BY n DESC, v) AS rk FROM hist) t WHERE rk <= 16),
-         err AS (SELECT h.swlng, h.swlat, h.v, h.n,
-             min(abs(h.v - p.v)) AS e
-           FROM hist h JOIN pal p ON p.swlng = h.swlng AND p.swlat = h.swlat
-           GROUP BY 1, 2, 3, 4),
-         ps AS (SELECT swlng, swlat, CAST(sum(v) AS BIGINT) AS palette_sum
-           FROM pal GROUP BY 1, 2)
-         SELECT (CASE WHEN err.swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(err.swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN err.swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(err.swlng) AS VARCHAR),3,'0')) AS image_id,
-           CAST(sum(n) AS BIGINT) AS n_px,
-           CAST(count(*) AS BIGINT) AS n_distinct,
-           max(ps.palette_sum) AS palette_sum,
-           CAST(sum(n * e) AS BIGINT) AS err_sum
-         FROM err JOIN ps ON ps.swlng = err.swlng AND ps.swlat = err.swlat
-         GROUP BY 1 ORDER BY image_id"""
-    },
-    // same len>1 filter, global top-20 tokens, permille position floors
-    "text_positional_bias" ->
-      """WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents),
-         pos AS (SELECT source, CAST(len(w) AS BIGINT) AS len,
-             CAST(g AS BIGINT) - 1 AS pos,
-             list_extract(w, CAST(g AS BIGINT)) AS tok
-           FROM toks, unnest(range(1, len(w) + 1)) AS t(g)
-           WHERE len(w) > 1),
-         top AS (SELECT tok FROM (SELECT tok, count(*) AS f FROM pos
-           GROUP BY 1 ORDER BY f DESC, tok LIMIT 20) tt)
-         SELECT source, tok, CAST(count(*) AS BIGINT) AS n_occ,
-           CAST(sum(1000 * pos // (len - 1)) AS BIGINT) AS sum_relq,
-           CAST(sum(1000 * pos // (len - 1)) // count(*) AS BIGINT) AS mean_relq
-         FROM pos JOIN top USING (tok)
-         GROUP BY 1, 2 ORDER BY source, tok""",
-    // same OD flows, margin-product ppm null, floored deviations
-    "traj_od_independence" ->
-      """WITH pts AS (SELECT user_id, ts, event_id,
-           event_id % 7 AS dx, (event_id * 3) % 5 AS dy FROM events),
-         c AS (SELECT user_id, ts, event_id,
-             CAST(sum(dx) OVER w AS BIGINT) AS px,
-             CAST(sum(dy) OVER w AS BIGINT) AS py
-           FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         k AS (SELECT user_id, ts, event_id,
-             (px // 6) * 1000000 + (py // 4) AS cell FROM c),
-         f AS (SELECT user_id, cell,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ra,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rd
-           FROM k),
-         od AS (SELECT o.cell AS o_cell, d.cell AS d_cell
-           FROM (SELECT user_id, cell FROM f WHERE ra = 1) o
-           JOIN (SELECT user_id, cell FROM f WHERE rd = 1) d USING (user_id)),
-         flows AS (SELECT o_cell, d_cell, CAST(count(*) AS BIGINT) AS n_traj
-           FROM od GROUP BY 1, 2),
-         rt AS (SELECT o_cell, CAST(sum(n_traj) AS BIGINT) AS r
-           FROM flows GROUP BY 1),
-         ct AS (SELECT d_cell, CAST(sum(n_traj) AS BIGINT) AS cc
-           FROM flows GROUP BY 1),
-         g AS (SELECT CAST(sum(n_traj) AS BIGINT) AS gt FROM flows)
-         SELECT fl.o_cell, fl.d_cell, fl.n_traj,
-           CAST(1000000 * fl.n_traj // gt AS BIGINT) AS emp_ppm,
-           CAST(1000000 * rt.r * ct.cc // (gt * gt) AS BIGINT) AS exp_ppm,
-           CAST(abs(1000000 * fl.n_traj // gt
-             - 1000000 * rt.r * ct.cc // (gt * gt)) AS BIGINT) AS dev_ppm
-         FROM flows fl JOIN rt ON rt.o_cell = fl.o_cell
-           JOIN ct ON ct.d_cell = fl.d_cell, g
-         ORDER BY fl.o_cell, fl.d_cell""",
-    // 9-value neighbourhood mode via count-argmax, tie to smallest value
-    "img_mode_filter" -> {
-      val gv = gridV("c.range + dc.range", "r.range + dr.range")
-      val ctr = gridV("c.range", "r.range")
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         nb AS (SELECT swlng, swlat, r.range AS r, c.range AS c,
-             $gv AS v, $ctr AS ctr
-           FROM k, range(1,599) r, range(1,599) c,
-             range(-1,2) dr, range(-1,2) dc),
-         vc AS (SELECT swlng, swlat, r, c, ctr, v, CAST(count(*) AS BIGINT) AS cnt
-           FROM nb GROUP BY 1, 2, 3, 4, 5, 6),
-         md AS (SELECT swlng, swlat, r, c, ctr, v AS mode FROM (SELECT *,
-             row_number() OVER (PARTITION BY swlng, swlat, r, c
-               ORDER BY cnt DESC, v) AS rk FROM vc) t WHERE rk = 1)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           CAST(count(*) AS BIGINT) AS n_interior,
-           CAST(sum(CASE WHEN mode <> ctr THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
-           CAST(sum(CASE WHEN mode <> ctr THEN abs(mode - ctr) ELSE 0 END)
-             AS BIGINT) AS l1_change
-         FROM md GROUP BY 1 ORDER BY image_id"""
-    },
-    // closed-form byte replay, even/odd pair join, shift-positive floors
-    "media_decimate_audit" ->
-      """WITH m AS (SELECT s_suppkey AS media_id,
-           4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),
-         s AS (SELECT media_id, CAST(k AS BIGINT) AS k,
-             CAST(((media_id*31 + k*7) % 256) - 128 AS BIGINT) AS v
-           FROM m, unnest(range(0, n_bytes)) AS t(k)),
-         tot AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_samp,
-             CAST(sum(v * v) AS BIGINT) AS sq_sum FROM s GROUP BY 1),
-         pr AS (SELECT s0.media_id,
-             (s0.v + s1.v + 256) // 2 - 128 AS mean,
-             s0.v - s1.v AS d
-           FROM s s0 JOIN s s1 ON s1.media_id = s0.media_id
-             AND s1.k = s0.k + 1
-           WHERE s0.k % 2 = 0),
-         de AS (SELECT media_id, CAST(sum(mean * mean) AS BIGINT) AS dec_sq_sum,
-             CAST(sum(d * d) AS BIGINT) AS hf_sum FROM pr GROUP BY 1)
-         SELECT CAST(tot.media_id AS BIGINT) AS media_id, n_samp, sq_sum,
-           dec_sq_sum, hf_sum
-         FROM tot JOIN de ON de.media_id = tot.media_id
-         ORDER BY media_id""",
-    // 32 unrolled Jacobi rounds on the offset-80 window, border pinned
-    "geo_fill_depressions" -> {
-      val gv = gridV("c.range + 80", "r.range + 80")
-      val rounds = (1 to 32).map { k =>
-        s"""f$k AS MATERIALIZED (SELECT cl.swlng, cl.swlat, cl.r, cl.c, cl.v,
-            CASE WHEN cl.r = 0 OR cl.c = 0 OR cl.r = 39 OR cl.c = 39 THEN cl.v
-              ELSE GREATEST(cl.v, MIN(p.fv)) END AS fv
-          FROM cells cl JOIN f${k - 1} p ON p.swlng = cl.swlng
-            AND p.swlat = cl.swlat AND p.r BETWEEN cl.r - 1 AND cl.r + 1
-            AND p.c BETWEEN cl.c - 1 AND cl.c + 1
-            AND NOT (p.r = cl.r AND p.c = cl.c)
-          GROUP BY cl.swlng, cl.swlat, cl.r, cl.c, cl.v)"""
-      }.mkString(",\n         ")
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         cells AS MATERIALIZED (SELECT swlng, swlat, r.range AS r, c.range AS c,
-             CAST($gv AS BIGINT) AS v
-           FROM k, range(0,40) r, range(0,40) c),
-         f0 AS MATERIALIZED (SELECT swlng, swlat, r, c, v,
-             CASE WHEN r = 0 OR c = 0 OR r = 39 OR c = 39 THEN v
-               ELSE 1000000000 END AS fv
-           FROM cells),
-         $rounds
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           CAST(count(*) AS BIGINT) AS n_cells,
-           CAST(sum(CASE WHEN fv > v THEN 1 ELSE 0 END) AS BIGINT) AS n_raised,
-           CAST(sum(CASE WHEN fv > v THEN fv - v ELSE 0 END) AS BIGINT) AS fill_volume
-         FROM f32 GROUP BY 1 ORDER BY image_id"""
-    },
-    // 4 unrolled elections with EXISTS-neighbour milli discounts
-    "graph_voterank" -> {
-      def electRound(k: Int): String = {
-        val notIn = if (k == 1) ""
-        else "WHERE node NOT IN (" +
-          (1 until k).map(j => s"SELECT node FROM p$j").mkString(" UNION ALL ") + ")"
-        s"""s$k AS (SELECT sym.u AS node, CAST(sum(a${k - 1}.ab) AS BIGINT) AS score
-            FROM sym JOIN a${k - 1} ON a${k - 1}.node = sym.v GROUP BY 1),
-           p$k AS (SELECT node, score FROM s$k $notIn
-            ORDER BY score DESC, node LIMIT 1),
-           a$k AS (SELECT a${k - 1}.node,
-              CAST(CASE WHEN a${k - 1}.node = (SELECT node FROM p$k) THEN 0
-                WHEN EXISTS (SELECT 1 FROM sym
-                  WHERE sym.u = (SELECT node FROM p$k)
-                    AND sym.v = a${k - 1}.node)
-                THEN greatest(0, a${k - 1}.ab - (SELECT delta FROM dl))
-                ELSE a${k - 1}.ab END AS BIGINT) AS ab
-            FROM a${k - 1})"""
-      }
-      s"""WITH e AS (SELECT DISTINCT
-           greatest(l_suppkey % 500, l_partkey % 500) AS hi,
-           least(l_suppkey % 500, l_partkey % 500) AS lo
-           FROM lineitem WHERE l_orderkey % 7 = 0
-             AND l_suppkey % 500 <> l_partkey % 500),
-         sym AS (SELECT hi AS u, lo AS v FROM e
-           UNION ALL SELECT lo, hi FROM e),
-         nodes AS (SELECT DISTINCT u AS node FROM sym),
-         dl AS (SELECT 1000 * (SELECT CAST(count(*) AS BIGINT) FROM nodes)
-             // (2 * (SELECT CAST(count(*) AS BIGINT) FROM e)) AS delta),
-         a0 AS (SELECT node, CAST(1000 AS BIGINT) AS ab FROM nodes),
-         ${electRound(1)},
-         ${electRound(2)},
-         ${electRound(3)},
-         ${electRound(4)},
-         u AS (SELECT 1 AS round, node, score FROM p1
-           UNION ALL SELECT 2, node, score FROM p2
-           UNION ALL SELECT 3, node, score FROM p3
-           UNION ALL SELECT 4, node, score FROM p4)
-         SELECT CAST(round AS BIGINT) AS round, node,
-           score AS score_milli
-         FROM u ORDER BY round"""
-    },
-    // same sentinel classes, ppm shares over the same total
-    "dq_coordinate_sentinels" ->
-      """WITH pts AS (SELECT
-           CASE WHEN l_orderkey % 97 = 0 THEN 0.0
-             WHEN l_orderkey % 89 = 0 THEN -999.0
-             ELSE -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 END AS lng,
-           CASE WHEN l_orderkey % 97 = 0 THEN 0.0
-             WHEN l_orderkey % 89 = 0 THEN -999.0
-             WHEN l_orderkey % 83 = 0 THEN 90.0
-             ELSE 36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 END AS lat
-           FROM lineitem),
-         cl AS (SELECT CASE
-             WHEN lng = 0.0 AND lat = 0.0 THEN 'null_island'
-             WHEN lng = -999.0 OR lat = -999.0 THEN 'nodata_999'
-             WHEN abs(lat) = 90.0 THEN 'pole_pin'
-             ELSE 'ok' END AS sentinel_class FROM pts),
-         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM cl)
-         SELECT sentinel_class, CAST(count(*) AS BIGINT) AS n_points,
-           n_total, CAST(1000000 * count(*) // n_total AS BIGINT) AS share_ppm
-         FROM cl, tot GROUP BY 1, n_total ORDER BY sentinel_class""",
-    // shared 24-gon integer table as VALUES, modal hour by (count, hour)
-    "events_circular_hour" -> {
-      val values = hourCirc.map { case (h, cq, sq) => s"($h, $cq, $sq)" }
-        .mkString(",")
-      s"""WITH circ(h, cq, sq) AS (VALUES $values),
-         hourly AS (SELECT event_type, CAST(hour(ts) AS INT) AS h,
-             CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
-         peak AS (SELECT event_type, h AS peak_hour FROM (SELECT event_type, h,
-             row_number() OVER (PARTITION BY event_type
-               ORDER BY c DESC, h) AS rn FROM hourly) t WHERE rn = 1),
-         agg AS (SELECT hourly.event_type,
-             CAST(sum(c) AS BIGINT) AS n_events,
-             CAST(sum(c * cq) AS BIGINT) AS rx_q,
-             CAST(sum(c * sq) AS BIGINT) AS ry_q
-           FROM hourly JOIN circ ON circ.h = hourly.h GROUP BY 1)
-         SELECT agg.event_type, n_events, rx_q, ry_q, peak_hour
-         FROM agg JOIN peak ON peak.event_type = agg.event_type
-         ORDER BY agg.event_type"""
-    },
-    // candidate pair scan over the occupied bin range, HUGEINT floors
-    "img_otsu_multilevel" ->
-      """WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         g AS (SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-                 CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           ((swlng+180)*7 + (swlat+90)*11) % 1000 + 2*c.range + 3*r.range + ((c.range//8)*(r.range//8)) % 32 AS v
-           FROM corners, range(0,601) r, range(0,601) c),
-         h AS (SELECT image_id, v // 64 AS b, CAST(count(*) AS BIGINT) AS c
-           FROM g GROUP BY 1, 2),
-         rng AS (SELECT image_id, min(b) AS lo, max(b) AS hi FROM h GROUP BY 1),
-         ts AS (SELECT image_id, lo + i AS t
-           FROM rng, unnest(range(0, hi - lo + 1)) AS t(i)),
-         cum AS (SELECT ts.image_id, ts.t,
-             CAST(COALESCE(sum(h.c), 0) AS BIGINT) AS wt,
-             CAST(COALESCE(sum(h.b * h.c), 0) AS BIGINT) AS aa
-           FROM ts LEFT JOIN h ON h.image_id = ts.image_id AND h.b <= ts.t
-           GROUP BY 1, 2),
-         tot AS (SELECT image_id, CAST(sum(c) AS BIGINT) AS n,
-             CAST(sum(b*c) AS BIGINT) AS s FROM h GROUP BY 1),
-         cand AS (SELECT c1.image_id, c1.t AS t1, c2.t AS t2,
-             c1.wt AS w0, c2.wt - c1.wt AS w1, tot.n - c2.wt AS w2,
-             c1.aa AS a0, c2.aa - c1.aa AS a1, tot.s - c2.aa AS a2, tot.n
-           FROM cum c1 JOIN cum c2 ON c2.image_id = c1.image_id
-             AND c2.t > c1.t
-           JOIN tot ON tot.image_id = c1.image_id
-           WHERE c1.wt > 0 AND c2.wt > c1.wt AND tot.n > c2.wt),
-         obj AS (SELECT image_id, t1, t2, w0, w1, w2, n,
-             CAST((CAST(a0 AS HUGEINT)*a0*1000000) // (CAST(w0 AS HUGEINT)*n)
-               + (CAST(a1 AS HUGEINT)*a1*1000000) // (CAST(w1 AS HUGEINT)*n)
-               + (CAST(a2 AS HUGEINT)*a2*1000000) // (CAST(w2 AS HUGEINT)*n)
-               AS BIGINT) AS obj_q
-           FROM cand)
-         SELECT image_id, CAST(t1 AS INT) AS t1_bin, CAST(t2 AS INT) AS t2_bin,
-           n AS n_px, w0, w1, w2, obj_q
-         FROM obj
-         QUALIFY row_number() OVER (PARTITION BY image_id
-           ORDER BY obj_q DESC, t1, t2) = 1
-         ORDER BY image_id""",
-    // per-position longest-match table + recursive greedy walk
-    "text_wordpiece_count" -> {
-      val values = wordpieceVocab
-        .map(p => s"('${p}', ${p.length})").mkString(",")
-      s"""WITH RECURSIVE vocab(piece, plen) AS (VALUES $values),
-         occ AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt FROM
-           (SELECT source, unnest(string_split(text, ' ')) AS tok
-            FROM documents) tt GROUP BY 1, 2),
-         tk AS (SELECT DISTINCT tok FROM occ),
-         pos AS (SELECT tok, CAST(g AS BIGINT) AS pos
-           FROM tk, unnest(range(1, len(tok) + 1)) AS p(g)),
-         st AS (SELECT pos.tok, pos.pos,
-             COALESCE(max(CASE WHEN substr(pos.tok, CAST(pos.pos AS INT),
-               v.plen) = v.piece THEN v.plen END), 1) AS steplen
-           FROM pos LEFT JOIN vocab v
-             ON substr(pos.tok, CAST(pos.pos AS INT), v.plen) = v.piece
-           GROUP BY 1, 2),
-         w AS (SELECT tok, CAST(1 AS BIGINT) AS pos,
-             CAST(0 AS BIGINT) AS pieces, CAST(0 AS BIGINT) AS multi
-           FROM tk
-           UNION ALL
-           SELECT w.tok, w.pos + st.steplen, w.pieces + 1,
-             w.multi + CASE WHEN st.steplen >= 2 THEN 1 ELSE 0 END
-           FROM w JOIN st ON st.tok = w.tok AND st.pos = w.pos),
-         fin AS (SELECT tok, pieces, multi FROM w
-           WHERE pos = len(tok) + 1)
-         SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
-           CAST(sum(cnt * pieces) AS BIGINT) AS n_pieces,
-           CAST(sum(cnt * multi) AS BIGINT) AS n_multi,
-           CAST(1000 * sum(cnt * pieces) // sum(cnt) AS BIGINT) AS ppt_milli
-         FROM occ JOIN fin USING (tok) GROUP BY 1 ORDER BY source"""
-    },
-    // same cell walk, 15-day bins, zero-filled MK pairs + class rules
-    "geo_emerging_hotspot" ->
-      """WITH pts AS (SELECT user_id, ts, event_id,
-           event_id % 7 AS dx, (event_id * 3) % 5 AS dy FROM events),
-         cw AS (SELECT user_id, ts, event_id,
-             CAST(sum(dx) OVER w AS BIGINT) AS px,
-             CAST(sum(dy) OVER w AS BIGINT) AS py
-           FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         k AS (SELECT (px // 6) * 1000000 + (py // 4) AS cell,
-             epoch_us(ts) // 86400000000 AS day FROM cw),
-         d0 AS (SELECT min(day) AS d0 FROM k),
-         b AS (SELECT cell, (day - d0) // 15 AS bin FROM k, d0
-           WHERE (day - d0) // 15 < 6),
-         cnt AS (SELECT cell, bin, CAST(count(*) AS BIGINT) AS c
-           FROM b GROUP BY 1, 2),
-         grid AS (SELECT cells.cell, CAST(g AS BIGINT) AS bin
-           FROM (SELECT DISTINCT cell FROM cnt) cells,
-             unnest(range(0, 6)) AS t(g)),
-         f AS (SELECT grid.cell, grid.bin, COALESCE(cnt.c, 0) AS c
-           FROM grid LEFT JOIN cnt ON cnt.cell = grid.cell
-             AND cnt.bin = grid.bin),
-         mk AS (SELECT x.cell, CAST(sum(CASE WHEN y.c > x.c THEN 1
-             WHEN y.c < x.c THEN -1 ELSE 0 END) AS BIGINT) AS s_mk
-           FROM f x JOIN f y ON y.cell = x.cell AND x.bin < y.bin
-           GROUP BY 1),
-         fl AS (SELECT cell,
-             CAST(sum(CASE WHEN bin = 0 THEN c END) AS BIGINT) AS first_c,
-             CAST(sum(CASE WHEN bin = 5 THEN c END) AS BIGINT) AS last_c,
-             CAST(sum(c) AS BIGINT) AS total
-           FROM f GROUP BY 1)
-         SELECT fl.cell, s_mk, first_c, last_c, total,
-           CASE WHEN s_mk >= 8 THEN 'intensifying'
-             WHEN s_mk <= -8 THEN 'diminishing'
-             WHEN first_c = 0 AND last_c > 0 THEN 'new'
-             ELSE 'stable' END AS class
-         FROM fl JOIN mk ON mk.cell = fl.cell ORDER BY fl.cell""",
-    // gaps-and-islands runs over quantized levels, per-run floors
-    "img_glrlm" -> {
-      val gv = gridV("c.range", "r.range")
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         px AS (SELECT swlng, swlat, r.range AS r, c.range AS c,
-             LEAST(63, GREATEST(0, ($gv) // 64)) AS lv
-           FROM k, range(0,600) r, range(0,600) c),
-         isl AS (SELECT swlng, swlat, r, lv,
-             c - row_number() OVER (PARTITION BY swlng, swlat, r, lv
-               ORDER BY c) AS grp
-           FROM px),
-         runs AS (SELECT swlng, swlat, lv, CAST(count(*) AS BIGINT) AS len
-           FROM isl GROUP BY swlng, swlat, r, lv, grp),
-         per AS (SELECT swlng, swlat, CAST(count(*) AS BIGINT) AS n_runs,
-             CAST(sum(1000000 // (len*len)) AS BIGINT) AS sre_q,
-             CAST(sum(len*len) AS BIGINT) AS lre
-           FROM runs GROUP BY 1, 2),
-         lvl AS (SELECT swlng, swlat, lv, CAST(count(*) AS BIGINT) AS nl
-           FROM runs GROUP BY 1, 2, 3),
-         gl AS (SELECT swlng, swlat, CAST(sum(nl*nl) AS BIGINT) AS gln
-           FROM lvl GROUP BY 1, 2)
-         SELECT (CASE WHEN per.swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(per.swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN per.swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(per.swlng) AS VARCHAR),3,'0')) AS image_id,
-           n_runs, sre_q, lre, gln,
-           CAST(1000 * n_runs // 360000 AS BIGINT) AS rp_permille
-         FROM per JOIN gl ON gl.swlng = per.swlng AND gl.swlat = per.swlat
-         ORDER BY image_id"""
-    },
-    // three bucket widths in one grouped pass over the byte replay
-    "media_minmax_pyramid" ->
-      """WITH m AS (SELECT s_suppkey AS media_id,
-           4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),
-         s AS (SELECT media_id, CAST(k AS BIGINT) AS k,
-             CAST(((media_id*31 + k*7) % 256) - 128 AS BIGINT) AS v
-           FROM m, unnest(range(0, n_bytes)) AS t(k)),
-         levels(level, w) AS (VALUES (0, 256), (1, 1024), (2, 4096))
-         SELECT CAST(s.media_id AS BIGINT) AS media_id,
-           CAST(level AS INT) AS level, k // w AS bucket,
-           CAST(min(v) AS BIGINT) AS v_min, CAST(max(v) AS BIGINT) AS v_max
-         FROM s, levels GROUP BY 1, 2, 3
-         ORDER BY media_id, level, bucket""",
-    // same co-occurrence graph on alphabetical ids, 3 unrolled pr rounds
-    "text_textrank" -> {
-      val rounds = (1 to 3).map { r =>
-        s"""c$r AS (SELECT e.dst AS node, sum(rr.pr // o.outdeg) AS inflow
-             FROM r${r - 1} rr JOIN outdeg o USING (node)
-             JOIN e ON e.src = rr.node GROUP BY 1),
-           r$r AS (SELECT n.node,
-               150000 + (850000 * COALESCE(c.inflow, 0)) // 1000000 AS pr
-             FROM nodes n LEFT JOIN c$r c USING (node))"""
-      }.mkString(",\n         ")
-      s"""WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         tp0 AS (SELECT doc_id, CAST(g AS BIGINT) - 1 AS pos,
-             list_extract(w, CAST(g AS BIGINT)) AS tok
-           FROM tw, unnest(range(1, len(w) + 1)) AS t(g)),
-         ids AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS id
-           FROM (SELECT DISTINCT tok FROM tp0) d),
-         tp AS (SELECT doc_id, pos, id FROM tp0 JOIN ids USING (tok)),
-         co AS (SELECT a.id AS u, b.id AS v FROM tp a JOIN tp b
-           ON b.doc_id = a.doc_id
-           AND (a.pos = b.pos + 1 OR a.pos = b.pos + 2)
-           WHERE a.id <> b.id),
-         e AS (SELECT u AS src, v AS dst FROM co
-           UNION SELECT v, u FROM co),
-         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-         outdeg AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
-         r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
-         $rounds
-         SELECT tok, CAST(pr AS BIGINT) AS pr
-         FROM r3 JOIN ids ON ids.id = r3.node
-         ORDER BY pr DESC, tok LIMIT 10"""
-    },
-    // 4-neighbour conduction terms, positive-only floors
-    "img_perona_malik" -> {
-      val ctr = gridV("c.range", "r.range")
-      val terms = Seq((1, 0), (-1, 0), (0, 1), (0, -1)).map { case (dr, dcc) =>
-        val nv = gridV(s"c.range+($dcc)", s"r.range+($dr)")
-        s"((1000000 // (1000 + (($nv) - ($ctr)) * (($nv) - ($ctr)))) * (($nv) - ($ctr)))"
-      }.mkString(" + ")
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         px AS (SELECT swlng, swlat, $terms AS f
-           FROM k, range(1,599) r, range(1,599) c)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           CAST(count(*) AS BIGINT) AS n_interior,
-           CAST(sum(f) AS BIGINT) AS sum_flux,
-           CAST(sum(abs(f)) AS BIGINT) AS sum_abs_flux,
-           CAST(sum(CASE WHEN f > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
-         FROM px GROUP BY 1 ORDER BY image_id"""
-    },
-    // forward + reverse bounded Bellman-Ford fields, slack-band census
-    "geo_cost_corridor" -> {
-      def relax(p: String, edge: String) = (1 to 6).map { r =>
-        s"""$p$r AS (SELECT node, min(dist) AS dist FROM (
-              SELECT node, dist FROM $p${r - 1}
-              UNION ALL
-              SELECT $edge.dst AS node, q.dist + $edge.w AS dist
-              FROM $p${r - 1} q JOIN $edge ON $edge.src = q.node) GROUP BY node)"""
-      }.mkString(",\n         ")
-      s"""WITH g AS (SELECT range AS id, range // 100 AS i, range % 100 AS j
-             FROM range(0, 10000)),
-         nb(di, dj) AS (VALUES (1,0),(1,1),(0,1),(-1,1),(-1,0),(-1,-1),(0,-1),(1,-1)),
-         e AS (SELECT i*100 + j AS src, (i+di)*100 + (j+dj) AS dst,
-             1 + GREATEST(0,
-               (((i+di)*(i+di))%97 + ((j+dj)*(j+dj))%89 + ((i+di)*(j+dj))%31)
-               - ((i*i)%97 + (j*j)%89 + (i*j)%31)) AS w
-           FROM g, nb
-           WHERE i+di BETWEEN 0 AND 99 AND j+dj BETWEEN 0 AND 99),
-         er AS (SELECT dst AS src, src AS dst, w FROM e),
-         f0(node, dist) AS (SELECT 5050, 0),
-         ${relax("f", "e")},
-         b0(node, dist) AS (SELECT 5555, 0),
-         ${relax("b", "er")},
-         bc AS (SELECT dist AS best FROM f6 WHERE node = 5555),
-         j AS (SELECT f6.node, f6.dist + b6.dist AS tot
-           FROM f6 JOIN b6 USING (node))
-         SELECT CAST(best AS BIGINT) AS best_cost,
-           CAST(count(*) AS BIGINT) AS n_corridor,
-           CAST(sum(CASE WHEN tot = best THEN 1 ELSE 0 END) AS BIGINT) AS n_optimal,
-           CAST(sum(CASE WHEN tot <= best + 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_tight
-         FROM j, bc WHERE tot <= best + 50 GROUP BY best"""
-    },
-    // same planes/bucket, 9-probe expansion, exact truth join
-    "dedup_lsh_multiprobe" -> {
-      val bucket = (0 until 8).map { j =>
-        s"(CASE WHEN ${sqlPlaneDot(j)} >= 0 THEN ${1L << j} ELSE 0 END)"
-      }.mkString(" + ")
-      val probes = ("f.bucket" +: (0 until 8).map(j =>
-        s"xor(f.bucket, ${1L << j})")).mkString(", ")
-      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
-           UNION ALL SELECT vec_id + 10000 AS vec_id, embedding
-           FROM embeddings WHERE vec_id % 20 = 0),
-         vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM corpus),
-         f AS (SELECT vec_id, v, $bucket AS bucket,
-           sqrt(list_reduce(list_prepend(0.0, list_transform(range(0,64),
-             d -> v[d+1] * v[d+1])), (p,q) -> p + q)) AS nrm FROM vv),
-         truth AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-           FROM f a JOIN f b ON a.vec_id < b.vec_id
-           WHERE list_reduce(list_prepend(0.0, list_transform(range(0,64),
-             d -> a.v[d+1] * b.v[d+1])), (p,q) -> p + q) / (a.nrm * b.nrm)
-             >= 0.999),
-         plain AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-           FROM f a JOIN f b ON a.bucket = b.bucket
-             AND a.vec_id < b.vec_id),
-         pr AS (SELECT f.vec_id AS id_a, p AS bucket
-           FROM f, unnest([$probes]) AS t(p)),
-         multi AS (SELECT DISTINCT pr.id_a, b.vec_id AS id_b
-           FROM pr JOIN f b ON b.bucket = pr.bucket
-             AND pr.id_a < b.vec_id),
-         agg AS (SELECT
-           (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
-           (SELECT CAST(count(*) AS BIGINT) FROM plain) AS cand_plain,
-           (SELECT CAST(count(*) AS BIGINT) FROM multi) AS cand_multi,
-           (SELECT CAST(count(*) AS BIGINT) FROM truth JOIN plain
-             USING (id_a, id_b)) AS hit_plain,
-           (SELECT CAST(count(*) AS BIGINT) FROM truth JOIN multi
-             USING (id_a, id_b)) AS hit_multi)
-         SELECT n_truth, cand_plain, cand_multi, hit_plain, hit_multi,
-           CAST(1000000 * hit_plain // n_truth AS BIGINT) AS recall_plain_ppm,
-           CAST(1000000 * hit_multi // n_truth AS BIGINT) AS recall_multi_ppm
-         FROM agg"""
-    },
-    // lag-1 vs lag-7 absolute errors on rn > 7 days
-    "events_naive_backtest" ->
-      """WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
-           CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
-         w AS (SELECT event_type, c,
-             CAST(row_number() OVER pw AS BIGINT) AS rn,
-             lag(c, 1) OVER pw AS l1, lag(c, 7) OVER pw AS l7
-           FROM d WINDOW pw AS (PARTITION BY event_type ORDER BY day))
-         SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
-           CAST(sum(abs(c - l1)) AS BIGINT) AS sum_naive,
-           CAST(sum(abs(c - l7)) AS BIGINT) AS sum_snaive,
-           CASE WHEN sum(abs(c - l7)) < sum(abs(c - l1)) THEN 'seasonal'
-             WHEN sum(abs(c - l7)) > sum(abs(c - l1)) THEN 'naive'
-             ELSE 'tie' END AS winner
-         FROM w WHERE rn > 7 GROUP BY 1 ORDER BY event_type""",
-    // day partitions x custkey-range buckets, date + min/max pruning
-    "store_date_prune" ->
-      """WITH o AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
-           o_custkey FROM orders),
-         d0 AS (SELECT min(day) AS d0 FROM o),
-         files AS (SELECT day, o_custkey // 300 AS ckb,
-             CAST(count(*) AS BIGINT) AS n_rows,
-             CAST(min(o_custkey) AS BIGINT) AS min_ck,
-             CAST(max(o_custkey) AS BIGINT) AS max_ck
-           FROM o GROUP BY 1, 2),
-         fl AS (SELECT n_rows,
-             day >= d0 + 30 AND day < d0 + 60 AS date_hit,
-             min_ck <= 800 AND max_ck >= 150 AS key_hit
-           FROM files, d0)
-         SELECT CAST(count(*) AS BIGINT) AS n_files,
-           CAST(sum(n_rows) AS BIGINT) AS rows_total,
-           CAST(sum(CASE WHEN date_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_after_date,
-           CAST(sum(CASE WHEN date_hit AND key_hit THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_after_both,
-           CAST(sum(CASE WHEN date_hit AND key_hit THEN n_rows ELSE 0 END)
-             AS BIGINT) AS rows_scanned,
-           CAST(1000000 * (sum(n_rows)
-             - sum(CASE WHEN date_hit AND key_hit THEN n_rows ELSE 0 END))
-             // sum(n_rows) AS BIGINT) AS prune_ppm
-         FROM fl""",
-    // same OD flows, 3 unrolled sync label-prop rounds, size census
-    "traj_flow_communities" -> {
-      val rounds = (1 to 3).map { r =>
-        s"""v$r AS (SELECT s.u AS node, l.lbl, count(*) AS cnt
-             FROM sym s JOIN l${r - 1} l ON s.v = l.node GROUP BY 1, 2),
-           l$r AS (SELECT node, lbl FROM v$r
-             QUALIFY row_number() OVER (PARTITION BY node
-               ORDER BY cnt DESC, lbl ASC) = 1)"""
-      }.mkString(",\n         ")
-      s"""WITH pts AS (SELECT user_id, ts, event_id,
-           event_id % 7 AS dx, (event_id * 3) % 5 AS dy FROM events),
-         cw AS (SELECT user_id, ts, event_id,
-             CAST(sum(dx) OVER w AS BIGINT) AS px,
-             CAST(sum(dy) OVER w AS BIGINT) AS py
-           FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         k AS (SELECT user_id, ts, event_id,
-             (px // 6) * 1000000 + (py // 4) AS cell FROM cw),
-         fe AS (SELECT user_id, cell,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ra,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rd
-           FROM k),
-         od AS (SELECT DISTINCT o.user_id, o.cell AS o_cell, d.cell AS d_cell
-           FROM (SELECT user_id, cell FROM fe WHERE ra = 1) o
-           JOIN (SELECT user_id, cell FROM fe WHERE rd = 1) d USING (user_id)),
-         e AS (SELECT DISTINCT GREATEST(o_cell, d_cell) AS hi,
-             LEAST(o_cell, d_cell) AS lo FROM od),
-         e2 AS (SELECT hi, lo FROM e WHERE hi <> lo),
-         sym AS (SELECT lo AS u, hi AS v FROM e2
-           UNION ALL SELECT hi AS u, lo AS v FROM e2),
-         l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym),
-         $rounds
-         SELECT lbl, CAST(count(*) AS BIGINT) AS n_cells
-         FROM l3 GROUP BY 1 ORDER BY lbl"""
-    },
-    // line sums grouped by r+c and r-c, per-direction extrema/moments
-    "img_diag_projections" -> {
-      val gv = gridV("c.range", "r.range")
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         px AS (SELECT swlng, swlat, r.range AS r, c.range AS c,
-             CAST($gv AS BIGINT) AS v
-           FROM k, range(0,600) r, range(0,600) c),
-         ln AS (SELECT swlng, swlat, 'anti' AS direction, r + c AS line,
-             CAST(sum(v) AS BIGINT) AS s
-           FROM px GROUP BY 1, 2, 3, 4
-           UNION ALL
-           SELECT swlng, swlat, 'main', r - c,
-             CAST(sum(v) AS BIGINT)
-           FROM px GROUP BY 1, 2, 3, 4)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           direction, CAST(count(*) AS BIGINT) AS n_lines,
-           CAST(min(s) AS BIGINT) AS min_sum,
-           CAST(max(s) AS BIGINT) AS max_sum,
-           CAST(sum(s * s) AS BIGINT) AS sumsq
-         FROM ln GROUP BY 1, 2 ORDER BY image_id, direction"""
-    },
-    // running-max watermark on arrival order, 10-minute lateness
-    "events_late_arrival_census" ->
-      """WITH e AS (SELECT event_type, event_id,
-           epoch_us(ts) AS us FROM events),
-         w AS (SELECT event_type, us,
-             max(us) OVER (PARTITION BY event_type ORDER BY event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-               - 600000000 AS wm
-           FROM e)
-         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CASE WHEN us < wm THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
-           CAST(COALESCE(max(CASE WHEN us < wm THEN wm - us END), 0)
-             AS BIGINT) AS max_lateness_us
-         FROM w GROUP BY 1 ORDER BY event_type""",
-    // one range join carries both box sums, cross-multiplied TPI signs
-    "geo_landform_class" -> {
-      val gv = gridV("c.range + 100", "r.range + 100")
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         cells AS MATERIALIZED (SELECT swlng, swlat, r.range AS r,
-             c.range AS c, CAST($gv AS BIGINT) AS v
-           FROM k, range(0,100) r, range(0,100) c),
-         pxx AS (SELECT p.swlng, p.swlat, p.r, p.c, p.v,
-             CAST(sum(CASE WHEN b.r BETWEEN p.r-2 AND p.r+2
-               AND b.c BETWEEN p.c-2 AND p.c+2 THEN b.v END) AS BIGINT) AS ss,
-             CAST(sum(b.v) AS BIGINT) AS sl
-           FROM cells p JOIN cells b ON b.swlng = p.swlng
-             AND b.swlat = p.swlat AND b.r BETWEEN p.r-6 AND p.r+6
-             AND b.c BETWEEN p.c-6 AND p.c+6
-           WHERE p.r BETWEEN 6 AND 93 AND p.c BETWEEN 6 AND 93
-           GROUP BY 1, 2, 3, 4, 5),
-         cl AS (SELECT swlng, swlat,
-             CASE WHEN 25*v - ss > 0 THEN 1 WHEN 25*v - ss < 0 THEN -1
-               ELSE 0 END AS class_s,
-             CASE WHEN 169*v - sl > 0 THEN 1 WHEN 169*v - sl < 0 THEN -1
-               ELSE 0 END AS class_l
-           FROM pxx)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           CAST(class_s AS INT) AS class_s, CAST(class_l AS INT) AS class_l,
-           CAST(count(*) AS BIGINT) AS n_pixels
-         FROM cl GROUP BY 1, 2, 3 ORDER BY image_id, class_s, class_l"""
-    },
-    // four candidate sets, distinct-vs-total with ppm duplication
-    "dq_key_discovery" ->
-      """WITH u AS (
-           SELECT 'o_orderkey' AS candidate,
-             CAST(count(*) AS BIGINT) AS n_rows,
-             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
-           FROM orders
-           UNION ALL
-           SELECT 'o_custkey', CAST(count(*) AS BIGINT),
-             CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
-           UNION ALL
-           SELECT 'o_custkey,o_orderdate', CAST(count(*) AS BIGINT),
-             CAST((SELECT count(*) FROM (SELECT DISTINCT o_custkey,
-               o_orderdate FROM orders) t) AS BIGINT) FROM orders
-           UNION ALL
-           SELECT 'o_orderstatus,o_orderpriority', CAST(count(*) AS BIGINT),
-             CAST((SELECT count(*) FROM (SELECT DISTINCT o_orderstatus,
-               o_orderpriority FROM orders) t) AS BIGINT) FROM orders)
-         SELECT candidate, n_rows, n_distinct,
-           CAST(CASE WHEN n_rows = n_distinct THEN 1 ELSE 0 END AS INT) AS is_key,
-           CAST(1000000 * (n_rows - n_distinct) // n_rows AS BIGINT) AS dup_ppm
-         FROM u ORDER BY candidate""",
-    // x7 trend, per-dow nearest-rank seasonal medians, L1 residuals
-    "events_stl_lite" ->
-      """WITH d AS (SELECT event_type,
-           epoch_us(date_trunc('day', ts)) // 86400000000 AS day,
-           CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
-         w AS (SELECT event_type, day, c,
-             CAST(row_number() OVER pw AS BIGINT) AS rn,
-             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
-             CAST(sum(c) OVER (pw ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
-               AS BIGINT) AS trend7
-           FROM d WINDOW pw AS (PARTITION BY event_type ORDER BY day)),
-         t2 AS (SELECT event_type, day, c, 7*c - trend7 AS det,
-             day % 7 AS dow FROM w WHERE rn >= 4 AND rn <= n - 3),
-         r2 AS (SELECT event_type, dow, det, day,
-             CAST(row_number() OVER (PARTITION BY event_type, dow
-               ORDER BY det, day) AS BIGINT) AS rk,
-             CAST(count(*) OVER (PARTITION BY event_type, dow) AS BIGINT) AS m
-           FROM t2),
-         med AS (SELECT event_type, dow, det AS seasonal_q FROM r2
-           WHERE rk = (m + 1) // 2)
-         SELECT t2.event_type, CAST(t2.dow AS BIGINT) AS dow,
-           CAST(count(*) AS BIGINT) AS n_obs,
-           CAST(max(seasonal_q) AS BIGINT) AS seasonal_q,
-           CAST(sum(abs(det - seasonal_q)) AS BIGINT) AS resid_l1
-         FROM t2 JOIN med ON med.event_type = t2.event_type
-           AND med.dow = t2.dow
-         GROUP BY 1, 2 ORDER BY t2.event_type, dow""",
-    // RGGB parity sites, 4-neighbour green sum vs x4 truth
-    "img_demosaic_error" -> {
-      val ctr = gridV("c.range", "r.range")
-      val g4 = Seq((-1, 0), (1, 0), (0, -1), (0, 1)).map { case (dr, dcc) =>
-        s"(${gridV(s"c.range+($dcc)", s"r.range+($dr)")})"
-      }.mkString(" + ")
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         px AS (SELECT swlng, swlat,
-             abs(($g4) - 4 * ($ctr)) AS e
-           FROM k, range(1,599) r, range(1,599) c
-           WHERE r.range % 2 = c.range % 2)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           CAST(count(*) AS BIGINT) AS n_interp,
-           CAST(sum(e) AS BIGINT) AS sad_q,
-           CAST(max(e) AS BIGINT) AS max_err_q
-         FROM px GROUP BY 1 ORDER BY image_id"""
-    },
-    // g=1/4 h=1/8 predictor-corrector replayed as a recursive CTE
-    "traj_alpha_beta_track" ->
-      """WITH RECURSIVE pts AS (SELECT user_id, ts, event_id,
-           event_id % 7 AS dx FROM events),
-         zc AS (SELECT user_id, ts, event_id,
-             CAST(sum(dx) OVER w AS BIGINT) AS z
-           FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         e AS MATERIALIZED (SELECT user_id, z,
-             CAST(row_number() OVER (PARTITION BY user_id
-               ORDER BY ts, event_id) AS BIGINT) AS idx
-           FROM zc),
-         nmax AS (SELECT user_id, max(idx) AS n FROM e GROUP BY 1),
-         tr AS (SELECT user_id, idx, z AS p, CAST(0 AS BIGINT) AS v,
-             CAST(0 AS BIGINT) AS sar FROM e WHERE idx = 1
-           UNION ALL
-           SELECT e.user_id, e.idx,
-             (tr.p + tr.v) + (e.z - (tr.p + tr.v)) // 4,
-             tr.v + (e.z - (tr.p + tr.v)) // 8,
-             tr.sar + abs(e.z - (tr.p + tr.v))
-           FROM tr JOIN e ON e.user_id = tr.user_id
-             AND e.idx = tr.idx + 1)
-         SELECT tr.user_id, CAST(n AS BIGINT) AS n_steps,
-           CAST(p AS BIGINT) AS final_p, CAST(v AS BIGINT) AS final_v,
-           CAST(sar AS BIGINT) AS sum_abs_resid
-         FROM tr JOIN nmax ON nmax.user_id = tr.user_id
-           AND tr.idx = nmax.n
-         ORDER BY tr.user_id""",
-    // nearest-rank p90 threshold, exceedance moments
-    "events_pot_excess" ->
-      """WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
-           CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
-         r1 AS (SELECT event_type, c, day,
-             CAST(row_number() OVER (PARTITION BY event_type
-               ORDER BY c, day) AS BIGINT) AS rn,
-             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
-           FROM d),
-         thr AS (SELECT event_type, c AS u FROM r1
-           WHERE rn = (9 * n + 9) // 10)
-         SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_days,
-           CAST(max(u) AS BIGINT) AS u,
-           CAST(sum(CASE WHEN c > u THEN 1 ELSE 0 END) AS BIGINT) AS n_exc,
-           CAST(sum(CASE WHEN c > u THEN c - u ELSE 0 END) AS BIGINT) AS sum_excess,
-           CAST(sum(CASE WHEN c > u THEN (c - u) * (c - u) ELSE 0 END)
-             AS BIGINT) AS sum_excess_sq,
-           CAST(COALESCE(max(CASE WHEN c > u THEN c - u END), 0)
-             AS BIGINT) AS max_excess
-         FROM d JOIN thr ON thr.event_type = d.event_type
-         GROUP BY 1 ORDER BY d.event_type""",
-    // 2x2 block-sum pyramid, per-level abs-detail sums
-    "img_laplacian_pyramid" -> {
-      val gv = gridV("c.range", "r.range")
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         px AS (SELECT swlng, swlat, r.range AS r, c.range AS c,
-             CAST($gv AS BIGINT) AS v
-           FROM k, range(0,600) r, range(0,600) c),
-         g1 AS (SELECT swlng, swlat, r // 2 AS r1, c // 2 AS c1,
-             CAST(sum(v) AS BIGINT) AS g FROM px GROUP BY 1, 2, 3, 4),
-         g2 AS (SELECT swlng, swlat, r1 // 2 AS r2, c1 // 2 AS c2,
-             CAST(sum(g) AS BIGINT) AS g FROM g1 GROUP BY 1, 2, 3, 4),
-         e0 AS (SELECT px.swlng, px.swlat,
-             CAST(sum(abs(4 * px.v - g1.g)) AS BIGINT) AS e
-           FROM px JOIN g1 ON g1.swlng = px.swlng AND g1.swlat = px.swlat
-             AND g1.r1 = px.r // 2 AND g1.c1 = px.c // 2
-           GROUP BY 1, 2),
-         e1 AS (SELECT g1.swlng, g1.swlat,
-             CAST(sum(abs(4 * g1.g - g2.g)) AS BIGINT) AS e
-           FROM g1 JOIN g2 ON g2.swlng = g1.swlng AND g2.swlat = g1.swlat
-             AND g2.r2 = g1.r1 // 2 AND g2.c2 = g1.c1 // 2
-           GROUP BY 1, 2),
-         b2 AS (SELECT swlng, swlat, CAST(sum(g) AS BIGINT) AS e
-           FROM g2 GROUP BY 1, 2),
-         u AS (SELECT swlng, swlat, 0 AS level,
-             CAST(360000 AS BIGINT) AS n_px, e FROM e0
-           UNION ALL SELECT swlng, swlat, 1, CAST(90000 AS BIGINT), e FROM e1
-           UNION ALL SELECT swlng, swlat, 2, CAST(22500 AS BIGINT), e FROM b2)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           CAST(level AS INT) AS level, n_px, e AS energy
-         FROM u ORDER BY image_id, level"""
-    },
-    // shared x1000 sun table, clamped incidence dots at sampled pixels
-    "geo_irradiance_sum" -> {
-      val values = sunVectors.map { case (sx, sy, sz) => s"($sx, $sy, $sz)" }
-        .mkString(",")
-      val dzdx = s"(${gridV("c.range+1", "r.range")}) - (${gridV("c.range-1", "r.range")})"
-      val dzdy = s"(${gridV("c.range", "r.range+1")}) - (${gridV("c.range", "r.range-1")})"
-      s"""WITH suns(sx, sy, sz) AS (VALUES $values),
-         corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         px AS (SELECT swlng, swlat, r.range AS r, c.range AS c,
-             $dzdx AS dzdx, $dzdy AS dzdy
-           FROM k, range(1,599) r, range(1,599) c
-           WHERE r.range % 4 = 1 AND c.range % 4 = 1),
-         d AS (SELECT swlng, swlat, r, c,
-             CAST(sum(CASE WHEN -dzdx*sx - dzdy*sy + 2*sz > 0
-               THEN -dzdx*sx - dzdy*sy + 2*sz ELSE 0 END) AS BIGINT) AS irr,
-             max(CASE WHEN -dzdx*sx - dzdy*sy + 2*sz > 0 THEN 1 ELSE 0 END) AS lit
-           FROM px, suns GROUP BY 1, 2, 3, 4)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           CAST(count(*) AS BIGINT) AS n_samples,
-           CAST(sum(irr) AS BIGINT) AS irr_q_sum,
-           CAST(sum(1 - lit) AS BIGINT) AS n_dark
-         FROM d GROUP BY 1 ORDER BY image_id"""
-    },
-    // per-arm OLS pieces on the pre-period, cross-multiplied slope diff
-    "events_pretrend_check" ->
-      """WITH d AS (SELECT event_type,
-           epoch_us(date_trunc('day', ts)) // 86400000000 AS day,
-           CAST(count(*) AS BIGINT) AS c FROM events
-           WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
-         d0 AS (SELECT min(day) AS d0 FROM d),
-         pre AS (SELECT event_type, day - d0 AS x, c FROM d, d0
-           WHERE day < d0 + 45),
-         p AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(c) AS BIGINT) AS sy,
-             CAST(sum(x * c) AS BIGINT) AS sxy,
-             CAST(sum(x * x) AS BIGINT) AS sxx
-           FROM pre GROUP BY 1),
-         pa AS (SELECT n AS n_a, n*sxy - sx*sy AS num_a,
-             n*sxx - sx*sx AS den_a FROM p WHERE event_type = 'click'),
-         pb AS (SELECT n AS n_b, n*sxy - sx*sy AS num_b,
-             n*sxx - sx*sx AS den_b FROM p WHERE event_type = 'view')
-         SELECT n_a, CAST(num_a AS BIGINT) AS num_a,
-           CAST(den_a AS BIGINT) AS den_a, n_b,
-           CAST(num_b AS BIGINT) AS num_b, CAST(den_b AS BIGINT) AS den_b,
-           CAST(num_a * den_b - num_b * den_a AS BIGINT) AS cross,
-           CAST(CASE WHEN num_a * num_b > 0 THEN 1
-             WHEN num_a * num_b < 0 THEN -1 ELSE 0 END AS INT) AS same_sign
-         FROM pa, pb""",
-    // shared rho CASE chain, 3 unrolled register-union + exact-pair rounds
-    "graph_hyperball" -> {
-      def round(r: Int) =
-        s"""reg$r AS (SELECT node, bucket, max(rho) AS rho FROM (
-            SELECT node, bucket, rho FROM reg${r - 1}
-            UNION ALL
-            SELECT e.src AS node, q.bucket, q.rho
-            FROM e JOIN reg${r - 1} q ON q.node = e.dst) GROUP BY 1, 2),
-          p$r AS (SELECT DISTINCT v, u FROM (
-            SELECT v, u FROM p${r - 1}
-            UNION ALL
-            SELECT e.src AS v, q.u FROM e JOIN p${r - 1} q ON q.v = e.dst))"""
-      s"""WITH e AS (SELECT DISTINCT
-           (l_suppkey * 13 + l_orderkey) % 1000 AS src,
-           (l_partkey * 7 + l_linenumber) % 1000 AS dst
-           FROM lineitem WHERE l_orderkey % 23 = 0
-           AND (l_suppkey * 13 + l_orderkey) % 1000
-             <> (l_partkey * 7 + l_linenumber) % 1000),
-         nodes AS (SELECT DISTINCT node FROM
-           (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
-         h0 AS (SELECT node, (node * 2654435761) % 2147483648 AS h
-           FROM nodes),
-         reg0 AS (SELECT node, h % 16 AS bucket, $rhoCaseSql AS rho
-           FROM (SELECT node, h, h // 16 AS w FROM h0) t),
-         p0 AS (SELECT node AS v, node AS u FROM nodes),
-         ${round(1)},
-         ${round(2)},
-         ${round(3)},
-         u AS (
-           SELECT 1 AS round,
-             (SELECT CAST(count(*) AS BIGINT) FROM p1) AS n_pairs,
-             (SELECT CAST(count(*) AS BIGINT) FROM reg1) AS n_regs,
-             (SELECT CAST(sum(rho) AS BIGINT) FROM reg1) AS rho_sum
-           UNION ALL
-           SELECT 2, (SELECT CAST(count(*) AS BIGINT) FROM p2),
-             (SELECT CAST(count(*) AS BIGINT) FROM reg2),
-             (SELECT CAST(sum(rho) AS BIGINT) FROM reg2)
-           UNION ALL
-           SELECT 3, (SELECT CAST(count(*) AS BIGINT) FROM p3),
-             (SELECT CAST(count(*) AS BIGINT) FROM reg3),
-             (SELECT CAST(sum(rho) AS BIGINT) FROM reg3))
-         SELECT CAST(round AS BIGINT) AS round, n_pairs, n_regs, rho_sum
-         FROM u ORDER BY round"""
-    },
-    // top-20 fpm profiles, zero-filled grid, source-pair L1
-    "text_stylo_delta" ->
-      """WITH toks AS (SELECT source,
-           unnest(string_split(text, ' ')) AS tok FROM documents),
-         top AS (SELECT tok FROM (SELECT tok, count(*) AS f FROM toks
-           GROUP BY 1 ORDER BY f DESC, tok LIMIT 20) t),
-         tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tok
-           FROM toks GROUP BY 1),
-         cnt AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
-           FROM toks JOIN top USING (tok) GROUP BY 1, 2),
-         fpm AS (SELECT cnt.source, tok,
-             CAST(1000000 * c // n_tok AS BIGINT) AS fpm
-           FROM cnt JOIN tot USING (source)),
-         g0 AS (SELECT s.source, t.tok
-           FROM (SELECT source FROM tot) s, top t),
-         grid AS (SELECT g0.source, g0.tok,
-             COALESCE(f.fpm, CAST(0 AS BIGINT)) AS fpm
-           FROM g0 LEFT JOIN fpm f ON f.source = g0.source
-             AND f.tok = g0.tok)
-         SELECT a.source AS src_a, b.source AS src_b,
-           CAST(sum(abs(a.fpm - b.fpm)) AS BIGINT) AS l1_fpm
-         FROM grid a JOIN grid b ON b.tok = a.tok
-           AND a.source < b.source
-         GROUP BY 1, 2 ORDER BY src_a, src_b""",
-    // > ALL via NOT EXISTS over cross-multiplied exact cents
-    "q_any_all" ->
-      """WITH sup AS (SELECT s_suppkey, s_nationkey,
-           CAST(round(s_acctbal * 100) AS BIGINT) AS cents FROM supplier),
-         reg AS (SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_r,
-             CAST(sum(cents) AS BIGINT) AS sum_r
-           FROM sup JOIN nation ON n_nationkey = s_nationkey GROUP BY 1)
-         SELECT s_suppkey, cents FROM sup
-         WHERE NOT EXISTS (SELECT 1 FROM reg
-           WHERE sup.cents * reg.n_r <= reg.sum_r)
-         ORDER BY s_suppkey""",
-    // integer chord projection, 50 clamped bins, per-bin extrema/sums
-    "geo_swath_profile" -> {
-      val gv = gridV("c.range", "r.range")
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         px AS (SELECT swlng, swlat, CAST($gv AS BIGINT) AS v,
-             (r.range - 100) * 400 + c.range * 599 AS tn,
-             (r.range - 100) * 599 - c.range * 400 AS crs
-           FROM k, range(0,600) r, range(0,600) c),
-         sw AS (SELECT swlng, swlat,
-             LEAST(49, tn * 50 // 518801) AS bin, v
-           FROM px WHERE tn >= 0 AND tn <= 518801
-             AND crs * crs <= 207520400)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_cells,
-           CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v,
-           CAST(sum(v) AS BIGINT) AS sum_v
-         FROM sw GROUP BY 1, 2 ORDER BY image_id, bin"""
-    },
-    // per-user 45-day pre/post counts, arm pieces + pooled theta fraction
-    "events_cuped_pieces" ->
-      """WITH ev AS (SELECT user_id,
-           epoch_us(date_trunc('day', ts)) // 86400000000 AS day FROM events),
-         d0 AS (SELECT min(day) AS d0 FROM ev),
-         usr AS (SELECT user_id,
-             CAST(sum(CASE WHEN day < d0 + 45 THEN 1 ELSE 0 END) AS BIGINT) AS pre,
-             CAST(sum(CASE WHEN day >= d0 + 45 THEN 1 ELSE 0 END) AS BIGINT) AS post
-           FROM ev, d0 GROUP BY user_id, d0),
-         arms AS (SELECT user_id % 2 AS arm, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(pre) AS BIGINT) AS sx, CAST(sum(post) AS BIGINT) AS sy,
-             CAST(sum(pre * pre) AS BIGINT) AS sxx,
-             CAST(sum(pre * post) AS BIGINT) AS sxy
-           FROM usr GROUP BY 1),
-         pooled AS (SELECT CAST(count(*) AS BIGINT) AS pn,
-             CAST(sum(pre) AS BIGINT) AS px, CAST(sum(post) AS BIGINT) AS py,
-             CAST(sum(pre * pre) AS BIGINT) AS pxx,
-             CAST(sum(pre * post) AS BIGINT) AS pxy
-           FROM usr)
-         SELECT arm, n, sx, sy, sxx, sxy,
-           CAST(pn * pxy - px * py AS BIGINT) AS theta_num,
-           CAST(pn * pxx - px * px AS BIGINT) AS theta_den
-         FROM arms, pooled ORDER BY arm""",
-    // strict 8-neighbour maxima, rank-5, 3x3 moment numerators
-    "img_peak_centroids" -> {
-      val ctr = gridV("c.range", "r.range")
-      val strict = (for { dr <- -1 to 1; dc <- -1 to 1; if dr != 0 || dc != 0 }
-        yield s"${gridV(s"c.range+($dc)", s"r.range+($dr)")} < ($ctr)")
-        .mkString(" AND ")
-      def mom(f: (Int, Int) => String) =
-        (for { da <- -1 to 1; db <- -1 to 1 }
-          yield f(da, db)).mkString(" + ")
-      val sw = mom((da, db) => s"(${gridV(s"c+($db)", s"r+($da)")})")
-      val swr = mom((da, db) => s"(${gridV(s"c+($db)", s"r+($da)")}) * (r+($da))")
-      val swc = mom((da, db) => s"(${gridV(s"c+($db)", s"r+($da)")}) * (c+($db))")
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         cand AS (SELECT swlng, swlat, a, r.range AS r, c.range AS c,
-             CAST($ctr AS BIGINT) AS v
-           FROM k, range(1,599) r, range(1,599) c
-           WHERE $strict),
-         rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY swlng, swlat
-             ORDER BY v DESC, r, c) AS INT) AS rank FROM cand)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           rank, CAST(r AS INT) AS r, CAST(c AS INT) AS c, v,
-           CAST($sw AS BIGINT) AS sw, CAST($swr AS BIGINT) AS swr,
-           CAST($swc AS BIGINT) AS swc
-         FROM rk WHERE rank <= 5 ORDER BY image_id, rank"""
-    },
-    // same char segmentation, weighted pair counts, literal replace merge
-    "text_bpe_merge" ->
-      """WITH w AS (SELECT tok, CAST(count(*) AS BIGINT) AS wcnt FROM
-           (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
-           GROUP BY 1),
-         s0 AS (SELECT tok, wcnt,
-             ' ' || trim(regexp_replace(tok, '(.)', '\1 ', 'g')) || ' ' AS seg
-           FROM w),
-         sp0 AS (SELECT tok, wcnt, string_split(trim(seg), ' ') AS ls FROM s0),
-         py0 AS (SELECT wcnt, list_extract(ls, CAST(g AS BIGINT)) AS a,
-             list_extract(ls, CAST(g AS BIGINT) + 1) AS b
-           FROM sp0, unnest(range(1, len(ls))) AS t(g)),
-         t1 AS (SELECT a, b, CAST(sum(wcnt) AS BIGINT) AS cnt FROM py0
-           GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1),
-         s1 AS (SELECT tok, wcnt, replace(seg,
-             ' ' || (SELECT a FROM t1) || ' ' || (SELECT b FROM t1) || ' ',
-             ' ' || (SELECT a FROM t1) || (SELECT b FROM t1) || ' ') AS seg
-           FROM s0),
-         n1 AS (SELECT CAST(sum(wcnt * len(string_split(trim(seg), ' ')))
-             AS BIGINT) AS ns FROM s1),
-         sp1 AS (SELECT tok, wcnt, string_split(trim(seg), ' ') AS ls FROM s1),
-         py1 AS (SELECT wcnt, list_extract(ls, CAST(g AS BIGINT)) AS a,
-             list_extract(ls, CAST(g AS BIGINT) + 1) AS b
-           FROM sp1, unnest(range(1, len(ls))) AS t(g)),
-         t2 AS (SELECT a, b, CAST(sum(wcnt) AS BIGINT) AS cnt FROM py1
-           GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1),
-         s2 AS (SELECT tok, wcnt, replace(seg,
-             ' ' || (SELECT a FROM t2) || ' ' || (SELECT b FROM t2) || ' ',
-             ' ' || (SELECT a FROM t2) || (SELECT b FROM t2) || ' ') AS seg
-           FROM s1),
-         n2 AS (SELECT CAST(sum(wcnt * len(string_split(trim(seg), ' ')))
-             AS BIGINT) AS ns FROM s2)
-         SELECT CAST(1 AS BIGINT) AS round, a AS sym_a, b AS sym_b,
-           cnt AS pair_cnt, (SELECT ns FROM n1) AS n_symbols_after FROM t1
-         UNION ALL
-         SELECT CAST(2 AS BIGINT), a, b, cnt, (SELECT ns FROM n2) FROM t2
-         ORDER BY round""",
-    // base-4 carry closed form, windowed cumulative writes
-    "store_write_amp_sim" ->
-      """WITH f AS (SELECT CAST(range AS BIGINT) AS n FROM range(1, 129)),
-         c AS (SELECT n,
-             1 + (CASE WHEN n % 4 = 0 THEN 4 + 4 * ((n // 4 - 1) % 4) ELSE 0 END)
-               + (CASE WHEN n % 16 = 0 THEN 16 + 16 * ((n // 16 - 1) % 4) ELSE 0 END)
-               + (CASE WHEN n % 64 = 0 THEN 64 + 64 * ((n // 64 - 1) % 4) ELSE 0 END) AS lev,
-             1 + (CASE WHEN n % 4 = 0 THEN 4 ELSE 0 END)
-               + (CASE WHEN n % 16 = 0 THEN 16 ELSE 0 END)
-               + (CASE WHEN n % 64 = 0 THEN 64 ELSE 0 END) AS tier
-           FROM f),
-         cum AS (SELECT n,
-             CAST(sum(lev) OVER (ORDER BY n) AS BIGINT) AS lev_written,
-             CAST(sum(tier) OVER (ORDER BY n) AS BIGINT) AS tier_written
-           FROM c)
-         SELECT n AS n_flush, lev_written, tier_written,
-           CAST(1000 * lev_written // n AS BIGINT) AS wa_lev_milli,
-           CAST(1000 * tier_written // n AS BIGINT) AS wa_tier_milli
-         FROM cum WHERE n % 16 = 0 ORDER BY n_flush""",
-    // zero-filled half profiles in ppm, 24 cyclic shifts, argmin
-    "dq_hour_shift" ->
-      """WITH ev AS (SELECT event_type, CAST(hour(ts) AS INT) AS h,
-           epoch_us(date_trunc('day', ts)) // 86400000000 AS day FROM events),
-         d0 AS (SELECT min(day) AS d0 FROM ev),
-         hv AS (SELECT event_type, h,
-             CASE WHEN day < d0 + 45 THEN 1 ELSE 2 END AS half FROM ev, d0),
-         tots AS (SELECT event_type, half, CAST(count(*) AS BIGINT) AS tot
-           FROM hv GROUP BY 1, 2),
-         cnts AS (SELECT event_type, half, h, CAST(count(*) AS BIGINT) AS c
-           FROM hv GROUP BY 1, 2, 3),
-         grid AS (SELECT t.event_type, t.half, t.tot, CAST(g AS INT) AS h
-           FROM tots t, unnest(range(0, 24)) AS u(g)),
-         prof AS (SELECT grid.event_type, grid.half, grid.h,
-             CAST(1000000 * COALESCE(c, 0) // tot AS BIGINT) AS ppm
-           FROM grid LEFT JOIN cnts ON cnts.event_type = grid.event_type
-             AND cnts.half = grid.half AND cnts.h = grid.h),
-         p1 AS (SELECT event_type, h, ppm AS ppm1 FROM prof WHERE half = 1),
-         p2 AS (SELECT event_type AS et2, h AS h2, ppm AS ppm2
-           FROM prof WHERE half = 2),
-         sh0 AS (SELECT event_type, h, ppm1, CAST(g AS INT) AS sft
-           FROM p1, unnest(range(0, 24)) AS u(g)),
-         sh AS (SELECT sh0.event_type, sft,
-             CAST(sum(abs(ppm1 - ppm2)) AS BIGINT) AS l1
-           FROM sh0 JOIN p2 ON et2 = sh0.event_type
-             AND h2 = (sh0.h + sft) % 24
-           GROUP BY 1, 2),
-         best AS (SELECT event_type, sft AS best_shift, l1 AS l1_best
-           FROM sh QUALIFY row_number() OVER (PARTITION BY event_type
-             ORDER BY l1, sft) = 1)
-         SELECT sh.event_type, sh.l1 AS l1_zero, best_shift, l1_best
-         FROM sh JOIN best USING (event_type)
-         WHERE sh.sft = 0 ORDER BY sh.event_type""",
-    // two unrolled row/col sweeps with nearest-rank medians
-    "events_median_polish" ->
-      """WITH m0 AS (SELECT event_type,
-           (epoch_us(date_trunc('day', ts)) // 86400000000) % 7 AS dow,
-           CAST(count(*) AS BIGINT) AS v FROM events GROUP BY 1, 2),
-         rm1 AS (SELECT event_type, v AS med FROM (SELECT event_type, v,
-             row_number() OVER (PARTITION BY event_type ORDER BY v, dow) AS rk,
-             count(*) OVER (PARTITION BY event_type) AS n FROM m0) t
-           WHERE rk = (n + 1) // 2),
-         m1 AS (SELECT m0.event_type, dow, v - med AS v
-           FROM m0 JOIN rm1 USING (event_type)),
-         cm1 AS (SELECT dow, v AS med FROM (SELECT dow, v,
-             row_number() OVER (PARTITION BY dow ORDER BY v, event_type) AS rk,
-             count(*) OVER (PARTITION BY dow) AS n FROM m1) t
-           WHERE rk = (n + 1) // 2),
-         m2 AS (SELECT event_type, m1.dow, v - med AS v
-           FROM m1 JOIN cm1 USING (dow)),
-         rm2 AS (SELECT event_type, v AS med FROM (SELECT event_type, v,
-             row_number() OVER (PARTITION BY event_type ORDER BY v, dow) AS rk,
-             count(*) OVER (PARTITION BY event_type) AS n FROM m2) t
-           WHERE rk = (n + 1) // 2),
-         m3 AS (SELECT m2.event_type, dow, v - med AS v
-           FROM m2 JOIN rm2 USING (event_type)),
-         cm2 AS (SELECT dow, v AS med FROM (SELECT dow, v,
-             row_number() OVER (PARTITION BY dow ORDER BY v, event_type) AS rk,
-             count(*) OVER (PARTITION BY dow) AS n FROM m3) t
-           WHERE rk = (n + 1) // 2),
-         m4 AS (SELECT event_type, m3.dow, v - med AS v
-           FROM m3 JOIN cm2 USING (dow)),
-         re AS (SELECT event_type,
-             CAST(rm1.med + rm2.med AS BIGINT) AS row_eff
-           FROM rm1 JOIN rm2 USING (event_type)),
-         ce AS (SELECT dow, CAST(cm1.med + cm2.med AS BIGINT) AS col_eff
-           FROM cm1 JOIN cm2 USING (dow))
-         SELECT m4.event_type, CAST(m4.dow AS BIGINT) AS dow,
-           CAST(v AS BIGINT) AS resid, row_eff, col_eff
-         FROM m4 JOIN re USING (event_type) JOIN ce USING (dow)
-         ORDER BY m4.event_type, dow""",
-    // sampled central-difference normals, resultant squared pieces
-    "geo_normal_dispersion" -> {
-      val dzdx = s"(${gridV("c.range+1", "r.range")}) - (${gridV("c.range-1", "r.range")})"
-      val dzdy = s"(${gridV("c.range", "r.range+1")}) - (${gridV("c.range", "r.range-1")})"
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         px AS (SELECT swlng, swlat, $dzdx AS dzdx, $dzdy AS dzdy
-           FROM k, range(1,599) r, range(1,599) c
-           WHERE r.range % 2 = 1 AND c.range % 2 = 1),
-         agg AS (SELECT swlng, swlat, CAST(count(*) AS BIGINT) AS n_samples,
-             CAST(sum(-dzdx) AS BIGINT) AS sx,
-             CAST(sum(-dzdy) AS BIGINT) AS sy
-           FROM px GROUP BY 1, 2)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           n_samples, sx, sy, 2 * n_samples AS sz,
-           sx * sx + sy * sy + 4 * n_samples * n_samples AS r2
-         FROM agg ORDER BY image_id"""
-    },
-    // digit-length histogram of exact cents, ppm shares
-    "dq_magnitude_profile" ->
-      """WITH ev AS (SELECT event_type,
-           CAST(round(value * 100) AS BIGINT) AS cents FROM events),
-         dg AS (SELECT event_type,
-             CAST(length(CAST(abs(cents) AS VARCHAR)) AS INT) AS digits
-           FROM ev),
-         tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS tot
-           FROM dg GROUP BY 1)
-         SELECT dg.event_type, digits, CAST(count(*) AS BIGINT) AS n,
-           CAST(1000000 * count(*) // tot AS BIGINT) AS share_ppm
-         FROM dg JOIN tot USING (event_type)
-         GROUP BY 1, 2, tot ORDER BY dg.event_type, digits""",
-    // (rank-1)*10//n deciles, windowed cumulative ppm shares
-    "events_lorenz_deciles" ->
-      """WITH ua AS (SELECT event_type, user_id,
-           CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
-         r AS (SELECT event_type, c,
-             CAST(row_number() OVER (PARTITION BY event_type
-               ORDER BY c, user_id) AS BIGINT) AS rk,
-             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
-             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS tot
-           FROM ua),
-         dec AS (SELECT event_type, ((rk - 1) * 10) // n AS decile,
-             CAST(count(*) AS BIGINT) AS n_users,
-             CAST(sum(c) AS BIGINT) AS sum_events,
-             CAST(max(tot) AS BIGINT) AS tot
-           FROM r GROUP BY 1, 2)
-         SELECT event_type, CAST(decile AS BIGINT) AS decile, n_users,
-           sum_events,
-           CAST(1000000 * sum(sum_events) OVER (PARTITION BY event_type
-             ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND
-             CURRENT ROW) // tot AS BIGINT) AS cum_share_ppm
-         FROM dec ORDER BY event_type, decile""",
-    // time-shifted co-location equi-join, global top-10
-    "traj_follow_detect" ->
-      """WITH pts AS (SELECT user_id, ts, event_id,
-           event_id % 7 AS dx, (event_id * 3) % 5 AS dy FROM events),
-         cw AS (SELECT user_id, ts, event_id,
-             CAST(sum(dx) OVER w AS BIGINT) AS px,
-             CAST(sum(dy) OVER w AS BIGINT) AS py,
-             CAST(row_number() OVER (PARTITION BY user_id
-               ORDER BY ts, event_id) AS BIGINT) AS step
-           FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         k AS (SELECT user_id, step,
-             (px // 6) * 1000000 + (py // 4) AS cell FROM cw),
-         j AS (SELECT a.user_id AS a, b.user_id AS b
-           FROM k a JOIN k b ON b.step = a.step + 2 AND b.cell = a.cell
-           WHERE a.user_id <> b.user_id),
-         g AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_follow
-           FROM j GROUP BY 1, 2)
-         SELECT CAST(row_number() OVER (ORDER BY n_follow DESC, a, b)
-             AS INT) AS rk, a, b, n_follow
-         FROM g QUALIFY rk <= 10 ORDER BY rk""",
-    // soundex blocking, within-bucket pairs, levenshtein screen
-    "dedup_phonetic_join" -> {
-      s"""WITH w AS (SELECT DISTINCT split_part(p_name, ' ', 1) AS w FROM part),
-         c AS (SELECT ${soundexSql("w", g = true)} AS code, w FROM w)
-         SELECT a.code, CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(sum(CASE WHEN levenshtein(a.w, b.w) <= 2 THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_pairs_lev2
-         FROM c a JOIN c b ON b.code = a.code AND a.w < b.w
-         GROUP BY 1 ORDER BY a.code"""
-    },
-    // exact rectangle overlaps, one floor after the weighted sum
-    "geo_area_weighted_interp" -> {
-      val gv = gridV("c.range", "r.range")
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         px AS (SELECT swlng, swlat, r.range AS r, c.range AS c,
-             CAST($gv AS BIGINT) AS v
-           FROM k, range(0,600) r, range(0,600) c),
-         src AS (SELECT swlng, swlat, r // 200 AS sr, c // 200 AS sc,
-             CAST(sum(v) AS BIGINT) AS ssum FROM px GROUP BY 1, 2, 3, 4),
-         tgt AS (SELECT swlng, swlat, r // 150 AS tr, c // 150 AS tc,
-             CAST(sum(v) AS BIGINT) AS tsum FROM px GROUP BY 1, 2, 3, 4),
-         est AS (SELECT t.swlng, t.swlat, t.tr, t.tc,
-             CAST(sum(GREATEST(0, LEAST(s.sr*200+200, t.tr*150+150)
-                 - GREATEST(s.sr*200, t.tr*150))
-               * GREATEST(0, LEAST(s.sc*200+200, t.tc*150+150)
-                 - GREATEST(s.sc*200, t.tc*150))
-               * s.ssum) // 40000 AS BIGINT) AS est
-           FROM (SELECT DISTINCT swlng, swlat, tr, tc FROM tgt) t
-           JOIN src s ON s.swlng = t.swlng AND s.swlat = t.swlat
-           GROUP BY 1, 2, 3, 4)
-         SELECT (CASE WHEN est.swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(est.swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN est.swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(est.swlng) AS VARCHAR),3,'0')) AS image_id,
-           CAST(est.tr AS INT) AS tr, CAST(est.tc AS INT) AS tc,
-           est AS est_scaled, tsum AS true_sum,
-           abs(est - tsum) AS abs_err
-         FROM est JOIN tgt ON tgt.swlng = est.swlng
-           AND tgt.swlat = est.swlat AND tgt.tr = est.tr AND tgt.tc = est.tc
-         ORDER BY image_id, est.tr, est.tc"""
-    },
-    // modal night/day cells with (count desc, cell) ties, inner join
-    "traj_home_work" ->
-      """WITH pts AS (SELECT user_id, ts, event_id,
-           event_id % 7 AS dx, (event_id * 3) % 5 AS dy FROM events),
-         cw AS (SELECT user_id, ts,
-             CAST(sum(dx) OVER w AS BIGINT) AS px,
-             CAST(sum(dy) OVER w AS BIGINT) AS py
-           FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         k AS (SELECT user_id, CAST(hour(ts) AS INT) AS h,
-             (px // 6) * 1000000 + (py // 4) AS cell FROM cw),
-         hm AS (SELECT user_id, cell AS home_cell, c AS n_night FROM (
-             SELECT user_id, cell, CAST(count(*) AS BIGINT) AS c,
-               row_number() OVER (PARTITION BY user_id
-                 ORDER BY count(*) DESC, cell) AS rn
-             FROM k WHERE h BETWEEN 0 AND 6 GROUP BY user_id, cell) t
-           WHERE rn = 1),
-         wk AS (SELECT user_id, cell AS work_cell, c AS n_day FROM (
-             SELECT user_id, cell, CAST(count(*) AS BIGINT) AS c,
-               row_number() OVER (PARTITION BY user_id
-                 ORDER BY count(*) DESC, cell) AS rn
-             FROM k WHERE h BETWEEN 9 AND 17 GROUP BY user_id, cell) t
-           WHERE rn = 1)
-         SELECT hm.user_id, home_cell, n_night, work_cell, n_day,
-           CAST(CASE WHEN home_cell = work_cell THEN 1 ELSE 0 END AS INT)
-             AS same_anchor
-         FROM hm JOIN wk USING (user_id) ORDER BY hm.user_id""",
-    // correlated above-own-average via cross-multiplied cents
-    "q_correlated_above_avg" ->
-      """WITH o AS (SELECT o_custkey,
-           CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
-         cu AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(cents) AS BIGINT) AS s FROM o GROUP BY 1)
-         SELECT o.o_custkey, CAST(max(n) AS BIGINT) AS n_orders,
-           CAST(sum(CASE WHEN o.cents * n > s THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_above_own_avg
-         FROM o JOIN cu USING (o_custkey)
-         GROUP BY 1 ORDER BY o.o_custkey""",
-    // same coarse assignment, contingency with |n*G - R*C| deviations
-    "curation_cluster_balance" ->
-      """WITH vv AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         cents AS (SELECT range AS c FROM range(0, 8)),
-         d AS (SELECT vec_id, label, c,
-           list_reduce(list_prepend(0.0, list_transform(range(0,64),
-             d -> (v[d+1] - (((c*53 + d*17) % 13) - 6)) * (v[d+1] - (((c*53 + d*17) % 13) - 6)))),
-             (p,q) -> p + q) AS d2
-           FROM vv, cents),
-         asg AS (SELECT vec_id, label, CAST(c AS INT) AS centroid FROM (
-           SELECT vec_id, label, c, d2,
-             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
-           FROM d) t WHERE rn = 1),
-         ct AS (SELECT centroid, label, CAST(count(*) AS BIGINT) AS n
-           FROM asg GROUP BY 1, 2),
-         rt AS (SELECT centroid, CAST(sum(n) AS BIGINT) AS row_tot
-           FROM ct GROUP BY 1),
-         lt AS (SELECT label, CAST(sum(n) AS BIGINT) AS col_tot
-           FROM ct GROUP BY 1),
-         g AS (SELECT CAST(sum(n) AS BIGINT) AS grand FROM ct)
-         SELECT ct.centroid, ct.label, n, row_tot, col_tot,
-           CAST(abs(n * grand - row_tot * col_tot) AS BIGINT) AS dev_q
-         FROM ct JOIN rt ON rt.centroid = ct.centroid
-           JOIN lt ON lt.label = ct.label, g
-         ORDER BY ct.centroid, ct.label""",
-    // grid histograms product vs exact bbox-overlap pairs
-    "geo_join_selectivity" ->
-      """WITH pts AS (SELECT
-           ((l_orderkey*8 + l_linenumber)*2000 + l_partkey)*100 + l_suppkey AS point_id,
-           -120 + (l_orderkey % 4) + ((l_partkey % 600) + 0.5)/600.0 AS lng,
-           36 + (l_suppkey % 2) + (((l_suppkey*7 + l_linenumber*131) % 600) + 0.5)/600.0 AS lat
-           FROM lineitem),
-         pk AS (SELECT point_id, lng, lat,
-             CAST(floor(lng * 10.0) AS BIGINT) AS cx,
-             CAST(floor(lat * 10.0) AS BIGINT) AS cy FROM pts),
-         polys AS (SELECT s_suppkey AS poly_id,
-             -120.0 + (s_suppkey % 40) * 0.1 AS cpx,
-             36.0 + ((s_suppkey * 3) % 20) * 0.1 AS cpy,
-             0.05 + (s_suppkey % 7) * 0.013 AS w,
-             0.04 + (s_suppkey % 5) * 0.017 AS h
-           FROM supplier),
-         pb AS (SELECT poly_id, cpx - w AS minx, cpx + w AS maxx,
-             cpy - h AS miny, cpy + h AS maxy FROM polys),
-         pcells AS (SELECT poly_id, minx, maxx, miny, maxy,
-             CAST(gx AS BIGINT) AS cx, CAST(gy AS BIGINT) AS cy
-           FROM pb,
-             unnest(range(CAST(floor(minx * 10.0) AS BIGINT),
-               CAST(floor(maxx * 10.0) AS BIGINT) + 1)) AS tx(gx),
-             unnest(range(CAST(floor(miny * 10.0) AS BIGINT),
-               CAST(floor(maxy * 10.0) AS BIGINT) + 1)) AS ty(gy)),
-         ph AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS np
-           FROM pk GROUP BY 1, 2),
-         gh AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS ng
-           FROM pcells GROUP BY 1, 2),
-         est AS (SELECT CAST(sum(np * ng) AS BIGINT) AS est_pairs
-           FROM ph JOIN gh USING (cx, cy)),
-         act AS (SELECT CAST(count(*) AS BIGINT) AS actual_pairs FROM (
-           SELECT DISTINCT point_id, poly_id
-           FROM pk JOIN pcells USING (cx, cy)
-           WHERE lng >= minx AND lng <= maxx
-             AND lat >= miny AND lat <= maxy) t)
-         SELECT (SELECT CAST(count(*) AS BIGINT) FROM pk) AS n_points,
-           (SELECT CAST(count(*) AS BIGINT) FROM pb) AS n_polys,
-           est_pairs, actual_pairs,
-           CAST(1000000 * actual_pairs // est_pairs AS BIGINT) AS ratio_ppm
-         FROM est, act""",
-    // two nearest lists per query, corpus-scan fraction in ppm
-    "ann_candidate_accounting" ->
-      """WITH vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         cents AS (SELECT range AS c FROM range(0, 8)),
-         d AS (SELECT vec_id, c,
-           list_reduce(list_prepend(0.0, list_transform(range(0,64),
-             d -> (v[d+1] - (((c*53 + d*17) % 13) - 6)) * (v[d+1] - (((c*53 + d*17) % 13) - 6)))),
-             (p,q) -> p + q) AS d2
-           FROM vv, cents),
-         asg AS (SELECT vec_id, CAST(c AS INT) AS centroid FROM (
-           SELECT vec_id, c, d2,
-             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
-           FROM d) t WHERE rn = 1),
-         sizes AS (SELECT centroid, CAST(count(*) AS BIGINT) AS list_sz
-           FROM asg GROUP BY 1),
-         pr AS (SELECT vec_id AS qid, CAST(c AS INT) AS centroid,
-             CAST(row_number() OVER (PARTITION BY vec_id
-               ORDER BY d2, c) AS INT) AS rn
-           FROM d WHERE vec_id % 50 = 0
-           QUALIFY rn <= 2),
-         n AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM vv)
-         SELECT qid,
-           CAST(min(CASE WHEN rn = 1 THEN centroid END) AS INT) AS c1,
-           CAST(min(CASE WHEN rn = 2 THEN centroid END) AS INT) AS c2,
-           CAST(sum(list_sz) AS BIGINT) AS n_cand, n_corpus,
-           CAST(1000000 * sum(list_sz) // n_corpus AS BIGINT) AS ratio_ppm
-         FROM pr JOIN sizes USING (centroid), n
-         GROUP BY 1, n_corpus ORDER BY qid""",
-    // per-lag shifted self-join autocorrelation, argmax with lag ties
-    "media_echo_lag" -> {
-      val lagValues = (20 to 95 by 5).map(l => s"($l)").mkString(",")
-      s"""WITH m AS (SELECT s_suppkey AS media_id,
-           4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),
-         s AS (SELECT media_id, CAST(k AS BIGINT) AS k,
-             CAST(((media_id*31 + k*7) % 256) - 128 AS BIGINT) AS v
-           FROM m, unnest(range(0, n_bytes)) AS t(k)),
-         a0 AS (SELECT media_id, CAST(sum(v * v) AS BIGINT) AS ac0
-           FROM s GROUP BY 1),
-         lags(lag) AS (VALUES $lagValues),
-         ac AS (SELECT a.media_id, lag,
-             CAST(sum(a.v * b.v) AS BIGINT) AS acv
-           FROM s a JOIN lags ON true
-           JOIN s b ON b.media_id = a.media_id AND b.k = a.k + lag
-           GROUP BY 1, 2),
-         best AS (SELECT media_id, CAST(lag AS BIGINT) AS best_lag,
-             acv AS ac_best
-           FROM ac QUALIFY row_number() OVER (PARTITION BY media_id
-             ORDER BY acv DESC, lag) = 1)
-         SELECT CAST(a0.media_id AS BIGINT) AS media_id, ac0, best_lag,
-           ac_best
-         FROM a0 JOIN best ON best.media_id = a0.media_id
-         ORDER BY media_id"""
-    },
-    // 4x4 block mean split, floored two-level reconstruction, L1 loss
-    "img_btc_audit" -> {
-      val gv = gridV("c.range", "r.range")
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         px AS (SELECT swlng, swlat, r.range // 4 AS br, c.range // 4 AS bc,
-             CAST($gv AS BIGINT) AS v
-           FROM k, range(0,600) r, range(0,600) c),
-         bs AS (SELECT swlng, swlat, br, bc, CAST(sum(v) AS BIGINT) AS s16
-           FROM px GROUP BY 1, 2, 3, 4),
-         cls AS (SELECT px.swlng, px.swlat, px.br, px.bc, v, s16,
-             CASE WHEN 16 * v >= s16 THEN 1 ELSE 0 END AS hi
-           FROM px JOIN bs ON bs.swlng = px.swlng AND bs.swlat = px.swlat
-             AND bs.br = px.br AND bs.bc = px.bc),
-         lv AS (SELECT swlng, swlat, br, bc,
-             CASE WHEN sum(1 - hi) = 0 THEN 0
-               ELSE sum(CASE WHEN hi = 0 THEN v ELSE 0 END) // sum(1 - hi)
-               END AS la,
-             CASE WHEN sum(hi) = 0 THEN 0
-               ELSE sum(CASE WHEN hi = 1 THEN v ELSE 0 END) // sum(hi)
-               END AS lb
-           FROM cls GROUP BY 1, 2, 3, 4),
-         be AS (SELECT cls.swlng, cls.swlat, cls.br, cls.bc,
-             CAST(sum(abs(v - CASE WHEN hi = 1 THEN lb ELSE la END))
-               AS BIGINT) AS blk_err
-           FROM cls JOIN lv ON lv.swlng = cls.swlng AND lv.swlat = cls.swlat
-             AND lv.br = cls.br AND lv.bc = cls.bc
-           GROUP BY 1, 2, 3, 4)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           CAST(count(*) AS BIGINT) AS n_blocks,
-           CAST(sum(blk_err) AS BIGINT) AS err_sum,
-           CAST(max(blk_err) AS BIGINT) AS max_block_err
-         FROM be GROUP BY 1 ORDER BY image_id"""
-    },
-    // weekly rank vs previous-week rank, inner join on survivors
-    "events_rank_churn" ->
-      """WITH wk AS (SELECT event_type,
-           (epoch_us(date_trunc('day', ts)) // 86400000000) // 7 AS week,
-           CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
-         r AS (SELECT week, event_type, c,
-             CAST(row_number() OVER (PARTITION BY week
-               ORDER BY c DESC, event_type) AS BIGINT) AS rk
-           FROM wk)
-         SELECT cur.week, cur.event_type, cur.c, cur.rk,
-           prev.rk AS prev_rk, prev.rk - cur.rk AS delta
-         FROM r cur JOIN r prev ON prev.week = cur.week - 1
-           AND prev.event_type = cur.event_type
-         ORDER BY cur.week, cur.event_type""",
-    // prefix-sum cost table, 3 DP joins, smallest-boundary backtrack
-    "store_voptimal_hist" ->
-      """WITH hrs AS (SELECT CAST(g AS INT) AS h
-           FROM unnest(range(0, 24)) AS t(g)),
-         hv AS (SELECT CAST(hour(ts) AS INT) AS h,
-             CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
-         xs AS (SELECT hrs.h, COALESCE(x, 0) AS x
-           FROM hrs LEFT JOIN hv ON hv.h = hrs.h),
-         pre AS (SELECT h, CAST(sum(x) OVER w AS BIGINT) AS ps,
-             CAST(sum(x * x) OVER w AS BIGINT) AS pss
-           FROM xs WINDOW w AS (ORDER BY h ROWS BETWEEN UNBOUNDED
-             PRECEDING AND CURRENT ROW)),
-         pref AS (SELECT h, ps, pss FROM pre
-           UNION ALL SELECT -1, 0, 0),
-         cost AS (SELECT pi.h + 1 AS i, pj.h AS j,
-             CAST((pj.pss - pi.pss) * (pj.h - pi.h)
-               - (pj.ps - pi.ps) * (pj.ps - pi.ps) AS BIGINT) AS cst
-           FROM pref pj JOIN pref pi ON pi.h < pj.h WHERE pj.h >= 0),
-         dp1 AS (SELECT j, cst AS dp FROM cost WHERE i = 0),
-         dp2 AS (SELECT c.j, min(d.dp + c.cst) AS dp
-           FROM dp1 d JOIN cost c ON c.i = d.j + 1 GROUP BY 1),
-         dp3 AS (SELECT c.j, min(d.dp + c.cst) AS dp
-           FROM dp2 d JOIN cost c ON c.i = d.j + 1 GROUP BY 1),
-         b3 AS (SELECT d.j AS j3 FROM dp3 d
-           JOIN cost c ON c.i = d.j + 1 AND c.j = 23
-           ORDER BY d.dp + c.cst, d.j LIMIT 1),
-         b2 AS (SELECT d.j AS j2 FROM dp2 d
-           JOIN cost c ON c.i = d.j + 1 AND c.j = (SELECT j3 FROM b3)
-           ORDER BY d.dp + c.cst, d.j LIMIT 1),
-         b1 AS (SELECT d.j AS j1 FROM dp1 d
-           JOIN cost c ON c.i = d.j + 1 AND c.j = (SELECT j2 FROM b2)
-           ORDER BY d.dp + c.cst, d.j LIMIT 1),
-         bounds AS (SELECT 1 AS bucket, 0 AS lo,
-             (SELECT j1 FROM b1) AS hi
-           UNION ALL SELECT 2, (SELECT j1 FROM b1) + 1, (SELECT j2 FROM b2)
-           UNION ALL SELECT 3, (SELECT j2 FROM b2) + 1, (SELECT j3 FROM b3)
-           UNION ALL SELECT 4, (SELECT j3 FROM b3) + 1, 23)
-         SELECT CAST(bucket AS INT) AS bucket, CAST(lo AS INT) AS lo,
-           CAST(hi AS INT) AS hi, CAST(hi - lo + 1 AS BIGINT) AS n_hours,
-           CAST((SELECT ps FROM pref WHERE h = bounds.hi)
-             - (SELECT ps FROM pref WHERE h = bounds.lo - 1)
-             AS BIGINT) AS seg_sum,
-           c.cst AS seg_cost_q
-         FROM bounds JOIN cost c ON c.i = bounds.lo AND c.j = bounds.hi
-         ORDER BY bucket""",
-    // same sign/ratio octant partition and |grad|^2 bands
-    "geo_terrain_rose" -> {
-      val gx = s"(${gridV("c.range+1", "r.range")}) - (${gridV("c.range-1", "r.range")})"
-      val gy = s"(${gridV("c.range", "r.range+1")}) - (${gridV("c.range", "r.range-1")})"
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         g AS (SELECT swlng, swlat, $gx AS gx, $gy AS gy
-           FROM k, range(1,599) r, range(1,599) c),
-         cl AS (SELECT swlng, swlat,
-             CASE WHEN gx = 0 AND gy = 0 THEN -1
-               WHEN gx > 0 AND gy >= 0 THEN
-                 CASE WHEN gx > gy THEN 0 ELSE 1 END
-               WHEN gx <= 0 AND gy > 0 THEN
-                 CASE WHEN gy > -gx THEN 2 ELSE 3 END
-               WHEN gx < 0 AND gy <= 0 THEN
-                 CASE WHEN -gx > -gy THEN 4 ELSE 5 END
-               ELSE CASE WHEN -gy > gx THEN 6 ELSE 7 END END AS octant,
-             CASE WHEN gx*gx + gy*gy <= 200 THEN 0
-               WHEN gx*gx + gy*gy <= 800 THEN 1 ELSE 2 END AS band
-           FROM g)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           CAST(octant AS INT) AS octant, CAST(band AS INT) AS band,
-           CAST(count(*) AS BIGINT) AS n_cells
-         FROM cl GROUP BY 1, 2, 3 ORDER BY image_id, octant, band"""
-    },
-    // duration x 8 samples/ms contract, signed truncating ppm drift
-    "media_duration_consistency" ->
-      """SELECT CAST(s_suppkey AS BIGINT) AS media_id,
-           CAST(4096 + (s_suppkey % 7) * 512 AS BIGINT) AS n_samp,
-           CAST((1000 + (s_suppkey % 20) * 500) * 8 AS BIGINT) AS expected_samp,
-           CAST(1000000 * ((4096 + (s_suppkey % 7) * 512)
-             - (1000 + (s_suppkey % 20) * 500) * 8)
-             // ((1000 + (s_suppkey % 20) * 500) * 8) AS BIGINT) AS drift_ppm
-         FROM supplier ORDER BY media_id""",
-    // exact plain vs dict byte models per varchar column
-    "store_dict_gain" ->
-      """WITH u AS (
-           SELECT 'orders.o_orderstatus' AS column_name,
-             CAST(count(*) AS BIGINT) AS n_rows,
-             CAST(sum(length(o_orderstatus)) AS BIGINT) AS plain_bytes,
-             CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
-             CAST((SELECT sum(length(v)) FROM
-               (SELECT DISTINCT o_orderstatus AS v FROM orders) t)
-               AS BIGINT) AS distinct_bytes
-           FROM orders
-           UNION ALL
-           SELECT 'orders.o_orderpriority', CAST(count(*) AS BIGINT),
-             CAST(sum(length(o_orderpriority)) AS BIGINT),
-             CAST(count(DISTINCT o_orderpriority) AS BIGINT),
-             CAST((SELECT sum(length(v)) FROM
-               (SELECT DISTINCT o_orderpriority AS v FROM orders) t)
-               AS BIGINT)
-           FROM orders
-           UNION ALL
-           SELECT 'events.event_type', CAST(count(*) AS BIGINT),
-             CAST(sum(length(event_type)) AS BIGINT),
-             CAST(count(DISTINCT event_type) AS BIGINT),
-             CAST((SELECT sum(length(v)) FROM
-               (SELECT DISTINCT event_type AS v FROM events) t)
-               AS BIGINT)
-           FROM events),
-         b AS (SELECT *, CASE WHEN n_distinct <= 2 THEN 1
-             WHEN n_distinct <= 4 THEN 2 WHEN n_distinct <= 16 THEN 4
-             WHEN n_distinct <= 256 THEN 8 ELSE 16 END AS bits
-           FROM u)
-         SELECT column_name, n_rows, n_distinct, plain_bytes,
-           CAST(distinct_bytes + (n_rows * bits + 7) // 8 AS BIGINT)
-             AS dict_bytes,
-           CAST(1000000 * (plain_bytes
-             - (distinct_bytes + (n_rows * bits + 7) // 8))
-             // plain_bytes AS BIGINT) AS gain_ppm
-         FROM b ORDER BY column_name""",
-    // LSB vs (7r+13c) parity payload over the grid closed form
-    "img_lsb_embed_cost" -> {
-      val gv = gridV("c.range", "r.range")
-      s"""WITH corners(swlng, swlat) AS (VALUES (-120,36),(-120,37),(-119,36),(-119,37),(-118,36),(-117,37)),
-         k AS (SELECT swlng, swlat,
-             ((swlng+180)*7 + (swlat+90)*11) % 1000 AS a FROM corners),
-         px AS (SELECT swlng, swlat,
-             CASE WHEN ($gv) % 2 <> (r.range * 7 + c.range * 13) % 2
-               THEN 1 ELSE 0 END AS flip
-           FROM k, range(0,600) r, range(0,600) c)
-         SELECT (CASE WHEN swlat < 0 THEN 'S' ELSE 'N' END || lpad(CAST(abs(swlat) AS VARCHAR),2,'0') ||
-             CASE WHEN swlng < 0 THEN 'W' ELSE 'E' END || lpad(CAST(abs(swlng) AS VARCHAR),3,'0')) AS image_id,
-           CAST(count(*) AS BIGINT) AS n_px,
-           CAST(sum(flip) AS BIGINT) AS n_flips,
-           CAST(1000000 * sum(flip) // count(*) AS BIGINT) AS flip_ppm
-         FROM px GROUP BY 1 ORDER BY image_id"""
-    },
-    // exact-cents representability of the double value column
-    "dq_float_dust" ->
-      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CASE WHEN value * 100.0 = round(value * 100.0)
-             THEN 0 ELSE 1 END) AS BIGINT) AS n_dusty,
-           CAST(1000000 * sum(CASE WHEN value * 100.0 = round(value * 100.0)
-             THEN 0 ELSE 1 END) // count(*) AS BIGINT) AS dust_ppm
-         FROM events GROUP BY 1 ORDER BY event_type""",
-    // EDR lattice unrolled on anti-diagonals with boundary defaults
-    "traj_edr" -> {
-      val combine =
-        """LEAST(COALESCE(p1.v, c.j + 1) + 1,
-            COALESCE(p3.v, c.i + 1) + 1,
-            COALESCE(p2.v, CASE WHEN c.i = 0 AND c.j = 0 THEN 0
-              WHEN c.i = 0 THEN c.j ELSE c.i END)
-              + (CASE WHEN c.d2 <= 25 THEN 0 ELSE 1 END))"""
-      val diags = (1 to 10).map { k =>
-        val p2 = s"ea${math.max(k - 2, 0)}"
-        s"""ea$k AS MATERIALIZED (SELECT c.t1, c.t2, c.i, c.j, $combine AS v
-          FROM cells c
-          LEFT JOIN ea${k - 1} p1 ON p1.t1 = c.t1 AND p1.t2 = c.t2
-            AND p1.i = c.i - 1 AND p1.j = c.j
-          LEFT JOIN ea${k - 1} p3 ON p3.t1 = c.t1 AND p3.t2 = c.t2
-            AND p3.i = c.i AND p3.j = c.j - 1
-          LEFT JOIN $p2 p2 ON p2.t1 = c.t1 AND p2.t2 = c.t2
-            AND p2.i = c.i - 1 AND p2.j = c.j - 1
-          WHERE c.i + c.j = $k)"""
-      }.mkString(",\n         ")
-      s"""WITH trajs AS (SELECT DISTINCT s_suppkey % 20 AS traj_id FROM supplier),
-         v AS (SELECT traj_id, CAST(g AS BIGINT) AS seq,
-             (traj_id * 7 + g * (traj_id % 5 + 1) * 3) % 40 AS px,
-             (traj_id * 11 + g * (traj_id % 3 + 2) * 2) % 40 AS py
-           FROM trajs, unnest(range(0, 6)) AS t(g)),
-         pairs AS (SELECT a.traj_id AS t1, b.traj_id AS t2
-           FROM trajs a, trajs b WHERE a.traj_id < b.traj_id),
-         cells AS MATERIALIZED (SELECT p.t1, p.t2,
-             CAST(va.seq AS INT) AS i, CAST(vb.seq AS INT) AS j,
-             (va.px - vb.px)*(va.px - vb.px)
-               + (va.py - vb.py)*(va.py - vb.py) AS d2
-           FROM pairs p JOIN v va ON va.traj_id = p.t1
-           JOIN v vb ON vb.traj_id = p.t2),
-         ea0 AS MATERIALIZED (SELECT t1, t2, i, j,
-             CASE WHEN d2 <= 25 THEN 0 ELSE 1 END AS v
-           FROM cells WHERE i = 0 AND j = 0),
-         $diags
-         SELECT t1, t2, CAST(6 AS INT) AS n_a, CAST(6 AS INT) AS n_b,
-           CAST(v AS BIGINT) AS edr
-         FROM ea10 ORDER BY t1, t2"""
-    },
-    // 256-entry level census replayed from the closed-form bytes
-    "media_level_usage" ->
-      """WITH m AS (SELECT s_suppkey AS media_id,
-           4096 + (s_suppkey % 7) * 512 AS n_bytes FROM supplier),
-         s AS (SELECT media_id, (media_id*31 + k*7) % 256 AS lvl
-           FROM m, unnest(range(0, n_bytes)) AS t(k)),
-         lc AS (SELECT media_id, lvl, CAST(count(*) AS BIGINT) AS c
-           FROM s GROUP BY 1, 2)
-         SELECT CAST(media_id AS BIGINT) AS media_id,
-           CAST(sum(c) AS BIGINT) AS n_samp,
-           CAST(count(*) AS BIGINT) AS n_levels,
-           CAST(sum(c * c) AS BIGINT) AS simpson_num,
-           CAST(1000000 * count(*) // 256 AS BIGINT) AS util_ppm
-         FROM lc GROUP BY 1 ORDER BY media_id""",
-    // lag-based run starts in arrival order vs the sorted layout
-    "store_rle_gain" ->
-      """WITH o AS (SELECT o_orderstatus,
-           lag(o_orderstatus) OVER (ORDER BY o_orderkey) AS prev
-           FROM orders),
-         nat AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
-             CAST(sum(CASE WHEN prev IS NULL
-               OR prev <> o_orderstatus THEN 1 ELSE 0 END) AS BIGINT)
-               AS runs_natural
-           FROM o),
-         srt AS (SELECT CAST(count(DISTINCT o_orderstatus) AS BIGINT)
-             AS runs_sorted FROM orders)
-         SELECT n_rows, runs_natural, runs_sorted,
-           CAST(1000000 * (runs_natural - runs_sorted) // runs_natural
-             AS BIGINT) AS gain_ppm
-         FROM nat, srt""",
-    // lag deltas over the distinct ordered key space
-    "dq_id_gap_census" ->
-      """WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders),
-         l AS (SELECT k, lag(k) OVER (ORDER BY k) AS prev FROM k)
-         SELECT CAST(count(*) AS BIGINT) AS n_keys,
-           CAST(min(k) AS BIGINT) AS min_key,
-           CAST(max(k) AS BIGINT) AS max_key,
-           CAST(sum(CASE WHEN prev IS NOT NULL AND k - prev > 1
-             THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
-           CAST(COALESCE(max(CASE WHEN prev IS NOT NULL
-             THEN k - prev - 1 END), 0) AS BIGINT) AS max_gap,
-           CAST(max(k) - min(k) + 1 - count(*) AS BIGINT) AS n_missing
-         FROM l""",
-    // global regexp strips, ppm shares per source
-    "text_char_class_profile" ->
-      """WITH d AS (SELECT source, CAST(length(text) AS BIGINT) AS n_chars,
-           CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))
-             AS BIGINT) AS n_alpha,
-           CAST(length(text) - length(regexp_replace(text, ' ', '', 'g'))
-             AS BIGINT) AS n_space
-           FROM documents)
-         SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_chars,
-           CAST(sum(n_alpha) AS BIGINT) AS n_alpha,
-           CAST(sum(n_space) AS BIGINT) AS n_space,
-           CAST(1000000 * sum(n_alpha) // sum(n_chars) AS BIGINT) AS alpha_ppm
-         FROM d GROUP BY 1 ORDER BY source""",
-    // exact trailing-28-day distinct via day x active-day range join
-    "events_dau_mau" ->
-      """WITH du AS (SELECT DISTINCT user_id,
-           epoch_us(date_trunc('day', ts)) // 86400000000 AS day FROM events),
-         dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
-           FROM du GROUP BY 1),
-         mau AS (SELECT d.day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS mau28
-           FROM (SELECT day FROM dau) d
-           JOIN du a ON a.day <= d.day AND a.day > d.day - 28
-           GROUP BY 1)
-         SELECT dau.day, dau, mau28,
-           CAST(1000000 * dau // mau28 AS BIGINT) AS stickiness_ppm
-         FROM dau JOIN mau ON mau.day = dau.day ORDER BY dau.day"""
-  )
+  /** Full registry: aggregation of the graft.queries family objects
+    * (round-5 split of the former 23.5k-line single file).
+    */
+  def allQueries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.QRel.queries ++
+    graft.queries.QEvents1.queries ++
+    graft.queries.QEvents2.queries ++
+    graft.queries.QStore.queries ++
+    graft.queries.QGraph.queries ++
+    graft.queries.QGeo1.queries ++
+    graft.queries.QGeo2.queries ++
+    graft.queries.QTraj.queries ++
+    graft.queries.QText.queries ++
+    graft.queries.QAnn.queries ++
+    graft.queries.QDq.queries ++
+    graft.queries.QDedup.queries ++
+    graft.queries.QMedia.queries ++
+    graft.queries.QImg.queries ++
+    graft.queries.QCuration.queries
+
+  def allOracleSql: Map[String, String] =
+    graft.queries.QRel.sql ++
+    graft.queries.QEvents1.sql ++
+    graft.queries.QEvents2.sql ++
+    graft.queries.QStore.sql ++
+    graft.queries.QGraph.sql ++
+    graft.queries.QGeo1.sql ++
+    graft.queries.QGeo2.sql ++
+    graft.queries.QTraj.sql ++
+    graft.queries.QText.sql ++
+    graft.queries.QAnn.sql ++
+    graft.queries.QDq.sql ++
+    graft.queries.QDedup.sql ++
+    graft.queries.QMedia.sql ++
+    graft.queries.QImg.sql ++
+    graft.queries.QCuration.sql
 }

@@ -1,0 +1,1265 @@
+package graft
+package queries
+
+import graft.core.{FeatureRow, GeoJson, TileRow}
+import graft.functions.cells
+import graft.functions.raster._
+import graft.functions.spatial._
+import graft.ops.Elevation
+import graft.synth.TileGen
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+
+import Fixtures._
+import OracleCtes._
+import OracleCtes2._
+
+/** Text-analysis gates: language id, quality, tokenization, stats
+  * (41 entries) with the DuckDB oracle SQL beside each query.
+  * Moved verbatim from SparkEntry (round-5 split, VERDICT r4 #5).
+  */
+object QText {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_zipf_products" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("freq").desc, col("w"))).cast("int"))
+        .filter(col("rank") <= 50)
+        .withColumn("rank_x_freq", expr("rank * freq"))
+        .select("rank", "w", "freq", "rank_x_freq")
+        .orderBy("rank")
+    }),
+    // Calibration bins: pre-period purchase propensity (ppm, floored)
+    // bucketed at 0.1, vs actual post-period conversion — the
+    // calibration-curve read with zero model; users active both periods.,
+    "text_distinctive_terms" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      val bySrcWord = words.groupBy("source", "w").agg(count(lit(1)).as("o"))
+      val bySrc = words.groupBy("source").agg(count(lit(1)).as("ns"))
+      val byWord = words.groupBy("w").agg(count(lit(1)).as("ow"))
+      val tot = words.agg(count(lit(1)).as("n"))
+      bySrcWord.join(bySrc, Seq("source")).join(byWord, Seq("w"))
+        .crossJoin(broadcast(tot))
+        .withColumn("score", expr("o * (n - ns) - (ow - o) * ns"))
+        .withColumn("rk", row_number().over(Window.partitionBy("source")
+          .orderBy(col("score").desc, col("w"))).cast("int"))
+        .filter(col("rk") <= 5)
+        .select("source", "rk", "w", "o", "ow", "ns", "n", "score")
+        .orderBy("source", "rk")
+    }),
+    // Straightness index per trajectory: net displacement² over Σ step²
+    // in exact ppm — 10⁶ means a beeline, small means wandering; the
+    // cheap commute-vs-wander classifier of mobility analytics.,
+    "text_vocab_oov" -> ((s, dir) => {
+      ops.Curation.vocabOov(t(s, dir, "documents"), vocabSize = 20)
+        .orderBy("doc_id")
+    }),
+    // Self-trained add-one unigram LM surprisal (integer micro-nats) —
+    // the cheap "perplexity filter" quality signal.
+    // Bigram-LM surprisal: context-aware junk scoring — word-salad text
+    // with a normal unigram profile but improbable transitions scores high.,
+    "text_bigram_lm" -> ((s, dir) => {
+      ops.Curation.bigramSurprisal(t(s, dir, "documents")).orderBy("doc_id")
+    }),
+    // Kneser–Ney bigram model (ops.Curation.knBigram): continuation-count
+    // backoff in exact quarters + one ppb fixed-point quantization per
+    // term — the published formula as deterministic integer arithmetic.
+    // Ranking bounded by the distinct-bigram vocabulary.,
+    "text_kn_bigram" -> ((s, dir) => {
+      ops.Curation.knBigram(t(s, dir, "documents"), topK = 40).orderBy("rk")
+    }),
+    "text_perplexity" -> ((s, dir) => {
+      ops.Curation.unigramSurprisal(t(s, dir, "documents")).orderBy("doc_id")
+    }),
+    // PII scrub over text with deterministically injected e-mails (docs
+    // with id%3!=0) and phone numbers (id%2=0) — variable per-row counts
+    // so the gate actually exercises 0/1 match cases of both patterns.,
+    "text_pii_redact" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 =!= 0,
+            concat(lit(" contact user"), col("doc_id"),
+              lit("@mail.example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" call +1-415-555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))).as("scrub_text"))
+      ops.Curation.redactPii(d, "scrub_text").orderBy("doc_id")
+    }),
+    // Asymmetric containment near-dup over the engineered-dup corpus: the
+    // exact +100000 copies and suffixed +200000 near-copies both land at
+    // containment_ppm = 1000000 while symmetric Jaccard on the suffixed
+    // pairs is already < 1; df-capped posting-list join (maxDf=20) drops
+    // the shared " zz qq ww ee rr tt" boilerplate shingles (df≈71).,
+    "doc_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), ops.TextDedup.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+    "quality_score" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), ops.TextDedup.qualityScore(col("text")).as("score"))
+        .withColumn("keep", col("score") >= 0.5)
+        .orderBy("doc_id")
+    }),
+    "text_coverage_curve" -> ((s, dir) => {
+      val f = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      val ranked = f.withColumn("rank", row_number().over(
+          Window.orderBy(col("freq").desc, col("w"))).cast("int"))
+        .withColumn("cum_freq", sum("freq").over(
+          Window.orderBy(col("freq").desc, col("w"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = f.agg(sum("freq").as("total_freq"))
+      ranked.filter(col("rank").isin(10, 50, 100, 500))
+        .crossJoin(broadcast(tot))
+        .withColumn("coverage_ppm",
+          expr("cum_freq * 1000000 DIV total_freq"))
+        .select("rank", "cum_freq", "total_freq", "coverage_ppm")
+        .orderBy("rank")
+    }),
+    // DC-offset audit (ops.MediaOps.dcStats): exact signed sample sums —
+    // the stuck-bias ADC screen under the energy gates.,
+    "text_template_prefixes" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("array_join(slice(split(text, ' '), 1, 5), ' ')")
+            .as("prefix"))
+        .groupBy("prefix").agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("min_doc"))
+        .filter(col("n_docs") >= 3)
+        .orderBy("prefix")
+    }),
+    // Fill-rule disagreement census: the same self-intersecting bowtie
+    // ring under BOTH polygon fill rules — even-odd (crossing parity) vs
+    // nonzero (signed winding) — per walk fix; they differ exactly on the
+    // overlap lobe, the distinction GeoJSON consumers hit on malformed
+    // rings. Shared crossing expressions, pure integer signs.,
+    "text_length_quantiles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          expr("size(split(text, ' '))").cast("long").as("toks"))
+      val wv = Window.partitionBy("source").orderBy("toks", "doc_id")
+      val wp = Window.partitionBy("source")
+      docs.withColumn("rn", row_number().over(wv).cast("long"))
+        .withColumn("n", count(lit(1)).over(wp))
+        .groupBy("source")
+        .agg(max("n").as("n_docs"),
+          max(when(col("rn") === expr("(n - 1) * 50 DIV 100 + 1"),
+            col("toks"))).as("p50_toks"),
+          max(when(col("rn") === expr("(n - 1) * 90 DIV 100 + 1"),
+            col("toks"))).as("p90_toks"),
+          max("toks").as("max_toks"))
+        .orderBy("source")
+    }),
+    // Metric agreement: Kendall concordance between the DTW and Fréchet
+    // pair rankings over the same trajectories — do the two similarity
+    // metrics order pairs the same way? Exact concordant/discordant
+    // counts (ties dropped), tau in milli.,
+    "text_source_overlap" -> ((s, dir) => {
+      val vw = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .distinct()
+      val sizes = vw.groupBy("source").agg(count(lit(1)).as("n"))
+      vw.as("x").join(vw.as("y"),
+          col("x.w") === col("y.w") &&
+            col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("src_a"),
+          col("y.source").as("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")),
+          Seq("src_a"))
+        .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")),
+          Seq("src_b"))
+        .withColumn("jaccard_ppm",
+          expr("n_common * 1000000 DIV (n_a + n_b - n_common)"))
+        .select("src_a", "src_b", "n_a", "n_b", "n_common", "jaccard_ppm")
+        .orderBy("src_a", "src_b")
+    }),
+    // Integer EWMA (α = 1/8) over the hourly series as ONE codegen'd
+    // aggregate() fold per type — floor-consistent division via the
+    // sign-split CASE so Spark DIV and DuckDB // agree on negative
+    // innovations; final level + max innovation. The streaming-smoother
+    // read next to events_holt.,
+    "text_soundex" -> ((s, dir) => {
+      val words = t(s, dir, "part")
+        .selectExpr("split_part(p_name, ' ', 1) AS w")
+        .selectExpr(s"${soundexSql("w", g = false)} AS code", "w")
+      words.groupBy("code")
+        .agg(count(lit(1)).as("sz"), countDistinct("w").as("n_words"))
+        .withColumn("candidate_pairs", expr("sz * (sz - 1) DIV 2"))
+        .orderBy("code")
+    }),
+    // Ordinal-pattern census (Bandt–Pompe permutation patterns, public):
+    // per event_type the hourly-count series' sliding length-3 windows
+    // mapped to their rank permutation (ties break by earlier position,
+    // the standard convention) — the permutation-entropy input that
+    // separates trending/oscillating/noisy series with zero arithmetic
+    // beyond comparisons. One hour-ordered window per type + one
+    // key-bounded count.,
+    "text_lang_profile" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("size(split(text, ' '))")).cast("long").as("n_words"),
+          sum("n_chars").as("sum_chars"),
+          countDistinct("source").as("n_sources"))
+        .withColumn("chars_per_doc_milli",
+          expr("sum_chars * 1000 DIV n_docs"))
+        .orderBy("lang")
+    }),
+    // Does the quality score just measure length? Exact Pearson moments
+    // between the milli-quantized score and n_chars over all docs — the
+    // filter-bias audit a curation pipeline runs before trusting its
+    // quality gate. One row, pure integers.,
+    "text_collocations" -> ((s, dir) => {
+      ops.Curation.collocations(t(s, dir, "documents"), col("text"), 5L, 30)
+    }),
+    // Flesch readability pieces (ops.Curation.readability) in exact
+    // integers — sentence/word/vowel-group counts and the floored
+    // millipoint score, all codegen'd string expressions, one scan. The
+    // corpus has no sentence punctuation, so the gate injects
+    // deterministic terminators first (' table ' -> '. ') — a regex
+    // replacement both engines replay identically.,
+    "text_readability" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("txt", regexp_replace(col("text"), " table ", ". "))
+      ops.Curation.readability(docs, col("txt")).orderBy("doc_id")
+    }),
+    // Simpson token diversity (ops.Curation.simpson): the log-free
+    // repetitiveness score in exact ppm — Σc(c−1)/(n(n−1)); boilerplate
+    // and keyword stuffing score high, diverse prose low. One explode +
+    // two key-bounded aggs, no joins.,
+    "text_simpson" -> ((s, dir) => {
+      ops.Curation.simpson(t(s, dir, "documents"), col("text"))
+        .orderBy("doc_id")
+    }),
+    // OCR-garbage screen: per-word max consonant run via an 8-step RLIKE
+    // ladder (identical regex classes both engines), garbage = run ≥ 4;
+    // doc_id % 13 docs get planted garbage tokens so the gate has signal.,
+    "text_ocr_garbage" -> ((s, dir) => {
+      val ladder = (8 to 1 by -1).map(k =>
+        s"WHEN w RLIKE '[bcdfghjklmnpqrstvwxyz]{$k}' THEN $k")
+        .mkString("CASE ", " ", " ELSE 0 END")
+      t(s, dir, "documents")
+        .selectExpr("doc_id",
+          "CASE WHEN doc_id % 13 = 0 THEN text || ' xqzvwm kkkkk ok' ELSE text END AS t2")
+        .select(col("doc_id"),
+          explode(split(lower(col("t2")), "[^a-z]+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .withColumn("run", expr(ladder))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), max("run").as("max_run"),
+          sum(when(col("run") >= 4, 1L).otherwise(0L)).as("n_garbage"))
+        .withColumn("garbage_ppm", expr("n_garbage * 1000000 div n_words"))
+        .orderBy("doc_id")
+    }),
+    "text_stats" -> ((s, dir) => {
+      t(s, dir, "documents").selectExpr(
+        "doc_id",
+        "cast(length(text) as bigint) AS n_chars",
+        "cast(size(split(text, ' ')) as bigint) AS n_words",
+        "cast(size(filter(split(text, ' '), w -> w = 'the')) as bigint) AS n_the",
+        "round(size(filter(split(text, ' '), w -> w = 'the')) / size(split(text, ' ')), 6) AS stop_ratio",
+        "round(length(replace(text, ' ', '')) / size(split(text, ' ')), 6) AS avg_wlen")
+        .orderBy("doc_id")
+    }),
+    // Curation quota sampling: keep the 30 best-quality docs per source —
+    // the per-source/per-domain cap of corpus mixing (data-mixing primitive
+    // before training). Exact two-phase top-k (ops.Curation.topKPerGroup):
+    // few huge groups must not serialize the corpus into one window
+    // partition per source.,
+    "quality_repetition" -> ((s, dir) => {
+      ops.Curation.repetitionStats(t(s, dir, "documents"), col("text"))
+        .select("doc_id", "n_words", "n_distinct", "max_word_c",
+          "n_bigrams", "max_bigram_c", "dup_word_q", "top_bigram_q")
+        .orderBy("doc_id")
+    }),
+    // Language-ID confusion matrix (Cavnar–Trenkle rank-order character
+    // n-gram profiles, ops.LangId — replaced the round-3 stopword vote its
+    // own gate proved useless): profiles train on the 30% doc_id-hash
+    // slice of the deterministic multilingual gate corpus, classification
+    // runs on the held-out 70%. The acceptance criterion is DIAGONAL
+    // DOMINANCE — no majority-class collapse.,
+    "text_langid_confusion" -> ((s, dir) => {
+      val corpus = ops.LangId.synthCorpus(t(s, dir, "documents").select("doc_id"))
+      val prof = ops.LangId.trainProfiles(
+        corpus.filter(col("doc_id") % 10 < 3), "lang", "text", 40)
+      val ev = corpus.filter(col("doc_id") % 10 >= 3)
+      ops.LangId.classify(ev, prof, 40)
+        .filter(col("pred_rn") === 1)
+        .select(col("doc_id"), col("lang").as("predicted"))
+        .join(ev.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    }),
+    // Per-document language prediction + out-of-place distance on the
+    // held-out slice (same trained profiles).,
+    "text_langid" -> ((s, dir) => {
+      val corpus = ops.LangId.synthCorpus(t(s, dir, "documents").select("doc_id"))
+      val prof = ops.LangId.trainProfiles(
+        corpus.filter(col("doc_id") % 10 < 3), "lang", "text", 40)
+      val ev = corpus.filter(col("doc_id") % 10 >= 3)
+      ops.LangId.classify(ev, prof, 40)
+        .filter(col("pred_rn") === 1)
+        .select(col("doc_id"), col("lang").as("predicted"), col("dist"))
+        .join(ev.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "predicted", "dist")
+        .orderBy("doc_id")
+    }),
+    // Top-3 TF-IDF terms per document (ops.Curation.tfidfTopTerms):
+    // wordcount-shaped tf shuffle + vocabulary-bounded df aggregate + term
+    // join; idf quantized to integers so ranking is engine-exact (no ln).,
+    "text_tfidf" -> ((s, dir) => {
+      ops.Curation.tfidfTopTerms(t(s, dir, "documents"), 3)
+        .orderBy("doc_id", "rk")
+    }),
+    // Quantized BM25 top terms (ops.Curation.bm25TopTerms): the Okapi
+    // length-normalized retrieval scorer with idf AND the doc-length ratio
+    // quantized to integers (k1=1.2, b=0.75 folded into the 44000/20000/
+    // 6000/18 constants), so the whole ranking is exact 64-bit arithmetic
+    // both engines replay bit-identically.,
+    "text_bm25q" -> ((s, dir) => {
+      ops.Curation.bm25TopTerms(t(s, dir, "documents"), 3)
+        .orderBy("doc_id", "rk")
+    }),
+    // RAKE keyphrase extraction (ops.Curation.rakeKeywords): stopword-free
+    // runs as candidate phrases, quantized deg/freq word scores summed per
+    // phrase, per-doc top-3 — the zero-training keyphrase primitive. The
+    // 4-word stopword list splits the synthetic corpus into real
+    // multi-word phrases.,
+    "text_rake" -> ((s, dir) => {
+      ops.Curation.rakeKeywords(t(s, dir, "documents"),
+          Seq("a", "the", "value", "table"), 3)
+        .orderBy("doc_id", "rk")
+    }),
+    "token_count" -> ((s, dir) => {
+      t(s, dir, "documents").selectExpr(
+        "doc_id",
+        "cast(size(split(text, ' ')) as bigint) AS n_ws_tokens",
+        "cast(aggregate(split(text, ' '), 0, (acc, w) -> acc + cast((length(w) + 3) / 4 as int)) as bigint) AS n_bpe_tokens")
+        .orderBy("doc_id")
+    }),
+    // Heaps-law vocabulary growth over 3-gram TYPES: distinct-type count
+    // after each 50-doc corpus prefix — each gram shuffles ONCE (min
+    // first-occurrence doc per type), the curve itself is a cumulative
+    // window over ≤ ⌈N/50⌉ checkpoint rows. The vocabulary-saturation
+    // diagnostic of corpus curation (is more data still adding new
+    // types?); 3-grams because the synthetic unigram vocabulary (31
+    // types) saturates inside the first bucket — the gate needs a curve
+    // that is still growing.
+    // Hapax share per document — the vocabulary-tail exposure screen:
+    // which docs are built from corpus-frequency-1 tokens (rare-content /
+    // OCR-noise / code-dump indicator; the complement of templated text).
+    // One token-keyed freq agg + one rejoin, both vocabulary-bounded;
+    // exact ppm by integer division.,
+    "text_hapax" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val freq = toks.groupBy("tok").agg(count(lit(1)).as("cf"))
+      toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("cf") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .withColumn("hapax_ppm", expr("(n_hapax * 1000000L) div n_tokens"))
+        .orderBy("doc_id")
+    }),
+    "text_vocab_growth" -> ((s, dir) => {
+      val firstSeen = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(ops.Curation.wordNgrams(col("text"), 3)).as("tok"))
+        .groupBy("tok").agg(min("doc_id").as("first_doc"))
+      firstSeen
+        .groupBy((expr("first_doc DIV 50") * 50 + 50).as("n_docs"))
+        .agg(count(lit(1)).as("new_types"))
+        .withColumn("vocab", sum("new_types").over(Window.orderBy("n_docs")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("n_docs")
+    }),
+    // Per-document n-gram NOVELTY — the memorization/leakage screen dual
+    // to text_vocab_growth's corpus curve: for each doc (corpus ordered by
+    // doc_id), how many of its distinct 3-grams appear HERE first. Low
+    // novelty late in the corpus = near-duplicate or templated content;
+    // gram-keyed shuffles bounded by the gram vocabulary.,
+    "text_novelty" -> ((s, dir) => {
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(ops.Curation.wordNgrams(col("text"), 3)).as("tok"))
+        .distinct()
+      val firstSeen = grams.groupBy("tok").agg(min("doc_id").as("first_doc"))
+      grams.join(firstSeen, "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty_ppm",
+          expr("(n_novel * 1000000) div n_distinct"))
+        .orderBy("doc_id")
+    }),
+    // Term BURSTINESS (Church & Gale's variance-to-mean ratio, public):
+    // topical terms clump into few documents (VMR ≫ 1), function words
+    // spread evenly (VMR ≈ 1) — the zero-training topicality signal
+    // complementing tf-idf. Exact integer moments over per-doc counts
+    // (absent docs contribute 0 to both sums), ONE ppm division; top-20.,
+    "text_burstiness" -> ((s, dir) => {
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("x"))
+      val nd = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      tf.groupBy("tok")
+        .agg(count(lit(1)).as("df"), sum("x").as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .filter(col("df") >= 5)
+        .crossJoin(broadcast(nd))
+        .withColumn("vmr_ppm",
+          expr("((n_docs * sxx - sx * sx) * 1000000) div (n_docs * sx)"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("vmr_ppm").desc, col("tok"))))
+        .filter(col("rk") <= 20)
+        .select("tok", "df", "sx", "vmr_ppm", "rk")
+        .orderBy("rk")
+    }),
+    // Moving-average type-token ratio (ops.Curation.mattr): the
+    // length-robust lexical-diversity score — mean distinct-type count
+    // over every sliding 50-token window, computed in ONE lag pass via
+    // the previous-occurrence identity (never a per-window DISTINCT);
+    // docs shorter than the window are dropped. Exact integers.,
+    "text_mattr" -> ((s, dir) => {
+      ops.Curation.mattr(t(s, dir, "documents"), col("text"), w = 50)
+        .orderBy("doc_id")
+    }),
+    // BPE merge statistics (ops.TextDedup.bpePairStats): corpus-wide
+    // adjacent character-pair counts — the counting step a BPE tokenizer
+    // trainer iterates; ONE pair-keyed count, ranking bounded by the
+    // |alphabet|² pair vocabulary, never the corpus.,
+    "text_bpe_pairs" -> ((s, dir) => {
+      ops.TextDedup.bpePairStats(t(s, dir, "documents"), topK = 20)
+        .orderBy("rk")
+    }),
+    // Tile-pyramid materialization: render each 1° tile into 2×2
+    // Terrarium-RGB PNG sub-tiles (64² px, bilinear at pixel centers), then
+    // DECODE the produced PNGs back and emit per-sub-tile RGB channel sums —
+    // the whole produce-side chain (bilinear sample → Terrarium encode → PNG
+    // encode → PNG decode) is pinned, because Terrarium encode∘decode is
+    // bijective on the byte triple and the oracle recomputes the same
+    // triples from the closed-form grid.,
+    "text_yule_k" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(expr("c * c")).as("s2"))
+        .withColumn("k_milli", expr(
+          "10000000 * (s2 - n_tokens) DIV (n_tokens * n_tokens)"))
+        .orderBy("source")
+    }),
+    // Record-breaking days per event type: running-max/min census over the
+    // daily-count series (expected ~ln n records for exchangeable data —
+    // an excess says trend) with the index of the last record high.,
+    "text_sumbasic_pick" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .withColumnRenamed("col", "tok")
+      val freq = toks.groupBy("tok").agg(count(lit(1)).as("f"))
+      val chunks = toks.join(freq, Seq("tok"))
+        .groupBy(col("doc_id"), expr("pos DIV 10").as("chunk"))
+        .agg(count(lit(1)).as("n_words"), sum("f").as("sum_freq"))
+        .withColumn("score_q", expr("sum_freq * 1000000 DIV n_words"))
+      val nc = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      chunks.withColumn("rn", row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("score_q").desc, col("chunk").asc)))
+        .filter(col("rn") === 1)
+        .join(nc, Seq("doc_id"))
+        .select(col("doc_id"), col("n_chunks"), col("chunk").as("best_chunk"),
+          col("n_words"), col("sum_freq"), col("score_q"))
+        .orderBy("doc_id")
+    }),
+    // Greedy max-coverage center selection (ops.Embeddings.facilityGreedy):
+    // 4 rounds over the r2=1.44 coverage ball, candidate pool broadcast —
+    // the (1-1/e) coreset pick that replaces random sampling in
+    // training-data selection.,
+    "text_positional_bias" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("len", size(col("w")).cast("long"))
+        .filter(col("len") > 1)
+        .select(col("source"), col("len"), posexplode(col("w")))
+        .withColumnRenamed("col", "tok")
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("tok").asc).limit(20)
+      toks.join(broadcast(top.select("tok")), Seq("tok"))
+        .withColumn("relq", expr("1000 * pos DIV (len - 1)"))
+        .groupBy("source", "tok")
+        .agg(count(lit(1)).as("n_occ"), sum("relq").as("sum_relq"))
+        .withColumn("mean_relq", expr("sum_relq DIV n_occ"))
+        .orderBy("source", "tok")
+    }),
+    // OD-matrix independence audit: observed flow shares vs the
+    // rank-1 margin product (row x column totals), both quantized ppm —
+    // the gravity-model null every OD study tests first, over the same
+    // flows traj_od_matrix builds.,
+    "text_wordpiece_count" -> ((s, dir) => {
+      import s.implicits._
+      val vocab = wordpieceVocab
+      val occ = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+      val seg = occ.select("tok").distinct().as[String].map { tok =>
+        var pos = 0; var pieces = 0L; var multi = 0L
+        while (pos < tok.length) {
+          var m = 1
+          vocab.foreach { p =>
+            if (p.length > m && tok.startsWith(p, pos)) m = p.length
+          }
+          if (m >= 2) multi += 1
+          pieces += 1
+          pos += m
+        }
+        (tok, pieces, multi)
+      }.toDF("tok", "pieces", "multi")
+      occ.join(seg, Seq("tok"))
+        .groupBy("source")
+        .agg(sum("cnt").as("n_tokens"),
+          sum(expr("cnt * pieces")).as("n_pieces"),
+          sum(expr("cnt * multi")).as("n_multi"))
+        .withColumn("ppt_milli", expr("1000 * n_pieces DIV n_tokens"))
+        .orderBy("source")
+    }),
+    // Emerging hot-spot classification: per activity cell the
+    // Mann-Kendall S over six 15-day bins (zero-filled) plus first/last
+    // bin counts -> intensifying / diminishing / new / stable — the
+    // space-time-cube trend census on the od-matrix cell walk.,
+    "text_textrank" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .withColumnRenamed("col", "tok")
+      val ids = toks.select("tok").distinct()
+        .withColumn("id", row_number().over(Window.orderBy("tok")).cast("long"))
+      val tp = toks.join(ids, Seq("tok"))
+        .select(col("doc_id"), col("pos"), col("id"))
+      val co = (1 to 2).map { d =>
+        tp.join(tp.selectExpr("doc_id", s"pos + $d AS pos", "id AS id2"),
+          Seq("doc_id", "pos"))
+          .select(col("id"), col("id2"))
+      }.reduce(_ unionAll _).filter(col("id") =!= col("id2"))
+      val edges = co.select(col("id").as("src"), col("id2").as("dst"))
+        .unionAll(co.select(col("id2").as("src"), col("id").as("dst")))
+        .distinct()
+      ops.Graph.pagerank(edges, rounds = 3)
+        .join(ids.withColumnRenamed("id", "node"), Seq("node"))
+        .select(col("tok"), col("rank").as("pr"))
+        .orderBy(col("pr").desc, col("tok")).limit(10)
+    }),
+    // One anisotropic-diffusion step (ops.ImageOps.peronaMalik): exact
+    // integer conduction-weighted flux field summary.,
+    "text_stylo_delta" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("tok").asc).limit(20).select("tok")
+      val tot = toks.groupBy("source").agg(count(lit(1)).as("n_tok"))
+      val fpm = toks.join(broadcast(top), Seq("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .join(tot, Seq("source"))
+        .withColumn("fpm", expr("1000000 * c DIV n_tok"))
+      val grid = tot.select(col("source")).crossJoin(broadcast(top))
+        .join(fpm.select("source", "tok", "fpm"), Seq("source", "tok"), "left")
+        .withColumn("fpm", coalesce(col("fpm"), lit(0L)))
+      grid.select(col("source").as("src_a"), col("tok"), col("fpm").as("fa"))
+        .join(grid.select(col("source").as("src_b"), col("tok"),
+          col("fpm").as("fb")), Seq("tok"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(sum(expr("abs(fa - fb)")).as("l1_fpm"))
+        .orderBy("src_a", "src_b")
+    }),
+    // Quantified-comparison surface (> ALL via NOT EXISTS over exact
+    // cents): suppliers whose balance beats every region's average,
+    // cross-multiplied so no float average is ever formed.,
+    "text_bpe_merge" -> ((s, dir) => {
+      import s.implicits._
+      var words = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("wcnt"))
+        .withColumn("seg", concat(lit(" "),
+          trim(regexp_replace(col("tok"), "(.)", "$1 ")), lit(" ")))
+        .localCheckpoint(false)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, String, Long, Long)]
+      for (round <- 1 to 2) {
+        val syms = words.select(col("tok"), col("wcnt"),
+          posexplode(split(trim(col("seg")), " ")))
+          .withColumnRenamed("col", "sym")
+        val top = syms
+          .join(syms.select(col("tok"), (col("pos") - 1).as("pos"),
+            col("sym").as("sym_b")), Seq("tok", "pos"))
+          .groupBy(col("sym").as("a"), col("sym_b").as("b"))
+          .agg(sum("wcnt").as("cnt"))
+          .orderBy(col("cnt").desc, col("a").asc, col("b").asc).limit(1)
+          .as[(String, String, Long)].collect()(0)
+        words = words.withColumn("seg",
+            expr(s"replace(seg, ' ${top._1} ${top._2} ', ' ${top._1}${top._2} ')"))
+          .localCheckpoint(false)
+        val nAfter = words
+          .select((col("wcnt") * (size(split(trim(col("seg")), " ")))).as("ns"))
+          .agg(sum("ns")).head().getLong(0)
+        out += ((round.toLong, top._1, top._2, top._3, nAfter))
+      }
+      out.toSeq.toDF("round", "sym_a", "sym_b", "pair_cnt", "n_symbols_after")
+        .orderBy("round")
+    }),
+    // LSM write-amplification study: fanout-4 leveling vs tiering over
+    // 128 flush units — the base-4 carry structure makes every
+    // compaction's cost closed-form, so the whole sim is a windowed
+    // cumulative sum; milestones every 16 flushes with WA in milli.,
+    "text_char_class_profile" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("n_alpha", (col("n_chars") -
+          length(regexp_replace(col("text"), "[a-z]", ""))).cast("long"))
+        .withColumn("n_space", (col("n_chars") -
+          length(regexp_replace(col("text"), " ", ""))).cast("long"))
+        .groupBy("source")
+        .agg(sum("n_chars").as("n_chars"), sum("n_alpha").as("n_alpha"),
+          sum("n_space").as("n_space"))
+        .withColumn("alpha_ppm", expr("1000000 * n_alpha DIV n_chars"))
+        .orderBy("source")
+    }),
+    // DAU / trailing-28-day MAU stickiness: exact windowed distinct via
+    // the (day x active-day) range join — the product-health ratio, no
+    // sketch needed at gate scale.
+  )
+
+  val sql: Map[String, String] = Map(
+    "text_zipf_products" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
+           FROM documents),
+         f AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
+           FROM w GROUP BY 1),
+         r AS (SELECT w, freq, CAST(row_number() OVER (
+             ORDER BY freq DESC, w) AS INT) AS rank FROM f)
+         SELECT rank, w, freq, rank * freq AS rank_x_freq
+         FROM r WHERE rank <= 50 ORDER BY rank""",
+    // pre-period propensity bins vs post conversion,
+    "text_distinctive_terms" ->
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+         sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS o
+           FROM w GROUP BY 1, 2),
+         s AS (SELECT source, CAST(count(*) AS BIGINT) AS ns
+           FROM w GROUP BY 1),
+         wd AS (SELECT w, CAST(count(*) AS BIGINT) AS ow FROM w GROUP BY 1),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w),
+         sc AS (SELECT sw.source, sw.w, o, ow, ns, n.n,
+             o * (n.n - ns) - (ow - o) * ns AS score
+           FROM sw JOIN s ON s.source = sw.source
+           JOIN wd ON wd.w = sw.w CROSS JOIN n),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+             ORDER BY score DESC, w) AS INT) AS rk FROM sc)
+         SELECT source, rk, w, o, ow, ns, n, score
+         FROM r WHERE rk <= 5 ORDER BY source, rk""",
+    "text_vocab_oov" -> vocabOovOracleSql,
+    "text_bigram_lm" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         bg AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)), g -> ws[g])) AS w1,
+             unnest(list_transform(range(1, len(ws)), g -> ws[g+1])) AS w2
+           FROM w WHERE len(ws) >= 2),
+         cb AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2),
+         cu AS (SELECT w1, count(*) AS c_x FROM bg GROUP BY 1),
+         vv AS (SELECT count(DISTINCT w2) AS n_vocab FROM bg),
+         sq AS (SELECT bg.doc_id,
+             CAST(floor(1000000.0 * ln(
+               CAST(cu.c_x + vv.n_vocab AS DOUBLE) /
+               CAST(cb.c_xy + 1 AS DOUBLE))) AS BIGINT) AS sq
+           FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN vv)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(sq) AS BIGINT) AS surprisal_q,
+           CAST(sum(sq) AS BIGINT) // CAST(count(*) AS BIGINT) AS ppx_q
+         FROM sq GROUP BY doc_id ORDER BY doc_id""",
+    // KN replay: same quarters arithmetic, same two ppb floor divisions in
+    // the same order,
+    "text_kn_bigram" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         bg AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)), g -> ws[g])) AS w1,
+             unnest(list_transform(range(1, len(ws)), g -> ws[g+1])) AS w2
+           FROM w WHERE len(ws) >= 2),
+         cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+           FROM bg GROUP BY 1, 2),
+         cx AS (SELECT w1, CAST(sum(c_xy) AS BIGINT) AS c_x,
+             CAST(count(*) AS BIGINT) AS n1p_fol FROM cb GROUP BY 1),
+         cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_cont
+           FROM cb GROUP BY 1),
+         nt AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM cb),
+         p AS (SELECT cb.w1, cb.w2, cb.c_xy,
+             CAST(greatest(4 * cb.c_xy - 3, 0) * 1000000000 // (4 * cx.c_x)
+               + (3 * cx.n1p_fol * (cont.n_cont * 1000000000 // nt.n_tot))
+                 // (4 * cx.c_x) AS BIGINT) AS p_ppb
+           FROM cb JOIN cx USING (w1) JOIN cont USING (w2) CROSS JOIN nt),
+         r AS (SELECT w1, w2, c_xy, p_ppb,
+             CAST(row_number() OVER (ORDER BY c_xy DESC, w1, w2) AS INT)
+               AS rk FROM p)
+         SELECT w1, w2, c_xy, p_ppb, rk FROM r WHERE rk <= 40 ORDER BY rk""",
+    "text_perplexity" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         tok AS (SELECT doc_id, unnest(ws) AS wd FROM w),
+         cnt AS (SELECT wd, count(*) AS c FROM tok GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+                        count(*) AS n_vocab FROM cnt),
+         sq AS (SELECT t.doc_id,
+             CAST(floor(1000000.0 * ln(
+               CAST(tot.n_total + tot.n_vocab AS DOUBLE) /
+               CAST(cnt.c + 1 AS DOUBLE))) AS BIGINT) AS sq
+           FROM tok t JOIN cnt ON cnt.wd = t.wd CROSS JOIN tot)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(sq) AS BIGINT) AS surprisal_q,
+           CAST(sum(sq) AS BIGINT) // CAST(count(*) AS BIGINT) AS ppx_q
+         FROM sq GROUP BY doc_id ORDER BY doc_id""",
+    "text_pii_redact" ->
+      """WITH d AS (SELECT doc_id, text ||
+           CASE WHEN doc_id % 3 <> 0 THEN ' contact user' ||
+             CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END ||
+           CASE WHEN doc_id % 2 = 0 THEN ' call +1-415-555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS t
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t,
+             '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT)
+             AS n_phones,
+           md5(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'))
+             AS redacted_md5
+         FROM d ORDER BY doc_id""",
+    "doc_fingerprint" ->
+      s"""SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text,' '), w -> ${sqlH60("w")} % 1048573)),
+           (a,b) -> (a*31 + b) % 2147483647) AS fp
+         FROM documents ORDER BY doc_id""",
+    "quality_score" ->
+      """WITH s AS (SELECT doc_id,
+           CAST(len(string_split(text,' ')) AS DOUBLE) AS nw,
+           CAST(len(list_filter(string_split(text,' '),
+             w -> w='the' OR w='a' OR w='of' OR w='and' OR w='to')) AS DOUBLE) AS ns,
+           CAST(length(replace(text,' ','')) AS DOUBLE) AS nc FROM documents)
+         SELECT doc_id, score, score >= 0.5 AS keep FROM (
+           SELECT doc_id, least(nw/100.0, 1.0)*0.4 + (ns/nw)*0.3 + least((nc/nw)/10.0, 1.0)*0.3 AS score
+           FROM s) ORDER BY doc_id""",
+    "text_coverage_curve" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
+           FROM documents),
+         f AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
+           FROM w GROUP BY 1),
+         r AS (SELECT w, freq, CAST(row_number() OVER (
+             ORDER BY freq DESC, w) AS INT) AS rank,
+             CAST(sum(freq) OVER (ORDER BY freq DESC, w
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_freq
+           FROM f),
+         t AS (SELECT CAST(sum(freq) AS BIGINT) AS total_freq FROM f)
+         SELECT rank, cum_freq, total_freq,
+           cum_freq * 1000000 // total_freq AS coverage_ppm
+         FROM r, t WHERE rank IN (10, 50, 100, 500) ORDER BY rank""",
+    // signed closed-form sample sums per asset,
+    "text_template_prefixes" ->
+      """WITH p AS (SELECT doc_id,
+           array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')
+             AS prefix
+           FROM documents)
+         SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc
+         FROM p GROUP BY 1 HAVING count(*) >= 3 ORDER BY prefix""",
+    // the walk cumsum + the same shared crossing terms,
+    "text_length_quantiles" ->
+      """WITH d AS (SELECT source, doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+           FROM documents),
+         r AS (SELECT source, toks,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY toks, doc_id) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+           FROM d)
+         SELECT source, max(n) AS n_docs,
+           max(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN toks END)
+             AS p50_toks,
+           max(CASE WHEN rn = (n - 1) * 90 // 100 + 1 THEN toks END)
+             AS p90_toks,
+           CAST(max(toks) AS BIGINT) AS max_toks
+         FROM r GROUP BY 1 ORDER BY source""",
+    // coreness rounds (shared builder) + shell rollup,
+    "text_source_overlap" ->
+      """WITH vw AS (SELECT DISTINCT source,
+           unnest(string_split(text, ' ')) AS w FROM documents),
+         sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+           FROM vw GROUP BY 1),
+         pr AS (SELECT x.source AS src_a, y.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_common
+           FROM vw x JOIN vw y ON y.w = x.w AND x.source < y.source
+           GROUP BY 1, 2)
+         SELECT src_a, src_b, a.n AS n_a, b.n AS n_b, n_common,
+           n_common * 1000000 // (a.n + b.n - n_common) AS jaccard_ppm
+         FROM pr JOIN sz a ON a.source = pr.src_a
+         JOIN sz b ON b.source = pr.src_b
+         ORDER BY src_a, src_b""",
+    // the EWMA recurrence replayed one hour per recursion level,
+    "text_soundex" ->
+      s"""WITH w AS (SELECT split_part(p_name, ' ', 1) AS w FROM part),
+         c AS (SELECT w, ${soundexSql("w", g = true)} AS code FROM w)
+         SELECT code, CAST(count(*) AS BIGINT) AS sz,
+           CAST(count(DISTINCT w) AS BIGINT) AS n_words,
+           CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS candidate_pairs
+         FROM c GROUP BY 1 ORDER BY code""",
+    // hourly counts, lead() triples, rank-by-comparison (ties to earlier
+    // position), pattern = r0*100 + r1*10 + r2,
+    "text_lang_profile" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(sum(n_chars) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT)
+           AS chars_per_doc_milli
+         FROM documents GROUP BY 1 ORDER BY lang""",
+    // the quality_score formula, milli-quantized, exact Pearson moments,
+    "text_collocations" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         bg AS (SELECT w[CAST(i AS INT)] AS w1, w[CAST(i AS INT)+1] AS w2
+           FROM w, unnest(generate_series(1, len(w)-1)) AS g(i)),
+         big AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2
+           HAVING count(*) >= 5),
+         uni AS (SELECT word, count(*) AS c
+           FROM (SELECT unnest(w) AS word FROM w) GROUP BY 1),
+         n AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uni)
+         SELECT w1, w2, c_xy,
+           (c_xy * n_total * 100000) // (cx.c * cy.c) AS lift_q
+         FROM big JOIN uni cx ON big.w1 = cx.word
+           JOIN uni cy ON big.w2 = cy.word, n
+         ORDER BY lift_q DESC, w1, w2 LIMIT 30""",
+    // same three congruential hashes as the engine's cmSketch; the sketch
+    // rebuild, the exact top-20 selection (ties broken by user_id), and the
+    // min-over-rows estimate are all replayed,
+    "text_readability" ->
+      """WITH d AS (SELECT doc_id, regexp_replace(text, ' table ', '. ', 'g') AS txt FROM documents),
+         m AS (SELECT doc_id,
+           CAST(length(regexp_replace(txt, '[.!?]+', '#', 'g'))
+              - length(regexp_replace(txt, '[.!?]+', '', 'g')) AS BIGINT) AS n_sents,
+           CAST(len(string_split(txt, ' ')) AS BIGINT) AS n_words,
+           CAST(length(regexp_replace(lower(txt), '[aeiou]+', '#', 'g'))
+              - length(regexp_replace(lower(txt), '[aeiou]+', '', 'g')) AS BIGINT) AS n_syll
+           FROM d)
+         SELECT doc_id, n_sents, n_words, n_syll,
+           CAST((206835 * greatest(n_sents, 1) * greatest(n_words, 1)
+               - 1015000 * greatest(n_words, 1) * greatest(n_words, 1)
+               - 84600000 * n_syll * greatest(n_sents, 1))
+             // (1000 * greatest(n_sents, 1) * greatest(n_words, 1)) AS BIGINT) AS flesch_milli
+         FROM m ORDER BY doc_id""",
+    // first significant digit of the exact cents column, 9-key census,
+    // fixed-point Benford expectations (the nine ppm literals sum to 1e6)
+    // exact selection quartiles per group, fences by cross-multiplication,
+    "text_simpson" ->
+      """WITH tk AS (SELECT doc_id, u.tok FROM documents,
+           unnest(string_split(text, ' ')) AS u(tok)),
+         c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1, 2),
+         d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(c*(c-1)) AS BIGINT) AS coll FROM c GROUP BY 1)
+         SELECT doc_id, n_tokens, n_distinct, coll,
+           CAST(CASE WHEN n_tokens > 1
+                THEN coll * 1000000 // (n_tokens * (n_tokens - 1))
+                ELSE 0 END AS BIGINT) AS simpson_ppm
+         FROM d ORDER BY doc_id""",
+    "text_ocr_garbage" -> {
+      val ladder = (8 to 1 by -1).map(k =>
+        s"WHEN regexp_matches(w, '[bcdfghjklmnpqrstvwxyz]{$k}') THEN $k")
+        .mkString("CASE ", " ", " ELSE 0 END")
+      s"""WITH d AS (SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN text || ' xqzvwm kkkkk ok' ELSE text END AS t2
+           FROM documents),
+         w AS (SELECT doc_id, unnest(string_split_regex(lower(t2), '[^a-z]+')) AS w FROM d),
+         r AS (SELECT doc_id, $ladder AS run FROM w WHERE len(w) > 0),
+         a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             max(run) AS max_run,
+             CAST(sum(CASE WHEN run >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_garbage
+           FROM r GROUP BY 1)
+         SELECT doc_id, n_words, max_run, n_garbage,
+           (n_garbage * 1000000) // n_words AS garbage_ppm
+         FROM a ORDER BY doc_id"""
+    },
+    "text_stats" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(list_filter(string_split(text, ' '), w -> w = 'the')) AS BIGINT) AS n_the,
+           round(len(list_filter(string_split(text, ' '), w -> w = 'the')) / len(string_split(text, ' ')), 6) AS stop_ratio,
+           round(length(replace(text, ' ', '')) / len(string_split(text, ' ')), 6) AS avg_wlen
+         FROM documents ORDER BY doc_id""",
+    // identical contract to curation_quota — the Aggregator must land on
+    // the same rows, ranks and scores as the window formulations,
+    "quality_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         w AS (SELECT doc_id, unnest(l) AS word FROM d),
+         wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+         wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+           count(*) AS n_distinct, max(c) AS max_word_c FROM wc GROUP BY 1),
+         bg AS (SELECT doc_id, unnest(list_transform(
+           generate_series(1, greatest(0, len(l) - 1)),
+           i -> l[i] || chr(1) || l[i+1])) AS b FROM d),
+         bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+         ba AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+           max(c) AS max_bigram_c FROM bc GROUP BY 1)
+         SELECT doc_id, n_words, n_distinct, max_word_c, n_bigrams, max_bigram_c,
+           ((n_words - n_distinct) * 1000000) // n_words AS dup_word_q,
+           (max_bigram_c * 1000000) // n_bigrams AS top_bigram_q
+         FROM wa JOIN ba USING (doc_id) ORDER BY doc_id""",
+    "text_langid_confusion" ->
+      s"""WITH $langIdCtes
+         SELECT b.lang, p.predicted, count(*) AS n
+         FROM pred p JOIN base b ON b.doc_id = p.doc_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "text_langid" ->
+      s"""WITH $langIdCtes
+         SELECT p.doc_id, b.lang, p.predicted, p.dist
+         FROM pred p JOIN base b ON b.doc_id = p.doc_id
+         ORDER BY p.doc_id""",
+    // same quantized-idf arithmetic: integer floor division on nonnegative
+    // operands (`//` here, `div` in the engine), so score/rank are exact,
+    "text_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         nd AS (SELECT count(*) AS n_docs FROM documents),
+         sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             (nd.n_docs * 1000) // dfq.df AS idf_q,
+             tf.tf * ((nd.n_docs * 1000) // dfq.df) AS score
+           FROM tf JOIN dfq USING (term), nd),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS rk FROM sc)
+         SELECT doc_id, term, tf, df, idf_q, score, rk
+         FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
+    // quantized BM25: same integer-// pipeline with the doc-length ratio
+    // pre-quantized to thousandths (k1=1.2, b=0.75 folded into constants),
+    "text_bm25q" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         dlq AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         nd AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+             (SELECT CAST(sum(dl) AS BIGINT) FROM dlq) AS sum_len),
+         sc AS (SELECT tf.doc_id, tf.term, tf.tf, dlq.dl,
+             (dlq.dl * nd.n_docs * 1000) // nd.sum_len AS dlr_q,
+             (((nd.n_docs * 1000) // dfq.df) * tf.tf * 44000) //
+               (20000*tf.tf + 6000 + 18*((dlq.dl * nd.n_docs * 1000) // nd.sum_len)) AS score_q
+           FROM tf JOIN dfq USING (term) JOIN dlq USING (doc_id), nd),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, term) AS INTEGER) AS rk FROM sc)
+         SELECT doc_id, term, tf, dl, dlr_q, score_q, rk
+         FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
+    // RAKE: stopword-free runs via a running stopword count (= phrase id),
+    // word deg/freq over all phrase instances, quantized score, per-doc top-3,
+    "text_rake" ->
+      """WITH toks AS (SELECT doc_id, CAST(g AS INT) AS pos, w[CAST(g AS INT)] AS tok
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+                unnest(range(1, len(w) + 1)) AS t(g)),
+         tk AS (SELECT doc_id, pos, tok,
+             CASE WHEN tok IN ('a','the','value','table') THEN 1 ELSE 0 END AS stop
+           FROM toks WHERE tok <> ''),
+         ph AS (SELECT doc_id, pos, tok, stop,
+             sum(stop) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+           FROM tk),
+         pw AS (SELECT doc_id, pid, pos, tok FROM ph WHERE stop = 0),
+         phr AS (SELECT doc_id, pid, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             count(*) AS n_words FROM pw GROUP BY 1, 2),
+         wstats AS (SELECT tok, (sum(n_words) * 1000) // count(*) AS wscore_q
+           FROM pw JOIN phr USING (doc_id, pid) GROUP BY 1),
+         psc AS (SELECT doc_id, pid, sum(wscore_q) AS score_q
+           FROM pw JOIN wstats USING (tok) GROUP BY 1, 2),
+         agg AS (SELECT doc_id, phrase, max(n_words) AS n_words,
+             count(*) AS n_occur, max(score_q) AS score_q
+           FROM phr JOIN psc USING (doc_id, pid) GROUP BY 1, 2),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+             ORDER BY score_q DESC, phrase) AS INTEGER) AS rk FROM agg)
+         SELECT doc_id, phrase, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_occur AS BIGINT) AS n_occur,
+           CAST(score_q AS BIGINT) AS score_q, rk
+         FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
+    "token_count" ->
+      """SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(list_sum(list_transform(string_split(text, ' '), w -> (length(w) + 3) // 4)) AS BIGINT) AS n_bpe_tokens
+         FROM documents ORDER BY doc_id""",
+    // one min per 3-gram type, then the cumulative curve over checkpoints
+    // corpus term frequencies, hapax flags re-joined per doc, exact ppm,
+    "text_hapax" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         freq AS (SELECT tok, count(*) AS cf FROM toks GROUP BY 1)
+         SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN f.cf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           (CAST(sum(CASE WHEN f.cf = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+             // CAST(count(*) AS BIGINT) AS hapax_ppm
+         FROM toks t JOIN freq f ON t.tok = f.tok
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
+    "text_vocab_growth" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         grams AS (SELECT doc_id,
+             array_to_string(list_slice(w, CAST(g AS BIGINT), CAST(g AS BIGINT) + 2), ' ') AS tok
+           FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(g)),
+         fs AS (SELECT tok, min(doc_id) AS first_doc FROM grams GROUP BY 1),
+         nt AS (SELECT (first_doc // 50) * 50 + 50 AS n_docs,
+             count(*) AS new_types FROM fs GROUP BY 1)
+         SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(new_types AS BIGINT) AS new_types,
+           CAST(sum(new_types) OVER (ORDER BY n_docs
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab
+         FROM nt ORDER BY n_docs""",
+    // per-doc distinct 3-grams vs the grams whose corpus-wide first doc is
+    // this doc; ppm via one integer //,
+    "text_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         grams AS (SELECT DISTINCT doc_id,
+             array_to_string(list_slice(w, CAST(g AS BIGINT), CAST(g AS BIGINT) + 2), ' ') AS tok
+           FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(g)),
+         fs AS (SELECT tok, min(doc_id) AS first_doc FROM grams GROUP BY 1),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+           FROM grams JOIN fs USING (tok) GROUP BY 1)
+         SELECT doc_id, n_distinct, n_novel,
+           (n_novel * 1000000) // n_distinct AS novelty_ppm
+         FROM agg ORDER BY doc_id""",
+    // VMR over exact per-doc count moments; df >= 5, top-20
+    // previous-occurrence identity: token p is first-in-window(i) iff
+    // prev(p) < i; per-token closed-form start-range overlap count,
+    "text_burstiness" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS x FROM toks WHERE tok <> '' GROUP BY 1, 2),
+         nd AS (SELECT count(*) AS n_docs FROM documents),
+         st AS (SELECT tok, CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x*x) AS BIGINT) AS sxx
+           FROM tf GROUP BY 1 HAVING count(*) >= 5),
+         sc AS (SELECT tok, df, sx,
+             ((nd.n_docs * sxx - sx * sx) * 1000000) // (nd.n_docs * sx) AS vmr_ppm
+           FROM st, nd),
+         r AS (SELECT *, CAST(row_number() OVER (ORDER BY vmr_ppm DESC, tok) AS INT) AS rk FROM sc)
+         SELECT tok, df, sx, vmr_ppm, rk FROM r WHERE rk <= 20 ORDER BY rk""",
+    "text_mattr" ->
+      """WITH toks AS (SELECT doc_id, CAST(g AS BIGINT) - 1 AS p,
+             list_extract(w, CAST(g AS BIGINT)) AS tok
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             unnest(range(1, len(w) + 1)) AS t(g)),
+         pr AS (SELECT doc_id, p,
+             coalesce(lag(p) OVER (PARTITION BY doc_id, tok ORDER BY p), -1) AS prev,
+             count(*) OVER (PARTITION BY doc_id) AS L FROM toks),
+         f AS (SELECT doc_id, L, least(p, L - 50) AS hi,
+             greatest(p - 49, 0, prev + 1) AS lo
+           FROM pr WHERE L >= 50)
+         SELECT doc_id, CAST(max(L) AS BIGINT) AS n_tokens,
+           CAST(sum(greatest(hi - lo + 1, 0)) AS BIGINT) AS distinct_sum,
+           CAST(sum(greatest(hi - lo + 1, 0)) AS BIGINT) * 1000000
+             // (50 * (CAST(max(L) AS BIGINT) - 49)) AS mattr_ppm
+         FROM f GROUP BY doc_id ORDER BY doc_id""",
+    "text_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         p AS (SELECT substr(w, CAST(g AS INT), 2) AS pair
+           FROM w, unnest(range(1, len(w))) AS t(g) WHERE len(w) >= 2),
+         c AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1),
+         r AS (SELECT pair, n,
+             CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rk
+           FROM c)
+         SELECT pair, n, rk FROM r WHERE rk <= 20 ORDER BY rk""",
+    "text_yule_k" ->
+      """WITH toks AS (SELECT source,
+           unnest(string_split(text, ' ')) AS tok FROM documents),
+         tf AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+           FROM toks GROUP BY 1, 2),
+         g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(c*c) AS BIGINT) AS s2
+           FROM tf GROUP BY 1)
+         SELECT source, n_tokens, n_types, s2,
+           CAST(10000000 * (s2 - n_tokens) // (n_tokens * n_tokens)
+             AS BIGINT) AS k_milli
+         FROM g ORDER BY source""",
+    // running extrema over the preceding frame, same null-first-day rule,
+    "text_sumbasic_pick" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         pos AS (SELECT doc_id, CAST(g AS BIGINT) - 1 AS pos,
+             list_extract(w, CAST(g AS BIGINT)) AS tok
+           FROM toks, unnest(range(1, len(w) + 1)) AS t(g)),
+         freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS f
+           FROM pos GROUP BY 1),
+         ch AS (SELECT doc_id, pos // 10 AS chunk,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(f) AS BIGINT) AS sum_freq
+           FROM pos JOIN freq USING (tok) GROUP BY 1, 2),
+         sc AS (SELECT doc_id, chunk, n_words, sum_freq,
+             CAST(sum_freq * 1000000 // n_words AS BIGINT) AS score_q,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY sum_freq * 1000000 // n_words DESC, chunk) AS rn,
+             CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_chunks
+           FROM ch)
+         SELECT doc_id, n_chunks, CAST(chunk AS BIGINT) AS best_chunk,
+           n_words, sum_freq, score_q
+         FROM sc WHERE rn = 1 ORDER BY doc_id""",
+    // 4 unrolled greedy rounds over the same r2-ball edge list,
+    "text_positional_bias" ->
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+         pos AS (SELECT source, CAST(len(w) AS BIGINT) AS len,
+             CAST(g AS BIGINT) - 1 AS pos,
+             list_extract(w, CAST(g AS BIGINT)) AS tok
+           FROM toks, unnest(range(1, len(w) + 1)) AS t(g)
+           WHERE len(w) > 1),
+         top AS (SELECT tok FROM (SELECT tok, count(*) AS f FROM pos
+           GROUP BY 1 ORDER BY f DESC, tok LIMIT 20) tt)
+         SELECT source, tok, CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(sum(1000 * pos // (len - 1)) AS BIGINT) AS sum_relq,
+           CAST(sum(1000 * pos // (len - 1)) // count(*) AS BIGINT) AS mean_relq
+         FROM pos JOIN top USING (tok)
+         GROUP BY 1, 2 ORDER BY source, tok""",
+    // same OD flows, margin-product ppm null, floored deviations,
+    "text_wordpiece_count" -> {
+      val values = wordpieceVocab
+        .map(p => s"('${p}', ${p.length})").mkString(",")
+      s"""WITH RECURSIVE vocab(piece, plen) AS (VALUES $values),
+         occ AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt FROM
+           (SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents) tt GROUP BY 1, 2),
+         tk AS (SELECT DISTINCT tok FROM occ),
+         pos AS (SELECT tok, CAST(g AS BIGINT) AS pos
+           FROM tk, unnest(range(1, len(tok) + 1)) AS p(g)),
+         st AS (SELECT pos.tok, pos.pos,
+             COALESCE(max(CASE WHEN substr(pos.tok, CAST(pos.pos AS INT),
+               v.plen) = v.piece THEN v.plen END), 1) AS steplen
+           FROM pos LEFT JOIN vocab v
+             ON substr(pos.tok, CAST(pos.pos AS INT), v.plen) = v.piece
+           GROUP BY 1, 2),
+         w AS (SELECT tok, CAST(1 AS BIGINT) AS pos,
+             CAST(0 AS BIGINT) AS pieces, CAST(0 AS BIGINT) AS multi
+           FROM tk
+           UNION ALL
+           SELECT w.tok, w.pos + st.steplen, w.pieces + 1,
+             w.multi + CASE WHEN st.steplen >= 2 THEN 1 ELSE 0 END
+           FROM w JOIN st ON st.tok = w.tok AND st.pos = w.pos),
+         fin AS (SELECT tok, pieces, multi FROM w
+           WHERE pos = len(tok) + 1)
+         SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           CAST(sum(cnt * pieces) AS BIGINT) AS n_pieces,
+           CAST(sum(cnt * multi) AS BIGINT) AS n_multi,
+           CAST(1000 * sum(cnt * pieces) // sum(cnt) AS BIGINT) AS ppt_milli
+         FROM occ JOIN fin USING (tok) GROUP BY 1 ORDER BY source"""
+    },
+    // same cell walk, 15-day bins, zero-filled MK pairs + class rules,
+    "text_textrank" -> {
+      val rounds = (1 to 3).map { r =>
+        s"""c$r AS (SELECT e.dst AS node, sum(rr.pr // o.outdeg) AS inflow
+             FROM r${r - 1} rr JOIN outdeg o USING (node)
+             JOIN e ON e.src = rr.node GROUP BY 1),
+           r$r AS (SELECT n.node,
+               150000 + (850000 * COALESCE(c.inflow, 0)) // 1000000 AS pr
+             FROM nodes n LEFT JOIN c$r c USING (node))"""
+      }.mkString(",\n         ")
+      s"""WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         tp0 AS (SELECT doc_id, CAST(g AS BIGINT) - 1 AS pos,
+             list_extract(w, CAST(g AS BIGINT)) AS tok
+           FROM tw, unnest(range(1, len(w) + 1)) AS t(g)),
+         ids AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS id
+           FROM (SELECT DISTINCT tok FROM tp0) d),
+         tp AS (SELECT doc_id, pos, id FROM tp0 JOIN ids USING (tok)),
+         co AS (SELECT a.id AS u, b.id AS v FROM tp a JOIN tp b
+           ON b.doc_id = a.doc_id
+           AND (a.pos = b.pos + 1 OR a.pos = b.pos + 2)
+           WHERE a.id <> b.id),
+         e AS (SELECT u AS src, v AS dst FROM co
+           UNION SELECT v, u FROM co),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         outdeg AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
+         r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+         $rounds
+         SELECT tok, CAST(pr AS BIGINT) AS pr
+         FROM r3 JOIN ids ON ids.id = r3.node
+         ORDER BY pr DESC, tok LIMIT 10"""
+    },
+    // 4-neighbour conduction terms, positive-only floors,
+    "text_stylo_delta" ->
+      """WITH toks AS (SELECT source,
+           unnest(string_split(text, ' ')) AS tok FROM documents),
+         top AS (SELECT tok FROM (SELECT tok, count(*) AS f FROM toks
+           GROUP BY 1 ORDER BY f DESC, tok LIMIT 20) t),
+         tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tok
+           FROM toks GROUP BY 1),
+         cnt AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+           FROM toks JOIN top USING (tok) GROUP BY 1, 2),
+         fpm AS (SELECT cnt.source, tok,
+             CAST(1000000 * c // n_tok AS BIGINT) AS fpm
+           FROM cnt JOIN tot USING (source)),
+         g0 AS (SELECT s.source, t.tok
+           FROM (SELECT source FROM tot) s, top t),
+         grid AS (SELECT g0.source, g0.tok,
+             COALESCE(f.fpm, CAST(0 AS BIGINT)) AS fpm
+           FROM g0 LEFT JOIN fpm f ON f.source = g0.source
+             AND f.tok = g0.tok)
+         SELECT a.source AS src_a, b.source AS src_b,
+           CAST(sum(abs(a.fpm - b.fpm)) AS BIGINT) AS l1_fpm
+         FROM grid a JOIN grid b ON b.tok = a.tok
+           AND a.source < b.source
+         GROUP BY 1, 2 ORDER BY src_a, src_b""",
+    // > ALL via NOT EXISTS over cross-multiplied exact cents,
+    "text_bpe_merge" ->
+      """WITH w AS (SELECT tok, CAST(count(*) AS BIGINT) AS wcnt FROM
+           (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+           GROUP BY 1),
+         s0 AS (SELECT tok, wcnt,
+             ' ' || trim(regexp_replace(tok, '(.)', '\1 ', 'g')) || ' ' AS seg
+           FROM w),
+         sp0 AS (SELECT tok, wcnt, string_split(trim(seg), ' ') AS ls FROM s0),
+         py0 AS (SELECT wcnt, list_extract(ls, CAST(g AS BIGINT)) AS a,
+             list_extract(ls, CAST(g AS BIGINT) + 1) AS b
+           FROM sp0, unnest(range(1, len(ls))) AS t(g)),
+         t1 AS (SELECT a, b, CAST(sum(wcnt) AS BIGINT) AS cnt FROM py0
+           GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1),
+         s1 AS (SELECT tok, wcnt, replace(seg,
+             ' ' || (SELECT a FROM t1) || ' ' || (SELECT b FROM t1) || ' ',
+             ' ' || (SELECT a FROM t1) || (SELECT b FROM t1) || ' ') AS seg
+           FROM s0),
+         n1 AS (SELECT CAST(sum(wcnt * len(string_split(trim(seg), ' ')))
+             AS BIGINT) AS ns FROM s1),
+         sp1 AS (SELECT tok, wcnt, string_split(trim(seg), ' ') AS ls FROM s1),
+         py1 AS (SELECT wcnt, list_extract(ls, CAST(g AS BIGINT)) AS a,
+             list_extract(ls, CAST(g AS BIGINT) + 1) AS b
+           FROM sp1, unnest(range(1, len(ls))) AS t(g)),
+         t2 AS (SELECT a, b, CAST(sum(wcnt) AS BIGINT) AS cnt FROM py1
+           GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1),
+         s2 AS (SELECT tok, wcnt, replace(seg,
+             ' ' || (SELECT a FROM t2) || ' ' || (SELECT b FROM t2) || ' ',
+             ' ' || (SELECT a FROM t2) || (SELECT b FROM t2) || ' ') AS seg
+           FROM s1),
+         n2 AS (SELECT CAST(sum(wcnt * len(string_split(trim(seg), ' ')))
+             AS BIGINT) AS ns FROM s2)
+         SELECT CAST(1 AS BIGINT) AS round, a AS sym_a, b AS sym_b,
+           cnt AS pair_cnt, (SELECT ns FROM n1) AS n_symbols_after FROM t1
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), a, b, cnt, (SELECT ns FROM n2) FROM t2
+         ORDER BY round""",
+    // base-4 carry closed form, windowed cumulative writes,
+    "text_char_class_profile" ->
+      """WITH d AS (SELECT source, CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))
+             AS BIGINT) AS n_alpha,
+           CAST(length(text) - length(regexp_replace(text, ' ', '', 'g'))
+             AS BIGINT) AS n_space
+           FROM documents)
+         SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(n_alpha) AS BIGINT) AS n_alpha,
+           CAST(sum(n_space) AS BIGINT) AS n_space,
+           CAST(1000000 * sum(n_alpha) // sum(n_chars) AS BIGINT) AS alpha_ppm
+         FROM d GROUP BY 1 ORDER BY source""",
+    // exact trailing-28-day distinct via day x active-day range join
+  )
+}
