@@ -1411,6 +1411,12 @@ object Graph {
       .localCheckpoint(false)
     val nNodes = sym.select("u").distinct().count()
     val nEdges = e.count()
+    // empty (or all-self-loop) input would divide by zero below — return
+    // the empty result frame instead, matching the require() style of the
+    // other ops for impossible-parameter cases
+    if (nEdges == 0L)
+      return spark.emptyDataset[(Long, Long, Long)]
+        .toDF("round", "node", "score_milli")
     val delta = 1000L * nNodes / (2L * nEdges)
     var ability = sym.select(col("u").as("node")).distinct()
       .withColumn("ab", lit(1000L)).localCheckpoint(false)

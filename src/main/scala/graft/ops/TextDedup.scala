@@ -721,8 +721,10 @@ object TextDedup {
         expr("transform(sequence(1, length(w)-1), i -> substring(w, i, 2))"))
         .as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("n"))
+      // top-K via distributed TakeOrdered; the rank window then runs
+      // over a provably-topK-row frame, never the full pair vocabulary
+      .orderBy(col("n").desc, col("pair").asc).limit(topK)
       .withColumn("rk", row_number()
         .over(Window.orderBy(col("n").desc, col("pair").asc)).cast("int"))
-      .filter(col("rk") <= topK)
   }
 }

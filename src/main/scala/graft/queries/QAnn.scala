@@ -333,6 +333,8 @@ object QAnn {
         .agg(count(lit(1)).as("n"), sum("xq").as("s"),
           sum(expr("xq * xq")).as("ss"))
         .withColumn("var_num", expr("n * ss - s * s"))
+        // global window input is the per-dimension aggregate: the frame
+        // is bounded by the embedding dimensionality (64), not rows
         .withColumn("rank", row_number().over(
           Window.orderBy(col("var_num").desc, col("d"))).cast("int"))
         .orderBy("d")

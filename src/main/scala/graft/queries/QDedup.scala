@@ -263,6 +263,8 @@ object QDedup {
         .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("k1"),
           sum(when(!col("pos"), 1L).otherwise(0L)).as("k2"))
         .withColumn("k", col("k1") + col("k2"))
+      // global window input is the per-score aggregate: score is ppm in
+      // [0, 10^6], so the frame is provably ≤ 1e6+1 rows at any data scale
       val w = Window.orderBy("score")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       counts.withColumn("before", sum("k").over(w) - col("k"))

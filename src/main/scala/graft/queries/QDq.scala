@@ -360,8 +360,12 @@ object QDq {
     // noise-tolerant — the fourth member of the dtw/frechet/lcss family
     // over the shared synthetic trajectories, eps2 = 25.,
     "dq_id_gap_census" -> ((s, dir) => {
-      t(s, dir, "orders").select(col("o_orderkey").as("k")).distinct()
-        .withColumn("prev", lag("k", 1).over(Window.orderBy("k")))
+      // key-space rows scale with the data: the adjacent-key delta uses
+      // the range-partitioned two-phase lag with boundary carry
+      // (ops.GlobalRank), never a global single-partition window
+      ops.GlobalRank.withLag(
+          t(s, dir, "orders").select(col("o_orderkey").as("k")).distinct(),
+          "k", "prev", Seq(col("k")))
         .agg(count(lit(1)).as("n_keys"),
           min("k").as("min_key"), max("k").as("max_key"),
           sum(when(col("prev").isNotNull && col("k") - col("prev") > 1, 1L)

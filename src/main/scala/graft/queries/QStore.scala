@@ -823,9 +823,11 @@ object QStore {
     // disagrees with the pseudorandom payload bit (r*7+c*13 parity) —
     // the steganographic capacity/visibility number, exact.,
     "store_rle_gain" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-        .withColumn("prev", lag("o_orderstatus", 1).over(
-          Window.orderBy("o_orderkey")))
+      // run-length census over the FULL orders table in key order: the
+      // adjacent-row compare uses the range-partitioned two-phase lag
+      // (ops.GlobalRank), never a global single-partition window
+      val o = ops.GlobalRank.withLag(t(s, dir, "orders"),
+        "o_orderstatus", "prev", Seq(col("o_orderkey")))
       val natural = o.agg(count(lit(1)).as("n_rows"),
         sum(when(col("prev").isNull ||
           col("prev") =!= col("o_orderstatus"), 1L).otherwise(0L))

@@ -25,9 +25,10 @@ object QText {
       t(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("freq"))
+        // top-50 via distributed TakeOrdered; rank window over 50 rows
+        .orderBy(col("freq").desc, col("w")).limit(50)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("freq").desc, col("w"))).cast("int"))
-        .filter(col("rank") <= 50)
         .withColumn("rank_x_freq", expr("rank * freq"))
         .select("rank", "w", "freq", "rank_x_freq")
         .orderBy("rank")
@@ -110,7 +111,10 @@ object QText {
       val f = t(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("freq"))
-      val ranked = f.withColumn("rank", row_number().over(
+      // ranks needed only to 500: distributed TakeOrdered bounds the
+      // frame, so the rank/cumsum windows run over 500 rows
+      val ranked = f.orderBy(col("freq").desc, col("w")).limit(500)
+        .withColumn("rank", row_number().over(
           Window.orderBy(col("freq").desc, col("w"))).cast("int"))
         .withColumn("cum_freq", sum("freq").over(
           Window.orderBy(col("freq").desc, col("w"))
@@ -377,6 +381,9 @@ object QText {
       firstSeen
         .groupBy((expr("first_doc DIV 50") * 50 + 50).as("n_docs"))
         .agg(count(lit(1)).as("new_types"))
+        // global window input is the per-50-doc-bucket aggregate: the
+        // frame is corpus_size/50 rows — fine at gate scale; a 100 TB
+        // corpus would widen the bucket (the curve's resolution knob)
         .withColumn("vocab", sum("new_types").over(Window.orderBy("n_docs")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .orderBy("n_docs")
@@ -419,9 +426,10 @@ object QText {
         .crossJoin(broadcast(nd))
         .withColumn("vmr_ppm",
           expr("((n_docs * sxx - sx * sx) * 1000000) div (n_docs * sx)"))
+        // top-20 via distributed TakeOrdered; rank window over 20 rows
+        .orderBy(col("vmr_ppm").desc, col("tok")).limit(20)
         .withColumn("rk", row_number().over(
           Window.orderBy(col("vmr_ppm").desc, col("tok"))))
-        .filter(col("rk") <= 20)
         .select("tok", "df", "sx", "vmr_ppm", "rk")
         .orderBy("rk")
     }),
@@ -450,6 +458,13 @@ object QText {
     // bijective on the byte triple and the oracle recomputes the same
     // triples from the closed-form grid.,
     "text_yule_k" -> ((s, dir) => {
+      // k in DECIMAL(38,0): 10^7·(s2 − n) reaches 2^63 already at ~10^6
+      // concentrated tokens per source, where bigint math would wrap
+      // silently (ANSI off) while DuckDB errors. Wide integers on both
+      // sides (decimal here, HUGEINT in the oracle) agree up to 10^12
+      // tokens/source; the remaining headroom bound is the s2 AGGREGATE
+      // itself (a single type must stay under ~3.0e9 occurrences per
+      // source for c*c to fit bigint).
       t(s, dir, "documents")
         .select(col("source"), explode(split(col("text"), " ")).as("tok"))
         .groupBy("source", "tok").agg(count(lit(1)).as("c"))
@@ -457,7 +472,8 @@ object QText {
         .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
           sum(expr("c * c")).as("s2"))
         .withColumn("k_milli", expr(
-          "10000000 * (s2 - n_tokens) DIV (n_tokens * n_tokens)"))
+          """10000000 * (CAST(s2 AS DECIMAL(38,0)) - n_tokens)
+             DIV (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens)"""))
         .orderBy("source")
     }),
     // Record-breaking days per event type: running-max/min census over the
@@ -540,8 +556,10 @@ object QText {
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), posexplode(split(col("text"), " ")))
         .withColumnRenamed("col", "tok")
-      val ids = toks.select("tok").distinct()
-        .withColumn("id", row_number().over(Window.orderBy("tok")).cast("long"))
+      // vocab-scaled rows: dense ids via the range-partitioned two-phase
+      // row_number (ops.GlobalRank), never a global single-partition window
+      val ids = ops.GlobalRank.withRowNumber(
+        toks.select("tok").distinct(), "id", Seq(col("tok")))
       val tp = toks.join(ids, Seq("tok"))
         .select(col("doc_id"), col("pos"), col("id"))
       val co = (1 to 2).map { d =>
@@ -604,8 +622,12 @@ object QText {
           .agg(sum("wcnt").as("cnt"))
           .orderBy(col("cnt").desc, col("a").asc, col("b").asc).limit(1)
           .as[(String, String, Long)].collect()(0)
+        // column/literal API, not string-interpolated expr(): the merge
+        // symbols are corpus-derived, and a token containing a quote or
+        // backslash would break (or inject into) a parsed SQL string
         words = words.withColumn("seg",
-            expr(s"replace(seg, ' ${top._1} ${top._2} ', ' ${top._1}${top._2} ')"))
+            replace(col("seg"), lit(s" ${top._1} ${top._2} "),
+              lit(s" ${top._1}${top._2} ")))
           .localCheckpoint(false)
         val nAfter = words
           .select((col("wcnt") * (size(split(trim(col("seg")), " ")))).as("ns"))
@@ -1084,7 +1106,8 @@ object QText {
              CAST(sum(c*c) AS BIGINT) AS s2
            FROM tf GROUP BY 1)
          SELECT source, n_tokens, n_types, s2,
-           CAST(10000000 * (s2 - n_tokens) // (n_tokens * n_tokens)
+           CAST(10000000 * (CAST(s2 AS HUGEINT) - n_tokens)
+             // (CAST(n_tokens AS HUGEINT) * n_tokens)
              AS BIGINT) AS k_milli
          FROM g ORDER BY source""",
     // running extrema over the preceding frame, same null-first-day rule,

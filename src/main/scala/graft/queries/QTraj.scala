@@ -539,9 +539,11 @@ object QTraj {
         .select(col("a.user_id").as("traj_a"),
           col("b.user_id").as("traj_b"), col("inter"), col("uni"),
           col("iou_ppm"))
+        // top-20 via distributed TakeOrdered first; the rank window then
+        // runs over a provably-20-row frame
+        .orderBy(col("iou_ppm").desc, col("traj_a"), col("traj_b")).limit(20)
         .withColumn("rk", row_number().over(Window.orderBy(
           col("iou_ppm").desc, col("traj_a"), col("traj_b"))).cast("int"))
-        .filter(col("rk") <= 20)
         .orderBy("rk")
     }),
     // Edge betweenness (ops.Graph.edgeBetweennessSampled): the Brandes
@@ -834,9 +836,11 @@ object QTraj {
           Seq("step", "cell"))
         .filter(col("a") =!= col("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("n_follow"))
+        // top-10 via distributed TakeOrdered first; the rank window then
+        // runs over a provably-10-row frame
+        .orderBy(col("n_follow").desc, col("a").asc, col("b").asc).limit(10)
         .withColumn("rk", row_number().over(Window.orderBy(
           col("n_follow").desc, col("a").asc, col("b").asc)))
-        .filter(col("rk") <= 10)
         .select("rk", "a", "b", "n_follow")
         .orderBy("rk")
     }),
