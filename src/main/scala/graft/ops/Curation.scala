@@ -608,11 +608,15 @@ object Curation {
         """greatest(4L * c_xy - 3L, 0L) * 1000000000L DIV (4L * c_x)
            + (3L * n1p_fol * (n_cont * 1000000000L DIV n_tot)) DIV (4L * c_x)
            AS p_ppb""")
+      // top-K via distributed TakeOrdered first (bigram vocab scales with
+      // the corpus); the rank window then runs over a topK-row frame with
+      // the non-foldable bounded key so it neither warns nor single-sorts
+      .orderBy(col("c_xy").desc, col("w1").asc, col("w2").asc).limit(topK)
       .withColumn("rk", row_number()
         .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(GlobalRank.boundedPartitionKey(col("c_xy")))
           .orderBy(col("c_xy").desc, col("w1").asc, col("w2").asc))
         .cast("int"))
-      .filter(col("rk") <= topK)
   }
 
   /** PII redaction — the compliance pass every published training corpus

@@ -238,7 +238,11 @@ object DataQuality {
     require(tolPpm >= 0, s"tolPpm must be >= 0: $tolPpm")
     val ppmMap = map((1 to 9).flatMap(d =>
       Seq(lit(d), lit(BenfordPpm(d - 1)))): _*)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    // window input is the 9-row digit aggregate — bounded by construction;
+    // the non-foldable zero key declares that and keeps the scale-warning
+    // log clean (see GlobalRank.boundedPartitionKey)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(GlobalRank.boundedPartitionKey(col("digit")))
     df.filter(col(column).isNotNull && col(column) > 0)
       .select(substring(col(column).cast("string"), 1, 1).cast("int")
         .as("digit"))

@@ -33,6 +33,17 @@ object GlobalRank {
   private val PID = "_gr_pid"
   private val LRN = "_gr_lrn"
 
+  /** Constant-zero partition key the optimizer CANNOT fold away: a literal
+    * `partitionBy(lit(0))` is constant-folded and eliminated (and `h * 0`
+    * is algebraically simplified to 0 first), reverting the window to an
+    * unpartitioned spec — and its "No Partition Defined" warning — whereas
+    * `pmod(hash(c), 1)` is column-dependent with no simplification rule,
+    * yet always 0. Used to mark windows whose input is a PROVABLY BOUNDED
+    * aggregate (per-day/per-dimension/post-limit frames), so the remaining
+    * warnings in a run are real scale findings, not noise.
+    */
+  def boundedPartitionKey(c: Column): Column = pmod(hash(c), lit(1))
+
   private def ranged(df: DataFrame, orderCols: Seq[Column], numParts: Int)
       : DataFrame = {
     require(numParts > 0, s"numParts must be > 0, got $numParts")
@@ -45,17 +56,22 @@ object GlobalRank {
       .localCheckpoint(false)
   }
 
+  /** Running offsets over a tiny (≤ numParts rows) per-partition aggregate
+    * via a θ-self-join instead of a window: numParts² comparisons is
+    * nothing, and the plan carries no unpartitioned window at all.
+    */
+  private def runningOffsets(perPart: DataFrame, valCol: String): DataFrame =
+    perPart.as("a")
+      .join(perPart.as("b"), col(s"b.$PID") < col(s"a.$PID"), "left")
+      .groupBy(col(s"a.$PID").as(PID))
+      .agg(coalesce(sum(col(s"b.$valCol")), lit(0L)).as("_gr_off"))
+
   /** Global `row_number()` over `orderCols` as column `out`. */
   def withRowNumber(df: DataFrame, out: String, orderCols: Seq[Column],
                     numParts: Int = 32): DataFrame = {
     val r = ranged(df, orderCols, numParts)
-    // per-partition counts: `numParts` rows — the only unpartitioned
-    // window in the plan runs over that provably-bounded aggregate
-    val offsets = r.groupBy(col(PID)).agg(count(lit(1)).as("_gr_cnt"))
-      .withColumn("_gr_off", coalesce(sum("_gr_cnt").over(
-        Window.orderBy(col(PID))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col(PID), col("_gr_off"))
+    val counts = r.groupBy(col(PID)).agg(count(lit(1)).as("_gr_cnt"))
+    val offsets = runningOffsets(counts, "_gr_cnt")
     r.join(broadcast(offsets), Seq(PID))
       .withColumn(out, col(LRN) + col("_gr_off"))
       .drop(PID, LRN, "_gr_off")
@@ -80,13 +96,20 @@ object GlobalRank {
       .filter(col(LRN) === col("_gr_maxrn"))
       .select(col(PID) +: valueToOut.map { case (v, _) =>
         col(v).as(s"_gr_last_$v") }: _*)
-    // carry for partition p = last value of the previous non-empty
-    // partition; empty partitions simply have no row here, so lag over
-    // the tiny per-partition frame skips them naturally
-    val tinyW = Window.orderBy(col(PID))
-    val carry = valueToOut.foldLeft(lastPerPart) { case (d, (v, _)) =>
-        d.withColumn(s"_gr_carry_$v", lag(s"_gr_last_$v", 1).over(tinyW))
-      }.select(col(PID) +: valueToOut.map { case (v, _) =>
+    // carry for partition p = last value of the nearest earlier NON-EMPTY
+    // partition: a θ-self-join over the tiny (≤ numParts rows) frame finds
+    // each partition's predecessor id, a second tiny join fetches its
+    // values — no unpartitioned window anywhere in the plan
+    val ids = lastPerPart.select(col(PID))
+    val prevId = ids.as("a")
+      .join(ids.as("b"), col(s"b.$PID") < col(s"a.$PID"), "left")
+      .groupBy(col(s"a.$PID").as(PID))
+      .agg(max(col(s"b.$PID")).as("_gr_prev"))
+    val prevVals = lastPerPart.select(
+      col(PID).as("_gr_prev") +: valueToOut.map { case (v, _) =>
+        col(s"_gr_last_$v").as(s"_gr_carry_$v") }: _*)
+    val carry = prevId.join(prevVals, Seq("_gr_prev"), "left")
+      .select(col(PID) +: valueToOut.map { case (v, _) =>
         col(s"_gr_carry_$v") }: _*)
     val localW = Window.partitionBy(col(PID)).orderBy(orderCols: _*)
     valueToOut.foldLeft(r.join(broadcast(carry), Seq(PID))) {
@@ -104,11 +127,8 @@ object GlobalRank {
   def withCumSum(df: DataFrame, valueCol: String, out: String,
                  orderCols: Seq[Column], numParts: Int = 32): DataFrame = {
     val r = ranged(df, orderCols, numParts)
-    val offsets = r.groupBy(col(PID)).agg(sum(valueCol).as("_gr_psum"))
-      .withColumn("_gr_off", coalesce(sum("_gr_psum").over(
-        Window.orderBy(col(PID))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col(PID), col("_gr_off"))
+    val sums = r.groupBy(col(PID)).agg(sum(valueCol).as("_gr_psum"))
+    val offsets = runningOffsets(sums, "_gr_psum")
     r.join(broadcast(offsets), Seq(PID))
       .withColumn(out, sum(valueCol).over(
           Window.partitionBy(col(PID)).orderBy(orderCols: _*)

@@ -36,6 +36,7 @@ object Skyline {
     }
     val local = pass(df, Window.partitionBy(spark_partition_id())
       .orderBy(col(xCol), col(yCol)))
-    pass(local, Window.orderBy(col(xCol), col(yCol)))
+    pass(local, Window.partitionBy(GlobalRank.boundedPartitionKey(col(xCol)))
+      .orderBy(col(xCol), col(yCol)))
   }
 }

@@ -1150,7 +1150,7 @@ object SpatialJoin {
       .withColumn("pid", spark_partition_id())
     val offs = parts.groupBy("pid").agg(count(lit(1)).as("cnt"))
       .withColumn("off", coalesce(
-        sum("cnt").over(Window.orderBy("pid")
+        sum("cnt").over(Window.partitionBy(GlobalRank.boundedPartitionKey(col("pid"))).orderBy("pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("pid", "off")
     val ranked = parts.join(broadcast(offs), "pid")

@@ -725,6 +725,6 @@ object TextDedup {
       // over a provably-topK-row frame, never the full pair vocabulary
       .orderBy(col("n").desc, col("pair").asc).limit(topK)
       .withColumn("rk", row_number()
-        .over(Window.orderBy(col("n").desc, col("pair").asc)).cast("int"))
+        .over(Window.partitionBy(GlobalRank.boundedPartitionKey(col("n"))).orderBy(col("n").desc, col("pair").asc)).cast("int"))
   }
 }

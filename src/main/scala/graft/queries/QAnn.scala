@@ -336,7 +336,7 @@ object QAnn {
         // global window input is the per-dimension aggregate: the frame
         // is bounded by the embedding dimensionality (64), not rows
         .withColumn("rank", row_number().over(
-          Window.orderBy(col("var_num").desc, col("d"))).cast("int"))
+          Window.partitionBy(ops.GlobalRank.boundedPartitionKey(col("var_num"))).orderBy(col("var_num").desc, col("d"))).cast("int"))
         .orderBy("d")
     }),
     // Sampled silhouette audit (ops.Embeddings.silhouetteStats): are the

@@ -265,7 +265,7 @@ object QDedup {
         .withColumn("k", col("k1") + col("k2"))
       // global window input is the per-score aggregate: score is ppm in
       // [0, 10^6], so the frame is provably ≤ 1e6+1 rows at any data scale
-      val w = Window.orderBy("score")
+      val w = Window.partitionBy(ops.GlobalRank.boundedPartitionKey(col("score"))).orderBy("score")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       counts.withColumn("before", sum("k").over(w) - col("k"))
         .withColumn("term", expr("k1 * (2 * before + k + 1)"))

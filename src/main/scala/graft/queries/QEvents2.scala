@@ -209,7 +209,7 @@ object QEvents2 {
       // day count, so the frame is bounded by the calendar span, not rows
       val lifeCnt = lv.groupBy("lifetime").agg(count(lit(1)).as("n_at"))
       val nGe = lifeCnt.withColumn("n_ge",
-        sum("n_at").over(Window.orderBy(col("lifetime").desc)
+        sum("n_at").over(Window.partitionBy(ops.GlobalRank.boundedPartitionKey(col("lifetime"))).orderBy(col("lifetime").desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       val curve = lv.filter(col("died") === 1)
         .groupBy(col("lifetime").as("t")).agg(count(lit(1)).as("d_k"))
@@ -403,7 +403,7 @@ object QEvents2 {
         // top-10 via distributed TakeOrdered; rank window over 10 rows
         .orderBy(col("n").desc, col("path")).limit(10)
         .withColumn("rk", row_number().over(
-          Window.orderBy(col("n").desc, col("path"))))
+          Window.partitionBy(ops.GlobalRank.boundedPartitionKey(col("n"))).orderBy(col("n").desc, col("path"))))
         .orderBy("rk")
     }),
     // Kitagawa MIX-SHIFT decomposition (public): the change in overall

@@ -629,7 +629,7 @@ object QGeo1 {
         // top-10 via distributed TakeOrdered; rank window over 10 rows
         .orderBy(col("n").desc, col("x"), col("y")).limit(10)
         .withColumn("rank", row_number().over(
-          Window.orderBy(col("n").desc, col("x"), col("y"))))
+          Window.partitionBy(ops.GlobalRank.boundedPartitionKey(col("n"))).orderBy(col("n").desc, col("x"), col("y"))))
         .select("x", "y", "n", "share_ppm", "rank")
         .orderBy("rank")
     }),

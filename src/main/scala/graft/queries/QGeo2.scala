@@ -540,7 +540,7 @@ object QGeo2 {
         .withColumn("cy_milli", expr("sy * 1000 DIV n"))
       // global window input is the per-day aggregate: the frame is
       // bounded by the calendar span, not the row count
-      val wd = Window.orderBy("day")
+      val wd = Window.partitionBy(ops.GlobalRank.boundedPartitionKey(col("day"))).orderBy("day")
       daily.withColumn("pcx", lag("cx_milli", 1).over(wd))
         .withColumn("pcy", lag("cy_milli", 1).over(wd))
         .withColumn("drift_d2_milli", expr(

@@ -529,7 +529,7 @@ object QGraph {
       ops.Graph.edgeBetweennessSampled(edges, Seq(0L, 1L, 2L), rounds = 4)
         .orderBy(col("ebc_ppm").desc, col("a"), col("b")).limit(20)
         .withColumn("rk", row_number().over(
-          Window.orderBy(col("ebc_ppm").desc, col("a"), col("b")))
+          Window.partitionBy(ops.GlobalRank.boundedPartitionKey(col("ebc_ppm"))).orderBy(col("ebc_ppm").desc, col("a"), col("b")))
           .cast("int"))
         .orderBy("rk")
     }),

@@ -717,7 +717,7 @@ object QStore {
     // (ops.Graph.labelPropagate) over the trajectory flow graph —
     // the catchment/zone discovery step after traj_od_matrix.,
     "store_write_amp_sim" -> ((s, dir) => {
-      val w = Window.orderBy("n")
+      val w = Window.partitionBy(ops.GlobalRank.boundedPartitionKey(col("n"))).orderBy("n")
       s.range(1, 129).toDF("n")
         .withColumn("lev", expr(
           """1 + (CASE WHEN n % 4 = 0 THEN 4 + 4 * ((n DIV 4 - 1) % 4) ELSE 0 END)
@@ -749,7 +749,7 @@ object QStore {
       val xs = s.range(0, 24).selectExpr("CAST(id AS INT) AS h")
         .join(hourly, Seq("h"), "left")
         .withColumn("x", coalesce(col("x"), lit(0L)))
-      val wv = Window.orderBy("h")
+      val wv = Window.partitionBy(ops.GlobalRank.boundedPartitionKey(col("h"))).orderBy("h")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val pref = xs
         .withColumn("ps", sum("x").over(wv))

@@ -28,7 +28,7 @@ object QText {
         // top-50 via distributed TakeOrdered; rank window over 50 rows
         .orderBy(col("freq").desc, col("w")).limit(50)
         .withColumn("rank", row_number().over(
-          Window.orderBy(col("freq").desc, col("w"))).cast("int"))
+          Window.partitionBy(ops.GlobalRank.boundedPartitionKey(col("freq"))).orderBy(col("freq").desc, col("w"))).cast("int"))
         .withColumn("rank_x_freq", expr("rank * freq"))
         .select("rank", "w", "freq", "rank_x_freq")
         .orderBy("rank")
@@ -115,9 +115,9 @@ object QText {
       // frame, so the rank/cumsum windows run over 500 rows
       val ranked = f.orderBy(col("freq").desc, col("w")).limit(500)
         .withColumn("rank", row_number().over(
-          Window.orderBy(col("freq").desc, col("w"))).cast("int"))
+          Window.partitionBy(ops.GlobalRank.boundedPartitionKey(col("freq"))).orderBy(col("freq").desc, col("w"))).cast("int"))
         .withColumn("cum_freq", sum("freq").over(
-          Window.orderBy(col("freq").desc, col("w"))
+          Window.partitionBy(ops.GlobalRank.boundedPartitionKey(col("freq"))).orderBy(col("freq").desc, col("w"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       val tot = f.agg(sum("freq").as("total_freq"))
       ranked.filter(col("rank").isin(10, 50, 100, 500))
@@ -384,7 +384,7 @@ object QText {
         // global window input is the per-50-doc-bucket aggregate: the
         // frame is corpus_size/50 rows — fine at gate scale; a 100 TB
         // corpus would widen the bucket (the curve's resolution knob)
-        .withColumn("vocab", sum("new_types").over(Window.orderBy("n_docs")
+        .withColumn("vocab", sum("new_types").over(Window.partitionBy(ops.GlobalRank.boundedPartitionKey(col("n_docs"))).orderBy("n_docs")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .orderBy("n_docs")
     }),
@@ -429,7 +429,7 @@ object QText {
         // top-20 via distributed TakeOrdered; rank window over 20 rows
         .orderBy(col("vmr_ppm").desc, col("tok")).limit(20)
         .withColumn("rk", row_number().over(
-          Window.orderBy(col("vmr_ppm").desc, col("tok"))))
+          Window.partitionBy(ops.GlobalRank.boundedPartitionKey(col("vmr_ppm"))).orderBy(col("vmr_ppm").desc, col("tok"))))
         .select("tok", "df", "sx", "vmr_ppm", "rk")
         .orderBy("rk")
     }),

@@ -542,8 +542,9 @@ object QTraj {
         // top-20 via distributed TakeOrdered first; the rank window then
         // runs over a provably-20-row frame
         .orderBy(col("iou_ppm").desc, col("traj_a"), col("traj_b")).limit(20)
-        .withColumn("rk", row_number().over(Window.orderBy(
-          col("iou_ppm").desc, col("traj_a"), col("traj_b"))).cast("int"))
+        .withColumn("rk", row_number().over(Window
+          .partitionBy(ops.GlobalRank.boundedPartitionKey(col("iou_ppm")))
+          .orderBy(col("iou_ppm").desc, col("traj_a"), col("traj_b"))).cast("int"))
         .orderBy("rk")
     }),
     // Edge betweenness (ops.Graph.edgeBetweennessSampled): the Brandes
@@ -839,8 +840,9 @@ object QTraj {
         // top-10 via distributed TakeOrdered first; the rank window then
         // runs over a provably-10-row frame
         .orderBy(col("n_follow").desc, col("a").asc, col("b").asc).limit(10)
-        .withColumn("rk", row_number().over(Window.orderBy(
-          col("n_follow").desc, col("a").asc, col("b").asc)))
+        .withColumn("rk", row_number().over(Window
+          .partitionBy(ops.GlobalRank.boundedPartitionKey(col("n_follow")))
+          .orderBy(col("n_follow").desc, col("a").asc, col("b").asc)))
         .select("rk", "a", "b", "n_follow")
         .orderBy("rk")
     }),
