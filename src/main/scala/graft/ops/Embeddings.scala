@@ -482,7 +482,7 @@ object Embeddings {
     * form — plan shape identical (constant arrays either way, same lazy
     * byte-gated probe broadcast).
     */
-  private def coarseProbeWith(vecs: DataFrame, queries: DataFrame,
+  private[graft] def coarseProbeWith(vecs: DataFrame, queries: DataFrame,
                               cents: Array[Array[Double]], nProbe: Int,
                               broadcastMaxBytes: Long): (DataFrame, DataFrame) = {
     val dists = cents.indices.map { c =>
