@@ -85,6 +85,17 @@ object Verify {
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
 
+    // machine-readable completion frontier, appended as each query lands
+    // (JSON-lines, not one JSON doc: a killed run leaves every completed
+    // line intact)
+    val statusPath = Paths.get(s"$outDir/verify_status.jsonl")
+    Files.deleteIfExists(statusPath)
+    def status(line: String): Unit = synchronized {
+      Files.writeString(statusPath, line + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND): Unit
+    }
+
     val pool = Executors.newFixedThreadPool(nThreads)
     val t0 = System.nanoTime()
     names.foreach { name =>
@@ -93,9 +104,12 @@ object Verify {
         try {
           registry(name)(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
-          System.err.println(f"[verify] $name ok ${(System.nanoTime() - q0) / 1e9}%.1fs (t+${(System.nanoTime() - t0) / 1e9}%.0fs)")
+          val secs = (System.nanoTime() - q0) / 1e9
+          System.err.println(f"[verify] $name ok $secs%.1fs (t+${(System.nanoTime() - t0) / 1e9}%.0fs)")
+          status(f"""{"query": ${q(name)}, "ok": true, "secs": $secs%.2f}""")
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          status(s"""{"query": ${q(name)}, "ok": false, "error": ${q(String.valueOf(e.getMessage))}}""")
           if (sys.env.contains("SPARK_GRAFT_VERBOSE"))
             e.getStackTrace.take(12).foreach(f =>
               System.err.println(s"[verify]   at $f"))
