@@ -23,7 +23,13 @@ import org.apache.spark.sql.{Column, DataFrame}
   * ranked rows and the tiny per-partition aggregate) must observe the SAME
   * sampled range boundaries; exchange reuse usually guarantees that, but
   * AQE can re-plan branches independently, and a silent boundary mismatch
-  * would corrupt ranks.
+  * would corrupt ranks. Cost at scale: the checkpoint materializes the
+  * ranged input once (memory-and-disk, distributed) — the same cost class
+  * as the range shuffle itself and strictly cheaper than the single-node
+  * sort of the whole input that the global window it replaces would run.
+  * `numParts` defaults to the session's shuffle parallelism
+  * (`spark.sql.shuffle.partitions`) so the per-partition sorts scale with
+  * the cluster; correctness is independent of the value.
   *
   * `orderCols` MUST be a total order (break ties with a unique id) — the
   * same contract the single-partition window needs for determinism anyway.
@@ -44,8 +50,15 @@ object GlobalRank {
     */
   def boundedPartitionKey(c: Column): Column = pmod(hash(c), lit(1))
 
-  private def ranged(df: DataFrame, orderCols: Seq[Column], numParts: Int)
+  private def ranged(df: DataFrame, orderCols: Seq[Column], numParts0: Int)
       : DataFrame = {
+    // -1 (the public default) = the session's shuffle parallelism, so the
+    // per-partition sorts scale with the cluster exactly like any other
+    // shuffle — a FIXED default would mean n/32 rows per sort task at 100 TB
+    val numParts =
+      if (numParts0 == -1)
+        df.sparkSession.sessionState.conf.numShufflePartitions
+      else numParts0
     require(numParts > 0, s"numParts must be > 0, got $numParts")
     require(!df.columns.contains(PID) && !df.columns.contains(LRN),
       s"input must not carry the scratch columns $PID/$LRN")
@@ -68,7 +81,7 @@ object GlobalRank {
 
   /** Global `row_number()` over `orderCols` as column `out`. */
   def withRowNumber(df: DataFrame, out: String, orderCols: Seq[Column],
-                    numParts: Int = 32): DataFrame = {
+                    numParts: Int = -1): DataFrame = {
     val r = ranged(df, orderCols, numParts)
     val counts = r.groupBy(col(PID)).agg(count(lit(1)).as("_gr_cnt"))
     val offsets = runningOffsets(counts, "_gr_cnt")
@@ -82,14 +95,14 @@ object GlobalRank {
     * nearest earlier non-empty partition (null for the global first row).
     */
   def withLag(df: DataFrame, valueCol: String, out: String,
-              orderCols: Seq[Column], numParts: Int = 32): DataFrame =
+              orderCols: Seq[Column], numParts: Int = -1): DataFrame =
     withLags(df, Seq(valueCol -> out), orderCols, numParts)
 
   /** [[withLag]] for several value columns over ONE shared order — a single
     * range shuffle and one boundary-carry join for all of them.
     */
   def withLags(df: DataFrame, valueToOut: Seq[(String, String)],
-               orderCols: Seq[Column], numParts: Int = 32): DataFrame = {
+               orderCols: Seq[Column], numParts: Int = -1): DataFrame = {
     val r = ranged(df, orderCols, numParts)
     val lastPerPart = r.withColumn("_gr_maxrn",
         max(col(LRN)).over(Window.partitionBy(col(PID))))
@@ -125,7 +138,7 @@ object GlobalRank {
     * cumulative total of earlier range partitions.
     */
   def withCumSum(df: DataFrame, valueCol: String, out: String,
-                 orderCols: Seq[Column], numParts: Int = 32): DataFrame = {
+                 orderCols: Seq[Column], numParts: Int = -1): DataFrame = {
     val r = ranged(df, orderCols, numParts)
     val sums = r.groupBy(col(PID)).agg(sum(valueCol).as("_gr_psum"))
     val offsets = runningOffsets(sums, "_gr_psum")
@@ -142,7 +155,7 @@ object GlobalRank {
     * get `n/buckets + 1` rows, the rest `n/buckets`.
     */
   def withNtile(df: DataFrame, out: String, buckets: Int,
-                orderCols: Seq[Column], numParts: Int = 32): DataFrame = {
+                orderCols: Seq[Column], numParts: Int = -1): DataFrame = {
     require(buckets > 0, s"buckets must be > 0, got $buckets")
     val rn = "_gr_rn"
     val withRn = withRowNumber(df, rn, orderCols, numParts)
