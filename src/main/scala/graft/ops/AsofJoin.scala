@@ -62,10 +62,10 @@ object AsofJoin {
         Seq(col(tsCol).as(asofTs), lit(0).as(sideCol)) ++
         leftExtra.map(n => lit(null).cast(left.schema(n).dataType).as(n)): _*)
     val leftU = left.select(
-      left.columns.map(col) ++
+      (left.columns.map(col) ++
         payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"asof_$p")) ++
         Seq(lit(null).cast(right.schema(tsCol).dataType).as(asofTs),
-          lit(1).as(sideCol)): _*)
+          lit(1).as(sideCol))).toIndexedSeq: _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol), col(sideCol), col(seqCol))
@@ -82,7 +82,7 @@ object AsofJoin {
         val ok = col(asofTs).isNotNull && (col(tsCol) - col(asofTs) <= lit(tol))
         fillCols.foldLeft(matched)((df, c) => df.withColumn(c, when(ok, col(c))))
     }
-    bounded.select((left.columns ++ fillCols).map(col): _*)
+    bounded.select((left.columns ++ fillCols).map(col).toIndexedSeq: _*)
   }
 
   /** Regular-grid GAP FILLING — the normalization pass of time-series
@@ -181,6 +181,6 @@ object AsofJoin {
       Seq(when(useBack, bts).otherwise(fts).as(s"near_$tsCol"),
         when(useBack, bts - col(tsCol)).otherwise(fts - col(tsCol))
           .as("near_gap"))
-    j.select(left.columns.map(col) ++ nearCols: _*)
+    j.select((left.columns.map(col) ++ nearCols).toIndexedSeq: _*)
   }
 }

@@ -42,7 +42,7 @@ object Cdc {
       (keyCols ++ payload).map(col) :+ col("seq").cast("long").as("__seq")
         :+ col("op").as("__op"): _*)
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__seq").desc)
-    b.select(c.columns.map(col): _*).unionAll(c)
+    b.select(c.columns.map(col).toIndexedSeq: _*).unionAll(c)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col("__op") =!= "D")
       .select((keyCols ++ payload).map(col): _*)

@@ -156,7 +156,7 @@ object Sketches {
         struct(lit(j).as("j"),
           (pmod(k * BloomA(j) + BloomB(j), lit(2147483648L)) % w).as("pos"))
       }: _*)))
-      .select(carried :+ col("jp.j").as("j") :+ col("jp.pos").as("pos"): _*)
+      .select((carried :+ col("jp.j").as("j") :+ col("jp.pos").as("pos")).toIndexedSeq: _*)
       .join(broadcast(sketch), Seq("j", "pos"), "left_outer")
       .groupBy(carried.toIndexedSeq: _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))

@@ -330,7 +330,7 @@ object StreamOps {
     val payload = schema.fieldNames.filterNot(n => n == keyCol || n == seqCol)
     val q = spark.readStream.schema(schema).parquet(path)
       .groupBy(col(keyCol))
-      .agg(max_by(struct(payload.map(col): _*), col(seqCol)).as("__latest"))
+      .agg(max_by(struct(payload.map(col).toIndexedSeq: _*), col(seqCol)).as("__latest"))
       .writeStream.format("memory").queryName(name)
       .option("checkpointLocation", ckpt)
       .outputMode("complete")
@@ -338,7 +338,7 @@ object StreamOps {
       .start()
     q.awaitTermination()
     drain(spark, name).select(col(keyCol) +:
-      payload.map(p => col(s"__latest.$p").as(p)): _*)
+      payload.map(p => col(s"__latest.$p").as(p)).toIndexedSeq: _*)
   }
 
   /** Materialize a memory sink's table and release the temp-view name. */

@@ -225,7 +225,7 @@ object Checkpoint {
         val dataCols = written.columns.filterNot(_ == "__bucket").sorted
         written.groupBy("__bucket")
           .agg(count(lit(1)).as("n"),
-            coalesce(sum(xxhash64(struct(dataCols.map(col): _*))
+            coalesce(sum(xxhash64(struct(dataCols.map(col).toIndexedSeq: _*))
               .bitwiseAND(lit(0xFFFFFFFFL))), lit(0L)).as("c"))
           .as[(Int, Long, Long)].collect()
           .map { case (b, n, c) => b -> ((n, c)) }.toMap
@@ -327,7 +327,7 @@ object Checkpoint {
     val dataCols = written.columns.filterNot(_ == "__bucket").sorted
     val stats = written.groupBy("__bucket")
       .agg(count(lit(1)).as("n"),
-        coalesce(sum(xxhash64(struct(dataCols.map(col): _*))
+        coalesce(sum(xxhash64(struct(dataCols.map(col).toIndexedSeq: _*))
           .bitwiseAND(lit(0xFFFFFFFFL))), lit(0L)).as("c"))
       .as[(Int, Long, Long)].collect()
       .map { case (b, n, c) => b -> ((n, c)) }.toMap
@@ -453,7 +453,7 @@ object Checkpoint {
     val dataCols = written.columns.filterNot(_ == "__bucket").sorted
     val stats = written.groupBy("__bucket")
       .agg(count(lit(1)).as("n"),
-        coalesce(sum(xxhash64(struct(dataCols.map(col): _*))
+        coalesce(sum(xxhash64(struct(dataCols.map(col).toIndexedSeq: _*))
           .bitwiseAND(lit(0xFFFFFFFFL))), lit(0L)).as("c"))
       .as[(Int, Long, Long)].collect()
       .map { case (b, n, c) => b -> ((n, c)) }.toMap
@@ -583,7 +583,7 @@ object Checkpoint {
       val dataCols = written.columns.filterNot(_ == "__bucket").sorted
       val stats = written.groupBy("__bucket")
         .agg(count(lit(1)).as("n"),
-          coalesce(sum(xxhash64(struct(dataCols.map(col): _*))
+          coalesce(sum(xxhash64(struct(dataCols.map(col).toIndexedSeq: _*))
             .bitwiseAND(lit(0xFFFFFFFFL))), lit(0L)).as("c"))
         .as[(Int, Long, Long)].collect()
         .map { case (b, n, c) => b -> ((n, c)) }.toMap
